@@ -1,0 +1,169 @@
+package graft.core
+
+/** Validated sensitivity bundle (reference: dp_computations.py:624-664). */
+final case class Sensitivities(
+    l0: Option[Int] = None,
+    linf: Option[Double] = None,
+    l1Given: Option[Double] = None,
+    l2Given: Option[Double] = None
+) extends Serializable {
+  l0.foreach(v => require(v > 0, s"L0 must be positive, got $v"))
+  linf.foreach(v => require(v > 0, s"Linf must be positive, got $v"))
+  l1Given.foreach(v => require(v > 0, s"L1 must be positive, got $v"))
+  l2Given.foreach(v => require(v > 0, s"L2 must be positive, got $v"))
+  require(l0.isDefined == linf.isDefined,
+    "L0 and Linf must be either both set or both unset")
+
+  /** l1 = l0 * linf (reference: dp_computations.py:80-92). */
+  val l1: Option[Double] =
+    l1Given.orElse(for (a <- l0; b <- linf) yield a * b)
+  /** l2 = sqrt(l0) * linf (reference: dp_computations.py:95-105). */
+  val l2: Option[Double] =
+    l2Given.orElse(for (a <- l0; b <- linf) yield math.sqrt(a.toDouble) * b)
+
+  for (g <- l1Given; a <- l0; b <- linf)
+    require(math.abs(g - a * b) <= 1e-12, s"L1=$g != L0*Linf=${a * b}")
+  for (g <- l2Given; a <- l0; b <- linf)
+    require(math.abs(g - math.sqrt(a.toDouble) * b) <= 1e-12,
+      s"L2=$g != sqrt(L0)*Linf=${math.sqrt(a.toDouble) * b}")
+}
+
+/** An additive noise mechanism with fully-resolved parameters; safe to
+  * serialize into Spark task closures (pure values + stateless noise source).
+  * (reference: dp_computations.py:444-583). */
+sealed trait AdditiveMechanism extends Serializable {
+  def addNoise(value: Double, noise: NoiseSource): Double
+  /** Standard deviation of the noise (for reports / stddev outputs). */
+  def stdDev: Double
+  def describe: String
+}
+
+final case class LaplaceMechanism(b: Double, l1Sensitivity: Double, eps: Double)
+    extends AdditiveMechanism {
+  def addNoise(value: Double, noise: NoiseSource): Double = value + noise.laplace(b)
+  def stdDev: Double = b * math.sqrt(2.0)
+  def describe: String =
+    f"Laplace mechanism: parameter=$b%.6g l1_sensitivity=$l1Sensitivity eps=$eps"
+}
+object LaplaceMechanism {
+  def fromEpsilon(eps: Double, l1Sensitivity: Double): LaplaceMechanism =
+    LaplaceMechanism(DpNoise.laplaceB(eps, l1Sensitivity), l1Sensitivity, eps)
+  def fromStdDeviation(std: Double, l1Sensitivity: Double): LaplaceMechanism = {
+    val b = std / math.sqrt(2.0)
+    LaplaceMechanism(b, l1Sensitivity, l1Sensitivity / b)
+  }
+}
+
+final case class GaussianMechanism(sigma: Double, l2Sensitivity: Double)
+    extends AdditiveMechanism {
+  def addNoise(value: Double, noise: NoiseSource): Double = value + noise.gaussian(sigma)
+  def stdDev: Double = sigma
+  def describe: String =
+    f"Gaussian mechanism: parameter=$sigma%.6g l2_sensitivity=$l2Sensitivity"
+}
+object GaussianMechanism {
+  def fromEpsilonDelta(eps: Double, delta: Double, l2Sensitivity: Double): GaussianMechanism =
+    GaussianMechanism(DpNoise.gaussianSigma(eps, delta, l2Sensitivity), l2Sensitivity)
+  def fromStdDeviation(std: Double, l2Sensitivity: Double): GaussianMechanism =
+    GaussianMechanism(std, l2Sensitivity)
+}
+
+/** DP mean = mid + noised(normalized_sum) / max(1, noised(count))
+  * (reference: dp_computations.py:586-621). */
+final case class MeanMechanism(
+    rangeMiddle: Double,
+    countMechanism: AdditiveMechanism,
+    sumMechanism: AdditiveMechanism
+) extends Serializable {
+  /** Returns (dpCount, dpSum, dpMean). */
+  def computeMean(count: Double, normalizedSum: Double, noise: NoiseSource)
+      : (Double, Double, Double) = {
+    val dpCount = countMechanism.addNoise(count, noise)
+    val denominator = math.max(1.0, dpCount)
+    val dpNormalizedSum = sumMechanism.addNoise(normalizedSum, noise)
+    val dpMean = rangeMiddle + dpNormalizedSum / denominator
+    (dpCount, dpMean * dpCount, dpMean)
+  }
+}
+
+object Mechanisms {
+
+  def createAdditive(spec: MechanismSpec, s: Sensitivities): AdditiveMechanism =
+    spec.noiseKind match {
+      case NoiseKind.Laplace =>
+        LaplaceMechanism.fromEpsilon(spec.epsilon,
+          s.l1.getOrElse(throw new IllegalArgumentException(
+            "L1 (or L0+Linf) sensitivity required for Laplace")))
+      case NoiseKind.Gaussian =>
+        GaussianMechanism.fromEpsilonDelta(spec.epsilon, spec.delta,
+          s.l2.getOrElse(throw new IllegalArgumentException(
+            "L2 (or L0+Linf) sensitivity required for Gaussian")))
+    }
+
+  def createMean(rangeMiddle: Double, countSpec: MechanismSpec, countSens: Sensitivities,
+      sumSpec: MechanismSpec, sumSens: Sensitivities): MeanMechanism =
+    MeanMechanism(rangeMiddle, createAdditive(countSpec, countSens),
+      createAdditive(sumSpec, sumSens))
+
+  /** Equal (eps, delta) split with exact-totals bookkeeping
+    * (reference: dp_computations.py:284-312). */
+  def equallySplitBudget(eps: Double, delta: Double, n: Int): Seq[(Double, Double)] = {
+    require(n > 0, "the number of mechanisms must be a positive integer")
+    val head = Seq.fill(n - 1)((eps / n, delta / n))
+    val used = head.foldLeft((0.0, 0.0)) { case ((e, d), (e1, d1)) => (e + e1, d + d1) }
+    head :+ (eps - used._1, delta - used._2)
+  }
+
+  // ---- per-metric sensitivity derivations (reference: dp_computations.py:764-818) ----
+
+  def sensitivitiesForCount(p: AggregateParams): Sensitivities =
+    p.maxContributions match {
+      case Some(mc) => Sensitivities(l1Given = Some(mc.toDouble), l2Given = Some(mc.toDouble))
+      case None => Sensitivities(l0 = Some(p.maxPartitionsContributed),
+        linf = Some(p.maxContributionsPerPartition.get.toDouble))
+    }
+
+  def sensitivitiesForPrivacyIdCount(p: AggregateParams): Sensitivities =
+    p.maxContributions match {
+      case Some(mc) =>
+        Sensitivities(l1Given = Some(mc.toDouble), l2Given = Some(math.sqrt(mc.toDouble)))
+      case None => Sensitivities(l0 = Some(p.maxPartitionsContributed), linf = Some(1.0))
+    }
+
+  def sensitivitiesForSum(p: AggregateParams): Sensitivities = {
+    if (p.boundsPerContributionAreSet) {
+      val maxAbs = math.max(math.abs(p.minValue.get), math.abs(p.maxValue.get))
+      p.maxContributions match {
+        case Some(mc) =>
+          val s = maxAbs * mc
+          Sensitivities(l1Given = Some(s), l2Given = Some(s))
+        case None =>
+          Sensitivities(l0 = Some(p.maxPartitionsContributed),
+            linf = Some(maxAbs * p.maxContributionsPerPartition.get))
+      }
+    } else {
+      val linf = math.max(math.abs(p.minSumPerPartition.get), math.abs(p.maxSumPerPartition.get))
+      Sensitivities(l0 = Some(p.maxPartitionsContributed), linf = Some(linf))
+    }
+  }
+
+  /** Sensitivity of sum(value - mid): Linf = (max-min)/2 * contributions
+    * (reference: dp_computations.py:807-818). */
+  def sensitivitiesForNormalizedSum(p: AggregateParams): Sensitivities = {
+    val maxAbs = (p.maxValue.get - p.minValue.get) / 2
+    p.maxContributions match {
+      case Some(mc) =>
+        val s = maxAbs * mc
+        Sensitivities(l1Given = Some(s), l2Given = Some(s))
+      case None =>
+        Sensitivities(l0 = Some(p.maxPartitionsContributed),
+          linf = Some(maxAbs * p.maxContributionsPerPartition.get))
+    }
+  }
+
+  /** Bounds of {x^2 : x in [min, max]} (reference: dp_computations.py:65-70). */
+  def squaresInterval(minValue: Double, maxValue: Double): (Double, Double) =
+    if (minValue < 0 && 0 < maxValue)
+      (0.0, math.max(minValue * minValue, maxValue * maxValue))
+    else (minValue * minValue, maxValue * maxValue)
+}

@@ -1,0 +1,144 @@
+package graft.core
+
+import org.apache.commons.math3.distribution.NormalDistribution
+import org.apache.commons.math3.special.Erf
+
+/** Noise sampling + Gaussian calibration.
+  *
+  * Calibration follows Balle & Wang, "Improving the Gaussian Mechanism for
+  * Differential Privacy" (ICML 2018), Algorithm 1 — the same analytic
+  * calibration the reference delegates to
+  * (reference: pipeline_dp/dp_computations.py:108-160).
+  *
+  * Samplers draw from double-precision inverse CDF. The reference uses the
+  * Google DP C++ library's snapped/geometric samplers; the floating-point
+  * caveat (Mironov 2012) is accepted here and documented — the engine's
+  * attack model matches the reference's (trusted curator, untrusted output).
+  */
+object DpNoise {
+
+  private val stdNormal = new NormalDistribution(null, 0.0, 1.0)
+
+  /** Standard normal CDF Φ(x), with a log-space tail so that huge |x| does
+    * not under/overflow downstream products. */
+  def phi(x: Double): Double = 0.5 * Erf.erfc(-x / math.sqrt(2.0))
+
+  /** ln Φ(x), stable for x << 0 (asymptotic Φ(x) ≈ φ(x)/|x|). */
+  def logPhi(x: Double): Double = {
+    if (x > -37.0) math.log(phi(x))
+    else -0.5 * x * x - 0.5 * math.log(2 * math.Pi) - math.log(-x)
+  }
+
+  def phiInverse(p: Double): Double = stdNormal.inverseCumulativeProbability(p)
+
+  /** Minimum delta such that Gaussian(sigma) with unit L2 sensitivity is
+    * (eps, delta)-DP (reference: dp_computations.py:124-135). Computed as
+    * delta = Φ(a/2 - eps/a) - e^eps · Φ(-a/2 - eps/a) with a = 1/sigma,
+    * using log-space for the second term to survive large eps. */
+  def gaussianDelta(sigma: Double, eps: Double): Double = {
+    require(sigma > 0, s"sigma must be > 0, got $sigma")
+    val a = 1.0 / sigma
+    // X ~ N(a^2/2, a); sf(eps) = Φ((a^2/2 - eps)/a); cdf(-eps) = Φ((-eps - a^2/2)/a)
+    val sf = phi((a * a / 2 - eps) / a)
+    val logSecond = eps + logPhi((-eps - a * a / 2) / a)
+    val second = if (logSecond < -745.0) 0.0 else math.exp(logSecond)
+    math.max(0.0, sf - second)
+  }
+
+  /** Minimum eps such that Gaussian(sigma) is (eps, delta)-DP — binary search
+    * on the decreasing map eps -> gaussianDelta (reference:
+    * dp_computations.py:138-160). */
+  def gaussianEpsilon(sigma: Double, delta: Double): Double = {
+    require(sigma > 0 && delta >= 0 && delta <= 1)
+    val f = (e: Double) => gaussianDelta(sigma, e)
+    var lo = 0.0; var hi = 1.0
+    if (f(0) >= delta) {
+      while (f(hi) >= delta) hi *= 2
+    } else {
+      hi = 0.0; lo = -1.0
+      while (f(lo) < delta) lo *= 2
+    }
+    while (hi - lo > 1e-10) {
+      val mid = (hi + lo) / 2
+      if (f(mid) >= delta) lo = mid else hi = mid
+    }
+    (lo + hi) / 2
+  }
+
+  /** Minimal sigma for which Gaussian noise with L2 sensitivity `l2` is
+    * (eps, delta)-DP. Since gaussianDelta depends only on sigma/l2 (for fixed
+    * eps), calibrate at unit sensitivity and scale. */
+  def gaussianSigma(eps: Double, delta: Double, l2Sensitivity: Double): Double = {
+    require(eps > 0 && delta > 0 && l2Sensitivity > 0)
+    // bracket sigma for unit sensitivity
+    var hi = 1.0
+    while (gaussianDelta(hi, eps) > delta) hi *= 2
+    var lo = hi / 2
+    while (gaussianDelta(lo, eps) <= delta && lo > 1e-15) lo /= 2
+    var i = 0
+    while ((hi - lo) / hi > 1e-9 && i < 200) {
+      val mid = (hi + lo) / 2
+      if (gaussianDelta(mid, eps) > delta) lo = mid else hi = mid
+      i += 1
+    }
+    hi * l2Sensitivity
+  }
+
+  /** Laplace scale b for (eps)-DP with L1 sensitivity. */
+  def laplaceB(eps: Double, l1Sensitivity: Double): Double = l1Sensitivity / eps
+}
+
+/** A serializable source of noise draws usable inside Spark tasks.
+  * Implementations must be thread-safe (Spark runs many tasks per JVM). */
+trait NoiseSource extends Serializable {
+  /** Draw Laplace(0, b). */
+  def laplace(b: Double): Double
+  /** Draw N(0, sigma). */
+  def gaussian(sigma: Double): Double
+  /** U(0,1) draw — used by probabilistic partition selection. */
+  def uniform(): Double
+}
+
+object NoiseSource {
+
+  /** Cryptographically seeded noise — the production default. A per-thread
+    * SecureRandom (java.security) lives executor-side; the object itself
+    * carries no state across serialization. */
+  object Secure extends NoiseSource {
+    @transient private lazy val rng =
+      ThreadLocal.withInitial[java.security.SecureRandom](() => new java.security.SecureRandom())
+    private def r = rng.get()
+    def laplace(b: Double): Double = {
+      val u = r.nextDouble() - 0.5
+      -b * math.signum(u) * math.log1p(-2 * math.abs(u))
+    }
+    def gaussian(sigma: Double): Double = sigma * r.nextGaussian()
+    def uniform(): Double = r.nextDouble()
+    private def readResolve(): Object = Secure
+  }
+
+  /** Zero noise — for tests and oracle verification (the reference's
+    * huge-epsilon trick, made exact; reference: tests/dp_engine_test.py:1128-1157). */
+  object Zero extends NoiseSource {
+    def laplace(b: Double): Double = 0.0
+    def gaussian(sigma: Double): Double = 0.0
+    def uniform(): Double = 0.5
+    private def readResolve(): Object = Zero
+  }
+
+  /** Deterministic pseudo-random noise for reproducible statistical tests.
+    * Thread-local stream seeded from `seed` + thread id: deterministic on
+    * single-threaded local runs, merely reproducible-ish on local[n]. */
+  final case class Seeded(seed: Long) extends NoiseSource {
+    @transient private lazy val rng =
+      ThreadLocal.withInitial[java.util.SplittableRandom](
+        () => new java.util.SplittableRandom(seed ^ Thread.currentThread().getId))
+    private def r = rng.get()
+    def laplace(b: Double): Double = {
+      val u = r.nextDouble() - 0.5
+      -b * math.signum(u) * math.log1p(-2 * math.abs(u))
+    }
+    def gaussian(sigma: Double): Double = sigma * r.nextGaussian()
+    def uniform(): Double = r.nextDouble()
+  }
+}

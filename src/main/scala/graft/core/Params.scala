@@ -1,0 +1,176 @@
+package graft.core
+
+/** Parameter model for the DP aggregation engine.
+  *
+  * Semantics follow the reference engine's parameter surface
+  * (reference: pipeline_dp/aggregate_params.py:28-833) re-expressed as
+  * immutable Scala ADTs + case classes with eager validation.
+  */
+
+/** Distribution of the additive noise (reference: aggregate_params.py:75-96). */
+sealed trait NoiseKind {
+  def mechanismType: MechanismType = this match {
+    case NoiseKind.Laplace  => MechanismType.Laplace
+    case NoiseKind.Gaussian => MechanismType.Gaussian
+  }
+}
+object NoiseKind {
+  case object Laplace extends NoiseKind
+  case object Gaussian extends NoiseKind
+}
+
+/** Mechanism used by a budget request (reference: aggregate_params.py:98-133). */
+sealed trait MechanismType
+object MechanismType {
+  case object Laplace extends MechanismType
+  case object Gaussian extends MechanismType
+  /** Truncated-geometric / thresholding partition selection. */
+  case object PartitionSelection extends MechanismType
+}
+
+/** Strategy for DP partition selection (reference: aggregate_params.py:136-175). */
+sealed trait PartitionSelectionStrategyKind
+object PartitionSelectionStrategyKind {
+  case object TruncatedGeometric extends PartitionSelectionStrategyKind
+  case object LaplaceThresholding extends PartitionSelectionStrategyKind
+  case object GaussianThresholding extends PartitionSelectionStrategyKind
+}
+
+/** Norm used to clip vectors for VECTOR_SUM (reference: aggregate_params.py:166-175). */
+sealed trait NormKind
+object NormKind {
+  case object L1 extends NormKind
+  case object L2 extends NormKind
+  case object Linf extends NormKind
+}
+
+/** Metric ADT (reference: aggregate_params.py:28-72; parametric percentile). */
+sealed trait Metric { def name: String }
+object Metric {
+  case object Count extends Metric { val name = "count" }
+  case object PrivacyIdCount extends Metric { val name = "privacy_id_count" }
+  case object Sum extends Metric { val name = "sum" }
+  case object Mean extends Metric { val name = "mean" }
+  case object Variance extends Metric { val name = "variance" }
+  final case class Percentile(p: Double) extends Metric {
+    require(p >= 0 && p <= 100, s"percentile must be in [0, 100], got $p")
+    def name = s"percentile_${if (p == p.toLong.toDouble) p.toLong.toString else p.toString}"
+  }
+  case object VectorSum extends Metric { val name = "vector_sum" }
+}
+
+/** Total (epsilon, delta) privacy budget for one accountant scope. */
+final case class Budget(epsilon: Double, delta: Double) {
+  require(epsilon > 0, s"epsilon must be positive, got $epsilon")
+  require(delta >= 0 && delta < 1, s"delta must be in [0, 1), got $delta")
+}
+
+/** Parameters of a DP `aggregate` call.
+  *
+  * Validation mirrors the reference's compatibility matrix
+  * (reference: aggregate_params.py:328-439):
+  *  - SUM needs either per-contribution bounds [minValue, maxValue] or
+  *    per-partition bounds [minSumPerPartition, maxSumPerPartition];
+  *  - MEAN / VARIANCE / PERCENTILE need per-contribution bounds and
+  *    maxContributionsPerPartition;
+  *  - per-partition bounds are incompatible with MEAN/VARIANCE/PERCENTILE;
+  *  - maxContributions (total L1 bound) is mutually exclusive with
+  *    (maxPartitionsContributed, maxContributionsPerPartition).
+  */
+final case class AggregateParams(
+    metrics: Seq[Metric],
+    noiseKind: NoiseKind = NoiseKind.Laplace,
+    maxPartitionsContributed: Int = 1,
+    maxContributionsPerPartition: Option[Int] = None,
+    maxContributions: Option[Int] = None,
+    minValue: Option[Double] = None,
+    maxValue: Option[Double] = None,
+    minSumPerPartition: Option[Double] = None,
+    maxSumPerPartition: Option[Double] = None,
+    vectorNormKind: NormKind = NormKind.Linf,
+    vectorMaxNorm: Double = 0.0,
+    vectorSize: Int = 0,
+    budgetWeight: Double = 1.0,
+    partitionSelectionStrategy: PartitionSelectionStrategyKind =
+      PartitionSelectionStrategyKind.TruncatedGeometric,
+    preThreshold: Option[Int] = None,
+    /** When true, contribution bounding is assumed already enforced upstream
+      * and sampling is skipped (reference: aggregate_params.py "
+      * contribution_bounds_already_enforced"). */
+    contributionBoundsAlreadyEnforced: Boolean = false
+) {
+  import Metric._
+
+  require(metrics.nonEmpty, "metrics must not be empty")
+  require(maxPartitionsContributed >= 1,
+    s"maxPartitionsContributed must be >= 1, got $maxPartitionsContributed")
+  maxContributionsPerPartition.foreach(c =>
+    require(c >= 1, s"maxContributionsPerPartition must be >= 1, got $c"))
+  maxContributions.foreach(c => require(c >= 1, s"maxContributions must be >= 1, got $c"))
+  require(maxContributions.isEmpty || maxContributionsPerPartition.isEmpty,
+    "maxContributions is mutually exclusive with maxContributionsPerPartition")
+  require(minValue.isDefined == maxValue.isDefined,
+    "minValue and maxValue must both be set or both be unset")
+  require(minSumPerPartition.isDefined == maxSumPerPartition.isDefined,
+    "minSumPerPartition and maxSumPerPartition must both be set or both unset")
+  require(!(minValue.isDefined && minSumPerPartition.isDefined),
+    "per-contribution bounds and per-partition sum bounds are mutually exclusive")
+  for (lo <- minValue; hi <- maxValue)
+    require(lo <= hi, s"minValue ($lo) must be <= maxValue ($hi)")
+  for (lo <- minSumPerPartition; hi <- maxSumPerPartition)
+    require(lo <= hi, s"minSumPerPartition ($lo) must be <= maxSumPerPartition ($hi)")
+
+  private def needsPerContributionBounds =
+    metrics.exists {
+      case Mean | Variance | _: Percentile => true
+      case _ => false
+    }
+  if (needsPerContributionBounds) {
+    require(minValue.isDefined,
+      "MEAN/VARIANCE/PERCENTILE require [minValue, maxValue] bounds")
+    require(maxContributionsPerPartition.isDefined || maxContributions.isDefined,
+      "MEAN/VARIANCE/PERCENTILE require maxContributionsPerPartition (or maxContributions)")
+  }
+  if (metrics.contains(Sum))
+    require(minValue.isDefined || minSumPerPartition.isDefined,
+      "SUM requires per-contribution or per-partition bounds")
+  if (metrics.contains(Count))
+    require(maxContributionsPerPartition.isDefined || maxContributions.isDefined,
+      "COUNT requires maxContributionsPerPartition (or maxContributions)")
+  if (metrics.contains(VectorSum)) {
+    require(vectorSize > 0, "VECTOR_SUM requires vectorSize > 0")
+    require(vectorMaxNorm > 0, "VECTOR_SUM requires vectorMaxNorm > 0")
+    require(!metrics.exists { case Mean | Variance | _: Percentile => true; case _ => false },
+      "VECTOR_SUM is incompatible with MEAN/VARIANCE/PERCENTILE")
+  }
+
+  def boundsPerContributionAreSet: Boolean = minValue.isDefined
+  def boundsPerPartitionAreSet: Boolean = minSumPerPartition.isDefined
+  def l0Sensitivity: Int = maxPartitionsContributed
+  def rangeMiddle: Double = {
+    val lo = minValue.get; val hi = maxValue.get
+    lo + (hi - lo) / 2 // overflow-safe midpoint (reference: dp_computations.py:73-77)
+  }
+}
+
+/** Parameters of `selectPartitions` (reference: aggregate_params.py SelectPartitionsParams). */
+final case class SelectPartitionsParams(
+    maxPartitionsContributed: Int,
+    budgetWeight: Double = 1.0,
+    strategy: PartitionSelectionStrategyKind =
+      PartitionSelectionStrategyKind.TruncatedGeometric,
+    preThreshold: Option[Int] = None
+) {
+  require(maxPartitionsContributed >= 1, "maxPartitionsContributed must be >= 1")
+}
+
+/** Parameters of `addDpNoise` — noise-only on pre-aggregated data
+  * (reference: dp_engine.py:579-652). Caller vouches for the sensitivities. */
+final case class AddDpNoiseParams(
+    noiseKind: NoiseKind,
+    l0Sensitivity: Option[Int] = None,
+    linfSensitivity: Option[Double] = None,
+    l1Sensitivity: Option[Double] = None,
+    l2Sensitivity: Option[Double] = None,
+    budgetWeight: Double = 1.0
+)

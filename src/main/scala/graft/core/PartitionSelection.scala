@@ -1,0 +1,181 @@
+package graft.core
+
+/** DP partition selection — the DP analogue of a HAVING filter: release a
+  * partition key only when enough distinct privacy units contribute to it.
+  *
+  * Three strategies, mirroring the reference surface
+  * (reference: pipeline_dp/partition_selection.py:33-138, which delegates the
+  * math to the Google DP C++ library; algorithms reimplemented here from the
+  * published sources):
+  *
+  *  - [[TruncatedGeometricSelection]] — the optimal probabilistic mechanism
+  *    from Desfontaines, Voss, Gipson, Mandayam, "Differentially private
+  *    partition selection" (PoPETs 2022): keep-probability recursion
+  *    pi(n) = min(e^eps pi(n-1) + delta, 1 - e^-eps (1 - pi(n-1) - delta), 1).
+  *  - [[LaplaceThresholdingSelection]] / [[GaussianThresholdingSelection]] —
+  *    noisy-count-vs-threshold, per Google's Delta_For_Thresholding.pdf.
+  *
+  * All strategies are plain serializable values: `shouldKeep` runs inside a
+  * nondeterministic Spark filter over the aggregated per-partition privacy-id
+  * counts (one call per surviving partition key — never on the raw data).
+  */
+sealed trait PartitionSelection extends Serializable {
+  /** Number of distinct privacy units -> keep? `n` is post-contribution-bounding. */
+  def shouldKeep(numPrivacyUnits: Long, noise: NoiseSource): Boolean
+  /** Probability a partition with n units is kept (exact for the geometric
+    * strategy, derived for thresholding) — used by tests and utility analysis. */
+  def probabilityOfKeep(numPrivacyUnits: Long): Double
+  def describe: String
+}
+
+/** Thresholding strategies additionally expose the noised count when kept
+  * (reference: combiners.py:360-416 PostAggregationThresholding). */
+sealed trait ThresholdingSelection extends PartitionSelection {
+  def threshold: Double
+  def noisedValueIfShouldKeep(numPrivacyUnits: Long, noise: NoiseSource): Option[Double]
+  final def shouldKeep(n: Long, noise: NoiseSource): Boolean =
+    noisedValueIfShouldKeep(n, noise).isDefined
+}
+
+object PartitionSelection {
+
+  /** delta adjusted for releasing up to l0 partitions per unit:
+    * 1 - (1-delta)^(1/l0), computed stably. */
+  private[core] def adjustedDelta(delta: Double, l0: Int): Double =
+    if (delta == 0) 0.0 else -math.expm1(math.log1p(-delta) / l0)
+
+  def create(
+      strategy: PartitionSelectionStrategyKind,
+      epsilon: Double,
+      delta: Double,
+      maxPartitionsContributed: Int,
+      preThreshold: Option[Int] = None
+  ): PartitionSelection = strategy match {
+    case PartitionSelectionStrategyKind.TruncatedGeometric =>
+      TruncatedGeometricSelection(epsilon, delta, maxPartitionsContributed,
+        preThreshold.getOrElse(1))
+    case PartitionSelectionStrategyKind.LaplaceThresholding =>
+      LaplaceThresholdingSelection(epsilon, delta, maxPartitionsContributed,
+        preThreshold.getOrElse(1))
+    case PartitionSelectionStrategyKind.GaussianThresholding =>
+      GaussianThresholdingSelection(epsilon, delta, maxPartitionsContributed,
+        preThreshold.getOrElse(1))
+  }
+}
+
+final case class TruncatedGeometricSelection(
+    epsilon: Double,
+    delta: Double,
+    maxPartitionsContributed: Int,
+    preThreshold: Int = 1
+) extends PartitionSelection {
+  require(epsilon > 0 && delta > 0 && maxPartitionsContributed >= 1 && preThreshold >= 1)
+
+  private val epsPerPartition = epsilon / maxPartitionsContributed
+  private val deltaPerPartition =
+    PartitionSelection.adjustedDelta(delta, maxPartitionsContributed)
+
+  /** pi(n) table computed until it reaches 1 (the mechanism is "truncated":
+    * it provably reaches 1 after finitely many steps). */
+  @transient private lazy val keepProbabilities: Array[Double] = {
+    val buf = scala.collection.mutable.ArrayBuffer(0.0)
+    val e = epsPerPartition
+    var prev = 0.0
+    var guard = 0
+    while (prev < 1.0 && guard < 100000000) {
+      val up = if (prev == 0.0) deltaPerPartition else math.exp(e) * prev + deltaPerPartition
+      val down = 1.0 - math.exp(-e) * (1.0 - prev - deltaPerPartition)
+      val next = math.min(1.0, math.min(up, down))
+      buf += next
+      prev = next
+      guard += 1
+    }
+    buf.toArray
+  }
+
+  def probabilityOfKeep(n: Long): Double = {
+    val m = n - (preThreshold - 1)
+    if (m <= 0) 0.0
+    else if (m >= keepProbabilities.length) 1.0
+    else keepProbabilities(m.toInt)
+  }
+
+  def shouldKeep(n: Long, noise: NoiseSource): Boolean = {
+    val p = probabilityOfKeep(n)
+    p >= 1.0 || (p > 0.0 && noise.uniform() < p)
+  }
+
+  def describe: String =
+    f"Truncated geometric partition selection (eps=$epsilon%.4g delta=$delta%.4g l0=$maxPartitionsContributed preThreshold=$preThreshold)"
+}
+
+final case class LaplaceThresholdingSelection(
+    epsilon: Double,
+    delta: Double,
+    maxPartitionsContributed: Int,
+    preThreshold: Int = 1
+) extends ThresholdingSelection {
+  require(epsilon > 0 && delta > 0 && maxPartitionsContributed >= 1 && preThreshold >= 1)
+
+  /** Laplace noise on the privacy-unit count has L1 sensitivity = l0. */
+  val b: Double = DpNoise.laplaceB(epsilon, maxPartitionsContributed.toDouble)
+  private val deltaAdj = PartitionSelection.adjustedDelta(delta, maxPartitionsContributed)
+
+  /** T = 1 + b * LapQuantile(1 - deltaAdj): a 1-unit partition survives with
+    * probability exactly deltaAdj (Delta_For_Thresholding.pdf). */
+  val threshold: Double = {
+    val p = 1.0 - deltaAdj
+    val q = if (p >= 0.5) -math.log(2.0 * (1.0 - p)) else math.log(2.0 * p)
+    1.0 + b * q + (preThreshold - 1)
+  }
+
+  def noisedValueIfShouldKeep(n: Long, noise: NoiseSource): Option[Double] = {
+    if (n < preThreshold) return None
+    val noised = n + noise.laplace(b)
+    if (noised >= threshold) Some(noised) else None
+  }
+
+  def probabilityOfKeep(n: Long): Double = {
+    if (n < preThreshold) return 0.0
+    val z = (threshold - n) / b // P(Lap >= z*b)
+    if (z <= 0) 1.0 - 0.5 * math.exp(z) else 0.5 * math.exp(-z)
+  }
+
+  def describe: String =
+    f"Laplace thresholding partition selection (eps=$epsilon%.4g delta=$delta%.4g threshold=$threshold%.2f)"
+}
+
+final case class GaussianThresholdingSelection(
+    epsilon: Double,
+    delta: Double,
+    maxPartitionsContributed: Int,
+    preThreshold: Int = 1
+) extends ThresholdingSelection {
+  require(epsilon > 0 && delta > 0 && maxPartitionsContributed >= 1 && preThreshold >= 1)
+
+  /** Google's split: half of delta calibrates the Gaussian noise, half bounds
+    * the probability of releasing a 1-unit partition. */
+  private val noiseDelta = delta / 2
+  private val thresholdDelta = delta / 2
+  val sigma: Double =
+    DpNoise.gaussianSigma(epsilon, noiseDelta, math.sqrt(maxPartitionsContributed.toDouble))
+  private val thrDeltaAdj =
+    PartitionSelection.adjustedDelta(thresholdDelta, maxPartitionsContributed)
+
+  val threshold: Double =
+    1.0 + sigma * DpNoise.phiInverse(1.0 - thrDeltaAdj) + (preThreshold - 1)
+
+  def noisedValueIfShouldKeep(n: Long, noise: NoiseSource): Option[Double] = {
+    if (n < preThreshold) return None
+    val noised = n + noise.gaussian(sigma)
+    if (noised >= threshold) Some(noised) else None
+  }
+
+  def probabilityOfKeep(n: Long): Double = {
+    if (n < preThreshold) return 0.0
+    DpNoise.phi((n - threshold) / sigma)
+  }
+
+  def describe: String =
+    f"Gaussian thresholding partition selection (eps=$epsilon%.4g delta=$delta%.4g sigma=$sigma%.3f threshold=$threshold%.2f)"
+}

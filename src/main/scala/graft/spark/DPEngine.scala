@@ -1,0 +1,272 @@
+package graft.spark
+
+import graft.core._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Names the three roles every DP query needs
+  * (reference: pipeline_dp/data_extractors.py:20-31 — extractor lambdas become
+  * Column expressions, so Catalyst can prune/push them).
+  */
+final case class DPColumns(
+    privacyUnit: Column,
+    partitionKeys: Seq[(String, Column)],
+    value: Option[Column] = None
+)
+object DPColumns {
+  def apply(privacyUnit: String, partitionKey: String): DPColumns =
+    DPColumns(col(privacyUnit), Seq(partitionKey -> col(partitionKey)), None)
+  def apply(privacyUnit: String, partitionKey: String, value: String): DPColumns =
+    DPColumns(col(privacyUnit), Seq(partitionKey -> col(partitionKey)), Some(col(value)))
+}
+
+/** A lazily-built DP result: the physical DataFrame is assembled only after
+  * the accountant resolves budgets (explicit two-phase lifecycle replacing the
+  * reference's mutate-after-capture, reference: budget_accounting.py:448-476).
+  */
+final class DPResult private[spark] (builder: () => DataFrame) {
+  lazy val dataframe: DataFrame = builder()
+}
+
+/** The DP aggregation engine, Spark-native.
+  *
+  * The reference's dataflow stages (reference: dp_engine.py:71-195) become one
+  * declarative DataFrame plan:
+  *
+  * {{{
+  * select(pid, pk..., value)                        -- narrow, codegen
+  *   [left_semi join public partitions]             -- broadcast if small
+  *   window rn over (pid, pk) order rand, rn <= c   -- shuffle 1 (Linf bound)
+  *   groupBy(pid, pk).agg(partial accumulators)     -- no extra shuffle (same keys)
+  *   window rn over (pid) order rand, rn <= L0      -- shuffle 2 (L0 bound)
+  *   groupBy(pk).agg(merge accumulators)            -- shuffle 3, map-side combine
+  *   [outer join empty public partitions]
+  *   [filter shouldKeep(pid_count)]                 -- nondeterministic UDF
+  *   select(noised metrics)                         -- nondeterministic UDF
+  * }}}
+  *
+  * Everything up to the final two (per-partition-key, low-cardinality) UDFs is
+  * native Catalyst — whole-stage codegen, partial aggregation, AQE all apply.
+  *
+  * @param noise noise source; [[NoiseSource.Zero]] gives exact results for
+  *              oracle tests (the reference's huge-epsilon trick, made exact).
+  */
+final class DPEngine(
+    val accountant: NaiveBudgetAccountant,
+    val noise: NoiseSource = NoiseSource.Secure
+) {
+  import DPEngine._
+
+  /** The main DP groupBy-aggregate (reference: dp_engine.py:71-195). */
+  def aggregate(
+      df: DataFrame,
+      params: AggregateParams,
+      columns: DPColumns,
+      publicPartitions: Option[DataFrame] = None
+  ): DPResult = {
+    accountant.registerAggregation()
+    val plan = CompoundComputer.plan(params, accountant)
+    val selectionHandle =
+      if (publicPartitions.isEmpty)
+        Some(accountant.requestBudget(MechanismType.PartitionSelection,
+          weight = params.budgetWeight, name = "PartitionSelection"))
+      else None
+
+    new DPResult(() => {
+      val computer = plan.build(noise)
+      val selector = selectionHandle.map { h =>
+        val spec = h.spec
+        PartitionSelection.create(params.partitionSelectionStrategy, spec.epsilon,
+          spec.delta, params.maxPartitionsContributed, params.preThreshold)
+      }
+      assemble(df, params, columns, publicPartitions, computer, selector, noise)
+    })
+  }
+
+  /** DP set of partition keys (reference: dp_engine.py:220-305). */
+  def selectPartitions(
+      df: DataFrame,
+      params: SelectPartitionsParams,
+      columns: DPColumns
+  ): DPResult = {
+    accountant.registerAggregation()
+    val handle = accountant.requestBudget(MechanismType.PartitionSelection,
+      weight = params.budgetWeight, name = "PartitionSelection")
+    new DPResult(() => {
+      val spec = handle.spec
+      val selector = PartitionSelection.create(params.strategy, spec.epsilon,
+        spec.delta, params.maxPartitionsContributed, params.preThreshold)
+      val pkNames = columns.partitionKeys.map(_._1)
+      val projected = df.select(
+        columns.privacyUnit.as(PidCol) +:
+          columns.partitionKeys.map { case (n, c) => c.as(n) }: _*)
+      // distinct (pid, pk), bound partitions per pid, count pids per pk
+      val distinctPairs = projected.distinct()
+      val bounded = sampleRowsPerKey(distinctPairs, Seq(PidCol), params.maxPartitionsContributed)
+      val counted = bounded.groupBy(pkNames.map(col): _*).agg(count(lit(1)).as(PidCntCol))
+      val noiseSrc = noise
+      val keepUdf = udf((n: Long) => selector.shouldKeep(n, noiseSrc)).asNondeterministic()
+      counted.filter(keepUdf(col(PidCntCol))).select(pkNames.map(col): _*)
+    })
+  }
+
+  /** Noise-only on pre-aggregated per-partition values; the caller vouches for
+    * the sensitivities (reference: dp_engine.py:579-652). */
+  def addDpNoise(
+      df: DataFrame,
+      params: AddDpNoiseParams,
+      valueColumns: Seq[String]
+  ): DPResult = {
+    accountant.registerAggregation()
+    val handle = accountant.requestBudget(params.noiseKind.mechanismType,
+      weight = params.budgetWeight, name = "AddDpNoise")
+    new DPResult(() => {
+      val sens = Sensitivities(params.l0Sensitivity, params.linfSensitivity,
+        params.l1Sensitivity, params.l2Sensitivity)
+      val mech = Mechanisms.createAdditive(handle.spec, sens)
+      val noiseSrc = noise
+      val noiseUdf = udf((v: Double) => mech.addNoise(v, noiseSrc)).asNondeterministic()
+      valueColumns.foldLeft(df)((d, c) => d.withColumn(c, noiseUdf(col(c))))
+    })
+  }
+}
+
+object DPEngine {
+  private[spark] val PidCol = "__graft_pid"
+  private[spark] val ValCol = "__graft_v"
+  private[spark] val CntCol = "__graft_cnt"
+  private[spark] val SumCol = "__graft_sum"
+  private[spark] val NSumCol = "__graft_nsum"
+  private[spark] val NSqCol = "__graft_nsq"
+  private[spark] val PidCntCol = "__graft_pidcnt"
+  private[spark] val RnCol = "__graft_rn"
+  private[spark] val MetricsCol = "__graft_metrics"
+
+  /** Uniform without-replacement sample of at most `n` rows per key:
+    * `row_number() over (partition by keys order by rand())` — the window sort
+    * randomizes, the filter bounds. Uniformity holds exactly (a uniform random
+    * permutation prefix), unlike the reference's Spark path which documents
+    * non-uniformity (reference: spark_rdd_backend.py:121-124). */
+  private[spark] def sampleRowsPerKey(df: DataFrame, keys: Seq[String], n: Int): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(rand())
+    df.withColumn(RnCol, row_number().over(w)).filter(col(RnCol) <= n).drop(RnCol)
+  }
+
+  /** Whether any requested metric needs per-(pid, pk) contribution sampling
+    * (reference: combiners.py expects_per_partition_sampling; sum in
+    * per-partition-bound mode and privacy_id_count do not). */
+  private def needsLinfSampling(params: AggregateParams): Boolean =
+    params.metrics.exists {
+      case Metric.Count | Metric.Mean | Metric.Variance | _: Metric.Percentile => true
+      case Metric.Sum => params.boundsPerContributionAreSet
+      case Metric.VectorSum => true
+      case Metric.PrivacyIdCount => false
+    }
+
+  private[spark] def assemble(
+      df: DataFrame,
+      params: AggregateParams,
+      columns: DPColumns,
+      publicPartitions: Option[DataFrame],
+      computer: CompoundComputer,
+      selector: Option[PartitionSelection],
+      noise: NoiseSource
+  ): DataFrame = {
+    val pkNames = columns.partitionKeys.map(_._1)
+    val pkCols = pkNames.map(col)
+    val valueExpr = columns.value.getOrElse(lit(1.0)).cast("double")
+
+    // stage 3: extract (pid, pk..., value) — Catalyst prunes everything else
+    var cur = df.select(
+      (columns.privacyUnit.as(PidCol) +:
+        columns.partitionKeys.map { case (n, c) => c.as(n) }) :+
+        valueExpr.as(ValCol): _*)
+
+    // stage 4: drop non-public partitions early (semi-join; broadcast when small)
+    publicPartitions.foreach { pub => cur = cur.join(pub, pkNames, "left_semi") }
+
+    // stage 5a: Linf bounding — sample <= c contributions per (pid, pk)
+    val doSampling = !params.contributionBoundsAlreadyEnforced
+    if (doSampling && needsLinfSampling(params)) {
+      params.maxContributions match {
+        case Some(mc) => // L1 bounding: <= mc rows per pid across all partitions
+          cur = sampleRowsPerKey(cur, Seq(PidCol), mc)
+        case None =>
+          params.maxContributionsPerPartition.foreach { c =>
+            cur = sampleRowsPerKey(cur, PidCol +: pkNames, c)
+          }
+      }
+    }
+
+    // stage 5b: per-(pid, pk) partial accumulators — all native functions.
+    // Window partitioned the data by (pid, pk) already, so this groupBy
+    // reuses the exchange (no extra shuffle).
+    val clipped = columns.value match {
+      case Some(_) if params.boundsPerContributionAreSet =>
+        least(greatest(col(ValCol), lit(params.minValue.get)), lit(params.maxValue.get))
+      case _ => col(ValCol)
+    }
+    val mid = if (params.boundsPerContributionAreSet) params.rangeMiddle else 0.0
+    val perPidPk = cur
+      .groupBy((col(PidCol) +: pkCols): _*)
+      .agg(
+        count(lit(1)).as(CntCol),
+        (if (params.boundsPerPartitionAreSet)
+           least(greatest(sum(col(ValCol)), lit(params.minSumPerPartition.get)),
+             lit(params.maxSumPerPartition.get))
+         else sum(clipped)).as(SumCol),
+        sum(clipped - lit(mid)).as(NSumCol),
+        sum((clipped - lit(mid)) * (clipped - lit(mid))).as(NSqCol)
+      )
+
+    // stage 5c: L0 bounding — sample <= maxPartitionsContributed partitions per pid
+    val crossBounded =
+      if (doSampling && params.maxContributions.isEmpty)
+        sampleRowsPerKey(perPidPk, Seq(PidCol), params.maxPartitionsContributed)
+      else perPidPk
+
+    // stages 6+8: drop pid, merge accumulators per pk (map-side combine free)
+    var agg = crossBounded
+      .groupBy(pkCols: _*)
+      .agg(
+        sum(col(CntCol)).as(CntCol),
+        sum(col(SumCol)).as(SumCol),
+        sum(col(NSumCol)).as(NSumCol),
+        sum(col(NSqCol)).as(NSqCol),
+        count(lit(1)).as(PidCntCol) // one row per (pid, pk) => exact pid count
+      )
+
+    // stage 7: union empty accumulators for missing public partitions
+    publicPartitions.foreach { pub =>
+      agg = pub.distinct().join(agg, pkNames, "left_outer").select(
+        pkCols ++ Seq(
+          coalesce(col(CntCol), lit(0L)).as(CntCol),
+          coalesce(col(SumCol), lit(0.0)).as(SumCol),
+          coalesce(col(NSumCol), lit(0.0)).as(NSumCol),
+          coalesce(col(NSqCol), lit(0.0)).as(NSqCol),
+          coalesce(col(PidCntCol), lit(0L)).as(PidCntCol)): _*)
+    }
+
+    // stage 9: DP partition selection (private partitions only)
+    selector.foreach { sel =>
+      val noiseSrc = noise
+      val keepUdf = udf((n: Long) => sel.shouldKeep(n, noiseSrc)).asNondeterministic()
+      agg = agg.filter(keepUdf(col(PidCntCol)))
+    }
+
+    // stage 10: compute DP metrics — one nondeterministic UDF emitting the
+    // full metric vector so a single logical noise draw is never split
+    // across column re-evaluations (SURVEY §7.4 hard-part 4)
+    val comp = computer
+    val metricsUdf = udf((cnt: Long, s: Double, ns: Double, nsq: Double, pc: Long) =>
+      comp.compute(cnt, s, ns, nsq, pc)).asNondeterministic()
+    val withMetrics = agg.withColumn(MetricsCol,
+      metricsUdf(col(CntCol), col(SumCol), col(NSumCol), col(NSqCol), col(PidCntCol)))
+
+    val metricCols = comp.names.zipWithIndex.map { case (n, i) =>
+      col(MetricsCol).getItem(i).as(n)
+    }
+    withMetrics.select(pkCols ++ metricCols: _*)
+  }
+}

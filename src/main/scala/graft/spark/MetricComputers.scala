@@ -1,0 +1,215 @@
+package graft.spark
+
+import graft.core._
+
+/** Per-partition accumulator after the final merge: one row per partition key.
+  * `cnt` = bounded row count, `sum` = bounded/clipped sum, `nsum` = sum of
+  * (clip(v) - mid), `nsq` = sum of (clip(v) - mid)^2, `pidCnt` = number of
+  * distinct privacy units (post-bounding).
+  * (reference IR: pipeline_dp/combiners.py:269, 425, 488, 571, 780.)
+  */
+final case class DpAcc(cnt: Long, sum: Double, nsum: Double, nsq: Double, pidCnt: Long)
+
+/** One component of the compound metric computation. Runs worker-side on the
+  * merged accumulator of a single partition key; all mechanism parameters are
+  * resolved driver-side before the plan is built (two-phase budget lifecycle,
+  * reference: budget_accounting.py:448-476).
+  */
+sealed trait MetricPart extends Serializable {
+  def names: Seq[String]
+  def compute(acc: DpAcc, noise: NoiseSource): Seq[Double]
+}
+
+/** DP count (reference: combiners.py:263-307). */
+final case class CountPart(mechanism: AdditiveMechanism) extends MetricPart {
+  val names = Seq("count")
+  def compute(acc: DpAcc, noise: NoiseSource) =
+    Seq(mechanism.addNoise(acc.cnt.toDouble, noise))
+}
+
+/** DP privacy-id count (reference: combiners.py:310-357). */
+final case class PrivacyIdCountPart(mechanism: AdditiveMechanism) extends MetricPart {
+  val names = Seq("privacy_id_count")
+  def compute(acc: DpAcc, noise: NoiseSource) =
+    Seq(mechanism.addNoise(acc.pidCnt.toDouble, noise))
+}
+
+/** DP sum (reference: combiners.py:419-476). Clipping already happened in the
+  * accumulator stage (per-contribution or per-partition mode). */
+final case class SumPart(mechanism: AdditiveMechanism) extends MetricPart {
+  val names = Seq("sum")
+  def compute(acc: DpAcc, noise: NoiseSource) =
+    Seq(mechanism.addNoise(acc.sum, noise))
+}
+
+/** DP mean via the normalized-sum trick; optionally emits count/sum derived
+  * from the same noise draws (reference: combiners.py:479-558). */
+final case class MeanPart(
+    mechanism: MeanMechanism,
+    includeCount: Boolean,
+    includeSum: Boolean
+) extends MetricPart {
+  val names: Seq[String] =
+    Seq("mean") ++ (if (includeCount) Seq("count") else Nil) ++
+      (if (includeSum) Seq("sum") else Nil)
+  def compute(acc: DpAcc, noise: NoiseSource) = {
+    val (dpCount, dpSum, dpMean) = mechanism.computeMean(acc.cnt.toDouble, acc.nsum, noise)
+    Seq(dpMean) ++ (if (includeCount) Seq(dpCount) else Nil) ++
+      (if (includeSum) Seq(dpSum) else Nil)
+  }
+}
+
+/** DP variance (+ optional mean/count/sum), budget split equally across the
+  * three mechanisms driver-side (reference: combiners.py:561-626,
+  * dp_computations.py:353-412). */
+final case class VariancePart(
+    countMechanism: AdditiveMechanism,
+    normSumMechanism: Option[AdditiveMechanism], // None iff minValue == maxValue
+    normSqMechanism: Option[AdditiveMechanism],  // None iff squares interval is a point
+    minValue: Double,
+    maxValue: Double,
+    includeMean: Boolean,
+    includeCount: Boolean,
+    includeSum: Boolean
+) extends MetricPart {
+  val names: Seq[String] =
+    Seq("variance") ++ (if (includeMean) Seq("mean") else Nil) ++
+      (if (includeCount) Seq("count") else Nil) ++ (if (includeSum) Seq("sum") else Nil)
+
+  private val middle = minValue + (maxValue - minValue) / 2
+  private val (sqMin, _) = Mechanisms.squaresInterval(minValue, maxValue)
+
+  def compute(acc: DpAcc, noise: NoiseSource) = {
+    val dpCount = countMechanism.addNoise(acc.cnt.toDouble, noise)
+    val denom = math.max(1.0, dpCount)
+    // mean of normalized values; when the range collapses the reference
+    // returns the range endpoint (reference: dp_computations.py:341-343)
+    val dpNormMean =
+      if (minValue == maxValue) minValue
+      else normSumMechanism.get.addNoise(acc.nsum, noise) / denom
+    val dpSqMean = normSqMechanism match {
+      case Some(m) => m.addNoise(acc.nsq, noise) / denom
+      case None    => sqMin
+    }
+    val dpVar = dpSqMean - dpNormMean * dpNormMean
+    val dpMean = if (minValue != maxValue) dpNormMean + middle else dpNormMean
+    Seq(dpVar) ++ (if (includeMean) Seq(dpMean) else Nil) ++
+      (if (includeCount) Seq(dpCount) else Nil) ++
+      (if (includeSum) Seq(dpMean * dpCount) else Nil)
+  }
+}
+
+/** The compound computer: one object per query, serialized into the final
+  * projection UDF (reference CompoundCombiner: combiners.py:748-847). */
+final case class CompoundComputer(parts: Seq[MetricPart], noise: NoiseSource)
+    extends Serializable {
+  val names: Seq[String] = parts.flatMap(_.names)
+  require(names.distinct.size == names.size, s"duplicate metric outputs: $names")
+  def compute(cnt: Long, sum: Double, nsum: Double, nsq: Double, pidCnt: Long): Array[Double] = {
+    val acc = DpAcc(cnt, sum, nsum, nsq, pidCnt)
+    parts.iterator.flatMap(_.compute(acc, noise)).toArray
+  }
+}
+
+object CompoundComputer {
+
+  /** Plans the metric computation: which parts exist, which budgets they use.
+    * Mirrors the shared-subexpression logic of the reference's combiner
+    * factory — VARIANCE subsumes MEAN/COUNT/SUM, MEAN subsumes COUNT/SUM
+    * (reference: combiners.py:914-1003). Returns the budget handles so the
+    * caller can resolve them before [[build]] runs.
+    */
+  final case class Plan(
+      params: AggregateParams,
+      varianceHandle: Option[BudgetHandle],
+      meanCountHandle: Option[BudgetHandle],
+      meanSumHandle: Option[BudgetHandle],
+      countHandle: Option[BudgetHandle],
+      sumHandle: Option[BudgetHandle],
+      pidCountHandle: Option[BudgetHandle]
+  ) {
+    /** Build serializable mechanisms from resolved budgets. Driver-side. */
+    def build(noise: NoiseSource): CompoundComputer = {
+      import Metric._
+      val p = params
+      val has = p.metrics.toSet
+      val parts = Seq.newBuilder[MetricPart]
+
+      varianceHandle.foreach { h =>
+        val spec = h.spec
+        val Seq((e1, d1), (e2, d2), (e3, d3)) =
+          Mechanisms.equallySplitBudget(spec.epsilon, spec.delta, 3)
+        val mk = (e: Double, d: Double, s: Sensitivities) =>
+          Mechanisms.createAdditive(MechanismSpec(spec.mechanismType, spec.name, e, d), s)
+        val countMech = mk(e1, d1, Mechanisms.sensitivitiesForCount(p))
+        val (minV, maxV) = (p.minValue.get, p.maxValue.get)
+        val nsumMech =
+          if (minV == maxV) None else Some(mk(e2, d2, Mechanisms.sensitivitiesForNormalizedSum(p)))
+        val (sqMin, sqMax) = Mechanisms.squaresInterval(minV, maxV)
+        val nsqMech =
+          if (sqMin == sqMax) None
+          else {
+            // sensitivity of the sum of squared normalized values, derived
+            // from the squares interval (reference: dp_computations.py:386-410)
+            val sqMid = sqMin + (sqMax - sqMin) / 2
+            val linf = p.maxContributionsPerPartition
+              .map(_ * math.abs(sqMid - sqMin))
+              .getOrElse(math.abs(sqMid - sqMin))
+            Some(mk(e3, d3,
+              Sensitivities(l0 = Some(p.maxPartitionsContributed), linf = Some(linf))))
+          }
+        parts += VariancePart(countMech, nsumMech, nsqMech, minV, maxV,
+          includeMean = has(Mean), includeCount = has(Count), includeSum = has(Sum))
+      }
+
+      for (ch <- meanCountHandle; sh <- meanSumHandle) {
+        val countMech = Mechanisms.createAdditive(ch.spec, Mechanisms.sensitivitiesForCount(p))
+        val (minV, maxV) = (p.minValue.get, p.maxValue.get)
+        val mid = p.rangeMiddle
+        val sumMech =
+          if (minV == maxV)
+            // range collapses: normalized sum is identically 0; noise on it is
+            // harmless but the mean must return the endpoint — use a tiny-b
+            // Laplace stub never consulted (MeanMechanism handles middle).
+            Mechanisms.createAdditive(ch.spec, Mechanisms.sensitivitiesForCount(p))
+          else
+            Mechanisms.createAdditive(sh.spec, Mechanisms.sensitivitiesForNormalizedSum(p))
+        parts += MeanPart(MeanMechanism(mid, countMech, sumMech),
+          includeCount = has(Count), includeSum = has(Sum))
+      }
+
+      countHandle.foreach { h =>
+        parts += CountPart(Mechanisms.createAdditive(h.spec, Mechanisms.sensitivitiesForCount(p)))
+      }
+      sumHandle.foreach { h =>
+        parts += SumPart(Mechanisms.createAdditive(h.spec, Mechanisms.sensitivitiesForSum(p)))
+      }
+      pidCountHandle.foreach { h =>
+        parts += PrivacyIdCountPart(
+          Mechanisms.createAdditive(h.spec, Mechanisms.sensitivitiesForPrivacyIdCount(p)))
+      }
+      CompoundComputer(parts.result(), noise)
+    }
+  }
+
+  /** Request budgets for the metric set (driver-side, pre-resolution). */
+  def plan(params: AggregateParams, accountant: NaiveBudgetAccountant): Plan = {
+    import Metric._
+    val mt = params.noiseKind.mechanismType
+    val w = params.budgetWeight
+    val has = params.metrics.toSet
+    val req = (name: String) => accountant.requestBudget(mt, weight = w, name = name)
+
+    if (has(Variance))
+      Plan(params, Some(req("Variance")), None, None, None, None,
+        if (has(PrivacyIdCount)) Some(req("PrivacyIdCount")) else None)
+    else if (has(Mean))
+      Plan(params, None, Some(req("MeanCount")), Some(req("MeanSum")), None, None,
+        if (has(PrivacyIdCount)) Some(req("PrivacyIdCount")) else None)
+    else
+      Plan(params, None, None, None,
+        if (has(Count)) Some(req("Count")) else None,
+        if (has(Sum)) Some(req("Sum")) else None,
+        if (has(PrivacyIdCount)) Some(req("PrivacyIdCount")) else None)
+  }
+}

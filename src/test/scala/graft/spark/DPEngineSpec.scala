@@ -1,0 +1,247 @@
+package graft.spark
+
+import graft.core._
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+object SparkTestSession {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  spark.sparkContext.setLogLevel("WARN")
+}
+
+class DPEngineSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // (pid, pk, value): 3 users; u1 contributes to pk1 (3 rows) and pk2 (1);
+  // u2 to pk1 (2 rows); u3 to pk2 (2 rows)
+  def fixture = Seq(
+    ("u1", "pk1", 1.0), ("u1", "pk1", 2.0), ("u1", "pk1", 3.0),
+    ("u1", "pk2", 4.0),
+    ("u2", "pk1", 5.0), ("u2", "pk1", 6.0),
+    ("u3", "pk2", 7.0), ("u3", "pk2", 8.0)
+  ).toDF("pid", "pk", "v")
+
+  def zeroEngine(eps: Double = 1e5, delta: Double = 0.99) =
+    new DPEngine(new NaiveBudgetAccountant(eps, delta), NoiseSource.Zero)
+
+  def roles = DPColumns("pid", "pk", "v")
+
+  test("count + sum + pid count, zero noise, generous bounds = exact") {
+    val engine = zeroEngine()
+    val params = AggregateParams(
+      metrics = Seq(Metric.Count, Metric.Sum, Metric.PrivacyIdCount),
+      maxPartitionsContributed = 5,
+      maxContributionsPerPartition = Some(10),
+      minValue = Some(0.0), maxValue = Some(100.0))
+    val res = engine.aggregate(fixture, params, roles)
+    engine.accountant.computeBudgets()
+    val rows = res.dataframe.collect().map(r =>
+      (r.getString(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))).sortBy(_._1)
+    assert(rows.toSeq == Seq(
+      ("pk1", 5.0, 17.0, 2.0),
+      ("pk2", 3.0, 19.0, 2.0)))
+  }
+
+  test("mean and variance, zero noise = exact population stats") {
+    val engine = zeroEngine()
+    val params = AggregateParams(
+      metrics = Seq(Metric.Mean, Metric.Variance, Metric.Count, Metric.Sum),
+      maxPartitionsContributed = 5,
+      maxContributionsPerPartition = Some(10),
+      minValue = Some(0.0), maxValue = Some(100.0))
+    val res = engine.aggregate(fixture, params, roles)
+    engine.accountant.computeBudgets()
+    val rows = res.dataframe.collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    // schema: pk, variance, mean, count, sum (canonical part order)
+    val names = res.dataframe.columns.toSeq
+    assert(names == Seq("pk", "variance", "mean", "count", "sum"))
+    val pk1Vals = Seq(1.0, 2.0, 3.0, 5.0, 6.0)
+    val m = pk1Vals.sum / 5
+    val vExp = pk1Vals.map(x => (x - m) * (x - m)).sum / 5
+    val (v1, m1, c1, s1) = rows("pk1")
+    assert(math.abs(v1 - vExp) < 1e-9)
+    assert(math.abs(m1 - m) < 1e-9)
+    assert(math.abs(c1 - 5.0) < 1e-9)
+    assert(math.abs(s1 - 17.0) < 1e-9)
+  }
+
+  test("clipping applies per contribution") {
+    val engine = zeroEngine()
+    val params = AggregateParams(
+      metrics = Seq(Metric.Sum),
+      maxPartitionsContributed = 5,
+      maxContributionsPerPartition = Some(10),
+      minValue = Some(2.0), maxValue = Some(5.0))
+    val res = engine.aggregate(fixture, params, roles)
+    engine.accountant.computeBudgets()
+    val rows = res.dataframe.collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    // pk1: clip(1,2,3,5,6) -> 2+2+3+5+5 = 17; pk2: clip(4,7,8) -> 4+5+5 = 14
+    assert(rows("pk1") == 17.0)
+    assert(rows("pk2") == 14.0)
+  }
+
+  test("per-partition sum bounding clips the per-user partition sum") {
+    val engine = zeroEngine()
+    val params = AggregateParams(
+      metrics = Seq(Metric.Sum),
+      maxPartitionsContributed = 5,
+      minSumPerPartition = Some(0.0), maxSumPerPartition = Some(5.0))
+    val res = engine.aggregate(fixture, params, roles)
+    engine.accountant.computeBudgets()
+    val rows = res.dataframe.collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    // pk1: u1 sum=6 ->5, u2 sum=11 ->5 => 10; pk2: u1 sum=4, u3 sum=15 ->5 => 9
+    assert(rows("pk1") == 10.0)
+    assert(rows("pk2") == 9.0)
+  }
+
+  test("contribution bounding caps contributions per partition") {
+    val engine = zeroEngine()
+    val params = AggregateParams(
+      metrics = Seq(Metric.Count),
+      maxPartitionsContributed = 5,
+      maxContributionsPerPartition = Some(1))
+    val res = engine.aggregate(fixture, params, roles)
+    engine.accountant.computeBudgets()
+    val rows = res.dataframe.collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    // each (pid, pk) capped at 1 row: pk1 has u1,u2 -> 2; pk2 has u1,u3 -> 2
+    assert(rows("pk1") == 2.0)
+    assert(rows("pk2") == 2.0)
+  }
+
+  test("cross-partition bounding caps partitions per user") {
+    val engine = zeroEngine()
+    val params = AggregateParams(
+      metrics = Seq(Metric.PrivacyIdCount),
+      maxPartitionsContributed = 1,
+      maxContributionsPerPartition = Some(10))
+    val res = engine.aggregate(fixture, params, roles)
+    engine.accountant.computeBudgets()
+    val total = res.dataframe.collect().map(_.getDouble(1)).sum
+    // u1 keeps only 1 of its 2 partitions: total pid-count across pks = 3
+    assert(total == 3.0)
+  }
+
+  test("public partitions: non-public dropped, missing added with zeros") {
+    val engine = zeroEngine()
+    val pub = Seq("pk1", "pk3").toDF("pk")
+    val params = AggregateParams(
+      metrics = Seq(Metric.Count, Metric.Sum),
+      maxPartitionsContributed = 5,
+      maxContributionsPerPartition = Some(10),
+      minValue = Some(0.0), maxValue = Some(100.0))
+    val res = engine.aggregate(fixture, params, roles, publicPartitions = Some(pub))
+    engine.accountant.computeBudgets()
+    val rows = res.dataframe.collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).sortBy(_._1)
+    assert(rows.toSeq == Seq(("pk1", 5.0, 17.0), ("pk3", 0.0, 0.0)))
+  }
+
+  test("private partition selection drops sparse partitions") {
+    // tight budget: partitions with 2 users at eps=0.1 keep-prob << 1
+    val acc = new NaiveBudgetAccountant(0.1, 1e-10)
+    val engine = new DPEngine(acc, NoiseSource.Seeded(1))
+    val params = AggregateParams(
+      metrics = Seq(Metric.Count),
+      maxPartitionsContributed = 5,
+      maxContributionsPerPartition = Some(10))
+    val res = engine.aggregate(fixture, params, roles)
+    acc.computeBudgets()
+    assert(res.dataframe.collect().length <= 1) // almost surely everything dropped
+  }
+
+  test("select partitions keeps dense partitions under huge budget") {
+    val engine = zeroEngine()
+    val res = engine.selectPartitions(fixture,
+      SelectPartitionsParams(maxPartitionsContributed = 5),
+      DPColumns("pid", "pk"))
+    engine.accountant.computeBudgets()
+    val keys = res.dataframe.collect().map(_.getString(0)).sorted
+    assert(keys.toSeq == Seq("pk1", "pk2"))
+  }
+
+  test("addDpNoise with zero noise is identity") {
+    val engine = zeroEngine()
+    val df = Seq(("a", 10.0), ("b", 20.0)).toDF("k", "v")
+    val res = engine.addDpNoise(df,
+      AddDpNoiseParams(NoiseKind.Laplace, l0Sensitivity = Some(1),
+        linfSensitivity = Some(1.0)), Seq("v"))
+    engine.accountant.computeBudgets()
+    assert(res.dataframe.collect().map(_.getDouble(1)).sorted.toSeq == Seq(10.0, 20.0))
+  }
+
+  test("laplace noise perturbs results at small eps") {
+    val acc = new NaiveBudgetAccountant(0.1, 1e-10)
+    val engine = new DPEngine(acc, NoiseSource.Seeded(3))
+    val pub = Seq("pk1", "pk2").toDF("pk")
+    val params = AggregateParams(
+      metrics = Seq(Metric.Count),
+      maxPartitionsContributed = 5,
+      maxContributionsPerPartition = Some(10))
+    val res = engine.aggregate(fixture, params, roles, publicPartitions = Some(pub))
+    acc.computeBudgets()
+    val counts = res.dataframe.collect().map(_.getDouble(1))
+    // noise scale b = 50/0.1 >> data; results should not equal the exact counts
+    assert(!(counts.toSet == Set(5.0, 3.0)))
+  }
+
+  test("reading dataframe before computeBudgets throws") {
+    val engine = zeroEngine()
+    val params = AggregateParams(
+      metrics = Seq(Metric.Count),
+      maxPartitionsContributed = 5,
+      maxContributionsPerPartition = Some(10))
+    val res = engine.aggregate(fixture, params, roles)
+    assertThrows[IllegalStateException](res.dataframe)
+  }
+}
+
+class QueryBuilderSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  def visits = Seq(
+    ("v1", "mon", 10.0), ("v1", "tue", 20.0), ("v2", "mon", 30.0),
+    ("v2", "mon", 15.0), ("v3", "tue", 40.0)
+  ).toDF("visitor_id", "day", "spent_money")
+
+  test("reference demo query end-to-end (zero noise)") {
+    val result = new QueryBuilder(visits, "visitor_id")
+      .groupby(Seq("day"), maxGroupsContributed = 3, maxContributionsPerGroup = 5,
+        publicKeys = Some(Seq("mon", "tue").toDF("day")))
+      .count()
+      .sum("spent_money", minValue = 0, maxValue = 100)
+      .mean("spent_money")
+      .buildQuery()
+      .runQuery(Budget(1.0, 1e-10), NoiseKind.Gaussian, noise = NoiseSource.Zero)
+    val rows = result.collect().map(r =>
+      (r.getString(0), r.getAs[Double]("count"), r.getAs[Double]("sum"),
+        r.getAs[Double]("mean"))).sortBy(_._1)
+    assert(rows.toSeq == Seq(("mon", 3.0, 55.0, 55.0 / 3), ("tue", 2.0, 60.0, 30.0)))
+  }
+
+  test("builder validation: groupby once, single value column, metric once") {
+    assertThrows[IllegalArgumentException] {
+      new QueryBuilder(visits, "visitor_id")
+        .groupby(Seq("day"), 1, 1).groupby(Seq("day"), 1, 1)
+    }
+    assertThrows[IllegalArgumentException] {
+      new QueryBuilder(visits, "visitor_id").groupby(Seq("day"), 1, 1)
+        .count().count()
+    }
+    assertThrows[IllegalArgumentException] {
+      new QueryBuilder(visits, "visitor_id").count() // aggregation before groupby
+    }
+    assertThrows[IllegalArgumentException] {
+      new QueryBuilder(visits, "nope")
+    }
+  }
+}
