@@ -128,6 +128,30 @@ object SparkEntry {
       engine.accountant.computeBudgets()
       res.dataframe
     }),
+    "dp_vector_sum" -> ((s, dir) => {
+      // elementwise sum of embeddings per label, privacy unit = vec_id.
+      // embeddings quantized to multiples of 1/1024 so double sums are exact
+      // in any addition order (oracle parity).
+      val df = s.read.parquet(s"$dir/embeddings.parquet")
+        .withColumn("emb", expr("transform(embedding, e -> floor(CAST(e AS DOUBLE) * 1024) / 1024)"))
+      val out = runZero(df,
+        AggregateParams(metrics = Seq(Metric.VectorSum),
+          maxPartitionsContributed = 1,
+          vectorNormKind = NormKind.Linf, vectorMaxNorm = 1e6, vectorSize = 64),
+        DPColumns(col("vec_id"), Seq("label" -> col("label")), Some(col("emb"))))
+      out.select(col("label"), posexplode(col("vector_sum")).as(Seq("idx", "coord_sum")))
+        .select(col("label"), col("idx").cast("long").as("idx"), col("coord_sum"))
+    }),
+    "dp_percentile" -> ((s, dir) => {
+      // DP quantile tree: no SQL-expressible oracle (tree-interpolated values);
+      // accuracy is covered by VectorQuantileSpec. Rows-only check here.
+      runZero(events(s, dir),
+        AggregateParams(
+          metrics = Seq(Metric.Percentile(10), Metric.Percentile(50), Metric.Percentile(90)),
+          maxPartitionsContributed = 5, maxContributionsPerPartition = Some(100),
+          minValue = Some(0.0), maxValue = Some(500.0)),
+        eventRoles)
+    }),
     "dp_add_noise" -> ((s, dir) => {
       // noise-only path on pre-aggregated data; zero noise => identity
       val pre = events(s, dir).groupBy("event_type")
@@ -189,6 +213,14 @@ object SparkEntry {
            FROM events GROUP BY 1, 2""",
       "dp_select_partitions" ->
         "SELECT DISTINCT event_type FROM events",
+      "dp_vector_sum" ->
+        """SELECT label,
+              CAST(gs - 1 AS BIGINT) AS idx,
+              sum(floor(CAST(e AS DOUBLE) * 1024) / 1024) AS coord_sum
+           FROM (SELECT label, unnest(embedding) AS e,
+                        generate_subscripts(embedding, 1) AS gs
+                 FROM embeddings)
+           GROUP BY label, gs""",
       "dp_add_noise" ->
         "SELECT event_type, CAST(sum(floor(value)) AS DOUBLE) AS total FROM events GROUP BY event_type"
     )

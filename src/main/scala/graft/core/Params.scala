@@ -54,7 +54,9 @@ object Metric {
   case object Variance extends Metric { val name = "variance" }
   final case class Percentile(p: Double) extends Metric {
     require(p >= 0 && p <= 100, s"percentile must be in [0, 100], got $p")
-    def name = s"percentile_${if (p == p.toLong.toDouble) p.toLong.toString else p.toString}"
+    // reference naming: percentile_50, percentile_99_9 (reference: combiners.py:687-695)
+    def name =
+      s"percentile_${if (p == p.toLong.toDouble) p.toLong.toString else p.toString.replace('.', '_')}"
   }
   case object VectorSum extends Metric { val name = "vector_sum" }
 }
@@ -140,8 +142,8 @@ final case class AggregateParams(
   if (metrics.contains(VectorSum)) {
     require(vectorSize > 0, "VECTOR_SUM requires vectorSize > 0")
     require(vectorMaxNorm > 0, "VECTOR_SUM requires vectorMaxNorm > 0")
-    require(!metrics.exists { case Mean | Variance | _: Percentile => true; case _ => false },
-      "VECTOR_SUM is incompatible with MEAN/VARIANCE/PERCENTILE")
+    require(!metrics.exists { case Mean | Variance | Sum | _: Percentile => true; case _ => false },
+      "VECTOR_SUM is incompatible with scalar value metrics (SUM/MEAN/VARIANCE/PERCENTILE)")
   }
 
   def boundsPerContributionAreSet: Boolean = minValue.isDefined

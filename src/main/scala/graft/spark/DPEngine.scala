@@ -80,7 +80,8 @@ final class DPEngine(
         PartitionSelection.create(params.partitionSelectionStrategy, spec.epsilon,
           spec.delta, params.maxPartitionsContributed, params.preThreshold)
       }
-      assemble(df, params, columns, publicPartitions, computer, selector, noise)
+      assemble(df, params, columns, publicPartitions, computer, selector, noise,
+        plan.buildQuantile(), plan.buildVector())
     })
   }
 
@@ -142,6 +143,8 @@ object DPEngine {
   private[spark] val PidCntCol = "__graft_pidcnt"
   private[spark] val RnCol = "__graft_rn"
   private[spark] val MetricsCol = "__graft_metrics"
+  private[spark] val TreeCol = "__graft_qtree"
+  private[spark] val VecCol = "__graft_vec"
 
   /** Uniform without-replacement sample of at most `n` rows per key:
     * `row_number() over (partition by keys order by rand())` — the window sort
@@ -171,11 +174,16 @@ object DPEngine {
       publicPartitions: Option[DataFrame],
       computer: CompoundComputer,
       selector: Option[PartitionSelection],
-      noise: NoiseSource
+      noise: NoiseSource,
+      quantile: Option[QuantileComputer] = None,
+      vector: Option[VectorOps.VectorNoiser] = None
   ): DataFrame = {
     val pkNames = columns.partitionKeys.map(_._1)
     val pkCols = pkNames.map(col)
-    val valueExpr = columns.value.getOrElse(lit(1.0)).cast("double")
+    val isVector = vector.isDefined
+    val valueExpr =
+      if (isVector) columns.value.get.cast("array<double>")
+      else columns.value.getOrElse(lit(1.0)).cast("double")
 
     // stage 3: extract (pid, pk..., value) — Catalyst prunes everything else
     var cur = df.select(
@@ -203,22 +211,30 @@ object DPEngine {
     // Window partitioned the data by (pid, pk) already, so this groupBy
     // reuses the exchange (no extra shuffle).
     val clipped = columns.value match {
-      case Some(_) if params.boundsPerContributionAreSet =>
+      case Some(_) if !isVector && params.boundsPerContributionAreSet =>
         least(greatest(col(ValCol), lit(params.minValue.get)), lit(params.maxValue.get))
       case _ => col(ValCol)
     }
     val mid = if (params.boundsPerContributionAreSet) params.rangeMiddle else 0.0
-    val perPidPk = cur
-      .groupBy((col(PidCol) +: pkCols): _*)
-      .agg(
-        count(lit(1)).as(CntCol),
+    val scalarAccs =
+      if (isVector)
+        Seq(lit(0.0).as(SumCol), lit(0.0).as(NSumCol), lit(0.0).as(NSqCol))
+      else Seq(
         (if (params.boundsPerPartitionAreSet)
            least(greatest(sum(col(ValCol)), lit(params.minSumPerPartition.get)),
              lit(params.maxSumPerPartition.get))
          else sum(clipped)).as(SumCol),
         sum(clipped - lit(mid)).as(NSumCol),
-        sum((clipped - lit(mid)) * (clipped - lit(mid))).as(NSqCol)
-      )
+        sum((clipped - lit(mid)) * (clipped - lit(mid))).as(NSqCol))
+    val extraAccs =
+      quantile.map(q =>
+        QuantileAgg.buildTree(q.lower, q.upper)(clipped).as(TreeCol)).toSeq ++
+      vector.map(v =>
+        VectorOps.clipVector(VectorOps.vecSum(col(ValCol)), v.normKind, v.maxNorm)
+          .as(VecCol)).toSeq
+    val perPidPk = cur
+      .groupBy((col(PidCol) +: pkCols): _*)
+      .agg(count(lit(1)).as(CntCol), scalarAccs ++ extraAccs: _*)
 
     // stage 5c: L0 bounding — sample <= maxPartitionsContributed partitions per pid
     val crossBounded =
@@ -227,25 +243,33 @@ object DPEngine {
       else perPidPk
 
     // stages 6+8: drop pid, merge accumulators per pk (map-side combine free)
+    val mergeExtra =
+      quantile.map(q => QuantileAgg.mergeTrees(q.lower, q.upper)(col(TreeCol)).as(TreeCol)).toSeq ++
+      vector.map(_ => VectorOps.vecSum(col(VecCol)).as(VecCol)).toSeq
     var agg = crossBounded
       .groupBy(pkCols: _*)
       .agg(
         sum(col(CntCol)).as(CntCol),
-        sum(col(SumCol)).as(SumCol),
-        sum(col(NSumCol)).as(NSumCol),
-        sum(col(NSqCol)).as(NSqCol),
-        count(lit(1)).as(PidCntCol) // one row per (pid, pk) => exact pid count
-      )
+        Seq(
+          sum(col(SumCol)).as(SumCol),
+          sum(col(NSumCol)).as(NSumCol),
+          sum(col(NSqCol)).as(NSqCol),
+          count(lit(1)).as(PidCntCol) // one row per (pid, pk) => exact pid count
+        ) ++ mergeExtra: _*)
 
     // stage 7: union empty accumulators for missing public partitions
     publicPartitions.foreach { pub =>
+      val zeroExtra =
+        quantile.map(_ => col(TreeCol)).toSeq ++ // null tree = empty tree
+        vector.map(v => coalesce(col(VecCol),
+          array_repeat(lit(0.0), v.vectorSize)).as(VecCol)).toSeq
       agg = pub.distinct().join(agg, pkNames, "left_outer").select(
         pkCols ++ Seq(
           coalesce(col(CntCol), lit(0L)).as(CntCol),
           coalesce(col(SumCol), lit(0.0)).as(SumCol),
           coalesce(col(NSumCol), lit(0.0)).as(NSumCol),
           coalesce(col(NSqCol), lit(0.0)).as(NSqCol),
-          coalesce(col(PidCntCol), lit(0L)).as(PidCntCol)): _*)
+          coalesce(col(PidCntCol), lit(0L)).as(PidCntCol)) ++ zeroExtra: _*)
     }
 
     // stage 9: DP partition selection (private partitions only)
@@ -267,6 +291,19 @@ object DPEngine {
     val metricCols = comp.names.zipWithIndex.map { case (n, i) =>
       col(MetricsCol).getItem(i).as(n)
     }
-    withMetrics.select(pkCols ++ metricCols: _*)
+    val quantileCols = quantile.toSeq.flatMap { q =>
+      val noiseSrc = noise
+      val qUdf = udf((bytes: Array[Byte]) => q.compute(bytes, noiseSrc)).asNondeterministic()
+      val qArr = qUdf(col(TreeCol))
+      q.names.zipWithIndex.map { case (n, i) => qArr.getItem(i).as(n) }
+    }
+    val vectorCols = vector.toSeq.map { v =>
+      val noiseSrc = noise
+      val vUdf = udf((vec: Array[Double]) =>
+        v.addNoise(if (vec == null || vec.isEmpty) new Array[Double](v.vectorSize) else vec,
+          noiseSrc)).asNondeterministic()
+      vUdf(col(VecCol)).as("vector_sum")
+    }
+    withMetrics.select(pkCols ++ metricCols ++ quantileCols ++ vectorCols: _*)
   }
 }

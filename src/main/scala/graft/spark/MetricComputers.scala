@@ -126,8 +126,24 @@ object CompoundComputer {
       meanSumHandle: Option[BudgetHandle],
       countHandle: Option[BudgetHandle],
       sumHandle: Option[BudgetHandle],
-      pidCountHandle: Option[BudgetHandle]
+      pidCountHandle: Option[BudgetHandle],
+      quantileHandle: Option[BudgetHandle] = None,
+      vectorHandle: Option[BudgetHandle] = None
   ) {
+
+    /** Percentile computation (separate input: the merged quantile tree). */
+    def buildQuantile(): Option[QuantileComputer] = quantileHandle.map { h =>
+      val ps = params.metrics.collect { case Metric.Percentile(p) => p }
+      QuantileComputer(ps, h.spec, params.minValue.get, params.maxValue.get,
+        params.maxPartitionsContributed,
+        params.maxContributionsPerPartition.getOrElse(1), params.noiseKind)
+    }
+
+    /** Vector-sum noiser (separate input: the merged vector). */
+    def buildVector(): Option[VectorOps.VectorNoiser] = vectorHandle.map { h =>
+      VectorOps.VectorNoiser(h.spec, params.vectorNormKind, params.vectorMaxNorm,
+        params.vectorSize, params.maxPartitionsContributed, params.noiseKind)
+    }
     /** Build serializable mechanisms from resolved budgets. Driver-side. */
     def build(noise: NoiseSource): CompoundComputer = {
       import Metric._
@@ -200,16 +216,20 @@ object CompoundComputer {
     val has = params.metrics.toSet
     val req = (name: String) => accountant.requestBudget(mt, weight = w, name = name)
 
+    val hasPercentiles = params.metrics.exists(_.isInstanceOf[Percentile])
+    val quantileH = if (hasPercentiles) Some(req("Quantile")) else None
+    val vectorH = if (has(VectorSum)) Some(req("VectorSum")) else None
+    val pidH = if (has(PrivacyIdCount)) Some(req("PrivacyIdCount")) else None
+
     if (has(Variance))
-      Plan(params, Some(req("Variance")), None, None, None, None,
-        if (has(PrivacyIdCount)) Some(req("PrivacyIdCount")) else None)
+      Plan(params, Some(req("Variance")), None, None, None, None, pidH, quantileH, vectorH)
     else if (has(Mean))
-      Plan(params, None, Some(req("MeanCount")), Some(req("MeanSum")), None, None,
-        if (has(PrivacyIdCount)) Some(req("PrivacyIdCount")) else None)
+      Plan(params, None, Some(req("MeanCount")), Some(req("MeanSum")), None, None, pidH,
+        quantileH, vectorH)
     else
       Plan(params, None, None, None,
         if (has(Count)) Some(req("Count")) else None,
         if (has(Sum)) Some(req("Sum")) else None,
-        if (has(PrivacyIdCount)) Some(req("PrivacyIdCount")) else None)
+        pidH, quantileH, vectorH)
   }
 }

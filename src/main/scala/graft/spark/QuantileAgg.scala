@@ -1,0 +1,62 @@
+package graft.spark
+
+import graft.core._
+import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+/** Quantile-tree aggregation (reference: combiners.py:629-719). Two typed
+  * Aggregators: one builds a tree from raw values per (pid, pk) group, one
+  * merges serialized trees per partition key. Buffers live as objects under
+  * ObjectHashAggregate; Java serialization only crosses shuffle boundaries —
+  * the same "serialized tree rides the shuffle" design the reference uses
+  * (reference: combiners.py:647-665).
+  */
+final case class QuantileTreeBuildAgg(lower: Double, upper: Double)
+    extends Aggregator[Double, QuantileTree, Array[Byte]] {
+  def zero: QuantileTree = new QuantileTree(lower, upper)
+  def reduce(t: QuantileTree, v: Double): QuantileTree = { t.add(v); t }
+  def merge(a: QuantileTree, b: QuantileTree): QuantileTree = a.merge(b)
+  def finish(t: QuantileTree): Array[Byte] = t.serialize()
+  def bufferEncoder: Encoder[QuantileTree] = Encoders.javaSerialization[QuantileTree]
+  def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+}
+
+final case class QuantileTreeMergeAgg(lower: Double, upper: Double)
+    extends Aggregator[Array[Byte], QuantileTree, Array[Byte]] {
+  def zero: QuantileTree = new QuantileTree(lower, upper)
+  def reduce(t: QuantileTree, bytes: Array[Byte]): QuantileTree =
+    if (bytes == null || bytes.isEmpty) t else t.merge(QuantileTree.deserialize(bytes))
+  def merge(a: QuantileTree, b: QuantileTree): QuantileTree = a.merge(b)
+  def finish(t: QuantileTree): Array[Byte] = t.serialize()
+  def bufferEncoder: Encoder[QuantileTree] = Encoders.javaSerialization[QuantileTree]
+  def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+}
+
+object QuantileAgg {
+  def buildTree(lower: Double, upper: Double)(c: Column): Column =
+    udaf(QuantileTreeBuildAgg(lower, upper)).apply(c)
+  def mergeTrees(lower: Double, upper: Double)(c: Column): Column =
+    udaf(QuantileTreeMergeAgg(lower, upper)).apply(c)
+}
+
+/** Worker-side percentile computation from a merged tree; all DP parameters
+  * resolved driver-side. */
+final case class QuantileComputer(
+    percentiles: Seq[Double], // in [0, 100]
+    spec: MechanismSpec,
+    lower: Double,
+    upper: Double,
+    maxPartitionsContributed: Int,
+    maxContributionsPerPartition: Int,
+    noiseKind: NoiseKind
+) extends Serializable {
+  val names: Seq[String] = percentiles.map(p => Metric.Percentile(p).name)
+  def compute(bytes: Array[Byte], noise: NoiseSource): Array[Double] = {
+    val tree =
+      if (bytes == null || bytes.isEmpty) new QuantileTree(lower, upper)
+      else QuantileTree.deserialize(bytes)
+    tree.computeQuantiles(percentiles.map(_ / 100.0), spec.epsilon, spec.delta,
+      maxPartitionsContributed, maxContributionsPerPartition, noiseKind, noise).toArray
+  }
+}
