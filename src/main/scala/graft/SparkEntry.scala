@@ -1,6 +1,7 @@
 package graft
 
 import graft.core._
+import graft.ops._
 import graft.spark._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -162,6 +163,90 @@ object SparkEntry {
           linfSensitivity = Some(1000.0)), Seq("total"))
       engine.accountant.computeBudgets()
       res.dataframe
+    }),
+
+    // ---- training-data pipeline operators (graft.ops) ----
+    "text_quality" -> ((s, dir) => {
+      TextAnalysis.withQualityFeatures(
+        s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text"), "text")
+        .drop("text")
+    }),
+    "text_langid" -> ((s, dir) => {
+      // n-gram/stopword heuristic; no SQL oracle (rows-only). Accuracy is
+      // covered by TextAnalysisSpec on genuine multilingual sentences.
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("predicted_lang"))
+    }),
+    "text_fingerprint" -> ((s, dir) => {
+      // xxhash64-based rolling sketch; engine-specific hash => rows-only
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+    }),
+    "dedup_exact" -> ((s, dir) => {
+      Dedup.duplicateGroups(s.read.parquet(s"$dir/documents.parquet"), "text", "doc_id")
+    }),
+    "dedup_minhash" -> ((s, dir) => {
+      // LSH candidate generation is hash-dependent => rows-only; DedupSpec
+      // verifies planted near-dups are found. The corpus has real near-dups.
+      Dedup.minHashLSH(s.read.parquet(s"$dir/documents.parquet"),
+        "doc_id", "text", threshold = 0.6)
+    }),
+    "dedup_simhash" -> ((s, dir) => {
+      Dedup.simHashPairs(s.read.parquet(s"$dir/documents.parquet"),
+        "doc_id", "text", maxHamming = 3)
+    }),
+    "dedup_ngram_jaccard" -> ((s, dir) => {
+      // exact char-3-gram jaccard on the first 200 chars, blocked by lang
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .withColumn("head", lower(substring(col("text"), 1, 200)))
+      Dedup.ngramJaccardPairs(docs, "doc_id", "head", "lang", n = 3, threshold = 0.8)
+    }),
+    "dedup_embedding" -> ((s, dir) => {
+      // exact cosine near-dup pairs blocked by label; embeddings quantized to
+      // 1/1024 so all arithmetic is order-independent (oracle parity)
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+        .withColumn("emb", expr("transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1024) / 1024)"))
+      val l = e.select(col("label"), col("vec_id").as("id_a"), col("emb").as("v_a"))
+      val r = e.select(col("label"), col("vec_id").as("id_b"), col("emb").as("v_b"))
+      l.join(r, Seq("label"))
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("cosine", Similarity.cosine(col("v_a"), col("v_b")))
+        .filter(col("cosine") >= 0.3)
+        .select("id_a", "id_b", "cosine")
+    }),
+    "sim_topk" -> ((s, dir) => {
+      // brute-force cosine top-5 for the first 20 vectors against the corpus
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+        .withColumn("emb", expr("transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1024) / 1024)"))
+      val queries = e.filter(col("vec_id") < 20).select(col("vec_id").as("qid"), col("emb"))
+      Similarity.bruteForceTopK(e, "vec_id", "emb", queries, "qid", "emb", k = 5)
+        .withColumn("rank", col("rank").cast("long"))
+    }),
+    "sim_lsh_topk" -> ((s, dir) => {
+      // LSH-bucketed approximate variant (hash-dependent => rows-only);
+      // SimilaritySpec measures recall >= 0.8 against brute force
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val queries = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding"))
+      Similarity.lshTopK(e, "vec_id", "embedding", queries, "qid", "embedding",
+        k = 5, planes = 6, bands = 8)
+    }),
+    "mm_features" -> ((s, dir) => {
+      // multimodal payload plumbing: text bytes as the opaque binary payload
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .withColumn("media", col("text").cast("binary"))
+      docs.select(col("doc_id"), Multimodal.payloadFeatures(col("media")).as("f"))
+        .select(col("doc_id"), col("f.n_bytes").as("n_bytes"), col("f.sha256").as("sha256"))
+    }),
+    "mm_decode_resize" -> ((s, dir) => {
+      // stubbed decode (deterministic fake dims) + real resize planning;
+      // hash-derived dims => rows-only
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .withColumn("media", col("text").cast("binary"))
+      val decoded = Multimodal.decodeImageStub(docs, "media")
+      decoded.select(col("doc_id"),
+        Multimodal.resizePlan(col("decoded"), 512).as("p"))
+        .select(col("doc_id"), col("p.target_width"), col("p.target_height"))
     })
   )
 
@@ -222,7 +307,79 @@ object SparkEntry {
                  FROM embeddings)
            GROUP BY label, gs""",
       "dp_add_noise" ->
-        "SELECT event_type, CAST(sum(floor(value)) AS DOUBLE) AS total FROM events GROUP BY event_type"
+        "SELECT event_type, CAST(sum(floor(value)) AS DOUBLE) AS total FROM events GROUP BY event_type",
+      "text_quality" ->
+        """SELECT doc_id,
+              CAST(len(text) AS BIGINT) AS n_chars,
+              CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens,
+              CASE WHEN len(text) > 0 THEN
+                CAST(len(text) - len(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+                  / CAST(len(text) AS DOUBLE) ELSE 0.0 END AS digit_ratio,
+              CASE WHEN len(text) > 0 THEN
+                CAST(len(text) - len(regexp_replace(text, '[A-Z]', '', 'g')) AS DOUBLE)
+                  / CAST(len(text) AS DOUBLE) ELSE 0.0 END AS upper_ratio,
+              CASE WHEN len(text) > 0 THEN
+                CAST(len(text) - len(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')) AS DOUBLE)
+                  / CAST(len(text) AS DOUBLE) ELSE 0.0 END AS punct_ratio,
+              CASE WHEN len(regexp_extract_all(lower(text), '[a-z0-9]+')) > 0 THEN
+                CAST(list_sum(list_transform(regexp_extract_all(lower(text), '[a-z0-9]+'), t -> len(t))) AS DOUBLE)
+                  / CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS DOUBLE) ELSE 0.0 END AS mean_token_len,
+              CASE WHEN len(regexp_extract_all(lower(text), '[a-z0-9]+')) > 0 THEN
+                CAST(len(list_distinct(list_intersect(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                  ['the','of','and','to','in','is','that','it','for','was','on','are','as','with','his','they','at','be','this','have','from','or','had','by','not','but','what','all','were','when','we','there','can','an','your','which','their','said','if','will','way','about','many','then','them','would','like','so','these','her','him','has','more','could','did','been','who']))) AS DOUBLE)
+                  / CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS DOUBLE) ELSE 0.0 END AS stopword_ratio
+           FROM documents""",
+      "dedup_exact" ->
+        "SELECT text, min(doc_id) AS keep_id, count(*) AS group_size FROM documents GROUP BY text",
+      "dedup_ngram_jaccard" ->
+        """WITH g AS (
+             SELECT doc_id, lang,
+                    list_distinct(list_transform(
+                      range(1, greatest(len(substr(lower(text), 1, 200)) - 2, 1) + 1),
+                      i -> substr(lower(text), 1, 200)[i:i+2])) AS grams
+             FROM documents)
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                  CAST(len(list_distinct(list_intersect(a.grams, b.grams))) AS DOUBLE)
+                    / CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE) AS jaccard
+           FROM g a JOIN g b ON a.lang = b.lang AND a.doc_id < b.doc_id
+           WHERE CAST(len(list_distinct(list_intersect(a.grams, b.grams))) AS DOUBLE)
+                   / CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE) >= 0.8""",
+      "dedup_embedding" ->
+        """WITH e AS (
+             SELECT vec_id, label,
+                    list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1024) / 1024) AS emb
+             FROM embeddings),
+           p AS (
+             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                    list_sum(list_transform(range(1, 65), i -> a.emb[i] * b.emb[i])) AS dot,
+                    sqrt(list_sum(list_transform(a.emb, x -> x * x))) AS na,
+                    sqrt(list_sum(list_transform(b.emb, x -> x * x))) AS nb
+             FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+           SELECT id_a, id_b, dot / (na * nb) AS cosine
+           FROM p WHERE na <> 0 AND nb <> 0 AND dot / (na * nb) >= 0.3""",
+      "sim_topk" ->
+        """WITH e AS (
+             SELECT vec_id,
+                    list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1024) / 1024) AS emb
+             FROM embeddings),
+           scored AS (
+             SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                    CASE WHEN sqrt(list_sum(list_transform(q.emb, x -> x * x))) = 0
+                           OR sqrt(list_sum(list_transform(c.emb, x -> x * x))) = 0 THEN 0.0
+                         ELSE list_sum(list_transform(range(1, 65), i -> q.emb[i] * c.emb[i]))
+                              / (sqrt(list_sum(list_transform(q.emb, x -> x * x)))
+                                 * sqrt(list_sum(list_transform(c.emb, x -> x * x))))
+                    END AS cosine
+             FROM e q CROSS JOIN e c WHERE q.vec_id < 20)
+           SELECT query_id, neighbor_id, cosine,
+                  CAST(row_number() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+           FROM scored
+           QUALIFY rank <= 5""",
+      "mm_features" ->
+        """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+              sha256(text) AS sha256
+           FROM documents"""
     )
   }
 }

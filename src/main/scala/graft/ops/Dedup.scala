@@ -1,0 +1,187 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
+  * SimHash, and n-gram-Jaccard near-dup detection.
+  *
+  * Scale design: every method is a bounded number of shuffles on keys chosen
+  * to stay small (hash buckets / band signatures), never an unblocked n^2
+  * self-join. Candidate generation goes through LSH band buckets; only
+  * bucket-collisions are verified with the exact measure. All hashing is
+  * xxhash64 (native, codegen'd).
+  */
+object Dedup {
+
+  // ---------------- exact ----------------
+
+  /** Exact dedup on `keyCols`: keeps the row with the smallest `tiebreaker`
+    * per duplicate group. One shuffle on the group key hash. */
+  def dedupExact(df: DataFrame, keyCols: Seq[String], tiebreaker: String): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(tiebreaker))
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Duplicate-group summary: one row per distinct key with the kept id and
+    * the group size (what you report after a dedup pass). */
+  def duplicateGroups(df: DataFrame, keyCol: String, idCol: String): DataFrame =
+    df.groupBy(col(keyCol))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("group_size"))
+
+  // ---------------- shingles + MinHash ----------------
+
+  /** Word n-gram shingles of the lowercased text (distinct). */
+  def wordShingles(text: Column, n: Int = 3): Column = {
+    val toks = TextAnalysis.tokens(text)
+    array_distinct(
+      when(size(toks) >= n,
+        transform(sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+        .otherwise(array(concat_ws(" ", toks))))
+  }
+
+  /** Character n-gram shingles (distinct). */
+  def charShingles(text: Column, n: Int = 3): Column =
+    array_distinct(transform(
+      sequence(lit(1), greatest(length(text) - (n - 1), lit(1))),
+      i => substring(text, i, lit(n))))
+
+  /** MinHash signature: `numHashes` independent permutations simulated by
+    * salted xxhash64, each taking the min over the shingle set. */
+  def minHashSignature(shingles: Column, numHashes: Int = 128): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      i => array_min(transform(shingles, s => xxhash64(s, i))))
+
+  /** Estimated Jaccard from two MinHash signatures. */
+  def minHashSimilarity(sigA: Column, sigB: Column): Column =
+    size(filter(zip_with(sigA, sigB, (a, b) => a === b), x => x)).cast("double") /
+      size(sigA).cast("double")
+
+  /** Exact Jaccard of two (distinct) shingle arrays. */
+  def jaccard(a: Column, b: Column): Column =
+    when(size(array_union(a, b)) === 0, lit(0.0))
+      .otherwise(size(array_intersect(a, b)).cast("double") /
+        size(array_union(a, b)).cast("double"))
+
+  /** MinHash + LSH near-duplicate pairs.
+    *
+    * Pipeline: shingle -> minhash(numBands*rowsPerBand) -> per-band bucket
+    * key -> self-join per (band, bucket) -> exact-Jaccard verify >= threshold.
+    * The self-join is per-bucket (tiny groups), so the shuffle key cardinality
+    * is ~numBands * numDocs and no quadratic blowup occurs; at 100 TB this is
+    * the textbook dedup layout (band buckets ~ constant size, AQE handles the
+    * occasional hot bucket).
+    *
+    * Returns (id_a, id_b, jaccard) with id_a < id_b, distinct.
+    */
+  def minHashLSH(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      numBands: Int = 16,
+      rowsPerBand: Int = 8,
+      threshold: Double = 0.6
+  ): DataFrame = {
+    val numHashes = numBands * rowsPerBand
+    val withSig = df
+      .select(col(idCol).as("id"), col(textCol).as("text"))
+      .withColumn("shingles", wordShingles(col("text"), shingleSize))
+      .filter(size(col("shingles")) > 0)
+      .withColumn("sig", minHashSignature(col("shingles"), numHashes))
+    // band key = hash of the band's slice of the signature
+    val bandSigs = (0 until numBands).map { b =>
+      xxhash64(concat_ws("_", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)), lit(b))
+    }
+    val banded = withSig
+      .select(col("id"), col("shingles"),
+        posexplode(array(bandSigs: _*)).as(Seq("band", "bucket")))
+    val left = banded.select(col("band"), col("bucket"),
+      col("id").as("id_a"), col("shingles").as("sh_a"))
+    val right = banded.select(col("band"), col("bucket"),
+      col("id").as("id_b"), col("shingles").as("sh_b"))
+    left.join(right, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+      .distinct() // a pair may collide in several bands
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  // ---------------- SimHash ----------------
+
+  /** 64-bit SimHash of the token multiset: bit b of the result is 1 iff the
+    * sum over tokens of sign(bit b of xxhash64(token)) is positive. Pure
+    * higher-order expressions (no UDF). */
+  def simHash(text: Column): Column = {
+    val hashes = transform(TextAnalysis.tokens(text), t => xxhash64(t))
+    // Scala-side loop over the 64 bits (shift amounts must be literal Ints);
+    // Catalyst subexpression elimination shares the token-hash array.
+    (0 until 64).map { b =>
+      when(
+        aggregate(hashes, lit(0L),
+          (s, h) => s + when(shiftright(h, b).bitwiseAND(1) === 1, 1L).otherwise(-1L)) > 0,
+        lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Hamming distance between two 64-bit SimHashes. */
+  def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs: block on 4 16-bit chunks (a pair within Hamming
+    * distance <= 3 of 64 bits must agree on at least one chunk — pigeonhole),
+    * verify with exact Hamming distance. */
+  def simHashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sigs = df.select(col(idCol).as("id"), simHash(col(textCol)).as("sig"))
+    val chunks = (0 until 4).map(c => shiftright(col("sig"), c * 16).bitwiseAND(0xFFFFL))
+    val chunked = sigs.select(col("id"), col("sig"),
+      posexplode(array(chunks: _*)).as(Seq("chunk", "key")))
+    val l = chunked.select(col("chunk"), col("key"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val r = chunked.select(col("chunk"), col("key"), col("id").as("id_b"), col("sig").as("sig_b"))
+    l.join(r, Seq("chunk", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b")).distinct()
+      .withColumn("hamming", hammingDistance(col("sig_a"), col("sig_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  // ---------------- n-gram Jaccard (blocked exact) ----------------
+
+  /** Exact character-n-gram Jaccard over candidate pairs blocked by a key
+    * (e.g. language): only same-block pairs are compared. For unblocked
+    * near-dup detection use [[minHashLSH]]. */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      blockCol: String, n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val g = df.select(col(blockCol).as("block"), col(idCol).as("id"),
+      charShingles(lower(col(textCol)), n).as("grams"))
+    val l = g.select(col("block"), col("id").as("id_a"), col("grams").as("g_a"))
+    val r = g.select(col("block"), col("id").as("id_b"), col("grams").as("g_b"))
+    l.join(r, Seq("block"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("jaccard", jaccard(col("g_a"), col("g_b")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  // ---------------- embedding near-dup ----------------
+
+  /** Embedding-cosine near-duplicate pairs via random-hyperplane LSH
+    * blocking + exact cosine verify. See [[Similarity.cosine]]. */
+  def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.95, planes: Int = 16): DataFrame = {
+    val sig = Similarity.hyperplaneSignature(col(vecCol), planes)
+    val s = df.select(col(idCol).as("id"), col(vecCol).as("vec"), sig.as("bucket"))
+    val l = s.select(col("bucket"), col("id").as("id_a"), col("vec").as("v_a"))
+    val r = s.select(col("bucket"), col("id").as("id_b"), col("vec").as("v_b"))
+    l.join(r, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", Similarity.cosine(col("v_a"), col("v_b")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+}

@@ -1,0 +1,202 @@
+package graft.ops
+
+import graft.spark.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TextAnalysisSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("token count and quality features") {
+    val df = Seq((1L, "The quick brown fox, it jumped over 2 lazy dogs!"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.withQualityFeatures(df, "text").collect().head
+    assert(out.getAs[Long]("n_tokens") == 10)
+    assert(out.getAs[Long]("n_chars") == 48)
+    assert(out.getAs[Double]("digit_ratio") == 1.0 / 48)
+    // distinct stopwords present: "the", "it" (2 of 10 tokens)
+    assert(out.getAs[Double]("stopword_ratio") == 2.0 / 10)
+  }
+
+  test("langId identifies real multilingual text") {
+    // (the synthetic documents table's `lang` column does not reflect the
+    // actual text language — all docs are English-ish word soup — so the
+    // heuristic is validated on genuine sentences)
+    val df = Seq(
+      ("en", "the cat sat on the mat and it was happy with all of this"),
+      ("de", "der hund ist mit der katze in dem haus und sie sind nicht da"),
+      ("fr", "le chat est dans la maison avec les enfants et il est content"),
+      ("es", "el perro está en la casa con los niños y no quiere salir de ella"),
+      ("zh", "今天天气很好我们一起去公园散步吧然后吃饭")
+    ).toDF("expected", "text")
+    val out = df.withColumn("pred", TextAnalysis.langId(col("text")))
+      .collect().map(r => r.getString(0) -> r.getString(2))
+    out.foreach { case (exp, pred) => assert(pred == exp, s"expected $exp got $pred") }
+  }
+
+  test("fingerprint: equal texts collide, different texts don't") {
+    val df = Seq((1L, "identical document text body"), (2L, "identical document text body"),
+      (3L, "zzz qqq www unrelated stuff kkk")).toDF("id", "text")
+    val fps = df.select(TextAnalysis.fingerprint(col("text"))).collect().map(_.getLong(0))
+    assert(fps(0) == fps(1))
+    assert(fps(0) != fps(2))
+  }
+}
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  val base = "the quick brown fox jumps over the lazy dog and then runs far away into the woods " * 3
+
+  test("exact dedup keeps one row per key") {
+    val df = Seq((1L, "aa"), (2L, "aa"), (3L, "bb")).toDF("id", "text")
+    val out = Dedup.dedupExact(df, Seq("text"), "id")
+    assert(out.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
+    val groups = Dedup.duplicateGroups(df, "text", "id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(groups.toSeq == Seq(("aa", 1L, 2L), ("bb", 3L, 1L)))
+  }
+
+  test("minhash LSH finds planted near-duplicates and not unrelated docs") {
+    val df = Seq(
+      (1L, base),
+      (2L, base + " extra trailing sentence appended here"), // near-dup of 1
+      (3L, "completely unrelated content about spark catalyst optimizer rules and physical plans and codegen stages"),
+      (4L, base.replace("quick", "rapid")) // still close to 1
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.minHashLSH(df, "doc_id", "text", threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"pairs=$pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), s"pairs=$pairs")
+  }
+
+  test("minhash similarity approximates jaccard") {
+    val df = Seq((1L, base), (2L, base + " tail piece of text")).toDF("id", "text")
+    val withS = df.select(
+      Dedup.minHashSignature(Dedup.wordShingles(col("text")), 256).as("sig"),
+      Dedup.wordShingles(col("text")).as("sh"))
+    val rows = withS.collect()
+    val est = rows(0).getSeq[Long](0).zip(rows(1).getSeq[Long](0))
+      .count { case (a, b) => a == b } / 256.0
+    val exact = {
+      val a = rows(0).getSeq[String](1).toSet; val b = rows(1).getSeq[String](1).toSet
+      a.intersect(b).size.toDouble / a.union(b).size
+    }
+    assert(math.abs(est - exact) < 0.15, s"est=$est exact=$exact")
+  }
+
+  test("simhash: identical texts distance 0, near texts close, pairs found") {
+    val df = Seq((1L, base), (2L, base), (3L, base + " small tail"),
+      (4L, "other completely different words entirely about unrelated things"))
+      .toDF("doc_id", "text")
+    val sigs = df.select(Dedup.simHash(col("text"))).collect().map(_.getLong(0))
+    assert(sigs(0) == sigs(1))
+    assert(java.lang.Long.bitCount(sigs(0) ^ sigs(2)) <= 6)
+    assert(java.lang.Long.bitCount(sigs(0) ^ sigs(3)) > 10)
+    val pairs = Dedup.simHashPairs(df, "doc_id", "text", maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)))
+    assert(!pairs.exists(p => p._2 == 4L))
+  }
+
+  test("ngram jaccard pairs within blocks") {
+    val df = Seq(
+      (1L, "en", "the quick brown fox jumps over the lazy dog"),
+      (2L, "en", "the quick brown fox jumps over the lazy cat"),
+      (3L, "en", "zzz completely different"),
+      (4L, "de", "the quick brown fox jumps over the lazy dog") // other block
+    ).toDF("doc_id", "lang", "text")
+    val pairs = Dedup.ngramJaccardPairs(df, "doc_id", "text", "lang", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("embedding near dups via hyperplane LSH") {
+    val v = (0 until 16).map(_.toDouble / 16).toArray
+    val near = v.clone(); near(0) += 0.001
+    val far = (0 until 16).map(i => if (i % 2 == 0) 1.0 else -1.0).toArray
+    val df = Seq((1L, v), (2L, near), (3L, far)).toDF("id", "vec")
+    val pairs = Dedup.embeddingNearDups(df, "id", "vec", threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+}
+
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("brute force top-k ranks by cosine with id tiebreak") {
+    val corpus = Seq(
+      (1L, Array(1.0, 0.0)), (2L, Array(0.9, 0.1)), (3L, Array(0.0, 1.0)),
+      (4L, Array(-1.0, 0.0))).toDF("id", "vec")
+    val queries = Seq((100L, Array(1.0, 0.0))).toDF("qid", "qvec")
+    val out = Similarity.bruteForceTopK(corpus, "id", "vec", queries, "qid", "qvec", 2)
+      .orderBy("rank").collect()
+    assert(out.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(1L, 2L))
+    assert(out.head.getAs[Double]("cosine") == 1.0)
+  }
+
+  test("lsh top-k achieves high recall on clustered data") {
+    val rnd = new scala.util.Random(7)
+    def cluster(center: Array[Double], n: Int, startId: Long) =
+      (0 until n).map { i =>
+        (startId + i, center.map(c => c + rnd.nextGaussian() * 0.05))
+      }
+    val c1 = Array.fill(16)(1.0); val c2 = Array.fill(16)(-1.0)
+    val c3 = (0 until 16).map(i => if (i < 8) 1.0 else -1.0).toArray
+    val corpus = (cluster(c1, 40, 0) ++ cluster(c2, 40, 100) ++ cluster(c3, 40, 200))
+      .toDF("id", "vec")
+    val queries = Seq((0L, c1), (1L, c2), (2L, c3)).toDF("qid", "qvec")
+    val brute = Similarity.bruteForceTopK(corpus, "id", "vec", queries, "qid", "qvec", 10)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val lsh = Similarity.lshTopK(corpus, "id", "vec", queries, "qid", "qvec", 10,
+      planes = 6, bands = 6)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = brute.intersect(lsh).size.toDouble / brute.size
+    assert(recall >= 0.8, s"recall=$recall")
+  }
+}
+
+class MultimodalSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("media columns + payload features + resize plan") {
+    val df = Seq((1L, "hello world")).toDF("id", "text")
+      .withColumn("payload", col("text").cast("binary"))
+    val media = Multimodal.withMediaColumns(df, col("payload"), lit("txt"))
+    val row = media.select(col("meta.n_bytes"), col("meta.format")).collect().head
+    assert(row.getLong(0) == 11L && row.getString(1) == "txt")
+
+    val feats = media.select(Multimodal.payloadFeatures(col("media")).as("f"))
+      .select("f.n_bytes", "f.sha256").collect().head
+    assert(feats.getLong(0) == 11L)
+    assert(feats.getString(1) ==
+      "b94d27b9934d3e08a52e52d7da7dabfac484efe37a5380ee9088f7ace2efcde9") // sha256("hello world")
+
+    val decoded = Multimodal.decodeImageStub(media, "media")
+    val plan = decoded.select(Multimodal.resizePlan(col("decoded"), 256).as("p"))
+      .select("p.target_width", "p.target_height", "p.scale").collect().head
+    assert(plan.getInt(0) <= 256 && plan.getInt(1) <= 256)
+  }
+
+  test("batched feature extraction preserves rows and adds deterministic vectors") {
+    val df = Seq((1L, "abc"), (2L, "abc"), (3L, "xyz")).toDF("id", "text")
+      .withColumn("media", col("text").cast("binary")).drop("text")
+    val out = Multimodal.extractFeaturesBatched(df, "media")
+    val rows = out.collect().map(r => r.getLong(0) -> r.getSeq[Double](2)).toMap
+    assert(rows.size == 3)
+    assert(rows(1L) == rows(2L)) // deterministic on same bytes
+    assert(rows(1L) != rows(3L))
+  }
+
+  test("frame sampling is evenly spaced and bounded") {
+    val df = Seq((120L), (0L)).toDF("frames")
+    val out = df.select(Multimodal.sampleFrameIndices(col("frames"), 4)).collect()
+    assert(out(0).getSeq[Long](0) == Seq(0L, 30L, 60L, 90L))
+    assert(out(1).getSeq[Long](0).isEmpty)
+  }
+}
