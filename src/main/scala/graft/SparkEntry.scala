@@ -238,6 +238,100 @@ object SparkEntry {
       docs.select(col("doc_id"), Multimodal.payloadFeatures(col("media")).as("f"))
         .select(col("doc_id"), col("f.n_bytes").as("n_bytes"), col("f.sha256").as("sha256"))
     }),
+    // ---- §2.A dataflow primitives over the TPC-H-ish tables ----
+    "a_map" -> ((s, dir) => {
+      // map / select(expr): per-row revenue (deterministic per-row arithmetic)
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+    }),
+    "a_flat_map" -> ((s, dir) => {
+      // flat_map / explode: document tokens
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("token"))
+    }),
+    "a_filter" -> ((s, dir) => {
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .filter(col("l_quantity") > 25 && col("l_returnflag") === "R")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+    }),
+    "a_group_by_key" -> ((s, dir) => {
+      // group_by_key: values gathered per key (sorted for determinism)
+      // (string-joined so the parquet/oracle comparison avoids nested arrays)
+      s.read.parquet(s"$dir/orders.parquet")
+        .groupBy(col("o_custkey"))
+        .agg(concat_ws(",", sort_array(collect_list(col("o_orderkey")))).as("orderkeys"))
+    }),
+    "a_filter_by_key" -> ((s, dir) => {
+      // filter_by_key / semi-join: lineitems of urgent orders
+      val urgent = s.read.parquet(s"$dir/orders.parquet")
+        .filter(col("o_orderpriority") === "1-URGENT").select("o_orderkey")
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .join(urgent, col("l_orderkey") === col("o_orderkey"), "left_semi")
+        .select("l_orderkey", "l_linenumber")
+    }),
+    "a_count_per_element" -> ((s, dir) => {
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"))
+    }),
+    "a_sum_per_key" -> ((s, dir) => {
+      // sum_per_key with map-side combine (l_quantity is integer-valued)
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .groupBy(col("l_partkey")).agg(sum(col("l_quantity")).as("sum_qty"))
+    }),
+    "a_min_max_per_key" -> ((s, dir) => {
+      s.read.parquet(s"$dir/orders.parquet")
+        .groupBy(col("o_custkey"))
+        .agg(min(col("o_totalprice")).as("min_price"), max(col("o_totalprice")).as("max_price"))
+    }),
+    "a_flatten" -> ((s, dir) => {
+      // flatten / union-all of two branches
+      val e = events(s, dir)
+      e.filter(col("event_type") === "click").select("event_id")
+        .unionByName(e.filter(col("event_type") === "purchase").select("event_id"))
+    }),
+    "a_distinct" -> ((s, dir) => {
+      s.read.parquet(s"$dir/lineitem.parquet").select("l_returnflag", "l_linestatus").distinct()
+    }),
+    "a_sample_per_key" -> ((s, dir) => {
+      // sample_fixed_per_key: uniform <=3 rows per key; the sampled rows are
+      // random, the per-key counts are deterministic = least(n, 3)
+      DPEngine.sampleRowsPerKey(
+        s.read.parquet(s"$dir/orders.parquet").select("o_custkey", "o_orderkey"),
+        Seq("o_custkey"), 3)
+        .groupBy("o_custkey").agg(count(lit(1)).as("n_sampled"))
+    }),
+    "a_join_agg" -> ((s, dir) => {
+      // broadcast-joined aggregation: revenue per market segment per priority
+      // (floor per-row so the double sum is order-independent for the oracle)
+      val cust = s.read.parquet(s"$dir/customer.parquet").select("c_custkey", "c_mktsegment")
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+      orders.join(broadcast(cust), orders("o_custkey") === cust("c_custkey"))
+        .groupBy(col("c_mktsegment"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(floor(col("o_totalprice"))).cast("double").as("revenue_floor"))
+    }),
+    "a_window_topn" -> ((s, dir) => {
+      // window function: top-2 orders by price per customer (deterministic:
+      // ties broken by orderkey)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey")).orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      s.read.parquet(s"$dir/orders.parquet")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 2)
+        .select(col("o_custkey"), col("o_orderkey"), col("rk").cast("long").as("rk"))
+    }),
+    "ss_window_agg" -> ((s, dir) => {
+      // the streaming rollup's batch equivalent (streaming parity itself is
+      // proven in StreamOpsSpec against this exact shape)
+      events(s, dir)
+        .withColumn("tstamp", expr("timestamp_micros(ts div 1000)"))
+        .groupBy(date_format(date_trunc("hour", col("tstamp")), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(floor(col("value"))).cast("double").as("value_floor_sum"))
+    }),
     "mm_decode_resize" -> ((s, dir) => {
       // stubbed decode (deterministic fake dims) + real resize planning;
       // hash-derived dims => rows-only
@@ -379,7 +473,45 @@ object SparkEntry {
       "mm_features" ->
         """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
               sha256(text) AS sha256
-           FROM documents"""
+           FROM documents""",
+      "a_map" ->
+        "SELECT l_orderkey, l_linenumber, l_extendedprice * (1 - l_discount) AS revenue FROM lineitem",
+      "a_flat_map" ->
+        "SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token FROM documents",
+      "a_filter" ->
+        "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_quantity > 25 AND l_returnflag = 'R'",
+      "a_group_by_key" ->
+        "SELECT o_custkey, array_to_string(list_sort(list(o_orderkey)), ',') AS orderkeys FROM orders GROUP BY o_custkey",
+      "a_filter_by_key" ->
+        """SELECT l_orderkey, l_linenumber FROM lineitem
+           WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')""",
+      "a_count_per_element" ->
+        "SELECT l_returnflag, l_linestatus, count(*) AS n FROM lineitem GROUP BY 1, 2",
+      "a_sum_per_key" ->
+        "SELECT l_partkey, sum(l_quantity) AS sum_qty FROM lineitem GROUP BY l_partkey",
+      "a_min_max_per_key" ->
+        "SELECT o_custkey, min(o_totalprice) AS min_price, max(o_totalprice) AS max_price FROM orders GROUP BY o_custkey",
+      "a_flatten" ->
+        """SELECT event_id FROM events WHERE event_type = 'click'
+           UNION ALL SELECT event_id FROM events WHERE event_type = 'purchase'""",
+      "a_distinct" ->
+        "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+      "a_sample_per_key" ->
+        "SELECT o_custkey, least(count(*), 3) AS n_sampled FROM orders GROUP BY o_custkey",
+      "a_join_agg" ->
+        """SELECT c_mktsegment, o_orderpriority, count(*) AS n_orders,
+              CAST(sum(floor(o_totalprice)) AS DOUBLE) AS revenue_floor
+           FROM orders JOIN customer ON o_custkey = c_custkey
+           GROUP BY 1, 2""",
+      "a_window_topn" ->
+        """SELECT o_custkey, o_orderkey,
+              CAST(row_number() OVER (PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rk
+           FROM orders QUALIFY rk <= 2""",
+      "ss_window_agg" ->
+        """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
+              count(*) AS n_events, CAST(sum(floor(value)) AS DOUBLE) AS value_floor_sum
+           FROM events GROUP BY 1, 2"""
     )
   }
 }

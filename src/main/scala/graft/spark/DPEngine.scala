@@ -151,7 +151,7 @@ object DPEngine {
     * randomizes, the filter bounds. Uniformity holds exactly (a uniform random
     * permutation prefix), unlike the reference's Spark path which documents
     * non-uniformity (reference: spark_rdd_backend.py:121-124). */
-  private[spark] def sampleRowsPerKey(df: DataFrame, keys: Seq[String], n: Int): DataFrame = {
+  private[graft] def sampleRowsPerKey(df: DataFrame, keys: Seq[String], n: Int): DataFrame = {
     val w = Window.partitionBy(keys.map(col): _*).orderBy(rand())
     df.withColumn(RnCol, row_number().over(w)).filter(col(RnCol) <= n).drop(RnCol)
   }

@@ -1,0 +1,95 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming support — a capability the reference lacks entirely
+  * (it is batch-only; SURVEY §2.E). Streams get the same operator surface:
+  * windowed aggregation with watermarks, sessionization via
+  * flatMapGroupsWithState, and a streaming variant of the events pipeline.
+  *
+  * DP budget accounting over unbounded streams is an open research problem
+  * (SURVEY §2.E), so the DP engine stays batch; these operators cover the
+  * non-DP analytics/ETL surface of a streaming ingest pipeline.
+  */
+object StreamOps {
+
+  /** The events schema as it arrives on a stream (ts in epoch micros so the
+    * parquet nanos quirk stays at the batch edge). */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType)))
+
+  /** Tumbling-window aggregation with a watermark for late data: the
+    * canonical streaming rollup (count + sum + users per event_type per
+    * window). */
+  def windowedEventStats(
+      events: DataFrame,
+      windowLength: String = "1 hour",
+      watermark: String = "10 minutes"
+  ): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLength), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value")).as("total_value"),
+        approx_count_distinct(col("user_id")).as("approx_users"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"), col("approx_users"))
+
+  final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, event_type: String)
+  final case class SessionSummary(user_id: Long, n_events: Long,
+      first_type: String, last_type: String, duration_seconds: Long)
+
+  /** Session windows via typed state: a session closes after `gapSeconds` of
+    * inactivity (processing-time timeout for the local smoke path). */
+  def sessionize(events: Dataset[SessionEvent], gapSeconds: Long): Dataset[SessionSummary] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[SessionEvent], SessionSummary](
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        case (userId, newEvents, state: GroupState[List[SessionEvent]]) =>
+          if (state.hasTimedOut) {
+            val acc = state.getOption.getOrElse(Nil)
+            state.remove()
+            emit(userId, acc).iterator
+          } else {
+            val acc = state.getOption.getOrElse(Nil) ++ newEvents.toList
+            state.update(acc)
+            state.setTimeoutDuration(gapSeconds * 1000)
+            Iterator.empty
+          }
+      }
+  }
+
+  private def emit(userId: Long, events: List[SessionEvent]): List[SessionSummary] =
+    if (events.isEmpty) Nil
+    else {
+      val sorted = events.sortBy(_.ts.getTime)
+      List(SessionSummary(userId, sorted.size.toLong, sorted.head.event_type,
+        sorted.last.event_type,
+        (sorted.last.ts.getTime - sorted.head.ts.getTime) / 1000))
+    }
+
+  /** Drives a streaming query over a bounded source to completion into an
+    * in-memory table (the local smoke path: batch parquet in, streaming
+    * semantics, deterministic result). Returns the result table name. */
+  def runToMemory(spark: SparkSession, streamed: DataFrame, name: String,
+      mode: OutputMode = OutputMode.Append): StreamingQuery = {
+    val q = streamed.writeStream
+      .outputMode(mode)
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+}

@@ -1,0 +1,74 @@
+package graft.streaming
+
+import graft.spark.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  /** events parquet replayed as a bounded stream (ts nanos -> timestamp). */
+  private def eventStream() = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val dir = "/root/testdata/sf0.001"
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    // readStream wants a directory: stream the testdata dir filtered to the
+    // events file
+    spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  test("windowed aggregation over a bounded stream matches the batch result") {
+    val agg = StreamOps.windowedEventStats(eventStream(), "1 hour", "10 minutes")
+    // complete mode so the bounded replay emits every window deterministically
+    StreamOps.runToMemory(spark, agg, "win_agg", OutputMode.Complete)
+    val streamed = spark.table("win_agg")
+      .select("window_start", "event_type", "n_events")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batch = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("sessionization closes sessions after the inactivity gap") {
+    import StreamOps._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(s: Int) = new java.sql.Timestamp(t0.getTime + s * 1000L)
+    val events = spark.createDataset(Seq(
+      SessionEvent(1L, ts(0), "view"), SessionEvent(1L, ts(30), "click"),
+      SessionEvent(2L, ts(10), "view")))
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[SessionEvent]
+    input.addData(events.collect().toSeq)
+    val out = sessionize(input.toDS(), gapSeconds = 1)
+    // NOTE: processAllAvailable() is unusable with ProcessingTimeTimeout —
+    // the engine keeps scheduling no-data batches (that's how timeouts fire),
+    // so "all available" never settles. Poll the sink with a deadline.
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("sessions")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("200 milliseconds"))
+      .start()
+    val deadline = System.currentTimeMillis() + 60000
+    while (spark.table("sessions").count() < 2 && System.currentTimeMillis() < deadline)
+      Thread.sleep(250)
+    q.stop()
+    val sessions = spark.table("sessions").as[SessionSummary].collect()
+      .map(s => s.user_id -> s).toMap
+    assert(sessions.size == 2, s"sessions=$sessions")
+    assert(sessions(1L).n_events == 2 && sessions(1L).duration_seconds == 30)
+    assert(sessions(1L).first_type == "view" && sessions(1L).last_type == "click")
+    assert(sessions(2L).n_events == 1)
+  }
+}
