@@ -238,6 +238,52 @@ object SparkEntry {
       docs.select(col("doc_id"), Multimodal.payloadFeatures(col("media")).as("f"))
         .select(col("doc_id"), col("f.n_bytes").as("n_bytes"), col("f.sha256").as("sha256"))
     }),
+    "papi_count_sum" -> ((s, dir) => {
+      // PrivateDataFrame API: one accountant, map + two aggregations
+      val acc = new NaiveBudgetAccountant(1e5, 0.999999)
+      val p = PrivateDataFrame(events(s, dir), col("user_id"), acc, NoiseSource.Zero)
+        .map("event_type" -> col("event_type"), "v" -> floor(col("value")))
+      val params = PrivateAggParams(Seq("event_type" -> col("event_type")),
+        maxPartitionsContributed = 5, maxContributionsPerPartition = Some(100),
+        minValue = Some(0.0), maxValue = Some(1000.0))
+      val counts = p.count(params)
+      val sums = p.sum(col("v"), params)
+      acc.computeBudgets()
+      counts.dataframe.join(sums.dataframe, "event_type")
+    }),
+    "stats_l0_histogram" -> ((s, dir) => {
+      // log-binned L0 contribution histogram (bins < 1000 are unit-width,
+      // so the oracle is exact)
+      val h = graft.stats.Histograms.computeDatasetHistograms(
+        events(s, dir), col("user_id"), col("event_type"))
+      import s.implicits._
+      h.l0Contributions.bins.map(b => (b.lower.toLong, b.count, b.sum))
+        .toDF("bin_lower", "n_units", "total_contribs")
+    }),
+    "stats_linf_histogram" -> ((s, dir) => {
+      val h = graft.stats.Histograms.computeDatasetHistograms(
+        events(s, dir), col("user_id"), col("event_type"))
+      import s.implicits._
+      h.linfContributions.bins.map(b => (b.lower.toLong, b.count, b.sum))
+        .toDF("bin_lower", "n_pairs", "total_rows")
+    }),
+    "stats_private_l0" -> ((s, dir) => {
+      // DP choice of max_partitions_contributed via exponential mechanism;
+      // huge calculation eps => deterministic argmax (rows-only: the scoring
+      // is not SQL-expressible)
+      val ev = events(s, dir)
+      val h = graft.stats.Histograms.computeDatasetHistograms(
+        ev, col("user_id"), col("event_type"))
+      val nPartitions = ev.select("event_type").distinct().count()
+      val k = graft.stats.PrivateL0Calculator.calculate(
+        graft.stats.CalculatePrivateContributionBoundsParams(
+          NoiseKind.Laplace, aggregationEps = 1.0, aggregationDelta = 0.0,
+          calculationEps = 1e6, maxPartitionsContributedUpperBound = 100),
+        nPartitions, h, NoiseSource.Zero)
+      import s.implicits._
+      Seq((k, nPartitions)).toDF("private_l0_bound", "n_partitions")
+    }),
+
     // ---- §2.A dataflow primitives over the TPC-H-ish tables ----
     "a_map" -> ((s, dir) => {
       // map / select(expr): per-row revenue (deterministic per-row arithmetic)
@@ -474,6 +520,20 @@ object SparkEntry {
         """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
               sha256(text) AS sha256
            FROM documents""",
+      "papi_count_sum" ->
+        """SELECT event_type, CAST(count(*) AS DOUBLE) AS count,
+              sum(least(greatest(floor(value), 0.0), 1000.0)) AS sum
+           FROM events GROUP BY event_type""",
+      "stats_l0_histogram" ->
+        """SELECT CAST(c AS BIGINT) AS bin_lower, count(*) AS n_units,
+              CAST(sum(c) AS DOUBLE) AS total_contribs
+           FROM (SELECT count(DISTINCT event_type) AS c FROM events GROUP BY user_id)
+           GROUP BY c""",
+      "stats_linf_histogram" ->
+        """SELECT CAST(c AS BIGINT) AS bin_lower, count(*) AS n_pairs,
+              CAST(sum(c) AS DOUBLE) AS total_rows
+           FROM (SELECT count(*) AS c FROM events GROUP BY user_id, event_type)
+           GROUP BY c""",
       "a_map" ->
         "SELECT l_orderkey, l_linenumber, l_extendedprice * (1 - l_discount) AS revenue FROM lineitem",
       "a_flat_map" ->

@@ -34,6 +34,9 @@ object PartitionSelectionStrategyKind {
   case object TruncatedGeometric extends PartitionSelectionStrategyKind
   case object LaplaceThresholding extends PartitionSelectionStrategyKind
   case object GaussianThresholding extends PartitionSelectionStrategyKind
+  /** Threshold the sum of per-user weights 1/sqrt(#partitions of user) —
+    * joint L2 sensitivity 1 (reference: dp_engine.py:664-714). */
+  case object WeightedGaussianThresholding extends PartitionSelectionStrategyKind
 }
 
 /** Norm used to clip vectors for VECTOR_SUM (reference: aggregate_params.py:166-175). */
@@ -99,7 +102,12 @@ final case class AggregateParams(
     /** When true, contribution bounding is assumed already enforced upstream
       * and sampling is skipped (reference: aggregate_params.py "
       * contribution_bounds_already_enforced"). */
-    contributionBoundsAlreadyEnforced: Boolean = false
+    contributionBoundsAlreadyEnforced: Boolean = false,
+    /** Release partitions by thresholding the *noised* privacy-id count and
+      * output that noised count — merges selection and the pid-count metric
+      * into one mechanism (reference: combiners.py:360-416). Requires
+      * PRIVACY_ID_COUNT in metrics and private partitions. */
+    postAggregationThresholding: Boolean = false
 ) {
   import Metric._
 
@@ -139,6 +147,9 @@ final case class AggregateParams(
   if (metrics.contains(Count))
     require(maxContributionsPerPartition.isDefined || maxContributions.isDefined,
       "COUNT requires maxContributionsPerPartition (or maxContributions)")
+  if (postAggregationThresholding)
+    require(metrics.contains(PrivacyIdCount),
+      "postAggregationThresholding requires PRIVACY_ID_COUNT in metrics")
   if (metrics.contains(VectorSum)) {
     require(vectorSize > 0, "VECTOR_SUM requires vectorSize > 0")
     require(vectorMaxNorm > 0, "VECTOR_SUM requires vectorMaxNorm > 0")

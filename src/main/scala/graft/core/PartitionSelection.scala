@@ -60,7 +60,30 @@ object PartitionSelection {
     case PartitionSelectionStrategyKind.GaussianThresholding =>
       GaussianThresholdingSelection(epsilon, delta, maxPartitionsContributed,
         preThreshold.getOrElse(1))
+    case PartitionSelectionStrategyKind.WeightedGaussianThresholding =>
+      throw new IllegalArgumentException(
+        "weighted gaussian operates on weights, use WeightedGaussianSelection directly")
   }
+}
+
+/** Weighted Gaussian partition selection: each privacy unit contributes
+  * weight 1/sqrt(#its partitions) to each of its partitions, so its weight
+  * vector has L2 norm <= 1; Gaussian noise with sigma calibrated for
+  * (eps, delta/2) at unit L2 sensitivity thresholds the per-partition weight
+  * sums (reference: dp_engine.py:664-714, partition_selection.py:92-100). */
+final case class WeightedGaussianSelection(
+    epsilon: Double,
+    delta: Double,
+    maxPartitionsContributed: Int
+) extends Serializable {
+  require(epsilon > 0 && delta > 0 && maxPartitionsContributed >= 1)
+  val sigma: Double = DpNoise.gaussianSigma(epsilon, delta / 2, 1.0)
+  private val thrDeltaAdj = PartitionSelection.adjustedDelta(delta / 2, maxPartitionsContributed)
+  val threshold: Double = 1.0 + sigma * DpNoise.phiInverse(1.0 - thrDeltaAdj)
+  def shouldKeep(weightSum: Double, noise: NoiseSource): Boolean =
+    weightSum + noise.gaussian(sigma) >= threshold
+  def describe: String =
+    f"Weighted Gaussian partition selection (eps=$epsilon%.4g delta=$delta%.4g sigma=$sigma%.3f threshold=$threshold%.2f)"
 }
 
 final case class TruncatedGeometricSelection(

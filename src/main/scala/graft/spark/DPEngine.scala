@@ -25,8 +25,15 @@ object DPColumns {
   * the accountant resolves budgets (explicit two-phase lifecycle replacing the
   * reference's mutate-after-capture, reference: budget_accounting.py:448-476).
   */
-final class DPResult private[spark] (builder: () => DataFrame) {
+final class DPResult private[spark] (
+    builder: () => DataFrame,
+    reportBuilder: () => String = () => ""
+) {
   lazy val dataframe: DataFrame = builder()
+  /** Human-readable explanation of the DP computation — resolved budgets,
+    * mechanisms and selection strategy (reference: report_generator.py:46-116).
+    * Available after computeBudgets(). */
+  lazy val explainReport: String = reportBuilder()
 }
 
 /** The DP aggregation engine, Spark-native.
@@ -66,6 +73,8 @@ final class DPEngine(
       publicPartitions: Option[DataFrame] = None
   ): DPResult = {
     accountant.registerAggregation()
+    require(!(params.postAggregationThresholding && publicPartitions.isDefined),
+      "postAggregationThresholding requires private partitions")
     val plan = CompoundComputer.plan(params, accountant)
     val selectionHandle =
       if (publicPartitions.isEmpty)
@@ -75,13 +84,48 @@ final class DPEngine(
 
     new DPResult(() => {
       val computer = plan.build(noise)
-      val selector = selectionHandle.map { h =>
-        val spec = h.spec
-        PartitionSelection.create(params.partitionSelectionStrategy, spec.epsilon,
-          spec.delta, params.maxPartitionsContributed, params.preThreshold)
+      val thresholdingStrategy = params.noiseKind match {
+        case NoiseKind.Laplace  => PartitionSelectionStrategyKind.LaplaceThresholding
+        case NoiseKind.Gaussian => PartitionSelectionStrategyKind.GaussianThresholding
       }
-      assemble(df, params, columns, publicPartitions, computer, selector, noise,
-        plan.buildQuantile(), plan.buildVector())
+      if (params.postAggregationThresholding) {
+        val spec = selectionHandle.get.spec
+        val sel = PartitionSelection.create(thresholdingStrategy, spec.epsilon, spec.delta,
+          params.maxPartitionsContributed, params.preThreshold)
+          .asInstanceOf[ThresholdingSelection]
+        assemble(df, params, columns, publicPartitions, computer, None, noise,
+          plan.buildQuantile(), plan.buildVector(), postAggThresholding = Some(sel))
+      } else {
+        val selector = selectionHandle.map { h =>
+          val spec = h.spec
+          PartitionSelection.create(params.partitionSelectionStrategy, spec.epsilon,
+            spec.delta, params.maxPartitionsContributed, params.preThreshold)
+        }
+        assemble(df, params, columns, publicPartitions, computer, selector, noise,
+          plan.buildQuantile(), plan.buildVector())
+      }
+    }, () => {
+      val lines = Seq.newBuilder[String]
+      lines += s"DP aggregation: metrics=${params.metrics.map(_.name).mkString(", ")}"
+      lines += (params.maxContributions match {
+        case Some(mc) => s"1. Contribution bounding: sampled <= $mc total rows per privacy unit"
+        case None =>
+          s"1. Contribution bounding: sampled <= ${params.maxContributionsPerPartition.getOrElse("all")} " +
+            s"rows per (unit, partition), <= ${params.maxPartitionsContributed} partitions per unit"
+      })
+      if (publicPartitions.isDefined)
+        lines += "2. Partition selection: public partitions (non-public dropped, missing added empty)"
+      else {
+        val spec = selectionHandle.get.spec
+        val strat =
+          if (params.postAggregationThresholding)
+            s"post-aggregation thresholding (${params.noiseKind})"
+          else params.partitionSelectionStrategy.toString
+        lines += f"2. Partition selection: $strat with eps=${spec.epsilon}%.4g delta=${spec.delta}%.4g"
+      }
+      lines += "3. Metrics:"
+      plan.build(noise).parts.foreach(p => lines += s"   - ${p.describe}")
+      lines.result().mkString("\n")
     })
   }
 
@@ -96,19 +140,34 @@ final class DPEngine(
       weight = params.budgetWeight, name = "PartitionSelection")
     new DPResult(() => {
       val spec = handle.spec
-      val selector = PartitionSelection.create(params.strategy, spec.epsilon,
-        spec.delta, params.maxPartitionsContributed, params.preThreshold)
       val pkNames = columns.partitionKeys.map(_._1)
       val projected = df.select(
         columns.privacyUnit.as(PidCol) +:
           columns.partitionKeys.map { case (n, c) => c.as(n) }: _*)
-      // distinct (pid, pk), bound partitions per pid, count pids per pk
+      // distinct (pid, pk), bound partitions per pid
       val distinctPairs = projected.distinct()
       val bounded = sampleRowsPerKey(distinctPairs, Seq(PidCol), params.maxPartitionsContributed)
-      val counted = bounded.groupBy(pkNames.map(col): _*).agg(count(lit(1)).as(PidCntCol))
       val noiseSrc = noise
-      val keepUdf = udf((n: Long) => selector.shouldKeep(n, noiseSrc)).asNondeterministic()
-      counted.filter(keepUdf(col(PidCntCol))).select(pkNames.map(col): _*)
+      params.strategy match {
+        case PartitionSelectionStrategyKind.WeightedGaussianThresholding =>
+          // weight = 1/sqrt(#partitions of the unit); threshold the weight sums
+          // (reference: dp_engine.py:664-714)
+          val sel = WeightedGaussianSelection(spec.epsilon, spec.delta,
+            params.maxPartitionsContributed)
+          val w = Window.partitionBy(col(PidCol))
+          val weighted = bounded
+            .withColumn("__graft_w", lit(1.0) / sqrt(count(lit(1)).over(w)))
+            .groupBy(pkNames.map(col): _*)
+            .agg(sum(col("__graft_w")).as("__graft_wsum"))
+          val keepUdf = udf((ws: Double) => sel.shouldKeep(ws, noiseSrc)).asNondeterministic()
+          weighted.filter(keepUdf(col("__graft_wsum"))).select(pkNames.map(col): _*)
+        case _ =>
+          val selector = PartitionSelection.create(params.strategy, spec.epsilon,
+            spec.delta, params.maxPartitionsContributed, params.preThreshold)
+          val counted = bounded.groupBy(pkNames.map(col): _*).agg(count(lit(1)).as(PidCntCol))
+          val keepUdf = udf((n: Long) => selector.shouldKeep(n, noiseSrc)).asNondeterministic()
+          counted.filter(keepUdf(col(PidCntCol))).select(pkNames.map(col): _*)
+      }
     })
   }
 
@@ -176,7 +235,8 @@ object DPEngine {
       selector: Option[PartitionSelection],
       noise: NoiseSource,
       quantile: Option[QuantileComputer] = None,
-      vector: Option[VectorOps.VectorNoiser] = None
+      vector: Option[VectorOps.VectorNoiser] = None,
+      postAggThresholding: Option[ThresholdingSelection] = None
   ): DataFrame = {
     val pkNames = columns.partitionKeys.map(_._1)
     val pkCols = pkNames.map(col)
@@ -304,6 +364,18 @@ object DPEngine {
           noiseSrc)).asNondeterministic()
       vUdf(col(VecCol)).as("vector_sum")
     }
-    withMetrics.select(pkCols ++ metricCols ++ quantileCols ++ vectorCols: _*)
+    // stage 11: post-aggregation thresholding — the noised pid count IS the
+    // release decision; under-threshold partitions yield null and are dropped
+    // (reference: combiners.py:360-416, dp_engine.py:572-577)
+    val postAggCols = postAggThresholding.toSeq.map { sel =>
+      val noiseSrc = noise
+      val thrUdf = udf((n: Long) =>
+        sel.noisedValueIfShouldKeep(n, noiseSrc).map(Double.box).orNull)
+        .asNondeterministic()
+      thrUdf(col(PidCntCol)).as("privacy_id_count")
+    }
+    val out = withMetrics.select(
+      pkCols ++ metricCols ++ quantileCols ++ vectorCols ++ postAggCols: _*)
+    if (postAggThresholding.isDefined) out.filter(col("privacy_id_count").isNotNull) else out
   }
 }

@@ -18,6 +18,8 @@ final case class DpAcc(cnt: Long, sum: Double, nsum: Double, nsq: Double, pidCnt
 sealed trait MetricPart extends Serializable {
   def names: Seq[String]
   def compute(acc: DpAcc, noise: NoiseSource): Seq[Double]
+  /** One-line explanation for the computation report. */
+  def describe: String
 }
 
 /** DP count (reference: combiners.py:263-307). */
@@ -25,6 +27,7 @@ final case class CountPart(mechanism: AdditiveMechanism) extends MetricPart {
   val names = Seq("count")
   def compute(acc: DpAcc, noise: NoiseSource) =
     Seq(mechanism.addNoise(acc.cnt.toDouble, noise))
+  def describe = s"Computed DP count with ${mechanism.describe}"
 }
 
 /** DP privacy-id count (reference: combiners.py:310-357). */
@@ -32,6 +35,7 @@ final case class PrivacyIdCountPart(mechanism: AdditiveMechanism) extends Metric
   val names = Seq("privacy_id_count")
   def compute(acc: DpAcc, noise: NoiseSource) =
     Seq(mechanism.addNoise(acc.pidCnt.toDouble, noise))
+  def describe = s"Computed DP privacy_id_count with ${mechanism.describe}"
 }
 
 /** DP sum (reference: combiners.py:419-476). Clipping already happened in the
@@ -40,6 +44,7 @@ final case class SumPart(mechanism: AdditiveMechanism) extends MetricPart {
   val names = Seq("sum")
   def compute(acc: DpAcc, noise: NoiseSource) =
     Seq(mechanism.addNoise(acc.sum, noise))
+  def describe = s"Computed DP sum with ${mechanism.describe}"
 }
 
 /** DP mean via the normalized-sum trick; optionally emits count/sum derived
@@ -57,6 +62,9 @@ final case class MeanPart(
     Seq(dpMean) ++ (if (includeCount) Seq(dpCount) else Nil) ++
       (if (includeSum) Seq(dpSum) else Nil)
   }
+  def describe =
+    s"Computed DP mean: count via ${mechanism.countMechanism.describe}; " +
+      s"normalized sum via ${mechanism.sumMechanism.describe}"
 }
 
 /** DP variance (+ optional mean/count/sum), budget split equally across the
@@ -97,6 +105,10 @@ final case class VariancePart(
       (if (includeCount) Seq(dpCount) else Nil) ++
       (if (includeSum) Seq(dpMean * dpCount) else Nil)
   }
+  def describe =
+    s"Computed DP variance (budget split 3 ways): count via ${countMechanism.describe}" +
+      normSumMechanism.map(m => s"; normalized sum via ${m.describe}").getOrElse("") +
+      normSqMechanism.map(m => s"; normalized sum of squares via ${m.describe}").getOrElse("")
 }
 
 /** The compound computer: one object per query, serialized into the final
@@ -219,7 +231,11 @@ object CompoundComputer {
     val hasPercentiles = params.metrics.exists(_.isInstanceOf[Percentile])
     val quantileH = if (hasPercentiles) Some(req("Quantile")) else None
     val vectorH = if (has(VectorSum)) Some(req("VectorSum")) else None
-    val pidH = if (has(PrivacyIdCount)) Some(req("PrivacyIdCount")) else None
+    // with post-aggregation thresholding the pid count comes from the
+    // thresholding mechanism, not a separate additive one
+    val pidH =
+      if (has(PrivacyIdCount) && !params.postAggregationThresholding) Some(req("PrivacyIdCount"))
+      else None
 
     if (has(Variance))
       Plan(params, Some(req("Variance")), None, None, None, None, pidH, quantileH, vectorH)

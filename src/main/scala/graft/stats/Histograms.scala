@@ -1,0 +1,255 @@
+package graft.stats
+
+import graft.core._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Dataset histograms — the statistics layer feeding parameter tuning
+  * (reference: pipeline_dp/dataset_histograms/, ~1490 LoC).
+  *
+  * Integer histograms (contribution counts) are log-binned: values < 1000 get
+  * unit bins, larger values keep their 3 most-significant decimal digits
+  * (reference: count_histogram_computation.py:35-54). That bounds the number
+  * of distinct bins at ~2700 per decade order, so the per-bin aggregation
+  * output stays tiny no matter the dataset size — the whole computation is
+  * groupBy chains ending in a driver-side collect of a few thousand rows.
+  */
+final case class FrequencyBin(
+    lower: Double, upper: Double, count: Long, sum: Double, max: Double, min: Double)
+
+final case class Histogram(name: String, bins: Seq[FrequencyBin]) {
+  def totalCount: Long = bins.map(_.count).sum
+  def totalSum: Double = bins.map(_.sum).sum
+  def maxValue: Double = if (bins.isEmpty) 0.0 else bins.last.max
+
+  /** Approximate quantiles: for each q, the lower bound of the first bin such
+    * that the ratio of data strictly left of it is <= q (reference:
+    * histograms.py:134-166 — same walk from the right). */
+  def quantiles(q: Seq[Double]): Seq[Double] = {
+    require(q == q.sorted, "Quantiles to compute must be sorted.")
+    require(bins.nonEmpty, "Cannot compute quantiles of an empty histogram")
+    val total = totalCount
+    var countSmaller = total
+    val result = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var iq = q.length - 1
+    for (bin <- bins.reverse) {
+      countSmaller -= bin.count
+      val ratioSmaller = countSmaller.toDouble / total
+      while (iq >= 0 && q(iq) >= ratioSmaller) {
+        result += bin.lower
+        iq -= 1
+      }
+    }
+    while (iq >= 0) { result += bins.head.lower; iq -= 1 }
+    result.reverse.toSeq
+  }
+
+  /** Ratio of data dropped for each candidate contribution bound
+    * (reference: histograms.py:169-208). */
+  def ratioDropped: Seq[(Double, Double)] = {
+    if (bins.isEmpty) return Nil
+    var dropped = 0.0
+    var elementsLarger = 0L
+    val total = totalSum
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+    var previous = bins.last.lower
+    if (maxValue != previous) out += ((maxValue, 0.0))
+    for (bin <- bins.reverse) {
+      val current = bin.lower
+      dropped += elementsLarger * (previous - current) + (bin.sum - bin.count * current)
+      out += ((current, dropped / total))
+      previous = current
+      elementsLarger += bin.count
+    }
+    out += ((0.0, 1.0))
+    out.reverse.toSeq
+  }
+}
+
+final case class DatasetHistograms(
+    l0Contributions: Histogram,
+    l1Contributions: Histogram,
+    linfContributions: Histogram,
+    linfSumContributions: Option[Histogram],
+    countPerPartition: Histogram,
+    privacyIdPerPartition: Histogram,
+    sumPerPartition: Option[Histogram]
+)
+
+object Histograms {
+
+  /** Lower bound of the log bin holding `value`: keep 3 most-significant
+    * decimal digits (123 -> 123, 1234 -> 1230, 12345 -> 12300). Must stay in
+    * sync with [[generatePossibleContributionBounds]]
+    * (reference: count_histogram_computation.py:35-54). */
+  def toBinLower(value: Long): Long = {
+    var bound = 1000L
+    while (value > bound) bound *= 10
+    val roundBase = bound / 1000
+    value / roundBase * roundBase
+  }
+
+  /** All candidate bounds with at most 3 significant decimal digits up to
+    * upperBound: 1..999, 1000, 1010, ..., 9990, 10000, 10100, ...
+    * (reference: private_contribution_bounds.py:178-195). */
+  def generatePossibleContributionBounds(upperBound: Int): Seq[Int] = {
+    val bounds = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var current = 1L
+    var power = 10L
+    while (current <= upperBound) {
+      bounds += current.toInt
+      if (current >= power) power *= 10
+      current += math.max(1L, power / 1000)
+    }
+    bounds.toSeq
+  }
+
+  private val binLowerUdf = udf((v: Long) => toBinLower(v))
+
+  /** Frequency histogram of an integer-valued column (log bins). The groupBy
+    * output is at most a few thousand bins regardless of input size. */
+  private def frequencyHistogram(df: DataFrame, valueCol: String, name: String): Histogram = {
+    val binned = df
+      .withColumn("__bin", binLowerUdf(col(valueCol).cast("long")))
+      .groupBy("__bin")
+      .agg(count(lit(1)).as("count"), sum(col(valueCol)).as("sum"),
+        max(col(valueCol)).as("max"), min(col(valueCol)).as("min"))
+      .orderBy("__bin")
+      .collect()
+    val bins = binned.map { r =>
+      val lower = r.getLong(0)
+      val upper = {
+        // bin width matches toBinLower's 3-significant-digit geometry
+        var bound = 1000L
+        while (lower >= bound) bound *= 10
+        lower + math.max(1L, bound / 1000)
+      }
+      FrequencyBin(lower.toDouble, upper.toDouble, r.getLong(1),
+        r.getAs[Number](2).doubleValue(), r.getAs[Number](3).doubleValue(),
+        r.getAs[Number](4).doubleValue())
+    }
+    Histogram(name, bins.toSeq)
+  }
+
+  /** Equi-width (1e4 buckets) histogram of a real-valued column
+    * (reference: sum_histogram_computation.py:39-104). */
+  private def equiWidthHistogram(df: DataFrame, valueCol: String, name: String,
+      buckets: Int = 10000): Option[Histogram] = {
+    val mm = df.agg(min(col(valueCol)), max(col(valueCol))).collect().head
+    if (mm.isNullAt(0)) return None
+    val lo = mm.getAs[Number](0).doubleValue(); val hi = mm.getAs[Number](1).doubleValue()
+    if (lo == hi) {
+      val c = df.count()
+      return Some(Histogram(name, Seq(FrequencyBin(lo, hi, c, lo * c, lo, lo))))
+    }
+    val width = (hi - lo) / buckets
+    val binned = df
+      .withColumn("__bin", least(floor((col(valueCol) - lo) / width), lit(buckets - 1)))
+      .groupBy("__bin")
+      .agg(count(lit(1)).as("count"), sum(col(valueCol)).as("sum"),
+        max(col(valueCol)).as("max"), min(col(valueCol)).as("min"))
+      .orderBy("__bin")
+      .collect()
+    val bins = binned.map { r =>
+      val idx = r.getLong(0)
+      FrequencyBin(lo + idx * width, lo + (idx + 1) * width, r.getLong(1),
+        r.getAs[Number](2).doubleValue(), r.getAs[Number](3).doubleValue(),
+        r.getAs[Number](4).doubleValue())
+    }
+    Some(Histogram(name, bins.toSeq))
+  }
+
+  /** Computes the full histogram bundle in four passes over a cached
+    * (pid, pk, count, sum) frame (reference: computing_histograms.py:89-138).
+    */
+  def computeDatasetHistograms(
+      df: DataFrame,
+      privacyUnit: Column,
+      partitionKey: Column,
+      value: Option[Column] = None
+  ): DatasetHistograms = {
+    val base = df.select(privacyUnit.as("pid"), partitionKey.as("pk"),
+      value.getOrElse(lit(1.0)).cast("double").as("v"))
+    val perPidPk = base.groupBy("pid", "pk")
+      .agg(count(lit(1)).as("n"), sum("v").as("s"))
+      .cache()
+    try {
+      val l0 = frequencyHistogram(
+        perPidPk.groupBy("pid").agg(count(lit(1)).as("n_partitions")),
+        "n_partitions", "l0_contributions")
+      val l1 = frequencyHistogram(
+        perPidPk.groupBy("pid").agg(sum("n").as("n_rows")), "n_rows", "l1_contributions")
+      val linf = frequencyHistogram(perPidPk, "n", "linf_contributions")
+      val linfSum = value.flatMap(_ =>
+        equiWidthHistogram(perPidPk, "s", "linf_sum_contributions"))
+      val countPerPk = frequencyHistogram(
+        perPidPk.groupBy("pk").agg(sum("n").as("n_rows")), "n_rows", "count_per_partition")
+      val pidPerPk = frequencyHistogram(
+        perPidPk.groupBy("pk").agg(count(lit(1)).as("n_pids")),
+        "n_pids", "privacy_id_per_partition_count")
+      val sumPerPk = value.flatMap(_ =>
+        equiWidthHistogram(perPidPk.groupBy("pk").agg(sum("s").as("psum")),
+          "psum", "sum_per_partition"))
+      DatasetHistograms(l0, l1, linf, linfSum, countPerPk, pidPerPk, sumPerPk)
+    } finally perPidPk.unpersist()
+  }
+}
+
+/** DP choice of max_partitions_contributed (the L0 bound) via the exponential
+  * mechanism over the L0 contribution histogram
+  * (reference: private_contribution_bounds.py:27-195). Suitable for COUNT and
+  * PRIVACY_ID_COUNT. */
+final case class CalculatePrivateContributionBoundsParams(
+    aggregationNoiseKind: NoiseKind,
+    aggregationEps: Double,
+    aggregationDelta: Double,
+    calculationEps: Double,
+    maxPartitionsContributedUpperBound: Int
+)
+
+final class L0ScoringFunction(
+    params: CalculatePrivateContributionBoundsParams,
+    numberOfPartitions: Long,
+    l0Histogram: Histogram
+) extends ScoringFunction {
+
+  def bestUpperBound: Int =
+    math.min(params.maxPartitionsContributedUpperBound.toLong, numberOfPartitions).toInt
+
+  /** score(k) = -0.5 * impact_noise(k) - 0.5 * impact_dropped(k). */
+  def score(k: Int): Double = -(0.5 * impactNoise(k) + 0.5 * impactDropped(k))
+
+  def globalSensitivity: Double = bestUpperBound.toDouble
+  def isMonotonic: Boolean = true
+
+  private def impactNoise(k: Int): Double = {
+    val std = params.aggregationNoiseKind match {
+      case NoiseKind.Laplace =>
+        // Laplace std for count with l0=k, linf=1: b = k/eps; std = b*sqrt(2)
+        k / params.aggregationEps * math.sqrt(2.0)
+      case NoiseKind.Gaussian =>
+        DpNoise.gaussianSigma(params.aggregationEps, params.aggregationDelta, math.sqrt(k.toDouble))
+    }
+    numberOfPartitions * std
+  }
+
+  private def impactDropped(k: Int): Double =
+    l0Histogram.bins.map { b =>
+      math.max(math.min(b.lower, bestUpperBound.toDouble) - k, 0.0) * b.count
+    }.sum
+}
+
+object PrivateL0Calculator {
+  /** Chooses the L0 bound in a DP way. Driver-side once the (tiny) histogram
+    * is collected. */
+  def calculate(
+      params: CalculatePrivateContributionBoundsParams,
+      numberOfPartitions: Long,
+      histograms: DatasetHistograms,
+      noise: NoiseSource = NoiseSource.Secure
+  ): Int = {
+    val scoring = new L0ScoringFunction(params, numberOfPartitions, histograms.l0Contributions)
+    val candidates = Histograms.generatePossibleContributionBounds(scoring.bestUpperBound)
+    new ExponentialMechanism(scoring).apply(params.calculationEps, candidates, noise)
+  }
+}

@@ -1,0 +1,102 @@
+package graft.stats
+
+import graft.core._
+import graft.spark.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class HistogramsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("log binning keeps 3 significant digits") {
+    assert(Histograms.toBinLower(123) == 123)
+    assert(Histograms.toBinLower(999) == 999)
+    assert(Histograms.toBinLower(1000) == 1000)
+    assert(Histograms.toBinLower(1234) == 1230)
+    assert(Histograms.toBinLower(12345) == 12300)
+    assert(Histograms.toBinLower(999999) == 999000)
+  }
+
+  test("possible contribution bounds mirror the binning") {
+    val bounds = Histograms.generatePossibleContributionBounds(10200)
+    assert(bounds.take(5) == Seq(1, 2, 3, 4, 5))
+    assert(bounds.contains(999) && bounds.contains(1000) && bounds.contains(1010))
+    assert(!bounds.contains(1001))
+    assert(bounds.last == 10200 || bounds.last == 10100)
+    // every generated bound is its own bin lower
+    assert(bounds.forall(b => Histograms.toBinLower(b) == b))
+  }
+
+  test("dataset histograms on a known fixture") {
+    // u1: pk1 x3 rows, pk2 x1; u2: pk1 x2; u3: pk2 x2
+    val df = Seq(
+      ("u1", "pk1", 1.0), ("u1", "pk1", 2.0), ("u1", "pk1", 3.0), ("u1", "pk2", 4.0),
+      ("u2", "pk1", 5.0), ("u2", "pk1", 6.0),
+      ("u3", "pk2", 7.0), ("u3", "pk2", 8.0)
+    ).toDF("pid", "pk", "v")
+    val h = Histograms.computeDatasetHistograms(df, col("pid"), col("pk"), Some(col("v")))
+    // l0: u1 -> 2 partitions, u2 -> 1, u3 -> 1
+    assert(h.l0Contributions.bins.map(b => (b.lower, b.count)).toSet == Set((1.0, 2L), (2.0, 1L)))
+    // l1: rows per pid: u1=4, u2=2, u3=2
+    assert(h.l1Contributions.bins.map(b => (b.lower, b.count)).toSet == Set((2.0, 2L), (4.0, 1L)))
+    // linf: rows per (pid,pk): 3,1,2,2
+    assert(h.linfContributions.totalCount == 4)
+    assert(h.linfContributions.totalSum == 8.0)
+    // privacy ids per partition: pk1 -> 2, pk2 -> 2
+    assert(h.privacyIdPerPartition.bins.map(b => (b.lower, b.count)).toSet == Set((2.0, 2L)))
+    assert(h.countPerPartition.bins.map(b => (b.lower, b.count)).toSet ==
+      Set((5.0, 1L), (3.0, 1L)))
+    assert(h.linfSumContributions.isDefined && h.sumPerPartition.isDefined)
+  }
+
+  test("histogram quantiles walk from the right") {
+    val bins = Seq(
+      FrequencyBin(1, 2, 50, 50, 1, 1),
+      FrequencyBin(2, 3, 30, 60, 2, 2),
+      FrequencyBin(5, 6, 20, 100, 5, 5))
+    val h = Histogram("t", bins)
+    assert(h.quantiles(Seq(0.3, 0.5, 0.9)) == Seq(1.0, 2.0, 5.0))
+  }
+
+  test("ratioDropped is 0 at max and 1 at 0") {
+    val bins = Seq(FrequencyBin(1, 2, 2, 2, 1, 1), FrequencyBin(3, 4, 1, 3, 3, 3))
+    val rd = Histogram("t", bins).ratioDropped
+    assert(rd.head == (0.0, 1.0))
+    assert(rd.last._2 == 0.0)
+    // monotone decreasing dropped ratio as the bound grows
+    assert(rd.map(_._2).reverse == rd.map(_._2).reverse.sorted)
+  }
+
+  test("private L0 bound: huge calculation eps picks the argmax score") {
+    // 2 users contribute to 2 partitions, 1 user to 1; 3 partitions total.
+    val df = Seq(
+      ("u1", "pk1"), ("u1", "pk2"), ("u2", "pk1"), ("u2", "pk3"), ("u3", "pk2")
+    ).toDF("pid", "pk")
+    val h = Histograms.computeDatasetHistograms(df, col("pid"), col("pk"))
+    val params = CalculatePrivateContributionBoundsParams(
+      aggregationNoiseKind = NoiseKind.Laplace,
+      aggregationEps = 1.0, aggregationDelta = 0.0,
+      calculationEps = 1e6,
+      maxPartitionsContributedUpperBound = 100)
+    val k = PrivateL0Calculator.calculate(params, numberOfPartitions = 3, h, NoiseSource.Zero)
+    // scores: k=1: -(0.5*3*sqrt2 + 0.5*2) = -3.12; k=2: -(0.5*6*sqrt2) = -4.24;
+    // k=3: -6.36  => argmax is k=1
+    assert(k == 1)
+  }
+
+  test("exponential mechanism distributes by score at moderate eps") {
+    val scoring = new ScoringFunction {
+      def score(k: Int): Double = k.toDouble
+      def globalSensitivity: Double = 1.0
+      def isMonotonic: Boolean = true
+    }
+    val mech = new ExponentialMechanism(scoring)
+    val probs = mech.probabilities(1.0, Seq(1, 2, 3))
+    assert(probs.sum > 0.999 && probs.sum < 1.001)
+    assert(probs(2) > probs(1) && probs(1) > probs(0))
+    // huge eps concentrates on the max
+    val concentrated = mech.probabilities(1000.0, Seq(1, 2, 3))
+    assert(concentrated(2) > 0.999)
+  }
+}
