@@ -196,9 +196,9 @@ object SparkEntry {
         "doc_id", "text", maxHamming = 3)
     }),
     "dedup_ngram_jaccard" -> ((s, dir) => {
-      // exact char-3-gram jaccard on the first 200 chars, blocked by lang
+      // exact char-3-gram jaccard on the first 100 chars, blocked by lang
       val docs = s.read.parquet(s"$dir/documents.parquet")
-        .withColumn("head", lower(substring(col("text"), 1, 200)))
+        .withColumn("head", lower(substring(col("text"), 1, 100)))
       Dedup.ngramJaccardPairs(docs, "doc_id", "head", "lang", n = 3, threshold = 0.8)
     }),
     "dedup_embedding" -> ((s, dir) => {
@@ -475,15 +475,21 @@ object SparkEntry {
         """WITH g AS (
              SELECT doc_id, lang,
                     list_distinct(list_transform(
-                      range(1, greatest(len(substr(lower(text), 1, 200)) - 2, 1) + 1),
-                      i -> substr(lower(text), 1, 200)[i:i+2])) AS grams
-             FROM documents)
-           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                  CAST(len(list_distinct(list_intersect(a.grams, b.grams))) AS DOUBLE)
-                    / CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE) AS jaccard
-           FROM g a JOIN g b ON a.lang = b.lang AND a.doc_id < b.doc_id
-           WHERE CAST(len(list_distinct(list_intersect(a.grams, b.grams))) AS DOUBLE)
-                   / CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE) >= 0.8""",
+                      range(1, greatest(len(substr(lower(text), 1, 100)) - 2, 1) + 1),
+                      i -> substr(lower(text), 1, 100)[i:i+2])) AS grams
+             FROM documents),
+           s AS (SELECT doc_id, lang, grams, len(grams) AS sz FROM g),
+           p AS (
+             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                    CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) AS inter,
+                    CAST(a.sz + b.sz AS DOUBLE) AS szsum
+             FROM s a JOIN s b
+               ON a.lang = b.lang AND a.doc_id < b.doc_id
+              AND b.sz * 0.8 <= a.sz AND a.sz * 0.8 <= b.sz)
+           SELECT id_a, id_b,
+                  CASE WHEN szsum - inter = 0 THEN 0.0 ELSE inter / (szsum - inter) END AS jaccard
+           FROM p
+           WHERE (CASE WHEN szsum - inter = 0 THEN 0.0 ELSE inter / (szsum - inter) END) >= 0.8""",
       "dedup_embedding" ->
         """WITH e AS (
              SELECT vec_id, label,

@@ -86,26 +86,36 @@ object Dedup {
       threshold: Double = 0.6
   ): DataFrame = {
     val numHashes = numBands * rowsPerBand
+    // repartition: parallelize past a single-file scan. localCheckpoint: a
+    // planner barrier — without it CollapseProject substitutes the shingle
+    // expression (regex!) into all 128 hash lambdas, exploding the per-row
+    // cost; it also materializes signatures once for the three downstream uses
     val withSig = df
       .select(col(idCol).as("id"), col(textCol).as("text"))
+      .repartition(col("id"))
       .withColumn("shingles", wordShingles(col("text"), shingleSize))
       .filter(size(col("shingles")) > 0)
       .withColumn("sig", minHashSignature(col("shingles"), numHashes))
+      .drop("text")
+      .localCheckpoint(false)
     // band key = hash of the band's slice of the signature
     val bandSigs = (0 until numBands).map { b =>
       xxhash64(concat_ws("_", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)), lit(b))
     }
+    // candidates carry ids only — shingle arrays are joined back AFTER the
+    // bucket join + distinct, so big arrays never ride the candidate shuffle
     val banded = withSig
-      .select(col("id"), col("shingles"),
-        posexplode(array(bandSigs: _*)).as(Seq("band", "bucket")))
-    val left = banded.select(col("band"), col("bucket"),
-      col("id").as("id_a"), col("shingles").as("sh_a"))
-    val right = banded.select(col("band"), col("bucket"),
-      col("id").as("id_b"), col("shingles").as("sh_b"))
-    left.join(right, Seq("band", "bucket"))
+      .select(col("id"), posexplode(array(bandSigs: _*)).as(Seq("band", "bucket")))
+    val left = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
+    val right = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
+    // shuffle_hash hint: without it Spark may broadcast one side, which
+    // would build the whole minhash subtree single-threaded in the driver
+    val candidates = left.hint("shuffle_hash").join(right, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
-      .distinct() // a pair may collide in several bands
+      .select("id_a", "id_b").distinct() // a pair may collide in several bands
+    val shA = withSig.select(col("id").as("id_a"), col("shingles").as("sh_a"))
+    val shB = withSig.select(col("id").as("id_b"), col("shingles").as("sh_b"))
+    candidates.join(shA, "id_a").join(shB, "id_b")
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
@@ -136,13 +146,16 @@ object Dedup {
     * verify with exact Hamming distance. */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
-    val sigs = df.select(col(idCol).as("id"), simHash(col(textCol)).as("sig"))
+    val sigs = df.select(col(idCol).as("id"), col(textCol).as("text"))
+      .repartition(col("id"))
+      .select(col("id"), simHash(col("text")).as("sig"))
+      .localCheckpoint(false)
     val chunks = (0 until 4).map(c => shiftright(col("sig"), c * 16).bitwiseAND(0xFFFFL))
     val chunked = sigs.select(col("id"), col("sig"),
       posexplode(array(chunks: _*)).as(Seq("chunk", "key")))
     val l = chunked.select(col("chunk"), col("key"), col("id").as("id_a"), col("sig").as("sig_a"))
     val r = chunked.select(col("chunk"), col("key"), col("id").as("id_b"), col("sig").as("sig_b"))
-    l.join(r, Seq("chunk", "key"))
+    l.hint("shuffle_hash").join(r, Seq("chunk", "key"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b")).distinct()
       .withColumn("hamming", hammingDistance(col("sig_a"), col("sig_b")))
@@ -152,18 +165,57 @@ object Dedup {
 
   // ---------------- n-gram Jaccard (blocked exact) ----------------
 
-  /** Exact character-n-gram Jaccard over candidate pairs blocked by a key
-    * (e.g. language): only same-block pairs are compared. For unblocked
-    * near-dup detection use [[minHashLSH]]. */
+  /** Exact character-n-gram Jaccard pairs above `threshold`, blocked by a key
+    * (e.g. language).
+    *
+    * Candidate generation uses prefix filtering (AllPairs / SSJoin): order
+    * every document's gram set by ascending global document frequency
+    * (rarest first) and explode only the first
+    * floor((1-t)*|A|)+1 grams — two sets with J >= t must share at least one
+    * prefix gram under any consistent global order, so there are NO false
+    * negatives and the final output is identical to the naive quadratic join.
+    * Rare-first ordering keeps the per-gram buckets small, so the candidate
+    * join stays near-linear instead of quadratic per block — the property
+    * that makes this run on a 100 TB corpus. Candidates (plus an exact-safe
+    * size-ratio check: t*|A| <= |B| <= |A|/t) are verified with one exact
+    * intersection; |A ∪ B| = |A| + |B| - |A ∩ B|. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       blockCol: String, n: Int = 3, threshold: Double = 0.5): DataFrame = {
     val g = df.select(col(blockCol).as("block"), col(idCol).as("id"),
       charShingles(lower(col(textCol)), n).as("grams"))
-    val l = g.select(col("block"), col("id").as("id_a"), col("grams").as("g_a"))
-    val r = g.select(col("block"), col("id").as("id_b"), col("grams").as("g_b"))
-    l.join(r, Seq("block"))
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("jaccard", jaccard(col("g_a"), col("g_b")))
+      .repartition(col("id"))
+      .withColumn("sz", size(col("grams")))
+      .localCheckpoint(false) // barrier + reuse (gram-df pass and re-order pass)
+
+    // global document frequency per gram -> rare-first total order (df, gram)
+    val gramDf = g.select(col("id"), explode(col("grams")).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("df"))
+    val ordered = g.select(col("block"), col("id"), col("sz"), explode(col("grams")).as("gram"))
+      .join(gramDf, "gram")
+      .groupBy("block", "id", "sz")
+      .agg(transform(array_sort(collect_list(struct(col("df"), col("gram")))),
+        s => s.getField("gram")).as("grams"))
+      .localCheckpoint(false) // reused by prefixes + both verify sides
+    val prefixSize = (floor(col("sz") * (1 - threshold)) + 1).cast("int")
+    val prefixes = ordered.select(col("block"), col("id"), col("sz"),
+      explode(slice(col("grams"), lit(1), prefixSize)).as("gram"))
+
+    // candidate pairs: share >= 1 prefix gram within the block + size ratio
+    val pa = prefixes.select(col("block"), col("gram"), col("id").as("id_a"), col("sz").as("sz_a"))
+    val pb = prefixes.select(col("block"), col("gram"), col("id").as("id_b"), col("sz").as("sz_b"))
+    val candidates = pa.hint("shuffle_hash").join(pb,
+        pa("block") === pb("block") && pa("gram") === pb("gram") &&
+          col("id_a") < col("id_b") &&
+          col("sz_b") * threshold <= col("sz_a") && col("sz_a") * threshold <= col("sz_b"))
+      .select("id_a", "id_b").distinct()
+
+    // exact verify on the (small) candidate set only
+    val ga = ordered.select(col("id").as("id_a"), col("grams").as("g_a"), col("sz").as("sz_a"))
+    val gb = ordered.select(col("id").as("id_b"), col("grams").as("g_b"), col("sz").as("sz_b"))
+    val inter = size(array_intersect(col("g_a"), col("g_b"))).cast("double")
+    val unionSz = (col("sz_a") + col("sz_b")).cast("double") - inter
+    candidates.join(ga, "id_a").join(gb, "id_b")
+      .withColumn("jaccard", when(unionSz === 0.0, lit(0.0)).otherwise(inter / unionSz))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
