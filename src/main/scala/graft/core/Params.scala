@@ -107,7 +107,10 @@ final case class AggregateParams(
       * output that noised count — merges selection and the pid-count metric
       * into one mechanism (reference: combiners.py:360-416). Requires
       * PRIVACY_ID_COUNT in metrics and private partitions. */
-    postAggregationThresholding: Boolean = false
+    postAggregationThresholding: Boolean = false,
+    /** Also emit `<metric>_noise_stddev` columns for count / sum /
+      * privacy_id_count (reference: combiners.py:285-290). */
+    outputNoiseStddev: Boolean = false
 ) {
   import Metric._
 

@@ -23,27 +23,34 @@ sealed trait MetricPart extends Serializable {
 }
 
 /** DP count (reference: combiners.py:263-307). */
-final case class CountPart(mechanism: AdditiveMechanism) extends MetricPart {
-  val names = Seq("count")
+final case class CountPart(mechanism: AdditiveMechanism, outputStddev: Boolean = false)
+    extends MetricPart {
+  val names = Seq("count") ++ (if (outputStddev) Seq("count_noise_stddev") else Nil)
   def compute(acc: DpAcc, noise: NoiseSource) =
-    Seq(mechanism.addNoise(acc.cnt.toDouble, noise))
+    Seq(mechanism.addNoise(acc.cnt.toDouble, noise)) ++
+      (if (outputStddev) Seq(mechanism.stdDev) else Nil)
   def describe = s"Computed DP count with ${mechanism.describe}"
 }
 
 /** DP privacy-id count (reference: combiners.py:310-357). */
-final case class PrivacyIdCountPart(mechanism: AdditiveMechanism) extends MetricPart {
-  val names = Seq("privacy_id_count")
+final case class PrivacyIdCountPart(mechanism: AdditiveMechanism, outputStddev: Boolean = false)
+    extends MetricPart {
+  val names = Seq("privacy_id_count") ++
+    (if (outputStddev) Seq("privacy_id_count_noise_stddev") else Nil)
   def compute(acc: DpAcc, noise: NoiseSource) =
-    Seq(mechanism.addNoise(acc.pidCnt.toDouble, noise))
+    Seq(mechanism.addNoise(acc.pidCnt.toDouble, noise)) ++
+      (if (outputStddev) Seq(mechanism.stdDev) else Nil)
   def describe = s"Computed DP privacy_id_count with ${mechanism.describe}"
 }
 
 /** DP sum (reference: combiners.py:419-476). Clipping already happened in the
   * accumulator stage (per-contribution or per-partition mode). */
-final case class SumPart(mechanism: AdditiveMechanism) extends MetricPart {
-  val names = Seq("sum")
+final case class SumPart(mechanism: AdditiveMechanism, outputStddev: Boolean = false)
+    extends MetricPart {
+  val names = Seq("sum") ++ (if (outputStddev) Seq("sum_noise_stddev") else Nil)
   def compute(acc: DpAcc, noise: NoiseSource) =
-    Seq(mechanism.addNoise(acc.sum, noise))
+    Seq(mechanism.addNoise(acc.sum, noise)) ++
+      (if (outputStddev) Seq(mechanism.stdDev) else Nil)
   def describe = s"Computed DP sum with ${mechanism.describe}"
 }
 
@@ -207,14 +214,17 @@ object CompoundComputer {
       }
 
       countHandle.foreach { h =>
-        parts += CountPart(Mechanisms.createAdditive(h.spec, Mechanisms.sensitivitiesForCount(p)))
+        parts += CountPart(Mechanisms.createAdditive(h.spec, Mechanisms.sensitivitiesForCount(p)),
+          p.outputNoiseStddev)
       }
       sumHandle.foreach { h =>
-        parts += SumPart(Mechanisms.createAdditive(h.spec, Mechanisms.sensitivitiesForSum(p)))
+        parts += SumPart(Mechanisms.createAdditive(h.spec, Mechanisms.sensitivitiesForSum(p)),
+          p.outputNoiseStddev)
       }
       pidCountHandle.foreach { h =>
         parts += PrivacyIdCountPart(
-          Mechanisms.createAdditive(h.spec, Mechanisms.sensitivitiesForPrivacyIdCount(p)))
+          Mechanisms.createAdditive(h.spec, Mechanisms.sensitivitiesForPrivacyIdCount(p)),
+          p.outputNoiseStddev)
       }
       CompoundComputer(parts.result(), noise)
     }

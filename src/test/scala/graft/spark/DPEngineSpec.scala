@@ -193,6 +193,21 @@ class DPEngineSpec extends AnyFunSuite {
     assert(!(counts.toSet == Set(5.0, 3.0)))
   }
 
+  test("outputNoiseStddev emits the mechanism's noise scale") {
+    val engine = zeroEngine() // eps 1e5 so selection keeps the partitions
+    val params = AggregateParams(
+      metrics = Seq(Metric.Count),
+      maxPartitionsContributed = 5,
+      maxContributionsPerPartition = Some(10),
+      outputNoiseStddev = true)
+    val res = engine.aggregate(fixture, params, roles)
+    engine.accountant.computeBudgets()
+    assert(res.dataframe.columns.toSeq == Seq("pk", "count", "count_noise_stddev"))
+    val std = res.dataframe.collect().head.getDouble(2)
+    // budget: count + selection -> eps 5e4 each; Laplace b = l0*linf/eps = 1e-3
+    assert(math.abs(std - 1e-3 * math.sqrt(2.0)) < 1e-12, s"std=$std")
+  }
+
   test("reading dataframe before computeBudgets throws") {
     val engine = zeroEngine()
     val params = AggregateParams(
