@@ -86,6 +86,10 @@ final class NaiveBudgetAccountant(
     val totalEpsWeight = requests.iterator.map(_.epsWeight).sum
     val totalDeltaWeight = requests.iterator.map(_.deltaWeight).sum
     requests.foreach { h =>
+      // The resolved spec is PER-USE: a handle with count=n is applied n
+      // times, so its numerator is `weight` while the denominator sums
+      // weight*count — total consumption over n uses is n*weight/Σ(w·c),
+      // exactly the reference formula (budget_accounting.py:462-476).
       val eps = if (totalEpsWeight > 0) totalEpsilon * h.weight / totalEpsWeight else 0.0
       val delta =
         if (h.deltaWeight > 0 && totalDeltaWeight > 0) totalDelta * h.weight / totalDeltaWeight

@@ -69,19 +69,25 @@ object GaussianMechanism {
 }
 
 /** DP mean = mid + noised(normalized_sum) / max(1, noised(count))
-  * (reference: dp_computations.py:586-621). */
+  * (reference: dp_computations.py:586-621). `sumMechanism` is None iff
+  * minValue == maxValue: the normalized sum is identically zero and the mean
+  * is the range endpoint, exactly, with no noise and no budget spent
+  * (reference: dp_computations.py:339-341). */
 final case class MeanMechanism(
     rangeMiddle: Double,
     countMechanism: AdditiveMechanism,
-    sumMechanism: AdditiveMechanism
+    sumMechanism: Option[AdditiveMechanism]
 ) extends Serializable {
   /** Returns (dpCount, dpSum, dpMean). */
   def computeMean(count: Double, normalizedSum: Double, noise: NoiseSource)
       : (Double, Double, Double) = {
     val dpCount = countMechanism.addNoise(count, noise)
-    val denominator = math.max(1.0, dpCount)
-    val dpNormalizedSum = sumMechanism.addNoise(normalizedSum, noise)
-    val dpMean = rangeMiddle + dpNormalizedSum / denominator
+    val dpMean = sumMechanism match {
+      case Some(m) =>
+        val denominator = math.max(1.0, dpCount)
+        rangeMiddle + m.addNoise(normalizedSum, noise) / denominator
+      case None => rangeMiddle
+    }
     (dpCount, dpMean * dpCount, dpMean)
   }
 }
@@ -103,7 +109,7 @@ object Mechanisms {
   def createMean(rangeMiddle: Double, countSpec: MechanismSpec, countSens: Sensitivities,
       sumSpec: MechanismSpec, sumSens: Sensitivities): MeanMechanism =
     MeanMechanism(rangeMiddle, createAdditive(countSpec, countSens),
-      createAdditive(sumSpec, sumSens))
+      Some(createAdditive(sumSpec, sumSens)))
 
   /** Equal (eps, delta) split with exact-totals bookkeeping
     * (reference: dp_computations.py:284-312). */

@@ -70,8 +70,10 @@ final case class MeanPart(
       (if (includeSum) Seq(dpSum) else Nil)
   }
   def describe =
-    s"Computed DP mean: count via ${mechanism.countMechanism.describe}; " +
-      s"normalized sum via ${mechanism.sumMechanism.describe}"
+    s"Computed DP mean: count via ${mechanism.countMechanism.describe}" +
+      mechanism.sumMechanism
+        .map(m => s"; normalized sum via ${m.describe}")
+        .getOrElse("; min==max so mean is the exact range endpoint (no noise)")
 }
 
 /** DP variance (+ optional mean/count/sum), budget split equally across the
@@ -197,19 +199,14 @@ object CompoundComputer {
           includeMean = has(Mean), includeCount = has(Count), includeSum = has(Sum))
       }
 
-      for (ch <- meanCountHandle; sh <- meanSumHandle) {
+      meanCountHandle.foreach { ch =>
         val countMech = Mechanisms.createAdditive(ch.spec, Mechanisms.sensitivitiesForCount(p))
-        val (minV, maxV) = (p.minValue.get, p.maxValue.get)
-        val mid = p.rangeMiddle
-        val sumMech =
-          if (minV == maxV)
-            // range collapses: normalized sum is identically 0; noise on it is
-            // harmless but the mean must return the endpoint — use a tiny-b
-            // Laplace stub never consulted (MeanMechanism handles middle).
-            Mechanisms.createAdditive(ch.spec, Mechanisms.sensitivitiesForCount(p))
-          else
-            Mechanisms.createAdditive(sh.spec, Mechanisms.sensitivitiesForNormalizedSum(p))
-        parts += MeanPart(MeanMechanism(mid, countMech, sumMech),
+        // meanSumHandle is None iff minValue == maxValue: the normalized sum
+        // is identically 0 and the mean is the exact range endpoint with no
+        // noise and no budget spent (reference: dp_computations.py:339-341).
+        val sumMech = meanSumHandle.map(sh =>
+          Mechanisms.createAdditive(sh.spec, Mechanisms.sensitivitiesForNormalizedSum(p)))
+        parts += MeanPart(MeanMechanism(p.rangeMiddle, countMech, sumMech),
           includeCount = has(Count), includeSum = has(Sum))
       }
 
@@ -249,9 +246,14 @@ object CompoundComputer {
 
     if (has(Variance))
       Plan(params, Some(req("Variance")), None, None, None, None, pidH, quantileH, vectorH)
-    else if (has(Mean))
-      Plan(params, None, Some(req("MeanCount")), Some(req("MeanSum")), None, None, pidH,
+    else if (has(Mean)) {
+      // when the value range collapses the normalized sum carries no signal:
+      // request no budget for it (reference: dp_computations.py:339-341)
+      val sumH =
+        if (params.minValue == params.maxValue) None else Some(req("MeanSum"))
+      Plan(params, None, Some(req("MeanCount")), sumH, None, None, pidH,
         quantileH, vectorH)
+    }
     else
       Plan(params, None, None, None,
         if (has(Count)) Some(req("Count")) else None,

@@ -104,13 +104,21 @@ object Histograms {
     bounds.toSeq
   }
 
-  private val binLowerUdf = udf((v: Long) => toBinLower(v))
+  /** Column form of [[toBinLower]] — pure codegen'd arithmetic, no UDF, so the
+    * histogram hot path (cardinality = #privacy-units) stays inside
+    * whole-stage codegen. Keep-3-significant-digits == subtract the remainder
+    * modulo 10^(digits-3); `%` on longs is exact integer arithmetic. */
+  private[graft] def binLowerCol(v: Column): Column = {
+    val digits = length(v.cast("string"))
+    val roundBase = pow(lit(10.0), greatest(lit(0), digits - lit(3))).cast("long")
+    v - (v % roundBase)
+  }
 
   /** Frequency histogram of an integer-valued column (log bins). The groupBy
     * output is at most a few thousand bins regardless of input size. */
   private def frequencyHistogram(df: DataFrame, valueCol: String, name: String): Histogram = {
     val binned = df
-      .withColumn("__bin", binLowerUdf(col(valueCol).cast("long")))
+      .withColumn("__bin", binLowerCol(col(valueCol).cast("long")))
       .groupBy("__bin")
       .agg(count(lit(1)).as("count"), sum(col(valueCol)).as("sum"),
         max(col(valueCol)).as("max"), min(col(valueCol)).as("min"))

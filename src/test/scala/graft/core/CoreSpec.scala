@@ -186,6 +186,26 @@ class MechanismsSpec extends AnyFunSuite {
       Mechanisms.squaresInterval(-3.0, -1.0) == (9.0, 1.0))
   }
 
+  test("mean with min==max is the exact endpoint under real noise, no sum budget") {
+    // reference: dp_computations.py:339-341 — compute_dp_mean returns
+    // min_value exactly when the range collapses.
+    val mech = MeanMechanism(7.0, LaplaceMechanism.fromEpsilon(1.0, 1.0), None)
+    val (_, _, mean) = mech.computeMean(100.0, 0.0, NoiseSource.Secure)
+    assert(mean == 7.0)
+    // and the planner must not burn epsilon on the degenerate sum: with the
+    // whole budget on MeanCount, count noise scale is eps=1 not eps=0.5
+    val acc = new NaiveBudgetAccountant(1.0, 0.0)
+    val params = AggregateParams(metrics = Seq(Metric.Mean),
+      maxPartitionsContributed = 1, maxContributionsPerPartition = Some(1),
+      minValue = Some(7.0), maxValue = Some(7.0))
+    val plan = graft.spark.CompoundComputer.plan(params, acc)
+    assert(plan.meanSumHandle.isEmpty)
+    acc.computeBudgets()
+    assert(plan.meanCountHandle.get.spec.epsilon == 1.0)
+    val computer = plan.build(NoiseSource.Secure)
+    assert(computer.compute(5L, 35.0, 0.0, 0.0, 5L).head == 7.0)
+  }
+
   test("aggregate params validation matrix") {
     // MEAN without bounds rejected
     assertThrows[IllegalArgumentException](AggregateParams(

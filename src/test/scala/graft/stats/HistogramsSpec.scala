@@ -18,6 +18,14 @@ class HistogramsSpec extends AnyFunSuite {
     assert(Histograms.toBinLower(999999) == 999000)
   }
 
+  test("native binLowerCol matches toBinLower across magnitudes") {
+    val vals = (1L to 2000L) ++ Seq(9999L, 10000L, 10001L, 123456L, 999999L,
+      1000000L, 1234567890L, 987654321012L)
+    val got = vals.toDF("v").select(Histograms.binLowerCol(col("v")))
+      .as[Long].collect().toSeq
+    assert(got == vals.map(Histograms.toBinLower))
+  }
+
   test("possible contribution bounds mirror the binning") {
     val bounds = Histograms.generatePossibleContributionBounds(10200)
     assert(bounds.take(5) == Seq(1, 2, 3, 4, 5))
