@@ -1,19 +1,86 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
+
+/** Input row of the top-k aggregate: one scored candidate. */
+final case class ScoredNeighbor(cosine: Double, neighbor_id: Long)
+
+/** Bounded top-k state: parallel arrays sorted by (cosine desc, id asc),
+  * length <= k. Kept as a product type so the buffer ser/de is Tungsten
+  * (no kryo) when it spills or crosses the partial/final exchange. */
+final case class TopKBuf(scores: Array[Double], ids: Array[Long])
+
+/** Partial top-k aggregate: each map task keeps at most k candidates per
+  * query, so the exchange carries k rows per (query, task) instead of the
+  * whole scored corpus, and no per-query global sort ever runs. Replaces a
+  * `row_number().over(Window.partitionBy(query))` finalization whose
+  * parallelism is capped at #queries. */
+final class TopKAggregator(k: Int)
+    extends Aggregator[ScoredNeighbor, TopKBuf, TopKBuf] {
+  require(k > 0, s"k must be positive, got $k")
+
+  def zero: TopKBuf = TopKBuf(Array.emptyDoubleArray, Array.emptyLongArray)
+
+  @inline private def beats(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
+    s1 > s2 || (s1 == s2 && i1 < i2)
+
+  def reduce(b: TopKBuf, a: ScoredNeighbor): TopKBuf = {
+    val n = b.scores.length
+    if (n == k && !beats(a.cosine, a.neighbor_id, b.scores(n - 1), b.ids(n - 1))) b
+    else {
+      var pos = n
+      while (pos > 0 && beats(a.cosine, a.neighbor_id, b.scores(pos - 1), b.ids(pos - 1)))
+        pos -= 1
+      val m = math.min(n + 1, k)
+      val ns = new Array[Double](m); val ni = new Array[Long](m)
+      System.arraycopy(b.scores, 0, ns, 0, pos)
+      System.arraycopy(b.ids, 0, ni, 0, pos)
+      ns(pos) = a.cosine; ni(pos) = a.neighbor_id
+      val tail = m - pos - 1
+      if (tail > 0) {
+        System.arraycopy(b.scores, pos, ns, pos + 1, tail)
+        System.arraycopy(b.ids, pos, ni, pos + 1, tail)
+      }
+      TopKBuf(ns, ni)
+    }
+  }
+
+  def merge(b1: TopKBuf, b2: TopKBuf): TopKBuf = {
+    if (b2.scores.isEmpty) b1
+    else if (b1.scores.isEmpty) b2
+    else {
+      val m = math.min(b1.scores.length + b2.scores.length, k)
+      val ns = new Array[Double](m); val ni = new Array[Long](m)
+      var i = 0; var j = 0; var o = 0
+      while (o < m) {
+        val takeLeft = j >= b2.scores.length ||
+          (i < b1.scores.length && beats(b1.scores(i), b1.ids(i), b2.scores(j), b2.ids(j)))
+        if (takeLeft) { ns(o) = b1.scores(i); ni(o) = b1.ids(i); i += 1 }
+        else { ns(o) = b2.scores(j); ni(o) = b2.ids(j); j += 1 }
+        o += 1
+      }
+      TopKBuf(ns, ni)
+    }
+  }
+
+  def finish(b: TopKBuf): TopKBuf = b
+  def bufferEncoder: Encoder[TopKBuf] = Encoders.product[TopKBuf]
+  def outputEncoder: Encoder[TopKBuf] = Encoders.product[TopKBuf]
+}
 
 /** Similarity search over an embedding column (`array<float|double>`).
   *
   * Baseline: brute-force cosine top-k (broadcast the query side — correct for
   * "a few thousand queries against a 100 TB corpus"; the corpus side streams
-  * through one codegen'd projection, no shuffle except the final per-query
-  * top-k, which aggregates to numQueries*k rows).
+  * through one codegen'd projection; the only exchange carries at most
+  * k rows per (query, map task) thanks to the partial top-k aggregate).
   *
   * Scale path: random-hyperplane LSH bucketing — candidates only within
-  * matching signature buckets, then exact re-rank. Recall/latency trades off
-  * via number of planes.
+  * matching signature buckets (ids only; vectors joined back after the
+  * distinct), then exact re-rank. Recall/latency trades off via number of
+  * planes/bands.
   */
 object Similarity {
 
@@ -30,6 +97,19 @@ object Similarity {
     when(na === 0.0 || nb === 0.0, lit(0.0)).otherwise(dot(a, b) / (na * nb))
   }
 
+  /** Per-query top-k of pre-scored candidates via the bounded-heap partial
+    * aggregate; emits (query_id, neighbor_id, cosine, rank). */
+  private def finalizeTopK(scored: DataFrame, k: Int): DataFrame = {
+    val tk = udaf(new TopKAggregator(k), Encoders.product[ScoredNeighbor])
+    scored
+      .groupBy("query_id")
+      .agg(tk(col("cosine"), col("neighbor_id")).as("tk"))
+      .select(col("query_id"), posexplode(arrays_zip(
+        col("tk.scores").as("cosine"), col("tk.ids").as("neighbor_id"))))
+      .select(col("query_id"), col("col.neighbor_id").as("neighbor_id"),
+        col("col.cosine").as("cosine"), (col("pos") + 1).cast("int").as("rank"))
+  }
+
   /** Brute-force cosine top-k: for each query vector, the k nearest corpus
     * vectors. Query side is broadcast (it must be small); ties break on
     * corpus id for determinism. */
@@ -42,12 +122,7 @@ object Similarity {
     val c = corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("__cv"))
     val scored = c.crossJoin(q)
       .withColumn("cosine", cosine(col("__qv"), col("__cv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "cosine", "rank")
+    finalizeTopK(scored, k)
   }
 
   /** Random-hyperplane signature: bit i = sign(v . h_i) where hyperplane
@@ -66,28 +141,34 @@ object Similarity {
   /** LSH-bucketed approximate top-k: exact cosine re-rank within matching
     * buckets only. Probing multiple band signatures raises recall; with
     * `bands` signatures of `planes` bits each, a pair is a candidate if any
-    * band matches. */
+    * band matches. Candidates carry ids only through the bucket join and the
+    * distinct — embedding vectors are joined back afterwards (same layout as
+    * Dedup.minHashLSH), so full vectors never ride the candidate shuffle. */
   def lshTopK(
       corpus: DataFrame, corpusId: String, corpusVec: String,
       queries: DataFrame, queryId: String, queryVec: String,
       k: Int, planes: Int = 8, bands: Int = 4
   ): DataFrame = {
-    def banded(df: DataFrame, id: String, vec: String, idAs: String, vecAs: String) = {
+    def banded(df: DataFrame, id: String, vec: String, idAs: String) = {
       val sigs = (0 until bands).map(b =>
         xxhash64(hyperplaneSignatureBand(col(vec), planes, b), lit(b)))
-      df.select(col(id).as(idAs), col(vec).as(vecAs),
+      df.select(col(id).as(idAs),
         posexplode(array(sigs: _*)).as(Seq("band", "bucket")))
+        .select(idAs, "band", "bucket")
     }
-    val c = banded(corpus, corpusId, corpusVec, "neighbor_id", "__cv")
-    val q = banded(queries, queryId, queryVec, "query_id", "__qv")
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    c.join(q, Seq("band", "bucket"))
-      .select("query_id", "neighbor_id", "__qv", "__cv").distinct()
+    val cIds = banded(corpus, corpusId, corpusVec, "neighbor_id")
+    val qIds = banded(queries, queryId, queryVec, "query_id")
+    // ids-only candidate set; a pair may collide in several bands
+    val candidates = cIds.hint("shuffle_hash")
+      .join(broadcast(qIds), Seq("band", "bucket"))
+      .select("query_id", "neighbor_id").distinct()
+    val cVecs = corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("__cv"))
+    val qVecs = broadcast(queries.select(col(queryId).as("query_id"), col(queryVec).as("__qv")))
+    val scored = candidates
+      .join(cVecs.hint("shuffle_hash"), "neighbor_id")
+      .join(qVecs, "query_id")
       .withColumn("cosine", cosine(col("__qv"), col("__cv")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "cosine", "rank")
+    finalizeTopK(scored, k)
   }
 
   /** One band's signature: `planes` sign bits from hyperplanes salted by

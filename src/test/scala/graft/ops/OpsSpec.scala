@@ -139,6 +139,26 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out.head.getAs[Double]("cosine") == 1.0)
   }
 
+  test("bounded-heap top-k matches window row_number on random data") {
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(11)
+    val corpus = (0L until 300L).map(i => (i, Array.fill(8)(rnd.nextGaussian())))
+      .toDF("id", "vec")
+    val queries = (0L until 7L).map(i => (i, Array.fill(8)(rnd.nextGaussian())))
+      .toDF("qid", "qvec")
+    val got = Similarity.bruteForceTopK(corpus, "id", "vec", queries, "qid", "qvec", 4)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("neighbor_id"))).toSet
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    val want = corpus.select(col("id").as("neighbor_id"), col("vec"))
+      .crossJoin(queries.select(col("qid").as("query_id"), col("qvec")))
+      .withColumn("cosine", Similarity.cosine(col("vec"), col("qvec")))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 4)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("neighbor_id"))).toSet
+    assert(got == want)
+  }
+
   test("lsh top-k achieves high recall on clustered data") {
     val rnd = new scala.util.Random(7)
     def cluster(center: Array[Double], n: Int, startId: Long) =
