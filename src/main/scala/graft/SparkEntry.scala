@@ -1,5 +1,6 @@
 package graft
 
+import graft.analysis._
 import graft.core._
 import graft.ops._
 import graft.spark._
@@ -68,6 +69,23 @@ object SparkEntry {
       .buildQuery()
       .runQuery(Budget(1.0, 1e-6), NoiseKind.Gaussian)
   }
+
+  /** Utility-analysis option sets shared between queries and oracles.
+    * Public: eps=1 split equally over (SUM, COUNT) => 0.5 each, Laplace.
+    * Private: eps=2 split over (selection, PRIVACY_ID_COUNT) => 1.0 each. */
+  private val uaPublicOptions = UtilityAnalysisOptions(
+    epsilon = 1.0, delta = 0.0, metrics = Seq(Metric.Sum, Metric.Count),
+    configs = Seq(
+      UtilityAnalysisConfig(maxPartitionsContributed = 1, maxContributionsPerPartition = 3,
+        minSumPerPartition = 0.0, maxSumPerPartition = 100.0),
+      UtilityAnalysisConfig(maxPartitionsContributed = 2, maxContributionsPerPartition = 100,
+        minSumPerPartition = 0.0, maxSumPerPartition = 500.0)),
+    publicPartitions = true)
+
+  private val uaPrivateOptions = UtilityAnalysisOptions(
+    epsilon = 2.0, delta = 1e-4, metrics = Seq(Metric.PrivacyIdCount),
+    configs = Seq(UtilityAnalysisConfig(maxPartitionsContributed = 1,
+      partitionSelectionStrategy = PartitionSelectionStrategyKind.LaplaceThresholding)))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -251,6 +269,56 @@ object SparkEntry {
       acc.computeBudgets()
       counts.dataframe.join(sums.dataframe, "event_type")
     }),
+    // ---- §2.C.8 utility analysis ----
+    "ua_per_partition" -> ((s, dir) => {
+      // per-partition error moments for 2 parameter configurations in one
+      // pass, public partitions (incl. one empty). All keep-probabilities are
+      // dyadic (l0 in {1,2}, <= 2 partitions per user) and all clipped values
+      // integer-valued, so every oracle-facing sum is exact in any order.
+      import s.implicits._
+      val ev = events(s, dir).filter(col("event_type").isin("click", "view"))
+        .withColumn("v", floor(col("value")))
+      val pub = Seq("click", "view", "ghost_type").toDF("event_type")
+      val (_, per) = UtilityAnalysis.analyze(ev,
+        DPColumns(col("user_id"), Seq("event_type" -> col("event_type")), Some(col("v"))),
+        uaPublicOptions, Some(pub))
+      per
+    }),
+    "ua_report" -> ((s, dir) => {
+      // cross-partition utility report over the same analysis (global +
+      // per-size-bucket rows); floats rounded to 9 decimals on both sides
+      // (weighted cross-partition sums of irrational rmse terms are
+      // order-sensitive in the last ulps)
+      import s.implicits._
+      val ev = events(s, dir).filter(col("event_type").isin("click", "view"))
+        .withColumn("v", floor(col("value")))
+      val pub = Seq("click", "view", "ghost_type").toDF("event_type")
+      val (rep, _) = UtilityAnalysis.analyze(ev,
+        DPColumns(col("user_id"), Seq("event_type" -> col("event_type")), Some(col("v"))),
+        uaPublicOptions, Some(pub))
+      val rounded = rep.schema.fields.map { f =>
+        if (f.dataType == org.apache.spark.sql.types.DoubleType)
+          round(col(f.name), 9).as(f.name)
+        else col(f.name)
+      }
+      rep.select(rounded.toIndexedSeq: _*)
+    }),
+    "ua_private_keep_prob" -> ((s, dir) => {
+      // private partition selection probability, Laplace thresholding. Every
+      // user contributes to exactly 1 partition (pk = user_id % 10) and
+      // l0 = 1, so each contributor survives bounding with probability 1 and
+      // the Poisson-binomial PMF is a point mass: keep_prob equals the
+      // strategy's exact formula, which the oracle replicates in SQL.
+      val ev = events(s, dir).withColumn("pk", pmod(col("user_id"), lit(10L)))
+      val (_, per) = UtilityAnalysis.analyze(ev,
+        DPColumns(col("user_id"), Seq("pk" -> col("pk")), None),
+        uaPrivateOptions, None)
+      per.select(col("pk"), col("config_index"),
+        round(col("keep_prob"), 9).as("keep_prob"),
+        col("raw_privacy_id_count"), col("raw_count"),
+        col("privacy_id_count_sum"), col("privacy_id_count_exp_l0_err"),
+        col("privacy_id_count_noise_std"))
+    }),
     "stats_l0_histogram" -> ((s, dir) => {
       // log-binned L0 contribution histogram (bins < 1000 are unit-width,
       // so the oracle is exact)
@@ -395,7 +463,153 @@ object SparkEntry {
     * mirror the Spark plans exactly (see scaladoc above). */
   def oracleSql: Map[String, String] = {
     val x = "least(greatest(floor(value), 10.0), 100.0)" // clipped value
+
+    // ---- utility-analysis oracle scaffolding (mirrors uaPublicOptions /
+    // uaPrivateOptions; noise scales are sqrt(2)*l1/eps with eps = the equal
+    // split share, evaluation order matching graft.core.DpNoise.laplaceB) ----
+    val sclip = "least(greatest(s, mins), maxs)"
+    val cclip = "least(greatest(cnt, 0.0), linf)"
+    // shared per-(partition, config) error-moment table incl. empty public
+    // partitions; replicates UtilityAnalysis.preAggregate + perPartitionMetrics
+    val uaPerPartitionSql =
+      s"""WITH pre AS (
+            SELECT user_id, event_type, CAST(count(*) AS DOUBLE) AS cnt,
+                   sum(floor(value)) AS s
+            FROM events WHERE event_type IN ('click','view')
+            GROUP BY user_id, event_type),
+          np AS (SELECT pre.*, count(*) OVER (PARTITION BY user_id) AS nparts FROM pre),
+          cfg AS (SELECT * FROM (VALUES
+              (0, 1.0, 3.0, 0.0, 100.0),
+              (1, 2.0, 100.0, 0.0, 500.0)) t(i, l0, linf, mins, maxs)),
+          r AS (
+            SELECT event_type, i, least(1.0, l0 / nparts) AS p, cnt, s, linf, mins, maxs
+            FROM np CROSS JOIN cfg),
+          per AS (
+            SELECT event_type, i AS config_index,
+              count(*) AS raw_privacy_id_count,
+              CAST(sum(CAST(cnt AS BIGINT)) AS BIGINT) AS raw_count,
+              sum(s) AS sum_sum,
+              sum(CASE WHEN s < mins THEN $sclip - s ELSE 0.0 END) AS sum_clip_min_err,
+              sum(CASE WHEN s > maxs THEN $sclip - s ELSE 0.0 END) AS sum_clip_max_err,
+              sum(-$sclip * (1.0 - p)) AS sum_exp_l0_err,
+              sqrt(sum($sclip * $sclip * p * (1.0 - p))) AS sum_std_l0_err,
+              sum(cnt) AS count_sum,
+              sum(CASE WHEN cnt < 0.0 THEN $cclip - cnt ELSE 0.0 END) AS count_clip_min_err,
+              sum(CASE WHEN cnt > linf THEN $cclip - cnt ELSE 0.0 END) AS count_clip_max_err,
+              sum(-$cclip * (1.0 - p)) AS count_exp_l0_err,
+              sqrt(sum($cclip * $cclip * p * (1.0 - p))) AS count_std_l0_err
+            FROM r GROUP BY 1, 2),
+          pp AS (
+            SELECT pc.event_type, pc.i AS config_index, 1.0 AS keep_prob,
+              coalesce(per.raw_privacy_id_count, 0) AS raw_privacy_id_count,
+              coalesce(per.raw_count, 0) AS raw_count,
+              coalesce(per.sum_sum, 0.0) AS sum_sum,
+              coalesce(per.sum_clip_min_err, 0.0) AS sum_clip_min_err,
+              coalesce(per.sum_clip_max_err, 0.0) AS sum_clip_max_err,
+              coalesce(per.sum_exp_l0_err, 0.0) AS sum_exp_l0_err,
+              coalesce(per.sum_std_l0_err, 0.0) AS sum_std_l0_err,
+              coalesce(per.count_sum, 0.0) AS count_sum,
+              coalesce(per.count_clip_min_err, 0.0) AS count_clip_min_err,
+              coalesce(per.count_clip_max_err, 0.0) AS count_clip_max_err,
+              coalesce(per.count_exp_l0_err, 0.0) AS count_exp_l0_err,
+              coalesce(per.count_std_l0_err, 0.0) AS count_std_l0_err,
+              CASE WHEN pc.i = 0 THEN sqrt(2) * (100.0 / 0.5)
+                   ELSE sqrt(2) * (1000.0 / 0.5) END AS sum_noise_std,
+              CASE WHEN pc.i = 0 THEN sqrt(2) * (3.0 / 0.5)
+                   ELSE sqrt(2) * (200.0 / 0.5) END AS count_noise_std
+            FROM (SELECT * FROM (VALUES ('click'), ('view'), ('ghost_type')) p(event_type)
+                  CROSS JOIN cfg) pc
+            LEFT JOIN per ON per.event_type = pc.event_type AND per.config_index = pc.i)"""
+
+    // per-metric derived error columns for the report oracle (public
+    // partitions: keep_prob = weight = 1)
+    def uaDerived(m: String) =
+      s"""${m}_sum AS ${m}_actual,
+          ${m}_exp_l0_err + ${m}_clip_min_err + ${m}_clip_max_err AS ${m}_am,
+          ${m}_std_l0_err * ${m}_std_l0_err + ${m}_noise_std * ${m}_noise_std AS ${m}_av,
+          -${m}_exp_l0_err AS ${m}_dl0,
+          ${m}_clip_min_err - ${m}_clip_max_err AS ${m}_dlinf,
+          ${m}_noise_std"""
+    def uaRmse(m: String) =
+      s"""sqrt(${m}_am * ${m}_am + ${m}_av) AS ${m}_rmse"""
+    def uaAggs(m: String) =
+      s"""max(${m}_noise_std) AS ${m}_noise_std,
+          sum(${m}_actual) AS ${m}_actual,
+          sum(${m}_dl0) AS ${m}_dl0,
+          sum(${m}_dlinf) AS ${m}_dlinf,
+          sum(${m}_am) AS ${m}_am,
+          sum(${m}_av) AS ${m}_av,
+          sum(${m}_rmse) AS ${m}_rmse,
+          sum(CASE WHEN ${m}_actual = 0 THEN 0.0 ELSE ${m}_am / ${m}_actual END) AS ${m}_rm,
+          sum(CASE WHEN ${m}_actual = 0 THEN 0.0 ELSE ${m}_av / (${m}_actual * ${m}_actual) END) AS ${m}_rv,
+          sum(CASE WHEN ${m}_actual = 0 THEN 0.0 ELSE ${m}_rmse / ${m}_actual END) AS ${m}_rrmse"""
+    def uaFinal(m: String) =
+      s"""round(${m}_noise_std, 9) AS ${m}_noise_std,
+          round(CASE WHEN ${m}_actual = 0 THEN ${m}_dl0 ELSE ${m}_dl0 / ${m}_actual END, 9) AS ${m}_ratio_dropped_l0,
+          round(CASE WHEN ${m}_actual = 0 THEN ${m}_dlinf ELSE ${m}_dlinf / ${m}_actual END, 9) AS ${m}_ratio_dropped_linf,
+          round(0.0, 9) AS ${m}_ratio_dropped_ps,
+          round(${m}_am / tw, 9) AS ${m}_abs_mean,
+          round(${m}_av / tw, 9) AS ${m}_abs_variance,
+          round(${m}_rmse / tw, 9) AS ${m}_abs_rmse,
+          round(${m}_rmse / tw, 9) AS ${m}_abs_rmse_wd,
+          round(${m}_rm / tw, 9) AS ${m}_rel_mean,
+          round(${m}_rv / tw, 9) AS ${m}_rel_variance,
+          round(${m}_rrmse / tw, 9) AS ${m}_rel_rmse,
+          round(${m}_rrmse / tw, 9) AS ${m}_rel_rmse_wd"""
+    val uaBucket =
+      """CASE WHEN raw_privacy_id_count <= 0 THEN 0
+              WHEN raw_privacy_id_count < 10 THEN 1
+              ELSE CAST(pow(10.0, floor(log10(CAST(raw_privacy_id_count AS DOUBLE))))
+                * (CASE WHEN CAST(raw_privacy_id_count AS DOUBLE)
+                          / pow(10.0, floor(log10(CAST(raw_privacy_id_count AS DOUBLE)))) >= 5 THEN 5.0
+                        WHEN CAST(raw_privacy_id_count AS DOUBLE)
+                          / pow(10.0, floor(log10(CAST(raw_privacy_id_count AS DOUBLE)))) >= 2 THEN 2.0
+                        ELSE 1.0 END) AS BIGINT) END"""
+    // Laplace-thresholding selection constants for uaPrivateOptions (computed
+    // by the same code the engine uses; embedded as exact double literals)
+    val uaPrivT = {
+      val sel = LaplaceThresholdingSelection(1.0, 5e-5, 1, 1)
+      f"${sel.threshold}%.17g"
+    }
     Map(
+      "ua_per_partition" -> s"$uaPerPartitionSql SELECT * FROM pp",
+      "ua_report" ->
+        s"""$uaPerPartitionSql,
+            d AS (SELECT config_index, keep_prob, raw_count, raw_privacy_id_count,
+                    ${uaDerived("sum")}, ${uaDerived("count")} FROM pp),
+            d2 AS (SELECT *, ${uaRmse("sum")}, ${uaRmse("count")} FROM d),
+            u AS (
+              SELECT d2.*, CAST(-1 AS BIGINT) AS bucket_lower FROM d2
+              UNION ALL
+              SELECT d2.*, $uaBucket AS bucket_lower FROM d2),
+            g AS (
+              SELECT config_index, bucket_lower,
+                CAST(sum(CASE WHEN raw_count > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_partitions,
+                CAST(sum(CASE WHEN raw_count > 0 THEN 0 ELSE 1 END) AS BIGINT) AS n_empty_partitions,
+                sum(keep_prob) AS kept_mean,
+                sum(keep_prob * (1.0 - keep_prob)) AS kept_var,
+                sum(keep_prob) AS tw,
+                ${uaAggs("sum")}, ${uaAggs("count")}
+              FROM u GROUP BY 1, 2)
+            SELECT config_index, bucket_lower, n_partitions, n_empty_partitions,
+              round(kept_mean, 9) AS kept_partitions_mean,
+              round(kept_var, 9) AS kept_partitions_var,
+              ${uaFinal("sum")}, ${uaFinal("count")}
+            FROM g""",
+      "ua_private_keep_prob" ->
+        s"""WITH per AS (
+              SELECT user_id % 10 AS pk, count(DISTINCT user_id) AS raw_privacy_id_count,
+                     count(*) AS raw_count
+              FROM events GROUP BY 1)
+            SELECT pk, 0 AS config_index,
+              round(CASE WHEN ($uaPrivT - raw_privacy_id_count) <= 0
+                    THEN 1.0 - 0.5 * exp($uaPrivT - raw_privacy_id_count)
+                    ELSE 0.5 * exp(-($uaPrivT - raw_privacy_id_count)) END, 9) AS keep_prob,
+              raw_privacy_id_count, raw_count,
+              CAST(raw_privacy_id_count AS DOUBLE) AS privacy_id_count_sum,
+              0.0 AS privacy_id_count_exp_l0_err,
+              sqrt(2) * (1.0 / 1.0) AS privacy_id_count_noise_std
+            FROM per""",
       "dp_count" ->
         "SELECT event_type, CAST(count(*) AS DOUBLE) AS count FROM events GROUP BY event_type",
       "dp_privacy_id_count" ->
