@@ -319,6 +319,41 @@ object SparkEntry {
         col("privacy_id_count_sum"), col("privacy_id_count_exp_l0_err"),
         col("privacy_id_count_noise_std"))
     }),
+    "tune_params" -> ((s, dir) => {
+      // parameter tuning: histogram-driven (l0, linf) candidates, utility
+      // analysis over all of them in one pass, argmin RMSE. Fully
+      // deterministic (error moments are pure math, no noise is drawn) but
+      // the candidate grid + keep-prob machinery is not SQL-expressible =>
+      // rows-only; numeric behavior covered by ParameterTuningSpec.
+      val ev = events(s, dir)
+      val roles = DPColumns(col("user_id"), Seq("event_type" -> col("event_type")), None)
+      val h = graft.stats.Histograms.computeDatasetHistograms(
+        ev, col("user_id"), col("event_type"))
+      val opts = TuneOptions(2.0, 1e-5, Metric.Count, UtilityAnalysisConfig(1, 1),
+        ParametersToTune(maxPartitionsContributed = true, maxContributionsPerPartition = true),
+        numberOfParameterCandidates = 9)
+      val (res, _, _) = ParameterTuning.tune(ev, roles, h, opts)
+      import s.implicits._
+      res.candidates.zipWithIndex.map { case (c, i) =>
+        (i, c.maxPartitionsContributed, c.maxContributionsPerPartition,
+          c.noiseKind.toString, c.partitionSelectionStrategy.toString,
+          math.rint(res.rmsePerCandidate(i) * 1e6) / 1e6, i == res.indexBest)
+      }.toDF("config_index", "l0", "linf", "noise_kind", "selection_strategy",
+        "rmse", "is_best")
+    }),
+    "stats_error_estimate" -> ((s, dir) => {
+      // histogram-only RMSE estimation (no pass over the data beyond the
+      // histograms); deterministic, rows-only
+      val ev = events(s, dir)
+      val h = graft.stats.Histograms.computeDatasetHistograms(
+        ev, col("user_id"), col("event_type"))
+      val est = HistogramErrorEstimator.forCount(h, 1.0, None, Metric.Count,
+        NoiseKind.Laplace)
+      import s.implicits._
+      Seq((1, 1.0), (2, 5.0), (5, 100.0)).map { case (l0, linf) =>
+        (l0, linf, math.rint(est.estimateRmse(l0, Some(linf)) * 1e6) / 1e6)
+      }.toDF("l0_bound", "linf_bound", "estimated_rmse")
+    }),
     "stats_l0_histogram" -> ((s, dir) => {
       // log-binned L0 contribution histogram (bins < 1000 are unit-width,
       // so the oracle is exact)
