@@ -96,6 +96,20 @@ object SparkEntry {
           maxContributionsPerPartition = Some(100)),
         DPColumns(col("user_id"), Seq("event_type" -> col("event_type")), None))
     }),
+    "dp_count_pld" -> ((s, dir) => {
+      // same aggregation as dp_count but budgeted through PLD composition
+      // (tight numerical accounting); zero noise => identical exact output.
+      // Coarse discretization keeps the budget search cheap.
+      val engine = new DPEngine(
+        new PLDBudgetAccountant(1e5, 0.999999, pldDiscretization = 1e-2),
+        NoiseSource.Zero)
+      val res = engine.aggregate(events(s, dir),
+        AggregateParams(metrics = Seq(Metric.Count), maxPartitionsContributed = 5,
+          maxContributionsPerPartition = Some(100)),
+        DPColumns(col("user_id"), Seq("event_type" -> col("event_type")), None))
+      engine.accountant.computeBudgets()
+      res.dataframe
+    }),
     "dp_privacy_id_count" -> ((s, dir) => {
       runZero(events(s, dir),
         AggregateParams(metrics = Seq(Metric.PrivacyIdCount), maxPartitionsContributed = 5),
@@ -646,6 +660,8 @@ object SparkEntry {
               sqrt(2) * (1.0 / 1.0) AS privacy_id_count_noise_std
             FROM per""",
       "dp_count" ->
+        "SELECT event_type, CAST(count(*) AS DOUBLE) AS count FROM events GROUP BY event_type",
+      "dp_count_pld" ->
         "SELECT event_type, CAST(count(*) AS DOUBLE) AS count FROM events GROUP BY event_type",
       "dp_privacy_id_count" ->
         "SELECT event_type, CAST(count(DISTINCT user_id) AS DOUBLE) AS privacy_id_count FROM events GROUP BY event_type",

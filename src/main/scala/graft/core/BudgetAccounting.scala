@@ -2,16 +2,25 @@ package graft.core
 
 import scala.collection.mutable.ArrayBuffer
 
-/** Resolved (epsilon, delta) for one mechanism after budget computation. */
+/** Resolved budget for one mechanism after budget computation.
+  *
+  * Either (epsilon, delta) is authoritative (naive accounting, and generic /
+  * partition-selection mechanisms under PLD), or `noiseStdDev` is set (PLD
+  * accounting for additive mechanisms): the NORMALIZED noise standard
+  * deviation per unit of sensitivity — the mechanism's actual noise std is
+  * `noiseStdDev * sensitivity` (reference: dp_computations.py:495-556,
+  * budget_accounting.py:43-123). */
 final case class MechanismSpec(
     mechanismType: MechanismType,
     name: String,
     epsilon: Double,
-    delta: Double
+    delta: Double,
+    noiseStdDev: Option[Double] = None,
+    thresholdingDelta: Option[Double] = None
 ) extends Serializable {
   def noiseKind: NoiseKind = mechanismType match {
-    case MechanismType.Laplace  => NoiseKind.Laplace
-    case MechanismType.Gaussian => NoiseKind.Gaussian
+    case MechanismType.Laplace | MechanismType.LaplaceThresholding => NoiseKind.Laplace
+    case MechanismType.Gaussian | MechanismType.GaussianThresholding => NoiseKind.Gaussian
     case MechanismType.PartitionSelection =>
       throw new IllegalStateException("partition selection has no noise kind")
   }
@@ -27,15 +36,65 @@ final class BudgetHandle private[core] (
     val mechanismType: MechanismType,
     val weight: Double,
     val count: Int,
-    val name: String
+    val name: String,
+    val sensitivity: Double
 ) {
   private[core] var resolved: Option[MechanismSpec] = None
   def spec: MechanismSpec = resolved.getOrElse(
     throw new IllegalStateException(
       s"budget for '$name' not computed yet — call computeBudgets() before building the physical plan"))
-  private def useDelta: Boolean = mechanismType != MechanismType.Laplace
+  private[core] def useDelta: Boolean = mechanismType != MechanismType.Laplace
   private[core] def epsWeight: Double = weight * count
   private[core] def deltaWeight: Double = if (useDelta) weight * count else 0.0
+}
+
+/** Common surface of the budget accountants (reference:
+  * budget_accounting.py:129-360 BudgetAccountant base). */
+sealed abstract class BudgetAccountant(
+    val totalEpsilon: Double,
+    val totalDelta: Double,
+    numAggregations: Option[Int]
+) {
+  require(totalEpsilon > 0, s"totalEpsilon must be > 0, got $totalEpsilon")
+  require(totalDelta >= 0 && totalDelta < 1, s"totalDelta must be in [0,1), got $totalDelta")
+
+  protected val requests = ArrayBuffer.empty[BudgetHandle]
+  protected var finalized = false
+  private var aggregationCount = 0
+
+  def requestBudget(
+      mechanismType: MechanismType,
+      weight: Double = 1.0,
+      count: Int = 1,
+      name: String = "",
+      sensitivity: Double = 1.0
+  ): BudgetHandle = {
+    require(!finalized,
+      "requestBudget() called after computeBudgets(); build all aggregations first")
+    if (mechanismType == MechanismType.Gaussian && totalDelta == 0)
+      throw new IllegalArgumentException("Gaussian mechanism requires total delta > 0")
+    if (mechanismType == MechanismType.PartitionSelection && totalDelta == 0)
+      throw new IllegalArgumentException("private partition selection requires total delta > 0")
+    val h = new BudgetHandle(mechanismType, weight, count, name, sensitivity)
+    requests += h
+    h
+  }
+
+  private[graft] def registerAggregation(): Unit = { aggregationCount += 1 }
+
+  protected def checkAndFinalize(): Unit = {
+    require(!finalized, "computeBudgets() already called")
+    numAggregations.foreach { n =>
+      require(aggregationCount == n, s"expected $n aggregations, got $aggregationCount")
+    }
+    finalized = true
+  }
+
+  /** Resolve every pending request. Must run driver-side before any Spark
+    * action on a plan that consumes the specs. */
+  def computeBudgets(): Unit
+
+  def isFinalized: Boolean = finalized
 }
 
 /** Naive (basic-composition) budget accountant: total epsilon is split across
@@ -44,45 +103,13 @@ final class BudgetHandle private[core] (
   * selection) (reference: budget_accounting.py:362-476).
   */
 final class NaiveBudgetAccountant(
-    val totalEpsilon: Double,
-    val totalDelta: Double,
+    totalEpsilon: Double,
+    totalDelta: Double,
     numAggregations: Option[Int] = None
-) {
-  require(totalEpsilon > 0, s"totalEpsilon must be > 0, got $totalEpsilon")
-  require(totalDelta >= 0 && totalDelta < 1, s"totalDelta must be in [0,1), got $totalDelta")
+) extends BudgetAccountant(totalEpsilon, totalDelta, numAggregations) {
 
-  private val requests = ArrayBuffer.empty[BudgetHandle]
-  private var finalized = false
-  private var aggregationCount = 0
-
-  def requestBudget(
-      mechanismType: MechanismType,
-      weight: Double = 1.0,
-      count: Int = 1,
-      name: String = ""
-  ): BudgetHandle = {
-    require(!finalized,
-      "requestBudget() called after computeBudgets(); build all aggregations first")
-    if (mechanismType == MechanismType.Gaussian && totalDelta == 0)
-      throw new IllegalArgumentException("Gaussian mechanism requires total delta > 0")
-    if (mechanismType == MechanismType.PartitionSelection && totalDelta == 0)
-      throw new IllegalArgumentException("private partition selection requires total delta > 0")
-    val h = new BudgetHandle(mechanismType, weight, count, name)
-    requests += h
-    h
-  }
-
-  private[graft] def registerAggregation(): Unit = { aggregationCount += 1 }
-
-  /** Resolve every pending request. Must run driver-side before any Spark
-    * action on a plan that consumes the specs. */
   def computeBudgets(): Unit = {
-    require(!finalized, "computeBudgets() already called")
-    numAggregations.foreach { n =>
-      require(aggregationCount == n,
-        s"expected $n aggregations, got $aggregationCount")
-    }
-    finalized = true
+    checkAndFinalize()
     val totalEpsWeight = requests.iterator.map(_.epsWeight).sum
     val totalDeltaWeight = requests.iterator.map(_.deltaWeight).sum
     requests.foreach { h =>
@@ -97,6 +124,130 @@ final class NaiveBudgetAccountant(
       h.resolved = Some(MechanismSpec(h.mechanismType, h.name, eps, delta))
     }
   }
+}
 
-  def isFinalized: Boolean = finalized
+/** Privacy-loss-distribution budget accountant: composes all requested
+  * mechanisms as PLDs and binary-searches the minimal base noise standard
+  * deviation whose composition still satisfies (totalEpsilon, totalDelta).
+  * Tight numerical composition — for many mechanisms it gives substantially
+  * less noise than naive splitting (reference: budget_accounting.py:479-747,
+  * which delegates the PLD math to Google's dp_accounting; the PLD itself is
+  * [[PLD]], reimplemented from the published algorithm).
+  *
+  * Each additive mechanism resolves to a normalized noise std of
+  * `sensitivity * base / weight`; thresholding mechanisms additionally carry
+  * a thresholding delta (25% of total delta split among them); generic
+  * (partition selection) mechanisms resolve to (eps0, delta0) with
+  * eps0 = sqrt(2)/std and delta0 proportional to eps0. */
+final class PLDBudgetAccountant(
+    totalEpsilon: Double,
+    totalDelta: Double,
+    val pldDiscretization: Double = 1e-4,
+    numAggregations: Option[Int] = None
+) extends BudgetAccountant(totalEpsilon, totalDelta, numAggregations) {
+  import MechanismType._
+
+  /** The computed base noise std (None until computeBudgets, or if no
+    * mechanisms were requested). */
+  var baseNoiseStd: Option[Double] = None
+
+  private val sqrt2 = math.sqrt(2.0)
+
+  private def isThresholding(t: MechanismType): Boolean =
+    t == LaplaceThresholding || t == GaussianThresholding
+
+  def computeBudgets(): Unit = {
+    checkAndFinalize()
+    if (requests.isEmpty) return
+    val base =
+      if (totalDelta == 0)
+        // all mechanisms are pure-DP Laplace; naive epsilon split
+        // (reference: budget_accounting.py:600-605)
+        requests.iterator.map(_.weight).sum / totalEpsilon * sqrt2
+      else findMinimumBaseNoiseStd()
+    baseNoiseStd = Some(base)
+    val nThresholding = requests.count(h => isThresholding(h.mechanismType))
+    val thresholdingDeltaPerMechanism =
+      if (nThresholding > 0) thresholdingDelta / nThresholding else 0.0
+    requests.foreach { h =>
+      val mechStd = h.sensitivity * base / h.weight
+      h.mechanismType match {
+        case PartitionSelection =>
+          // generic mechanism: eps from the Laplace-equivalent noise, delta
+          // proportional (reference: budget_accounting.py:616-622)
+          val eps0 = sqrt2 / mechStd
+          val delta0 = eps0 / totalEpsilon * totalDelta
+          h.resolved = Some(MechanismSpec(h.mechanismType, h.name, eps0, delta0))
+        case t =>
+          val thr = if (isThresholding(t)) Some(thresholdingDeltaPerMechanism) else None
+          h.resolved = Some(MechanismSpec(t, h.name, 0.0, 0.0, Some(mechStd), thr))
+      }
+    }
+  }
+
+  /** 25% of total delta goes to thresholding when any thresholding mechanism
+    * is present (reference: budget_accounting.py:706-710). */
+  private def thresholdingDelta: Double =
+    if (requests.exists(h => isThresholding(h.mechanismType))) 0.25 * totalDelta else 0.0
+
+  /** The PLD of one request at a given base noise std (unit-sensitivity form;
+    * the request's sensitivity/weight scale its noise). */
+  private def singlePld(h: BudgetHandle, base: Double): PLD = {
+    val mechStd = h.sensitivity * base / h.weight
+    h.mechanismType match {
+      case Laplace | LaplaceThresholding =>
+        PLD.fromLaplace(mechStd / sqrt2, pldDiscretization)
+      case Gaussian | GaussianThresholding =>
+        PLD.fromGaussian(mechStd, pldDiscretization)
+      case PartitionSelection =>
+        val eps0 = sqrt2 / mechStd
+        PLD.fromPrivacyParameters(eps0, eps0 / totalEpsilon * totalDelta, pldDiscretization)
+    }
+  }
+
+  /** Full composed PLD at a base noise std (reference:
+    * budget_accounting.py:659-697 _compose_distributions). */
+  def composeDistributions(base: Double): PLD = {
+    var composed: PLD = null
+    requests.foreach { h =>
+      val pld = if (h.count > 1) singlePld(h, base).selfCompose(h.count) else singlePld(h, base)
+      composed = if (composed == null) pld else composed.compose(pld)
+    }
+    composed
+  }
+
+  /** Composed epsilon at a base noise std, with an early infinity-mass exit
+    * so absurdly-small noise candidates skip the expensive convolutions. */
+  private def epsilonForBase(base: Double, delta: Double): Double = {
+    var composed: PLD = null
+    var infAcc = 0.0
+    val it = requests.iterator
+    while (it.hasNext) {
+      val h = it.next()
+      val one = singlePld(h, base)
+      infAcc = 1 - (1 - infAcc) * math.pow(1 - one.infinityMass, h.count.toDouble)
+      if (infAcc > delta) return Double.PositiveInfinity
+      val pld = if (h.count > 1) one.selfCompose(h.count) else one
+      composed = if (composed == null) pld else composed.compose(pld)
+    }
+    composed.epsilonForDelta(delta)
+  }
+
+  /** Binary search for the minimal base noise std satisfying the budget
+    * (reference: budget_accounting.py:625-657). */
+  private def findMinimumBaseNoiseStd(): Double = {
+    val delta = totalDelta - thresholdingDelta
+    val threshold = 1e-4
+    var hi = {
+      var mx = 1.0
+      while (epsilonForBase(mx, totalDelta) > totalEpsilon) mx *= 2
+      mx
+    }
+    var lo = 0.0
+    while (lo + threshold < hi) {
+      val mid = (hi - lo) / 2 + lo
+      if (epsilonForBase(mid, delta) <= totalEpsilon) hi = mid else lo = mid
+    }
+    hi
+  }
 }

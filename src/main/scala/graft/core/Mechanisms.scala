@@ -95,12 +95,23 @@ final case class MeanMechanism(
 object Mechanisms {
 
   def createAdditive(spec: MechanismSpec, s: Sensitivities): AdditiveMechanism =
-    spec.noiseKind match {
-      case NoiseKind.Laplace =>
+    (spec.noiseKind, spec.noiseStdDev) match {
+      // PLD-resolved specs carry the NORMALIZED std (per unit sensitivity);
+      // scale by the mechanism's actual sensitivity
+      // (reference: dp_computations.py:495-556, 676-688)
+      case (NoiseKind.Laplace, Some(nstd)) =>
+        val l1 = s.l1.getOrElse(throw new IllegalArgumentException(
+          "L1 (or L0+Linf) sensitivity required for Laplace"))
+        LaplaceMechanism.fromStdDeviation(nstd * l1, l1)
+      case (NoiseKind.Gaussian, Some(nstd)) =>
+        val l2 = s.l2.getOrElse(throw new IllegalArgumentException(
+          "L2 (or L0+Linf) sensitivity required for Gaussian"))
+        GaussianMechanism.fromStdDeviation(nstd * l2, l2)
+      case (NoiseKind.Laplace, None) =>
         LaplaceMechanism.fromEpsilon(spec.epsilon,
           s.l1.getOrElse(throw new IllegalArgumentException(
             "L1 (or L0+Linf) sensitivity required for Laplace")))
-      case NoiseKind.Gaussian =>
+      case (NoiseKind.Gaussian, None) =>
         GaussianMechanism.fromEpsilonDelta(spec.epsilon, spec.delta,
           s.l2.getOrElse(throw new IllegalArgumentException(
             "L2 (or L0+Linf) sensitivity required for Gaussian")))

@@ -24,7 +24,12 @@ sealed trait MechanismType
 object MechanismType {
   case object Laplace extends MechanismType
   case object Gaussian extends MechanismType
-  /** Truncated-geometric / thresholding partition selection. */
+  /** Noisy-count thresholding selection modeled as its additive mechanism
+    * plus a thresholding delta (used by PLD accounting; reference:
+    * aggregate_params.py MechanismType.LAPLACE_THRESHOLDING). */
+  case object LaplaceThresholding extends MechanismType
+  case object GaussianThresholding extends MechanismType
+  /** Truncated-geometric / generic partition selection. */
   case object PartitionSelection extends MechanismType
 }
 

@@ -60,7 +60,7 @@ final class DPResult private[spark] (
   *              oracle tests (the reference's huge-epsilon trick, made exact).
   */
 final class DPEngine(
-    val accountant: NaiveBudgetAccountant,
+    val accountant: BudgetAccountant,
     val noise: NoiseSource = NoiseSource.Secure
 ) {
   import DPEngine._

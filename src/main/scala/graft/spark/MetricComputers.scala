@@ -228,7 +228,7 @@ object CompoundComputer {
   }
 
   /** Request budgets for the metric set (driver-side, pre-resolution). */
-  def plan(params: AggregateParams, accountant: NaiveBudgetAccountant): Plan = {
+  def plan(params: AggregateParams, accountant: BudgetAccountant): Plan = {
     import Metric._
     val mt = params.noiseKind.mechanismType
     val w = params.budgetWeight

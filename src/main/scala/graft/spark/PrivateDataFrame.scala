@@ -20,7 +20,7 @@ import org.apache.spark.sql.functions._
 final case class PrivateDataFrame(
     df: DataFrame,
     privacyUnit: Column,
-    accountant: NaiveBudgetAccountant,
+    accountant: BudgetAccountant,
     noise: NoiseSource = NoiseSource.Secure
 ) {
   private val PidCol = "__graft_private_pid"

