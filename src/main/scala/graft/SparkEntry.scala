@@ -138,6 +138,21 @@ object SparkEntry {
           minSumPerPartition = Some(0.0), maxSumPerPartition = Some(500.0)),
         eventRoles)
     }),
+    "dp_multi_value" -> ((s, dir) => {
+      // two value columns aggregated in one pass (multi-value extractors);
+      // per-partition sum bounds per column; zero noise => exact
+      val engine = zeroEngine()
+      val res = MultiValueSum.aggregate(engine, events(s, dir),
+        MultiValueSumParams(
+          columnBounds = Seq(
+            ValueColumnBounds("v", 0.0, 500.0),
+            ValueColumnBounds("w", 0.0, 100.0)),
+          maxPartitionsContributed = 5),
+        MultiValueColumns(col("user_id"), Seq("event_type" -> col("event_type")),
+          Seq("v" -> floor(col("value")), "w" -> length(col("props")).cast("double"))))
+      engine.accountant.computeBudgets()
+      res.dataframe
+    }),
     "dp_public_partitions" -> ((s, dir) => {
       import s.implicits._
       val pub = Seq("click", "error", "purchase", "ghost_type").toDF("event_type")
@@ -687,6 +702,13 @@ object SparkEntry {
         """SELECT event_type, sum(s) AS sum FROM (
              SELECT user_id, event_type,
                     least(greatest(sum(floor(value)), 0.0), 500.0) AS s
+             FROM events GROUP BY user_id, event_type
+           ) GROUP BY event_type""",
+      "dp_multi_value" ->
+        """SELECT event_type, sum(sv) AS v_sum, sum(sw) AS w_sum FROM (
+             SELECT user_id, event_type,
+                    least(greatest(sum(floor(value)), 0.0), 500.0) AS sv,
+                    least(greatest(sum(CAST(len(props) AS DOUBLE)), 0.0), 100.0) AS sw
              FROM events GROUP BY user_id, event_type
            ) GROUP BY event_type""",
       "dp_public_partitions" ->
