@@ -168,6 +168,24 @@ object SparkEntry {
         DPColumns(col("user_id"),
           Seq("event_type" -> col("event_type"), "day" -> col("day")), None))
     }),
+    "dp_post_agg_threshold" -> ((s, dir) => {
+      // post-aggregation thresholding: the noised privacy-id count IS the
+      // release decision. Huge budget => threshold ~ 1.0001, so every
+      // partition (all have >= dozens of units) passes and the zero-noised
+      // value equals the exact count (deterministic; reference e2e technique).
+      runZero(events(s, dir),
+        AggregateParams(metrics = Seq(Metric.PrivacyIdCount), maxPartitionsContributed = 5,
+          postAggregationThresholding = true),
+        DPColumns(col("user_id"), Seq("event_type" -> col("event_type")), None))
+    }),
+    "dp_count_l1" -> ((s, dir) => {
+      // L1 bounding mode: <= maxContributions rows per privacy unit in total
+      // (no per-partition/L0 split). 1000 >> the max 99 rows per user at
+      // sf<=0.1, so sampling drops nothing and the count is exact.
+      runZero(events(s, dir),
+        AggregateParams(metrics = Seq(Metric.Count), maxContributions = Some(1000)),
+        DPColumns(col("user_id"), Seq("event_type" -> col("event_type")), None))
+    }),
     "dp_select_partitions" -> ((s, dir) => {
       val engine = zeroEngine()
       val res = engine.selectPartitions(events(s, dir),
@@ -277,6 +295,24 @@ object SparkEntry {
         .select(col("vec_id").as("qid"), col("embedding"))
       Similarity.lshTopK(e, "vec_id", "embedding", queries, "qid", "embedding",
         k = 5, planes = 6, bands = 8)
+    }),
+    "dedup_embedding_lsh" -> ((s, dir) => {
+      // banded-LSH near-dup path (Dedup.embeddingNearDups) exercised with
+      // planted near-duplicates: 200 perturbed copies (cosine ~0.9999 to
+      // their originals) are unioned in; the output reports how many planted
+      // pairs the LSH recovered. Hash-dependent recall => rows-only;
+      // DedupSpec asserts recall >= 0.95 on planted dups.
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("vec"))
+      val planted = e.filter(col("id") < 200)
+        .select((col("id") + lit(100000L)).as("id"),
+          expr("transform(vec, (x, i) -> x + 0.02 * cos(CAST(i AS DOUBLE)))").as("vec"))
+      val corpus = e.unionByName(planted)
+      val pairs = Dedup.embeddingNearDups(corpus, "id", "vec", threshold = 0.95)
+      import s.implicits._
+      val found = pairs.filter(col("id_b") === col("id_a") + lit(100000L)).count()
+      val total = pairs.count()
+      Seq((200L, found, total)).toDF("n_planted", "n_planted_found", "n_pairs_total")
     }),
     "mm_features" -> ((s, dir) => {
       // multimodal payload plumbing: text bytes as the opaque binary payload
@@ -680,6 +716,10 @@ object SparkEntry {
         "SELECT event_type, CAST(count(*) AS DOUBLE) AS count FROM events GROUP BY event_type",
       "dp_privacy_id_count" ->
         "SELECT event_type, CAST(count(DISTINCT user_id) AS DOUBLE) AS privacy_id_count FROM events GROUP BY event_type",
+      "dp_post_agg_threshold" ->
+        "SELECT event_type, CAST(count(DISTINCT user_id) AS DOUBLE) AS privacy_id_count FROM events GROUP BY event_type",
+      "dp_count_l1" ->
+        "SELECT event_type, CAST(count(*) AS DOUBLE) AS count FROM events GROUP BY event_type",
       "dp_sum" ->
         s"SELECT event_type, sum($x) AS sum FROM events GROUP BY event_type",
       "dp_mean" ->

@@ -222,16 +222,33 @@ object Dedup {
 
   // ---------------- embedding near-dup ----------------
 
-  /** Embedding-cosine near-duplicate pairs via random-hyperplane LSH
-    * blocking + exact cosine verify. See [[Similarity.cosine]]. */
+  /** Embedding-cosine near-duplicate pairs via banded random-hyperplane LSH
+    * + exact cosine verify. A pair is a candidate if ANY of the `bands`
+    * signatures (of `planes` sign bits each) collides — with b bands of p
+    * planes, a pair at angle theta survives with prob
+    * 1 - (1 - (1 - theta/pi)^p)^b, so high-cosine pairs are found with
+    * near-certainty while far pairs rarely collide. Candidates carry ids
+    * only through the bucket join and the distinct; vectors are joined back
+    * for the exact verify (same layout as [[minHashLSH]]), so embeddings
+    * never ride the candidate shuffle. */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double = 0.95, planes: Int = 16): DataFrame = {
-    val sig = Similarity.hyperplaneSignature(col(vecCol), planes)
-    val s = df.select(col(idCol).as("id"), col(vecCol).as("vec"), sig.as("bucket"))
-    val l = s.select(col("bucket"), col("id").as("id_a"), col("vec").as("v_a"))
-    val r = s.select(col("bucket"), col("id").as("id_b"), col("vec").as("v_b"))
-    l.join(r, Seq("bucket"))
+      threshold: Double = 0.95, planes: Int = 8, bands: Int = 8): DataFrame = {
+    val s = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val sigs = (0 until bands).map(b =>
+      xxhash64(Similarity.hyperplaneSignatureBand(col("vec"), planes, b), lit(b)))
+    val banded = s.select(col("id"),
+      posexplode(array(sigs: _*)).as(Seq("band", "bucket")))
+      .select("id", "band", "bucket")
+    val l = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
+    val r = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
+    val candidates = l.hint("shuffle_hash").join(r, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val va = s.select(col("id").as("id_a"), col("vec").as("v_a"))
+    val vb = s.select(col("id").as("id_b"), col("vec").as("v_b"))
+    candidates
+      .join(va.hint("shuffle_hash"), "id_a")
+      .join(vb.hint("shuffle_hash"), "id_b")
       .withColumn("cosine", Similarity.cosine(col("v_a"), col("v_b")))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")

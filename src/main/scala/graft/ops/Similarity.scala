@@ -173,7 +173,7 @@ object Similarity {
 
   /** One band's signature: `planes` sign bits from hyperplanes salted by
     * (band, plane). */
-  private def hyperplaneSignatureBand(vec: Column, planes: Int, band: Int): Column =
+  private[ops] def hyperplaneSignatureBand(vec: Column, planes: Int, band: Int): Column =
     (0 until planes).map { p =>
       when(
         aggregate(zip_with(vec.cast("array<double>"),

@@ -122,6 +122,23 @@ class DedupSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((1L, 2L)))
   }
+
+  test("banded LSH recovers planted near-duplicates with high recall") {
+    val rnd = new scala.util.Random(17)
+    val originals = (0L until 150L).map(i => (i, Array.fill(32)(rnd.nextGaussian())))
+    // planted copies: tiny perturbation => cosine ~0.999
+    val planted = originals.map { case (i, v) =>
+      (i + 1000L, v.map(_ + 0.02 * rnd.nextGaussian()))
+    }
+    val df = (originals ++ planted).toDF("id", "vec")
+    val pairs = Dedup.embeddingNearDups(df, "id", "vec", threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = originals.count { case (i, _) => pairs.contains((i, i + 1000L)) }
+    assert(found >= 143, s"recall ${found / 150.0} too low") // >= 95%
+    // no false positives below the cosine threshold by construction (exact
+    // verify); distinct random vectors must not pair up
+    pairs.foreach { case (a, b) => assert(b - a == 1000L, s"unexpected pair ($a,$b)") }
+  }
 }
 
 class SimilaritySpec extends AnyFunSuite {
