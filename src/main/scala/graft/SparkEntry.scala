@@ -186,6 +186,19 @@ object SparkEntry {
         AggregateParams(metrics = Seq(Metric.Count), maxContributions = Some(1000)),
         DPColumns(col("user_id"), Seq("event_type" -> col("event_type")), None))
     }),
+    "dp_custom_combiner" -> ((s, dir) => {
+      // user-defined DP aggregation (sum of squares with per-contribution
+      // square clipping) through the CustomCombiner extension point
+      val engine = zeroEngine()
+      val res = CustomAggregation.aggregate(engine, events(s, dir),
+        CustomAggParams(maxPartitionsContributed = 5,
+          maxContributionsPerPartition = Some(100)),
+        DPColumns(col("user_id"), Seq("event_type" -> col("event_type")),
+          Some(floor(col("value")))),
+        new SquareSumCombiner(maxSquare = 10000.0, l0 = 5, contributionsPerPartition = 100))
+      engine.accountant.computeBudgets()
+      res.dataframe
+    }),
     "dp_select_partitions" -> ((s, dir) => {
       val engine = zeroEngine()
       val res = engine.selectPartitions(events(s, dir),
@@ -720,6 +733,10 @@ object SparkEntry {
         "SELECT event_type, CAST(count(DISTINCT user_id) AS DOUBLE) AS privacy_id_count FROM events GROUP BY event_type",
       "dp_count_l1" ->
         "SELECT event_type, CAST(count(*) AS DOUBLE) AS count FROM events GROUP BY event_type",
+      "dp_custom_combiner" ->
+        """SELECT event_type,
+              sum(least(floor(value) * floor(value), 10000.0)) AS square_sum
+           FROM events GROUP BY event_type""",
       "dp_sum" ->
         s"SELECT event_type, sum($x) AS sum FROM events GROUP BY event_type",
       "dp_mean" ->

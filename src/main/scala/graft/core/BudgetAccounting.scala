@@ -34,11 +34,15 @@ final case class MechanismSpec(
   */
 final class BudgetHandle private[core] (
     val mechanismType: MechanismType,
-    val weight: Double,
+    initialWeight: Double,
     val count: Int,
     val name: String,
     val sensitivity: Double
 ) {
+  private var _weight: Double = initialWeight
+  /** Effective weight; scopes may rescale it before computeBudgets. */
+  def weight: Double = _weight
+  private[core] def scaleWeight(f: Double): Unit = { _weight *= f }
   private[core] var resolved: Option[MechanismSpec] = None
   def spec: MechanismSpec = resolved.getOrElse(
     throw new IllegalStateException(
@@ -81,6 +85,25 @@ sealed abstract class BudgetAccountant(
   }
 
   private[graft] def registerAggregation(): Unit = { aggregationCount += 1 }
+
+  /** Scoped weight normalization: the weights of all budget requests made
+    * inside `body` are rescaled so they sum to `weight` — several
+    * aggregations can be grouped under one logical budget share. Nesting
+    * normalizes inner-scope weights first, then the outer scope rescales
+    * them again, matching the reference's scope-stack registration
+    * (reference: budget_accounting.py:334-359 BudgetAccountantScope). */
+  def scope[T](weight: Double)(body: => T): T = {
+    require(weight > 0, "scope weight must be positive")
+    val before = requests.length
+    val result = body
+    val scoped = requests.drop(before)
+    if (scoped.nonEmpty) {
+      val total = scoped.iterator.map(_.weight).sum
+      val factor = weight / total
+      scoped.foreach(_.scaleWeight(factor))
+    }
+    result
+  }
 
   protected def checkAndFinalize(): Unit = {
     require(!finalized, "computeBudgets() already called")
