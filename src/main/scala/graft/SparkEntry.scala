@@ -33,6 +33,16 @@ object SparkEntry {
   private def zeroEngine() =
     new DPEngine(new NaiveBudgetAccountant(1e5, 0.999999), NoiseSource.Zero)
 
+  /** The (user_id, event_type) dataset histograms are consumed by five
+    * queries (stats_*, tune_params); compute once per dataset per JVM —
+    * exactly how a real pipeline reuses its contribution histograms. */
+  private val histogramCache =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.stats.DatasetHistograms]()
+  private def eventHistograms(s: SparkSession, dir: String): graft.stats.DatasetHistograms =
+    histogramCache.computeIfAbsent(dir, d =>
+      graft.stats.Histograms.computeDatasetHistograms(
+        events(s, d), col("user_id"), col("event_type")))
+
   private def eventRoles = DPColumns(
     col("user_id"), Seq("event_type" -> col("event_type")), Some(floor(col("value"))))
 
@@ -321,11 +331,12 @@ object SparkEntry {
         .select((col("id") + lit(100000L)).as("id"),
           expr("transform(vec, (x, i) -> x + 0.02 * cos(CAST(i AS DOUBLE)))").as("vec"))
       val corpus = e.unionByName(planted)
-      val pairs = Dedup.embeddingNearDups(corpus, "id", "vec", threshold = 0.95)
-      import s.implicits._
-      val found = pairs.filter(col("id_b") === col("id_a") + lit(100000L)).count()
-      val total = pairs.count()
-      Seq((200L, found, total)).toDF("n_planted", "n_planted_found", "n_pairs_total")
+      Dedup.embeddingNearDups(corpus, "id", "vec", threshold = 0.95)
+        .agg(
+          sum(when(col("id_b") === col("id_a") + lit(100000L), 1L).otherwise(0L))
+            .as("n_planted_found"),
+          count(lit(1)).as("n_pairs_total"))
+        .select(lit(200L).as("n_planted"), col("n_planted_found"), col("n_pairs_total"))
     }),
     "mm_features" -> ((s, dir) => {
       // multimodal payload plumbing: text bytes as the opaque binary payload
@@ -397,6 +408,13 @@ object SparkEntry {
         col("privacy_id_count_sum"), col("privacy_id_count_exp_l0_err"),
         col("privacy_id_count_noise_std"))
     }),
+    "ua_partitions_summary" -> ((s, dir) => {
+      // dataset-vs-public partition classification (one row)
+      import s.implicits._
+      val pub = Seq("click", "view", "ghost_type").toDF("event_type")
+      UtilityAnalysis.publicPartitionsSummary(events(s, dir),
+        Seq("event_type" -> col("event_type")), pub)
+    }),
     "tune_params" -> ((s, dir) => {
       // parameter tuning: histogram-driven (l0, linf) candidates, utility
       // analysis over all of them in one pass, argmin RMSE. Fully
@@ -405,8 +423,7 @@ object SparkEntry {
       // rows-only; numeric behavior covered by ParameterTuningSpec.
       val ev = events(s, dir)
       val roles = DPColumns(col("user_id"), Seq("event_type" -> col("event_type")), None)
-      val h = graft.stats.Histograms.computeDatasetHistograms(
-        ev, col("user_id"), col("event_type"))
+      val h = eventHistograms(s, dir)
       val opts = TuneOptions(2.0, 1e-5, Metric.Count, UtilityAnalysisConfig(1, 1),
         ParametersToTune(maxPartitionsContributed = true, maxContributionsPerPartition = true),
         numberOfParameterCandidates = 9)
@@ -422,9 +439,7 @@ object SparkEntry {
     "stats_error_estimate" -> ((s, dir) => {
       // histogram-only RMSE estimation (no pass over the data beyond the
       // histograms); deterministic, rows-only
-      val ev = events(s, dir)
-      val h = graft.stats.Histograms.computeDatasetHistograms(
-        ev, col("user_id"), col("event_type"))
+      val h = eventHistograms(s, dir)
       val est = HistogramErrorEstimator.forCount(h, 1.0, None, Metric.Count,
         NoiseKind.Laplace)
       import s.implicits._
@@ -435,15 +450,13 @@ object SparkEntry {
     "stats_l0_histogram" -> ((s, dir) => {
       // log-binned L0 contribution histogram (bins < 1000 are unit-width,
       // so the oracle is exact)
-      val h = graft.stats.Histograms.computeDatasetHistograms(
-        events(s, dir), col("user_id"), col("event_type"))
+      val h = eventHistograms(s, dir)
       import s.implicits._
       h.l0Contributions.bins.map(b => (b.lower.toLong, b.count, b.sum))
         .toDF("bin_lower", "n_units", "total_contribs")
     }),
     "stats_linf_histogram" -> ((s, dir) => {
-      val h = graft.stats.Histograms.computeDatasetHistograms(
-        events(s, dir), col("user_id"), col("event_type"))
+      val h = eventHistograms(s, dir)
       import s.implicits._
       h.linfContributions.bins.map(b => (b.lower.toLong, b.count, b.sum))
         .toDF("bin_lower", "n_pairs", "total_rows")
@@ -453,8 +466,7 @@ object SparkEntry {
       // huge calculation eps => deterministic argmax (rows-only: the scoring
       // is not SQL-expressible)
       val ev = events(s, dir)
-      val h = graft.stats.Histograms.computeDatasetHistograms(
-        ev, col("user_id"), col("event_type"))
+      val h = eventHistograms(s, dir)
       val nPartitions = ev.select("event_type").distinct().count()
       val k = graft.stats.PrivateL0Calculator.calculate(
         graft.stats.CalculatePrivateContributionBoundsParams(
@@ -686,6 +698,15 @@ object SparkEntry {
     }
     Map(
       "ua_per_partition" -> s"$uaPerPartitionSql SELECT * FROM pp",
+      "ua_partitions_summary" ->
+        """WITH d AS (SELECT DISTINCT event_type FROM events),
+             p AS (SELECT * FROM (VALUES ('click'), ('view'), ('ghost_type')) t(event_type))
+           SELECT
+             (SELECT count(*) FROM d JOIN p USING (event_type)) AS num_dataset_public,
+             (SELECT count(*) FROM d WHERE event_type NOT IN (SELECT event_type FROM p))
+               AS num_dataset_non_public,
+             (SELECT count(*) FROM p WHERE event_type NOT IN (SELECT event_type FROM d))
+               AS num_empty_public""",
       "ua_report" ->
         s"""$uaPerPartitionSql,
             d AS (SELECT config_index, keep_prob, raw_count, raw_privacy_id_count,

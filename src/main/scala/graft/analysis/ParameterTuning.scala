@@ -169,6 +169,35 @@ object HistogramErrorEstimator {
   }
 }
 
+/** Probability computations for error estimation (reference:
+  * analysis/probability_computations.py). */
+object ProbabilityComputations {
+
+  /** Quantiles of the sum of independent Laplace(b) and Gaussian(sigma)
+    * noise via Monte Carlo, with linear quantile interpolation. The
+    * reference documents that closed forms exist but are slower in practice
+    * (reference: probability_computations.py:8-23). */
+  def sumLaplaceGaussianQuantiles(
+      laplaceB: Double,
+      gaussianSigma: Double,
+      quantiles: Seq[Double],
+      numSamples: Int,
+      noise: NoiseSource = NoiseSource.Secure
+  ): Seq[Double] = {
+    require(numSamples > 1, "numSamples must be > 1")
+    val samples = Array.fill(numSamples)(
+      noise.laplace(laplaceB) + noise.gaussian(gaussianSigma)).sorted
+    quantiles.map { q =>
+      require(q >= 0 && q <= 1, s"quantile must be in [0,1], got $q")
+      val pos = q * (numSamples - 1)
+      val lo = pos.toInt
+      val frac = pos - lo
+      if (lo + 1 >= numSamples) samples(numSamples - 1)
+      else samples(lo) * (1 - frac) + samples(lo + 1) * frac
+    }
+  }
+}
+
 /** Which aggregation parameters to explore (reference:
   * analysis/parameter_tuning.py:41-55). Noise kind and partition selection
   * strategy are always chosen by [[DPStrategySelector]] unless `noiseKind`

@@ -423,6 +423,30 @@ object UtilityAnalysis {
     (report(per, options), per)
   }
 
+  /** Classifies partitions against a public-partition list: how many dataset
+    * partitions are public / non-public, and how many public keys are absent
+    * from the dataset (reference: analysis/dataset_summary.py:21-108
+    * compute_public_partitions_summary). One row out; a full-outer join of
+    * two distinct partition sets — scale-safe. */
+  def publicPartitionsSummary(
+      df: DataFrame,
+      partitionKeys: Seq[(String, Column)],
+      publicPartitions: DataFrame
+  ): DataFrame = {
+    val pkNames = partitionKeys.map(_._1)
+    val dataset = df.select(partitionKeys.map { case (n, c) => c.as(n) }: _*)
+      .distinct().withColumn("__in_dataset", lit(1))
+    val pub = publicPartitions.distinct().withColumn("__in_public", lit(1))
+    dataset.join(pub, pkNames, "full_outer")
+      .agg(
+        sum(when(col("__in_dataset").isNotNull && col("__in_public").isNotNull, 1L)
+          .otherwise(0L)).as("num_dataset_public"),
+        sum(when(col("__in_dataset").isNotNull && col("__in_public").isNull, 1L)
+          .otherwise(0L)).as("num_dataset_non_public"),
+        sum(when(col("__in_dataset").isNull && col("__in_public").isNotNull, 1L)
+          .otherwise(0L)).as("num_empty_public"))
+  }
+
   // ---- internals ----
 
   private val Pid = "__ua_pid"

@@ -157,6 +157,27 @@ class ParameterTuningSpec extends AnyFunSuite {
     assert(math.abs(r25 - 0.3) < 1e-12)
   }
 
+  test("laplace+gaussian sum quantiles are statistically sound") {
+    val qs = ProbabilityComputations.sumLaplaceGaussianQuantiles(
+      laplaceB = 2.0, gaussianSigma = 3.0, quantiles = Seq(0.05, 0.5, 0.95),
+      numSamples = 200000, noise = NoiseSource.Seeded(42))
+    // symmetric around 0; total std = sqrt(2*4 + 9) ~ 4.12
+    assert(math.abs(qs(1)) < 0.1, s"median ${qs(1)}")
+    assert(math.abs(qs(0) + qs(2)) < 0.3, s"asymmetric tails $qs")
+    assert(qs(2) > 5.0 && qs(2) < 9.0, s"p95 ${qs(2)}")
+  }
+
+  test("public partitions summary classifies partitions") {
+    val df = Seq(("u1", "A", 1.0), ("u2", "B", 1.0), ("u3", "C", 1.0))
+      .toDF("uid", "pk", "v")
+    val pub = Seq("A", "B", "GHOST").toDF("pk")
+    val out = UtilityAnalysis.publicPartitionsSummary(df,
+      Seq("pk" -> col("pk")), pub).collect().head
+    assert(out.getAs[Long]("num_dataset_public") == 2L)
+    assert(out.getAs[Long]("num_dataset_non_public") == 1L) // C
+    assert(out.getAs[Long]("num_empty_public") == 1L) // GHOST
+  }
+
   test("tune: picks the configuration with minimal rmse end-to-end") {
     // 50 users each contribute 1 row to 2 partitions of 10; generous data so
     // the only error is noise; smaller (l0, linf) => smaller noise => best
