@@ -408,6 +408,24 @@ object SparkEntry {
         col("privacy_id_count_sum"), col("privacy_id_count_exp_l0_err"),
         col("privacy_id_count_noise_std"))
     }),
+    "ua_multi_sum" -> ((s, dir) => {
+      // multi-column utility analysis: SUM over two value columns in one
+      // pass, each with its own bounds and noise std. Same dyadic-probability
+      // discipline as ua_per_partition => oracle-exact.
+      import s.implicits._
+      val ev = events(s, dir).filter(col("event_type").isin("click", "view"))
+      val mvCols = MultiValueColumns(col("user_id"),
+        Seq("event_type" -> col("event_type")),
+        Seq("a" -> floor(col("value")), "b" -> length(col("props")).cast("double")))
+      val opts = UtilityAnalysisOptions(
+        epsilon = 1.0, delta = 0.0, metrics = Seq(Metric.Sum),
+        configs = Seq(UtilityAnalysisConfig(maxPartitionsContributed = 1)),
+        publicPartitions = true)
+      val pre = UtilityAnalysis.preAggregateMulti(ev, mvCols)
+      val pub = Seq("click", "view", "ghost_type").toDF("event_type")
+      UtilityAnalysis.perPartitionMetricsMultiSum(pre, Seq("event_type"),
+        Seq("a", "b"), opts, Seq(Seq((0.0, 100.0), (0.0, 50.0))), Some(pub))
+    }),
     "ua_partitions_summary" -> ((s, dir) => {
       // dataset-vs-public partition classification (one row)
       import s.implicits._
@@ -508,6 +526,16 @@ object SparkEntry {
       s.read.parquet(s"$dir/lineitem.parquet")
         .join(urgent, col("l_orderkey") === col("o_orderkey"), "left_semi")
         .select("l_orderkey", "l_linenumber")
+    }),
+    "a_filter_by_key_sharded" -> ((s, dir) => {
+      // skew-resilient filter_by_key: salted semi-join; output identical to
+      // the plain semi-join (the salt only changes physical distribution)
+      val urgent = s.read.parquet(s"$dir/orders.parquet")
+        .filter(col("o_orderpriority") === "1-URGENT").select("o_orderkey")
+      Dataflow.filterByKeySharded(
+        s.read.parquet(s"$dir/lineitem.parquet").withColumnRenamed("l_orderkey", "o_orderkey"),
+        urgent, Seq("o_orderkey"), shards = 8)
+        .select(col("o_orderkey").as("l_orderkey"), col("l_linenumber"))
     }),
     "a_count_per_element" -> ((s, dir) => {
       s.read.parquet(s"$dir/lineitem.parquet")
@@ -698,6 +726,45 @@ object SparkEntry {
     }
     Map(
       "ua_per_partition" -> s"$uaPerPartitionSql SELECT * FROM pp",
+      "ua_multi_sum" -> {
+        def mcol(c: String, lo: String, hi: String, n: String) =
+          s"""sum($c) AS ${n}_sum,
+              sum(CASE WHEN $c < $lo THEN least(greatest($c, $lo), $hi) - $c ELSE 0.0 END) AS ${n}_clip_min_err,
+              sum(CASE WHEN $c > $hi THEN least(greatest($c, $lo), $hi) - $c ELSE 0.0 END) AS ${n}_clip_max_err,
+              sum(-least(greatest($c, $lo), $hi) * (1.0 - p)) AS ${n}_exp_l0_err,
+              sqrt(sum(least(greatest($c, $lo), $hi) * least(greatest($c, $lo), $hi) * p * (1.0 - p))) AS ${n}_std_l0_err"""
+        s"""WITH pre AS (
+              SELECT user_id, event_type, CAST(count(*) AS DOUBLE) AS cnt,
+                     sum(floor(value)) AS sa, sum(CAST(len(props) AS DOUBLE)) AS sb
+              FROM events WHERE event_type IN ('click','view')
+              GROUP BY user_id, event_type),
+            np AS (SELECT pre.*, count(*) OVER (PARTITION BY user_id) AS nparts FROM pre),
+            r AS (SELECT event_type, least(1.0, 1.0 / nparts) AS p, cnt, sa, sb FROM np),
+            per AS (
+              SELECT event_type,
+                count(*) AS raw_privacy_id_count,
+                CAST(sum(CAST(cnt AS BIGINT)) AS BIGINT) AS raw_count,
+                ${mcol("sa", "0.0", "100.0", "sum_a")},
+                ${mcol("sb", "0.0", "50.0", "sum_b")}
+              FROM r GROUP BY 1)
+            SELECT pk.event_type, 0 AS config_index, 1.0 AS keep_prob,
+              coalesce(per.raw_privacy_id_count, 0) AS raw_privacy_id_count,
+              coalesce(per.raw_count, 0) AS raw_count,
+              coalesce(per.sum_a_sum, 0.0) AS sum_a_sum,
+              coalesce(per.sum_a_clip_min_err, 0.0) AS sum_a_clip_min_err,
+              coalesce(per.sum_a_clip_max_err, 0.0) AS sum_a_clip_max_err,
+              coalesce(per.sum_a_exp_l0_err, 0.0) AS sum_a_exp_l0_err,
+              coalesce(per.sum_a_std_l0_err, 0.0) AS sum_a_std_l0_err,
+              coalesce(per.sum_b_sum, 0.0) AS sum_b_sum,
+              coalesce(per.sum_b_clip_min_err, 0.0) AS sum_b_clip_min_err,
+              coalesce(per.sum_b_clip_max_err, 0.0) AS sum_b_clip_max_err,
+              coalesce(per.sum_b_exp_l0_err, 0.0) AS sum_b_exp_l0_err,
+              coalesce(per.sum_b_std_l0_err, 0.0) AS sum_b_std_l0_err,
+              sqrt(2) * (100.0 / 0.5) AS sum_a_noise_std,
+              sqrt(2) * (50.0 / 0.5) AS sum_b_noise_std
+            FROM (VALUES ('click'), ('view'), ('ghost_type')) pk(event_type)
+            LEFT JOIN per ON per.event_type = pk.event_type"""
+      },
       "ua_partitions_summary" ->
         """WITH d AS (SELECT DISTINCT event_type FROM events),
              p AS (SELECT * FROM (VALUES ('click'), ('view'), ('ghost_type')) t(event_type))
@@ -914,6 +981,9 @@ object SparkEntry {
       "a_group_by_key" ->
         "SELECT o_custkey, array_to_string(list_sort(list(o_orderkey)), ',') AS orderkeys FROM orders GROUP BY o_custkey",
       "a_filter_by_key" ->
+        """SELECT l_orderkey, l_linenumber FROM lineitem
+           WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')""",
+      "a_filter_by_key_sharded" ->
         """SELECT l_orderkey, l_linenumber FROM lineitem
            WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')""",
       "a_count_per_element" ->

@@ -423,6 +423,195 @@ object UtilityAnalysis {
     (report(per, options), per)
   }
 
+  /** Multi-column pre-aggregation: like [[preAggregate]] but with one sum
+    * column per value column (reference: contribution_bounders.py:142-164
+    * _sum_values over tuples). Output: pk..., __cnt, __sum_<name>...,
+    * __n_partitions. */
+  def preAggregateMulti(
+      df: DataFrame,
+      columns: graft.spark.MultiValueColumns,
+      partitionsSamplingProb: Double = 1.0
+  ): DataFrame = {
+    val pkNames = columns.partitionKeys.map(_._1)
+    val base = df.select(
+      (columns.privacyUnit.as(Pid) +:
+        columns.partitionKeys.map { case (n, c) => c.as(n) }) ++
+        columns.values.map { case (n, c) => c.cast("double").as(s"__v_$n") }: _*)
+    val perPair = base
+      .groupBy(col(Pid) +: pkNames.map(col): _*)
+      .agg(count(lit(1)).as(Cnt),
+        columns.values.map { case (n, _) => sum(col(s"__v_$n")).as(s"__sum_$n") }: _*)
+    val withNp = perPair.withColumn(NPart, count(lit(1)).over(Window.partitionBy(col(Pid))))
+    val sampled =
+      if (partitionsSamplingProb < 1.0)
+        withNp.filter(ValueSampler.keepExpr(
+          struct(pkNames.map(col): _*), partitionsSamplingProb))
+      else withNp
+    sampled.drop(Pid)
+  }
+
+  /** Per-(partition, configuration) error moments for SUM over SEVERAL value
+    * columns (plus optionally COUNT / PRIVACY_ID_COUNT) in one pass — the
+    * reference's multi-column utility analysis
+    * (reference: utility_analysis_engine.py:131-144, per_partition_combiners
+    * SumCombiner i_column). `sumBoundsPerConfig(c)(i)` are the (min, max)
+    * per-partition sum bounds of value column i under configuration c; each
+    * column gets its own budget line and noise std. Output columns per value
+    * column follow the `sum_<name>_*` convention. */
+  def perPartitionMetricsMultiSum(
+      pre: DataFrame,
+      pkNames: Seq[String],
+      valueNames: Seq[String],
+      options: UtilityAnalysisOptions,
+      sumBoundsPerConfig: Seq[Seq[(Double, Double)]],
+      publicPartitions: Option[DataFrame] = None
+  ): DataFrame = {
+    require(sumBoundsPerConfig.length == options.configs.length,
+      "one bounds list per configuration required")
+    require(sumBoundsPerConfig.forall(_.length == valueNames.length),
+      "one (min,max) per value column required in every configuration")
+    val nMech = (if (options.publicPartitions) 0 else 1) +
+      (if (options.metrics.contains(Sum)) valueNames.length else 0) +
+      options.metrics.count(m => m == Count || m == PrivacyIdCount)
+    // per-config mechanisms: selection, then one SUM per column, then COUNT,
+    // then PRIVACY_ID_COUNT (reference budget order)
+    val mechs = options.configs.zipWithIndex.map { case (c, ci) =>
+      val split = Mechanisms.equallySplitBudget(options.epsilon, options.delta, nMech)
+      var idx = 0
+      def take(): (Double, Double) = { val s = split(idx); idx += 1; s }
+      val selection =
+        if (options.publicPartitions) None
+        else {
+          val (e, d) = take()
+          Some(PartitionSelection.create(c.partitionSelectionStrategy, e, d,
+            c.maxPartitionsContributed, c.preThreshold))
+        }
+      def std(sens: Sensitivities): Double = {
+        val (e, d) = take()
+        c.noiseKind match {
+          case NoiseKind.Laplace => math.sqrt(2.0) * DpNoise.laplaceB(e, sens.l1.get)
+          case NoiseKind.Gaussian => DpNoise.gaussianSigma(e, d, sens.l2.get)
+        }
+      }
+      val l0 = c.maxPartitionsContributed
+      val sumStds =
+        if (options.metrics.contains(Sum))
+          sumBoundsPerConfig(ci).map { case (lo, hi) =>
+            std(Sensitivities(l0 = Some(l0),
+              linf = Some(math.max(math.abs(lo), math.abs(hi)))))
+          }
+        else valueNames.map(_ => 0.0)
+      val countStd =
+        if (options.metrics.contains(Count))
+          std(Sensitivities(l0 = Some(l0), linf = Some(c.maxContributionsPerPartition.toDouble)))
+        else 0.0
+      val pidStd =
+        if (options.metrics.contains(PrivacyIdCount))
+          std(Sensitivities(l0 = Some(l0), linf = Some(1.0)))
+        else 0.0
+      (selection, sumStds, countStd, pidStd)
+    }
+
+    val cfgArr = array(options.configs.zipWithIndex.map { case (c, i) =>
+      val (_, sumStds, countStd, pidStd) = mechs(i)
+      struct(Seq(
+        lit(i).as("i"),
+        lit(c.maxPartitionsContributed.toDouble).as("l0"),
+        lit(c.maxContributionsPerPartition.toDouble).as("linf"),
+        lit(countStd).as("count_std"),
+        lit(pidStd).as("pid_std")) ++
+        valueNames.indices.flatMap { vi =>
+          val (lo, hi) = sumBoundsPerConfig(i)(vi)
+          Seq(lit(lo).as(s"mins_$vi"), lit(hi).as(s"maxs_$vi"),
+            lit(sumStds(vi)).as(s"sum_std_$vi"))
+        }: _*)
+    }: _*)
+
+    var cur = pre.withColumn(Cfg, explode(cfgArr))
+    cur = cur.withColumn(Prob,
+      when(col(NPart) > 0,
+        least(lit(1.0), col(s"$Cfg.l0") / col(NPart))).otherwise(lit(0.0)))
+
+    def errCols(value: Column, lo: Column, hi: Column, m: String): Seq[Column] = {
+      val clipped = least(greatest(value, lo), hi)
+      val err = clipped - value
+      val p = col(Prob)
+      Seq(
+        value.as(s"__${m}_v"),
+        when(value < lo, err).otherwise(lit(0.0)).as(s"__${m}_cmin"),
+        when(value > hi, err).otherwise(lit(0.0)).as(s"__${m}_cmax"),
+        (-clipped * (lit(1.0) - p)).as(s"__${m}_el0"),
+        (clipped * clipped * p * (lit(1.0) - p)).as(s"__${m}_vl0"))
+    }
+    val metricRowCols = options.metrics.flatMap {
+      case Sum => valueNames.zipWithIndex.flatMap { case (n, vi) =>
+        errCols(col(s"__sum_$n"), col(s"$Cfg.mins_$vi"), col(s"$Cfg.maxs_$vi"), s"sum_$n")
+      }
+      case Count =>
+        errCols(col(Cnt).cast("double"), lit(0.0), col(s"$Cfg.linf"), Count.name)
+      case PrivacyIdCount =>
+        errCols(when(col(Cnt) > 0, 1.0).otherwise(0.0), lit(0.0), lit(1.0),
+          PrivacyIdCount.name)
+      case m => throw new IllegalArgumentException(s"unsupported metric $m")
+    }
+    cur = cur.select(
+      pkNames.map(col) ++ Seq(col(Cfg), col(Prob), col(Cnt)) ++ metricRowCols: _*)
+
+    val metricPrefixes = options.metrics.flatMap {
+      case Sum => valueNames.map(n => s"sum_$n")
+      case m => Seq(m.name)
+    }
+    val metricAggs = metricPrefixes.flatMap { n =>
+      Seq(
+        sum(col(s"__${n}_v")).as(s"${n}_sum"),
+        sum(col(s"__${n}_cmin")).as(s"${n}_clip_min_err"),
+        sum(col(s"__${n}_cmax")).as(s"${n}_clip_max_err"),
+        sum(col(s"__${n}_el0")).as(s"${n}_exp_l0_err"),
+        sqrt(sum(col(s"__${n}_vl0"))).as(s"${n}_std_l0_err"))
+    }
+    val keepAgg =
+      if (options.publicPartitions) lit(1.0).as(KeepProb)
+      else {
+        val strategies = mechs.map(_._1.get).toArray
+        udaf(new KeepProbAggregator(strategies), Encoders.product[PSIn])
+          .apply(col(s"$Cfg.i"), col(Prob)).as(KeepProb)
+      }
+    var grouped = cur
+      .groupBy(pkNames.map(col) :+ col(Cfg): _*)
+      .agg(count(lit(1)).as("raw_privacy_id_count"),
+        (sum(col(Cnt)).as("raw_count") +: keepAgg +: metricAggs): _*)
+    publicPartitions.foreach { pub =>
+      val pubCfg = broadcast(pub.distinct().withColumn(Cfg, explode(cfgArr)))
+      val zeroed: Seq[Column] =
+        Seq(coalesce(col("raw_privacy_id_count"), lit(0L)).as("raw_privacy_id_count"),
+          coalesce(col("raw_count"), lit(0L)).as("raw_count"),
+          lit(1.0).as(KeepProb)) ++
+        metricPrefixes.flatMap { n =>
+          Seq(s"${n}_sum", s"${n}_clip_min_err", s"${n}_clip_max_err",
+            s"${n}_exp_l0_err", s"${n}_std_l0_err")
+            .map(c => coalesce(col(c), lit(0.0)).as(c))
+        }
+      grouped = pubCfg.join(grouped, pkNames :+ Cfg, "left_outer")
+        .select(pkNames.map(col) ++ Seq(col(Cfg)) ++ zeroed: _*)
+    }
+    val noiseStdCols = options.metrics.flatMap {
+      case Sum => valueNames.zipWithIndex.map { case (n, vi) =>
+        col(s"$Cfg.sum_std_$vi").as(s"sum_${n}_noise_std")
+      }
+      case Count => Seq(col(s"$Cfg.count_std").as(s"${Count.name}_noise_std"))
+      case PrivacyIdCount => Seq(col(s"$Cfg.pid_std").as(s"${PrivacyIdCount.name}_noise_std"))
+      case _ => Nil
+    }
+    grouped.select(
+      pkNames.map(col) ++
+        Seq(col(s"$Cfg.i").as("config_index"), col(KeepProb).as("keep_prob"),
+          col("raw_privacy_id_count"), col("raw_count")) ++
+        metricPrefixes.flatMap { n =>
+          Seq(col(s"${n}_sum"), col(s"${n}_clip_min_err"), col(s"${n}_clip_max_err"),
+            col(s"${n}_exp_l0_err"), col(s"${n}_std_l0_err"))
+        } ++ noiseStdCols: _*)
+  }
+
   /** Classifies partitions against a public-partition list: how many dataset
     * partitions are public / non-public, and how many public keys are absent
     * from the dataset (reference: analysis/dataset_summary.py:21-108

@@ -159,6 +159,46 @@ class UtilityAnalysisSpec extends AnyFunSuite {
     assert(math.abs(got - want) < 1e-3, s"got $got want $want")
   }
 
+  test("multi-column sums: per-column clipping errors and noise stds (reference case)") {
+    // (reference: analysis/tests/utility_analysis_engine_test.py:400-470)
+    // u0 contributes (2,3) and (0,0) to pk; u1 contributes (15,20).
+    // Config 0: l0=1, sum bounds col0 [0,3], col1 [0,10], count linf 1.
+    // Expected: col0 sum=17 clip_max=-12; col1 sum=23 clip_max=-10;
+    // count sum=3 clip_max=-1; gaussian stds in ratio 3 : 10 : 1 (= linf).
+    val df = Seq(("u0", "pk", 2.0, 3.0), ("u0", "pk", 0.0, 0.0), ("u1", "pk", 15.0, 20.0))
+      .toDF("uid", "k", "a", "b")
+    val mvCols = graft.spark.MultiValueColumns(col("uid"), Seq("k" -> col("k")),
+      Seq("a" -> col("a"), "b" -> col("b")))
+    val opts = UtilityAnalysisOptions(
+      epsilon = 1.0, delta = 1e-10, metrics = Seq(Metric.Sum, Metric.Count),
+      configs = Seq(
+        UtilityAnalysisConfig(1, 1, noiseKind = NoiseKind.Gaussian),
+        UtilityAnalysisConfig(2, 1, noiseKind = NoiseKind.Gaussian)),
+      publicPartitions = true)
+    val bounds = Seq(Seq((0.0, 3.0), (0.0, 10.0)), Seq((0.0, 5.0), (0.0, 20.0)))
+    val pre = UtilityAnalysis.preAggregateMulti(df, mvCols)
+    val pub = Seq("pk").toDF("k")
+    val per = UtilityAnalysis.perPartitionMetricsMultiSum(
+      pre, Seq("k"), Seq("a", "b"), opts, bounds, Some(pub))
+    val rows = per.collect().map(r => r.getAs[Int]("config_index") -> r).toMap
+    val c0 = rows(0)
+    assert(c0.getAs[Double]("sum_a_sum") == 17.0)
+    assert(c0.getAs[Double]("sum_a_clip_max_err") == -12.0)
+    assert(c0.getAs[Double]("sum_b_sum") == 23.0)
+    assert(c0.getAs[Double]("sum_b_clip_max_err") == -10.0)
+    assert(c0.getAs[Double]("count_sum") == 3.0)
+    assert(c0.getAs[Double]("count_clip_max_err") == -1.0)
+    // noise stds proportional to per-column linf (same gaussian budget share)
+    val sA = c0.getAs[Double]("sum_a_noise_std")
+    val sB = c0.getAs[Double]("sum_b_noise_std")
+    val sC = c0.getAs[Double]("count_noise_std")
+    assert(math.abs(sA / sC - 3.0) < 1e-9 && math.abs(sB / sC - 10.0) < 1e-9)
+    // config 1: bounds [0,5]/[0,20] clip less
+    val c1 = rows(1)
+    assert(c1.getAs[Double]("sum_a_clip_max_err") == -10.0) // 15 -> 5
+    assert(c1.getAs[Double]("sum_b_clip_max_err") == 0.0) // 20 within [0,20]
+  }
+
   test("report: public partitions average and empty partition accounting") {
     // Partition A: count 4, no errors (linf large, l0 large). Partition B:
     // empty public => rmse = noise_std. Global bucket (-1) averages them.
