@@ -338,6 +338,16 @@ object SparkEntry {
           count(lit(1)).as("n_pairs_total"))
         .select(lit(200L).as("n_planted"), col("n_planted_found"), col("n_pairs_total"))
     }),
+    "sim_ivf_topk" -> ((s, dir) => {
+      // IVF approximate top-k: k-means cells + probed-cell exact re-rank.
+      // Clustering-dependent output => rows-only; SimilaritySpec measures
+      // recall >= 0.8 against brute force on clustered data.
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val queries = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding"))
+      Similarity.ivfTopK(e, "vec_id", "embedding", queries, "qid", "embedding",
+        k = 5, nlist = 16, nprobe = 4)
+    }),
     "mm_features" -> ((s, dir) => {
       // multimodal payload plumbing: text bytes as the opaque binary payload
       val docs = s.read.parquet(s"$dir/documents.parquet")

@@ -171,6 +171,64 @@ object Similarity {
     finalizeTopK(scored, k)
   }
 
+  /** IVF (inverted-file) approximate top-k: a k-means coarse quantizer
+    * partitions the corpus into `nlist` cells; each query probes its
+    * `nprobe` nearest cells and re-ranks exactly (cosine) inside them, so
+    * only ~nprobe/nlist of the corpus is scored per query. The classical
+    * ANN index layout (Sivic-Zisserman "Video Google" inverted files; the
+    * IVF-flat structure popularized by FAISS), Spark-native:
+    *
+    *  - the quantizer trains on a (sampled) pass over the corpus; the model
+    *    is nlist x dim doubles, broadcast in closures;
+    *  - cell assignment is one linear scan (embarrassingly parallel);
+    *  - the candidate join is keyed by cell id — corpus vectors ride it only
+    *    into the cells that are actually probed;
+    *  - the final per-query top-k is the bounded-heap partial aggregate
+    *    (no global sort, parallelism not capped at #queries).
+    *
+    * At 100 TB: train on `trainFraction` << 1 (quantizer quality needs only
+    * a representative sample), keep nlist ~ sqrt(corpus/cell-size-target).
+    */
+  def ivfTopK(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int, nlist: Int = 64, nprobe: Int = 8,
+      trainFraction: Double = 1.0, seed: Long = 42
+  ): DataFrame = {
+    require(nprobe <= nlist, "nprobe must be <= nlist")
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.linalg.Vectors
+    val toVec = udf((a: Seq[Double]) => Vectors.dense(a.toArray))
+    val train0 = corpus.select(col(corpusVec).cast("array<double>").as("__arr"))
+    val train = (if (trainFraction < 1.0) train0.sample(trainFraction, seed) else train0)
+      .select(toVec(col("__arr")).as("features"))
+    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10).fit(train)
+    val centers: Array[Array[Double]] = model.clusterCenters.map(_.toArray)
+
+    def nearestCells(n: Int) = udf((a: Seq[Double]) => {
+      val dists = new Array[Double](centers.length)
+      var ci = 0
+      while (ci < centers.length) {
+        val c = centers(ci)
+        var s = 0.0; var i = 0
+        while (i < c.length && i < a.length) { val d = a(i) - c(i); s += d * d; i += 1 }
+        dists(ci) = s
+        ci += 1
+      }
+      dists.zipWithIndex.sortBy(_._1).take(n).map(_._2)
+    })
+
+    val c = corpus.select(col(corpusId).as("neighbor_id"),
+        col(corpusVec).cast("array<double>").as("__cv"))
+      .withColumn("cell", nearestCells(1)(col("__cv")).getItem(0))
+    val q = broadcast(queries.select(col(queryId).as("query_id"),
+        col(queryVec).cast("array<double>").as("__qv"))
+      .withColumn("cell", explode(nearestCells(nprobe)(col("__qv")))))
+    val scored = c.join(q, "cell")
+      .withColumn("cosine", cosine(col("__qv"), col("__cv")))
+    finalizeTopK(scored, k)
+  }
+
   /** One band's signature: `planes` sign bits from hyperplanes salted by
     * (band, plane). */
   private[ops] def hyperplaneSignatureBand(vec: Column, planes: Int, band: Int): Column =

@@ -176,6 +176,26 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("ivf top-k achieves high recall on clustered data") {
+    val rnd = new scala.util.Random(23)
+    def cluster(center: Array[Double], n: Int, startId: Long) =
+      (0 until n).map(i => (startId + i, center.map(_ + 0.05 * rnd.nextGaussian())))
+    val centers = (0 until 6).map(_ => Array.fill(16)(rnd.nextGaussian()))
+    val corpus = centers.zipWithIndex.flatMap { case (c, i) =>
+      cluster(c, 50, i * 100L)
+    }.toDF("id", "vec")
+    val queries = centers.zipWithIndex.map { case (c, i) =>
+      (1000L + i, c.map(_ + 0.02 * rnd.nextGaussian()))
+    }.toDF("qid", "qvec")
+    val got = Similarity.ivfTopK(corpus, "id", "vec", queries, "qid", "qvec",
+      k = 10, nlist = 8, nprobe = 3)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val want = Similarity.bruteForceTopK(corpus, "id", "vec", queries, "qid", "qvec", 10)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = got.intersect(want).size.toDouble / want.size
+    assert(recall >= 0.8, s"recall $recall too low")
+  }
+
   test("lsh top-k achieves high recall on clustered data") {
     val rnd = new scala.util.Random(7)
     def cluster(center: Array[Double], n: Int, startId: Long) =
