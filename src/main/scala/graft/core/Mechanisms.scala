@@ -40,7 +40,15 @@ sealed trait AdditiveMechanism extends Serializable {
 
 final case class LaplaceMechanism(b: Double, l1Sensitivity: Double, eps: Double)
     extends AdditiveMechanism {
-  def addNoise(value: Double, noise: NoiseSource): Double = value + noise.laplace(b)
+  /** The value is snapped to the same power-of-2 granularity the secure
+    * sampler draws on (Mironov 2012 mitigation) — the released number sits
+    * exactly on the grid. Snapping is the identity for values whose
+    * representable precision is coarser than b/2^40 (all integer-valued
+    * doubles in particular), so zero-noise oracle runs are unaffected. */
+  def addNoise(value: Double, noise: NoiseSource): Double = {
+    val gran = DpNoise.laplaceGranularity(b)
+    math.rint(value / gran) * gran + noise.laplace(b)
+  }
   def stdDev: Double = b * math.sqrt(2.0)
   def describe: String =
     f"Laplace mechanism: parameter=$b%.6g l1_sensitivity=$l1Sensitivity eps=$eps"

@@ -86,6 +86,19 @@ object DpNoise {
 
   /** Laplace scale b for (eps)-DP with L1 sensitivity. */
   def laplaceB(eps: Double, l1Sensitivity: Double): Double = l1Sensitivity / eps
+
+  /** Snapping granularity for secure Laplace noise: the smallest power of 2
+    * >= b / 2^40 (the Google DP library's choice). Power-of-2 granularity
+    * makes value snapping exact for any value whose representable precision
+    * is coarser than the granularity — in particular the identity for
+    * integer-valued doubles. */
+  def laplaceGranularity(b: Double): Double = {
+    require(b > 0)
+    val target = b / 1099511627776.0 // 2^40
+    val e = java.lang.Math.getExponent(target)
+    val floorPow = java.lang.Math.scalb(1.0, e)
+    if (floorPow == target) floorPow else java.lang.Math.scalb(1.0, e + 1)
+  }
 }
 
 /** A serializable source of noise draws usable inside Spark tasks.
@@ -103,14 +116,30 @@ object NoiseSource {
 
   /** Cryptographically seeded noise — the production default. A per-thread
     * SecureRandom (java.security) lives executor-side; the object itself
-    * carries no state across serialization. */
+    * carries no state across serialization.
+    *
+    * Laplace draws use the SNAPPED sampler (Mironov, "On significance of the
+    * least significant bits for differential privacy", CCS 2012; Google DP
+    * library's geometric construction): noise is a two-sided geometric on
+    * multiples of a power-of-2 granularity r ~ b/2^40 — i.e. the DISCRETE
+    * Laplace distribution P(k r) ∝ exp(-|k| r / b) — so no floating-point
+    * artifact of the continuous inverse CDF can leak input bits. Gaussian
+    * draws remain double-precision (documented deviation; the symmetric-
+    * binomial secure sampler is future work). */
   object Secure extends NoiseSource {
     @transient private lazy val rng =
       ThreadLocal.withInitial[java.security.SecureRandom](() => new java.security.SecureRandom())
     private def r = rng.get()
     def laplace(b: Double): Double = {
-      val u = r.nextDouble() - 0.5
-      -b * math.signum(u) * math.log1p(-2 * math.abs(u))
+      val gran = DpNoise.laplaceGranularity(b)
+      // geometric over {0,1,...} with success prob 1 - e^(-gran/b):
+      // K = floor(ln U / ln(1 - p)) = floor(ln U * (-b/gran))
+      def geometric(): Long = {
+        var u = r.nextDouble()
+        while (u == 0.0) u = r.nextDouble()
+        math.floor(math.log(u) * (-b / gran)).toLong
+      }
+      (geometric() - geometric()) * gran
     }
     def gaussian(sigma: Double): Double = sigma * r.nextGaussian()
     def uniform(): Double = r.nextDouble()

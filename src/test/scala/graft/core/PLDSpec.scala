@@ -180,3 +180,36 @@ class PLDBudgetAccountantSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { acc.requestBudget(Gaussian) }
   }
 }
+
+class SnappedLaplaceSpec extends AnyFunSuite {
+
+  test("granularity is a power of two >= b/2^40") {
+    for (b <- Seq(1.0, 0.001, 3.7, 123456.0)) {
+      val g = DpNoise.laplaceGranularity(b)
+      assert(g >= b / math.pow(2, 40))
+      assert(g < b / math.pow(2, 39))
+      val e = math.log(g) / math.log(2.0)
+      assert(math.abs(e - math.rint(e)) < 1e-12, s"not a power of 2: $g")
+    }
+  }
+
+  test("secure laplace noise sits on the granularity grid with std ~ b*sqrt(2)") {
+    val b = 2.0
+    val g = DpNoise.laplaceGranularity(b)
+    val draws = Array.fill(20000)(NoiseSource.Secure.laplace(b))
+    draws.foreach { d =>
+      val k = d / g
+      assert(k == math.rint(k), s"off-grid draw $d")
+    }
+    val std = math.sqrt(draws.map(x => x * x).sum / draws.length)
+    assert(math.abs(std - b * math.sqrt(2.0)) < 0.1, s"std $std")
+    // roughly symmetric
+    assert(math.abs(draws.count(_ > 0) - draws.count(_ < 0)) < 800)
+  }
+
+  test("value snapping is the identity for integer-valued doubles") {
+    val mech = LaplaceMechanism.fromEpsilon(0.5, 100.0) // b = 200
+    for (v <- Seq(0.0, 1.0, 12345.0, -987654.0, 1e12))
+      assert(mech.addNoise(v, NoiseSource.Zero) == v)
+  }
+}
