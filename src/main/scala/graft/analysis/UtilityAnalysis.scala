@@ -313,14 +313,28 @@ object UtilityAnalysis {
     * rows form the report histogram by partition size
     * (reference: cross_partition_combiners.py:195-347,
     * utility_analysis.py:197-251). */
-  def report(perPartition: DataFrame, options: UtilityAnalysisOptions): DataFrame = {
+  def report(perPartition: DataFrame, options: UtilityAnalysisOptions): DataFrame =
+    reportForPrefixes(perPartition, options.metrics.map(_.name))
+
+  /** Cross-partition report over a multi-column per-partition frame
+    * ([[perPartitionMetricsMultiSum]]): SUM metrics are reported per value
+    * column (prefix `sum_<name>`). */
+  def reportMultiSum(
+      perPartition: DataFrame,
+      options: UtilityAnalysisOptions,
+      valueNames: Seq[String]): DataFrame =
+    reportForPrefixes(perPartition, options.metrics.flatMap {
+      case Sum => valueNames.map(n => s"sum_$n")
+      case m => Seq(m.name)
+    })
+
+  private def reportForPrefixes(perPartition: DataFrame, prefixes: Seq[String]): DataFrame = {
     val w = col("keep_prob")
     val p = col("keep_prob")
 
     // per-partition per-metric derived error columns, weighted
     // (reference: cross_partition_combiners.py:64-118)
-    val metricCols = options.metrics.flatMap { m =>
-      val n = m.name
+    val metricCols = prefixes.flatMap { n =>
       val sumv = col(s"${n}_sum")
       val absMean = col(s"${n}_exp_l0_err") + col(s"${n}_clip_min_err") + col(s"${n}_clip_max_err")
       val absVar = col(s"${n}_std_l0_err") * col(s"${n}_std_l0_err") +
@@ -353,8 +367,7 @@ object UtilityAnalysis {
         explode(array(lit(-1L), bucketLower(col("raw_privacy_id_count")))).as("bucket_lower"))
         ++ metricCols: _*)
 
-    val metricAggs = options.metrics.flatMap { m =>
-      val n = m.name
+    val metricAggs = prefixes.flatMap { n =>
       Seq(
         sum(col(s"__${n}_actual")).as(s"__${n}_actual"),
         first(col(s"__${n}_std")).as(s"${n}_noise_std"),
@@ -383,8 +396,7 @@ object UtilityAnalysis {
     // averaging (reference: cross_partition_combiners.py:261-275):
     // error fields / total weight; dropped ratios / actual totals
     val tw = col("__tw")
-    val outMetricCols = options.metrics.flatMap { m =>
-      val n = m.name
+    val outMetricCols = prefixes.flatMap { n =>
       val actual = col(s"__${n}_actual")
       def overW(c: Column): Column = when(tw === 0, lit(0.0)).otherwise(c / tw)
       def overA(c: Column): Column = when(actual === 0, c).otherwise(c / actual)

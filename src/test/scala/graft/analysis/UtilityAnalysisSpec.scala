@@ -279,3 +279,32 @@ class UtilityAnalysisSpec extends AnyFunSuite {
     assert(kept > 450 && kept < 750, s"kept $kept of 2000 at rate 0.3")
   }
 }
+
+class MultiSumReportSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("cross-partition report over multi-column analysis") {
+    val df = Seq(("u0", "pk", 2.0, 3.0), ("u0", "pk", 0.0, 0.0), ("u1", "pk", 15.0, 20.0))
+      .toDF("uid", "k", "a", "b")
+    val mvCols = graft.spark.MultiValueColumns(col("uid"), Seq("k" -> col("k")),
+      Seq("a" -> col("a"), "b" -> col("b")))
+    val opts = UtilityAnalysisOptions(
+      epsilon = 1.0, delta = 0.0, metrics = Seq(Metric.Sum),
+      configs = Seq(UtilityAnalysisConfig(1, 1)), publicPartitions = true)
+    val pre = UtilityAnalysis.preAggregateMulti(df, mvCols)
+    val pub = Seq("pk").toDF("k")
+    val per = UtilityAnalysis.perPartitionMetricsMultiSum(
+      pre, Seq("k"), Seq("a", "b"), opts, Seq(Seq((0.0, 3.0), (0.0, 10.0))), Some(pub))
+    val rep = UtilityAnalysis.reportMultiSum(per, opts, Seq("a", "b"))
+    val global = rep.filter(col("bucket_lower") === -1L).collect().head
+    // single partition, weight 1: abs_mean = clip errors
+    assert(global.getAs[Double]("sum_a_abs_mean") == -12.0)
+    assert(global.getAs[Double]("sum_b_abs_mean") == -10.0)
+    // noise stds: laplace, eps 0.5 each, l1 = 1*3 and 1*10
+    assert(math.abs(global.getAs[Double]("sum_a_noise_std") - math.sqrt(2.0) * 6.0) < 1e-9)
+    assert(math.abs(global.getAs[Double]("sum_b_noise_std") - math.sqrt(2.0) * 20.0) < 1e-9)
+    // dropped ratio: linf drop = 12 of 17 for column a
+    assert(math.abs(global.getAs[Double]("sum_a_ratio_dropped_linf") - 12.0 / 17.0) < 1e-12)
+  }
+}
