@@ -610,14 +610,34 @@ object SparkEntry {
           sum(floor(col("value"))).cast("double").as("value_floor_sum"))
     }),
     "mm_decode_resize" -> ((s, dir) => {
-      // stubbed decode (deterministic fake dims) + real resize planning;
-      // hash-derived dims => rows-only
+      // REAL image pipeline: synthesize a PNG per document (dims derived
+      // from the text length), decode it with ImageIO, plan the resize.
+      // The decoded dimensions equal the construction formula, so the whole
+      // encode->decode->plan roundtrip is oracle-exact.
+      val toPng = udf((text: String) => Multimodal.syntheticPng(text))
       val docs = s.read.parquet(s"$dir/documents.parquet")
-        .withColumn("media", col("text").cast("binary"))
-      val decoded = Multimodal.decodeImageStub(docs, "media")
+        .select(col("doc_id"), col("text")).withColumn("media", toPng(col("text")))
+      val decoded = Multimodal.decodeImage(docs, "media")
       decoded.select(col("doc_id"),
-        Multimodal.resizePlan(col("decoded"), 512).as("p"))
-        .select(col("doc_id"), col("p.target_width"), col("p.target_height"))
+        col("decoded.width").as("width"), col("decoded.height").as("height"),
+        Multimodal.resizePlan(col("decoded"), 8).as("p"))
+        .select(col("doc_id"), col("width"), col("height"),
+          col("p.target_width").as("target_width"),
+          col("p.target_height").as("target_height"))
+    }),
+    "mm_audio_decode" -> ((s, dir) => {
+      // REAL audio decode: synthesize an 8-bit mono WAV per document (one
+      // frame per UTF-8 byte), parse it back via javax.sound. Frame count
+      // equals the byte length => oracle-exact.
+      val toWav = udf((text: String) => Multimodal.syntheticWav(text))
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text")).withColumn("media", toWav(col("text")))
+      Multimodal.decodeAudio(docs, "media")
+        .select(col("doc_id"),
+          col("decoded_audio.sample_rate").as("sample_rate"),
+          col("decoded_audio.channels").as("channels"),
+          col("decoded_audio.n_frames").as("n_frames"),
+          round(col("decoded_audio.duration_seconds"), 9).as("duration_seconds"))
     })
   )
 
@@ -964,6 +984,21 @@ object SparkEntry {
                        ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
            FROM scored
            QUALIFY rank <= 5""",
+      "mm_decode_resize" ->
+        """WITH d AS (
+             SELECT doc_id,
+                    CAST(4 + len(text) % 13 AS INT) AS width,
+                    CAST(4 + (len(text) // 13) % 11 AS INT) AS height
+             FROM documents)
+           SELECT doc_id, width, height,
+             CAST(round(width * least(1.0, 8.0 / greatest(width, height))) AS INT) AS target_width,
+             CAST(round(height * least(1.0, 8.0 / greatest(width, height))) AS INT) AS target_height
+           FROM d""",
+      "mm_audio_decode" ->
+        """SELECT doc_id, 16000.0 AS sample_rate, 1 AS channels,
+              CAST(octet_length(encode(text)) AS BIGINT) AS n_frames,
+              round(CAST(octet_length(encode(text)) AS DOUBLE) / 16000.0, 9) AS duration_seconds
+           FROM documents""",
       "mm_features" ->
         """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
               sha256(text) AS sha256

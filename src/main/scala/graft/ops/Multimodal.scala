@@ -8,13 +8,143 @@ import org.apache.spark.sql.types._
   * `binary` columns with a typed metadata struct, and run decode /
   * feature-extraction as batched per-partition transforms.
   *
-  * The actual media codecs are NOT available in this environment, so the
-  * decode step is STUBBED: [[decodeImageStub]] produces deterministic fake
-  * features derived from the bytes (clearly marked). Everything around it —
-  * schema, batching, partitioning, null handling — is real and tested, so a
-  * real codec drops in by replacing one function.
+  * Image decode ([[decodeImage]]) and resize ([[resizeImage]]) are REAL,
+  * via the JDK's ImageIO (PNG/BMP/GIF/JPEG readers ship with the JVM);
+  * audio decode ([[decodeAudio]]) parses WAV/AIFF via javax.sound. Only the
+  * embedding "model forward pass" in [[extractFeaturesBatched]] remains a
+  * deterministic fake (no model weights in this environment), and
+  * [[decodeImageStub]] is kept for payloads in formats the JDK cannot read.
   */
 object Multimodal {
+
+  // BufferedImage/ImageIO work without a display, but only in headless mode
+  System.setProperty("java.awt.headless", "true")
+
+  /** Decoded-image struct produced by [[decodeImage]]. */
+  final case class DecodedImage(width: Int, height: Int, mean_luminance: Double)
+
+  /** Decoded-audio struct produced by [[decodeAudio]]. */
+  final case class DecodedAudio(
+      sample_rate: Double, channels: Int, n_frames: Long, duration_seconds: Double)
+
+  /** REAL image decode: parses the payload with ImageIO and computes
+    * dimensions plus mean luminance over a bounded 32x32 sampling grid
+    * (constant work per image regardless of size). Undecodable or null
+    * payloads yield a null struct — the pipeline keeps flowing. */
+  def decodeImage(df: DataFrame, mediaCol: String): DataFrame = {
+    val decodeUdf = udf((bytes: Array[Byte]) => decodeImageBytes(bytes))
+    df.withColumn("decoded", decodeUdf(col(mediaCol)))
+  }
+
+  private[ops] def decodeImageBytes(bytes: Array[Byte]): Option[DecodedImage] = {
+    if (bytes == null) return None
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) return None
+      val w = img.getWidth; val h = img.getHeight
+      val stepX = math.max(1, w / 32); val stepY = math.max(1, h / 32)
+      var sum = 0.0; var n = 0
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          sum += 0.299 * ((rgb >> 16) & 0xFF) + 0.587 * ((rgb >> 8) & 0xFF) +
+            0.114 * (rgb & 0xFF)
+          n += 1
+          x += stepX
+        }
+        y += stepY
+      }
+      Some(DecodedImage(w, h, if (n == 0) 0.0 else sum / n))
+    } catch { case _: Exception => None }
+  }
+
+  /** REAL resize: decodes, scales the longest side to `maxSide` (keeping
+    * aspect, never upscaling — same rule as [[resizePlan]]) and re-encodes.
+    * Returns null for undecodable payloads. */
+  def resizeImage(df: DataFrame, mediaCol: String, maxSide: Int,
+      format: String = "png"): DataFrame = {
+    val resizeUdf = udf((bytes: Array[Byte]) => {
+      if (bytes == null) null
+      else try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        if (img == null) null
+        else {
+          val scale = math.min(1.0, maxSide.toDouble / math.max(img.getWidth, img.getHeight))
+          val tw = math.max(1, math.round(img.getWidth * scale).toInt)
+          val th = math.max(1, math.round(img.getHeight * scale).toInt)
+          val out = new java.awt.image.BufferedImage(tw, th,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = out.createGraphics()
+          g.drawImage(img.getScaledInstance(tw, th, java.awt.Image.SCALE_AREA_AVERAGING),
+            0, 0, null)
+          g.dispose()
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, format, bos)
+          bos.toByteArray
+        }
+      } catch { case _: Exception => null }
+    })
+    df.withColumn("resized", resizeUdf(col(mediaCol)))
+  }
+
+  /** REAL audio decode: parses WAV/AIFF/AU headers via javax.sound and
+    * returns sample rate, channels, frame count, and duration. */
+  def decodeAudio(df: DataFrame, mediaCol: String): DataFrame = {
+    val decodeUdf = udf((bytes: Array[Byte]) => {
+      if (bytes == null) None
+      else try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        val fmt = in.getFormat
+        val frames = in.getFrameLength
+        Some(DecodedAudio(fmt.getSampleRate.toDouble, fmt.getChannels, frames,
+          frames.toDouble / fmt.getSampleRate))
+      } catch { case _: Exception => None }
+    })
+    df.withColumn("decoded_audio", decodeUdf(col(mediaCol)))
+  }
+
+  /** Deterministic synthetic PNG: dimensions derived from the text length
+    * (w = 4 + len%13, h = 4 + (len/13)%11), pixels from the text bytes —
+    * real, decodable image payloads for pipeline tests without external
+    * media files. */
+  def syntheticPng(text: String): Array[Byte] = {
+    val len = if (text == null) 0 else text.length
+    val w = 4 + len % 13
+    val h = 4 + (len / 13) % 11
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bytes = if (text == null) Array.emptyByteArray else text.getBytes("UTF-8")
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val i = y * w + x
+        val v = if (bytes.isEmpty) 0 else bytes(i % bytes.length) & 0xFF
+        img.setRGB(x, y, (v << 16) | ((255 - v) << 8) | ((v * 7) & 0xFF))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Deterministic synthetic WAV: 8-bit mono PCM at `sampleRate`, one frame
+    * per byte of the text. */
+  def syntheticWav(text: String, sampleRate: Float = 16000f): Array[Byte] = {
+    val data = if (text == null) Array.emptyByteArray else text.getBytes("UTF-8")
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate, 8, 1, false, false)
+    val in = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, data.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(in,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
 
   /** Canonical media schema: payload + typed metadata. */
   val mediaMetaType: StructType = StructType(Seq(

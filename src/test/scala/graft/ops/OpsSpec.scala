@@ -240,6 +240,37 @@ class MultimodalSpec extends AnyFunSuite {
     assert(plan.getInt(0) <= 256 && plan.getInt(1) <= 256)
   }
 
+  test("real image decode + resize roundtrip via ImageIO") {
+    val text = "a" * 30 // w = 4 + 30%13 = 8, h = 4 + (30/13)%11 = 6
+    val png = Multimodal.syntheticPng(text)
+    assert(png.length > 8 && (png(1) & 0xFF) == 'P'.toInt) // PNG magic
+    val df = Seq((1L, png)).toDF("id", "media")
+    val dec = Multimodal.decodeImage(df, "media")
+      .select("decoded.width", "decoded.height", "decoded.mean_luminance")
+      .collect().head
+    assert(dec.getInt(0) == 8 && dec.getInt(1) == 6)
+    assert(dec.getDouble(2) > 0.0 && dec.getDouble(2) < 255.0)
+    // real resize halves the longest side
+    val resized = Multimodal.resizeImage(df, "media", maxSide = 4)
+      .select("resized").collect().head.getAs[Array[Byte]](0)
+    val back = Multimodal.decodeImageBytes(resized).get
+    assert(back.width == 4 && back.height == 3)
+    // undecodable bytes yield null struct, not an exception
+    val junk = Seq((2L, Array[Byte](1, 2, 3))).toDF("id", "media")
+    assert(Multimodal.decodeImage(junk, "media").filter(col("decoded").isNull).count() == 1)
+  }
+
+  test("real audio decode via javax.sound") {
+    val wav = Multimodal.syntheticWav("hello world", 16000f)
+    val df = Seq((1L, wav)).toDF("id", "media")
+    val dec = Multimodal.decodeAudio(df, "media")
+      .select("decoded_audio.sample_rate", "decoded_audio.channels",
+        "decoded_audio.n_frames").collect().head
+    assert(dec.getDouble(0) == 16000.0)
+    assert(dec.getInt(1) == 1)
+    assert(dec.getLong(2) == 11L) // one frame per byte
+  }
+
   test("batched feature extraction preserves rows and adds deterministic vectors") {
     val df = Seq((1L, "abc"), (2L, "abc"), (3L, "xyz")).toDF("id", "text")
       .withColumn("media", col("text").cast("binary")).drop("text")
