@@ -51,8 +51,16 @@ object Dedup {
   /** MinHash signature: `numHashes` independent permutations simulated by
     * salted xxhash64, each taking the min over the shingle set. */
   def minHashSignature(shingles: Column, numHashes: Int = 128): Column =
+    minHashSignatureFromHashes(transform(shingles, s => xxhash64(s)), numHashes)
+
+  /** MinHash signature over PRE-HASHED shingles: each permutation re-mixes
+    * the 8-byte long instead of re-hashing the full shingle string — hash
+    * each string once, mix 128 times (the standard one-hash minhash layout).
+    * Callers should materialize the hashed-shingle array as its own column so
+    * it is computed once, not once per permutation lambda. */
+  def minHashSignatureFromHashes(shingleHashes: Column, numHashes: Int = 128): Column =
     transform(sequence(lit(0), lit(numHashes - 1)),
-      i => array_min(transform(shingles, s => xxhash64(s, i))))
+      i => array_min(transform(shingleHashes, h => xxhash64(h, i))))
 
   /** Estimated Jaccard from two MinHash signatures. */
   def minHashSimilarity(sigA: Column, sigB: Column): Column =
@@ -95,8 +103,12 @@ object Dedup {
       .repartition(col("id"))
       .withColumn("shingles", wordShingles(col("text"), shingleSize))
       .filter(size(col("shingles")) > 0)
-      .withColumn("sig", minHashSignature(col("shingles"), numHashes))
-      .drop("text")
+      // hash every shingle string ONCE; the 128 permutations re-mix longs
+      // (CollapseProject keeps multi-referenced non-cheap aliases intact,
+      // so this column is not inlined into the permutation lambdas)
+      .withColumn("__sh_hashes", transform(col("shingles"), s => xxhash64(s)))
+      .withColumn("sig", minHashSignatureFromHashes(col("__sh_hashes"), numHashes))
+      .drop("text", "__sh_hashes")
       .localCheckpoint(false)
     // band key = hash of the band's slice of the signature
     val bandSigs = (0 until numBands).map { b =>
