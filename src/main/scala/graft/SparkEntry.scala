@@ -217,6 +217,37 @@ object SparkEntry {
       engine.accountant.computeBudgets()
       res.dataframe
     }),
+    "dp_bounds_enforced" -> ((s, dir) => {
+      // contribution bounds vouched by the caller: the engine skips both
+      // sampling stages (NoOpSampler path) => exact counts
+      runZero(events(s, dir),
+        AggregateParams(metrics = Seq(Metric.Count), maxPartitionsContributed = 5,
+          maxContributionsPerPartition = Some(100),
+          contributionBoundsAlreadyEnforced = true),
+        DPColumns(col("user_id"), Seq("event_type" -> col("event_type")), None))
+    }),
+    "dp_select_weighted_gaussian" -> ((s, dir) => {
+      // weighted-Gaussian selection: per-unit weights 1/sqrt(#partitions),
+      // zero noise + huge budget => threshold ~1, all real partitions kept
+      val engine = zeroEngine()
+      val res = engine.selectPartitions(events(s, dir),
+        SelectPartitionsParams(maxPartitionsContributed = 5,
+          strategy = PartitionSelectionStrategyKind.WeightedGaussianThresholding),
+        DPColumns(col("user_id"), Seq("event_type" -> col("event_type"))))
+      engine.accountant.computeBudgets()
+      res.dataframe
+    }),
+    "dp_select_gaussian_thr" -> ((s, dir) => {
+      // Gaussian-thresholding selection at huge budget: threshold ~1,
+      // every partition has hundreds of units => deterministic keep-all
+      val engine = zeroEngine()
+      val res = engine.selectPartitions(events(s, dir),
+        SelectPartitionsParams(maxPartitionsContributed = 5,
+          strategy = PartitionSelectionStrategyKind.GaussianThresholding),
+        DPColumns(col("user_id"), Seq("event_type" -> col("event_type"))))
+      engine.accountant.computeBudgets()
+      res.dataframe
+    }),
     "dp_vector_sum" -> ((s, dir) => {
       // elementwise sum of embeddings per label, privacy unit = vec_id.
       // embeddings quantized to multiples of 1/1024 so double sums are exact
@@ -900,6 +931,12 @@ object SparkEntry {
            FROM events GROUP BY 1, 2""",
       "dp_select_partitions" ->
         "SELECT DISTINCT event_type FROM events",
+      "dp_select_weighted_gaussian" ->
+        "SELECT DISTINCT event_type FROM events",
+      "dp_select_gaussian_thr" ->
+        "SELECT DISTINCT event_type FROM events",
+      "dp_bounds_enforced" ->
+        "SELECT event_type, CAST(count(*) AS DOUBLE) AS count FROM events GROUP BY event_type",
       "dp_vector_sum" ->
         """SELECT label,
               CAST(gs - 1 AS BIGINT) AS idx,
