@@ -138,17 +138,21 @@ object Dedup {
   /** 64-bit SimHash of the token multiset: bit b of the result is 1 iff the
     * sum over tokens of sign(bit b of xxhash64(token)) is positive. Pure
     * higher-order expressions (no UDF). */
-  def simHash(text: Column): Column = {
-    val hashes = transform(TextAnalysis.tokens(text), t => xxhash64(t))
-    // Scala-side loop over the 64 bits (shift amounts must be literal Ints);
-    // Catalyst subexpression elimination shares the token-hash array.
+  def simHash(text: Column): Column =
+    simHashFromHashes(transform(TextAnalysis.tokens(text), t => xxhash64(t)))
+
+  /** SimHash over PRE-HASHED tokens. The 64 bit-sum aggregates each
+    * reference the hash array; callers should materialize it as its own
+    * column so tokenization+hashing run once, not 64 times (CollapseProject
+    * keeps multi-referenced non-cheap aliases intact). */
+  def simHashFromHashes(tokenHashes: Column): Column =
+    // Scala-side loop over the 64 bits (shift amounts must be literal Ints)
     (0 until 64).map { b =>
       when(
-        aggregate(hashes, lit(0L),
+        aggregate(tokenHashes, lit(0L),
           (s, h) => s + when(shiftright(h, b).bitwiseAND(1) === 1, 1L).otherwise(-1L)) > 0,
         lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
-  }
 
   /** Hamming distance between two 64-bit SimHashes. */
   def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
@@ -160,7 +164,8 @@ object Dedup {
       maxHamming: Int = 3): DataFrame = {
     val sigs = df.select(col(idCol).as("id"), col(textCol).as("text"))
       .repartition(col("id"))
-      .select(col("id"), simHash(col("text")).as("sig"))
+      .withColumn("__th", transform(TextAnalysis.tokens(col("text")), t => xxhash64(t)))
+      .select(col("id"), simHashFromHashes(col("__th")).as("sig"))
       .localCheckpoint(false)
     val chunks = (0 until 4).map(c => shiftright(col("sig"), c * 16).bitwiseAND(0xFFFFL))
     val chunked = sigs.select(col("id"), col("sig"),
