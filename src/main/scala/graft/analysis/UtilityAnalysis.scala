@@ -41,7 +41,10 @@ final case class UtilityAnalysisOptions(
 ) {
   require(epsilon > 0, s"epsilon must be positive, got $epsilon")
   require(delta >= 0 && delta < 1, s"delta must be in [0, 1), got $delta")
-  require(metrics.nonEmpty, "metrics must not be empty")
+  // empty metrics = selection-only analysis (the select_partitions case,
+  // reference: parameter_tuning.py:460-468); needs private partitions
+  require(metrics.nonEmpty || !publicPartitions,
+    "selection-only analysis (empty metrics) requires private partitions")
   require(metrics.forall {
     case Metric.Count | Metric.PrivacyIdCount | Metric.Sum => true
     case _ => false

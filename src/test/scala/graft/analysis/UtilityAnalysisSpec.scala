@@ -308,3 +308,41 @@ class MultiSumReportSpec extends AnyFunSuite {
     assert(math.abs(global.getAs[Double]("sum_a_ratio_dropped_linf") - 12.0 / 17.0) < 1e-12)
   }
 }
+
+class SelectionOnlyAnalysisSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("selection-only analysis (empty metrics): keep probabilities per partition") {
+    // the select_partitions analysis case: no metric combiners, the whole
+    // budget goes to partition selection
+    val df = Seq(("u1", "A", 1.0), ("u2", "A", 1.0), ("u1", "B", 1.0))
+      .toDF("uid", "pk", "v")
+    val roles = graft.spark.DPColumns(col("uid"), Seq("pk" -> col("pk")), None)
+    val opts = UtilityAnalysisOptions(
+      epsilon = 1.0, delta = 1e-4, metrics = Nil,
+      configs = Seq(UtilityAnalysisConfig(maxPartitionsContributed = 2)))
+    val (rep, per) = UtilityAnalysis.analyze(df, roles, opts, None)
+    val rows = per.collect().map(r =>
+      r.getAs[String]("pk") -> r.getAs[Double]("keep_prob")).toMap
+    // full budget to selection: l0=2 covers both of u1's partitions => all
+    // contributor probs are 1, keep prob = strategy pmf at the pid count
+    val strat = PartitionSelection.create(
+      PartitionSelectionStrategyKind.TruncatedGeometric, 1.0, 1e-4, 2)
+    assert(math.abs(rows("A") - strat.probabilityOfKeep(2)) < 1e-12)
+    assert(math.abs(rows("B") - strat.probabilityOfKeep(1)) < 1e-12)
+    // report still carries partition/selection info with no metric columns
+    val g = rep.filter(col("bucket_lower") === -1L).collect().head
+    assert(g.getAs[Long]("n_partitions") == 2L)
+    assert(math.abs(g.getAs[Double]("kept_partitions_mean") -
+      (rows("A") + rows("B"))) < 1e-12)
+    assert(!rep.columns.exists(_.contains("noise_std")))
+  }
+
+  test("public partitions with empty metrics is rejected") {
+    intercept[IllegalArgumentException] {
+      UtilityAnalysisOptions(1.0, 1e-4, Nil,
+        Seq(UtilityAnalysisConfig(1)), publicPartitions = true)
+    }
+  }
+}
