@@ -75,10 +75,12 @@ sealed abstract class BudgetAccountant(
   ): BudgetHandle = {
     require(!finalized,
       "requestBudget() called after computeBudgets(); build all aggregations first")
-    if (mechanismType == MechanismType.Gaussian && totalDelta == 0)
-      throw new IllegalArgumentException("Gaussian mechanism requires total delta > 0")
-    if (mechanismType == MechanismType.PartitionSelection && totalDelta == 0)
-      throw new IllegalArgumentException("private partition selection requires total delta > 0")
+    // Every delta-consuming mechanism (Gaussian, either thresholding kind,
+    // partition selection) is undefined without delta; only pure Laplace may
+    // run under totalDelta == 0.
+    if (totalDelta == 0 && mechanismType != MechanismType.Laplace)
+      throw new IllegalArgumentException(
+        s"$mechanismType mechanism requires total delta > 0")
     val h = new BudgetHandle(mechanismType, weight, count, name, sensitivity)
     requests += h
     h
@@ -262,8 +264,13 @@ final class PLDBudgetAccountant(
     val delta = totalDelta - thresholdingDelta
     val threshold = 1e-4
     var hi = {
+      // Double against the REDUCED delta (total minus the thresholding
+      // reservation): the binary search below verifies mids against it, so
+      // the upper bracket must satisfy the same constraint or the search
+      // could converge to an unverified hi that overspends the budget
+      // whenever thresholding mechanisms reserve 25% of delta.
       var mx = 1.0
-      while (epsilonForBase(mx, totalDelta) > totalEpsilon) mx *= 2
+      while (epsilonForBase(mx, delta) > totalEpsilon) mx *= 2
       mx
     }
     var lo = 0.0

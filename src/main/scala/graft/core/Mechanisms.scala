@@ -64,7 +64,14 @@ object LaplaceMechanism {
 
 final case class GaussianMechanism(sigma: Double, l2Sensitivity: Double)
     extends AdditiveMechanism {
-  def addNoise(value: Double, noise: NoiseSource): Double = value + noise.gaussian(sigma)
+  /** Value snapped to the secure sampler's power-of-2 grid (~ 2*sigma/2^57),
+    * mirroring the Laplace mechanism; identity for any value representable
+    * on a coarser grid (all integer-valued doubles in particular), so
+    * zero-noise oracle runs are unaffected. */
+  def addNoise(value: Double, noise: NoiseSource): Double = {
+    val gran = DpNoise.gaussianGranularity(sigma)
+    math.rint(value / gran) * gran + noise.gaussian(sigma)
+  }
   def stdDev: Double = sigma
   def describe: String =
     f"Gaussian mechanism: parameter=$sigma%.6g l2_sensitivity=$l2Sensitivity"

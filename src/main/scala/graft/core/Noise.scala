@@ -10,10 +10,10 @@ import org.apache.commons.math3.special.Erf
   * calibration the reference delegates to
   * (reference: pipeline_dp/dp_computations.py:108-160).
   *
-  * Samplers draw from double-precision inverse CDF. The reference uses the
-  * Google DP C++ library's snapped/geometric samplers; the floating-point
-  * caveat (Mironov 2012) is accepted here and documented — the engine's
-  * attack model matches the reference's (trusted curator, untrusted output).
+  * Secure samplers draw on power-of-2 granularity grids (snapped geometric
+  * Laplace, symmetric-binomial Gaussian) following the Google DP library's
+  * constructions against the Mironov 2012 floating-point channel; see
+  * [[NoiseSource.Secure]].
   */
 object DpNoise {
 
@@ -94,7 +94,21 @@ object DpNoise {
     * integer-valued doubles. */
   def laplaceGranularity(b: Double): Double = {
     require(b > 0)
-    val target = b / 1099511627776.0 // 2^40
+    nextPowerOfTwo(b / 1099511627776.0) // 2^40
+  }
+
+  /** Snapping granularity for secure Gaussian noise: the smallest power of 2
+    * >= 2*sigma / 2^57, so the symmetric-binomial trial parameter
+    * sqrt(n) = 2*sigma/granularity lands in (2^56, 2^57] — large enough that
+    * the centered binomial Bin(n, 1/2) - n/2 approximates N(0, sigma/gran)
+    * within negligible statistical distance (the Google DP library's bound;
+    * see "Secure Noise Generation", Google 2020). */
+  def gaussianGranularity(sigma: Double): Double = {
+    require(sigma > 0)
+    nextPowerOfTwo(2.0 * sigma / 1.44115188075855872e17) // 2^57
+  }
+
+  private def nextPowerOfTwo(target: Double): Double = {
     val e = java.lang.Math.getExponent(target)
     val floorPow = java.lang.Math.scalb(1.0, e)
     if (floorPow == target) floorPow else java.lang.Math.scalb(1.0, e + 1)
@@ -123,9 +137,19 @@ object NoiseSource {
     * library's geometric construction): noise is a two-sided geometric on
     * multiples of a power-of-2 granularity r ~ b/2^40 — i.e. the DISCRETE
     * Laplace distribution P(k r) ∝ exp(-|k| r / b) — so no floating-point
-    * artifact of the continuous inverse CDF can leak input bits. Gaussian
-    * draws remain double-precision (documented deviation; the symmetric-
-    * binomial secure sampler is future work). */
+    * artifact of the continuous inverse CDF can leak input bits. (Residual
+    * FP approximation: the geometric leg is sampled via math.log(u)
+    * inverse-CDF, so the geometric PROBABILITIES carry double-rounding bias
+    * of order 2^-50 per draw, unlike Google's FP-free Bernoulli-trial
+    * construction; the grid snap still closes the Mironov LSB channel, which
+    * is the attack the construction defends against.)
+    *
+    * Gaussian draws use the SYMMETRIC-BINOMIAL sampler (the Google DP
+    * library's secure construction, "Secure Noise Generation", 2020): noise
+    * is Bin(n, 1/2) - n/2 on a power-of-2 granularity grid with
+    * sqrt(n) = 2*sigma/granularity in (2^56, 2^57], sampled by exact
+    * rejection from a two-sided-geometric proposal — integer arithmetic on
+    * the grid, no continuous inverse CDF. */
   object Secure extends NoiseSource {
     @transient private lazy val rng =
       ThreadLocal.withInitial[java.security.SecureRandom](() => new java.security.SecureRandom())
@@ -141,7 +165,62 @@ object NoiseSource {
       }
       (geometric() - geometric()) * gran
     }
-    def gaussian(sigma: Double): Double = sigma * r.nextGaussian()
+
+    def gaussian(sigma: Double): Double = {
+      val gran = DpNoise.gaussianGranularity(sigma)
+      sampleSymmetricBinomial(2.0 * sigma / gran) * gran
+    }
+
+    /** Geometric(1/2) over {0,1,...}: the number of leading 0 bits before the
+      * first 1 in a secure bit stream — exact, no floating point. */
+    private def geometricHalf(): Long = {
+      var zeros = 0L
+      var bits = r.nextLong()
+      while (bits == 0L) { zeros += 64; bits = r.nextLong() }
+      zeros + java.lang.Long.numberOfLeadingZeros(bits)
+    }
+
+    /** Unbiased uniform draw in [0, bound) by rejection. */
+    private def uniformLong(bound: Long): Long = {
+      val limit = (Long.MaxValue / bound) * bound
+      var v = r.nextLong() >>> 1
+      while (v >= limit) v = r.nextLong() >>> 1
+      v % bound
+    }
+
+    /** Centered binomial Bin(n, 1/2) - n/2 with n = sqrtN^2, sampled by
+      * rejection against a two-sided-geometric-by-uniform proposal — the
+      * Google DP library's symmetric-binomial construction. For
+      * sqrtN > 2^56 the result is within negligible statistical distance of
+      * N(0, sqrtN/2). The target pmf uses the continuity-corrected normal
+      * approximation with an explicit under-estimate factor, which keeps the
+      * acceptance test conservative. */
+    private def sampleSymmetricBinomial(sqrtN: Double): Double = {
+      val n = sqrtN * sqrtN
+      val stepSize = math.round(math.sqrt(2.0) * sqrtN + 1.0)
+      val tailBound = sqrtN * math.sqrt(math.log(n) / 2)
+      val center = math.sqrt(2.0 / math.Pi) / sqrtN *
+        (1 - 0.4 * math.pow(math.log(n), 1.5) / sqrtN)
+      while (true) {
+        val geom = geometricHalf()
+        // geom > 62 would overflow stepSize * twoSided; the tail bound would
+        // reject it anyway (P ~ 2^-63), so retry without risking overflow.
+        if (geom <= 62) {
+          val twoSided = if ((r.nextInt() & 1) == 0) geom else -geom - 1
+          val result = stepSize * twoSided + uniformLong(stepSize)
+          val rd = result.toDouble
+          val resultProb =
+            if (math.abs(rd) > tailBound) 0.0
+            else center * math.exp(-2.0 * rd * rd / n)
+          val rejectProb = r.nextDouble()
+          if (resultProb > 0 && rejectProb > 0 &&
+              rejectProb < resultProb * stepSize * math.pow(2.0, geom - 2.0))
+            return rd
+        }
+      }
+      0.0 // unreachable
+    }
+
     def uniform(): Double = r.nextDouble()
     private def readResolve(): Object = Secure
   }

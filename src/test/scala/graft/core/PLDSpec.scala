@@ -213,3 +213,45 @@ class SnappedLaplaceSpec extends AnyFunSuite {
       assert(mech.addNoise(v, NoiseSource.Zero) == v)
   }
 }
+
+class SymmetricBinomialGaussianSpec extends AnyFunSuite {
+
+  test("granularity is a power of two with sqrt(n) in (2^56, 2^57]") {
+    for (sigma <- Seq(1.0, 0.003, 42.5, 1.7e6)) {
+      val g = DpNoise.gaussianGranularity(sigma)
+      val e = math.log(g) / math.log(2.0)
+      assert(math.abs(e - math.rint(e)) < 1e-12, s"not a power of 2: $g")
+      val sqrtN = 2.0 * sigma / g
+      assert(sqrtN > math.pow(2, 56) * 0.999 && sqrtN <= math.pow(2, 57), s"sqrtN $sqrtN")
+    }
+  }
+
+  test("secure gaussian draws sit on the grid with correct mean/std/tails") {
+    val sigma = 3.0
+    val g = DpNoise.gaussianGranularity(sigma)
+    val n = 100000
+    val draws = Array.fill(n)(NoiseSource.Secure.gaussian(sigma))
+    draws.foreach { d =>
+      val k = d / g
+      assert(k == math.rint(k), s"off-grid draw $d")
+    }
+    val mean = draws.sum / n
+    // std of the sample mean is sigma/sqrt(n) ~ 0.0095; 6-sigma tolerance
+    assert(math.abs(mean) < 0.06, s"mean $mean")
+    val variance = draws.map(x => (x - mean) * (x - mean)).sum / n
+    // relative s.e. of the variance is sqrt(2/n) ~ 0.45%; 6-sigma tolerance
+    assert(math.abs(variance / (sigma * sigma) - 1.0) < 0.03, s"variance $variance")
+    // two-sided tail beyond 1.96 sigma: expect ~5%
+    val tail = draws.count(d => math.abs(d) > 1.96 * sigma).toDouble / n
+    assert(math.abs(tail - 0.05) < 0.006, s"tail $tail")
+    // beyond 3 sigma: expect ~0.27%
+    val tail3 = draws.count(d => math.abs(d) > 3.0 * sigma).toDouble / n
+    assert(math.abs(tail3 - 0.0027) < 0.0015, s"tail3 $tail3")
+  }
+
+  test("gaussian value snapping is the identity for integer-valued doubles") {
+    val mech = GaussianMechanism.fromStdDeviation(57.3, 2.0)
+    for (v <- Seq(0.0, 1.0, 12345.0, -987654.0, 1e12))
+      assert(mech.addNoise(v, NoiseSource.Zero) == v)
+  }
+}
