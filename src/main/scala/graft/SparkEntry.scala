@@ -263,8 +263,9 @@ object SparkEntry {
         .select(col("label"), col("idx").cast("long").as("idx"), col("coord_sum"))
     }),
     "dp_percentile" -> ((s, dir) => {
-      // DP quantile tree: no SQL-expressible oracle (tree-interpolated values);
-      // accuracy is covered by VectorQuantileSpec. Rows-only check here.
+      // DP quantile tree, zero noise => the height-4/branching-16 walk is
+      // deterministic; the oracle replicates it in SQL (4-level unrolled
+      // descent over per-leaf counts), bit-exact including the FP rank chain.
       runZero(events(s, dir),
         AggregateParams(
           metrics = Seq(Metric.Percentile(10), Metric.Percentile(50), Metric.Percentile(90)),
@@ -947,6 +948,98 @@ object SparkEntry {
            GROUP BY label, gs""",
       "dp_add_noise" ->
         "SELECT event_type, CAST(sum(floor(value)) AS DOUBLE) AS total FROM events GROUP BY event_type",
+      // Zero-noise quantile tree (height 4, branching 16 over [0, 500]):
+      // exact per-leaf counts, then the tree's top-down walk unrolled level by
+      // level. Each level selects the first child digit whose cumulative count
+      // reaches the target mass, re-normalizes the rank with the SAME
+      // floating-point expression the engine uses ((target - cumBefore) / c,
+      // next target = rank * c), and narrows [lo, hi) with the engine's
+      // width arithmetic — IEEE ops in identical order, so the interpolated
+      // quantiles match bit-for-bit.
+      "dp_percentile" ->
+        """WITH leaves AS (
+             SELECT event_type,
+                    CASE WHEN lf >= 65536 THEN 65535 ELSE lf END AS leaf
+             FROM (SELECT event_type,
+                          CAST(trunc(((least(greatest(floor(value), 0.0), 500.0) - 0.0)
+                                      / (500.0 - 0.0)) * 65536.0) AS BIGINT) AS lf
+                   FROM events)
+           ),
+           qs AS (SELECT * FROM (VALUES (0.1), (0.5), (0.9)) t(q)),
+           tot AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS n FROM leaves GROUP BY 1),
+           l1 AS (SELECT event_type, leaf // 4096 AS d, CAST(count(*) AS DOUBLE) AS c
+                  FROM leaves GROUP BY 1, 2),
+           s1 AS (
+             SELECT event_type, q, d AS sel1, c AS c1, (t1 - (cumt - c)) / c AS r1
+             FROM (SELECT t.event_type, qs.q, l.d, l.c, qs.q * t.n AS t1,
+                          SUM(l.c) OVER (PARTITION BY t.event_type, qs.q ORDER BY l.d) AS cumt
+                   FROM tot t CROSS JOIN qs JOIN l1 l ON l.event_type = t.event_type) z
+             WHERE cumt >= t1
+             QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type, q ORDER BY d) = 1
+           ),
+           l2 AS (SELECT s.event_type, s.q, s.sel1, s.r1, s.c1,
+                         (l.leaf // 256) % 16 AS d, CAST(count(*) AS DOUBLE) AS c
+                  FROM s1 s JOIN leaves l
+                    ON l.event_type = s.event_type AND l.leaf // 4096 = s.sel1
+                  GROUP BY ALL),
+           s2 AS (
+             SELECT event_type, q, sel1, d AS sel2, c AS c2, (t2 - (cumt - c)) / c AS r2
+             FROM (SELECT *, r1 * c1 AS t2,
+                          SUM(c) OVER (PARTITION BY event_type, q ORDER BY d) AS cumt
+                   FROM l2) z
+             WHERE cumt >= t2
+             QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type, q ORDER BY d) = 1
+           ),
+           l3 AS (SELECT s.event_type, s.q, s.sel1, s.sel2, s.r2, s.c2,
+                         (l.leaf // 16) % 16 AS d, CAST(count(*) AS DOUBLE) AS c
+                  FROM s2 s JOIN leaves l
+                    ON l.event_type = s.event_type AND l.leaf // 4096 = s.sel1
+                   AND (l.leaf // 256) % 16 = s.sel2
+                  GROUP BY ALL),
+           s3 AS (
+             SELECT event_type, q, sel1, sel2, d AS sel3, c AS c3, (t3 - (cumt - c)) / c AS r3
+             FROM (SELECT *, r2 * c2 AS t3,
+                          SUM(c) OVER (PARTITION BY event_type, q ORDER BY d) AS cumt
+                   FROM l3) z
+             WHERE cumt >= t3
+             QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type, q ORDER BY d) = 1
+           ),
+           l4 AS (SELECT s.event_type, s.q, s.sel1, s.sel2, s.sel3, s.r3, s.c3,
+                         l.leaf % 16 AS d, CAST(count(*) AS DOUBLE) AS c
+                  FROM s3 s JOIN leaves l
+                    ON l.event_type = s.event_type AND l.leaf // 4096 = s.sel1
+                   AND (l.leaf // 256) % 16 = s.sel2 AND (l.leaf // 16) % 16 = s.sel3
+                  GROUP BY ALL),
+           s4 AS (
+             SELECT event_type, q, sel1, sel2, sel3, d AS sel4, (t4 - (cumt - c)) / c AS r4
+             FROM (SELECT *, r3 * c3 AS t4,
+                          SUM(c) OVER (PARTITION BY event_type, q ORDER BY d) AS cumt
+                   FROM l4) z
+             WHERE cumt >= t4
+             QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type, q ORDER BY d) = 1
+           ),
+           walk AS (
+             SELECT event_type, q,
+                    lo3 + sel4 * w4 AS lo4, lo3 + (sel4 + 1) * w4 AS hi4, r4
+             FROM (
+               SELECT *, (hi3 - lo3) / 16.0 AS w4 FROM (
+                 SELECT *, lo2 + sel3 * w3 AS lo3, lo2 + (sel3 + 1) * w3 AS hi3 FROM (
+                   SELECT *, (hi2 - lo2) / 16.0 AS w3 FROM (
+                     SELECT *, lo1 + sel2 * w2 AS lo2, lo1 + (sel2 + 1) * w2 AS hi2 FROM (
+                       SELECT *, (hi1 - lo1) / 16.0 AS w2 FROM (
+                         SELECT *, 0.0 + sel1 * w1 AS lo1, 0.0 + (sel1 + 1) * w1 AS hi1 FROM (
+                           SELECT *, (500.0 - 0.0) / 16.0 AS w1 FROM s4))))))) y
+           ),
+           res AS (
+             SELECT event_type, q,
+                    least(greatest(lo4 + r4 * (hi4 - lo4), 0.0), 500.0) AS v
+             FROM walk
+           )
+           SELECT event_type,
+                  MAX(CASE WHEN q = 0.1 THEN v END) AS percentile_10,
+                  MAX(CASE WHEN q = 0.5 THEN v END) AS percentile_50,
+                  MAX(CASE WHEN q = 0.9 THEN v END) AS percentile_90
+           FROM res GROUP BY event_type""",
       "text_quality" ->
         """SELECT doc_id,
               CAST(len(text) AS BIGINT) AS n_chars,
