@@ -120,6 +120,36 @@ object SparkEntry {
       engine.accountant.computeBudgets()
       res.dataframe
     }),
+    "dp_sum_pld_gaussian" -> ((s, dir) => {
+      // Gaussian noise kind budgeted through PLD composition (exercises the
+      // Gaussian-PLD leg of the noise-std search); zero noise => exact
+      // clipped sum, same oracle as dp_sum.
+      val engine = new DPEngine(
+        new PLDBudgetAccountant(1e5, 0.999999, pldDiscretization = 1e-2),
+        NoiseSource.Zero)
+      val res = engine.aggregate(events(s, dir),
+        generous(Seq(Metric.Sum), 10, 100).copy(noiseKind = NoiseKind.Gaussian),
+        eventRoles)
+      engine.accountant.computeBudgets()
+      res.dataframe
+    }),
+    "dp_post_agg_threshold_pld" -> ((s, dir) => {
+      // post-aggregation thresholding under PLD accounting: the request is a
+      // GaussianThresholding mechanism, so it joins the composed noise-std
+      // search AND receives the 25% thresholding-delta reservation; the
+      // selection is built from (noiseStdDev, thresholdingDelta). Zero noise
+      // + huge budget => threshold ~1 + tiny, all partitions (hundreds of
+      // units each) kept with their exact privacy-id counts.
+      val engine = new DPEngine(
+        new PLDBudgetAccountant(1e5, 0.999999, pldDiscretization = 1e-2),
+        NoiseSource.Zero)
+      val res = engine.aggregate(events(s, dir),
+        AggregateParams(metrics = Seq(Metric.PrivacyIdCount), maxPartitionsContributed = 5,
+          noiseKind = NoiseKind.Gaussian, postAggregationThresholding = true),
+        DPColumns(col("user_id"), Seq("event_type" -> col("event_type")), None))
+      engine.accountant.computeBudgets()
+      res.dataframe
+    }),
     "dp_privacy_id_count" -> ((s, dir) => {
       runZero(events(s, dir),
         AggregateParams(metrics = Seq(Metric.PrivacyIdCount), maxPartitionsContributed = 5),
@@ -322,9 +352,14 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(docs, "doc_id", "head", "lang", n = 3, threshold = 0.8)
     }),
     "dedup_embedding" -> ((s, dir) => {
-      // exact cosine near-dup pairs blocked by label; embeddings quantized to
-      // 1/1024 so all arithmetic is order-independent (oracle parity)
+      // exact cosine near-dup pairs — BOUNDED oracle anchor: the all-pairs
+      // join is quadratic by nature, so the exact variant runs on a fixed
+      // subset (vec_id < 500, constant work at any sf). The corpus-scale
+      // path is dedup_embedding_lsh, which asserts recall against this
+      // exact pair set in-query. Embeddings quantized to 1/1024 so all
+      // arithmetic is order-independent (oracle parity).
       val e = s.read.parquet(s"$dir/embeddings.parquet")
+        .filter(col("vec_id") < 500)
         .withColumn("emb", expr("transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1024) / 1024)"))
       val l = e.select(col("label"), col("vec_id").as("id_a"), col("emb").as("v_a"))
       val r = e.select(col("label"), col("vec_id").as("id_b"), col("emb").as("v_b"))
@@ -352,33 +387,50 @@ object SparkEntry {
         k = 5, planes = 6, bands = 8)
     }),
     "dedup_embedding_lsh" -> ((s, dir) => {
-      // banded-LSH near-dup path (Dedup.embeddingNearDups) exercised with
-      // planted near-duplicates: 200 perturbed copies (cosine ~0.9999 to
-      // their originals) are unioned in; the output reports how many planted
-      // pairs the LSH recovered. Hash-dependent recall => rows-only;
-      // DedupSpec asserts recall >= 0.95 on planted dups.
+      // banded-LSH near-dup — the CORPUS-SCALE headline (bucketed ids-only
+      // candidates, never an unblocked n^2). Two in-query quality probes:
+      // (a) 200 planted near-copies (cosine ~0.9999) must be recovered;
+      // (b) recall against the EXACT all-pairs result on the bounded anchor
+      // subset (id < 500 + its planted copies — the dedup_embedding set).
+      // Hash-dependent => rows-only; DedupSpec asserts recall >= 0.95.
       val e = s.read.parquet(s"$dir/embeddings.parquet")
         .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("vec"))
       val planted = e.filter(col("id") < 200)
         .select((col("id") + lit(100000L)).as("id"),
           expr("transform(vec, (x, i) -> x + 0.02 * cos(CAST(i AS DOUBLE)))").as("vec"))
       val corpus = e.unionByName(planted)
-      Dedup.embeddingNearDups(corpus, "id", "vec", threshold = 0.95)
-        .agg(
-          sum(when(col("id_b") === col("id_a") + lit(100000L), 1L).otherwise(0L))
-            .as("n_planted_found"),
-          count(lit(1)).as("n_pairs_total"))
-        .select(lit(200L).as("n_planted"), col("n_planted_found"), col("n_pairs_total"))
+      val lsh = Dedup.embeddingNearDups(corpus, "id", "vec", threshold = 0.95)
+        .select("id_a", "id_b").localCheckpoint()
+      val sub = corpus.filter(col("id") < 500 || col("id") >= 100000L)
+      val la = sub.select(col("id").as("id_a"), col("vec").as("v_a"))
+      val rb = sub.select(col("id").as("id_b"), col("vec").as("v_b"))
+      val exact = la.join(rb, col("id_a") < col("id_b"))
+        .withColumn("cos", Similarity.cosine(col("v_a"), col("v_b")))
+        .filter(col("cos") >= 0.95)
+        .select("id_a", "id_b").localCheckpoint()
+      val probe = lsh.agg(
+        sum(when(col("id_b") === col("id_a") + lit(100000L), 1L).otherwise(0L))
+          .as("n_planted_found"),
+        count(lit(1)).as("n_pairs_total"))
+      val recall = exact.join(lsh, Seq("id_a", "id_b"), "left_semi")
+        .agg(count(lit(1)).as("n_exact_found"))
+        .crossJoin(exact.agg(count(lit(1)).as("n_exact_pairs")))
+      probe.crossJoin(recall)
+        .select(lit(200L).as("n_planted"), col("n_planted_found"),
+          col("n_pairs_total"), col("n_exact_pairs"), col("n_exact_found"))
     }),
     "sim_ivf_topk" -> ((s, dir) => {
       // IVF approximate top-k: k-means cells + probed-cell exact re-rank.
       // Clustering-dependent output => rows-only; SimilaritySpec measures
-      // recall >= 0.8 against brute force on clustered data.
+      // recall >= 0.8 against brute force on clustered data. nlist scales
+      // with sqrt(corpus) (classic IVF sizing); training is sample-capped
+      // inside ivfTopK, so no full-corpus multi-pass at any scale.
       val e = s.read.parquet(s"$dir/embeddings.parquet")
       val queries = e.filter(col("vec_id") < 20)
         .select(col("vec_id").as("qid"), col("embedding"))
+      val nlist = math.max(16, math.min(256, math.sqrt(e.count().toDouble).toInt))
       Similarity.ivfTopK(e, "vec_id", "embedding", queries, "qid", "embedding",
-        k = 5, nlist = 16, nprobe = 4)
+        k = 5, nlist = nlist, nprobe = math.max(4, nlist / 8))
     }),
     "mm_features" -> ((s, dir) => {
       // multimodal payload plumbing: text bytes as the opaque binary payload
@@ -889,6 +941,10 @@ object SparkEntry {
            FROM events GROUP BY event_type""",
       "dp_sum" ->
         s"SELECT event_type, sum($x) AS sum FROM events GROUP BY event_type",
+      "dp_sum_pld_gaussian" ->
+        s"SELECT event_type, sum($x) AS sum FROM events GROUP BY event_type",
+      "dp_post_agg_threshold_pld" ->
+        "SELECT event_type, CAST(count(DISTINCT user_id) AS DOUBLE) AS privacy_id_count FROM events GROUP BY event_type",
       "dp_mean" ->
         s"SELECT event_type, 55.0 + sum($x - 55.0) / count(*) AS mean FROM events GROUP BY event_type",
       "dp_mean_count_sum" ->
@@ -1086,7 +1142,7 @@ object SparkEntry {
         """WITH e AS (
              SELECT vec_id, label,
                     list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1024) / 1024) AS emb
-             FROM embeddings),
+             FROM embeddings WHERE vec_id < 500),
            p AS (
              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                     list_sum(list_transform(range(1, 65), i -> a.emb[i] * b.emb[i])) AS dot,

@@ -163,7 +163,16 @@ final class NaiveBudgetAccountant(
   * `sensitivity * base / weight`; thresholding mechanisms additionally carry
   * a thresholding delta (25% of total delta split among them); generic
   * (partition selection) mechanisms resolve to (eps0, delta0) with
-  * eps0 = sqrt(2)/std and delta0 proportional to eps0. */
+  * eps0 = sqrt(2)/std and delta0 proportional to eps0.
+  *
+  * ACCURACY GUARANTEE (documented deviation): [[PLD]] uses mean-preserving
+  * (connect-the-dots-class) discretization, which is approximately unbiased
+  * rather than pessimistic — the composed (eps, delta) can be UNDER-estimated
+  * by O(h) after long compositions (h = `pldDiscretization`), unlike a
+  * ceil-binned PLD whose estimate is a strict upper bound. This matches the
+  * accuracy class of Google's dp_accounting default; callers needing a
+  * certified upper bound should subtract a safety margin of ~h from
+  * totalEpsilon. */
 final class PLDBudgetAccountant(
     totalEpsilon: Double,
     totalDelta: Double,

@@ -44,6 +44,42 @@ object PartitionSelection {
   private[core] def adjustedDelta(delta: Double, l0: Int): Double =
     if (delta == 0) 0.0 else -math.expm1(math.log1p(-delta) / l0)
 
+  /** T = 1 + b * LapQuantile(1 - deltaAdj) (+ preThreshold shift): a 1-unit
+    * partition survives with probability exactly deltaAdj
+    * (Delta_For_Thresholding.pdf). */
+  private[core] def laplaceThreshold(b: Double, deltaAdj: Double, preThreshold: Int): Double = {
+    val p = 1.0 - deltaAdj
+    val q = if (p >= 0.5) -math.log(2.0 * (1.0 - p)) else math.log(2.0 * p)
+    1.0 + b * q + (preThreshold - 1)
+  }
+
+  private[core] def gaussianThreshold(sigma: Double, deltaAdj: Double, preThreshold: Int): Double =
+    1.0 + sigma * DpNoise.phiInverse(1.0 - deltaAdj) + (preThreshold - 1)
+
+  /** Thresholding selection from a PLD-resolved noise standard deviation:
+    * the noise scale is fixed by the accountant's composition search, and the
+    * threshold spends ONLY the reserved thresholding delta — the noise's
+    * privacy cost is already accounted in the composed PLD (reference:
+    * budget_accounting.py:700-747: 25% of delta reserved for thresholds,
+    * noise calibrated against the remaining 75%). `noiseStd` is the ACTUAL
+    * std of the noise applied to the privacy-unit count. */
+  def fromNoiseStd(
+      strategy: PartitionSelectionStrategyKind,
+      noiseStd: Double,
+      thresholdingDelta: Double,
+      maxPartitionsContributed: Int,
+      preThreshold: Option[Int] = None
+  ): ThresholdingSelection = strategy match {
+    case PartitionSelectionStrategyKind.LaplaceThresholding =>
+      StdLaplaceThresholdingSelection(noiseStd, thresholdingDelta,
+        maxPartitionsContributed, preThreshold.getOrElse(1))
+    case PartitionSelectionStrategyKind.GaussianThresholding =>
+      StdGaussianThresholdingSelection(noiseStd, thresholdingDelta,
+        maxPartitionsContributed, preThreshold.getOrElse(1))
+    case other =>
+      throw new IllegalArgumentException(s"$other is not a thresholding strategy")
+  }
+
   def create(
       strategy: PartitionSelectionStrategyKind,
       epsilon: Double,
@@ -144,13 +180,7 @@ final case class LaplaceThresholdingSelection(
   val b: Double = DpNoise.laplaceB(epsilon, maxPartitionsContributed.toDouble)
   private val deltaAdj = PartitionSelection.adjustedDelta(delta, maxPartitionsContributed)
 
-  /** T = 1 + b * LapQuantile(1 - deltaAdj): a 1-unit partition survives with
-    * probability exactly deltaAdj (Delta_For_Thresholding.pdf). */
-  val threshold: Double = {
-    val p = 1.0 - deltaAdj
-    val q = if (p >= 0.5) -math.log(2.0 * (1.0 - p)) else math.log(2.0 * p)
-    1.0 + b * q + (preThreshold - 1)
-  }
+  val threshold: Double = PartitionSelection.laplaceThreshold(b, deltaAdj, preThreshold)
 
   def noisedValueIfShouldKeep(n: Long, noise: NoiseSource): Option[Double] = {
     if (n < preThreshold) return None
@@ -166,6 +196,69 @@ final case class LaplaceThresholdingSelection(
 
   def describe: String =
     f"Laplace thresholding partition selection (eps=$epsilon%.4g delta=$delta%.4g threshold=$threshold%.2f)"
+}
+
+/** Laplace thresholding from a PLD-resolved noise std (see
+  * [[PartitionSelection.fromNoiseStd]]): b = noiseStd/sqrt(2); the threshold
+  * spends only the reserved thresholding delta. */
+final case class StdLaplaceThresholdingSelection(
+    noiseStd: Double,
+    thresholdingDelta: Double,
+    maxPartitionsContributed: Int,
+    preThreshold: Int = 1
+) extends ThresholdingSelection {
+  require(noiseStd > 0 && thresholdingDelta > 0 && maxPartitionsContributed >= 1 &&
+    preThreshold >= 1)
+  val b: Double = noiseStd / math.sqrt(2.0)
+  private val deltaAdj =
+    PartitionSelection.adjustedDelta(thresholdingDelta, maxPartitionsContributed)
+  val threshold: Double = PartitionSelection.laplaceThreshold(b, deltaAdj, preThreshold)
+
+  def noisedValueIfShouldKeep(n: Long, noise: NoiseSource): Option[Double] = {
+    if (n < preThreshold) return None
+    val noised = n + noise.laplace(b)
+    if (noised >= threshold) Some(noised) else None
+  }
+
+  def probabilityOfKeep(n: Long): Double = {
+    if (n < preThreshold) return 0.0
+    val z = (threshold - n) / b
+    if (z <= 0) 1.0 - 0.5 * math.exp(z) else 0.5 * math.exp(-z)
+  }
+
+  def describe: String =
+    f"Laplace thresholding partition selection (PLD noise_std=$noiseStd%.4g thresholding_delta=$thresholdingDelta%.4g threshold=$threshold%.2f)"
+}
+
+/** Gaussian thresholding from a PLD-resolved noise std (see
+  * [[PartitionSelection.fromNoiseStd]]): sigma = noiseStd; the threshold
+  * spends only the reserved thresholding delta. */
+final case class StdGaussianThresholdingSelection(
+    noiseStd: Double,
+    thresholdingDelta: Double,
+    maxPartitionsContributed: Int,
+    preThreshold: Int = 1
+) extends ThresholdingSelection {
+  require(noiseStd > 0 && thresholdingDelta > 0 && maxPartitionsContributed >= 1 &&
+    preThreshold >= 1)
+  val sigma: Double = noiseStd
+  private val deltaAdj =
+    PartitionSelection.adjustedDelta(thresholdingDelta, maxPartitionsContributed)
+  val threshold: Double = PartitionSelection.gaussianThreshold(sigma, deltaAdj, preThreshold)
+
+  def noisedValueIfShouldKeep(n: Long, noise: NoiseSource): Option[Double] = {
+    if (n < preThreshold) return None
+    val noised = n + noise.gaussian(sigma)
+    if (noised >= threshold) Some(noised) else None
+  }
+
+  def probabilityOfKeep(n: Long): Double = {
+    if (n < preThreshold) return 0.0
+    DpNoise.phi((n - threshold) / sigma)
+  }
+
+  def describe: String =
+    f"Gaussian thresholding partition selection (PLD noise_std=$noiseStd%.4g thresholding_delta=$thresholdingDelta%.4g threshold=$threshold%.2f)"
 }
 
 final case class GaussianThresholdingSelection(
@@ -186,7 +279,7 @@ final case class GaussianThresholdingSelection(
     PartitionSelection.adjustedDelta(thresholdDelta, maxPartitionsContributed)
 
   val threshold: Double =
-    1.0 + sigma * DpNoise.phiInverse(1.0 - thrDeltaAdj) + (preThreshold - 1)
+    PartitionSelection.gaussianThreshold(sigma, thrDeltaAdj, preThreshold)
 
   def noisedValueIfShouldKeep(n: Long, noise: NoiseSource): Option[Double] = {
     if (n < preThreshold) return None

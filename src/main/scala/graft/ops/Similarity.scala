@@ -178,32 +178,43 @@ object Similarity {
     * ANN index layout (Sivic-Zisserman "Video Google" inverted files; the
     * IVF-flat structure popularized by FAISS), Spark-native:
     *
-    *  - the quantizer trains on a (sampled) pass over the corpus; the model
-    *    is nlist x dim doubles, broadcast in closures;
+    *  - the quantizer trains on a SAMPLED pass over the corpus, capped at
+    *    `trainRowsTarget` rows (quantizer quality needs only a representative
+    *    sample — the classic 1e5-training-points rule) and fed to k-means as
+    *    a cached RDD[Vector] built in one mapPartitions, so no multi-pass
+    *    full-corpus scan and no UDF conversion layer; the model is
+    *    nlist x dim doubles, broadcast in closures;
     *  - cell assignment is one linear scan (embarrassingly parallel);
     *  - the candidate join is keyed by cell id — corpus vectors ride it only
     *    into the cells that are actually probed;
     *  - the final per-query top-k is the bounded-heap partial aggregate
     *    (no global sort, parallelism not capped at #queries).
     *
-    * At 100 TB: train on `trainFraction` << 1 (quantizer quality needs only
-    * a representative sample), keep nlist ~ sqrt(corpus/cell-size-target).
+    * At 100 TB: the training sample stays ~trainRowsTarget regardless of
+    * corpus size; keep nlist ~ sqrt(corpus/cell-size-target).
     */
   def ivfTopK(
       corpus: DataFrame, corpusId: String, corpusVec: String,
       queries: DataFrame, queryId: String, queryVec: String,
       k: Int, nlist: Int = 64, nprobe: Int = 8,
-      trainFraction: Double = 1.0, seed: Long = 42
+      trainRowsTarget: Long = 100000, seed: Long = 42
   ): DataFrame = {
     require(nprobe <= nlist, "nprobe must be <= nlist")
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.linalg.Vectors
-    val toVec = udf((a: Seq[Double]) => Vectors.dense(a.toArray))
-    val train0 = corpus.select(col(corpusVec).cast("array<double>").as("__arr"))
-    val train = (if (trainFraction < 1.0) train0.sample(trainFraction, seed) else train0)
-      .select(toVec(col("__arr")).as("features"))
-    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10).fit(train)
+    import org.apache.spark.mllib.clustering.{KMeans => MLKMeans}
+    import org.apache.spark.mllib.linalg.{Vectors => MLVectors}
+    val arrs = corpus.select(col(corpusVec).cast("array<double>").as("__arr"))
+    val total = arrs.count() // statistics job (parquet metadata for plain scans)
+    val fraction =
+      if (total <= trainRowsTarget) 1.0 else trainRowsTarget.toDouble / total
+    val sampled =
+      if (fraction < 1.0) arrs.sample(withReplacement = false, fraction, seed) else arrs
+    val trainRdd = sampled.rdd
+      .mapPartitions(_.map(r => MLVectors.dense(r.getSeq[Double](0).toArray)))
+    trainRdd.cache()
+    val kk = math.min(nlist.toLong, math.max(1L, trainRdd.count())).toInt
+    val model = new MLKMeans().setK(kk).setSeed(seed).setMaxIterations(10).run(trainRdd)
     val centers: Array[Array[Double]] = model.clusterCenters.map(_.toArray)
+    trainRdd.unpersist(blocking = false)
 
     def nearestCells(n: Int) = udf((a: Seq[Double]) => {
       val dists = new Array[Double](centers.length)

@@ -76,11 +76,31 @@ final class DPEngine(
     require(!(params.postAggregationThresholding && publicPartitions.isDefined),
       "postAggregationThresholding requires private partitions")
     val plan = CompoundComputer.plan(params, accountant)
+    // Post-aggregation thresholding is an ADDITIVE mechanism (noised count vs
+    // threshold), so it requests the matching thresholding mechanism type:
+    // under PLD accounting it participates in the noise-std search and
+    // receives its share of the 25% thresholding-delta reservation
+    // (reference: budget_accounting.py:700-747); under naive accounting the
+    // type resolves to plain (eps, delta) like any other request. The
+    // sensitivity of the privacy-unit count is L1 = l0 (Laplace) /
+    // L2 = sqrt(l0) (Gaussian).
+    val selectionSensitivity = params.noiseKind match {
+      case NoiseKind.Laplace  => params.maxPartitionsContributed.toDouble
+      case NoiseKind.Gaussian => math.sqrt(params.maxPartitionsContributed.toDouble)
+    }
     val selectionHandle =
-      if (publicPartitions.isEmpty)
-        Some(accountant.requestBudget(MechanismType.PartitionSelection,
-          weight = params.budgetWeight, name = "PartitionSelection"))
-      else None
+      if (publicPartitions.isEmpty) {
+        val mtype =
+          if (params.postAggregationThresholding) params.noiseKind match {
+            case NoiseKind.Laplace  => MechanismType.LaplaceThresholding
+            case NoiseKind.Gaussian => MechanismType.GaussianThresholding
+          }
+          else MechanismType.PartitionSelection
+        Some(accountant.requestBudget(mtype, weight = params.budgetWeight,
+          name = "PartitionSelection",
+          sensitivity =
+            if (params.postAggregationThresholding) selectionSensitivity else 1.0))
+      } else None
 
     new DPResult(() => {
       val computer = plan.build(noise)
@@ -90,9 +110,19 @@ final class DPEngine(
       }
       if (params.postAggregationThresholding) {
         val spec = selectionHandle.get.spec
-        val sel = PartitionSelection.create(thresholdingStrategy, spec.epsilon, spec.delta,
-          params.maxPartitionsContributed, params.preThreshold)
-          .asInstanceOf[ThresholdingSelection]
+        val sel = spec.noiseStdDev match {
+          case Some(nstd) =>
+            // PLD-resolved: noise scale from the composition search, threshold
+            // from the reserved thresholding delta (actual std = normalized
+            // std * sensitivity, the same convention as Mechanisms.createAdditive)
+            PartitionSelection.fromNoiseStd(thresholdingStrategy,
+              nstd * selectionSensitivity, spec.thresholdingDelta.get,
+              params.maxPartitionsContributed, params.preThreshold)
+          case None =>
+            PartitionSelection.create(thresholdingStrategy, spec.epsilon, spec.delta,
+              params.maxPartitionsContributed, params.preThreshold)
+              .asInstanceOf[ThresholdingSelection]
+        }
         assemble(df, params, columns, publicPartitions, computer, None, noise,
           plan.buildQuantile(), plan.buildVector(), postAggThresholding = Some(sel))
       } else {

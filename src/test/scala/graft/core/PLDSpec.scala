@@ -144,6 +144,45 @@ class PLDBudgetAccountantSpec extends AnyFunSuite {
     assert(math.abs(a3.baseNoiseStd.get - 40.02) < 0.8, s"base=${a3.baseNoiseStd.get}")
   }
 
+  test("resolved base satisfies the reduced-delta budget when thresholding reserves delta") {
+    // regression for the doubling-loop fix: the bracketing must verify the
+    // upper candidate against totalDelta MINUS the 25% thresholding
+    // reservation, or the search can return an overspending std
+    val acc = new PLDBudgetAccountant(1.0, 1e-6, pldDiscretization = 1e-2)
+    acc.requestBudget(GaussianThresholding)
+    acc.requestBudget(Gaussian)
+    acc.computeBudgets()
+    val base = acc.baseNoiseStd.get
+    val eps = acc.composeDistributions(base).epsilonForDelta(0.75 * 1e-6)
+    assert(eps <= 1.0 + 1e-6, s"eps=$eps overspends the reduced-delta budget")
+  }
+
+  test("fromNoiseStd thresholding selections match their (eps, delta) counterparts") {
+    val eps = 1.3; val delta = 1e-6; val l0 = 4
+    // Laplace: eps/delta variant has b = l0/eps; equivalent noise std is b*sqrt2
+    val lapRef = LaplaceThresholdingSelection(eps, delta, l0)
+    val lapStd = graft.core.PartitionSelection.fromNoiseStd(
+      PartitionSelectionStrategyKind.LaplaceThresholding,
+      math.sqrt(2.0) * l0 / eps, delta, l0)
+    assert(math.abs(lapStd.threshold - lapRef.threshold) < 1e-9)
+    assert(math.abs(lapStd.probabilityOfKeep(30) - lapRef.probabilityOfKeep(30)) < 1e-12)
+    // Gaussian: eps/delta variant spends delta/2 on noise, delta/2 on the
+    // threshold; the std variant with the same sigma and thrDelta = delta/2
+    // must land on the same threshold
+    val gauRef = GaussianThresholdingSelection(eps, delta, l0)
+    val sigma = DpNoise.gaussianSigma(eps, delta / 2, math.sqrt(l0.toDouble))
+    val gauStd = graft.core.PartitionSelection.fromNoiseStd(
+      PartitionSelectionStrategyKind.GaussianThresholding, sigma, delta / 2, l0)
+    assert(math.abs(gauStd.threshold - gauRef.threshold) < 1e-9)
+    assert(math.abs(gauStd.probabilityOfKeep(30) - gauRef.probabilityOfKeep(30)) < 1e-12)
+    // zero noise keeps any count at/above threshold and returns it exactly
+    assert(gauStd.noisedValueIfShouldKeep(100, NoiseSource.Zero).contains(100.0))
+    intercept[IllegalArgumentException] {
+      graft.core.PartitionSelection.fromNoiseStd(
+        PartitionSelectionStrategyKind.TruncatedGeometric, 1.0, delta, l0)
+    }
+  }
+
   test("zero total delta: naive laplace split") {
     val acc = new PLDBudgetAccountant(2.0, 0.0)
     val a = acc.requestBudget(Laplace)
