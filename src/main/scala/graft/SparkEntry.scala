@@ -193,6 +193,25 @@ object SparkEntry {
       engine.accountant.computeBudgets()
       res.dataframe
     }),
+    "dp_multi_value_mean" -> ((s, dir) => {
+      // per-column METRIC SETS in one pass (full MultiValueDataExtractors
+      // generalization): column v runs VARIANCE+MEAN+COUNT+SUM with clip
+      // [10, 100], column w runs MEAN with clip [0, 30] — one shuffle chain,
+      // shared count accumulator; zero noise => exact
+      val engine = zeroEngine()
+      val res = MultiValueAgg.aggregate(engine, events(s, dir),
+        MultiValueAggParams(
+          columns = Seq(
+            ValueColumnMetrics("v",
+              Seq(Metric.Variance, Metric.Mean, Metric.Count, Metric.Sum), 10.0, 100.0),
+            ValueColumnMetrics("w", Seq(Metric.Mean), 0.0, 30.0)),
+          maxPartitionsContributed = 5,
+          maxContributionsPerPartition = 100),
+        MultiValueColumns(col("user_id"), Seq("event_type" -> col("event_type")),
+          Seq("v" -> floor(col("value")), "w" -> length(col("props")).cast("double"))))
+      engine.accountant.computeBudgets()
+      res.dataframe
+    }),
     "dp_public_partitions" -> ((s, dir) => {
       import s.implicits._
       val pub = Seq("click", "error", "purchase", "ghost_type").toDF("event_type")
@@ -404,7 +423,10 @@ object SparkEntry {
       val sub = corpus.filter(col("id") < 500 || col("id") >= 100000L)
       val la = sub.select(col("id").as("id_a"), col("vec").as("v_a"))
       val rb = sub.select(col("id").as("id_b"), col("vec").as("v_b"))
-      val exact = la.join(rb, col("id_a") < col("id_b"))
+      // explicit broadcast: the bounded side has no stats after union+filter,
+      // so Spark would otherwise plan a 32x32-partition CartesianProduct
+      // whose task overhead dwarfs the 245k-pair compute
+      val exact = la.join(broadcast(rb), col("id_a") < col("id_b"))
         .withColumn("cos", Similarity.cosine(col("v_a"), col("v_b")))
         .filter(col("cos") >= 0.95)
         .select("id_a", "id_b").localCheckpoint()
@@ -974,6 +996,16 @@ object SparkEntry {
                     least(greatest(sum(CAST(len(props) AS DOUBLE)), 0.0), 100.0) AS sw
              FROM events GROUP BY user_id, event_type
            ) GROUP BY event_type""",
+      "dp_multi_value_mean" ->
+        s"""SELECT event_type,
+              sum(($x - 55.0) * ($x - 55.0)) / count(*)
+                - pow(sum($x - 55.0) / count(*), 2) AS v_variance,
+              55.0 + sum($x - 55.0) / count(*) AS v_mean,
+              CAST(count(*) AS DOUBLE) AS v_count,
+              (55.0 + sum($x - 55.0) / count(*)) * count(*) AS v_sum,
+              15.0 + sum(least(greatest(CAST(len(props) AS DOUBLE), 0.0), 30.0) - 15.0)
+                / count(*) AS w_mean
+            FROM events GROUP BY event_type""",
       "dp_public_partitions" ->
         """SELECT p.event_type,
               CAST(coalesce(count(e.user_id), 0) AS DOUBLE) AS count,

@@ -32,21 +32,74 @@ object Dedup {
 
   // ---------------- shingles + MinHash ----------------
 
-  /** Word n-gram shingles of the lowercased text (distinct). */
-  def wordShingles(text: Column, n: Int = 3): Column = {
-    val toks = TextAnalysis.tokens(text)
+  /** Word n-gram shingles of the lowercased text (distinct).
+    *
+    * PERF: interpreted higher-order lambdas re-evaluate their body
+    * subexpressions PER ELEMENT, so inlining `tokens(text)` here re-runs the
+    * tokenizer regex once per shingle. Hot paths must materialize the token
+    * array as its own column and call [[wordShinglesFromTokens]]. */
+  def wordShingles(text: Column, n: Int = 3): Column =
+    wordShinglesFromTokens(TextAnalysis.tokens(text), n)
+
+  /** Word shingles over a pre-materialized token array (see
+    * [[wordShingles]]'s perf note — pass an attribute, not an expression). */
+  def wordShinglesFromTokens(toks: Column, n: Int = 3): Column =
     array_distinct(
       when(size(toks) >= n,
         transform(sequence(lit(0), size(toks) - n),
           i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
         .otherwise(array(concat_ws(" ", toks))))
-  }
 
-  /** Character n-gram shingles (distinct). */
+  /** Word shingles as one primitive loop — same output as
+    * [[wordShinglesFromTokens]] (distinct, first-occurrence order, space-
+    * joined). Each interpreted `slice`+`concat_ws` lambda element costs
+    * ~10us in Catalyst's interpreter; the loop is ~100x cheaper. */
+  private def wordShinglesUdf(n: Int) = udf((toks: Seq[String]) => {
+    if (toks == null) Array.empty[String]
+    else if (toks.length < n) Array(toks.mkString(" "))
+    else {
+      val set = new java.util.LinkedHashSet[String]()
+      val arr = toks.toArray
+      var i = 0
+      while (i <= arr.length - n) {
+        val sb = new java.lang.StringBuilder(arr(i))
+        var j = 1
+        while (j < n) { sb.append(' ').append(arr(i + j)); j += 1 }
+        set.add(sb.toString)
+        i += 1
+      }
+      val out = new Array[String](set.size)
+      set.toArray(out)
+      out
+    }
+  })
+
+  /** Character n-gram shingles (distinct). PERF: the lambda body re-evaluates
+    * `text` per element when it is an expression (not an attribute) — hot
+    * paths use [[charShinglesUdf]]. */
   def charShingles(text: Column, n: Int = 3): Column =
     array_distinct(transform(
       sequence(lit(1), greatest(length(text) - (n - 1), lit(1))),
       i => substring(text, i, lit(n))))
+
+  /** Distinct character n-grams as one primitive loop — same output set as
+    * [[charShingles]] (first-occurrence order), immune to the per-element
+    * re-evaluation of interpreted higher-order lambdas. */
+  private def charShinglesUdf(n: Int) = udf((s: String) => {
+    if (s == null) Array.empty[String]
+    else {
+      val m = math.max(s.length - (n - 1), 1)
+      val set = new java.util.LinkedHashSet[String]()
+      var i = 0
+      while (i < m) {
+        set.add(s.substring(i, math.min(i + n, s.length)))
+        i += 1
+      }
+      val out = new Array[String](set.size)
+      set.toArray(out)
+      out
+    }
+  })
 
   /** MinHash signature: `numHashes` independent permutations simulated by
     * salted xxhash64, each taking the min over the shingle set. */
@@ -61,6 +114,33 @@ object Dedup {
   def minHashSignatureFromHashes(shingleHashes: Column, numHashes: Int = 128): Column =
     transform(sequence(lit(0), lit(numHashes - 1)),
       i => array_min(transform(shingleHashes, h => xxhash64(h, i))))
+
+  /** One-hash minhash signature as one primitive loop: permutation p's value
+    * is min over shingle hashes h of splitmix64(h ^ seed(p)). The nested
+    * higher-order expression form ([[minHashSignatureFromHashes]]) is
+    * interpreted and allocates a fresh boxed array per permutation; the UDF
+    * runs unboxed — the signature stage is interpreter-bound, not I/O-bound. */
+  private def minHashSigUdf(numHashes: Int) = udf((hsSeq: Seq[Long]) => {
+    val hs = hsSeq.toArray // O(1)-indexed primitive copy (Seq may be a List)
+    val out = new Array[Long](numHashes)
+    var p = 0
+    while (p < numHashes) {
+      val seed = Similarity.mix64(p.toLong)
+      var mn = Long.MaxValue
+      var i = 0
+      while (i < hs.length) {
+        val v = Similarity.mix64(hs(i) ^ seed)
+        if (v < mn) mn = v
+        i += 1
+      }
+      out(p) = mn
+      p += 1
+    }
+    out
+  })
+
+  /** Profiling access to the shingle UDF (dev tooling only). */
+  private[graft] def wordShinglesForProfile(n: Int) = wordShinglesUdf(n)
 
   /** Estimated Jaccard from two MinHash signatures. */
   def minHashSimilarity(sigA: Column, sigB: Column): Column =
@@ -93,23 +173,35 @@ object Dedup {
       rowsPerBand: Int = 8,
       threshold: Double = 0.6
   ): DataFrame = {
-    val numHashes = numBands * rowsPerBand
-    // repartition: parallelize past a single-file scan. localCheckpoint: a
-    // planner barrier — without it CollapseProject substitutes the shingle
-    // expression (regex!) into all 128 hash lambdas, exploding the per-row
-    // cost; it also materializes signatures once for the three downstream uses
-    val withSig = df
-      .select(col(idCol).as("id"), col(textCol).as("text"))
+    val withSig = minHashWithSig(df, idCol, textCol, shingleSize, numBands * rowsPerBand)
+    minHashPairsFromSig(withSig, numBands, rowsPerBand, threshold)
+  }
+
+  /** Stage 1 of [[minHashLSH]]: (id, shingles, sig), checkpointed.
+    * repartition: parallelize past a single-file scan. localCheckpoint: a
+    * planner barrier — without it CollapseProject substitutes the shingle
+    * expression (regex!) into the downstream lambdas, exploding the per-row
+    * cost; it also materializes signatures once for the three downstream
+    * uses. Tokens are bound as their OWN column before shingling (see
+    * wordShingles perf note: an inlined tokenizer re-runs per shingle), and
+    * the permutations run as one primitive-loop UDF over the hashed
+    * shingles — each shingle string is hashed exactly once. */
+  def minHashWithSig(df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int, numHashes: Int): DataFrame =
+    df.select(col(idCol).as("id"), col(textCol).as("text"))
       .repartition(col("id"))
-      .withColumn("shingles", wordShingles(col("text"), shingleSize))
+      .withColumn("__toks", TextAnalysis.tokens(col("text")))
+      .withColumn("shingles", wordShinglesUdf(shingleSize)(col("__toks")))
       .filter(size(col("shingles")) > 0)
-      // hash every shingle string ONCE; the 128 permutations re-mix longs
-      // (CollapseProject keeps multi-referenced non-cheap aliases intact,
-      // so this column is not inlined into the permutation lambdas)
       .withColumn("__sh_hashes", transform(col("shingles"), s => xxhash64(s)))
-      .withColumn("sig", minHashSignatureFromHashes(col("__sh_hashes"), numHashes))
-      .drop("text", "__sh_hashes")
+      .withColumn("sig", minHashSigUdf(numHashes)(col("__sh_hashes")))
+      .drop("text", "__toks", "__sh_hashes")
       .localCheckpoint(false)
+
+  /** Stage 2 of [[minHashLSH]]: band-bucket candidates + exact-Jaccard verify
+    * over the checkpointed signature frame. */
+  def minHashPairsFromSig(withSig: DataFrame, numBands: Int, rowsPerBand: Int,
+      threshold: Double): DataFrame = {
     // band key = hash of the band's slice of the signature
     val bandSigs = (0 until numBands).map { b =>
       xxhash64(concat_ws("_", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)), lit(b))
@@ -154,6 +246,27 @@ object Dedup {
         lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** SimHash over pre-hashed tokens as one unboxed loop — bit-identical to
+    * [[simHashFromHashes]] (same per-bit sign sums over the same hashes). */
+  private val simHashUdf = udf((hsSeq: Seq[Long]) => {
+    val hs = hsSeq.toArray // O(1)-indexed primitive copy
+    val counts = new Array[Int](64)
+    var i = 0
+    while (i < hs.length) {
+      val h = hs(i)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) sig |= (1L << b); b += 1 }
+    sig
+  })
+
   /** Hamming distance between two 64-bit SimHashes. */
   def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
@@ -165,7 +278,9 @@ object Dedup {
     val sigs = df.select(col(idCol).as("id"), col(textCol).as("text"))
       .repartition(col("id"))
       .withColumn("__th", transform(TextAnalysis.tokens(col("text")), t => xxhash64(t)))
-      .select(col("id"), simHashFromHashes(col("__th")).as("sig"))
+      // bit-identical to simHashFromHashes (same token hashes, same sign
+      // sums) but one unboxed loop instead of 64 interpreted aggregates
+      .select(col("id"), simHashUdf(col("__th")).as("sig"))
       .localCheckpoint(false)
     val chunks = (0 until 4).map(c => shiftright(col("sig"), c * 16).bitwiseAND(0xFFFFL))
     val chunked = sigs.select(col("id"), col("sig"),
@@ -198,41 +313,121 @@ object Dedup {
     * intersection; |A ∪ B| = |A| + |B| - |A ∩ B|. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       blockCol: String, n: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val g = df.select(col(blockCol).as("block"), col(idCol).as("id"),
-      charShingles(lower(col(textCol)), n).as("grams"))
+    val g = ngramGramsStage(df, idCol, textCol, blockCol, n)
+    val ordered = ngramOrderedStage(g)
+    ngramVerifyStage(ngramCandidatesStage(ordered, threshold), ordered, threshold)
+  }
+
+  /** Stage 1: (block, id, grams, sz), checkpointed (barrier + reuse for the
+    * gram-df pass and the re-order pass). */
+  private[graft] def ngramGramsStage(df: DataFrame, idCol: String, textCol: String,
+      blockCol: String, n: Int): DataFrame =
+    df.select(col(blockCol).as("block"), col(idCol).as("id"),
+      charShinglesUdf(n)(lower(col(textCol))).as("grams"))
       .repartition(col("id"))
       .withColumn("sz", size(col("grams")))
-      .localCheckpoint(false) // barrier + reuse (gram-df pass and re-order pass)
+      .localCheckpoint(false)
 
-    // global document frequency per gram -> rare-first total order (df, gram)
-    val gramDf = g.select(col("id"), explode(col("grams")).as("gram"))
-      .groupBy("gram").agg(count(lit(1)).as("df"))
-    val ordered = g.select(col("block"), col("id"), col("sz"), explode(col("grams")).as("gram"))
-      .join(gramDf, "gram")
+  /** Stage 2: grams re-ordered by ascending global document frequency
+    * (rare-first total order), checkpointed (reused by prefixes + both
+    * verify sides). Grams travel as 64-bit xxhash64 values from here on:
+    * every downstream comparison is equality, a hash collision can only
+    * INFLATE an intersection, so the no-false-negatives guarantee is intact
+    * (a false positive needs a 64-bit collision inside one candidate pair,
+    * p ~ 1e-15 per pair), and long arrays avoid per-pair UTF8String->String
+    * conversion churn in the verify UDF. */
+  private[graft] def ngramOrderedStage(g: DataFrame): DataFrame = {
+    val exploded = g
+      .select(col("block"), col("id"), col("sz"), explode(col("grams")).as("gram"))
+      .select(col("block"), col("id"), col("sz"), xxhash64(col("gram")).as("gh"))
+    val gramDf = exploded.groupBy("gh").agg(count(lit(1)).as("df"))
+    exploded
+      .join(gramDf, "gh")
       .groupBy("block", "id", "sz")
-      .agg(transform(array_sort(collect_list(struct(col("df"), col("gram")))),
-        s => s.getField("gram")).as("grams"))
-      .localCheckpoint(false) // reused by prefixes + both verify sides
+      .agg(transform(array_sort(collect_list(struct(col("df"), col("gh")))),
+        s => s.getField("gh")).as("grams"))
+      // value-sorted binary packing for the verify UDF: a byte array crosses
+      // the UDF boundary as one memcpy (an array<bigint> costs a per-element
+      // boxed conversion per candidate pair)
+      .withColumn("gbin", packSortedLongs(col("grams")))
+      .localCheckpoint(false)
+  }
+
+  /** Packs a long array into value-SORTED little-endian bytes (driver for
+    * the merge-intersect verify). */
+  private val packSortedLongs = udf((hs: Seq[Long]) => {
+    val a = hs.toArray
+    java.util.Arrays.sort(a)
+    val bb = java.nio.ByteBuffer.allocate(a.length * 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.asLongBuffer().put(a)
+    bb.array()
+  })
+
+  /** Stage 3: candidate pairs sharing >= 1 prefix gram within the block,
+    * with the exact-safe size-ratio check AND the PPJoin positional filter:
+    * both gram arrays follow the same (rare-first) total order, so for a
+    * shared gram at 0-based positions (pa, pb) the overlap is at most
+    * min(sz_a - pa, sz_b - pb) counting the shared gram itself — applied
+    * per collision and OR-ed by the distinct, the first (shallowest) shared
+    * gram carries the largest bound, so a truly-overlapping pair always
+    * survives: still provably NO false negatives (Xiao et al., PPJoin). The
+    * Jaccard constraint J >= t forces overlap >= t/(1+t) * (sz_a + sz_b). */
+  private[graft] def ngramCandidatesStage(ordered: DataFrame, threshold: Double): DataFrame = {
     val prefixSize = (floor(col("sz") * (1 - threshold)) + 1).cast("int")
     val prefixes = ordered.select(col("block"), col("id"), col("sz"),
-      explode(slice(col("grams"), lit(1), prefixSize)).as("gram"))
-
-    // candidate pairs: share >= 1 prefix gram within the block + size ratio
-    val pa = prefixes.select(col("block"), col("gram"), col("id").as("id_a"), col("sz").as("sz_a"))
-    val pb = prefixes.select(col("block"), col("gram"), col("id").as("id_b"), col("sz").as("sz_b"))
-    val candidates = pa.hint("shuffle_hash").join(pb,
+      posexplode(slice(col("grams"), lit(1), prefixSize)).as(Seq("pos", "gram")))
+    val pa = prefixes.select(col("block"), col("gram"), col("id").as("id_a"),
+      col("sz").as("sz_a"), col("pos").as("pos_a"))
+    val pb = prefixes.select(col("block"), col("gram"), col("id").as("id_b"),
+      col("sz").as("sz_b"), col("pos").as("pos_b"))
+    val minOverlap =
+      ceil((col("sz_a") + col("sz_b")).cast("double") * (threshold / (1 + threshold)))
+    pa.hint("shuffle_hash").join(pb,
         pa("block") === pb("block") && pa("gram") === pb("gram") &&
           col("id_a") < col("id_b") &&
-          col("sz_b") * threshold <= col("sz_a") && col("sz_a") * threshold <= col("sz_b"))
+          col("sz_b") * threshold <= col("sz_a") && col("sz_a") * threshold <= col("sz_b") &&
+          least(col("sz_a") - col("pos_a"), col("sz_b") - col("pos_b")) >= minOverlap)
       .select("id_a", "id_b").distinct()
+  }
 
-    // exact verify on the (small) candidate set only
-    val ga = ordered.select(col("id").as("id_a"), col("grams").as("g_a"), col("sz").as("sz_a"))
-    val gb = ordered.select(col("id").as("id_b"), col("grams").as("g_b"), col("sz").as("sz_b"))
-    val inter = size(array_intersect(col("g_a"), col("g_b"))).cast("double")
-    val unionSz = (col("sz_a") + col("sz_b")).cast("double") - inter
-    candidates.join(ga, "id_a").join(gb, "id_b")
-      .withColumn("jaccard", when(unionSz === 0.0, lit(0.0)).otherwise(inter / unionSz))
+  /** Intersection size of two value-sorted packed long arrays — one linear
+    * merge over two byte buffers; the inputs cross the UDF boundary as plain
+    * memcpys (the interpreted `array_intersect` expression costs ~3us/pair
+    * and array<bigint>/array<string> inputs add per-element conversion
+    * churn; both dominate a multi-million-pair verify). */
+  private val interSizeUdf = udf((ab: Array[Byte], bb: Array[Byte]) => {
+    val a = java.nio.ByteBuffer.wrap(ab).order(java.nio.ByteOrder.LITTLE_ENDIAN).asLongBuffer()
+    val b = java.nio.ByteBuffer.wrap(bb).order(java.nio.ByteOrder.LITTLE_ENDIAN).asLongBuffer()
+    val an = a.limit(); val bn = b.limit()
+    var i = 0; var j = 0; var c = 0
+    while (i < an && j < bn) {
+      val x = a.get(i); val y = b.get(j)
+      if (x < y) i += 1
+      else if (x > y) j += 1
+      else { c += 1; i += 1; j += 1 }
+    }
+    c
+  })
+
+  /** Stage 4: exact verify on the (small) candidate set only. */
+  private[graft] def ngramVerifyStage(candidates: DataFrame, ordered: DataFrame,
+      threshold: Double): DataFrame = {
+    val ga = ordered.select(col("id").as("id_a"), col("gbin").as("g_a"), col("sz").as("sz_a"))
+    val gb = ordered.select(col("id").as("id_b"), col("gbin").as("g_b"), col("sz").as("sz_b"))
+    val inter = interSizeUdf(col("g_a"), col("g_b")).cast("double")
+    // broadcast the per-doc gram tables: joining them hash-partitioned would
+    // shuffle ~KB-sized gram arrays once per CANDIDATE (millions of rows),
+    // while the doc table itself is tiny by comparison — candidates then
+    // stream through both joins in one stage with no array exchange. (On a
+    // corpus too large to broadcast, partition candidates and docs by id
+    // instead; candidates-per-doc shrinks as the corpus grows, so the
+    // broadcast variant is the small-to-mid-corpus fast path.)
+    candidates.join(broadcast(ga), "id_a").join(broadcast(gb), "id_b")
+      .withColumn("__inter", inter)
+      .withColumn("__union", (col("sz_a") + col("sz_b")).cast("double") - col("__inter"))
+      .withColumn("jaccard",
+        when(col("__union") === 0.0, lit(0.0)).otherwise(col("__inter") / col("__union")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
@@ -251,10 +446,9 @@ object Dedup {
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, planes: Int = 8, bands: Int = 8): DataFrame = {
     val s = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
-    val sigs = (0 until bands).map(b =>
-      xxhash64(Similarity.hyperplaneSignatureBand(col("vec"), planes, b), lit(b)))
     val banded = s.select(col("id"),
-      posexplode(array(sigs: _*)).as(Seq("band", "bucket")))
+      posexplode(Similarity.bandBuckets(col("vec"), planes, bands))
+        .as(Seq("band", "bucket")))
       .select("id", "band", "bucket")
     val l = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
     val r = banded.select(col("band"), col("bucket"), col("id").as("id_b"))

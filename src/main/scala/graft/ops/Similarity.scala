@@ -84,18 +84,46 @@ final class TopKAggregator(k: Int)
   */
 object Similarity {
 
-  /** Dot product of two equal-length numeric arrays — higher-order
-    * expressions, fully codegen'd. */
+  /** Dot product of two equal-length numeric arrays as a higher-order
+    * expression (kept for composability in non-hot paths). */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity; 0 when either vector is all-zero. */
-  def cosine(a: Column, b: Column): Column = {
-    val na = l2Norm(a); val nb = l2Norm(b)
-    when(na === 0.0 || nb === 0.0, lit(0.0)).otherwise(dot(a, b) / (na * nb))
-  }
+  /** Cosine similarity; 0 when either vector is all-zero.
+    *
+    * Implemented as a primitive-loop UDF rather than higher-order array
+    * expressions: Spark's array lambdas (`aggregate`/`zip_with`) are
+    * INTERPRETED (no whole-stage codegen) and allocate per call, which
+    * dominates the hot join paths. The loop performs the same IEEE
+    * operations in the same order (index-ascending products summed from
+    * +0.0, norms over each full array), so results are bit-identical to the
+    * expression form — oracle parity preserved. */
+  private val cosineUdf = udf((as: Seq[Double], bs: Seq[Double]) => {
+    if (as == null || bs == null) 0.0
+    else {
+      // copy to primitive arrays first: the encoder-provided Seq may have
+      // O(i) indexing, which would make these loops quadratic
+      val a = as.toArray
+      val b = bs.toArray
+      val n = math.min(a.length, b.length)
+      var d = 0.0
+      var i = 0
+      while (i < n) { d += a(i) * b(i); i += 1 }
+      var na = 0.0
+      i = 0
+      while (i < a.length) { na += a(i) * a(i); i += 1 }
+      var nb = 0.0
+      i = 0
+      while (i < b.length) { nb += b(i) * b(i); i += 1 }
+      val sa = math.sqrt(na); val sb = math.sqrt(nb)
+      if (sa == 0.0 || sb == 0.0) 0.0 else d / (sa * sb)
+    }
+  })
+
+  def cosine(a: Column, b: Column): Column =
+    cosineUdf(a.cast("array<double>"), b.cast("array<double>"))
 
   /** Per-query top-k of pre-scored candidates via the bounded-heap partial
     * aggregate; emits (query_id, neighbor_id, cosine, rank). */
@@ -138,6 +166,51 @@ object Similarity {
         lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** splitmix64 finalizer — deterministic pseudo-random sign source for the
+    * hyperplane UDFs (public-domain constant mixer). */
+  @inline private[ops] def mix64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** ALL band-bucket keys in one primitive pass (array<bigint> of length
+    * `bands`): bit p of band b's signature is the sign of the projection
+    * onto the deterministic +-1 hyperplane derived from (element, plane,
+    * band). One UDF call replaces bands*planes interpreted higher-order
+    * aggregates — the banding stage of the LSH pipelines is interpreter-
+    * bound, not I/O-bound, so this is the 10-20x lever. */
+  private[ops] def bandBuckets(vec: Column, planes: Int, bands: Int): Column = {
+    val f = udf((as: Seq[Double]) => {
+      if (as == null) null
+      else {
+        val a = as.toArray // O(1)-indexed primitive copy
+        val out = new Array[Long](bands)
+        var b = 0
+        while (b < bands) {
+          var sig = 0L
+          var p = 0
+          while (p < planes) {
+            var s = 0.0
+            var i = 0
+            while (i < a.length) {
+              val h = mix64((i.toLong << 24) ^ (p.toLong << 12) ^ b.toLong)
+              s += (if ((h & 1L) == 1L) a(i) else -a(i))
+              i += 1
+            }
+            if (s > 0) sig |= (1L << p)
+            p += 1
+          }
+          out(b) = mix64(sig ^ (b.toLong << 56))
+          b += 1
+        }
+        out
+      }
+    })
+    f(vec.cast("array<double>"))
+  }
+
   /** LSH-bucketed approximate top-k: exact cosine re-rank within matching
     * buckets only. Probing multiple band signatures raises recall; with
     * `bands` signatures of `planes` bits each, a pair is a candidate if any
@@ -150,10 +223,8 @@ object Similarity {
       k: Int, planes: Int = 8, bands: Int = 4
   ): DataFrame = {
     def banded(df: DataFrame, id: String, vec: String, idAs: String) = {
-      val sigs = (0 until bands).map(b =>
-        xxhash64(hyperplaneSignatureBand(col(vec), planes, b), lit(b)))
       df.select(col(id).as(idAs),
-        posexplode(array(sigs: _*)).as(Seq("band", "bucket")))
+        posexplode(bandBuckets(col(vec), planes, bands)).as(Seq("band", "bucket")))
         .select(idAs, "band", "bucket")
     }
     val cIds = banded(corpus, corpusId, corpusVec, "neighbor_id")

@@ -109,20 +109,8 @@ final class DPEngine(
         case NoiseKind.Gaussian => PartitionSelectionStrategyKind.GaussianThresholding
       }
       if (params.postAggregationThresholding) {
-        val spec = selectionHandle.get.spec
-        val sel = spec.noiseStdDev match {
-          case Some(nstd) =>
-            // PLD-resolved: noise scale from the composition search, threshold
-            // from the reserved thresholding delta (actual std = normalized
-            // std * sensitivity, the same convention as Mechanisms.createAdditive)
-            PartitionSelection.fromNoiseStd(thresholdingStrategy,
-              nstd * selectionSensitivity, spec.thresholdingDelta.get,
-              params.maxPartitionsContributed, params.preThreshold)
-          case None =>
-            PartitionSelection.create(thresholdingStrategy, spec.epsilon, spec.delta,
-              params.maxPartitionsContributed, params.preThreshold)
-              .asInstanceOf[ThresholdingSelection]
-        }
+        val sel = buildPostAggSelection(selectionHandle.get.spec, thresholdingStrategy,
+          selectionSensitivity, params)
         assemble(df, params, columns, publicPartitions, computer, None, noise,
           plan.buildQuantile(), plan.buildVector(), postAggThresholding = Some(sel))
       } else {
@@ -135,28 +123,84 @@ final class DPEngine(
           plan.buildQuantile(), plan.buildVector())
       }
     }, () => {
+      // Per-stage accumulated report, mirroring the reference's
+      // report_generator (reference: report_generator.py:46-116): every
+      // stage that ran states its resolved parameters; mechanisms print
+      // their final noise scales.
       val lines = Seq.newBuilder[String]
-      lines += s"DP aggregation: metrics=${params.metrics.map(_.name).mkString(", ")}"
-      lines += (params.maxContributions match {
-        case Some(mc) => s"1. Contribution bounding: sampled <= $mc total rows per privacy unit"
-        case None =>
-          s"1. Contribution bounding: sampled <= ${params.maxContributionsPerPartition.getOrElse("all")} " +
-            s"rows per (unit, partition), <= ${params.maxPartitionsContributed} partitions per unit"
-      })
+      lines += s"DPEngine.aggregate: metrics=[${params.metrics.map(_.name).mkString(", ")}]"
+      var stage = 0
+      def add(s: String): Unit = { stage += 1; lines += s"$stage. $s" }
       if (publicPartitions.isDefined)
-        lines += "2. Partition selection: public partitions (non-public dropped, missing added empty)"
+        add("Public partition filtering: dropped rows of non-public partitions before any aggregation")
+      params.maxContributions match {
+        case Some(mc) =>
+          add(s"Contribution bounding (L1, total): randomly sampled <= $mc contributions per privacy unit")
+        case None if params.contributionBoundsAlreadyEnforced =>
+          add("Contribution bounding: SKIPPED — caller vouched that bounds are already enforced")
+        case None =>
+          params.maxContributionsPerPartition.foreach { c =>
+            add(s"Contribution bounding (Linf, per-partition): randomly sampled <= $c " +
+              "contributions per (privacy unit, partition)")
+          }
+          add("Contribution bounding (L0, cross-partition): randomly sampled <= " +
+            s"${params.maxPartitionsContributed} partitions per privacy unit")
+      }
+      if (params.boundsPerContributionAreSet)
+        add(f"Per-contribution clipping: values clipped to [${params.minValue.get}%.6g, ${params.maxValue.get}%.6g]")
+      else if (params.boundsPerPartitionAreSet)
+        add(f"Per-partition sum clipping: per-partition sums clipped to " +
+          f"[${params.minSumPerPartition.get}%.6g, ${params.maxSumPerPartition.get}%.6g]")
+      if (publicPartitions.isDefined)
+        add("Partition selection: public partitions (missing public keys added as empty accumulators)")
       else {
         val spec = selectionHandle.get.spec
-        val strat =
-          if (params.postAggregationThresholding)
-            s"post-aggregation thresholding (${params.noiseKind})"
-          else params.partitionSelectionStrategy.toString
-        lines += f"2. Partition selection: $strat with eps=${spec.epsilon}%.4g delta=${spec.delta}%.4g"
+        val thresholdingStrategy = params.noiseKind match {
+          case NoiseKind.Laplace  => PartitionSelectionStrategyKind.LaplaceThresholding
+          case NoiseKind.Gaussian => PartitionSelectionStrategyKind.GaussianThresholding
+        }
+        if (params.postAggregationThresholding) {
+          val sel = buildPostAggSelection(spec, thresholdingStrategy,
+            selectionSensitivity, params)
+          add(s"Partition selection (post-aggregation thresholding): ${sel.describe}")
+        } else {
+          val sel = PartitionSelection.create(params.partitionSelectionStrategy,
+            spec.epsilon, spec.delta, params.maxPartitionsContributed, params.preThreshold)
+          add(s"Partition selection: ${sel.describe}")
+        }
       }
-      lines += "3. Metrics:"
-      plan.build(noise).parts.foreach(p => lines += s"   - ${p.describe}")
+      val parts = plan.build(noise).parts
+      val quantile = plan.buildQuantile()
+      val vector = plan.buildVector()
+      if (parts.nonEmpty || quantile.isDefined || vector.isDefined) {
+        add("Per-metric mechanisms:")
+        parts.foreach(p => lines += s"   - ${p.describe}")
+        quantile.foreach(q => lines += s"   - ${q.describe}")
+        vector.foreach(v => lines += s"   - ${v.describe}")
+      }
       lines.result().mkString("\n")
     })
+  }
+
+  /** Post-aggregation thresholding selection from the resolved spec: under
+    * PLD accounting the noise scale comes from the composition search and
+    * the threshold spends the reserved thresholding delta (actual std =
+    * normalized std * sensitivity, the same convention as
+    * Mechanisms.createAdditive); under naive accounting the (eps, delta)
+    * split is built by the selection itself. */
+  private def buildPostAggSelection(
+      spec: MechanismSpec,
+      strategy: PartitionSelectionStrategyKind,
+      sensitivity: Double,
+      params: AggregateParams
+  ): ThresholdingSelection = spec.noiseStdDev match {
+    case Some(nstd) =>
+      PartitionSelection.fromNoiseStd(strategy, nstd * sensitivity,
+        spec.thresholdingDelta.get, params.maxPartitionsContributed, params.preThreshold)
+    case None =>
+      PartitionSelection.create(strategy, spec.epsilon, spec.delta,
+        params.maxPartitionsContributed, params.preThreshold)
+        .asInstanceOf[ThresholdingSelection]
   }
 
   /** DP set of partition keys (reference: dp_engine.py:220-305). */

@@ -52,6 +52,11 @@ final case class QuantileComputer(
     noiseKind: NoiseKind
 ) extends Serializable {
   val names: Seq[String] = percentiles.map(p => Metric.Percentile(p).name)
+  def describe: String =
+    f"Computed DP percentiles ${percentiles.mkString(", ")} via quantile tree " +
+      f"(height ${QuantileTree.DefaultHeight}, branching ${QuantileTree.DefaultBranching}) " +
+      f"over [$lower%.6g, $upper%.6g] with $noiseKind noise, " +
+      f"eps=${spec.epsilon}%.4g delta=${spec.delta}%.4g"
   def compute(bytes: Array[Byte], noise: NoiseSource): Array[Double] = {
     val tree =
       if (bytes == null || bytes.isEmpty) new QuantileTree(lower, upper)

@@ -87,5 +87,8 @@ object VectorOps {
     }
     def addNoise(vec: Array[Double], noise: NoiseSource): Array[Double] =
       vec.map(v => mechanism.addNoise(v, noise))
+    def describe: String =
+      s"Computed DP vector_sum (size $vectorSize, $normKind norm clipped to " +
+        f"$maxNorm%.6g) with per-coordinate ${mechanism.describe}"
   }
 }

@@ -208,6 +208,67 @@ class DPEngineSpec extends AnyFunSuite {
     assert(math.abs(std - 1e-3 * math.sqrt(2.0)) < 1e-12, s"std=$std")
   }
 
+  test("per-stage explain report: 3-metric query states every stage's parameters") {
+    val acc = new NaiveBudgetAccountant(1.0, 1e-6)
+    val engine = new DPEngine(acc, NoiseSource.Zero)
+    val res = engine.aggregate(fixture,
+      AggregateParams(metrics = Seq(Metric.Count, Metric.Sum, Metric.Mean),
+        maxPartitionsContributed = 2, maxContributionsPerPartition = Some(3),
+        minValue = Some(0.0), maxValue = Some(10.0)),
+      roles)
+    acc.computeBudgets()
+    val report = res.explainReport
+    assert(report.contains("DPEngine.aggregate: metrics=[count, sum, mean]"))
+    assert(report.contains(
+      "1. Contribution bounding (Linf, per-partition): randomly sampled <= 3 contributions per (privacy unit, partition)"))
+    assert(report.contains(
+      "2. Contribution bounding (L0, cross-partition): randomly sampled <= 2 partitions per privacy unit"))
+    assert(report.contains("3. Per-contribution clipping: values clipped to [0"))
+    assert(report.contains("4. Partition selection: Truncated geometric partition selection"))
+    assert(report.contains("5. Per-metric mechanisms:"))
+    // mean subsumes count+sum: one mean line carrying both mechanisms
+    assert(report.contains("Computed DP mean: count via Laplace mechanism"))
+    assert(report.contains("normalized sum via Laplace mechanism"))
+    // resolved budget parameters appear (eps split across 2 metric lines + selection)
+    assert(report.contains("eps="), report)
+  }
+
+  test("post-agg thresholding report names the thresholding selection") {
+    val acc = new NaiveBudgetAccountant(1e5, 0.5)
+    val engine = new DPEngine(acc, NoiseSource.Zero)
+    val res = engine.aggregate(fixture,
+      AggregateParams(metrics = Seq(Metric.PrivacyIdCount), maxPartitionsContributed = 2,
+        postAggregationThresholding = true),
+      DPColumns("pid", "pk"))
+    acc.computeBudgets()
+    assert(res.explainReport.contains(
+      "Partition selection (post-aggregation thresholding): Laplace thresholding"))
+  }
+
+  test("percentiles share ONE quantile budget line: eps splits /4 with count+sum") {
+    // reference parity (combiners.py:914-1003): all percentile metrics feed a
+    // single QuantileCombiner with one budget request; with COUNT and SUM and
+    // private partition selection that is 4 equal-weight requests => eps/4
+    val acc = new NaiveBudgetAccountant(2.0, 1e-6)
+    val params = AggregateParams(
+      metrics = Seq(Metric.Percentile(50), Metric.Percentile(90), Metric.Count, Metric.Sum),
+      maxPartitionsContributed = 2, maxContributionsPerPartition = Some(3),
+      minValue = Some(0.0), maxValue = Some(10.0))
+    val plan = CompoundComputer.plan(params, acc)
+    val sel = acc.requestBudget(MechanismType.PartitionSelection)
+    acc.computeBudgets()
+    assert(plan.quantileHandle.isDefined && plan.countHandle.isDefined &&
+      plan.sumHandle.isDefined)
+    assert(math.abs(plan.quantileHandle.get.spec.epsilon - 0.5) < 1e-12)
+    assert(math.abs(plan.countHandle.get.spec.epsilon - 0.5) < 1e-12)
+    assert(math.abs(plan.sumHandle.get.spec.epsilon - 0.5) < 1e-12)
+    assert(math.abs(sel.spec.epsilon - 0.5) < 1e-12)
+    // the quantile computer carries both percentiles under the one budget
+    val qc = plan.buildQuantile().get
+    assert(qc.percentiles == Seq(50.0, 90.0))
+    assert(math.abs(qc.spec.epsilon - 0.5) < 1e-12)
+  }
+
   test("reading dataframe before computeBudgets throws") {
     val engine = zeroEngine()
     val params = AggregateParams(

@@ -66,6 +66,44 @@ class MultiValueSumSpec extends AnyFunSuite {
     assert(out("GHOST") == ((0.0, 0.0)))
   }
 
+  test("per-column metric sets: mean/count/sum/variance exact in one pass") {
+    // column a: clip [0, 10], metrics VAR+MEAN+COUNT+SUM; column b: clip
+    // [0, 4], metrics MEAN. Values chosen so clipping binds on both.
+    val df = Seq(
+      ("u1", "A", 2.0, 1.0), ("u1", "A", 4.0, 3.0), ("u2", "A", 12.0, 9.0),
+      ("u2", "B", 6.0, 2.0)
+    ).toDF("uid", "pk", "a", "b")
+    val engine = zeroEngine()
+    val res = MultiValueAgg.aggregate(engine, df,
+      MultiValueAggParams(
+        columns = Seq(
+          ValueColumnMetrics("a",
+            Seq(Metric.Variance, Metric.Mean, Metric.Count, Metric.Sum), 0.0, 10.0),
+          ValueColumnMetrics("b", Seq(Metric.Mean), 0.0, 4.0)),
+        maxPartitionsContributed = 2,
+        maxContributionsPerPartition = 5),
+      MultiValueColumns(col("uid"), Seq("pk" -> col("pk")),
+        Seq("a" -> col("a"), "b" -> col("b"))))
+    engine.accountant.computeBudgets()
+    val out = res.dataframe.collect().map(r => r.getAs[String]("pk") -> r).toMap
+    // partition A: a clipped = (2, 4, 10) -> mean 16/3, count 3, sum 16;
+    //   variance = mean(sq dev); b clipped = (1, 3, 4) -> mean 8/3
+    val rA = out("A")
+    assert(rA.getAs[Double]("a_count") == 3.0)
+    assert(math.abs(rA.getAs[Double]("a_mean") - 16.0 / 3) < 1e-12)
+    assert(math.abs(rA.getAs[Double]("a_sum") - 16.0) < 1e-12)
+    val aVals = Seq(2.0, 4.0, 10.0)
+    val aMean = aVals.sum / 3
+    val wantVar = aVals.map(v => (v - aMean) * (v - aMean)).sum / 3
+    assert(math.abs(rA.getAs[Double]("a_variance") - wantVar) < 1e-9)
+    assert(math.abs(rA.getAs[Double]("b_mean") - 8.0 / 3) < 1e-12)
+    // partition B: single row, a = 6, b = 2
+    val rB = out("B")
+    assert(rB.getAs[Double]("a_count") == 1.0)
+    assert(rB.getAs[Double]("a_mean") == 6.0)
+    assert(rB.getAs[Double]("b_mean") == 2.0)
+  }
+
   test("L0 bounding drops excess partitions per unit") {
     // u1 contributes to 3 partitions with l0=1: exactly one survives; with
     // zero noise + selection at huge eps the kept partition has its true sums
