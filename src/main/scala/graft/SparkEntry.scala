@@ -322,6 +322,23 @@ object SparkEntry {
           minValue = Some(0.0), maxValue = Some(500.0)),
         eventRoles)
     }),
+    "dp_percentile_pld" -> ((s, dir) => {
+      // the quantile tree under PLD accounting: the budget resolves to a
+      // noise STD (not eps/delta) and the tree's mechanism is built from it
+      // via the shared spec->mechanism path; zero noise => the same
+      // deterministic walk, same bit-exact oracle as dp_percentile.
+      val engine = new DPEngine(
+        new PLDBudgetAccountant(1e5, 0.999999, pldDiscretization = 1e-2),
+        NoiseSource.Zero)
+      val res = engine.aggregate(events(s, dir),
+        AggregateParams(
+          metrics = Seq(Metric.Percentile(10), Metric.Percentile(50), Metric.Percentile(90)),
+          maxPartitionsContributed = 5, maxContributionsPerPartition = Some(100),
+          minValue = Some(0.0), maxValue = Some(500.0)),
+        eventRoles)
+      engine.accountant.computeBudgets()
+      res.dataframe
+    }),
     "dp_add_noise" -> ((s, dir) => {
       // noise-only path on pre-aggregated data; zero noise => identity
       val pre = events(s, dir).groupBy("event_type")
@@ -715,6 +732,16 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_events"),
           sum(floor(col("value"))).cast("double").as("value_floor_sum"))
     }),
+    "ss_session_agg" -> ((s, dir) => {
+      // session windows (30-minute inactivity gap per user) — the SAME
+      // StreamOps operator runs under Structured Streaming with a watermark
+      // (streaming parity proven in StreamOpsSpec); batch output is
+      // deterministic and oracle-checked against the classic
+      // gaps-and-islands SQL. Timestamps truncated to micros on both sides
+      // so gap comparisons agree exactly.
+      graft.streaming.StreamOps.sessionEventStats(
+        events(s, dir).withColumn("ts", expr("timestamp_micros(ts div 1000)")))
+    }),
     "mm_decode_resize" -> ((s, dir) => {
       // REAL image pipeline: synthesize a PNG per document (dims derived
       // from the text length), decode it with ImageIO, plan the resize.
@@ -752,6 +779,91 @@ object SparkEntry {
     * mirror the Spark plans exactly (see scaladoc above). */
   def oracleSql: Map[String, String] = {
     val x = "least(greatest(floor(value), 10.0), 100.0)" // clipped value
+    val pctlTreeSql =
+      """WITH leaves AS (
+             SELECT event_type,
+                    CASE WHEN lf >= 65536 THEN 65535 ELSE lf END AS leaf
+             FROM (SELECT event_type,
+                          CAST(trunc(((least(greatest(floor(value), 0.0), 500.0) - 0.0)
+                                      / (500.0 - 0.0)) * 65536.0) AS BIGINT) AS lf
+                   FROM events)
+           ),
+           qs AS (SELECT * FROM (VALUES (0.1), (0.5), (0.9)) t(q)),
+           tot AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS n FROM leaves GROUP BY 1),
+           l1 AS (SELECT event_type, leaf // 4096 AS d, CAST(count(*) AS DOUBLE) AS c
+                  FROM leaves GROUP BY 1, 2),
+           s1 AS (
+             SELECT event_type, q, d AS sel1, c AS c1, (t1 - (cumt - c)) / c AS r1
+             FROM (SELECT t.event_type, qs.q, l.d, l.c, qs.q * t.n AS t1,
+                          SUM(l.c) OVER (PARTITION BY t.event_type, qs.q ORDER BY l.d) AS cumt
+                   FROM tot t CROSS JOIN qs JOIN l1 l ON l.event_type = t.event_type) z
+             WHERE cumt >= t1
+             QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type, q ORDER BY d) = 1
+           ),
+           l2 AS (SELECT s.event_type, s.q, s.sel1, s.r1, s.c1,
+                         (l.leaf // 256) % 16 AS d, CAST(count(*) AS DOUBLE) AS c
+                  FROM s1 s JOIN leaves l
+                    ON l.event_type = s.event_type AND l.leaf // 4096 = s.sel1
+                  GROUP BY ALL),
+           s2 AS (
+             SELECT event_type, q, sel1, d AS sel2, c AS c2, (t2 - (cumt - c)) / c AS r2
+             FROM (SELECT *, r1 * c1 AS t2,
+                          SUM(c) OVER (PARTITION BY event_type, q ORDER BY d) AS cumt
+                   FROM l2) z
+             WHERE cumt >= t2
+             QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type, q ORDER BY d) = 1
+           ),
+           l3 AS (SELECT s.event_type, s.q, s.sel1, s.sel2, s.r2, s.c2,
+                         (l.leaf // 16) % 16 AS d, CAST(count(*) AS DOUBLE) AS c
+                  FROM s2 s JOIN leaves l
+                    ON l.event_type = s.event_type AND l.leaf // 4096 = s.sel1
+                   AND (l.leaf // 256) % 16 = s.sel2
+                  GROUP BY ALL),
+           s3 AS (
+             SELECT event_type, q, sel1, sel2, d AS sel3, c AS c3, (t3 - (cumt - c)) / c AS r3
+             FROM (SELECT *, r2 * c2 AS t3,
+                          SUM(c) OVER (PARTITION BY event_type, q ORDER BY d) AS cumt
+                   FROM l3) z
+             WHERE cumt >= t3
+             QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type, q ORDER BY d) = 1
+           ),
+           l4 AS (SELECT s.event_type, s.q, s.sel1, s.sel2, s.sel3, s.r3, s.c3,
+                         l.leaf % 16 AS d, CAST(count(*) AS DOUBLE) AS c
+                  FROM s3 s JOIN leaves l
+                    ON l.event_type = s.event_type AND l.leaf // 4096 = s.sel1
+                   AND (l.leaf // 256) % 16 = s.sel2 AND (l.leaf // 16) % 16 = s.sel3
+                  GROUP BY ALL),
+           s4 AS (
+             SELECT event_type, q, sel1, sel2, sel3, d AS sel4, (t4 - (cumt - c)) / c AS r4
+             FROM (SELECT *, r3 * c3 AS t4,
+                          SUM(c) OVER (PARTITION BY event_type, q ORDER BY d) AS cumt
+                   FROM l4) z
+             WHERE cumt >= t4
+             QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type, q ORDER BY d) = 1
+           ),
+           walk AS (
+             SELECT event_type, q,
+                    lo3 + sel4 * w4 AS lo4, lo3 + (sel4 + 1) * w4 AS hi4, r4
+             FROM (
+               SELECT *, (hi3 - lo3) / 16.0 AS w4 FROM (
+                 SELECT *, lo2 + sel3 * w3 AS lo3, lo2 + (sel3 + 1) * w3 AS hi3 FROM (
+                   SELECT *, (hi2 - lo2) / 16.0 AS w3 FROM (
+                     SELECT *, lo1 + sel2 * w2 AS lo2, lo1 + (sel2 + 1) * w2 AS hi2 FROM (
+                       SELECT *, (hi1 - lo1) / 16.0 AS w2 FROM (
+                         SELECT *, 0.0 + sel1 * w1 AS lo1, 0.0 + (sel1 + 1) * w1 AS hi1 FROM (
+                           SELECT *, (500.0 - 0.0) / 16.0 AS w1 FROM s4))))))) y
+           ),
+           res AS (
+             SELECT event_type, q,
+                    least(greatest(lo4 + r4 * (hi4 - lo4), 0.0), 500.0) AS v
+             FROM walk
+           )
+           SELECT event_type,
+                  MAX(CASE WHEN q = 0.1 THEN v END) AS percentile_10,
+                  MAX(CASE WHEN q = 0.5 THEN v END) AS percentile_50,
+                  MAX(CASE WHEN q = 0.9 THEN v END) AS percentile_90
+           FROM res GROUP BY event_type"""
+
 
     // ---- utility-analysis oracle scaffolding (mirrors uaPublicOptions /
     // uaPrivateOptions; noise scales are sqrt(2)*l1/eps with eps = the equal
@@ -1045,89 +1157,8 @@ object SparkEntry {
       // width arithmetic — IEEE ops in identical order, so the interpolated
       // quantiles match bit-for-bit.
       "dp_percentile" ->
-        """WITH leaves AS (
-             SELECT event_type,
-                    CASE WHEN lf >= 65536 THEN 65535 ELSE lf END AS leaf
-             FROM (SELECT event_type,
-                          CAST(trunc(((least(greatest(floor(value), 0.0), 500.0) - 0.0)
-                                      / (500.0 - 0.0)) * 65536.0) AS BIGINT) AS lf
-                   FROM events)
-           ),
-           qs AS (SELECT * FROM (VALUES (0.1), (0.5), (0.9)) t(q)),
-           tot AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS n FROM leaves GROUP BY 1),
-           l1 AS (SELECT event_type, leaf // 4096 AS d, CAST(count(*) AS DOUBLE) AS c
-                  FROM leaves GROUP BY 1, 2),
-           s1 AS (
-             SELECT event_type, q, d AS sel1, c AS c1, (t1 - (cumt - c)) / c AS r1
-             FROM (SELECT t.event_type, qs.q, l.d, l.c, qs.q * t.n AS t1,
-                          SUM(l.c) OVER (PARTITION BY t.event_type, qs.q ORDER BY l.d) AS cumt
-                   FROM tot t CROSS JOIN qs JOIN l1 l ON l.event_type = t.event_type) z
-             WHERE cumt >= t1
-             QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type, q ORDER BY d) = 1
-           ),
-           l2 AS (SELECT s.event_type, s.q, s.sel1, s.r1, s.c1,
-                         (l.leaf // 256) % 16 AS d, CAST(count(*) AS DOUBLE) AS c
-                  FROM s1 s JOIN leaves l
-                    ON l.event_type = s.event_type AND l.leaf // 4096 = s.sel1
-                  GROUP BY ALL),
-           s2 AS (
-             SELECT event_type, q, sel1, d AS sel2, c AS c2, (t2 - (cumt - c)) / c AS r2
-             FROM (SELECT *, r1 * c1 AS t2,
-                          SUM(c) OVER (PARTITION BY event_type, q ORDER BY d) AS cumt
-                   FROM l2) z
-             WHERE cumt >= t2
-             QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type, q ORDER BY d) = 1
-           ),
-           l3 AS (SELECT s.event_type, s.q, s.sel1, s.sel2, s.r2, s.c2,
-                         (l.leaf // 16) % 16 AS d, CAST(count(*) AS DOUBLE) AS c
-                  FROM s2 s JOIN leaves l
-                    ON l.event_type = s.event_type AND l.leaf // 4096 = s.sel1
-                   AND (l.leaf // 256) % 16 = s.sel2
-                  GROUP BY ALL),
-           s3 AS (
-             SELECT event_type, q, sel1, sel2, d AS sel3, c AS c3, (t3 - (cumt - c)) / c AS r3
-             FROM (SELECT *, r2 * c2 AS t3,
-                          SUM(c) OVER (PARTITION BY event_type, q ORDER BY d) AS cumt
-                   FROM l3) z
-             WHERE cumt >= t3
-             QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type, q ORDER BY d) = 1
-           ),
-           l4 AS (SELECT s.event_type, s.q, s.sel1, s.sel2, s.sel3, s.r3, s.c3,
-                         l.leaf % 16 AS d, CAST(count(*) AS DOUBLE) AS c
-                  FROM s3 s JOIN leaves l
-                    ON l.event_type = s.event_type AND l.leaf // 4096 = s.sel1
-                   AND (l.leaf // 256) % 16 = s.sel2 AND (l.leaf // 16) % 16 = s.sel3
-                  GROUP BY ALL),
-           s4 AS (
-             SELECT event_type, q, sel1, sel2, sel3, d AS sel4, (t4 - (cumt - c)) / c AS r4
-             FROM (SELECT *, r3 * c3 AS t4,
-                          SUM(c) OVER (PARTITION BY event_type, q ORDER BY d) AS cumt
-                   FROM l4) z
-             WHERE cumt >= t4
-             QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type, q ORDER BY d) = 1
-           ),
-           walk AS (
-             SELECT event_type, q,
-                    lo3 + sel4 * w4 AS lo4, lo3 + (sel4 + 1) * w4 AS hi4, r4
-             FROM (
-               SELECT *, (hi3 - lo3) / 16.0 AS w4 FROM (
-                 SELECT *, lo2 + sel3 * w3 AS lo3, lo2 + (sel3 + 1) * w3 AS hi3 FROM (
-                   SELECT *, (hi2 - lo2) / 16.0 AS w3 FROM (
-                     SELECT *, lo1 + sel2 * w2 AS lo2, lo1 + (sel2 + 1) * w2 AS hi2 FROM (
-                       SELECT *, (hi1 - lo1) / 16.0 AS w2 FROM (
-                         SELECT *, 0.0 + sel1 * w1 AS lo1, 0.0 + (sel1 + 1) * w1 AS hi1 FROM (
-                           SELECT *, (500.0 - 0.0) / 16.0 AS w1 FROM s4))))))) y
-           ),
-           res AS (
-             SELECT event_type, q,
-                    least(greatest(lo4 + r4 * (hi4 - lo4), 0.0), 500.0) AS v
-             FROM walk
-           )
-           SELECT event_type,
-                  MAX(CASE WHEN q = 0.1 THEN v END) AS percentile_10,
-                  MAX(CASE WHEN q = 0.5 THEN v END) AS percentile_50,
-                  MAX(CASE WHEN q = 0.9 THEN v END) AS percentile_90
-           FROM res GROUP BY event_type""",
+        pctlTreeSql,
+      "dp_percentile_pld" -> pctlTreeSql,
       "text_quality" ->
         """SELECT doc_id,
               CAST(len(text) AS BIGINT) AS n_chars,
@@ -1275,7 +1306,29 @@ object SparkEntry {
       "ss_window_agg" ->
         """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
               count(*) AS n_events, CAST(sum(floor(value)) AS DOUBLE) AS value_floor_sum
-           FROM events GROUP BY 1, 2"""
+           FROM events GROUP BY 1, 2""",
+      // Gaps-and-islands replication of session_window (30-minute inactivity
+      // gap): a new session starts when the gap since the previous event is
+      // >= the gap duration (session_window's boundary semantics — an event
+      // exactly at previous+gap is OUTSIDE the window). Timestamps truncated
+      // to micros to match the engine's ts div 1000.
+      "ss_session_agg" ->
+        """WITH e AS (
+             SELECT user_id, epoch_ns(ts) // 1000 AS tu, floor(value) AS v
+             FROM events),
+           m AS (
+             SELECT user_id, tu, v,
+                    CASE WHEN tu - lag(tu) OVER (PARTITION BY user_id ORDER BY tu)
+                         >= 1800000000 THEN 1 ELSE 0 END AS brk
+             FROM e),
+           s AS (
+             SELECT user_id, tu, v,
+                    SUM(brk) OVER (PARTITION BY user_id ORDER BY tu
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+             FROM m)
+           SELECT user_id, MIN(tu) AS session_start,
+                  count(*) AS n_events, SUM(v) AS value_sum
+           FROM s GROUP BY user_id, sid"""
     )
   }
 }

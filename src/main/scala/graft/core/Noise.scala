@@ -136,13 +136,14 @@ object NoiseSource {
     * least significant bits for differential privacy", CCS 2012; Google DP
     * library's geometric construction): noise is a two-sided geometric on
     * multiples of a power-of-2 granularity r ~ b/2^40 — i.e. the DISCRETE
-    * Laplace distribution P(k r) ∝ exp(-|k| r / b) — so no floating-point
-    * artifact of the continuous inverse CDF can leak input bits. (Residual
-    * FP approximation: the geometric leg is sampled via math.log(u)
-    * inverse-CDF, so the geometric PROBABILITIES carry double-rounding bias
-    * of order 2^-50 per draw, unlike Google's FP-free Bernoulli-trial
-    * construction; the grid snap still closes the Mironov LSB channel, which
-    * is the attack the construction defends against.)
+    * Laplace distribution P(k r) ∝ exp(-|k| r / b) — sampled ENTIRELY in
+    * integer arithmetic with exact Bernoulli(e^-x) trials (the
+    * Canonne-Kamath-Steinke construction, "The Discrete Gaussian for
+    * Differential Privacy", NeurIPS 2020, Alg. 1-2): no floating-point
+    * appears anywhere between the random bits and the grid value, so no FP
+    * artifact can leak input bits. The integer scale is ceil(b/granularity)
+    * (>= the calibrated scale, i.e. never less noise than calibrated; the
+    * rounding costs < 2^-40 relative utility).
     *
     * Gaussian draws use the SYMMETRIC-BINOMIAL sampler (the Google DP
     * library's secure construction, "Secure Noise Generation", 2020): noise
@@ -154,16 +155,42 @@ object NoiseSource {
     @transient private lazy val rng =
       ThreadLocal.withInitial[java.security.SecureRandom](() => new java.security.SecureRandom())
     private def r = rng.get()
+
+    /** Bernoulli(num/den) — exact, integer comparison on an unbiased draw. */
+    private def bernoulliFrac(num: Long, den: Long): Boolean = uniformLong(den) < num
+
+    /** Bernoulli(exp(-num/den)) for num/den <= 1, exactly (CKS Alg. 1): let
+      * K be the first k with Bernoulli(num/(den*k)) = 0; accept iff K is
+      * odd. Every trial is an integer comparison. */
+    private def bernoulliExpFrac(num: Long, den: Long): Boolean = {
+      require(num <= den)
+      var k = 1L
+      while (bernoulliFrac(num, java.lang.Math.multiplyExact(den, k))) k += 1
+      k % 2 == 1
+    }
+
     def laplace(b: Double): Double = {
       val gran = DpNoise.laplaceGranularity(b)
-      // geometric over {0,1,...} with success prob 1 - e^(-gran/b):
-      // K = floor(ln U / ln(1 - p)) = floor(ln U * (-b/gran))
-      def geometric(): Long = {
-        var u = r.nextDouble()
-        while (u == 0.0) u = r.nextDouble()
-        math.floor(math.log(u) * (-b / gran)).toLong
+      // integer scale in grid units, rounded UP (never less noise than the
+      // calibrated b); t <= 2^41 by the granularity choice
+      val t = math.ceil(b / gran).toLong
+      // CKS Alg. 2: discrete Laplace with scale t — P(x) ∝ exp(-|x|/t)
+      while (true) {
+        // U uniform in {0..t-1}, accepted with prob exp(-U/t)
+        val u = uniformLong(t)
+        if (bernoulliExpFrac(u, t)) {
+          // V = number of consecutive Bernoulli(exp(-1)) successes
+          var v = 0L
+          while (bernoulliExpFrac(1, 1)) v += 1
+          val x = u + t * v
+          val negative = (r.nextInt() & 1) == 1
+          // reject (negative, 0) so zero isn't double-counted
+          if (!(negative && x == 0L)) {
+            return (if (negative) -x else x) * gran
+          }
+        }
       }
-      (geometric() - geometric()) * gran
+      0.0 // unreachable
     }
 
     def gaussian(sigma: Double): Double = {

@@ -93,6 +93,17 @@ final class QuantileTree(
         GaussianMechanism.fromEpsilonDelta(eps, delta,
           math.sqrt(height.toDouble * maxPartitionsContributed) * maxContributionsPerPartition)
     }
+    computeQuantiles(quantiles, mech, noise)
+  }
+
+  /** Quantile computation with a pre-built noise mechanism (lets budget
+    * accountants that resolve to a noise STD rather than (eps, delta) — the
+    * PLD accountant — drive the tree). */
+  def computeQuantiles(
+      quantiles: Seq[Double],
+      mech: AdditiveMechanism,
+      noise: NoiseSource
+  ): Seq[Double] = {
     // memoize noised counts so repeated quantile queries see one consistent tree
     val noised = mutable.HashMap.empty[Int, Double]
     def noisedCount(node: Int): Double =

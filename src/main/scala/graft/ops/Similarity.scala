@@ -279,11 +279,16 @@ object Similarity {
       if (total <= trainRowsTarget) 1.0 else trainRowsTarget.toDouble / total
     val sampled =
       if (fraction < 1.0) arrs.sample(withReplacement = false, fraction, seed) else arrs
+    // coalesce the (small, sampled) training set: k-means runs many short
+    // passes, and per-task overhead dominates with dozens of near-empty
+    // partitions; random init costs one pass instead of k-means||'s ~5
     val trainRdd = sampled.rdd
       .mapPartitions(_.map(r => MLVectors.dense(r.getSeq[Double](0).toArray)))
+      .coalesce(8)
     trainRdd.cache()
     val kk = math.min(nlist.toLong, math.max(1L, trainRdd.count())).toInt
-    val model = new MLKMeans().setK(kk).setSeed(seed).setMaxIterations(10).run(trainRdd)
+    val model = new MLKMeans().setK(kk).setSeed(seed).setMaxIterations(8)
+      .setInitializationMode("random").run(trainRdd)
     val centers: Array[Array[Double]] = model.clusterCenters.map(_.toArray)
     trainRdd.unpersist(blocking = false)
 

@@ -61,7 +61,15 @@ final case class QuantileComputer(
     val tree =
       if (bytes == null || bytes.isEmpty) new QuantileTree(lower, upper)
       else QuantileTree.deserialize(bytes)
-    tree.computeQuantiles(percentiles.map(_ / 100.0), spec.epsilon, spec.delta,
-      maxPartitionsContributed, maxContributionsPerPartition, noiseKind, noise).toArray
+    // the mechanism comes from the RESOLVED spec, so both budget forms work:
+    // (eps, delta) under naive accounting, noiseStdDev under PLD accounting
+    // (one contribution touches `height` node counts — L1 = height*l0*linf,
+    // L2 = sqrt(height*l0)*linf)
+    val h = tree.height.toDouble
+    val sens = Sensitivities(
+      l1Given = Some(h * maxPartitionsContributed * maxContributionsPerPartition),
+      l2Given = Some(math.sqrt(h * maxPartitionsContributed) * maxContributionsPerPartition))
+    val mech = Mechanisms.createAdditive(spec, sens)
+    tree.computeQuantiles(percentiles.map(_ / 100.0), mech, noise).toArray
   }
 }

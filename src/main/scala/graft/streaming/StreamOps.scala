@@ -43,6 +43,26 @@ object StreamOps {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("total_value"), col("approx_users"))
 
+  /** Session-window rollup: one row per (user, session), a session being a
+    * maximal run of events whose inter-event gaps are < `gap`
+    * (`session_window` — an event exactly at previous+gap starts a NEW
+    * session). The operator is identical batch or streaming; in streaming
+    * mode pass a watermark so closed sessions emit and their state is
+    * reclaimed. */
+  def sessionEventStats(
+      events: DataFrame,
+      gap: String = "30 minutes",
+      watermark: Option[String] = None
+  ): DataFrame = {
+    val base = watermark.map(w => events.withWatermark("ts", w)).getOrElse(events)
+    base.groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(floor(col("value"))).cast("double").as("value_sum"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("session_start"),
+        col("n_events"), col("value_sum"))
+  }
+
   final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, event_type: String)
   final case class SessionSummary(user_id: Long, n_events: Long,
       first_type: String, last_type: String, duration_seconds: Long)

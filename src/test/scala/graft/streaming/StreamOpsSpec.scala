@@ -42,6 +42,24 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("session windows over a bounded stream match the batch result") {
+    val agg = StreamOps.sessionEventStats(eventStream(), "30 minutes", Some("1 hour"))
+    // complete mode: the bounded replay emits every session deterministically
+    // (append would hold back sessions past the final watermark)
+    StreamOps.runToMemory(spark, agg, "sess_agg", OutputMode.Complete)
+    val streamed = spark.table("sess_agg")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batch = StreamOps.sessionEventStats(
+      spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("sessionization closes sessions after the inactivity gap") {
     import StreamOps._
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
