@@ -381,6 +381,15 @@ object SparkEntry {
       Dedup.simHashPairs(s.read.parquet(s"$dir/documents.parquet"),
         "doc_id", "text", maxHamming = 3)
     }),
+    "dedup_simhash_md5" -> ((s, dir) => {
+      // the simhash pipeline with PORTABLE md5-derived token hashes — the
+      // hash-independent twin of dedup_simhash, verified END-TO-END against
+      // the DuckDB oracle (bit-majority signature, pigeonhole chunk
+      // blocking, exact Hamming verify).
+      Dedup.simHashPairsPortable(s.read.parquet(s"$dir/documents.parquet"),
+        "doc_id", "text", maxHamming = 3)
+        .withColumn("hamming", col("hamming").cast("long"))
+    }),
     "dedup_ngram_jaccard" -> ((s, dir) => {
       // exact char-3-gram jaccard on the first 100 chars, blocked by lang
       val docs = s.read.parquet(s"$dir/documents.parquet")
@@ -779,6 +788,12 @@ object SparkEntry {
     * mirror the Spark plans exactly (see scaladoc above). */
   def oracleSql: Map[String, String] = {
     val x = "least(greatest(floor(value), 10.0), 100.0)" // clipped value
+    // 60 bit-majority expressions of the portable simhash signature (bit b of
+    // the sig is 1 iff the sign-sum of token-hash bit b is positive)
+    val simhashBits = (0 until 60).map(b =>
+      s"(CASE WHEN SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) > 0" +
+        s" THEN (CAST(1 AS BIGINT) << $b) ELSE CAST(0 AS BIGINT) END)")
+      .mkString(" + ")
     val pctlTreeSql =
       """WITH leaves AS (
              SELECT event_type,
@@ -1182,6 +1197,25 @@ object SparkEntry {
            FROM documents""",
       "dedup_exact" ->
         "SELECT text, min(doc_id) AS keep_id, count(*) AS group_size FROM documents GROUP BY text",
+      // Portable simhash: md5-derived 60-bit token hashes, bit-majority
+      // signature, 16-bit-chunk pigeonhole blocking, exact Hamming verify —
+      // the full pipeline recomputed independently.
+      "dedup_simhash_md5" ->
+        s"""WITH tok AS (
+              SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+              FROM documents),
+            h AS (
+              SELECT doc_id, CAST(CONCAT('0x', substr(md5(t), 1, 15)) AS BIGINT) AS h
+              FROM tok),
+            sig AS (SELECT doc_id, $simhashBits AS sig FROM h GROUP BY doc_id),
+            k AS (
+              SELECT doc_id, sig, c, (sig >> (c * 16)) & 65535 AS key
+              FROM sig, (SELECT unnest([0, 1, 2, 3]) AS c)),
+            p AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS sa, b.sig AS sb
+              FROM k a JOIN k b ON a.c = b.c AND a.key = b.key AND a.doc_id < b.doc_id)
+            SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+            FROM p WHERE bit_count(xor(sa, sb)) <= 3""",
       "dedup_ngram_jaccard" ->
         """WITH g AS (
              SELECT doc_id, lang,

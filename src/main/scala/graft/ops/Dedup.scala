@@ -282,6 +282,30 @@ object Dedup {
       // sums) but one unboxed loop instead of 64 interpreted aggregates
       .select(col("id"), simHashUdf(col("__th")).as("sig"))
       .localCheckpoint(false)
+    simHashPairsFromSigs(sigs, maxHamming)
+  }
+
+  /** SimHash near-dup pairs over PORTABLE token hashes: 60-bit values from
+    * the leading 15 hex digits of md5(token), reproducible in any engine —
+    * so the WHOLE pipeline (bit-majority signature, pigeonhole chunk
+    * blocking, exact Hamming verify) is verifiable against an independent
+    * SQL oracle; the production variant keeps xxhash64 (Spark-internal,
+    * much cheaper than a cryptographic hash). Token-less documents are
+    * excluded (their signature would be the degenerate 0). */
+  def simHashPairsPortable(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sigs = df.select(col(idCol).as("id"), col(textCol).as("text"))
+      .repartition(col("id"))
+      .withColumn("__toks", TextAnalysis.tokens(col("text")))
+      .filter(size(col("__toks")) > 0)
+      .withColumn("__th",
+        transform(col("__toks"), t => conv(substring(md5(t), 1, 15), 16, 10).cast("long")))
+      .select(col("id"), simHashUdf(col("__th")).as("sig"))
+      .localCheckpoint(false)
+    simHashPairsFromSigs(sigs, maxHamming)
+  }
+
+  private def simHashPairsFromSigs(sigs: DataFrame, maxHamming: Int): DataFrame = {
     val chunks = (0 until 4).map(c => shiftright(col("sig"), c * 16).bitwiseAND(0xFFFFL))
     val chunked = sigs.select(col("id"), col("sig"),
       posexplode(array(chunks: _*)).as(Seq("chunk", "key")))
