@@ -358,8 +358,10 @@ object SparkEntry {
         .drop("text")
     }),
     "text_langid" -> ((s, dir) => {
-      // n-gram/stopword heuristic; no SQL oracle (rows-only). Accuracy is
-      // covered by TextAnalysisSpec on genuine multilingual sentences.
+      // stopword-profile language ID — the scoring fold (distinct-stopword
+      // intersections, earliest-language argmax, CJK override) is recomputed
+      // independently by the DuckDB oracle; accuracy on genuine multilingual
+      // sentences is covered by TextAnalysisSpec.
       s.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), TextAnalysis.langId(col("text")).as("predicted_lang"))
     }),
@@ -794,6 +796,16 @@ object SparkEntry {
       s"(CASE WHEN SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) > 0" +
         s" THEN (CAST(1 AS BIGINT) << $b) ELSE CAST(0 AS BIGINT) END)")
       .mkString(" + ")
+    // language-ID scoring recomputed from the same (static, public) stopword
+    // profiles: distinct-stopword intersection per language, argmax with
+    // earliest-language tie-break, CJK char-ratio override — the langId
+    // fold's exact semantics
+    val langScores = graft.ops.Stopwords.profiles.map { case (lang, words) =>
+      val list = words.map(w => "'" + w.replace("'", "''") + "'").mkString("[", ",", "]")
+      lang -> s"len(list_distinct(list_intersect(toks, $list)))"
+    }
+    val langMax = langScores.map(s => s"s_${s._1}").mkString("greatest(", ", ", ")")
+    val langArms = langScores.map { case (l, _) => s"WHEN s_$l = m THEN '$l'" }.mkString(" ")
     val pctlTreeSql =
       """WITH leaves AS (
              SELECT event_type,
@@ -1197,6 +1209,21 @@ object SparkEntry {
            FROM documents""",
       "dedup_exact" ->
         "SELECT text, min(doc_id) AS keep_id, count(*) AS group_size FROM documents GROUP BY text",
+      "text_langid" ->
+        s"""WITH t AS (
+              SELECT doc_id, text,
+                     regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+              FROM documents),
+            s AS (SELECT doc_id, text,
+                    ${langScores.map { case (l, e) => s"$e AS s_$l" }.mkString(",\n                    ")}
+                  FROM t),
+            x AS (SELECT *, $langMax AS m,
+                         len(text) - len(regexp_replace(text, '[\\x{4e00}-\\x{9fff}]', '', 'g')) AS cjk
+                  FROM s)
+            SELECT doc_id,
+                   CASE WHEN cjk * 2 > len(text) THEN 'zh'
+                        WHEN m <= 0 THEN 'und' $langArms ELSE 'und' END AS predicted_lang
+            FROM x""",
       // Portable simhash: md5-derived 60-bit token hashes, bit-majority
       // signature, 16-bit-chunk pigeonhole blocking, exact Hamming verify —
       // the full pipeline recomputed independently.
