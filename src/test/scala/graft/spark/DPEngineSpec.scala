@@ -269,6 +269,26 @@ class DPEngineSpec extends AnyFunSuite {
     assert(math.abs(qc.spec.epsilon - 0.5) < 1e-12)
   }
 
+  test("dp aggregate plan shape: at most 3 shuffles, no cartesian products") {
+    // scale-regression guard: the audited plan is Linf window (exchange 1) ->
+    // (pid, pk) partial agg reusing that exchange -> L0 window (exchange 2)
+    // -> final per-pk merge (exchange 3). Anything above 3 means a stage
+    // stopped reusing its parent's partitioning.
+    val engine = zeroEngine()
+    val params = AggregateParams(
+      metrics = Seq(Metric.Count, Metric.Sum, Metric.Mean),
+      maxPartitionsContributed = 5,
+      maxContributionsPerPartition = Some(10),
+      minValue = Some(0.0), maxValue = Some(100.0))
+    val res = engine.aggregate(fixture, params, roles)
+    engine.accountant.computeBudgets()
+    val plan = res.dataframe.queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges <= 3, s"expected <= 3 shuffles, got $exchanges:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("reading dataframe before computeBudgets throws") {
     val engine = zeroEngine()
     val params = AggregateParams(
