@@ -34,10 +34,14 @@ object Bench {
         f"[bench] $name: median $median%.2fs min ${times.head}%.2fs ($reps reps)")
       (name, median, times.head)
     }
-    def json(sel: ((String, Double, Double)) => Double) =
-      results.map(r => "\"" + r._1 + "\":" + sel(r)).mkString("{", ",", "}")
+    // The harness captures only the LAST ~2000 bytes of output, so the JSON
+    // line must stay compact: medians only (mins are on stderr above), values
+    // rounded to 3 decimals. 70 queries * ~24 chars ≈ 1.7 KB — fits.
+    def r3(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val queriesJson =
+      results.map(r => "\"" + r._1 + "\":" + r3(r._2)).mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":${json(_._2)},"queries_min":${json(_._3)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$reps,"queries":$queriesJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
