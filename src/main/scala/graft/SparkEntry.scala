@@ -370,6 +370,15 @@ object SparkEntry {
       s.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fingerprint"))
     }),
+    "text_fingerprint_md5" -> ((s, dir) => {
+      // bottom-k winnowing fingerprint with PORTABLE hashing: md5-derived
+      // 60-bit gram hashes, fingerprint = md5 of the sorted sketch — the
+      // hash-independent twin of text_fingerprint, oracle-verified
+      // end-to-end (sketch construction recomputed in SQL).
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          TextAnalysis.fingerprintPortable(col("text")).as("fingerprint"))
+    }),
     "dedup_exact" -> ((s, dir) => {
       Dedup.duplicateGroups(s.read.parquet(s"$dir/documents.parquet"), "text", "doc_id")
     }),
@@ -377,6 +386,15 @@ object SparkEntry {
       // LSH candidate generation is hash-dependent => rows-only; DedupSpec
       // verifies planted near-dups are found. The corpus has real near-dups.
       Dedup.minHashLSH(s.read.parquet(s"$dir/documents.parquet"),
+        "doc_id", "text", threshold = 0.6)
+    }),
+    "dedup_minhash_md5" -> ((s, dir) => {
+      // the minhash+LSH pipeline with PORTABLE hashing (md5 shingle hashes,
+      // linear-congruential permutations mod 2^31-1, string band buckets) —
+      // the hash-independent twin of dedup_minhash, verified END-TO-END
+      // against the DuckDB oracle: shingling, one-hash signatures, band
+      // blocking, and the exact-Jaccard verify are all recomputed in SQL.
+      Dedup.minHashLSHPortable(s.read.parquet(s"$dir/documents.parquet"),
         "doc_id", "text", threshold = 0.6)
     }),
     "dedup_simhash" -> ((s, dir) => {
@@ -806,6 +824,9 @@ object SparkEntry {
     }
     val langMax = langScores.map(s => s"s_${s._1}").mkString("greatest(", ", ", ")")
     val langArms = langScores.map { case (l, _) => s"WHEN s_$l = m THEN '$l'" }.mkString(" ")
+    // portable-minhash permutation constants (fixed literals; see Dedup.permA)
+    val permAList = graft.ops.Dedup.permA.mkString("[", ",", "]")
+    val permBList = graft.ops.Dedup.permB.mkString("[", ",", "]")
     val pctlTreeSql =
       """WITH leaves AS (
              SELECT event_type,
@@ -1243,6 +1264,58 @@ object SparkEntry {
               FROM k a JOIN k b ON a.c = b.c AND a.key = b.key AND a.doc_id < b.doc_id)
             SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
             FROM p WHERE bit_count(xor(sa, sb)) <= 3""",
+      // Portable minhash+LSH: md5-derived shingle hashes, 128 linear-
+      // congruential permutations mod 2^31-1 (fixed constants), 16 bands x 8
+      // rows with plain string band buckets, exact-Jaccard verify — the full
+      // pipeline recomputed independently.
+      "dedup_minhash_md5" ->
+        s"""WITH tok AS (
+              SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+              FROM documents),
+            sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(toks) >= 3 THEN
+                         list_distinct(list_transform(range(1, len(toks) - 1),
+                           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                       ELSE [array_to_string(toks, ' ')] END AS grams
+              FROM tok WHERE len(toks) > 0),
+            h AS (
+              SELECT doc_id,
+                     CAST(CONCAT('0x', substr(md5(g), 1, 15)) AS BIGINT) % 2147483647 AS h
+              FROM (SELECT doc_id, unnest(grams) AS g FROM sh)),
+            mh AS (
+              SELECT doc_id, p,
+                     min((($permAList)[p + 1] * h + ($permBList)[p + 1]) % 2147483647) AS mv
+              FROM h CROSS JOIN (SELECT unnest(range(0, 128)) AS p)
+              GROUP BY doc_id, p),
+            sig AS (
+              SELECT doc_id, p // 8 AS band,
+                     string_agg(CAST(mv AS VARCHAR), '_' ORDER BY p) AS bucket
+              FROM mh GROUP BY doc_id, p // 8),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM sig a JOIN sig b
+                ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+            v AS (
+              SELECT id_a, id_b,
+                     CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE) AS inter,
+                     CAST(len(ga.grams) + len(gb.grams) AS DOUBLE) AS szsum
+              FROM cand JOIN sh ga ON ga.doc_id = id_a JOIN sh gb ON gb.doc_id = id_b)
+            SELECT id_a, id_b,
+                   CASE WHEN szsum - inter = 0 THEN 0.0
+                        ELSE inter / (szsum - inter) END AS jaccard
+            FROM v
+            WHERE (CASE WHEN szsum - inter = 0 THEN 0.0
+                        ELSE inter / (szsum - inter) END) >= 0.6""",
+      // Portable winnowing fingerprint: md5-derived 5-gram hashes, bottom-16
+      // sorted sketch, fingerprint = md5 of the comma-joined sketch.
+      "text_fingerprint_md5" ->
+        """SELECT doc_id,
+              md5(array_to_string(list_transform(
+                (list_sort(list_transform(range(1, greatest(len(text) - 4, 1) + 1),
+                  i -> CAST(CONCAT('0x', substr(md5(text[i:i+4]), 1, 15)) AS BIGINT))))[1:16],
+                v -> CAST(v AS VARCHAR)), ',')) AS fingerprint
+           FROM documents""",
       "dedup_ngram_jaccard" ->
         """WITH g AS (
              SELECT doc_id, lang,

@@ -142,6 +142,95 @@ object Dedup {
   /** Profiling access to the shingle UDF (dev tooling only). */
   private[graft] def wordShinglesForProfile(n: Int) = wordShinglesUdf(n)
 
+  // ---------------- portable minhash (oracle-verifiable twin) ----------------
+
+  /** Prime modulus for the portable linear-congruential permutations. */
+  private[graft] val PermPrime = 2147483647L // 2^31 - 1
+
+  /** Deterministic permutation coefficients: a_p in [1, P-1], b_p in [0, P-1]
+    * derived from the splitmix64 finalizer. Fixed constants (not a hash
+    * computed at query time) so an independent SQL oracle can embed the same
+    * literals. */
+  private[graft] val permA: Array[Long] =
+    Array.tabulate(128)(p => (Similarity.mix64(2L * p) & 0x7FFFFFFFL) % (PermPrime - 1) + 1)
+  private[graft] val permB: Array[Long] =
+    Array.tabulate(128)(p => (Similarity.mix64(2L * p + 1) & 0x7FFFFFFFL) % PermPrime)
+
+  /** Portable one-hash minhash signature: permutation p's value is
+    * min over shingle hashes h of (a_p * h + b_p) mod (2^31 - 1) — exact
+    * integer arithmetic any engine reproduces bit-for-bit (h < 2^31 and
+    * a_p < 2^31 keep every product below 2^62, no overflow). */
+  private def minHashSigPortableUdf(numHashes: Int) = udf((hsSeq: Seq[Long]) => {
+    val hs = hsSeq.toArray
+    val out = new Array[Long](numHashes)
+    var p = 0
+    while (p < numHashes) {
+      val a = permA(p); val b = permB(p)
+      var mn = Long.MaxValue
+      var i = 0
+      while (i < hs.length) {
+        val v = (a * hs(i) + b) % PermPrime
+        if (v < mn) mn = v
+        i += 1
+      }
+      out(p) = mn
+      p += 1
+    }
+    out
+  })
+
+  /** MinHash + LSH near-duplicate pairs with PORTABLE hashing: md5-derived
+    * shingle hashes and linear-congruential permutations instead of
+    * xxhash64, band buckets as plain signature strings instead of hashed
+    * longs — every stage (shingling, one-hash signatures, band blocking,
+    * exact-Jaccard verify) is reproducible in an independent SQL engine, so
+    * the WHOLE pipeline is verifiable against the DuckDB oracle end-to-end.
+    * The production variant ([[minHashLSH]]) keeps xxhash64 (Spark-native,
+    * codegen'd, much cheaper than a cryptographic hash); the plan shape
+    * (ids-only candidate shuffle, join-back verify) is identical.
+    * Token-less documents are excluded (their single shingle would be the
+    * degenerate empty string). */
+  def minHashLSHPortable(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      numBands: Int = 16,
+      rowsPerBand: Int = 8,
+      threshold: Double = 0.6
+  ): DataFrame = {
+    val numHashes = numBands * rowsPerBand
+    require(numHashes <= permA.length, s"at most ${permA.length} portable permutations")
+    val withSig = df.select(col(idCol).as("id"), col(textCol).as("text"))
+      .repartition(col("id"))
+      .withColumn("__toks", TextAnalysis.tokens(col("text")))
+      .filter(size(col("__toks")) > 0)
+      .withColumn("shingles", wordShinglesUdf(shingleSize)(col("__toks")))
+      .withColumn("__sh_hashes",
+        transform(col("shingles"),
+          s => conv(substring(md5(s), 1, 15), 16, 10).cast("long") % PermPrime))
+      .withColumn("sig", minHashSigPortableUdf(numHashes)(col("__sh_hashes")))
+      .drop("text", "__toks", "__sh_hashes")
+      .localCheckpoint(false)
+    // portable band key: the band's slice of the signature as a string
+    val bandSigs = (0 until numBands).map { b =>
+      concat_ws("_", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))
+    }
+    val banded = withSig
+      .select(col("id"), posexplode(array(bandSigs: _*)).as(Seq("band", "bucket")))
+    val left = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
+    val right = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
+    val candidates = left.hint("shuffle_hash").join(right, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val shA = withSig.select(col("id").as("id_a"), col("shingles").as("sh_a"))
+    val shB = withSig.select(col("id").as("id_b"), col("shingles").as("sh_b"))
+    candidates.join(shA, "id_a").join(shB, "id_b")
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   /** Estimated Jaccard from two MinHash signatures. */
   def minHashSimilarity(sigA: Column, sigB: Column): Column =
     size(filter(zip_with(sigA, sigB, (a, b) => a === b), x => x)).cast("double") /

@@ -80,6 +80,18 @@ object TextAnalysis {
       transform(sequence(lit(1), greatest(length(text) - (gram - 1), lit(1))),
         i => substring(text, i, lit(gram))),
       g => xxhash64(g))), 1, k)
+
+  /** [[fingerprint]] with PORTABLE hashing: gram hashes are the leading 15
+    * hex digits of md5 (60-bit values reproducible in any engine) and the
+    * final fingerprint is md5 of the comma-joined sorted sketch — so the
+    * whole construction is verifiable against an independent SQL oracle.
+    * The production variant keeps xxhash64 (native, codegen'd). */
+  def fingerprintPortable(text: Column, gram: Int = 5, k: Int = 16): Column =
+    md5(concat_ws(",",
+      slice(array_sort(transform(
+        sequence(lit(1), greatest(length(text) - (gram - 1), lit(1))),
+        i => conv(substring(md5(substring(text, i, lit(gram))), 1, 15), 16, 10)
+          .cast("long"))), 1, k).cast("array<string>")))
 }
 
 /** Minimal stopword profiles for language ID (top function words; public
