@@ -397,6 +397,15 @@ object SparkEntry {
       Dedup.minHashLSHPortable(s.read.parquet(s"$dir/documents.parquet"),
         "doc_id", "text", threshold = 0.6)
     }),
+    "dedup_components" -> ((s, dir) => {
+      // duplicate clusters: connected components (min-label propagation)
+      // over the oracle-verified portable-minhash pair set — the step that
+      // turns near-dup pairs into per-cluster keep decisions
+      val pairs = Dedup.minHashLSHPortable(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", threshold = 0.6)
+      Dedup.connectedComponents(pairs.select("id_a", "id_b"))
+        .select(col("id"), col("comp").as("component"))
+    }),
     "dedup_simhash" -> ((s, dir) => {
       Dedup.simHashPairs(s.read.parquet(s"$dir/documents.parquet"),
         "doc_id", "text", maxHamming = 3)
@@ -761,6 +770,13 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_events"),
           sum(floor(col("value"))).cast("double").as("value_floor_sum"))
     }),
+    "ss_dedup" -> ((s, dir) => {
+      // streaming dedup rollup: distinct users per hour via the chained
+      // dropDuplicates + windowed-count rewrite (count DISTINCT is
+      // unsupported on streams); streaming parity proven in StreamOpsSpec
+      graft.streaming.StreamOps.windowedDistinctUsers(
+        events(s, dir).withColumn("ts", expr("timestamp_micros(ts div 1000)")))
+    }),
     "ss_session_agg" -> ((s, dir) => {
       // session windows (30-minute inactivity gap per user) — the SAME
       // StreamOps operator runs under Structured Streaming with a watermark
@@ -827,6 +843,47 @@ object SparkEntry {
     // portable-minhash permutation constants (fixed literals; see Dedup.permA)
     val permAList = graft.ops.Dedup.permA.mkString("[", ",", "]")
     val permBList = graft.ops.Dedup.permB.mkString("[", ",", "]")
+    // the full portable-minhash pipeline; shared by dedup_minhash_md5 and
+    // (as the pair source) dedup_components
+    val minhashMd5Sql =
+      s"""WITH tok AS (
+              SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+              FROM documents),
+            sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(toks) >= 3 THEN
+                         list_distinct(list_transform(range(1, len(toks) - 1),
+                           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                       ELSE [array_to_string(toks, ' ')] END AS grams
+              FROM tok WHERE len(toks) > 0),
+            h AS (
+              SELECT doc_id,
+                     CAST(CONCAT('0x', substr(md5(g), 1, 15)) AS BIGINT) % 2147483647 AS h
+              FROM (SELECT doc_id, unnest(grams) AS g FROM sh)),
+            mh AS (
+              SELECT doc_id, p,
+                     min((($permAList)[p + 1] * h + ($permBList)[p + 1]) % 2147483647) AS mv
+              FROM h CROSS JOIN (SELECT unnest(range(0, 128)) AS p)
+              GROUP BY doc_id, p),
+            sig AS (
+              SELECT doc_id, p // 8 AS band,
+                     string_agg(CAST(mv AS VARCHAR), '_' ORDER BY p) AS bucket
+              FROM mh GROUP BY doc_id, p // 8),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM sig a JOIN sig b
+                ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+            v AS (
+              SELECT id_a, id_b,
+                     CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE) AS inter,
+                     CAST(len(ga.grams) + len(gb.grams) AS DOUBLE) AS szsum
+              FROM cand JOIN sh ga ON ga.doc_id = id_a JOIN sh gb ON gb.doc_id = id_b)
+            SELECT id_a, id_b,
+                   CASE WHEN szsum - inter = 0 THEN 0.0
+                        ELSE inter / (szsum - inter) END AS jaccard
+            FROM v
+            WHERE (CASE WHEN szsum - inter = 0 THEN 0.0
+                        ELSE inter / (szsum - inter) END) >= 0.6"""
     val pctlTreeSql =
       """WITH leaves AS (
              SELECT event_type,
@@ -1268,45 +1325,24 @@ object SparkEntry {
       // congruential permutations mod 2^31-1 (fixed constants), 16 bands x 8
       // rows with plain string band buckets, exact-Jaccard verify — the full
       // pipeline recomputed independently.
-      "dedup_minhash_md5" ->
-        s"""WITH tok AS (
-              SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
-              FROM documents),
-            sh AS (
-              SELECT doc_id,
-                     CASE WHEN len(toks) >= 3 THEN
-                         list_distinct(list_transform(range(1, len(toks) - 1),
-                           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
-                       ELSE [array_to_string(toks, ' ')] END AS grams
-              FROM tok WHERE len(toks) > 0),
-            h AS (
-              SELECT doc_id,
-                     CAST(CONCAT('0x', substr(md5(g), 1, 15)) AS BIGINT) % 2147483647 AS h
-              FROM (SELECT doc_id, unnest(grams) AS g FROM sh)),
-            mh AS (
-              SELECT doc_id, p,
-                     min((($permAList)[p + 1] * h + ($permBList)[p + 1]) % 2147483647) AS mv
-              FROM h CROSS JOIN (SELECT unnest(range(0, 128)) AS p)
-              GROUP BY doc_id, p),
-            sig AS (
-              SELECT doc_id, p // 8 AS band,
-                     string_agg(CAST(mv AS VARCHAR), '_' ORDER BY p) AS bucket
-              FROM mh GROUP BY doc_id, p // 8),
-            cand AS (
-              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-              FROM sig a JOIN sig b
-                ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
-            v AS (
-              SELECT id_a, id_b,
-                     CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE) AS inter,
-                     CAST(len(ga.grams) + len(gb.grams) AS DOUBLE) AS szsum
-              FROM cand JOIN sh ga ON ga.doc_id = id_a JOIN sh gb ON gb.doc_id = id_b)
-            SELECT id_a, id_b,
-                   CASE WHEN szsum - inter = 0 THEN 0.0
-                        ELSE inter / (szsum - inter) END AS jaccard
-            FROM v
-            WHERE (CASE WHEN szsum - inter = 0 THEN 0.0
-                        ELSE inter / (szsum - inter) END) >= 0.6""",
+      "dedup_minhash_md5" -> minhashMd5Sql,
+      // Duplicate clusters from the portable-minhash pair set: connected
+      // components as a recursive reachability CTE (component = min
+      // reachable id), over the SAME independently-recomputed pipeline.
+      "dedup_components" ->
+        s"""WITH RECURSIVE pairs AS ($minhashMd5Sql),
+            e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                  UNION ALL SELECT id_b, id_a FROM pairs),
+            n AS (SELECT DISTINCT src AS id FROM e),
+            r AS (
+              SELECT id, id AS reach FROM n
+              UNION
+              SELECT r.id, e.dst AS reach FROM r JOIN e ON e.src = r.reach)
+            SELECT id, min(reach) AS component FROM r GROUP BY id""",
+      "ss_dedup" ->
+        """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+              event_type, count(DISTINCT user_id) AS distinct_users
+           FROM events GROUP BY 1, 2""",
       // Portable winnowing fingerprint: md5-derived 5-gram hashes, bottom-16
       // sorted sketch, fingerprint = md5 of the comma-joined sketch.
       "text_fingerprint_md5" ->

@@ -545,6 +545,52 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  // ---------------- duplicate clustering ----------------
+
+  /** Connected components over an undirected pair set `(id_a, id_b)` —
+    * the step that turns near-dup PAIRS into duplicate CLUSTERS (one keep
+    * per cluster), finishing every LSH dedup pipeline. Returns
+    * `(id, component)` with `component` = smallest id in the component.
+    *
+    * Algorithm: min-label propagation with pointer jumping — each round a
+    * node takes the min of its own label, its neighbors' labels (edge
+    * step), and its label's label (shortcut step, the pointer-jumping
+    * halving of Shiloach-Vishkin-style CC), so convergence is
+    * O(log diameter) rounds even on pathological chains; duplicate graphs
+    * (piles of tiny near-cliques) finish in 2-3. Each round is two
+    * shuffle-joins + one shuffled min-aggregate with map-side combine —
+    * the MapReduce-CC layout of Kiveris et al., which is the 100 TB-safe
+    * shape (no driver-side graph, state is one (id, label) row per node).
+    * Each round's frame is localCheckpoint'ed: the lineage would otherwise
+    * double per iteration, and the convergence check reuses the
+    * materialized result instead of recomputing the chain. */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    val sym = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint(false)
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint(false)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val viaEdges = sym.join(labels.select(col("id").as("dst"), col("comp")), "dst")
+        .select(col("src").as("id"), col("comp"))
+      val viaShortcut = labels.select(col("id"), col("comp").as("mid"))
+        .join(labels.select(col("id").as("mid"), col("comp")), "mid")
+        .select(col("id"), col("comp"))
+      val updated = labels.unionByName(viaEdges).unionByName(viaShortcut)
+        .groupBy("id").agg(min("comp").as("comp"))
+        .localCheckpoint(false)
+      val changed = updated.join(labels.withColumnRenamed("comp", "prev"), "id")
+        .filter(col("comp") =!= col("prev")).limit(1).count()
+      labels = updated
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
+
   // ---------------- embedding near-dup ----------------
 
   /** Embedding-cosine near-duplicate pairs via banded random-hyperplane LSH

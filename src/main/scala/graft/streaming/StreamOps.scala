@@ -63,6 +63,27 @@ object StreamOps {
         col("n_events"), col("value_sum"))
   }
 
+  /** Streaming dedup rollup: distinct users per (window, event_type).
+    * `count(DISTINCT ...)` is unsupported on streams, so it is rewritten as
+    * the canonical chained-stateful-operator form — watermarked
+    * `dropDuplicates` keyed by (window, type, user), then a windowed count.
+    * The window column carries event time, so both stateful stages evict
+    * state at the watermark. Identical batch or streaming (in batch the
+    * rewrite is exactly `count(DISTINCT user_id)`). */
+  def windowedDistinctUsers(
+      events: DataFrame,
+      windowLength: String = "1 hour",
+      watermark: Option[String] = None
+  ): DataFrame = {
+    val base = watermark.map(w => events.withWatermark("ts", w)).getOrElse(events)
+    base.withColumn("window", window(col("ts"), windowLength))
+      .dropDuplicates("window", "event_type", "user_id")
+      .groupBy(col("window"), col("event_type"))
+      .agg(count(lit(1)).as("distinct_users"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"), col("distinct_users"))
+  }
+
   final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, event_type: String)
   final case class SessionSummary(user_id: Long, n_events: Long,
       first_type: String, last_type: String, duration_seconds: Long)

@@ -123,6 +123,24 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("connected components: clusters from pair sets, min-id labels") {
+    val edges = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val out = Dedup.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("connected components: pointer jumping converges on a long chain") {
+    // a 60-node path has diameter 59; plain min-propagation would need 59
+    // rounds — pointer jumping must finish within the default maxIter
+    val edges = (1L to 60L).sliding(2).map(s => (s.head, s.last)).toSeq
+      .toDF("id_a", "id_b")
+    val out = Dedup.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(out.length == 60)
+    assert(out.forall(_._2 == 1L))
+  }
+
   test("banded LSH recovers planted near-duplicates with high recall") {
     val rnd = new scala.util.Random(17)
     val originals = (0L until 150L).map(i => (i, Array.fill(32)(rnd.nextGaussian())))

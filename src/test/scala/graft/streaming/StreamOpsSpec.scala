@@ -60,6 +60,39 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming distinct-user dedup rollup matches batch count(DISTINCT)") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val dir = "/root/testdata/sf0.001"
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    // chained stateful operators (dedup -> agg) only run in APPEND mode, and
+    // append emits a window only once the watermark passes it — so replay the
+    // events plus one far-future sentinel event that pushes the final
+    // watermark past every real window
+    val tmp = java.nio.file.Files.createTempDirectory("ss_dedup").toString
+    ev.write.mode("overwrite").parquet(tmp)
+    val maxTs = ev.agg(max("ts")).head.getLong(0)
+    ev.limit(1)
+      .withColumn("ts", lit(maxTs + 10L * 3600L * 1000000000L))
+      .withColumn("user_id", lit(-1L))
+      .withColumn("event_type", lit("__sentinel"))
+      .write.mode("append").parquet(tmp)
+    val stream = spark.readStream.schema(ev.schema).parquet(tmp)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val agg = StreamOps.windowedDistinctUsers(stream, "1 hour", Some("10 minutes"))
+    StreamOps.runToMemory(spark, agg, "ss_dedup_t", OutputMode.Append)
+    val streamed = spark.table("ss_dedup_t")
+      .filter(col("event_type") =!= "__sentinel")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+
+    val batch = StreamOps.windowedDistinctUsers(
+      spark.read.parquet(s"$dir/events.parquet")
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)")))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("sessionization closes sessions after the inactivity gap") {
     import StreamOps._
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
