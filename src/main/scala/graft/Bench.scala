@@ -21,7 +21,12 @@ object Bench {
       spark.read.parquet(s"$sfDir/lineitem.parquet")
         .groupBy("l_returnflag").count().count()
     } catch { case _: Throwable => () }
+    // optional comma-separated name-prefix filter for targeted local runs,
+    // e.g. SPARK_GRAFT_BENCH_ONLY=sim_,dedup_minhash
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.exists(n.startsWith)))
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
       val times = (1 to reps).map { _ =>

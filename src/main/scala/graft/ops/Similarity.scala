@@ -251,9 +251,12 @@ object Similarity {
     *
     *  - the quantizer trains on a SAMPLED pass over the corpus, capped at
     *    `trainRowsTarget` rows (quantizer quality needs only a representative
-    *    sample — the classic 1e5-training-points rule) and fed to k-means as
-    *    a cached RDD[Vector] built in one mapPartitions, so no multi-pass
-    *    full-corpus scan and no UDF conversion layer; the model is
+    *    sample — the classic 1e5-training-points rule; FAISS trains its
+    *    coarse quantizers the same way). The sample is BOUNDED, so Lloyd's
+    *    iterations run driver-side on the collected array (1e5 x 64 doubles
+    *    = 50 MB): one distributed sampling pass total, zero per-iteration
+    *    Spark jobs — a distributed k-means spends more time scheduling its
+    *    ~2 jobs/iteration than this takes to converge. The model is
     *    nlist x dim doubles, broadcast in closures;
     *  - cell assignment is one linear scan (embarrassingly parallel);
     *  - the candidate join is keyed by cell id — corpus vectors ride it only
@@ -271,26 +274,16 @@ object Similarity {
       trainRowsTarget: Long = 100000, seed: Long = 42
   ): DataFrame = {
     require(nprobe <= nlist, "nprobe must be <= nlist")
-    import org.apache.spark.mllib.clustering.{KMeans => MLKMeans}
-    import org.apache.spark.mllib.linalg.{Vectors => MLVectors}
     val arrs = corpus.select(col(corpusVec).cast("array<double>").as("__arr"))
     val total = arrs.count() // statistics job (parquet metadata for plain scans)
     val fraction =
       if (total <= trainRowsTarget) 1.0 else trainRowsTarget.toDouble / total
     val sampled =
       if (fraction < 1.0) arrs.sample(withReplacement = false, fraction, seed) else arrs
-    // coalesce the (small, sampled) training set: k-means runs many short
-    // passes, and per-task overhead dominates with dozens of near-empty
-    // partitions; random init costs one pass instead of k-means||'s ~5
-    val trainRdd = sampled.rdd
-      .mapPartitions(_.map(r => MLVectors.dense(r.getSeq[Double](0).toArray)))
-      .coalesce(8)
-    trainRdd.cache()
-    val kk = math.min(nlist.toLong, math.max(1L, trainRdd.count())).toInt
-    val model = new MLKMeans().setK(kk).setSeed(seed).setMaxIterations(8)
-      .setInitializationMode("random").run(trainRdd)
-    val centers: Array[Array[Double]] = model.clusterCenters.map(_.toArray)
-    trainRdd.unpersist(blocking = false)
+    val train: Array[Array[Double]] = sampled.rdd
+      .mapPartitions(_.map(_.getSeq[Double](0).toArray))
+      .collect() // bounded by trainRowsTarget (sampling variance aside)
+    val centers = lloyd(train, nlist, seed)
 
     def nearestCells(n: Int) = udf((a: Seq[Double]) => {
       val dists = new Array[Double](centers.length)
@@ -314,6 +307,85 @@ object Similarity {
     val scored = c.join(q, "cell")
       .withColumn("cosine", cosine(col("__qv"), col("__cv")))
     finalizeTopK(scored, k)
+  }
+
+  /** Lloyd's k-means over an in-memory sample: deterministic seeded init
+    * (k distinct points), iterate assign/recenter until centers move less
+    * than `tol` or `maxIter`. The sample is bounded by the caller
+    * (`trainRowsTarget`), so this is bounded driver work — the IVF
+    * quantizer's training loop without any per-iteration cluster jobs.
+    * Empty clusters are re-seeded from the farthest-assigned point (the
+    * standard repair), keeping all k cells populated. */
+  private[graft] def lloyd(train: Array[Array[Double]], k: Int, seed: Long,
+      maxIter: Int = 10, tol: Double = 1e-6): Array[Array[Double]] = {
+    require(train.nonEmpty, "k-means requires a non-empty training sample")
+    val dim = train(0).length
+    val rnd = new scala.util.Random(seed)
+    val kk = math.min(k, train.length)
+    val centers = rnd.shuffle(train.indices.toVector).take(kk)
+      .map(i => train(i).clone()).toArray
+    val assign = new Array[Int](train.length)
+    val dists = new Array[Double](train.length)
+    var iter = 0
+    var moved = Double.MaxValue
+    while (iter < maxIter && moved > tol) {
+      // assignment pass
+      var r = 0
+      while (r < train.length) {
+        val v = train(r)
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < kk) {
+          val ct = centers(c)
+          var s = 0.0; var i = 0
+          while (i < dim) { val d = v(i) - ct(i); s += d * d; i += 1 }
+          if (s < bestD) { bestD = s; best = c }
+          c += 1
+        }
+        assign(r) = best; dists(r) = bestD
+        r += 1
+      }
+      // recenter pass
+      val sums = Array.ofDim[Double](kk, dim)
+      val counts = new Array[Int](kk)
+      r = 0
+      while (r < train.length) {
+        val v = train(r); val c = assign(r)
+        var i = 0
+        while (i < dim) { sums(c)(i) += v(i); i += 1 }
+        counts(c) += 1
+        r += 1
+      }
+      moved = 0.0
+      var c = 0
+      while (c < kk) {
+        if (counts(c) == 0) {
+          // re-seed an empty cluster from the worst-fitted point
+          var worst = 0; var worstD = -1.0
+          var j = 0
+          while (j < train.length) {
+            if (dists(j) > worstD) { worstD = dists(j); worst = j }
+            j += 1
+          }
+          System.arraycopy(train(worst), 0, centers(c), 0, dim)
+          dists(worst) = 0.0
+          moved = Double.MaxValue
+        } else {
+          var s = 0.0; var i = 0
+          while (i < dim) {
+            val nc = sums(c)(i) / counts(c)
+            val d = nc - centers(c)(i)
+            s += d * d
+            centers(c)(i) = nc
+            i += 1
+          }
+          moved = math.max(moved, s)
+        }
+        c += 1
+      }
+      iter += 1
+    }
+    centers
   }
 
   /** One band's signature: `planes` sign bits from hyperplanes salted by

@@ -125,6 +125,50 @@ object Profile {
         when(na === 0.0 || nb === 0.0, lit(0.0)).otherwise(d / (na * nb)))
         .filter(col("cos") >= 0.95).count()
     }
+    // ---- IVF pieces ----
+    val e0 = spark.read.parquet(s"$dir/embeddings.parquet")
+    time("ivf: corpus count job") {
+      e0.select(col("embedding").cast("array<double>")).count()
+    }
+    time("ivf: train sample collect") {
+      e0.select(col("embedding").cast("array<double>").as("__arr")).rdd
+        .mapPartitions(_.map(_.getSeq[Double](0).toArray)).collect().length.toLong
+    }
+    val trainArr = e0.select(col("embedding").cast("array<double>").as("__arr")).rdd
+      .mapPartitions(_.map(_.getSeq[Double](0).toArray)).collect()
+    time("ivf: lloyd driver-side (k=80)") {
+      Similarity.lloyd(trainArr, 80, 42).length.toLong
+    }
+    time("ivf: full query") {
+      val queries = e0.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding"))
+      val nlist = math.max(16, math.min(256, math.sqrt(e0.count().toDouble).toInt))
+      Similarity.ivfTopK(e0, "vec_id", "embedding", queries, "qid", "embedding",
+        k = 5, nlist = nlist, nprobe = math.max(4, nlist / 8)).count()
+    }
+    val centers80 = Similarity.lloyd(trainArr, 44, 42)
+    val nearest1 = udf((a: Seq[Double]) => {
+      var best = 0; var bestD = Double.MaxValue
+      var ci = 0
+      while (ci < centers80.length) {
+        val c = centers80(ci); var s = 0.0; var i = 0
+        while (i < c.length && i < a.length) { val d = a(i) - c(i); s += d * d; i += 1 }
+        if (s < bestD) { bestD = s; best = ci }
+        ci += 1
+      }
+      best
+    })
+    val cAssigned = e0.select(col("vec_id").as("neighbor_id"),
+        col("embedding").cast("array<double>").as("__cv"))
+      .withColumn("cell", nearest1(col("__cv")))
+    time("ivf: corpus assignment only") { cAssigned.count() }
+    val qAssigned = broadcast(e0.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").cast("array<double>").as("__qv"))
+      .withColumn("cell", nearest1(col("__qv"))))
+    time("ivf: scored join count") {
+      cAssigned.join(qAssigned, "cell")
+        .withColumn("cosine", Similarity.cosine(col("__qv"), col("__cv"))).count()
+    }
     spark.stop()
   }
 }
