@@ -39,14 +39,28 @@ object Bench {
         f"[bench] $name: median $median%.2fs min ${times.head}%.2fs ($reps reps)")
       (name, median, times.head)
     }
-    // The harness captures only the LAST ~2000 bytes of output, so the JSON
-    // line must stay compact: medians only (mins are on stderr above), values
-    // rounded to 3 decimals. 70 queries * ~24 chars ≈ 1.7 KB — fits.
+    // The harness captures only the LAST ~2000 bytes of output, and sbt's
+    // trailing "[success] Total time" line eats ~80 of them, so the JSON line
+    // must stay under ~1850 bytes: medians only (mins are on stderr above),
+    // values rounded to 3 decimals. If the query inventory grows past what
+    // fits, fold the FASTEST queries into one "_other" bucket — the slow ones
+    // are the ones round-over-round comparisons need.
     def r3(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val queriesJson =
-      results.map(r => "\"" + r._1 + "\":" + r3(r._2)).mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$reps,"queries":$queriesJson,"sf":"$sfDir"}""")
+    def line(rs: Seq[(String, Double, Double)], folded: Int, foldedSec: Double) = {
+      val entries = rs.map(r => "\"" + r._1 + "\":" + r3(r._2)) ++
+        (if (folded > 0) Seq("\"_other_" + folded + "q\":" + r3(foldedSec)) else Nil)
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$reps,"queries":${entries.mkString("{", ",", "}")},"sf":"$sfDir"}"""
+    }
+    val bySlowest = results.sortBy(-_._2)
+    var keep = bySlowest.length
+    while (keep > 0 && {
+      val kept = bySlowest.take(keep).sortBy(_._1)
+      val foldedSec = bySlowest.drop(keep).map(_._2).sum
+      line(kept, bySlowest.length - keep, foldedSec).length > 1850
+    }) keep -= 1
+    val kept = bySlowest.take(keep).sortBy(_._1)
+    println(line(kept, bySlowest.length - keep, bySlowest.drop(keep).map(_._2).sum))
     spark.stop()
   }
 }
