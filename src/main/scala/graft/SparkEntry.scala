@@ -379,6 +379,60 @@ object SparkEntry {
         .select(col("doc_id"),
           TextAnalysis.fingerprintPortable(col("text")).as("fingerprint"))
     }),
+    "text_pii_scrub" -> ((s, dir) => {
+      // PII redaction + per-kind counts. The corpus carries no PII, so the
+      // query appends DETERMINISTIC synthetic PII derived from doc_id (one
+      // email, IP, SSN, phone each) and the oracle replays the same
+      // construction — regexes restricted to Java/RE2-identical syntax.
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), concat(
+          col("text"),
+          lit(" contact user"), col("doc_id").cast("string"), lit("@example.com"),
+          lit(" from 10.0."), (col("doc_id") % 256).cast("string"), lit(".7"),
+          lit(" ssn 123-45-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+          lit(" call 555-"), lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
+          lit("-2244")).as("text"))
+      CorpusOps.piiScrub(docs, "text").drop("text")
+    }),
+    "text_repetition" -> ((s, dir) => {
+      // Gopher-style repetition quality filters: top-token / top-2-gram
+      // fractions, duplicate 2-/3-gram fractions. Pure per-row projections;
+      // every count is recomputed by the DuckDB oracle with list lambdas.
+      CorpusOps.repetitionFeatures(
+        s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text"), "text")
+        .drop("text")
+    }),
+    "text_contamination" -> ((s, dir) => {
+      // benchmark-contamination check: docs with doc_id % 20 == 0 act as the
+      // "eval set"; every other doc reports how many of its distinct word
+      // 3-grams appear in it. Corpus side is a zero-shuffle map-only scan
+      // against the broadcast benchmark gram set.
+      val docs = s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+      val bench = docs.filter(col("doc_id") % 20 === 0)
+      val corpus = docs.filter(col("doc_id") % 20 =!= 0)
+      CorpusOps.ngramContamination(corpus, "doc_id", "text", bench, "text", n = 3)
+        .drop("text")
+    }),
+    "sample_stratified" -> ((s, dir) => {
+      // deterministic stratified sample: exactly 40 orders per order
+      // priority, chosen as the smallest md5(o_orderkey) — portable hash
+      // order, bounded bottom-k partial aggregate (never a per-stratum
+      // window sort).
+      CorpusOps.stratifiedSample(
+        s.read.parquet(s"$dir/orders.parquet"), "o_orderpriority", "o_orderkey", k = 40)
+    }),
+    "approx_distinct_users" -> ((s, dir) => {
+      // HLL++ mergeable sketches — the 100 TB distinct-count path (per-shard
+      // sketches, union, estimate; no exact-distinct shuffle). Estimates are
+      // engine-specific => rows-only; the query carries its own error probe
+      // against the exact count and CorpusOpsSpec bounds the relative error.
+      events(s, dir).groupBy("event_type").agg(
+          approx_count_distinct("user_id", 0.02).as("approx_users"),
+          countDistinct(col("user_id")).as("exact_users"))
+        .withColumn("rel_err",
+          abs(col("approx_users") - col("exact_users")).cast("double") /
+            col("exact_users").cast("double"))
+    }),
     "dedup_exact" -> ((s, dir) => {
       Dedup.duplicateGroups(s.read.parquet(s"$dir/documents.parquet"), "text", "doc_id")
     }),
@@ -495,6 +549,20 @@ object SparkEntry {
       probe.crossJoin(recall)
         .select(lit(200L).as("n_planted"), col("n_planted_found"),
           col("n_pairs_total"), col("n_exact_pairs"), col("n_exact_found"))
+    }),
+    "sim_ivf_exact" -> ((s, dir) => {
+      // IVF with nprobe == nlist probes EVERY cell, so candidates = the full
+      // corpus per query and the result is provably identical to brute
+      // force — while still driving the entire IVF machinery (sampled
+      // training, Lloyd's quantizer, cell assignment, probed cell join,
+      // bounded-heap top-k). The oracle-verified anchor for sim_ivf_topk;
+      // same SQL oracle as sim_topk.
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+        .withColumn("emb", expr("transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1024) / 1024)"))
+      val queries = e.filter(col("vec_id") < 20).select(col("vec_id").as("qid"), col("emb"))
+      Similarity.ivfTopK(e, "vec_id", "emb", queries, "qid", "emb",
+        k = 5, nlist = 16, nprobe = 16)
+        .withColumn("rank", col("rank").cast("long"))
     }),
     "sim_ivf_topk" -> ((s, dir) => {
       // IVF approximate top-k: k-means cells + probed-cell exact re-rank.
@@ -1077,6 +1145,36 @@ object SparkEntry {
       val sel = LaplaceThresholdingSelection(1.0, 5e-5, 1, 1)
       f"${sel.threshold}%.17g"
     }
+    // brute-force cosine top-5: ground truth for BOTH sim_topk (brute-force
+    // operator) and sim_ivf_exact (IVF with nprobe == nlist, provably equal)
+    val bruteTopKSql =
+      """WITH e AS (
+           SELECT vec_id,
+                  list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1024) / 1024) AS emb
+           FROM embeddings),
+         scored AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                  CASE WHEN sqrt(list_sum(list_transform(q.emb, x -> x * x))) = 0
+                         OR sqrt(list_sum(list_transform(c.emb, x -> x * x))) = 0 THEN 0.0
+                       ELSE list_sum(list_transform(range(1, 65), i -> q.emb[i] * c.emb[i]))
+                            / (sqrt(list_sum(list_transform(q.emb, x -> x * x)))
+                               * sqrt(list_sum(list_transform(c.emb, x -> x * x))))
+                  END AS cosine
+           FROM e q CROSS JOIN e c WHERE q.vec_id < 20)
+         SELECT query_id, neighbor_id, cosine,
+                CAST(row_number() OVER (PARTITION BY query_id
+                     ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+         FROM scored
+         QUALIFY rank <= 5"""
+    // PII oracle arms generated from the SAME pattern table the operator
+    // uses, so impl and oracle cannot drift (patterns are Java/RE2-portable
+    // and contain no single quotes)
+    val piiCountsSql = CorpusOps.piiPatterns.map { case (name, pat, _) =>
+      s"CAST(len(regexp_extract_all(text, '$pat')) AS BIGINT) AS n_$name"
+    }.mkString(", ")
+    val piiScrubSql = CorpusOps.piiPatterns.foldLeft("text") {
+      case (acc, (_, pat, repl)) => s"regexp_replace($acc, '$pat', '$repl', 'g')"
+    }
     Map(
       "ua_per_partition" -> s"$uaPerPartitionSql SELECT * FROM pp",
       "ua_multi_sum" -> {
@@ -1384,25 +1482,76 @@ object SparkEntry {
              FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
            SELECT id_a, id_b, dot / (na * nb) AS cosine
            FROM p WHERE na <> 0 AND nb <> 0 AND dot / (na * nb) >= 0.3""",
-      "sim_topk" ->
-        """WITH e AS (
-             SELECT vec_id,
-                    list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1024) / 1024) AS emb
-             FROM embeddings),
-           scored AS (
-             SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-                    CASE WHEN sqrt(list_sum(list_transform(q.emb, x -> x * x))) = 0
-                           OR sqrt(list_sum(list_transform(c.emb, x -> x * x))) = 0 THEN 0.0
-                         ELSE list_sum(list_transform(range(1, 65), i -> q.emb[i] * c.emb[i]))
-                              / (sqrt(list_sum(list_transform(q.emb, x -> x * x)))
-                                 * sqrt(list_sum(list_transform(c.emb, x -> x * x))))
-                    END AS cosine
-             FROM e q CROSS JOIN e c WHERE q.vec_id < 20)
-           SELECT query_id, neighbor_id, cosine,
-                  CAST(row_number() OVER (PARTITION BY query_id
-                       ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
-           FROM scored
-           QUALIFY rank <= 5""",
+      "sim_topk" -> bruteTopKSql,
+      "sim_ivf_exact" -> bruteTopKSql,
+      "text_pii_scrub" ->
+        s"""WITH d AS (
+             SELECT doc_id,
+                    text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                      || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+                      || ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                      || ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                      || '-2244' AS text
+             FROM documents)
+           SELECT doc_id, $piiCountsSql, $piiScrubSql AS scrubbed
+           FROM d""",
+      "text_repetition" ->
+        """WITH t AS (
+             SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+             FROM documents),
+           g AS (
+             SELECT doc_id, toks,
+                    list_transform(range(1, len(toks)),
+                      i -> array_to_string(toks[i:i+1], ' ')) AS g2,
+                    list_transform(range(1, len(toks) - 1),
+                      i -> array_to_string(toks[i:i+2], ' ')) AS g3
+             FROM t)
+           SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+                  CASE WHEN len(toks) > 0 THEN
+                      CAST(list_max(list_transform(list_distinct(toks),
+                        d -> len(list_filter(toks, x -> x = d)))) AS DOUBLE)
+                        / CAST(len(toks) AS DOUBLE)
+                    ELSE 0.0 END AS top_token_frac,
+                  CASE WHEN len(g2) > 0 THEN
+                      CAST(list_max(list_transform(list_distinct(g2),
+                        d -> len(list_filter(g2, x -> x = d)))) AS DOUBLE)
+                        / CAST(len(g2) AS DOUBLE)
+                    ELSE 0.0 END AS top_2gram_frac,
+                  CASE WHEN len(g2) > 0 THEN
+                      CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE)
+                        / CAST(len(g2) AS DOUBLE)
+                    ELSE 0.0 END AS dup_2gram_frac,
+                  CASE WHEN len(g3) > 0 THEN
+                      CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE)
+                        / CAST(len(g3) AS DOUBLE)
+                    ELSE 0.0 END AS dup_3gram_frac
+           FROM g""",
+      "text_contamination" ->
+        """WITH t AS (
+             SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+             FROM documents),
+           g AS (
+             SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+                      i -> array_to_string(toks[i:i+2], ' '))) AS grams
+             FROM t),
+           bench AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 20 = 0),
+           corpus AS (SELECT doc_id, grams FROM g WHERE doc_id % 20 <> 0),
+           hits AS (
+             SELECT doc_id, count(*) AS n_hit
+             FROM (SELECT doc_id, unnest(grams) AS gram FROM corpus) cg
+             JOIN bench USING (gram) GROUP BY doc_id)
+           SELECT c.doc_id, CAST(len(c.grams) AS BIGINT) AS n_grams,
+                  CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_contaminated,
+                  CASE WHEN len(c.grams) > 0 THEN
+                      CAST(coalesce(h.n_hit, 0) AS DOUBLE) / CAST(len(c.grams) AS DOUBLE)
+                    ELSE 0.0 END AS contamination_frac
+           FROM corpus c LEFT JOIN hits h ON c.doc_id = h.doc_id""",
+      "sample_stratified" ->
+        """SELECT o_orderpriority AS stratum, o_orderkey AS id,
+                  CAST(row_number() OVER (PARTITION BY o_orderpriority
+                       ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey) AS BIGINT) AS rk
+           FROM orders
+           QUALIFY rk <= 40""",
       "mm_decode_resize" ->
         """WITH d AS (
              SELECT doc_id,

@@ -1,0 +1,203 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** One stratified-sample candidate: portable sort key + row id. */
+final case class StratItem(skey: String, id: Long)
+
+/** Bounded bottom-k state: parallel arrays sorted ascending by (skey, id),
+  * length <= k. Product type so buffer ser/de stays Tungsten. */
+final case class BottomKBuf(keys: Array[String], ids: Array[Long])
+
+/** Partial bottom-k aggregate: each map task keeps at most k candidates per
+  * group, so the exchange carries <= k rows per (stratum, task) — a fixed-size
+  * per-stratum sample never sorts the full stratum and never funnels a
+  * stratum's whole data through one window task (a `row_number().over(
+  * partitionBy(stratum))` caps parallelism at #strata and sorts everything). */
+final class BottomKAggregator(k: Int)
+    extends Aggregator[StratItem, BottomKBuf, BottomKBuf] {
+  require(k > 0, s"k must be positive, got $k")
+
+  def zero: BottomKBuf = BottomKBuf(Array.empty[String], Array.emptyLongArray)
+
+  @inline private def beats(k1: String, i1: Long, k2: String, i2: Long): Boolean = {
+    val c = k1.compareTo(k2)
+    c < 0 || (c == 0 && i1 < i2)
+  }
+
+  def reduce(b: BottomKBuf, a: StratItem): BottomKBuf = {
+    val n = b.keys.length
+    if (n == k && !beats(a.skey, a.id, b.keys(n - 1), b.ids(n - 1))) b
+    else {
+      var pos = n
+      while (pos > 0 && beats(a.skey, a.id, b.keys(pos - 1), b.ids(pos - 1)))
+        pos -= 1
+      val m = math.min(n + 1, k)
+      val nk = new Array[String](m); val ni = new Array[Long](m)
+      System.arraycopy(b.keys, 0, nk, 0, pos)
+      System.arraycopy(b.ids, 0, ni, 0, pos)
+      nk(pos) = a.skey; ni(pos) = a.id
+      val tail = m - pos - 1
+      if (tail > 0) {
+        System.arraycopy(b.keys, pos, nk, pos + 1, tail)
+        System.arraycopy(b.ids, pos, ni, pos + 1, tail)
+      }
+      BottomKBuf(nk, ni)
+    }
+  }
+
+  def merge(b1: BottomKBuf, b2: BottomKBuf): BottomKBuf = {
+    if (b2.keys.isEmpty) b1
+    else if (b1.keys.isEmpty) b2
+    else {
+      val m = math.min(b1.keys.length + b2.keys.length, k)
+      val nk = new Array[String](m); val ni = new Array[Long](m)
+      var i = 0; var j = 0; var o = 0
+      while (o < m) {
+        val takeLeft = j >= b2.keys.length ||
+          (i < b1.keys.length && beats(b1.keys(i), b1.ids(i), b2.keys(j), b2.ids(j)))
+        if (takeLeft) { nk(o) = b1.keys(i); ni(o) = b1.ids(i); i += 1 }
+        else { nk(o) = b2.keys(j); ni(o) = b2.ids(j); j += 1 }
+        o += 1
+      }
+      BottomKBuf(nk, ni)
+    }
+  }
+
+  def finish(b: BottomKBuf): BottomKBuf = b
+  def bufferEncoder: Encoder[BottomKBuf] = Encoders.product[BottomKBuf]
+  def outputEncoder: Encoder[BottomKBuf] = Encoders.product[BottomKBuf]
+}
+
+/** Corpus-preparation operators a large-scale training-data pipeline needs
+  * beyond dedup/similarity: PII scrubbing, repetition-based quality filters
+  * (the Gopher rules), benchmark-contamination detection, stratified sampling,
+  * and mergeable approximate distinct counts.
+  *
+  * Design rule: everything on the corpus side is a per-row projection or a
+  * bounded partial aggregate — no unbounded shuffle, no window over a handful
+  * of strata, no collect of anything that grows with the corpus.
+  */
+object CorpusOps {
+
+  /** (name, java/RE2-portable regex, replacement) — patterns restricted to
+    * syntax with identical semantics in Java regex and RE2, so an independent
+    * SQL engine reproduces the scrub byte-for-byte. Counts are measured on
+    * the ORIGINAL text per pattern independently; replacement is sequential
+    * in this order (an IP inside an email is counted as both, but scrubbed
+    * as part of the email). */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
+    ("ssn", "\\b\\d{3}-\\d{2}-\\d{4}\\b", "<SSN>"),
+    ("phone", "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b", "<PHONE>"))
+
+  /** Adds `n_<kind>` match counts and a `scrubbed` column with all PII
+    * patterns redacted. Pure regexp expressions — codegen'd, zero shuffle. */
+  def piiScrub(df: DataFrame, textCol: String): DataFrame = {
+    val withCounts = piiPatterns.foldLeft(df) { case (d, (name, pat, _)) =>
+      d.withColumn(s"n_$name", regexp_count(col(textCol), lit(pat)).cast("long"))
+    }
+    val scrubbed = piiPatterns.foldLeft(col(textCol)) { case (c, (_, pat, repl)) =>
+      regexp_replace(c, pat, repl)
+    }
+    withCounts.withColumn("scrubbed", scrubbed)
+  }
+
+  /** Word n-grams over the standard token stream, space-joined. Empty array
+    * when the document has fewer than n tokens (Spark's `sequence` would
+    * otherwise generate a DESCENDING range). */
+  def wordNgrams(text: Column, n: Int): Column = {
+    val toks = TextAnalysis.tokens(text)
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(typedLit(Seq.empty[String]))
+  }
+
+  /** Fraction of `arr` occupied by its most frequent element (0 for empty).
+    * Nested higher-order filter is O(distinct * n) per row — documents have
+    * bounded token counts, so this stays a per-row projection instead of an
+    * explode + two shuffles. */
+  private def topElementFrac(arr: Column): Column =
+    when(size(arr) > 0,
+      array_max(transform(array_distinct(arr), d => size(filter(arr, x => x === d))))
+        .cast("double") / size(arr).cast("double"))
+      .otherwise(lit(0.0))
+
+  /** Fraction of elements that are repeats of an earlier element. */
+  private def dupFrac(arr: Column): Column =
+    when(size(arr) > 0,
+      (size(arr) - size(array_distinct(arr))).cast("double") / size(arr).cast("double"))
+      .otherwise(lit(0.0))
+
+  /** Gopher-style repetition filters (Rae et al. 2021, table A1): fraction of
+    * tokens in the most frequent token / 2-gram, duplicate 2-/3-gram
+    * fractions. All integer-count arithmetic divided as doubles — exact and
+    * oracle-reproducible. Pure projections, zero shuffle. */
+  def repetitionFeatures(df: DataFrame, textCol: String): DataFrame = {
+    val toks = TextAnalysis.tokens(col(textCol))
+    df.withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("top_token_frac", topElementFrac(toks))
+      .withColumn("top_2gram_frac", topElementFrac(wordNgrams(col(textCol), 2)))
+      .withColumn("dup_2gram_frac", dupFrac(wordNgrams(col(textCol), 2)))
+      .withColumn("dup_3gram_frac", dupFrac(wordNgrams(col(textCol), 3)))
+  }
+
+  /** Benchmark-contamination check: for each corpus document, how many of its
+    * distinct word n-grams appear in the benchmark set.
+    *
+    * The benchmark side is collected to a driver set and BROADCAST — benchmark
+    * suites are bounded by construction (they are hand-curated eval sets), so
+    * the corpus side stays a zero-shuffle map-only scan: no explode, no join,
+    * no aggregation. This is the plan you want at 100 TB — the alternative
+    * (explode corpus grams + join) shuffles the whole corpus's gram stream. */
+  def ngramContamination(
+      corpus: DataFrame, idCol: String, textCol: String,
+      benchmark: DataFrame, benchTextCol: String, n: Int
+  ): DataFrame = {
+    val spark = corpus.sparkSession
+    val benchGrams: Set[String] = benchmark
+      .select(explode(array_distinct(wordNgrams(col(benchTextCol), n))).as("g"))
+      .distinct().collect().map(_.getString(0)).toSet
+    val bset = spark.sparkContext.broadcast(benchGrams)
+    val contaminated = udf((grams: Seq[String]) => {
+      if (grams == null) 0L
+      else {
+        val s = bset.value
+        var c = 0L
+        grams.foreach(g => if (s.contains(g)) c += 1)
+        c
+      }
+    })
+    corpus
+      .withColumn("__grams", array_distinct(wordNgrams(col(textCol), n)))
+      .withColumn("n_grams", size(col("__grams")).cast("long"))
+      .withColumn("n_contaminated", contaminated(col("__grams")))
+      .withColumn("contamination_frac",
+        when(col("n_grams") > 0,
+          col("n_contaminated").cast("double") / col("n_grams").cast("double"))
+          .otherwise(lit(0.0)))
+      .drop("__grams")
+  }
+
+  /** Deterministic stratified sample: exactly min(k, |stratum|) rows per
+    * stratum, chosen as the k smallest md5(id) — a portable hash order any
+    * engine reproduces, unlike rand(). One shuffle carrying <= k rows per
+    * (stratum, map task) via the bounded bottom-k partial aggregate.
+    * Emits (stratum, id, rk) with rk in [1, k] in hash order. */
+  def stratifiedSample(
+      df: DataFrame, stratumCol: String, idCol: String, k: Int
+  ): DataFrame = {
+    val bk = udaf(new BottomKAggregator(k), Encoders.product[StratItem])
+    df.select(col(stratumCol).as("stratum"), col(idCol).cast("long").as("id"))
+      .withColumn("skey", md5(col("id").cast("string")))
+      .groupBy("stratum")
+      .agg(bk(col("skey"), col("id")).as("s"))
+      .select(col("stratum"), posexplode(arrays_zip(col("s.keys"), col("s.ids"))))
+      .select(col("stratum"), col("col.ids").as("id"),
+        (col("pos") + 1).cast("long").as("rk"))
+  }
+}

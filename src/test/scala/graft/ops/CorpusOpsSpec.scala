@@ -1,0 +1,99 @@
+package graft.ops
+
+import graft.spark.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class CorpusOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("piiScrub redacts and counts every pattern kind") {
+    val df = Seq((1L,
+      "mail a.b%x@ex-1.co.uk and c@d.org ip 10.0.3.7 ssn 123-45-6789 ph 555 013 2244 end"))
+      .toDF("doc_id", "text")
+    val out = CorpusOps.piiScrub(df, "text").collect().head
+    assert(out.getAs[Long]("n_email") == 2)
+    assert(out.getAs[Long]("n_ip") == 1)
+    assert(out.getAs[Long]("n_ssn") == 1)
+    assert(out.getAs[Long]("n_phone") == 1)
+    assert(out.getAs[String]("scrubbed") ==
+      "mail <EMAIL> and <EMAIL> ip <IP> ssn <SSN> ph <PHONE> end")
+  }
+
+  test("piiScrub leaves clean text untouched") {
+    val df = Seq((1L, "nothing sensitive here, just words and the number 42"))
+      .toDF("doc_id", "text")
+    val out = CorpusOps.piiScrub(df, "text").collect().head
+    assert(out.getAs[String]("scrubbed") == out.getAs[String]("text"))
+    assert(out.getAs[Long]("n_email") + out.getAs[Long]("n_ip") +
+      out.getAs[Long]("n_ssn") + out.getAs[Long]("n_phone") == 0)
+  }
+
+  test("repetitionFeatures computes exact Gopher-style fractions") {
+    // tokens: a b a b a  -> top token 'a' 3/5; 2-grams: "a b","b a","a b","b a"
+    // -> top 2/4, dup (4-2)/4; 3-grams: "a b a","b a b","a b a" -> dup 1/3
+    val df = Seq((1L, "a b a b a")).toDF("doc_id", "text")
+    val out = CorpusOps.repetitionFeatures(df, "text").collect().head
+    assert(out.getAs[Long]("n_tokens") == 5)
+    assert(out.getAs[Double]("top_token_frac") == 3.0 / 5)
+    assert(out.getAs[Double]("top_2gram_frac") == 2.0 / 4)
+    assert(out.getAs[Double]("dup_2gram_frac") == 2.0 / 4)
+    assert(out.getAs[Double]("dup_3gram_frac") == 1.0 / 3)
+  }
+
+  test("repetitionFeatures: empty and single-token documents") {
+    val df = Seq((1L, ""), (2L, "word")).toDF("doc_id", "text")
+    val out = CorpusOps.repetitionFeatures(df, "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Long]("n_tokens") == 0)
+    assert(out(1L).getAs[Double]("top_token_frac") == 0.0)
+    assert(out(2L).getAs[Double]("top_token_frac") == 1.0)
+    assert(out(2L).getAs[Double]("dup_2gram_frac") == 0.0)
+  }
+
+  test("ngramContamination flags overlapping docs, zero for clean docs") {
+    val bench = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "alpha beta gamma something else entirely"), // shares "alpha beta gamma"
+      (2L, "totally unrelated words in here now")
+    ).toDF("doc_id", "text")
+    val out = CorpusOps.ngramContamination(corpus, "doc_id", "text", bench, "text", n = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Long]("n_contaminated") == 1)
+    assert(out(1L).getAs[Long]("n_grams") == 4)
+    assert(out(1L).getAs[Double]("contamination_frac") == 0.25)
+    assert(out(2L).getAs[Long]("n_contaminated") == 0)
+    assert(out(2L).getAs[Double]("contamination_frac") == 0.0)
+  }
+
+  test("stratifiedSample: exactly min(k, |stratum|) rows, hash order, deterministic") {
+    val df = (1L to 100L).map(i => (if (i <= 80) "big" else "small", i))
+      .toDF("grp", "id")
+    val out = CorpusOps.stratifiedSample(df, "grp", "id", k = 10).collect()
+      .map(r => (r.getAs[String]("stratum"), r.getAs[Long]("id"), r.getAs[Long]("rk")))
+    val byStratum = out.groupBy(_._1)
+    assert(byStratum("big").length == 10)
+    assert(byStratum("small").length == 10)
+    // rank order must equal (md5(id), id) ascending within the stratum
+    def md5Of(i: Long) = java.security.MessageDigest.getInstance("MD5")
+      .digest(i.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expectBig = (1L to 80L).map(i => (md5Of(i), i)).sorted.take(10).map(_._2)
+    assert(byStratum("big").sortBy(_._3).map(_._2).toSeq == expectBig)
+    // small stratum has 20 rows, k=10 kept
+    assert(byStratum("small").map(_._3).sorted.toSeq == (1L to 10L))
+    // repartitioning must not change the result (merge path exercised)
+    val out2 = CorpusOps.stratifiedSample(df.repartition(13), "grp", "id", k = 10)
+      .collect().map(r => (r.getAs[String]("stratum"), r.getAs[Long]("id"), r.getAs[Long]("rk")))
+    assert(out2.sortBy(r => (r._1, r._3)).toSeq == out.sortBy(r => (r._1, r._3)).toSeq)
+  }
+
+  test("approx_count_distinct stays within 5% of exact on events") {
+    val df = (1L to 5000L).map(i => (i % 997, "t")).toDF("user_id", "event_type")
+    val row = df.agg(
+      approx_count_distinct("user_id", 0.02).as("a"),
+      countDistinct(col("user_id")).as("e")).collect().head
+    val rel = math.abs(row.getLong(0) - row.getLong(1)).toDouble / row.getLong(1)
+    assert(rel <= 0.05, s"relative error $rel")
+  }
+}
