@@ -163,7 +163,7 @@ object CorpusOps {
       .select(explode(array_distinct(wordNgrams(col(benchTextCol), n))).as("g"))
       .distinct().collect().map(_.getString(0)).toSet
     val bset = spark.sparkContext.broadcast(benchGrams)
-    val contaminated = udf((grams: Seq[String]) => {
+    val contaminated = udf((grams: Array[String]) => {
       if (grams == null) 0L
       else {
         val s = bset.value

@@ -54,12 +54,11 @@ object Dedup {
     * [[wordShinglesFromTokens]] (distinct, first-occurrence order, space-
     * joined). Each interpreted `slice`+`concat_ws` lambda element costs
     * ~10us in Catalyst's interpreter; the loop is ~100x cheaper. */
-  private def wordShinglesUdf(n: Int) = udf((toks: Seq[String]) => {
-    if (toks == null) Array.empty[String]
-    else if (toks.length < n) Array(toks.mkString(" "))
+  private def wordShinglesUdf(n: Int) = udf((arr: Array[String]) => {
+    if (arr == null) Array.empty[String]
+    else if (arr.length < n) Array(arr.mkString(" "))
     else {
       val set = new java.util.LinkedHashSet[String]()
-      val arr = toks.toArray
       var i = 0
       while (i <= arr.length - n) {
         val sb = new java.lang.StringBuilder(arr(i))
@@ -120,8 +119,7 @@ object Dedup {
     * higher-order expression form ([[minHashSignatureFromHashes]]) is
     * interpreted and allocates a fresh boxed array per permutation; the UDF
     * runs unboxed — the signature stage is interpreter-bound, not I/O-bound. */
-  private def minHashSigUdf(numHashes: Int) = udf((hsSeq: Seq[Long]) => {
-    val hs = hsSeq.toArray // O(1)-indexed primitive copy (Seq may be a List)
+  private def minHashSigUdf(numHashes: Int) = udf((hs: Array[Long]) => {
     val out = new Array[Long](numHashes)
     var p = 0
     while (p < numHashes) {
@@ -160,8 +158,7 @@ object Dedup {
     * min over shingle hashes h of (a_p * h + b_p) mod (2^31 - 1) — exact
     * integer arithmetic any engine reproduces bit-for-bit (h < 2^31 and
     * a_p < 2^31 keep every product below 2^62, no overflow). */
-  private def minHashSigPortableUdf(numHashes: Int) = udf((hsSeq: Seq[Long]) => {
-    val hs = hsSeq.toArray
+  private def minHashSigPortableUdf(numHashes: Int) = udf((hs: Array[Long]) => {
     val out = new Array[Long](numHashes)
     var p = 0
     while (p < numHashes) {
@@ -337,8 +334,7 @@ object Dedup {
 
   /** SimHash over pre-hashed tokens as one unboxed loop — bit-identical to
     * [[simHashFromHashes]] (same per-bit sign sums over the same hashes). */
-  private val simHashUdf = udf((hsSeq: Seq[Long]) => {
-    val hs = hsSeq.toArray // O(1)-indexed primitive copy
+  private val simHashUdf = udf((hs: Array[Long]) => {
     val counts = new Array[Int](64)
     var i = 0
     while (i < hs.length) {
@@ -468,8 +464,8 @@ object Dedup {
 
   /** Packs a long array into value-SORTED little-endian bytes (driver for
     * the merge-intersect verify). */
-  private val packSortedLongs = udf((hs: Seq[Long]) => {
-    val a = hs.toArray
+  private val packSortedLongs = udf((hs: Array[Long]) => {
+    val a = hs.clone() // sort must not mutate the deserializer's buffer
     java.util.Arrays.sort(a)
     val bb = java.nio.ByteBuffer.allocate(a.length * 8)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
