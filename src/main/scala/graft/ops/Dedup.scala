@@ -564,9 +564,18 @@ object Dedup {
     val sym = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint(false)
-    var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id"))
+    // initialization already performs the first edge step (comp0 =
+    // min(id, neighbors)) — same single shuffle a distinct-init would cost,
+    // one fewer propagation round
+    var labels = sym.groupBy("src").agg(min("dst").as("mn"))
+      .select(col("src").as("id"), least(col("src"), col("mn")).as("comp"))
       .localCheckpoint(false)
+    // labels are min-monotone per node, so the exact decimal sum is a
+    // fixpoint signature: unchanged sum <=> no label changed. One agg job
+    // per round instead of a join + count against the previous frame.
+    def sig(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("comp").cast("decimal(38,0)"))).collect().head.getDecimal(0)
+    var prevSig = sig(labels)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -578,10 +587,10 @@ object Dedup {
       val updated = labels.unionByName(viaEdges).unionByName(viaShortcut)
         .groupBy("id").agg(min("comp").as("comp"))
         .localCheckpoint(false)
-      val changed = updated.join(labels.withColumnRenamed("comp", "prev"), "id")
-        .filter(col("comp") =!= col("prev")).limit(1).count()
+      val curSig = sig(updated)
       labels = updated
-      converged = changed == 0
+      converged = curSig.compareTo(prevSig) == 0
+      prevSig = curSig
       iter += 1
     }
     labels
