@@ -695,13 +695,19 @@ object SparkEntry {
     }),
     "stats_error_estimate" -> ((s, dir) => {
       // histogram-only RMSE estimation (no pass over the data beyond the
-      // histograms); deterministic, rows-only
+      // histograms). Oracle-verified: the l0/linf ratio-dropped curves are
+      // piecewise-linear with kinks exactly at the (unit-width) bin lowers,
+      // so interpolation equals the direct sum(max(c - bound, 0))/sum(c)
+      // form the SQL recomputes; the per-partition log-bin walk and the
+      // estimator formula are replayed term-by-term. Rounding uses
+      // floor(x*1e6 + 0.5) — identical bit-ops in both engines — to absorb
+      // the one unordered float sum (over <= a handful of partition bins).
       val h = eventHistograms(s, dir)
       val est = HistogramErrorEstimator.forCount(h, 1.0, None, Metric.Count,
         NoiseKind.Laplace)
       import s.implicits._
       Seq((1, 1.0), (2, 5.0), (5, 100.0)).map { case (l0, linf) =>
-        (l0, linf, math.rint(est.estimateRmse(l0, Some(linf)) * 1e6) / 1e6)
+        (l0, linf, math.floor(est.estimateRmse(l0, Some(linf)) * 1e6 + 0.5) / 1e6)
       }.toDF("l0_bound", "linf_bound", "estimated_rmse")
     }),
     "stats_l0_histogram" -> ((s, dir) => {
@@ -720,8 +726,10 @@ object SparkEntry {
     }),
     "stats_private_l0" -> ((s, dir) => {
       // DP choice of max_partitions_contributed via exponential mechanism;
-      // huge calculation eps => deterministic argmax (rows-only: the scoring
-      // is not SQL-expressible)
+      // huge calculation eps => the softmax weights of all non-argmax
+      // candidates underflow to exactly 0.0, so the pick is the
+      // deterministic argmax of score(k) — which the SQL oracle recomputes
+      // (unit-width l0 bins make impact_dropped an exact integer sum)
       val ev = events(s, dir)
       val h = eventHistograms(s, dir)
       val nPartitions = ev.select("event_type").distinct().count()
@@ -1328,11 +1336,18 @@ object SparkEntry {
            FROM (VALUES ('click'), ('error'), ('purchase'), ('ghost_type')) AS p(event_type)
            LEFT JOIN events e ON e.event_type = p.event_type
            GROUP BY p.event_type""",
+      // HAVING >= 2: the zero-noise private partition selection rule for
+      // these params. P(keep | 1 user) <= delta_partition (~0.005 after the
+      // l0=200 split) < 0.5 = Zero.uniform(), while P(keep | >= 2 users) ~ 1
+      // at eps_partition = 500 — so a single-user (event_type, day) cell is
+      // deterministically dropped (observed at sf0.001), every other cell
+      // deterministically kept. DP semantics, not data loss.
       "dp_multi_key" ->
         """SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
               CAST(count(*) AS DOUBLE) AS count,
               CAST(count(DISTINCT user_id) AS DOUBLE) AS privacy_id_count
-           FROM events GROUP BY 1, 2""",
+           FROM events GROUP BY 1, 2
+           HAVING count(DISTINCT user_id) >= 2""",
       "dp_select_partitions" ->
         "SELECT DISTINCT event_type FROM events",
       "dp_select_weighted_gaussian" ->
@@ -1580,6 +1595,56 @@ object SparkEntry {
               CAST(sum(c) AS DOUBLE) AS total_contribs
            FROM (SELECT count(DISTINCT event_type) AS c FROM events GROUP BY user_id)
            GROUP BY c""",
+      "stats_error_estimate" ->
+        """WITH per AS (
+             SELECT user_id, event_type, count(*) AS n FROM events GROUP BY 1, 2),
+           l0 AS (SELECT user_id, count(*) AS c FROM per GROUP BY 1),
+           params(l0_bound, linf_bound) AS (VALUES (1, 1.0), (2, 5.0), (5, 100.0)),
+           r0 AS (
+             SELECT p.l0_bound, p.linf_bound,
+                    CAST(sum(greatest(c - p.l0_bound, 0)) AS DOUBLE)
+                      / CAST(sum(c) AS DOUBLE) AS rl0
+             FROM params p CROSS JOIN l0 GROUP BY 1, 2),
+           ri AS (
+             SELECT p.l0_bound, p.linf_bound,
+                    sum(greatest(n - p.linf_bound, 0)) / CAST(sum(n) AS DOUBLE) AS rlinf
+             FROM params p CROSS JOIN per GROUP BY 1, 2),
+           pk AS (SELECT event_type, sum(n) AS rows_pk FROM per GROUP BY 1),
+           bins AS (
+             SELECT rows_pk - (rows_pk % CAST(pow(10.0,
+                      greatest(0, length(CAST(rows_pk AS VARCHAR)) - 3)) AS BIGINT)) AS lower,
+                    count(*) AS cnt, sum(rows_pk) AS s
+             FROM pk GROUP BY 1),
+           tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS nb FROM bins),
+           terms AS (
+             SELECT l0_bound, linf_bound, lower,
+                    cnt * sqrt((rd * avgsz) * (rd * avgsz) + std * std) AS term
+             FROM (
+               SELECT r0.l0_bound, r0.linf_bound, b.lower, b.cnt,
+                      1 - (1 - r0.rl0) * (1 - ri.rlinf) AS rd,
+                      CAST(b.s AS DOUBLE) / CAST(b.cnt AS DOUBLE) AS avgsz,
+                      sqrt(2.0) * r0.l0_bound * ri.linf_bound AS std
+               FROM r0 JOIN ri USING (l0_bound, linf_bound) CROSS JOIN bins b))
+           SELECT l0_bound, linf_bound,
+                  floor(sum(term ORDER BY lower) / (SELECT nb FROM tot) * 1e6 + 0.5)
+                    / 1e6 AS estimated_rmse
+           FROM terms GROUP BY 1, 2""",
+      "stats_private_l0" ->
+        """WITH per AS (
+             SELECT user_id, count(DISTINCT event_type) AS c FROM events GROUP BY 1),
+           np AS (SELECT count(DISTINCT event_type) AS n FROM events),
+           bub AS (SELECT least(100, n) AS b FROM np),
+           ks AS (SELECT unnest(range(1, (SELECT b FROM bub) + 1)) AS k),
+           scores AS (
+             SELECT k,
+                    -(0.5 * ((SELECT n FROM np) * (k / 1.0 * sqrt(2.0)))
+                      + 0.5 * (SELECT CAST(sum(greatest(
+                          least(c, (SELECT b FROM bub)) - k, 0)) AS DOUBLE)
+                          FROM per)) AS score
+             FROM ks)
+           SELECT CAST(k AS INT) AS private_l0_bound,
+                  (SELECT CAST(n AS BIGINT) FROM np) AS n_partitions
+           FROM scores ORDER BY score DESC, k LIMIT 1""",
       "stats_linf_histogram" ->
         """SELECT CAST(c AS BIGINT) AS bin_lower, count(*) AS n_pairs,
               CAST(sum(c) AS DOUBLE) AS total_rows
