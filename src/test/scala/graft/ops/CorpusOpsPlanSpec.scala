@@ -1,0 +1,38 @@
+package graft.ops
+
+import graft.spark.SparkTestSession
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scale-regression guards: the corpus-prep operators' physical plans must
+  * keep their audited shuffle counts — these shapes are what make them safe
+  * at 100 TB, independent of what the optimizer does to the details. */
+class CorpusOpsPlanSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def exchanges(df: DataFrame): Int =
+    "Exchange".r.findAllIn(df.queryExecution.executedPlan.toString).length
+
+  private val docs = Seq((1L, "alpha beta gamma delta"), (2L, "beta beta beta"))
+    .toDF("doc_id", "text")
+
+  test("piiScrub and repetitionFeatures are zero-shuffle projections") {
+    assert(exchanges(CorpusOps.piiScrub(docs, "text")) == 0)
+    assert(exchanges(CorpusOps.repetitionFeatures(docs, "text")) == 0)
+  }
+
+  test("ngramContamination keeps the corpus side map-only (zero shuffles)") {
+    val bench = Seq((9L, "alpha beta gamma")).toDF("doc_id", "text")
+    val out = CorpusOps.ngramContamination(docs, "doc_id", "text", bench, "text", 3)
+    assert(exchanges(out) == 0,
+      s"corpus side must not shuffle:\n${out.queryExecution.executedPlan}")
+  }
+
+  test("stratifiedSample is exactly one partial-aggregate shuffle") {
+    val df = (1L to 50L).map(i => (s"s${i % 3}", i)).toDF("grp", "id")
+    val out = CorpusOps.stratifiedSample(df, "grp", "id", k = 5)
+    assert(exchanges(out) == 1,
+      s"expected one exchange carrying <= k rows per (stratum, task):\n${out.queryExecution.executedPlan}")
+  }
+}
