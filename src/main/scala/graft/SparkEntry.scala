@@ -826,6 +826,23 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_orders"),
           sum(floor(col("o_totalprice"))).cast("double").as("revenue_floor"))
     }),
+    "a_asof_join" -> ((s, dir) => {
+      // as-of join (attribution): for each purchase, the user's latest click
+      // at-or-before it. Merge-join formulation — one shuffle, no range
+      // explosion; oracle = DuckDB's native ASOF LEFT JOIN.
+      // ts truncated to micros on both sides: DuckDB reads the parquet
+      // TIMESTAMP(NANOS) at microsecond precision, so the oracle can only
+      // reproduce the match at that resolution
+      val ev = events(s, dir).withColumn("tu", expr("ts div 1000"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("tu"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("tu"))
+      TemporalOps.asofJoinTs(purchases, clicks, Seq("user_id"), "tu", "tu",
+          "last_click_ts")
+        .select(col("user_id"), col("event_id"), col("tu").as("purchase_ts"),
+          coalesce(col("last_click_ts"), lit(-1L)).as("last_click_ts"))
+    }),
     "a_window_topn" -> ((s, dir) => {
       // window function: top-2 orders by price per customer (deterministic:
       // ties broken by orderkey)
@@ -1682,6 +1699,16 @@ object SparkEntry {
               CAST(sum(floor(o_totalprice)) AS DOUBLE) AS revenue_floor
            FROM orders JOIN customer ON o_custkey = c_custkey
            GROUP BY 1, 2""",
+      // ASOF on epoch_us BIGINTs (micros both sides; DuckDB reads the
+      // nanos parquet timestamp at microsecond precision)
+      "a_asof_join" ->
+        """SELECT p.user_id, p.event_id, p.t AS purchase_ts,
+                  coalesce(c.t, -1) AS last_click_ts
+           FROM (SELECT user_id, event_id, epoch_us(ts) AS t FROM events
+                 WHERE event_type = 'purchase') p
+           ASOF LEFT JOIN (SELECT user_id, epoch_us(ts) AS t FROM events
+                           WHERE event_type = 'click') c
+             ON p.user_id = c.user_id AND p.t >= c.t""",
       "a_window_topn" ->
         """SELECT o_custkey, o_orderkey,
               CAST(row_number() OVER (PARTITION BY o_custkey
