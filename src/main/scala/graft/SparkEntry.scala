@@ -528,7 +528,7 @@ object SparkEntry {
           expr("transform(vec, (x, i) -> x + 0.02 * cos(CAST(i AS DOUBLE)))").as("vec"))
       val corpus = e.unionByName(planted)
       val lsh = Dedup.embeddingNearDups(corpus, "id", "vec", threshold = 0.95)
-        .select("id_a", "id_b").localCheckpoint()
+        .select(col("id_a"), col("id_b"), lit(1L).as("in_lsh"))
       val sub = corpus.filter(col("id") < 500 || col("id") >= 100000L)
       val la = sub.select(col("id").as("id_a"), col("vec").as("v_a"))
       val rb = sub.select(col("id").as("id_b"), col("vec").as("v_b"))
@@ -538,15 +538,19 @@ object SparkEntry {
       val exact = la.join(broadcast(rb), col("id_a") < col("id_b"))
         .withColumn("cos", Similarity.cosine(col("v_a"), col("v_b")))
         .filter(col("cos") >= 0.95)
-        .select("id_a", "id_b").localCheckpoint()
-      val probe = lsh.agg(
-        sum(when(col("id_b") === col("id_a") + lit(100000L), 1L).otherwise(0L))
-          .as("n_planted_found"),
-        count(lit(1)).as("n_pairs_total"))
-      val recall = exact.join(lsh, Seq("id_a", "id_b"), "left_semi")
-        .agg(count(lit(1)).as("n_exact_found"))
-        .crossJoin(exact.agg(count(lit(1)).as("n_exact_pairs")))
-      probe.crossJoin(recall)
+        .select(col("id_a"), col("id_b"), lit(1L).as("in_exact"))
+      // single pass: a full-outer join on the pair key feeds every probe
+      // counter from one aggregate, so the LSH and exact pipelines each run
+      // exactly once (no checkpoint barriers, no re-reads)
+      lsh.join(exact, Seq("id_a", "id_b"), "full_outer")
+        .agg(
+          sum(when(col("in_lsh").isNotNull &&
+              col("id_b") === col("id_a") + lit(100000L), 1L).otherwise(0L))
+            .as("n_planted_found"),
+          sum(when(col("in_lsh").isNotNull, 1L).otherwise(0L)).as("n_pairs_total"),
+          sum(when(col("in_exact").isNotNull, 1L).otherwise(0L)).as("n_exact_pairs"),
+          sum(when(col("in_exact").isNotNull && col("in_lsh").isNotNull, 1L)
+            .otherwise(0L)).as("n_exact_found"))
         .select(lit(200L).as("n_planted"), col("n_planted_found"),
           col("n_pairs_total"), col("n_exact_pairs"), col("n_exact_found"))
     }),
