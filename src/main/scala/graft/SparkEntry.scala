@@ -847,6 +847,29 @@ object SparkEntry {
         .select(col("user_id"), col("event_id"), col("tu").as("purchase_ts"),
           coalesce(col("last_click_ts"), lit(-1L)).as("last_click_ts"))
     }),
+    "a_range_join" -> ((s, dir) => {
+      // interval join: events bucketed-equi-joined to 240 derived 1-hour
+      // maintenance windows (one every 6h from 2024-01-01), then rolled up
+      // per window. The bucketed formulation keeps the plan an equi-join —
+      // no cartesian range scan at any scale.
+      val hourNs = 3600L * 1000000000L
+      val startNs = 1704067200L * 1000000000L // 2024-01-01T00:00:00Z
+      val windows = s.range(0, 240).select(col("id").as("window_id"),
+        (lit(startNs) + col("id") * lit(6 * hourNs)).as("lo"),
+        (lit(startNs) + col("id") * lit(6 * hourNs) + lit(hourNs)).as("hi"))
+      val ev = events(s, dir).select("event_id", "user_id", "value", "ts")
+      TemporalOps.rangeJoin(ev, windows, "ts", "lo", "hi", hourNs)
+        .groupBy("window_id")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(floor(col("value"))).cast("double").as("value_floor_sum"))
+    }),
+    "dedup_dup_spans" -> ((s, dir) => {
+      // cross-doc duplicated 5-gram span stats (exact-substring dedup
+      // signal); portable md5 gram hashes => END-TO-END oracle-verifiable
+      Dedup.duplicatedSpanStats(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", n = 5)
+    }),
     "a_window_topn" -> ((s, dir) => {
       // window function: top-2 orders by price per customer (deterministic:
       // ties broken by orderkey)
@@ -1718,6 +1741,44 @@ object SparkEntry {
               CAST(row_number() OVER (PARTITION BY o_custkey
                    ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rk
            FROM orders QUALIFY rk <= 2""",
+      "a_range_join" ->
+        """WITH w AS (SELECT k AS window_id,
+                1704067200000000000 + k*21600000000000 AS lo,
+                1704067200000000000 + k*21600000000000 + 3600000000000 AS hi
+              FROM range(0, 240) t(k)),
+            e AS (SELECT event_id, user_id, value, epoch_ns(ts) AS tn FROM events)
+           SELECT w.window_id, count(*) AS n_events,
+                  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+                  CAST(sum(floor(value)) AS DOUBLE) AS value_floor_sum
+           FROM e JOIN w ON e.tn >= w.lo AND e.tn < w.hi
+           GROUP BY 1""",
+      // Duplicated-span stats: gram hash = leading 60 bits of md5 of the
+      // space-joined 5-gram, identical to the engine's portable hash, so
+      // frequencies, fractions and coverage reproduce exactly.
+      "dedup_dup_spans" ->
+        """WITH t AS (
+             SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+             FROM documents),
+           g AS (
+             SELECT doc_id, i AS pos,
+                    CAST(CONCAT('0x', substr(md5(array_to_string(toks[i:i+4], ' ')), 1, 15))
+                      AS BIGINT) AS h
+             FROM t, unnest(range(1, greatest(len(toks) - 4, 0) + 1)) u(i)),
+           c AS (SELECT h, count(DISTINCT doc_id) AS nd FROM g GROUP BY 1),
+           j AS (SELECT g.doc_id, g.pos, c.nd FROM g JOIN c USING (h)),
+           cov AS (
+             SELECT doc_id, count(DISTINCT p) AS n_cov
+             FROM (SELECT doc_id, pos + o AS p FROM j, unnest(range(0, 5)) v(o)
+                   WHERE nd >= 2)
+             GROUP BY 1)
+           SELECT j.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+                  CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_grams,
+                  CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+                    AS dup_gram_frac,
+                  CAST(coalesce(any_value(n_cov), 0) AS DOUBLE) / (count(*) + 4)
+                    AS covered_token_frac
+           FROM j LEFT JOIN cov ON j.doc_id = cov.doc_id
+           GROUP BY j.doc_id""",
       "ss_window_agg" ->
         """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
               count(*) AS n_events, CAST(sum(floor(value)) AS DOUBLE) AS value_floor_sum

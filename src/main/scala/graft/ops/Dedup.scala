@@ -636,4 +636,67 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }
+
+  // ---------------- duplicated-span statistics ----------------
+
+  /** 60-bit portable hash of each word n-gram of `toks` (leading 15 hex
+    * digits of md5 of the space-joined gram — reproducible in any engine,
+    * same convention as [[simHashPairsPortable]]), one per start position. */
+  private def gramHashUdf(n: Int) = udf((toks: Array[String]) => {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val cnt = math.max(toks.length - n + 1, 0)
+    val out = new Array[Long](cnt)
+    var i = 0
+    while (i < cnt) {
+      val sb = new java.lang.StringBuilder
+      var j = 0
+      while (j < n) { if (j > 0) sb.append(' '); sb.append(toks(i + j)); j += 1 }
+      val d = md.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var v = 0L
+      var k = 0
+      while (k < 8) { v = (v << 8) | (d(k) & 0xffL); k += 1 }
+      out(i) = v >>> 4 // top 60 bits == conv(substring(md5(g),1,15),16,10)
+      i += 1
+    }
+    out
+  })
+
+  /** Cross-document duplicated n-gram span statistics — the exact-substring
+    * dedup signal of Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better" (ACL'22), at word-gram granularity: for each document
+    * with at least one word n-gram, the fraction of its n-grams occurring in
+    * >= `minDocs` DISTINCT documents, and the fraction of its tokens covered
+    * by at least one such duplicated gram (the "how much of this doc is
+    * copied corpus-wide" number a filtering pipeline thresholds on).
+    *
+    * Scale layout: one explode to (doc, pos, gramHash) rows where the hash
+    * is 8 bytes (grams never ride a shuffle as strings); gram document
+    * frequencies via one hash-aggregate over the hash; a hash-partitioned
+    * join back (the frequency table is usually far too large to broadcast
+    * at corpus scale); coverage via a bounded n-per-duplicated-gram explode
+    * of token positions. Every stage is a shuffle on an 8-byte key — no
+    * suffix array, no driver state, linear in corpus size. */
+  def duplicatedSpanStats(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 5, minDocs: Int = 2): DataFrame = {
+    val grams = df
+      .select(col(idCol).as("doc_id"), TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .filter(size(col("__toks")) >= n)
+      .select(col("doc_id"), posexplode(gramHashUdf(n)(col("__toks"))).as(Seq("pos", "h")))
+      .localCheckpoint(false) // consumed by the frequency agg AND the join-back
+    val freq = grams.groupBy("h").agg(countDistinct(col("doc_id")).as("nd"))
+    val j = grams.join(freq.hint("shuffle_hash"), "h")
+      .select(col("doc_id"), col("pos"), (col("nd") >= minDocs).as("dup"))
+    val perDoc = j.groupBy("doc_id").agg(
+      count(lit(1)).as("n_grams"),
+      sum(when(col("dup"), 1L).otherwise(0L)).as("n_dup_grams"))
+    val covered = j.filter(col("dup"))
+      .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("p"))
+      .distinct()
+      .groupBy("doc_id").agg(count(lit(1)).as("n_cov"))
+    perDoc.join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"), col("n_dup_grams"),
+        (col("n_dup_grams").cast("double") / col("n_grams")).as("dup_gram_frac"),
+        (coalesce(col("n_cov"), lit(0L)).cast("double") /
+          (col("n_grams") + lit(n - 1))).as("covered_token_frac"))
+  }
 }

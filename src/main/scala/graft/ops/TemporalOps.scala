@@ -52,4 +52,34 @@ object TemporalOps {
       .filter(col("__tag") === 1)
       .drop("__ts", "__tag", "__rts")
   }
+
+  /** Interval (range) join: every point row paired with every interval row
+    * satisfying `lo <= pt < hi`. A naive theta-join plans as a cartesian
+    * product — O(|P|·|I|) compared pairs; this instead buckets the time
+    * axis: points land in bucket `pt div width`, intervals replicate across
+    * the buckets they overlap, and an EQUI-join on the bucket id feeds the
+    * exact `[lo, hi)` filter. Each (point, interval) match meets in exactly
+    * one bucket (the point's), so no post-join dedup is needed. At 100 TB
+    * this is the shape that survives: a hash-partitioned equi-join whose
+    * replication factor is `interval_length / width` (pick `width` near the
+    * typical interval length; Spark's shuffle/AQE handle the rest).
+    *
+    * Both `pointTs` and `lo`/`hi` must be non-negative integral values on a
+    * shared axis (e.g. epoch nanos) — `div` truncates toward zero, so
+    * negative timestamps would land in the wrong bucket. Intervals with
+    * `hi <= lo` are empty and dropped. */
+  def rangeJoin(
+      points: DataFrame, intervals: DataFrame,
+      pointTs: String, loCol: String, hiCol: String, bucketWidth: Long
+  ): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val p = points.withColumn("__bk", expr(s"`$pointTs` div ${bucketWidth}L"))
+    val iv = intervals.filter(col(hiCol) > col(loCol))
+      .withColumn("__bk", explode(sequence(
+        expr(s"`$loCol` div ${bucketWidth}L"),
+        expr(s"(`$hiCol` - 1) div ${bucketWidth}L"))))
+    p.join(iv, Seq("__bk"))
+      .filter(col(pointTs) >= col(loCol) && col(pointTs) < col(hiCol))
+      .drop("__bk")
+  }
 }

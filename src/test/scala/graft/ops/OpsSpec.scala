@@ -123,6 +123,30 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("duplicated span stats: copied docs flagged, unique docs clean") {
+    val copied = "alpha beta gamma delta epsilon zeta eta theta"
+    val df = Seq(
+      (1L, copied),
+      (2L, copied), // exact copy: every 5-gram duplicated
+      (3L, "one two three four five six seven eight nine ten"),
+      (4L, s"prefix words here then $copied"), // partial copy
+      (5L, "tiny doc")) // < 5 tokens: no grams, excluded
+      .toDF("doc_id", "text")
+    val out = Dedup.duplicatedSpanStats(df, "doc_id", "text", n = 5)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_grams"), r.getAs[Double]("dup_gram_frac"),
+          r.getAs[Double]("covered_token_frac"))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L))
+    assert(out(1L) == ((4L, 1.0, 1.0)))
+    assert(out(2L) == ((4L, 1.0, 1.0)))
+    assert(out(3L)._2 == 0.0 && out(3L)._3 == 0.0)
+    // doc 4: 12 tokens => 8 grams; the copied suffix contributes the 4
+    // grams fully inside it; coverage = 8 trailing tokens of 12
+    assert(out(4L)._1 == 8L)
+    assert(out(4L)._2 == 4.0 / 8)
+    assert(out(4L)._3 == 8.0 / 12)
+  }
+
   test("connected components: clusters from pair sets, min-id labels") {
     val edges = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L)).toDF("id_a", "id_b")
     val out = Dedup.connectedComponents(edges)

@@ -22,6 +22,34 @@ class TemporalOpsSpec extends AnyFunSuite {
     assert(out(4L) == None) // u2 has no right rows
   }
 
+  test("rangeJoin matches points to [lo, hi) intervals exactly") {
+    val points = Seq((1L, 5L), (2L, 10L), (3L, 19L), (4L, 20L), (5L, 35L),
+      (6L, 1000L)).toDF("pid", "t")
+    // intervals: [10,20) and [30,40) overlap buckets; [50,50) is empty
+    val ivs = Seq((100L, 10L, 20L), (200L, 30L, 40L), (300L, 50L, 50L))
+      .toDF("wid", "lo", "hi")
+    val out = TemporalOps.rangeJoin(points, ivs, "t", "lo", "hi", bucketWidth = 7L)
+      .select("pid", "wid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 5 -> none; 10,19 -> [10,20); 20 -> none (exclusive hi); 35 -> [30,40)
+    assert(out == Set((2L, 100L), (3L, 100L), (5L, 200L)))
+  }
+
+  test("rangeJoin yields each matching pair exactly once across bucket sizes") {
+    val points = (0L until 200L).map(i => (i, i * 3)).toDF("pid", "t")
+    val ivs = Seq((1L, 0L, 100L), (2L, 50L, 350L), (3L, 500L, 600L))
+      .toDF("wid", "lo", "hi")
+    val expected = (for {
+      (pid, t) <- (0L until 200L).map(i => (i, i * 3))
+      (wid, lo, hi) <- Seq((1L, 0L, 100L), (2L, 50L, 350L), (3L, 500L, 600L))
+      if t >= lo && t < hi
+    } yield (pid, wid)).toSet
+    for (w <- Seq(1L, 13L, 64L, 1000L)) {
+      val got = TemporalOps.rangeJoin(points, ivs, "t", "lo", "hi", w)
+        .select("pid", "wid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expected, s"bucketWidth=$w")
+    }
+  }
+
   test("asofJoinTs preserves left row count and is a single shuffle") {
     val left = (1L to 100L).map(i => (s"u${i % 7}", i, i * 3)).toDF("k", "id", "t")
     val right = (1L to 50L).map(i => (s"u${i % 5}", i * 5)).toDF("k", "t")
