@@ -29,6 +29,25 @@ class CorpusOpsPlanSpec extends AnyFunSuite {
       s"corpus side must not shuffle:\n${out.queryExecution.executedPlan}")
   }
 
+  test("rangeJoin plans as an equi-join, never a cartesian range scan") {
+    val points = (0L until 100L).map(i => (i, i * 5)).toDF("pid", "t")
+    val ivs = Seq((1L, 0L, 100L), (2L, 200L, 400L)).toDF("wid", "lo", "hi")
+    val plan = TemporalOps.rangeJoin(points, ivs, "t", "lo", "hi", 50L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
+      s"interval containment must ride the bucket equi-join:\n$plan")
+  }
+
+  test("duplicatedSpanStats shuffles 8-byte gram hashes, not gram strings") {
+    val out = Dedup.duplicatedSpanStats(docs, "doc_id", "text", n = 2)
+    val plan = out.queryExecution.executedPlan.toString
+    // every exchange below the frequency aggregate carries (doc_id, pos, h);
+    // a plan that shuffles the gram text would show a string-typed hashpartitioning key
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"))
+    assert(out.columns.toSeq == Seq("doc_id", "n_grams", "n_dup_grams",
+      "dup_gram_frac", "covered_token_frac"))
+  }
+
   test("stratifiedSample is exactly one partial-aggregate shuffle") {
     val df = (1L to 50L).map(i => (s"s${i % 3}", i)).toDF("grp", "id")
     val out = CorpusOps.stratifiedSample(df, "grp", "id", k = 5)
