@@ -154,26 +154,33 @@ object Dedup {
   private[graft] val permB: Array[Long] =
     Array.tabulate(128)(p => (Similarity.mix64(2L * p + 1) & 0x7FFFFFFFL) % PermPrime)
 
-  /** Portable one-hash minhash signature: permutation p's value is
-    * min over shingle hashes h of (a_p * h + b_p) mod (2^31 - 1) — exact
-    * integer arithmetic any engine reproduces bit-for-bit (h < 2^31 and
-    * a_p < 2^31 keep every product below 2^62, no overflow). */
-  private def minHashSigPortableUdf(numHashes: Int) = udf((hs: Array[Long]) => {
-    val out = new Array[Long](numHashes)
-    var p = 0
-    while (p < numHashes) {
-      val a = permA(p); val b = permB(p)
-      var mn = Long.MaxValue
-      var i = 0
-      while (i < hs.length) {
-        val v = (a * hs(i) + b) % PermPrime
-        if (v < mn) mn = v
-        i += 1
+  /** Fused portable shingle-hash + one-hash minhash signature: md5 each
+    * shingle (leading 60 bits mod 2^31-1, the same value
+    * `conv(substring(md5(s),1,15),16,10) % P` yields in SQL), then all
+    * permutation minima in one pass — one primitive UDF call per document
+    * instead of an interpreted per-shingle md5 HOF plus a second UDF
+    * (the HOF tax documented in ARCHITECTURE.md). Exact integer arithmetic
+    * any engine reproduces bit-for-bit: h < 2^31 and a_p < 2^31 keep every
+    * a_p*h + b_p below 2^62 — no overflow. */
+  private def minHashSigFromShinglesUdf(numHashes: Int) = udf((shingles: Array[String]) => {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < shingles.length) {
+      val d = md.digest(shingles(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var v = 0L
+      var k = 0
+      while (k < 8) { v = (v << 8) | (d(k) & 0xffL); k += 1 }
+      val h = (v >>> 4) % PermPrime
+      var p = 0
+      while (p < numHashes) {
+        val x = (permA(p) * h + permB(p)) % PermPrime
+        if (x < mins(p)) mins(p) = x
+        p += 1
       }
-      out(p) = mn
-      p += 1
+      i += 1
     }
-    out
+    mins
   })
 
   /** MinHash + LSH near-duplicate pairs with PORTABLE hashing: md5-derived
@@ -203,11 +210,8 @@ object Dedup {
       .withColumn("__toks", TextAnalysis.tokens(col("text")))
       .filter(size(col("__toks")) > 0)
       .withColumn("shingles", wordShinglesUdf(shingleSize)(col("__toks")))
-      .withColumn("__sh_hashes",
-        transform(col("shingles"),
-          s => conv(substring(md5(s), 1, 15), 16, 10).cast("long") % PermPrime))
-      .withColumn("sig", minHashSigPortableUdf(numHashes)(col("__sh_hashes")))
-      .drop("text", "__toks", "__sh_hashes")
+      .withColumn("sig", minHashSigFromShinglesUdf(numHashes)(col("shingles")))
+      .drop("text", "__toks")
       .localCheckpoint(false)
     // portable band key: the band's slice of the signature as a string
     val bandSigs = (0 until numBands).map { b =>

@@ -108,6 +108,20 @@ object ProfileEmb {
             .as("n_exact_found"))
         .count()
     }
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    time("cc: minhash portable pairs") {
+      Dedup.minHashLSHPortable(docs, "doc_id", "text", threshold = 0.6).count()
+    }
+    val pairsCkCc = Dedup.minHashLSHPortable(docs, "doc_id", "text", threshold = 0.6)
+      .select("id_a", "id_b").localCheckpoint(false)
+    time("cc: connectedComponents on materialized pairs") {
+      Dedup.connectedComponents(pairsCkCc).count()
+    }
+    time("cc: full dedup_components pipeline") {
+      Dedup.connectedComponents(
+        Dedup.minHashLSHPortable(docs, "doc_id", "text", threshold = 0.6)
+          .select("id_a", "id_b")).count()
+    }
     time("emb: probe aggregates") {
       val probe = lsh.agg(
         sum(when(col("id_b") === col("id_a") + lit(100000L), 1L).otherwise(0L))
