@@ -870,6 +870,20 @@ object SparkEntry {
       Dedup.duplicatedSpanStats(
         s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", n = 5)
     }),
+    "text_length_quantiles" -> ((s, dir) => {
+      // per-source corpus length profile: EXACT interpolated percentiles
+      // (the numbers a quality-filter pipeline thresholds against). Exact
+      // percentile is a sort-based agg per group; at 100 TB swap in
+      // percentile_approx (same query shape) — the oracle anchors exactness
+      // here.
+      s.read.parquet(s"$dir/documents.parquet")
+        .groupBy("source")
+        .agg(expr("percentile(CAST(n_chars AS DOUBLE), array(0.5D, 0.9D, 0.99D))").as("q"),
+          count(lit(1)).as("n_docs"))
+        .select(col("source"), element_at(col("q"), 1).as("p50"),
+          element_at(col("q"), 2).as("p90"), element_at(col("q"), 3).as("p99"),
+          col("n_docs"))
+    }),
     "a_window_topn" -> ((s, dir) => {
       // window function: top-2 orders by price per customer (deterministic:
       // ties broken by orderkey)
@@ -1741,6 +1755,13 @@ object SparkEntry {
               CAST(row_number() OVER (PARTITION BY o_custkey
                    ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rk
            FROM orders QUALIFY rk <= 2""",
+      "text_length_quantiles" ->
+        """SELECT source,
+              quantile_cont(CAST(n_chars AS DOUBLE), 0.5) AS p50,
+              quantile_cont(CAST(n_chars AS DOUBLE), 0.9) AS p90,
+              quantile_cont(CAST(n_chars AS DOUBLE), 0.99) AS p99,
+              CAST(count(*) AS BIGINT) AS n_docs
+           FROM documents GROUP BY 1""",
       "a_range_join" ->
         """WITH w AS (SELECT k AS window_id,
                 1704067200000000000 + k*21600000000000 AS lo,
