@@ -31,7 +31,13 @@ object Bench {
       val fn = SparkEntry.queries(name)
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+        // Consume the COMPILED plan, not `df.count()`: a count() action lets
+        // Catalyst prune deterministic projections, so a map-only query
+        // (text features, image decode) would time just the parquet scan.
+        // toRdd executes the optimized plan as written — every projection,
+        // UDF and expression runs for every row, same as a real write.
+        try { fn(spark, sfDir).queryExecution.toRdd.count() }
+        catch { case _: Throwable => () }
         (System.nanoTime() - t0) / 1e9
       }.sorted
       val median = times(times.length / 2)

@@ -363,7 +363,10 @@ object SparkEntry {
       // independently by the DuckDB oracle; accuracy on genuine multilingual
       // sentences is covered by TextAnalysisSpec.
       s.read.parquet(s"$dir/documents.parquet")
-        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("predicted_lang"))
+        .withColumn("__toks", TextAnalysis.tokens(col("text")))
+        .select(col("doc_id"),
+          TextAnalysis.langIdFromTokens(col("text"), col("__toks"))
+            .as("predicted_lang"))
     }),
     "text_fingerprint" -> ((s, dir) => {
       // xxhash64-based rolling sketch; engine-specific hash => rows-only

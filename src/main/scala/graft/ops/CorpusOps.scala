@@ -117,34 +117,72 @@ object CorpusOps {
       .otherwise(typedLit(Seq.empty[String]))
   }
 
-  /** Fraction of `arr` occupied by its most frequent element (0 for empty).
-    * Nested higher-order filter is O(distinct * n) per row — documents have
-    * bounded token counts, so this stays a per-row projection instead of an
-    * explode + two shuffles. */
-  private def topElementFrac(arr: Column): Column =
-    when(size(arr) > 0,
-      array_max(transform(array_distinct(arr), d => size(filter(arr, x => x === d))))
-        .cast("double") / size(arr).cast("double"))
-      .otherwise(lit(0.0))
+  /** All four Gopher repetition stats from one pass over the token array.
+    * Counts are exact integers (HashMap frequency count), divisions are the
+    * single final double op — identical values to the nested-lambda SQL
+    * formulation, at O(tokens) per row instead of O(distinct^2 * n): the
+    * interpreted `filter(arr, x === d)` per distinct element re-evaluated the
+    * whole inlined n-gram transform (including the tokenizer regex) once PER
+    * ELEMENT, which the old `.count()` bench action pruned and never timed. */
+  private final case class ContamStats(n_grams: Long, n_contaminated: Long)
 
-  /** Fraction of elements that are repeats of an earlier element. */
-  private def dupFrac(arr: Column): Column =
-    when(size(arr) > 0,
-      (size(arr) - size(array_distinct(arr))).cast("double") / size(arr).cast("double"))
-      .otherwise(lit(0.0))
+  private final case class RepetitionStats(
+      n_tokens: Long, top_token_frac: Double, top_2gram_frac: Double,
+      dup_2gram_frac: Double, dup_3gram_frac: Double)
+
+  private val repetitionStatsUdf = udf((toks: Array[String]) => {
+    // (total, distinct, maxCount) of space-joined n-grams; empty when the
+    // document has fewer than n tokens (matches wordNgrams semantics)
+    def gramStats(n: Int): (Int, Int, Int) = {
+      val total = if (toks == null) 0 else toks.length - (n - 1)
+      if (total <= 0) (0, 0, 0)
+      else {
+        val m = new java.util.HashMap[String, Int](total * 2)
+        var mx = 0
+        var i = 0
+        while (i < total) {
+          val g =
+            if (n == 1) toks(i)
+            else {
+              val sb = new java.lang.StringBuilder(toks(i))
+              var j = 1
+              while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+              sb.toString
+            }
+          val c = m.getOrDefault(g, 0) + 1
+          m.put(g, c)
+          if (c > mx) mx = c
+          i += 1
+        }
+        (total, m.size, mx)
+      }
+    }
+    def frac(num: Int, den: Int): Double =
+      if (den > 0) num.toDouble / den.toDouble else 0.0
+    val (t1, _, m1) = gramStats(1)
+    val (t2, d2, m2) = gramStats(2)
+    val (t3, d3, _) = gramStats(3)
+    RepetitionStats(
+      n_tokens = t1.toLong,
+      top_token_frac = frac(m1, t1),
+      top_2gram_frac = frac(m2, t2),
+      dup_2gram_frac = frac(t2 - d2, t2),
+      dup_3gram_frac = frac(t3 - d3, t3))
+  })
 
   /** Gopher-style repetition filters (Rae et al. 2021, table A1): fraction of
     * tokens in the most frequent token / 2-gram, duplicate 2-/3-gram
     * fractions. All integer-count arithmetic divided as doubles — exact and
     * oracle-reproducible. Pure projections, zero shuffle. */
-  def repetitionFeatures(df: DataFrame, textCol: String): DataFrame = {
-    val toks = TextAnalysis.tokens(col(textCol))
-    df.withColumn("n_tokens", size(toks).cast("long"))
-      .withColumn("top_token_frac", topElementFrac(toks))
-      .withColumn("top_2gram_frac", topElementFrac(wordNgrams(col(textCol), 2)))
-      .withColumn("dup_2gram_frac", dupFrac(wordNgrams(col(textCol), 2)))
-      .withColumn("dup_3gram_frac", dupFrac(wordNgrams(col(textCol), 3)))
-  }
+  def repetitionFeatures(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("__toks", TextAnalysis.tokens(col(textCol)))
+      .withColumn("__rep", repetitionStatsUdf(col("__toks")))
+      .withColumn("n_tokens", col("__rep.n_tokens"))
+      .withColumn("top_token_frac", col("__rep.top_token_frac"))
+      .withColumn("top_2gram_frac", col("__rep.top_2gram_frac"))
+      .withColumn("dup_2gram_frac", col("__rep.dup_2gram_frac"))
+      .withColumn("dup_3gram_frac", col("__rep.dup_3gram_frac"))
+      .drop("__toks", "__rep")
 
   /** Benchmark-contamination check: for each corpus document, how many of its
     * distinct word n-grams appear in the benchmark set.
@@ -163,24 +201,37 @@ object CorpusOps {
       .select(explode(array_distinct(wordNgrams(col(benchTextCol), n))).as("g"))
       .distinct().collect().map(_.getString(0)).toSet
     val bset = spark.sparkContext.broadcast(benchGrams)
-    val contaminated = udf((grams: Array[String]) => {
-      if (grams == null) 0L
+    // Distinct n-grams AND membership hits in one primitive pass over the
+    // token array (the interpreted wordNgrams transform re-evaluated its
+    // inlined tokenizer per element; binding tokens + a loop is ~100x).
+    val contamStats = udf((toks: Array[String]) => {
+      val total = if (toks == null) 0 else toks.length - (n - 1)
+      if (total <= 0) ContamStats(0L, 0L)
       else {
+        val seen = new java.util.HashSet[String](total * 2)
         val s = bset.value
-        var c = 0L
-        grams.foreach(g => if (s.contains(g)) c += 1)
-        c
+        var hits = 0L
+        var i = 0
+        while (i < total) {
+          val sb = new java.lang.StringBuilder(toks(i))
+          var j = 1
+          while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+          val g = sb.toString
+          if (seen.add(g) && s.contains(g)) hits += 1
+          i += 1
+        }
+        ContamStats(seen.size.toLong, hits)
       }
     })
     corpus
-      .withColumn("__grams", array_distinct(wordNgrams(col(textCol), n)))
-      .withColumn("n_grams", size(col("__grams")).cast("long"))
-      .withColumn("n_contaminated", contaminated(col("__grams")))
+      .withColumn("__cs", contamStats(TextAnalysis.tokens(col(textCol))))
+      .withColumn("n_grams", col("__cs.n_grams"))
+      .withColumn("n_contaminated", col("__cs.n_contaminated"))
       .withColumn("contamination_frac",
         when(col("n_grams") > 0,
           col("n_contaminated").cast("double") / col("n_grams").cast("double"))
           .otherwise(lit(0.0)))
-      .drop("__grams")
+      .drop("__cs")
   }
 
   /** Deterministic stratified sample: exactly min(k, |stratum|) rows per

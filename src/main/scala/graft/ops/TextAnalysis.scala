@@ -52,9 +52,17 @@ object TextAnalysis {
 
   /** Language identification by stopword-profile scoring + CJK detection.
     * Deterministic, pure-expression: per language, score = number of distinct
-    * profile words present; CJK-dominant text short-circuits to 'zh'. */
-  def langId(text: Column): Column = {
-    val toks = tokens(text)
+    * profile words present; CJK-dominant text short-circuits to 'zh'.
+    *
+    * NOTE: prefer [[langIdFromTokens]] with a pre-bound token column — this
+    * overload inlines the tokenizer regex into every per-language
+    * `array_intersect`, so Catalyst's interpreter re-tokenizes the document
+    * once per profile. */
+  def langId(text: Column): Column = langIdFromTokens(text, tokens(text))
+
+  /** [[langId]] scoring a pre-bound token array column (tokenize once, score
+    * N profiles against the bound attribute). */
+  def langIdFromTokens(text: Column, toks: Column): Column = {
     val cjk = charCount(text, "[\\x{4e00}-\\x{9fff}]")
     val scores = Stopwords.profiles.map { case (lang, words) =>
       lang -> size(array_intersect(toks, typedLit(words)))
