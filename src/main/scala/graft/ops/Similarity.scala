@@ -91,40 +91,19 @@ object Similarity {
 
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity; 0 when either vector is all-zero.
+  /** Cosine similarity; 0 when either vector is all-zero or null.
     *
-    * Implemented as a primitive-loop UDF rather than higher-order array
-    * expressions: Spark's array lambdas (`aggregate`/`zip_with`) are
-    * INTERPRETED (no whole-stage codegen) and allocate per call, which
-    * dominates the hot join paths. The loop performs the same IEEE
-    * operations in the same order (index-ascending products summed from
-    * +0.0, norms over each full array), so results are bit-identical to the
-    * expression form — oracle parity preserved.
-    *
-    * Parameters are Array, not Seq: the Seq[Double] deserializer costs
-    * ~0.6 ms PER ROW on 64-dim vectors (measured — it dominates every
-    * vector path), while Array[Double] hits the primitive
-    * UnsafeArrayData.toDoubleArray fast path and is effectively free. */
-  private val cosineUdf = udf((a: Array[Double], b: Array[Double]) => {
-    if (a == null || b == null) 0.0
-    else {
-      val n = math.min(a.length, b.length)
-      var d = 0.0
-      var i = 0
-      while (i < n) { d += a(i) * b(i); i += 1 }
-      var na = 0.0
-      i = 0
-      while (i < a.length) { na += a(i) * a(i); i += 1 }
-      var nb = 0.0
-      i = 0
-      while (i < b.length) { nb += b(i) * b(i); i += 1 }
-      val sa = math.sqrt(na); val sb = math.sqrt(nb)
-      if (sa == 0.0 || sb == 0.0) 0.0 else d / (sa * sb)
-    }
-  })
-
+    * Backed by the NATIVE Catalyst expression [[graft.functions.CosineSim]]
+    * (whole-stage codegen, reads ArrayData in place — no per-row
+    * UnsafeArrayData -> Array[Double] copy and no UDF invocation boundary;
+    * the history of this hot path is interpreted higher-order lambdas ->
+    * primitive-loop Array UDF -> codegen expression, each tier measured).
+    * The generated loop performs the same IEEE operations in the same order
+    * as both prior forms (index-ascending products summed from +0.0, norms
+    * over each full array), so results are bit-identical — oracle parity
+    * preserved across the swap. */
   def cosine(a: Column, b: Column): Column =
-    cosineUdf(a.cast("array<double>"), b.cast("array<double>"))
+    graft.functions.VectorFunctions.cosineSim(a, b)
 
   /** Per-query top-k of pre-scored candidates via the bounded-heap partial
     * aggregate; emits (query_id, neighbor_id, cosine, rank). */
