@@ -887,6 +887,21 @@ object SparkEntry {
           element_at(col("q"), 2).as("p90"), element_at(col("q"), 3).as("p99"),
           col("n_docs"))
     }),
+    "text_vocab_topk" -> ((s, dir) => {
+      // corpus vocabulary: 50 most frequent tokens (tokenizer-training prep).
+      // Explode feeds a map-side-combined hash aggregate; final top-k is
+      // TakeOrderedAndProject (bounded per-partition heaps), never a sort.
+      CorpusOps.vocabTopK(
+        s.read.parquet(s"$dir/documents.parquet").select("text"), "text", 50)
+    }),
+    "corpus_prep" -> ((s, dir) => {
+      // the fused end-to-end prep filter: every quality signal (token stats,
+      // Gopher repetition, stopword ratio, language id) in ONE scan
+      // projection + a deterministic keep/drop rule with drop_reason.
+      CorpusOps.prepPipeline(
+        s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text"),
+        "doc_id", "text")
+    }),
     "a_window_topn" -> ((s, dir) => {
       // window function: top-2 orders by price per customer (deterministic:
       // ties broken by orderkey)
@@ -976,6 +991,8 @@ object SparkEntry {
       lang -> s"len(list_distinct(list_intersect(toks, $list)))"
     }
     val langMax = langScores.map(s => s"s_${s._1}").mkString("greatest(", ", ", ")")
+    val enStopList = graft.ops.Stopwords.en
+      .map(w => "'" + w.replace("'", "''") + "'").mkString("[", ",", "]")
     val langArms = langScores.map { case (l, _) => s"WHEN s_$l = m THEN '$l'" }.mkString(" ")
     // portable-minhash permutation constants (fixed literals; see Dedup.permA)
     val permAList = graft.ops.Dedup.permA.mkString("[", ",", "]")
@@ -1758,6 +1775,62 @@ object SparkEntry {
               CAST(row_number() OVER (PARTITION BY o_custkey
                    ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rk
            FROM orders QUALIFY rk <= 2""",
+      "text_vocab_topk" ->
+        """SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+           FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+                 FROM documents)
+           GROUP BY tok ORDER BY cnt DESC, tok ASC LIMIT 50""",
+      // the fused prep filter: every signal recomputed independently, then
+      // the same first-failing-rule CASE chain (rule order defines reason)
+      "corpus_prep" ->
+        s"""WITH t AS (
+              SELECT doc_id, text,
+                     regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+              FROM documents),
+            g AS (
+              SELECT doc_id, text, toks,
+                     list_transform(range(1, len(toks)),
+                       i -> array_to_string(toks[i:i+1], ' ')) AS g2
+              FROM t),
+            f AS (
+              SELECT doc_id, text, toks,
+                     CAST(len(toks) AS BIGINT) AS n_tokens,
+                     CASE WHEN len(g2) > 0 THEN
+                         CAST(list_max(list_transform(list_distinct(g2),
+                           d -> len(list_filter(g2, x -> x = d)))) AS DOUBLE)
+                           / CAST(len(g2) AS DOUBLE)
+                       ELSE 0.0 END AS top_2gram_frac,
+                     CASE WHEN len(g2) > 0 THEN
+                         CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE)
+                           / CAST(len(g2) AS DOUBLE)
+                       ELSE 0.0 END AS dup_2gram_frac,
+                     CASE WHEN len(toks) > 0 THEN
+                         CAST(len(list_distinct(list_intersect(toks, $enStopList))) AS DOUBLE)
+                           / CAST(len(toks) AS DOUBLE)
+                       ELSE 0.0 END AS stopword_ratio
+              FROM g),
+            s AS (SELECT *,
+                    ${langScores.map { case (l, e) => s"$e AS s_$l" }.mkString(",\n                    ")}
+                  FROM f),
+            x AS (SELECT *, $langMax AS m,
+                         len(text) - len(regexp_replace(text, '[\\x{4e00}-\\x{9fff}]', '', 'g')) AS cjk
+                  FROM s),
+            y AS (SELECT *,
+                    CASE WHEN cjk * 2 > len(text) THEN 'zh'
+                         WHEN m <= 0 THEN 'und' $langArms ELSE 'und' END AS lang
+                  FROM x),
+            z AS (SELECT *,
+                    CASE WHEN n_tokens < 20 THEN 'too_short'
+                         WHEN top_2gram_frac > 0.09 THEN 'repetitive_2gram'
+                         WHEN dup_2gram_frac > 0.08 THEN 'dup_2gram'
+                         WHEN lang <> 'en' THEN 'non_english'
+                         WHEN stopword_ratio < 0.005 THEN 'low_stopword'
+                         ELSE NULL END AS drop_reason
+                  FROM y)
+            SELECT doc_id, n_tokens, top_2gram_frac, dup_2gram_frac,
+                   stopword_ratio, lang,
+                   (drop_reason IS NULL) AS keep, drop_reason
+            FROM z""",
       "text_length_quantiles" ->
         """SELECT source,
               quantile_cont(CAST(n_chars AS DOUBLE), 0.5) AS p50,

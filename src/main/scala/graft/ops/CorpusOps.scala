@@ -4,6 +4,15 @@ import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
+/** UDF struct results — top-level so their encoders stay codegen-compiled
+  * (a case class nested in an object becomes an inner class whose accessors
+  * Janino cannot bind, silently dropping the projection to interpreted). */
+private[ops] final case class ContamStats(n_grams: Long, n_contaminated: Long)
+
+private[ops] final case class RepetitionStats(
+    n_tokens: Long, top_token_frac: Double, top_2gram_frac: Double,
+    dup_2gram_frac: Double, dup_3gram_frac: Double)
+
 /** One stratified-sample candidate: portable sort key + row id. */
 final case class StratItem(skey: String, id: Long)
 
@@ -124,12 +133,6 @@ object CorpusOps {
     * interpreted `filter(arr, x === d)` per distinct element re-evaluated the
     * whole inlined n-gram transform (including the tokenizer regex) once PER
     * ELEMENT, which the old `.count()` bench action pruned and never timed. */
-  private final case class ContamStats(n_grams: Long, n_contaminated: Long)
-
-  private final case class RepetitionStats(
-      n_tokens: Long, top_token_frac: Double, top_2gram_frac: Double,
-      dup_2gram_frac: Double, dup_3gram_frac: Double)
-
   private val repetitionStatsUdf = udf((toks: Array[String]) => {
     // (total, distinct, maxCount) of space-joined n-grams; empty when the
     // document has fewer than n tokens (matches wordNgrams semantics)
@@ -232,6 +235,52 @@ object CorpusOps {
           col("n_contaminated").cast("double") / col("n_grams").cast("double"))
           .otherwise(lit(0.0)))
       .drop("__cs")
+  }
+
+  /** Corpus vocabulary: global token frequencies, the k most frequent tokens
+    * (count desc, token asc on ties — fully deterministic). The plan is the
+    * one you want at 100 TB: explode feeds a hash aggregate with MAP-SIDE
+    * partial counts (the shuffle carries one row per distinct token per
+    * task, not one per token occurrence), and the final top-k is
+    * TakeOrderedAndProject — per-partition bounded heaps merged once, never
+    * a global sort. This is the vocabulary-building step of tokenizer
+    * training (BPE/WordPiece corpus prep). */
+  def vocabTopK(df: DataFrame, textCol: String, k: Int): DataFrame =
+    df.select(explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok").asc)
+      .limit(k)
+
+  /** Fused single-pass corpus-prep decision — the filter step a real
+    * training-data pipeline runs over every document: ALL quality signals
+    * (token stats, Gopher repetition fractions, stopword ratio, language id)
+    * computed in ONE scan projection, then a deterministic keep/drop rule
+    * with the first failing rule as `drop_reason`. Zero shuffle; at 100 TB
+    * this is a map-only pass whose cost is one read of the corpus. */
+  def prepPipeline(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val swRatio = when(size(col("__toks")) > 0,
+      size(array_intersect(col("__toks"), typedLit(graft.ops.Stopwords.en)))
+        .cast("double") / size(col("__toks")).cast("double"))
+      .otherwise(lit(0.0))
+    df.withColumn("__toks", TextAnalysis.tokens(col(textCol)))
+      .withColumn("__rep", repetitionStatsUdf(col("__toks")))
+      .withColumn("n_tokens", col("__rep.n_tokens"))
+      .withColumn("top_2gram_frac", col("__rep.top_2gram_frac"))
+      .withColumn("dup_2gram_frac", col("__rep.dup_2gram_frac"))
+      .withColumn("stopword_ratio", swRatio)
+      .withColumn("lang",
+        TextAnalysis.langIdFromTokens(col(textCol), col("__toks")))
+      .withColumn("drop_reason",
+        when(col("n_tokens") < 20, "too_short")
+          .when(col("top_2gram_frac") > 0.09, "repetitive_2gram")
+          .when(col("dup_2gram_frac") > 0.08, "dup_2gram")
+          .when(col("lang") =!= "en", "non_english")
+          .when(col("stopword_ratio") < 0.005, "low_stopword")
+          .otherwise(lit(null).cast("string")))
+      .withColumn("keep", col("drop_reason").isNull)
+      .select(col(idCol), col("n_tokens"), col("top_2gram_frac"),
+        col("dup_2gram_frac"), col("stopword_ratio"), col("lang"),
+        col("keep"), col("drop_reason"))
   }
 
   /** Deterministic stratified sample: exactly min(k, |stratum|) rows per

@@ -15,17 +15,18 @@ import org.apache.spark.sql.types._
   * deterministic fake (no model weights in this environment), and
   * [[decodeImageStub]] is kept for payloads in formats the JDK cannot read.
   */
+/** Decoded-media structs — top-level so their encoders stay codegen-compiled
+  * (case classes nested in an object become inner classes whose accessors
+  * Janino cannot bind, silently dropping the projection to interpreted). */
+final case class DecodedImage(width: Int, height: Int, mean_luminance: Double)
+
+final case class DecodedAudio(
+    sample_rate: Double, channels: Int, n_frames: Long, duration_seconds: Double)
+
 object Multimodal {
 
   // BufferedImage/ImageIO work without a display, but only in headless mode
   System.setProperty("java.awt.headless", "true")
-
-  /** Decoded-image struct produced by [[decodeImage]]. */
-  final case class DecodedImage(width: Int, height: Int, mean_luminance: Double)
-
-  /** Decoded-audio struct produced by [[decodeAudio]]. */
-  final case class DecodedAudio(
-      sample_rate: Double, channels: Int, n_frames: Long, duration_seconds: Double)
 
   /** REAL image decode: parses the payload with ImageIO and computes
     * dimensions plus mean luminance over a bounded 32x32 sampling grid

@@ -14,6 +14,12 @@ import org.apache.spark.sql.types._
   * (SURVEY §2.E), so the DP engine stays batch; these operators cover the
   * non-DP analytics/ETL surface of a streaming ingest pipeline.
   */
+/** Typed-session records — top-level so their encoders stay codegen-compiled
+  * (nested-in-object case classes silently drop encoders to interpreted). */
+final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, event_type: String)
+final case class SessionSummary(user_id: Long, n_events: Long,
+    first_type: String, last_type: String, duration_seconds: Long)
+
 object StreamOps {
 
   /** The events schema as it arrives on a stream (ts in epoch micros so the
@@ -83,10 +89,6 @@ object StreamOps {
       .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
         col("event_type"), col("distinct_users"))
   }
-
-  final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, event_type: String)
-  final case class SessionSummary(user_id: Long, n_events: Long,
-      first_type: String, last_type: String, duration_seconds: Long)
 
   /** Session windows via typed state: a session closes after `gapSeconds` of
     * inactivity (processing-time timeout for the local smoke path). */

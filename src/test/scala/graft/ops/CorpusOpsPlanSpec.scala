@@ -54,4 +54,18 @@ class CorpusOpsPlanSpec extends AnyFunSuite {
     assert(exchanges(out) == 1,
       s"expected one exchange carrying <= k rows per (stratum, task):\n${out.queryExecution.executedPlan}")
   }
+
+  test("prepPipeline is a zero-shuffle single-scan projection") {
+    assert(exchanges(CorpusOps.prepPipeline(docs, "doc_id", "text")) == 0)
+  }
+
+  test("vocabTopK: one shuffle with partial counts, top-k never a global sort") {
+    val plan = CorpusOps.vocabTopK(docs, "text", 10)
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).length == 1, s"one exchange expected:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("partial"),
+      s"map-side combine expected:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"), s"bounded top-k expected:\n$plan")
+    assert(!plan.contains("Sort "), s"no global sort expected:\n$plan")
+  }
 }

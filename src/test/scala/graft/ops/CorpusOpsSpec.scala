@@ -96,4 +96,29 @@ class CorpusOpsSpec extends AnyFunSuite {
     val rel = math.abs(row.getLong(0) - row.getLong(1)).toDouble / row.getLong(1)
     assert(rel <= 0.05, s"relative error $rel")
   }
+
+  test("vocabTopK: exact counts, count-desc token-asc order") {
+    val df = Seq(
+      (1L, "apple banana apple cherry"),
+      (2L, "banana apple date"),
+      (3L, "apple")
+    ).toDF("doc_id", "text")
+    val out = CorpusOps.vocabTopK(df, "text", 3).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSeq == Seq(("apple", 4L), ("banana", 2L), ("cherry", 1L)))
+  }
+
+  test("prepPipeline: first failing rule wins; clean doc keeps") {
+    val en = "the cat sat on the mat and it was that kind of day for all of " +
+      "them to be in this good place with more light than not"
+    val short = "the cat"
+    val repetitive = ("spam ham " * 40).trim
+    val df = Seq((1L, en), (2L, short), (3L, repetitive)).toDF("doc_id", "text")
+    val out = CorpusOps.prepPipeline(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(6), Option(r.getString(7)))).toMap
+    assert(out(1L) == (true, None))
+    assert(out(2L) == (false, Some("too_short")))
+    // 79 2-grams, "spam ham" occurs 40x -> top_2gram_frac ~ 0.506 > 0.09
+    assert(out(3L) == (false, Some("repetitive_2gram")))
+  }
 }
