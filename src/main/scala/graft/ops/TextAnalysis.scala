@@ -77,8 +77,46 @@ object TextAnalysis {
   /** 64-bit document fingerprint: hash of the bottom-k sketch of rolling
     * 5-gram hashes (winnowing-style). Two documents collide iff their k
     * smallest shingle hashes coincide — robust to token order, sensitive to
-    * content. Pure expressions. */
-  def fingerprint(text: Column, gram: Int = 5, k: Int = 16): Column =
+    * content.
+    *
+    * Fused into ONE primitive UDF pass; bit-identical to the expression
+    * form ([[fingerprintExpr]], kept for the parity spec): grams are
+    * code-point substrings exactly like Spark's `substring`, gram hashes
+    * reuse Spark's own XXH64 with the `xxhash64` seed, the sketch is the
+    * ascending signed sort's first k values (duplicates kept, like
+    * `array_sort` + `slice`), and the final hash covers the same
+    * comma-joined decimal rendering `concat_ws` produced. The interpreted
+    * per-position transform/sort chain this replaces cost ~2 s at sf0.1. */
+  def fingerprint(text: Column, gram: Int = 5, k: Int = 16): Column = {
+    val f = udf((s: String) => {
+      if (s == null) null.asInstanceOf[java.lang.Long]
+      else {
+        val hs = gramHashes(s, gram,
+          b => org.apache.spark.sql.catalyst.expressions.XXH64
+            .hashUnsafeBytes(b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+              b.length, 42L))
+        java.util.Arrays.sort(hs)
+        val sb = new java.lang.StringBuilder
+        var i = 0
+        val kk = math.min(k, hs.length)
+        while (i < kk) {
+          if (i > 0) sb.append(',')
+          sb.append(hs(i))
+          i += 1
+        }
+        val bytes = sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        java.lang.Long.valueOf(
+          org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+            bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+            bytes.length, 42L))
+      }
+    })
+    f(text)
+  }
+
+  /** The original pure-expression [[fingerprint]] — retained as the
+    * independent formulation the parity spec checks the UDF against. */
+  private[graft] def fingerprintExpr(text: Column, gram: Int = 5, k: Int = 16): Column =
     xxhash64(concat_ws(",", bottomKSketch(text, k, gram)))
 
   /** Rolling-hash shingle sketch: the k smallest 5-gram hashes (a bottom-k
@@ -89,12 +127,80 @@ object TextAnalysis {
         i => substring(text, i, lit(gram))),
       g => xxhash64(g))), 1, k)
 
+  /** Code-point-exact rolling gram hashes: one hash per position
+    * 1..max(cp - gram + 1, 1), each over the UTF-8 bytes of the gram —
+    * the same gram boundaries Spark's `substring(text, i, gram)` yields
+    * (code points, not UTF-16 units; trailing short gram only when the
+    * whole text is shorter than one gram). */
+  private def gramHashes(s: String, gram: Int, h: Array[Byte] => Long): Array[Long] = {
+    val nChars = s.length
+    // code-point start offsets (ascii fast path: identity)
+    var cp = 0
+    val offs = new Array[Int](nChars + 1)
+    var i = 0
+    while (i < nChars) {
+      offs(cp) = i
+      i += Character.charCount(s.codePointAt(i))
+      cp += 1
+    }
+    offs(cp) = nChars
+    val total = math.max(cp - (gram - 1), 1)
+    val out = new Array[Long](total)
+    var p = 0
+    while (p < total) {
+      val end = offs(math.min(p + gram, cp))
+      val bytes = s.substring(offs(p), end)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out(p) = h(bytes)
+      p += 1
+    }
+    out
+  }
+
   /** [[fingerprint]] with PORTABLE hashing: gram hashes are the leading 15
     * hex digits of md5 (60-bit values reproducible in any engine) and the
     * final fingerprint is md5 of the comma-joined sorted sketch — so the
     * whole construction is verifiable against an independent SQL oracle.
-    * The production variant keeps xxhash64 (native, codegen'd). */
-  def fingerprintPortable(text: Column, gram: Int = 5, k: Int = 16): Column =
+    * Same one-pass UDF fusion as [[fingerprint]]; the md5 values are
+    * computed by MessageDigest and rendered exactly like `md5()` /
+    * `conv(..., 16, 10)` did, so the DuckDB oracle reproduces the output
+    * unchanged. */
+  def fingerprintPortable(text: Column, gram: Int = 5, k: Int = 16): Column = {
+    val f = udf((s: String) => {
+      if (s == null) null.asInstanceOf[String]
+      else {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hs = gramHashes(s, gram, { b =>
+          md.reset()
+          val d = md.digest(b)
+          // leading 15 hex digits = high 60 bits: 7.5 bytes
+          var v = 0L
+          var j = 0
+          while (j < 7) { v = (v << 8) | (d(j) & 0xffL); j += 1 }
+          (v << 4) | ((d(7) & 0xf0L) >> 4)
+        })
+        java.util.Arrays.sort(hs)
+        val sb = new java.lang.StringBuilder
+        var i = 0
+        val kk = math.min(k, hs.length)
+        while (i < kk) {
+          if (i > 0) sb.append(',')
+          sb.append(hs(i))
+          i += 1
+        }
+        md.reset()
+        val d = md.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val hex = new java.lang.StringBuilder(32)
+        d.foreach(b => hex.append(f"${b & 0xff}%02x"))
+        hex.toString
+      }
+    })
+    f(text)
+  }
+
+  /** The original pure-expression [[fingerprintPortable]] — retained for
+    * the parity spec. */
+  private[graft] def fingerprintPortableExpr(text: Column, gram: Int = 5, k: Int = 16): Column =
     md5(concat_ws(",",
       slice(array_sort(transform(
         sequence(lit(1), greatest(length(text) - (gram - 1), lit(1))),

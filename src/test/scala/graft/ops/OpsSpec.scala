@@ -35,6 +35,27 @@ class TextAnalysisSpec extends AnyFunSuite {
     out.foreach { case (exp, pred) => assert(pred == exp, s"expected $exp got $pred") }
   }
 
+  test("fused fingerprint UDFs are bit-identical to the expression forms") {
+    import spark.implicits._
+    // multi-byte code points exercise the code-point gram boundaries
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "short",
+      "", "abcd",
+      "caf\u00e9 na\u00efve \u4e2d\u6587 text with \u00fcml\u00e4uts and more words here",
+      "aaaaa aaaaa aaaaa aaaaa")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val cmp = df.select(
+      TextAnalysis.fingerprint(col("text")).as("u"),
+      TextAnalysis.fingerprintExpr(col("text")).as("e"),
+      TextAnalysis.fingerprintPortable(col("text")).as("up"),
+      TextAnalysis.fingerprintPortableExpr(col("text")).as("ep")).collect()
+    cmp.foreach { r =>
+      assert(r.getLong(0) == r.getLong(1), s"native mismatch: $r")
+      assert(r.getString(2) == r.getString(3), s"portable mismatch: $r")
+    }
+  }
+
   test("fingerprint: equal texts collide, different texts don't") {
     val df = Seq((1L, "identical document text body"), (2L, "identical document text body"),
       (3L, "zzz qqq www unrelated stuff kkk")).toDF("id", "text")
