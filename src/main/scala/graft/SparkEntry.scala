@@ -463,6 +463,21 @@ object SparkEntry {
       Dedup.connectedComponents(pairs.select("id_a", "id_b"))
         .select(col("id"), col("comp").as("component"))
     }),
+    "dedup_materialize" -> ((s, dir) => {
+      // APPLY the dedup decision: non-canonical cluster members (id != its
+      // component's min-label) are dropped via LEFT ANTI join, and the
+      // surviving corpus is profiled per source. The drop list is tiny
+      // relative to the corpus, so at scale the anti-join broadcasts —
+      // the whole materialization costs one corpus scan.
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val pairs = Dedup.minHashLSHPortable(docs, "doc_id", "text", threshold = 0.6)
+      val comp = Dedup.connectedComponents(pairs.select("id_a", "id_b"))
+      val drops = comp.filter(col("id") =!= col("comp"))
+      docs.join(broadcast(drops), docs("doc_id") === drops("id"), "left_anti")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs_kept"),
+          sum(col("n_chars")).as("chars_kept"))
+    }),
     "dedup_simhash" -> ((s, dir) => {
       Dedup.simHashPairs(s.read.parquet(s"$dir/documents.parquet"),
         "doc_id", "text", maxHamming = 3)
@@ -1530,6 +1545,22 @@ object SparkEntry {
               UNION
               SELECT r.id, e.dst AS reach FROM r JOIN e ON e.src = r.reach)
             SELECT id, min(reach) AS component FROM r GROUP BY id""",
+      "dedup_materialize" ->
+        s"""WITH RECURSIVE pairs AS ($minhashMd5Sql),
+            e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                  UNION ALL SELECT id_b, id_a FROM pairs),
+            n AS (SELECT DISTINCT src AS id FROM e),
+            r AS (
+              SELECT id, id AS reach FROM n
+              UNION
+              SELECT r.id, e.dst AS reach FROM r JOIN e ON e.src = r.reach),
+            comp AS (SELECT id, min(reach) AS component FROM r GROUP BY id),
+            drops AS (SELECT id FROM comp WHERE id <> component)
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs_kept,
+                   CAST(sum(n_chars) AS BIGINT) AS chars_kept
+            FROM documents d
+            WHERE NOT EXISTS (SELECT 1 FROM drops x WHERE x.id = d.doc_id)
+            GROUP BY source""",
       "ss_dedup" ->
         """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
               event_type, count(DISTINCT user_id) AS distinct_users
