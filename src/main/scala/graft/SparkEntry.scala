@@ -515,6 +515,16 @@ object SparkEntry {
         .filter(col("cosine") >= 0.3)
         .select("id_a", "id_b", "cosine")
     }),
+    "emb_centroid" -> ((s, dir) => {
+      // exact per-label embedding centroid: quantized-integer partial sums
+      // (order-independent => independently verifiable), one shuffle
+      // carrying a long[64] per (label, task)
+      Similarity.centroidByKey(
+        s.read.parquet(s"$dir/embeddings.parquet"), "label", "embedding")
+        .select(col("key").as("label"), posexplode(col("centroid")), col("n"))
+        .select(col("label"), (col("pos") + 1).cast("long").as("dim"),
+          col("col").as("c"), col("n"))
+    }),
     "sim_topk" -> ((s, dir) => {
       // brute-force cosine top-5 for the first 20 vectors against the corpus
       val e = s.read.parquet(s"$dir/embeddings.parquet")
@@ -1607,6 +1617,17 @@ object SparkEntry {
            SELECT id_a, id_b, dot / (na * nb) AS cosine
            FROM p WHERE na <> 0 AND nb <> 0 AND dot / (na * nb) >= 0.3""",
       "sim_topk" -> bruteTopKSql,
+      // exact centroid: the same floor(x*1000) integer quantization summed
+      // per (label, dimension), one double division at the end
+      "emb_centroid" ->
+        """WITH x AS (
+             SELECT label, u.i,
+                    CAST(floor(CAST(embedding[u.i] AS DOUBLE) * 1000.0) AS BIGINT) AS q
+             FROM embeddings e, unnest(range(1, len(e.embedding) + 1)) u(i))
+           SELECT label, CAST(i AS BIGINT) AS dim,
+                  CAST(sum(q) AS DOUBLE) / (count(*) * 1000.0) AS c,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM x GROUP BY label, i""",
       "sim_ivf_exact" -> bruteTopKSql,
       "text_pii_scrub" ->
         s"""WITH d AS (

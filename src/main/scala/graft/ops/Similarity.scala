@@ -12,6 +12,66 @@ final case class ScoredNeighbor(cosine: Double, neighbor_id: Long)
   * (no kryo) when it spills or crosses the partial/final exchange. */
 final case class TopKBuf(scores: Array[Double], ids: Array[Long])
 
+/** Input row of the centroid aggregate: one vector. */
+final case class VecIn(v: Array[Double])
+
+/** Centroid state: exact per-dimension quantized sums + vector count. */
+final case class VecState(sums: Array[Long], n: Long)
+
+/** Centroid result: per-dimension means + vector count. */
+final case class VecCentroid(centroid: Array[Double], n: Long)
+
+/** Exact group-wise vector centroid over QUANTIZED coordinates: each
+  * coordinate contributes floor(x * scale) as a LONG, so the partial sums
+  * are exact integers — order-independent under any partitioning (float
+  * summation order is not, which would break independent-oracle
+  * verification), and the aggregator state crossing the wire is one
+  * long[dim] + count per (group, task) with full map-side combine. The
+  * mean divides each exact sum by (n * scale) as the single double op. */
+final class QuantizedCentroidAggregator(scale: Double)
+    extends Aggregator[VecIn, VecState, VecCentroid] {
+  require(scale > 0, s"scale must be positive, got $scale")
+
+  def zero: VecState = VecState(Array.emptyLongArray, 0L)
+
+  def reduce(b: VecState, a: VecIn): VecState = {
+    if (a.v == null) b
+    else {
+      val d = a.v.length
+      val sums =
+        if (b.sums.length >= d) b.sums
+        else java.util.Arrays.copyOf(b.sums, d)
+      var i = 0
+      while (i < d) { sums(i) += math.floor(a.v(i) * scale).toLong; i += 1 }
+      VecState(sums, b.n + 1)
+    }
+  }
+
+  def merge(b1: VecState, b2: VecState): VecState = {
+    if (b2.n == 0) b1
+    else if (b1.n == 0) b2
+    else {
+      val (big, small) =
+        if (b1.sums.length >= b2.sums.length) (b1.sums, b2.sums)
+        else (b2.sums, b1.sums)
+      val sums = java.util.Arrays.copyOf(big, big.length)
+      var i = 0
+      while (i < small.length) { sums(i) += small(i); i += 1 }
+      VecState(sums, b1.n + b2.n)
+    }
+  }
+
+  def finish(b: VecState): VecCentroid =
+    if (b.n == 0) VecCentroid(Array.emptyDoubleArray, 0L)
+    else {
+      val den = b.n.toDouble * scale
+      VecCentroid(b.sums.map(_.toDouble / den), b.n)
+    }
+
+  def bufferEncoder: Encoder[VecState] = Encoders.product[VecState]
+  def outputEncoder: Encoder[VecCentroid] = Encoders.product[VecCentroid]
+}
+
 /** Partial top-k aggregate: each map task keeps at most k candidates per
   * query, so the exchange carries k rows per (query, task) instead of the
   * whole scored corpus, and no per-query global sort ever runs. Replaces a
@@ -121,6 +181,20 @@ object Similarity {
   /** Brute-force cosine top-k: for each query vector, the k nearest corpus
     * vectors. Query side is broadcast (it must be small); ties break on
     * corpus id for determinism. */
+  /** Exact per-group embedding centroid (quantized-integer sums; see
+    * [[QuantizedCentroidAggregator]]) — the class-prototype computation
+    * behind semantic clustering / data-mixture analysis. One shuffle whose
+    * payload is a long[dim] per (group, task). */
+  def centroidByKey(
+      df: DataFrame, keyCol: String, vecCol: String, scale: Double = 1000.0
+  ): DataFrame = {
+    val agg = udaf(new QuantizedCentroidAggregator(scale), Encoders.product[VecIn])
+    df.select(col(keyCol).as("key"), col(vecCol).cast("array<double>").as("v"))
+      .groupBy("key")
+      .agg(agg(col("v")).as("c"))
+      .select(col("key"), col("c.centroid").as("centroid"), col("c.n").as("n"))
+  }
+
   def bruteForceTopK(
       corpus: DataFrame, corpusId: String, corpusVec: String,
       queries: DataFrame, queryId: String, queryVec: String,

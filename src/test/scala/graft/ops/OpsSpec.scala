@@ -208,6 +208,21 @@ class SimilaritySpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
+  test("centroidByKey: exact quantized means, merge-safe across partitions") {
+    val df = Seq(
+      ("a", Array(1.0, 2.0)), ("a", Array(2.0, 3.0)), ("a", Array(3.0, 4.0)),
+      ("b", Array(-1.5, 0.5))
+    ).toDF("label", "vec").repartition(7) // force partial/merge paths
+    val out = Similarity.centroidByKey(df, "label", "vec")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getSeq[Double](1).toList, r.getLong(2))))
+      .toMap
+    // floor(x*1000) sums: a -> (1000+2000+3000, 2000+3000+4000)/3000
+    assert(out("a") == ((List(2.0, 3.0), 3L)))
+    // b: floor(-1.5*1000) = -1500, floor(0.5*1000) = 500
+    assert(out("b") == ((List(-1.5, 0.5), 1L)))
+  }
+
   test("brute force top-k ranks by cosine with id tiebreak") {
     val corpus = Seq(
       (1L, Array(1.0, 0.0)), (2L, Array(0.9, 0.1)), (3L, Array(0.0, 1.0)),
