@@ -1,0 +1,63 @@
+package graft.spark
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The co-located join path: both sides bucketed by the join key at write
+  * time join WITHOUT any Exchange — at 100 TB this converts the dominant
+  * repeated fact-to-fact join cost from a full shuffle of both inputs per
+  * query into zero (the shuffle is paid once, at write). This spec pins the
+  * plan shape Spark produces for graft's bucketed tables so a config or
+  * upgrade regression that silently reintroduces the shuffle fails CI. */
+class BucketingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("bucketed tables join with zero exchanges; result matches shuffled join") {
+    // external table paths, so the (static) warehouse dir never matters
+    val wh = Files.createTempDirectory("graft-bucketing").toString
+    // bucketed scans only kick in when bucketing is enabled (default true)
+    assert(spark.conf.get("spark.sql.sources.bucketing.enabled") == "true")
+
+    val left = (0L until 1000L).map(i => (i % 97, i, i * 2.0))
+      .toDF("k", "lid", "lv")
+    val right = (0L until 500L).map(i => (i % 97, i, s"r$i"))
+      .toDF("k", "rid", "rv")
+
+    left.write.mode("overwrite").bucketBy(8, "k").sortBy("k")
+      .option("path", s"$wh/bleft").saveAsTable("bleft")
+    right.write.mode("overwrite").bucketBy(8, "k").sortBy("k")
+      .option("path", s"$wh/bright").saveAsTable("bright")
+
+    val l = spark.table("bleft")
+    val r = spark.table("bright")
+    // force the shuffle-join path (a broadcast would hide the layout reuse
+    // this spec pins — on two 100 TB fact sides there is nothing to broadcast)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = l.join(r, Seq("k")).groupBy("k")
+        .agg(count(lit(1)).as("n"), sum("lv").as("s"))
+
+      val plan = joined.queryExecution.executedPlan.toString
+      // the join must consume the bucketed layout directly, and the
+      // aggregation (grouping key == bucket key) must reuse it too
+      assert(!plan.contains("Exchange"),
+        s"bucketed join/agg must not shuffle:\n$plan")
+      assert(plan.contains("SortMergeJoin"), s"expected sort-merge join:\n$plan")
+
+      // and it is the same answer the shuffled join produces
+      val expected = left.join(right, Seq("k")).groupBy("k")
+        .agg(count(lit(1)).as("n"), sum("lv").as("s"))
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2))).toSet
+      val got = joined.collect()
+        .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2))).toSet
+      assert(got == expected)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS bleft")
+      spark.sql("DROP TABLE IF EXISTS bright")
+    }
+  }
+}
