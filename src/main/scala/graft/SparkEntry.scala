@@ -616,6 +616,30 @@ object SparkEntry {
       docs.select(col("doc_id"), Multimodal.payloadFeatures(col("media")).as("f"))
         .select(col("doc_id"), col("f.n_bytes").as("n_bytes"), col("f.sha256").as("sha256"))
     }),
+    "mm_frame_sample" -> ((s, dir) => {
+      // video-shaped frame sampling: each doc becomes a 4-frame GFTV
+      // container of real PNGs, 2 evenly-spaced frames are sampled (only
+      // those bytes materialize) and REAL-decoded. Synthetic payloads and
+      // JDK-only codecs => rows-only; the PNG decode itself is
+      // oracle-verified by mm_decode_resize, and MultimodalSpec pins the
+      // sampled indices + roundtrip luminance.
+      val mkVideo = udf((text: String) => {
+        val t = if (text == null) "" else text
+        val q = math.max(t.length / 4, 1)
+        val frames = (0 until 4).map { i =>
+          Multimodal.syntheticPng(t.substring(
+            math.min(i * q, t.length), math.min((i + 1) * q, t.length)))
+        }
+        Multimodal.syntheticVideo(frames)
+      })
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), mkVideo(col("text")).as("media"))
+      val sampled = Multimodal.sampleFrames(docs, "media", n = 2)
+      Multimodal.decodeImage(sampled, "frame")
+        .select(col("doc_id"), col("frame_idx"), col("n_frames").cast("long").as("n_frames"),
+          col("decoded.width").as("width"), col("decoded.height").as("height"),
+          col("decoded.mean_luminance").as("mean_luminance"))
+    }),
     "papi_count_sum" -> ((s, dir) => {
       // PrivateDataFrame API: one accountant, map + two aggregations
       val acc = new NaiveBudgetAccountant(1e5, 0.999999)

@@ -20,6 +20,8 @@ import org.apache.spark.sql.types._
   * Janino cannot bind, silently dropping the projection to interpreted). */
 final case class DecodedImage(width: Int, height: Int, mean_luminance: Double)
 
+final case class SampledFrame(frame_idx: Long, n_frames: Int, frame: Array[Byte])
+
 final case class DecodedAudio(
     sample_rate: Double, channels: Int, n_frames: Long, duration_seconds: Double)
 
@@ -204,6 +206,71 @@ object Multimodal {
     when(frameCount <= 0, array().cast(ArrayType(LongType)))
       .otherwise(array_distinct(transform(sequence(lit(0), lit(n - 1)),
         i => floor(i * frameCount.cast("double") / n).cast(LongType))))
+
+  /** Synthetic multi-frame container: "GFTV" magic, int32 frame count, then
+    * length-prefixed frames — stands in for a video container so the
+    * frame-sampling PLUMBING (parse, offset walk, sampled explode, per-frame
+    * decode) is fully real while the frame codec stays the JDK PNG decode
+    * that `mm_decode_resize` oracle-verifies. */
+  def syntheticVideo(frames: Seq[Array[Byte]]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeBytes("GFTV")
+    out.writeInt(frames.length)
+    frames.foreach { f => out.writeInt(f.length); out.write(f) }
+    bos.toByteArray
+  }
+
+  /** Parse a GFTV container and emit one row per SAMPLED frame — the same
+    * evenly-spaced-index arithmetic as [[sampleFrameIndices]], so only the
+    * n sampled frames are materialized and decoded downstream (the skipped
+    * frames' bytes are never copied out of the payload). Malformed payloads
+    * yield zero rows. */
+  def sampleFrames(df: DataFrame, mediaCol: String, n: Int): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    val magic = "GFTV".getBytes("US-ASCII")
+    val f = udf((bytes: Array[Byte]) => {
+      if (bytes == null || bytes.length < 8 ||
+        !java.util.Arrays.equals(java.util.Arrays.copyOf(bytes, 4), magic))
+        Array.empty[SampledFrame]
+      else {
+        try {
+          val in = new java.io.DataInputStream(
+            new java.io.ByteArrayInputStream(bytes, 4, bytes.length - 4))
+          val count = in.readInt()
+          if (count <= 0) Array.empty[SampledFrame]
+          else {
+            // sampled indices: floor(j * count / n), distinct, ascending
+            val want = new java.util.LinkedHashSet[Long]()
+            var j = 0
+            while (j < n) {
+              want.add(math.floor(j.toDouble * count / n).toLong)
+              j += 1
+            }
+            val out = Array.newBuilder[SampledFrame]
+            var i = 0L
+            var remaining = count
+            while (remaining > 0) {
+              val len = in.readInt()
+              if (want.contains(i)) {
+                val b = new Array[Byte](len)
+                in.readFully(b)
+                out += SampledFrame(i, count, b)
+              } else in.skipBytes(len)
+              i += 1
+              remaining -= 1
+            }
+            out.result()
+          }
+        } catch { case _: Exception => Array.empty[SampledFrame] }
+      }
+    })
+    df.withColumn("__sf", explode(f(col(mediaCol))))
+      .withColumn("frame_idx", col("__sf.frame_idx"))
+      .withColumn("n_frames", col("__sf.n_frames"))
+      .withColumn("frame", col("__sf.frame"))
+      .drop("__sf")
+  }
 
   /** Batched feature extraction through a real `mapPartitions` boundary:
     * demonstrates the partition-iterator shape a native codec integration

@@ -299,6 +299,27 @@ class MultimodalSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
+  test("frame sampling: evenly-spaced indices, only sampled frames decode") {
+    import spark.implicits._
+    // 5 distinct real PNG frames; n=2 samples floor(0*5/2)=0, floor(1*5/2)=2
+    val frames = (0 until 5).map(i => Multimodal.syntheticPng("frame" * (i + 1)))
+    val video = Multimodal.syntheticVideo(frames)
+    val df = Seq((7L, video)).toDF("id", "media")
+    val sampled = Multimodal.sampleFrames(df, "media", n = 2)
+      .select("id", "frame_idx", "n_frames", "frame")
+      .collect().sortBy(_.getLong(1))
+    assert(sampled.map(_.getLong(1)).toSeq == Seq(0L, 2L))
+    assert(sampled.forall(_.getInt(2) == 5))
+    // the sampled bytes are the exact original frames, decodable roundtrip
+    sampled.zip(Seq(0, 2)).foreach { case (r, fi) =>
+      assert(java.util.Arrays.equals(r.getAs[Array[Byte]](3), frames(fi)))
+      assert(Multimodal.decodeImageBytes(r.getAs[Array[Byte]](3)).nonEmpty)
+    }
+    // malformed payloads produce zero rows, not failures
+    val bad = Seq((1L, Array[Byte](1, 2, 3))).toDF("id", "media")
+    assert(Multimodal.sampleFrames(bad, "media", 2).count() == 0)
+  }
+
   test("media columns + payload features + resize plan") {
     val df = Seq((1L, "hello world")).toDF("id", "text")
       .withColumn("payload", col("text").cast("binary"))
