@@ -208,6 +208,15 @@ class SimilaritySpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
+  test("centroidByKey plans as one exchange with map-side partial aggregation") {
+    val df = Seq(("a", Array(1.0, 2.0))).toDF("label", "vec")
+    val plan = Similarity.centroidByKey(df, "label", "vec")
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).length == 1, s"one exchange expected:\n$plan")
+    assert(plan.contains("partial_quantizedcentroidaggregator"),
+      s"map-side combine expected:\n$plan")
+  }
+
   test("centroidByKey: exact quantized means, merge-safe across partitions") {
     val df = Seq(
       ("a", Array(1.0, 2.0)), ("a", Array(2.0, 3.0)), ("a", Array(3.0, 4.0)),
