@@ -416,6 +416,14 @@ object SparkEntry {
       CorpusOps.ngramContamination(corpus, "doc_id", "text", bench, "text", n = 3)
         .drop("text")
     }),
+    "sample_split" -> ((s, dir) => {
+      // deterministic train/val/test split by portable md5 bucket — stable
+      // membership, engine-independent, zero shuffle; profiled per source
+      CorpusOps.hashSplit(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id")
+        .groupBy("source", "split")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars"))
+    }),
     "sample_stratified" -> ((s, dir) => {
       // deterministic stratified sample: exactly 40 orders per order
       // priority, chosen as the smallest md5(o_orderkey) — portable hash
@@ -1715,6 +1723,19 @@ object SparkEntry {
                       CAST(coalesce(h.n_hit, 0) AS DOUBLE) / CAST(len(c.grams) AS DOUBLE)
                     ELSE 0.0 END AS contamination_frac
            FROM corpus c LEFT JOIN hits h ON c.doc_id = h.doc_id""",
+      "sample_split" ->
+        """WITH b AS (
+             SELECT source, n_chars,
+                    CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                      AS BIGINT) % 100 AS bucket
+             FROM documents)
+           SELECT source,
+                  CASE WHEN bucket < 80 THEN 'train'
+                       WHEN bucket < 90 THEN 'val'
+                       ELSE 'test' END AS split,
+                  CAST(count(*) AS BIGINT) AS n_docs,
+                  CAST(sum(n_chars) AS BIGINT) AS n_chars
+           FROM b GROUP BY 1, 2""",
       "sample_stratified" ->
         """SELECT o_orderpriority AS stratum, o_orderkey AS id,
                   CAST(row_number() OVER (PARTITION BY o_orderpriority

@@ -283,6 +283,26 @@ object CorpusOps {
         col("keep"), col("drop_reason"))
   }
 
+  /** Deterministic train/val/test assignment by PORTABLE hash: bucket =
+    * md5(id) leading 60 bits mod 100, split by cumulative percentage
+    * boundaries. Any engine reproduces the exact same assignment (no rand(),
+    * no seed coordination across a fleet), membership is stable under
+    * corpus growth, and the operator is a zero-shuffle projection. */
+  def hashSplit(df: DataFrame, idCol: String,
+      splits: Seq[(String, Int)] = Seq("train" -> 80, "val" -> 10, "test" -> 10)
+  ): DataFrame = {
+    require(splits.map(_._2).sum == 100, "split percentages must sum to 100")
+    val bucket = pmod(
+      conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10).cast("long"),
+      lit(100L))
+    val expr = splits.tail.foldLeft(
+      (when(bucket < splits.head._2, splits.head._1), splits.head._2)) {
+      case ((acc, cum), (name, pct)) =>
+        (acc.when(bucket < cum + pct, name), cum + pct)
+    }._1
+    df.withColumn("split", expr)
+  }
+
   /** Deterministic stratified sample: exactly min(k, |stratum|) rows per
     * stratum, chosen as the k smallest md5(id) — a portable hash order any
     * engine reproduces, unlike rand(). One shuffle carrying <= k rows per

@@ -93,6 +93,29 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("corpus-prep filter runs unchanged on a stream, matching batch") {
+    // the fused quality-filter is a pure projection, so the SAME operator
+    // must run under Structured Streaming with identical output — this
+    // guards against stream-incompatible constructs (windows without
+    // watermarks, non-deterministic exprs) creeping into the hot filter
+    val dir = "/root/testdata/sf0.001"
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val docsStream = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+      .select("doc_id", "text")
+    val streamed = graft.ops.CorpusOps.prepPipeline(docsStream, "doc_id", "text")
+    StreamOps.runToMemory(spark, streamed, "prep_stream")
+    val got = spark.table("prep_stream").collect()
+      .map(r => (r.getLong(0), r.getBoolean(6), Option(r.getString(7)))).toSet
+    val batch = graft.ops.CorpusOps.prepPipeline(
+      spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "text"),
+      "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getBoolean(6), Option(r.getString(7)))).toSet
+    assert(got == batch && got.nonEmpty)
+  }
+
   test("sessionization closes sessions after the inactivity gap") {
     import StreamOps._
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
