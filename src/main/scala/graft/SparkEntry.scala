@@ -416,6 +416,17 @@ object SparkEntry {
       CorpusOps.ngramContamination(corpus, "doc_id", "text", bench, "text", n = 3)
         .drop("text")
     }),
+    "text_pack_sequences" -> ((s, dir) => {
+      // sequence packing for training rows: distributed prefix sum of token
+      // counts in doc order (bucketed local cumsums + broadcast offsets),
+      // then 512-token pack boundaries
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .withColumn("n_toks", TextAnalysis.tokenCount(col("text")))
+      CorpusOps.packSequences(docs, "doc_id", "n_toks",
+        seqLen = 512L, bucketWidth = 64L)
+        .select(col("id").as("doc_id"), col("len"), col("pack_id"),
+          col("pack_offset"))
+    }),
     "sample_split" -> ((s, dir) => {
       // deterministic train/val/test split by portable md5 bucket — stable
       // membership, engine-independent, zero shuffle; profiled per source
@@ -1723,6 +1734,23 @@ object SparkEntry {
                       CAST(coalesce(h.n_hit, 0) AS DOUBLE) / CAST(len(c.grams) AS DOUBLE)
                     ELSE 0.0 END AS contamination_frac
            FROM corpus c LEFT JOIN hits h ON c.doc_id = h.doc_id""",
+      // the packing layout is a single global cumsum in doc order — the
+      // oracle computes it directly; the engine reproduces it exactly via
+      // the two-phase bucketed prefix sum
+      "text_pack_sequences" ->
+        """WITH t AS (
+             SELECT doc_id,
+                    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS len
+             FROM documents),
+           c AS (
+             SELECT doc_id, len,
+                    sum(len) OVER (ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+             FROM t)
+           SELECT doc_id, len,
+                  CAST((cum - len) // 512 AS BIGINT) AS pack_id,
+                  CAST((cum - len) % 512 AS BIGINT) AS pack_offset
+           FROM c""",
       "sample_split" ->
         """WITH b AS (
              SELECT source, n_chars,

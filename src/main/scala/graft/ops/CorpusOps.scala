@@ -283,6 +283,39 @@ object CorpusOps {
         col("keep"), col("drop_reason"))
   }
 
+  /** Sequence packing (contiguous fill): lay documents end-to-end in id
+    * order and cut fixed-length training rows of `seqLen` tokens; each doc
+    * reports the pack it STARTS in and its offset there. The global running
+    * token count is a DISTRIBUTED PREFIX SUM: ids are bucketed into
+    * contiguous ranges (`bucketWidth` ids per bucket), per-bucket totals are
+    * collected to the driver (bounded: #buckets = idRange/bucketWidth —
+    * pick the width so this stays in the thousands at any corpus size),
+    * cumulative bucket offsets broadcast back, and the within-bucket running
+    * sum is a window whose parallelism is #buckets. No global sort, no
+    * single-task window: the classic two-phase prefix sum. */
+  def packSequences(df: DataFrame, idCol: String, lenCol: String,
+      seqLen: Long, bucketWidth: Long): DataFrame = {
+    require(seqLen > 0 && bucketWidth > 0)
+    val spark = df.sparkSession
+    val base = df.select(col(idCol).cast("long").as("id"),
+        col(lenCol).cast("long").as("len"))
+      .withColumn("bucket", expr(s"id div $bucketWidth"))
+    val totals = base.groupBy("bucket").agg(sum("len").as("t"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = totals.map { case (b, t) => val o = acc; acc += t; (b, o) }.toMap
+    val bOffsets = spark.sparkContext.broadcast(offsets)
+    val offUdf = udf((b: Long) => bOffsets.value(b))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("bucket").orderBy("id")
+      .rowsBetween(Long.MinValue, 0)
+    base.withColumn("cum", sum("len").over(w))
+      .withColumn("start", offUdf(col("bucket")) + col("cum") - col("len"))
+      .withColumn("pack_id", expr(s"start div $seqLen"))
+      .withColumn("pack_offset", pmod(col("start"), lit(seqLen)))
+      .select(col("id"), col("len"), col("pack_id"), col("pack_offset"))
+  }
+
   /** Deterministic train/val/test assignment by PORTABLE hash: bucket =
     * md5(id) leading 60 bits mod 100, split by cumulative percentage
     * boundaries. Any engine reproduces the exact same assignment (no rand(),

@@ -97,6 +97,24 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(rel <= 0.05, s"relative error $rel")
   }
 
+  test("packSequences: global contiguous fill across bucket boundaries") {
+    // ids span 3 buckets (width 4); lens force packs to straddle both doc
+    // and bucket boundaries; sparse ids (gaps) must not disturb the layout
+    val df = Seq((0L, 3L), (1L, 5L), (3L, 4L), (5L, 7L), (9L, 2L), (11L, 6L))
+      .toDF("doc_id", "n_toks")
+    val out = CorpusOps.packSequences(df, "doc_id", "n_toks",
+      seqLen = 8L, bucketWidth = 4L)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // cumulative starts: 0,3,8,12,19,21 -> packs of 8
+    assert(out(0L) == ((3L, 0L, 0L)))
+    assert(out(1L) == ((5L, 0L, 3L)))
+    assert(out(3L) == ((4L, 1L, 0L)))   // starts exactly on pack 1
+    assert(out(5L) == ((7L, 1L, 4L)))   // bucket 1, offset carried over
+    assert(out(9L) == ((2L, 2L, 3L)))   // bucket 2
+    assert(out(11L) == ((6L, 2L, 5L)))
+  }
+
   test("vocabTopK: exact counts, count-desc token-asc order") {
     val df = Seq(
       (1L, "apple banana apple cherry"),
