@@ -416,6 +416,15 @@ object SparkEntry {
       CorpusOps.ngramContamination(corpus, "doc_id", "text", bench, "text", n = 3)
         .drop("text")
     }),
+    "text_tfidf" -> ((s, dir) => {
+      // top-3 TF-IDF keywords per doc with integer log2-floor IDF
+      // (transcendental-free => cross-engine exact); broadcast df table
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "text")
+      TextAnalysis.tfIdfTopTerms(docs, "doc_id", "text", k = 3)
+        .select(col("id").as("doc_id"), col("term"), col("tf"),
+          col("dfreq"), col("score"), col("rk"))
+    }),
     "text_pack_sequences" -> ((s, dir) => {
       // sequence packing for training rows: distributed prefix sum of token
       // counts in doc order (bucketed local cumsums + broadcast offsets),
@@ -1734,6 +1743,23 @@ object SparkEntry {
                       CAST(coalesce(h.n_hit, 0) AS DOUBLE) / CAST(len(c.grams) AS DOUBLE)
                     ELSE 0.0 END AS contamination_frac
            FROM corpus c LEFT JOIN hits h ON c.doc_id = h.doc_id""",
+      "text_tfidf" ->
+        """WITH tf AS (
+             SELECT doc_id, tok AS term, CAST(count(*) AS BIGINT) AS tf
+             FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+                   FROM documents)
+             GROUP BY doc_id, tok),
+           dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS dfreq FROM tf GROUP BY term),
+           n AS (SELECT count(*) AS n FROM documents),
+           s AS (
+             SELECT tf.doc_id, tf.term, tf.tf, dfq.dfreq,
+                    tf.tf * CAST(length(bin((SELECT n FROM n) // dfq.dfreq)) - 1 AS BIGINT) AS score
+             FROM tf JOIN dfq USING (term)),
+           r AS (
+             SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+                      ORDER BY score DESC, term ASC) AS BIGINT) AS rk
+             FROM s)
+           SELECT doc_id, term, tf, dfreq, score, rk FROM r WHERE rk <= 3""",
       // the packing layout is a single global cumsum in doc order — the
       // oracle computes it directly; the engine reproduces it exactly via
       // the two-phase bucketed prefix sum

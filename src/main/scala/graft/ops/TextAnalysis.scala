@@ -74,6 +74,32 @@ object TextAnalysis {
     when(cjk * 2 > length(text), lit("zh")).otherwise(best._1)
   }
 
+  /** Top-k TF-IDF keywords per document, with a QUANTIZED IDF: idf_q =
+    * floor(log2(N / df)) computed in PURE INTEGER arithmetic
+    * (`length(bin(N div df)) - 1`, the high-bit position of the integer
+    * quotient). A float `ln` here would hinge the ranking on last-ulp libm
+    * behavior and break cross-engine verification; the log2-floor keeps the
+    * classic rare-term weighting (documented coarsening) and is exact in
+    * any engine. Plan shape: one map-side-combined (doc, term) count, a
+    * BROADCAST join against the document-frequency table (the vocabulary is
+    * bounded — prune by min-df / top-V at extreme scale), and a per-doc
+    * window whose parallelism is the number of documents. */
+  def tfIdfTopTerms(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val n = df.count()
+    val tf = df.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("term"))
+      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("dfreq"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("score").desc, col("term").asc)
+    tf.join(broadcast(dfreq), "term")
+      .withColumn("score",
+        col("tf") * (length(bin(expr(s"$n div dfreq"))) - 1).cast("long"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("id"), col("term"), col("tf"), col("dfreq"),
+        col("score"), col("rk"))
+  }
+
   /** 64-bit document fingerprint: hash of the bottom-k sketch of rolling
     * 5-gram hashes (winnowing-style). Two documents collide iff their k
     * smallest shingle hashes coincide — robust to token order, sensitive to

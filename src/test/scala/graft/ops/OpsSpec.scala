@@ -35,6 +35,26 @@ class TextAnalysisSpec extends AnyFunSuite {
     out.foreach { case (exp, pred) => assert(pred == exp, s"expected $exp got $pred") }
   }
 
+  test("tfIdfTopTerms: integer log2-floor idf, deterministic ranking") {
+    import spark.implicits._
+    // 4 docs; "rare" appears in 1 doc => idf_q = floor(log2(4/1)) = 2
+    // "common" in all 4 => idf_q = 0; "pair" in 2 => idf_q = 1
+    val df = Seq(
+      (1L, "common rare rare pair"),
+      (2L, "common pair"),
+      (3L, "common"),
+      (4L, "common")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.tfIdfTopTerms(df, "doc_id", "text", k = 2)
+      .collect().map(r => ((r.getLong(0), r.getLong(5)),
+        (r.getString(1), r.getLong(4)))).toMap
+    assert(out((1L, 1L)) == (("rare", 4L)))   // tf=2 * idf_q=2
+    assert(out((1L, 2L)) == (("pair", 1L)))   // tf=1 * idf_q=1
+    assert(out((2L, 1L)) == (("pair", 1L)))
+    assert(out((2L, 2L)) == (("common", 0L))) // tie on score 0 -> term asc
+    assert(out((3L, 1L)) == (("common", 0L)))
+  }
+
   test("fused fingerprint UDFs are bit-identical to the expression forms") {
     import spark.implicits._
     // multi-byte code points exercise the code-point gram boundaries
