@@ -553,6 +553,16 @@ object SparkEntry {
         .select(col("label"), (col("pos") + 1).cast("long").as("dim"),
           col("col").as("c"), col("n"))
     }),
+    "emb_outliers" -> ((s, dir) => {
+      // semantic outlier scoring: cosine of each embedding to its label
+      // centroid (broadcast join + map-only codegen cosine); per-row dot is
+      // a sequential index-order sum => independently verifiable
+      Similarity.centroidOutliers(
+        s.read.parquet(s"$dir/embeddings.parquet"), "label", "embedding",
+        threshold = 0.1)
+        .select(col("vec_id"), col("label"),
+          col("cos_to_centroid"), col("is_outlier"))
+    }),
     "sim_topk" -> ((s, dir) => {
       // brute-force cosine top-5 for the first 20 vectors against the corpus
       val e = s.read.parquet(s"$dir/embeddings.parquet")
@@ -1671,6 +1681,34 @@ object SparkEntry {
       "sim_topk" -> bruteTopKSql,
       // exact centroid: the same floor(x*1000) integer quantization summed
       // per (label, dimension), one double division at the end
+      // cosine to centroid: dot and norms accumulate index-ascending from
+      // +0.0 exactly like the CosineSim loop, so the floats agree bit-wise
+      "emb_outliers" ->
+        """WITH x AS (
+             SELECT label, u.i,
+                    CAST(floor(CAST(embedding[u.i] AS DOUBLE) * 1000.0) AS BIGINT) AS q
+             FROM embeddings e, unnest(range(1, len(e.embedding) + 1)) u(i)),
+           cent AS (
+             SELECT label, i, CAST(sum(q) AS DOUBLE) / (count(*) * 1000.0) AS c
+             FROM x GROUP BY label, i),
+           cl AS (SELECT label, list(c ORDER BY i) AS cent FROM cent GROUP BY label),
+           j AS (
+             SELECT e.vec_id, e.label,
+                    list_transform(e.embedding, v -> CAST(v AS DOUBLE)) AS v, cl.cent
+             FROM embeddings e JOIN cl USING (label)),
+           sc AS (
+             SELECT vec_id, label,
+                    list_sum(list_transform(range(1, len(v) + 1),
+                      i -> v[i] * cent[i])) AS d,
+                    sqrt(list_sum(list_transform(v, x -> x * x))) AS na,
+                    sqrt(list_sum(list_transform(cent, x -> x * x))) AS nb
+             FROM j)
+           SELECT vec_id, label,
+                  CASE WHEN na = 0 OR nb = 0 THEN 0.0 ELSE d / (na * nb) END
+                    AS cos_to_centroid,
+                  (CASE WHEN na = 0 OR nb = 0 THEN 0.0 ELSE d / (na * nb) END) < 0.1
+                    AS is_outlier
+           FROM sc""",
       "emb_centroid" ->
         """WITH x AS (
              SELECT label, u.i,

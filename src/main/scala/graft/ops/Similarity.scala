@@ -195,6 +195,23 @@ object Similarity {
       .select(col("key"), col("c.centroid").as("centroid"), col("c.n").as("n"))
   }
 
+  /** Semantic-outlier scoring: each vector's cosine to ITS group centroid
+    * (the SemDeDup-style pruning signal — low similarity to the class
+    * prototype marks mislabeled/outlier rows). Composes the exact quantized
+    * centroid with the codegen cosine: centroids are tiny (one per group)
+    * so the join broadcasts, and the scoring pass is map-only. */
+  def centroidOutliers(
+      df: DataFrame, keyCol: String, vecCol: String,
+      threshold: Double, scale: Double = 1000.0
+  ): DataFrame = {
+    val cents = centroidByKey(df, keyCol, vecCol, scale)
+      .select(col("key"), col("centroid"))
+    df.join(broadcast(cents), df(keyCol) === cents("key"))
+      .withColumn("cos_to_centroid", cosine(col(vecCol), col("centroid")))
+      .withColumn("is_outlier", col("cos_to_centroid") < threshold)
+      .drop("key", "centroid")
+  }
+
   def bruteForceTopK(
       corpus: DataFrame, corpusId: String, corpusVec: String,
       queries: DataFrame, queryId: String, queryVec: String,

@@ -228,6 +228,20 @@ class SimilaritySpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
+  test("centroidOutliers: broadcast join, flags vectors far from their centroid") {
+    val df = Seq(
+      ("a", 1L, Array(1.0, 0.0)), ("a", 2L, Array(0.9, 0.1)),
+      ("a", 3L, Array(-1.0, 0.0)), // opposite direction: outlier
+      ("b", 4L, Array(0.0, 2.0))
+    ).toDF("label", "vid", "vec")
+    val out = Similarity.centroidOutliers(df, "label", "vec", threshold = 0.0)
+      .collect().map(r => r.getLong(1) -> r.getBoolean(4)).toMap
+    assert(!out(1L) && !out(2L) && out(3L) && !out(4L))
+    val plan = Similarity.centroidOutliers(df, "label", "vec", 0.0)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"centroids must broadcast:\n$plan")
+  }
+
   test("centroidByKey plans as one exchange with map-side partial aggregation") {
     val df = Seq(("a", Array(1.0, 2.0))).toDF("label", "vec")
     val plan = Similarity.centroidByKey(df, "label", "vec")
