@@ -464,6 +464,22 @@ object SparkEntry {
           abs(col("approx_users") - col("exact_users")).cast("double") /
             col("exact_users").cast("double"))
     }),
+    "approx_sketch_union" -> ((s, dir) => {
+      // the store-sketches-merge-later pattern: per-day DataSketches HLL
+      // sketches (persistable binaries in a real pipeline), then a SECOND
+      // aggregation unions the day sketches into per-type totals — distinct
+      // counting over any rollup without ever re-touching raw data. Sketch
+      // estimates are engine-specific => rows-only; the in-query exact
+      // columns carry the error probe and CorpusOpsSpec bounds it.
+      val perDay = events(s, dir).withColumn("day", tsDay)
+        .groupBy("event_type", "day")
+        .agg(hll_sketch_agg(col("user_id").cast("string"), lit(14)).as("sk"),
+          countDistinct(col("user_id")).as("exact_day_users"))
+      perDay.groupBy("event_type")
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_users"),
+          sum("exact_day_users").as("sum_day_exact"),
+          count(lit(1)).cast("long").as("n_days"))
+    }),
     "dedup_exact" -> ((s, dir) => {
       Dedup.duplicateGroups(s.read.parquet(s"$dir/documents.parquet"), "text", "doc_id")
     }),

@@ -97,6 +97,19 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(rel <= 0.05, s"relative error $rel")
   }
 
+  test("HLL sketch union across shards stays within 5% of exact distinct") {
+    // per-shard sketches unioned to a total — the store-and-merge pattern;
+    // users deliberately overlap across shards so union != sum
+    val df = (1L to 6000L).map(i => (i % 10, i % 1499)).toDF("shard", "user_id")
+    val perShard = df.groupBy("shard")
+      .agg(hll_sketch_agg(col("user_id").cast("string"), lit(14)).as("sk"))
+    val est = perShard.agg(
+      hll_sketch_estimate(hll_union_agg(col("sk"))).as("a")).collect().head.getLong(0)
+    val exact = df.select(countDistinct("user_id")).collect().head.getLong(0)
+    val rel = math.abs(est - exact).toDouble / exact
+    assert(rel <= 0.05, s"union estimate $est vs exact $exact (rel $rel)")
+  }
+
   test("packSequences: global contiguous fill across bucket boundaries") {
     // ids span 3 buckets (width 4); lens force packs to straddle both doc
     // and bucket boundaries; sparse ids (gaps) must not disturb the layout
