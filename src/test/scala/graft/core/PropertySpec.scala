@@ -1,6 +1,6 @@
 package graft.core
 
-import graft.ops.{QuantizedCentroidAggregator, ScoredNeighbor, TopKAggregator, VecIn, VecState}
+import graft.ops.{BottomKAggregator, QuantizedCentroidAggregator, ScoredNeighbor, StratItem, TopKAggregator, VecIn, VecState}
 import org.scalacheck.{Gen, Prop, Test => SCTest}
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -54,6 +54,24 @@ class PropertySpec extends AnyFunSuite {
         .foldLeft(agg.zero)(agg.merge)
       val expect = scored.sortBy { case (s, id) => (-s, id) }.take(k)
       merged.scores.zip(merged.ids).toSeq == expect
+    })
+  }
+
+  test("BottomKAggregator: reduce/merge in any order == global sort-take-k") {
+    val gen = for {
+      n <- Gen.chooseNum(0, 60)
+      items <- Gen.listOfN(n,
+        Gen.zip(Gen.stringOfN(6, Gen.alphaNumChar), Gen.chooseNum(0L, 1000L)))
+      k <- Gen.chooseNum(1, 8)
+      parts <- Gen.chooseNum(1, 4)
+    } yield (items, k, parts)
+    check("bottomk-merge")(Prop.forAll(gen) { case (items, k, parts) =>
+      val agg = new BottomKAggregator(k)
+      val merged = items.grouped(math.max(items.length / parts, 1)).toList
+        .map(_.foldLeft(agg.zero)((b, x) => agg.reduce(b, StratItem(x._1, x._2))))
+        .foldLeft(agg.zero)(agg.merge)
+      val expect = items.sortBy { case (s, id) => (s, id) }.take(k)
+      merged.keys.zip(merged.ids).toSeq == expect
     })
   }
 

@@ -76,6 +76,27 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("fingerprint UDF/expression parity holds on random unicode incl. astral") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // alphabet mixes ascii, multi-byte BMP, and astral (surrogate-pair)
+    // code points — the gram boundaries must count CODE POINTS like
+    // Spark's substring, not UTF-16 units
+    val alphabet = Array("a", "b", " ", "\u00e9", "\u4e2d", "\ud83d\ude00", "\ud83c\udf55")
+    val texts = (1 to 200).map { _ =>
+      val n = rnd.nextInt(30)
+      (0 until n).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    }
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+      .select(
+        TextAnalysis.fingerprint(col("text")).as("u"),
+        TextAnalysis.fingerprintExpr(col("text")).as("e"),
+        TextAnalysis.fingerprintPortable(col("text")).as("up"),
+        TextAnalysis.fingerprintPortableExpr(col("text")).as("ep"))
+    assert(df.filter(col("u") =!= col("e")).count() == 0)
+    assert(df.filter(col("up") =!= col("ep")).count() == 0)
+  }
+
   test("fingerprint: equal texts collide, different texts don't") {
     val df = Seq((1L, "identical document text body"), (2L, "identical document text body"),
       (3L, "zzz qqq www unrelated stuff kkk")).toDF("id", "text")
