@@ -416,6 +416,13 @@ object SparkEntry {
       CorpusOps.ngramContamination(corpus, "doc_id", "text", bench, "text", n = 3)
         .drop("text")
     }),
+    "text_chunks" -> ((s, dir) => {
+      // overlapping token-window chunking (RAG/embedding prep): 32-token
+      // windows every 24 tokens, last window clipped; map-only explode
+      TextAnalysis.chunkDocuments(
+        s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text"),
+        "doc_id", "text", window = 32, stride = 24)
+    }),
     "text_tfidf" -> ((s, dir) => {
       // top-3 TF-IDF keywords per doc with integer log2-floor IDF
       // (transcendental-free => cross-engine exact); broadcast df table
@@ -1797,6 +1804,21 @@ object SparkEntry {
                       CAST(coalesce(h.n_hit, 0) AS DOUBLE) / CAST(len(c.grams) AS DOUBLE)
                     ELSE 0.0 END AS contamination_frac
            FROM corpus c LEFT JOIN hits h ON c.doc_id = h.doc_id""",
+      "text_chunks" ->
+        """WITH t AS (
+             SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+             FROM documents),
+           n AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+           c AS (
+             SELECT doc_id, toks, n, u.c AS chunk_idx
+             FROM n, unnest(range(0,
+               1 + greatest(n - 32 + 24 - 1, 0) // 24)) u(c))
+           SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+                  CAST(chunk_idx * 24 AS BIGINT) AS first_token,
+                  CAST(least(chunk_idx * 24 + 32, n) - chunk_idx * 24 AS BIGINT) AS n_tokens,
+                  array_to_string(toks[chunk_idx * 24 + 1 : least(chunk_idx * 24 + 32, n)], ' ')
+                    AS chunk_text
+           FROM c""",
       "text_tfidf" ->
         """WITH tf AS (
              SELECT doc_id, tok AS term, CAST(count(*) AS BIGINT) AS tf

@@ -6,11 +6,18 @@ import org.apache.spark.sql.functions._
 /** Text-analysis operators for large-scale training-data pipelines: token
   * counting, quality scoring, language identification, fingerprinting.
   *
-  * Everything is composed from native Catalyst expressions (regexp, arrays,
-  * higher-order functions) — whole-stage codegen applies, no UDFs, so the
-  * operators scale linearly over a 100 TB corpus with zero shuffles (all are
-  * per-row projections).
+  * Everything is a per-row projection — zero shuffles, linear over a 100 TB
+  * corpus. Cheap features are native Catalyst expressions (regexp, arrays);
+  * the per-position hot loops (fingerprints, chunking) are primitive-loop
+  * UDFs per ARCHITECTURE.md's measured ladder, each bit-identical to an
+  * expression formulation kept for the parity specs.
   */
+
+/** One overlapping token-window chunk of a document — top-level so the UDF
+  * result encoder stays codegen-compiled. */
+final case class DocChunk(chunk_idx: Long, first_token: Long,
+    n_tokens: Long, chunk_text: String)
+
 object TextAnalysis {
 
   /** Word tokens: maximal runs of letters/digits (BPE-ish boundary regex). */
@@ -72,6 +79,44 @@ object TextAnalysis {
       (when(s > bs, lit(lang)).otherwise(bl), when(s > bs, s).otherwise(bs))
     }
     when(cjk * 2 > length(text), lit("zh")).otherwise(best._1)
+  }
+
+  /** Split each document into overlapping token-window chunks (the
+    * RAG/embedding prep step): windows of `window` tokens starting every
+    * `stride` tokens, last window clipped, zero chunks for an empty token
+    * stream. One primitive pass per row; output explodes to one row per
+    * chunk with (chunk_idx, first_token, n_tokens, chunk_text). */
+  def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
+      window: Int, stride: Int): DataFrame = {
+    require(window > 0 && stride > 0, "window and stride must be positive")
+    val f = udf((toks: Array[String]) => {
+      val n = if (toks == null) 0 else toks.length
+      if (n == 0) Array.empty[DocChunk]
+      else {
+        val nChunks = 1 + math.max(n - window + stride - 1, 0) / stride
+        val out = new Array[DocChunk](nChunks)
+        var c = 0
+        while (c < nChunks) {
+          val start = c * stride
+          val end = math.min(start + window, n)
+          val sb = new java.lang.StringBuilder
+          var i = start
+          while (i < end) {
+            if (i > start) sb.append(' ')
+            sb.append(toks(i))
+            i += 1
+          }
+          out(c) = DocChunk(c.toLong, start.toLong, (end - start).toLong, sb.toString)
+          c += 1
+        }
+        out
+      }
+    })
+    df.withColumn("__chunk", explode(f(tokens(col(textCol)))))
+      .select(col(idCol), col("__chunk.chunk_idx").as("chunk_idx"),
+        col("__chunk.first_token").as("first_token"),
+        col("__chunk.n_tokens").as("n_tokens"),
+        col("__chunk.chunk_text").as("chunk_text"))
   }
 
   /** Top-k TF-IDF keywords per document, with a QUANTIZED IDF: idf_q =

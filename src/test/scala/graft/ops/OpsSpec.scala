@@ -35,6 +35,26 @@ class TextAnalysisSpec extends AnyFunSuite {
     out.foreach { case (exp, pred) => assert(pred == exp, s"expected $exp got $pred") }
   }
 
+  test("chunkDocuments: overlapping windows, clipped tail, empty => no rows") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 toks
+      (2L, "only two"),
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkDocuments(df, "doc_id", "text", window = 4, stride = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    // doc 1: nChunks = 1 + ceil((10-4)/3) = 3 -> [0,4),[3,7),[6,10);
+    // no start-9 window (it would be fully contained in [6,10))
+    assert(out((1L, 0L)) == ((0L, 4L, "t1 t2 t3 t4")))
+    assert(out((1L, 1L)) == ((3L, 4L, "t4 t5 t6 t7")))
+    assert(out((1L, 2L)) == ((6L, 4L, "t7 t8 t9 t10")))
+    assert(out((2L, 0L)) == ((0L, 2L, "only two")))
+    assert(!out.keySet.exists(_._1 == 3L))
+    assert(out.size == 4)
+  }
+
   test("tfIdfTopTerms: integer log2-floor idf, deterministic ranking") {
     import spark.implicits._
     // 4 docs; "rare" appears in 1 doc => idf_q = floor(log2(4/1)) = 2
