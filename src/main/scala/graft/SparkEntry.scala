@@ -416,6 +416,14 @@ object SparkEntry {
       CorpusOps.ngramContamination(corpus, "doc_id", "text", bench, "text", n = 3)
         .drop("text")
     }),
+    "text_normalize" -> ((s, dir) => {
+      // canonical normalization (NFC + lower + whitespace collapse), ASCII
+      // fast path fully codegen; oracle recomputes with DuckDB's
+      // nfc_normalize — both implement the same Unicode normal form
+      TextAnalysis.normalizeText(
+        s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text"), "text")
+        .select(col("doc_id"), col("norm_text"), col("changed"))
+    }),
     "text_chunks" -> ((s, dir) => {
       // overlapping token-window chunking (RAG/embedding prep): 32-token
       // windows every 24 tokens, last window clipped; map-only explode
@@ -1804,6 +1812,13 @@ object SparkEntry {
                       CAST(coalesce(h.n_hit, 0) AS DOUBLE) / CAST(len(c.grams) AS DOUBLE)
                     ELSE 0.0 END AS contamination_frac
            FROM corpus c LEFT JOIN hits h ON c.doc_id = h.doc_id""",
+      "text_normalize" ->
+        """SELECT doc_id,
+              nfc_normalize(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+                AS norm_text,
+              nfc_normalize(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+                <> text AS changed
+           FROM documents""",
       "text_chunks" ->
         """WITH t AS (
              SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks

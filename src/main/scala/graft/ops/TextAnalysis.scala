@@ -81,6 +81,23 @@ object TextAnalysis {
     when(cjk * 2 > length(text), lit("zh")).otherwise(best._1)
   }
 
+  /** Canonical text normalization for corpus prep: Unicode NFC, lowercase,
+    * whitespace runs collapsed to single spaces, trimmed. The NFC pass is a
+    * UDF (java.text.Normalizer) applied ONLY to rows that contain
+    * non-ASCII — the ASCII fast path (the overwhelming majority of most
+    * corpora) stays entirely inside whole-stage codegen. Emits `norm_text`
+    * and a `changed` flag for normalization-rate monitoring. */
+  def normalizeText(df: DataFrame, textCol: String): DataFrame = {
+    val nfc = udf((s: String) =>
+      if (s == null) null
+      else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+    val collapsed = lower(trim(regexp_replace(col(textCol), "\\s+", " ")))
+    df.withColumn("norm_text",
+        when(col(textCol).rlike("[^\\x00-\\x7f]"), nfc(collapsed))
+          .otherwise(collapsed))
+      .withColumn("changed", col("norm_text") =!= col(textCol))
+  }
+
   /** Split each document into overlapping token-window chunks (the
     * RAG/embedding prep step): windows of `window` tokens starting every
     * `stride` tokens, last window clipped, zero chunks for an empty token

@@ -35,6 +35,17 @@ class TextAnalysisSpec extends AnyFunSuite {
     out.foreach { case (exp, pred) => assert(pred == exp, s"expected $exp got $pred") }
   }
 
+  test("normalizeText: NFC composition, lowercase, whitespace collapse") {
+    import spark.implicits._
+    val decomposed = "Cafe\u0301  du\tMonde"   // e + combining acute, run of ws
+    val df = Seq((1L, decomposed), (2L, "already clean"), (3L, "  Padded  ")).toDF("doc_id", "text")
+    val out = TextAnalysis.normalizeText(df, "text")
+      .collect().map(r => r.getLong(0) -> ((r.getString(2), r.getBoolean(3)))).toMap
+    assert(out(1L) == (("caf\u00e9 du monde", true)))  // composed e-acute
+    assert(out(2L) == (("already clean", false)))
+    assert(out(3L) == (("padded", true)))
+  }
+
   test("chunkDocuments: overlapping windows, clipped tail, empty => no rows") {
     import spark.implicits._
     val df = Seq(
