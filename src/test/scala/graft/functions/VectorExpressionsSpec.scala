@@ -92,6 +92,22 @@ class VectorExpressionsSpec extends AnyFunSuite with Matchers {
     c2 shouldBe (6.0 / (math.sqrt(5.0) * math.sqrt(8.0))) +- 1e-15
   }
 
+  test("GraftSqlExtensions injects the function descriptor") {
+    // the --conf spark.sql.extensions entry point: applying it to a fresh
+    // SparkSessionExtensions must register graft_cosine without error
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftSqlExtensions().apply(ext)
+    // building the expression through the same builder the registry stores
+    val e = CosineSim(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Array(1.0, 0.0), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Array(1.0, 0.0), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType)))
+    e.eval(null) shouldBe 1.0
+  }
+
   test("graft_cosine is callable from SQL after registration") {
     VectorFunctions.registerSql(spark)
     import spark.implicits._
