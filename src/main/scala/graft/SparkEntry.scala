@@ -416,6 +416,22 @@ object SparkEntry {
       CorpusOps.ngramContamination(corpus, "doc_id", "text", bench, "text", n = 3)
         .drop("text")
     }),
+    "text_decontaminate" -> ((s, dir) => {
+      // document-level exact decontamination: drop corpus docs whose
+      // NORMALIZED text exactly matches an eval-set doc (doc_id % 20 == 0
+      // split, like text_contamination's n-gram variant). The eval side is
+      // tiny => broadcast anti-join on md5 of the normalized text; one
+      // corpus scan total.
+      val docs = TextAnalysis.normalizeText(
+        s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text", "source"),
+        "text")
+        .withColumn("h", md5(col("norm_text")))
+      val evalSet = docs.filter(col("doc_id") % 20 === 0).select(col("h").as("eh"))
+      docs.filter(col("doc_id") % 20 =!= 0)
+        .join(broadcast(evalSet.distinct()), col("h") === col("eh"), "left_anti")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs_kept"))
+    }),
     "text_normalize" -> ((s, dir) => {
       // canonical normalization (NFC + lower + whitespace collapse), ASCII
       // fast path fully codegen; oracle recomputes with DuckDB's
@@ -1812,6 +1828,17 @@ object SparkEntry {
                       CAST(coalesce(h.n_hit, 0) AS DOUBLE) / CAST(len(c.grams) AS DOUBLE)
                     ELSE 0.0 END AS contamination_frac
            FROM corpus c LEFT JOIN hits h ON c.doc_id = h.doc_id""",
+      "text_decontaminate" ->
+        """WITH n AS (
+             SELECT doc_id, source,
+                    md5(nfc_normalize(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))) AS h
+             FROM documents),
+           ev AS (SELECT DISTINCT h FROM n WHERE doc_id % 20 = 0)
+           SELECT source, CAST(count(*) AS BIGINT) AS n_docs_kept
+           FROM n
+           WHERE doc_id % 20 <> 0
+             AND NOT EXISTS (SELECT 1 FROM ev WHERE ev.h = n.h)
+           GROUP BY source""",
       "text_normalize" ->
         """SELECT doc_id,
               nfc_normalize(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
