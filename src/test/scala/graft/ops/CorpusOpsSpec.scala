@@ -128,6 +128,23 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out(11L) == ((6L, 2L, 5L)))
   }
 
+  test("packSequences matches the sequential cumsum on random sparse inputs") {
+    val rnd = new scala.util.Random(13)
+    val rows = (0 until 300).filter(_ => rnd.nextBoolean())
+      .map(i => (i.toLong, 1L + rnd.nextInt(40).toLong))
+    val df = rows.toDF("doc_id", "n_toks")
+    val got = CorpusOps.packSequences(df, "doc_id", "n_toks",
+      seqLen = 64L, bucketWidth = 17L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    var cum = 0L
+    rows.sortBy(_._1).foreach { case (id, len) =>
+      val start = cum
+      assert(got(id) == ((start / 64L, start % 64L)), s"doc $id")
+      cum += len
+    }
+    assert(got.size == rows.size)
+  }
+
   test("vocabTopK: exact counts, count-desc token-asc order") {
     val df = Seq(
       (1L, "apple banana apple cherry"),
