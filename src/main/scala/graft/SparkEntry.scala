@@ -495,6 +495,21 @@ object SparkEntry {
           abs(col("approx_users") - col("exact_users")).cast("double") /
             col("exact_users").cast("double"))
     }),
+    "approx_heavy_hitters" -> ((s, dir) => {
+      // Misra-Gries frequent items per event type: bounded k-counter state
+      // per (group, task), <= k rows per task on the exchange — the
+      // dominant-items analysis exact count-then-sort cannot do at scale.
+      // Estimates are merge-order dependent => rows-only; the exact join
+      // carries the error probe (|est - exact| <= n/(k+1) by construction)
+      // and SketchesSpec proves the guarantee property.
+      val ev = events(s, dir).select(col("event_type"), col("user_id"))
+      val hh = Sketches.heavyHitters(ev, "event_type", "user_id", k = 16)
+      val exact = ev.groupBy(col("event_type").as("group"),
+          col("user_id").cast("string").as("item"))
+        .agg(count(lit(1)).as("exact_count"))
+      hh.join(exact, Seq("group", "item"), "left")
+        .withColumn("abs_err", abs(col("est_count") - col("exact_count")))
+    }),
     "approx_sketch_union" -> ((s, dir) => {
       // the store-sketches-merge-later pattern: per-day DataSketches HLL
       // sketches (persistable binaries in a real pipeline), then a SECOND

@@ -1,0 +1,59 @@
+package graft.ops
+
+import graft.spark.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+class SketchesSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("Misra-Gries guarantee holds for any split/merge order (property)") {
+    val gen = for {
+      n <- Gen.chooseNum(0, 400)
+      items <- Gen.listOfN(n, Gen.chooseNum(0, 30).map(i => s"u$i"))
+      k <- Gen.chooseNum(2, 12)
+      parts <- Gen.chooseNum(1, 5)
+    } yield (items, k, parts)
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(200),
+      Prop.forAll(gen) { case (items, k, parts) =>
+        val agg = new MisraGriesAggregator(k)
+        val merged = items.grouped(math.max(items.length / parts, 1)).toList
+          .map(_.foldLeft(agg.zero)(agg.reduce))
+          .foldLeft(agg.zero)(agg.merge)
+        val est = merged.keys.zip(merged.counts).toMap
+        val exact = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+        val bound = items.size.toLong / (k + 1) + 1
+        // every true heavy hitter present; every estimate within the bound
+        exact.forall { case (item, c) =>
+          (c <= bound || est.contains(item)) && {
+            val e = est.getOrElse(item, 0L)
+            e <= c && c - e <= bound
+          }
+        }
+      })
+    assert(res.passed, s"misra-gries: ${res.status}")
+  }
+
+  test("heavyHitters surfaces the planted dominant item per group") {
+    val rows =
+      (1 to 500).map(i => ("a", s"u${i % 50}")) ++     // background noise
+      (1 to 300).map(_ => ("a", "whale")) ++           // dominant item
+      (1 to 100).map(i => ("b", s"v${i % 10}")) ++
+      (1 to 80).map(_ => ("b", "orca"))
+    val df = rows.toDF("event_type", "user_id").repartition(8)
+    val hh = Sketches.heavyHitters(df, "event_type", "user_id", k = 8)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val aTop = hh.filter(_._1 == "a").maxBy(_._3)
+    val bTop = hh.filter(_._1 == "b").maxBy(_._3)
+    assert(aTop._2 == "whale" && aTop._3 <= 300)
+    assert(bTop._2 == "orca" && bTop._3 <= 80)
+    // plan: one exchange, partial aggregation before it
+    val plan = Sketches.heavyHitters(df, "event_type", "user_id", 8)
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).length <= 2, plan) // repartition + agg
+    assert(plan.contains("partial_misragriesaggregator"), plan)
+  }
+}
