@@ -1868,8 +1868,9 @@ object SparkEntry {
            n AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
            c AS (
              SELECT doc_id, toks, n, u.c AS chunk_idx
-             FROM n, unnest(range(0,
-               1 + greatest(n - 32 + 24 - 1, 0) // 24)) u(c))
+             FROM n, unnest(range(0, least(
+               1 + greatest(n - 32 + 24 - 1, 0) // 24,
+               1 + (n - 1) // 24))) u(c))
            SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
                   CAST(chunk_idx * 24 AS BIGINT) AS first_token,
                   CAST(least(chunk_idx * 24 + 32, n) - chunk_idx * 24 AS BIGINT) AS n_tokens,

@@ -154,6 +154,9 @@ class GraftSqlExtensions
     ext.injectFunction((
       new FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSim].getName, "graft_cosine"),
-      (children: Seq[Expression]) => CosineSim(children.head, children(1))))
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_cosine takes exactly 2 arguments")
+        CosineSim(children.head, children(1))
+      }))
   }
 }

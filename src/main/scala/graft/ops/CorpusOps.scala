@@ -180,7 +180,11 @@ object CorpusOps {
   def repetitionFeatures(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("__toks", TextAnalysis.tokens(col(textCol)))
       .withColumn("__rep", repetitionStatsUdf(col("__toks")))
-      .withColumn("n_tokens", col("__rep.n_tokens"))
+      // null text => NULL token count (len(NULL) is NULL in any engine),
+      // while the repetition fractions stay 0.0 like the oracle's ELSE arms
+      .withColumn("n_tokens",
+        when(col(textCol).isNull, lit(null).cast("long"))
+          .otherwise(col("__rep.n_tokens")))
       .withColumn("top_token_frac", col("__rep.top_token_frac"))
       .withColumn("top_2gram_frac", col("__rep.top_2gram_frac"))
       .withColumn("dup_2gram_frac", col("__rep.dup_2gram_frac"))
@@ -228,7 +232,11 @@ object CorpusOps {
     })
     corpus
       .withColumn("__cs", contamStats(TextAnalysis.tokens(col(textCol))))
-      .withColumn("n_grams", col("__cs.n_grams"))
+      // null text => NULL gram count (len(NULL) semantics); hit count stays
+      // 0 like the oracle's coalesce
+      .withColumn("n_grams",
+        when(col(textCol).isNull, lit(null).cast("long"))
+          .otherwise(col("__cs.n_grams")))
       .withColumn("n_contaminated", col("__cs.n_contaminated"))
       .withColumn("contamination_frac",
         when(col("n_grams") > 0,
@@ -264,7 +272,9 @@ object CorpusOps {
       .otherwise(lit(0.0))
     df.withColumn("__toks", TextAnalysis.tokens(col(textCol)))
       .withColumn("__rep", repetitionStatsUdf(col("__toks")))
-      .withColumn("n_tokens", col("__rep.n_tokens"))
+      .withColumn("n_tokens",
+        when(col(textCol).isNull, lit(null).cast("long"))
+          .otherwise(col("__rep.n_tokens")))
       .withColumn("top_2gram_frac", col("__rep.top_2gram_frac"))
       .withColumn("dup_2gram_frac", col("__rep.dup_2gram_frac"))
       .withColumn("stopword_ratio", swRatio)

@@ -252,6 +252,12 @@ object Multimodal {
             var remaining = count
             while (remaining > 0) {
               val len = in.readInt()
+              // validate BEFORE allocating: a corrupt/hostile length prefix
+              // must not trigger a multi-GB allocation whose OutOfMemoryError
+              // (an Error, not Exception) would escape the catch below and
+              // kill the task instead of yielding zero rows
+              if (len < 0 || len > bytes.length)
+                throw new java.io.IOException(s"bad frame length $len")
               if (want.contains(i)) {
                 val b = new Array[Byte](len)
                 in.readFully(b)

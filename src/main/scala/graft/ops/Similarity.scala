@@ -204,12 +204,14 @@ object Similarity {
       df: DataFrame, keyCol: String, vecCol: String,
       threshold: Double, scale: Double = 1000.0
   ): DataFrame = {
+    // unique internal names: dropping a plain "key"/"centroid" would also
+    // remove caller columns that happen to share those names
     val cents = centroidByKey(df, keyCol, vecCol, scale)
-      .select(col("key"), col("centroid"))
-    df.join(broadcast(cents), df(keyCol) === cents("key"))
-      .withColumn("cos_to_centroid", cosine(col(vecCol), col("centroid")))
+      .select(col("key").as("__cent_key"), col("centroid").as("__cent_vec"))
+    df.join(broadcast(cents), df(keyCol) === cents("__cent_key"))
+      .withColumn("cos_to_centroid", cosine(col(vecCol), col("__cent_vec")))
       .withColumn("is_outlier", col("cos_to_centroid") < threshold)
-      .drop("key", "centroid")
+      .drop("__cent_key", "__cent_vec")
   }
 
   def bruteForceTopK(

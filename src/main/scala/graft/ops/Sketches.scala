@@ -60,7 +60,11 @@ final class MisraGriesAggregator(k: Int)
     }
   }
 
-  def finish(b: MGBuf): MGBuf = b
+  def finish(b: MGBuf): MGBuf = {
+    // deterministic output: order counters by (estimate desc, item asc)
+    val order = b.keys.indices.sortBy(i => (-b.counts(i), b.keys(i)))
+    MGBuf(order.map(b.keys).toArray, order.map(b.counts).toArray)
+  }
   def bufferEncoder: Encoder[MGBuf] = Encoders.product[MGBuf]
   def outputEncoder: Encoder[MGBuf] = Encoders.product[MGBuf]
 }
@@ -68,8 +72,9 @@ final class MisraGriesAggregator(k: Int)
 object Sketches {
 
   /** Per-group heavy hitters: top items by estimated count from a k-counter
-    * Misra-Gries summary. Emits (group, item, est_count) rows ordered by
-    * estimate within each group. */
+    * Misra-Gries summary. Emits (group, item, est_count) rows; the summary
+    * is sorted (estimate desc, item asc) at finish, so posexplode emits
+    * each group's items in that deterministic order. */
   def heavyHitters(df: DataFrame, groupCol: String, itemCol: String,
       k: Int): DataFrame = {
     val mg = udaf(new MisraGriesAggregator(k), Encoders.STRING)

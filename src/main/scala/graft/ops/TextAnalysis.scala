@@ -110,7 +110,13 @@ object TextAnalysis {
       val n = if (toks == null) 0 else toks.length
       if (n == 0) Array.empty[DocChunk]
       else {
-        val nChunks = 1 + math.max(n - window + stride - 1, 0) / stride
+        // starts are 0, stride, 2*stride ... : enough to reach the end
+        // (ceil((n-window)/stride) extra starts), but never a start >= n —
+        // with stride > window (spaced sampling) the first bound alone
+        // would emit a phantom chunk past the array
+        val nChunks = math.min(
+          1 + math.max(n - window + stride - 1, 0) / stride,
+          1 + (n - 1) / stride)
         val out = new Array[DocChunk](nChunks)
         var c = 0
         while (c < nChunks) {
@@ -168,7 +174,11 @@ object TextAnalysis {
     * content.
     *
     * Fused into ONE primitive UDF pass; bit-identical to the expression
-    * form ([[fingerprintExpr]], kept for the parity spec): grams are
+    * form ([[fingerprintExpr]], kept for the parity spec) for NON-NULL
+    * text — null text yields null here, where the expression form's
+    * concat_ws would silently skip the null array and hash "" (a
+    * deliberate deviation: a constant fingerprint for null docs would
+    * collide them all into one dedup group). Grams are
     * code-point substrings exactly like Spark's `substring`, gram hashes
     * reuse Spark's own XXH64 with the `xxhash64` seed, the sketch is the
     * ascending signed sort's first k values (duplicates kept, like
