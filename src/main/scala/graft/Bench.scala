@@ -29,6 +29,7 @@ object Bench {
       .filter(n => only.forall(_.exists(n.startsWith)))
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
+      var failure: Option[Throwable] = None
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         // Consume the COMPILED plan, not `df.count()`: a count() action lets
@@ -37,12 +38,18 @@ object Bench {
         // toRdd executes the optimized plan as written — every projection,
         // UDF and expression runs for every row, same as a real write.
         try { fn(spark, sfDir).queryExecution.toRdd.count() }
-        catch { case _: Throwable => () }
+        catch { case t: Throwable => failure = Some(t) }
         (System.nanoTime() - t0) / 1e9
       }.sorted
-      val median = times(times.length / 2)
-      System.err.println(
-        f"[bench] $name: median $median%.2fs min ${times.head}%.2fs ($reps reps)")
+      // A failing rep MUST NOT bench as a fast success: report the median as
+      // the sentinel -1.0 and carry the name in the top-level "errors" list.
+      val median = if (failure.isDefined) -1.0 else times(times.length / 2)
+      failure match {
+        case Some(t) => System.err.println(
+          s"[bench] $name: FAILED ${t.getClass.getSimpleName}: ${String.valueOf(t.getMessage).take(200)}")
+        case None => System.err.println(
+          f"[bench] $name: median $median%.2fs min ${times.head}%.2fs ($reps reps)")
+      }
       (name, median, times.head)
     }
     // The harness captures only the LAST ~2000 bytes of output, and sbt's
@@ -52,13 +59,17 @@ object Bench {
     // fits, fold the FASTEST queries into one "_other" bucket — the slow ones
     // are the ones round-over-round comparisons need.
     def r3(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val total = results.map(_._2).sum
+    val errored = results.filter(_._2 < 0).map(_._1).sorted
+    val ok = results.filter(_._2 >= 0)
+    val total = ok.map(_._2).sum
+    val errJson = if (errored.isEmpty) ""
+      else s""","errors":${errored.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
     def line(rs: Seq[(String, Double, Double)], folded: Int, foldedSec: Double) = {
       val entries = rs.map(r => "\"" + r._1 + "\":" + r3(r._2)) ++
         (if (folded > 0) Seq("\"_other_" + folded + "q\":" + r3(foldedSec)) else Nil)
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$reps,"queries":${entries.mkString("{", ",", "}")},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$reps$errJson,"queries":${entries.mkString("{", ",", "}")},"sf":"$sfDir"}"""
     }
-    val bySlowest = results.sortBy(-_._2)
+    val bySlowest = ok.sortBy(-_._2)
     var keep = bySlowest.length
     while (keep > 0 && {
       val kept = bySlowest.take(keep).sortBy(_._1)
