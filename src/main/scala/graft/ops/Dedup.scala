@@ -425,10 +425,20 @@ object Dedup {
     * size-ratio check: t*|A| <= |B| <= |A|/t) are verified with one exact
     * intersection; |A ∪ B| = |A| + |B| - |A ∩ B|. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      blockCol: String, n: Int = 3, threshold: Double = 0.5): DataFrame = {
+      blockCol: String, n: Int = 3, threshold: Double = 0.5,
+      gramBroadcastMaxBytes: Long = 256L << 20): DataFrame = {
     val g = ngramGramsStage(df, idCol, textCol, blockCol, n)
     val ordered = ngramOrderedStage(g)
-    ngramVerifyStage(ngramCandidatesStage(ordered, threshold), ordered, threshold)
+    // Verify-path switch: broadcast the per-doc gram table when it fits,
+    // hash-partitioned joins when it doesn't (the 100 TB path). Sizing reads
+    // the ordered frame, which is localCheckpoint'ed and must materialize
+    // before candidates/verify either way — the agg runs over cached blocks,
+    // it does not add a pipeline pass.
+    val sz = ordered.agg(sum(col("sz")).cast("long"), count(lit(1))).head()
+    val gramBytes =
+      (if (sz.isNullAt(0)) 0L else sz.getLong(0)) * 8L + sz.getLong(1) * 48L
+    ngramVerifyStage(ngramCandidatesStage(ordered, threshold), ordered, threshold,
+      broadcastGrams = gramBytes <= gramBroadcastMaxBytes)
   }
 
   /** Stage 1: (block, id, grams, sz), checkpointed (barrier + reuse for the
@@ -523,20 +533,32 @@ object Dedup {
     c
   })
 
-  /** Stage 4: exact verify on the (small) candidate set only. */
+  /** Stage 4: exact verify on the (small) candidate set only.
+    *
+    * Two join layouts, same output:
+    * - `broadcastGrams = true`: broadcast the per-doc gram tables; joining
+    *   them hash-partitioned would shuffle ~KB-sized gram arrays once per
+    *   CANDIDATE (millions of rows), while the doc table itself is tiny by
+    *   comparison — candidates stream through both joins in one stage with
+    *   no array exchange. The small-to-mid-corpus fast path.
+    * - `broadcastGrams = false`: hash-partition candidates and the gram
+    *   table by id (shuffle-hash joins, gram side builds). Each gram array
+    *   crosses the wire once per candidate instead of once per executor,
+    *   but NO executor ever holds the whole gram table — the path for a
+    *   corpus whose gram table exceeds broadcast capacity. Candidates-per-
+    *   doc shrinks as the corpus grows, so the per-candidate shuffle stays
+    *   proportional to output size.
+    * `ngramJaccardPairs` picks by estimated gram-table size. */
   private[graft] def ngramVerifyStage(candidates: DataFrame, ordered: DataFrame,
-      threshold: Double): DataFrame = {
+      threshold: Double, broadcastGrams: Boolean = true): DataFrame = {
     val ga = ordered.select(col("id").as("id_a"), col("gbin").as("g_a"), col("sz").as("sz_a"))
     val gb = ordered.select(col("id").as("id_b"), col("gbin").as("g_b"), col("sz").as("sz_b"))
     val inter = interSizeUdf(col("g_a"), col("g_b")).cast("double")
-    // broadcast the per-doc gram tables: joining them hash-partitioned would
-    // shuffle ~KB-sized gram arrays once per CANDIDATE (millions of rows),
-    // while the doc table itself is tiny by comparison — candidates then
-    // stream through both joins in one stage with no array exchange. (On a
-    // corpus too large to broadcast, partition candidates and docs by id
-    // instead; candidates-per-doc shrinks as the corpus grows, so the
-    // broadcast variant is the small-to-mid-corpus fast path.)
-    candidates.join(broadcast(ga), "id_a").join(broadcast(gb), "id_b")
+    val withGrams =
+      if (broadcastGrams) candidates.join(broadcast(ga), "id_a").join(broadcast(gb), "id_b")
+      else candidates.join(ga.hint("shuffle_hash"), "id_a")
+        .join(gb.hint("shuffle_hash"), "id_b")
+    withGrams
       .withColumn("__inter", inter)
       .withColumn("__union", (col("sz_a") + col("sz_b")).cast("double") - col("__inter"))
       .withColumn("jaccard",

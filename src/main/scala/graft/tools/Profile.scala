@@ -80,6 +80,10 @@ object Profile {
     time("ngram: verify from ordered") {
       Dedup.ngramVerifyStage(Dedup.ngramCandidatesStage(oStage, 0.8), oStage, 0.8).count()
     }
+    time("ngram: verify partitioned (no bcast)") {
+      Dedup.ngramVerifyStage(Dedup.ngramCandidatesStage(oStage, 0.8), oStage, 0.8,
+        broadcastGrams = false).count()
+    }
     time("ngram jaccard: full pipeline") {
       Dedup.ngramJaccardPairs(d2, "doc_id", "head", "lang", n = 3, threshold = 0.8).count()
     }

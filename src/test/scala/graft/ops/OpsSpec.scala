@@ -206,6 +206,34 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("ngram jaccard: partitioned verify fallback matches broadcast path") {
+    // a corpus with near-dup groups (same long body, one varying token),
+    // distinct docs, and a second block
+    val rnd = new scala.util.Random(7)
+    val bodies = (0 to 10).map(g =>
+      Seq.fill(12)(rnd.alphanumeric.take(6).mkString).mkString(" "))
+    val rows = (1L to 40L).map { i =>
+      val g = (i / 4).toInt
+      (i, if (i % 10 == 0) "de" else "en", s"${bodies(g)} tail$i")
+    }
+    val df = rows.toDF("doc_id", "lang", "text")
+    def pairSet(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1),
+        math.round(r.getDouble(2) * 1e9))).toSet
+    val bcast = Dedup.ngramJaccardPairs(df, "doc_id", "text", "lang", threshold = 0.5)
+    val part = Dedup.ngramJaccardPairs(df, "doc_id", "text", "lang", threshold = 0.5,
+      gramBroadcastMaxBytes = 0L)
+    // the size switch must actually flip the verify join strategy: the
+    // ordered stage is checkpointed, so the final plan's joins ARE the
+    // candidate+verify joins — broadcast hash join appears only on the
+    // broadcast path
+    assert(bcast.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+    assert(!part.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+    val bs = pairSet(bcast)
+    assert(bs.nonEmpty)
+    assert(bs == pairSet(part))
+  }
+
   test("embedding near dups via hyperplane LSH") {
     val v = (0 until 16).map(_.toDouble / 16).toArray
     val near = v.clone(); near(0) += 0.001
