@@ -29,6 +29,78 @@ object Multimodal {
 
   // BufferedImage/ImageIO work without a display, but only in headless mode
   System.setProperty("java.awt.headless", "true")
+  // ImageIO's default Image{Input,Output}Stream is DISK-backed: every
+  // read/write creates and deletes a temp file. Memory-backed streams cut
+  // the dominant per-image cost for the KB-sized payloads this pipeline
+  // decodes (a codec that needs spill-to-disk would manage it itself).
+  javax.imageio.ImageIO.setUseCache(false)
+
+  /** Per-thread reader/writer reuse: `ImageIO.read`/`write` scan the service
+    * registry and instantiate a fresh codec per CALL. Readers and writers
+    * are not thread-safe but are reusable, so one instance per (thread,
+    * format) amortizes codec setup across a partition — the batched-decoder
+    * layout, without forcing callers through mapPartitions. Formats are
+    * sniffed from magic bytes; anything unrecognized falls back to the
+    * generic ImageIO path. */
+  private val readerCache =
+    new ThreadLocal[java.util.HashMap[String, javax.imageio.ImageReader]] {
+      override def initialValue() = new java.util.HashMap()
+    }
+  private val writerCache =
+    new ThreadLocal[java.util.HashMap[String, javax.imageio.ImageWriter]] {
+      override def initialValue() = new java.util.HashMap()
+    }
+
+  private def sniffFormat(b: Array[Byte]): String = {
+    if (b.length >= 8 && (b(0) & 0xFF) == 0x89 && b(1) == 'P') "png"
+    else if (b.length >= 2 && (b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xD8) "jpeg"
+    else if (b.length >= 3 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F') "gif"
+    else if (b.length >= 2 && b(0) == 'B' && b(1) == 'M') "bmp"
+    else null
+  }
+
+  /** Decode via a thread-cached reader; falls back to `ImageIO.read` for
+    * unsniffable formats. Returns null if undecodable (same as ImageIO). */
+  private[ops] def readImage(bytes: Array[Byte]): java.awt.image.BufferedImage = {
+    val fmt = sniffFormat(bytes)
+    if (fmt == null)
+      return javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    val cache = readerCache.get()
+    var reader = cache.get(fmt)
+    if (reader == null) {
+      val it = javax.imageio.ImageIO.getImageReadersByFormatName(fmt)
+      if (!it.hasNext)
+        return javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      reader = it.next(); cache.put(fmt, reader)
+    }
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      reader.setInput(iis, true, true)
+      reader.read(0)
+    } finally { reader.setInput(null); iis.close() }
+  }
+
+  /** Encode via a thread-cached writer (default params — byte-identical to
+    * `ImageIO.write`, which resolves the same registered writer). */
+  private[ops] def writeImage(img: java.awt.image.RenderedImage,
+      format: String): Array[Byte] = {
+    val cache = writerCache.get()
+    var writer = cache.get(format)
+    if (writer == null) {
+      val it = javax.imageio.ImageIO.getImageWritersByFormatName(format)
+      require(it.hasNext, s"no ImageIO writer for format $format")
+      writer = it.next(); cache.put(format, writer)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.write(img)
+      ios.flush()
+    } finally { writer.setOutput(null); ios.close() }
+    bos.toByteArray
+  }
 
   /** REAL image decode: parses the payload with ImageIO and computes
     * dimensions plus mean luminance over a bounded 32x32 sampling grid
@@ -42,7 +114,7 @@ object Multimodal {
   private[ops] def decodeImageBytes(bytes: Array[Byte]): Option[DecodedImage] = {
     if (bytes == null) return None
     try {
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      val img = readImage(bytes)
       if (img == null) return None
       val w = img.getWidth; val h = img.getHeight
       val stepX = math.max(1, w / 32); val stepY = math.max(1, h / 32)
@@ -71,7 +143,7 @@ object Multimodal {
     val resizeUdf = udf((bytes: Array[Byte]) => {
       if (bytes == null) null
       else try {
-        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        val img = readImage(bytes)
         if (img == null) null
         else {
           val scale = math.min(1.0, maxSide.toDouble / math.max(img.getWidth, img.getHeight))
@@ -83,9 +155,7 @@ object Multimodal {
           g.drawImage(img.getScaledInstance(tw, th, java.awt.Image.SCALE_AREA_AVERAGING),
             0, 0, null)
           g.dispose()
-          val bos = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(out, format, bos)
-          bos.toByteArray
+          writeImage(out, format)
         }
       } catch { case _: Exception => null }
     })
@@ -131,9 +201,7 @@ object Multimodal {
       }
       y += 1
     }
-    val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
-    bos.toByteArray
+    writeImage(img, "png")
   }
 
   /** Deterministic synthetic WAV: 8-bit mono PCM at `sampleRate`, one frame
