@@ -4,7 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
-/** Misra-Gries summary state: at most k (item, weight) counters. */
+/** Misra-Gries summary output: at most k (item, weight) counters, ordered
+  * (estimate desc, item asc). */
 final case class MGBuf(keys: Array[String], counts: Array[Long])
 
 /** Misra-Gries heavy hitters as a partial aggregate: each task keeps at most
@@ -14,58 +15,75 @@ final case class MGBuf(keys: Array[String], counts: Array[Long])
   * distinct items stream through — the "dominant domains/users/tokens"
   * analysis that an exact count-distinct-then-sort cannot do at corpus
   * scale. Estimated counts are within n/(k+1) of truth below, and every
-  * item with true frequency > n/(k+1) is guaranteed present. */
+  * item with true frequency > n/(k+1) is guaranteed present.
+  *
+  * The buffer is a hash map (O(1) per input row; the classic all-counter
+  * decrement runs only on a miss with k live counters), so per-row cost is
+  * independent of k — the buffer lives as a JVM object inside
+  * ObjectHashAggregate and is kryo-serialized only when a partial crosses
+  * the exchange. The deterministic (estimate desc, item asc) order is
+  * imposed at finish. */
 final class MisraGriesAggregator(k: Int)
-    extends Aggregator[String, MGBuf, MGBuf] {
+    extends Aggregator[String, java.util.HashMap[String, Long], MGBuf] {
   require(k > 0, s"k must be positive, got $k")
 
-  def zero: MGBuf = MGBuf(Array.empty[String], Array.emptyLongArray)
+  def zero: java.util.HashMap[String, Long] = new java.util.HashMap()
 
-  def reduce(b: MGBuf, item: String): MGBuf = {
+  def reduce(b: java.util.HashMap[String, Long], item: String): java.util.HashMap[String, Long] = {
     if (item == null) return b
-    val i = b.keys.indexOf(item)
-    if (i >= 0) { b.counts(i) += 1; b }
-    else if (b.keys.length < k)
-      MGBuf(b.keys :+ item, b.counts :+ 1L)
+    val cur = b.getOrDefault(item, 0L)
+    if (cur > 0L) b.put(item, cur + 1L)
+    else if (b.size < k) b.put(item, 1L)
     else {
       // decrement all; drop zeros (classic MG step)
-      var j = 0
-      while (j < b.counts.length) { b.counts(j) -= 1; j += 1 }
-      val keep = b.counts.zipWithIndex.filter(_._1 > 0)
-      MGBuf(keep.map(x => b.keys(x._2)), keep.map(_._1))
+      val it = b.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val nv = e.getValue - 1L
+        if (nv <= 0L) it.remove() else e.setValue(nv)
+      }
     }
+    b
   }
 
-  def merge(b1: MGBuf, b2: MGBuf): MGBuf = {
-    if (b2.keys.isEmpty) return b1
-    if (b1.keys.isEmpty) return b2
-    val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
-    var i = 0
-    while (i < b1.keys.length) { m(b1.keys(i)) = b1.counts(i); i += 1 }
-    i = 0
-    while (i < b2.keys.length) {
-      m(b2.keys(i)) = m.getOrElse(b2.keys(i), 0L) + b2.counts(i)
-      i += 1
+  def merge(b1: java.util.HashMap[String, Long],
+      b2: java.util.HashMap[String, Long]): java.util.HashMap[String, Long] = {
+    if (b2.isEmpty) return b1
+    if (b1.isEmpty) return b2
+    val add = b2.entrySet().iterator()
+    while (add.hasNext) {
+      val e = add.next()
+      b1.put(e.getKey, b1.getOrDefault(e.getKey, 0L) + e.getValue)
     }
-    if (m.size <= k) {
-      val arr = m.toArray
-      MGBuf(arr.map(_._1), arr.map(_._2))
-    } else {
+    if (b1.size > k) {
       // subtract the (k+1)-th largest weight, keep positive remainder
-      val weights = m.values.toArray.sorted(Ordering[Long].reverse)
-      val sub = weights(k)
-      val kept = m.toArray.map { case (key, c) => (key, c - sub) }
-        .filter(_._2 > 0)
-      MGBuf(kept.map(_._1), kept.map(_._2))
+      val weights = new Array[Long](b1.size)
+      var i = 0
+      val vit = b1.values().iterator()
+      while (vit.hasNext) { weights(i) = vit.next(); i += 1 }
+      java.util.Arrays.sort(weights)
+      val sub = weights(weights.length - (k + 1))
+      val it = b1.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val nv = e.getValue - sub
+        if (nv <= 0L) it.remove() else e.setValue(nv)
+      }
     }
+    b1
   }
 
-  def finish(b: MGBuf): MGBuf = {
+  def finish(b: java.util.HashMap[String, Long]): MGBuf = {
     // deterministic output: order counters by (estimate desc, item asc)
-    val order = b.keys.indices.sortBy(i => (-b.counts(i), b.keys(i)))
-    MGBuf(order.map(b.keys).toArray, order.map(b.counts).toArray)
+    val entries = new Array[(String, Long)](b.size)
+    var i = 0
+    val it = b.entrySet().iterator()
+    while (it.hasNext) { val e = it.next(); entries(i) = (e.getKey, e.getValue); i += 1 }
+    val sorted = entries.sortBy { case (key, c) => (-c, key) }
+    MGBuf(sorted.map(_._1), sorted.map(_._2))
   }
-  def bufferEncoder: Encoder[MGBuf] = Encoders.product[MGBuf]
+  def bufferEncoder: Encoder[java.util.HashMap[String, Long]] =
+    Encoders.kryo[java.util.HashMap[String, Long]]
   def outputEncoder: Encoder[MGBuf] = Encoders.product[MGBuf]
 }
 

@@ -20,9 +20,10 @@ class SketchesSpec extends AnyFunSuite {
       SCTest.Parameters.default.withMinSuccessfulTests(200),
       Prop.forAll(gen) { case (items, k, parts) =>
         val agg = new MisraGriesAggregator(k)
-        val merged = items.grouped(math.max(items.length / parts, 1)).toList
-          .map(_.foldLeft(agg.zero)(agg.reduce))
-          .foldLeft(agg.zero)(agg.merge)
+        val merged = agg.finish(
+          items.grouped(math.max(items.length / parts, 1)).toList
+            .map(_.foldLeft(agg.zero)(agg.reduce))
+            .foldLeft(agg.zero)(agg.merge))
         val est = merged.keys.zip(merged.counts).toMap
         val exact = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
         val bound = items.size.toLong / (k + 1) + 1
