@@ -634,13 +634,42 @@ object SparkEntry {
         .withColumn("rank", col("rank").cast("long"))
     }),
     "sim_lsh_topk" -> ((s, dir) => {
-      // LSH-bucketed approximate variant (hash-dependent => rows-only);
-      // SimilaritySpec measures recall >= 0.8 against brute force
+      // LSH-bucketed approximate top-k with IN-QUERY recall probes (the
+      // dedup_embedding_lsh pattern): one row per query carrying
+      // (a) planted_found — a near-copy of the query vector (cosine ~0.9999,
+      //     id = qid + 100000) planted in the corpus, 1 if the LSH top-k
+      //     recovered it;
+      // (b) n_both/n_exact — overlap of the LSH top-k with the exact brute-
+      //     force top-k over the same corpus (per-query recall@k).
+      // Hash-dependent => rows-only, but the driver's row check now sees a
+      // fixed 20 rows whose counters make silent recall collapse visible;
+      // SimilaritySpec keeps the aggregate >= 0.8 bound.
       val e = s.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
       val queries = e.filter(col("vec_id") < 20)
         .select(col("vec_id").as("qid"), col("embedding"))
-      Similarity.lshTopK(e, "vec_id", "embedding", queries, "qid", "embedding",
-        k = 5, planes = 6, bands = 8)
+      val planted = queries.select((col("qid") + lit(100000L)).as("vec_id"),
+        expr("transform(embedding, (x, i) -> x + 0.02 * cos(CAST(i AS DOUBLE)))")
+          .as("embedding"))
+      val corpus = e.unionByName(planted)
+      val lsh = Similarity.lshTopK(corpus, "vec_id", "embedding",
+          queries, "qid", "embedding", k = 5, planes = 5, bands = 12)
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("in_lsh"))
+      val exact = Similarity.bruteForceTopK(corpus, "vec_id", "embedding",
+          queries, "qid", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("in_exact"))
+      // full-outer join on the (query, neighbor) key feeds every probe
+      // counter from one aggregate — each pipeline runs exactly once
+      lsh.join(exact, Seq("query_id", "neighbor_id"), "full_outer")
+        .groupBy("query_id")
+        .agg(
+          max(when(col("in_lsh").isNotNull &&
+              col("neighbor_id") === col("query_id") + lit(100000L), 1L)
+            .otherwise(0L)).as("planted_found"),
+          sum(when(col("in_lsh").isNotNull, 1L).otherwise(0L)).as("n_lsh"),
+          sum(when(col("in_exact").isNotNull, 1L).otherwise(0L)).as("n_exact"),
+          sum(when(col("in_exact").isNotNull && col("in_lsh").isNotNull, 1L)
+            .otherwise(0L)).as("n_both"))
     }),
     "dedup_embedding_lsh" -> ((s, dir) => {
       // banded-LSH near-dup — the CORPUS-SCALE headline (bucketed ids-only
@@ -699,15 +728,13 @@ object SparkEntry {
     "sim_ivf_topk" -> ((s, dir) => {
       // IVF approximate top-k: k-means cells + probed-cell exact re-rank.
       // Clustering-dependent output => rows-only; SimilaritySpec measures
-      // recall >= 0.8 against brute force on clustered data. nlist scales
-      // with sqrt(corpus) (classic IVF sizing); training is sample-capped
-      // inside ivfTopK, so no full-corpus multi-pass at any scale.
+      // recall >= 0.8 against brute force on clustered data. nlist/nprobe
+      // auto-size inside ivfTopK from the corpus count its sampling step
+      // already takes (sqrt(corpus), clamped) — no extra driver job here.
       val e = s.read.parquet(s"$dir/embeddings.parquet")
       val queries = e.filter(col("vec_id") < 20)
         .select(col("vec_id").as("qid"), col("embedding"))
-      val nlist = math.max(16, math.min(256, math.sqrt(e.count().toDouble).toInt))
-      Similarity.ivfTopK(e, "vec_id", "embedding", queries, "qid", "embedding",
-        k = 5, nlist = nlist, nprobe = math.max(4, nlist / 8))
+      Similarity.ivfTopK(e, "vec_id", "embedding", queries, "qid", "embedding", k = 5)
     }),
     "mm_features" -> ((s, dir) => {
       // multimodal payload plumbing: text bytes as the opaque binary payload

@@ -27,7 +27,14 @@ final case class VecCentroid(centroid: Array[Double], n: Long)
   * summation order is not, which would break independent-oracle
   * verification), and the aggregator state crossing the wire is one
   * long[dim] + count per (group, task) with full map-side combine. The
-  * mean divides each exact sum by (n * scale) as the single double op. */
+  * mean divides each exact sum by (n * scale) as the single double op.
+  *
+  * Every vector in a group must have the same length and finite
+  * coordinates; a ragged group or a NaN coordinate fails the job loudly
+  * (the mean-of-what question has no right silent answer: dividing by the
+  * group count is wrong for short vectors, and floor(NaN) would quantize
+  * to 0). Mismatched lengths always meet in some reduce or merge because
+  * a non-empty state's sums array length IS its dimension. */
 final class QuantizedCentroidAggregator(scale: Double)
     extends Aggregator[VecIn, VecState, VecCentroid] {
   require(scale > 0, s"scale must be positive, got $scale")
@@ -38,11 +45,20 @@ final class QuantizedCentroidAggregator(scale: Double)
     if (a.v == null) b
     else {
       val d = a.v.length
+      if (b.n > 0 && b.sums.length != d)
+        throw new IllegalArgumentException(
+          s"centroid: ragged group — vector of length $d in a group of length ${b.sums.length}")
       val sums =
         if (b.sums.length >= d) b.sums
         else java.util.Arrays.copyOf(b.sums, d)
       var i = 0
-      while (i < d) { sums(i) += math.floor(a.v(i) * scale).toLong; i += 1 }
+      while (i < d) {
+        val x = a.v(i)
+        if (x != x) throw new IllegalArgumentException(
+          s"centroid: NaN coordinate at index $i — floor(NaN) would silently quantize to 0")
+        sums(i) += math.floor(x * scale).toLong
+        i += 1
+      }
       VecState(sums, b.n + 1)
     }
   }
@@ -51,12 +67,12 @@ final class QuantizedCentroidAggregator(scale: Double)
     if (b2.n == 0) b1
     else if (b1.n == 0) b2
     else {
-      val (big, small) =
-        if (b1.sums.length >= b2.sums.length) (b1.sums, b2.sums)
-        else (b2.sums, b1.sums)
-      val sums = java.util.Arrays.copyOf(big, big.length)
+      if (b1.sums.length != b2.sums.length)
+        throw new IllegalArgumentException(
+          s"centroid: ragged group — partials of length ${b1.sums.length} and ${b2.sums.length}")
+      val sums = java.util.Arrays.copyOf(b1.sums, b1.sums.length)
       var i = 0
-      while (i < small.length) { sums(i) += small(i); i += 1 }
+      while (i < b2.sums.length) { sums(i) += b2.sums(i); i += 1 }
       VecState(sums, b1.n + b2.n)
     }
   }
@@ -342,12 +358,18 @@ object Similarity {
   def ivfTopK(
       corpus: DataFrame, corpusId: String, corpusVec: String,
       queries: DataFrame, queryId: String, queryVec: String,
-      k: Int, nlist: Int = 64, nprobe: Int = 8,
+      k: Int, nlist: Int = -1, nprobe: Int = -1,
       trainRowsTarget: Long = 100000, seed: Long = 42
   ): DataFrame = {
-    require(nprobe <= nlist, "nprobe must be <= nlist")
     val arrs = corpus.select(col(corpusVec).cast("array<double>").as("__arr"))
     val total = arrs.count() // statistics job (parquet metadata for plain scans)
+    // nlist <= 0 auto-sizes from the corpus count the sampling step needs
+    // anyway (classic IVF sizing: sqrt(corpus), clamped) — callers don't
+    // run their own count() job just to pick a cell count.
+    val nl = if (nlist > 0) nlist
+      else math.max(16, math.min(256, math.sqrt(total.toDouble).toInt))
+    val np = if (nprobe > 0) nprobe else math.max(4, nl / 8)
+    require(np <= nl, s"nprobe must be <= nlist (got nprobe=$np nlist=$nl)")
     val fraction =
       if (total <= trainRowsTarget) 1.0 else trainRowsTarget.toDouble / total
     val sampled =
@@ -355,7 +377,7 @@ object Similarity {
     val train: Array[Array[Double]] = sampled.rdd
       .mapPartitions(_.map(_.getSeq[Double](0).toArray))
       .collect() // bounded by trainRowsTarget (sampling variance aside)
-    val centers = lloyd(train, nlist, seed)
+    val centers = lloyd(train, nl, seed)
 
     def nearestCells(n: Int) = udf((a: Array[Double]) => {
       val dists = new Array[Double](centers.length)
@@ -390,7 +412,7 @@ object Similarity {
       .withColumn("cell", nearestCells(1)(col("__cv")).getItem(0))
     val q = broadcast(queries.select(col(queryId).as("query_id"),
         col(queryVec).cast("array<double>").as("__qv"))
-      .withColumn("cell", explode(nearestCells(nprobe)(col("__qv")))))
+      .withColumn("cell", explode(nearestCells(np)(col("__qv")))))
     val scored = c.join(q, "cell")
       .withColumn("cosine", cosine(col("__qv"), col("__cv")))
     finalizeTopK(scored, k)

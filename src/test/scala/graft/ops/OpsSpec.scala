@@ -346,6 +346,26 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out("b") == ((List(-1.5, 0.5), 1L)))
   }
 
+  test("centroidByKey fails loudly on ragged groups and NaN coordinates") {
+    val ragged = Seq(("a", Array(1.0, 2.0)), ("a", Array(1.0)))
+      .toDF("label", "vec")
+    val ex1 = intercept[Exception] {
+      Similarity.centroidByKey(ragged, "label", "vec").collect()
+    }
+    def chainMsg(t: Throwable): String = {
+      val sb = new StringBuilder
+      var c: Throwable = t
+      while (c != null) { sb.append(Option(c.getMessage).getOrElse("")); c = c.getCause }
+      sb.toString
+    }
+    assert(chainMsg(ex1).contains("ragged group"), chainMsg(ex1))
+    val withNaN = Seq(("a", Array(1.0, Double.NaN))).toDF("label", "vec")
+    val ex2 = intercept[Exception] {
+      Similarity.centroidByKey(withNaN, "label", "vec").collect()
+    }
+    assert(chainMsg(ex2).contains("NaN coordinate"), chainMsg(ex2))
+  }
+
   test("brute force top-k ranks by cosine with id tiebreak") {
     val corpus = Seq(
       (1L, Array(1.0, 0.0)), (2L, Array(0.9, 0.1)), (3L, Array(0.0, 1.0)),
