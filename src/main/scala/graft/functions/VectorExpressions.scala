@@ -23,7 +23,11 @@ import org.apache.spark.sql.Column
   * `min(|a|, |b|)` elements summed index-ascending from +0.0, each norm over
   * its full array, `0.0` when either vector is all-zero or either input is
   * null (null-as-zero keeps the score column non-nullable, which the
-  * bounded-heap top-k aggregate relies on). Array elements must be non-null.
+  * bounded-heap top-k aggregate relies on). A null array ELEMENT throws
+  * (checked in the norm loops, which visit every element of both arrays) —
+  * parquet array columns are containsNull=true by schema even when no null
+  * ever occurs, so rejecting the TYPE would break every real caller, while
+  * reading a null element as 0.0/garbage would silently corrupt scores.
   */
 case class CosineSim(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -50,10 +54,16 @@ case class CosineSim(left: Expression, right: Expression)
     while (i < n) { d += a.getDouble(i) * b.getDouble(i); i += 1 }
     var na = 0.0
     i = 0
-    while (i < la) { val v = a.getDouble(i); na += v * v; i += 1 }
+    while (i < la) {
+      if (a.isNullAt(i)) throw CosineSim.nullElement(i)
+      val v = a.getDouble(i); na += v * v; i += 1
+    }
     var nb = 0.0
     i = 0
-    while (i < lb) { val w = b.getDouble(i); nb += w * w; i += 1 }
+    while (i < lb) {
+      if (b.isNullAt(i)) throw CosineSim.nullElement(i)
+      val w = b.getDouble(i); nb += w * w; i += 1
+    }
     val sa = math.sqrt(na)
     val sb = math.sqrt(nb)
     if (sa == 0.0 || sb == 0.0) 0.0 else d / (sa * sb)
@@ -100,10 +110,12 @@ case class CosineSim(left: Expression, right: Expression)
         |    $d += $a.getDouble($i) * $b.getDouble($i);
         |  }
         |  for (int $i = 0; $i < $la; $i++) {
+        |    if ($a.isNullAt($i)) throw graft.functions.CosineSim.nullElement($i);
         |    double $v = $a.getDouble($i);
         |    $na += $v * $v;
         |  }
         |  for (int $i = 0; $i < $lb; $i++) {
+        |    if ($b.isNullAt($i)) throw graft.functions.CosineSim.nullElement($i);
         |    double $v = $b.getDouble($i);
         |    $nb += $v * $v;
         |  }
@@ -118,6 +130,15 @@ case class CosineSim(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+object CosineSim {
+  /** Shared by the interpreted and generated paths (public: generated Java
+    * code must reach it). */
+  def nullElement(i: Int): NullPointerException =
+    new NullPointerException(
+      s"graft_cosine: null array element at index $i — cosine over a vector " +
+        "with null coordinates is undefined; filter or impute upstream")
 }
 
 /** Column-level entry points for the native vector expressions. */

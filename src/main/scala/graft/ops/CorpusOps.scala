@@ -302,13 +302,24 @@ object CorpusOps {
     * pick the width so this stays in the thousands at any corpus size),
     * cumulative bucket offsets broadcast back, and the within-bucket running
     * sum is a window whose parallelism is #buckets. No global sort, no
-    * single-task window: the classic two-phase prefix sum. */
+    * single-task window: the classic two-phase prefix sum.
+    *
+    * Contract: `idCol` and `lenCol` must be non-null (a null id has no
+    * position in the id order; a null length has no token count). Rows
+    * violating it fail the job with a clear message instead of surfacing
+    * as an opaque driver-side NPE from the collected bucket totals. */
   def packSequences(df: DataFrame, idCol: String, lenCol: String,
       seqLen: Long, bucketWidth: Long): DataFrame = {
     require(seqLen > 0 && bucketWidth > 0)
     val spark = df.sparkSession
     val base = df.select(col(idCol).cast("long").as("id"),
         col(lenCol).cast("long").as("len"))
+      .withColumn("id", when(col("id").isNull, raise_error(
+          lit(s"packSequences: null $idCol — every row needs an id position")))
+        .otherwise(col("id")))
+      .withColumn("len", when(col("len").isNull, raise_error(
+          lit(s"packSequences: null $lenCol — every row needs a token length")))
+        .otherwise(col("len")))
       .withColumn("bucket", expr(s"id div $bucketWidth"))
     val totals = base.groupBy("bucket").agg(sum("len").as("t"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)

@@ -70,6 +70,31 @@ class VectorExpressionsSpec extends AnyFunSuite with Matchers {
     got(5L) shouldBe 0.0
   }
 
+  test("CosineSim fails loudly on a null array ELEMENT (both exec paths)") {
+    import spark.implicits._
+    // parquet-style containsNull=true schema with an actual null element
+    val df = Seq((1L, Seq[Option[Double]](Some(1.0), None), Seq[Option[Double]](Some(1.0), Some(2.0))))
+      .toDF("id", "a", "b")
+    def chainMsg(t: Throwable): String = {
+      val sb = new StringBuilder
+      var c: Throwable = t
+      while (c != null) { sb.append(Option(c.getMessage).getOrElse("")); c = c.getCause }
+      sb.toString
+    }
+    // codegen path
+    val ex1 = intercept[Exception] {
+      df.select(VectorFunctions.cosineSim(col("a"), col("b"))).collect()
+    }
+    assert(chainMsg(ex1).contains("null array element"), chainMsg(ex1))
+    // interpreted path (eval) via the SQL surface: constant arguments are
+    // evaluated by ConstantFolding's eval, not generated code
+    VectorFunctions.registerSql(spark)
+    val ex2 = intercept[Exception] {
+      spark.sql("SELECT graft_cosine(array(CAST(NULL AS DOUBLE), 1.0d), array(1.0d, 2.0d))").collect()
+    }
+    assert(chainMsg(ex2).contains("null array element"), chainMsg(ex2))
+  }
+
   test("CosineSim stays inside WholeStageCodegen (no UDF boundary)") {
     // a Range source (codegen-capable, not constant-foldable — a literal
     // local relation would be evaluated away by ConvertToLocalRelation)

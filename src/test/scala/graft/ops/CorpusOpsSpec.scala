@@ -145,6 +145,27 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got.size == rows.size)
   }
 
+  test("packSequences rejects null ids and lengths with a clear message") {
+    def chainMsg(t: Throwable): String = {
+      val sb = new StringBuilder
+      var c: Throwable = t
+      while (c != null) { sb.append(Option(c.getMessage).getOrElse("")); c = c.getCause }
+      sb.toString
+    }
+    val nullId = Seq((Some(0L), Some(3L)), (None, Some(5L)))
+      .toDF("doc_id", "n_toks")
+    val ex1 = intercept[Exception] {
+      CorpusOps.packSequences(nullId, "doc_id", "n_toks", 8L, 4L).collect()
+    }
+    assert(chainMsg(ex1).contains("null doc_id"), chainMsg(ex1))
+    val nullLen = Seq((Some(0L), Some(3L)), (Some(1L), None))
+      .toDF("doc_id", "n_toks")
+    val ex2 = intercept[Exception] {
+      CorpusOps.packSequences(nullLen, "doc_id", "n_toks", 8L, 4L).collect()
+    }
+    assert(chainMsg(ex2).contains("null n_toks"), chainMsg(ex2))
+  }
+
   test("vocabTopK: exact counts, count-desc token-asc order") {
     val df = Seq(
       (1L, "apple banana apple cherry"),
