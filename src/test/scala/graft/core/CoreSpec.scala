@@ -206,6 +206,48 @@ class MechanismsSpec extends AnyFunSuite {
     assert(computer.compute(5L, 35.0, 0.0, 0.0, 5L).head == 7.0)
   }
 
+  test("budget split for Count+Mean+Percentile pins reference weight semantics") {
+    // reference: combiners.py:914-1003 — when MEAN is present it requests TWO
+    // budgets (MeanCount, MeanSum) and COUNT rides the MeanCount budget (no
+    // separate Count request); any percentile set adds ONE Quantile budget.
+    // Count+Mean+P50 therefore resolves exactly 3 equal-weight mechanisms:
+    // (eps/3, delta/3) each under naive composition — a silent mis-split
+    // would shift these numbers while still passing zero-noise output tests.
+    val acc = new NaiveBudgetAccountant(3.0, 3e-6)
+    val params = AggregateParams(
+      metrics = Seq(Metric.Count, Metric.Mean, Metric.Percentile(50)),
+      noiseKind = NoiseKind.Gaussian,
+      maxPartitionsContributed = 1, maxContributionsPerPartition = Some(1),
+      minValue = Some(0.0), maxValue = Some(10.0))
+    val plan = graft.spark.CompoundComputer.plan(params, acc)
+    assert(plan.countHandle.isEmpty, "COUNT must ride the MeanCount budget")
+    assert(plan.varianceHandle.isEmpty)
+    acc.computeBudgets()
+    val specs = Seq(plan.meanCountHandle.get.spec, plan.meanSumHandle.get.spec,
+      plan.quantileHandle.get.spec)
+    specs.foreach { s =>
+      assert(s.epsilon == 1.0, s"${s.name}: expected eps exactly 3.0/3, got ${s.epsilon}")
+      assert(s.delta == 1e-6, s"${s.name}: expected delta exactly 3e-6/3, got ${s.delta}")
+    }
+    // budget_weight scales the whole aggregation's share: a second
+    // aggregation at weight 2 takes 2 parts per mechanism (reference:
+    // budget_accounting.py:462-476 weight*count numerators)
+    val acc2 = new NaiveBudgetAccountant(8.0, 0.0)
+    val p1 = graft.spark.CompoundComputer.plan(AggregateParams(
+      metrics = Seq(Metric.Count), maxPartitionsContributed = 1,
+      maxContributionsPerPartition = Some(1)), acc2)
+    val p2 = graft.spark.CompoundComputer.plan(AggregateParams(
+      metrics = Seq(Metric.Count, Metric.Mean, Metric.Percentile(50)),
+      budgetWeight = 2.0,
+      maxPartitionsContributed = 1, maxContributionsPerPartition = Some(1),
+      minValue = Some(0.0), maxValue = Some(10.0)), acc2)
+    acc2.computeBudgets()
+    // total weight = 1 (Count) + 2*3 (MeanCount, MeanSum, Quantile at w=2)
+    assert(p1.countHandle.get.spec.epsilon == 8.0 * 1.0 / 7.0)
+    assert(p2.meanCountHandle.get.spec.epsilon == 8.0 * 2.0 / 7.0)
+    assert(p2.quantileHandle.get.spec.epsilon == 8.0 * 2.0 / 7.0)
+  }
+
   test("aggregate params validation matrix") {
     // MEAN without bounds rejected
     assertThrows[IllegalArgumentException](AggregateParams(
