@@ -339,6 +339,29 @@ object SparkEntry {
       engine.accountant.computeBudgets()
       res.dataframe
     }),
+    "dp_percentile_sum_partition" -> ((s, dir) => {
+      // the last combiner pairing: a multi-percentile quantile tree AND a
+      // per-partition-bounded SumCombiner over the same input under ONE
+      // shared accountant. The two bounding modes are mutually exclusive
+      // inside a single AggregateParams (reference: aggregate_params.py:
+      // 330-364, mirrored at Params.scala) — the reference composes them
+      // exactly this way: two aggregations sharing a budget accountant.
+      // Zero noise => both deterministic; the oracle replicates the tree
+      // walk and the per-(user,type) clip.
+      val engine = zeroEngine()
+      val ev = events(s, dir)
+      val pct = engine.aggregate(ev, AggregateParams(
+        metrics = Seq(Metric.Percentile(25), Metric.Percentile(75)),
+        maxPartitionsContributed = 5, maxContributionsPerPartition = Some(100),
+        minValue = Some(0.0), maxValue = Some(500.0)), eventRoles)
+      val sums = engine.aggregate(ev, AggregateParams(
+        metrics = Seq(Metric.Sum), maxPartitionsContributed = 5,
+        minSumPerPartition = Some(0.0), maxSumPerPartition = Some(500.0)),
+        eventRoles)
+      engine.accountant.computeBudgets()
+      pct.dataframe.join(
+        sums.dataframe.withColumnRenamed("sum", "part_sum"), "event_type")
+    }),
     "dp_add_noise" -> ((s, dir) => {
       // noise-only path on pre-aggregated data; zero noise => identity
       val pre = events(s, dir).groupBy("event_type")
@@ -1214,8 +1237,14 @@ object SparkEntry {
             FROM v
             WHERE (CASE WHEN szsum - inter = 0 THEN 0.0
                         ELSE inter / (szsum - inter) END) >= 0.6"""
-    val pctlTreeSql =
-      """WITH leaves AS (
+    // Quantile-tree walk oracle, parameterized by the percentile list (whole
+    // percents). Replicates the zero-noise height-4/branching-16 descent.
+    def pctlTreeSqlFor(ps: Seq[Int]): String = {
+      val valuesList = ps.map(p => s"(${p / 100.0})").mkString(", ")
+      val pivots = ps.map(p =>
+        s"MAX(CASE WHEN q = ${p / 100.0} THEN v END) AS percentile_$p")
+        .mkString(",\n                  ")
+      s"""WITH leaves AS (
              SELECT event_type,
                     CASE WHEN lf >= 65536 THEN 65535 ELSE lf END AS leaf
              FROM (SELECT event_type,
@@ -1223,7 +1252,7 @@ object SparkEntry {
                                       / (500.0 - 0.0)) * 65536.0) AS BIGINT) AS lf
                    FROM events)
            ),
-           qs AS (SELECT * FROM (VALUES (0.1), (0.5), (0.9)) t(q)),
+           qs AS (SELECT * FROM (VALUES $valuesList) t(q)),
            tot AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS n FROM leaves GROUP BY 1),
            l1 AS (SELECT event_type, leaf // 4096 AS d, CAST(count(*) AS DOUBLE) AS c
                   FROM leaves GROUP BY 1, 2),
@@ -1294,10 +1323,10 @@ object SparkEntry {
              FROM walk
            )
            SELECT event_type,
-                  MAX(CASE WHEN q = 0.1 THEN v END) AS percentile_10,
-                  MAX(CASE WHEN q = 0.5 THEN v END) AS percentile_50,
-                  MAX(CASE WHEN q = 0.9 THEN v END) AS percentile_90
+                  $pivots
            FROM res GROUP BY event_type"""
+    }
+    val pctlTreeSql = pctlTreeSqlFor(Seq(10, 50, 90))
 
 
     // ---- utility-analysis oracle scaffolding (mirrors uaPublicOptions /
@@ -1631,6 +1660,14 @@ object SparkEntry {
       "dp_percentile" ->
         pctlTreeSql,
       "dp_percentile_pld" -> pctlTreeSql,
+      "dp_percentile_sum_partition" ->
+        s"""SELECT p.event_type, p.percentile_25, p.percentile_75, s.part_sum
+            FROM (${pctlTreeSqlFor(Seq(25, 75))}) p
+            JOIN (SELECT event_type, sum(s) AS part_sum FROM (
+                    SELECT user_id, event_type,
+                           least(greatest(sum(floor(value)), 0.0), 500.0) AS s
+                    FROM events GROUP BY user_id, event_type
+                  ) GROUP BY event_type) s USING (event_type)""",
       "text_quality" ->
         """SELECT doc_id,
               CAST(len(text) AS BIGINT) AS n_chars,
