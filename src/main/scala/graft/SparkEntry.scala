@@ -375,6 +375,30 @@ object SparkEntry {
     }),
 
     // ---- training-data pipeline operators (graft.ops) ----
+    "text_token_stats" -> ((s, dir) => {
+      // BPE-ish pre-tokenizer token budget per document (token count, UTF-8
+      // bytes, bytes/token) — the corpus-sizing pass before sequence
+      // packing. The pattern is restricted to java.regex ∩ RE2 syntax so
+      // the oracle runs it verbatim.
+      TextAnalysis.withTokenStats(
+        s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text"), "text")
+        .drop("text")
+    }),
+    "text_url_domains" -> ((s, dir) => {
+      // per-domain URL rollup (n_urls, distinct docs per domain). The
+      // fixture corpus carries no URLs, so the query plants a deterministic
+      // two-URL footer per doc (48 synthetic domains) and runs the REAL
+      // extraction+aggregation over it — construction replicated by the
+      // oracle, extraction exercised for real (same pattern as the
+      // synthesized-payload mm_ queries).
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .withColumn("body", concat(col("text"),
+          lit(" see https://site-"), (col("doc_id") % 37).cast("string"),
+          lit(".example.com/p/"), col("doc_id").cast("string"),
+          lit(" or http://cdn-"), (col("doc_id") % 11).cast("string"),
+          lit(".example.org/a/"), col("doc_id").cast("string")))
+      TextAnalysis.urlDomainStats(docs, "doc_id", "body")
+    }),
     "text_quality" -> ((s, dir) => {
       TextAnalysis.withQualityFeatures(
         s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text"), "text")
@@ -1138,6 +1162,21 @@ object SparkEntry {
       graft.streaming.StreamOps.sessionEventStats(
         events(s, dir).withColumn("ts", expr("timestamp_micros(ts div 1000)")))
     }),
+    "ss_attribution" -> ((s, dir) => {
+      // stream-stream time-interval join (click -> purchase attribution
+      // within 1 hour per user), rolled up per conversion day. The SAME
+      // operator runs under Structured Streaming with watermarked state
+      // eviction (parity proven in StreamOpsSpec); batch output is
+      // deterministic and oracle-checked against the equivalent range join.
+      val ev = events(s, dir).withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val clicks = ev.filter(col("event_type") === "click")
+      val convs = ev.filter(col("event_type") === "purchase")
+      graft.streaming.StreamOps.attributionJoin(clicks, convs, "1 hour")
+        .groupBy(date_format(col("conv_ts"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("n_attributed_pairs"),
+          countDistinct(col("user_id")).as("n_users"),
+          countDistinct(col("conv_id")).as("n_conversions"))
+    }),
     "mm_decode_resize" -> ((s, dir) => {
       // REAL image pipeline: synthesize a PNG per document (dims derived
       // from the text length), decode it with ImageIO, plan the resize.
@@ -1691,6 +1730,33 @@ object SparkEntry {
            FROM documents""",
       "dedup_exact" ->
         "SELECT text, min(doc_id) AS keep_id, count(*) AS group_size FROM documents GROUP BY text",
+      "text_token_stats" ->
+        """WITH t AS (
+             SELECT doc_id,
+                    CAST(len(regexp_extract_all(text,
+                      '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+')) AS BIGINT)
+                      AS n_bpe_tokens,
+                    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+             FROM documents)
+           SELECT doc_id, n_bpe_tokens, n_bytes,
+                  CASE WHEN n_bpe_tokens > 0
+                       THEN CAST(n_bytes AS DOUBLE) / CAST(n_bpe_tokens AS DOUBLE)
+                       ELSE 0.0 END AS bytes_per_token
+           FROM t""",
+      "text_url_domains" ->
+        """WITH b AS (
+             SELECT doc_id,
+                    concat(text, ' see https://site-', CAST(doc_id % 37 AS VARCHAR),
+                           '.example.com/p/', CAST(doc_id AS VARCHAR),
+                           ' or http://cdn-', CAST(doc_id % 11 AS VARCHAR),
+                           '.example.org/a/', CAST(doc_id AS VARCHAR)) AS body
+             FROM documents),
+           u AS (SELECT doc_id, unnest(regexp_extract_all(body, 'https?://[^\s]+')) AS url
+                 FROM b)
+           SELECT regexp_extract(url, 'https?://([^/\s]+)', 1) AS domain,
+                  CAST(count(*) AS BIGINT) AS n_urls,
+                  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+           FROM u GROUP BY 1""",
       "text_langid" ->
         s"""WITH t AS (
               SELECT doc_id, text,
@@ -2229,6 +2295,21 @@ object SparkEntry {
         """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
               count(*) AS n_events, CAST(sum(floor(value)) AS DOUBLE) AS value_floor_sum
            FROM events GROUP BY 1, 2""",
+      // micros on both sides (epoch_ns // 1000 == the engine's ts div 1000)
+      // so interval arithmetic and day formatting agree exactly
+      "ss_attribution" ->
+        """WITH e AS (
+             SELECT event_id, user_id, event_type, epoch_ns(ts) // 1000 AS tu
+             FROM events),
+           c AS (SELECT * FROM e WHERE event_type = 'click'),
+           v AS (SELECT * FROM e WHERE event_type = 'purchase')
+           SELECT strftime(make_timestamp(v.tu), '%Y-%m-%d') AS day,
+                  CAST(count(*) AS BIGINT) AS n_attributed_pairs,
+                  CAST(count(DISTINCT c.user_id) AS BIGINT) AS n_users,
+                  CAST(count(DISTINCT v.event_id) AS BIGINT) AS n_conversions
+           FROM c JOIN v ON c.user_id = v.user_id
+                        AND c.tu <= v.tu AND v.tu <= c.tu + 3600000000
+           GROUP BY 1""",
       // Gaps-and-islands replication of session_window (30-minute inactivity
       // gap): a new session starts when the gap since the previous event is
       // >= the gap duration (session_window's boundary semantics — an event

@@ -30,6 +30,49 @@ object TextAnalysis {
   def whitespaceTokenCount(text: Column): Column =
     size(split(trim(text), "\\s+"))
 
+  /** GPT-2-style pre-tokenizer boundary pattern: apostrophe contractions,
+    * optional-space letter runs, optional-space digit runs, optional-space
+    * symbol runs. Deliberately restricted to syntax shared by java.util.regex
+    * (Spark) and RE2 (DuckDB/the oracle) — the upstream pattern's `\s+(?!\S)`
+    * lookahead branch is dropped, which only changes how TRAILING whitespace
+    * tokenizes (whitespace between tokens is consumed by the leading
+    * optional space and never emits a token either way). */
+  val bpePattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+"
+
+  /** BPE-ish token count: the number of pre-tokenizer segments, the standard
+    * proxy for "how many tokens will the tokenizer emit" when sizing corpora
+    * and packing sequences without shipping a vocab file. */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(bpePattern), lit(0)))
+
+  /** Per-document token-budget stats: BPE-ish token count, UTF-8 byte
+    * length, and bytes/token (the compression-rate signal used to spot
+    * pathological documents — binary junk tokenizes near 1 byte/token,
+    * natural language near 4). */
+  def withTokenStats(df: DataFrame, textCol: String): DataFrame = {
+    df.withColumn("n_bpe_tokens", bpeTokenCount(col(textCol)).cast("long"))
+      .withColumn("n_bytes", octet_length(col(textCol)).cast("long"))
+      .withColumn("bytes_per_token",
+        ratio(col("n_bytes"), col("n_bpe_tokens")))
+  }
+
+  /** URLs in a document: maximal non-whitespace runs after http(s)://.
+    * RE2-compatible (no lookarounds) so oracles replicate it verbatim. */
+  def extractUrls(text: Column): Column =
+    regexp_extract_all(text, lit("https?://[^\\s]+"), lit(0))
+
+  /** Per-domain URL statistics over a corpus: one row per registrable host
+    * with its URL count and distinct-document count — the "which domains
+    * dominate my crawl" rollup that gates domain-level filtering. Explodes
+    * ids+urls only (no full-text shuffle); the aggregate is a plain
+    * hash-partitioned groupBy with map-side partial counts. */
+  def urlDomainStats(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("__id"), explode(extractUrls(col(textCol))).as("url"))
+      .withColumn("domain", regexp_extract(col("url"), "https?://([^/\\s]+)", 1))
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_urls"), countDistinct(col("__id")).as("n_docs"))
+
   private def charCount(text: Column, charClassRegex: String): Column =
     length(text) - length(regexp_replace(text, charClassRegex, ""))
 

@@ -19,6 +19,40 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out.getAs[Double]("stopword_ratio") == 2.0 / 10)
   }
 
+  test("bpe token count: contractions, unicode letters, digits, symbols") {
+    val df = Seq(
+      (1L, "I'll say it's 42 tokens, really!"),
+      (2L, "漢字テキスト"),      // one CJK letter-run = one pre-token
+      (3L, ""),
+      (4L, "   "),               // whitespace only: zero tokens
+      (5L, "a+b=c")              // letter / symbol / letter / symbol / letter
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.withTokenStats(df, "text")
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("n_bpe_tokens")).toMap
+    // "I"," 'll"→' + ll? GPT-2 style: I / 'll / say / it / 's / 42 / tokens / , / really / !
+    assert(got(1L) == 10L, s"got ${got(1L)}")
+    assert(got(2L) == 1L)
+    assert(got(3L) == 0L)
+    assert(got(4L) == 0L)
+    assert(got(5L) == 5L)
+    // bytes/token: multibyte text counts UTF-8 bytes, not chars
+    val zh = TextAnalysis.withTokenStats(df.filter(col("doc_id") === 2L), "text")
+      .collect().head
+    assert(zh.getAs[Long]("n_bytes") == 18L) // 6 CJK chars x 3 bytes
+    assert(zh.getAs[Double]("bytes_per_token") == 18.0)
+  }
+
+  test("urlDomainStats: per-domain url and distinct-doc counts") {
+    val df = Seq(
+      (1L, "see https://a.com/x and https://a.com/y plus http://b.org/z"),
+      (2L, "again https://a.com/other"),
+      (3L, "no urls here")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.urlDomainStats(df, "doc_id", "text")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map("a.com" -> ((3L, 2L)), "b.org" -> ((1L, 1L))))
+  }
+
   test("langId identifies real multilingual text") {
     // (the synthetic documents table's `lang` column does not reflect the
     // actual text language — all docs are English-ish word soup — so the
