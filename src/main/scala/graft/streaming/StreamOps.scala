@@ -90,6 +90,36 @@ object StreamOps {
         col("event_type"), col("distinct_users"))
   }
 
+  /** Stream-stream event-attribution join: every (click, conversion) pair of
+    * the same user with `conversion.ts` in [click.ts, click.ts + horizon] —
+    * the canonical funnel/attribution primitive. The SAME plan runs batch or
+    * streaming: in streaming mode pass `watermark` so Spark derives a state
+    * eviction bound from watermark + the time-range predicate and each
+    * side's join buffer stays proportional to the horizon, not the stream
+    * (the stream-stream inner-join state contract).
+    *
+    * Inputs need (user_id, ts, event_id); ts must be TimestampType. */
+  def attributionJoin(
+      clicks: DataFrame,
+      conversions: DataFrame,
+      horizon: String = "1 hour",
+      watermark: Option[String] = None
+  ): DataFrame = {
+    def side(df: DataFrame, prefix: String) = {
+      val wm = watermark.map(w => df.withWatermark("ts", w)).getOrElse(df)
+      wm.select(col("user_id").as(s"${prefix}_user"), col("ts").as(s"${prefix}_ts"),
+        col("event_id").as(s"${prefix}_id"))
+    }
+    val c = side(clicks, "click")
+    val v = side(conversions, "conv")
+    c.join(v,
+        col("click_user") === col("conv_user") &&
+          col("click_ts") <= col("conv_ts") &&
+          col("conv_ts") <= col("click_ts") + expr(s"INTERVAL $horizon"))
+      .select(col("click_user").as("user_id"), col("click_id"), col("conv_id"),
+        col("click_ts"), col("conv_ts"))
+  }
+
   /** Session windows via typed state: a session closes after `gapSeconds` of
     * inactivity (processing-time timeout for the local smoke path). */
   def sessionize(events: Dataset[SessionEvent], gapSeconds: Long): Dataset[SessionSummary] = {

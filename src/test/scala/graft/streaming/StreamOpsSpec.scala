@@ -93,6 +93,46 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("stream-stream attribution join matches the batch range join") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val dir = "/root/testdata/sf0.001"
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    // append-mode stream-stream join emits a pair only once the watermark
+    // passes its eviction bound — replay with a far-future sentinel on each
+    // side so the final watermark clears every real pair
+    val tmp = java.nio.file.Files.createTempDirectory("ss_attr").toString
+    ev.write.mode("overwrite").parquet(tmp)
+    val maxTs = ev.agg(max("ts")).head.getLong(0)
+    Seq("click", "purchase").foreach { t =>
+      ev.limit(1)
+        .withColumn("ts", lit(maxTs + 10L * 3600L * 1000000000L))
+        .withColumn("user_id", lit(-1L))
+        .withColumn("event_type", lit(t))
+        .write.mode("append").parquet(tmp)
+    }
+    val stream = spark.readStream.schema(ev.schema).parquet(tmp)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val joined = StreamOps.attributionJoin(
+      stream.filter(col("event_type") === "click"),
+      stream.filter(col("event_type") === "purchase"),
+      "1 hour", watermark = Some("2 hours"))
+    StreamOps.runToMemory(spark, joined, "ss_attr_t", OutputMode.Append)
+    def triples(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val streamed = triples(spark.table("ss_attr_t")
+      .filter(col("user_id") =!= -1L)
+      .select("user_id", "click_id", "conv_id").collect())
+
+    val bev = spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val batch = triples(StreamOps.attributionJoin(
+      bev.filter(col("event_type") === "click"),
+      bev.filter(col("event_type") === "purchase"), "1 hour")
+      .select("user_id", "click_id", "conv_id").collect())
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("corpus-prep filter runs unchanged on a stream, matching batch") {
     // the fused quality-filter is a pure projection, so the SAME operator
     // must run under Structured Streaming with identical output — this
