@@ -1,0 +1,79 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Unified corpus IO: one schema-explicit entry point per supported format,
+  * so a pipeline's read/write layer is declared once and stays swappable.
+  *
+  * Formats: `parquet` (columnar — column pruning + predicate pushdown reach
+  * the scan), `csv` (header on by default), `jsonl` (JSON Lines), `text`
+  * (one document per line, single `value` column), `orc`.
+  *
+  * Scale notes, encoded as defaults rather than prose:
+  *  - reads NEVER infer schemas on text formats (an inference pass is a full
+  *    extra scan of the corpus at 100 TB) — csv/jsonl require an explicit
+  *    schema;
+  *  - `maxRecordsPerFile` bounds output file sizes independent of partition
+  *    count, the knob that keeps downstream scan parallelism healthy;
+  *  - `partitionBy` writes hive-style directories so downstream reads prune
+  *    partitions from the path, not the footer.
+  */
+object CorpusIO {
+
+  val formats: Set[String] = Set("parquet", "orc", "csv", "jsonl", "text")
+
+  def read(
+      spark: SparkSession,
+      path: String,
+      format: String = "parquet",
+      schema: Option[StructType] = None,
+      options: Map[String, String] = Map.empty
+  ): DataFrame = {
+    require(formats.contains(format), s"unsupported format '$format' (one of $formats)")
+    val needsSchema = format == "csv" || format == "jsonl"
+    require(!needsSchema || schema.isDefined,
+      s"$format requires an explicit schema: inference costs a full extra pass over the corpus")
+    val base = spark.read
+    val withSchema = schema.map(base.schema).getOrElse(base)
+    val reader = format match {
+      case "csv"   => withSchema.options(Map("header" -> "true") ++ options)
+      case "jsonl" => withSchema.options(options)
+      case _       => withSchema.options(options)
+    }
+    format match {
+      case "parquet" => reader.parquet(path)
+      case "orc"     => reader.orc(path)
+      case "csv"     => reader.csv(path)
+      case "jsonl"   => reader.json(path)
+      case "text"    => reader.text(path)
+    }
+  }
+
+  def write(
+      df: DataFrame,
+      path: String,
+      format: String = "parquet",
+      partitionBy: Seq[String] = Nil,
+      maxRecordsPerFile: Long = 0L,
+      mode: SaveMode = SaveMode.Overwrite,
+      options: Map[String, String] = Map.empty
+  ): Unit = {
+    require(formats.contains(format), s"unsupported format '$format' (one of $formats)")
+    var w = df.write.mode(mode)
+    if (maxRecordsPerFile > 0)
+      w = w.option("maxRecordsPerFile", maxRecordsPerFile.toString)
+    if (partitionBy.nonEmpty) w = w.partitionBy(partitionBy: _*)
+    w = format match {
+      case "csv" => w.options(Map("header" -> "true") ++ options)
+      case _     => w.options(options)
+    }
+    format match {
+      case "parquet" => w.parquet(path)
+      case "orc"     => w.orc(path)
+      case "csv"     => w.csv(path)
+      case "jsonl"   => w.json(path)
+      case "text"    => w.text(path)
+    }
+  }
+}
