@@ -30,7 +30,9 @@ object Bench {
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
       var failure: Option[Throwable] = None
-      val times = (1 to reps).map { _ =>
+      // stop after the first failing rep: the query is already marked
+      // errored, re-running it only burns bench wall-time
+      val times = (1 to reps).iterator.takeWhile(_ => failure.isEmpty).map { _ =>
         val t0 = System.nanoTime()
         // Consume the COMPILED plan, not `df.count()`: a count() action lets
         // Catalyst prune deterministic projections, so a map-only query
@@ -40,7 +42,7 @@ object Bench {
         try { fn(spark, sfDir).queryExecution.toRdd.count() }
         catch { case t: Throwable => failure = Some(t) }
         (System.nanoTime() - t0) / 1e9
-      }.sorted
+      }.toIndexedSeq.sorted
       // A failing rep MUST NOT bench as a fast success: report the median as
       // the sentinel -1.0 and carry the name in the top-level "errors" list.
       val median = if (failure.isDefined) -1.0 else times(times.length / 2)

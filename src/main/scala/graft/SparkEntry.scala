@@ -391,8 +391,10 @@ object SparkEntry {
       // extraction+aggregation over it — construction replicated by the
       // oracle, extraction exercised for real (same pattern as the
       // synthesized-payload mm_ queries).
+      // coalesce: Spark's concat null-propagates while DuckDB's skips null
+      // arguments — pin both to empty-string semantics
       val docs = s.read.parquet(s"$dir/documents.parquet")
-        .withColumn("body", concat(col("text"),
+        .withColumn("body", concat(coalesce(col("text"), lit("")),
           lit(" see https://site-"), (col("doc_id") % 37).cast("string"),
           lit(".example.com/p/"), col("doc_id").cast("string"),
           lit(" or http://cdn-"), (col("doc_id") % 11).cast("string"),
@@ -684,7 +686,8 @@ object SparkEntry {
       // LSH-bucketed approximate top-k with IN-QUERY recall probes (the
       // dedup_embedding_lsh pattern): one row per query carrying
       // (a) planted_found — a near-copy of the query vector (cosine ~0.9999,
-      //     id = qid + 100000) planted in the corpus, 1 if the LSH top-k
+      //     id = -(qid+1); NEGATIVE ids can never collide with real vec_ids
+      //     at any corpus size) planted in the corpus, 1 if the LSH top-k
       //     recovered it;
       // (b) n_both/n_exact — overlap of the LSH top-k with the exact brute-
       //     force top-k over the same corpus (per-query recall@k).
@@ -695,7 +698,7 @@ object SparkEntry {
         .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
       val queries = e.filter(col("vec_id") < 20)
         .select(col("vec_id").as("qid"), col("embedding"))
-      val planted = queries.select((col("qid") + lit(100000L)).as("vec_id"),
+      val planted = queries.select((-(col("qid") + lit(1L))).as("vec_id"),
         expr("transform(embedding, (x, i) -> x + 0.02 * cos(CAST(i AS DOUBLE)))")
           .as("embedding"))
       val corpus = e.unionByName(planted)
@@ -711,7 +714,7 @@ object SparkEntry {
         .groupBy("query_id")
         .agg(
           max(when(col("in_lsh").isNotNull &&
-              col("neighbor_id") === col("query_id") + lit(100000L), 1L)
+              col("neighbor_id") === -(col("query_id") + lit(1L)), 1L)
             .otherwise(0L)).as("planted_found"),
           sum(when(col("in_lsh").isNotNull, 1L).otherwise(0L)).as("n_lsh"),
           sum(when(col("in_exact").isNotNull, 1L).otherwise(0L)).as("n_exact"),
@@ -721,19 +724,21 @@ object SparkEntry {
     "dedup_embedding_lsh" -> ((s, dir) => {
       // banded-LSH near-dup — the CORPUS-SCALE headline (bucketed ids-only
       // candidates, never an unblocked n^2). Two in-query quality probes:
-      // (a) 200 planted near-copies (cosine ~0.9999) must be recovered;
+      // (a) 200 planted near-copies (cosine ~0.9999, id = -(orig+1) —
+      //     NEGATIVE ids never collide with real vec_ids at any corpus
+      //     size) must be recovered;
       // (b) recall against the EXACT all-pairs result on the bounded anchor
       // subset (id < 500 + its planted copies — the dedup_embedding set).
       // Hash-dependent => rows-only; DedupSpec asserts recall >= 0.95.
       val e = s.read.parquet(s"$dir/embeddings.parquet")
         .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("vec"))
       val planted = e.filter(col("id") < 200)
-        .select((col("id") + lit(100000L)).as("id"),
+        .select((-(col("id") + lit(1L))).as("id"),
           expr("transform(vec, (x, i) -> x + 0.02 * cos(CAST(i AS DOUBLE)))").as("vec"))
       val corpus = e.unionByName(planted)
       val lsh = Dedup.embeddingNearDups(corpus, "id", "vec", threshold = 0.95)
         .select(col("id_a"), col("id_b"), lit(1L).as("in_lsh"))
-      val sub = corpus.filter(col("id") < 500 || col("id") >= 100000L)
+      val sub = corpus.filter(col("id") < 500)
       val la = sub.select(col("id").as("id_a"), col("vec").as("v_a"))
       val rb = sub.select(col("id").as("id_b"), col("vec").as("v_b"))
       // explicit broadcast: the bounded side has no stats after union+filter,
@@ -748,8 +753,9 @@ object SparkEntry {
       // exactly once (no checkpoint barriers, no re-reads)
       lsh.join(exact, Seq("id_a", "id_b"), "full_outer")
         .agg(
+          // the planted pair orders as (copy, original): -(x+1) < x always
           sum(when(col("in_lsh").isNotNull &&
-              col("id_b") === col("id_a") + lit(100000L), 1L).otherwise(0L))
+              col("id_a") === -(col("id_b") + lit(1L)), 1L).otherwise(0L))
             .as("n_planted_found"),
           sum(when(col("in_lsh").isNotNull, 1L).otherwise(0L)).as("n_pairs_total"),
           sum(when(col("in_exact").isNotNull, 1L).otherwise(0L)).as("n_exact_pairs"),
@@ -1734,7 +1740,7 @@ object SparkEntry {
         """WITH t AS (
              SELECT doc_id,
                     CAST(len(regexp_extract_all(text,
-                      '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+')) AS BIGINT)
+                      '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^ \t\n\f\r\p{L}\p{N}]+')) AS BIGINT)
                       AS n_bpe_tokens,
                     CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
              FROM documents)
@@ -1751,9 +1757,9 @@ object SparkEntry {
                            ' or http://cdn-', CAST(doc_id % 11 AS VARCHAR),
                            '.example.org/a/', CAST(doc_id AS VARCHAR)) AS body
              FROM documents),
-           u AS (SELECT doc_id, unnest(regexp_extract_all(body, 'https?://[^\s]+')) AS url
+           u AS (SELECT doc_id, unnest(regexp_extract_all(body, 'https?://[^ \t\n\f\r]+')) AS url
                  FROM b)
-           SELECT regexp_extract(url, 'https?://([^/\s]+)', 1) AS domain,
+           SELECT regexp_extract(url, 'https?://([^/ \t\n\f\r]+)', 1) AS domain,
                   CAST(count(*) AS BIGINT) AS n_urls,
                   CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
            FROM u GROUP BY 1""",

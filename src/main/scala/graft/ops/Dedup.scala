@@ -433,10 +433,12 @@ object Dedup {
     // hash-partitioned joins when it doesn't (the 100 TB path). Sizing reads
     // the ordered frame, which is localCheckpoint'ed and must materialize
     // before candidates/verify either way — the agg runs over cached blocks,
-    // it does not add a pipeline pass.
+    // it does not add a pipeline pass. The verify stage ships TWO
+    // independent broadcasts (the id_a and id_b sides), so the estimate is
+    // doubled: the threshold bounds TOTAL broadcast bytes per executor.
     val sz = ordered.agg(sum(col("sz")).cast("long"), count(lit(1))).head()
     val gramBytes =
-      (if (sz.isNullAt(0)) 0L else sz.getLong(0)) * 8L + sz.getLong(1) * 48L
+      2L * ((if (sz.isNullAt(0)) 0L else sz.getLong(0)) * 8L + sz.getLong(1) * 48L)
     ngramVerifyStage(ngramCandidatesStage(ordered, threshold), ordered, threshold,
       broadcastGrams = gramBytes <= gramBroadcastMaxBytes)
   }

@@ -54,8 +54,9 @@ final class QuantizedCentroidAggregator(scale: Double)
       var i = 0
       while (i < d) {
         val x = a.v(i)
-        if (x != x) throw new IllegalArgumentException(
-          s"centroid: NaN coordinate at index $i — floor(NaN) would silently quantize to 0")
+        if (!java.lang.Double.isFinite(x)) throw new IllegalArgumentException(
+          s"centroid: non-finite coordinate $x at index $i — floor(NaN) would " +
+            "silently quantize to 0 and Infinity saturates the long sum")
         sums(i) += math.floor(x * scale).toLong
         i += 1
       }

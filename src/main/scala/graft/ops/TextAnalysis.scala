@@ -32,13 +32,14 @@ object TextAnalysis {
 
   /** GPT-2-style pre-tokenizer boundary pattern: apostrophe contractions,
     * optional-space letter runs, optional-space digit runs, optional-space
-    * symbol runs. Deliberately restricted to syntax shared by java.util.regex
-    * (Spark) and RE2 (DuckDB/the oracle) — the upstream pattern's `\s+(?!\S)`
-    * lookahead branch is dropped, which only changes how TRAILING whitespace
-    * tokenizes (whitespace between tokens is consumed by the leading
-    * optional space and never emits a token either way). */
+    * symbol runs. Deliberately restricted to syntax AND semantics shared by
+    * java.util.regex (Spark) and RE2 (DuckDB/the oracle): the upstream
+    * pattern's `\s+(?!\S)` lookahead branch is dropped (only changes how
+    * TRAILING whitespace tokenizes), and whitespace is the EXPLICIT class
+    * `[ \t\n\f\r]` rather than `\s` — Java's `\s` includes vertical tab
+    * (\x0B) while RE2's does not, so `\s` would diverge on it. */
   val bpePattern: String =
-    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+"
+    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^ \\t\\n\\f\\r\\p{L}\\p{N}]+"
 
   /** BPE-ish token count: the number of pre-tokenizer segments, the standard
     * proxy for "how many tokens will the tokenizer emit" when sizing corpora
@@ -58,9 +59,10 @@ object TextAnalysis {
   }
 
   /** URLs in a document: maximal non-whitespace runs after http(s)://.
-    * RE2-compatible (no lookarounds) so oracles replicate it verbatim. */
+    * RE2-compatible (no lookarounds, explicit whitespace class — Java's
+    * `\s` includes \x0B, RE2's does not) so oracles replicate it verbatim. */
   def extractUrls(text: Column): Column =
-    regexp_extract_all(text, lit("https?://[^\\s]+"), lit(0))
+    regexp_extract_all(text, lit("https?://[^ \\t\\n\\f\\r]+"), lit(0))
 
   /** Per-domain URL statistics over a corpus: one row per registrable host
     * with its URL count and distinct-document count — the "which domains
@@ -69,7 +71,8 @@ object TextAnalysis {
     * hash-partitioned groupBy with map-side partial counts. */
   def urlDomainStats(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol).as("__id"), explode(extractUrls(col(textCol))).as("url"))
-      .withColumn("domain", regexp_extract(col("url"), "https?://([^/\\s]+)", 1))
+      .withColumn("domain",
+        regexp_extract(col("url"), "https?://([^/ \\t\\n\\f\\r]+)", 1))
       .groupBy("domain")
       .agg(count(lit(1)).as("n_urls"), countDistinct(col("__id")).as("n_docs"))
 

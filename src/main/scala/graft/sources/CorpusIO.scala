@@ -36,11 +36,9 @@ object CorpusIO {
       s"$format requires an explicit schema: inference costs a full extra pass over the corpus")
     val base = spark.read
     val withSchema = schema.map(base.schema).getOrElse(base)
-    val reader = format match {
-      case "csv"   => withSchema.options(Map("header" -> "true") ++ options)
-      case "jsonl" => withSchema.options(options)
-      case _       => withSchema.options(options)
-    }
+    val reader =
+      if (format == "csv") withSchema.options(Map("header" -> "true") ++ options)
+      else withSchema.options(options)
     format match {
       case "parquet" => reader.parquet(path)
       case "orc"     => reader.orc(path)

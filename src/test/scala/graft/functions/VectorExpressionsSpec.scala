@@ -75,12 +75,7 @@ class VectorExpressionsSpec extends AnyFunSuite with Matchers {
     // parquet-style containsNull=true schema with an actual null element
     val df = Seq((1L, Seq[Option[Double]](Some(1.0), None), Seq[Option[Double]](Some(1.0), Some(2.0))))
       .toDF("id", "a", "b")
-    def chainMsg(t: Throwable): String = {
-      val sb = new StringBuilder
-      var c: Throwable = t
-      while (c != null) { sb.append(Option(c.getMessage).getOrElse("")); c = c.getCause }
-      sb.toString
-    }
+    import graft.spark.SparkTestSession.chainMsg
     // codegen path
     val ex1 = intercept[Exception] {
       df.select(VectorFunctions.cosineSim(col("a"), col("b"))).collect()

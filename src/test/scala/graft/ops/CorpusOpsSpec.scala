@@ -146,12 +146,7 @@ class CorpusOpsSpec extends AnyFunSuite {
   }
 
   test("packSequences rejects null ids and lengths with a clear message") {
-    def chainMsg(t: Throwable): String = {
-      val sb = new StringBuilder
-      var c: Throwable = t
-      while (c != null) { sb.append(Option(c.getMessage).getOrElse("")); c = c.getCause }
-      sb.toString
-    }
+    import graft.spark.SparkTestSession.chainMsg
     val nullId = Seq((Some(0L), Some(3L)), (None, Some(5L)))
       .toDF("doc_id", "n_toks")
     val ex1 = intercept[Exception] {

@@ -386,18 +386,18 @@ class SimilaritySpec extends AnyFunSuite {
     val ex1 = intercept[Exception] {
       Similarity.centroidByKey(ragged, "label", "vec").collect()
     }
-    def chainMsg(t: Throwable): String = {
-      val sb = new StringBuilder
-      var c: Throwable = t
-      while (c != null) { sb.append(Option(c.getMessage).getOrElse("")); c = c.getCause }
-      sb.toString
-    }
+    import graft.spark.SparkTestSession.chainMsg
     assert(chainMsg(ex1).contains("ragged group"), chainMsg(ex1))
     val withNaN = Seq(("a", Array(1.0, Double.NaN))).toDF("label", "vec")
     val ex2 = intercept[Exception] {
       Similarity.centroidByKey(withNaN, "label", "vec").collect()
     }
-    assert(chainMsg(ex2).contains("NaN coordinate"), chainMsg(ex2))
+    assert(chainMsg(ex2).contains("non-finite coordinate"), chainMsg(ex2))
+    val withInf = Seq(("a", Array(1.0, Double.PositiveInfinity))).toDF("label", "vec")
+    val ex3 = intercept[Exception] {
+      Similarity.centroidByKey(withInf, "label", "vec").collect()
+    }
+    assert(chainMsg(ex3).contains("non-finite coordinate"), chainMsg(ex3))
   }
 
   test("brute force top-k ranks by cosine with id tiebreak") {

@@ -13,6 +13,15 @@ object SparkTestSession {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
   spark.sparkContext.setLogLevel("WARN")
+
+  /** Concatenated messages of an exception's cause chain — for asserting on
+    * fail-loud messages that Spark wraps in SparkException layers. */
+  def chainMsg(t: Throwable): String = {
+    val sb = new StringBuilder
+    var c: Throwable = t
+    while (c != null) { sb.append(Option(c.getMessage).getOrElse("")); c = c.getCause }
+    sb.toString
+  }
 }
 
 class DPEngineSpec extends AnyFunSuite {
