@@ -61,9 +61,21 @@ final class DPResult private[spark] (
   */
 final class DPEngine(
     val accountant: BudgetAccountant,
-    val noise: NoiseSource = NoiseSource.Secure
+    val noise: NoiseSource = NoiseSource.Secure,
+    /** Shards per privacy unit for the L0/L1 bounding windows. The default
+      * (1) sorts each pid's full partition fan-out in one window task — fine
+      * until one pid contributes to millions of partitions, the fan-out
+      * hazard the reference documents but does not mitigate on this path
+      * (reference: dp_engine.py:270-271; its salting helper exists only for
+      * semi-joins, pipeline_functions.py:119-156). Setting > 1 switches the
+      * bounding sample to a two-stage window that is distribution-IDENTICAL
+      * (DPEngineSpec proves bit-equality on a fixed rand draw) but never
+      * sorts one pid's rows in a single task, at the price of one extra
+      * exchange. */
+    val l0ShardingFactor: Int = 1
 ) {
   import DPEngine._
+  require(l0ShardingFactor >= 1, "l0ShardingFactor must be >= 1")
 
   /** The main DP groupBy-aggregate (reference: dp_engine.py:71-195). */
   def aggregate(
@@ -112,7 +124,8 @@ final class DPEngine(
         val sel = buildPostAggSelection(selectionHandle.get.spec, thresholdingStrategy,
           selectionSensitivity, params)
         assemble(df, params, columns, publicPartitions, computer, None, noise,
-          plan.buildQuantile(), plan.buildVector(), postAggThresholding = Some(sel))
+          plan.buildQuantile(), plan.buildVector(), postAggThresholding = Some(sel),
+          shards = l0ShardingFactor)
       } else {
         val selector = selectionHandle.map { h =>
           val spec = h.spec
@@ -120,7 +133,7 @@ final class DPEngine(
             spec.delta, params.maxPartitionsContributed, params.preThreshold)
         }
         assemble(df, params, columns, publicPartitions, computer, selector, noise,
-          plan.buildQuantile(), plan.buildVector())
+          plan.buildQuantile(), plan.buildVector(), shards = l0ShardingFactor)
       }
     }, () => {
       // Per-stage accumulated report, mirroring the reference's
@@ -220,7 +233,8 @@ final class DPEngine(
           columns.partitionKeys.map { case (n, c) => c.as(n) }: _*)
       // distinct (pid, pk), bound partitions per pid
       val distinctPairs = projected.distinct()
-      val bounded = sampleRowsPerKey(distinctPairs, Seq(PidCol), params.maxPartitionsContributed)
+      val bounded = sampleRowsPerKey(distinctPairs, Seq(PidCol),
+        params.maxPartitionsContributed, shards = l0ShardingFactor)
       val noiseSrc = noise
       params.strategy match {
         case PartitionSelectionStrategyKind.WeightedGaussianThresholding =>
@@ -275,6 +289,8 @@ object DPEngine {
   private[spark] val NSqCol = "__graft_nsq"
   private[spark] val PidCntCol = "__graft_pidcnt"
   private[spark] val RnCol = "__graft_rn"
+  private[spark] val RndCol = "__graft_rnd"
+  private[spark] val ShardCol = "__graft_shard"
   private[spark] val MetricsCol = "__graft_metrics"
   private[spark] val TreeCol = "__graft_qtree"
   private[spark] val VecCol = "__graft_vec"
@@ -283,10 +299,33 @@ object DPEngine {
     * `row_number() over (partition by keys order by rand())` — the window sort
     * randomizes, the filter bounds. Uniformity holds exactly (a uniform random
     * permutation prefix), unlike the reference's Spark path which documents
-    * non-uniformity (reference: spark_rdd_backend.py:121-124). */
-  private[graft] def sampleRowsPerKey(df: DataFrame, keys: Seq[String], n: Int): DataFrame = {
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(rand())
-    df.withColumn(RnCol, row_number().over(w)).filter(col(RnCol) <= n).drop(RnCol)
+    * non-uniformity (reference: spark_rdd_backend.py:121-124).
+    *
+    * With `shards > 1` the selection runs as TWO windows: rows first rank
+    * within (key, shard) — shard derived from the same rand value, so no
+    * second draw — keeping each shard's n smallest; survivors (<= shards*n
+    * per key) then rank within the key. The n globally-smallest rand values
+    * are always contained in the union of the per-shard n smallest (an
+    * element outside its shard's top n has > n smaller within its shard
+    * alone), so the result SET is identical to the single-window form for
+    * the same rand draw — but no task ever sorts one key's full fan-out
+    * (the reference's documented per-pid hazard, dp_engine.py:270-271). */
+  private[graft] def sampleRowsPerKey(df: DataFrame, keys: Seq[String], n: Int,
+      shards: Int = 1, rnd: Column = rand()): DataFrame = {
+    if (shards <= 1) {
+      val w = Window.partitionBy(keys.map(col): _*).orderBy(rnd)
+      df.withColumn(RnCol, row_number().over(w)).filter(col(RnCol) <= n).drop(RnCol)
+    } else {
+      val keyCols = keys.map(col)
+      val withR = df.withColumn(RndCol, rnd)
+        .withColumn(ShardCol, floor(col(RndCol) * shards).cast("int"))
+      val w1 = Window.partitionBy(keyCols :+ col(ShardCol): _*).orderBy(col(RndCol))
+      val w2 = Window.partitionBy(keyCols: _*).orderBy(col(RndCol))
+      withR
+        .withColumn(RnCol, row_number().over(w1)).filter(col(RnCol) <= n)
+        .withColumn(RnCol, row_number().over(w2)).filter(col(RnCol) <= n)
+        .drop(RnCol, RndCol, ShardCol)
+    }
   }
 
   /** Whether any requested metric needs per-(pid, pk) contribution sampling
@@ -310,7 +349,8 @@ object DPEngine {
       noise: NoiseSource,
       quantile: Option[QuantileComputer] = None,
       vector: Option[VectorOps.VectorNoiser] = None,
-      postAggThresholding: Option[ThresholdingSelection] = None
+      postAggThresholding: Option[ThresholdingSelection] = None,
+      shards: Int = 1
   ): DataFrame = {
     val pkNames = columns.partitionKeys.map(_._1)
     val pkCols = pkNames.map(col)
@@ -333,10 +373,10 @@ object DPEngine {
     if (doSampling && needsLinfSampling(params)) {
       params.maxContributions match {
         case Some(mc) => // L1 bounding: <= mc rows per pid across all partitions
-          cur = sampleRowsPerKey(cur, Seq(PidCol), mc)
+          cur = sampleRowsPerKey(cur, Seq(PidCol), mc, shards)
         case None =>
           params.maxContributionsPerPartition.foreach { c =>
-            cur = sampleRowsPerKey(cur, PidCol +: pkNames, c)
+            cur = sampleRowsPerKey(cur, PidCol +: pkNames, c, shards)
           }
       }
     }
@@ -373,7 +413,7 @@ object DPEngine {
     // stage 5c: L0 bounding — sample <= maxPartitionsContributed partitions per pid
     val crossBounded =
       if (doSampling && params.maxContributions.isEmpty)
-        sampleRowsPerKey(perPidPk, Seq(PidCol), params.maxPartitionsContributed)
+        sampleRowsPerKey(perPidPk, Seq(PidCol), params.maxPartitionsContributed, shards)
       else perPidPk
 
     // stages 6+8: drop pid, merge accumulators per pk (map-side combine free)

@@ -2,6 +2,7 @@ package graft.spark
 
 import graft.core._
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 object SparkTestSession {
@@ -296,6 +297,44 @@ class DPEngineSpec extends AnyFunSuite {
     assert(exchanges <= 3, s"expected <= 3 shuffles, got $exchanges:\n$plan")
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("sharded per-key sampling selects the EXACT same rows as one window") {
+    // the two-stage (key, shard)->key selection must be bit-identical to the
+    // single global window for the same rand draw: the n globally-smallest
+    // rand values are always inside the union of per-shard n-smallest. Pin
+    // the draw by injecting a deterministic pseudo-random column.
+    val rnd = new scala.util.Random(23)
+    val rows = for (k <- 1 to 7; i <- 1 to 50 * k) yield (s"k$k", i.toLong, rnd.nextDouble())
+    val df = rows.toDF("key", "id", "r").repartition(8)
+    def pick(shards: Int) =
+      DPEngine.sampleRowsPerKey(df, Seq("key"), n = 5, shards = shards, rnd = col("r"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val single = pick(1)
+    assert(single.size == 7 * 5)
+    assert(pick(4) == single)
+    assert(pick(32) == single) // more shards than rows-per-(key,shard) bucket
+  }
+
+  test("l0ShardingFactor engine produces the same zero-noise result end-to-end") {
+    // with non-binding bounds nothing is sampled away, so the sharded plan
+    // must produce the identical exact output while exercising the
+    // two-window path through the full aggregate
+    def run(shards: Int) = {
+      val engine = new DPEngine(new NaiveBudgetAccountant(1e5, 0.99),
+        NoiseSource.Zero, l0ShardingFactor = shards)
+      val res = engine.aggregate(fixture,
+        AggregateParams(metrics = Seq(Metric.Count, Metric.Sum),
+          maxPartitionsContributed = 2, maxContributionsPerPartition = Some(10),
+          minValue = Some(0.0), maxValue = Some(10.0)),
+        DPColumns("pid", "pk", "v"))
+      engine.accountant.computeBudgets()
+      res.dataframe.collect()
+        .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSet
+    }
+    val unsharded = run(1)
+    assert(unsharded.nonEmpty)
+    assert(run(8) == unsharded)
   }
 
   test("reading dataframe before computeBudgets throws") {
