@@ -630,6 +630,19 @@ object SparkEntry {
         "doc_id", "text", maxHamming = 3)
         .withColumn("hamming", col("hamming").cast("long"))
     }),
+    "dedup_incremental" -> ((s, dir) => {
+      // ingest-time dedup: a new batch (doc_id % 10 == 0) checked against
+      // the existing corpus (the rest). Candidates pair increment x corpus
+      // buckets only — never corpus x corpus — so a daily batch costs
+      // increment-proportional work at any corpus size. Portable md5
+      // hashing end-to-end => oracle replicates the full pair set and the
+      // best-match argmax.
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      Dedup.incrementalNearDupsPortable(
+        docs.filter(col("doc_id") % 10 === 0),
+        docs.filter(col("doc_id") % 10 =!= 0),
+        "doc_id", "text", threshold = 0.6)
+    }),
     "dedup_ngram_jaccard" -> ((s, dir) => {
       // exact char-3-gram jaccard on the first 100 chars, blocked by lang
       val docs = s.read.parquet(s"$dir/documents.parquet")
@@ -1802,6 +1815,21 @@ object SparkEntry {
       // rows with plain string band buckets, exact-Jaccard verify — the full
       // pipeline recomputed independently.
       "dedup_minhash_md5" -> minhashMd5Sql,
+      // Incremental dedup = the cross-set restriction of the SAME portable
+      // pair set (pairs where exactly one side is an increment doc), best
+      // match per new doc by (jaccard desc, corpus id asc).
+      "dedup_incremental" ->
+        s"""WITH pairs AS ($minhashMd5Sql),
+            cross_pairs AS (
+              SELECT CASE WHEN id_a % 10 = 0 THEN id_a ELSE id_b END AS id,
+                     CASE WHEN id_a % 10 = 0 THEN id_b ELSE id_a END AS match_id,
+                     jaccard
+              FROM pairs
+              WHERE (id_a % 10 = 0) <> (id_b % 10 = 0))
+            SELECT id, match_id, jaccard FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY id ORDER BY jaccard DESC, match_id ASC) AS rn
+              FROM cross_pairs) WHERE rn = 1""",
       // Duplicate clusters from the portable-minhash pair set: connected
       // components as a recursive reachability CTE (component = min
       // reachable id), over the SAME independently-recomputed pipeline.

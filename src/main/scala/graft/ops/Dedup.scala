@@ -203,22 +203,12 @@ object Dedup {
       rowsPerBand: Int = 8,
       threshold: Double = 0.6
   ): DataFrame = {
-    val numHashes = numBands * rowsPerBand
-    require(numHashes <= permA.length, s"at most ${permA.length} portable permutations")
-    val withSig = df.select(col(idCol).as("id"), col(textCol).as("text"))
-      .repartition(col("id"))
-      .withColumn("__toks", TextAnalysis.tokens(col("text")))
-      .filter(size(col("__toks")) > 0)
-      .withColumn("shingles", wordShinglesUdf(shingleSize)(col("__toks")))
-      .withColumn("sig", minHashSigFromShinglesUdf(numHashes)(col("shingles")))
-      .drop("text", "__toks")
-      .localCheckpoint(false)
-    // portable band key: the band's slice of the signature as a string
-    val bandSigs = (0 until numBands).map { b =>
-      concat_ws("_", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))
-    }
+    val withSig = minHashWithSigPortable(df, idCol, textCol, shingleSize,
+      numBands * rowsPerBand)
     val banded = withSig
-      .select(col("id"), posexplode(array(bandSigs: _*)).as(Seq("band", "bucket")))
+      .select(col("id"),
+        posexplode(array(portableBandKeys(numBands, rowsPerBand): _*))
+          .as(Seq("band", "bucket")))
     val left = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
     val right = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
     val candidates = left.hint("shuffle_hash").join(right, Seq("band", "bucket"))
@@ -230,6 +220,71 @@ object Dedup {
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Stage 1 of the PORTABLE pipeline: (id, shingles, sig), checkpointed —
+    * md5-derived shingle hashes so an independent SQL engine reproduces the
+    * signatures bit-for-bit. Token-less documents are excluded. */
+  private[graft] def minHashWithSigPortable(df: DataFrame, idCol: String,
+      textCol: String, shingleSize: Int, numHashes: Int): DataFrame = {
+    require(numHashes <= permA.length, s"at most ${permA.length} portable permutations")
+    df.select(col(idCol).as("id"), col(textCol).as("text"))
+      .repartition(col("id"))
+      .withColumn("__toks", TextAnalysis.tokens(col("text")))
+      .filter(size(col("__toks")) > 0)
+      .withColumn("shingles", wordShinglesUdf(shingleSize)(col("__toks")))
+      .withColumn("sig", minHashSigFromShinglesUdf(numHashes)(col("shingles")))
+      .drop("text", "__toks")
+      .localCheckpoint(false)
+  }
+
+  /** Portable band keys: each band's slice of the signature as a string. */
+  private def portableBandKeys(numBands: Int, rowsPerBand: Int): Seq[Column] =
+    (0 until numBands).map { b =>
+      concat_ws("_", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))
+    }
+
+  /** Incremental (ingest-time) near-dup: flags each NEW document whose best
+    * match in the EXISTING corpus clears `threshold`, via banded-minhash
+    * candidates verified with exact Jaccard. Candidates pair new docs
+    * against corpus buckets ONLY — corpus x corpus pairs are never
+    * generated, so a daily increment costs work proportional to the
+    * increment (plus one corpus signature pass that a production pipeline
+    * persists once and reuses per batch). Returns (id, match_id, jaccard):
+    * one row per flagged new doc with its best match (max jaccard,
+    * tie -> min corpus id). Portable md5 hashing end-to-end, so the whole
+    * pipeline is oracle-reproducible (same machinery as
+    * [[minHashLSHPortable]]). */
+  def incrementalNearDupsPortable(
+      newDocs: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      numBands: Int = 16,
+      rowsPerBand: Int = 8,
+      threshold: Double = 0.6
+  ): DataFrame = {
+    val numHashes = numBands * rowsPerBand
+    val sigNew = minHashWithSigPortable(newDocs, idCol, textCol, shingleSize, numHashes)
+    val sigOld = minHashWithSigPortable(corpus, idCol, textCol, shingleSize, numHashes)
+    def banded(s: DataFrame, as: String) = s.select(col("id").as(as),
+      posexplode(array(portableBandKeys(numBands, rowsPerBand): _*))
+        .as(Seq("band", "bucket")))
+    // ids-only candidates, increment side builds the (smaller) hash table
+    val candidates = banded(sigOld, "match_id")
+      .join(banded(sigNew, "id").hint("shuffle_hash"), Seq("band", "bucket"))
+      .select("id", "match_id").distinct()
+    val shNew = sigNew.select(col("id"), col("shingles").as("sh_n"))
+    val shOld = sigOld.select(col("id").as("match_id"), col("shingles").as("sh_o"))
+    candidates.join(shNew, "id").join(shOld, "match_id")
+      .withColumn("jaccard", jaccard(col("sh_n"), col("sh_o")))
+      .filter(col("jaccard") >= threshold)
+      // best match per new doc: max jaccard, tie -> smallest corpus id
+      // (struct max orders lexicographically; -match_id inverts the tie)
+      .groupBy("id")
+      .agg(max(struct(col("jaccard"), (-col("match_id")).as("nid"))).as("m"))
+      .select(col("id"), (-col("m.nid")).as("match_id"), col("m.jaccard").as("jaccard"))
   }
 
   /** Estimated Jaccard from two MinHash signatures. */

@@ -228,6 +228,30 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._2 == 4L))
   }
 
+  test("incremental near-dup flags only new-vs-corpus matches, best match wins") {
+    val body = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val corpus = Seq(
+      (1L, body),                      // near-match target
+      (2L, body + " lambda"),          // second, worse-or-equal match
+      (3L, body),                      // corpus-internal dup of 1 — must NOT appear
+      (4L, "completely different words about other topics entirely now")
+    ).toDF("doc_id", "text")
+    val increment = Seq(
+      (10L, body + " mu"),             // near-dup of 1/2/3
+      (11L, "unique new document with fresh content nobody has seen")
+    ).toDF("doc_id", "text")
+    val out = Dedup.incrementalNearDupsPortable(increment, corpus, "doc_id", "text",
+      threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // only the near-dup increment doc is flagged; corpus-internal dups and
+    // unique new docs never appear
+    assert(out.keySet == Set(10L), s"got $out")
+    // best match: docs 1 and 3 are identical texts (equal jaccard) => tie
+    // breaks to the smaller corpus id
+    assert(out(10L)._1 == 1L, s"got ${out(10L)}")
+    assert(out(10L)._2 >= 0.5)
+  }
+
   test("ngram jaccard pairs within blocks") {
     val df = Seq(
       (1L, "en", "the quick brown fox jumps over the lazy dog"),
