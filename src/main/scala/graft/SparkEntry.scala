@@ -777,6 +777,22 @@ object SparkEntry {
         .select(lit(200L).as("n_planted"), col("n_planted_found"),
           col("n_pairs_total"), col("n_exact_pairs"), col("n_exact_found"))
     }),
+    "emb_quantize" -> ((s, dir) => {
+      // symmetric int8 quantization per embedding (4x storage cut for ANN),
+      // verified via per-vector roundtrip stats: the quantized L1 mass and
+      // the max dequantization error (bounded by scale/2 by construction).
+      // All-native deterministic arithmetic => oracle-exact.
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+        .withColumn("v", col("embedding").cast("array<double>"))
+        .withColumn("qz", Similarity.quantizeInt8(col("v")))
+      e.select(col("vec_id"),
+        col("qz.scale").as("scale"),
+        aggregate(transform(col("qz.q"), q => abs(q.cast("long"))),
+          lit(0L), (a, x) => a + x).as("q_l1"),
+        aggregate(zip_with(col("v"), col("qz.q"),
+            (x, q) => abs(x - q.cast("double") * col("qz.scale"))),
+          lit(0.0), (a, x) => greatest(a, x)).as("max_abs_err"))
+    }),
     "sim_ivf_exact" -> ((s, dir) => {
       // IVF with nprobe == nlist probes EVERY cell, so candidates = the full
       // corpus per query and the result is provably identical to brute
@@ -2094,6 +2110,27 @@ object SparkEntry {
                        ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey) AS BIGINT) AS rk
            FROM orders
            QUALIFY rk <= 40""",
+      "emb_quantize" ->
+        """WITH q AS (
+             SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             FROM embeddings),
+           s AS (
+             SELECT vec_id, v,
+                    CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0
+                         THEN 1.0
+                         ELSE list_max(list_transform(v, x -> abs(x))) / 127.0
+                    END AS scale
+             FROM q),
+           z AS (
+             SELECT vec_id, scale, v,
+                    list_transform(v, x ->
+                      least(greatest(round(x / scale), -127.0), 127.0)) AS qd
+             FROM s)
+           SELECT vec_id, scale,
+                  CAST(list_sum(list_transform(qd, t -> abs(CAST(t AS BIGINT)))) AS BIGINT) AS q_l1,
+                  list_max(list_transform(range(1, len(v) + 1),
+                    i -> abs(v[i] - qd[i] * scale))) AS max_abs_err
+           FROM z""",
       "mm_decode_resize" ->
         """WITH d AS (
              SELECT doc_id,

@@ -231,6 +231,22 @@ object Similarity {
       .drop("__cent_key", "__cent_vec")
   }
 
+  /** Symmetric per-vector int8 quantization for embedding storage and ANN
+    * memory (4x smaller than float32, 8x than float64): scale = max|x|/127,
+    * q_i = clamp(round(x_i/scale), -127, 127), so dequantization error is
+    * bounded by scale/2 per coordinate. All-native expressions (codegen;
+    * arithmetic order is deterministic, so an independent engine reproduces
+    * the bytes exactly). Returns struct(q: array<tinyint>, scale). */
+  def quantizeInt8(vec: Column): Column = {
+    val v = vec.cast("array<double>")
+    val mx = array_max(transform(v, x => abs(x)))
+    val scale = when(mx === 0.0, lit(1.0)).otherwise(mx / 127.0)
+    struct(
+      transform(v, x =>
+        least(greatest(round(x / scale), lit(-127.0)), lit(127.0)).cast("tinyint")).as("q"),
+      scale.as("scale"))
+  }
+
   def bruteForceTopK(
       corpus: DataFrame, corpusId: String, corpusVec: String,
       queries: DataFrame, queryId: String, queryVec: String,

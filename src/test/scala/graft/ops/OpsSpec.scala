@@ -404,6 +404,29 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out("b") == ((List(-1.5, 0.5), 1L)))
   }
 
+  test("int8 quantization: error <= scale/2, clamps at 127, zero-vector safe") {
+    val rnd = new scala.util.Random(5)
+    val rows = (1L to 50L).map(i => (i, Array.fill(16)(rnd.nextDouble() * 20 - 10))) :+
+      (51L, Array.fill(16)(0.0))
+    val df = rows.toDF("id", "v")
+    val out = df.select(col("id"), col("v"), Similarity.quantizeInt8(col("v")).as("qz"))
+      .collect()
+    out.foreach { r =>
+      val v = r.getSeq[Double](1)
+      val q = r.getStruct(2).getSeq[Byte](0)
+      val scale = r.getStruct(2).getDouble(1)
+      assert(q.forall(b => b >= -127 && b <= 127))
+      v.zip(q).foreach { case (x, b) =>
+        assert(math.abs(x - b * scale) <= scale / 2 + 1e-12,
+          s"id=${r.getLong(0)} x=$x q=$b scale=$scale")
+      }
+    }
+    // the zero vector quantizes to zeros with the sentinel scale
+    val zero = out.find(_.getLong(0) == 51L).get
+    assert(zero.getStruct(2).getSeq[Byte](0).forall(_ == 0))
+    assert(zero.getStruct(2).getDouble(1) == 1.0)
+  }
+
   test("centroidByKey fails loudly on ragged groups and NaN coordinates") {
     val ragged = Seq(("a", Array(1.0, 2.0)), ("a", Array(1.0)))
       .toDF("label", "vec")
