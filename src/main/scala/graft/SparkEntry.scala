@@ -695,6 +695,20 @@ object SparkEntry {
       Similarity.bruteForceTopK(e, "vec_id", "emb", queries, "qid", "emb", k = 5)
         .withColumn("rank", col("rank").cast("long"))
     }),
+    "sim_topk_int8" -> ((s, dir) => {
+      // brute-force top-5 over the int8-QUANTIZED corpus: the 4x-smaller
+      // representation is what a corpus-scale ANN keeps resident; scoring
+      // dequantizes on the fly. Quantize + score are deterministic
+      // arithmetic end-to-end => oracle-exact, same ranking tiebreak as
+      // sim_topk (which doubles as its float-exact anchor).
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+        .withColumn("emb", expr("transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1024) / 1024)"))
+        .withColumn("qz", Similarity.quantizeInt8(col("emb")))
+        .withColumn("dq", expr("transform(qz.q, q -> CAST(q AS DOUBLE) * qz.scale)"))
+      val queries = e.filter(col("vec_id") < 20).select(col("vec_id").as("qid"), col("dq"))
+      Similarity.bruteForceTopK(e, "vec_id", "dq", queries, "qid", "dq", k = 5)
+        .withColumn("rank", col("rank").cast("long"))
+    }),
     "sim_lsh_topk" -> ((s, dir) => {
       // LSH-bucketed approximate top-k with IN-QUERY recall probes (the
       // dedup_embedding_lsh pattern): one row per query carrying
@@ -1921,6 +1935,38 @@ object SparkEntry {
            SELECT id_a, id_b, dot / (na * nb) AS cosine
            FROM p WHERE na <> 0 AND nb <> 0 AND dot / (na * nb) >= 0.3""",
       "sim_topk" -> bruteTopKSql,
+      // the same brute-force ranking over the int8-quantized-then-
+      // dequantized corpus (quantization replicated from emb_quantize)
+      "sim_topk_int8" ->
+        """WITH e0 AS (
+             SELECT vec_id,
+                    list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1024) / 1024) AS emb
+             FROM embeddings),
+           s AS (
+             SELECT vec_id, emb,
+                    CASE WHEN list_max(list_transform(emb, x -> abs(x))) = 0 THEN 1.0
+                         ELSE list_max(list_transform(emb, x -> abs(x))) / 127.0
+                    END AS scale
+             FROM e0),
+           e AS (
+             SELECT vec_id,
+                    list_transform(emb, x ->
+                      least(greatest(round(x / scale), -127.0), 127.0) * scale) AS emb
+             FROM s),
+           scored AS (
+             SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                    CASE WHEN sqrt(list_sum(list_transform(q.emb, x -> x * x))) = 0
+                           OR sqrt(list_sum(list_transform(c.emb, x -> x * x))) = 0 THEN 0.0
+                         ELSE list_sum(list_transform(range(1, 65), i -> q.emb[i] * c.emb[i]))
+                              / (sqrt(list_sum(list_transform(q.emb, x -> x * x)))
+                                 * sqrt(list_sum(list_transform(c.emb, x -> x * x))))
+                    END AS cosine
+             FROM e q CROSS JOIN e c WHERE q.vec_id < 20)
+           SELECT query_id, neighbor_id, cosine,
+                  CAST(row_number() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+           FROM scored
+           QUALIFY rank <= 5""",
       // exact centroid: the same floor(x*1000) integer quantization summed
       // per (label, dimension), one double division at the end
       // cosine to centroid: dot and norms accumulate index-ascending from

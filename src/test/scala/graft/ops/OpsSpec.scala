@@ -427,6 +427,23 @@ class SimilaritySpec extends AnyFunSuite {
     assert(zero.getStruct(2).getDouble(1) == 1.0)
   }
 
+  test("int8-quantized top-k agrees closely with float-exact top-k") {
+    val rnd = new scala.util.Random(9)
+    val corpus = (1L to 300L).map(i => (i, Array.fill(32)(rnd.nextDouble() * 2 - 1)))
+      .toDF("id", "vec")
+      .withColumn("qz", Similarity.quantizeInt8(col("vec")))
+      .withColumn("dq", expr("transform(qz.q, q -> CAST(q AS DOUBLE) * qz.scale)"))
+    val queries = corpus.filter(col("id") <= 10)
+    def topk(vecCol: String) =
+      Similarity.bruteForceTopK(corpus, "id", vecCol, queries.select(col("id").as("qid"), col(vecCol)), "qid", vecCol, 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = topk("vec")
+    val quant = topk("dq")
+    // per-coordinate error <= scale/2 (~0.4% of range): overlap@10 stays high
+    val overlap = (exact intersect quant).size.toDouble / exact.size
+    assert(overlap >= 0.9, s"overlap $overlap")
+  }
+
   test("centroidByKey fails loudly on ragged groups and NaN coordinates") {
     val ragged = Seq(("a", Array(1.0, 2.0)), ("a", Array(1.0)))
       .toDF("label", "vec")
