@@ -236,15 +236,24 @@ object Similarity {
     * q_i = clamp(round(x_i/scale), -127, 127), so dequantization error is
     * bounded by scale/2 per coordinate. All-native expressions (codegen;
     * arithmetic order is deterministic, so an independent engine reproduces
-    * the bytes exactly). Returns struct(q: array<tinyint>, scale). */
+    * the bytes exactly). Returns struct(q: array<tinyint>, scale).
+    *
+    * Non-finite coordinates fail the job loudly (same convention as the
+    * centroid aggregator): a NaN would otherwise make scale = NaN and —
+    * since greatest/least treat NaN as largest — quantize EVERY coordinate
+    * to 127; an Infinity would zero out all the others. */
   def quantizeInt8(vec: Column): Column = {
     val v = vec.cast("array<double>")
+    val bad = exists(v, x => x.isNaN || abs(x) === Double.PositiveInfinity)
     val mx = array_max(transform(v, x => abs(x)))
     val scale = when(mx === 0.0, lit(1.0)).otherwise(mx / 127.0)
-    struct(
-      transform(v, x =>
-        least(greatest(round(x / scale), lit(-127.0)), lit(127.0)).cast("tinyint")).as("q"),
-      scale.as("scale"))
+    when(bad, raise_error(lit(
+        "quantizeInt8: non-finite coordinate — NaN/Infinity would silently " +
+          "saturate the whole vector; filter or impute upstream")))
+      .otherwise(struct(
+        transform(v, x =>
+          least(greatest(round(x / scale), lit(-127.0)), lit(127.0)).cast("tinyint")).as("q"),
+        scale.as("scale")))
   }
 
   def bruteForceTopK(

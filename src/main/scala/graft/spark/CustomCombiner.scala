@@ -105,14 +105,15 @@ object CustomAggregation {
           columns.value.getOrElse(lit(1.0)).cast("double").as(ValCol): _*)
       publicPartitions.foreach { pub => cur = cur.join(pub, pkNames, "left_semi") }
       params.maxContributionsPerPartition.foreach { c =>
-        cur = sampleRowsPerKey(cur, PidCol +: pkNames, c)
+        cur = sampleRowsPerKey(cur, PidCol +: pkNames, c, engine.l0ShardingFactor)
       }
       val accs = combiner.createAccumulators(col(ValCol))
       val accNames = accs.indices.map(i => s"__cc_$i")
       val perPidPk = cur.groupBy((col(PidCol) +: pkCols): _*)
         .agg(accs.head.as(accNames.head),
           accs.tail.zip(accNames.tail).map { case (a, n) => a.as(n) }: _*)
-      val bounded = sampleRowsPerKey(perPidPk, Seq(PidCol), params.maxPartitionsContributed)
+      val bounded = sampleRowsPerKey(perPidPk, Seq(PidCol),
+        params.maxPartitionsContributed, engine.l0ShardingFactor)
       val merged = combiner.mergeAccumulators(accNames.map(col))
       var agg = bounded.groupBy(pkCols: _*)
         .agg(count(lit(1)).as(PidCntCol),

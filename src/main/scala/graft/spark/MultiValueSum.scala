@@ -106,7 +106,8 @@ object MultiValueSum {
           }: _*)
 
       // L0 bounding: keep <= maxPartitionsContributed partitions per unit
-      val bounded = sampleRowsPerKey(perPidPk, Seq(PidCol), params.maxPartitionsContributed)
+      val bounded = sampleRowsPerKey(perPidPk, Seq(PidCol),
+        params.maxPartitionsContributed, engine.l0ShardingFactor)
 
       var agg = bounded
         .groupBy(pkCols: _*)
@@ -226,7 +227,8 @@ object MultiValueAgg {
       publicPartitions.foreach { pub => cur = cur.join(pub, pkNames, "left_semi") }
 
       // Linf bounding: one shared sample (each kept row feeds every column)
-      cur = sampleRowsPerKey(cur, PidCol +: pkNames, params.maxContributionsPerPartition)
+      cur = sampleRowsPerKey(cur, PidCol +: pkNames,
+        params.maxContributionsPerPartition, engine.l0ShardingFactor)
 
       // per-(pid, pk): shared count + per-column (sum, nsum, nsq) accumulators
       val accs = params.columns.zip(perColParams).flatMap { case (c, p) =>
@@ -242,7 +244,8 @@ object MultiValueAgg {
         .agg(count(lit(1)).as(CntCol), accs: _*)
 
       // L0 bounding, then merge per pk (map-side combine free)
-      val bounded = sampleRowsPerKey(perPidPk, Seq(PidCol), params.maxPartitionsContributed)
+      val bounded = sampleRowsPerKey(perPidPk, Seq(PidCol),
+        params.maxPartitionsContributed, engine.l0ShardingFactor)
       var agg = bounded
         .groupBy(pkCols: _*)
         .agg(sum(col(CntCol)).as(CntCol),

@@ -95,13 +95,13 @@ object Profile {
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
       .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("vec"))
     val planted = e.filter(col("id") < 200)
-      .select((col("id") + lit(100000L)).as("id"),
+      .select((-(col("id") + lit(1L))).as("id"),
         expr("transform(vec, (x, i) -> x + 0.02 * cos(CAST(i AS DOUBLE)))").as("vec"))
     val corpus = e.unionByName(planted)
     time("emb: LSH pairs only") {
       Dedup.embeddingNearDups(corpus, "id", "vec", threshold = 0.95).count()
     }
-    val sub = corpus.filter(col("id") < 500 || col("id") >= 100000L)
+    val sub = corpus.filter(col("id") < 500)
       .localCheckpoint(false)
     val la = sub.select(col("id").as("id_a"), col("vec").as("v_a"))
     val rb = sub.select(col("id").as("id_b"), col("vec").as("v_b"))

@@ -28,7 +28,7 @@ object ProfileEmb {
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
       .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("vec"))
     val planted = e.filter(col("id") < 200)
-      .select((col("id") + lit(100000L)).as("id"),
+      .select((-(col("id") + lit(1L))).as("id"),
         expr("transform(vec, (x, i) -> x + 0.02 * cos(CAST(i AS DOUBLE)))").as("vec"))
     val corpus = e.unionByName(planted)
     println(s"[profile] corpus rows = ${corpus.count()}")
@@ -65,7 +65,7 @@ object ProfileEmb {
     }
     val lsh = Dedup.embeddingNearDups(corpus, "id", "vec", threshold = 0.95)
       .select("id_a", "id_b").localCheckpoint()
-    val sub = corpus.filter(col("id") < 500 || col("id") >= 100000L)
+    val sub = corpus.filter(col("id") < 500)
     val la = sub.select(col("id").as("id_a"), col("vec").as("v_a"))
     val rb = sub.select(col("id").as("id_b"), col("vec").as("v_b"))
     time("emb: exact anchor + localCheckpoint") {
@@ -101,7 +101,7 @@ object ProfileEmb {
       lshQ.join(exQ, Seq("id_a", "id_b"), "full_outer")
         .agg(
           sum(when(col("in_lsh").isNotNull &&
-            col("id_b") === col("id_a") + lit(100000L), 1L).otherwise(0L)).as("n_planted_found"),
+            col("id_a") === -(col("id_b") + lit(1L)), 1L).otherwise(0L)).as("n_planted_found"),
           sum(when(col("in_lsh").isNotNull, 1L).otherwise(0L)).as("n_pairs_total"),
           sum(when(col("in_exact").isNotNull, 1L).otherwise(0L)).as("n_exact_pairs"),
           sum(when(col("in_exact").isNotNull && col("in_lsh").isNotNull, 1L).otherwise(0L))
@@ -124,7 +124,7 @@ object ProfileEmb {
     }
     time("emb: probe aggregates") {
       val probe = lsh.agg(
-        sum(when(col("id_b") === col("id_a") + lit(100000L), 1L).otherwise(0L))
+        sum(when(col("id_a") === -(col("id_b") + lit(1L)), 1L).otherwise(0L))
           .as("n_planted_found"),
         count(lit(1)).as("n_pairs_total"))
       val recall = exact.join(lsh, Seq("id_a", "id_b"), "left_semi")

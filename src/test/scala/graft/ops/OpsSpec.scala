@@ -425,6 +425,15 @@ class SimilaritySpec extends AnyFunSuite {
     val zero = out.find(_.getLong(0) == 51L).get
     assert(zero.getStruct(2).getSeq[Byte](0).forall(_ == 0))
     assert(zero.getStruct(2).getDouble(1) == 1.0)
+    // non-finite coordinates fail loudly instead of saturating the vector
+    import graft.spark.SparkTestSession.chainMsg
+    for (v <- Seq(Array(1.0, Double.NaN), Array(Double.PositiveInfinity, 1.0))) {
+      val ex = intercept[Exception] {
+        Seq((1L, v)).toDF("id", "v")
+          .select(Similarity.quantizeInt8(col("v"))).collect()
+      }
+      assert(chainMsg(ex).contains("non-finite coordinate"), chainMsg(ex))
+    }
   }
 
   test("int8-quantized top-k agrees closely with float-exact top-k") {
