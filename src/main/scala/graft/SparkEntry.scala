@@ -791,6 +791,53 @@ object SparkEntry {
         .select(lit(200L).as("n_planted"), col("n_planted_found"),
           col("n_pairs_total"), col("n_exact_pairs"), col("n_exact_found"))
     }),
+    "dedup_semantic_exact" -> ((s, dir) => {
+      // SemDeDup with nlist=1 — exact all-pairs over a BOUNDED subset, the
+      // oracle anchor driving the full machinery (pairwise cosine ->
+      // threshold -> connected components -> min-id representative) with
+      // clustering disabled. Duplicate structure is planted: 100 copies
+      // (id = -(orig+1)) perturbed by the DYADIC (i%3 - 1)/256 per
+      // coordinate — exactly representable in doubles, so both engines
+      // compute identical vectors (a cos(i)-style perturbation would risk
+      // 1-ulp libm-vs-Java drift); planted cosine ~0.9998, max natural
+      // pairwise cosine in the subset is 0.513 -> clean separation at 0.98.
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+        .filter(col("vec_id") < 400)
+        .withColumn("emb", expr("transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1024) / 1024)"))
+        .select("vec_id", "emb")
+      val planted = e.filter(col("vec_id") < 100)
+        .select((-(col("vec_id") + lit(1L))).as("vec_id"),
+          expr("transform(emb, (x, i) -> x + (CAST(i % 3 AS DOUBLE) - 1.0D) / 256.0D)").as("emb"))
+      Dedup.semanticDedup(e.unionByName(planted), "vec_id", "emb",
+        threshold = 0.98, nlist = 1)
+    }),
+    "dedup_semantic" -> ((s, dir) => {
+      // SemDeDup headline: k-means cells (auto-sized), exact pairwise
+      // within cells only. Clustering-dependent => rows-only, with the
+      // in-query probe pattern: 200 planted near-copies (dyadic
+      // perturbation, negative ids) are caught iff copy and original land
+      // in the same cell AND connect — the one-row output counts them, so
+      // silent recall collapse (e.g. a quantizer regression splitting
+      // near-identical vectors across cells) is visible to the row check;
+      // DedupSpec pins the bound.
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("vec"))
+      val planted = e.filter(col("id") < 200)
+        .select((-(col("id") + lit(1L))).as("id"),
+          expr("transform(vec, (x, i) -> x + (CAST(i % 3 AS DOUBLE) - 1.0D) / 256.0D)").as("vec"))
+      val out = Dedup.semanticDedup(e.unionByName(planted), "id", "vec",
+        threshold = 0.98).localCheckpoint(false) // two consumers below
+      val stats = out.agg(count(lit(1)).as("n_rows"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+      val caught = out.filter(col("id") >= 0 && col("id") < 200)
+        .select(col("id"), col("component").as("comp_o"))
+        .join(out.filter(col("id") < 0)
+          .select((-col("id") - lit(1L)).as("id"), col("component").as("comp_c")), "id")
+        .agg(count(lit(1)).as("n_planted"),
+          sum(when(col("comp_o") === col("comp_c"), 1L).otherwise(0L))
+            .as("n_planted_caught"))
+      stats.crossJoin(caught)
+    }),
     "emb_quantize" -> ((s, dir) => {
       // symmetric int8 quantization per embedding (4x storage cut for ANN),
       // verified via per-vector roundtrip stats: the quantized L1 mass and
@@ -1934,6 +1981,40 @@ object SparkEntry {
              FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
            SELECT id_a, id_b, dot / (na * nb) AS cosine
            FROM p WHERE na <> 0 AND nb <> 0 AND dot / (na * nb) >= 0.3""",
+      // SemDeDup anchor: planted dyadic-perturbation copies, all-pairs
+      // cosine at 0.98, recursive-CTE components, min-id representative
+      "dedup_semantic_exact" ->
+        """WITH RECURSIVE base AS (
+             SELECT vec_id,
+                    list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1024) / 1024) AS emb
+             FROM embeddings WHERE vec_id < 400),
+           corpus AS (
+             SELECT vec_id, emb FROM base
+             UNION ALL
+             SELECT -(vec_id + 1) AS vec_id,
+                    list_transform(range(0, 64),
+                      i -> emb[i + 1] + (CAST(i % 3 AS DOUBLE) - 1.0) / 256.0) AS emb
+             FROM base WHERE vec_id < 100),
+           sc AS (
+             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                    list_sum(list_transform(range(1, 65), i -> a.emb[i] * b.emb[i])) AS dot,
+                    sqrt(list_sum(list_transform(a.emb, x -> x * x))) AS na,
+                    sqrt(list_sum(list_transform(b.emb, x -> x * x))) AS nb
+             FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id),
+           p AS (
+             SELECT id_a, id_b FROM sc
+             WHERE na <> 0 AND nb <> 0 AND dot / (na * nb) >= 0.98),
+           e AS (SELECT id_a AS src, id_b AS dst FROM p
+                 UNION ALL SELECT id_b, id_a FROM p),
+           n AS (SELECT DISTINCT src AS id FROM e),
+           r AS (
+             SELECT id, id AS reach FROM n
+             UNION
+             SELECT r.id, e.dst AS reach FROM r JOIN e ON e.src = r.reach),
+           comp AS (SELECT id, min(reach) AS component FROM r GROUP BY id)
+           SELECT c.vec_id AS id, coalesce(m.component, c.vec_id) AS component,
+                  (coalesce(m.component, c.vec_id) = c.vec_id) AS keep
+           FROM corpus c LEFT JOIN comp m ON m.id = c.vec_id""",
       "sim_topk" -> bruteTopKSql,
       // the same brute-force ranking over the int8-quantized-then-
       // dequantized corpus (quantization replicated from emb_quantize)

@@ -720,6 +720,62 @@ object Dedup {
       .select("id_a", "id_b", "cosine")
   }
 
+  // ---------------- semantic (cluster-scoped) dedup ----------------
+
+  /** SemDeDup-style semantic deduplication (Abbas et al., "SemDeDup: Data-
+    * efficient learning at web-scale through semantic deduplication",
+    * arXiv:2303.09540): a k-means coarse quantizer partitions the corpus
+    * into `nlist` cells, exact pairwise cosine runs WITHIN each cell only,
+    * pairs at/above `threshold` connect into duplicate clusters (pointer-
+    * jumping [[connectedComponents]]), and each cluster keeps its min-id
+    * representative. Returns one row per input id:
+    * (id, component, keep) — `component` = min id of the duplicate cluster
+    * (own id if unclustered), `keep` = (component == id).
+    *
+    * Versus [[embeddingNearDups]] (banded LSH): LSH finds high-cosine pairs
+    * corpus-wide with tunable recall; SemDeDup trades cross-cell pairs away
+    * (a dup pair split across cells is missed — the published method accepts
+    * this) for EXACT within-cell discovery at any threshold, including ones
+    * far below the LSH sweet spot where banding recall collapses.
+    *
+    * Scale layout: quantizer training is the same sample-capped pass as
+    * [[Similarity.ivfTopK]] (bounded driver work regardless of corpus
+    * size); cell assignment is map-only; the pairwise stage is a self-join
+    * keyed by cell — vectors ride it by necessity (every member meets every
+    * other), so per-cell cost is quadratic in cell size. Size
+    * `nlist ~ corpus / targetCellSize` (SemDeDup uses ~1e5 clusters at
+    * billions of docs); the auto default only serves sub-1e6 corpora.
+    * `nlist = 1` disables clustering — exact all-pairs over the whole
+    * input, the bounded oracle anchor (constant work only if the caller
+    * bounds the input). */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nlist: Int = -1,
+      trainRowsTarget: Long = 100000, seed: Long = 42): DataFrame = {
+    val s = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("vec"))
+    val assigned =
+      if (nlist == 1) s.withColumn("cell", lit(0))
+      else {
+        val (train, total) = Similarity.sampleVectors(s, "vec", trainRowsTarget, seed)
+        val nl = Similarity.autoNlist(nlist, total)
+        val centers = Similarity.lloyd(train, nl, seed)
+        s.withColumn("cell",
+          Similarity.nearestCellsUdf(centers, 1)(col("vec")).getItem(0))
+      }
+    val a = assigned.select(col("cell"), col("id").as("id_a"), col("vec").as("v_a"))
+    val b = assigned.select(col("cell"), col("id").as("id_b"), col("vec").as("v_b"))
+    // shuffle-hash both sides: cell-keyed co-location, no sort of the
+    // vector payload, no broadcast of a corpus-sized side
+    val pairs = a.hint("shuffle_hash").join(b.hint("shuffle_hash"), Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", Similarity.cosine(col("v_a"), col("v_b")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b")
+    val comps = connectedComponents(pairs)
+    s.select("id").join(comps, Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("component"))
+      .withColumn("keep", col("component") === col("id"))
+  }
+
   // ---------------- duplicated-span statistics ----------------
 
   /** 60-bit portable hash of each word n-gram of `toks` (leading 15 hex

@@ -381,21 +381,16 @@ object Similarity {
     * At 100 TB: the training sample stays ~trainRowsTarget regardless of
     * corpus size; keep nlist ~ sqrt(corpus/cell-size-target).
     */
-  def ivfTopK(
-      corpus: DataFrame, corpusId: String, corpusVec: String,
-      queries: DataFrame, queryId: String, queryVec: String,
-      k: Int, nlist: Int = -1, nprobe: Int = -1,
-      trainRowsTarget: Long = 100000, seed: Long = 42
-  ): DataFrame = {
-    val arrs = corpus.select(col(corpusVec).cast("array<double>").as("__arr"))
-    val total = arrs.count() // statistics job (parquet metadata for plain scans)
-    // nlist <= 0 auto-sizes from the corpus count the sampling step needs
-    // anyway (classic IVF sizing: sqrt(corpus), clamped) — callers don't
-    // run their own count() job just to pick a cell count.
-    val nl = if (nlist > 0) nlist
-      else math.max(16, math.min(256, math.sqrt(total.toDouble).toInt))
-    val np = if (nprobe > 0) nprobe else math.max(4, nl / 8)
-    require(np <= nl, s"nprobe must be <= nlist (got nprobe=$np nlist=$nl)")
+  /** The quantizer-training sampling pass shared by every clustered index
+    * (IVF, PQ, semantic dedup): one distributed `sample` bounded by
+    * `trainRowsTarget` rows, collected driver-side, plus the corpus row
+    * count the sampling fraction needs anyway (a statistics job — parquet
+    * metadata for plain scans). Returns (training sample, corpus rows). */
+  private[ops] def sampleVectors(
+      vecs: DataFrame, vecCol: String, trainRowsTarget: Long, seed: Long
+  ): (Array[Array[Double]], Long) = {
+    val arrs = vecs.select(col(vecCol).cast("array<double>").as("__arr"))
+    val total = arrs.count()
     val fraction =
       if (total <= trainRowsTarget) 1.0 else trainRowsTarget.toDouble / total
     val sampled =
@@ -403,9 +398,21 @@ object Similarity {
     val train: Array[Array[Double]] = sampled.rdd
       .mapPartitions(_.map(_.getSeq[Double](0).toArray))
       .collect() // bounded by trainRowsTarget (sampling variance aside)
-    val centers = lloyd(train, nl, seed)
+    (train, total)
+  }
 
-    def nearestCells(n: Int) = udf((a: Array[Double]) => {
+  /** The `nlist <= 0` auto-sizing rule (classic IVF sizing: sqrt(corpus),
+    * clamped) — callers don't run their own count() job to pick a cell
+    * count; the training sampler already takes one. */
+  private[ops] def autoNlist(nlist: Int, total: Long): Int =
+    if (nlist > 0) nlist
+    else math.max(16, math.min(256, math.sqrt(total.toDouble).toInt))
+
+  /** n nearest centers of `a` by L2, as a partial selection (stable by cell
+    * id) without boxing/sorting all nlist entries. `centers` rides the UDF
+    * closure (nlist x dim doubles — broadcast-sized by construction). */
+  private[ops] def nearestCellsUdf(centers: Array[Array[Double]], n: Int) =
+    udf((a: Array[Double]) => {
       val dists = new Array[Double](centers.length)
       var ci = 0
       while (ci < centers.length) {
@@ -415,8 +422,6 @@ object Similarity {
         dists(ci) = s
         ci += 1
       }
-      // partial selection of the n smallest (stable by cell id) without
-      // boxing/sorting all nlist entries
       val out = new Array[Int](math.min(n, dists.length))
       val taken = new Array[Boolean](dists.length)
       var o = 0
@@ -432,6 +437,19 @@ object Similarity {
       }
       out
     })
+
+  def ivfTopK(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int, nlist: Int = -1, nprobe: Int = -1,
+      trainRowsTarget: Long = 100000, seed: Long = 42
+  ): DataFrame = {
+    val (train, total) = sampleVectors(corpus, corpusVec, trainRowsTarget, seed)
+    val nl = autoNlist(nlist, total)
+    val np = if (nprobe > 0) nprobe else math.max(4, nl / 8)
+    require(np <= nl, s"nprobe must be <= nlist (got nprobe=$np nlist=$nl)")
+    val centers = lloyd(train, nl, seed)
+    def nearestCells(n: Int) = nearestCellsUdf(centers, n)
 
     val c = corpus.select(col(corpusId).as("neighbor_id"),
         col(corpusVec).cast("array<double>").as("__cv"))

@@ -360,6 +360,39 @@ class DedupSpec extends AnyFunSuite {
     // verify); distinct random vectors must not pair up
     pairs.foreach { case (a, b) => assert(b - a == 1000L, s"unexpected pair ($a,$b)") }
   }
+
+  test("semantic dedup: clustered pass catches planted dups, nlist=1 is exact") {
+    val rnd = new scala.util.Random(23)
+    // 4 well-separated gaussian blobs of 50 docs each
+    val anchors = Array.fill(4)(Array.fill(32)(rnd.nextGaussian() * 5))
+    val originals = (0L until 200L).map { i =>
+      val a = anchors((i % 4).toInt)
+      (i, a.map(_ + 0.3 * rnd.nextGaussian()))
+    }
+    val planted = originals.take(60).map { case (i, v) =>
+      (i + 1000L, v.map(_ + 0.005 * rnd.nextGaussian())) // cosine ~0.99999
+    }
+    val df = (originals ++ planted).toDF("id", "vec")
+    val out = Dedup.semanticDedup(df, "id", "vec", threshold = 0.995, nlist = 8,
+      trainRowsTarget = 1000, seed = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.length == 260)
+    val comp = out.map(t => t._1 -> t._2).toMap
+    // a planted copy is caught iff it shares a component with its original;
+    // near-identical vectors land in the same k-means cell by construction
+    val caught = (0L until 60L).count(i => comp(i) == comp(i + 1000L))
+    assert(caught >= 57, s"semantic recall ${caught / 60.0} too low")
+    // representative rule: keep iff component == id, one keeper per cluster
+    out.foreach { case (id, c, keep) => assert(keep == (c == id)) }
+    assert(out.filter(_._3).map(_._2).distinct.length == out.count(_._3))
+    // nlist=1 disables clustering: must equal brute-force all-pairs dedup
+    val exact = Dedup.semanticDedup(df, "id", "vec", threshold = 0.995, nlist = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val exactCaught = (0L until 60L).count { i =>
+      val m = exact.map(t => t._1 -> t._2).toMap; m(i) == m(i + 1000L)
+    }
+    assert(exactCaught == 60, "exact pass must catch every planted copy")
+  }
 }
 
 class SimilaritySpec extends AnyFunSuite {
