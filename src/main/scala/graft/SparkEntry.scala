@@ -748,6 +748,38 @@ object SparkEntry {
           sum(when(col("in_exact").isNotNull && col("in_lsh").isNotNull, 1L)
             .otherwise(0L)).as("n_both"))
     }),
+    "sim_pq_topk" -> ((s, dir) => {
+      // product-quantization ADC top-k (m one-byte codes per vector — the
+      // memory-bounded scan representation at corpus scale). Quantization-
+      // distortion-dependent => rows-only, with the sim_lsh_topk probe
+      // pattern: per query one row counting (a) recovery of a planted
+      // near-copy (dyadic perturbation, negative id) and (b) overlap with
+      // the exact brute-force top-k; SimilaritySpec pins the recall bound.
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      val queries = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding"))
+      val planted = queries.select((-(col("qid") + lit(1L))).as("vec_id"),
+        expr("transform(embedding, (x, i) -> x + (CAST(i % 3 AS DOUBLE) - 1.0D) / 256.0D)")
+          .as("embedding"))
+      val corpus = e.unionByName(planted)
+      val pq = Similarity.pqTopK(corpus, "vec_id", "embedding",
+          queries, "qid", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("in_pq"))
+      val exact = Similarity.bruteForceTopK(corpus, "vec_id", "embedding",
+          queries, "qid", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("in_exact"))
+      pq.join(exact, Seq("query_id", "neighbor_id"), "full_outer")
+        .groupBy("query_id")
+        .agg(
+          max(when(col("in_pq").isNotNull &&
+              col("neighbor_id") === -(col("query_id") + lit(1L)), 1L)
+            .otherwise(0L)).as("planted_found"),
+          sum(when(col("in_pq").isNotNull, 1L).otherwise(0L)).as("n_pq"),
+          sum(when(col("in_exact").isNotNull, 1L).otherwise(0L)).as("n_exact"),
+          sum(when(col("in_exact").isNotNull && col("in_pq").isNotNull, 1L)
+            .otherwise(0L)).as("n_both"))
+    }),
     "dedup_embedding_lsh" -> ((s, dir) => {
       // banded-LSH near-dup — the CORPUS-SCALE headline (bucketed ids-only
       // candidates, never an unblocked n^2). Two in-query quality probes:

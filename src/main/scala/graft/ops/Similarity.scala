@@ -462,6 +462,124 @@ object Similarity {
     finalizeTopK(scored, k)
   }
 
+  /** Product-quantization approximate top-k with asymmetric distance
+    * computation — Jegou, Douze & Schmid, "Product Quantization for Nearest
+    * Neighbor Search" (TPAMI 2011); the PQ-flat layout popularized by FAISS.
+    * The dimension splits into `m` contiguous subspaces; each subspace gets
+    * its own `ksub`-center codebook (Lloyd's over the shared sample-capped
+    * training pass); a corpus vector becomes `m` one-byte codes. Queries
+    * score a code vector WITHOUT reconstructing it: per query, one
+    * m x ksub table of subspace dot products (ADC), so scoring is m table
+    * lookups per corpus row instead of `dim` multiplies. Cosine denominator
+    * uses the RECONSTRUCTION norm, from a query-independent m x ksub table
+    * of subspace codeword norms.
+    *
+    * At 100 TB this is the memory lever: the scanned representation is
+    * m bytes/vector (64x smaller than float64 at dim=64, m=8) — the whole
+    * corpus index fits where raw vectors cannot, and the scan is map-only
+    * with k rows per (query, task) on the only exchange. Queries are
+    * collected driver-side (they are the broadcast-small side by the same
+    * contract as [[bruteForceTopK]]); tables ride the closure at
+    * nq * m * ksub doubles. Approximate by construction (quantization
+    * distortion) — anchor recall against [[bruteForceTopK]]. */
+  def pqTopK(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int, m: Int = 8, ksub: Int = 256,
+      trainRowsTarget: Long = 100000, seed: Long = 42
+  ): DataFrame = {
+    require(ksub >= 1 && ksub <= 256, s"ksub must be in [1, 256] (one byte), got $ksub")
+    val (train, _) = sampleVectors(corpus, corpusVec, trainRowsTarget, seed)
+    val dim = train(0).length
+    require(dim % m == 0, s"dim $dim must be divisible by m=$m subquantizers")
+    val dsub = dim / m
+    // per-subspace codebooks over the one shared training sample
+    val codebooks: Array[Array[Array[Double]]] = Array.tabulate(m) { j =>
+      val sub = train.map(v => java.util.Arrays.copyOfRange(v, j * dsub, (j + 1) * dsub))
+      lloyd(sub, ksub, seed + j)
+    }
+    val encode = udf((a: Array[Double]) => {
+      if (a == null) null
+      else {
+        val codes = new Array[Byte](m)
+        var j = 0
+        while (j < m) {
+          val cb = codebooks(j)
+          var best = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < cb.length) {
+            val ct = cb(c)
+            var s = 0.0; var i = 0
+            while (i < dsub) { val d = a(j * dsub + i) - ct(i); s += d * d; i += 1 }
+            if (s < bestD) { bestD = s; best = c }
+            c += 1
+          }
+          codes(j) = best.toByte
+          j += 1
+        }
+        codes
+      }
+    })
+    // query-independent reconstruction-norm table: norm2(j)(c) = |codeword|^2
+    val norm2: Array[Array[Double]] = codebooks.map(_.map { ct =>
+      var s = 0.0; var i = 0
+      while (i < ct.length) { s += ct(i) * ct(i); i += 1 }
+      s
+    })
+    // driver-side ADC tables, one m x ksub dot-product grid per query
+    val qRows: Array[(Long, Array[Double])] = queries
+      .select(col(queryId).cast("long"), col(queryVec).cast("array<double>"))
+      .rdd.map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).collect()
+    val qIds = qRows.map(_._1)
+    val qNorm = qRows.map { case (_, v) =>
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i) * v(i); i += 1 }
+      math.sqrt(s)
+    }
+    val dotTab: Array[Array[Array[Double]]] = qRows.map { case (_, v) =>
+      Array.tabulate(m) { j =>
+        codebooks(j).map { ct =>
+          var s = 0.0; var i = 0
+          while (i < dsub) { s += v(j * dsub + i) * ct(i); i += 1 }
+          s
+        }
+      }
+    }
+    // one UDF call scores ALL queries for a corpus row (the codes array is
+    // read once; emitting per-query rows via posexplode keeps the m-byte
+    // codes off the nq-way fan-out)
+    val scoreAll = udf((codes: Array[Byte]) => {
+      if (codes == null) null
+      else {
+        var rn2 = 0.0
+        var j = 0
+        while (j < m) { rn2 += norm2(j)(codes(j) & 0xff); j += 1 }
+        val rn = math.sqrt(rn2)
+        val out = new Array[Double](qIds.length)
+        var q = 0
+        while (q < qIds.length) {
+          var dot = 0.0
+          j = 0
+          while (j < m) { dot += dotTab(q)(j)(codes(j) & 0xff); j += 1 }
+          out(q) = if (rn == 0.0 || qNorm(q) == 0.0) 0.0 else dot / (rn * qNorm(q))
+          q += 1
+        }
+        out
+      }
+    })
+    val qIdx = broadcast(
+      corpus.sparkSession.createDataFrame(
+        qIds.toIndexedSeq.zipWithIndex.map { case (id, i) => (i, id) }
+      ).toDF("pos", "query_id"))
+    val scored = corpus
+      .select(col(corpusId).as("neighbor_id"),
+        encode(col(corpusVec).cast("array<double>")).as("__codes"))
+      .select(col("neighbor_id"),
+        posexplode(scoreAll(col("__codes"))).as(Seq("pos", "cosine")))
+      .join(qIdx, "pos")
+    finalizeTopK(scored, k)
+  }
+
   /** Lloyd's k-means over an in-memory sample: deterministic seeded init
     * (k distinct points), iterate assign/recenter until centers move less
     * than `tol` or `maxIter`. The sample is bounded by the caller

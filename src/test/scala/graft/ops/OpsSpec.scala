@@ -557,6 +557,32 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.8, s"recall $recall too low")
   }
 
+  test("pq adc top-k: planted copies recovered, high overlap with exact") {
+    val rnd = new scala.util.Random(31)
+    def cluster(center: Array[Double], n: Int, startId: Long) =
+      (0 until n).map(i => (startId + i, center.map(_ + 0.05 * rnd.nextGaussian())))
+    val centers = (0 until 6).map(_ => Array.fill(16)(rnd.nextGaussian()))
+    val base = centers.zipWithIndex.flatMap { case (c, i) => cluster(c, 50, i * 100L) }
+    // planted near-copies of the query vectors (dyadic perturbation)
+    val queries = centers.zipWithIndex.map { case (c, i) => (1000L + i, c) }
+    val planted = queries.map { case (id, v) =>
+      (-(id + 1), v.zipWithIndex.map { case (x, i) => x + (i % 3 - 1) / 256.0 })
+    }
+    val corpus = (base ++ planted).toDF("id", "vec")
+    val qdf = queries.toDF("qid", "qvec")
+    val got = Similarity.pqTopK(corpus, "id", "vec", qdf, "qid", "qvec",
+      k = 10, m = 8, ksub = 64, trainRowsTarget = 1000, seed = 5)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    // every planted near-copy (cosine ~1) must surface in its query's top-k
+    queries.foreach { case (qid, _) =>
+      assert(got.contains((qid, -(qid + 1))), s"planted copy missed for $qid")
+    }
+    val want = Similarity.bruteForceTopK(corpus, "id", "vec", qdf, "qid", "qvec", 10)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = got.intersect(want).size.toDouble / want.size
+    assert(recall >= 0.6, s"pq recall $recall too low")
+  }
+
   test("lsh top-k achieves high recall on clustered data") {
     val rnd = new scala.util.Random(7)
     def cluster(center: Array[Double], n: Int, startId: Long) =
