@@ -1305,6 +1305,21 @@ object SparkEntry {
           countDistinct(col("user_id")).as("n_users"),
           countDistinct(col("conv_id")).as("n_conversions"))
     }),
+    "ss_dp_count" -> ((s, dir) => {
+      // streaming DP windowed count (per-release budget): per-unit
+      // contribution cap -> cell sum -> Laplace noise, the SAME chained-
+      // window-aggregation plan batch or streaming (streaming parity in
+      // StreamOpsSpec). Oracle-exact here because it runs the engine's
+      // Zero-noise source with a cap generous enough to drop nothing —
+      // the dp_* convention; the cap path is pinned by the spec.
+      graft.streaming.StreamOps.dpWindowedCount(
+          events(s, dir).withColumn("tstamp", expr("timestamp_micros(ts div 1000)")),
+          pidCol = "user_id", tsCol = "tstamp", keyCols = Seq("event_type"),
+          windowLength = "1 hour", epsilon = 1.0, maxPerCell = 1000000L,
+          noise = graft.core.NoiseSource.Zero)
+        .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("event_type"), col("dp_count"))
+    }),
     "mm_decode_resize" -> ((s, dir) => {
       // REAL image pipeline: synthesize a PNG per document (dims derived
       // from the text length), decode it with ImageIO, plan the resize.
@@ -1968,6 +1983,10 @@ object SparkEntry {
             FROM documents d
             WHERE NOT EXISTS (SELECT 1 FROM drops x WHERE x.id = d.doc_id)
             GROUP BY source""",
+      "ss_dp_count" ->
+        """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+              event_type, CAST(count(*) AS DOUBLE) AS dp_count
+           FROM events GROUP BY 1, 2""",
       "ss_dedup" ->
         """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
               event_type, count(DISTINCT user_id) AS distinct_users

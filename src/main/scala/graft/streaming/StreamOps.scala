@@ -11,8 +11,11 @@ import org.apache.spark.sql.types._
   * flatMapGroupsWithState, and a streaming variant of the events pipeline.
   *
   * DP budget accounting over unbounded streams is an open research problem
-  * (SURVEY §2.E), so the DP engine stays batch; these operators cover the
-  * non-DP analytics/ETL surface of a streaming ingest pipeline.
+  * (SURVEY §2.E), so the full accountant stays batch; the one DP operator
+  * here, [[StreamOps.dpWindowedCount]], uses the per-release-budget shape
+  * that sidesteps it (each window cell is its own epsilon-DP release;
+  * cross-release composition is explicitly the caller's), which is how
+  * production streaming DP counters are actually run.
   */
 /** Typed-session records — top-level so their encoders stay codegen-compiled
   * (nested-in-object case classes silently drop encoders to interpreted). */
@@ -118,6 +121,55 @@ object StreamOps {
           col("conv_ts") <= col("click_ts") + expr(s"INTERVAL $horizon"))
       .select(col("click_user").as("user_id"), col("click_id"), col("conv_id"),
         col("click_ts"), col("conv_ts"))
+  }
+
+  /** Bounded-contribution noisy windowed count — the streaming analogue of
+    * the batch DP count under a PER-RELEASE budget. Each (window, key) cell
+    * is released with Laplace(maxPerCell/epsilon) noise, epsilon-DP w.r.t.
+    * one privacy unit's data within that cell: the first aggregation caps a
+    * unit's contribution to a cell at `maxPerCell` (the Linf bound of the
+    * batch engine), so cell sensitivity is exactly maxPerCell. Cross-cell
+    * composition remains the caller's accounting — an unbounded stream
+    * cannot bound up front how many cells a unit will eventually touch
+    * (there is no stream analogue of maxPartitionsContributed; SURVEY
+    * §2.E), so a unit's global epsilon grows with the cells it actually
+    * appears in. Fixed-budget-per-window releases are the standard
+    * production shape for continually-observed DP counters (Chan-Shi-Song /
+    * Dwork et al. continual observation being the research alternative).
+    *
+    * The SAME plan runs batch or streaming: two chained event-time window
+    * aggregations (per-unit cap, then cell sum) plus a noise projection —
+    * in streaming mode pass `watermark` so both stateful stages evict
+    * state at the watermark (chained stateful aggregations require append
+    * mode + watermark). State per stage is one row per live (window, unit,
+    * key) / (window, key) — proportional to the watermark horizon, not the
+    * stream. For oracle verification run with [[NoiseSource.Zero]]. */
+  def dpWindowedCount(
+      events: DataFrame,
+      pidCol: String,
+      tsCol: String,
+      keyCols: Seq[String],
+      windowLength: String,
+      epsilon: Double,
+      maxPerCell: Long,
+      noise: graft.core.NoiseSource,
+      watermark: Option[String] = None
+  ): DataFrame = {
+    require(epsilon > 0, s"epsilon must be positive, got $epsilon")
+    require(maxPerCell > 0, s"maxPerCell must be positive, got $maxPerCell")
+    val base = watermark.map(w => events.withWatermark(tsCol, w)).getOrElse(events)
+    val keyCs = keyCols.map(col)
+    val perUnit = base
+      .groupBy(window(col(tsCol), windowLength) +: col(pidCol) +: keyCs: _*)
+      .agg(count(lit(1)).as("__n"))
+    val b = maxPerCell.toDouble / epsilon
+    val src = noise
+    val noiseUdf = udf(() => src.laplace(b)).asNondeterministic()
+    perUnit
+      .groupBy(col("window") +: keyCs: _*)
+      .agg(sum(least(col("__n"), lit(maxPerCell))).as("__raw"))
+      .select(col("window.start").as("window_start") +: keyCs :+
+        (col("__raw") + noiseUdf()).cast("double").as("dp_count"): _*)
   }
 
   /** Session windows via typed state: a session closes after `gapSeconds` of

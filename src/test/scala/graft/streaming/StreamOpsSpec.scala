@@ -93,6 +93,60 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("dp windowed count: caps per-unit contributions, streams match batch") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val dir = "/root/testdata/sf0.001"
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val bev = ev.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+
+    // tight cap (1): each unit counts at most once per (window, type) cell
+    // => Zero-noise dp count == distinct units per cell
+    val capped = StreamOps.dpWindowedCount(bev, "user_id", "ts",
+        Seq("event_type"), "1 hour", epsilon = 1.0, maxPerCell = 1L,
+        noise = graft.core.NoiseSource.Zero)
+      .collect().map(r => ((r.getTimestamp(0), r.getString(1)), r.getDouble(2))).toMap
+    val distinct = bev
+      .groupBy(date_trunc("hour", col("ts")).as("w"), col("event_type"))
+      .agg(countDistinct(col("user_id")).cast("double").as("n"))
+      .collect().map(r => ((r.getTimestamp(0), r.getString(1)), r.getDouble(2))).toMap
+    assert(capped == distinct && capped.nonEmpty)
+
+    // streaming parity: chained stateful aggs run append-mode, so replay
+    // with a far-future sentinel that pushes the watermark past every
+    // real window (the ss_dedup harness)
+    val tmp = java.nio.file.Files.createTempDirectory("ss_dp").toString
+    ev.write.mode("overwrite").parquet(tmp)
+    val maxTs = ev.agg(max("ts")).head.getLong(0)
+    ev.limit(1)
+      .withColumn("ts", lit(maxTs + 10L * 3600L * 1000000000L))
+      .withColumn("user_id", lit(-1L))
+      .withColumn("event_type", lit("__sentinel"))
+      .write.mode("append").parquet(tmp)
+    val stream = spark.readStream.schema(ev.schema).parquet(tmp)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val agg = StreamOps.dpWindowedCount(stream, "user_id", "ts",
+      Seq("event_type"), "1 hour", epsilon = 1.0, maxPerCell = 3L,
+      noise = graft.core.NoiseSource.Zero, watermark = Some("10 minutes"))
+    StreamOps.runToMemory(spark, agg, "ss_dp_t", OutputMode.Append)
+    val streamed = spark.table("ss_dp_t")
+      .filter(col("event_type") =!= "__sentinel")
+      .collect().map(r => ((r.getTimestamp(0), r.getString(1)), r.getDouble(2))).toMap
+    val batch = StreamOps.dpWindowedCount(bev, "user_id", "ts",
+        Seq("event_type"), "1 hour", epsilon = 1.0, maxPerCell = 3L,
+        noise = graft.core.NoiseSource.Zero)
+      .collect().map(r => ((r.getTimestamp(0), r.getString(1)), r.getDouble(2))).toMap
+    assert(streamed == batch && streamed.nonEmpty)
+
+    // real noise actually perturbs: seeded Laplace at small epsilon must
+    // move at least one cell away from its raw value
+    val noisy = StreamOps.dpWindowedCount(bev, "user_id", "ts",
+        Seq("event_type"), "1 hour", epsilon = 0.1, maxPerCell = 3L,
+        noise = graft.core.NoiseSource.Seeded(11L))
+      .collect().map(r => ((r.getTimestamp(0), r.getString(1)), r.getDouble(2))).toMap
+    assert(noisy.keySet == batch.keySet)
+    assert(noisy.exists { case (k, v) => v != batch(k) })
+  }
+
   test("stream-stream attribution join matches the batch range join") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val dir = "/root/testdata/sf0.001"
