@@ -524,6 +524,18 @@ object SparkEntry {
         .groupBy("source", "split")
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars"))
     }),
+    "sample_mixture" -> ((s, dir) => {
+      // deterministic pretraining-mixture application: per-source keep
+      // rates via the salted portable hash (zero shuffle, growth-stable
+      // membership); dyadic rates (quarters) and integerized thresholds so
+      // the oracle reproduces the exact kept set. Rolled up per source.
+      val rates = (0 until 20).map(i => s"src$i" -> ((i % 4) + 1) * 0.25).toMap
+      CorpusOps.applyMixture(
+          s.read.parquet(s"$dir/documents.parquet"), "source", "doc_id",
+          rates, defaultRate = 0.5)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"), sum("n_chars").as("chars_kept"))
+    }),
     "sample_stratified" -> ((s, dir) => {
       // deterministic stratified sample: exactly 40 orders per order
       // priority, chosen as the smallest md5(o_orderkey) — portable hash
@@ -2269,6 +2281,17 @@ object SparkEntry {
                   CAST((cum - len) // 512 AS BIGINT) AS pack_id,
                   CAST((cum - len) % 512 AS BIGINT) AS pack_offset
            FROM c""",
+      // salted portable hash (see applyMixture: salt decorrelates mixture
+      // membership from hashSplit buckets); dyadic quarter rates make the
+      // integer thresholds exact in both engines
+      "sample_mixture" ->
+        """SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+                  CAST(sum(n_chars) AS BIGINT) AS chars_kept
+           FROM documents
+           WHERE CAST(CONCAT('0x', substr(md5(CONCAT(CAST(doc_id AS VARCHAR), '#mix')), 1, 15))
+                   AS BIGINT) % 1000000
+                 < ((CAST(substr(source, 4) AS INT) % 4) + 1) * 250000
+           GROUP BY source""",
       "sample_split" ->
         """WITH b AS (
              SELECT source, n_chars,

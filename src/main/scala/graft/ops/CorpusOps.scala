@@ -357,6 +357,37 @@ object CorpusOps {
     df.withColumn("split", expr)
   }
 
+  /** Deterministic data-mixture application: per-group keep rates (e.g. a
+    * DoReMi / temperature-scaled pretraining mixture computed offline)
+    * applied via a PORTABLE salted hash — keep iff
+    * md5(id # "#mix") mod 1e6 < round(rate * 1e6). Any engine reproduces
+    * the exact membership, membership is stable under corpus growth (a
+    * kept row stays kept as new data arrives — resampling a growing corpus
+    * never churns the downsampled set), and the plan is a broadcast join
+    * of the bounded rate table + a filter: zero shuffle at any scale.
+    *
+    * The hash is SALTED ("#mix") so mixture membership is independent of
+    * [[hashSplit]]'s buckets — the unsalted hash would keep exactly the
+    * rows that land in 'train', biasing every split downstream. Thresholds
+    * are integerized driver-side (round(rate*1e6)), so engines never
+    * compare floats. Groups absent from `rates` keep `defaultRate`. */
+  def applyMixture(df: DataFrame, groupCol: String, idCol: String,
+      rates: Map[String, Double], defaultRate: Double = 0.0): DataFrame = {
+    require((rates.values.toSeq :+ defaultRate).forall(r => r >= 0.0 && r <= 1.0),
+      s"keep rates must be in [0,1]")
+    val grid = 1000000L
+    val thr = rates.toSeq.map { case (g, r) => (g, math.round(r * grid)) }
+    val rdf = broadcast(df.sparkSession.createDataFrame(thr)
+      .toDF("__mix_g", "__mix_thr"))
+    val bucket = pmod(
+      conv(substring(md5(concat(col(idCol).cast("string"), lit("#mix"))), 1, 15), 16, 10)
+        .cast("long"),
+      lit(grid))
+    df.join(rdf, df(groupCol) === col("__mix_g"), "left")
+      .filter(bucket < coalesce(col("__mix_thr"), lit(math.round(defaultRate * grid))))
+      .drop("__mix_g", "__mix_thr")
+  }
+
   /** Deterministic stratified sample: exactly min(k, |stratum|) rows per
     * stratum, chosen as the k smallest md5(id) — a portable hash order any
     * engine reproduces, unlike rand(). One shuffle carrying <= k rows per

@@ -172,6 +172,35 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(("apple", 4L), ("banana", 2L), ("cherry", 1L)))
   }
 
+  test("applyMixture: rate-proportional, growth-stable, split-independent, no shuffle") {
+    val df = (0L until 2000L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+      .toDF("id", "src")
+    val out = CorpusOps.applyMixture(df, "src", "id", Map("a" -> 0.25, "b" -> 1.0))
+    val kept = out.collect().map(r => (r.getLong(0), r.getString(1)))
+    val aKept = kept.count(_._2 == "a"); val bKept = kept.count(_._2 == "b")
+    assert(bKept == 1000, "rate 1.0 keeps everything")
+    assert(math.abs(aKept - 250) < 60, s"rate 0.25 kept $aKept of 1000")
+    // growth-stable: the kept set over a prefix is a subset of the kept set
+    // over the grown corpus (hash membership, not position)
+    val prefix = CorpusOps.applyMixture(
+        df.filter(col("id") < 1000), "src", "id", Map("a" -> 0.25, "b" -> 1.0))
+      .collect().map(_.getLong(0)).toSet
+    assert(prefix.subsetOf(kept.map(_._1).toSet))
+    // default rate applies to unlisted groups; 0.0 drops them
+    assert(CorpusOps.applyMixture(df, "src", "id", Map("a" -> 0.5)).collect()
+      .forall(_.getString(1) == "a"))
+    // salted hash: mixture membership must NOT be hashSplit's train set
+    // (unsalted, rate 0.8 would keep exactly the 'train' rows)
+    val splitTrain = CorpusOps.hashSplit(df, "id")
+      .filter(col("split") === "train").collect().map(_.getLong(0)).toSet
+    val mix80 = CorpusOps.applyMixture(df, "src", "id",
+      Map("a" -> 0.8, "b" -> 0.8)).collect().map(_.getLong(0)).toSet
+    assert(mix80 != splitTrain, "mixture membership must be decorrelated from splits")
+    // zero shuffle: broadcast join only
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"), s"mixture must not shuffle:\n$plan")
+  }
+
   test("prepPipeline: first failing rule wins; clean doc keeps") {
     val en = "the cat sat on the mat and it was that kind of day for all of " +
       "them to be in this good place with more light than not"
