@@ -760,6 +760,37 @@ object SparkEntry {
           sum(when(col("in_exact").isNotNull && col("in_lsh").isNotNull, 1L)
             .otherwise(0L)).as("n_both"))
     }),
+    "sim_ivfpq_topk" -> ((s, dir) => {
+      // IVF-PQ (coarse cells + residual product codes, m+4 bytes/vector
+      // scanned, ~nprobe/nlist of the corpus touched per query) — the
+      // corpus-scale ANN capstone. Clustering+quantization-dependent =>
+      // rows-only with the standard probe row per query: planted-copy
+      // recovery + overlap with exact brute force.
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      val queries = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding"))
+      val planted = queries.select((-(col("qid") + lit(1L))).as("vec_id"),
+        expr("transform(embedding, (x, i) -> x + (CAST(i % 3 AS DOUBLE) - 1.0D) / 256.0D)")
+          .as("embedding"))
+      val corpus = e.unionByName(planted)
+      val ivfpq = Similarity.ivfPqTopK(corpus, "vec_id", "embedding",
+          queries, "qid", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("in_pq"))
+      val exact = Similarity.bruteForceTopK(corpus, "vec_id", "embedding",
+          queries, "qid", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("in_exact"))
+      ivfpq.join(exact, Seq("query_id", "neighbor_id"), "full_outer")
+        .groupBy("query_id")
+        .agg(
+          max(when(col("in_pq").isNotNull &&
+              col("neighbor_id") === -(col("query_id") + lit(1L)), 1L)
+            .otherwise(0L)).as("planted_found"),
+          sum(when(col("in_pq").isNotNull, 1L).otherwise(0L)).as("n_pq"),
+          sum(when(col("in_exact").isNotNull, 1L).otherwise(0L)).as("n_exact"),
+          sum(when(col("in_exact").isNotNull && col("in_pq").isNotNull, 1L)
+            .otherwise(0L)).as("n_both"))
+    }),
     "sim_pq_topk" -> ((s, dir) => {
       // product-quantization ADC top-k (m one-byte codes per vector — the
       // memory-bounded scan representation at corpus scale). Quantization-

@@ -580,6 +580,191 @@ object Similarity {
     finalizeTopK(scored, k)
   }
 
+  /** IVF-PQ approximate top-k — the composition of [[ivfTopK]]'s coarse
+    * inverted file with [[pqTopK]]'s product quantization, encoding
+    * RESIDUALS (v - coarse centroid) as in the classical IVFADC layout
+    * (Jegou et al. TPAMI 2011 §IV; FAISS `IVFPQ`): residuals are much
+    * better centered than raw vectors, so the same codebook budget buys a
+    * finer quantization. A corpus vector is stored as (cell id, m one-byte
+    * codes); a query probes `nprobe` cells and scores members by table
+    * lookups only:
+    *
+    *   dot(q, v^) = dot(q, c_cell) + sum_j dotTab[j][code_j]
+    *   |v^|^2     = |c_cell|^2 + 2*sum_j crossTab[cell][j][code_j]
+    *                + sum_j norm2[j][code_j]
+    *
+    * where dotTab is the per-query residual-codeword grid and crossTab the
+    * query-INDEPENDENT centroid x codeword grid (nlist x m x ksub doubles —
+    * computed once at build, broadcast on a cluster; it rides the scoring
+    * closure here). The scanned representation is m+4 bytes per vector and
+    * only ~nprobe/nlist of the corpus is touched per query — at 100 TB this
+    * is the shape that actually fits: IVF bounds the scan, PQ bounds the
+    * memory, and the only exchange still carries k rows per (query, task). */
+  def ivfPqTopK(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int, nlist: Int = -1, nprobe: Int = -1, m: Int = 8, ksub: Int = 256,
+      trainRowsTarget: Long = 100000, seed: Long = 42
+  ): DataFrame = {
+    require(ksub >= 1 && ksub <= 256, s"ksub must be in [1, 256] (one byte), got $ksub")
+    val (train, total) = sampleVectors(corpus, corpusVec, trainRowsTarget, seed)
+    val nl = autoNlist(nlist, total)
+    val np = if (nprobe > 0) nprobe else math.max(4, nl / 8)
+    require(np <= nl, s"nprobe must be <= nlist (got nprobe=$np nlist=$nl)")
+    val dim = train(0).length
+    require(dim % m == 0, s"dim $dim must be divisible by m=$m subquantizers")
+    val dsub = dim / m
+    val coarse = lloyd(train, nl, seed)
+
+    @inline def nearestCoarse(v: Array[Double]): Int = {
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < coarse.length) {
+        val ct = coarse(c)
+        var s = 0.0; var i = 0
+        while (i < dim) { val d = v(i) - ct(i); s += d * d; i += 1 }
+        if (s < bestD) { bestD = s; best = c }
+        c += 1
+      }
+      best
+    }
+    // one shared residual codebook set across cells (the classical layout —
+    // per-cell codebooks would be nlist x larger for marginal gain)
+    val residuals = train.map { v =>
+      val ct = coarse(nearestCoarse(v))
+      val r = new Array[Double](dim)
+      var i = 0
+      while (i < dim) { r(i) = v(i) - ct(i); i += 1 }
+      r
+    }
+    val codebooks: Array[Array[Array[Double]]] = Array.tabulate(m) { j =>
+      val sub = residuals.map(r => java.util.Arrays.copyOfRange(r, j * dsub, (j + 1) * dsub))
+      lloyd(sub, ksub, seed + j)
+    }
+    val encode = udf((a: Array[Double]) => {
+      if (a == null) null
+      else {
+        val cell = nearestCoarse(a)
+        val ct = coarse(cell)
+        val codes = new Array[Byte](m)
+        var j = 0
+        while (j < m) {
+          val cb = codebooks(j)
+          var best = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < cb.length) {
+            val cw = cb(c)
+            var s = 0.0; var i = 0
+            while (i < dsub) {
+              val d = (a(j * dsub + i) - ct(j * dsub + i)) - cw(i)
+              s += d * d; i += 1
+            }
+            if (s < bestD) { bestD = s; best = c }
+            c += 1
+          }
+          codes(j) = best.toByte
+          j += 1
+        }
+        (cell, codes)
+      }
+    })
+    // query-independent tables
+    val norm2: Array[Array[Double]] = codebooks.map(_.map { cw =>
+      var s = 0.0; var i = 0
+      while (i < cw.length) { s += cw(i) * cw(i); i += 1 }
+      s
+    })
+    val cellNorm2: Array[Double] = coarse.map { ct =>
+      var s = 0.0; var i = 0
+      while (i < dim) { s += ct(i) * ct(i); i += 1 }
+      s
+    }
+    val crossTab: Array[Array[Array[Double]]] = Array.tabulate(nl) { cell =>
+      val ct = coarse(cell)
+      Array.tabulate(m) { j =>
+        codebooks(j).map { cw =>
+          var s = 0.0; var i = 0
+          while (i < dsub) { s += ct(j * dsub + i) * cw(i); i += 1 }
+          s
+        }
+      }
+    }
+    // per-query tables (queries are the driver-collected broadcast side)
+    val qRows: Array[(Long, Array[Double])] = queries
+      .select(col(queryId).cast("long"), col(queryVec).cast("array<double>"))
+      .rdd.map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).collect()
+    val qIds = qRows.map(_._1)
+    val qNorm = qRows.map { case (_, v) =>
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i) * v(i); i += 1 }
+      math.sqrt(s)
+    }
+    val qCellDot: Array[Array[Double]] = qRows.map { case (_, v) =>
+      coarse.map { ct =>
+        var s = 0.0; var i = 0
+        while (i < dim) { s += v(i) * ct(i); i += 1 }
+        s
+      }
+    }
+    val qProbes: Array[Array[Int]] = qRows.map { case (_, v) =>
+      // nearest np cells by L2 (same partial selection as the IVF path)
+      val dists = coarse.map { ct =>
+        var s = 0.0; var i = 0
+        while (i < dim) { val d = v(i) - ct(i); s += d * d; i += 1 }
+        s
+      }
+      val out = new Array[Int](math.min(np, dists.length))
+      val taken = new Array[Boolean](dists.length)
+      var o = 0
+      while (o < out.length) {
+        var best = -1; var bestD = Double.MaxValue
+        var j = 0
+        while (j < dists.length) {
+          if (!taken(j) && dists(j) < bestD) { bestD = dists(j); best = j }
+          j += 1
+        }
+        taken(best) = true; out(o) = best
+        o += 1
+      }
+      out
+    }
+    val dotTab: Array[Array[Array[Double]]] = qRows.map { case (_, v) =>
+      Array.tabulate(m) { j =>
+        codebooks(j).map { cw =>
+          var s = 0.0; var i = 0
+          while (i < dsub) { s += v(j * dsub + i) * cw(i); i += 1 }
+          s
+        }
+      }
+    }
+    val score = udf((qpos: Int, cell: Int, codes: Array[Byte]) => {
+      var dot = qCellDot(qpos)(cell)
+      var n2 = cellNorm2(cell)
+      var j = 0
+      while (j < m) {
+        val c = codes(j) & 0xff
+        dot += dotTab(qpos)(j)(c)
+        n2 += 2.0 * crossTab(cell)(j)(c) + norm2(j)(c)
+        j += 1
+      }
+      val rn = math.sqrt(math.max(n2, 0.0)) // fp cancellation can dip below 0
+      if (rn == 0.0 || qNorm(qpos) == 0.0) 0.0 else dot / (rn * qNorm(qpos))
+    })
+    val enc = corpus
+      .select(col(corpusId).as("neighbor_id"),
+        encode(col(corpusVec).cast("array<double>")).as("__e"))
+      .select(col("neighbor_id"), col("__e._1").as("cell"), col("__e._2").as("__codes"))
+    val probes = broadcast(
+      corpus.sparkSession.createDataFrame(
+        qIds.toIndexedSeq.zipWithIndex.flatMap { case (id, qi) =>
+          qProbes(qi).map(cell => (qi, id, cell))
+        }
+      ).toDF("qpos", "query_id", "cell"))
+    val scored = enc.join(probes, "cell")
+      .withColumn("cosine", score(col("qpos"), col("cell"), col("__codes")))
+    finalizeTopK(scored, k)
+  }
+
   /** Lloyd's k-means over an in-memory sample: deterministic seeded init
     * (k distinct points), iterate assign/recenter until centers move less
     * than `tol` or `maxIter`. The sample is bounded by the caller

@@ -583,6 +583,33 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.6, s"pq recall $recall too low")
   }
 
+  test("ivfpq top-k: planted copies recovered within probed cells") {
+    val rnd = new scala.util.Random(41)
+    def cluster(center: Array[Double], n: Int, startId: Long) =
+      (0 until n).map(i => (startId + i, center.map(_ + 0.05 * rnd.nextGaussian())))
+    val centers = (0 until 6).map(_ => Array.fill(16)(rnd.nextGaussian()))
+    val base = centers.zipWithIndex.flatMap { case (c, i) => cluster(c, 50, i * 100L) }
+    val queries = centers.zipWithIndex.map { case (c, i) => (1000L + i, c) }
+    val planted = queries.map { case (id, v) =>
+      (-(id + 1), v.zipWithIndex.map { case (x, i) => x + (i % 3 - 1) / 256.0 })
+    }
+    val corpus = (base ++ planted).toDF("id", "vec")
+    val qdf = queries.toDF("qid", "qvec")
+    val got = Similarity.ivfPqTopK(corpus, "id", "vec", qdf, "qid", "qvec",
+      k = 10, nlist = 8, nprobe = 4, m = 8, ksub = 64,
+      trainRowsTarget = 1000, seed = 5)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    // a planted near-copy lands in the query's own nearest cell, which is
+    // always probed — it must surface in the top-k
+    queries.foreach { case (qid, _) =>
+      assert(got.contains((qid, -(qid + 1))), s"planted copy missed for $qid")
+    }
+    val want = Similarity.bruteForceTopK(corpus, "id", "vec", qdf, "qid", "qvec", 10)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = got.intersect(want).size.toDouble / want.size
+    assert(recall >= 0.5, s"ivfpq recall $recall too low")
+  }
+
   test("lsh top-k achieves high recall on clustered data") {
     val rnd = new scala.util.Random(7)
     def cluster(center: Array[Double], n: Int, startId: Long) =
