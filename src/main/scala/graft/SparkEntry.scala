@@ -913,6 +913,30 @@ object SparkEntry {
             .as("n_planted_caught"))
       stats.crossJoin(caught)
     }),
+    "dedup_semantic_windowed" -> ((s, dir) => {
+      // the LINEAR-cost semantic-dedup mode: members sort by centroid
+      // distance within each cell and compare only to their next `window`
+      // neighbors — |corpus|*window cosine evals, immune to hot-cell
+      // quadratic blowup (THE 100 TB mode; the exact-within-cell pass is
+      // the quality anchor). Same probe row as dedup_semantic.
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("vec"))
+      val planted = e.filter(col("id") < 200)
+        .select((-(col("id") + lit(1L))).as("id"),
+          expr("transform(vec, (x, i) -> x + (CAST(i % 3 AS DOUBLE) - 1.0D) / 256.0D)").as("vec"))
+      val out = Dedup.semanticDedup(e.unionByName(planted), "id", "vec",
+        threshold = 0.98, window = 8).localCheckpoint(false)
+      val stats = out.agg(count(lit(1)).as("n_rows"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+      val caught = out.filter(col("id") >= 0 && col("id") < 200)
+        .select(col("id"), col("component").as("comp_o"))
+        .join(out.filter(col("id") < 0)
+          .select((-col("id") - lit(1L)).as("id"), col("component").as("comp_c")), "id")
+        .agg(count(lit(1)).as("n_planted"),
+          sum(when(col("comp_o") === col("comp_c"), 1L).otherwise(0L))
+            .as("n_planted_caught"))
+      stats.crossJoin(caught)
+    }),
     "emb_quantize" -> ((s, dir) => {
       // symmetric int8 quantization per embedding (4x storage cut for ANN),
       // verified via per-vector roundtrip stats: the quantized L1 mass and

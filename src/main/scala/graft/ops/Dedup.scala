@@ -749,27 +749,66 @@ object Dedup {
     * input, the bounded oracle anchor (constant work only if the caller
     * bounds the input). */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, nlist: Int = -1,
+      threshold: Double, nlist: Int = -1, window: Int = 0,
       trainRowsTarget: Long = 100000, seed: Long = 42): DataFrame = {
+    require(window == 0 || nlist != 1,
+      "windowed mode needs a clustered pass (nlist != 1): the window orders by " +
+        "distance to the assigned centroid, which nlist=1 does not compute")
     val s = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("vec"))
     val assigned =
-      if (nlist == 1) s.withColumn("cell", lit(0))
+      if (nlist == 1) s.withColumn("cell", lit(0)).withColumn("dist", lit(0.0))
       else {
         val (train, total) = Similarity.sampleVectors(s, "vec", trainRowsTarget, seed)
         val nl = Similarity.autoNlist(nlist, total)
         val centers = Similarity.lloyd(train, nl, seed)
-        s.withColumn("cell",
-          Similarity.nearestCellsUdf(centers, 1)(col("vec")).getItem(0))
+        val cellDist = Similarity.cellWithDistUdf(centers)
+        s.withColumn("__cd", cellDist(col("vec")))
+          .select(col("id"), col("vec"),
+            col("__cd._1").as("cell"), col("__cd._2").as("dist"))
       }
-    val a = assigned.select(col("cell"), col("id").as("id_a"), col("vec").as("v_a"))
-    val b = assigned.select(col("cell"), col("id").as("id_b"), col("vec").as("v_b"))
-    // shuffle-hash both sides: cell-keyed co-location, no sort of the
-    // vector payload, no broadcast of a corpus-sized side
-    val pairs = a.hint("shuffle_hash").join(b.hint("shuffle_hash"), Seq("cell"))
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("cosine", Similarity.cosine(col("v_a"), col("v_b")))
-      .filter(col("cosine") >= threshold)
-      .select("id_a", "id_b")
+    val pairs =
+      if (window <= 0) {
+        // exact within-cell: every member meets every other — quadratic in
+        // cell size, so size nlist ~ corpus/targetCellSize
+        val a = assigned.select(col("cell"), col("id").as("id_a"), col("vec").as("v_a"))
+        val b = assigned.select(col("cell"), col("id").as("id_b"), col("vec").as("v_b"))
+        // shuffle-hash both sides: cell-keyed co-location, no sort of the
+        // vector payload, no broadcast of a corpus-sized side
+        a.hint("shuffle_hash").join(b.hint("shuffle_hash"), Seq("cell"))
+          .filter(col("id_a") < col("id_b"))
+          .withColumn("cosine", Similarity.cosine(col("v_a"), col("v_b")))
+          .filter(col("cosine") >= threshold)
+          .select("id_a", "id_b")
+      } else {
+        // windowed within-cell (the LINEAR-cost 100 TB mode): members sort
+        // by distance to their centroid and each compares only to its next
+        // `window` neighbors in that order — near-duplicates have near-equal
+        // centroid distance, so they are adjacent; cost is |corpus| * window
+        // cosine evals and one sort, immune to hot-cell quadratic blowup.
+        // Approximate: a true pair more than `window` ranks apart is missed
+        // (the standard sorted-sliding-window trade; raise `window` or
+        // nlist granularity for tighter recall).
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("cell").orderBy(col("dist"), col("id"))
+        val ranked = assigned.withColumn("rn", row_number().over(w))
+          .localCheckpoint(false) // consumed by both candidate sides + both vector join-backs
+        // ids-only candidates through the banded self-join (the exploded side
+        // multiplies rows by `window`, so vectors must NOT ride it — same
+        // layout rule as minHashLSH/embeddingNearDups); vectors join back once
+        val ca = ranked.select(col("cell"), col("id").as("__ia"),
+          explode(sequence(col("rn") + 1, col("rn") + window)).as("rn_b"))
+        val cb = ranked.select(col("cell"), col("rn").as("rn_b"), col("id").as("__ib"))
+        val cand = ca.hint("shuffle_hash").join(cb.hint("shuffle_hash"), Seq("cell", "rn_b"))
+          .select(least(col("__ia"), col("__ib")).as("id_a"),
+            greatest(col("__ia"), col("__ib")).as("id_b"))
+        val va = ranked.select(col("id").as("id_a"), col("vec").as("v_a"))
+        val vb = ranked.select(col("id").as("id_b"), col("vec").as("v_b"))
+        cand.join(va.hint("shuffle_hash"), "id_a")
+          .join(vb.hint("shuffle_hash"), "id_b")
+          .withColumn("cosine", Similarity.cosine(col("v_a"), col("v_b")))
+          .filter(col("cosine") >= threshold)
+          .select("id_a", "id_b")
+      }
     val comps = connectedComponents(pairs)
     s.select("id").join(comps, Seq("id"), "left")
       .select(col("id"), coalesce(col("comp"), col("id")).as("component"))

@@ -438,6 +438,22 @@ object Similarity {
       out
     })
 
+  /** (nearest cell, squared L2 distance to it) in one pass — the windowed
+    * semantic-dedup mode orders cell members by this distance. */
+  private[ops] def cellWithDistUdf(centers: Array[Array[Double]]) =
+    udf((a: Array[Double]) => {
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < centers.length) {
+        val ct = centers(c)
+        var s = 0.0; var i = 0
+        while (i < ct.length && i < a.length) { val d = a(i) - ct(i); s += d * d; i += 1 }
+        if (s < bestD) { bestD = s; best = c }
+        c += 1
+      }
+      (best, bestD)
+    })
+
   def ivfTopK(
       corpus: DataFrame, corpusId: String, corpusVec: String,
       queries: DataFrame, queryId: String, queryVec: String,

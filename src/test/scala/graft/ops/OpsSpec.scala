@@ -392,6 +392,17 @@ class DedupSpec extends AnyFunSuite {
       val m = exact.map(t => t._1 -> t._2).toMap; m(i) == m(i + 1000L)
     }
     assert(exactCaught == 60, "exact pass must catch every planted copy")
+    // windowed (linear-cost) mode: near-identical vectors have near-equal
+    // centroid distance, so they sit adjacent in the window order
+    val win = Dedup.semanticDedup(df, "id", "vec", threshold = 0.995, nlist = 8,
+      window = 8, trainRowsTarget = 1000, seed = 7)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val winCaught = (0L until 60L).count(i => win(i) == win(i + 1000L))
+    assert(winCaught >= 57, s"windowed recall ${winCaught / 60.0} too low")
+    // nlist=1 + window is a contract violation (no centroid to order by)
+    intercept[IllegalArgumentException] {
+      Dedup.semanticDedup(df, "id", "vec", 0.995, nlist = 1, window = 4)
+    }
   }
 }
 
