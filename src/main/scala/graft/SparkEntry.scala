@@ -866,6 +866,18 @@ object SparkEntry {
         .select(lit(200L).as("n_planted"), col("n_planted_found"),
           col("n_pairs_total"), col("n_exact_pairs"), col("n_exact_found"))
     }),
+    "dedup_segments" -> ((s, dir) => {
+      // sub-document exact dedup with reassembly (Lee et al. ExactSubstr at
+      // 10-word-segment granularity): only the globally FIRST occurrence of
+      // a repeated segment survives; docs reassemble from their kept
+      // segments in position order. No hashing in the dedup key =>
+      // deterministic end-to-end; the reassembled text is compared as md5
+      // to keep the gate compact.
+      Dedup.dedupSegments(s.read.parquet(s"$dir/documents.parquet"),
+          "doc_id", "text", segmentWords = 10)
+        .select(col("doc_id"), col("n_segs"), col("n_kept"),
+          md5(col("text_kept")).as("kept_md5"))
+    }),
     "dedup_semantic_exact" -> ((s, dir) => {
       // SemDeDup with nlist=1 — exact all-pairs over a BOUNDED subset, the
       // oracle anchor driving the full machinery (pairwise cosine ->
@@ -2099,6 +2111,34 @@ object SparkEntry {
              FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
            SELECT id_a, id_b, dot / (na * nb) AS cosine
            FROM p WHERE na <> 0 AND nb <> 0 AND dot / (na * nb) >= 0.3""",
+      // 10-word segments; list slice toks[a:b] is 1-based inclusive =
+      // Spark slice(toks, a, 10); // is floor division
+      "dedup_segments" ->
+        """WITH t AS (
+             SELECT doc_id, string_split(text, ' ') AS toks
+             FROM documents WHERE text IS NOT NULL AND len(text) > 0),
+           s AS (
+             SELECT doc_id,
+                    unnest(range(0, (len(toks) - 1) // 10 + 1)) AS pos, toks
+             FROM t),
+           g AS (
+             SELECT doc_id, pos,
+                    array_to_string(toks[pos * 10 + 1 : pos * 10 + 10], ' ') AS seg
+             FROM s),
+           k AS (
+             SELECT doc_id, pos, seg,
+                    ROW_NUMBER() OVER (PARTITION BY seg ORDER BY doc_id, pos) AS rn
+             FROM g),
+           p AS (
+             SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segs,
+                    CAST(count(*) FILTER (rn = 1) AS BIGINT) AS n_kept,
+                    string_agg(seg, ' ' ORDER BY pos) FILTER (rn = 1) AS text_kept
+             FROM k GROUP BY doc_id)
+           SELECT d.doc_id,
+                  coalesce(p.n_segs, 0) AS n_segs,
+                  coalesce(p.n_kept, 0) AS n_kept,
+                  md5(coalesce(p.text_kept, '')) AS kept_md5
+           FROM documents d LEFT JOIN p ON p.doc_id = d.doc_id""",
       // SemDeDup anchor: planted dyadic-perturbation copies, all-pairs
       // cosine at 0.98, recursive-CTE components, min-id representative
       "dedup_semantic_exact" ->

@@ -720,6 +720,59 @@ object Dedup {
       .select("id_a", "id_b", "cosine")
   }
 
+  // ---------------- segment-level dedup with reassembly ----------------
+
+  /** Sub-document exact dedup with reassembly — the sentence/paragraph-level
+    * pass of Lee et al. (ACL'22 §4.1, "ExactSubstr": later occurrences of a
+    * repeated span are removed, the first survives), at fixed-width word-
+    * segment granularity (the delimiter-free analogue of sentence splits;
+    * pass the tokenization you need). Every segment occurrence is keyed by
+    * its text; only the globally FIRST occurrence (min (doc_id, pos)) is
+    * kept — both cross-document and within-document repeats drop — and each
+    * document's surviving segments reassemble in position order.
+    *
+    * Returns (doc_id, n_segs, n_kept, text_kept). Deterministic end-to-end
+    * (no hashing in the dedup key: segments compare as text), so the whole
+    * pipeline is oracle-verifiable.
+    *
+    * Scale layout: one explode to (doc, pos, segment) rows — |tokens|/width
+    * rows, linear; first-occurrence via a hash-aggregate keyed by the
+    * segment (min of the (doc_id, pos) struct — map-side combine, no
+    * per-segment window sort); one join back keyed by segment; reassembly
+    * is a per-doc sort_array of bounded per-doc state. Segments DO ride two
+    * shuffles as text — at corpus scale swap the join key for a 128-bit
+    * hash (md5 columns both sides) if profile shows the segment bytes
+    * dominating; kept as text here so the oracle needs no hash convention. */
+  def dedupSegments(df: DataFrame, idCol: String, textCol: String,
+      segmentWords: Int = 10): DataFrame = {
+    require(segmentWords > 0, s"segmentWords must be positive, got $segmentWords")
+    val base = df.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
+    val segs = base
+      .filter(col("__text").isNotNull && length(col("__text")) > 0)
+      .select(col("doc_id"), split(col("__text"), " ").as("__toks"))
+      .select(col("doc_id"), posexplode(
+        transform(
+          sequence(lit(0), floor((size(col("__toks")) - 1) / segmentWords).cast("int")),
+          i => array_join(slice(col("__toks"), i * segmentWords + 1, lit(segmentWords)), " ")
+        )).as(Seq("pos", "seg")))
+    val firsts = segs.groupBy("seg")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("__f"))
+    val kept = segs.join(firsts.hint("shuffle_hash"), "seg")
+      .withColumn("__keep",
+        col("doc_id") === col("__f.doc_id") && col("pos") === col("__f.pos"))
+    val perDoc = kept.groupBy("doc_id").agg(
+      count(lit(1)).as("n_segs"),
+      sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"),
+      array_join(transform(
+        array_sort(collect_list(when(col("__keep"), struct(col("pos"), col("seg"))))),
+        s => s.getField("seg")), " ").as("text_kept"))
+    base.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_segs"), lit(0L)).as("n_segs"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_kept"), lit("")).as("text_kept"))
+  }
+
   // ---------------- semantic (cluster-scoped) dedup ----------------
 
   /** SemDeDup-style semantic deduplication (Abbas et al., "SemDeDup: Data-

@@ -361,6 +361,24 @@ class DedupSpec extends AnyFunSuite {
     pairs.foreach { case (a, b) => assert(b - a == 1000L, s"unexpected pair ($a,$b)") }
   }
 
+  test("dedupSegments: first occurrence survives, later repeats drop, docs reassemble") {
+    val df = Seq(
+      (1L, "a b c d"),        // segs (w=2): "a b", "c d"
+      (2L, "c d e f a b"),    // "c d" (dup of doc1), "e f", "a b" (dup)
+      (3L, "a b a b"),        // within-doc repeat: second "a b" drops
+      (4L, ""),               // empty: zero segments
+      (5L, "x")               // single short segment
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupSegments(df, "doc_id", "text", segmentWords = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((2L, 2L, "a b c d")))
+    assert(out(2L) == ((3L, 1L, "e f")))
+    assert(out(3L) == ((2L, 0L, "")))    // both "a b" already seen in doc 1
+    assert(out(4L) == ((0L, 0L, "")))
+    assert(out(5L) == ((1L, 1L, "x")))
+  }
+
   test("semantic dedup: clustered pass catches planted dups, nlist=1 is exact") {
     val rnd = new scala.util.Random(23)
     // 4 well-separated gaussian blobs of 50 docs each
