@@ -866,6 +866,17 @@ object SparkEntry {
         .select(lit(200L).as("n_planted"), col("n_planted_found"),
           col("n_pairs_total"), col("n_exact_pairs"), col("n_exact_found"))
     }),
+    "text_quality_model" -> ((s, dir) => {
+      // hashed-n-gram linear classifier scoring (fastText-shaped model
+      // filter plumbing): hash unigrams+bigrams into 1024 buckets, average
+      // deterministic integer-thousandth weights, threshold at 0. Exact
+      // integer sum + one division => oracle-exact; swap weightMillis for
+      // a broadcast trained-weight array to run a real model.
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), ops.LinearTextModel.score(col("text")).as("q"))
+        .select(col("doc_id"), col("q.n_features").as("n_features"),
+          col("q.score").as("score"), col("q.keep").as("keep"))
+    }),
     "dedup_segments" -> ((s, dir) => {
       // sub-document exact dedup with reassembly (Lee et al. ExactSubstr at
       // 10-word-segment granularity): only the globally FIRST occurrence of
@@ -2111,6 +2122,34 @@ object SparkEntry {
              FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
            SELECT id_a, id_b, dot / (na * nb) AS cosine
            FROM p WHERE na <> 0 AND nb <> 0 AND dot / (na * nb) >= 0.3""",
+      // hashed unigram+bigram buckets (portable md5 convention), integer-
+      // thousandth pseudo-weights, one division at the end
+      "text_quality_model" ->
+        """WITH t AS (
+             SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+             FROM documents),
+           f AS (
+             SELECT doc_id,
+                    list_concat(toks,
+                      CASE WHEN len(toks) >= 2
+                           THEN list_transform(range(1, len(toks)),
+                                  i -> toks[i] || ' ' || toks[i + 1])
+                           ELSE CAST([] AS VARCHAR[]) END) AS feats
+             FROM t),
+           s AS (
+             SELECT doc_id, CAST(len(feats) AS BIGINT) AS n_features,
+                    list_sum(list_transform(feats,
+                      g -> (CAST(CONCAT('0x', substr(md5(g), 1, 15)) AS BIGINT)
+                            % 1024 * 2654435761) % 2001 - 1000)) AS millis
+             FROM f)
+           SELECT doc_id, n_features,
+                  CASE WHEN n_features > 0
+                       THEN CAST(millis AS DOUBLE) / (n_features * 1000)
+                       ELSE 0.0 END AS score,
+                  (CASE WHEN n_features > 0
+                        THEN CAST(millis AS DOUBLE) / (n_features * 1000)
+                        ELSE 0.0 END) > 0.0 AS keep
+           FROM s""",
       // 10-word segments; list slice toks[a:b] is 1-based inclusive =
       // Spark slice(toks, a, 10); // is floor division
       "dedup_segments" ->

@@ -382,3 +382,49 @@ object Stopwords {
   val profiles: Seq[(String, Seq[String])] =
     Seq("en" -> en, "de" -> de, "fr" -> fr, "es" -> es)
 }
+
+/** Hashed-n-gram linear text classifier — the fastText-shaped scoring
+  * plumbing of a model-based quality filter (CCNet / Llama-style corpus
+  * filtering runs exactly this: hash unigrams+bigrams into a bounded
+  * feature space, average the bucket weights, threshold), with every stage
+  * a NATIVE Column expression: tokenize -> hash (portable md5-prefix mod
+  * dim, the engine-wide convention) -> weight lookup -> mean. Map-only,
+  * zero shuffle, whole-stage codegen — the shape a real trained linear
+  * model drops into by replacing [[LinearTextModel.weightMillis]] with a
+  * broadcast weight array.
+  *
+  * Weights here are DETERMINISTIC pseudo-weights derived from the bucket
+  * index by integer arithmetic (Knuth multiplicative constant mod a prime
+  * window), in integer THOUSANDTHS: the score is an exact integer sum
+  * divided once, so an independent engine reproduces every float bit —
+  * the plumbing is oracle-verified even though the weights are synthetic. */
+object LinearTextModel {
+
+  /** w(bucket) in [-1, 1] thousandths: ((b * 2654435761) mod 2001) - 1000. */
+  def weightMillis(bucket: Column): Column =
+    pmod(bucket * lit(2654435761L), lit(2001L)) - lit(1000L)
+
+  /** Portable feature hash: md5 leading 60 bits mod `dim`. */
+  def featureBucket(feature: Column, dim: Int): Column =
+    pmod(conv(substring(md5(feature), 1, 15), 16, 10).cast("long"), lit(dim.toLong))
+
+  /** (n_features, score, keep): score = mean bucket weight over hashed
+    * unigrams + bigrams, keep = score > 0. Empty/null text scores 0.0 and
+    * drops. */
+  def score(text: Column, dim: Int = 1024): Column = {
+    val toks = TextAnalysis.tokens(text)
+    // guard: sequence(1, 0) DESCENDS in Spark, so size<2 must short-circuit
+    val bigrams = when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val feats = concat(toks, bigrams)
+    val n = size(feats)
+    val sumMillis = aggregate(
+      transform(feats, f => weightMillis(featureBucket(f, dim))),
+      lit(0L), (acc, w) => acc + w)
+    val sc = when(n > 0, sumMillis.cast("double") / (n * 1000).cast("double"))
+      .otherwise(lit(0.0))
+    struct(n.cast("long").as("n_features"), sc.as("score"), (sc > 0.0).as("keep"))
+  }
+}

@@ -171,6 +171,41 @@ class TextAnalysisSpec extends AnyFunSuite {
   }
 }
 
+class LinearTextModelSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  /** the model's formula, independently: md5-60-bit bucket -> Knuth-mod
+    * thousandth weight */
+  private def refWeight(feature: String, dim: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val d = md.digest(feature.getBytes("UTF-8"))
+    var v = 0L
+    for (k <- 0 until 8) v = (v << 8) | (d(k) & 0xffL)
+    val bucket = (v >>> 4) % dim
+    Math.floorMod(bucket * 2654435761L, 2001L) - 1000L
+  }
+
+  test("hashed linear scoring: exact mean of unigram+bigram bucket weights") {
+    val text = "spark shuffles the fast table"
+    val toks = text.split(" ").toSeq
+    val feats = toks ++ toks.sliding(2).map(_.mkString(" "))
+    val expMillis = feats.map(refWeight(_, 1024)).sum
+    val exp = expMillis.toDouble / (feats.size * 1000)
+    val out = Seq((1L, text), (2L, ""), (3L, "one")).toDF("doc_id", "text")
+      .select(col("doc_id"), graft.ops.LinearTextModel.score(col("text")).as("q"))
+      .select(col("doc_id"), col("q.n_features"), col("q.score"), col("q.keep"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    assert(out(1L)._1 == feats.size.toLong)
+    assert(out(1L)._2 == exp, s"got ${out(1L)._2}, want $exp")
+    assert(out(1L)._3 == (exp > 0))
+    assert(out(2L) == ((0L, 0.0, false)), "empty text: zero features, drop")
+    // single token: no bigrams (sequence(1,0) would descend — guarded)
+    assert(out(3L)._1 == 1L)
+  }
+}
+
 class DedupSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
