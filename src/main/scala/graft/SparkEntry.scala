@@ -866,6 +866,16 @@ object SparkEntry {
         .select(lit(200L).as("n_planted"), col("n_planted_found"),
           col("n_pairs_total"), col("n_exact_pairs"), col("n_exact_found"))
     }),
+    "stats_k_anonymity" -> ((s, dir) => {
+      // pre-release anonymity audit: per threshold k, equivalence classes
+      // (event_type, day) with < k members / < k distinct users — the
+      // k-anonymity + l-diversity numbers a release review reads next to
+      // the DP histograms. One QI hash-aggregate, |ks|-way fan-out.
+      val ev = events(s, dir)
+        .withColumn("day",
+          expr("date_format(timestamp_micros(ts div 1000), 'yyyy-MM-dd')"))
+      graft.stats.AnonymityAudit.audit(ev, Seq("event_type", "day"), "user_id")
+    }),
     "text_quality_model" -> ((s, dir) => {
       // hashed-n-gram linear classifier scoring (fastText-shaped model
       // filter plumbing): hash unigrams+bigrams into 1024 buckets, average
@@ -2122,6 +2132,18 @@ object SparkEntry {
              FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
            SELECT id_a, id_b, dot / (na * nb) AS cosine
            FROM p WHERE na <> 0 AND nb <> 0 AND dot / (na * nb) >= 0.3""",
+      "stats_k_anonymity" ->
+        """WITH c AS (
+             SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                    CAST(count(*) AS BIGINT) AS n,
+                    CAST(count(DISTINCT user_id) AS BIGINT) AS ndist
+             FROM events GROUP BY 1, 2),
+           x AS (SELECT c.*, t.k FROM c, unnest([2, 5, 10, 25]) AS t(k))
+           SELECT k, CAST(count(*) AS BIGINT) AS n_classes,
+                  CAST(count(*) FILTER (n < k) AS BIGINT) AS n_classes_below_k,
+                  CAST(coalesce(sum(n) FILTER (n < k), 0) AS BIGINT) AS n_rows_below_k,
+                  CAST(count(*) FILTER (ndist < k) AS BIGINT) AS n_classes_ldiv_below_k
+           FROM x GROUP BY k""",
       // hashed unigram+bigram buckets (portable md5 convention), integer-
       // thousandth pseudo-weights, one division at the end
       "text_quality_model" ->

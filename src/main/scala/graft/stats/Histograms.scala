@@ -247,6 +247,38 @@ final class L0ScoringFunction(
     }.sum
 }
 
+/** k-anonymity / l-diversity audit — the pre-release check a privacy
+  * pipeline runs BEFORE deciding bounds and noise: group by the quasi-
+  * identifier columns and report, per candidate threshold k, how many
+  * equivalence classes (and how many rows) fall below k members
+  * (k-anonymity; Sweeney 2002) and how many classes carry fewer than k
+  * distinct sensitive values (l-diversity at l=k; Machanavajjhala 2007).
+  *
+  * Scale: one hash-aggregate over the QI key (map-side combine), then the
+  * per-class frame fans out across the bounded threshold list and
+  * re-aggregates to |ks| rows — the class table never collects and the
+  * fan-out factor is |ks|, not data-sized. */
+object AnonymityAudit {
+  def audit(df: DataFrame, quasiIdCols: Seq[String], sensitiveCol: String,
+      ks: Seq[Int] = Seq(2, 5, 10, 25)): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1), s"thresholds must be >= 1: $ks")
+    val classes = df.groupBy(quasiIdCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"),
+        countDistinct(col(sensitiveCol)).as("__ndist"))
+    classes
+      .select(col("__n"), col("__ndist"),
+        explode(lit(ks.toArray)).as("k"))
+      .groupBy("k")
+      .agg(
+        count(lit(1)).as("n_classes"),
+        sum(when(col("__n") < col("k"), 1L).otherwise(0L)).as("n_classes_below_k"),
+        sum(when(col("__n") < col("k"), col("__n")).otherwise(lit(0L)))
+          .as("n_rows_below_k"),
+        sum(when(col("__ndist") < col("k"), 1L).otherwise(0L))
+          .as("n_classes_ldiv_below_k"))
+  }
+}
+
 object PrivateL0Calculator {
   /** Chooses the L0 bound in a DP way. Driver-side once the (tiny) histogram
     * is collected. */

@@ -93,6 +93,23 @@ class HistogramsSpec extends AnyFunSuite {
     assert(k == 1)
   }
 
+  test("anonymity audit: class sizes and distinct-sensitive counts per threshold") {
+    import spark.implicits._
+    // classes: (a: 3 rows, 2 users), (b: 1 row, 1 user), (c: 2 rows, 2 users)
+    val df = Seq(
+      ("a", 1L), ("a", 1L), ("a", 2L),
+      ("b", 9L),
+      ("c", 5L), ("c", 6L)
+    ).toDF("qi", "user")
+    val out = graft.stats.AnonymityAudit.audit(df, Seq("qi"), "user", ks = Seq(2, 3))
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // k=2: below-k classes = {b} (1 row); l-div below 2 = {b}
+    assert(out(2) == ((3L, 1L, 1L, 1L)))
+    // k=3: below-k classes = {b, c} (3 rows); l-div below 3 = all three
+    assert(out(3) == ((3L, 2L, 3L, 3L)))
+  }
+
   test("exponential mechanism distributes by score at moderate eps") {
     val scoring = new ScoringFunction {
       def score(k: Int): Double = k.toDouble
