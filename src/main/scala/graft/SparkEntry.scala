@@ -1420,6 +1420,24 @@ object SparkEntry {
         .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
           col("event_type"), col("dp_count"))
     }),
+    "ss_dp_sum" -> ((s, dir) => {
+      // streaming DP windowed sum (clamp -> per-unit cell-sum clamp ->
+      // Laplace), Zero-noise + generous bounds for the oracle; value
+      // floor()ed so the sum is integer-exact in doubles (the engine-wide
+      // float-parity convention). Tight-bound semantics pinned in
+      // StreamOpsSpec.
+      val ev = events(s, dir)
+        .withColumn("tstamp", expr("timestamp_micros(ts div 1000)"))
+        .withColumn("v", floor(col("value")))
+      graft.streaming.StreamOps.dpWindowedSum(ev,
+          pidCol = "user_id", tsCol = "tstamp", valueCol = "v",
+          keyCols = Seq("event_type"), windowLength = "1 hour",
+          epsilon = 1.0, maxPerCell = 1000000L,
+          minValue = -1e6, maxValue = 1e6,
+          noise = graft.core.NoiseSource.Zero)
+        .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("event_type"), col("dp_sum"))
+    }),
     "mm_decode_resize" -> ((s, dir) => {
       // REAL image pipeline: synthesize a PNG per document (dims derived
       // from the text length), decode it with ImageIO, plan the resize.
@@ -2086,6 +2104,10 @@ object SparkEntry {
       "ss_dp_count" ->
         """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
               event_type, CAST(count(*) AS DOUBLE) AS dp_count
+           FROM events GROUP BY 1, 2""",
+      "ss_dp_sum" ->
+        """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+              event_type, CAST(sum(floor(value)) AS DOUBLE) AS dp_sum
            FROM events GROUP BY 1, 2""",
       "ss_dedup" ->
         """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,

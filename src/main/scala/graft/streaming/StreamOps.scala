@@ -172,6 +172,49 @@ object StreamOps {
         (col("__raw") + noiseUdf()).cast("double").as("dp_count"): _*)
   }
 
+  /** The sum analogue of [[dpWindowedCount]], mirroring the batch
+    * SumCombiner's per-partition bounding mode: each VALUE clamps to
+    * [minValue, maxValue], then each unit's per-(window, key) SUM of
+    * clamped values clamps to [maxPerCell*minValue, maxPerCell*maxValue] —
+    * row-count capping ("keep the first k rows") would be arrival-order-
+    * dependent on a stream, while sum clamping is order-free and dominates
+    * any k <= maxPerCell clamped rows. Cell sensitivity is
+    * maxPerCell * max(|minValue|, |maxValue|); same per-release budget
+    * caveats as the count. */
+  def dpWindowedSum(
+      events: DataFrame,
+      pidCol: String,
+      tsCol: String,
+      valueCol: String,
+      keyCols: Seq[String],
+      windowLength: String,
+      epsilon: Double,
+      maxPerCell: Long,
+      minValue: Double,
+      maxValue: Double,
+      noise: graft.core.NoiseSource,
+      watermark: Option[String] = None
+  ): DataFrame = {
+    require(epsilon > 0, s"epsilon must be positive, got $epsilon")
+    require(maxPerCell > 0, s"maxPerCell must be positive, got $maxPerCell")
+    require(minValue <= maxValue, s"minValue $minValue > maxValue $maxValue")
+    val base = watermark.map(w => events.withWatermark(tsCol, w)).getOrElse(events)
+    val keyCs = keyCols.map(col)
+    val clamped = least(greatest(col(valueCol).cast("double"), lit(minValue)), lit(maxValue))
+    val perUnit = base
+      .groupBy(window(col(tsCol), windowLength) +: col(pidCol) +: keyCs: _*)
+      .agg(sum(clamped).as("__s"))
+    val b = maxPerCell * math.max(math.abs(minValue), math.abs(maxValue)) / epsilon
+    val src = noise
+    val noiseUdf = udf(() => src.laplace(b)).asNondeterministic()
+    perUnit
+      .groupBy(col("window") +: keyCs: _*)
+      .agg(sum(least(greatest(col("__s"), lit(maxPerCell * minValue)),
+        lit(maxPerCell * maxValue))).as("__raw"))
+      .select(col("window.start").as("window_start") +: keyCs :+
+        (col("__raw") + noiseUdf()).cast("double").as("dp_sum"): _*)
+  }
+
   /** Session windows via typed state: a session closes after `gapSeconds` of
     * inactivity (processing-time timeout for the local smoke path). */
   def sessionize(events: Dataset[SessionEvent], gapSeconds: Long): Dataset[SessionSummary] = {

@@ -145,6 +145,15 @@ class StreamOpsSpec extends AnyFunSuite {
       .collect().map(r => ((r.getTimestamp(0), r.getString(1)), r.getDouble(2))).toMap
     assert(noisy.keySet == batch.keySet)
     assert(noisy.exists { case (k, v) => v != batch(k) })
+
+    // dp windowed SUM with min=max=1 and maxPerCell=1 collapses to the
+    // distinct-unit count (clamp every value to 1, clamp every unit's cell
+    // sum to [1,1]) — pins both clamping stages at once
+    val sum11 = StreamOps.dpWindowedSum(bev, "user_id", "ts", "value",
+        Seq("event_type"), "1 hour", epsilon = 1.0, maxPerCell = 1L,
+        minValue = 1.0, maxValue = 1.0, noise = graft.core.NoiseSource.Zero)
+      .collect().map(r => ((r.getTimestamp(0), r.getString(1)), r.getDouble(2))).toMap
+    assert(sum11 == distinct)
   }
 
   test("stream-stream attribution join matches the batch range join") {
