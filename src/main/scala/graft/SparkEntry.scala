@@ -970,6 +970,16 @@ object SparkEntry {
             .as("n_planted_caught"))
       stats.crossJoin(caught)
     }),
+    "emb_project" -> ((s, dir) => {
+      // Johnson-Lindenstrauss 64 -> 16 projection with the deterministic
+      // portable +-1 matrix (md5-derived signs, dyadic 1/4 scale) — every
+      // output coordinate bit-reproducible => oracle-exact. Distance
+      // preservation is pinned in SimilaritySpec.
+      s.read.parquet(s"$dir/embeddings.parquet")
+        .withColumn("emb", expr("transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1024) / 1024)"))
+        .select(col("vec_id"),
+          Similarity.randomProject(col("emb"), inDim = 64, outDim = 16).as("proj"))
+    }),
     "emb_quantize" -> ((s, dir) => {
       // symmetric int8 quantization per embedding (4x storage cut for ANN),
       // verified via per-vector roundtrip stats: the quantized L1 mass and
@@ -2256,6 +2266,21 @@ object SparkEntry {
            SELECT c.vec_id AS id, coalesce(m.component, c.vec_id) AS component,
                   (coalesce(m.component, c.vec_id) = c.vec_id) AS keep
            FROM corpus c LEFT JOIN comp m ON m.id = c.vec_id""",
+      // sign = low bit of the 60-bit md5 value of "i:j" (i row 0-based,
+      // j out-dim 0-based); * 0.25 AFTER the index-ascending sum
+      "emb_project" ->
+        """SELECT vec_id,
+                  list_transform(range(0, 16), j ->
+                    list_sum(list_transform(range(0, 64), i ->
+                      emb[i + 1] *
+                      (CASE WHEN CAST(CONCAT('0x', substr(md5(
+                                CAST(i AS VARCHAR) || ':' || CAST(j AS VARCHAR)), 1, 15))
+                              AS BIGINT) % 2 = 1
+                            THEN 1.0 ELSE -1.0 END))) * 0.25) AS proj
+           FROM (SELECT vec_id,
+                        list_transform(embedding,
+                          x -> floor(CAST(x AS DOUBLE) * 1024) / 1024) AS emb
+                 FROM embeddings)""",
       "sim_topk" -> bruteTopKSql,
       // the same brute-force ranking over the int8-quantized-then-
       // dequantized corpus (quantization replicated from emb_quantize)

@@ -781,6 +781,46 @@ object Similarity {
     finalizeTopK(scored, k)
   }
 
+  /** Johnson-Lindenstrauss random projection to `outDim` dimensions with a
+    * DETERMINISTIC +-1 matrix (Achlioptas 2003: Rademacher entries preserve
+    * pairwise distances within the JL bound — no Gaussians needed): sign of
+    * cell (i, j) comes from the engine-wide portable md5 convention
+    * (md5("i:j") leading 60 bits, low bit), so an independent engine
+    * reproduces the exact matrix, and the scale 1/sqrt(outDim) is DYADIC
+    * when outDim is a power of 4 (16 -> 0.25), keeping every output
+    * coordinate bit-reproducible under the index-ascending-sum convention.
+    *
+    * The matrix is built ONCE driver-side (inDim x outDim doubles) and
+    * rides the UDF closure; the row loop is pure multiply-add — no per-row
+    * hashing. The cheap pre-step before ANN when raw dimensionality is the
+    * cost driver (a 64 -> 16 projection cuts every downstream cosine 4x). */
+  def randomProject(vec: Column, inDim: Int, outDim: Int): Column = {
+    require(inDim > 0 && outDim > 0, s"dims must be positive: $inDim -> $outDim")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val signs = Array.tabulate(inDim, outDim) { (i, j) =>
+      val d = md.digest(s"$i:$j".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var v = 0L; var k = 0
+      while (k < 8) { v = (v << 8) | (d(k) & 0xffL); k += 1 }
+      if (((v >>> 4) & 1L) == 1L) 1.0 else -1.0
+    }
+    val scale = 1.0 / math.sqrt(outDim.toDouble)
+    val f = udf((a: Array[Double]) => {
+      if (a == null) null
+      else {
+        val out = new Array[Double](outDim)
+        var j = 0
+        while (j < outDim) {
+          var s = 0.0; var i = 0
+          while (i < inDim && i < a.length) { s += a(i) * signs(i)(j); i += 1 }
+          out(j) = s * scale
+          j += 1
+        }
+        out
+      }
+    })
+    f(vec.cast("array<double>"))
+  }
+
   /** Lloyd's k-means over an in-memory sample: deterministic seeded init
     * (k distinct points), iterate assign/recenter until centers move less
     * than `tol` or `maxIter`. The sample is bounded by the caller

@@ -621,6 +621,32 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.8, s"recall $recall too low")
   }
 
+  test("randomProject: deterministic portable matrix, JL distance preservation") {
+    val rnd = new scala.util.Random(53)
+    val vecs = (0L until 300L).map(i => (i, Array.fill(64)(rnd.nextGaussian())))
+    val df = vecs.toDF("id", "vec")
+    val proj = df.select(col("id"),
+        Similarity.randomProject(col("vec"), 64, 16).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    // exact reference for one vector: same md5 sign convention, independently
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def sign(i: Int, j: Int): Double = {
+      val d = md.digest(s"$i:$j".getBytes("UTF-8"))
+      var v = 0L
+      for (k <- 0 until 8) v = (v << 8) | (d(k) & 0xffL)
+      if (((v >>> 4) & 1L) == 1L) 1.0 else -1.0
+    }
+    val v0 = vecs.head._2
+    val want = Array.tabulate(16)(j => (0 until 64).map(i => v0(i) * sign(i, j)).sum * 0.25)
+    assert(proj(0L).toSeq == want.toSeq)
+    // JL: norms preserved within distortion on average (eps ~ sqrt(8/16)*slack)
+    def n2(a: Array[Double]) = a.map(x => x * x).sum
+    val ratios = vecs.take(100).map { case (i, v) => n2(proj(i)) / n2(v) }
+    val mean = ratios.sum / ratios.size
+    assert(math.abs(mean - 1.0) < 0.15, s"mean norm ratio $mean")
+    assert(ratios.count(r => r > 0.3 && r < 1.9) >= 95, "distortion tail too heavy")
+  }
+
   test("pq adc top-k: planted copies recovered, high overlap with exact") {
     val rnd = new scala.util.Random(31)
     def cluster(center: Array[Double], n: Int, startId: Long) =

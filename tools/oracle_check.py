@@ -14,10 +14,18 @@ import duckdb
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+def canon(x):
+    # arrays/lists -> tuples so row comparison is by value (the driver
+    # hashes stringified values, which has the same semantics)
+    if isinstance(x, (list, tuple)):
+        return tuple(canon(y) for y in x)
+    if hasattr(x, "tolist") and not isinstance(x, (str, bytes)):
+        t = x.tolist()
+        return tuple(canon(y) for y in t) if isinstance(t, list) else t
+    return x
+
 def norm(rows):
-    out = []
-    for r in rows:
-        out.append(tuple(x if not isinstance(x, float) else x for x in r))
+    out = [tuple(canon(x) for x in r) for r in rows]
     return sorted(out, key=lambda t: tuple(str(x) for x in t))
 
 def main(sf_dir, out_dir):
