@@ -760,6 +760,21 @@ object SparkEntry {
           sum(when(col("in_exact").isNotNull && col("in_lsh").isNotNull, 1L)
             .otherwise(0L)).as("n_both"))
     }),
+    "sim_projected_topk" -> ((s, dir) => {
+      // two-stage ANN through the deterministic JL projection: 16-dim
+      // shortlist (100 per query), exact 64-dim re-rank to top-5.
+      // Deterministic matrix + id tiebreaks at both stages => the ONE
+      // approximate ANN path that is oracle-exact end-to-end. Recall is
+      // data-dependent: ~0.65 vs brute force on THIS weakly-clustered
+      // synthetic corpus (measured; shortlist is the knob), >= 0.8 on
+      // clustered data (SimilaritySpec).
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+        .withColumn("emb", expr("transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1024) / 1024)"))
+      val queries = e.filter(col("vec_id") < 20).select(col("vec_id").as("qid"), col("emb"))
+      Similarity.projectedTopK(e, "vec_id", "emb", queries, "qid", "emb",
+          k = 5, shortlist = 100, inDim = 64, outDim = 16)
+        .withColumn("rank", col("rank").cast("long"))
+    }),
     "sim_ivfpq_topk" -> ((s, dir) => {
       // IVF-PQ (coarse cells + residual product codes, m+4 bytes/vector
       // scanned, ~nprobe/nlist of the corpus touched per query) — the
@@ -2281,6 +2296,52 @@ object SparkEntry {
                         list_transform(embedding,
                           x -> floor(CAST(x AS DOUBLE) * 1024) / 1024) AS emb
                  FROM embeddings)""",
+      // two-stage: row_number over projected cosine (same tiebreak as the
+      // bounded-heap aggregate), then exact re-rank of the shortlist
+      "sim_projected_topk" ->
+        """WITH e AS (
+             SELECT vec_id,
+                    list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1024) / 1024) AS emb
+             FROM embeddings),
+           p AS (
+             SELECT vec_id, emb,
+                    list_transform(range(0, 16), j ->
+                      list_sum(list_transform(range(0, 64), i ->
+                        emb[i + 1] *
+                        (CASE WHEN CAST(CONCAT('0x', substr(md5(
+                                  CAST(i AS VARCHAR) || ':' || CAST(j AS VARCHAR)), 1, 15))
+                                AS BIGINT) % 2 = 1
+                              THEN 1.0 ELSE -1.0 END))) * 0.25) AS proj
+             FROM e),
+           s1 AS (
+             SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                    CASE WHEN sqrt(list_sum(list_transform(q.proj, x -> x * x))) = 0
+                           OR sqrt(list_sum(list_transform(c.proj, x -> x * x))) = 0 THEN 0.0
+                         ELSE list_sum(list_transform(range(1, 17), i -> q.proj[i] * c.proj[i]))
+                              / (sqrt(list_sum(list_transform(q.proj, x -> x * x)))
+                                 * sqrt(list_sum(list_transform(c.proj, x -> x * x))))
+                    END AS pcos
+             FROM p q CROSS JOIN p c WHERE q.vec_id < 20),
+           short AS (
+             SELECT query_id, neighbor_id FROM s1
+             QUALIFY row_number() OVER (PARTITION BY query_id
+                       ORDER BY pcos DESC, neighbor_id) <= 100),
+           r AS (
+             SELECT s.query_id, s.neighbor_id,
+                    CASE WHEN sqrt(list_sum(list_transform(q.emb, x -> x * x))) = 0
+                           OR sqrt(list_sum(list_transform(c.emb, x -> x * x))) = 0 THEN 0.0
+                         ELSE list_sum(list_transform(range(1, 65), i -> q.emb[i] * c.emb[i]))
+                              / (sqrt(list_sum(list_transform(q.emb, x -> x * x)))
+                                 * sqrt(list_sum(list_transform(c.emb, x -> x * x))))
+                    END AS cosine
+             FROM short s
+             JOIN e q ON q.vec_id = s.query_id
+             JOIN e c ON c.vec_id = s.neighbor_id)
+           SELECT query_id, neighbor_id, cosine,
+                  CAST(row_number() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+           FROM r
+           QUALIFY rank <= 5""",
       "sim_topk" -> bruteTopKSql,
       // the same brute-force ranking over the int8-quantized-then-
       // dequantized corpus (quantization replicated from emb_quantize)

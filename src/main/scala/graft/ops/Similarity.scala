@@ -821,6 +821,42 @@ object Similarity {
     f(vec.cast("array<double>"))
   }
 
+  /** Two-stage top-k through the JL projection: shortlist by cosine in the
+    * PROJECTED space (outDim floats per vector — the corpus scan does
+    * outDim multiplies per candidate instead of inDim), then exact re-rank
+    * of the shortlist in the original space. Deterministic end-to-end
+    * (deterministic matrix, id tiebreaks at both stages), so unlike
+    * LSH/IVF/PQ this approximate path is ORACLE-VERIFIABLE: an independent
+    * engine reproduces the exact shortlist and therefore the exact result.
+    * Recall is governed by `shortlist` (JL distortion shrinks as outDim
+    * grows); the re-rank stage touches shortlist x queries vectors only. */
+  def projectedTopK(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int, shortlist: Int, inDim: Int, outDim: Int = 16
+  ): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
+    val c = corpus.select(col(corpusId).as("neighbor_id"),
+        col(corpusVec).cast("array<double>").as("__cv"))
+      .withColumn("__cp", randomProject(col("__cv"), inDim, outDim))
+      .localCheckpoint(false) // scanned by stage 1, joined back by stage 2
+    val q = queries.select(col(queryId).as("query_id"),
+        col(queryVec).cast("array<double>").as("__qv"))
+      .withColumn("__qp", randomProject(col("__qv"), inDim, outDim))
+      .localCheckpoint(false)
+    val short = finalizeTopK(
+      c.select(col("neighbor_id"), col("__cp"))
+        .crossJoin(broadcast(q.select(col("query_id"), col("__qp"))))
+        .withColumn("cosine", cosine(col("__qp"), col("__cp"))),
+      shortlist)
+      .select("query_id", "neighbor_id")
+    val rescored = short
+      .join(c.select(col("neighbor_id"), col("__cv")).hint("shuffle_hash"), "neighbor_id")
+      .join(broadcast(q.select(col("query_id"), col("__qv"))), "query_id")
+      .withColumn("cosine", cosine(col("__qv"), col("__cv")))
+    finalizeTopK(rescored, k)
+  }
+
   /** Lloyd's k-means over an in-memory sample: deterministic seeded init
     * (k distinct points), iterate assign/recenter until centers move less
     * than `tol` or `maxIter`. The sample is bounded by the caller

@@ -647,6 +647,26 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ratios.count(r => r > 0.3 && r < 1.9) >= 95, "distortion tail too heavy")
   }
 
+  test("projectedTopK: high recall vs brute force through the 4x-smaller scan") {
+    // clustered corpus (the realistic embedding regime — uniform random
+    // 64-dim gaussians have near-orthogonal neighbors, where ANY projection
+    // shreds the razor-thin top-k margins)
+    val rnd = new scala.util.Random(59)
+    def cluster(center: Array[Double], n: Int, startId: Long) =
+      (0 until n).map(i => (startId + i, center.map(_ + 0.1 * rnd.nextGaussian())))
+    val centers = (0 until 8).map(_ => Array.fill(64)(rnd.nextGaussian()))
+    val vecs = centers.zipWithIndex.flatMap { case (c, i) => cluster(c, 50, i * 100L) }
+    val df = vecs.toDF("id", "vec")
+    val qdf = centers.zipWithIndex.map { case (c, i) => (1000L + i, c) }.toDF("qid", "qvec")
+    val got = Similarity.projectedTopK(df, "id", "vec", qdf, "qid", "qvec",
+      k = 5, shortlist = 40, inDim = 64, outDim = 16)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val want = Similarity.bruteForceTopK(df, "id", "vec", qdf, "qid", "qvec", 5)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = got.intersect(want).size.toDouble / want.size
+    assert(recall >= 0.8, s"projected recall $recall too low")
+  }
+
   test("pq adc top-k: planted copies recovered, high overlap with exact") {
     val rnd = new scala.util.Random(31)
     def cluster(center: Array[Double], n: Int, startId: Long) =
