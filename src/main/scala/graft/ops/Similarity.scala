@@ -413,6 +413,8 @@ object Similarity {
     * closure (nlist x dim doubles — broadcast-sized by construction). */
   private[ops] def nearestCellsUdf(centers: Array[Array[Double]], n: Int) =
     udf((a: Array[Double]) => {
+      if (a == null) throw new IllegalArgumentException(
+        "null vector — cell assignment has no right silent answer; filter upstream")
       val dists = new Array[Double](centers.length)
       var ci = 0
       while (ci < centers.length) {
@@ -442,6 +444,8 @@ object Similarity {
     * semantic-dedup mode orders cell members by this distance. */
   private[ops] def cellWithDistUdf(centers: Array[Array[Double]]) =
     udf((a: Array[Double]) => {
+      if (a == null) throw new IllegalArgumentException(
+        "null vector — cell assignment has no right silent answer; filter upstream")
       var best = 0; var bestD = Double.MaxValue
       var c = 0
       while (c < centers.length) {
@@ -515,7 +519,8 @@ object Similarity {
       lloyd(sub, ksub, seed + j)
     }
     val encode = udf((a: Array[Double]) => {
-      if (a == null) null
+      if (a == null) throw new IllegalArgumentException(
+        "null vector — PQ encoding would silently drop the row; filter upstream")
       else {
         val codes = new Array[Byte](m)
         var j = 0
@@ -658,7 +663,8 @@ object Similarity {
       lloyd(sub, ksub, seed + j)
     }
     val encode = udf((a: Array[Double]) => {
-      if (a == null) null
+      if (a == null) throw new IllegalArgumentException(
+        "null vector — IVF-PQ encoding would silently drop the row; filter upstream")
       else {
         val cell = nearestCoarse(a)
         val ct = coarse(cell)
@@ -805,7 +811,8 @@ object Similarity {
     }
     val scale = 1.0 / math.sqrt(outDim.toDouble)
     val f = udf((a: Array[Double]) => {
-      if (a == null) null
+      if (a == null) throw new IllegalArgumentException(
+        "null vector — a null projection poisons downstream distances; filter upstream")
       else {
         val out = new Array[Double](outDim)
         var j = 0

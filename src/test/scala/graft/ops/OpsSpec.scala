@@ -621,6 +621,35 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.8, s"recall $recall too low")
   }
 
+  test("partitioning invariance: centroid, top-k, segment dedup bit-identical across layouts") {
+    // the oracle gate's premise: results must not depend on how rows are
+    // split across tasks (exact integer sums, total-order merges, min-struct
+    // first-occurrence). Pin it by re-running on adversarial layouts.
+    val rnd = new scala.util.Random(61)
+    val vecs = (0L until 200L).map(i => (i % 7, i, Array.fill(16)(rnd.nextGaussian())))
+    val vdf = vecs.toDF("g", "id", "vec")
+    def layouts(df: org.apache.spark.sql.DataFrame, key: String = "id") =
+      Seq(df.coalesce(1), df.repartition(17, col(key)), df.repartitionByRange(5, col(key).desc))
+    def centroids(df: org.apache.spark.sql.DataFrame) =
+      Similarity.centroidByKey(df, "g", "vec").collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq, r.getLong(2))).toSet
+    val cRef = centroids(vdf.coalesce(1))
+    layouts(vdf).foreach(l => assert(centroids(l) == cRef))
+    val qdf = vecs.take(3).map { case (_, i, v) => (1000L + i, v) }.toDF("qid", "qvec")
+    def topk(df: org.apache.spark.sql.DataFrame) =
+      Similarity.bruteForceTopK(df, "id", "vec", qdf, "qid", "qvec", 7).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val tRef = topk(vdf.coalesce(1))
+    layouts(vdf).foreach(l => assert(topk(l) == tRef))
+    val docs = (0L until 60L).map(i => (i, s"w${i % 9} x y z w${i % 9} a b c"))
+      .toDF("doc_id", "text")
+    def segs(df: org.apache.spark.sql.DataFrame) =
+      Dedup.dedupSegments(df, "doc_id", "text", 4).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    val sRef = segs(docs.coalesce(1))
+    layouts(docs, "doc_id").foreach(l => assert(segs(l) == sRef))
+  }
+
   test("randomProject: deterministic portable matrix, JL distance preservation") {
     val rnd = new scala.util.Random(53)
     val vecs = (0L until 300L).map(i => (i, Array.fill(64)(rnd.nextGaussian())))
@@ -645,6 +674,13 @@ class SimilaritySpec extends AnyFunSuite {
     val mean = ratios.sum / ratios.size
     assert(math.abs(mean - 1.0) < 0.15, s"mean norm ratio $mean")
     assert(ratios.count(r => r > 0.3 && r < 1.9) >= 95, "distortion tail too heavy")
+    // null vectors fail loudly (the engine-wide convention), not NPE/drop
+    import graft.spark.SparkTestSession.chainMsg
+    val ex = intercept[Exception] {
+      Seq((1L, null.asInstanceOf[Array[Double]])).toDF("id", "vec")
+        .select(Similarity.randomProject(col("vec"), 64, 16)).collect()
+    }
+    assert(chainMsg(ex).contains("null vector"), chainMsg(ex))
   }
 
   test("projectedTopK: high recall vs brute force through the 4x-smaller scan") {
