@@ -1370,6 +1370,27 @@ object SparkEntry {
       CorpusOps.vocabTopK(
         s.read.parquet(s"$dir/documents.parquet").select("text"), "text", 50)
     }),
+    "io_roundtrip" -> ((s, dir) => {
+      // the IO layer inside the gate: CorpusIO write -> read roundtrips in
+      // two formats (hive-partitioned parquet with bounded files; jsonl
+      // with the explicit schema the reader requires), rolled up per
+      // (format, lang) — counts and sums must survive both roundtrips.
+      import graft.sources.CorpusIO
+      val tmp = java.nio.file.Files.createTempDirectory("graft_io").toString
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "lang", "source", "n_chars")
+      CorpusIO.write(docs, s"$tmp/p", format = "parquet",
+        partitionBy = Seq("lang"), maxRecordsPerFile = 200)
+      CorpusIO.write(docs, s"$tmp/j", format = "jsonl")
+      val p = CorpusIO.read(s, s"$tmp/p")
+        .withColumn("format", lit("parquet"))
+      val j = CorpusIO.read(s, s"$tmp/j", format = "jsonl",
+          schema = Some(docs.schema))
+        .withColumn("format", lit("jsonl"))
+      p.unionByName(j)
+        .groupBy("format", "lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars"))
+    }),
     "corpus_prep" -> ((s, dir) => {
       // the fused end-to-end prep filter: every quality signal (token stats,
       // Gopher repetition, stopword ratio, language id) in ONE scan
@@ -2556,6 +2577,12 @@ object SparkEntry {
                    AS BIGINT) % 1000000
                  < ((CAST(substr(source, 4) AS INT) % 4) + 1) * 250000
            GROUP BY source""",
+      "io_roundtrip" ->
+        """SELECT f.format, d.lang,
+                  CAST(count(*) AS BIGINT) AS n_docs,
+                  CAST(sum(n_chars) AS BIGINT) AS n_chars
+           FROM documents d, unnest(['parquet', 'jsonl']) AS f(format)
+           GROUP BY 1, 2""",
       "sample_split" ->
         """WITH b AS (
              SELECT source, n_chars,
