@@ -544,6 +544,28 @@ object SparkEntry {
       CorpusOps.stratifiedSample(
         s.read.parquet(s"$dir/orders.parquet"), "o_orderpriority", "o_orderkey", k = 40)
     }),
+    "approx_percentiles" -> ((s, dir) => {
+      // mergeable quantile sketch (percentile_approx = Greenwald-Khanna
+      // summaries, partial-merged map-side like every sketch here) with an
+      // IN-QUERY error probe against the exact interpolated percentile —
+      // sketch output is partitioning-dependent => rows-only, but the probe
+      // columns make accuracy collapse visible to the row check; bound
+      // asserted in SketchesSpec-style per-type rows.
+      events(s, dir)
+        .withColumn("v", floor(col("value")))
+        .groupBy("event_type")
+        .agg(
+          percentile_approx(col("v"), array(lit(0.5), lit(0.9), lit(0.99)),
+            lit(1000)).as("approx"),
+          expr("percentile(v, array(0.5D, 0.9D, 0.99D))").as("exact"),
+          max(col("v")).as("vmax"), min(col("v")).as("vmin"))
+        .select(col("event_type"),
+          expr("zip_with(approx, exact, (a, e) -> abs(CAST(a AS DOUBLE) - e))")
+            .as("abs_err"),
+          expr("aggregate(zip_with(approx, exact, (a, e) -> abs(CAST(a AS DOUBLE) - e)), 0D, (m, x) -> greatest(m, x))")
+            .as("max_abs_err"),
+          (col("vmax") - col("vmin")).as("value_range"))
+    }),
     "approx_distinct_users" -> ((s, dir) => {
       // HLL++ mergeable sketches — the 100 TB distinct-count path (per-shard
       // sketches, union, estimate; no exact-distinct shuffle). Estimates are

@@ -38,6 +38,18 @@ class SketchesSpec extends AnyFunSuite {
     assert(res.passed, s"misra-gries: ${res.status}")
   }
 
+  test("percentile_approx stays within the GK rank-error bound vs exact") {
+    // accuracy=1000 => rank error <= n/1000; on uniform 0..9999 that is a
+    // value error <= ~10 per 10k rows, i.e. 0.1% of the range
+    val df = (0 until 10000).map(i => ("t", i.toDouble)).toDF("g", "v")
+      .repartition(16) // sketch merge across partitions must not blow the bound
+    val r = df.groupBy("g").agg(
+      expr("percentile_approx(v, array(0.5D, 0.9D, 0.99D), 1000)").as("a"),
+      expr("percentile(v, array(0.5D, 0.9D, 0.99D))").as("e")).collect()(0)
+    val errs = r.getSeq[Double](1).zip(r.getSeq[Double](2)).map { case (a, e) => math.abs(a - e) }
+    assert(errs.forall(_ <= 20.0), s"errors $errs exceed the rank bound")
+  }
+
   test("heavyHitters surfaces the planted dominant item per group") {
     val rows =
       (1 to 500).map(i => ("a", s"u${i % 50}")) ++     // background noise
