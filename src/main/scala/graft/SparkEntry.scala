@@ -913,6 +913,25 @@ object SparkEntry {
           expr("date_format(timestamp_micros(ts div 1000), 'yyyy-MM-dd')"))
       graft.stats.AnonymityAudit.audit(ev, Seq("event_type", "day"), "user_id")
     }),
+    "text_html_strip" -> ((s, dir) => {
+      // boilerplate removal on synthesized HTML (the mm_* pattern: build a
+      // deterministic artifact in-query, run the REAL operator, verify the
+      // roundtrip): nav/footer/script/style content must vanish, body text
+      // must survive verbatim. Java∩RE2 regexes so the oracle runs the
+      // same patterns; clean text compared as md5.
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .withColumn("html", concat(
+          lit("<html><head><title>doc-"), col("doc_id"),
+          lit("</title><style>body{margin:0}</style></head><body><nav>home | about | login</nav><h1>doc-"),
+          col("doc_id"), lit("</h1><p>"), col("text"),
+          lit("</p><script>var t=1;</script><footer>copyright corp</footer></body></html>")))
+      docs.select(col("doc_id"),
+        TextAnalysis.htmlTitle(col("html")).as("title"),
+        TextAnalysis.htmlStrip(col("html")).as("__clean"))
+        .select(col("doc_id"), col("title"),
+          length(col("__clean")).cast("long").as("n_chars_clean"),
+          md5(col("__clean")).as("clean_md5"))
+    }),
     "text_quality_model" -> ((s, dir) => {
       // hashed-n-gram linear classifier scoring (fastText-shaped model
       // filter plumbing): hash unigrams+bigrams into 1024 buckets, average
@@ -1834,6 +1853,19 @@ object SparkEntry {
     val piiScrubSql = CorpusOps.piiPatterns.foldLeft("text") {
       case (acc, (_, pat, repl)) => s"regexp_replace($acc, '$pat', '$repl', 'g')"
     }
+    // generated from the SAME pattern/entity tables the operator uses
+    // (the piiScrubSql convention), so impl and oracle cannot drift
+    val htmlStripSql = {
+      val blocks = graft.ops.TextAnalysis.htmlDropBlocks.foldLeft("html") {
+        (acc, p) => s"regexp_replace($acc, '$p', ' ', 'g')"
+      }
+      val noTags = s"regexp_replace($blocks, '<[^>]*>', ' ', 'g')"
+      val decoded = graft.ops.TextAnalysis.htmlEntities.foldLeft(noTags) {
+        case (acc, (e, r)) =>
+          s"regexp_replace($acc, '$e', '${r.replace("'", "''")}', 'g')"
+      }
+      s"trim(regexp_replace($decoded, '[ \\t\\n\\r]+', ' ', 'g'))"
+    }
     Map(
       "ua_per_partition" -> s"$uaPerPartitionSql SELECT * FROM pp",
       "ua_multi_sum" -> {
@@ -2236,6 +2268,19 @@ object SparkEntry {
            FROM x GROUP BY k""",
       // hashed unigram+bigram buckets (portable md5 convention), integer-
       // thousandth pseudo-weights, one division at the end
+      "text_html_strip" ->
+        s"""WITH h AS (
+              SELECT doc_id,
+                     '<html><head><title>doc-' || CAST(doc_id AS VARCHAR) ||
+                     '</title><style>body{margin:0}</style></head><body><nav>home | about | login</nav><h1>doc-' ||
+                     CAST(doc_id AS VARCHAR) || '</h1><p>' || text ||
+                     '</p><script>var t=1;</script><footer>copyright corp</footer></body></html>' AS html
+              FROM documents)
+            SELECT doc_id,
+                   regexp_extract(html, '(?s)<title[^>]*>(.*?)</title>', 1) AS title,
+                   CAST(length($htmlStripSql) AS BIGINT) AS n_chars_clean,
+                   md5($htmlStripSql) AS clean_md5
+            FROM h""",
       "text_quality_model" ->
         """WITH t AS (
              SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks

@@ -28,6 +28,37 @@ object TextAnalysis {
     * java.util.regex either way, so tokenizations cannot diverge). */
   private[ops] val tokenPattern = java.util.regex.Pattern.compile("[a-z0-9]+")
 
+  /** Elements whose CONTENT is boilerplate — dropped wholesale before tag
+    * stripping. One alternation-free pattern per element because RE2 (the
+    * oracle's engine) has no backreferences; `(?s)` so blocks span lines.
+    * Patterns restricted to Java∩RE2 syntax+semantics, the same
+    * portability convention as [[CorpusOps.piiPatterns]]. */
+  val htmlDropBlocks: Seq[String] =
+    Seq("script", "style", "nav", "footer").map(t => s"(?s)<$t[^>]*>.*?</$t>")
+
+  /** The standard named/numeric entities, decoded AFTER tag stripping;
+    * `&amp;` must come last or it would manufacture new entities. */
+  val htmlEntities: Seq[(String, String)] = Seq(
+    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'",
+    "&amp;" -> "&")
+
+  /** HTML -> clean text (the boilerplate-removal pass of a web-corpus
+    * pipeline): drop script/style/nav/footer elements with their content,
+    * strip remaining tags, decode standard entities, collapse whitespace.
+    * Map-only native regexes end-to-end. */
+  def htmlStrip(html: Column): Column = {
+    val noBlocks = htmlDropBlocks.foldLeft(html)((c, p) => regexp_replace(c, p, " "))
+    val noTags = regexp_replace(noBlocks, "<[^>]*>", " ")
+    val decoded = htmlEntities.foldLeft(noTags) { case (c, (e, r)) =>
+      regexp_replace(c, e, r)
+    }
+    trim(regexp_replace(decoded, "[ \\t\\n\\r]+", " "))
+  }
+
+  /** First <title> content (raw — entities/whitespace as-is). */
+  def htmlTitle(html: Column): Column =
+    regexp_extract(html, "(?s)<title[^>]*>(.*?)</title>", 1)
+
   def tokenCount(text: Column): Column = size(tokens(text))
 
   /** Whitespace token count (the cheap variant). */

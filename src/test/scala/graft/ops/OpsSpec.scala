@@ -171,6 +171,29 @@ class TextAnalysisSpec extends AnyFunSuite {
   }
 }
 
+class HtmlStripSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("htmlStrip drops boilerplate content, keeps body, decodes entities") {
+    val html = "<html><head><title>T &amp; U</title><style>p{}</style></head>" +
+      "<body><nav>home | login</nav><h1>Head</h1>\n<p>a &lt;b&gt; c &quot;d&quot; &#39;e&#39; &amp;f</p>" +
+      "<script>if (x<1) alert('hi');</script><footer>legal</footer></body></html>"
+    val out = Seq((1L, html)).toDF("id", "html")
+      .select(TextAnalysis.htmlStrip(col("html")).as("c"),
+        TextAnalysis.htmlTitle(col("html")).as("t"))
+      .collect()(0)
+    // title text survives (title is not a boilerplate block), entities decode
+    assert(out.getString(0) == "T & U Head a <b> c \"d\" 'e' &f")
+    assert(out.getString(1) == "T &amp; U") // title is raw by contract
+    // multiline block content spans (?s)
+    val multi = "<body><script>\nvar a=1;\nvar b=2;\n</script>keep</body>"
+    val c2 = Seq((1L, multi)).toDF("id", "h")
+      .select(TextAnalysis.htmlStrip(col("h"))).collect()(0).getString(0)
+    assert(c2 == "keep")
+  }
+}
+
 class LinearTextModelSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
