@@ -1350,6 +1350,28 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_orders"),
           sum(floor(col("o_totalprice"))).cast("double").as("revenue_floor"))
     }),
+    "a_tpch_q3" -> ((s, dir) => {
+      // TPC-H Q3 shape (shipping-priority top-10): selective dim filter ->
+      // broadcast, fact-fact equi-join on the order key, group + top-10 via
+      // TakeOrderedAndProject (no global sort). Revenue floor()ed per row
+      // after ONE IEEE multiply, so the sum is order-independent.
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+        .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+        .filter(col("o_orderdate") < "1998-06-01")
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .filter(col("l_shipdate") > "1998-06-01")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      li.join(orders, li("l_orderkey") === orders("o_orderkey"))
+        .join(broadcast(cust), orders("o_custkey") === cust("c_custkey"))
+        .groupBy(col("l_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"))
+        .agg(sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
     "a_asof_join" -> ((s, dir) => {
       // as-of join (attribution): for each purchase, the user's latest click
       // at-or-before it. Merge-join formulation — one shuffle, no range
@@ -2800,6 +2822,19 @@ object SparkEntry {
         "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
       "a_sample_per_key" ->
         "SELECT o_custkey, least(count(*), 3) AS n_sampled FROM orders GROUP BY o_custkey",
+      "a_tpch_q3" ->
+        """SELECT l.l_orderkey,
+                  strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+                  CAST(sum(floor(l.l_extendedprice * (1.0 - l.l_discount))) AS DOUBLE) AS revenue
+           FROM lineitem l
+           JOIN orders o ON l.l_orderkey = o.o_orderkey
+           JOIN customer c ON o.o_custkey = c.c_custkey
+           WHERE c.c_mktsegment = 'BUILDING'
+             AND o.o_orderdate < TIMESTAMP '1998-06-01'
+             AND l.l_shipdate > TIMESTAMP '1998-06-01'
+           GROUP BY 1, 2
+           ORDER BY revenue DESC, l_orderkey
+           LIMIT 10""",
       "a_join_agg" ->
         """SELECT c_mktsegment, o_orderpriority, count(*) AS n_orders,
               CAST(sum(floor(o_totalprice)) AS DOUBLE) AS revenue_floor
