@@ -2299,7 +2299,7 @@ object SparkEntry {
                      '</p><script>var t=1;</script><footer>copyright corp</footer></body></html>' AS html
               FROM documents)
             SELECT doc_id,
-                   regexp_extract(html, '(?s)<title[^>]*>(.*?)</title>', 1) AS title,
+                   regexp_extract(html, '(?is)<title[^>]*>(.*?)</title>', 1) AS title,
                    CAST(length($htmlStripSql) AS BIGINT) AS n_chars_clean,
                    md5($htmlStripSql) AS clean_md5
             FROM h""",

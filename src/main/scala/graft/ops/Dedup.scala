@@ -804,6 +804,7 @@ object Dedup {
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nlist: Int = -1, window: Int = 0,
       trainRowsTarget: Long = 100000, seed: Long = 42): DataFrame = {
+    require(window >= 0, s"window must be >= 0, got $window")
     require(window == 0 || nlist != 1,
       "windowed mode needs a clustered pass (nlist != 1): the window orders by " +
         "distance to the assigned centroid, which nlist=1 does not compute")
@@ -815,9 +816,13 @@ object Dedup {
         val nl = Similarity.autoNlist(nlist, total)
         val centers = Similarity.lloyd(train, nl, seed)
         val cellDist = Similarity.cellWithDistUdf(centers)
+        // barrier: both pair-join sides (and the windowed path's rank) read
+        // this frame — without it the nlist x dim assignment UDF re-runs
+        // per consumer (the ARCHITECTURE localCheckpoint convention)
         s.withColumn("__cd", cellDist(col("vec")))
           .select(col("id"), col("vec"),
             col("__cd._1").as("cell"), col("__cd._2").as("dist"))
+          .localCheckpoint(false)
       }
     val pairs =
       if (window <= 0) {

@@ -408,37 +408,92 @@ object Similarity {
     if (nlist > 0) nlist
     else math.max(16, math.min(256, math.sqrt(total.toDouble).toInt))
 
-  /** n nearest centers of `a` by L2, as a partial selection (stable by cell
-    * id) without boxing/sorting all nlist entries. `centers` rides the UDF
-    * closure (nlist x dim doubles — broadcast-sized by construction). */
+  /** Indices of the `n` smallest values (stable by index) — the partial
+    * selection shared by cell assignment and query probe picking; no
+    * boxing/sorting of all entries. */
+  private[ops] def nSmallest(dists: Array[Double], n: Int): Array[Int] = {
+    val out = new Array[Int](math.min(n, dists.length))
+    val taken = new Array[Boolean](dists.length)
+    var o = 0
+    while (o < out.length) {
+      var best = -1; var bestD = Double.MaxValue
+      var j = 0
+      while (j < dists.length) {
+        if (!taken(j) && dists(j) < bestD) { bestD = dists(j); best = j }
+        j += 1
+      }
+      taken(best) = true; out(o) = best
+      o += 1
+    }
+    out
+  }
+
+  /** Squared L2 distances from `a` to every center. */
+  @inline private[ops] def centerDists(
+      centers: Array[Array[Double]], a: Array[Double]): Array[Double] = {
+    val dists = new Array[Double](centers.length)
+    var ci = 0
+    while (ci < centers.length) {
+      val c = centers(ci)
+      var s = 0.0; var i = 0
+      while (i < c.length && i < a.length) { val d = a(i) - c(i); s += d * d; i += 1 }
+      dists(ci) = s
+      ci += 1
+    }
+    dists
+  }
+
+  /** n nearest centers of `a` by L2 (stable by cell id). `centers` rides
+    * the UDF closure (nlist x dim doubles — broadcast-sized by
+    * construction). */
   private[ops] def nearestCellsUdf(centers: Array[Array[Double]], n: Int) =
     udf((a: Array[Double]) => {
       if (a == null) throw new IllegalArgumentException(
         "null vector — cell assignment has no right silent answer; filter upstream")
-      val dists = new Array[Double](centers.length)
-      var ci = 0
-      while (ci < centers.length) {
-        val c = centers(ci)
-        var s = 0.0; var i = 0
-        while (i < c.length && i < a.length) { val d = a(i) - c(i); s += d * d; i += 1 }
-        dists(ci) = s
-        ci += 1
-      }
-      val out = new Array[Int](math.min(n, dists.length))
-      val taken = new Array[Boolean](dists.length)
-      var o = 0
-      while (o < out.length) {
-        var best = -1; var bestD = Double.MaxValue
-        var j = 0
-        while (j < dists.length) {
-          if (!taken(j) && dists(j) < bestD) { bestD = dists(j); best = j }
-          j += 1
-        }
-        taken(best) = true; out(o) = best
-        o += 1
-      }
-      out
+      nSmallest(centerDists(centers, a), n)
     })
+
+  /** Queries collected driver-side for the table-building ANN paths (the
+    * broadcast-small side by the [[bruteForceTopK]] contract). */
+  private def collectQueries(
+      queries: DataFrame, queryId: String, queryVec: String
+  ): Array[(Long, Array[Double])] =
+    queries.select(col(queryId).cast("long"), col(queryVec).cast("array<double>"))
+      .rdd.map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).collect()
+
+  @inline private def l2(v: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < v.length) { s += v(i) * v(i); i += 1 }
+    math.sqrt(s)
+  }
+
+  /** One m x ksub ADC grid per query: subspace dot products against each
+    * codeword — the scoring tables shared by [[pqTopK]] and [[ivfPqTopK]]
+    * (one definition so the two paths cannot drift). */
+  private def adcDotTables(
+      qRows: Array[(Long, Array[Double])],
+      codebooks: Array[Array[Array[Double]]], dsub: Int
+  ): Array[Array[Array[Double]]] =
+    qRows.map { case (_, v) =>
+      Array.tabulate(codebooks.length) { j =>
+        codebooks(j).map { cw =>
+          var s = 0.0; var i = 0
+          while (i < dsub) { s += v(j * dsub + i) * cw(i); i += 1 }
+          s
+        }
+      }
+    }
+
+  /** Shared PQ preflight: non-empty uniform-length training sample, dim
+    * divisible by m. Returns (dim, dsub). */
+  private def pqDims(train: Array[Array[Double]], m: Int, what: String): (Int, Int) = {
+    require(train.nonEmpty, s"$what training requires a non-empty corpus")
+    val dim = train(0).length
+    train.foreach(v => require(v.length == dim,
+      s"$what: ragged training sample — vector of length ${v.length} vs dim $dim"))
+    require(dim % m == 0, s"dim $dim must be divisible by m=$m subquantizers")
+    (dim, dim / m)
+  }
 
   /** (nearest cell, squared L2 distance to it) in one pass — the windowed
     * semantic-dedup mode orders cell members by this distance. */
@@ -510,9 +565,7 @@ object Similarity {
   ): DataFrame = {
     require(ksub >= 1 && ksub <= 256, s"ksub must be in [1, 256] (one byte), got $ksub")
     val (train, _) = sampleVectors(corpus, corpusVec, trainRowsTarget, seed)
-    val dim = train(0).length
-    require(dim % m == 0, s"dim $dim must be divisible by m=$m subquantizers")
-    val dsub = dim / m
+    val (dim, dsub) = pqDims(train, m, "PQ")
     // per-subspace codebooks over the one shared training sample
     val codebooks: Array[Array[Array[Double]]] = Array.tabulate(m) { j =>
       val sub = train.map(v => java.util.Arrays.copyOfRange(v, j * dsub, (j + 1) * dsub))
@@ -521,6 +574,9 @@ object Similarity {
     val encode = udf((a: Array[Double]) => {
       if (a == null) throw new IllegalArgumentException(
         "null vector — PQ encoding would silently drop the row; filter upstream")
+      else if (a.length < dim) throw new IllegalArgumentException(
+        s"PQ: vector of length ${a.length} shorter than training dim $dim — " +
+          "a ragged corpus has no right silent answer; filter upstream")
       else {
         val codes = new Array[Byte](m)
         var j = 0
@@ -548,24 +604,10 @@ object Similarity {
       s
     })
     // driver-side ADC tables, one m x ksub dot-product grid per query
-    val qRows: Array[(Long, Array[Double])] = queries
-      .select(col(queryId).cast("long"), col(queryVec).cast("array<double>"))
-      .rdd.map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).collect()
+    val qRows = collectQueries(queries, queryId, queryVec)
     val qIds = qRows.map(_._1)
-    val qNorm = qRows.map { case (_, v) =>
-      var s = 0.0; var i = 0
-      while (i < v.length) { s += v(i) * v(i); i += 1 }
-      math.sqrt(s)
-    }
-    val dotTab: Array[Array[Array[Double]]] = qRows.map { case (_, v) =>
-      Array.tabulate(m) { j =>
-        codebooks(j).map { ct =>
-          var s = 0.0; var i = 0
-          while (i < dsub) { s += v(j * dsub + i) * ct(i); i += 1 }
-          s
-        }
-      }
-    }
+    val qNorm = qRows.map { case (_, v) => l2(v) }
+    val dotTab = adcDotTables(qRows, codebooks, dsub)
     // one UDF call scores ALL queries for a corpus row (the codes array is
     // read once; emitting per-query rows via posexplode keeps the m-byte
     // codes off the nq-way fan-out)
@@ -630,12 +672,15 @@ object Similarity {
     require(ksub >= 1 && ksub <= 256, s"ksub must be in [1, 256] (one byte), got $ksub")
     val (train, total) = sampleVectors(corpus, corpusVec, trainRowsTarget, seed)
     val nl = autoNlist(nlist, total)
-    val np = if (nprobe > 0) nprobe else math.max(4, nl / 8)
-    require(np <= nl, s"nprobe must be <= nlist (got nprobe=$np nlist=$nl)")
-    val dim = train(0).length
-    require(dim % m == 0, s"dim $dim must be divisible by m=$m subquantizers")
-    val dsub = dim / m
+    require(nprobe <= 0 || nprobe <= nl,
+      s"nprobe must be <= nlist (got nprobe=$nprobe nlist=$nl)")
+    val (dim, dsub) = pqDims(train, m, "IVF-PQ")
+    // lloyd clamps to min(nl, |train|) centers — every downstream table and
+    // probe count must size from the EFFECTIVE cell count, or a corpus
+    // smaller than nlist indexes past the centers
     val coarse = lloyd(train, nl, seed)
+    val nlEff = coarse.length
+    val np = math.min(if (nprobe > 0) nprobe else math.max(4, nl / 8), nlEff)
 
     @inline def nearestCoarse(v: Array[Double]): Int = {
       var best = 0; var bestD = Double.MaxValue
@@ -665,6 +710,9 @@ object Similarity {
     val encode = udf((a: Array[Double]) => {
       if (a == null) throw new IllegalArgumentException(
         "null vector — IVF-PQ encoding would silently drop the row; filter upstream")
+      else if (a.length < dim) throw new IllegalArgumentException(
+        s"IVF-PQ: vector of length ${a.length} shorter than training dim $dim — " +
+          "a ragged corpus has no right silent answer; filter upstream")
       else {
         val cell = nearestCoarse(a)
         val ct = coarse(cell)
@@ -701,7 +749,7 @@ object Similarity {
       while (i < dim) { s += ct(i) * ct(i); i += 1 }
       s
     }
-    val crossTab: Array[Array[Array[Double]]] = Array.tabulate(nl) { cell =>
+    val crossTab: Array[Array[Array[Double]]] = Array.tabulate(nlEff) { cell =>
       val ct = coarse(cell)
       Array.tabulate(m) { j =>
         codebooks(j).map { cw =>
@@ -712,15 +760,9 @@ object Similarity {
       }
     }
     // per-query tables (queries are the driver-collected broadcast side)
-    val qRows: Array[(Long, Array[Double])] = queries
-      .select(col(queryId).cast("long"), col(queryVec).cast("array<double>"))
-      .rdd.map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).collect()
+    val qRows = collectQueries(queries, queryId, queryVec)
     val qIds = qRows.map(_._1)
-    val qNorm = qRows.map { case (_, v) =>
-      var s = 0.0; var i = 0
-      while (i < v.length) { s += v(i) * v(i); i += 1 }
-      math.sqrt(s)
-    }
+    val qNorm = qRows.map { case (_, v) => l2(v) }
     val qCellDot: Array[Array[Double]] = qRows.map { case (_, v) =>
       coarse.map { ct =>
         var s = 0.0; var i = 0
@@ -728,37 +770,10 @@ object Similarity {
         s
       }
     }
-    val qProbes: Array[Array[Int]] = qRows.map { case (_, v) =>
-      // nearest np cells by L2 (same partial selection as the IVF path)
-      val dists = coarse.map { ct =>
-        var s = 0.0; var i = 0
-        while (i < dim) { val d = v(i) - ct(i); s += d * d; i += 1 }
-        s
-      }
-      val out = new Array[Int](math.min(np, dists.length))
-      val taken = new Array[Boolean](dists.length)
-      var o = 0
-      while (o < out.length) {
-        var best = -1; var bestD = Double.MaxValue
-        var j = 0
-        while (j < dists.length) {
-          if (!taken(j) && dists(j) < bestD) { bestD = dists(j); best = j }
-          j += 1
-        }
-        taken(best) = true; out(o) = best
-        o += 1
-      }
-      out
-    }
-    val dotTab: Array[Array[Array[Double]]] = qRows.map { case (_, v) =>
-      Array.tabulate(m) { j =>
-        codebooks(j).map { cw =>
-          var s = 0.0; var i = 0
-          while (i < dsub) { s += v(j * dsub + i) * cw(i); i += 1 }
-          s
-        }
-      }
-    }
+    // nearest np cells by L2 (the same partial selection as cell assignment)
+    val qProbes: Array[Array[Int]] =
+      qRows.map { case (_, v) => nSmallest(centerDists(coarse, v), np) }
+    val dotTab = adcDotTables(qRows, codebooks, dsub)
     val score = udf((qpos: Int, cell: Int, codes: Array[Byte]) => {
       var dot = qCellDot(qpos)(cell)
       var n2 = cellNorm2(cell)

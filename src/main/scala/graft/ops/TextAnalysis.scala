@@ -30,11 +30,12 @@ object TextAnalysis {
 
   /** Elements whose CONTENT is boilerplate — dropped wholesale before tag
     * stripping. One alternation-free pattern per element because RE2 (the
-    * oracle's engine) has no backreferences; `(?s)` so blocks span lines.
+    * oracle's engine) has no backreferences; `(?is)` so blocks span lines
+    * and match real-world uppercase/mixed-case tags.
     * Patterns restricted to Java∩RE2 syntax+semantics, the same
     * portability convention as [[CorpusOps.piiPatterns]]. */
   val htmlDropBlocks: Seq[String] =
-    Seq("script", "style", "nav", "footer").map(t => s"(?s)<$t[^>]*>.*?</$t>")
+    Seq("script", "style", "nav", "footer").map(t => s"(?is)<$t[^>]*>.*?</$t>")
 
   /** The standard named/numeric entities, decoded AFTER tag stripping;
     * `&amp;` must come last or it would manufacture new entities. */
@@ -57,7 +58,7 @@ object TextAnalysis {
 
   /** First <title> content (raw — entities/whitespace as-is). */
   def htmlTitle(html: Column): Column =
-    regexp_extract(html, "(?s)<title[^>]*>(.*?)</title>", 1)
+    regexp_extract(html, "(?is)<title[^>]*>(.*?)</title>", 1)
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
@@ -432,16 +433,12 @@ object Stopwords {
   * index by integer arithmetic (Knuth multiplicative constant mod a prime
   * window), in integer THOUSANDTHS: the score is an exact integer sum
   * divided once, so an independent engine reproduces every float bit —
-  * the plumbing is oracle-verified even though the weights are synthetic. */
+  * the plumbing is oracle-verified even though the weights are synthetic.
+  * To run a REAL model, replace the `sum += ...` weight derivation inside
+  * [[score]]'s loop with a lookup into a broadcast Array[Float](dim) —
+  * everything else (tokenize, hash, mean, threshold) is the production
+  * shape already. */
 object LinearTextModel {
-
-  /** w(bucket) in [-1, 1] thousandths: ((b * 2654435761) mod 2001) - 1000. */
-  def weightMillis(bucket: Column): Column =
-    pmod(bucket * lit(2654435761L), lit(2001L)) - lit(1000L)
-
-  /** Portable feature hash: md5 leading 60 bits mod `dim`. */
-  def featureBucket(feature: Column, dim: Int): Column =
-    pmod(conv(substring(md5(feature), 1, 15), 16, 10).cast("long"), lit(dim.toLong))
 
   /** (n_features, score, keep): score = mean bucket weight over hashed
     * unigrams + bigrams, keep = score > 0. Empty/null text scores 0.0 and
@@ -453,7 +450,9 @@ object LinearTextModel {
     * measured 22 s for this query at sf0.1 vs ~0.5 s for this loop — the
     * digest instance is reused across all features of a row, and the
     * 60-bit bucket replicates the conv(substr(md5,1,15),16,10) convention
-    * bit-for-bit (leading 8 bytes >>> 4), so the oracle SQL is unchanged. */
+    * bit-for-bit (leading 8 bytes >>> 4), so the oracle SQL in SparkEntry
+    * states the same formula verbatim (the only other statement of it —
+    * LinearTextModelSpec re-derives it independently as the test oracle). */
   def score(text: Column, dim: Int = 1024): Column = {
     val f = udf((t: String) => {
       if (t == null) LtmScore(0L, 0.0, keep = false)

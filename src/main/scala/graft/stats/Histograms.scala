@@ -262,6 +262,8 @@ object AnonymityAudit {
   def audit(df: DataFrame, quasiIdCols: Seq[String], sensitiveCol: String,
       ks: Seq[Int] = Seq(2, 5, 10, 25)): DataFrame = {
     require(ks.nonEmpty && ks.forall(_ >= 1), s"thresholds must be >= 1: $ks")
+    require(ks.distinct.length == ks.length,
+      s"duplicate thresholds would double-count every class: $ks")
     val classes = df.groupBy(quasiIdCols.map(col): _*)
       .agg(count(lit(1)).as("__n"),
         countDistinct(col(sensitiveCol)).as("__ndist"))

@@ -191,6 +191,14 @@ class HtmlStripSpec extends AnyFunSuite {
     val c2 = Seq((1L, multi)).toDF("id", "h")
       .select(TextAnalysis.htmlStrip(col("h"))).collect()(0).getString(0)
     assert(c2 == "keep")
+    // real-world uppercase/mixed-case tags must not leak block content
+    val upper = "<BODY><SCRIPT>var t=track();</SCRIPT><Footer>legal</Footer>" +
+      "<TITLE>Up</TITLE>body text</BODY>"
+    val r3 = Seq((1L, upper)).toDF("id", "h")
+      .select(TextAnalysis.htmlStrip(col("h")).as("c"),
+        TextAnalysis.htmlTitle(col("h")).as("t")).collect()(0)
+    assert(r3.getString(0) == "Up body text", r3.getString(0))
+    assert(r3.getString(1) == "Up")
   }
 }
 
@@ -475,9 +483,13 @@ class DedupSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val winCaught = (0L until 60L).count(i => win(i) == win(i + 1000L))
     assert(winCaught >= 57, s"windowed recall ${winCaught / 60.0} too low")
-    // nlist=1 + window is a contract violation (no centroid to order by)
+    // nlist=1 + window is a contract violation (no centroid to order by),
+    // and negative windows are rejected rather than silently running exact
     intercept[IllegalArgumentException] {
       Dedup.semanticDedup(df, "id", "vec", 0.995, nlist = 1, window = 4)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.semanticDedup(df, "id", "vec", 0.995, nlist = 8, window = -1)
     }
   }
 }
@@ -777,6 +789,15 @@ class SimilaritySpec extends AnyFunSuite {
       .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
     val recall = got.intersect(want).size.toDouble / want.size
     assert(recall >= 0.5, s"ivfpq recall $recall too low")
+    // corpus smaller than nlist: lloyd clamps the centers; tables and
+    // probe counts must size from the EFFECTIVE cell count, not crash
+    val tiny = (0L until 10L).map(i => (i, Array.fill(16)(rnd.nextGaussian())))
+      .toDF("id", "vec")
+    val tq = Seq((99L, Array.fill(16)(0.1))).toDF("qid", "qvec")
+    val rows = Similarity.ivfPqTopK(tiny, "id", "vec", tq, "qid", "qvec",
+      k = 3, nlist = 64, nprobe = 8, m = 8, ksub = 4, trainRowsTarget = 100, seed = 3)
+      .collect()
+    assert(rows.length == 3)
   }
 
   test("lsh top-k achieves high recall on clustered data") {

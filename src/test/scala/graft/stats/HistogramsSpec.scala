@@ -108,6 +108,10 @@ class HistogramsSpec extends AnyFunSuite {
     assert(out(2) == ((3L, 1L, 1L, 1L)))
     // k=3: below-k classes = {b, c} (3 rows); l-div below 3 = all three
     assert(out(3) == ((3L, 2L, 3L, 3L)))
+    // duplicate thresholds would silently double-count — rejected
+    intercept[IllegalArgumentException] {
+      graft.stats.AnonymityAudit.audit(df, Seq("qi"), "user", ks = Seq(5, 5))
+    }
   }
 
   test("exponential mechanism distributes by score at moderate eps") {
