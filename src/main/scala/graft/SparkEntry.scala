@@ -913,6 +913,26 @@ object SparkEntry {
           expr("date_format(timestamp_micros(ts div 1000), 'yyyy-MM-dd')"))
       graft.stats.AnonymityAudit.audit(ev, Seq("event_type", "day"), "user_id")
     }),
+    "text_bpe" -> ((s, dir) => {
+      // BPE merge training (bounded driver loop over the distributed
+      // top-vocab table — the IVF training pattern) + distributed apply.
+      // Iterative training is not SQL-expressible => rows-only, with the
+      // roundtrip probe in-query: every word must reconstruct exactly from
+      // its subwords (violations column must read 0), and the subword/word
+      // ratio makes merge quality visible. BpeSpec pins the reference
+      // algorithm on the classic fixture.
+      val docs = s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+      val merges = ops.Bpe.train(docs, "text", nMerges = 50, vocabCap = 10000)
+      docs.select(col("doc_id"),
+          explode(ops.Bpe.applyMerges(col("text"), merges)).as("bw"))
+        .agg(
+          countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_words"),
+          sum(size(col("bw.tokens"))).cast("long").as("n_subword_tokens"),
+          sum(when(concat_ws("", col("bw.tokens")) =!=
+              concat(col("bw.word"), lit(ops.Bpe.EndOfWord)), 1L)
+            .otherwise(0L)).as("n_roundtrip_violations"))
+    }),
     "text_html_strip" -> ((s, dir) => {
       // boilerplate removal on synthesized HTML (the mm_* pattern: build a
       // deterministic artifact in-query, run the REAL operator, verify the

@@ -171,6 +171,38 @@ class TextAnalysisSpec extends AnyFunSuite {
   }
 }
 
+class BpeSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("merge training follows the reference algorithm with deterministic ties") {
+    // the classic Sennrich fixture: est-family pairs dominate at 9, the
+    // low-family at 7; ties break on the lexicographically smallest pair
+    val counts = Seq("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L)
+    val merges = Bpe.trainFromCounts(counts, 5)
+    assert(merges == Seq(("e", "s"), ("es", "t"), ("est", "</w>"),
+      ("l", "o"), ("lo", "w")))
+    // merge count larger than the pair supply terminates cleanly
+    assert(Bpe.trainFromCounts(Seq("ab" -> 1L), 100).size <= 2)
+  }
+
+  test("applied merges roundtrip: concatenated subwords reconstruct each word") {
+    val docs = Seq((1L, "the lowest new word"), (2L, "lower and lower still"),
+      (3L, "")).toDF("doc_id", "text")
+    val merges = Bpe.train(docs, "text", nMerges = 20, vocabCap = 100)
+    val rows = docs.select(explode(Bpe.applyMerges(col("text"), merges)).as("bw"))
+      .select(col("bw.word"), col("bw.tokens")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val w = r.getString(0); val toks = r.getSeq[String](1)
+      assert(toks.mkString("") == w + Bpe.EndOfWord, s"$w -> $toks")
+    }
+    // frequent words compress below character granularity
+    val lower = rows.find(_.getString(0) == "lower").get.getSeq[String](1)
+    assert(lower.length < "lower".length + 1)
+  }
+}
+
 class HtmlStripSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
