@@ -913,6 +913,22 @@ object SparkEntry {
           expr("date_format(timestamp_micros(ts div 1000), 'yyyy-MM-dd')"))
       graft.stats.AnonymityAudit.audit(ev, Seq("event_type", "day"), "user_id")
     }),
+    "corpus_report" -> ((s, dir) => {
+      // the data-card rollup: corpus-level facts a release review reads
+      // first (volume, source/lang spread, exact-dup mass, token budget,
+      // URL incidence) — all exact integer arithmetic in one scan plus one
+      // distinct-text aggregate, so the whole card is oracle-verifiable.
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      docs.agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("n_chars"),
+        countDistinct(col("source")).as("n_sources"),
+        countDistinct(col("lang")).as("n_langs"),
+        (count(lit(1)) - countDistinct(col("text"))).as("n_exact_dup_docs"),
+        sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("n_tokens"),
+        sum(when(size(TextAnalysis.extractUrls(col("text"))) > 0, 1L)
+          .otherwise(0L)).as("n_docs_with_urls"))
+    }),
     "text_bpe" -> ((s, dir) => {
       // BPE merge training (bounded driver loop over the distributed
       // top-vocab table — the IVF training pattern) + distributed apply.
@@ -2310,6 +2326,18 @@ object SparkEntry {
            FROM x GROUP BY k""",
       // hashed unigram+bigram buckets (portable md5 convention), integer-
       // thousandth pseudo-weights, one division at the end
+      "corpus_report" ->
+        """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+                  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+                  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+                  CAST(count(*) - count(DISTINCT text) AS BIGINT) AS n_exact_dup_docs,
+                  CAST(sum(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS BIGINT)
+                    AS n_tokens,
+                  CAST(count(*) FILTER (
+                    len(regexp_extract_all(text, 'https?://[^ \t\n\f\r]+')) > 0)
+                    AS BIGINT) AS n_docs_with_urls
+           FROM documents""",
       "text_html_strip" ->
         s"""WITH h AS (
               SELECT doc_id,
