@@ -1386,6 +1386,28 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_orders"),
           sum(floor(col("o_totalprice"))).cast("double").as("revenue_floor"))
     }),
+    "a_tpch_q1" -> ((s, dir) => {
+      // TPC-H Q1 shape (pricing summary): one scan, one hash-aggregate on a
+      // low-cardinality key, every metric map-side combined. Money terms
+      // floor()ed per row after their one/two IEEE multiplies so all sums
+      // are order-independent; averages divide two exact aggregates.
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .filter(col("l_shipdate") <= "2001-06-01")
+      li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(floor(col("l_quantity"))).cast("double").as("sum_qty"),
+          sum(floor(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+          sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+            .cast("double").as("sum_disc_price"),
+          sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+              * (lit(1.0) + col("l_tax"))))
+            .cast("double").as("sum_charge"),
+          (sum(floor(col("l_quantity"))).cast("double") / count(lit(1)))
+            .as("avg_qty"),
+          (sum(floor(col("l_discount") * lit(100.0))).cast("double") / count(lit(1)))
+            .as("avg_disc_pct"),
+          count(lit(1)).as("count_order"))
+    }),
     "a_tpch_q3" -> ((s, dir) => {
       // TPC-H Q3 shape (shipping-priority top-10): selective dim filter ->
       // broadcast, fact-fact equi-join on the order key, group + top-10 via
@@ -2870,6 +2892,20 @@ object SparkEntry {
         "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
       "a_sample_per_key" ->
         "SELECT o_custkey, least(count(*), 3) AS n_sampled FROM orders GROUP BY o_custkey",
+      "a_tpch_q1" ->
+        """SELECT l_returnflag, l_linestatus,
+                  CAST(sum(floor(l_quantity)) AS DOUBLE) AS sum_qty,
+                  CAST(sum(floor(l_extendedprice)) AS DOUBLE) AS sum_base_price,
+                  CAST(sum(floor(l_extendedprice * (1.0 - l_discount))) AS DOUBLE)
+                    AS sum_disc_price,
+                  CAST(sum(floor(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)))
+                    AS DOUBLE) AS sum_charge,
+                  CAST(sum(floor(l_quantity)) AS DOUBLE) / count(*) AS avg_qty,
+                  CAST(sum(floor(l_discount * 100.0)) AS DOUBLE) / count(*) AS avg_disc_pct,
+                  CAST(count(*) AS BIGINT) AS count_order
+           FROM lineitem
+           WHERE l_shipdate <= TIMESTAMP '2001-06-01'
+           GROUP BY 1, 2""",
       "a_tpch_q3" ->
         """SELECT l.l_orderkey,
                   strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
