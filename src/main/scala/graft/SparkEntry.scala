@@ -918,7 +918,15 @@ object SparkEntry {
       // first (volume, source/lang spread, exact-dup mass, token budget,
       // URL incidence) — all exact integer arithmetic in one scan plus one
       // distinct-text aggregate, so the whole card is oracle-verifiable.
+      // The fixture corpus carries no URLs, so every 10th doc gets a
+      // deterministic footer URL (the text_url_domains construction) —
+      // otherwise the URL column would be vacuously 0 == 0 in both engines
+      // and its extraction logic never actually gate-checked.
       val docs = s.read.parquet(s"$dir/documents.parquet")
+        .withColumn("body", when(col("doc_id") % 10 === 0,
+            concat(coalesce(col("text"), lit("")), lit(" https://card-"),
+              (col("doc_id") % 7).cast("string"), lit(".example.com/d")))
+          .otherwise(coalesce(col("text"), lit(""))))
       docs.agg(
         count(lit(1)).as("n_docs"),
         sum(col("n_chars")).as("n_chars"),
@@ -926,7 +934,7 @@ object SparkEntry {
         countDistinct(col("lang")).as("n_langs"),
         (count(lit(1)) - countDistinct(col("text"))).as("n_exact_dup_docs"),
         sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("n_tokens"),
-        sum(when(size(TextAnalysis.extractUrls(col("text"))) > 0, 1L)
+        sum(when(size(TextAnalysis.extractUrls(col("body"))) > 0, 1L)
           .otherwise(0L)).as("n_docs_with_urls"))
     }),
     "text_bpe" -> ((s, dir) => {
@@ -942,7 +950,8 @@ object SparkEntry {
       docs.select(col("doc_id"),
           explode(ops.Bpe.applyMerges(col("text"), merges)).as("bw"))
         .agg(
-          countDistinct(col("doc_id")).as("n_docs"),
+          // explode drops token-less docs, so this counts docs WITH tokens
+          countDistinct(col("doc_id")).as("n_docs_with_tokens"),
           count(lit(1)).as("n_words"),
           sum(size(col("bw.tokens"))).cast("long").as("n_subword_tokens"),
           sum(when(concat_ws("", col("bw.tokens")) =!=
@@ -2357,7 +2366,12 @@ object SparkEntry {
                   CAST(sum(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS BIGINT)
                     AS n_tokens,
                   CAST(count(*) FILTER (
-                    len(regexp_extract_all(text, 'https?://[^ \t\n\f\r]+')) > 0)
+                    len(regexp_extract_all(
+                      CASE WHEN doc_id % 10 = 0
+                           THEN coalesce(text, '') || ' https://card-' ||
+                                CAST(doc_id % 7 AS VARCHAR) || '.example.com/d'
+                           ELSE coalesce(text, '') END,
+                      'https?://[^ \t\n\f\r]+')) > 0)
                     AS BIGINT) AS n_docs_with_urls
            FROM documents""",
       "text_html_strip" ->
