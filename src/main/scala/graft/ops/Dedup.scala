@@ -738,13 +738,19 @@ object Dedup {
     * Scale layout: one explode to (doc, pos, segment) rows — |tokens|/width
     * rows, linear; first-occurrence via a hash-aggregate keyed by the
     * segment (min of the (doc_id, pos) struct — map-side combine, no
-    * per-segment window sort); one join back keyed by segment; reassembly
-    * is a per-doc sort_array of bounded per-doc state. Segments DO ride two
-    * shuffles as text — at corpus scale swap the join key for a 128-bit
-    * hash (md5 columns both sides) if profile shows the segment bytes
-    * dominating; kept as text here so the oracle needs no hash convention. */
+    * per-segment window sort); one join back; reassembly is a per-doc
+    * sort_array of bounded per-doc state.
+    *
+    * `hashJoinKeys = true` keys the frequency aggregate and join by
+    * md5(segment) instead of the segment text — the 100 TB knob when
+    * profile shows segment bytes dominating the two shuffles (the
+    * first-occurrence table then carries 32-hex-char keys; the reassembly
+    * side keeps the text it already owns). Output is identical up to
+    * 128-bit md5 collisions (~n^2/2^129 for n distinct segments —
+    * negligible below ~2^60 segments); the gate runs the text mode so the
+    * oracle needs no hash convention, and the spec pins both modes equal. */
   def dedupSegments(df: DataFrame, idCol: String, textCol: String,
-      segmentWords: Int = 10): DataFrame = {
+      segmentWords: Int = 10, hashJoinKeys: Boolean = false): DataFrame = {
     require(segmentWords > 0, s"segmentWords must be positive, got $segmentWords")
     val base = df.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
     val segs = base
@@ -755,9 +761,10 @@ object Dedup {
           sequence(lit(0), floor((size(col("__toks")) - 1) / segmentWords).cast("int")),
           i => array_join(slice(col("__toks"), i * segmentWords + 1, lit(segmentWords)), " ")
         )).as(Seq("pos", "seg")))
-    val firsts = segs.groupBy("seg")
+      .withColumn("__k", if (hashJoinKeys) md5(col("seg")) else col("seg"))
+    val firsts = segs.groupBy("__k")
       .agg(min(struct(col("doc_id"), col("pos"))).as("__f"))
-    val kept = segs.join(firsts.hint("shuffle_hash"), "seg")
+    val kept = segs.join(firsts.hint("shuffle_hash"), "__k")
       .withColumn("__keep",
         col("doc_id") === col("__f.doc_id") && col("pos") === col("__f.pos"))
     val perDoc = kept.groupBy("doc_id").agg(

@@ -475,6 +475,11 @@ class DedupSpec extends AnyFunSuite {
     assert(out(3L) == ((2L, 0L, "")))    // both "a b" already seen in doc 1
     assert(out(4L) == ((0L, 0L, "")))
     assert(out(5L) == ((1L, 1L, "x")))
+    // the md5-keyed scale mode produces the identical result
+    val hashed = Dedup.dedupSegments(df, "doc_id", "text", 2, hashJoinKeys = true)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(hashed == out)
   }
 
   test("semantic dedup: clustered pass catches planted dups, nlist=1 is exact") {
