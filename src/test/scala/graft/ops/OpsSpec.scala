@@ -201,6 +201,25 @@ class BpeSpec extends AnyFunSuite {
     val lower = rows.find(_.getString(0) == "lower").get.getSeq[String](1)
     assert(lower.length < "lower".length + 1)
   }
+
+  test("roundtrip property holds on random corpora at any merge count") {
+    val rnd = new scala.util.Random(67)
+    for (trial <- 0 until 5) {
+      val vocab = Array.fill(30)(
+        (0 until (1 + rnd.nextInt(8))).map(_ => ('a' + rnd.nextInt(6)).toChar).mkString)
+      val counts = vocab.toSeq.distinct.map(w => w -> (1L + rnd.nextInt(50)))
+      val merges = Bpe.trainFromCounts(counts, nMerges = rnd.nextInt(40))
+      // apply driver-side through the same Spark UDF path
+      val text = Array.fill(50)(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+      val rows = Seq((1L, text)).toDF("id", "text")
+        .select(explode(Bpe.applyMerges(col("text"), merges)).as("bw"))
+        .select(col("bw.word"), col("bw.tokens")).collect()
+      rows.foreach { r =>
+        assert(r.getSeq[String](1).mkString("") == r.getString(0) + Bpe.EndOfWord,
+          s"trial $trial: ${r.getString(0)} -> ${r.getSeq[String](1)}")
+      }
+    }
+  }
 }
 
 class HtmlStripSpec extends AnyFunSuite {
