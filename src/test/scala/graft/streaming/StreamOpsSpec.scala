@@ -154,6 +154,21 @@ class StreamOpsSpec extends AnyFunSuite {
         minValue = 1.0, maxValue = 1.0, noise = graft.core.NoiseSource.Zero)
       .collect().map(r => ((r.getTimestamp(0), r.getString(1)), r.getDouble(2))).toMap
     assert(sum11 == distinct)
+
+    // streaming parity for the SUM (tight clamps, same sentinel replay)
+    val sumAgg = StreamOps.dpWindowedSum(stream, "user_id", "ts", "value",
+      Seq("event_type"), "1 hour", epsilon = 1.0, maxPerCell = 2L,
+      minValue = -1.0, maxValue = 1.0, noise = graft.core.NoiseSource.Zero,
+      watermark = Some("10 minutes"))
+    StreamOps.runToMemory(spark, sumAgg, "ss_dps_t", OutputMode.Append)
+    val sumStreamed = spark.table("ss_dps_t")
+      .filter(col("event_type") =!= "__sentinel")
+      .collect().map(r => ((r.getTimestamp(0), r.getString(1)), r.getDouble(2))).toMap
+    val sumBatch = StreamOps.dpWindowedSum(bev, "user_id", "ts", "value",
+        Seq("event_type"), "1 hour", epsilon = 1.0, maxPerCell = 2L,
+        minValue = -1.0, maxValue = 1.0, noise = graft.core.NoiseSource.Zero)
+      .collect().map(r => ((r.getTimestamp(0), r.getString(1)), r.getDouble(2))).toMap
+    assert(sumStreamed == sumBatch && sumStreamed.nonEmpty)
   }
 
   test("stream-stream attribution join matches the batch range join") {
