@@ -636,6 +636,20 @@ object SparkEntry {
       Dedup.connectedComponents(pairs.select("id_a", "id_b"))
         .select(col("id"), col("comp").as("component"))
     }),
+    "dedup_cluster_sizes" -> ((s, dir) => {
+      // duplicate-cluster size histogram — the rollup an operator reads
+      // BEFORE materializing a dedup (one giant cluster usually means a
+      // boilerplate/template pathology, many pairs means near-dup spam):
+      // clusters per size, docs tied up per size. Same oracle-verified
+      // portable pair set + components as dedup_components.
+      val pairs = Dedup.minHashLSHPortable(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", threshold = 0.6)
+      Dedup.connectedComponents(pairs.select("id_a", "id_b"))
+        .groupBy("comp").agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz").as("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"),
+          sum(col("sz")).as("n_docs"))
+    }),
     "dedup_materialize" -> ((s, dir) => {
       // APPLY the dedup decision: non-canonical cluster members (id != its
       // component's min-label) are dropped via LEFT ANTI join, and the
@@ -2274,6 +2288,21 @@ object SparkEntry {
               UNION
               SELECT r.id, e.dst AS reach FROM r JOIN e ON e.src = r.reach)
             SELECT id, min(reach) AS component FROM r GROUP BY id""",
+      "dedup_cluster_sizes" ->
+        s"""WITH RECURSIVE pairs AS ($minhashMd5Sql),
+            e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                  UNION ALL SELECT id_b, id_a FROM pairs),
+            n AS (SELECT DISTINCT src AS id FROM e),
+            r AS (
+              SELECT id, id AS reach FROM n
+              UNION
+              SELECT r.id, e.dst AS reach FROM r JOIN e ON e.src = r.reach),
+            comp AS (SELECT id, min(reach) AS component FROM r GROUP BY id),
+            sz AS (SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
+                   FROM comp GROUP BY component)
+            SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+                   CAST(sum(cluster_size) AS BIGINT) AS n_docs
+            FROM sz GROUP BY cluster_size""",
       "dedup_materialize" ->
         s"""WITH RECURSIVE pairs AS ($minhashMd5Sql),
             e AS (SELECT id_a AS src, id_b AS dst FROM pairs
