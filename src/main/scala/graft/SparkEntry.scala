@@ -546,25 +546,46 @@ object SparkEntry {
     }),
     "approx_percentiles" -> ((s, dir) => {
       // mergeable quantile sketch (percentile_approx = Greenwald-Khanna
-      // summaries, partial-merged map-side like every sketch here) with an
-      // IN-QUERY error probe against the exact interpolated percentile —
-      // sketch output is partitioning-dependent => rows-only, but the probe
-      // columns make accuracy collapse visible to the row check; bound
-      // asserted in SketchesSpec-style per-type rows.
-      events(s, dir)
-        .withColumn("v", floor(col("value")))
-        .groupBy("event_type")
+      // summaries, partial-merged map-side like every sketch here),
+      // flattened to one row per (event_type, percentile) — scalar columns
+      // only. The sketch's value is merge-order dependent, so the hashed
+      // columns are the EXACT interpolated percentile plus a GK-guarantee
+      // certificate in RANK space (value-space bounds break when the group
+      // is small enough that one rank step exceeds the eps window): the
+      // sketch value's true rank interval must intersect
+      // [p*n - 2eps*n, p*n + 2eps*n] +- 1 (eps = 1/accuracy = 1/1000,
+      // doubled for slack). within_bound flips false on accuracy collapse
+      // and breaks the oracle hash, so the probe is part of the verified
+      // row — strictly stronger than the old rows-only form.
+      val ev = events(s, dir).withColumn("v", floor(col("value")).cast("double"))
+      val g = ev.groupBy("event_type")
         .agg(
-          percentile_approx(col("v"), array(lit(0.5), lit(0.9), lit(0.99)),
-            lit(1000)).as("approx"),
+          percentile_approx(col("v"), expr("array(0.5D, 0.9D, 0.99D)"), lit(1000))
+            .cast("array<double>").as("approx"),
           expr("percentile(v, array(0.5D, 0.9D, 0.99D))").as("exact"),
-          max(col("v")).as("vmax"), min(col("v")).as("vmin"))
-        .select(col("event_type"),
-          expr("zip_with(approx, exact, (a, e) -> abs(CAST(a AS DOUBLE) - e))")
-            .as("abs_err"),
-          expr("aggregate(zip_with(approx, exact, (a, e) -> abs(CAST(a AS DOUBLE) - e)), 0D, (m, x) -> greatest(m, x))")
-            .as("max_abs_err"),
-          (col("vmax") - col("vmin")).as("value_range"))
+          count(lit(1)).as("n_events"))
+      val probes = g.select(col("event_type"), col("n_events"),
+          posexplode(arrays_zip(col("approx"), col("exact"))).as(Seq("pos", "z")))
+        .select(col("event_type"), col("n_events"),
+          element_at(array(lit(0.5), lit(0.9), lit(0.99)), col("pos") + 1).as("pct"),
+          col("z.approx").as("approx_v"), col("z.exact").as("exact_pct"))
+      // rank the sketch value back in the data (one broadcast join of the
+      // 3*|event_type| probe rows against the scan): the certificate is
+      // rank-space, so it holds at ANY group size — [cnt_lt+1, cnt_le] (the
+      // sketch value's true rank interval) must intersect the guarantee
+      // window [p*n - 2eps*n - 1, p*n + 2eps*n + 1]
+      val ranked = ev.select(col("event_type"), col("v"))
+        .join(broadcast(probes), Seq("event_type"))
+        .groupBy("event_type", "pct", "exact_pct", "n_events", "approx_v")
+        .agg(sum(when(col("v") < col("approx_v"), 1L).otherwise(0L)).as("cnt_lt"),
+          sum(when(col("v") <= col("approx_v"), 1L).otherwise(0L)).as("cnt_le"))
+      val nD = col("n_events").cast("double")
+      val loT = ceil((col("pct") - lit(0.002)) * nD) - lit(1L)
+      val hiT = floor((col("pct") + lit(0.002)) * nD) + lit(2L)
+      ranked.select(col("event_type"), col("pct"), col("exact_pct"),
+        col("n_events"), loT.as("rank_lo_target"), hiT.as("rank_hi_target"),
+        (col("cnt_le") >= loT && (col("cnt_lt") + lit(1L)) <= hiT)
+          .as("within_bound"))
     }),
     "approx_distinct_users" -> ((s, dir) => {
       // HLL++ mergeable sketches — the 100 TB distinct-count path (per-shard
@@ -1089,11 +1110,15 @@ object SparkEntry {
       // Johnson-Lindenstrauss 64 -> 16 projection with the deterministic
       // portable +-1 matrix (md5-derived signs, dyadic 1/4 scale) — every
       // output coordinate bit-reproducible => oracle-exact. Distance
-      // preservation is pinned in SimilaritySpec.
+      // preservation is pinned in SimilaritySpec. Output flattened to one
+      // (vec_id, idx, coord) row per coordinate — scalar columns only, the
+      // dp_vector_sum convention the gate's column sort requires.
       s.read.parquet(s"$dir/embeddings.parquet")
         .withColumn("emb", expr("transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1024) / 1024)"))
         .select(col("vec_id"),
-          Similarity.randomProject(col("emb"), inDim = 64, outDim = 16).as("proj"))
+          posexplode(Similarity.randomProject(col("emb"), inDim = 64, outDim = 16))
+            .as(Seq("idx", "coord")))
+        .select(col("vec_id"), col("idx").cast("long").as("idx"), col("coord"))
     }),
     "emb_quantize" -> ((s, dir) => {
       // symmetric int8 quantization per embedding (4x storage cut for ANN),
@@ -2505,20 +2530,27 @@ object SparkEntry {
                   (coalesce(m.component, c.vec_id) = c.vec_id) AS keep
            FROM corpus c LEFT JOIN comp m ON m.id = c.vec_id""",
       // sign = low bit of the 60-bit md5 value of "i:j" (i row 0-based,
-      // j out-dim 0-based); * 0.25 AFTER the index-ascending sum
+      // j out-dim 0-based); * 0.25 AFTER the index-ascending sum. Flattened
+      // to one row per coordinate (unnest + generate_subscripts), mirroring
+      // the engine's posexplode.
       "emb_project" ->
-        """SELECT vec_id,
-                  list_transform(range(0, 16), j ->
-                    list_sum(list_transform(range(0, 64), i ->
-                      emb[i + 1] *
-                      (CASE WHEN CAST(CONCAT('0x', substr(md5(
-                                CAST(i AS VARCHAR) || ':' || CAST(j AS VARCHAR)), 1, 15))
-                              AS BIGINT) % 2 = 1
-                            THEN 1.0 ELSE -1.0 END))) * 0.25) AS proj
-           FROM (SELECT vec_id,
-                        list_transform(embedding,
-                          x -> floor(CAST(x AS DOUBLE) * 1024) / 1024) AS emb
-                 FROM embeddings)""",
+        """WITH p AS (
+             SELECT vec_id,
+                    list_transform(range(0, 16), j ->
+                      list_sum(list_transform(range(0, 64), i ->
+                        emb[i + 1] *
+                        (CASE WHEN CAST(CONCAT('0x', substr(md5(
+                                  CAST(i AS VARCHAR) || ':' || CAST(j AS VARCHAR)), 1, 15))
+                                AS BIGINT) % 2 = 1
+                              THEN 1.0 ELSE -1.0 END))) * 0.25) AS proj
+             FROM (SELECT vec_id,
+                          list_transform(embedding,
+                            x -> floor(CAST(x AS DOUBLE) * 1024) / 1024) AS emb
+                   FROM embeddings))
+           SELECT vec_id, CAST(gs - 1 AS BIGINT) AS idx, c AS coord
+           FROM (SELECT vec_id, unnest(proj) AS c,
+                        generate_subscripts(proj, 1) AS gs
+                 FROM p)""",
       // two-stage: row_number over projected cosine (same tiebreak as the
       // bounded-heap aggregate), then exact re-rank of the shortlist
       "sim_projected_topk" ->
@@ -3038,6 +3070,34 @@ object SparkEntry {
                    stopword_ratio, lang,
                    (drop_reason IS NULL) AS keep, drop_reason
             FROM z""",
+      // the sketch value itself is merge-order dependent and NOT hashed;
+      // the hashed columns are exact interpolated percentiles (quantile_cont
+      // == Spark percentile, proven by text_length_quantiles) plus the
+      // GK-guarantee boolean the engine computes and the oracle asserts TRUE
+      "approx_percentiles" ->
+        """WITH e AS (SELECT event_type, CAST(floor(value) AS DOUBLE) AS v
+                      FROM events),
+           g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+                        quantile_cont(v, 0.5) AS e50,
+                        quantile_cont(v, 0.9) AS e90,
+                        quantile_cont(v, 0.99) AS e99
+                 FROM e GROUP BY event_type),
+           q AS (
+             SELECT event_type, n_events, CAST(0.5 AS DOUBLE) AS pct,
+                    e50 AS exact_pct FROM g
+             UNION ALL
+             SELECT event_type, n_events, CAST(0.9 AS DOUBLE), e90 FROM g
+             UNION ALL
+             SELECT event_type, n_events, CAST(0.99 AS DOUBLE), e99 FROM g)
+           SELECT event_type, pct, exact_pct, n_events,
+                  CAST(ceil((pct - CAST(0.002 AS DOUBLE))
+                            * CAST(n_events AS DOUBLE)) AS BIGINT) - 1
+                    AS rank_lo_target,
+                  CAST(floor((pct + CAST(0.002 AS DOUBLE))
+                             * CAST(n_events AS DOUBLE)) AS BIGINT) + 2
+                    AS rank_hi_target,
+                  TRUE AS within_bound
+           FROM q""",
       "text_length_quantiles" ->
         """SELECT source,
               quantile_cont(CAST(n_chars AS DOUBLE), 0.5) AS p50,

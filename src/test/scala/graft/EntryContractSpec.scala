@@ -24,7 +24,7 @@ class EntryContractSpec extends AnyFunSuite {
       "sim_lsh_topk", "sim_ivf_topk", "sim_pq_topk", "sim_ivfpq_topk",
       "text_fingerprint", "text_bpe", "tune_params",
       "approx_distinct_users", "approx_sketch_union", "approx_heavy_hitters",
-      "approx_percentiles", "mm_frame_sample")
+      "mm_frame_sample")
     assert((rowsOnly -- expected).isEmpty,
       s"queries missing an oracle that are not in the documented rows-only set: " +
         s"${rowsOnly -- expected}")
