@@ -712,6 +712,28 @@ object SparkEntry {
         docs.filter(col("doc_id") % 10 =!= 0),
         "doc_id", "text", threshold = 0.6)
     }),
+    "dedup_incremental_sigs" -> ((s, dir) => {
+      // the signature-STORE workflow: stage-1 corpus signatures are persisted
+      // ONCE (parquet store, built on first invocation), and each ingest
+      // batch then runs increment-only work against the stored frame — the
+      // thing that makes incremental dedup actually incremental at corpus
+      // scale (the plain dedup_incremental re-signs the corpus every batch
+      // and pays O(corpus) md5 per call). Same batch split, same output,
+      // same oracle as dedup_incremental; the bench delta between the two
+      // queries IS the stored-signature saving.
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val store = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_sig_store_v1_${Integer.toHexString(dir.hashCode)}")
+      if (!store.exists()) {
+        Dedup.minHashWithSigPortable(docs.filter(col("doc_id") % 10 =!= 0),
+            "doc_id", "text", shingleSize = 3, numHashes = 128)
+          .write.mode("overwrite").parquet(store.getAbsolutePath)
+      }
+      Dedup.incrementalNearDupsFromSigs(
+        docs.filter(col("doc_id") % 10 === 0),
+        s.read.parquet(store.getAbsolutePath),
+        "doc_id", "text", threshold = 0.6)
+    }),
     "dedup_ngram_jaccard" -> ((s, dir) => {
       // exact char-3-gram jaccard on the first 100 chars, blocked by lang
       val docs = s.read.parquet(s"$dir/documents.parquet")
@@ -1842,6 +1864,20 @@ object SparkEntry {
            FROM res GROUP BY event_type"""
     }
     val pctlTreeSql = pctlTreeSqlFor(Seq(10, 50, 90))
+    // best corpus match per new-batch doc from the portable pair set; shared
+    // by dedup_incremental and its stored-signature twin
+    val incrementalBestMatchSql =
+      s"""WITH pairs AS ($minhashMd5Sql),
+          cross_pairs AS (
+            SELECT CASE WHEN id_a % 10 = 0 THEN id_a ELSE id_b END AS id,
+                   CASE WHEN id_a % 10 = 0 THEN id_b ELSE id_a END AS match_id,
+                   jaccard
+            FROM pairs
+            WHERE (id_a % 10 = 0) <> (id_b % 10 = 0))
+          SELECT id, match_id, jaccard FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY id ORDER BY jaccard DESC, match_id ASC) AS rn
+            FROM cross_pairs) WHERE rn = 1"""
 
 
     // ---- utility-analysis oracle scaffolding (mirrors uaPublicOptions /
@@ -2288,18 +2324,10 @@ object SparkEntry {
       // Incremental dedup = the cross-set restriction of the SAME portable
       // pair set (pairs where exactly one side is an increment doc), best
       // match per new doc by (jaccard desc, corpus id asc).
-      "dedup_incremental" ->
-        s"""WITH pairs AS ($minhashMd5Sql),
-            cross_pairs AS (
-              SELECT CASE WHEN id_a % 10 = 0 THEN id_a ELSE id_b END AS id,
-                     CASE WHEN id_a % 10 = 0 THEN id_b ELSE id_a END AS match_id,
-                     jaccard
-              FROM pairs
-              WHERE (id_a % 10 = 0) <> (id_b % 10 = 0))
-            SELECT id, match_id, jaccard FROM (
-              SELECT *, row_number() OVER (
-                PARTITION BY id ORDER BY jaccard DESC, match_id ASC) AS rn
-              FROM cross_pairs) WHERE rn = 1""",
+      "dedup_incremental" -> incrementalBestMatchSql,
+      // identical semantics by construction (stored signatures are the same
+      // bit-exact portable frame) — the oracle is shared
+      "dedup_incremental_sigs" -> incrementalBestMatchSql,
       // Duplicate clusters from the portable-minhash pair set: connected
       // components as a recursive reachability CTE (component = min
       // reachable id), over the SAME independently-recomputed pipeline.

@@ -224,8 +224,13 @@ object Dedup {
 
   /** Stage 1 of the PORTABLE pipeline: (id, shingles, sig), checkpointed —
     * md5-derived shingle hashes so an independent SQL engine reproduces the
-    * signatures bit-for-bit. Token-less documents are excluded. */
-  private[graft] def minHashWithSigPortable(df: DataFrame, idCol: String,
+    * signatures bit-for-bit. Token-less documents are excluded.
+    *
+    * PUBLIC because this is the frame a production pipeline PERSISTS: write
+    * it once per corpus (parquet), then feed it to
+    * [[incrementalNearDupsFromSigs]] per ingest batch so each batch costs
+    * work proportional to the increment, never to the corpus. */
+  def minHashWithSigPortable(df: DataFrame, idCol: String,
       textCol: String, shingleSize: Int, numHashes: Int): DataFrame = {
     require(numHashes <= permA.length, s"at most ${permA.length} portable permutations")
     df.select(col(idCol).as("id"), col(textCol).as("text"))
@@ -264,10 +269,41 @@ object Dedup {
       numBands: Int = 16,
       rowsPerBand: Int = 8,
       threshold: Double = 0.6
+  ): DataFrame =
+    incrementalNearDupsFromSigs(newDocs,
+      minHashWithSigPortable(corpus, idCol, textCol, shingleSize,
+        numBands * rowsPerBand),
+      idCol, textCol, shingleSize, numBands, rowsPerBand, threshold)
+
+  /** Stored-signature incremental near-dup: `corpusSigs` is the PERSISTED
+    * (id, shingles, sig) frame from [[minHashWithSigPortable]] — the shape a
+    * production signature store holds in parquet. Only the increment is
+    * tokenized/signed per call, so batch cost is proportional to the
+    * increment (plus the candidate-bucket join); the corpus is never
+    * re-signed. Fails loud (raise_error) on a store built with a different
+    * signature length than numBands*rowsPerBand — silent wrong-bucket keys
+    * would zero the recall. Identical output to
+    * [[incrementalNearDupsPortable]] on the same inputs (spec-pinned). */
+  def incrementalNearDupsFromSigs(
+      newDocs: DataFrame,
+      corpusSigs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      numBands: Int = 16,
+      rowsPerBand: Int = 8,
+      threshold: Double = 0.6
   ): DataFrame = {
     val numHashes = numBands * rowsPerBand
+    require(Set("id", "shingles", "sig").subsetOf(corpusSigs.columns.toSet),
+      s"corpusSigs must carry (id, shingles, sig) from minHashWithSigPortable; " +
+        s"got ${corpusSigs.columns.mkString(", ")}")
     val sigNew = minHashWithSigPortable(newDocs, idCol, textCol, shingleSize, numHashes)
-    val sigOld = minHashWithSigPortable(corpus, idCol, textCol, shingleSize, numHashes)
+    val sigOld = corpusSigs.withColumn("sig",
+      when(size(col("sig")) === numHashes, col("sig"))
+        .otherwise(raise_error(concat(
+          lit(s"corpus signature store length != $numHashes (bands*rows): "),
+          size(col("sig")).cast("string")))))
     def banded(s: DataFrame, as: String) = s.select(col("id").as(as),
       posexplode(array(portableBandKeys(numBands, rowsPerBand): _*))
         .as(Seq("band", "bucket")))

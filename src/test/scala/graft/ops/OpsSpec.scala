@@ -369,6 +369,51 @@ class DedupSpec extends AnyFunSuite {
     assert(out(10L)._2 >= 0.5)
   }
 
+  test("stored-signature incremental path is identical to the raw-docs path") {
+    val rnd = new scala.util.Random(13)
+    val bodies = (0 to 7).map(_ =>
+      Seq.fill(15)(rnd.alphanumeric.take(5).mkString).mkString(" "))
+    val corpus = (1L to 30L).map(i => (i, s"${bodies((i % 8).toInt)} tail$i"))
+      .toDF("doc_id", "text")
+    val increment = (100L to 110L).map(i => (i, s"${bodies((i % 8).toInt)} inc$i"))
+      .toDF("doc_id", "text")
+    def matches(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1),
+        math.round(r.getDouble(2) * 1e9))).toSet
+    val raw = matches(Dedup.incrementalNearDupsPortable(
+      increment, corpus, "doc_id", "text", threshold = 0.3))
+    // persist the signature frame through parquet (the store roundtrip a
+    // production pipeline does) before feeding the sig-based entry point
+    val dir = java.nio.file.Files.createTempDirectory("sigstore").toFile
+    try {
+      Dedup.minHashWithSigPortable(corpus, "doc_id", "text",
+          shingleSize = 3, numHashes = 128)
+        .write.mode("overwrite").parquet(dir.getAbsolutePath)
+      val stored = matches(Dedup.incrementalNearDupsFromSigs(
+        increment, spark.read.parquet(dir.getAbsolutePath),
+        "doc_id", "text", threshold = 0.3))
+      assert(raw.nonEmpty)
+      assert(stored == raw)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(dir)
+    }
+  }
+
+  test("stored-signature path fails loud on a store with the wrong signature length") {
+    val corpus = Seq((1L, base), (2L, base + " tail")).toDF("doc_id", "text")
+    val increment = Seq((10L, base)).toDF("doc_id", "text")
+    // store built with 64 hashes, queried expecting 16 bands x 8 rows = 128
+    val shortStore = Dedup.minHashWithSigPortable(corpus, "doc_id", "text",
+      shingleSize = 3, numHashes = 64)
+    val ex = intercept[Exception] {
+      Dedup.incrementalNearDupsFromSigs(increment, shortStore,
+        "doc_id", "text", threshold = 0.3).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("signature store length")), s"got $ex")
+  }
+
   test("ngram jaccard pairs within blocks") {
     val df = Seq(
       (1L, "en", "the quick brown fox jumps over the lazy dog"),
