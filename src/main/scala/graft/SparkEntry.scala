@@ -1567,7 +1567,18 @@ object SparkEntry {
       // with the explicit schema the reader requires), rolled up per
       // (format, lang) — counts and sums must survive both roundtrips.
       import graft.sources.CorpusIO
-      val tmp = java.nio.file.Files.createTempDirectory("graft_io").toString
+      // Fixed per-process dir, wiped before each write: the returned frame
+      // reads from it LAZILY, so deletion after return would break the
+      // consumer — instead reps/gate runs overwrite one bounded copy rather
+      // than leaking a fresh corpus-sized tree per invocation.
+      val tmp = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), "graft_io_roundtrip").toString
+      val tmpPath = java.nio.file.Paths.get(tmp)
+      if (java.nio.file.Files.exists(tmpPath)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(tmpPath).iterator.asScala.toSeq
+          .sortBy(-_.getNameCount).foreach(java.nio.file.Files.delete)
+      }
       val docs = s.read.parquet(s"$dir/documents.parquet")
         .select("doc_id", "lang", "source", "n_chars")
       CorpusIO.write(docs, s"$tmp/p", format = "parquet",

@@ -828,12 +828,15 @@ object Similarity {
     val f = udf((a: Array[Double]) => {
       if (a == null) throw new IllegalArgumentException(
         "null vector — a null projection poisons downstream distances; filter upstream")
+      else if (a.length < inDim) throw new IllegalArgumentException(
+        s"randomProject: vector of length ${a.length} shorter than inDim $inDim — " +
+          "a ragged corpus has no right silent answer; filter upstream")
       else {
         val out = new Array[Double](outDim)
         var j = 0
         while (j < outDim) {
           var s = 0.0; var i = 0
-          while (i < inDim && i < a.length) { s += a(i) * signs(i)(j); i += 1 }
+          while (i < inDim) { s += a(i) * signs(i)(j); i += 1 }
           out(j) = s * scale
           j += 1
         }

@@ -817,6 +817,13 @@ class SimilaritySpec extends AnyFunSuite {
         .select(Similarity.randomProject(col("vec"), 64, 16)).collect()
     }
     assert(chainMsg(ex).contains("null vector"), chainMsg(ex))
+    // ragged (too-short) vectors fail loudly too — a silent prefix
+    // projection would skew every downstream distance
+    val exShort = intercept[Exception] {
+      Seq((1L, Array.fill(8)(1.0))).toDF("id", "vec")
+        .select(Similarity.randomProject(col("vec"), 64, 16)).collect()
+    }
+    assert(chainMsg(exShort).contains("shorter than inDim"), chainMsg(exShort))
   }
 
   test("projectedTopK: high recall vs brute force through the 4x-smaller scan") {
