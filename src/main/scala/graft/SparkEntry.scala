@@ -1206,13 +1206,31 @@ object SparkEntry {
         }
         Multimodal.syntheticVideo(frames)
       })
+      // IN-QUERY PROBES (the rows-only convention): every row carries
+      //   probe_idx_unexpected — 1 if this frame_idx is NOT in the sampled-
+      //     index set computed INDEPENDENTLY by the Column-expression
+      //     formula sampleFrameIndices (two implementations of the
+      //     evenly-spaced rule cross-check each other);
+      //   probe_missing_frames — per-doc gap between expected sampled-index
+      //     count and rows that actually materialized (a dropped/undecoded
+      //     frame shows up as a positive gap);
+      //   probe_decode_failed — 1 if the PNG decode returned null.
+      // All three must be 0 on every row; MultimodalSpec pins the exact
+      // indices + luminance roundtrip.
       val docs = s.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), mkVideo(col("text")).as("media"))
       val sampled = Multimodal.sampleFrames(docs, "media", n = 2)
+      val perDoc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
       Multimodal.decodeImage(sampled, "frame")
+        .withColumn("__want", Multimodal.sampleFrameIndices(col("n_frames"), 2))
         .select(col("doc_id"), col("frame_idx"), col("n_frames").cast("long").as("n_frames"),
           col("decoded.width").as("width"), col("decoded.height").as("height"),
-          col("decoded.mean_luminance").as("mean_luminance"))
+          col("decoded.mean_luminance").as("mean_luminance"),
+          when(!array_contains(col("__want"), col("frame_idx")), 1L).otherwise(0L)
+            .as("probe_idx_unexpected"),
+          (size(col("__want")).cast("long") - count(lit(1)).over(perDoc))
+            .as("probe_missing_frames"),
+          when(col("decoded").isNull, 1L).otherwise(0L).as("probe_decode_failed"))
     }),
     "papi_count_sum" -> ((s, dir) => {
       // PrivateDataFrame API: one accountant, map + two aggregations
@@ -1308,6 +1326,14 @@ object SparkEntry {
       // deterministic (error moments are pure math, no noise is drawn) but
       // the candidate grid + keep-prob machinery is not SQL-expressible =>
       // rows-only; numeric behavior covered by ParameterTuningSpec.
+      // IN-QUERY PROBES (the rows-only convention): every row carries
+      //   probe_best_gap_vs_min  — RMSE(chosen) - min(sweep RMSE); 0 means
+      //     the selection really is the sweep argmin (guards a future
+      //     selection rule drifting off the exact sweep);
+      //   probe_gap_vs_single   — |RMSE(chosen) from the one-pass 9-config
+      //     analysis - RMSE(chosen) from an INDEPENDENT single-config
+      //     analysis run|, rounded at 1e-6; 0 means no cross-config
+      //     interference in the shared-pass combiner packing.
       val ev = events(s, dir)
       val roles = DPColumns(col("user_id"), Seq("event_type" -> col("event_type")), None)
       val h = eventHistograms(s, dir)
@@ -1315,13 +1341,23 @@ object SparkEntry {
         ParametersToTune(maxPartitionsContributed = true, maxContributionsPerPartition = true),
         numberOfParameterCandidates = 9)
       val (res, _, _) = ParameterTuning.tune(ev, roles, h, opts)
+      val best = res.candidates(res.indexBest)
+      val singleOpts = UtilityAnalysisOptions(opts.epsilon, opts.delta,
+        Seq(opts.metric), Seq(best))
+      val (rep1, _) = UtilityAnalysis.analyze(ev, roles, singleOpts, None)
+      val rmseSingle = rep1.filter(col("bucket_lower") === -1L)
+        .select(col("count_abs_rmse")).collect()(0).getDouble(0)
+      val bestRmse = res.rmsePerCandidate(res.indexBest)
+      val gapVsMin = math.rint((bestRmse - res.rmsePerCandidate.min) * 1e6) / 1e6
+      val gapVsSingle = math.rint(math.abs(bestRmse - rmseSingle) * 1e6) / 1e6
       import s.implicits._
       res.candidates.zipWithIndex.map { case (c, i) =>
         (i, c.maxPartitionsContributed, c.maxContributionsPerPartition,
           c.noiseKind.toString, c.partitionSelectionStrategy.toString,
-          math.rint(res.rmsePerCandidate(i) * 1e6) / 1e6, i == res.indexBest)
+          math.rint(res.rmsePerCandidate(i) * 1e6) / 1e6, i == res.indexBest,
+          gapVsMin, gapVsSingle)
       }.toDF("config_index", "l0", "linf", "noise_kind", "selection_strategy",
-        "rmse", "is_best")
+        "rmse", "is_best", "probe_best_gap_vs_min", "probe_gap_vs_single")
     }),
     "stats_error_estimate" -> ((s, dir) => {
       // histogram-only RMSE estimation (no pass over the data beyond the
