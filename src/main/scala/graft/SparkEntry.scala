@@ -339,6 +339,24 @@ object SparkEntry {
       engine.accountant.computeBudgets()
       res.dataframe
     }),
+    "dp_percentile_public" -> ((s, dir) => {
+      // quantile tree x PUBLIC partitions — the last combiner x selection
+      // pairing: non-public partitions are dropped pre-aggregation, the
+      // ghost partition materializes from an EMPTY tree (exercising
+      // empty-tree serialization + merge on the add-empty union path), and
+      // the empty tree's zero-noise walk is the closed-form uniform
+      // interpolation lower + q*(upper-lower) = (50, 250, 450) over
+      // [0, 500] — SQL-expressible, so the ghost row stays oracle-exact
+      // alongside the real partitions' bit-exact tree walk.
+      import s.implicits._
+      val pub = Seq("click", "error", "purchase", "ghost_type").toDF("event_type")
+      runZero(events(s, dir),
+        AggregateParams(
+          metrics = Seq(Metric.Percentile(10), Metric.Percentile(50), Metric.Percentile(90)),
+          maxPartitionsContributed = 5, maxContributionsPerPartition = Some(100),
+          minValue = Some(0.0), maxValue = Some(500.0)),
+        eventRoles, Some(pub))
+    }),
     "dp_percentile_sum_partition" -> ((s, dir) => {
       // the last combiner pairing: a multi-percentile quantile tree AND a
       // per-partition-bounded SumCombiner over the same input under ONE
@@ -1823,7 +1841,7 @@ object SparkEntry {
                         ELSE inter / (szsum - inter) END) >= 0.6"""
     // Quantile-tree walk oracle, parameterized by the percentile list (whole
     // percents). Replicates the zero-noise height-4/branching-16 descent.
-    def pctlTreeSqlFor(ps: Seq[Int]): String = {
+    def pctlTreeSqlFor(ps: Seq[Int], source: String = "events"): String = {
       val valuesList = ps.map(p => s"(${p / 100.0})").mkString(", ")
       val pivots = ps.map(p =>
         s"MAX(CASE WHEN q = ${p / 100.0} THEN v END) AS percentile_$p")
@@ -1834,7 +1852,7 @@ object SparkEntry {
              FROM (SELECT event_type,
                           CAST(trunc(((least(greatest(floor(value), 0.0), 500.0) - 0.0)
                                       / (500.0 - 0.0)) * 65536.0) AS BIGINT) AS lf
-                   FROM events)
+                   FROM $source)
            ),
            qs AS (SELECT * FROM (VALUES $valuesList) t(q)),
            tot AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS n FROM leaves GROUP BY 1),
@@ -2271,6 +2289,18 @@ object SparkEntry {
       "dp_percentile" ->
         pctlTreeSql,
       "dp_percentile_pld" -> pctlTreeSql,
+      // public partitions: tree walk over the public-filtered events; the
+      // ghost partition's empty tree walks to the closed-form uniform
+      // interpolation q * (upper - lower) over [0, 500]
+      "dp_percentile_public" ->
+        s"""WITH public_events AS (
+              SELECT * FROM events
+              WHERE event_type IN ('click', 'error', 'purchase')),
+            tree AS (${pctlTreeSqlFor(Seq(10, 50, 90), "public_events")})
+            SELECT * FROM tree
+            UNION ALL
+            SELECT 'ghost_type' AS event_type, 50.0 AS percentile_10,
+                   250.0 AS percentile_50, 450.0 AS percentile_90""",
       "dp_percentile_sum_partition" ->
         s"""SELECT p.event_type, p.percentile_25, p.percentile_75, s.part_sum
             FROM (${pctlTreeSqlFor(Seq(25, 75))}) p
