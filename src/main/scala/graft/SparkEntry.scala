@@ -245,6 +245,28 @@ object SparkEntry {
         AggregateParams(metrics = Seq(Metric.Count), maxContributions = Some(1000)),
         DPColumns(col("user_id"), Seq("event_type" -> col("event_type")), None))
     }),
+    "dp_count_skew_sharded" -> ((s, dir) => {
+      // skew-hardening end-to-end: one hot privacy unit contributes 1e5
+      // rows to ONE partition — the Linf fan-in hazard where the default
+      // bounding window sorts the whole cell in a single task.
+      // l0ShardingFactor=8 opts into the two-stage sharded bounding
+      // windows (selection provably identical to the global window;
+      // DPEngineSpec pins bit-equality on a fixed draw), so the hot cell
+      // ranks in 8 bounded shard tasks + one 800-row merge instead of one
+      // 1e5-row task. Zero noise + CONSTANT hot values keep Count AND Sum
+      // deterministic (any kept 100-subset of the hot cell sums to 100),
+      // so the skew path is oracle-exact despite randomized sampling.
+      val skewed = events(s, dir)
+        .select(col("user_id"), col("event_type"), col("value"))
+        .unionByName(s.range(100000).select(lit(-1L).as("user_id"),
+          lit("click").as("event_type"), lit(1.0).as("value")))
+      val engine = new DPEngine(new NaiveBudgetAccountant(1e5, 0.999999),
+        NoiseSource.Zero, l0ShardingFactor = 8)
+      val res = engine.aggregate(skewed,
+        generous(Seq(Metric.Count, Metric.Sum), 0, 1000), eventRoles)
+      engine.accountant.computeBudgets()
+      res.dataframe
+    }),
     "dp_custom_combiner" -> ((s, dir) => {
       // user-defined DP aggregation (sum of squares with per-contribution
       // square clipping) through the CustomCombiner extension point
@@ -2192,6 +2214,25 @@ object SparkEntry {
         "SELECT event_type, CAST(count(DISTINCT user_id) AS DOUBLE) AS privacy_id_count FROM events GROUP BY event_type",
       "dp_count_l1" ->
         "SELECT event_type, CAST(count(*) AS DOUBLE) AS count FROM events GROUP BY event_type",
+      // the hot (user=-1, click) cell is Linf-capped at 100 of its 1e5 rows;
+      // which 100 is random, but count is their NUMBER and the hot values
+      // are constant 1.0 so the sum is 100 either way. Real cells are all
+      // <= 29 rows — nothing sampled away.
+      "dp_count_skew_sharded" ->
+        """WITH aug AS (
+              SELECT user_id, event_type, floor(value) AS v FROM events
+              UNION ALL
+              SELECT -1 AS user_id, 'click' AS event_type, 1.0 AS v
+              FROM range(100000)),
+            cells AS (
+              SELECT user_id, event_type,
+                     least(count(*), 100) AS c,
+                     CASE WHEN count(*) <= 100
+                          THEN sum(least(greatest(v, 0.0), 1000.0))
+                          ELSE 100.0 * min(least(greatest(v, 0.0), 1000.0)) END AS s
+              FROM aug GROUP BY 1, 2)
+            SELECT event_type, CAST(sum(c) AS DOUBLE) AS count, sum(s) AS sum
+            FROM cells GROUP BY event_type""",
       "dp_custom_combiner" ->
         """SELECT event_type,
               sum(least(floor(value) * floor(value), 10000.0)) AS square_sum

@@ -337,6 +337,32 @@ class DPEngineSpec extends AnyFunSuite {
     assert(run(8) == unsharded)
   }
 
+  test("sharded bounding runs two-stage windows in the physical plan") {
+    // the scale guarantee is a PLAN property: with sharding on, every
+    // bounding sample ranks within (key, shard) first, so the executed plan
+    // must carry strictly more Window nodes than the single-window form —
+    // if a refactor silently collapses the two stages back into one global
+    // window, the hot-cell single-task sort returns without failing any
+    // value-equality test. Catch it here.
+    def windowCount(shards: Int): Int = {
+      val engine = new DPEngine(new NaiveBudgetAccountant(1e5, 0.99),
+        NoiseSource.Zero, l0ShardingFactor = shards)
+      val res = engine.aggregate(fixture,
+        AggregateParams(metrics = Seq(Metric.Count, Metric.Sum),
+          maxPartitionsContributed = 2, maxContributionsPerPartition = Some(10),
+          minValue = Some(0.0), maxValue = Some(10.0)),
+        DPColumns("pid", "pk", "v"))
+      engine.accountant.computeBudgets()
+      "Window".r.findAllIn(
+        res.dataframe.queryExecution.executedPlan.toString).length
+    }
+    val single = windowCount(1)
+    val sharded = windowCount(8)
+    assert(sharded >= single + 2,
+      s"expected the sharded plan to add a per-(key, shard) window per " +
+        s"bounding stage, got $single windows unsharded vs $sharded sharded")
+  }
+
   test("reading dataframe before computeBudgets throws") {
     val engine = zeroEngine()
     val params = AggregateParams(
