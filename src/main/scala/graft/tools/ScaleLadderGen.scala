@@ -1,0 +1,82 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Derives the sf1-equivalent scale-ladder corpus (10x documents +
+  * embeddings) from the read-only sf0.1 tables, deterministically:
+  *
+  *  - documents: 10 replicas; replica k > 0 Caesar-shifts every letter and
+  *    digit by k, so EVERY char changes — cross-replica similarity is ~zero
+  *    for char-shingle AND token-shingle operators alike — while the
+  *    WITHIN-replica near-dup structure is exactly sf0.1's. The derived
+  *    corpus is therefore 10 disjoint copies of the sf0.1 dedup problem —
+  *    the honest shape for measuring whether the banded / windowed paths
+  *    scale linearly in rows (any super-linear growth is the algorithm,
+  *    not new cross-replica structure). (A first attempt salted token
+  *    SUFFIXES instead; that leaves intra-token char 3-grams shared across
+  *    replicas, which manufactures ~quadratic cross-replica near-dup
+  *    structure and poisons the char-shingle measurements.)
+  *  - embeddings: 10 replicas; replica k rotates each vector by k
+  *    positions (norm- and spread-preserving) and offsets vec_id/label
+  *    ids, so IVF/PQ training sees a 10x corpus with the same geometry.
+  *
+  * Usage: runMain graft.tools.ScaleLadderGen <srcDir> <outDir> [replicas]
+  * Evidence tooling only — never a gate input (TESTDATA.md stays the gate
+  * source of truth).
+  */
+object ScaleLadderGen {
+  def main(args: Array[String]): Unit = {
+    val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val out = if (args.length > 1) args(1) else "/tmp/scale_sf1"
+    val replicas = if (args.length > 2) args(2).toInt else 10
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", false)
+      .appName("scale-ladder-gen").getOrCreate()
+
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    val nDocs = docs.count()
+    val salt = udf((t: String, k: Int) =>
+      if (t == null || k == 0) t
+      else t.map { c =>
+        if (c >= 'a' && c <= 'z') (((c - 'a' + k) % 26) + 'a').toChar
+        else if (c >= 'A' && c <= 'Z') (((c - 'A' + k) % 26) + 'A').toChar
+        else if (c >= '0' && c <= '9') (((c - '0' + k) % 10) + '0').toChar
+        else c
+      })
+    val docsN = docs
+      .crossJoin(spark.range(replicas).select(col("id").cast("int").as("k")))
+      .select((col("doc_id") + col("k").cast("long") * nDocs).as("doc_id"),
+        salt(col("text"), col("k")).as("text"),
+        col("lang"), col("source"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    docsN.repartition(32).write.mode("overwrite")
+      .parquet(s"$out/documents.parquet")
+
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    val nVec = emb.count()
+    val nLabel = emb.agg(max("label")).collect()(0).getInt(0) + 1
+    val rot = udf((v: Array[Float], k: Int) => {
+      if (v == null || k == 0) v
+      else {
+        val n = v.length
+        val o = new Array[Float](n)
+        var i = 0
+        while (i < n) { o(i) = v((i + k) % n); i += 1 }
+        o
+      }
+    })
+    emb.crossJoin(spark.range(replicas).select(col("id").cast("int").as("k")))
+      .select((col("vec_id") + col("k").cast("long") * nVec).as("vec_id"),
+        rot(col("embedding"), col("k")).as("embedding"),
+        (col("label") + col("k") * nLabel).cast("int").as("label"))
+      .repartition(32).write.mode("overwrite")
+      .parquet(s"$out/embeddings.parquet")
+
+    println(s"[scale-ladder] wrote $out: documents=${nDocs * replicas} " +
+      s"embeddings=${nVec * replicas}")
+    spark.stop()
+  }
+}
