@@ -639,6 +639,29 @@ object SparkEntry {
           abs(col("approx_users") - col("exact_users")).cast("double") /
             col("exact_users").cast("double"))
     }),
+    "approx_distinct_md5" -> ((s, dir) => {
+      // the ORACLE-EXACT twin of approx_distinct_users: portable md5 HLL
+      // (p=6, raw-estimator branch only, exact integer bucket mass) whose
+      // bucket maxima AND estimate replay in DuckDB SQL — the sketch path
+      // itself gets a hash-verified row, anchoring the engine-specific
+      // approx_count_distinct / DataSketches variants.
+      Sketches.hllPortable(events(s, dir), "event_type", "user_id")
+        .select(col("group").as("event_type"), col("approx_distinct"),
+          col("t_scaled"))
+    }),
+    "approx_sketch_union_md5" -> ((s, dir) => {
+      // oracle-exact twin of approx_sketch_union: per-day PORTABLE HLL
+      // sketch rows (a persistable (event_type, day, bucket, mx) frame),
+      // unioned by max-per-bucket into per-type estimates — the
+      // store-sketches-merge-later pattern with every step SQL-replayable.
+      // Distributivity of max makes the union path provably equal to the
+      // direct sketch (SketchesSpec pins it); here the gate verifies the
+      // two-stage plumbing end to end against the same closed form.
+      val perDay = Sketches.hllPortableSketch(
+        events(s, dir).withColumn("day", tsDay),
+        Seq("event_type", "day"), "user_id")
+      Sketches.hllPortableEstimate(perDay, Seq("event_type"))
+    }),
     "approx_heavy_hitters" -> ((s, dir) => {
       // Misra-Gries frequent items per event type: bounded k-counter state
       // per (group, task), <= k rows per task on the exchange — the
@@ -3220,6 +3243,63 @@ object SparkEntry {
       // the hashed columns are exact interpolated percentiles (quantile_cont
       // == Spark percentile, proven by text_length_quantiles) plus the
       // GK-guarantee boolean the engine computes and the oracle asserts TRUE
+      // portable HLL replay: same md5 60-bit hash, bucket = top 6 bits,
+      // rho from the exact bit length of the low 54 bits (bin() string
+      // length — integer-exact, no floating log2), exact integer bucket
+      // mass, and the estimate as the identical left-to-right double
+      // expression (0.709 * 4096 * 2^55 / t)
+      "approx_distinct_md5" ->
+        """WITH h AS (
+              SELECT event_type,
+                     CAST(CONCAT('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                          AS BIGINT) AS hv
+              FROM events),
+            b AS (SELECT event_type, hv >> 54 AS bucket,
+                         hv & ((CAST(1 AS BIGINT) << 54) - 1) AS rest
+                  FROM h),
+            r AS (SELECT event_type, bucket,
+                         max(CASE WHEN rest = 0 THEN 55
+                                  ELSE 55 - length(bin(rest)) END) AS mx
+                  FROM b GROUP BY 1, 2),
+            t AS (SELECT event_type,
+                         CAST(sum(CAST(1 AS BIGINT) << (55 - mx)) +
+                              (64 - count(*)) * (CAST(1 AS BIGINT) << 55)
+                              AS BIGINT) AS t_scaled
+                  FROM r GROUP BY 1)
+            SELECT event_type,
+                   CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE) * CAST(36028797018963968 AS DOUBLE) / CAST(t_scaled AS DOUBLE)
+                     AS approx_distinct,
+                   t_scaled
+            FROM t""",
+      // same hash/bucket/estimator arms as approx_distinct_md5, but routed
+      // through the per-day sketch + max-union stages the query runs
+      "approx_sketch_union_md5" ->
+        """WITH h AS (
+              SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+                     CAST(CONCAT('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                          AS BIGINT) AS hv
+              FROM events),
+            b AS (SELECT event_type, day, hv >> 54 AS bucket,
+                         hv & ((CAST(1 AS BIGINT) << 54) - 1) AS rest
+                  FROM h),
+            day_sketch AS (
+              SELECT event_type, day, bucket,
+                     max(CASE WHEN rest = 0 THEN 55
+                              ELSE 55 - length(bin(rest)) END) AS mx
+              FROM b GROUP BY 1, 2, 3),
+            unioned AS (
+              SELECT event_type, bucket, max(mx) AS mx
+              FROM day_sketch GROUP BY 1, 2),
+            t AS (SELECT event_type,
+                         CAST(sum(CAST(1 AS BIGINT) << (55 - mx)) +
+                              (64 - count(*)) * (CAST(1 AS BIGINT) << 55)
+                              AS BIGINT) AS t_scaled
+                  FROM unioned GROUP BY 1)
+            SELECT event_type,
+                   CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE) * CAST(36028797018963968 AS DOUBLE) / CAST(t_scaled AS DOUBLE)
+                     AS approx_distinct,
+                   t_scaled
+            FROM t""",
       "approx_percentiles" ->
         """WITH e AS (SELECT event_type, CAST(floor(value) AS DOUBLE) AS v
                       FROM events),

@@ -87,7 +87,83 @@ final class MisraGriesAggregator(k: Int)
   def outputEncoder: Encoder[MGBuf] = Encoders.product[MGBuf]
 }
 
+/** One hashed HLL observation: bucket = top 6 bits of the portable 60-bit
+  * md5 hash, rho = leading-zero count of the remaining 54 bits + 1.
+  * Top-level so the UDF result encoder stays codegen-compiled. */
+final case class HllObs(bucket: Int, rho: Int)
+
 object Sketches {
+
+  /** Portable HyperLogLog distinct count (Flajolet et al., AofA 2007) over
+    * the engine-wide md5 60-bit hash convention: p = 6 (m = 64 buckets).
+    * m is small ON PURPOSE: with at least a few hundred distinct items per
+    * group the raw estimator branch applies (no small-range `ln`
+    * correction), so the WHOLE sketch — bucket maxima and the estimate —
+    * replays as exact integer arithmetic plus one identically-ordered
+    * double expression in an independent SQL engine. This is the
+    * oracle-exact deterministic twin of `approx_count_distinct` /
+    * DataSketches HLL (whose estimates are engine-specific), at the
+    * standard-error cost of a small m: ~1.04/sqrt(64) = 13%.
+    *
+    * Scale shape: per-group state is <= 64 (bucket, max-rho) rows and the
+    * max is natively map-side combined — the same mergeable-summary
+    * contract the binary-sketch path ships, with none of the opacity.
+    * Output: (group, approx_distinct, t_scaled), where t_scaled =
+    * sum_buckets 2^(55 - rho_max) as an exact integer (empty bucket
+    * contributes 2^55) and approx_distinct = alpha_64 * m^2 * 2^55 /
+    * t_scaled evaluated left-to-right in doubles. */
+  def hllPortable(df: DataFrame, groupCol: String, itemCol: String): DataFrame =
+    hllPortableEstimate(hllPortableSketch(df, Seq(groupCol), itemCol), Seq("group"))
+
+  /** Stage 1 of the portable HLL: the PERSISTABLE sketch frame — one
+    * (keys..., bucket, mx) row per non-empty bucket, <= 64 rows per key
+    * tuple. Sketches for different key granularities UNION by re-grouping
+    * on fewer keys with max(mx) — the store-sketches-merge-later pattern
+    * with none of the binary-blob opacity, and every step SQL-replayable. */
+  def hllPortableSketch(df: DataFrame, groupCols: Seq[String], itemCol: String): DataFrame = {
+    val obs = udf((s: String) => {
+      if (s == null) null
+      else {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        // leading 15 hex digits = high 60 bits (the portable convention)
+        var v = 0L; var i = 0
+        while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+        v = v >>> 4
+        val rest = v & ((1L << 54) - 1)
+        val rho =
+          if (rest == 0L) 55
+          else 55 - (64 - java.lang.Long.numberOfLeadingZeros(rest))
+        HllObs((v >>> 54).toInt, rho)
+      }
+    })
+    val keyCols = groupCols.map(col)
+    val named = if (groupCols.size == 1) Seq(col(groupCols.head).as("group"))
+      else keyCols
+    df.select(named :+ obs(col(itemCol).cast("string")).as("o"): _*)
+      .filter(col("o").isNotNull)
+      .groupBy((if (groupCols.size == 1) Seq(col("group")) else keyCols) :+
+        col("o.bucket").as("bucket"): _*)
+      .agg(max(col("o.rho")).as("mx"))
+  }
+
+  /** Stage 2: merge sketch rows down to `keyCols` (max per bucket — the HLL
+    * union) and evaluate the raw estimator exactly: integer bucket mass
+    * t_scaled = sum 2^(55-mx) (empty bucket => 2^55), then one
+    * left-to-right double expression alpha_64 * m^2 * 2^55 / t_scaled. */
+  def hllPortableEstimate(sketch: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val keys = keyCols.map(col)
+    sketch
+      .groupBy(keys :+ col("bucket"): _*)
+      .agg(max(col("mx")).as("mx"))
+      .groupBy(keys: _*)
+      .agg((sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(55 - mx AS INT))")) +
+        (lit(64L) - count(lit(1))) * lit(1L << 55)).as("t_scaled"))
+      .select(keys :+
+        (lit(0.709) * lit(4096.0) * lit(3.6028797018963968e16) /
+          col("t_scaled").cast("double")).as("approx_distinct") :+
+        col("t_scaled"): _*)
+  }
 
   /** Per-group heavy hitters: top items by estimated count from a k-counter
     * Misra-Gries summary. Emits (group, item, est_count) rows; the summary

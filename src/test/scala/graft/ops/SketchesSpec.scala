@@ -69,4 +69,41 @@ class SketchesSpec extends AnyFunSuite {
     assert("Exchange".r.findAllIn(plan).length <= 2, plan) // repartition + agg
     assert(plan.contains("partial_misragriesaggregator"), plan)
   }
+
+  test("hllPortable: partition-invariant, within HLL error, raw branch holds") {
+    // 800 and 250 distinct items — both large enough that the raw-estimator
+    // branch (no ln correction) applies at m=64, which is what makes the
+    // sketch SQL-replayable; and both small enough to assert the published
+    // ~1.04/sqrt(64) standard error with slack
+    val rows = (1 to 800).flatMap(i => Seq(("a", s"u$i"), ("a", s"u$i"))) ++
+      (1 to 250).map(i => ("b", s"v$i"))
+    def run(parts: Int) =
+      Sketches.hllPortable(rows.toDF("g", "item").repartition(parts), "g", "item")
+        .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    val est = run(4)
+    // the sketch is a deterministic function of the item SET: any
+    // partitioning/merge order must give the identical t_scaled and estimate
+    assert(run(13) == est)
+    val byG = est.map(t => t._1 -> t).toMap
+    assert(math.abs(byG("a")._2 - 800) / 800.0 < 0.4, byG("a").toString)
+    assert(math.abs(byG("b")._2 - 250) / 250.0 < 0.4, byG("b").toString)
+    // raw branch: estimate must exceed 2.5 * m for the no-correction claim
+    assert(byG("b")._2 > 160.0, byG("b").toString)
+  }
+
+  test("hllPortable: union of partial sketches equals the direct sketch") {
+    // store-sketches-merge-later: sketch per (g, shard), union by max down
+    // to g — distributivity of max makes this EXACTLY the direct sketch,
+    // the invariant that lets a pipeline persist per-day sketch rows and
+    // answer any coarser rollup without re-touching raw data
+    val rows = (1 to 600).map(i => ("a", s"shard${i % 7}", s"u${i % 331}")) ++
+      (1 to 200).map(i => ("b", s"shard${i % 3}", s"v$i"))
+    val df = rows.toDF("g", "shard", "item").repartition(6)
+    val direct = Sketches.hllPortable(df, "g", "item")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    val unioned = Sketches.hllPortableEstimate(
+        Sketches.hllPortableSketch(df, Seq("g", "shard"), "item"), Seq("g"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(unioned == direct)
+  }
 }
