@@ -641,9 +641,10 @@ object SparkEntry {
     }),
     "approx_distinct_md5" -> ((s, dir) => {
       // the ORACLE-EXACT twin of approx_distinct_users: portable md5 HLL
-      // (p=6, raw-estimator branch only, exact integer bucket mass) whose
-      // bucket maxima AND estimate replay in DuckDB SQL — the sketch path
-      // itself gets a hash-verified row, anchoring the engine-specific
+      // (p=6, exact integer bucket mass, piecewise estimator incl. the
+      // linear-counting small-range branch) whose bucket maxima AND
+      // estimate replay bit-exactly in DuckDB SQL — the sketch path itself
+      // gets a hash-verified row, anchoring the engine-specific
       // approx_count_distinct / DataSketches variants.
       Sketches.hllPortable(events(s, dir), "event_type", "user_id")
         .select(col("group").as("event_type"), col("approx_distinct"),
@@ -1725,6 +1726,15 @@ object SparkEntry {
       // dropDuplicates + windowed-count rewrite (count DISTINCT is
       // unsupported on streams); streaming parity proven in StreamOpsSpec
       graft.streaming.StreamOps.windowedDistinctUsers(
+        events(s, dir).withColumn("ts", expr("timestamp_micros(ts div 1000)")))
+    }),
+    "ss_approx_distinct" -> ((s, dir) => {
+      // streaming cardinality via the portable HLL sketch: <= 64 state rows
+      // per (window, type) cell instead of one per distinct user — the
+      // shape that survives hundred-million-user windows. Batch execution
+      // here (deterministic => oracle-exact); streaming parity with the
+      // sentinel replay is proven in StreamOpsSpec.
+      graft.streaming.StreamOps.windowedApproxDistinct(
         events(s, dir).withColumn("ts", expr("timestamp_micros(ts div 1000)")))
     }),
     "ss_session_agg" -> ((s, dir) => {
@@ -3264,13 +3274,21 @@ object SparkEntry {
             t AS (SELECT event_type,
                          CAST(sum(CAST(1 AS BIGINT) << (55 - mx)) +
                               (64 - count(*)) * (CAST(1 AS BIGINT) << 55)
-                              AS BIGINT) AS t_scaled
-                  FROM r GROUP BY 1)
+                              AS BIGINT) AS t_scaled,
+                         64 - count(*) AS v
+                  FROM r GROUP BY 1),
+            e AS (SELECT event_type, t_scaled, v,
+                         CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE) *
+                         CAST(36028797018963968 AS DOUBLE) / CAST(t_scaled AS DOUBLE)
+                           AS raw
+                  FROM t)
             SELECT event_type,
-                   CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE) * CAST(36028797018963968 AS DOUBLE) / CAST(t_scaled AS DOUBLE)
-                     AS approx_distinct,
+                   CASE WHEN raw <= CAST(160 AS DOUBLE) AND v > 0
+                        THEN CAST(64 AS DOUBLE) *
+                             ln(CAST(64 AS DOUBLE) / CAST(v AS DOUBLE))
+                        ELSE raw END AS approx_distinct,
                    t_scaled
-            FROM t""",
+            FROM e""",
       // same hash/bucket/estimator arms as approx_distinct_md5, but routed
       // through the per-day sketch + max-union stages the query runs
       "approx_sketch_union_md5" ->
@@ -3293,13 +3311,21 @@ object SparkEntry {
             t AS (SELECT event_type,
                          CAST(sum(CAST(1 AS BIGINT) << (55 - mx)) +
                               (64 - count(*)) * (CAST(1 AS BIGINT) << 55)
-                              AS BIGINT) AS t_scaled
-                  FROM unioned GROUP BY 1)
+                              AS BIGINT) AS t_scaled,
+                         64 - count(*) AS v
+                  FROM unioned GROUP BY 1),
+            e AS (SELECT event_type, t_scaled, v,
+                         CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE) *
+                         CAST(36028797018963968 AS DOUBLE) / CAST(t_scaled AS DOUBLE)
+                           AS raw
+                  FROM t)
             SELECT event_type,
-                   CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE) * CAST(36028797018963968 AS DOUBLE) / CAST(t_scaled AS DOUBLE)
-                     AS approx_distinct,
+                   CASE WHEN raw <= CAST(160 AS DOUBLE) AND v > 0
+                        THEN CAST(64 AS DOUBLE) *
+                             ln(CAST(64 AS DOUBLE) / CAST(v AS DOUBLE))
+                        ELSE raw END AS approx_distinct,
                    t_scaled
-            FROM t""",
+            FROM e""",
       "approx_percentiles" ->
         """WITH e AS (SELECT event_type, CAST(floor(value) AS DOUBLE) AS v
                       FROM events),
@@ -3373,6 +3399,39 @@ object SparkEntry {
         """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
               count(*) AS n_events, CAST(sum(floor(value)) AS DOUBLE) AS value_floor_sum
            FROM events GROUP BY 1, 2""",
+      // the approx_distinct_md5 arms per (hour, event_type) window cell
+      "ss_approx_distinct" ->
+        """WITH h AS (
+              SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+                     event_type,
+                     CAST(CONCAT('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                          AS BIGINT) AS hv
+              FROM events),
+            b AS (SELECT hour, event_type, hv >> 54 AS bucket,
+                         hv & ((CAST(1 AS BIGINT) << 54) - 1) AS rest
+                  FROM h),
+            r AS (SELECT hour, event_type, bucket,
+                         max(CASE WHEN rest = 0 THEN 55
+                              ELSE 55 - length(bin(rest)) END) AS mx
+                  FROM b GROUP BY 1, 2, 3),
+            t AS (SELECT hour, event_type,
+                         CAST(sum(CAST(1 AS BIGINT) << (55 - mx)) +
+                              (64 - count(*)) * (CAST(1 AS BIGINT) << 55)
+                              AS BIGINT) AS t_scaled,
+                         64 - count(*) AS v
+                  FROM r GROUP BY 1, 2),
+            e AS (SELECT hour, event_type, t_scaled, v,
+                         CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE) *
+                         CAST(36028797018963968 AS DOUBLE) / CAST(t_scaled AS DOUBLE)
+                           AS raw
+                  FROM t)
+            SELECT hour, event_type,
+                   CASE WHEN raw <= CAST(160 AS DOUBLE) AND v > 0
+                        THEN CAST(64 AS DOUBLE) *
+                             ln(CAST(64 AS DOUBLE) / CAST(v AS DOUBLE))
+                        ELSE raw END AS approx_users,
+                   t_scaled
+            FROM e""",
       // micros on both sides (epoch_ns // 1000 == the engine's ts div 1000)
       // so interval arithmetic and day formatting agree exactly
       "ss_attribution" ->

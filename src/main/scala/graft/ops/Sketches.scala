@@ -95,15 +95,16 @@ final case class HllObs(bucket: Int, rho: Int)
 object Sketches {
 
   /** Portable HyperLogLog distinct count (Flajolet et al., AofA 2007) over
-    * the engine-wide md5 60-bit hash convention: p = 6 (m = 64 buckets).
-    * m is small ON PURPOSE: with at least a few hundred distinct items per
-    * group the raw estimator branch applies (no small-range `ln`
-    * correction), so the WHOLE sketch — bucket maxima and the estimate —
-    * replays as exact integer arithmetic plus one identically-ordered
-    * double expression in an independent SQL engine. This is the
-    * oracle-exact deterministic twin of `approx_count_distinct` /
-    * DataSketches HLL (whose estimates are engine-specific), at the
-    * standard-error cost of a small m: ~1.04/sqrt(64) = 13%.
+    * the engine-wide md5 60-bit hash convention: p = 6 (m = 64 buckets),
+    * with the standard small-range linear-counting correction. m is small
+    * ON PURPOSE: the WHOLE sketch — bucket maxima, integer bucket mass,
+    * and the piecewise estimate — replays bit-exactly in an independent
+    * SQL engine (the correction's only transcendental is ln(64/V) over 64
+    * possible integer V, verified bit-identical between Java Math.log and
+    * DuckDB ln on all of them). This is the oracle-exact deterministic
+    * twin of `approx_count_distinct` / DataSketches HLL (whose estimates
+    * are engine-specific), at the standard-error cost of a small m:
+    * ~1.04/sqrt(64) = 13%.
     *
     * Scale shape: per-group state is <= 64 (bucket, max-rho) rows and the
     * max is natively map-side combined — the same mergeable-summary
@@ -120,8 +121,10 @@ object Sketches {
     * tuple. Sketches for different key granularities UNION by re-grouping
     * on fewer keys with max(mx) — the store-sketches-merge-later pattern
     * with none of the binary-blob opacity, and every step SQL-replayable. */
-  def hllPortableSketch(df: DataFrame, groupCols: Seq[String], itemCol: String): DataFrame = {
-    val obs = udf((s: String) => {
+  /** The (bucket, rho) observation for one item under the portable 60-bit
+    * md5 hash — the per-row input to any HLL rollup, batch or streaming. */
+  val hllObs: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((s: String) => {
       if (s == null) null
       else {
         val md = java.security.MessageDigest.getInstance("MD5")
@@ -137,6 +140,9 @@ object Sketches {
         HllObs((v >>> 54).toInt, rho)
       }
     })
+
+  def hllPortableSketch(df: DataFrame, groupCols: Seq[String], itemCol: String): DataFrame = {
+    val obs = hllObs
     val keyCols = groupCols.map(col)
     val named = if (groupCols.size == 1) Seq(col(groupCols.head).as("group"))
       else keyCols
@@ -151,17 +157,35 @@ object Sketches {
     * union) and evaluate the raw estimator exactly: integer bucket mass
     * t_scaled = sum 2^(55-mx) (empty bucket => 2^55), then one
     * left-to-right double expression alpha_64 * m^2 * 2^55 / t_scaled. */
+  /** Exact integer bucket mass: sum 2^(55 - mx) over present buckets plus
+    * 2^55 per empty bucket — aggregate expression over (…, mx) rows. */
+  val hllMassAgg: Column =
+    sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(55 - mx AS INT))")) +
+      (lit(64L) - count(lit(1))) * lit(1L << 55)
+
+  /** The HLL estimate from the integer mass + empty-bucket count: the raw
+    * estimator (one left-to-right double expression) with the standard
+    * small-range linear-counting correction (E_raw <= 2.5m and V > 0 =>
+    * m * ln(m / V), Flajolet et al. §4). The correction stays bit-replayable
+    * in SQL: its only transcendental input is ln(64 / V) over the 64
+    * possible integer V values, verified bit-identical between Java
+    * Math.log and DuckDB ln on all of them (round-6 session check). */
+  def hllEstimate(tScaled: Column, vEmpty: Column): Column = {
+    val raw = lit(0.709) * lit(4096.0) * lit(3.6028797018963968e16) /
+      tScaled.cast("double")
+    when(raw <= lit(160.0) && vEmpty > lit(0L),
+      lit(64.0) * log(lit(64.0) / vEmpty.cast("double"))).otherwise(raw)
+  }
+
   def hllPortableEstimate(sketch: DataFrame, keyCols: Seq[String]): DataFrame = {
     val keys = keyCols.map(col)
     sketch
       .groupBy(keys :+ col("bucket"): _*)
       .agg(max(col("mx")).as("mx"))
       .groupBy(keys: _*)
-      .agg((sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(55 - mx AS INT))")) +
-        (lit(64L) - count(lit(1))) * lit(1L << 55)).as("t_scaled"))
+      .agg(hllMassAgg.as("t_scaled"), (lit(64L) - count(lit(1))).as("v_empty"))
       .select(keys :+
-        (lit(0.709) * lit(4096.0) * lit(3.6028797018963968e16) /
-          col("t_scaled").cast("double")).as("approx_distinct") :+
+        hllEstimate(col("t_scaled"), col("v_empty")).as("approx_distinct") :+
         col("t_scaled"): _*)
   }
 

@@ -93,6 +93,39 @@ object StreamOps {
         col("event_type"), col("distinct_users"))
   }
 
+  /** Windowed distinct-count via the PORTABLE HLL sketch
+    * ([[graft.ops.Sketches.hllObs]]): stage 1 keeps max-rho per (window,
+    * event_type, bucket) — <= 64 state rows per cell, the mergeable-sketch
+    * contract, vs dropDuplicates' one state row PER DISTINCT USER — and
+    * stage 2 rolls the bucket maxima into the exact integer mass + raw
+    * estimate. The same chained-stateful-agg shape as
+    * [[windowedDistinctUsers]] (append mode + watermark in streaming), but
+    * with BOUNDED state per cell: the streaming cardinality path that
+    * survives a window with a hundred million distinct users. Deterministic
+    * given the item set, so batch output is SQL-replayable and streaming
+    * output must equal batch exactly (StreamOpsSpec). */
+  def windowedApproxDistinct(
+      events: DataFrame,
+      itemCol: String = "user_id",
+      windowLength: String = "1 hour",
+      watermark: Option[String] = None
+  ): DataFrame = {
+    import graft.ops.Sketches
+    val base = watermark.map(w => events.withWatermark("ts", w)).getOrElse(events)
+    base.withColumn("window", window(col("ts"), windowLength))
+      .withColumn("o", Sketches.hllObs(col(itemCol).cast("string")))
+      .filter(col("o").isNotNull)
+      .groupBy(col("window"), col("event_type"), col("o.bucket").as("bucket"))
+      .agg(max(col("o.rho")).as("mx"))
+      .groupBy(col("window"), col("event_type"))
+      .agg(Sketches.hllMassAgg.as("t_scaled"),
+        (lit(64L) - count(lit(1))).as("v_empty"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"),
+        Sketches.hllEstimate(col("t_scaled"), col("v_empty")).as("approx_users"),
+        col("t_scaled"))
+  }
+
   /** Stream-stream event-attribution join: every (click, conversion) pair of
     * the same user with `conversion.ts` in [click.ts, click.ts + horizon] —
     * the canonical funnel/attribution primitive. The SAME plan runs batch or

@@ -70,13 +70,13 @@ class SketchesSpec extends AnyFunSuite {
     assert(plan.contains("partial_misragriesaggregator"), plan)
   }
 
-  test("hllPortable: partition-invariant, within HLL error, raw branch holds") {
-    // 800 and 250 distinct items — both large enough that the raw-estimator
-    // branch (no ln correction) applies at m=64, which is what makes the
-    // sketch SQL-replayable; and both small enough to assert the published
-    // ~1.04/sqrt(64) standard error with slack
+  test("hllPortable: partition-invariant, within HLL error, both branches") {
+    // 800 and 250 distinct items exercise the raw-estimator branch; 25
+    // distinct items lands in the small-range regime where the
+    // linear-counting correction (m * ln(m / V)) applies
     val rows = (1 to 800).flatMap(i => Seq(("a", s"u$i"), ("a", s"u$i"))) ++
-      (1 to 250).map(i => ("b", s"v$i"))
+      (1 to 250).map(i => ("b", s"v$i")) ++
+      (1 to 25).map(i => ("c", s"w$i"))
     def run(parts: Int) =
       Sketches.hllPortable(rows.toDF("g", "item").repartition(parts), "g", "item")
         .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
@@ -87,8 +87,11 @@ class SketchesSpec extends AnyFunSuite {
     val byG = est.map(t => t._1 -> t).toMap
     assert(math.abs(byG("a")._2 - 800) / 800.0 < 0.4, byG("a").toString)
     assert(math.abs(byG("b")._2 - 250) / 250.0 < 0.4, byG("b").toString)
-    // raw branch: estimate must exceed 2.5 * m for the no-correction claim
+    // raw branch precondition held for b (estimate above 2.5 * m)
     assert(byG("b")._2 > 160.0, byG("b").toString)
+    // small-range: linear counting brings a 25-distinct group within 30%
+    // (the raw estimator alone would read ~45 no matter what)
+    assert(math.abs(byG("c")._2 - 25) / 25.0 < 0.3, byG("c").toString)
   }
 
   test("hllPortable: union of partial sketches equals the direct sketch") {

@@ -93,6 +93,54 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming portable-HLL distinct estimate matches batch exactly") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val dir = "/root/testdata/sf0.001"
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    // same sentinel-replay harness as the dedup rollup: chained stateful
+    // aggs (bucket-max -> mass rollup) need append mode + a watermark push
+    val tmp = java.nio.file.Files.createTempDirectory("ss_hll").toString
+    ev.write.mode("overwrite").parquet(tmp)
+    val maxTs = ev.agg(max("ts")).head.getLong(0)
+    ev.limit(1)
+      .withColumn("ts", lit(maxTs + 10L * 3600L * 1000000000L))
+      .withColumn("user_id", lit(-1L))
+      .withColumn("event_type", lit("__sentinel"))
+      .write.mode("append").parquet(tmp)
+    val stream = spark.readStream.schema(ev.schema).parquet(tmp)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val agg = StreamOps.windowedApproxDistinct(stream,
+      watermark = Some("10 minutes"))
+    StreamOps.runToMemory(spark, agg, "ss_hll_t", OutputMode.Append)
+    val streamed = spark.table("ss_hll_t")
+      .filter(col("event_type") =!= "__sentinel")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    val batch = StreamOps.windowedApproxDistinct(
+        spark.read.parquet(s"$dir/events.parquet")
+          .withColumn("ts", expr("timestamp_micros(ts div 1000)")))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    // the sketch is a deterministic function of each cell's item set, so
+    // streaming must equal batch EXACTLY (estimate and integer mass alike)
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+    // sanity: estimates land within HLL error of the exact distinct count
+    val exact = spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss")
+        .as("hour"), col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    val rels = streamed.toSeq.map { case (h, t, est, _) =>
+      val n = exact((h, t)); math.abs(est - n) / math.max(n.toDouble, 1.0)
+    }
+    assert(rels.sum / rels.size < 0.25,
+      f"mean rel err ${rels.sum / rels.size}%.3f")
+  }
+
   test("dp windowed count: caps per-unit contributions, streams match batch") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val dir = "/root/testdata/sf0.001"
