@@ -1640,6 +1640,14 @@ object SparkEntry {
       Dedup.duplicatedSpanStats(
         s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", n = 5)
     }),
+    "dedup_remove_spans" -> ((s, dir) => {
+      // the REMOVAL step over the same signal (Lee et al.): drop every
+      // token covered by a cross-doc duplicated 5-gram, reassemble, and
+      // fingerprint the surviving token stream — the rewrite itself is
+      // hash-verified (kept_md5), not just its statistics
+      Dedup.removeDuplicatedSpans(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", n = 5)
+    }),
     "text_length_quantiles" -> ((s, dir) => {
       // per-source corpus length profile: EXACT interpolated percentiles
       // (the numbers a quality-filter pipeline thresholds against). Exact
@@ -3395,6 +3403,41 @@ object SparkEntry {
                     AS covered_token_frac
            FROM j LEFT JOIN cov ON j.doc_id = cov.doc_id
            GROUP BY j.doc_id""",
+      // same gram-hash + coverage arms as dedup_dup_spans (1-based list
+      // indices in DuckDB vs 0-based positions in the engine — the
+      // coverage set is over the SAME token indices either way), then the
+      // reassembly: keep tokens whose index is uncovered, join by one
+      // space, md5 the result
+      "dedup_remove_spans" ->
+        """WITH t AS (
+             SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+             FROM documents),
+           g AS (
+             SELECT doc_id, i AS pos,
+                    CAST(CONCAT('0x', substr(md5(array_to_string(toks[i:i+4], ' ')), 1, 15))
+                      AS BIGINT) AS h
+             FROM t, unnest(range(1, greatest(len(toks) - 4, 0) + 1)) u(i)),
+           c AS (SELECT h, count(DISTINCT doc_id) AS nd FROM g GROUP BY 1),
+           cov AS (
+             SELECT doc_id, list(DISTINCT p) AS cov
+             FROM (SELECT g.doc_id, g.pos + o AS p
+                   FROM g JOIN c USING (h), unnest(range(0, 5)) v(o)
+                   WHERE c.nd >= 2)
+             GROUP BY 1),
+           k AS (
+             SELECT t.doc_id, t.toks, coalesce(cov.cov, []) AS cov
+             FROM t LEFT JOIN cov USING (doc_id)),
+           r AS (
+             SELECT doc_id, len(toks) AS n_tokens,
+                    list_transform(
+                      list_filter(range(1, len(toks) + 1),
+                                  i -> NOT list_contains(cov, i)),
+                      i -> toks[i]) AS kept
+             FROM k)
+           SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                  CAST(len(kept) AS BIGINT) AS n_tokens_kept,
+                  md5(coalesce(array_to_string(kept, ' '), '')) AS kept_md5
+           FROM r""",
       "ss_window_agg" ->
         """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
               count(*) AS n_events, CAST(sum(floor(value)) AS DOUBLE) AS value_floor_sum

@@ -13,6 +13,11 @@ import org.apache.spark.sql.functions._
   * bucket-collisions are verified with the exact measure. All hashing is
   * xxhash64 (native, codegen'd).
   */
+/** One span-scrubbed document: surviving token count + the space-joined
+  * surviving tokens. Top-level so the UDF result encoder stays
+  * codegen-compiled. */
+final case class SpanScrubbed(n_kept: Int, kept_text: String)
+
 object Dedup {
 
   // ---------------- exact ----------------
@@ -977,5 +982,57 @@ object Dedup {
         (col("n_dup_grams").cast("double") / col("n_grams")).as("dup_gram_frac"),
         (coalesce(col("n_cov"), lit(0L)).cast("double") /
           (col("n_grams") + lit(n - 1))).as("covered_token_frac"))
+  }
+
+  /** MATERIALIZE the exact-substring dedup decision (the removal step of
+    * Lee et al. ACL'22, over [[duplicatedSpanStats]]'s signal): drop every
+    * token covered by a word n-gram that occurs in >= `minDocs` distinct
+    * documents, and reassemble what survives. Output one row per input
+    * document: (doc_id, n_tokens, n_tokens_kept, kept_md5) with kept_md5 =
+    * md5 of the space-joined surviving tokens — the content fingerprint an
+    * independent engine reproduces, so the REWRITE itself is
+    * oracle-verifiable, not just its statistics. Documents with < n tokens
+    * produce no grams and keep everything. Token-stream reassembly (the
+    * granularity the dedup operates at); original whitespace is
+    * presentation, not dedup semantics.
+    *
+    * Scale layout: the span pipeline's stages unchanged (8-byte gram-hash
+    * shuffles, hash-partitioned frequency join), plus one sorted
+    * covered-position list per affected doc (bounded by the doc's token
+    * count) and a single merge-walk UDF per document — no stage holds more
+    * than one document's tokens in memory. */
+  def removeDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 5, minDocs: Int = 2): DataFrame = {
+    val toks = df
+      .select(col(idCol).as("doc_id"), TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .localCheckpoint(false) // reused by the gram pass AND the reassembly join
+    val grams = toks.filter(size(col("__toks")) >= n)
+      .select(col("doc_id"), posexplode(gramHashUdf(n)(col("__toks"))).as(Seq("pos", "h")))
+    val freq = grams.groupBy("h").agg(countDistinct(col("doc_id")).as("nd"))
+    val covered = grams.join(freq.hint("shuffle_hash"), "h")
+      .filter(col("nd") >= minDocs)
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("p"))
+      .distinct()
+      .groupBy("doc_id").agg(sort_array(collect_list(col("p"))).as("__cov"))
+    val scrub = udf((ts: Array[String], cov: Array[Int]) => {
+      val sb = new java.lang.StringBuilder
+      var kept = 0; var ci = 0; var i = 0
+      val t = if (ts == null) Array.empty[String] else ts
+      while (i < t.length) {
+        if (cov != null && ci < cov.length && cov(ci) == i) ci += 1
+        else {
+          if (kept > 0) sb.append(' ')
+          sb.append(t(i)); kept += 1
+        }
+        i += 1
+      }
+      SpanScrubbed(kept, sb.toString)
+    })
+    toks.join(covered, Seq("doc_id"), "left")
+      .withColumn("__s", scrub(col("__toks"), col("__cov")))
+      .select(col("doc_id"), size(col("__toks")).cast("long").as("n_tokens"),
+        col("__s.n_kept").cast("long").as("n_tokens_kept"),
+        md5(col("__s.kept_text")).as("kept_md5"))
   }
 }

@@ -488,6 +488,41 @@ class DedupSpec extends AnyFunSuite {
     assert(out(4L)._3 == 8.0 / 12)
   }
 
+  test("removeDuplicatedSpans: covered tokens drop, survivors fingerprint") {
+    val copied = "alpha beta gamma delta epsilon zeta eta theta"
+    val df = Seq(
+      (1L, copied),
+      (2L, copied), // exact copy: fully covered, nothing survives
+      (3L, "one two three four five six seven eight nine ten"),
+      (4L, s"prefix words here then $copied"), // suffix copied => prefix survives
+      (5L, "tiny doc")) // < 5 tokens: no grams, kept verbatim
+      .toDF("doc_id", "text")
+    val out = Dedup.removeDuplicatedSpans(df, "doc_id", "text", n = 5)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_tokens_kept"),
+          r.getAs[String]("kept_md5"))).toMap
+    def md5Of(s: String) = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      d.map(b => f"$b%02x").mkString
+    }
+    assert(out.keySet == Set(1L, 2L, 3L, 4L, 5L))
+    // full copies: all 8 tokens covered, empty survivor stream
+    assert(out(1L) == ((8L, 0L, md5Of(""))))
+    assert(out(2L) == ((8L, 0L, md5Of(""))))
+    // unique doc: untouched
+    assert(out(3L) == ((10L, 10L,
+      md5Of("one two three four five six seven eight nine ten"))))
+    // partial copy: the 8 trailing copied tokens drop, the 4-token prefix
+    // survives (its grams all straddle into the copied region? no — a
+    // 12-token doc's grams at positions 0..3 include copied tokens, but
+    // only grams occurring in >=2 DOCS count, and the straddling grams are
+    // unique to doc 4)
+    assert(out(4L) == ((12L, 4L, md5Of("prefix words here then"))))
+    // short doc: no grams possible, kept verbatim
+    assert(out(5L) == ((2L, 2L, md5Of("tiny doc"))))
+  }
+
   test("connected components: clusters from pair sets, min-id labels") {
     val edges = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L)).toDF("id_a", "id_b")
     val out = Dedup.connectedComponents(edges)
