@@ -173,8 +173,13 @@ object Sketches {
   def hllEstimate(tScaled: Column, vEmpty: Column): Column = {
     val raw = lit(0.709) * lit(4096.0) * lit(3.6028797018963968e16) /
       tScaled.cast("double")
-    when(raw <= lit(160.0) && vEmpty > lit(0L),
-      lit(64.0) * log(lit(64.0) / vEmpty.cast("double"))).otherwise(raw)
+    // NOT functions.log: Spark lowers that to StrictMath.log (fdlibm),
+    // which differs from the system libm DuckDB calls in the last ulp on
+    // some of the 64 possible arguments (V=52 caught at sf0.001). Math.log
+    // is the platform intrinsic == system libm — verified bit-identical to
+    // DuckDB ln on all 64 V values.
+    val lc = udf((v: Long) => 64.0 * java.lang.Math.log(64.0 / v.toDouble))
+    when(raw <= lit(160.0) && vEmpty > lit(0L), lc(vEmpty)).otherwise(raw)
   }
 
   def hllPortableEstimate(sketch: DataFrame, keyCols: Seq[String]): DataFrame = {
