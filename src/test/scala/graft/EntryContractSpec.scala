@@ -13,22 +13,67 @@ class EntryContractSpec extends AnyFunSuite {
       s"oracle SQL keyed to no query (typo would silently drop the check): $orphans")
   }
 
+  /** Per rows-only query: the in-query probe columns its output MUST carry
+    * and/or the oracle-exact twin/anchor query that pins its semantics.
+    * This is the self-checking contract the gate relies on for queries the
+    * driver cannot hash-compare: losing a probe column (or renaming the
+    * twin away) silently weakens the gate, so it fails HERE instead. */
+  private val rowsOnlyContract: Map[String, (Seq[String], Option[String])] = Map(
+    "dedup_minhash" -> (Seq("jaccard") -> Some("dedup_minhash_md5")),
+    "dedup_simhash" -> (Seq("hamming") -> Some("dedup_simhash_md5")),
+    "dedup_embedding_lsh" ->
+      (Seq("n_planted_found", "n_exact_found") -> Some("dedup_embedding")),
+    "dedup_semantic" ->
+      (Seq("n_planted", "n_planted_caught") -> Some("dedup_semantic_exact")),
+    "dedup_semantic_windowed" ->
+      (Seq("n_planted", "n_planted_caught") -> Some("dedup_semantic_exact")),
+    "sim_lsh_topk" -> (Seq("planted_found", "n_both", "n_exact") -> Some("sim_topk")),
+    "sim_ivf_topk" -> (Seq.empty -> Some("sim_ivf_exact")),
+    "sim_pq_topk" -> (Seq("planted_found", "n_both", "n_exact") -> Some("sim_topk")),
+    "sim_ivfpq_topk" -> (Seq("planted_found", "n_both", "n_exact") -> Some("sim_topk")),
+    "text_fingerprint" -> (Seq.empty -> Some("text_fingerprint_md5")),
+    "text_bpe" -> (Seq("n_roundtrip_violations") -> None),
+    "tune_params" ->
+      (Seq("probe_best_gap_vs_min", "probe_gap_vs_single") -> None),
+    "approx_distinct_users" ->
+      (Seq("exact_users", "rel_err") -> Some("approx_distinct_md5")),
+    "approx_sketch_union" ->
+      (Seq("sum_day_exact") -> Some("approx_sketch_union_md5")),
+    "approx_heavy_hitters" -> (Seq("exact_count", "abs_err") -> None),
+    "mm_frame_sample" -> (Seq("probe_idx_unexpected", "probe_missing_frames",
+      "probe_decode_failed") -> Some("mm_decode_resize")))
+
   test("rows-only queries are the documented closed set") {
     // adding a query without an oracle is a DELIBERATE choice (inherently
     // randomized output + in-query probes); this list makes it explicit so
     // an accidentally-missing oracle fails here instead of passing silently
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    val expected = Set(
-      "dedup_minhash", "dedup_simhash", "dedup_embedding_lsh",
-      "dedup_semantic", "dedup_semantic_windowed",
-      "sim_lsh_topk", "sim_ivf_topk", "sim_pq_topk", "sim_ivfpq_topk",
-      "text_fingerprint", "text_bpe", "tune_params",
-      "approx_distinct_users", "approx_sketch_union", "approx_heavy_hitters",
-      "mm_frame_sample")
+    val expected = rowsOnlyContract.keySet
     assert((rowsOnly -- expected).isEmpty,
       s"queries missing an oracle that are not in the documented rows-only set: " +
         s"${rowsOnly -- expected}")
     assert((expected -- rowsOnly).isEmpty,
       s"documented rows-only names that are gone or now oracled: ${expected -- rowsOnly}")
+  }
+
+  test("every rows-only query still carries its probe columns and twin") {
+    val spark = graft.spark.SparkTestSession.spark
+    rowsOnlyContract.foreach { case (name, (probeCols, twin)) =>
+      assert(probeCols.nonEmpty || twin.nonEmpty,
+        s"$name: a rows-only query needs probe columns or an exact twin")
+      twin.foreach { t =>
+        assert(SparkEntry.oracleSql.contains(t),
+          s"$name: its anchor twin $t is no longer oracle-verified")
+      }
+      if (probeCols.nonEmpty) {
+        // plan analysis only — no job runs; schema comes from the resolved
+        // logical plan against the real sf0.001 tables
+        val fields = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+          .schema.fieldNames.toSet
+        val missing = probeCols.filterNot(fields)
+        assert(missing.isEmpty,
+          s"$name: lost in-query probe columns $missing (has $fields)")
+      }
+    }
   }
 }
