@@ -75,8 +75,23 @@ object ScaleLadderGen {
       .repartition(32).write.mode("overwrite")
       .parquet(s"$out/embeddings.parquet")
 
+    // events: replica k offsets user_id/event_id (disjoint privacy units,
+    // same 5 partition keys, same per-unit contribution profile), keeping
+    // the DP aggregate's partition count constant while row volume and
+    // privacy-unit count scale 10x — the honest shape for the DP tier.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet(s"$src/events.parquet")
+    val nUsers = ev.agg(max("user_id")).collect()(0).getLong(0) + 1
+    val nEvents = ev.agg(max("event_id")).collect()(0).getLong(0) + 1
+    ev.crossJoin(spark.range(replicas).select(col("id").as("k")))
+      .select((col("event_id") + col("k") * nEvents).as("event_id"),
+        col("ts"), (col("user_id") + col("k") * nUsers).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .repartition(32).write.mode("overwrite")
+      .parquet(s"$out/events.parquet")
+
     println(s"[scale-ladder] wrote $out: documents=${nDocs * replicas} " +
-      s"embeddings=${nVec * replicas}")
+      s"embeddings=${nVec * replicas} events x$replicas")
     spark.stop()
   }
 }
