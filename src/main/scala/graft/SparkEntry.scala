@@ -1745,6 +1745,24 @@ object SparkEntry {
       graft.streaming.StreamOps.windowedApproxDistinct(
         events(s, dir).withColumn("ts", expr("timestamp_micros(ts div 1000)")))
     }),
+    "ss_dp_percentile" -> ((s, dir) => {
+      // streaming DP quantiles: the quantile-tree combiner under the
+      // per-release budget model with the ORDER-FREE drop-not-sample
+      // contribution bound (over-cap units are excluded from their cell —
+      // the only arrival-order-independent Linf bound a stream admits).
+      // Generous cap + zero noise => the deterministic tree walk per
+      // (hour, type) cell, replayed by the same unrolled-descent SQL as
+      // dp_percentile over a composite hour|type key. Streaming parity is
+      // proven in StreamOpsSpec with the sentinel-replay harness.
+      val out = graft.streaming.StreamOps.dpWindowedPercentile(
+        events(s, dir).withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+          .withColumn("v", floor(col("value"))),
+        "user_id", "ts", "v", Seq("event_type"), "1 hour",
+        Seq(50, 90), epsilon = 1e5, delta = 0.0, maxPerCell = 1000L,
+        lower = 0.0, upper = 500.0, noise = NoiseSource.Zero)
+      out.select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"), col("percentile_50"), col("percentile_90"))
+    }),
     "ss_session_agg" -> ((s, dir) => {
       // session windows (30-minute inactivity gap per user) — the SAME
       // StreamOps operator runs under Structured Streaming with a watermark
@@ -3442,6 +3460,20 @@ object SparkEntry {
         """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
               count(*) AS n_events, CAST(sum(floor(value)) AS DOUBLE) AS value_floor_sum
            FROM events GROUP BY 1, 2""",
+      // the dp_percentile tree walk over a composite hour|type key: the
+      // unrolled-descent SQL is reused verbatim with the composite string
+      // as its partition key, then split back into (hour, event_type)
+      "ss_dp_percentile" ->
+        s"""WITH src AS (
+              SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+                       || '|' || event_type AS event_type,
+                     value
+              FROM events),
+            tree AS (${pctlTreeSqlFor(Seq(50, 90), "src")})
+            SELECT split_part(event_type, '|', 1) AS hour,
+                   split_part(event_type, '|', 2) AS event_type,
+                   percentile_50, percentile_90
+            FROM tree""",
       // the approx_distinct_md5 arms per (hour, event_type) window cell
       "ss_approx_distinct" ->
         """WITH h AS (

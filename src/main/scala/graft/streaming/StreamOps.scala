@@ -248,6 +248,71 @@ object StreamOps {
         (col("__raw") + noiseUdf()).cast("double").as("dp_sum"): _*)
   }
 
+  /** DP windowed QUANTILES — the quantile-tree combiner on a stream, under
+    * the same per-release budget model as [[dpWindowedCount]]. Contribution
+    * bounding must be ORDER-FREE on a stream (the batch engine's random
+    * k-of-n subsample has no arrival-order-independent analogue), so the
+    * bound here is DROP-NOT-SAMPLE: a unit contributing more than
+    * `maxPerCell` values to a (window, keys) cell is EXCLUDED from that
+    * cell's release entirely — deterministic, order-free, and strictly
+    * within the sensitivity envelope (each included unit touches <=
+    * height * maxPerCell node counts). Stage 1 builds one tree + count per
+    * (window, unit, keys); stage 2 filters over-cap units and merges
+    * surviving trees per cell; the release walks the merged tree with
+    * noise on every consulted node (Laplace L1 = height * maxPerCell at
+    * l0 = 1 — one cell per release, cross-cell composition is the
+    * caller's accounting, as for the count/sum). Chained stateful aggs:
+    * streaming needs append mode + watermark; state is one serialized
+    * tree per live (window, unit, keys) / (window, keys). Zero noise =>
+    * the deterministic tree walk, so batch output is SQL-replayable and
+    * streaming must equal batch exactly. */
+  def dpWindowedPercentile(
+      events: DataFrame,
+      pidCol: String,
+      tsCol: String,
+      valueCol: String,
+      keyCols: Seq[String],
+      windowLength: String,
+      percentiles: Seq[Int],
+      epsilon: Double,
+      delta: Double,
+      maxPerCell: Long,
+      lower: Double,
+      upper: Double,
+      noise: graft.core.NoiseSource,
+      noiseKind: graft.core.NoiseKind = graft.core.NoiseKind.Laplace,
+      watermark: Option[String] = None
+  ): DataFrame = {
+    require(epsilon > 0, s"epsilon must be positive, got $epsilon")
+    require(maxPerCell > 0, s"maxPerCell must be positive, got $maxPerCell")
+    require(upper > lower, s"upper ($upper) must be > lower ($lower)")
+    require(percentiles.nonEmpty && percentiles.forall(p => p >= 0 && p <= 100),
+      s"percentiles must be in [0, 100], got $percentiles")
+    val base = watermark.map(w => events.withWatermark(tsCol, w)).getOrElse(events)
+    val keyCs = keyCols.map(col)
+    val perUnit = base
+      .groupBy(window(col(tsCol), windowLength) +: col(pidCol) +: keyCs: _*)
+      .agg(graft.spark.QuantileAgg.buildTree(lower, upper)(
+          col(valueCol).cast("double")).as("__t"),
+        count(lit(1)).as("__n"))
+    val (qs, eps, del, cap, kind, src) =
+      (percentiles.map(_ / 100.0), epsilon, delta, maxPerCell.toInt, noiseKind, noise)
+    val walk = udf((bytes: Array[Byte]) => {
+      val t = graft.core.QuantileTree.deserialize(bytes)
+      t.computeQuantiles(qs, eps, del, 1, cap, kind, src).toArray
+    }).asNondeterministic() // real noise draws; Zero is still deterministic
+    perUnit
+      .filter(col("__n") <= maxPerCell) // drop-not-sample Linf bound
+      .groupBy(col("window") +: keyCs: _*)
+      .agg(graft.spark.QuantileAgg.mergeTrees(lower, upper)(col("__t")).as("__m"))
+      .select(col("window.start").as("window_start") +: keyCs :+
+        walk(col("__m")).as("__p"): _*)
+      .select((Seq(col("window_start")) ++ keyCs ++
+        percentiles.zipWithIndex.map { case (p, i) =>
+          element_at(col("__p"), i + 1).as(s"percentile_$p")
+        }): _*)
+  }
+
   /** Session windows via typed state: a session closes after `gapSeconds` of
     * inactivity (processing-time timeout for the local smoke path). */
   def sessionize(events: Dataset[SessionEvent], gapSeconds: Long): Dataset[SessionSummary] = {

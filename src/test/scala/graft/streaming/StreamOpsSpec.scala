@@ -141,6 +141,62 @@ class StreamOpsSpec extends AnyFunSuite {
       f"mean rel err ${rels.sum / rels.size}%.3f")
   }
 
+  test("dp windowed percentile: drop-not-sample bound, streams match batch") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val dir = "/root/testdata/sf0.001"
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val bev = ev.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withColumn("v", floor(col("value")))
+    def run(df: org.apache.spark.sql.DataFrame, cap: Long) =
+      StreamOps.dpWindowedPercentile(df, "user_id", "ts", "v",
+        Seq("event_type"), "1 hour", Seq(50, 90), epsilon = 1e5, delta = 0.0,
+        maxPerCell = cap, lower = 0.0, upper = 500.0,
+        noise = graft.core.NoiseSource.Zero)
+
+    // drop-not-sample: with cap=1, any unit contributing >= 2 values to a
+    // cell is EXCLUDED from that cell — replicate the rule directly
+    val capped = run(bev, 1L)
+      .select(col("window_start"), col("event_type"), col("percentile_50"))
+      .collect().map(r => ((r.getTimestamp(0), r.getString(1)), r.getDouble(2))).toMap
+    val included = bev
+      .groupBy(date_trunc("hour", col("ts")).as("w"), col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("n"), first(col("v")).as("v"))
+      .filter(col("n") === 1)
+    assert(capped.nonEmpty)
+    // every released cell's median must lie inside the clamp range and the
+    // cell must have at least one single-contribution unit
+    val cells = included.select(col("w"), col("event_type")).distinct()
+      .collect().map(r => (r.getTimestamp(0), r.getString(1))).toSet
+    assert(capped.keySet.subsetOf(cells),
+      "a cell with only over-cap units must not release")
+
+    // streaming parity at a generous cap: sentinel replay, exact equality
+    val tmp = java.nio.file.Files.createTempDirectory("ss_dp_pct").toString
+    ev.write.mode("overwrite").parquet(tmp)
+    val maxTs = ev.agg(max("ts")).head.getLong(0)
+    ev.limit(1)
+      .withColumn("ts", lit(maxTs + 10L * 3600L * 1000000000L))
+      .withColumn("user_id", lit(-1L))
+      .withColumn("event_type", lit("__sentinel"))
+      .write.mode("append").parquet(tmp)
+    val stream = spark.readStream.schema(ev.schema).parquet(tmp)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withColumn("v", floor(col("value")))
+    val agg = StreamOps.dpWindowedPercentile(stream, "user_id", "ts", "v",
+      Seq("event_type"), "1 hour", Seq(50, 90), epsilon = 1e5, delta = 0.0,
+      maxPerCell = 1000L, lower = 0.0, upper = 500.0,
+      noise = graft.core.NoiseSource.Zero, watermark = Some("10 minutes"))
+    StreamOps.runToMemory(spark, agg, "ss_dp_pct_t", OutputMode.Append)
+    val streamed = spark.table("ss_dp_pct_t")
+      .filter(col("event_type") =!= "__sentinel")
+      .collect().map(r => ((r.getTimestamp(0), r.getString(1)),
+        (r.getDouble(2), r.getDouble(3)))).toMap
+    val batch = run(bev, 1000L)
+      .collect().map(r => ((r.getTimestamp(0), r.getString(1)),
+        (r.getDouble(2), r.getDouble(3)))).toMap
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("dp windowed count: caps per-unit contributions, streams match batch") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val dir = "/root/testdata/sf0.001"
