@@ -1701,6 +1701,25 @@ object SparkEntry {
         .groupBy("format", "lang")
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars"))
     }),
+    "io_export_shards" -> ((s, dir) => {
+      // the pipeline's last mile: deterministic 16-shard export (portable
+      // md5 shard assignment, (hash, id)-ordered shard contents) with a
+      // manifest computed from the files just WRITTEN — counts, payload,
+      // and an order-free xor checksum per shard, all SQL-replayable.
+      // Same fixed-dir wipe discipline as io_roundtrip (lazy readers).
+      val tmp = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), "graft_export_shards").toString
+      val tmpPath = java.nio.file.Paths.get(tmp)
+      if (java.nio.file.Files.exists(tmpPath)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(tmpPath).iterator.asScala.toSeq
+          .sortBy(-_.getNameCount).foreach(java.nio.file.Files.delete)
+      }
+      CorpusOps.exportShards(
+        s.read.parquet(s"$dir/documents.parquet")
+          .select("doc_id", "text", "n_chars"),
+        "doc_id", "n_chars", tmp, nShards = 16)
+    }),
     "corpus_prep" -> ((s, dir) => {
       // the fused end-to-end prep filter: every quality signal (token stats,
       // Gopher repetition, stopword ratio, language id) in ONE scan
@@ -3022,6 +3041,19 @@ object SparkEntry {
                   CAST(sum(n_chars) AS BIGINT) AS n_chars
            FROM documents d, unnest(['parquet', 'jsonl']) AS f(format)
            GROUP BY 1, 2""",
+      // the written-shard manifest replayed from the source table: same
+      // portable hash, same mod-16 assignment, same order-free xor
+      "io_export_shards" ->
+        """WITH h AS (
+             SELECT doc_id, n_chars,
+                    CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                      AS BIGINT) AS hv
+             FROM documents)
+           SELECT CAST(hv % 16 AS INT) AS shard,
+                  CAST(count(*) AS BIGINT) AS n_rows,
+                  CAST(sum(n_chars) AS BIGINT) AS payload,
+                  bit_xor(hv) AS ids_xor
+           FROM h GROUP BY 1""",
       "sample_split" ->
         """WITH b AS (
              SELECT source, n_chars,

@@ -337,6 +337,43 @@ object CorpusOps {
       .select(col("id"), col("len"), col("pack_id"), col("pack_offset"))
   }
 
+  /** Deterministic sharded export — the pipeline's LAST step before a
+    * training job consumes the corpus: each row lands in shard
+    * md5(id) mod `nShards` (the portable convention: engine-independent
+    * and growth-stable), every shard's rows are ORDERED by (hash, id) so
+    * any engine writes identical shard contents in identical order, the
+    * shards go out as hive-partitioned parquet, and the returned MANIFEST
+    * is computed from the files just WRITTEN (not from the input): per
+    * shard, the row count, total payload, and an ORDER-FREE checksum
+    * (bit_xor of the 60-bit id hashes — commutative and mergeable, so the
+    * aggregate carries one long per shard no matter how many billion rows
+    * a shard holds; an ordered md5 chain would need the whole id list in
+    * one place) — the receipt a consumer checks before training. Reading
+    * back what was written makes the manifest a write-path verification,
+    * not bookkeeping.
+    *
+    * Scale shape: one hash projection (zero shuffle), one repartition by
+    * shard (each output file written by the executor owning the shard),
+    * one map-side-combined rollup over the re-read shards. */
+  def exportShards(df: DataFrame, idCol: String, sizeCol: String,
+      outDir: String, nShards: Int): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val hash = conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    df.withColumn("__h", hash)
+      .withColumn("shard", pmod(col("__h"), lit(nShards.toLong)).cast("int"))
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("__h"), col(idCol))
+      .drop("__h")
+      .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+    val back = df.sparkSession.read.parquet(outDir)
+    back.withColumn("__h", hash)
+      .groupBy(col("shard").cast("int").as("shard"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col(sizeCol)).cast("long").as("payload"),
+        expr("bit_xor(__h)").as("ids_xor"))
+  }
+
   /** Deterministic train/val/test assignment by PORTABLE hash: bucket =
     * md5(id) leading 60 bits mod 100, split by cumulative percentage
     * boundaries. Any engine reproduces the exact same assignment (no rand(),
