@@ -46,6 +46,26 @@ object SparkEntry {
   private def eventRoles = DPColumns(
     col("user_id"), Seq("event_type" -> col("event_type")), Some(floor(col("value"))))
 
+  /** Fixed PER-PROCESS scratch dir for queries that write: stable within a
+    * JVM (bench reps overwrite ONE bounded copy instead of leaking a tree
+    * per invocation), disjoint across processes (the PID component keeps a
+    * concurrent graft JVM from wiping a directory this one's lazily
+    * returned readers still scan), wiped on entry with the walk stream
+    * closed. */
+  private def scratchDir(name: String): String = {
+    val p = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_${name}_${ProcessHandle.current().pid()}")
+    if (java.nio.file.Files.exists(p)) {
+      val walk = java.nio.file.Files.walk(p)
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator.asScala.toSeq.sortBy(-_.getNameCount)
+          .foreach(java.nio.file.Files.delete)
+      } finally walk.close()
+    }
+    p.toString
+  }
+
   /** Generous bounds: nothing sampled away at sf<=0.1 (max 29 rows per
     * (user, type), max 5 types per user). */
   private val generous = (metrics: Seq[Metric], minV: Double, maxV: Double) =>
@@ -786,8 +806,15 @@ object SparkEntry {
       // same oracle as dedup_incremental; the bench delta between the two
       // queries IS the stored-signature saving.
       val docs = s.read.parquet(s"$dir/documents.parquet")
+      // store key = dir + source-data fingerprint + PID: a fixture refresh
+      // changes the fingerprint (no stale signatures), and two concurrent
+      // graft JVMs never race on one store path
+      val srcMeta = new java.io.File(s"$dir/documents.parquet")
+      val fp = java.lang.Long.toHexString(
+        srcMeta.lastModified() ^ (srcMeta.length() * 1099511628211L))
       val store = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft_sig_store_v1_${Integer.toHexString(dir.hashCode)}")
+        s"graft_sig_store_v1_${Integer.toHexString(dir.hashCode)}_" +
+          s"${fp}_${ProcessHandle.current().pid()}")
       if (!store.exists()) {
         Dedup.minHashWithSigPortable(docs.filter(col("doc_id") % 10 =!= 0),
             "doc_id", "text", shingleSize = 3, numHashes = 128)
@@ -1675,18 +1702,10 @@ object SparkEntry {
       // with the explicit schema the reader requires), rolled up per
       // (format, lang) — counts and sums must survive both roundtrips.
       import graft.sources.CorpusIO
-      // Fixed per-process dir, wiped before each write: the returned frame
-      // reads from it LAZILY, so deletion after return would break the
-      // consumer — instead reps/gate runs overwrite one bounded copy rather
-      // than leaking a fresh corpus-sized tree per invocation.
-      val tmp = java.nio.file.Paths.get(
-        sys.props("java.io.tmpdir"), "graft_io_roundtrip").toString
-      val tmpPath = java.nio.file.Paths.get(tmp)
-      if (java.nio.file.Files.exists(tmpPath)) {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(tmpPath).iterator.asScala.toSeq
-          .sortBy(-_.getNameCount).foreach(java.nio.file.Files.delete)
-      }
+      // per-process scratch, wiped on entry: the returned frame reads from
+      // it LAZILY, so deletion after return would break the consumer —
+      // instead reps/gate runs overwrite one bounded copy
+      val tmp = scratchDir("io_roundtrip")
       val docs = s.read.parquet(s"$dir/documents.parquet")
         .select("doc_id", "lang", "source", "n_chars")
       CorpusIO.write(docs, s"$tmp/p", format = "parquet",
@@ -1706,15 +1725,8 @@ object SparkEntry {
       // md5 shard assignment, (hash, id)-ordered shard contents) with a
       // manifest computed from the files just WRITTEN — counts, payload,
       // and an order-free xor checksum per shard, all SQL-replayable.
-      // Same fixed-dir wipe discipline as io_roundtrip (lazy readers).
-      val tmp = java.nio.file.Paths.get(
-        sys.props("java.io.tmpdir"), "graft_export_shards").toString
-      val tmpPath = java.nio.file.Paths.get(tmp)
-      if (java.nio.file.Files.exists(tmpPath)) {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(tmpPath).iterator.asScala.toSeq
-          .sortBy(-_.getNameCount).foreach(java.nio.file.Files.delete)
-      }
+      // Same per-process scratch discipline as io_roundtrip (lazy readers).
+      val tmp = scratchDir("export_shards")
       CorpusOps.exportShards(
         s.read.parquet(s"$dir/documents.parquet")
           .select("doc_id", "text", "n_chars"),

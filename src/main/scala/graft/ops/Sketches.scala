@@ -87,11 +87,6 @@ final class MisraGriesAggregator(k: Int)
   def outputEncoder: Encoder[MGBuf] = Encoders.product[MGBuf]
 }
 
-/** One hashed HLL observation: bucket = top 6 bits of the portable 60-bit
-  * md5 hash, rho = leading-zero count of the remaining 54 bits + 1.
-  * Top-level so the UDF result encoder stays codegen-compiled. */
-final case class HllObs(bucket: Int, rho: Int)
-
 object Sketches {
 
   /** Portable HyperLogLog distinct count (Flajolet et al., AofA 2007) over
@@ -116,37 +111,32 @@ object Sketches {
   def hllPortable(df: DataFrame, groupCol: String, itemCol: String): DataFrame =
     hllPortableEstimate(hllPortableSketch(df, Seq(groupCol), itemCol), Seq("group"))
 
+  /** The (bucket, rho) observation for one item under the portable 60-bit
+    * md5 hash — the per-row input to any HLL rollup, batch or streaming.
+    * NATIVE columns end to end (the engine-wide conv(substring(md5)) hash
+    * convention, shiftright for the bucket, bin()-length for the
+    * leading-zero count — exactly the arms this sketch's DuckDB oracle
+    * runs), so the hot path stays inside whole-stage codegen with zero
+    * per-row allocation. Null items map to a null struct. */
+  def hllObs(item: Column): Column = {
+    val h = conv(substring(md5(item.cast("string")), 1, 15), 16, 10).cast("long")
+    val rest = h.bitwiseAND(lit((1L << 54) - 1))
+    val rho = when(rest === 0L, lit(55)).otherwise(lit(55) - length(bin(rest)))
+    when(item.isNull, lit(null)).otherwise(
+      struct(shiftright(h, 54).cast("int").as("bucket"),
+        rho.cast("int").as("rho")))
+  }
+
   /** Stage 1 of the portable HLL: the PERSISTABLE sketch frame — one
     * (keys..., bucket, mx) row per non-empty bucket, <= 64 rows per key
     * tuple. Sketches for different key granularities UNION by re-grouping
     * on fewer keys with max(mx) — the store-sketches-merge-later pattern
     * with none of the binary-blob opacity, and every step SQL-replayable. */
-  /** The (bucket, rho) observation for one item under the portable 60-bit
-    * md5 hash — the per-row input to any HLL rollup, batch or streaming. */
-  val hllObs: org.apache.spark.sql.expressions.UserDefinedFunction =
-    udf((s: String) => {
-      if (s == null) null
-      else {
-        val md = java.security.MessageDigest.getInstance("MD5")
-        val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        // leading 15 hex digits = high 60 bits (the portable convention)
-        var v = 0L; var i = 0
-        while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
-        v = v >>> 4
-        val rest = v & ((1L << 54) - 1)
-        val rho =
-          if (rest == 0L) 55
-          else 55 - (64 - java.lang.Long.numberOfLeadingZeros(rest))
-        HllObs((v >>> 54).toInt, rho)
-      }
-    })
-
   def hllPortableSketch(df: DataFrame, groupCols: Seq[String], itemCol: String): DataFrame = {
-    val obs = hllObs
     val keyCols = groupCols.map(col)
     val named = if (groupCols.size == 1) Seq(col(groupCols.head).as("group"))
       else keyCols
-    df.select(named :+ obs(col(itemCol).cast("string")).as("o"): _*)
+    df.select(named :+ hllObs(col(itemCol)).as("o"): _*)
       .filter(col("o").isNotNull)
       .groupBy((if (groupCols.size == 1) Seq(col("group")) else keyCols) :+
         col("o.bucket").as("bucket"): _*)
@@ -182,6 +172,9 @@ object Sketches {
     when(raw <= lit(160.0) && vEmpty > lit(0L), lc(vEmpty)).otherwise(raw)
   }
 
+  /** Stage 2 of the portable HLL: merge sketch rows down to `keyCols` (max
+    * per bucket — the HLL union) and evaluate the estimator over the exact
+    * integer mass. Output: (keys..., approx_distinct, t_scaled). */
   def hllPortableEstimate(sketch: DataFrame, keyCols: Seq[String]): DataFrame = {
     val keys = keyCols.map(col)
     sketch

@@ -107,23 +107,25 @@ object StreamOps {
   def windowedApproxDistinct(
       events: DataFrame,
       itemCol: String = "user_id",
+      keyCols: Seq[String] = Seq("event_type"),
       windowLength: String = "1 hour",
       watermark: Option[String] = None
   ): DataFrame = {
     import graft.ops.Sketches
     val base = watermark.map(w => events.withWatermark("ts", w)).getOrElse(events)
+    val keyCs = keyCols.map(col)
     base.withColumn("window", window(col("ts"), windowLength))
       .withColumn("o", Sketches.hllObs(col(itemCol).cast("string")))
       .filter(col("o").isNotNull)
-      .groupBy(col("window"), col("event_type"), col("o.bucket").as("bucket"))
+      .groupBy(col("window") +: keyCs :+ col("o.bucket").as("bucket"): _*)
       .agg(max(col("o.rho")).as("mx"))
-      .groupBy(col("window"), col("event_type"))
+      .groupBy(col("window") +: keyCs: _*)
       .agg(Sketches.hllMassAgg.as("t_scaled"),
         (lit(64L) - count(lit(1))).as("v_empty"))
-      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
-        col("event_type"),
+      .select((Seq(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("hour")) ++ keyCs ++ Seq(
         Sketches.hllEstimate(col("t_scaled"), col("v_empty")).as("approx_users"),
-        col("t_scaled"))
+        col("t_scaled"))): _*)
   }
 
   /** Stream-stream event-attribution join: every (click, conversion) pair of
@@ -284,7 +286,10 @@ object StreamOps {
       watermark: Option[String] = None
   ): DataFrame = {
     require(epsilon > 0, s"epsilon must be positive, got $epsilon")
-    require(maxPerCell > 0, s"maxPerCell must be positive, got $maxPerCell")
+    require(maxPerCell > 0 && maxPerCell <= Int.MaxValue,
+      s"maxPerCell must be in (0, ${Int.MaxValue}], got $maxPerCell — the " +
+        "tree walk's Linf bound is an Int; a silent wrap would calibrate " +
+        "noise to the WRONG sensitivity")
     require(upper > lower, s"upper ($upper) must be > lower ($lower)")
     require(percentiles.nonEmpty && percentiles.forall(p => p >= 0 && p <= 100),
       s"percentiles must be in [0, 100], got $percentiles")

@@ -37,7 +37,10 @@ object ScaleLadderGen {
       .appName("scale-ladder-gen").getOrCreate()
 
     val docs = spark.read.parquet(s"$src/documents.parquet")
-    val nDocs = docs.count()
+    // offset stride = max(id)+1, NOT count(): sparse ids would otherwise
+    // collide across replicas — precisely the generator-made structure the
+    // scaladoc above warns poisons the measurements
+    val nDocs = docs.agg(max("doc_id")).collect()(0).getLong(0) + 1
     val salt = udf((t: String, k: Int) =>
       if (t == null || k == 0) t
       else t.map { c =>
@@ -56,7 +59,7 @@ object ScaleLadderGen {
       .parquet(s"$out/documents.parquet")
 
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
-    val nVec = emb.count()
+    val nVec = emb.agg(max("vec_id")).collect()(0).getLong(0) + 1
     val nLabel = emb.agg(max("label")).collect()(0).getInt(0) + 1
     val rot = udf((v: Array[Float], k: Int) => {
       if (v == null || k == 0) v
@@ -90,8 +93,8 @@ object ScaleLadderGen {
       .repartition(32).write.mode("overwrite")
       .parquet(s"$out/events.parquet")
 
-    println(s"[scale-ladder] wrote $out: documents=${nDocs * replicas} " +
-      s"embeddings=${nVec * replicas} events x$replicas")
+    println(s"[scale-ladder] wrote $out: x$replicas replicas " +
+      s"(doc id stride $nDocs, vec id stride $nVec)")
     spark.stop()
   }
 }

@@ -66,8 +66,12 @@ class EntryContractSpec extends AnyFunSuite {
           s"$name: its anchor twin $t is no longer oracle-verified")
       }
       if (probeCols.nonEmpty) {
-        // plan analysis only — no job runs; schema comes from the resolved
-        // logical plan against the real sf0.001 tables
+        // builds each query's frame against the real sf0.001 tables and
+        // reads the resolved schema. For most queries that is plan-only;
+        // tune_params and text_bpe run their (small, sf0.001) driver-side
+        // training loops as a side effect of construction — a few seconds,
+        // accepted as the price of checking the REAL output schema rather
+        // than a hand-maintained copy.
         val fields = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
           .schema.fieldNames.toSet
         val missing = probeCols.filterNot(fields)
