@@ -1689,6 +1689,28 @@ object SparkEntry {
           element_at(col("q"), 2).as("p90"), element_at(col("q"), 3).as("p99"),
           col("n_docs"))
     }),
+    "text_cdc_chunks" -> ((s, dir) => {
+      // content-defined chunking, rolled up to oracle-exact facts: the
+      // chunks must PARTITION each document exactly (reassembled md5 ==
+      // md5(text)) and respect [min, max] sizing (only the last chunk may
+      // run short; violations column must read 0). Boundary positions are
+      // deterministic but not SQL-recomputable, so the partition property
+      // IS the verification — a dropped, duplicated, or overlapping chunk
+      // breaks the hash.
+      val ch = TextAnalysis.cdcChunks(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+        minSize = 32, avgSize = 128, maxSize = 512)
+      ch.groupBy("doc_id")
+        .agg(
+          md5(concat_ws("", transform(
+            array_sort(collect_list(struct(col("chunk_idx").as("i"),
+              col("chunk_text").as("t")))),
+            c => c.getField("t")))).as("reassembled_md5"),
+          sum(when(col("length") > 512 ||
+              (col("length") < 32 && !col("is_last")), 1L)
+            .otherwise(0L)).as("size_violations"))
+        .select(col("doc_id"), col("reassembled_md5"), col("size_violations"))
+    }),
     "text_vocab_topk" -> ((s, dir) => {
       // corpus vocabulary: 50 most frequent tokens (tokenizer-training prep).
       // Explode feeds a map-side-combined hash aggregate; final top-k is
@@ -3047,6 +3069,15 @@ object SparkEntry {
                    AS BIGINT) % 1000000
                  < ((CAST(substr(source, 4) AS INT) % 4) + 1) * 250000
            GROUP BY source""",
+      // CDC boundaries are content-local and deterministic but not
+      // SQL-recomputable; the partition property is: reassembling the
+      // ordered chunks must give back EXACTLY the document, and sizes must
+      // hold by construction
+      "text_cdc_chunks" ->
+        """SELECT doc_id, md5(text) AS reassembled_md5,
+                  CAST(0 AS BIGINT) AS size_violations
+           FROM documents
+           WHERE text IS NOT NULL AND length(text) > 0""",
       "io_roundtrip" ->
         """SELECT f.format, d.lang,
                   CAST(count(*) AS BIGINT) AS n_docs,

@@ -18,6 +18,10 @@ import org.apache.spark.sql.functions._
 final case class DocChunk(chunk_idx: Long, first_token: Long,
     n_tokens: Long, chunk_text: String)
 
+/** One content-defined chunk — top-level for the codegen-compiled encoder. */
+final case class CdcChunk(chunk_idx: Long, start: Long, length: Long,
+    is_last: Boolean, chunk_md5: String, chunk_text: String)
+
 object TextAnalysis {
 
   /** Word tokens: maximal runs of letters/digits (BPE-ish boundary regex). */
@@ -222,6 +226,71 @@ object TextAnalysis {
         col("__chunk.first_token").as("first_token"),
         col("__chunk.n_tokens").as("n_tokens"),
         col("__chunk.chunk_text").as("chunk_text"))
+  }
+
+  /** Content-defined chunking (Gear rolling hash, the FastCDC family:
+    * Muthitacharoen et al. LBFS SOSP'01; Xia et al. FastCDC ATC'16): cut
+    * where the rolling hash's low log2(avgSize) bits are zero, subject to
+    * [minSize, maxSize] (cut forced at maxSize; a boundary is only
+    * CONSIDERED once minSize chars accumulated, so only a document's last
+    * chunk can run short). Boundaries depend on LOCAL content only — an
+    * edit resynchronizes within ~avgSize chars, so exact dedup over the
+    * chunk hashes dedups SHIFTED copies that fixed windows cannot (the
+    * storage-dedup primitive; fixed-window chunking misaligns after one
+    * inserted character). The 256-entry gear table derives from the
+    * engine-wide portable md5 convention (gear[b] = leading 60 bits of
+    * md5 of the byte's decimal string), so any engine reproduces
+    * identical boundaries.
+    *
+    * Output: one row per chunk — (id, chunk_idx, start, length, is_last,
+    * chunk_md5, chunk_text). Map-only, one primitive pass per document;
+    * chunks partition the text exactly (spec + gate verify reassembly). */
+  def cdcChunks(df: DataFrame, idCol: String, textCol: String,
+      minSize: Int = 64, avgSize: Int = 256, maxSize: Int = 1024): DataFrame = {
+    require(minSize > 0 && minSize <= avgSize && avgSize <= maxSize,
+      s"need 0 < minSize <= avgSize <= maxSize, got $minSize/$avgSize/$maxSize")
+    require((avgSize & (avgSize - 1)) == 0, s"avgSize must be a power of 2, got $avgSize")
+    val gear: Array[Long] = Array.tabulate(256) { b =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val d = md.digest(b.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var v = 0L; var k = 0
+      while (k < 8) { v = (v << 8) | (d(k) & 0xffL); k += 1 }
+      v >>> 4
+    }
+    val mask = (avgSize - 1).toLong
+    val f = udf((t: String) => {
+      if (t == null || t.isEmpty) Array.empty[CdcChunk]
+      else {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val out = scala.collection.mutable.ArrayBuffer.empty[CdcChunk]
+        val n = t.length
+        var start = 0; var i = 0; var h = 0L; var idx = 0L
+        while (i < n) {
+          h = (h << 1) + gear(t.charAt(i) & 0xFF)
+          i += 1
+          val len = i - start
+          if ((len >= minSize && (h & mask) == 0L) || len >= maxSize || i == n) {
+            val chunk = t.substring(start, i)
+            md.reset()
+            val dig = md.digest(chunk.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            val hex = {
+              val sb = new java.lang.StringBuilder(32)
+              var j = 0
+              while (j < 16) { sb.append(f"${dig(j)}%02x"); j += 1 }
+              sb.toString
+            }
+            out += CdcChunk(idx, start.toLong, len.toLong, i == n, hex, chunk)
+            idx += 1; start = i; h = 0L
+          }
+        }
+        out.toArray
+      }
+    })
+    df.select(col(idCol), explode(f(col(textCol))).as("c"))
+      .select(col(idCol), col("c.chunk_idx").as("chunk_idx"),
+        col("c.start").as("start"), col("c.length").as("length"),
+        col("c.is_last").as("is_last"), col("c.chunk_md5").as("chunk_md5"),
+        col("c.chunk_text").as("chunk_text"))
   }
 
   /** Top-k TF-IDF keywords per document, with a QUANTIZED IDF: idf_q =

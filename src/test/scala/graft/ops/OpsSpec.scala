@@ -488,6 +488,40 @@ class DedupSpec extends AnyFunSuite {
     assert(out(4L)._3 == 8.0 / 12)
   }
 
+  test("cdcChunks: exact partition, size bounds, shift resynchronization") {
+    val rnd = new scala.util.Random(7)
+    val body = (1 to 3000).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val df = Seq((1L, body), (2L, "PREFIX-" * 4 + body), (3L, "tiny"), (4L, ""))
+      .toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis.cdcChunks(df, "doc_id", "text",
+        minSize = 32, avgSize = 128, maxSize = 512)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_idx"),
+        r.getAs[Long]("start"), r.getAs[Long]("length"),
+        r.getAs[Boolean]("is_last"), r.getAs[String]("chunk_md5"),
+        r.getAs[String]("chunk_text")))
+    // empty text: zero chunks; short text: one short (last) chunk
+    assert(!out.exists(_._1 == 4L))
+    val tiny = out.filter(_._1 == 3L)
+    assert(tiny.length == 1 && tiny.head._7 == "tiny" && tiny.head._5)
+    // exact partition: ordered chunks reassemble to the document
+    def reassemble(id: Long) =
+      out.filter(_._1 == id).sortBy(_._2).map(_._7).mkString
+    assert(reassemble(1L) == body)
+    assert(reassemble(2L) == "PREFIX-" * 4 + body)
+    // size bounds: every non-last chunk in [32, 512]
+    out.filterNot(_._5).foreach { c =>
+      assert(c._4 >= 32 && c._4 <= 512, c.toString)
+    }
+    // THE CDC property: after a 28-char prefix insertion, boundaries
+    // resynchronize — the shifted doc shares almost all chunk hashes with
+    // the original (fixed windows would share none). Compare md5 multisets.
+    val h1 = out.filter(_._1 == 1L).map(_._6)
+    val h2 = out.filter(_._1 == 2L).map(_._6)
+    val shared = h1.intersect(h2).length
+    assert(shared >= h1.length - 2,
+      s"expected resynchronization: ${shared} shared of ${h1.length}")
+  }
+
   test("removeDuplicatedSpans: covered tokens drop, survivors fingerprint") {
     val copied = "alpha beta gamma delta epsilon zeta eta theta"
     val df = Seq(
