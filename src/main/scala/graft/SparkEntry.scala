@@ -541,6 +541,31 @@ object SparkEntry {
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs_kept"))
     }),
+    "text_bloom_decontaminate" -> ((s, dir) => {
+      // Bloom-filter decontamination: text_decontaminate's broadcast-set
+      // pattern with the eval set compressed to a PORTABLE 1024-bit /
+      // 4-hash Bloom filter — the shape that still works when the held-out
+      // side is millions of documents (the bits frame is <= mBits rows no
+      // matter how large the set; an exact hash set grows without bound).
+      // Zero false negatives ever (exact_match => bloom_positive); the
+      // deterministic md5 bit positions make false positives REPRODUCIBLE,
+      // so the oracle replays the whole filter bit-for-bit and the
+      // false_positive column itself is hash-verified.
+      val docs = TextAnalysis.normalizeText(
+        s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text", "source"),
+        "text")
+        .withColumn("h", md5(col("norm_text")))
+      val evalSet = docs.filter(col("doc_id") % 20 === 0).select("h").distinct()
+      val bits = Sketches.bloomBits(evalSet, "h", d = 4, mBits = 1024)
+      val corpus = docs.filter(col("doc_id") % 20 =!= 0)
+        .select("doc_id", "source", "h")
+      Sketches.bloomContains(corpus, "h", bits, d = 4, mBits = 1024)
+        .join(broadcast(evalSet.select(col("h").as("eh"))),
+          col("h") === col("eh"), "left")
+        .select(col("doc_id"), col("source"), col("bloom_positive"),
+          col("eh").isNotNull.as("exact_match"),
+          (col("bloom_positive") && col("eh").isNull).as("false_positive"))
+    }),
     "text_normalize" -> ((s, dir) => {
       // canonical normalization (NFC + lower + whitespace collapse), ASCII
       // fast path fully codegen; oracle recomputes with DuckDB's
@@ -713,6 +738,31 @@ object SparkEntry {
         .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_users"),
           sum("exact_day_users").as("sum_day_exact"),
           count(lit(1)).cast("long").as("n_days"))
+    }),
+    "approx_cms_md5" -> ((s, dir) => {
+      // portable Count-Min sketch: d=3 salted md5 rows x w=128 counters per
+      // event type, probed at the 5 highest-frequency users per type
+      // (deterministic row_number tie-break). est_count >= exact_count by
+      // construction (each counter sums a superset of the item's
+      // occurrences) — overcount IS the collision error — and, like the
+      // portable HLL, the whole sketch (salted bucketing, integer counters,
+      // min-of-rows estimate) replays bit-exactly in the DuckDB oracle, so
+      // the sketch path itself is hash-verified rather than engine-opaque.
+      // Scale shape: sketch build is one map-side-combined agg to <= d*w
+      // rows per type; the probe join broadcasts the sketch.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("group").orderBy(col("exact_count").desc, col("item").asc)
+      val ev = events(s, dir).select(col("event_type").as("group"),
+        col("user_id").cast("string").as("item"))
+      val sk = Sketches.cmsSketch(ev, "group", "item", d = 3, w = 128)
+      val top = ev.groupBy("group", "item").agg(count(lit(1)).as("exact_count"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5).drop("rk")
+      Sketches.cmsEstimate(sk, top.select("group", "item"), d = 3, w = 128)
+        .join(top, Seq("group", "item"))
+        .select(col("group").as("event_type"), col("item").as("user_id"),
+          col("est_count"), col("exact_count"),
+          (col("est_count") - col("exact_count")).as("overcount"))
     }),
     "dedup_exact" -> ((s, dir) => {
       Dedup.duplicateGroups(s.read.parquet(s"$dir/documents.parquet"), "text", "doc_id")
@@ -3001,6 +3051,39 @@ object SparkEntry {
            WHERE doc_id % 20 <> 0
              AND NOT EXISTS (SELECT 1 FROM ev WHERE ev.h = n.h)
            GROUP BY source""",
+      // portable Bloom replay: the text_decontaminate normalization+md5
+      // arms, then the 4 salted bit positions (h || '#bf' || j mod 1024) —
+      // membership = all 4 bits set, false_positive = member minus exact
+      "text_bloom_decontaminate" ->
+        """WITH n AS (
+              SELECT doc_id, source,
+                     md5(nfc_normalize(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))) AS h
+              FROM documents),
+            ev AS (SELECT DISTINCT h FROM n WHERE doc_id % 20 = 0 AND h IS NOT NULL),
+            js AS (SELECT unnest([0, 1, 2, 3]) AS j),
+            bits AS (
+              SELECT DISTINCT
+                     CAST(CONCAT('0x', substr(md5(CONCAT(h, '#bf',
+                          CAST(j AS VARCHAR))), 1, 15)) AS BIGINT) % 1024 AS pos
+              FROM ev CROSS JOIN js),
+            corpus AS (SELECT doc_id, source, h FROM n WHERE doc_id % 20 <> 0),
+            probe AS (
+              SELECT c.doc_id, c.source, c.h, js.j,
+                     CASE WHEN c.h IS NULL THEN NULL
+                          ELSE CAST(CONCAT('0x', substr(md5(CONCAT(c.h, '#bf',
+                               CAST(js.j AS VARCHAR))), 1, 15)) AS BIGINT) % 1024
+                     END AS pos
+              FROM corpus c CROSS JOIN js),
+            bp AS (
+              SELECT p.doc_id, p.source, p.h,
+                     count(b.pos) = 4 AS bloom_positive
+              FROM probe p LEFT JOIN bits b ON b.pos = p.pos
+              GROUP BY 1, 2, 3)
+            SELECT bp.doc_id, bp.source, bp.bloom_positive,
+                   EXISTS (SELECT 1 FROM ev WHERE ev.h = bp.h) AS exact_match,
+                   bp.bloom_positive AND NOT EXISTS (
+                     SELECT 1 FROM ev WHERE ev.h = bp.h) AS false_positive
+            FROM bp""",
       "text_normalize" ->
         """SELECT doc_id,
               nfc_normalize(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
@@ -3359,6 +3442,40 @@ object SparkEntry {
       // length — integer-exact, no floating log2), exact integer bucket
       // mass, and the estimate as the identical left-to-right double
       // expression (0.709 * 4096 * 2^55 / t)
+      // portable CMS replay: same row-salted md5 bucketing (item || '#cms'
+      // || j, 60-bit hex prefix, mod 128), integer counters, min-of-rows
+      // point estimate at the row_number-deterministic top-5 probe items
+      "approx_cms_md5" ->
+        """WITH ev AS (
+              SELECT event_type, CAST(user_id AS VARCHAR) AS item FROM events),
+            js AS (SELECT unnest([0, 1, 2]) AS j),
+            sk AS (
+              SELECT event_type, j,
+                     CAST(CONCAT('0x', substr(md5(CONCAT(item, '#cms',
+                          CAST(j AS VARCHAR))), 1, 15)) AS BIGINT) % 128 AS bucket,
+                     count(*) AS cnt
+              FROM ev CROSS JOIN js GROUP BY 1, 2, 3),
+            exact AS (
+              SELECT event_type, item, count(*) AS exact_count
+              FROM ev GROUP BY 1, 2),
+            top5 AS (
+              SELECT event_type, item, exact_count FROM (
+                SELECT event_type, item, exact_count,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY exact_count DESC, item) AS rk
+                FROM exact) WHERE rk <= 5),
+            probe AS (
+              SELECT t.event_type, t.item, t.exact_count, js.j,
+                     CAST(CONCAT('0x', substr(md5(CONCAT(t.item, '#cms',
+                          CAST(js.j AS VARCHAR))), 1, 15)) AS BIGINT) % 128 AS bucket
+              FROM top5 t CROSS JOIN js)
+            SELECT p.event_type, p.item AS user_id,
+                   min(COALESCE(s.cnt, 0)) AS est_count,
+                   p.exact_count,
+                   min(COALESCE(s.cnt, 0)) - p.exact_count AS overcount
+            FROM probe p LEFT JOIN sk s
+              ON s.event_type = p.event_type AND s.j = p.j AND s.bucket = p.bucket
+            GROUP BY p.event_type, p.item, p.exact_count""",
       "approx_distinct_md5" ->
         """WITH h AS (
               SELECT event_type,

@@ -187,6 +187,95 @@ object Sketches {
         col("t_scaled"): _*)
   }
 
+  /** The bucket an item hashes to in row `row` of a portable Count-Min
+    * sketch: the engine-wide md5 60-bit hash of the row-salted item, mod
+    * `w`. Native columns, whole-stage-codegen'd, and — like [[hllObs]] —
+    * replayable verbatim by an independent SQL engine. */
+  def cmsBucket(item: Column, row: Int, w: Int): Column =
+    pmod(conv(substring(md5(concat(item.cast("string"), lit(s"#cms$row"))),
+      1, 15), 16, 10).cast("long"), lit(w.toLong))
+
+  /** Portable Count-Min sketch (Cormode & Muthukrishnan, J. Algorithms
+    * 2005): d salted hash rows x w counters per group, built as a plain
+    * (group, j, bucket, cnt) frame — one map-side-combined aggregation,
+    * <= d*w rows per group on the exchange regardless of item cardinality.
+    * Point estimates OVERCOUNT, never undercount (each row's counter is a
+    * sum over a superset of the item's occurrences), and the estimate is
+    * within eps*N of truth w.p. 1-delta for w = e/eps, d = ln(1/delta).
+    *
+    * Mergeable by summing cnt on (group, j, bucket) — the
+    * store-sketches-merge-later pattern of [[hllPortableSketch]]; and like
+    * the portable HLL, the WHOLE construction (salted md5 bucketing and
+    * integer counts) replays bit-exactly in SQL, so the sketch path itself
+    * is oracle-verifiable rather than engine-opaque. */
+  def cmsSketch(df: DataFrame, groupCol: String, itemCol: String,
+      d: Int, w: Int): DataFrame = {
+    require(d > 0 && w > 0, s"d and w must be positive, got d=$d w=$w")
+    df.filter(col(itemCol).isNotNull)
+      .select(col(groupCol).as("group"),
+        posexplode(array((0 until d).map(j => cmsBucket(col(itemCol), j, w)): _*)))
+      .select(col("group"), col("pos").as("j"), col("col").as("bucket"))
+      .groupBy("group", "j", "bucket")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-query a portable CMS sketch frame: for each (group, item) probe
+    * row, est_count = min over the d rows of that row's bucket counter
+    * (missing bucket => 0). The sketch side is tiny (<= d*w rows per
+    * group) and broadcast, so probing any number of items stays a
+    * map-side join + bounded aggregation. */
+  def cmsEstimate(sketch: DataFrame, probes: DataFrame,
+      d: Int, w: Int): DataFrame = {
+    val expl = probes
+      .select(col("group"), col("item"),
+        posexplode(array((0 until d).map(j => cmsBucket(col("item"), j, w)): _*)))
+      .select(col("group"), col("item"), col("pos").as("j"),
+        col("col").as("bucket"))
+    expl.join(broadcast(sketch), Seq("group", "j", "bucket"), "left")
+      .groupBy("group", "item")
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est_count"))
+  }
+
+  /** The d bit positions an item sets in a portable Bloom filter of
+    * `mBits` bits: salted md5 60-bit hashes mod mBits — the same
+    * construction as [[cmsBucket]] under a distinct salt family. */
+  def bloomPositions(item: Column, d: Int, mBits: Int): Column =
+    array((0 until d).map(j =>
+      pmod(conv(substring(md5(concat(item.cast("string"), lit(s"#bf$j"))),
+        1, 15), 16, 10).cast("long"), lit(mBits.toLong))): _*)
+
+  /** Build a portable Bloom filter over a membership set as a frame of its
+    * DISTINCT set bit positions — <= min(d*|set|, mBits) rows, broadcastable,
+    * unioned across sets by distinct-union, and (unlike
+    * `DataFrameStatFunctions.bloomFilter`'s engine-specific binary) fully
+    * replayable in SQL. */
+  def bloomBits(items: DataFrame, itemCol: String, d: Int, mBits: Int): DataFrame = {
+    require(d > 0 && mBits > 0, s"d and mBits must be positive, got d=$d mBits=$mBits")
+    items.filter(col(itemCol).isNotNull)
+      .select(explode(bloomPositions(col(itemCol), d, mBits)).as("pos"))
+      .distinct()
+  }
+
+  /** Bloom membership test for every candidate row: appends
+    * `bloom_positive` = true iff ALL d of the candidate's bit positions are
+    * set. No false negatives ever; false positives at the standard
+    * (1-e^(-dn/m))^d rate — and because the construction is deterministic,
+    * WHICH items false-positive is reproducible and oracle-checkable. The
+    * bits side broadcasts; the candidate side stays one scan + a bounded
+    * per-row aggregation (explode fans each row out d ways, grouped
+    * straight back by the carried key columns). */
+  def bloomContains(candidates: DataFrame, itemCol: String, bits: DataFrame,
+      d: Int, mBits: Int): DataFrame = {
+    val keyCols = candidates.columns.map(col)
+    candidates
+      .select(keyCols :+
+        explode(bloomPositions(col(itemCol), d, mBits)).as("__pos"): _*)
+      .join(broadcast(bits.select(col("pos").as("__bit"))),
+        col("__pos") === col("__bit"), "left")
+      .groupBy(keyCols: _*)
+      .agg((count(col("__bit")) === lit(d.toLong)).as("bloom_positive"))
+  }
+
   /** Per-group heavy hitters: top items by estimated count from a k-counter
     * Misra-Gries summary. Emits (group, item, est_count) rows; the summary
     * is sorted (estimate desc, item asc) at finish, so posexplode emits

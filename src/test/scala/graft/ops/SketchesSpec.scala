@@ -94,6 +94,56 @@ class SketchesSpec extends AnyFunSuite {
     assert(math.abs(byG("c")._2 - 25) / 25.0 < 0.3, byG("c").toString)
   }
 
+  test("cmsSketch: estimates never undercount, bound holds, merge is exact") {
+    // CMS guarantee: est >= exact always (counters sum supersets), and
+    // est - exact <= eps * N with prob 1 - delta for w = e/eps. With
+    // w = 128, eps ~ 0.0212, N = 1000 => slack <= ~64 per row; the min
+    // over d = 3 rows makes exceeding it astronomically unlikely, so the
+    // test asserts the bound outright for every probed item.
+    val n = 1000
+    val rows = (1 to n).map(i => ("g", s"u${i % 97}"))
+    val df = rows.toDF("event_type", "user_id").repartition(8)
+    val ev = df.select(col("event_type").as("group"), col("user_id").as("item"))
+    val sk = Sketches.cmsSketch(ev, "group", "item", d = 3, w = 128)
+    val exact = rows.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val probes = exact.keys.toSeq.map(("g", _)).toDF("group", "item")
+    val est = Sketches.cmsEstimate(sk, probes, d = 3, w = 128)
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    exact.foreach { case (item, c) =>
+      val e = est(item)
+      assert(e >= c, s"$item: CMS undercounted ($e < $c) — impossible by construction")
+      assert(e - c <= (math.E / 128 * n).ceil.toLong, s"$item: overcount ${e - c}")
+    }
+    // mergeability: summing two half-corpus sketches on (group,j,bucket)
+    // reproduces the direct sketch EXACTLY (counters are plain sums)
+    val (h1, h2) = rows.splitAt(n / 2)
+    def sketch(part: Seq[(String, String)]) = Sketches.cmsSketch(
+      part.toDF("g", "i").select(col("g").as("group"), col("i").as("item")),
+      "group", "item", d = 3, w = 128)
+    val merged = sketch(h1).union(sketch(h2))
+      .groupBy("group", "j", "bucket").agg(sum("cnt").as("cnt"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    val direct = sk.collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    assert(merged == direct)
+  }
+
+  test("bloomBits/bloomContains: zero false negatives, FP rate near theory") {
+    val members = (1 to 200).map(i => s"m$i")
+    val nonMembers = (1 to 1000).map(i => s"x$i")
+    val bits = Sketches.bloomBits(
+      members.toDF("h"), "h", d = 4, mBits = 4096)
+    assert(bits.count() <= 4L * 200, "more set bits than d * |set|")
+    val res = Sketches.bloomContains(
+      (members ++ nonMembers).toDF("h").repartition(8), "h", bits,
+      d = 4, mBits = 4096)
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    members.foreach(m => assert(res(m), s"$m: false negative — impossible"))
+    val fpRate = nonMembers.count(res(_)).toDouble / nonMembers.size
+    // theory: (1 - e^(-d n / m))^d = (1 - e^(-800/4096))^4 ~ 0.1%; allow 10x
+    assert(fpRate <= 0.01, s"false-positive rate $fpRate implausibly high")
+  }
+
   test("hllPortable: union of partial sketches equals the direct sketch") {
     // store-sketches-merge-later: sketch per (g, shard), union by max down
     // to g — distributivity of max makes this EXACTLY the direct sketch,
