@@ -461,6 +461,31 @@ object SparkEntry {
           lit(".example.org/a/"), col("doc_id").cast("string")))
       TextAnalysis.urlDomainStats(docs, "doc_id", "body")
     }),
+    "graph_pagerank" -> ((s, dir) => {
+      // domain-authority PageRank over a planted link graph: each doc's
+      // footer links site-{id%37} -> site-{(3id+1)%37} (a 37-node
+      // permutation cycle) and site-{id%37} -> cdn-{id%11} (11 dangling
+      // sinks) — REAL url extraction feeds the edge builder, and the
+      // fixed-point integer PageRank (5 rounds, damping 17/20, dangling
+      // mass redistributed) replays BIT-FOR-BIT in the unrolled oracle,
+      // dangling branch exercised live.
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .withColumn("body", concat(
+          lit("https://site-"), (col("doc_id") % 37).cast("string"),
+          lit(".example.com/p/"), col("doc_id").cast("string"),
+          lit(" https://site-"), ((col("doc_id") * 3 + 1) % 37).cast("string"),
+          lit(".example.com/q/"), col("doc_id").cast("string"),
+          lit(" https://cdn-"), (col("doc_id") % 11).cast("string"),
+          lit(".example.org/a/"), col("doc_id").cast("string")))
+      val doms = docs.select(
+        transform(TextAnalysis.extractUrls(col("body")),
+          u => regexp_extract(u, "https?://([^/ \\t\\n\\f\\r]+)", 1)).as("d"))
+      val edges = doms.select(
+        element_at(col("d"), 1).as("src"),
+        explode(array(element_at(col("d"), 2), element_at(col("d"), 3))).as("dst"))
+      GraphOps.pageRank(edges, "src", "dst", iters = 5)
+        .select(col("node").as("domain"), col("rank_scaled"), col("rank"))
+    }),
     "text_quality" -> ((s, dir) => {
       TextAnalysis.withQualityFeatures(
         s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text"), "text")
@@ -1812,6 +1837,32 @@ object SparkEntry {
         s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text"),
         "doc_id", "text")
     }),
+    "corpus_c4_filter" -> ((s, dir) => {
+      // C4 line+page cleaning (Raffel et al.) over a deterministic planted
+      // multi-line body (the fixture corpus is single-line and
+      // punctuation-free, so — as with text_url_domains — the query plants
+      // the structure and the oracle replicates the construction, while
+      // the REAL filter rules run over it): a kept lead line, a too-short
+      // line, a rotating-punctuation line, and modular javascript / brace /
+      // lorem-ipsum planting that exercises every drop rule.
+      val body = concat_ws("\n",
+        concat(substring(col("text"), 1, 60), lit(".")),
+        lit("short line."),
+        concat(substring(col("text"), 61, 60),
+          elt(col("doc_id") % 3 + 1, lit("."), lit(""), lit("?"))),
+        when(col("doc_id") % 7 === 0,
+          lit("Please enable javascript to continue reading.")),
+        when(col("doc_id") % 13 === 0, lit("function f() { return 1; }")),
+        when(col("doc_id") % 17 === 0, lit("Lorem ipsum dolor sit amet.")))
+      CorpusOps.c4Filter(
+        s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+          .withColumn("body", body),
+        "body")
+        .select(col("doc_id"), col("n_lines"), col("n_lines_kept"),
+          col("n_sentences"), col("has_brace"), col("has_lorem"), col("keep"),
+          md5(col("clean_text")).as("clean_md5"))
+    }),
     "a_window_topn" -> ((s, dir) => {
       // window function: top-2 orders by price per customer (deterministic:
       // ties broken by orderkey)
@@ -2562,6 +2613,57 @@ object SparkEntry {
                   CAST(count(*) AS BIGINT) AS n_urls,
                   CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
            FROM u GROUP BY 1""",
+      // fixed-point integer PageRank replay: identical planted footer, edge
+      // extraction, and the 5 unrolled rounds — every division the same
+      // exact floor(double/double) form, every sum a BIGINT sum, so the
+      // iterative ranks (including the dangling-mass scalar per round)
+      // hash-match bit-for-bit
+      "graph_pagerank" -> {
+        val rounds = (1 to 5).map { i =>
+          val p = i - 1
+          s"""d$i AS (SELECT CAST(COALESCE(sum(r.rs), 0) AS BIGINT) AS ds
+                  FROM r$p r LEFT JOIN od o ON o.node = r.node
+                  WHERE o.node IS NULL),
+              inc$i AS (SELECT e.dst AS node,
+                     CAST(sum(CAST(floor(CAST(r.rs AS DOUBLE)
+                          / CAST(o.outdeg AS DOUBLE)) AS BIGINT)) AS BIGINT) AS s
+                  FROM e JOIN r$p r ON r.node = e.src
+                         JOIN od o ON o.node = e.src
+                  GROUP BY 1),
+              r$i AS (SELECT n.node,
+                     CAST(floor(150000000000.0 / (SELECT n FROM nn)) AS BIGINT)
+                   + CAST(floor(CAST((COALESCE(i.s, 0)
+                       + CAST(floor(CAST((SELECT ds FROM d$i) AS DOUBLE)
+                              / CAST((SELECT n FROM nn) AS DOUBLE)) AS BIGINT))
+                       * 17 AS DOUBLE) / 20.0) AS BIGINT) AS rs
+                  FROM nodes n LEFT JOIN inc$i i ON i.node = n.node)"""
+        }.mkString(",\n              ")
+        s"""WITH b AS (
+              SELECT concat('https://site-', CAST(doc_id % 37 AS VARCHAR),
+                       '.example.com/p/', CAST(doc_id AS VARCHAR),
+                       ' https://site-', CAST((doc_id * 3 + 1) % 37 AS VARCHAR),
+                       '.example.com/q/', CAST(doc_id AS VARCHAR),
+                       ' https://cdn-', CAST(doc_id % 11 AS VARCHAR),
+                       '.example.org/a/', CAST(doc_id AS VARCHAR)) AS body
+              FROM documents),
+            u AS (SELECT list_transform(
+                     regexp_extract_all(body, 'https?://[^ \t\n\f\r]+'),
+                     x -> regexp_extract(x, 'https?://([^/ \t\n\f\r]+)', 1)) AS d
+                  FROM b),
+            e AS (SELECT DISTINCT d[1] AS src, dst
+                  FROM (SELECT d, unnest([d[2], d[3]]) AS dst FROM u)),
+            nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+            nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+            od AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS outdeg
+                   FROM e GROUP BY 1),
+            r0 AS (SELECT node,
+                     CAST(floor(1000000000000.0 / (SELECT n FROM nn)) AS BIGINT) AS rs
+                   FROM nodes),
+              $rounds
+            SELECT node AS domain, rs AS rank_scaled,
+                   CAST(rs AS DOUBLE) / 1000000000000.0 AS rank
+            FROM r5"""
+      },
       "text_langid" ->
         s"""WITH t AS (
               SELECT doc_id, text,
@@ -3433,6 +3535,47 @@ object SparkEntry {
                    stopword_ratio, lang,
                    (drop_reason IS NULL) AS keep, drop_reason
             FROM z""",
+      // C4 replay: identical planted body construction, then the line
+      // rules (terminal punct, >=5 words, no 'javascript') as a
+      // list_filter lambda and the page rules on the original body;
+      // cleaned text verified byte-for-byte via md5
+      "corpus_c4_filter" ->
+        """WITH b AS (
+              SELECT doc_id, concat_ws(chr(10),
+                       substr(text, 1, 60) || '.',
+                       'short line.',
+                       substr(text, 61, 60) ||
+                         CASE doc_id % 3 WHEN 0 THEN '.' WHEN 1 THEN ''
+                              ELSE '?' END,
+                       CASE WHEN doc_id % 7 = 0 THEN
+                         'Please enable javascript to continue reading.' END,
+                       CASE WHEN doc_id % 13 = 0 THEN
+                         'function f() { return 1; }' END,
+                       CASE WHEN doc_id % 17 = 0 THEN
+                         'Lorem ipsum dolor sit amet.' END) AS body
+              FROM documents),
+            k AS (
+              SELECT doc_id, body, string_split(body, chr(10)) AS ls,
+                     list_filter(string_split(body, chr(10)),
+                       l -> regexp_matches(l, '[.!?"'']$')
+                            AND len(string_split_regex(trim(l), ' +')) >= 5
+                            AND NOT contains(lower(l), 'javascript')) AS kept
+              FROM b),
+            c AS (SELECT *, array_to_string(kept, chr(10)) AS clean FROM k)
+            SELECT doc_id,
+                   CAST(len(ls) AS BIGINT) AS n_lines,
+                   CAST(len(kept) AS BIGINT) AS n_lines_kept,
+                   CAST(length(clean)
+                     - length(regexp_replace(clean, '[.!?]', '', 'g')) AS BIGINT)
+                     AS n_sentences,
+                   contains(body, '{') AS has_brace,
+                   contains(lower(body), 'lorem ipsum') AS has_lorem,
+                   (length(clean)
+                      - length(regexp_replace(clean, '[.!?]', '', 'g')) >= 3
+                    AND NOT contains(body, '{')
+                    AND NOT contains(lower(body), 'lorem ipsum')) AS keep,
+                   md5(clean) AS clean_md5
+            FROM c""",
       // the sketch value itself is merge-order dependent and NOT hashed;
       // the hashed columns are exact interpolated percentiles (quantile_cont
       // == Spark percentile, proven by text_length_quantiles) plus the

@@ -293,6 +293,44 @@ object CorpusOps {
         col("keep"), col("drop_reason"))
   }
 
+  /** C4-style line-level cleaning + page-level filtering (Raffel et al.
+    * 2020, the rule set behind the C4 corpus), complementing [[prepPipeline]]
+    * (Gopher-style token statistics) with the OTHER standard web-cleaning
+    * pass: per-LINE retention rules followed by per-PAGE drop rules.
+    *
+    * Line kept iff it ends in terminal punctuation (`. ! ? " '`), has at
+    * least `minLineWords` space-separated words, and does not mention
+    * "javascript" (case-insensitive). Page kept iff the cleaned text still
+    * has at least `minSentences` sentence-ending marks, and the ORIGINAL
+    * text contains neither `{` (code page signal) nor "lorem ipsum"
+    * (placeholder-text signal).
+    *
+    * Every rule is a higher-order array expression or regexp count over
+    * RE2-compatible patterns — fully codegen'd, zero shuffle, and an
+    * independent SQL engine reproduces the cleaned text byte-for-byte.
+    * Emits per-doc counters, the rule flags, the cleaned text, and `keep`. */
+  def c4Filter(df: DataFrame, textCol: String,
+      minLineWords: Int = 5, minSentences: Int = 3): DataFrame = {
+    val lines = split(coalesce(col(textCol), lit("")), "\n")
+    val lineOk = (l: Column) =>
+      l.rlike("[.!?\"']$") &&
+        size(split(trim(l), " +")) >= minLineWords &&
+        !lower(l).contains("javascript")
+    val kept = filter(lines, lineOk)
+    val clean = array_join(kept, "\n")
+    val nSent = (length(clean) - length(regexp_replace(clean, "[.!?]", "")))
+      .cast("long")
+    df.withColumn("n_lines", size(lines).cast("long"))
+      .withColumn("n_lines_kept", size(kept).cast("long"))
+      .withColumn("clean_text", clean)
+      .withColumn("n_sentences", nSent)
+      .withColumn("has_brace", col(textCol).contains("{"))
+      .withColumn("has_lorem", lower(col(textCol)).contains("lorem ipsum"))
+      .withColumn("keep",
+        col("n_sentences") >= minSentences &&
+          !col("has_brace") && !col("has_lorem"))
+  }
+
   /** Sequence packing (contiguous fill): lay documents end-to-end in id
     * order and cut fixed-length training rows of `seqLen` tokens; each doc
     * reports the pack it STARTS in and its offset there. The global running

@@ -242,4 +242,38 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(s0.nonEmpty && (s0 sameElements s0.sortBy(identity)),
       "shard file rows must be (hash, id)-ordered as written")
   }
+
+  test("c4Filter applies every line rule and page rule") {
+    val docs = Seq(
+      // clean page: 3 substantial sentences + one short line dropped
+      (1L, "This is a good first sentence of a page.\nok.\n" +
+        "Here is the second proper sentence right here!\n" +
+        "And a third one closes it out, naturally?"),
+      // javascript line dropped, page then below 3 sentences => dropped
+      (2L, "Please enable JavaScript to see this content fine.\n" +
+        "One real sentence is written right here today.\n" +
+        "A second real sentence is also written here now."),
+      // brace => page dropped even though lines are fine
+      (3L, "A perfectly reasonable sentence { with code } inside it.\n" +
+        "Another perfectly reasonable long sentence sits here.\n" +
+        "And a third perfectly reasonable sentence too."),
+      // lorem ipsum => page dropped
+      (4L, "Lorem Ipsum dolor sit amet, consectetur adipiscing elit.\n" +
+        "A second real sentence is also written here now.\n" +
+        "And a third real sentence is written here as well."),
+      // no terminal punctuation anywhere => zero lines kept
+      (5L, "just some words with no punctuation at all\nand more of them"))
+      .toDF("doc_id", "text")
+    val r = CorpusOps.c4Filter(docs, "text")
+      .collect().map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(r(1L).getAs[Long]("n_lines_kept") == 3 &&
+      r(1L).getAs[Boolean]("keep"))
+    assert(r(1L).getAs[String]("clean_text").linesIterator.size == 3)
+    assert(r(2L).getAs[Long]("n_lines_kept") == 2 &&
+      !r(2L).getAs[Boolean]("keep"), "javascript line must drop the page below 3 sentences")
+    assert(r(3L).getAs[Boolean]("has_brace") && !r(3L).getAs[Boolean]("keep"))
+    assert(r(4L).getAs[Boolean]("has_lorem") && !r(4L).getAs[Boolean]("keep"))
+    assert(r(5L).getAs[Long]("n_lines_kept") == 0 &&
+      !r(5L).getAs[Boolean]("keep"))
+  }
 }

@@ -1,0 +1,69 @@
+package graft.ops
+
+import graft.spark.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class GraphOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  /** Independent single-machine replay of the exact fixed-point semantics
+    * (long sums, floor divisions) — the oracle the distributed ranks must
+    * match bit-for-bit. */
+  private def naive(edges: Seq[(String, String)], iters: Int,
+      scale: Long = 1000000000000L): Map[String, Long] = {
+    val e = edges.distinct
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct
+    val out = e.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val n = nodes.size.toLong
+    val base = (scale * 3L / 20L) / n
+    var r = nodes.map(_ -> scale / n).toMap
+    for (_ <- 1 to iters) {
+      val dangling = nodes.filterNot(out.contains).map(r).sum
+      val inc = e.groupBy(_._2).view.mapValues(
+        _.map { case (s, _) => r(s) / out(s) }.sum).toMap
+      r = nodes.map(nd =>
+        nd -> (base + (inc.getOrElse(nd, 0L) + dangling / n) * 17L / 20L)).toMap
+    }
+    r
+  }
+
+  test("pageRank matches the integer-exact naive replay bit-for-bit") {
+    // a graph with structure: a cycle, a hub pulling from everywhere, a
+    // dangling sink, and a duplicate edge that must collapse
+    val edges = Seq(
+      "a" -> "b", "b" -> "c", "c" -> "a",          // cycle
+      "a" -> "hub", "b" -> "hub", "c" -> "hub",    // hub
+      "hub" -> "sink",                             // sink is dangling
+      "a" -> "b")                                  // duplicate
+    val got = GraphOps.pageRank(edges.toDF("s", "d").repartition(7), "s", "d",
+        iters = 6)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == naive(edges, 6))
+    // the hub outranks cycle members; the sink holds the hub's forwarded mass
+    assert(got("hub") > got("a") && got("sink") > got("a"))
+  }
+
+  test("pageRank conserves rank mass up to floor drift") {
+    val edges = (0 until 40).map(i => (s"n$i", s"n${(3 * i + 1) % 40}")) ++
+      (0 until 40).map(i => (s"n$i", s"d${i % 7}")) // 7 dangling sinks
+    val scale = 1000000000000L
+    val iters = 5
+    val total = GraphOps.pageRank(edges.toDF("s", "d"), "s", "d", iters)
+      .agg(org.apache.spark.sql.functions.sum("rank_scaled"))
+      .collect()(0).getLong(0)
+    // each round floors at most once per node (propagation) + once for the
+    // teleport base + once for the dangling share => drift < 3N per round
+    val n = 47L
+    assert(total <= scale && scale - total <= 3L * n * iters,
+      s"mass $total drifted more than floor slack from $scale")
+  }
+
+  test("pageRank is partition-invariant") {
+    val edges = (0 until 60).map(i => (s"u${i % 13}", s"u${(i * 5 + 2) % 13}"))
+    def run(parts: Int) = GraphOps.pageRank(
+        edges.toDF("s", "d").repartition(parts), "s", "d", iters = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(run(2) == run(11))
+  }
+}
