@@ -789,6 +789,41 @@ object SparkEntry {
           col("est_count"), col("exact_count"),
           (col("est_count") - col("exact_count")).as("overcount"))
     }),
+    "approx_theta_overlap" -> ((s, dir) => {
+      // KMV/theta sketch SET ALGEBRA over event-type user sets — the
+      // capability HLL trades away: per event-type pair, distinct-user
+      // union and intersection estimates from 64-hash bottom-k sketches,
+      // next to the exact values (|est - exact| is the real KMV error,
+      // visible per row). The whole construction — salted md5 bottom-k,
+      // merged-sketch theta, rho/theta and (k-1)/U_(k) estimators, exact
+      // degradation when the merged set fits under k — replays bit-exactly
+      // in the oracle. Sketch build is one map-side-combined aggregation
+      // with <= 64 longs of state per task; the pair stage only ever
+      // touches sketch rows.
+      val k = 64
+      val ev = events(s, dir).select(col("event_type").as("group"),
+        col("user_id").cast("string").as("item"))
+      val est = Sketches.kmvPairOverlap(ev, "group", "item", k)
+      val dist = Sketches.kmvDistinct(Sketches.kmvSketch(ev, "group", "item", k), k)
+      val exact = ev.distinct()
+      val exN = exact.groupBy("group").agg(count(lit(1)).as("exact_n"))
+      val exInt = exact.select(col("group").as("ga"), col("item"))
+        .join(exact.select(col("group").as("gb"), col("item")), "item")
+        .filter(col("ga") < col("gb"))
+        .groupBy("ga", "gb").agg(count(lit(1)).as("exact_intersect0"))
+      est
+        .join(dist.select(col("group").as("ga"), col("est_distinct").as("est_a")), "ga")
+        .join(dist.select(col("group").as("gb"), col("est_distinct").as("est_b")), "gb")
+        .join(exN.select(col("group").as("ga"), col("exact_n").as("exact_a")), "ga")
+        .join(exN.select(col("group").as("gb"), col("exact_n").as("exact_b")), "gb")
+        .join(exInt, Seq("ga", "gb"), "left")
+        .select(col("ga"), col("gb"), col("est_a"), col("est_b"),
+          col("est_union"), col("est_intersect"),
+          col("exact_a"), col("exact_b"),
+          (col("exact_a") + col("exact_b")
+            - coalesce(col("exact_intersect0"), lit(0L))).as("exact_union"),
+          coalesce(col("exact_intersect0"), lit(0L)).as("exact_intersect"))
+    }),
     "dedup_exact" -> ((s, dir) => {
       Dedup.duplicateGroups(s.read.parquet(s"$dir/documents.parquet"), "text", "doc_id")
     }),
@@ -3619,6 +3654,62 @@ object SparkEntry {
             FROM probe p LEFT JOIN sk s
               ON s.event_type = p.event_type AND s.j = p.j AND s.bucket = p.bucket
             GROUP BY p.event_type, p.item, p.exact_count""",
+      // KMV/theta replay: bottom-64 distinct salted md5 hashes per group,
+      // merged-pair bottom-64 with membership flags, theta = merged kth
+      // hash, and the identical estimator expressions (63.0 * 2^60 / h and
+      // rho * 2^60 / theta as single double divisions, exact when under k)
+      "approx_theta_overlap" ->
+        """WITH ev AS (
+              SELECT DISTINCT event_type AS g, CAST(user_id AS VARCHAR) AS item
+              FROM events),
+            hd AS (
+              SELECT DISTINCT g,
+                     CAST(CONCAT('0x', substr(md5(CONCAT(item, '#kmv')), 1, 15))
+                          AS BIGINT) AS h
+              FROM ev),
+            sk AS (SELECT g, h FROM (
+                     SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rk
+                     FROM hd) WHERE rk <= 64),
+            gs AS (SELECT DISTINCT g FROM sk),
+            pairs AS (SELECT a.g AS ga, b.g AS gb FROM gs a, gs b WHERE a.g < b.g),
+            m AS (SELECT p.ga, p.gb, s.h,
+                     max(CASE WHEN s.g = p.ga THEN 1 ELSE 0 END) AS in_a,
+                     max(CASE WHEN s.g = p.gb THEN 1 ELSE 0 END) AS in_b
+                  FROM pairs p JOIN sk s ON s.g = p.ga OR s.g = p.gb
+                  GROUP BY 1, 2, 3),
+            t AS (SELECT * FROM (
+                     SELECT m.*, row_number() OVER (PARTITION BY ga, gb ORDER BY h) AS rk
+                     FROM m) WHERE rk <= 64),
+            u AS (SELECT ga, gb, CAST(count(*) AS BIGINT) AS n_u, max(h) AS theta,
+                     CAST(sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS rho
+                  FROM t GROUP BY 1, 2),
+            d AS (SELECT g, CAST(count(*) AS BIGINT) AS n_h, max(h) AS kth
+                  FROM sk GROUP BY 1),
+            ex AS (SELECT g, CAST(count(*) AS BIGINT) AS exact_n FROM ev GROUP BY 1),
+            exi AS (SELECT a.g AS ga, b.g AS gb, CAST(count(*) AS BIGINT) AS exact_int
+                    FROM ev a JOIN ev b ON a.item = b.item AND a.g < b.g
+                    GROUP BY 1, 2)
+            SELECT u.ga, u.gb,
+                   CASE WHEN da.n_h < 64 THEN CAST(da.n_h AS DOUBLE)
+                        ELSE 63.0 * 1152921504606846976.0 / CAST(da.kth AS DOUBLE)
+                   END AS est_a,
+                   CASE WHEN db.n_h < 64 THEN CAST(db.n_h AS DOUBLE)
+                        ELSE 63.0 * 1152921504606846976.0 / CAST(db.kth AS DOUBLE)
+                   END AS est_b,
+                   CASE WHEN u.n_u < 64 THEN CAST(u.n_u AS DOUBLE)
+                        ELSE 63.0 * 1152921504606846976.0 / CAST(u.theta AS DOUBLE)
+                   END AS est_union,
+                   CASE WHEN u.n_u < 64 THEN CAST(u.rho AS DOUBLE)
+                        ELSE CAST(u.rho AS DOUBLE) * 1152921504606846976.0
+                             / CAST(u.theta AS DOUBLE)
+                   END AS est_intersect,
+                   ea.exact_n AS exact_a, eb.exact_n AS exact_b,
+                   ea.exact_n + eb.exact_n - COALESCE(exi.exact_int, 0) AS exact_union,
+                   COALESCE(exi.exact_int, 0) AS exact_intersect
+            FROM u JOIN d da ON da.g = u.ga JOIN d db ON db.g = u.gb
+                   JOIN ex ea ON ea.g = u.ga JOIN ex eb ON eb.g = u.gb
+                   LEFT JOIN exi ON exi.ga = u.ga AND exi.gb = u.gb""",
       "approx_distinct_md5" ->
         """WITH h AS (
               SELECT event_type,

@@ -87,6 +87,63 @@ final class MisraGriesAggregator(k: Int)
   def outputEncoder: Encoder[MGBuf] = Encoders.product[MGBuf]
 }
 
+/** KMV (k minimum values) synopsis output: the k smallest distinct hashes,
+  * sorted ascending. */
+final case class KMVBuf(hs: Array[Long])
+
+/** Bottom-k DISTINCT longs as a partial aggregate: each task keeps a sorted
+  * array of at most k distinct hashes, merge is a capped sorted-merge — the
+  * KMV distinct-value synopsis (Bar-Yossef et al., RANDOM'02; Beyer et al.,
+  * SIGMOD'07). Exchange carries <= k longs per (group, task) regardless of
+  * item cardinality, and the result is a deterministic function of the item
+  * SET — dedup happens inside the buffer, so no distinct shuffle is needed
+  * upstream. */
+final class BottomKDistinctAggregator(k: Int)
+    extends Aggregator[Long, Array[Long], KMVBuf] {
+  require(k >= 2, s"k must be >= 2, got $k")
+
+  def zero: Array[Long] = Array.emptyLongArray
+
+  def reduce(b: Array[Long], h: Long): Array[Long] = {
+    val pos = java.util.Arrays.binarySearch(b, h)
+    if (pos >= 0) b // already present
+    else {
+      val ins = -pos - 1
+      if (b.length < k) {
+        val out = new Array[Long](b.length + 1)
+        System.arraycopy(b, 0, out, 0, ins)
+        out(ins) = h
+        System.arraycopy(b, ins, out, ins + 1, b.length - ins)
+        out
+      } else if (ins < k) {
+        val out = new Array[Long](k)
+        System.arraycopy(b, 0, out, 0, ins)
+        out(ins) = h
+        System.arraycopy(b, ins, out, ins + 1, k - ins - 1)
+        out
+      } else b
+    }
+  }
+
+  def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+    if (b2.isEmpty) return b1
+    if (b1.isEmpty) return b2
+    val out = new Array[Long](math.min(b1.length + b2.length, k))
+    var i = 0; var j = 0; var n = 0
+    while (n < out.length && (i < b1.length || j < b2.length)) {
+      val take1 = j >= b2.length || (i < b1.length && b1(i) <= b2(j))
+      val v = if (take1) b1(i) else b2(j)
+      if (take1) i += 1 else j += 1
+      if (n == 0 || out(n - 1) != v) { out(n) = v; n += 1 }
+    }
+    if (n == out.length) out else java.util.Arrays.copyOf(out, n)
+  }
+
+  def finish(b: Array[Long]): KMVBuf = KMVBuf(b)
+  def bufferEncoder: Encoder[Array[Long]] = Encoders.kryo[Array[Long]]
+  def outputEncoder: Encoder[KMVBuf] = Encoders.product[KMVBuf]
+}
+
 object Sketches {
 
   /** Portable HyperLogLog distinct count (Flajolet et al., AofA 2007) over
@@ -288,5 +345,86 @@ object Sketches {
       .select(col("group"), posexplode(arrays_zip(col("s.keys"), col("s.counts"))))
       .select(col("group"), col("col.keys").as("item"),
         col("col.counts").as("est_count"))
+  }
+
+  // ---------------- KMV / theta sketch set algebra ----------------
+
+  /** 2^60 — the hash-space size of the engine-wide portable md5 60-bit
+    * hash, exactly representable as a double. */
+  private val Two60: Double = 1152921504606846976L.toDouble
+
+  /** The portable KMV hash of an item: the engine-wide md5 60-bit
+    * convention under the `#kmv` salt — replayable verbatim in SQL. */
+  def kmvHash(item: Column): Column =
+    conv(substring(md5(concat(item.cast("string"), lit("#kmv"))), 1, 15),
+      16, 10).cast("long")
+
+  /** Per-group KMV sketch: the k smallest DISTINCT portable hashes as
+    * (group, h, rk) rows, rk = 1-based ascending rank. One
+    * map-side-combined aggregation ([[BottomKDistinctAggregator]], <= k
+    * longs of state per task) — no distinct shuffle, no per-group sort of
+    * the full hash set. The sketch supports distinct estimation AND set
+    * algebra (union/intersection across groups, [[kmvPairOverlap]]) —
+    * the capability HLL trades away — and, like every portable sketch
+    * here, replays bit-exactly in an independent SQL engine. */
+  def kmvSketch(df: DataFrame, groupCol: String, itemCol: String,
+      k: Int): DataFrame = {
+    val bk = udaf(new BottomKDistinctAggregator(k), Encoders.scalaLong)
+    df.filter(col(itemCol).isNotNull)
+      .groupBy(col(groupCol).as("group"))
+      .agg(bk(kmvHash(col(itemCol))).as("s"))
+      .select(col("group"), posexplode(col("s.hs")))
+      .select(col("group"), (col("pos") + 1).as("rk"), col("col").as("h"))
+  }
+
+  /** Distinct-count estimate from a KMV sketch: exact when the group held
+    * fewer than k distinct hashes (the sketch IS the hash set), else the
+    * standard unbiased (k-1) / U_(k) estimator with U_(k) = h_k / 2^60 —
+    * a single exact double division, oracle-replayable. */
+  def kmvDistinct(sketch: DataFrame, k: Int): DataFrame =
+    sketch.groupBy("group")
+      .agg(count(lit(1)).as("n_hashes"), max("h").as("kth_hash"))
+      .select(col("group"),
+        when(col("n_hashes") < k, col("n_hashes").cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(Two60)
+            / col("kth_hash").cast("double")).as("est_distinct"))
+
+  /** Pairwise set algebra over per-group KMV sketches (the theta-sketch
+    * estimator, Dasgupta et al., "Theta sketch framework"): for every
+    * group pair (ga < gb), estimate the distinct-count of the UNION (KMV
+    * over the merged bottom-k) and of the INTERSECTION (rho / theta, with
+    * theta the merged k-th smallest hash and rho the number of retained
+    * hashes present in both sketches). Both estimates degrade to EXACT
+    * values when the merged hash set fits under k. Plan shape: sketches
+    * are <= k rows per group; pairs x 2k rows total flow through one
+    * grouped dedup + one per-pair window — nothing touches raw data
+    * again. */
+  def kmvPairOverlap(df: DataFrame, groupCol: String, itemCol: String,
+      k: Int): DataFrame = {
+    val sk = kmvSketch(df, groupCol, itemCol, k).localCheckpoint(false)
+    val groups = sk.select("group").distinct()
+    val pairs = groups.select(col("group").as("ga"))
+      .join(groups.select(col("group").as("gb")), col("ga") < col("gb"))
+    val merged = pairs.join(sk.select(col("group").as("ga"), col("h")), Seq("ga"))
+      .select(col("ga"), col("gb"), col("h"), lit(1).as("in_a"), lit(0).as("in_b"))
+      .unionByName(
+        pairs.join(sk.select(col("group").as("gb"), col("h")), Seq("gb"))
+          .select(col("ga"), col("gb"), col("h"), lit(0).as("in_a"), lit(1).as("in_b")))
+      .groupBy("ga", "gb", "h")
+      .agg(max("in_a").as("in_a"), max("in_b").as("in_b"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("ga", "gb").orderBy("h")
+    merged.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .groupBy("ga", "gb")
+      .agg(count(lit(1)).as("n_u"), max("h").as("theta_h"),
+        sum(when(col("in_a") === 1 && col("in_b") === 1, 1L).otherwise(0L))
+          .as("rho"))
+      .select(col("ga"), col("gb"),
+        when(col("n_u") < k, col("n_u").cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(Two60)
+            / col("theta_h").cast("double")).as("est_union"),
+        when(col("n_u") < k, col("rho").cast("double"))
+          .otherwise(col("rho").cast("double") * lit(Two60)
+            / col("theta_h").cast("double")).as("est_intersect"))
   }
 }

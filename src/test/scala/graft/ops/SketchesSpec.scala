@@ -144,6 +144,57 @@ class SketchesSpec extends AnyFunSuite {
     assert(fpRate <= 0.01, s"false-positive rate $fpRate implausibly high")
   }
 
+  test("BottomKDistinctAggregator equals bottom-k of the distinct set (property)") {
+    val gen = for {
+      n <- Gen.chooseNum(0, 300)
+      items <- Gen.listOfN(n, Gen.chooseNum(0L, 80L))
+      k <- Gen.chooseNum(2, 20)
+      parts <- Gen.chooseNum(1, 5)
+    } yield (items, k, parts)
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(200),
+      Prop.forAll(gen) { case (items, k, parts) =>
+        val agg = new BottomKDistinctAggregator(k)
+        val got = agg.finish(
+          items.grouped(math.max(items.length / parts, 1)).toList
+            .map(_.foldLeft(agg.zero)(agg.reduce))
+            .foldLeft(agg.zero)(agg.merge)).hs.toSeq
+        got == items.distinct.sorted.take(k)
+      })
+    assert(res.passed, s"bottom-k distinct: ${res.status}")
+  }
+
+  test("kmvDistinct: exact under k, within KMV error above k") {
+    val rows = (1 to 2000).map(i => ("big", s"u${i % 700}")) ++
+      (1 to 100).map(i => ("small", s"v${i % 40}"))
+    val df = rows.toDF("g", "item").repartition(9)
+    val est = Sketches.kmvDistinct(Sketches.kmvSketch(df, "g", "item", 64), 64)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(est("small") == 40.0, "under k the sketch IS the set — must be exact")
+    // KMV relative error ~ 1/sqrt(k-2) ~ 12.7%; allow 3 sigma
+    assert(math.abs(est("big") - 700) / 700.0 < 0.4, est("big").toString)
+  }
+
+  test("kmvPairOverlap: exact mode under k, estimates near planted overlap") {
+    // two groups sharing exactly 30 of their users, small enough for exact
+    // mode (merged distinct = 70 > 64? no: 50 + 50 - 30 = 70 ... keep
+    // under: 40 + 40 - 25 = 55 < 64 => exact mode)
+    val a = (1 to 40).map(i => ("a", s"s$i"))
+    val b = (1 to 25).map(i => ("b", s"s$i")) ++ (1 to 15).map(i => ("b", s"t$i"))
+    val exact = Sketches.kmvPairOverlap((a ++ b).toDF("g", "item"), "g", "item", 64)
+      .collect()(0)
+    assert(exact.getAs[Double]("est_union") == 55.0 &&
+      exact.getAs[Double]("est_intersect") == 25.0,
+      s"exact mode must return exact values, got $exact")
+    // estimate mode: 600 vs 500 users sharing 300
+    val bigA = (1 to 600).map(i => ("a", s"s$i"))
+    val bigB = (1 to 500).map(i => ("b", s"s${i + 300}"))
+    val r = Sketches.kmvPairOverlap((bigA ++ bigB).toDF("g", "item")
+      .repartition(7), "g", "item", 64).collect()(0)
+    assert(math.abs(r.getAs[Double]("est_union") - 800) / 800.0 < 0.5, r.toString)
+    assert(math.abs(r.getAs[Double]("est_intersect") - 300) / 300.0 < 0.6, r.toString)
+  }
+
   test("hllPortable: union of partial sketches equals the direct sketch") {
     // store-sketches-merge-later: sketch per (g, shard), union by max down
     // to g — distributivity of max makes this EXACTLY the direct sketch,
