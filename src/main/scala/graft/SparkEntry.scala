@@ -1651,6 +1651,21 @@ object SparkEntry {
         urgent, Seq("o_orderkey"), shards = 8)
         .select(col("o_orderkey").as("l_orderkey"), col("l_linenumber"))
     }),
+    "a_bloom_join" -> ((s, dir) => {
+      // Bloom-pre-filtered shuffle join: big side (orders) is filtered by a
+      // portable bitmap over the BUILDING customers' keys before its rows
+      // reach the shuffle; the join removes false positives, so the result
+      // is exactly the plain join. Cents-integer sum => order-free.
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey")
+      val ords = s.read.parquet(s"$dir/orders.parquet")
+        .select("o_custkey", "o_totalprice")
+      Dataflow.bloomFilteredJoin(ords, cust, "o_custkey", "c_custkey")
+        .groupBy(col("c_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("total_cents"))
+    }),
     "a_count_per_element" -> ((s, dir) => {
       s.read.parquet(s"$dir/lineitem.parquet")
         .groupBy(col("l_returnflag"), col("l_linestatus"))
@@ -3454,6 +3469,14 @@ object SparkEntry {
       "a_filter_by_key_sharded" ->
         """SELECT l_orderkey, l_linenumber FROM lineitem
            WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')""",
+      // the Bloom pre-filter only drops shuffle bytes; the result is the
+      // plain equi-join
+      "a_bloom_join" ->
+        """SELECT c_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+                  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+           FROM orders JOIN customer ON o_custkey = c_custkey
+           WHERE c_mktsegment = 'BUILDING'
+           GROUP BY c_custkey""",
       "a_count_per_element" ->
         "SELECT l_returnflag, l_linestatus, count(*) AS n FROM lineitem GROUP BY 1, 2",
       "a_sum_per_key" ->

@@ -30,4 +30,54 @@ object Dataflow {
     salted.join(replicated, keyCols :+ "__graft_salt", "left_semi")
       .drop("__graft_salt")
   }
+
+  /** Bloom-pre-filtered shuffle equi-join: build a PORTABLE Bloom filter
+    * over the small side's join keys ([[graft.ops.Sketches.bloomPositions]]
+    * — the same md5 bit positions any engine reproduces), assemble it into
+    * a driver bitmap (bounded by construction: `mBits/8` bytes — 128 KiB at
+    * the 2^20 default, regardless of data scale), and filter the BIG side
+    * with a codegen'd native-function membership test BEFORE its rows reach
+    * the shuffle. Rows whose key cannot be on the small side never get
+    * hashed, serialized, or sent over the network — at 100 TB the shuffle
+    * write is the join's dominant cost, and with a selective small side the
+    * Bloom drops most of it for one broadcast-sized bitmap. False positives
+    * only cost shuffle bytes, never correctness: the equi-join removes them,
+    * so the result is EXACTLY the plain join (the oracle is plain SQL).
+    *
+    * This is the manual form of Spark's runtime row-level filtering, kept
+    * explicit so the bitmap is portable (engine-independent md5, not Spark's
+    * internal bloom binary) and reusable across queries. The membership test
+    * is all native functions (`md5`/`conv`/`element_at`/`getbit`) — one
+    * whole-stage-codegen span, no UDF on the per-row path.
+    *
+    * Prefer a plain broadcast join when the small side itself fits in a
+    * broadcast — the Bloom pays off when BOTH sides are shuffle-scale but
+    * the small side's key set still fits a bitmap. */
+  def bloomFilteredJoin(
+      big: DataFrame,
+      small: DataFrame,
+      bigKey: String,
+      smallKey: String,
+      d: Int = 5,
+      mBits: Int = 1 << 20
+  ): DataFrame = {
+    require(Integer.bitCount(mBits) == 1 && mBits >= 64,
+      s"mBits must be a power of two >= 64, got $mBits")
+    require(d > 0, s"d must be positive, got $d")
+    val words = new Array[Long](mBits / 64)
+    // bounded driver assembly: bloomBits emits <= min(d*|keys|, mBits) rows
+    graft.ops.Sketches.bloomBits(small.select(col(smallKey)), smallKey, d, mBits)
+      .collect().foreach { r =>
+        val p = r.getLong(0)
+        words((p >>> 6).toInt) |= (1L << (p & 63))
+      }
+    val bm = typedLit(words.toIndexedSeq)
+    val pass = forall(
+      graft.ops.Sketches.bloomPositions(col(bigKey), d, mBits),
+      p => getbit(
+        element_at(bm, shiftrightunsigned(p, 6).cast("int") + lit(1)),
+        pmod(p, lit(64L))) === lit(1L))
+    big.filter(col(bigKey).isNotNull && pass)
+      .join(small.hint("shuffle_hash"), big(bigKey) === small(smallKey))
+  }
 }

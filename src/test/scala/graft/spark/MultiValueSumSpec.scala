@@ -135,4 +135,24 @@ class DataflowSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == want && got.nonEmpty)
   }
+
+  test("bloom-filtered join equals the plain equi-join") {
+    val big = (1 to 1000).map(i => (i.toLong % 211, i.toLong)).toDF("bk", "v")
+    val small = Seq(3L, 57L, 100L, 210L).map(k => (k, s"n$k")).toDF("sk", "name")
+    val got = Dataflow.bloomFilteredJoin(big, small, "bk", "sk", mBits = 1 << 12)
+      .select("bk", "v", "name")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val want = big.join(small, col("bk") === col("sk"))
+      .select("bk", "v", "name")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("bloom pre-filter keeps every true key (no false negatives)") {
+    val big = (1 to 2000).map(i => (i.toLong, i.toLong)).toDF("bk", "v")
+    val small = (1 to 2000 by 7).map(k => (k.toLong, k)).toDF("sk", "w")
+    // even at an overloaded tiny bitmap the join must stay exact
+    val n = Dataflow.bloomFilteredJoin(big, small, "bk", "sk", mBits = 256).count()
+    assert(n == small.count())
+  }
 }
