@@ -1752,6 +1752,59 @@ object SparkEntry {
         .orderBy(col("revenue").desc, col("l_orderkey"))
         .limit(10)
     }),
+    "a_tpch_q5" -> ((s, dir) => {
+      // TPC-H Q5 shape (local supplier volume): the classic star-join —
+      // region/nation/supplier are BROADCAST (dims stay small at any fact
+      // scale), orders⋈customer and the lineitem join shuffle on their keys
+      // and AQE picks the fact-side order. Revenue floor()ed per row after
+      // one IEEE multiply => order-free sums.
+      val asiaNations = s.read.parquet(s"$dir/nation.parquet")
+        .join(broadcast(s.read.parquet(s"$dir/region.parquet")
+            .filter(col("r_name") === "ASIA").select("r_regionkey")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+      val supp = s.read.parquet(s"$dir/supplier.parquet")
+        .select("s_suppkey", "s_nationkey")
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+        .select("c_custkey", "c_nationkey")
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+        .filter(col("o_orderdate") >= "1996-01-01" &&
+          col("o_orderdate") < "1997-01-01")
+        .select("o_orderkey", "o_custkey")
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      li.join(orders, li("l_orderkey") === orders("o_orderkey"))
+        .join(cust, orders("o_custkey") === cust("c_custkey"))
+        .join(broadcast(supp),
+          li("l_suppkey") === supp("s_suppkey") &&
+            cust("c_nationkey") === supp("s_nationkey"))
+        .join(broadcast(asiaNations),
+          supp("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .cast("double").as("revenue"))
+    }),
+    "a_tpch_q18" -> ((s, dir) => {
+      // TPC-H Q18 shape (large-volume orders): aggregate-then-join — the
+      // qualifying-order set is computed by a map-side-combined rollup of
+      // lineitem FIRST, and only that tail joins back to orders/customer, so
+      // the fact-fact join input shrinks from all orders to the heavy tail.
+      // Quantities are integer-valued doubles => order-free sums.
+      val big = s.read.parquet(s"$dir/lineitem.parquet")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(floor(col("l_quantity"))).cast("long").as("total_qty"))
+        .filter(col("total_qty") > 150)
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+        .select("c_custkey", "c_name")
+      orders.join(big, orders("o_orderkey") === big("l_orderkey"))
+        .join(cust, orders("o_custkey") === cust("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+          floor(col("o_totalprice")).cast("long").as("totalprice_floor"),
+          col("total_qty"))
+    }),
     "a_asof_join" -> ((s, dir) => {
       // as-of join (attribution): for each purchase, the user's latest click
       // at-or-before it. Merge-join formulation — one shuffle, no range
@@ -1866,6 +1919,26 @@ object SparkEntry {
       p.unionByName(j)
         .groupBy("format", "lang")
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars"))
+    }),
+    "io_cdc_merge" -> ((s, dir) => {
+      // CDC ingest merge: base snapshot + deterministic update batch
+      // (every 5th doc re-versioned with a payload change, every 7th
+      // tombstoned at a higher version), last-writer-wins compaction via
+      // the argmax aggregate (one map-side-combined shuffle, no window
+      // sort), tombstone winners dropped. The oracle replays the same
+      // union with a row_number window — same rows, independent plan.
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "n_chars")
+      val base = docs
+        .withColumn("version", lit(1L)).withColumn("deleted", lit(false))
+      val upserts = docs.filter(col("doc_id") % 5 === 0)
+        .withColumn("n_chars", col("n_chars") + 1000L)
+        .withColumn("version", lit(2L)).withColumn("deleted", lit(false))
+      val tombstones = docs.filter(col("doc_id") % 7 === 0)
+        .withColumn("version", lit(3L)).withColumn("deleted", lit(true))
+      CorpusOps.mergeUpsert(base, upserts.unionByName(tombstones),
+          Seq("doc_id"), "version", deleteCol = Some("deleted"))
+        .select("doc_id", "version", "n_chars")
     }),
     "io_export_shards" -> ((s, dir) => {
       // the pipeline's last mile: deterministic 16-shard export (portable
@@ -3321,6 +3394,24 @@ object SparkEntry {
            GROUP BY 1, 2""",
       // the written-shard manifest replayed from the source table: same
       // portable hash, same mod-16 assignment, same order-free xor
+      "io_cdc_merge" ->
+        """WITH all_rows AS (
+             SELECT doc_id, 1 AS version, FALSE AS deleted, n_chars, 0 AS src
+             FROM documents
+             UNION ALL
+             SELECT doc_id, 2, FALSE, n_chars + 1000, 1
+             FROM documents WHERE doc_id % 5 = 0
+             UNION ALL
+             SELECT doc_id, 3, TRUE, n_chars, 1
+             FROM documents WHERE doc_id % 7 = 0),
+           winners AS (
+             SELECT doc_id, version, deleted, n_chars,
+                    row_number() OVER (PARTITION BY doc_id
+                      ORDER BY version DESC, src DESC) AS rn
+             FROM all_rows)
+           SELECT doc_id, CAST(version AS BIGINT) AS version,
+                  CAST(n_chars AS BIGINT) AS n_chars
+           FROM winners WHERE rn = 1 AND NOT deleted""",
       "io_export_shards" ->
         """WITH h AS (
              SELECT doc_id, n_chars,
@@ -3517,6 +3608,28 @@ object SparkEntry {
            GROUP BY 1, 2
            ORDER BY revenue DESC, l_orderkey
            LIMIT 10""",
+      "a_tpch_q5" ->
+        """SELECT n_name,
+                  CAST(sum(floor(l_extendedprice * (1.0 - l_discount))) AS DOUBLE) AS revenue
+           FROM lineitem, orders, customer, supplier, nation, region
+           WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+             AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+             AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+             AND r_name = 'ASIA'
+             AND o_orderdate >= TIMESTAMP '1996-01-01'
+             AND o_orderdate < TIMESTAMP '1997-01-01'
+           GROUP BY n_name""",
+      "a_tpch_q18" ->
+        """SELECT c_name, c_custkey, o_orderkey,
+                  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+                  CAST(floor(o_totalprice) AS BIGINT) AS totalprice_floor,
+                  total_qty
+           FROM orders
+           JOIN (SELECT l_orderkey, CAST(sum(floor(l_quantity)) AS BIGINT) AS total_qty
+                 FROM lineitem GROUP BY l_orderkey
+                 HAVING CAST(sum(floor(l_quantity)) AS BIGINT) > 150) big
+             ON o_orderkey = big.l_orderkey
+           JOIN customer ON o_custkey = c_custkey""",
       "a_join_agg" ->
         """SELECT c_mktsegment, o_orderpriority, count(*) AS n_orders,
               CAST(sum(floor(o_totalprice)) AS DOUBLE) AS revenue_floor

@@ -480,4 +480,43 @@ object CorpusOps {
       .select(col("stratum"), col("col.ids").as("id"),
         (col("pos") + 1).cast("long").as("rk"))
   }
+
+  /** CDC merge (upsert + tombstone): apply an update batch to a base
+    * snapshot, last-writer-wins by `versionCol`, with rows whose winning
+    * record is a tombstone (`deleteCol` true) dropped from the output —
+    * the ingest-time compaction every continuously-updated corpus needs.
+    *
+    * Winner selection is `max(struct(version, source, payload…))` under one
+    * `groupBy(key)` — an argmax aggregate, NOT a `row_number()` window: the
+    * aggregate partial-combines map-side (each task forwards one candidate
+    * row per key it saw), so the exchange carries at most one row per
+    * (key, task) instead of every duplicate, and there is no per-partition
+    * sort. On a version tie the update batch wins over the base (`__src` is
+    * the struct's second field); remaining payload fields make any further
+    * tie deterministic rather than first-seen.
+    *
+    * Contract: both frames share one schema; `versionCol` must be non-null
+    * (a versionless row has no place in last-writer-wins order — fails loud
+    * per the repo convention). */
+  def mergeUpsert(base: DataFrame, updates: DataFrame, keyCols: Seq[String],
+      versionCol: String, deleteCol: Option[String] = None): DataFrame = {
+    require(keyCols.nonEmpty, "mergeUpsert: at least one key column")
+    require(base.columns.sorted.sameElements(updates.columns.sorted),
+      s"mergeUpsert: schemas differ: ${base.columns.toSeq} vs ${updates.columns.toSeq}")
+    require(!base.columns.contains("__src"), "mergeUpsert: __src is reserved")
+    val guarded = (df: DataFrame, src: Int) => df
+      .withColumn(versionCol, when(col(versionCol).isNull, raise_error(
+          lit(s"mergeUpsert: null $versionCol — last-writer-wins needs a version")))
+        .otherwise(col(versionCol)))
+      .withColumn("__src", lit(src))
+    val all = guarded(base, 0).unionByName(guarded(updates, 1))
+    val payload = all.columns.filterNot(c => keyCols.contains(c) || c == "__src")
+    val ordered = struct(
+      col(versionCol) +: col("__src") +:
+        payload.filterNot(_ == versionCol).map(col): _*)
+    val merged = all.groupBy(keyCols.map(col): _*)
+      .agg(max(ordered).as("__w"))
+      .select(keyCols.map(col) ++ payload.map(c => col(s"__w.$c").as(c)): _*)
+    deleteCol.fold(merged)(d => merged.filter(!col(d)))
+  }
 }

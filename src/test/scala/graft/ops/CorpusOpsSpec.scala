@@ -276,4 +276,55 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(r(5L).getAs[Long]("n_lines_kept") == 0 &&
       !r(5L).getAs[Boolean]("keep"))
   }
+
+  private def cdcBase = Seq(
+    (1L, 1L, false, "a"), (2L, 1L, false, "b"), (3L, 1L, false, "c"),
+    (4L, 5L, false, "old-but-high-version")
+  ).toDF("id", "version", "deleted", "payload")
+
+  test("mergeUpsert: higher version wins, tombstone winners are dropped") {
+    val updates = Seq(
+      (1L, 2L, false, "a2"),       // upsert over id 1
+      (2L, 2L, true, "b-gone"),    // tombstone id 2
+      (4L, 2L, false, "too-old"),  // LOSES: base already at version 5
+      (9L, 1L, false, "new-row")   // pure insert
+    ).toDF("id", "version", "deleted", "payload")
+    val got = CorpusOps.mergeUpsert(cdcBase, updates, Seq("id"), "version",
+        deleteCol = Some("deleted"))
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("version"),
+        r.getAs[String]("payload"))).toSet
+    assert(got == Set((1L, 2L, "a2"), (3L, 1L, "c"),
+      (4L, 5L, "old-but-high-version"), (9L, 1L, "new-row")))
+  }
+
+  test("mergeUpsert: version tie goes to the update batch, deterministically") {
+    val updates = Seq((1L, 1L, false, "a-updated")).toDF(
+      "id", "version", "deleted", "payload")
+    val got = CorpusOps.mergeUpsert(cdcBase, updates, Seq("id"), "version",
+        deleteCol = Some("deleted"))
+      .filter(col("id") === 1L).collect().head.getAs[String]("payload")
+    assert(got == "a-updated")
+  }
+
+  test("mergeUpsert: null version fails loud") {
+    val updates = Seq((1L, Option.empty[Long], false, "x")).toDF(
+      "id", "version", "deleted", "payload")
+    val e = intercept[Exception] {
+      CorpusOps.mergeUpsert(cdcBase, updates, Seq("id"), "version").collect()
+    }
+    assert(SparkTestSession.chainMsg(e).contains("null version"))
+  }
+
+  test("mergeUpsert: argmax plan — one exchange, map-side partial aggregate") {
+    val updates = Seq((1L, 2L, false, "a2")).toDF(
+      "id", "version", "deleted", "payload")
+    val merged = CorpusOps.mergeUpsert(cdcBase, updates, Seq("id"), "version",
+      deleteCol = Some("deleted"))
+    val plan = merged.queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).length == 1,
+      s"one shuffle expected (argmax aggregate, no window sort):\n$plan")
+    assert(!plan.contains("Window"), s"no window sort expected:\n$plan")
+    assert(plan.contains("partial_max") || plan.contains("partial"),
+      s"map-side combine expected:\n$plan")
+  }
 }
