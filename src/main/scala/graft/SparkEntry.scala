@@ -1920,6 +1920,31 @@ object SparkEntry {
         .groupBy("format", "lang")
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars"))
     }),
+    "sample_weighted" -> ((s, dir) => {
+      // weighted sample without replacement: 100 docs, inclusion odds
+      // proportional to length (priority sampling — w/u with a portable
+      // md5 uniform; division-only math, so the priorities themselves are
+      // bit-reproducible in the oracle).
+      CorpusOps.weightedSample(
+        s.read.parquet(s"$dir/documents.parquet")
+          .select("doc_id", "n_chars"),
+        "doc_id", "n_chars", k = 100)
+    }),
+    "corpus_budget_select" -> ((s, dir) => {
+      // token-budget fill: rank by a planted portable quality score
+      // (Knuth-hash of doc_id — the fixture has no score column; the oracle
+      // replays the same planting) and keep the best-first prefix within
+      // 40% of the corpus' total chars. Budget comes from a one-row
+      // pre-aggregate, so the query is scale-proportional at any sf.
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("n_chars"),
+          ((col("doc_id") * 2654435761L) % 1000).cast("double")./(1000.0)
+            .as("score"))
+      val total = docs.agg(sum("n_chars")).collect()(0).getLong(0)
+      CorpusOps.budgetSelect(docs, "doc_id", "n_chars", "score",
+          budget = total * 2 / 5)
+        .withColumnRenamed("id", "doc_id")
+    }),
     "io_cdc_merge" -> ((s, dir) => {
       // CDC ingest merge: base snapshot + deterministic update batch
       // (every 5th doc re-versioned with a payload change, every 7th
@@ -3394,6 +3419,30 @@ object SparkEntry {
            GROUP BY 1, 2""",
       // the written-shard manifest replayed from the source table: same
       // portable hash, same mod-16 assignment, same order-free xor
+      "sample_weighted" ->
+        """SELECT doc_id, CAST(n_chars AS DOUBLE) AS n_chars,
+                  CAST(n_chars AS DOUBLE) /
+                    ((CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                        AS BIGINT) + 1) / CAST(1152921504606846976 AS DOUBLE))
+                    AS priority
+           FROM documents
+           ORDER BY priority DESC, doc_id
+           LIMIT 100""",
+      "corpus_budget_select" ->
+        """WITH scored AS (
+             SELECT doc_id, n_chars AS len,
+                    CAST((doc_id * 2654435761) % 1000 AS DOUBLE)
+                      / CAST(1000 AS DOUBLE) AS score
+             FROM documents),
+           c AS (
+             SELECT doc_id, len, score,
+                    sum(len) OVER (ORDER BY score DESC, doc_id
+                      ROWS UNBOUNDED PRECEDING) AS cum_tokens
+             FROM scored)
+           SELECT doc_id, CAST(len AS BIGINT) AS len, score,
+                  CAST(cum_tokens AS BIGINT) AS cum_tokens
+           FROM c
+           WHERE cum_tokens <= (SELECT sum(n_chars) * 2 // 5 FROM documents)""",
       "io_cdc_merge" ->
         """WITH all_rows AS (
              SELECT doc_id, 1 AS version, FALSE AS deleted, n_chars, 0 AS src

@@ -481,6 +481,84 @@ object CorpusOps {
         (col("pos") + 1).cast("long").as("rk"))
   }
 
+  /** Deterministic weighted sample without replacement — PRIORITY SAMPLING
+    * (Duffield-Lund-Thorup, JACM 2007): each row gets priority w/u with u a
+    * portable md5-uniform in (0,1], and the k highest-priority rows are the
+    * sample. Two properties make this the corpus-scale choice over the
+    * ln-based Efraimidis-Spirakis keys:
+    *  - the priority is ONE int-to-double conversion, one power-of-two
+    *    scale, and one division — every step correctly rounded in any IEEE
+    *    engine, so the emitted priority is bit-reproducible cross-engine
+    *    (a transcendental key is not: Math.log vs libm ln differ in the
+    *    last ulp on arbitrary arguments — see the HLL parity note);
+    *  - top-k by priority is TakeOrderedAndProject: bounded per-partition
+    *    heaps, no global sort, no shuffle of the corpus.
+    * Contract: weights must be positive (a non-positive weight has no
+    * inclusion probability — fails loud). */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val w = when(col(weightCol).isNull || col(weightCol) <= 0, raise_error(
+        lit(s"weightedSample: $weightCol must be positive — a non-positive " +
+          "weight has no inclusion probability")))
+      .otherwise(col(weightCol))
+    val hv = conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    // u = (hv+1) / 2^60 in (0,1]: the 60-bit int fits a correctly-rounded
+    // double conversion; the divisor is a power of two (exact scale)
+    val u = (hv + lit(1L)).cast("double") / lit(1.152921504606846976e18)
+    df.select(col(idCol), w.cast("double").as(weightCol))
+      .withColumn("priority", col(weightCol) / u)
+      .orderBy(col("priority").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Quality-ranked token-budget selection: rank the corpus by
+    * (`scoreCol` desc, id), and keep the longest PREFIX of that ranking
+    * whose cumulative `lenCol` stays within `budget` — "fill the training
+    * budget with the best data first", the step after scoring in every
+    * data-mixing pipeline. Prefix semantics (no back-fill past the first
+    * overflow) keep the output deterministic and order-independent.
+    *
+    * Scale shape: the global running sum is the packSequences two-phase
+    * prefix sum transposed onto the score order — per-SCORE-BIN totals
+    * (bounded driver list, `nBins` entries), cumulative bin offsets
+    * broadcast back, and a within-bin window whose parallelism is #bins.
+    * No global sort, no single-task window over the corpus.
+    *
+    * Contract: scores in [0,1] (the bin layout depends on it), lengths
+    * non-negative, both non-null — violations fail loud. */
+  def budgetSelect(df: DataFrame, idCol: String, lenCol: String,
+      scoreCol: String, budget: Long, nBins: Int = 1024): DataFrame = {
+    require(budget >= 0, s"budget must be non-negative, got $budget")
+    require(nBins > 0, s"nBins must be positive, got $nBins")
+    val spark = df.sparkSession
+    val len = when(col(lenCol).isNull || col(lenCol) < 0, raise_error(
+        lit(s"budgetSelect: $lenCol must be a non-negative token count")))
+      .otherwise(col(lenCol)).cast("long")
+    val score = when(col(scoreCol).isNull ||
+        col(scoreCol) < 0 || col(scoreCol) > 1, raise_error(
+        lit(s"budgetSelect: $scoreCol must be in [0,1]")))
+      .otherwise(col(scoreCol)).cast("double")
+    val base = df.select(col(idCol).as("id"), len.as("len"),
+        score.as("score"))
+      .withColumn("bin", least(floor(col("score") * nBins),
+        lit((nBins - 1).toLong)).cast("long"))
+    // bounded driver assembly: one (bin, total) row per non-empty bin
+    val totals = base.groupBy("bin").agg(sum("len").as("t"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(-_._1)
+    var acc = 0L
+    val offsets = totals.map { case (b, t) => val o = acc; acc += t; (b, o) }.toMap
+    val bOff = spark.sparkContext.broadcast(offsets)
+    val offUdf = udf((b: Long) => bOff.value(b))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("bin").orderBy(col("score").desc, col("id"))
+      .rowsBetween(Long.MinValue, 0)
+    base.withColumn("cum_tokens", offUdf(col("bin")) + sum("len").over(w))
+      .filter(col("cum_tokens") <= budget)
+      .select(col("id"), col("len"), col("score"), col("cum_tokens"))
+  }
+
   /** CDC merge (upsert + tombstone): apply an update batch to a base
     * snapshot, last-writer-wins by `versionCol`, with rows whose winning
     * record is a tombstone (`deleteCol` true) dropped from the output —

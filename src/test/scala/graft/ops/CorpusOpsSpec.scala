@@ -315,6 +315,77 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(SparkTestSession.chainMsg(e).contains("null version"))
   }
 
+  test("weightedSample: k rows, weight-biased, deterministic, heap-based plan") {
+    // 1000 docs: ids 0..899 weight 1, ids 900..999 weight 100 — the heavy
+    // 10% should dominate a weight-proportional sample
+    val docs = (0L until 1000L).map(i => (i, if (i >= 900) 100L else 1L))
+      .toDF("id", "w")
+    val s1 = CorpusOps.weightedSample(docs, "id", "w", 50)
+    val rows = s1.collect()
+    assert(rows.length == 50)
+    val heavy = rows.count(_.getAs[Double]("w") == 100.0)
+    assert(heavy > 25, s"heavy items under-represented: $heavy/50")
+    // deterministic: same input, same sample
+    val s2 = CorpusOps.weightedSample(docs, "id", "w", 50).collect()
+    assert(rows.map(_.getLong(0)).toSeq == s2.map(_.getLong(0)).toSeq)
+    // top-k is bounded heaps, never a global sort
+    val plan = s1.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"expected heap top-k:\n$plan")
+  }
+
+  test("weightedSample: non-positive weight fails loud") {
+    val docs = Seq((1L, 5L), (2L, 0L)).toDF("id", "w")
+    val e = intercept[Exception] {
+      CorpusOps.weightedSample(docs, "id", "w", 1).collect()
+    }
+    assert(SparkTestSession.chainMsg(e).contains("must be positive"))
+  }
+
+  test("budgetSelect: keeps exactly the best-first prefix within budget") {
+    // scores descend with id; lens chosen so the budget cuts mid-list
+    val docs = Seq(
+      (1L, 10L, 0.9), (2L, 20L, 0.8), (3L, 30L, 0.7),
+      (4L, 25L, 0.6), (5L, 5L, 0.5)
+    ).toDF("id", "len", "score")
+    // budget 60: 10+20+30=60 fits; id 4 overflows; id 5 would fit but
+    // prefix semantics stop at the first overflow
+    val got = CorpusOps.budgetSelect(docs, "id", "len", "score", budget = 60L)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("cum_tokens")))
+      .toSet
+    assert(got == Set((1L, 10L), (2L, 30L), (3L, 60L)))
+  }
+
+  test("budgetSelect: bin-crossing prefix sum matches a single global cumsum") {
+    // 500 rows with scores spread over many bins; independently verify
+    // against a driver-side exact cumulative sum in (score desc, id) order
+    val docs = (0L until 500L).map(i =>
+      (i, i % 37 + 1, ((i * 7919) % 1000) / 1000.0)).toDF("id", "len", "score")
+    val budget = 2000L
+    val got = CorpusOps.budgetSelect(docs, "id", "len", "score", budget)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("cum_tokens"))).toMap
+    val want = docs.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy { case (id, _, s) => (-s, id) }
+      .scanLeft((0L, 0L, 0L)) { case ((_, _, cum), (id, len, _)) =>
+        (id, len, cum + len) }
+      .drop(1).takeWhile(_._3 <= budget)
+      .map { case (id, _, cum) => (id, cum) }.toMap
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("budgetSelect: score outside [0,1] fails loud; no single-task window") {
+    val bad = Seq((1L, 10L, 1.5)).toDF("id", "len", "score")
+    val e = intercept[Exception] {
+      CorpusOps.budgetSelect(bad, "id", "len", "score", 100L).collect()
+    }
+    assert(SparkTestSession.chainMsg(e).contains("must be in [0,1]"))
+    val ok = Seq((1L, 10L, 0.5), (2L, 10L, 0.25)).toDF("id", "len", "score")
+    val plan = CorpusOps.budgetSelect(ok, "id", "len", "score", 100L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"global-order prefix sum must not funnel through one task:\n$plan")
+  }
+
   test("mergeUpsert: argmax plan — one exchange, map-side partial aggregate") {
     val updates = Seq((1L, 2L, false, "a2")).toDF(
       "id", "version", "deleted", "payload")
