@@ -19,11 +19,19 @@ import org.apache.spark.sql.functions._
   */
 object SparkEntry {
 
-  /** events.ts is parquet TIMESTAMP(NANOS) which Spark rejects by default;
-    * read it as raw nanos (LongType) and convert explicitly where needed. */
+  /** events.ts has shipped as parquet TIMESTAMP(NANOS) (readable only as raw
+    * nanos via nanosAsLong) and as plain timestamp[us] (read as a timestamp
+    * type); normalize BOTH to nanos-since-epoch LongType so every downstream
+    * consumer sees one shape. The timestamp branch casts through the session
+    * timezone (UTC everywhere in this repo), matching DuckDB's epoch_ns/
+    * epoch_us reading of the same naive values. */
   private def events(s: SparkSession, dir: String) = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$dir/events.parquet")
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => raw
+      case _ => raw.withColumn("ts", expr("unix_micros(cast(ts as timestamp)) * 1000"))
+    }
   }
 
   /** ts (nanos since epoch) -> 'yyyy-MM-dd' in UTC. */

@@ -9,17 +9,32 @@ class StreamOpsSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
+  /** events.ts has shipped as TIMESTAMP(NANOS) (readable only as raw nanos
+    * via nanosAsLong) and as timestamp[us]; normalize both to nanos-as-Long
+    * so the rest of the spec (sentinel arithmetic, ts div 1000) is
+    * generator-agnostic. Works on batch and streaming frames alike. */
+  private def tsToNanos(df: org.apache.spark.sql.DataFrame) =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => df
+      case _ => df.withColumn("ts", expr("unix_micros(cast(ts as timestamp)) * 1000"))
+    }
+
+  private def readEvents(dir: String) = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    tsToNanos(spark.read.parquet(dir + "/events.parquet"))
+  }
+
   /** events parquet replayed as a bounded stream (ts nanos -> timestamp). */
   private def eventStream() = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val dir = "/root/testdata/sf0.001"
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val schema = spark.read.parquet(dir + "/events.parquet").schema
     // readStream wants a directory: stream the testdata dir filtered to the
     // events file
-    spark.readStream
+    tsToNanos(spark.readStream
       .schema(schema)
       .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+      .parquet(dir))
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 
@@ -32,7 +47,7 @@ class StreamOpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val batch = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val batch = readEvents("/root/testdata/sf0.001")
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))
       .agg(count(lit(1)).as("n_events"))
@@ -52,7 +67,7 @@ class StreamOpsSpec extends AnyFunSuite {
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val batch = StreamOps.sessionEventStats(
-      spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      readEvents("/root/testdata/sf0.001")
         .withColumn("ts", expr("timestamp_micros(ts div 1000)")))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
 
@@ -63,7 +78,7 @@ class StreamOpsSpec extends AnyFunSuite {
   test("streaming distinct-user dedup rollup matches batch count(DISTINCT)") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val dir = "/root/testdata/sf0.001"
-    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val ev = readEvents(dir)
     // chained stateful operators (dedup -> agg) only run in APPEND mode, and
     // append emits a window only once the watermark passes it — so replay the
     // events plus one far-future sentinel event that pushes the final
@@ -85,7 +100,7 @@ class StreamOpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
 
     val batch = StreamOps.windowedDistinctUsers(
-      spark.read.parquet(s"$dir/events.parquet")
+      readEvents(dir)
         .withColumn("ts", expr("timestamp_micros(ts div 1000)")))
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
 
@@ -96,7 +111,7 @@ class StreamOpsSpec extends AnyFunSuite {
   test("streaming portable-HLL distinct estimate matches batch exactly") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val dir = "/root/testdata/sf0.001"
-    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val ev = readEvents(dir)
     // same sentinel-replay harness as the dedup rollup: chained stateful
     // aggs (bucket-max -> mass rollup) need append mode + a watermark push
     val tmp = java.nio.file.Files.createTempDirectory("ss_hll").toString
@@ -118,7 +133,7 @@ class StreamOpsSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getLong(3)))
       .toSet
     val batch = StreamOps.windowedApproxDistinct(
-        spark.read.parquet(s"$dir/events.parquet")
+        readEvents(dir)
           .withColumn("ts", expr("timestamp_micros(ts div 1000)")))
       .collect()
       .map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getLong(3)))
@@ -128,7 +143,7 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(streamed == batch)
     assert(streamed.nonEmpty)
     // sanity: estimates land within HLL error of the exact distinct count
-    val exact = spark.read.parquet(s"$dir/events.parquet")
+    val exact = readEvents(dir)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss")
         .as("hour"), col("event_type"))
@@ -144,7 +159,7 @@ class StreamOpsSpec extends AnyFunSuite {
   test("dp windowed percentile: drop-not-sample bound, streams match batch") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val dir = "/root/testdata/sf0.001"
-    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val ev = readEvents(dir)
     val bev = ev.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       .withColumn("v", floor(col("value")))
     def run(df: org.apache.spark.sql.DataFrame, cap: Long) =
@@ -200,7 +215,7 @@ class StreamOpsSpec extends AnyFunSuite {
   test("dp windowed count: caps per-unit contributions, streams match batch") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val dir = "/root/testdata/sf0.001"
-    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val ev = readEvents(dir)
     val bev = ev.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
 
     // tight cap (1): each unit counts at most once per (window, type) cell
@@ -278,7 +293,7 @@ class StreamOpsSpec extends AnyFunSuite {
   test("stream-stream attribution join matches the batch range join") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val dir = "/root/testdata/sf0.001"
-    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val ev = readEvents(dir)
     // append-mode stream-stream join emits a pair only once the watermark
     // passes its eviction bound — replay with a far-future sentinel on each
     // side so the final watermark clears every real pair
@@ -305,7 +320,7 @@ class StreamOpsSpec extends AnyFunSuite {
       .filter(col("user_id") =!= -1L)
       .select("user_id", "click_id", "conv_id").collect())
 
-    val bev = spark.read.parquet(s"$dir/events.parquet")
+    val bev = readEvents(dir)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     val batch = triples(StreamOps.attributionJoin(
       bev.filter(col("event_type") === "click"),
