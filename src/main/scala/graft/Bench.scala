@@ -42,7 +42,19 @@ object Bench {
         // UDF and expression runs for every row, same as a real write.
         try { fn(spark, sfDir).queryExecution.toRdd.count() }
         catch { case t: Throwable => failure = Some(t) }
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        // localCheckpoint blocks created inside the query stay pinned in
+        // storage memory after the action completes; across a 140+-query
+        // run they accumulate until later queries bench GC pressure and
+        // block eviction instead of their own plan (r6: dedup_components
+        // 18.2s in the full run vs 2.0s isolated). Dropping them between
+        // reps makes every measurement independent of bench position.
+        // (Outside the timed region: cleanup cost is bench overhead, not
+        // query cost. Blocking, so async removal never overlaps the next
+        // timed rep.)
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
+        dt
       }.toIndexedSeq.sorted
       // A failing rep MUST NOT bench as a fast success: report the median as
       // the sentinel -1.0 and carry the name in the top-level "errors" list.

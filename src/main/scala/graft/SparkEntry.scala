@@ -27,11 +27,11 @@ object SparkEntry {
     * epoch_us reading of the same naive values. */
   private def events(s: SparkSession, dir: String) = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = s.read.parquet(s"$dir/events.parquet")
-    raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType => raw
-      case _ => raw.withColumn("ts", expr("unix_micros(cast(ts as timestamp)) * 1000"))
-    }
+    // the timestamp branch of tsToNanos is epoch arithmetic only under UTC;
+    // enforce it here so the normalization is self-contained rather than
+    // relying on every caller's session config
+    s.conf.set("spark.sql.session.timeZone", "UTC")
+    graft.streaming.StreamOps.tsToNanos(s.read.parquet(s"$dir/events.parquet"))
   }
 
   /** ts (nanos since epoch) -> 'yyyy-MM-dd' in UTC. */

@@ -25,6 +25,25 @@ final case class SessionSummary(user_id: Long, n_events: Long,
 
 object StreamOps {
 
+  /** Normalize an `events.ts` column to nanos-since-epoch as Long. The
+    * generator has shipped ts as TIMESTAMP(NANOS) (readable only as raw
+    * nanos via `spark.sql.legacy.parquet.nanosAsLong`) and as
+    * timestamp[us]; every consumer (SparkEntry.events, the streaming
+    * specs) routes through this ONE expression so the two shapes cannot
+    * drift apart. Any other ts type fails loud rather than null-coercing
+    * through a blind cast. Works on batch and streaming frames alike;
+    * timestamp inputs assume a UTC session (SparkEntry.events enforces
+    * it). */
+  def tsToNanos(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case LongType => df
+      case TimestampType | TimestampNTZType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.expr(
+          "unix_micros(cast(ts as timestamp)) * 1000"))
+      case dt => throw new IllegalArgumentException(
+        s"unexpected events.ts type: $dt (expected nanos Long or timestamp)")
+    }
+
   /** The events schema as it arrives on a stream (ts in epoch micros so the
     * parquet nanos quirk stays at the batch edge). */
   val eventSchema: StructType = StructType(Seq(

@@ -9,15 +9,9 @@ class StreamOpsSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
-  /** events.ts has shipped as TIMESTAMP(NANOS) (readable only as raw nanos
-    * via nanosAsLong) and as timestamp[us]; normalize both to nanos-as-Long
-    * so the rest of the spec (sentinel arithmetic, ts div 1000) is
-    * generator-agnostic. Works on batch and streaming frames alike. */
-  private def tsToNanos(df: org.apache.spark.sql.DataFrame) =
-    df.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType => df
-      case _ => df.withColumn("ts", expr("unix_micros(cast(ts as timestamp)) * 1000"))
-    }
+  /** Shared normalization (StreamOps.tsToNanos) so the spec exercises the
+    * SAME expression the driver path uses — the two cannot drift. */
+  private def tsToNanos(df: org.apache.spark.sql.DataFrame) = StreamOps.tsToNanos(df)
 
   private def readEvents(dir: String) = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
