@@ -1266,6 +1266,17 @@ object SparkEntry {
         .select(col("doc_id"), col("n_segs"), col("n_kept"),
           md5(col("text_kept")).as("kept_md5"))
     }),
+    "dedup_freq_segments" -> ((s, dir) => {
+      // boilerplate removal (MassiveText/RefinedWeb line-dedup rule):
+      // segments occurring > 2 times corpus-wide drop from EVERY doc —
+      // first copies included — because cross-doc repetition at that rate
+      // is template boilerplate, not content. Deterministic end-to-end
+      // (no hashing in the decision), md5 of reassembled text for the gate.
+      Dedup.removeFrequentSegments(s.read.parquet(s"$dir/documents.parquet"),
+          "doc_id", "text", segmentWords = 10, maxFreq = 2)
+        .select(col("doc_id"), col("n_segs"), col("n_kept"),
+          md5(col("text_kept")).as("kept_md5"))
+    }),
     "dedup_semantic_exact" -> ((s, dir) => {
       // SemDeDup with nlist=1 — exact all-pairs over a BOUNDED subset, the
       // oracle anchor driving the full machinery (pairwise cosine ->
@@ -3055,6 +3066,34 @@ object SparkEntry {
              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segs,
                     CAST(count(*) FILTER (rn = 1) AS BIGINT) AS n_kept,
                     string_agg(seg, ' ' ORDER BY pos) FILTER (rn = 1) AS text_kept
+             FROM k GROUP BY doc_id)
+           SELECT d.doc_id,
+                  coalesce(p.n_segs, 0) AS n_segs,
+                  coalesce(p.n_kept, 0) AS n_kept,
+                  md5(coalesce(p.text_kept, '')) AS kept_md5
+           FROM documents d LEFT JOIN p ON p.doc_id = d.doc_id""",
+      // same segmentation CTEs; keep = corpus-wide frequency <= 2 (every
+      // copy of an over-frequent segment drops, first included)
+      "dedup_freq_segments" ->
+        """WITH t AS (
+             SELECT doc_id, string_split(text, ' ') AS toks
+             FROM documents WHERE text IS NOT NULL AND len(text) > 0),
+           s AS (
+             SELECT doc_id,
+                    unnest(range(0, (len(toks) - 1) // 10 + 1)) AS pos, toks
+             FROM t),
+           g AS (
+             SELECT doc_id, pos,
+                    array_to_string(toks[pos * 10 + 1 : pos * 10 + 10], ' ') AS seg
+             FROM s),
+           k AS (
+             SELECT doc_id, pos, seg,
+                    count(*) OVER (PARTITION BY seg) AS freq
+             FROM g),
+           p AS (
+             SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segs,
+                    CAST(count(*) FILTER (freq <= 2) AS BIGINT) AS n_kept,
+                    string_agg(seg, ' ' ORDER BY pos) FILTER (freq <= 2) AS text_kept
              FROM k GROUP BY doc_id)
            SELECT d.doc_id,
                   coalesce(p.n_segs, 0) AS n_segs,

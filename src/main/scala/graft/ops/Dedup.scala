@@ -790,11 +790,14 @@ object Dedup {
     * 128-bit md5 collisions (~n^2/2^129 for n distinct segments —
     * negligible below ~2^60 segments); the gate runs the text mode so the
     * oracle needs no hash convention, and the spec pins both modes equal. */
-  def dedupSegments(df: DataFrame, idCol: String, textCol: String,
-      segmentWords: Int = 10, hashJoinKeys: Boolean = false): DataFrame = {
-    require(segmentWords > 0, s"segmentWords must be positive, got $segmentWords")
-    val base = df.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
-    val segs = base
+  /** `(doc_id, pos, seg, __k)` — every doc split into `segmentWords`-word
+    * segments in position order; `__k` is the join/grouping key (the raw
+    * segment, or its md5 when `hashJoinKeys` keeps long text off the
+    * shuffle). Shared by [[dedupSegments]] and [[removeFrequentSegments]]
+    * so the two ops cannot disagree on segmentation. */
+  private def segmentFrame(base: DataFrame, segmentWords: Int,
+      hashJoinKeys: Boolean): DataFrame =
+    base
       .filter(col("__text").isNotNull && length(col("__text")) > 0)
       .select(col("doc_id"), split(col("__text"), " ").as("__toks"))
       .select(col("doc_id"), posexplode(
@@ -803,12 +806,12 @@ object Dedup {
           i => array_join(slice(col("__toks"), i * segmentWords + 1, lit(segmentWords)), " ")
         )).as(Seq("pos", "seg")))
       .withColumn("__k", if (hashJoinKeys) md5(col("seg")) else col("seg"))
-    val firsts = segs.groupBy("__k")
-      .agg(min(struct(col("doc_id"), col("pos"))).as("__f"))
-    val kept = segs.join(firsts.hint("shuffle_hash"), "__k")
-      .withColumn("__keep",
-        col("doc_id") === col("__f.doc_id") && col("pos") === col("__f.pos"))
-    val perDoc = kept.groupBy("doc_id").agg(
+
+  /** Reassemble per-doc output from a flagged segment frame: total/kept
+    * counts plus the kept text in position order, with one row per INPUT
+    * doc (empty docs come back with zero segments). */
+  private def reassembleKept(base: DataFrame, flagged: DataFrame): DataFrame = {
+    val perDoc = flagged.groupBy("doc_id").agg(
       count(lit(1)).as("n_segs"),
       sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"),
       array_join(transform(
@@ -819,6 +822,51 @@ object Dedup {
         coalesce(col("n_segs"), lit(0L)).as("n_segs"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("text_kept"), lit("")).as("text_kept"))
+  }
+
+  def dedupSegments(df: DataFrame, idCol: String, textCol: String,
+      segmentWords: Int = 10, hashJoinKeys: Boolean = false): DataFrame = {
+    require(segmentWords > 0, s"segmentWords must be positive, got $segmentWords")
+    val base = df.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
+    val segs = segmentFrame(base, segmentWords, hashJoinKeys)
+    val firsts = segs.groupBy("__k")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("__f"))
+    val kept = segs.join(firsts.hint("shuffle_hash"), "__k")
+      .withColumn("__keep",
+        col("doc_id") === col("__f.doc_id") && col("pos") === col("__f.pos"))
+    reassembleKept(base, kept)
+  }
+
+  /** Frequent-segment (boilerplate) removal, the MassiveText / RefinedWeb
+    * line-dedup rule: any segment whose CORPUS-WIDE occurrence count
+    * exceeds `maxFreq` is dropped from EVERY document — including the
+    * first occurrence, unlike [[dedupSegments]], because a segment
+    * repeated across many unrelated docs is template boilerplate
+    * (headers, footers, cookie banners), not content anyone should keep
+    * one copy of. Returns the [[dedupSegments]] shape:
+    * `(doc_id, n_segs, n_kept, text_kept)`, one row per input doc.
+    *
+    * Scale layout: one map-side-combined count over segment keys, then
+    * the over-threshold keys — a HEAVY-HITTER set, small by construction
+    * (at most totalSegs/maxFreq keys, in practice far fewer) — broadcast
+    * back against the segment frame as a null-flag join. The corpus-size
+    * segment frame is never self-joined and rides exactly one shuffle
+    * (the count); with `hashJoinKeys` the shuffled key is a 32-char md5,
+    * so long segments never leave their map task. */
+  def removeFrequentSegments(df: DataFrame, idCol: String, textCol: String,
+      segmentWords: Int = 10, maxFreq: Long = 2,
+      hashJoinKeys: Boolean = false): DataFrame = {
+    require(segmentWords > 0, s"segmentWords must be positive, got $segmentWords")
+    require(maxFreq >= 1, s"maxFreq must be >= 1, got $maxFreq")
+    val base = df.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
+    val segs = segmentFrame(base, segmentWords, hashJoinKeys)
+      .localCheckpoint(false) // consumed by the frequency count AND the flag join
+    val boiler = segs.groupBy("__k").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxFreq)
+      .select(col("__k"), lit(true).as("__boiler"))
+    val kept = segs.join(broadcast(boiler), Seq("__k"), "left")
+      .withColumn("__keep", col("__boiler").isNull)
+    reassembleKept(base, kept)
   }
 
   // ---------------- semantic (cluster-scoped) dedup ----------------

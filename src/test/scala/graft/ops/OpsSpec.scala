@@ -615,6 +615,36 @@ class DedupSpec extends AnyFunSuite {
     assert(hashed == out)
   }
 
+  test("removeFrequentSegments: boilerplate drops everywhere, rare segments keep all copies") {
+    val df = Seq(
+      (1L, "a b c d"),     // "a b" x3 corpus-wide -> boilerplate; "c d" x2 kept
+      (2L, "c d e f a b"), // keeps "c d" and "e f", drops "a b"
+      (3L, "a b x y"),     // keeps only "x y"
+      (4L, ""),            // empty: zero segments
+      (5L, "q")            // singleton segment survives
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeFrequentSegments(df, "doc_id", "text",
+        segmentWords = 2, maxFreq = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // "a b" occurs 3 times (> maxFreq=2): every copy drops, including doc 1's
+    assert(out(1L) == ((2L, 1L, "c d")))
+    assert(out(2L) == ((3L, 2L, "c d e f")))
+    assert(out(3L) == ((2L, 1L, "x y")))
+    assert(out(4L) == ((0L, 0L, "")))
+    assert(out(5L) == ((1L, 1L, "q")))
+    // md5-keyed scale mode is decision-identical
+    val hashed = Dedup.removeFrequentSegments(df, "doc_id", "text",
+        2, 2, hashJoinKeys = true)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(hashed == out)
+    // maxFreq=1 degrades to "drop every segment that repeats at all"
+    val strict = Dedup.removeFrequentSegments(df, "doc_id", "text", 2, 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(strict(1L) == 0L && strict(2L) == 1L && strict(5L) == 1L)
+  }
+
   test("semantic dedup: clustered pass catches planted dups, nlist=1 is exact") {
     val rnd = new scala.util.Random(23)
     // 4 well-separated gaussian blobs of 50 docs each
