@@ -623,6 +623,16 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("term"), col("tf"),
           col("dfreq"), col("score"), col("rk"))
     }),
+    "text_lm_surprisal" -> ((s, dir) => {
+      // CCNet quality scoring: corpus-trained add-one bigram LM, per-doc
+      // mean surprisal in integer-quantized bits (floor-log2, the tfidf
+      // convention => transcendental-free, cross-engine exact), corpus
+      // head/middle/tail terciles by distributed rank. minCount=2 prunes
+      // singleton bigrams so the unseen-bigram scoring path runs for real.
+      LmScore.surprisalScores(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+        minCount = 2)
+    }),
     "text_pack_sequences" -> ((s, dir) => {
       // sequence packing for training rows: distributed prefix sum of token
       // counts in doc order (bucketed local cumsums + broadcast offsets),
@@ -3421,6 +3431,53 @@ object SparkEntry {
                       ORDER BY score DESC, term ASC) AS BIGINT) AS rk
              FROM s)
            SELECT doc_id, term, tf, dfreq, score, rk FROM r WHERE rk <= 3""",
+      // the full bigram-LM pipeline replayed: unigram/bigram counts,
+      // min-count pruning, add-one integer-bit surprisal, tercile ranks
+      "text_lm_surprisal" ->
+        """WITH tok AS (
+             SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+             FROM documents WHERE text IS NOT NULL),
+           uni AS (
+             SELECT w, CAST(count(*) AS BIGINT) AS c1
+             FROM (SELECT unnest(toks) AS w FROM tok) GROUP BY w),
+           voc AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uni),
+           bg AS (
+             SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+             FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+                   FROM tok WHERE len(toks) >= 2)),
+           model AS (
+             SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2
+             FROM bg GROUP BY w1, w2 HAVING count(*) >= 2),
+           sb AS (
+             SELECT bg.doc_id,
+                    length(bin((uni.c1 + (SELECT v FROM voc))
+                               // (coalesce(model.c2, 0) + 1))) - 1 AS bits
+             FROM bg
+             JOIN uni ON uni.w = bg.w1
+             LEFT JOIN model ON model.w1 = bg.w1 AND model.w2 = bg.w2),
+           pd AS (
+             SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                    CAST(sum(bits) AS BIGINT) AS total_bits
+             FROM sb GROUP BY doc_id),
+           s AS (
+             SELECT d.doc_id,
+                    coalesce(pd.n_bigrams, 0) AS n_bigrams,
+                    coalesce(pd.total_bits, 0) AS total_bits,
+                    CASE WHEN coalesce(pd.n_bigrams, 0) > 0
+                         THEN CAST(pd.total_bits AS DOUBLE) / pd.n_bigrams
+                    END AS mean_bits
+             FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id),
+           r AS (
+             SELECT doc_id, CAST(row_number() OVER
+                      (ORDER BY mean_bits, doc_id) AS BIGINT) AS rnk
+             FROM s WHERE mean_bits IS NOT NULL),
+           n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM r)
+           SELECT s.doc_id, s.n_bigrams, s.total_bits, s.mean_bits, r.rnk,
+                  CASE WHEN r.rnk IS NULL THEN 'unscored'
+                       WHEN r.rnk * 3 <= (SELECT n FROM n) THEN 'head'
+                       WHEN r.rnk * 3 <= 2 * (SELECT n FROM n) THEN 'middle'
+                       ELSE 'tail' END AS bucket
+           FROM s LEFT JOIN r ON r.doc_id = s.doc_id""",
       // the packing layout is a single global cumsum in doc order — the
       // oracle computes it directly; the engine reproduces it exactly via
       // the two-phase bucketed prefix sum

@@ -645,6 +645,42 @@ class DedupSpec extends AnyFunSuite {
     assert(strict(1L) == 0L && strict(2L) == 1L && strict(5L) == 1L)
   }
 
+  test("lm surprisal: repetitive docs score head, rare-bigram docs score tail") {
+    // corpus: many copies of the same fluent phrase + one doc of unique
+    // word-salad bigrams + one too-short doc
+    val fluent = (1L to 6L).map(i => (i, "the cat sat on the mat"))
+    val df = (fluent :+ (7L, "zebra quark mat on") :+ (8L, "hi") :+ (9L, ""))
+      .toDF("doc_id", "text")
+    val out = LmScore.surprisalScores(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // every input doc comes back exactly once
+    assert(out.keySet == (1L to 9L).toSet)
+    // "the cat sat on the mat": 5 bigrams each seen 6 times corpus-wide
+    assert(out(1L).getLong(1) == 5L)
+    // short/empty docs are unscored with null mean and rank
+    for (id <- Seq(8L, 9L)) {
+      assert(out(id).getString(5) == "unscored")
+      assert(out(id).isNullAt(3) && out(id).isNullAt(4))
+      assert(out(id).getLong(1) == 0L && out(id).getLong(2) == 0L)
+    }
+    // the word-salad doc has the highest mean surprisal -> last rank, tail
+    val scored = out.values.filter(!_.isNullAt(4)).toSeq
+    assert(scored.map(_.getLong(4)).sorted == (1L to 7L))
+    assert(out(7L).getLong(4) == 7L && out(7L).getString(5) == "tail")
+    // identical docs score identically; ranks break ties by doc_id
+    assert(fluent.map(f => out(f._1).getDouble(3)).distinct.size == 1)
+    assert((1L to 6L).map(i => out(i).getLong(4)) == (1L to 6L))
+    // terciles: 7 scored docs -> 2 head, 2 middle, 3 tail (rnk*3 rule)
+    assert(scored.count(_.getString(5) == "head") == 2)
+    assert(scored.count(_.getString(5) == "middle") == 2)
+    assert(scored.count(_.getString(5) == "tail") == 3)
+    // minCount pruning: with every bigram pruned away (minCount huge),
+    // all bigrams score as unseen (c2=0) — bits strictly increase
+    val pruned = LmScore.surprisalScores(df, "doc_id", "text", minCount = 100L)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(pruned(1L) > out(1L).getLong(2))
+  }
+
   test("semantic dedup: clustered pass catches planted dups, nlist=1 is exact") {
     val rnd = new scala.util.Random(23)
     // 4 well-separated gaussian blobs of 50 docs each
