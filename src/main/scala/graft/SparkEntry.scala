@@ -977,6 +977,45 @@ object SparkEntry {
         .filter(col("cosine") >= 0.3)
         .select("id_a", "id_b", "cosine")
     }),
+    "emb_kmeans_assign" -> ((s, dir) => {
+      // nearest-center assignment against FIXED centroids (the first 8
+      // vectors): on 1024x-floor-quantized dyadic inputs every difference/
+      // square/partial sum is exact, so d2 and the argmin (ties to lowest
+      // cluster) replay bit-exactly in SQL — the oracle-exact anchor for
+      // emb_kmeans' trained path. Bounded collect: 8 centroid rows.
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+        .withColumn("emb", expr(
+          "transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1024) / 1024)"))
+      val centers = e.filter(col("vec_id") < 8).sort("vec_id")
+        .select("emb").collect().map(_.getSeq[Double](0).toArray)
+      Similarity.assignToCenters(e, "vec_id", "emb", centers)
+        .select(col("id").as("vec_id"), col("cluster"), col("d2"))
+    }),
+    "emb_kmeans" -> ((s, dir) => {
+      // trained k-means topic clustering (sample-capped Lloyd's + map-only
+      // assignment): per-cluster sizes and inertia. Rows-only (Lloyd's is
+      // RNG-path-dependent); probes: n_total must cover the corpus, and
+      // the trained clustering must beat the fixed-first-8 assignment
+      // that emb_kmeans_assign verifies oracle-exactly (10 Lloyd's
+      // iterations vs 0 — deterministic for fixed data+seed).
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+        .withColumn("emb", expr(
+          "transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1024) / 1024)"))
+        .localCheckpoint(false) // trained path + fixed-anchor path
+      val assigned = Similarity.kmeansCluster(e, "vec_id", "emb", k = 8)
+        .localCheckpoint(false) // rollup + total
+      val roll = assigned.groupBy("cluster").agg(
+        count(lit(1)).as("n_vecs"), sum(col("d2")).as("inertia"))
+      val tot = assigned.agg(count(lit(1)).as("n_total"),
+        sum(col("d2")).as("__ti"))
+      val centers = e.filter(col("vec_id") < 8).sort("vec_id")
+        .select("emb").collect().map(_.getSeq[Double](0).toArray)
+      val fixed = Similarity.assignToCenters(e, "vec_id", "emb", centers)
+        .agg(sum(col("d2")).as("__fi"))
+      roll.crossJoin(broadcast(tot)).crossJoin(broadcast(fixed))
+        .withColumn("trained_beats_fixed", col("__ti") <= col("__fi"))
+        .select("cluster", "n_vecs", "inertia", "n_total", "trained_beats_fixed")
+    }),
     "emb_centroid" -> ((s, dir) => {
       // exact per-label embedding centroid: quantized-integer partial sums
       // (order-independent => independently verifiable), one shuffle
@@ -3285,6 +3324,25 @@ object SparkEntry {
                   CAST(count(*) AS BIGINT) AS n
            FROM x GROUP BY label, i""",
       "sim_ivf_exact" -> bruteTopKSql,
+      // fixed-centroid nearest-center assignment: dyadic-exact d2, argmin
+      // ties to the lowest cluster id — emb_kmeans' oracle anchor
+      "emb_kmeans_assign" ->
+        """WITH e AS (
+             SELECT vec_id,
+                    list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1024) / 1024) AS emb
+             FROM embeddings),
+           c AS (SELECT vec_id AS cluster, emb AS cemb FROM e WHERE vec_id < 8),
+           d AS (
+             SELECT e.vec_id, c.cluster,
+                    list_sum(list_transform(range(1, len(e.emb) + 1),
+                      i -> (e.emb[i] - c.cemb[i]) * (e.emb[i] - c.cemb[i]))) AS d2
+             FROM e, c),
+           r AS (
+             SELECT vec_id, cluster, d2,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rk
+             FROM d)
+           SELECT vec_id, CAST(cluster AS BIGINT) AS cluster, d2
+           FROM r WHERE rk = 1""",
       "text_pii_scrub" ->
         s"""WITH d AS (
              SELECT doc_id,

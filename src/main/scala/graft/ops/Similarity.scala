@@ -882,6 +882,41 @@ object Similarity {
     finalizeTopK(rescored, k)
   }
 
+  /** Nearest-center assignment of every vector to a FIXED center array:
+    * `(id, cluster, d2)` with `cluster` the index of the L2-nearest
+    * center (ties to the lowest index — the [[cellWithDistUdf]]-style
+    * strict-< rule) and `d2` the squared distance. One map-only pass;
+    * `centers` rides the closure (k x dim doubles, broadcast-sized by
+    * contract). On 1024x-floor-quantized inputs every difference,
+    * square, and partial sum is an exact dyadic double, so `d2` is
+    * order-free and replays bit-exactly in any engine — the oracle-exact
+    * anchor path for [[kmeansCluster]]. */
+  def assignToCenters(df: DataFrame, idCol: String, vecCol: String,
+      centers: Array[Array[Double]]): DataFrame = {
+    require(centers.nonEmpty, "assignToCenters requires at least one center")
+    df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("__v"))
+      .withColumn("__a", cellWithDistUdf(centers)(col("__v")))
+      .select(col("id"), col("__a._1").cast("long").as("cluster"),
+        col("__a._2").as("d2"))
+  }
+
+  /** User-facing k-means topic clustering — the corpus-organization step
+    * behind cluster-balanced mixtures and SemDeDup-style partitioning:
+    * train a k-center quantizer on the sample-capped pass (the shared
+    * [[sampleVectors]] + [[lloyd]] machinery: bounded driver work at any
+    * corpus size), then assign the full corpus in one map-only scan.
+    * Returns `(id, cluster, d2)` per input vector. Deterministic for a
+    * fixed (data, seed): seeded sampling, seeded init, fixed iteration
+    * count semantics — but NOT engine-replayable (Lloyd's is
+    * hash/RNG-path-dependent), so gate queries anchor it against the
+    * fixed-centers [[assignToCenters]] twin. */
+  def kmeansCluster(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      trainRowsTarget: Long = 100000, seed: Long = 42): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val (train, _) = sampleVectors(df, vecCol, trainRowsTarget, seed)
+    assignToCenters(df, idCol, vecCol, lloyd(train, k, seed))
+  }
+
   /** Lloyd's k-means over an in-memory sample: deterministic seeded init
     * (k distinct points), iterate assign/recenter until centers move less
     * than `tol` or `maxIter`. The sample is bounded by the caller

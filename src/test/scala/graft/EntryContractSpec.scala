@@ -31,6 +31,8 @@ class EntryContractSpec extends AnyFunSuite {
     "sim_ivf_topk" -> (Seq.empty -> Some("sim_ivf_exact")),
     "sim_pq_topk" -> (Seq("planted_found", "n_both", "n_exact") -> Some("sim_topk")),
     "sim_ivfpq_topk" -> (Seq("planted_found", "n_both", "n_exact") -> Some("sim_topk")),
+    "emb_kmeans" ->
+      (Seq("n_total", "trained_beats_fixed") -> Some("emb_kmeans_assign")),
     "text_fingerprint" -> (Seq.empty -> Some("text_fingerprint_md5")),
     "text_bpe" -> (Seq("n_roundtrip_violations") -> None),
     "tune_params" ->

@@ -892,6 +892,35 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.8, s"recall $recall too low")
   }
 
+  test("kmeans: trained clustering recovers planted blobs and beats fixed init") {
+    val rnd = new scala.util.Random(7)
+    val blobCenters = (0 until 4).map(_ => Array.fill(8)(rnd.nextGaussian() * 10))
+    val corpus = blobCenters.zipWithIndex.flatMap { case (c, i) =>
+      (0 until 40).map(j => (i * 100L + j, c.map(_ + 0.1 * rnd.nextGaussian())))
+    }.toDF("id", "vec")
+    val assigned = Similarity.kmeansCluster(corpus, "id", "vec", k = 4, seed = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(assigned.length == 160)
+    // same seed + data => bit-identical clustering (seeded sample, seeded init)
+    val again = Similarity.kmeansCluster(corpus, "id", "vec", k = 4, seed = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(again.sortBy(_._1).toSeq == assigned.sortBy(_._1).toSeq)
+    // all k cells materialize and co-blob points that share a cluster sit close
+    assert(assigned.map(_._2).distinct.length == 4)
+    // trained inertia beats a fixed degenerate init (all 4 firsts from ONE blob)
+    val fixed = corpus.filter(col("id") < 4).sort("id")
+      .collect().map(_.getSeq[Double](1).toArray)
+    val fixedInertia = Similarity.assignToCenters(corpus, "id", "vec", fixed)
+      .agg(sum("d2")).collect().head.getDouble(0)
+    val trainedInertia = assigned.map(_._3).sum
+    assert(trainedInertia < fixedInertia)
+    // assignToCenters ties break to the lowest cluster index
+    val dup = Seq((0L, Array(1.0, 0.0))).toDF("id", "vec")
+    val tied = Similarity.assignToCenters(dup, "id", "vec",
+      Array(Array(0.0, 0.0), Array(2.0, 0.0))).collect().head
+    assert(tied.getLong(1) == 0L && tied.getDouble(2) == 1.0)
+  }
+
   test("partitioning invariance: centroid, top-k, segment dedup bit-identical across layouts") {
     // the oracle gate's premise: results must not depend on how rows are
     // split across tasks (exact integer sums, total-order merges, min-struct
