@@ -1964,6 +1964,23 @@ object SparkEntry {
       CorpusOps.vocabTopK(
         s.read.parquet(s"$dir/documents.parquet").select("text"), "text", 50)
     }),
+    "io_bucketed_join" -> ((s, dir) => {
+      // bucketed CO-LOCATED join: both sides stored once as bucketed +
+      // sorted parquet tables, then merge-joined with zero exchange and
+      // zero per-query sort (spec-asserted plan shape) — the amortized
+      // layout for repeatedly-joined fact tables at corpus scale. The
+      // rollup result is the plain join's, oracle-exact.
+      val tmp = scratchDir("bucketed_join")
+      val ords = s.read.parquet(s"$dir/orders.parquet")
+        .select("o_custkey", "o_totalprice")
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+        .select("c_custkey", "c_mktsegment")
+      Dataflow.bucketedJoin(ords, cust, "o_custkey", "c_custkey",
+          nBuckets = 8, tmp, "g_bucketed")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("total_cents"))
+    }),
     "io_roundtrip" -> ((s, dir) => {
       // the IO layer inside the gate: CorpusIO write -> read roundtrips in
       // two formats (hive-partitioned parquet with bounded files; jsonl
@@ -3779,6 +3796,13 @@ object SparkEntry {
            FROM orders JOIN customer ON o_custkey = c_custkey
            WHERE c_mktsegment = 'BUILDING'
            GROUP BY c_custkey""",
+      // the bucketed tables hold the same rows, so the co-located join's
+      // rollup is the plain join's
+      "io_bucketed_join" ->
+        """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+                  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+           FROM orders JOIN customer ON o_custkey = c_custkey
+           GROUP BY c_mktsegment""",
       "a_count_per_element" ->
         "SELECT l_returnflag, l_linestatus, count(*) AS n FROM lineitem GROUP BY 1, 2",
       "a_sum_per_key" ->

@@ -53,6 +53,37 @@ object Dataflow {
     * Prefer a plain broadcast join when the small side itself fits in a
     * broadcast — the Bloom pays off when BOTH sides are shuffle-scale but
     * the small side's key set still fits a bitmap. */
+  /** Bucketed co-located join — THE layout for fact tables that are
+    * joined on the same key again and again at 100 TB: both sides are
+    * written once as bucketed + per-bucket-sorted parquet tables
+    * (external, under `dir`), re-read through the session catalog, and
+    * merge-joined with ZERO exchange and ZERO per-query sort — the
+    * bucketed scans already report HashPartitioning(nBuckets) on the
+    * join key and sorted-within-bucket output, so Catalyst's
+    * EnsureRequirements inserts nothing. The bucketing write is the
+    * one-time cost; every subsequent co-located join (and bucket-key
+    * aggregation) of the stored tables is shuffle-free, which is why
+    * warehouses bucket their biggest join keys. The `merge` hint keeps
+    * the demonstration honest when one side is broadcast-small.
+    *
+    * Both sides must use the SAME bucket count: equal HashPartitioning
+    * is what lets the join zip bucket i against bucket i. */
+  def bucketedJoin(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String, nBuckets: Int,
+      dir: String, tablePrefix: String): DataFrame = {
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    val s = left.sparkSession
+    def store(df: DataFrame, key: String, name: String): DataFrame = {
+      df.write.mode("overwrite").format("parquet")
+        .bucketBy(nBuckets, key).sortBy(key)
+        .option("path", s"$dir/$name").saveAsTable(name)
+      s.table(name)
+    }
+    val l = store(left, leftKey, s"${tablePrefix}_l")
+    val r = store(right, rightKey, s"${tablePrefix}_r")
+    l.hint("merge").join(r, col(leftKey) === col(rightKey))
+  }
+
   def bloomFilteredJoin(
       big: DataFrame,
       small: DataFrame,

@@ -60,4 +60,30 @@ class BucketingSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS bright")
     }
   }
+
+  test("Dataflow.bucketedJoin: exchange-free merge join, same rows as a plain join") {
+    val wh = Files.createTempDirectory("graft-bucketed-join").toString
+    val left = (0L until 600L).map(i => (i % 53, i)).toDF("lk", "lid")
+    val right = (0L until 300L).map(i => (i % 53, s"r$i")).toDF("rk", "rv")
+    try {
+      val joined = Dataflow.bucketedJoin(left, right, "lk", "rk",
+        nBuckets = 8, wh, "bj_spec")
+      // the merge hint keeps SMJ even though the right side is
+      // broadcast-small; the bucketed layout feeds it with no Exchange
+      // and no per-query Sort above the scans
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected sort-merge join:\n$plan")
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle:\n$plan")
+      val got = joined.select("lk", "lid", "rv").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      val want = left.join(right, col("lk") === col("rk"))
+        .select("lk", "lid", "rv").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      assert(got == want && got.nonEmpty)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS bj_spec_l")
+      spark.sql("DROP TABLE IF EXISTS bj_spec_r")
+    }
+  }
 }
