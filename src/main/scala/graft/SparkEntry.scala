@@ -3434,8 +3434,9 @@ object SparkEntry {
              AND NOT EXISTS (SELECT 1 FROM ev WHERE ev.h = n.h)
            GROUP BY source""",
       // portable Bloom replay: the text_decontaminate normalization+md5
-      // arms, then the 4 salted bit positions (h || '#bf' || j mod 1024) —
-      // membership = all 4 bits set, false_positive = member minus exact
+      // arms, then the 4 Kirsch-Mitzenmacher positions ((h1 + j*h2) mod
+      // 1024 from ONE md5's 60-bit/56-bit halves) — membership = all 4
+      // bits set, false_positive = member minus exact
       "text_bloom_decontaminate" ->
         """WITH n AS (
               SELECT doc_id, source,
@@ -3445,15 +3446,17 @@ object SparkEntry {
             js AS (SELECT unnest([0, 1, 2, 3]) AS j),
             bits AS (
               SELECT DISTINCT
-                     CAST(CONCAT('0x', substr(md5(CONCAT(h, '#bf',
-                          CAST(j AS VARCHAR))), 1, 15)) AS BIGINT) % 1024 AS pos
+                     (CAST(CONCAT('0x', substr(md5(h), 1, 15)) AS BIGINT)
+                      + j * CAST(CONCAT('0x', substr(md5(h), 16, 14)) AS BIGINT))
+                     % 1024 AS pos
               FROM ev CROSS JOIN js),
             corpus AS (SELECT doc_id, source, h FROM n WHERE doc_id % 20 <> 0),
             probe AS (
               SELECT c.doc_id, c.source, c.h, js.j,
                      CASE WHEN c.h IS NULL THEN NULL
-                          ELSE CAST(CONCAT('0x', substr(md5(CONCAT(c.h, '#bf',
-                               CAST(js.j AS VARCHAR))), 1, 15)) AS BIGINT) % 1024
+                          ELSE (CAST(CONCAT('0x', substr(md5(c.h), 1, 15)) AS BIGINT)
+                                + js.j * CAST(CONCAT('0x', substr(md5(c.h), 16, 14)) AS BIGINT))
+                               % 1024
                      END AS pos
               FROM corpus c CROSS JOIN js),
             bp AS (

