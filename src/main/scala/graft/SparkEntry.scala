@@ -2116,6 +2116,15 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_events"),
           sum(floor(col("value"))).cast("double").as("value_floor_sum"))
     }),
+    "ss_enrich" -> ((s, dir) => {
+      // stream-static enrichment rollup (events x broadcast customer dim,
+      // per-hour-per-segment counts): the batch execution of the SAME
+      // StreamOps function whose stream==batch parity StreamOpsSpec proves
+      graft.streaming.StreamOps.enrichedWindowStats(
+        events(s, dir).withColumn("ts", expr("timestamp_micros(ts div 1000)")),
+        s.read.parquet(s"$dir/customer.parquet"),
+        "c_custkey", "c_mktsegment")
+    }),
     "ss_dedup" -> ((s, dir) => {
       // streaming dedup rollup: distinct users per hour via the chained
       // dropDuplicates + windowed-count rewrite (count DISTINCT is
@@ -4260,6 +4269,12 @@ object SparkEntry {
         """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
               count(*) AS n_events, CAST(sum(floor(value)) AS DOUBLE) AS value_floor_sum
            FROM events GROUP BY 1, 2""",
+      "ss_enrich" ->
+        """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+              c_mktsegment AS segment,
+              count(*) AS n_events, CAST(sum(floor(value)) AS DOUBLE) AS value_floor_sum
+           FROM events JOIN customer ON user_id = c_custkey
+           GROUP BY 1, 2""",
       // the dp_percentile tree walk over a composite hour|type key: the
       // unrolled-descent SQL is reused verbatim with the composite string
       // as its partition key, then split back into (hour, event_type)

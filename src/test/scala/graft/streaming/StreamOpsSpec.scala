@@ -51,6 +51,29 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("stream-static enrichment rollup matches the batch join") {
+    val dim = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    val agg = StreamOps.enrichedWindowStats(eventStream(), dim,
+      "c_custkey", "c_mktsegment")
+    StreamOps.runToMemory(spark, agg, "enrich_agg", OutputMode.Complete)
+    val streamed = spark.table("enrich_agg")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batch = StreamOps.enrichedWindowStats(
+      readEvents("/root/testdata/sf0.001")
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)")),
+      dim, "c_custkey", "c_mktsegment")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("session windows over a bounded stream match the batch result") {
     val agg = StreamOps.sessionEventStats(eventStream(), "30 minutes", Some("1 hour"))
     // complete mode: the bounded replay emits every session deterministically
