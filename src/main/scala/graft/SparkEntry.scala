@@ -986,10 +986,21 @@ object SparkEntry {
       val e = s.read.parquet(s"$dir/embeddings.parquet")
         .withColumn("emb", expr(
           "transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1024) / 1024)"))
-      val centers = e.filter(col("vec_id") < 8).sort("vec_id")
-        .select("emb").collect().map(_.getSeq[Double](0).toArray)
+      val cRows = e.filter(col("vec_id") < 8).sort("vec_id")
+        .select("vec_id", "emb").collect()
+      val centers = cRows.map(_.getSeq[Double](1).toArray)
+      // label clusters by the centroid's vec_id, not its position in the
+      // collected array: the oracle labels by vec_id, and the two only
+      // coincide positionally while ids happen to be dense 0-based —
+      // id-labeling keeps the contract under sparse/offset id generators.
+      // (centers sorted by vec_id => lowest index == lowest vec_id, so the
+      // argmin tiebreak agrees with the oracle's ORDER BY d2, cluster.)
+      val ids = cRows.map(_.getLong(0))
       Similarity.assignToCenters(e, "vec_id", "emb", centers)
-        .select(col("id").as("vec_id"), col("cluster"), col("d2"))
+        .select(col("id").as("vec_id"),
+          element_at(typedLit(ids.toSeq), col("cluster").cast("int") + 1)
+            .as("cluster"),
+          col("d2"))
     }),
     "emb_kmeans" -> ((s, dir) => {
       // trained k-means topic clustering (sample-capped Lloyd's + map-only

@@ -847,15 +847,20 @@ object Dedup {
     * `(doc_id, n_segs, n_kept, text_kept)`, one row per input doc.
     *
     * Scale layout: one map-side-combined count over segment keys, then
-    * the over-threshold keys — a HEAVY-HITTER set, small by construction
-    * (at most totalSegs/maxFreq keys, in practice far fewer) — broadcast
-    * back against the segment frame as a null-flag join. The corpus-size
-    * segment frame is never self-joined and rides exactly one shuffle
-    * (the count); with `hashJoinKeys` the shuffled key is a 32-char md5,
-    * so long segments never leave their map task. */
+    * the over-threshold keys — a heavy-hitter set of at most
+    * totalSegs/(maxFreq+1) keys, in practice far fewer — joined back
+    * against the segment frame as a null-flag join. The corpus-size
+    * segment frame is never self-joined; with `hashJoinKeys` the shuffled
+    * key is a 32-char md5, so long segments never leave their map task.
+    * `broadcastBoiler` controls the flag join: true broadcasts the
+    * over-threshold set (right for ordinary corpora, where boilerplate is
+    * a thin heavy tail); on a duplicate-saturated corpus — where most
+    * segments cross the threshold and the set approaches the worst-case
+    * bound — set it false for a shuffle-hash flag join instead of an
+    * oversized broadcast. Decisions are identical either way (spec'd). */
   def removeFrequentSegments(df: DataFrame, idCol: String, textCol: String,
       segmentWords: Int = 10, maxFreq: Long = 2,
-      hashJoinKeys: Boolean = false): DataFrame = {
+      hashJoinKeys: Boolean = false, broadcastBoiler: Boolean = true): DataFrame = {
     require(segmentWords > 0, s"segmentWords must be positive, got $segmentWords")
     require(maxFreq >= 1, s"maxFreq must be >= 1, got $maxFreq")
     val base = df.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
@@ -864,7 +869,8 @@ object Dedup {
     val boiler = segs.groupBy("__k").agg(count(lit(1)).as("__n"))
       .filter(col("__n") > maxFreq)
       .select(col("__k"), lit(true).as("__boiler"))
-    val kept = segs.join(broadcast(boiler), Seq("__k"), "left")
+    val boilerSide = if (broadcastBoiler) broadcast(boiler) else boiler.hint("shuffle_hash")
+    val kept = segs.join(boilerSide, Seq("__k"), "left")
       .withColumn("__keep", col("__boiler").isNull)
     reassembleKept(base, kept)
   }

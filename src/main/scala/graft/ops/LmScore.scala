@@ -24,10 +24,15 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: two map-side-combined counting passes (unigrams, bigrams)
   * train the model; `minCount` prunes the bigram table WITHOUT a global
-  * sort (a count threshold, the standard n-gram pruning rule), keeping it
-  * broadcast-sized — pruned-away and unseen bigrams score through the
-  * same add-one path as count 0. Scoring is one map-only pass over
-  * exploded bigrams against the broadcast model. The corpus-wide tercile
+  * sort (a count threshold, the standard n-gram pruning rule) — pruned-away
+  * and unseen bigrams score through the same add-one path as count 0.
+  * Scoring joins exploded bigrams against the model; `broadcastModel`
+  * picks the join layout: true (one map-only pass) is right while the
+  * pruned model fits a broadcast — the usual case, since aggressive
+  * min-count pruning is exactly how production n-gram LMs are kept small —
+  * but a web-scale vocabulary can outgrow it even pruned, so false routes
+  * the same joins through shuffle-hash instead (identical scores, spec'd).
+  * The corpus-wide tercile
   * rank reuses the [[CorpusOps.packSequences]] layout: quantized-score
   * buckets (bounded: mean bits <= 64, so <= ~65k buckets regardless of
   * corpus size), a bucket histogram to the driver, broadcast prefix
@@ -43,8 +48,10 @@ object LmScore {
     * `middle` / `tail`), or `unscored` for docs with fewer than two
     * tokens (null mean_bits and rnk). */
   def surprisalScores(df: DataFrame, idCol: String, textCol: String,
-      minCount: Long = 1): DataFrame = {
+      minCount: Long = 1, broadcastModel: Boolean = true): DataFrame = {
     require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    def modelSide(m: DataFrame) =
+      if (broadcastModel) broadcast(m) else m.hint("shuffle_hash")
     val spark = df.sparkSession
     val base = df.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
     val toks = base
@@ -66,9 +73,9 @@ object LmScore {
     // c2 <= c1 and V >= 1 guarantee (c1 + v) div (c2 + 1) >= 1, so the
     // bit cost is always defined and >= 0
     val scoredBigrams = docBigrams
-      .join(broadcast(model), Seq("w1", "w2"), "left")
-      .join(broadcast(uni), col("w1") === col("w"))
-      .crossJoin(broadcast(vocab))
+      .join(modelSide(model), Seq("w1", "w2"), "left")
+      .join(modelSide(uni), col("w1") === col("w"))
+      .crossJoin(broadcast(vocab)) // always one row
       .withColumn("__bits", (length(bin(
         expr("(c1 + v) div (coalesce(c2, CAST(0 AS BIGINT)) + 1)"))) - 1)
         .cast("long"))

@@ -36,7 +36,7 @@ object Dataflow {
     * — the same md5 bit positions any engine reproduces), assemble it into
     * a driver bitmap (bounded by construction: `mBits/8` bytes — 128 KiB at
     * the 2^20 default, regardless of data scale), and filter the BIG side
-    * with a codegen'd native-function membership test BEFORE its rows reach
+    * with a fused per-row membership test BEFORE its rows reach
     * the shuffle. Rows whose key cannot be on the small side never get
     * hashed, serialized, or sent over the network — at 100 TB the shuffle
     * write is the join's dominant cost, and with a selective small side the
@@ -46,44 +46,16 @@ object Dataflow {
     *
     * This is the manual form of Spark's runtime row-level filtering, kept
     * explicit so the bitmap is portable (engine-independent md5, not Spark's
-    * internal bloom binary) and reusable across queries. The membership test
-    * is all native functions (`md5`/`conv`/`element_at`/`getbit`) — one
-    * whole-stage-codegen span, no UDF on the per-row path.
+    * internal bloom binary) and reusable across queries. The per-row
+    * membership test is a fused primitive UDF (md5 once, both
+    * Kirsch-Mitzenmacher halves from digest bytes, d bit tests) — the
+    * expression form measured 1.3-1.8 s/sf0.1, CodegenFallback-bound (see
+    * ARCHITECTURE "Bloom probe cost"), the documented measured-ladder
+    * exception to functions-first; bit-equal to the SQL oracle's replay.
     *
     * Prefer a plain broadcast join when the small side itself fits in a
     * broadcast — the Bloom pays off when BOTH sides are shuffle-scale but
     * the small side's key set still fits a bitmap. */
-  /** Bucketed co-located join — THE layout for fact tables that are
-    * joined on the same key again and again at 100 TB: both sides are
-    * written once as bucketed + per-bucket-sorted parquet tables
-    * (external, under `dir`), re-read through the session catalog, and
-    * merge-joined with ZERO exchange and ZERO per-query sort — the
-    * bucketed scans already report HashPartitioning(nBuckets) on the
-    * join key and sorted-within-bucket output, so Catalyst's
-    * EnsureRequirements inserts nothing. The bucketing write is the
-    * one-time cost; every subsequent co-located join (and bucket-key
-    * aggregation) of the stored tables is shuffle-free, which is why
-    * warehouses bucket their biggest join keys. The `merge` hint keeps
-    * the demonstration honest when one side is broadcast-small.
-    *
-    * Both sides must use the SAME bucket count: equal HashPartitioning
-    * is what lets the join zip bucket i against bucket i. */
-  def bucketedJoin(left: DataFrame, right: DataFrame,
-      leftKey: String, rightKey: String, nBuckets: Int,
-      dir: String, tablePrefix: String): DataFrame = {
-    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
-    val s = left.sparkSession
-    def store(df: DataFrame, key: String, name: String): DataFrame = {
-      df.write.mode("overwrite").format("parquet")
-        .bucketBy(nBuckets, key).sortBy(key)
-        .option("path", s"$dir/$name").saveAsTable(name)
-      s.table(name)
-    }
-    val l = store(left, leftKey, s"${tablePrefix}_l")
-    val r = store(right, rightKey, s"${tablePrefix}_r")
-    l.hint("merge").join(r, col(leftKey) === col(rightKey))
-  }
-
   def bloomFilteredJoin(
       big: DataFrame,
       small: DataFrame,
@@ -139,5 +111,38 @@ object Dataflow {
     })
     big.filter(col(bigKey).isNotNull && bloomPass(col(bigKey).cast("string")))
       .join(small.hint("shuffle_hash"), big(bigKey) === small(smallKey))
+  }
+
+  /** Bucketed co-located join — THE layout for fact tables that are
+    * joined on the same key again and again at 100 TB: both sides are
+    * written once as bucketed + per-bucket-sorted parquet tables
+    * (external, under `dir`), re-read through the session catalog, and
+    * merge-joined with ZERO exchange and ZERO per-query sort — the
+    * bucketed scans already report HashPartitioning(nBuckets) on the
+    * join key and sorted-within-bucket output, so Catalyst's
+    * EnsureRequirements inserts nothing. The bucketing write is the
+    * one-time cost; every subsequent co-located join (and bucket-key
+    * aggregation) of the stored tables is shuffle-free, which is why
+    * warehouses bucket their biggest join keys. The `merge` hint keeps
+    * the demonstration honest when one side is broadcast-small.
+    *
+    * Both sides must use the SAME bucket count: equal HashPartitioning
+    * is what lets the join zip bucket i against bucket i. */
+  def bucketedJoin(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String, nBuckets: Int,
+      dir: String, tablePrefix: String): DataFrame = {
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    val s = left.sparkSession
+    def store(df: DataFrame, key: String, name: String): DataFrame = {
+      df.write.mode("overwrite").format("parquet")
+        .bucketBy(nBuckets, key).sortBy(key)
+        .option("path", s"$dir/$name").saveAsTable(name)
+      s.table(name)
+    }
+    val l = store(left, leftKey, s"${tablePrefix}_l")
+    val r = store(right, rightKey, s"${tablePrefix}_r")
+    // frame-qualified keys: col(...) would be AMBIGUOUS_REFERENCE whenever
+    // both sides name their key identically (the common shared-key case)
+    l.hint("merge").join(r, l(leftKey) === r(rightKey))
   }
 }

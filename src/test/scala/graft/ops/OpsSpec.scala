@@ -639,6 +639,13 @@ class DedupSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) ->
         ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
     assert(hashed == out)
+    // duplicate-saturated-corpus mode (shuffle-hash flag join, no
+    // broadcast) is decision-identical too
+    val shuffled = Dedup.removeFrequentSegments(df, "doc_id", "text",
+        2, 2, broadcastBoiler = false)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(shuffled == out)
     // maxFreq=1 degrades to "drop every segment that repeats at all"
     val strict = Dedup.removeFrequentSegments(df, "doc_id", "text", 2, 1)
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
@@ -679,6 +686,17 @@ class DedupSpec extends AnyFunSuite {
     val pruned = LmScore.surprisalScores(df, "doc_id", "text", minCount = 100L)
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(pruned(1L) > out(1L).getLong(2))
+    // web-scale-vocabulary mode (shuffle-hash model joins, no broadcast)
+    // scores identically
+    val shuffled = LmScore.surprisalScores(df, "doc_id", "text",
+        broadcastModel = false)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), if (r.isNullAt(4)) -1L else r.getLong(4),
+          r.getString(5)))).toMap
+    val base = out.map { case (k, r) => k ->
+      ((r.getLong(1), r.getLong(2), if (r.isNullAt(4)) -1L else r.getLong(4),
+        r.getString(5))) }
+    assert(shuffled == base)
   }
 
   test("semantic dedup: clustered pass catches planted dups, nlist=1 is exact") {

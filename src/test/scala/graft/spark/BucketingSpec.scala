@@ -61,6 +61,24 @@ class BucketingSpec extends AnyFunSuite {
     }
   }
 
+  test("Dataflow.bucketedJoin resolves identically-named join keys") {
+    // the shared-key case: both sides call the key "k" — the join
+    // condition must be frame-qualified or analysis throws
+    // AMBIGUOUS_REFERENCE
+    val wh = Files.createTempDirectory("graft-bucketed-same").toString
+    val a = (0L until 100L).map(i => (i % 11, i)).toDF("k", "aid")
+    val b = (0L until 60L).map(i => (i % 11, s"b$i")).toDF("k", "bv")
+    try {
+      val joined = Dataflow.bucketedJoin(a, b, "k", "k",
+        nBuckets = 4, wh, "bj_same")
+      assert(joined.count() == a.join(b.withColumnRenamed("k", "k2"),
+        col("k") === col("k2")).count())
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS bj_same_l")
+      spark.sql("DROP TABLE IF EXISTS bj_same_r")
+    }
+  }
+
   test("Dataflow.bucketedJoin: exchange-free merge join, same rows as a plain join") {
     val wh = Files.createTempDirectory("graft-bucketed-join").toString
     val left = (0L until 600L).map(i => (i % 53, i)).toDF("lk", "lid")
