@@ -2210,6 +2210,23 @@ object SparkEntry {
         .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
           col("event_type"), col("dp_count"))
     }),
+    "ss_dp_mean" -> ((s, dir) => {
+      // streaming DP windowed mean: count+sum releases in one stateful
+      // pass, half the budget each, dp_mean = dp_sum/max(dp_count, 1).
+      // Zero-noise + non-binding bounds => exact windowed average of
+      // floor(value) — integer-valued double sums, exact division.
+      val ev = events(s, dir)
+        .withColumn("tstamp", expr("timestamp_micros(ts div 1000)"))
+        .withColumn("v", floor(col("value")))
+      graft.streaming.StreamOps.dpWindowedMean(ev,
+          pidCol = "user_id", tsCol = "tstamp", valueCol = "v",
+          keyCols = Seq("event_type"), windowLength = "1 hour",
+          epsilon = 1.0, maxPerCell = 1000000L,
+          minValue = -1e6, maxValue = 1e6,
+          noise = graft.core.NoiseSource.Zero)
+        .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("event_type"), col("dp_count"), col("dp_sum"), col("dp_mean"))
+    }),
     "ss_dp_sum" -> ((s, dir) => {
       // streaming DP windowed sum (clamp -> per-unit cell-sum clamp ->
       // Laplace), Zero-noise + generous bounds for the oracle; value
@@ -3010,6 +3027,13 @@ object SparkEntry {
       "ss_dp_count" ->
         """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
               event_type, CAST(count(*) AS DOUBLE) AS dp_count
+           FROM events GROUP BY 1, 2""",
+      "ss_dp_mean" ->
+        """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+              event_type,
+              CAST(count(*) AS DOUBLE) AS dp_count,
+              CAST(sum(floor(value)) AS DOUBLE) AS dp_sum,
+              CAST(sum(floor(value)) AS DOUBLE) / greatest(CAST(count(*) AS DOUBLE), 1.0) AS dp_mean
            FROM events GROUP BY 1, 2""",
       "ss_dp_sum" ->
         """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,

@@ -296,6 +296,56 @@ object StreamOps {
         (col("__raw") + noiseUdf()).cast("double").as("dp_sum"): _*)
   }
 
+  /** DP windowed MEAN — the count and sum releases of [[dpWindowedCount]]
+    * / [[dpWindowedSum]] computed in ONE stateful pass over the same
+    * per-unit cells (count bound and sum clamp exactly as there), each
+    * noised under HALF the per-release budget (two queries on the same
+    * data compose), and post-processed into dp_mean = dp_sum /
+    * max(dp_count, 1) — post-processing is free under DP. Under
+    * NoiseSource.Zero with non-binding bounds the mean is the exact
+    * windowed average, the oracle arm; tight-clamp semantics and
+    * stream==batch parity are pinned in StreamOpsSpec. */
+  def dpWindowedMean(
+      events: DataFrame,
+      pidCol: String,
+      tsCol: String,
+      valueCol: String,
+      keyCols: Seq[String],
+      windowLength: String,
+      epsilon: Double,
+      maxPerCell: Long,
+      minValue: Double,
+      maxValue: Double,
+      noise: graft.core.NoiseSource,
+      watermark: Option[String] = None
+  ): DataFrame = {
+    require(epsilon > 0, s"epsilon must be positive, got $epsilon")
+    require(maxPerCell > 0, s"maxPerCell must be positive, got $maxPerCell")
+    require(minValue <= maxValue, s"minValue $minValue > maxValue $maxValue")
+    val base = watermark.map(w => events.withWatermark(tsCol, w)).getOrElse(events)
+    val keyCs = keyCols.map(col)
+    val clamped = least(greatest(col(valueCol).cast("double"), lit(minValue)), lit(maxValue))
+    val perUnit = base
+      .groupBy(window(col(tsCol), windowLength) +: col(pidCol) +: keyCs: _*)
+      .agg(count(lit(1)).as("__n"), sum(clamped).as("__s"))
+    val epsHalf = epsilon / 2.0
+    val bCount = maxPerCell.toDouble / epsHalf
+    val bSum = maxPerCell * math.max(math.abs(minValue), math.abs(maxValue)) / epsHalf
+    val src = noise
+    val countNoise = udf(() => src.laplace(bCount)).asNondeterministic()
+    val sumNoise = udf(() => src.laplace(bSum)).asNondeterministic()
+    perUnit
+      .groupBy(col("window") +: keyCs: _*)
+      .agg(sum(least(col("__n"), lit(maxPerCell))).as("__rawN"),
+        sum(least(greatest(col("__s"), lit(maxPerCell * minValue)),
+          lit(maxPerCell * maxValue))).as("__rawS"))
+      .withColumn("dp_count", (col("__rawN") + countNoise()).cast("double"))
+      .withColumn("dp_sum", (col("__rawS") + sumNoise()).cast("double"))
+      .select(col("window.start").as("window_start") +: keyCs :+
+        col("dp_count") :+ col("dp_sum") :+
+        (col("dp_sum") / greatest(col("dp_count"), lit(1.0))).as("dp_mean"): _*)
+  }
+
   /** DP windowed QUANTILES — the quantile-tree combiner on a stream, under
     * the same per-release budget model as [[dpWindowedCount]]. Contribution
     * bounding must be ORDER-FREE on a stream (the batch engine's random

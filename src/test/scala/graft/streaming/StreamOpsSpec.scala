@@ -307,6 +307,70 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(sumStreamed == sumBatch && sumStreamed.nonEmpty)
   }
 
+  test("dp windowed mean: count+sum in one pass, tight clamps, streams match batch") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = readEvents("/root/testdata/sf0.001")
+    val bev = ev.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+
+    // zero noise + non-binding bounds: dp_mean is the exact window average
+    // of the clamped values; dp_count/dp_sum match the standalone releases
+    val mean = StreamOps.dpWindowedMean(bev, "user_id", "ts", "value",
+        Seq("event_type"), "1 hour", epsilon = 1.0, maxPerCell = 1000000L,
+        minValue = -1e6, maxValue = 1e6, noise = graft.core.NoiseSource.Zero)
+      .collect()
+      .map(r => ((r.getTimestamp(0), r.getString(1)),
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    val exact = bev
+      .groupBy(date_trunc("hour", col("ts")).as("w"), col("event_type"))
+      .agg(count(lit(1)).cast("double").as("n"), sum(col("value")).as("s"))
+      .collect()
+      .map(r => ((r.getTimestamp(0), r.getString(1)),
+        (r.getDouble(2), r.getDouble(3)))).toMap
+    assert(mean.keySet == exact.keySet && mean.nonEmpty)
+    mean.foreach { case (k, (n, s, m)) =>
+      val (en, es) = exact(k)
+      assert(n == en && math.abs(s - es) < 1e-6)
+      assert(m == s / math.max(n, 1.0))
+    }
+
+    // tight clamps: min=max=1 and maxPerCell=1 collapses dp_sum AND
+    // dp_count to the distinct-unit count, so dp_mean == 1 everywhere
+    val ones = StreamOps.dpWindowedMean(bev, "user_id", "ts", "value",
+        Seq("event_type"), "1 hour", epsilon = 1.0, maxPerCell = 1L,
+        minValue = 1.0, maxValue = 1.0, noise = graft.core.NoiseSource.Zero)
+      .collect()
+    assert(ones.nonEmpty && ones.forall(r => r.getDouble(4) == 1.0))
+
+    // streaming parity on the sentinel replay
+    val tmp = java.nio.file.Files.createTempDirectory("ss_dpm").toString
+    ev.write.mode("overwrite").parquet(tmp)
+    val maxTs = ev.agg(max("ts")).head.getLong(0)
+    ev.limit(1)
+      .withColumn("ts", lit(maxTs + 10L * 3600L * 1000000000L))
+      .withColumn("user_id", lit(-1L))
+      .withColumn("event_type", lit("__sentinel"))
+      .write.mode("append").parquet(tmp)
+    val stream = spark.readStream.schema(ev.schema).parquet(tmp)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val agg = StreamOps.dpWindowedMean(stream, "user_id", "ts", "value",
+      Seq("event_type"), "1 hour", epsilon = 1.0, maxPerCell = 2L,
+      minValue = -1.0, maxValue = 1.0, noise = graft.core.NoiseSource.Zero,
+      watermark = Some("10 minutes"))
+    StreamOps.runToMemory(spark, agg, "ss_dpm_t", OutputMode.Append)
+    val streamed = spark.table("ss_dpm_t")
+      .filter(col("event_type") =!= "__sentinel")
+      .collect()
+      .map(r => ((r.getTimestamp(0), r.getString(1)),
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    val batch = StreamOps.dpWindowedMean(bev, "user_id", "ts", "value",
+        Seq("event_type"), "1 hour", epsilon = 1.0, maxPerCell = 2L,
+        minValue = -1.0, maxValue = 1.0, noise = graft.core.NoiseSource.Zero)
+      .collect()
+      .map(r => ((r.getTimestamp(0), r.getString(1)),
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("stream-stream attribution join matches the batch range join") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val dir = "/root/testdata/sf0.001"
