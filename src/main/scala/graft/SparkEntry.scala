@@ -1992,6 +1992,18 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_orders"),
           sum(round(col("o_totalprice") * 100).cast("long")).as("total_cents"))
     }),
+    "io_range_export" -> ((s, dir) => {
+      // globally-sorted range-partitioned export (repartitionByRange +
+      // local sort): rows-only because RangePartitioner boundary sampling
+      // is engine-internal, with the written-files manifest self-checked
+      // in-query (overlap_violations must be 0, n_total must cover the
+      // corpus — both contract-pinned).
+      val tmp = scratchDir("range_export")
+      CorpusOps.exportRangeSorted(
+        s.read.parquet(s"$dir/orders.parquet")
+          .select("o_orderkey", "o_totalprice"),
+        "o_totalprice", tmp, nParts = 16)
+    }),
     "io_roundtrip" -> ((s, dir) => {
       // the IO layer inside the gate: CorpusIO write -> read roundtrips in
       // two formats (hive-partitioned parquet with bounded files; jsonl

@@ -412,6 +412,50 @@ object CorpusOps {
         expr("bit_xor(__h)").as("ids_xor"))
   }
 
+  /** Globally-SORTED range-partitioned export — the sorted-lake layout:
+    * `repartitionByRange` samples range boundaries on the sort key
+    * (Spark's RangePartitioner — at any scale, one sampling pass then a
+    * range shuffle, never a single-task global sort), each partition
+    * sorts locally, and partition i's key range sits entirely below
+    * partition i+1's, so the written files concatenate into one globally
+    * ordered dataset (the layout that gives sorted-parquet lakes their
+    * min/max-pruned range scans). Returns the per-partition manifest
+    * computed from the files just WRITTEN — (part, n_rows, key min/max) —
+    * plus two self-check probe columns on every row:
+    * `overlap_violations` (adjacent-partition range overlaps; 0 = the
+    * concatenation is globally sorted) and `n_total` (rows across all
+    * parts; must equal the input). Boundary PLACEMENT is sampling-
+    * dependent (RangePartitioner seeds by RDD id), so per-partition
+    * contents are not engine-replayable — the probes plus totals are the
+    * contract, the rows-only gate convention. Ties on the sort key may
+    * straddle a boundary; `overlap_violations` therefore compares with
+    * strict inequality (sorted concatenation still holds). */
+  def exportRangeSorted(df: DataFrame, keyCol: String, outDir: String,
+      nParts: Int): DataFrame = {
+    require(nParts > 0, s"nParts must be positive, got $nParts")
+    df.repartitionByRange(nParts, col(keyCol))
+      .sortWithinPartitions(col(keyCol))
+      .withColumn("part", spark_partition_id())
+      .write.mode("overwrite").partitionBy("part").parquet(outDir)
+    val back = df.sparkSession.read.parquet(outDir)
+    val manifest = back.groupBy(col("part").cast("int").as("part"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col(keyCol)).as("key_min"), max(col(keyCol)).as("key_max"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("part")
+    // the manifest is nParts rows — a driver-sized frame, so the global
+    // window and the totals crossJoin cost nothing
+    val checked = manifest
+      .withColumn("__prev_max", lag(col("key_max"), 1).over(w))
+      .withColumn("__overlap",
+        when(col("__prev_max").isNotNull && col("key_min") < col("__prev_max"), 1L)
+          .otherwise(0L))
+    val totals = checked.agg(sum(col("__overlap")).as("overlap_violations"),
+      sum(col("n_rows")).as("n_total"))
+    checked.crossJoin(broadcast(totals))
+      .select("part", "n_rows", "key_min", "key_max",
+        "overlap_violations", "n_total")
+  }
+
   /** Deterministic train/val/test assignment by PORTABLE hash: bucket =
     * md5(id) leading 60 bits mod 100, split by cumulative percentage
     * boundaries. Any engine reproduces the exact same assignment (no rand(),

@@ -33,6 +33,8 @@ class EntryContractSpec extends AnyFunSuite {
     "sim_ivfpq_topk" -> (Seq("planted_found", "n_both", "n_exact") -> Some("sim_topk")),
     "emb_kmeans" ->
       (Seq("n_total", "trained_beats_fixed") -> Some("emb_kmeans_assign")),
+    "io_range_export" ->
+      (Seq("overlap_violations", "n_total") -> Some("io_export_shards")),
     "text_fingerprint" -> (Seq.empty -> Some("text_fingerprint_md5")),
     "text_bpe" -> (Seq("n_roundtrip_violations") -> None),
     "tune_params" ->

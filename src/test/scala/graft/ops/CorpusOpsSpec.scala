@@ -215,6 +215,33 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out(3L) == (false, Some("repetitive_2gram")))
   }
 
+  test("exportRangeSorted: disjoint ascending ranges, zero overlaps, full coverage") {
+    val rows = (1L to 500L).map(i => (i, (i * 37 % 211).toDouble))
+      .toDF("id", "key").repartition(7)
+    val dir = java.nio.file.Files.createTempDirectory("graft-range").toString
+    val m = CorpusOps.exportRangeSorted(rows, "key", dir, nParts = 8)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getLong(4), r.getLong(5)))
+      .sortBy(_._1)
+    // probes: no adjacent-range overlaps, totals cover the input
+    assert(m.forall(_._5 == 0L), s"overlap violations: $m")
+    assert(m.forall(_._6 == 500L))
+    assert(m.map(_._2).sum == 500L)
+    // ranges ascend strictly across partitions: every part's max <= next min
+    m.sliding(2).foreach { case Array(a, b) =>
+      assert(a._4 <= b._3, s"range overlap between parts ${a._1} and ${b._1}")
+    case _ => ()
+    }
+    // each written file is locally sorted (the global-sort contract is
+    // disjoint ranges + local order)
+    val spark2 = rows.sparkSession
+    val p0 = m.head._1
+    val f = spark2.read.parquet(s"$dir/part=$p0")
+      .select("key").collect().map(_.getDouble(0))
+    assert(f.nonEmpty && (f sameElements f.sorted))
+  }
+
   test("exportShards: deterministic manifest, full coverage, ordered files") {
     val docs = (1L to 400L).map(i => (i, s"text-$i", 10L + i % 7))
       .toDF("doc_id", "text", "n_chars").repartition(8)
