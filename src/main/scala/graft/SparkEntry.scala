@@ -558,6 +558,21 @@ object SparkEntry {
       CorpusOps.ngramContamination(corpus, "doc_id", "text", bench, "text", n = 3)
         .drop("text")
     }),
+    "text_neardup_decontaminate" -> ((s, dir) => {
+      // fuzzy benchmark decontamination (GPT-3/Llama rule): corpus docs
+      // whose best portable-MinHash match against the benchmark set
+      // (doc_id % 10 == 0, signed once as a store) clears Jaccard 0.6 are
+      // dropped; per-source kept/dropped rollup. Whole pipeline replays
+      // in the oracle via the shared portable pair SQL's cross-set
+      // restriction (the dedup_incremental construction).
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val bench = docs.filter(col("doc_id") % 10 === 0)
+      val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+      val sigs = Dedup.minHashWithSigPortable(bench, "doc_id", "text",
+        shingleSize = 3, numHashes = 128)
+      CorpusOps.nearDupDecontaminate(corpus, sigs,
+        "doc_id", "source", "n_chars", "text")
+    }),
     "text_decontaminate" -> ((s, dir) => {
       // document-level exact decontamination: drop corpus docs whose
       // NORMALIZED text exactly matches an eval-set doc (doc_id % 20 == 0
@@ -2989,6 +3004,22 @@ object SparkEntry {
       // pair set (pairs where exactly one side is an increment doc), best
       // match per new doc by (jaccard desc, corpus id asc).
       "dedup_incremental" -> incrementalBestMatchSql,
+      // near-dup decontamination: the SAME cross-set restriction of the
+      // portable pair set (benchmark = doc_id % 10 == 0), rolled up as
+      // per-source kept/dropped over the corpus side
+      "text_neardup_decontaminate" ->
+        s"""WITH pairs AS ($minhashMd5Sql),
+            dropped AS (
+              SELECT DISTINCT CASE WHEN id_a % 10 = 0 THEN id_b ELSE id_a END AS id
+              FROM pairs WHERE (id_a % 10 = 0) <> (id_b % 10 = 0)),
+            corpus AS (SELECT * FROM documents WHERE doc_id % 10 <> 0)
+            SELECT source,
+                   CAST(count(*) FILTER (WHERE d.id IS NULL) AS BIGINT) AS n_kept,
+                   CAST(count(*) FILTER (WHERE d.id IS NOT NULL) AS BIGINT) AS n_dropped,
+                   CAST(coalesce(sum(n_chars) FILTER (WHERE d.id IS NULL), 0) AS BIGINT)
+                     AS chars_kept
+            FROM corpus c LEFT JOIN dropped d ON d.id = c.doc_id
+            GROUP BY source""",
       // identical semantics by construction (stored signatures are the same
       // bit-exact portable frame) — the oracle is shared
       "dedup_incremental_sigs" -> incrementalBestMatchSql,

@@ -412,6 +412,37 @@ object CorpusOps {
         expr("bit_xor(__h)").as("ids_xor"))
   }
 
+  /** NEAR-DUPLICATE benchmark decontamination — the fuzzy complement of
+    * the exact-hash and n-gram paths (the GPT-3 appendix-C / Llama rule:
+    * drop training docs that are near-copies of eval data, not just exact
+    * ones): each corpus doc's best MinHash-LSH match against the
+    * benchmark set decides, and docs at/above `threshold` exact Jaccard
+    * drop. Matching is [[Dedup.incrementalNearDupsFromSigs]] with the
+    * benchmark as the persisted signature store — the benchmark is signed
+    * once and reused across corpus batches, the corpus is signed
+    * per-call (it rides the scan anyway), and candidates carry ids only.
+    * Returns the per-source rollup (n_kept, n_dropped, chars_kept); the
+    * drop list broadcasts (ids only, bounded by corpus-benchmark overlap
+    * — a pipeline whose corpus mostly overlaps its benchmarks has bigger
+    * problems than a broadcast). */
+  def nearDupDecontaminate(corpus: DataFrame, benchmarkSigs: DataFrame,
+      idCol: String, sourceCol: String, sizeCol: String, textCol: String,
+      shingleSize: Int = 3, numBands: Int = 16, rowsPerBand: Int = 8,
+      threshold: Double = 0.6): DataFrame = {
+    val dropped = graft.ops.Dedup.incrementalNearDupsFromSigs(
+        corpus, benchmarkSigs, idCol, textCol,
+        shingleSize, numBands, rowsPerBand, threshold)
+      .select(col("id").as("__drop_id"))
+    corpus
+      .join(broadcast(dropped), corpus(idCol) === col("__drop_id"), "left")
+      .groupBy(col(sourceCol).as("source"))
+      .agg(
+        sum(when(col("__drop_id").isNull, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("__drop_id").isNotNull, 1L).otherwise(0L)).as("n_dropped"),
+        sum(when(col("__drop_id").isNull, col(sizeCol)).otherwise(lit(0L)))
+          .cast("long").as("chars_kept"))
+  }
+
   /** Globally-SORTED range-partitioned export — the sorted-lake layout:
     * `repartitionByRange` samples range boundaries on the sort key
     * (Spark's RangePartitioner — at any scale, one sampling pass then a

@@ -652,6 +652,27 @@ class DedupSpec extends AnyFunSuite {
     assert(strict(1L) == 0L && strict(2L) == 1L && strict(5L) == 1L)
   }
 
+  test("nearDupDecontaminate: near-copies of benchmark docs drop, clean docs keep") {
+    val benchText = "the quick brown fox jumps over the lazy dog again and again today"
+    val bench = Seq((1000L, benchText, "eval", 10L)).toDF("doc_id", "text", "source", "n_chars")
+    val corpus = Seq(
+      // near-copy: one word appended — high shingle overlap, must drop
+      (1L, benchText + " tomorrow", "web", 20L),
+      // exact copy, must drop
+      (2L, benchText, "web", 30L),
+      // unrelated, must keep
+      (3L, "completely different words about spark engines and query plans entirely", "web", 40L),
+      (4L, "another unrelated document with its own vocabulary and nothing shared", "books", 50L)
+    ).toDF("doc_id", "text", "source", "n_chars")
+    val sigs = Dedup.minHashWithSigPortable(bench, "doc_id", "text", 3, 128)
+    val out = CorpusOps.nearDupDecontaminate(corpus, sigs,
+        "doc_id", "source", "n_chars", "text")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out("web") == ((1L, 2L, 40L)))   // docs 1,2 dropped; 3 kept
+    assert(out("books") == ((1L, 0L, 50L)))
+  }
+
   test("lm surprisal: repetitive docs score head, rare-bigram docs score tail") {
     // corpus: many copies of the same fluent phrase + one doc of unique
     // word-salad bigrams + one too-short doc
