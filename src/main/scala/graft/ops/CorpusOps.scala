@@ -464,14 +464,20 @@ object CorpusOps {
   def exportRangeSorted(df: DataFrame, keyCol: String, outDir: String,
       nParts: Int): DataFrame = {
     require(nParts > 0, s"nParts must be positive, got $nParts")
+    // sort leads with the partition column (constant within a partition,
+    // so within-file order is still keyCol): the dynamic-partition writer
+    // REQUIRES child ordering on "part" and would otherwise inject its
+    // own part-only sort, which under spill-merge does not preserve the
+    // key order this export exists to provide (the exportShards pattern)
     df.repartitionByRange(nParts, col(keyCol))
-      .sortWithinPartitions(col(keyCol))
       .withColumn("part", spark_partition_id())
+      .sortWithinPartitions(col("part"), col(keyCol))
       .write.mode("overwrite").partitionBy("part").parquet(outDir)
     val back = df.sparkSession.read.parquet(outDir)
     val manifest = back.groupBy(col("part").cast("int").as("part"))
       .agg(count(lit(1)).as("n_rows"),
         min(col(keyCol)).as("key_min"), max(col(keyCol)).as("key_max"))
+      .localCheckpoint(false) // window pass + totals pass, one file scan
     val w = org.apache.spark.sql.expressions.Window.orderBy("part")
     // the manifest is nParts rows — a driver-sized frame, so the global
     // window and the totals crossJoin cost nothing
@@ -482,9 +488,14 @@ object CorpusOps {
           .otherwise(0L))
     val totals = checked.agg(sum(col("__overlap")).as("overlap_violations"),
       sum(col("n_rows")).as("n_total"))
-    checked.crossJoin(broadcast(totals))
+    // rows_missing pins written-vs-input coverage IN-QUERY (0 = nothing
+    // lost in the write): n_total alone could silently shrink with a
+    // dropped-rows bug and still read as a clean manifest
+    val inTotal = df.agg(count(lit(1)).as("__in_n"))
+    checked.crossJoin(broadcast(totals)).crossJoin(broadcast(inTotal))
+      .withColumn("rows_missing", col("__in_n") - col("n_total"))
       .select("part", "n_rows", "key_min", "key_max",
-        "overlap_violations", "n_total")
+        "overlap_violations", "n_total", "rows_missing")
   }
 
   /** Deterministic train/val/test assignment by PORTABLE hash: bucket =

@@ -204,6 +204,40 @@ object StreamOps {
         col("click_ts"), col("conv_ts"))
   }
 
+  /** The per-unit cell stage shared by every DP windowed release
+    * ([[dpWindowedCount]]/[[dpWindowedSum]]/[[dpWindowedMean]]): optional
+    * watermark, then one stateful aggregation producing each (window,
+    * unit, keys) cell's raw count `__n` and (when `valueCol` is given)
+    * clamped-value sum `__s`; `boundedN`/`boundedS` are the count cap and
+    * two-sided cell-sum clamp applied before noise. ONE copy of the clamp
+    * and grouping semantics, so the releases cannot drift. */
+  private def perUnitCells(
+      events: DataFrame,
+      pidCol: String,
+      tsCol: String,
+      valueCol: Option[String],
+      keyCols: Seq[String],
+      windowLength: String,
+      minValue: Double,
+      maxValue: Double,
+      watermark: Option[String]
+  ): DataFrame = {
+    val base = watermark.map(w => events.withWatermark(tsCol, w)).getOrElse(events)
+    val keyCs = keyCols.map(col)
+    val grouped = base.groupBy(
+      window(col(tsCol), windowLength) +: col(pidCol) +: keyCs: _*)
+    valueCol match {
+      case Some(v) =>
+        val clamped = least(greatest(col(v).cast("double"), lit(minValue)), lit(maxValue))
+        grouped.agg(count(lit(1)).as("__n"), sum(clamped).as("__s"))
+      case None => grouped.agg(count(lit(1)).as("__n"))
+    }
+  }
+
+  private def boundedN(maxPerCell: Long) = least(col("__n"), lit(maxPerCell))
+  private def boundedS(maxPerCell: Long, minValue: Double, maxValue: Double) =
+    least(greatest(col("__s"), lit(maxPerCell * minValue)), lit(maxPerCell * maxValue))
+
   /** Bounded-contribution noisy windowed count — the streaming analogue of
     * the batch DP count under a PER-RELEASE budget. Each (window, key) cell
     * is released with Laplace(maxPerCell/epsilon) noise, epsilon-DP w.r.t.
@@ -238,17 +272,15 @@ object StreamOps {
   ): DataFrame = {
     require(epsilon > 0, s"epsilon must be positive, got $epsilon")
     require(maxPerCell > 0, s"maxPerCell must be positive, got $maxPerCell")
-    val base = watermark.map(w => events.withWatermark(tsCol, w)).getOrElse(events)
     val keyCs = keyCols.map(col)
-    val perUnit = base
-      .groupBy(window(col(tsCol), windowLength) +: col(pidCol) +: keyCs: _*)
-      .agg(count(lit(1)).as("__n"))
+    val perUnit = perUnitCells(events, pidCol, tsCol, None, keyCols,
+      windowLength, 0.0, 0.0, watermark)
     val b = maxPerCell.toDouble / epsilon
     val src = noise
     val noiseUdf = udf(() => src.laplace(b)).asNondeterministic()
     perUnit
       .groupBy(col("window") +: keyCs: _*)
-      .agg(sum(least(col("__n"), lit(maxPerCell))).as("__raw"))
+      .agg(sum(boundedN(maxPerCell)).as("__raw"))
       .select(col("window.start").as("window_start") +: keyCs :+
         (col("__raw") + noiseUdf()).cast("double").as("dp_count"): _*)
   }
@@ -279,19 +311,15 @@ object StreamOps {
     require(epsilon > 0, s"epsilon must be positive, got $epsilon")
     require(maxPerCell > 0, s"maxPerCell must be positive, got $maxPerCell")
     require(minValue <= maxValue, s"minValue $minValue > maxValue $maxValue")
-    val base = watermark.map(w => events.withWatermark(tsCol, w)).getOrElse(events)
     val keyCs = keyCols.map(col)
-    val clamped = least(greatest(col(valueCol).cast("double"), lit(minValue)), lit(maxValue))
-    val perUnit = base
-      .groupBy(window(col(tsCol), windowLength) +: col(pidCol) +: keyCs: _*)
-      .agg(sum(clamped).as("__s"))
+    val perUnit = perUnitCells(events, pidCol, tsCol, Some(valueCol), keyCols,
+      windowLength, minValue, maxValue, watermark)
     val b = maxPerCell * math.max(math.abs(minValue), math.abs(maxValue)) / epsilon
     val src = noise
     val noiseUdf = udf(() => src.laplace(b)).asNondeterministic()
     perUnit
       .groupBy(col("window") +: keyCs: _*)
-      .agg(sum(least(greatest(col("__s"), lit(maxPerCell * minValue)),
-        lit(maxPerCell * maxValue))).as("__raw"))
+      .agg(sum(boundedS(maxPerCell, minValue, maxValue)).as("__raw"))
       .select(col("window.start").as("window_start") +: keyCs :+
         (col("__raw") + noiseUdf()).cast("double").as("dp_sum"): _*)
   }
@@ -322,12 +350,9 @@ object StreamOps {
     require(epsilon > 0, s"epsilon must be positive, got $epsilon")
     require(maxPerCell > 0, s"maxPerCell must be positive, got $maxPerCell")
     require(minValue <= maxValue, s"minValue $minValue > maxValue $maxValue")
-    val base = watermark.map(w => events.withWatermark(tsCol, w)).getOrElse(events)
     val keyCs = keyCols.map(col)
-    val clamped = least(greatest(col(valueCol).cast("double"), lit(minValue)), lit(maxValue))
-    val perUnit = base
-      .groupBy(window(col(tsCol), windowLength) +: col(pidCol) +: keyCs: _*)
-      .agg(count(lit(1)).as("__n"), sum(clamped).as("__s"))
+    val perUnit = perUnitCells(events, pidCol, tsCol, Some(valueCol), keyCols,
+      windowLength, minValue, maxValue, watermark)
     val epsHalf = epsilon / 2.0
     val bCount = maxPerCell.toDouble / epsHalf
     val bSum = maxPerCell * math.max(math.abs(minValue), math.abs(maxValue)) / epsHalf
@@ -336,9 +361,8 @@ object StreamOps {
     val sumNoise = udf(() => src.laplace(bSum)).asNondeterministic()
     perUnit
       .groupBy(col("window") +: keyCs: _*)
-      .agg(sum(least(col("__n"), lit(maxPerCell))).as("__rawN"),
-        sum(least(greatest(col("__s"), lit(maxPerCell * minValue)),
-          lit(maxPerCell * maxValue))).as("__rawS"))
+      .agg(sum(boundedN(maxPerCell)).as("__rawN"),
+        sum(boundedS(maxPerCell, minValue, maxValue)).as("__rawS"))
       .withColumn("dp_count", (col("__rawN") + countNoise()).cast("double"))
       .withColumn("dp_sum", (col("__rawS") + sumNoise()).cast("double"))
       .select(col("window.start").as("window_start") +: keyCs :+

@@ -33,8 +33,13 @@ class EntryContractSpec extends AnyFunSuite {
     "sim_ivfpq_topk" -> (Seq("planted_found", "n_both", "n_exact") -> Some("sim_topk")),
     "emb_kmeans" ->
       (Seq("n_total", "trained_beats_fixed") -> Some("emb_kmeans_assign")),
+    // NOTE: constructing this query's frame performs its real export write
+    // (the exportShards write-then-read-manifest shape), so the probe-schema
+    // test below pays a small sf0.001 export — same accepted cost as
+    // tune_params / text_bpe construction
     "io_range_export" ->
-      (Seq("overlap_violations", "n_total") -> Some("io_export_shards")),
+      (Seq("overlap_violations", "n_total", "rows_missing")
+        -> Some("io_export_shards")),
     "text_fingerprint" -> (Seq.empty -> Some("text_fingerprint_md5")),
     "text_bpe" -> (Seq("n_roundtrip_violations") -> None),
     "tune_params" ->

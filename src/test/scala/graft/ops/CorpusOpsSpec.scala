@@ -222,11 +222,13 @@ class CorpusOpsSpec extends AnyFunSuite {
     val m = CorpusOps.exportRangeSorted(rows, "key", dir, nParts = 8)
       .collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
-        r.getLong(4), r.getLong(5)))
+        r.getLong(4), r.getLong(5), r.getLong(6)))
       .sortBy(_._1)
-    // probes: no adjacent-range overlaps, totals cover the input
+    // probes: no adjacent-range overlaps, totals cover the input, nothing
+    // lost between input and written files
     assert(m.forall(_._5 == 0L), s"overlap violations: $m")
     assert(m.forall(_._6 == 500L))
+    assert(m.forall(_._7 == 0L), s"rows_missing nonzero: $m")
     assert(m.map(_._2).sum == 500L)
     // ranges ascend strictly across partitions: every part's max <= next min
     m.sliding(2).foreach { case Array(a, b) =>
