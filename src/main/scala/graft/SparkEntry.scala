@@ -2301,6 +2301,77 @@ object SparkEntry {
           col("decoded_audio.channels").as("channels"),
           col("decoded_audio.n_frames").as("n_frames"),
           round(col("decoded_audio.duration_seconds"), 9).as("duration_seconds"))
+    }),
+    "ts_gapfill" -> ((s, dir) => {
+      // time-series resample: dense per-(event_type, hour) grid with
+      // zero-filled gaps between the corpus min and max hour — the
+      // telemetry shape dashboards and anomaly detectors require (a
+      // missing cell is a 0, not an absent row). The grid is GENERATED
+      // (sequence over a one-row min/max agg × distinct keys), never
+      // collected, so the plan is scan + one map-side-combined agg at any
+      // scale.
+      graft.ops.EventAnalytics.gapFillHourly(
+        events(s, dir).withColumn("tstamp", expr("timestamp_micros(ts div 1000)")),
+        "tstamp", "event_type", "value")
+    }),
+    "funnel_conversion" -> ((s, dir) => {
+      // ordered-step funnel (view -> click -> purchase): step k counts
+      // users whose earliest step-k event is at/after their step-(k-1)
+      // entry. One keyed shuffle per step over a shrinking frame — no
+      // per-user event lists. frac_of_first is one IEEE division of exact
+      // longs (bit-identical cross-engine).
+      graft.ops.EventAnalytics.funnel(
+        events(s, dir).withColumn("tstamp", expr("timestamp_micros(ts div 1000)")),
+        "user_id", "tstamp", "event_type", Seq("view", "click", "purchase"))
+    }),
+    "cohort_retention" -> ((s, dir) => {
+      // first-activity-day cohorts × weekly retention: the classic
+      // retention triangle. Dedupe to (user, day), per-user min day, join
+      // back on the SAME user key (one exchange serves both), then
+      // distinct users per (cohort, week) — integer date math throughout.
+      graft.ops.EventAnalytics.cohortRetention(
+        events(s, dir).withColumn("tstamp", expr("timestamp_micros(ts div 1000)")),
+        "user_id", "tstamp")
+    }),
+    "a_winsorize" -> ((s, dir) => {
+      // per-type outlier capping profile: exact p05/p95 of floor(value)
+      // (sort-based agg — at 100 TB swap percentile_approx, same shape)
+      // plus the winsorized sum under integerized clamp bounds (sum of
+      // integer-valued doubles => order-free, hashable).
+      graft.ops.EventAnalytics.winsorizeProfile(
+        events(s, dir), "event_type", "value", 0.05, 0.95)
+    }),
+    "a_rollup" -> ((s, dir) => {
+      // multi-level OLAP aggregate: ROLLUP (flag, status) — detail rows,
+      // per-flag subtotals, grand total, disambiguated by grouping_id.
+      // Spark expands rollup into a single Expand + one hash aggregate
+      // (map-side combined): one shuffle for all three levels.
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity")).cast("double").as("sum_qty"),
+          grouping_id().cast("long").as("gid"))
+    }),
+    "a_cube" -> ((s, dir) => {
+      // full CUBE over (status, priority): all four grouping sets in one
+      // Expand + one shuffle; price floor()ed so the double sum is
+      // integer-exact.
+      s.read.parquet(s"$dir/orders.parquet")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(floor(col("o_totalprice"))).cast("double").as("price_floor_sum"),
+          grouping_id().cast("long").as("gid"))
+    }),
+    "a_pivot" -> ((s, dir) => {
+      // pivot: per-day event counts, one column per event type. The value
+      // list is EXPLICIT (the unlisted-pivot variant runs a distinct scan
+      // job first and its column order is data-dependent — never in a
+      // fixed-schema gate); absent cells coalesce to 0.
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val p = events(s, dir).withColumn("day", tsDay)
+        .groupBy("day").pivot("event_type", types)
+        .agg(count(lit(1)))
+      p.select(col("day") +: types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
     })
   )
 
@@ -4436,7 +4507,80 @@ object SparkEntry {
              FROM m)
            SELECT user_id, MIN(tu) AS session_start,
                   count(*) AS n_events, SUM(v) AS value_sum
-           FROM s GROUP BY user_id, sid"""
+           FROM s GROUP BY user_id, sid""",
+      "ts_gapfill" ->
+        """WITH agg AS (
+              SELECT event_type, date_trunc('hour', ts) AS h,
+                     count(*) AS n, sum(floor(value)) AS vs
+              FROM events GROUP BY 1, 2),
+            bounds AS (
+              SELECT date_trunc('hour', min(ts)) AS lo,
+                     date_trunc('hour', max(ts)) AS hi
+              FROM events),
+            hours AS (
+              SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+              FROM bounds),
+            keys AS (SELECT DISTINCT event_type FROM events)
+           SELECT k.event_type,
+                  strftime(hr.h, '%Y-%m-%d %H:%M:%S') AS hour,
+                  coalesce(a.n, 0) AS n_events,
+                  CAST(coalesce(a.vs, 0) AS DOUBLE) AS value_floor_sum
+           FROM hours hr CROSS JOIN keys k
+           LEFT JOIN agg a ON a.event_type = k.event_type AND a.h = hr.h""",
+      "funnel_conversion" ->
+        """WITH s1 AS (SELECT user_id, min(ts) AS e FROM events
+                       WHERE event_type = 'view' GROUP BY 1),
+            s2 AS (SELECT e.user_id, min(e.ts) AS e FROM events e
+                   JOIN s1 ON e.user_id = s1.user_id AND e.ts >= s1.e
+                   WHERE e.event_type = 'click' GROUP BY 1),
+            s3 AS (SELECT e.user_id, min(e.ts) AS e FROM events e
+                   JOIN s2 ON e.user_id = s2.user_id AND e.ts >= s2.e
+                   WHERE e.event_type = 'purchase' GROUP BY 1),
+            c AS (SELECT 1 AS step_index, 'view' AS step, count(*) AS n_users FROM s1
+                  UNION ALL SELECT 2, 'click', count(*) FROM s2
+                  UNION ALL SELECT 3, 'purchase', count(*) FROM s3)
+           SELECT CAST(step_index AS BIGINT) AS step_index, step, n_users,
+                  CAST(n_users AS DOUBLE) /
+                    (SELECT n_users FROM c WHERE step_index = 1) AS frac_of_first
+           FROM c""",
+      "cohort_retention" ->
+        """WITH days AS (
+              SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d FROM events),
+            coh AS (SELECT u, min(d) AS cohort FROM days GROUP BY 1)
+           SELECT strftime(cohort, '%Y-%m-%d') AS cohort_day,
+                  CAST(date_diff('day', cohort, d) // 7 AS BIGINT) AS week_offset,
+                  CAST(count(DISTINCT u) AS BIGINT) AS n_users
+           FROM days JOIN coh USING (u) GROUP BY 1, 2""",
+      "a_winsorize" ->
+        """WITH q AS (
+              SELECT event_type AS k,
+                     quantile_cont(CAST(floor(value) AS DOUBLE), 0.05) AS lo,
+                     quantile_cont(CAST(floor(value) AS DOUBLE), 0.95) AS hi
+              FROM events GROUP BY 1)
+           SELECT e.event_type, q.lo AS p_lo, q.hi AS p_hi,
+                  count(*) AS n_rows,
+                  CAST(sum(least(greatest(floor(value), floor(q.lo)), ceil(q.hi)))
+                       AS DOUBLE) AS clamped_sum
+           FROM events e JOIN q ON e.event_type = q.k
+           GROUP BY 1, q.lo, q.hi""",
+      "a_rollup" ->
+        """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+                  CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
+                  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+           FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+      "a_cube" ->
+        """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+                  CAST(sum(floor(o_totalprice)) AS DOUBLE) AS price_floor_sum,
+                  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+           FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
+      "a_pivot" ->
+        """SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+                  count(*) FILTER (event_type = 'click') AS click,
+                  count(*) FILTER (event_type = 'error') AS error,
+                  count(*) FILTER (event_type = 'purchase') AS purchase,
+                  count(*) FILTER (event_type = 'signup') AS signup,
+                  count(*) FILTER (event_type = 'view') AS view
+           FROM events GROUP BY 1"""
     )
   }
 }

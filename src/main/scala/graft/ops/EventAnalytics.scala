@@ -1,0 +1,158 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.functions._
+
+/** Product-analytics operators over event streams: time-series gap filling,
+  * ordered-step funnels, and cohort retention. The reference engine has no
+  * temporal analytics tier (SURVEY §2.E); these are the standard OLAP
+  * queries a telemetry/training-data pipeline runs next to its DP rollups,
+  * expressed as declarative Spark plans (no driver-side iteration):
+  *
+  *  - [[gapFillHourly]]: resample to a dense per-(key, hour) grid with
+  *    zero-filled gaps. The grid is GENERATED (sequence over the one-row
+  *    min/max aggregate × distinct keys), never materialized from data, so
+  *    its size is |keys| × |hours| regardless of event volume.
+  *  - [[funnel]]: per-user ordered step progression (step k counts only
+  *    users whose earliest step-k event is at/after their step-(k-1) entry
+  *    time). One keyed shuffle per step on a frame that only shrinks —
+  *    the standard scale shape; no per-user event lists are ever collected.
+  *  - [[cohortRetention]]: first-activity cohorts × weekly activity. Two
+  *    keyed shuffles (per-user first day, then per-(cohort, week) distinct
+  *    users) over a deduplicated (user, day) frame.
+  *
+  * All three are deterministic (no floats except exact integer-valued
+  * sums/ratios), so they are oracle-exact against DuckDB replays.
+  */
+object EventAnalytics {
+
+  /** Dense hourly rollup with zero-filled gaps: every (key, hour) cell
+    * between the corpus-wide min and max hour appears exactly once, with
+    * n_events=0 / value_floor_sum=0.0 where no events landed. `tsCol` must
+    * be a timestamp column; values are floor()ed so the double sum is
+    * integer-exact (the engine-wide float-parity convention).
+    *
+    * Plan shape: one map-side-combined aggregate over events, a one-row
+    * min/max aggregate, a generated grid (sequence explode × distinct
+    * keys), and a broadcast-sized left join of the aggregate onto the
+    * grid. The grid and the aggregate are both bounded by
+    * |keys| × |hours| — driver-independent and tiny relative to the scan
+    * at any scale. */
+  def gapFillHourly(df: DataFrame, tsCol: String, keyCol: String,
+      valueCol: String): DataFrame = {
+    val ev = df.select(col(keyCol).as("k"),
+      date_trunc("hour", col(tsCol)).as("h"),
+      floor(col(valueCol)).as("v"))
+    val agg = ev.groupBy("k", "h")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("v")).cast("double").as("value_floor_sum"))
+    val hours = ev.agg(min("h").as("lo"), max("h").as("hi"))
+      .select(explode(expr("sequence(lo, hi, interval 1 hour)")).as("h"))
+    val keys = ev.select("k").distinct()
+    hours.crossJoin(keys)
+      .join(agg, Seq("k", "h"), "left")
+      .select(col("k").as(keyCol),
+        date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        coalesce(col("value_floor_sum"), lit(0.0)).as("value_floor_sum"))
+  }
+
+  /** Ordered-step funnel: for each step k, the number of users whose
+    * earliest qualifying step-k event occurs at/after their step-(k-1)
+    * entry time (entry time of step 1 = earliest step-1 event). Events at
+    * the SAME timestamp as the previous step's entry DO qualify (ties
+    * advance — two steps logged in the same batch tick should not break
+    * the funnel); the oracle replays the same `>=` rule.
+    *
+    * Emits one row per step: (step_index, step, n_users, frac_of_first)
+    * where frac_of_first is n_users(step)/n_users(step 1) — a single IEEE
+    * division of exact longs, bit-identical in any engine. */
+  def funnel(df: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.distinct.size == steps.size, s"duplicate funnel steps: $steps")
+    val ev = df.select(col(userCol).as("u"), col(tsCol).as("t"),
+      col(typeCol).as("ty"))
+    // entry-time frames: one row per user still in the funnel at step k
+    val entries: Seq[DataFrame] = steps.zipWithIndex
+      .foldLeft(List.empty[DataFrame]) { case (acc, (step, i)) =>
+        val cur =
+          if (i == 0)
+            ev.filter(col("ty") === step).groupBy("u").agg(min("t").as("entry"))
+          else {
+            val prev = acc.head.select(col("u"), col("entry").as("prev_entry"))
+            ev.filter(col("ty") === step)
+              .join(prev, "u")
+              .filter(col("t") >= col("prev_entry"))
+              .groupBy("u").agg(min("t").as("entry"))
+          }
+        cur :: acc
+      }.reverse
+    val counts = entries.zip(steps).zipWithIndex.map { case ((f, step), i) =>
+      f.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1L).as("step_index"), lit(step).as("step"),
+          col("n_users"))
+    }.reduce(_.unionByName(_))
+    val first = counts.filter(col("step_index") === 1L)
+      .select(col("n_users").as("__first"))
+    counts.crossJoin(broadcast(first))
+      .select(col("step_index"), col("step"), col("n_users"),
+        (col("n_users").cast("double") / col("__first")).as("frac_of_first"))
+  }
+
+  /** Cohort retention: users are cohorted by their first-activity DAY and
+    * counted as retained in week w if they have any activity in day range
+    * [cohort + 7w, cohort + 7w + 7). Emits one row per (cohort_day,
+    * week_offset) with n_users — the retention matrix an analytics stack
+    * draws as the classic triangle chart.
+    *
+    * Plan: dedupe to (user, day) [one shuffle, map-side combined], per-user
+    * min day [reuses the user key], join back on user [same key — a single
+    * exchange serves both], then count distinct users per (cohort, week).
+    * No driver participation; all arithmetic is integer date math. */
+  def cohortRetention(df: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val days = df.select(col(userCol).as("u"), to_date(col(tsCol)).as("d"))
+      .distinct()
+    val cohorts = days.groupBy("u").agg(min("d").as("cohort"))
+    days.join(cohorts, "u")
+      .withColumn("week_offset", floor(datediff(col("d"), col("cohort")) / 7).cast("long"))
+      .groupBy(date_format(col("cohort"), "yyyy-MM-dd").as("cohort_day"),
+        col("week_offset"))
+      .agg(countDistinct(col("u")).as("n_users"))
+  }
+
+  /** Per-group winsorization profile: exact p-lo / p-hi percentiles of the
+    * floor()ed value per key, plus the clamped sum — the outlier-capping
+    * numbers a feature pipeline thresholds against. Exact interpolated
+    * percentile is a sort-based agg per group (the text_length_quantiles
+    * convention: at 100 TB swap in percentile_approx, same query shape —
+    * the oracle anchors exactness here).
+    *
+    * The CLAMP bounds are integerized (floor(p_lo), ceil(p_hi)) so the
+    * clamped sum is a sum of integer-valued doubles — exact and
+    * summation-order-free, hence hashable cross-engine. The raw
+    * interpolated percentiles are emitted alongside. */
+  def winsorizeProfile(df: DataFrame, keyCol: String, valueCol: String,
+      pLo: Double, pHi: Double): DataFrame = {
+    require(0.0 <= pLo && pLo < pHi && pHi <= 1.0, s"bad percentile range [$pLo, $pHi]")
+    val v = floor(col(valueCol)).cast("double")
+    val withQ = df.select(col(keyCol).as("k"), v.as("v"))
+      .groupBy("k")
+      .agg(expr(s"percentile(v, array(${pLo}D, ${pHi}D))").as("q"))
+      .select(col("k"), element_at(col("q"), 1).as("lo"),
+        element_at(col("q"), 2).as("hi"))
+    // clamped sum needs a second pass with the per-key bounds: broadcast
+    // the bounded per-key table back onto the scan
+    val bounds = withQ.select(col("k").as("__bk"), col("lo"), col("hi"),
+      floor(col("lo")).as("clo"), ceil(col("hi")).as("chi"))
+    df.select(col(keyCol).as("k"), v.as("v"))
+      .join(broadcast(bounds), col("k") === col("__bk"))
+      .groupBy("k")
+      .agg(sum(least(greatest(col("v"), col("clo")), col("chi")))
+          .cast("double").as("clamped_sum"),
+        first(col("lo")).as("p_lo"), first(col("hi")).as("p_hi"),
+        count(lit(1)).as("n_rows"))
+      .select(col("k").as(keyCol), col("p_lo"), col("p_hi"), col("n_rows"),
+        col("clamped_sum"))
+  }
+}

@@ -1,0 +1,100 @@
+package graft.ops
+
+import graft.spark.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.sql.Timestamp
+
+class EventAnalyticsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("gapFillHourly zero-fills every interior gap for every key") {
+    val df = Seq(
+      (1L, ts("2024-01-01 00:10:00"), "a", 5.9),
+      (2L, ts("2024-01-01 03:20:00"), "a", 2.0),
+      (3L, ts("2024-01-01 01:00:00"), "b", 7.0)
+    ).toDF("id", "t", "k", "v")
+    val out = EventAnalytics.gapFillHourly(df, "t", "k", "v")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    // grid: 2 keys x 4 hours (00..03) = 8 rows, gaps zero-filled
+    assert(out.size == 8)
+    assert(out.contains(("a", "2024-01-01 00:00:00", 1L, 5.0))) // floor(5.9)
+    assert(out.contains(("a", "2024-01-01 01:00:00", 0L, 0.0)))
+    assert(out.contains(("a", "2024-01-01 02:00:00", 0L, 0.0)))
+    assert(out.contains(("a", "2024-01-01 03:00:00", 1L, 2.0)))
+    assert(out.contains(("b", "2024-01-01 01:00:00", 1L, 7.0)))
+    assert(out.contains(("b", "2024-01-01 00:00:00", 0L, 0.0)))
+  }
+
+  test("funnel: order matters, same-timestamp ties advance, strict regressions don't") {
+    val df = Seq(
+      // u1: full ordered funnel
+      (1L, ts("2024-01-01 00:00:00"), "view"),
+      (1L, ts("2024-01-01 00:01:00"), "click"),
+      (1L, ts("2024-01-01 00:02:00"), "purchase"),
+      // u2: click BEFORE view and never after => stops at view
+      (2L, ts("2024-01-01 00:00:00"), "click"),
+      (2L, ts("2024-01-01 00:05:00"), "view"),
+      // u3: view and click at the SAME timestamp => tie advances
+      (3L, ts("2024-01-01 00:00:00"), "view"),
+      (3L, ts("2024-01-01 00:00:00"), "click"),
+      // u4: never viewed => not even step 1
+      (4L, ts("2024-01-01 00:00:00"), "purchase")
+    ).toDF("u", "t", "ty")
+    val out = EventAnalytics.funnel(df, "u", "t", "ty",
+        Seq("view", "click", "purchase"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(out(0) == ((1L, "view", 3L, 1.0)))      // u1, u2, u3
+    assert(out(1) == ((2L, "click", 2L, 2.0 / 3))) // u1, u3 (tie) — not u2
+    assert(out(2) == ((3L, "purchase", 1L, 1.0 / 3)))
+  }
+
+  test("funnel entry time is the EARLIEST qualifying event, not any event") {
+    // u1 clicks twice after view; step-3 window must open at the first click
+    val df = Seq(
+      (1L, ts("2024-01-01 00:00:00"), "view"),
+      (1L, ts("2024-01-01 00:01:00"), "click"),
+      (1L, ts("2024-01-01 00:10:00"), "click"),
+      // purchase lands between the two clicks: qualifies vs the first
+      (1L, ts("2024-01-01 00:05:00"), "purchase")
+    ).toDF("u", "t", "ty")
+    val out = EventAnalytics.funnel(df, "u", "t", "ty",
+      Seq("view", "click", "purchase"))
+    assert(out.filter(col("step") === "purchase").head().getLong(2) == 1L)
+  }
+
+  test("cohortRetention: cohort is the first day; weeks bucket by 7 days") {
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00")), // cohort 01-01
+      (1L, ts("2024-01-03 10:00:00")), // same week 0
+      (1L, ts("2024-01-08 10:00:00")), // day 7 => week 1
+      (2L, ts("2024-01-01 23:00:00")), // cohort 01-01, week 0 only
+      (3L, ts("2024-01-05 00:00:00"))  // cohort 01-05, week 0
+    ).toDF("u", "t")
+    val out = EventAnalytics.cohortRetention(df, "u", "t")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set(
+      ("2024-01-01", 0L, 2L), // u1 (two distinct days collapse), u2
+      ("2024-01-01", 1L, 1L), // u1 on day 7
+      ("2024-01-05", 0L, 1L)  // u3
+    ))
+  }
+
+  test("winsorizeProfile clamps with integerized bounds and exact sums") {
+    // single key, values 1..10: p0.25 of 1..10 = 3.25, p0.75 = 7.75
+    val df = (1 to 10).map(v => ("k", v.toDouble)).toDF("g", "v")
+    val r = EventAnalytics.winsorizeProfile(df, "g", "v", 0.25, 0.75)
+      .collect().head
+    assert(r.getAs[Double]("p_lo") == 3.25)
+    assert(r.getAs[Double]("p_hi") == 7.75)
+    assert(r.getAs[Long]("n_rows") == 10L)
+    // clamp bounds integerized: [floor(3.25), ceil(7.75)] = [3, 8]
+    // clamped: 3,3,3,4,5,6,7,8,8,8 = 55
+    assert(r.getAs[Double]("clamped_sum") == 55.0)
+  }
+}
