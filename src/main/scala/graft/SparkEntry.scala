@@ -2372,6 +2372,52 @@ object SparkEntry {
         .groupBy("day").pivot("event_type", types)
         .agg(count(lit(1)))
       p.select(col("day") +: types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+    }),
+    "sample_temperature" -> ((s, dir) => {
+      // temperature-scaled (alpha = 0.5) mixture over a planted 70/20/10
+      // skew: rare groups get sqrt-share weight, so g2 keeps a larger
+      // fraction of itself than g0. Thresholds are computed IN-PLAN
+      // (decimal(38,0) integer arithmetic, bounded-exact sqrt) and the
+      // selection is the salted-hash rule — both replayed by the oracle
+      // in HUGEINT, so weights, thresholds, and the kept set all
+      // hash-match.
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .withColumn("grp", concat(lit("g"),
+          when(pmod(col("doc_id"), lit(10)) < 7, lit(0))
+            .when(pmod(col("doc_id"), lit(10)) < 9, lit(1))
+            .otherwise(lit(2))))
+      val thr = CorpusOps.temperatureThresholds(docs, "grp", budgetPpm = 400000L)
+      val kept = CorpusOps.applyThresholds(docs, "grp", "doc_id", thr, salt = "#temp")
+        .groupBy("grp")
+        .agg(count(lit(1)).as("n_kept"), sum("n_chars").as("chars_kept"))
+      thr.join(kept, Seq("grp"), "left")
+        .select(col("grp"), col("n_docs"), col("w"), col("thr"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("chars_kept"), lit(0L)).as("chars_kept"))
+    }),
+    "corpus_epochs" -> ((s, dir) => {
+      // data-constrained epoch repetition (Muennighoff et al. shape):
+      // each source replayed toward a 20k-token target as full epochs
+      // (capped at 4) plus a deterministic hash-selected fractional
+      // epoch; rolled up per source. The explode is a generated sequence
+      // — no driver loop, instance count proportional to output tokens.
+      CorpusOps.epochRepeat(
+          s.read.parquet(s"$dir/documents.parquet")
+            .select("doc_id", "source", "n_chars"),
+          "doc_id", "n_chars", "source", targetTokens = 20000L, maxEpochs = 4)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_instances"),
+          sum("tokens").cast("long").as("tokens_total"),
+          max("epoch").as("max_epoch"))
+    }),
+    "corpus_shuffle" -> ((s, dir) => {
+      // deterministic seeded global shuffle for training-data order:
+      // (shard, pos) are functions of md5(seed#id) only — any engine and
+      // any rerun reproduces the identical permutation; one shuffle +
+      // per-shard sort at any scale.
+      CorpusOps.deterministicShuffle(
+        s.read.parquet(s"$dir/documents.parquet").select("doc_id"),
+        "doc_id", seed = "epoch0", nShards = 8)
     })
   )
 
@@ -4580,7 +4626,66 @@ object SparkEntry {
                   count(*) FILTER (event_type = 'purchase') AS purchase,
                   count(*) FILTER (event_type = 'signup') AS signup,
                   count(*) FILTER (event_type = 'view') AS view
-           FROM events GROUP BY 1"""
+           FROM events GROUP BY 1""",
+      "sample_temperature" ->
+        """WITH d AS (
+              SELECT doc_id, n_chars,
+                     'g' || (CASE WHEN doc_id % 10 < 7 THEN 0
+                                  WHEN doc_id % 10 < 9 THEN 1
+                                  ELSE 2 END) AS grp
+              FROM documents),
+            c AS (SELECT grp, count(*) AS n FROM d GROUP BY 1),
+            w AS (SELECT grp, n,
+                         CAST(floor(sqrt(CAST(n * 100 AS DOUBLE))) AS HUGEINT) AS w
+                  FROM c),
+            t AS (SELECT sum(w) AS z_tot, sum(n) AS n_tot FROM w),
+            thr AS (SELECT grp, w.n AS n, w.w AS w,
+                           least(CAST(1000000 AS HUGEINT),
+                                 (CAST(n_tot AS HUGEINT) * 400000 // 1000000)
+                                   * w.w * 1000000 // (z_tot * CAST(w.n AS HUGEINT))) AS thr
+                    FROM w CROSS JOIN t),
+            kept AS (SELECT d.grp, count(*) AS n_kept, sum(n_chars) AS chars_kept
+                     FROM d JOIN thr ON d.grp = thr.grp
+                     WHERE CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)
+                             || '#temp'), 1, 15)) AS BIGINT) % 1000000 < thr.thr
+                     GROUP BY 1)
+           SELECT thr.grp, CAST(thr.n AS BIGINT) AS n_docs,
+                  CAST(thr.w AS BIGINT) AS w, CAST(thr.thr AS BIGINT) AS thr,
+                  coalesce(kept.n_kept, 0) AS n_kept,
+                  CAST(coalesce(kept.chars_kept, 0) AS BIGINT) AS chars_kept
+           FROM thr LEFT JOIN kept ON thr.grp = kept.grp""",
+      "corpus_epochs" ->
+        """WITH g AS (SELECT source, sum(n_chars) AS T FROM documents GROUP BY 1),
+            p AS (SELECT source, T, least(4, 20000 // T) AS f,
+                         CASE WHEN 20000 // T >= 4 THEN 0
+                              ELSE ((20000 % T) * 1000000) // T END AS frac
+                  FROM g),
+            fe AS (SELECT d.doc_id AS id, d.source, d.n_chars AS tokens,
+                          unnest(generate_series(1, CAST(f AS BIGINT))) AS epoch
+                   FROM documents d JOIN p USING (source)),
+            fr AS (SELECT d.doc_id AS id, d.source, d.n_chars AS tokens,
+                          f + 1 AS epoch
+                   FROM documents d JOIN p USING (source)
+                   WHERE frac > 0
+                     AND CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)
+                           || '#epoch'), 1, 15)) AS BIGINT) % 1000000 < frac),
+            inst AS (SELECT * FROM fe UNION ALL SELECT * FROM fr)
+           SELECT source, count(*) AS n_instances,
+                  CAST(sum(tokens) AS BIGINT) AS tokens_total,
+                  CAST(max(epoch) AS BIGINT) AS max_epoch
+           FROM inst GROUP BY 1""",
+      "corpus_shuffle" ->
+        """WITH h AS (SELECT doc_id,
+                             md5('epoch0#' || CAST(doc_id AS VARCHAR)) AS h
+                      FROM documents),
+            s AS (SELECT doc_id, h,
+                         CAST(CAST(CONCAT('0x', substr(h, 1, 15)) AS BIGINT) % 8
+                              AS INTEGER) AS shard
+                  FROM h)
+           SELECT doc_id, shard,
+                  CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id)
+                       AS BIGINT) AS pos
+           FROM s"""
     )
   }
 }

@@ -683,4 +683,130 @@ object CorpusOps {
       .select(keyCols.map(col) ++ payload.map(c => col(s"__w.$c").as(c)): _*)
     deleteCol.fold(merged)(d => merged.filter(!col(d)))
   }
+
+  /** TEMPERATURE-scaled mixture thresholds (the alpha=0.5 pretraining
+    * reweighting of Llama / multilingual-LM data recipes: sampling weight
+    * proportional to sqrt of a source's share, so rare sources are
+    * up-weighted relative to their raw mass). Fully declarative — the
+    * per-group table is computed in-plan (one map-side-combined count,
+    * one one-row total, one broadcast-sized crossJoin), no driver math:
+    *
+    *   w_g   = floor(sqrt(scale * n_g))          [integer; sqrt of an
+    *           integer < 2^40 is correctly rounded far from the integer
+    *           boundary, so floor is bit-identical in any IEEE engine]
+    *   B     = N * budgetPpm div 1e6             [target output rows]
+    *   thr_g = min(grid, B * w_g * grid div (Z * n_g))  [per-group keep
+    *           threshold on the salted-hash grid; Z = sum w_g]
+    *
+    * All products run in decimal(38,0), so the arithmetic never overflows
+    * at any corpus scale (the DuckDB oracle replays it in HUGEINT).
+    * Returns one row per group: (group, n_docs, w, thr). Expected output
+    * size is B rows distributed as p_g = w_g/Z per group, each group
+    * capped at its own mass (thr caps at grid = keep everything). */
+  def temperatureThresholds(df: DataFrame, groupCol: String,
+      budgetPpm: Long, scale: Long = 100L): DataFrame = {
+    require(budgetPpm >= 0 && budgetPpm <= 1000000L,
+      s"budgetPpm must be in [0, 1e6], got $budgetPpm")
+    val grid = 1000000L
+    // names are deliberately collision-free under Spark's case-insensitive
+    // resolution (a `zt` total next to a `Zt` per-group column would be
+    // AMBIGUOUS_REFERENCE)
+    val counts = df.groupBy(col(groupCol).as("g")).agg(count(lit(1)).as("n"))
+      .withColumn("w", floor(sqrt(col("n") * lit(scale))).cast("long"))
+    val tot = counts.agg(sum("w").as("z_tot"), sum("n").as("n_tot"))
+    counts.crossJoin(broadcast(tot))
+      .withColumn("b_tgt",
+        expr(s"CAST(n_tot AS DECIMAL(38,0)) * $budgetPpm div ${grid}"))
+      .withColumn("thr", least(lit(grid),
+        expr(s"CAST(b_tgt AS DECIMAL(38,0)) * w * $grid div (CAST(z_tot AS DECIMAL(38,0)) * n)")
+          .cast("long")))
+      .select(col("g").as(groupCol), col("n").as("n_docs"), col("w"),
+        col("thr"))
+  }
+
+  /** Apply per-group integer keep thresholds on the salted portable hash
+    * grid: keep iff md5(id # salt) mod 1e6 < thr(group). The
+    * [[applyMixture]] selection rule with the threshold table computed
+    * upstream (e.g. [[temperatureThresholds]]) instead of passed as
+    * literals — broadcast join + filter, zero shuffle on the corpus. */
+  def applyThresholds(df: DataFrame, groupCol: String, idCol: String,
+      thresholds: DataFrame, salt: String = "#mix"): DataFrame = {
+    val grid = 1000000L
+    val t = broadcast(thresholds.select(col(groupCol).as("__tg"),
+      col("thr").as("__thr")))
+    val bucket = pmod(
+      conv(substring(md5(concat(col(idCol).cast("string"), lit(salt))), 1, 15), 16, 10)
+        .cast("long"),
+      lit(grid))
+    df.join(t, df(groupCol) === col("__tg"), "left")
+      .filter(bucket < coalesce(col("__thr"), lit(0L)))
+      .drop("__tg", "__thr")
+  }
+
+  /** DATA-CONSTRAINED epoch repetition (the Muennighoff et al. 2023
+    * "Scaling Data-Constrained Language Models" recipe shape): each group
+    * is replayed toward `targetTokens`, as full epochs plus a
+    * deterministic fractional epoch, capped at `maxEpochs` (repeating
+    * data beyond ~4 epochs stops buying loss — the cap is the operative
+    * knob). Per group with token mass T_g:
+    *
+    *   full     = min(maxEpochs, targetTokens div T_g)
+    *   frac_ppm = 0 if capped, else (targetTokens mod T_g) * 1e6 div T_g
+    *
+    * Every doc appears `full` times (explode of a generated sequence — no
+    * driver loop), and once more iff md5(id # "#epoch") mod 1e6 <
+    * frac_ppm (hash-uniform doc selection ≈ token-proportional in
+    * expectation, deterministic and growth-stable). Emits one row per
+    * (doc instance): (id, group, tokens, epoch). */
+  def epochRepeat(df: DataFrame, idCol: String, tokenCol: String,
+      groupCol: String, targetTokens: Long, maxEpochs: Int): DataFrame = {
+    require(targetTokens > 0, s"targetTokens must be positive, got $targetTokens")
+    require(maxEpochs >= 1, s"maxEpochs must be >= 1, got $maxEpochs")
+    val grid = 1000000L
+    val masses = df.groupBy(col(groupCol).as("__eg"))
+      .agg(sum(col(tokenCol)).as("__T"))
+      .withColumn("__full",
+        least(lit(maxEpochs.toLong), expr(s"$targetTokens div __T")))
+      .withColumn("__frac_ppm",
+        when(expr(s"$targetTokens div __T") >= maxEpochs.toLong, lit(0L))
+          .otherwise(expr(s"($targetTokens % __T) * $grid div __T")))
+    val base = df.select(col(idCol).as("id"), col(groupCol).as("g"),
+        col(tokenCol).as("tokens"))
+      .join(broadcast(masses), col("g") === col("__eg"))
+    val fullEpochs = base
+      .select(col("id"), col("g"), col("tokens"),
+        explode(expr("sequence(1, __full)")).as("epoch"))
+      .filter(col("epoch").isNotNull) // sequence(1,0) is empty, not null — guard anyway
+    val fracBucket = pmod(
+      conv(substring(md5(concat(col("id").cast("string"), lit("#epoch"))), 1, 15), 16, 10)
+        .cast("long"),
+      lit(grid))
+    val fracEpoch = base.filter(col("__frac_ppm") > 0L && fracBucket < col("__frac_ppm"))
+      .select(col("id"), col("g"), col("tokens"),
+        (col("__full") + 1L).as("epoch"))
+    fullEpochs.unionByName(fracEpoch)
+      .select(col("id"), col("g").as(groupCol), col("tokens"),
+        col("epoch").cast("long").as("epoch"))
+  }
+
+  /** Deterministic seeded GLOBAL SHUFFLE for training-data ordering: every
+    * row gets a shard and a position, both functions of md5(seed # id)
+    * only — any engine (and any rerun) reproduces the identical order, and
+    * changing the seed is a fresh independent permutation. One shuffle
+    * (partition by shard) + per-shard sort; shard count is the
+    * parallelism knob that keeps per-shard sorts in memory at any corpus
+    * size. Emits (id, shard, pos) with pos 1-based within shard. */
+  def deterministicShuffle(df: DataFrame, idCol: String, seed: String,
+      nShards: Int): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val h = md5(concat(lit(seed), lit("#"), col(idCol).cast("string")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(col("__h"), col(idCol))
+    df.select(col(idCol), h.as("__h"))
+      .withColumn("shard",
+        pmod(conv(substring(col("__h"), 1, 15), 16, 10).cast("long"),
+          lit(nShards.toLong)).cast("int"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .drop("__h")
+  }
 }

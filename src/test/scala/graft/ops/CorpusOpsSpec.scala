@@ -427,4 +427,78 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(plan.contains("partial_max") || plan.contains("partial"),
       s"map-side combine expected:\n$plan")
   }
+
+  test("temperatureThresholds: sqrt weighting up-weights rare groups; caps at grid") {
+    // 80 'big' rows vs 20 'small': raw shares 0.8/0.2, sqrt weights
+    // w_big = floor(sqrt(8000)) = 89, w_small = floor(sqrt(2000)) = 44
+    val df = ((1 to 80).map(i => (i.toLong, "big")) ++
+      (81 to 100).map(i => (i.toLong, "small"))).toDF("id", "g")
+    val thr = CorpusOps.temperatureThresholds(df, "g", budgetPpm = 500000L)
+      .collect().map(r => r.getAs[String]("g") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("w"), r.getAs[Long]("thr"))).toMap
+    assert(thr("big") == ((80L, 89L, 50L * 89 * 1000000 / (133 * 80))))
+    assert(thr("small") == ((20L, 44L, 50L * 44 * 1000000 / (133 * 20))))
+    // the small group keeps a ~1.6x larger FRACTION of itself: that is the
+    // temperature effect (equal-share would keep 50% of each)
+    assert(thr("small")._3 > thr("big")._3)
+    // full-budget degenerate case: every threshold caps at the grid
+    val all = CorpusOps.temperatureThresholds(df, "g", budgetPpm = 1000000L)
+      .collect().map(_.getAs[Long]("thr"))
+    assert(all.forall(_ <= 1000000L))
+  }
+
+  test("applyThresholds keeps exactly the under-threshold hash buckets") {
+    val df = (1 to 200).map(i => (i.toLong, "g", 1)).toDF("id", "g", "x")
+    val thr = Seq(("g", 250000L)).toDF("g", "thr")
+    val kept = CorpusOps.applyThresholds(df, "g", "id", thr, salt = "#t")
+    // every kept row's salted bucket is under the threshold, and the kept
+    // fraction is in the right ballpark for a uniform hash
+    val buckets = kept.select(
+      pmod(conv(substring(md5(concat(col("id").cast("string"), lit("#t"))), 1, 15), 16, 10)
+        .cast("long"), lit(1000000L)).as("b")).collect().map(_.getLong(0))
+    assert(buckets.forall(_ < 250000L))
+    assert(buckets.length > 20 && buckets.length < 90) // ~50 expected of 200
+    // groups missing from the table keep NOTHING (explicit mixture only)
+    val none = CorpusOps.applyThresholds(
+      df.withColumn("g", lit("other")), "g", "id", thr, salt = "#t")
+    assert(none.count() == 0L)
+  }
+
+  test("epochRepeat: full epochs + fractional epoch hit the token target") {
+    // one group, 4 docs x 25 tokens = 100 tokens; target 260 => 2 full
+    // epochs + 60% fractional; cap high enough not to bind
+    val df = (1 to 4).map(i => (i.toLong, "s", 25L)).toDF("id", "src", "tok")
+    val out = CorpusOps.epochRepeat(df, "id", "tok", "src",
+      targetTokens = 260L, maxEpochs = 10)
+    val byEpoch = out.groupBy("epoch").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byEpoch(1L) == 4L && byEpoch(2L) == 4L) // full epochs: every doc
+    // fractional epoch selects SOME subset (hash of 4 ids at 600000 ppm)
+    assert(byEpoch.getOrElse(3L, 0L) <= 4L)
+    assert(out.filter(col("epoch") > 3L).count() == 0L)
+    // cap binds: maxEpochs=2 emits exactly 2 epochs per doc, no fraction
+    val capped = CorpusOps.epochRepeat(df, "id", "tok", "src",
+      targetTokens = 260L, maxEpochs = 2)
+    assert(capped.count() == 8L)
+    assert(capped.agg(max("epoch")).collect().head.getLong(0) == 2L)
+  }
+
+  test("deterministicShuffle: a permutation, reproducible, seed-sensitive") {
+    val df = (1 to 500).map(i => Tuple1(i.toLong)).toDF("id")
+    val a = CorpusOps.deterministicShuffle(df, "id", "seedA", 8).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // every input id appears exactly once
+    assert(a.map(_._1).sorted.toSeq == (1L to 500L))
+    // positions within a shard are 1..count(shard) with no gaps
+    a.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length))
+    }
+    // rerun is bit-identical; a different seed is a different permutation
+    val a2 = CorpusOps.deterministicShuffle(df, "id", "seedA", 8).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(a.sortBy(_._1).toSeq == a2.sortBy(_._1).toSeq)
+    val b = CorpusOps.deterministicShuffle(df, "id", "seedB", 8).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(a.sortBy(_._1).toSeq != b.sortBy(_._1).toSeq)
+  }
 }
