@@ -2418,6 +2418,26 @@ object SparkEntry {
       CorpusOps.deterministicShuffle(
         s.read.parquet(s"$dir/documents.parquet").select("doc_id"),
         "doc_id", seed = "epoch0", nShards = 8)
+    }),
+    "io_zorder_export" -> ((s, dir) => {
+      // Z-ORDER clustered export (the OPTIMIZE ZORDER idea): orders laid
+      // out by the Morton interleave of quantized (custkey, order-day),
+      // equal-width z-cut into 16 shard files, each locally boxed in BOTH
+      // dimensions. Unlike range-partitioner layouts, every step is
+      // deterministic integer arithmetic, so the manifest AND the
+      // file-skipping statistics are oracle-exact; prune_violations
+      // recomputes the skipping soundness from data (must read 0).
+      val tmp = scratchDir("zorder_export")
+      val src = s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"), col("o_custkey").as("ck"),
+          datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+            .cast("long").as("day"))
+      val manifest = graft.ops.Layout.zorderExport(
+          src, "o_orderkey", "ck", "day", tmp, bits = 8, nShards = 16)
+        .localCheckpoint(false) // consumed twice: probe + output rows
+      val probe = graft.ops.Layout.pruneProbe(s, tmp, manifest,
+        x1 = 100L, x2 = 400L, y1 = 9131L, y2 = 9861L)
+      manifest.crossJoin(broadcast(probe))
     })
   )
 
@@ -4674,6 +4694,44 @@ object SparkEntry {
                   CAST(sum(tokens) AS BIGINT) AS tokens_total,
                   CAST(max(epoch) AS BIGINT) AS max_epoch
            FROM inst GROUP BY 1""",
+      "io_zorder_export" -> {
+        // Morton interleave of the 8-bit quantized coordinates, unrolled
+        // to pure bit arithmetic (the same expression zValue builds)
+        val zBits = (0 until 8).map(i =>
+          s"(((xq >> $i) & 1) << ${2 * i}) | (((yq >> $i) & 1) << ${2 * i + 1})")
+          .mkString(" | ")
+        s"""WITH src AS (
+              SELECT o_orderkey, CAST(o_custkey AS BIGINT) AS x,
+                     CAST(date_diff('day', DATE '1970-01-01',
+                                    CAST(o_orderdate AS DATE)) AS BIGINT) AS y
+              FROM orders),
+            b AS (SELECT min(x) AS xlo, max(x) AS xhi,
+                         min(y) AS ylo, max(y) AS yhi FROM src),
+            q AS (SELECT o_orderkey, x, y,
+                         (x - xlo) * 256 // (xhi - xlo + 1) AS xq,
+                         (y - ylo) * 256 // (yhi - ylo + 1) AS yq
+                  FROM src CROSS JOIN b),
+            z AS (SELECT o_orderkey, x, y, ($zBits) AS z FROM q),
+            sh AS (SELECT *, CAST(z * 16 // 65536 AS INTEGER) AS shard FROM z),
+            m AS (SELECT shard, count(*) AS n_rows,
+                         min(x) AS x_min, max(x) AS x_max,
+                         min(y) AS y_min, max(y) AS y_max,
+                         min(z) AS z_min, max(z) AS z_max
+                  FROM sh GROUP BY 1),
+            scanned AS (SELECT shard FROM m
+                        WHERE x_min <= 400 AND x_max >= 100
+                          AND y_min <= 9861 AND y_max >= 9131),
+            boxed AS (SELECT shard FROM sh
+                      WHERE x BETWEEN 100 AND 400 AND y BETWEEN 9131 AND 9861),
+            probe AS (SELECT
+                (SELECT count(*) FROM m) AS files_total,
+                (SELECT count(*) FROM scanned) AS files_scanned,
+                (SELECT count(*) FROM boxed) AS rows_matched,
+                (SELECT count(*) FROM boxed)
+                  - (SELECT count(*) FROM boxed JOIN scanned USING (shard))
+                  AS prune_violations)
+           SELECT m.*, probe.* FROM m CROSS JOIN probe"""
+      },
       "corpus_shuffle" ->
         """WITH h AS (SELECT doc_id,
                              md5('epoch0#' || CAST(doc_id AS VARCHAR)) AS h

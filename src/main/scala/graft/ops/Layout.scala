@@ -1,0 +1,111 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Column, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multi-dimensional data layout: Z-order (Morton-curve) clustering with a
+  * per-file min/max manifest and file-skipping — the Delta/Iceberg
+  * OPTIMIZE ZORDER idea as a first-class operator. Writing a 100 TB table
+  * sorted by one column prunes scans on that column only; interleaving the
+  * bits of two (quantized) columns gives files that are LOCAL IN BOTH
+  * dimensions, so a predicate on either column — or a box on both — skips
+  * most files via nothing but the manifest's min/max stats.
+  *
+  * Everything here is deterministic integer arithmetic (value-based
+  * quantization against the global min/max, bit interleave, equal-width
+  * shard cut on the z-line), so the layout, the manifest, and the pruning
+  * statistics are all bit-reproducible in any engine — unlike
+  * RangePartitioner layouts whose boundaries come from engine-internal
+  * sampling (see CorpusOps.exportRangeSorted, rows-only for that reason).
+  */
+object Layout {
+
+  /** Morton interleave of the low `bits` bits of two non-negative longs:
+    * x's bit i lands at position 2i, y's at 2i+1. Pure Column bit
+    * arithmetic — stays inside whole-stage codegen (no UDF). */
+  def zValue(x: Column, y: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1, 31], got $bits")
+    (0 until bits).map { i =>
+      shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_.bitwiseOR(_))
+  }
+
+  /** Equal-width quantization of column `c` in [lo, hi] onto [0, 2^bits):
+    * (c - lo) * 2^bits div (hi - lo + 1). Integer-exact (`div` is the
+    * integral SQL divide — no double round-trip at any magnitude),
+    * monotone, and the top edge maps strictly below 2^bits. Takes column
+    * NAMES because the expression is built as SQL text. */
+  def quantize(c: String, lo: String, hi: String, bits: Int): Column =
+    expr(s"($c - $lo) * ${1L << bits} div ($hi - $lo + 1)")
+
+  /** Z-order clustered export: quantize (xCol, yCol) against their global
+    * min/max, interleave to a z-value, cut the z-line into `nShards`
+    * EQUAL-WIDTH shards (deterministic, unlike range-partitioner
+    * sampling), write one partition directory per shard with rows sorted
+    * by z, and return the read-back per-shard manifest:
+    * (shard, n_rows, x_min, x_max, y_min, y_max, z_min, z_max).
+    *
+    * Plan: one tiny min/max aggregate, one map-only projection, one
+    * shuffle (repartition by shard) + per-shard sort, one write, one
+    * read-back aggregate over the written files. At 100 TB the only
+    * full-data exchange is the layout shuffle itself — the point of the
+    * operator. Equal-width z-cut can skew if the value distribution
+    * does; bits/nShards are the knobs (a skewed production table would
+    * quantize by rank instead — same interleave, different `quantize`). */
+  def zorderExport(df: DataFrame, idCol: String, xCol: String, yCol: String,
+      outDir: String, bits: Int = 8, nShards: Int = 16): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val bounds = df.agg(
+      min(col(xCol).cast("long")).as("__xlo"), max(col(xCol).cast("long")).as("__xhi"),
+      min(col(yCol).cast("long")).as("__ylo"), max(col(yCol).cast("long")).as("__yhi"))
+    val zSpan = 1L << (2 * bits)
+    val laid = df.select(col(idCol).as("id"),
+        col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y"))
+      .crossJoin(broadcast(bounds))
+      .withColumn("xq", quantize("x", "__xlo", "__xhi", bits))
+      .withColumn("yq", quantize("y", "__ylo", "__yhi", bits))
+      .withColumn("z", zValue(col("xq"), col("yq"), bits))
+      .withColumn("shard", expr(s"CAST(z * $nShards div $zSpan AS INT)"))
+      .select("id", "x", "y", "z", "shard")
+    laid.repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("z"))
+      .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+    df.sparkSession.read.parquet(outDir)
+      .groupBy(col("shard").cast("int").as("shard"))
+      .agg(count(lit(1)).as("n_rows"),
+        min("x").as("x_min"), max("x").as("x_max"),
+        min("y").as("y_min"), max("y").as("y_max"),
+        min("z").as("z_min"), max("z").as("z_max"))
+  }
+
+  /** File-skipping probe for a box predicate x in [x1, x2] AND y in
+    * [y1, y2] against a [[zorderExport]] layout: a shard must be scanned
+    * iff its manifest box intersects the query box. Returns ONE row:
+    * (files_total, files_scanned, rows_matched, prune_violations) where
+    * prune_violations counts matching rows living OUTSIDE the scanned
+    * set — the file-skipping soundness guarantee, provably 0 (min/max
+    * containment), recomputed here from the data so the gate would catch
+    * a manifest bug rather than trust it. */
+  def pruneProbe(spark: SparkSession, outDir: String, manifest: DataFrame,
+      x1: Long, x2: Long, y1: Long, y2: Long): DataFrame = {
+    val scanned = manifest.filter(
+      col("x_min") <= x2 && col("x_max") >= x1 &&
+      col("y_min") <= y2 && col("y_max") >= y1)
+    val back = spark.read.parquet(outDir)
+      .withColumn("shard", col("shard").cast("int"))
+    val boxed = back.filter(
+      col("x") >= x1 && col("x") <= x2 && col("y") >= y1 && col("y") <= y2)
+    val matched = boxed.agg(count(lit(1)).as("rows_matched"))
+    val inScanned = boxed.join(
+        broadcast(scanned.select(col("shard").as("__ss"))),
+        col("shard") === col("__ss"))
+      .agg(count(lit(1)).as("__n_in"))
+    manifest.agg(count(lit(1)).as("files_total"))
+      .crossJoin(broadcast(scanned.agg(count(lit(1)).as("files_scanned"))))
+      .crossJoin(broadcast(matched))
+      .crossJoin(broadcast(inScanned))
+      .select(col("files_total"), col("files_scanned"), col("rows_matched"),
+        (col("rows_matched") - col("__n_in")).as("prune_violations"))
+  }
+}

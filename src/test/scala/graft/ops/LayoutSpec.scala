@@ -1,0 +1,86 @@
+package graft.ops
+
+import graft.spark.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class LayoutSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  /** Reference Morton interleave: plain bit loop. */
+  private def mortonRef(x: Long, y: Long, bits: Int): Long =
+    (0 until bits).foldLeft(0L) { (acc, i) =>
+      acc | (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))
+    }
+
+  test("zValue matches the bit-loop reference on the full 6-bit grid") {
+    val pts = for (x <- 0L until 64L; y <- 0L until 64L) yield (x, y)
+    val got = pts.toDF("x", "y")
+      .withColumn("z", Layout.zValue(col("x"), col("y"), 6))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    got.foreach { case (x, y, z) =>
+      assert(z == mortonRef(x, y, 6), s"z($x, $y)")
+    }
+    // bijective on the grid: 4096 distinct z-values covering [0, 4096)
+    val zs = got.map(_._3).toSet
+    assert(zs.size == 4096 && zs.min == 0L && zs.max == 4095L)
+  }
+
+  test("quantize is monotone, integer-exact, and edge-safe") {
+    val df = Seq((0L, 0L, 999L), (500L, 0L, 999L), (999L, 0L, 999L))
+      .toDF("v", "lo", "hi")
+      .withColumn("q", Layout.quantize("v", "lo", "hi", 8))
+    val qs = df.collect().map(_.getAs[Long]("q"))
+    assert(qs(0) == 0L)
+    assert(qs(1) == 500L * 256 / 1000)
+    assert(qs(2) == 999L * 256 / 1000) // 255: top edge strictly < 2^bits
+    assert(qs.sorted.toSeq == qs.toSeq)
+  }
+
+  test("zorder export: shards cover all rows; pruning is sound and effective") {
+    // clustered synthetic data: 4 well-separated blobs in (x, y) space
+    val pts = (0 until 4).flatMap { b =>
+      val (bx, by) = ((b % 2) * 1000L, (b / 2) * 1000L)
+      (0 until 250).map(i => (b * 250L + i, bx + i % 50, by + i / 5))
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("zorder_spec").toString
+    val manifest = Layout.zorderExport(
+      pts.toDF("id", "xx", "yy"), "id", "xx", "yy", tmp, bits = 8, nShards = 8)
+    val m = manifest.collect()
+    assert(m.map(_.getAs[Long]("n_rows")).sum == 1000L)
+    // soundness brute-force: for a box over blob 0, every matching row
+    // must live in a shard whose manifest box intersects the query box
+    val probe = Layout.pruneProbe(spark, tmp, manifest, 0L, 60L, 0L, 60L)
+      .collect().head
+    assert(probe.getAs[Long]("prune_violations") == 0L)
+    assert(probe.getAs[Long]("rows_matched") > 0L)
+    // effectiveness: the blob box must NOT require scanning every file
+    assert(probe.getAs[Long]("files_scanned") < probe.getAs[Long]("files_total"),
+      s"no files skipped: $probe")
+    // determinism: a second export yields the identical manifest
+    val tmp2 = java.nio.file.Files.createTempDirectory("zorder_spec2").toString
+    val m2 = Layout.zorderExport(
+      pts.toDF("id", "xx", "yy"), "id", "xx", "yy", tmp2, bits = 8, nShards = 8)
+      .collect()
+    assert(m.map(_.toSeq).toSet == m2.map(_.toSeq).toSet)
+  }
+
+  test("zorder beats single-column sort for a box on the SECOND dimension") {
+    // uniform grid; a thin slab in y. A y-sorted layout scans few files
+    // for y-predicates but EVERY file for x-predicates; z-order bounds
+    // both. Probe a thin x-slab (the dimension a y-sort cannot prune).
+    val pts = (for (x <- 0L until 100L; y <- 0L until 100L)
+      yield (x * 100 + y, x, y))
+    val tmp = java.nio.file.Files.createTempDirectory("zorder_slab").toString
+    val manifest = Layout.zorderExport(
+      pts.toDF("id", "xx", "yy"), "id", "xx", "yy", tmp, bits = 8, nShards = 16)
+    val xSlab = Layout.pruneProbe(spark, tmp, manifest, 0L, 20L, 0L, 99L)
+      .collect().head
+    assert(xSlab.getAs[Long]("prune_violations") == 0L)
+    // a 21%-wide x-slab must skip at least half the files under z-order
+    assert(xSlab.getAs[Long]("files_scanned") * 2
+        <= xSlab.getAs[Long]("files_total"),
+      s"x-slab scanned too much: $xSlab")
+  }
+}
