@@ -93,8 +93,23 @@ object ScaleLadderGen {
       .repartition(32).write.mode("overwrite")
       .parquet(s"$out/events.parquet")
 
+    // orders: replica k offsets o_orderkey/o_custkey (disjoint keys, same
+    // date span), so the Z-order layout problem keeps its y-geometry while
+    // the x-range and row volume scale together — the honest shape for
+    // measuring that the layout shuffle is the only full-data exchange.
+    val ord = spark.read.parquet(s"$src/orders.parquet")
+    val nOrd = ord.agg(max("o_orderkey")).collect()(0).getLong(0) + 1
+    val nCust = ord.agg(max("o_custkey")).collect()(0).getLong(0) + 1
+    ord.crossJoin(spark.range(replicas).select(col("id").as("k")))
+      .select((col("o_orderkey") + col("k") * nOrd).as("o_orderkey"),
+        (col("o_custkey") + col("k") * nCust).as("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+        col("o_orderpriority"))
+      .repartition(32).write.mode("overwrite")
+      .parquet(s"$out/orders.parquet")
+
     println(s"[scale-ladder] wrote $out: x$replicas replicas " +
-      s"(doc id stride $nDocs, vec id stride $nVec)")
+      s"(doc id stride $nDocs, vec id stride $nVec, order id stride $nOrd)")
     spark.stop()
   }
 }
