@@ -2438,6 +2438,48 @@ object SparkEntry {
       val probe = graft.ops.Layout.pruneProbe(s, tmp, manifest,
         x1 = 100L, x2 = 400L, y1 = 9131L, y2 = 9861L)
       manifest.crossJoin(broadcast(probe))
+    }),
+    "a_session_paths" -> ((s, dir) => {
+      // behavioral sequence extraction: per (user, 30-min session) the
+      // ordered event-type path, order pinned by (ts, event_id) so the
+      // string replays exactly. One shuffle on user serves both the lag
+      // window and the session rollup.
+      graft.ops.EventAnalytics.sessionSequences(
+        events(s, dir).withColumn("tu", expr("ts div 1000")),
+        "user_id", "tu", "event_type", "event_id",
+        gapMicros = 1800L * 1000000L)
+    }),
+    "a_transition_matrix" -> ((s, dir) => {
+      // empirical Markov transitions of the clickstream: counts + row
+      // fractions over consecutive (prev -> cur) event types per user.
+      // Lag window on the user key, then a bounded |types|^2 aggregate.
+      graft.ops.EventAnalytics.transitionCounts(
+        events(s, dir).withColumn("tu", expr("ts div 1000")),
+        "user_id", "tu", "event_type", "event_id")
+    }),
+    "growth_accounting" -> ((s, dir) => {
+      // DAU decomposition: per day, new / returning (gap <= 7d) /
+      // resurrected (gap > 7d) users from each user's lagged activity-day
+      // sequence — integer date math, two keyed shuffles.
+      graft.ops.EventAnalytics.growthAccounting(
+        events(s, dir).withColumn("tstamp", expr("timestamp_micros(ts div 1000)")),
+        "user_id", "tstamp", resurrectDays = 7)
+    }),
+    "corpus_hrw_shards" -> ((s, dir) => {
+      // rendezvous-hash shard stability under growth: assign every doc
+      // under 8 AND 9 shards; keys that move MUST all land on the new
+      // shard (n_moved_elsewhere is the invariant, provably 0, recomputed
+      // in-query AND by the oracle), at an expected 1/9 move rate —
+      // mod-hash resharding would move 8/9 of the corpus instead.
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      docs.select(col("doc_id"),
+          CorpusOps.rendezvousShard(col("doc_id"), 8).as("shard8"),
+          CorpusOps.rendezvousShard(col("doc_id"), 9).as("shard9"))
+        .groupBy("shard8")
+        .agg(count(lit(1)).as("n_docs"),
+          sum((col("shard8") =!= col("shard9")).cast("long")).as("n_moved"),
+          sum((col("shard8") =!= col("shard9") && col("shard9") =!= 8)
+            .cast("long")).as("n_moved_elsewhere"))
     })
   )
 
@@ -4732,6 +4774,74 @@ object SparkEntry {
                   AS prune_violations)
            SELECT m.*, probe.* FROM m CROSS JOIN probe"""
       },
+      "a_session_paths" ->
+        """WITH e AS (
+             SELECT user_id, epoch_ns(ts) // 1000 AS tu, event_type, event_id
+             FROM events),
+           m AS (
+             SELECT *, CASE WHEN tu - lag(tu) OVER
+                    (PARTITION BY user_id ORDER BY tu, event_id)
+                    >= 1800000000 THEN 1 ELSE 0 END AS brk
+             FROM e),
+           s AS (
+             SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY tu, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+             FROM m)
+           SELECT user_id, MIN(tu) AS session_start, count(*) AS n_events,
+                  string_agg(event_type, '>' ORDER BY tu, event_id) AS seq
+           FROM s GROUP BY user_id, sid""",
+      "a_transition_matrix" ->
+        """WITH e AS (
+             SELECT user_id, epoch_ns(ts) // 1000 AS tu,
+                    event_type AS cur, event_id
+             FROM events),
+           l AS (
+             SELECT cur, lag(cur) OVER
+                    (PARTITION BY user_id ORDER BY tu, event_id) AS prev
+             FROM e),
+           p AS (SELECT prev, cur, count(*) AS n FROM l
+                 WHERE prev IS NOT NULL GROUP BY 1, 2),
+           t AS (SELECT prev, sum(n) AS rt FROM p GROUP BY 1)
+           SELECT p.prev, p.cur, p.n, CAST(p.n AS DOUBLE) / t.rt AS frac
+           FROM p JOIN t USING (prev)""",
+      "growth_accounting" ->
+        """WITH days AS (
+              SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d FROM events),
+            l AS (SELECT u, d,
+                         date_diff('day',
+                                   lag(d) OVER (PARTITION BY u ORDER BY d),
+                                   d) AS gap
+                  FROM days)
+           SELECT strftime(d, '%Y-%m-%d') AS day, count(*) AS n_active,
+                  count(*) FILTER (gap IS NULL) AS n_new,
+                  count(*) FILTER (gap IS NOT NULL AND gap <= 7) AS n_returning,
+                  count(*) FILTER (gap > 7) AS n_resurrected
+           FROM l GROUP BY 1""",
+      "corpus_hrw_shards" ->
+        """WITH c8 AS (
+              SELECT doc_id, shard8 FROM (
+                SELECT doc_id, s AS shard8,
+                       row_number() OVER (PARTITION BY doc_id
+                         ORDER BY md5(CAST(doc_id AS VARCHAR) || '#hrw#'
+                                      || CAST(s AS VARCHAR)) DESC, s) AS rk
+                FROM documents, range(0, 8) t(s)) WHERE rk = 1),
+            c9 AS (
+              SELECT doc_id, shard9 FROM (
+                SELECT doc_id, s AS shard9,
+                       row_number() OVER (PARTITION BY doc_id
+                         ORDER BY md5(CAST(doc_id AS VARCHAR) || '#hrw#'
+                                      || CAST(s AS VARCHAR)) DESC, s) AS rk
+                FROM documents, range(0, 9) t(s)) WHERE rk = 1),
+            j AS (SELECT c8.doc_id, shard8, shard9
+                  FROM c8 JOIN c9 ON c8.doc_id = c9.doc_id)
+           SELECT CAST(shard8 AS INTEGER) AS shard8,
+                  count(*) AS n_docs,
+                  CAST(sum(CASE WHEN shard8 <> shard9 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_moved,
+                  CAST(sum(CASE WHEN shard8 <> shard9 AND shard9 <> 8
+                                THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_moved_elsewhere
+           FROM j GROUP BY 1""",
       "corpus_shuffle" ->
         """WITH h AS (SELECT doc_id,
                              md5('epoch0#' || CAST(doc_id AS VARCHAR)) AS h

@@ -789,6 +789,33 @@ object CorpusOps {
         col("epoch").cast("long").as("epoch"))
   }
 
+  /** RENDEZVOUS (highest-random-weight) shard assignment: shard(id) =
+    * argmax over s in [0, nShards) of md5(id # "#hrw#" # s). The property
+    * mod-hashing lacks: growing nShards -> nShards+1 moves ONLY the keys
+    * whose new hash wins — an expected 1/(nShards+1) of them, and every
+    * moved key lands on the NEW shard (its argmax among the old shards is
+    * unchanged). That is the stable-resharding contract a growing 100 TB
+    * store needs: adding capacity never reshuffles data between existing
+    * shards. Ties are impossible in practice (128-bit hashes) but broken
+    * deterministically toward the lower shard id anyway.
+    *
+    * The argmax runs as array_max over a generated per-row struct array —
+    * a higher-order expression (interpreted per element, see the
+    * ARCHITECTURE UDF ladder) which is fine at typical nShards; a
+    * thousand-shard deployment would swap in a primitive-loop UDF, same
+    * contract. */
+  def rendezvousShard(id: Column, nShards: Int): Column = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    // struct comparison is field-order lexicographic: (hash desc) via
+    // array_max on (h, -s) then negate — max h, tie to LOWER s
+    array_max(transform(
+      sequence(lit(0), lit(nShards - 1)),
+      s => struct(
+        md5(concat(id.cast("string"), lit("#hrw#"), s.cast("string"))).as("h"),
+        (s * -1).as("neg_s"))))
+      .getField("neg_s") * -1
+  }
+
   /** Deterministic seeded GLOBAL SHUFFLE for training-data ordering: every
     * row gets a shard and a position, both functions of md5(seed # id)
     * only — any engine (and any rerun) reproduces the identical order, and

@@ -155,4 +155,84 @@ object EventAnalytics {
       .select(col("k").as(keyCol), col("p_lo"), col("p_hi"), col("n_rows"),
         col("clamped_sum"))
   }
+
+  /** Per-user session SEQUENCES (gaps-and-islands, `gapMicros` inactivity
+    * split): one row per (user, session) with the ordered event-type path
+    * ("view>click>purchase") — the behavioral-sequence extraction a
+    * session-modeling pipeline feeds downstream. Ordering inside a session
+    * is pinned by (ts, event_id), so the emitted path is deterministic
+    * under ties and replays exactly in any engine.
+    *
+    * `tsCol` must be epoch MICROS (long) — the caller converts once at the
+    * edge (the ss_session_agg convention). Plan: one shuffle on user (the
+    * lag window and the session group share the key), per-session state
+    * bounded by session length. */
+  def sessionSequences(df: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, idCol: String, gapMicros: Long): DataFrame = {
+    require(gapMicros > 0, s"gapMicros must be positive, got $gapMicros")
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy("u").orderBy(col("tu"), col("eid"))
+    val ev = df.select(col(userCol).as("u"), col(tsCol).as("tu"),
+        col(typeCol).as("ty"), col(idCol).as("eid"))
+      .withColumn("brk",
+        when(col("tu") - lag(col("tu"), 1).over(byUser) >= gapMicros, 1L)
+          .otherwise(0L))
+      .withColumn("sid", sum(col("brk")).over(byUser))
+    ev.groupBy(col("u"), col("sid"))
+      .agg(min(col("tu")).as("session_start"),
+        count(lit(1)).as("n_events"),
+        concat_ws(">",
+          transform(sort_array(collect_list(struct(col("tu"), col("eid"), col("ty")))),
+            x => x.getField("ty"))).as("seq"))
+      .select(col("u").as(userCol), col("session_start"), col("n_events"),
+        col("seq"))
+  }
+
+  /** First-order TRANSITION COUNTS between consecutive events per user
+    * (the empirical Markov matrix of a clickstream): for every adjacent
+    * (prev, cur) pair in a user's (ts, event_id)-ordered history, the
+    * global count and the per-prev row fraction. One keyed shuffle for
+    * the lag window, one map-side-combined aggregate over the bounded
+    * (|types|^2) pair space; the fraction is a single IEEE division of
+    * exact longs. */
+  def transitionCounts(df: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, idCol: String): DataFrame = {
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy("u").orderBy(col("tu"), col("eid"))
+    val pairs = df.select(col(userCol).as("u"), col(tsCol).as("tu"),
+        col(typeCol).as("cur"), col(idCol).as("eid"))
+      .withColumn("prev", lag(col("cur"), 1).over(byUser))
+      .filter(col("prev").isNotNull)
+      .groupBy("prev", "cur").agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy(col("prev").as("__p"))
+      .agg(sum("n").as("__row_total"))
+    pairs.join(broadcast(totals), col("prev") === col("__p"))
+      .select(col("prev"), col("cur"), col("n"),
+        (col("n").cast("double") / col("__row_total")).as("frac"))
+  }
+
+  /** GROWTH ACCOUNTING: per activity day, how many users are new (first
+    * day ever), returning (previous activity <= `resurrectDays` ago), or
+    * resurrected (a gap longer than `resurrectDays`) — the
+    * new/returning/resurrected decomposition of a DAU curve. Dedupe to
+    * (user, day), lag over each user's day sequence, classify, roll up:
+    * two keyed shuffles, integer date math only. */
+  def growthAccounting(df: DataFrame, userCol: String, tsCol: String,
+      resurrectDays: Int = 7): DataFrame = {
+    require(resurrectDays >= 1, s"resurrectDays must be >= 1, got $resurrectDays")
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy("u").orderBy("d")
+    df.select(col(userCol).as("u"), to_date(col(tsCol)).as("d"))
+      .distinct()
+      .withColumn("gap", datediff(col("d"), lag(col("d"), 1).over(byUser)))
+      .withColumn("kind",
+        when(col("gap").isNull, "new")
+          .when(col("gap") <= resurrectDays, "returning")
+          .otherwise("resurrected"))
+      .groupBy(date_format(col("d"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(col("kind") === "new", 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("kind") === "returning", 1L).otherwise(0L)).as("n_returning"),
+        sum(when(col("kind") === "resurrected", 1L).otherwise(0L)).as("n_resurrected"))
+  }
 }

@@ -483,6 +483,25 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(capped.agg(max("epoch")).collect().head.getLong(0) == 2L)
   }
 
+  test("rendezvousShard: stable under growth — moved keys only go to the new shard") {
+    val df = (1 to 2000).map(i => Tuple1(i.toLong)).toDF("id")
+    val out = df.select(col("id"),
+        CorpusOps.rendezvousShard(col("id"), 8).as("s8"),
+        CorpusOps.rendezvousShard(col("id"), 9).as("s9"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(out.forall { case (_, s8, _) => s8 >= 0 && s8 < 8 })
+    assert(out.forall { case (_, _, s9) => s9 >= 0 && s9 < 9 })
+    // THE rendezvous invariant: a key either keeps its shard or moves to
+    // the NEW shard 8 — never between existing shards
+    assert(out.forall { case (_, s8, s9) => s9 == s8 || s9 == 8 })
+    // expected move rate 1/9 of 2000 ~ 222; allow generous uniform slack
+    val moved = out.count { case (_, s8, s9) => s8 != s9 }
+    assert(moved > 120 && moved < 340, s"moved=$moved (expected ~222)")
+    // balanced-ish occupancy under 8 shards (uniform hash: ~250 each)
+    val occ = out.groupBy(_._2).view.mapValues(_.length)
+    assert(occ.values.forall(c => c > 150 && c < 350), s"occupancy $occ")
+  }
+
   test("deterministicShuffle: a permutation, reproducible, seed-sensitive") {
     val df = (1 to 500).map(i => Tuple1(i.toLong)).toDF("id")
     val a = CorpusOps.deterministicShuffle(df, "id", "seedA", 8).collect()

@@ -85,6 +85,58 @@ class EventAnalyticsSpec extends AnyFunSuite {
     ))
   }
 
+  test("sessionSequences: gap splits, (ts,id)-pinned order, exact paths") {
+    val df = Seq(
+      // u1 session 1: two events, tie on ts broken by event_id
+      (1L, 1000L, "b", 20L),
+      (1L, 1000L, "a", 10L),
+      // u1 session 2: 31 min later
+      (1L, 1000L + 31L * 60 * 1000000, "c", 30L),
+      // u2: single session, strictly under the gap
+      (2L, 0L, "x", 40L),
+      (2L, 29L * 60 * 1000000, "y", 50L)
+    ).toDF("u", "tu", "ty", "eid")
+    val out = EventAnalytics.sessionSequences(df, "u", "tu", "ty", "eid",
+        gapMicros = 1800L * 1000000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSet
+    assert(out == Set(
+      (1L, 1000L, 2L, "a>b"), // event_id order under the ts tie
+      (1L, 1000L + 31L * 60 * 1000000, 1L, "c"),
+      (2L, 0L, 2L, "x>y")))
+  }
+
+  test("transitionCounts: consecutive pairs per user, row fractions sum to 1") {
+    val df = Seq(
+      (1L, 1L, "a", 1L), (1L, 2L, "b", 2L), (1L, 3L, "a", 3L), (1L, 4L, "b", 4L),
+      (2L, 1L, "a", 5L), (2L, 2L, "b", 6L), (2L, 3L, "c", 7L)
+    ).toDF("u", "tu", "ty", "eid")
+    val out = EventAnalytics.transitionCounts(df, "u", "tu", "ty", "eid")
+      .collect().map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getDouble(3))))
+      .toMap
+    // a->b x3 (u1 twice, u2 once), b->a x1, b->c x1; no cross-user pair
+    assert(out(("a", "b")) == ((3L, 1.0)))
+    assert(out(("b", "a")) == ((1L, 0.5)))
+    assert(out(("b", "c")) == ((1L, 0.5)))
+    assert(out.size == 3)
+  }
+
+  test("growthAccounting classifies new / returning / resurrected by gap") {
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00")), // new
+      (1L, ts("2024-01-05 10:00:00")), // gap 4 => returning
+      (1L, ts("2024-01-20 10:00:00")), // gap 15 => resurrected
+      (2L, ts("2024-01-05 01:00:00")), // new
+      (2L, ts("2024-01-05 23:00:00"))  // same day: deduped, not returning
+    ).toDF("u", "t")
+    val out = EventAnalytics.growthAccounting(df, "u", "t", resurrectDays = 7)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out("2024-01-01") == ((1L, 1L, 0L, 0L)))
+    assert(out("2024-01-05") == ((2L, 1L, 1L, 0L))) // u2 new, u1 returning
+    assert(out("2024-01-20") == ((1L, 0L, 0L, 1L)))
+  }
+
   test("winsorizeProfile clamps with integerized bounds and exact sums") {
     // single key, values 1..10: p0.25 of 1..10 = 3.25, p0.75 = 7.75
     val df = (1 to 10).map(v => ("k", v.toDouble)).toDF("g", "v")
