@@ -2465,6 +2465,52 @@ object SparkEntry {
         events(s, dir).withColumn("tstamp", expr("timestamp_micros(ts div 1000)")),
         "user_id", "tstamp", resurrectDays = 7)
     }),
+    "a_grouping_sets" -> ((s, dir) => {
+      // explicit GROUPING SETS through the spark.sql entry point (the one
+      // grouping-set shape rollup/cube can't express: two disjoint
+      // single-column sets, no detail level). Same Expand + single
+      // hash-aggregate plan as a_rollup.
+      s.read.parquet(s"$dir/orders.parquet")
+        .createOrReplaceTempView("g_orders")
+      s.sql("""
+        SELECT o_orderstatus, o_orderpriority, count(1) AS n_orders,
+               CAST(sum(floor(o_totalprice)) AS DOUBLE) AS price_floor_sum,
+               CAST(grouping_id() AS BIGINT) AS gid
+        FROM g_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))""")
+    }),
+    "ts_moving_avg" -> ((s, dir) => {
+      // 7-day moving window over the daily per-type rollup: rolling sum +
+      // average of integer-valued daily totals (ROWS BETWEEN 6 PRECEDING
+      // AND CURRENT ROW — count-based, so row 1 averages 1 day, row 7+
+      // averages 7). The window runs over the BOUNDED daily aggregate
+      // (|types| x |days| rows), never the raw events.
+      val daily = events(s, dir).withColumn("day", tsDay)
+        .groupBy("event_type", "day")
+        .agg(sum(floor(col("value"))).cast("double").as("day_sum"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("day").rowsBetween(-6, 0)
+      daily.select(col("event_type"), col("day"),
+        col("day_sum"),
+        sum(col("day_sum")).over(w).as("sum_7d"),
+        (sum(col("day_sum")).over(w) / count(lit(1)).over(w)).as("avg_7d"))
+    }),
+    "a_ntile" -> ((s, dir) => {
+      // quartile bucketing per group: ntile(4) under a DETERMINISTIC total
+      // order (floor(value), event_id — a value-only order would tie and
+      // make bucket membership engine-dependent), rolled up per (type,
+      // quartile) with integer-exact bounds and mass.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy(col("v"), col("event_id"))
+      events(s, dir)
+        .select(col("event_type"), col("event_id"),
+          floor(col("value")).cast("long").as("v"))
+        .withColumn("q", ntile(4).over(w).cast("long"))
+        .groupBy("event_type", "q")
+        .agg(count(lit(1)).as("n"),
+          min("v").as("v_min"), max("v").as("v_max"),
+          sum("v").cast("double").as("v_sum"))
+    }),
     "corpus_hrw_shards" -> ((s, dir) => {
       // rendezvous-hash shard stability under growth: assign every doc
       // under 8 AND 9 shards; keys that move MUST all land on the new
@@ -4817,6 +4863,33 @@ object SparkEntry {
                   count(*) FILTER (gap IS NOT NULL AND gap <= 7) AS n_returning,
                   count(*) FILTER (gap > 7) AS n_resurrected
            FROM l GROUP BY 1""",
+      "a_grouping_sets" ->
+        """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+                  CAST(sum(floor(o_totalprice)) AS DOUBLE) AS price_floor_sum,
+                  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+           FROM orders
+           GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))""",
+      "ts_moving_avg" ->
+        """WITH daily AS (
+              SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+                     CAST(sum(floor(value)) AS DOUBLE) AS day_sum
+              FROM events GROUP BY 1, 2)
+           SELECT event_type, day, day_sum,
+                  sum(day_sum) OVER w AS sum_7d,
+                  sum(day_sum) OVER w / count(*) OVER w AS avg_7d
+           FROM daily
+           WINDOW w AS (PARTITION BY event_type ORDER BY day
+                        ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""",
+      "a_ntile" ->
+        """WITH v AS (
+              SELECT event_type, event_id, CAST(floor(value) AS BIGINT) AS v,
+                     ntile(4) OVER (PARTITION BY event_type
+                                    ORDER BY floor(value), event_id) AS q
+              FROM events)
+           SELECT event_type, CAST(q AS BIGINT) AS q, count(*) AS n,
+                  min(v) AS v_min, max(v) AS v_max,
+                  CAST(sum(v) AS DOUBLE) AS v_sum
+           FROM v GROUP BY 1, 2""",
       "corpus_hrw_shards" ->
         """WITH c8 AS (
               SELECT doc_id, shard8 FROM (
