@@ -2390,7 +2390,9 @@ object SparkEntry {
       val kept = CorpusOps.applyThresholds(docs, "grp", "doc_id", thr, salt = "#temp")
         .groupBy("grp")
         .agg(count(lit(1)).as("n_kept"), sum("n_chars").as("chars_kept"))
-      thr.join(kept, Seq("grp"), "left")
+      // both sides are group-cardinality rows; without the hint the tiny
+      // final join planned as a sort-merge (plan-audit finding)
+      thr.join(broadcast(kept), Seq("grp"), "left")
         .select(col("grp"), col("n_docs"), col("w"), col("thr"),
           coalesce(col("n_kept"), lit(0L)).as("n_kept"),
           coalesce(col("chars_kept"), lit(0L)).as("chars_kept"))

@@ -73,7 +73,11 @@ object EventAnalytics {
     require(steps.distinct.size == steps.size, s"duplicate funnel steps: $steps")
     val ev = df.select(col(userCol).as("u"), col(tsCol).as("t"),
       col(typeCol).as("ty"))
-    // entry-time frames: one row per user still in the funnel at step k
+    // entry-time frames: one row per user still in the funnel at step k.
+    // Each frame is localCheckpoint'ed because it is consumed TWICE (its
+    // own count + the next step's join build side); without it Catalyst
+    // re-derives every prefix of the chain per consumer and the events
+    // scan runs O(steps^2) times — the plan-audit finding this fixes.
     val entries: Seq[DataFrame] = steps.zipWithIndex
       .foldLeft(List.empty[DataFrame]) { case (acc, (step, i)) =>
         val cur =
@@ -86,7 +90,7 @@ object EventAnalytics {
               .filter(col("t") >= col("prev_entry"))
               .groupBy("u").agg(min("t").as("entry"))
           }
-        cur :: acc
+        cur.localCheckpoint(false) :: acc
       }.reverse
     val counts = entries.zip(steps).zipWithIndex.map { case ((f, step), i) =>
       f.agg(count(lit(1)).as("n_users"))
@@ -199,11 +203,15 @@ object EventAnalytics {
       typeCol: String, idCol: String): DataFrame = {
     val byUser = org.apache.spark.sql.expressions.Window
       .partitionBy("u").orderBy(col("tu"), col("eid"))
+    // the |types|^2-bounded pair table is consumed twice (rows + row
+    // totals); checkpointing it keeps the totals branch from re-deriving
+    // the whole window chain over the raw events
     val pairs = df.select(col(userCol).as("u"), col(tsCol).as("tu"),
         col(typeCol).as("cur"), col(idCol).as("eid"))
       .withColumn("prev", lag(col("cur"), 1).over(byUser))
       .filter(col("prev").isNotNull)
       .groupBy("prev", "cur").agg(count(lit(1)).as("n"))
+      .localCheckpoint(false)
     val totals = pairs.groupBy(col("prev").as("__p"))
       .agg(sum("n").as("__row_total"))
     pairs.join(broadcast(totals), col("prev") === col("__p"))
