@@ -4684,14 +4684,16 @@ object SparkEntry {
            FROM hours hr CROSS JOIN keys k
            LEFT JOIN agg a ON a.event_type = k.event_type AND a.h = hr.h""",
       "funnel_conversion" ->
-        """WITH s1 AS (SELECT user_id, min(ts) AS e FROM events
-                       WHERE event_type = 'view' GROUP BY 1),
-            s2 AS (SELECT e.user_id, min(e.ts) AS e FROM events e
-                   JOIN s1 ON e.user_id = s1.user_id AND e.ts >= s1.e
-                   WHERE e.event_type = 'click' GROUP BY 1),
-            s3 AS (SELECT e.user_id, min(e.ts) AS e FROM events e
-                   JOIN s2 ON e.user_id = s2.user_id AND e.ts >= s2.e
-                   WHERE e.event_type = 'purchase' GROUP BY 1),
+        """WITH ev AS (SELECT user_id, epoch_ns(ts) // 1000 AS tu, event_type
+                       FROM events),
+            s1 AS (SELECT user_id, min(tu) AS e FROM ev
+                   WHERE event_type = 'view' GROUP BY 1),
+            s2 AS (SELECT ev.user_id, min(ev.tu) AS e FROM ev
+                   JOIN s1 ON ev.user_id = s1.user_id AND ev.tu >= s1.e
+                   WHERE ev.event_type = 'click' GROUP BY 1),
+            s3 AS (SELECT ev.user_id, min(ev.tu) AS e FROM ev
+                   JOIN s2 ON ev.user_id = s2.user_id AND ev.tu >= s2.e
+                   WHERE ev.event_type = 'purchase' GROUP BY 1),
             c AS (SELECT 1 AS step_index, 'view' AS step, count(*) AS n_users FROM s1
                   UNION ALL SELECT 2, 'click', count(*) FROM s2
                   UNION ALL SELECT 3, 'purchase', count(*) FROM s3)

@@ -773,10 +773,13 @@ object CorpusOps {
     val base = df.select(col(idCol).as("id"), col(groupCol).as("g"),
         col(tokenCol).as("tokens"))
       .join(broadcast(masses), col("g") === col("__eg"))
-    val fullEpochs = base
+    // Spark's sequence(1, 0) is the DESCENDING [1, 0], not empty (unlike
+    // DuckDB's generate_series) — an unguarded explode would emit two
+    // spurious epochs for every group whose mass already exceeds the
+    // target, so zero-full-epoch groups are filtered out before the explode
+    val fullEpochs = base.filter(col("__full") >= 1L)
       .select(col("id"), col("g"), col("tokens"),
         explode(expr("sequence(1, __full)")).as("epoch"))
-      .filter(col("epoch").isNotNull) // sequence(1,0) is empty, not null — guard anyway
     val fracBucket = pmod(
       conv(substring(md5(concat(col("id").cast("string"), lit("#epoch"))), 1, 15), 16, 10)
         .cast("long"),

@@ -43,12 +43,16 @@ object EventAnalytics {
     val ev = df.select(col(keyCol).as("k"),
       date_trunc("hour", col(tsCol)).as("h"),
       floor(col(valueCol)).as("v"))
+    // bounds and keys derive from the CHECKPOINTED cell aggregate (a
+    // |keys| x |hours|-bounded frame), not the raw input — one events
+    // scan total instead of three independent aggregate subtrees
     val agg = ev.groupBy("k", "h")
       .agg(count(lit(1)).as("n_events"),
         sum(col("v")).cast("double").as("value_floor_sum"))
-    val hours = ev.agg(min("h").as("lo"), max("h").as("hi"))
+      .localCheckpoint(false)
+    val hours = agg.agg(min("h").as("lo"), max("h").as("hi"))
       .select(explode(expr("sequence(lo, hi, interval 1 hour)")).as("h"))
-    val keys = ev.select("k").distinct()
+    val keys = agg.select("k").distinct()
     hours.crossJoin(keys)
       .join(agg, Seq("k", "h"), "left")
       .select(col("k").as(keyCol),

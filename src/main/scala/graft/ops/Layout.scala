@@ -96,15 +96,16 @@ object Layout {
       .withColumn("shard", col("shard").cast("int"))
     val boxed = back.filter(
       col("x") >= x1 && col("x") <= x2 && col("y") >= y1 && col("y") <= y2)
-    val matched = boxed.agg(count(lit(1)).as("rows_matched"))
-    val inScanned = boxed.join(
+    // one pass over the boxed rows: a left join against the scanned-shard
+    // list yields both totals (count(*) and count(matched shard)) in a
+    // single aggregate — a second scan of the export would double probe IO
+    val matched = boxed.join(
         broadcast(scanned.select(col("shard").as("__ss"))),
-        col("shard") === col("__ss"))
-      .agg(count(lit(1)).as("__n_in"))
+        col("shard") === col("__ss"), "left")
+      .agg(count(lit(1)).as("rows_matched"), count(col("__ss")).as("__n_in"))
     manifest.agg(count(lit(1)).as("files_total"))
       .crossJoin(broadcast(scanned.agg(count(lit(1)).as("files_scanned"))))
       .crossJoin(broadcast(matched))
-      .crossJoin(broadcast(inScanned))
       .select(col("files_total"), col("files_scanned"), col("rows_matched"),
         (col("rows_matched") - col("__n_in")).as("prune_violations"))
   }

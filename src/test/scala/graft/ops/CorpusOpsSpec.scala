@@ -481,6 +481,16 @@ class CorpusOpsSpec extends AnyFunSuite {
       targetTokens = 260L, maxEpochs = 2)
     assert(capped.count() == 8L)
     assert(capped.agg(max("epoch")).collect().head.getLong(0) == 2L)
+    // DOWN-sampling regime (target < mass => zero full epochs): only the
+    // fractional epoch may emit, and it must be epoch 1. Guards the
+    // sequence(1, 0) pitfall — Spark's sequence(1, 0) is [1, 0], NOT
+    // empty, so an unguarded explode emitted two spurious epochs here.
+    val down = CorpusOps.epochRepeat(df, "id", "tok", "src",
+      targetTokens = 50L, maxEpochs = 4) // 50 of 100 tokens => frac only
+    val downRows = down.collect()
+    assert(downRows.forall(_.getAs[Long]("epoch") == 1L),
+      s"zero-full-epoch group must emit only the fractional epoch 1: ${downRows.toSeq}")
+    assert(downRows.length < 4, "fractional epoch must not keep every doc at 500000 ppm")
   }
 
   test("rendezvousShard: stable under growth — moved keys only go to the new shard") {
