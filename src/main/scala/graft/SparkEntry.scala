@@ -2467,6 +2467,39 @@ object SparkEntry {
         events(s, dir).withColumn("tstamp", expr("timestamp_micros(ts div 1000)")),
         "user_id", "tstamp", resurrectDays = 7)
     }),
+    "a_json_extract" -> ((s, dir) => {
+      // semi-structured extraction: parse the events.props JSON column
+      // with an EXPLICIT schema (from_json — codegen'd, no inference
+      // scan) and roll up the extracted value per type. The string-path
+      // variant (get_json_object) is exercised alongside and must agree:
+      // n_path_mismatch is an in-query invariant, provably 0.
+      val parsed = events(s, dir)
+        .withColumn("k", from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k BIGINT")).getField("k"))
+        .withColumn("k_str", get_json_object(col("props"), "$.k").cast("long"))
+      parsed.groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum("k").as("k_sum"), min("k").as("k_min"), max("k").as("k_max"),
+          sum((col("k") =!= col("k_str")).cast("long")).as("n_path_mismatch"))
+    }),
+    "a_set_ops" -> ((s, dir) => {
+      // set operators the reference lacks (SURVEY 2.E): distinct-user
+      // INTERSECT and EXCEPT across behavior segments, emitted as tagged
+      // counts. Spark plans both as aggregates over a union with count
+      // disambiguation — one shuffle each, never a driver-side set.
+      val ev = events(s, dir)
+      val clickers = ev.filter(col("event_type") === "click")
+        .select(col("user_id"))
+      val purchasers = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"))
+      val both = clickers.intersect(purchasers)
+        .agg(count(lit(1)).as("n_users"))
+        .select(lit("click_and_purchase").as("segment"), col("n_users"))
+      val only = clickers.except(purchasers)
+        .agg(count(lit(1)).as("n_users"))
+        .select(lit("click_no_purchase").as("segment"), col("n_users"))
+      both.unionByName(only)
+    }),
     "a_grouping_sets" -> ((s, dir) => {
       // explicit GROUPING SETS through the spark.sql entry point (the one
       // grouping-set shape rollup/cube can't express: two disjoint
@@ -4867,6 +4900,24 @@ object SparkEntry {
                   count(*) FILTER (gap IS NOT NULL AND gap <= 7) AS n_returning,
                   count(*) FILTER (gap > 7) AS n_resurrected
            FROM l GROUP BY 1""",
+      "a_json_extract" ->
+        """SELECT event_type, count(*) AS n,
+                  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                       AS BIGINT) AS k_sum,
+                  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
+                  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max,
+                  CAST(0 AS BIGINT) AS n_path_mismatch
+           FROM events GROUP BY 1""",
+      "a_set_ops" ->
+        """SELECT 'click_and_purchase' AS segment, count(*) AS n_users FROM (
+              SELECT user_id FROM events WHERE event_type = 'click'
+              INTERSECT
+              SELECT user_id FROM events WHERE event_type = 'purchase')
+           UNION ALL
+           SELECT 'click_no_purchase', count(*) FROM (
+              SELECT user_id FROM events WHERE event_type = 'click'
+              EXCEPT
+              SELECT user_id FROM events WHERE event_type = 'purchase')""",
       "a_grouping_sets" ->
         """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
                   CAST(sum(floor(o_totalprice)) AS DOUBLE) AS price_floor_sum,
