@@ -2467,6 +2467,49 @@ object SparkEntry {
         events(s, dir).withColumn("tstamp", expr("timestamp_micros(ts div 1000)")),
         "user_id", "tstamp", resurrectDays = 7)
     }),
+    "dp_retention" -> ((s, dir) => {
+      // USER-LEVEL DP release of the cohort-retention matrix — the core
+      // engine applied to the analytics tier's most privacy-sensitive
+      // rollup. Privacy unit = user; partition key = (cohort_day,
+      // week_offset); a user contributes one row per retained week, all
+      // under ONE cohort (their own), so L0 = weeks-spanned, bounded at
+      // 10 (non-binding on 30-day data => Zero-noise output equals the
+      // exact cohort_retention counts).
+      val days = events(s, dir)
+        .withColumn("tstamp", expr("timestamp_micros(ts div 1000)"))
+        .select(col("user_id").as("u"), to_date(col("tstamp")).as("d"))
+        .distinct()
+      val cohorts = days.groupBy("u").agg(min("d").as("cohort"))
+      val cells = days.join(cohorts, "u")
+        .select(col("u"),
+          date_format(col("cohort"), "yyyy-MM-dd").as("cohort_day"),
+          floor(datediff(col("d"), col("cohort")) / 7).cast("long")
+            .as("week_offset"))
+        .distinct()
+      runZero(cells,
+        AggregateParams(metrics = Seq(Metric.PrivacyIdCount),
+          maxPartitionsContributed = 10),
+        DPColumns(col("u"),
+          Seq("cohort_day" -> col("cohort_day"),
+            "week_offset" -> col("week_offset")), None))
+    }),
+    "dp_funnel_users" -> ((s, dir) => {
+      // DP funnel: per-step distinct-user counts released under user-level
+      // DP (partition key = step; a user reaches each step at most once,
+      // => Linf = 1 by construction and L0 <= #steps). Zero noise + a
+      // non-binding L0 bound => exactly the funnel_conversion counts, as
+      // doubles.
+      val entries = graft.ops.EventAnalytics.funnelEntryFrames(
+        events(s, dir).withColumn("tstamp", expr("timestamp_micros(ts div 1000)")),
+        "user_id", "tstamp", "event_type", Seq("view", "click", "purchase"))
+      val tagged = entries.zip(Seq("1_view", "2_click", "3_purchase"))
+        .map { case (f, tag) => f.select(col("u"), lit(tag).as("step")) }
+        .reduce(_.unionByName(_))
+      runZero(tagged,
+        AggregateParams(metrics = Seq(Metric.PrivacyIdCount),
+          maxPartitionsContributed = 3),
+        DPColumns(col("u"), Seq("step" -> col("step")), None))
+    }),
     "a_json_extract" -> ((s, dir) => {
       // semi-structured extraction: parse the events.props JSON column
       // with an EXPLICIT schema (from_json — codegen'd, no inference
@@ -4900,6 +4943,29 @@ object SparkEntry {
                   count(*) FILTER (gap IS NOT NULL AND gap <= 7) AS n_returning,
                   count(*) FILTER (gap > 7) AS n_resurrected
            FROM l GROUP BY 1""",
+      "dp_retention" ->
+        """WITH days AS (
+              SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d FROM events),
+            coh AS (SELECT u, min(d) AS cohort FROM days GROUP BY 1)
+           SELECT strftime(cohort, '%Y-%m-%d') AS cohort_day,
+                  CAST(date_diff('day', cohort, d) // 7 AS BIGINT) AS week_offset,
+                  CAST(count(DISTINCT u) AS DOUBLE) AS privacy_id_count
+           FROM days JOIN coh USING (u) GROUP BY 1, 2""",
+      "dp_funnel_users" ->
+        """WITH ev AS (SELECT user_id, epoch_ns(ts) // 1000 AS tu, event_type
+                       FROM events),
+            s1 AS (SELECT user_id, min(tu) AS e FROM ev
+                   WHERE event_type = 'view' GROUP BY 1),
+            s2 AS (SELECT ev.user_id, min(ev.tu) AS e FROM ev
+                   JOIN s1 ON ev.user_id = s1.user_id AND ev.tu >= s1.e
+                   WHERE ev.event_type = 'click' GROUP BY 1),
+            s3 AS (SELECT ev.user_id, min(ev.tu) AS e FROM ev
+                   JOIN s2 ON ev.user_id = s2.user_id AND ev.tu >= s2.e
+                   WHERE ev.event_type = 'purchase' GROUP BY 1)
+           SELECT '1_view' AS step, CAST(count(*) AS DOUBLE) AS privacy_id_count
+           FROM s1
+           UNION ALL SELECT '2_click', CAST(count(*) AS DOUBLE) FROM s2
+           UNION ALL SELECT '3_purchase', CAST(count(*) AS DOUBLE) FROM s3""",
       "a_json_extract" ->
         """SELECT event_type, count(*) AS n,
                   CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))

@@ -71,18 +71,19 @@ object EventAnalytics {
     * Emits one row per step: (step_index, step, n_users, frac_of_first)
     * where frac_of_first is n_users(step)/n_users(step 1) — a single IEEE
     * division of exact longs, bit-identical in any engine. */
-  def funnel(df: DataFrame, userCol: String, tsCol: String,
-      typeCol: String, steps: Seq[String]): DataFrame = {
+  /** Per-step funnel entry frames: element k is one row per user still in
+    * the funnel at step k, (u, entry). Each frame is localCheckpoint'ed
+    * because it is consumed at least twice (its own count / release + the
+    * next step's join build side); without it Catalyst re-derives every
+    * prefix of the chain per consumer and the events scan runs
+    * O(steps^2) times. Shared by [[funnel]] and the DP funnel release. */
+  def funnelEntryFrames(df: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String]): Seq[DataFrame] = {
     require(steps.nonEmpty, "funnel needs at least one step")
     require(steps.distinct.size == steps.size, s"duplicate funnel steps: $steps")
     val ev = df.select(col(userCol).as("u"), col(tsCol).as("t"),
       col(typeCol).as("ty"))
-    // entry-time frames: one row per user still in the funnel at step k.
-    // Each frame is localCheckpoint'ed because it is consumed TWICE (its
-    // own count + the next step's join build side); without it Catalyst
-    // re-derives every prefix of the chain per consumer and the events
-    // scan runs O(steps^2) times — the plan-audit finding this fixes.
-    val entries: Seq[DataFrame] = steps.zipWithIndex
+    steps.zipWithIndex
       .foldLeft(List.empty[DataFrame]) { case (acc, (step, i)) =>
         val cur =
           if (i == 0)
@@ -96,6 +97,11 @@ object EventAnalytics {
           }
         cur.localCheckpoint(false) :: acc
       }.reverse
+  }
+
+  def funnel(df: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String]): DataFrame = {
+    val entries = funnelEntryFrames(df, userCol, tsCol, typeCol, steps)
     val counts = entries.zip(steps).zipWithIndex.map { case ((f, step), i) =>
       f.agg(count(lit(1)).as("n_users"))
         .select(lit(i + 1L).as("step_index"), lit(step).as("step"),
