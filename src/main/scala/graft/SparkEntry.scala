@@ -2467,6 +2467,69 @@ object SparkEntry {
         events(s, dir).withColumn("tstamp", expr("timestamp_micros(ts div 1000)")),
         "user_id", "tstamp", resurrectDays = 7)
     }),
+    "emb_covariance" -> ((s, dir) => {
+      // whitening/PCA prep: the exact upper-triangle covariance moments of
+      // the int8-quantized embedding coordinates — one pass, one mergeable
+      // integer state (d + d(d+1)/2 longs) per task, pair rows generated
+      // from the single result row. Integer moments over the deterministic
+      // quantization are what make a covariance matrix hash-verifiable.
+      Similarity.covarianceMoments(
+        s.read.parquet(s"$dir/embeddings.parquet"), "embedding")
+    }),
+    "a_tpch_q6" -> ((s, dir) => {
+      // TPC-H Q6 forecast-revenue: pure filter + scalar aggregate — the
+      // pushdown showcase (every predicate reaches the parquet scan,
+      // revenue in exact cents so the one-row double is order-free).
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-01-01").cast("timestamp") &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long") *
+            round(col("l_discount") * 100).cast("long")).as("revenue_e4"),
+          count(lit(1)).as("n_rows"))
+    }),
+    "a_tpch_q12" -> ((s, dir) => {
+      // TPC-H Q12 shipmode/priority: broadcast-joined fact scan with
+      // conditional aggregation per group (the CASE-inside-SUM shape).
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-01-01").cast("timestamp"))
+        .select(col("l_orderkey"), col("l_linestatus"))
+      val ords = s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      li.join(ords, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("high_line_count"),
+          sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("low_line_count"))
+    }),
+    "stats_profile" -> ((s, dir) => {
+      // data-profiling card: per-column null count, distinct count, and
+      // type-appropriate min/max/avg-length facts over documents, in ONE
+      // pass (a single aggregate row, posexploded to per-column rows) —
+      // the first query a pipeline runs against an unknown 100 TB table.
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      d.agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("text").isNull.cast("long")).as("text_nulls"),
+          countDistinct(col("lang")).as("lang_distinct"),
+          countDistinct(col("source")).as("source_distinct"),
+          min("n_chars").as("n_chars_min"), max("n_chars").as("n_chars_max"),
+          sum("n_chars").as("n_chars_sum"),
+          sum(length(col("text")).cast("long")).as("text_len_sum"))
+        .select(explode(array(
+          struct(lit("n_rows").as("stat"), col("n_rows").as("value")),
+          struct(lit("text_nulls").as("stat"), col("text_nulls").as("value")),
+          struct(lit("lang_distinct").as("stat"), col("lang_distinct").as("value")),
+          struct(lit("source_distinct").as("stat"), col("source_distinct").as("value")),
+          struct(lit("n_chars_min").as("stat"), col("n_chars_min").as("value")),
+          struct(lit("n_chars_max").as("stat"), col("n_chars_max").as("value")),
+          struct(lit("n_chars_sum").as("stat"), col("n_chars_sum").as("value")),
+          struct(lit("text_len_sum").as("stat"), col("text_len_sum").as("value")))))
+        .select(col("col.stat").as("stat"), col("col.value").as("value"))
+    }),
     "dp_retention" -> ((s, dir) => {
       // USER-LEVEL DP release of the cohort-retention matrix — the core
       // engine applied to the analytics tier's most privacy-sensitive
@@ -4943,6 +5006,72 @@ object SparkEntry {
                   count(*) FILTER (gap IS NOT NULL AND gap <= 7) AS n_returning,
                   count(*) FILTER (gap > 7) AS n_resurrected
            FROM l GROUP BY 1""",
+      "emb_covariance" ->
+        """WITH q AS (
+             SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             FROM embeddings),
+           s AS (
+             SELECT vec_id, v,
+                    CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0
+                         THEN 1.0
+                         ELSE list_max(list_transform(v, x -> abs(x))) / 127.0
+                    END AS scale
+             FROM q),
+           z AS (
+             SELECT vec_id,
+                    list_transform(v, x -> CAST(least(greatest(round(x / scale),
+                      -127.0), 127.0) AS BIGINT)) AS qd
+             FROM s),
+           e AS (SELECT vec_id, i, qd[CAST(i + 1 AS INT)] AS x
+                 FROM z, range(0, 64) t(i)),
+           m AS (SELECT i, sum(x) AS sx FROM e GROUP BY 1),
+           nn AS (SELECT count(*) AS n FROM z),
+           p AS (SELECT a.i AS i, b.i AS j, sum(a.x * b.x) AS sxy
+                 FROM e a JOIN e b ON a.vec_id = b.vec_id AND b.i >= a.i
+                 GROUP BY 1, 2)
+           SELECT CAST(p.i AS INT) AS i, CAST(p.j AS INT) AS j, nn.n,
+                  ma.sx AS sx, mb.sx AS sy, p.sxy AS sxy,
+                  nn.n * p.sxy - ma.sx * mb.sx AS cov_e
+           FROM p JOIN m ma ON p.i = ma.i JOIN m mb ON p.j = mb.i
+           CROSS JOIN nn""",
+      "a_tpch_q6" ->
+        """SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                           * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT)
+                    AS revenue_e4,
+                  count(*) AS n_rows
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+             AND l_shipdate < TIMESTAMP '1996-01-01'
+             AND l_discount >= 0.05 AND l_discount <= 0.07
+             AND l_quantity < 24""",
+      "a_tpch_q12" ->
+        """SELECT l_linestatus,
+                  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+             AND l_shipdate < TIMESTAMP '1996-01-01'
+           GROUP BY 1""",
+      "stats_profile" ->
+        """WITH a AS (
+              SELECT count(*) AS n_rows,
+                     sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS text_nulls,
+                     count(DISTINCT lang) AS lang_distinct,
+                     count(DISTINCT source) AS source_distinct,
+                     min(n_chars) AS n_chars_min, max(n_chars) AS n_chars_max,
+                     sum(n_chars) AS n_chars_sum,
+                     sum(length(text)) AS text_len_sum
+              FROM documents)
+           SELECT 'n_rows' AS stat, CAST(n_rows AS BIGINT) AS value FROM a
+           UNION ALL SELECT 'text_nulls', CAST(text_nulls AS BIGINT) FROM a
+           UNION ALL SELECT 'lang_distinct', CAST(lang_distinct AS BIGINT) FROM a
+           UNION ALL SELECT 'source_distinct', CAST(source_distinct AS BIGINT) FROM a
+           UNION ALL SELECT 'n_chars_min', CAST(n_chars_min AS BIGINT) FROM a
+           UNION ALL SELECT 'n_chars_max', CAST(n_chars_max AS BIGINT) FROM a
+           UNION ALL SELECT 'n_chars_sum', CAST(n_chars_sum AS BIGINT) FROM a
+           UNION ALL SELECT 'text_len_sum', CAST(text_len_sum AS BIGINT) FROM a""",
       "dp_retention" ->
         """WITH days AS (
               SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d FROM events),

@@ -15,6 +15,16 @@ final case class TopKBuf(scores: Array[Double], ids: Array[Long])
 /** Input row of the centroid aggregate: one vector. */
 final case class VecIn(v: Array[Double])
 
+/** Input row for the covariance moment aggregator: one int8-quantized
+  * vector widened to longs. */
+final case class QVecIn(q: Array[Long])
+
+/** Exact second-moment state over quantized vectors: count, per-dimension
+  * sums, and the upper-triangle cross-product sums (pair (i, j), i <= j,
+  * lives at index i*d - i*(i-1)/2 + (j-i)). All-integer, so partials are
+  * order-independent under any partitioning and merge by addition. */
+final case class CovState(n: Long, sums: Array[Long], prods: Array[Long])
+
 /** Centroid state: exact per-dimension quantized sums + vector count. */
 final case class VecState(sums: Array[Long], n: Long)
 
@@ -159,6 +169,68 @@ final class TopKAggregator(k: Int)
   * distinct), then exact re-rank. Recall/latency trades off via number of
   * planes/bands.
   */
+/** Exact covariance MOMENTS over int8-quantized embeddings — the whitening
+  * / PCA-prep statistic computed the 100 TB way: one pass, one mergeable
+  * state of d + d(d+1)/2 longs per task (for d = 64 that is ~17 KB
+  * crossing the wire per partial, full map-side combine), no per-pair
+  * shuffle. Covariance follows as n*Sxy - Sx*Sy in the caller's chosen
+  * precision; with |x| <= 127 the BIGINT form is exact up to ~7e8 vectors
+  * — beyond that compute the final subtraction in decimal(38,0).
+  *
+  * Integer moments over DETERMINISTICALLY quantized values are the trick
+  * that makes a covariance matrix oracle-verifiable at all: float
+  * accumulation order would diverge per partitioning (same argument as
+  * the centroid aggregator). Ragged vectors fail loudly — a non-empty
+  * state's sums length IS its dimension. */
+final class CovMomentAggregator
+    extends Aggregator[QVecIn, CovState, CovState] {
+
+  def zero: CovState = CovState(0L, Array.emptyLongArray, Array.emptyLongArray)
+
+  def reduce(b: CovState, a: QVecIn): CovState = {
+    if (a.q == null) b
+    else {
+      val d = a.q.length
+      if (b.n > 0 && b.sums.length != d)
+        throw new IllegalArgumentException(
+          s"covariance: ragged input — vector of length $d after ${b.sums.length}")
+      val sums = if (b.sums.length >= d) b.sums else new Array[Long](d)
+      val prods = if (b.prods.length > 0) b.prods else new Array[Long](d * (d + 1) / 2)
+      var i = 0
+      var idx = 0
+      while (i < d) {
+        val xi = a.q(i)
+        sums(i) += xi
+        var j = i
+        while (j < d) { prods(idx) += xi * a.q(j); j += 1; idx += 1 }
+        i += 1
+      }
+      CovState(b.n + 1, sums, prods)
+    }
+  }
+
+  def merge(b1: CovState, b2: CovState): CovState = {
+    if (b2.n == 0) b1
+    else if (b1.n == 0) b2
+    else {
+      if (b1.sums.length != b2.sums.length)
+        throw new IllegalArgumentException(
+          s"covariance: ragged partials ${b1.sums.length} vs ${b2.sums.length}")
+      val sums = java.util.Arrays.copyOf(b1.sums, b1.sums.length)
+      val prods = java.util.Arrays.copyOf(b1.prods, b1.prods.length)
+      var i = 0
+      while (i < sums.length) { sums(i) += b2.sums(i); i += 1 }
+      i = 0
+      while (i < prods.length) { prods(i) += b2.prods(i); i += 1 }
+      CovState(b1.n + b2.n, sums, prods)
+    }
+  }
+
+  def finish(b: CovState): CovState = b
+  def bufferEncoder: Encoder[CovState] = Encoders.product[CovState]
+  def outputEncoder: Encoder[CovState] = Encoders.product[CovState]
+}
+
 object Similarity {
 
   /** Dot product of two equal-length numeric arrays as a higher-order
@@ -210,6 +282,33 @@ object Similarity {
       .groupBy("key")
       .agg(agg(col("v")).as("c"))
       .select(col("key"), col("c.centroid").as("centroid"), col("c.n").as("n"))
+  }
+
+  /** Exact upper-triangle covariance of the int8-QUANTIZED embedding
+    * coordinates (whitening / PCA prep): one row per dimension pair
+    * (i <= j) with the raw moments and cov_e = n*Sxy - Sx*Sy (the n^2 x
+    * covariance — integer-exact, division-free; callers divide by n^2 in
+    * their own precision). One pass, one [[CovMomentAggregator]] state per
+    * task, pair rows generated from the single result row — no per-pair
+    * shuffle at any corpus size. */
+  def covarianceMoments(df: DataFrame, vecCol: String): DataFrame = {
+    val agg = udaf(new CovMomentAggregator, Encoders.product[QVecIn])
+    val q = df.select(
+      quantizeInt8(col(vecCol)).getField("q").cast("array<bigint>").as("qv"))
+    val st = q.agg(agg(col("qv")).as("st"))
+      .select(col("st.n").as("n"), col("st.sums").as("sums"),
+        col("st.prods").as("prods"))
+    // (i, j) pair rows from the one state row: two chained generators over
+    // the KNOWN dimension (the sums array length), never a driver loop
+    st.select(col("n"), col("sums"), col("prods"),
+        explode(expr("sequence(0, size(sums) - 1)")).as("i"))
+      .select(col("n"), col("sums"), col("prods"), col("i"),
+        explode(expr("sequence(i, size(sums) - 1)")).as("j"))
+      .select(col("i"), col("j"), col("n"),
+        expr("sums[i]").as("sx"), expr("sums[j]").as("sy"),
+        expr("prods[CAST(i * size(sums) - i * (i - 1) div 2 + (j - i) AS INT)]")
+          .as("sxy"))
+      .withColumn("cov_e", col("n") * col("sxy") - col("sx") * col("sy"))
   }
 
   /** Semantic-outlier scoring: each vector's cosine to ITS group centroid

@@ -787,6 +787,48 @@ class SimilaritySpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), s"centroids must broadcast:\n$plan")
   }
 
+  test("covarianceMoments: exact vs brute force, partition-invariant") {
+    // vectors whose max|x| = 127 so the int8 quantization is the identity
+    // and the expected moments are computable by hand
+    val vecs = Seq(
+      Array(127.0, 0.0, -127.0),
+      Array(0.0, 127.0, 127.0),
+      Array(127.0, 127.0, 0.0))
+    val expect = {
+      val n = vecs.length
+      for (i <- 0 until 3; j <- i until 3) yield {
+        val sx = vecs.map(_(i).toLong).sum
+        val sy = vecs.map(_(j).toLong).sum
+        val sxy = vecs.map(v => v(i).toLong * v(j).toLong).sum
+        (i, j) -> (n.toLong, sx, sy, sxy, n * sxy - sx * sy)
+      }
+    }.toMap
+    Seq(1, 3).foreach { parts =>
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(vecs.map(Tuple1(_)), parts)
+          .map(t => org.apache.spark.sql.Row(t._1)),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("vec",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.DoubleType)))))
+      val got = Similarity.covarianceMoments(df, "vec")
+        .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+          (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+        .toMap
+      assert(got == expect, s"parts=$parts")
+    }
+  }
+
+  test("covarianceMoments: ragged input fails loud") {
+    val df = Seq(Tuple1(Array(127.0, 0.0)), Tuple1(Array(127.0, 0.0, 1.0)))
+      .toDF("vec")
+    val e = intercept[org.apache.spark.SparkException] {
+      Similarity.covarianceMoments(df, "vec").collect()
+    }
+    assert(e.getMessage.contains("ragged") ||
+      String.valueOf(e.getCause).contains("ragged"))
+  }
+
   test("centroidByKey plans as one exchange with map-side partial aggregation") {
     val df = Seq(("a", Array(1.0, 2.0))).toDF("label", "vec")
     val plan = Similarity.centroidByKey(df, "label", "vec")
