@@ -2467,6 +2467,42 @@ object SparkEntry {
         events(s, dir).withColumn("tstamp", expr("timestamp_micros(ts div 1000)")),
         "user_id", "tstamp", resurrectDays = 7)
     }),
+    "io_compaction" -> ((s, dir) => {
+      // lakehouse small-file compaction: a single-writer 50-row-split
+      // export simulates the small-file problem, then compactFiles
+      // rewrites it into 200-row bins assigned by a deterministic global
+      // rank (two-phase prefix sum — bin membership replays in SQL,
+      // unlike coalesce()-based compaction). Manifest carries
+      // before/after file counts + rows_missing (must be 0).
+      val tmp = scratchDir("compaction")
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("n_chars"))
+        .repartition(1).sortWithinPartitions("doc_id")
+        .write.mode("overwrite").option("maxRecordsPerFile", 50)
+        .parquet(s"$tmp/small")
+      CorpusOps.compactFiles(s, s"$tmp/small", s"$tmp/big", "doc_id",
+        targetRows = 200L)
+    }),
+    "corpus_interleave" -> ((s, dir) => {
+      // mixture SCHEDULING: deterministic weighted interleave (virtual-
+      // time pacing, rank * grid div weight) — a weight-2 source appears
+      // twice as often as a weight-1 source in any prefix of the training
+      // order. The gate checks the first-200 global prefix composition
+      // (TakeOrdered — bounded, never a global sort) next to each
+      // source's weight and total.
+      val weights = (0 until 20).map(i => s"src$i" -> ((i % 3) + 1).toLong).toMap
+      val inter = CorpusOps.weightedInterleave(
+          s.read.parquet(s"$dir/documents.parquet"), "doc_id", "source", weights)
+        .localCheckpoint(false) // consumed by prefix AND totals
+      val prefix = inter.orderBy(col("vt"), col("source"), col("doc_id"))
+        .limit(200)
+        .groupBy("source").agg(count(lit(1)).as("n_in_prefix"))
+      inter.groupBy("source")
+        .agg(first("weight").as("weight"), count(lit(1)).as("n_total"))
+        .join(broadcast(prefix), Seq("source"), "left")
+        .select(col("source"), col("weight"), col("n_total"),
+          coalesce(col("n_in_prefix"), lit(0L)).as("n_in_prefix"))
+    }),
     "emb_covariance" -> ((s, dir) => {
       // whitening/PCA prep: the exact upper-triangle covariance moments of
       // the int8-quantized embedding coordinates — one pass, one mergeable
@@ -5006,6 +5042,37 @@ object SparkEntry {
                   count(*) FILTER (gap IS NOT NULL AND gap <= 7) AS n_returning,
                   count(*) FILTER (gap > 7) AS n_resurrected
            FROM l GROUP BY 1""",
+      "io_compaction" ->
+        """WITH r AS (
+              SELECT doc_id,
+                     row_number() OVER (ORDER BY doc_id) - 1 AS rk
+              FROM documents),
+            b AS (SELECT doc_id, rk // 200 AS bin FROM r),
+            m AS (SELECT bin, count(*) AS n_rows,
+                         min(doc_id) AS id_min, max(doc_id) AS id_max
+                  FROM b GROUP BY 1),
+            t AS (SELECT CAST(ceil(count(*) / 50.0) AS BIGINT) AS files_before,
+                         CAST(ceil(count(*) / 200.0) AS BIGINT) AS files_after
+                  FROM documents)
+           SELECT bin, n_rows, id_min, id_max, files_before, files_after,
+                  CAST(0 AS BIGINT) AS rows_missing
+           FROM m CROSS JOIN t""",
+      "corpus_interleave" ->
+        """WITH w AS (SELECT source,
+                             CAST(substr(source, 4) AS INT) % 3 + 1 AS wt
+                      FROM (SELECT DISTINCT source FROM documents)),
+            r AS (SELECT doc_id, d.source, wt,
+                         row_number() OVER (PARTITION BY d.source
+                           ORDER BY md5('interleave#' || CAST(doc_id AS VARCHAR)),
+                                    doc_id) AS rk
+                  FROM documents d JOIN w USING (source)),
+            v AS (SELECT doc_id, source, wt, (rk * 1000000) // wt AS vt FROM r),
+            p AS (SELECT * FROM v ORDER BY vt, source, doc_id LIMIT 200),
+            pc AS (SELECT source, count(*) AS n FROM p GROUP BY 1),
+            t AS (SELECT source, count(*) AS n_total FROM documents GROUP BY 1)
+           SELECT t.source, CAST(w.wt AS BIGINT) AS weight, t.n_total,
+                  coalesce(pc.n, 0) AS n_in_prefix
+           FROM t JOIN w USING (source) LEFT JOIN pc USING (source)""",
       "emb_covariance" ->
         """WITH q AS (
              SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

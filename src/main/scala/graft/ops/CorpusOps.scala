@@ -792,6 +792,75 @@ object CorpusOps {
         col("epoch").cast("long").as("epoch"))
   }
 
+  /** SMALL-FILE COMPACTION — the lakehouse maintenance op: rewrite a
+    * directory of many undersized files into files of `targetRows` rows,
+    * preserving global `idCol` order, and return a read-back manifest
+    * with before/after file counts and a row-preservation check. The bin
+    * assignment is a DETERMINISTIC global rank (the [[packSequences]]
+    * two-phase prefix sum with unit lengths — per-bucket totals are a
+    * bounded driver collect, never a single-task window), so bin
+    * membership replays in any engine, unlike a coalesce()-based
+    * compaction whose file boundaries are scheduler-dependent.
+    *
+    * Returns one row per output bin: (bin, n_rows, id_min, id_max,
+    * files_before, files_after, rows_missing) — rows_missing must read 0. */
+  def compactFiles(spark: org.apache.spark.sql.SparkSession, inDir: String,
+      outDir: String, idCol: String, targetRows: Long,
+      bucketWidth: Long = 1000L): DataFrame = {
+    require(targetRows > 0, s"targetRows must be positive, got $targetRows")
+    val in = spark.read.parquet(inDir)
+    // input_file_name() cannot sit inside an aggregate (non-deterministic
+    // per Catalyst); project it to a column first
+    val before = in.withColumn("__f", input_file_name())
+      .agg(countDistinct(col("__f")).as("files_before"),
+        count(lit(1)).as("__n_in"))
+    val binned = packSequences(
+        in.withColumn("__one", lit(1L)), idCol, "__one",
+        seqLen = targetRows, bucketWidth = bucketWidth)
+      .select(col("id"), col("pack_id").as("bin"))
+    binned.repartition(col("bin"))
+      .sortWithinPartitions(col("bin"), col("id"))
+      .write.mode("overwrite").partitionBy("bin").parquet(outDir)
+    val back = spark.read.parquet(outDir)
+    val manifest = back.groupBy(col("bin").cast("long").as("bin"))
+      .agg(count(lit(1)).as("n_rows"),
+        min("id").as("id_min"), max("id").as("id_max"))
+    val after = back.withColumn("__f", input_file_name())
+      .agg(countDistinct(col("__f")).as("files_after"),
+        count(lit(1)).as("__n_out"))
+    manifest.crossJoin(broadcast(before)).crossJoin(broadcast(after))
+      .select(col("bin"), col("n_rows"), col("id_min"), col("id_max"),
+        col("files_before"), col("files_after"),
+        (col("__n_in") - col("__n_out")).as("rows_missing"))
+  }
+
+  /** Deterministic WEIGHTED INTERLEAVE of sources into one training order
+    * (the scheduling half of a data mixture — [[applyMixture]] decides
+    * membership, this decides ORDER): row r of source s gets virtual time
+    * vt = rank_s(r) * grid div w_s (integerized inverse-weight pacing), and
+    * the global order is (vt, source, id). A weight-2 source appears twice
+    * as often as a weight-1 source in any prefix — the standard
+    * heterogeneous-mixture batch schedule, reproducible in any engine.
+    * Within-source rank follows the portable md5 hash (a fresh shuffle per
+    * `seed`). Emits every row: (id, source, weight, vt). One keyed shuffle
+    * (the per-source rank window); consumers range-partition by vt to
+    * materialize the order — no global sort here. */
+  def weightedInterleave(df: DataFrame, idCol: String, groupCol: String,
+      weights: Map[String, Long], seed: String = "interleave"): DataFrame = {
+    require(weights.values.forall(_ > 0), s"weights must be positive: $weights")
+    val grid = 1000000L
+    val wdf = broadcast(df.sparkSession
+      .createDataFrame(weights.toSeq).toDF("__wg", "__w"))
+    val byGroup = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(col("__h"), col(idCol))
+    df.select(col(idCol), col(groupCol))
+      .join(wdf, col(groupCol) === col("__wg"), "inner")
+      .withColumn("__h", md5(concat(lit(seed), lit("#"), col(idCol).cast("string"))))
+      .withColumn("__rk", row_number().over(byGroup).cast("long"))
+      .select(col(idCol), col(groupCol), col("__w").as("weight"),
+        expr(s"__rk * $grid div __w").as("vt"))
+  }
+
   /** RENDEZVOUS (highest-random-weight) shard assignment: shard(id) =
     * argmax over s in [0, nShards) of md5(id # "#hrw#" # s). The property
     * mod-hashing lacks: growing nShards -> nShards+1 moves ONLY the keys

@@ -493,6 +493,50 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(downRows.length < 4, "fractional epoch must not keep every doc at 500000 ppm")
   }
 
+  test("compactFiles: fewer files, rank-deterministic bins, nothing lost") {
+    val tmp = java.nio.file.Files.createTempDirectory("compact_spec").toString
+    val df = (0L until 500L).map(i => (i, i * 2)).toDF("id", "payload")
+    df.repartition(1).sortWithinPartitions("id")
+      .write.mode("overwrite").option("maxRecordsPerFile", 25)
+      .parquet(s"$tmp/small")
+    val m = CorpusOps.compactFiles(spark, s"$tmp/small", s"$tmp/big", "id",
+        targetRows = 100L)
+      .collect().sortBy(_.getAs[Long]("bin"))
+    assert(m.length == 5)
+    assert(m.head.getAs[Long]("files_before") == 20L)
+    assert(m.head.getAs[Long]("files_after") == 5L)
+    assert(m.forall(_.getAs[Long]("rows_missing") == 0L))
+    // bins are contiguous rank ranges over the id order
+    m.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[Long]("n_rows") == 100L)
+      assert(r.getAs[Long]("id_min") == i * 100L)
+      assert(r.getAs[Long]("id_max") == i * 100L + 99L)
+    }
+  }
+
+  test("weightedInterleave: prefix composition tracks weights; deterministic") {
+    val df = ((1 to 300).map(i => (i.toLong, "a")) ++
+      (301 to 600).map(i => (i.toLong, "b"))).toDF("id", "g")
+    val weights = Map("a" -> 1L, "b" -> 3L)
+    val out = CorpusOps.weightedInterleave(df, "id", "g", weights)
+    // a weight-3 source runs 3x the pace: in the first 200 of the global
+    // (vt, g, id) order, b should hold ~150 slots and a ~50 — exact here
+    // because pacing is deterministic (b ranks 1..150 have vt <= 50000000
+    // == a ranks 1..50)
+    val prefix = out.orderBy(col("vt"), col("g"), col("id")).limit(200)
+      .groupBy("g").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(prefix("b") == 150L && prefix("a") == 50L, s"prefix $prefix")
+    // reruns replay bit-identically
+    val a = out.orderBy("vt", "g", "id").collect().map(_.toSeq)
+    val b = CorpusOps.weightedInterleave(df, "id", "g", weights)
+      .orderBy("vt", "g", "id").collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq)
+    // unknown groups fail closed (inner join against the weight table)
+    val none = CorpusOps.weightedInterleave(
+      df.withColumn("g", lit("zz")), "id", "g", weights)
+    assert(none.count() == 0L)
+  }
+
   test("rendezvousShard: stable under growth — moved keys only go to the new shard") {
     val df = (1 to 2000).map(i => Tuple1(i.toLong)).toDF("id")
     val out = df.select(col("id"),
