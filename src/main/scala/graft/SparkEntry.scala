@@ -2467,6 +2467,18 @@ object SparkEntry {
         events(s, dir).withColumn("tstamp", expr("timestamp_micros(ts div 1000)")),
         "user_id", "tstamp", resurrectDays = 7)
     }),
+    "graph_triangles" -> ((s, dir) => {
+      // triangle census of the oracle-verified near-dup pair graph: exact
+      // count via the ordered two-join (each triangle a<b<c enumerated
+      // once), wedge total from degrees, global clustering coefficient as
+      // one IEEE division — the transitivity probe an operator reads
+      // before trusting near-dup clusters (high clustering = duplicate
+      // sets behave like cliques; low = chained false positives).
+      val pairs = Dedup.minHashLSHPortable(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+        threshold = 0.6)
+      graft.ops.GraphOps.triangleStats(pairs, "id_a", "id_b")
+    }),
     "io_compaction" -> ((s, dir) => {
       // lakehouse small-file compaction: a single-writer 50-row-split
       // export simulates the small-file problem, then compactFiles
@@ -5042,6 +5054,28 @@ object SparkEntry {
                   count(*) FILTER (gap IS NOT NULL AND gap <= 7) AS n_returning,
                   count(*) FILTER (gap > 7) AS n_resurrected
            FROM l GROUP BY 1""",
+      "graph_triangles" ->
+        s"""WITH pairs AS ($minhashMd5Sql),
+            e AS (SELECT DISTINCT least(id_a, id_b) AS a,
+                                  greatest(id_a, id_b) AS b
+                  FROM pairs WHERE id_a <> id_b),
+            deg AS (SELECT v, count(*) AS d FROM (
+                      SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e)
+                    GROUP BY 1),
+            tri AS (SELECT count(*) AS t FROM e e1 JOIN e e2 ON e2.a = e1.b
+                    WHERE EXISTS (SELECT 1 FROM e e3
+                                  WHERE e3.a = e1.a AND e3.b = e2.b)),
+            agg AS (SELECT
+                (SELECT count(*) FROM deg) AS n_nodes,
+                (SELECT count(*) FROM e) AS n_edges,
+                (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) FROM deg)
+                  AS n_wedges,
+                (SELECT t FROM tri) AS n_triangles)
+           SELECT n_nodes, n_edges, n_wedges, n_triangles,
+                  CASE WHEN n_wedges = 0 THEN 0.0
+                       ELSE CAST(n_triangles * 3 AS DOUBLE)
+                            / CAST(n_wedges AS DOUBLE) END AS clustering
+           FROM agg""",
       "io_compaction" ->
         """WITH r AS (
               SELECT doc_id,

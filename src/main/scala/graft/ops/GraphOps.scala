@@ -96,4 +96,38 @@ object GraphOps {
     ranks.withColumn("rank",
       col("rank_scaled").cast("double") / lit(scale.toDouble))
   }
+
+  /** Exact TRIANGLE COUNT + global clustering coefficient of an undirected
+    * graph — the standard structure probe of a duplicate-pair or link
+    * graph. Edges canonicalize to a < b and each triangle a < b < c is
+    * enumerated exactly once by the classic ordered two-join: wedge
+    * (a,b)x(b,c) probed against edge (a,c). Both joins key on node ids and
+    * carry ids only; degree-skew hot nodes are the known cost (production
+    * pipelines split high-degree nodes first — same plan shape).
+    * n_wedges is the exact sum over nodes of (deg choose 2), so
+    * clustering = 3 * triangles / wedges, one IEEE division of longs.
+    * Returns ONE row: (n_nodes, n_edges, n_wedges, n_triangles,
+    * clustering). */
+  def triangleStats(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(false) // consumed by degrees, wedges, and the probe join
+    val deg = e.select(col("a").as("v")).unionByName(e.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    val degStats = deg.agg(count(lit(1)).as("n_nodes"),
+      sum(expr("d * (d - 1) div 2")).as("n_wedges"))
+    val tri = e.select(col("a"), col("b"))
+      .join(e.select(col("a").as("b"), col("b").as("c")), "b")
+      .join(e.select(col("a"), col("b").as("c")), Seq("a", "c"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    val edgeCount = e.agg(count(lit(1)).as("n_edges"))
+    degStats.crossJoin(broadcast(edgeCount)).crossJoin(broadcast(tri))
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"),
+        when(col("n_wedges") === 0L, lit(0.0))
+          .otherwise((col("n_triangles") * 3L).cast("double") /
+            col("n_wedges").cast("double")).as("clustering"))
+  }
 }

@@ -66,4 +66,27 @@ class GraphOpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1))).toSet
     assert(run(2) == run(11))
   }
+
+  test("triangleStats: hand-checked census, direction/dup/self-loop-proof") {
+    // K4 on {1,2,3,4} (4 triangles, 6 edges, every pair adjacent) plus a
+    // pendant 4-5 and noise: reversed duplicates and a self-loop
+    val k4 = for (a <- 1 to 4; b <- a + 1 to 4) yield (a.toLong, b.toLong)
+    val edges = (k4 ++ Seq((4L, 5L), (2L, 1L), (3L, 3L))).toDF("x", "y")
+    val r = GraphOps.triangleStats(edges, "x", "y").collect().head
+    assert(r.getAs[Long]("n_nodes") == 5L)
+    assert(r.getAs[Long]("n_edges") == 7L) // 6 K4 edges + pendant; dup/self dropped
+    // degrees: 3,3,3,4,1 -> wedges 3+3+3+6+0 = 15
+    assert(r.getAs[Long]("n_wedges") == 15L)
+    assert(r.getAs[Long]("n_triangles") == 4L)
+    assert(r.getAs[Double]("clustering") == 12.0 / 15.0)
+  }
+
+  test("triangleStats: triangle-free graph reports zero with zero clustering") {
+    // a path 1-2-3-4: wedges exist, no triangle
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("x", "y")
+    val r = GraphOps.triangleStats(edges, "x", "y").collect().head
+    assert(r.getAs[Long]("n_triangles") == 0L)
+    assert(r.getAs[Long]("n_wedges") == 2L)
+    assert(r.getAs[Double]("clustering") == 0.0)
+  }
 }
