@@ -2467,6 +2467,25 @@ object SparkEntry {
         events(s, dir).withColumn("tstamp", expr("timestamp_micros(ts div 1000)")),
         "user_id", "tstamp", resurrectDays = 7)
     }),
+    "a_full_outer" -> ((s, dir) => {
+      // FULL OUTER join: every customer with their order rollup, keeping
+      // customers who never ordered AND (defensively) orders with no
+      // customer row — the reconciliation shape. Null-safe rollup per
+      // nation over the joined frame.
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey"), col("c_nationkey"))
+      val ords = s.read.parquet(s"$dir/orders.parquet")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(floor(col("o_totalprice"))).cast("double").as("spend_floor"))
+      cust.join(ords, cust("c_custkey") === ords("o_custkey"), "full_outer")
+        .groupBy(coalesce(col("c_nationkey"), lit(-1L)).as("nation"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("n_never_ordered"),
+          sum(when(col("c_custkey").isNull, 1L).otherwise(0L)).as("n_orphan_orders"),
+          sum(coalesce(col("n_orders"), lit(0L))).as("n_orders"),
+          sum(coalesce(col("spend_floor"), lit(0.0))).cast("double").as("spend_floor"))
+    }),
     "graph_triangles" -> ((s, dir) => {
       // triangle census of the oracle-verified near-dup pair graph: exact
       // count via the ordered two-join (each triangle a<b<c enumerated
@@ -5054,6 +5073,21 @@ object SparkEntry {
                   count(*) FILTER (gap IS NOT NULL AND gap <= 7) AS n_returning,
                   count(*) FILTER (gap > 7) AS n_resurrected
            FROM l GROUP BY 1""",
+      "a_full_outer" ->
+        """WITH o AS (
+              SELECT o_custkey, count(*) AS n_orders,
+                     CAST(sum(floor(o_totalprice)) AS DOUBLE) AS spend_floor
+              FROM orders GROUP BY 1)
+           SELECT coalesce(c_nationkey, -1) AS nation,
+                  count(*) AS n_rows,
+                  CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_never_ordered,
+                  CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_orphan_orders,
+                  CAST(sum(coalesce(n_orders, 0)) AS BIGINT) AS n_orders,
+                  CAST(sum(coalesce(spend_floor, 0)) AS DOUBLE) AS spend_floor
+           FROM customer FULL OUTER JOIN o ON c_custkey = o_custkey
+           GROUP BY 1""",
       "graph_triangles" ->
         s"""WITH pairs AS ($minhashMd5Sql),
             e AS (SELECT DISTINCT least(id_a, id_b) AS a,
