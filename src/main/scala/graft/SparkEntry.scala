@@ -2467,6 +2467,27 @@ object SparkEntry {
         events(s, dir).withColumn("tstamp", expr("timestamp_micros(ts div 1000)")),
         "user_id", "tstamp", resurrectDays = 7)
     }),
+    "dp_transitions" -> ((s, dir) => {
+      // user-level DP release of the Markov transition matrix: privacy
+      // unit = user, partition key = (prev, cur) cell, Count metric with
+      // per-cell contribution capping (L0 <= |types|^2 = 25, generous
+      // Linf). The lagged-pair preprocessing is per-user row derivation,
+      // so the engine's bounding applies cleanly. Zero noise +
+      // non-binding caps => exactly the a_transition_matrix counts.
+      val byUser = org.apache.spark.sql.expressions.Window
+        .partitionBy("u").orderBy(col("tu"), col("eid"))
+      val pairs = events(s, dir)
+        .select(col("user_id").as("u"), expr("ts div 1000").as("tu"),
+          col("event_type").as("cur"), col("event_id").as("eid"))
+        .withColumn("prev", lag(col("cur"), 1).over(byUser))
+        .filter(col("prev").isNotNull)
+      runZero(pairs,
+        AggregateParams(metrics = Seq(Metric.Count),
+          maxPartitionsContributed = 25,
+          maxContributionsPerPartition = Some(10000)),
+        DPColumns(col("u"),
+          Seq("prev" -> col("prev"), "cur" -> col("cur")), None))
+    }),
     "a_full_outer" -> ((s, dir) => {
       // FULL OUTER join: every customer with their order rollup, keeping
       // customers who never ordered AND (defensively) orders with no
@@ -5073,6 +5094,17 @@ object SparkEntry {
                   count(*) FILTER (gap IS NOT NULL AND gap <= 7) AS n_returning,
                   count(*) FILTER (gap > 7) AS n_resurrected
            FROM l GROUP BY 1""",
+      "dp_transitions" ->
+        """WITH e AS (
+             SELECT user_id, epoch_ns(ts) // 1000 AS tu,
+                    event_type AS cur, event_id
+             FROM events),
+           l AS (
+             SELECT cur, lag(cur) OVER
+                    (PARTITION BY user_id ORDER BY tu, event_id) AS prev
+             FROM e)
+           SELECT prev, cur, CAST(count(*) AS DOUBLE) AS count
+           FROM l WHERE prev IS NOT NULL GROUP BY 1, 2""",
       "a_full_outer" ->
         """WITH o AS (
               SELECT o_custkey, count(*) AS n_orders,
