@@ -2474,13 +2474,10 @@ object SparkEntry {
       // Linf). The lagged-pair preprocessing is per-user row derivation,
       // so the engine's bounding applies cleanly. Zero noise +
       // non-binding caps => exactly the a_transition_matrix counts.
-      val byUser = org.apache.spark.sql.expressions.Window
-        .partitionBy("u").orderBy(col("tu"), col("eid"))
-      val pairs = events(s, dir)
-        .select(col("user_id").as("u"), expr("ts div 1000").as("tu"),
-          col("event_type").as("cur"), col("event_id").as("eid"))
-        .withColumn("prev", lag(col("cur"), 1).over(byUser))
-        .filter(col("prev").isNotNull)
+      // the SAME pair derivation as a_transition_matrix (shared helper)
+      val pairs = graft.ops.EventAnalytics.transitionPairs(
+        events(s, dir).withColumn("tu", expr("ts div 1000")),
+        "user_id", "tu", "event_type", "event_id")
       runZero(pairs,
         AggregateParams(metrics = Seq(Metric.Count),
           maxPartitionsContributed = 25,
@@ -2626,17 +2623,11 @@ object SparkEntry {
       // under ONE cohort (their own), so L0 = weeks-spanned, bounded at
       // 10 (non-binding on 30-day data => Zero-noise output equals the
       // exact cohort_retention counts).
-      val days = events(s, dir)
-        .withColumn("tstamp", expr("timestamp_micros(ts div 1000)"))
-        .select(col("user_id").as("u"), to_date(col("tstamp")).as("d"))
-        .distinct()
-      val cohorts = days.groupBy("u").agg(min("d").as("cohort"))
-      val cells = days.join(cohorts, "u")
-        .select(col("u"),
-          date_format(col("cohort"), "yyyy-MM-dd").as("cohort_day"),
-          floor(datediff(col("d"), col("cohort")) / 7).cast("long")
-            .as("week_offset"))
-        .distinct()
+      // the SAME cell derivation as cohort_retention (shared helper — the
+      // exact query and its DP twin cannot drift apart)
+      val cells = graft.ops.EventAnalytics.retentionCells(
+        events(s, dir).withColumn("tstamp", expr("timestamp_micros(ts div 1000)")),
+        "user_id", "tstamp")
       runZero(cells,
         AggregateParams(metrics = Seq(Metric.PrivacyIdCount),
           maxPartitionsContributed = 10),
@@ -2674,7 +2665,10 @@ object SparkEntry {
       parsed.groupBy("event_type")
         .agg(count(lit(1)).as("n"),
           sum("k").as("k_sum"), min("k").as("k_min"), max("k").as("k_max"),
-          sum((col("k") =!= col("k_str")).cast("long")).as("n_path_mismatch"))
+          // null-safe inequality: a one-sided null IS a disagreement (the
+          // class this probe exists to catch); =!= would null it out of
+          // the sum
+          sum((!(col("k") <=> col("k_str"))).cast("long")).as("n_path_mismatch"))
     }),
     "a_set_ops" -> ((s, dir) => {
       // set operators the reference lacks (SURVEY 2.E): distinct-user

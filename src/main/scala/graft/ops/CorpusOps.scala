@@ -817,14 +817,18 @@ object CorpusOps {
     val binned = packSequences(
         in.withColumn("__one", lit(1L)), idCol, "__one",
         seqLen = targetRows, bucketWidth = bucketWidth)
-      .select(col("id"), col("pack_id").as("bin"))
-    binned.repartition(col("bin"))
-      .sortWithinPartitions(col("bin"), col("id"))
+      .select(col("id").as("__bid"), col("pack_id").as("bin"))
+    // join the bin assignment back onto the FULL rows: a compaction that
+    // rewrote only the id column would silently lose every payload column
+    in.join(binned, col(idCol).cast("long") === col("__bid"))
+      .drop("__bid")
+      .repartition(col("bin"))
+      .sortWithinPartitions(col("bin"), col(idCol))
       .write.mode("overwrite").partitionBy("bin").parquet(outDir)
     val back = spark.read.parquet(outDir)
     val manifest = back.groupBy(col("bin").cast("long").as("bin"))
       .agg(count(lit(1)).as("n_rows"),
-        min("id").as("id_min"), max("id").as("id_max"))
+        min(col(idCol)).as("id_min"), max(col(idCol)).as("id_max"))
     val after = back.withColumn("__f", input_file_name())
       .agg(countDistinct(col("__f")).as("files_after"),
         count(lit(1)).as("__n_out"))
@@ -842,8 +846,11 @@ object CorpusOps {
     * as often as a weight-1 source in any prefix — the standard
     * heterogeneous-mixture batch schedule, reproducible in any engine.
     * Within-source rank follows the portable md5 hash (a fresh shuffle per
-    * `seed`). Emits every row: (id, source, weight, vt). One keyed shuffle
-    * (the per-source rank window); consumers range-partition by vt to
+    * `seed`). Emits every row: (id, source, weight, vt) — a group ABSENT
+    * from `weights` fails the job loudly (the repo's fail-loud
+    * convention: silently dropping an unweighted source from the training
+    * order is the worst possible default). One keyed shuffle (the
+    * per-source rank window); consumers range-partition by vt to
     * materialize the order — no global sort here. */
   def weightedInterleave(df: DataFrame, idCol: String, groupCol: String,
       weights: Map[String, Long], seed: String = "interleave"): DataFrame = {
@@ -854,7 +861,10 @@ object CorpusOps {
     val byGroup = org.apache.spark.sql.expressions.Window
       .partitionBy(groupCol).orderBy(col("__h"), col(idCol))
     df.select(col(idCol), col(groupCol))
-      .join(wdf, col(groupCol) === col("__wg"), "inner")
+      .join(wdf, col(groupCol) === col("__wg"), "left")
+      .withColumn("__w", when(col("__w").isNull, raise_error(concat(
+          lit("weightedInterleave: no weight for group "), col(groupCol))))
+        .otherwise(col("__w")))
       .withColumn("__h", md5(concat(lit(seed), lit("#"), col(idCol).cast("string"))))
       .withColumn("__rk", row_number().over(byGroup).cast("long"))
       .select(col(idCol), col(groupCol), col("__w").as("weight"),

@@ -61,16 +61,6 @@ object EventAnalytics {
         coalesce(col("value_floor_sum"), lit(0.0)).as("value_floor_sum"))
   }
 
-  /** Ordered-step funnel: for each step k, the number of users whose
-    * earliest qualifying step-k event occurs at/after their step-(k-1)
-    * entry time (entry time of step 1 = earliest step-1 event). Events at
-    * the SAME timestamp as the previous step's entry DO qualify (ties
-    * advance — two steps logged in the same batch tick should not break
-    * the funnel); the oracle replays the same `>=` rule.
-    *
-    * Emits one row per step: (step_index, step, n_users, frac_of_first)
-    * where frac_of_first is n_users(step)/n_users(step 1) — a single IEEE
-    * division of exact longs, bit-identical in any engine. */
   /** Per-step funnel entry frames: element k is one row per user still in
     * the funnel at step k, (u, entry). Each frame is localCheckpoint'ed
     * because it is consumed at least twice (its own count / release + the
@@ -99,6 +89,16 @@ object EventAnalytics {
       }.reverse
   }
 
+  /** Ordered-step funnel: for each step k, the number of users whose
+    * earliest qualifying step-k event occurs at/after their step-(k-1)
+    * entry time (entry time of step 1 = earliest step-1 event). Events at
+    * the SAME timestamp as the previous step's entry DO qualify (ties
+    * advance — two steps logged in the same batch tick should not break
+    * the funnel); the oracle replays the same `>=` rule.
+    *
+    * Emits one row per step: (step_index, step, n_users, frac_of_first)
+    * where frac_of_first is n_users(step)/n_users(step 1) — a single IEEE
+    * division of exact longs, bit-identical in any engine. */
   def funnel(df: DataFrame, userCol: String, tsCol: String,
       typeCol: String, steps: Seq[String]): DataFrame = {
     val entries = funnelEntryFrames(df, userCol, tsCol, typeCol, steps)
@@ -114,6 +114,23 @@ object EventAnalytics {
         (col("n_users").cast("double") / col("__first")).as("frac_of_first"))
   }
 
+  /** Per-user retention cells: one row per (user, cohort_day, week_offset)
+    * the user is active in (cohort = first activity day, weeks bucket by
+    * 7 days). Shared by [[cohortRetention]] and the DP retention release
+    * so the cohort/week definition cannot drift between the exact query
+    * and its DP twin. */
+  def retentionCells(df: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val days = df.select(col(userCol).as("u"), to_date(col(tsCol)).as("d"))
+      .distinct()
+    val cohorts = days.groupBy("u").agg(min("d").as("cohort"))
+    days.join(cohorts, "u")
+      .select(col("u"),
+        date_format(col("cohort"), "yyyy-MM-dd").as("cohort_day"),
+        floor(datediff(col("d"), col("cohort")) / 7).cast("long")
+          .as("week_offset"))
+      .distinct()
+  }
+
   /** Cohort retention: users are cohorted by their first-activity DAY and
     * counted as retained in week w if they have any activity in day range
     * [cohort + 7w, cohort + 7w + 7). Emits one row per (cohort_day,
@@ -124,16 +141,10 @@ object EventAnalytics {
     * min day [reuses the user key], join back on user [same key — a single
     * exchange serves both], then count distinct users per (cohort, week).
     * No driver participation; all arithmetic is integer date math. */
-  def cohortRetention(df: DataFrame, userCol: String, tsCol: String): DataFrame = {
-    val days = df.select(col(userCol).as("u"), to_date(col(tsCol)).as("d"))
-      .distinct()
-    val cohorts = days.groupBy("u").agg(min("d").as("cohort"))
-    days.join(cohorts, "u")
-      .withColumn("week_offset", floor(datediff(col("d"), col("cohort")) / 7).cast("long"))
-      .groupBy(date_format(col("cohort"), "yyyy-MM-dd").as("cohort_day"),
-        col("week_offset"))
+  def cohortRetention(df: DataFrame, userCol: String, tsCol: String): DataFrame =
+    retentionCells(df, userCol, tsCol)
+      .groupBy("cohort_day", "week_offset")
       .agg(countDistinct(col("u")).as("n_users"))
-  }
 
   /** Per-group winsorization profile: exact p-lo / p-hi percentiles of the
     * floor()ed value per key, plus the clamped sum — the outlier-capping
@@ -202,6 +213,22 @@ object EventAnalytics {
         col("seq"))
   }
 
+  /** Adjacent (prev, cur) event pairs per user under the canonical
+    * (ts, event_id) order — one row per transition, (u, prev, cur).
+    * Shared by [[transitionCounts]] and the DP transition release so the
+    * ordering/tie-break rule cannot drift between the exact query and
+    * its DP twin. */
+  def transitionPairs(df: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, idCol: String): DataFrame = {
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy("u").orderBy(col("tu"), col("eid"))
+    df.select(col(userCol).as("u"), col(tsCol).as("tu"),
+        col(typeCol).as("cur"), col(idCol).as("eid"))
+      .withColumn("prev", lag(col("cur"), 1).over(byUser))
+      .filter(col("prev").isNotNull)
+      .select(col("u"), col("prev"), col("cur"))
+  }
+
   /** First-order TRANSITION COUNTS between consecutive events per user
     * (the empirical Markov matrix of a clickstream): for every adjacent
     * (prev, cur) pair in a user's (ts, event_id)-ordered history, the
@@ -211,15 +238,10 @@ object EventAnalytics {
     * exact longs. */
   def transitionCounts(df: DataFrame, userCol: String, tsCol: String,
       typeCol: String, idCol: String): DataFrame = {
-    val byUser = org.apache.spark.sql.expressions.Window
-      .partitionBy("u").orderBy(col("tu"), col("eid"))
     // the |types|^2-bounded pair table is consumed twice (rows + row
     // totals); checkpointing it keeps the totals branch from re-deriving
     // the whole window chain over the raw events
-    val pairs = df.select(col(userCol).as("u"), col(tsCol).as("tu"),
-        col(typeCol).as("cur"), col(idCol).as("eid"))
-      .withColumn("prev", lag(col("cur"), 1).over(byUser))
-      .filter(col("prev").isNotNull)
+    val pairs = transitionPairs(df, userCol, tsCol, typeCol, idCol)
       .groupBy("prev", "cur").agg(count(lit(1)).as("n"))
       .localCheckpoint(false)
     val totals = pairs.groupBy(col("prev").as("__p"))

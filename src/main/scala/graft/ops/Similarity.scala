@@ -188,7 +188,11 @@ final class CovMomentAggregator
   def zero: CovState = CovState(0L, Array.emptyLongArray, Array.emptyLongArray)
 
   def reduce(b: CovState, a: QVecIn): CovState = {
-    if (a.q == null) b
+    if (a.q == null)
+      // fail loud (file convention): silently skipping a null vector
+      // would skew n against every independent replay of the moments
+      throw new IllegalArgumentException(
+        "covariance: null vector — filter or impute upstream")
     else {
       val d = a.q.length
       if (b.n > 0 && b.sums.length != d)
@@ -299,8 +303,12 @@ object Similarity {
       .select(col("st.n").as("n"), col("st.sums").as("sums"),
         col("st.prods").as("prods"))
     // (i, j) pair rows from the one state row: two chained generators over
-    // the KNOWN dimension (the sums array length), never a driver loop
-    st.select(col("n"), col("sums"), col("prods"),
+    // the KNOWN dimension (the sums array length), never a driver loop.
+    // Empty input leaves the zero state's sums empty, and Spark's
+    // sequence(0, -1) is the DESCENDING [0, -1] (not empty) — the n > 0
+    // guard returns zero rows instead of an array-index crash.
+    st.filter(col("n") > 0L)
+      .select(col("n"), col("sums"), col("prods"),
         explode(expr("sequence(0, size(sums) - 1)")).as("i"))
       .select(col("n"), col("sums"), col("prods"), col("i"),
         explode(expr("sequence(i, size(sums) - 1)")).as("j"))

@@ -512,6 +512,12 @@ class CorpusOpsSpec extends AnyFunSuite {
       assert(r.getAs[Long]("id_min") == i * 100L)
       assert(r.getAs[Long]("id_max") == i * 100L + 99L)
     }
+    // the compacted table carries the FULL rows — a compaction that
+    // rewrote only ids would silently lose every payload column
+    val back = spark.read.parquet(s"$tmp/big")
+    assert(back.columns.toSet == Set("id", "payload", "bin"))
+    assert(back.agg(sum("payload")).collect().head.getLong(0)
+      == (0L until 500L).map(_ * 2).sum)
   }
 
   test("weightedInterleave: prefix composition tracks weights; deterministic") {
@@ -531,10 +537,15 @@ class CorpusOpsSpec extends AnyFunSuite {
     val b = CorpusOps.weightedInterleave(df, "id", "g", weights)
       .orderBy("vt", "g", "id").collect().map(_.toSeq)
     assert(a.toSeq == b.toSeq)
-    // unknown groups fail closed (inner join against the weight table)
-    val none = CorpusOps.weightedInterleave(
-      df.withColumn("g", lit("zz")), "id", "g", weights)
-    assert(none.count() == 0L)
+    // a group with no weight entry fails LOUD (silently dropping a source
+    // from the training order is the worst default)
+    // collect() (not count()) — a count prunes the guarded projection
+    val e = intercept[Exception] {
+      CorpusOps.weightedInterleave(
+        df.withColumn("g", lit("zz")), "id", "g", weights).collect()
+    }
+    assert(String.valueOf(e.getMessage).contains("no weight") ||
+      String.valueOf(e.getCause).contains("no weight"))
   }
 
   test("rendezvousShard: stable under growth — moved keys only go to the new shard") {
