@@ -2702,6 +2702,31 @@ object SparkEntry {
         FROM g_orders
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))""")
     }),
+    "ts_anomaly" -> ((s, dir) => {
+      // windowed z-score anomaly flags over the daily rollup: mean and
+      // variance of the TRAILING 7-day window from exact integer moments
+      // (sum and sum-of-squares of integer-valued doubles — order-free,
+      // so the scores replay bit-exactly), z = (x - mean)/stddev, flag at
+      // |z| > 2. The window runs over the bounded daily aggregate.
+      val daily = events(s, dir).withColumn("day", tsDay)
+        .groupBy("event_type", "day")
+        .agg(sum(floor(col("value"))).cast("double").as("x"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("day").rowsBetween(-7, -1)
+      daily.select(col("event_type"), col("day"), col("x"),
+          sum("x").over(w).as("s1"),
+          sum(col("x") * col("x")).over(w).as("s2"),
+          count(lit(1)).over(w).cast("double").as("wn"))
+        .filter(col("wn") >= 4.0) // need history before scoring
+        .withColumn("mean", col("s1") / col("wn"))
+        .withColumn("var", (col("s2") - col("s1") * col("s1") / col("wn")) / col("wn"))
+        .withColumn("z",
+          when(col("var") <= 0.0, lit(0.0))
+            .otherwise((col("x") - col("mean")) / sqrt(col("var"))))
+        .select(col("event_type"), col("day"), col("x"),
+          col("mean"), round(col("z"), 9).as("z9"),
+          (abs(col("z")) > 2.0).as("is_anomaly"))
+    }),
     "ts_moving_avg" -> ((s, dir) => {
       // 7-day moving window over the daily per-type rollup: rolling sum +
       // average of integer-valued daily totals (ROWS BETWEEN 6 PRECEDING
@@ -5280,6 +5305,27 @@ object SparkEntry {
                   CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
            FROM orders
            GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))""",
+      "ts_anomaly" ->
+        """WITH daily AS (
+              SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+                     CAST(sum(floor(value)) AS DOUBLE) AS x
+              FROM events GROUP BY 1, 2),
+            m AS (
+              SELECT event_type, day, x,
+                     sum(x) OVER w AS s1, sum(x * x) OVER w AS s2,
+                     CAST(count(*) OVER w AS DOUBLE) AS wn
+              FROM daily
+              WINDOW w AS (PARTITION BY event_type ORDER BY day
+                           ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+            c AS (
+              SELECT event_type, day, x, s1 / wn AS mean,
+                     CASE WHEN (s2 - s1 * s1 / wn) / wn <= 0 THEN 0.0
+                          ELSE (x - s1 / wn)
+                               / sqrt((s2 - s1 * s1 / wn) / wn) END AS z
+              FROM m WHERE wn >= 4)
+           SELECT event_type, day, x, mean, round(z, 9) AS z9,
+                  abs(z) > 2.0 AS is_anomaly
+           FROM c""",
       "ts_moving_avg" ->
         """WITH daily AS (
               SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
