@@ -2516,6 +2516,25 @@ object SparkEntry {
         threshold = 0.6)
       graft.ops.GraphOps.triangleStats(pairs, "id_a", "id_b")
     }),
+    "io_table_diff" -> ((s, dir) => {
+      // version reconciliation: diff the corpus against a deterministic
+      // revision (every 7th doc removed, every surviving 5th lengthened,
+      // every 11th re-added under a shifted key), rolled up per diff
+      // class. One full-outer shuffle join; null-safe struct comparison
+      // so a one-sided-null column counts as changed.
+      val base = s.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "n_chars", "source")
+      val revised = base.filter(col("doc_id") % 7 =!= 0)
+        .withColumn("n_chars",
+          when(col("doc_id") % 5 === 0, col("n_chars") + 1000L)
+            .otherwise(col("n_chars")))
+        .unionByName(base.filter(col("doc_id") % 11 === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000L))
+      CorpusOps.tableDiff(base, revised, Seq("doc_id"))
+        .groupBy("diff_class")
+        .agg(count(lit(1)).as("n"),
+          min("doc_id").as("key_min"), max("doc_id").as("key_max"))
+    }),
     "io_compaction" -> ((s, dir) => {
       // lakehouse small-file compaction: a single-writer 50-row-split
       // export simulates the small-file problem, then compactFiles
@@ -5161,6 +5180,29 @@ object SparkEntry {
                        ELSE CAST(n_triangles * 3 AS DOUBLE)
                             / CAST(n_wedges AS DOUBLE) END AS clustering
            FROM agg""",
+      "io_table_diff" ->
+        """WITH base AS (SELECT doc_id, n_chars, source FROM documents),
+            revised AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 5 = 0 THEN n_chars + 1000
+                          ELSE n_chars END AS n_chars,
+                     source
+              FROM base WHERE doc_id % 7 <> 0
+              UNION ALL
+              SELECT doc_id + 1000000, n_chars, source FROM base
+              WHERE doc_id % 11 = 0),
+            d AS (
+              SELECT coalesce(b.doc_id, r.doc_id) AS doc_id,
+                     CASE WHEN b.doc_id IS NULL THEN 'added'
+                          WHEN r.doc_id IS NULL THEN 'removed'
+                          WHEN (b.n_chars IS DISTINCT FROM r.n_chars)
+                            OR (b.source IS DISTINCT FROM r.source)
+                            THEN 'changed'
+                          ELSE 'unchanged' END AS diff_class
+              FROM base b FULL OUTER JOIN revised r ON b.doc_id = r.doc_id)
+           SELECT diff_class, count(*) AS n,
+                  min(doc_id) AS key_min, max(doc_id) AS key_max
+           FROM d GROUP BY 1""",
       "io_compaction" ->
         """WITH r AS (
               SELECT doc_id,

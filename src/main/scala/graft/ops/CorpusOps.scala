@@ -792,6 +792,33 @@ object CorpusOps {
         col("epoch").cast("long").as("epoch"))
   }
 
+  /** TABLE DIFF — the data-ops reconciliation operator: classify every key
+    * across two versions of a table as added / removed / changed /
+    * unchanged. One full-outer shuffle join on the key; the payload
+    * comparison packs all non-key columns into one struct and uses the
+    * null-safe equality operator, so a one-sided-null column counts as a
+    * change (the class a naive `=!=` would silently skip). Both frames
+    * must share a schema — a diff across different schemas has no right
+    * silent answer. Returns (keyCols*, diff_class), one row per key
+    * present in either version. */
+  def tableDiff(base: DataFrame, revised: DataFrame,
+      keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "tableDiff: at least one key column")
+    require(base.columns.sorted.sameElements(revised.columns.sorted),
+      s"tableDiff: schemas differ: ${base.columns.toSeq} vs ${revised.columns.toSeq}")
+    val payload = base.columns.filterNot(keyCols.contains)
+    require(payload.nonEmpty, "tableDiff: no non-key columns to compare")
+    def packed(df: DataFrame, as: String) =
+      df.select(keyCols.map(col) :+ struct(payload.map(col): _*).as(as): _*)
+    packed(base, "__bv").join(packed(revised, "__rv"), keyCols, "full_outer")
+      .withColumn("diff_class",
+        when(col("__bv").isNull, "added")
+          .when(col("__rv").isNull, "removed")
+          .when(!(col("__bv") <=> col("__rv")), "changed")
+          .otherwise("unchanged"))
+      .select(keyCols.map(col) :+ col("diff_class"): _*)
+  }
+
   /** SMALL-FILE COMPACTION — the lakehouse maintenance op: rewrite a
     * directory of many undersized files into files of `targetRows` rows,
     * preserving global `idCol` order, and return a read-back manifest

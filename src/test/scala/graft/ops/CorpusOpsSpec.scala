@@ -493,6 +493,31 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(downRows.length < 4, "fractional epoch must not keep every doc at 500000 ppm")
   }
 
+  test("tableDiff: added/removed/changed/unchanged incl. one-sided nulls") {
+    val base = Seq(
+      (1L, Some("a"), 10L), // unchanged
+      (2L, Some("b"), 20L), // changed payload
+      (3L, Some("c"), 30L), // removed
+      (5L, None: Option[String], 50L), // null -> value: changed
+      (6L, Some("f"), 60L)  // value -> null: changed
+    ).toDF("id", "s", "v")
+    val revised = Seq(
+      (1L, Some("a"), 10L),
+      (2L, Some("B"), 20L),
+      (4L, Some("d"), 40L), // added
+      (5L, Some("e"), 50L),
+      (6L, None: Option[String], 60L)
+    ).toDF("id", "s", "v")
+    val out = CorpusOps.tableDiff(base, revised, Seq("id"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed",
+      4L -> "added", 5L -> "changed", 6L -> "changed"))
+    // schema drift fails loud
+    intercept[IllegalArgumentException] {
+      CorpusOps.tableDiff(base, revised.drop("v"), Seq("id"))
+    }
+  }
+
   test("compactFiles: fewer files, rank-deterministic bins, nothing lost") {
     val tmp = java.nio.file.Files.createTempDirectory("compact_spec").toString
     val df = (0L until 500L).map(i => (i, i * 2)).toDF("id", "payload")
