@@ -2222,6 +2222,21 @@ object SparkEntry {
           countDistinct(col("user_id")).as("n_users"),
           countDistinct(col("conv_id")).as("n_conversions"))
     }),
+    "ss_abandonment" -> ((s, dir) => {
+      // LEFT OUTER stream-stream attribution (abandonment): clicks with
+      // no purchase inside the 1-hour horizon surface as null-conv rows —
+      // on a stream that null is only emittable once the watermark clears
+      // the click's horizon (parity proven in StreamOpsSpec); batch
+      // execution here is the plain left join, rolled up per click day.
+      val ev = events(s, dir).withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      graft.streaming.StreamOps.abandonmentJoin(
+          ev.filter(col("event_type") === "click"),
+          ev.filter(col("event_type") === "purchase"), "1 hour")
+        .groupBy(date_format(col("click_ts"), "yyyy-MM-dd").as("day"))
+        .agg(countDistinct(col("click_id")).as("n_clicks"),
+          countDistinct(when(col("conv_id").isNull, col("click_id")))
+            .as("n_abandoned"))
+    }),
     "ss_dp_count" -> ((s, dir) => {
       // streaming DP windowed count (per-release budget): per-unit
       // contribution cap -> cell sum -> Laplace noise, the SAME chained-
@@ -5347,6 +5362,23 @@ object SparkEntry {
                   CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
            FROM orders
            GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))""",
+      "ss_abandonment" ->
+        """WITH c AS (SELECT user_id, epoch_ns(ts) // 1000 AS ctu,
+                             event_id AS click_id
+                      FROM events WHERE event_type = 'click'),
+            v AS (SELECT user_id, epoch_ns(ts) // 1000 AS vtu,
+                         event_id AS conv_id
+                  FROM events WHERE event_type = 'purchase'),
+            j AS (SELECT c.click_id, c.ctu, v.conv_id
+                  FROM c LEFT JOIN v
+                    ON c.user_id = v.user_id
+                   AND v.vtu >= c.ctu AND v.vtu <= c.ctu + 3600000000)
+           SELECT strftime(make_timestamp(ctu), '%Y-%m-%d') AS day,
+                  CAST(count(DISTINCT click_id) AS BIGINT) AS n_clicks,
+                  CAST(count(DISTINCT CASE WHEN conv_id IS NULL
+                                           THEN click_id END) AS BIGINT)
+                    AS n_abandoned
+           FROM j GROUP BY 1""",
       "ts_anomaly" ->
         """WITH daily AS (
               SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,

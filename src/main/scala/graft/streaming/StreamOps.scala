@@ -183,26 +183,48 @@ object StreamOps {
     * (the stream-stream inner-join state contract).
     *
     * Inputs need (user_id, ts, event_id); ts must be TimestampType. */
+  private def attrSide(df: DataFrame, prefix: String,
+      watermark: Option[String]): DataFrame = {
+    val wm = watermark.map(w => df.withWatermark("ts", w)).getOrElse(df)
+    wm.select(col("user_id").as(s"${prefix}_user"), col("ts").as(s"${prefix}_ts"),
+      col("event_id").as(s"${prefix}_id"))
+  }
+
+  private def attrCond(horizon: String) =
+    col("click_user") === col("conv_user") &&
+      col("click_ts") <= col("conv_ts") &&
+      col("conv_ts") <= col("click_ts") + expr(s"INTERVAL $horizon")
+
   def attributionJoin(
       clicks: DataFrame,
       conversions: DataFrame,
       horizon: String = "1 hour",
       watermark: Option[String] = None
-  ): DataFrame = {
-    def side(df: DataFrame, prefix: String) = {
-      val wm = watermark.map(w => df.withWatermark("ts", w)).getOrElse(df)
-      wm.select(col("user_id").as(s"${prefix}_user"), col("ts").as(s"${prefix}_ts"),
-        col("event_id").as(s"${prefix}_id"))
-    }
-    val c = side(clicks, "click")
-    val v = side(conversions, "conv")
-    c.join(v,
-        col("click_user") === col("conv_user") &&
-          col("click_ts") <= col("conv_ts") &&
-          col("conv_ts") <= col("click_ts") + expr(s"INTERVAL $horizon"))
+  ): DataFrame =
+    attrSide(clicks, "click", watermark)
+      .join(attrSide(conversions, "conv", watermark), attrCond(horizon))
       .select(col("click_user").as("user_id"), col("click_id"), col("conv_id"),
         col("click_ts"), col("conv_ts"))
-  }
+
+  /** Stream-stream LEFT OUTER attribution — the ABANDONMENT complement of
+    * [[attributionJoin]]: every click emits, matched clicks with their
+    * conversions, unmatched clicks with a null conv_id. On a stream the
+    * null row is emitted only once the watermark passes the click's whole
+    * horizon (Spark's outer stream-stream join semantics: "no match" is
+    * unknowable earlier); in batch the same plan is a plain left join.
+    * State bounded by watermark + horizon on both sides, exactly as the
+    * inner variant. */
+  def abandonmentJoin(
+      clicks: DataFrame,
+      conversions: DataFrame,
+      horizon: String = "1 hour",
+      watermark: Option[String] = None
+  ): DataFrame =
+    attrSide(clicks, "click", watermark)
+      .join(attrSide(conversions, "conv", watermark), attrCond(horizon),
+        "left_outer")
+      .select(col("click_user").as("user_id"), col("click_id"),
+        col("click_ts"), col("conv_id"))
 
   /** The per-unit cell stage shared by every DP windowed release
     * ([[dpWindowedCount]]/[[dpWindowedSum]]/[[dpWindowedMean]]): optional

@@ -411,6 +411,50 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("LEFT OUTER stream-stream abandonment join matches the batch left join") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val dir = "/root/testdata/sf0.001"
+    val ev = readEvents(dir)
+    // outer-join null rows emit only once the watermark clears the click's
+    // horizon — the far-future sentinel on each side forces that for every
+    // real click in the bounded replay
+    val tmp = java.nio.file.Files.createTempDirectory("ss_aband").toString
+    ev.write.mode("overwrite").parquet(tmp)
+    val maxTs = ev.agg(max("ts")).head.getLong(0)
+    Seq("click", "purchase").foreach { t =>
+      ev.limit(1)
+        .withColumn("ts", lit(maxTs + 10L * 3600L * 1000000000L))
+        .withColumn("user_id", lit(-1L))
+        .withColumn("event_type", lit(t))
+        .write.mode("append").parquet(tmp)
+    }
+    val stream = spark.readStream.schema(ev.schema).parquet(tmp)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val joined = StreamOps.abandonmentJoin(
+      stream.filter(col("event_type") === "click"),
+      stream.filter(col("event_type") === "purchase"),
+      "1 hour", watermark = Some("2 hours"))
+    StreamOps.runToMemory(spark, joined, "ss_aband_t", OutputMode.Append)
+    def pairs(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(1),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    val streamed = pairs(spark.table("ss_aband_t")
+      .filter(col("user_id") =!= -1L).collect())
+
+    val bev = readEvents(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val batchFrame = StreamOps.abandonmentJoin(
+      bev.filter(col("event_type") === "click"),
+      bev.filter(col("event_type") === "purchase"), "1 hour")
+    val batch = pairs(batchFrame.collect())
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+    // the abandonment signal is real on this fixture: some clicks have NO
+    // conversion in the horizon (a pure-inner fixture would vacuously pass)
+    assert(batch.exists(_._2 == -1L), "fixture has no abandoned clicks")
+    assert(batch.exists(_._2 != -1L), "fixture has no attributed clicks")
+  }
+
   test("corpus-prep filter runs unchanged on a stream, matching batch") {
     // the fused quality-filter is a pure projection, so the SAME operator
     // must run under Structured Streaming with identical output — this
