@@ -2595,6 +2595,22 @@ object SparkEntry {
       Similarity.covarianceMoments(
         s.read.parquet(s"$dir/embeddings.parquet"), "embedding")
     }),
+    "dp_growth" -> ((s, dir) => {
+      // user-level DP growth accounting: each (day, kind) cell released
+      // as a privacy-id count — a user contributes at most one row per
+      // active day (the classification derives from their own history via
+      // the SAME shared helper as growth_accounting), L0 bounded at the
+      // 30-day fixture span. Zero noise + non-binding bound => exactly
+      // the exact decomposition, as doubles.
+      val kinds = graft.ops.EventAnalytics.activityKinds(
+        events(s, dir).withColumn("tstamp", expr("timestamp_micros(ts div 1000)")),
+        "user_id", "tstamp", resurrectDays = 7)
+      runZero(kinds,
+        AggregateParams(metrics = Seq(Metric.PrivacyIdCount),
+          maxPartitionsContributed = 40),
+        DPColumns(col("u"),
+          Seq("day" -> col("day"), "kind" -> col("kind")), None))
+    }),
     "a_tpch_q6" -> ((s, dir) => {
       // TPC-H Q6 forecast-revenue: pure filter + scalar aggregate — the
       // pushdown showcase (every predicate reaches the parquet scan,
@@ -5277,6 +5293,20 @@ object SparkEntry {
                   nn.n * p.sxy - ma.sx * mb.sx AS cov_e
            FROM p JOIN m ma ON p.i = ma.i JOIN m mb ON p.j = mb.i
            CROSS JOIN nn""",
+      "dp_growth" ->
+        """WITH days AS (
+              SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d FROM events),
+            l AS (SELECT u, d,
+                         date_diff('day',
+                                   lag(d) OVER (PARTITION BY u ORDER BY d),
+                                   d) AS gap
+                  FROM days)
+           SELECT strftime(d, '%Y-%m-%d') AS day,
+                  CASE WHEN gap IS NULL THEN 'new'
+                       WHEN gap <= 7 THEN 'returning'
+                       ELSE 'resurrected' END AS kind,
+                  CAST(count(*) AS DOUBLE) AS privacy_id_count
+           FROM l GROUP BY 1, 2""",
       "a_tpch_q6" ->
         """SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
                            * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT)

@@ -257,7 +257,11 @@ object EventAnalytics {
     * new/returning/resurrected decomposition of a DAU curve. Dedupe to
     * (user, day), lag over each user's day sequence, classify, roll up:
     * two keyed shuffles, integer date math only. */
-  def growthAccounting(df: DataFrame, userCol: String, tsCol: String,
+  /** Per-(user, day) activity classification: one row per active day with
+    * kind in {new, returning, resurrected} by the gap to the user's
+    * previous active day. Shared by [[growthAccounting]] and the DP
+    * growth release so the gap rule cannot drift. */
+  def activityKinds(df: DataFrame, userCol: String, tsCol: String,
       resurrectDays: Int = 7): DataFrame = {
     require(resurrectDays >= 1, s"resurrectDays must be >= 1, got $resurrectDays")
     val byUser = org.apache.spark.sql.expressions.Window
@@ -265,14 +269,18 @@ object EventAnalytics {
     df.select(col(userCol).as("u"), to_date(col(tsCol)).as("d"))
       .distinct()
       .withColumn("gap", datediff(col("d"), lag(col("d"), 1).over(byUser)))
-      .withColumn("kind",
+      .select(col("u"), date_format(col("d"), "yyyy-MM-dd").as("day"),
         when(col("gap").isNull, "new")
           .when(col("gap") <= resurrectDays, "returning")
-          .otherwise("resurrected"))
-      .groupBy(date_format(col("d"), "yyyy-MM-dd").as("day"))
+          .otherwise("resurrected").as("kind"))
+  }
+
+  def growthAccounting(df: DataFrame, userCol: String, tsCol: String,
+      resurrectDays: Int = 7): DataFrame =
+    activityKinds(df, userCol, tsCol, resurrectDays)
+      .groupBy("day")
       .agg(count(lit(1)).as("n_active"),
         sum(when(col("kind") === "new", 1L).otherwise(0L)).as("n_new"),
         sum(when(col("kind") === "returning", 1L).otherwise(0L)).as("n_returning"),
         sum(when(col("kind") === "resurrected", 1L).otherwise(0L)).as("n_resurrected"))
-  }
 }
