@@ -884,6 +884,17 @@ object SparkEntry {
       Dedup.connectedComponents(pairs.select("id_a", "id_b"))
         .select(col("id"), col("comp").as("component"))
     }),
+    "dedup_containment" -> ((s, dir) => {
+      // doc-inside-doc detection: the same portable banded candidates
+      // verified by CONTAINMENT (|A∩B| / min(|A|,|B|)) instead of Jaccard
+      // — the signal that catches quotes/concatenations whose Jaccard is
+      // diluted by the containing document's length. Exact on every
+      // candidate and SQL-replayed end-to-end (recall caveat for
+      // extreme-size-ratio pairs documented on the operator).
+      Dedup.containmentPortable(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+        threshold = 0.8)
+    }),
     "dedup_cluster_sizes" -> ((s, dir) => {
       // duplicate-cluster size histogram — the rollup an operator reads
       // BEFORE materializing a dedup (one giant cluster usually means a
@@ -2853,9 +2864,12 @@ object SparkEntry {
     // portable-minhash permutation constants (fixed literals; see Dedup.permA)
     val permAList = graft.ops.Dedup.permA.mkString("[", ",", "]")
     val permBList = graft.ops.Dedup.permB.mkString("[", ",", "]")
-    // the full portable-minhash pipeline; shared by dedup_minhash_md5 and
-    // (as the pair source) dedup_components
-    val minhashMd5Sql =
+    // the full portable-minhash pipeline through the verify-input CTE `v`,
+    // parameterized by band width (8-row bands for the Jaccard near-dup
+    // grid; 2-row bands for the containment variant); shared by
+    // dedup_minhash_md5, dedup_containment, and (as the pair source)
+    // dedup_components
+    def minhashPrefixSql(rows: Int) =
       s"""WITH tok AS (
               SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
               FROM documents),
@@ -2876,9 +2890,9 @@ object SparkEntry {
               FROM h CROSS JOIN (SELECT unnest(range(0, 128)) AS p)
               GROUP BY doc_id, p),
             sig AS (
-              SELECT doc_id, p // 8 AS band,
+              SELECT doc_id, p // $rows AS band,
                      string_agg(CAST(mv AS VARCHAR), '_' ORDER BY p) AS bucket
-              FROM mh GROUP BY doc_id, p // 8),
+              FROM mh GROUP BY doc_id, p // $rows),
             cand AS (
               SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
               FROM sig a JOIN sig b
@@ -2886,14 +2900,26 @@ object SparkEntry {
             v AS (
               SELECT id_a, id_b,
                      CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE) AS inter,
-                     CAST(len(ga.grams) + len(gb.grams) AS DOUBLE) AS szsum
+                     CAST(len(ga.grams) + len(gb.grams) AS DOUBLE) AS szsum,
+                     CAST(least(len(ga.grams), len(gb.grams)) AS DOUBLE) AS szmin
               FROM cand JOIN sh ga ON ga.doc_id = id_a JOIN sh gb ON gb.doc_id = id_b)
-            SELECT id_a, id_b,
+            """
+    val minhashMd5Sql =
+      s"""${minhashPrefixSql(8)}SELECT id_a, id_b,
                    CASE WHEN szsum - inter = 0 THEN 0.0
                         ELSE inter / (szsum - inter) END AS jaccard
             FROM v
             WHERE (CASE WHEN szsum - inter = 0 THEN 0.0
                         ELSE inter / (szsum - inter) END) >= 0.6"""
+    // the same candidate pipeline with 2-row bands and the CONTAINMENT
+    // verify (|A∩B| / min size)
+    val containmentMd5Sql =
+      s"""${minhashPrefixSql(2)}SELECT id_a, id_b,
+                   CASE WHEN szmin = 0 THEN 0.0
+                        ELSE inter / szmin END AS containment
+            FROM v
+            WHERE (CASE WHEN szmin = 0 THEN 0.0
+                        ELSE inter / szmin END) >= 0.8"""
     // Quantile-tree walk oracle, parameterized by the percentile list (whole
     // percents). Replicates the zero-noise height-4/branching-16 descent.
     def pctlTreeSqlFor(ps: Seq[Int], source: String = "events"): String = {
@@ -3523,6 +3549,7 @@ object SparkEntry {
       // rows with plain string band buckets, exact-Jaccard verify — the full
       // pipeline recomputed independently.
       "dedup_minhash_md5" -> minhashMd5Sql,
+      "dedup_containment" -> containmentMd5Sql,
       // Incremental dedup = the cross-set restriction of the SAME portable
       // pair set (pairs where exactly one side is an increment doc), best
       // match per new doc by (jaccard desc, corpus id asc).

@@ -199,15 +199,13 @@ object Dedup {
     * (ids-only candidate shuffle, join-back verify) is identical.
     * Token-less documents are excluded (their single shingle would be the
     * degenerate empty string). */
-  def minHashLSHPortable(
-      df: DataFrame,
-      idCol: String,
-      textCol: String,
-      shingleSize: Int = 3,
-      numBands: Int = 16,
-      rowsPerBand: Int = 8,
-      threshold: Double = 0.6
-  ): DataFrame = {
+  /** Shared candidate+verify frame of the PORTABLE banded pipeline:
+    * (id_a, id_b, sh_a, sh_b) for every banded candidate pair, shingle
+    * sets joined back for exact verification. Factored out so the Jaccard
+    * and containment verifies share one candidate generation. */
+  private def portableVerifyFrame(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int, numBands: Int, rowsPerBand: Int): DataFrame = {
     val withSig = minHashWithSigPortable(df, idCol, textCol, shingleSize,
       numBands * rowsPerBand)
     val banded = withSig
@@ -222,10 +220,57 @@ object Dedup {
     val shA = withSig.select(col("id").as("id_a"), col("shingles").as("sh_a"))
     val shB = withSig.select(col("id").as("id_b"), col("shingles").as("sh_b"))
     candidates.join(shA, "id_a").join(shB, "id_b")
+  }
+
+  def minHashLSHPortable(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      numBands: Int = 16,
+      rowsPerBand: Int = 8,
+      threshold: Double = 0.6
+  ): DataFrame =
+    portableVerifyFrame(df, idCol, textCol, shingleSize, numBands, rowsPerBand)
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
-  }
+
+  /** CONTAINMENT near-duplicates over the same portable banded candidates:
+    * containment = |A∩B| / min(|A|, |B|) — the fraction of the SMALLER
+    * document's shingles present in the larger. Catches doc-inside-doc
+    * pairs (quotes, concatenations, boilerplate-wrapped copies) whose
+    * Jaccard sits below any dedup threshold because the containing
+    * document is longer.
+    *
+    * Candidates still come from MINHASH banding (which estimates Jaccard),
+    * so the DEFAULT banding is widened to 64 bands x 2 rows: a fully
+    * contained pair at size ratio 2 has Jaccard ~0.5, where 2-row bands
+    * collide with probability 1-(1-0.25)^64 ~ 1-1e-8 (the 16x8 near-dup
+    * grid would collide ~6% of the time — useless for containment). The
+    * price is more low-Jaccard candidates reaching the exact verify —
+    * ids-only rows, pruned there. Pairs at extreme size ratios (Jaccard
+    * -> 0) still need a different candidate generator (shingle the
+    * shorter side and probe); the verify is exact on every candidate and
+    * oracle-replayable either way. */
+  def containmentPortable(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      numBands: Int = 64,
+      rowsPerBand: Int = 2,
+      threshold: Double = 0.8
+  ): DataFrame =
+    portableVerifyFrame(df, idCol, textCol, shingleSize, numBands, rowsPerBand)
+      .withColumn("__mn",
+        least(size(col("sh_a")), size(col("sh_b"))).cast("double"))
+      .withColumn("containment",
+        when(col("__mn") === 0.0, lit(0.0))
+          .otherwise(size(array_intersect(col("sh_a"), col("sh_b")))
+            .cast("double") / col("__mn")))
+      .filter(col("containment") >= threshold)
+      .select("id_a", "id_b", "containment")
 
   /** Stage 1 of the PORTABLE pipeline: (id, shingles, sig), checkpointed —
     * md5-derived shingle hashes so an independent SQL engine reproduces the

@@ -303,6 +303,28 @@ class DedupSpec extends AnyFunSuite {
     assert(groups.toSeq == Seq(("aa", 1L, 2L), ("bb", 3L, 1L)))
   }
 
+  test("containmentPortable: catches doc-inside-doc where Jaccard fails") {
+    // doc 2 CONTAINS doc 1 verbatim plus ~equal-length extra content:
+    // containment(1 in 2) ~ 1.0 while Jaccard ~ 0.5 sits under the 0.6
+    // near-dup threshold — the pair the Jaccard path misses by design
+    val extra = " meanwhile a completely different second half talks about " +
+      "catalyst optimizer rules and tungsten codegen stages in spark " * 2
+    val df = Seq(
+      (1L, base),
+      (2L, base + extra),
+      (3L, "unrelated short text about nothing in particular at all today")
+    ).toDF("id", "text")
+    val cont = Dedup.containmentPortable(df, "id", "text", threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(cont.map(p => (p._1, p._2)).toSet == Set((1L, 2L)),
+      s"expected exactly the contained pair: ${cont.toSeq}")
+    assert(cont.head._3 >= 0.95, s"containment should be ~1: ${cont.head._3}")
+    // the Jaccard path at its dedup threshold must NOT report this pair
+    val jac = Dedup.minHashLSHPortable(df, "id", "text", threshold = 0.6)
+      .collect()
+    assert(jac.isEmpty, s"Jaccard 0.6 should miss the contained pair: ${jac.toSeq}")
+  }
+
   test("minhash LSH finds planted near-duplicates and not unrelated docs") {
     val df = Seq(
       (1L, base),
