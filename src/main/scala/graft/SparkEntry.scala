@@ -573,6 +573,20 @@ object SparkEntry {
       CorpusOps.nearDupDecontaminate(corpus, sigs,
         "doc_id", "source", "n_chars", "text")
     }),
+    "text_containment_decontaminate" -> ((s, dir) => {
+      // containment decontamination: drop corpus docs that CONTAIN a
+      // benchmark doc (fraction of the benchmark's shingles present
+      // >= 0.8) — the quoted-benchmark case Jaccard structurally misses.
+      // Same benchmark split and signature store as the Jaccard variant
+      // (one store serves both banding grids).
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val bench = docs.filter(col("doc_id") % 10 === 0)
+      val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+      val sigs = Dedup.minHashWithSigPortable(bench, "doc_id", "text",
+        shingleSize = 3, numHashes = 128)
+      CorpusOps.containmentDecontaminate(corpus, sigs,
+        "doc_id", "source", "n_chars", "text")
+    }),
     "text_decontaminate" -> ((s, dir) => {
       // document-level exact decontamination: drop corpus docs whose
       // NORMALIZED text exactly matches an eval-set doc (doc_id % 20 == 0
@@ -2901,7 +2915,9 @@ object SparkEntry {
               SELECT id_a, id_b,
                      CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE) AS inter,
                      CAST(len(ga.grams) + len(gb.grams) AS DOUBLE) AS szsum,
-                     CAST(least(len(ga.grams), len(gb.grams)) AS DOUBLE) AS szmin
+                     CAST(least(len(ga.grams), len(gb.grams)) AS DOUBLE) AS szmin,
+                     CAST(len(ga.grams) AS DOUBLE) AS sz_a,
+                     CAST(len(gb.grams) AS DOUBLE) AS sz_b
               FROM cand JOIN sh ga ON ga.doc_id = id_a JOIN sh gb ON gb.doc_id = id_b)
             """
     val minhashMd5Sql =
@@ -3562,6 +3578,25 @@ object SparkEntry {
             dropped AS (
               SELECT DISTINCT CASE WHEN id_a % 10 = 0 THEN id_b ELSE id_a END AS id
               FROM pairs WHERE (id_a % 10 = 0) <> (id_b % 10 = 0)),
+            corpus AS (SELECT * FROM documents WHERE doc_id % 10 <> 0)
+            SELECT source,
+                   CAST(count(*) FILTER (WHERE d.id IS NULL) AS BIGINT) AS n_kept,
+                   CAST(count(*) FILTER (WHERE d.id IS NOT NULL) AS BIGINT) AS n_dropped,
+                   CAST(coalesce(sum(n_chars) FILTER (WHERE d.id IS NULL), 0) AS BIGINT)
+                     AS chars_kept
+            FROM corpus c LEFT JOIN dropped d ON d.id = c.doc_id
+            GROUP BY source""",
+      "text_containment_decontaminate" ->
+        s"""WITH cpairs AS (
+              ${minhashPrefixSql(2)}SELECT id_a, id_b, inter, sz_a, sz_b FROM v),
+            dropped AS (
+              SELECT DISTINCT CASE WHEN id_a % 10 = 0 THEN id_b ELSE id_a END AS id
+              FROM cpairs
+              WHERE (id_a % 10 = 0) <> (id_b % 10 = 0)
+                AND (CASE WHEN id_a % 10 = 0
+                          THEN (CASE WHEN sz_a = 0 THEN 0.0 ELSE inter / sz_a END)
+                          ELSE (CASE WHEN sz_b = 0 THEN 0.0 ELSE inter / sz_b END)
+                     END) >= 0.8),
             corpus AS (SELECT * FROM documents WHERE doc_id % 10 <> 0)
             SELECT source,
                    CAST(count(*) FILTER (WHERE d.id IS NULL) AS BIGINT) AS n_kept,

@@ -792,6 +792,32 @@ object CorpusOps {
         col("epoch").cast("long").as("epoch"))
   }
 
+  /** CONTAINMENT benchmark decontamination — drops corpus docs that
+    * CONTAIN a benchmark document (directional |S_bench ∩ S_doc| /
+    * |S_bench| >= threshold), the rule that catches benchmark questions
+    * quoted inside long training documents, which the Jaccard variant
+    * ([[nearDupDecontaminate]]) structurally misses (the document's
+    * length dilutes Jaccard below any dedup threshold). Same per-source
+    * kept/dropped rollup; the signature store is the SAME persisted frame
+    * the Jaccard path uses. */
+  def containmentDecontaminate(corpus: DataFrame, benchmarkSigs: DataFrame,
+      idCol: String, sourceCol: String, sizeCol: String, textCol: String,
+      shingleSize: Int = 3, numBands: Int = 64, rowsPerBand: Int = 2,
+      threshold: Double = 0.8): DataFrame = {
+    val dropped = graft.ops.Dedup.containmentFromSigs(
+        corpus, benchmarkSigs, idCol, textCol,
+        shingleSize, numBands, rowsPerBand, threshold)
+      .select(col("id").as("__drop_id"))
+    corpus
+      .join(broadcast(dropped), corpus(idCol) === col("__drop_id"), "left")
+      .groupBy(col(sourceCol).as("source"))
+      .agg(
+        sum(when(col("__drop_id").isNull, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("__drop_id").isNotNull, 1L).otherwise(0L)).as("n_dropped"),
+        sum(when(col("__drop_id").isNull, col(sizeCol)).otherwise(lit(0L)))
+          .cast("long").as("chars_kept"))
+  }
+
   /** TABLE DIFF — the data-ops reconciliation operator: classify every key
     * across two versions of a table as added / removed / changed /
     * unchanged. One full-outer shuffle join on the key; the payload

@@ -373,6 +373,58 @@ object Dedup {
       .select(col("id"), (-col("m.nid")).as("match_id"), col("m.jaccard").as("jaccard"))
   }
 
+  /** Directional CONTAINMENT of STORE documents inside new documents, from
+    * a persisted signature store: for each new doc, its best store match
+    * by |S_store ∩ S_doc| / |S_store| — the fraction of the store document
+    * present in the new one. THE decontamination direction: a benchmark
+    * question quoted inside a long training document scores ~1.0 here
+    * while its Jaccard is diluted to nothing by the document's length.
+    *
+    * Bands are 64x2 over the SAME 128-hash signatures the Jaccard paths
+    * persist (numBands * rowsPerBand must equal the store's signature
+    * length) — one signature store serves both banding grids, so adding
+    * containment costs no re-signing. Candidates are cross-set only and
+    * carry ids; the exact verify joins shingles back. */
+  def containmentFromSigs(
+      newDocs: DataFrame,
+      storeSigs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      numBands: Int = 64,
+      rowsPerBand: Int = 2,
+      threshold: Double = 0.8
+  ): DataFrame = {
+    val numHashes = numBands * rowsPerBand
+    require(Set("id", "shingles", "sig").subsetOf(storeSigs.columns.toSet),
+      s"storeSigs must carry (id, shingles, sig) from minHashWithSigPortable; " +
+        s"got ${storeSigs.columns.mkString(", ")}")
+    val sigNew = minHashWithSigPortable(newDocs, idCol, textCol, shingleSize, numHashes)
+    val sigOld = storeSigs.withColumn("sig",
+      when(size(col("sig")) === numHashes, col("sig"))
+        .otherwise(raise_error(concat(
+          lit(s"signature store length != $numHashes (bands*rows): "),
+          size(col("sig")).cast("string")))))
+    def banded(s: DataFrame, as: String) = s.select(col("id").as(as),
+      posexplode(array(portableBandKeys(numBands, rowsPerBand): _*))
+        .as(Seq("band", "bucket")))
+    val candidates = banded(sigOld, "match_id")
+      .join(banded(sigNew, "id").hint("shuffle_hash"), Seq("band", "bucket"))
+      .select("id", "match_id").distinct()
+    val shNew = sigNew.select(col("id"), col("shingles").as("sh_n"))
+    val shOld = sigOld.select(col("id").as("match_id"), col("shingles").as("sh_o"))
+    candidates.join(shNew, "id").join(shOld, "match_id")
+      .withColumn("containment",
+        when(size(col("sh_o")) === 0, lit(0.0))
+          .otherwise(size(array_intersect(col("sh_o"), col("sh_n"))).cast("double")
+            / size(col("sh_o")).cast("double")))
+      .filter(col("containment") >= threshold)
+      .groupBy("id")
+      .agg(max(struct(col("containment"), (-col("match_id")).as("nid"))).as("m"))
+      .select(col("id"), (-col("m.nid")).as("match_id"),
+        col("m.containment").as("containment"))
+  }
+
   /** Estimated Jaccard from two MinHash signatures. */
   def minHashSimilarity(sigA: Column, sigB: Column): Column =
     size(filter(zip_with(sigA, sigB, (a, b) => a === b), x => x)).cast("double") /

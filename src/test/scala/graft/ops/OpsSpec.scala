@@ -695,6 +695,31 @@ class DedupSpec extends AnyFunSuite {
     assert(out("books") == ((1L, 0L, 50L)))
   }
 
+  test("containmentDecontaminate: quoted benchmarks drop where Jaccard keeps them") {
+    val benchText = "the quick brown fox jumps over the lazy dog again and again today"
+    val bench = Seq((1000L, benchText, "eval", 10L)).toDF("doc_id", "text", "source", "n_chars")
+    // a long document QUOTING the benchmark verbatim inside much more
+    // content: containment(bench in doc) = 1.0, Jaccard << 0.6
+    val padding = "meanwhile a sprawling essay discusses catalyst optimizer " +
+      "rules tungsten codegen adaptive execution shuffle partitions and " +
+      "storage formats at great length with many more words " * 2
+    val corpus = Seq(
+      (1L, padding + " " + benchText + " " + padding, "web", 20L), // quotes it
+      (2L, "completely different words about spark engines and query plans entirely", "web", 40L)
+    ).toDF("doc_id", "text", "source", "n_chars")
+    val sigs = Dedup.minHashWithSigPortable(bench, "doc_id", "text", 3, 128)
+    val cont = CorpusOps.containmentDecontaminate(corpus, sigs,
+        "doc_id", "source", "n_chars", "text")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(cont("web") == ((1L, 1L, 40L)), s"quoting doc must drop: $cont")
+    // the Jaccard rule KEEPS the quoting doc — the gap this operator closes
+    val jac = CorpusOps.nearDupDecontaminate(corpus, sigs,
+        "doc_id", "source", "n_chars", "text")
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(jac("web") == 0L, s"Jaccard path should keep the quoting doc: $jac")
+  }
+
   test("lm surprisal: repetitive docs score head, rare-bigram docs score tail") {
     // corpus: many copies of the same fluent phrase + one doc of unique
     // word-salad bigrams + one too-short doc
