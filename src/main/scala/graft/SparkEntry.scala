@@ -2624,9 +2624,10 @@ object SparkEntry {
       // user-level DP growth accounting: each (day, kind) cell released
       // as a privacy-id count — a user contributes at most one row per
       // active day (the classification derives from their own history via
-      // the SAME shared helper as growth_accounting), L0 bounded at the
-      // 30-day fixture span. Zero noise + non-binding bound => exactly
-      // the exact decomposition, as doubles.
+      // the SAME shared helper as growth_accounting), L0 bounded at 40 —
+      // above the 30-day fixture span, so the bound never binds. Zero
+      // noise + non-binding bound => exactly the exact decomposition, as
+      // doubles.
       val kinds = graft.ops.EventAnalytics.activityKinds(
         events(s, dir).withColumn("tstamp", expr("timestamp_micros(ts div 1000)")),
         "user_id", "tstamp", resurrectDays = 7)

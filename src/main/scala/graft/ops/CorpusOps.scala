@@ -425,23 +425,30 @@ object CorpusOps {
     * drop list broadcasts (ids only, bounded by corpus-benchmark overlap
     * — a pipeline whose corpus mostly overlaps its benchmarks has bigger
     * problems than a broadcast). */
-  def nearDupDecontaminate(corpus: DataFrame, benchmarkSigs: DataFrame,
-      idCol: String, sourceCol: String, sizeCol: String, textCol: String,
-      shingleSize: Int = 3, numBands: Int = 16, rowsPerBand: Int = 8,
-      threshold: Double = 0.6): DataFrame = {
-    val dropped = graft.ops.Dedup.incrementalNearDupsFromSigs(
-        corpus, benchmarkSigs, idCol, textCol,
-        shingleSize, numBands, rowsPerBand, threshold)
-      .select(col("id").as("__drop_id"))
+  /** Shared kept/dropped per-source rollup of a decontamination pass: one
+    * corpus scan, drop list broadcast. One copy so the Jaccard and
+    * containment reports cannot drift. */
+  private def decontaminateRollup(corpus: DataFrame, dropped: DataFrame,
+      idCol: String, sourceCol: String, sizeCol: String): DataFrame =
     corpus
-      .join(broadcast(dropped), corpus(idCol) === col("__drop_id"), "left")
+      .join(broadcast(dropped.select(col("id").as("__drop_id"))),
+        corpus(idCol) === col("__drop_id"), "left")
       .groupBy(col(sourceCol).as("source"))
       .agg(
         sum(when(col("__drop_id").isNull, 1L).otherwise(0L)).as("n_kept"),
         sum(when(col("__drop_id").isNotNull, 1L).otherwise(0L)).as("n_dropped"),
         sum(when(col("__drop_id").isNull, col(sizeCol)).otherwise(lit(0L)))
           .cast("long").as("chars_kept"))
-  }
+
+  def nearDupDecontaminate(corpus: DataFrame, benchmarkSigs: DataFrame,
+      idCol: String, sourceCol: String, sizeCol: String, textCol: String,
+      shingleSize: Int = 3, numBands: Int = 16, rowsPerBand: Int = 8,
+      threshold: Double = 0.6): DataFrame =
+    decontaminateRollup(corpus,
+      graft.ops.Dedup.incrementalNearDupsFromSigs(
+        corpus, benchmarkSigs, idCol, textCol,
+        shingleSize, numBands, rowsPerBand, threshold),
+      idCol, sourceCol, sizeCol)
 
   /** Globally-SORTED range-partitioned export — the sorted-lake layout:
     * `repartitionByRange` samples range boundaries on the sort key
@@ -803,20 +810,12 @@ object CorpusOps {
   def containmentDecontaminate(corpus: DataFrame, benchmarkSigs: DataFrame,
       idCol: String, sourceCol: String, sizeCol: String, textCol: String,
       shingleSize: Int = 3, numBands: Int = 64, rowsPerBand: Int = 2,
-      threshold: Double = 0.8): DataFrame = {
-    val dropped = graft.ops.Dedup.containmentFromSigs(
+      threshold: Double = 0.8): DataFrame =
+    decontaminateRollup(corpus,
+      graft.ops.Dedup.containmentFromSigs(
         corpus, benchmarkSigs, idCol, textCol,
-        shingleSize, numBands, rowsPerBand, threshold)
-      .select(col("id").as("__drop_id"))
-    corpus
-      .join(broadcast(dropped), corpus(idCol) === col("__drop_id"), "left")
-      .groupBy(col(sourceCol).as("source"))
-      .agg(
-        sum(when(col("__drop_id").isNull, 1L).otherwise(0L)).as("n_kept"),
-        sum(when(col("__drop_id").isNotNull, 1L).otherwise(0L)).as("n_dropped"),
-        sum(when(col("__drop_id").isNull, col(sizeCol)).otherwise(lit(0L)))
-          .cast("long").as("chars_kept"))
-  }
+        shingleSize, numBands, rowsPerBand, threshold),
+      idCol, sourceCol, sizeCol)
 
   /** TABLE DIFF — the data-ops reconciliation operator: classify every key
     * across two versions of a table as added / removed / changed /
@@ -825,8 +824,10 @@ object CorpusOps {
     * null-safe equality operator, so a one-sided-null column counts as a
     * change (the class a naive `=!=` would silently skip). Both frames
     * must share a schema — a diff across different schemas has no right
-    * silent answer. Returns (keyCols*, diff_class), one row per key
-    * present in either version. */
+    * silent answer — and keys must be UNIQUE per side (a duplicate key
+    * fails the job loudly: the full-outer join would otherwise
+    * cross-product it into double-counted classes). Returns (keyCols*,
+    * diff_class), one row per key present in either version. */
   def tableDiff(base: DataFrame, revised: DataFrame,
       keyCols: Seq[String]): DataFrame = {
     require(keyCols.nonEmpty, "tableDiff: at least one key column")
@@ -834,8 +835,17 @@ object CorpusOps {
       s"tableDiff: schemas differ: ${base.columns.toSeq} vs ${revised.columns.toSeq}")
     val payload = base.columns.filterNot(keyCols.contains)
     require(payload.nonEmpty, "tableDiff: no non-key columns to compare")
+    // the per-key aggregate doubles as the uniqueness guard: a duplicate
+    // key raises instead of silently cross-producting through the join
     def packed(df: DataFrame, as: String) =
-      df.select(keyCols.map(col) :+ struct(payload.map(col): _*).as(as): _*)
+      df.groupBy(keyCols.map(col): _*)
+        .agg(count(lit(1)).as("__c"),
+          max(struct(payload.map(col): _*)).as(as))
+        .withColumn(as, when(col("__c") > 1L, raise_error(concat(
+            lit("tableDiff: duplicate key — keys must be unique per side: "),
+            concat_ws(",", keyCols.map(k => col(k).cast("string")): _*))))
+          .otherwise(col(as)))
+        .drop("__c")
     packed(base, "__bv").join(packed(revised, "__rv"), keyCols, "full_outer")
       .withColumn("diff_class",
         when(col("__bv").isNull, "added")

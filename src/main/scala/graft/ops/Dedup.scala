@@ -188,17 +188,6 @@ object Dedup {
     mins
   })
 
-  /** MinHash + LSH near-duplicate pairs with PORTABLE hashing: md5-derived
-    * shingle hashes and linear-congruential permutations instead of
-    * xxhash64, band buckets as plain signature strings instead of hashed
-    * longs — every stage (shingling, one-hash signatures, band blocking,
-    * exact-Jaccard verify) is reproducible in an independent SQL engine, so
-    * the WHOLE pipeline is verifiable against the DuckDB oracle end-to-end.
-    * The production variant ([[minHashLSH]]) keeps xxhash64 (Spark-native,
-    * codegen'd, much cheaper than a cryptographic hash); the plan shape
-    * (ids-only candidate shuffle, join-back verify) is identical.
-    * Token-less documents are excluded (their single shingle would be the
-    * degenerate empty string). */
   /** Shared candidate+verify frame of the PORTABLE banded pipeline:
     * (id_a, id_b, sh_a, sh_b) for every banded candidate pair, shingle
     * sets joined back for exact verification. Factored out so the Jaccard
@@ -222,6 +211,17 @@ object Dedup {
     candidates.join(shA, "id_a").join(shB, "id_b")
   }
 
+  /** MinHash + LSH near-duplicate pairs with PORTABLE hashing: md5-derived
+    * shingle hashes and linear-congruential permutations instead of
+    * xxhash64, band buckets as plain signature strings instead of hashed
+    * longs — every stage (shingling, one-hash signatures, band blocking,
+    * exact-Jaccard verify) is reproducible in an independent SQL engine, so
+    * the WHOLE pipeline is verifiable against the DuckDB oracle end-to-end.
+    * The production variant ([[minHashLSH]]) keeps xxhash64 (Spark-native,
+    * codegen'd, much cheaper than a cryptographic hash); the plan shape
+    * (ids-only candidate shuffle, join-back verify) is identical.
+    * Token-less documents are excluded (their single shingle would be the
+    * degenerate empty string). */
   def minHashLSHPortable(
       df: DataFrame,
       idCol: String,
@@ -334,6 +334,45 @@ object Dedup {
     * signature length than numBands*rowsPerBand — silent wrong-bucket keys
     * would zero the recall. Identical output to
     * [[incrementalNearDupsPortable]] on the same inputs (spec-pinned). */
+  /** Shared cross-set candidate+verify frame for the signature-store
+    * paths: (id, match_id, sh_n, sh_o) for every banded candidate pairing
+    * a new doc against a store doc — ids-only candidates, the increment
+    * side builds the (smaller) hash table, shingles joined back for the
+    * exact verify. One copy of the store guard, banding, and join shape
+    * so the Jaccard and containment scorers cannot drift. */
+  private def fromSigsVerifyFrame(
+      newDocs: DataFrame, storeSigs: DataFrame, idCol: String,
+      textCol: String, shingleSize: Int, numBands: Int,
+      rowsPerBand: Int): DataFrame = {
+    val numHashes = numBands * rowsPerBand
+    require(Set("id", "shingles", "sig").subsetOf(storeSigs.columns.toSet),
+      s"storeSigs must carry (id, shingles, sig) from minHashWithSigPortable; " +
+        s"got ${storeSigs.columns.mkString(", ")}")
+    val sigNew = minHashWithSigPortable(newDocs, idCol, textCol, shingleSize, numHashes)
+    val sigOld = storeSigs.withColumn("sig",
+      when(size(col("sig")) === numHashes, col("sig"))
+        .otherwise(raise_error(concat(
+          lit(s"signature store length != $numHashes (bands*rows): "),
+          size(col("sig")).cast("string")))))
+    def banded(s: DataFrame, as: String) = s.select(col("id").as(as),
+      posexplode(array(portableBandKeys(numBands, rowsPerBand): _*))
+        .as(Seq("band", "bucket")))
+    val candidates = banded(sigOld, "match_id")
+      .join(banded(sigNew, "id").hint("shuffle_hash"), Seq("band", "bucket"))
+      .select("id", "match_id").distinct()
+    val shNew = sigNew.select(col("id"), col("shingles").as("sh_n"))
+    val shOld = sigOld.select(col("id").as("match_id"), col("shingles").as("sh_o"))
+    candidates.join(shNew, "id").join(shOld, "match_id")
+  }
+
+  /** Best store match per new doc: max score, tie -> smallest store id
+    * (struct max orders lexicographically; -match_id inverts the tie). */
+  private def bestMatchPerId(scored: DataFrame, scoreCol: String): DataFrame =
+    scored.groupBy("id")
+      .agg(max(struct(col(scoreCol), (-col("match_id")).as("nid"))).as("m"))
+      .select(col("id"), (-col("m.nid")).as("match_id"),
+        col(s"m.$scoreCol").as(scoreCol))
+
   def incrementalNearDupsFromSigs(
       newDocs: DataFrame,
       corpusSigs: DataFrame,
@@ -343,35 +382,13 @@ object Dedup {
       numBands: Int = 16,
       rowsPerBand: Int = 8,
       threshold: Double = 0.6
-  ): DataFrame = {
-    val numHashes = numBands * rowsPerBand
-    require(Set("id", "shingles", "sig").subsetOf(corpusSigs.columns.toSet),
-      s"corpusSigs must carry (id, shingles, sig) from minHashWithSigPortable; " +
-        s"got ${corpusSigs.columns.mkString(", ")}")
-    val sigNew = minHashWithSigPortable(newDocs, idCol, textCol, shingleSize, numHashes)
-    val sigOld = corpusSigs.withColumn("sig",
-      when(size(col("sig")) === numHashes, col("sig"))
-        .otherwise(raise_error(concat(
-          lit(s"corpus signature store length != $numHashes (bands*rows): "),
-          size(col("sig")).cast("string")))))
-    def banded(s: DataFrame, as: String) = s.select(col("id").as(as),
-      posexplode(array(portableBandKeys(numBands, rowsPerBand): _*))
-        .as(Seq("band", "bucket")))
-    // ids-only candidates, increment side builds the (smaller) hash table
-    val candidates = banded(sigOld, "match_id")
-      .join(banded(sigNew, "id").hint("shuffle_hash"), Seq("band", "bucket"))
-      .select("id", "match_id").distinct()
-    val shNew = sigNew.select(col("id"), col("shingles").as("sh_n"))
-    val shOld = sigOld.select(col("id").as("match_id"), col("shingles").as("sh_o"))
-    candidates.join(shNew, "id").join(shOld, "match_id")
-      .withColumn("jaccard", jaccard(col("sh_n"), col("sh_o")))
-      .filter(col("jaccard") >= threshold)
-      // best match per new doc: max jaccard, tie -> smallest corpus id
-      // (struct max orders lexicographically; -match_id inverts the tie)
-      .groupBy("id")
-      .agg(max(struct(col("jaccard"), (-col("match_id")).as("nid"))).as("m"))
-      .select(col("id"), (-col("m.nid")).as("match_id"), col("m.jaccard").as("jaccard"))
-  }
+  ): DataFrame =
+    bestMatchPerId(
+      fromSigsVerifyFrame(newDocs, corpusSigs, idCol, textCol,
+          shingleSize, numBands, rowsPerBand)
+        .withColumn("jaccard", jaccard(col("sh_n"), col("sh_o")))
+        .filter(col("jaccard") >= threshold),
+      "jaccard")
 
   /** Directional CONTAINMENT of STORE documents inside new documents, from
     * a persisted signature store: for each new doc, its best store match
@@ -394,36 +411,16 @@ object Dedup {
       numBands: Int = 64,
       rowsPerBand: Int = 2,
       threshold: Double = 0.8
-  ): DataFrame = {
-    val numHashes = numBands * rowsPerBand
-    require(Set("id", "shingles", "sig").subsetOf(storeSigs.columns.toSet),
-      s"storeSigs must carry (id, shingles, sig) from minHashWithSigPortable; " +
-        s"got ${storeSigs.columns.mkString(", ")}")
-    val sigNew = minHashWithSigPortable(newDocs, idCol, textCol, shingleSize, numHashes)
-    val sigOld = storeSigs.withColumn("sig",
-      when(size(col("sig")) === numHashes, col("sig"))
-        .otherwise(raise_error(concat(
-          lit(s"signature store length != $numHashes (bands*rows): "),
-          size(col("sig")).cast("string")))))
-    def banded(s: DataFrame, as: String) = s.select(col("id").as(as),
-      posexplode(array(portableBandKeys(numBands, rowsPerBand): _*))
-        .as(Seq("band", "bucket")))
-    val candidates = banded(sigOld, "match_id")
-      .join(banded(sigNew, "id").hint("shuffle_hash"), Seq("band", "bucket"))
-      .select("id", "match_id").distinct()
-    val shNew = sigNew.select(col("id"), col("shingles").as("sh_n"))
-    val shOld = sigOld.select(col("id").as("match_id"), col("shingles").as("sh_o"))
-    candidates.join(shNew, "id").join(shOld, "match_id")
-      .withColumn("containment",
-        when(size(col("sh_o")) === 0, lit(0.0))
-          .otherwise(size(array_intersect(col("sh_o"), col("sh_n"))).cast("double")
-            / size(col("sh_o")).cast("double")))
-      .filter(col("containment") >= threshold)
-      .groupBy("id")
-      .agg(max(struct(col("containment"), (-col("match_id")).as("nid"))).as("m"))
-      .select(col("id"), (-col("m.nid")).as("match_id"),
-        col("m.containment").as("containment"))
-  }
+  ): DataFrame =
+    bestMatchPerId(
+      fromSigsVerifyFrame(newDocs, storeSigs, idCol, textCol,
+          shingleSize, numBands, rowsPerBand)
+        .withColumn("containment",
+          when(size(col("sh_o")) === 0, lit(0.0))
+            .otherwise(size(array_intersect(col("sh_o"), col("sh_n"))).cast("double")
+              / size(col("sh_o")).cast("double")))
+        .filter(col("containment") >= threshold),
+      "containment")
 
   /** Estimated Jaccard from two MinHash signatures. */
   def minHashSimilarity(sigA: Column, sigB: Column): Column =

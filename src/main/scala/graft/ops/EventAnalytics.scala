@@ -251,12 +251,6 @@ object EventAnalytics {
         (col("n").cast("double") / col("__row_total")).as("frac"))
   }
 
-  /** GROWTH ACCOUNTING: per activity day, how many users are new (first
-    * day ever), returning (previous activity <= `resurrectDays` ago), or
-    * resurrected (a gap longer than `resurrectDays`) — the
-    * new/returning/resurrected decomposition of a DAU curve. Dedupe to
-    * (user, day), lag over each user's day sequence, classify, roll up:
-    * two keyed shuffles, integer date math only. */
   /** Per-(user, day) activity classification: one row per active day with
     * kind in {new, returning, resurrected} by the gap to the user's
     * previous active day. Shared by [[growthAccounting]] and the DP
@@ -275,6 +269,12 @@ object EventAnalytics {
           .otherwise("resurrected").as("kind"))
   }
 
+  /** GROWTH ACCOUNTING: per activity day, how many users are new (first
+    * day ever), returning (previous activity <= `resurrectDays` ago), or
+    * resurrected (a gap longer than `resurrectDays`) — the
+    * new/returning/resurrected decomposition of a DAU curve. Dedupe to
+    * (user, day), lag over each user's day sequence, classify, roll up:
+    * two keyed shuffles, integer date math only. */
   def growthAccounting(df: DataFrame, userCol: String, tsCol: String,
       resurrectDays: Int = 7): DataFrame =
     activityKinds(df, userCol, tsCol, resurrectDays)

@@ -516,6 +516,13 @@ class CorpusOpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       CorpusOps.tableDiff(base, revised.drop("v"), Seq("id"))
     }
+    // duplicate keys fail loud instead of cross-producting the join
+    val dup = revised.unionByName(revised.limit(1))
+    val e = intercept[Exception] {
+      CorpusOps.tableDiff(base, dup, Seq("id")).collect()
+    }
+    assert(String.valueOf(e.getMessage).contains("duplicate key") ||
+      String.valueOf(e.getCause).contains("duplicate key"))
   }
 
   test("compactFiles: fewer files, rank-deterministic bins, nothing lost") {
