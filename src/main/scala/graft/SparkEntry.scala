@@ -2666,6 +2666,31 @@ object SparkEntry {
           sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
             .otherwise(0L)).as("low_line_count"))
     }),
+    "stats_join_skew" -> ((s, dir) => {
+      // pre-join skew diagnostic: the EXACT output cardinality a
+      // lineitem x orders equi-join would produce, computed from per-key
+      // counts (sum of count_a * count_b) without running the join —
+      // plus the hottest key's share (p_max) and one-sided key counts.
+      // THE number a 100 TB pipeline checks before choosing salting /
+      // AQE skew handling; two map-side-combined aggregates and a
+      // key-count join that never touches fact rows.
+      val a = s.read.parquet(s"$dir/lineitem.parquet")
+        .groupBy(col("l_orderkey").as("k")).agg(count(lit(1)).as("ca"))
+      val b = s.read.parquet(s"$dir/orders.parquet")
+        .groupBy(col("o_orderkey").as("k")).agg(count(lit(1)).as("cb"))
+      a.join(b, Seq("k"), "full_outer")
+        .agg(
+          sum(when(col("ca").isNotNull && col("cb").isNotNull, 1L)
+            .otherwise(0L)).as("n_keys_both"),
+          sum(when(col("cb").isNull, 1L).otherwise(0L)).as("n_keys_left_only"),
+          sum(when(col("ca").isNull, 1L).otherwise(0L)).as("n_keys_right_only"),
+          sum(coalesce(col("ca"), lit(0L)) * coalesce(col("cb"), lit(0L)))
+            .as("total_pairs"),
+          max(coalesce(col("ca"), lit(0L)) * coalesce(col("cb"), lit(0L)))
+            .as("max_pairs"))
+        .withColumn("p_max",
+          col("max_pairs").cast("double") / col("total_pairs").cast("double"))
+    }),
     "stats_profile" -> ((s, dir) => {
       // data-profiling card: per-column null count, distinct count, and
       // type-appropriate min/max/avg-length facts over documents, in ONE
@@ -5390,6 +5415,27 @@ object SparkEntry {
            WHERE l_shipdate >= TIMESTAMP '1995-01-01'
              AND l_shipdate < TIMESTAMP '1996-01-01'
            GROUP BY 1""",
+      "stats_join_skew" ->
+        """WITH a AS (SELECT l_orderkey AS k, count(*) AS ca
+                      FROM lineitem GROUP BY 1),
+            b AS (SELECT o_orderkey AS k, count(*) AS cb
+                  FROM orders GROUP BY 1),
+            j AS (SELECT a.ca, b.cb
+                  FROM a FULL OUTER JOIN b ON a.k = b.k)
+           SELECT CAST(sum(CASE WHEN ca IS NOT NULL AND cb IS NOT NULL
+                                THEN 1 ELSE 0 END) AS BIGINT) AS n_keys_both,
+                  CAST(sum(CASE WHEN cb IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_keys_left_only,
+                  CAST(sum(CASE WHEN ca IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_keys_right_only,
+                  CAST(sum(coalesce(ca, 0) * coalesce(cb, 0)) AS BIGINT)
+                    AS total_pairs,
+                  CAST(max(coalesce(ca, 0) * coalesce(cb, 0)) AS BIGINT)
+                    AS max_pairs,
+                  CAST(max(coalesce(ca, 0) * coalesce(cb, 0)) AS DOUBLE)
+                    / CAST(sum(coalesce(ca, 0) * coalesce(cb, 0)) AS DOUBLE)
+                    AS p_max
+           FROM j""",
       "stats_profile" ->
         """WITH a AS (
               SELECT count(*) AS n_rows,
