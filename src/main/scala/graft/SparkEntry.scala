@@ -2666,6 +2666,34 @@ object SparkEntry {
           sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
             .otherwise(0L)).as("low_line_count"))
     }),
+    "io_incremental_agg" -> ((s, dir) => {
+      // incremental aggregate MAINTENANCE: yesterday's per-type rollup
+      // (events before day 15) merged with today's delta partial — no
+      // re-scan of the base — must equal the full recompute. Count/sum
+      // partials merge by addition (the mergeable-state property every
+      // sketch in this engine relies on, here made an explicit gate
+      // check: n_mismatch is recomputed in-query and must read 0).
+      val split = lit("2024-01-15").cast("timestamp")
+      val ev = events(s, dir)
+        .withColumn("tstamp", expr("timestamp_micros(ts div 1000)"))
+      def partial(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(floor(col("value"))).cast("double").as("vs"))
+      val merged = partial(ev.filter(col("tstamp") < split))
+        .unionByName(partial(ev.filter(col("tstamp") >= split)))
+        .groupBy("event_type")
+        .agg(sum("n").as("n"), sum("vs").cast("double").as("value_floor_sum"))
+      val full = partial(ev)
+        .select(col("event_type").as("__ft"), col("n").as("__fn"),
+          col("vs").as("__fs"))
+      merged.join(broadcast(full), col("event_type") === col("__ft"), "full_outer")
+        .select(coalesce(col("event_type"), col("__ft")).as("event_type"),
+          col("n"), col("value_floor_sum"),
+          ((!(col("n") <=> col("__fn"))) ||
+            (!(col("value_floor_sum") <=> col("__fs")))).cast("long")
+            .as("n_mismatch"))
+    }),
     "stats_join_skew" -> ((s, dir) => {
       // pre-join skew diagnostic: the EXACT output cardinality a
       // lineitem x orders equi-join would produce, computed from per-key
@@ -5415,6 +5443,11 @@ object SparkEntry {
            WHERE l_shipdate >= TIMESTAMP '1995-01-01'
              AND l_shipdate < TIMESTAMP '1996-01-01'
            GROUP BY 1""",
+      "io_incremental_agg" ->
+        """SELECT event_type, count(*) AS n,
+                  CAST(sum(floor(value)) AS DOUBLE) AS value_floor_sum,
+                  CAST(0 AS BIGINT) AS n_mismatch
+           FROM events GROUP BY 1""",
       "stats_join_skew" ->
         """WITH a AS (SELECT l_orderkey AS k, count(*) AS ca
                       FROM lineitem GROUP BY 1),
