@@ -5295,7 +5295,7 @@ object SparkEntry {
               SELECT o_custkey, count(*) AS n_orders,
                      CAST(sum(floor(o_totalprice)) AS DOUBLE) AS spend_floor
               FROM orders GROUP BY 1)
-           SELECT coalesce(c_nationkey, -1) AS nation,
+           SELECT CAST(coalesce(c_nationkey, -1) AS BIGINT) AS nation,
                   count(*) AS n_rows,
                   CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
                        AS BIGINT) AS n_never_ordered,
@@ -5405,8 +5405,9 @@ object SparkEntry {
                  FROM e a JOIN e b ON a.vec_id = b.vec_id AND b.i >= a.i
                  GROUP BY 1, 2)
            SELECT CAST(p.i AS INT) AS i, CAST(p.j AS INT) AS j, nn.n,
-                  ma.sx AS sx, mb.sx AS sy, p.sxy AS sxy,
-                  nn.n * p.sxy - ma.sx * mb.sx AS cov_e
+                  CAST(ma.sx AS BIGINT) AS sx, CAST(mb.sx AS BIGINT) AS sy,
+                  CAST(p.sxy AS BIGINT) AS sxy,
+                  CAST(nn.n * p.sxy - ma.sx * mb.sx AS BIGINT) AS cov_e
            FROM p JOIN m ma ON p.i = ma.i JOIN m mb ON p.j = mb.i
            CROSS JOIN nn""",
       "dp_growth" ->

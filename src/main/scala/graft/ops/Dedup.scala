@@ -188,24 +188,61 @@ object Dedup {
     mins
   })
 
+  /** Candidate pairs from a banded (id, band, bucket) frame — the shared
+    * core of every LSH family here. `maxBucket <= 0` (default) is the
+    * plain bucket self-join: all intra-bucket pairs, volume quadratic in
+    * bucket size. `maxBucket > 0` is the 100 TB hot-bucket hardening: a
+    * bucket larger than the cap is, by LSH construction, a pile of
+    * guaranteed-high-similarity documents (mass-duplicated spam, mirrored
+    * boilerplate), so instead of B^2 verify pairs it emits a STAR — its
+    * min-id member paired with every other member (B-1 rows). The star
+    * connects the same component in the downstream dup graph (connected
+    * components close the clique transitively); only the explicit
+    * intra-pile pair list is forgone, which is why the cap is opt-in and
+    * why sub-cap buckets are byte-identical to the uncapped plan.
+    * Candidates carry ids only either way. */
+  private def bandedCandidates(banded: DataFrame, maxBucket: Int): DataFrame = {
+    val left = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
+    val right = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
+    if (maxBucket <= 0) {
+      left.hint("shuffle_hash").join(right, Seq("band", "bucket"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").distinct()
+    } else {
+      val stats = banded.groupBy("band", "bucket")
+        .agg(count(lit(1)).as("__bn"), min("id").as("__rep"))
+      val small = stats.filter(col("__bn") <= maxBucket)
+        .select("band", "bucket")
+      val smallPairs = left.hint("shuffle_hash")
+        .join(small.hint("shuffle_hash"), Seq("band", "bucket"), "left_semi")
+        .join(right, Seq("band", "bucket"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b")
+      val starPairs = banded
+        .join(stats.filter(col("__bn") > maxBucket), Seq("band", "bucket"))
+        .filter(col("id") =!= col("__rep")) // __rep = min(id), so rep < id
+        .select(col("__rep").as("id_a"), col("id").as("id_b"))
+      smallPairs.unionByName(starPairs).distinct()
+    }
+  }
+
   /** Shared candidate+verify frame of the PORTABLE banded pipeline:
     * (id_a, id_b, sh_a, sh_b) for every banded candidate pair, shingle
     * sets joined back for exact verification. Factored out so the Jaccard
-    * and containment verifies share one candidate generation. */
+    * and containment verifies share one candidate generation.
+    * `maxBucket` routes oversized band buckets through the star collapse
+    * of [[bandedCandidates]]. */
   private def portableVerifyFrame(
       df: DataFrame, idCol: String, textCol: String,
-      shingleSize: Int, numBands: Int, rowsPerBand: Int): DataFrame = {
+      shingleSize: Int, numBands: Int, rowsPerBand: Int,
+      maxBucket: Int = 0): DataFrame = {
     val withSig = minHashWithSigPortable(df, idCol, textCol, shingleSize,
       numBands * rowsPerBand)
     val banded = withSig
       .select(col("id"),
         posexplode(array(portableBandKeys(numBands, rowsPerBand): _*))
           .as(Seq("band", "bucket")))
-    val left = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
-    val right = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
-    val candidates = left.hint("shuffle_hash").join(right, Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+    val candidates = bandedCandidates(banded, maxBucket)
     val shA = withSig.select(col("id").as("id_a"), col("shingles").as("sh_a"))
     val shB = withSig.select(col("id").as("id_b"), col("shingles").as("sh_b"))
     candidates.join(shA, "id_a").join(shB, "id_b")
@@ -229,9 +266,11 @@ object Dedup {
       shingleSize: Int = 3,
       numBands: Int = 16,
       rowsPerBand: Int = 8,
-      threshold: Double = 0.6
+      threshold: Double = 0.6,
+      maxBucket: Int = 0
   ): DataFrame =
-    portableVerifyFrame(df, idCol, textCol, shingleSize, numBands, rowsPerBand)
+    portableVerifyFrame(df, idCol, textCol, shingleSize, numBands, rowsPerBand,
+      maxBucket)
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
@@ -260,9 +299,11 @@ object Dedup {
       shingleSize: Int = 3,
       numBands: Int = 64,
       rowsPerBand: Int = 2,
-      threshold: Double = 0.8
+      threshold: Double = 0.8,
+      maxBucket: Int = 0
   ): DataFrame =
-    portableVerifyFrame(df, idCol, textCol, shingleSize, numBands, rowsPerBand)
+    portableVerifyFrame(df, idCol, textCol, shingleSize, numBands, rowsPerBand,
+      maxBucket)
       .withColumn("__mn",
         least(size(col("sh_a")), size(col("sh_b"))).cast("double"))
       .withColumn("containment",
@@ -479,9 +520,10 @@ object Dedup {
       .localCheckpoint(false)
 
   /** Stage 2 of [[minHashLSH]]: band-bucket candidates + exact-Jaccard verify
-    * over the checkpointed signature frame. */
+    * over the checkpointed signature frame. `maxBucket` routes oversized
+    * band buckets through the star collapse of [[bandedCandidates]]. */
   def minHashPairsFromSig(withSig: DataFrame, numBands: Int, rowsPerBand: Int,
-      threshold: Double): DataFrame = {
+      threshold: Double, maxBucket: Int = 0): DataFrame = {
     // band key = hash of the band's slice of the signature
     val bandSigs = (0 until numBands).map { b =>
       xxhash64(concat_ws("_", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)), lit(b))
@@ -490,13 +532,7 @@ object Dedup {
     // bucket join + distinct, so big arrays never ride the candidate shuffle
     val banded = withSig
       .select(col("id"), posexplode(array(bandSigs: _*)).as(Seq("band", "bucket")))
-    val left = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
-    val right = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
-    // shuffle_hash hint: without it Spark may broadcast one side, which
-    // would build the whole minhash subtree single-threaded in the driver
-    val candidates = left.hint("shuffle_hash").join(right, Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct() // a pair may collide in several bands
+    val candidates = bandedCandidates(banded, maxBucket)
     val shA = withSig.select(col("id").as("id_a"), col("shingles").as("sh_a"))
     val shB = withSig.select(col("id").as("id_b"), col("shingles").as("sh_b"))
     candidates.join(shA, "id_a").join(shB, "id_b")
@@ -834,17 +870,14 @@ object Dedup {
     * survive with p ~0.92 per the formula above; callers needing high recall
     * at lower cosine should widen bands (e.g. planes=10, bands=14). */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double = 0.95, planes: Int = 14, bands: Int = 10): DataFrame = {
+      threshold: Double = 0.95, planes: Int = 14, bands: Int = 10,
+      maxBucket: Int = 0): DataFrame = {
     val s = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
     val banded = s.select(col("id"),
       posexplode(Similarity.bandBuckets(col("vec"), planes, bands))
         .as(Seq("band", "bucket")))
       .select("id", "band", "bucket")
-    val l = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
-    val r = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
-    val candidates = l.hint("shuffle_hash").join(r, Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+    val candidates = bandedCandidates(banded, maxBucket)
     val va = s.select(col("id").as("id_a"), col("vec").as("v_a"))
     val vb = s.select(col("id").as("id_b"), col("vec").as("v_b"))
     candidates

@@ -99,11 +99,15 @@ object GraphOps {
 
   /** Exact TRIANGLE COUNT + global clustering coefficient of an undirected
     * graph — the standard structure probe of a duplicate-pair or link
-    * graph. Edges canonicalize to a < b and each triangle a < b < c is
-    * enumerated exactly once by the classic ordered two-join: wedge
-    * (a,b)x(b,c) probed against edge (a,c). Both joins key on node ids and
-    * carry ids only; degree-skew hot nodes are the known cost (production
-    * pipelines split high-degree nodes first — same plan shape).
+    * graph. Edges canonicalize, then every edge is ORIENTED from its
+    * lower-(degree, id) endpoint to the higher one before the wedge join
+    * (the classic degree-ordered / "compact-forward" MapReduce shape):
+    * every node's out-degree under this orientation is O(sqrt(m)), so the
+    * wedge join emits O(m^1.5) candidates total instead of sum-of-d^2 —
+    * a planted star of degree d contributes ZERO wedges instead of d^2,
+    * which is what survives a power-law duplicate graph at 100 TB.
+    * A triangle with key order p < q < r is found exactly once, as the
+    * wedge (q,r) out of p closed by the oriented edge q -> r.
     * n_wedges is the exact sum over nodes of (deg choose 2), so
     * clustering = 3 * triangles / wedges, one IEEE division of longs.
     * Returns ONE row: (n_nodes, n_edges, n_wedges, n_triangles,
@@ -114,14 +118,18 @@ object GraphOps {
         greatest(col(srcCol), col(dstCol)).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
-      .localCheckpoint(false) // consumed by degrees, wedges, and the probe join
+      .localCheckpoint(false) // consumed by degrees and both orientation joins
     val deg = e.select(col("a").as("v")).unionByName(e.select(col("b").as("v")))
       .groupBy("v").agg(count(lit(1)).as("d"))
     val degStats = deg.agg(count(lit(1)).as("n_nodes"),
       sum(expr("d * (d - 1) div 2")).as("n_wedges"))
-    val tri = e.select(col("a"), col("b"))
-      .join(e.select(col("a").as("b"), col("b").as("c")), "b")
-      .join(e.select(col("a"), col("b").as("c")), Seq("a", "c"), "left_semi")
+    val o = degreeOriented(e, deg)
+      .localCheckpoint(false) // consumed by the wedge join (twice) + probe
+    val tri = o.as("x")
+      .join(o.as("y"),
+        col("x.u") === col("y.u") && col("x.kv") < col("y.kv"))
+      .select(col("x.v").as("u"), col("y.v").as("v"))
+      .join(o.select("u", "v"), Seq("u", "v"), "left_semi")
       .agg(count(lit(1)).as("n_triangles"))
     val edgeCount = e.agg(count(lit(1)).as("n_edges"))
     degStats.crossJoin(broadcast(edgeCount)).crossJoin(broadcast(tri))
@@ -129,5 +137,27 @@ object GraphOps {
         when(col("n_wedges") === 0L, lit(0.0))
           .otherwise((col("n_triangles") * 3L).cast("double") /
             col("n_wedges").cast("double")).as("clustering"))
+  }
+
+  /** Degree-ordered orientation: given canonical undirected edges (a, b)
+    * and the degree frame (v, d), emit each edge once as (u, v, kv) where
+    * u is the lower-(degree, id) endpoint, v the higher, and kv is v's
+    * comparable (degree, id) sort key (carried so the wedge join can
+    * order a node's out-neighbors without re-joining degrees). Out-degree
+    * per node is bounded by O(sqrt(m)) under this orientation, which is
+    * what caps wedge-candidate volume; exposed package-private so specs
+    * can pin the candidate-count collapse on a planted star. */
+  private[graft] def degreeOriented(e: DataFrame, deg: DataFrame): DataFrame = {
+    val withDeg = e
+      .join(deg.select(col("v").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
+    // total order on nodes: (degree, id) lexicographic, as one comparable
+    // struct (identical field names on both arms so when/otherwise unifies)
+    val ka = struct(col("da").as("dk"), col("a").as("nk"))
+    val kb = struct(col("db").as("dk"), col("b").as("nk"))
+    withDeg.select(
+      when(ka < kb, col("a")).otherwise(col("b")).as("u"),
+      when(ka < kb, col("b")).otherwise(col("a")).as("v"),
+      when(ka < kb, kb).otherwise(ka).as("kv"))
   }
 }

@@ -81,6 +81,40 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(r.getAs[Double]("clustering") == 12.0 / 15.0)
   }
 
+  test("triangleStats: degree orientation collapses planted-star wedge candidates") {
+    // planted star: center 5000 with 10^4 spokes (ids 0..10000 \ {5000}),
+    // plus a triangle among spokes {1,2,3}. Under the old id-ordered plan
+    // the wedge join centered at the star center generates
+    // (#edges where center is max-id) * (#edges where center is min-id)
+    // = 5000 * 5000 = 25M candidate rows; under degree ordering every
+    // spoke->center edge points INTO the center (degree 10^4), so the
+    // center contributes zero wedges and the total candidate count is 4.
+    import org.apache.spark.sql.functions._
+    val star = (0L to 10000L).filter(_ != 5000L).map(i => (5000L, i))
+    val edges = (star ++ Seq((1L, 2L), (1L, 3L), (2L, 3L))).toDF("x", "y")
+    val e = edges
+      .select(least(col("x"), col("y")).as("a"), greatest(col("x"), col("y")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val deg = e.select(col("a").as("v")).unionByName(e.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    // id-ordered wedge candidates: sum over b of (times-as-max * times-as-min)
+    val idOrdered = e.groupBy(col("b").as("v")).agg(count(lit(1)).as("nb"))
+      .join(e.groupBy(col("a").as("v")).agg(count(lit(1)).as("na")), "v")
+      .agg(sum(col("na") * col("nb"))).collect()(0).getLong(0)
+    // degree-ordered wedge candidates: sum over u of (outdeg choose 2)
+    val oriented = GraphOps.degreeOriented(e, deg)
+    val degOrdered = oriented.groupBy("u").agg(count(lit(1)).as("od"))
+      .agg(sum(expr("od * (od - 1) div 2"))).collect()(0).getLong(0)
+    assert(idOrdered >= 25000000L)
+    assert(degOrdered == 4L)
+    // orientation is a bijection on edges and the census is still exact:
+    // triangles {1,2,3}, {5000,1,2}, {5000,1,3}, {5000,2,3}
+    assert(oriented.count() == e.count())
+    val r = GraphOps.triangleStats(edges, "x", "y").collect().head
+    assert(r.getAs[Long]("n_triangles") == 4L)
+    assert(r.getAs[Long]("n_edges") == 10003L)
+  }
+
   test("triangleStats: triangle-free graph reports zero with zero clustering") {
     // a path 1-2-3-4: wedges exist, no triangle
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("x", "y")

@@ -325,6 +325,43 @@ class DedupSpec extends AnyFunSuite {
     assert(jac.isEmpty, s"Jaccard 0.6 should miss the contained pair: ${jac.toSeq}")
   }
 
+  test("maxBucket: mass-duplicate pile collapses to a star; normal fixture identical") {
+    // 200 identical docs put every doc in the same bucket in every band:
+    // uncapped verify volume is C(200,2) = 19900 pairs; capped, each
+    // oversized bucket emits the min-id star — exactly 199 pairs, all
+    // anchored at doc 0, all verified at jaccard 1.0. The downstream dup
+    // graph's connected component is identical either way.
+    val pile = (0L until 200L).map(i => (i, base)).toDF("id", "text")
+    val capped = Dedup.minHashLSHPortable(pile, "id", "text",
+        threshold = 0.6, maxBucket = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(capped.length == 199, s"star expected: ${capped.length}")
+    assert(capped.forall(p => p._1 == 0L && p._3 == 1.0))
+    assert(capped.map(_._2).sorted.toSeq == (1L until 200L).toSeq)
+    val uncapped = Dedup.minHashLSHPortable(pile, "id", "text", threshold = 0.6)
+    assert(uncapped.count() == 19900L)
+    // on a fixture with no oversized bucket the capped plan is identical
+    val normal = Seq(
+      (1L, base),
+      (2L, base + " extra trailing sentence appended here"),
+      (3L, "completely unrelated content about spark catalyst optimizer rules"),
+      (4L, base.replace("quick", "rapid"))
+    ).toDF("id", "text")
+    def pairSet(mb: Int) = Dedup.minHashLSHPortable(normal, "id", "text",
+        threshold = 0.3, maxBucket = mb)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pairSet(50) == pairSet(0))
+    assert(pairSet(0).map(p => (p._1, p._2)).contains((1L, 2L)))
+    // same contract on the embedding path: identical vectors pile into one
+    // bucket per band; capped output is the min-id star at cosine 1.0
+    val vecs = (0L until 120L).map(i => (i, Array.fill(8)(1.0f)))
+      .toDF("id", "vec")
+    val embCapped = Dedup.embeddingNearDups(vecs, "id", "vec",
+        threshold = 0.9, planes = 4, bands = 3, maxBucket = 30)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(embCapped.length == 119 && embCapped.forall(_._1 == 0L))
+  }
+
   test("minhash LSH finds planted near-duplicates and not unrelated docs") {
     val df = Seq(
       (1L, base),

@@ -50,15 +50,27 @@ def main(sf_dir, out_dir):
         exp = con.execute(oracle[name]).fetchdf()
         exp = exp.reindex(sorted(exp.columns), axis=1)
         ok_schema = list(res.columns) == list(exp.columns)
+        # Dtype audit: the driver hashes stringified pandas values, so a
+        # DuckDB HUGEINT/DECIMAL arm (fetchdf -> float64/object) diverges
+        # from a Spark BIGINT arm (int64) even when values are equal.
+        dtype_mismatch = []
+        if ok_schema:
+            for c in res.columns:
+                da, db = str(res[c].dtype), str(exp[c].dtype)
+                if da != db:
+                    dtype_mismatch.append((c, da, db))
+        ok_dtype = not dtype_mismatch
         a, b = norm(res.itertuples(index=False)), norm(exp.itertuples(index=False))
         ok_rows = len(a) == len(b)
         exact = a == b
-        status = "PASS" if (ok_schema and exact) else "FAIL"
+        status = "PASS" if (ok_schema and exact and ok_dtype) else "FAIL"
         if status == "PASS":
             n_pass += 1
         else:
             n_fail += 1
         print(f"  {name}: {status} rows={len(a)}/{len(b)} schema_match={ok_schema} cols={list(res.columns)} vs {list(exp.columns)}")
+        if dtype_mismatch:
+            print(f"    DTYPE-MISMATCH (spark vs oracle): {dtype_mismatch}")
         if not exact and ok_rows and ok_schema:
             # report worst numeric deviation
             worst = 0.0; worst_row = None
