@@ -1510,6 +1510,25 @@ object SparkEntry {
       docs.select(col("doc_id"), Multimodal.payloadFeatures(col("media")).as("f"))
         .select(col("doc_id"), col("f.n_bytes").as("n_bytes"), col("f.sha256").as("sha256"))
     }),
+    "mm_embed" -> ((s, dir) => {
+      // model feature extraction END-TO-END: each embedding's int8
+      // quantization is the opaque binary payload (the bytes a feature
+      // store holds), pushed through the real batched mapPartitions
+      // inference boundary — weights materialize once per partition, rows
+      // flow in batches — where the "model" is the fixed-weight integer
+      // network (sum-pool + the portable +-1 linear layer). All-integer
+      // forward pass => every feature coordinate hashes exactly against
+      // the oracle's replay of the same linear algebra.
+      val toBytes = udf((q: Seq[Byte]) => q.toArray)
+      val payload = s.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"),
+          toBytes(Similarity.quantizeInt8(col("embedding")).getField("q"))
+            .as("media"))
+      Multimodal.extractFeaturesBatched(payload, "media", inDim = 64, outDim = 8)
+        .select(col("vec_id"),
+          posexplode(col("feature_vec")).as(Seq("j", "feature")))
+        .select(col("vec_id"), col("j").cast("int").as("j"), col("feature"))
+    }),
     "mm_frame_sample" -> ((s, dir) => {
       // video-shaped frame sampling: each doc becomes a 4-frame GFTV
       // container of real PNGs, 2 evenly-spaced frames are sampled (only
@@ -4439,6 +4458,33 @@ object SparkEntry {
         """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
               sha256(text) AS sha256
            FROM documents""",
+      "mm_embed" ->
+        """WITH q AS (
+             SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             FROM embeddings),
+           s AS (
+             SELECT vec_id, v,
+                    CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0
+                         THEN 1.0
+                         ELSE list_max(list_transform(v, x -> abs(x))) / 127.0
+                    END AS scale
+             FROM q),
+           z AS (
+             SELECT vec_id,
+                    list_transform(v, x -> CAST(least(greatest(round(x / scale),
+                      -127.0), 127.0) AS BIGINT)) AS qd
+             FROM s),
+           e AS (SELECT vec_id, i, qd[CAST(i + 1 AS INT)] AS x
+                 FROM z, range(0, 64) t(i)),
+           w AS (SELECT ii.i AS i, jj.j AS j,
+                   CASE WHEN CAST(CONCAT('0x', substr(md5(ii.i || ':' || jj.j), 1, 15))
+                             AS BIGINT) % 2 = 1
+                        THEN 1 ELSE -1 END AS w
+                 FROM range(0, 64) ii(i), range(0, 8) jj(j))
+           SELECT e.vec_id, CAST(w.j AS INT) AS j,
+                  CAST(sum(e.x * w.w) AS BIGINT) AS feature
+           FROM e JOIN w ON e.i = w.i
+           GROUP BY 1, 2""",
       "papi_count_sum" ->
         """SELECT event_type, CAST(count(*) AS DOUBLE) AS count,
               sum(least(greatest(floor(value), 0.0), 1000.0)) AS sum

@@ -10,10 +10,12 @@ import org.apache.spark.sql.types._
   *
   * Image decode ([[decodeImage]]) and resize ([[resizeImage]]) are REAL,
   * via the JDK's ImageIO (PNG/BMP/GIF/JPEG readers ship with the JVM);
-  * audio decode ([[decodeAudio]]) parses WAV/AIFF via javax.sound. Only the
-  * embedding "model forward pass" in [[extractFeaturesBatched]] remains a
-  * deterministic fake (no model weights in this environment), and
-  * [[decodeImageStub]] is kept for payloads in formats the JDK cannot read.
+  * audio decode ([[decodeAudio]]) parses WAV/AIFF via javax.sound. The
+  * "model forward pass" in [[extractFeaturesBatched]] is a real fixed-weight
+  * integer network (sum-pool + the portable +-1 linear layer), batched the
+  * way a native inference integration batches — trained weights would swap
+  * in as one Array without touching the plan; [[decodeImageStub]] is kept
+  * for payloads in formats the JDK cannot read.
   */
 /** Decoded-media structs — top-level so their encoders stay codegen-compiled
   * (case classes nested in an object become inner classes whose accessors
@@ -346,36 +348,59 @@ object Multimodal {
       .drop("__sf")
   }
 
-  /** Batched feature extraction through a real `mapPartitions` boundary:
-    * demonstrates the partition-iterator shape a native codec integration
-    * uses (amortized per-partition init), while the per-row "model" is the
-    * deterministic fake. */
-  def extractFeaturesBatched(df: DataFrame, mediaCol: String, batchSize: Int = 64): DataFrame = {
+  /** Batched model feature extraction through a real `mapPartitions`
+    * boundary: the partition-iterator shape a native inference integration
+    * uses (the "model" — the weight matrix — is materialized ONCE per
+    * partition, exactly where a real impl would load weights or open a
+    * codec; rows then flow through in `batchSize` groups, the unit a
+    * batched forward pass consumes).
+    *
+    * The model itself is a REAL two-layer deterministic network with fixed
+    * weights, all-integer so every feature is bit-exact and oracle-
+    * replayable:
+    *   1. sum-pool the signed byte stream into `inDim` buckets
+    *      (acc[i mod inDim] += payload[i], signed int8 semantics), and
+    *   2. a fixed +-1 linear layer: feature[j] = sum_i acc[i] * W[i][j],
+    *      W = [[Similarity.portableSigns]] (the engine-wide portable md5
+    *      +-1 matrix, Achlioptas-style Rademacher weights), accumulated
+    *      in Long.
+    * No sandbox weights are needed because the weights are the portable
+    * matrix; swapping in trained weights changes one Array, not the plan.
+    * Output column `feature_vec` is array<bigint>, nulls embed as zeros. */
+  def extractFeaturesBatched(df: DataFrame, mediaCol: String,
+      batchSize: Int = 64, inDim: Int = 16, outDim: Int = 8): DataFrame = {
     val schema = StructType(df.schema.fields :+
-      StructField("feature_vec", ArrayType(DoubleType), nullable = false))
+      StructField("feature_vec", ArrayType(LongType), nullable = false))
     val mediaIdx = df.schema.fieldIndex(mediaCol)
     val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
     df.mapPartitions { rows =>
-      // per-partition init happens HERE (codec/model load in a real impl)
+      // per-partition init: the model weights materialize HERE, once
+      val weights = Similarity.portableSigns(inDim, outDim)
       rows.grouped(batchSize).flatMap { batch =>
         batch.map { row =>
           val bytes = row.getAs[Array[Byte]](mediaIdx)
-          val feat = fakeEmbedding(bytes, 8)
+          val feat = modelForward(bytes, weights, inDim, outDim)
           Row.fromSeq(row.toSeq :+ feat.toSeq)
         }
       }
     }(encoder)
   }
 
-  /** Deterministic fake embedding from bytes (stands in for a model forward
-    * pass). */
-  private def fakeEmbedding(bytes: Array[Byte], dim: Int): Array[Double] = {
-    val out = new Array[Double](dim)
+  /** The fixed-weight forward pass: signed-byte sum-pool to `inDim`, then
+    * the +-1 linear layer — all-Long, bit-exact. */
+  private def modelForward(bytes: Array[Byte], weights: Array[Array[Int]],
+      inDim: Int, outDim: Int): Array[Long] = {
+    val out = new Array[Long](outDim)
     if (bytes == null) return out
+    val acc = new Array[Long](inDim)
     var i = 0
-    while (i < bytes.length) {
-      out(i % dim) += (bytes(i) & 0xFF) / 255.0
-      i += 1
+    while (i < bytes.length) { acc(i % inDim) += bytes(i).toLong; i += 1 }
+    var j = 0
+    while (j < outDim) {
+      var s = 0L; var k = 0
+      while (k < inDim) { s += acc(k) * weights(k)(j); k += 1 }
+      out(j) = s
+      j += 1
     }
     out
   }

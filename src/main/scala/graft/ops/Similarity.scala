@@ -922,15 +922,25 @@ object Similarity {
     * rides the UDF closure; the row loop is pure multiply-add — no per-row
     * hashing. The cheap pre-step before ANN when raw dimensionality is the
     * cost driver (a 64 -> 16 projection cuts every downstream cosine 4x). */
-  def randomProject(vec: Column, inDim: Int, outDim: Int): Column = {
-    require(inDim > 0 && outDim > 0, s"dims must be positive: $inDim -> $outDim")
+  /** The engine-wide portable +-1 matrix: sign of cell (i, j) is the low
+    * bit of md5("i:j")'s leading 60 bits — replayable in any SQL engine as
+    * `CAST(CONCAT('0x', substr(md5(i || ':' || j), 1, 15)) AS BIGINT) % 2`.
+    * Shared by [[randomProject]] (as the JL projection) and
+    * [[Multimodal.extractFeaturesBatched]] (as the fixed-weight linear
+    * "model"). */
+  private[graft] def portableSigns(inDim: Int, outDim: Int): Array[Array[Int]] = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    val signs = Array.tabulate(inDim, outDim) { (i, j) =>
+    Array.tabulate(inDim, outDim) { (i, j) =>
       val d = md.digest(s"$i:$j".getBytes(java.nio.charset.StandardCharsets.UTF_8))
       var v = 0L; var k = 0
       while (k < 8) { v = (v << 8) | (d(k) & 0xffL); k += 1 }
-      if (((v >>> 4) & 1L) == 1L) 1.0 else -1.0
+      if (((v >>> 4) & 1L) == 1L) 1 else -1
     }
+  }
+
+  def randomProject(vec: Column, inDim: Int, outDim: Int): Column = {
+    require(inDim > 0 && outDim > 0, s"dims must be positive: $inDim -> $outDim")
+    val signs = portableSigns(inDim, outDim)
     val scale = 1.0 / math.sqrt(outDim.toDouble)
     val f = udf((a: Array[Double]) => {
       if (a == null) throw new IllegalArgumentException(

@@ -1337,10 +1337,22 @@ class MultimodalSpec extends AnyFunSuite {
     val df = Seq((1L, "abc"), (2L, "abc"), (3L, "xyz")).toDF("id", "text")
       .withColumn("media", col("text").cast("binary")).drop("text")
     val out = Multimodal.extractFeaturesBatched(df, "media")
-    val rows = out.collect().map(r => r.getLong(0) -> r.getSeq[Double](2)).toMap
+    val rows = out.collect().map(r => r.getLong(0) -> r.getSeq[Long](2)).toMap
     assert(rows.size == 3)
     assert(rows(1L) == rows(2L)) // deterministic on same bytes
     assert(rows(1L) != rows(3L))
+    // the forward pass is the pinned fixed-weight network: hand-replay
+    // sum-pool + portable +-1 linear layer for "abc" at inDim=16, outDim=8
+    val w = Similarity.portableSigns(16, 8)
+    val bytes = "abc".getBytes("UTF-8")
+    val acc = new Array[Long](16)
+    bytes.zipWithIndex.foreach { case (b, i) => acc(i % 16) += b.toLong }
+    val expect = (0 until 8).map(j => (0 until 16).map(k => acc(k) * w(k)(j)).sum)
+    assert(rows(1L) == expect, s"got ${rows(1L)} want $expect")
+    // batch size must not change results (batched == row-at-a-time)
+    val one = Multimodal.extractFeaturesBatched(df, "media", batchSize = 1)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](2)).toMap
+    assert(one == rows)
   }
 
   test("frame sampling is evenly spaced and bounded") {
