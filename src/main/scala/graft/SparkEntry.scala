@@ -511,9 +511,25 @@ object SparkEntry {
             .as("predicted_lang"))
     }),
     "text_fingerprint" -> ((s, dir) => {
-      // xxhash64-based rolling sketch; engine-specific hash => rows-only
+      // xxhash64-based rolling sketch; engine-specific hash => rows-only.
+      // IN-QUERY PROBES (the rows-only convention): per row,
+      //   probe_fp_collisions — OTHER distinct texts sharing this row's
+      //     fingerprint (expect 0: a fingerprint maps to one text);
+      //   probe_text_splits — OTHER distinct fingerprints on this row's
+      //     exact text (expect 0: exact duplicates must fingerprint
+      //     equal, the property dedup relies on).
+      // Texts ride the two windows as md5 keys, not full strings.
+      import org.apache.spark.sql.expressions.Window
       s.read.parquet(s"$dir/documents.parquet")
-        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+        .select(col("doc_id"), md5(col("text")).as("__t"),
+          TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+        .withColumn("probe_fp_collisions",
+          (size(collect_set(col("__t")).over(Window.partitionBy("fingerprint")))
+            - 1).cast("long"))
+        .withColumn("probe_text_splits",
+          (size(collect_set(col("fingerprint")).over(Window.partitionBy("__t")))
+            - 1).cast("long"))
+        .select("doc_id", "fingerprint", "probe_fp_collisions", "probe_text_splits")
     }),
     "text_fingerprint_md5" -> ((s, dir) => {
       // bottom-k winnowing fingerprint with PORTABLE hashing: md5-derived
@@ -1498,10 +1514,26 @@ object SparkEntry {
       // recall >= 0.8 against brute force on clustered data. nlist/nprobe
       // auto-size inside ivfTopK from the corpus count its sampling step
       // already takes (sqrt(corpus), clamped) — no extra driver job here.
+      // IN-QUERY PROBES (the sim_lsh_topk pattern): every result row
+      // carries its query's recall counters vs the exact brute-force
+      // top-k over the same corpus — n_both (overlap) and n_exact — so
+      // the driver's row check sees silent recall collapse.
       val e = s.read.parquet(s"$dir/embeddings.parquet")
       val queries = e.filter(col("vec_id") < 20)
         .select(col("vec_id").as("qid"), col("embedding"))
-      Similarity.ivfTopK(e, "vec_id", "embedding", queries, "qid", "embedding", k = 5)
+      val ivf = Similarity.ivfTopK(e, "vec_id", "embedding",
+        queries, "qid", "embedding", k = 5)
+      val exact = Similarity.bruteForceTopK(e, "vec_id", "embedding",
+          queries, "qid", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("__in_exact"))
+      val recall = ivf
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("__in_ivf"))
+        .join(exact, Seq("query_id", "neighbor_id"), "full_outer")
+        .groupBy("query_id")
+        .agg(sum(when(col("__in_exact").isNotNull &&
+            col("__in_ivf").isNotNull, 1L).otherwise(0L)).as("n_both"),
+          sum(coalesce(col("__in_exact"), lit(0L))).as("n_exact"))
+      ivf.join(broadcast(recall), Seq("query_id"))
     }),
     "mm_features" -> ((s, dir) => {
       // multimodal payload plumbing: text bytes as the opaque binary payload

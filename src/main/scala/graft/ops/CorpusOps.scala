@@ -735,7 +735,17 @@ object CorpusOps {
     * grid: keep iff md5(id # salt) mod 1e6 < thr(group). The
     * [[applyMixture]] selection rule with the threshold table computed
     * upstream (e.g. [[temperatureThresholds]]) instead of passed as
-    * literals — broadcast join + filter, zero shuffle on the corpus. */
+    * literals — broadcast join + filter, zero shuffle on the corpus.
+    *
+    * EXPLICIT-MIXTURE-ONLY contract (deliberate, spec-pinned): a group
+    * absent from `thresholds` keeps ZERO rows — absent means "not in the
+    * mixture", the same semantics as a mixture spec that omits the group
+    * (thr = 0), NOT an error. This intentionally diverges from
+    * [[weightedInterleave]]'s fail-loud missing-weight rule: there a
+    * missing weight has no zero-meaning (every interleaved stream must be
+    * weighted), here thr = 0 is a first-class value the threshold
+    * computation itself can emit. Callers who consider a missing group a
+    * bug should anti-join their corpus against `thresholds` first. */
   def applyThresholds(df: DataFrame, groupCol: String, idCol: String,
       thresholds: DataFrame, salt: String = "#mix"): DataFrame = {
     val grid = 1000000L

@@ -725,21 +725,42 @@ object Dedup {
     * survives: still provably NO false negatives (Xiao et al., PPJoin). The
     * Jaccard constraint J >= t forces overlap >= t/(1+t) * (sz_a + sz_b). */
   private[graft] def ngramCandidatesStage(ordered: DataFrame, threshold: Double): DataFrame = {
-    val prefixSize = (floor(col("sz") * (1 - threshold)) + 1).cast("int")
-    val prefixes = ordered.select(col("block"), col("id"), col("sz"),
-      posexplode(slice(col("grams"), lit(1), prefixSize)).as(Seq("pos", "gram")))
-    val pa = prefixes.select(col("block"), col("gram"), col("id").as("id_a"),
-      col("sz").as("sz_a"), col("pos").as("pos_a"))
-    val pb = prefixes.select(col("block"), col("gram"), col("id").as("id_b"),
-      col("sz").as("sz_b"), col("pos").as("pos_b"))
+    // ASYMMETRIC prefixes (the PPJoin indexing-prefix refinement): direct
+    // every pair small -> large by (sz, id). For the smaller record the
+    // partner is at least as large, so the overlap bound tightens to
+    // alpha >= 2t/(1+t) * sz_a, and the prefix-filter lemma ("the globally
+    // smallest shared gram sits within the first sz - alpha + 1 grams of
+    // BOTH sorted arrays") shrinks its exploded prefix to
+    // (1-t)/(1+t)*sz + 1 — vs the symmetric (1-t)*sz + 1, a ~40% cut in
+    // join-input rows and so in every hot gram-group's cross product. No
+    // filter power is lost: the post-join positional filter enforced
+    // exactly this bound already; it now prunes BEFORE the join on the
+    // side that can. The larger side keeps the full prefix (its partner
+    // may be as small as t * sz_b, where the bound degenerates to the
+    // symmetric one). Candidate-volume growth on the 30x ladder drops
+    // accordingly (ARCHITECTURE.md, round-8 ladder section).
+    val longPrefix = (floor(col("sz") * (1 - threshold)) + 1).cast("int")
+    val shortPrefix =
+      (floor(col("sz") * ((1 - threshold) / (1 + threshold))) + 1).cast("int")
+    val pa = ordered.select(col("block"), col("id").as("id_a"),
+      col("sz").as("sz_a"),
+      posexplode(slice(col("grams"), lit(1), shortPrefix)).as(Seq("pos_a", "gram")))
+    val pb = ordered.select(col("block"), col("id").as("id_b"),
+      col("sz").as("sz_b"),
+      posexplode(slice(col("grams"), lit(1), longPrefix)).as(Seq("pos_b", "gram")))
     val minOverlap =
       ceil((col("sz_a") + col("sz_b")).cast("double") * (threshold / (1 + threshold)))
     pa.hint("shuffle_hash").join(pb,
         pa("block") === pb("block") && pa("gram") === pb("gram") &&
-          col("id_a") < col("id_b") &&
-          col("sz_b") * threshold <= col("sz_a") && col("sz_a") * threshold <= col("sz_b") &&
+          (col("sz_a") < col("sz_b") ||
+            (col("sz_a") === col("sz_b") && col("id_a") < col("id_b"))) &&
+          col("sz_b") * threshold <= col("sz_a") &&
           least(col("sz_a") - col("pos_a"), col("sz_b") - col("pos_b")) >= minOverlap)
-      .select("id_a", "id_b").distinct()
+      // canonicalize to id_a < id_b: the small->large direction may put
+      // the larger id on the a side
+      .select(least(col("id_a"), col("id_b")).as("ida"),
+        greatest(col("id_a"), col("id_b")).as("idb"))
+      .select(col("ida").as("id_a"), col("idb").as("id_b")).distinct()
   }
 
   /** Intersection size of two value-sorted packed long arrays — one linear

@@ -34,10 +34,17 @@ object Layout {
   /** Equal-width quantization of column `c` in [lo, hi] onto [0, 2^bits):
     * (c - lo) * 2^bits div (hi - lo + 1). Integer-exact (`div` is the
     * integral SQL divide — no double round-trip at any magnitude),
-    * monotone, and the top edge maps strictly below 2^bits. Takes column
-    * NAMES because the expression is built as SQL text. */
+    * monotone, and the top edge maps strictly below 2^bits. The product
+    * is computed in DECIMAL(38,0) (the temperatureThresholds convention):
+    * in long arithmetic (c - lo) * 2^bits silently wraps once the value
+    * range nears 2^(63 - bits) — e.g. full-range long keys at bits = 8 —
+    * and a wrapped z-value would silently shuffle rows into the wrong
+    * shard. `div` on decimals still returns BIGINT, so downstream bit
+    * interleaving sees the same long it always did. Takes column NAMES
+    * because the expression is built as SQL text. */
   def quantize(c: String, lo: String, hi: String, bits: Int): Column =
-    expr(s"($c - $lo) * ${1L << bits} div ($hi - $lo + 1)")
+    expr(s"(CAST($c AS DECIMAL(38,0)) - $lo) * ${1L << bits}" +
+      s" div (CAST($hi AS DECIMAL(38,0)) - $lo + 1)")
 
   /** Z-order clustered export: quantize (xCol, yCol) against their global
     * min/max, interleave to a z-value, cut the z-line into `nShards`

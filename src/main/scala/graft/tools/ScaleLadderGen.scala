@@ -41,13 +41,26 @@ object ScaleLadderGen {
     // collide across replicas — precisely the generator-made structure the
     // scaladoc above warns poisons the measurements
     val nDocs = docs.agg(max("doc_id")).collect()(0).getLong(0) + 1
+    // Per-replica char map: AFFINE x -> a*x + b (mod 26 / mod 10), a a
+    // unit. A plain Caesar shift (a = 1) repeats at k >= 26 — replica 26's
+    // letters would be IDENTICAL to replica 0's, manufacturing quadratic
+    // cross-replica near-dup structure precisely at the 30x rung meant to
+    // expose quadratic terms. Affine gives 12*26 = 312 distinct letter
+    // maps; k < 26 keeps a = 1, so the 3x/10x rungs reproduce the
+    // round-6/7 ladders bit-for-bit.
+    val unitsL = Array(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
+    val unitsD = Array(1, 3, 7, 9)
     val salt = udf((t: String, k: Int) =>
       if (t == null || k == 0) t
-      else t.map { c =>
-        if (c >= 'a' && c <= 'z') (((c - 'a' + k) % 26) + 'a').toChar
-        else if (c >= 'A' && c <= 'Z') (((c - 'A' + k) % 26) + 'A').toChar
-        else if (c >= '0' && c <= '9') (((c - '0' + k) % 10) + '0').toChar
-        else c
+      else {
+        val aL = unitsL((k / 26) % 12); val bL = k % 26
+        val aD = unitsD((k / 10) % 4); val bD = k % 10
+        t.map { c =>
+          if (c >= 'a' && c <= 'z') ((aL * (c - 'a') + bL) % 26 + 'a').toChar
+          else if (c >= 'A' && c <= 'Z') ((aL * (c - 'A') + bL) % 26 + 'A').toChar
+          else if (c >= '0' && c <= '9') ((aD * (c - '0') + bD) % 10 + '0').toChar
+          else c
+        }
       })
     val docsN = docs
       .crossJoin(spark.range(replicas).select(col("id").cast("int").as("k")))

@@ -28,7 +28,7 @@ class EntryContractSpec extends AnyFunSuite {
     "dedup_semantic_windowed" ->
       (Seq("n_planted", "n_planted_caught") -> Some("dedup_semantic_exact")),
     "sim_lsh_topk" -> (Seq("planted_found", "n_both", "n_exact") -> Some("sim_topk")),
-    "sim_ivf_topk" -> (Seq.empty -> Some("sim_ivf_exact")),
+    "sim_ivf_topk" -> (Seq("n_both", "n_exact") -> Some("sim_ivf_exact")),
     "sim_pq_topk" -> (Seq("planted_found", "n_both", "n_exact") -> Some("sim_topk")),
     "sim_ivfpq_topk" -> (Seq("planted_found", "n_both", "n_exact") -> Some("sim_topk")),
     "emb_kmeans" ->
@@ -40,7 +40,9 @@ class EntryContractSpec extends AnyFunSuite {
     "io_range_export" ->
       (Seq("overlap_violations", "n_total", "rows_missing")
         -> Some("io_export_shards")),
-    "text_fingerprint" -> (Seq.empty -> Some("text_fingerprint_md5")),
+    "text_fingerprint" ->
+      (Seq("probe_fp_collisions", "probe_text_splits")
+        -> Some("text_fingerprint_md5")),
     "text_bpe" -> (Seq("n_roundtrip_violations") -> None),
     "tune_params" ->
       (Seq("probe_best_gap_vs_min", "probe_gap_vs_single") -> None),

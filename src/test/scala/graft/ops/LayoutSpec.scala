@@ -36,6 +36,16 @@ class LayoutSpec extends AnyFunSuite {
     assert(qs(1) == 500L * 256 / 1000)
     assert(qs(2) == 999L * 256 / 1000) // 255: top edge strictly < 2^bits
     assert(qs.sorted.toSeq == qs.toSeq)
+    // full-range long keys at bits=8: the long-arithmetic product
+    // (c - lo) * 256 wraps at 2^63; the DECIMAL(38,0) product must not
+    val wide = Seq(
+      (Long.MinValue, Long.MinValue, Long.MaxValue),
+      (0L, Long.MinValue, Long.MaxValue),
+      (Long.MaxValue, Long.MinValue, Long.MaxValue))
+      .toDF("v", "lo", "hi")
+      .withColumn("q", Layout.quantize("v", "lo", "hi", 8))
+    val wq = wide.collect().map(_.getAs[Long]("q"))
+    assert(wq.toSeq == Seq(0L, 128L, 255L), s"got ${wq.toSeq}")
   }
 
   test("zorder export: shards cover all rows; pruning is sound and effective") {
