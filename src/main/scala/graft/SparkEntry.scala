@@ -18,79 +18,7 @@ import org.apache.spark.sql.functions._
   * doubles, so Spark's and DuckDB's summation orders cannot diverge.
   */
 object SparkEntry {
-
-  /** events.ts has shipped as parquet TIMESTAMP(NANOS) (readable only as raw
-    * nanos via nanosAsLong) and as plain timestamp[us] (read as a timestamp
-    * type); normalize BOTH to nanos-since-epoch LongType so every downstream
-    * consumer sees one shape. The timestamp branch casts through the session
-    * timezone (UTC everywhere in this repo), matching DuckDB's epoch_ns/
-    * epoch_us reading of the same naive values. */
-  private def events(s: SparkSession, dir: String) = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // the timestamp branch of tsToNanos is epoch arithmetic only under UTC;
-    // enforce it here so the normalization is self-contained rather than
-    // relying on every caller's session config
-    s.conf.set("spark.sql.session.timeZone", "UTC")
-    graft.streaming.StreamOps.tsToNanos(s.read.parquet(s"$dir/events.parquet"))
-  }
-
-  /** ts (nanos since epoch) -> 'yyyy-MM-dd' in UTC. */
-  private val tsDay = expr("date_format(timestamp_micros(ts div 1000), 'yyyy-MM-dd')")
-
-  /** Zero-noise engine with a huge budget: DP plumbing, exact results. */
-  private def zeroEngine() =
-    new DPEngine(new NaiveBudgetAccountant(1e5, 0.999999), NoiseSource.Zero)
-
-  /** The (user_id, event_type) dataset histograms are consumed by five
-    * queries (stats_*, tune_params); compute once per dataset per JVM —
-    * exactly how a real pipeline reuses its contribution histograms. */
-  private val histogramCache =
-    new java.util.concurrent.ConcurrentHashMap[String, graft.stats.DatasetHistograms]()
-  private def eventHistograms(s: SparkSession, dir: String): graft.stats.DatasetHistograms =
-    histogramCache.computeIfAbsent(dir, d =>
-      graft.stats.Histograms.computeDatasetHistograms(
-        events(s, d), col("user_id"), col("event_type")))
-
-  private def eventRoles = DPColumns(
-    col("user_id"), Seq("event_type" -> col("event_type")), Some(floor(col("value"))))
-
-  /** Fixed PER-PROCESS scratch dir for queries that write: stable within a
-    * JVM (bench reps overwrite ONE bounded copy instead of leaking a tree
-    * per invocation), disjoint across processes (the PID component keeps a
-    * concurrent graft JVM from wiping a directory this one's lazily
-    * returned readers still scan), wiped on entry with the walk stream
-    * closed. */
-  private def scratchDir(name: String): String = {
-    val p = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-      s"graft_${name}_${ProcessHandle.current().pid()}")
-    if (java.nio.file.Files.exists(p)) {
-      val walk = java.nio.file.Files.walk(p)
-      try {
-        import scala.jdk.CollectionConverters._
-        walk.iterator.asScala.toSeq.sortBy(-_.getNameCount)
-          .foreach(java.nio.file.Files.delete)
-      } finally walk.close()
-    }
-    p.toString
-  }
-
-  /** Generous bounds: nothing sampled away at sf<=0.1 (max 29 rows per
-    * (user, type), max 5 types per user). */
-  private val generous = (metrics: Seq[Metric], minV: Double, maxV: Double) =>
-    AggregateParams(
-      metrics = metrics,
-      noiseKind = NoiseKind.Laplace,
-      maxPartitionsContributed = 5,
-      maxContributionsPerPartition = Some(100),
-      minValue = Some(minV), maxValue = Some(maxV))
-
-  private def runZero(df: DataFrame, params: AggregateParams, roles: DPColumns,
-      pub: Option[DataFrame] = None): DataFrame = {
-    val engine = zeroEngine()
-    val res = engine.aggregate(df, params, roles, pub)
-    engine.accountant.computeBudgets()
-    res.dataframe
-  }
+  import EntryHelpers._
 
   /** Flagship query on /root/testdata/sf0.001 — the reference's demo shape
     * (groupby + count + sum + mean) with REAL Gaussian noise.
@@ -108,5607 +36,27 @@ object SparkEntry {
       .runQuery(Budget(1.0, 1e-6), NoiseKind.Gaussian)
   }
 
-  /** Utility-analysis option sets shared between queries and oracles.
-    * Public: eps=1 split equally over (SUM, COUNT) => 0.5 each, Laplace.
-    * Private: eps=2 split over (selection, PRIVACY_ID_COUNT) => 1.0 each. */
-  private val uaPublicOptions = UtilityAnalysisOptions(
-    epsilon = 1.0, delta = 0.0, metrics = Seq(Metric.Sum, Metric.Count),
-    configs = Seq(
-      UtilityAnalysisConfig(maxPartitionsContributed = 1, maxContributionsPerPartition = 3,
-        minSumPerPartition = 0.0, maxSumPerPartition = 100.0),
-      UtilityAnalysisConfig(maxPartitionsContributed = 2, maxContributionsPerPartition = 100,
-        minSumPerPartition = 0.0, maxSumPerPartition = 500.0)),
-    publicPartitions = true)
-
-  private val uaPrivateOptions = UtilityAnalysisOptions(
-    epsilon = 2.0, delta = 1e-4, metrics = Seq(Metric.PrivacyIdCount),
-    configs = Seq(UtilityAnalysisConfig(maxPartitionsContributed = 1,
-      partitionSelectionStrategy = PartitionSelectionStrategyKind.LaplaceThresholding)))
-
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // ---- §2.C DP aggregations (zero noise => exact; see scaladoc above) ----
-    "dp_count" -> ((s, dir) => {
-      runZero(events(s, dir),
-        AggregateParams(metrics = Seq(Metric.Count), maxPartitionsContributed = 5,
-          maxContributionsPerPartition = Some(100)),
-        DPColumns(col("user_id"), Seq("event_type" -> col("event_type")), None))
-    }),
-    "dp_count_pld" -> ((s, dir) => {
-      // same aggregation as dp_count but budgeted through PLD composition
-      // (tight numerical accounting); zero noise => identical exact output.
-      // Coarse discretization keeps the budget search cheap.
-      val engine = new DPEngine(
-        new PLDBudgetAccountant(1e5, 0.999999, pldDiscretization = 1e-2),
-        NoiseSource.Zero)
-      val res = engine.aggregate(events(s, dir),
-        AggregateParams(metrics = Seq(Metric.Count), maxPartitionsContributed = 5,
-          maxContributionsPerPartition = Some(100)),
-        DPColumns(col("user_id"), Seq("event_type" -> col("event_type")), None))
-      engine.accountant.computeBudgets()
-      res.dataframe
-    }),
-    "dp_sum_pld_gaussian" -> ((s, dir) => {
-      // Gaussian noise kind budgeted through PLD composition (exercises the
-      // Gaussian-PLD leg of the noise-std search); zero noise => exact
-      // clipped sum, same oracle as dp_sum.
-      val engine = new DPEngine(
-        new PLDBudgetAccountant(1e5, 0.999999, pldDiscretization = 1e-2),
-        NoiseSource.Zero)
-      val res = engine.aggregate(events(s, dir),
-        generous(Seq(Metric.Sum), 10, 100).copy(noiseKind = NoiseKind.Gaussian),
-        eventRoles)
-      engine.accountant.computeBudgets()
-      res.dataframe
-    }),
-    "dp_post_agg_threshold_pld" -> ((s, dir) => {
-      // post-aggregation thresholding under PLD accounting: the request is a
-      // GaussianThresholding mechanism, so it joins the composed noise-std
-      // search AND receives the 25% thresholding-delta reservation; the
-      // selection is built from (noiseStdDev, thresholdingDelta). Zero noise
-      // + huge budget => threshold ~1 + tiny, all partitions (hundreds of
-      // units each) kept with their exact privacy-id counts.
-      val engine = new DPEngine(
-        new PLDBudgetAccountant(1e5, 0.999999, pldDiscretization = 1e-2),
-        NoiseSource.Zero)
-      val res = engine.aggregate(events(s, dir),
-        AggregateParams(metrics = Seq(Metric.PrivacyIdCount), maxPartitionsContributed = 5,
-          noiseKind = NoiseKind.Gaussian, postAggregationThresholding = true),
-        DPColumns(col("user_id"), Seq("event_type" -> col("event_type")), None))
-      engine.accountant.computeBudgets()
-      res.dataframe
-    }),
-    "dp_privacy_id_count" -> ((s, dir) => {
-      runZero(events(s, dir),
-        AggregateParams(metrics = Seq(Metric.PrivacyIdCount), maxPartitionsContributed = 5),
-        DPColumns(col("user_id"), Seq("event_type" -> col("event_type")), None))
-    }),
-    "dp_sum" -> ((s, dir) => {
-      // clip to [10, 100] — the clip binds, and is mirrored in the oracle
-      runZero(events(s, dir), generous(Seq(Metric.Sum), 10, 100), eventRoles)
-    }),
-    "dp_mean" -> ((s, dir) => {
-      runZero(events(s, dir), generous(Seq(Metric.Mean), 10, 100), eventRoles)
-    }),
-    "dp_mean_count_sum" -> ((s, dir) => {
-      runZero(events(s, dir),
-        generous(Seq(Metric.Mean, Metric.Count, Metric.Sum), 10, 100), eventRoles)
-    }),
-    "dp_variance" -> ((s, dir) => {
-      runZero(events(s, dir),
-        generous(Seq(Metric.Variance, Metric.Mean, Metric.Count, Metric.Sum), 10, 100),
-        eventRoles)
-    }),
-    "dp_sum_per_partition" -> ((s, dir) => {
-      // per-partition bounding mode: sum per (user, type) clipped to [0, 500]
-      runZero(events(s, dir),
-        AggregateParams(metrics = Seq(Metric.Sum), maxPartitionsContributed = 5,
-          minSumPerPartition = Some(0.0), maxSumPerPartition = Some(500.0)),
-        eventRoles)
-    }),
-    "dp_multi_value" -> ((s, dir) => {
-      // two value columns aggregated in one pass (multi-value extractors);
-      // per-partition sum bounds per column; zero noise => exact
-      val engine = zeroEngine()
-      val res = MultiValueSum.aggregate(engine, events(s, dir),
-        MultiValueSumParams(
-          columnBounds = Seq(
-            ValueColumnBounds("v", 0.0, 500.0),
-            ValueColumnBounds("w", 0.0, 100.0)),
-          maxPartitionsContributed = 5),
-        MultiValueColumns(col("user_id"), Seq("event_type" -> col("event_type")),
-          Seq("v" -> floor(col("value")), "w" -> length(col("props")).cast("double"))))
-      engine.accountant.computeBudgets()
-      res.dataframe
-    }),
-    "dp_multi_value_mean" -> ((s, dir) => {
-      // per-column METRIC SETS in one pass (full MultiValueDataExtractors
-      // generalization): column v runs VARIANCE+MEAN+COUNT+SUM with clip
-      // [10, 100], column w runs MEAN with clip [0, 30] — one shuffle chain,
-      // shared count accumulator; zero noise => exact
-      val engine = zeroEngine()
-      val res = MultiValueAgg.aggregate(engine, events(s, dir),
-        MultiValueAggParams(
-          columns = Seq(
-            ValueColumnMetrics("v",
-              Seq(Metric.Variance, Metric.Mean, Metric.Count, Metric.Sum), 10.0, 100.0),
-            ValueColumnMetrics("w", Seq(Metric.Mean), 0.0, 30.0)),
-          maxPartitionsContributed = 5,
-          maxContributionsPerPartition = 100),
-        MultiValueColumns(col("user_id"), Seq("event_type" -> col("event_type")),
-          Seq("v" -> floor(col("value")), "w" -> length(col("props")).cast("double"))))
-      engine.accountant.computeBudgets()
-      res.dataframe
-    }),
-    "dp_public_partitions" -> ((s, dir) => {
-      import s.implicits._
-      val pub = Seq("click", "error", "purchase", "ghost_type").toDF("event_type")
-      runZero(events(s, dir), generous(Seq(Metric.Count, Metric.Sum), 0, 1000),
-        eventRoles, Some(pub))
-    }),
-    "dp_multi_key" -> ((s, dir) => {
-      // multi-column partition key: (event_type, day)
-      val df = events(s, dir).withColumn("day", tsDay)
-      runZero(df,
-        AggregateParams(metrics = Seq(Metric.Count, Metric.PrivacyIdCount),
-          maxPartitionsContributed = 200, maxContributionsPerPartition = Some(100)),
-        DPColumns(col("user_id"),
-          Seq("event_type" -> col("event_type"), "day" -> col("day")), None))
-    }),
-    "dp_post_agg_threshold" -> ((s, dir) => {
-      // post-aggregation thresholding: the noised privacy-id count IS the
-      // release decision. Huge budget => threshold ~ 1.0001, so every
-      // partition (all have >= dozens of units) passes and the zero-noised
-      // value equals the exact count (deterministic; reference e2e technique).
-      runZero(events(s, dir),
-        AggregateParams(metrics = Seq(Metric.PrivacyIdCount), maxPartitionsContributed = 5,
-          postAggregationThresholding = true),
-        DPColumns(col("user_id"), Seq("event_type" -> col("event_type")), None))
-    }),
-    "dp_count_l1" -> ((s, dir) => {
-      // L1 bounding mode: <= maxContributions rows per privacy unit in total
-      // (no per-partition/L0 split). 1000 >> the max 99 rows per user at
-      // sf<=0.1, so sampling drops nothing and the count is exact.
-      runZero(events(s, dir),
-        AggregateParams(metrics = Seq(Metric.Count), maxContributions = Some(1000)),
-        DPColumns(col("user_id"), Seq("event_type" -> col("event_type")), None))
-    }),
-    "dp_count_skew_sharded" -> ((s, dir) => {
-      // skew-hardening end-to-end: one hot privacy unit contributes 1e5
-      // rows to ONE partition — the Linf fan-in hazard where the default
-      // bounding window sorts the whole cell in a single task.
-      // l0ShardingFactor=8 opts into the two-stage sharded bounding
-      // windows (selection provably identical to the global window;
-      // DPEngineSpec pins bit-equality on a fixed draw), so the hot cell
-      // ranks in 8 bounded shard tasks + one 800-row merge instead of one
-      // 1e5-row task. Zero noise + CONSTANT hot values keep Count AND Sum
-      // deterministic (any kept 100-subset of the hot cell sums to 100),
-      // so the skew path is oracle-exact despite randomized sampling.
-      val skewed = events(s, dir)
-        .select(col("user_id"), col("event_type"), col("value"))
-        .unionByName(s.range(100000).select(lit(-1L).as("user_id"),
-          lit("click").as("event_type"), lit(1.0).as("value")))
-      val engine = new DPEngine(new NaiveBudgetAccountant(1e5, 0.999999),
-        NoiseSource.Zero, l0ShardingFactor = 8)
-      val res = engine.aggregate(skewed,
-        generous(Seq(Metric.Count, Metric.Sum), 0, 1000), eventRoles)
-      engine.accountant.computeBudgets()
-      res.dataframe
-    }),
-    "dp_custom_combiner" -> ((s, dir) => {
-      // user-defined DP aggregation (sum of squares with per-contribution
-      // square clipping) through the CustomCombiner extension point
-      val engine = zeroEngine()
-      val res = CustomAggregation.aggregate(engine, events(s, dir),
-        CustomAggParams(maxPartitionsContributed = 5,
-          maxContributionsPerPartition = Some(100)),
-        DPColumns(col("user_id"), Seq("event_type" -> col("event_type")),
-          Some(floor(col("value")))),
-        new SquareSumCombiner(maxSquare = 10000.0, l0 = 5, contributionsPerPartition = 100))
-      engine.accountant.computeBudgets()
-      res.dataframe
-    }),
-    "dp_select_partitions" -> ((s, dir) => {
-      val engine = zeroEngine()
-      val res = engine.selectPartitions(events(s, dir),
-        SelectPartitionsParams(maxPartitionsContributed = 5),
-        DPColumns(col("user_id"), Seq("event_type" -> col("event_type"))))
-      engine.accountant.computeBudgets()
-      res.dataframe
-    }),
-    "dp_bounds_enforced" -> ((s, dir) => {
-      // contribution bounds vouched by the caller: the engine skips both
-      // sampling stages (NoOpSampler path) => exact counts
-      runZero(events(s, dir),
-        AggregateParams(metrics = Seq(Metric.Count), maxPartitionsContributed = 5,
-          maxContributionsPerPartition = Some(100),
-          contributionBoundsAlreadyEnforced = true),
-        DPColumns(col("user_id"), Seq("event_type" -> col("event_type")), None))
-    }),
-    "dp_select_weighted_gaussian" -> ((s, dir) => {
-      // weighted-Gaussian selection: per-unit weights 1/sqrt(#partitions),
-      // zero noise + huge budget => threshold ~1, all real partitions kept
-      val engine = zeroEngine()
-      val res = engine.selectPartitions(events(s, dir),
-        SelectPartitionsParams(maxPartitionsContributed = 5,
-          strategy = PartitionSelectionStrategyKind.WeightedGaussianThresholding),
-        DPColumns(col("user_id"), Seq("event_type" -> col("event_type"))))
-      engine.accountant.computeBudgets()
-      res.dataframe
-    }),
-    "dp_select_gaussian_thr" -> ((s, dir) => {
-      // Gaussian-thresholding selection at huge budget: threshold ~1,
-      // every partition has hundreds of units => deterministic keep-all
-      val engine = zeroEngine()
-      val res = engine.selectPartitions(events(s, dir),
-        SelectPartitionsParams(maxPartitionsContributed = 5,
-          strategy = PartitionSelectionStrategyKind.GaussianThresholding),
-        DPColumns(col("user_id"), Seq("event_type" -> col("event_type"))))
-      engine.accountant.computeBudgets()
-      res.dataframe
-    }),
-    "dp_vector_sum" -> ((s, dir) => {
-      // elementwise sum of embeddings per label, privacy unit = vec_id.
-      // embeddings quantized to multiples of 1/1024 so double sums are exact
-      // in any addition order (oracle parity).
-      val df = s.read.parquet(s"$dir/embeddings.parquet")
-        .withColumn("emb", expr("transform(embedding, e -> floor(CAST(e AS DOUBLE) * 1024) / 1024)"))
-      val out = runZero(df,
-        AggregateParams(metrics = Seq(Metric.VectorSum),
-          maxPartitionsContributed = 1,
-          vectorNormKind = NormKind.Linf, vectorMaxNorm = 1e6, vectorSize = 64),
-        DPColumns(col("vec_id"), Seq("label" -> col("label")), Some(col("emb"))))
-      out.select(col("label"), posexplode(col("vector_sum")).as(Seq("idx", "coord_sum")))
-        .select(col("label"), col("idx").cast("long").as("idx"), col("coord_sum"))
-    }),
-    "dp_percentile" -> ((s, dir) => {
-      // DP quantile tree, zero noise => the height-4/branching-16 walk is
-      // deterministic; the oracle replicates it in SQL (4-level unrolled
-      // descent over per-leaf counts), bit-exact including the FP rank chain.
-      runZero(events(s, dir),
-        AggregateParams(
-          metrics = Seq(Metric.Percentile(10), Metric.Percentile(50), Metric.Percentile(90)),
-          maxPartitionsContributed = 5, maxContributionsPerPartition = Some(100),
-          minValue = Some(0.0), maxValue = Some(500.0)),
-        eventRoles)
-    }),
-    "dp_percentile_pld" -> ((s, dir) => {
-      // the quantile tree under PLD accounting: the budget resolves to a
-      // noise STD (not eps/delta) and the tree's mechanism is built from it
-      // via the shared spec->mechanism path; zero noise => the same
-      // deterministic walk, same bit-exact oracle as dp_percentile.
-      val engine = new DPEngine(
-        new PLDBudgetAccountant(1e5, 0.999999, pldDiscretization = 1e-2),
-        NoiseSource.Zero)
-      val res = engine.aggregate(events(s, dir),
-        AggregateParams(
-          metrics = Seq(Metric.Percentile(10), Metric.Percentile(50), Metric.Percentile(90)),
-          maxPartitionsContributed = 5, maxContributionsPerPartition = Some(100),
-          minValue = Some(0.0), maxValue = Some(500.0)),
-        eventRoles)
-      engine.accountant.computeBudgets()
-      res.dataframe
-    }),
-    "dp_percentile_public" -> ((s, dir) => {
-      // quantile tree x PUBLIC partitions — the last combiner x selection
-      // pairing: non-public partitions are dropped pre-aggregation, the
-      // ghost partition materializes from an EMPTY tree (exercising
-      // empty-tree serialization + merge on the add-empty union path), and
-      // the empty tree's zero-noise walk is the closed-form uniform
-      // interpolation lower + q*(upper-lower) = (50, 250, 450) over
-      // [0, 500] — SQL-expressible, so the ghost row stays oracle-exact
-      // alongside the real partitions' bit-exact tree walk.
-      import s.implicits._
-      val pub = Seq("click", "error", "purchase", "ghost_type").toDF("event_type")
-      runZero(events(s, dir),
-        AggregateParams(
-          metrics = Seq(Metric.Percentile(10), Metric.Percentile(50), Metric.Percentile(90)),
-          maxPartitionsContributed = 5, maxContributionsPerPartition = Some(100),
-          minValue = Some(0.0), maxValue = Some(500.0)),
-        eventRoles, Some(pub))
-    }),
-    "dp_percentile_sum_partition" -> ((s, dir) => {
-      // the last combiner pairing: a multi-percentile quantile tree AND a
-      // per-partition-bounded SumCombiner over the same input under ONE
-      // shared accountant. The two bounding modes are mutually exclusive
-      // inside a single AggregateParams (reference: aggregate_params.py:
-      // 330-364, mirrored at Params.scala) — the reference composes them
-      // exactly this way: two aggregations sharing a budget accountant.
-      // Zero noise => both deterministic; the oracle replicates the tree
-      // walk and the per-(user,type) clip.
-      val engine = zeroEngine()
-      val ev = events(s, dir)
-      val pct = engine.aggregate(ev, AggregateParams(
-        metrics = Seq(Metric.Percentile(25), Metric.Percentile(75)),
-        maxPartitionsContributed = 5, maxContributionsPerPartition = Some(100),
-        minValue = Some(0.0), maxValue = Some(500.0)), eventRoles)
-      val sums = engine.aggregate(ev, AggregateParams(
-        metrics = Seq(Metric.Sum), maxPartitionsContributed = 5,
-        minSumPerPartition = Some(0.0), maxSumPerPartition = Some(500.0)),
-        eventRoles)
-      engine.accountant.computeBudgets()
-      pct.dataframe.join(
-        sums.dataframe.withColumnRenamed("sum", "part_sum"), "event_type")
-    }),
-    "dp_add_noise" -> ((s, dir) => {
-      // noise-only path on pre-aggregated data; zero noise => identity
-      val pre = events(s, dir).groupBy("event_type")
-        .agg(sum(floor(col("value"))).cast("double").as("total"))
-      val engine = zeroEngine()
-      val res = engine.addDpNoise(pre,
-        AddDpNoiseParams(NoiseKind.Laplace, l0Sensitivity = Some(1),
-          linfSensitivity = Some(1000.0)), Seq("total"))
-      engine.accountant.computeBudgets()
-      res.dataframe
-    }),
-
-    // ---- training-data pipeline operators (graft.ops) ----
-    "text_token_stats" -> ((s, dir) => {
-      // BPE-ish pre-tokenizer token budget per document (token count, UTF-8
-      // bytes, bytes/token) — the corpus-sizing pass before sequence
-      // packing. The pattern is restricted to java.regex ∩ RE2 syntax so
-      // the oracle runs it verbatim.
-      TextAnalysis.withTokenStats(
-        s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text"), "text")
-        .drop("text")
-    }),
-    "text_url_domains" -> ((s, dir) => {
-      // per-domain URL rollup (n_urls, distinct docs per domain). The
-      // fixture corpus carries no URLs, so the query plants a deterministic
-      // two-URL footer per doc (48 synthetic domains) and runs the REAL
-      // extraction+aggregation over it — construction replicated by the
-      // oracle, extraction exercised for real (same pattern as the
-      // synthesized-payload mm_ queries).
-      // coalesce: Spark's concat null-propagates while DuckDB's skips null
-      // arguments — pin both to empty-string semantics
-      val docs = s.read.parquet(s"$dir/documents.parquet")
-        .withColumn("body", concat(coalesce(col("text"), lit("")),
-          lit(" see https://site-"), (col("doc_id") % 37).cast("string"),
-          lit(".example.com/p/"), col("doc_id").cast("string"),
-          lit(" or http://cdn-"), (col("doc_id") % 11).cast("string"),
-          lit(".example.org/a/"), col("doc_id").cast("string")))
-      TextAnalysis.urlDomainStats(docs, "doc_id", "body")
-    }),
-    "graph_pagerank" -> ((s, dir) => {
-      // domain-authority PageRank over a planted link graph: each doc's
-      // footer links site-{id%37} -> site-{(3id+1)%37} (a 37-node
-      // permutation cycle) and site-{id%37} -> cdn-{id%11} (11 dangling
-      // sinks) — REAL url extraction feeds the edge builder, and the
-      // fixed-point integer PageRank (5 rounds, damping 17/20, dangling
-      // mass redistributed) replays BIT-FOR-BIT in the unrolled oracle,
-      // dangling branch exercised live.
-      val docs = s.read.parquet(s"$dir/documents.parquet")
-        .withColumn("body", concat(
-          lit("https://site-"), (col("doc_id") % 37).cast("string"),
-          lit(".example.com/p/"), col("doc_id").cast("string"),
-          lit(" https://site-"), ((col("doc_id") * 3 + 1) % 37).cast("string"),
-          lit(".example.com/q/"), col("doc_id").cast("string"),
-          lit(" https://cdn-"), (col("doc_id") % 11).cast("string"),
-          lit(".example.org/a/"), col("doc_id").cast("string")))
-      val doms = docs.select(
-        transform(TextAnalysis.extractUrls(col("body")),
-          u => regexp_extract(u, "https?://([^/ \\t\\n\\f\\r]+)", 1)).as("d"))
-      val edges = doms.select(
-        element_at(col("d"), 1).as("src"),
-        explode(array(element_at(col("d"), 2), element_at(col("d"), 3))).as("dst"))
-      GraphOps.pageRank(edges, "src", "dst", iters = 5)
-        .select(col("node").as("domain"), col("rank_scaled"), col("rank"))
-    }),
-    "text_quality" -> ((s, dir) => {
-      TextAnalysis.withQualityFeatures(
-        s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text"), "text")
-        .drop("text")
-    }),
-    "text_langid" -> ((s, dir) => {
-      // stopword-profile language ID — the scoring fold (distinct-stopword
-      // intersections, earliest-language argmax, CJK override) is recomputed
-      // independently by the DuckDB oracle; accuracy on genuine multilingual
-      // sentences is covered by TextAnalysisSpec.
-      s.read.parquet(s"$dir/documents.parquet")
-        .withColumn("__toks", TextAnalysis.tokens(col("text")))
-        .select(col("doc_id"),
-          TextAnalysis.langIdFromTokens(col("text"), col("__toks"))
-            .as("predicted_lang"))
-    }),
-    "text_fingerprint" -> ((s, dir) => {
-      // xxhash64-based rolling sketch; engine-specific hash => rows-only.
-      // IN-QUERY PROBES (the rows-only convention): per row,
-      //   probe_fp_collisions — OTHER distinct texts sharing this row's
-      //     fingerprint (expect 0: a fingerprint maps to one text);
-      //   probe_text_splits — OTHER distinct fingerprints on this row's
-      //     exact text (expect 0: exact duplicates must fingerprint
-      //     equal, the property dedup relies on).
-      // Texts ride the two windows as md5 keys, not full strings.
-      import org.apache.spark.sql.expressions.Window
-      s.read.parquet(s"$dir/documents.parquet")
-        .select(col("doc_id"), md5(col("text")).as("__t"),
-          TextAnalysis.fingerprint(col("text")).as("fingerprint"))
-        .withColumn("probe_fp_collisions",
-          (size(collect_set(col("__t")).over(Window.partitionBy("fingerprint")))
-            - 1).cast("long"))
-        .withColumn("probe_text_splits",
-          (size(collect_set(col("fingerprint")).over(Window.partitionBy("__t")))
-            - 1).cast("long"))
-        .select("doc_id", "fingerprint", "probe_fp_collisions", "probe_text_splits")
-    }),
-    "text_fingerprint_md5" -> ((s, dir) => {
-      // bottom-k winnowing fingerprint with PORTABLE hashing: md5-derived
-      // 60-bit gram hashes, fingerprint = md5 of the sorted sketch — the
-      // hash-independent twin of text_fingerprint, oracle-verified
-      // end-to-end (sketch construction recomputed in SQL).
-      s.read.parquet(s"$dir/documents.parquet")
-        .select(col("doc_id"),
-          TextAnalysis.fingerprintPortable(col("text")).as("fingerprint"))
-    }),
-    "text_pii_scrub" -> ((s, dir) => {
-      // PII redaction + per-kind counts. The corpus carries no PII, so the
-      // query appends DETERMINISTIC synthetic PII derived from doc_id (one
-      // email, IP, SSN, phone each) and the oracle replays the same
-      // construction — regexes restricted to Java/RE2-identical syntax.
-      val docs = s.read.parquet(s"$dir/documents.parquet")
-        .select(col("doc_id"), concat(
-          col("text"),
-          lit(" contact user"), col("doc_id").cast("string"), lit("@example.com"),
-          lit(" from 10.0."), (col("doc_id") % 256).cast("string"), lit(".7"),
-          lit(" ssn 123-45-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
-          lit(" call 555-"), lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
-          lit("-2244")).as("text"))
-      CorpusOps.piiScrub(docs, "text").drop("text")
-    }),
-    "text_repetition" -> ((s, dir) => {
-      // Gopher-style repetition quality filters: top-token / top-2-gram
-      // fractions, duplicate 2-/3-gram fractions. Pure per-row projections;
-      // every count is recomputed by the DuckDB oracle with list lambdas.
-      CorpusOps.repetitionFeatures(
-        s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text"), "text")
-        .drop("text")
-    }),
-    "text_contamination" -> ((s, dir) => {
-      // benchmark-contamination check: docs with doc_id % 20 == 0 act as the
-      // "eval set"; every other doc reports how many of its distinct word
-      // 3-grams appear in it. Corpus side is a zero-shuffle map-only scan
-      // against the broadcast benchmark gram set.
-      val docs = s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
-      val bench = docs.filter(col("doc_id") % 20 === 0)
-      val corpus = docs.filter(col("doc_id") % 20 =!= 0)
-      CorpusOps.ngramContamination(corpus, "doc_id", "text", bench, "text", n = 3)
-        .drop("text")
-    }),
-    "text_neardup_decontaminate" -> ((s, dir) => {
-      // fuzzy benchmark decontamination (GPT-3/Llama rule): corpus docs
-      // whose best portable-MinHash match against the benchmark set
-      // (doc_id % 10 == 0, signed once as a store) clears Jaccard 0.6 are
-      // dropped; per-source kept/dropped rollup. Whole pipeline replays
-      // in the oracle via the shared portable pair SQL's cross-set
-      // restriction (the dedup_incremental construction).
-      val docs = s.read.parquet(s"$dir/documents.parquet")
-      val bench = docs.filter(col("doc_id") % 10 === 0)
-      val corpus = docs.filter(col("doc_id") % 10 =!= 0)
-      val sigs = Dedup.minHashWithSigPortable(bench, "doc_id", "text",
-        shingleSize = 3, numHashes = 128)
-      CorpusOps.nearDupDecontaminate(corpus, sigs,
-        "doc_id", "source", "n_chars", "text")
-    }),
-    "text_containment_decontaminate" -> ((s, dir) => {
-      // containment decontamination: drop corpus docs that CONTAIN a
-      // benchmark doc (fraction of the benchmark's shingles present
-      // >= 0.8) — the quoted-benchmark case Jaccard structurally misses.
-      // Same benchmark split and signature store as the Jaccard variant
-      // (one store serves both banding grids).
-      val docs = s.read.parquet(s"$dir/documents.parquet")
-      val bench = docs.filter(col("doc_id") % 10 === 0)
-      val corpus = docs.filter(col("doc_id") % 10 =!= 0)
-      val sigs = Dedup.minHashWithSigPortable(bench, "doc_id", "text",
-        shingleSize = 3, numHashes = 128)
-      CorpusOps.containmentDecontaminate(corpus, sigs,
-        "doc_id", "source", "n_chars", "text")
-    }),
-    "text_decontaminate" -> ((s, dir) => {
-      // document-level exact decontamination: drop corpus docs whose
-      // NORMALIZED text exactly matches an eval-set doc (doc_id % 20 == 0
-      // split, like text_contamination's n-gram variant). The eval side is
-      // tiny => broadcast anti-join on md5 of the normalized text; one
-      // corpus scan total.
-      val docs = TextAnalysis.normalizeText(
-        s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text", "source"),
-        "text")
-        .withColumn("h", md5(col("norm_text")))
-      val evalSet = docs.filter(col("doc_id") % 20 === 0).select(col("h").as("eh"))
-      docs.filter(col("doc_id") % 20 =!= 0)
-        .join(broadcast(evalSet.distinct()), col("h") === col("eh"), "left_anti")
-        .groupBy("source")
-        .agg(count(lit(1)).as("n_docs_kept"))
-    }),
-    "text_bloom_decontaminate" -> ((s, dir) => {
-      // Bloom-filter decontamination: text_decontaminate's broadcast-set
-      // pattern with the eval set compressed to a PORTABLE 1024-bit /
-      // 4-hash Bloom filter — the shape that still works when the held-out
-      // side is millions of documents (the bits frame is <= mBits rows no
-      // matter how large the set; an exact hash set grows without bound).
-      // Zero false negatives ever (exact_match => bloom_positive); the
-      // deterministic md5 bit positions make false positives REPRODUCIBLE,
-      // so the oracle replays the whole filter bit-for-bit and the
-      // false_positive column itself is hash-verified.
-      val docs = TextAnalysis.normalizeText(
-        s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text", "source"),
-        "text")
-        .withColumn("h", md5(col("norm_text")))
-      val evalSet = docs.filter(col("doc_id") % 20 === 0).select("h").distinct()
-      val bits = Sketches.bloomBits(evalSet, "h", d = 4, mBits = 1024)
-      val corpus = docs.filter(col("doc_id") % 20 =!= 0)
-        .select("doc_id", "source", "h")
-      Sketches.bloomContains(corpus, "h", bits, d = 4, mBits = 1024)
-        .join(broadcast(evalSet.select(col("h").as("eh"))),
-          col("h") === col("eh"), "left")
-        .select(col("doc_id"), col("source"), col("bloom_positive"),
-          col("eh").isNotNull.as("exact_match"),
-          (col("bloom_positive") && col("eh").isNull).as("false_positive"))
-    }),
-    "text_normalize" -> ((s, dir) => {
-      // canonical normalization (NFC + lower + whitespace collapse), ASCII
-      // fast path fully codegen; oracle recomputes with DuckDB's
-      // nfc_normalize — both implement the same Unicode normal form
-      TextAnalysis.normalizeText(
-        s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text"), "text")
-        .select(col("doc_id"), col("norm_text"), col("changed"))
-    }),
-    "text_chunks" -> ((s, dir) => {
-      // overlapping token-window chunking (RAG/embedding prep): 32-token
-      // windows every 24 tokens, last window clipped; map-only explode
-      TextAnalysis.chunkDocuments(
-        s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text"),
-        "doc_id", "text", window = 32, stride = 24)
-    }),
-    "text_tfidf" -> ((s, dir) => {
-      // top-3 TF-IDF keywords per doc with integer log2-floor IDF
-      // (transcendental-free => cross-engine exact); broadcast df table
-      val docs = s.read.parquet(s"$dir/documents.parquet")
-        .select("doc_id", "text")
-      TextAnalysis.tfIdfTopTerms(docs, "doc_id", "text", k = 3)
-        .select(col("id").as("doc_id"), col("term"), col("tf"),
-          col("dfreq"), col("score"), col("rk"))
-    }),
-    "text_lm_surprisal" -> ((s, dir) => {
-      // CCNet quality scoring: corpus-trained add-one bigram LM, per-doc
-      // mean surprisal in integer-quantized bits (floor-log2, the tfidf
-      // convention => transcendental-free, cross-engine exact), corpus
-      // head/middle/tail terciles by distributed rank. minCount=2 prunes
-      // singleton bigrams so the unseen-bigram scoring path runs for real.
-      LmScore.surprisalScores(
-        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
-        minCount = 2)
-    }),
-    "text_pack_sequences" -> ((s, dir) => {
-      // sequence packing for training rows: distributed prefix sum of token
-      // counts in doc order (bucketed local cumsums + broadcast offsets),
-      // then 512-token pack boundaries
-      val docs = s.read.parquet(s"$dir/documents.parquet")
-        .withColumn("n_toks", TextAnalysis.tokenCount(col("text")))
-      CorpusOps.packSequences(docs, "doc_id", "n_toks",
-        seqLen = 512L, bucketWidth = 64L)
-        .select(col("id").as("doc_id"), col("len"), col("pack_id"),
-          col("pack_offset"))
-    }),
-    "sample_split" -> ((s, dir) => {
-      // deterministic train/val/test split by portable md5 bucket — stable
-      // membership, engine-independent, zero shuffle; profiled per source
-      CorpusOps.hashSplit(
-        s.read.parquet(s"$dir/documents.parquet"), "doc_id")
-        .groupBy("source", "split")
-        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars"))
-    }),
-    "sample_mixture" -> ((s, dir) => {
-      // deterministic pretraining-mixture application: per-source keep
-      // rates via the salted portable hash (zero shuffle, growth-stable
-      // membership); dyadic rates (quarters) and integerized thresholds so
-      // the oracle reproduces the exact kept set. Rolled up per source.
-      val rates = (0 until 20).map(i => s"src$i" -> ((i % 4) + 1) * 0.25).toMap
-      CorpusOps.applyMixture(
-          s.read.parquet(s"$dir/documents.parquet"), "source", "doc_id",
-          rates, defaultRate = 0.5)
-        .groupBy("source")
-        .agg(count(lit(1)).as("n_kept"), sum("n_chars").as("chars_kept"))
-    }),
-    "sample_stratified" -> ((s, dir) => {
-      // deterministic stratified sample: exactly 40 orders per order
-      // priority, chosen as the smallest md5(o_orderkey) — portable hash
-      // order, bounded bottom-k partial aggregate (never a per-stratum
-      // window sort).
-      CorpusOps.stratifiedSample(
-        s.read.parquet(s"$dir/orders.parquet"), "o_orderpriority", "o_orderkey", k = 40)
-    }),
-    "approx_percentiles" -> ((s, dir) => {
-      // mergeable quantile sketch (percentile_approx = Greenwald-Khanna
-      // summaries, partial-merged map-side like every sketch here),
-      // flattened to one row per (event_type, percentile) — scalar columns
-      // only. The sketch's value is merge-order dependent, so the hashed
-      // columns are the EXACT interpolated percentile plus a GK-guarantee
-      // certificate in RANK space (value-space bounds break when the group
-      // is small enough that one rank step exceeds the eps window): the
-      // sketch value's true rank interval must intersect
-      // [p*n - 2eps*n, p*n + 2eps*n] +- 1 (eps = 1/accuracy = 1/1000,
-      // doubled for slack). within_bound flips false on accuracy collapse
-      // and breaks the oracle hash, so the probe is part of the verified
-      // row — strictly stronger than the old rows-only form.
-      val ev = events(s, dir).withColumn("v", floor(col("value")).cast("double"))
-      val g = ev.groupBy("event_type")
-        .agg(
-          percentile_approx(col("v"), expr("array(0.5D, 0.9D, 0.99D)"), lit(1000))
-            .cast("array<double>").as("approx"),
-          expr("percentile(v, array(0.5D, 0.9D, 0.99D))").as("exact"),
-          count(lit(1)).as("n_events"))
-      val probes = g.select(col("event_type"), col("n_events"),
-          posexplode(arrays_zip(col("approx"), col("exact"))).as(Seq("pos", "z")))
-        .select(col("event_type"), col("n_events"),
-          element_at(array(lit(0.5), lit(0.9), lit(0.99)), col("pos") + 1).as("pct"),
-          col("z.approx").as("approx_v"), col("z.exact").as("exact_pct"))
-      // rank the sketch value back in the data (one broadcast join of the
-      // 3*|event_type| probe rows against the scan): the certificate is
-      // rank-space, so it holds at ANY group size — [cnt_lt+1, cnt_le] (the
-      // sketch value's true rank interval) must intersect the guarantee
-      // window [p*n - 2eps*n - 1, p*n + 2eps*n + 1]
-      val ranked = ev.select(col("event_type"), col("v"))
-        .join(broadcast(probes), Seq("event_type"))
-        .groupBy("event_type", "pct", "exact_pct", "n_events", "approx_v")
-        .agg(sum(when(col("v") < col("approx_v"), 1L).otherwise(0L)).as("cnt_lt"),
-          sum(when(col("v") <= col("approx_v"), 1L).otherwise(0L)).as("cnt_le"))
-      val nD = col("n_events").cast("double")
-      val loT = ceil((col("pct") - lit(0.002)) * nD) - lit(1L)
-      val hiT = floor((col("pct") + lit(0.002)) * nD) + lit(2L)
-      ranked.select(col("event_type"), col("pct"), col("exact_pct"),
-        col("n_events"), loT.as("rank_lo_target"), hiT.as("rank_hi_target"),
-        (col("cnt_le") >= loT && (col("cnt_lt") + lit(1L)) <= hiT)
-          .as("within_bound"))
-    }),
-    "approx_distinct_users" -> ((s, dir) => {
-      // HLL++ mergeable sketches — the 100 TB distinct-count path (per-shard
-      // sketches, union, estimate; no exact-distinct shuffle). Estimates are
-      // engine-specific => rows-only; the query carries its own error probe
-      // against the exact count and CorpusOpsSpec bounds the relative error.
-      events(s, dir).groupBy("event_type").agg(
-          approx_count_distinct("user_id", 0.02).as("approx_users"),
-          countDistinct(col("user_id")).as("exact_users"))
-        .withColumn("rel_err",
-          abs(col("approx_users") - col("exact_users")).cast("double") /
-            col("exact_users").cast("double"))
-    }),
-    "approx_distinct_md5" -> ((s, dir) => {
-      // the ORACLE-EXACT twin of approx_distinct_users: portable md5 HLL
-      // (p=6, exact integer bucket mass, piecewise estimator incl. the
-      // linear-counting small-range branch) whose bucket maxima AND
-      // estimate replay bit-exactly in DuckDB SQL — the sketch path itself
-      // gets a hash-verified row, anchoring the engine-specific
-      // approx_count_distinct / DataSketches variants.
-      Sketches.hllPortable(events(s, dir), "event_type", "user_id")
-        .select(col("group").as("event_type"), col("approx_distinct"),
-          col("t_scaled"))
-    }),
-    "approx_sketch_union_md5" -> ((s, dir) => {
-      // oracle-exact twin of approx_sketch_union: per-day PORTABLE HLL
-      // sketch rows (a persistable (event_type, day, bucket, mx) frame),
-      // unioned by max-per-bucket into per-type estimates — the
-      // store-sketches-merge-later pattern with every step SQL-replayable.
-      // Distributivity of max makes the union path provably equal to the
-      // direct sketch (SketchesSpec pins it); here the gate verifies the
-      // two-stage plumbing end to end against the same closed form.
-      val perDay = Sketches.hllPortableSketch(
-        events(s, dir).withColumn("day", tsDay),
-        Seq("event_type", "day"), "user_id")
-      Sketches.hllPortableEstimate(perDay, Seq("event_type"))
-    }),
-    "approx_heavy_hitters" -> ((s, dir) => {
-      // Misra-Gries frequent items per event type: bounded k-counter state
-      // per (group, task), <= k rows per task on the exchange — the
-      // dominant-items analysis exact count-then-sort cannot do at scale.
-      // Estimates are merge-order dependent => rows-only; the exact join
-      // carries the error probe (|est - exact| <= n/(k+1) by construction)
-      // and SketchesSpec proves the guarantee property.
-      val ev = events(s, dir).select(col("event_type"), col("user_id"))
-      val hh = Sketches.heavyHitters(ev, "event_type", "user_id", k = 16)
-      val exact = ev.groupBy(col("event_type").as("group"),
-          col("user_id").cast("string").as("item"))
-        .agg(count(lit(1)).as("exact_count"))
-      hh.join(exact, Seq("group", "item"), "left")
-        .withColumn("abs_err", abs(col("est_count") - col("exact_count")))
-    }),
-    "approx_sketch_union" -> ((s, dir) => {
-      // the store-sketches-merge-later pattern: per-day DataSketches HLL
-      // sketches (persistable binaries in a real pipeline), then a SECOND
-      // aggregation unions the day sketches into per-type totals — distinct
-      // counting over any rollup without ever re-touching raw data. Sketch
-      // estimates are engine-specific => rows-only; the in-query exact
-      // columns carry the error probe and CorpusOpsSpec bounds it.
-      val perDay = events(s, dir).withColumn("day", tsDay)
-        .groupBy("event_type", "day")
-        .agg(hll_sketch_agg(col("user_id").cast("string"), lit(14)).as("sk"),
-          countDistinct(col("user_id")).as("exact_day_users"))
-      perDay.groupBy("event_type")
-        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_users"),
-          sum("exact_day_users").as("sum_day_exact"),
-          count(lit(1)).cast("long").as("n_days"))
-    }),
-    "approx_cms_md5" -> ((s, dir) => {
-      // portable Count-Min sketch: d=3 salted md5 rows x w=128 counters per
-      // event type, probed at the 5 highest-frequency users per type
-      // (deterministic row_number tie-break). est_count >= exact_count by
-      // construction (each counter sums a superset of the item's
-      // occurrences) — overcount IS the collision error — and, like the
-      // portable HLL, the whole sketch (salted bucketing, integer counters,
-      // min-of-rows estimate) replays bit-exactly in the DuckDB oracle, so
-      // the sketch path itself is hash-verified rather than engine-opaque.
-      // Scale shape: sketch build is one map-side-combined agg to <= d*w
-      // rows per type; the probe join broadcasts the sketch.
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("group").orderBy(col("exact_count").desc, col("item").asc)
-      val ev = events(s, dir).select(col("event_type").as("group"),
-        col("user_id").cast("string").as("item"))
-      val sk = Sketches.cmsSketch(ev, "group", "item", d = 3, w = 128)
-      val top = ev.groupBy("group", "item").agg(count(lit(1)).as("exact_count"))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= 5).drop("rk")
-      Sketches.cmsEstimate(sk, top.select("group", "item"), d = 3, w = 128)
-        .join(top, Seq("group", "item"))
-        .select(col("group").as("event_type"), col("item").as("user_id"),
-          col("est_count"), col("exact_count"),
-          (col("est_count") - col("exact_count")).as("overcount"))
-    }),
-    "approx_theta_overlap" -> ((s, dir) => {
-      // KMV/theta sketch SET ALGEBRA over event-type user sets — the
-      // capability HLL trades away: per event-type pair, distinct-user
-      // union and intersection estimates from 64-hash bottom-k sketches,
-      // next to the exact values (|est - exact| is the real KMV error,
-      // visible per row). The whole construction — salted md5 bottom-k,
-      // merged-sketch theta, rho/theta and (k-1)/U_(k) estimators, exact
-      // degradation when the merged set fits under k — replays bit-exactly
-      // in the oracle. Sketch build is one map-side-combined aggregation
-      // with <= 64 longs of state per task; the pair stage only ever
-      // touches sketch rows.
-      val k = 64
-      val ev = events(s, dir).select(col("event_type").as("group"),
-        col("user_id").cast("string").as("item"))
-      val est = Sketches.kmvPairOverlap(ev, "group", "item", k)
-      val dist = Sketches.kmvDistinct(Sketches.kmvSketch(ev, "group", "item", k), k)
-      val exact = ev.distinct()
-      val exN = exact.groupBy("group").agg(count(lit(1)).as("exact_n"))
-      val exInt = exact.select(col("group").as("ga"), col("item"))
-        .join(exact.select(col("group").as("gb"), col("item")), "item")
-        .filter(col("ga") < col("gb"))
-        .groupBy("ga", "gb").agg(count(lit(1)).as("exact_intersect0"))
-      est
-        .join(dist.select(col("group").as("ga"), col("est_distinct").as("est_a")), "ga")
-        .join(dist.select(col("group").as("gb"), col("est_distinct").as("est_b")), "gb")
-        .join(exN.select(col("group").as("ga"), col("exact_n").as("exact_a")), "ga")
-        .join(exN.select(col("group").as("gb"), col("exact_n").as("exact_b")), "gb")
-        .join(exInt, Seq("ga", "gb"), "left")
-        .select(col("ga"), col("gb"), col("est_a"), col("est_b"),
-          col("est_union"), col("est_intersect"),
-          col("exact_a"), col("exact_b"),
-          (col("exact_a") + col("exact_b")
-            - coalesce(col("exact_intersect0"), lit(0L))).as("exact_union"),
-          coalesce(col("exact_intersect0"), lit(0L)).as("exact_intersect"))
-    }),
-    "dedup_exact" -> ((s, dir) => {
-      Dedup.duplicateGroups(s.read.parquet(s"$dir/documents.parquet"), "text", "doc_id")
-    }),
-    "dedup_minhash" -> ((s, dir) => {
-      // LSH candidate generation is hash-dependent => rows-only; DedupSpec
-      // verifies planted near-dups are found. The corpus has real near-dups.
-      Dedup.minHashLSH(s.read.parquet(s"$dir/documents.parquet"),
-        "doc_id", "text", threshold = 0.6)
-    }),
-    "dedup_minhash_md5" -> ((s, dir) => {
-      // the minhash+LSH pipeline with PORTABLE hashing (md5 shingle hashes,
-      // linear-congruential permutations mod 2^31-1, string band buckets) —
-      // the hash-independent twin of dedup_minhash, verified END-TO-END
-      // against the DuckDB oracle: shingling, one-hash signatures, band
-      // blocking, and the exact-Jaccard verify are all recomputed in SQL.
-      Dedup.minHashLSHPortable(s.read.parquet(s"$dir/documents.parquet"),
-        "doc_id", "text", threshold = 0.6)
-    }),
-    "dedup_components" -> ((s, dir) => {
-      // duplicate clusters: connected components (min-label propagation)
-      // over the oracle-verified portable-minhash pair set — the step that
-      // turns near-dup pairs into per-cluster keep decisions
-      val pairs = Dedup.minHashLSHPortable(
-        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", threshold = 0.6)
-      Dedup.connectedComponents(pairs.select("id_a", "id_b"))
-        .select(col("id"), col("comp").as("component"))
-    }),
-    "dedup_containment" -> ((s, dir) => {
-      // doc-inside-doc detection: the same portable banded candidates
-      // verified by CONTAINMENT (|A∩B| / min(|A|,|B|)) instead of Jaccard
-      // — the signal that catches quotes/concatenations whose Jaccard is
-      // diluted by the containing document's length. Exact on every
-      // candidate and SQL-replayed end-to-end (recall caveat for
-      // extreme-size-ratio pairs documented on the operator).
-      Dedup.containmentPortable(
-        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
-        threshold = 0.8)
-    }),
-    "dedup_cluster_sizes" -> ((s, dir) => {
-      // duplicate-cluster size histogram — the rollup an operator reads
-      // BEFORE materializing a dedup (one giant cluster usually means a
-      // boilerplate/template pathology, many pairs means near-dup spam):
-      // clusters per size, docs tied up per size. Same oracle-verified
-      // portable pair set + components as dedup_components.
-      val pairs = Dedup.minHashLSHPortable(
-        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", threshold = 0.6)
-      Dedup.connectedComponents(pairs.select("id_a", "id_b"))
-        .groupBy("comp").agg(count(lit(1)).as("sz"))
-        .groupBy(col("sz").as("cluster_size"))
-        .agg(count(lit(1)).as("n_clusters"),
-          sum(col("sz")).as("n_docs"))
-    }),
-    "dedup_materialize" -> ((s, dir) => {
-      // APPLY the dedup decision: non-canonical cluster members (id != its
-      // component's min-label) are dropped via LEFT ANTI join, and the
-      // surviving corpus is profiled per source. The drop list is tiny
-      // relative to the corpus, so at scale the anti-join broadcasts —
-      // the whole materialization costs one corpus scan.
-      val docs = s.read.parquet(s"$dir/documents.parquet")
-      val pairs = Dedup.minHashLSHPortable(docs, "doc_id", "text", threshold = 0.6)
-      val comp = Dedup.connectedComponents(pairs.select("id_a", "id_b"))
-      val drops = comp.filter(col("id") =!= col("comp"))
-      docs.join(broadcast(drops), docs("doc_id") === drops("id"), "left_anti")
-        .groupBy("source")
-        .agg(count(lit(1)).as("n_docs_kept"),
-          sum(col("n_chars")).as("chars_kept"))
-    }),
-    "dedup_simhash" -> ((s, dir) => {
-      Dedup.simHashPairs(s.read.parquet(s"$dir/documents.parquet"),
-        "doc_id", "text", maxHamming = 3)
-    }),
-    "dedup_simhash_md5" -> ((s, dir) => {
-      // the simhash pipeline with PORTABLE md5-derived token hashes — the
-      // hash-independent twin of dedup_simhash, verified END-TO-END against
-      // the DuckDB oracle (bit-majority signature, pigeonhole chunk
-      // blocking, exact Hamming verify).
-      Dedup.simHashPairsPortable(s.read.parquet(s"$dir/documents.parquet"),
-        "doc_id", "text", maxHamming = 3)
-        .withColumn("hamming", col("hamming").cast("long"))
-    }),
-    "dedup_incremental" -> ((s, dir) => {
-      // ingest-time dedup: a new batch (doc_id % 10 == 0) checked against
-      // the existing corpus (the rest). Candidates pair increment x corpus
-      // buckets only — never corpus x corpus — so a daily batch costs
-      // increment-proportional work at any corpus size. Portable md5
-      // hashing end-to-end => oracle replicates the full pair set and the
-      // best-match argmax.
-      val docs = s.read.parquet(s"$dir/documents.parquet")
-      Dedup.incrementalNearDupsPortable(
-        docs.filter(col("doc_id") % 10 === 0),
-        docs.filter(col("doc_id") % 10 =!= 0),
-        "doc_id", "text", threshold = 0.6)
-    }),
-    "dedup_incremental_sigs" -> ((s, dir) => {
-      // the signature-STORE workflow: stage-1 corpus signatures are persisted
-      // ONCE (parquet store, built on first invocation), and each ingest
-      // batch then runs increment-only work against the stored frame — the
-      // thing that makes incremental dedup actually incremental at corpus
-      // scale (the plain dedup_incremental re-signs the corpus every batch
-      // and pays O(corpus) md5 per call). Same batch split, same output,
-      // same oracle as dedup_incremental; the bench delta between the two
-      // queries IS the stored-signature saving.
-      val docs = s.read.parquet(s"$dir/documents.parquet")
-      // store key = dir + source-data fingerprint + PID: a fixture refresh
-      // changes the fingerprint (no stale signatures), and two concurrent
-      // graft JVMs never race on one store path
-      val srcMeta = new java.io.File(s"$dir/documents.parquet")
-      val fp = java.lang.Long.toHexString(
-        srcMeta.lastModified() ^ (srcMeta.length() * 1099511628211L))
-      val store = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft_sig_store_v1_${Integer.toHexString(dir.hashCode)}_" +
-          s"${fp}_${ProcessHandle.current().pid()}")
-      if (!store.exists()) {
-        Dedup.minHashWithSigPortable(docs.filter(col("doc_id") % 10 =!= 0),
-            "doc_id", "text", shingleSize = 3, numHashes = 128)
-          .write.mode("overwrite").parquet(store.getAbsolutePath)
-      }
-      Dedup.incrementalNearDupsFromSigs(
-        docs.filter(col("doc_id") % 10 === 0),
-        s.read.parquet(store.getAbsolutePath),
-        "doc_id", "text", threshold = 0.6)
-    }),
-    "dedup_ngram_jaccard" -> ((s, dir) => {
-      // exact char-3-gram jaccard on the first 100 chars, blocked by lang
-      val docs = s.read.parquet(s"$dir/documents.parquet")
-        .withColumn("head", lower(substring(col("text"), 1, 100)))
-      Dedup.ngramJaccardPairs(docs, "doc_id", "head", "lang", n = 3, threshold = 0.8)
-    }),
-    "dedup_embedding" -> ((s, dir) => {
-      // exact cosine near-dup pairs — BOUNDED oracle anchor: the all-pairs
-      // join is quadratic by nature, so the exact variant runs on a fixed
-      // subset (vec_id < 500, constant work at any sf). The corpus-scale
-      // path is dedup_embedding_lsh, which asserts recall against this
-      // exact pair set in-query. Embeddings quantized to 1/1024 so all
-      // arithmetic is order-independent (oracle parity).
-      val e = s.read.parquet(s"$dir/embeddings.parquet")
-        .filter(col("vec_id") < 500)
-        .withColumn("emb", expr("transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1024) / 1024)"))
-      val l = e.select(col("label"), col("vec_id").as("id_a"), col("emb").as("v_a"))
-      val r = e.select(col("label"), col("vec_id").as("id_b"), col("emb").as("v_b"))
-      l.join(r, Seq("label"))
-        .filter(col("id_a") < col("id_b"))
-        .withColumn("cosine", Similarity.cosine(col("v_a"), col("v_b")))
-        .filter(col("cosine") >= 0.3)
-        .select("id_a", "id_b", "cosine")
-    }),
-    "emb_kmeans_assign" -> ((s, dir) => {
-      // nearest-center assignment against FIXED centroids (the first 8
-      // vectors): on 1024x-floor-quantized dyadic inputs every difference/
-      // square/partial sum is exact, so d2 and the argmin (ties to lowest
-      // cluster) replay bit-exactly in SQL — the oracle-exact anchor for
-      // emb_kmeans' trained path. Bounded collect: 8 centroid rows.
-      val e = s.read.parquet(s"$dir/embeddings.parquet")
-        .withColumn("emb", expr(
-          "transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1024) / 1024)"))
-      val cRows = e.filter(col("vec_id") < 8).sort("vec_id")
-        .select("vec_id", "emb").collect()
-      val centers = cRows.map(_.getSeq[Double](1).toArray)
-      // label clusters by the centroid's vec_id, not its position in the
-      // collected array: the oracle labels by vec_id, and the two only
-      // coincide positionally while ids happen to be dense 0-based —
-      // id-labeling keeps the contract under sparse/offset id generators.
-      // (centers sorted by vec_id => lowest index == lowest vec_id, so the
-      // argmin tiebreak agrees with the oracle's ORDER BY d2, cluster.)
-      val ids = cRows.map(_.getLong(0))
-      Similarity.assignToCenters(e, "vec_id", "emb", centers)
-        .select(col("id").as("vec_id"),
-          element_at(typedLit(ids.toSeq), col("cluster").cast("int") + 1)
-            .as("cluster"),
-          col("d2"))
-    }),
-    "emb_kmeans" -> ((s, dir) => {
-      // trained k-means topic clustering (sample-capped Lloyd's + map-only
-      // assignment): per-cluster sizes and inertia. Rows-only (Lloyd's is
-      // RNG-path-dependent); probes: n_total must cover the corpus, and
-      // the trained clustering must beat the fixed-first-8 assignment
-      // that emb_kmeans_assign verifies oracle-exactly (10 Lloyd's
-      // iterations vs 0 — deterministic for fixed data+seed).
-      val e = s.read.parquet(s"$dir/embeddings.parquet")
-        .withColumn("emb", expr(
-          "transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1024) / 1024)"))
-        .localCheckpoint(false) // trained path + fixed-anchor path
-      val assigned = Similarity.kmeansCluster(e, "vec_id", "emb", k = 8)
-        .localCheckpoint(false) // rollup + total
-      val roll = assigned.groupBy("cluster").agg(
-        count(lit(1)).as("n_vecs"), sum(col("d2")).as("inertia"))
-      val tot = assigned.agg(count(lit(1)).as("n_total"),
-        sum(col("d2")).as("__ti"))
-      val centers = e.filter(col("vec_id") < 8).sort("vec_id")
-        .select("emb").collect().map(_.getSeq[Double](0).toArray)
-      val fixed = Similarity.assignToCenters(e, "vec_id", "emb", centers)
-        .agg(sum(col("d2")).as("__fi"))
-      roll.crossJoin(broadcast(tot)).crossJoin(broadcast(fixed))
-        .withColumn("trained_beats_fixed", col("__ti") <= col("__fi"))
-        .select("cluster", "n_vecs", "inertia", "n_total", "trained_beats_fixed")
-    }),
-    "emb_centroid" -> ((s, dir) => {
-      // exact per-label embedding centroid: quantized-integer partial sums
-      // (order-independent => independently verifiable), one shuffle
-      // carrying a long[64] per (label, task)
-      Similarity.centroidByKey(
-        s.read.parquet(s"$dir/embeddings.parquet"), "label", "embedding")
-        .select(col("key").as("label"), posexplode(col("centroid")), col("n"))
-        .select(col("label"), (col("pos") + 1).cast("long").as("dim"),
-          col("col").as("c"), col("n"))
-    }),
-    "emb_outliers" -> ((s, dir) => {
-      // semantic outlier scoring: cosine of each embedding to its label
-      // centroid (broadcast join + map-only codegen cosine); per-row dot is
-      // a sequential index-order sum => independently verifiable
-      Similarity.centroidOutliers(
-        s.read.parquet(s"$dir/embeddings.parquet"), "label", "embedding",
-        threshold = 0.1)
-        .select(col("vec_id"), col("label"),
-          col("cos_to_centroid"), col("is_outlier"))
-    }),
-    "sim_topk" -> ((s, dir) => {
-      // brute-force cosine top-5 for the first 20 vectors against the corpus
-      val e = s.read.parquet(s"$dir/embeddings.parquet")
-        .withColumn("emb", expr("transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1024) / 1024)"))
-      val queries = e.filter(col("vec_id") < 20).select(col("vec_id").as("qid"), col("emb"))
-      Similarity.bruteForceTopK(e, "vec_id", "emb", queries, "qid", "emb", k = 5)
-        .withColumn("rank", col("rank").cast("long"))
-    }),
-    "sim_topk_int8" -> ((s, dir) => {
-      // brute-force top-5 over the int8-QUANTIZED corpus: the 4x-smaller
-      // representation is what a corpus-scale ANN keeps resident; scoring
-      // dequantizes on the fly. Quantize + score are deterministic
-      // arithmetic end-to-end => oracle-exact, same ranking tiebreak as
-      // sim_topk (which doubles as its float-exact anchor).
-      val e = s.read.parquet(s"$dir/embeddings.parquet")
-        .withColumn("emb", expr("transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1024) / 1024)"))
-        .withColumn("qz", Similarity.quantizeInt8(col("emb")))
-        .withColumn("dq", expr("transform(qz.q, q -> CAST(q AS DOUBLE) * qz.scale)"))
-      val queries = e.filter(col("vec_id") < 20).select(col("vec_id").as("qid"), col("dq"))
-      Similarity.bruteForceTopK(e, "vec_id", "dq", queries, "qid", "dq", k = 5)
-        .withColumn("rank", col("rank").cast("long"))
-    }),
-    "sim_lsh_topk" -> ((s, dir) => {
-      // LSH-bucketed approximate top-k with IN-QUERY recall probes (the
-      // dedup_embedding_lsh pattern): one row per query carrying
-      // (a) planted_found — a near-copy of the query vector (cosine ~0.9999,
-      //     id = -(qid+1); NEGATIVE ids can never collide with real vec_ids
-      //     at any corpus size) planted in the corpus, 1 if the LSH top-k
-      //     recovered it;
-      // (b) n_both/n_exact — overlap of the LSH top-k with the exact brute-
-      //     force top-k over the same corpus (per-query recall@k).
-      // Hash-dependent => rows-only, but the driver's row check now sees a
-      // fixed 20 rows whose counters make silent recall collapse visible;
-      // SimilaritySpec keeps the aggregate >= 0.8 bound.
-      val e = s.read.parquet(s"$dir/embeddings.parquet")
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
-      val queries = e.filter(col("vec_id") < 20)
-        .select(col("vec_id").as("qid"), col("embedding"))
-      val planted = queries.select((-(col("qid") + lit(1L))).as("vec_id"),
-        expr("transform(embedding, (x, i) -> x + 0.02 * cos(CAST(i AS DOUBLE)))")
-          .as("embedding"))
-      val corpus = e.unionByName(planted)
-      val lsh = Similarity.lshTopK(corpus, "vec_id", "embedding",
-          queries, "qid", "embedding", k = 5, planes = 5, bands = 12)
-        .select(col("query_id"), col("neighbor_id"), lit(1L).as("in_lsh"))
-      val exact = Similarity.bruteForceTopK(corpus, "vec_id", "embedding",
-          queries, "qid", "embedding", k = 5)
-        .select(col("query_id"), col("neighbor_id"), lit(1L).as("in_exact"))
-      // full-outer join on the (query, neighbor) key feeds every probe
-      // counter from one aggregate — each pipeline runs exactly once
-      lsh.join(exact, Seq("query_id", "neighbor_id"), "full_outer")
-        .groupBy("query_id")
-        .agg(
-          max(when(col("in_lsh").isNotNull &&
-              col("neighbor_id") === -(col("query_id") + lit(1L)), 1L)
-            .otherwise(0L)).as("planted_found"),
-          sum(when(col("in_lsh").isNotNull, 1L).otherwise(0L)).as("n_lsh"),
-          sum(when(col("in_exact").isNotNull, 1L).otherwise(0L)).as("n_exact"),
-          sum(when(col("in_exact").isNotNull && col("in_lsh").isNotNull, 1L)
-            .otherwise(0L)).as("n_both"))
-    }),
-    "sim_projected_topk" -> ((s, dir) => {
-      // two-stage ANN through the deterministic JL projection: 16-dim
-      // shortlist (100 per query), exact 64-dim re-rank to top-5.
-      // Deterministic matrix + id tiebreaks at both stages => the ONE
-      // approximate ANN path that is oracle-exact end-to-end. Recall is
-      // data-dependent: ~0.65 vs brute force on THIS weakly-clustered
-      // synthetic corpus (measured; shortlist is the knob), >= 0.8 on
-      // clustered data (SimilaritySpec).
-      val e = s.read.parquet(s"$dir/embeddings.parquet")
-        .withColumn("emb", expr("transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1024) / 1024)"))
-      val queries = e.filter(col("vec_id") < 20).select(col("vec_id").as("qid"), col("emb"))
-      Similarity.projectedTopK(e, "vec_id", "emb", queries, "qid", "emb",
-          k = 5, shortlist = 100, inDim = 64, outDim = 16)
-        .withColumn("rank", col("rank").cast("long"))
-    }),
-    "sim_ivfpq_topk" -> ((s, dir) => {
-      // IVF-PQ (coarse cells + residual product codes, m+4 bytes/vector
-      // scanned, ~nprobe/nlist of the corpus touched per query) — the
-      // corpus-scale ANN capstone. Clustering+quantization-dependent =>
-      // rows-only with the standard probe row per query: planted-copy
-      // recovery + overlap with exact brute force.
-      val e = s.read.parquet(s"$dir/embeddings.parquet")
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
-      val queries = e.filter(col("vec_id") < 20)
-        .select(col("vec_id").as("qid"), col("embedding"))
-      val planted = queries.select((-(col("qid") + lit(1L))).as("vec_id"),
-        expr("transform(embedding, (x, i) -> x + (CAST(i % 3 AS DOUBLE) - 1.0D) / 256.0D)")
-          .as("embedding"))
-      val corpus = e.unionByName(planted)
-      val ivfpq = Similarity.ivfPqTopK(corpus, "vec_id", "embedding",
-          queries, "qid", "embedding", k = 5)
-        .select(col("query_id"), col("neighbor_id"), lit(1L).as("in_pq"))
-      val exact = Similarity.bruteForceTopK(corpus, "vec_id", "embedding",
-          queries, "qid", "embedding", k = 5)
-        .select(col("query_id"), col("neighbor_id"), lit(1L).as("in_exact"))
-      ivfpq.join(exact, Seq("query_id", "neighbor_id"), "full_outer")
-        .groupBy("query_id")
-        .agg(
-          max(when(col("in_pq").isNotNull &&
-              col("neighbor_id") === -(col("query_id") + lit(1L)), 1L)
-            .otherwise(0L)).as("planted_found"),
-          sum(when(col("in_pq").isNotNull, 1L).otherwise(0L)).as("n_pq"),
-          sum(when(col("in_exact").isNotNull, 1L).otherwise(0L)).as("n_exact"),
-          sum(when(col("in_exact").isNotNull && col("in_pq").isNotNull, 1L)
-            .otherwise(0L)).as("n_both"))
-    }),
-    "sim_pq_topk" -> ((s, dir) => {
-      // product-quantization ADC top-k (m one-byte codes per vector — the
-      // memory-bounded scan representation at corpus scale). Quantization-
-      // distortion-dependent => rows-only, with the sim_lsh_topk probe
-      // pattern: per query one row counting (a) recovery of a planted
-      // near-copy (dyadic perturbation, negative id) and (b) overlap with
-      // the exact brute-force top-k; SimilaritySpec pins the recall bound.
-      val e = s.read.parquet(s"$dir/embeddings.parquet")
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
-      val queries = e.filter(col("vec_id") < 20)
-        .select(col("vec_id").as("qid"), col("embedding"))
-      val planted = queries.select((-(col("qid") + lit(1L))).as("vec_id"),
-        expr("transform(embedding, (x, i) -> x + (CAST(i % 3 AS DOUBLE) - 1.0D) / 256.0D)")
-          .as("embedding"))
-      val corpus = e.unionByName(planted)
-      val pq = Similarity.pqTopK(corpus, "vec_id", "embedding",
-          queries, "qid", "embedding", k = 5)
-        .select(col("query_id"), col("neighbor_id"), lit(1L).as("in_pq"))
-      val exact = Similarity.bruteForceTopK(corpus, "vec_id", "embedding",
-          queries, "qid", "embedding", k = 5)
-        .select(col("query_id"), col("neighbor_id"), lit(1L).as("in_exact"))
-      pq.join(exact, Seq("query_id", "neighbor_id"), "full_outer")
-        .groupBy("query_id")
-        .agg(
-          max(when(col("in_pq").isNotNull &&
-              col("neighbor_id") === -(col("query_id") + lit(1L)), 1L)
-            .otherwise(0L)).as("planted_found"),
-          sum(when(col("in_pq").isNotNull, 1L).otherwise(0L)).as("n_pq"),
-          sum(when(col("in_exact").isNotNull, 1L).otherwise(0L)).as("n_exact"),
-          sum(when(col("in_exact").isNotNull && col("in_pq").isNotNull, 1L)
-            .otherwise(0L)).as("n_both"))
-    }),
-    "dedup_embedding_lsh" -> ((s, dir) => {
-      // banded-LSH near-dup — the CORPUS-SCALE headline (bucketed ids-only
-      // candidates, never an unblocked n^2). Two in-query quality probes:
-      // (a) 200 planted near-copies (cosine ~0.9999, id = -(orig+1) —
-      //     NEGATIVE ids never collide with real vec_ids at any corpus
-      //     size) must be recovered;
-      // (b) recall against the EXACT all-pairs result on the bounded anchor
-      // subset (id < 500 + its planted copies — the dedup_embedding set).
-      // Hash-dependent => rows-only; DedupSpec asserts recall >= 0.95.
-      val e = s.read.parquet(s"$dir/embeddings.parquet")
-        .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("vec"))
-      val planted = e.filter(col("id") < 200)
-        .select((-(col("id") + lit(1L))).as("id"),
-          expr("transform(vec, (x, i) -> x + 0.02 * cos(CAST(i AS DOUBLE)))").as("vec"))
-      val corpus = e.unionByName(planted)
-      val lsh = Dedup.embeddingNearDups(corpus, "id", "vec", threshold = 0.95)
-        .select(col("id_a"), col("id_b"), lit(1L).as("in_lsh"))
-      val sub = corpus.filter(col("id") < 500)
-      val la = sub.select(col("id").as("id_a"), col("vec").as("v_a"))
-      val rb = sub.select(col("id").as("id_b"), col("vec").as("v_b"))
-      // explicit broadcast: the bounded side has no stats after union+filter,
-      // so Spark would otherwise plan a 32x32-partition CartesianProduct
-      // whose task overhead dwarfs the 245k-pair compute
-      val exact = la.join(broadcast(rb), col("id_a") < col("id_b"))
-        .withColumn("cos", Similarity.cosine(col("v_a"), col("v_b")))
-        .filter(col("cos") >= 0.95)
-        .select(col("id_a"), col("id_b"), lit(1L).as("in_exact"))
-      // single pass: a full-outer join on the pair key feeds every probe
-      // counter from one aggregate, so the LSH and exact pipelines each run
-      // exactly once (no checkpoint barriers, no re-reads)
-      lsh.join(exact, Seq("id_a", "id_b"), "full_outer")
-        .agg(
-          // the planted pair orders as (copy, original): -(x+1) < x always
-          sum(when(col("in_lsh").isNotNull &&
-              col("id_a") === -(col("id_b") + lit(1L)), 1L).otherwise(0L))
-            .as("n_planted_found"),
-          sum(when(col("in_lsh").isNotNull, 1L).otherwise(0L)).as("n_pairs_total"),
-          sum(when(col("in_exact").isNotNull, 1L).otherwise(0L)).as("n_exact_pairs"),
-          sum(when(col("in_exact").isNotNull && col("in_lsh").isNotNull, 1L)
-            .otherwise(0L)).as("n_exact_found"))
-        .select(lit(200L).as("n_planted"), col("n_planted_found"),
-          col("n_pairs_total"), col("n_exact_pairs"), col("n_exact_found"))
-    }),
-    "stats_k_anonymity" -> ((s, dir) => {
-      // pre-release anonymity audit: per threshold k, equivalence classes
-      // (event_type, day) with < k members / < k distinct users — the
-      // k-anonymity + l-diversity numbers a release review reads next to
-      // the DP histograms. One QI hash-aggregate, |ks|-way fan-out.
-      val ev = events(s, dir)
-        .withColumn("day",
-          expr("date_format(timestamp_micros(ts div 1000), 'yyyy-MM-dd')"))
-      graft.stats.AnonymityAudit.audit(ev, Seq("event_type", "day"), "user_id")
-    }),
-    "corpus_report" -> ((s, dir) => {
-      // the data-card rollup: corpus-level facts a release review reads
-      // first (volume, source/lang spread, exact-dup mass, token budget,
-      // URL incidence) — all exact integer arithmetic in one scan plus one
-      // distinct-text aggregate, so the whole card is oracle-verifiable.
-      // The fixture corpus carries no URLs, so every 10th doc gets a
-      // deterministic footer URL (the text_url_domains construction) —
-      // otherwise the URL column would be vacuously 0 == 0 in both engines
-      // and its extraction logic never actually gate-checked.
-      val docs = s.read.parquet(s"$dir/documents.parquet")
-        .withColumn("body", when(col("doc_id") % 10 === 0,
-            concat(coalesce(col("text"), lit("")), lit(" https://card-"),
-              (col("doc_id") % 7).cast("string"), lit(".example.com/d")))
-          .otherwise(coalesce(col("text"), lit(""))))
-      docs.agg(
-        count(lit(1)).as("n_docs"),
-        sum(col("n_chars")).as("n_chars"),
-        countDistinct(col("source")).as("n_sources"),
-        countDistinct(col("lang")).as("n_langs"),
-        (count(lit(1)) - countDistinct(col("text"))).as("n_exact_dup_docs"),
-        sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("n_tokens"),
-        sum(when(size(TextAnalysis.extractUrls(col("body"))) > 0, 1L)
-          .otherwise(0L)).as("n_docs_with_urls"))
-    }),
-    "text_bpe" -> ((s, dir) => {
-      // BPE merge training (bounded driver loop over the distributed
-      // top-vocab table — the IVF training pattern) + distributed apply.
-      // Iterative training is not SQL-expressible => rows-only, with the
-      // roundtrip probe in-query: every word must reconstruct exactly from
-      // its subwords (violations column must read 0), and the subword/word
-      // ratio makes merge quality visible. BpeSpec pins the reference
-      // algorithm on the classic fixture.
-      val docs = s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
-      val merges = ops.Bpe.train(docs, "text", nMerges = 50, vocabCap = 10000)
-      docs.select(col("doc_id"),
-          explode(ops.Bpe.applyMerges(col("text"), merges)).as("bw"))
-        .agg(
-          // explode drops token-less docs, so this counts docs WITH tokens
-          countDistinct(col("doc_id")).as("n_docs_with_tokens"),
-          count(lit(1)).as("n_words"),
-          sum(size(col("bw.tokens"))).cast("long").as("n_subword_tokens"),
-          sum(when(concat_ws("", col("bw.tokens")) =!=
-              concat(col("bw.word"), lit(ops.Bpe.EndOfWord)), 1L)
-            .otherwise(0L)).as("n_roundtrip_violations"))
-    }),
-    "text_html_strip" -> ((s, dir) => {
-      // boilerplate removal on synthesized HTML (the mm_* pattern: build a
-      // deterministic artifact in-query, run the REAL operator, verify the
-      // roundtrip): nav/footer/script/style content must vanish, body text
-      // must survive verbatim. Java∩RE2 regexes so the oracle runs the
-      // same patterns; clean text compared as md5.
-      val docs = s.read.parquet(s"$dir/documents.parquet")
-        .withColumn("html", concat(
-          lit("<html><head><title>doc-"), col("doc_id"),
-          lit("</title><style>body{margin:0}</style></head><body><nav>home | about | login</nav><h1>doc-"),
-          col("doc_id"), lit("</h1><p>"), col("text"),
-          lit("</p><script>var t=1;</script><footer>copyright corp</footer></body></html>")))
-      docs.select(col("doc_id"),
-        TextAnalysis.htmlTitle(col("html")).as("title"),
-        TextAnalysis.htmlStrip(col("html")).as("__clean"))
-        .select(col("doc_id"), col("title"),
-          length(col("__clean")).cast("long").as("n_chars_clean"),
-          md5(col("__clean")).as("clean_md5"))
-    }),
-    "text_quality_model" -> ((s, dir) => {
-      // hashed-n-gram linear classifier scoring (fastText-shaped model
-      // filter plumbing): hash unigrams+bigrams into 1024 buckets, average
-      // deterministic integer-thousandth weights, threshold at 0. Exact
-      // integer sum + one division => oracle-exact; swap weightMillis for
-      // a broadcast trained-weight array to run a real model.
-      s.read.parquet(s"$dir/documents.parquet")
-        .select(col("doc_id"), ops.LinearTextModel.score(col("text")).as("q"))
-        .select(col("doc_id"), col("q.n_features").as("n_features"),
-          col("q.score").as("score"), col("q.keep").as("keep"))
-    }),
-    "dedup_segments" -> ((s, dir) => {
-      // sub-document exact dedup with reassembly (Lee et al. ExactSubstr at
-      // 10-word-segment granularity): only the globally FIRST occurrence of
-      // a repeated segment survives; docs reassemble from their kept
-      // segments in position order. No hashing in the dedup key =>
-      // deterministic end-to-end; the reassembled text is compared as md5
-      // to keep the gate compact.
-      Dedup.dedupSegments(s.read.parquet(s"$dir/documents.parquet"),
-          "doc_id", "text", segmentWords = 10)
-        .select(col("doc_id"), col("n_segs"), col("n_kept"),
-          md5(col("text_kept")).as("kept_md5"))
-    }),
-    "dedup_freq_segments" -> ((s, dir) => {
-      // boilerplate removal (MassiveText/RefinedWeb line-dedup rule):
-      // segments occurring > 2 times corpus-wide drop from EVERY doc —
-      // first copies included — because cross-doc repetition at that rate
-      // is template boilerplate, not content. Deterministic end-to-end
-      // (no hashing in the decision), md5 of reassembled text for the gate.
-      Dedup.removeFrequentSegments(s.read.parquet(s"$dir/documents.parquet"),
-          "doc_id", "text", segmentWords = 10, maxFreq = 2)
-        .select(col("doc_id"), col("n_segs"), col("n_kept"),
-          md5(col("text_kept")).as("kept_md5"))
-    }),
-    "dedup_semantic_exact" -> ((s, dir) => {
-      // SemDeDup with nlist=1 — exact all-pairs over a BOUNDED subset, the
-      // oracle anchor driving the full machinery (pairwise cosine ->
-      // threshold -> connected components -> min-id representative) with
-      // clustering disabled. Duplicate structure is planted: 100 copies
-      // (id = -(orig+1)) perturbed by the DYADIC (i%3 - 1)/256 per
-      // coordinate — exactly representable in doubles, so both engines
-      // compute identical vectors (a cos(i)-style perturbation would risk
-      // 1-ulp libm-vs-Java drift); planted cosine ~0.9998, max natural
-      // pairwise cosine in the subset is 0.513 -> clean separation at 0.98.
-      val e = s.read.parquet(s"$dir/embeddings.parquet")
-        .filter(col("vec_id") < 400)
-        .withColumn("emb", expr("transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1024) / 1024)"))
-        .select("vec_id", "emb")
-      val planted = e.filter(col("vec_id") < 100)
-        .select((-(col("vec_id") + lit(1L))).as("vec_id"),
-          expr("transform(emb, (x, i) -> x + (CAST(i % 3 AS DOUBLE) - 1.0D) / 256.0D)").as("emb"))
-      Dedup.semanticDedup(e.unionByName(planted), "vec_id", "emb",
-        threshold = 0.98, nlist = 1)
-    }),
-    "dedup_semantic" -> ((s, dir) => {
-      // SemDeDup headline: k-means cells (auto-sized), exact pairwise
-      // within cells only. Clustering-dependent => rows-only, with the
-      // in-query probe pattern: 200 planted near-copies (dyadic
-      // perturbation, negative ids) are caught iff copy and original land
-      // in the same cell AND connect — the one-row output counts them, so
-      // silent recall collapse (e.g. a quantizer regression splitting
-      // near-identical vectors across cells) is visible to the row check;
-      // DedupSpec pins the bound.
-      val e = s.read.parquet(s"$dir/embeddings.parquet")
-        .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("vec"))
-      val planted = e.filter(col("id") < 200)
-        .select((-(col("id") + lit(1L))).as("id"),
-          expr("transform(vec, (x, i) -> x + (CAST(i % 3 AS DOUBLE) - 1.0D) / 256.0D)").as("vec"))
-      val out = Dedup.semanticDedup(e.unionByName(planted), "id", "vec",
-        threshold = 0.98).localCheckpoint(false) // two consumers below
-      val stats = out.agg(count(lit(1)).as("n_rows"),
-        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
-      val caught = out.filter(col("id") >= 0 && col("id") < 200)
-        .select(col("id"), col("component").as("comp_o"))
-        .join(out.filter(col("id") < 0)
-          .select((-col("id") - lit(1L)).as("id"), col("component").as("comp_c")), "id")
-        .agg(count(lit(1)).as("n_planted"),
-          sum(when(col("comp_o") === col("comp_c"), 1L).otherwise(0L))
-            .as("n_planted_caught"))
-      stats.crossJoin(caught)
-    }),
-    "dedup_semantic_windowed" -> ((s, dir) => {
-      // the LINEAR-cost semantic-dedup mode: members sort by centroid
-      // distance within each cell and compare only to their next `window`
-      // neighbors — |corpus|*window cosine evals, immune to hot-cell
-      // quadratic blowup (THE 100 TB mode; the exact-within-cell pass is
-      // the quality anchor). Same probe row as dedup_semantic.
-      val e = s.read.parquet(s"$dir/embeddings.parquet")
-        .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("vec"))
-      val planted = e.filter(col("id") < 200)
-        .select((-(col("id") + lit(1L))).as("id"),
-          expr("transform(vec, (x, i) -> x + (CAST(i % 3 AS DOUBLE) - 1.0D) / 256.0D)").as("vec"))
-      val out = Dedup.semanticDedup(e.unionByName(planted), "id", "vec",
-        threshold = 0.98, window = 8).localCheckpoint(false)
-      val stats = out.agg(count(lit(1)).as("n_rows"),
-        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
-      val caught = out.filter(col("id") >= 0 && col("id") < 200)
-        .select(col("id"), col("component").as("comp_o"))
-        .join(out.filter(col("id") < 0)
-          .select((-col("id") - lit(1L)).as("id"), col("component").as("comp_c")), "id")
-        .agg(count(lit(1)).as("n_planted"),
-          sum(when(col("comp_o") === col("comp_c"), 1L).otherwise(0L))
-            .as("n_planted_caught"))
-      stats.crossJoin(caught)
-    }),
-    "emb_project" -> ((s, dir) => {
-      // Johnson-Lindenstrauss 64 -> 16 projection with the deterministic
-      // portable +-1 matrix (md5-derived signs, dyadic 1/4 scale) — every
-      // output coordinate bit-reproducible => oracle-exact. Distance
-      // preservation is pinned in SimilaritySpec. Output flattened to one
-      // (vec_id, idx, coord) row per coordinate — scalar columns only, the
-      // dp_vector_sum convention the gate's column sort requires.
-      s.read.parquet(s"$dir/embeddings.parquet")
-        .withColumn("emb", expr("transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1024) / 1024)"))
-        .select(col("vec_id"),
-          posexplode(Similarity.randomProject(col("emb"), inDim = 64, outDim = 16))
-            .as(Seq("idx", "coord")))
-        .select(col("vec_id"), col("idx").cast("long").as("idx"), col("coord"))
-    }),
-    "emb_quantize" -> ((s, dir) => {
-      // symmetric int8 quantization per embedding (4x storage cut for ANN),
-      // verified via per-vector roundtrip stats: the quantized L1 mass and
-      // the max dequantization error (bounded by scale/2 by construction).
-      // All-native deterministic arithmetic => oracle-exact.
-      val e = s.read.parquet(s"$dir/embeddings.parquet")
-        .withColumn("v", col("embedding").cast("array<double>"))
-        .withColumn("qz", Similarity.quantizeInt8(col("v")))
-      e.select(col("vec_id"),
-        col("qz.scale").as("scale"),
-        aggregate(transform(col("qz.q"), q => abs(q.cast("long"))),
-          lit(0L), (a, x) => a + x).as("q_l1"),
-        aggregate(zip_with(col("v"), col("qz.q"),
-            (x, q) => abs(x - q.cast("double") * col("qz.scale"))),
-          lit(0.0), (a, x) => greatest(a, x)).as("max_abs_err"))
-    }),
-    "sim_ivf_exact" -> ((s, dir) => {
-      // IVF with nprobe == nlist probes EVERY cell, so candidates = the full
-      // corpus per query and the result is provably identical to brute
-      // force — while still driving the entire IVF machinery (sampled
-      // training, Lloyd's quantizer, cell assignment, probed cell join,
-      // bounded-heap top-k). The oracle-verified anchor for sim_ivf_topk;
-      // same SQL oracle as sim_topk.
-      val e = s.read.parquet(s"$dir/embeddings.parquet")
-        .withColumn("emb", expr("transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1024) / 1024)"))
-      val queries = e.filter(col("vec_id") < 20).select(col("vec_id").as("qid"), col("emb"))
-      Similarity.ivfTopK(e, "vec_id", "emb", queries, "qid", "emb",
-        k = 5, nlist = 16, nprobe = 16)
-        .withColumn("rank", col("rank").cast("long"))
-    }),
-    "sim_ivf_topk" -> ((s, dir) => {
-      // IVF approximate top-k: k-means cells + probed-cell exact re-rank.
-      // Clustering-dependent output => rows-only; SimilaritySpec measures
-      // recall >= 0.8 against brute force on clustered data. nlist/nprobe
-      // auto-size inside ivfTopK from the corpus count its sampling step
-      // already takes (sqrt(corpus), clamped) — no extra driver job here.
-      // IN-QUERY PROBES (the sim_lsh_topk pattern): every result row
-      // carries its query's recall counters vs the exact brute-force
-      // top-k over the same corpus — n_both (overlap) and n_exact — so
-      // the driver's row check sees silent recall collapse.
-      val e = s.read.parquet(s"$dir/embeddings.parquet")
-      val queries = e.filter(col("vec_id") < 20)
-        .select(col("vec_id").as("qid"), col("embedding"))
-      val ivf = Similarity.ivfTopK(e, "vec_id", "embedding",
-        queries, "qid", "embedding", k = 5)
-      val exact = Similarity.bruteForceTopK(e, "vec_id", "embedding",
-          queries, "qid", "embedding", k = 5)
-        .select(col("query_id"), col("neighbor_id"), lit(1L).as("__in_exact"))
-      val recall = ivf
-        .select(col("query_id"), col("neighbor_id"), lit(1L).as("__in_ivf"))
-        .join(exact, Seq("query_id", "neighbor_id"), "full_outer")
-        .groupBy("query_id")
-        .agg(sum(when(col("__in_exact").isNotNull &&
-            col("__in_ivf").isNotNull, 1L).otherwise(0L)).as("n_both"),
-          sum(coalesce(col("__in_exact"), lit(0L))).as("n_exact"))
-      ivf.join(broadcast(recall), Seq("query_id"))
-    }),
-    "mm_features" -> ((s, dir) => {
-      // multimodal payload plumbing: text bytes as the opaque binary payload
-      val docs = s.read.parquet(s"$dir/documents.parquet")
-        .withColumn("media", col("text").cast("binary"))
-      docs.select(col("doc_id"), Multimodal.payloadFeatures(col("media")).as("f"))
-        .select(col("doc_id"), col("f.n_bytes").as("n_bytes"), col("f.sha256").as("sha256"))
-    }),
-    "mm_embed" -> ((s, dir) => {
-      // model feature extraction END-TO-END: each embedding's int8
-      // quantization is the opaque binary payload (the bytes a feature
-      // store holds), pushed through the real batched mapPartitions
-      // inference boundary — weights materialize once per partition, rows
-      // flow in batches — where the "model" is the fixed-weight integer
-      // network (sum-pool + the portable +-1 linear layer). All-integer
-      // forward pass => every feature coordinate hashes exactly against
-      // the oracle's replay of the same linear algebra.
-      val toBytes = udf((q: Seq[Byte]) => q.toArray)
-      val payload = s.read.parquet(s"$dir/embeddings.parquet")
-        .select(col("vec_id"),
-          toBytes(Similarity.quantizeInt8(col("embedding")).getField("q"))
-            .as("media"))
-      Multimodal.extractFeaturesBatched(payload, "media", inDim = 64, outDim = 8)
-        .select(col("vec_id"),
-          posexplode(col("feature_vec")).as(Seq("j", "feature")))
-        .select(col("vec_id"), col("j").cast("int").as("j"), col("feature"))
-    }),
-    "mm_frame_sample" -> ((s, dir) => {
-      // video-shaped frame sampling: each doc becomes a 4-frame GFTV
-      // container of real PNGs, 2 evenly-spaced frames are sampled (only
-      // those bytes materialize) and REAL-decoded. Synthetic payloads and
-      // JDK-only codecs => rows-only; the PNG decode itself is
-      // oracle-verified by mm_decode_resize, and MultimodalSpec pins the
-      // sampled indices + roundtrip luminance.
-      val mkVideo = udf((text: String) => {
-        val t = if (text == null) "" else text
-        val q = math.max(t.length / 4, 1)
-        val frames = (0 until 4).map { i =>
-          Multimodal.syntheticPng(t.substring(
-            math.min(i * q, t.length), math.min((i + 1) * q, t.length)))
-        }
-        Multimodal.syntheticVideo(frames)
-      })
-      // IN-QUERY PROBES (the rows-only convention): every row carries
-      //   probe_idx_unexpected — 1 if this frame_idx is NOT in the sampled-
-      //     index set computed INDEPENDENTLY by the Column-expression
-      //     formula sampleFrameIndices (two implementations of the
-      //     evenly-spaced rule cross-check each other);
-      //   probe_missing_frames — per-doc gap between expected sampled-index
-      //     count and rows that actually materialized (a dropped/undecoded
-      //     frame shows up as a positive gap);
-      //   probe_decode_failed — 1 if the PNG decode returned null.
-      // All three must be 0 on every row; MultimodalSpec pins the exact
-      // indices + luminance roundtrip.
-      val docs = s.read.parquet(s"$dir/documents.parquet")
-        .select(col("doc_id"), mkVideo(col("text")).as("media"))
-      val sampled = Multimodal.sampleFrames(docs, "media", n = 2)
-      val perDoc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
-      Multimodal.decodeImage(sampled, "frame")
-        .withColumn("__want", Multimodal.sampleFrameIndices(col("n_frames"), 2))
-        .select(col("doc_id"), col("frame_idx"), col("n_frames").cast("long").as("n_frames"),
-          col("decoded.width").as("width"), col("decoded.height").as("height"),
-          col("decoded.mean_luminance").as("mean_luminance"),
-          when(!array_contains(col("__want"), col("frame_idx")), 1L).otherwise(0L)
-            .as("probe_idx_unexpected"),
-          (size(col("__want")).cast("long") - count(lit(1)).over(perDoc))
-            .as("probe_missing_frames"),
-          when(col("decoded").isNull, 1L).otherwise(0L).as("probe_decode_failed"))
-    }),
-    "papi_count_sum" -> ((s, dir) => {
-      // PrivateDataFrame API: one accountant, map + two aggregations
-      val acc = new NaiveBudgetAccountant(1e5, 0.999999)
-      val p = PrivateDataFrame(events(s, dir), col("user_id"), acc, NoiseSource.Zero)
-        .map("event_type" -> col("event_type"), "v" -> floor(col("value")))
-      val params = PrivateAggParams(Seq("event_type" -> col("event_type")),
-        maxPartitionsContributed = 5, maxContributionsPerPartition = Some(100),
-        minValue = Some(0.0), maxValue = Some(1000.0))
-      val counts = p.count(params)
-      val sums = p.sum(col("v"), params)
-      acc.computeBudgets()
-      counts.dataframe.join(sums.dataframe, "event_type")
-    }),
-    // ---- §2.C.8 utility analysis ----
-    "ua_per_partition" -> ((s, dir) => {
-      // per-partition error moments for 2 parameter configurations in one
-      // pass, public partitions (incl. one empty). All keep-probabilities are
-      // dyadic (l0 in {1,2}, <= 2 partitions per user) and all clipped values
-      // integer-valued, so every oracle-facing sum is exact in any order.
-      import s.implicits._
-      val ev = events(s, dir).filter(col("event_type").isin("click", "view"))
-        .withColumn("v", floor(col("value")))
-      val pub = Seq("click", "view", "ghost_type").toDF("event_type")
-      val (_, per) = UtilityAnalysis.analyze(ev,
-        DPColumns(col("user_id"), Seq("event_type" -> col("event_type")), Some(col("v"))),
-        uaPublicOptions, Some(pub))
-      per
-    }),
-    "ua_report" -> ((s, dir) => {
-      // cross-partition utility report over the same analysis (global +
-      // per-size-bucket rows); floats rounded to 9 decimals on both sides
-      // (weighted cross-partition sums of irrational rmse terms are
-      // order-sensitive in the last ulps)
-      import s.implicits._
-      val ev = events(s, dir).filter(col("event_type").isin("click", "view"))
-        .withColumn("v", floor(col("value")))
-      val pub = Seq("click", "view", "ghost_type").toDF("event_type")
-      val (rep, _) = UtilityAnalysis.analyze(ev,
-        DPColumns(col("user_id"), Seq("event_type" -> col("event_type")), Some(col("v"))),
-        uaPublicOptions, Some(pub))
-      val rounded = rep.schema.fields.map { f =>
-        if (f.dataType == org.apache.spark.sql.types.DoubleType)
-          round(col(f.name), 9).as(f.name)
-        else col(f.name)
-      }
-      rep.select(rounded.toIndexedSeq: _*)
-    }),
-    "ua_private_keep_prob" -> ((s, dir) => {
-      // private partition selection probability, Laplace thresholding. Every
-      // user contributes to exactly 1 partition (pk = user_id % 10) and
-      // l0 = 1, so each contributor survives bounding with probability 1 and
-      // the Poisson-binomial PMF is a point mass: keep_prob equals the
-      // strategy's exact formula, which the oracle replicates in SQL.
-      val ev = events(s, dir).withColumn("pk", pmod(col("user_id"), lit(10L)))
-      val (_, per) = UtilityAnalysis.analyze(ev,
-        DPColumns(col("user_id"), Seq("pk" -> col("pk")), None),
-        uaPrivateOptions, None)
-      per.select(col("pk"), col("config_index"),
-        round(col("keep_prob"), 9).as("keep_prob"),
-        col("raw_privacy_id_count"), col("raw_count"),
-        col("privacy_id_count_sum"), col("privacy_id_count_exp_l0_err"),
-        col("privacy_id_count_noise_std"))
-    }),
-    "ua_multi_sum" -> ((s, dir) => {
-      // multi-column utility analysis: SUM over two value columns in one
-      // pass, each with its own bounds and noise std. Same dyadic-probability
-      // discipline as ua_per_partition => oracle-exact.
-      import s.implicits._
-      val ev = events(s, dir).filter(col("event_type").isin("click", "view"))
-      val mvCols = MultiValueColumns(col("user_id"),
-        Seq("event_type" -> col("event_type")),
-        Seq("a" -> floor(col("value")), "b" -> length(col("props")).cast("double")))
-      val opts = UtilityAnalysisOptions(
-        epsilon = 1.0, delta = 0.0, metrics = Seq(Metric.Sum),
-        configs = Seq(UtilityAnalysisConfig(maxPartitionsContributed = 1)),
-        publicPartitions = true)
-      val pre = UtilityAnalysis.preAggregateMulti(ev, mvCols)
-      val pub = Seq("click", "view", "ghost_type").toDF("event_type")
-      UtilityAnalysis.perPartitionMetricsMultiSum(pre, Seq("event_type"),
-        Seq("a", "b"), opts, Seq(Seq((0.0, 100.0), (0.0, 50.0))), Some(pub))
-    }),
-    "ua_partitions_summary" -> ((s, dir) => {
-      // dataset-vs-public partition classification (one row)
-      import s.implicits._
-      val pub = Seq("click", "view", "ghost_type").toDF("event_type")
-      UtilityAnalysis.publicPartitionsSummary(events(s, dir),
-        Seq("event_type" -> col("event_type")), pub)
-    }),
-    "tune_params" -> ((s, dir) => {
-      // parameter tuning: histogram-driven (l0, linf) candidates, utility
-      // analysis over all of them in one pass, argmin RMSE. Fully
-      // deterministic (error moments are pure math, no noise is drawn) but
-      // the candidate grid + keep-prob machinery is not SQL-expressible =>
-      // rows-only; numeric behavior covered by ParameterTuningSpec.
-      // IN-QUERY PROBES (the rows-only convention): every row carries
-      //   probe_best_gap_vs_min  — RMSE(chosen) - min(sweep RMSE); 0 means
-      //     the selection really is the sweep argmin (guards a future
-      //     selection rule drifting off the exact sweep);
-      //   probe_gap_vs_single   — |RMSE(chosen) from the one-pass 9-config
-      //     analysis - RMSE(chosen) from an INDEPENDENT single-config
-      //     analysis run|, rounded at 1e-6; 0 means no cross-config
-      //     interference in the shared-pass combiner packing.
-      val ev = events(s, dir)
-      val roles = DPColumns(col("user_id"), Seq("event_type" -> col("event_type")), None)
-      val h = eventHistograms(s, dir)
-      val opts = TuneOptions(2.0, 1e-5, Metric.Count, UtilityAnalysisConfig(1, 1),
-        ParametersToTune(maxPartitionsContributed = true, maxContributionsPerPartition = true),
-        numberOfParameterCandidates = 9)
-      val (res, _, _) = ParameterTuning.tune(ev, roles, h, opts)
-      val best = res.candidates(res.indexBest)
-      val singleOpts = UtilityAnalysisOptions(opts.epsilon, opts.delta,
-        Seq(opts.metric), Seq(best))
-      val (rep1, _) = UtilityAnalysis.analyze(ev, roles, singleOpts, None)
-      val rmseSingle = rep1.filter(col("bucket_lower") === -1L)
-        .select(col("count_abs_rmse")).collect()(0).getDouble(0)
-      val bestRmse = res.rmsePerCandidate(res.indexBest)
-      val gapVsMin = math.rint((bestRmse - res.rmsePerCandidate.min) * 1e6) / 1e6
-      val gapVsSingle = math.rint(math.abs(bestRmse - rmseSingle) * 1e6) / 1e6
-      import s.implicits._
-      res.candidates.zipWithIndex.map { case (c, i) =>
-        (i, c.maxPartitionsContributed, c.maxContributionsPerPartition,
-          c.noiseKind.toString, c.partitionSelectionStrategy.toString,
-          math.rint(res.rmsePerCandidate(i) * 1e6) / 1e6, i == res.indexBest,
-          gapVsMin, gapVsSingle)
-      }.toDF("config_index", "l0", "linf", "noise_kind", "selection_strategy",
-        "rmse", "is_best", "probe_best_gap_vs_min", "probe_gap_vs_single")
-    }),
-    "stats_error_estimate" -> ((s, dir) => {
-      // histogram-only RMSE estimation (no pass over the data beyond the
-      // histograms). Oracle-verified: the l0/linf ratio-dropped curves are
-      // piecewise-linear with kinks exactly at the (unit-width) bin lowers,
-      // so interpolation equals the direct sum(max(c - bound, 0))/sum(c)
-      // form the SQL recomputes; the per-partition log-bin walk and the
-      // estimator formula are replayed term-by-term. Rounding uses
-      // floor(x*1e6 + 0.5) — identical bit-ops in both engines — to absorb
-      // the one unordered float sum (over <= a handful of partition bins).
-      val h = eventHistograms(s, dir)
-      val est = HistogramErrorEstimator.forCount(h, 1.0, None, Metric.Count,
-        NoiseKind.Laplace)
-      import s.implicits._
-      Seq((1, 1.0), (2, 5.0), (5, 100.0)).map { case (l0, linf) =>
-        (l0, linf, math.floor(est.estimateRmse(l0, Some(linf)) * 1e6 + 0.5) / 1e6)
-      }.toDF("l0_bound", "linf_bound", "estimated_rmse")
-    }),
-    "stats_l0_histogram" -> ((s, dir) => {
-      // log-binned L0 contribution histogram (bins < 1000 are unit-width,
-      // so the oracle is exact)
-      val h = eventHistograms(s, dir)
-      import s.implicits._
-      h.l0Contributions.bins.map(b => (b.lower.toLong, b.count, b.sum))
-        .toDF("bin_lower", "n_units", "total_contribs")
-    }),
-    "stats_linf_histogram" -> ((s, dir) => {
-      val h = eventHistograms(s, dir)
-      import s.implicits._
-      h.linfContributions.bins.map(b => (b.lower.toLong, b.count, b.sum))
-        .toDF("bin_lower", "n_pairs", "total_rows")
-    }),
-    "stats_private_l0" -> ((s, dir) => {
-      // DP choice of max_partitions_contributed via exponential mechanism;
-      // huge calculation eps => the softmax weights of all non-argmax
-      // candidates underflow to exactly 0.0, so the pick is the
-      // deterministic argmax of score(k) — which the SQL oracle recomputes
-      // (unit-width l0 bins make impact_dropped an exact integer sum)
-      val ev = events(s, dir)
-      val h = eventHistograms(s, dir)
-      val nPartitions = ev.select("event_type").distinct().count()
-      val k = graft.stats.PrivateL0Calculator.calculate(
-        graft.stats.CalculatePrivateContributionBoundsParams(
-          NoiseKind.Laplace, aggregationEps = 1.0, aggregationDelta = 0.0,
-          calculationEps = 1e6, maxPartitionsContributedUpperBound = 100),
-        nPartitions, h, NoiseSource.Zero)
-      import s.implicits._
-      Seq((k, nPartitions)).toDF("private_l0_bound", "n_partitions")
-    }),
-
-    // ---- §2.A dataflow primitives over the TPC-H-ish tables ----
-    "a_map" -> ((s, dir) => {
-      // map / select(expr): per-row revenue (deterministic per-row arithmetic)
-      s.read.parquet(s"$dir/lineitem.parquet")
-        .select(col("l_orderkey"), col("l_linenumber"),
-          (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
-    }),
-    "a_flat_map" -> ((s, dir) => {
-      // flat_map / explode: document tokens
-      s.read.parquet(s"$dir/documents.parquet")
-        .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("token"))
-    }),
-    "a_filter" -> ((s, dir) => {
-      s.read.parquet(s"$dir/lineitem.parquet")
-        .filter(col("l_quantity") > 25 && col("l_returnflag") === "R")
-        .select("l_orderkey", "l_linenumber", "l_quantity")
-    }),
-    "a_group_by_key" -> ((s, dir) => {
-      // group_by_key: values gathered per key (sorted for determinism)
-      // (string-joined so the parquet/oracle comparison avoids nested arrays)
-      s.read.parquet(s"$dir/orders.parquet")
-        .groupBy(col("o_custkey"))
-        .agg(concat_ws(",", sort_array(collect_list(col("o_orderkey")))).as("orderkeys"))
-    }),
-    "a_filter_by_key" -> ((s, dir) => {
-      // filter_by_key / semi-join: lineitems of urgent orders
-      val urgent = s.read.parquet(s"$dir/orders.parquet")
-        .filter(col("o_orderpriority") === "1-URGENT").select("o_orderkey")
-      s.read.parquet(s"$dir/lineitem.parquet")
-        .join(urgent, col("l_orderkey") === col("o_orderkey"), "left_semi")
-        .select("l_orderkey", "l_linenumber")
-    }),
-    "a_filter_by_key_sharded" -> ((s, dir) => {
-      // skew-resilient filter_by_key: salted semi-join; output identical to
-      // the plain semi-join (the salt only changes physical distribution)
-      val urgent = s.read.parquet(s"$dir/orders.parquet")
-        .filter(col("o_orderpriority") === "1-URGENT").select("o_orderkey")
-      Dataflow.filterByKeySharded(
-        s.read.parquet(s"$dir/lineitem.parquet").withColumnRenamed("l_orderkey", "o_orderkey"),
-        urgent, Seq("o_orderkey"), shards = 8)
-        .select(col("o_orderkey").as("l_orderkey"), col("l_linenumber"))
-    }),
-    "a_bloom_join" -> ((s, dir) => {
-      // Bloom-pre-filtered shuffle join: big side (orders) is filtered by a
-      // portable bitmap over the BUILDING customers' keys before its rows
-      // reach the shuffle; the join removes false positives, so the result
-      // is exactly the plain join. Cents-integer sum => order-free.
-      val cust = s.read.parquet(s"$dir/customer.parquet")
-        .filter(col("c_mktsegment") === "BUILDING")
-        .select("c_custkey")
-      val ords = s.read.parquet(s"$dir/orders.parquet")
-        .select("o_custkey", "o_totalprice")
-      Dataflow.bloomFilteredJoin(ords, cust, "o_custkey", "c_custkey")
-        .groupBy(col("c_custkey"))
-        .agg(count(lit(1)).as("n_orders"),
-          sum(round(col("o_totalprice") * 100).cast("long")).as("total_cents"))
-    }),
-    "a_count_per_element" -> ((s, dir) => {
-      s.read.parquet(s"$dir/lineitem.parquet")
-        .groupBy(col("l_returnflag"), col("l_linestatus"))
-        .agg(count(lit(1)).as("n"))
-    }),
-    "a_sum_per_key" -> ((s, dir) => {
-      // sum_per_key with map-side combine (l_quantity is integer-valued)
-      s.read.parquet(s"$dir/lineitem.parquet")
-        .groupBy(col("l_partkey")).agg(sum(col("l_quantity")).as("sum_qty"))
-    }),
-    "a_min_max_per_key" -> ((s, dir) => {
-      s.read.parquet(s"$dir/orders.parquet")
-        .groupBy(col("o_custkey"))
-        .agg(min(col("o_totalprice")).as("min_price"), max(col("o_totalprice")).as("max_price"))
-    }),
-    "a_flatten" -> ((s, dir) => {
-      // flatten / union-all of two branches
-      val e = events(s, dir)
-      e.filter(col("event_type") === "click").select("event_id")
-        .unionByName(e.filter(col("event_type") === "purchase").select("event_id"))
-    }),
-    "a_distinct" -> ((s, dir) => {
-      s.read.parquet(s"$dir/lineitem.parquet").select("l_returnflag", "l_linestatus").distinct()
-    }),
-    "a_sample_per_key" -> ((s, dir) => {
-      // sample_fixed_per_key: uniform <=3 rows per key; the sampled rows are
-      // random, the per-key counts are deterministic = least(n, 3)
-      DPEngine.sampleRowsPerKey(
-        s.read.parquet(s"$dir/orders.parquet").select("o_custkey", "o_orderkey"),
-        Seq("o_custkey"), 3)
-        .groupBy("o_custkey").agg(count(lit(1)).as("n_sampled"))
-    }),
-    "a_join_agg" -> ((s, dir) => {
-      // broadcast-joined aggregation: revenue per market segment per priority
-      // (floor per-row so the double sum is order-independent for the oracle)
-      val cust = s.read.parquet(s"$dir/customer.parquet").select("c_custkey", "c_mktsegment")
-      val orders = s.read.parquet(s"$dir/orders.parquet")
-      orders.join(broadcast(cust), orders("o_custkey") === cust("c_custkey"))
-        .groupBy(col("c_mktsegment"), col("o_orderpriority"))
-        .agg(count(lit(1)).as("n_orders"),
-          sum(floor(col("o_totalprice"))).cast("double").as("revenue_floor"))
-    }),
-    "a_tpch_q1" -> ((s, dir) => {
-      // TPC-H Q1 shape (pricing summary): one scan, one hash-aggregate on a
-      // low-cardinality key, every metric map-side combined. Money terms
-      // floor()ed per row after their one/two IEEE multiplies so all sums
-      // are order-independent; averages divide two exact aggregates.
-      val li = s.read.parquet(s"$dir/lineitem.parquet")
-        .filter(col("l_shipdate") <= "2001-06-01")
-      li.groupBy("l_returnflag", "l_linestatus")
-        .agg(
-          sum(floor(col("l_quantity"))).cast("double").as("sum_qty"),
-          sum(floor(col("l_extendedprice"))).cast("double").as("sum_base_price"),
-          sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
-            .cast("double").as("sum_disc_price"),
-          sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
-              * (lit(1.0) + col("l_tax"))))
-            .cast("double").as("sum_charge"),
-          (sum(floor(col("l_quantity"))).cast("double") / count(lit(1)))
-            .as("avg_qty"),
-          (sum(floor(col("l_discount") * lit(100.0))).cast("double") / count(lit(1)))
-            .as("avg_disc_pct"),
-          count(lit(1)).as("count_order"))
-    }),
-    "a_tpch_q3" -> ((s, dir) => {
-      // TPC-H Q3 shape (shipping-priority top-10): selective dim filter ->
-      // broadcast, fact-fact equi-join on the order key, group + top-10 via
-      // TakeOrderedAndProject (no global sort). Revenue floor()ed per row
-      // after ONE IEEE multiply, so the sum is order-independent.
-      val cust = s.read.parquet(s"$dir/customer.parquet")
-        .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
-      val orders = s.read.parquet(s"$dir/orders.parquet")
-        .filter(col("o_orderdate") < "1998-06-01")
-        .select("o_orderkey", "o_custkey", "o_orderdate")
-      val li = s.read.parquet(s"$dir/lineitem.parquet")
-        .filter(col("l_shipdate") > "1998-06-01")
-        .select("l_orderkey", "l_extendedprice", "l_discount")
-      li.join(orders, li("l_orderkey") === orders("o_orderkey"))
-        .join(broadcast(cust), orders("o_custkey") === cust("c_custkey"))
-        .groupBy(col("l_orderkey"),
-          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"))
-        .agg(sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
-          .cast("double").as("revenue"))
-        .orderBy(col("revenue").desc, col("l_orderkey"))
-        .limit(10)
-    }),
-    "a_tpch_q5" -> ((s, dir) => {
-      // TPC-H Q5 shape (local supplier volume): the classic star-join —
-      // region/nation/supplier are BROADCAST (dims stay small at any fact
-      // scale), orders⋈customer and the lineitem join shuffle on their keys
-      // and AQE picks the fact-side order. Revenue floor()ed per row after
-      // one IEEE multiply => order-free sums.
-      val asiaNations = s.read.parquet(s"$dir/nation.parquet")
-        .join(broadcast(s.read.parquet(s"$dir/region.parquet")
-            .filter(col("r_name") === "ASIA").select("r_regionkey")),
-          col("n_regionkey") === col("r_regionkey"))
-        .select("n_nationkey", "n_name")
-      val supp = s.read.parquet(s"$dir/supplier.parquet")
-        .select("s_suppkey", "s_nationkey")
-      val cust = s.read.parquet(s"$dir/customer.parquet")
-        .select("c_custkey", "c_nationkey")
-      val orders = s.read.parquet(s"$dir/orders.parquet")
-        .filter(col("o_orderdate") >= "1996-01-01" &&
-          col("o_orderdate") < "1997-01-01")
-        .select("o_orderkey", "o_custkey")
-      val li = s.read.parquet(s"$dir/lineitem.parquet")
-        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
-      li.join(orders, li("l_orderkey") === orders("o_orderkey"))
-        .join(cust, orders("o_custkey") === cust("c_custkey"))
-        .join(broadcast(supp),
-          li("l_suppkey") === supp("s_suppkey") &&
-            cust("c_nationkey") === supp("s_nationkey"))
-        .join(broadcast(asiaNations),
-          supp("s_nationkey") === col("n_nationkey"))
-        .groupBy(col("n_name"))
-        .agg(sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
-          .cast("double").as("revenue"))
-    }),
-    "a_tpch_q18" -> ((s, dir) => {
-      // TPC-H Q18 shape (large-volume orders): aggregate-then-join — the
-      // qualifying-order set is computed by a map-side-combined rollup of
-      // lineitem FIRST, and only that tail joins back to orders/customer, so
-      // the fact-fact join input shrinks from all orders to the heavy tail.
-      // Quantities are integer-valued doubles => order-free sums.
-      val big = s.read.parquet(s"$dir/lineitem.parquet")
-        .groupBy(col("l_orderkey"))
-        .agg(sum(floor(col("l_quantity"))).cast("long").as("total_qty"))
-        .filter(col("total_qty") > 150)
-      val orders = s.read.parquet(s"$dir/orders.parquet")
-        .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
-      val cust = s.read.parquet(s"$dir/customer.parquet")
-        .select("c_custkey", "c_name")
-      orders.join(big, orders("o_orderkey") === big("l_orderkey"))
-        .join(cust, orders("o_custkey") === cust("c_custkey"))
-        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
-          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
-          floor(col("o_totalprice")).cast("long").as("totalprice_floor"),
-          col("total_qty"))
-    }),
-    "a_asof_join" -> ((s, dir) => {
-      // as-of join (attribution): for each purchase, the user's latest click
-      // at-or-before it. Merge-join formulation — one shuffle, no range
-      // explosion; oracle = DuckDB's native ASOF LEFT JOIN.
-      // ts truncated to micros on both sides: DuckDB reads the parquet
-      // TIMESTAMP(NANOS) at microsecond precision, so the oracle can only
-      // reproduce the match at that resolution
-      val ev = events(s, dir).withColumn("tu", expr("ts div 1000"))
-      val clicks = ev.filter(col("event_type") === "click")
-        .select(col("user_id"), col("tu"))
-      val purchases = ev.filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("event_id"), col("tu"))
-      TemporalOps.asofJoinTs(purchases, clicks, Seq("user_id"), "tu", "tu",
-          "last_click_ts")
-        .select(col("user_id"), col("event_id"), col("tu").as("purchase_ts"),
-          coalesce(col("last_click_ts"), lit(-1L)).as("last_click_ts"))
-    }),
-    "a_range_join" -> ((s, dir) => {
-      // interval join: events bucketed-equi-joined to 240 derived 1-hour
-      // maintenance windows (one every 6h from 2024-01-01), then rolled up
-      // per window. The bucketed formulation keeps the plan an equi-join —
-      // no cartesian range scan at any scale.
-      val hourNs = 3600L * 1000000000L
-      val startNs = 1704067200L * 1000000000L // 2024-01-01T00:00:00Z
-      val windows = s.range(0, 240).select(col("id").as("window_id"),
-        (lit(startNs) + col("id") * lit(6 * hourNs)).as("lo"),
-        (lit(startNs) + col("id") * lit(6 * hourNs) + lit(hourNs)).as("hi"))
-      val ev = events(s, dir).select("event_id", "user_id", "value", "ts")
-      TemporalOps.rangeJoin(ev, windows, "ts", "lo", "hi", hourNs)
-        .groupBy("window_id")
-        .agg(count(lit(1)).as("n_events"),
-          countDistinct(col("user_id")).as("n_users"),
-          sum(floor(col("value"))).cast("double").as("value_floor_sum"))
-    }),
-    "dedup_dup_spans" -> ((s, dir) => {
-      // cross-doc duplicated 5-gram span stats (exact-substring dedup
-      // signal); portable md5 gram hashes => END-TO-END oracle-verifiable
-      Dedup.duplicatedSpanStats(
-        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", n = 5)
-    }),
-    "dedup_remove_spans" -> ((s, dir) => {
-      // the REMOVAL step over the same signal (Lee et al.): drop every
-      // token covered by a cross-doc duplicated 5-gram, reassemble, and
-      // fingerprint the surviving token stream — the rewrite itself is
-      // hash-verified (kept_md5), not just its statistics
-      Dedup.removeDuplicatedSpans(
-        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", n = 5)
-    }),
-    "text_length_quantiles" -> ((s, dir) => {
-      // per-source corpus length profile: EXACT interpolated percentiles
-      // (the numbers a quality-filter pipeline thresholds against). Exact
-      // percentile is a sort-based agg per group; at 100 TB swap in
-      // percentile_approx (same query shape) — the oracle anchors exactness
-      // here.
-      s.read.parquet(s"$dir/documents.parquet")
-        .groupBy("source")
-        .agg(expr("percentile(CAST(n_chars AS DOUBLE), array(0.5D, 0.9D, 0.99D))").as("q"),
-          count(lit(1)).as("n_docs"))
-        .select(col("source"), element_at(col("q"), 1).as("p50"),
-          element_at(col("q"), 2).as("p90"), element_at(col("q"), 3).as("p99"),
-          col("n_docs"))
-    }),
-    "text_cdc_chunks" -> ((s, dir) => {
-      // content-defined chunking, rolled up to oracle-exact facts: the
-      // chunks must PARTITION each document exactly (reassembled md5 ==
-      // md5(text)) and respect [min, max] sizing (only the last chunk may
-      // run short; violations column must read 0). Boundary positions are
-      // deterministic but not SQL-recomputable, so the partition property
-      // IS the verification — a dropped, duplicated, or overlapping chunk
-      // breaks the hash.
-      val ch = TextAnalysis.cdcChunks(
-        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
-        minSize = 32, avgSize = 128, maxSize = 512)
-      ch.groupBy("doc_id")
-        .agg(
-          md5(concat_ws("", transform(
-            array_sort(collect_list(struct(col("chunk_idx").as("i"),
-              col("chunk_text").as("t")))),
-            c => c.getField("t")))).as("reassembled_md5"),
-          sum(when(col("length") > 512 ||
-              (col("length") < 32 && !col("is_last")), 1L)
-            .otherwise(0L)).as("size_violations"))
-        .select(col("doc_id"), col("reassembled_md5"), col("size_violations"))
-    }),
-    "text_vocab_topk" -> ((s, dir) => {
-      // corpus vocabulary: 50 most frequent tokens (tokenizer-training prep).
-      // Explode feeds a map-side-combined hash aggregate; final top-k is
-      // TakeOrderedAndProject (bounded per-partition heaps), never a sort.
-      CorpusOps.vocabTopK(
-        s.read.parquet(s"$dir/documents.parquet").select("text"), "text", 50)
-    }),
-    "io_bucketed_join" -> ((s, dir) => {
-      // bucketed CO-LOCATED join: both sides stored once as bucketed +
-      // sorted parquet tables, then merge-joined with zero exchange and
-      // zero per-query sort (spec-asserted plan shape) — the amortized
-      // layout for repeatedly-joined fact tables at corpus scale. The
-      // rollup result is the plain join's, oracle-exact.
-      val tmp = scratchDir("bucketed_join")
-      val ords = s.read.parquet(s"$dir/orders.parquet")
-        .select("o_custkey", "o_totalprice")
-      val cust = s.read.parquet(s"$dir/customer.parquet")
-        .select("c_custkey", "c_mktsegment")
-      Dataflow.bucketedJoin(ords, cust, "o_custkey", "c_custkey",
-          nBuckets = 8, tmp, "g_bucketed")
-        .groupBy("c_mktsegment")
-        .agg(count(lit(1)).as("n_orders"),
-          sum(round(col("o_totalprice") * 100).cast("long")).as("total_cents"))
-    }),
-    "io_range_export" -> ((s, dir) => {
-      // globally-sorted range-partitioned export (repartitionByRange +
-      // local sort): rows-only because RangePartitioner boundary sampling
-      // is engine-internal, with the written-files manifest self-checked
-      // in-query (overlap_violations must be 0, n_total must cover the
-      // corpus — both contract-pinned).
-      val tmp = scratchDir("range_export")
-      CorpusOps.exportRangeSorted(
-        s.read.parquet(s"$dir/orders.parquet")
-          .select("o_orderkey", "o_totalprice"),
-        "o_totalprice", tmp, nParts = 16)
-    }),
-    "io_roundtrip" -> ((s, dir) => {
-      // the IO layer inside the gate: CorpusIO write -> read roundtrips in
-      // two formats (hive-partitioned parquet with bounded files; jsonl
-      // with the explicit schema the reader requires), rolled up per
-      // (format, lang) — counts and sums must survive both roundtrips.
-      import graft.sources.CorpusIO
-      // per-process scratch, wiped on entry: the returned frame reads from
-      // it LAZILY, so deletion after return would break the consumer —
-      // instead reps/gate runs overwrite one bounded copy
-      val tmp = scratchDir("io_roundtrip")
-      val docs = s.read.parquet(s"$dir/documents.parquet")
-        .select("doc_id", "lang", "source", "n_chars")
-      CorpusIO.write(docs, s"$tmp/p", format = "parquet",
-        partitionBy = Seq("lang"), maxRecordsPerFile = 200)
-      CorpusIO.write(docs, s"$tmp/j", format = "jsonl")
-      val p = CorpusIO.read(s, s"$tmp/p")
-        .withColumn("format", lit("parquet"))
-      val j = CorpusIO.read(s, s"$tmp/j", format = "jsonl",
-          schema = Some(docs.schema))
-        .withColumn("format", lit("jsonl"))
-      p.unionByName(j)
-        .groupBy("format", "lang")
-        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars"))
-    }),
-    "sample_weighted" -> ((s, dir) => {
-      // weighted sample without replacement: 100 docs, inclusion odds
-      // proportional to length (priority sampling — w/u with a portable
-      // md5 uniform; division-only math, so the priorities themselves are
-      // bit-reproducible in the oracle).
-      CorpusOps.weightedSample(
-        s.read.parquet(s"$dir/documents.parquet")
-          .select("doc_id", "n_chars"),
-        "doc_id", "n_chars", k = 100)
-    }),
-    "corpus_budget_select" -> ((s, dir) => {
-      // token-budget fill: rank by a planted portable quality score
-      // (Knuth-hash of doc_id — the fixture has no score column; the oracle
-      // replays the same planting) and keep the best-first prefix within
-      // 40% of the corpus' total chars. Budget comes from a one-row
-      // pre-aggregate, so the query is scale-proportional at any sf.
-      val docs = s.read.parquet(s"$dir/documents.parquet")
-        .select(col("doc_id"), col("n_chars"),
-          ((col("doc_id") * 2654435761L) % 1000).cast("double")./(1000.0)
-            .as("score"))
-      val total = docs.agg(sum("n_chars")).collect()(0).getLong(0)
-      CorpusOps.budgetSelect(docs, "doc_id", "n_chars", "score",
-          budget = total * 2 / 5)
-        .withColumnRenamed("id", "doc_id")
-    }),
-    "io_cdc_merge" -> ((s, dir) => {
-      // CDC ingest merge: base snapshot + deterministic update batch
-      // (every 5th doc re-versioned with a payload change, every 7th
-      // tombstoned at a higher version), last-writer-wins compaction via
-      // the argmax aggregate (one map-side-combined shuffle, no window
-      // sort), tombstone winners dropped. The oracle replays the same
-      // union with a row_number window — same rows, independent plan.
-      val docs = s.read.parquet(s"$dir/documents.parquet")
-        .select("doc_id", "n_chars")
-      val base = docs
-        .withColumn("version", lit(1L)).withColumn("deleted", lit(false))
-      val upserts = docs.filter(col("doc_id") % 5 === 0)
-        .withColumn("n_chars", col("n_chars") + 1000L)
-        .withColumn("version", lit(2L)).withColumn("deleted", lit(false))
-      val tombstones = docs.filter(col("doc_id") % 7 === 0)
-        .withColumn("version", lit(3L)).withColumn("deleted", lit(true))
-      CorpusOps.mergeUpsert(base, upserts.unionByName(tombstones),
-          Seq("doc_id"), "version", deleteCol = Some("deleted"))
-        .select("doc_id", "version", "n_chars")
-    }),
-    "io_export_shards" -> ((s, dir) => {
-      // the pipeline's last mile: deterministic 16-shard export (portable
-      // md5 shard assignment, (hash, id)-ordered shard contents) with a
-      // manifest computed from the files just WRITTEN — counts, payload,
-      // and an order-free xor checksum per shard, all SQL-replayable.
-      // Same per-process scratch discipline as io_roundtrip (lazy readers).
-      val tmp = scratchDir("export_shards")
-      CorpusOps.exportShards(
-        s.read.parquet(s"$dir/documents.parquet")
-          .select("doc_id", "text", "n_chars"),
-        "doc_id", "n_chars", tmp, nShards = 16)
-    }),
-    "corpus_prep" -> ((s, dir) => {
-      // the fused end-to-end prep filter: every quality signal (token stats,
-      // Gopher repetition, stopword ratio, language id) in ONE scan
-      // projection + a deterministic keep/drop rule with drop_reason.
-      CorpusOps.prepPipeline(
-        s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text"),
-        "doc_id", "text")
-    }),
-    "corpus_c4_filter" -> ((s, dir) => {
-      // C4 line+page cleaning (Raffel et al.) over a deterministic planted
-      // multi-line body (the fixture corpus is single-line and
-      // punctuation-free, so — as with text_url_domains — the query plants
-      // the structure and the oracle replicates the construction, while
-      // the REAL filter rules run over it): a kept lead line, a too-short
-      // line, a rotating-punctuation line, and modular javascript / brace /
-      // lorem-ipsum planting that exercises every drop rule.
-      val body = concat_ws("\n",
-        concat(substring(col("text"), 1, 60), lit(".")),
-        lit("short line."),
-        concat(substring(col("text"), 61, 60),
-          elt(col("doc_id") % 3 + 1, lit("."), lit(""), lit("?"))),
-        when(col("doc_id") % 7 === 0,
-          lit("Please enable javascript to continue reading.")),
-        when(col("doc_id") % 13 === 0, lit("function f() { return 1; }")),
-        when(col("doc_id") % 17 === 0, lit("Lorem ipsum dolor sit amet.")))
-      CorpusOps.c4Filter(
-        s.read.parquet(s"$dir/documents.parquet")
-          .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
-          .withColumn("body", body),
-        "body")
-        .select(col("doc_id"), col("n_lines"), col("n_lines_kept"),
-          col("n_sentences"), col("has_brace"), col("has_lorem"), col("keep"),
-          md5(col("clean_text")).as("clean_md5"))
-    }),
-    "a_window_topn" -> ((s, dir) => {
-      // window function: top-2 orders by price per customer (deterministic:
-      // ties broken by orderkey)
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("o_custkey")).orderBy(col("o_totalprice").desc, col("o_orderkey"))
-      s.read.parquet(s"$dir/orders.parquet")
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= 2)
-        .select(col("o_custkey"), col("o_orderkey"), col("rk").cast("long").as("rk"))
-    }),
-    "ss_window_agg" -> ((s, dir) => {
-      // the streaming rollup's batch equivalent (streaming parity itself is
-      // proven in StreamOpsSpec against this exact shape)
-      events(s, dir)
-        .withColumn("tstamp", expr("timestamp_micros(ts div 1000)"))
-        .groupBy(date_format(date_trunc("hour", col("tstamp")), "yyyy-MM-dd HH:mm:ss").as("hour"),
-          col("event_type"))
-        .agg(count(lit(1)).as("n_events"),
-          sum(floor(col("value"))).cast("double").as("value_floor_sum"))
-    }),
-    "ss_enrich" -> ((s, dir) => {
-      // stream-static enrichment rollup (events x broadcast customer dim,
-      // per-hour-per-segment counts): the batch execution of the SAME
-      // StreamOps function whose stream==batch parity StreamOpsSpec proves
-      graft.streaming.StreamOps.enrichedWindowStats(
-        events(s, dir).withColumn("ts", expr("timestamp_micros(ts div 1000)")),
-        s.read.parquet(s"$dir/customer.parquet"),
-        "c_custkey", "c_mktsegment")
-    }),
-    "ss_dedup" -> ((s, dir) => {
-      // streaming dedup rollup: distinct users per hour via the chained
-      // dropDuplicates + windowed-count rewrite (count DISTINCT is
-      // unsupported on streams); streaming parity proven in StreamOpsSpec
-      graft.streaming.StreamOps.windowedDistinctUsers(
-        events(s, dir).withColumn("ts", expr("timestamp_micros(ts div 1000)")))
-    }),
-    "ss_approx_distinct" -> ((s, dir) => {
-      // streaming cardinality via the portable HLL sketch: <= 64 state rows
-      // per (window, type) cell instead of one per distinct user — the
-      // shape that survives hundred-million-user windows. Batch execution
-      // here (deterministic => oracle-exact); streaming parity with the
-      // sentinel replay is proven in StreamOpsSpec.
-      graft.streaming.StreamOps.windowedApproxDistinct(
-        events(s, dir).withColumn("ts", expr("timestamp_micros(ts div 1000)")))
-    }),
-    "ss_dp_percentile" -> ((s, dir) => {
-      // streaming DP quantiles: the quantile-tree combiner under the
-      // per-release budget model with the ORDER-FREE drop-not-sample
-      // contribution bound (over-cap units are excluded from their cell —
-      // the only arrival-order-independent Linf bound a stream admits).
-      // Generous cap + zero noise => the deterministic tree walk per
-      // (hour, type) cell, replayed by the same unrolled-descent SQL as
-      // dp_percentile over a composite hour|type key. Streaming parity is
-      // proven in StreamOpsSpec with the sentinel-replay harness.
-      val out = graft.streaming.StreamOps.dpWindowedPercentile(
-        events(s, dir).withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-          .withColumn("v", floor(col("value"))),
-        "user_id", "ts", "v", Seq("event_type"), "1 hour",
-        Seq(50, 90), epsilon = 1e5, delta = 0.0, maxPerCell = 1000L,
-        lower = 0.0, upper = 500.0, noise = NoiseSource.Zero)
-      out.select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
-        col("event_type"), col("percentile_50"), col("percentile_90"))
-    }),
-    "ss_session_agg" -> ((s, dir) => {
-      // session windows (30-minute inactivity gap per user) — the SAME
-      // StreamOps operator runs under Structured Streaming with a watermark
-      // (streaming parity proven in StreamOpsSpec); batch output is
-      // deterministic and oracle-checked against the classic
-      // gaps-and-islands SQL. Timestamps truncated to micros on both sides
-      // so gap comparisons agree exactly.
-      graft.streaming.StreamOps.sessionEventStats(
-        events(s, dir).withColumn("ts", expr("timestamp_micros(ts div 1000)")))
-    }),
-    "ss_attribution" -> ((s, dir) => {
-      // stream-stream time-interval join (click -> purchase attribution
-      // within 1 hour per user), rolled up per conversion day. The SAME
-      // operator runs under Structured Streaming with watermarked state
-      // eviction (parity proven in StreamOpsSpec); batch output is
-      // deterministic and oracle-checked against the equivalent range join.
-      val ev = events(s, dir).withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      val clicks = ev.filter(col("event_type") === "click")
-      val convs = ev.filter(col("event_type") === "purchase")
-      graft.streaming.StreamOps.attributionJoin(clicks, convs, "1 hour")
-        .groupBy(date_format(col("conv_ts"), "yyyy-MM-dd").as("day"))
-        .agg(count(lit(1)).as("n_attributed_pairs"),
-          countDistinct(col("user_id")).as("n_users"),
-          countDistinct(col("conv_id")).as("n_conversions"))
-    }),
-    "ss_abandonment" -> ((s, dir) => {
-      // LEFT OUTER stream-stream attribution (abandonment): clicks with
-      // no purchase inside the 1-hour horizon surface as null-conv rows —
-      // on a stream that null is only emittable once the watermark clears
-      // the click's horizon (parity proven in StreamOpsSpec); batch
-      // execution here is the plain left join, rolled up per click day.
-      val ev = events(s, dir).withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      graft.streaming.StreamOps.abandonmentJoin(
-          ev.filter(col("event_type") === "click"),
-          ev.filter(col("event_type") === "purchase"), "1 hour")
-        .groupBy(date_format(col("click_ts"), "yyyy-MM-dd").as("day"))
-        .agg(countDistinct(col("click_id")).as("n_clicks"),
-          countDistinct(when(col("conv_id").isNull, col("click_id")))
-            .as("n_abandoned"))
-    }),
-    "ss_dp_count" -> ((s, dir) => {
-      // streaming DP windowed count (per-release budget): per-unit
-      // contribution cap -> cell sum -> Laplace noise, the SAME chained-
-      // window-aggregation plan batch or streaming (streaming parity in
-      // StreamOpsSpec). Oracle-exact here because it runs the engine's
-      // Zero-noise source with a cap generous enough to drop nothing —
-      // the dp_* convention; the cap path is pinned by the spec.
-      graft.streaming.StreamOps.dpWindowedCount(
-          events(s, dir).withColumn("tstamp", expr("timestamp_micros(ts div 1000)")),
-          pidCol = "user_id", tsCol = "tstamp", keyCols = Seq("event_type"),
-          windowLength = "1 hour", epsilon = 1.0, maxPerCell = 1000000L,
-          noise = graft.core.NoiseSource.Zero)
-        .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
-          col("event_type"), col("dp_count"))
-    }),
-    "ss_dp_mean" -> ((s, dir) => {
-      // streaming DP windowed mean: count+sum releases in one stateful
-      // pass, half the budget each, dp_mean = dp_sum/max(dp_count, 1).
-      // Zero-noise + non-binding bounds => exact windowed average of
-      // floor(value) — integer-valued double sums, exact division.
-      val ev = events(s, dir)
-        .withColumn("tstamp", expr("timestamp_micros(ts div 1000)"))
-        .withColumn("v", floor(col("value")))
-      graft.streaming.StreamOps.dpWindowedMean(ev,
-          pidCol = "user_id", tsCol = "tstamp", valueCol = "v",
-          keyCols = Seq("event_type"), windowLength = "1 hour",
-          epsilon = 1.0, maxPerCell = 1000000L,
-          minValue = -1e6, maxValue = 1e6,
-          noise = graft.core.NoiseSource.Zero)
-        .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
-          col("event_type"), col("dp_count"), col("dp_sum"), col("dp_mean"))
-    }),
-    "ss_dp_sum" -> ((s, dir) => {
-      // streaming DP windowed sum (clamp -> per-unit cell-sum clamp ->
-      // Laplace), Zero-noise + generous bounds for the oracle; value
-      // floor()ed so the sum is integer-exact in doubles (the engine-wide
-      // float-parity convention). Tight-bound semantics pinned in
-      // StreamOpsSpec.
-      val ev = events(s, dir)
-        .withColumn("tstamp", expr("timestamp_micros(ts div 1000)"))
-        .withColumn("v", floor(col("value")))
-      graft.streaming.StreamOps.dpWindowedSum(ev,
-          pidCol = "user_id", tsCol = "tstamp", valueCol = "v",
-          keyCols = Seq("event_type"), windowLength = "1 hour",
-          epsilon = 1.0, maxPerCell = 1000000L,
-          minValue = -1e6, maxValue = 1e6,
-          noise = graft.core.NoiseSource.Zero)
-        .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
-          col("event_type"), col("dp_sum"))
-    }),
-    "mm_decode_resize" -> ((s, dir) => {
-      // REAL image pipeline: synthesize a PNG per document (dims derived
-      // from the text length), decode it with ImageIO, plan the resize.
-      // The decoded dimensions equal the construction formula, so the whole
-      // encode->decode->plan roundtrip is oracle-exact.
-      val toPng = udf((text: String) => Multimodal.syntheticPng(text))
-      val docs = s.read.parquet(s"$dir/documents.parquet")
-        .select(col("doc_id"), col("text")).withColumn("media", toPng(col("text")))
-      val decoded = Multimodal.decodeImage(docs, "media")
-      decoded.select(col("doc_id"),
-        col("decoded.width").as("width"), col("decoded.height").as("height"),
-        Multimodal.resizePlan(col("decoded"), 8).as("p"))
-        .select(col("doc_id"), col("width"), col("height"),
-          col("p.target_width").as("target_width"),
-          col("p.target_height").as("target_height"))
-    }),
-    "mm_audio_decode" -> ((s, dir) => {
-      // REAL audio decode: synthesize an 8-bit mono WAV per document (one
-      // frame per UTF-8 byte), parse it back via javax.sound. Frame count
-      // equals the byte length => oracle-exact.
-      val toWav = udf((text: String) => Multimodal.syntheticWav(text))
-      val docs = s.read.parquet(s"$dir/documents.parquet")
-        .select(col("doc_id"), col("text")).withColumn("media", toWav(col("text")))
-      Multimodal.decodeAudio(docs, "media")
-        .select(col("doc_id"),
-          col("decoded_audio.sample_rate").as("sample_rate"),
-          col("decoded_audio.channels").as("channels"),
-          col("decoded_audio.n_frames").as("n_frames"),
-          round(col("decoded_audio.duration_seconds"), 9).as("duration_seconds"))
-    }),
-    "ts_gapfill" -> ((s, dir) => {
-      // time-series resample: dense per-(event_type, hour) grid with
-      // zero-filled gaps between the corpus min and max hour — the
-      // telemetry shape dashboards and anomaly detectors require (a
-      // missing cell is a 0, not an absent row). The grid is GENERATED
-      // (sequence over a one-row min/max agg × distinct keys), never
-      // collected, so the plan is scan + one map-side-combined agg at any
-      // scale.
-      graft.ops.EventAnalytics.gapFillHourly(
-        events(s, dir).withColumn("tstamp", expr("timestamp_micros(ts div 1000)")),
-        "tstamp", "event_type", "value")
-    }),
-    "funnel_conversion" -> ((s, dir) => {
-      // ordered-step funnel (view -> click -> purchase): step k counts
-      // users whose earliest step-k event is at/after their step-(k-1)
-      // entry. One keyed shuffle per step over a shrinking frame — no
-      // per-user event lists. frac_of_first is one IEEE division of exact
-      // longs (bit-identical cross-engine).
-      graft.ops.EventAnalytics.funnel(
-        events(s, dir).withColumn("tstamp", expr("timestamp_micros(ts div 1000)")),
-        "user_id", "tstamp", "event_type", Seq("view", "click", "purchase"))
-    }),
-    "cohort_retention" -> ((s, dir) => {
-      // first-activity-day cohorts × weekly retention: the classic
-      // retention triangle. Dedupe to (user, day), per-user min day, join
-      // back on the SAME user key (one exchange serves both), then
-      // distinct users per (cohort, week) — integer date math throughout.
-      graft.ops.EventAnalytics.cohortRetention(
-        events(s, dir).withColumn("tstamp", expr("timestamp_micros(ts div 1000)")),
-        "user_id", "tstamp")
-    }),
-    "a_winsorize" -> ((s, dir) => {
-      // per-type outlier capping profile: exact p05/p95 of floor(value)
-      // (sort-based agg — at 100 TB swap percentile_approx, same shape)
-      // plus the winsorized sum under integerized clamp bounds (sum of
-      // integer-valued doubles => order-free, hashable).
-      graft.ops.EventAnalytics.winsorizeProfile(
-        events(s, dir), "event_type", "value", 0.05, 0.95)
-    }),
-    "a_rollup" -> ((s, dir) => {
-      // multi-level OLAP aggregate: ROLLUP (flag, status) — detail rows,
-      // per-flag subtotals, grand total, disambiguated by grouping_id.
-      // Spark expands rollup into a single Expand + one hash aggregate
-      // (map-side combined): one shuffle for all three levels.
-      s.read.parquet(s"$dir/lineitem.parquet")
-        .rollup(col("l_returnflag"), col("l_linestatus"))
-        .agg(count(lit(1)).as("n_rows"),
-          sum(col("l_quantity")).cast("double").as("sum_qty"),
-          grouping_id().cast("long").as("gid"))
-    }),
-    "a_cube" -> ((s, dir) => {
-      // full CUBE over (status, priority): all four grouping sets in one
-      // Expand + one shuffle; price floor()ed so the double sum is
-      // integer-exact.
-      s.read.parquet(s"$dir/orders.parquet")
-        .cube(col("o_orderstatus"), col("o_orderpriority"))
-        .agg(count(lit(1)).as("n_orders"),
-          sum(floor(col("o_totalprice"))).cast("double").as("price_floor_sum"),
-          grouping_id().cast("long").as("gid"))
-    }),
-    "a_pivot" -> ((s, dir) => {
-      // pivot: per-day event counts, one column per event type. The value
-      // list is EXPLICIT (the unlisted-pivot variant runs a distinct scan
-      // job first and its column order is data-dependent — never in a
-      // fixed-schema gate); absent cells coalesce to 0.
-      val types = Seq("click", "error", "purchase", "signup", "view")
-      val p = events(s, dir).withColumn("day", tsDay)
-        .groupBy("day").pivot("event_type", types)
-        .agg(count(lit(1)))
-      p.select(col("day") +: types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
-    }),
-    "sample_temperature" -> ((s, dir) => {
-      // temperature-scaled (alpha = 0.5) mixture over a planted 70/20/10
-      // skew: rare groups get sqrt-share weight, so g2 keeps a larger
-      // fraction of itself than g0. Thresholds are computed IN-PLAN
-      // (decimal(38,0) integer arithmetic, bounded-exact sqrt) and the
-      // selection is the salted-hash rule — both replayed by the oracle
-      // in HUGEINT, so weights, thresholds, and the kept set all
-      // hash-match.
-      val docs = s.read.parquet(s"$dir/documents.parquet")
-        .withColumn("grp", concat(lit("g"),
-          when(pmod(col("doc_id"), lit(10)) < 7, lit(0))
-            .when(pmod(col("doc_id"), lit(10)) < 9, lit(1))
-            .otherwise(lit(2))))
-      val thr = CorpusOps.temperatureThresholds(docs, "grp", budgetPpm = 400000L)
-      val kept = CorpusOps.applyThresholds(docs, "grp", "doc_id", thr, salt = "#temp")
-        .groupBy("grp")
-        .agg(count(lit(1)).as("n_kept"), sum("n_chars").as("chars_kept"))
-      // both sides are group-cardinality rows; without the hint the tiny
-      // final join planned as a sort-merge (plan-audit finding)
-      thr.join(broadcast(kept), Seq("grp"), "left")
-        .select(col("grp"), col("n_docs"), col("w"), col("thr"),
-          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-          coalesce(col("chars_kept"), lit(0L)).as("chars_kept"))
-    }),
-    "corpus_epochs" -> ((s, dir) => {
-      // data-constrained epoch repetition (Muennighoff et al. shape):
-      // each source replayed toward a 20k-token target as full epochs
-      // (capped at 4) plus a deterministic hash-selected fractional
-      // epoch; rolled up per source. The explode is a generated sequence
-      // — no driver loop, instance count proportional to output tokens.
-      CorpusOps.epochRepeat(
-          s.read.parquet(s"$dir/documents.parquet")
-            .select("doc_id", "source", "n_chars"),
-          "doc_id", "n_chars", "source", targetTokens = 20000L, maxEpochs = 4)
-        .groupBy("source")
-        .agg(count(lit(1)).as("n_instances"),
-          sum("tokens").cast("long").as("tokens_total"),
-          max("epoch").as("max_epoch"))
-    }),
-    "corpus_shuffle" -> ((s, dir) => {
-      // deterministic seeded global shuffle for training-data order:
-      // (shard, pos) are functions of md5(seed#id) only — any engine and
-      // any rerun reproduces the identical permutation; one shuffle +
-      // per-shard sort at any scale.
-      CorpusOps.deterministicShuffle(
-        s.read.parquet(s"$dir/documents.parquet").select("doc_id"),
-        "doc_id", seed = "epoch0", nShards = 8)
-    }),
-    "io_zorder_export" -> ((s, dir) => {
-      // Z-ORDER clustered export (the OPTIMIZE ZORDER idea): orders laid
-      // out by the Morton interleave of quantized (custkey, order-day),
-      // equal-width z-cut into 16 shard files, each locally boxed in BOTH
-      // dimensions. Unlike range-partitioner layouts, every step is
-      // deterministic integer arithmetic, so the manifest AND the
-      // file-skipping statistics are oracle-exact; prune_violations
-      // recomputes the skipping soundness from data (must read 0).
-      val tmp = scratchDir("zorder_export")
-      val src = s.read.parquet(s"$dir/orders.parquet")
-        .select(col("o_orderkey"), col("o_custkey").as("ck"),
-          datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
-            .cast("long").as("day"))
-      val manifest = graft.ops.Layout.zorderExport(
-          src, "o_orderkey", "ck", "day", tmp, bits = 8, nShards = 16)
-        .localCheckpoint(false) // consumed twice: probe + output rows
-      val probe = graft.ops.Layout.pruneProbe(s, tmp, manifest,
-        x1 = 100L, x2 = 400L, y1 = 9131L, y2 = 9861L)
-      manifest.crossJoin(broadcast(probe))
-    }),
-    "a_session_paths" -> ((s, dir) => {
-      // behavioral sequence extraction: per (user, 30-min session) the
-      // ordered event-type path, order pinned by (ts, event_id) so the
-      // string replays exactly. One shuffle on user serves both the lag
-      // window and the session rollup.
-      graft.ops.EventAnalytics.sessionSequences(
-        events(s, dir).withColumn("tu", expr("ts div 1000")),
-        "user_id", "tu", "event_type", "event_id",
-        gapMicros = 1800L * 1000000L)
-    }),
-    "a_transition_matrix" -> ((s, dir) => {
-      // empirical Markov transitions of the clickstream: counts + row
-      // fractions over consecutive (prev -> cur) event types per user.
-      // Lag window on the user key, then a bounded |types|^2 aggregate.
-      graft.ops.EventAnalytics.transitionCounts(
-        events(s, dir).withColumn("tu", expr("ts div 1000")),
-        "user_id", "tu", "event_type", "event_id")
-    }),
-    "growth_accounting" -> ((s, dir) => {
-      // DAU decomposition: per day, new / returning (gap <= 7d) /
-      // resurrected (gap > 7d) users from each user's lagged activity-day
-      // sequence — integer date math, two keyed shuffles.
-      graft.ops.EventAnalytics.growthAccounting(
-        events(s, dir).withColumn("tstamp", expr("timestamp_micros(ts div 1000)")),
-        "user_id", "tstamp", resurrectDays = 7)
-    }),
-    "dp_transitions" -> ((s, dir) => {
-      // user-level DP release of the Markov transition matrix: privacy
-      // unit = user, partition key = (prev, cur) cell, Count metric with
-      // per-cell contribution capping (L0 <= |types|^2 = 25, generous
-      // Linf). The lagged-pair preprocessing is per-user row derivation,
-      // so the engine's bounding applies cleanly. Zero noise +
-      // non-binding caps => exactly the a_transition_matrix counts.
-      // the SAME pair derivation as a_transition_matrix (shared helper)
-      val pairs = graft.ops.EventAnalytics.transitionPairs(
-        events(s, dir).withColumn("tu", expr("ts div 1000")),
-        "user_id", "tu", "event_type", "event_id")
-      runZero(pairs,
-        AggregateParams(metrics = Seq(Metric.Count),
-          maxPartitionsContributed = 25,
-          maxContributionsPerPartition = Some(10000)),
-        DPColumns(col("u"),
-          Seq("prev" -> col("prev"), "cur" -> col("cur")), None))
-    }),
-    "a_full_outer" -> ((s, dir) => {
-      // FULL OUTER join: every customer with their order rollup, keeping
-      // customers who never ordered AND (defensively) orders with no
-      // customer row — the reconciliation shape. Null-safe rollup per
-      // nation over the joined frame.
-      val cust = s.read.parquet(s"$dir/customer.parquet")
-        .select(col("c_custkey"), col("c_nationkey"))
-      val ords = s.read.parquet(s"$dir/orders.parquet")
-        .groupBy(col("o_custkey"))
-        .agg(count(lit(1)).as("n_orders"),
-          sum(floor(col("o_totalprice"))).cast("double").as("spend_floor"))
-      cust.join(ords, cust("c_custkey") === ords("o_custkey"), "full_outer")
-        .groupBy(coalesce(col("c_nationkey"), lit(-1L)).as("nation"))
-        .agg(count(lit(1)).as("n_rows"),
-          sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("n_never_ordered"),
-          sum(when(col("c_custkey").isNull, 1L).otherwise(0L)).as("n_orphan_orders"),
-          sum(coalesce(col("n_orders"), lit(0L))).as("n_orders"),
-          sum(coalesce(col("spend_floor"), lit(0.0))).cast("double").as("spend_floor"))
-    }),
-    "graph_triangles" -> ((s, dir) => {
-      // triangle census of the oracle-verified near-dup pair graph: exact
-      // count via the ordered two-join (each triangle a<b<c enumerated
-      // once), wedge total from degrees, global clustering coefficient as
-      // one IEEE division — the transitivity probe an operator reads
-      // before trusting near-dup clusters (high clustering = duplicate
-      // sets behave like cliques; low = chained false positives).
-      val pairs = Dedup.minHashLSHPortable(
-        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
-        threshold = 0.6)
-      graft.ops.GraphOps.triangleStats(pairs, "id_a", "id_b")
-    }),
-    "io_table_diff" -> ((s, dir) => {
-      // version reconciliation: diff the corpus against a deterministic
-      // revision (every 7th doc removed, every surviving 5th lengthened,
-      // every 11th re-added under a shifted key), rolled up per diff
-      // class. One full-outer shuffle join; null-safe struct comparison
-      // so a one-sided-null column counts as changed.
-      val base = s.read.parquet(s"$dir/documents.parquet")
-        .select("doc_id", "n_chars", "source")
-      val revised = base.filter(col("doc_id") % 7 =!= 0)
-        .withColumn("n_chars",
-          when(col("doc_id") % 5 === 0, col("n_chars") + 1000L)
-            .otherwise(col("n_chars")))
-        .unionByName(base.filter(col("doc_id") % 11 === 0)
-          .withColumn("doc_id", col("doc_id") + 1000000L))
-      CorpusOps.tableDiff(base, revised, Seq("doc_id"))
-        .groupBy("diff_class")
-        .agg(count(lit(1)).as("n"),
-          min("doc_id").as("key_min"), max("doc_id").as("key_max"))
-    }),
-    "io_compaction" -> ((s, dir) => {
-      // lakehouse small-file compaction: a single-writer 50-row-split
-      // export simulates the small-file problem, then compactFiles
-      // rewrites it into 200-row bins assigned by a deterministic global
-      // rank (two-phase prefix sum — bin membership replays in SQL,
-      // unlike coalesce()-based compaction). Manifest carries
-      // before/after file counts + rows_missing (must be 0).
-      val tmp = scratchDir("compaction")
-      s.read.parquet(s"$dir/documents.parquet")
-        .select(col("doc_id"), col("n_chars"))
-        .repartition(1).sortWithinPartitions("doc_id")
-        .write.mode("overwrite").option("maxRecordsPerFile", 50)
-        .parquet(s"$tmp/small")
-      CorpusOps.compactFiles(s, s"$tmp/small", s"$tmp/big", "doc_id",
-        targetRows = 200L)
-    }),
-    "corpus_interleave" -> ((s, dir) => {
-      // mixture SCHEDULING: deterministic weighted interleave (virtual-
-      // time pacing, rank * grid div weight) — a weight-2 source appears
-      // twice as often as a weight-1 source in any prefix of the training
-      // order. The gate checks the first-200 global prefix composition
-      // (TakeOrdered — bounded, never a global sort) next to each
-      // source's weight and total.
-      val weights = (0 until 20).map(i => s"src$i" -> ((i % 3) + 1).toLong).toMap
-      val inter = CorpusOps.weightedInterleave(
-          s.read.parquet(s"$dir/documents.parquet"), "doc_id", "source", weights)
-        .localCheckpoint(false) // consumed by prefix AND totals
-      val prefix = inter.orderBy(col("vt"), col("source"), col("doc_id"))
-        .limit(200)
-        .groupBy("source").agg(count(lit(1)).as("n_in_prefix"))
-      inter.groupBy("source")
-        .agg(first("weight").as("weight"), count(lit(1)).as("n_total"))
-        .join(broadcast(prefix), Seq("source"), "left")
-        .select(col("source"), col("weight"), col("n_total"),
-          coalesce(col("n_in_prefix"), lit(0L)).as("n_in_prefix"))
-    }),
-    "emb_covariance" -> ((s, dir) => {
-      // whitening/PCA prep: the exact upper-triangle covariance moments of
-      // the int8-quantized embedding coordinates — one pass, one mergeable
-      // integer state (d + d(d+1)/2 longs) per task, pair rows generated
-      // from the single result row. Integer moments over the deterministic
-      // quantization are what make a covariance matrix hash-verifiable.
-      Similarity.covarianceMoments(
-        s.read.parquet(s"$dir/embeddings.parquet"), "embedding")
-    }),
-    "dp_growth" -> ((s, dir) => {
-      // user-level DP growth accounting: each (day, kind) cell released
-      // as a privacy-id count — a user contributes at most one row per
-      // active day (the classification derives from their own history via
-      // the SAME shared helper as growth_accounting), L0 bounded at 40 —
-      // above the 30-day fixture span, so the bound never binds. Zero
-      // noise + non-binding bound => exactly the exact decomposition, as
-      // doubles.
-      val kinds = graft.ops.EventAnalytics.activityKinds(
-        events(s, dir).withColumn("tstamp", expr("timestamp_micros(ts div 1000)")),
-        "user_id", "tstamp", resurrectDays = 7)
-      runZero(kinds,
-        AggregateParams(metrics = Seq(Metric.PrivacyIdCount),
-          maxPartitionsContributed = 40),
-        DPColumns(col("u"),
-          Seq("day" -> col("day"), "kind" -> col("kind")), None))
-    }),
-    "a_tpch_q6" -> ((s, dir) => {
-      // TPC-H Q6 forecast-revenue: pure filter + scalar aggregate — the
-      // pushdown showcase (every predicate reaches the parquet scan,
-      // revenue in exact cents so the one-row double is order-free).
-      s.read.parquet(s"$dir/lineitem.parquet")
-        .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
-          col("l_shipdate") < lit("1996-01-01").cast("timestamp") &&
-          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
-          col("l_quantity") < 24)
-        .agg(sum(round(col("l_extendedprice") * 100).cast("long") *
-            round(col("l_discount") * 100).cast("long")).as("revenue_e4"),
-          count(lit(1)).as("n_rows"))
-    }),
-    "a_tpch_q12" -> ((s, dir) => {
-      // TPC-H Q12 shipmode/priority: broadcast-joined fact scan with
-      // conditional aggregation per group (the CASE-inside-SUM shape).
-      val li = s.read.parquet(s"$dir/lineitem.parquet")
-        .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
-          col("l_shipdate") < lit("1996-01-01").cast("timestamp"))
-        .select(col("l_orderkey"), col("l_linestatus"))
-      val ords = s.read.parquet(s"$dir/orders.parquet")
-        .select(col("o_orderkey"), col("o_orderpriority"))
-      li.join(ords, col("l_orderkey") === col("o_orderkey"))
-        .groupBy("l_linestatus")
-        .agg(sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
-            .otherwise(0L)).as("high_line_count"),
-          sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
-            .otherwise(0L)).as("low_line_count"))
-    }),
-    "io_incremental_agg" -> ((s, dir) => {
-      // incremental aggregate MAINTENANCE: yesterday's per-type rollup
-      // (events before day 15) merged with today's delta partial — no
-      // re-scan of the base — must equal the full recompute. Count/sum
-      // partials merge by addition (the mergeable-state property every
-      // sketch in this engine relies on, here made an explicit gate
-      // check: n_mismatch is recomputed in-query and must read 0).
-      val split = lit("2024-01-15").cast("timestamp")
-      val ev = events(s, dir)
-        .withColumn("tstamp", expr("timestamp_micros(ts div 1000)"))
-      def partial(df: org.apache.spark.sql.DataFrame) =
-        df.groupBy("event_type")
-          .agg(count(lit(1)).as("n"),
-            sum(floor(col("value"))).cast("double").as("vs"))
-      val merged = partial(ev.filter(col("tstamp") < split))
-        .unionByName(partial(ev.filter(col("tstamp") >= split)))
-        .groupBy("event_type")
-        .agg(sum("n").as("n"), sum("vs").cast("double").as("value_floor_sum"))
-      val full = partial(ev)
-        .select(col("event_type").as("__ft"), col("n").as("__fn"),
-          col("vs").as("__fs"))
-      merged.join(broadcast(full), col("event_type") === col("__ft"), "full_outer")
-        .select(coalesce(col("event_type"), col("__ft")).as("event_type"),
-          col("n"), col("value_floor_sum"),
-          ((!(col("n") <=> col("__fn"))) ||
-            (!(col("value_floor_sum") <=> col("__fs")))).cast("long")
-            .as("n_mismatch"))
-    }),
-    "stats_join_skew" -> ((s, dir) => {
-      // pre-join skew diagnostic: the EXACT output cardinality a
-      // lineitem x orders equi-join would produce, computed from per-key
-      // counts (sum of count_a * count_b) without running the join —
-      // plus the hottest key's share (p_max) and one-sided key counts.
-      // THE number a 100 TB pipeline checks before choosing salting /
-      // AQE skew handling; two map-side-combined aggregates and a
-      // key-count join that never touches fact rows.
-      val a = s.read.parquet(s"$dir/lineitem.parquet")
-        .groupBy(col("l_orderkey").as("k")).agg(count(lit(1)).as("ca"))
-      val b = s.read.parquet(s"$dir/orders.parquet")
-        .groupBy(col("o_orderkey").as("k")).agg(count(lit(1)).as("cb"))
-      a.join(b, Seq("k"), "full_outer")
-        .agg(
-          sum(when(col("ca").isNotNull && col("cb").isNotNull, 1L)
-            .otherwise(0L)).as("n_keys_both"),
-          sum(when(col("cb").isNull, 1L).otherwise(0L)).as("n_keys_left_only"),
-          sum(when(col("ca").isNull, 1L).otherwise(0L)).as("n_keys_right_only"),
-          sum(coalesce(col("ca"), lit(0L)) * coalesce(col("cb"), lit(0L)))
-            .as("total_pairs"),
-          max(coalesce(col("ca"), lit(0L)) * coalesce(col("cb"), lit(0L)))
-            .as("max_pairs"))
-        .withColumn("p_max",
-          col("max_pairs").cast("double") / col("total_pairs").cast("double"))
-    }),
-    "stats_profile" -> ((s, dir) => {
-      // data-profiling card: per-column null count, distinct count, and
-      // type-appropriate min/max/avg-length facts over documents, in ONE
-      // pass (a single aggregate row, posexploded to per-column rows) —
-      // the first query a pipeline runs against an unknown 100 TB table.
-      val d = s.read.parquet(s"$dir/documents.parquet")
-      d.agg(
-          count(lit(1)).as("n_rows"),
-          sum(col("text").isNull.cast("long")).as("text_nulls"),
-          countDistinct(col("lang")).as("lang_distinct"),
-          countDistinct(col("source")).as("source_distinct"),
-          min("n_chars").as("n_chars_min"), max("n_chars").as("n_chars_max"),
-          sum("n_chars").as("n_chars_sum"),
-          sum(length(col("text")).cast("long")).as("text_len_sum"))
-        .select(explode(array(
-          struct(lit("n_rows").as("stat"), col("n_rows").as("value")),
-          struct(lit("text_nulls").as("stat"), col("text_nulls").as("value")),
-          struct(lit("lang_distinct").as("stat"), col("lang_distinct").as("value")),
-          struct(lit("source_distinct").as("stat"), col("source_distinct").as("value")),
-          struct(lit("n_chars_min").as("stat"), col("n_chars_min").as("value")),
-          struct(lit("n_chars_max").as("stat"), col("n_chars_max").as("value")),
-          struct(lit("n_chars_sum").as("stat"), col("n_chars_sum").as("value")),
-          struct(lit("text_len_sum").as("stat"), col("text_len_sum").as("value")))))
-        .select(col("col.stat").as("stat"), col("col.value").as("value"))
-    }),
-    "dp_retention" -> ((s, dir) => {
-      // USER-LEVEL DP release of the cohort-retention matrix — the core
-      // engine applied to the analytics tier's most privacy-sensitive
-      // rollup. Privacy unit = user; partition key = (cohort_day,
-      // week_offset); a user contributes one row per retained week, all
-      // under ONE cohort (their own), so L0 = weeks-spanned, bounded at
-      // 10 (non-binding on 30-day data => Zero-noise output equals the
-      // exact cohort_retention counts).
-      // the SAME cell derivation as cohort_retention (shared helper — the
-      // exact query and its DP twin cannot drift apart)
-      val cells = graft.ops.EventAnalytics.retentionCells(
-        events(s, dir).withColumn("tstamp", expr("timestamp_micros(ts div 1000)")),
-        "user_id", "tstamp")
-      runZero(cells,
-        AggregateParams(metrics = Seq(Metric.PrivacyIdCount),
-          maxPartitionsContributed = 10),
-        DPColumns(col("u"),
-          Seq("cohort_day" -> col("cohort_day"),
-            "week_offset" -> col("week_offset")), None))
-    }),
-    "dp_funnel_users" -> ((s, dir) => {
-      // DP funnel: per-step distinct-user counts released under user-level
-      // DP (partition key = step; a user reaches each step at most once,
-      // => Linf = 1 by construction and L0 <= #steps). Zero noise + a
-      // non-binding L0 bound => exactly the funnel_conversion counts, as
-      // doubles.
-      val entries = graft.ops.EventAnalytics.funnelEntryFrames(
-        events(s, dir).withColumn("tstamp", expr("timestamp_micros(ts div 1000)")),
-        "user_id", "tstamp", "event_type", Seq("view", "click", "purchase"))
-      val tagged = entries.zip(Seq("1_view", "2_click", "3_purchase"))
-        .map { case (f, tag) => f.select(col("u"), lit(tag).as("step")) }
-        .reduce(_.unionByName(_))
-      runZero(tagged,
-        AggregateParams(metrics = Seq(Metric.PrivacyIdCount),
-          maxPartitionsContributed = 3),
-        DPColumns(col("u"), Seq("step" -> col("step")), None))
-    }),
-    "a_json_extract" -> ((s, dir) => {
-      // semi-structured extraction: parse the events.props JSON column
-      // with an EXPLICIT schema (from_json — codegen'd, no inference
-      // scan) and roll up the extracted value per type. The string-path
-      // variant (get_json_object) is exercised alongside and must agree:
-      // n_path_mismatch is an in-query invariant, provably 0.
-      val parsed = events(s, dir)
-        .withColumn("k", from_json(col("props"),
-          org.apache.spark.sql.types.StructType.fromDDL("k BIGINT")).getField("k"))
-        .withColumn("k_str", get_json_object(col("props"), "$.k").cast("long"))
-      parsed.groupBy("event_type")
-        .agg(count(lit(1)).as("n"),
-          sum("k").as("k_sum"), min("k").as("k_min"), max("k").as("k_max"),
-          // null-safe inequality: a one-sided null IS a disagreement (the
-          // class this probe exists to catch); =!= would null it out of
-          // the sum
-          sum((!(col("k") <=> col("k_str"))).cast("long")).as("n_path_mismatch"))
-    }),
-    "a_set_ops" -> ((s, dir) => {
-      // set operators the reference lacks (SURVEY 2.E): distinct-user
-      // INTERSECT and EXCEPT across behavior segments, emitted as tagged
-      // counts. Spark plans both as aggregates over a union with count
-      // disambiguation — one shuffle each, never a driver-side set.
-      val ev = events(s, dir)
-      val clickers = ev.filter(col("event_type") === "click")
-        .select(col("user_id"))
-      val purchasers = ev.filter(col("event_type") === "purchase")
-        .select(col("user_id"))
-      val both = clickers.intersect(purchasers)
-        .agg(count(lit(1)).as("n_users"))
-        .select(lit("click_and_purchase").as("segment"), col("n_users"))
-      val only = clickers.except(purchasers)
-        .agg(count(lit(1)).as("n_users"))
-        .select(lit("click_no_purchase").as("segment"), col("n_users"))
-      both.unionByName(only)
-    }),
-    "a_grouping_sets" -> ((s, dir) => {
-      // explicit GROUPING SETS through the spark.sql entry point (the one
-      // grouping-set shape rollup/cube can't express: two disjoint
-      // single-column sets, no detail level). Same Expand + single
-      // hash-aggregate plan as a_rollup.
-      s.read.parquet(s"$dir/orders.parquet")
-        .createOrReplaceTempView("g_orders")
-      s.sql("""
-        SELECT o_orderstatus, o_orderpriority, count(1) AS n_orders,
-               CAST(sum(floor(o_totalprice)) AS DOUBLE) AS price_floor_sum,
-               CAST(grouping_id() AS BIGINT) AS gid
-        FROM g_orders
-        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))""")
-    }),
-    "ts_anomaly" -> ((s, dir) => {
-      // windowed z-score anomaly flags over the daily rollup: mean and
-      // variance of the TRAILING 7-day window from exact integer moments
-      // (sum and sum-of-squares of integer-valued doubles — order-free,
-      // so the scores replay bit-exactly), z = (x - mean)/stddev, flag at
-      // |z| > 2. The window runs over the bounded daily aggregate.
-      val daily = events(s, dir).withColumn("day", tsDay)
-        .groupBy("event_type", "day")
-        .agg(sum(floor(col("value"))).cast("double").as("x"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("event_type").orderBy("day").rowsBetween(-7, -1)
-      daily.select(col("event_type"), col("day"), col("x"),
-          sum("x").over(w).as("s1"),
-          sum(col("x") * col("x")).over(w).as("s2"),
-          count(lit(1)).over(w).cast("double").as("wn"))
-        .filter(col("wn") >= 4.0) // need history before scoring
-        .withColumn("mean", col("s1") / col("wn"))
-        .withColumn("var", (col("s2") - col("s1") * col("s1") / col("wn")) / col("wn"))
-        .withColumn("z",
-          when(col("var") <= 0.0, lit(0.0))
-            .otherwise((col("x") - col("mean")) / sqrt(col("var"))))
-        .select(col("event_type"), col("day"), col("x"),
-          col("mean"), round(col("z"), 9).as("z9"),
-          (abs(col("z")) > 2.0).as("is_anomaly"))
-    }),
-    "ts_moving_avg" -> ((s, dir) => {
-      // 7-day moving window over the daily per-type rollup: rolling sum +
-      // average of integer-valued daily totals (ROWS BETWEEN 6 PRECEDING
-      // AND CURRENT ROW — count-based, so row 1 averages 1 day, row 7+
-      // averages 7). The window runs over the BOUNDED daily aggregate
-      // (|types| x |days| rows), never the raw events.
-      val daily = events(s, dir).withColumn("day", tsDay)
-        .groupBy("event_type", "day")
-        .agg(sum(floor(col("value"))).cast("double").as("day_sum"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("event_type").orderBy("day").rowsBetween(-6, 0)
-      daily.select(col("event_type"), col("day"),
-        col("day_sum"),
-        sum(col("day_sum")).over(w).as("sum_7d"),
-        (sum(col("day_sum")).over(w) / count(lit(1)).over(w)).as("avg_7d"))
-    }),
-    "a_ntile" -> ((s, dir) => {
-      // quartile bucketing per group: ntile(4) under a DETERMINISTIC total
-      // order (floor(value), event_id — a value-only order would tie and
-      // make bucket membership engine-dependent), rolled up per (type,
-      // quartile) with integer-exact bounds and mass.
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("event_type").orderBy(col("v"), col("event_id"))
-      events(s, dir)
-        .select(col("event_type"), col("event_id"),
-          floor(col("value")).cast("long").as("v"))
-        .withColumn("q", ntile(4).over(w).cast("long"))
-        .groupBy("event_type", "q")
-        .agg(count(lit(1)).as("n"),
-          min("v").as("v_min"), max("v").as("v_max"),
-          sum("v").cast("double").as("v_sum"))
-    }),
-    "corpus_hrw_shards" -> ((s, dir) => {
-      // rendezvous-hash shard stability under growth: assign every doc
-      // under 8 AND 9 shards; keys that move MUST all land on the new
-      // shard (n_moved_elsewhere is the invariant, provably 0, recomputed
-      // in-query AND by the oracle), at an expected 1/9 move rate —
-      // mod-hash resharding would move 8/9 of the corpus instead.
-      val docs = s.read.parquet(s"$dir/documents.parquet")
-      docs.select(col("doc_id"),
-          CorpusOps.rendezvousShard(col("doc_id"), 8).as("shard8"),
-          CorpusOps.rendezvousShard(col("doc_id"), 9).as("shard9"))
-        .groupBy("shard8")
-        .agg(count(lit(1)).as("n_docs"),
-          sum((col("shard8") =!= col("shard9")).cast("long")).as("n_moved"),
-          sum((col("shard8") =!= col("shard9") && col("shard9") =!= 8)
-            .cast("long")).as("n_moved_elsewhere"))
-    })
-  )
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    EntryDP.queries ++
+    EntryDataflow.queries ++
+    EntryText.queries ++
+    EntryDedup.queries ++
+    EntrySim.queries ++
+    EntryCorpus.queries ++
+    EntryStream.queries ++
+    EntryEvents.queries
 
   /** DuckDB-equivalent SQL for each query (same parquet tables, table names
     * without path — driver mounts them). Column names and arithmetic shape
     * mirror the Spark plans exactly (see scaladoc above). */
-  def oracleSql: Map[String, String] = {
-    val x = "least(greatest(floor(value), 10.0), 100.0)" // clipped value
-    // 60 bit-majority expressions of the portable simhash signature (bit b of
-    // the sig is 1 iff the sign-sum of token-hash bit b is positive)
-    val simhashBits = (0 until 60).map(b =>
-      s"(CASE WHEN SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) > 0" +
-        s" THEN (CAST(1 AS BIGINT) << $b) ELSE CAST(0 AS BIGINT) END)")
-      .mkString(" + ")
-    // language-ID scoring recomputed from the same (static, public) stopword
-    // profiles: distinct-stopword intersection per language, argmax with
-    // earliest-language tie-break, CJK char-ratio override — the langId
-    // fold's exact semantics
-    val langScores = graft.ops.Stopwords.profiles.map { case (lang, words) =>
-      val list = words.map(w => "'" + w.replace("'", "''") + "'").mkString("[", ",", "]")
-      lang -> s"len(list_distinct(list_intersect(toks, $list)))"
-    }
-    val langMax = langScores.map(s => s"s_${s._1}").mkString("greatest(", ", ", ")")
-    val enStopList = graft.ops.Stopwords.en
-      .map(w => "'" + w.replace("'", "''") + "'").mkString("[", ",", "]")
-    val langArms = langScores.map { case (l, _) => s"WHEN s_$l = m THEN '$l'" }.mkString(" ")
-    // portable-minhash permutation constants (fixed literals; see Dedup.permA)
-    val permAList = graft.ops.Dedup.permA.mkString("[", ",", "]")
-    val permBList = graft.ops.Dedup.permB.mkString("[", ",", "]")
-    // the full portable-minhash pipeline through the verify-input CTE `v`,
-    // parameterized by band width (8-row bands for the Jaccard near-dup
-    // grid; 2-row bands for the containment variant); shared by
-    // dedup_minhash_md5, dedup_containment, and (as the pair source)
-    // dedup_components
-    def minhashPrefixSql(rows: Int) =
-      s"""WITH tok AS (
-              SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
-              FROM documents),
-            sh AS (
-              SELECT doc_id,
-                     CASE WHEN len(toks) >= 3 THEN
-                         list_distinct(list_transform(range(1, len(toks) - 1),
-                           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
-                       ELSE [array_to_string(toks, ' ')] END AS grams
-              FROM tok WHERE len(toks) > 0),
-            h AS (
-              SELECT doc_id,
-                     CAST(CONCAT('0x', substr(md5(g), 1, 15)) AS BIGINT) % 2147483647 AS h
-              FROM (SELECT doc_id, unnest(grams) AS g FROM sh)),
-            mh AS (
-              SELECT doc_id, p,
-                     min((($permAList)[p + 1] * h + ($permBList)[p + 1]) % 2147483647) AS mv
-              FROM h CROSS JOIN (SELECT unnest(range(0, 128)) AS p)
-              GROUP BY doc_id, p),
-            sig AS (
-              SELECT doc_id, p // $rows AS band,
-                     string_agg(CAST(mv AS VARCHAR), '_' ORDER BY p) AS bucket
-              FROM mh GROUP BY doc_id, p // $rows),
-            cand AS (
-              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-              FROM sig a JOIN sig b
-                ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
-            v AS (
-              SELECT id_a, id_b,
-                     CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE) AS inter,
-                     CAST(len(ga.grams) + len(gb.grams) AS DOUBLE) AS szsum,
-                     CAST(least(len(ga.grams), len(gb.grams)) AS DOUBLE) AS szmin,
-                     CAST(len(ga.grams) AS DOUBLE) AS sz_a,
-                     CAST(len(gb.grams) AS DOUBLE) AS sz_b
-              FROM cand JOIN sh ga ON ga.doc_id = id_a JOIN sh gb ON gb.doc_id = id_b)
-            """
-    val minhashMd5Sql =
-      s"""${minhashPrefixSql(8)}SELECT id_a, id_b,
-                   CASE WHEN szsum - inter = 0 THEN 0.0
-                        ELSE inter / (szsum - inter) END AS jaccard
-            FROM v
-            WHERE (CASE WHEN szsum - inter = 0 THEN 0.0
-                        ELSE inter / (szsum - inter) END) >= 0.6"""
-    // the same candidate pipeline with 2-row bands and the CONTAINMENT
-    // verify (|A∩B| / min size)
-    val containmentMd5Sql =
-      s"""${minhashPrefixSql(2)}SELECT id_a, id_b,
-                   CASE WHEN szmin = 0 THEN 0.0
-                        ELSE inter / szmin END AS containment
-            FROM v
-            WHERE (CASE WHEN szmin = 0 THEN 0.0
-                        ELSE inter / szmin END) >= 0.8"""
-    // Quantile-tree walk oracle, parameterized by the percentile list (whole
-    // percents). Replicates the zero-noise height-4/branching-16 descent.
-    def pctlTreeSqlFor(ps: Seq[Int], source: String = "events"): String = {
-      val valuesList = ps.map(p => s"(${p / 100.0})").mkString(", ")
-      val pivots = ps.map(p =>
-        s"MAX(CASE WHEN q = ${p / 100.0} THEN v END) AS percentile_$p")
-        .mkString(",\n                  ")
-      s"""WITH leaves AS (
-             SELECT event_type,
-                    CASE WHEN lf >= 65536 THEN 65535 ELSE lf END AS leaf
-             FROM (SELECT event_type,
-                          CAST(trunc(((least(greatest(floor(value), 0.0), 500.0) - 0.0)
-                                      / (500.0 - 0.0)) * 65536.0) AS BIGINT) AS lf
-                   FROM $source)
-           ),
-           qs AS (SELECT * FROM (VALUES $valuesList) t(q)),
-           tot AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS n FROM leaves GROUP BY 1),
-           l1 AS (SELECT event_type, leaf // 4096 AS d, CAST(count(*) AS DOUBLE) AS c
-                  FROM leaves GROUP BY 1, 2),
-           s1 AS (
-             SELECT event_type, q, d AS sel1, c AS c1, (t1 - (cumt - c)) / c AS r1
-             FROM (SELECT t.event_type, qs.q, l.d, l.c, qs.q * t.n AS t1,
-                          SUM(l.c) OVER (PARTITION BY t.event_type, qs.q ORDER BY l.d) AS cumt
-                   FROM tot t CROSS JOIN qs JOIN l1 l ON l.event_type = t.event_type) z
-             WHERE cumt >= t1
-             QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type, q ORDER BY d) = 1
-           ),
-           l2 AS (SELECT s.event_type, s.q, s.sel1, s.r1, s.c1,
-                         (l.leaf // 256) % 16 AS d, CAST(count(*) AS DOUBLE) AS c
-                  FROM s1 s JOIN leaves l
-                    ON l.event_type = s.event_type AND l.leaf // 4096 = s.sel1
-                  GROUP BY ALL),
-           s2 AS (
-             SELECT event_type, q, sel1, d AS sel2, c AS c2, (t2 - (cumt - c)) / c AS r2
-             FROM (SELECT *, r1 * c1 AS t2,
-                          SUM(c) OVER (PARTITION BY event_type, q ORDER BY d) AS cumt
-                   FROM l2) z
-             WHERE cumt >= t2
-             QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type, q ORDER BY d) = 1
-           ),
-           l3 AS (SELECT s.event_type, s.q, s.sel1, s.sel2, s.r2, s.c2,
-                         (l.leaf // 16) % 16 AS d, CAST(count(*) AS DOUBLE) AS c
-                  FROM s2 s JOIN leaves l
-                    ON l.event_type = s.event_type AND l.leaf // 4096 = s.sel1
-                   AND (l.leaf // 256) % 16 = s.sel2
-                  GROUP BY ALL),
-           s3 AS (
-             SELECT event_type, q, sel1, sel2, d AS sel3, c AS c3, (t3 - (cumt - c)) / c AS r3
-             FROM (SELECT *, r2 * c2 AS t3,
-                          SUM(c) OVER (PARTITION BY event_type, q ORDER BY d) AS cumt
-                   FROM l3) z
-             WHERE cumt >= t3
-             QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type, q ORDER BY d) = 1
-           ),
-           l4 AS (SELECT s.event_type, s.q, s.sel1, s.sel2, s.sel3, s.r3, s.c3,
-                         l.leaf % 16 AS d, CAST(count(*) AS DOUBLE) AS c
-                  FROM s3 s JOIN leaves l
-                    ON l.event_type = s.event_type AND l.leaf // 4096 = s.sel1
-                   AND (l.leaf // 256) % 16 = s.sel2 AND (l.leaf // 16) % 16 = s.sel3
-                  GROUP BY ALL),
-           s4 AS (
-             SELECT event_type, q, sel1, sel2, sel3, d AS sel4, (t4 - (cumt - c)) / c AS r4
-             FROM (SELECT *, r3 * c3 AS t4,
-                          SUM(c) OVER (PARTITION BY event_type, q ORDER BY d) AS cumt
-                   FROM l4) z
-             WHERE cumt >= t4
-             QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type, q ORDER BY d) = 1
-           ),
-           walk AS (
-             SELECT event_type, q,
-                    lo3 + sel4 * w4 AS lo4, lo3 + (sel4 + 1) * w4 AS hi4, r4
-             FROM (
-               SELECT *, (hi3 - lo3) / 16.0 AS w4 FROM (
-                 SELECT *, lo2 + sel3 * w3 AS lo3, lo2 + (sel3 + 1) * w3 AS hi3 FROM (
-                   SELECT *, (hi2 - lo2) / 16.0 AS w3 FROM (
-                     SELECT *, lo1 + sel2 * w2 AS lo2, lo1 + (sel2 + 1) * w2 AS hi2 FROM (
-                       SELECT *, (hi1 - lo1) / 16.0 AS w2 FROM (
-                         SELECT *, 0.0 + sel1 * w1 AS lo1, 0.0 + (sel1 + 1) * w1 AS hi1 FROM (
-                           SELECT *, (500.0 - 0.0) / 16.0 AS w1 FROM s4))))))) y
-           ),
-           res AS (
-             SELECT event_type, q,
-                    least(greatest(lo4 + r4 * (hi4 - lo4), 0.0), 500.0) AS v
-             FROM walk
-           )
-           SELECT event_type,
-                  $pivots
-           FROM res GROUP BY event_type"""
-    }
-    val pctlTreeSql = pctlTreeSqlFor(Seq(10, 50, 90))
-    // best corpus match per new-batch doc from the portable pair set; shared
-    // by dedup_incremental and its stored-signature twin
-    val incrementalBestMatchSql =
-      s"""WITH pairs AS ($minhashMd5Sql),
-          cross_pairs AS (
-            SELECT CASE WHEN id_a % 10 = 0 THEN id_a ELSE id_b END AS id,
-                   CASE WHEN id_a % 10 = 0 THEN id_b ELSE id_a END AS match_id,
-                   jaccard
-            FROM pairs
-            WHERE (id_a % 10 = 0) <> (id_b % 10 = 0))
-          SELECT id, match_id, jaccard FROM (
-            SELECT *, row_number() OVER (
-              PARTITION BY id ORDER BY jaccard DESC, match_id ASC) AS rn
-            FROM cross_pairs) WHERE rn = 1"""
-
-
-    // ---- utility-analysis oracle scaffolding (mirrors uaPublicOptions /
-    // uaPrivateOptions; noise scales are sqrt(2)*l1/eps with eps = the equal
-    // split share, evaluation order matching graft.core.DpNoise.laplaceB) ----
-    val sclip = "least(greatest(s, mins), maxs)"
-    val cclip = "least(greatest(cnt, 0.0), linf)"
-    // shared per-(partition, config) error-moment table incl. empty public
-    // partitions; replicates UtilityAnalysis.preAggregate + perPartitionMetrics
-    val uaPerPartitionSql =
-      s"""WITH pre AS (
-            SELECT user_id, event_type, CAST(count(*) AS DOUBLE) AS cnt,
-                   sum(floor(value)) AS s
-            FROM events WHERE event_type IN ('click','view')
-            GROUP BY user_id, event_type),
-          np AS (SELECT pre.*, count(*) OVER (PARTITION BY user_id) AS nparts FROM pre),
-          cfg AS (SELECT * FROM (VALUES
-              (0, 1.0, 3.0, 0.0, 100.0),
-              (1, 2.0, 100.0, 0.0, 500.0)) t(i, l0, linf, mins, maxs)),
-          r AS (
-            SELECT event_type, i, least(1.0, l0 / nparts) AS p, cnt, s, linf, mins, maxs
-            FROM np CROSS JOIN cfg),
-          per AS (
-            SELECT event_type, i AS config_index,
-              count(*) AS raw_privacy_id_count,
-              CAST(sum(CAST(cnt AS BIGINT)) AS BIGINT) AS raw_count,
-              sum(s) AS sum_sum,
-              sum(CASE WHEN s < mins THEN $sclip - s ELSE 0.0 END) AS sum_clip_min_err,
-              sum(CASE WHEN s > maxs THEN $sclip - s ELSE 0.0 END) AS sum_clip_max_err,
-              sum(-$sclip * (1.0 - p)) AS sum_exp_l0_err,
-              sqrt(sum($sclip * $sclip * p * (1.0 - p))) AS sum_std_l0_err,
-              sum(cnt) AS count_sum,
-              sum(CASE WHEN cnt < 0.0 THEN $cclip - cnt ELSE 0.0 END) AS count_clip_min_err,
-              sum(CASE WHEN cnt > linf THEN $cclip - cnt ELSE 0.0 END) AS count_clip_max_err,
-              sum(-$cclip * (1.0 - p)) AS count_exp_l0_err,
-              sqrt(sum($cclip * $cclip * p * (1.0 - p))) AS count_std_l0_err
-            FROM r GROUP BY 1, 2),
-          pp AS (
-            SELECT pc.event_type, pc.i AS config_index, 1.0 AS keep_prob,
-              coalesce(per.raw_privacy_id_count, 0) AS raw_privacy_id_count,
-              coalesce(per.raw_count, 0) AS raw_count,
-              coalesce(per.sum_sum, 0.0) AS sum_sum,
-              coalesce(per.sum_clip_min_err, 0.0) AS sum_clip_min_err,
-              coalesce(per.sum_clip_max_err, 0.0) AS sum_clip_max_err,
-              coalesce(per.sum_exp_l0_err, 0.0) AS sum_exp_l0_err,
-              coalesce(per.sum_std_l0_err, 0.0) AS sum_std_l0_err,
-              coalesce(per.count_sum, 0.0) AS count_sum,
-              coalesce(per.count_clip_min_err, 0.0) AS count_clip_min_err,
-              coalesce(per.count_clip_max_err, 0.0) AS count_clip_max_err,
-              coalesce(per.count_exp_l0_err, 0.0) AS count_exp_l0_err,
-              coalesce(per.count_std_l0_err, 0.0) AS count_std_l0_err,
-              CASE WHEN pc.i = 0 THEN sqrt(2) * (100.0 / 0.5)
-                   ELSE sqrt(2) * (1000.0 / 0.5) END AS sum_noise_std,
-              CASE WHEN pc.i = 0 THEN sqrt(2) * (3.0 / 0.5)
-                   ELSE sqrt(2) * (200.0 / 0.5) END AS count_noise_std
-            FROM (SELECT * FROM (VALUES ('click'), ('view'), ('ghost_type')) p(event_type)
-                  CROSS JOIN cfg) pc
-            LEFT JOIN per ON per.event_type = pc.event_type AND per.config_index = pc.i)"""
-
-    // per-metric derived error columns for the report oracle (public
-    // partitions: keep_prob = weight = 1)
-    def uaDerived(m: String) =
-      s"""${m}_sum AS ${m}_actual,
-          ${m}_exp_l0_err + ${m}_clip_min_err + ${m}_clip_max_err AS ${m}_am,
-          ${m}_std_l0_err * ${m}_std_l0_err + ${m}_noise_std * ${m}_noise_std AS ${m}_av,
-          -${m}_exp_l0_err AS ${m}_dl0,
-          ${m}_clip_min_err - ${m}_clip_max_err AS ${m}_dlinf,
-          ${m}_noise_std"""
-    def uaRmse(m: String) =
-      s"""sqrt(${m}_am * ${m}_am + ${m}_av) AS ${m}_rmse"""
-    def uaAggs(m: String) =
-      s"""max(${m}_noise_std) AS ${m}_noise_std,
-          sum(${m}_actual) AS ${m}_actual,
-          sum(${m}_dl0) AS ${m}_dl0,
-          sum(${m}_dlinf) AS ${m}_dlinf,
-          sum(${m}_am) AS ${m}_am,
-          sum(${m}_av) AS ${m}_av,
-          sum(${m}_rmse) AS ${m}_rmse,
-          sum(CASE WHEN ${m}_actual = 0 THEN 0.0 ELSE ${m}_am / ${m}_actual END) AS ${m}_rm,
-          sum(CASE WHEN ${m}_actual = 0 THEN 0.0 ELSE ${m}_av / (${m}_actual * ${m}_actual) END) AS ${m}_rv,
-          sum(CASE WHEN ${m}_actual = 0 THEN 0.0 ELSE ${m}_rmse / ${m}_actual END) AS ${m}_rrmse"""
-    def uaFinal(m: String) =
-      s"""round(${m}_noise_std, 9) AS ${m}_noise_std,
-          round(CASE WHEN ${m}_actual = 0 THEN ${m}_dl0 ELSE ${m}_dl0 / ${m}_actual END, 9) AS ${m}_ratio_dropped_l0,
-          round(CASE WHEN ${m}_actual = 0 THEN ${m}_dlinf ELSE ${m}_dlinf / ${m}_actual END, 9) AS ${m}_ratio_dropped_linf,
-          round(0.0, 9) AS ${m}_ratio_dropped_ps,
-          round(${m}_am / tw, 9) AS ${m}_abs_mean,
-          round(${m}_av / tw, 9) AS ${m}_abs_variance,
-          round(${m}_rmse / tw, 9) AS ${m}_abs_rmse,
-          round(${m}_rmse / tw, 9) AS ${m}_abs_rmse_wd,
-          round(${m}_rm / tw, 9) AS ${m}_rel_mean,
-          round(${m}_rv / tw, 9) AS ${m}_rel_variance,
-          round(${m}_rrmse / tw, 9) AS ${m}_rel_rmse,
-          round(${m}_rrmse / tw, 9) AS ${m}_rel_rmse_wd"""
-    val uaBucket =
-      """CASE WHEN raw_privacy_id_count <= 0 THEN 0
-              WHEN raw_privacy_id_count < 10 THEN 1
-              ELSE CAST(pow(10.0, floor(log10(CAST(raw_privacy_id_count AS DOUBLE))))
-                * (CASE WHEN CAST(raw_privacy_id_count AS DOUBLE)
-                          / pow(10.0, floor(log10(CAST(raw_privacy_id_count AS DOUBLE)))) >= 5 THEN 5.0
-                        WHEN CAST(raw_privacy_id_count AS DOUBLE)
-                          / pow(10.0, floor(log10(CAST(raw_privacy_id_count AS DOUBLE)))) >= 2 THEN 2.0
-                        ELSE 1.0 END) AS BIGINT) END"""
-    // Laplace-thresholding selection constants for uaPrivateOptions (computed
-    // by the same code the engine uses; embedded as exact double literals)
-    val uaPrivT = {
-      val sel = LaplaceThresholdingSelection(1.0, 5e-5, 1, 1)
-      f"${sel.threshold}%.17g"
-    }
-    // brute-force cosine top-5: ground truth for BOTH sim_topk (brute-force
-    // operator) and sim_ivf_exact (IVF with nprobe == nlist, provably equal)
-    val bruteTopKSql =
-      """WITH e AS (
-           SELECT vec_id,
-                  list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1024) / 1024) AS emb
-           FROM embeddings),
-         scored AS (
-           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-                  CASE WHEN sqrt(list_sum(list_transform(q.emb, x -> x * x))) = 0
-                         OR sqrt(list_sum(list_transform(c.emb, x -> x * x))) = 0 THEN 0.0
-                       ELSE list_sum(list_transform(range(1, 65), i -> q.emb[i] * c.emb[i]))
-                            / (sqrt(list_sum(list_transform(q.emb, x -> x * x)))
-                               * sqrt(list_sum(list_transform(c.emb, x -> x * x))))
-                  END AS cosine
-           FROM e q CROSS JOIN e c WHERE q.vec_id < 20)
-         SELECT query_id, neighbor_id, cosine,
-                CAST(row_number() OVER (PARTITION BY query_id
-                     ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
-         FROM scored
-         QUALIFY rank <= 5"""
-    // PII oracle arms generated from the SAME pattern table the operator
-    // uses, so impl and oracle cannot drift (patterns are Java/RE2-portable
-    // and contain no single quotes)
-    val piiCountsSql = CorpusOps.piiPatterns.map { case (name, pat, _) =>
-      s"CAST(len(regexp_extract_all(text, '$pat')) AS BIGINT) AS n_$name"
-    }.mkString(", ")
-    val piiScrubSql = CorpusOps.piiPatterns.foldLeft("text") {
-      case (acc, (_, pat, repl)) => s"regexp_replace($acc, '$pat', '$repl', 'g')"
-    }
-    // generated from the SAME pattern/entity tables the operator uses
-    // (the piiScrubSql convention), so impl and oracle cannot drift
-    val htmlStripSql = {
-      val blocks = graft.ops.TextAnalysis.htmlDropBlocks.foldLeft("html") {
-        (acc, p) => s"regexp_replace($acc, '$p', ' ', 'g')"
-      }
-      val noTags = s"regexp_replace($blocks, '<[^>]*>', ' ', 'g')"
-      val decoded = graft.ops.TextAnalysis.htmlEntities.foldLeft(noTags) {
-        case (acc, (e, r)) =>
-          s"regexp_replace($acc, '$e', '${r.replace("'", "''")}', 'g')"
-      }
-      s"trim(regexp_replace($decoded, '[ \\t\\n\\r]+', ' ', 'g'))"
-    }
-    Map(
-      "ua_per_partition" -> s"$uaPerPartitionSql SELECT * FROM pp",
-      "ua_multi_sum" -> {
-        def mcol(c: String, lo: String, hi: String, n: String) =
-          s"""sum($c) AS ${n}_sum,
-              sum(CASE WHEN $c < $lo THEN least(greatest($c, $lo), $hi) - $c ELSE 0.0 END) AS ${n}_clip_min_err,
-              sum(CASE WHEN $c > $hi THEN least(greatest($c, $lo), $hi) - $c ELSE 0.0 END) AS ${n}_clip_max_err,
-              sum(-least(greatest($c, $lo), $hi) * (1.0 - p)) AS ${n}_exp_l0_err,
-              sqrt(sum(least(greatest($c, $lo), $hi) * least(greatest($c, $lo), $hi) * p * (1.0 - p))) AS ${n}_std_l0_err"""
-        s"""WITH pre AS (
-              SELECT user_id, event_type, CAST(count(*) AS DOUBLE) AS cnt,
-                     sum(floor(value)) AS sa, sum(CAST(len(props) AS DOUBLE)) AS sb
-              FROM events WHERE event_type IN ('click','view')
-              GROUP BY user_id, event_type),
-            np AS (SELECT pre.*, count(*) OVER (PARTITION BY user_id) AS nparts FROM pre),
-            r AS (SELECT event_type, least(1.0, 1.0 / nparts) AS p, cnt, sa, sb FROM np),
-            per AS (
-              SELECT event_type,
-                count(*) AS raw_privacy_id_count,
-                CAST(sum(CAST(cnt AS BIGINT)) AS BIGINT) AS raw_count,
-                ${mcol("sa", "0.0", "100.0", "sum_a")},
-                ${mcol("sb", "0.0", "50.0", "sum_b")}
-              FROM r GROUP BY 1)
-            SELECT pk.event_type, 0 AS config_index, 1.0 AS keep_prob,
-              coalesce(per.raw_privacy_id_count, 0) AS raw_privacy_id_count,
-              coalesce(per.raw_count, 0) AS raw_count,
-              coalesce(per.sum_a_sum, 0.0) AS sum_a_sum,
-              coalesce(per.sum_a_clip_min_err, 0.0) AS sum_a_clip_min_err,
-              coalesce(per.sum_a_clip_max_err, 0.0) AS sum_a_clip_max_err,
-              coalesce(per.sum_a_exp_l0_err, 0.0) AS sum_a_exp_l0_err,
-              coalesce(per.sum_a_std_l0_err, 0.0) AS sum_a_std_l0_err,
-              coalesce(per.sum_b_sum, 0.0) AS sum_b_sum,
-              coalesce(per.sum_b_clip_min_err, 0.0) AS sum_b_clip_min_err,
-              coalesce(per.sum_b_clip_max_err, 0.0) AS sum_b_clip_max_err,
-              coalesce(per.sum_b_exp_l0_err, 0.0) AS sum_b_exp_l0_err,
-              coalesce(per.sum_b_std_l0_err, 0.0) AS sum_b_std_l0_err,
-              sqrt(2) * (100.0 / 0.5) AS sum_a_noise_std,
-              sqrt(2) * (50.0 / 0.5) AS sum_b_noise_std
-            FROM (VALUES ('click'), ('view'), ('ghost_type')) pk(event_type)
-            LEFT JOIN per ON per.event_type = pk.event_type"""
-      },
-      "ua_partitions_summary" ->
-        """WITH d AS (SELECT DISTINCT event_type FROM events),
-             p AS (SELECT * FROM (VALUES ('click'), ('view'), ('ghost_type')) t(event_type))
-           SELECT
-             (SELECT count(*) FROM d JOIN p USING (event_type)) AS num_dataset_public,
-             (SELECT count(*) FROM d WHERE event_type NOT IN (SELECT event_type FROM p))
-               AS num_dataset_non_public,
-             (SELECT count(*) FROM p WHERE event_type NOT IN (SELECT event_type FROM d))
-               AS num_empty_public""",
-      "ua_report" ->
-        s"""$uaPerPartitionSql,
-            d AS (SELECT config_index, keep_prob, raw_count, raw_privacy_id_count,
-                    ${uaDerived("sum")}, ${uaDerived("count")} FROM pp),
-            d2 AS (SELECT *, ${uaRmse("sum")}, ${uaRmse("count")} FROM d),
-            u AS (
-              SELECT d2.*, CAST(-1 AS BIGINT) AS bucket_lower FROM d2
-              UNION ALL
-              SELECT d2.*, $uaBucket AS bucket_lower FROM d2),
-            g AS (
-              SELECT config_index, bucket_lower,
-                CAST(sum(CASE WHEN raw_count > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_partitions,
-                CAST(sum(CASE WHEN raw_count > 0 THEN 0 ELSE 1 END) AS BIGINT) AS n_empty_partitions,
-                sum(keep_prob) AS kept_mean,
-                sum(keep_prob * (1.0 - keep_prob)) AS kept_var,
-                sum(keep_prob) AS tw,
-                ${uaAggs("sum")}, ${uaAggs("count")}
-              FROM u GROUP BY 1, 2)
-            SELECT config_index, bucket_lower, n_partitions, n_empty_partitions,
-              round(kept_mean, 9) AS kept_partitions_mean,
-              round(kept_var, 9) AS kept_partitions_var,
-              ${uaFinal("sum")}, ${uaFinal("count")}
-            FROM g""",
-      "ua_private_keep_prob" ->
-        s"""WITH per AS (
-              SELECT user_id % 10 AS pk, count(DISTINCT user_id) AS raw_privacy_id_count,
-                     count(*) AS raw_count
-              FROM events GROUP BY 1)
-            SELECT pk, 0 AS config_index,
-              round(CASE WHEN ($uaPrivT - raw_privacy_id_count) <= 0
-                    THEN 1.0 - 0.5 * exp($uaPrivT - raw_privacy_id_count)
-                    ELSE 0.5 * exp(-($uaPrivT - raw_privacy_id_count)) END, 9) AS keep_prob,
-              raw_privacy_id_count, raw_count,
-              CAST(raw_privacy_id_count AS DOUBLE) AS privacy_id_count_sum,
-              0.0 AS privacy_id_count_exp_l0_err,
-              sqrt(2) * (1.0 / 1.0) AS privacy_id_count_noise_std
-            FROM per""",
-      "dp_count" ->
-        "SELECT event_type, CAST(count(*) AS DOUBLE) AS count FROM events GROUP BY event_type",
-      "dp_count_pld" ->
-        "SELECT event_type, CAST(count(*) AS DOUBLE) AS count FROM events GROUP BY event_type",
-      "dp_privacy_id_count" ->
-        "SELECT event_type, CAST(count(DISTINCT user_id) AS DOUBLE) AS privacy_id_count FROM events GROUP BY event_type",
-      "dp_post_agg_threshold" ->
-        "SELECT event_type, CAST(count(DISTINCT user_id) AS DOUBLE) AS privacy_id_count FROM events GROUP BY event_type",
-      "dp_count_l1" ->
-        "SELECT event_type, CAST(count(*) AS DOUBLE) AS count FROM events GROUP BY event_type",
-      // the hot (user=-1, click) cell is Linf-capped at 100 of its 1e5 rows;
-      // which 100 is random, but count is their NUMBER and the hot values
-      // are constant 1.0 so the sum is 100 either way. Real cells are all
-      // <= 29 rows — nothing sampled away.
-      "dp_count_skew_sharded" ->
-        """WITH aug AS (
-              SELECT user_id, event_type, floor(value) AS v FROM events
-              UNION ALL
-              SELECT -1 AS user_id, 'click' AS event_type, 1.0 AS v
-              FROM range(100000)),
-            cells AS (
-              SELECT user_id, event_type,
-                     least(count(*), 100) AS c,
-                     CASE WHEN count(*) <= 100
-                          THEN sum(least(greatest(v, 0.0), 1000.0))
-                          ELSE 100.0 * min(least(greatest(v, 0.0), 1000.0)) END AS s
-              FROM aug GROUP BY 1, 2)
-            SELECT event_type, CAST(sum(c) AS DOUBLE) AS count, sum(s) AS sum
-            FROM cells GROUP BY event_type""",
-      "dp_custom_combiner" ->
-        """SELECT event_type,
-              sum(least(floor(value) * floor(value), 10000.0)) AS square_sum
-           FROM events GROUP BY event_type""",
-      "dp_sum" ->
-        s"SELECT event_type, sum($x) AS sum FROM events GROUP BY event_type",
-      "dp_sum_pld_gaussian" ->
-        s"SELECT event_type, sum($x) AS sum FROM events GROUP BY event_type",
-      "dp_post_agg_threshold_pld" ->
-        "SELECT event_type, CAST(count(DISTINCT user_id) AS DOUBLE) AS privacy_id_count FROM events GROUP BY event_type",
-      "dp_mean" ->
-        s"SELECT event_type, 55.0 + sum($x - 55.0) / count(*) AS mean FROM events GROUP BY event_type",
-      "dp_mean_count_sum" ->
-        s"""SELECT event_type,
-              55.0 + sum($x - 55.0) / count(*) AS mean,
-              CAST(count(*) AS DOUBLE) AS count,
-              (55.0 + sum($x - 55.0) / count(*)) * count(*) AS sum
-            FROM events GROUP BY event_type""",
-      "dp_variance" ->
-        s"""SELECT event_type,
-              sum(($x - 55.0) * ($x - 55.0)) / count(*)
-                - pow(sum($x - 55.0) / count(*), 2) AS variance,
-              55.0 + sum($x - 55.0) / count(*) AS mean,
-              CAST(count(*) AS DOUBLE) AS count,
-              (55.0 + sum($x - 55.0) / count(*)) * count(*) AS sum
-            FROM events GROUP BY event_type""",
-      "dp_sum_per_partition" ->
-        """SELECT event_type, sum(s) AS sum FROM (
-             SELECT user_id, event_type,
-                    least(greatest(sum(floor(value)), 0.0), 500.0) AS s
-             FROM events GROUP BY user_id, event_type
-           ) GROUP BY event_type""",
-      "dp_multi_value" ->
-        """SELECT event_type, sum(sv) AS v_sum, sum(sw) AS w_sum FROM (
-             SELECT user_id, event_type,
-                    least(greatest(sum(floor(value)), 0.0), 500.0) AS sv,
-                    least(greatest(sum(CAST(len(props) AS DOUBLE)), 0.0), 100.0) AS sw
-             FROM events GROUP BY user_id, event_type
-           ) GROUP BY event_type""",
-      "dp_multi_value_mean" ->
-        s"""SELECT event_type,
-              sum(($x - 55.0) * ($x - 55.0)) / count(*)
-                - pow(sum($x - 55.0) / count(*), 2) AS v_variance,
-              55.0 + sum($x - 55.0) / count(*) AS v_mean,
-              CAST(count(*) AS DOUBLE) AS v_count,
-              (55.0 + sum($x - 55.0) / count(*)) * count(*) AS v_sum,
-              15.0 + sum(least(greatest(CAST(len(props) AS DOUBLE), 0.0), 30.0) - 15.0)
-                / count(*) AS w_mean
-            FROM events GROUP BY event_type""",
-      "dp_public_partitions" ->
-        """SELECT p.event_type,
-              CAST(coalesce(count(e.user_id), 0) AS DOUBLE) AS count,
-              coalesce(sum(least(greatest(floor(e.value), 0.0), 1000.0)), 0.0) AS sum
-           FROM (VALUES ('click'), ('error'), ('purchase'), ('ghost_type')) AS p(event_type)
-           LEFT JOIN events e ON e.event_type = p.event_type
-           GROUP BY p.event_type""",
-      // HAVING >= 2: the zero-noise private partition selection rule for
-      // these params. P(keep | 1 user) <= delta_partition (~0.005 after the
-      // l0=200 split) < 0.5 = Zero.uniform(), while P(keep | >= 2 users) ~ 1
-      // at eps_partition = 500 — so a single-user (event_type, day) cell is
-      // deterministically dropped (observed at sf0.001), every other cell
-      // deterministically kept. DP semantics, not data loss.
-      "dp_multi_key" ->
-        """SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
-              CAST(count(*) AS DOUBLE) AS count,
-              CAST(count(DISTINCT user_id) AS DOUBLE) AS privacy_id_count
-           FROM events GROUP BY 1, 2
-           HAVING count(DISTINCT user_id) >= 2""",
-      "dp_select_partitions" ->
-        "SELECT DISTINCT event_type FROM events",
-      "dp_select_weighted_gaussian" ->
-        "SELECT DISTINCT event_type FROM events",
-      "dp_select_gaussian_thr" ->
-        "SELECT DISTINCT event_type FROM events",
-      "dp_bounds_enforced" ->
-        "SELECT event_type, CAST(count(*) AS DOUBLE) AS count FROM events GROUP BY event_type",
-      "dp_vector_sum" ->
-        """SELECT label,
-              CAST(gs - 1 AS BIGINT) AS idx,
-              sum(floor(CAST(e AS DOUBLE) * 1024) / 1024) AS coord_sum
-           FROM (SELECT label, unnest(embedding) AS e,
-                        generate_subscripts(embedding, 1) AS gs
-                 FROM embeddings)
-           GROUP BY label, gs""",
-      "dp_add_noise" ->
-        "SELECT event_type, CAST(sum(floor(value)) AS DOUBLE) AS total FROM events GROUP BY event_type",
-      // Zero-noise quantile tree (height 4, branching 16 over [0, 500]):
-      // exact per-leaf counts, then the tree's top-down walk unrolled level by
-      // level. Each level selects the first child digit whose cumulative count
-      // reaches the target mass, re-normalizes the rank with the SAME
-      // floating-point expression the engine uses ((target - cumBefore) / c,
-      // next target = rank * c), and narrows [lo, hi) with the engine's
-      // width arithmetic — IEEE ops in identical order, so the interpolated
-      // quantiles match bit-for-bit.
-      "dp_percentile" ->
-        pctlTreeSql,
-      "dp_percentile_pld" -> pctlTreeSql,
-      // public partitions: tree walk over the public-filtered events; the
-      // ghost partition's empty tree walks to the closed-form uniform
-      // interpolation q * (upper - lower) over [0, 500]
-      "dp_percentile_public" ->
-        s"""WITH public_events AS (
-              SELECT * FROM events
-              WHERE event_type IN ('click', 'error', 'purchase')),
-            tree AS (${pctlTreeSqlFor(Seq(10, 50, 90), "public_events")})
-            SELECT * FROM tree
-            UNION ALL
-            SELECT 'ghost_type' AS event_type, 50.0 AS percentile_10,
-                   250.0 AS percentile_50, 450.0 AS percentile_90""",
-      "dp_percentile_sum_partition" ->
-        s"""SELECT p.event_type, p.percentile_25, p.percentile_75, s.part_sum
-            FROM (${pctlTreeSqlFor(Seq(25, 75))}) p
-            JOIN (SELECT event_type, sum(s) AS part_sum FROM (
-                    SELECT user_id, event_type,
-                           least(greatest(sum(floor(value)), 0.0), 500.0) AS s
-                    FROM events GROUP BY user_id, event_type
-                  ) GROUP BY event_type) s USING (event_type)""",
-      "text_quality" ->
-        """SELECT doc_id,
-              CAST(len(text) AS BIGINT) AS n_chars,
-              CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens,
-              CASE WHEN len(text) > 0 THEN
-                CAST(len(text) - len(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
-                  / CAST(len(text) AS DOUBLE) ELSE 0.0 END AS digit_ratio,
-              CASE WHEN len(text) > 0 THEN
-                CAST(len(text) - len(regexp_replace(text, '[A-Z]', '', 'g')) AS DOUBLE)
-                  / CAST(len(text) AS DOUBLE) ELSE 0.0 END AS upper_ratio,
-              CASE WHEN len(text) > 0 THEN
-                CAST(len(text) - len(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')) AS DOUBLE)
-                  / CAST(len(text) AS DOUBLE) ELSE 0.0 END AS punct_ratio,
-              CASE WHEN len(regexp_extract_all(lower(text), '[a-z0-9]+')) > 0 THEN
-                CAST(list_sum(list_transform(regexp_extract_all(lower(text), '[a-z0-9]+'), t -> len(t))) AS DOUBLE)
-                  / CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS DOUBLE) ELSE 0.0 END AS mean_token_len,
-              CASE WHEN len(regexp_extract_all(lower(text), '[a-z0-9]+')) > 0 THEN
-                CAST(len(list_distinct(list_intersect(regexp_extract_all(lower(text), '[a-z0-9]+'),
-                  ['the','of','and','to','in','is','that','it','for','was','on','are','as','with','his','they','at','be','this','have','from','or','had','by','not','but','what','all','were','when','we','there','can','an','your','which','their','said','if','will','way','about','many','then','them','would','like','so','these','her','him','has','more','could','did','been','who']))) AS DOUBLE)
-                  / CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS DOUBLE) ELSE 0.0 END AS stopword_ratio
-           FROM documents""",
-      "dedup_exact" ->
-        "SELECT text, min(doc_id) AS keep_id, count(*) AS group_size FROM documents GROUP BY text",
-      "text_token_stats" ->
-        """WITH t AS (
-             SELECT doc_id,
-                    CAST(len(regexp_extract_all(text,
-                      '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^ \t\n\f\r\p{L}\p{N}]+')) AS BIGINT)
-                      AS n_bpe_tokens,
-                    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
-             FROM documents)
-           SELECT doc_id, n_bpe_tokens, n_bytes,
-                  CASE WHEN n_bpe_tokens > 0
-                       THEN CAST(n_bytes AS DOUBLE) / CAST(n_bpe_tokens AS DOUBLE)
-                       ELSE 0.0 END AS bytes_per_token
-           FROM t""",
-      "text_url_domains" ->
-        """WITH b AS (
-             SELECT doc_id,
-                    concat(text, ' see https://site-', CAST(doc_id % 37 AS VARCHAR),
-                           '.example.com/p/', CAST(doc_id AS VARCHAR),
-                           ' or http://cdn-', CAST(doc_id % 11 AS VARCHAR),
-                           '.example.org/a/', CAST(doc_id AS VARCHAR)) AS body
-             FROM documents),
-           u AS (SELECT doc_id, unnest(regexp_extract_all(body, 'https?://[^ \t\n\f\r]+')) AS url
-                 FROM b)
-           SELECT regexp_extract(url, 'https?://([^/ \t\n\f\r]+)', 1) AS domain,
-                  CAST(count(*) AS BIGINT) AS n_urls,
-                  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
-           FROM u GROUP BY 1""",
-      // fixed-point integer PageRank replay: identical planted footer, edge
-      // extraction, and the 5 unrolled rounds — every division the same
-      // exact floor(double/double) form, every sum a BIGINT sum, so the
-      // iterative ranks (including the dangling-mass scalar per round)
-      // hash-match bit-for-bit
-      "graph_pagerank" -> {
-        val rounds = (1 to 5).map { i =>
-          val p = i - 1
-          s"""d$i AS (SELECT CAST(COALESCE(sum(r.rs), 0) AS BIGINT) AS ds
-                  FROM r$p r LEFT JOIN od o ON o.node = r.node
-                  WHERE o.node IS NULL),
-              inc$i AS (SELECT e.dst AS node,
-                     CAST(sum(CAST(floor(CAST(r.rs AS DOUBLE)
-                          / CAST(o.outdeg AS DOUBLE)) AS BIGINT)) AS BIGINT) AS s
-                  FROM e JOIN r$p r ON r.node = e.src
-                         JOIN od o ON o.node = e.src
-                  GROUP BY 1),
-              r$i AS (SELECT n.node,
-                     CAST(floor(150000000000.0 / (SELECT n FROM nn)) AS BIGINT)
-                   + CAST(floor(CAST((COALESCE(i.s, 0)
-                       + CAST(floor(CAST((SELECT ds FROM d$i) AS DOUBLE)
-                              / CAST((SELECT n FROM nn) AS DOUBLE)) AS BIGINT))
-                       * 17 AS DOUBLE) / 20.0) AS BIGINT) AS rs
-                  FROM nodes n LEFT JOIN inc$i i ON i.node = n.node)"""
-        }.mkString(",\n              ")
-        s"""WITH b AS (
-              SELECT concat('https://site-', CAST(doc_id % 37 AS VARCHAR),
-                       '.example.com/p/', CAST(doc_id AS VARCHAR),
-                       ' https://site-', CAST((doc_id * 3 + 1) % 37 AS VARCHAR),
-                       '.example.com/q/', CAST(doc_id AS VARCHAR),
-                       ' https://cdn-', CAST(doc_id % 11 AS VARCHAR),
-                       '.example.org/a/', CAST(doc_id AS VARCHAR)) AS body
-              FROM documents),
-            u AS (SELECT list_transform(
-                     regexp_extract_all(body, 'https?://[^ \t\n\f\r]+'),
-                     x -> regexp_extract(x, 'https?://([^/ \t\n\f\r]+)', 1)) AS d
-                  FROM b),
-            e AS (SELECT DISTINCT d[1] AS src, dst
-                  FROM (SELECT d, unnest([d[2], d[3]]) AS dst FROM u)),
-            nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
-            nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
-            od AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS outdeg
-                   FROM e GROUP BY 1),
-            r0 AS (SELECT node,
-                     CAST(floor(1000000000000.0 / (SELECT n FROM nn)) AS BIGINT) AS rs
-                   FROM nodes),
-              $rounds
-            SELECT node AS domain, rs AS rank_scaled,
-                   CAST(rs AS DOUBLE) / 1000000000000.0 AS rank
-            FROM r5"""
-      },
-      "text_langid" ->
-        s"""WITH t AS (
-              SELECT doc_id, text,
-                     regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
-              FROM documents),
-            s AS (SELECT doc_id, text,
-                    ${langScores.map { case (l, e) => s"$e AS s_$l" }.mkString(",\n                    ")}
-                  FROM t),
-            x AS (SELECT *, $langMax AS m,
-                         len(text) - len(regexp_replace(text, '[\\x{4e00}-\\x{9fff}]', '', 'g')) AS cjk
-                  FROM s)
-            SELECT doc_id,
-                   CASE WHEN cjk * 2 > len(text) THEN 'zh'
-                        WHEN m <= 0 THEN 'und' $langArms ELSE 'und' END AS predicted_lang
-            FROM x""",
-      // Portable simhash: md5-derived 60-bit token hashes, bit-majority
-      // signature, 16-bit-chunk pigeonhole blocking, exact Hamming verify —
-      // the full pipeline recomputed independently.
-      "dedup_simhash_md5" ->
-        s"""WITH tok AS (
-              SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
-              FROM documents),
-            h AS (
-              SELECT doc_id, CAST(CONCAT('0x', substr(md5(t), 1, 15)) AS BIGINT) AS h
-              FROM tok),
-            sig AS (SELECT doc_id, $simhashBits AS sig FROM h GROUP BY doc_id),
-            k AS (
-              SELECT doc_id, sig, c, (sig >> (c * 16)) & 65535 AS key
-              FROM sig, (SELECT unnest([0, 1, 2, 3]) AS c)),
-            p AS (
-              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS sa, b.sig AS sb
-              FROM k a JOIN k b ON a.c = b.c AND a.key = b.key AND a.doc_id < b.doc_id)
-            SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
-            FROM p WHERE bit_count(xor(sa, sb)) <= 3""",
-      // Portable minhash+LSH: md5-derived shingle hashes, 128 linear-
-      // congruential permutations mod 2^31-1 (fixed constants), 16 bands x 8
-      // rows with plain string band buckets, exact-Jaccard verify — the full
-      // pipeline recomputed independently.
-      "dedup_minhash_md5" -> minhashMd5Sql,
-      "dedup_containment" -> containmentMd5Sql,
-      // Incremental dedup = the cross-set restriction of the SAME portable
-      // pair set (pairs where exactly one side is an increment doc), best
-      // match per new doc by (jaccard desc, corpus id asc).
-      "dedup_incremental" -> incrementalBestMatchSql,
-      // near-dup decontamination: the SAME cross-set restriction of the
-      // portable pair set (benchmark = doc_id % 10 == 0), rolled up as
-      // per-source kept/dropped over the corpus side
-      "text_neardup_decontaminate" ->
-        s"""WITH pairs AS ($minhashMd5Sql),
-            dropped AS (
-              SELECT DISTINCT CASE WHEN id_a % 10 = 0 THEN id_b ELSE id_a END AS id
-              FROM pairs WHERE (id_a % 10 = 0) <> (id_b % 10 = 0)),
-            corpus AS (SELECT * FROM documents WHERE doc_id % 10 <> 0)
-            SELECT source,
-                   CAST(count(*) FILTER (WHERE d.id IS NULL) AS BIGINT) AS n_kept,
-                   CAST(count(*) FILTER (WHERE d.id IS NOT NULL) AS BIGINT) AS n_dropped,
-                   CAST(coalesce(sum(n_chars) FILTER (WHERE d.id IS NULL), 0) AS BIGINT)
-                     AS chars_kept
-            FROM corpus c LEFT JOIN dropped d ON d.id = c.doc_id
-            GROUP BY source""",
-      "text_containment_decontaminate" ->
-        s"""WITH cpairs AS (
-              ${minhashPrefixSql(2)}SELECT id_a, id_b, inter, sz_a, sz_b FROM v),
-            dropped AS (
-              SELECT DISTINCT CASE WHEN id_a % 10 = 0 THEN id_b ELSE id_a END AS id
-              FROM cpairs
-              WHERE (id_a % 10 = 0) <> (id_b % 10 = 0)
-                AND (CASE WHEN id_a % 10 = 0
-                          THEN (CASE WHEN sz_a = 0 THEN 0.0 ELSE inter / sz_a END)
-                          ELSE (CASE WHEN sz_b = 0 THEN 0.0 ELSE inter / sz_b END)
-                     END) >= 0.8),
-            corpus AS (SELECT * FROM documents WHERE doc_id % 10 <> 0)
-            SELECT source,
-                   CAST(count(*) FILTER (WHERE d.id IS NULL) AS BIGINT) AS n_kept,
-                   CAST(count(*) FILTER (WHERE d.id IS NOT NULL) AS BIGINT) AS n_dropped,
-                   CAST(coalesce(sum(n_chars) FILTER (WHERE d.id IS NULL), 0) AS BIGINT)
-                     AS chars_kept
-            FROM corpus c LEFT JOIN dropped d ON d.id = c.doc_id
-            GROUP BY source""",
-      // identical semantics by construction (stored signatures are the same
-      // bit-exact portable frame) — the oracle is shared
-      "dedup_incremental_sigs" -> incrementalBestMatchSql,
-      // Duplicate clusters from the portable-minhash pair set: connected
-      // components as a recursive reachability CTE (component = min
-      // reachable id), over the SAME independently-recomputed pipeline.
-      "dedup_components" ->
-        s"""WITH RECURSIVE pairs AS ($minhashMd5Sql),
-            e AS (SELECT id_a AS src, id_b AS dst FROM pairs
-                  UNION ALL SELECT id_b, id_a FROM pairs),
-            n AS (SELECT DISTINCT src AS id FROM e),
-            r AS (
-              SELECT id, id AS reach FROM n
-              UNION
-              SELECT r.id, e.dst AS reach FROM r JOIN e ON e.src = r.reach)
-            SELECT id, min(reach) AS component FROM r GROUP BY id""",
-      "dedup_cluster_sizes" ->
-        s"""WITH RECURSIVE pairs AS ($minhashMd5Sql),
-            e AS (SELECT id_a AS src, id_b AS dst FROM pairs
-                  UNION ALL SELECT id_b, id_a FROM pairs),
-            n AS (SELECT DISTINCT src AS id FROM e),
-            r AS (
-              SELECT id, id AS reach FROM n
-              UNION
-              SELECT r.id, e.dst AS reach FROM r JOIN e ON e.src = r.reach),
-            comp AS (SELECT id, min(reach) AS component FROM r GROUP BY id),
-            sz AS (SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
-                   FROM comp GROUP BY component)
-            SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
-                   CAST(sum(cluster_size) AS BIGINT) AS n_docs
-            FROM sz GROUP BY cluster_size""",
-      "dedup_materialize" ->
-        s"""WITH RECURSIVE pairs AS ($minhashMd5Sql),
-            e AS (SELECT id_a AS src, id_b AS dst FROM pairs
-                  UNION ALL SELECT id_b, id_a FROM pairs),
-            n AS (SELECT DISTINCT src AS id FROM e),
-            r AS (
-              SELECT id, id AS reach FROM n
-              UNION
-              SELECT r.id, e.dst AS reach FROM r JOIN e ON e.src = r.reach),
-            comp AS (SELECT id, min(reach) AS component FROM r GROUP BY id),
-            drops AS (SELECT id FROM comp WHERE id <> component)
-            SELECT source, CAST(count(*) AS BIGINT) AS n_docs_kept,
-                   CAST(sum(n_chars) AS BIGINT) AS chars_kept
-            FROM documents d
-            WHERE NOT EXISTS (SELECT 1 FROM drops x WHERE x.id = d.doc_id)
-            GROUP BY source""",
-      "ss_dp_count" ->
-        """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
-              event_type, CAST(count(*) AS DOUBLE) AS dp_count
-           FROM events GROUP BY 1, 2""",
-      "ss_dp_mean" ->
-        """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
-              event_type,
-              CAST(count(*) AS DOUBLE) AS dp_count,
-              CAST(sum(floor(value)) AS DOUBLE) AS dp_sum,
-              CAST(sum(floor(value)) AS DOUBLE) / greatest(CAST(count(*) AS DOUBLE), 1.0) AS dp_mean
-           FROM events GROUP BY 1, 2""",
-      "ss_dp_sum" ->
-        """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
-              event_type, CAST(sum(floor(value)) AS DOUBLE) AS dp_sum
-           FROM events GROUP BY 1, 2""",
-      "ss_dedup" ->
-        """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
-              event_type, count(DISTINCT user_id) AS distinct_users
-           FROM events GROUP BY 1, 2""",
-      // Portable winnowing fingerprint: md5-derived 5-gram hashes, bottom-16
-      // sorted sketch, fingerprint = md5 of the comma-joined sketch.
-      "text_fingerprint_md5" ->
-        """SELECT doc_id,
-              md5(array_to_string(list_transform(
-                (list_sort(list_transform(range(1, greatest(len(text) - 4, 1) + 1),
-                  i -> CAST(CONCAT('0x', substr(md5(text[i:i+4]), 1, 15)) AS BIGINT))))[1:16],
-                v -> CAST(v AS VARCHAR)), ',')) AS fingerprint
-           FROM documents""",
-      "dedup_ngram_jaccard" ->
-        """WITH g AS (
-             SELECT doc_id, lang,
-                    list_distinct(list_transform(
-                      range(1, greatest(len(substr(lower(text), 1, 100)) - 2, 1) + 1),
-                      i -> substr(lower(text), 1, 100)[i:i+2])) AS grams
-             FROM documents),
-           s AS (SELECT doc_id, lang, grams, len(grams) AS sz FROM g),
-           p AS (
-             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                    CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) AS inter,
-                    CAST(a.sz + b.sz AS DOUBLE) AS szsum
-             FROM s a JOIN s b
-               ON a.lang = b.lang AND a.doc_id < b.doc_id
-              AND b.sz * 0.8 <= a.sz AND a.sz * 0.8 <= b.sz)
-           SELECT id_a, id_b,
-                  CASE WHEN szsum - inter = 0 THEN 0.0 ELSE inter / (szsum - inter) END AS jaccard
-           FROM p
-           WHERE (CASE WHEN szsum - inter = 0 THEN 0.0 ELSE inter / (szsum - inter) END) >= 0.8""",
-      "dedup_embedding" ->
-        """WITH e AS (
-             SELECT vec_id, label,
-                    list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1024) / 1024) AS emb
-             FROM embeddings WHERE vec_id < 500),
-           p AS (
-             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                    list_sum(list_transform(range(1, 65), i -> a.emb[i] * b.emb[i])) AS dot,
-                    sqrt(list_sum(list_transform(a.emb, x -> x * x))) AS na,
-                    sqrt(list_sum(list_transform(b.emb, x -> x * x))) AS nb
-             FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
-           SELECT id_a, id_b, dot / (na * nb) AS cosine
-           FROM p WHERE na <> 0 AND nb <> 0 AND dot / (na * nb) >= 0.3""",
-      "stats_k_anonymity" ->
-        """WITH c AS (
-             SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
-                    CAST(count(*) AS BIGINT) AS n,
-                    CAST(count(DISTINCT user_id) AS BIGINT) AS ndist
-             FROM events GROUP BY 1, 2),
-           x AS (SELECT c.*, t.k FROM c, unnest([2, 5, 10, 25]) AS t(k))
-           SELECT k, CAST(count(*) AS BIGINT) AS n_classes,
-                  CAST(count(*) FILTER (n < k) AS BIGINT) AS n_classes_below_k,
-                  CAST(coalesce(sum(n) FILTER (n < k), 0) AS BIGINT) AS n_rows_below_k,
-                  CAST(count(*) FILTER (ndist < k) AS BIGINT) AS n_classes_ldiv_below_k
-           FROM x GROUP BY k""",
-      // hashed unigram+bigram buckets (portable md5 convention), integer-
-      // thousandth pseudo-weights, one division at the end
-      "corpus_report" ->
-        """SELECT CAST(count(*) AS BIGINT) AS n_docs,
-                  CAST(sum(n_chars) AS BIGINT) AS n_chars,
-                  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
-                  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
-                  CAST(count(*) - count(DISTINCT text) AS BIGINT) AS n_exact_dup_docs,
-                  CAST(sum(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS BIGINT)
-                    AS n_tokens,
-                  CAST(count(*) FILTER (
-                    len(regexp_extract_all(
-                      CASE WHEN doc_id % 10 = 0
-                           THEN coalesce(text, '') || ' https://card-' ||
-                                CAST(doc_id % 7 AS VARCHAR) || '.example.com/d'
-                           ELSE coalesce(text, '') END,
-                      'https?://[^ \t\n\f\r]+')) > 0)
-                    AS BIGINT) AS n_docs_with_urls
-           FROM documents""",
-      "text_html_strip" ->
-        s"""WITH h AS (
-              SELECT doc_id,
-                     '<html><head><title>doc-' || CAST(doc_id AS VARCHAR) ||
-                     '</title><style>body{margin:0}</style></head><body><nav>home | about | login</nav><h1>doc-' ||
-                     CAST(doc_id AS VARCHAR) || '</h1><p>' || text ||
-                     '</p><script>var t=1;</script><footer>copyright corp</footer></body></html>' AS html
-              FROM documents)
-            SELECT doc_id,
-                   regexp_extract(html, '(?is)<title[^>]*>(.*?)</title>', 1) AS title,
-                   CAST(length($htmlStripSql) AS BIGINT) AS n_chars_clean,
-                   md5($htmlStripSql) AS clean_md5
-            FROM h""",
-      "text_quality_model" ->
-        """WITH t AS (
-             SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
-             FROM documents),
-           f AS (
-             SELECT doc_id,
-                    list_concat(toks,
-                      CASE WHEN len(toks) >= 2
-                           THEN list_transform(range(1, len(toks)),
-                                  i -> toks[i] || ' ' || toks[i + 1])
-                           ELSE CAST([] AS VARCHAR[]) END) AS feats
-             FROM t),
-           s AS (
-             SELECT doc_id, CAST(len(feats) AS BIGINT) AS n_features,
-                    list_sum(list_transform(feats,
-                      g -> (CAST(CONCAT('0x', substr(md5(g), 1, 15)) AS BIGINT)
-                            % 1024 * 2654435761) % 2001 - 1000)) AS millis
-             FROM f)
-           SELECT doc_id, n_features,
-                  CASE WHEN n_features > 0
-                       THEN CAST(millis AS DOUBLE) / (n_features * 1000)
-                       ELSE 0.0 END AS score,
-                  (CASE WHEN n_features > 0
-                        THEN CAST(millis AS DOUBLE) / (n_features * 1000)
-                        ELSE 0.0 END) > 0.0 AS keep
-           FROM s""",
-      // 10-word segments; list slice toks[a:b] is 1-based inclusive =
-      // Spark slice(toks, a, 10); // is floor division
-      "dedup_segments" ->
-        """WITH t AS (
-             SELECT doc_id, string_split(text, ' ') AS toks
-             FROM documents WHERE text IS NOT NULL AND len(text) > 0),
-           s AS (
-             SELECT doc_id,
-                    unnest(range(0, (len(toks) - 1) // 10 + 1)) AS pos, toks
-             FROM t),
-           g AS (
-             SELECT doc_id, pos,
-                    array_to_string(toks[pos * 10 + 1 : pos * 10 + 10], ' ') AS seg
-             FROM s),
-           k AS (
-             SELECT doc_id, pos, seg,
-                    ROW_NUMBER() OVER (PARTITION BY seg ORDER BY doc_id, pos) AS rn
-             FROM g),
-           p AS (
-             SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segs,
-                    CAST(count(*) FILTER (rn = 1) AS BIGINT) AS n_kept,
-                    string_agg(seg, ' ' ORDER BY pos) FILTER (rn = 1) AS text_kept
-             FROM k GROUP BY doc_id)
-           SELECT d.doc_id,
-                  coalesce(p.n_segs, 0) AS n_segs,
-                  coalesce(p.n_kept, 0) AS n_kept,
-                  md5(coalesce(p.text_kept, '')) AS kept_md5
-           FROM documents d LEFT JOIN p ON p.doc_id = d.doc_id""",
-      // same segmentation CTEs; keep = corpus-wide frequency <= 2 (every
-      // copy of an over-frequent segment drops, first included)
-      "dedup_freq_segments" ->
-        """WITH t AS (
-             SELECT doc_id, string_split(text, ' ') AS toks
-             FROM documents WHERE text IS NOT NULL AND len(text) > 0),
-           s AS (
-             SELECT doc_id,
-                    unnest(range(0, (len(toks) - 1) // 10 + 1)) AS pos, toks
-             FROM t),
-           g AS (
-             SELECT doc_id, pos,
-                    array_to_string(toks[pos * 10 + 1 : pos * 10 + 10], ' ') AS seg
-             FROM s),
-           k AS (
-             SELECT doc_id, pos, seg,
-                    count(*) OVER (PARTITION BY seg) AS freq
-             FROM g),
-           p AS (
-             SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segs,
-                    CAST(count(*) FILTER (freq <= 2) AS BIGINT) AS n_kept,
-                    string_agg(seg, ' ' ORDER BY pos) FILTER (freq <= 2) AS text_kept
-             FROM k GROUP BY doc_id)
-           SELECT d.doc_id,
-                  coalesce(p.n_segs, 0) AS n_segs,
-                  coalesce(p.n_kept, 0) AS n_kept,
-                  md5(coalesce(p.text_kept, '')) AS kept_md5
-           FROM documents d LEFT JOIN p ON p.doc_id = d.doc_id""",
-      // SemDeDup anchor: planted dyadic-perturbation copies, all-pairs
-      // cosine at 0.98, recursive-CTE components, min-id representative
-      "dedup_semantic_exact" ->
-        """WITH RECURSIVE base AS (
-             SELECT vec_id,
-                    list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1024) / 1024) AS emb
-             FROM embeddings WHERE vec_id < 400),
-           corpus AS (
-             SELECT vec_id, emb FROM base
-             UNION ALL
-             SELECT -(vec_id + 1) AS vec_id,
-                    list_transform(range(0, 64),
-                      i -> emb[i + 1] + (CAST(i % 3 AS DOUBLE) - 1.0) / 256.0) AS emb
-             FROM base WHERE vec_id < 100),
-           sc AS (
-             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                    list_sum(list_transform(range(1, 65), i -> a.emb[i] * b.emb[i])) AS dot,
-                    sqrt(list_sum(list_transform(a.emb, x -> x * x))) AS na,
-                    sqrt(list_sum(list_transform(b.emb, x -> x * x))) AS nb
-             FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id),
-           p AS (
-             SELECT id_a, id_b FROM sc
-             WHERE na <> 0 AND nb <> 0 AND dot / (na * nb) >= 0.98),
-           e AS (SELECT id_a AS src, id_b AS dst FROM p
-                 UNION ALL SELECT id_b, id_a FROM p),
-           n AS (SELECT DISTINCT src AS id FROM e),
-           r AS (
-             SELECT id, id AS reach FROM n
-             UNION
-             SELECT r.id, e.dst AS reach FROM r JOIN e ON e.src = r.reach),
-           comp AS (SELECT id, min(reach) AS component FROM r GROUP BY id)
-           SELECT c.vec_id AS id, coalesce(m.component, c.vec_id) AS component,
-                  (coalesce(m.component, c.vec_id) = c.vec_id) AS keep
-           FROM corpus c LEFT JOIN comp m ON m.id = c.vec_id""",
-      // sign = low bit of the 60-bit md5 value of "i:j" (i row 0-based,
-      // j out-dim 0-based); * 0.25 AFTER the index-ascending sum. Flattened
-      // to one row per coordinate (unnest + generate_subscripts), mirroring
-      // the engine's posexplode.
-      "emb_project" ->
-        """WITH p AS (
-             SELECT vec_id,
-                    list_transform(range(0, 16), j ->
-                      list_sum(list_transform(range(0, 64), i ->
-                        emb[i + 1] *
-                        (CASE WHEN CAST(CONCAT('0x', substr(md5(
-                                  CAST(i AS VARCHAR) || ':' || CAST(j AS VARCHAR)), 1, 15))
-                                AS BIGINT) % 2 = 1
-                              THEN 1.0 ELSE -1.0 END))) * 0.25) AS proj
-             FROM (SELECT vec_id,
-                          list_transform(embedding,
-                            x -> floor(CAST(x AS DOUBLE) * 1024) / 1024) AS emb
-                   FROM embeddings))
-           SELECT vec_id, CAST(gs - 1 AS BIGINT) AS idx, c AS coord
-           FROM (SELECT vec_id, unnest(proj) AS c,
-                        generate_subscripts(proj, 1) AS gs
-                 FROM p)""",
-      // two-stage: row_number over projected cosine (same tiebreak as the
-      // bounded-heap aggregate), then exact re-rank of the shortlist
-      "sim_projected_topk" ->
-        """WITH e AS (
-             SELECT vec_id,
-                    list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1024) / 1024) AS emb
-             FROM embeddings),
-           p AS (
-             SELECT vec_id, emb,
-                    list_transform(range(0, 16), j ->
-                      list_sum(list_transform(range(0, 64), i ->
-                        emb[i + 1] *
-                        (CASE WHEN CAST(CONCAT('0x', substr(md5(
-                                  CAST(i AS VARCHAR) || ':' || CAST(j AS VARCHAR)), 1, 15))
-                                AS BIGINT) % 2 = 1
-                              THEN 1.0 ELSE -1.0 END))) * 0.25) AS proj
-             FROM e),
-           s1 AS (
-             SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-                    CASE WHEN sqrt(list_sum(list_transform(q.proj, x -> x * x))) = 0
-                           OR sqrt(list_sum(list_transform(c.proj, x -> x * x))) = 0 THEN 0.0
-                         ELSE list_sum(list_transform(range(1, 17), i -> q.proj[i] * c.proj[i]))
-                              / (sqrt(list_sum(list_transform(q.proj, x -> x * x)))
-                                 * sqrt(list_sum(list_transform(c.proj, x -> x * x))))
-                    END AS pcos
-             FROM p q CROSS JOIN p c WHERE q.vec_id < 20),
-           short AS (
-             SELECT query_id, neighbor_id FROM s1
-             QUALIFY row_number() OVER (PARTITION BY query_id
-                       ORDER BY pcos DESC, neighbor_id) <= 100),
-           r AS (
-             SELECT s.query_id, s.neighbor_id,
-                    CASE WHEN sqrt(list_sum(list_transform(q.emb, x -> x * x))) = 0
-                           OR sqrt(list_sum(list_transform(c.emb, x -> x * x))) = 0 THEN 0.0
-                         ELSE list_sum(list_transform(range(1, 65), i -> q.emb[i] * c.emb[i]))
-                              / (sqrt(list_sum(list_transform(q.emb, x -> x * x)))
-                                 * sqrt(list_sum(list_transform(c.emb, x -> x * x))))
-                    END AS cosine
-             FROM short s
-             JOIN e q ON q.vec_id = s.query_id
-             JOIN e c ON c.vec_id = s.neighbor_id)
-           SELECT query_id, neighbor_id, cosine,
-                  CAST(row_number() OVER (PARTITION BY query_id
-                       ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
-           FROM r
-           QUALIFY rank <= 5""",
-      "sim_topk" -> bruteTopKSql,
-      // the same brute-force ranking over the int8-quantized-then-
-      // dequantized corpus (quantization replicated from emb_quantize)
-      "sim_topk_int8" ->
-        """WITH e0 AS (
-             SELECT vec_id,
-                    list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1024) / 1024) AS emb
-             FROM embeddings),
-           s AS (
-             SELECT vec_id, emb,
-                    CASE WHEN list_max(list_transform(emb, x -> abs(x))) = 0 THEN 1.0
-                         ELSE list_max(list_transform(emb, x -> abs(x))) / 127.0
-                    END AS scale
-             FROM e0),
-           e AS (
-             SELECT vec_id,
-                    list_transform(emb, x ->
-                      least(greatest(round(x / scale), -127.0), 127.0) * scale) AS emb
-             FROM s),
-           scored AS (
-             SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-                    CASE WHEN sqrt(list_sum(list_transform(q.emb, x -> x * x))) = 0
-                           OR sqrt(list_sum(list_transform(c.emb, x -> x * x))) = 0 THEN 0.0
-                         ELSE list_sum(list_transform(range(1, 65), i -> q.emb[i] * c.emb[i]))
-                              / (sqrt(list_sum(list_transform(q.emb, x -> x * x)))
-                                 * sqrt(list_sum(list_transform(c.emb, x -> x * x))))
-                    END AS cosine
-             FROM e q CROSS JOIN e c WHERE q.vec_id < 20)
-           SELECT query_id, neighbor_id, cosine,
-                  CAST(row_number() OVER (PARTITION BY query_id
-                       ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
-           FROM scored
-           QUALIFY rank <= 5""",
-      // exact centroid: the same floor(x*1000) integer quantization summed
-      // per (label, dimension), one double division at the end
-      // cosine to centroid: dot and norms accumulate index-ascending from
-      // +0.0 exactly like the CosineSim loop, so the floats agree bit-wise
-      "emb_outliers" ->
-        """WITH x AS (
-             SELECT label, u.i,
-                    CAST(floor(CAST(embedding[u.i] AS DOUBLE) * 1000.0) AS BIGINT) AS q
-             FROM embeddings e, unnest(range(1, len(e.embedding) + 1)) u(i)),
-           cent AS (
-             SELECT label, i, CAST(sum(q) AS DOUBLE) / (count(*) * 1000.0) AS c
-             FROM x GROUP BY label, i),
-           cl AS (SELECT label, list(c ORDER BY i) AS cent FROM cent GROUP BY label),
-           j AS (
-             SELECT e.vec_id, e.label,
-                    list_transform(e.embedding, v -> CAST(v AS DOUBLE)) AS v, cl.cent
-             FROM embeddings e JOIN cl USING (label)),
-           sc AS (
-             SELECT vec_id, label,
-                    list_sum(list_transform(range(1, len(v) + 1),
-                      i -> v[i] * cent[i])) AS d,
-                    sqrt(list_sum(list_transform(v, x -> x * x))) AS na,
-                    sqrt(list_sum(list_transform(cent, x -> x * x))) AS nb
-             FROM j)
-           SELECT vec_id, label,
-                  CASE WHEN na = 0 OR nb = 0 THEN 0.0 ELSE d / (na * nb) END
-                    AS cos_to_centroid,
-                  (CASE WHEN na = 0 OR nb = 0 THEN 0.0 ELSE d / (na * nb) END) < 0.1
-                    AS is_outlier
-           FROM sc""",
-      "emb_centroid" ->
-        """WITH x AS (
-             SELECT label, u.i,
-                    CAST(floor(CAST(embedding[u.i] AS DOUBLE) * 1000.0) AS BIGINT) AS q
-             FROM embeddings e, unnest(range(1, len(e.embedding) + 1)) u(i))
-           SELECT label, CAST(i AS BIGINT) AS dim,
-                  CAST(sum(q) AS DOUBLE) / (count(*) * 1000.0) AS c,
-                  CAST(count(*) AS BIGINT) AS n
-           FROM x GROUP BY label, i""",
-      "sim_ivf_exact" -> bruteTopKSql,
-      // fixed-centroid nearest-center assignment: dyadic-exact d2, argmin
-      // ties to the lowest cluster id — emb_kmeans' oracle anchor
-      "emb_kmeans_assign" ->
-        """WITH e AS (
-             SELECT vec_id,
-                    list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1024) / 1024) AS emb
-             FROM embeddings),
-           c AS (SELECT vec_id AS cluster, emb AS cemb FROM e WHERE vec_id < 8),
-           d AS (
-             SELECT e.vec_id, c.cluster,
-                    list_sum(list_transform(range(1, len(e.emb) + 1),
-                      i -> (e.emb[i] - c.cemb[i]) * (e.emb[i] - c.cemb[i]))) AS d2
-             FROM e, c),
-           r AS (
-             SELECT vec_id, cluster, d2,
-                    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rk
-             FROM d)
-           SELECT vec_id, CAST(cluster AS BIGINT) AS cluster, d2
-           FROM r WHERE rk = 1""",
-      "text_pii_scrub" ->
-        s"""WITH d AS (
-             SELECT doc_id,
-                    text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
-                      || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
-                      || ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
-                      || ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
-                      || '-2244' AS text
-             FROM documents)
-           SELECT doc_id, $piiCountsSql, $piiScrubSql AS scrubbed
-           FROM d""",
-      "text_repetition" ->
-        """WITH t AS (
-             SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
-             FROM documents),
-           g AS (
-             SELECT doc_id, toks,
-                    list_transform(range(1, len(toks)),
-                      i -> array_to_string(toks[i:i+1], ' ')) AS g2,
-                    list_transform(range(1, len(toks) - 1),
-                      i -> array_to_string(toks[i:i+2], ' ')) AS g3
-             FROM t)
-           SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
-                  CASE WHEN len(toks) > 0 THEN
-                      CAST(list_max(list_transform(list_distinct(toks),
-                        d -> len(list_filter(toks, x -> x = d)))) AS DOUBLE)
-                        / CAST(len(toks) AS DOUBLE)
-                    ELSE 0.0 END AS top_token_frac,
-                  CASE WHEN len(g2) > 0 THEN
-                      CAST(list_max(list_transform(list_distinct(g2),
-                        d -> len(list_filter(g2, x -> x = d)))) AS DOUBLE)
-                        / CAST(len(g2) AS DOUBLE)
-                    ELSE 0.0 END AS top_2gram_frac,
-                  CASE WHEN len(g2) > 0 THEN
-                      CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE)
-                        / CAST(len(g2) AS DOUBLE)
-                    ELSE 0.0 END AS dup_2gram_frac,
-                  CASE WHEN len(g3) > 0 THEN
-                      CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE)
-                        / CAST(len(g3) AS DOUBLE)
-                    ELSE 0.0 END AS dup_3gram_frac
-           FROM g""",
-      "text_contamination" ->
-        """WITH t AS (
-             SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
-             FROM documents),
-           g AS (
-             SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
-                      i -> array_to_string(toks[i:i+2], ' '))) AS grams
-             FROM t),
-           bench AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 20 = 0),
-           corpus AS (SELECT doc_id, grams FROM g WHERE doc_id % 20 <> 0),
-           hits AS (
-             SELECT doc_id, count(*) AS n_hit
-             FROM (SELECT doc_id, unnest(grams) AS gram FROM corpus) cg
-             JOIN bench USING (gram) GROUP BY doc_id)
-           SELECT c.doc_id, CAST(len(c.grams) AS BIGINT) AS n_grams,
-                  CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_contaminated,
-                  CASE WHEN len(c.grams) > 0 THEN
-                      CAST(coalesce(h.n_hit, 0) AS DOUBLE) / CAST(len(c.grams) AS DOUBLE)
-                    ELSE 0.0 END AS contamination_frac
-           FROM corpus c LEFT JOIN hits h ON c.doc_id = h.doc_id""",
-      "text_decontaminate" ->
-        """WITH n AS (
-             SELECT doc_id, source,
-                    md5(nfc_normalize(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))) AS h
-             FROM documents),
-           ev AS (SELECT DISTINCT h FROM n WHERE doc_id % 20 = 0)
-           SELECT source, CAST(count(*) AS BIGINT) AS n_docs_kept
-           FROM n
-           WHERE doc_id % 20 <> 0
-             AND NOT EXISTS (SELECT 1 FROM ev WHERE ev.h = n.h)
-           GROUP BY source""",
-      // portable Bloom replay: the text_decontaminate normalization+md5
-      // arms, then the 4 Kirsch-Mitzenmacher positions ((h1 + j*h2) mod
-      // 1024 from ONE md5's 60-bit/56-bit halves) — membership = all 4
-      // bits set, false_positive = member minus exact
-      "text_bloom_decontaminate" ->
-        """WITH n AS (
-              SELECT doc_id, source,
-                     md5(nfc_normalize(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))) AS h
-              FROM documents),
-            ev AS (SELECT DISTINCT h FROM n WHERE doc_id % 20 = 0 AND h IS NOT NULL),
-            js AS (SELECT unnest([0, 1, 2, 3]) AS j),
-            bits AS (
-              SELECT DISTINCT
-                     (CAST(CONCAT('0x', substr(md5(h), 1, 15)) AS BIGINT)
-                      + j * CAST(CONCAT('0x', substr(md5(h), 16, 14)) AS BIGINT))
-                     % 1024 AS pos
-              FROM ev CROSS JOIN js),
-            corpus AS (SELECT doc_id, source, h FROM n WHERE doc_id % 20 <> 0),
-            probe AS (
-              SELECT c.doc_id, c.source, c.h, js.j,
-                     CASE WHEN c.h IS NULL THEN NULL
-                          ELSE (CAST(CONCAT('0x', substr(md5(c.h), 1, 15)) AS BIGINT)
-                                + js.j * CAST(CONCAT('0x', substr(md5(c.h), 16, 14)) AS BIGINT))
-                               % 1024
-                     END AS pos
-              FROM corpus c CROSS JOIN js),
-            bp AS (
-              SELECT p.doc_id, p.source, p.h,
-                     count(b.pos) = 4 AS bloom_positive
-              FROM probe p LEFT JOIN bits b ON b.pos = p.pos
-              GROUP BY 1, 2, 3)
-            SELECT bp.doc_id, bp.source, bp.bloom_positive,
-                   EXISTS (SELECT 1 FROM ev WHERE ev.h = bp.h) AS exact_match,
-                   bp.bloom_positive AND NOT EXISTS (
-                     SELECT 1 FROM ev WHERE ev.h = bp.h) AS false_positive
-            FROM bp""",
-      "text_normalize" ->
-        """SELECT doc_id,
-              nfc_normalize(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
-                AS norm_text,
-              nfc_normalize(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
-                <> text AS changed
-           FROM documents""",
-      "text_chunks" ->
-        """WITH t AS (
-             SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
-             FROM documents),
-           n AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
-           c AS (
-             SELECT doc_id, toks, n, u.c AS chunk_idx
-             FROM n, unnest(range(0, least(
-               1 + greatest(n - 32 + 24 - 1, 0) // 24,
-               1 + (n - 1) // 24))) u(c))
-           SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
-                  CAST(chunk_idx * 24 AS BIGINT) AS first_token,
-                  CAST(least(chunk_idx * 24 + 32, n) - chunk_idx * 24 AS BIGINT) AS n_tokens,
-                  array_to_string(toks[chunk_idx * 24 + 1 : least(chunk_idx * 24 + 32, n)], ' ')
-                    AS chunk_text
-           FROM c""",
-      "text_tfidf" ->
-        """WITH tf AS (
-             SELECT doc_id, tok AS term, CAST(count(*) AS BIGINT) AS tf
-             FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
-                   FROM documents)
-             GROUP BY doc_id, tok),
-           dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS dfreq FROM tf GROUP BY term),
-           n AS (SELECT count(*) AS n FROM documents),
-           s AS (
-             SELECT tf.doc_id, tf.term, tf.tf, dfq.dfreq,
-                    tf.tf * CAST(length(bin((SELECT n FROM n) // dfq.dfreq)) - 1 AS BIGINT) AS score
-             FROM tf JOIN dfq USING (term)),
-           r AS (
-             SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
-                      ORDER BY score DESC, term ASC) AS BIGINT) AS rk
-             FROM s)
-           SELECT doc_id, term, tf, dfreq, score, rk FROM r WHERE rk <= 3""",
-      // the full bigram-LM pipeline replayed: unigram/bigram counts,
-      // min-count pruning, add-one integer-bit surprisal, tercile ranks
-      "text_lm_surprisal" ->
-        """WITH tok AS (
-             SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
-             FROM documents WHERE text IS NOT NULL),
-           uni AS (
-             SELECT w, CAST(count(*) AS BIGINT) AS c1
-             FROM (SELECT unnest(toks) AS w FROM tok) GROUP BY w),
-           voc AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uni),
-           bg AS (
-             SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
-             FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
-                   FROM tok WHERE len(toks) >= 2)),
-           model AS (
-             SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2
-             FROM bg GROUP BY w1, w2 HAVING count(*) >= 2),
-           sb AS (
-             SELECT bg.doc_id,
-                    length(bin((uni.c1 + (SELECT v FROM voc))
-                               // (coalesce(model.c2, 0) + 1))) - 1 AS bits
-             FROM bg
-             JOIN uni ON uni.w = bg.w1
-             LEFT JOIN model ON model.w1 = bg.w1 AND model.w2 = bg.w2),
-           pd AS (
-             SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-                    CAST(sum(bits) AS BIGINT) AS total_bits
-             FROM sb GROUP BY doc_id),
-           s AS (
-             SELECT d.doc_id,
-                    coalesce(pd.n_bigrams, 0) AS n_bigrams,
-                    coalesce(pd.total_bits, 0) AS total_bits,
-                    CASE WHEN coalesce(pd.n_bigrams, 0) > 0
-                         THEN CAST(pd.total_bits AS DOUBLE) / pd.n_bigrams
-                    END AS mean_bits
-             FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id),
-           r AS (
-             SELECT doc_id, CAST(row_number() OVER
-                      (ORDER BY mean_bits, doc_id) AS BIGINT) AS rnk
-             FROM s WHERE mean_bits IS NOT NULL),
-           n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM r)
-           SELECT s.doc_id, s.n_bigrams, s.total_bits, s.mean_bits, r.rnk,
-                  CASE WHEN r.rnk IS NULL THEN 'unscored'
-                       WHEN r.rnk * 3 <= (SELECT n FROM n) THEN 'head'
-                       WHEN r.rnk * 3 <= 2 * (SELECT n FROM n) THEN 'middle'
-                       ELSE 'tail' END AS bucket
-           FROM s LEFT JOIN r ON r.doc_id = s.doc_id""",
-      // the packing layout is a single global cumsum in doc order — the
-      // oracle computes it directly; the engine reproduces it exactly via
-      // the two-phase bucketed prefix sum
-      "text_pack_sequences" ->
-        """WITH t AS (
-             SELECT doc_id,
-                    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS len
-             FROM documents),
-           c AS (
-             SELECT doc_id, len,
-                    sum(len) OVER (ORDER BY doc_id
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-             FROM t)
-           SELECT doc_id, len,
-                  CAST((cum - len) // 512 AS BIGINT) AS pack_id,
-                  CAST((cum - len) % 512 AS BIGINT) AS pack_offset
-           FROM c""",
-      // salted portable hash (see applyMixture: salt decorrelates mixture
-      // membership from hashSplit buckets); dyadic quarter rates make the
-      // integer thresholds exact in both engines
-      "sample_mixture" ->
-        """SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
-                  CAST(sum(n_chars) AS BIGINT) AS chars_kept
-           FROM documents
-           WHERE CAST(CONCAT('0x', substr(md5(CONCAT(CAST(doc_id AS VARCHAR), '#mix')), 1, 15))
-                   AS BIGINT) % 1000000
-                 < ((CAST(substr(source, 4) AS INT) % 4) + 1) * 250000
-           GROUP BY source""",
-      // CDC boundaries are content-local and deterministic but not
-      // SQL-recomputable; the partition property is: reassembling the
-      // ordered chunks must give back EXACTLY the document, and sizes must
-      // hold by construction
-      "text_cdc_chunks" ->
-        """SELECT doc_id, md5(text) AS reassembled_md5,
-                  CAST(0 AS BIGINT) AS size_violations
-           FROM documents
-           WHERE text IS NOT NULL AND length(text) > 0""",
-      "io_roundtrip" ->
-        """SELECT f.format, d.lang,
-                  CAST(count(*) AS BIGINT) AS n_docs,
-                  CAST(sum(n_chars) AS BIGINT) AS n_chars
-           FROM documents d, unnest(['parquet', 'jsonl']) AS f(format)
-           GROUP BY 1, 2""",
-      // the written-shard manifest replayed from the source table: same
-      // portable hash, same mod-16 assignment, same order-free xor
-      "sample_weighted" ->
-        """SELECT doc_id, CAST(n_chars AS DOUBLE) AS n_chars,
-                  CAST(n_chars AS DOUBLE) /
-                    ((CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
-                        AS BIGINT) + 1) / CAST(1152921504606846976 AS DOUBLE))
-                    AS priority
-           FROM documents
-           ORDER BY priority DESC, doc_id
-           LIMIT 100""",
-      "corpus_budget_select" ->
-        """WITH scored AS (
-             SELECT doc_id, n_chars AS len,
-                    CAST((doc_id * 2654435761) % 1000 AS DOUBLE)
-                      / CAST(1000 AS DOUBLE) AS score
-             FROM documents),
-           c AS (
-             SELECT doc_id, len, score,
-                    sum(len) OVER (ORDER BY score DESC, doc_id
-                      ROWS UNBOUNDED PRECEDING) AS cum_tokens
-             FROM scored)
-           SELECT doc_id, CAST(len AS BIGINT) AS len, score,
-                  CAST(cum_tokens AS BIGINT) AS cum_tokens
-           FROM c
-           WHERE cum_tokens <= (SELECT sum(n_chars) * 2 // 5 FROM documents)""",
-      "io_cdc_merge" ->
-        """WITH all_rows AS (
-             SELECT doc_id, 1 AS version, FALSE AS deleted, n_chars, 0 AS src
-             FROM documents
-             UNION ALL
-             SELECT doc_id, 2, FALSE, n_chars + 1000, 1
-             FROM documents WHERE doc_id % 5 = 0
-             UNION ALL
-             SELECT doc_id, 3, TRUE, n_chars, 1
-             FROM documents WHERE doc_id % 7 = 0),
-           winners AS (
-             SELECT doc_id, version, deleted, n_chars,
-                    row_number() OVER (PARTITION BY doc_id
-                      ORDER BY version DESC, src DESC) AS rn
-             FROM all_rows)
-           SELECT doc_id, CAST(version AS BIGINT) AS version,
-                  CAST(n_chars AS BIGINT) AS n_chars
-           FROM winners WHERE rn = 1 AND NOT deleted""",
-      "io_export_shards" ->
-        """WITH h AS (
-             SELECT doc_id, n_chars,
-                    CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
-                      AS BIGINT) AS hv
-             FROM documents)
-           SELECT CAST(hv % 16 AS INT) AS shard,
-                  CAST(count(*) AS BIGINT) AS n_rows,
-                  CAST(sum(n_chars) AS BIGINT) AS payload,
-                  bit_xor(hv) AS ids_xor
-           FROM h GROUP BY 1""",
-      "sample_split" ->
-        """WITH b AS (
-             SELECT source, n_chars,
-                    CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
-                      AS BIGINT) % 100 AS bucket
-             FROM documents)
-           SELECT source,
-                  CASE WHEN bucket < 80 THEN 'train'
-                       WHEN bucket < 90 THEN 'val'
-                       ELSE 'test' END AS split,
-                  CAST(count(*) AS BIGINT) AS n_docs,
-                  CAST(sum(n_chars) AS BIGINT) AS n_chars
-           FROM b GROUP BY 1, 2""",
-      "sample_stratified" ->
-        """SELECT o_orderpriority AS stratum, o_orderkey AS id,
-                  CAST(row_number() OVER (PARTITION BY o_orderpriority
-                       ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey) AS BIGINT) AS rk
-           FROM orders
-           QUALIFY rk <= 40""",
-      "emb_quantize" ->
-        """WITH q AS (
-             SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-             FROM embeddings),
-           s AS (
-             SELECT vec_id, v,
-                    CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0
-                         THEN 1.0
-                         ELSE list_max(list_transform(v, x -> abs(x))) / 127.0
-                    END AS scale
-             FROM q),
-           z AS (
-             SELECT vec_id, scale, v,
-                    list_transform(v, x ->
-                      least(greatest(round(x / scale), -127.0), 127.0)) AS qd
-             FROM s)
-           SELECT vec_id, scale,
-                  CAST(list_sum(list_transform(qd, t -> abs(CAST(t AS BIGINT)))) AS BIGINT) AS q_l1,
-                  list_max(list_transform(range(1, len(v) + 1),
-                    i -> abs(v[i] - qd[i] * scale))) AS max_abs_err
-           FROM z""",
-      "mm_decode_resize" ->
-        """WITH d AS (
-             SELECT doc_id,
-                    CAST(4 + len(text) % 13 AS INT) AS width,
-                    CAST(4 + (len(text) // 13) % 11 AS INT) AS height
-             FROM documents)
-           SELECT doc_id, width, height,
-             CAST(round(width * least(1.0, 8.0 / greatest(width, height))) AS INT) AS target_width,
-             CAST(round(height * least(1.0, 8.0 / greatest(width, height))) AS INT) AS target_height
-           FROM d""",
-      "mm_audio_decode" ->
-        """SELECT doc_id, 16000.0 AS sample_rate, 1 AS channels,
-              CAST(octet_length(encode(text)) AS BIGINT) AS n_frames,
-              round(CAST(octet_length(encode(text)) AS DOUBLE) / 16000.0, 9) AS duration_seconds
-           FROM documents""",
-      "mm_features" ->
-        """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-              sha256(text) AS sha256
-           FROM documents""",
-      "mm_embed" ->
-        """WITH q AS (
-             SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-             FROM embeddings),
-           s AS (
-             SELECT vec_id, v,
-                    CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0
-                         THEN 1.0
-                         ELSE list_max(list_transform(v, x -> abs(x))) / 127.0
-                    END AS scale
-             FROM q),
-           z AS (
-             SELECT vec_id,
-                    list_transform(v, x -> CAST(least(greatest(round(x / scale),
-                      -127.0), 127.0) AS BIGINT)) AS qd
-             FROM s),
-           e AS (SELECT vec_id, i, qd[CAST(i + 1 AS INT)] AS x
-                 FROM z, range(0, 64) t(i)),
-           w AS (SELECT ii.i AS i, jj.j AS j,
-                   CASE WHEN CAST(CONCAT('0x', substr(md5(ii.i || ':' || jj.j), 1, 15))
-                             AS BIGINT) % 2 = 1
-                        THEN 1 ELSE -1 END AS w
-                 FROM range(0, 64) ii(i), range(0, 8) jj(j))
-           SELECT e.vec_id, CAST(w.j AS INT) AS j,
-                  CAST(sum(e.x * w.w) AS BIGINT) AS feature
-           FROM e JOIN w ON e.i = w.i
-           GROUP BY 1, 2""",
-      "papi_count_sum" ->
-        """SELECT event_type, CAST(count(*) AS DOUBLE) AS count,
-              sum(least(greatest(floor(value), 0.0), 1000.0)) AS sum
-           FROM events GROUP BY event_type""",
-      "stats_l0_histogram" ->
-        """SELECT CAST(c AS BIGINT) AS bin_lower, count(*) AS n_units,
-              CAST(sum(c) AS DOUBLE) AS total_contribs
-           FROM (SELECT count(DISTINCT event_type) AS c FROM events GROUP BY user_id)
-           GROUP BY c""",
-      "stats_error_estimate" ->
-        """WITH per AS (
-             SELECT user_id, event_type, count(*) AS n FROM events GROUP BY 1, 2),
-           l0 AS (SELECT user_id, count(*) AS c FROM per GROUP BY 1),
-           params(l0_bound, linf_bound) AS (VALUES (1, 1.0), (2, 5.0), (5, 100.0)),
-           r0 AS (
-             SELECT p.l0_bound, p.linf_bound,
-                    CAST(sum(greatest(c - p.l0_bound, 0)) AS DOUBLE)
-                      / CAST(sum(c) AS DOUBLE) AS rl0
-             FROM params p CROSS JOIN l0 GROUP BY 1, 2),
-           ri AS (
-             SELECT p.l0_bound, p.linf_bound,
-                    sum(greatest(n - p.linf_bound, 0)) / CAST(sum(n) AS DOUBLE) AS rlinf
-             FROM params p CROSS JOIN per GROUP BY 1, 2),
-           pk AS (SELECT event_type, sum(n) AS rows_pk FROM per GROUP BY 1),
-           bins AS (
-             SELECT rows_pk - (rows_pk % CAST(pow(10.0,
-                      greatest(0, length(CAST(rows_pk AS VARCHAR)) - 3)) AS BIGINT)) AS lower,
-                    count(*) AS cnt, sum(rows_pk) AS s
-             FROM pk GROUP BY 1),
-           tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS nb FROM bins),
-           terms AS (
-             SELECT l0_bound, linf_bound, lower,
-                    cnt * sqrt((rd * avgsz) * (rd * avgsz) + std * std) AS term
-             FROM (
-               SELECT r0.l0_bound, r0.linf_bound, b.lower, b.cnt,
-                      1 - (1 - r0.rl0) * (1 - ri.rlinf) AS rd,
-                      CAST(b.s AS DOUBLE) / CAST(b.cnt AS DOUBLE) AS avgsz,
-                      sqrt(2.0) * r0.l0_bound * ri.linf_bound AS std
-               FROM r0 JOIN ri USING (l0_bound, linf_bound) CROSS JOIN bins b))
-           SELECT l0_bound, linf_bound,
-                  floor(sum(term ORDER BY lower) / (SELECT nb FROM tot) * 1e6 + 0.5)
-                    / 1e6 AS estimated_rmse
-           FROM terms GROUP BY 1, 2""",
-      "stats_private_l0" ->
-        """WITH per AS (
-             SELECT user_id, count(DISTINCT event_type) AS c FROM events GROUP BY 1),
-           np AS (SELECT count(DISTINCT event_type) AS n FROM events),
-           bub AS (SELECT least(100, n) AS b FROM np),
-           ks AS (SELECT unnest(range(1, (SELECT b FROM bub) + 1)) AS k),
-           scores AS (
-             SELECT k,
-                    -(0.5 * ((SELECT n FROM np) * (k / 1.0 * sqrt(2.0)))
-                      + 0.5 * (SELECT CAST(sum(greatest(
-                          least(c, (SELECT b FROM bub)) - k, 0)) AS DOUBLE)
-                          FROM per)) AS score
-             FROM ks)
-           SELECT CAST(k AS INT) AS private_l0_bound,
-                  (SELECT CAST(n AS BIGINT) FROM np) AS n_partitions
-           FROM scores ORDER BY score DESC, k LIMIT 1""",
-      "stats_linf_histogram" ->
-        """SELECT CAST(c AS BIGINT) AS bin_lower, count(*) AS n_pairs,
-              CAST(sum(c) AS DOUBLE) AS total_rows
-           FROM (SELECT count(*) AS c FROM events GROUP BY user_id, event_type)
-           GROUP BY c""",
-      "a_map" ->
-        "SELECT l_orderkey, l_linenumber, l_extendedprice * (1 - l_discount) AS revenue FROM lineitem",
-      "a_flat_map" ->
-        "SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token FROM documents",
-      "a_filter" ->
-        "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_quantity > 25 AND l_returnflag = 'R'",
-      "a_group_by_key" ->
-        "SELECT o_custkey, array_to_string(list_sort(list(o_orderkey)), ',') AS orderkeys FROM orders GROUP BY o_custkey",
-      "a_filter_by_key" ->
-        """SELECT l_orderkey, l_linenumber FROM lineitem
-           WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')""",
-      "a_filter_by_key_sharded" ->
-        """SELECT l_orderkey, l_linenumber FROM lineitem
-           WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')""",
-      // the Bloom pre-filter only drops shuffle bytes; the result is the
-      // plain equi-join
-      "a_bloom_join" ->
-        """SELECT c_custkey, CAST(count(*) AS BIGINT) AS n_orders,
-                  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
-           FROM orders JOIN customer ON o_custkey = c_custkey
-           WHERE c_mktsegment = 'BUILDING'
-           GROUP BY c_custkey""",
-      // the bucketed tables hold the same rows, so the co-located join's
-      // rollup is the plain join's
-      "io_bucketed_join" ->
-        """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
-                  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
-           FROM orders JOIN customer ON o_custkey = c_custkey
-           GROUP BY c_mktsegment""",
-      "a_count_per_element" ->
-        "SELECT l_returnflag, l_linestatus, count(*) AS n FROM lineitem GROUP BY 1, 2",
-      "a_sum_per_key" ->
-        "SELECT l_partkey, sum(l_quantity) AS sum_qty FROM lineitem GROUP BY l_partkey",
-      "a_min_max_per_key" ->
-        "SELECT o_custkey, min(o_totalprice) AS min_price, max(o_totalprice) AS max_price FROM orders GROUP BY o_custkey",
-      "a_flatten" ->
-        """SELECT event_id FROM events WHERE event_type = 'click'
-           UNION ALL SELECT event_id FROM events WHERE event_type = 'purchase'""",
-      "a_distinct" ->
-        "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
-      "a_sample_per_key" ->
-        "SELECT o_custkey, least(count(*), 3) AS n_sampled FROM orders GROUP BY o_custkey",
-      "a_tpch_q1" ->
-        """SELECT l_returnflag, l_linestatus,
-                  CAST(sum(floor(l_quantity)) AS DOUBLE) AS sum_qty,
-                  CAST(sum(floor(l_extendedprice)) AS DOUBLE) AS sum_base_price,
-                  CAST(sum(floor(l_extendedprice * (1.0 - l_discount))) AS DOUBLE)
-                    AS sum_disc_price,
-                  CAST(sum(floor(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)))
-                    AS DOUBLE) AS sum_charge,
-                  CAST(sum(floor(l_quantity)) AS DOUBLE) / count(*) AS avg_qty,
-                  CAST(sum(floor(l_discount * 100.0)) AS DOUBLE) / count(*) AS avg_disc_pct,
-                  CAST(count(*) AS BIGINT) AS count_order
-           FROM lineitem
-           WHERE l_shipdate <= TIMESTAMP '2001-06-01'
-           GROUP BY 1, 2""",
-      "a_tpch_q3" ->
-        """SELECT l.l_orderkey,
-                  strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
-                  CAST(sum(floor(l.l_extendedprice * (1.0 - l.l_discount))) AS DOUBLE) AS revenue
-           FROM lineitem l
-           JOIN orders o ON l.l_orderkey = o.o_orderkey
-           JOIN customer c ON o.o_custkey = c.c_custkey
-           WHERE c.c_mktsegment = 'BUILDING'
-             AND o.o_orderdate < TIMESTAMP '1998-06-01'
-             AND l.l_shipdate > TIMESTAMP '1998-06-01'
-           GROUP BY 1, 2
-           ORDER BY revenue DESC, l_orderkey
-           LIMIT 10""",
-      "a_tpch_q5" ->
-        """SELECT n_name,
-                  CAST(sum(floor(l_extendedprice * (1.0 - l_discount))) AS DOUBLE) AS revenue
-           FROM lineitem, orders, customer, supplier, nation, region
-           WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
-             AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
-             AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
-             AND r_name = 'ASIA'
-             AND o_orderdate >= TIMESTAMP '1996-01-01'
-             AND o_orderdate < TIMESTAMP '1997-01-01'
-           GROUP BY n_name""",
-      "a_tpch_q18" ->
-        """SELECT c_name, c_custkey, o_orderkey,
-                  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
-                  CAST(floor(o_totalprice) AS BIGINT) AS totalprice_floor,
-                  total_qty
-           FROM orders
-           JOIN (SELECT l_orderkey, CAST(sum(floor(l_quantity)) AS BIGINT) AS total_qty
-                 FROM lineitem GROUP BY l_orderkey
-                 HAVING CAST(sum(floor(l_quantity)) AS BIGINT) > 150) big
-             ON o_orderkey = big.l_orderkey
-           JOIN customer ON o_custkey = c_custkey""",
-      "a_join_agg" ->
-        """SELECT c_mktsegment, o_orderpriority, count(*) AS n_orders,
-              CAST(sum(floor(o_totalprice)) AS DOUBLE) AS revenue_floor
-           FROM orders JOIN customer ON o_custkey = c_custkey
-           GROUP BY 1, 2""",
-      // ASOF on epoch_us BIGINTs (micros both sides; DuckDB reads the
-      // nanos parquet timestamp at microsecond precision)
-      "a_asof_join" ->
-        """SELECT p.user_id, p.event_id, p.t AS purchase_ts,
-                  coalesce(c.t, -1) AS last_click_ts
-           FROM (SELECT user_id, event_id, epoch_us(ts) AS t FROM events
-                 WHERE event_type = 'purchase') p
-           ASOF LEFT JOIN (SELECT user_id, epoch_us(ts) AS t FROM events
-                           WHERE event_type = 'click') c
-             ON p.user_id = c.user_id AND p.t >= c.t""",
-      "a_window_topn" ->
-        """SELECT o_custkey, o_orderkey,
-              CAST(row_number() OVER (PARTITION BY o_custkey
-                   ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rk
-           FROM orders QUALIFY rk <= 2""",
-      "text_vocab_topk" ->
-        """SELECT tok, CAST(count(*) AS BIGINT) AS cnt
-           FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
-                 FROM documents)
-           GROUP BY tok ORDER BY cnt DESC, tok ASC LIMIT 50""",
-      // the fused prep filter: every signal recomputed independently, then
-      // the same first-failing-rule CASE chain (rule order defines reason)
-      "corpus_prep" ->
-        s"""WITH t AS (
-              SELECT doc_id, text,
-                     regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
-              FROM documents),
-            g AS (
-              SELECT doc_id, text, toks,
-                     list_transform(range(1, len(toks)),
-                       i -> array_to_string(toks[i:i+1], ' ')) AS g2
-              FROM t),
-            f AS (
-              SELECT doc_id, text, toks,
-                     CAST(len(toks) AS BIGINT) AS n_tokens,
-                     CASE WHEN len(g2) > 0 THEN
-                         CAST(list_max(list_transform(list_distinct(g2),
-                           d -> len(list_filter(g2, x -> x = d)))) AS DOUBLE)
-                           / CAST(len(g2) AS DOUBLE)
-                       ELSE 0.0 END AS top_2gram_frac,
-                     CASE WHEN len(g2) > 0 THEN
-                         CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE)
-                           / CAST(len(g2) AS DOUBLE)
-                       ELSE 0.0 END AS dup_2gram_frac,
-                     CASE WHEN len(toks) > 0 THEN
-                         CAST(len(list_distinct(list_intersect(toks, $enStopList))) AS DOUBLE)
-                           / CAST(len(toks) AS DOUBLE)
-                       ELSE 0.0 END AS stopword_ratio
-              FROM g),
-            s AS (SELECT *,
-                    ${langScores.map { case (l, e) => s"$e AS s_$l" }.mkString(",\n                    ")}
-                  FROM f),
-            x AS (SELECT *, $langMax AS m,
-                         len(text) - len(regexp_replace(text, '[\\x{4e00}-\\x{9fff}]', '', 'g')) AS cjk
-                  FROM s),
-            y AS (SELECT *,
-                    CASE WHEN cjk * 2 > len(text) THEN 'zh'
-                         WHEN m <= 0 THEN 'und' $langArms ELSE 'und' END AS lang
-                  FROM x),
-            z AS (SELECT *,
-                    CASE WHEN n_tokens < 20 THEN 'too_short'
-                         WHEN top_2gram_frac > 0.09 THEN 'repetitive_2gram'
-                         WHEN dup_2gram_frac > 0.08 THEN 'dup_2gram'
-                         WHEN lang <> 'en' THEN 'non_english'
-                         WHEN stopword_ratio < 0.005 THEN 'low_stopword'
-                         ELSE NULL END AS drop_reason
-                  FROM y)
-            SELECT doc_id, n_tokens, top_2gram_frac, dup_2gram_frac,
-                   stopword_ratio, lang,
-                   (drop_reason IS NULL) AS keep, drop_reason
-            FROM z""",
-      // C4 replay: identical planted body construction, then the line
-      // rules (terminal punct, >=5 words, no 'javascript') as a
-      // list_filter lambda and the page rules on the original body;
-      // cleaned text verified byte-for-byte via md5
-      "corpus_c4_filter" ->
-        """WITH b AS (
-              SELECT doc_id, concat_ws(chr(10),
-                       substr(text, 1, 60) || '.',
-                       'short line.',
-                       substr(text, 61, 60) ||
-                         CASE doc_id % 3 WHEN 0 THEN '.' WHEN 1 THEN ''
-                              ELSE '?' END,
-                       CASE WHEN doc_id % 7 = 0 THEN
-                         'Please enable javascript to continue reading.' END,
-                       CASE WHEN doc_id % 13 = 0 THEN
-                         'function f() { return 1; }' END,
-                       CASE WHEN doc_id % 17 = 0 THEN
-                         'Lorem ipsum dolor sit amet.' END) AS body
-              FROM documents),
-            k AS (
-              SELECT doc_id, body, string_split(body, chr(10)) AS ls,
-                     list_filter(string_split(body, chr(10)),
-                       l -> regexp_matches(l, '[.!?"'']$')
-                            AND len(string_split_regex(trim(l), ' +')) >= 5
-                            AND NOT contains(lower(l), 'javascript')) AS kept
-              FROM b),
-            c AS (SELECT *, array_to_string(kept, chr(10)) AS clean FROM k)
-            SELECT doc_id,
-                   CAST(len(ls) AS BIGINT) AS n_lines,
-                   CAST(len(kept) AS BIGINT) AS n_lines_kept,
-                   CAST(length(clean)
-                     - length(regexp_replace(clean, '[.!?]', '', 'g')) AS BIGINT)
-                     AS n_sentences,
-                   contains(body, '{') AS has_brace,
-                   contains(lower(body), 'lorem ipsum') AS has_lorem,
-                   (length(clean)
-                      - length(regexp_replace(clean, '[.!?]', '', 'g')) >= 3
-                    AND NOT contains(body, '{')
-                    AND NOT contains(lower(body), 'lorem ipsum')) AS keep,
-                   md5(clean) AS clean_md5
-            FROM c""",
-      // the sketch value itself is merge-order dependent and NOT hashed;
-      // the hashed columns are exact interpolated percentiles (quantile_cont
-      // == Spark percentile, proven by text_length_quantiles) plus the
-      // GK-guarantee boolean the engine computes and the oracle asserts TRUE
-      // portable HLL replay: same md5 60-bit hash, bucket = top 6 bits,
-      // rho from the exact bit length of the low 54 bits (bin() string
-      // length — integer-exact, no floating log2), exact integer bucket
-      // mass, and the estimate as the identical left-to-right double
-      // expression (0.709 * 4096 * 2^55 / t)
-      // portable CMS replay: same row-salted md5 bucketing (item || '#cms'
-      // || j, 60-bit hex prefix, mod 128), integer counters, min-of-rows
-      // point estimate at the row_number-deterministic top-5 probe items
-      "approx_cms_md5" ->
-        """WITH ev AS (
-              SELECT event_type, CAST(user_id AS VARCHAR) AS item FROM events),
-            js AS (SELECT unnest([0, 1, 2]) AS j),
-            sk AS (
-              SELECT event_type, j,
-                     CAST(CONCAT('0x', substr(md5(CONCAT(item, '#cms',
-                          CAST(j AS VARCHAR))), 1, 15)) AS BIGINT) % 128 AS bucket,
-                     count(*) AS cnt
-              FROM ev CROSS JOIN js GROUP BY 1, 2, 3),
-            exact AS (
-              SELECT event_type, item, count(*) AS exact_count
-              FROM ev GROUP BY 1, 2),
-            top5 AS (
-              SELECT event_type, item, exact_count FROM (
-                SELECT event_type, item, exact_count,
-                       row_number() OVER (PARTITION BY event_type
-                                          ORDER BY exact_count DESC, item) AS rk
-                FROM exact) WHERE rk <= 5),
-            probe AS (
-              SELECT t.event_type, t.item, t.exact_count, js.j,
-                     CAST(CONCAT('0x', substr(md5(CONCAT(t.item, '#cms',
-                          CAST(js.j AS VARCHAR))), 1, 15)) AS BIGINT) % 128 AS bucket
-              FROM top5 t CROSS JOIN js)
-            SELECT p.event_type, p.item AS user_id,
-                   min(COALESCE(s.cnt, 0)) AS est_count,
-                   p.exact_count,
-                   min(COALESCE(s.cnt, 0)) - p.exact_count AS overcount
-            FROM probe p LEFT JOIN sk s
-              ON s.event_type = p.event_type AND s.j = p.j AND s.bucket = p.bucket
-            GROUP BY p.event_type, p.item, p.exact_count""",
-      // KMV/theta replay: bottom-64 distinct salted md5 hashes per group,
-      // merged-pair bottom-64 with membership flags, theta = merged kth
-      // hash, and the identical estimator expressions (63.0 * 2^60 / h and
-      // rho * 2^60 / theta as single double divisions, exact when under k)
-      "approx_theta_overlap" ->
-        """WITH ev AS (
-              SELECT DISTINCT event_type AS g, CAST(user_id AS VARCHAR) AS item
-              FROM events),
-            hd AS (
-              SELECT DISTINCT g,
-                     CAST(CONCAT('0x', substr(md5(CONCAT(item, '#kmv')), 1, 15))
-                          AS BIGINT) AS h
-              FROM ev),
-            sk AS (SELECT g, h FROM (
-                     SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rk
-                     FROM hd) WHERE rk <= 64),
-            gs AS (SELECT DISTINCT g FROM sk),
-            pairs AS (SELECT a.g AS ga, b.g AS gb FROM gs a, gs b WHERE a.g < b.g),
-            m AS (SELECT p.ga, p.gb, s.h,
-                     max(CASE WHEN s.g = p.ga THEN 1 ELSE 0 END) AS in_a,
-                     max(CASE WHEN s.g = p.gb THEN 1 ELSE 0 END) AS in_b
-                  FROM pairs p JOIN sk s ON s.g = p.ga OR s.g = p.gb
-                  GROUP BY 1, 2, 3),
-            t AS (SELECT * FROM (
-                     SELECT m.*, row_number() OVER (PARTITION BY ga, gb ORDER BY h) AS rk
-                     FROM m) WHERE rk <= 64),
-            u AS (SELECT ga, gb, CAST(count(*) AS BIGINT) AS n_u, max(h) AS theta,
-                     CAST(sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)
-                          AS BIGINT) AS rho
-                  FROM t GROUP BY 1, 2),
-            d AS (SELECT g, CAST(count(*) AS BIGINT) AS n_h, max(h) AS kth
-                  FROM sk GROUP BY 1),
-            ex AS (SELECT g, CAST(count(*) AS BIGINT) AS exact_n FROM ev GROUP BY 1),
-            exi AS (SELECT a.g AS ga, b.g AS gb, CAST(count(*) AS BIGINT) AS exact_int
-                    FROM ev a JOIN ev b ON a.item = b.item AND a.g < b.g
-                    GROUP BY 1, 2)
-            SELECT u.ga, u.gb,
-                   CASE WHEN da.n_h < 64 THEN CAST(da.n_h AS DOUBLE)
-                        ELSE 63.0 * 1152921504606846976.0 / CAST(da.kth AS DOUBLE)
-                   END AS est_a,
-                   CASE WHEN db.n_h < 64 THEN CAST(db.n_h AS DOUBLE)
-                        ELSE 63.0 * 1152921504606846976.0 / CAST(db.kth AS DOUBLE)
-                   END AS est_b,
-                   CASE WHEN u.n_u < 64 THEN CAST(u.n_u AS DOUBLE)
-                        ELSE 63.0 * 1152921504606846976.0 / CAST(u.theta AS DOUBLE)
-                   END AS est_union,
-                   CASE WHEN u.n_u < 64 THEN CAST(u.rho AS DOUBLE)
-                        ELSE CAST(u.rho AS DOUBLE) * 1152921504606846976.0
-                             / CAST(u.theta AS DOUBLE)
-                   END AS est_intersect,
-                   ea.exact_n AS exact_a, eb.exact_n AS exact_b,
-                   ea.exact_n + eb.exact_n - COALESCE(exi.exact_int, 0) AS exact_union,
-                   COALESCE(exi.exact_int, 0) AS exact_intersect
-            FROM u JOIN d da ON da.g = u.ga JOIN d db ON db.g = u.gb
-                   JOIN ex ea ON ea.g = u.ga JOIN ex eb ON eb.g = u.gb
-                   LEFT JOIN exi ON exi.ga = u.ga AND exi.gb = u.gb""",
-      "approx_distinct_md5" ->
-        """WITH h AS (
-              SELECT event_type,
-                     CAST(CONCAT('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
-                          AS BIGINT) AS hv
-              FROM events),
-            b AS (SELECT event_type, hv >> 54 AS bucket,
-                         hv & ((CAST(1 AS BIGINT) << 54) - 1) AS rest
-                  FROM h),
-            r AS (SELECT event_type, bucket,
-                         max(CASE WHEN rest = 0 THEN 55
-                                  ELSE 55 - length(bin(rest)) END) AS mx
-                  FROM b GROUP BY 1, 2),
-            t AS (SELECT event_type,
-                         CAST(sum(CAST(1 AS BIGINT) << (55 - mx)) +
-                              (64 - count(*)) * (CAST(1 AS BIGINT) << 55)
-                              AS BIGINT) AS t_scaled,
-                         64 - count(*) AS v
-                  FROM r GROUP BY 1),
-            e AS (SELECT event_type, t_scaled, v,
-                         CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE) *
-                         CAST(36028797018963968 AS DOUBLE) / CAST(t_scaled AS DOUBLE)
-                           AS raw
-                  FROM t)
-            SELECT event_type,
-                   CASE WHEN raw <= CAST(160 AS DOUBLE) AND v > 0
-                        THEN CAST(64 AS DOUBLE) *
-                             ln(CAST(64 AS DOUBLE) / CAST(v AS DOUBLE))
-                        ELSE raw END AS approx_distinct,
-                   t_scaled
-            FROM e""",
-      // same hash/bucket/estimator arms as approx_distinct_md5, but routed
-      // through the per-day sketch + max-union stages the query runs
-      "approx_sketch_union_md5" ->
-        """WITH h AS (
-              SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
-                     CAST(CONCAT('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
-                          AS BIGINT) AS hv
-              FROM events),
-            b AS (SELECT event_type, day, hv >> 54 AS bucket,
-                         hv & ((CAST(1 AS BIGINT) << 54) - 1) AS rest
-                  FROM h),
-            day_sketch AS (
-              SELECT event_type, day, bucket,
-                     max(CASE WHEN rest = 0 THEN 55
-                              ELSE 55 - length(bin(rest)) END) AS mx
-              FROM b GROUP BY 1, 2, 3),
-            unioned AS (
-              SELECT event_type, bucket, max(mx) AS mx
-              FROM day_sketch GROUP BY 1, 2),
-            t AS (SELECT event_type,
-                         CAST(sum(CAST(1 AS BIGINT) << (55 - mx)) +
-                              (64 - count(*)) * (CAST(1 AS BIGINT) << 55)
-                              AS BIGINT) AS t_scaled,
-                         64 - count(*) AS v
-                  FROM unioned GROUP BY 1),
-            e AS (SELECT event_type, t_scaled, v,
-                         CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE) *
-                         CAST(36028797018963968 AS DOUBLE) / CAST(t_scaled AS DOUBLE)
-                           AS raw
-                  FROM t)
-            SELECT event_type,
-                   CASE WHEN raw <= CAST(160 AS DOUBLE) AND v > 0
-                        THEN CAST(64 AS DOUBLE) *
-                             ln(CAST(64 AS DOUBLE) / CAST(v AS DOUBLE))
-                        ELSE raw END AS approx_distinct,
-                   t_scaled
-            FROM e""",
-      "approx_percentiles" ->
-        """WITH e AS (SELECT event_type, CAST(floor(value) AS DOUBLE) AS v
-                      FROM events),
-           g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
-                        quantile_cont(v, 0.5) AS e50,
-                        quantile_cont(v, 0.9) AS e90,
-                        quantile_cont(v, 0.99) AS e99
-                 FROM e GROUP BY event_type),
-           q AS (
-             SELECT event_type, n_events, CAST(0.5 AS DOUBLE) AS pct,
-                    e50 AS exact_pct FROM g
-             UNION ALL
-             SELECT event_type, n_events, CAST(0.9 AS DOUBLE), e90 FROM g
-             UNION ALL
-             SELECT event_type, n_events, CAST(0.99 AS DOUBLE), e99 FROM g)
-           SELECT event_type, pct, exact_pct, n_events,
-                  CAST(ceil((pct - CAST(0.002 AS DOUBLE))
-                            * CAST(n_events AS DOUBLE)) AS BIGINT) - 1
-                    AS rank_lo_target,
-                  CAST(floor((pct + CAST(0.002 AS DOUBLE))
-                             * CAST(n_events AS DOUBLE)) AS BIGINT) + 2
-                    AS rank_hi_target,
-                  TRUE AS within_bound
-           FROM q""",
-      "text_length_quantiles" ->
-        """SELECT source,
-              quantile_cont(CAST(n_chars AS DOUBLE), 0.5) AS p50,
-              quantile_cont(CAST(n_chars AS DOUBLE), 0.9) AS p90,
-              quantile_cont(CAST(n_chars AS DOUBLE), 0.99) AS p99,
-              CAST(count(*) AS BIGINT) AS n_docs
-           FROM documents GROUP BY 1""",
-      "a_range_join" ->
-        """WITH w AS (SELECT k AS window_id,
-                1704067200000000000 + k*21600000000000 AS lo,
-                1704067200000000000 + k*21600000000000 + 3600000000000 AS hi
-              FROM range(0, 240) t(k)),
-            e AS (SELECT event_id, user_id, value, epoch_ns(ts) AS tn FROM events)
-           SELECT w.window_id, count(*) AS n_events,
-                  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
-                  CAST(sum(floor(value)) AS DOUBLE) AS value_floor_sum
-           FROM e JOIN w ON e.tn >= w.lo AND e.tn < w.hi
-           GROUP BY 1""",
-      // Duplicated-span stats: gram hash = leading 60 bits of md5 of the
-      // space-joined 5-gram, identical to the engine's portable hash, so
-      // frequencies, fractions and coverage reproduce exactly.
-      "dedup_dup_spans" ->
-        """WITH t AS (
-             SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
-             FROM documents),
-           g AS (
-             SELECT doc_id, i AS pos,
-                    CAST(CONCAT('0x', substr(md5(array_to_string(toks[i:i+4], ' ')), 1, 15))
-                      AS BIGINT) AS h
-             FROM t, unnest(range(1, greatest(len(toks) - 4, 0) + 1)) u(i)),
-           c AS (SELECT h, count(DISTINCT doc_id) AS nd FROM g GROUP BY 1),
-           j AS (SELECT g.doc_id, g.pos, c.nd FROM g JOIN c USING (h)),
-           cov AS (
-             SELECT doc_id, count(DISTINCT p) AS n_cov
-             FROM (SELECT doc_id, pos + o AS p FROM j, unnest(range(0, 5)) v(o)
-                   WHERE nd >= 2)
-             GROUP BY 1)
-           SELECT j.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
-                  CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_grams,
-                  CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
-                    AS dup_gram_frac,
-                  CAST(coalesce(any_value(n_cov), 0) AS DOUBLE) / (count(*) + 4)
-                    AS covered_token_frac
-           FROM j LEFT JOIN cov ON j.doc_id = cov.doc_id
-           GROUP BY j.doc_id""",
-      // same gram-hash + coverage arms as dedup_dup_spans (1-based list
-      // indices in DuckDB vs 0-based positions in the engine — the
-      // coverage set is over the SAME token indices either way), then the
-      // reassembly: keep tokens whose index is uncovered, join by one
-      // space, md5 the result
-      "dedup_remove_spans" ->
-        """WITH t AS (
-             SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
-             FROM documents),
-           g AS (
-             SELECT doc_id, i AS pos,
-                    CAST(CONCAT('0x', substr(md5(array_to_string(toks[i:i+4], ' ')), 1, 15))
-                      AS BIGINT) AS h
-             FROM t, unnest(range(1, greatest(len(toks) - 4, 0) + 1)) u(i)),
-           c AS (SELECT h, count(DISTINCT doc_id) AS nd FROM g GROUP BY 1),
-           cov AS (
-             SELECT doc_id, list(DISTINCT p) AS cov
-             FROM (SELECT g.doc_id, g.pos + o AS p
-                   FROM g JOIN c USING (h), unnest(range(0, 5)) v(o)
-                   WHERE c.nd >= 2)
-             GROUP BY 1),
-           k AS (
-             SELECT t.doc_id, t.toks, coalesce(cov.cov, []) AS cov
-             FROM t LEFT JOIN cov USING (doc_id)),
-           r AS (
-             SELECT doc_id, len(toks) AS n_tokens,
-                    list_transform(
-                      list_filter(range(1, len(toks) + 1),
-                                  i -> NOT list_contains(cov, i)),
-                      i -> toks[i]) AS kept
-             FROM k)
-           SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
-                  CAST(len(kept) AS BIGINT) AS n_tokens_kept,
-                  md5(coalesce(array_to_string(kept, ' '), '')) AS kept_md5
-           FROM r""",
-      "ss_window_agg" ->
-        """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
-              count(*) AS n_events, CAST(sum(floor(value)) AS DOUBLE) AS value_floor_sum
-           FROM events GROUP BY 1, 2""",
-      "ss_enrich" ->
-        """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
-              c_mktsegment AS segment,
-              count(*) AS n_events, CAST(sum(floor(value)) AS DOUBLE) AS value_floor_sum
-           FROM events JOIN customer ON user_id = c_custkey
-           GROUP BY 1, 2""",
-      // the dp_percentile tree walk over a composite hour|type key: the
-      // unrolled-descent SQL is reused verbatim with the composite string
-      // as its partition key, then split back into (hour, event_type)
-      "ss_dp_percentile" ->
-        s"""WITH src AS (
-              SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
-                       || '|' || event_type AS event_type,
-                     value
-              FROM events),
-            tree AS (${pctlTreeSqlFor(Seq(50, 90), "src")})
-            SELECT split_part(event_type, '|', 1) AS hour,
-                   split_part(event_type, '|', 2) AS event_type,
-                   percentile_50, percentile_90
-            FROM tree""",
-      // the approx_distinct_md5 arms per (hour, event_type) window cell
-      "ss_approx_distinct" ->
-        """WITH h AS (
-              SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
-                     event_type,
-                     CAST(CONCAT('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
-                          AS BIGINT) AS hv
-              FROM events),
-            b AS (SELECT hour, event_type, hv >> 54 AS bucket,
-                         hv & ((CAST(1 AS BIGINT) << 54) - 1) AS rest
-                  FROM h),
-            r AS (SELECT hour, event_type, bucket,
-                         max(CASE WHEN rest = 0 THEN 55
-                              ELSE 55 - length(bin(rest)) END) AS mx
-                  FROM b GROUP BY 1, 2, 3),
-            t AS (SELECT hour, event_type,
-                         CAST(sum(CAST(1 AS BIGINT) << (55 - mx)) +
-                              (64 - count(*)) * (CAST(1 AS BIGINT) << 55)
-                              AS BIGINT) AS t_scaled,
-                         64 - count(*) AS v
-                  FROM r GROUP BY 1, 2),
-            e AS (SELECT hour, event_type, t_scaled, v,
-                         CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE) *
-                         CAST(36028797018963968 AS DOUBLE) / CAST(t_scaled AS DOUBLE)
-                           AS raw
-                  FROM t)
-            SELECT hour, event_type,
-                   CASE WHEN raw <= CAST(160 AS DOUBLE) AND v > 0
-                        THEN CAST(64 AS DOUBLE) *
-                             ln(CAST(64 AS DOUBLE) / CAST(v AS DOUBLE))
-                        ELSE raw END AS approx_users,
-                   t_scaled
-            FROM e""",
-      // micros on both sides (epoch_ns // 1000 == the engine's ts div 1000)
-      // so interval arithmetic and day formatting agree exactly
-      "ss_attribution" ->
-        """WITH e AS (
-             SELECT event_id, user_id, event_type, epoch_ns(ts) // 1000 AS tu
-             FROM events),
-           c AS (SELECT * FROM e WHERE event_type = 'click'),
-           v AS (SELECT * FROM e WHERE event_type = 'purchase')
-           SELECT strftime(make_timestamp(v.tu), '%Y-%m-%d') AS day,
-                  CAST(count(*) AS BIGINT) AS n_attributed_pairs,
-                  CAST(count(DISTINCT c.user_id) AS BIGINT) AS n_users,
-                  CAST(count(DISTINCT v.event_id) AS BIGINT) AS n_conversions
-           FROM c JOIN v ON c.user_id = v.user_id
-                        AND c.tu <= v.tu AND v.tu <= c.tu + 3600000000
-           GROUP BY 1""",
-      // Gaps-and-islands replication of session_window (30-minute inactivity
-      // gap): a new session starts when the gap since the previous event is
-      // >= the gap duration (session_window's boundary semantics — an event
-      // exactly at previous+gap is OUTSIDE the window). Timestamps truncated
-      // to micros to match the engine's ts div 1000.
-      "ss_session_agg" ->
-        """WITH e AS (
-             SELECT user_id, epoch_ns(ts) // 1000 AS tu, floor(value) AS v
-             FROM events),
-           m AS (
-             SELECT user_id, tu, v,
-                    CASE WHEN tu - lag(tu) OVER (PARTITION BY user_id ORDER BY tu)
-                         >= 1800000000 THEN 1 ELSE 0 END AS brk
-             FROM e),
-           s AS (
-             SELECT user_id, tu, v,
-                    SUM(brk) OVER (PARTITION BY user_id ORDER BY tu
-                                   ROWS UNBOUNDED PRECEDING) AS sid
-             FROM m)
-           SELECT user_id, MIN(tu) AS session_start,
-                  count(*) AS n_events, SUM(v) AS value_sum
-           FROM s GROUP BY user_id, sid""",
-      "ts_gapfill" ->
-        """WITH agg AS (
-              SELECT event_type, date_trunc('hour', ts) AS h,
-                     count(*) AS n, sum(floor(value)) AS vs
-              FROM events GROUP BY 1, 2),
-            bounds AS (
-              SELECT date_trunc('hour', min(ts)) AS lo,
-                     date_trunc('hour', max(ts)) AS hi
-              FROM events),
-            hours AS (
-              SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
-              FROM bounds),
-            keys AS (SELECT DISTINCT event_type FROM events)
-           SELECT k.event_type,
-                  strftime(hr.h, '%Y-%m-%d %H:%M:%S') AS hour,
-                  coalesce(a.n, 0) AS n_events,
-                  CAST(coalesce(a.vs, 0) AS DOUBLE) AS value_floor_sum
-           FROM hours hr CROSS JOIN keys k
-           LEFT JOIN agg a ON a.event_type = k.event_type AND a.h = hr.h""",
-      "funnel_conversion" ->
-        """WITH ev AS (SELECT user_id, epoch_ns(ts) // 1000 AS tu, event_type
-                       FROM events),
-            s1 AS (SELECT user_id, min(tu) AS e FROM ev
-                   WHERE event_type = 'view' GROUP BY 1),
-            s2 AS (SELECT ev.user_id, min(ev.tu) AS e FROM ev
-                   JOIN s1 ON ev.user_id = s1.user_id AND ev.tu >= s1.e
-                   WHERE ev.event_type = 'click' GROUP BY 1),
-            s3 AS (SELECT ev.user_id, min(ev.tu) AS e FROM ev
-                   JOIN s2 ON ev.user_id = s2.user_id AND ev.tu >= s2.e
-                   WHERE ev.event_type = 'purchase' GROUP BY 1),
-            c AS (SELECT 1 AS step_index, 'view' AS step, count(*) AS n_users FROM s1
-                  UNION ALL SELECT 2, 'click', count(*) FROM s2
-                  UNION ALL SELECT 3, 'purchase', count(*) FROM s3)
-           SELECT CAST(step_index AS BIGINT) AS step_index, step, n_users,
-                  CAST(n_users AS DOUBLE) /
-                    (SELECT n_users FROM c WHERE step_index = 1) AS frac_of_first
-           FROM c""",
-      "cohort_retention" ->
-        """WITH days AS (
-              SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d FROM events),
-            coh AS (SELECT u, min(d) AS cohort FROM days GROUP BY 1)
-           SELECT strftime(cohort, '%Y-%m-%d') AS cohort_day,
-                  CAST(date_diff('day', cohort, d) // 7 AS BIGINT) AS week_offset,
-                  CAST(count(DISTINCT u) AS BIGINT) AS n_users
-           FROM days JOIN coh USING (u) GROUP BY 1, 2""",
-      "a_winsorize" ->
-        """WITH q AS (
-              SELECT event_type AS k,
-                     quantile_cont(CAST(floor(value) AS DOUBLE), 0.05) AS lo,
-                     quantile_cont(CAST(floor(value) AS DOUBLE), 0.95) AS hi
-              FROM events GROUP BY 1)
-           SELECT e.event_type, q.lo AS p_lo, q.hi AS p_hi,
-                  count(*) AS n_rows,
-                  CAST(sum(least(greatest(floor(value), floor(q.lo)), ceil(q.hi)))
-                       AS DOUBLE) AS clamped_sum
-           FROM events e JOIN q ON e.event_type = q.k
-           GROUP BY 1, q.lo, q.hi""",
-      "a_rollup" ->
-        """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
-                  CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
-                  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
-           FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
-      "a_cube" ->
-        """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
-                  CAST(sum(floor(o_totalprice)) AS DOUBLE) AS price_floor_sum,
-                  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
-           FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
-      "a_pivot" ->
-        """SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
-                  count(*) FILTER (event_type = 'click') AS click,
-                  count(*) FILTER (event_type = 'error') AS error,
-                  count(*) FILTER (event_type = 'purchase') AS purchase,
-                  count(*) FILTER (event_type = 'signup') AS signup,
-                  count(*) FILTER (event_type = 'view') AS view
-           FROM events GROUP BY 1""",
-      "sample_temperature" ->
-        """WITH d AS (
-              SELECT doc_id, n_chars,
-                     'g' || (CASE WHEN doc_id % 10 < 7 THEN 0
-                                  WHEN doc_id % 10 < 9 THEN 1
-                                  ELSE 2 END) AS grp
-              FROM documents),
-            c AS (SELECT grp, count(*) AS n FROM d GROUP BY 1),
-            w AS (SELECT grp, n,
-                         CAST(floor(sqrt(CAST(n * 100 AS DOUBLE))) AS HUGEINT) AS w
-                  FROM c),
-            t AS (SELECT sum(w) AS z_tot, sum(n) AS n_tot FROM w),
-            thr AS (SELECT grp, w.n AS n, w.w AS w,
-                           least(CAST(1000000 AS HUGEINT),
-                                 (CAST(n_tot AS HUGEINT) * 400000 // 1000000)
-                                   * w.w * 1000000 // (z_tot * CAST(w.n AS HUGEINT))) AS thr
-                    FROM w CROSS JOIN t),
-            kept AS (SELECT d.grp, count(*) AS n_kept, sum(n_chars) AS chars_kept
-                     FROM d JOIN thr ON d.grp = thr.grp
-                     WHERE CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)
-                             || '#temp'), 1, 15)) AS BIGINT) % 1000000 < thr.thr
-                     GROUP BY 1)
-           SELECT thr.grp, CAST(thr.n AS BIGINT) AS n_docs,
-                  CAST(thr.w AS BIGINT) AS w, CAST(thr.thr AS BIGINT) AS thr,
-                  coalesce(kept.n_kept, 0) AS n_kept,
-                  CAST(coalesce(kept.chars_kept, 0) AS BIGINT) AS chars_kept
-           FROM thr LEFT JOIN kept ON thr.grp = kept.grp""",
-      "corpus_epochs" ->
-        """WITH g AS (SELECT source, sum(n_chars) AS T FROM documents GROUP BY 1),
-            p AS (SELECT source, T, least(4, 20000 // T) AS f,
-                         CASE WHEN 20000 // T >= 4 THEN 0
-                              ELSE ((20000 % T) * 1000000) // T END AS frac
-                  FROM g),
-            fe AS (SELECT d.doc_id AS id, d.source, d.n_chars AS tokens,
-                          unnest(generate_series(1, CAST(f AS BIGINT))) AS epoch
-                   FROM documents d JOIN p USING (source)),
-            fr AS (SELECT d.doc_id AS id, d.source, d.n_chars AS tokens,
-                          f + 1 AS epoch
-                   FROM documents d JOIN p USING (source)
-                   WHERE frac > 0
-                     AND CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)
-                           || '#epoch'), 1, 15)) AS BIGINT) % 1000000 < frac),
-            inst AS (SELECT * FROM fe UNION ALL SELECT * FROM fr)
-           SELECT source, count(*) AS n_instances,
-                  CAST(sum(tokens) AS BIGINT) AS tokens_total,
-                  CAST(max(epoch) AS BIGINT) AS max_epoch
-           FROM inst GROUP BY 1""",
-      "io_zorder_export" -> {
-        // Morton interleave of the 8-bit quantized coordinates, unrolled
-        // to pure bit arithmetic (the same expression zValue builds)
-        val zBits = (0 until 8).map(i =>
-          s"(((xq >> $i) & 1) << ${2 * i}) | (((yq >> $i) & 1) << ${2 * i + 1})")
-          .mkString(" | ")
-        s"""WITH src AS (
-              SELECT o_orderkey, CAST(o_custkey AS BIGINT) AS x,
-                     CAST(date_diff('day', DATE '1970-01-01',
-                                    CAST(o_orderdate AS DATE)) AS BIGINT) AS y
-              FROM orders),
-            b AS (SELECT min(x) AS xlo, max(x) AS xhi,
-                         min(y) AS ylo, max(y) AS yhi FROM src),
-            q AS (SELECT o_orderkey, x, y,
-                         (x - xlo) * 256 // (xhi - xlo + 1) AS xq,
-                         (y - ylo) * 256 // (yhi - ylo + 1) AS yq
-                  FROM src CROSS JOIN b),
-            z AS (SELECT o_orderkey, x, y, ($zBits) AS z FROM q),
-            sh AS (SELECT *, CAST(z * 16 // 65536 AS INTEGER) AS shard FROM z),
-            m AS (SELECT shard, count(*) AS n_rows,
-                         min(x) AS x_min, max(x) AS x_max,
-                         min(y) AS y_min, max(y) AS y_max,
-                         min(z) AS z_min, max(z) AS z_max
-                  FROM sh GROUP BY 1),
-            scanned AS (SELECT shard FROM m
-                        WHERE x_min <= 400 AND x_max >= 100
-                          AND y_min <= 9861 AND y_max >= 9131),
-            boxed AS (SELECT shard FROM sh
-                      WHERE x BETWEEN 100 AND 400 AND y BETWEEN 9131 AND 9861),
-            probe AS (SELECT
-                (SELECT count(*) FROM m) AS files_total,
-                (SELECT count(*) FROM scanned) AS files_scanned,
-                (SELECT count(*) FROM boxed) AS rows_matched,
-                (SELECT count(*) FROM boxed)
-                  - (SELECT count(*) FROM boxed JOIN scanned USING (shard))
-                  AS prune_violations)
-           SELECT m.*, probe.* FROM m CROSS JOIN probe"""
-      },
-      "a_session_paths" ->
-        """WITH e AS (
-             SELECT user_id, epoch_ns(ts) // 1000 AS tu, event_type, event_id
-             FROM events),
-           m AS (
-             SELECT *, CASE WHEN tu - lag(tu) OVER
-                    (PARTITION BY user_id ORDER BY tu, event_id)
-                    >= 1800000000 THEN 1 ELSE 0 END AS brk
-             FROM e),
-           s AS (
-             SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY tu, event_id
-                                      ROWS UNBOUNDED PRECEDING) AS sid
-             FROM m)
-           SELECT user_id, MIN(tu) AS session_start, count(*) AS n_events,
-                  string_agg(event_type, '>' ORDER BY tu, event_id) AS seq
-           FROM s GROUP BY user_id, sid""",
-      "a_transition_matrix" ->
-        """WITH e AS (
-             SELECT user_id, epoch_ns(ts) // 1000 AS tu,
-                    event_type AS cur, event_id
-             FROM events),
-           l AS (
-             SELECT cur, lag(cur) OVER
-                    (PARTITION BY user_id ORDER BY tu, event_id) AS prev
-             FROM e),
-           p AS (SELECT prev, cur, count(*) AS n FROM l
-                 WHERE prev IS NOT NULL GROUP BY 1, 2),
-           t AS (SELECT prev, sum(n) AS rt FROM p GROUP BY 1)
-           SELECT p.prev, p.cur, p.n, CAST(p.n AS DOUBLE) / t.rt AS frac
-           FROM p JOIN t USING (prev)""",
-      "growth_accounting" ->
-        """WITH days AS (
-              SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d FROM events),
-            l AS (SELECT u, d,
-                         date_diff('day',
-                                   lag(d) OVER (PARTITION BY u ORDER BY d),
-                                   d) AS gap
-                  FROM days)
-           SELECT strftime(d, '%Y-%m-%d') AS day, count(*) AS n_active,
-                  count(*) FILTER (gap IS NULL) AS n_new,
-                  count(*) FILTER (gap IS NOT NULL AND gap <= 7) AS n_returning,
-                  count(*) FILTER (gap > 7) AS n_resurrected
-           FROM l GROUP BY 1""",
-      "dp_transitions" ->
-        """WITH e AS (
-             SELECT user_id, epoch_ns(ts) // 1000 AS tu,
-                    event_type AS cur, event_id
-             FROM events),
-           l AS (
-             SELECT cur, lag(cur) OVER
-                    (PARTITION BY user_id ORDER BY tu, event_id) AS prev
-             FROM e)
-           SELECT prev, cur, CAST(count(*) AS DOUBLE) AS count
-           FROM l WHERE prev IS NOT NULL GROUP BY 1, 2""",
-      "a_full_outer" ->
-        """WITH o AS (
-              SELECT o_custkey, count(*) AS n_orders,
-                     CAST(sum(floor(o_totalprice)) AS DOUBLE) AS spend_floor
-              FROM orders GROUP BY 1)
-           SELECT CAST(coalesce(c_nationkey, -1) AS BIGINT) AS nation,
-                  count(*) AS n_rows,
-                  CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
-                       AS BIGINT) AS n_never_ordered,
-                  CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END)
-                       AS BIGINT) AS n_orphan_orders,
-                  CAST(sum(coalesce(n_orders, 0)) AS BIGINT) AS n_orders,
-                  CAST(sum(coalesce(spend_floor, 0)) AS DOUBLE) AS spend_floor
-           FROM customer FULL OUTER JOIN o ON c_custkey = o_custkey
-           GROUP BY 1""",
-      "graph_triangles" ->
-        s"""WITH pairs AS ($minhashMd5Sql),
-            e AS (SELECT DISTINCT least(id_a, id_b) AS a,
-                                  greatest(id_a, id_b) AS b
-                  FROM pairs WHERE id_a <> id_b),
-            deg AS (SELECT v, count(*) AS d FROM (
-                      SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e)
-                    GROUP BY 1),
-            tri AS (SELECT count(*) AS t FROM e e1 JOIN e e2 ON e2.a = e1.b
-                    WHERE EXISTS (SELECT 1 FROM e e3
-                                  WHERE e3.a = e1.a AND e3.b = e2.b)),
-            agg AS (SELECT
-                (SELECT count(*) FROM deg) AS n_nodes,
-                (SELECT count(*) FROM e) AS n_edges,
-                (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) FROM deg)
-                  AS n_wedges,
-                (SELECT t FROM tri) AS n_triangles)
-           SELECT n_nodes, n_edges, n_wedges, n_triangles,
-                  CASE WHEN n_wedges = 0 THEN 0.0
-                       ELSE CAST(n_triangles * 3 AS DOUBLE)
-                            / CAST(n_wedges AS DOUBLE) END AS clustering
-           FROM agg""",
-      "io_table_diff" ->
-        """WITH base AS (SELECT doc_id, n_chars, source FROM documents),
-            revised AS (
-              SELECT doc_id,
-                     CASE WHEN doc_id % 5 = 0 THEN n_chars + 1000
-                          ELSE n_chars END AS n_chars,
-                     source
-              FROM base WHERE doc_id % 7 <> 0
-              UNION ALL
-              SELECT doc_id + 1000000, n_chars, source FROM base
-              WHERE doc_id % 11 = 0),
-            d AS (
-              SELECT coalesce(b.doc_id, r.doc_id) AS doc_id,
-                     CASE WHEN b.doc_id IS NULL THEN 'added'
-                          WHEN r.doc_id IS NULL THEN 'removed'
-                          WHEN (b.n_chars IS DISTINCT FROM r.n_chars)
-                            OR (b.source IS DISTINCT FROM r.source)
-                            THEN 'changed'
-                          ELSE 'unchanged' END AS diff_class
-              FROM base b FULL OUTER JOIN revised r ON b.doc_id = r.doc_id)
-           SELECT diff_class, count(*) AS n,
-                  min(doc_id) AS key_min, max(doc_id) AS key_max
-           FROM d GROUP BY 1""",
-      "io_compaction" ->
-        """WITH r AS (
-              SELECT doc_id,
-                     row_number() OVER (ORDER BY doc_id) - 1 AS rk
-              FROM documents),
-            b AS (SELECT doc_id, rk // 200 AS bin FROM r),
-            m AS (SELECT bin, count(*) AS n_rows,
-                         min(doc_id) AS id_min, max(doc_id) AS id_max
-                  FROM b GROUP BY 1),
-            t AS (SELECT CAST(ceil(count(*) / 50.0) AS BIGINT) AS files_before,
-                         CAST(ceil(count(*) / 200.0) AS BIGINT) AS files_after
-                  FROM documents)
-           SELECT bin, n_rows, id_min, id_max, files_before, files_after,
-                  CAST(0 AS BIGINT) AS rows_missing
-           FROM m CROSS JOIN t""",
-      "corpus_interleave" ->
-        """WITH w AS (SELECT source,
-                             CAST(substr(source, 4) AS INT) % 3 + 1 AS wt
-                      FROM (SELECT DISTINCT source FROM documents)),
-            r AS (SELECT doc_id, d.source, wt,
-                         row_number() OVER (PARTITION BY d.source
-                           ORDER BY md5('interleave#' || CAST(doc_id AS VARCHAR)),
-                                    doc_id) AS rk
-                  FROM documents d JOIN w USING (source)),
-            v AS (SELECT doc_id, source, wt, (rk * 1000000) // wt AS vt FROM r),
-            p AS (SELECT * FROM v ORDER BY vt, source, doc_id LIMIT 200),
-            pc AS (SELECT source, count(*) AS n FROM p GROUP BY 1),
-            t AS (SELECT source, count(*) AS n_total FROM documents GROUP BY 1)
-           SELECT t.source, CAST(w.wt AS BIGINT) AS weight, t.n_total,
-                  coalesce(pc.n, 0) AS n_in_prefix
-           FROM t JOIN w USING (source) LEFT JOIN pc USING (source)""",
-      "emb_covariance" ->
-        """WITH q AS (
-             SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-             FROM embeddings),
-           s AS (
-             SELECT vec_id, v,
-                    CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0
-                         THEN 1.0
-                         ELSE list_max(list_transform(v, x -> abs(x))) / 127.0
-                    END AS scale
-             FROM q),
-           z AS (
-             SELECT vec_id,
-                    list_transform(v, x -> CAST(least(greatest(round(x / scale),
-                      -127.0), 127.0) AS BIGINT)) AS qd
-             FROM s),
-           e AS (SELECT vec_id, i, qd[CAST(i + 1 AS INT)] AS x
-                 FROM z, range(0, 64) t(i)),
-           m AS (SELECT i, sum(x) AS sx FROM e GROUP BY 1),
-           nn AS (SELECT count(*) AS n FROM z),
-           p AS (SELECT a.i AS i, b.i AS j, sum(a.x * b.x) AS sxy
-                 FROM e a JOIN e b ON a.vec_id = b.vec_id AND b.i >= a.i
-                 GROUP BY 1, 2)
-           SELECT CAST(p.i AS INT) AS i, CAST(p.j AS INT) AS j, nn.n,
-                  CAST(ma.sx AS BIGINT) AS sx, CAST(mb.sx AS BIGINT) AS sy,
-                  CAST(p.sxy AS BIGINT) AS sxy,
-                  CAST(nn.n * p.sxy - ma.sx * mb.sx AS BIGINT) AS cov_e
-           FROM p JOIN m ma ON p.i = ma.i JOIN m mb ON p.j = mb.i
-           CROSS JOIN nn""",
-      "dp_growth" ->
-        """WITH days AS (
-              SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d FROM events),
-            l AS (SELECT u, d,
-                         date_diff('day',
-                                   lag(d) OVER (PARTITION BY u ORDER BY d),
-                                   d) AS gap
-                  FROM days)
-           SELECT strftime(d, '%Y-%m-%d') AS day,
-                  CASE WHEN gap IS NULL THEN 'new'
-                       WHEN gap <= 7 THEN 'returning'
-                       ELSE 'resurrected' END AS kind,
-                  CAST(count(*) AS DOUBLE) AS privacy_id_count
-           FROM l GROUP BY 1, 2""",
-      "a_tpch_q6" ->
-        """SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-                           * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT)
-                    AS revenue_e4,
-                  count(*) AS n_rows
-           FROM lineitem
-           WHERE l_shipdate >= TIMESTAMP '1995-01-01'
-             AND l_shipdate < TIMESTAMP '1996-01-01'
-             AND l_discount >= 0.05 AND l_discount <= 0.07
-             AND l_quantity < 24""",
-      "a_tpch_q12" ->
-        """SELECT l_linestatus,
-                  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
-                  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
-           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-           WHERE l_shipdate >= TIMESTAMP '1995-01-01'
-             AND l_shipdate < TIMESTAMP '1996-01-01'
-           GROUP BY 1""",
-      "io_incremental_agg" ->
-        """SELECT event_type, count(*) AS n,
-                  CAST(sum(floor(value)) AS DOUBLE) AS value_floor_sum,
-                  CAST(0 AS BIGINT) AS n_mismatch
-           FROM events GROUP BY 1""",
-      "stats_join_skew" ->
-        """WITH a AS (SELECT l_orderkey AS k, count(*) AS ca
-                      FROM lineitem GROUP BY 1),
-            b AS (SELECT o_orderkey AS k, count(*) AS cb
-                  FROM orders GROUP BY 1),
-            j AS (SELECT a.ca, b.cb
-                  FROM a FULL OUTER JOIN b ON a.k = b.k)
-           SELECT CAST(sum(CASE WHEN ca IS NOT NULL AND cb IS NOT NULL
-                                THEN 1 ELSE 0 END) AS BIGINT) AS n_keys_both,
-                  CAST(sum(CASE WHEN cb IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-                    AS n_keys_left_only,
-                  CAST(sum(CASE WHEN ca IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-                    AS n_keys_right_only,
-                  CAST(sum(coalesce(ca, 0) * coalesce(cb, 0)) AS BIGINT)
-                    AS total_pairs,
-                  CAST(max(coalesce(ca, 0) * coalesce(cb, 0)) AS BIGINT)
-                    AS max_pairs,
-                  CAST(max(coalesce(ca, 0) * coalesce(cb, 0)) AS DOUBLE)
-                    / CAST(sum(coalesce(ca, 0) * coalesce(cb, 0)) AS DOUBLE)
-                    AS p_max
-           FROM j""",
-      "stats_profile" ->
-        """WITH a AS (
-              SELECT count(*) AS n_rows,
-                     sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS text_nulls,
-                     count(DISTINCT lang) AS lang_distinct,
-                     count(DISTINCT source) AS source_distinct,
-                     min(n_chars) AS n_chars_min, max(n_chars) AS n_chars_max,
-                     sum(n_chars) AS n_chars_sum,
-                     sum(length(text)) AS text_len_sum
-              FROM documents)
-           SELECT 'n_rows' AS stat, CAST(n_rows AS BIGINT) AS value FROM a
-           UNION ALL SELECT 'text_nulls', CAST(text_nulls AS BIGINT) FROM a
-           UNION ALL SELECT 'lang_distinct', CAST(lang_distinct AS BIGINT) FROM a
-           UNION ALL SELECT 'source_distinct', CAST(source_distinct AS BIGINT) FROM a
-           UNION ALL SELECT 'n_chars_min', CAST(n_chars_min AS BIGINT) FROM a
-           UNION ALL SELECT 'n_chars_max', CAST(n_chars_max AS BIGINT) FROM a
-           UNION ALL SELECT 'n_chars_sum', CAST(n_chars_sum AS BIGINT) FROM a
-           UNION ALL SELECT 'text_len_sum', CAST(text_len_sum AS BIGINT) FROM a""",
-      "dp_retention" ->
-        """WITH days AS (
-              SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d FROM events),
-            coh AS (SELECT u, min(d) AS cohort FROM days GROUP BY 1)
-           SELECT strftime(cohort, '%Y-%m-%d') AS cohort_day,
-                  CAST(date_diff('day', cohort, d) // 7 AS BIGINT) AS week_offset,
-                  CAST(count(DISTINCT u) AS DOUBLE) AS privacy_id_count
-           FROM days JOIN coh USING (u) GROUP BY 1, 2""",
-      "dp_funnel_users" ->
-        """WITH ev AS (SELECT user_id, epoch_ns(ts) // 1000 AS tu, event_type
-                       FROM events),
-            s1 AS (SELECT user_id, min(tu) AS e FROM ev
-                   WHERE event_type = 'view' GROUP BY 1),
-            s2 AS (SELECT ev.user_id, min(ev.tu) AS e FROM ev
-                   JOIN s1 ON ev.user_id = s1.user_id AND ev.tu >= s1.e
-                   WHERE ev.event_type = 'click' GROUP BY 1),
-            s3 AS (SELECT ev.user_id, min(ev.tu) AS e FROM ev
-                   JOIN s2 ON ev.user_id = s2.user_id AND ev.tu >= s2.e
-                   WHERE ev.event_type = 'purchase' GROUP BY 1)
-           SELECT '1_view' AS step, CAST(count(*) AS DOUBLE) AS privacy_id_count
-           FROM s1
-           UNION ALL SELECT '2_click', CAST(count(*) AS DOUBLE) FROM s2
-           UNION ALL SELECT '3_purchase', CAST(count(*) AS DOUBLE) FROM s3""",
-      "a_json_extract" ->
-        """SELECT event_type, count(*) AS n,
-                  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
-                       AS BIGINT) AS k_sum,
-                  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
-                  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max,
-                  CAST(0 AS BIGINT) AS n_path_mismatch
-           FROM events GROUP BY 1""",
-      "a_set_ops" ->
-        """SELECT 'click_and_purchase' AS segment, count(*) AS n_users FROM (
-              SELECT user_id FROM events WHERE event_type = 'click'
-              INTERSECT
-              SELECT user_id FROM events WHERE event_type = 'purchase')
-           UNION ALL
-           SELECT 'click_no_purchase', count(*) FROM (
-              SELECT user_id FROM events WHERE event_type = 'click'
-              EXCEPT
-              SELECT user_id FROM events WHERE event_type = 'purchase')""",
-      "a_grouping_sets" ->
-        """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
-                  CAST(sum(floor(o_totalprice)) AS DOUBLE) AS price_floor_sum,
-                  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
-           FROM orders
-           GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))""",
-      "ss_abandonment" ->
-        """WITH c AS (SELECT user_id, epoch_ns(ts) // 1000 AS ctu,
-                             event_id AS click_id
-                      FROM events WHERE event_type = 'click'),
-            v AS (SELECT user_id, epoch_ns(ts) // 1000 AS vtu,
-                         event_id AS conv_id
-                  FROM events WHERE event_type = 'purchase'),
-            j AS (SELECT c.click_id, c.ctu, v.conv_id
-                  FROM c LEFT JOIN v
-                    ON c.user_id = v.user_id
-                   AND v.vtu >= c.ctu AND v.vtu <= c.ctu + 3600000000)
-           SELECT strftime(make_timestamp(ctu), '%Y-%m-%d') AS day,
-                  CAST(count(DISTINCT click_id) AS BIGINT) AS n_clicks,
-                  CAST(count(DISTINCT CASE WHEN conv_id IS NULL
-                                           THEN click_id END) AS BIGINT)
-                    AS n_abandoned
-           FROM j GROUP BY 1""",
-      "ts_anomaly" ->
-        """WITH daily AS (
-              SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
-                     CAST(sum(floor(value)) AS DOUBLE) AS x
-              FROM events GROUP BY 1, 2),
-            m AS (
-              SELECT event_type, day, x,
-                     sum(x) OVER w AS s1, sum(x * x) OVER w AS s2,
-                     CAST(count(*) OVER w AS DOUBLE) AS wn
-              FROM daily
-              WINDOW w AS (PARTITION BY event_type ORDER BY day
-                           ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
-            c AS (
-              SELECT event_type, day, x, s1 / wn AS mean,
-                     CASE WHEN (s2 - s1 * s1 / wn) / wn <= 0 THEN 0.0
-                          ELSE (x - s1 / wn)
-                               / sqrt((s2 - s1 * s1 / wn) / wn) END AS z
-              FROM m WHERE wn >= 4)
-           SELECT event_type, day, x, mean, round(z, 9) AS z9,
-                  abs(z) > 2.0 AS is_anomaly
-           FROM c""",
-      "ts_moving_avg" ->
-        """WITH daily AS (
-              SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
-                     CAST(sum(floor(value)) AS DOUBLE) AS day_sum
-              FROM events GROUP BY 1, 2)
-           SELECT event_type, day, day_sum,
-                  sum(day_sum) OVER w AS sum_7d,
-                  sum(day_sum) OVER w / count(*) OVER w AS avg_7d
-           FROM daily
-           WINDOW w AS (PARTITION BY event_type ORDER BY day
-                        ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""",
-      "a_ntile" ->
-        """WITH v AS (
-              SELECT event_type, event_id, CAST(floor(value) AS BIGINT) AS v,
-                     ntile(4) OVER (PARTITION BY event_type
-                                    ORDER BY floor(value), event_id) AS q
-              FROM events)
-           SELECT event_type, CAST(q AS BIGINT) AS q, count(*) AS n,
-                  min(v) AS v_min, max(v) AS v_max,
-                  CAST(sum(v) AS DOUBLE) AS v_sum
-           FROM v GROUP BY 1, 2""",
-      "corpus_hrw_shards" ->
-        """WITH c8 AS (
-              SELECT doc_id, shard8 FROM (
-                SELECT doc_id, s AS shard8,
-                       row_number() OVER (PARTITION BY doc_id
-                         ORDER BY md5(CAST(doc_id AS VARCHAR) || '#hrw#'
-                                      || CAST(s AS VARCHAR)) DESC, s) AS rk
-                FROM documents, range(0, 8) t(s)) WHERE rk = 1),
-            c9 AS (
-              SELECT doc_id, shard9 FROM (
-                SELECT doc_id, s AS shard9,
-                       row_number() OVER (PARTITION BY doc_id
-                         ORDER BY md5(CAST(doc_id AS VARCHAR) || '#hrw#'
-                                      || CAST(s AS VARCHAR)) DESC, s) AS rk
-                FROM documents, range(0, 9) t(s)) WHERE rk = 1),
-            j AS (SELECT c8.doc_id, shard8, shard9
-                  FROM c8 JOIN c9 ON c8.doc_id = c9.doc_id)
-           SELECT CAST(shard8 AS INTEGER) AS shard8,
-                  count(*) AS n_docs,
-                  CAST(sum(CASE WHEN shard8 <> shard9 THEN 1 ELSE 0 END)
-                       AS BIGINT) AS n_moved,
-                  CAST(sum(CASE WHEN shard8 <> shard9 AND shard9 <> 8
-                                THEN 1 ELSE 0 END) AS BIGINT)
-                    AS n_moved_elsewhere
-           FROM j GROUP BY 1""",
-      "corpus_shuffle" ->
-        """WITH h AS (SELECT doc_id,
-                             md5('epoch0#' || CAST(doc_id AS VARCHAR)) AS h
-                      FROM documents),
-            s AS (SELECT doc_id, h,
-                         CAST(CAST(CONCAT('0x', substr(h, 1, 15)) AS BIGINT) % 8
-                              AS INTEGER) AS shard
-                  FROM h)
-           SELECT doc_id, shard,
-                  CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id)
-                       AS BIGINT) AS pos
-           FROM s"""
-    )
-  }
+  def oracleSql: Map[String, String] =
+    EntryDP.oracleSql ++
+    EntryDataflow.oracleSql ++
+    EntryText.oracleSql ++
+    EntryDedup.oracleSql ++
+    EntrySim.oracleSql ++
+    EntryCorpus.oracleSql ++
+    EntryStream.oracleSql ++
+    EntryEvents.oracleSql
 }

@@ -1,0 +1,586 @@
+package graft
+
+import graft.analysis._
+import graft.core._
+import graft.ops._
+import graft.spark._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** deduplication tier of the driver contract: the `queries` / `oracleSql`
+  * fragments [[SparkEntry]] composes. Split out of SparkEntry.scala in
+  * round 8 purely for file size — every entry is verbatim; semantics and
+  * the gate are unchanged. See SparkEntry's scaladoc for the conventions
+  * (zero-noise DP, integer-valued oracle arithmetic, column aliasing).
+  */
+private[graft] object EntryDedup {
+  import EntryHelpers._
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> ((s, dir) => {
+      Dedup.duplicateGroups(s.read.parquet(s"$dir/documents.parquet"), "text", "doc_id")
+    }),
+    "dedup_minhash" -> ((s, dir) => {
+      // LSH candidate generation is hash-dependent => rows-only; DedupSpec
+      // verifies planted near-dups are found. The corpus has real near-dups.
+      Dedup.minHashLSH(s.read.parquet(s"$dir/documents.parquet"),
+        "doc_id", "text", threshold = 0.6)
+    }),
+    "dedup_minhash_md5" -> ((s, dir) => {
+      // the minhash+LSH pipeline with PORTABLE hashing (md5 shingle hashes,
+      // linear-congruential permutations mod 2^31-1, string band buckets) —
+      // the hash-independent twin of dedup_minhash, verified END-TO-END
+      // against the DuckDB oracle: shingling, one-hash signatures, band
+      // blocking, and the exact-Jaccard verify are all recomputed in SQL.
+      Dedup.minHashLSHPortable(s.read.parquet(s"$dir/documents.parquet"),
+        "doc_id", "text", threshold = 0.6)
+    }),
+    "dedup_components" -> ((s, dir) => {
+      // duplicate clusters: connected components (min-label propagation)
+      // over the oracle-verified portable-minhash pair set — the step that
+      // turns near-dup pairs into per-cluster keep decisions
+      val pairs = Dedup.minHashLSHPortable(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", threshold = 0.6)
+      Dedup.connectedComponents(pairs.select("id_a", "id_b"))
+        .select(col("id"), col("comp").as("component"))
+    }),
+    "dedup_containment" -> ((s, dir) => {
+      // doc-inside-doc detection: the same portable banded candidates
+      // verified by CONTAINMENT (|A∩B| / min(|A|,|B|)) instead of Jaccard
+      // — the signal that catches quotes/concatenations whose Jaccard is
+      // diluted by the containing document's length. Exact on every
+      // candidate and SQL-replayed end-to-end (recall caveat for
+      // extreme-size-ratio pairs documented on the operator).
+      Dedup.containmentPortable(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+        threshold = 0.8)
+    }),
+    "dedup_cluster_sizes" -> ((s, dir) => {
+      // duplicate-cluster size histogram — the rollup an operator reads
+      // BEFORE materializing a dedup (one giant cluster usually means a
+      // boilerplate/template pathology, many pairs means near-dup spam):
+      // clusters per size, docs tied up per size. Same oracle-verified
+      // portable pair set + components as dedup_components.
+      val pairs = Dedup.minHashLSHPortable(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", threshold = 0.6)
+      Dedup.connectedComponents(pairs.select("id_a", "id_b"))
+        .groupBy("comp").agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz").as("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"),
+          sum(col("sz")).as("n_docs"))
+    }),
+    "dedup_materialize" -> ((s, dir) => {
+      // APPLY the dedup decision: non-canonical cluster members (id != its
+      // component's min-label) are dropped via LEFT ANTI join, and the
+      // surviving corpus is profiled per source. The drop list is tiny
+      // relative to the corpus, so at scale the anti-join broadcasts —
+      // the whole materialization costs one corpus scan.
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val pairs = Dedup.minHashLSHPortable(docs, "doc_id", "text", threshold = 0.6)
+      val comp = Dedup.connectedComponents(pairs.select("id_a", "id_b"))
+      val drops = comp.filter(col("id") =!= col("comp"))
+      docs.join(broadcast(drops), docs("doc_id") === drops("id"), "left_anti")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs_kept"),
+          sum(col("n_chars")).as("chars_kept"))
+    }),
+    "dedup_simhash" -> ((s, dir) => {
+      Dedup.simHashPairs(s.read.parquet(s"$dir/documents.parquet"),
+        "doc_id", "text", maxHamming = 3)
+    }),
+    "dedup_simhash_md5" -> ((s, dir) => {
+      // the simhash pipeline with PORTABLE md5-derived token hashes — the
+      // hash-independent twin of dedup_simhash, verified END-TO-END against
+      // the DuckDB oracle (bit-majority signature, pigeonhole chunk
+      // blocking, exact Hamming verify).
+      Dedup.simHashPairsPortable(s.read.parquet(s"$dir/documents.parquet"),
+        "doc_id", "text", maxHamming = 3)
+        .withColumn("hamming", col("hamming").cast("long"))
+    }),
+    "dedup_incremental" -> ((s, dir) => {
+      // ingest-time dedup: a new batch (doc_id % 10 == 0) checked against
+      // the existing corpus (the rest). Candidates pair increment x corpus
+      // buckets only — never corpus x corpus — so a daily batch costs
+      // increment-proportional work at any corpus size. Portable md5
+      // hashing end-to-end => oracle replicates the full pair set and the
+      // best-match argmax.
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      Dedup.incrementalNearDupsPortable(
+        docs.filter(col("doc_id") % 10 === 0),
+        docs.filter(col("doc_id") % 10 =!= 0),
+        "doc_id", "text", threshold = 0.6)
+    }),
+    "dedup_incremental_sigs" -> ((s, dir) => {
+      // the signature-STORE workflow: stage-1 corpus signatures are persisted
+      // ONCE (parquet store, built on first invocation), and each ingest
+      // batch then runs increment-only work against the stored frame — the
+      // thing that makes incremental dedup actually incremental at corpus
+      // scale (the plain dedup_incremental re-signs the corpus every batch
+      // and pays O(corpus) md5 per call). Same batch split, same output,
+      // same oracle as dedup_incremental; the bench delta between the two
+      // queries IS the stored-signature saving.
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      // store key = dir + source-data fingerprint + PID: a fixture refresh
+      // changes the fingerprint (no stale signatures), and two concurrent
+      // graft JVMs never race on one store path
+      val srcMeta = new java.io.File(s"$dir/documents.parquet")
+      val fp = java.lang.Long.toHexString(
+        srcMeta.lastModified() ^ (srcMeta.length() * 1099511628211L))
+      val store = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_sig_store_v1_${Integer.toHexString(dir.hashCode)}_" +
+          s"${fp}_${ProcessHandle.current().pid()}")
+      if (!store.exists()) {
+        Dedup.minHashWithSigPortable(docs.filter(col("doc_id") % 10 =!= 0),
+            "doc_id", "text", shingleSize = 3, numHashes = 128)
+          .write.mode("overwrite").parquet(store.getAbsolutePath)
+      }
+      Dedup.incrementalNearDupsFromSigs(
+        docs.filter(col("doc_id") % 10 === 0),
+        s.read.parquet(store.getAbsolutePath),
+        "doc_id", "text", threshold = 0.6)
+    }),
+    "dedup_ngram_jaccard" -> ((s, dir) => {
+      // exact char-3-gram jaccard on the first 100 chars, blocked by lang
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .withColumn("head", lower(substring(col("text"), 1, 100)))
+      Dedup.ngramJaccardPairs(docs, "doc_id", "head", "lang", n = 3, threshold = 0.8)
+    }),
+    "dedup_embedding" -> ((s, dir) => {
+      // exact cosine near-dup pairs — BOUNDED oracle anchor: the all-pairs
+      // join is quadratic by nature, so the exact variant runs on a fixed
+      // subset (vec_id < 500, constant work at any sf). The corpus-scale
+      // path is dedup_embedding_lsh, which asserts recall against this
+      // exact pair set in-query. Embeddings quantized to 1/1024 so all
+      // arithmetic is order-independent (oracle parity).
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+        .filter(col("vec_id") < 500)
+        .withColumn("emb", expr("transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1024) / 1024)"))
+      val l = e.select(col("label"), col("vec_id").as("id_a"), col("emb").as("v_a"))
+      val r = e.select(col("label"), col("vec_id").as("id_b"), col("emb").as("v_b"))
+      l.join(r, Seq("label"))
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("cosine", Similarity.cosine(col("v_a"), col("v_b")))
+        .filter(col("cosine") >= 0.3)
+        .select("id_a", "id_b", "cosine")
+    }),
+    "dedup_embedding_lsh" -> ((s, dir) => {
+      // banded-LSH near-dup — the CORPUS-SCALE headline (bucketed ids-only
+      // candidates, never an unblocked n^2). Two in-query quality probes:
+      // (a) 200 planted near-copies (cosine ~0.9999, id = -(orig+1) —
+      //     NEGATIVE ids never collide with real vec_ids at any corpus
+      //     size) must be recovered;
+      // (b) recall against the EXACT all-pairs result on the bounded anchor
+      // subset (id < 500 + its planted copies — the dedup_embedding set).
+      // Hash-dependent => rows-only; DedupSpec asserts recall >= 0.95.
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("vec"))
+      val planted = e.filter(col("id") < 200)
+        .select((-(col("id") + lit(1L))).as("id"),
+          expr("transform(vec, (x, i) -> x + 0.02 * cos(CAST(i AS DOUBLE)))").as("vec"))
+      val corpus = e.unionByName(planted)
+      val lsh = Dedup.embeddingNearDups(corpus, "id", "vec", threshold = 0.95)
+        .select(col("id_a"), col("id_b"), lit(1L).as("in_lsh"))
+      val sub = corpus.filter(col("id") < 500)
+      val la = sub.select(col("id").as("id_a"), col("vec").as("v_a"))
+      val rb = sub.select(col("id").as("id_b"), col("vec").as("v_b"))
+      // explicit broadcast: the bounded side has no stats after union+filter,
+      // so Spark would otherwise plan a 32x32-partition CartesianProduct
+      // whose task overhead dwarfs the 245k-pair compute
+      val exact = la.join(broadcast(rb), col("id_a") < col("id_b"))
+        .withColumn("cos", Similarity.cosine(col("v_a"), col("v_b")))
+        .filter(col("cos") >= 0.95)
+        .select(col("id_a"), col("id_b"), lit(1L).as("in_exact"))
+      // single pass: a full-outer join on the pair key feeds every probe
+      // counter from one aggregate, so the LSH and exact pipelines each run
+      // exactly once (no checkpoint barriers, no re-reads)
+      lsh.join(exact, Seq("id_a", "id_b"), "full_outer")
+        .agg(
+          // the planted pair orders as (copy, original): -(x+1) < x always
+          sum(when(col("in_lsh").isNotNull &&
+              col("id_a") === -(col("id_b") + lit(1L)), 1L).otherwise(0L))
+            .as("n_planted_found"),
+          sum(when(col("in_lsh").isNotNull, 1L).otherwise(0L)).as("n_pairs_total"),
+          sum(when(col("in_exact").isNotNull, 1L).otherwise(0L)).as("n_exact_pairs"),
+          sum(when(col("in_exact").isNotNull && col("in_lsh").isNotNull, 1L)
+            .otherwise(0L)).as("n_exact_found"))
+        .select(lit(200L).as("n_planted"), col("n_planted_found"),
+          col("n_pairs_total"), col("n_exact_pairs"), col("n_exact_found"))
+    }),
+    "dedup_segments" -> ((s, dir) => {
+      // sub-document exact dedup with reassembly (Lee et al. ExactSubstr at
+      // 10-word-segment granularity): only the globally FIRST occurrence of
+      // a repeated segment survives; docs reassemble from their kept
+      // segments in position order. No hashing in the dedup key =>
+      // deterministic end-to-end; the reassembled text is compared as md5
+      // to keep the gate compact.
+      Dedup.dedupSegments(s.read.parquet(s"$dir/documents.parquet"),
+          "doc_id", "text", segmentWords = 10)
+        .select(col("doc_id"), col("n_segs"), col("n_kept"),
+          md5(col("text_kept")).as("kept_md5"))
+    }),
+    "dedup_freq_segments" -> ((s, dir) => {
+      // boilerplate removal (MassiveText/RefinedWeb line-dedup rule):
+      // segments occurring > 2 times corpus-wide drop from EVERY doc —
+      // first copies included — because cross-doc repetition at that rate
+      // is template boilerplate, not content. Deterministic end-to-end
+      // (no hashing in the decision), md5 of reassembled text for the gate.
+      Dedup.removeFrequentSegments(s.read.parquet(s"$dir/documents.parquet"),
+          "doc_id", "text", segmentWords = 10, maxFreq = 2)
+        .select(col("doc_id"), col("n_segs"), col("n_kept"),
+          md5(col("text_kept")).as("kept_md5"))
+    }),
+    "dedup_semantic_exact" -> ((s, dir) => {
+      // SemDeDup with nlist=1 — exact all-pairs over a BOUNDED subset, the
+      // oracle anchor driving the full machinery (pairwise cosine ->
+      // threshold -> connected components -> min-id representative) with
+      // clustering disabled. Duplicate structure is planted: 100 copies
+      // (id = -(orig+1)) perturbed by the DYADIC (i%3 - 1)/256 per
+      // coordinate — exactly representable in doubles, so both engines
+      // compute identical vectors (a cos(i)-style perturbation would risk
+      // 1-ulp libm-vs-Java drift); planted cosine ~0.9998, max natural
+      // pairwise cosine in the subset is 0.513 -> clean separation at 0.98.
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+        .filter(col("vec_id") < 400)
+        .withColumn("emb", expr("transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1024) / 1024)"))
+        .select("vec_id", "emb")
+      val planted = e.filter(col("vec_id") < 100)
+        .select((-(col("vec_id") + lit(1L))).as("vec_id"),
+          expr("transform(emb, (x, i) -> x + (CAST(i % 3 AS DOUBLE) - 1.0D) / 256.0D)").as("emb"))
+      Dedup.semanticDedup(e.unionByName(planted), "vec_id", "emb",
+        threshold = 0.98, nlist = 1)
+    }),
+    "dedup_semantic" -> ((s, dir) => {
+      // SemDeDup headline: k-means cells (auto-sized), exact pairwise
+      // within cells only. Clustering-dependent => rows-only, with the
+      // in-query probe pattern: 200 planted near-copies (dyadic
+      // perturbation, negative ids) are caught iff copy and original land
+      // in the same cell AND connect — the one-row output counts them, so
+      // silent recall collapse (e.g. a quantizer regression splitting
+      // near-identical vectors across cells) is visible to the row check;
+      // DedupSpec pins the bound.
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("vec"))
+      val planted = e.filter(col("id") < 200)
+        .select((-(col("id") + lit(1L))).as("id"),
+          expr("transform(vec, (x, i) -> x + (CAST(i % 3 AS DOUBLE) - 1.0D) / 256.0D)").as("vec"))
+      val out = Dedup.semanticDedup(e.unionByName(planted), "id", "vec",
+        threshold = 0.98).localCheckpoint(false) // two consumers below
+      val stats = out.agg(count(lit(1)).as("n_rows"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+      val caught = out.filter(col("id") >= 0 && col("id") < 200)
+        .select(col("id"), col("component").as("comp_o"))
+        .join(out.filter(col("id") < 0)
+          .select((-col("id") - lit(1L)).as("id"), col("component").as("comp_c")), "id")
+        .agg(count(lit(1)).as("n_planted"),
+          sum(when(col("comp_o") === col("comp_c"), 1L).otherwise(0L))
+            .as("n_planted_caught"))
+      stats.crossJoin(caught)
+    }),
+    "dedup_semantic_windowed" -> ((s, dir) => {
+      // the LINEAR-cost semantic-dedup mode: members sort by centroid
+      // distance within each cell and compare only to their next `window`
+      // neighbors — |corpus|*window cosine evals, immune to hot-cell
+      // quadratic blowup (THE 100 TB mode; the exact-within-cell pass is
+      // the quality anchor). Same probe row as dedup_semantic.
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("vec"))
+      val planted = e.filter(col("id") < 200)
+        .select((-(col("id") + lit(1L))).as("id"),
+          expr("transform(vec, (x, i) -> x + (CAST(i % 3 AS DOUBLE) - 1.0D) / 256.0D)").as("vec"))
+      val out = Dedup.semanticDedup(e.unionByName(planted), "id", "vec",
+        threshold = 0.98, window = 8).localCheckpoint(false)
+      val stats = out.agg(count(lit(1)).as("n_rows"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+      val caught = out.filter(col("id") >= 0 && col("id") < 200)
+        .select(col("id"), col("component").as("comp_o"))
+        .join(out.filter(col("id") < 0)
+          .select((-col("id") - lit(1L)).as("id"), col("component").as("comp_c")), "id")
+        .agg(count(lit(1)).as("n_planted"),
+          sum(when(col("comp_o") === col("comp_c"), 1L).otherwise(0L))
+            .as("n_planted_caught"))
+      stats.crossJoin(caught)
+    }),
+    "dedup_dup_spans" -> ((s, dir) => {
+      // cross-doc duplicated 5-gram span stats (exact-substring dedup
+      // signal); portable md5 gram hashes => END-TO-END oracle-verifiable
+      Dedup.duplicatedSpanStats(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", n = 5)
+    }),
+    "dedup_remove_spans" -> ((s, dir) => {
+      // the REMOVAL step over the same signal (Lee et al.): drop every
+      // token covered by a cross-doc duplicated 5-gram, reassemble, and
+      // fingerprint the surviving token stream — the rewrite itself is
+      // hash-verified (kept_md5), not just its statistics
+      Dedup.removeDuplicatedSpans(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", n = 5)
+    })
+  )
+
+  def oracleSql: Map[String, String] = {
+    import OracleFragments._
+    Map(
+      "dedup_exact" ->
+        "SELECT text, min(doc_id) AS keep_id, count(*) AS group_size FROM documents GROUP BY text",
+      // Portable simhash: md5-derived 60-bit token hashes, bit-majority
+      // signature, 16-bit-chunk pigeonhole blocking, exact Hamming verify —
+      // the full pipeline recomputed independently.
+      "dedup_simhash_md5" ->
+        s"""WITH tok AS (
+              SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+              FROM documents),
+            h AS (
+              SELECT doc_id, CAST(CONCAT('0x', substr(md5(t), 1, 15)) AS BIGINT) AS h
+              FROM tok),
+            sig AS (SELECT doc_id, $simhashBits AS sig FROM h GROUP BY doc_id),
+            k AS (
+              SELECT doc_id, sig, c, (sig >> (c * 16)) & 65535 AS key
+              FROM sig, (SELECT unnest([0, 1, 2, 3]) AS c)),
+            p AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS sa, b.sig AS sb
+              FROM k a JOIN k b ON a.c = b.c AND a.key = b.key AND a.doc_id < b.doc_id)
+            SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+            FROM p WHERE bit_count(xor(sa, sb)) <= 3""",
+      // Portable minhash+LSH: md5-derived shingle hashes, 128 linear-
+      // congruential permutations mod 2^31-1 (fixed constants), 16 bands x 8
+      // rows with plain string band buckets, exact-Jaccard verify — the full
+      // pipeline recomputed independently.
+      "dedup_minhash_md5" -> minhashMd5Sql,
+      "dedup_containment" -> containmentMd5Sql,
+      // Incremental dedup = the cross-set restriction of the SAME portable
+      // pair set (pairs where exactly one side is an increment doc), best
+      // match per new doc by (jaccard desc, corpus id asc).
+      "dedup_incremental" -> incrementalBestMatchSql,
+      // identical semantics by construction (stored signatures are the same
+      // bit-exact portable frame) — the oracle is shared
+      "dedup_incremental_sigs" -> incrementalBestMatchSql,
+      // Duplicate clusters from the portable-minhash pair set: connected
+      // components as a recursive reachability CTE (component = min
+      // reachable id), over the SAME independently-recomputed pipeline.
+      "dedup_components" ->
+        s"""WITH RECURSIVE pairs AS ($minhashMd5Sql),
+            e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                  UNION ALL SELECT id_b, id_a FROM pairs),
+            n AS (SELECT DISTINCT src AS id FROM e),
+            r AS (
+              SELECT id, id AS reach FROM n
+              UNION
+              SELECT r.id, e.dst AS reach FROM r JOIN e ON e.src = r.reach)
+            SELECT id, min(reach) AS component FROM r GROUP BY id""",
+      "dedup_cluster_sizes" ->
+        s"""WITH RECURSIVE pairs AS ($minhashMd5Sql),
+            e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                  UNION ALL SELECT id_b, id_a FROM pairs),
+            n AS (SELECT DISTINCT src AS id FROM e),
+            r AS (
+              SELECT id, id AS reach FROM n
+              UNION
+              SELECT r.id, e.dst AS reach FROM r JOIN e ON e.src = r.reach),
+            comp AS (SELECT id, min(reach) AS component FROM r GROUP BY id),
+            sz AS (SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
+                   FROM comp GROUP BY component)
+            SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+                   CAST(sum(cluster_size) AS BIGINT) AS n_docs
+            FROM sz GROUP BY cluster_size""",
+      "dedup_materialize" ->
+        s"""WITH RECURSIVE pairs AS ($minhashMd5Sql),
+            e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                  UNION ALL SELECT id_b, id_a FROM pairs),
+            n AS (SELECT DISTINCT src AS id FROM e),
+            r AS (
+              SELECT id, id AS reach FROM n
+              UNION
+              SELECT r.id, e.dst AS reach FROM r JOIN e ON e.src = r.reach),
+            comp AS (SELECT id, min(reach) AS component FROM r GROUP BY id),
+            drops AS (SELECT id FROM comp WHERE id <> component)
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs_kept,
+                   CAST(sum(n_chars) AS BIGINT) AS chars_kept
+            FROM documents d
+            WHERE NOT EXISTS (SELECT 1 FROM drops x WHERE x.id = d.doc_id)
+            GROUP BY source""",
+      "dedup_ngram_jaccard" ->
+        """WITH g AS (
+             SELECT doc_id, lang,
+                    list_distinct(list_transform(
+                      range(1, greatest(len(substr(lower(text), 1, 100)) - 2, 1) + 1),
+                      i -> substr(lower(text), 1, 100)[i:i+2])) AS grams
+             FROM documents),
+           s AS (SELECT doc_id, lang, grams, len(grams) AS sz FROM g),
+           p AS (
+             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                    CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) AS inter,
+                    CAST(a.sz + b.sz AS DOUBLE) AS szsum
+             FROM s a JOIN s b
+               ON a.lang = b.lang AND a.doc_id < b.doc_id
+              AND b.sz * 0.8 <= a.sz AND a.sz * 0.8 <= b.sz)
+           SELECT id_a, id_b,
+                  CASE WHEN szsum - inter = 0 THEN 0.0 ELSE inter / (szsum - inter) END AS jaccard
+           FROM p
+           WHERE (CASE WHEN szsum - inter = 0 THEN 0.0 ELSE inter / (szsum - inter) END) >= 0.8""",
+      "dedup_embedding" ->
+        """WITH e AS (
+             SELECT vec_id, label,
+                    list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1024) / 1024) AS emb
+             FROM embeddings WHERE vec_id < 500),
+           p AS (
+             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                    list_sum(list_transform(range(1, 65), i -> a.emb[i] * b.emb[i])) AS dot,
+                    sqrt(list_sum(list_transform(a.emb, x -> x * x))) AS na,
+                    sqrt(list_sum(list_transform(b.emb, x -> x * x))) AS nb
+             FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+           SELECT id_a, id_b, dot / (na * nb) AS cosine
+           FROM p WHERE na <> 0 AND nb <> 0 AND dot / (na * nb) >= 0.3""",
+      // 10-word segments; list slice toks[a:b] is 1-based inclusive =
+      // Spark slice(toks, a, 10); // is floor division
+      "dedup_segments" ->
+        """WITH t AS (
+             SELECT doc_id, string_split(text, ' ') AS toks
+             FROM documents WHERE text IS NOT NULL AND len(text) > 0),
+           s AS (
+             SELECT doc_id,
+                    unnest(range(0, (len(toks) - 1) // 10 + 1)) AS pos, toks
+             FROM t),
+           g AS (
+             SELECT doc_id, pos,
+                    array_to_string(toks[pos * 10 + 1 : pos * 10 + 10], ' ') AS seg
+             FROM s),
+           k AS (
+             SELECT doc_id, pos, seg,
+                    ROW_NUMBER() OVER (PARTITION BY seg ORDER BY doc_id, pos) AS rn
+             FROM g),
+           p AS (
+             SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segs,
+                    CAST(count(*) FILTER (rn = 1) AS BIGINT) AS n_kept,
+                    string_agg(seg, ' ' ORDER BY pos) FILTER (rn = 1) AS text_kept
+             FROM k GROUP BY doc_id)
+           SELECT d.doc_id,
+                  coalesce(p.n_segs, 0) AS n_segs,
+                  coalesce(p.n_kept, 0) AS n_kept,
+                  md5(coalesce(p.text_kept, '')) AS kept_md5
+           FROM documents d LEFT JOIN p ON p.doc_id = d.doc_id""",
+      // same segmentation CTEs; keep = corpus-wide frequency <= 2 (every
+      // copy of an over-frequent segment drops, first included)
+      "dedup_freq_segments" ->
+        """WITH t AS (
+             SELECT doc_id, string_split(text, ' ') AS toks
+             FROM documents WHERE text IS NOT NULL AND len(text) > 0),
+           s AS (
+             SELECT doc_id,
+                    unnest(range(0, (len(toks) - 1) // 10 + 1)) AS pos, toks
+             FROM t),
+           g AS (
+             SELECT doc_id, pos,
+                    array_to_string(toks[pos * 10 + 1 : pos * 10 + 10], ' ') AS seg
+             FROM s),
+           k AS (
+             SELECT doc_id, pos, seg,
+                    count(*) OVER (PARTITION BY seg) AS freq
+             FROM g),
+           p AS (
+             SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segs,
+                    CAST(count(*) FILTER (freq <= 2) AS BIGINT) AS n_kept,
+                    string_agg(seg, ' ' ORDER BY pos) FILTER (freq <= 2) AS text_kept
+             FROM k GROUP BY doc_id)
+           SELECT d.doc_id,
+                  coalesce(p.n_segs, 0) AS n_segs,
+                  coalesce(p.n_kept, 0) AS n_kept,
+                  md5(coalesce(p.text_kept, '')) AS kept_md5
+           FROM documents d LEFT JOIN p ON p.doc_id = d.doc_id""",
+      // SemDeDup anchor: planted dyadic-perturbation copies, all-pairs
+      // cosine at 0.98, recursive-CTE components, min-id representative
+      "dedup_semantic_exact" ->
+        """WITH RECURSIVE base AS (
+             SELECT vec_id,
+                    list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1024) / 1024) AS emb
+             FROM embeddings WHERE vec_id < 400),
+           corpus AS (
+             SELECT vec_id, emb FROM base
+             UNION ALL
+             SELECT -(vec_id + 1) AS vec_id,
+                    list_transform(range(0, 64),
+                      i -> emb[i + 1] + (CAST(i % 3 AS DOUBLE) - 1.0) / 256.0) AS emb
+             FROM base WHERE vec_id < 100),
+           sc AS (
+             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                    list_sum(list_transform(range(1, 65), i -> a.emb[i] * b.emb[i])) AS dot,
+                    sqrt(list_sum(list_transform(a.emb, x -> x * x))) AS na,
+                    sqrt(list_sum(list_transform(b.emb, x -> x * x))) AS nb
+             FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id),
+           p AS (
+             SELECT id_a, id_b FROM sc
+             WHERE na <> 0 AND nb <> 0 AND dot / (na * nb) >= 0.98),
+           e AS (SELECT id_a AS src, id_b AS dst FROM p
+                 UNION ALL SELECT id_b, id_a FROM p),
+           n AS (SELECT DISTINCT src AS id FROM e),
+           r AS (
+             SELECT id, id AS reach FROM n
+             UNION
+             SELECT r.id, e.dst AS reach FROM r JOIN e ON e.src = r.reach),
+           comp AS (SELECT id, min(reach) AS component FROM r GROUP BY id)
+           SELECT c.vec_id AS id, coalesce(m.component, c.vec_id) AS component,
+                  (coalesce(m.component, c.vec_id) = c.vec_id) AS keep
+           FROM corpus c LEFT JOIN comp m ON m.id = c.vec_id""",
+      // Duplicated-span stats: gram hash = leading 60 bits of md5 of the
+      // space-joined 5-gram, identical to the engine's portable hash, so
+      // frequencies, fractions and coverage reproduce exactly.
+      "dedup_dup_spans" ->
+        """WITH t AS (
+             SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+             FROM documents),
+           g AS (
+             SELECT doc_id, i AS pos,
+                    CAST(CONCAT('0x', substr(md5(array_to_string(toks[i:i+4], ' ')), 1, 15))
+                      AS BIGINT) AS h
+             FROM t, unnest(range(1, greatest(len(toks) - 4, 0) + 1)) u(i)),
+           c AS (SELECT h, count(DISTINCT doc_id) AS nd FROM g GROUP BY 1),
+           j AS (SELECT g.doc_id, g.pos, c.nd FROM g JOIN c USING (h)),
+           cov AS (
+             SELECT doc_id, count(DISTINCT p) AS n_cov
+             FROM (SELECT doc_id, pos + o AS p FROM j, unnest(range(0, 5)) v(o)
+                   WHERE nd >= 2)
+             GROUP BY 1)
+           SELECT j.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+                  CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_grams,
+                  CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+                    AS dup_gram_frac,
+                  CAST(coalesce(any_value(n_cov), 0) AS DOUBLE) / (count(*) + 4)
+                    AS covered_token_frac
+           FROM j LEFT JOIN cov ON j.doc_id = cov.doc_id
+           GROUP BY j.doc_id""",
+      // same gram-hash + coverage arms as dedup_dup_spans (1-based list
+      // indices in DuckDB vs 0-based positions in the engine — the
+      // coverage set is over the SAME token indices either way), then the
+      // reassembly: keep tokens whose index is uncovered, join by one
+      // space, md5 the result
+      "dedup_remove_spans" ->
+        """WITH t AS (
+             SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+             FROM documents),
+           g AS (
+             SELECT doc_id, i AS pos,
+                    CAST(CONCAT('0x', substr(md5(array_to_string(toks[i:i+4], ' ')), 1, 15))
+                      AS BIGINT) AS h
+             FROM t, unnest(range(1, greatest(len(toks) - 4, 0) + 1)) u(i)),
+           c AS (SELECT h, count(DISTINCT doc_id) AS nd FROM g GROUP BY 1),
+           cov AS (
+             SELECT doc_id, list(DISTINCT p) AS cov
+             FROM (SELECT g.doc_id, g.pos + o AS p
+                   FROM g JOIN c USING (h), unnest(range(0, 5)) v(o)
+                   WHERE c.nd >= 2)
+             GROUP BY 1),
+           k AS (
+             SELECT t.doc_id, t.toks, coalesce(cov.cov, []) AS cov
+             FROM t LEFT JOIN cov USING (doc_id)),
+           r AS (
+             SELECT doc_id, len(toks) AS n_tokens,
+                    list_transform(
+                      list_filter(range(1, len(toks) + 1),
+                                  i -> NOT list_contains(cov, i)),
+                      i -> toks[i]) AS kept
+             FROM k)
+           SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                  CAST(len(kept) AS BIGINT) AS n_tokens_kept,
+                  md5(coalesce(array_to_string(kept, ' '), '')) AS kept_md5
+           FROM r"""
+    )
+  }
+}

@@ -1,0 +1,104 @@
+package graft
+
+import graft.analysis._
+import graft.core._
+import graft.ops._
+import graft.spark._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Shared plumbing of the driver-contract tier files (events normalization,
+  * zero-noise engine, scratch dirs, UA option sets) — moved verbatim out of
+  * SparkEntry in round 8; `private` member modifiers dropped because the
+  * object itself is package-private. */
+private[graft] object EntryHelpers {
+  /** events.ts has shipped as parquet TIMESTAMP(NANOS) (readable only as raw
+    * nanos via nanosAsLong) and as plain timestamp[us] (read as a timestamp
+    * type); normalize BOTH to nanos-since-epoch LongType so every downstream
+    * consumer sees one shape. The timestamp branch casts through the session
+    * timezone (UTC everywhere in this repo), matching DuckDB's epoch_ns/
+    * epoch_us reading of the same naive values. */
+  def events(s: SparkSession, dir: String) = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the timestamp branch of tsToNanos is epoch arithmetic only under UTC;
+    // enforce it here so the normalization is self-contained rather than
+    // relying on every caller's session config
+    s.conf.set("spark.sql.session.timeZone", "UTC")
+    graft.streaming.StreamOps.tsToNanos(s.read.parquet(s"$dir/events.parquet"))
+  }
+
+  /** ts (nanos since epoch) -> 'yyyy-MM-dd' in UTC. */
+  val tsDay = expr("date_format(timestamp_micros(ts div 1000), 'yyyy-MM-dd')")
+
+  /** Zero-noise engine with a huge budget: DP plumbing, exact results. */
+  def zeroEngine() =
+    new DPEngine(new NaiveBudgetAccountant(1e5, 0.999999), NoiseSource.Zero)
+
+  /** The (user_id, event_type) dataset histograms are consumed by five
+    * queries (stats_*, tune_params); compute once per dataset per JVM —
+    * exactly how a real pipeline reuses its contribution histograms. */
+  val histogramCache =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.stats.DatasetHistograms]()
+  def eventHistograms(s: SparkSession, dir: String): graft.stats.DatasetHistograms =
+    histogramCache.computeIfAbsent(dir, d =>
+      graft.stats.Histograms.computeDatasetHistograms(
+        events(s, d), col("user_id"), col("event_type")))
+
+  def eventRoles = DPColumns(
+    col("user_id"), Seq("event_type" -> col("event_type")), Some(floor(col("value"))))
+
+  /** Fixed PER-PROCESS scratch dir for queries that write: stable within a
+    * JVM (bench reps overwrite ONE bounded copy instead of leaking a tree
+    * per invocation), disjoint across processes (the PID component keeps a
+    * concurrent graft JVM from wiping a directory this one's lazily
+    * returned readers still scan), wiped on entry with the walk stream
+    * closed. */
+  def scratchDir(name: String): String = {
+    val p = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_${name}_${ProcessHandle.current().pid()}")
+    if (java.nio.file.Files.exists(p)) {
+      val walk = java.nio.file.Files.walk(p)
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator.asScala.toSeq.sortBy(-_.getNameCount)
+          .foreach(java.nio.file.Files.delete)
+      } finally walk.close()
+    }
+    p.toString
+  }
+
+  /** Generous bounds: nothing sampled away at sf<=0.1 (max 29 rows per
+    * (user, type), max 5 types per user). */
+  val generous = (metrics: Seq[Metric], minV: Double, maxV: Double) =>
+    AggregateParams(
+      metrics = metrics,
+      noiseKind = NoiseKind.Laplace,
+      maxPartitionsContributed = 5,
+      maxContributionsPerPartition = Some(100),
+      minValue = Some(minV), maxValue = Some(maxV))
+
+  def runZero(df: DataFrame, params: AggregateParams, roles: DPColumns,
+      pub: Option[DataFrame] = None): DataFrame = {
+    val engine = zeroEngine()
+    val res = engine.aggregate(df, params, roles, pub)
+    engine.accountant.computeBudgets()
+    res.dataframe
+  }
+
+  /** Utility-analysis option sets shared between queries and oracles.
+    * Public: eps=1 split equally over (SUM, COUNT) => 0.5 each, Laplace.
+    * Private: eps=2 split over (selection, PRIVACY_ID_COUNT) => 1.0 each. */
+  val uaPublicOptions = UtilityAnalysisOptions(
+    epsilon = 1.0, delta = 0.0, metrics = Seq(Metric.Sum, Metric.Count),
+    configs = Seq(
+      UtilityAnalysisConfig(maxPartitionsContributed = 1, maxContributionsPerPartition = 3,
+        minSumPerPartition = 0.0, maxSumPerPartition = 100.0),
+      UtilityAnalysisConfig(maxPartitionsContributed = 2, maxContributionsPerPartition = 100,
+        minSumPerPartition = 0.0, maxSumPerPartition = 500.0)),
+    publicPartitions = true)
+
+  val uaPrivateOptions = UtilityAnalysisOptions(
+    epsilon = 2.0, delta = 1e-4, metrics = Seq(Metric.PrivacyIdCount),
+    configs = Seq(UtilityAnalysisConfig(maxPartitionsContributed = 1,
+      partitionSelectionStrategy = PartitionSelectionStrategyKind.LaplaceThresholding)))
+}

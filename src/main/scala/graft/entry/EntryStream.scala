@@ -1,0 +1,300 @@
+package graft
+
+import graft.analysis._
+import graft.core._
+import graft.ops._
+import graft.spark._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** structured-streaming tier of the driver contract: the `queries` / `oracleSql`
+  * fragments [[SparkEntry]] composes. Split out of SparkEntry.scala in
+  * round 8 purely for file size — every entry is verbatim; semantics and
+  * the gate are unchanged. See SparkEntry's scaladoc for the conventions
+  * (zero-noise DP, integer-valued oracle arithmetic, column aliasing).
+  */
+private[graft] object EntryStream {
+  import EntryHelpers._
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ss_window_agg" -> ((s, dir) => {
+      // the streaming rollup's batch equivalent (streaming parity itself is
+      // proven in StreamOpsSpec against this exact shape)
+      events(s, dir)
+        .withColumn("tstamp", expr("timestamp_micros(ts div 1000)"))
+        .groupBy(date_format(date_trunc("hour", col("tstamp")), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(floor(col("value"))).cast("double").as("value_floor_sum"))
+    }),
+    "ss_enrich" -> ((s, dir) => {
+      // stream-static enrichment rollup (events x broadcast customer dim,
+      // per-hour-per-segment counts): the batch execution of the SAME
+      // StreamOps function whose stream==batch parity StreamOpsSpec proves
+      graft.streaming.StreamOps.enrichedWindowStats(
+        events(s, dir).withColumn("ts", expr("timestamp_micros(ts div 1000)")),
+        s.read.parquet(s"$dir/customer.parquet"),
+        "c_custkey", "c_mktsegment")
+    }),
+    "ss_dedup" -> ((s, dir) => {
+      // streaming dedup rollup: distinct users per hour via the chained
+      // dropDuplicates + windowed-count rewrite (count DISTINCT is
+      // unsupported on streams); streaming parity proven in StreamOpsSpec
+      graft.streaming.StreamOps.windowedDistinctUsers(
+        events(s, dir).withColumn("ts", expr("timestamp_micros(ts div 1000)")))
+    }),
+    "ss_approx_distinct" -> ((s, dir) => {
+      // streaming cardinality via the portable HLL sketch: <= 64 state rows
+      // per (window, type) cell instead of one per distinct user — the
+      // shape that survives hundred-million-user windows. Batch execution
+      // here (deterministic => oracle-exact); streaming parity with the
+      // sentinel replay is proven in StreamOpsSpec.
+      graft.streaming.StreamOps.windowedApproxDistinct(
+        events(s, dir).withColumn("ts", expr("timestamp_micros(ts div 1000)")))
+    }),
+    "ss_dp_percentile" -> ((s, dir) => {
+      // streaming DP quantiles: the quantile-tree combiner under the
+      // per-release budget model with the ORDER-FREE drop-not-sample
+      // contribution bound (over-cap units are excluded from their cell —
+      // the only arrival-order-independent Linf bound a stream admits).
+      // Generous cap + zero noise => the deterministic tree walk per
+      // (hour, type) cell, replayed by the same unrolled-descent SQL as
+      // dp_percentile over a composite hour|type key. Streaming parity is
+      // proven in StreamOpsSpec with the sentinel-replay harness.
+      val out = graft.streaming.StreamOps.dpWindowedPercentile(
+        events(s, dir).withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+          .withColumn("v", floor(col("value"))),
+        "user_id", "ts", "v", Seq("event_type"), "1 hour",
+        Seq(50, 90), epsilon = 1e5, delta = 0.0, maxPerCell = 1000L,
+        lower = 0.0, upper = 500.0, noise = NoiseSource.Zero)
+      out.select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"), col("percentile_50"), col("percentile_90"))
+    }),
+    "ss_session_agg" -> ((s, dir) => {
+      // session windows (30-minute inactivity gap per user) — the SAME
+      // StreamOps operator runs under Structured Streaming with a watermark
+      // (streaming parity proven in StreamOpsSpec); batch output is
+      // deterministic and oracle-checked against the classic
+      // gaps-and-islands SQL. Timestamps truncated to micros on both sides
+      // so gap comparisons agree exactly.
+      graft.streaming.StreamOps.sessionEventStats(
+        events(s, dir).withColumn("ts", expr("timestamp_micros(ts div 1000)")))
+    }),
+    "ss_attribution" -> ((s, dir) => {
+      // stream-stream time-interval join (click -> purchase attribution
+      // within 1 hour per user), rolled up per conversion day. The SAME
+      // operator runs under Structured Streaming with watermarked state
+      // eviction (parity proven in StreamOpsSpec); batch output is
+      // deterministic and oracle-checked against the equivalent range join.
+      val ev = events(s, dir).withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val clicks = ev.filter(col("event_type") === "click")
+      val convs = ev.filter(col("event_type") === "purchase")
+      graft.streaming.StreamOps.attributionJoin(clicks, convs, "1 hour")
+        .groupBy(date_format(col("conv_ts"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("n_attributed_pairs"),
+          countDistinct(col("user_id")).as("n_users"),
+          countDistinct(col("conv_id")).as("n_conversions"))
+    }),
+    "ss_abandonment" -> ((s, dir) => {
+      // LEFT OUTER stream-stream attribution (abandonment): clicks with
+      // no purchase inside the 1-hour horizon surface as null-conv rows —
+      // on a stream that null is only emittable once the watermark clears
+      // the click's horizon (parity proven in StreamOpsSpec); batch
+      // execution here is the plain left join, rolled up per click day.
+      val ev = events(s, dir).withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      graft.streaming.StreamOps.abandonmentJoin(
+          ev.filter(col("event_type") === "click"),
+          ev.filter(col("event_type") === "purchase"), "1 hour")
+        .groupBy(date_format(col("click_ts"), "yyyy-MM-dd").as("day"))
+        .agg(countDistinct(col("click_id")).as("n_clicks"),
+          countDistinct(when(col("conv_id").isNull, col("click_id")))
+            .as("n_abandoned"))
+    }),
+    "ss_dp_count" -> ((s, dir) => {
+      // streaming DP windowed count (per-release budget): per-unit
+      // contribution cap -> cell sum -> Laplace noise, the SAME chained-
+      // window-aggregation plan batch or streaming (streaming parity in
+      // StreamOpsSpec). Oracle-exact here because it runs the engine's
+      // Zero-noise source with a cap generous enough to drop nothing —
+      // the dp_* convention; the cap path is pinned by the spec.
+      graft.streaming.StreamOps.dpWindowedCount(
+          events(s, dir).withColumn("tstamp", expr("timestamp_micros(ts div 1000)")),
+          pidCol = "user_id", tsCol = "tstamp", keyCols = Seq("event_type"),
+          windowLength = "1 hour", epsilon = 1.0, maxPerCell = 1000000L,
+          noise = graft.core.NoiseSource.Zero)
+        .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("event_type"), col("dp_count"))
+    }),
+    "ss_dp_mean" -> ((s, dir) => {
+      // streaming DP windowed mean: count+sum releases in one stateful
+      // pass, half the budget each, dp_mean = dp_sum/max(dp_count, 1).
+      // Zero-noise + non-binding bounds => exact windowed average of
+      // floor(value) — integer-valued double sums, exact division.
+      val ev = events(s, dir)
+        .withColumn("tstamp", expr("timestamp_micros(ts div 1000)"))
+        .withColumn("v", floor(col("value")))
+      graft.streaming.StreamOps.dpWindowedMean(ev,
+          pidCol = "user_id", tsCol = "tstamp", valueCol = "v",
+          keyCols = Seq("event_type"), windowLength = "1 hour",
+          epsilon = 1.0, maxPerCell = 1000000L,
+          minValue = -1e6, maxValue = 1e6,
+          noise = graft.core.NoiseSource.Zero)
+        .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("event_type"), col("dp_count"), col("dp_sum"), col("dp_mean"))
+    }),
+    "ss_dp_sum" -> ((s, dir) => {
+      // streaming DP windowed sum (clamp -> per-unit cell-sum clamp ->
+      // Laplace), Zero-noise + generous bounds for the oracle; value
+      // floor()ed so the sum is integer-exact in doubles (the engine-wide
+      // float-parity convention). Tight-bound semantics pinned in
+      // StreamOpsSpec.
+      val ev = events(s, dir)
+        .withColumn("tstamp", expr("timestamp_micros(ts div 1000)"))
+        .withColumn("v", floor(col("value")))
+      graft.streaming.StreamOps.dpWindowedSum(ev,
+          pidCol = "user_id", tsCol = "tstamp", valueCol = "v",
+          keyCols = Seq("event_type"), windowLength = "1 hour",
+          epsilon = 1.0, maxPerCell = 1000000L,
+          minValue = -1e6, maxValue = 1e6,
+          noise = graft.core.NoiseSource.Zero)
+        .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("event_type"), col("dp_sum"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = {
+    import OracleFragments._
+    Map(
+      "ss_dp_count" ->
+        """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+              event_type, CAST(count(*) AS DOUBLE) AS dp_count
+           FROM events GROUP BY 1, 2""",
+      "ss_dp_mean" ->
+        """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+              event_type,
+              CAST(count(*) AS DOUBLE) AS dp_count,
+              CAST(sum(floor(value)) AS DOUBLE) AS dp_sum,
+              CAST(sum(floor(value)) AS DOUBLE) / greatest(CAST(count(*) AS DOUBLE), 1.0) AS dp_mean
+           FROM events GROUP BY 1, 2""",
+      "ss_dp_sum" ->
+        """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+              event_type, CAST(sum(floor(value)) AS DOUBLE) AS dp_sum
+           FROM events GROUP BY 1, 2""",
+      "ss_dedup" ->
+        """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+              event_type, count(DISTINCT user_id) AS distinct_users
+           FROM events GROUP BY 1, 2""",
+      "ss_window_agg" ->
+        """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
+              count(*) AS n_events, CAST(sum(floor(value)) AS DOUBLE) AS value_floor_sum
+           FROM events GROUP BY 1, 2""",
+      "ss_enrich" ->
+        """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+              c_mktsegment AS segment,
+              count(*) AS n_events, CAST(sum(floor(value)) AS DOUBLE) AS value_floor_sum
+           FROM events JOIN customer ON user_id = c_custkey
+           GROUP BY 1, 2""",
+      // the dp_percentile tree walk over a composite hour|type key: the
+      // unrolled-descent SQL is reused verbatim with the composite string
+      // as its partition key, then split back into (hour, event_type)
+      "ss_dp_percentile" ->
+        s"""WITH src AS (
+              SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+                       || '|' || event_type AS event_type,
+                     value
+              FROM events),
+            tree AS (${pctlTreeSqlFor(Seq(50, 90), "src")})
+            SELECT split_part(event_type, '|', 1) AS hour,
+                   split_part(event_type, '|', 2) AS event_type,
+                   percentile_50, percentile_90
+            FROM tree""",
+      // the approx_distinct_md5 arms per (hour, event_type) window cell
+      "ss_approx_distinct" ->
+        """WITH h AS (
+              SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+                     event_type,
+                     CAST(CONCAT('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                          AS BIGINT) AS hv
+              FROM events),
+            b AS (SELECT hour, event_type, hv >> 54 AS bucket,
+                         hv & ((CAST(1 AS BIGINT) << 54) - 1) AS rest
+                  FROM h),
+            r AS (SELECT hour, event_type, bucket,
+                         max(CASE WHEN rest = 0 THEN 55
+                              ELSE 55 - length(bin(rest)) END) AS mx
+                  FROM b GROUP BY 1, 2, 3),
+            t AS (SELECT hour, event_type,
+                         CAST(sum(CAST(1 AS BIGINT) << (55 - mx)) +
+                              (64 - count(*)) * (CAST(1 AS BIGINT) << 55)
+                              AS BIGINT) AS t_scaled,
+                         64 - count(*) AS v
+                  FROM r GROUP BY 1, 2),
+            e AS (SELECT hour, event_type, t_scaled, v,
+                         CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE) *
+                         CAST(36028797018963968 AS DOUBLE) / CAST(t_scaled AS DOUBLE)
+                           AS raw
+                  FROM t)
+            SELECT hour, event_type,
+                   CASE WHEN raw <= CAST(160 AS DOUBLE) AND v > 0
+                        THEN CAST(64 AS DOUBLE) *
+                             ln(CAST(64 AS DOUBLE) / CAST(v AS DOUBLE))
+                        ELSE raw END AS approx_users,
+                   t_scaled
+            FROM e""",
+      // micros on both sides (epoch_ns // 1000 == the engine's ts div 1000)
+      // so interval arithmetic and day formatting agree exactly
+      "ss_attribution" ->
+        """WITH e AS (
+             SELECT event_id, user_id, event_type, epoch_ns(ts) // 1000 AS tu
+             FROM events),
+           c AS (SELECT * FROM e WHERE event_type = 'click'),
+           v AS (SELECT * FROM e WHERE event_type = 'purchase')
+           SELECT strftime(make_timestamp(v.tu), '%Y-%m-%d') AS day,
+                  CAST(count(*) AS BIGINT) AS n_attributed_pairs,
+                  CAST(count(DISTINCT c.user_id) AS BIGINT) AS n_users,
+                  CAST(count(DISTINCT v.event_id) AS BIGINT) AS n_conversions
+           FROM c JOIN v ON c.user_id = v.user_id
+                        AND c.tu <= v.tu AND v.tu <= c.tu + 3600000000
+           GROUP BY 1""",
+      // Gaps-and-islands replication of session_window (30-minute inactivity
+      // gap): a new session starts when the gap since the previous event is
+      // >= the gap duration (session_window's boundary semantics — an event
+      // exactly at previous+gap is OUTSIDE the window). Timestamps truncated
+      // to micros to match the engine's ts div 1000.
+      "ss_session_agg" ->
+        """WITH e AS (
+             SELECT user_id, epoch_ns(ts) // 1000 AS tu, floor(value) AS v
+             FROM events),
+           m AS (
+             SELECT user_id, tu, v,
+                    CASE WHEN tu - lag(tu) OVER (PARTITION BY user_id ORDER BY tu)
+                         >= 1800000000 THEN 1 ELSE 0 END AS brk
+             FROM e),
+           s AS (
+             SELECT user_id, tu, v,
+                    SUM(brk) OVER (PARTITION BY user_id ORDER BY tu
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+             FROM m)
+           SELECT user_id, MIN(tu) AS session_start,
+                  count(*) AS n_events, SUM(v) AS value_sum
+           FROM s GROUP BY user_id, sid""",
+      "ss_abandonment" ->
+        """WITH c AS (SELECT user_id, epoch_ns(ts) // 1000 AS ctu,
+                             event_id AS click_id
+                      FROM events WHERE event_type = 'click'),
+            v AS (SELECT user_id, epoch_ns(ts) // 1000 AS vtu,
+                         event_id AS conv_id
+                  FROM events WHERE event_type = 'purchase'),
+            j AS (SELECT c.click_id, c.ctu, v.conv_id
+                  FROM c LEFT JOIN v
+                    ON c.user_id = v.user_id
+                   AND v.vtu >= c.ctu AND v.vtu <= c.ctu + 3600000000)
+           SELECT strftime(make_timestamp(ctu), '%Y-%m-%d') AS day,
+                  CAST(count(DISTINCT click_id) AS BIGINT) AS n_clicks,
+                  CAST(count(DISTINCT CASE WHEN conv_id IS NULL
+                                           THEN click_id END) AS BIGINT)
+                    AS n_abandoned
+           FROM j GROUP BY 1"""
+    )
+  }
+}

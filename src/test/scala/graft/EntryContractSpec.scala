@@ -7,6 +7,22 @@ import org.scalatest.funsuite.AnyFunSuite
   * never compared — the query demotes to rows-only with no error). */
 class EntryContractSpec extends AnyFunSuite {
 
+  test("tier query maps are disjoint (a cross-tier name collision would silently shadow)") {
+    val tiers: Seq[(String, Map[String, _], Map[String, _])] = Seq(
+      ("DP", EntryDP.queries, EntryDP.oracleSql),
+      ("Dataflow", EntryDataflow.queries, EntryDataflow.oracleSql),
+      ("Text", EntryText.queries, EntryText.oracleSql),
+      ("Dedup", EntryDedup.queries, EntryDedup.oracleSql),
+      ("Sim", EntrySim.queries, EntrySim.oracleSql),
+      ("Corpus", EntryCorpus.queries, EntryCorpus.oracleSql),
+      ("Stream", EntryStream.queries, EntryStream.oracleSql),
+      ("Events", EntryEvents.queries, EntryEvents.oracleSql))
+    assert(tiers.map(_._2.size).sum == SparkEntry.queries.size,
+      "tier queries overlap: ++ dropped a shadowed entry")
+    assert(tiers.map(_._3.size).sum == SparkEntry.oracleSql.size,
+      "tier oracles overlap: ++ dropped a shadowed entry")
+  }
+
   test("every oracle key names a registered query") {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty,
