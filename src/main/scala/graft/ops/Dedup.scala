@@ -589,7 +589,7 @@ object Dedup {
     * distance <= 3 of 64 bits must agree on at least one chunk — pigeonhole),
     * verify with exact Hamming distance. */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, maxBucket: Int = 0): DataFrame = {
     val sigs = df.select(col(idCol).as("id"), col(textCol).as("text"))
       .repartition(col("id"))
       .withColumn("__th", transform(TextAnalysis.tokens(col("text")), t => xxhash64(t)))
@@ -597,7 +597,7 @@ object Dedup {
       // sums) but one unboxed loop instead of 64 interpreted aggregates
       .select(col("id"), simHashUdf(col("__th")).as("sig"))
       .localCheckpoint(false)
-    simHashPairsFromSigs(sigs, maxHamming)
+    simHashPairsFromSigs(sigs, maxHamming, maxBucket)
   }
 
   /** SimHash near-dup pairs over PORTABLE token hashes: 60-bit values from
@@ -608,7 +608,7 @@ object Dedup {
     * much cheaper than a cryptographic hash). Token-less documents are
     * excluded (their signature would be the degenerate 0). */
   def simHashPairsPortable(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, maxBucket: Int = 0): DataFrame = {
     val sigs = df.select(col(idCol).as("id"), col(textCol).as("text"))
       .repartition(col("id"))
       .withColumn("__toks", TextAnalysis.tokens(col("text")))
@@ -617,18 +617,45 @@ object Dedup {
         transform(col("__toks"), t => conv(substring(md5(t), 1, 15), 16, 10).cast("long")))
       .select(col("id"), simHashUdf(col("__th")).as("sig"))
       .localCheckpoint(false)
-    simHashPairsFromSigs(sigs, maxHamming)
+    simHashPairsFromSigs(sigs, maxHamming, maxBucket)
   }
 
-  private def simHashPairsFromSigs(sigs: DataFrame, maxHamming: Int): DataFrame = {
+  /** `maxBucket > 0` is the same hot-bucket hardening as
+    * [[bandedCandidates]]: a 16-bit chunk bucket larger than the cap is a
+    * mass-duplicate pile (identical or near-identical signatures), so it
+    * emits the min-id STAR instead of B^2 pairs — the downstream dup
+    * graph's component is unchanged. Signatures are 8 bytes, so they ride
+    * the candidate shuffle directly (cheaper than a join-back). */
+  private def simHashPairsFromSigs(sigs: DataFrame, maxHamming: Int,
+      maxBucket: Int = 0): DataFrame = {
     val chunks = (0 until 4).map(c => shiftright(col("sig"), c * 16).bitwiseAND(0xFFFFL))
     val chunked = sigs.select(col("id"), col("sig"),
       posexplode(array(chunks: _*)).as(Seq("chunk", "key")))
     val l = chunked.select(col("chunk"), col("key"), col("id").as("id_a"), col("sig").as("sig_a"))
     val r = chunked.select(col("chunk"), col("key"), col("id").as("id_b"), col("sig").as("sig_b"))
-    l.hint("shuffle_hash").join(r, Seq("chunk", "key"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b")).distinct()
+    val candidates =
+      if (maxBucket <= 0)
+        l.hint("shuffle_hash").join(r, Seq("chunk", "key"))
+          .filter(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
+      else {
+        val stats = chunked.groupBy("chunk", "key")
+          .agg(count(lit(1)).as("__bn"), min("id").as("__rep"),
+            min_by(col("sig"), col("id")).as("__rep_sig"))
+        val small = stats.filter(col("__bn") <= maxBucket).select("chunk", "key")
+        val smallPairs = l.hint("shuffle_hash")
+          .join(small.hint("shuffle_hash"), Seq("chunk", "key"), "left_semi")
+          .join(r, Seq("chunk", "key"))
+          .filter(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
+        val starPairs = chunked
+          .join(stats.filter(col("__bn") > maxBucket), Seq("chunk", "key"))
+          .filter(col("id") =!= col("__rep")) // __rep = min(id), so rep < id
+          .select(col("__rep").as("id_a"), col("id").as("id_b"),
+            col("__rep_sig").as("sig_a"), col("sig").as("sig_b"))
+        smallPairs.unionByName(starPairs)
+      }
+    candidates.distinct()
       .withColumn("hamming", hammingDistance(col("sig_a"), col("sig_b")))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")

@@ -360,6 +360,17 @@ class DedupSpec extends AnyFunSuite {
         threshold = 0.9, planes = 4, bands = 3, maxBucket = 30)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(embCapped.length == 119 && embCapped.forall(_._1 == 0L))
+    // same contract on the simhash chunk-blocked path: identical texts
+    // share all 4 chunk buckets; capped output is the min-id star at
+    // hamming 0, and the capped plan is identical on a normal fixture
+    val shCapped = Dedup.simHashPairs(pile, "id", "text",
+        maxHamming = 3, maxBucket = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(shCapped.length == 199 && shCapped.forall(p => p._1 == 0L && p._3 == 0))
+    def shSet(mb: Int) = Dedup.simHashPairs(normal, "id", "text",
+        maxHamming = 10, maxBucket = mb)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(shSet(50) == shSet(0))
   }
 
   test("minhash LSH finds planted near-duplicates and not unrelated docs") {
