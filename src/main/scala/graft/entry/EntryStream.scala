@@ -17,6 +17,18 @@ private[graft] object EntryStream {
   import EntryHelpers._
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ss_neardup" -> ((s, dir) => {
+      // ingest-time near-dup admission log: per doc, whether ANY earlier
+      // doc (smaller id = earlier arrival) clears jaccard 0.6, with the
+      // best match (max jaccard, tie -> min id). This is the batch face;
+      // the micro-batch ingest fold — within-batch pairs + increment-
+      // proportional store matches, one signature store growing per batch
+      // — is pinned equal in StreamOpsSpec, including through a REAL
+      // foreachBatch drive. Portable md5 minhash => oracle-exact.
+      graft.ops.Dedup.onlineNearDupLog(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+        threshold = 0.6)
+    }),
     "ss_window_agg" -> ((s, dir) => {
       // the streaming rollup's batch equivalent (streaming parity itself is
       // proven in StreamOpsSpec against this exact shape)
@@ -165,6 +177,24 @@ private[graft] object EntryStream {
   def oracleSql: Map[String, String] = {
     import OracleFragments._
     Map(
+      "ss_neardup" ->
+        s"""${minhashPrefixSql(8)}, q AS (
+             SELECT id_a, id_b,
+                    CASE WHEN szsum - inter = 0 THEN 0.0
+                         ELSE inter / (szsum - inter) END AS j
+             FROM v
+             WHERE (CASE WHEN szsum - inter = 0 THEN 0.0
+                         ELSE inter / (szsum - inter) END) >= 0.6),
+           b AS (SELECT id_b AS id, max(j) AS mj FROM q GROUP BY 1),
+           m AS (SELECT q.id_b AS id, min(q.id_a) AS match_id, b.mj
+                 FROM q JOIN b ON q.id_b = b.id AND q.j = b.mj
+                 GROUP BY 1, 3)
+           SELECT d.doc_id AS id,
+                  CASE WHEN m.id IS NULL THEN CAST(0 AS BIGINT)
+                       ELSE CAST(1 AS BIGINT) END AS is_dup,
+                  CAST(coalesce(m.match_id, -1) AS BIGINT) AS match_id,
+                  coalesce(m.mj, 0.0) AS match_jaccard
+           FROM documents d LEFT JOIN m ON d.doc_id = m.id""",
       "ss_dp_count" ->
         """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
               event_type, CAST(count(*) AS DOUBLE) AS dp_count

@@ -463,6 +463,42 @@ object Dedup {
         .filter(col("containment") >= threshold),
       "containment")
 
+  /** INGEST-ORDER near-dup log: one row per document of an id-ordered
+    * corpus, flagging whether ANY earlier document (smaller id = earlier
+    * arrival) clears `threshold`, with the best such match (max jaccard,
+    * tie -> min id). The per-document verdict an ingest pipeline logs at
+    * admission time — this is its batch/backfill face, and the exact
+    * semantics the streaming fold in
+    * [[graft.streaming.StreamOps.onlineNearDupIngest]] reproduces
+    * micro-batch by micro-batch (StreamOpsSpec pins fold == batch).
+    * Portable md5 hashing end-to-end (same machinery as
+    * [[minHashLSHPortable]], whose pairs id_a < id_b are exactly the
+    * earlier-vs-later pairs), so the whole log is oracle-reproducible.
+    * Returns (id, is_dup, match_id, match_jaccard); undetected/token-less
+    * docs log (0, -1, 0.0). */
+  def onlineNearDupLog(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      numBands: Int = 16,
+      rowsPerBand: Int = 8,
+      threshold: Double = 0.6
+  ): DataFrame = {
+    val pairs = minHashLSHPortable(df, idCol, textCol, shingleSize,
+      numBands, rowsPerBand, threshold)
+    val best = bestMatchPerId(
+      pairs.select(col("id_b").as("id"), col("id_a").as("match_id"),
+        col("jaccard")),
+      "jaccard")
+    df.select(col(idCol).as("id"))
+      .join(best, Seq("id"), "left")
+      .select(col("id"),
+        when(col("match_id").isNotNull, 1L).otherwise(0L).as("is_dup"),
+        coalesce(col("match_id"), lit(-1L)).as("match_id"),
+        coalesce(col("jaccard"), lit(0.0)).as("match_jaccard"))
+  }
+
   /** Estimated Jaccard from two MinHash signatures. */
   def minHashSimilarity(sigA: Column, sigB: Column): Column =
     size(filter(zip_with(sigA, sigB, (a, b) => a === b), x => x)).cast("double") /

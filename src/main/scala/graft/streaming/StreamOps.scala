@@ -491,6 +491,80 @@ object StreamOps {
         (sorted.last.ts.getTime - sorted.head.ts.getTime) / 1000))
     }
 
+  /** One foreachBatch step of INGEST-TIME near-dup: given a micro-batch of
+    * new documents and the accumulated signature store (None on the first
+    * batch), returns (per-doc log for this batch, store grown by this
+    * batch's signatures). The log merges two match sources with one rule —
+    * best = max jaccard, tie -> min id — exactly the global-order
+    * semantics of [[graft.ops.Dedup.onlineNearDupLog]]:
+    *   (a) WITHIN-batch earlier docs (id order inside the micro-batch),
+    *   (b) the store (all previous batches), via the increment-
+    *       proportional [[graft.ops.Dedup.incrementalNearDupsFromSigs]]
+    *       path — corpus x corpus pairs are never generated.
+    * Micro-batches must arrive in ascending id ranges for "earlier" to
+    * mean arrival order (the ingest contract; a replay/backfill uses the
+    * batch face directly). */
+  def onlineNearDupStep(
+      batch: DataFrame,
+      store: Option[DataFrame],
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      numBands: Int = 16,
+      rowsPerBand: Int = 8,
+      threshold: Double = 0.6): (DataFrame, DataFrame) = {
+    val within = graft.ops.Dedup.onlineNearDupLog(batch, idCol, textCol,
+      shingleSize, numBands, rowsPerBand, threshold)
+    val log = store match {
+      case None => within
+      case Some(st) =>
+        val vsStore = graft.ops.Dedup.incrementalNearDupsFromSigs(batch, st,
+          idCol, textCol, shingleSize, numBands, rowsPerBand, threshold)
+        val w = when(col("is_dup") === 1L,
+          struct(col("match_jaccard").as("j"), (-col("match_id")).as("nid")))
+        val s2 = when(col("__sm").isNotNull,
+          struct(col("__sj").as("j"), (-col("__sm")).as("nid")))
+        val bestS = greatest(w, s2) // greatest skips nulls: either source alone wins
+        within
+          .join(vsStore.select(col("id"), col("match_id").as("__sm"),
+            col("jaccard").as("__sj")), Seq("id"), "left")
+          .select(col("id"),
+            when(bestS.isNotNull, 1L).otherwise(0L).as("is_dup"),
+            when(bestS.isNotNull, -bestS.getField("nid")).otherwise(lit(-1L))
+              .as("match_id"),
+            when(bestS.isNotNull, bestS.getField("j")).otherwise(lit(0.0))
+              .as("match_jaccard"))
+    }
+    val sigs = graft.ops.Dedup.minHashWithSigPortable(batch, idCol, textCol,
+      shingleSize, numBands * rowsPerBand)
+    val grown = store match {
+      case None => sigs
+      case Some(st) => st.unionByName(sigs).localCheckpoint(false)
+    }
+    (log, grown)
+  }
+
+  /** The whole ingest fold over an ordered sequence of micro-batches —
+    * what a production stream's foreachBatch accumulates over time.
+    * StreamOpsSpec pins this equal to the one-shot batch face on the
+    * concatenated corpus, including through a REAL foreachBatch drive. */
+  def onlineNearDupIngest(
+      batches: Seq[DataFrame],
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      numBands: Int = 16,
+      rowsPerBand: Int = 8,
+      threshold: Double = 0.6): DataFrame = {
+    val (logs, _) = batches.foldLeft((List.empty[DataFrame], Option.empty[DataFrame])) {
+      case ((acc, store), b) =>
+        val (log, grown) = onlineNearDupStep(b, store, idCol, textCol,
+          shingleSize, numBands, rowsPerBand, threshold)
+        (log :: acc, Some(grown))
+    }
+    logs.reverse.reduce(_.unionByName(_))
+  }
+
   /** Drives a streaming query over a bounded source to completion into an
     * in-memory table (the local smoke path: batch parquet in, streaming
     * semantics, deterministic result). Returns the result table name. */

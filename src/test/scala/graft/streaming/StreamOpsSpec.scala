@@ -478,6 +478,59 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(got == batch && got.nonEmpty)
   }
 
+  test("online near-dup ingest: fold == batch face, through a real foreachBatch drive") {
+    import org.apache.spark.sql.{DataFrame, Row}
+    import graft.ops.Dedup
+    val base = "the quick brown fox jumps over the lazy dog and then runs far " +
+      "away into the woods chasing rabbits all day long without rest"
+    def doc(i: Long): String =
+      if (i == 2L) base
+      else if (i == 5L || i == 20L) base + " with an extra tail" // near-dups of 2
+      else if (i == 35L) base + " with an extra tail appended twice over"
+      else s"unique content $i " + (s"totally different subject ${i * 13} " * 4)
+    val docs = (0L until 40L).map(i => (i, doc(i))).toDF("doc_id", "text")
+      .localCheckpoint(true)
+    val batches = Seq(
+      docs.filter(col("doc_id") < 13),
+      docs.filter(col("doc_id") >= 13 && col("doc_id") < 26),
+      docs.filter(col("doc_id") >= 26))
+    def asSet(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val batchLog = asSet(Dedup.onlineNearDupLog(docs, "doc_id", "text"))
+    // driver-side fold over the same micro-batches
+    assert(asSet(StreamOps.onlineNearDupIngest(batches, "doc_id", "text")) == batchLog)
+    // REAL foreachBatch drive: one MemoryStream batch per ingest batch,
+    // signature store accumulated across micro-batches in the closure
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    var store: Option[DataFrame] = None
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Row]
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        // pin the micro-batch before it expires: the grown store outlives
+        // this batch, so nothing lazy may still reference the stream
+        val stable = b.localCheckpoint(true)
+        val (log, grown) = StreamOps.onlineNearDupStep(stable, store, "doc_id", "text")
+        seen ++= log.collect()
+        store = Some(grown.localCheckpoint(true))
+        ()
+      }
+      .start()
+    batches.foreach { b =>
+      input.addData(b.collect().map(r => (r.getLong(0), r.getString(1))).toSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = seen.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(streamed == batchLog)
+    // the cross-batch store path really fired: doc 20 (batch 2) matches an
+    // earlier-batch doc (2 or its twin 5, both < 13)
+    val r20 = streamed.find(_._1 == 20L).get
+    assert(r20._2 == 1L && r20._3 < 13L, s"r20=$r20")
+    // and a doc with no earlier match logs clean
+    assert(streamed.find(_._1 == 2L).get._2 == 0L)
+  }
+
   test("sessionization closes sessions after the inactivity gap") {
     import StreamOps._
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
