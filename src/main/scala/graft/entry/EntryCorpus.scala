@@ -447,6 +447,30 @@ private[graft] object EntryCorpus {
           sum("tokens").cast("long").as("tokens_total"),
           max("epoch").as("max_epoch"))
     }),
+    "corpus_drift" -> ((s, dir) => {
+      // distribution-drift monitor: the events value histogram for days
+      // 1-10 vs the rest of the month — the per-ingest check a training
+      // pipeline alerts on. Dense 20-bin grid over [0, 500); per-bin
+      // cross-multiplied deviation |n_a*tot_b - n_b*tot_a| is exact
+      // BIGINT (TV distance = sum/2*tot_a*tot_b caller-side — PSI's ln()
+      // is not bit-reproducible across engines, TV ranks drift the same).
+      val ev = events(s, dir)
+      val cut = 1704931200000000000L // 2024-01-11T00:00:00Z as epoch nanos
+      CorpusOps.distributionDrift(
+        ev.filter(col("ts") < cut), ev.filter(col("ts") >= cut),
+        "value", lo = 0.0, hi = 500.0, buckets = 20)
+    }),
+    "corpus_drift_mix" -> ((s, dir) => {
+      // categorical drift: the language MIX of two corpus snapshots
+      // (deterministic even/odd doc_id halves stand in for version A/B) —
+      // a category appearing or vanishing surfaces as a one-zero-side
+      // row via the full-outer key grid, never a silent drop.
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .withColumn("lng", coalesce(col("lang"), lit("??")))
+      CorpusOps.categoricalDrift(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+        docs.filter(pmod(col("doc_id"), lit(2)) === 1), "lng")
+    }),
     "corpus_shuffle" -> ((s, dir) => {
       // deterministic seeded global shuffle for training-data order:
       // (shard, pos) are functions of md5(seed#id) only — any engine and
@@ -1234,6 +1258,40 @@ private[graft] object EntryCorpus {
                                 THEN 1 ELSE 0 END) AS BIGINT)
                     AS n_moved_elsewhere
            FROM j GROUP BY 1""",
+      "corpus_drift" ->
+        """WITH av AS (
+             SELECT least(19, greatest(0, CAST(floor((value - 0.0) / 25.0) AS BIGINT))) AS bucket
+             FROM events WHERE epoch_ns(ts) < 1704931200000000000),
+           bv AS (
+             SELECT least(19, greatest(0, CAST(floor((value - 0.0) / 25.0) AS BIGINT))) AS bucket
+             FROM events WHERE epoch_ns(ts) >= 1704931200000000000),
+           ga AS (SELECT bucket, count(*) AS n_a FROM av GROUP BY 1),
+           gb AS (SELECT bucket, count(*) AS n_b FROM bv GROUP BY 1),
+           grid AS (SELECT unnest(range(0, 20)) AS bucket),
+           j AS (SELECT g.bucket, coalesce(ga.n_a, 0) AS n_a,
+                        coalesce(gb.n_b, 0) AS n_b
+                 FROM grid g LEFT JOIN ga ON g.bucket = ga.bucket
+                             LEFT JOIN gb ON g.bucket = gb.bucket),
+           t AS (SELECT sum(n_a) AS tot_a, sum(n_b) AS tot_b FROM j)
+           SELECT j.bucket, j.n_a, j.n_b,
+                  CAST(t.tot_a AS BIGINT) AS tot_a,
+                  CAST(t.tot_b AS BIGINT) AS tot_b,
+                  CAST(abs(j.n_a * t.tot_b - j.n_b * t.tot_a) AS BIGINT) AS dev_x
+           FROM j CROSS JOIN t""",
+      "corpus_drift_mix" ->
+        """WITH ca AS (SELECT coalesce(lang, '??') AS category, count(*) AS n_a
+                       FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
+           cb AS (SELECT coalesce(lang, '??') AS category, count(*) AS n_b
+                  FROM documents WHERE doc_id % 2 = 1 GROUP BY 1),
+           j AS (SELECT coalesce(ca.category, cb.category) AS category,
+                        coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
+                 FROM ca FULL OUTER JOIN cb ON ca.category = cb.category),
+           t AS (SELECT sum(n_a) AS tot_a, sum(n_b) AS tot_b FROM j)
+           SELECT j.category, j.n_a, j.n_b,
+                  CAST(t.tot_a AS BIGINT) AS tot_a,
+                  CAST(t.tot_b AS BIGINT) AS tot_b,
+                  CAST(abs(j.n_a * t.tot_b - j.n_b * t.tot_a) AS BIGINT) AS dev_x
+           FROM j CROSS JOIN t""",
       "corpus_shuffle" ->
         """WITH h AS (SELECT doc_id,
                              md5('epoch0#' || CAST(doc_id AS VARCHAR)) AS h

@@ -991,4 +991,65 @@ object CorpusOps {
       .withColumn("pos", row_number().over(w).cast("long"))
       .drop("__h")
   }
+
+  /** DISTRIBUTION DRIFT between two corpus snapshots — the monitoring pass
+    * a training pipeline runs on every ingest (has this week's value/
+    * length/score distribution moved against the reference corpus?).
+    * Equal-width histogram over [lo, hi) with `buckets` bins (out-of-range
+    * values clamp into the edge bins, so nothing silently drops); emits
+    * the DENSE grid — one row per bin, zero-filled — with both sides'
+    * counts, totals, and the cross-multiplied absolute deviation
+    * `dev_x = |n_a * tot_b - n_b * tot_a|`, an exact BIGINT (total
+    * variation distance = sum(dev_x) / (2 * tot_a * tot_b), computed by
+    * the caller, so the released frame itself carries no
+    * engine-dependent float math beyond the shared bucket floor).
+    * Integer cross-multiplication instead of PSI because PSI's ln() is
+    * not bit-reproducible across engines; TV distance ranks drift the
+    * same way for alerting. Plan: two map-side-combined aggregates over
+    * scans, one generated grid, one broadcast one-row total — no
+    * corpus-sized shuffle at any scale. */
+  def distributionDrift(a: DataFrame, b: DataFrame, valueCol: String,
+      lo: Double, hi: Double, buckets: Int): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    require(hi > lo, s"need hi > lo, got [$lo, $hi)")
+    val width = (hi - lo) / buckets
+    def bucketed(df: DataFrame, n: String) = df
+      .select(least(lit(buckets - 1L), greatest(lit(0L),
+        floor((col(valueCol) - lo) / width))).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as(n))
+    val grid = a.sparkSession.range(buckets).select(col("id").as("bucket"))
+    val joined = grid
+      .join(bucketed(a, "n_a"), Seq("bucket"), "left")
+      .join(bucketed(b, "n_b"), Seq("bucket"), "left")
+      .select(col("bucket"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+    val totals = joined.agg(sum("n_a").as("tot_a"), sum("n_b").as("tot_b"))
+    joined.crossJoin(broadcast(totals))
+      .select(col("bucket"), col("n_a"), col("n_b"), col("tot_a"), col("tot_b"),
+        abs(col("n_a") * col("tot_b") - col("n_b") * col("tot_a")).as("dev_x"))
+  }
+
+  /** CATEGORICAL drift — [[distributionDrift]] keyed by a discrete column
+    * (language mix, source mix, label mix: the canonical corpus alerts).
+    * The key grid is the UNION of categories observed on either side
+    * (full-outer join of the two count aggregates), so a category that
+    * appears or vanishes between snapshots — the loudest drift signal —
+    * surfaces as a row with one zero side rather than silently dropping.
+    * Same exact BIGINT cross deviation; same no-corpus-shuffle plan (two
+    * map-side-combined aggregates, one category-cardinality join). */
+  def categoricalDrift(a: DataFrame, b: DataFrame, keyCol: String): DataFrame = {
+    def counted(df: DataFrame, n: String) = df
+      .select(col(keyCol).cast("string").as("category"))
+      .groupBy("category").agg(count(lit(1)).as(n))
+    val joined = counted(a, "n_a")
+      .join(counted(b, "n_b"), Seq("category"), "full_outer")
+      .select(col("category"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+    val totals = joined.agg(sum("n_a").as("tot_a"), sum("n_b").as("tot_b"))
+    joined.crossJoin(broadcast(totals))
+      .select(col("category"), col("n_a"), col("n_b"), col("tot_a"), col("tot_b"),
+        abs(col("n_a") * col("tot_b") - col("n_b") * col("tot_a")).as("dev_x"))
+  }
 }

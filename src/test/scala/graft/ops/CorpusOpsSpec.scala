@@ -617,4 +617,34 @@ class CorpusOpsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
     assert(a.sortBy(_._1).toSeq != b.sortBy(_._1).toSeq)
   }
+
+  test("distributionDrift: dense grid, clamped edges, exact cross deviations") {
+    // a: 4 values in bin 0, 2 in bin 1; b: 1 in bin 0, 3 in bin 1, plus
+    // out-of-range values clamping into both edge bins
+    val a = Seq(0.5, 1.0, 2.0, 4.9, 5.0, 9.0).toDF("v")   // [0,5)x4, [5,10)x2
+    val b = Seq(-3.0, 7.0, 8.0, 9.9, 25.0).toDF("v")      // clamp->0, 3x bin1, clamp->1
+    val out = CorpusOps.distributionDrift(a, b, "v", lo = 0.0, hi = 10.0, buckets = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).sortBy(_._1)
+    assert(out.map(x => (x._1, x._2, x._3)).toSeq == Seq((0L, 4L, 1L), (1L, 2L, 4L)))
+    assert(out.forall(x => x._4 == 6L && x._5 == 5L))
+    // dev_x = |n_a*tot_b - n_b*tot_a|: |4*5-1*6| = 14, |2*5-4*6| = 14
+    assert(out.map(_._6).toSeq == Seq(14L, 14L))
+    // identical snapshots drift zero on every bin; empty bins still emit
+    val same = CorpusOps.distributionDrift(a, a, "v", 0.0, 10.0, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(5))).sortBy(_._1)
+    assert(same.length == 4 && same.forall(_._2 == 0L))
+  }
+
+  test("categoricalDrift: union key grid surfaces appearing/vanishing categories") {
+    val a = Seq("en", "en", "en", "de").toDF("lang")
+    val b = Seq("en", "zh", "zh").toDF("lang") // de vanished, zh appeared
+    val out = CorpusOps.categoricalDrift(a, b, "lang")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(5)))
+      .sortBy(_._1)
+    assert(out.map(x => (x._1, x._2, x._3)).toSeq ==
+      Seq(("de", 1L, 0L), ("en", 3L, 1L), ("zh", 0L, 2L)))
+    // dev_x with tot_a=4, tot_b=3: de |1*3-0*4|=3, en |3*3-1*4|=5, zh |0-2*4|=8
+    assert(out.map(_._4).toSeq == Seq(3L, 5L, 8L))
+  }
 }
