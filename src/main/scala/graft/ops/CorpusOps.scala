@@ -1024,6 +1024,9 @@ object CorpusOps {
       .select(col("bucket"),
         coalesce(col("n_a"), lit(0L)).as("n_a"),
         coalesce(col("n_b"), lit(0L)).as("n_b"))
+      // `buckets` rows, consumed twice (totals + output): pin it, or the
+      // totals branch re-runs both corpus scans (plan-audit finding)
+      .localCheckpoint(false)
     val totals = joined.agg(sum("n_a").as("tot_a"), sum("n_b").as("tot_b"))
     joined.crossJoin(broadcast(totals))
       .select(col("bucket"), col("n_a"), col("n_b"), col("tot_a"), col("tot_b"),
@@ -1047,6 +1050,9 @@ object CorpusOps {
       .select(col("category"),
         coalesce(col("n_a"), lit(0L)).as("n_a"),
         coalesce(col("n_b"), lit(0L)).as("n_b"))
+      // category-cardinality rows, consumed twice (totals + output): pin
+      // it, or the totals branch re-runs both corpus scans
+      .localCheckpoint(false)
     val totals = joined.agg(sum("n_a").as("tot_a"), sum("n_b").as("tot_b"))
     joined.crossJoin(broadcast(totals))
       .select(col("category"), col("n_a"), col("n_b"), col("tot_a"), col("tot_b"),
