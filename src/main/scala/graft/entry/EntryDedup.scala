@@ -35,6 +35,17 @@ private[graft] object EntryDedup {
       Dedup.minHashLSHPortable(s.read.parquet(s"$dir/documents.parquet"),
         "doc_id", "text", threshold = 0.6)
     }),
+    "dedup_leakage_split" -> ((s, dir) => {
+      // leakage-safe train/val/test split: whole near-dup clusters (CC
+      // over the oracle-verified portable minhash pairs) routed 80/10/10
+      // by the salted hash of the cluster representative — near-copies
+      // can never straddle the train/test boundary. Fully deterministic
+      // => oracle-exact end-to-end (pairs, components, hash, thresholds).
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val pairs = Dedup.minHashLSHPortable(docs, "doc_id", "text", threshold = 0.6)
+      CorpusOps.leakageSafeSplit(docs, "doc_id", pairs,
+        Seq("train" -> 800000L, "val" -> 100000L, "test" -> 100000L))
+    }),
     "dedup_components" -> ((s, dir) => {
       // duplicate clusters: connected components (min-label propagation)
       // over the oracle-verified portable-minhash pair set — the step that
@@ -356,6 +367,28 @@ private[graft] object EntryDedup {
       // Duplicate clusters from the portable-minhash pair set: connected
       // components as a recursive reachability CTE (component = min
       // reachable id), over the SAME independently-recomputed pipeline.
+      "dedup_leakage_split" ->
+        s"""WITH RECURSIVE pairs AS ($minhashMd5Sql),
+            e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                  UNION ALL SELECT id_b, id_a FROM pairs),
+            n AS (SELECT DISTINCT src AS id FROM e),
+            r AS (
+              SELECT id, id AS reach FROM n
+              UNION
+              SELECT r.id, e.dst AS reach FROM r JOIN e ON e.src = r.reach),
+            comp AS (SELECT id, min(reach) AS component FROM r GROUP BY id),
+            rep AS (SELECT d.doc_id AS id,
+                           coalesce(c.component, d.doc_id) AS cluster_rep
+                    FROM documents d LEFT JOIN comp c ON d.doc_id = c.id),
+            bkt AS (SELECT id, cluster_rep,
+                           CAST(CONCAT('0x', substr(md5(CAST(cluster_rep AS VARCHAR)
+                             || '#split'), 1, 15)) AS BIGINT) % 1000000 AS b
+                    FROM rep)
+            SELECT id, cluster_rep,
+                   CASE WHEN b < 800000 THEN 'train'
+                        WHEN b < 900000 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM bkt""",
       "dedup_components" ->
         s"""WITH RECURSIVE pairs AS ($minhashMd5Sql),
             e AS (SELECT id_a AS src, id_b AS dst FROM pairs

@@ -1058,4 +1058,40 @@ object CorpusOps {
       .select(col("category"), col("n_a"), col("n_b"), col("tot_a"), col("tot_b"),
         abs(col("n_a") * col("tot_b") - col("n_b") * col("tot_a")).as("dev_x"))
   }
+
+  /** LEAKAGE-SAFE train/val/test split: a random per-document split leaks
+    * near-duplicates across the train/test boundary (the classic eval
+    * contamination bug — test docs whose near-copies were trained on), so
+    * the unit of assignment here is the NEAR-DUP CLUSTER: connected
+    * components over `pairs` (any (id_a, id_b) frame — minhash, simhash,
+    * embedding LSH), singleton docs as their own cluster, and the whole
+    * cluster routed by the salted portable hash of its representative
+    * (min id) on the ppm grid — the [[applyMixture]] convention, so the
+    * split is deterministic, engine-reproducible, and stable under corpus
+    * growth (adding docs never moves an existing cluster). `splits` are
+    * (name, ppm) in threshold order and must total 1e6.
+    * Returns (id, cluster_rep, split). Expected split sizes are
+    * ppm-proportional in CLUSTERS, not docs — a giant dup cluster lands
+    * whole, which is exactly the point. */
+  def leakageSafeSplit(df: DataFrame, idCol: String, pairs: DataFrame,
+      splits: Seq[(String, Long)], salt: String = "#split"): DataFrame = {
+    require(splits.nonEmpty && splits.map(_._2).sum == 1000000L,
+      s"split ppm must total 1e6, got ${splits.map(_._2).sum}")
+    require(splits.forall(_._2 > 0), "every split needs positive ppm")
+    val comps = Dedup.connectedComponents(pairs.select("id_a", "id_b"))
+    val withRep = df.select(col(idCol).as("id"))
+      .join(comps, Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("cluster_rep"))
+    val bucket = pmod(
+      conv(substring(md5(concat(col("cluster_rep").cast("string"), lit(salt))),
+        1, 15), 16, 10).cast("long"),
+      lit(1000000L))
+    val arms = splits.map(_._1).zip(splits.scanLeft(0L)(_ + _._2).tail)
+    val splitExpr = arms.init
+      .foldLeft(Option.empty[Column]) { case (acc, (name, hi)) =>
+        Some(acc.fold(when(bucket < hi, name))(_.when(bucket < hi, name)))
+      }
+      .fold(lit(arms.last._1))(_.otherwise(arms.last._1))
+    withRep.select(col("id"), col("cluster_rep"), splitExpr.as("split"))
+  }
 }

@@ -647,4 +647,29 @@ class CorpusOpsSpec extends AnyFunSuite {
     // dev_x with tot_a=4, tot_b=3: de |1*3-0*4|=3, en |3*3-1*4|=5, zh |0-2*4|=8
     assert(out.map(_._4).toSeq == Seq(3L, 5L, 8L))
   }
+
+  test("leakageSafeSplit: near-dup clusters never straddle splits; singletons split solo") {
+    val docs = (1L to 50L).map(i => (i, s"doc $i")).toDF("id", "text")
+    // two clusters: {1,2,3} (chain) and {10,11}; everything else singleton
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val out = CorpusOps.leakageSafeSplit(docs, "id", pairs,
+        Seq("train" -> 800000L, "val" -> 100000L, "test" -> 100000L))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(out.size == 50)
+    // whole-cluster assignment: one rep, one split across each cluster
+    assert(Set(out(1L), out(2L), out(3L)).size == 1 && out(1L)._1 == 1L)
+    assert(out(10L) == out(11L) && out(10L)._1 == 10L)
+    // singletons are their own cluster
+    assert(out(7L)._1 == 7L)
+    // deterministic: re-run identical
+    val again = CorpusOps.leakageSafeSplit(docs, "id", pairs,
+        Seq("train" -> 800000L, "val" -> 100000L, "test" -> 100000L))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(again == out)
+    // all three splits reachable at this size and ppm sum enforced
+    assert(out.values.map(_._2).toSet.subsetOf(Set("train", "val", "test")))
+    intercept[IllegalArgumentException] {
+      CorpusOps.leakageSafeSplit(docs, "id", pairs, Seq("train" -> 1L))
+    }
+  }
 }
