@@ -29,6 +29,15 @@ private[graft] object EntryStream {
         s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
         threshold = 0.6)
     }),
+    "ss_drift" -> ((s, dir) => {
+      // per-hour mix drift vs the whole-corpus reference mix — the
+      // streaming face of categoricalDrift (exact BIGINT cross deviation
+      // per (hour, type)); batch face here, streaming parity in
+      // StreamOpsSpec via the bounded-stream drive
+      val ev = events(s, dir).withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      graft.streaming.StreamOps.windowedMixDrift(
+        ev, graft.streaming.StreamOps.mixReference(ev, "event_type"))
+    }),
     "ss_window_agg" -> ((s, dir) => {
       // the streaming rollup's batch equivalent (streaming parity itself is
       // proven in StreamOpsSpec against this exact shape)
@@ -195,6 +204,19 @@ private[graft] object EntryStream {
                   CAST(coalesce(m.match_id, -1) AS BIGINT) AS match_id,
                   coalesce(m.mj, 0.0) AS match_jaccard
            FROM documents d LEFT JOIN m ON d.doc_id = m.id""",
+      "ss_drift" ->
+        """WITH ref AS (SELECT event_type, count(*) AS n_ref FROM events GROUP BY 1),
+           rt AS (SELECT sum(n_ref) AS tot_ref FROM ref),
+           w AS (SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+                        event_type, count(*) AS n_w
+                 FROM events GROUP BY 1, 2),
+           wt AS (SELECT hour, sum(n_w) AS tot_w FROM w GROUP BY 1)
+           SELECT w.hour, w.event_type, w.n_w,
+                  CAST(wt.tot_w AS BIGINT) AS tot_w,
+                  r.n_ref, CAST(rt.tot_ref AS BIGINT) AS tot_ref,
+                  CAST(abs(w.n_w * rt.tot_ref - r.n_ref * wt.tot_w) AS BIGINT) AS dev_x
+           FROM w JOIN wt USING (hour) JOIN ref r USING (event_type)
+           CROSS JOIN rt""",
       "ss_dp_count" ->
         """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
               event_type, CAST(count(*) AS DOUBLE) AS dp_count

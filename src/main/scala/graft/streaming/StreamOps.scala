@@ -174,6 +174,53 @@ object StreamOps {
         col("t_scaled"))): _*)
   }
 
+  /** Reference mix for [[windowedMixDrift]]: (event_type, n_ref, tot_ref),
+    * one row per category of `keyCol` — tiny, broadcast into the stream.
+    * Production points this at last week's corpus; the gate points it at
+    * the same table (drift of each hour against the whole-corpus mix). */
+  def mixReference(df: DataFrame, keyCol: String): DataFrame = {
+    val c = df.groupBy(col(keyCol).cast("string").as("event_type"))
+      .agg(count(lit(1)).as("n_ref"))
+      .localCheckpoint(false) // category-cardinality rows, consumed twice
+    c.crossJoin(broadcast(c.agg(sum("n_ref").as("tot_ref"))))
+  }
+
+  /** Per-window MIX DRIFT against a static reference mix — the streaming
+    * face of [[graft.ops.CorpusOps.categoricalDrift]]: for every (window,
+    * event_type), the exact cross-multiplied deviation
+    * |n_w * tot_ref - n_ref * tot_w| between the window's mix and the
+    * reference's (BIGINT, no float math) — the per-hour "traffic mix
+    * shifted" alert. The window total comes from a CHAINED stateful
+    * aggregate (the [[windowedApproxDistinct]] shape) that carries the
+    * per-type cells as a collected list — a linear agg->agg chain, because
+    * the obvious counts-join-totals formulation is a stream-stream self
+    * join Spark rejects. The reference joins in stream-static left, so a
+    * type the reference has never seen still surfaces (n_ref = 0). State
+    * per window is one row bounded by category cardinality. */
+  def windowedMixDrift(
+      events: DataFrame,
+      ref: DataFrame,
+      windowLength: String = "1 hour",
+      watermark: Option[String] = None): DataFrame = {
+    val base = watermark.map(w => events.withWatermark("ts", w)).getOrElse(events)
+    base.withColumn("window", window(col("ts"), windowLength))
+      .groupBy(col("window"), col("event_type"))
+      .agg(count(lit(1)).as("n_w"))
+      .groupBy(col("window"))
+      .agg(collect_list(struct(col("event_type"), col("n_w"))).as("cells"),
+        sum(col("n_w")).as("tot_w"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        explode(col("cells")).as("c"), col("tot_w"))
+      .select(col("hour"), col("c.event_type").as("event_type"),
+        col("c.n_w").as("n_w"), col("tot_w"))
+      .join(broadcast(ref), Seq("event_type"), "left")
+      .select(col("hour"), col("event_type"), col("n_w"), col("tot_w"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("tot_ref"), lit(0L)).as("tot_ref"),
+        abs(col("n_w") * coalesce(col("tot_ref"), lit(0L))
+          - coalesce(col("n_ref"), lit(0L)) * col("tot_w")).as("dev_x"))
+  }
+
   /** Stream-stream event-attribution join: every (click, conversion) pair of
     * the same user with `conversion.ts` in [click.ts, click.ts + horizon] —
     * the canonical funnel/attribution primitive. The SAME plan runs batch or

@@ -125,6 +125,44 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming windowed mix drift matches batch exactly") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val dir = "/root/testdata/sf0.001"
+    val ev = readEvents(dir)
+    // static reference mix from the same corpus (production: last week's)
+    val ref = StreamOps.mixReference(
+      ev.withColumn("ts", expr("timestamp_micros(ts div 1000)")), "event_type")
+      .localCheckpoint(true)
+    // sentinel pushes the final watermark past every real window (the
+    // chained-agg append-mode convention of the tests above)
+    val tmp = java.nio.file.Files.createTempDirectory("ss_drift").toString
+    ev.write.mode("overwrite").parquet(tmp)
+    val maxTs = ev.agg(max("ts")).head.getLong(0)
+    ev.limit(1)
+      .withColumn("ts", lit(maxTs + 10L * 3600L * 1000000000L))
+      .withColumn("event_type", lit("__sentinel"))
+      .write.mode("append").parquet(tmp)
+    val stream = spark.readStream.schema(ev.schema).parquet(tmp)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val agg = StreamOps.windowedMixDrift(stream, ref, "1 hour", Some("10 minutes"))
+    StreamOps.runToMemory(spark, agg, "ss_drift_t", OutputMode.Append)
+    def asSet(df: org.apache.spark.sql.DataFrame) = df
+      .filter(col("event_type") =!= "__sentinel")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+    val streamed = asSet(spark.table("ss_drift_t"))
+    val batch = asSet(StreamOps.windowedMixDrift(
+      readEvents(dir).withColumn("ts", expr("timestamp_micros(ts div 1000)")), ref))
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+    // a type the reference never saw surfaces with n_ref = 0, not a drop
+    val refNoView = ref.filter(col("event_type") =!= "view")
+    val missing = StreamOps.windowedMixDrift(
+      readEvents(dir).withColumn("ts", expr("timestamp_micros(ts div 1000)")),
+      refNoView).filter(col("event_type") === "view").collect()
+    assert(missing.nonEmpty && missing.forall(_.getLong(4) == 0L))
+  }
+
   test("streaming portable-HLL distinct estimate matches batch exactly") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val dir = "/root/testdata/sf0.001"
