@@ -80,6 +80,16 @@ private[graft] object EntryDedup {
         .agg(count(lit(1)).as("n_clusters"),
           sum(col("sz")).as("n_docs"))
     }),
+    "dedup_best_of_cluster" -> ((s, dir) => {
+      // canonical selection by QUALITY, not crawl order: each dup
+      // cluster keeps its longest member (n_chars as the quality proxy,
+      // tie -> min id) — what a production dedup materializes. One row
+      // per doc with (cluster_rep, keep); fully deterministic =>
+      // oracle-exact end-to-end.
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val pairs = Dedup.minHashLSHPortable(docs, "doc_id", "text", threshold = 0.6)
+      Dedup.bestOfCluster(docs, "doc_id", "n_chars", pairs)
+    }),
     "dedup_materialize" -> ((s, dir) => {
       // APPLY the dedup decision: non-canonical cluster members (id != its
       // component's min-label) are dropped via LEFT ANTI join, and the
@@ -367,6 +377,30 @@ private[graft] object EntryDedup {
       // Duplicate clusters from the portable-minhash pair set: connected
       // components as a recursive reachability CTE (component = min
       // reachable id), over the SAME independently-recomputed pipeline.
+      "dedup_best_of_cluster" ->
+        s"""WITH RECURSIVE pairs AS ($minhashMd5Sql),
+            e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                  UNION ALL SELECT id_b, id_a FROM pairs),
+            n AS (SELECT DISTINCT src AS id FROM e),
+            r AS (
+              SELECT id, id AS reach FROM n
+              UNION
+              SELECT r.id, e.dst AS reach FROM r JOIN e ON e.src = r.reach),
+            comp AS (SELECT id, min(reach) AS component FROM r GROUP BY id),
+            mem AS (SELECT c.id, c.component, d.n_chars AS sc
+                    FROM comp c JOIN documents d ON d.doc_id = c.id),
+            mx AS (SELECT component, max(sc) AS ms FROM mem GROUP BY 1),
+            ch AS (SELECT m.component, min(m.id) AS champ
+                   FROM mem m JOIN mx ON m.component = mx.component
+                                     AND m.sc = mx.ms
+                   GROUP BY 1),
+            fl AS (SELECT m.id, m.component AS cluster_rep,
+                          CASE WHEN m.id = ch.champ THEN 1 ELSE 0 END AS keep
+                   FROM mem m JOIN ch ON m.component = ch.component)
+            SELECT d.doc_id AS id,
+                   coalesce(fl.cluster_rep, d.doc_id) AS cluster_rep,
+                   CAST(coalesce(fl.keep, 1) AS BIGINT) AS keep
+            FROM documents d LEFT JOIN fl ON d.doc_id = fl.id""",
       "dedup_leakage_split" ->
         s"""WITH RECURSIVE pairs AS ($minhashMd5Sql),
             e AS (SELECT id_a AS src, id_b AS dst FROM pairs

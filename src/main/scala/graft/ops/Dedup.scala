@@ -499,6 +499,36 @@ object Dedup {
         coalesce(col("jaccard"), lit(0.0)).as("match_jaccard"))
   }
 
+  /** BEST-OF-CLUSTER canonical selection: instead of keeping each dup
+    * cluster's min-id member (the [[connectedComponents]] label — cheap
+    * but arbitrary), keep its highest-`scoreCol` member (tie -> min id) —
+    * what a production dedup actually materializes, because the survivor
+    * should be the best-quality copy, not the earliest-crawled one.
+    * `df` must carry idCol + scoreCol; `pairs` is any (id_a, id_b) dup
+    * frame. Returns (id, cluster_rep, keep) for EVERY doc — keep = 1 for
+    * the cluster's champion and for singletons — so both the keep and the
+    * drop lists fall out of one frame. Plan: CC over the pairs (ids
+    * only), one score join for cluster MEMBERS only (the tiny side), one
+    * max-struct aggregate per cluster; the corpus itself is never
+    * shuffled. */
+  def bestOfCluster(df: DataFrame, idCol: String, scoreCol: String,
+      pairs: DataFrame): DataFrame = {
+    val comp = connectedComponents(pairs.select("id_a", "id_b"))
+    val members = comp.join(
+      df.select(col(idCol).as("id"), col(scoreCol).as("__sc")), "id")
+    val champions = members.groupBy(col("comp"))
+      .agg(max(struct(col("__sc"), (-col("id")).as("nid"))).as("m"))
+      .select(col("comp"), (-col("m.nid")).as("__champ"))
+    val flagged = members.join(champions, "comp")
+      .select(col("id"), col("comp").as("cluster_rep"),
+        when(col("id") === col("__champ"), 1L).otherwise(0L).as("keep"))
+    df.select(col(idCol).as("id"))
+      .join(flagged, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("cluster_rep"), col("id")).as("cluster_rep"),
+        coalesce(col("keep"), lit(1L)).as("keep"))
+  }
+
   /** Estimated Jaccard from two MinHash signatures. */
   def minHashSimilarity(sigA: Column, sigB: Column): Column =
     size(filter(zip_with(sigA, sigB, (a, b) => a === b), x => x)).cast("double") /

@@ -627,6 +627,19 @@ class DedupSpec extends AnyFunSuite {
     assert(out(5L) == ((2L, 2L, md5Of("tiny doc"))))
   }
 
+  test("bestOfCluster: quality champion survives, min-id breaks ties, singletons keep") {
+    val docs = Seq((1L, 10L), (2L, 90L), (3L, 90L), (4L, 5L), (7L, 1L))
+      .toDF("id", "score")
+    // cluster {1,2,3}: max score 90 shared by 2 and 3 -> champ 2 (min id);
+    // cluster {4}: none via pairs; 7 not in any pair
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val out = Dedup.bestOfCluster(docs, "id", "score", pairs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out == Map(
+      1L -> (1L, 0L), 2L -> (1L, 1L), 3L -> (1L, 0L),
+      4L -> (4L, 1L), 7L -> (7L, 1L)))
+  }
+
   test("connected components: clusters from pair sets, min-id labels") {
     val edges = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L)).toDF("id_a", "id_b")
     val out = Dedup.connectedComponents(edges)
