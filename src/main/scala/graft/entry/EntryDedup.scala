@@ -46,6 +46,22 @@ private[graft] object EntryDedup {
       CorpusOps.leakageSafeSplit(docs, "doc_id", pairs,
         Seq("train" -> 800000L, "val" -> 100000L, "test" -> 100000L))
     }),
+    "dedup_incremental_components" -> ((s, dir) => {
+      // daily-ingest label maintenance: the label store built from the
+      // "yesterday" half of the pair set (id_b < 250) is folded forward
+      // with the increment (pairs touching docs >= 250) WITHOUT corpus-
+      // wide CC — rep-graph CC + broadcast relabel, work proportional to
+      // the increment. The result must be indistinguishable from the
+      // from-scratch labeling, so the oracle is the full-CC replay.
+      val pairs = Dedup.minHashLSHPortable(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+        threshold = 0.6)
+      val labels = Dedup.connectedComponents(
+        pairs.filter(col("id_b") < 250).select("id_a", "id_b"))
+      Dedup.incrementalComponents(labels,
+          pairs.filter(col("id_b") >= 250).select("id_a", "id_b"))
+        .select(col("id"), col("comp").as("component"))
+    }),
     "dedup_components" -> ((s, dir) => {
       // duplicate clusters: connected components (min-label propagation)
       // over the oracle-verified portable-minhash pair set — the step that
@@ -377,6 +393,16 @@ private[graft] object EntryDedup {
       // Duplicate clusters from the portable-minhash pair set: connected
       // components as a recursive reachability CTE (component = min
       // reachable id), over the SAME independently-recomputed pipeline.
+      "dedup_incremental_components" ->
+        s"""WITH RECURSIVE pairs AS ($minhashMd5Sql),
+            e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                  UNION ALL SELECT id_b, id_a FROM pairs),
+            n AS (SELECT DISTINCT src AS id FROM e),
+            r AS (
+              SELECT id, id AS reach FROM n
+              UNION
+              SELECT r.id, e.dst AS reach FROM r JOIN e ON e.src = r.reach)
+            SELECT id, min(reach) AS component FROM r GROUP BY id""",
       "dedup_best_of_cluster" ->
         s"""WITH RECURSIVE pairs AS ($minhashMd5Sql),
             e AS (SELECT id_a AS src, id_b AS dst FROM pairs

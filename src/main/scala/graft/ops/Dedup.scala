@@ -499,6 +499,51 @@ object Dedup {
         coalesce(col("jaccard"), lit(0.0)).as("match_jaccard"))
   }
 
+  /** INCREMENTAL connected components: fold a batch of NEW dup edges into
+    * an existing (id, comp) label table without recomputing corpus-wide
+    * CC — the daily-ingest companion to [[incrementalNearDupsFromSigs]]
+    * (whose output pairs are exactly the `newEdges` here). Labels keep
+    * the [[connectedComponents]] contract (comp = min id of the cluster),
+    * so incremental and from-scratch labeling are indistinguishable.
+    *
+    * Plan (work proportional to the INCREMENT, never the corpus):
+    *   1. map each new edge's endpoints to their current representative
+    *     (existing comp, or own id for never-seen docs) — one join of the
+    *     increment against the label table;
+    *   2. run CC on the REPRESENTATIVE graph (one node per touched
+    *     cluster — increment-sized);
+    *   3. the resulting rep -> newRep map is a BROADCAST relabel applied
+    *     to the label table (untouched rows pass through) and to the new
+    *     docs. The corpus-sized table is read and written once, never
+    *     shuffled (broadcast hash join), which is the property that
+    *     survives a billion-row label store. */
+  def incrementalComponents(labels: DataFrame, newEdges: DataFrame): DataFrame = {
+    val reps = labels.select(col("id"), col("comp"))
+    def repOf(side: String) = newEdges.select(col(side).as("id"))
+      .join(reps, Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("rep"))
+    val ra = repOf("id_a"); val rb = repOf("id_b")
+    val repEdges = newEdges
+      .join(ra.select(col("id").as("id_a"), col("rep").as("rep_a")), "id_a")
+      .join(rb.select(col("id").as("id_b"), col("rep").as("rep_b")), "id_b")
+      .select(col("rep_a").as("id_a"), col("rep_b").as("id_b"))
+      .filter(col("id_a") =!= col("id_b"))
+    val relabel = connectedComponents(repEdges) // (id = old rep, comp = new rep)
+      .filter(col("id") =!= col("comp"))
+      .select(col("comp").as("__new"), col("id").as("__old"))
+    val updatedExisting = labels
+      .join(broadcast(relabel), labels("comp") === col("__old"), "left")
+      .select(labels("id"), coalesce(col("__new"), labels("comp")).as("comp"))
+    // never-seen docs that the increment connected: their rep is their own
+    // id, so the relabel map covers them directly
+    val newDocs = ra.unionByName(rb)
+      .join(labels.select(col("id")), Seq("id"), "left_anti")
+      .distinct()
+      .join(broadcast(relabel), col("rep") === col("__old"), "left")
+      .select(col("id"), coalesce(col("__new"), col("rep")).as("comp"))
+    updatedExisting.unionByName(newDocs)
+  }
+
   /** BEST-OF-CLUSTER canonical selection: instead of keeping each dup
     * cluster's min-id member (the [[connectedComponents]] label — cheap
     * but arbitrary), keep its highest-`scoreCol` member (tie -> min id) —
@@ -941,8 +986,12 @@ object Dedup {
     // labels are min-monotone per node, so the exact decimal sum is a
     // fixpoint signature: unchanged sum <=> no label changed. One agg job
     // per round instead of a join + count against the previous frame.
-    def sig(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("comp").cast("decimal(38,0)"))).collect().head.getDecimal(0)
+    def sig(df: DataFrame): java.math.BigDecimal = {
+      // empty frame sums to SQL NULL — normalize so a zero-edge input
+      // (e.g. an increment that adds nothing) converges instead of NPEing
+      val s = df.agg(sum(col("comp").cast("decimal(38,0)"))).collect().head.getDecimal(0)
+      if (s == null) java.math.BigDecimal.ZERO else s
+    }
     var prevSig = sig(labels)
     var iter = 0
     var converged = false

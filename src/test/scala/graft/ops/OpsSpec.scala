@@ -640,6 +640,25 @@ class DedupSpec extends AnyFunSuite {
       4L -> (4L, 1L), 7L -> (7L, 1L)))
   }
 
+  test("incrementalComponents: edge increment folds to exactly the full recompute") {
+    // existing store: {5,9} comp 5, {10,11} comp 10
+    val oldEdges = Seq((5L, 9L), (10L, 11L)).toDF("id_a", "id_b")
+    val labels = Dedup.connectedComponents(oldEdges)
+    // increment: new doc 2 becomes the NEW MIN of {5,9}; 20 joins {10,11};
+    // {30,31} is a brand-new cluster
+    val newEdges = Seq((2L, 5L), (11L, 20L), (30L, 31L)).toDF("id_a", "id_b")
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val inc = asMap(Dedup.incrementalComponents(labels, newEdges))
+    val full = asMap(Dedup.connectedComponents(oldEdges.unionByName(newEdges)))
+    assert(inc == full, s"inc=$inc full=$full")
+    assert(inc(9L) == 2L && inc(20L) == 10L && inc(31L) == 30L)
+    // idempotent on an empty-effect increment (edge already inside a cluster)
+    val again = asMap(Dedup.incrementalComponents(
+      Dedup.incrementalComponents(labels, newEdges), Seq((5L, 9L)).toDF("id_a", "id_b")))
+    assert(again == full)
+  }
+
   test("connected components: clusters from pair sets, min-id labels") {
     val edges = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L)).toDF("id_a", "id_b")
     val out = Dedup.connectedComponents(edges)
