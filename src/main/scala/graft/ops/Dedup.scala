@@ -790,7 +790,8 @@ object Dedup {
     * intersection; |A ∪ B| = |A| + |B| - |A ∩ B|. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       blockCol: String, n: Int = 3, threshold: Double = 0.5,
-      gramBroadcastMaxBytes: Long = 256L << 20): DataFrame = {
+      gramBroadcastMaxBytes: Long = 256L << 20,
+      lengthBandBlocking: Boolean = false): DataFrame = {
     val g = ngramGramsStage(df, idCol, textCol, blockCol, n)
     val ordered = ngramOrderedStage(g)
     // Verify-path switch: broadcast the per-doc gram table when it fits,
@@ -803,7 +804,9 @@ object Dedup {
     val sz = ordered.agg(sum(col("sz")).cast("long"), count(lit(1))).head()
     val gramBytes =
       2L * ((if (sz.isNullAt(0)) 0L else sz.getLong(0)) * 8L + sz.getLong(1) * 48L)
-    ngramVerifyStage(ngramCandidatesStage(ordered, threshold), ordered, threshold,
+    ngramVerifyStage(
+      ngramCandidatesStage(ordered, threshold, lengthBandBlocking),
+      ordered, threshold,
       broadcastGrams = gramBytes <= gramBroadcastMaxBytes)
   }
 
@@ -862,7 +865,8 @@ object Dedup {
     * gram carries the largest bound, so a truly-overlapping pair always
     * survives: still provably NO false negatives (Xiao et al., PPJoin). The
     * Jaccard constraint J >= t forces overlap >= t/(1+t) * (sz_a + sz_b). */
-  private[graft] def ngramCandidatesStage(ordered: DataFrame, threshold: Double): DataFrame = {
+  private[graft] def ngramCandidatesStage(ordered: DataFrame, threshold: Double,
+      lengthBandBlocking: Boolean = false): DataFrame = {
     // ASYMMETRIC prefixes (the PPJoin indexing-prefix refinement): direct
     // every pair small -> large by (sz, id). For the smaller record the
     // partner is at least as large, so the overlap bound tightens to
@@ -880,16 +884,38 @@ object Dedup {
     val longPrefix = (floor(col("sz") * (1 - threshold)) + 1).cast("int")
     val shortPrefix =
       (floor(col("sz") * ((1 - threshold) / (1 + threshold))) + 1).cast("int")
-    val pa = ordered.select(col("block"), col("id").as("id_a"),
+    val pa0 = ordered.select(col("block"), col("id").as("id_a"),
       col("sz").as("sz_a"),
       posexplode(slice(col("grams"), lit(1), shortPrefix)).as(Seq("pos_a", "gram")))
-    val pb = ordered.select(col("block"), col("id").as("id_b"),
+    val pb0 = ordered.select(col("block"), col("id").as("id_b"),
       col("sz").as("sz_b"),
       posexplode(slice(col("grams"), lit(1), longPrefix)).as(Seq("pos_b", "gram")))
+    // Opt-in LENGTH-BAND blocking — the finer-blocking knob for corpora
+    // where one gram group spans many sizes: band(sz) = floor(ln sz /
+    // ln(1/t)). A qualifying pair has sz_a <= sz_b <= sz_a/t, so the two
+    // bands differ by at most 1 in exact math; the probe side fans out to
+    // THREE bands (own, -1, -2) so a 1-ulp flooring wobble at the ratio
+    // boundary can never lose a pair — still a big cut when gram groups
+    // mix short and long docs (on near-uniform corpora it only pays the
+    // 3x probe fanout, which is why it is opt-in). Output is provably
+    // identical either way (spec-pinned).
+    val (pa, pb, bandCond) =
+      if (!lengthBandBlocking) (pa0, pb0, lit(true))
+      else {
+        require(threshold < 1.0,
+          "lengthBandBlocking needs threshold < 1 (at 1.0 use exact dedup)")
+        val logInv = math.log(1.0 / threshold)
+        val ba = pa0.withColumn("__band",
+          floor(log(col("sz_a").cast("double")) / logInv))
+        val bb = floor(log(col("sz_b").cast("double")) / logInv)
+        val pbB = pb0.withColumn("__probe",
+          explode(array(bb, bb - 1, bb - 2)))
+        (ba, pbB, col("__band") === col("__probe"))
+      }
     val minOverlap =
       ceil((col("sz_a") + col("sz_b")).cast("double") * (threshold / (1 + threshold)))
     pa.hint("shuffle_hash").join(pb,
-        pa("block") === pb("block") && pa("gram") === pb("gram") &&
+        pa("block") === pb("block") && pa("gram") === pb("gram") && bandCond &&
           (col("sz_a") < col("sz_b") ||
             (col("sz_a") === col("sz_b") && col("id_a") < col("id_b"))) &&
           col("sz_b") * threshold <= col("sz_a") &&

@@ -496,6 +496,28 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("ngram jaccard: length-band blocking is output-identical on a mixed-size corpus") {
+    // small shared vocab => shared prefix grams across very different doc
+    // sizes, the regime band blocking prunes; near-dups planted at close
+    // sizes so real pairs exist
+    val vocab = Array("alpha", "bravo", "charlie", "delta", "echo", "fox",
+      "golf", "hotel", "india", "juliet", "kilo", "lima")
+    def doc(i: Int): String = {
+      val len = 6 + (i % 25) * 8 // sizes 6..198 words
+      (0 until len).map(k => vocab((i * 7 + k * 5) % vocab.length)).mkString(" ")
+    }
+    val rows = (0 until 60).map(i => (i.toLong, doc(i))) ++
+      Seq((1000L, doc(3) + " alpha"), (1001L, doc(30) + " bravo")) // near-dups
+    val df = rows.toDF("id", "text").withColumn("blk", lit("b"))
+    def pairs(banded: Boolean) = Dedup.ngramJaccardPairs(df, "id", "text",
+        "blk", n = 3, threshold = 0.8, lengthBandBlocking = banded)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        math.round(r.getDouble(2) * 1e9))).toSet
+    val plain = pairs(false)
+    assert(pairs(true) == plain)
+    assert(plain.exists(p => p._1 == 3L && p._2 == 1000L), s"planted pair lost: $plain")
+  }
+
   test("ngram jaccard: partitioned verify fallback matches broadcast path") {
     // a corpus with near-dup groups (same long body, one varying token),
     // distinct docs, and a second block
