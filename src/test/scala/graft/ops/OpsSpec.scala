@@ -681,6 +681,27 @@ class DedupSpec extends AnyFunSuite {
     assert(again == full)
   }
 
+  test("incrementalComponents: random graphs and random splits fold to the full recompute") {
+    val rnd = new scala.util.Random(20260814L)
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (round <- 1 to 5) {
+      val n = 12 + rnd.nextInt(20)
+      val edges = (0 until (n * 2)).map { _ =>
+        val a = rnd.nextInt(n).toLong; val b = rnd.nextInt(n).toLong
+        (math.min(a, b), math.max(a, b))
+      }.filter(e => e._1 != e._2).distinct
+      val cut = rnd.nextInt(edges.length.max(1))
+      val (oldE, newE) = edges.splitAt(cut)
+      // empty halves exercise the zero-edge convergence path
+      val labels =
+        Dedup.connectedComponents(oldE.toDF("id_a", "id_b"))
+      val inc = asMap(Dedup.incrementalComponents(labels, newE.toDF("id_a", "id_b")))
+      val full = asMap(Dedup.connectedComponents(edges.toDF("id_a", "id_b")))
+      assert(inc == full, s"round $round: n=$n cut=$cut inc=$inc full=$full")
+    }
+  }
+
   test("connected components: clusters from pair sets, min-id labels") {
     val edges = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L)).toDF("id_a", "id_b")
     val out = Dedup.connectedComponents(edges)
