@@ -46,6 +46,30 @@ private[graft] object EntryDedup {
       CorpusOps.leakageSafeSplit(docs, "doc_id", pairs,
         Seq("train" -> 800000L, "val" -> 100000L, "test" -> 100000L))
     }),
+    "dedup_funnel" -> ((s, dir) => {
+      // the dedup FUNNEL a release review reads: sequential stage
+      // attrition — input -> exact text dedup (min-id survivor) ->
+      // near-dup collapse (minhash CC over the exact survivors, keep the
+      // min-label member) — one row per stage with in/dropped/out. The
+      // three stage counts are 1-value driver actions (bounded by
+      // construction); each stage's machinery is the already-gate-checked
+      // operator, so the funnel is the composition, oracle-replayed
+      // end-to-end over the SAME survivor subset.
+      import s.implicits._
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val n0 = docs.count()
+      val surv = Dedup.dedupExact(docs, Seq("text"), "doc_id")
+        .localCheckpoint(false) // consumed by count + the near stage
+      val n1 = surv.count()
+      val pairs = Dedup.minHashLSHPortable(surv, "doc_id", "text", threshold = 0.6)
+      val nd = Dedup.connectedComponents(pairs.select("id_a", "id_b"))
+        .filter(col("id") =!= col("comp")).count()
+      Seq(
+        ("input", n0, 0L, n0),
+        ("exact_dedup", n0, n0 - n1, n1),
+        ("near_dup", n1, nd, n1 - nd))
+        .toDF("stage", "n_in", "n_dropped", "n_out")
+    }),
     "dedup_incremental_components" -> ((s, dir) => {
       // daily-ingest label maintenance: the label store built from the
       // "yesterday" half of the pair set (id_b < 250) is folded forward
@@ -393,6 +417,27 @@ private[graft] object EntryDedup {
       // Duplicate clusters from the portable-minhash pair set: connected
       // components as a recursive reachability CTE (component = min
       // reachable id), over the SAME independently-recomputed pipeline.
+      "dedup_funnel" ->
+        s"""WITH RECURSIVE
+            surv AS (SELECT d.doc_id, d.text FROM documents d
+                     JOIN (SELECT min(doc_id) AS k FROM documents GROUP BY text) m
+                       ON d.doc_id = m.k),
+            pairs AS (${minhashMd5SqlFor("surv")}),
+            e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                  UNION ALL SELECT id_b, id_a FROM pairs),
+            n AS (SELECT DISTINCT src AS id FROM e),
+            r AS (
+              SELECT id, id AS reach FROM n
+              UNION
+              SELECT r.id, e.dst AS reach FROM r JOIN e ON e.src = r.reach),
+            comp AS (SELECT id, min(reach) AS component FROM r GROUP BY id),
+            c AS (SELECT (SELECT count(*) FROM documents) AS n0,
+                         (SELECT count(*) FROM surv) AS n1,
+                         (SELECT count(*) FROM comp WHERE id <> component) AS nd)
+            SELECT 'input' AS stage, n0 AS n_in,
+                   CAST(0 AS BIGINT) AS n_dropped, n0 AS n_out FROM c
+            UNION ALL SELECT 'exact_dedup', n0, n0 - n1, n1 FROM c
+            UNION ALL SELECT 'near_dup', n1, nd, n1 - nd FROM c""",
       "dedup_incremental_components" ->
         s"""WITH RECURSIVE pairs AS ($minhashMd5Sql),
             e AS (SELECT id_a AS src, id_b AS dst FROM pairs

@@ -36,10 +36,10 @@ private[graft] object OracleFragments {
     // grid; 2-row bands for the containment variant); shared by
     // dedup_minhash_md5, dedup_containment, and (as the pair source)
     // dedup_components
-    def minhashPrefixSql(rows: Int) =
+    def minhashPrefixSql(rows: Int, source: String = "documents") =
       s"""WITH tok AS (
               SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
-              FROM documents),
+              FROM $source),
             sh AS (
               SELECT doc_id,
                      CASE WHEN len(toks) >= 3 THEN
@@ -73,13 +73,14 @@ private[graft] object OracleFragments {
                      CAST(len(gb.grams) AS DOUBLE) AS sz_b
               FROM cand JOIN sh ga ON ga.doc_id = id_a JOIN sh gb ON gb.doc_id = id_b)
             """
-    val minhashMd5Sql =
-      s"""${minhashPrefixSql(8)}SELECT id_a, id_b,
+    def minhashMd5SqlFor(source: String) =
+      s"""${minhashPrefixSql(8, source)}SELECT id_a, id_b,
                    CASE WHEN szsum - inter = 0 THEN 0.0
                         ELSE inter / (szsum - inter) END AS jaccard
             FROM v
             WHERE (CASE WHEN szsum - inter = 0 THEN 0.0
                         ELSE inter / (szsum - inter) END) >= 0.6"""
+    val minhashMd5Sql = minhashMd5SqlFor("documents")
     // the same candidate pipeline with 2-row bands and the CONTAINMENT
     // verify (|A∩B| / min size)
     val containmentMd5Sql =
