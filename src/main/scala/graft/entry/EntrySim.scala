@@ -297,6 +297,16 @@ private[graft] object EntrySim {
           sum(coalesce(col("__in_exact"), lit(0L))).as("n_exact"))
       ivf.join(broadcast(recall), Seq("query_id"))
     }),
+    "emb_pca" -> ((s, dir) => {
+      // learned projection: top-8 principal components from the
+      // oracle-exact integer covariance moments (emb_covariance is the
+      // anchor twin), deterministic Jacobi eigensolve, map-only
+      // projection of the quantized vectors. Float eigenvectors =>
+      // rows-only; every row carries probe_ortho_e9 (max |W^T W - I| in
+      // 1e-9 units) and probe_order_violations (eigenvalue sort check).
+      Similarity.pcaProject(
+        s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding", k = 8)
+    }),
     "mm_features" -> ((s, dir) => {
       // multimodal payload plumbing: text bytes as the opaque binary payload
       val docs = s.read.parquet(s"$dir/documents.parquet")

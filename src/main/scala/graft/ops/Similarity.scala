@@ -319,6 +319,121 @@ object Similarity {
       .withColumn("cov_e", col("n") * col("sxy") - col("sx") * col("sy"))
   }
 
+  /** PCA projection to the top-`k` principal components — the LEARNED
+    * counterpart to [[randomProject]]'s data-oblivious JL matrix, and the
+    * standard whitening/compression step before clustering or ANN.
+    *
+    * The covariance comes from [[covarianceMoments]] — the oracle-exact
+    * integer moments over the int8 quantization — collected driver-side
+    * (d(d+1)/2 rows, bounded by the embedding dimensionality, never the
+    * corpus). Eigenpairs via cyclic JACOBI with a fixed sweep order and a
+    * fixed convergence rule, eigenvalues sorted (desc, index tie-break)
+    * and every eigenvector sign-canonicalized (first coordinate above
+    * 1e-9 made positive) — fully deterministic, so repeated runs and
+    * different partitionings produce bit-identical projections. The
+    * projection pass multiplies each QUANTIZED vector (integer coords)
+    * with the broadcast d x k matrix: map-only, no shuffle.
+    *
+    * Returns (id, pc array<double>, probe_ortho_e9, probe_order_violations):
+    * the probes pin W^T W ~= I (max deviation, in 1e-9 units) and the
+    * eigenvalue ordering in-query, per the rows-only convention. */
+  def pcaProject(df: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val rows = covarianceMoments(df, vecCol)
+      .select("i", "j", "n", "cov_e").collect()
+    require(rows.nonEmpty, "pcaProject: empty corpus has no covariance")
+    val d = rows.map(_.getInt(0)).max + 1
+    require(k <= d, s"k=$k exceeds dimensionality $d")
+    val n = rows.head.getLong(2).toDouble
+    val a = Array.ofDim[Double](d, d)
+    rows.foreach { r =>
+      val c = r.getLong(3).toDouble / (n * n)
+      a(r.getInt(0))(r.getInt(1)) = c
+      a(r.getInt(1))(r.getInt(0)) = c
+    }
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    // cyclic Jacobi: deterministic sweep order (p ascending, q ascending)
+    var sweep = 0
+    var off = Double.MaxValue
+    while (off > 1e-14 && sweep < 60) {
+      off = 0.0
+      var p = 0
+      while (p < d - 1) {
+        var q = p + 1
+        while (q < d) {
+          val apq = a(p)(q)
+          if (math.abs(apq) > 1e-18) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+            val t = math.signum(theta) match {
+              case 0.0 => 1.0 / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+              case sgn => sgn / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+            }
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val s = t * c
+            var i = 0
+            while (i < d) {
+              val aip = a(i)(p); val aiq = a(i)(q)
+              a(i)(p) = c * aip - s * aiq
+              a(i)(q) = s * aip + c * aiq
+              i += 1
+            }
+            i = 0
+            while (i < d) {
+              val api = a(p)(i); val aqi = a(q)(i)
+              a(p)(i) = c * api - s * aqi
+              a(q)(i) = s * api + c * aqi
+              val vip = v(i)(p); val viq = v(i)(q)
+              v(i)(p) = c * vip - s * viq
+              v(i)(q) = s * vip + c * viq
+              i += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      var i = 0
+      while (i < d - 1) {
+        var j = i + 1
+        while (j < d) { off = math.max(off, math.abs(a(i)(j))); j += 1 }
+        i += 1
+      }
+      sweep += 1
+    }
+    val order = (0 until d).sortBy(i => (-a(i)(i), i)).take(k)
+    val w = Array.tabulate(d, k) { (i, c) =>
+      val src = order(c)
+      // sign canonicalization: first |coord| > 1e-9 positive
+      val firstIdx = (0 until d).find(r => math.abs(v(r)(src)) > 1e-9).getOrElse(0)
+      if (v(firstIdx)(src) < 0) -v(i)(src) else v(i)(src)
+    }
+    // in-query probes (driver-computed constants riding every row)
+    var orthoErr = 0.0
+    for (c1 <- 0 until k; c2 <- c1 until k) {
+      val dot = (0 until d).map(i => w(i)(c1) * w(i)(c2)).sum
+      orthoErr = math.max(orthoErr, math.abs(dot - (if (c1 == c2) 1.0 else 0.0)))
+    }
+    val orderViolations = order.map(i => a(i)(i)).sliding(2)
+      .count { case Seq(x, y) => y > x + 1e-12; case _ => false }
+    val f = udf((q: Seq[Byte]) => {
+      val out = new Array[Double](k)
+      var j = 0
+      while (j < k) {
+        var s = 0.0; var i = 0
+        val lim = math.min(q.length, d)
+        while (i < lim) { s += q(i).toDouble * w(i)(j); i += 1 }
+        out(j) = s
+        j += 1
+      }
+      out
+    })
+    df.select(col(idCol).as("id"),
+        quantizeInt8(col(vecCol)).getField("q").as("__q"))
+      .select(col("id"), f(col("__q")).as("pc"),
+        lit(math.round(orthoErr * 1e9)).as("probe_ortho_e9"),
+        lit(orderViolations.toLong).as("probe_order_violations"))
+  }
+
   /** Semantic-outlier scoring: each vector's cosine to ITS group centroid
     * (the SemDeDup-style pruning signal — low similarity to the class
     * prototype marks mislabeled/outlier rows). Composes the exact quantized

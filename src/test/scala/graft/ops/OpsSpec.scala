@@ -1023,6 +1023,46 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out("b") == ((List(-1.5, 0.5), 1L)))
   }
 
+  test("pcaProject: PC1 finds the planted axis, orthonormal, deterministic") {
+    // anisotropic cloud: variance concentrated on a fixed axis (dims 2+5),
+    // small deterministic jitter elsewhere
+    val d = 8
+    val axis = Array.tabulate(d)(i => if (i == 2) 0.8f else if (i == 5) 0.6f else 0.0f)
+    // amp never 0: per-vector quantization normalizes every vector to
+    // full scale, so a jitter-only row would masquerade as signal
+    val cloud = (0 until 300).map { t =>
+      val amp = (t % 20).toFloat - 10.5f
+      (t.toLong, Array.tabulate(d)(i =>
+        axis(i) * amp + 0.03f * (((t * 31 + i * 17) % 11) - 5)))
+    }
+    // unit-basis probe rows read W's columns back out through the
+    // projection: e_i quantizes to 127*e_i, so pc1(e_i) = 127 * W[i][0]
+    val probes = (0 until d).map(i =>
+      (1000L + i, Array.tabulate(d)(j => if (i == j) 1.0f else 0.0f)))
+    val vecs = (cloud ++ probes).toDF("vec_id", "embedding")
+    val out = Similarity.pcaProject(vecs, "vec_id", "embedding", k = 3)
+    val rows = out.collect()
+    assert(rows.length == 300 + d)
+    assert(rows.forall(_.getLong(2) < 1000L), // ortho error < 1e-6
+      s"ortho_e9=${rows.head.getLong(2)}")
+    assert(rows.forall(_.getLong(3) == 0L))
+    val w1 = rows.filter(_.getLong(0) >= 1000L)
+      .map(r => (r.getLong(0) - 1000L).toInt -> r.getSeq[Double](1).head / 127.0)
+      .toMap
+    // PC1 concentrates on the planted dims 2 and 5 in the 0.8 : 0.6 ratio
+    assert(math.abs(w1(2)) > 0.7 && math.abs(w1(5)) > 0.5, s"w1=$w1")
+    assert(w1(2) * w1(5) > 0, s"planted dims must agree in sign: $w1")
+    val offAxis = (0 until d).filter(i => i != 2 && i != 5).map(i => math.abs(w1(i))).sum
+    assert(offAxis < 0.25, s"off-axis PC1 mass too high: $w1")
+    val ratio = math.abs(w1(2) / w1(5))
+    assert(ratio > 1.1 && ratio < 1.6, s"expected ~0.8/0.6 ratio, got $ratio")
+    // bit-identical on re-run (deterministic Jacobi + canonical signs)
+    val again = Similarity.pcaProject(vecs, "vec_id", "embedding", k = 3)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val first = rows.map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(again == first)
+  }
+
   test("int8 quantization: error <= scale/2, clamps at 127, zero-vector safe") {
     val rnd = new scala.util.Random(5)
     val rows = (1L to 50L).map(i => (i, Array.fill(16)(rnd.nextDouble() * 20 - 10))) :+
