@@ -447,6 +447,16 @@ private[graft] object EntryCorpus {
           sum("tokens").cast("long").as("tokens_total"),
           max("epoch").as("max_epoch"))
     }),
+    "sample_quota" -> ((s, dir) => {
+      // exact-size eval sample: 400 docs total, equal lang shares with
+      // integer-waterfill spill (small langs taken whole, surplus
+      // redistributed to the big ones) — in-plan window arithmetic over
+      // counts, integer end-to-end => the quotas AND the membership are
+      // oracle-exact.
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .withColumn("strat", coalesce(col("lang"), lit("??")))
+      CorpusOps.quotaSample(docs, "strat", "doc_id", totalK = 400L)
+    }),
     "corpus_drift" -> ((s, dir) => {
       // distribution-drift monitor: the events value histogram for days
       // 1-10 vs the rest of the month — the per-ingest check a training
@@ -1258,6 +1268,33 @@ private[graft] object EntryCorpus {
                                 THEN 1 ELSE 0 END) AS BIGINT)
                     AS n_moved_elsewhere
            FROM j GROUP BY 1""",
+      "sample_quota" ->
+        """WITH sz AS (SELECT coalesce(lang, '??') AS stratum, count(*) AS sz
+                       FROM documents GROUP BY 1),
+           rk AS (SELECT stratum, sz,
+                         CAST(row_number() OVER (ORDER BY sz, stratum) AS BIGINT) AS rn,
+                         sum(sz) OVER (ORDER BY sz, stratum ROWS UNBOUNDED PRECEDING) AS prefix,
+                         (SELECT count(*) FROM sz) AS m
+                  FROM sz),
+           st AS (SELECT *, 400 - (prefix - sz) AS rem, m - rn + 1 AS avail,
+                         (sz * (m - rn + 1) <= (400 - (prefix - sz))) AS capped
+                  FROM rk),
+           lv AS (SELECT rem // avail AS lvl, rem % avail AS r, rn AS t
+                  FROM st WHERE NOT capped ORDER BY rn LIMIT 1),
+           q AS (SELECT stratum,
+                        CASE WHEN capped THEN sz
+                             ELSE lvl + CASE WHEN rn - t < r THEN 1 ELSE 0 END
+                        END AS quota
+                 FROM st CROSS JOIN lv),
+           ranked AS (SELECT coalesce(lang, '??') AS stratum, doc_id AS id,
+                             CAST(row_number() OVER (
+                               PARTITION BY coalesce(lang, '??')
+                               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                               AS BIGINT) AS rk
+                      FROM documents)
+           SELECT r.stratum, CAST(q.quota AS BIGINT) AS quota, r.id, r.rk
+           FROM ranked r JOIN q ON r.stratum = q.stratum
+           WHERE r.rk <= q.quota""",
       "corpus_drift" ->
         """WITH av AS (
              SELECT least(19, greatest(0, CAST(floor((value - 0.0) / 25.0) AS BIGINT))) AS bucket

@@ -574,6 +574,63 @@ object CorpusOps {
         (col("pos") + 1).cast("long").as("rk"))
   }
 
+  /** EXACT-SIZE stratified sample with quota spill — the eval-set builder:
+    * `totalK` rows overall, split across strata by integer WATERFILLING
+    * (equal shares, but a stratum smaller than its share is taken whole
+    * and its unused quota redistributes to the others), so the sample
+    * always hits exactly `min(totalK, corpus)` rows — the property the
+    * fixed-k [[stratifiedSample]] cannot give when strata are uneven.
+    *
+    * The waterfill is computed IN-PLAN with window functions over the
+    * per-stratum counts (strata ordered by (size, name) ascending; a
+    * stratum is CAPPED iff size * strataRemaining <= quotaRemaining —
+    * capped strata form a prefix of that order, so the first uncapped row
+    * fixes the water level L = rem div avail and remainder r, and the
+    * first r uncapped strata get L+1). Every step is integer arithmetic
+    * over counts, so an independent SQL engine replays the quotas —
+    * and the membership — exactly. Within a stratum, rows are chosen as
+    * the smallest md5(id) (the portable hash order of
+    * [[stratifiedSample]]). Returns (stratum, quota, id, rk).
+    * Counts are stratum-cardinality rows; the corpus is scanned once for
+    * counts and once for the per-stratum rank. */
+  def quotaSample(df: DataFrame, stratumCol: String, idCol: String,
+      totalK: Long): DataFrame = {
+    require(totalK > 0, s"totalK must be positive, got $totalK")
+    import org.apache.spark.sql.expressions.Window
+    val sizes = df.groupBy(col(stratumCol).as("stratum"))
+      .agg(count(lit(1)).as("sz"))
+      .localCheckpoint(false) // stratum-cardinality rows, consumed twice
+    val ord = Window.orderBy(col("sz"), col("stratum"))
+    val ranked = sizes
+      .withColumn("rn", row_number().over(ord).cast("long"))
+      .withColumn("prefix", sum("sz").over(ord))
+      .crossJoin(broadcast(sizes.agg(count(lit(1)).as("m"))))
+      .withColumn("rem", lit(totalK) - (col("prefix") - col("sz")))
+      .withColumn("avail", col("m") - col("rn") + 1L)
+      .withColumn("capped", col("sz") * col("avail") <= col("rem"))
+    val level = ranked.filter(!col("capped"))
+      .orderBy("rn").limit(1)
+      .select(expr("rem div avail").as("__lvl"),
+        pmod(col("rem"), col("avail")).as("__r"), col("rn").as("__t"))
+    val quotas = ranked.crossJoin(broadcast(level))
+      .select(col("stratum"),
+        when(col("capped"), col("sz"))
+          .otherwise(col("__lvl") +
+            when(col("rn") - col("__t") < col("__r"), 1L).otherwise(0L))
+          .as("quota"))
+    val w = Window.partitionBy("stratum")
+      .orderBy(col("skey"), col("id"))
+    df.select(col(stratumCol).as("stratum"), col(idCol).cast("long").as("id"))
+      .withColumn("skey", md5(col("id").cast("string")))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .join(broadcast(quotas), Seq("stratum"), "left")
+      // a corpus smaller than totalK has no uncapped row: quota is null
+      // for nothing (every stratum capped), so coalesce to sz-take-all
+      .filter(col("rk") <= coalesce(col("quota"), col("rk")))
+      .select(col("stratum"), coalesce(col("quota"), lit(-1L)).as("quota"),
+        col("id"), col("rk"))
+  }
+
   /** Deterministic weighted sample without replacement — PRIORITY SAMPLING
     * (Duffield-Lund-Thorup, JACM 2007): each row gets priority w/u with u a
     * portable md5-uniform in (0,1], and the k highest-priority rows are the

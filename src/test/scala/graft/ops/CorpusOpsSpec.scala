@@ -648,6 +648,30 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out.map(_._4).toSeq == Seq(3L, 5L, 8L))
   }
 
+  test("quotaSample: waterfill quotas, remainder split, all-capped take-all") {
+    // strata sizes 2 / 3 / 10 / 11, K = 14: capped 2 and 3 (2*4<=14,
+    // 3*3<=12), then rem=9 over 2 strata -> lvl 4, r 1 -> quotas 5 and 4
+    // for the two big strata in (size, name) order
+    val df = (
+      (1 to 2).map(i => (s"a$i", "s2")) ++ (1 to 3).map(i => (s"b$i", "s3")) ++
+      (1 to 10).map(i => (s"c$i", "s10")) ++ (1 to 11).map(i => (s"d$i", "s11"))
+    ).zipWithIndex.map { case ((_, st), i) => (i.toLong, st) }.toDF("id", "strat")
+    val out = CorpusOps.quotaSample(df, "strat", "id", totalK = 14L).collect()
+    val byStrat = out.groupBy(_.getString(0))
+    assert(out.length == 14)
+    val quotas = byStrat.map { case (s, rows) => s -> rows.head.getLong(1) }
+    assert(quotas == Map("s2" -> 2L, "s3" -> 3L, "s10" -> 5L, "s11" -> 4L),
+      s"quotas=$quotas")
+    assert(byStrat.forall { case (_, rows) =>
+      rows.length == rows.head.getLong(1) })
+    // sampled rows are exactly the smallest-md5 prefix: ranks are 1..quota
+    assert(byStrat.forall { case (_, rows) =>
+      rows.map(_.getLong(3)).sorted.toSeq == (1L to rows.head.getLong(1)) })
+    // K >= corpus: every stratum taken whole
+    val all = CorpusOps.quotaSample(df, "strat", "id", totalK = 100L).collect()
+    assert(all.length == 26)
+  }
+
   test("leakageSafeSplit: near-dup clusters never straddle splits; singletons split solo") {
     val docs = (1L to 50L).map(i => (i, s"doc $i")).toDF("id", "text")
     // two clusters: {1,2,3} (chain) and {10,11}; everything else singleton
