@@ -592,7 +592,12 @@ object CorpusOps {
     * the smallest md5(id) (the portable hash order of
     * [[stratifiedSample]]). Returns (stratum, quota, id, rk).
     * Counts are stratum-cardinality rows; the corpus is scanned once for
-    * counts and once for the per-stratum rank. */
+    * counts and once for the per-stratum rank. The rank is a per-stratum
+    * window sort — at corpus scales where that sort dominates, run
+    * [[stratifiedSample]]'s bounded bottom-k aggregate with
+    * k = max(quota) and apply the quota filter to its ranks; the window
+    * form is kept here because it is the shape the SQL oracle replays
+    * verbatim. */
   def quotaSample(df: DataFrame, stratumCol: String, idCol: String,
       totalK: Long): DataFrame = {
     require(totalK > 0, s"totalK must be positive, got $totalK")
