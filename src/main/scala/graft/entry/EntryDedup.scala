@@ -78,8 +78,9 @@ private[graft] object EntryDedup {
       // the increment. The result must be indistinguishable from the
       // from-scratch labeling, so the oracle is the full-CC replay.
       val pairs = Dedup.minHashLSHPortable(
-        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
-        threshold = 0.6)
+          s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+          threshold = 0.6)
+        .localCheckpoint(false) // consumed by both the store and increment branches
       val labels = Dedup.connectedComponents(
         pairs.filter(col("id_b") < 250).select("id_a", "id_b"))
       Dedup.incrementalComponents(labels,

@@ -517,7 +517,10 @@ object Dedup {
     *     docs. The corpus-sized table is read and written once, never
     *     shuffled (broadcast hash join), which is the property that
     *     survives a billion-row label store. */
-  def incrementalComponents(labels: DataFrame, newEdges: DataFrame): DataFrame = {
+  def incrementalComponents(labels: DataFrame, newEdges0: DataFrame): DataFrame = {
+    // the increment is consumed three times (two endpoint-rep joins + the
+    // rep-edge build); pin it — increment-sized by contract
+    val newEdges = newEdges0.select("id_a", "id_b").localCheckpoint(false)
     val reps = labels.select(col("id"), col("comp"))
     def repOf(side: String) = newEdges.select(col(side).as("id"))
       .join(reps, Seq("id"), "left")
@@ -1000,8 +1003,13 @@ object Dedup {
     * double per iteration, and the convergence check reuses the
     * materialized result instead of recomputing the chain. */
   def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
-    val sym = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // both directions via one explode, not a self-union: a union evaluates
+    // the (possibly expensive — minhash verify) edge subtree twice before
+    // the checkpoint materializes
+    val sym = edges.select(explode(array(
+        struct(col("id_a").as("src"), col("id_b").as("dst")),
+        struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .localCheckpoint(false)
     // initialization already performs the first edge step (comp0 =
     // min(id, neighbors)) — same single shuffle a distinct-init would cost,
