@@ -563,7 +563,8 @@ object Dedup {
       pairs: DataFrame): DataFrame = {
     val comp = connectedComponents(pairs.select("id_a", "id_b"))
     val members = comp.join(
-      df.select(col(idCol).as("id"), col(scoreCol).as("__sc")), "id")
+        df.select(col(idCol).as("id"), col(scoreCol).as("__sc")), "id")
+      .localCheckpoint(false) // consumed by champions + the flag join
     val champions = members.groupBy(col("comp"))
       .agg(max(struct(col("__sc"), (-col("id")).as("nid"))).as("m"))
       .select(col("comp"), (-col("m.nid")).as("__champ"))

@@ -121,6 +121,7 @@ object GraphOps {
       .localCheckpoint(false) // consumed by degrees and both orientation joins
     val deg = e.select(col("a").as("v")).unionByName(e.select(col("b").as("v")))
       .groupBy("v").agg(count(lit(1)).as("d"))
+      .localCheckpoint(false) // consumed by degStats + both orientation joins
     val degStats = deg.agg(count(lit(1)).as("n_nodes"),
       sum(expr("d * (d - 1) div 2")).as("n_wedges"))
     val o = degreeOriented(e, deg)
