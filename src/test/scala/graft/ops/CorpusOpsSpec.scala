@@ -648,6 +648,30 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out.map(_._4).toSeq == Seq(3L, 5L, 8L))
   }
 
+  test("round-8 ops are partition-invariant (quota sample, leakage split, drift)") {
+    // the order-independence premise behind every oracle-exact claim:
+    // identical output sets under one-partition, hashed, and
+    // reverse-range layouts
+    val docs = (1L to 120L).map(i => (i, s"lang${i % 4}", (i * 37) % 97))
+      .toDF("id", "lang", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L), (50L, 51L)).toDF("id_a", "id_b")
+    def layouts(df: org.apache.spark.sql.DataFrame) = Seq(
+      df.coalesce(1), df.repartition(7),
+      df.orderBy(col("id").desc).repartition(3))
+    def sets[T](f: org.apache.spark.sql.DataFrame => Array[T]) = {
+      val rs = layouts(docs).map(f(_).toSet)
+      assert(rs.distinct.size == 1, s"layout-dependent output: $rs")
+    }
+    sets(d => CorpusOps.quotaSample(d, "lang", "id", 50L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))))
+    sets(d => CorpusOps.leakageSafeSplit(d, "id", pairs,
+        Seq("train" -> 900000L, "test" -> 100000L))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))))
+    sets(d => CorpusOps.categoricalDrift(
+        d.filter(col("id") <= 60), d.filter(col("id") > 60), "lang")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(5))))
+  }
+
   test("quotaSample: waterfill quotas, remainder split, all-capped take-all") {
     // strata sizes 2 / 3 / 10 / 11, K = 14: capped 2 and 3 (2*4<=14,
     // 3*3<=12), then rem=9 over 2 strata -> lvl 4, r 1 -> quotas 5 and 4
