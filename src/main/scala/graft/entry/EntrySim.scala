@@ -284,7 +284,8 @@ private[graft] object EntrySim {
       val queries = e.filter(col("vec_id") < 20)
         .select(col("vec_id").as("qid"), col("embedding"))
       val ivf = Similarity.ivfTopK(e, "vec_id", "embedding",
-        queries, "qid", "embedding", k = 5)
+          queries, "qid", "embedding", k = 5)
+        .localCheckpoint(false) // consumed by the recall agg + the row join
       val exact = Similarity.bruteForceTopK(e, "vec_id", "embedding",
           queries, "qid", "embedding", k = 5)
         .select(col("query_id"), col("neighbor_id"), lit(1L).as("__in_exact"))
@@ -303,7 +304,8 @@ private[graft] object EntrySim {
       // anchor twin), deterministic Jacobi eigensolve, map-only
       // projection of the quantized vectors. Float eigenvectors =>
       // rows-only; every row carries probe_ortho_e9 (max |W^T W - I| in
-      // 1e-9 units) and probe_order_violations (eigenvalue sort check).
+      // 1e-9 units) and probe_resid_e9 (eigen-residual vs the untouched
+      // covariance — fails loud if the Jacobi solve is broken).
       Similarity.pcaProject(
         s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding", k = 8)
     }),

@@ -193,14 +193,21 @@ object Dedup {
     * plain bucket self-join: all intra-bucket pairs, volume quadratic in
     * bucket size. `maxBucket > 0` is the 100 TB hot-bucket hardening: a
     * bucket larger than the cap is, by LSH construction, a pile of
-    * guaranteed-high-similarity documents (mass-duplicated spam, mirrored
+    * high-similarity documents (mass-duplicated spam, mirrored
     * boilerplate), so instead of B^2 verify pairs it emits a STAR — its
-    * min-id member paired with every other member (B-1 rows). The star
-    * connects the same component in the downstream dup graph (connected
-    * components close the clique transitively); only the explicit
-    * intra-pile pair list is forgone, which is why the cap is opt-in and
-    * why sub-cap buckets are byte-identical to the uncapped plan.
-    * Candidates carry ids only either way. */
+    * min-id member paired with every other member (B-1 rows).
+    *
+    * PRECISE semantics of the trade: star pairs still pass the exact
+    * verify, so a pile member whose similarity TO THE MIN-ID MEMBER is
+    * below threshold drops out of the dup graph even if it cleared the
+    * threshold against some other pile member (chained similarity). For
+    * the piles the cap targets — identical or near-identical floods,
+    * where every member verifies against every member — the star closes
+    * the same component and nothing is lost; for a bucket of merely
+    * chained similarity the cap trades tail members for the B^2 bound.
+    * That is why it is OPT-IN, why production runs exact-dup collapse
+    * first, and why sub-cap buckets are byte-identical to the uncapped
+    * plan. Candidates carry ids only either way. */
   private def bandedCandidates(banded: DataFrame, maxBucket: Int): DataFrame = {
     val left = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
     val right = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
@@ -522,7 +529,10 @@ object Dedup {
     // rep-edge build); pin it — increment-sized by contract
     val newEdges = newEdges0.select("id_a", "id_b").localCheckpoint(false)
     val reps = labels.select(col("id"), col("comp"))
-    def repOf(side: String) = newEdges.select(col(side).as("id"))
+    // distinct BEFORE the join-back: a hot endpoint (1000 edges into one
+    // store doc — exactly what the star collapse emits) would otherwise
+    // fan the edge join out quadratically in its multiplicity
+    def repOf(side: String) = newEdges.select(col(side).as("id")).distinct()
       .join(reps, Seq("id"), "left")
       .select(col("id"), coalesce(col("comp"), col("id")).as("rep"))
     val ra = repOf("id_a"); val rb = repOf("id_b")
@@ -736,11 +746,12 @@ object Dedup {
   }
 
   /** `maxBucket > 0` is the same hot-bucket hardening as
-    * [[bandedCandidates]]: a 16-bit chunk bucket larger than the cap is a
-    * mass-duplicate pile (identical or near-identical signatures), so it
-    * emits the min-id STAR instead of B^2 pairs — the downstream dup
-    * graph's component is unchanged. Signatures are 8 bytes, so they ride
-    * the candidate shuffle directly (cheaper than a join-back). */
+    * [[bandedCandidates]], with the same precise trade (see there): star
+    * pairs still pass the Hamming verify, so only piles whose members all
+    * verify against the min-id member — identical/near-identical floods,
+    * the case the cap targets — keep their full component; chained-
+    * similarity buckets may shed tail members. Signatures are 8 bytes, so
+    * they ride the candidate shuffle directly (cheaper than a join-back). */
   private def simHashPairsFromSigs(sigs: DataFrame, maxHamming: Int,
       maxBucket: Int = 0): DataFrame = {
     val chunks = (0 until 4).map(c => shiftright(col("sig"), c * 16).bitwiseAND(0xFFFFL))
@@ -896,13 +907,19 @@ object Dedup {
       posexplode(slice(col("grams"), lit(1), longPrefix)).as(Seq("pos_b", "gram")))
     // Opt-in LENGTH-BAND blocking — the finer-blocking knob for corpora
     // where one gram group spans many sizes: band(sz) = floor(ln sz /
-    // ln(1/t)). A qualifying pair has sz_a <= sz_b <= sz_a/t, so the two
-    // bands differ by at most 1 in exact math; the probe side fans out to
-    // THREE bands (own, -1, -2) so a 1-ulp flooring wobble at the ratio
-    // boundary can never lose a pair — still a big cut when gram groups
-    // mix short and long docs (on near-uniform corpora it only pays the
-    // 3x probe fanout, which is why it is opt-in). Output is provably
-    // identical either way (spec-pinned).
+    // ln(1/t)). Soundness of the THREE probe arms (own, -1, -2): with
+    // x(s) = computedLog(s)/L, a qualifying pair has
+    // x(sz_b) - x(sz_a) <= 1 + eps (exact gap <= ln(1/t)/L = 1, plus
+    // ~1e-15 relative log error), and for any reals
+    // floor(b) - floor(a) <= (b - a) + 1 < 2 + eps, so the computed band
+    // gap is at most 2 — NOT 2 independent +-1 wobbles: the bound comes
+    // from the difference, not per-side flooring. The gap is >= 0 because
+    // sz_a <= sz_b and the per-value computation is identical (log's
+    // <=1-ulp error cannot invert order when true gaps are >= 1/sz >>
+    // ulp for any realistic gram count). Hence gap in {0, 1, 2} — exactly
+    // the probe set — and output is provably identical either way
+    // (spec-pinned); on near-uniform corpora the only cost is the 3x
+    // probe fanout, which is why it is opt-in.
     val (pa, pb, bandCond) =
       if (!lengthBandBlocking) (pa0, pb0, lit(true))
       else {

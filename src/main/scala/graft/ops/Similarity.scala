@@ -334,9 +334,10 @@ object Similarity {
     * projection pass multiplies each QUANTIZED vector (integer coords)
     * with the broadcast d x k matrix: map-only, no shuffle.
     *
-    * Returns (id, pc array<double>, probe_ortho_e9, probe_order_violations):
-    * the probes pin W^T W ~= I (max deviation, in 1e-9 units) and the
-    * eigenvalue ordering in-query, per the rows-only convention. */
+    * Returns (id, pc array<double>, probe_ortho_e9, probe_resid_e9):
+    * the probes pin W^T W ~= I (max deviation, 1e-9 units) and the
+    * eigen-residual max ||Cov w - lambda w||_inf / max|lambda| against
+    * the untouched covariance in-query, per the rows-only convention. */
   def pcaProject(df: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     val rows = covarianceMoments(df, vecCol)
@@ -351,6 +352,8 @@ object Similarity {
       a(r.getInt(0))(r.getInt(1)) = c
       a(r.getInt(1))(r.getInt(0)) = c
     }
+    // untouched copy for the eigen-residual probe (Jacobi mutates `a`)
+    val cov = Array.tabulate(d, d)((i, j) => a(i)(j))
     val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
     // cyclic Jacobi: deterministic sweep order (p ascending, q ascending)
     var sweep = 0
@@ -413,8 +416,20 @@ object Similarity {
       val dot = (0 until d).map(i => w(i)(c1) * w(i)(c2)).sum
       orthoErr = math.max(orthoErr, math.abs(dot - (if (c1 == c2) 1.0 else 0.0)))
     }
-    val orderViolations = order.map(i => a(i)(i)).sliding(2)
-      .count { case Seq(x, y) => y > x + 1e-12; case _ => false }
+    // eigen-RESIDUAL against the untouched covariance: max over the kept
+    // eigenpairs of ||Cov w_c - lambda_c w_c||_inf, scaled by max|lambda|.
+    // A broken eigensolve (sweep cap hit, rotation bug) makes this blow
+    // up; an order check over the just-sorted list would be vacuous.
+    val lambdaMax = math.max(order.map(i => math.abs(a(i)(i))).max, 1e-30)
+    var residErr = 0.0
+    for (c <- 0 until k) {
+      val lam = a(order(c))(order(c))
+      for (i <- 0 until d) {
+        val avi = (0 until d).map(j => cov(i)(j) * w(j)(c)).sum
+        residErr = math.max(residErr, math.abs(avi - lam * w(i)(c)))
+      }
+    }
+    val residE9 = math.round(residErr / lambdaMax * 1e9)
     val f = udf((q: Seq[Byte]) => {
       val out = new Array[Double](k)
       var j = 0
@@ -431,7 +446,7 @@ object Similarity {
         quantizeInt8(col(vecCol)).getField("q").as("__q"))
       .select(col("id"), f(col("__q")).as("pc"),
         lit(math.round(orthoErr * 1e9)).as("probe_ortho_e9"),
-        lit(orderViolations.toLong).as("probe_order_violations"))
+        lit(residE9).as("probe_resid_e9"))
   }
 
   /** Semantic-outlier scoring: each vector's cosine to ITS group centroid

@@ -202,6 +202,13 @@ object StreamOps {
       ref: DataFrame,
       windowLength: String = "1 hour",
       watermark: Option[String] = None): DataFrame = {
+    // tot_ref is a GLOBAL property of the static reference: it must not
+    // come from the per-type left join, where a never-seen category gets
+    // null -> 0 and its dev_x — the loudest drift signal, n_w * tot_ref —
+    // would silently read 0. The reference is static and tiny by
+    // contract, so one bounded driver read pins it as a literal.
+    val totRef = ref.agg(coalesce(sum(col("n_ref")), lit(0L)))
+      .head.getLong(0)
     val base = watermark.map(w => events.withWatermark("ts", w)).getOrElse(events)
     base.withColumn("window", window(col("ts"), windowLength))
       .groupBy(col("window"), col("event_type"))
@@ -213,11 +220,11 @@ object StreamOps {
         explode(col("cells")).as("c"), col("tot_w"))
       .select(col("hour"), col("c.event_type").as("event_type"),
         col("c.n_w").as("n_w"), col("tot_w"))
-      .join(broadcast(ref), Seq("event_type"), "left")
+      .join(broadcast(ref.select("event_type", "n_ref")), Seq("event_type"), "left")
       .select(col("hour"), col("event_type"), col("n_w"), col("tot_w"),
         coalesce(col("n_ref"), lit(0L)).as("n_ref"),
-        coalesce(col("tot_ref"), lit(0L)).as("tot_ref"),
-        abs(col("n_w") * coalesce(col("tot_ref"), lit(0L))
+        lit(totRef).as("tot_ref"),
+        abs(col("n_w") * lit(totRef)
           - coalesce(col("n_ref"), lit(0L)) * col("tot_w")).as("dev_x"))
   }
 

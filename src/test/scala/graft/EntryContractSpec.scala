@@ -50,7 +50,7 @@ class EntryContractSpec extends AnyFunSuite {
     "emb_kmeans" ->
       (Seq("n_total", "trained_beats_fixed") -> Some("emb_kmeans_assign")),
     "emb_pca" ->
-      (Seq("probe_ortho_e9", "probe_order_violations") -> Some("emb_covariance")),
+      (Seq("probe_ortho_e9", "probe_resid_e9") -> Some("emb_covariance")),
     // NOTE: constructing this query's frame performs its real export write
     // (the exportShards write-then-read-manifest shape), so the probe-schema
     // test below pays a small sf0.001 export — same accepted cost as

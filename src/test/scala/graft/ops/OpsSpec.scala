@@ -1045,7 +1045,8 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rows.length == 300 + d)
     assert(rows.forall(_.getLong(2) < 1000L), // ortho error < 1e-6
       s"ortho_e9=${rows.head.getLong(2)}")
-    assert(rows.forall(_.getLong(3) == 0L))
+    assert(rows.forall(_.getLong(3) < 10000L), // eigen-residual < 1e-5
+      s"resid_e9=${rows.head.getLong(3)}")
     val w1 = rows.filter(_.getLong(0) >= 1000L)
       .map(r => (r.getLong(0) - 1000L).toInt -> r.getSeq[Double](1).head / 127.0)
       .toMap

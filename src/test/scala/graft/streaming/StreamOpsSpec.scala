@@ -155,12 +155,17 @@ class StreamOpsSpec extends AnyFunSuite {
       readEvents(dir).withColumn("ts", expr("timestamp_micros(ts div 1000)")), ref))
     assert(streamed == batch)
     assert(streamed.nonEmpty)
-    // a type the reference never saw surfaces with n_ref = 0, not a drop
+    // a type the reference never saw surfaces with n_ref = 0 AND the
+    // LOUDEST deviation (dev_x = n_w * tot_ref), never a silent zero —
+    // tot_ref is the sum over the reference actually passed in
     val refNoView = ref.filter(col("event_type") =!= "view")
+    val totNoView = refNoView.agg(sum("n_ref")).head.getLong(0)
     val missing = StreamOps.windowedMixDrift(
       readEvents(dir).withColumn("ts", expr("timestamp_micros(ts div 1000)")),
       refNoView).filter(col("event_type") === "view").collect()
     assert(missing.nonEmpty && missing.forall(_.getLong(4) == 0L))
+    assert(missing.forall(r => r.getLong(5) == totNoView &&
+      r.getLong(6) == r.getLong(2) * totNoView && r.getLong(6) > 0L))
   }
 
   test("streaming portable-HLL distinct estimate matches batch exactly") {
