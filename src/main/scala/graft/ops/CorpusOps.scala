@@ -1076,8 +1076,17 @@ object CorpusOps {
     require(hi > lo, s"need hi > lo, got [$lo, $hi)")
     val width = (hi - lo) / buckets
     def bucketed(df: DataFrame, n: String) = df
-      .select(least(lit(buckets - 1L), greatest(lit(0L),
-        floor((col(valueCol) - lo) / width))).as("bucket"))
+      // fail loud on NULL/NaN: greatest/least skip nulls and order NaN
+      // largest, so either would silently masquerade as edge-bin mass —
+      // the monitor would report "low-edge drift" for what is actually
+      // an upstream extraction regression (and engines disagree on the
+      // coercion, breaking the exact-replay contract)
+      .select(when(col(valueCol).isNull || isnan(col(valueCol).cast("double")),
+          raise_error(lit(s"distributionDrift: NULL/NaN in $valueCol — " +
+            "a missing value is an upstream bug, not lo-edge mass; " +
+            "filter or impute first")).cast("long"))
+        .otherwise(least(lit(buckets - 1L), greatest(lit(0L),
+          floor((col(valueCol) - lo) / width)))).as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as(n))
     val grid = a.sparkSession.range(buckets).select(col("id").as("bucket"))
     val joined = grid

@@ -634,6 +634,15 @@ class CorpusOpsSpec extends AnyFunSuite {
     val same = CorpusOps.distributionDrift(a, a, "v", 0.0, 10.0, 4)
       .collect().map(r => (r.getLong(0), r.getLong(5))).sortBy(_._1)
     assert(same.length == 4 && same.forall(_._2 == 0L))
+    // NULL and NaN fail loud instead of masquerading as edge-bin mass
+    val withNull = Seq(Some(1.0), None).toDF("v")
+    intercept[Exception] {
+      CorpusOps.distributionDrift(a, withNull, "v", 0.0, 10.0, 2).collect()
+    }
+    val withNan = Seq(1.0, Double.NaN).toDF("v")
+    intercept[Exception] {
+      CorpusOps.distributionDrift(withNan, a, "v", 0.0, 10.0, 2).collect()
+    }
   }
 
   test("categoricalDrift: union key grid surfaces appearing/vanishing categories") {
