@@ -97,8 +97,8 @@ final class DPEngine(
     // sensitivity of the privacy-unit count is L1 = l0 (Laplace) /
     // L2 = sqrt(l0) (Gaussian).
     val selectionSensitivity = params.noiseKind match {
-      case NoiseKind.Laplace  => params.maxPartitionsContributed.toDouble
-      case NoiseKind.Gaussian => math.sqrt(params.maxPartitionsContributed.toDouble)
+      case NoiseKind.Laplace  => effectiveL0(params).toDouble
+      case NoiseKind.Gaussian => math.sqrt(effectiveL0(params).toDouble)
     }
     val selectionHandle =
       if (publicPartitions.isEmpty) {
@@ -130,7 +130,7 @@ final class DPEngine(
         val selector = selectionHandle.map { h =>
           val spec = h.spec
           PartitionSelection.create(params.partitionSelectionStrategy, spec.epsilon,
-            spec.delta, params.maxPartitionsContributed, params.preThreshold)
+            spec.delta, effectiveL0(params), params.preThreshold)
         }
         assemble(df, params, columns, publicPartitions, computer, selector, noise,
           plan.buildQuantile(), plan.buildVector(), shards = l0ShardingFactor)
@@ -146,16 +146,17 @@ final class DPEngine(
       def add(s: String): Unit = { stage += 1; lines += s"$stage. $s" }
       if (publicPartitions.isDefined)
         add("Public partition filtering: dropped rows of non-public partitions before any aggregation")
-      params.maxContributions match {
+      if (params.contributionBoundsAlreadyEnforced)
+        add("Contribution bounding: SKIPPED — caller vouched that bounds are already enforced")
+      else params.maxContributions match {
         case Some(mc) =>
           add(s"Contribution bounding (L1, total): randomly sampled <= $mc contributions per privacy unit")
-        case None if params.contributionBoundsAlreadyEnforced =>
-          add("Contribution bounding: SKIPPED — caller vouched that bounds are already enforced")
         case None =>
-          params.maxContributionsPerPartition.foreach { c =>
-            add(s"Contribution bounding (Linf, per-partition): randomly sampled <= $c " +
-              "contributions per (privacy unit, partition)")
-          }
+          if (needsLinfSampling(params))
+            params.maxContributionsPerPartition.foreach { c =>
+              add(s"Contribution bounding (Linf, per-partition): randomly sampled <= $c " +
+                "contributions per (privacy unit, partition)")
+            }
           add("Contribution bounding (L0, cross-partition): randomly sampled <= " +
             s"${params.maxPartitionsContributed} partitions per privacy unit")
       }
@@ -178,7 +179,7 @@ final class DPEngine(
           add(s"Partition selection (post-aggregation thresholding): ${sel.describe}")
         } else {
           val sel = PartitionSelection.create(params.partitionSelectionStrategy,
-            spec.epsilon, spec.delta, params.maxPartitionsContributed, params.preThreshold)
+            spec.epsilon, spec.delta, effectiveL0(params), params.preThreshold)
           add(s"Partition selection: ${sel.describe}")
         }
       }
@@ -209,10 +210,10 @@ final class DPEngine(
   ): ThresholdingSelection = spec.noiseStdDev match {
     case Some(nstd) =>
       PartitionSelection.fromNoiseStd(strategy, nstd * sensitivity,
-        spec.thresholdingDelta.get, params.maxPartitionsContributed, params.preThreshold)
+        spec.thresholdingDelta.get, effectiveL0(params), params.preThreshold)
     case None =>
       PartitionSelection.create(strategy, spec.epsilon, spec.delta,
-        params.maxPartitionsContributed, params.preThreshold)
+        effectiveL0(params), params.preThreshold)
         .asInstanceOf[ThresholdingSelection]
   }
 
@@ -239,7 +240,13 @@ final class DPEngine(
       params.strategy match {
         case PartitionSelectionStrategyKind.WeightedGaussianThresholding =>
           // weight = 1/sqrt(#partitions of the unit); threshold the weight sums
-          // (reference: dp_engine.py:664-714)
+          // (reference: dp_engine.py:664-714). The weighted mechanism has no
+          // pre-threshold arm — silently dropping the caller's explicit
+          // policy would release small partitions they asked to suppress.
+          require(params.preThreshold.isEmpty,
+            "preThreshold is not supported with WeightedGaussianThresholding " +
+              "(the weighted mechanism thresholds weight sums, not unit counts); " +
+              "use Laplace/Gaussian thresholding for preThreshold")
           val sel = WeightedGaussianSelection(spec.epsilon, spec.delta,
             params.maxPartitionsContributed)
           val w = Window.partitionBy(col(PidCol))
@@ -331,6 +338,14 @@ object DPEngine {
   /** Whether any requested metric needs per-(pid, pk) contribution sampling
     * (reference: combiners.py expects_per_partition_sampling; sum in
     * per-partition-bound mode and privacy_id_count do not). */
+  /** Partitions one unit can influence: in maxContributions (L1) mode the
+    * L1 sample is the only enforced bound, so a unit may touch up to mc
+    * partitions — maxPartitionsContributed is NOT enforced there (it
+    * defaults to 1) and using it would under-calibrate partition
+    * selection mc-fold. */
+  private def effectiveL0(params: AggregateParams): Int =
+    params.maxContributions.getOrElse(params.maxPartitionsContributed)
+
   private def needsLinfSampling(params: AggregateParams): Boolean =
     params.metrics.exists {
       case Metric.Count | Metric.Mean | Metric.Variance | _: Metric.Percentile => true
@@ -355,9 +370,20 @@ object DPEngine {
     val pkNames = columns.partitionKeys.map(_._1)
     val pkCols = pkNames.map(col)
     val isVector = vector.isDefined
+    // fail loud on NULL values: sum(all-null group) is SQL NULL, which
+    // would ride through the merge, skip the primitive-typed metrics UDF
+    // (Spark nulls it out), and RELEASE null metrics with no noise — an
+    // exact "every value was null" disclosure. A null value has no
+    // clipping semantics either; the caller must filter or impute.
+    def noNull(v: Column, shape: String): Column =
+      when(v.isNull, raise_error(lit(
+        s"DPEngine: NULL $shape value for a privacy unit — nulls have no " +
+          "clipping semantics and would release un-noised null metrics; " +
+          "filter or impute upstream"))).otherwise(v)
     val valueExpr =
-      if (isVector) columns.value.get.cast("array<double>")
-      else columns.value.getOrElse(lit(1.0)).cast("double")
+      if (isVector) noNull(columns.value.get, "vector").cast("array<double>")
+      else columns.value.map(v => noNull(v, "scalar").cast("double"))
+        .getOrElse(lit(1.0).cast("double"))
 
     // stage 3: extract (pid, pk..., value) — Catalyst prunes everything else
     var cur = df.select(
@@ -368,16 +394,22 @@ object DPEngine {
     // stage 4: drop non-public partitions early (semi-join; broadcast when small)
     publicPartitions.foreach { pub => cur = cur.join(pub, pkNames, "left_semi") }
 
-    // stage 5a: Linf bounding — sample <= c contributions per (pid, pk)
+    // stage 5a: contribution sampling. In maxContributions (total-L1) mode
+    // the sampling below IS the entire contribution bound — it must run
+    // for EVERY metric: needsLinfSampling only says per-partition (Linf)
+    // sampling is unnecessary (privacy_id_count, per-partition-bounded
+    // sum), but skipping the L1 sample would leave contributions fully
+    // unbounded while noise is calibrated to mc.
     val doSampling = !params.contributionBoundsAlreadyEnforced
-    if (doSampling && needsLinfSampling(params)) {
+    if (doSampling) {
       params.maxContributions match {
         case Some(mc) => // L1 bounding: <= mc rows per pid across all partitions
           cur = sampleRowsPerKey(cur, Seq(PidCol), mc, shards)
-        case None =>
+        case None if needsLinfSampling(params) =>
           params.maxContributionsPerPartition.foreach { c =>
             cur = sampleRowsPerKey(cur, PidCol +: pkNames, c, shards)
           }
+        case None => // Linf sampling unnecessary for this metric set
       }
     }
 
@@ -437,7 +469,7 @@ object DPEngine {
         quantile.map(_ => col(TreeCol)).toSeq ++ // null tree = empty tree
         vector.map(v => coalesce(col(VecCol),
           array_repeat(lit(0.0), v.vectorSize)).as(VecCol)).toSeq
-      agg = pub.distinct().join(agg, pkNames, "left_outer").select(
+      agg = pub.select(pkCols: _*).distinct().join(agg, pkNames, "left_outer").select(
         pkCols ++ Seq(
           coalesce(col(CntCol), lit(0L)).as(CntCol),
           coalesce(col(SumCol), lit(0.0)).as(SumCol),

@@ -67,6 +67,16 @@ object Dataflow {
     require(Integer.bitCount(mBits) == 1 && mBits >= 64,
       s"mBits must be a power of two >= 64, got $mBits")
     require(d > 0, s"d must be positive, got $d")
+    // the bloom probe hashes each side's key RENDERED AS A STRING, so the
+    // two sides must render identically: a DOUBLE 1.0 ("1.0") probed
+    // against an INT 1 ("1") would be filtered out even though the
+    // equi-join (with Spark's implicit numeric coercion) would match it —
+    // silently violating the exactness guarantee. Require identical types
+    // instead of guessing a coercion.
+    require(big.schema(bigKey).dataType == small.schema(smallKey).dataType,
+      s"bloomFilteredJoin: key types differ (${big.schema(bigKey).dataType} vs " +
+        s"${small.schema(smallKey).dataType}) — the string-rendered bloom probe " +
+        "would disagree with the join's coercion; cast the keys to one type first")
     val words = new Array[Long](mBits / 64)
     // bounded driver assembly: bloomBits emits <= min(d*|keys|, mBits) rows
     graft.ops.Sketches.bloomBits(small.select(col(smallKey)), smallKey, d, mBits)

@@ -95,6 +95,10 @@ final case class VariancePart(
 
   private val middle = minValue + (maxValue - minValue) / 2
   private val (sqMin, _) = Mechanisms.squaresInterval(minValue, maxValue)
+  private val sqNMid = {
+    val halfR = (maxValue - minValue) / 2
+    halfR * halfR / 2
+  }
 
   def compute(acc: DpAcc, noise: NoiseSource) = {
     val dpCount = countMechanism.addNoise(acc.cnt.toDouble, noise)
@@ -104,8 +108,12 @@ final case class VariancePart(
     val dpNormMean =
       if (minValue == maxValue) minValue
       else normSumMechanism.get.addNoise(acc.nsum, noise) / denom
+    // center the squares per contribution before noising (sensitivity
+    // sqNMid * c instead of 2x that), then restore the offset with the
+    // ALREADY-NOISED count — see the nsq sensitivity note in the planner
     val dpSqMean = normSqMechanism match {
-      case Some(m) => m.addNoise(acc.nsq, noise) / denom
+      case Some(m) =>
+        (m.addNoise(acc.nsq - acc.cnt * sqNMid, noise) + dpCount * sqNMid) / denom
       case None    => sqMin
     }
     val dpVar = dpSqMean - dpNormMean * dpNormMean
@@ -155,15 +163,30 @@ object CompoundComputer {
     /** Percentile computation (separate input: the merged quantile tree). */
     def buildQuantile(): Option[QuantileComputer] = quantileHandle.map { h =>
       val ps = params.metrics.collect { case Metric.Percentile(p) => p }
+      // maxContributions (total-L1) mode: the only enforced bound is
+      // <= mc rows per unit IN TOTAL, so the sound per-level model is all
+      // of them concentrated in one partition/node -> (l0 = 1, c = mc),
+      // which upper-bounds both the L1 (1 * mc) and L2 (sqrt(1) * mc)
+      // readings; the per-partition parameters are unenforced there and
+      // default to 1, which would under-calibrate mc-fold.
+      val (qL0, qC) = params.maxContributions match {
+        case Some(mc) => (1, mc)
+        case None => (params.maxPartitionsContributed,
+          params.maxContributionsPerPartition.getOrElse(1))
+      }
       QuantileComputer(ps, h.spec, params.minValue.get, params.maxValue.get,
-        params.maxPartitionsContributed,
-        params.maxContributionsPerPartition.getOrElse(1), params.noiseKind)
+        qL0, qC, params.noiseKind)
     }
 
     /** Vector-sum noiser (separate input: the merged vector). */
     def buildVector(): Option[VectorOps.VectorNoiser] = vectorHandle.map { h =>
+      // L1 mode: a unit may touch up to mc partitions (each partition
+      // vector independently norm-clipped), so the vector l0 is mc — the
+      // per-partition l0 is unenforced there and defaults to 1
       VectorOps.VectorNoiser(h.spec, params.vectorNormKind, params.vectorMaxNorm,
-        params.vectorSize, params.maxPartitionsContributed, params.noiseKind)
+        params.vectorSize,
+        params.maxContributions.getOrElse(params.maxPartitionsContributed),
+        params.noiseKind)
     }
     /** Build serializable mechanisms from resolved budgets. Driver-side. */
     def build(noise: NoiseSource): CompoundComputer = {
@@ -182,18 +205,34 @@ object CompoundComputer {
         val (minV, maxV) = (p.minValue.get, p.maxValue.get)
         val nsumMech =
           if (minV == maxV) None else Some(mk(e2, d2, Mechanisms.sensitivitiesForNormalizedSum(p)))
-        val (sqMin, sqMax) = Mechanisms.squaresInterval(minV, maxV)
+        // Sensitivity of the sum-of-squares statistic. The accumulator is
+        // sum((clip(v)-mid)^2), whose per-contribution range is
+        // [0, (R/2)^2] with R = max-min — the squares of the NORMALIZED
+        // values. (The reference derives this from
+        // squares_interval(min, max) of the RAW range, which coincides
+        // only for sign-spanning ranges: for [10, 20] it reads [100, 400]
+        // while the accumulated statistic lives in [0, 25] — 6x
+        // over-noised — and for [-10, 10] its half-width convention
+        // under-states the uncentered statistic's sensitivity 2x. Both
+        // repaired here; documented as a deviation in ARCHITECTURE.md.)
+        // VariancePart releases noise(nsq - cnt*sqNMid) + dpCount*sqNMid,
+        // so the noised term is centered per contribution to
+        // [-sqNMid, +sqNMid] with sqNMid = (R/2)^2 / 2 — the same
+        // centering the normalized-sum path gets from (v - mid).
+        val halfR = (maxV - minV) / 2
+        val sqNMid = halfR * halfR / 2
         val nsqMech =
-          if (sqMin == sqMax) None
+          if (minV == maxV) None
           else {
-            // sensitivity of the sum of squared normalized values, derived
-            // from the squares interval (reference: dp_computations.py:386-410)
-            val sqMid = sqMin + (sqMax - sqMin) / 2
-            val linf = p.maxContributionsPerPartition
-              .map(_ * math.abs(sqMid - sqMin))
-              .getOrElse(math.abs(sqMid - sqMin))
-            Some(mk(e3, d3,
-              Sensitivities(l0 = Some(p.maxPartitionsContributed), linf = Some(linf))))
+            val sens = p.maxContributions match {
+              case Some(mc) =>
+                val s2 = sqNMid * mc
+                Sensitivities(l1Given = Some(s2), l2Given = Some(s2))
+              case None =>
+                Sensitivities(l0 = Some(p.maxPartitionsContributed),
+                  linf = Some(sqNMid * p.maxContributionsPerPartition.get))
+            }
+            Some(mk(e3, d3, sens))
           }
         parts += VariancePart(countMech, nsumMech, nsqMech, minV, maxV,
           includeMean = has(Mean), includeCount = has(Count), includeSum = has(Sum))

@@ -116,7 +116,8 @@ object MultiValueSum {
             sum(col(s"__mv_${c.name}")).as(s"__mv_${c.name}")): _*)
 
       publicPartitions.foreach { pub =>
-        agg = pub.distinct().join(agg, pkNames, "left_outer").select(
+        agg = pub.select(pkNames.map(col): _*).distinct()
+          .join(agg, pkNames, "left_outer").select(
           pkCols ++ (coalesce(col(PidCntCol), lit(0L)).as(PidCntCol) +:
             params.columnBounds.map(c =>
               coalesce(col(s"__mv_${c.name}"), lit(0.0)).as(s"__mv_${c.name}"))): _*)
@@ -256,7 +257,8 @@ object MultiValueAgg {
             count(lit(1)).as(PidCntCol): _*)
 
       publicPartitions.foreach { pub =>
-        agg = pub.distinct().join(agg, pkNames, "left_outer").select(
+        agg = pub.select(pkNames.map(col): _*).distinct()
+          .join(agg, pkNames, "left_outer").select(
           pkCols ++ (Seq(
             coalesce(col(CntCol), lit(0L)).as(CntCol),
             coalesce(col(PidCntCol), lit(0L)).as(PidCntCol)) ++

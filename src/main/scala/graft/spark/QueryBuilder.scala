@@ -101,6 +101,11 @@ final class QueryBuilder(df: DataFrame, privacyUnitColumn: String) {
     val caps = specs.filter(s => s.minValue.isDefined || s.maxValue.isDefined)
       .map(s => (s.minValue, s.maxValue)).distinct
     require(caps.size <= 1, "All aggregations must use the same [min, max] caps")
+    caps.headOption.foreach { case (lo, hi) =>
+      require(lo.isDefined && hi.isDefined,
+        "minValue and maxValue must BOTH be set on a capped aggregation " +
+          s"(got minValue=$lo, maxValue=$hi)") // was a bare None.get crash
+    }
     new DPQuery(df, privacyUnitColumn, by, inputCols.headOption,
       specs.map(s => (s.metric, s.outputColumn.getOrElse(s.metric.name))).toSeq,
       caps.headOption.map(_._1.get), caps.headOption.map(_._2.get),

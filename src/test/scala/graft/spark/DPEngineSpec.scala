@@ -43,6 +43,110 @@ class DPEngineSpec extends AnyFunSuite {
 
   def roles = DPColumns("pid", "pk", "v")
 
+  test("maxContributions (L1) bounding is enforced for EVERY metric set") {
+    // one unit spread over 40 partitions: PrivacyIdCount skips Linf
+    // sampling, but in L1 mode the sample IS the bound — without it the
+    // released pid-count mass would be 40 while noise is calibrated to 5
+    val wide = (1 to 40).map(i => ("u1", s"pk$i", 1.0)).toDF("pid", "pk", "v")
+    val engine = zeroEngine()
+    val params = AggregateParams(
+      metrics = Seq(Metric.PrivacyIdCount),
+      maxContributions = Some(5))
+    val res = engine.aggregate(wide, params, roles,
+      publicPartitions = Some((1 to 40).map(i => s"pk$i").toDF("pk")))
+    engine.accountant.computeBudgets()
+    val mass = res.dataframe.collect().map(_.getDouble(1)).sum
+    assert(mass == 5.0, s"L1 bound not enforced: released pid mass $mass (want 5)")
+    // same hole for per-partition-bounded SUM (also skips Linf sampling)
+    val engine2 = zeroEngine()
+    val params2 = AggregateParams(
+      metrics = Seq(Metric.Sum),
+      maxContributions = Some(3),
+      minSumPerPartition = Some(0.0), maxSumPerPartition = Some(10.0))
+    val res2 = engine2.aggregate(wide, params2, roles,
+      publicPartitions = Some((1 to 40).map(i => s"pk$i").toDF("pk")))
+    engine2.accountant.computeBudgets()
+    val sumMass = res2.dataframe.collect().map(_.getDouble(1)).sum
+    assert(sumMass == 3.0, s"L1 bound not enforced for sum: $sumMass (want 3)")
+  }
+
+  test("L1 mode calibrates quantile/vector/selection to mc, not the unenforced defaults") {
+    val engine = zeroEngine()
+    val params = AggregateParams(
+      metrics = Seq(Metric.Percentile(50)),
+      maxContributions = Some(100),
+      minValue = Some(0.0), maxValue = Some(10.0))
+    val plan = CompoundComputer.plan(params, engine.accountant)
+    engine.accountant.computeBudgets()
+    val q = plan.buildQuantile().get
+    // sound per-level model: all mc contributions on one node
+    assert(q.maxPartitionsContributed == 1 && q.maxContributionsPerPartition == 100,
+      s"got (${q.maxPartitionsContributed}, ${q.maxContributionsPerPartition})")
+    val engineV = zeroEngine()
+    val paramsV = AggregateParams(
+      metrics = Seq(Metric.VectorSum),
+      maxContributions = Some(7),
+      vectorSize = 4, vectorMaxNorm = 1.0)
+    val planV = CompoundComputer.plan(paramsV, engineV.accountant)
+    engineV.accountant.computeBudgets()
+    assert(planV.buildVector().get.l0 == 7)
+  }
+
+  test("variance nsq is centered: calibration-independent exactness on an offset range") {
+    // [10, 20]: R/2 = 5, the normalized squares live in [0, 25] — both the
+    // raw squaresInterval (100..400) readings are wrong for this statistic.
+    // Zero noise must still reproduce the exact variance.
+    val engine = zeroEngine()
+    val params = AggregateParams(
+      metrics = Seq(Metric.Variance, Metric.Mean, Metric.Count),
+      maxPartitionsContributed = 5,
+      maxContributionsPerPartition = Some(10),
+      minValue = Some(10.0), maxValue = Some(20.0))
+    val data = Seq(
+      ("u1", "pk1", 12.0), ("u2", "pk1", 14.0), ("u3", "pk1", 18.0),
+      ("u4", "pk1", 16.0)).toDF("pid", "pk", "v")
+    val res = engine.aggregate(data, params, roles)
+    engine.accountant.computeBudgets()
+    val r = res.dataframe.collect().head
+    val vals = Seq(12.0, 14.0, 18.0, 16.0)
+    val mean = vals.sum / 4
+    val exactVar = vals.map(x => (x - mean) * (x - mean)).sum / 4
+    assert(math.abs(r.getAs[Double]("variance") - exactVar) < 1e-9,
+      s"variance ${r.getAs[Double]("variance")} != $exactVar")
+    assert(r.getAs[Double]("mean") == mean)
+  }
+
+  test("NULL values fail loud instead of releasing un-noised null metrics") {
+    val engine = zeroEngine()
+    val params = AggregateParams(
+      metrics = Seq(Metric.Sum),
+      maxPartitionsContributed = 5,
+      maxContributionsPerPartition = Some(10),
+      minValue = Some(0.0), maxValue = Some(100.0))
+    val withNull = Seq(("u1", "pk1", Some(1.0)), ("u2", "pk1", None))
+      .toDF("pid", "pk", "v")
+    val res = engine.aggregate(withNull, params, roles)
+    engine.accountant.computeBudgets()
+    intercept[Exception] { res.dataframe.collect() }
+  }
+
+  test("public partitions with extra columns release one row per key") {
+    val engine = zeroEngine()
+    val params = AggregateParams(
+      metrics = Seq(Metric.Count),
+      maxPartitionsContributed = 5,
+      maxContributionsPerPartition = Some(10))
+    // pub carries a second column with two rows for pk1: the outer join
+    // must project to the partition keys first or pk1 doubles
+    val pub = Seq(("pk1", "EU"), ("pk1", "US"), ("pk2", "EU"), ("pkX", "EU"))
+      .toDF("pk", "region")
+    val res = engine.aggregate(fixture, params, roles, Some(pub))
+    engine.accountant.computeBudgets()
+    val rows = res.dataframe.collect().map(r => r.getString(0) -> r.getDouble(1))
+    assert(rows.length == 3, s"duplicate public-key releases: ${rows.toSeq}")
+    assert(rows.toMap == Map("pk1" -> 5.0, "pk2" -> 3.0, "pkX" -> 0.0))
+  }
+
   test("count + sum + pid count, zero noise, generous bounds = exact") {
     val engine = zeroEngine()
     val params = AggregateParams(
