@@ -24,7 +24,13 @@ final class DPStrategySelector(
   require(delta > 0 || isPublicPartitions,
     "private partition selection requires delta > 0")
 
-  def getDpStrategy(sensitivities: Sensitivities): DPStrategy = {
+  /** `allowPostAggregationThresholding = false` restricts the choice to
+    * strategies [[UtilityAnalysisConfig]] can express: the tuner scores
+    * candidates under the split-budget model (eps/2 noise + eps/2
+    * selection), so recommending the post-agg merged mechanism there
+    * would optimize a deployment the scored RMSE does not describe. */
+  def getDpStrategy(sensitivities: Sensitivities,
+      allowPostAggregationThresholding: Boolean = true): DPStrategy = {
     if (metrics.isEmpty)
       return DPStrategy(None,
         Some(selectPartitionSelectionStrategy(epsilon, delta, sensitivities.l0.get)),
@@ -36,7 +42,7 @@ final class DPStrategySelector(
     if (isPublicPartitions)
       DPStrategy(Some(selectNoiseKind(epsilon, delta, scaled)), None,
         postAggregationThresholding = false)
-    else if (usePostAggregationThresholding) {
+    else if (allowPostAggregationThresholding && usePostAggregationThresholding) {
       // half of delta to the noise, half to thresholding
       // (reference: dp_strategy_selector.py:100-116)
       val sens = Sensitivities(l0 = Some(scaled.l0.get), linf = Some(1.0))
@@ -225,6 +231,17 @@ final case class TuneOptions(
   require(metric == Metric.Count || metric == Metric.PrivacyIdCount || metric == Metric.Sum,
     s"tuning supports COUNT, PRIVACY_ID_COUNT and SUM, got $metric " +
       "(reference: parameter_tuning.py:469-475)")
+  // reject metric/parameter mismatches LOUDLY: the candidate generator
+  // only applies maxContributionsPerPartition tuning to COUNT and
+  // maxSumPerPartition tuning to SUM — a mismatched flag would be
+  // silently ignored and tune() would hand the untouched blueprint back
+  // labeled "best"
+  require(!parametersToTune.maxContributionsPerPartition || metric == Metric.Count,
+    s"maxContributionsPerPartition tuning applies only to COUNT; for ${metric.name} " +
+      "the flag has no effect — drop it or tune maxPartitionsContributed")
+  require(!parametersToTune.maxSumPerPartition || metric == Metric.Sum,
+    s"maxSumPerPartition tuning applies only to SUM; for ${metric.name} " +
+      "the flag has no effect — drop it or tune maxPartitionsContributed")
 }
 
 /** Tuning outcome: the explored configurations, the recommended index (argmin
@@ -300,10 +317,17 @@ object ParameterTuning {
         findCandidatesConstantRelativeStep(hist.linfContributions, maxLinf)
       else Seq(bp.maxContributionsPerPartition)
     val sumBounds: Seq[(Double, Double)] =
-      if (tuneSumLinf)
-        findCandidatesBinsMaxValuesSubsample(hist.linfSumContributions.get, maxLinf)
-          .map(mx => (0.0, mx))
-      else Seq((bp.minSumPerPartition, bp.maxSumPerPartition))
+      if (tuneSumLinf) {
+        // degenerate histograms (all-zero or all-negative per-partition
+        // sums) can yield no positive bin maxima; a (0, mx<=0) candidate
+        // trips config validation and an empty list would crash the pad
+        // below — fall back to the blueprint bounds instead
+        val cands = findCandidatesBinsMaxValuesSubsample(
+            hist.linfSumContributions.get, maxLinf)
+          .filter(_ > 0).map(mx => (0.0, mx))
+        if (cands.nonEmpty) cands
+        else Seq((bp.minSumPerPartition, bp.maxSumPerPartition))
+      } else Seq((bp.minSumPerPartition, bp.maxSumPerPartition))
 
     val linfLen = math.max(linfCounts.length, sumBounds.length)
     def pad[T](a: Seq[T]): Seq[T] = a ++ Seq.fill(linfLen - a.length)(a.head)
@@ -321,8 +345,12 @@ object ParameterTuning {
     val selector = new DPStrategySelector(options.epsilon, options.delta,
       Seq(options.metric), options.publicPartitions)
     candidates.map { c =>
+      // post-agg thresholding cannot ride a UtilityAnalysisConfig, and the
+      // analysis scores the split-budget model — keep what is scored and
+      // what would be deployed identical
       val strategy = selector.getDpStrategy(
-        Sensitivities(l0 = Some(c.maxPartitionsContributed), linf = Some(1.0)))
+        Sensitivities(l0 = Some(c.maxPartitionsContributed), linf = Some(1.0)),
+        allowPostAggregationThresholding = false)
       val noise =
         if (options.parametersToTune.noiseKind) strategy.noiseKind.getOrElse(c.noiseKind)
         else c.noiseKind

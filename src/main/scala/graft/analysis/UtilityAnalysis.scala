@@ -53,6 +53,9 @@ final case class UtilityAnalysisOptions(
   require(configs.nonEmpty, "at least one configuration is required")
   require(partitionsSamplingProb > 0 && partitionsSamplingProb <= 1,
     s"partitionsSamplingProb must be in (0, 1], got $partitionsSamplingProb")
+  require(publicPartitions || delta > 0,
+    "private partition selection requires delta > 0 " +
+      "(the selection mechanism would otherwise fail deep inside the plan)")
 }
 
 /** Input of the partition-selection probability aggregate: the configuration
@@ -402,7 +405,13 @@ object UtilityAnalysis {
     val outMetricCols = prefixes.flatMap { n =>
       val actual = col(s"__${n}_actual")
       def overW(c: Column): Column = when(tw === 0, lit(0.0)).otherwise(c / tw)
-      def overA(c: Column): Column = when(actual === 0, c).otherwise(c / actual)
+      // ratio columns must stay ratios: when the actual total is 0
+      // (e.g. cancelling sums), emit 0 for nothing-dropped and 1 for
+      // anything-dropped instead of leaking the absolute magnitude into
+      // a column consumers interpolate as a fraction
+      def overA(c: Column): Column =
+        when(actual === 0, when(c === 0, lit(0.0)).otherwise(lit(1.0)))
+          .otherwise(c / actual)
       Seq(
         col(s"${n}_noise_std"),
         overA(col(s"__${n}_dl0")).as(s"${n}_ratio_dropped_l0"),
@@ -432,6 +441,12 @@ object UtilityAnalysis {
       options: UtilityAnalysisOptions,
       publicPartitions: Option[DataFrame] = None
   ): (DataFrame, DataFrame) = {
+    // analyzing SUM with no value column would silently substitute 1.0
+    // per row (correct only for COUNT/PRIVACY_ID_COUNT, where the value
+    // is unused) and recommend sum bounds calibrated against row counts
+    require(!options.metrics.contains(Metric.Sum) || columns.value.isDefined,
+      "SUM analysis requires DPColumns.value — without it every value " +
+        "defaults to 1.0 and the 'sum' results describe row counts")
     val pre = preAggregate(df, columns, options.partitionsSamplingProb)
     val pkNames = columns.partitionKeys.map(_._1)
     val per = perPartitionMetrics(pre, pkNames, options, publicPartitions)
