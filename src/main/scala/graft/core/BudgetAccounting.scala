@@ -75,6 +75,10 @@ sealed abstract class BudgetAccountant(
   ): BudgetHandle = {
     require(!finalized,
       "requestBudget() called after computeBudgets(); build all aggregations first")
+    require(weight > 0, s"budget weight must be > 0, got $weight " +
+      "(zero resolves to infinite noise scale and NaN metrics deep inside tasks)")
+    require(count >= 1, s"budget count must be >= 1, got $count")
+    require(sensitivity > 0, s"sensitivity must be > 0, got $sensitivity")
     // Every delta-consuming mechanism (Gaussian, either thresholding kind,
     // partition selection) is undefined without delta; only pure Laplace may
     // run under totalDelta == 0.
@@ -195,9 +199,11 @@ final class PLDBudgetAccountant(
     if (requests.isEmpty) return
     val base =
       if (totalDelta == 0)
-        // all mechanisms are pure-DP Laplace; naive epsilon split
+        // all mechanisms are pure-DP Laplace; naive epsilon split over
+        // weight * count — a mechanism applied count times composes
+        // count-fold here exactly as the PLD path selfComposes it
         // (reference: budget_accounting.py:600-605)
-        requests.iterator.map(_.weight).sum / totalEpsilon * sqrt2
+        requests.iterator.map(_.epsWeight).sum / totalEpsilon * sqrt2
       else findMinimumBaseNoiseStd()
     baseNoiseStd = Some(base)
     val nThresholding = requests.count(h => isThresholding(h.mechanismType))

@@ -16,6 +16,11 @@ final class ExponentialMechanism(scoring: ScoringFunction) {
 
   def probabilities(eps: Double, candidates: Seq[Int]): Seq[Double] = {
     require(candidates.nonEmpty, "candidate list must not be empty")
+    require(eps > 0, s"epsilon must be > 0, got $eps")
+    require(scoring.globalSensitivity > 0,
+      s"globalSensitivity must be > 0, got ${scoring.globalSensitivity} — " +
+        "a zero sensitivity yields all-NaN weights and a silently " +
+        "deterministic (non-private) selection")
     var denominator = scoring.globalSensitivity
     if (!scoring.isMonotonic) denominator *= 2
     val raw = candidates.map(k => scoring.score(k) * eps / denominator)

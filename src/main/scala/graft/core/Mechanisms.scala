@@ -193,9 +193,16 @@ object Mechanisms {
     }
   }
 
-  /** Bounds of {x^2 : x in [min, max]} (reference: dp_computations.py:65-70). */
+  /** Bounds of {x^2 : x in [min, max]} (reference: dp_computations.py:65-70).
+    * Unlike the reference, the pair is ALWAYS (low, high): for a
+    * non-positive range the endpoint squares invert (min^2 >= max^2), and
+    * a caller destructuring ._1 as the minimum (VariancePart's degenerate
+    * fallback) would otherwise read the MAXIMUM square. */
   def squaresInterval(minValue: Double, maxValue: Double): (Double, Double) =
     if (minValue < 0 && 0 < maxValue)
       (0.0, math.max(minValue * minValue, maxValue * maxValue))
-    else (minValue * minValue, maxValue * maxValue)
+    else {
+      val (a, b) = (minValue * minValue, maxValue * maxValue)
+      (math.min(a, b), math.max(a, b))
+    }
 }

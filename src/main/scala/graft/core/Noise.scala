@@ -49,7 +49,12 @@ object DpNoise {
     * on the decreasing map eps -> gaussianDelta (reference:
     * dp_computations.py:138-160). */
   def gaussianEpsilon(sigma: Double, delta: Double): Double = {
-    require(sigma > 0 && delta >= 0 && delta <= 1)
+    // delta must be strictly interior: at delta = 0 the doubling search
+    // never terminates (gaussianDelta underflows to exactly 0 for large
+    // eps, so 0 >= 0 doubles forever into NaN territory), and a Gaussian
+    // mechanism has no finite pure-DP epsilon anyway; delta = 1 is vacuous
+    require(sigma > 0 && delta > 0 && delta < 1,
+      s"gaussianEpsilon needs sigma > 0 and delta in (0, 1), got ($sigma, $delta)")
     val f = (e: Double) => gaussianDelta(sigma, e)
     var lo = 0.0; var hi = 1.0
     if (f(0) >= delta) {
@@ -270,7 +275,11 @@ object NoiseSource {
         () => new java.util.SplittableRandom(seed ^ Thread.currentThread().getId))
     private def r = rng.get()
     def laplace(b: Double): Double = {
-      val u = r.nextDouble() - 0.5
+      // draw u from (-0.5, 0.5) EXCLUSIVE: nextDouble() can return exactly
+      // 0.0 (p = 2^-53 per draw), where log1p(-1) = -Inf would poison any
+      // aggregate the draw lands in
+      var u = r.nextDouble() - 0.5
+      while (u == -0.5) u = r.nextDouble() - 0.5
       -b * math.signum(u) * math.log1p(-2 * math.abs(u))
     }
     def gaussian(sigma: Double): Double = sigma * r.nextGaussian()

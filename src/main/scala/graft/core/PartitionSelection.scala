@@ -141,7 +141,12 @@ final case class TruncatedGeometricSelection(
     val e = epsPerPartition
     var prev = 0.0
     var guard = 0
-    while (prev < 1.0 && guard < 100000000) {
+    // 4M steps is ~32 MB of table and covers any sane (eps, delta, l0);
+    // if pi(n) has not reached 1 by then, returning 1.0 for larger n
+    // would be a DETERMINISTIC release where the mechanism still requires
+    // randomization — refuse instead of silently weakening the DP claim
+    val cap = 4000000
+    while (prev < 1.0 && guard < cap) {
       val up = if (prev == 0.0) deltaPerPartition else math.exp(e) * prev + deltaPerPartition
       val down = 1.0 - math.exp(-e) * (1.0 - prev - deltaPerPartition)
       val next = math.min(1.0, math.min(up, down))
@@ -149,6 +154,11 @@ final case class TruncatedGeometricSelection(
       prev = next
       guard += 1
     }
+    require(prev >= 1.0,
+      s"truncated-geometric keep probabilities did not reach 1 within $cap " +
+        s"steps (eps/partition = $epsPerPartition, delta/partition = " +
+        s"$deltaPerPartition) — the budget is too small for this l0; " +
+        "raise epsilon/delta or lower maxPartitionsContributed")
     buf.toArray
   }
 

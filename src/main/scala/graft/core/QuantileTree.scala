@@ -46,6 +46,10 @@ final class QuantileTree(
   }
 
   def add(value: Double, times: Long = 1): Unit = {
+    // NaN would propagate through the clamp, index leaf 0, and silently
+    // drag every percentile toward `lower` — fail loud instead (the
+    // repo-wide NaN convention, e.g. quantizeInt8 / distributionDrift)
+    require(!value.isNaN, "QuantileTree.add: NaN value — filter or impute upstream")
     val v = math.min(upper, math.max(lower, value))
     var leaf = ((v - lower) / (upper - lower) * numLeaves).toLong
     if (leaf == numLeaves) leaf -= 1 // value == upper

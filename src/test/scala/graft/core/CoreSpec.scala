@@ -179,11 +179,14 @@ class MechanismsSpec extends AnyFunSuite {
     assert(m.addNoise(10.0, NoiseSource.Zero) == 10.0)
   }
 
-  test("squares interval straddles zero correctly") {
+  test("squares interval straddles zero correctly and is always (low, high)") {
     assert(Mechanisms.squaresInterval(-2.0, 3.0) == (0.0, 9.0))
     assert(Mechanisms.squaresInterval(1.0, 3.0) == (1.0, 9.0))
-    assert(Mechanisms.squaresInterval(-3.0, -1.0) == (9.0, 1.0) ||
-      Mechanisms.squaresInterval(-3.0, -1.0) == (9.0, 1.0))
+    // non-positive ranges: the endpoint squares invert; the pair must
+    // still come back ordered (the reference returns (9, 1) here —
+    // a documented deviation, since VariancePart destructures ._1 as
+    // the minimum)
+    assert(Mechanisms.squaresInterval(-3.0, -1.0) == (1.0, 9.0))
   }
 
   test("mean with min==max is the exact endpoint under real noise, no sum budget") {

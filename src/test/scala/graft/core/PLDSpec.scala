@@ -77,6 +77,22 @@ class PLDSpec extends AnyFunSuite {
 class PLDBudgetAccountantSpec extends AnyFunSuite {
   import MechanismType._
 
+  test("pure-Laplace (delta = 0) path composes count-fold") {
+    // a mechanism applied count times must split epsilon count ways on
+    // the naive-split branch exactly as the PLD branch selfComposes it:
+    // per-use eps = 1/10 -> b = 1/eps = 10 -> std = sqrt(2) * 10
+    val acc = new PLDBudgetAccountant(1.0, 0.0)
+    val h = acc.requestBudget(Laplace, weight = 1.0, count = 10)
+    acc.computeBudgets()
+    val std = h.spec.noiseStdDev.get
+    assert(math.abs(std - math.sqrt(2.0) * 10.0) < 1e-9, s"std=$std")
+    // count = 1 control: full epsilon, std = sqrt(2)
+    val acc1 = new PLDBudgetAccountant(1.0, 0.0)
+    val h1 = acc1.requestBudget(Laplace)
+    acc1.computeBudgets()
+    assert(math.abs(h1.spec.noiseStdDev.get - math.sqrt(2.0)) < 1e-9)
+  }
+
   test("gaussian thresholding + gaussian: sigma matches reference value") {
     // (reference: tests/budget_accounting_test.py:561-579 — expected
     // 7.284667; cross-checked against the tight analytic Gaussian bound)
