@@ -164,6 +164,20 @@ private[graft] object EntryCorpus {
       hh.join(exact, Seq("group", "item"), "left")
         .withColumn("abs_err", abs(col("est_count") - col("exact_count")))
     }),
+    "approx_heavy_hitters_exact" -> ((s, dir) => {
+      // oracle-exact twin for approx_heavy_hitters: the true per-group
+      // top-16 items by exact count (count desc, item asc — a strict
+      // total order, so the cut is deterministic). This pins the exact
+      // side the Misra-Gries estimate is probed against.
+      import org.apache.spark.sql.expressions.Window
+      val exact = events(s, dir)
+        .groupBy(col("event_type").as("grp"),
+          col("user_id").cast("string").as("item"))
+        .agg(count(lit(1)).as("exact_count"))
+      val w = Window.partitionBy("grp")
+        .orderBy(col("exact_count").desc, col("item").asc)
+      exact.withColumn("rk", row_number().over(w)).filter(col("rk") <= 16)
+    }),
     "approx_sketch_union" -> ((s, dir) => {
       // the store-sketches-merge-later pattern: per-day DataSketches HLL
       // sketches (persistable binaries in a real pipeline), then a SECOND
@@ -626,6 +640,16 @@ private[graft] object EntryCorpus {
   def oracleSql: Map[String, String] = {
     import OracleFragments._
     Map(
+      "approx_heavy_hitters_exact" ->
+        """WITH c AS (
+             SELECT event_type AS grp, CAST(user_id AS VARCHAR) AS item,
+                    CAST(count(*) AS BIGINT) AS exact_count
+             FROM events GROUP BY 1, 2),
+           r AS (
+             SELECT *, CAST(row_number() OVER (
+               PARTITION BY grp ORDER BY exact_count DESC, item ASC) AS INT) AS rk
+             FROM c)
+           SELECT grp, item, exact_count, rk FROM r WHERE rk <= 16""",
       // fixed-point integer PageRank replay: identical planted footer, edge
       // extraction, and the 5 unrolled rounds — every division the same
       // exact floor(double/double) form, every sum a BIGINT sum, so the

@@ -468,6 +468,24 @@ private[graft] object EntryDP {
       }.toDF("config_index", "l0", "linf", "noise_kind", "selection_strategy",
         "rmse", "is_best", "probe_best_gap_vs_min", "probe_gap_vs_single")
     }),
+    "tune_candidates" -> ((s, dir) => {
+      // oracle-exact twin for tune_params: the DETERMINISTIC half of the
+      // tuner — the histogram-driven candidate grid (geometric L0 × Linf
+      // under the 9-candidate budget) — pinned against a SQL replay. The
+      // oracle recomputes max-L0 (distinct partitions per user) and
+      // max-Linf (contributions per user-partition) straight from events
+      // and replays findCandidatesConstantRelativeStep: for n=3 the only
+      // float step is ceil(sqrt(max)), which the SQL computes in exact
+      // integer arithmetic (smallest k with k*k >= m).
+      val h = eventHistograms(s, dir)
+      val opts = TuneOptions(2.0, 1e-5, Metric.Count, UtilityAnalysisConfig(1, 1),
+        ParametersToTune(maxPartitionsContributed = true, maxContributionsPerPartition = true),
+        numberOfParameterCandidates = 9)
+      import s.implicits._
+      ParameterTuning.findCandidateParameters(h, opts).zipWithIndex.map {
+        case (c, i) => (i, c.maxPartitionsContributed, c.maxContributionsPerPartition)
+      }.toDF("config_index", "l0", "linf")
+    }),
     "stats_error_estimate" -> ((s, dir) => {
       // histogram-only RMSE estimation (no pass over the data beyond the
       // histograms). Oracle-verified: the l0/linf ratio-dropped curves are
@@ -643,6 +661,48 @@ private[graft] object EntryDP {
   def oracleSql: Map[String, String] = {
     import OracleFragments._
     Map(
+      // the tuner's candidate grid, replayed: per histogram the 3-point
+      // constant-relative-step ladder is [1, max(2, ceilsqrt(m)), m]
+      // (dedup'd upward, last pinned to m — findCandidatesConstantRelativeStep
+      // with n = min(3, m)), ceilsqrt in exact integer arithmetic; grid is
+      // l0-major cross product, config_index = row order
+      "tune_candidates" ->
+        """WITH l0m AS (
+             SELECT CAST(max(c) AS BIGINT) AS m FROM (
+               SELECT user_id, count(DISTINCT event_type) AS c
+               FROM events GROUP BY 1)),
+           lim AS (
+             SELECT CAST(max(c) AS BIGINT) AS m FROM (
+               SELECT user_id, event_type, count(*) AS c
+               FROM events GROUP BY 1, 2)),
+           l0s AS (
+             SELECT m, CASE WHEN f*f >= m THEN f
+                            WHEN (f+1)*(f+1) >= m THEN f+1
+                            ELSE f+2 END AS cs
+             FROM (SELECT m, CAST(floor(sqrt(CAST(m AS DOUBLE))) AS BIGINT) AS f
+                   FROM l0m)),
+           lis AS (
+             SELECT m, CASE WHEN f*f >= m THEN f
+                            WHEN (f+1)*(f+1) >= m THEN f+1
+                            ELSE f+2 END AS cs
+             FROM (SELECT m, CAST(floor(sqrt(CAST(m AS DOUBLE))) AS BIGINT) AS f
+                   FROM lim)),
+           l0c AS (
+             SELECT i.idx, CASE i.idx WHEN 0 THEN 1
+                                      WHEN 1 THEN greatest(2, cs)
+                                      ELSE m END AS v
+             FROM (VALUES (0), (1), (2)) AS i(idx), l0s
+             WHERE i.idx < least(3, m)),
+           lic AS (
+             SELECT i.idx, CASE i.idx WHEN 0 THEN 1
+                                      WHEN 1 THEN greatest(2, cs)
+                                      ELSE m END AS v
+             FROM (VALUES (0), (1), (2)) AS i(idx), lis
+             WHERE i.idx < least(3, m))
+           SELECT CAST(row_number() OVER (ORDER BY l.idx, f.idx) - 1 AS INT)
+                    AS config_index,
+                  CAST(l.v AS INT) AS l0, CAST(f.v AS INT) AS linf
+           FROM l0c l CROSS JOIN lic f""",
       "ua_per_partition" -> s"$uaPerPartitionSql SELECT * FROM pp",
       "ua_multi_sum" -> {
         def mcol(c: String, lo: String, hi: String, n: String) =

@@ -306,8 +306,15 @@ private[graft] object EntrySim {
       // rows-only; every row carries probe_ortho_e9 (max |W^T W - I| in
       // 1e-9 units) and probe_resid_e9 (eigen-residual vs the untouched
       // covariance — fails loud if the Jacobi solve is broken).
+      // The array-valued `pc` is posexploded to flat (id, j, pc_j) rows —
+      // the driver harness sorts/hashes scalar columns only (mm_embed
+      // sets the same convention for its feature_vec).
       Similarity.pcaProject(
-        s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding", k = 8)
+          s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding", k = 8)
+        .select(col("id"), posexplode(col("pc")).as(Seq("j", "pc_j")),
+          col("probe_ortho_e9"), col("probe_resid_e9"))
+        .select(col("id"), col("j").cast("int").as("j"), col("pc_j"),
+          col("probe_ortho_e9"), col("probe_resid_e9"))
     }),
     "mm_features" -> ((s, dir) => {
       // multimodal payload plumbing: text bytes as the opaque binary payload

@@ -16,6 +16,19 @@ import org.apache.spark.sql.functions._
 private[graft] object EntryText {
   import EntryHelpers._
 
+  /** Fixed BPE merge table for the text_bpe_apply oracle twin. TRAINING-
+    * CONSISTENT by construction: every operand is a single char, </w>, or
+    * the product of a strictly earlier merge. That property is what makes
+    * rank-greedy application (the real [[Bpe.applyMerges]] loop) equal to
+    * applying each merge exhaustively in list order — applying a later
+    * merge can never create an adjacency for an earlier one, because the
+    * earlier merge's operands cannot contain a later product — which is
+    * exactly the form a SQL oracle can replay as a replace chain. */
+  val fixedBpeMerges: Seq[(String, String)] = Seq(
+    ("e", "</w>"), ("d", "</w>"), ("s", "</w>"), ("t", "h"),
+    ("th", "e</w>"), ("i", "n"), ("a", "n"), ("an", "d</w>"),
+    ("e", "r"), ("o", "n"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- training-data pipeline operators (graft.ops) ----
     "text_token_stats" -> ((s, dir) => {
@@ -260,6 +273,27 @@ private[graft] object EntryText {
               concat(col("bw.word"), lit(ops.Bpe.EndOfWord)), 1L)
             .otherwise(0L)).as("n_roundtrip_violations"))
     }),
+    "text_bpe_apply" -> ((s, dir) => {
+      // oracle-exact APPLY twin for text_bpe: the same real
+      // [[Bpe.applyMerges]] rank-greedy loop, but over the hand-pinned
+      // training-consistent merge table [[fixedBpeMerges]] (training — the
+      // one genuinely non-SQL-expressible half — is skipped), on the
+      // corpus's top-200 words (count desc, word asc: a strict total
+      // order). The oracle replays the apply as a bracket-encoded replace
+      // chain: each symbol rides as {sym}, so a pair merge is one
+      // disjoint-match string replace, and training-consistency makes
+      // sequential-exhaustive == rank-greedy (see fixedBpeMerges doc).
+      val words = s.read.parquet(s"$dir/documents.parquet")
+        .select(explode(expr(
+          "regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("n_occurrences"))
+        .orderBy(col("n_occurrences").desc, col("word").asc).limit(200)
+      words.select(col("word"), col("n_occurrences"),
+          explode(Bpe.applyMerges(col("word"), fixedBpeMerges)).as("bw"))
+        .select(col("word"), col("n_occurrences"),
+          concat_ws(" ", col("bw.tokens")).as("tokens"),
+          size(col("bw.tokens")).cast("long").as("n_tokens"))
+    }),
     "text_html_strip" -> ((s, dir) => {
       // boilerplate removal on synthesized HTML (the mm_* pattern: build a
       // deterministic artifact in-query, run the REAL operator, verify the
@@ -337,7 +371,30 @@ private[graft] object EntryText {
 
   def oracleSql: Map[String, String] = {
     import OracleFragments._
+    // the text_bpe_apply replace chain, generated from the SAME merge
+    // table the Spark side applies so the two cannot drift
+    val bpeChain = fixedBpeMerges.foldLeft("s") { case (acc, (a, b)) =>
+      s"replace($acc, '{$a}{$b}', '{$a$b}')"
+    }
     Map(
+      "text_bpe_apply" ->
+        s"""WITH toks AS (
+              SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+              FROM documents),
+            top AS (
+              SELECT word, CAST(count(*) AS BIGINT) AS n_occurrences
+              FROM toks GROUP BY 1
+              ORDER BY n_occurrences DESC, word ASC LIMIT 200),
+            enc AS (
+              SELECT word, n_occurrences,
+                     regexp_replace(word, '(.)', '{\\1}', 'g') || '{</w>}' AS s
+              FROM top),
+            m AS (SELECT word, n_occurrences, $bpeChain AS s2 FROM enc)
+            SELECT word, n_occurrences,
+                   trim(replace(s2, '}{', ' '), '{}') AS tokens,
+                   CAST(len(string_split(trim(replace(s2, '}{', ' '), '{}'), ' '))
+                     AS BIGINT) AS n_tokens
+            FROM m""",
       "text_quality" ->
         """SELECT doc_id,
               CAST(len(text) AS BIGINT) AS n_chars,

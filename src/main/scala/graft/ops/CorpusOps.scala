@@ -1113,8 +1113,12 @@ object CorpusOps {
     * Same exact BIGINT cross deviation; same no-corpus-shuffle plan (two
     * map-side-combined aggregates, one category-cardinality join). */
   def categoricalDrift(a: DataFrame, b: DataFrame, keyCol: String): DataFrame = {
+    // NULL keys fold to a sentinel category BEFORE the join: a full_outer
+    // join never matches NULL = NULL, so a null-keyed category present in
+    // both snapshots would emit TWO rows (one side zeroed each) and read
+    // as simultaneously vanished AND appeared instead of one compared row.
     def counted(df: DataFrame, n: String) = df
-      .select(col(keyCol).cast("string").as("category"))
+      .select(coalesce(col(keyCol).cast("string"), lit("__null")).as("category"))
       .groupBy("category").agg(count(lit(1)).as(n))
     val joined = counted(a, "n_a")
       .join(counted(b, "n_b"), Seq("category"), "full_outer")

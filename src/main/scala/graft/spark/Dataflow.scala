@@ -71,12 +71,19 @@ object Dataflow {
     // two sides must render identically: a DOUBLE 1.0 ("1.0") probed
     // against an INT 1 ("1") would be filtered out even though the
     // equi-join (with Spark's implicit numeric coercion) would match it —
-    // silently violating the exactness guarantee. Require identical types
-    // instead of guessing a coercion.
-    require(big.schema(bigKey).dataType == small.schema(smallKey).dataType,
-      s"bloomFilteredJoin: key types differ (${big.schema(bigKey).dataType} vs " +
-        s"${small.schema(smallKey).dataType}) — the string-rendered bloom probe " +
-        "would disagree with the join's coercion; cast the keys to one type first")
+    // silently violating the exactness guarantee. Same-FAMILY integral
+    // widths are safe (TINYINT..BIGINT all render 1 as "1" and the join
+    // coerces to the wider type losslessly), so those pass; any other
+    // mismatch (fractional vs integral, string vs numeric, decimal scales)
+    // fails loud instead of guessing a coercion.
+    val (bigT, smallT) = (big.schema(bigKey).dataType, small.schema(smallKey).dataType)
+    val integral = Set[org.apache.spark.sql.types.DataType](
+      org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
+      org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
+    require(bigT == smallT || (integral(bigT) && integral(smallT)),
+      s"bloomFilteredJoin: key types differ ($bigT vs $smallT) — the " +
+        "string-rendered bloom probe would disagree with the join's coercion; " +
+        "cast the keys to one type first (same-width integral pairs are allowed)")
     val words = new Array[Long](mBits / 64)
     // bounded driver assembly: bloomBits emits <= min(d*|keys|, mBits) rows
     graft.ops.Sketches.bloomBits(small.select(col(smallKey)), smallKey, d, mBits)

@@ -61,14 +61,14 @@ class EntryContractSpec extends AnyFunSuite {
     "text_fingerprint" ->
       (Seq("probe_fp_collisions", "probe_text_splits")
         -> Some("text_fingerprint_md5")),
-    "text_bpe" -> (Seq("n_roundtrip_violations") -> None),
+    "text_bpe" -> (Seq("n_roundtrip_violations") -> Some("text_bpe_apply")),
     "tune_params" ->
-      (Seq("probe_best_gap_vs_min", "probe_gap_vs_single") -> None),
+      (Seq("probe_best_gap_vs_min", "probe_gap_vs_single") -> Some("tune_candidates")),
     "approx_distinct_users" ->
       (Seq("exact_users", "rel_err") -> Some("approx_distinct_md5")),
     "approx_sketch_union" ->
       (Seq("sum_day_exact") -> Some("approx_sketch_union_md5")),
-    "approx_heavy_hitters" -> (Seq("exact_count", "abs_err") -> None),
+    "approx_heavy_hitters" -> (Seq("exact_count", "abs_err") -> Some("approx_heavy_hitters_exact")),
     "mm_frame_sample" -> (Seq("probe_idx_unexpected", "probe_missing_frames",
       "probe_decode_failed") -> Some("mm_decode_resize")))
 
@@ -108,5 +108,30 @@ class EntryContractSpec extends AnyFunSuite {
           s"$name: lost in-query probe columns $missing (has $fields)")
       }
     }
+  }
+
+  test("no query output carries a top-level Array/Map/Struct column") {
+    // The driver harness loads each result into pandas and sorts every
+    // column before hashing; an ArrayType/MapType/StructType column makes
+    // that sort throw ("unhashable numpy.ndarray") and the gate row comes
+    // back `err` with NO correctness signal at all — not even the probe
+    // columns get checked (r8's emb_pca). Vector-valued results must be
+    // flattened before returning (posexplode to (id, j, value) rows, the
+    // mm_embed/emb_pca convention). This walks the REAL resolved schema of
+    // every registered query at sf0.001 so the harness's implicit scalar-
+    // columns contract is machine-enforced.
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    val spark = graft.spark.SparkTestSession.spark
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, mk) =>
+        val complex = mk(spark, "/root/testdata/sf0.001").schema.fields.collect {
+          case f if f.dataType.isInstanceOf[ArrayType] ||
+            f.dataType.isInstanceOf[MapType] ||
+            f.dataType.isInstanceOf[StructType] => s"$name.${f.name}: ${f.dataType.simpleString}"
+        }
+        complex
+    }
+    assert(offenders.isEmpty,
+      s"queries returning harness-unhashable complex columns (flatten via posexplode): $offenders")
   }
 }
