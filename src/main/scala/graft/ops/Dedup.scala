@@ -411,15 +411,25 @@ object Dedup {
     val shNew = sigNew.select(col("id"), col("shingles").as("sh_n"))
     val shOld = sigOld.select(col("id").as("match_id"), col("shingles").as("sh_o"))
     candidates.join(shNew, "id").join(shOld, "match_id")
+      // a doc present in BOTH the increment and the store (a replayed
+      // ingest batch) would otherwise match itself at score 1.0 and mask
+      // its true best EXTERNAL match
+      .filter(col("id") =!= col("match_id"))
   }
 
-  /** Best store match per new doc: max score, tie -> smallest store id
-    * (struct max orders lexicographically; -match_id inverts the tie). */
-  private def bestMatchPerId(scored: DataFrame, scoreCol: String): DataFrame =
-    scored.groupBy("id")
-      .agg(max(struct(col(scoreCol), (-col("match_id")).as("nid"))).as("m"))
-      .select(col("id"), (-col("m.nid")).as("match_id"),
-        col(s"m.$scoreCol").as(scoreCol))
+  /** Best store match per new doc: max score, tie -> smallest store id.
+    * row_number over (score desc, match_id asc) rather than
+    * max(struct(score, -match_id)): the negation trick only works for
+    * numeric ids — on string ids Spark casts -id to double, yields null,
+    * and every match_id silently nulls out. The window shuffles the same
+    * candidate-sized frame the groupBy did. */
+  private def bestMatchPerId(scored: DataFrame, scoreCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col(scoreCol).desc, col("match_id").asc)
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("id"), col("match_id"), col(scoreCol))
+  }
 
   def incrementalNearDupsFromSigs(
       newDocs: DataFrame,
@@ -637,6 +647,12 @@ object Dedup {
     df.select(col(idCol).as("id"), col(textCol).as("text"))
       .repartition(col("id"))
       .withColumn("__toks", TextAnalysis.tokens(col("text")))
+      // token-LESS docs (CJK/punctuation-only/empty) must drop BEFORE
+      // shingling: wordShinglesUdf returns the degenerate [""] for an empty
+      // token array, which would give every such doc an identical signature
+      // — one hot bucket, ~N^2/2 false jaccard-1.0 pairs (the portable
+      // twin has always filtered here; this keeps the two paths aligned)
+      .filter(size(col("__toks")) > 0)
       .withColumn("shingles", wordShinglesUdf(shingleSize)(col("__toks")))
       .filter(size(col("shingles")) > 0)
       .withColumn("__sh_hashes", transform(col("shingles"), s => xxhash64(s)))
@@ -710,14 +726,19 @@ object Dedup {
   /** Hamming distance between two 64-bit SimHashes. */
   def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-dup pairs: block on 4 16-bit chunks (a pair within Hamming
-    * distance <= 3 of 64 bits must agree on at least one chunk — pigeonhole),
-    * verify with exact Hamming distance. */
+  /** SimHash near-dup pairs: block on maxHamming+1 signature chunks (a pair
+    * within Hamming distance h of 64 bits must agree on at least one of h+1
+    * disjoint chunks — pigeonhole; the default h = 3 is the classic 4x16
+    * grid), verify with exact Hamming distance. */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, maxBucket: Int = 0): DataFrame = {
     val sigs = df.select(col(idCol).as("id"), col(textCol).as("text"))
       .repartition(col("id"))
-      .withColumn("__th", transform(TextAnalysis.tokens(col("text")), t => xxhash64(t)))
+      .withColumn("__toks", TextAnalysis.tokens(col("text")))
+      // token-less docs would all get the degenerate signature 0 and pair
+      // up at hamming 0 — exclude them, as the portable variant always has
+      .filter(size(col("__toks")) > 0)
+      .withColumn("__th", transform(col("__toks"), t => xxhash64(t)))
       // bit-identical to simHashFromHashes (same token hashes, same sign
       // sums) but one unboxed loop instead of 64 interpreted aggregates
       .select(col("id"), simHashUdf(col("__th")).as("sig"))
@@ -754,7 +775,21 @@ object Dedup {
     * they ride the candidate shuffle directly (cheaper than a join-back). */
   private def simHashPairsFromSigs(sigs: DataFrame, maxHamming: Int,
       maxBucket: Int = 0): DataFrame = {
-    val chunks = (0 until 4).map(c => shiftright(col("sig"), c * 16).bitwiseAND(0xFFFFL))
+    // pigeonhole completeness: a pair within hamming distance h of 64 bits
+    // must agree on at least one of h+1 disjoint chunks, so the chunk
+    // count is SIZED FROM maxHamming (h+1 near-equal-width slices; the
+    // default h = 3 gives exactly the classic 4x16 grid). A fixed 4-chunk
+    // grid at h > 3 would silently lose pairs whose h differing bits land
+    // one per chunk — candidates the exact verify claims to accept.
+    require(maxHamming >= 0 && maxHamming < 64,
+      s"maxHamming must be in [0, 63] for 64-bit signatures (got $maxHamming)")
+    val nChunks = maxHamming + 1
+    val chunks = (0 until nChunks).map { c =>
+      val lo = c * 64 / nChunks
+      val width = (c + 1) * 64 / nChunks - lo
+      val mask = if (width == 64) -1L else (1L << width) - 1L
+      shiftright(col("sig"), lo).bitwiseAND(mask)
+    }
     val chunked = sigs.select(col("id"), col("sig"),
       posexplode(array(chunks: _*)).as(Seq("chunk", "key")))
     val l = chunked.select(col("chunk"), col("key"), col("id").as("id_a"), col("sig").as("sig_a"))
@@ -920,6 +955,16 @@ object Dedup {
     // the probe set — and output is provably identical either way
     // (spec-pinned); on near-uniform corpora the only cost is the 3x
     // probe fanout, which is why it is opt-in.
+    //
+    // MEASURED SCALE BOUNDARY (round-9 ladder, ARCHITECTURE.md): the band
+    // prune is lossless at every rung (identical pair sets 1x/10x/30x)
+    // and buys -24%/-10% at 1x/10x, but it does NOT fix the super-linear
+    // bounded-gram-universe regime — on fixed-length keys (equal-length
+    // heads) every doc shares a band and candidate growth is unchanged
+    // (~0% at 30x). Length banding discriminates only where the corpus
+    // has LENGTH SPREAD. For >= 10x corpora on short low-entropy keys,
+    // route candidate generation through the minhash-banded path and keep
+    // this exact AllPairs path for within-block verification.
     val (pa, pb, bandCond) =
       if (!lengthBandBlocking) (pa0, pb0, lit(true))
       else {

@@ -659,6 +659,11 @@ object Similarity {
         if (!taken(j) && dists(j) < bestD) { bestD = dists(j); best = j }
         j += 1
       }
+      // all remaining distances NaN (a NaN coordinate in the vector poisons
+      // every center distance): fail with the cause, not taken(-1)
+      if (best < 0) throw new IllegalArgumentException(
+        "nSmallest: no orderable distance remains — NaN coordinates in the " +
+          "input vector poison every center distance; filter or impute upstream")
       taken(best) = true; out(o) = best
       o += 1
     }
@@ -710,7 +715,17 @@ object Similarity {
   private def adcDotTables(
       qRows: Array[(Long, Array[Double])],
       codebooks: Array[Array[Array[Double]]], dsub: Int
-  ): Array[Array[Array[Double]]] =
+  ): Array[Array[Array[Double]]] = {
+    // corpus rows get a ragged-length error at encode; queries must get
+    // the same loudness — a short query would AIOOBE in the table loop and
+    // a LONG one would silently score dots over dim coords against a qNorm
+    // over all of them, deflating that query's every cosine
+    val dim = codebooks.length * dsub
+    qRows.foreach { case (qid, v) =>
+      require(v != null && v.length == dim,
+        s"PQ query $qid: vector length ${if (v == null) "null" else v.length} " +
+          s"!= training dim $dim")
+    }
     qRows.map { case (_, v) =>
       Array.tabulate(codebooks.length) { j =>
         codebooks(j).map { cw =>
@@ -720,6 +735,7 @@ object Similarity {
         }
       }
     }
+  }
 
   /** Shared PQ preflight: non-empty uniform-length training sample, dim
     * divisible by m. Returns (dim, dsub). */
@@ -738,7 +754,7 @@ object Similarity {
     udf((a: Array[Double]) => {
       if (a == null) throw new IllegalArgumentException(
         "null vector — cell assignment has no right silent answer; filter upstream")
-      var best = 0; var bestD = Double.MaxValue
+      var best = -1; var bestD = Double.MaxValue
       var c = 0
       while (c < centers.length) {
         val ct = centers(c)
@@ -747,6 +763,11 @@ object Similarity {
         if (s < bestD) { bestD = s; best = c }
         c += 1
       }
+      // a NaN coordinate makes every distance NaN — the old best = 0 start
+      // silently filed such vectors under cell 0; fail loud like nSmallest
+      if (best < 0) throw new IllegalArgumentException(
+        "cell assignment: every center distance is NaN — the vector has " +
+          "NaN coordinates; filter or impute upstream")
       (best, bestD)
     })
 
@@ -758,9 +779,15 @@ object Similarity {
   ): DataFrame = {
     val (train, total) = sampleVectors(corpus, corpusVec, trainRowsTarget, seed)
     val nl = autoNlist(nlist, total)
-    val np = if (nprobe > 0) nprobe else math.max(4, nl / 8)
-    require(np <= nl, s"nprobe must be <= nlist (got nprobe=$np nlist=$nl)")
+    // lloyd clamps to min(nl, |train|) centers; size the DEFAULT probe
+    // count from the effective center count (the ivfPqTopK rule) so a
+    // small explicit nlist or tiny corpus can't trip the require below
+    // with an nprobe the caller never chose
     val centers = lloyd(train, nl, seed)
+    val np = math.min(if (nprobe > 0) nprobe else math.max(4, nl / 8), centers.length)
+    require(nprobe <= 0 || nprobe <= centers.length,
+      s"nprobe must be <= the effective cell count (got nprobe=$nprobe, " +
+        s"cells=${centers.length})")
     def nearestCells(n: Int) = nearestCellsUdf(centers, n)
 
     val c = corpus.select(col(corpusId).as("neighbor_id"),

@@ -335,13 +335,20 @@ object Sketches {
   def bloomContains(candidates: DataFrame, itemCol: String, bits: DataFrame,
       d: Int, mBits: Int): DataFrame = {
     val keyCols = candidates.columns.map(col)
+    // membership = EVERY exploded position matched, tested as
+    // count(matched) == count(rows in the group), NOT == d: value-identical
+    // candidate rows collapse into one group of 2d/3d/... exploded rows,
+    // where a literal d comparison would turn a true member into a FALSE
+    // NEGATIVE — violating the no-false-negatives contract. (The collapse
+    // itself is the documented groupBy-by-all-columns semantics: exact
+    // duplicate input rows return one flagged row.)
     candidates
       .select(keyCols :+
         explode(bloomPositions(col(itemCol), d, mBits)).as("__pos"): _*)
       .join(broadcast(bits.select(col("pos").as("__bit"))),
         col("__pos") === col("__bit"), "left")
       .groupBy(keyCols: _*)
-      .agg((count(col("__bit")) === lit(d.toLong)).as("bloom_positive"))
+      .agg((count(col("__bit")) === count(lit(1))).as("bloom_positive"))
   }
 
   /** Per-group heavy hitters: top items by estimated count from a k-counter
