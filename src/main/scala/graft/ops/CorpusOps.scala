@@ -281,7 +281,12 @@ object CorpusOps {
       .withColumn("lang",
         TextAnalysis.langIdFromTokens(col(textCol), col("__toks")))
       .withColumn("drop_reason",
-        when(col("n_tokens") < 20, "too_short")
+        // NULL text pins n_tokens to NULL, and NULL < 20 is NULL — without
+        // the explicit first arm a null-text doc would fall through to the
+        // language rule and report "non_english", attributing an upstream
+        // extraction failure to language filtering in the drop telemetry
+        when(col("n_tokens").isNull, "too_short")
+          .when(col("n_tokens") < 20, "too_short")
           .when(col("top_2gram_frac") > 0.09, "repetitive_2gram")
           .when(col("dup_2gram_frac") > 0.08, "dup_2gram")
           .when(col("lang") =!= "en", "non_english")
@@ -602,7 +607,14 @@ object CorpusOps {
       totalK: Long): DataFrame = {
     require(totalK > 0, s"totalK must be positive, got $totalK")
     import org.apache.spark.sql.expressions.Window
-    val sizes = df.groupBy(col(stratumCol).as("stratum"))
+    // the stratum key is folded to a string with NULL -> '__null' on BOTH
+    // the size table and the row frame: the quota join on "stratum" never
+    // matches NULL = NULL, so an unfolded null stratum would consume quota
+    // in the waterfill yet read quota = null per row — and the corpus-
+    // smaller-than-totalK coalesce below would then keep EVERY null-stratum
+    // row, blowing past totalK
+    val stratumKey = coalesce(col(stratumCol).cast("string"), lit("__null"))
+    val sizes = df.groupBy(stratumKey.as("stratum"))
       .agg(count(lit(1)).as("sz"))
       .localCheckpoint(false) // stratum-cardinality rows, consumed twice
     val ord = Window.orderBy(col("sz"), col("stratum"))
@@ -625,7 +637,7 @@ object CorpusOps {
           .as("quota"))
     val w = Window.partitionBy("stratum")
       .orderBy(col("skey"), col("id"))
-    df.select(col(stratumCol).as("stratum"), col(idCol).cast("long").as("id"))
+    df.select(stratumKey.as("stratum"), col(idCol).cast("long").as("id"))
       .withColumn("skey", md5(col("id").cast("string")))
       .withColumn("rk", row_number().over(w).cast("long"))
       .join(broadcast(quotas), Seq("stratum"), "left")
@@ -750,7 +762,10 @@ object CorpusOps {
     val merged = all.groupBy(keyCols.map(col): _*)
       .agg(max(ordered).as("__w"))
       .select(keyCols.map(col) ++ payload.map(c => col(s"__w.$c").as(c)): _*)
-    deleteCol.fold(merged)(d => merged.filter(!col(d)))
+    // a NULL delete flag is a plain upsert, not a tombstone: !NULL = NULL
+    // and filter would silently DROP the winning row — coalesce to false
+    // (CDC sources commonly set the flag only on delete ops)
+    deleteCol.fold(merged)(d => merged.filter(!coalesce(col(d), lit(false))))
   }
 
   /** TEMPERATURE-scaled mixture thresholds (the alpha=0.5 pretraining
@@ -848,7 +863,14 @@ object CorpusOps {
         least(lit(maxEpochs.toLong), expr(s"$targetTokens div __T")))
       .withColumn("__frac_ppm",
         when(expr(s"$targetTokens div __T") >= maxEpochs.toLong, lit(0L))
-          .otherwise(expr(s"($targetTokens % __T) * $grid div __T")))
+          // the remainder * 1e6 product runs in DECIMAL(38,0): in BIGINT it
+          // wraps past ~9.2e12 remainder tokens (real pretraining targets
+          // are 1e13+), going negative and silently zeroing the fractional
+          // epoch — the temperatureThresholds overflow convention. `div`
+          // keeps the original floor-division semantics (decimal `/` would
+          // round at scale); its result is in [0, 1e6), always BIGINT-safe
+          .otherwise(expr(s"CAST((CAST($targetTokens AS DECIMAL(38,0)) % __T)" +
+            s" * $grid div CAST(__T AS DECIMAL(38,0)) AS BIGINT)")))
     val base = df.select(col(idCol).as("id"), col(groupCol).as("g"),
         col(tokenCol).as("tokens"))
       .join(broadcast(masses), col("g") === col("__eg"))
@@ -1070,6 +1092,24 @@ object CorpusOps {
     * same way for alerting. Plan: two map-side-combined aggregates over
     * scans, one generated grid, one broadcast one-row total — no
     * corpus-sized shuffle at any scale. */
+  /** The exact cross-multiplied deviation |n_a*tot_b - n_b*tot_a| shared by
+    * every drift monitor ([[distributionDrift]], [[categoricalDrift]],
+    * [[graft.streaming.StreamOps.windowedMixDrift]]). Products run in
+    * DECIMAL(38,0): two BIGINT counts multiply past 2^63 once both
+    * snapshot totals exceed ~3e9 rows, and a silently wrapped dev_x would
+    * rank drift essentially at random. The released column stays BIGINT;
+    * a deviation that genuinely exceeds the BIGINT range fails loud
+    * (pre-bucket or sample the snapshots) instead of wrapping. */
+  private[graft] def crossDeviation(
+      nA: Column, totB: Column, nB: Column, totA: Column): Column = {
+    def d38(c: Column) = c.cast("decimal(20,0)")
+    val dev = abs(d38(nA) * d38(totB) - d38(nB) * d38(totA))
+    when(dev > lit(Long.MaxValue).cast("decimal(38,0)"),
+      raise_error(lit("drift deviation exceeds BIGINT — snapshots this " +
+        "large need pre-bucketed or sampled counts")).cast("long"))
+      .otherwise(dev.cast("long"))
+  }
+
   def distributionDrift(a: DataFrame, b: DataFrame, valueCol: String,
       lo: Double, hi: Double, buckets: Int): DataFrame = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
@@ -1101,7 +1141,8 @@ object CorpusOps {
     val totals = joined.agg(sum("n_a").as("tot_a"), sum("n_b").as("tot_b"))
     joined.crossJoin(broadcast(totals))
       .select(col("bucket"), col("n_a"), col("n_b"), col("tot_a"), col("tot_b"),
-        abs(col("n_a") * col("tot_b") - col("n_b") * col("tot_a")).as("dev_x"))
+        crossDeviation(col("n_a"), col("tot_b"), col("n_b"), col("tot_a"))
+          .as("dev_x"))
   }
 
   /** CATEGORICAL drift — [[distributionDrift]] keyed by a discrete column
@@ -1131,7 +1172,8 @@ object CorpusOps {
     val totals = joined.agg(sum("n_a").as("tot_a"), sum("n_b").as("tot_b"))
     joined.crossJoin(broadcast(totals))
       .select(col("category"), col("n_a"), col("n_b"), col("tot_a"), col("tot_b"),
-        abs(col("n_a") * col("tot_b") - col("n_b") * col("tot_a")).as("dev_x"))
+        crossDeviation(col("n_a"), col("tot_b"), col("n_b"), col("tot_a"))
+          .as("dev_x"))
   }
 
   /** LEAKAGE-SAFE train/val/test split: a random per-document split leaks

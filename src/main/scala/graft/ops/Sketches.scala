@@ -234,15 +234,25 @@ object Sketches {
     * integer mass. Output: (keys..., approx_distinct, t_scaled). */
   def hllPortableEstimate(sketch: DataFrame, keyCols: Seq[String]): DataFrame = {
     val keys = keyCols.map(col)
-    sketch
-      .groupBy(keys :+ col("bucket"): _*)
-      .agg(max(col("mx")).as("mx"))
+    hllEstimateFromBuckets(
+      sketch.groupBy(keys :+ col("bucket"): _*).agg(max(col("mx")).as("mx")),
+      keys)
+  }
+
+  /** The mass + estimator rollup over a frame that is ALREADY per-bucket
+    * maxed ((keys..., bucket, mx) rows) — the ONE copy of the estimator
+    * evaluation, shared by [[hllPortableEstimate]] and the streaming
+    * chained-agg path ([[graft.streaming.StreamOps.windowedApproxDistinct]],
+    * whose stage 1 is itself the stateful per-bucket max), so a future
+    * change to the linear-counting threshold or bucket constants cannot
+    * drift between the two. */
+  def hllEstimateFromBuckets(perBucket: DataFrame, keys: Seq[Column]): DataFrame =
+    perBucket
       .groupBy(keys: _*)
       .agg(hllMassAgg.as("t_scaled"), (lit(64L) - count(lit(1))).as("v_empty"))
       .select(keys :+
         hllEstimate(col("t_scaled"), col("v_empty")).as("approx_distinct") :+
         col("t_scaled"): _*)
-  }
 
   /** The bucket an item hashes to in row `row` of a portable Count-Min
     * sketch: the engine-wide md5 60-bit hash of the row-salted item, mod

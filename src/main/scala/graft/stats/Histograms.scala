@@ -143,15 +143,21 @@ object Histograms {
     * (reference: sum_histogram_computation.py:39-104). */
   private def equiWidthHistogram(df: DataFrame, valueCol: String, name: String,
       buckets: Int = 10000): Option[Histogram] = {
-    val mm = df.agg(min(col(valueCol)), max(col(valueCol))).collect().head
+    // NULL values are excluded from the binning, consistently with the
+    // min/max/sum aggregates below (which skip NULLs): an unfiltered NULL
+    // row would bin as least(NULL, buckets-1) = buckets-1 — phantom
+    // hi-edge mass skewing the bound tuning — and an all-NULL top bucket
+    // would NPE the driver-side Number reads
+    val nonNull = df.filter(col(valueCol).isNotNull)
+    val mm = nonNull.agg(min(col(valueCol)), max(col(valueCol))).collect().head
     if (mm.isNullAt(0)) return None
     val lo = mm.getAs[Number](0).doubleValue(); val hi = mm.getAs[Number](1).doubleValue()
     if (lo == hi) {
-      val c = df.count()
+      val c = nonNull.count()
       return Some(Histogram(name, Seq(FrequencyBin(lo, hi, c, lo * c, lo, lo))))
     }
     val width = (hi - lo) / buckets
-    val binned = df
+    val binned = nonNull
       .withColumn("__bin", least(floor((col(valueCol) - lo) / width), lit(buckets - 1)))
       .groupBy("__bin")
       .agg(count(lit(1)).as("count"), sum(col(valueCol)).as("sum"),

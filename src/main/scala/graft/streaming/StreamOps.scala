@@ -132,6 +132,10 @@ object StreamOps {
   ): DataFrame = {
     val base = watermark.map(w => events.withWatermark("ts", w)).getOrElse(events)
     base.withColumn("window", window(col("ts"), windowLength))
+      // NULL users are excluded so the rewrite really equals batch
+      // count(DISTINCT user_id), which skips NULLs; dropDuplicates alone
+      // would keep one null row per cell and count it as a phantom user
+      .filter(col("user_id").isNotNull)
       .dropDuplicates("window", "event_type", "user_id")
       .groupBy(col("window"), col("event_type"))
       .agg(count(lit(1)).as("distinct_users"))
@@ -160,18 +164,18 @@ object StreamOps {
     import graft.ops.Sketches
     val base = watermark.map(w => events.withWatermark("ts", w)).getOrElse(events)
     val keyCs = keyCols.map(col)
-    base.withColumn("window", window(col("ts"), windowLength))
+    // stage 1 (stateful in streaming): per-bucket rho max; stage 2 is the
+    // ONE shared estimator rollup in Sketches — not a hand copy, so the
+    // linear-counting threshold/constants cannot drift from the batch path
+    val perBucket = base.withColumn("window", window(col("ts"), windowLength))
       .withColumn("o", Sketches.hllObs(col(itemCol).cast("string")))
       .filter(col("o").isNotNull)
       .groupBy(col("window") +: keyCs :+ col("o.bucket").as("bucket"): _*)
       .agg(max(col("o.rho")).as("mx"))
-      .groupBy(col("window") +: keyCs: _*)
-      .agg(Sketches.hllMassAgg.as("t_scaled"),
-        (lit(64L) - count(lit(1))).as("v_empty"))
+    Sketches.hllEstimateFromBuckets(perBucket, col("window") +: keyCs)
       .select((Seq(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
           .as("hour")) ++ keyCs ++ Seq(
-        Sketches.hllEstimate(col("t_scaled"), col("v_empty")).as("approx_users"),
-        col("t_scaled"))): _*)
+        col("approx_distinct").as("approx_users"), col("t_scaled"))): _*)
   }
 
   /** Reference mix for [[windowedMixDrift]]: (event_type, n_ref, tot_ref),
@@ -179,7 +183,13 @@ object StreamOps {
     * Production points this at last week's corpus; the gate points it at
     * the same table (drift of each hour against the whole-corpus mix). */
   def mixReference(df: DataFrame, keyCol: String): DataFrame = {
-    val c = df.groupBy(col(keyCol).cast("string").as("event_type"))
+    // NULL categories fold to the same '__null' sentinel the drift join
+    // side uses — a join on event_type never matches NULL = NULL, so an
+    // unfolded null category in both sides would read n_ref = 0 and fire
+    // the loudest spurious "category appeared" alert (the categoricalDrift
+    // convention, CorpusOps)
+    val c = df.groupBy(
+        coalesce(col(keyCol).cast("string"), lit("__null")).as("event_type"))
       .agg(count(lit(1)).as("n_ref"))
       .localCheckpoint(false) // category-cardinality rows, consumed twice
     c.crossJoin(broadcast(c.agg(sum("n_ref").as("tot_ref"))))
@@ -211,7 +221,10 @@ object StreamOps {
       .head.getLong(0)
     val base = watermark.map(w => events.withWatermark("ts", w)).getOrElse(events)
     base.withColumn("window", window(col("ts"), windowLength))
-      .groupBy(col("window"), col("event_type"))
+      // same '__null' fold as mixReference so null categories COMPARE
+      // against their reference count instead of missing the join
+      .groupBy(col("window"),
+        coalesce(col("event_type").cast("string"), lit("__null")).as("event_type"))
       .agg(count(lit(1)).as("n_w"))
       .groupBy(col("window"))
       .agg(collect_list(struct(col("event_type"), col("n_w"))).as("cells"),
@@ -224,8 +237,8 @@ object StreamOps {
       .select(col("hour"), col("event_type"), col("n_w"), col("tot_w"),
         coalesce(col("n_ref"), lit(0L)).as("n_ref"),
         lit(totRef).as("tot_ref"),
-        abs(col("n_w") * lit(totRef)
-          - coalesce(col("n_ref"), lit(0L)) * col("tot_w")).as("dev_x"))
+        graft.ops.CorpusOps.crossDeviation(col("n_w"), lit(totRef),
+          coalesce(col("n_ref"), lit(0L)), col("tot_w")).as("dev_x"))
   }
 
   /** Stream-stream event-attribution join: every (click, conversion) pair of
@@ -304,7 +317,15 @@ object StreamOps {
       window(col(tsCol), windowLength) +: col(pidCol) +: keyCs: _*)
     valueCol match {
       case Some(v) =>
-        val clamped = least(greatest(col(v).cast("double"), lit(minValue)), lit(maxValue))
+        // fail loud on NULL values — the batch DPEngine convention: least/
+        // greatest SKIP nulls, so an unguarded clamp would silently coerce
+        // a NULL value to minValue and inject it into the released sum
+        // (and the mean's count) as if the unit had reported minValue
+        val checked = when(col(v).isNull, raise_error(lit(
+            "StreamOps DP release: NULL value for a privacy unit — nulls " +
+              "have no clipping semantics; filter or impute upstream"))
+          .cast("double")).otherwise(col(v).cast("double"))
+        val clamped = least(greatest(checked, lit(minValue)), lit(maxValue))
         grouped.agg(count(lit(1)).as("__n"), sum(clamped).as("__s"))
       case None => grouped.agg(count(lit(1)).as("__n"))
     }
