@@ -308,10 +308,15 @@ private[graft] object EntrySim {
       // covariance — fails loud if the Jacobi solve is broken).
       // The array-valued `pc` is posexploded to flat (id, j, pc_j) rows —
       // the driver harness sorts/hashes scalar columns only (mm_embed
-      // sets the same convention for its feature_vec).
+      // sets the same convention for its feature_vec). posexplode_OUTER,
+      // deliberately: plain posexplode triggers InferFiltersFromGenerate,
+      // which clones the entire projection-UDF + quantize expression into
+      // an inferred size()>0 && isnotnull() filter — tripling the per-row
+      // cost (measured 1.7 -> 2.9 s isolated). pc is total (fixed k, no
+      // nulls), so outer generates identical rows without the filter.
       Similarity.pcaProject(
           s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding", k = 8)
-        .select(col("id"), posexplode(col("pc")).as(Seq("j", "pc_j")),
+        .select(col("id"), posexplode_outer(col("pc")).as(Seq("j", "pc_j")),
           col("probe_ortho_e9"), col("probe_resid_e9"))
         .select(col("id"), col("j").cast("int").as("j"), col("pc_j"),
           col("probe_ortho_e9"), col("probe_resid_e9"))

@@ -204,7 +204,13 @@ object Bpe {
         out.toArray
       }
     })
-    f(text)
+    // lower via Spark's lower() — the SAME path train's tokenizer uses —
+    // before the UDF: Spark's non-ASCII slow path lowercases under the
+    // JVM default locale while the UDF uses Locale.ROOT, so an unshared
+    // first lowering could tokenize the same text differently on the two
+    // halves (tr-TR 'I' -> dotless 'ı' vs 'i'). The UDF's own ROOT
+    // lowering is a no-op on the already-lowered input.
+    f(lower(text))
   }
 
   val EndOfWord = "</w>"

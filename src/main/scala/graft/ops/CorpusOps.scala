@@ -91,6 +91,27 @@ final class BottomKAggregator(k: Int)
   */
 object CorpusOps {
 
+  /** Driver-side distributed prefix offsets — the shared skeleton of
+    * [[packSequences]], [[budgetSelect]] and
+    * [[graft.ops.LmScore.surprisalScores]]'s rank pass: aggregate
+    * `totalExpr` per long-typed `bucketCol`, order buckets (ascending or
+    * descending), and return the broadcast-backed Column mapping each
+    * row's bucket to its EXCLUSIVE prefix total, plus the grand total.
+    * Bounded driver state (one row per non-empty bucket); one copy of the
+    * collect -> prefix -> broadcast -> UDF plumbing so a guard added here
+    * reaches all three operators. */
+  private[graft] def prefixOffsetsByBucket(df: DataFrame, bucketCol: String,
+      totalExpr: Column, ascending: Boolean): (Column, Long) = {
+    val rows = df.groupBy(col(bucketCol)).agg(totalExpr.cast("long").as("__t"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val sorted = if (ascending) rows.sortBy(_._1) else rows.sortBy(-_._1)
+    var acc = 0L
+    val offsets = sorted.map { case (b, t) => val o = acc; acc += t; (b, o) }.toMap
+    val bOff = df.sparkSession.sparkContext.broadcast(offsets)
+    val offUdf = udf((b: Long) => bOff.value(b))
+    (offUdf(col(bucketCol)), acc)
+  }
+
   /** (name, java/RE2-portable regex, replacement) — patterns restricted to
     * syntax with identical semantics in Java regex and RE2, so an independent
     * SQL engine reproduces the scrub byte-for-byte. Counts are measured on
@@ -364,17 +385,12 @@ object CorpusOps {
           lit(s"packSequences: null $lenCol — every row needs a token length")))
         .otherwise(col("len")))
       .withColumn("bucket", expr(s"id div $bucketWidth"))
-    val totals = base.groupBy("bucket").agg(sum("len").as("t"))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
-    var acc = 0L
-    val offsets = totals.map { case (b, t) => val o = acc; acc += t; (b, o) }.toMap
-    val bOffsets = spark.sparkContext.broadcast(offsets)
-    val offUdf = udf((b: Long) => bOffsets.value(b))
+    val (offCol, _) = prefixOffsetsByBucket(base, "bucket", sum("len"), ascending = true)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("bucket").orderBy("id")
       .rowsBetween(Long.MinValue, 0)
     base.withColumn("cum", sum("len").over(w))
-      .withColumn("start", offUdf(col("bucket")) + col("cum") - col("len"))
+      .withColumn("start", offCol + col("cum") - col("len"))
       .withColumn("pack_id", expr(s"start div $seqLen"))
       .withColumn("pack_offset", pmod(col("start"), lit(seqLen)))
       .select(col("id"), col("len"), col("pack_id"), col("pack_offset"))
@@ -712,16 +728,12 @@ object CorpusOps {
       .withColumn("bin", least(floor(col("score") * nBins),
         lit((nBins - 1).toLong)).cast("long"))
     // bounded driver assembly: one (bin, total) row per non-empty bin
-    val totals = base.groupBy("bin").agg(sum("len").as("t"))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(-_._1)
-    var acc = 0L
-    val offsets = totals.map { case (b, t) => val o = acc; acc += t; (b, o) }.toMap
-    val bOff = spark.sparkContext.broadcast(offsets)
-    val offUdf = udf((b: Long) => bOff.value(b))
+    val (offCol, _) =
+      prefixOffsetsByBucket(base, "bin", sum("len"), ascending = false)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("bin").orderBy(col("score").desc, col("id"))
       .rowsBetween(Long.MinValue, 0)
-    base.withColumn("cum_tokens", offUdf(col("bin")) + sum("len").over(w))
+    base.withColumn("cum_tokens", offCol + sum("len").over(w))
       .filter(col("cum_tokens") <= budget)
       .select(col("id"), col("len"), col("score"), col("cum_tokens"))
   }

@@ -57,6 +57,13 @@ object GraphOps {
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int = 5, scale: Long = 1000000000000L): DataFrame = {
     require(iters >= 1 && iters <= 50, s"iters must be in [1,50], got $iters")
+    // the exactness contract is scale-bounded: every floor(a/b) below is
+    // the true integer floor only while the intermediate rank mass
+    // (~scale * 17/10 worst case) stays under 2^53 — past ~2.6e14 the
+    // double division silently stops being exact and the spec'd
+    // mass-conservation drift bound no longer holds
+    require(scale > 0 && scale <= 260000000000000L,
+      s"scale must be in (0, 2.6e14] to keep the floor divisions exact, got $scale")
     val e = edges.select(col(srcCol).cast("string").as("src"),
         col(dstCol).cast("string").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
@@ -71,6 +78,9 @@ object GraphOps {
       .localCheckpoint(false)
     val n = nodes.count()
     require(n > 0, "pageRank on an empty graph")
+    require(scale >= n,
+      s"scale ($scale) must be >= the node count ($n): the integer initial " +
+        "rank scale/n would otherwise floor to 0 and every rank fixes at 0")
     // teleport share of each round, integer-exact: (scale * 3/20) / N
     val base = (scale * 3L / 20L) / n
     var ranks = nodes.withColumn("rank_scaled", lit(scale / n))

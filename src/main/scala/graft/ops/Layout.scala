@@ -63,6 +63,10 @@ object Layout {
   def zorderExport(df: DataFrame, idCol: String, xCol: String, yCol: String,
       outDir: String, bits: Int = 8, nShards: Int = 16): DataFrame = {
     require(nShards > 0, s"nShards must be positive, got $nShards")
+    // an empty input would write only _SUCCESS and then die far from the
+    // cause in the manifest read-back ("Unable to infer schema") — fail
+    // at the entrance instead
+    require(!df.isEmpty, "zorderExport: empty input — nothing to lay out")
     val bounds = df.agg(
       min(col(xCol).cast("long")).as("__xlo"), max(col(xCol).cast("long")).as("__xhi"),
       min(col(yCol).cast("long")).as("__ylo"), max(col(yCol).cast("long")).as("__yhi"))
@@ -73,7 +77,12 @@ object Layout {
       .withColumn("xq", quantize("x", "__xlo", "__xhi", bits))
       .withColumn("yq", quantize("y", "__ylo", "__yhi", bits))
       .withColumn("z", zValue(col("xq"), col("yq"), bits))
-      .withColumn("shard", expr(s"CAST(z * $nShards div $zSpan AS INT)"))
+      // the z * nShards product runs in DECIMAL(38,0): at bits >= 30
+      // (allowed) z reaches 2^60+ and a BIGINT product wraps negative,
+      // silently writing rows to bogus shard partitions — the same
+      // overflow convention as quantize one step earlier
+      .withColumn("shard", expr(
+        s"CAST(CAST(z AS DECIMAL(38,0)) * $nShards div $zSpan AS INT)"))
       .select("id", "x", "y", "z", "shard")
     laid.repartition(col("shard"))
       .sortWithinPartitions(col("shard"), col("z"))

@@ -92,19 +92,14 @@ object LmScore {
       .withColumn("__q", when(col("mean_bits").isNotNull,
         floor(col("mean_bits") * lit(1024.0)).cast("long")))
       .localCheckpoint(false) // histogram pass + rank pass
-    val hist = scored.filter(col("__q").isNotNull)
-      .groupBy("__q").agg(count(lit(1)).as("n"))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
-    var acc = 0L
-    val offsets = hist.map { case (q, n) => val o = acc; acc += n; (q, o) }.toMap
-    val nScored = acc
-    val bOffsets = spark.sparkContext.broadcast(offsets)
-    val offUdf = udf((q: Long) => bOffsets.value(q))
+    val (offCol, nScored) = graft.ops.CorpusOps.prefixOffsetsByBucket(
+      scored.filter(col("__q").isNotNull), "__q", count(lit(1)),
+      ascending = true)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("__q").orderBy(col("mean_bits").asc, col("doc_id").asc)
     scored
       .withColumn("rnk", when(col("__q").isNotNull,
-        offUdf(col("__q")) + row_number().over(w).cast("long")))
+        offCol + row_number().over(w).cast("long")))
       .withColumn("bucket",
         when(col("rnk").isNull, lit("unscored"))
           .when(col("rnk") * 3 <= nScored, lit("head"))

@@ -174,7 +174,16 @@ object Multimodal {
           new java.io.ByteArrayInputStream(bytes))
         val fmt = in.getFormat
         val frames = in.getFrameLength
-        Some(DecodedAudio(fmt.getSampleRate.toDouble, fmt.getChannels, frames,
+        // validate the header's frame count against the payload: it can be
+        // NOT_SPECIFIED (-1), or a lie (streamed WAVs write 0xFFFFFFFF
+        // chunk sizes) — releasing it as-is reads as a negative duration
+        // or a ~4.3e9-frame clip; a frame count the payload cannot hold is
+        // malformed input and follows the documented None contract
+        val frameSize = fmt.getFrameSize.toLong
+        val plausible = frames >= 0 && fmt.getSampleRate > 0 &&
+          (frameSize <= 0 || frames <= bytes.length.toLong / math.max(frameSize, 1L))
+        if (!plausible) None
+        else Some(DecodedAudio(fmt.getSampleRate.toDouble, fmt.getChannels, frames,
           frames.toDouble / fmt.getSampleRate))
       } catch { case _: Exception => None }
     })
@@ -271,11 +280,16 @@ object Multimodal {
   }
 
   /** Deterministic frame sampling for video-like payloads: pick `n` frame
-    * indices evenly spaced in [0, frameCount). */
-  def sampleFrameIndices(frameCount: Column, n: Int): Column =
+    * indices evenly spaced in [0, frameCount). `n` must be positive (the
+    * [[sampleFrames]] guard): n = 0 would build sequence(0, -1) — Spark's
+    * DESCENDING [0, -1], not empty — and divide by zero, silently
+    * returning [0, Long.MinValue] instead of an empty index set. */
+  def sampleFrameIndices(frameCount: Column, n: Int): Column = {
+    require(n > 0, s"n must be positive, got $n")
     when(frameCount <= 0, array().cast(ArrayType(LongType)))
       .otherwise(array_distinct(transform(sequence(lit(0), lit(n - 1)),
         i => floor(i * frameCount.cast("double") / n).cast(LongType))))
+  }
 
   /** Synthetic multi-frame container: "GFTV" magic, int32 frame count, then
     * length-prefixed frames — stands in for a video container so the

@@ -115,6 +115,55 @@ class DegenerateInputSpec extends AnyFunSuite {
     assert(e.getMessage.contains("training dim"), e.getMessage)
   }
 
+  test("sampleFrameIndices rejects n = 0 instead of emitting [0, Long.MinValue]") {
+    // sequence(0, -1) is Spark's DESCENDING [0, -1], and i*count/0 is NaN/
+    // -Infinity — the pre-fix silent-garbage path
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.sampleFrameIndices(lit(10), 0)
+    }
+    assert(e.getMessage.contains("positive"))
+  }
+
+  test("zorderExport fails loud on empty input instead of dying in the read-back") {
+    val empty = Seq.empty[(Long, Long, Long)].toDF("id", "x", "y")
+    val e = intercept[IllegalArgumentException] {
+      Layout.zorderExport(empty, "id", "x", "y",
+        java.nio.file.Files.createTempDirectory("zorder_empty").toString)
+    }
+    assert(e.getMessage.contains("empty input"))
+  }
+
+  test("pageRank rejects scales outside its exactness contract") {
+    val edges = Seq(("a", "b"), ("b", "a")).toDF("src", "dst")
+    val big = intercept[IllegalArgumentException] {
+      GraphOps.pageRank(edges, "src", "dst", scale = 1000000000000000L)
+    }
+    assert(big.getMessage.contains("exact"))
+    val small = intercept[IllegalArgumentException] {
+      GraphOps.pageRank(edges, "src", "dst", scale = 1L).collect()
+    }
+    assert(small.getMessage.contains("node count"))
+  }
+
+  test("decodeAudio returns None for a header whose frame count the payload cannot hold") {
+    // a 44-byte WAV header claiming 0xFFFFFFF0 data bytes with no payload —
+    // the streamed-capture header lie; pre-fix this released n_frames ~4e9
+    def le32(v: Long) = Array[Byte](
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def le16(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    val header =
+      "RIFF".getBytes("US-ASCII") ++ le32(0xFFFFFFF0L) ++ "WAVE".getBytes("US-ASCII") ++
+      "fmt ".getBytes("US-ASCII") ++ le32(16) ++ le16(1) ++ le16(1) ++
+      le32(8000) ++ le32(16000) ++ le16(2) ++ le16(16) ++
+      "data".getBytes("US-ASCII") ++ le32(0xFFFFFFF0L)
+    val df = Seq((1L, header)).toDF("doc_id", "media")
+    val out = Multimodal.decodeAudio(df, "media")
+      .select(col("decoded_audio")).collect()
+    assert(out(0).isNullAt(0),
+      s"header-lie frame counts must decode to None, got ${out(0)}")
+  }
+
   test("NaN vector coordinates fail loud in cell assignment, not taken(-1) or cell 0") {
     val corpus = (0 until 40).map(i =>
       (i.toLong, Array.tabulate(8)(j => (i * 8 + j).toDouble / 100))).toDF("id", "vec")
