@@ -320,8 +320,10 @@ private[graft] object EntryCorpus {
       val docs = s.read.parquet(s"$dir/documents.parquet")
         .select("doc_id", "lang", "source", "n_chars")
       CorpusIO.write(docs, s"$tmp/p", format = "parquet",
+        mode = org.apache.spark.sql.SaveMode.Overwrite,
         partitionBy = Seq("lang"), maxRecordsPerFile = 200)
-      CorpusIO.write(docs, s"$tmp/j", format = "jsonl")
+      CorpusIO.write(docs, s"$tmp/j", format = "jsonl",
+        mode = org.apache.spark.sql.SaveMode.Overwrite)
       val p = CorpusIO.read(s, s"$tmp/p")
         .withColumn("format", lit("parquet"))
       val j = CorpusIO.read(s, s"$tmp/j", format = "jsonl",

@@ -16,7 +16,15 @@ import org.apache.spark.sql.functions._
 private[graft] object EntryEvents {
   import EntryHelpers._
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+   /** The daily per-type rollup shared by ts_anomaly and ts_moving_avg —
+    * one definition of the (event_type, day, integer-floor value sum)
+    * aggregate so the two oracle-pinned windows cannot drift apart. */
+  private def dailyValueRollup(s: SparkSession, dir: String, as: String) =
+    events(s, dir).withColumn("day", tsDay)
+      .groupBy("event_type", "day")
+      .agg(sum(floor(col("value"))).cast("double").as(as))
+
+ def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts_gapfill" -> ((s, dir) => {
       // time-series resample: dense per-(event_type, hour) grid with
       // zero-filled gaps between the corpus min and max hour — the
@@ -62,9 +70,7 @@ private[graft] object EntryEvents {
       // (sum and sum-of-squares of integer-valued doubles — order-free,
       // so the scores replay bit-exactly), z = (x - mean)/stddev, flag at
       // |z| > 2. The window runs over the bounded daily aggregate.
-      val daily = events(s, dir).withColumn("day", tsDay)
-        .groupBy("event_type", "day")
-        .agg(sum(floor(col("value"))).cast("double").as("x"))
+      val daily = dailyValueRollup(s, dir, "x")
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("event_type").orderBy("day").rowsBetween(-7, -1)
       daily.select(col("event_type"), col("day"), col("x"),
@@ -87,9 +93,7 @@ private[graft] object EntryEvents {
       // AND CURRENT ROW — count-based, so row 1 averages 1 day, row 7+
       // averages 7). The window runs over the BOUNDED daily aggregate
       // (|types| x |days| rows), never the raw events.
-      val daily = events(s, dir).withColumn("day", tsDay)
-        .groupBy("event_type", "day")
-        .agg(sum(floor(col("value"))).cast("double").as("day_sum"))
+      val daily = dailyValueRollup(s, dir, "day_sum")
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("event_type").orderBy("day").rowsBetween(-6, 0)
       daily.select(col("event_type"), col("day"),

@@ -77,7 +77,10 @@ private[graft] object EntryStream {
       // streaming DP quantiles: the quantile-tree combiner under the
       // per-release budget model with the ORDER-FREE drop-not-sample
       // contribution bound (over-cap units are excluded from their cell —
-      // the only arrival-order-independent Linf bound a stream admits).
+      // the only arrival-order-independent Linf bound a stream admits;
+      // the cap is 1e6 like the dp siblings — unreachable at ANY gate sf,
+      // so the oracle, which has no exclusion arm, stays exact; the
+      // exclusion semantics themselves are spec-pinned in StreamOpsSpec).
       // Generous cap + zero noise => the deterministic tree walk per
       // (hour, type) cell, replayed by the same unrolled-descent SQL as
       // dp_percentile over a composite hour|type key. Streaming parity is
@@ -86,7 +89,7 @@ private[graft] object EntryStream {
         events(s, dir).withColumn("ts", expr("timestamp_micros(ts div 1000)"))
           .withColumn("v", floor(col("value"))),
         "user_id", "ts", "v", Seq("event_type"), "1 hour",
-        Seq(50, 90), epsilon = 1e5, delta = 0.0, maxPerCell = 1000L,
+        Seq(50, 90), epsilon = 1e5, delta = 0.0, maxPerCell = 1000000L,
         lower = 0.0, upper = 500.0, noise = NoiseSource.Zero)
       out.select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
         col("event_type"), col("percentile_50"), col("percentile_90"))
@@ -205,10 +208,12 @@ private[graft] object EntryStream {
                   coalesce(m.mj, 0.0) AS match_jaccard
            FROM documents d LEFT JOIN m ON d.doc_id = m.id""",
       "ss_drift" ->
-        """WITH ref AS (SELECT event_type, count(*) AS n_ref FROM events GROUP BY 1),
+        """WITH ref AS (SELECT coalesce(CAST(event_type AS VARCHAR), '__null')
+                          AS event_type, count(*) AS n_ref FROM events GROUP BY 1),
            rt AS (SELECT sum(n_ref) AS tot_ref FROM ref),
            w AS (SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
-                        event_type, count(*) AS n_w
+                        coalesce(CAST(event_type AS VARCHAR), '__null') AS event_type,
+                        count(*) AS n_w
                  FROM events GROUP BY 1, 2),
            wt AS (SELECT hour, sum(n_w) AS tot_w FROM w GROUP BY 1)
            SELECT w.hour, w.event_type, w.n_w,
@@ -235,7 +240,7 @@ private[graft] object EntryStream {
       "ss_dedup" ->
         """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
               event_type, count(DISTINCT user_id) AS distinct_users
-           FROM events GROUP BY 1, 2""",
+           FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2""",
       "ss_window_agg" ->
         """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
               count(*) AS n_events, CAST(sum(floor(value)) AS DOUBLE) AS value_floor_sum
@@ -267,7 +272,7 @@ private[graft] object EntryStream {
                      event_type,
                      CAST(CONCAT('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
                           AS BIGINT) AS hv
-              FROM events),
+              FROM events WHERE user_id IS NOT NULL),
             b AS (SELECT hour, event_type, hv >> 54 AS bucket,
                          hv & ((CAST(1 AS BIGINT) << 54) - 1) AS rest
                   FROM h),

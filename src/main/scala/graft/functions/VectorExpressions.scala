@@ -158,9 +158,17 @@ object VectorFunctions {
       "graft_cosine",
       (children: Seq[Expression]) => {
         require(children.length == 2, "graft_cosine takes exactly 2 arguments")
-        CosineSim(children.head, children(1))
+        CosineSim(castToDoubleArray(children.head), castToDoubleArray(children(1)))
       },
       "built-in")
+
+  /** The SQL surfaces must apply the same cast-to-array<double> the Column
+    * path does: CosineSim has no implicit input casts, so a raw
+    * array<float> argument (the common parquet embedding type) would fail
+    * analysis despite the documented any-numeric-array contract. */
+  private[functions] def castToDoubleArray(e: Expression): Expression =
+    org.apache.spark.sql.catalyst.expressions.Cast(e,
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType))
 }
 
 /** `spark.sql.extensions`-style injection point so external deployments get
@@ -177,7 +185,8 @@ class GraftSqlExtensions
       new ExpressionInfo(classOf[CosineSim].getName, "graft_cosine"),
       (children: Seq[Expression]) => {
         require(children.length == 2, "graft_cosine takes exactly 2 arguments")
-        CosineSim(children.head, children(1))
+        CosineSim(VectorFunctions.castToDoubleArray(children.head),
+          VectorFunctions.castToDoubleArray(children(1)))
       }))
   }
 }

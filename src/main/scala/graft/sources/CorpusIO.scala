@@ -54,7 +54,11 @@ object CorpusIO {
       format: String = "parquet",
       partitionBy: Seq[String] = Nil,
       maxRecordsPerFile: Long = 0L,
-      mode: SaveMode = SaveMode.Overwrite,
+      // Spark's own safe default: silently replacing an existing dataset
+      // from a shared IO helper (a mistyped path pointing at a source!)
+      // is data destruction — callers that re-run into scratch dirs pass
+      // Overwrite explicitly
+      mode: SaveMode = SaveMode.ErrorIfExists,
       options: Map[String, String] = Map.empty
   ): Unit = {
     require(formats.contains(format), s"unsupported format '$format' (one of $formats)")

@@ -136,4 +136,16 @@ class VectorExpressionsSpec extends AnyFunSuite with Matchers {
     val r = spark.sql("SELECT graft_cosine(a, b) AS c FROM vecs").head.getDouble(0)
     r shouldBe 1.0 +- 1e-15
   }
+
+  test("graft_cosine SQL surface accepts array<float> (the parquet embedding type)") {
+    // CosineSim has no implicit input casts; the SQL builders must apply
+    // the same cast-to-array<double> the Column path does, or the common
+    // float-embedding case fails analysis despite the documented contract
+    VectorFunctions.registerSql(spark)
+    import spark.implicits._
+    Seq((Array(3.0f, 4.0f), Array(3.0f, 4.0f))).toDF("a", "b")
+      .createOrReplaceTempView("fvecs")
+    val r = spark.sql("SELECT graft_cosine(a, b) AS c FROM fvecs").head.getDouble(0)
+    r shouldBe 1.0 +- 1e-7
+  }
 }

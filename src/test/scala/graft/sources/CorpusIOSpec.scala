@@ -7,8 +7,13 @@ import org.scalatest.funsuite.AnyFunSuite
 class CorpusIOSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
 
-  private def tmpDir(tag: String) =
-    java.nio.file.Files.createTempDirectory(s"corpus_io_$tag").toString
+  private def tmpDir(tag: String) = {
+    // a fresh NOT-YET-EXISTING path: CorpusIO.write defaults to Spark's
+    // safe ErrorIfExists, which rejects even an empty pre-created dir
+    val d = java.nio.file.Files.createTempDirectory(s"corpus_io_$tag")
+    java.nio.file.Files.delete(d)
+    d.toString
+  }
 
   test("csv/jsonl/orc roundtrip the parquet fixture exactly") {
     val region = spark.read.parquet("/root/testdata/sf0.001/region.parquet")
