@@ -860,7 +860,8 @@ private[graft] object EntryCorpus {
                          WHEN m <= 0 THEN 'und' $langArms ELSE 'und' END AS lang
                   FROM x),
             z AS (SELECT *,
-                    CASE WHEN n_tokens < 20 THEN 'too_short'
+                    CASE WHEN n_tokens IS NULL THEN 'too_short'
+                         WHEN n_tokens < 20 THEN 'too_short'
                          WHEN top_2gram_frac > 0.09 THEN 'repetitive_2gram'
                          WHEN dup_2gram_frac > 0.08 THEN 'dup_2gram'
                          WHEN lang <> 'en' THEN 'non_english'
@@ -878,9 +879,9 @@ private[graft] object EntryCorpus {
       "corpus_c4_filter" ->
         """WITH b AS (
               SELECT doc_id, concat_ws(chr(10),
-                       substr(text, 1, 60) || '.',
+                       substr(coalesce(text, ''), 1, 60) || '.',
                        'short line.',
-                       substr(text, 61, 60) ||
+                       substr(coalesce(text, ''), 61, 60) ||
                          CASE doc_id % 3 WHEN 0 THEN '.' WHEN 1 THEN ''
                               ELSE '?' END,
                        CASE WHEN doc_id % 7 = 0 THEN
@@ -1308,19 +1309,21 @@ private[graft] object EntryCorpus {
            lv AS (SELECT rem // avail AS lvl, rem % avail AS r, rn AS t
                   FROM st WHERE NOT capped ORDER BY rn LIMIT 1),
            q AS (SELECT stratum,
-                        CASE WHEN capped THEN sz
+                        CASE WHEN lvl IS NULL THEN NULL
+                             WHEN capped THEN sz
                              ELSE lvl + CASE WHEN rn - t < r THEN 1 ELSE 0 END
                         END AS quota
-                 FROM st CROSS JOIN lv),
+                 FROM st LEFT JOIN lv ON TRUE),
            ranked AS (SELECT coalesce(lang, '??') AS stratum, doc_id AS id,
                              CAST(row_number() OVER (
                                PARTITION BY coalesce(lang, '??')
                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
                                AS BIGINT) AS rk
                       FROM documents)
-           SELECT r.stratum, CAST(q.quota AS BIGINT) AS quota, r.id, r.rk
+           SELECT r.stratum, CAST(coalesce(q.quota, -1) AS BIGINT) AS quota,
+                  r.id, r.rk
            FROM ranked r JOIN q ON r.stratum = q.stratum
-           WHERE r.rk <= q.quota""",
+           WHERE q.quota IS NULL OR r.rk <= q.quota""",
       "corpus_drift" ->
         """WITH av AS (
              SELECT least(19, greatest(0, CAST(floor((value - 0.0) / 25.0) AS BIGINT))) AS bucket

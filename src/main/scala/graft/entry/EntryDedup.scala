@@ -191,7 +191,11 @@ private[graft] object EntryDedup {
       val store = new java.io.File(sys.props("java.io.tmpdir"),
         s"graft_sig_store_v1_${Integer.toHexString(dir.hashCode)}_" +
           s"${fp}_${ProcessHandle.current().pid()}")
-      if (!store.exists()) {
+      // completeness gate, not mere existence: a write that died mid-job
+      // leaves a directory WITHOUT _SUCCESS, and trusting it would
+      // silently shrink every later invocation's pair set in this JVM —
+      // rebuild over any store that didn't commit
+      if (!new java.io.File(store, "_SUCCESS").exists()) {
         Dedup.minHashWithSigPortable(docs.filter(col("doc_id") % 10 =!= 0),
             "doc_id", "text", shingleSize = 3, numHashes = 128)
           .write.mode("overwrite").parquet(store.getAbsolutePath)
@@ -325,18 +329,9 @@ private[graft] object EntryDedup {
       val planted = e.filter(col("id") < 200)
         .select((-(col("id") + lit(1L))).as("id"),
           expr("transform(vec, (x, i) -> x + (CAST(i % 3 AS DOUBLE) - 1.0D) / 256.0D)").as("vec"))
-      val out = Dedup.semanticDedup(e.unionByName(planted), "id", "vec",
-        threshold = 0.98).localCheckpoint(false) // two consumers below
-      val stats = out.agg(count(lit(1)).as("n_rows"),
-        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
-      val caught = out.filter(col("id") >= 0 && col("id") < 200)
-        .select(col("id"), col("component").as("comp_o"))
-        .join(out.filter(col("id") < 0)
-          .select((-col("id") - lit(1L)).as("id"), col("component").as("comp_c")), "id")
-        .agg(count(lit(1)).as("n_planted"),
-          sum(when(col("comp_o") === col("comp_c"), 1L).otherwise(0L))
-            .as("n_planted_caught"))
-      stats.crossJoin(caught)
+      plantedSemanticProbe(
+        Dedup.semanticDedup(e.unionByName(planted), "id", "vec",
+          threshold = 0.98))
     }),
     "dedup_semantic_windowed" -> ((s, dir) => {
       // the LINEAR-cost semantic-dedup mode: members sort by centroid
@@ -349,18 +344,9 @@ private[graft] object EntryDedup {
       val planted = e.filter(col("id") < 200)
         .select((-(col("id") + lit(1L))).as("id"),
           expr("transform(vec, (x, i) -> x + (CAST(i % 3 AS DOUBLE) - 1.0D) / 256.0D)").as("vec"))
-      val out = Dedup.semanticDedup(e.unionByName(planted), "id", "vec",
-        threshold = 0.98, window = 8).localCheckpoint(false)
-      val stats = out.agg(count(lit(1)).as("n_rows"),
-        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
-      val caught = out.filter(col("id") >= 0 && col("id") < 200)
-        .select(col("id"), col("component").as("comp_o"))
-        .join(out.filter(col("id") < 0)
-          .select((-col("id") - lit(1L)).as("id"), col("component").as("comp_c")), "id")
-        .agg(count(lit(1)).as("n_planted"),
-          sum(when(col("comp_o") === col("comp_c"), 1L).otherwise(0L))
-            .as("n_planted_caught"))
-      stats.crossJoin(caught)
+      plantedSemanticProbe(
+        Dedup.semanticDedup(e.unionByName(planted), "id", "vec",
+          threshold = 0.98, window = 8))
     }),
     "dedup_dup_spans" -> ((s, dir) => {
       // cross-doc duplicated 5-gram span stats (exact-substring dedup

@@ -44,6 +44,47 @@ private[graft] object EntryHelpers {
       graft.stats.Histograms.computeDatasetHistograms(
         events(s, d), col("user_id"), col("event_type")))
 
+  /** The planted-near-copy recall probe shared by the approximate top-k
+    * queries (sim_lsh_topk / sim_pq_topk / sim_ivfpq_topk): full-outer
+    * join approx vs exact on the (query, neighbor) key, then ONE
+    * aggregate per query counting planted recovery (the planted copy's id
+    * is -(query_id+1)), per-side result sizes, and the overlap — each
+    * pipeline runs exactly once. One definition so a probe-logic fix
+    * reaches every copy. Inputs carry (query_id, neighbor_id). */
+  def topkRecallProbe(approx: DataFrame, exact: DataFrame,
+      approxName: String): DataFrame = {
+    val a = approx.select(col("query_id"), col("neighbor_id"), lit(1L).as("in_a"))
+    val x = exact.select(col("query_id"), col("neighbor_id"), lit(1L).as("in_exact"))
+    a.join(x, Seq("query_id", "neighbor_id"), "full_outer")
+      .groupBy("query_id")
+      .agg(
+        max(when(col("in_a").isNotNull &&
+            col("neighbor_id") === -(col("query_id") + lit(1L)), 1L)
+          .otherwise(0L)).as("planted_found"),
+        sum(when(col("in_a").isNotNull, 1L).otherwise(0L)).as(s"n_$approxName"),
+        sum(when(col("in_exact").isNotNull, 1L).otherwise(0L)).as("n_exact"),
+        sum(when(col("in_exact").isNotNull && col("in_a").isNotNull, 1L)
+          .otherwise(0L)).as("n_both"))
+  }
+
+  /** The planted-copy component-containment probe row shared byte-for-byte
+    * by dedup_semantic and dedup_semantic_windowed: overall keep stats
+    * plus how many of the 200 planted copies landed in their original's
+    * component. */
+  def plantedSemanticProbe(out0: DataFrame): DataFrame = {
+    val out = out0.localCheckpoint(false) // two consumers below
+    val stats = out.agg(count(lit(1)).as("n_rows"),
+      sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+    val caught = out.filter(col("id") >= 0 && col("id") < 200)
+      .select(col("id"), col("component").as("comp_o"))
+      .join(out.filter(col("id") < 0)
+        .select((-col("id") - lit(1L)).as("id"), col("component").as("comp_c")), "id")
+      .agg(count(lit(1)).as("n_planted"),
+        sum(when(col("comp_o") === col("comp_c"), 1L).otherwise(0L))
+          .as("n_planted_caught"))
+    stats.crossJoin(caught)
+  }
+
   def eventRoles = DPColumns(
     col("user_id"), Seq("event_type" -> col("event_type")), Some(floor(col("value"))))
 

@@ -129,24 +129,12 @@ private[graft] object EntrySim {
         expr("transform(embedding, (x, i) -> x + 0.02 * cos(CAST(i AS DOUBLE)))")
           .as("embedding"))
       val corpus = e.unionByName(planted)
-      val lsh = Similarity.lshTopK(corpus, "vec_id", "embedding",
-          queries, "qid", "embedding", k = 5, planes = 5, bands = 12)
-        .select(col("query_id"), col("neighbor_id"), lit(1L).as("in_lsh"))
-      val exact = Similarity.bruteForceTopK(corpus, "vec_id", "embedding",
-          queries, "qid", "embedding", k = 5)
-        .select(col("query_id"), col("neighbor_id"), lit(1L).as("in_exact"))
-      // full-outer join on the (query, neighbor) key feeds every probe
-      // counter from one aggregate — each pipeline runs exactly once
-      lsh.join(exact, Seq("query_id", "neighbor_id"), "full_outer")
-        .groupBy("query_id")
-        .agg(
-          max(when(col("in_lsh").isNotNull &&
-              col("neighbor_id") === -(col("query_id") + lit(1L)), 1L)
-            .otherwise(0L)).as("planted_found"),
-          sum(when(col("in_lsh").isNotNull, 1L).otherwise(0L)).as("n_lsh"),
-          sum(when(col("in_exact").isNotNull, 1L).otherwise(0L)).as("n_exact"),
-          sum(when(col("in_exact").isNotNull && col("in_lsh").isNotNull, 1L)
-            .otherwise(0L)).as("n_both"))
+      topkRecallProbe(
+        Similarity.lshTopK(corpus, "vec_id", "embedding",
+          queries, "qid", "embedding", k = 5, planes = 5, bands = 12),
+        Similarity.bruteForceTopK(corpus, "vec_id", "embedding",
+          queries, "qid", "embedding", k = 5),
+        approxName = "lsh")
     }),
     "sim_projected_topk" -> ((s, dir) => {
       // two-stage ANN through the deterministic JL projection: 16-dim
@@ -177,22 +165,12 @@ private[graft] object EntrySim {
         expr("transform(embedding, (x, i) -> x + (CAST(i % 3 AS DOUBLE) - 1.0D) / 256.0D)")
           .as("embedding"))
       val corpus = e.unionByName(planted)
-      val ivfpq = Similarity.ivfPqTopK(corpus, "vec_id", "embedding",
-          queries, "qid", "embedding", k = 5)
-        .select(col("query_id"), col("neighbor_id"), lit(1L).as("in_pq"))
-      val exact = Similarity.bruteForceTopK(corpus, "vec_id", "embedding",
-          queries, "qid", "embedding", k = 5)
-        .select(col("query_id"), col("neighbor_id"), lit(1L).as("in_exact"))
-      ivfpq.join(exact, Seq("query_id", "neighbor_id"), "full_outer")
-        .groupBy("query_id")
-        .agg(
-          max(when(col("in_pq").isNotNull &&
-              col("neighbor_id") === -(col("query_id") + lit(1L)), 1L)
-            .otherwise(0L)).as("planted_found"),
-          sum(when(col("in_pq").isNotNull, 1L).otherwise(0L)).as("n_pq"),
-          sum(when(col("in_exact").isNotNull, 1L).otherwise(0L)).as("n_exact"),
-          sum(when(col("in_exact").isNotNull && col("in_pq").isNotNull, 1L)
-            .otherwise(0L)).as("n_both"))
+      topkRecallProbe(
+        Similarity.ivfPqTopK(corpus, "vec_id", "embedding",
+          queries, "qid", "embedding", k = 5),
+        Similarity.bruteForceTopK(corpus, "vec_id", "embedding",
+          queries, "qid", "embedding", k = 5),
+        approxName = "pq")
     }),
     "sim_pq_topk" -> ((s, dir) => {
       // product-quantization ADC top-k (m one-byte codes per vector — the
@@ -209,22 +187,12 @@ private[graft] object EntrySim {
         expr("transform(embedding, (x, i) -> x + (CAST(i % 3 AS DOUBLE) - 1.0D) / 256.0D)")
           .as("embedding"))
       val corpus = e.unionByName(planted)
-      val pq = Similarity.pqTopK(corpus, "vec_id", "embedding",
-          queries, "qid", "embedding", k = 5)
-        .select(col("query_id"), col("neighbor_id"), lit(1L).as("in_pq"))
-      val exact = Similarity.bruteForceTopK(corpus, "vec_id", "embedding",
-          queries, "qid", "embedding", k = 5)
-        .select(col("query_id"), col("neighbor_id"), lit(1L).as("in_exact"))
-      pq.join(exact, Seq("query_id", "neighbor_id"), "full_outer")
-        .groupBy("query_id")
-        .agg(
-          max(when(col("in_pq").isNotNull &&
-              col("neighbor_id") === -(col("query_id") + lit(1L)), 1L)
-            .otherwise(0L)).as("planted_found"),
-          sum(when(col("in_pq").isNotNull, 1L).otherwise(0L)).as("n_pq"),
-          sum(when(col("in_exact").isNotNull, 1L).otherwise(0L)).as("n_exact"),
-          sum(when(col("in_exact").isNotNull && col("in_pq").isNotNull, 1L)
-            .otherwise(0L)).as("n_both"))
+      topkRecallProbe(
+        Similarity.pqTopK(corpus, "vec_id", "embedding",
+          queries, "qid", "embedding", k = 5),
+        Similarity.bruteForceTopK(corpus, "vec_id", "embedding",
+          queries, "qid", "embedding", k = 5),
+        approxName = "pq")
     }),
     "emb_project" -> ((s, dir) => {
       // Johnson-Lindenstrauss 64 -> 16 projection with the deterministic
@@ -371,13 +339,22 @@ private[graft] object EntrySim {
       //   probe_missing_frames — per-doc gap between expected sampled-index
       //     count and rows that actually materialized (a dropped/undecoded
       //     frame shows up as a positive gap);
-      //   probe_decode_failed — 1 if the PNG decode returned null.
-      // All three must be 0 on every row; MultimodalSpec pins the exact
+      //   probe_decode_failed — 1 if the PNG decode returned null;
+      //   probe_docs_lost — count of corpus docs with ZERO surviving
+      //     sampled rows (a per-row gap probe rides the rows that vanish,
+      //     so TOTAL per-doc loss — malformed payload, corrupted magic —
+      //     would otherwise be invisible; this global counter rides every
+      //     row via a broadcast one-row crossJoin).
+      // All four must be 0 on every row; MultimodalSpec pins the exact
       // indices + luminance roundtrip.
       val docs = s.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), mkVideo(col("text")).as("media"))
       val sampled = Multimodal.sampleFrames(docs, "media", n = 2)
+        .localCheckpoint(false) // consumed by the rows + the lost-docs probe
       val perDoc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+      val lost = docs.join(sampled.select(col("doc_id")).distinct(),
+          Seq("doc_id"), "left_anti")
+        .agg(count(lit(1)).as("probe_docs_lost"))
       Multimodal.decodeImage(sampled, "frame")
         .withColumn("__want", Multimodal.sampleFrameIndices(col("n_frames"), 2))
         .select(col("doc_id"), col("frame_idx"), col("n_frames").cast("long").as("n_frames"),
@@ -388,6 +365,7 @@ private[graft] object EntrySim {
           (size(col("__want")).cast("long") - count(lit(1)).over(perDoc))
             .as("probe_missing_frames"),
           when(col("decoded").isNull, 1L).otherwise(0L).as("probe_decode_failed"))
+        .crossJoin(broadcast(lost))
     }),
     "mm_decode_resize" -> ((s, dir) => {
       // REAL image pipeline: synthesize a PNG per document (dims derived

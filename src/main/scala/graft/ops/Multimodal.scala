@@ -195,7 +195,11 @@ object Multimodal {
     * real, decodable image payloads for pipeline tests without external
     * media files. */
   def syntheticPng(text: String): Array[Byte] = {
-    val len = if (text == null) 0 else text.length
+    // CODEPOINTS, not UTF-16 units: the oracle derives the expected
+    // dimensions from DuckDB len(text), which counts codepoints — an
+    // astral-plane char (emoji) counts 1 there but 2 in String.length,
+    // so the Java side must count the same way
+    val len = if (text == null) 0 else text.codePointCount(0, text.length)
     val w = 4 + len % 13
     val h = 4 + (len / 13) % 11
     val img = new java.awt.image.BufferedImage(w, h,

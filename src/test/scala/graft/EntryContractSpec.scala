@@ -70,7 +70,7 @@ class EntryContractSpec extends AnyFunSuite {
       (Seq("sum_day_exact") -> Some("approx_sketch_union_md5")),
     "approx_heavy_hitters" -> (Seq("exact_count", "abs_err") -> Some("approx_heavy_hitters_exact")),
     "mm_frame_sample" -> (Seq("probe_idx_unexpected", "probe_missing_frames",
-      "probe_decode_failed") -> Some("mm_decode_resize")))
+      "probe_decode_failed", "probe_docs_lost") -> Some("mm_decode_resize")))
 
   test("rows-only queries are the documented closed set") {
     // adding a query without an oracle is a DELIBERATE choice (inherently
