@@ -338,7 +338,7 @@ private[graft] object EntryDP {
       // the DP histograms. One QI hash-aggregate, |ks|-way fan-out.
       val ev = events(s, dir)
         .withColumn("day",
-          expr("date_format(timestamp_micros(ts div 1000), 'yyyy-MM-dd')"))
+          tsDay)
       graft.stats.AnonymityAudit.audit(ev, Seq("event_type", "day"), "user_id")
     }),
     "papi_count_sum" -> ((s, dir) => {
@@ -482,7 +482,18 @@ private[graft] object EntryDP {
         ParametersToTune(maxPartitionsContributed = true, maxContributionsPerPartition = true),
         numberOfParameterCandidates = 9)
       import s.implicits._
-      ParameterTuning.findCandidateParameters(h, opts).zipWithIndex.map {
+      val cands = ParameterTuning.findCandidateParameters(h, opts)
+      // the oracle hardcodes the 3x3 sqrt-ladder grid; the generator
+      // reshapes it (4-point cube-root Linf ladders) when the dataset's
+      // max L0 drops below 3 — fail HERE with the cause instead of a
+      // silent oracle mismatch if a fixture refresh changes the shape
+      require(cands.size == 9 &&
+        cands.map(_.maxPartitionsContributed).distinct.size == 3,
+        s"tune_candidates: oracle assumes the 3x3 candidate grid, generator " +
+          s"produced ${cands.size} configs (" +
+          s"${cands.map(_.maxPartitionsContributed).distinct.size} l0 values) " +
+          "— the fixture's contribution profile changed; regenerate the oracle")
+      cands.zipWithIndex.map {
         case (c, i) => (i, c.maxPartitionsContributed, c.maxContributionsPerPartition)
       }.toDF("config_index", "l0", "linf")
     }),

@@ -277,8 +277,12 @@ private[graft] object OracleFragments {
           sum(CASE WHEN ${m}_actual = 0 THEN 0.0 ELSE ${m}_rmse / ${m}_actual END) AS ${m}_rrmse"""
     def uaFinal(m: String) =
       s"""round(${m}_noise_std, 9) AS ${m}_noise_std,
-          round(CASE WHEN ${m}_actual = 0 THEN ${m}_dl0 ELSE ${m}_dl0 / ${m}_actual END, 9) AS ${m}_ratio_dropped_l0,
-          round(CASE WHEN ${m}_actual = 0 THEN ${m}_dlinf ELSE ${m}_dlinf / ${m}_actual END, 9) AS ${m}_ratio_dropped_linf,
+          round(CASE WHEN ${m}_actual = 0
+                     THEN (CASE WHEN ${m}_dl0 = 0 THEN 0.0 ELSE 1.0 END)
+                     ELSE ${m}_dl0 / ${m}_actual END, 9) AS ${m}_ratio_dropped_l0,
+          round(CASE WHEN ${m}_actual = 0
+                     THEN (CASE WHEN ${m}_dlinf = 0 THEN 0.0 ELSE 1.0 END)
+                     ELSE ${m}_dlinf / ${m}_actual END, 9) AS ${m}_ratio_dropped_linf,
           round(0.0, 9) AS ${m}_ratio_dropped_ps,
           round(${m}_am / tw, 9) AS ${m}_abs_mean,
           round(${m}_av / tw, 9) AS ${m}_abs_variance,
@@ -301,7 +305,10 @@ private[graft] object OracleFragments {
     // by the same code the engine uses; embedded as exact double literals)
     val uaPrivT = {
       val sel = LaplaceThresholdingSelection(1.0, 5e-5, 1, 1)
-      f"${sel.threshold}%.17g"
+      // Locale.ROOT, NOT the f-interpolator: under a comma-decimal default
+      // locale (de_DE) f"%.17g" renders "11,612..." and the interpolated
+      // SQL becomes a DuckDB syntax error
+      String.format(java.util.Locale.ROOT, "%.17g", Double.box(sel.threshold))
     }
     // brute-force cosine top-5: ground truth for BOTH sim_topk (brute-force
     // operator) and sim_ivf_exact (IVF with nprobe == nlist, provably equal)
