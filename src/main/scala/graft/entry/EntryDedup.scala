@@ -96,6 +96,29 @@ private[graft] object EntryDedup {
       Dedup.connectedComponents(pairs.select("id_a", "id_b"))
         .select(col("id"), col("comp").as("component"))
     }),
+    "dedup_url" -> ((s, dir) => {
+      // URL-LEVEL dedup (the crawl-dedup stage before content hashing):
+      // canonicalize — lower scheme/host, strip default port, www.,
+      // fragment, tracking params, trailing slash — then group. The
+      // fixture carries no URLs, so three deterministic messy variants are
+      // planted per doc (the text_url_domains pattern): u1/u2 differ only
+      // in canonicalization-removable noise and MUST collapse; u3 collides
+      // across docs sharing (id mod 11, id mod 100). Pure string algebra
+      // => oracle-exact end-to-end.
+      val d = col("doc_id")
+      val u1 = concat(lit("HTTPS://WWW.Site-"), (d % 37).cast("string"),
+        lit(".Example.com:443/p/"), d.cast("string"),
+        lit("/?utm_source=feed&ref=r"), (d % 5).cast("string"), lit("#sec"))
+      val u2 = concat(lit("https://site-"), (d % 37).cast("string"),
+        lit(".example.com/p/"), d.cast("string"),
+        lit("?ref=r"), (d % 5).cast("string"))
+      val u3 = concat(lit("http://other-"), (d % 11).cast("string"),
+        lit(".example.org:80/a/"), (d % 100).cast("string"))
+      TextAnalysis.urlDedup(
+        s.read.parquet(s"$dir/documents.parquet").select("doc_id")
+          .select(d, explode(array(u1, u2, u3)).as("url")),
+        "doc_id", "url")
+    }),
     "dedup_containment" -> ((s, dir) => {
       // doc-inside-doc detection: the same portable banded candidates
       // verified by CONTAINMENT (|A∩B| / min(|A|,|B|)) instead of Jaccard
@@ -369,6 +392,57 @@ private[graft] object EntryDedup {
     Map(
       "dedup_exact" ->
         "SELECT text, min(doc_id) AS keep_id, count(*) AS group_size FROM documents GROUP BY text",
+      // the canonicalization chain replayed step-for-step (DuckDB needs
+      // the explicit 'g' flag where Spark's regexp_replace is global)
+      "dedup_url" ->
+        """WITH raw AS (
+             SELECT doc_id, unnest([
+               'HTTPS://WWW.Site-' || CAST(doc_id % 37 AS VARCHAR) ||
+                 '.Example.com:443/p/' || CAST(doc_id AS VARCHAR) ||
+                 '/?utm_source=feed&ref=r' || CAST(doc_id % 5 AS VARCHAR) || '#sec',
+               'https://site-' || CAST(doc_id % 37 AS VARCHAR) ||
+                 '.example.com/p/' || CAST(doc_id AS VARCHAR) ||
+                 '?ref=r' || CAST(doc_id % 5 AS VARCHAR),
+               'http://other-' || CAST(doc_id % 11 AS VARCHAR) ||
+                 '.example.org:80/a/' || CAST(doc_id % 100 AS VARCHAR)]) AS url
+             FROM documents),
+           nf AS (SELECT doc_id, url,
+                         regexp_replace(url, '#.*$', '') AS nofrag
+                  FROM raw),
+           parts AS (
+             SELECT doc_id, url,
+                    lower(regexp_extract(nofrag,
+                      '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                    lower(regexp_extract(nofrag,
+                      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
+                    regexp_replace(regexp_extract(nofrag,
+                      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+                      '/$', '') AS path,
+                    regexp_replace(regexp_replace(
+                      '&' || regexp_extract(nofrag, '\?([^#]*)', 1),
+                      '&(?:utm_[A-Za-z0-9_]*|gclid|fbclid)(=[^&]*)?', '', 'g'),
+                      '^&', '') AS q
+             FROM nf),
+           hp AS (
+             SELECT *, CASE
+               WHEN scheme = 'http' THEN
+                 regexp_replace(regexp_replace(hostport, '^www\.', ''), ':80$', '')
+               WHEN scheme = 'https' THEN
+                 regexp_replace(regexp_replace(hostport, '^www\.', ''), ':443$', '')
+               ELSE regexp_replace(hostport, '^www\.', '') END AS host
+             FROM parts),
+           c AS (
+             SELECT doc_id, url,
+                    CASE WHEN scheme = '' THEN trim(url)
+                         ELSE scheme || '://' || host || path ||
+                              (CASE WHEN q = '' THEN '' ELSE '?' || q END)
+                    END AS canonical
+             FROM hp)
+           SELECT canonical,
+                  CAST(count(DISTINCT url) AS BIGINT) AS n_raw_variants,
+                  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                  min(doc_id) AS first_doc
+           FROM c GROUP BY 1""",
       // Portable simhash: md5-derived 60-bit token hashes, bit-majority
       // signature, 16-bit-chunk pigeonhole blocking, exact Hamming verify —
       // the full pipeline recomputed independently.

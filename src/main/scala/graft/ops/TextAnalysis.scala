@@ -116,6 +116,57 @@ object TextAnalysis {
       .groupBy("domain")
       .agg(count(lit(1)).as("n_urls"), countDistinct(col("__id")).as("n_docs"))
 
+  /** URL canonicalization — the dedup key for URL-LEVEL corpus dedup (the
+    * crawl-dedup stage that runs before any content hashing: the same page
+    * fetched as `HTTP://WWW.Site.com:80/x/?utm_source=feed#top` and
+    * `http://site.com/x` must collapse). Steps, each deterministic string
+    * algebra in java∩RE2 regex so an independent SQL engine replays the
+    * chain byte-for-byte:
+    *
+    *  1. strip the fragment (`#...` — never sent to the server);
+    *  2. lowercase scheme and host[:port] ONLY (paths are case-sensitive);
+    *  3. drop a leading `www.` and the scheme's default port
+    *     (`:80` http / `:443` https);
+    *  4. drop tracking query params (`utm_*`, `gclid`, `fbclid`) — the
+    *     `&`-sentinel trick handles first-position params without
+    *     reordering the survivors;
+    *  5. drop one trailing slash from the path (`/x/` == `/x`, `/` == ``).
+    *
+    * Inputs without a `scheme://` prefix pass through trimmed (no right
+    * canonical form to guess). Pure `Column` expression — whole-stage
+    * codegen'd, usable on a raw crawl frame of any size. */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostPort = lower(regexp_extract(
+      noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    val noWww = regexp_replace(hostPort, "^www\\.", "")
+    val host = when(scheme === "http", regexp_replace(noWww, ":80$", ""))
+      .when(scheme === "https", regexp_replace(noWww, ":443$", ""))
+      .otherwise(noWww)
+    val path = regexp_replace(regexp_extract(
+      noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1), "/$", "")
+    val q = regexp_replace(
+      regexp_replace(concat(lit("&"), regexp_extract(noFrag, "\\?([^#]*)", 1)),
+        "&(?:utm_[A-Za-z0-9_]*|gclid|fbclid)(=[^&]*)?", ""),
+      "^&", "")
+    when(scheme === "", trim(url)).otherwise(
+      concat(scheme, lit("://"), host, path,
+        when(q === "", lit("")).otherwise(concat(lit("?"), q))))
+  }
+
+  /** URL-level dedup rollup over [[canonicalizeUrl]]: one row per canonical
+    * URL with its raw-variant count, distinct-document count and first
+    * (min-id) document — the keep decision a crawl dedup materializes.
+    * Map-side-combined hash aggregate; nothing but (id, url) shuffles. */
+  def urlDedup(df: DataFrame, idCol: String, urlCol: String): DataFrame =
+    df.select(col(idCol).as("__id"), col(urlCol).as("__u"))
+      .withColumn("canonical", canonicalizeUrl(col("__u")))
+      .groupBy("canonical")
+      .agg(countDistinct(col("__u")).as("n_raw_variants"),
+        countDistinct(col("__id")).as("n_docs"),
+        min(col("__id")).as("first_doc"))
+
   private def charCount(text: Column, charClassRegex: String): Column =
     length(text) - length(regexp_replace(text, charClassRegex, ""))
 

@@ -69,6 +69,30 @@ class TextAnalysisSpec extends AnyFunSuite {
     out.foreach { case (exp, pred) => assert(pred == exp, s"expected $exp got $pred") }
   }
 
+  test("canonicalizeUrl: case, ports, www, fragments, tracking params, slashes") {
+    import spark.implicits._
+    val cases = Seq(
+      // scheme/host lowered, :443 + www + fragment + trailing slash +
+      // first-position tracking param all stripped, survivor param kept
+      ("HTTPS://WWW.Site.Example.com:443/p/1/?utm_source=x&ref=r2#top",
+        "https://site.example.com/p/1?ref=r2"),
+      // :80 only strips for http; path case PRESERVED
+      ("http://A.example.org:80/Path/X", "http://a.example.org/Path/X"),
+      // :443 on http is a real port — must survive
+      ("http://a.example.org:443/x", "http://a.example.org:443/x"),
+      // all-tracking query vanishes entirely (no dangling '?')
+      ("https://a.com/x?utm_a=1&fbclid=2", "https://a.com/x"),
+      // bare host + slash collapses to bare host
+      ("https://a.com/", "https://a.com"),
+      // no scheme: pass through trimmed, no guessing
+      ("  not-a-url/path  ", "not-a-url/path"))
+    val got = cases.map(_._1).toDF("url")
+      .select(TextAnalysis.canonicalizeUrl(col("url"))).as[String].collect()
+    got.zip(cases.map(_._2)).zip(cases.map(_._1)).foreach {
+      case ((g, want), in) => assert(g == want, s"$in -> $g, wanted $want")
+    }
+  }
+
   test("normalizeText: NFC composition, lowercase, whitespace collapse") {
     import spark.implicits._
     val decomposed = "Cafe\u0301  du\tMonde"   // e + combining acute, run of ws
