@@ -140,8 +140,11 @@ private[graft] object EntryEvents {
                   UNION ALL SELECT 2, 'click', count(*) FROM s2
                   UNION ALL SELECT 3, 'purchase', count(*) FROM s3)
            SELECT CAST(step_index AS BIGINT) AS step_index, step, n_users,
-                  CAST(n_users AS DOUBLE) /
-                    (SELECT n_users FROM c WHERE step_index = 1) AS frac_of_first
+                  CASE WHEN (SELECT n_users FROM c WHERE step_index = 1) = 0
+                       THEN 0.0
+                       ELSE CAST(n_users AS DOUBLE) /
+                         (SELECT n_users FROM c WHERE step_index = 1)
+                  END AS frac_of_first
            FROM c""",
       "cohort_retention" ->
         """WITH days AS (

@@ -111,7 +111,12 @@ object EventAnalytics {
       .select(col("n_users").as("__first"))
     counts.crossJoin(broadcast(first))
       .select(col("step_index"), col("step"), col("n_users"),
-        (col("n_users").cast("double") / col("__first")).as("frac_of_first"))
+        // explicit zero-entrants arm: Spark's non-ANSI double division by
+        // zero yields SQL NULL (not the IEEE inf/nan an oracle's division
+        // would produce) — pin both engines to "no entrants -> 0.0"
+        when(col("__first") === 0L, lit(0.0))
+          .otherwise(col("n_users").cast("double") / col("__first"))
+          .as("frac_of_first"))
   }
 
   /** Per-user retention cells: one row per (user, cohort_day, week_offset)
@@ -142,9 +147,12 @@ object EventAnalytics {
     * exchange serves both], then count distinct users per (cohort, week).
     * No driver participation; all arithmetic is integer date math. */
   def cohortRetention(df: DataFrame, userCol: String, tsCol: String): DataFrame =
+    // retentionCells is already distinct on (u, cohort_day, week_offset),
+    // so a plain count equals countDistinct(u) without the second
+    // expand/dedup aggregation pass
     retentionCells(df, userCol, tsCol)
       .groupBy("cohort_day", "week_offset")
-      .agg(countDistinct(col("u")).as("n_users"))
+      .agg(count(lit(1)).as("n_users"))
 
   /** Per-group winsorization profile: exact p-lo / p-hi percentiles of the
     * floor()ed value per key, plus the clamped sum — the outlier-capping
@@ -160,18 +168,29 @@ object EventAnalytics {
   def winsorizeProfile(df: DataFrame, keyCol: String, valueCol: String,
       pLo: Double, pHi: Double): DataFrame = {
     require(0.0 <= pLo && pLo < pHi && pHi <= 1.0, s"bad percentile range [$pLo, $pHi]")
-    val v = floor(col(valueCol)).cast("double")
+    // fail loud on NULL values: percentile() SKIPS nulls while the clamp
+    // pass's greatest(NULL, clo) would impute clo — each NULL row would
+    // silently inflate clamped_sum by floor(p_lo) and count in n_rows on
+    // a basis the percentiles never saw
+    val v = when(col(valueCol).isNull, raise_error(lit(
+        s"winsorizeProfile: NULL $valueCol — the percentile basis skips " +
+          "nulls but the clamp would impute the low bound; filter or " +
+          "impute upstream")).cast("double"))
+      .otherwise(floor(col(valueCol)).cast("double"))
     val withQ = df.select(col(keyCol).as("k"), v.as("v"))
       .groupBy("k")
       .agg(expr(s"percentile(v, array(${pLo}D, ${pHi}D))").as("q"))
       .select(col("k"), element_at(col("q"), 1).as("lo"),
         element_at(col("q"), 2).as("hi"))
     // clamped sum needs a second pass with the per-key bounds: broadcast
-    // the bounded per-key table back onto the scan
+    // the bounded per-key table back onto the scan. eqNullSafe: a NULL
+    // key forms a real group in the percentile aggregate (groupBy keeps
+    // it, as does the oracle's GROUP BY) — a plain equi-join would
+    // silently drop that whole group from the output
     val bounds = withQ.select(col("k").as("__bk"), col("lo"), col("hi"),
       floor(col("lo")).as("clo"), ceil(col("hi")).as("chi"))
     df.select(col(keyCol).as("k"), v.as("v"))
-      .join(broadcast(bounds), col("k") === col("__bk"))
+      .join(broadcast(bounds), col("k") <=> col("__bk"))
       .groupBy("k")
       .agg(sum(least(greatest(col("v"), col("clo")), col("chi")))
           .cast("double").as("clamped_sum"),

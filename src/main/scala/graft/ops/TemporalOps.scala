@@ -48,8 +48,16 @@ object TemporalOps {
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__ts").asc, col("__tag").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // ASOF equi-join semantics: NULL keys never match (NULL = NULL is
+    // false in a join), but Window.partitionBy groups NULL keys into ONE
+    // partition where they would match each other — null the result out
+    // for null-keyed left rows instead
+    val keyIsNull = keys.map(col(_).isNull).reduce(_ || _)
     u.withColumn(asofCol, max(col("__rts")).over(w))
       .filter(col("__tag") === 1)
+      .withColumn(asofCol, when(keyIsNull,
+          lit(null).cast(right.schema(rightTs).dataType))
+        .otherwise(col(asofCol)))
       .drop("__ts", "__tag", "__rts")
   }
 

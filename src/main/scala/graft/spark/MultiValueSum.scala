@@ -89,21 +89,34 @@ object MultiValueSum {
       val noise = engine.noise
       val pkNames = columns.partitionKeys.map(_._1)
       val pkCols = pkNames.map(col)
-      val valAliases = columns.values.map { case (n, c) => c.cast("double").as(s"__mv_$n") }
+      // fail loud on NULL values — the DPEngine.assemble noNull contract:
+      // Spark's least/greatest SKIP nulls, so an unguarded NULL would
+      // silently clip to the LOWER BOUND and enter the released sum (and
+      // the count) as if the unit had reported minValue
+      val valAliases = columns.values.map { case (n, c) =>
+        when(c.isNull, raise_error(lit(
+          s"MultiValueSum: NULL value in column '$n' — nulls have no " +
+            "clipping semantics and would release the clip bound as data; " +
+            "filter or impute upstream")).cast("double"))
+          .otherwise(c.cast("double")).as(s"__mv_$n")
+      }
 
       var cur = df.select(
         (columns.privacyUnit.as(PidCol) +:
           columns.partitionKeys.map { case (n, c) => c.as(n) }) ++ valAliases: _*)
       publicPartitions.foreach { pub => cur = cur.join(pub, pkNames, "left_semi") }
 
-      // per-(pid, pk): sum each column, clip to its per-partition bounds
+      // per-(pid, pk): sum each column, clip to its per-partition bounds.
+      // (No CntCol here — the pid count is re-derived downstream; carrying
+      // a dead accumulator through the shuffle and L0 window costs for
+      // nothing.)
+      val sumAggs = params.columnBounds.map { c =>
+        least(greatest(sum(col(s"__mv_${c.name}")), lit(c.minSumPerPartition)),
+          lit(c.maxSumPerPartition)).as(s"__mv_${c.name}")
+      }
       val perPidPk = cur
         .groupBy((col(PidCol) +: pkCols): _*)
-        .agg(count(lit(1)).as(CntCol),
-          params.columnBounds.map { c =>
-            least(greatest(sum(col(s"__mv_${c.name}")), lit(c.minSumPerPartition)),
-              lit(c.maxSumPerPartition)).as(s"__mv_${c.name}")
-          }: _*)
+        .agg(sumAggs.head, sumAggs.tail: _*)
 
       // L0 bounding: keep <= maxPartitionsContributed partitions per unit
       val bounded = sampleRowsPerKey(perPidPk, Seq(PidCol),
@@ -220,7 +233,17 @@ object MultiValueAgg {
       val noise = engine.noise
       val pkNames = columns.partitionKeys.map(_._1)
       val pkCols = pkNames.map(col)
-      val valAliases = columns.values.map { case (n, c) => c.cast("double").as(s"__mv_$n") }
+      // fail loud on NULL values — the DPEngine.assemble noNull contract:
+      // Spark's least/greatest SKIP nulls, so an unguarded NULL would
+      // silently clip to the LOWER BOUND and enter the released sum (and
+      // the count) as if the unit had reported minValue
+      val valAliases = columns.values.map { case (n, c) =>
+        when(c.isNull, raise_error(lit(
+          s"MultiValueSum: NULL value in column '$n' — nulls have no " +
+            "clipping semantics and would release the clip bound as data; " +
+            "filter or impute upstream")).cast("double"))
+          .otherwise(c.cast("double")).as(s"__mv_$n")
+      }
 
       var cur = df.select(
         (columns.privacyUnit.as(PidCol) +:

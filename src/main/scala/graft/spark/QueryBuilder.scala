@@ -132,6 +132,16 @@ final class DPQuery private[spark] (
       noiseKind: NoiseKind = NoiseKind.Laplace,
       noise: NoiseSource = NoiseSource.Secure
   ): DataFrame = {
+    // reject output-name collisions BEFORE running: the rename fold below
+    // would otherwise emit a frame with two identical column names
+    // (count(name = "sum") next to a sum metric, or two metrics renamed
+    // to one name) — an AMBIGUOUS_REFERENCE ambush for the first
+    // downstream select, or silent duplicate fields in parquet
+    val outNames = (by ++ metricsOutput.map(_._2)).toSeq
+    require(outNames.distinct.size == outNames.size,
+      s"duplicate output column names: " +
+        outNames.groupBy(identity).collect { case (n, g) if g.size > 1 => n }
+          .mkString(", "))
     val params = AggregateParams(
       metrics = metricsOutput.map(_._1),
       noiseKind = noiseKind,

@@ -518,4 +518,18 @@ class QueryBuilderSpec extends AnyFunSuite {
       new QueryBuilder(visits, "nope")
     }
   }
+
+  test("builder rejects duplicate output column names before running") {
+    // count(name = "sum") + a default-named sum would rename-collide into
+    // two columns both called "sum" — AMBIGUOUS_REFERENCE downstream
+    val e = intercept[IllegalArgumentException] {
+      new QueryBuilder(visits, "visitor_id")
+        .groupby(Seq("day"), 1, 1)
+        .count(name = "sum")
+        .sum("spent_money", minValue = 0, maxValue = 100)
+        .buildQuery()
+        .runQuery(Budget(1.0, 1e-10), noise = NoiseSource.Zero)
+    }
+    assert(e.getMessage.contains("duplicate output column"), e.getMessage)
+  }
 }

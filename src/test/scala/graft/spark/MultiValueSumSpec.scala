@@ -120,6 +120,31 @@ class MultiValueSumSpec extends AnyFunSuite {
     val rows = res.dataframe.collect()
     assert(rows.length <= 1) // selection may drop the 1-unit partition; L0 keeps 1
   }
+
+  test("NULL values fail loud instead of clipping to the lower bound") {
+    // Spark's least/greatest skip nulls, so an unguarded NULL would
+    // silently enter the released sum as minSumPerPartition — the
+    // DPEngine single-value path raises for the identical input, and the
+    // two APIs must agree
+    val df = Seq(("u1", "A", Some(5.0)), ("u2", "A", None))
+      .toDF("uid", "pk", "a")
+    val engine = zeroEngine()
+    val res = MultiValueSum.aggregate(engine, df,
+      MultiValueSumParams(
+        columnBounds = Seq(ValueColumnBounds("a", 10.0, 100.0)),
+        maxPartitionsContributed = 1),
+      MultiValueColumns(col("uid"), Seq("pk" -> col("pk")),
+        Seq("a" -> col("a"))))
+    engine.accountant.computeBudgets()
+    val t = intercept[Throwable] { res.dataframe.collect() }
+    def msgs(x: Throwable): String = {
+      val sb = new StringBuilder
+      var c: Throwable = x
+      while (c != null) { sb.append(c.getMessage).append('\n'); c = c.getCause }
+      sb.toString
+    }
+    assert(msgs(t).contains("NULL value"), msgs(t))
+  }
 }
 
 class DataflowSpec extends AnyFunSuite {
