@@ -517,7 +517,9 @@ private[graft] object EntryText {
             FROM h""",
       "text_quality_model" ->
         """WITH t AS (
-             SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+             SELECT doc_id,
+                    coalesce(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                             CAST([] AS VARCHAR[])) AS toks
              FROM documents),
            f AS (
              SELECT doc_id,
@@ -606,7 +608,7 @@ private[graft] object EntryText {
       "text_decontaminate" ->
         """WITH n AS (
              SELECT doc_id, source,
-                    md5(nfc_normalize(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))) AS h
+                    md5(nfc_normalize(lower(trim(regexp_replace(text, '[ \t\n\f\r]+', ' ', 'g'))))) AS h
              FROM documents),
            ev AS (SELECT DISTINCT h FROM n WHERE doc_id % 20 = 0)
            SELECT source, CAST(count(*) AS BIGINT) AS n_docs_kept
@@ -621,7 +623,7 @@ private[graft] object EntryText {
       "text_bloom_decontaminate" ->
         """WITH n AS (
               SELECT doc_id, source,
-                     md5(nfc_normalize(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))) AS h
+                     md5(nfc_normalize(lower(trim(regexp_replace(text, '[ \t\n\f\r]+', ' ', 'g'))))) AS h
               FROM documents),
             ev AS (SELECT DISTINCT h FROM n WHERE doc_id % 20 = 0 AND h IS NOT NULL),
             js AS (SELECT unnest([0, 1, 2, 3]) AS j),
@@ -652,9 +654,9 @@ private[graft] object EntryText {
             FROM bp""",
       "text_normalize" ->
         """SELECT doc_id,
-              nfc_normalize(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+              nfc_normalize(lower(trim(regexp_replace(text, '[ \t\n\f\r]+', ' ', 'g'))))
                 AS norm_text,
-              nfc_normalize(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+              nfc_normalize(lower(trim(regexp_replace(text, '[ \t\n\f\r]+', ' ', 'g'))))
                 <> text AS changed
            FROM documents""",
       "text_chunks" ->

@@ -228,7 +228,11 @@ object TextAnalysis {
     val nfc = udf((s: String) =>
       if (s == null) null
       else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
-    val collapsed = lower(trim(regexp_replace(col(textCol), "\\s+", " ")))
+    // explicit class, NOT \s: Java's \s includes vertical tab \x0B while
+    // RE2/DuckDB's does not (the extractUrls/bpePattern portability rule) —
+    // an unshared \s would silently diverge norm_text, and with it every
+    // downstream md5 dedup key, on the first \x0B in a corpus
+    val collapsed = lower(trim(regexp_replace(col(textCol), "[ \\t\\n\\f\\r]+", " ")))
     df.withColumn("norm_text",
         when(col(textCol).rlike("[^\\x00-\\x7f]"), nfc(collapsed))
           .otherwise(collapsed))

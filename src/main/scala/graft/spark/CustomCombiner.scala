@@ -42,6 +42,10 @@ final case class CustomAggParams(
     preThreshold: Option[Int] = None
 ) {
   require(maxPartitionsContributed >= 1, "maxPartitionsContributed must be >= 1")
+  // Some(0) would silently sample EVERY row away (rn <= 0 keeps nothing)
+  // and release an empty result with no error — the AggregateParams rule
+  maxContributionsPerPartition.foreach(c => require(c >= 1,
+    s"maxContributionsPerPartition must be >= 1 when set, got $c"))
 }
 
 /** Example user combiner: DP sum of squares with per-contribution square
@@ -99,10 +103,21 @@ object CustomAggregation {
       val noise = engine.noise
       val pkNames = columns.partitionKeys.map(_._1)
       val pkCols = pkNames.map(col)
+      // the DPEngine.assemble noNull contract, extended to the custom
+      // path: a NULL value otherwise flows into user accumulators where
+      // least/greatest skip nulls (SquareSumCombiner would fabricate a
+      // full maxSquare contribution per NULL row) and an all-NULL
+      // partition would release an un-noised NULL metric
+      val guarded = columns.value.map(v =>
+        when(v.isNull, raise_error(lit(
+          "CustomAggregation: NULL value for a privacy unit — nulls have " +
+            "no clipping semantics and would corrupt or leak through the " +
+            "custom accumulators; filter or impute upstream")).cast("double"))
+          .otherwise(v.cast("double")))
       var cur = df.select(
         (columns.privacyUnit.as(PidCol) +:
           columns.partitionKeys.map { case (n, c) => c.as(n) }) :+
-          columns.value.getOrElse(lit(1.0)).cast("double").as(ValCol): _*)
+          guarded.getOrElse(lit(1.0).cast("double")).as(ValCol): _*)
       publicPartitions.foreach { pub => cur = cur.join(pub, pkNames, "left_semi") }
       params.maxContributionsPerPartition.foreach { c =>
         cur = sampleRowsPerKey(cur, PidCol +: pkNames, c, engine.l0ShardingFactor)

@@ -39,15 +39,29 @@ object VectorOps {
     * (codegen-friendly, no UDF): Linf clips per coordinate; L1/L2 rescale the
     * whole vector when its norm exceeds maxNorm
     * (reference: combiners.py:877-890). */
-  def clipVector(c: Column, normKind: NormKind, maxNorm: Double): Column = normKind match {
-    case NormKind.Linf =>
-      transform(c, x => least(greatest(x, lit(-maxNorm)), lit(maxNorm)))
-    case NormKind.L1 =>
-      val norm = aggregate(c, lit(0.0), (acc, x) => acc + abs(x))
-      scaleIfOver(c, norm, maxNorm)
-    case NormKind.L2 =>
-      val norm = sqrt(aggregate(c, lit(0.0), (acc, x) => acc + x * x))
-      scaleIfOver(c, norm, maxNorm)
+  def clipVector(c0: Column, normKind: NormKind, maxNorm: Double): Column = {
+    // fail loud on non-finite coordinates (the quantizeInt8 convention): a
+    // NaN makes the L1/L2 norm NaN, and least(1.0, maxNorm/NaN) = 1.0
+    // because Spark orders NaN greater than every double — so every FINITE
+    // coordinate would pass through unclipped while the noise stays
+    // calibrated to maxNorm, silently breaking the DP sensitivity bound
+    // (Linf would quietly coerce NaN to +maxNorm — also not a clip).
+    val c = when(
+      exists(c0, x => isnan(x) || abs(x) === Double.PositiveInfinity),
+      raise_error(lit("clipVector: non-finite coordinate — NaN/Infinity " +
+        "defeats norm clipping and under-protects the DP release; filter " +
+        "or impute upstream")).cast("array<double>"))
+      .otherwise(c0)
+    normKind match {
+      case NormKind.Linf =>
+        transform(c, x => least(greatest(x, lit(-maxNorm)), lit(maxNorm)))
+      case NormKind.L1 =>
+        val norm = aggregate(c, lit(0.0), (acc, x) => acc + abs(x))
+        scaleIfOver(c, norm, maxNorm)
+      case NormKind.L2 =>
+        val norm = sqrt(aggregate(c, lit(0.0), (acc, x) => acc + x * x))
+        scaleIfOver(c, norm, maxNorm)
+    }
   }
 
   private def scaleIfOver(c: Column, norm: Column, maxNorm: Double): Column = {
@@ -67,6 +81,11 @@ object VectorOps {
       l0: Int,
       noiseKind: NoiseKind
   ) extends Serializable {
+    // build via Mechanisms.createAdditive so PLD-resolved specs work: a
+    // PLDBudgetAccountant resolves additive specs to (eps = 0, delta = 0,
+    // noiseStdDev = Some(std)), and reading spec.epsilon directly here
+    // yielded b = sensitivity/0 = Infinity noise (Laplace) or a require
+    // crash (Gaussian). The QuantileComputer pattern, applied to vectors.
     private val mechanism: AdditiveMechanism = noiseKind match {
       case NoiseKind.Laplace =>
         val sensitivity = normKind match {
@@ -75,7 +94,7 @@ object VectorOps {
           case NormKind.L2 => throw new IllegalArgumentException(
             "L2 norm clipping requires Gaussian noise")
         }
-        LaplaceMechanism.fromEpsilon(spec.epsilon, sensitivity)
+        Mechanisms.createAdditive(spec, Sensitivities(l1Given = Some(sensitivity)))
       case NoiseKind.Gaussian =>
         val sensitivity = normKind match {
           case NormKind.L2   => maxNorm * math.sqrt(l0.toDouble)
@@ -83,7 +102,7 @@ object VectorOps {
           case NormKind.L1 => throw new IllegalArgumentException(
             "L1 norm clipping requires Laplace noise")
         }
-        GaussianMechanism.fromEpsilonDelta(spec.epsilon, spec.delta, sensitivity)
+        Mechanisms.createAdditive(spec, Sensitivities(l2Given = Some(sensitivity)))
     }
     def addNoise(vec: Array[Double], noise: NoiseSource): Array[Double] =
       vec.map(v => mechanism.addNoise(v, noise))
