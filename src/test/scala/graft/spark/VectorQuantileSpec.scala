@@ -31,6 +31,31 @@ class VectorQuantileSpec extends AnyFunSuite {
     assert(rows("b")._2 == Seq(5.0, 5.0))
   }
 
+  test("vector sum under a PLD accountant draws finite calibrated noise") {
+    // the noiser read spec.epsilon directly, but PLD-resolved additive
+    // specs carry (eps = 0, noiseStdDev = Some(std)): the Laplace vector
+    // path released with b = sensitivity/0 = INFINITE noise — every
+    // coordinate +-Infinity — and Gaussian crashed in calibration
+    val df = Seq(("u1", "a", Array(1.0, 2.0)), ("u2", "a", Array(3.0, 4.0)))
+      .toDF("pid", "pk", "vec")
+    val engine = new DPEngine(new PLDBudgetAccountant(1.0, 1e-6),
+      NoiseSource.Seeded(7L))
+    val params = AggregateParams(metrics = Seq(Metric.VectorSum),
+      maxPartitionsContributed = 1, maxContributionsPerPartition = Some(10),
+      vectorNormKind = NormKind.L1, vectorMaxNorm = 100.0, vectorSize = 2)
+    val res = engine.aggregate(df, params,
+      DPColumns(org.apache.spark.sql.functions.col("pid"),
+        Seq("pk" -> org.apache.spark.sql.functions.col("pk")),
+        Some(org.apache.spark.sql.functions.col("vec"))),
+      Some(Seq("a").toDF("pk")))
+    engine.accountant.computeBudgets()
+    val v = res.dataframe.collect().head.getSeq[Double](1)
+    assert(v.forall(x => !x.isInfinite && !x.isNaN),
+      s"PLD-resolved vector noise must be finite, got $v")
+    // and it IS noisy (std ~ 141 per coordinate at eps=1, sens=100)
+    assert(v != Seq(4.0, 6.0), "expected noise, got the exact sums")
+  }
+
   test("L2 norm clipping rescales each user's per-partition vector") {
     // two users, each contributing one norm-5 vector
     val df = Seq(("u1", "a", Array(3.0, 4.0)), ("u2", "a", Array(3.0, 4.0)))
