@@ -175,7 +175,18 @@ object Mechanisms {
       }
     } else {
       val linf = math.max(math.abs(p.minSumPerPartition.get), math.abs(p.maxSumPerPartition.get))
-      Sensitivities(l0 = Some(p.maxPartitionsContributed), linf = Some(linf))
+      p.maxContributions match {
+        // L1 (maxContributions) mode with per-partition SUM bounds: the mc
+        // kept rows can land in up to mc distinct partitions, each clipped
+        // to linf — the sibling derivations all special-case this mode and
+        // this branch silently used l0 = maxPartitionsContributed (default
+        // 1, UNENFORCED in L1 mode), under-calibrating noise mc-fold
+        case Some(mc) =>
+          Sensitivities(l1Given = Some(linf * mc),
+            l2Given = Some(linf * math.sqrt(mc.toDouble)))
+        case None =>
+          Sensitivities(l0 = Some(p.maxPartitionsContributed), linf = Some(linf))
+      }
     }
   }
 

@@ -127,6 +127,12 @@ final case class AggregateParams(
   maxContributions.foreach(c => require(c >= 1, s"maxContributions must be >= 1, got $c"))
   require(maxContributions.isEmpty || maxContributionsPerPartition.isEmpty,
     "maxContributions is mutually exclusive with maxContributionsPerPartition")
+  // an explicitly-set partition bound would be SILENTLY ignored in L1 mode
+  // (the engine skips L0 sampling entirely when maxContributions is set) —
+  // reject the combination loudly like the reference's exclusive modes
+  require(maxContributions.isEmpty || maxPartitionsContributed == 1,
+    "maxContributions (L1) mode does not enforce maxPartitionsContributed — " +
+      "leave it at its default (1) or use the L0/Linf bounding mode")
   require(minValue.isDefined == maxValue.isDefined,
     "minValue and maxValue must both be set or both be unset")
   require(minSumPerPartition.isDefined == maxSumPerPartition.isDefined,

@@ -108,10 +108,14 @@ final class DPEngine(
             case NoiseKind.Gaussian => MechanismType.GaussianThresholding
           }
           else MechanismType.PartitionSelection
+        // sensitivity stays 1.0 here: the PLD accountant resolves the
+        // NORMALIZED per-unit-sensitivity noiseStdDev, and
+        // buildPostAggSelection scales it by selectionSensitivity ONCE at
+        // build — requesting with sensitivity = S as well applied S twice
+        // (std = S^2 * base/w), over-noising the thresholded count and
+        // inflating the release threshold S-fold
         Some(accountant.requestBudget(mtype, weight = params.budgetWeight,
-          name = "PartitionSelection",
-          sensitivity =
-            if (params.postAggregationThresholding) selectionSensitivity else 1.0))
+          name = "PartitionSelection"))
       } else None
 
     new DPResult(() => {
@@ -282,7 +286,14 @@ final class DPEngine(
       val mech = Mechanisms.createAdditive(handle.spec, sens)
       val noiseSrc = noise
       val noiseUdf = udf((v: Double) => mech.addNoise(v, noiseSrc)).asNondeterministic()
-      valueColumns.foldLeft(df)((d, c) => d.withColumn(c, noiseUdf(col(c))))
+      // the assemble noNull contract: Spark SKIPS a primitive-Double UDF on
+      // null input and returns null, so an unguarded NULL cell would be
+      // released UN-NOISED — an exact "this cell was null" disclosure
+      valueColumns.foldLeft(df)((d, c) => d.withColumn(c,
+        noiseUdf(when(col(c).isNull, raise_error(lit(
+            s"addDpNoise: NULL value in '$c' — a null release would " +
+              "disclose the cell un-noised; filter or impute upstream"))
+          .cast("double")).otherwise(col(c).cast("double")))))
     })
   }
 }
@@ -335,9 +346,6 @@ object DPEngine {
     }
   }
 
-  /** Whether any requested metric needs per-(pid, pk) contribution sampling
-    * (reference: combiners.py expects_per_partition_sampling; sum in
-    * per-partition-bound mode and privacy_id_count do not). */
   /** Partitions one unit can influence: in maxContributions (L1) mode the
     * L1 sample is the only enforced bound, so a unit may touch up to mc
     * partitions — maxPartitionsContributed is NOT enforced there (it
@@ -346,6 +354,9 @@ object DPEngine {
   private def effectiveL0(params: AggregateParams): Int =
     params.maxContributions.getOrElse(params.maxPartitionsContributed)
 
+  /** Whether any requested metric needs per-(pid, pk) contribution sampling
+    * (reference: combiners.py expects_per_partition_sampling; sum in
+    * per-partition-bound mode and privacy_id_count do not). */
   private def needsLinfSampling(params: AggregateParams): Boolean =
     params.metrics.exists {
       case Metric.Count | Metric.Mean | Metric.Variance | _: Metric.Percentile => true
@@ -425,13 +436,23 @@ object DPEngine {
     val scalarAccs =
       if (isVector)
         Seq(lit(0.0).as(SumCol), lit(0.0).as(NSumCol), lit(0.0).as(NSqCol))
-      else Seq(
-        (if (params.boundsPerPartitionAreSet)
-           least(greatest(sum(col(ValCol)), lit(params.minSumPerPartition.get)),
-             lit(params.maxSumPerPartition.get))
-         else sum(clipped)).as(SumCol),
-        sum(clipped - lit(mid)).as(NSumCol),
-        sum((clipped - lit(mid)) * (clipped - lit(mid))).as(NSqCol))
+      else {
+        // the centered-moment accumulators only feed Mean/Variance: a
+        // plain Count/Sum/PrivacyIdCount query otherwise pays two extra
+        // per-row multiply+sum aggregates through BOTH aggregation stages
+        // for columns the metrics UDF ignores (the vector branch's
+        // lit(0.0) trick, applied per metric set)
+        val needsMoments = params.metrics.exists(m =>
+          m == Metric.Mean || m == Metric.Variance)
+        Seq(
+          (if (params.boundsPerPartitionAreSet)
+             least(greatest(sum(col(ValCol)), lit(params.minSumPerPartition.get)),
+               lit(params.maxSumPerPartition.get))
+           else sum(clipped)).as(SumCol),
+          (if (needsMoments) sum(clipped - lit(mid)) else lit(0.0)).as(NSumCol),
+          (if (needsMoments) sum((clipped - lit(mid)) * (clipped - lit(mid)))
+           else lit(0.0)).as(NSqCol))
+      }
     val extraAccs =
       quantile.map(q =>
         QuantileAgg.buildTree(q.lower, q.upper)(clipped).as(TreeCol)).toSeq ++

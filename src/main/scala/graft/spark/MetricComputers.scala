@@ -150,7 +150,7 @@ object CompoundComputer {
     */
   final case class Plan(
       params: AggregateParams,
-      varianceHandle: Option[BudgetHandle],
+      varianceHandle: Option[Seq[BudgetHandle]],
       meanCountHandle: Option[BudgetHandle],
       meanSumHandle: Option[BudgetHandle],
       countHandle: Option[BudgetHandle],
@@ -195,16 +195,23 @@ object CompoundComputer {
       val has = p.metrics.toSet
       val parts = Seq.newBuilder[MetricPart]
 
-      varianceHandle.foreach { h =>
-        val spec = h.spec
-        val Seq((e1, d1), (e2, d2), (e3, d3)) =
-          Mechanisms.equallySplitBudget(spec.epsilon, spec.delta, 3)
-        val mk = (e: Double, d: Double, s: Sensitivities) =>
-          Mechanisms.createAdditive(MechanismSpec(spec.mechanismType, spec.name, e, d), s)
-        val countMech = mk(e1, d1, Mechanisms.sensitivitiesForCount(p))
+      varianceHandle.foreach { hs =>
+        // THREE handles (weight w/3 each, requested in plan()) instead of
+        // one handle split 3 ways here: the manual equallySplitBudget of
+        // a resolved spec broke under PLDBudgetAccountant, whose additive
+        // specs resolve to (eps = 0, delta = 0, noiseStdDev = Some(std))
+        // — splitting 0 three ways built mechanisms with b = s/0 =
+        // INFINITE Laplace noise (or a Gaussian calibration crash). Naive
+        // accounting is unchanged: 3 handles at w/3 resolve to exactly
+        // the per-mechanism (eps/3, delta/3) the old split produced.
+        val Seq(hCnt, hNSum, hNSq) = hs
+        val mk = (h: BudgetHandle, s: Sensitivities) =>
+          Mechanisms.createAdditive(h.spec, s)
+        val countMech = mk(hCnt, Mechanisms.sensitivitiesForCount(p))
         val (minV, maxV) = (p.minValue.get, p.maxValue.get)
         val nsumMech =
-          if (minV == maxV) None else Some(mk(e2, d2, Mechanisms.sensitivitiesForNormalizedSum(p)))
+          if (minV == maxV) None
+          else Some(mk(hNSum, Mechanisms.sensitivitiesForNormalizedSum(p)))
         // Sensitivity of the sum-of-squares statistic. The accumulator is
         // sum((clip(v)-mid)^2), whose per-contribution range is
         // [0, (R/2)^2] with R = max-min — the squares of the NORMALIZED
@@ -232,7 +239,7 @@ object CompoundComputer {
                 Sensitivities(l0 = Some(p.maxPartitionsContributed),
                   linf = Some(sqNMid * p.maxContributionsPerPartition.get))
             }
-            Some(mk(e3, d3, sens))
+            Some(mk(hNSq, sens))
           }
         parts += VariancePart(countMech, nsumMech, nsqMech, minV, maxV,
           includeMean = has(Mean), includeCount = has(Count), includeSum = has(Sum))
@@ -284,7 +291,12 @@ object CompoundComputer {
       else None
 
     if (has(Variance))
-      Plan(params, Some(req("Variance")), None, None, None, None, pidH, quantileH, vectorH)
+      // three w/3-weight handles so the accountant (naive OR PLD) resolves
+      // each variance mechanism's noise itself — see build()
+      Plan(params,
+        Some(Seq("VarianceCount", "VarianceNSum", "VarianceNSq").map(n =>
+          accountant.requestBudget(mt, weight = w / 3, name = n))),
+        None, None, None, None, pidH, quantileH, vectorH)
     else if (has(Mean)) {
       // when the value range collapses the normalized sum carries no signal:
       // request no budget for it (reference: dp_computations.py:339-341)

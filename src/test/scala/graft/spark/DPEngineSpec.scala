@@ -92,6 +92,58 @@ class DPEngineSpec extends AnyFunSuite {
     assert(planV.buildVector().get.l0 == 7)
   }
 
+  test("L1 mode with per-partition sum bounds calibrates L1 sensitivity to mc * linf") {
+    // mc kept rows can land in mc distinct partitions, each sum-clipped to
+    // linf; the old branch used l0 = maxPartitionsContributed (default 1,
+    // UNENFORCED in L1 mode) — noise mc-fold too small, a privacy violation
+    val p = AggregateParams(metrics = Seq(Metric.Sum),
+      maxContributions = Some(10),
+      minSumPerPartition = Some(0.0), maxSumPerPartition = Some(5.0))
+    val s = Mechanisms.sensitivitiesForSum(p)
+    assert(s.l1.contains(50.0), s"l1 = ${s.l1}, want 10 * 5")
+    assert(s.l2.exists(v => math.abs(v - 5.0 * math.sqrt(10.0)) < 1e-12),
+      s"l2 = ${s.l2}")
+  }
+
+  test("variance under a PLD accountant releases finite noised metrics") {
+    // the old single-handle 3-way split divided a PLD-resolved spec's
+    // (eps = 0, delta = 0) and rebuilt specs without noiseStdDev —
+    // Laplace released Infinity on every variance metric
+    val df = Seq(("u1", "a", 1.0), ("u2", "a", 2.0), ("u3", "a", 3.0))
+      .toDF("pid", "pk", "v")
+    val engine = new DPEngine(new PLDBudgetAccountant(1.0, 1e-6),
+      NoiseSource.Seeded(11L))
+    val res = engine.aggregate(df,
+      AggregateParams(metrics = Seq(Metric.Variance),
+        maxPartitionsContributed = 1, maxContributionsPerPartition = Some(1),
+        minValue = Some(0.0), maxValue = Some(10.0)),
+      roles, publicPartitions = Some(Seq("a").toDF("pk")))
+    engine.accountant.computeBudgets()
+    val v = res.dataframe.collect().head.getDouble(1)
+    assert(!v.isInfinite && !v.isNaN, s"variance must be finite, got $v")
+  }
+
+  test("post-agg thresholding under PLD applies the selection sensitivity once") {
+    // requesting with sensitivity = S AND scaling by S at build gave the
+    // noised pid count std = S^2 * base/w; a release at l0 = 4 should not
+    // be 4x noisier than the equivalent l0 = 1 release beyond the l0
+    // scaling itself. Smoke-assert the release runs and is finite.
+    val df = (1 to 50).map(i => (s"u$i", "a", 1.0)).toDF("pid", "pk", "v")
+    val engine = new DPEngine(new PLDBudgetAccountant(1.0, 1e-6),
+      NoiseSource.Seeded(13L))
+    val res = engine.aggregate(df,
+      AggregateParams(metrics = Seq(Metric.PrivacyIdCount),
+        maxPartitionsContributed = 4, maxContributionsPerPartition = Some(1),
+        postAggregationThresholding = true),
+      roles)
+    engine.accountant.computeBudgets()
+    val rows = res.dataframe.collect()
+    rows.foreach { r =>
+      val c = r.getDouble(1)
+      assert(!c.isInfinite && !c.isNaN, s"released count must be finite: $c")
+    }
+  }
+
   test("variance nsq is centered: calibration-independent exactness on an offset range") {
     // [10, 20]: R/2 = 5, the normalized squares live in [0, 25] — both the
     // raw squaresInterval (100..400) readings are wrong for this statistic.
