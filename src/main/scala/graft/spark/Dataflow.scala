@@ -84,9 +84,21 @@ object Dataflow {
       s"bloomFilteredJoin: key types differ ($bigT vs $smallT) — the " +
         "string-rendered bloom probe would disagree with the join's coercion; " +
         "cast the keys to one type first (same-width integral pairs are allowed)")
+    // fractional keys need one more normalization: the equi-join treats
+    // -0.0 = 0.0 (NormalizeFloatingNumbers) but the string render does not
+    // ("-0.0" vs "0.0" hash differently) — fold negative zero on BOTH probe
+    // sides so a -0.0/0.0 pair cannot false-negative out of the join
+    def probeKey(c: org.apache.spark.sql.Column,
+        dt: org.apache.spark.sql.types.DataType) = dt match {
+      case org.apache.spark.sql.types.DoubleType |
+           org.apache.spark.sql.types.FloatType =>
+        when(c === lit(0.0), lit(0.0).cast(dt)).otherwise(c)
+      case _ => c
+    }
     val words = new Array[Long](mBits / 64)
     // bounded driver assembly: bloomBits emits <= min(d*|keys|, mBits) rows
-    graft.ops.Sketches.bloomBits(small.select(col(smallKey)), smallKey, d, mBits)
+    graft.ops.Sketches.bloomBits(
+      small.select(probeKey(col(smallKey), smallT).as(smallKey)), smallKey, d, mBits)
       .collect().foreach { r =>
         val p = r.getLong(0)
         words((p >>> 6).toInt) |= (1L << (p & 63))
@@ -126,7 +138,8 @@ object Dataflow {
         ok
       }
     })
-    big.filter(col(bigKey).isNotNull && bloomPass(col(bigKey).cast("string")))
+    big.filter(col(bigKey).isNotNull &&
+        bloomPass(probeKey(col(bigKey), bigT).cast("string")))
       .join(small.hint("shuffle_hash"), big(bigKey) === small(smallKey))
   }
 
