@@ -133,6 +133,15 @@ final case class AggregateParams(
   require(maxContributions.isEmpty || maxPartitionsContributed == 1,
     "maxContributions (L1) mode does not enforce maxPartitionsContributed — " +
       "leave it at its default (1) or use the L0/Linf bounding mode")
+  // under Mean/Variance the count/sum columns are DERIVED from the shared
+  // noise draws, so their noise stddevs are not single-mechanism values —
+  // the old behavior silently dropped the promised *_noise_stddev columns
+  // depending on which other metrics were requested; fail loud instead
+  require(!outputNoiseStddev ||
+      !metrics.exists(m => m == Mean || m == Variance),
+    "outputNoiseStddev is not available when Mean/Variance subsume count/" +
+      "sum (their releases derive from shared noise draws); request the " +
+      "stddev-bearing metrics in a separate aggregation")
   require(minValue.isDefined == maxValue.isDefined,
     "minValue and maxValue must both be set or both be unset")
   require(minSumPerPartition.isDefined == maxSumPerPartition.isDefined,
