@@ -69,20 +69,22 @@ object Bench {
     }
     // The harness captures only the LAST ~2000 bytes of output, and sbt's
     // trailing "[success] Total time" line eats ~80 of them, so the JSON line
-    // must stay under ~1850 bytes: medians only (mins are on stderr above),
-    // values rounded to 3 decimals. If the query inventory grows past what
-    // fits, fold the FASTEST queries into one "_other" bucket — the slow ones
-    // are the ones round-over-round comparisons need.
+    // must stay under ~1850 bytes. Each kept query is "name":[median,min] —
+    // the min separates warm-up/position noise (median >> min) from real
+    // plan cost (median ≈ min) without needing an isolated rerun. If the
+    // inventory grows past what fits, fold the FASTEST queries into one
+    // "_other" bucket — the slow ones are the ones comparisons need.
     def r3(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    def r2(v: Double) = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
     val errored = results.filter(_._2 < 0).map(_._1).sorted
     val ok = results.filter(_._2 >= 0)
     val total = ok.map(_._2).sum
     val errJson = if (errored.isEmpty) ""
       else s""","errors":${errored.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
     def line(rs: Seq[(String, Double, Double)], folded: Int, foldedSec: Double) = {
-      val entries = rs.map(r => "\"" + r._1 + "\":" + r3(r._2)) ++
-        (if (folded > 0) Seq("\"_other_" + folded + "q\":" + r3(foldedSec)) else Nil)
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$reps$errJson,"queries":${entries.mkString("{", ",", "}")},"sf":"$sfDir"}"""
+      val entries = rs.map(r => "\"" + r._1 + "\":[" + r3(r._2) + "," + r2(r._3) + "]") ++
+        (if (folded > 0) Seq("\"_other_" + folded + "q\":[" + r3(foldedSec) + ",0]") else Nil)
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$reps,"fmt":"[median,min]"$errJson,"queries":${entries.mkString("{", ",", "}")},"sf":"$sfDir"}"""
     }
     val bySlowest = ok.sortBy(-_._2)
     var keep = bySlowest.length

@@ -163,6 +163,20 @@ private[graft] object EntryDP {
         AggregateParams(metrics = Seq(Metric.Count), maxContributions = Some(1000)),
         DPColumns(col("user_id"), Seq("event_type" -> col("event_type")), None))
     }),
+    "dp_sum_l1_partition" -> ((s, dir) => {
+      // L1 (maxContributions) bounding COMBINED with per-partition SUM
+      // bounds — the exact sensitivity branch that was mc-fold
+      // under-calibrated until round 9 (core/Mechanisms.scala
+      // sensitivitiesForSum, per-partition arm × maxContributions;
+      // reference analog: contribution_bounders.py:115-157 +
+      // combiners.py:441-446). mc=1000 >> the <= 99 rows any user has at
+      // sf <= 0.1, so L1 sampling drops nothing and the release is the
+      // exact per-(user, type) sum clipped to [0, 500], summed per type.
+      runZero(events(s, dir),
+        AggregateParams(metrics = Seq(Metric.Sum), maxContributions = Some(1000),
+          minSumPerPartition = Some(0.0), maxSumPerPartition = Some(500.0)),
+        eventRoles)
+    }),
     "dp_count_skew_sharded" -> ((s, dir) => {
       // skew-hardening end-to-end: one hot privacy unit contributes 1e5
       // rows to ONE partition — the Linf fan-in hazard where the default
@@ -810,6 +824,15 @@ private[graft] object EntryDP {
         "SELECT event_type, CAST(count(DISTINCT user_id) AS DOUBLE) AS privacy_id_count FROM events GROUP BY event_type",
       "dp_count_l1" ->
         "SELECT event_type, CAST(count(*) AS DOUBLE) AS count FROM events GROUP BY event_type",
+      // L1 sampling is the identity at mc=1000 (max 99 rows/user), so the
+      // release is the per-partition-clipped sum — same shape as
+      // dp_sum_per_partition's oracle
+      "dp_sum_l1_partition" ->
+        """SELECT event_type, sum(s) AS sum FROM (
+             SELECT user_id, event_type,
+                    least(greatest(sum(floor(value)), 0.0), 500.0) AS s
+             FROM events GROUP BY user_id, event_type
+           ) GROUP BY event_type""",
       // the hot (user=-1, click) cell is Linf-capped at 100 of its 1e5 rows;
       // which 100 is random, but count is their NUMBER and the hot values
       // are constant 1.0 so the sum is 100 either way. Real cells are all

@@ -837,11 +837,22 @@ object Dedup {
     * join stays near-linear instead of quadratic per block — the property
     * that makes this run on a 100 TB corpus. Candidates (plus an exact-safe
     * size-ratio check: t*|A| <= |B| <= |A|/t) are verified with one exact
-    * intersection; |A ∪ B| = |A| + |B| - |A ∩ B|. */
+    * intersection; |A ∪ B| = |A| + |B| - |A ∩ B|.
+    *
+    * SCALE BOUNDARY, API-ENFORCED: on low-entropy corpora (bounded gram
+    * universe — e.g. short fixed-format keys) prefix filtering cannot keep
+    * the buckets small and the candidate join goes super-linear; the
+    * round-9 ladder measured that length-band blocking does NOT rescue
+    * that regime. Above `guardMinDocs` documents a one-pass pre-join
+    * estimate (sum of prefix-group sizes squared) fails loud when the
+    * projected volume exceeds `maxCandidatesPerDoc * nDocs`, directing the
+    * caller to banded MinHash candidate generation instead. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       blockCol: String, n: Int = 3, threshold: Double = 0.5,
       gramBroadcastMaxBytes: Long = 256L << 20,
-      lengthBandBlocking: Boolean = false): DataFrame = {
+      lengthBandBlocking: Boolean = false,
+      maxCandidatesPerDoc: Double = 4096.0,
+      guardMinDocs: Long = 65536L): DataFrame = {
     val g = ngramGramsStage(df, idCol, textCol, blockCol, n)
     val ordered = ngramOrderedStage(g)
     // Verify-path switch: broadcast the per-doc gram table when it fits,
@@ -852,13 +863,56 @@ object Dedup {
     // independent broadcasts (the id_a and id_b sides), so the estimate is
     // doubled: the threshold bounds TOTAL broadcast bytes per executor.
     val sz = ordered.agg(sum(col("sz")).cast("long"), count(lit(1))).head()
+    val nDocs = sz.getLong(1)
     val gramBytes =
       2L * ((if (sz.isNullAt(0)) 0L else sz.getLong(0)) * 8L + sz.getLong(1) * 48L)
+    // SCALE GUARD (the API-enforced form of the measured boundary below):
+    // exact AllPairs goes super-linear when the gram universe is bounded —
+    // many documents share the same few prefix grams and the candidate
+    // join's hot groups cross-product. The round-9 ladder proved
+    // length-band blocking does NOT rescue that regime (fixed-length keys
+    // share one band), so a low-entropy corpus must hit a WALL WITH A
+    // MESSAGE here, not launch a quadratic join on a 1000-executor
+    // cluster. Estimate before the join: the symmetric candidate volume is
+    // at most sum over (block, prefix gram) of group_size^2 — ONE count
+    // aggregate over the long-prefix explode (same row count the join
+    // would stream anyway, no verify work). DECIMAL(38,0) product per the
+    // overflow convention. The default budget (4096 candidates/doc,
+    // pre-dedup upper bound) is ~50x the healthy documents-table reading
+    // at sf0.1 (~84/doc) and catches a quadratic corpus at any size: n
+    // docs sharing one prefix gram estimate n^2/n = n per doc.
+    // `guardMinDocs` skips the estimate pass below cluster scale: a
+    // sub-65k corpus is bounded even fully quadratic (the verify stage is
+    // the cost ceiling there), and the estimate's fixed job overhead
+    // (~0.4 s) would tax every small interactive run for a hazard only
+    // large corpora have. Above the cutoff the one counting pass is noise
+    // against the scan it protects.
+    if (maxCandidatesPerDoc.isFinite && nDocs >= math.max(1L, guardMinDocs)) {
+      val est = ordered
+        .select(col("block"),
+          explode(slice(col("grams"), lit(1), longPrefixLen(threshold))).as("gram"))
+        .groupBy("block", "gram").agg(count(lit(1)).as("c"))
+        .agg(sum(col("c").cast("decimal(38,0)") * col("c")).cast("double"))
+        .head() match { case r => if (r.isNullAt(0)) 0.0 else r.getDouble(0) }
+      if (est > maxCandidatesPerDoc * nDocs) throw new IllegalStateException(
+        f"ngramJaccardPairs: estimated candidate volume $est%.3g over $nDocs docs " +
+          f"(${est / nDocs}%.0f/doc) exceeds maxCandidatesPerDoc=$maxCandidatesPerDoc%.0f — " +
+          "the corpus' prefix-gram universe is too low-entropy for exact " +
+          "AllPairs at this scale (the join would be near-quadratic). Route " +
+          "candidate generation through the banded MinHash path " +
+          "(Dedup.minhashLshPairs) and keep this exact path for verification, " +
+          "or raise maxCandidatesPerDoc explicitly to accept the cost.")
+    }
     ngramVerifyStage(
       ngramCandidatesStage(ordered, threshold, lengthBandBlocking),
       ordered, threshold,
       broadcastGrams = gramBytes <= gramBroadcastMaxBytes)
   }
+
+  /** Indexing-prefix length floor((1-t)*sz)+1 — shared by the candidate
+    * join's pb side and the pre-join volume guard so the two cannot drift. */
+  private def longPrefixLen(threshold: Double): Column =
+    (floor(col("sz") * (1 - threshold)) + 1).cast("int")
 
   /** Stage 1: (block, id, grams, sz), checkpointed (barrier + reuse for the
     * gram-df pass and the re-order pass). */
@@ -931,7 +985,7 @@ object Dedup {
     // may be as small as t * sz_b, where the bound degenerates to the
     // symmetric one). Candidate-volume growth on the 30x ladder drops
     // accordingly (ARCHITECTURE.md, round-8 ladder section).
-    val longPrefix = (floor(col("sz") * (1 - threshold)) + 1).cast("int")
+    val longPrefix = longPrefixLen(threshold)
     val shortPrefix =
       (floor(col("sz") * ((1 - threshold) / (1 + threshold))) + 1).cast("int")
     val pa0 = ordered.select(col("block"), col("id").as("id_a"),

@@ -46,6 +46,21 @@ object Layout {
     expr(s"(CAST($c AS DECIMAL(38,0)) - $lo) * ${1L << bits}" +
       s" div (CAST($hi AS DECIMAL(38,0)) - $lo + 1)")
 
+  /** [[quantize]] against KNOWN literal bounds: when the span provably
+    * cannot wrap — (hi - lo + 1) <= 2^(63-bits) — the product runs in
+    * plain BIGINT (one codegen'd multiply instead of 128-bit decimal
+    * math on every row); otherwise it falls back to the DECIMAL(38,0)
+    * form. Bit-identical to [[quantize]] in both arms: integral floor
+    * divide of an exact product. */
+  private def quantizeLit(c: String, lo: Long, hi: Long, bits: Int): Column = {
+    val span = BigInt(hi) - BigInt(lo) + 1 // hi >= lo by construction
+    if (span <= BigInt(Long.MaxValue >> bits))
+      expr(s"(CAST($c AS BIGINT) - ${lo}L) * ${1L << bits}L div ${span.toLong}L")
+    else
+      expr(s"(CAST($c AS DECIMAL(38,0)) - $lo) * ${1L << bits}" +
+        s" div (CAST($hi AS DECIMAL(38,0)) - $lo + 1)")
+  }
+
   /** Z-order clustered export: quantize (xCol, yCol) against their global
     * min/max, interleave to a z-value, cut the z-line into `nShards`
     * EQUAL-WIDTH shards (deterministic, unlike range-partitioner
@@ -63,26 +78,38 @@ object Layout {
   def zorderExport(df: DataFrame, idCol: String, xCol: String, yCol: String,
       outDir: String, bits: Int = 8, nShards: Int = 16): DataFrame = {
     require(nShards > 0, s"nShards must be positive, got $nShards")
-    // an empty input would write only _SUCCESS and then die far from the
-    // cause in the manifest read-back ("Unable to infer schema") — fail
-    // at the entrance instead
-    require(!df.isEmpty, "zorderExport: empty input — nothing to lay out")
-    val bounds = df.agg(
+    // the bounds aggregate is ONE row — collecting it lets the quantize
+    // expressions embed literal lo/hi, which (a) removes the broadcast
+    // crossJoin from the full-data projection and (b) lets quantizeLit
+    // statically prove the BIGINT product cannot wrap and skip
+    // DECIMAL(38,0) math on every row (r9 paid ~0.25 s/1M rows for
+    // decimal quantization the common bits=8 case never needed)
+    val b = df.agg(
       min(col(xCol).cast("long")).as("__xlo"), max(col(xCol).cast("long")).as("__xhi"),
       min(col(yCol).cast("long")).as("__ylo"), max(col(yCol).cast("long")).as("__yhi"))
+      .collect()(0)
+    // empty input or all-NULL x/y: no range to quantize — and an empty
+    // export would die far from the cause in the manifest read-back
+    // ("Unable to infer schema"); fail at the entrance instead
+    require(!b.anyNull,
+      s"zorderExport: empty input, or $xCol/$yCol all NULL — nothing to lay out")
+    val (xlo, xhi, ylo, yhi) = (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
     val zSpan = 1L << (2 * bits)
+    // z < 2^(2*bits); the shard product stays in BIGINT unless
+    // 2*bits + log2(nShards) can reach 63 (bits >= 30), where it wraps
+    // negative and silently writes rows to bogus shard partitions —
+    // DECIMAL(38,0) only on that (rare) configuration
+    val shardExpr =
+      if (zSpan <= Long.MaxValue / nShards)
+        expr(s"CAST(z * $nShards div $zSpan AS INT)")
+      else
+        expr(s"CAST(CAST(z AS DECIMAL(38,0)) * $nShards div $zSpan AS INT)")
     val laid = df.select(col(idCol).as("id"),
         col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y"))
-      .crossJoin(broadcast(bounds))
-      .withColumn("xq", quantize("x", "__xlo", "__xhi", bits))
-      .withColumn("yq", quantize("y", "__ylo", "__yhi", bits))
+      .withColumn("xq", quantizeLit("x", xlo, xhi, bits))
+      .withColumn("yq", quantizeLit("y", ylo, yhi, bits))
       .withColumn("z", zValue(col("xq"), col("yq"), bits))
-      // the z * nShards product runs in DECIMAL(38,0): at bits >= 30
-      // (allowed) z reaches 2^60+ and a BIGINT product wraps negative,
-      // silently writing rows to bogus shard partitions — the same
-      // overflow convention as quantize one step earlier
-      .withColumn("shard", expr(
-        s"CAST(CAST(z AS DECIMAL(38,0)) * $nShards div $zSpan AS INT)"))
+      .withColumn("shard", shardExpr)
       .select("id", "x", "y", "z", "shard")
     laid.repartition(col("shard"))
       .sortWithinPartitions(col("shard"), col("z"))

@@ -520,6 +520,43 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("ngram jaccard: candidate-volume guard trips on a low-entropy corpus, " +
+    "not on a normal one") {
+    // THE measured scale boundary (r9 ladder): exact AllPairs goes
+    // super-linear when many docs share the same few prefix grams — and
+    // length-band blocking cannot rescue fixed-length keys. The guard must
+    // convert that regime into a loud error BEFORE the candidate join runs.
+    // Low-entropy corpus: 200 near-identical fixed-length keys — every doc's
+    // prefix collapses onto the same handful of grams, est/doc ~ nDocs.
+    val lowEntropy = (0 until 200)
+      .map(i => (i.toLong, f"item-00${i % 2}%03d-suffix"))
+      .toDF("id", "text").withColumn("blk", lit("b"))
+    val ex = intercept[IllegalStateException] {
+      Dedup.ngramJaccardPairs(lowEntropy, "id", "text", "blk", threshold = 0.8,
+        maxCandidatesPerDoc = 32.0, guardMinDocs = 1L).count()
+    }
+    assert(ex.getMessage.contains("maxCandidatesPerDoc"), ex.getMessage)
+    assert(ex.getMessage.contains("minhashLshPairs"), ex.getMessage)
+    // Normal corpus: distinct random texts — prefix groups stay tiny, the
+    // guard (forced on with guardMinDocs = 1) must NOT fire, and the output
+    // must equal the unguarded run
+    val rnd = new scala.util.Random(31)
+    val normal = (0 until 200)
+      .map(i => (i.toLong, Seq.fill(20)(rnd.alphanumeric.take(7).mkString).mkString(" ")))
+      .toDF("id", "text").withColumn("blk", lit("b"))
+    def pairSet(guarded: Boolean) = Dedup.ngramJaccardPairs(normal, "id", "text",
+        "blk", threshold = 0.8,
+        maxCandidatesPerDoc = if (guarded) 64.0 else Double.PositiveInfinity,
+        guardMinDocs = if (guarded) 1L else Long.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairSet(guarded = true) == pairSet(guarded = false))
+    // below guardMinDocs the estimate pass is skipped entirely: the
+    // low-entropy corpus must run (and produce its quadratic-but-bounded
+    // exact answer) when the caller's corpus is under the cutoff
+    assert(Dedup.ngramJaccardPairs(lowEntropy, "id", "text", "blk",
+      threshold = 0.8, maxCandidatesPerDoc = 32.0).count() > 0)
+  }
+
   test("ngram jaccard: length-band blocking is output-identical on a mixed-size corpus") {
     // small shared vocab => shared prefix grams across very different doc
     // sizes, the regime band blocking prunes; near-dups planted at close

@@ -123,24 +123,115 @@ class DPEngineSpec extends AnyFunSuite {
     assert(!v.isInfinite && !v.isNaN, s"variance must be finite, got $v")
   }
 
+  /** Parse "noise_std=<v>" / "threshold=<v>" from the post-agg selection
+    * line of an explain report — the built ThresholdingSelection's actual
+    * parameters, observable without private access. */
+  private def postAggSelectionParams(report: String): (Double, Double) = {
+    val line = report.linesIterator
+      .find(_.contains("post-aggregation thresholding"))
+      .getOrElse(fail(s"no post-agg selection line in report:\n$report"))
+    def num(key: String): Double = {
+      val m = s"$key=([-0-9.eE+]+)".r.findFirstMatchIn(line)
+        .getOrElse(fail(s"no $key= in: $line"))
+      m.group(1).toDouble
+    }
+    (num("noise_std"), num("threshold"))
+  }
+
   test("post-agg thresholding under PLD applies the selection sensitivity once") {
-    // requesting with sensitivity = S AND scaling by S at build gave the
-    // noised pid count std = S^2 * base/w; a release at l0 = 4 should not
-    // be 4x noisier than the equivalent l0 = 1 release beyond the l0
-    // scaling itself. Smoke-assert the release runs and is finite.
+    // THE r9 bug: requesting the thresholding mechanism with
+    // sensitivity = S AND scaling by S again at build gave the noised pid
+    // count std = S^2 * base. The accountant's resolved base std is
+    // IDENTICAL across runs that differ only in l0 (requests are
+    // normalized; l0 enters at build), so the built selection's noise_std
+    // must scale EXACTLY linearly in the selection sensitivity:
+    // S = l0 for Laplace, sqrt(l0) for Gaussian. The S^2 bug reads as a
+    // quadratic ratio (16x / 4x at l0 = 4) — far outside the %.4g
+    // rendering tolerance. Thresholds must grow with the std, monotone.
     val df = (1 to 50).map(i => (s"u$i", "a", 1.0)).toDF("pid", "pk", "v")
-    val engine = new DPEngine(new PLDBudgetAccountant(1.0, 1e-6),
-      NoiseSource.Seeded(13L))
-    val res = engine.aggregate(df,
-      AggregateParams(metrics = Seq(Metric.PrivacyIdCount),
-        maxPartitionsContributed = 4, maxContributionsPerPartition = Some(1),
-        postAggregationThresholding = true),
-      roles)
-    engine.accountant.computeBudgets()
-    val rows = res.dataframe.collect()
-    rows.foreach { r =>
-      val c = r.getDouble(1)
-      assert(!c.isInfinite && !c.isNaN, s"released count must be finite: $c")
+    def run(l0: Int, kind: NoiseKind): (Double, Double) = {
+      val engine = new DPEngine(new PLDBudgetAccountant(1.0, 1e-6),
+        NoiseSource.Seeded(13L))
+      val res = engine.aggregate(df,
+        AggregateParams(metrics = Seq(Metric.PrivacyIdCount),
+          maxPartitionsContributed = l0, maxContributionsPerPartition = Some(1),
+          noiseKind = kind, postAggregationThresholding = true),
+        roles)
+      engine.accountant.computeBudgets()
+      res.dataframe.collect().foreach { r =>
+        val c = r.getDouble(1)
+        assert(!c.isInfinite && !c.isNaN, s"released count must be finite: $c")
+      }
+      postAggSelectionParams(res.explainReport)
+    }
+    for (kind <- Seq(NoiseKind.Laplace, NoiseKind.Gaussian)) {
+      val sens: Int => Double = kind match {
+        case NoiseKind.Laplace  => l0 => l0.toDouble
+        case NoiseKind.Gaussian => l0 => math.sqrt(l0.toDouble)
+      }
+      val (base, thrBase) = run(1, kind)
+      var prevThr = thrBase
+      for (l0 <- Seq(2, 4, 8)) {
+        val (std, thr) = run(l0, kind)
+        val want = base * sens(l0)
+        assert(math.abs(std - want) <= 2e-3 * want,
+          s"$kind l0=$l0: selection noise_std $std, want base $base * S " +
+            s"${sens(l0)} = $want (S^2 double-scaling would give ${want * sens(l0)})")
+        assert(thr > prevThr,
+          s"$kind l0=$l0: threshold $thr must grow with the noise std (prev $prevThr)")
+        prevThr = thr
+      }
+    }
+  }
+
+  test("variance under PLD: finite releases across a weight/kind/metric grid, " +
+    "zero-noise equal to naive") {
+    // THE r9 crash: a std-resolved PLD spec carries (eps, delta) = (0, 0);
+    // the variance path split that 3-ways and rebuilt child specs without
+    // noiseStdDev — Laplace released Infinity on every variance metric.
+    // Pin across the adversarial grid the smoke test missed: every released
+    // cell finite under real seeded noise, and the zero-noise release
+    // bit-equal to the NaiveBudgetAccountant's (both are the exact
+    // statistic — accounting must not change a zero-noise release).
+    val data = Seq(
+      ("u1", "pk1", 12.0), ("u2", "pk1", 14.0), ("u3", "pk1", 18.0),
+      ("u4", "pk1", 16.0), ("u1", "pk2", 11.0), ("u2", "pk2", 19.0),
+      ("u5", "pk2", 13.0)).toDF("pid", "pk", "v")
+    val pub = Seq("pk1", "pk2").toDF("pk")
+    for {
+      w <- Seq(0.3, 2.5)
+      kind <- Seq(NoiseKind.Laplace, NoiseKind.Gaussian)
+      metrics <- Seq(Seq(Metric.Variance),
+        Seq(Metric.Variance, Metric.Mean, Metric.Count, Metric.Sum))
+    } {
+      val params = AggregateParams(metrics = metrics,
+        maxPartitionsContributed = 2, maxContributionsPerPartition = Some(4),
+        minValue = Some(10.0), maxValue = Some(20.0),
+        noiseKind = kind, budgetWeight = w)
+      val seeded = new DPEngine(new PLDBudgetAccountant(1.0, 1e-6),
+        NoiseSource.Seeded(17L))
+      val noisy = seeded.aggregate(data, params, roles, publicPartitions = Some(pub))
+      seeded.accountant.computeBudgets()
+      noisy.dataframe.collect().foreach { r =>
+        (1 until r.length).foreach { i =>
+          val v = r.getDouble(i)
+          assert(!v.isInfinite && !v.isNaN,
+            s"w=$w $kind metrics=${metrics.map(_.name)}: non-finite release $v at col $i")
+        }
+      }
+      def zeroRun(acc: BudgetAccountant): Map[String, Seq[Double]] = {
+        val e = new DPEngine(acc, NoiseSource.Zero)
+        val res = e.aggregate(data, params, roles, publicPartitions = Some(pub))
+        e.accountant.computeBudgets()
+        res.dataframe.collect()
+          .map(r => r.getString(0) -> (1 until r.length).map(r.getDouble))
+          .toMap
+      }
+      val pld = zeroRun(new PLDBudgetAccountant(1.0, 1e-6))
+      val naive = zeroRun(new NaiveBudgetAccountant(1.0, 1e-6))
+      assert(pld == naive,
+        s"w=$w $kind metrics=${metrics.map(_.name)}: zero-noise PLD release " +
+          s"$pld differs from naive $naive")
     }
   }
 
