@@ -102,16 +102,17 @@ private[graft] object EntryDedup {
       // fragment, tracking params, trailing slash — then group. The
       // fixture carries no URLs, so three deterministic messy variants are
       // planted per doc (the text_url_domains pattern): u1/u2 differ only
-      // in canonicalization-removable noise and MUST collapse; u3 collides
-      // across docs sharing (id mod 11, id mod 100). Pure string algebra
-      // => oracle-exact end-to-end.
+      // in canonicalization-removable noise — userinfo, lowercase escape
+      // hex (%2f vs %2F), an encoded unreserved char (%7e vs ~) — and
+      // MUST collapse; u3 collides across docs sharing (id mod 11,
+      // id mod 100). Pure string algebra => oracle-exact end-to-end.
       val d = col("doc_id")
-      val u1 = concat(lit("HTTPS://WWW.Site-"), (d % 37).cast("string"),
-        lit(".Example.com:443/p/"), d.cast("string"),
-        lit("/?utm_source=feed&ref=r"), (d % 5).cast("string"), lit("#sec"))
+      val u1 = concat(lit("HTTPS://User:Pw@WWW.Site-"), (d % 37).cast("string"),
+        lit(".Example.com:443/p%7e/"), d.cast("string"),
+        lit("/?utm_source=feed&ref=r"), (d % 5).cast("string"), lit("%2fx#sec"))
       val u2 = concat(lit("https://site-"), (d % 37).cast("string"),
-        lit(".example.com/p/"), d.cast("string"),
-        lit("?ref=r"), (d % 5).cast("string"))
+        lit(".example.com/p~/"), d.cast("string"),
+        lit("?ref=r"), (d % 5).cast("string"), lit("%2Fx"))
       val u3 = concat(lit("http://other-"), (d % 11).cast("string"),
         lit(".example.org:80/a/"), (d % 100).cast("string"))
       TextAnalysis.urlDedup(
@@ -387,55 +388,74 @@ private[graft] object EntryDedup {
     })
   )
 
+  /** DuckDB replay of TextAnalysis.normalizePercentEncoding, generated
+    * from the same letter list / decode table (TextAnalysis.unreservedPunct)
+    * as the Column fold so the two chains cannot drift. DuckDB's
+    * backreference syntax is `\1` where Spark's replacement is `$1` — the
+    * only textual divergence, and it is syntax, not semantics. */
+  private def pctChainSql(inner: String): String = {
+    val letters = "abcdef"
+    var e = inner
+    for (l <- letters) e = s"regexp_replace($e, '%$l', '%${l.toUpper}', 'g')"
+    for (l <- letters)
+      e = s"regexp_replace($e, '%([0-9A-F])$l', '%\\1${l.toUpper}', 'g')"
+    for ((hex, ch) <- graft.ops.TextAnalysis.unreservedPunct)
+      e = s"regexp_replace($e, '%$hex', '$ch', 'g')"
+    e
+  }
+
   def oracleSql: Map[String, String] = {
     import OracleFragments._
     Map(
       "dedup_exact" ->
         "SELECT text, min(doc_id) AS keep_id, count(*) AS group_size FROM documents GROUP BY text",
       // the canonicalization chain replayed step-for-step (DuckDB needs
-      // the explicit 'g' flag where Spark's regexp_replace is global)
+      // the explicit 'g' flag where Spark's regexp_replace is global);
+      // the percent-encoding chain is GENERATED from the same tables the
+      // Column expression folds over (pctChainSql) so they cannot drift
       "dedup_url" ->
-        """WITH raw AS (
+        s"""WITH raw AS (
              SELECT doc_id, unnest([
-               'HTTPS://WWW.Site-' || CAST(doc_id % 37 AS VARCHAR) ||
-                 '.Example.com:443/p/' || CAST(doc_id AS VARCHAR) ||
-                 '/?utm_source=feed&ref=r' || CAST(doc_id % 5 AS VARCHAR) || '#sec',
+               'HTTPS://User:Pw@WWW.Site-' || CAST(doc_id % 37 AS VARCHAR) ||
+                 '.Example.com:443/p%7e/' || CAST(doc_id AS VARCHAR) ||
+                 '/?utm_source=feed&ref=r' || CAST(doc_id % 5 AS VARCHAR) || '%2fx#sec',
                'https://site-' || CAST(doc_id % 37 AS VARCHAR) ||
-                 '.example.com/p/' || CAST(doc_id AS VARCHAR) ||
-                 '?ref=r' || CAST(doc_id % 5 AS VARCHAR),
+                 '.example.com/p~/' || CAST(doc_id AS VARCHAR) ||
+                 '?ref=r' || CAST(doc_id % 5 AS VARCHAR) || '%2Fx',
                'http://other-' || CAST(doc_id % 11 AS VARCHAR) ||
                  '.example.org:80/a/' || CAST(doc_id % 100 AS VARCHAR)]) AS url
              FROM documents),
            nf AS (SELECT doc_id, url,
-                         regexp_replace(url, '#.*$', '') AS nofrag
+                         regexp_replace(url, '#.*$$', '') AS nofrag
                   FROM raw),
            parts AS (
              SELECT doc_id, url,
                     lower(regexp_extract(nofrag,
                       '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
-                    lower(regexp_extract(nofrag,
-                      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
+                    regexp_replace(lower(regexp_extract(nofrag,
+                      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+                      '^.*@', '') AS hostport,
                     regexp_replace(regexp_extract(nofrag,
                       '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
-                      '/$', '') AS path,
+                      '/$$', '') AS path,
                     regexp_replace(regexp_replace(
-                      '&' || regexp_extract(nofrag, '\?([^#]*)', 1),
+                      '&' || regexp_extract(nofrag, '\\?([^#]*)', 1),
                       '&(?:utm_[A-Za-z0-9_]*|gclid|fbclid)(=[^&]*)?', '', 'g'),
                       '^&', '') AS q
              FROM nf),
            hp AS (
              SELECT *, CASE
                WHEN scheme = 'http' THEN
-                 regexp_replace(regexp_replace(hostport, '^www\.', ''), ':80$', '')
+                 regexp_replace(regexp_replace(hostport, '^www\\.', ''), ':80$$', '')
                WHEN scheme = 'https' THEN
-                 regexp_replace(regexp_replace(hostport, '^www\.', ''), ':443$', '')
-               ELSE regexp_replace(hostport, '^www\.', '') END AS host
+                 regexp_replace(regexp_replace(hostport, '^www\\.', ''), ':443$$', '')
+               ELSE regexp_replace(hostport, '^www\\.', '') END AS host
              FROM parts),
            c AS (
              SELECT doc_id, url,
                     CASE WHEN scheme = '' THEN trim(url)
-                         ELSE scheme || '://' || host || path ||
-                              (CASE WHEN q = '' THEN '' ELSE '?' || q END)
+                         ELSE ${pctChainSql("scheme || '://' || host || path || " +
+                           "(CASE WHEN q = '' THEN '' ELSE '?' || q END)")}
                     END AS canonical
              FROM hp)
            SELECT canonical,

@@ -16,7 +16,7 @@ import org.apache.spark.sql.functions._
 private[graft] object EntryEvents {
   import EntryHelpers._
 
-   /** The daily per-type rollup shared by ts_anomaly and ts_moving_avg —
+  /** The daily per-type rollup shared by ts_anomaly and ts_moving_avg —
     * one definition of the (event_type, day, integer-floor value sum)
     * aggregate so the two oracle-pinned windows cannot drift apart. */
   private def dailyValueRollup(s: SparkSession, dir: String, as: String) =
@@ -24,7 +24,7 @@ private[graft] object EntryEvents {
       .groupBy("event_type", "day")
       .agg(sum(floor(col("value"))).cast("double").as(as))
 
- def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts_gapfill" -> ((s, dir) => {
       // time-series resample: dense per-(event_type, hour) grid with
       // zero-filled gaps between the corpus min and max hour — the

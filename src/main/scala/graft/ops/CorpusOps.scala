@@ -618,7 +618,9 @@ object CorpusOps {
     * [[stratifiedSample]]'s bounded bottom-k aggregate with
     * k = max(quota) and apply the quota filter to its ranks; the window
     * form is kept here because it is the shape the SQL oracle replays
-    * verbatim. */
+    * verbatim. NULL strata fold to the sentinel stratum `"__null"` (the
+    * categoricalDrift convention): a genuine stratum literally named
+    * `__null` merges with NULL-keyed rows. */
   def quotaSample(df: DataFrame, stratumCol: String, idCol: String,
       totalK: Long): DataFrame = {
     require(totalK > 0, s"totalK must be positive, got $totalK")
@@ -1163,6 +1165,9 @@ object CorpusOps {
     * (full-outer join of the two count aggregates), so a category that
     * appears or vanishes between snapshots — the loudest drift signal —
     * surfaces as a row with one zero side rather than silently dropping.
+    * NULL keys fold to the sentinel category `"__null"` BEFORE the join —
+    * a genuine category literally named `__null` merges with NULL keys
+    * (accepted trade-off for a plain string join key).
     * Same exact BIGINT cross deviation; same no-corpus-shuffle plan (two
     * map-side-combined aggregates, one category-cardinality join). */
   def categoricalDrift(a: DataFrame, b: DataFrame, keyCol: String): DataFrame = {

@@ -178,10 +178,15 @@ object Multimodal {
         // NOT_SPECIFIED (-1), or a lie (streamed WAVs write 0xFFFFFFFF
         // chunk sizes) — releasing it as-is reads as a negative duration
         // or a ~4.3e9-frame clip; a frame count the payload cannot hold is
-        // malformed input and follows the documented None contract
+        // malformed input and follows the documented None contract.
+        // Bound against the DATA bytes remaining after the parser consumed
+        // the header (in.available()), not the whole buffer: a header
+        // overstating by up to headerBytes/frameSize frames would pass a
+        // bytes.length bound
         val frameSize = fmt.getFrameSize.toLong
+        val payload = in.available().toLong
         val plausible = frames >= 0 && fmt.getSampleRate > 0 &&
-          (frameSize <= 0 || frames <= bytes.length.toLong / math.max(frameSize, 1L))
+          (frameSize <= 0 || frames <= payload / math.max(frameSize, 1L))
         if (!plausible) None
         else Some(DecodedAudio(fmt.getSampleRate.toDouble, fmt.getChannels, frames,
           frames.toDouble / fmt.getSampleRate))

@@ -51,8 +51,10 @@ object TemporalOps {
     // ASOF equi-join semantics: NULL keys never match (NULL = NULL is
     // false in a join), but Window.partitionBy groups NULL keys into ONE
     // partition where they would match each other — null the result out
-    // for null-keyed left rows instead
-    val keyIsNull = keys.map(col(_).isNull).reduce(_ || _)
+    // for null-keyed left rows instead. foldLeft over lit(false), not
+    // reduce: an EMPTY key list (the global keyless as-of join, valid —
+    // one global window) must yield the no-op wrapper, not throw
+    val keyIsNull = keys.map(col(_).isNull).foldLeft(lit(false))(_ || _)
     u.withColumn(asofCol, max(col("__rts")).over(w))
       .filter(col("__tag") === 1)
       .withColumn(asofCol, when(keyIsNull,

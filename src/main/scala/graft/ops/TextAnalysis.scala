@@ -127,20 +127,34 @@ object TextAnalysis {
     *  2. lowercase scheme and host[:port] ONLY (paths are case-sensitive);
     *  3. drop a leading `www.` and the scheme's default port
     *     (`:80` http / `:443` https);
-    *  4. drop tracking query params (`utm_*`, `gclid`, `fbclid`) — the
+    *  4. strip userinfo (`user:pw@host` — never part of the resource
+    *     identity, and a phishing-style obfuscation in crawl data);
+    *  5. drop tracking query params (`utm_*`, `gclid`, `fbclid`) — the
     *     `&`-sentinel trick handles first-position params without
     *     reordering the survivors;
-    *  5. drop one trailing slash from the path (`/x/` == `/x`, `/` == ``).
+    *  6. drop one trailing slash from the path (`/x/` == `/x`, `/` == ``);
+    *  7. normalize percent-encoding: uppercase the two hex digits of every
+    *     escape (`%2f` == `%2F`, RFC 3986 §6.2.2.1) and decode escapes of
+    *     the UNRESERVED punctuation (`%7E` == `~`, `%2D` `-`, `%2E` `.`,
+    *     `%5F` `_`, §6.2.2.2) — reserved escapes (`%2F` etc.) stay
+    *     encoded, they are NOT the same resource as their literal.
     *
-    * Inputs without a `scheme://` prefix pass through trimmed (no right
-    * canonical form to guess). Pure `Column` expression — whole-stage
-    * codegen'd, usable on a raw crawl frame of any size. */
+    * Documented out of scope (kept java∩RE2/oracle-replayable): IDN/
+    * punycode host equivalence, decoding alphanumeric escapes (`%41`=='A'
+    * — rare in real crawls, and the replace chain stays bounded), and
+    * path-segment `..` resolution. Inputs without a `scheme://` prefix
+    * pass through trimmed (no right canonical form to guess). Pure
+    * `Column` expression — whole-stage codegen'd, usable on a raw crawl
+    * frame of any size. */
   def canonicalizeUrl(url: Column): Column = {
     val noFrag = regexp_replace(url, "#.*$", "")
     val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     val hostPort = lower(regexp_extract(
       noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
-    val noWww = regexp_replace(hostPort, "^www\\.", "")
+    // greedy ^.*@ strips through the LAST @ — RFC 3986 delimits the host
+    // at the final @ of the authority (hostPort cannot contain '/')
+    val noUser = regexp_replace(hostPort, "^.*@", "")
+    val noWww = regexp_replace(noUser, "^www\\.", "")
     val host = when(scheme === "http", regexp_replace(noWww, ":80$", ""))
       .when(scheme === "https", regexp_replace(noWww, ":443$", ""))
       .otherwise(noWww)
@@ -151,8 +165,31 @@ object TextAnalysis {
         "&(?:utm_[A-Za-z0-9_]*|gclid|fbclid)(=[^&]*)?", ""),
       "^&", "")
     when(scheme === "", trim(url)).otherwise(
-      concat(scheme, lit("://"), host, path,
-        when(q === "", lit("")).otherwise(concat(lit("?"), q))))
+      normalizePercentEncoding(concat(scheme, lit("://"), host, path,
+        when(q === "", lit("")).otherwise(concat(lit("?"), q)))))
+  }
+
+  /** The unreserved-punctuation decode table of [[canonicalizeUrl]] step 7
+    * — shared with the SQL-oracle generator so the two cannot drift. */
+  private[graft] val unreservedPunct: Seq[(String, String)] =
+    Seq("2D" -> "-", "2E" -> ".", "5F" -> "_", "7E" -> "~")
+
+  /** Percent-encoding normalization (canonicalizeUrl step 7): a bounded
+    * regexp_replace chain, no case-converting captures (regex replacement
+    * cannot change case in any engine). First-digit pass: the only place
+    * `%<hexletter>` occurs in a URL is as an escape's first digit, so a
+    * literal `%a` -> `%A` is safe; second-digit pass keeps the (now
+    * uppercase-or-digit) first digit via one capture. Then the four
+    * unreserved punctuation escapes decode to their literals. */
+  private def normalizePercentEncoding(c: Column): Column = {
+    val letters = "abcdef"
+    val firstUp = letters.foldLeft(c)((x, l) =>
+      regexp_replace(x, s"%$l", s"%${l.toUpper}"))
+    val bothUp = letters.foldLeft(firstUp)((x, l) =>
+      regexp_replace(x, s"%([0-9A-F])$l", "%$1" + l.toUpper))
+    unreservedPunct.foldLeft(bothUp) { case (x, (hex, ch)) =>
+      regexp_replace(x, s"%$hex", ch)
+    }
   }
 
   /** URL-level dedup rollup over [[canonicalizeUrl]]: one row per canonical

@@ -181,7 +181,13 @@ object StreamOps {
   /** Reference mix for [[windowedMixDrift]]: (event_type, n_ref, tot_ref),
     * one row per category of `keyCol` — tiny, broadcast into the stream.
     * Production points this at last week's corpus; the gate points it at
-    * the same table (drift of each hour against the whole-corpus mix). */
+    * the same table (drift of each hour against the whole-corpus mix).
+    *
+    * NULL categories fold to the sentinel category `"__null"` (the
+    * categoricalDrift convention): a genuine category literally named
+    * `__null` merges with NULL keys in both the reference and the drift
+    * counts — accepted trade-off for keeping the join key a plain
+    * codegen-friendly string. */
   def mixReference(df: DataFrame, keyCol: String): DataFrame = {
     // NULL categories fold to the same '__null' sentinel the drift join
     // side uses — a join on event_type never matches NULL = NULL, so an
@@ -206,7 +212,9 @@ object StreamOps {
     * the obvious counts-join-totals formulation is a stream-stream self
     * join Spark rejects. The reference joins in stream-static left, so a
     * type the reference has never seen still surfaces (n_ref = 0). State
-    * per window is one row bounded by category cardinality. */
+    * per window is one row bounded by category cardinality. NULL
+    * categories fold to the sentinel `"__null"` on both sides (see
+    * [[mixReference]] for the trade-off). */
   def windowedMixDrift(
       events: DataFrame,
       ref: DataFrame,

@@ -1,0 +1,93 @@
+package graft.tools
+
+import graft.ops.CorpusOps
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale ladder for the two write-path queries that never ran one
+  * (io_range_export / io_roundtrip): 1x / 10x / 30x replicas of their real
+  * inputs, 3 timed reps each, sec and sec-per-Mrow printed per rung.
+  * Write paths can hide super-linear listing/commit costs that a single
+  * sf0.1 point masks — the ladder makes the growth exponent visible.
+  *
+  * Replication is id-offset only (these queries consume ids, a numeric
+  * sort key, and small categorical columns — no text similarity structure
+  * to preserve): orders replicas offset o_orderkey and leave o_totalprice
+  * untouched (30x more rows across the SAME price range stresses the
+  * range-boundary sampling exactly like a bigger corpus would);
+  * documents replicas offset doc_id. Evidence tooling only — never a gate
+  * input.
+  *
+  * Usage: runMain graft.tools.LadderIo [sfDir] */
+object LadderIo {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", false)
+      .appName("ladder-io").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def replicate(df: DataFrame, idCol: String, k: Int): DataFrame = {
+      val stride = df.agg(max(col(idCol))).collect()(0).getLong(0) + 1
+      df.crossJoin(spark.range(k).select(col("id").as("__k")))
+        .withColumn(idCol, col(idCol) + col("__k") * stride)
+        .drop("__k")
+    }
+
+    def run(name: String, mk: () => DataFrame): (Double, Long) = {
+      var rows = 0L
+      // drop only checkpoint blocks the QUERY created between reps — the
+      // ladder's own replicated-input checkpoint must survive all 3 reps
+      val keep = spark.sparkContext.getPersistentRDDs.keySet
+      val times = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        rows = mk().queryExecution.toRdd.count()
+        spark.sparkContext.getPersistentRDDs
+          .foreach { case (id, rdd) => if (!keep(id)) rdd.unpersist(blocking = true) }
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      (times(1), rows)
+    }
+
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select("o_orderkey", "o_totalprice")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "lang", "source", "n_chars")
+
+    for (k <- Seq(1, 10, 30)) {
+      val o = replicate(orders, "o_orderkey", k).localCheckpoint(true)
+      val inRows = o.count()
+      val (sec, _) = run(s"io_range_export@${k}x", () =>
+        CorpusOps.exportRangeSorted(o, "o_totalprice",
+          s"/tmp/ladder_io/range_$k", nParts = 16))
+      println(f"[ladder] io_range_export ${k}%2dx: $inRows%9d rows  $sec%6.2f s  " +
+        f"${sec * 1e6 / inRows}%8.3f s/Mrow")
+      o.unpersist(blocking = true)
+    }
+
+    for (k <- Seq(1, 10, 30)) {
+      val d = replicate(docs, "doc_id", k).localCheckpoint(true)
+      val inRows = d.count()
+      val (sec, _) = run(s"io_roundtrip@${k}x", () => {
+        import graft.sources.CorpusIO
+        val tmp = s"/tmp/ladder_io/rt_$k"
+        CorpusIO.write(d, s"$tmp/p", format = "parquet",
+          mode = SaveMode.Overwrite, partitionBy = Seq("lang"),
+          maxRecordsPerFile = 200)
+        CorpusIO.write(d, s"$tmp/j", format = "jsonl", mode = SaveMode.Overwrite)
+        val p = CorpusIO.read(spark, s"$tmp/p").withColumn("format", lit("parquet"))
+        val j = CorpusIO.read(spark, s"$tmp/j", format = "jsonl",
+          schema = Some(d.schema)).withColumn("format", lit("jsonl"))
+        p.unionByName(j).groupBy("format", "lang")
+          .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars"))
+      })
+      println(f"[ladder] io_roundtrip    ${k}%2dx: $inRows%9d rows  $sec%6.2f s  " +
+        f"${sec * 1e6 / inRows}%8.3f s/Mrow")
+      d.unpersist(blocking = true)
+    }
+    spark.stop()
+  }
+}

@@ -85,7 +85,20 @@ class TextAnalysisSpec extends AnyFunSuite {
       // bare host + slash collapses to bare host
       ("https://a.com/", "https://a.com"),
       // no scheme: pass through trimmed, no guessing
-      ("  not-a-url/path  ", "not-a-url/path"))
+      ("  not-a-url/path  ", "not-a-url/path"),
+      // userinfo stripped — including a second '@' (RFC: host starts at
+      // the LAST @ of the authority)
+      ("https://User:Pw@a.com/x", "https://a.com/x"),
+      ("https://u@v@a.com/x", "https://a.com/x"),
+      // percent-encoding: hex case normalized upward (%2f == %2F, both
+      // digits), reserved escapes stay ENCODED
+      ("https://a.com/x%2fy%Af%fa", "https://a.com/x%2Fy%AF%FA"),
+      // unreserved punctuation escapes decode (%7E == ~, %2E == ., %2D,
+      // %5F), in either input case
+      ("https://a.com/%7euser/f%2Ename%2dv%5f1", "https://a.com/~user/f.name-v_1"),
+      // the passthrough branch must NOT percent-normalize (no scheme =>
+      // no canonical form to guess)
+      ("raw %2f text", "raw %2f text"))
     val got = cases.map(_._1).toDF("url")
       .select(TextAnalysis.canonicalizeUrl(col("url"))).as[String].collect()
     got.zip(cases.map(_._2)).zip(cases.map(_._1)).foreach {

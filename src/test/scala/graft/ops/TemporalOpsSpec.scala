@@ -22,6 +22,17 @@ class TemporalOpsSpec extends AnyFunSuite {
     assert(out(4L) == None) // u2 has no right rows
   }
 
+  test("asofJoinTs with EMPTY keys: one global window, no crash") {
+    // the keyless global as-of join (Window.partitionBy() with no columns)
+    // is valid; the null-key wrapper must fold to a no-op, not throw on
+    // the empty reduce
+    val left = Seq((1L, 10L), (2L, 25L)).toDF("id", "t")
+    val right = Seq((5L), (20L)).toDF("t")
+    val out = TemporalOps.asofJoinTs(left, right, Seq.empty, "t", "t", "asof_t")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("asof_t")).toMap
+    assert(out == Map(1L -> 5L, 2L -> 20L))
+  }
+
   test("rangeJoin matches points to [lo, hi) intervals exactly") {
     val points = Seq((1L, 5L), (2L, 10L), (3L, 19L), (4L, 20L), (5L, 35L),
       (6L, 1000L)).toDF("pid", "t")
