@@ -405,8 +405,65 @@ private[graft] object EntrySim {
       // quantization are what make a covariance matrix hash-verifiable.
       Similarity.covarianceMoments(
         s.read.parquet(s"$dir/embeddings.parquet"), "embedding")
+    }),
+    "sim_bm25_topk" -> ((s, dir) => {
+      // Okapi BM25 lexical top-5 (exact integer arithmetic: log2-floor
+      // IDF, one scaled integral division for the k1=1.2/b=0.75 tf
+      // factor — cross-engine exact). Query fixture: vocabulary df-ranks
+      // 10..29, 4 terms per query => 5 queries of mid/high-df terms, so
+      // every query matches many docs and the dl normalization and the
+      // idf=0 saturation arm (terms in more than half the corpus) both
+      // run for real.
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "text")
+      Retrieval.bm25TopK(docs, "doc_id", "text",
+        bm25QueryFixture(docs), "query_id", "term", k = 5)
+    }),
+    "sim_rrf_fusion" -> ((s, dir) => {
+      // hybrid retrieval: the BM25 lexical top-20 and the dense cosine
+      // top-20 (query vector = the anchor embedding with vec_id ==
+      // query_id) fused by integerized reciprocal-rank fusion. The two
+      // arms rank the same 0-based id space (doc_id == vec_id in the
+      // fixtures); fusion semantics — multi-list membership outranking
+      // single-list rows, score-tie item-id tiebreak — are what is under
+      // test, and both arms are independently oracle-anchored
+      // (sim_bm25_topk, sim_topk).
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "text")
+      val lex = Retrieval.bm25TopK(docs, "doc_id", "text",
+        bm25QueryFixture(docs), "query_id", "term", k = 20)
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+        .withColumn("emb", expr(
+          "transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1024) / 1024)"))
+      val qv = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("emb"))
+      val dense = Similarity.bruteForceTopK(e, "vec_id", "emb",
+        qv, "qid", "emb", k = 20)
+      Retrieval.rrfFuse(Seq(
+        lex.select(col("query_id"), col("doc_id").as("item_id"), col("rk")),
+        dense.select(col("query_id"), col("neighbor_id").as("item_id"),
+          col("rank").as("rk"))),
+        "query_id", "item_id", "rk", k = 10)
     })
   )
+
+  /** Query-term fixture for the BM25/fusion gate rows: vocabulary
+    * df-ranks 10..29 (ties by term asc), 4 terms per query. The global
+    * row_number over the vocabulary is FIXTURE construction (bounded by
+    * the corpus vocabulary; single-partition window), not part of the
+    * operator — real callers bring their own query frame. */
+  private def bm25QueryFixture(docs: DataFrame): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("dfreq"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("dfreq").desc, col("term").asc)
+    dfreq.withColumn("r", row_number().over(w).cast("long"))
+      .filter(col("r") >= 10 && col("r") < 30)
+      .select(expr("CAST((r - 10) div 4 AS BIGINT)").as("query_id"),
+        col("term"))
+  }
 
   def oracleSql: Map[String, String] = {
     import OracleFragments._
@@ -480,6 +537,29 @@ private[graft] object EntrySim {
            FROM r
            QUALIFY rank <= 5""",
       "sim_topk" -> bruteTopKSql,
+      "sim_bm25_topk" -> bm25SqlFor(5),
+      // both arms generated from the same fragment builders their anchor
+      // queries use (bm25SqlFor, bruteTopKSqlFor) — the arms cannot drift
+      // from sim_bm25_topk / sim_topk; fusion is the integerized
+      // reciprocal-rank sum floor(1e6/(60+rank)) with (score desc,
+      // item_id asc) final ranking
+      "sim_rrf_fusion" ->
+        s"""WITH bm AS (SELECT * FROM (${bm25SqlFor(20)}) __bm),
+           cs AS (SELECT * FROM (${bruteTopKSqlFor(maxQid = 5, k = 20)}) __cs),
+           u AS (
+             SELECT query_id, doc_id AS item_id, rk FROM bm
+             UNION ALL
+             SELECT query_id, neighbor_id AS item_id, rank AS rk FROM cs),
+           a AS (
+             SELECT query_id, item_id,
+                    CAST(sum(1000000 // (60 + rk)) AS BIGINT) AS rrf_score,
+                    CAST(count(*) AS BIGINT) AS n_lists,
+                    CAST(min(rk) AS BIGINT) AS best_rank
+             FROM u GROUP BY query_id, item_id)
+           SELECT query_id, item_id, rrf_score, n_lists, best_rank,
+                  CAST(row_number() OVER (PARTITION BY query_id
+                       ORDER BY rrf_score DESC, item_id ASC) AS BIGINT) AS rk
+           FROM a QUALIFY rk <= 10""",
       // the same brute-force ranking over the int8-quantized-then-
       // dequantized corpus (quantization replicated from emb_quantize)
       "sim_topk_int8" ->

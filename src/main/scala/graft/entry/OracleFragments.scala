@@ -310,10 +310,12 @@ private[graft] object OracleFragments {
       // SQL becomes a DuckDB syntax error
       String.format(java.util.Locale.ROOT, "%.17g", Double.box(sel.threshold))
     }
-    // brute-force cosine top-5: ground truth for BOTH sim_topk (brute-force
-    // operator) and sim_ivf_exact (IVF with nprobe == nlist, provably equal)
-    val bruteTopKSql =
-      """WITH e AS (
+    // brute-force cosine top-k over the 1024-quantized embeddings,
+    // parameterized on the query-id cutoff and k so every consumer
+    // (sim_topk, sim_ivf_exact, the rrf fusion's dense arm) is generated
+    // from ONE definition and cannot drift
+    def bruteTopKSqlFor(maxQid: Int, k: Int): String =
+      s"""WITH e AS (
            SELECT vec_id,
                   list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1024) / 1024) AS emb
            FROM embeddings),
@@ -325,12 +327,63 @@ private[graft] object OracleFragments {
                             / (sqrt(list_sum(list_transform(q.emb, x -> x * x)))
                                * sqrt(list_sum(list_transform(c.emb, x -> x * x))))
                   END AS cosine
-           FROM e q CROSS JOIN e c WHERE q.vec_id < 20)
+           FROM e q CROSS JOIN e c WHERE q.vec_id < $maxQid)
          SELECT query_id, neighbor_id, cosine,
                 CAST(row_number() OVER (PARTITION BY query_id
                      ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
          FROM scored
-         QUALIFY rank <= 5"""
+         QUALIFY rank <= $k"""
+    // ground truth for BOTH sim_topk (brute-force operator) and
+    // sim_ivf_exact (IVF with nprobe == nlist, provably equal)
+    val bruteTopKSql = bruteTopKSqlFor(maxQid = 20, k = 5)
+    // Okapi BM25 top-k replay, parameterized on k so sim_bm25_topk (k=5)
+    // and the rrf fusion's lexical arm (k=20) share one definition.
+    // Query fixture = vocabulary df-ranks 10..29, 4 terms/query. Exact
+    // integer arithmetic throughout: log2-floor IDF via bin-length (the
+    // tfidf convention), and the k1=1.2/b=0.75 tf factor cleared to ONE
+    // integral division — numerator scale*idf*22*totlen*tf, denominator
+    // 10*totlen*tf + 3*totlen + 9*dl*N — in HUGEINT (the DECIMAL(38,0)
+    // arm of the Spark side), with only BIGINT columns released.
+    def bm25SqlFor(k: Int): String =
+      s"""WITH tok AS (
+           SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+           FROM documents),
+         base AS (
+           SELECT doc_id, COALESCE(len(toks), 0) AS dl, toks FROM tok),
+         stats AS (
+           SELECT CAST(count(*) AS BIGINT) AS n,
+                  CAST(COALESCE(sum(dl), 0) AS BIGINT) AS totlen FROM base),
+         tfall AS (
+           SELECT doc_id, tok AS term, CAST(count(*) AS BIGINT) AS tf
+           FROM (SELECT doc_id, unnest(toks) AS tok FROM base)
+           GROUP BY doc_id, tok),
+         dfall AS (
+           SELECT term, CAST(count(*) AS BIGINT) AS dfreq FROM tfall GROUP BY term),
+         queries AS (
+           SELECT CAST((r - 10) // 4 AS BIGINT) AS query_id, term, dfreq
+           FROM (SELECT term, dfreq,
+                        row_number() OVER (ORDER BY dfreq DESC, term ASC) AS r
+                 FROM dfall)
+           WHERE r >= 10 AND r < 30),
+         bm25scored AS (
+           SELECT q.query_id, t.doc_id, t.tf, b.dl,
+                  CAST(length(bin((SELECT n FROM stats) // q.dfreq)) - 1 AS BIGINT) AS idf
+           FROM tfall t JOIN queries q USING (term) JOIN base b USING (doc_id)),
+         contrib AS (
+           SELECT query_id, doc_id,
+                  CAST((CAST(idf * 22000000 AS HUGEINT) * totlen * tf)
+                     // (CAST(10 AS HUGEINT) * totlen * tf + 3 * totlen + 9 * dl * n)
+                     AS BIGINT) AS c
+           FROM bm25scored, stats),
+         agg AS (
+           SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS score,
+                  CAST(count(*) AS BIGINT) AS n_terms
+           FROM contrib GROUP BY query_id, doc_id)
+         SELECT query_id, doc_id, score, n_terms,
+                CAST(row_number() OVER (PARTITION BY query_id
+                     ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rk
+         FROM agg
+         QUALIFY rk <= $k"""
     // PII oracle arms generated from the SAME pattern table the operator
     // uses, so impl and oracle cannot drift (patterns are Java/RE2-portable
     // and contain no single quotes)

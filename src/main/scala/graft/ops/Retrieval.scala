@@ -1,0 +1,169 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Lexical retrieval and rank fusion — the search-side complement of the
+  * embedding ANN tier ([[Similarity]]): Okapi BM25 scoring over the
+  * corpus and reciprocal-rank fusion of independently produced rankings
+  * (the standard hybrid-retrieval combiner for lexical + dense lists).
+  *
+  * Both operators are exact integer arithmetic end-to-end — BM25's
+  * rational term weight is evaluated as one scaled integral division and
+  * its log2-floor IDF reuses the [[TextAnalysis.tfIdfTopTerms]] bin-length
+  * convention — so results replay bit-exactly in any SQL engine
+  * (transcendental-free; the deliberate deviation from the textbook
+  * ln-based weights, which are not cross-engine reproducible).
+  *
+  * Beyond-reference capability (the reference engine has no retrieval
+  * surface); the RAG/eval-set-selection side of a training-data pipeline.
+  */
+object Retrieval {
+
+  /** k1 = 12/10 and b = 3/4: the standard Okapi defaults as exact
+    * rationals. Fixed (not parameters) because every downstream constant
+    * in the scaled integral division below is derived from them; a
+    * different operating point is a one-line fork with its own constants. */
+  private val K1Num = 12L // k1 = K1Num / 10
+  private val BNum = 3L // b = BNum / 4
+
+  private def d38(c: Column): Column = c.cast("decimal(38,0)")
+
+  /** Okapi BM25 top-k document retrieval.
+    *
+    * `queries` is a (queryId, term) frame — one row per query term,
+    * repeated terms deduplicated. Scoring is the classic
+    * `sum_t idf(t) * tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl))` with
+    * k1=1.2, b=0.75, except both factors are integerized for
+    * cross-engine exactness:
+    *
+    *   - `idf(t) = floor(log2(N div df(t)))` (bin-length, the tfidf
+    *     convention; a term in more than half the corpus scores 0);
+    *   - the tf factor is evaluated as ONE integral division after
+    *     clearing denominators (multiply through by `10*totlen`, with
+    *     `avgdl = totlen/N` substituted):
+    *     `contrib = (scale*idf*22*totlen*tf) div
+    *                (10*totlen*tf + 3*totlen + 9*dl*N)`,
+    *     so `score = sum(contrib)` is an exact BIGINT in units of
+    *     `1/scale`. Products run in DECIMAL(38,0) (the crossDeviation
+    *     convention — BIGINT wraps once `totlen` passes ~1e9 tokens);
+    *     the quotient is ≤ `2.2*scale*idf`, comfortably BIGINT.
+    *
+    * Returns `(query_id, doc_id, score, n_terms, rk)`, `rk <= k`, rank
+    * ties broken by ascending doc id.
+    *
+    * Scale layout: tokens are bound ONCE per doc (dl rides along the
+    * explode), and postings are restricted to query terms by a broadcast
+    * semi-join BEFORE the (doc, term) aggregation — the shuffle carries
+    * only query-term postings, never the vocabulary. df comes from the
+    * restricted postings (term-level filtering cannot change a surviving
+    * term's document frequency) and broadcasts back. Corpus-level N and
+    * totlen are a bounded one-row collect embedded as literals (the
+    * zorder pattern: no crossJoin in the full-data projection). The
+    * final per-query top-k is a row_number window over each query's
+    * candidate set — at extreme candidate volumes swap in the bounded-
+    * heap partial aggregate of [[Similarity.bruteForceTopK]]'s
+    * finalizeTopK; the window keeps the plan fully oracle-replayable. */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, queryIdCol: String, termCol: String,
+      k: Int, scale: Long = 1000000L): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(scale > 0 && scale <= 1000000000L,
+      s"scale must be in [1, 1e9], got $scale")
+    val base = docs.select(col(idCol).as("doc_id"),
+      TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .withColumn("dl", coalesce(size(col("__toks")).cast("long"), lit(0L)))
+    val statsRow = base
+      .agg(count(lit(1)).as("n"), sum(col("dl")).as("totlen")).head()
+    val nDocs = statsRow.getLong(0)
+    val totLen = if (statsRow.isNullAt(1)) 0L else statsRow.getLong(1)
+    require(nDocs > 0 && totLen > 0,
+      "bm25TopK needs a non-empty corpus with at least one token")
+    val q = queries
+      .select(col(queryIdCol).as("query_id"), col(termCol).as("term"))
+      .distinct()
+    val tf = base
+      .select(col("doc_id"), col("dl"), explode(col("__toks")).as("term"))
+      .join(broadcast(q.select("term").distinct()), Seq("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("dfreq"))
+    // Clearing denominators in tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl))
+    // by 10*totlen (avgdl = totlen/N): with k1 = 12/10, b = 3/4,
+    //   num = (10+K1Num) * totlen * tf            (k1+1 = 22/10)
+    //   den = 10*totlen*tf
+    //       + (K1Num*(4-BNum)/4) * totlen         (k1*(1-b)*10 = 3)
+    //       + (K1Num*BNum*10/40) * dl * N         (k1*b*10 = 9)
+    val k1p1TimesScale = (10L + K1Num) * scale // 22 * scale
+    val denConstTot = K1Num * (4L - BNum) / 4L // 3
+    val denConstDl = K1Num * BNum * 10L / 40L // 9
+    val scored = tf
+      .join(broadcast(dfreq), "term")
+      .join(broadcast(q), Seq("term")) // fan out to every query using the term
+      .withColumn("idf",
+        (length(bin(expr(s"$nDocs div dfreq"))) - 1).cast("long"))
+      .withColumn("__num",
+        d38(col("idf") * lit(k1p1TimesScale)) * d38(lit(totLen)) * d38(col("tf")))
+      .withColumn("__den",
+        d38(lit(10L * totLen)) * d38(col("tf"))
+          + d38(lit(denConstTot * totLen))
+          + d38(lit(denConstDl * nDocs)) * d38(col("dl")))
+      .withColumn("contrib", expr("CAST(__num div __den AS BIGINT)"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("doc_id").asc)
+    scored
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("contrib")).as("score"), count(lit(1)).as("n_terms"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select("query_id", "doc_id", "score", "n_terms", "rk")
+  }
+
+  /** Reciprocal-rank fusion (Cormack/Clarke/Büttcher, SIGIR'09): fuse any
+    * number of independently produced per-query rankings into one list by
+    * `score(d) = sum_lists floor(scale / (rrfK + rank_list(d)))` —
+    * integerized (exact BIGINT) with the same tiebreak convention as
+    * every ranked operator here (score desc, item id asc). The classic
+    * hybrid-retrieval combiner: it needs only ranks, so lexical BM25 and
+    * dense cosine lists fuse without score calibration.
+    *
+    * Each input frame must carry (queryCol, itemCol, rankCol) with ranks
+    * >= 1; a NULL or non-positive rank fails loud (a silently skipped
+    * NULL would drop a retrieved item from the fused list with no
+    * signal). Returns `(query_id, item_id, rrf_score, n_lists,
+    * best_rank, rk)`, `rk <= k`.
+    *
+    * Scale layout: union-all of the (already small, top-k-bounded)
+    * ranked lists, one map-side-combined aggregation keyed by
+    * (query, item), one row_number window per query over at most
+    * `lists × k` candidates — nothing corpus-sized anywhere. */
+  def rrfFuse(rankings: Seq[DataFrame], queryCol: String, itemCol: String,
+      rankCol: String, k: Int, rrfK: Int = 60,
+      scale: Long = 1000000L): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    require(k > 0, s"k must be positive, got $k")
+    require(rrfK >= 0, s"rrfK must be non-negative, got $rrfK")
+    require(scale > 0, s"scale must be positive, got $scale")
+    val normed = rankings.map(_.select(
+      col(queryCol).as("query_id"), col(itemCol).as("item_id"),
+      col(rankCol).cast("long").as("__rk")))
+    val unioned = normed.reduce(_.unionByName(_))
+    val contrib = when(col("__rk").isNull || col("__rk") < 1L,
+      raise_error(lit("rrfFuse: rank must be a positive integer — a NULL " +
+        "or non-positive rank would silently drop a retrieved item from " +
+        "the fused list")).cast("long"))
+      .otherwise(expr(s"CAST($scale div ($rrfK + __rk) AS BIGINT)"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("rrf_score").desc, col("item_id").asc)
+    unioned
+      .withColumn("__c", contrib)
+      .groupBy("query_id", "item_id")
+      .agg(sum(col("__c")).as("rrf_score"), count(lit(1)).as("n_lists"),
+        min(col("__rk")).as("best_rank"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select("query_id", "item_id", "rrf_score", "n_lists", "best_rank",
+        "rk")
+  }
+}
