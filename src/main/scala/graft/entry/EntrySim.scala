@@ -463,6 +463,10 @@ private[graft] object EntrySim {
       .filter(col("r") >= 10 && col("r") < 30)
       .select(expr("CAST((r - 10) div 4 AS BIGINT)").as("query_id"),
         col("term"))
+      // bm25TopK references the query frame twice (term semi-join +
+      // query_id attach); without a checkpoint the full-corpus df
+      // aggregation behind this fixture would run twice
+      .localCheckpoint(false)
   }
 
   def oracleSql: Map[String, String] = {

@@ -61,10 +61,13 @@ object Retrieval {
     * term's document frequency) and broadcasts back. Corpus-level N and
     * totlen are a bounded one-row collect embedded as literals (the
     * zorder pattern: no crossJoin in the full-data projection). The
-    * final per-query top-k is a row_number window over each query's
-    * candidate set — at extreme candidate volumes swap in the bounded-
-    * heap partial aggregate of [[Similarity.bruteForceTopK]]'s
-    * finalizeTopK; the window keeps the plan fully oracle-replayable. */
+    * final per-query top-k is a row_number window; Spark's
+    * WindowGroupLimit plants a partial per-partition top-k BEFORE the
+    * exchange, so only ~k rows per task shuffle to the final rank.
+    *
+    * `queries` is referenced TWICE in the plan (term semi-join +
+    * query_id attach): a caller whose query frame is itself an
+    * expensive computation should checkpoint it first. */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
       queries: DataFrame, queryIdCol: String, termCol: String,
       k: Int, scale: Long = 1000000L): DataFrame = {
