@@ -103,16 +103,19 @@ private[graft] object EntryDedup {
       // fixture carries no URLs, so three deterministic messy variants are
       // planted per doc (the text_url_domains pattern): u1/u2 differ only
       // in canonicalization-removable noise — userinfo, lowercase escape
-      // hex (%2f vs %2F), an encoded unreserved char (%7e vs ~) — and
-      // MUST collapse; u3 collides across docs sharing (id mod 11,
-      // id mod 100). Pure string algebra => oracle-exact end-to-end.
+      // hex (%2f vs %2F, %4a vs %4A), an encoded unreserved char (%7e vs
+      // ~) — and MUST collapse; the raw non-escape '%zz' must pass
+      // through untouched on both engines (the escape grammar boundary).
+      // u3 collides across docs sharing (id mod 11, id mod 100). Pure
+      // string algebra => oracle-exact end-to-end.
       val d = col("doc_id")
       val u1 = concat(lit("HTTPS://User:Pw@WWW.Site-"), (d % 37).cast("string"),
         lit(".Example.com:443/p%7e/"), d.cast("string"),
-        lit("/?utm_source=feed&ref=r"), (d % 5).cast("string"), lit("%2fx#sec"))
+        lit("/?utm_source=feed&ref=r"), (d % 5).cast("string"),
+        lit("%2fx&q=a%4a%zz#sec"))
       val u2 = concat(lit("https://site-"), (d % 37).cast("string"),
         lit(".example.com/p~/"), d.cast("string"),
-        lit("?ref=r"), (d % 5).cast("string"), lit("%2Fx"))
+        lit("?ref=r"), (d % 5).cast("string"), lit("%2Fx&q=a%4A%zz"))
       val u3 = concat(lit("http://other-"), (d % 11).cast("string"),
         lit(".example.org:80/a/"), (d % 100).cast("string"))
       TextAnalysis.urlDedup(
@@ -396,7 +399,8 @@ private[graft] object EntryDedup {
   private def pctChainSql(inner: String): String = {
     val letters = "abcdef"
     var e = inner
-    for (l <- letters) e = s"regexp_replace($e, '%$l', '%${l.toUpper}', 'g')"
+    for (l <- letters)
+      e = s"regexp_replace($e, '%$l([0-9A-Fa-f])', '%${l.toUpper}\\1', 'g')"
     for (l <- letters)
       e = s"regexp_replace($e, '%([0-9A-F])$l', '%\\1${l.toUpper}', 'g')"
     for ((hex, ch) <- graft.ops.TextAnalysis.unreservedPunct)
@@ -418,10 +422,11 @@ private[graft] object EntryDedup {
              SELECT doc_id, unnest([
                'HTTPS://User:Pw@WWW.Site-' || CAST(doc_id % 37 AS VARCHAR) ||
                  '.Example.com:443/p%7e/' || CAST(doc_id AS VARCHAR) ||
-                 '/?utm_source=feed&ref=r' || CAST(doc_id % 5 AS VARCHAR) || '%2fx#sec',
+                 '/?utm_source=feed&ref=r' || CAST(doc_id % 5 AS VARCHAR) ||
+                 '%2fx&q=a%4a%zz#sec',
                'https://site-' || CAST(doc_id % 37 AS VARCHAR) ||
                  '.example.com/p~/' || CAST(doc_id AS VARCHAR) ||
-                 '?ref=r' || CAST(doc_id % 5 AS VARCHAR) || '%2Fx',
+                 '?ref=r' || CAST(doc_id % 5 AS VARCHAR) || '%2Fx&q=a%4A%zz',
                'http://other-' || CAST(doc_id % 11 AS VARCHAR) ||
                  '.example.org:80/a/' || CAST(doc_id % 100 AS VARCHAR)]) AS url
              FROM documents),

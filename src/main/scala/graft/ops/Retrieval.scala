@@ -74,9 +74,16 @@ object Retrieval {
     require(k > 0, s"k must be positive, got $k")
     require(scale > 0 && scale <= 1000000000L,
       s"scale must be in [1, 1e9], got $scale")
+    // checkpointed so the regex tokenization runs ONCE: the eager stats
+    // aggregate below and the postings plan would otherwise each
+    // tokenize the full corpus. Trade-off: the tokenized corpus
+    // materializes to executor-local storage for the job's duration —
+    // for corpora where storage dominates recompute, drop the
+    // checkpoint and pay the second tokenize pass.
     val base = docs.select(col(idCol).as("doc_id"),
       TextAnalysis.tokens(col(textCol)).as("__toks"))
       .withColumn("dl", coalesce(size(col("__toks")).cast("long"), lit(0L)))
+      .localCheckpoint(false)
     val statsRow = base
       .agg(count(lit(1)).as("n"), sum(col("dl")).as("totlen")).head()
     val nDocs = statsRow.getLong(0)

@@ -176,15 +176,20 @@ object TextAnalysis {
 
   /** Percent-encoding normalization (canonicalizeUrl step 7): a bounded
     * regexp_replace chain, no case-converting captures (regex replacement
-    * cannot change case in any engine). First-digit pass: the only place
-    * `%<hexletter>` occurs in a URL is as an escape's first digit, so a
-    * literal `%a` -> `%A` is safe; second-digit pass keeps the (now
-    * uppercase-or-digit) first digit via one capture. Then the four
-    * unreserved punctuation escapes decode to their literals. */
+    * cannot change case in any engine). First-digit pass: `%<letter>` is
+    * uppercased only when ANOTHER hex char follows, so raw text like
+    * `%ax` — not parseable as an escape — passes through untouched. A
+    * raw `%` that does precede two hex chars (`...50%fall...`) is
+    * grammatically indistinguishable from an escape and normalizes as
+    * one: RFC 3986 requires a literal percent to be sent as `%25`, and
+    * browser URL normalizers make the same call on malformed input.
+    * Second-digit pass keys on the now-normalized (uppercase-or-digit)
+    * first digit via one capture. Then the four unreserved punctuation
+    * escapes decode to their literals. */
   private def normalizePercentEncoding(c: Column): Column = {
     val letters = "abcdef"
     val firstUp = letters.foldLeft(c)((x, l) =>
-      regexp_replace(x, s"%$l", s"%${l.toUpper}"))
+      regexp_replace(x, s"%$l([0-9A-Fa-f])", s"%${l.toUpper}" + "$1"))
     val bothUp = letters.foldLeft(firstUp)((x, l) =>
       regexp_replace(x, s"%([0-9A-F])$l", "%$1" + l.toUpper))
     unreservedPunct.foldLeft(bothUp) { case (x, (hex, ch)) =>

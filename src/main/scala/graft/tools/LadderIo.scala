@@ -45,9 +45,13 @@ object LadderIo {
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         rows = mk().queryExecution.toRdd.count()
+        // dt BEFORE the blocking unpersist (the Bench convention):
+        // cleanup cost is harness overhead, not query cost — timing it
+        // would bias the rung's growth exponent by the checkpoint size
+        val dt = (System.nanoTime() - t0) / 1e9
         spark.sparkContext.getPersistentRDDs
           .foreach { case (id, rdd) => if (!keep(id)) rdd.unpersist(blocking = true) }
-        (System.nanoTime() - t0) / 1e9
+        dt
       }.sorted
       (times(1), rows)
     }

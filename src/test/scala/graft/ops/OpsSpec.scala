@@ -96,6 +96,16 @@ class TextAnalysisSpec extends AnyFunSuite {
       // unreserved punctuation escapes decode (%7E == ~, %2E == ., %2D,
       // %5F), in either input case
       ("https://a.com/%7euser/f%2Ename%2dv%5f1", "https://a.com/~user/f.name-v_1"),
+      // a raw '%' NOT followed by two hex chars is not a parseable
+      // escape and must pass through untouched ('%ax': x not hex; '%a'
+      // at end of string; '%zz')
+      ("https://a.com/x%ax", "https://a.com/x%ax"),
+      ("https://a.com/x%a", "https://a.com/x%a"),
+      ("https://a.com/x?q=a%4a%zz", "https://a.com/x?q=a%4A%zz"),
+      // a raw '%' that DOES precede two hex chars is grammatically an
+      // escape (RFC 3986: literal percent must be sent as %25) and
+      // normalizes as one: %fa inside '50%fall' uppercases
+      ("https://a.com/50%fall", "https://a.com/50%FAll"),
       // the passthrough branch must NOT percent-normalize (no scheme =>
       // no canonical form to guess)
       ("raw %2f text", "raw %2f text"))
