@@ -200,6 +200,21 @@ final case class SelectPartitionsParams(
   require(maxPartitionsContributed >= 1, "maxPartitionsContributed must be >= 1")
 }
 
+/** Parameters of `noisyTopK` — release the k partition keys with the
+  * largest noisy privacy-unit counts (the report-noisy-max family;
+  * one-shot Laplace top-k). Beyond-reference: the reference's selection
+  * strategies threshold ALL partitions and cannot answer "which k
+  * partitions are largest". */
+final case class NoisyTopKParams(
+    k: Int,
+    maxPartitionsContributed: Int,
+    budgetWeight: Double = 1.0
+) {
+  require(k >= 1, s"k must be >= 1, got $k")
+  require(maxPartitionsContributed >= 1,
+    s"maxPartitionsContributed must be >= 1, got $maxPartitionsContributed")
+}
+
 /** Parameters of `addDpNoise` — noise-only on pre-aggregated data
   * (reference: dp_engine.py:579-652). Caller vouches for the sensitivities. */
 final case class AddDpNoiseParams(

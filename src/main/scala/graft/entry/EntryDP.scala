@@ -220,6 +220,23 @@ private[graft] object EntryDP {
       engine.accountant.computeBudgets()
       res.dataframe
     }),
+    "dp_noisy_topk" -> ((s, dir) => {
+      // report-noisy-max top-k (one-shot Laplace top-k): the 7 largest
+      // of up to 100 (event_type, user-bucket) partitions by distinct-
+      // unit count. A user's bucket is fixed (user_id % 20), so their
+      // L0 is at most the 5 event types — maxPartitionsContributed=5
+      // makes the bounder a no-drop pass and the Zero-noise release
+      // exact. Ties break by (event_type, ubucket) ascending.
+      val engine = zeroEngine()
+      val ev = events(s, dir)
+        .withColumn("ubucket", pmod(col("user_id"), lit(20L)))
+      val res = engine.noisyTopK(ev,
+        NoisyTopKParams(k = 7, maxPartitionsContributed = 5),
+        DPColumns(col("user_id"),
+          Seq("event_type" -> col("event_type"), "ubucket" -> col("ubucket"))))
+      engine.accountant.computeBudgets()
+      res.dataframe
+    }),
     "dp_bounds_enforced" -> ((s, dir) => {
       // contribution bounds vouched by the caller: the engine skips both
       // sampling stages (NoOpSampler path) => exact counts
@@ -924,6 +941,15 @@ private[graft] object EntryDP {
         "SELECT DISTINCT event_type FROM events",
       "dp_select_weighted_gaussian" ->
         "SELECT DISTINCT event_type FROM events",
+      "dp_noisy_topk" ->
+        """WITH c AS (
+             SELECT event_type, user_id % 20 AS ubucket,
+                    count(DISTINCT user_id) AS n
+             FROM events GROUP BY event_type, user_id % 20)
+           SELECT event_type, ubucket,
+                  CAST(row_number() OVER (ORDER BY n DESC, event_type ASC,
+                       ubucket ASC) AS BIGINT) AS rank
+           FROM c QUALIFY rank <= 7""",
       "dp_select_gaussian_thr" ->
         "SELECT DISTINCT event_type FROM events",
       "dp_bounds_enforced" ->

@@ -270,6 +270,66 @@ final class DPEngine(
     })
   }
 
+  /** Top-k partition release by noisy privacy-unit count — the
+    * report-noisy-max family (Dwork & Roth §3.3; one-shot Laplace top-k,
+    * Durfee & Rogers NeurIPS'19). Beyond-reference DP extension: the
+    * reference's thresholding selection strategies
+    * (partition_selection.py:33-138) keep every partition above a noisy
+    * bar and cannot answer "which k partitions are largest".
+    *
+    * Mechanism: distinct (unit, partition) pairs, L0-bounded to
+    * `maxPartitionsContributed` per unit (Linf = 1 by distinct), one
+    * unit-count per partition, Laplace noise of scale
+    * `b = 2 * k * maxPartitionsContributed / eps` on every count
+    * (peeling composition: k rounds of report-noisy-max at eps/k each;
+    * the factor 2 is the general-sensitivity arm — with
+    * maxPartitionsContributed = 1 the monotone-count argument would
+    * permit dropping it, kept for uniformity), and ONLY the k
+    * top-scoring partition keys with their ranks are released. The
+    * noisy scores are withheld: releasing magnitudes is a different
+    * mechanism with its own budget (compose with [[aggregate]] over the
+    * released keys as public partitions for that).
+    *
+    * Ties (exact under Zero noise; measure-zero otherwise) break by the
+    * partition-key columns ascending in declaration order —
+    * deterministic, so the Zero gate replays in SQL.
+    *
+    * Scale: the top-k is an orderBy+limit (TakeOrderedAndProject — a
+    * per-partition bounded heap, no global sort); the rank window then
+    * runs over exactly k rows. */
+  def noisyTopK(
+      df: DataFrame,
+      params: NoisyTopKParams,
+      columns: DPColumns
+  ): DPResult = {
+    accountant.registerAggregation()
+    val handle = accountant.requestBudget(MechanismType.Laplace,
+      weight = params.budgetWeight, name = "NoisyTopK")
+    new DPResult(() => {
+      val spec = handle.spec
+      val pkNames = columns.partitionKeys.map(_._1)
+      val projected = df.select(
+        columns.privacyUnit.as(PidCol) +:
+          columns.partitionKeys.map { case (n, c) => c.as(n) }: _*)
+      val distinctPairs = projected.distinct()
+      val bounded = sampleRowsPerKey(distinctPairs, Seq(PidCol),
+        params.maxPartitionsContributed, shards = l0ShardingFactor)
+      val counted = bounded.groupBy(pkNames.map(col): _*)
+        .agg(count(lit(1)).as(PidCntCol))
+      val b = 2.0 * params.k * params.maxPartitionsContributed / spec.epsilon
+      val noiseSrc = noise
+      val scoreUdf = udf((n: Long) => n + noiseSrc.laplace(b)).asNondeterministic()
+      val order = col("__graft_score").desc +: pkNames.map(col(_).asc)
+      val topK = counted
+        .withColumn("__graft_score", scoreUdf(col(PidCntCol)))
+        .orderBy(order: _*)
+        .limit(params.k)
+      topK.withColumn("rank",
+          row_number().over(Window.orderBy(order: _*)).cast("long"))
+        .select(pkNames.map(col) :+ col("rank"): _*)
+    })
+  }
+
   /** Noise-only on pre-aggregated per-partition values; the caller vouches for
     * the sensitivities (reference: dp_engine.py:579-652). */
   def addDpNoise(

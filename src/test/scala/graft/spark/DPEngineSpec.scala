@@ -619,6 +619,84 @@ class DPEngineSpec extends AnyFunSuite {
     val res = engine.aggregate(fixture, params, roles)
     assertThrows[IllegalStateException](res.dataframe)
   }
+
+  test("noisyTopK: zero noise releases the exact top-k, ties by key asc") {
+    // unit counts: pkB=3, pkA=2, pkC=2, pkD=1 — the pkA/pkC tie must
+    // break ascending, and rank 4 (pkD) must be cut at k=3
+    val df = Seq(
+      ("u1", "pkB"), ("u2", "pkB"), ("u3", "pkB"),
+      ("u1", "pkA"), ("u2", "pkA"),
+      ("u2", "pkC"), ("u3", "pkC"),
+      ("u3", "pkD")
+    ).toDF("pid", "pk")
+    val engine = zeroEngine()
+    val res = engine.noisyTopK(df,
+      NoisyTopKParams(k = 3, maxPartitionsContributed = 4),
+      DPColumns(col("pid"), Seq("pk" -> col("pk"))))
+    engine.accountant.computeBudgets()
+    val got = res.dataframe.collect()
+      .map(r => r.getAs[Long]("rank") -> r.getAs[String]("pk")).toMap
+    assert(got == Map(1L -> "pkB", 2L -> "pkA", 3L -> "pkC"))
+  }
+
+  test("noisyTopK: Laplace scale is 2*k*l0/eps exactly") {
+    // the noise source is SERIALIZED into the task closure — an
+    // instance-held queue would be recorded into by a deserialized
+    // clone; the JVM-static store survives the round trip in local mode
+    RecordingNoiseStore.recorded.clear()
+    val df = Seq(("u1", "pkA"), ("u2", "pkB")).toDF("pid", "pk")
+    // one mechanism on the accountant => it receives the full eps = 0.25
+    val engine = new DPEngine(new NaiveBudgetAccountant(0.25, 0.99),
+      new RecordingNoiseStore.RecordingNoise)
+    val res = engine.noisyTopK(df,
+      NoisyTopKParams(k = 3, maxPartitionsContributed = 5),
+      DPColumns(col("pid"), Seq("pk" -> col("pk"))))
+    engine.accountant.computeBudgets()
+    res.dataframe.collect()
+    val want = 2.0 * 3 * 5 / 0.25
+    assert(!RecordingNoiseStore.recorded.isEmpty, "noise source never consulted")
+    RecordingNoiseStore.recorded.forEach(b =>
+      assert(b == want, s"scale $b, want $want"))
+  }
+
+  test("noisyTopK: L0 bounding caps a spammer unit to one lifted partition") {
+    // u_spam appears in 40 partitions with l0=1: whichever single
+    // partition survives its bound has count 1, so the 2-unit pkA must
+    // win rank 1 regardless of the sampler's choice
+    val spam = (1 to 40).map(i => ("u_spam", s"pk$i"))
+    val df = (spam ++ Seq(("u1", "pkA"), ("u2", "pkA"))).toDF("pid", "pk")
+    val engine = zeroEngine()
+    val res = engine.noisyTopK(df,
+      NoisyTopKParams(k = 1, maxPartitionsContributed = 1),
+      DPColumns(col("pid"), Seq("pk" -> col("pk"))))
+    engine.accountant.computeBudgets()
+    val got = res.dataframe.collect().map(_.getAs[String]("pk")).toSeq
+    assert(got == Seq("pkA"))
+  }
+
+  test("noisyTopK: k larger than the partition count returns all, ranked") {
+    val df = Seq(("u1", "pkA"), ("u2", "pkA"), ("u2", "pkB")).toDF("pid", "pk")
+    val engine = zeroEngine()
+    val res = engine.noisyTopK(df,
+      NoisyTopKParams(k = 10, maxPartitionsContributed = 2),
+      DPColumns(col("pid"), Seq("pk" -> col("pk"))))
+    engine.accountant.computeBudgets()
+    val got = res.dataframe.collect()
+      .map(r => r.getAs[Long]("rank") -> r.getAs[String]("pk")).toMap
+    assert(got == Map(1L -> "pkA", 2L -> "pkB"))
+  }
+}
+
+/** JVM-static landing spot for noise-scale assertions: task-closure
+  * serialization clones a NoiseSource, so recorded values must land in a
+  * static field to be visible to the driver-side test (local mode only). */
+object RecordingNoiseStore {
+  val recorded = new java.util.concurrent.ConcurrentLinkedQueue[Double]()
+  final class RecordingNoise extends NoiseSource {
+    def laplace(b: Double): Double = { recorded.add(b); 0.0 }
+    def gaussian(sigma: Double): Double = { recorded.add(sigma); 0.0 }
+    def uniform(): Double = 0.5
+  }
 }
 
 class QueryBuilderSpec extends AnyFunSuite {
