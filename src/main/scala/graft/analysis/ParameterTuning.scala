@@ -383,7 +383,14 @@ object ParameterTuning {
       .map(r => r.getAs[Int]("config_index") -> r.getAs[Double](rmseCol))
       .sortBy(_._1)
     val rmse = global.map(_._2).toSeq
-    val indexBest = if (rmse.isEmpty) -1 else rmse.indexOf(rmse.min)
+    // fail loud instead of returning an indexBest = -1 sentinel a caller
+    // would feed straight into candidates(...): an empty report means
+    // tuning has no signal to rank candidates at all
+    require(rmse.nonEmpty,
+      "tune: the utility report is empty — no partitions survived the " +
+        "analysis (empty input, or partitionsSamplingProb sampled every " +
+        "partition away); cannot rank candidates")
+    val indexBest = rmse.indexOf(rmse.min)
     (TuneResult(candidates, indexBest, rmse), report, perPartition)
   }
 }

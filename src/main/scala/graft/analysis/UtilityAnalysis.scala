@@ -56,6 +56,10 @@ final case class UtilityAnalysisOptions(
   require(publicPartitions || delta > 0,
     "private partition selection requires delta > 0 " +
       "(the selection mechanism would otherwise fail deep inside the plan)")
+  require(delta > 0 || configs.forall(_.noiseKind != NoiseKind.Gaussian),
+    "a Gaussian-noise configuration requires delta > 0 (Gaussian sigma " +
+      "is calibrated from (eps, delta); delta = 0 would fail deep inside " +
+      "the plan with a bare 'requirement failed')")
 }
 
 /** Input of the partition-selection probability aggregate: the configuration
@@ -208,6 +212,78 @@ object UtilityAnalysis {
     sampled.drop(Pid)
   }
 
+  /** Per-contributor error-moment columns for one metric — the clipped
+    * contribution, clipping errors, and the L0-dropping error moments
+    * (reference: per_partition_combiners.py:247-282). ONE definition
+    * shared by the single- and multi-column per-partition paths. */
+  private def errMomentCols(
+      value: Column, lo: Column, hi: Column, m: String): Seq[Column] = {
+    val clipped = least(greatest(value, lo), hi)
+    val err = clipped - value
+    val p = col(Prob)
+    Seq(
+      value.as(s"__${m}_v"),
+      when(value < lo, err).otherwise(lit(0.0)).as(s"__${m}_cmin"),
+      when(value > hi, err).otherwise(lit(0.0)).as(s"__${m}_cmax"),
+      (-clipped * (lit(1.0) - p)).as(s"__${m}_el0"),
+      (clipped * clipped * p * (lit(1.0) - p)).as(s"__${m}_vl0"))
+  }
+
+  /** Shared tail of [[perPartitionMetrics]] / [[perPartitionMetricsMultiSum]]
+    * downstream of the bound per-row metric columns: aggregate the error
+    * moments per (partition, configuration), apply the keep-probability
+    * aggregate, zero-fill absent public partitions, and project the
+    * released schema. Extracted so a fix applied to one entry point
+    * reaches the other by construction. */
+  private def assemblePerPartition(
+      cur: DataFrame,
+      pkNames: Seq[String],
+      metricPrefixes: Seq[String],
+      keepAgg: Column,
+      cfgArr: Column,
+      publicPartitions: Option[DataFrame],
+      noiseStdCols: Seq[Column]): DataFrame = {
+    val metricAggs = metricPrefixes.flatMap { n =>
+      Seq(
+        sum(col(s"__${n}_v")).as(s"${n}_sum"),
+        sum(col(s"__${n}_cmin")).as(s"${n}_clip_min_err"),
+        sum(col(s"__${n}_cmax")).as(s"${n}_clip_max_err"),
+        sum(col(s"__${n}_el0")).as(s"${n}_exp_l0_err"),
+        sqrt(sum(col(s"__${n}_vl0"))).as(s"${n}_std_l0_err"))
+    }
+    var grouped = cur
+      .groupBy(pkNames.map(col) :+ col(Cfg): _*)
+      .agg(count(lit(1)).as("raw_privacy_id_count"),
+        (sum(col(Cnt)).as("raw_count") +: keepAgg +: metricAggs): _*)
+
+    // public partitions: every public key appears for every configuration;
+    // keys absent from the data get empty (all-zero) metrics
+    // (reference: cross_partition_combiners.py:121-131 empty partitions)
+    publicPartitions.foreach { pub =>
+      val pubCfg = broadcast(pub.distinct().withColumn(Cfg, explode(cfgArr)))
+      val zeroed: Seq[Column] =
+        Seq(coalesce(col("raw_privacy_id_count"), lit(0L)).as("raw_privacy_id_count"),
+          coalesce(col("raw_count"), lit(0L)).as("raw_count"),
+          lit(1.0).as(KeepProb)) ++
+        metricPrefixes.flatMap { n =>
+          Seq(s"${n}_sum", s"${n}_clip_min_err", s"${n}_clip_max_err",
+            s"${n}_exp_l0_err", s"${n}_std_l0_err")
+            .map(c => coalesce(col(c), lit(0.0)).as(c))
+        }
+      grouped = pubCfg.join(grouped, pkNames :+ Cfg, "left_outer")
+        .select(pkNames.map(col) ++ Seq(col(Cfg)) ++ zeroed: _*)
+    }
+
+    grouped.select(
+      pkNames.map(col) ++
+        Seq(col(s"$Cfg.i").as("config_index"), col(KeepProb).as("keep_prob"),
+          col("raw_privacy_id_count"), col("raw_count")) ++
+        metricPrefixes.flatMap { n =>
+          Seq(col(s"${n}_sum"), col(s"${n}_clip_min_err"), col(s"${n}_clip_max_err"),
+            col(s"${n}_exp_l0_err"), col(s"${n}_std_l0_err"))
+        } ++ noiseStdCols: _*)
+  }
+
   /** Per-(partition, configuration) utility metrics: raw statistics, the
     * partition-selection keep probability, and per-metric error moments
     * (reference: per_partition_combiners.py SumCombiner/CountCombiner/
@@ -230,43 +306,19 @@ object UtilityAnalysis {
       when(col(NPart) > 0,
         least(lit(1.0), col(s"$Cfg.l0") / col(NPart))).otherwise(lit(0.0)))
 
-    // row-level (per contributor) error moments for one metric: the clipped
-    // contribution, clipping errors, and the L0-dropping error moments
-    // (reference: per_partition_combiners.py:247-282)
-    def errCols(value: Column, lo: Column, hi: Column, m: String): Seq[Column] = {
-      val clipped = least(greatest(value, lo), hi)
-      val err = clipped - value
-      val p = col(Prob)
-      Seq(
-        value.as(s"__${m}_v"),
-        when(value < lo, err).otherwise(lit(0.0)).as(s"__${m}_cmin"),
-        when(value > hi, err).otherwise(lit(0.0)).as(s"__${m}_cmax"),
-        (-clipped * (lit(1.0) - p)).as(s"__${m}_el0"),
-        (clipped * clipped * p * (lit(1.0) - p)).as(s"__${m}_vl0"))
-    }
-
     val metricRowCols = options.metrics.flatMap {
       case Count =>
-        errCols(col(Cnt).cast("double"), lit(0.0), col(s"$Cfg.linf"), Count.name)
+        errMomentCols(col(Cnt).cast("double"), lit(0.0), col(s"$Cfg.linf"), Count.name)
       case Sum =>
-        errCols(col(Sm), col(s"$Cfg.mins"), col(s"$Cfg.maxs"), Sum.name)
+        errMomentCols(col(Sm), col(s"$Cfg.mins"), col(s"$Cfg.maxs"), Sum.name)
       case PrivacyIdCount =>
-        errCols(when(col(Cnt) > 0, 1.0).otherwise(0.0), lit(0.0), lit(1.0),
+        errMomentCols(when(col(Cnt) > 0, 1.0).otherwise(0.0), lit(0.0), lit(1.0),
           PrivacyIdCount.name)
       case m => throw new IllegalArgumentException(s"unsupported metric $m")
     }
     cur = cur.select(
       pkNames.map(col) ++ Seq(col(Cfg), col(Prob), col(Cnt)) ++ metricRowCols: _*)
 
-    val metricAggs = options.metrics.flatMap { m =>
-      val n = m.name
-      Seq(
-        sum(col(s"__${n}_v")).as(s"${n}_sum"),
-        sum(col(s"__${n}_cmin")).as(s"${n}_clip_min_err"),
-        sum(col(s"__${n}_cmax")).as(s"${n}_clip_max_err"),
-        sum(col(s"__${n}_el0")).as(s"${n}_exp_l0_err"),
-        sqrt(sum(col(s"__${n}_vl0"))).as(s"${n}_std_l0_err"))
-    }
     val keepAgg =
       if (options.publicPartitions) lit(1.0).as(KeepProb)
       else {
@@ -274,42 +326,11 @@ object UtilityAnalysis {
         udaf(new KeepProbAggregator(strategies), Encoders.product[PSIn])
           .apply(col(s"$Cfg.i"), col(Prob)).as(KeepProb)
       }
-    var grouped = cur
-      .groupBy(pkNames.map(col) :+ col(Cfg): _*)
-      .agg(count(lit(1)).as("raw_privacy_id_count"),
-        (sum(col(Cnt)).as("raw_count") +: keepAgg +: metricAggs): _*)
-
-    // public partitions: every public key appears for every configuration;
-    // keys absent from the data get empty (all-zero) metrics
-    // (reference: cross_partition_combiners.py:121-131 empty partitions)
-    publicPartitions.foreach { pub =>
-      val pubCfg = broadcast(pub.distinct().withColumn(Cfg, explode(cfgArr)))
-      val zeroed: Seq[Column] =
-        Seq(coalesce(col("raw_privacy_id_count"), lit(0L)).as("raw_privacy_id_count"),
-          coalesce(col("raw_count"), lit(0L)).as("raw_count"),
-          lit(1.0).as(KeepProb)) ++
-        options.metrics.flatMap { m =>
-          val n = m.name
-          Seq(s"${n}_sum", s"${n}_clip_min_err", s"${n}_clip_max_err",
-            s"${n}_exp_l0_err", s"${n}_std_l0_err")
-            .map(c => coalesce(col(c), lit(0.0)).as(c))
-        }
-      grouped = pubCfg.join(grouped, pkNames :+ Cfg, "left_outer")
-        .select(pkNames.map(col) ++ Seq(col(Cfg)) ++ zeroed: _*)
-    }
-
     val noiseStdCols = options.metrics.map { m =>
       col(s"$Cfg.${stdField(m)}").as(s"${m.name}_noise_std")
     }
-    grouped.select(
-      pkNames.map(col) ++
-        Seq(col(s"$Cfg.i").as("config_index"), col(KeepProb).as("keep_prob"),
-          col("raw_privacy_id_count"), col("raw_count")) ++
-        options.metrics.flatMap { m =>
-          val n = m.name
-          Seq(col(s"${n}_sum"), col(s"${n}_clip_min_err"), col(s"${n}_clip_max_err"),
-            col(s"${n}_exp_l0_err"), col(s"${n}_std_l0_err"))
-        } ++ noiseStdCols: _*)
+    assemblePerPartition(cur, pkNames, options.metrics.map(_.name),
+      keepAgg, cfgArr, publicPartitions, noiseStdCols)
   }
 
   /** Cross-partition utility report: per (configuration, partition-size
@@ -335,8 +356,11 @@ object UtilityAnalysis {
     })
 
   private def reportForPrefixes(perPartition: DataFrame, prefixes: Seq[String]): DataFrame = {
-    val w = col("keep_prob")
+    // the cross-partition weight IS the keep probability (reference:
+    // cross_partition_combiners.py:261-275 weights by prob_keep) — one
+    // val, so no implied second degree of freedom
     val p = col("keep_prob")
+    val w = p
 
     // per-partition per-metric derived error columns, weighted
     // (reference: cross_partition_combiners.py:64-118)
@@ -396,12 +420,13 @@ object UtilityAnalysis {
           sum(when(col("raw_count") > 0, 1L).otherwise(0L)).as("n_partitions"),
           sum(when(col("raw_count") > 0, 0L).otherwise(1L)).as("n_empty_partitions"),
           sum(p).as("kept_partitions_mean"),
-          sum(p * (lit(1.0) - p)).as("kept_partitions_var"),
-          sum(col("keep_prob")).as("__tw")) ++ metricAggs: _*)
+          sum(p * (lit(1.0) - p)).as("kept_partitions_var")) ++ metricAggs: _*)
 
     // averaging (reference: cross_partition_combiners.py:261-275):
-    // error fields / total weight; dropped ratios / actual totals
-    val tw = col("__tw")
+    // error fields / total weight — which is exactly the kept-partitions
+    // mean (sum of keep probabilities), not a separate aggregate;
+    // dropped ratios / actual totals
+    val tw = col("kept_partitions_mean")
     val outMetricCols = prefixes.flatMap { n =>
       val actual = col(s"__${n}_actual")
       def overW(c: Column): Column = when(tw === 0, lit(0.0)).otherwise(c / tw)
@@ -434,7 +459,12 @@ object UtilityAnalysis {
 
   /** End-to-end: [[preAggregate]] -> [[perPartitionMetrics]] -> [[report]].
     * Returns (report, perPartition) like the reference's
-    * `perform_utility_analysis` (reference: analysis/utility_analysis.py:43-143). */
+    * `perform_utility_analysis` (reference: analysis/utility_analysis.py:43-143).
+    *
+    * The two returned frames SHARE one lazy lineage: the input is
+    * pre-aggregated once per executed job, so a caller that materializes
+    * BOTH frames runs the 3-shuffle pipeline twice — checkpoint the
+    * per-partition frame first if you consume both. */
   def analyze(
       df: DataFrame,
       columns: DPColumns,
@@ -562,25 +592,14 @@ object UtilityAnalysis {
       when(col(NPart) > 0,
         least(lit(1.0), col(s"$Cfg.l0") / col(NPart))).otherwise(lit(0.0)))
 
-    def errCols(value: Column, lo: Column, hi: Column, m: String): Seq[Column] = {
-      val clipped = least(greatest(value, lo), hi)
-      val err = clipped - value
-      val p = col(Prob)
-      Seq(
-        value.as(s"__${m}_v"),
-        when(value < lo, err).otherwise(lit(0.0)).as(s"__${m}_cmin"),
-        when(value > hi, err).otherwise(lit(0.0)).as(s"__${m}_cmax"),
-        (-clipped * (lit(1.0) - p)).as(s"__${m}_el0"),
-        (clipped * clipped * p * (lit(1.0) - p)).as(s"__${m}_vl0"))
-    }
     val metricRowCols = options.metrics.flatMap {
       case Sum => valueNames.zipWithIndex.flatMap { case (n, vi) =>
-        errCols(col(s"__sum_$n"), col(s"$Cfg.mins_$vi"), col(s"$Cfg.maxs_$vi"), s"sum_$n")
+        errMomentCols(col(s"__sum_$n"), col(s"$Cfg.mins_$vi"), col(s"$Cfg.maxs_$vi"), s"sum_$n")
       }
       case Count =>
-        errCols(col(Cnt).cast("double"), lit(0.0), col(s"$Cfg.linf"), Count.name)
+        errMomentCols(col(Cnt).cast("double"), lit(0.0), col(s"$Cfg.linf"), Count.name)
       case PrivacyIdCount =>
-        errCols(when(col(Cnt) > 0, 1.0).otherwise(0.0), lit(0.0), lit(1.0),
+        errMomentCols(when(col(Cnt) > 0, 1.0).otherwise(0.0), lit(0.0), lit(1.0),
           PrivacyIdCount.name)
       case m => throw new IllegalArgumentException(s"unsupported metric $m")
     }
@@ -591,14 +610,6 @@ object UtilityAnalysis {
       case Sum => valueNames.map(n => s"sum_$n")
       case m => Seq(m.name)
     }
-    val metricAggs = metricPrefixes.flatMap { n =>
-      Seq(
-        sum(col(s"__${n}_v")).as(s"${n}_sum"),
-        sum(col(s"__${n}_cmin")).as(s"${n}_clip_min_err"),
-        sum(col(s"__${n}_cmax")).as(s"${n}_clip_max_err"),
-        sum(col(s"__${n}_el0")).as(s"${n}_exp_l0_err"),
-        sqrt(sum(col(s"__${n}_vl0"))).as(s"${n}_std_l0_err"))
-    }
     val keepAgg =
       if (options.publicPartitions) lit(1.0).as(KeepProb)
       else {
@@ -606,24 +617,6 @@ object UtilityAnalysis {
         udaf(new KeepProbAggregator(strategies), Encoders.product[PSIn])
           .apply(col(s"$Cfg.i"), col(Prob)).as(KeepProb)
       }
-    var grouped = cur
-      .groupBy(pkNames.map(col) :+ col(Cfg): _*)
-      .agg(count(lit(1)).as("raw_privacy_id_count"),
-        (sum(col(Cnt)).as("raw_count") +: keepAgg +: metricAggs): _*)
-    publicPartitions.foreach { pub =>
-      val pubCfg = broadcast(pub.distinct().withColumn(Cfg, explode(cfgArr)))
-      val zeroed: Seq[Column] =
-        Seq(coalesce(col("raw_privacy_id_count"), lit(0L)).as("raw_privacy_id_count"),
-          coalesce(col("raw_count"), lit(0L)).as("raw_count"),
-          lit(1.0).as(KeepProb)) ++
-        metricPrefixes.flatMap { n =>
-          Seq(s"${n}_sum", s"${n}_clip_min_err", s"${n}_clip_max_err",
-            s"${n}_exp_l0_err", s"${n}_std_l0_err")
-            .map(c => coalesce(col(c), lit(0.0)).as(c))
-        }
-      grouped = pubCfg.join(grouped, pkNames :+ Cfg, "left_outer")
-        .select(pkNames.map(col) ++ Seq(col(Cfg)) ++ zeroed: _*)
-    }
     val noiseStdCols = options.metrics.flatMap {
       case Sum => valueNames.zipWithIndex.map { case (n, vi) =>
         col(s"$Cfg.sum_std_$vi").as(s"sum_${n}_noise_std")
@@ -632,14 +625,8 @@ object UtilityAnalysis {
       case PrivacyIdCount => Seq(col(s"$Cfg.pid_std").as(s"${PrivacyIdCount.name}_noise_std"))
       case _ => Nil
     }
-    grouped.select(
-      pkNames.map(col) ++
-        Seq(col(s"$Cfg.i").as("config_index"), col(KeepProb).as("keep_prob"),
-          col("raw_privacy_id_count"), col("raw_count")) ++
-        metricPrefixes.flatMap { n =>
-          Seq(col(s"${n}_sum"), col(s"${n}_clip_min_err"), col(s"${n}_clip_max_err"),
-            col(s"${n}_exp_l0_err"), col(s"${n}_std_l0_err"))
-        } ++ noiseStdCols: _*)
+    assemblePerPartition(cur, pkNames, metricPrefixes,
+      keepAgg, cfgArr, publicPartitions, noiseStdCols)
   }
 
   /** Classifies partitions against a public-partition list: how many dataset
@@ -693,6 +680,17 @@ object UtilityAnalysis {
     * (reference: utility_analysis_engine.py:126-155). */
   private[analysis] def configMechanisms(
       options: UtilityAnalysisOptions): Seq[ConfigMechanisms] = {
+    // loud, option-level: the single-column SUM path reads the config's
+    // min/maxSumPerPartition — the default (0, 0) clamps every value to 0
+    // and would only fail deep in Sensitivities as 'Linf must be
+    // positive'. (The multi-column path supplies its bounds via
+    // sumBoundsPerConfig and never reaches this.)
+    require(!options.metrics.contains(Sum) || options.configs.forall(c =>
+        math.max(math.abs(c.minSumPerPartition),
+          math.abs(c.maxSumPerPartition)) > 0),
+      "SUM analysis needs per-partition sum bounds on every " +
+        "configuration: set minSumPerPartition/maxSumPerPartition " +
+        "(the default (0, 0) clamps every value to 0)")
     val nMech = (if (options.publicPartitions) 0 else 1) + options.metrics.size
     options.configs.map { c =>
       val split = Mechanisms.equallySplitBudget(options.epsilon, options.delta, nMech)
@@ -758,14 +756,19 @@ object ValueSampler {
   def keepExpr(value: Column, rate: Double): Column =
     shiftrightunsigned(xxhash64(value), 11).cast("double") / lit(9007199254740992.0) < lit(rate)
 
-  /** Driver-side form over arbitrary values (SHA-1 based like the reference). */
+  /** Driver-side form over arbitrary values (SHA-1 based like the
+    * reference). Single-threaded driver loops only: the hoisted digest is
+    * not thread-safe. */
   final case class Driver(rate: Double) {
-    private val bound = BigInt((BigDecimal(2).pow(64) * BigDecimal(rate)).toBigInt.toString)
+    private val bound = (BigDecimal(2).pow(64) * BigDecimal(rate)).toBigInt
+    @transient private lazy val md =
+      java.security.MessageDigest.getInstance("SHA-1")
     def keep(value: Any): Boolean = {
-      val md = java.security.MessageDigest.getInstance("SHA-1")
-      val hex = md.digest(String.valueOf(value).getBytes("UTF-8"))
-        .take(8).map("%02x".format(_)).mkString
-      BigInt(hex, 16) < bound
+      // digest() leaves the instance reset; BigInt(1, bytes) reads the
+      // leading 8 bytes as the same unsigned big-endian value the hex
+      // parse produced, without formatting a string per call
+      val h = md.digest(String.valueOf(value).getBytes("UTF-8"))
+      BigInt(1, h.take(8)) < bound
     }
   }
 }

@@ -345,4 +345,43 @@ class SelectionOnlyAnalysisSpec extends AnyFunSuite {
         Seq(UtilityAnalysisConfig(1)), publicPartitions = true)
     }
   }
+
+  test("Gaussian config with delta = 0 is rejected at option construction") {
+    // would otherwise die later in gaussianSigma as a bare
+    // 'requirement failed' with no hint at the fix
+    val e = intercept[IllegalArgumentException] {
+      UtilityAnalysisOptions(1.0, 0.0, Seq(Metric.Count),
+        Seq(UtilityAnalysisConfig(1, noiseKind = NoiseKind.Gaussian)),
+        publicPartitions = true)
+    }
+    assert(e.getMessage.contains("Gaussian"), e.getMessage)
+  }
+
+  test("SUM analysis with the default (0,0) sum bounds fails loud by name") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val df = Seq(("u1", "pk1", 1.0)).toDF("pid", "pk", "v")
+    val opts = UtilityAnalysisOptions(1.0, 0.0, Seq(Metric.Sum),
+      Seq(UtilityAnalysisConfig(1)), publicPartitions = true)
+    val e = intercept[IllegalArgumentException] {
+      UtilityAnalysis.analyze(df, DPColumns("pid", "pk", "v"), opts,
+        Some(Seq("pk1").toDF("pk")))
+    }
+    assert(e.getMessage.contains("SumPerPartition"), e.getMessage)
+  }
+
+  test("tune fails loud (not indexBest = -1) when sampling drops every partition") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val df = Seq(("u1", "pk1", 1.0)).toDF("pid", "pk", "v")
+    val hist = graft.stats.Histograms.computeDatasetHistograms(
+      df, col("pid"), col("pk"))
+    val opts = TuneOptions(1.0, 1e-4, Metric.Count, UtilityAnalysisConfig(1, 1),
+      ParametersToTune(maxPartitionsContributed = true),
+      partitionsSamplingProb = 1e-9, numberOfParameterCandidates = 3)
+    val e = intercept[IllegalArgumentException] {
+      ParameterTuning.tune(df, DPColumns("pid", "pk", "v"), hist, opts)
+    }
+    assert(e.getMessage.contains("utility report is empty"), e.getMessage)
+  }
 }
