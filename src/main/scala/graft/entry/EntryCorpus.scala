@@ -526,6 +526,27 @@ private[graft] object EntryCorpus {
         x1 = 100L, x2 = 400L, y1 = 9131L, y2 = 9861L)
       manifest.crossJoin(broadcast(probe))
     }),
+    "io_hilbert_export" -> ((s, dir) => {
+      // HILBERT clustered export: the same orders layout problem as
+      // io_zorder_export but keyed by the Hilbert curve — consecutive
+      // key steps are ADJACENT cells (no quadrant jumps), so the
+      // equal-width cut gives tighter per-shard boxes and the same box
+      // probe scans fewer files. The xy2d recurrence is deterministic
+      // integer arithmetic; the oracle replays it as a generated
+      // per-level CTE chain, so manifest, shards and pruning stats are
+      // hash-exact end-to-end.
+      val tmp = scratchDir("hilbert_export")
+      val src = s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"), col("o_custkey").as("ck"),
+          datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+            .cast("long").as("day"))
+      val manifest = graft.ops.Layout.hilbertExport(
+          src, "o_orderkey", "ck", "day", tmp, bits = 8, nShards = 16)
+        .localCheckpoint(false) // consumed twice: probe + output rows
+      val probe = graft.ops.Layout.pruneProbe(s, tmp, manifest,
+        x1 = 100L, x2 = 400L, y1 = 9131L, y2 = 9861L)
+      manifest.crossJoin(broadcast(probe))
+    }),
     "graph_triangles" -> ((s, dir) => {
       // triangle census of the oracle-verified near-dup pair graph: exact
       // count via the ordered two-join (each triangle a<b<c enumerated
@@ -1174,6 +1195,65 @@ private[graft] object EntryCorpus {
                          min(x) AS x_min, max(x) AS x_max,
                          min(y) AS y_min, max(y) AS y_max,
                          min(z) AS z_min, max(z) AS z_max
+                  FROM sh GROUP BY 1),
+            scanned AS (SELECT shard FROM m
+                        WHERE x_min <= 400 AND x_max >= 100
+                          AND y_min <= 9861 AND y_max >= 9131),
+            boxed AS (SELECT shard FROM sh
+                      WHERE x BETWEEN 100 AND 400 AND y BETWEEN 9131 AND 9861),
+            probe AS (SELECT
+                (SELECT count(*) FROM m) AS files_total,
+                (SELECT count(*) FROM scanned) AS files_scanned,
+                (SELECT count(*) FROM boxed) AS rows_matched,
+                (SELECT count(*) FROM boxed)
+                  - (SELECT count(*) FROM boxed JOIN scanned USING (shard))
+                  AS prune_violations)
+           SELECT m.*, probe.* FROM m CROSS JOIN probe"""
+      },
+      "io_hilbert_export" -> {
+        // the xy2d Hilbert recurrence unrolled to one CTE per level
+        // (s = 128 .. 1), generated from the same quadrant table and
+        // rotation cases as Layout.hilbertStep; per-level distinct
+        // column names so no lateral-alias ambiguity. Quadrant
+        // (3*rx)^ry spelled as its value table: (0,0)->0 (0,1)->1
+        // (1,1)->2 (1,0)->3.
+        val levels = (0 until 8).map { i =>
+          val s = 1L << (7 - i)
+          val (px, py, pd) = (s"hx$i", s"hy$i", s"hd$i")
+          s"""h${i + 1} AS (
+              SELECT o_orderkey, x, y,
+                CASE WHEN ($py & $s) = 0
+                     THEN (CASE WHEN ($px & $s) > 0 THEN ${s - 1} - $py ELSE $py END)
+                     ELSE $px END AS hx${i + 1},
+                CASE WHEN ($py & $s) = 0
+                     THEN (CASE WHEN ($px & $s) > 0 THEN ${s - 1} - $px ELSE $px END)
+                     ELSE $py END AS hy${i + 1},
+                $pd + ${s * s} * (CASE WHEN ($px & $s) > 0
+                     THEN (CASE WHEN ($py & $s) > 0 THEN 2 ELSE 3 END)
+                     ELSE (CASE WHEN ($py & $s) > 0 THEN 1 ELSE 0 END) END)
+                  AS hd${i + 1}
+              FROM h$i)"""
+        }.mkString(",\n")
+        s"""WITH src AS (
+              SELECT o_orderkey, CAST(o_custkey AS BIGINT) AS x,
+                     CAST(date_diff('day', DATE '1970-01-01',
+                                    CAST(o_orderdate AS DATE)) AS BIGINT) AS y
+              FROM orders),
+            b AS (SELECT min(x) AS xlo, max(x) AS xhi,
+                         min(y) AS ylo, max(y) AS yhi FROM src),
+            q AS (SELECT o_orderkey, x, y,
+                         (x - xlo) * 256 // (xhi - xlo + 1) AS xq,
+                         (y - ylo) * 256 // (yhi - ylo + 1) AS yq
+                  FROM src CROSS JOIN b),
+            h0 AS (SELECT o_orderkey, x, y, xq AS hx0, yq AS hy0,
+                          CAST(0 AS BIGINT) AS hd0 FROM q),
+            $levels,
+            hh AS (SELECT o_orderkey, x, y, hd8 AS h FROM h8),
+            sh AS (SELECT *, CAST(h * 16 // 65536 AS INTEGER) AS shard FROM hh),
+            m AS (SELECT shard, count(*) AS n_rows,
+                         min(x) AS x_min, max(x) AS x_max,
+                         min(y) AS y_min, max(y) AS y_max,
+                         min(h) AS h_min, max(h) AS h_max
                   FROM sh GROUP BY 1),
             scanned AS (SELECT shard FROM m
                         WHERE x_min <= 400 AND x_max >= 100

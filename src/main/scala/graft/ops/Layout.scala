@@ -61,6 +61,52 @@ object Layout {
         s" div (CAST($hi AS DECIMAL(38,0)) - $lo + 1)")
   }
 
+  /** Global (min, max) of the two layout columns as literals — ONE
+    * collected row (removes the broadcast crossJoin from the full-data
+    * projection and lets quantizeLit statically prove the BIGINT product
+    * safe). Fails loud on empty/all-NULL input, where an empty export
+    * would die far from the cause in the manifest read-back. */
+  private def collectBounds(df: DataFrame, xCol: String, yCol: String,
+      op: String): (Long, Long, Long, Long) = {
+    val b = df.agg(
+      min(col(xCol).cast("long")).as("__xlo"), max(col(xCol).cast("long")).as("__xhi"),
+      min(col(yCol).cast("long")).as("__ylo"), max(col(yCol).cast("long")).as("__yhi"))
+      .collect()(0)
+    require(!b.anyNull,
+      s"$op: empty input, or $xCol/$yCol all NULL — nothing to lay out")
+    (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+  }
+
+  /** Shared export tail of [[zorderExport]] / [[hilbertExport]]: cut the
+    * curve key's line into `nShards` equal-width shards (deterministic,
+    * unlike range-partitioner sampling), write one partition directory
+    * per shard with rows sorted by the key, and read back the per-shard
+    * manifest (shard, n_rows, x/y min/max, key min/max). The key column
+    * name (`z` or `h`) flows into the manifest column names. */
+  private def curveExport(laid: DataFrame, keyCol: String, span: Long,
+      outDir: String, nShards: Int): DataFrame = {
+    // key < span; the shard product stays in BIGINT unless
+    // log2(span) + log2(nShards) can reach 63 (bits >= 30), where it
+    // wraps negative and silently writes rows to bogus shard partitions
+    // — DECIMAL(38,0) only on that (rare) configuration
+    val shardExpr =
+      if (span <= Long.MaxValue / nShards)
+        expr(s"CAST($keyCol * $nShards div $span AS INT)")
+      else
+        expr(s"CAST(CAST($keyCol AS DECIMAL(38,0)) * $nShards div $span AS INT)")
+    val sharded = laid.withColumn("shard", shardExpr)
+      .select(col("id"), col("x"), col("y"), col(keyCol), col("shard"))
+    sharded.repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col(keyCol))
+      .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+    laid.sparkSession.read.parquet(outDir)
+      .groupBy(col("shard").cast("int").as("shard"))
+      .agg(count(lit(1)).as("n_rows"),
+        min("x").as("x_min"), max("x").as("x_max"),
+        min("y").as("y_min"), max("y").as("y_max"),
+        min(keyCol).as(s"${keyCol}_min"), max(keyCol).as(s"${keyCol}_max"))
+  }
+
   /** Z-order clustered export: quantize (xCol, yCol) against their global
     * min/max, interleave to a z-value, cut the z-line into `nShards`
     * EQUAL-WIDTH shards (deterministic, unlike range-partitioner
@@ -78,48 +124,76 @@ object Layout {
   def zorderExport(df: DataFrame, idCol: String, xCol: String, yCol: String,
       outDir: String, bits: Int = 8, nShards: Int = 16): DataFrame = {
     require(nShards > 0, s"nShards must be positive, got $nShards")
-    // the bounds aggregate is ONE row — collecting it lets the quantize
-    // expressions embed literal lo/hi, which (a) removes the broadcast
-    // crossJoin from the full-data projection and (b) lets quantizeLit
-    // statically prove the BIGINT product cannot wrap and skip
-    // DECIMAL(38,0) math on every row (r9 paid ~0.25 s/1M rows for
-    // decimal quantization the common bits=8 case never needed)
-    val b = df.agg(
-      min(col(xCol).cast("long")).as("__xlo"), max(col(xCol).cast("long")).as("__xhi"),
-      min(col(yCol).cast("long")).as("__ylo"), max(col(yCol).cast("long")).as("__yhi"))
-      .collect()(0)
-    // empty input or all-NULL x/y: no range to quantize — and an empty
-    // export would die far from the cause in the manifest read-back
-    // ("Unable to infer schema"); fail at the entrance instead
-    require(!b.anyNull,
-      s"zorderExport: empty input, or $xCol/$yCol all NULL — nothing to lay out")
-    val (xlo, xhi, ylo, yhi) = (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
-    val zSpan = 1L << (2 * bits)
-    // z < 2^(2*bits); the shard product stays in BIGINT unless
-    // 2*bits + log2(nShards) can reach 63 (bits >= 30), where it wraps
-    // negative and silently writes rows to bogus shard partitions —
-    // DECIMAL(38,0) only on that (rare) configuration
-    val shardExpr =
-      if (zSpan <= Long.MaxValue / nShards)
-        expr(s"CAST(z * $nShards div $zSpan AS INT)")
-      else
-        expr(s"CAST(CAST(z AS DECIMAL(38,0)) * $nShards div $zSpan AS INT)")
+    val (xlo, xhi, ylo, yhi) = collectBounds(df, xCol, yCol, "zorderExport")
     val laid = df.select(col(idCol).as("id"),
         col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y"))
       .withColumn("xq", quantizeLit("x", xlo, xhi, bits))
       .withColumn("yq", quantizeLit("y", ylo, yhi, bits))
       .withColumn("z", zValue(col("xq"), col("yq"), bits))
-      .withColumn("shard", shardExpr)
-      .select("id", "x", "y", "z", "shard")
-    laid.repartition(col("shard"))
-      .sortWithinPartitions(col("shard"), col("z"))
-      .write.mode("overwrite").partitionBy("shard").parquet(outDir)
-    df.sparkSession.read.parquet(outDir)
-      .groupBy(col("shard").cast("int").as("shard"))
-      .agg(count(lit(1)).as("n_rows"),
-        min("x").as("x_min"), max("x").as("x_max"),
-        min("y").as("y_min"), max("y").as("y_max"),
-        min("z").as("z_min"), max("z").as("z_max"))
+    curveExport(laid, "z", 1L << (2 * bits), outDir, nShards)
+  }
+
+  /** One xy2d step of the Hilbert recurrence at level size `s` — the
+    * single source of truth for [[hilbertXY2D]]'s loop; the oracle-SQL
+    * generator ([[graft.EntryCorpus]]) unrolls the same quadrant table
+    * and rotation case-by-case. Returns (x', y', d'). */
+  @inline private def hilbertStep(
+      x: Long, y: Long, d: Long, s: Long): (Long, Long, Long) = {
+    val rx = if ((x & s) > 0L) 1L else 0L
+    val ry = if ((y & s) > 0L) 1L else 0L
+    val d2 = d + s * s * ((3L * rx) ^ ry)
+    if (ry == 0L) {
+      // flip within the quadrant when rx = 1, then swap axes
+      val fx = if (rx == 1L) s - 1L - x else x
+      val fy = if (rx == 1L) s - 1L - y else y
+      (fy, fx, d2)
+    } else (x, y, d2)
+  }
+
+  /** Hilbert index of a quantized grid cell (the classic xy2d bit
+    * algorithm): maps (x, y) in [0, 2^bits)^2 to d in [0, 2^(2*bits)) such
+    * that consecutive d are ADJACENT cells — the locality property the
+    * Morton/Z curve lacks (z takes quadrant-sized jumps), so equal-width
+    * cuts of the Hilbert line give shards with tighter bounding boxes and
+    * better file-skipping. */
+  def hilbertXY2D(x: Long, y: Long, bits: Int): Long = {
+    var cx = x; var cy = y; var d = 0L
+    var s = 1L << (bits - 1)
+    while (s > 0L) {
+      val t = hilbertStep(cx, cy, d, s)
+      cx = t._1; cy = t._2; d = t._3
+      s >>= 1
+    }
+    d
+  }
+
+  /** [[hilbertXY2D]] as a column. A primitive-loop UDF, NOT an unrolled
+    * Column fold: each Hilbert level reads the previous level's (x, y)
+    * several times, so a pure expression tree doubles per level
+    * (2^bits subtree copies by the last level) — the
+    * hot-path-expression-engineering rule 2 case. The SQL oracle replays
+    * the same recurrence as a generated per-level CTE chain. */
+  def hilbertValue(x: Column, y: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1, 31], got $bits")
+    udf((hx: Long, hy: Long) => hilbertXY2D(hx, hy, bits)).apply(x, y)
+  }
+
+  /** [[zorderExport]] with the Hilbert curve as the layout key — same
+    * deterministic quantize / equal-width cut / manifest contract, key
+    * column `h`: (shard, n_rows, x_min, x_max, y_min, y_max, h_min,
+    * h_max). Adjacent-cell steps mean a shard's box is tighter than the
+    * z-cut's at the same (bits, nShards); [[pruneProbe]] works on either
+    * manifest. */
+  def hilbertExport(df: DataFrame, idCol: String, xCol: String, yCol: String,
+      outDir: String, bits: Int = 8, nShards: Int = 16): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val (xlo, xhi, ylo, yhi) = collectBounds(df, xCol, yCol, "hilbertExport")
+    val laid = df.select(col(idCol).as("id"),
+        col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y"))
+      .withColumn("xq", quantizeLit("x", xlo, xhi, bits))
+      .withColumn("yq", quantizeLit("y", ylo, yhi, bits))
+      .withColumn("h", hilbertValue(col("xq"), col("yq"), bits))
+    curveExport(laid, "h", 1L << (2 * bits), outDir, nShards)
   }
 
   /** File-skipping probe for a box predicate x in [x1, x2] AND y in

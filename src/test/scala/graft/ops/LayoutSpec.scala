@@ -93,4 +93,52 @@ class LayoutSpec extends AnyFunSuite {
         <= xSlab.getAs[Long]("files_total"),
       s"x-slab scanned too much: $xSlab")
   }
+
+  test("hilbertXY2D: first-order square and the exhaustive curve properties") {
+    // the bits = 1 square walks (0,0) (0,1) (1,1) (1,0)
+    assert(Layout.hilbertXY2D(0, 0, 1) == 0L)
+    assert(Layout.hilbertXY2D(0, 1, 1) == 1L)
+    assert(Layout.hilbertXY2D(1, 1, 1) == 2L)
+    assert(Layout.hilbertXY2D(1, 0, 1) == 3L)
+    // exhaustive at bits = 4 (16x16 grid): the index is a bijection onto
+    // [0, 256) and CONSECUTIVE indices are grid-adjacent cells — the
+    // locality property that distinguishes Hilbert from Morton (whose
+    // quadrant seams jump); this pins the whole recurrence, rotations
+    // included, against any refactor
+    val cells = for (x <- 0 until 16; y <- 0 until 16)
+      yield (x, y, Layout.hilbertXY2D(x, y, 4))
+    val byD = cells.map { case (x, y, d) => d -> ((x, y)) }.toMap
+    assert(byD.keySet == (0L until 256L).toSet, "not a bijection")
+    (0L until 255L).foreach { d =>
+      val (x1, y1) = byD(d); val (x2, y2) = byD(d + 1)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"curve jumps between d=$d ($x1,$y1) and d=${d + 1} ($x2,$y2)")
+    }
+  }
+
+  test("hilbert export: sound pruning, and tighter boxes than zorder on a grid") {
+    val pts = (for (x <- 0L until 100L; y <- 0L until 100L)
+      yield (x * 100 + y, x, y))
+    val tmpH = java.nio.file.Files.createTempDirectory("hilbert_slab").toString
+    val mH = Layout.hilbertExport(
+      pts.toDF("id", "xx", "yy"), "id", "xx", "yy", tmpH, bits = 8, nShards = 16)
+      .localCheckpoint()
+    assert(mH.collect().map(_.getAs[Long]("n_rows")).sum == 10000L)
+    val probe = Layout.pruneProbe(spark, tmpH, mH, 0L, 20L, 0L, 99L)
+      .collect().head
+    assert(probe.getAs[Long]("prune_violations") == 0L)
+    assert(probe.getAs[Long]("files_scanned") * 2
+        <= probe.getAs[Long]("files_total"), s"x-slab scanned too much: $probe")
+    // locality: total manifest box AREA under Hilbert must not exceed
+    // the z-order layout's on the same uniform grid (adjacent-step curve
+    // => shards are contiguous blobs, not quadrant-seam stripes)
+    val tmpZ = java.nio.file.Files.createTempDirectory("zorder_cmp").toString
+    val mZ = Layout.zorderExport(
+      pts.toDF("id", "xx", "yy"), "id", "xx", "yy", tmpZ, bits = 8, nShards = 16)
+    def area(rows: Array[org.apache.spark.sql.Row]): Long = rows.map(r =>
+      (r.getAs[Long]("x_max") - r.getAs[Long]("x_min") + 1) *
+        (r.getAs[Long]("y_max") - r.getAs[Long]("y_min") + 1)).sum
+    assert(area(mH.collect()) <= area(mZ.collect()),
+      "hilbert shards boxed worse than zorder on a uniform grid")
+  }
 }
