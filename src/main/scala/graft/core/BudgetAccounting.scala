@@ -199,16 +199,27 @@ final class PLDBudgetAccountant(
     if (requests.isEmpty) return
     val base =
       if (totalDelta == 0)
-        // all mechanisms are pure-DP Laplace; naive epsilon split over
-        // weight * count — a mechanism applied count times composes
-        // count-fold here exactly as the PLD path selfComposes it
-        // (reference: budget_accounting.py:600-605)
-        requests.iterator.map(_.epsWeight).sum / totalEpsilon * sqrt2
+        // all mechanisms are pure-DP Laplace; naive epsilon split — a
+        // mechanism applied count times composes count-fold here exactly
+        // as the PLD path selfComposes it (reference:
+        // budget_accounting.py:600-605). Each use consumes
+        // eps = sqrt(2)/mechStd = sqrt(2)*w/(s*base), so the base that
+        // makes the uses sum to totalEpsilon weighs every request by
+        // count*weight/SENSITIVITY — dividing by s here is what the
+        // PLD path does implicitly via singlePld's mechStd; summing
+        // plain weight*count overspent epsilon s-fold for any
+        // sensitivity < 1 (and wasted budget for s > 1)
+        requests.iterator.map(h => h.epsWeight / h.sensitivity).sum /
+          totalEpsilon * sqrt2
       else findMinimumBaseNoiseStd()
     baseNoiseStd = Some(base)
-    val nThresholding = requests.count(h => isThresholding(h.mechanismType))
+    // the reserved thresholding delta is split per USE, not per handle:
+    // the resolved spec's thresholdingDelta is applied once per use, so a
+    // handle with count = c consumes c shares
+    val nThresholdingUses = requests.iterator
+      .filter(h => isThresholding(h.mechanismType)).map(_.count.toLong).sum
     val thresholdingDeltaPerMechanism =
-      if (nThresholding > 0) thresholdingDelta / nThresholding else 0.0
+      if (nThresholdingUses > 0) thresholdingDelta / nThresholdingUses else 0.0
     requests.foreach { h =>
       val mechStd = h.sensitivity * base / h.weight
       h.mechanismType match {
@@ -241,24 +252,22 @@ final class PLDBudgetAccountant(
         PLD.fromGaussian(mechStd, pldDiscretization)
       case PartitionSelection =>
         val eps0 = sqrt2 / mechStd
-        PLD.fromPrivacyParameters(eps0, eps0 / totalEpsilon * totalDelta, pldDiscretization)
+        val delta0 = eps0 / totalEpsilon * totalDelta
+        if (delta0 >= 1)
+          // the bracketing probe can imply a per-use delta past 1 for a
+          // tiny noise candidate: that candidate is infeasible, not a
+          // constructor-contract violation
+          PLD.alwaysInfeasible(pldDiscretization)
+        else PLD.fromPrivacyParameters(eps0, delta0, pldDiscretization)
     }
   }
 
-  /** Full composed PLD at a base noise std (reference:
-    * budget_accounting.py:659-697 _compose_distributions). */
-  def composeDistributions(base: Double): PLD = {
-    var composed: PLD = null
-    requests.foreach { h =>
-      val pld = if (h.count > 1) singlePld(h, base).selfCompose(h.count) else singlePld(h, base)
-      composed = if (composed == null) pld else composed.compose(pld)
-    }
-    composed
-  }
-
-  /** Composed epsilon at a base noise std, with an early infinity-mass exit
-    * so absurdly-small noise candidates skip the expensive convolutions. */
-  private def epsilonForBase(base: Double, delta: Double): Double = {
+  /** The composition fold shared by [[composeDistributions]] and
+    * [[epsilonForBase]] — ONE definition of the order / selfCompose
+    * handling, so the public composition and what the budget search
+    * optimizes cannot diverge. `abortIfInfAbove` enables the early
+    * infinity-mass exit (None = composed PLD can never satisfy it). */
+  private def foldCompose(base: Double, abortIfInfAbove: Option[Double]): Option[PLD] = {
     var composed: PLD = null
     var infAcc = 0.0
     val it = requests.iterator
@@ -266,12 +275,28 @@ final class PLDBudgetAccountant(
       val h = it.next()
       val one = singlePld(h, base)
       infAcc = 1 - (1 - infAcc) * math.pow(1 - one.infinityMass, h.count.toDouble)
-      if (infAcc > delta) return Double.PositiveInfinity
+      abortIfInfAbove match {
+        case Some(d) if infAcc > d => return None
+        case _ =>
+      }
       val pld = if (h.count > 1) one.selfCompose(h.count) else one
       composed = if (composed == null) pld else composed.compose(pld)
     }
-    composed.epsilonForDelta(delta)
+    Option(composed)
   }
+
+  /** Full composed PLD at a base noise std (reference:
+    * budget_accounting.py:659-697 _compose_distributions). */
+  def composeDistributions(base: Double): PLD =
+    foldCompose(base, None).orNull
+
+  /** Composed epsilon at a base noise std, with an early infinity-mass exit
+    * so absurdly-small noise candidates skip the expensive convolutions. */
+  private def epsilonForBase(base: Double, delta: Double): Double =
+    foldCompose(base, Some(delta)) match {
+      case None => Double.PositiveInfinity
+      case Some(c) => c.epsilonForDelta(delta)
+    }
 
   /** Binary search for the minimal base noise std satisfying the budget
     * (reference: budget_accounting.py:625-657). */

@@ -29,7 +29,34 @@ object DpNoise {
     else -0.5 * x * x - 0.5 * math.log(2 * math.Pi) - math.log(-x)
   }
 
-  def phiInverse(p: Double): Double = stdNormal.inverseCumulativeProbability(p)
+  /** Φ⁻¹(p). Commons-math computes erfInv(2p - 1), where 2p - 1 rounds to
+    * ±1 once the tail probability drops below ~1.1e-16 and the quantile
+    * becomes ±Infinity — tail probabilities that small are routine for
+    * thresholding deltas split across mechanisms and l0. Below 1e-10 the
+    * tails switch to Newton iteration on the stable [[logPhi]]
+    * (asymptotic start x₀ = -√(-2 ln p); the hazard-rate derivative
+    * exp(logφ - logΦ) is well-conditioned there), accurate to ~1e-12
+    * through p = 1e-300. Callers needing the extreme UPPER tail should
+    * pass the small complement to avoid forming 1 - p themselves. */
+  def phiInverse(p: Double): Double = {
+    if (p >= 1e-10 && p <= 1.0 - 1e-10) stdNormal.inverseCumulativeProbability(p)
+    else if (p < 1e-10) lowerTailPhiInverse(p)
+    else -lowerTailPhiInverse(1.0 - p)
+  }
+
+  private def lowerTailPhiInverse(p: Double): Double = {
+    require(p > 0, s"phiInverse needs p in (0, 1), got $p")
+    val lp = math.log(p)
+    var x = -math.sqrt(-2.0 * lp)
+    var i = 0
+    while (i < 8) {
+      val f = logPhi(x) - lp
+      val deriv = math.exp(-0.5 * x * x - 0.5 * math.log(2 * math.Pi) - logPhi(x))
+      x -= f / deriv
+      i += 1
+    }
+    x
+  }
 
   /** Minimum delta such that Gaussian(sigma) with unit L2 sensitivity is
     * (eps, delta)-DP (reference: dp_computations.py:124-135). Computed as

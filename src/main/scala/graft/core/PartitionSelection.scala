@@ -46,15 +46,23 @@ object PartitionSelection {
 
   /** T = 1 + b * LapQuantile(1 - deltaAdj) (+ preThreshold shift): a 1-unit
     * partition survives with probability exactly deltaAdj
-    * (Delta_For_Thresholding.pdf). */
+    * (Delta_For_Thresholding.pdf). The upper-tail quantile is computed
+    * from deltaAdj DIRECTLY — forming 1 - deltaAdj first loses the value
+    * to cancellation below ~1.1e-16 (p rounds to 1.0 and the threshold
+    * silently becomes +Infinity, suppressing every partition; tiny
+    * adjusted deltas are routine once a small total delta is split
+    * across mechanisms and l0). */
   private[core] def laplaceThreshold(b: Double, deltaAdj: Double, preThreshold: Int): Double = {
-    val p = 1.0 - deltaAdj
-    val q = if (p >= 0.5) -math.log(2.0 * (1.0 - p)) else math.log(2.0 * p)
+    // Laplace quantile at 1 - d: -log(2d) for d <= 1/2, log(2(1-d)) above
+    val q = if (deltaAdj <= 0.5) -math.log(2.0 * deltaAdj)
+      else math.log(2.0 * (1.0 - deltaAdj))
     1.0 + b * q + (preThreshold - 1)
   }
 
   private[core] def gaussianThreshold(sigma: Double, deltaAdj: Double, preThreshold: Int): Double =
-    1.0 + sigma * DpNoise.phiInverse(1.0 - deltaAdj) + (preThreshold - 1)
+    // PhiInverse(1 - d) = -PhiInverse(d) exactly (normal symmetry) —
+    // evaluating the lower-tail form keeps full precision at tiny d
+    1.0 - sigma * DpNoise.phiInverse(deltaAdj) + (preThreshold - 1)
 
   /** Thresholding selection from a PLD-resolved noise standard deviation:
     * the noise scale is fixed by the accountant's composition search, and the

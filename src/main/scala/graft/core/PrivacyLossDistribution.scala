@@ -106,6 +106,15 @@ object PLD {
     * < e^-37 pessimism error. */
   private def defaultCap(h: Double): Double = 40.0
 
+  /** A PLD whose entire mass is infinite loss — the representation of an
+    * INFEASIBLE candidate (e.g. a noise std so small that every loss
+    * exceeds the support cap, or an implied per-use delta >= 1). Composing
+    * with it stays infeasible; epsilonForDelta is +Infinity for any
+    * delta < 1, so the budget search treats the candidate as "too noisy-
+    * less" instead of crashing. */
+  private[core] def alwaysInfeasible(h: Double): PLD =
+    new PLD(h, 0, Array(0.0), 1.0, defaultCap(h))
+
   /** Builds a PLD from a (possibly over-wide) pmf, enforcing the support cap:
     * upper out-of-cap mass -> infinity, lower -> bottom grid point. */
   private def truncated(
@@ -117,6 +126,17 @@ object PLD {
     if (first >= iLoCap && last <= iHiCap) return new PLD(h, start, pmf, inf, cap)
     val newStart = math.max(first, iLoCap)
     val newLast = math.min(last, iHiCap)
+    if (newStart > newLast) {
+      // the support lies ENTIRELY outside the cap (possible when composing
+      // two distributions whose minimum losses already sum past capLoss):
+      // above-cap mass is pessimistically infinite, below-cap mass
+      // collapses onto the bottom grid point — same rules as the
+      // element-wise loop below, which would otherwise allocate a
+      // negative-size array
+      val m = pmf.sum
+      return if (first > iHiCap) new PLD(h, 0, Array(0.0), math.min(1.0, inf + m), cap)
+      else new PLD(h, iLoCap, Array(m), math.min(1.0, inf), cap)
+    }
     val out = new Array[Double](newLast - newStart + 1)
     var extraInf = 0.0
     var i = 0
@@ -212,6 +232,13 @@ object PLD {
     val k = 7.8
     val iLo = math.max(math.floor((mu - k * std) / h), math.floor(-cap / h)).toInt
     val iHi = math.min(math.ceil((mu + k * std) / h), math.ceil(cap / h)).toInt
+    if (iLo > iHi)
+      // sigma so small that even the loss distribution's LOWER 7.8-std
+      // tail lies above the support cap: effectively all mass is
+      // infinite loss. The budget search probes such candidates while
+      // bracketing; they are infeasible, not an error (a negative-size
+      // pmf allocation crashed here before)
+      return alwaysInfeasible(h)
     val pmf = binMeanPreserving(h, iLo, iHi, massFn, meanFn)
     val inf = infinityMassOf(pmf)
     new PLD(h, iLo, pmf, inf, cap)

@@ -26,19 +26,28 @@ class DPMathPropertySpec extends AnyFunSuite {
         Seq((1.0, 10), (2.0, 1), (0.5, 3)),
         Seq((0.25, 100), (4.0, 2)),
         Seq((1e-3, 1), (1e3, 17), (1.0, 1000)))
-      grids.foreach { grid =>
+      // sensitivities in the grid too (the r10 bug): noiseStdDev is the
+      // NORMALIZED per-unit-sensitivity std (MechanismSpec's contract;
+      // createAdditive scales by the use-time sensitivity), so the
+      // per-use epsilon of a resolved Laplace handle is sqrt(2)/std —
+      // INDEPENDENT of sensitivity (l1 cancels: eps = l1*sqrt2/(std*l1)).
+      // This matches the PLD search's own model (singlePld builds
+      // fromLaplace(mechStd/sqrt2) at unit sensitivity). The old delta=0
+      // base summed weight*count without dividing by sensitivity, which
+      // overspent epsilon s-fold for any sensitivity < 1.
+      for (sens <- Seq(0.5, 1.0, 3.0)) grids.foreach { grid =>
         val acc = new PLDBudgetAccountant(totalEps, 0.0)
         val handles = grid.map { case (w, c) =>
           (acc.requestBudget(Laplace, weight = w, count = c,
-            sensitivity = 3.0), c)
+            sensitivity = sens), c)
         }
         acc.computeBudgets()
         val spent = handles.map { case (h, c) =>
           val std = h.spec.noiseStdDev.get
-          c * (3.0 * sqrt2 / std) // per-use eps, composed count times
+          c * (sqrt2 / std) // per-use eps, composed count times
         }.sum
         assert(math.abs(spent - totalEps) < 1e-9 * totalEps,
-          s"grid $grid at totalEps=$totalEps spent $spent")
+          s"grid $grid sens=$sens at totalEps=$totalEps spent $spent")
       }
     }
   }

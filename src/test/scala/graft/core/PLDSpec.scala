@@ -309,4 +309,49 @@ class SymmetricBinomialGaussianSpec extends AnyFunSuite {
     for (v <- Seq(0.0, 1.0, 12345.0, -987654.0, 1e12))
       assert(mech.addNoise(v, NoiseSource.Zero) == v)
   }
+
+  test("extreme weights do not crash the PLD bracketing probe (infeasible, not error)") {
+    // the hi = 1.0 probe constructs PLDs for absurdly small noise
+    // candidates; before the r10 guards, a weight-20 Gaussian crashed
+    // fromGaussian with NegativeArraySizeException (loss support entirely
+    // above the cap) and a weight-50 PartitionSelection tripped
+    // fromPrivacyParameters' delta0 < 1 require — both for perfectly
+    // satisfiable budgets
+    val g = new PLDBudgetAccountant(1.0, 1e-6)
+    g.requestBudget(MechanismType.Gaussian, weight = 20)
+    g.computeBudgets()
+    assert(g.baseNoiseStd.exists(s => s > 0 && java.lang.Double.isFinite(s)))
+    val p = new PLDBudgetAccountant(0.1, 0.01)
+    p.requestBudget(MechanismType.PartitionSelection, weight = 50)
+    p.computeBudgets()
+    assert(p.baseNoiseStd.exists(s => s > 0 && java.lang.Double.isFinite(s)))
+  }
+
+  test("thresholding delta splits per USE: a count=c handle gets delta/(4c) per use") {
+    val acc = new PLDBudgetAccountant(1.0, 1e-6)
+    val h = acc.requestBudget(MechanismType.LaplaceThresholding, count = 4)
+    acc.computeBudgets()
+    // 25% of delta reserved for thresholding, split over the 4 USES —
+    // per-handle splitting would hand each use the full reservation and
+    // overspend it 4-fold
+    assert(h.spec.thresholdingDelta.contains(0.25 * 1e-6 / 4))
+  }
+
+  test("thresholds stay finite at tiny adjusted deltas (no 1-delta cancellation)") {
+    // deltaAdj ~ 1e-18 is routine once a small total delta splits across
+    // mechanisms and l0; forming 1.0 - deltaAdj first rounded to 1.0 and
+    // the Laplace threshold became -log(0) = +Infinity (every partition
+    // silently suppressed)
+    val tL = graft.core.PartitionSelection.laplaceThreshold(2.0, 1e-18, 1)
+    assert(java.lang.Double.isFinite(tL) && tL > 0, s"laplace $tL")
+    // -b*log(2d) at b=2, d=1e-18: ~ 2*40.8 + 1
+    assert(math.abs(tL - (1.0 - 2.0 * math.log(2e-18))) < 1e-9)
+    val tG = graft.core.PartitionSelection.gaussianThreshold(2.0, 1e-18, 1)
+    assert(java.lang.Double.isFinite(tG) && tG > 0, s"gaussian $tG")
+    // PhiInverse(1e-18) ~ -8.76; threshold ~ 1 + 2*8.76
+    assert(tG > 15 && tG < 20, s"gaussian $tG")
+    // and the mid-range values agree with the textbook closed forms
+    assert(math.abs(graft.core.PartitionSelection.laplaceThreshold(1.0, 0.25, 1)
+      - (1.0 - math.log(0.5))) < 1e-12)
+  }
 }
