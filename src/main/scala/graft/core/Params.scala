@@ -201,8 +201,11 @@ final case class SelectPartitionsParams(
 }
 
 /** Parameters of `noisyTopK` — release the k partition keys with the
-  * largest noisy privacy-unit counts (the report-noisy-max family;
-  * one-shot Laplace top-k). Beyond-reference: the reference's selection
+  * largest noisy privacy-unit counts (the report-noisy-max family).
+  * With a public candidate domain this is pure-eps peeling
+  * report-noisy-max; over an unknown (data-derived) domain it is a
+  * Laplace-thresholding release (delta > 0 required) whose top-k is
+  * post-processing. Beyond-reference: the reference's selection
   * strategies threshold ALL partitions and cannot answer "which k
   * partitions are largest". */
 final case class NoisyTopKParams(

@@ -237,6 +237,24 @@ private[graft] object EntryDP {
       engine.accountant.computeBudgets()
       res.dataframe
     }),
+    "dp_noisy_topk_public" -> ((s, dir) => {
+      // public-domain arm: pure-eps peeling report-noisy-max over a FIXED
+      // candidate list — 'ghost_type' has no data (count 0) yet ranks,
+      // every non-public event type is dropped before noise. Runs under
+      // totalDelta = 0: only this arm is defined there. l0 = 5 covers
+      // all real event types, so the bounder is a no-drop pass and the
+      // Zero-noise release is exact. k = 4 = the public-domain size.
+      import s.implicits._
+      val pub = Seq("click", "error", "purchase", "ghost_type").toDF("event_type")
+      val engine = new graft.spark.DPEngine(
+        new NaiveBudgetAccountant(1e5, 0.0), NoiseSource.Zero)
+      val res = engine.noisyTopK(events(s, dir),
+        NoisyTopKParams(k = 4, maxPartitionsContributed = 5),
+        DPColumns(col("user_id"), Seq("event_type" -> col("event_type"))),
+        publicPartitions = Some(pub))
+      engine.accountant.computeBudgets()
+      res.dataframe
+    }),
     "dp_bounds_enforced" -> ((s, dir) => {
       // contribution bounds vouched by the caller: the engine skips both
       // sampling stages (NoOpSampler path) => exact counts
@@ -950,6 +968,17 @@ private[graft] object EntryDP {
                   CAST(row_number() OVER (ORDER BY n DESC, event_type ASC,
                        ubucket ASC) AS BIGINT) AS rank
            FROM c QUALIFY rank <= 7""",
+      "dp_noisy_topk_public" ->
+        """WITH c AS (
+             SELECT p.event_type, count(DISTINCT e.user_id) AS n
+             FROM (VALUES ('click'), ('error'), ('purchase'), ('ghost_type'))
+               AS p(event_type)
+             LEFT JOIN events e ON e.event_type = p.event_type
+             GROUP BY p.event_type)
+           SELECT event_type,
+                  CAST(row_number() OVER (ORDER BY n DESC, event_type ASC)
+                       AS BIGINT) AS rank
+           FROM c QUALIFY rank <= 4""",
       "dp_select_gaussian_thr" ->
         "SELECT DISTINCT event_type FROM events",
       "dp_bounds_enforced" ->

@@ -277,18 +277,39 @@ final class DPEngine(
     * (partition_selection.py:33-138) keep every partition above a noisy
     * bar and cannot answer "which k partitions are largest".
     *
-    * Mechanism: distinct (unit, partition) pairs, L0-bounded to
-    * `maxPartitionsContributed` per unit (Linf = 1 by distinct), one
-    * unit-count per partition, Laplace noise of scale
-    * `b = 2 * k * maxPartitionsContributed / eps` on every count
-    * (peeling composition: k rounds of report-noisy-max at eps/k each;
-    * the factor 2 is the general-sensitivity arm — with
-    * maxPartitionsContributed = 1 the monotone-count argument would
-    * permit dropping it, kept for uniformity), and ONLY the k
-    * top-scoring partition keys with their ranks are released. The
-    * noisy scores are withheld: releasing magnitudes is a different
-    * mechanism with its own budget (compose with [[aggregate]] over the
-    * released keys as public partitions for that).
+    * Two arms, chosen by whether the candidate domain is public —
+    * report-noisy-max is only defined over a data-INDEPENDENT candidate
+    * set, so a data-derived domain must instead go through thresholding
+    * (a partition contributed by a single unit would otherwise be
+    * released with probability > 0 in D and exactly 0 in the neighbor
+    * missing that unit — unbounded privacy loss at any finite eps):
+    *
+    *  - `publicPartitions = Some(frame)`: pure-eps peeling
+    *    report-noisy-max over the FIXED public domain (missing public
+    *    keys are candidates with count 0; non-public keys are dropped
+    *    before any noise). Laplace scale `b = 2 * k * l0 / eps`
+    *    (peeling composition: k rounds of report-noisy-max at eps/k
+    *    each; the factor 2 is the general-sensitivity arm — with
+    *    l0 = 1 the monotone-count argument would permit dropping it,
+    *    kept for uniformity). Valid under totalDelta = 0. Built via
+    *    [[Mechanisms.createAdditive]] with L1 sensitivity 2*k*l0, so a
+    *    PLD-resolved spec (epsilon = 0, normalized noiseStdDev) yields
+    *    the correct finite scale instead of b = Infinity.
+    *
+    *  - `publicPartitions = None` (unknown domain): Laplace
+    *    THRESHOLDING release — noisy unit-counts (L1 sensitivity l0)
+    *    are released only above the delta-calibrated threshold, and the
+    *    top-k of the surviving noisy counts is post-processing of that
+    *    (eps, delta)-DP release (the same analysis as
+    *    [[selectPartitions]]; cf. Durfee & Rogers NeurIPS'19 on why an
+    *    unknown domain forces a threshold + delta spend). Requires
+    *    totalDelta > 0 — fails loud at request time otherwise.
+    *
+    * ONLY the k top-scoring partition keys with their ranks are
+    * released. The noisy scores are withheld: releasing magnitudes is a
+    * different mechanism with its own budget (compose with
+    * [[aggregate]] over the released keys as public partitions for
+    * that).
     *
     * Ties (exact under Zero noise; measure-zero otherwise) break by the
     * partition-key columns ascending in declaration order —
@@ -296,37 +317,76 @@ final class DPEngine(
     *
     * Scale: the top-k is an orderBy+limit (TakeOrderedAndProject — a
     * per-partition bounded heap, no global sort); the rank window then
-    * runs over exactly k rows. */
+    * runs over exactly k rows. The public join is a broadcast when the
+    * domain frame is small (the usual case for a curated key list). */
   def noisyTopK(
       df: DataFrame,
       params: NoisyTopKParams,
-      columns: DPColumns
+      columns: DPColumns,
+      publicPartitions: Option[DataFrame] = None
   ): DPResult = {
     accountant.registerAggregation()
-    val handle = accountant.requestBudget(MechanismType.Laplace,
-      weight = params.budgetWeight, name = "NoisyTopK")
+    val l0 = params.maxPartitionsContributed
+    val handle = publicPartitions match {
+      case Some(_) =>
+        accountant.requestBudget(MechanismType.Laplace,
+          weight = params.budgetWeight, name = "NoisyTopK")
+      case None =>
+        require(accountant.totalDelta > 0,
+          "noisyTopK over an unknown (data-derived) partition domain requires " +
+            "totalDelta > 0: the release must threshold away partitions with few " +
+            "contributors (report-noisy-max needs a data-independent candidate " +
+            "set). Pass publicPartitions for a pure-epsilon release")
+        accountant.requestBudget(MechanismType.LaplaceThresholding,
+          weight = params.budgetWeight, name = "NoisyTopK")
+    }
     new DPResult(() => {
       val spec = handle.spec
       val pkNames = columns.partitionKeys.map(_._1)
+      val pkCols = pkNames.map(col)
       val projected = df.select(
         columns.privacyUnit.as(PidCol) +:
           columns.partitionKeys.map { case (n, c) => c.as(n) }: _*)
       val distinctPairs = projected.distinct()
-      val bounded = sampleRowsPerKey(distinctPairs, Seq(PidCol),
-        params.maxPartitionsContributed, shards = l0ShardingFactor)
-      val counted = bounded.groupBy(pkNames.map(col): _*)
-        .agg(count(lit(1)).as(PidCntCol))
-      val b = 2.0 * params.k * params.maxPartitionsContributed / spec.epsilon
+      def countBounded(pairs: DataFrame): DataFrame =
+        sampleRowsPerKey(pairs, Seq(PidCol), l0, shards = l0ShardingFactor)
+          .groupBy(pkCols: _*).agg(count(lit(1)).as(PidCntCol))
       val noiseSrc = noise
-      val scoreUdf = udf((n: Long) => n + noiseSrc.laplace(b)).asNondeterministic()
+      val scored = publicPartitions match {
+        case Some(pub) =>
+          val pubKeys = pub.select(pkCols: _*).distinct()
+          // non-public rows drop BEFORE L0 bounding — a unit's
+          // contribution budget must not be spent on partitions that can
+          // never be released (same stage order as [[aggregate]])
+          val counted = countBounded(
+            distinctPairs.join(pubKeys, pkNames, "left_semi"))
+          val mech = Mechanisms.createAdditive(spec,
+            Sensitivities(l1Given = Some(2.0 * params.k * l0)))
+          val scoreUdf = udf((n: Long) =>
+            mech.addNoise(n.toDouble, noiseSrc)).asNondeterministic()
+          pubKeys.join(counted, pkNames, "left_outer")
+            .withColumn(PidCntCol, coalesce(col(PidCntCol), lit(0L)))
+            .withColumn("__graft_score", scoreUdf(col(PidCntCol)))
+        case None =>
+          val counted = countBounded(distinctPairs)
+          val sel: ThresholdingSelection = spec.noiseStdDev match {
+            case Some(nstd) => PartitionSelection.fromNoiseStd(
+              PartitionSelectionStrategyKind.LaplaceThresholding,
+              nstd * l0, spec.thresholdingDelta.get, l0)
+            case None => PartitionSelection.create(
+              PartitionSelectionStrategyKind.LaplaceThresholding,
+              spec.epsilon, spec.delta, l0).asInstanceOf[ThresholdingSelection]
+          }
+          val scoreUdf = udf((n: Long) =>
+            sel.noisedValueIfShouldKeep(n, noiseSrc)).asNondeterministic()
+          counted.withColumn("__graft_score", scoreUdf(col(PidCntCol)))
+            .filter(col("__graft_score").isNotNull)
+      }
       val order = col("__graft_score").desc +: pkNames.map(col(_).asc)
-      val topK = counted
-        .withColumn("__graft_score", scoreUdf(col(PidCntCol)))
-        .orderBy(order: _*)
-        .limit(params.k)
-      topK.withColumn("rank",
+      scored.orderBy(order: _*).limit(params.k)
+        .withColumn("rank",
           row_number().over(Window.orderBy(order: _*)).cast("long"))
-        .select(pkNames.map(col) :+ col("rank"): _*)
+        .select(pkCols :+ col("rank"): _*)
     })
   }
 

@@ -639,13 +639,33 @@ class DPEngineSpec extends AnyFunSuite {
     assert(got == Map(1L -> "pkB", 2L -> "pkA", 3L -> "pkC"))
   }
 
-  test("noisyTopK: Laplace scale is 2*k*l0/eps exactly") {
+  test("noisyTopK public arm: Laplace scale is 2*k*l0/eps exactly") {
     // the noise source is SERIALIZED into the task closure — an
     // instance-held queue would be recorded into by a deserialized
     // clone; the JVM-static store survives the round trip in local mode
     RecordingNoiseStore.recorded.clear()
     val df = Seq(("u1", "pkA"), ("u2", "pkB")).toDF("pid", "pk")
+    val pub = Seq("pkA", "pkB").toDF("pk")
     // one mechanism on the accountant => it receives the full eps = 0.25
+    val engine = new DPEngine(new NaiveBudgetAccountant(0.25, 0.99),
+      new RecordingNoiseStore.RecordingNoise)
+    val res = engine.noisyTopK(df,
+      NoisyTopKParams(k = 3, maxPartitionsContributed = 5),
+      DPColumns(col("pid"), Seq("pk" -> col("pk"))), Some(pub))
+    engine.accountant.computeBudgets()
+    res.dataframe.collect()
+    val want = 2.0 * 3 * 5 / 0.25
+    assert(!RecordingNoiseStore.recorded.isEmpty, "noise source never consulted")
+    RecordingNoiseStore.recorded.forEach(b =>
+      assert(b == want, s"scale $b, want $want"))
+  }
+
+  test("noisyTopK unknown domain: thresholding Laplace scale is l0/eps") {
+    // the data-derived domain goes through Laplace thresholding whose
+    // noisy-count release has L1 sensitivity l0 — NOT the 2*k*l0 peeling
+    // scale (top-k of the thresholded release is post-processing)
+    RecordingNoiseStore.recorded.clear()
+    val df = Seq(("u1", "pkA"), ("u2", "pkB")).toDF("pid", "pk")
     val engine = new DPEngine(new NaiveBudgetAccountant(0.25, 0.99),
       new RecordingNoiseStore.RecordingNoise)
     val res = engine.noisyTopK(df,
@@ -653,10 +673,77 @@ class DPEngineSpec extends AnyFunSuite {
       DPColumns(col("pid"), Seq("pk" -> col("pk"))))
     engine.accountant.computeBudgets()
     res.dataframe.collect()
-    val want = 2.0 * 3 * 5 / 0.25
+    val want = 5 / 0.25
     assert(!RecordingNoiseStore.recorded.isEmpty, "noise source never consulted")
     RecordingNoiseStore.recorded.forEach(b =>
       assert(b == want, s"scale $b, want $want"))
+  }
+
+  test("noisyTopK public arm under PLD resolves the composed finite scale") {
+    // regression: reading spec.epsilon (0.0 under PLD) gave b = Infinity
+    // and released degenerate noise while the budget was reported spent
+    RecordingNoiseStore.recorded.clear()
+    val df = Seq(("u1", "pkA"), ("u2", "pkB")).toDF("pid", "pk")
+    val pub = Seq("pkA", "pkB", "pkC").toDF("pk")
+    val acc = new PLDBudgetAccountant(1.0, 1e-6)
+    val engine = new DPEngine(acc, new RecordingNoiseStore.RecordingNoise)
+    val res = engine.noisyTopK(df,
+      NoisyTopKParams(k = 2, maxPartitionsContributed = 3),
+      DPColumns(col("pid"), Seq("pk" -> col("pk"))), Some(pub))
+    acc.computeBudgets()
+    res.dataframe.collect()
+    // single mechanism, weight 1, requested sensitivity 1 => normalized
+    // noiseStdDev == base; actual Laplace b = nstd * (2*k*l0) / sqrt(2)
+    val want = acc.baseNoiseStd.get * (2.0 * 2 * 3) / math.sqrt(2.0)
+    assert(!RecordingNoiseStore.recorded.isEmpty, "noise source never consulted")
+    RecordingNoiseStore.recorded.forEach(b => {
+      assert(java.lang.Double.isFinite(b) && b > 0, s"degenerate scale $b")
+      assert(math.abs(b - want) < 1e-9 * want, s"scale $b, want $want")
+    })
+  }
+
+  test("noisyTopK unknown domain under PLD uses the thresholding std + delta") {
+    RecordingNoiseStore.recorded.clear()
+    val df = Seq(("u1", "pkA"), ("u2", "pkA"), ("u3", "pkB")).toDF("pid", "pk")
+    val acc = new PLDBudgetAccountant(1.0, 1e-6)
+    val engine = new DPEngine(acc, new RecordingNoiseStore.RecordingNoise)
+    val res = engine.noisyTopK(df,
+      NoisyTopKParams(k = 1, maxPartitionsContributed = 2),
+      DPColumns(col("pid"), Seq("pk" -> col("pk"))))
+    acc.computeBudgets()
+    val rows = res.dataframe.collect()
+    assert(rows.length <= 1)
+    val want = acc.baseNoiseStd.get * 2 / math.sqrt(2.0) // b = nstd*l0/sqrt(2)
+    assert(!RecordingNoiseStore.recorded.isEmpty, "noise source never consulted")
+    RecordingNoiseStore.recorded.forEach(b =>
+      assert(math.abs(b - want) < 1e-9 * want, s"scale $b, want $want"))
+  }
+
+  test("noisyTopK unknown domain fails loud under totalDelta = 0") {
+    val df = Seq(("u1", "pkA")).toDF("pid", "pk")
+    val engine = new DPEngine(new NaiveBudgetAccountant(1.0, 0.0), NoiseSource.Zero)
+    val e = intercept[IllegalArgumentException] {
+      engine.noisyTopK(df, NoisyTopKParams(k = 1, maxPartitionsContributed = 1),
+        DPColumns(col("pid"), Seq("pk" -> col("pk"))))
+    }
+    assert(e.getMessage.contains("publicPartitions"))
+  }
+
+  test("noisyTopK public arm: fixed domain — zero-count candidates rank, non-public drop") {
+    // pkX is the largest in the DATA but not public => must not appear;
+    // pkC is public with no data => count 0, still a candidate and takes
+    // the last rank. Runs under totalDelta = 0 (pure-eps arm).
+    val df = (Seq(("u1", "pkA"), ("u2", "pkA"), ("u3", "pkB")) ++
+      (1 to 5).map(i => (s"x$i", "pkX"))).toDF("pid", "pk")
+    val pub = Seq("pkA", "pkB", "pkC").toDF("pk")
+    val engine = new DPEngine(new NaiveBudgetAccountant(1.0, 0.0), NoiseSource.Zero)
+    val res = engine.noisyTopK(df,
+      NoisyTopKParams(k = 3, maxPartitionsContributed = 2),
+      DPColumns(col("pid"), Seq("pk" -> col("pk"))), Some(pub))
+    engine.accountant.computeBudgets()
+    val got = res.dataframe.collect()
+      .map(r => r.getAs[Long]("rank") -> r.getAs[String]("pk")).toMap
+    assert(got == Map(1L -> "pkA", 2L -> "pkB", 3L -> "pkC"))
   }
 
   test("noisyTopK: L0 bounding caps a spammer unit to one lifted partition") {
