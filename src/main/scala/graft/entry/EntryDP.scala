@@ -155,6 +155,29 @@ private[graft] object EntryDP {
           postAggregationThresholding = true),
         DPColumns(col("user_id"), Seq("event_type" -> col("event_type")), None))
     }),
+    "dp_grouping_sets" -> ((s, dir) => {
+      // multi-granularity DP release under ONE PLD budget: (event_type,
+      // ubucket), (event_type), and the grand total. Every budget handle
+      // carries count = 3 — the post-agg LaplaceThresholding handle's
+      // per-USE thresholding-delta split (thrDelta/3 per use, the r10
+      // repaired branch) runs end-to-end, not just in PLDSpec. ubucket =
+      // user_id % 20 is fixed per user, so l0 <= 5 at every granularity
+      // and the bounder never drops; zero noise + huge budget => every
+      // partition passes the ~1 threshold with its exact unit count.
+      val engine = new DPEngine(
+        new PLDBudgetAccountant(1e5, 0.999999, pldDiscretization = 1e-2),
+        NoiseSource.Zero)
+      val ev = events(s, dir)
+        .withColumn("ubucket", pmod(col("user_id"), lit(20L)).cast("string"))
+      val res = engine.aggregateGroupingSets(ev,
+        AggregateParams(metrics = Seq(Metric.PrivacyIdCount),
+          maxPartitionsContributed = 5, postAggregationThresholding = true),
+        DPColumns(col("user_id"),
+          Seq("event_type" -> col("event_type"), "ubucket" -> col("ubucket"))),
+        Seq(Seq("event_type", "ubucket"), Seq("event_type"), Seq()))
+      engine.accountant.computeBudgets()
+      res.dataframe
+    }),
     "dp_count_l1" -> ((s, dir) => {
       // L1 bounding mode: <= maxContributions rows per privacy unit in total
       // (no per-partition/L0 split). 1000 >> the max 99 rows per user at
@@ -234,6 +257,23 @@ private[graft] object EntryDP {
         NoisyTopKParams(k = 7, maxPartitionsContributed = 5),
         DPColumns(col("user_id"),
           Seq("event_type" -> col("event_type"), "ubucket" -> col("ubucket"))))
+      engine.accountant.computeBudgets()
+      res.dataframe
+    }),
+    "dp_sum_pld_laplace" -> ((s, dir) => {
+      // totalDelta = 0 under PLD: the pure-Laplace base composition
+      // (repaired in r10 — requests weighed by count*weight/sensitivity)
+      // end-to-end. Count + Sum clipped to [0, 0.5] compose two Laplace
+      // handles whose BUILD sensitivities differ (count: l0*linf = 500;
+      // sum: l0*0.5 = 2.5); public partitions because selection would
+      // need delta. Zero noise => exact; sums are multiples of 0.5, so
+      // binary arithmetic cannot diverge from the oracle.
+      import s.implicits._
+      val pub = Seq("click", "error", "purchase", "ghost_type").toDF("event_type")
+      val engine = new DPEngine(
+        new PLDBudgetAccountant(1.0, 0.0), NoiseSource.Zero)
+      val res = engine.aggregate(events(s, dir),
+        generous(Seq(Metric.Count, Metric.Sum), 0.0, 0.5), eventRoles, Some(pub))
       engine.accountant.computeBudgets()
       res.dataframe
     }),
@@ -897,6 +937,13 @@ private[graft] object EntryDP {
         s"SELECT event_type, sum($x) AS sum FROM events GROUP BY event_type",
       "dp_post_agg_threshold_pld" ->
         "SELECT event_type, CAST(count(DISTINCT user_id) AS DOUBLE) AS privacy_id_count FROM events GROUP BY event_type",
+      "dp_grouping_sets" ->
+        """SELECT event_type, ubucket,
+              CAST(count(DISTINCT user_id) AS DOUBLE) AS privacy_id_count,
+              CAST(GROUPING(event_type, ubucket) AS BIGINT) AS grouping_id
+           FROM (SELECT user_id, event_type,
+                   CAST(user_id % 20 AS VARCHAR) AS ubucket FROM events)
+           GROUP BY GROUPING SETS ((event_type, ubucket), (event_type), ())""",
       "dp_mean" ->
         s"SELECT event_type, 55.0 + sum($x - 55.0) / count(*) AS mean FROM events GROUP BY event_type",
       "dp_mean_count_sum" ->
@@ -968,6 +1015,13 @@ private[graft] object EntryDP {
                   CAST(row_number() OVER (ORDER BY n DESC, event_type ASC,
                        ubucket ASC) AS BIGINT) AS rank
            FROM c QUALIFY rank <= 7""",
+      "dp_sum_pld_laplace" ->
+        """SELECT p.event_type,
+              CAST(coalesce(count(e.user_id), 0) AS DOUBLE) AS count,
+              coalesce(sum(least(greatest(floor(e.value), 0.0), 0.5)), 0.0) AS sum
+           FROM (VALUES ('click'), ('error'), ('purchase'), ('ghost_type')) AS p(event_type)
+           LEFT JOIN events e ON e.event_type = p.event_type
+           GROUP BY p.event_type""",
       "dp_noisy_topk_public" ->
         """WITH c AS (
              SELECT p.event_type, count(DISTINCT e.user_id) AS n

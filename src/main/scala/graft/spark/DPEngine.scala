@@ -200,6 +200,101 @@ final class DPEngine(
     })
   }
 
+  /** DP release of the same metric set at SEVERAL partition-key
+    * granularities under one budget — the GROUPING SETS / ROLLUP shape of
+    * [[aggregate]]. Beyond-reference: the reference releases one
+    * granularity per aggregation; a multi-granularity release there means
+    * hand-composing pipelines and budgets.
+    *
+    * Each grouping set is one full private release (its own contribution
+    * bounding, aggregation, partition selection), so every mechanism is
+    * applied `groupingSets.size` times: all budget handles are requested
+    * with count = n and the accountant composes them n-fold (naive:
+    * n-fold epsilon/delta charge, reference: budget_accounting.py:448-476;
+    * PLD: n-fold self-composition, with the reserved thresholding delta
+    * split per USE so a count = n thresholding handle consumes n shares).
+    * The released frames are unioned with rolled-up key columns as typed
+    * NULLs plus a `grouping_id` bitmask (Spark/SQL convention: bit set =
+    * key rolled up, first declared key = most significant bit), so the
+    * Zero-noise gate replays as SQL GROUP BY GROUPING SETS.
+    *
+    * Public partitions are not supported here (a public domain would need
+    * one frame per granularity); call [[aggregate]] per granularity for
+    * that. */
+  def aggregateGroupingSets(
+      df: DataFrame,
+      params: AggregateParams,
+      columns: DPColumns,
+      groupingSets: Seq[Seq[String]]
+  ): DPResult = {
+    accountant.registerAggregation()
+    val allKeys = columns.partitionKeys.map(_._1)
+    require(groupingSets.nonEmpty, "at least one grouping set is required")
+    require(groupingSets.distinct == groupingSets,
+      "duplicate grouping sets: releasing a granularity twice spends budget " +
+        "for no new information — deduplicate the sets")
+    groupingSets.foreach { set =>
+      require(set.distinct == set && set.forall(allKeys.contains),
+        s"grouping set ${set.mkString("(", ",", ")")} must be distinct " +
+          s"names out of the declared partition keys ${allKeys.mkString(", ")}")
+    }
+    val n = groupingSets.size
+    val plan = CompoundComputer.plan(params, accountant, uses = n)
+    val selectionSensitivity = params.noiseKind match {
+      case NoiseKind.Laplace  => effectiveL0(params).toDouble
+      case NoiseKind.Gaussian => math.sqrt(effectiveL0(params).toDouble)
+    }
+    val mtype =
+      if (params.postAggregationThresholding) params.noiseKind match {
+        case NoiseKind.Laplace  => MechanismType.LaplaceThresholding
+        case NoiseKind.Gaussian => MechanismType.GaussianThresholding
+      }
+      else MechanismType.PartitionSelection
+    val selectionHandle = accountant.requestBudget(mtype,
+      weight = params.budgetWeight, count = n, name = "PartitionSelection")
+    new DPResult(() => {
+      val spec = selectionHandle.spec
+      val computer = plan.build(noise)
+      val quantile = plan.buildQuantile()
+      val vector = plan.buildVector()
+      val thresholdingStrategy = params.noiseKind match {
+        case NoiseKind.Laplace  => PartitionSelectionStrategyKind.LaplaceThresholding
+        case NoiseKind.Gaussian => PartitionSelectionStrategyKind.GaussianThresholding
+      }
+      val (selector, postAgg) =
+        if (params.postAggregationThresholding)
+          (None, Some(buildPostAggSelection(spec, thresholdingStrategy,
+            selectionSensitivity, params)))
+        else
+          (Some(PartitionSelection.create(params.partitionSelectionStrategy,
+            spec.epsilon, spec.delta, effectiveL0(params), params.preThreshold)),
+            None)
+      // key types from the projected frame's schema (driver-side analysis
+      // only — no job): rolled-up columns must union as the SAME type
+      val keyTypes = df.select(columns.partitionKeys.map {
+        case (nm, c) => c.as(nm) }: _*).schema
+        .fields.map(f => f.name -> f.dataType).toMap
+      val frames = groupingSets.map { set =>
+        val colsI = columns.copy(
+          partitionKeys = columns.partitionKeys.filter(p => set.contains(p._1)))
+        val released = assemble(df, params, colsI, None, computer, selector,
+          noise, quantile, vector, postAggThresholding = postAgg,
+          shards = l0ShardingFactor)
+        val gid = allKeys.zipWithIndex.iterator.collect {
+          case (nm, i) if !set.contains(nm) => 1L << (allKeys.size - 1 - i)
+        }.sum
+        val metricCols = released.columns.filterNot(set.contains).map(col(_))
+        val keyCols = allKeys.map { nm =>
+          if (set.contains(nm)) col(nm)
+          else lit(null).cast(keyTypes(nm)).as(nm)
+        }
+        released.select(keyCols ++ metricCols :+
+          lit(gid).as("grouping_id"): _*)
+      }
+      frames.reduce(_.unionByName(_))
+    })
+  }
+
   /** Post-aggregation thresholding selection from the resolved spec: under
     * PLD accounting the noise scale comes from the composition search and
     * the threshold spends the reserved thresholding delta (actual std =

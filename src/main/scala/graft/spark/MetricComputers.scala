@@ -273,13 +273,19 @@ object CompoundComputer {
     }
   }
 
-  /** Request budgets for the metric set (driver-side, pre-resolution). */
-  def plan(params: AggregateParams, accountant: BudgetAccountant): Plan = {
+  /** Request budgets for the metric set (driver-side, pre-resolution).
+    * `uses` > 1 models applying every resolved mechanism that many times
+    * (e.g. one release per grouping set): each handle carries count = uses,
+    * so the naive accountant charges uses-fold and the PLD accountant
+    * self-composes each mechanism uses times. */
+  def plan(params: AggregateParams, accountant: BudgetAccountant,
+      uses: Int = 1): Plan = {
     import Metric._
     val mt = params.noiseKind.mechanismType
     val w = params.budgetWeight
     val has = params.metrics.toSet
-    val req = (name: String) => accountant.requestBudget(mt, weight = w, name = name)
+    val req = (name: String) =>
+      accountant.requestBudget(mt, weight = w, count = uses, name = name)
 
     val hasPercentiles = params.metrics.exists(_.isInstanceOf[Percentile])
     val quantileH = if (hasPercentiles) Some(req("Quantile")) else None
@@ -295,7 +301,7 @@ object CompoundComputer {
       // each variance mechanism's noise itself — see build()
       Plan(params,
         Some(Seq("VarianceCount", "VarianceNSum", "VarianceNSq").map(n =>
-          accountant.requestBudget(mt, weight = w / 3, name = n))),
+          accountant.requestBudget(mt, weight = w / 3, count = uses, name = n))),
         None, None, None, None, pidH, quantileH, vectorH)
     else if (has(Mean)) {
       // when the value range collapses the normalized sum carries no signal:

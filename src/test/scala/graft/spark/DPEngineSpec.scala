@@ -639,6 +639,66 @@ class DPEngineSpec extends AnyFunSuite {
     assert(got == Map(1L -> "pkB", 2L -> "pkA", 3L -> "pkC"))
   }
 
+  test("aggregateGroupingSets: zero noise releases every granularity exactly") {
+    // 2 units per finest cell: under zeroEngine the per-use delta split
+    // (delta/3) puts the release threshold at ~1.0002, so a 1-unit
+    // partition would be (correctly) suppressed — DP semantics
+    val df = Seq(
+      ("u1", "a", "x"), ("u2", "a", "x"), ("u3", "a", "y"), ("u4", "a", "y"),
+      ("u5", "b", "x"), ("u6", "b", "x")
+    ).toDF("pid", "k1", "k2")
+    val engine = zeroEngine()
+    val res = engine.aggregateGroupingSets(df,
+      AggregateParams(metrics = Seq(Metric.PrivacyIdCount),
+        maxPartitionsContributed = 4, postAggregationThresholding = true),
+      DPColumns(col("pid"), Seq("k1" -> col("k1"), "k2" -> col("k2"))),
+      Seq(Seq("k1", "k2"), Seq("k1"), Seq()))
+    engine.accountant.computeBudgets()
+    val got = res.dataframe.collect().map(r =>
+      (r.getAs[String]("k1"), r.getAs[String]("k2"), r.getAs[Long]("grouping_id")) ->
+        r.getAs[Double]("privacy_id_count")).toMap
+    assert(got == Map(
+      ("a", "x", 0L) -> 2.0, ("a", "y", 0L) -> 2.0, ("b", "x", 0L) -> 2.0,
+      ("a", null, 1L) -> 4.0, ("b", null, 1L) -> 2.0,
+      (null, null, 3L) -> 6.0))
+  }
+
+  test("aggregateGroupingSets: handles carry count = n into the accounting") {
+    // PrivacyIdCount + post-agg thresholding => the ONLY handle is the
+    // LaplaceThresholding selection, requested with count = 2 (two
+    // grouping sets). Naive split denominator = sum(weight*count) = 2,
+    // so per-use eps = totalEps/2 and the thresholding noise scale is
+    // b = l0/eps = 1/(1/2) = 2. A single-set aggregate of the same shape
+    // yields b = 1 — count = n is what doubles it.
+    RecordingNoiseStore.recorded.clear()
+    val df = Seq(("u1", "a", "x"), ("u2", "b", "y")).toDF("pid", "k1", "k2")
+    val engine = new DPEngine(new NaiveBudgetAccountant(1.0, 0.5),
+      new RecordingNoiseStore.RecordingNoise)
+    val res = engine.aggregateGroupingSets(df,
+      AggregateParams(metrics = Seq(Metric.PrivacyIdCount),
+        maxPartitionsContributed = 1, postAggregationThresholding = true),
+      DPColumns(col("pid"), Seq("k1" -> col("k1"), "k2" -> col("k2"))),
+      Seq(Seq("k1", "k2"), Seq("k1")))
+    engine.accountant.computeBudgets()
+    res.dataframe.collect()
+    assert(!RecordingNoiseStore.recorded.isEmpty, "noise source never consulted")
+    RecordingNoiseStore.recorded.forEach(b =>
+      assert(b == 2.0, s"scale $b, want 2.0 (= l0=1 / (eps=1.0 / 2 uses))"))
+  }
+
+  test("aggregateGroupingSets rejects duplicate and unknown grouping sets") {
+    val df = Seq(("u1", "a", "x")).toDF("pid", "k1", "k2")
+    val cols = DPColumns(col("pid"), Seq("k1" -> col("k1"), "k2" -> col("k2")))
+    val p = AggregateParams(metrics = Seq(Metric.PrivacyIdCount),
+      maxPartitionsContributed = 1, postAggregationThresholding = true)
+    assertThrows[IllegalArgumentException](
+      zeroEngine().aggregateGroupingSets(df, p, cols, Seq(Seq("k1"), Seq("k1"))))
+    assertThrows[IllegalArgumentException](
+      zeroEngine().aggregateGroupingSets(df, p, cols, Seq(Seq("nope"))))
+    assertThrows[IllegalArgumentException](
+      zeroEngine().aggregateGroupingSets(df, p, cols, Seq.empty))
+  }
+
   test("noisyTopK public arm: Laplace scale is 2*k*l0/eps exactly") {
     // the noise source is SERIALIZED into the task closure — an
     // instance-held queue would be recorded into by a deserialized
