@@ -67,23 +67,27 @@ object Retrieval {
     *
     * `queries` is referenced TWICE in the plan (term semi-join +
     * query_id attach): a caller whose query frame is itself an
-    * expensive computation should checkpoint it first. */
+    * expensive computation should checkpoint it first.
+    *
+    * `materializeTokens` (default true) checkpoints the tokenized corpus
+    * so the regex tokenization runs ONCE — the eager stats aggregate and
+    * the postings plan would otherwise each tokenize the full corpus. The
+    * tokenized corpus occupies executor-local storage for the job's
+    * duration; at 100 TB that storage-vs-recompute trade is the caller's:
+    * pass false to keep the scan streaming and pay the second tokenize
+    * pass instead. Results are identical either way. */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
       queries: DataFrame, queryIdCol: String, termCol: String,
-      k: Int, scale: Long = 1000000L): DataFrame = {
+      k: Int, scale: Long = 1000000L,
+      materializeTokens: Boolean = true): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     require(scale > 0 && scale <= 1000000000L,
       s"scale must be in [1, 1e9], got $scale")
-    // checkpointed so the regex tokenization runs ONCE: the eager stats
-    // aggregate below and the postings plan would otherwise each
-    // tokenize the full corpus. Trade-off: the tokenized corpus
-    // materializes to executor-local storage for the job's duration —
-    // for corpora where storage dominates recompute, drop the
-    // checkpoint and pay the second tokenize pass.
-    val base = docs.select(col(idCol).as("doc_id"),
+    val tokenized = docs.select(col(idCol).as("doc_id"),
       TextAnalysis.tokens(col(textCol)).as("__toks"))
       .withColumn("dl", coalesce(size(col("__toks")).cast("long"), lit(0L)))
-      .localCheckpoint(false)
+    val base = if (materializeTokens) tokenized.localCheckpoint(false)
+      else tokenized
     val statsRow = base
       .agg(count(lit(1)).as("n"), sum(col("dl")).as("totlen")).head()
     val nDocs = statsRow.getLong(0)
@@ -141,8 +145,14 @@ object Retrieval {
     * Each input frame must carry (queryCol, itemCol, rankCol) with ranks
     * >= 1; a NULL or non-positive rank fails loud (a silently skipped
     * NULL would drop a retrieved item from the fused list with no
-    * signal). Returns `(query_id, item_id, rrf_score, n_lists,
-    * best_rank, rk)`, `rk <= k`.
+    * signal). A duplicate (query, item) row WITHIN one ranking frame
+    * also fails loud: it would silently inflate rrf_score and n_lists
+    * (the fused aggregation cannot tell "retrieved by two lists" from
+    * "listed twice by one"). The check rides the same aggregation —
+    * count per group vs distinct source lists — so it costs one
+    * count-distinct over the already top-k-bounded union, no extra pass.
+    * Returns `(query_id, item_id, rrf_score, n_lists, best_rank, rk)`,
+    * `rk <= k`.
     *
     * Scale layout: union-all of the (already small, top-k-bounded)
     * ranked lists, one map-side-combined aggregation keyed by
@@ -155,9 +165,9 @@ object Retrieval {
     require(k > 0, s"k must be positive, got $k")
     require(rrfK >= 0, s"rrfK must be non-negative, got $rrfK")
     require(scale > 0, s"scale must be positive, got $scale")
-    val normed = rankings.map(_.select(
+    val normed = rankings.zipWithIndex.map { case (r, i) => r.select(
       col(queryCol).as("query_id"), col(itemCol).as("item_id"),
-      col(rankCol).cast("long").as("__rk")))
+      col(rankCol).cast("long").as("__rk"), lit(i).as("__list")) }
     val unioned = normed.reduce(_.unionByName(_))
     val contrib = when(col("__rk").isNull || col("__rk") < 1L,
       raise_error(lit("rrfFuse: rank must be a positive integer — a NULL " +
@@ -169,8 +179,21 @@ object Retrieval {
     unioned
       .withColumn("__c", contrib)
       .groupBy("query_id", "item_id")
-      .agg(sum(col("__c")).as("rrf_score"), count(lit(1)).as("n_lists"),
+      .agg(sum(col("__c")).as("__score"), count(lit(1)).as("__n"),
+        countDistinct(col("__list")).as("n_lists"),
         min(col("__rk")).as("best_rank"))
+      // the check is fused into the SORT KEY (not a bystander column), so
+      // it provably evaluates for every aggregated group — a bystander
+      // column could be projection-deferred past the rk <= k filter and
+      // skip duplicates that only occur below the fused top-k
+      .withColumn("rrf_score",
+        when(col("__n") =!= col("n_lists"),
+          raise_error(concat(lit("rrfFuse: duplicate (query, item) row " +
+            "within one ranking frame for query_id="), col("query_id").cast("string"),
+            lit(", item_id="), col("item_id").cast("string"),
+            lit(" — a duplicate silently inflates rrf_score and n_lists; " +
+              "deduplicate the ranking upstream"))).cast("long"))
+          .otherwise(col("__score")))
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
       .select("query_id", "item_id", "rrf_score", "n_lists", "best_rank",

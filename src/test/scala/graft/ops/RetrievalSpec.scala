@@ -97,6 +97,42 @@ class RetrievalSpec extends AnyFunSuite {
     assert(out == Map(1L -> 7L, 2L -> 50L))
   }
 
+  test("rrfFuse fails loud on a duplicate (query, item) row within one frame") {
+    // item 20 listed TWICE by frame a (ranks 2 and 3): without the check
+    // its rrf_score would silently sum both reciprocal ranks
+    val a = Seq((0L, 10L, 1L), (0L, 20L, 2L), (0L, 20L, 3L)).toDF("qid", "item", "r")
+    val b = Seq((0L, 20L, 1L)).toDF("qid", "item", "r")
+    val e = intercept[Exception] {
+      Retrieval.rrfFuse(Seq(a, b), "qid", "item", "r", k = 10).collect()
+    }
+    assert(e.getMessage.contains("duplicate"))
+    // the duplicate must trip even when the duplicated item ranks BELOW
+    // the fused top-k cut (k = 1 keeps only item 10 here)
+    val a2 = Seq((1L, 10L, 1L), (1L, 20L, 2L), (1L, 20L, 3L)).toDF("qid", "item", "r")
+    val e2 = intercept[Exception] {
+      Retrieval.rrfFuse(Seq(a2), "qid", "item", "r", k = 1).collect()
+    }
+    assert(e2.getMessage.contains("duplicate"))
+    // the same item in DIFFERENT frames is the normal fusion case — no trip
+    val ok = Retrieval.rrfFuse(
+      Seq(Seq((0L, 20L, 1L)).toDF("qid", "item", "r"),
+        Seq((0L, 20L, 2L)).toDF("qid", "item", "r")),
+      "qid", "item", "r", k = 5).collect()
+    assert(ok.length == 1 && ok.head.getAs[Long]("n_lists") == 2L)
+  }
+
+  test("bm25TopK: materializeTokens = false yields identical results") {
+    val docs = Seq(
+      (1L, "apple banana apple"), (2L, "apple cherry"),
+      (3L, "banana banana banana banana"), (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val qs = q(0L -> "apple", 0L -> "banana")
+    def rows(m: Boolean) = Retrieval.bm25TopK(docs, "doc_id", "text",
+      qs, "query_id", "term", k = 5, materializeTokens = m)
+      .collect().map(_.toSeq).toSet
+    assert(rows(true) == rows(false))
+  }
+
   test("rrfFuse fails loud on NULL or non-positive ranks") {
     val bad = Seq((0L, 1L, 0L)).toDF("qid", "item", "r")
     val e = intercept[Exception] {
