@@ -81,20 +81,28 @@ object Bench {
     val total = ok.map(_._2).sum
     val errJson = if (errored.isEmpty) ""
       else s""","errors":${errored.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
-    def line(rs: Seq[(String, Double, Double)], folded: Int, foldedSec: Double) = {
+    // the folded bucket carries [sum of medians, sum of mins]: a literal 0
+    // min would read as pure position noise under the median >> min
+    // heuristic instead of "min unavailable"
+    def line(rs: Seq[(String, Double, Double)], folded: Int, foldedSec: Double,
+        foldedMin: Double) = {
       val entries = rs.map(r => "\"" + r._1 + "\":[" + r3(r._2) + "," + r2(r._3) + "]") ++
-        (if (folded > 0) Seq("\"_other_" + folded + "q\":[" + r3(foldedSec) + ",0]") else Nil)
+        (if (folded > 0)
+          Seq("\"_other_" + folded + "q\":[" + r3(foldedSec) + "," + r2(foldedMin) + "]")
+        else Nil)
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$reps,"fmt":"[median,min]"$errJson,"queries":${entries.mkString("{", ",", "}")},"sf":"$sfDir"}"""
     }
     val bySlowest = ok.sortBy(-_._2)
     var keep = bySlowest.length
     while (keep > 0 && {
       val kept = bySlowest.take(keep).sortBy(_._1)
-      val foldedSec = bySlowest.drop(keep).map(_._2).sum
-      line(kept, bySlowest.length - keep, foldedSec).length > 1850
+      val dropped = bySlowest.drop(keep)
+      line(kept, dropped.length, dropped.map(_._2).sum,
+        dropped.map(_._3).sum).length > 1850
     }) keep -= 1
     val kept = bySlowest.take(keep).sortBy(_._1)
-    println(line(kept, bySlowest.length - keep, bySlowest.drop(keep).map(_._2).sum))
+    val dropped = bySlowest.drop(keep)
+    println(line(kept, dropped.length, dropped.map(_._2).sum, dropped.map(_._3).sum))
     spark.stop()
   }
 }

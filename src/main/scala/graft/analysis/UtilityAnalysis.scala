@@ -757,17 +757,20 @@ object ValueSampler {
     shiftrightunsigned(xxhash64(value), 11).cast("double") / lit(9007199254740992.0) < lit(rate)
 
   /** Driver-side form over arbitrary values (SHA-1 based like the
-    * reference). Single-threaded driver loops only: the hoisted digest is
-    * not thread-safe. */
+    * reference). The digest is ThreadLocal (NoiseSource.Secure's pattern):
+    * a shared instance under a concurrent caller (e.g. a .par driver
+    * loop) would silently interleave updates and corrupt the sampling
+    * decision — same per-call cost, no footgun. */
   final case class Driver(rate: Double) {
     private val bound = (BigDecimal(2).pow(64) * BigDecimal(rate)).toBigInt
     @transient private lazy val md =
-      java.security.MessageDigest.getInstance("SHA-1")
+      ThreadLocal.withInitial[java.security.MessageDigest](() =>
+        java.security.MessageDigest.getInstance("SHA-1"))
     def keep(value: Any): Boolean = {
       // digest() leaves the instance reset; BigInt(1, bytes) reads the
       // leading 8 bytes as the same unsigned big-endian value the hex
       // parse produced, without formatting a string per call
-      val h = md.digest(String.valueOf(value).getBytes("UTF-8"))
+      val h = md.get().digest(String.valueOf(value).getBytes("UTF-8"))
       BigInt(1, h.take(8)) < bound
     }
   }

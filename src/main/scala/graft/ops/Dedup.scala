@@ -888,12 +888,7 @@ object Dedup {
     // large corpora have. Above the cutoff the one counting pass is noise
     // against the scan it protects.
     if (maxCandidatesPerDoc.isFinite && nDocs >= math.max(1L, guardMinDocs)) {
-      val est = ordered
-        .select(col("block"),
-          explode(slice(col("grams"), lit(1), longPrefixLen(threshold))).as("gram"))
-        .groupBy("block", "gram").agg(count(lit(1)).as("c"))
-        .agg(sum(col("c").cast("decimal(38,0)") * col("c")).cast("double"))
-        .head() match { case r => if (r.isNullAt(0)) 0.0 else r.getDouble(0) }
+      val est = candidateVolumeEstimate(ordered, threshold)
       if (est > maxCandidatesPerDoc * nDocs) throw new IllegalStateException(
         f"ngramJaccardPairs: estimated candidate volume $est%.3g over $nDocs docs " +
           f"(${est / nDocs}%.0f/doc) exceeds maxCandidatesPerDoc=$maxCandidatesPerDoc%.0f — " +
@@ -913,6 +908,25 @@ object Dedup {
     * join's pb side and the pre-join volume guard so the two cannot drift. */
   private def longPrefixLen(threshold: Double): Column =
     (floor(col("sz") * (1 - threshold)) + 1).cast("int")
+
+  /** The scale guard's candidate-volume estimate: sum over (block,
+    * long-prefix gram) of group_size^2. UPPER BOUND on the candidate
+    * join's streamed pair volume: per (block, gram) group the join emits
+    * |short-prefix side| * |long-prefix side| rows, the short-prefix rows
+    * are a SUBSET of the long-prefix rows for every document
+    * (shortPrefixLen <= longPrefixLen), so each group contributes at most
+    * c^2 — and the candidates stage's direction/size-ratio/positional
+    * filters only shrink it from there (the inequality is spec-pinned on
+    * random corpora in OpsSpec). DECIMAL(38,0) product per the overflow
+    * convention. */
+  private[graft] def candidateVolumeEstimate(ordered: DataFrame,
+      threshold: Double): Double =
+    ordered
+      .select(col("block"),
+        explode(slice(col("grams"), lit(1), longPrefixLen(threshold))).as("gram"))
+      .groupBy("block", "gram").agg(count(lit(1)).as("c"))
+      .agg(sum(col("c").cast("decimal(38,0)") * col("c")).cast("double"))
+      .head() match { case r => if (r.isNullAt(0)) 0.0 else r.getDouble(0) }
 
   /** Stage 1: (block, id, grams, sz), checkpointed (barrier + reuse for the
     * gram-df pass and the re-order pass). */

@@ -167,15 +167,20 @@ object Layout {
     d
   }
 
-  /** [[hilbertXY2D]] as a column. A primitive-loop UDF, NOT an unrolled
-    * Column fold: each Hilbert level reads the previous level's (x, y)
-    * several times, so a pure expression tree doubles per level
-    * (2^bits subtree copies by the last level) — the
-    * hot-path-expression-engineering rule 2 case. The SQL oracle replays
-    * the same recurrence as a generated per-level CTE chain. */
+  /** [[hilbertXY2D]] as a column — the native codegen expression
+    * [[graft.functions.HilbertIndex]] (generated while-loop inside the
+    * stage body), NOT an unrolled Column fold (each Hilbert level reads
+    * the previous level's (x, y) several times, so a pure expression tree
+    * doubles per level — the hot-path-expression-engineering rule 2 case)
+    * and no longer a boxed-Long ScalaUDF (which broke whole-stage codegen
+    * in the export write path). The SQL oracle replays the same
+    * recurrence as a generated per-level CTE chain. */
   def hilbertValue(x: Column, y: Column, bits: Int): Column = {
     require(bits >= 1 && bits <= 31, s"bits must be in [1, 31], got $bits")
-    udf((hx: Long, hy: Long) => hilbertXY2D(hx, hy, bits)).apply(x, y)
+    import org.apache.spark.sql.GraftShims
+    GraftShims.column(graft.functions.HilbertIndex(
+      GraftShims.expression(x.cast("long")),
+      GraftShims.expression(y.cast("long")), bits))
   }
 
   /** [[zorderExport]] with the Hilbert curve as the layout key — same

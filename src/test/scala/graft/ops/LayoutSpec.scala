@@ -116,6 +116,47 @@ class LayoutSpec extends AnyFunSuite {
     }
   }
 
+  test("hilbertValue: codegen expression is bit-parity with hilbertXY2D, no UDF in plan") {
+    // exhaustive parity at bits 1..4 (covers every rotation path), plus a
+    // random sweep at bits = 16 for high-bit coverage
+    for (bits <- 1 to 4) {
+      val n = 1 << bits
+      val pts = (for (x <- 0 until n; y <- 0 until n) yield (x.toLong, y.toLong))
+      val got = pts.toDF("x", "y")
+        .select(col("x"), col("y"),
+          Layout.hilbertValue(col("x"), col("y"), bits).as("h"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      pts.foreach { case (x, y) =>
+        assert(got((x, y)) == Layout.hilbertXY2D(x, y, bits),
+          s"bits=$bits cell ($x,$y)") }
+    }
+    // high-bit sweep over a RANGE source (a local relation would be
+    // ConvertToLocalRelation-folded on the driver, bypassing codegen):
+    // the executed plan must be a WholeStageCodegen projection with no
+    // ScalaUDF / BatchEvalPython node — the generated-loop path IS what
+    // computes these values
+    val bits = 16
+    val df16 = spark.range(300).select(
+      (col("id") * 7919L % (1L << bits)).as("x"),
+      (col("id") * 104729L % (1L << bits)).as("y"))
+      .select(col("x"), col("y"),
+        Layout.hilbertValue(col("x"), col("y"), bits).as("h"))
+    df16.collect().foreach { r =>
+      assert(r.getLong(2) == Layout.hilbertXY2D(r.getLong(0), r.getLong(1), bits)) }
+    val plan = df16.queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEval"), plan)
+    // "*(1)" is the WholeStageCodegen marker in the simple-string plan:
+    // the graft_hilbert projection must sit inside the codegen'd stage
+    assert(plan.linesIterator.next().startsWith("*(") &&
+      plan.contains("graft_hilbert"), plan)
+    // null propagates instead of crashing the generated loop
+    val withNull = Seq((Some(3L), Some(5L)), (None, Some(1L)))
+      .toDF("x", "y")
+      .select(Layout.hilbertValue(col("x"), col("y"), 8).as("h"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    assert(withNull(0).contains(Layout.hilbertXY2D(3, 5, 8)) && withNull(1).isEmpty)
+  }
+
   test("hilbert export: sound pruning, and tighter boxes than zorder on a grid") {
     val pts = (for (x <- 0L until 100L; y <- 0L until 100L)
       yield (x * 100 + y, x, y))

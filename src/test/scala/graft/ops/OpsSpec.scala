@@ -580,6 +580,34 @@ class DedupSpec extends AnyFunSuite {
       threshold = 0.8, maxCandidatesPerDoc = 32.0).count() > 0)
   }
 
+  test("ngram guard estimate dominates the true candidate volume (property)") {
+    // the wall must never become a sieve: across entropy regimes and
+    // thresholds, the guard's sum-of-prefix-group-size^2 estimate must
+    // upper-bound the candidate pairs the join actually produces (the
+    // short-prefix side of every group is a subset of its long-prefix
+    // side, and the direction/size-ratio/positional filters only shrink)
+    val rnd = new scala.util.Random(7)
+    val shapes: Seq[(String, Seq[(Long, String)])] = Seq(
+      "low-entropy" -> (0 until 120).map(i =>
+        (i.toLong, Seq.fill(6)("w" + rnd.nextInt(4)).mkString(" "))),
+      "shared-head" -> (0 until 120).map(i =>
+        (i.toLong, "common head " +
+          Seq.fill(8)(rnd.alphanumeric.take(5).mkString).mkString(" "))),
+      "high-entropy" -> (0 until 120).map(i =>
+        (i.toLong, Seq.fill(12)(rnd.alphanumeric.take(6).mkString).mkString(" ")))
+    )
+    for ((label, rows) <- shapes; t <- Seq(0.5, 0.8)) {
+      val df = rows.toDF("id", "text").withColumn("blk", lit("b"))
+      val ordered = Dedup.ngramOrderedStage(
+        Dedup.ngramGramsStage(df, "id", "text", "blk", 3))
+      val est = Dedup.candidateVolumeEstimate(ordered, t)
+      val observed = Dedup.ngramCandidatesStage(ordered, t).count().toDouble
+      assert(est >= observed,
+        s"$label t=$t: estimate $est < observed candidate pairs $observed")
+      assert(est > 0 || observed == 0)
+    }
+  }
+
   test("ngram jaccard: length-band blocking is output-identical on a mixed-size corpus") {
     // small shared vocab => shared prefix grams across very different doc
     // sizes, the regime band blocking prunes; near-dups planted at close
