@@ -231,6 +231,17 @@ private[graft] object EntryText {
         .select(col("id").as("doc_id"), col("term"), col("tf"),
           col("dfreq"), col("score"), col("rk"))
     }),
+    "text_collocations" -> ((s, dir) => {
+      // PMI collocation mining: corpus top-25 adjacent bigrams by
+      // pointwise mutual information, ranked transcendental-free via the
+      // exact integer ratio floor(1e6·N·c_xy / (c_x·c_y)) in
+      // DECIMAL(38,0) — cross-engine exact, ties by (w1, w2) asc.
+      // minCount=5 floors hapax pairs (part of the operator: raw PMI
+      // ranks a once-seen typo pair above every real collocation).
+      TextAnalysis.collocations(
+        s.read.parquet(s"$dir/documents.parquet").select("text"),
+        "text", k = 25, minCount = 5)
+    }),
     "text_lm_surprisal" -> ((s, dir) => {
       // CCNet quality scoring: corpus-trained add-one bigram LM, per-doc
       // mean surprisal in integer-quantized bits (floor-log2, the tfidf
@@ -675,6 +686,33 @@ private[graft] object EntryText {
                   array_to_string(toks[chunk_idx * 24 + 1 : least(chunk_idx * 24 + 32, n)], ' ')
                     AS chunk_text
            FROM c""",
+      // the full PMI pipeline replayed: unigram/bigram counts over the
+      // same token regex, minCount floor, HUGEINT ratio floor, top-25
+      "text_collocations" ->
+        """WITH tok AS (
+             SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+             FROM documents WHERE text IS NOT NULL),
+           uni AS (
+             SELECT w, CAST(count(*) AS BIGINT) AS c
+             FROM (SELECT unnest(toks) AS w FROM tok) GROUP BY w),
+           n AS (SELECT CAST(COALESCE(sum(c), 0) AS BIGINT) AS n_tokens FROM uni),
+           bg AS (
+             SELECT toks[i] AS w1, toks[i + 1] AS w2
+             FROM (SELECT toks, unnest(range(1, len(toks))) AS i
+                   FROM tok WHERE len(toks) >= 2)),
+           bc AS (
+             SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_xy
+             FROM bg GROUP BY w1, w2 HAVING count(*) >= 5),
+           s AS (
+             SELECT bc.w1, bc.w2, bc.c_xy, u1.c AS c_x, u2.c AS c_y,
+                    CAST((CAST(1000000 AS HUGEINT) * (SELECT n_tokens FROM n) * bc.c_xy)
+                       // (CAST(u1.c AS HUGEINT) * u2.c) AS BIGINT) AS score
+             FROM bc JOIN uni u1 ON bc.w1 = u1.w JOIN uni u2 ON bc.w2 = u2.w),
+           r AS (
+             SELECT *, CAST(row_number() OVER (
+                    ORDER BY score DESC, w1 ASC, w2 ASC) AS BIGINT) AS rk
+             FROM s)
+           SELECT w1, w2, c_xy, c_x, c_y, score, rk FROM r WHERE rk <= 25""",
       "text_tfidf" ->
         """WITH tf AS (
              SELECT doc_id, tok AS term, CAST(count(*) AS BIGINT) AS tf

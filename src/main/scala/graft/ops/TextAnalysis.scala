@@ -416,6 +416,80 @@ object TextAnalysis {
         col("score"), col("rk"))
   }
 
+  /** PMI collocation mining: the corpus's top-k adjacent-token bigrams by
+    * pointwise mutual information — the classic phrase-mining /
+    * tokenizer-vocabulary signal (reference analog: none — the reference
+    * has no text tier; the measure is Church & Hanks 1990, the counting
+    * convention NLTK's `BigramAssocMeasures.pmi`):
+    * `pmi(x,y) = log(p(x,y) / (p(x) p(y))) = log(N·c_xy / (c_x·c_y))`
+    * with `c_x`/`c_y` corpus token counts, `c_xy` adjacent-bigram counts
+    * and `N` the corpus token total. `log` is monotone, so the RANKING
+    * needs no transcendental: `score = floor(scale·N·c_xy / (c_x·c_y))`
+    * computed in DECIMAL(38,0) (BIGINT products wrap once `scale·N·c_xy`
+    * passes ~9e18 — i.e. at millions of tokens already; DECIMAL holds to
+    * ~1e37, beyond a 100 TB corpus at the default scale). Cross-engine
+    * exact: integer division on exact integers, ties broken by
+    * `(w1, w2)` ascending.
+    *
+    * `minCount` floors `c_xy` BEFORE ranking — raw PMI famously explodes
+    * on hapax pairs (a once-seen typo pair scores above every real
+    * collocation), so a floor is part of the operator, not a knob bolted
+    * on. Docs with < 2 tokens contribute unigrams (they shape `p(x)`)
+    * but no bigrams.
+    *
+    * Returns `(w1, w2, c_xy, c_x, c_y, score, rk)`, `rk <= k`.
+    *
+    * Scale shape: one tokenize pass shared by the unigram and bigram
+    * counting aggregations (localCheckpoint, the [[LmScore]] pattern —
+    * `materializeTokens=false` trades storage for a second scan); both
+    * counts are map-side-combined; `N` rides a one-row broadcast cross
+    * join (no driver collect); the unigram table joins in twice BY
+    * BROADCAST (vocabulary-bounded, the tfIdfTopTerms dfreq argument);
+    * the global top-k is orderBy+limit = TakeOrderedAndProject (bounded
+    * per-task heaps, never a full sort) and the rank window touches only
+    * those k rows. */
+  def collocations(df: DataFrame, textCol: String, k: Int,
+      minCount: Long = 2, scale: Long = 1000000L,
+      materializeTokens: Boolean = true): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    require(scale > 0 && scale <= 1000000000L,
+      s"scale must be in [1, 1e9], got $scale")
+    def d38(c: Column): Column = c.cast("decimal(38,0)")
+    val tokenized = df.select(tokens(col(textCol)).as("__toks"))
+      .filter(col("__toks").isNotNull)
+    val toks = if (materializeTokens) tokenized.localCheckpoint(false)
+      else tokenized
+    val uni = toks.select(explode(col("__toks")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .localCheckpoint(false) // total-token count + two scoring joins
+    val tot = uni.agg(coalesce(sum(col("c")), lit(0L)).as("n_tokens"))
+    val bigrams = toks
+      .filter(size(col("__toks")) >= 2)
+      .select(expr(
+        "inline(transform(sequence(0, size(__toks) - 2), " +
+          "i -> struct(__toks[i] AS w1, __toks[i + 1] AS w2)))"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
+      .filter(col("c_xy") >= minCount)
+    val u1 = uni.select(col("w").as("w1"), col("c").as("c_x"))
+    val u2 = uni.select(col("w").as("w2"), col("c").as("c_y"))
+    val scored = bigrams
+      .join(broadcast(u1), "w1")
+      .join(broadcast(u2), "w2")
+      .crossJoin(broadcast(tot)) // always one row
+      .withColumn("score", expr(
+        s"CAST((CAST($scale AS DECIMAL(38,0)) * n_tokens * c_xy)" +
+          " div (CAST(c_x AS DECIMAL(38,0)) * c_y) AS BIGINT)"))
+    val top = scored
+      .orderBy(col("score").desc, col("w1").asc, col("w2").asc)
+      .limit(k)
+    top.withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("score").desc, col("w1").asc, col("w2").asc))
+        .cast("long"))
+      .select("w1", "w2", "c_xy", "c_x", "c_y", "score", "rk")
+  }
+
   /** 64-bit document fingerprint: hash of the bottom-k sketch of rolling
     * 5-gram hashes (winnowing-style). Two documents collide iff their k
     * smallest shingle hashes coincide — robust to token order, sensitive to

@@ -167,6 +167,55 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out((3L, 1L)) == (("common", 0L)))
   }
 
+  test("collocations: exact integer PMI ratio, minCount floor, tie order") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "new york new york"),
+      (2L, "new york city"),
+      (3L, "the city"),
+      (4L, "solo"),                      // 1 token: unigram only, no bigram
+      (5L, null.asInstanceOf[String]),   // null text dropped
+      (6L, "")                           // 0 tokens
+    ).toDF("doc_id", "text")
+    // unigrams: new=3 york=3 city=2 the=1 solo=1 => N=10
+    // bigrams: (new,york)=3 (york,new)=1 (york,city)=1 (the,city)=1
+    val out = TextAnalysis.collocations(df, "text", k = 10, minCount = 1)
+      .collect().map(r => (r.getLong(6),
+        (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5)))).toMap
+    // raw PMI explodes on the hapax pair: ("the","city") ranks #1 —
+    // floor(1e6*10*1/(1*2)) = 5000000 beats the real collocation
+    assert(out(1L) == (("the", "city", 1L, 1L, 2L, 5000000L)))
+    assert(out(2L) == (("new", "york", 3L, 3L, 3L, 3333333L)))
+    assert(out(3L) == (("york", "city", 1L, 3L, 2L, 1666666L)))
+    assert(out(4L) == (("york", "new", 1L, 3L, 3L, 1111111L)))
+    assert(out.size == 4)
+    // the minCount floor removes every hapax pair
+    val floored = TextAnalysis.collocations(df, "text", k = 10, minCount = 2)
+      .collect()
+    assert(floored.map(r => (r.getString(0), r.getString(1))).toSeq
+      == Seq(("new", "york")))
+    // k truncates AFTER the global ordering
+    val top1 = TextAnalysis.collocations(df, "text", k = 1, minCount = 1)
+      .collect()
+    assert(top1.map(r => (r.getString(0), r.getString(1), r.getLong(6))).toSeq
+      == Seq(("the", "city", 1L)))
+    // score ties order by (w1, w2) ascending: "b a b c" has three bigrams
+    // all scoring 1e6*4/2 = 2000000
+    val ties = TextAnalysis.collocations(
+      Seq((1L, "b a b c")).toDF("doc_id", "text"), "text", k = 10, minCount = 1)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(5),
+        r.getLong(6))).toSeq
+    assert(ties == Seq(("a", "b", 2000000L, 1L), ("b", "a", 2000000L, 2L),
+      ("b", "c", 2000000L, 3L)))
+    intercept[IllegalArgumentException](
+      TextAnalysis.collocations(df, "text", k = 0))
+    intercept[IllegalArgumentException](
+      TextAnalysis.collocations(df, "text", k = 1, minCount = 0))
+    intercept[IllegalArgumentException](
+      TextAnalysis.collocations(df, "text", k = 1, scale = 0L))
+  }
+
   test("fused fingerprint UDFs are bit-identical to the expression forms") {
     import spark.implicits._
     // multi-byte code points exercise the code-point gram boundaries
