@@ -90,6 +90,17 @@ object CustomAggregation {
       combiner: CustomCombiner,
       publicPartitions: Option[DataFrame] = None
   ): DPResult = {
+    // the DPEngine.assemble collision contract: combiner metric columns are
+    // emitted next to the pk columns by name
+    locally {
+      val badPk = columns.partitionKeys.map(_._1).filter(n =>
+        combiner.metricNames.contains(n) ||
+          n.startsWith("__graft_") || n.startsWith("__cc_"))
+      require(badPk.isEmpty,
+        s"partition key name(s) ${badPk.mkString(", ")} collide with the " +
+          s"combiner's metric columns (${combiner.metricNames.mkString(", ")}) " +
+          "or the engine's reserved namespaces; rename the key columns")
+    }
     val accountant = engine.accountant
     accountant.registerAggregation()
     combiner.requestBudget(accountant)

@@ -229,6 +229,9 @@ final class DPEngine(
   ): DPResult = {
     accountant.registerAggregation()
     val allKeys = columns.partitionKeys.map(_._1)
+    require(!allKeys.contains("grouping_id"),
+      "partition key names must not be 'grouping_id' (the released rollup " +
+        "bitmask column); rename the key column")
     require(groupingSets.nonEmpty, "at least one grouping set is required")
     require(groupingSets.distinct == groupingSets,
       "duplicate grouping sets: releasing a granularity twice spends budget " +
@@ -438,6 +441,9 @@ final class DPEngine(
     new DPResult(() => {
       val spec = handle.spec
       val pkNames = columns.partitionKeys.map(_._1)
+      require(!pkNames.contains("rank") && !pkNames.exists(_.startsWith("__graft_")),
+        "partition key names must not be 'rank' (the released rank column) " +
+          "or start with __graft_ (the engine's namespace); rename the key columns")
       val pkCols = pkNames.map(col)
       val projected = df.select(
         columns.privacyUnit.as(PidCol) +:
@@ -596,6 +602,19 @@ object DPEngine {
     val pkNames = columns.partitionKeys.map(_._1)
     val pkCols = pkNames.map(col)
     val isVector = vector.isDefined
+    // fail loud on output-name collisions: the final select emits pk
+    // columns next to metric columns BY NAME, so a partition key named
+    // "count" (plausible) would silently produce a frame with duplicate
+    // column names — an AMBIGUOUS_REFERENCE ambush for the first
+    // downstream select, or silent duplicate fields in parquet
+    val emitted = computer.names ++ quantile.toSeq.flatMap(_.names) ++
+      vector.toSeq.map(_ => "vector_sum") ++
+      postAggThresholding.toSeq.map(_ => "privacy_id_count")
+    val badPk = pkNames.filter(n => emitted.contains(n) || n.startsWith("__graft_"))
+    require(badPk.isEmpty,
+      s"partition key name(s) ${badPk.mkString(", ")} collide with DP output " +
+        s"columns (${emitted.mkString(", ")}) or the engine's __graft_ " +
+        "namespace; rename the key columns")
     // fail loud on NULL values: sum(all-null group) is SQL NULL, which
     // would ride through the merge, skip the primitive-typed metrics UDF
     // (Spark nulls it out), and RELEASE null metrics with no noise — an

@@ -7,6 +7,15 @@ import org.apache.spark.sql.functions._
   * (the rest of SURVEY §2.A/2.B maps directly onto Dataset operators). */
 object Dataflow {
 
+  /** ThreadLocal digest (NoiseSource.Secure's pattern) for the bloom probe:
+    * the probe UDF runs once per BIG-side row, so a per-call
+    * MessageDigest.getInstance is pure allocator pressure on the hottest
+    * path of the join. Object-level so the UDF closure references it
+    * statically — a captured ThreadLocal would fail task serialization. */
+  private[spark] val bloomMd: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
   /** Skew-resilient filter_by_key (reference: the sharded variant of
     * pipeline_dp's filter_by_key; SURVEY §2.B): a plain left-semi join
     * funnels every row of a hot key through one task — here the probe side
@@ -117,7 +126,8 @@ object Dataflow {
     val bloomPass = udf((k: String) => {
       if (k == null) false
       else {
-        val md = java.security.MessageDigest.getInstance("MD5")
+        val md = Dataflow.bloomMd.get()
+        md.reset()
         val dg = md.digest(k.getBytes(java.nio.charset.StandardCharsets.UTF_8))
         // h1 = hex chars 1-15 (60 bits), h2 = chars 16-29 (56 bits)
         var h1 = 0L

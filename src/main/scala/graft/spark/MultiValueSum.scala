@@ -73,6 +73,17 @@ object MultiValueSum {
   ): DPResult = {
     require(params.columnBounds.map(_.name) == columns.values.map(_._1),
       "columnBounds and value columns must align by name")
+    // the DPEngine.assemble collision contract: output columns are
+    // "<value>_sum" next to the pk columns by name
+    locally {
+      val outs = params.columnBounds.map(c => s"${c.name}_sum")
+      val badPk = columns.partitionKeys.map(_._1).filter(n =>
+        outs.contains(n) || n.startsWith("__graft_") || n.startsWith("__mv_"))
+      require(badPk.isEmpty,
+        s"partition key name(s) ${badPk.mkString(", ")} collide with the " +
+          s"output sum columns (${outs.mkString(", ")}) or the engine's " +
+          "reserved namespaces; rename the key columns")
+    }
     val accountant = engine.accountant
     accountant.registerAggregation()
     val handles = params.columnBounds.map { c =>
@@ -239,7 +250,7 @@ object MultiValueAgg {
       // the count) as if the unit had reported minValue
       val valAliases = columns.values.map { case (n, c) =>
         when(c.isNull, raise_error(lit(
-          s"MultiValueSum: NULL value in column '$n' — nulls have no " +
+          s"MultiValueAgg: NULL value in column '$n' — nulls have no " +
             "clipping semantics and would release the clip bound as data; " +
             "filter or impute upstream")).cast("double"))
           .otherwise(c.cast("double")).as(s"__mv_$n")
@@ -314,6 +325,18 @@ object MultiValueAgg {
         comp.names.zipWithIndex.map { case (n, i) =>
           col(s"__mv_${c.name}_metrics").getItem(i).as(s"${c.name}_$n")
         }
+      }
+      // the DPEngine.assemble collision contract, checked against the
+      // ACTUAL emitted names (known only once the computers are built)
+      locally {
+        val outs = params.columns.zip(computers).flatMap { case (c, comp) =>
+          comp.names.map(n => s"${c.name}_$n") }
+        val badPk = pkNames.filter(n =>
+          outs.contains(n) || n.startsWith("__graft_") || n.startsWith("__mv_"))
+        require(badPk.isEmpty,
+          s"partition key name(s) ${badPk.mkString(", ")} collide with the " +
+            s"output metric columns (${outs.mkString(", ")}) or the engine's " +
+            "reserved namespaces; rename the key columns")
       }
       agg.select(pkCols ++ metricCols: _*)
     })

@@ -155,9 +155,13 @@ final class DPQuery private[spark] (
       by.map(n => n -> col(n)), inputColumn.map(col))
     val result = engine.aggregate(df, params, columns, publicKeys)
     accountant.computeBudgets()
-    // rename default metric columns to requested output names
-    metricsOutput.foldLeft(result.dataframe) { case (d, (m, out)) =>
-      if (out == m.name) d else d.withColumnRenamed(m.name, out)
-    }
+    // one aliasing select instead of a rename fold: withColumnRenamed
+    // renames EVERY column matching the name, so a fold would corrupt the
+    // cross-rename case — count(name = "sum") + sum(name = "total") has
+    // distinct FINAL names (passes the duplicate guard above) but the
+    // intermediate frame holds two "sum" columns and the next fold step
+    // renames BOTH to "total"
+    result.dataframe.select(
+      by.map(col) ++ metricsOutput.map { case (m, out) => col(m.name).as(out) }: _*)
   }
 }

@@ -832,6 +832,50 @@ class DPEngineSpec extends AnyFunSuite {
       .map(r => r.getAs[Long]("rank") -> r.getAs[String]("pk")).toMap
     assert(got == Map(1L -> "pkA", 2L -> "pkB"))
   }
+
+  test("output-name collision guards: pk named like an emitted column fails loud") {
+    // aggregate: pk named "count" would otherwise emit two "count" columns
+    val dfCount = fixture.withColumnRenamed("pk", "count")
+    val e1 = intercept[IllegalArgumentException] {
+      val engine = zeroEngine()
+      val res = engine.aggregate(dfCount,
+        AggregateParams(metrics = Seq(Metric.Count),
+          maxPartitionsContributed = 2, maxContributionsPerPartition = Some(5)),
+        DPColumns("pid", "count"))
+      engine.accountant.computeBudgets()
+      res.dataframe
+    }
+    assert(e1.getMessage.contains("collide"), e1.getMessage)
+    // noisyTopK: pk named "rank" shadows the released rank column
+    val e2 = intercept[IllegalArgumentException] {
+      val engine = zeroEngine()
+      val res = engine.noisyTopK(fixture.withColumnRenamed("pk", "rank"),
+        NoisyTopKParams(k = 1, maxPartitionsContributed = 2),
+        DPColumns(col("pid"), Seq("rank" -> col("rank"))))
+      engine.accountant.computeBudgets()
+      res.dataframe
+    }
+    assert(e2.getMessage.contains("rank"), e2.getMessage)
+    // grouping sets: pk named "grouping_id" shadows the rollup bitmask
+    val e3 = intercept[IllegalArgumentException] {
+      val engine = zeroEngine()
+      engine.aggregateGroupingSets(fixture.withColumnRenamed("pk", "grouping_id"),
+        AggregateParams(metrics = Seq(Metric.Count),
+          maxPartitionsContributed = 2, maxContributionsPerPartition = Some(5)),
+        DPColumns("pid", "grouping_id"), Seq(Seq("grouping_id"), Seq()))
+    }
+    assert(e3.getMessage.contains("grouping_id"), e3.getMessage)
+    // multi-value sum: pk named "<value>_sum" shadows the output column
+    val e4 = intercept[IllegalArgumentException] {
+      val engine = zeroEngine()
+      MultiValueSum.aggregate(engine, fixture.withColumnRenamed("pk", "v_sum"),
+        MultiValueSumParams(Seq(ValueColumnBounds("v", 0.0, 10.0)),
+          maxPartitionsContributed = 2),
+        MultiValueColumns(col("pid"), Seq("v_sum" -> col("v_sum")),
+          Seq("v" -> col("v"))))
+    }
+    assert(e4.getMessage.contains("collide"), e4.getMessage)
+  }
 }
 
 /** JVM-static landing spot for noise-scale assertions: task-closure
@@ -839,6 +883,7 @@ class DPEngineSpec extends AnyFunSuite {
   * static field to be visible to the driver-side test (local mode only). */
 object RecordingNoiseStore {
   val recorded = new java.util.concurrent.ConcurrentLinkedQueue[Double]()
+
   final class RecordingNoise extends NoiseSource {
     def laplace(b: Double): Double = { recorded.add(b); 0.0 }
     def gaussian(sigma: Double): Double = { recorded.add(sigma); 0.0 }
@@ -885,6 +930,24 @@ class QueryBuilderSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException] {
       new QueryBuilder(visits, "nope")
     }
+  }
+
+  test("cross-rename: an output name shadowing another metric's default name") {
+    // count renamed TO "sum" while the sum metric is renamed AWAY to
+    // "total": distinct final names, but the old withColumnRenamed fold
+    // produced an intermediate frame with two "sum" columns and then
+    // renamed BOTH to "total" — the aliasing select keeps them apart
+    val result = new QueryBuilder(visits, "visitor_id")
+      .groupby(Seq("day"), maxGroupsContributed = 3, maxContributionsPerGroup = 5,
+        publicKeys = Some(Seq("mon", "tue").toDF("day")))
+      .count(name = "sum")
+      .sum("spent_money", minValue = 0, maxValue = 100, name = "total")
+      .buildQuery()
+      .runQuery(Budget(1.0, 1e-10), NoiseKind.Gaussian, noise = NoiseSource.Zero)
+    assert(result.columns.toSeq == Seq("day", "sum", "total"))
+    val rows = result.collect().map(r =>
+      (r.getString(0), r.getAs[Double]("sum"), r.getAs[Double]("total"))).sortBy(_._1)
+    assert(rows.toSeq == Seq(("mon", 3.0, 55.0), ("tue", 2.0, 60.0)))
   }
 
   test("builder rejects duplicate output column names before running") {
