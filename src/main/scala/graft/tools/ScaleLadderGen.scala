@@ -121,6 +121,23 @@ object ScaleLadderGen {
       .repartition(32).write.mode("overwrite")
       .parquet(s"$out/orders.parquet")
 
+    // customer: replica k offsets c_custkey and shifts c_acctbal by
+    // k * 0.07 — names/nations/segments repeat across replicas, but every
+    // cross-replica balance pair differs by >= 0.07 > the ER gate's 0.01
+    // tolerance, so the linkage score caps at 30+10-10 = 30 < threshold
+    // and NO cross-replica links exist: the derived corpus is `replicas`
+    // disjoint copies of the sf0.1 linkage problem (the same honest-shape
+    // rule as the salted documents above).
+    val cust = spark.read.parquet(s"$src/customer.parquet")
+    val nCustK = cust.agg(max("c_custkey")).collect()(0).getLong(0) + 1
+    cust.crossJoin(spark.range(replicas).select(col("id").as("k")))
+      .select((col("c_custkey") + col("k") * nCustK).as("c_custkey"),
+        col("c_name"), col("c_nationkey"),
+        (col("c_acctbal") + col("k").cast("double") * 0.07).as("c_acctbal"),
+        col("c_mktsegment"))
+      .repartition(32).write.mode("overwrite")
+      .parquet(s"$out/customer.parquet")
+
     println(s"[scale-ladder] wrote $out: x$replicas replicas " +
       s"(doc id stride $nDocs, vec id stride $nVec, order id stride $nOrd)")
     spark.stop()

@@ -1,0 +1,82 @@
+package graft.ops
+
+import graft.spark.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class RecordLinkageSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // (id, block, name, seg, bal) — every agreement combination on purpose
+  def recs = Seq(
+    (1L, "b1", "alice smith", "A", 10.0),
+    (2L, "b1", "alice smyth", "A", 10.005), // 1 edit, seg agree, bal in tol
+    (3L, "b1", "alicia smith", "A", 10.0),  // 2 edits from id 1
+    (4L, "b1", "alice smith", "B", 50.0),   // seg + bal disagree vs id 1
+    (5L, "b2", "alice smith", "A", 10.0),   // different block: never pairs
+    (6L, "b1", null, "A", 10.0),            // null name: zero evidence
+    (7L, null.asInstanceOf[String], "alice smith", "A", 10.0) // null block
+  ).toDF("id", "blk", "nm", "seg", "bal")
+
+  def rules = Seq(
+    FuzzyStringField("name", col("nm"), maxEdit = 1, 30L, -20L),
+    ExactField("segment", col("seg"), 10L, -15L),
+    NumericField("balance", col("bal"), 0.01, 20L, -10L))
+
+  test("linkPairs: integer weights, null evidence, threshold, blocking") {
+    val pairs = RecordLinkage.linkPairs(recs, "id", Seq(col("blk")), rules,
+        threshold = Long.MinValue) // keep all pairs to inspect every weight
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(pairs((1L, 2L)) == ((30L, 10L, 20L, 60L)))   // full agreement
+    assert(pairs((1L, 3L)) == ((-20L, 10L, 20L, 10L)))  // 2 edits disagree
+    assert(pairs((1L, 4L)) == ((30L, -15L, -10L, 5L)))  // seg + bal disagree
+    assert(pairs((1L, 6L)) == ((0L, 10L, 20L, 30L)))    // null name: 0, not -20
+    // different or null block: ids 5 and 7 pair with nobody
+    assert(!pairs.keySet.exists(p => p._1 == 5L || p._2 == 5L))
+    assert(!pairs.keySet.exists(p => p._1 == 7L || p._2 == 7L))
+    // id_a < id_b exactly once per pair
+    assert(pairs.keySet.forall(p => p._1 < p._2))
+    // the threshold drops sub-threshold pairs
+    val kept = RecordLinkage.linkPairs(recs, "id", Seq(col("blk")), rules,
+      threshold = 45L).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(kept == Set((1L, 2L)))
+  }
+
+  test("resolveEntities: chains collapse to min id, singletons stand alone") {
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val all = Seq(1L, 2L, 3L, 9L).toDF("id")
+    val out = RecordLinkage.resolveEntities(all, "id", pairs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L) == ((1L, 3L)) && out(2L) == ((1L, 3L)) && out(3L) == ((1L, 3L)))
+    assert(out(9L) == ((9L, 1L)))
+  }
+
+  test("candidate-volume guard trips on coarse blocking, names the fix") {
+    val pile = (1L to 40L).map(i => (i, "hot", s"name$i", "A", 1.0))
+      .toDF("id", "blk", "nm", "seg", "bal")
+    val e = intercept[IllegalStateException] {
+      RecordLinkage.linkPairs(pile, "id", Seq(col("blk")), rules,
+        threshold = 0L, maxPairsPerRecord = 10.0)
+    }
+    assert(e.getMessage.contains("finer"), e.getMessage)
+    // below the cap (39/2 = 19.5 pairs per record) the same input passes
+    val n = RecordLinkage.linkPairs(pile, "id", Seq(col("blk")), rules,
+      threshold = Long.MinValue, maxPairsPerRecord = 20.0).count()
+    assert(n == 40L * 39 / 2)
+  }
+
+  test("validation: empty blocks/rules, duplicate names, inverted weights") {
+    intercept[IllegalArgumentException](
+      RecordLinkage.linkPairs(recs, "id", Seq.empty, rules, 0L))
+    intercept[IllegalArgumentException](
+      RecordLinkage.linkPairs(recs, "id", Seq(col("blk")), Seq.empty, 0L))
+    intercept[IllegalArgumentException](
+      RecordLinkage.linkPairs(recs, "id", Seq(col("blk")),
+        rules :+ ExactField("name", col("nm"), 1L, 0L), 0L))
+    intercept[IllegalArgumentException](
+      RecordLinkage.linkPairs(recs, "id", Seq(col("blk")),
+        Seq(ExactField("x", col("nm"), -5L, 5L)), 0L))
+  }
+}
