@@ -40,6 +40,24 @@ private[graft] object EntryDedup {
       RecordLinkage.linkPairs(erFixture(s, dir), "rec_id",
         Seq(col("c_nationkey"), col("c_mktsegment")), erRules, threshold = 45L)
     }),
+    "er_multipass_pairs" -> ((s, dir) => {
+      // multi-pass blocking coverage: nulling c_nationkey for the
+      // rec-id%56==3 half of the matched class hides those records from
+      // the (nation, segment) pass entirely (null block keys never
+      // pair); the second pass on (segment, floor(balance)) recovers
+      // them — the planted copy shifts balance by +0.005, so the pair
+      // shares a floor bucket unless it straddles an integer boundary
+      // (deterministic on both sides). Pairs found by both passes
+      // dedupe to ONE scored row; the oracle replays both passes,
+      // the union-distinct, and the scoring.
+      val fx = erFixture(s, dir).withColumn("c_nationkey",
+        when(pmod(col("rec_id") % 1000000L, lit(56L)) === 3L,
+          lit(null).cast("int")).otherwise(col("c_nationkey")))
+      RecordLinkage.linkPairsMultiPass(fx, "rec_id",
+        Seq(Seq(col("c_nationkey"), col("c_mktsegment")),
+          Seq(col("c_mktsegment"), floor(col("c_acctbal")))),
+        erRules, threshold = 45L)
+    }),
     "er_entities" -> ((s, dir) => {
       // entity resolution over the same pair set: matched records carry
       // their connected component's min id, singletons themselves; the
@@ -519,6 +537,46 @@ private[graft] object EntryDedup {
       "er_link_pairs" ->
         s"""WITH $erScoredSql
             SELECT id_a, id_b, name_w, segment_w, balance_w, score FROM scored""",
+      // both blocking passes + union-distinct + single scoring replayed;
+      // recsm applies the same null-nation mask as the query
+      "er_multipass_pairs" ->
+        s"""WITH $erScoredSql,
+            recsm AS (
+              SELECT rec_id, c_name,
+                     CASE WHEN (rec_id % 1000000) % 56 = 3 THEN NULL
+                          ELSE c_nationkey END AS c_nationkey,
+                     c_acctbal, c_mktsegment
+              FROM recs),
+            cand AS (
+              SELECT DISTINCT id_a, id_b FROM (
+                SELECT a.rec_id AS id_a, b.rec_id AS id_b
+                FROM recsm a JOIN recsm b
+                  ON a.c_nationkey = b.c_nationkey
+                 AND a.c_mktsegment = b.c_mktsegment AND a.rec_id < b.rec_id
+                UNION ALL
+                SELECT a.rec_id, b.rec_id
+                FROM recsm a JOIN recsm b
+                  ON a.c_mktsegment = b.c_mktsegment
+                 AND floor(a.c_acctbal) = floor(b.c_acctbal)
+                 AND a.rec_id < b.rec_id)),
+            mw AS (
+              SELECT c.id_a, c.id_b,
+                     CASE WHEN a.c_name IS NULL OR b.c_name IS NULL THEN 0
+                          WHEN levenshtein(a.c_name, b.c_name) <= 1 THEN 30
+                          ELSE -20 END AS name_w,
+                     CASE WHEN a.c_mktsegment IS NULL OR b.c_mktsegment IS NULL THEN 0
+                          WHEN a.c_mktsegment = b.c_mktsegment THEN 10
+                          ELSE -15 END AS segment_w,
+                     CASE WHEN a.c_acctbal IS NULL OR b.c_acctbal IS NULL THEN 0
+                          WHEN abs(a.c_acctbal - b.c_acctbal) <= 0.01 THEN 20
+                          ELSE -10 END AS balance_w
+              FROM cand c JOIN recsm a ON c.id_a = a.rec_id
+                          JOIN recsm b ON c.id_b = b.rec_id)
+            SELECT id_a, id_b, CAST(name_w AS BIGINT) AS name_w,
+                   CAST(segment_w AS BIGINT) AS segment_w,
+                   CAST(balance_w AS BIGINT) AS balance_w,
+                   CAST(name_w + segment_w + balance_w AS BIGINT) AS score
+            FROM mw WHERE name_w + segment_w + balance_w >= 45""",
       "er_entities" ->
         s"""WITH RECURSIVE $erScoredSql,
             e AS (SELECT id_a AS src, id_b AS dst FROM scored

@@ -116,17 +116,93 @@ object RecordLinkage {
     val r = proj.select(proj.columns.map(c => col(c).as(s"${c}_b")): _*)
     val joinCond = blkNames.map(n => col(s"${n}_a") === col(s"${n}_b"))
       .reduce(_ && _) && col("__er_id_a") < col("__er_id_b")
-    // Fuzzy (edit-distance) rules dominate pair cost, so they short-circuit:
-    // when the CHEAP rules' exact weights plus every fuzzy rule's best
-    // possible contribution (max(agreeWeight, 0) — 0 is the null-evidence
-    // arm) cannot reach the threshold, the pair is doomed regardless of the
-    // string comparison and each fuzzy weight collapses to its disagree
-    // constant without running levenshtein. Output-set preserving: any
-    // RELEASED pair has score >= threshold <= that bound, so released rows
-    // always carry true weights; only dropped rows may carry the
-    // short-circuit constant, and they are dropped. On the ER gate shape
-    // (balance tolerance prunes ~99.9% of blocked pairs) this removes
-    // nearly every levenshtein call: 7.3 -> 1.3 s at sf0.1.
+    scorePairs(
+      l.join(r, joinCond)
+        .withColumnRenamed("__er_id_a", "id_a")
+        .withColumnRenamed("__er_id_b", "id_b"),
+      rules, threshold)
+  }
+
+  /** Multi-pass blocking — the standard answer to single-key blocking's
+    * coverage holes (a NULL or typo'd block key hides a record from every
+    * pair of that pass): each pass contributes the same-block id pairs of
+    * its own key set, the union is DEDUPLICATED (a pair found by several
+    * passes must score ONCE — rescoring would be harmless here but
+    * double-counting is the classic multi-pass bug, and downstream
+    * consumers must see one row per pair), and scoring runs once per
+    * unique pair. Pair generation carries IDS ONLY through the blocking
+    * joins; field columns join back for the single scoring pass ([[Dedup]]
+    * candidate convention — the wide row never rides the quadratic part).
+    * The candidate-volume guard applies per pass, so the error names the
+    * pass that is too coarse. */
+  def linkPairsMultiPass(df: DataFrame, idCol: String,
+      passes: Seq[Seq[Column]], rules: Seq[FieldRule], threshold: Long,
+      maxPairsPerRecord: Double = 1000.0): DataFrame = {
+    require(passes.nonEmpty, "at least one blocking pass is required")
+    require(rules.nonEmpty, "at least one field rule is required")
+    require(rules.map(_.name).distinct.size == rules.size,
+      "field rule names must be unique")
+    rules.foreach(r => require(r.agreeWeight > r.disagreeWeight,
+      s"rule '${r.name}': agreeWeight (${r.agreeWeight}) must exceed " +
+        s"disagreeWeight (${r.disagreeWeight}) — inverted weights reward mismatches"))
+    val fldNames = rules.map(r => s"__er_f_${r.name}")
+    val allBlk = passes.zipWithIndex.flatMap { case (ks, p) =>
+      ks.zipWithIndex.map { case (c, i) => (s"__er_blk_${p}_$i", c) }
+    }
+    val proj = df.select(
+      col(idCol).as("__er_id") +:
+        (allBlk.map { case (n, c) => c.as(n) } ++
+          rules.zip(fldNames).map { case (r, n) => r.column.as(n) }): _*)
+      .localCheckpoint(false) // guards + pair passes + field join share one scan
+    val candidates = passes.zipWithIndex.map { case (ks, p) =>
+      val blkNames = ks.indices.map(i => s"__er_blk_${p}_$i")
+      if (maxPairsPerRecord.isFinite) {
+        val row = proj.groupBy(blkNames.map(col): _*)
+          .agg(count(lit(1)).as("n"))
+          .agg(coalesce(sum(col("n") * (col("n") - 1) / 2), lit(0.0)).as("pairs"),
+            coalesce(sum(col("n")), lit(0L)).as("rows")).head()
+        val pairs: Double = row.getDouble(0)
+        val n: Long = row.getLong(1)
+        if (n > 0 && pairs > maxPairsPerRecord * n) throw new IllegalStateException(
+          f"linkPairsMultiPass: pass $p produces $pairs%.3g candidate pairs " +
+            f"over $n records (${pairs / n}%.0f/record), exceeding " +
+            f"maxPairsPerRecord=$maxPairsPerRecord%.0f — use finer (or " +
+            "composite) block keys for that pass, or raise the cap deliberately")
+      }
+      val keep = "__er_id" +: blkNames
+      val thin = proj.select(keep.map(col): _*)
+      val l = thin.select(keep.map(c => col(c).as(s"${c}_a")): _*)
+      val r = thin.select(keep.map(c => col(c).as(s"${c}_b")): _*)
+      val cond = blkNames.map(n => col(s"${n}_a") === col(s"${n}_b"))
+        .reduce(_ && _) && col("__er_id_a") < col("__er_id_b")
+      l.join(r, cond).select(col("__er_id_a").as("id_a"),
+        col("__er_id_b").as("id_b"))
+    }
+    val unique = candidates.reduce(_.unionByName(_)).distinct()
+    val fa = proj.select(col("__er_id").as("id_a") +:
+      fldNames.map(n => col(n).as(s"${n}_a")): _*)
+    val fb = proj.select(col("__er_id").as("id_b") +:
+      fldNames.map(n => col(n).as(s"${n}_b")): _*)
+    scorePairs(unique.join(fa, "id_a").join(fb, "id_b"), rules, threshold)
+  }
+
+  /** The shared scoring tail: per-rule weights, exact integer score,
+    * threshold filter. Expects the frame to carry `id_a`/`id_b` plus
+    * `__er_f_<rule>_a/_b` field columns.
+    *
+    * Fuzzy (edit-distance) rules dominate pair cost, so they
+    * short-circuit: when the CHEAP rules' exact weights plus every fuzzy
+    * rule's best possible contribution (max(agreeWeight, 0) — 0 is the
+    * null-evidence arm) cannot reach the threshold, the pair is doomed
+    * regardless of the string comparison and each fuzzy weight collapses
+    * to its disagree constant without running levenshtein. Output-set
+    * preserving: any RELEASED pair has score >= threshold <= that bound,
+    * so released rows always carry true weights; only dropped rows may
+    * carry the short-circuit constant, and they are dropped. On the ER
+    * gate shape (balance tolerance prunes ~99.9% of blocked pairs) this
+    * removes nearly every levenshtein call: 7.3 -> 0.8 s at sf0.1. */
+  private def scorePairs(paired: DataFrame, rules: Seq[FieldRule],
+      threshold: Long): DataFrame = {
     def w(rule: FieldRule): (Column, Column) = {
       val f = s"__er_f_${rule.name}"
       (col(s"${f}_a"), col(s"${f}_b"))
@@ -145,9 +221,8 @@ object RecordLinkage {
       }
       expr.as(s"${rule.name}_w")
     }
-    l.join(r, joinCond)
-      .select(col("__er_id_a").as("id_a") +: col("__er_id_b").as("id_b") +:
-        weights: _*)
+    paired
+      .select(col("id_a") +: col("id_b") +: weights: _*)
       .withColumn("score", rules.map(ru => col(s"${ru.name}_w"))
         .reduce(_ + _).cast("long"))
       .filter(col("score") >= threshold)

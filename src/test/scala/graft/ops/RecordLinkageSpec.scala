@@ -67,6 +67,38 @@ class RecordLinkageSpec extends AnyFunSuite {
     assert(n == 40L * 39 / 2)
   }
 
+  test("multi-pass blocking: null-block recovery, cross-pass dedup") {
+    // ids 1/2 match but id 2 has a NULL blk — invisible to pass 1;
+    // pass 2 blocks on seg and recovers them. ids 1/8 sit in the same
+    // block under BOTH passes: exactly one scored row may result.
+    val df = Seq(
+      (1L, "b1", "alice smith", "A", 10.0),
+      (2L, null.asInstanceOf[String], "alice smyth", "A", 10.005),
+      (8L, "b1", "alice smitt", "A", 10.002)
+    ).toDF("id", "blk", "nm", "seg", "bal")
+    // single pass on blk: id 2 pairs with nobody
+    val single = RecordLinkage.linkPairs(df, "id", Seq(col("blk")), rules, 45L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(single == Set((1L, 8L)))
+    val multi = RecordLinkage.linkPairsMultiPass(df, "id",
+      Seq(Seq(col("blk")), Seq(col("seg"))), rules, 45L)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(5))).toMap
+    // pass 2 recovers the null-block pair (1, 2); (2, 8) is scored but
+    // drops (smyth/smitt is 2 edits: -20+10+20 = 10); (1, 8) found by
+    // both passes appears once
+    assert(multi.keySet == Set((1L, 2L), (1L, 8L)))
+    assert(multi((1L, 2L)) == 60L)
+    // per-pass guard names the coarse pass
+    val pile = (1L to 40L).map(i => (i, s"b$i", "n", "hot", 1.0))
+      .toDF("id", "blk", "nm", "seg", "bal")
+    val e = intercept[IllegalStateException] {
+      RecordLinkage.linkPairsMultiPass(pile, "id",
+        Seq(Seq(col("blk")), Seq(col("seg"))), rules, 0L,
+        maxPairsPerRecord = 10.0)
+    }
+    assert(e.getMessage.contains("pass 1"), e.getMessage)
+  }
+
   test("validation: empty blocks/rules, duplicate names, inverted weights") {
     intercept[IllegalArgumentException](
       RecordLinkage.linkPairs(recs, "id", Seq.empty, rules, 0L))
