@@ -340,6 +340,28 @@ private[graft] object EntryDP {
       out.select(col("label"), posexplode(col("vector_sum")).as(Seq("idx", "coord_sum")))
         .select(col("label"), col("idx").cast("long").as("idx"), col("coord_sum"))
     }),
+    "dp_vector_mean" -> ((s, dir) => {
+      // DP per-group embedding centroid by POST-PROCESSING (Dwork & Roth
+      // Prop. 2.1): ONE private release of (vector_sum, privacy_id_count)
+      // under a shared budget, then mean_j = sum_j / max(1, n) computed
+      // from released values only — no additional privacy cost. The
+      // federated-analytics "private centroid" shape. Zero noise + the
+      // 1/1024 quantization => sums exact; the single double division is
+      // the same IEEE op in both engines.
+      val df = s.read.parquet(s"$dir/embeddings.parquet")
+        .withColumn("emb", expr(
+          "transform(embedding, e -> floor(CAST(e AS DOUBLE) * 1024) / 1024)"))
+      val out = runZero(df,
+        AggregateParams(metrics = Seq(Metric.VectorSum, Metric.PrivacyIdCount),
+          maxPartitionsContributed = 1,
+          vectorNormKind = NormKind.Linf, vectorMaxNorm = 1e6, vectorSize = 64),
+        DPColumns(col("vec_id"), Seq("label" -> col("label")), Some(col("emb"))))
+      out.select(col("label"), col("privacy_id_count").as("n_units"),
+          posexplode(col("vector_sum")).as(Seq("idx", "coord_sum")))
+        .select(col("label"), col("idx").cast("long").as("idx"),
+          (col("coord_sum") / greatest(col("n_units"), lit(1.0))).as("coord_mean"),
+          col("n_units"))
+    }),
     "dp_percentile" -> ((s, dir) => {
       // DP quantile tree, zero noise => the height-4/branching-16 walk is
       // deterministic; the oracle replicates it in SQL (4-level unrolled
@@ -1045,6 +1067,23 @@ private[graft] object EntryDP {
                         generate_subscripts(embedding, 1) AS gs
                  FROM embeddings)
            GROUP BY label, gs""",
+      // the released pair (vector_sum, privacy_id_count) replayed, then
+      // the same post-processing division
+      "dp_vector_mean" ->
+        """WITH m AS (
+             SELECT label, CAST(count(DISTINCT vec_id) AS DOUBLE) AS n_units
+             FROM embeddings GROUP BY label),
+           s AS (
+             SELECT label, CAST(gs - 1 AS BIGINT) AS idx,
+                    sum(floor(CAST(e AS DOUBLE) * 1024) / 1024) AS coord_sum
+             FROM (SELECT label, unnest(embedding) AS e,
+                          generate_subscripts(embedding, 1) AS gs
+                   FROM embeddings)
+             GROUP BY label, gs)
+           SELECT s.label, s.idx,
+                  s.coord_sum / greatest(m.n_units, 1.0) AS coord_mean,
+                  m.n_units
+           FROM s JOIN m USING (label)""",
       "dp_add_noise" ->
         "SELECT event_type, CAST(sum(floor(value)) AS DOUBLE) AS total FROM events GROUP BY event_type",
       // Zero-noise quantile tree (height 4, branching 16 over [0, 500]):

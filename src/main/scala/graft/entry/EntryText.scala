@@ -242,6 +242,15 @@ private[graft] object EntryText {
         s.read.parquet(s"$dir/documents.parquet").select("text"),
         "text", k = 25, minCount = 5)
     }),
+    "text_cooccurrence" -> ((s, dir) => {
+      // GloVe X_ij builder: unordered token pairs within a 4-token
+      // window, 1/distance weights integerized as 1000000 div d (exact
+      // BIGINT sums), pairs canonicalized by binary string order,
+      // corpus top-25 by weighted mass.
+      TextAnalysis.cooccurrence(
+        s.read.parquet(s"$dir/documents.parquet").select("text"),
+        "text", window = 4, k = 25, minCount = 5)
+    }),
     "text_lm_surprisal" -> ((s, dir) => {
       // CCNet quality scoring: corpus-trained add-one bigram LM, per-doc
       // mean surprisal in integer-quantized bits (floor-log2, the tfidf
@@ -713,6 +722,31 @@ private[graft] object EntryText {
                     ORDER BY score DESC, w1 ASC, w2 ASC) AS BIGINT) AS rk
              FROM s)
            SELECT w1, w2, c_xy, c_x, c_y, score, rk FROM r WHERE rk <= 25""",
+      // pair generation replayed: positions i, distances d in
+      // [1, least(4, len-i)], canonical (least, greatest), 1000000 // d
+      "text_cooccurrence" ->
+        """WITH tok AS (
+             SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+             FROM documents WHERE text IS NOT NULL),
+           p1 AS (
+             SELECT toks, unnest(range(1, len(toks))) AS i
+             FROM tok WHERE len(toks) >= 2),
+           p2 AS (
+             SELECT least(toks[i], toks[i + d]) AS w1,
+                    greatest(toks[i], toks[i + d]) AS w2,
+                    1000000 // d AS w
+             FROM (SELECT toks, i,
+                          unnest(range(1, least(4, len(toks) - i) + 1)) AS d
+                   FROM p1)),
+           agg AS (
+             SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_pairs,
+                    CAST(sum(w) AS BIGINT) AS wsum
+             FROM p2 GROUP BY w1, w2 HAVING count(*) >= 5),
+           r AS (
+             SELECT *, CAST(row_number() OVER (
+                    ORDER BY wsum DESC, w1 ASC, w2 ASC) AS BIGINT) AS rk
+             FROM agg)
+           SELECT w1, w2, n_pairs, wsum, rk FROM r WHERE rk <= 25""",
       "text_tfidf" ->
         """WITH tf AS (
              SELECT doc_id, tok AS term, CAST(count(*) AS BIGINT) AS tf

@@ -490,6 +490,54 @@ object TextAnalysis {
       .select("w1", "w2", "c_xy", "c_x", "c_y", "score", "rk")
   }
 
+  /** Windowed co-occurrence counts — the GloVe `X_ij` builder (Pennington
+    * et al. EMNLP'14) and the word2vec context-pair statistic: every
+    * unordered token pair within `window` positions of each other, with
+    * the classic 1/distance weighting integerized as `floor(scale / d)`
+    * (exact in any engine; distances are 1..window, so per-pair weight
+    * sums are exact BIGINTs). Pairs are canonicalized `(least, greatest)`
+    * by binary string order — tokens are `[a-z0-9]+`, so Spark's UTF8
+    * comparison and any SQL engine's binary collation agree.
+    *
+    * Returns the global top-k by `(wsum desc, w1 asc, w2 asc)`:
+    * `(w1, w2, n_pairs, wsum, rk)`. `minCount` floors raw pair counts.
+    *
+    * Scale shape: one tokenize pass; the pair generator is a single
+    * `inline(flatten(transform(...)))` — each position emits at most
+    * `window` pairs, so the exploded volume is `window * tokens`, linear;
+    * one map-side-combined (w1, w2) aggregation; global top-k via
+    * orderBy+limit = TakeOrderedAndProject; rank window over k rows (the
+    * [[collocations]] tail). `sequence` bounds are guarded: the inner
+    * `sequence(1, least(window, n-1-i))` never sees an empty range
+    * (Spark's sequence(1, 0) is the DESCENDING [1, 0], not empty). */
+  def cooccurrence(df: DataFrame, textCol: String, window: Int, k: Int,
+      minCount: Long = 2, scale: Long = 1000000L): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(k > 0, s"k must be positive, got $k")
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    require(scale > 0 && scale <= 1000000000L,
+      s"scale must be in [1, 1e9], got $scale")
+    val pairs = df.select(tokens(col(textCol)).as("__toks"))
+      .filter(col("__toks").isNotNull && size(col("__toks")) >= 2)
+      .select(expr(
+        s"""inline(flatten(transform(sequence(0, size(__toks) - 2), i ->
+           |  transform(sequence(1, least($window, size(__toks) - 1 - i)), d ->
+           |    struct(least(__toks[i], __toks[i + d]) AS w1,
+           |           greatest(__toks[i], __toks[i + d]) AS w2,
+           |           CAST($scale AS BIGINT) div d AS w)))))""".stripMargin))
+    val agg = pairs.groupBy("w1", "w2")
+      .agg(count(lit(1)).as("n_pairs"), sum(col("w")).as("wsum"))
+      .filter(col("n_pairs") >= minCount)
+    val top = agg
+      .orderBy(col("wsum").desc, col("w1").asc, col("w2").asc)
+      .limit(k)
+    top.withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("wsum").desc, col("w1").asc, col("w2").asc))
+        .cast("long"))
+      .select("w1", "w2", "n_pairs", "wsum", "rk")
+  }
+
   /** 64-bit document fingerprint: hash of the bottom-k sketch of rolling
     * 5-gram hashes (winnowing-style). Two documents collide iff their k
     * smallest shingle hashes coincide — robust to token order, sensitive to

@@ -690,12 +690,18 @@ object DPEngine {
     val extraAccs =
       quantile.map(q =>
         QuantileAgg.buildTree(q.lower, q.upper)(clipped).as(TreeCol)).toSeq ++
-      vector.map(v =>
-        VectorOps.clipVector(VectorOps.vecSum(col(ValCol)), v.normKind, v.maxNorm)
-          .as(VecCol)).toSeq
-    val perPidPk = cur
+      // norm-clip AFTER the aggregation (semantically identical — the clip
+      // applies to the per-(pid, pk) sum either way): clipVector references
+      // its input twice (non-finite guard + value), and wrapping the
+      // aggregate ran the vector-sum Aggregator TWICE per group (two
+      // vectorsumaggregator calls visible in the plan)
+      vector.map(_ => VectorOps.vecSum(col(ValCol)).as(VecCol)).toSeq
+    val perPidPk0 = cur
       .groupBy((col(PidCol) +: pkCols): _*)
       .agg(count(lit(1)).as(CntCol), scalarAccs ++ extraAccs: _*)
+    val perPidPk = vector.map(v => perPidPk0.withColumn(VecCol,
+      VectorOps.clipVector(col(VecCol), v.normKind, v.maxNorm)))
+      .getOrElse(perPidPk0)
 
     // stage 5c: L0 bounding — sample <= maxPartitionsContributed partitions per pid
     val crossBounded =

@@ -216,6 +216,32 @@ class TextAnalysisSpec extends AnyFunSuite {
       TextAnalysis.collocations(df, "text", k = 1, scale = 0L))
   }
 
+  test("cooccurrence: windowed pairs, 1/d weights, canonical order, guards") {
+    import spark.implicits._
+    // "a b a c", window 2: (a,b)x2 w=1e6 each; (a,a) d=2 w=5e5;
+    // (b,c) d=2 w=5e5; (a,c) d=1 w=1e6
+    val df = Seq((1L, "a b a c"), (2L, "x y"), (3L, "solo"),
+      (4L, null.asInstanceOf[String]), (5L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.cooccurrence(df, "text", window = 2, k = 10,
+        minCount = 1)
+      .collect().map(r => (r.getLong(4),
+        (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == (("a", "b", 2L, 2000000L)))
+    assert(out(2L) == (("a", "c", 1L, 1000000L)))
+    // the 2-token doc exercises the sequence guard (inner range is [1, 1])
+    assert(out(3L) == (("x", "y", 1L, 1000000L))) // wsum tie -> (w1, w2) asc
+    assert(out(4L) == (("a", "a", 1L, 500000L)))  // self-pair at distance 2
+    assert(out(5L) == (("b", "c", 1L, 500000L)))
+    assert(out.size == 5)
+    // window = 1 is adjacent-only; minCount floors
+    val adj = TextAnalysis.cooccurrence(df, "text", window = 1, k = 10,
+      minCount = 2).collect()
+    assert(adj.map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+      == Seq(("a", "b", 2L)))
+    intercept[IllegalArgumentException](
+      TextAnalysis.cooccurrence(df, "text", window = 0, k = 1))
+  }
+
   test("fused fingerprint UDFs are bit-identical to the expression forms") {
     import spark.implicits._
     // multi-byte code points exercise the code-point gram boundaries
