@@ -58,6 +58,19 @@ private[graft] object EntryDedup {
           Seq(col("c_mktsegment"), floor(col("c_acctbal")))),
         erRules, threshold = 45L)
     }),
+    "er_snm_pairs" -> ((s, dir) => {
+      // sorted-neighborhood blocking: global rank by (balance, id) —
+      // distributed via floor(balance/100) buckets + one driver prefix
+      // sum, alignment VERIFIED — then every pair within 10 ranks is
+      // scored. The planted copies shift balance by +0.005, so true
+      // pairs sort adjacently; candidate volume is exactly 10n (linear,
+      // skew-immune — the blocking arm for keys where equi-blocks go
+      // quadratic). The oracle replays the rank as one SQL row_number.
+      RecordLinkage.sortedNeighborhoodPairs(erFixture(s, dir), "rec_id",
+        sortKey = col("c_acctbal"),
+        bucket = floor(col("c_acctbal") / 100).cast("long"),
+        windowSize = 10, rules = erRules, threshold = 45L)
+    }),
     "er_entities" -> ((s, dir) => {
       // entity resolution over the same pair set: matched records carry
       // their connected component's min id, singletons themselves; the
@@ -537,6 +550,40 @@ private[graft] object EntryDedup {
       "er_link_pairs" ->
         s"""WITH $erScoredSql
             SELECT id_a, id_b, name_w, segment_w, balance_w, score FROM scored""",
+      // the distributed rank replayed as ONE row_number over
+      // (balance, id), the 10-rank window as a rank-range join, then the
+      // same scoring
+      "er_snm_pairs" ->
+        s"""WITH $erScoredSql,
+            ranked AS (
+              SELECT rec_id, c_name, c_acctbal, c_mktsegment,
+                     CAST(row_number() OVER (ORDER BY c_acctbal, rec_id)
+                       AS BIGINT) AS rnk
+              FROM recs),
+            cand AS (
+              SELECT least(a.rec_id, b.rec_id) AS id_a,
+                     greatest(a.rec_id, b.rec_id) AS id_b,
+                     a.c_name AS name_a, b.c_name AS name_b,
+                     a.c_mktsegment AS seg_a, b.c_mktsegment AS seg_b,
+                     a.c_acctbal AS bal_a, b.c_acctbal AS bal_b
+              FROM ranked a JOIN ranked b
+                ON b.rnk > a.rnk AND b.rnk <= a.rnk + 10),
+            mw AS (
+              SELECT id_a, id_b,
+                     CASE WHEN name_a IS NULL OR name_b IS NULL THEN 0
+                          WHEN levenshtein(name_a, name_b) <= 1 THEN 30
+                          ELSE -20 END AS name_w,
+                     CASE WHEN seg_a IS NULL OR seg_b IS NULL THEN 0
+                          WHEN seg_a = seg_b THEN 10 ELSE -15 END AS segment_w,
+                     CASE WHEN bal_a IS NULL OR bal_b IS NULL THEN 0
+                          WHEN abs(bal_a - bal_b) <= 0.01 THEN 20
+                          ELSE -10 END AS balance_w
+              FROM cand)
+            SELECT id_a, id_b, CAST(name_w AS BIGINT) AS name_w,
+                   CAST(segment_w AS BIGINT) AS segment_w,
+                   CAST(balance_w AS BIGINT) AS balance_w,
+                   CAST(name_w + segment_w + balance_w AS BIGINT) AS score
+            FROM mw WHERE name_w + segment_w + balance_w >= 45""",
       // both blocking passes + union-distinct + single scoring replayed;
       // recsm applies the same null-nation mask as the query
       "er_multipass_pairs" ->

@@ -186,6 +186,87 @@ object RecordLinkage {
     scorePairs(unique.join(fa, "id_a").join(fb, "id_b"), rules, threshold)
   }
 
+  /** Sorted-neighborhood pair generation (Hernández & Stolfo SIGMOD'95) —
+    * the LINEAR-volume blocking that survives where equi-blocking goes
+    * quadratic: records are globally ranked by `(sortKey, id)` and every
+    * pair within `windowSize` ranks is scored, so candidate volume is
+    * EXACTLY `windowSize * n` regardless of value skew (no hot block, no
+    * candidate-volume guard needed — the volume is linear by
+    * construction). The classic use: a numeric or lexicographic key
+    * where near-duplicates sort adjacently (amounts, normalized names,
+    * timestamps).
+    *
+    * The global rank is distributed: `bucket` (a caller-supplied LONG
+    * expression, e.g. `floor(sortKey / width)`) partitions the rank
+    * window, per-bucket offsets come from one bounded driver prefix sum
+    * (the [[CorpusOps.prefixOffsetsByBucket]] layout), and rank =
+    * offset + within-bucket row_number over `(sortKey, id)` — so no task
+    * ever sorts the full corpus and the rank equals one SQL
+    * `row_number() OVER (ORDER BY sortKey, id)`, which is what makes the
+    * release oracle-replayable. Bucket/order alignment is VERIFIED, not
+    * trusted: per-bucket [min, max] sortKey ranges must be strictly
+    * separated (one tiny aggregation over bucket stats), else this fails
+    * loud — an overlapping or tie-straddling bucketing would silently
+    * permute the global order. Rows with a NULL sortKey or bucket never
+    * pair (the null-block-key convention); route them through another
+    * pass and union the scored frames if they matter.
+    *
+    * Returns the same scored-pair schema as [[linkPairs]], pairs
+    * canonicalized `id_a < id_b`. */
+  def sortedNeighborhoodPairs(df: DataFrame, idCol: String, sortKey: Column,
+      bucket: Column, windowSize: Int, rules: Seq[FieldRule],
+      threshold: Long): DataFrame = {
+    require(windowSize >= 1, s"windowSize must be >= 1, got $windowSize")
+    require(rules.nonEmpty, "at least one field rule is required")
+    require(rules.map(_.name).distinct.size == rules.size,
+      "field rule names must be unique")
+    rules.foreach(r => require(r.agreeWeight > r.disagreeWeight,
+      s"rule '${r.name}': agreeWeight (${r.agreeWeight}) must exceed " +
+        s"disagreeWeight (${r.disagreeWeight}) — inverted weights reward mismatches"))
+    val fldNames = rules.map(r => s"__er_f_${r.name}")
+    val proj = df.select(
+      Seq(col(idCol).as("__er_id"), sortKey.as("__er_sk"),
+        bucket.cast("long").as("__er_bk")) ++
+        rules.zip(fldNames).map { case (r, n) => r.column.as(n) }: _*)
+      .filter(col("__er_sk").isNotNull && col("__er_bk").isNotNull)
+      .localCheckpoint(false) // stats agg + rank pass + field join share one scan
+    // order-alignment guard: strictly separated per-bucket key ranges.
+    // Bounded state: one row per non-empty bucket.
+    val wb = org.apache.spark.sql.expressions.Window.orderBy(col("__er_bk"))
+    val misaligned = proj.groupBy(col("__er_bk"))
+      .agg(min(col("__er_sk")).as("lo"), max(col("__er_sk")).as("hi"))
+      .withColumn("prev_hi", lag(col("hi"), 1).over(wb))
+      .filter(col("prev_hi").isNotNull && col("prev_hi") >= col("lo"))
+      .count()
+    if (misaligned > 0) throw new IllegalStateException(
+      s"sortedNeighborhoodPairs: $misaligned bucket boundaries overlap the " +
+        "next bucket's sortKey range — the bucket expression is not " +
+        "order-aligned with sortKey (or tie values straddle buckets), which " +
+        "would silently permute the global rank. Use a monotone bucket of " +
+        "the sort key, e.g. floor(sortKey / width)")
+    val (offCol, _) = CorpusOps.prefixOffsetsByBucket(proj, "__er_bk",
+      count(lit(1)), ascending = true)
+    val wr = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__er_bk"))
+      .orderBy(col("__er_sk").asc, col("__er_id").asc)
+    val ranked = proj
+      .withColumn("__er_rnk", offCol + row_number().over(wr).cast("long"))
+      .localCheckpoint(false) // both sides of the rank join
+    val thin = ranked.select(col("__er_id"), col("__er_rnk"))
+    val probes = thin.select(col("__er_id").as("__er_ia"),
+      explode(sequence(col("__er_rnk") + 1,
+        col("__er_rnk") + windowSize)).as("__er_rnk"))
+    val cand = probes
+      .join(thin.select(col("__er_id").as("__er_ib"), col("__er_rnk")), "__er_rnk")
+      .select(least(col("__er_ia"), col("__er_ib")).as("id_a"),
+        greatest(col("__er_ia"), col("__er_ib")).as("id_b"))
+    val fa = ranked.select(col("__er_id").as("id_a") +:
+      fldNames.map(n => col(n).as(s"${n}_a")): _*)
+    val fb = ranked.select(col("__er_id").as("id_b") +:
+      fldNames.map(n => col(n).as(s"${n}_b")): _*)
+    scorePairs(cand.join(fa, "id_a").join(fb, "id_b"), rules, threshold)
+  }
+
   /** The shared scoring tail: per-rule weights, exact integer score,
     * threshold filter. Expects the frame to carry `id_a`/`id_b` plus
     * `__er_f_<rule>_a/_b` field columns.

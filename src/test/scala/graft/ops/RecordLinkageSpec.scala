@@ -99,6 +99,38 @@ class RecordLinkageSpec extends AnyFunSuite {
     assert(e.getMessage.contains("pass 1"), e.getMessage)
   }
 
+  test("sorted-neighborhood: rank window, cross-bucket pairs, alignment guard") {
+    // ranks by (bal, id): 1, 2, 3, 4, 5 — ids 1/2 and 4/5 are true pairs;
+    // buckets floor(bal/10) = 0,0,0,3,3 put the rank-3/4 adjacency ACROSS
+    // buckets (the boundary case the global rank must stitch)
+    val df = Seq(
+      (1L, "alice smith", "A", 1.0),
+      (2L, "alice smyth", "A", 1.005),
+      (3L, "bob jones", "A", 5.0),
+      (4L, "carol white", "B", 30.0),
+      (5L, "carol whyte", "B", 30.002),
+      (6L, "null key", "A", Double.NaN) // NaN sorts, but null is the test below
+    ).toDF("id", "nm", "seg", "bal")
+      .withColumn("bal", when(col("id") === 6L,
+        lit(null).cast("double")).otherwise(col("bal")))
+    def snm(w: Int) = RecordLinkage.sortedNeighborhoodPairs(df, "id",
+      col("bal"), floor(col("bal") / 10).cast("long"), w, rules, 45L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // window 1: only adjacent ranks scored -> both true pairs found,
+    // including the cross-bucket (3, 4) candidate (scored, fails threshold);
+    // the null-sortKey record never pairs
+    assert(snm(1) == Set((1L, 2L), (4L, 5L)))
+    // window 4 reaches everything; the match set is unchanged (more
+    // candidates, same survivors)
+    assert(snm(4) == Set((1L, 2L), (4L, 5L)))
+    // non-order-aligned bucketing fails loud instead of permuting ranks
+    val e = intercept[IllegalStateException] {
+      RecordLinkage.sortedNeighborhoodPairs(df, "id", col("bal"),
+        pmod(col("id"), lit(2L)), 1, rules, 45L)
+    }
+    assert(e.getMessage.contains("order-aligned"), e.getMessage)
+  }
+
   test("validation: empty blocks/rules, duplicate names, inverted weights") {
     intercept[IllegalArgumentException](
       RecordLinkage.linkPairs(recs, "id", Seq.empty, rules, 0L))
