@@ -58,6 +58,17 @@ private[graft] object EntryDedup {
           Seq(col("c_mktsegment"), floor(col("c_acctbal")))),
         erRules, threshold = 45L)
     }),
+    "er_incremental_pairs" -> ((s, dir) => {
+      // ingest-time linkage: the dirty copies (rec_id >= 1e6) arrive as
+      // the increment; only new-vs-existing and new-vs-new pairs are
+      // scored (increment-proportional cost), never the settled
+      // existing-vs-existing set. The oracle is the full blocked scoring
+      // restricted to pairs touching a new id — the same set by the
+      // spec-pinned incremental identity.
+      RecordLinkage.linkPairsIncremental(erFixture(s, dir), "rec_id",
+        isNew = col("rec_id") >= 1000000L,
+        Seq(col("c_nationkey"), col("c_mktsegment")), erRules, threshold = 45L)
+    }),
     "er_snm_pairs" -> ((s, dir) => {
       // sorted-neighborhood blocking: global rank by (balance, id) —
       // distributed via floor(balance/100) buckets + one driver prefix
@@ -550,6 +561,12 @@ private[graft] object EntryDedup {
       "er_link_pairs" ->
         s"""WITH $erScoredSql
             SELECT id_a, id_b, name_w, segment_w, balance_w, score FROM scored""",
+      // the full blocked scoring restricted to pairs touching a new id
+      "er_incremental_pairs" ->
+        s"""WITH $erScoredSql
+            SELECT id_a, id_b, name_w, segment_w, balance_w, score
+            FROM scored
+            WHERE id_a >= 1000000 OR id_b >= 1000000""",
       // the distributed rank replayed as ONE row_number over
       // (balance, id), the 10-rank window as a rank-range join, then the
       // same scoring

@@ -186,6 +186,71 @@ object RecordLinkage {
     scorePairs(unique.join(fa, "id_a").join(fb, "id_b"), rules, threshold)
   }
 
+  /** Incremental (ingest-time) linkage: score only pairs that involve at
+    * least one NEW record — new-vs-existing and new-vs-new — so an
+    * increment costs `|new| × block-size`, never a rescore of the settled
+    * existing-vs-existing pairs (whose scored output the caller already
+    * holds; union the two frames for the full pair set, then
+    * [[resolveEntities]] or [[Dedup.incrementalComponents]] folds the
+    * increment into the entity store). The exact incremental identity —
+    * `incremental(all, isNew) ∪ linkPairs(existing-only)` equals
+    * `linkPairs(all)` — is spec-pinned.
+    *
+    * The guard bounds the INCREMENT's candidate volume
+    * (`n_new·(n_new-1)/2 + n_new·n_old` per block) against
+    * `maxPairsPerRecord * n_new` — increment-proportional, like the cost. */
+  def linkPairsIncremental(df: DataFrame, idCol: String, isNew: Column,
+      blockKeys: Seq[Column], rules: Seq[FieldRule], threshold: Long,
+      maxPairsPerRecord: Double = 1000.0): DataFrame = {
+    require(blockKeys.nonEmpty, "at least one block key is required")
+    require(rules.nonEmpty, "at least one field rule is required")
+    require(rules.map(_.name).distinct.size == rules.size,
+      "field rule names must be unique")
+    rules.foreach(r => require(r.agreeWeight > r.disagreeWeight,
+      s"rule '${r.name}': agreeWeight (${r.agreeWeight}) must exceed " +
+        s"disagreeWeight (${r.disagreeWeight}) — inverted weights reward mismatches"))
+    val blkNames = blockKeys.indices.map(i => s"__er_blk_$i")
+    val fldNames = rules.map(r => s"__er_f_${r.name}")
+    val proj = df.select(
+      Seq(col(idCol).as("__er_id"), isNew.cast("boolean").as("__er_new")) ++
+        blockKeys.zip(blkNames).map { case (c, n) => c.as(n) } ++
+        rules.zip(fldNames).map { case (r, n) => r.column.as(n) }: _*)
+      .localCheckpoint(false) // guard agg + both join sides share one scan
+    if (maxPairsPerRecord.isFinite) {
+      val row = proj.groupBy(blkNames.map(col): _*)
+        .agg(count(lit(1)).as("n"),
+          sum(col("__er_new").cast("long")).as("nn"))
+        .agg(coalesce(sum(col("nn") * (col("nn") - 1) / 2 +
+            col("nn") * (col("n") - col("nn"))), lit(0.0)).as("pairs"),
+          coalesce(sum(col("nn")), lit(0L)).as("newRows")).head()
+      val pairs: Double = row.getDouble(0)
+      val nNew: Long = row.getLong(1)
+      if (nNew > 0 && pairs > maxPairsPerRecord * nNew) throw new IllegalStateException(
+        f"linkPairsIncremental: $pairs%.3g increment candidate pairs over " +
+          f"$nNew new records (${pairs / nNew}%.0f/new record) exceeds " +
+          f"maxPairsPerRecord=$maxPairsPerRecord%.0f — use finer (or " +
+          "composite) block keys, or raise the cap deliberately")
+    }
+    val l = proj.select(proj.columns.map(c => col(c).as(s"${c}_a")): _*)
+    val r = proj.filter(col("__er_new"))
+      .select(proj.columns.map(c => col(c).as(s"${c}_b")): _*)
+    // (existing, new): generated once — existing ids never appear on the
+    // right. (new, new): the l.id < r.id conjunct keeps exactly one of the
+    // two orientations.
+    val joinCond = blkNames.map(n => col(s"${n}_a") === col(s"${n}_b"))
+      .reduce(_ && _) &&
+      (!col("__er_new_a") || col("__er_id_a") < col("__er_id_b")) &&
+      col("__er_id_a") =!= col("__er_id_b")
+    // score directly in the join (every pair is generated exactly once, so
+    // no dedup barrier is needed); canonicalize ids only — the agreement
+    // predicates are symmetric, so field orientation is irrelevant
+    scorePairs(
+      l.join(r, joinCond)
+        .withColumn("id_a", least(col("__er_id_a"), col("__er_id_b")))
+        .withColumn("id_b", greatest(col("__er_id_a"), col("__er_id_b"))),
+      rules, threshold)
+  }
+
   /** Sorted-neighborhood pair generation (Hernández & Stolfo SIGMOD'95) —
     * the LINEAR-volume blocking that survives where equi-blocking goes
     * quadratic: records are globally ranked by `(sortKey, id)` and every

@@ -131,6 +131,41 @@ class RecordLinkageSpec extends AnyFunSuite {
     assert(e.getMessage.contains("order-aligned"), e.getMessage)
   }
 
+  test("incremental linkage: increment identity, single orientation, guard") {
+    // existing = ids 1, 3, 4; increment = ids 2, 8 (both match id 1)
+    val df = recs.withColumn("is_new", col("id").isin(2L, 8L))
+    val inc = RecordLinkage.linkPairsIncremental(df, "id", col("is_new"),
+      Seq(col("blk")), rules, Long.MinValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // each pair exactly once (new-new (2,8) not doubled)... but ids 2
+    // and 6 have null blk/name quirks from `recs` — just pin the sets:
+    assert(inc.distinct == inc, s"duplicated pairs: $inc")
+    val incSet = inc.toSet
+    // the incremental identity: incremental(all) U linkPairs(existing)
+    // == linkPairs(all)
+    val existingOnly = RecordLinkage.linkPairs(df.filter(!col("is_new")),
+      "id", Seq(col("blk")), rules, Long.MinValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = RecordLinkage.linkPairs(df, "id", Seq(col("blk")), rules,
+      Long.MinValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((incSet ++ existingOnly) == full)
+    assert(incSet.intersect(existingOnly).isEmpty)
+    // every incremental pair touches a new id
+    assert(incSet.forall(p => Set(2L, 8L).contains(p._1) ||
+      Set(2L, 8L).contains(p._2)))
+    // the guard is increment-proportional: 39 existing + 1 new in one
+    // block = 39 pairs for 1 new record -> trips a 10/record cap that
+    // the full-join guard (19.5/record over 40) would NOT trip at
+    val pile = (1L to 40L).map(i => (i, "hot", s"name$i", "A", 1.0, i == 40L))
+      .toDF("id", "blk", "nm", "seg", "bal", "is_new")
+    val e = intercept[IllegalStateException] {
+      RecordLinkage.linkPairsIncremental(pile, "id", col("is_new"),
+        Seq(col("blk")), rules, 0L, maxPairsPerRecord = 10.0)
+    }
+    assert(e.getMessage.contains("new record"), e.getMessage)
+  }
+
   test("validation: empty blocks/rules, duplicate names, inverted weights") {
     intercept[IllegalArgumentException](
       RecordLinkage.linkPairs(recs, "id", Seq.empty, rules, 0L))
