@@ -58,6 +58,14 @@ private[graft] object EntryDedup {
           Seq(col("c_mktsegment"), floor(col("c_acctbal")))),
         erRules, threshold = 45L)
     }),
+    "er_patterns" -> ((s, dir) => {
+      // the Fellegi-Sunter sufficient statistic: agreement-pattern
+      // histogram over the blocked pairs (<= 3^3 rows here) — what the
+      // EM weight estimator consumes (estimateWeights is driver math
+      // over this frame, spec-pinned on a planted mixture).
+      RecordLinkage.agreementPatterns(erFixture(s, dir), "rec_id",
+        Seq(col("c_nationkey"), col("c_mktsegment")), erRules)
+    }),
     "er_incremental_pairs" -> ((s, dir) => {
       // ingest-time linkage: the dirty copies (rec_id >= 1e6) arrive as
       // the increment; only new-vs-existing and new-vs-new pairs are
@@ -561,6 +569,28 @@ private[graft] object EntryDedup {
       "er_link_pairs" ->
         s"""WITH $erScoredSql
             SELECT id_a, id_b, name_w, segment_w, balance_w, score FROM scored""",
+      // the agreement-code CASEs replayed, grouped into the pattern
+      // histogram
+      "er_patterns" ->
+        s"""WITH $erScoredSql,
+            pat AS (
+              SELECT CASE WHEN a.c_name IS NULL OR b.c_name IS NULL THEN -1
+                          WHEN levenshtein(a.c_name, b.c_name) <= 1 THEN 1
+                          ELSE 0 END AS name_c,
+                     CASE WHEN a.c_mktsegment IS NULL OR b.c_mktsegment IS NULL THEN -1
+                          WHEN a.c_mktsegment = b.c_mktsegment THEN 1
+                          ELSE 0 END AS segment_c,
+                     CASE WHEN a.c_acctbal IS NULL OR b.c_acctbal IS NULL THEN -1
+                          WHEN abs(a.c_acctbal - b.c_acctbal) <= 0.01 THEN 1
+                          ELSE 0 END AS balance_c
+              FROM recs a JOIN recs b
+                ON a.c_nationkey = b.c_nationkey
+               AND a.c_mktsegment = b.c_mktsegment AND a.rec_id < b.rec_id)
+            SELECT CAST(name_c AS BIGINT) AS name_c,
+                   CAST(segment_c AS BIGINT) AS segment_c,
+                   CAST(balance_c AS BIGINT) AS balance_c,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM pat GROUP BY 1, 2, 3""",
       // the full blocked scoring restricted to pairs touching a new id
       "er_incremental_pairs" ->
         s"""WITH $erScoredSql

@@ -374,6 +374,125 @@ object RecordLinkage {
       .filter(col("score") >= threshold)
   }
 
+  /** Agreement-pattern histogram over the blocked candidate pairs — the
+    * sufficient statistic for Fellegi-Sunter parameter estimation: one row
+    * per pattern of per-rule codes (`<name>_c`: 1 = agree, 0 = disagree,
+    * -1 = missing evidence) with its pair count. At most `3^rules` rows
+    * regardless of data volume, so the histogram is the thing to collect
+    * and the EM below runs driver-side on it. No doomed-pair
+    * short-circuit here — estimation needs TRUE codes for every pair, so
+    * this pass pays full comparison cost (run it once to fit weights,
+    * then link with [[linkPairs]], which prunes). */
+  def agreementPatterns(df: DataFrame, idCol: String, blockKeys: Seq[Column],
+      rules: Seq[FieldRule],
+      maxPairsPerRecord: Double = 1000.0): DataFrame = {
+    require(blockKeys.nonEmpty, "at least one block key is required")
+    require(rules.nonEmpty, "at least one field rule is required")
+    require(rules.map(_.name).distinct.size == rules.size,
+      "field rule names must be unique")
+    val blkNames = blockKeys.indices.map(i => s"__er_blk_$i")
+    val fldNames = rules.map(r => s"__er_f_${r.name}")
+    val proj = df.select(
+      col(idCol).as("__er_id") +:
+        (blockKeys.zip(blkNames).map { case (c, n) => c.as(n) } ++
+          rules.zip(fldNames).map { case (r, n) => r.column.as(n) }): _*)
+      .localCheckpoint(false)
+    val l = proj.select(proj.columns.map(c => col(c).as(s"${c}_a")): _*)
+    val r = proj.select(proj.columns.map(c => col(c).as(s"${c}_b")): _*)
+    val joinCond = blkNames.map(n => col(s"${n}_a") === col(s"${n}_b"))
+      .reduce(_ && _) && col("__er_id_a") < col("__er_id_b")
+    val codes = rules.map { rule =>
+      val f = s"__er_f_${rule.name}"
+      val (a, b) = (col(s"${f}_a"), col(s"${f}_b"))
+      when(a.isNull || b.isNull, lit(-1L))
+        .when(rule.agrees(a, b), lit(1L)).otherwise(lit(0L))
+        .as(s"${rule.name}_c")
+    }
+    l.join(r, joinCond).select(codes: _*)
+      .groupBy(rules.map(ru => col(s"${ru.name}_c")): _*)
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Estimated Fellegi-Sunter parameters for one rule: `m = P(agree |
+    * match)`, `u = P(agree | non-match)`, and the integerized log-odds
+    * weights `round(scale·log2(m/u))` / `round(scale·log2((1-m)/(1-u)))`
+    * ready for [[FieldRule]]s. */
+  final case class RuleWeights(name: String, m: Double, u: Double,
+      agreeWeight: Long, disagreeWeight: Long)
+
+  /** Two-class EM over the agreement-pattern histogram (the Fellegi-Sunter
+    * mixture; the estimation step Splink calls "EM training"): patterns
+    * are generated by a match class (prob `lambda`) with per-rule
+    * agreement probabilities `m_i`, and a non-match class with `u_i`;
+    * missing-evidence codes (-1) contribute no likelihood term (the
+    * m/u-model treatment of NULLs, matching [[FieldRule.weight]]'s zero
+    * arm). Runs on the collected histogram — O(3^rules) per iteration,
+    * driver-side, deterministic given the init. Probabilities are clamped
+    * to [1e-6, 1 - 1e-6] so a degenerate class cannot produce
+    * infinite/NaN weights.
+    *
+    * `patterns`: (codes per rule, count) rows, e.g. from
+    * `agreementPatterns(...).collect()`. Returns per-rule estimates plus
+    * weights at `scale` (log2-odds hundredths by default — the
+    * integer-weight convention of the scoring tail). */
+  def estimateWeights(patterns: Seq[(Seq[Long], Long)], ruleNames: Seq[String],
+      iterations: Int = 25, initLambda: Double = 0.1,
+      initM: Double = 0.9, initU: Double = 0.1,
+      scale: Double = 100.0): (Double, Seq[RuleWeights]) = {
+    require(ruleNames.nonEmpty, "ruleNames must not be empty")
+    require(patterns.nonEmpty, "patterns must not be empty")
+    require(patterns.forall(_._1.length == ruleNames.length),
+      "every pattern must carry one code per rule")
+    require(iterations >= 1, "iterations must be >= 1")
+    val k = ruleNames.length
+    def clamp(p: Double) = math.min(1 - 1e-6, math.max(1e-6, p))
+    var lambda = clamp(initLambda)
+    val m = Array.fill(k)(clamp(initM))
+    val u = Array.fill(k)(clamp(initU))
+    val total = patterns.map(_._2).sum.toDouble
+    var iter = 0
+    while (iter < iterations) {
+      // E-step: responsibility of the match class per pattern
+      val resp = patterns.map { case (codes, n) =>
+        var pm = lambda
+        var pu = 1 - lambda
+        var i = 0
+        while (i < k) {
+          codes(i) match {
+            case 1L  => pm *= m(i); pu *= u(i)
+            case 0L  => pm *= (1 - m(i)); pu *= (1 - u(i))
+            case _   => () // missing evidence: no term
+          }
+          i += 1
+        }
+        (codes, n, pm / (pm + pu))
+      }
+      // M-step: per-rule agreement rates among informative codes
+      lambda = clamp(resp.map { case (_, n, g) => n * g }.sum / total)
+      var i = 0
+      while (i < k) {
+        var gAgree = 0.0; var gInf = 0.0; var hAgree = 0.0; var hInf = 0.0
+        resp.foreach { case (codes, n, g) =>
+          if (codes(i) != -1L) {
+            gInf += n * g; hInf += n * (1 - g)
+            if (codes(i) == 1L) { gAgree += n * g; hAgree += n * (1 - g) }
+          }
+        }
+        if (gInf > 0) m(i) = clamp(gAgree / gInf)
+        if (hInf > 0) u(i) = clamp(hAgree / hInf)
+        i += 1
+      }
+      iter += 1
+    }
+    val log2 = math.log(2)
+    val out = ruleNames.indices.map { i =>
+      RuleWeights(ruleNames(i), m(i), u(i),
+        math.round(scale * math.log(m(i) / u(i)) / log2),
+        math.round(scale * math.log((1 - m(i)) / (1 - u(i))) / log2))
+    }
+    (lambda, out)
+  }
+
   /** Resolve linked pairs into entities: `(rec_id, entity_id,
     * cluster_size)` for EVERY record of `df` — matched records carry their
     * connected component's minimum id, unmatched records are singleton

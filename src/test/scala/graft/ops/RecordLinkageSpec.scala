@@ -166,6 +166,54 @@ class RecordLinkageSpec extends AnyFunSuite {
     assert(e.getMessage.contains("new record"), e.getMessage)
   }
 
+  test("EM weight estimation recovers a planted Fellegi-Sunter mixture") {
+    // THREE rules — the classic identifiability minimum for the
+    // conditional-independence mixture (two binary features give 4 cells
+    // for 5 parameters; three give 8 cells for 7). Expected counts from
+    // lambda=0.2, m=(0.95, 0.8, 0.9), u=(0.1, 0.3, 0.2).
+    val (lam, m, u) = (0.2, Seq(0.95, 0.8, 0.9), Seq(0.1, 0.3, 0.2))
+    val pats = for (c1 <- Seq(0L, 1L); c2 <- Seq(0L, 1L); c3 <- Seq(0L, 1L))
+      yield {
+        val cs = Seq(c1, c2, c3)
+        def p(ps: Seq[Double]) = cs.zip(ps)
+          .map { case (c, pr) => if (c == 1L) pr else 1 - pr }.product
+        (cs, math.round(1000000 * (lam * p(m) + (1 - lam) * p(u))))
+      }
+    val names = Seq("r1", "r2", "r3")
+    val (lamHat, w) = RecordLinkage.estimateWeights(pats, names,
+      iterations = 200)
+    assert(math.abs(lamHat - lam) < 0.05, s"lambda $lamHat")
+    names.indices.foreach { i =>
+      assert(math.abs(w(i).m - m(i)) < 0.05 && math.abs(w(i).u - u(i)) < 0.05,
+        s"rule $i: ${w(i)}")
+    }
+    // integerized log2-odds: agree positive, disagree negative, and the
+    // most discriminating rule carries the largest agree weight
+    assert(w.forall(x => x.agreeWeight > 0 && x.disagreeWeight < 0))
+    assert(w(0).agreeWeight > w(1).agreeWeight)
+    // missing-evidence codes are skipped, not treated as disagreement:
+    // adding a large all-missing pattern must not move the estimates
+    val (lamHat2, w2) = RecordLinkage.estimateWeights(
+      pats :+ ((Seq(-1L, -1L, -1L), 5000000L)), names, iterations = 200)
+    assert(math.abs(w2(0).m - w(0).m) < 0.02, s"${w2(0).m} vs ${w(0).m}")
+    assert(math.abs(lamHat2 - lamHat) < 0.05)
+    // degenerate all-agree input: clamping keeps weights finite
+    val (_, w3) = RecordLinkage.estimateWeights(
+      Seq((Seq(1L), 100L)), Seq("only"))
+    assert(w3(0).agreeWeight.abs < 10000 && !w3(0).m.isNaN)
+    intercept[IllegalArgumentException](
+      RecordLinkage.estimateWeights(Seq((Seq(1L), 1L)), Seq("a", "b")))
+    // the histogram operator feeds it end-to-end (finite, 3-code domain)
+    val hist = RecordLinkage.agreementPatterns(recs, "id", Seq(col("blk")),
+      rules).collect().map(r => (Seq(r.getLong(0), r.getLong(1),
+        r.getLong(2)), r.getLong(3))).toSeq
+    assert(hist.map(_._2).sum == 10L) // C(5,2) same-block pairs of b1
+    assert(hist.flatMap(_._1).forall(c => c == -1L || c == 0L || c == 1L))
+    val (_, w4) = RecordLinkage.estimateWeights(hist,
+      Seq("name", "segment", "balance"))
+    assert(w4.forall(x => !x.m.isNaN && !x.u.isNaN))
+  }
+
   test("validation: empty blocks/rules, duplicate names, inverted weights") {
     intercept[IllegalArgumentException](
       RecordLinkage.linkPairs(recs, "id", Seq.empty, rules, 0L))
