@@ -84,12 +84,7 @@ object RecordLinkage {
       maxPairsPerRecord: Double = 1000.0): DataFrame = {
     require(blockKeys.nonEmpty, "at least one block key is required " +
       "(an unblocked self-join is the full cartesian square)")
-    require(rules.nonEmpty, "at least one field rule is required")
-    require(rules.map(_.name).distinct.size == rules.size,
-      "field rule names must be unique")
-    rules.foreach(r => require(r.agreeWeight > r.disagreeWeight,
-      s"rule '${r.name}': agreeWeight (${r.agreeWeight}) must exceed " +
-        s"disagreeWeight (${r.disagreeWeight}) — inverted weights reward mismatches"))
+    validateRules(rules, checkWeights = true)
     val blkNames = blockKeys.indices.map(i => s"__er_blk_$i")
     val fldNames = rules.map(r => s"__er_f_${r.name}")
     val proj = df.select(
@@ -97,21 +92,8 @@ object RecordLinkage {
         (blockKeys.zip(blkNames).map { case (c, n) => c.as(n) } ++
           rules.zip(fldNames).map { case (r, n) => r.column.as(n) }): _*)
       .localCheckpoint(false) // guard agg + both join sides share one scan
-    if (maxPairsPerRecord.isFinite) {
-      // exact candidate volume from the block histogram — one map-side-
-      // combined agg over the thin checkpointed frame, run BEFORE the join
-      val row = proj.groupBy(blkNames.map(col): _*)
-        .agg(count(lit(1)).as("n"))
-        .agg(coalesce(sum(col("n") * (col("n") - 1) / 2), lit(0.0)).as("pairs"),
-          coalesce(sum(col("n")), lit(0L)).as("rows")).head()
-      val pairs: Double = row.getDouble(0)
-      val n: Long = row.getLong(1)
-      if (n > 0 && pairs > maxPairsPerRecord * n) throw new IllegalStateException(
-        f"linkPairs: $pairs%.3g candidate pairs over $n records " +
-          f"(${pairs / n}%.0f/record) exceeds maxPairsPerRecord=" +
-          f"$maxPairsPerRecord%.0f — the hottest blocks are too coarse. Use " +
-          "finer (or composite) block keys, or raise the cap deliberately")
-    }
+    // exact candidate volume from the block histogram, BEFORE the join
+    guardBlockVolume(proj, blkNames, maxPairsPerRecord, "linkPairs")
     val l = proj.select(proj.columns.map(c => col(c).as(s"${c}_a")): _*)
     val r = proj.select(proj.columns.map(c => col(c).as(s"${c}_b")): _*)
     val joinCond = blkNames.map(n => col(s"${n}_a") === col(s"${n}_b"))
@@ -139,12 +121,7 @@ object RecordLinkage {
       passes: Seq[Seq[Column]], rules: Seq[FieldRule], threshold: Long,
       maxPairsPerRecord: Double = 1000.0): DataFrame = {
     require(passes.nonEmpty, "at least one blocking pass is required")
-    require(rules.nonEmpty, "at least one field rule is required")
-    require(rules.map(_.name).distinct.size == rules.size,
-      "field rule names must be unique")
-    rules.foreach(r => require(r.agreeWeight > r.disagreeWeight,
-      s"rule '${r.name}': agreeWeight (${r.agreeWeight}) must exceed " +
-        s"disagreeWeight (${r.disagreeWeight}) — inverted weights reward mismatches"))
+    validateRules(rules, checkWeights = true)
     val fldNames = rules.map(r => s"__er_f_${r.name}")
     val allBlk = passes.zipWithIndex.flatMap { case (ks, p) =>
       ks.zipWithIndex.map { case (c, i) => (s"__er_blk_${p}_$i", c) }
@@ -203,12 +180,7 @@ object RecordLinkage {
       blockKeys: Seq[Column], rules: Seq[FieldRule], threshold: Long,
       maxPairsPerRecord: Double = 1000.0): DataFrame = {
     require(blockKeys.nonEmpty, "at least one block key is required")
-    require(rules.nonEmpty, "at least one field rule is required")
-    require(rules.map(_.name).distinct.size == rules.size,
-      "field rule names must be unique")
-    rules.foreach(r => require(r.agreeWeight > r.disagreeWeight,
-      s"rule '${r.name}': agreeWeight (${r.agreeWeight}) must exceed " +
-        s"disagreeWeight (${r.disagreeWeight}) — inverted weights reward mismatches"))
+    validateRules(rules, checkWeights = true)
     val blkNames = blockKeys.indices.map(i => s"__er_blk_$i")
     val fldNames = rules.map(r => s"__er_f_${r.name}")
     val proj = df.select(
@@ -282,12 +254,7 @@ object RecordLinkage {
       bucket: Column, windowSize: Int, rules: Seq[FieldRule],
       threshold: Long): DataFrame = {
     require(windowSize >= 1, s"windowSize must be >= 1, got $windowSize")
-    require(rules.nonEmpty, "at least one field rule is required")
-    require(rules.map(_.name).distinct.size == rules.size,
-      "field rule names must be unique")
-    rules.foreach(r => require(r.agreeWeight > r.disagreeWeight,
-      s"rule '${r.name}': agreeWeight (${r.agreeWeight}) must exceed " +
-        s"disagreeWeight (${r.disagreeWeight}) — inverted weights reward mismatches"))
+    validateRules(rules, checkWeights = true)
     val fldNames = rules.map(r => s"__er_f_${r.name}")
     val proj = df.select(
       Seq(col(idCol).as("__er_id"), sortKey.as("__er_sk"),
@@ -387,9 +354,7 @@ object RecordLinkage {
       rules: Seq[FieldRule],
       maxPairsPerRecord: Double = 1000.0): DataFrame = {
     require(blockKeys.nonEmpty, "at least one block key is required")
-    require(rules.nonEmpty, "at least one field rule is required")
-    require(rules.map(_.name).distinct.size == rules.size,
-      "field rule names must be unique")
+    validateRules(rules, checkWeights = false)
     val blkNames = blockKeys.indices.map(i => s"__er_blk_$i")
     val fldNames = rules.map(r => s"__er_f_${r.name}")
     val proj = df.select(
@@ -397,6 +362,7 @@ object RecordLinkage {
         (blockKeys.zip(blkNames).map { case (c, n) => c.as(n) } ++
           rules.zip(fldNames).map { case (r, n) => r.column.as(n) }): _*)
       .localCheckpoint(false)
+    guardBlockVolume(proj, blkNames, maxPairsPerRecord, "agreementPatterns")
     val l = proj.select(proj.columns.map(c => col(c).as(s"${c}_a")): _*)
     val r = proj.select(proj.columns.map(c => col(c).as(s"${c}_b")): _*)
     val joinCond = blkNames.map(n => col(s"${n}_a") === col(s"${n}_b"))
@@ -412,6 +378,41 @@ object RecordLinkage {
       .groupBy(rules.map(ru => col(s"${ru.name}_c")): _*)
       .agg(count(lit(1)).as("n"))
   }
+
+  /** Shared rule validation: non-empty, unique SANE names (rule names
+    * become column names — a dot or backtick would silently break column
+    * resolution), non-inverted weights (skippable for the estimation path,
+    * which ignores weights). */
+  private def validateRules(rules: Seq[FieldRule], checkWeights: Boolean): Unit = {
+    require(rules.nonEmpty, "at least one field rule is required")
+    require(rules.map(_.name).distinct.size == rules.size,
+      "field rule names must be unique")
+    rules.foreach(r => require(r.name.matches("[A-Za-z0-9_]+"),
+      s"rule name '${r.name}' must match [A-Za-z0-9_]+ — it becomes an " +
+        "output column name, and dots/backticks/spaces break resolution"))
+    if (checkWeights) rules.foreach(r => require(r.agreeWeight > r.disagreeWeight,
+      s"rule '${r.name}': agreeWeight (${r.agreeWeight}) must exceed " +
+        s"disagreeWeight (${r.disagreeWeight}) — inverted weights reward mismatches"))
+  }
+
+  /** Shared candidate-volume guard over a block histogram: exact pair
+    * count `sum(n*(n-1)/2)` vs `maxPairsPerRecord * rows`; one map-side-
+    * combined aggregation over the (checkpointed) thin frame. */
+  private def guardBlockVolume(proj: DataFrame, blkNames: Seq[String],
+      maxPairsPerRecord: Double, op: String): Unit =
+    if (maxPairsPerRecord.isFinite) {
+      val row = proj.groupBy(blkNames.map(col): _*)
+        .agg(count(lit(1)).as("n"))
+        .agg(coalesce(sum(col("n") * (col("n") - 1) / 2), lit(0.0)).as("pairs"),
+          coalesce(sum(col("n")), lit(0L)).as("rows")).head()
+      val pairs: Double = row.getDouble(0)
+      val n: Long = row.getLong(1)
+      if (n > 0 && pairs > maxPairsPerRecord * n) throw new IllegalStateException(
+        f"$op: $pairs%.3g candidate pairs over $n records " +
+          f"(${pairs / n}%.0f/record) exceeds maxPairsPerRecord=" +
+          f"$maxPairsPerRecord%.0f — the hottest blocks are too coarse. Use " +
+          "finer (or composite) block keys, or raise the cap deliberately")
+    }
 
   /** Estimated Fellegi-Sunter parameters for one rule: `m = P(agree |
     * match)`, `u = P(agree | non-match)`, and the integerized log-odds

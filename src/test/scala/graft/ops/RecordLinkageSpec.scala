@@ -225,5 +225,17 @@ class RecordLinkageSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       RecordLinkage.linkPairs(recs, "id", Seq(col("blk")),
         Seq(ExactField("x", col("nm"), -5L, 5L)), 0L))
+    // rule names become column names: dots would break resolution
+    intercept[IllegalArgumentException](
+      RecordLinkage.linkPairs(recs, "id", Seq(col("blk")),
+        Seq(ExactField("a.b", col("nm"), 5L, -5L)), 0L))
+    // the histogram pass carries the same volume guard
+    val pile = (1L to 40L).map(i => (i, "hot", s"n$i", "A", 1.0))
+      .toDF("id", "blk", "nm", "seg", "bal")
+    val e = intercept[IllegalStateException] {
+      RecordLinkage.agreementPatterns(pile, "id", Seq(col("blk")), rules,
+        maxPairsPerRecord = 10.0)
+    }
+    assert(e.getMessage.contains("agreementPatterns"), e.getMessage)
   }
 }
