@@ -58,6 +58,23 @@ private[graft] object EntryDedup {
           Seq(col("c_mktsegment"), floor(col("c_acctbal")))),
         erRules, threshold = 45L)
     }),
+    "ss_er" -> ((s, dir) => {
+      // ingest-time (streaming) record linkage: the fixture arrives as
+      // THREE ordered micro-batches (two base slices, then the dirty
+      // copies as the increment) and the driver-side fold of
+      // linkPairs / linkPairsIncremental steps must hash-equal the
+      // ONE-SHOT blocked scoring — the oracle IS er_link_pairs' SQL.
+      // Pair semantics are order-free (each pair scores once, in the
+      // step its later member arrives), so any split works; the real
+      // foreachBatch drive parity is pinned in StreamOpsSpec.
+      val fx = erFixture(s, dir)
+      graft.streaming.StreamOps.onlineLinkIngest(
+        Seq(fx.filter(col("rec_id") < 750),
+          fx.filter(col("rec_id") >= 750 && col("rec_id") < 1000000L),
+          fx.filter(col("rec_id") >= 1000000L)),
+        "rec_id", Seq(col("c_nationkey"), col("c_mktsegment")),
+        erRules, threshold = 45L)
+    }),
     "er_patterns" -> ((s, dir) => {
       // the Fellegi-Sunter sufficient statistic: agreement-pattern
       // histogram over the blocked pairs (<= 3^3 rows here) — what the
@@ -567,6 +584,10 @@ private[graft] object EntryDedup {
       "dedup_exact" ->
         "SELECT text, min(doc_id) AS keep_id, count(*) AS group_size FROM documents GROUP BY text",
       "er_link_pairs" ->
+        s"""WITH $erScoredSql
+            SELECT id_a, id_b, name_w, segment_w, balance_w, score FROM scored""",
+      // the ingest fold must equal the one-shot scoring — same oracle
+      "ss_er" ->
         s"""WITH $erScoredSql
             SELECT id_a, id_b, name_w, segment_w, balance_w, score FROM scored""",
       // the agreement-code CASEs replayed, grouped into the pattern

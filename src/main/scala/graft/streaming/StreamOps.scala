@@ -648,6 +648,65 @@ object StreamOps {
     logs.reverse.reduce(_.unionByName(_))
   }
 
+  /** One micro-batch of ingest-time record linkage (the
+    * [[onlineNearDupStep]] shape for the structured-record ER family):
+    * the batch's pairs are the union of within-batch pairs and
+    * batch-vs-store pairs — exactly
+    * [[graft.ops.RecordLinkage.linkPairsIncremental]] over
+    * `store ∪ batch` with the batch as the increment, so each pair is
+    * scored ONCE in the step where its later member arrives and
+    * store x store pairs are never regenerated. The store is simply the
+    * accumulated record frames (same schema as the batches). Unlike the
+    * near-dup log, pair semantics are order-free: the fold over ANY
+    * batch split of a corpus unions to the one-shot
+    * [[graft.ops.RecordLinkage.linkPairs]] output (spec-pinned,
+    * including through a real foreachBatch drive). */
+  def onlineLinkStep(
+      batch: DataFrame,
+      store: Option[DataFrame],
+      idCol: String,
+      blockKeys: Seq[org.apache.spark.sql.Column],
+      rules: Seq[graft.ops.FieldRule],
+      threshold: Long,
+      maxPairsPerRecord: Double = 1000.0): (DataFrame, DataFrame) = {
+    val pairs = store match {
+      case None =>
+        graft.ops.RecordLinkage.linkPairs(batch, idCol, blockKeys, rules,
+          threshold, maxPairsPerRecord)
+      case Some(st) =>
+        val all = st.withColumn("__er_isnew", lit(false))
+          .unionByName(batch.withColumn("__er_isnew", lit(true)))
+        graft.ops.RecordLinkage.linkPairsIncremental(all, idCol,
+          col("__er_isnew"), blockKeys, rules, threshold, maxPairsPerRecord)
+    }
+    val grown = store match {
+      case None => batch
+      case Some(st) => st.unionByName(batch).localCheckpoint(false)
+    }
+    (pairs, grown)
+  }
+
+  /** The whole linkage ingest fold over a sequence of micro-batches —
+    * what a production stream's foreachBatch accumulates. Returns the
+    * unioned scored pairs; equals the one-shot `linkPairs` on the
+    * concatenated corpus for ANY batch split. */
+  def onlineLinkIngest(
+      batches: Seq[DataFrame],
+      idCol: String,
+      blockKeys: Seq[org.apache.spark.sql.Column],
+      rules: Seq[graft.ops.FieldRule],
+      threshold: Long,
+      maxPairsPerRecord: Double = 1000.0): DataFrame = {
+    val (logs, _) = batches.foldLeft(
+      (List.empty[DataFrame], Option.empty[DataFrame])) {
+      case ((acc, store), b) =>
+        val (pairs, grown) = onlineLinkStep(b, store, idCol, blockKeys,
+          rules, threshold, maxPairsPerRecord)
+        (pairs :: acc, Some(grown))
+    }
+    logs.reverse.reduce(_.unionByName(_))
+  }
+
   /** Drives a streaming query over a bounded source to completion into an
     * in-memory table (the local smoke path: batch parquet in, streaming
     * semantics, deterministic result). Returns the result table name. */

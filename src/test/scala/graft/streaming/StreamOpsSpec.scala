@@ -574,6 +574,64 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(streamed.find(_._1 == 2L).get._2 == 0L)
   }
 
+  test("online record linkage: fold == one-shot, through a real foreachBatch drive") {
+    import org.apache.spark.sql.{DataFrame, Row}
+    import graft.ops.{ExactField, FuzzyStringField, NumericField, RecordLinkage}
+    // ids 1/2 (batch 1) and 4/8 (batches 2/3) are true pairs; 1/8 pairs
+    // CROSS-batch (batch-3 member vs the stored batch-1 record)
+    val recs = Seq(
+      (1L, "b1", "alice smith", "A", 10.0),
+      (2L, "b1", "alice smyth", "A", 10.005),
+      (3L, "b1", "bob jones", "B", 50.0),
+      (4L, "b1", "carol white", "C", 30.0),
+      (8L, "b1", "alice smitt", "A", 10.002),
+      (9L, "b1", "carol whyte", "C", 30.001)
+    ).toDF("id", "blk", "nm", "seg", "bal").localCheckpoint(true)
+    val rules = Seq(
+      FuzzyStringField("name", col("nm"), maxEdit = 1, 30L, -20L),
+      ExactField("segment", col("seg"), 10L, -15L),
+      NumericField("balance", col("bal"), 0.01, 20L, -10L))
+    val batches = Seq(recs.filter(col("id") <= 2), recs.filter(col("id") === 3 || col("id") === 4),
+      recs.filter(col("id") >= 8))
+    def asSet(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(5))).toSet
+    val oneShot = asSet(RecordLinkage.linkPairs(recs, "id", Seq(col("blk")),
+      rules, 45L))
+    // smyth/smitt is 2 edits so (2, 8) drops; (4, 9) is carol/carol
+    assert(oneShot == Set((1L, 2L, 60L), (1L, 8L, 60L), (4L, 9L, 60L)))
+    // driver-side fold over the same micro-batches
+    assert(asSet(StreamOps.onlineLinkIngest(batches, "id", Seq(col("blk")),
+      rules, 45L)) == oneShot)
+    // REAL foreachBatch drive, store accumulated in the closure
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, String, String, Double)]
+    var store: Option[DataFrame] = None
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Row]
+    val q = input.toDF().toDF("id", "blk", "nm", "seg", "bal").writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val stable = b.localCheckpoint(true)
+        val (pairs, grown) = StreamOps.onlineLinkStep(stable, store, "id",
+          Seq(col("blk")), rules, 45L)
+        seen ++= pairs.collect()
+        store = Some(grown.localCheckpoint(true))
+        ()
+      }
+      .start()
+    batches.foreach { b =>
+      input.addData(b.collect().map(r => (r.getLong(0), r.getString(1),
+        r.getString(2), r.getString(3), r.getDouble(4))).toSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = seen.map(r => (r.getLong(0), r.getLong(1), r.getLong(5))).toSet
+    assert(streamed == oneShot)
+    // the cross-batch path really fired: (1, 8) spans batches 1 and 3
+    assert(streamed.contains((1L, 8L, 60L)), s"streamed=$streamed")
+    // and within-batch linking too: (1, 2) is inside batch 1
+    assert(streamed.contains((1L, 2L, 60L)))
+  }
+
   test("sessionization closes sessions after the inactivity gap") {
     import StreamOps._
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
