@@ -520,10 +520,18 @@ object StreamOps {
       s"percentiles must be in [0, 100], got $percentiles")
     val base = watermark.map(w => events.withWatermark(tsCol, w)).getOrElse(events)
     val keyCs = keyCols.map(col)
+    // fail loud on NULL values — the perUnitCells convention: the typed
+    // tree Aggregator's primitive-Double encoder COERCES null to 0.0
+    // (measured: a [5.0, NULL, 7.0] group builds a 3-count tree), which is
+    // an in-range value silently polluting every released quantile
+    val checked = when(col(valueCol).isNull, raise_error(lit(
+        "StreamOps DP release: NULL value for a privacy unit — the " +
+          "quantile tree would silently absorb it as 0.0; filter or " +
+          "impute upstream")).cast("double"))
+      .otherwise(col(valueCol).cast("double"))
     val perUnit = base
       .groupBy(window(col(tsCol), windowLength) +: col(pidCol) +: keyCs: _*)
-      .agg(graft.spark.QuantileAgg.buildTree(lower, upper)(
-          col(valueCol).cast("double")).as("__t"),
+      .agg(graft.spark.QuantileAgg.buildTree(lower, upper)(checked).as("__t"),
         count(lit(1)).as("__n"))
     val (qs, eps, del, cap, kind, src) =
       (percentiles.map(_ / 100.0), epsilon, delta, maxPerCell.toInt, noiseKind, noise)

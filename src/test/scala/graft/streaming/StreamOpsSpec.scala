@@ -216,6 +216,25 @@ class StreamOpsSpec extends AnyFunSuite {
       f"mean rel err ${rels.sum / rels.size}%.3f")
   }
 
+  test("dp windowed percentile: NULL values fail loud, never absorb as 0.0") {
+    // the typed tree Aggregator's primitive-Double encoder coerces null to
+    // 0.0 (an IN-RANGE value silently polluting quantiles) — the guard
+    // must trip instead
+    val df = Seq(
+      (1L, java.sql.Timestamp.valueOf("2026-01-01 00:10:00"), Some(5.0)),
+      (1L, java.sql.Timestamp.valueOf("2026-01-01 00:11:00"), None)
+    ).toDF("user_id", "ts", "v")
+      .withColumn("v", col("v").cast("double"))
+    val e = intercept[Exception] {
+      StreamOps.dpWindowedPercentile(df, "user_id", "ts", "v", Seq.empty,
+        "1 hour", Seq(50), epsilon = 1e5, delta = 0.0, maxPerCell = 10L,
+        lower = 0.0, upper = 10.0, noise = graft.core.NoiseSource.Zero)
+        .collect()
+    }
+    assert(SparkTestSession.chainMsg(e).contains("NULL value"),
+      SparkTestSession.chainMsg(e).take(300))
+  }
+
   test("dp windowed percentile: drop-not-sample bound, streams match batch") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val dir = "/root/testdata/sf0.001"
