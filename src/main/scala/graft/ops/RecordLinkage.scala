@@ -183,8 +183,17 @@ object RecordLinkage {
     validateRules(rules, checkWeights = true)
     val blkNames = blockKeys.indices.map(i => s"__er_blk_$i")
     val fldNames = rules.map(r => s"__er_f_${r.name}")
+    // fail loud on a NULL isNew flag: NULL would propagate through the
+    // orientation conjunct below and silently drop the (null-flag, new)
+    // pairs whose null-flag side has the larger id — an asymmetric
+    // coverage hole, not a choice
+    val flag = isNew.cast("boolean")
     val proj = df.select(
-      Seq(col(idCol).as("__er_id"), isNew.cast("boolean").as("__er_new")) ++
+      Seq(col(idCol).as("__er_id"),
+        when(flag.isNull, raise_error(lit(
+          "linkPairsIncremental: NULL isNew flag — it would silently drop " +
+            "pairs; coalesce the flag upstream")).cast("boolean"))
+          .otherwise(flag).as("__er_new")) ++
         blockKeys.zip(blkNames).map { case (c, n) => c.as(n) } ++
         rules.zip(fldNames).map { case (r, n) => r.column.as(n) }: _*)
       .localCheckpoint(false) // guard agg + both join sides share one scan

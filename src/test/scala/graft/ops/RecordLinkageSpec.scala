@@ -164,6 +164,15 @@ class RecordLinkageSpec extends AnyFunSuite {
         Seq(col("blk")), rules, 0L, maxPairsPerRecord = 10.0)
     }
     assert(e.getMessage.contains("new record"), e.getMessage)
+    // a NULL isNew flag fails loud instead of asymmetrically dropping pairs
+    val withNullFlag = recs.withColumn("is_new",
+      when(col("id") === 2L, lit(null).cast("boolean")).otherwise(lit(false)))
+    val e2 = intercept[Exception] {
+      RecordLinkage.linkPairsIncremental(withNullFlag, "id", col("is_new"),
+        Seq(col("blk")), rules, Long.MinValue).collect()
+    }
+    assert(graft.spark.SparkTestSession.chainMsg(e2).contains("NULL isNew"),
+      graft.spark.SparkTestSession.chainMsg(e2).take(300))
   }
 
   test("EM weight estimation recovers a planted Fellegi-Sunter mixture") {
