@@ -58,6 +58,18 @@ private[graft] object EntryDedup {
           Seq(col("c_mktsegment"), floor(col("c_acctbal")))),
         erRules, threshold = 45L)
     }),
+    "er_canonical" -> ((s, dir) => {
+      // golden-record materialization: each entity keeps its
+      // highest-balance record (the dirty copies are +0.005, so a
+      // matched entity keeps the copy — deterministic, no tie), ties by
+      // min id. Full pipeline: block -> score -> CC -> rank -> keep.
+      val fx = erFixture(s, dir)
+      RecordLinkage.canonicalizeEntities(fx, "rec_id",
+        RecordLinkage.linkPairs(fx, "rec_id",
+          Seq(col("c_nationkey"), col("c_mktsegment")), erRules,
+          threshold = 45L),
+        preferBy = col("c_acctbal"))
+    }),
     "ss_er" -> ((s, dir) => {
       // ingest-time (streaming) record linkage: the fixture arrives as
       // THREE ordered micro-batches (two base slices, then the dirty
@@ -586,6 +598,31 @@ private[graft] object EntryDedup {
       "er_link_pairs" ->
         s"""WITH $erScoredSql
             SELECT id_a, id_b, name_w, segment_w, balance_w, score FROM scored""",
+      // the full pipeline replayed: scoring, recursive CC, singleton
+      // fill-in, then the keep-rank window
+      "er_canonical" ->
+        s"""WITH RECURSIVE $erScoredSql,
+            e AS (SELECT id_a AS src, id_b AS dst FROM scored
+                  UNION ALL SELECT id_b, id_a FROM scored),
+            n AS (SELECT DISTINCT src AS id FROM e),
+            r AS (
+              SELECT id, id AS reach FROM n
+              UNION
+              SELECT r.id, e.dst AS reach FROM r JOIN e ON e.src = r.reach),
+            comp AS (SELECT id, min(reach) AS component FROM r GROUP BY id),
+            ent AS (SELECT recs.*,
+                           COALESCE(comp.component, recs.rec_id) AS entity_id
+                    FROM recs LEFT JOIN comp ON recs.rec_id = comp.id),
+            ranked AS (
+              SELECT *,
+                     CAST(count(*) OVER (PARTITION BY entity_id) AS BIGINT)
+                       AS cluster_size,
+                     row_number() OVER (PARTITION BY entity_id
+                       ORDER BY c_acctbal DESC NULLS LAST, rec_id ASC) AS rk
+              FROM ent)
+            SELECT rec_id, c_name, c_nationkey, c_acctbal, c_mktsegment,
+                   entity_id, cluster_size
+            FROM ranked WHERE rk = 1""",
       // the ingest fold must equal the one-shot scoring — same oracle
       "ss_er" ->
         s"""WITH $erScoredSql

@@ -518,4 +518,26 @@ object RecordLinkage {
       .withColumn("cluster_size", count(lit(1)).over(w))
       .select("rec_id", "entity_id", "cluster_size")
   }
+
+  /** Materialize one CANONICAL record per entity — the golden-record step
+    * that finishes a linkage pipeline (the [[Dedup]] best-of-cluster rule
+    * applied to entities): within each entity, keep the record with the
+    * highest `preferBy` value, ties broken by MINIMUM id (deterministic —
+    * never "whichever task won"). Returns the full surviving rows of `df`
+    * plus `entity_id` and `cluster_size`. One rank window per entity on
+    * top of [[resolveEntities]]'s shuffle — nothing corpus-quadratic.
+    * NULL `preferBy` sorts LAST (nulls never beat a scored record; an
+    * all-null entity still keeps exactly one row by the id tiebreak). */
+  def canonicalizeEntities(df: DataFrame, idCol: String, pairs: DataFrame,
+      preferBy: Column): DataFrame = {
+    val ent = resolveEntities(df, idCol, pairs)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("entity_id"))
+      .orderBy(preferBy.desc_nulls_last, col(idCol).asc)
+    df.join(ent.select(col("rec_id").as(idCol), col("entity_id"),
+        col("cluster_size")), Seq(idCol))
+      .withColumn("__er_rk", row_number().over(w))
+      .filter(col("__er_rk") === 1)
+      .drop("__er_rk")
+  }
 }

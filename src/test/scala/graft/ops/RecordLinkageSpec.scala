@@ -223,6 +223,23 @@ class RecordLinkageSpec extends AnyFunSuite {
     assert(w4.forall(x => !x.m.isNaN && !x.u.isNaN))
   }
 
+  test("canonicalizeEntities: best-preferBy per entity, null-last, id ties") {
+    val df = Seq(
+      (1L, Some(5.0)), (2L, Some(9.0)), (3L, None),   // entity {1,2,3}
+      (4L, None), (5L, None),                          // entity {4,5}: all null
+      (9L, Some(1.0))                                  // singleton
+    ).toDF("id", "q").withColumn("q", col("q").cast("double"))
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val out = RecordLinkage.canonicalizeEntities(df, "id", pairs, col("q"))
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(2), r.getLong(3)))).toMap
+    // highest q wins; all-null entity falls back to min id; singleton kept
+    assert(out.keySet == Set(2L, 4L, 9L), out.toString)
+    assert(out(2L) == ((1L, 3L)))  // entity_id = min member, size 3
+    assert(out(4L) == ((4L, 2L)))
+    assert(out(9L) == ((9L, 1L)))
+  }
+
   test("validation: empty blocks/rules, duplicate names, inverted weights") {
     intercept[IllegalArgumentException](
       RecordLinkage.linkPairs(recs, "id", Seq.empty, rules, 0L))
