@@ -442,6 +442,24 @@ private[graft] object EntryDP {
       engine.accountant.computeBudgets()
       res.dataframe
     }),
+    "dq_report" -> ((s, dir) => {
+      // declarative data-quality verification (the Deequ shape): six
+      // constraints over events in ONE aggregation pass — completeness,
+      // key uniqueness, range, categorical domain (signup is deliberately
+      // outside the allowed set, so the check FAILS with a real count),
+      // RLIKE pattern, and a generic predicate with a real violation tail
+      // (purchases over 350). Every metric is an exact integer.
+      val ev = events(s, dir)
+      DataQuality.verify(ev, Seq(
+        NotNull("user_id_complete", col("user_id")),
+        Unique("event_id_unique", Seq(col("event_id"))),
+        InRange("value_in_0_400", col("value"), 0.0, 400.0),
+        ContainedIn("known_types", col("event_type"),
+          Seq("click", "error", "purchase", "view")),
+        MatchesPattern("type_shape", col("event_type"), "^[a-z_]+$"),
+        Satisfies("purchase_value_cap",
+          col("event_type") =!= "purchase" || col("value") <= 350.0)))
+    }),
     "stats_k_anonymity" -> ((s, dir) => {
       // pre-release anonymity audit: per threshold k, equivalence classes
       // (event_type, day) with < k members / < k distinct users — the
@@ -1117,6 +1135,30 @@ private[graft] object EntryDP {
                            least(greatest(sum(floor(value)), 0.0), 500.0) AS s
                     FROM events GROUP BY user_id, event_type
                   ) GROUP BY event_type) s USING (event_type)""",
+      // the one-pass constraint metrics replayed as conditional counts
+      "dq_report" ->
+        """WITH m AS (
+             SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                    CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v0,
+                    CAST(count(*) - count(DISTINCT event_id) AS BIGINT) AS v1,
+                    CAST(sum(CASE WHEN value IS NOT NULL
+                          AND (value < 0.0 OR value > 400.0) THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+                    CAST(sum(CASE WHEN event_type IS NOT NULL
+                          AND event_type NOT IN ('click', 'error', 'purchase', 'view')
+                          THEN 1 ELSE 0 END) AS BIGINT) AS v3,
+                    CAST(sum(CASE WHEN event_type IS NOT NULL
+                          AND NOT regexp_matches(event_type, '^[a-z_]+$')
+                          THEN 1 ELSE 0 END) AS BIGINT) AS v4,
+                    CAST(sum(CASE WHEN COALESCE(event_type <> 'purchase'
+                          OR value <= 350.0, FALSE) THEN 0 ELSE 1 END) AS BIGINT) AS v5
+             FROM events)
+           SELECT CAST(0 AS BIGINT) AS check_index, 'user_id_complete' AS check,
+                  'not_null' AS kind, n_rows, v0 AS n_violations, v0 <= 0 AS passed FROM m
+           UNION ALL SELECT 1, 'event_id_unique', 'unique', n_rows, v1, v1 <= 0 FROM m
+           UNION ALL SELECT 2, 'value_in_0_400', 'in_range', n_rows, v2, v2 <= 0 FROM m
+           UNION ALL SELECT 3, 'known_types', 'contained_in', n_rows, v3, v3 <= 0 FROM m
+           UNION ALL SELECT 4, 'type_shape', 'matches_pattern', n_rows, v4, v4 <= 0 FROM m
+           UNION ALL SELECT 5, 'purchase_value_cap', 'satisfies', n_rows, v5, v5 <= 0 FROM m""",
       "stats_k_anonymity" ->
         """WITH c AS (
              SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,

@@ -1,0 +1,63 @@
+package graft.ops
+
+import graft.spark.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DataQualitySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // every failure mode planted once: a null id, a duplicate key, an
+  // out-of-range value, an off-domain category, a pattern breaker, and a
+  // row failing the generic predicate via NULL (must count as violation)
+  def df = Seq(
+    (Some(1L), "k1", Some(5.0), "click", Some(10.0)),
+    (Some(2L), "k2", Some(500.0), "view", Some(20.0)),   // out of range
+    (None, "k3", Some(5.0), "click", Some(30.0)),        // null id
+    (Some(4L), "k3", None, "Signup!", Some(40.0)),       // dup key, null value, bad cat+pattern
+    (Some(5L), "k4", Some(6.0), "click", None)           // null predicate input
+  ).toDF("id", "key", "v", "cat", "amt")
+
+  def checks = Seq(
+    NotNull("id_complete", col("id")),
+    Unique("key_unique", Seq(col("key"))),
+    InRange("v_range", col("v"), 0.0, 100.0),
+    ContainedIn("cat_domain", col("cat"), Seq("click", "view")),
+    MatchesPattern("cat_shape", col("cat"), "^[a-z]+$"),
+    Satisfies("amt_cap", col("amt") <= 35.0))
+
+  test("verify: one row per check, exact counts, Deequ null semantics") {
+    val out = DataQuality.verify(df, checks)
+      .collect().map(r => r.getString(1) ->
+        ((r.getString(2), r.getLong(3), r.getLong(4), r.getBoolean(5)))).toMap
+    assert(out("id_complete") == (("not_null", 5L, 1L, false)))
+    assert(out("key_unique") == (("unique", 5L, 1L, false)))
+    // the NULL v row is NOT an in_range violation (value checks skip nulls)
+    assert(out("v_range") == (("in_range", 5L, 1L, false)))
+    assert(out("cat_domain") == (("contained_in", 5L, 1L, false)))
+    assert(out("cat_shape") == (("matches_pattern", 5L, 1L, false)))
+    // NULL predicate input (amt null) counts as a violation alongside 40 > 35
+    assert(out("amt_cap") == (("satisfies", 5L, 2L, false)))
+    assert(out.size == 6)
+  }
+
+  test("maxViolations threshold and declaration-order indexing") {
+    val out = DataQuality.verify(df, checks, maxViolations = 1L)
+      .collect().sortBy(_.getLong(0))
+    assert(out.map(_.getString(1)).toSeq == checks.map(_.name))
+    // with 1 allowed, every 1-violation check passes; the 2-violation fails
+    val passed = out.map(r => r.getString(1) -> r.getBoolean(5)).toMap
+    assert(passed.count(_._2) == 5 && !passed("amt_cap"))
+    // a fully clean frame passes everything
+    val clean = DataQuality.verify(
+      Seq((1L, "a", 1.0, "click", 1.0)).toDF("id", "key", "v", "cat", "amt"),
+      checks).collect()
+    assert(clean.forall(_.getBoolean(5)))
+    intercept[IllegalArgumentException](DataQuality.verify(df, Seq.empty))
+    intercept[IllegalArgumentException](
+      DataQuality.verify(df, checks :+ NotNull("id_complete", col("id"))))
+    intercept[IllegalArgumentException](
+      DataQuality.verify(df, checks, maxViolations = -1L))
+  }
+}
