@@ -460,6 +460,18 @@ private[graft] object EntryDP {
         Satisfies("purchase_value_cap",
           col("event_type") =!= "purchase" || col("value") <= 350.0)))
     }),
+    "dq_by_source" -> ((s, dir) => {
+      // the per-group face: one quality report row per (source, check) —
+      // "which source went bad" monitoring. Checks produce real per-group
+      // variation (short docs violate the length floor per source; the
+      // domain omits zh so every source carrying zh docs fails it).
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      DataQuality.verifyByGroup(docs, Seq("source" -> col("source")), Seq(
+        NotNull("text_complete", col("text")),
+        Unique("doc_id_unique", Seq(col("doc_id"))),
+        InRange("chars_100_600", col("n_chars"), 100.0, 600.0),
+        ContainedIn("lang_domain", col("lang"), Seq("en", "de", "fr", "es"))))
+    }),
     "stats_k_anonymity" -> ((s, dir) => {
       // pre-release anonymity audit: per threshold k, equivalence classes
       // (event_type, day) with < k members / < k distinct users — the
@@ -1159,6 +1171,26 @@ private[graft] object EntryDP {
            UNION ALL SELECT 3, 'known_types', 'contained_in', n_rows, v3, v3 <= 0 FROM m
            UNION ALL SELECT 4, 'type_shape', 'matches_pattern', n_rows, v4, v4 <= 0 FROM m
            UNION ALL SELECT 5, 'purchase_value_cap', 'satisfies', n_rows, v5, v5 <= 0 FROM m""",
+      // the per-group metrics replayed: conditional counts per source,
+      // then the four literal check rows
+      "dq_by_source" ->
+        """WITH m AS (
+             SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+                    CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v0,
+                    CAST(count(*) - count(DISTINCT doc_id) AS BIGINT) AS v1,
+                    CAST(sum(CASE WHEN n_chars IS NOT NULL
+                          AND (n_chars < 100.0 OR n_chars > 600.0)
+                          THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+                    CAST(sum(CASE WHEN lang IS NOT NULL
+                          AND lang NOT IN ('en', 'de', 'fr', 'es')
+                          THEN 1 ELSE 0 END) AS BIGINT) AS v3
+             FROM documents GROUP BY source)
+           SELECT source, CAST(0 AS BIGINT) AS check_index,
+                  'text_complete' AS check, 'not_null' AS kind,
+                  n_rows, v0 AS n_violations, v0 <= 0 AS passed FROM m
+           UNION ALL SELECT source, 1, 'doc_id_unique', 'unique', n_rows, v1, v1 <= 0 FROM m
+           UNION ALL SELECT source, 2, 'chars_100_600', 'in_range', n_rows, v2, v2 <= 0 FROM m
+           UNION ALL SELECT source, 3, 'lang_domain', 'contained_in', n_rows, v3, v3 <= 0 FROM m""",
       "stats_k_anonymity" ->
         """WITH c AS (
              SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,

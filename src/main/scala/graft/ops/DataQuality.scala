@@ -72,11 +72,36 @@ object DataQuality {
     * hard constraint). Ordering is the declaration order via an explicit
     * `check_index` so downstream diffs are stable. */
   def verify(df: DataFrame, checks: Seq[DQCheck],
-      maxViolations: Long = 0L): DataFrame = {
+      maxViolations: Long = 0L): DataFrame =
+    verifyImpl(df, Seq.empty, checks, maxViolations)
+
+  /** The per-group face — one report row per (group, check), the
+    * production monitoring shape ("which SOURCE went bad today"): same
+    * single-pass contract as [[verify]], with the aggregation keyed by
+    * `groupBy` (one map-side-combined shuffle on the group keys instead
+    * of a global reduce). A group key named like a report column fails
+    * loud (the DPEngine collision convention). */
+  def verifyByGroup(df: DataFrame, groupBy: Seq[(String, Column)],
+      checks: Seq[DQCheck], maxViolations: Long = 0L): DataFrame = {
+    require(groupBy.nonEmpty,
+      "verifyByGroup needs at least one group key (use verify for global)")
+    verifyImpl(df, groupBy, checks, maxViolations)
+  }
+
+  private val reportCols =
+    Seq("check_index", "check", "kind", "n_rows", "n_violations", "passed")
+
+  private def verifyImpl(df: DataFrame, groupBy: Seq[(String, Column)],
+      checks: Seq[DQCheck], maxViolations: Long): DataFrame = {
     require(checks.nonEmpty, "at least one check is required")
     require(checks.map(_.name).distinct.size == checks.size,
       "check names must be unique")
     require(maxViolations >= 0, s"maxViolations must be >= 0, got $maxViolations")
+    val badKeys = groupBy.map(_._1).filter(n =>
+      reportCols.contains(n) || n.startsWith("__dq_"))
+    require(badKeys.isEmpty,
+      s"group key name(s) ${badKeys.mkString(", ")} collide with the report " +
+        s"columns (${reportCols.mkString(", ")}) or the __dq_ namespace")
     val violationAggs: Seq[Column] = checks.map {
       case NotNull(n, c) =>
         sum(when(c.isNull, 1L).otherwise(0L)).as(s"__dq_$n")
@@ -98,18 +123,22 @@ object DataQuality {
         sum(when(coalesce(p, lit(false)), 0L).otherwise(1L)).as(s"__dq_$n")
     }
     val allAggs = count(lit(1)).as("__dq_n") +: violationAggs
-    val agged = df.agg(allAggs.head, allAggs.tail: _*)
+    val agged =
+      if (groupBy.isEmpty) df.agg(allAggs.head, allAggs.tail: _*)
+      else df.groupBy(groupBy.map { case (n, c) => c.as(n) }: _*)
+        .agg(allAggs.head, allAggs.tail: _*)
     val rows = checks.zipWithIndex.map { case (c, i) =>
       struct(lit(i.toLong).as("check_index"), lit(c.name).as("check"),
         lit(c.kind).as("kind"),
         coalesce(col(s"__dq_${c.name}"), lit(0L)).cast("long")
           .as("n_violations"))
     }
+    val keyCols = groupBy.map { case (n, _) => col(n) }
     agged
-      .select(col("__dq_n").as("n_rows"), explode(array(rows: _*)).as("r"))
-      .select(col("r.check_index"), col("r.check"), col("r.kind"),
-        col("n_rows"),
-        col("r.n_violations"),
-        (col("r.n_violations") <= maxViolations).as("passed"))
+      .select(keyCols :+ col("__dq_n").as("n_rows") :+
+        explode(array(rows: _*)).as("r"): _*)
+      .select(keyCols ++ Seq(col("r.check_index"), col("r.check"),
+        col("r.kind"), col("n_rows"), col("r.n_violations"),
+        (col("r.n_violations") <= maxViolations).as("passed")): _*)
   }
 }

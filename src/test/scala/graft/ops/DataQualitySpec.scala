@@ -55,6 +55,20 @@ class DataQualitySpec extends AnyFunSuite {
       checks).collect()
     assert(clean.forall(_.getBoolean(5)))
     intercept[IllegalArgumentException](DataQuality.verify(df, Seq.empty))
+    // per-group face: per-key counts, same semantics
+    val grouped = DataQuality.verifyByGroup(
+      df.withColumn("grp", when(col("id") <= 2L, "g1").otherwise("g2")),
+      Seq("grp" -> col("grp")), Seq(NotNull("id_complete", col("id"))))
+      .collect().map(r => (r.getString(0), r.getString(2)) ->
+        ((r.getLong(4), r.getLong(5)))).toMap
+    assert(grouped(("g1", "id_complete")) == ((2L, 0L)))
+    assert(grouped(("g2", "id_complete")) == ((3L, 1L))) // the null id is > 2
+    intercept[IllegalArgumentException](
+      DataQuality.verifyByGroup(df, Seq.empty,
+        Seq(NotNull("x", col("id")))))
+    intercept[IllegalArgumentException](
+      DataQuality.verifyByGroup(df, Seq("passed" -> col("key")),
+        Seq(NotNull("x", col("id")))))
     intercept[IllegalArgumentException](
       DataQuality.verify(df, checks :+ NotNull("id_complete", col("id"))))
     intercept[IllegalArgumentException](
