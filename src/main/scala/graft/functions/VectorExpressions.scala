@@ -151,9 +151,10 @@ object VectorFunctions {
       org.apache.spark.sql.GraftShims.expression(a.cast("array<double>")),
       org.apache.spark.sql.GraftShims.expression(b.cast("array<double>"))))
 
-  /** Registers the SQL surface (`graft_cosine(a, b)`) on an existing
-    * session — idempotent, for notebook / spark.sql use. */
-  def registerSql(spark: org.apache.spark.sql.SparkSession): Unit =
+  /** Registers the SQL surface (`graft_cosine(a, b)`,
+    * `graft_hilbert(x, y, bits)`) on an existing session — idempotent,
+    * for notebook / spark.sql use. */
+  def registerSql(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_cosine",
       (children: Seq[Expression]) => {
@@ -161,6 +162,31 @@ object VectorFunctions {
         CosineSim(castToDoubleArray(children.head), castToDoubleArray(children(1)))
       },
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_hilbert", hilbertBuilder, "built-in")
+  }
+
+  /** SQL-surface builder for [[graft.functions.HilbertIndex]]: `bits` must
+    * be a foldable integer literal (it is a plan-time constant — the
+    * generated loop bound). */
+  private[functions] def hilbertBuilder(children: Seq[Expression]): Expression = {
+    require(children.length == 3,
+      "graft_hilbert takes exactly 3 arguments: x, y, bits")
+    val bitsExpr = children(2)
+    require(bitsExpr.foldable,
+      "graft_hilbert: bits must be a literal (it is a plan-time constant)")
+    val bits = bitsExpr.eval() match {
+      case i: Int  => i
+      case l: Long => l.toInt
+      case other => throw new IllegalArgumentException(
+        s"graft_hilbert: bits must be an integer literal, got $other")
+    }
+    graft.functions.HilbertIndex(
+      org.apache.spark.sql.catalyst.expressions.Cast(children(0),
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.catalyst.expressions.Cast(children(1),
+        org.apache.spark.sql.types.LongType), bits)
+  }
 
   /** The SQL surfaces must apply the same cast-to-array<double> the Column
     * path does: CosineSim has no implicit input casts, so a raw
@@ -188,5 +214,9 @@ class GraftSqlExtensions
         CosineSim(VectorFunctions.castToDoubleArray(children.head),
           VectorFunctions.castToDoubleArray(children(1)))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_hilbert"),
+      new ExpressionInfo(classOf[HilbertIndex].getName, "graft_hilbert"),
+      VectorFunctions.hilbertBuilder))
   }
 }

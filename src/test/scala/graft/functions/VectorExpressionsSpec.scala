@@ -128,6 +128,26 @@ class VectorExpressionsSpec extends AnyFunSuite with Matchers {
     e.eval(null) shouldBe 1.0
   }
 
+  test("graft_hilbert is callable from SQL; bits must be a literal") {
+    VectorFunctions.registerSql(spark)
+    // bit-parity with the Scala implementation on a few cells
+    for ((x, y) <- Seq((0L, 0L), (1L, 2L), (7L, 5L), (15L, 0L))) {
+      val got = spark.sql(s"SELECT graft_hilbert($x, $y, 4)").head.getLong(0)
+      got shouldBe graft.ops.Layout.hilbertXY2D(x, y, 4)
+    }
+    // an INT bits literal works too (the common hand-typed form)
+    spark.sql("SELECT graft_hilbert(CAST(3 AS BIGINT), CAST(1 AS BIGINT), CAST(8 AS INT))")
+      .head.getLong(0) shouldBe graft.ops.Layout.hilbertXY2D(3L, 1L, 8)
+    // non-literal bits fails loud at analysis, not deep in a task
+    import spark.implicits._
+    Seq((1L, 2L, 4)).toDF("x", "y", "b").createOrReplaceTempView("hcells")
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_hilbert(x, y, b) FROM hcells").collect()
+    }
+    assert(graft.spark.SparkTestSession.chainMsg(e).contains("literal"),
+      graft.spark.SparkTestSession.chainMsg(e).take(200))
+  }
+
   test("graft_cosine is callable from SQL after registration") {
     VectorFunctions.registerSql(spark)
     import spark.implicits._
