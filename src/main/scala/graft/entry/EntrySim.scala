@@ -238,6 +238,22 @@ private[graft] object EntrySim {
         k = 5, nlist = 16, nprobe = 16)
         .withColumn("rank", col("rank").cast("long"))
     }),
+    "sim_ivf_index" -> ((s, dir) => {
+      // the PERSISTED index path: build (train + assign + write
+      // cell-partitioned postings) into per-process scratch, reload,
+      // probe ALL cells — provably brute force, same oracle as
+      // sim_ivf_exact, but the scores now round-trip through parquet and
+      // the probed scan reads partition-pruned files. The build-once /
+      // query-many production layout inside the gate.
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+        .withColumn("emb", expr("transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1024) / 1024)"))
+      val idx = scratchDir("sim_ivf_index")
+      Similarity.buildIvfIndex(e, "vec_id", "emb", idx, nlist = 16)
+      val queries = e.filter(col("vec_id") < 20).select(col("vec_id").as("qid"), col("emb"))
+      Similarity.ivfTopKFromIndex(s, idx, queries, "qid", "emb",
+        k = 5, nprobe = 16)
+        .withColumn("rank", col("rank").cast("long"))
+    }),
     "sim_ivf_topk" -> ((s, dir) => {
       // IVF approximate top-k: k-means cells + probed-cell exact re-rank.
       // Clustering-dependent output => rows-only; SimilaritySpec measures
@@ -636,6 +652,8 @@ private[graft] object EntrySim {
                   CAST(count(*) AS BIGINT) AS n
            FROM x GROUP BY label, i""",
       "sim_ivf_exact" -> bruteTopKSql,
+      // all-cells probe over the persisted index == brute force
+      "sim_ivf_index" -> bruteTopKSql,
       // fixed-centroid nearest-center assignment: dyadic-exact d2, argmin
       // ties to the lowest cluster id — emb_kmeans' oracle anchor
       "emb_kmeans_assign" ->

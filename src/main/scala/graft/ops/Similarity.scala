@@ -695,6 +695,62 @@ object Similarity {
       nSmallest(centerDists(centers, a), n)
     })
 
+  /** Build a PERSISTENT IVF index — the build-once / query-many production
+    * layout the inline [[ivfTopK]] cannot give (it retrains the quantizer
+    * per call): the expensive pass (sampled training, Lloyd's, full-corpus
+    * cell assignment) runs ONCE and writes two parquet tables under `dir`
+    * — `centroids` (cell, centroid; nlist rows) and `postings`
+    * (neighbor_id, vec) PARTITIONED BY cell, so a probed query's scan
+    * reads only its cells' files (hive partition pruning; the probe list
+    * is a literal IN after the broadcast join, which Spark's dynamic
+    * partition pruning also covers). Returns the effective cell count. */
+  def buildIvfIndex(corpus: DataFrame, corpusId: String, corpusVec: String,
+      dir: String, nlist: Int = -1, trainRowsTarget: Long = 100000,
+      seed: Long = 42): Int = {
+    val spark = corpus.sparkSession
+    val (train, total) = sampleVectors(corpus, corpusVec, trainRowsTarget, seed)
+    val nl = autoNlist(nlist, total)
+    val centers = lloyd(train, nl, seed)
+    import spark.implicits._
+    centers.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    corpus.select(col(corpusId).as("neighbor_id"),
+        col(corpusVec).cast("array<double>").as("vec"))
+      .withColumn("cell", nearestCellsUdf(centers, 1)(col("vec")).getItem(0))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/postings")
+    centers.length
+  }
+
+  /** Probed top-k over a PERSISTED index ([[buildIvfIndex]]): reload the
+    * (nlist-row) centroid table driver-side, probe `nprobe` cells per
+    * query, score only the probed cells' postings. With nprobe = the cell
+    * count this is provably identical to brute force (every posting
+    * scored) — the oracle-exact anchor; smaller nprobe is the
+    * approximate production setting. Same auto-sizing default as
+    * [[ivfTopK]]. */
+  def ivfTopKFromIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int, nprobe: Int = -1): DataFrame = {
+    val centers = spark.read.parquet(s"$dir/centroids").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1).map(_._2)
+    require(centers.nonEmpty, s"no centroids found under $dir/centroids")
+    val np = math.min(
+      if (nprobe > 0) nprobe else math.max(4, centers.length / 8),
+      centers.length)
+    require(nprobe <= 0 || nprobe <= centers.length,
+      s"nprobe must be <= the cell count (got nprobe=$nprobe, " +
+        s"cells=${centers.length})")
+    val postings = spark.read.parquet(s"$dir/postings")
+    val q = broadcast(queries.select(col(queryId).as("query_id"),
+        col(queryVec).cast("array<double>").as("__qv"))
+      .withColumn("cell", explode(nearestCellsUdf(centers, np)(col("__qv")))))
+    val scored = postings.join(q, "cell")
+      .withColumn("cosine", cosine(col("__qv"), col("vec")))
+    finalizeTopK(scored, k)
+  }
+
   /** Queries collected driver-side for the table-building ANN paths (the
     * broadcast-small side by the [[bruteForceTopK]] contract). */
   private def collectQueries(

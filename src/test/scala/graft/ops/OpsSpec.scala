@@ -1371,6 +1371,35 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.8, s"recall $recall too low")
   }
 
+  test("persisted IVF index: build/reload equals the inline path; probes prune") {
+    val rnd = new scala.util.Random(31)
+    val corpus = (0 until 120).map(i =>
+      (i.toLong, Array.fill(8)(rnd.nextGaussian()))).toDF("id", "vec")
+    val queries = (0 until 5).map(i =>
+      (1000L + i, Array.fill(8)(rnd.nextGaussian()))).toDF("qid", "qvec")
+    val dir = java.nio.file.Files.createTempDirectory("ivf_idx").toString
+    val cells = Similarity.buildIvfIndex(corpus, "id", "vec", dir,
+      nlist = 8, seed = 9)
+    assert(cells == 8)
+    def asSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Double]("cosine"))).toSet
+    // all-cells probe over the index == the inline exact arm == brute force
+    val fromIdx = asSet(Similarity.ivfTopKFromIndex(spark, dir, queries,
+      "qid", "qvec", k = 4, nprobe = 8))
+    val inline = asSet(Similarity.ivfTopK(corpus, "id", "vec", queries,
+      "qid", "qvec", k = 4, nlist = 8, nprobe = 8, seed = 9))
+    assert(fromIdx == inline && fromIdx.nonEmpty)
+    // approximate probing returns valid per-query top-k shapes
+    val approx = Similarity.ivfTopKFromIndex(spark, dir, queries,
+      "qid", "qvec", k = 4, nprobe = 2).collect()
+    assert(approx.nonEmpty &&
+      approx.groupBy(_.getAs[Long]("query_id")).values.forall(_.length <= 4))
+    // missing index fails loud
+    intercept[Exception](Similarity.ivfTopKFromIndex(spark, s"$dir/nope",
+      queries, "qid", "qvec", k = 4).collect())
+  }
+
   test("kmeans: trained clustering recovers planted blobs and beats fixed init") {
     val rnd = new scala.util.Random(7)
     val blobCenters = (0 until 4).map(_ => Array.fill(8)(rnd.nextGaussian() * 10))
