@@ -80,7 +80,14 @@ object DataQuality {
     * single-pass contract as [[verify]], with the aggregation keyed by
     * `groupBy` (one map-side-combined shuffle on the group keys instead
     * of a global reduce). A group key named like a report column fails
-    * loud (the DPEngine collision convention). */
+    * loud (the DPEngine collision convention).
+    *
+    * STREAMING: the same call monitors a stream — pass a watermarked
+    * frame and `window(col(ts), ...)` as a group key and the aggregation
+    * runs as one stateful windowed agg (append mode; the report explode
+    * is stateless post-processing). The one exclusion is [[Unique]],
+    * whose count_distinct Spark does not support on streams — batch
+    * audits keep it; stream==batch parity for the rest is spec-pinned. */
   def verifyByGroup(df: DataFrame, groupBy: Seq[(String, Column)],
       checks: Seq[DQCheck], maxViolations: Long = 0L): DataFrame = {
     require(groupBy.nonEmpty,

@@ -92,6 +92,68 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming data-quality monitoring: windowed verifyByGroup == batch") {
+    import graft.ops.{DataQuality, InRange, NotNull, Satisfies}
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val dir = "/root/testdata/sf0.001"
+    val ev = readEvents(dir)
+    val checks = Seq(
+      NotNull("user_complete", col("user_id")),
+      InRange("value_0_400", col("value"), 0.0, 400.0),
+      Satisfies("purchase_cap",
+        col("event_type") =!= "purchase" || col("value") <= 350.0))
+    // the group key must be the RAW window(ts) column — wrapping it in
+    // date_format inside the groupBy severs the event-time/watermark
+    // linkage and streaming append mode rejects the aggregation; format
+    // AFTER the aggregation instead (stateless post-processing)
+    def keyed(df: org.apache.spark.sql.DataFrame) =
+      DataQuality.verifyByGroup(df,
+        Seq("w" -> window(col("ts"), "1 hour")), checks)
+        .withColumn("hour", date_format(col("w").getField("start"),
+          "yyyy-MM-dd HH:mm:ss"))
+        .drop("w")
+        .select("hour", "check_index", "check", "kind", "n_rows",
+          "n_violations", "passed")
+    // sentinel pushes the final watermark past every real window
+    val tmp = java.nio.file.Files.createTempDirectory("ss_dq").toString
+    ev.write.mode("overwrite").parquet(tmp)
+    val maxTs = ev.agg(max("ts")).head.getLong(0)
+    ev.limit(1)
+      .withColumn("ts", lit(maxTs + 10L * 3600L * 1000000000L))
+      .withColumn("event_type", lit("__sentinel"))
+      .write.mode("append").parquet(tmp)
+    val stream = spark.readStream.schema(ev.schema).parquet(tmp)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("ts", "10 minutes")
+    StreamOps.runToMemory(spark, keyed(stream), "ss_dq_t", OutputMode.Append)
+    def asSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(2), r.getLong(4),
+        r.getLong(5), r.getBoolean(6))).toSet
+    val batchRows = keyed(readEvents(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)")))
+    val batchSet = asSet(batchRows)
+    val streamedSet = asSet(spark.table("ss_dq_t"))
+      // the sentinel's own far-future window carries 1 row; drop it by hour
+      .filterNot(x => !batchSet.exists(_._1 == x._1))
+    assert(streamedSet == batchSet && streamedSet.nonEmpty)
+    // every window carries all three check rows (sf0.001 values max at
+    // ~328, so the range/cap checks legitimately pass — the TIGHTER range
+    // below plants real windowed violations and re-checks parity)
+    assert(batchSet.groupBy(_._1).values.forall(_.size == 3))
+    def tight(df: org.apache.spark.sql.DataFrame) =
+      DataQuality.verifyByGroup(df,
+        Seq("w" -> window(col("ts"), "1 hour")),
+        Seq(InRange("value_0_100", col("value"), 0.0, 100.0)))
+        .withColumn("hour", date_format(col("w").getField("start"),
+          "yyyy-MM-dd HH:mm:ss")).drop("w")
+        .select("hour", "check", "n_rows", "n_violations", "passed")
+    val tightBatch = tight(readEvents(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))).collect()
+      .map(r => (r.getString(0), r.getLong(3), r.getBoolean(4))).toSet
+    assert(tightBatch.exists(x => x._2 > 0 && !x._3),
+      s"no windowed violations at the tight range: $tightBatch")
+  }
+
   test("streaming distinct-user dedup rollup matches batch count(DISTINCT)") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val dir = "/root/testdata/sf0.001"
