@@ -522,9 +522,20 @@ private[graft] object EntryDedup {
     * segment); 10 = 2-char name edit; 17 = +5.0 balance; 24 = segment
     * replaced. Replayed verbatim by [[erFixtureSql]]. */
   private def erFixture(s: SparkSession, dir: String): DataFrame = {
+    // the dirty-copy id space starts at 1000000 and er_multipass (%1000000
+    // un-mask), er_incremental/ss_er (rec_id >= 1000000 == "new") all rely
+    // on base ids staying BELOW it — a scale-ladder replica set large
+    // enough to cross 1e6 (>~66 replicas at sf0.01) would silently collide,
+    // so fail loud in-plan instead (no extra action; the filter arm only
+    // evaluates on rows that would actually collide)
     val cust = s.read.parquet(s"$dir/customer.parquet")
-      .select(col("c_custkey").cast("long").as("rec_id"), col("c_name"),
-        col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
+      .select(
+        when(col("c_custkey").cast("long") >= 1000000L,
+          raise_error(lit("erFixture: base rec_id >= 1000000 collides with " +
+            "the dirty-copy id space — shrink the input or rebase the " +
+            "offset")).cast("long"))
+          .otherwise(col("c_custkey").cast("long")).as("rec_id"),
+        col("c_name"), col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
     val m = col("rec_id") % 28
     val dirty = cust.filter(m.isin(3L, 10L, 17L, 24L))
       .select(

@@ -21,8 +21,10 @@ final case class NotNull(name: String, column: Column) extends DQCheck {
   def kind = "not_null"
 }
 /** Key uniqueness over one or more columns: violations = surplus rows
-  * (`n_rows - n_distinct` over the key tuple; rows with a NULL key
-  * component count as distinct per SQL DISTINCT semantics). */
+  * (`n_rows - n_distinct` over the key tuple). NOTE: `count(DISTINCT ...)`
+  * EXCLUDES tuples with any NULL component, so every NULL-key row counts
+  * as a violation under this formulation — a key with a missing component
+  * cannot attest uniqueness. (Matches the DuckDB oracle exactly.) */
 final case class Unique(name: String, columns: Seq[Column]) extends DQCheck {
   require(columns.nonEmpty, s"Unique '$name' needs at least one column")
   def kind = "unique"

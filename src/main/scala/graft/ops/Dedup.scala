@@ -188,6 +188,23 @@ object Dedup {
     mins
   })
 
+  /** Portable (md5 + linear-congruential) minhash signature over a
+    * caller-built shingle array — the [[minHashSigFromShinglesUdf]] core
+    * exposed for the ops tier (record linkage bands CHAR shingles of a
+    * noisy string key through the same SQL-replayable machinery). */
+  private[ops] def portableSigFromShingles(shingles: Column, numHashes: Int): Column = {
+    require(numHashes >= 1 && numHashes <= permA.length,
+      s"numHashes must be in [1, ${permA.length}], got $numHashes")
+    minHashSigFromShinglesUdf(numHashes)(shingles)
+  }
+
+  /** [[portableBandKeys]] over an explicit signature column. */
+  private[ops] def portableBandKeysFor(sig: Column, numBands: Int,
+      rowsPerBand: Int): Seq[Column] =
+    (0 until numBands).map { b =>
+      concat_ws("_", slice(sig, b * rowsPerBand + 1, rowsPerBand))
+    }
+
   /** Candidate pairs from a banded (id, band, bucket) frame — the shared
     * core of every LSH family here. `maxBucket <= 0` (default) is the
     * plain bucket self-join: all intra-bucket pairs, volume quadratic in

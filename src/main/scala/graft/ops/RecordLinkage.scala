@@ -134,7 +134,11 @@ object RecordLinkage {
     val candidates = passes.zipWithIndex.map { case (ks, p) =>
       val blkNames = ks.indices.map(i => s"__er_blk_${p}_$i")
       if (maxPairsPerRecord.isFinite) {
-        val row = proj.groupBy(blkNames.map(col): _*)
+        // NULL block keys never equi-join → zero pairs; exclude them so the
+        // guard matches the pass's actual candidate volume
+        val row = proj
+          .filter(blkNames.map(col(_).isNotNull).reduce(_ && _))
+          .groupBy(blkNames.map(col): _*)
           .agg(count(lit(1)).as("n"))
           .agg(coalesce(sum(col("n") * (col("n") - 1) / 2), lit(0.0)).as("pairs"),
             coalesce(sum(col("n")), lit(0L)).as("rows")).head()
@@ -198,7 +202,11 @@ object RecordLinkage {
         rules.zip(fldNames).map { case (r, n) => r.column.as(n) }: _*)
       .localCheckpoint(false) // guard agg + both join sides share one scan
     if (maxPairsPerRecord.isFinite) {
-      val row = proj.groupBy(blkNames.map(col): _*)
+      // NULL block keys never equi-join → zero pairs; exclude them so the
+      // guard matches the increment's actual candidate volume
+      val row = proj
+        .filter(blkNames.map(col(_).isNotNull).reduce(_ && _))
+        .groupBy(blkNames.map(col): _*)
         .agg(count(lit(1)).as("n"),
           sum(col("__er_new").cast("long")).as("nn"))
         .agg(coalesce(sum(col("nn") * (col("nn") - 1) / 2 +
@@ -406,11 +414,18 @@ object RecordLinkage {
 
   /** Shared candidate-volume guard over a block histogram: exact pair
     * count `sum(n*(n-1)/2)` vs `maxPairsPerRecord * rows`; one map-side-
-    * combined aggregation over the (checkpointed) thin frame. */
+    * combined aggregation over the (checkpointed) thin frame. Rows with a
+    * NULL in any block key are excluded up front — an equi-join never
+    * matches NULL keys, so they generate zero candidate pairs and counting
+    * them would make the guard fail loud for volume the join cannot
+    * produce (they also leave the `rows` denominator, which only makes
+    * the cap stricter over the records that CAN pair). */
   private def guardBlockVolume(proj: DataFrame, blkNames: Seq[String],
       maxPairsPerRecord: Double, op: String): Unit =
     if (maxPairsPerRecord.isFinite) {
-      val row = proj.groupBy(blkNames.map(col): _*)
+      val row = proj
+        .filter(blkNames.map(col(_).isNotNull).reduce(_ && _))
+        .groupBy(blkNames.map(col): _*)
         .agg(count(lit(1)).as("n"))
         .agg(coalesce(sum(col("n") * (col("n") - 1) / 2), lit(0.0)).as("pairs"),
           coalesce(sum(col("n")), lit(0L)).as("rows")).head()

@@ -736,12 +736,15 @@ object Similarity {
       .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1).map(_._2)
     require(centers.nonEmpty, s"no centroids found under $dir/centroids")
-    val np = math.min(
-      if (nprobe > 0) nprobe else math.max(4, centers.length / 8),
-      centers.length)
+    // explicit nprobe: out-of-range is an ERROR (never silently clamped);
+    // auto-sized default: clamped to the cell count (a tiny index can have
+    // fewer than the max(4, nlist/8) floor)
     require(nprobe <= 0 || nprobe <= centers.length,
       s"nprobe must be <= the cell count (got nprobe=$nprobe, " +
         s"cells=${centers.length})")
+    val np =
+      if (nprobe > 0) nprobe
+      else math.min(math.max(4, centers.length / 8), centers.length)
     val postings = spark.read.parquet(s"$dir/postings")
     val q = broadcast(queries.select(col(queryId).as("query_id"),
         col(queryVec).cast("array<double>").as("__qv"))
