@@ -106,6 +106,21 @@ private[graft] object EntryDedup {
         isNew = col("rec_id") >= 1000000L,
         Seq(col("c_nationkey"), col("c_mktsegment")), erRules, threshold = 45L)
     }),
+    "er_lsh_pairs" -> ((s, dir) => {
+      // banded-LSH blocking over a NOISY STRING key — the scale-safe arm
+      // for string keys with no exact block value and no orderable proxy
+      // (equi-blocks wall on skew, SNM needs order). The fixture derives a
+      // high-entropy address-like key (md5 hex of the base name) and gives
+      // every dirty copy a 1-char edit of its BASE's key, so true pairs
+      // share ~29/31 char trigrams (J≈0.94 — banded buckets collide with
+      // prob ~1) while unrelated keys share ~none (J≈0.004). The whole
+      // pipeline — char shingles, md5 shingle hashes, linear-congruential
+      // permutation minima, 16x4 band buckets, candidate distinct, the
+      // Fellegi-Sunter scoring — is exact integer arithmetic the oracle
+      // replays end-to-end (the dedup_minhash_md5 convention).
+      RecordLinkage.lshLinkPairs(erLshFixture(s, dir), "rec_id",
+        blockString = col("c_addr"), erRules, threshold = 45L)
+    }),
     "er_snm_pairs" -> ((s, dir) => {
       // sorted-neighborhood blocking: global rank by (balance, id) —
       // distributed via floor(balance/100) buckets + one driver prefix
@@ -553,6 +568,36 @@ private[graft] object EntryDedup {
     cust.unionByName(dirty)
   }
 
+  /** [[erFixture]] plus a synthesized noisy STRING key for the LSH
+    * blocking arm: base records carry `c_addr` = md5 hex of their name (32
+    * high-entropy chars — the address-shaped key the base tables lack);
+    * each dirty copy carries its BASE's key with the last char replaced by
+    * 'X' (a 1-char edit — the realistic typo'd-key shape). Derived from
+    * the BASE name on both sides so the edit relationship is exact;
+    * replayed verbatim by the er_lsh_pairs oracle. */
+  private def erLshFixture(s: SparkSession, dir: String): DataFrame = {
+    val cust = s.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey").cast("long").as("rec_id"), col("c_name"),
+        col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"),
+        md5(col("c_name")).as("c_addr"))
+    val m = col("rec_id") % 28
+    val dirty = cust.filter(m.isin(3L, 10L, 17L, 24L))
+      .select(
+        (col("rec_id") + 1000000L).as("rec_id"),
+        when(m === 10L,
+          concat(expr("substring(c_name, 1, length(c_name) - 2)"), lit("XY")))
+          .otherwise(
+            concat(expr("substring(c_name, 1, length(c_name) - 1)"), lit("X")))
+          .as("c_name"),
+        col("c_nationkey"),
+        when(m === 17L, col("c_acctbal") + 5.0)
+          .otherwise(col("c_acctbal") + 0.005).as("c_acctbal"),
+        when(m === 24L, lit("ALTERED")).otherwise(col("c_mktsegment"))
+          .as("c_mktsegment"),
+        concat(expr("substring(c_addr, 1, 31)"), lit("X")).as("c_addr"))
+    cust.unionByName(dirty)
+  }
+
   /** The gate's field rules: agree/disagree weights chosen so the maximum
     * score is 60 and ANY single disagreement drops below threshold 45. */
   private def erRules = Seq(
@@ -666,6 +711,70 @@ private[graft] object EntryDedup {
             SELECT id_a, id_b, name_w, segment_w, balance_w, score
             FROM scored
             WHERE id_a >= 1000000 OR id_b >= 1000000""",
+      // the whole LSH blocking pipeline replayed: the fixture's md5-hex
+      // key + 1-char dirty edit, char trigrams, md5 shingle hashes,
+      // linear-congruential permutation minima (the same fixed literals),
+      // 16x4 band buckets, distinct candidates, then the scoring arms
+      "er_lsh_pairs" ->
+        s"""WITH base AS (
+              SELECT CAST(c_custkey AS BIGINT) AS rec_id, c_name, c_nationkey,
+                     c_acctbal, c_mktsegment, md5(c_name) AS c_addr
+              FROM customer),
+            dirty AS (
+              SELECT b.rec_id + 1000000 AS rec_id,
+                     CASE WHEN b.rec_id % 28 = 10
+                          THEN substring(b.c_name, 1, length(b.c_name) - 2) || 'XY'
+                          ELSE substring(b.c_name, 1, length(b.c_name) - 1) || 'X'
+                     END AS c_name,
+                     b.c_nationkey,
+                     CASE WHEN b.rec_id % 28 = 17 THEN b.c_acctbal + 5.0
+                          ELSE b.c_acctbal + 0.005 END AS c_acctbal,
+                     CASE WHEN b.rec_id % 28 = 24 THEN 'ALTERED'
+                          ELSE b.c_mktsegment END AS c_mktsegment,
+                     substring(b.c_addr, 1, 31) || 'X' AS c_addr
+              FROM base b WHERE b.rec_id % 28 IN (3, 10, 17, 24)),
+            recs AS (SELECT * FROM base UNION ALL SELECT * FROM dirty),
+            sh AS (
+              SELECT rec_id, list_distinct(list_transform(
+                       range(1, greatest(length(c_addr) - 2, 1) + 1),
+                       i -> substr(c_addr, CAST(i AS INTEGER), 3))) AS grams
+              FROM recs WHERE c_addr IS NOT NULL AND length(c_addr) > 0),
+            h AS (
+              SELECT rec_id,
+                     CAST(CONCAT('0x', substr(md5(g), 1, 15)) AS BIGINT) % 2147483647 AS h
+              FROM (SELECT rec_id, unnest(grams) AS g FROM sh)),
+            mh AS (
+              SELECT rec_id, p,
+                     min((($permAList)[p + 1] * h + ($permBList)[p + 1]) % 2147483647) AS mv
+              FROM h CROSS JOIN (SELECT unnest(range(0, 64)) AS p)
+              GROUP BY rec_id, p),
+            sig AS (
+              SELECT rec_id, p // 4 AS band,
+                     string_agg(CAST(mv AS VARCHAR), '_' ORDER BY p) AS bucket
+              FROM mh GROUP BY rec_id, p // 4),
+            cand AS (
+              SELECT DISTINCT a.rec_id AS id_a, b.rec_id AS id_b
+              FROM sig a JOIN sig b
+                ON a.band = b.band AND a.bucket = b.bucket
+               AND a.rec_id < b.rec_id),
+            mw AS (
+              SELECT id_a, id_b,
+                     CASE WHEN a.c_name IS NULL OR b.c_name IS NULL THEN 0
+                          WHEN levenshtein(a.c_name, b.c_name) <= 1 THEN 30
+                          ELSE -20 END AS name_w,
+                     CASE WHEN a.c_mktsegment IS NULL OR b.c_mktsegment IS NULL THEN 0
+                          WHEN a.c_mktsegment = b.c_mktsegment THEN 10
+                          ELSE -15 END AS segment_w,
+                     CASE WHEN a.c_acctbal IS NULL OR b.c_acctbal IS NULL THEN 0
+                          WHEN abs(a.c_acctbal - b.c_acctbal) <= 0.01 THEN 20
+                          ELSE -10 END AS balance_w
+              FROM cand JOIN recs a ON a.rec_id = id_a
+                        JOIN recs b ON b.rec_id = id_b)
+            SELECT id_a, id_b, CAST(name_w AS BIGINT) AS name_w,
+                   CAST(segment_w AS BIGINT) AS segment_w,
+                   CAST(balance_w AS BIGINT) AS balance_w,
+                   CAST(name_w + segment_w + balance_w AS BIGINT) AS score
+            FROM mw WHERE name_w + segment_w + balance_w >= 45""",
       // the distributed rank replayed as ONE row_number over
       // (balance, id), the 10-rank window as a rank-range join, then the
       // same scoring

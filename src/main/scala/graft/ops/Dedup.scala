@@ -225,7 +225,7 @@ object Dedup {
     * That is why it is OPT-IN, why production runs exact-dup collapse
     * first, and why sub-cap buckets are byte-identical to the uncapped
     * plan. Candidates carry ids only either way. */
-  private def bandedCandidates(banded: DataFrame, maxBucket: Int): DataFrame = {
+  private[ops] def bandedCandidates(banded: DataFrame, maxBucket: Int): DataFrame = {
     val left = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
     val right = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
     if (maxBucket <= 0) {

@@ -240,6 +240,79 @@ object RecordLinkage {
       rules, threshold)
   }
 
+  /** Banded-LSH pair generation over a NOISY STRING key — the scale-safe
+    * blocking arm for keys where equi-blocking has no usable exact value
+    * (names, addresses, free-text identifiers) and sorted-neighborhood has
+    * no orderable proxy: a typo'd key lands in a different equi-block
+    * forever, but its char-shingle set is nearly unchanged, so minhash
+    * band buckets still collide. Reuses the PORTABLE (md5 +
+    * linear-congruential) minhash machinery of [[Dedup]] — every stage
+    * (char shingling, signatures, band buckets) is deterministic integer
+    * arithmetic an independent SQL engine replays bit-for-bit — then feeds
+    * the same guarded Fellegi-Sunter scoring tail as [[linkPairs]].
+    *
+    * Scale shape: bucket sizes are driven by string SIMILARITY, not value
+    * frequency — a million distinct noisy names produce a million tiny
+    * buckets where an equi-block on a normalized prefix produces one hot
+    * quadratic block. Candidate volume is guarded EXACTLY like the
+    * equi-block arms: the generated (pre-distinct) pair count
+    * `sum(n·(n-1)/2)` over the (band, bucket) histogram — the actual join
+    * volume — is checked BEFORE the join against
+    * `maxPairsPerRecord · nRecords` and fails loud, directing the caller
+    * to more rows per band (higher precision) or a longer shingle.
+    *
+    * Banding selectivity: a pair collides in one band with probability
+    * `J^rowsPerBand` (J = char-shingle Jaccard), anywhere with
+    * `1-(1-J^r)^b` — defaults (16x4) pair J>=0.8 keys with probability
+    * ~1 and J<=0.1 keys with probability ~2e-3. Rows with a NULL or
+    * empty block string never pair (the null-block-key convention).
+    * Returns the [[linkPairs]] scored-pair schema, `id_a < id_b`. */
+  def lshLinkPairs(df: DataFrame, idCol: String, blockString: Column,
+      rules: Seq[FieldRule], threshold: Long,
+      shingleSize: Int = 3, numBands: Int = 16, rowsPerBand: Int = 4,
+      maxPairsPerRecord: Double = 1000.0): DataFrame = {
+    require(shingleSize >= 1, s"shingleSize must be >= 1, got $shingleSize")
+    require(numBands >= 1, s"numBands must be >= 1, got $numBands")
+    require(rowsPerBand >= 1, s"rowsPerBand must be >= 1, got $rowsPerBand")
+    validateRules(rules, checkWeights = true)
+    val fldNames = rules.map(r => s"__er_f_${r.name}")
+    val proj = df.select(
+      col(idCol).as("__er_id") +:
+        blockString.as("__er_bs") +:
+        rules.zip(fldNames).map { case (r, n) => r.column.as(n) }: _*)
+      .filter(col("__er_bs").isNotNull && length(col("__er_bs")) > 0)
+      .withColumn("__er_sig", Dedup.portableSigFromShingles(
+        Dedup.charShingles(col("__er_bs"), shingleSize),
+        numBands * rowsPerBand))
+      .localCheckpoint(false) // banding + guard + field join share one scan
+    val banded = proj.select(col("__er_id").as("id"),
+      posexplode(array(
+        Dedup.portableBandKeysFor(col("__er_sig"), numBands, rowsPerBand): _*))
+        .as(Seq("band", "bucket")))
+      .localCheckpoint(false) // guard agg + both candidate join sides
+    if (maxPairsPerRecord.isFinite) {
+      val row = banded.groupBy(col("band"), col("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .agg(coalesce(sum(col("n") * (col("n") - 1) / 2), lit(0.0)).as("pairs"),
+          coalesce(sum(col("n")), lit(0L)).as("rows")).head()
+      val pairs: Double = row.getDouble(0)
+      val nRec: Long = row.getLong(1) / numBands // each record lands in every band
+      if (nRec > 0 && pairs > maxPairsPerRecord * nRec)
+        throw new IllegalStateException(
+          f"lshLinkPairs: $pairs%.3g generated candidate pairs over $nRec " +
+            f"records (${pairs / nRec}%.0f/record) exceeds maxPairsPerRecord=" +
+            f"$maxPairsPerRecord%.0f — the band buckets are too coarse " +
+            "(mass-duplicate strings?). Raise rowsPerBand, lengthen " +
+            "shingles, or raise the cap deliberately")
+    }
+    val cand = Dedup.bandedCandidates(banded, maxBucket = 0)
+    val fa = proj.select(col("__er_id").as("id_a") +:
+      fldNames.map(n => col(n).as(s"${n}_a")): _*)
+    val fb = proj.select(col("__er_id").as("id_b") +:
+      fldNames.map(n => col(n).as(s"${n}_b")): _*)
+    scorePairs(cand.join(fa, "id_a").join(fb, "id_b"), rules, threshold)
+  }
+
   /** Sorted-neighborhood pair generation (Hernández & Stolfo SIGMOD'95) —
     * the LINEAR-volume blocking that survives where equi-blocking goes
     * quadratic: records are globally ranked by `(sortKey, id)` and every

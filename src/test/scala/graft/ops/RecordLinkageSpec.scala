@@ -67,6 +67,60 @@ class RecordLinkageSpec extends AnyFunSuite {
     assert(n == 40L * 39 / 2)
   }
 
+  test("volume guard ignores NULL block keys (they never join)") {
+    // 40 null-block rows would contribute 780 phantom pairs to a naive
+    // guard; the join generates exactly ONE candidate pair (ids 100/101)
+    val df = ((1L to 40L).map(i => (i, null.asInstanceOf[String], s"n$i", "A", 1.0)) ++
+      Seq((100L, "b", "alice smith", "A", 1.0), (101L, "b", "alice smitt", "A", 1.0)))
+      .toDF("id", "blk", "nm", "seg", "bal")
+    // cap 5/record: must NOT trip (actual volume is 1 pair over 2 records)
+    val out = RecordLinkage.linkPairs(df, "id", Seq(col("blk")), rules,
+      threshold = Long.MinValue, maxPairsPerRecord = 5.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((100L, 101L)))
+  }
+
+  test("LSH string-key blocking: typo'd keys pair, junk never does, guard trips") {
+    // high-entropy string keys (the address/name shape): id 2's key is id
+    // 1's with the last char replaced — an equi-block on the key misses it
+    // forever; minhash bands still collide. id 3's key is unrelated.
+    val df = Seq(
+      (1L, "k7f2q9xm4plw8zr3vn6bty0cehj5gsda", "alice smith", "A", 10.0),
+      (2L, "k7f2q9xm4plw8zr3vn6bty0cehj5gsdX", "alice smyth", "A", 10.005),
+      (3L, "0q8mw3jz7xr2pv9lk4cn1fy6hb5tg2es", "alice smith", "A", 10.0),
+      (4L, null.asInstanceOf[String], "alice smith", "A", 10.0),
+      (5L, "", "alice smith", "A", 10.0)
+    ).toDF("id", "key", "nm", "seg", "bal")
+    // the equi-block arm on the raw key finds nothing
+    val equi = RecordLinkage.linkPairs(df, "id", Seq(col("key")), rules, 45L)
+    assert(equi.count() == 0)
+    val lsh = RecordLinkage.lshLinkPairs(df, "id", col("key"), rules,
+      threshold = Long.MinValue)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(5))).toMap
+    // the typo'd pair is found and carries the true full-agreement score
+    assert(lsh.contains((1L, 2L)), s"typo'd key pair not found: ${lsh.keySet}")
+    assert(lsh((1L, 2L)) == 60L)
+    // unrelated keys never collide at this entropy; null/empty never pair
+    assert(!lsh.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+    assert(!lsh.keySet.exists(p => Set(p._1, p._2).intersect(Set(4L, 5L)).nonEmpty))
+    // identical keys ALWAYS pair (identical signatures — hash-independent)
+    val same = Seq(
+      (1L, "k7f2q9xm4plw8zr3vn6bty0cehj5gsda", "a", "A", 1.0),
+      (2L, "k7f2q9xm4plw8zr3vn6bty0cehj5gsda", "a", "A", 1.0)
+    ).toDF("id", "key", "nm", "seg", "bal")
+    assert(RecordLinkage.lshLinkPairs(same, "id", col("key"), rules,
+      threshold = Long.MinValue).count() == 1)
+    // mass-duplicate keys: every band bucket goes quadratic -> guard
+    val pile = (1L to 40L).map(i =>
+      (i, "k7f2q9xm4plw8zr3vn6bty0cehj5gsda", s"n$i", "A", 1.0))
+      .toDF("id", "key", "nm", "seg", "bal")
+    val e = intercept[IllegalStateException] {
+      RecordLinkage.lshLinkPairs(pile, "id", col("key"), rules,
+        threshold = 0L, maxPairsPerRecord = 10.0)
+    }
+    assert(e.getMessage.contains("rowsPerBand"), e.getMessage)
+  }
+
   test("multi-pass blocking: null-block recovery, cross-pass dedup") {
     // ids 1/2 match but id 2 has a NULL blk — invisible to pass 1;
     // pass 2 blocks on seg and recovers them. ids 1/8 sit in the same
