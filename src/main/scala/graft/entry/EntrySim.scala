@@ -254,6 +254,22 @@ private[graft] object EntrySim {
         k = 5, nprobe = 16)
         .withColumn("rank", col("rank").cast("long"))
     }),
+    "sim_ivf_index_query" -> ((s, dir) => {
+      // the AMORTIZED read path of the persisted index: the build (train +
+      // assign + write) runs ONCE per (process, sf dir) via the memoized
+      // fixture below, so bench reps measure ONLY what a production query
+      // pays — centroid reload, probe, partition-pruned postings scan,
+      // re-rank. All-cells probe keeps it provably brute force (same
+      // oracle); sim_ivf_index remains the build-cost row.
+      val idx = prebuiltIvfIndex(s, dir)
+      val queries = s.read.parquet(s"$dir/embeddings.parquet")
+        .withColumn("emb", expr(
+          "transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1024) / 1024)"))
+        .filter(col("vec_id") < 20).select(col("vec_id").as("qid"), col("emb"))
+      Similarity.ivfTopKFromIndex(s, idx, queries, "qid", "emb",
+        k = 5, nprobe = 16)
+        .withColumn("rank", col("rank").cast("long"))
+    }),
     "sim_ivf_topk" -> ((s, dir) => {
       // IVF approximate top-k: k-means cells + probed-cell exact re-rank.
       // Clustering-dependent output => rows-only; SimilaritySpec measures
@@ -468,6 +484,27 @@ private[graft] object EntrySim {
     * row_number over the vocabulary is FIXTURE construction (bounded by
     * the corpus vocabulary; single-partition window), not part of the
     * operator — real callers bring their own query frame. */
+  /** Build-once IVF index per (process, sf dir): the first call pays the
+    * build (train + assign + cell-partitioned postings write), every later
+    * call — including bench reps 2..n of sim_ivf_index_query — reuses the
+    * directory, so that row's MEDIAN is the amortized production read path
+    * (probe + re-rank), not the build. sim_ivf_index deliberately keeps
+    * rebuilding per call: it is the build-cost row. */
+  private val ivfIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def prebuiltIvfIndex(s: SparkSession, dir: String): String =
+    ivfIndexCache.computeIfAbsent(dir, _ => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+        .withColumn("emb", expr(
+          "transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1024) / 1024)"))
+      // key the scratch by the sf dir's hash so two dirs never collide
+      val idx = scratchDir(
+        s"sim_ivf_prebuilt_${Integer.toHexString(dir.hashCode)}")
+      Similarity.buildIvfIndex(e, "vec_id", "emb", idx, nlist = 16)
+      idx
+    })
+
   private def bm25QueryFixture(docs: DataFrame): DataFrame = {
     val tf = docs
       .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("term"))
@@ -654,6 +691,8 @@ private[graft] object EntrySim {
       "sim_ivf_exact" -> bruteTopKSql,
       // all-cells probe over the persisted index == brute force
       "sim_ivf_index" -> bruteTopKSql,
+      // same pipeline over the PREBUILT index (read path only) == brute force
+      "sim_ivf_index_query" -> bruteTopKSql,
       // fixed-centroid nearest-center assignment: dyadic-exact d2, argmin
       // ties to the lowest cluster id — emb_kmeans' oracle anchor
       "emb_kmeans_assign" ->

@@ -1398,6 +1398,19 @@ class SimilaritySpec extends AnyFunSuite {
     // missing index fails loud
     intercept[Exception](Similarity.ivfTopKFromIndex(spark, s"$dir/nope",
       queries, "qid", "qvec", k = 4).collect())
+    // explicit oversized nprobe is an ERROR, never silently clamped
+    val e = intercept[IllegalArgumentException](
+      Similarity.ivfTopKFromIndex(spark, dir, queries, "qid", "qvec",
+        k = 4, nprobe = 9))
+    assert(e.getMessage.contains("cell count"), e.getMessage)
+    // the auto-sized default clamps to the cell count on a tiny index
+    // (max(4, nlist/8) floor would exceed 2 cells) instead of erroring
+    val tiny = java.nio.file.Files.createTempDirectory("ivf_tiny").toString
+    Similarity.buildIvfIndex(corpus, "id", "vec", tiny, nlist = 2, seed = 9)
+    val auto = asSet(Similarity.ivfTopKFromIndex(spark, tiny, queries,
+      "qid", "qvec", k = 4))
+    assert(auto == asSet(Similarity.bruteForceTopK(corpus, "id", "vec",
+      queries, "qid", "qvec", 4))) // 2-cell default probes all cells
   }
 
   test("kmeans: trained clustering recovers planted blobs and beats fixed init") {
