@@ -439,18 +439,36 @@ object RecordLinkage {
     * and the EM below runs driver-side on it. No doomed-pair
     * short-circuit here — estimation needs TRUE codes for every pair, so
     * this pass pays full comparison cost (run it once to fit weights,
-    * then link with [[linkPairs]], which prunes). */
+    * then link with [[linkPairs]], which prunes).
+    *
+    * `samplingProb < 1` cuts that one-time cost the way the reference's
+    * analysis tier does (the deterministic value-keyed Bernoulli of
+    * `sampling_utils.py:38-51` via [[graft.analysis.ValueSampler]]):
+    * whole BLOCKS are kept iff the hash of their key tuple falls under
+    * the rate — sampling blocks (never individual pairs) keeps every
+    * kept block's within-block pair structure intact, so per-rule m/u
+    * are estimated on an unbiased block subsample and the EM is
+    * unchanged. Deterministic for a fixed key set (re-runs agree). The
+    * volume guard applies to the SAMPLED frame — the cost actually
+    * paid. */
   def agreementPatterns(df: DataFrame, idCol: String, blockKeys: Seq[Column],
       rules: Seq[FieldRule],
-      maxPairsPerRecord: Double = 1000.0): DataFrame = {
+      maxPairsPerRecord: Double = 1000.0,
+      samplingProb: Double = 1.0): DataFrame = {
     require(blockKeys.nonEmpty, "at least one block key is required")
+    require(samplingProb > 0.0 && samplingProb <= 1.0,
+      s"samplingProb must be in (0, 1], got $samplingProb")
     validateRules(rules, checkWeights = false)
     val blkNames = blockKeys.indices.map(i => s"__er_blk_$i")
     val fldNames = rules.map(r => s"__er_f_${r.name}")
-    val proj = df.select(
+    val proj0 = df.select(
       col(idCol).as("__er_id") +:
         (blockKeys.zip(blkNames).map { case (c, n) => c.as(n) } ++
           rules.zip(fldNames).map { case (r, n) => r.column.as(n) }): _*)
+    val proj = (if (samplingProb < 1.0)
+        proj0.filter(graft.analysis.ValueSampler.keepExpr(
+          struct(blkNames.map(col): _*), samplingProb))
+      else proj0)
       .localCheckpoint(false)
     guardBlockVolume(proj, blkNames, maxPairsPerRecord, "agreementPatterns")
     val l = proj.select(proj.columns.map(c => col(c).as(s"${c}_a")): _*)

@@ -277,6 +277,54 @@ class RecordLinkageSpec extends AnyFunSuite {
     assert(w4.forall(x => !x.m.isNaN && !x.u.isNaN))
   }
 
+  test("sampled agreementPatterns converges to full-pass m/u (block sampling)") {
+    // 300 heterogeneous blocks: 2 of 3 carry a planted match pair, every
+    // block carries non-match pairs, every 5th block has a missing name —
+    // so the sampled estimate is a REAL subsample, not a scaled copy
+    val rows = (0 until 300).flatMap { b =>
+      val blk = s"blk$b"
+      val base = Seq(
+        (b * 10L + 1, blk, s"name-$b-alpha", "A", b * 1.0),
+        (b * 10L + 2, blk,
+          if (b % 5 == 0) null else s"name-$b-alphX", "A", b * 1.0 + 0.005),
+        (b * 10L + 3, blk, s"other-$b-zzz", "B", b * 1.0 + 77.0))
+      if (b % 3 == 2) base.take(1) ++ base.drop(2) else base // no match pair
+    }
+    val df = rows.toDF("id", "blk", "nm", "seg", "bal")
+    def fit(samplingProb: Double) = {
+      val hist = RecordLinkage.agreementPatterns(df, "id", Seq(col("blk")),
+        rules, samplingProb = samplingProb)
+        .collect().map(r => (Seq(r.getLong(0), r.getLong(1), r.getLong(2)),
+          r.getLong(3))).toSeq
+      RecordLinkage.estimateWeights(hist, Seq("name", "segment", "balance"),
+        iterations = 200)
+    }
+    val (_, full) = fit(1.0)
+    val (_, sampled) = fit(0.5)
+    // the sampled histogram really is a strict subsample
+    full.indices.foreach { i =>
+      assert(math.abs(sampled(i).m - full(i).m) < 0.1,
+        s"rule $i m: ${sampled(i).m} vs ${full(i).m}")
+      assert(math.abs(sampled(i).u - full(i).u) < 0.1,
+        s"rule $i u: ${sampled(i).u} vs ${full(i).u}")
+    }
+    // determinism: the same call yields the same histogram
+    val h1 = RecordLinkage.agreementPatterns(df, "id", Seq(col("blk")),
+      rules, samplingProb = 0.5).collect().toSet
+    val h2 = RecordLinkage.agreementPatterns(df, "id", Seq(col("blk")),
+      rules, samplingProb = 0.5).collect().toSet
+    assert(h1 == h2 && h1.nonEmpty)
+    // and it is smaller than the full pass (blocks really dropped)
+    val nFull = RecordLinkage.agreementPatterns(df, "id", Seq(col("blk")),
+      rules).agg(sum("n")).head().getLong(0)
+    val nSamp = RecordLinkage.agreementPatterns(df, "id", Seq(col("blk")),
+      rules, samplingProb = 0.5).agg(sum("n")).head().getLong(0)
+    assert(nSamp < nFull && nSamp > 0, s"$nSamp vs $nFull")
+    intercept[IllegalArgumentException](
+      RecordLinkage.agreementPatterns(df, "id", Seq(col("blk")), rules,
+        samplingProb = 0.0))
+  }
+
   test("canonicalizeEntities: best-preferBy per entity, null-last, id ties") {
     val df = Seq(
       (1L, Some(5.0)), (2L, Some(9.0)), (3L, None),   // entity {1,2,3}
