@@ -160,6 +160,88 @@ class PLDBudgetAccountantSpec extends AnyFunSuite {
     assert(math.abs(a3.baseNoiseStd.get - 40.02) < 0.8, s"base=${a3.baseNoiseStd.get}")
   }
 
+  test("PLD accountant reproduces the reference's golden base noise stds") {
+    // Ported from the reference's own golden values
+    // (tests/budget_accounting_test.py:266-500, PLDBudgetAccountant with
+    // discretization 1e-2). Laplace/Gaussian PLD constructions coincide
+    // with the reference's, so those bases match to ~0.05%; the GENERIC
+    // (PartitionSelection) construction uses a mean-preserving atom split
+    // where the reference's pldlib rounds pessimistically, so generic-mix
+    // bases land 2-4% BELOW the reference value — asserted one-sided plus
+    // a feasibility round-trip (the reference's sigma must satisfy the
+    // budget under our composition too).
+    def acc(eps: Double, delta: Double,
+        ms: (Int, MechanismType, Double, Double)*)
+        : (PLDBudgetAccountant, Seq[BudgetHandle]) = {
+      val a = new PLDBudgetAccountant(eps, delta, pldDiscretization = 1e-2)
+      val hs = ms.map { case (c, t, w, s) =>
+        a.requestBudget(t, weight = w, count = c, sensitivity = s)
+      }
+      a.computeBudgets()
+      (a, hs)
+    }
+    // "standard_laplace": eps=4, delta=0, 2x Laplace -> 0.7071067811865476
+    val (sl, _) = acc(4, 0, (2, Laplace, 1, 1))
+    assert(math.abs(sl.baseNoiseStd.get - 0.7071067811865476) < 1e-12)
+    // "standard_laplace_weights": weight=2 -> base 1.4142135623730951,
+    // per-mechanism std 0.7071067811865476
+    val (sw, _) = acc(4, 0, (2, Laplace, 2, 1))
+    assert(math.abs(sw.baseNoiseStd.get - 1.4142135623730951) < 1e-12)
+    // "laplace_mechanisms": eps=0.168, delta=1e-3, 10x Laplace -> 49.872
+    val (lm, _) = acc(0.168, 1e-3, (10, Laplace, 1, 1))
+    assert(math.abs(lm.baseNoiseStd.get - 49.872) < 0.05,
+      s"base=${lm.baseNoiseStd.get}")
+    // "gaussian_mechanisms": eps=0.115, delta=1e-3, 10x Gaussian -> 50.25
+    val (gm, _) = acc(0.115, 1e-3, (10, Gaussian, 1, 1))
+    assert(math.abs(gm.baseNoiseStd.get - 50.25) < 0.05,
+      s"base=${gm.baseNoiseStd.get}")
+    // "multiple_weights": eps=1.873, delta=1e-5, 4x Laplace(w=2) +
+    // 4x Gaussian(w=4) -> base 20, mechanism stds 10 and 5
+    val (mw, mwHs) = acc(1.873, 1e-5, (4, Laplace, 2, 1), (4, Gaussian, 4, 1))
+    assert(math.abs(mw.baseNoiseStd.get - 20.0) < 0.01,
+      s"base=${mw.baseNoiseStd.get}")
+    val mwStds = mwHs.map(_.spec.noiseStdDev.get)
+    assert(math.abs(mwStds.head - 10.0) < 0.005 &&
+      math.abs(mwStds.last - 5.0) < 0.0025, mwStds.toString)
+    // "generic": eps=0.22999925..., delta=1e-5, 1 generic -> 6.41455078125.
+    // One-sided: our mean-preserving split needs no more noise than the
+    // reference's pessimistic rounding...
+    val (gn, _) = acc(0.22999925338484556, 1e-5,
+      (1, MechanismType.PartitionSelection, 1, 1))
+    assert(gn.baseNoiseStd.get <= 6.41455078125 + 1e-9 &&
+      gn.baseNoiseStd.get > 6.41455078125 * 0.95,
+      s"base=${gn.baseNoiseStd.get}")
+    // ...and the reference's sigma is feasible under our composition
+    assert(gn.composeDistributions(6.41455078125).epsilonForDelta(1e-5)
+      <= 0.22999925338484556 + 1e-6)
+    // "multiple_noise_kinds": eps=0.240, delta=1e-3, 5 Laplace + 5 Gaussian
+    // + 5 generic -> 49.73 (same one-sided + feasibility contract)
+    val (mk, mkHs) = acc(0.240, 1e-3, (5, Laplace, 1, 1), (5, Gaussian, 1, 1),
+      (5, MechanismType.PartitionSelection, 1, 1))
+    assert(mk.baseNoiseStd.get <= 49.73 + 1e-9 &&
+      mk.baseNoiseStd.get > 49.73 * 0.93, s"base=${mk.baseNoiseStd.get}")
+    assert(mk.composeDistributions(49.73).epsilonForDelta(1e-3) <= 0.240 + 1e-5)
+    // generic resolution keeps the proportional-delta contract
+    // (budget_accounting.py:616-622): delta0 = eps0/totalEps*totalDelta
+    val gspec = mkHs.last.spec
+    assert(math.abs(gspec.delta - gspec.epsilon / 0.240 * 1e-3) < 1e-12)
+    // "standard_laplace_sensitivities": eps=3, delta=0, 2x Laplace(s=3).
+    // CONVENTION NOTE: the reference's resolved noise_std is FINAL
+    // (2.8284271247), ours is NORMALIZED per unit sensitivity and the
+    // executor scales by the actual L1 (createAdditive) — so parity is
+    // asserted on the EXECUTED mechanism, which must match the
+    // reference's: std 2.8284..., and the two uses must consume exactly
+    // the total epsilon.
+    val (_, ssHs) = acc(3, 0, (2, Laplace, 1, 3))
+    val mech = Mechanisms.createAdditive(ssHs.head.spec,
+      Sensitivities(l1Given = Some(3.0)))
+    assert(math.abs(mech.stdDev - 2.82842712474619) < 1e-9,
+      s"executed std=${mech.stdDev}")
+    // per-use eps of Laplace: L1 / b, b = std/sqrt(2); times 2 uses
+    val epsPerUse = 3.0 / (mech.stdDev / math.sqrt(2.0))
+    assert(math.abs(2 * epsPerUse - 3.0) < 1e-9, s"spent=${2 * epsPerUse}")
+  }
+
   test("resolved base satisfies the reduced-delta budget when thresholding reserves delta") {
     // regression for the doubling-loop fix: the bracketing must verify the
     // upper candidate against totalDelta MINUS the 25% thresholding
