@@ -372,6 +372,34 @@ object ParameterTuning {
   ): (TuneResult, DataFrame, DataFrame) = {
     require(options.publicPartitions == publicPartitions.isDefined)
     val candidates = addDpStrategies(findCandidateParameters(hist, options), options)
+    runTune(df, columns, candidates, options, publicPartitions)
+  }
+
+  /** [[tune]] over a CALLER-FIXED candidate list: no histogram-driven
+    * generation, no strategy reassignment — the supplied configs are scored
+    * as-is and the argmin-RMSE selection is identical to [[tune]]'s. This
+    * is the deterministic anchor shape: with fixed candidates the whole
+    * run (error moments, RMSE table, argmin) is pure math over the data,
+    * replayable in SQL. */
+  def tuneFixed(
+      df: DataFrame,
+      columns: DPColumns,
+      candidates: Seq[UtilityAnalysisConfig],
+      options: TuneOptions,
+      publicPartitions: Option[DataFrame] = None
+  ): (TuneResult, DataFrame, DataFrame) = {
+    require(options.publicPartitions == publicPartitions.isDefined)
+    require(candidates.nonEmpty, "tuneFixed: at least one candidate is required")
+    runTune(df, columns, candidates, options, publicPartitions)
+  }
+
+  private def runTune(
+      df: DataFrame,
+      columns: DPColumns,
+      candidates: Seq[UtilityAnalysisConfig],
+      options: TuneOptions,
+      publicPartitions: Option[DataFrame]
+  ): (TuneResult, DataFrame, DataFrame) = {
     val uaOptions = UtilityAnalysisOptions(options.epsilon, options.delta,
       Seq(options.metric), candidates, options.publicPartitions,
       options.partitionsSamplingProb)

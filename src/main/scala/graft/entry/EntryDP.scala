@@ -609,6 +609,33 @@ private[graft] object EntryDP {
       }.toDF("config_index", "l0", "linf", "noise_kind", "selection_strategy",
         "rmse", "is_best", "probe_best_gap_vs_min", "probe_gap_vs_single")
     }),
+    "tune_params_fixed" -> ((s, dir) => {
+      // the oracle-exact anchor for tune_params (the emb_kmeans_assign
+      // move applied to tuning): a FIXED 2-candidate grid — the
+      // uaPublicOptions configs — scored by tuneFixed with Zero noise
+      // drawn anywhere (error moments are pure math), so the whole RMSE
+      // table AND the argmin replay in SQL. Dyadic keep-probs and
+      // integer-valued clipped counts keep every sum exact; rmse rounds
+      // at 1e-9 on both sides (the ua_report convention) and the argmin
+      // compares the ROUNDED values, which differ by orders of magnitude
+      // here (noise std 4.2 vs 283).
+      import s.implicits._
+      val ev = events(s, dir).filter(col("event_type").isin("click", "view"))
+        .withColumn("v", floor(col("value")))
+      val pub = Seq("click", "view", "ghost_type").toDF("event_type")
+      val roles = DPColumns(col("user_id"),
+        Seq("event_type" -> col("event_type")), Some(col("v")))
+      val opts = TuneOptions(1.0, 0.0, Metric.Count, UtilityAnalysisConfig(1, 1),
+        ParametersToTune(maxPartitionsContributed = true,
+          maxContributionsPerPartition = true),
+        publicPartitions = true)
+      val (res, _, _) = ParameterTuning.tuneFixed(ev, roles,
+        uaPublicOptions.configs, opts, Some(pub))
+      res.candidates.zipWithIndex.map { case (c, i) =>
+        (i, c.maxPartitionsContributed, c.maxContributionsPerPartition,
+          math.floor(res.rmsePerCandidate(i) * 1e9 + 0.5) / 1e9, i == res.indexBest)
+      }.toDF("config_index", "l0", "linf", "rmse", "is_best")
+    }),
     "tune_candidates" -> ((s, dir) => {
       // oracle-exact twin for tune_params: the DETERMINISTIC half of the
       // tuner — the histogram-driven candidate grid (geometric L0 × Linf
@@ -818,6 +845,51 @@ private[graft] object EntryDP {
       // (dedup'd upward, last pinned to m — findCandidatesConstantRelativeStep
       // with n = min(3, m)), ceilsqrt in exact integer arithmetic; grid is
       // l0-major cross product, config_index = row order
+      // the fixed-candidate tuning run replayed end-to-end: per-(user,
+      // partition) counts, per-config dyadic keep-prob, the COUNT error
+      // moments (clip, expected-drop, drop-variance), per-partition
+      // rmse = sqrt(am^2 + av) incl. the empty public partition, global
+      // mean over the 3 public partitions, then the argmin as a window
+      // over the ROUNDED rmse (config-index tie-break)
+      "tune_params_fixed" ->
+        """WITH pre AS (
+              SELECT user_id, event_type, CAST(count(*) AS DOUBLE) AS cnt
+              FROM events WHERE event_type IN ('click','view')
+              GROUP BY user_id, event_type),
+            np AS (SELECT pre.*, count(*) OVER (PARTITION BY user_id) AS nparts
+                   FROM pre),
+            cfg AS (SELECT * FROM (VALUES (0, 1.0, 3.0), (1, 2.0, 100.0))
+                    t(i, l0, linf)),
+            r AS (SELECT event_type, i, least(1.0, l0 / nparts) AS p, cnt, linf
+                  FROM np CROSS JOIN cfg),
+            per AS (
+              SELECT event_type, i,
+                sum(-least(greatest(cnt, 0.0), linf) * (1.0 - p)) AS exp_l0,
+                sum(CASE WHEN cnt > linf
+                         THEN least(greatest(cnt, 0.0), linf) - cnt
+                         ELSE 0.0 END) AS clip_max,
+                sum(least(greatest(cnt, 0.0), linf)
+                    * least(greatest(cnt, 0.0), linf) * p * (1.0 - p)) AS var_l0
+              FROM r GROUP BY 1, 2),
+            pp AS (
+              SELECT pc.i, pc.l0, pc.linf,
+                coalesce(per.exp_l0, 0.0) + coalesce(per.clip_max, 0.0) AS am,
+                coalesce(per.var_l0, 0.0)
+                  + (sqrt(2) * (pc.l0 * pc.linf) / 1.0)
+                    * (sqrt(2) * (pc.l0 * pc.linf) / 1.0) AS av
+              FROM (SELECT * FROM (VALUES ('click'), ('view'), ('ghost_type'))
+                    p(event_type) CROSS JOIN cfg) pc
+              LEFT JOIN per ON per.event_type = pc.event_type AND per.i = pc.i),
+            g AS (SELECT i, l0, linf,
+                    floor(sum(sqrt(am * am + av)) / count(*) * 1e9 + 0.5) / 1e9
+                      AS rmse
+                  FROM pp GROUP BY 1, 2, 3),
+            sel AS (SELECT i, l0, linf, rmse,
+                    row_number() OVER (ORDER BY rmse, i) AS rk FROM g)
+            SELECT CAST(i AS INTEGER) AS config_index,
+                   CAST(l0 AS INTEGER) AS l0, CAST(linf AS INTEGER) AS linf,
+                   rmse, rk = 1 AS is_best
+            FROM sel""",
       "tune_candidates" ->
         """WITH l0m AS (
              SELECT CAST(max(c) AS BIGINT) AS m FROM (
