@@ -493,12 +493,30 @@ object Similarity {
         scale.as("scale")))
   }
 
+  /** Exact top-k by brute force: every query scored against every corpus
+    * row. The query side is BROADCAST (hinted explicitly, so the planner
+    * never shuffles a cartesian even past the AQE/autoBroadcast
+    * thresholds) — which is also why the queries-small contract is now
+    * ENFORCED, not a docstring: a 10 M-row query frame would OOM every
+    * executor with the broadcast table and do |q|x|corpus| work. The
+    * guard counts the query frame (one cheap job on the small-by-contract
+    * side) and fails loud over `maxQueries`, directing the caller to an
+    * ANN path; pass `Long.MaxValue` to skip the count deliberately. */
   def bruteForceTopK(
       corpus: DataFrame, corpusId: String, corpusVec: String,
       queries: DataFrame, queryId: String, queryVec: String,
-      k: Int
+      k: Int, maxQueries: Long = 100000L
   ): DataFrame = {
-    val q = broadcast(queries.select(col(queryId).as("query_id"), col(queryVec).as("__qv")))
+    val q0 = queries.select(col(queryId).as("query_id"), col(queryVec).as("__qv"))
+    if (maxQueries < Long.MaxValue) {
+      val nq = q0.count()
+      require(nq <= maxQueries,
+        s"bruteForceTopK: $nq query rows exceed maxQueries=$maxQueries — " +
+          "the query side is broadcast to every executor and scored " +
+          "against every corpus row. Use an ANN path (ivfTopK/lshTopK/" +
+          "pqTopK) for large query sets, or raise the cap deliberately")
+    }
+    val q = broadcast(q0)
     val c = corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("__cv"))
     val scored = c.crossJoin(q)
       .withColumn("cosine", cosine(col("__qv"), col("__cv")))

@@ -1371,6 +1371,23 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.8, s"recall $recall too low")
   }
 
+  test("bruteForceTopK enforces the queries-small broadcast contract") {
+    val rnd = new scala.util.Random(11)
+    val corpus = (0 until 30).map(i =>
+      (i.toLong, Array.fill(4)(rnd.nextGaussian()))).toDF("id", "vec")
+    val qs = (0 until 10).map(i =>
+      (100L + i, Array.fill(4)(rnd.nextGaussian()))).toDF("qid", "qvec")
+    val e = intercept[IllegalArgumentException](
+      Similarity.bruteForceTopK(corpus, "id", "vec", qs, "qid", "qvec",
+        k = 3, maxQueries = 5L))
+    assert(e.getMessage.contains("ANN path"), e.getMessage)
+    // at or under the cap (and with the opt-out) it runs
+    assert(Similarity.bruteForceTopK(corpus, "id", "vec", qs, "qid", "qvec",
+      k = 3, maxQueries = 10L).count() == 30L)
+    assert(Similarity.bruteForceTopK(corpus, "id", "vec", qs, "qid", "qvec",
+      k = 3, maxQueries = Long.MaxValue).count() == 30L)
+  }
+
   test("persisted IVF index: build/reload equals the inline path; probes prune") {
     val rnd = new scala.util.Random(31)
     val corpus = (0 until 120).map(i =>
