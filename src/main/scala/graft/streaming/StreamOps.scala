@@ -22,6 +22,16 @@ import org.apache.spark.sql.types._
 final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, event_type: String)
 final case class SessionSummary(user_id: Long, n_events: Long,
     first_type: String, last_type: String, duration_seconds: Long)
+/** O(1) per-user session state — exactly the fields the emitted summary
+  * needs. The r12 streaming review replaced the original List[SessionEvent]
+  * state: a continuously-active user (who never times out) grew that list
+  * without bound — the state store is per-key but not per-key-BOUNDED, and
+  * an unbounded buffer is the classic mapGroupsWithState OOM at scale.
+  * Tie-handling replicates the old stable sort by event time over arrival
+  * order: a new event at exactly firstTs does NOT displace the first; one
+  * at exactly lastTs DOES become the last. */
+final case class SessionAcc(n: Long, firstTs: Long, firstType: String,
+    lastTs: Long, lastType: String)
 
 object StreamOps {
 
@@ -551,36 +561,41 @@ object StreamOps {
         }): _*)
   }
 
-  /** Session windows via typed state: a session closes after `gapSeconds` of
-    * inactivity (processing-time timeout for the local smoke path). */
+  /** LIVE-session tracking via typed state: a user's session closes after
+    * `gapSeconds` of PROCESSING-time inactivity (the operational "user went
+    * quiet" signal — for event-time sessions over a backfill use
+    * [[sessionEventStats]], the session_window arm). State per user is the
+    * O(1) [[SessionAcc]] — count, first/last event-time endpoints — NOT an
+    * event buffer, so a user who stays active for a week holds five fields
+    * of state, not a week of events. */
   def sessionize(events: Dataset[SessionEvent], gapSeconds: Long): Dataset[SessionSummary] = {
     import events.sparkSession.implicits._
     events
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[List[SessionEvent], SessionSummary](
+      .flatMapGroupsWithState[SessionAcc, SessionSummary](
         OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
-        case (userId, newEvents, state: GroupState[List[SessionEvent]]) =>
+        case (userId, newEvents, state: GroupState[SessionAcc]) =>
           if (state.hasTimedOut) {
-            val acc = state.getOption.getOrElse(Nil)
+            val acc = state.getOption
             state.remove()
-            emit(userId, acc).iterator
+            acc.map(a => SessionSummary(userId, a.n, a.firstType, a.lastType,
+              (a.lastTs - a.firstTs) / 1000)).iterator
           } else {
-            val acc = state.getOption.getOrElse(Nil) ++ newEvents.toList
-            state.update(acc)
+            val acc = newEvents.foldLeft(state.getOption.orNull) { (a, e) =>
+              val t = e.ts.getTime
+              if (a == null) SessionAcc(1L, t, e.event_type, t, e.event_type)
+              else SessionAcc(a.n + 1,
+                if (t < a.firstTs) t else a.firstTs,
+                if (t < a.firstTs) e.event_type else a.firstType,
+                if (t >= a.lastTs) t else a.lastTs,
+                if (t >= a.lastTs) e.event_type else a.lastType)
+            }
+            if (acc != null) state.update(acc)
             state.setTimeoutDuration(gapSeconds * 1000)
             Iterator.empty
           }
       }
   }
-
-  private def emit(userId: Long, events: List[SessionEvent]): List[SessionSummary] =
-    if (events.isEmpty) Nil
-    else {
-      val sorted = events.sortBy(_.ts.getTime)
-      List(SessionSummary(userId, sorted.size.toLong, sorted.head.event_type,
-        sorted.last.event_type,
-        (sorted.last.ts.getTime - sorted.head.ts.getTime) / 1000))
-    }
 
   /** One foreachBatch step of INGEST-TIME near-dup: given a micro-batch of
     * new documents and the accumulated signature store (None on the first
@@ -593,8 +608,11 @@ object StreamOps {
     *       proportional [[graft.ops.Dedup.incrementalNearDupsFromSigs]]
     *       path — corpus x corpus pairs are never generated.
     * Micro-batches must arrive in ascending id ranges for "earlier" to
-    * mean arrival order (the ingest contract; a replay/backfill uses the
-    * batch face directly). */
+    * mean arrival order — and since the LOG semantics silently invert if
+    * that contract is violated (a "dup-of-later-doc" row), it is ENFORCED:
+    * min(batch id) must exceed max(store id), checked with one bounded
+    * aggregation per side against the checkpointed store (r12 streaming
+    * review; a replay/backfill uses the batch face directly). */
   def onlineNearDupStep(
       batch: DataFrame,
       store: Option[DataFrame],
@@ -604,6 +622,19 @@ object StreamOps {
       numBands: Int = 16,
       rowsPerBand: Int = 8,
       threshold: Double = 0.6): (DataFrame, DataFrame) = {
+    store.foreach { st =>
+      // type-generic (works for long or string ids): the comparison runs in
+      // the plan, one bounded 1x1 cross of the two extrema
+      val bad = st.agg(max(col("id")).as("__mx"))
+        .crossJoin(batch.agg(min(col(idCol)).as("__mn")))
+        .filter(col("__mx") >= col("__mn")).head(1)
+      if (bad.nonEmpty)
+        throw new IllegalStateException(
+          s"onlineNearDupStep: batch min id ${bad.head.get(1)} <= store max " +
+            s"id ${bad.head.get(0)} — micro-batches must arrive in " +
+            "ascending id ranges (the ingest-order contract; 'earlier doc' " +
+            "would silently invert). Replays/backfills use the batch face")
+    }
     val within = graft.ops.Dedup.onlineNearDupLog(batch, idCol, textCol,
       shingleSize, numBands, rowsPerBand, threshold)
     val log = store match {
@@ -677,6 +708,21 @@ object StreamOps {
       rules: Seq[graft.ops.FieldRule],
       threshold: Long,
       maxPairsPerRecord: Double = 1000.0): (DataFrame, DataFrame) = {
+    // the one-shot identity assumes batch ids are NEW: a replayed id would
+    // ride the incremental join as both an old and a new row, so its pairs
+    // with other new records generate TWICE (once per orientation arm) and
+    // the fold's union no longer equals linkPairs on the concatenated
+    // corpus. Enforced with one bounded semi-join count per step (r12
+    // streaming review) — fail loud, never silently double-score.
+    store.foreach { st =>
+      val replayed = batch.select(col(idCol))
+        .join(st.select(col(idCol)), Seq(idCol), "left_semi").head(1)
+      if (replayed.nonEmpty)
+        throw new IllegalStateException(
+          s"onlineLinkStep: batch id ${replayed.head.get(0)} already exists " +
+            "in the store — batches must carry NEW ids only (a replay would " +
+            "double-generate its pairs). Deduplicate the ingest upstream")
+    }
     val pairs = store match {
       case None =>
         graft.ops.RecordLinkage.linkPairs(batch, idCol, blockKeys, rules,

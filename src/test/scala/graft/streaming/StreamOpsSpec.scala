@@ -655,6 +655,69 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(streamed.find(_._1 == 2L).get._2 == 0L)
   }
 
+  test("ingest store contracts fail loud: out-of-order near-dup, replayed link ids") {
+    import graft.ops.{ExactField, FuzzyStringField, NumericField}
+    // near-dup: batch ids must exceed every store id (the 'earlier doc'
+    // contract); a replay/backfill must be rejected, not silently inverted
+    val d1 = Seq((10L, "some document text here"), (11L, "other text entirely"))
+      .toDF("doc_id", "text")
+    val (_, store) = StreamOps.onlineNearDupStep(d1, None, "doc_id", "text")
+    val replay = Seq((10L, "some document text here")).toDF("doc_id", "text")
+    val e1 = intercept[IllegalStateException](
+      StreamOps.onlineNearDupStep(replay, Some(store), "doc_id", "text"))
+    assert(e1.getMessage.contains("ascending"), e1.getMessage)
+    // an in-order batch still folds
+    val next = Seq((12L, "fresh content never seen")).toDF("doc_id", "text")
+    val (log2, _) = StreamOps.onlineNearDupStep(next, Some(store), "doc_id", "text")
+    assert(log2.count() == 1)
+    // linkage: a batch id already in the store would double-generate its
+    // pairs through both orientation arms of the incremental join
+    val rules = Seq(
+      FuzzyStringField("name", col("nm"), maxEdit = 1, 30L, -20L),
+      ExactField("segment", col("seg"), 10L, -15L),
+      NumericField("balance", col("bal"), 0.01, 20L, -10L))
+    val b1 = Seq((1L, "b1", "alice smith", "A", 10.0))
+      .toDF("id", "blk", "nm", "seg", "bal")
+    val (_, lstore) = StreamOps.onlineLinkStep(b1, None, "id", Seq(col("blk")),
+      rules, 45L)
+    val b2 = Seq((1L, "b1", "alice smith", "A", 10.0),
+      (2L, "b1", "alice smyth", "A", 10.005))
+      .toDF("id", "blk", "nm", "seg", "bal")
+    val e2 = intercept[IllegalStateException](
+      StreamOps.onlineLinkStep(b2, Some(lstore), "id", Seq(col("blk")), rules, 45L))
+    assert(e2.getMessage.contains("NEW ids"), e2.getMessage)
+  }
+
+  test("sessionize state is O(1) and merges endpoints across micro-batches") {
+    // the summary must come out identical whether a user's events arrive
+    // in one micro-batch or many — the SessionAcc endpoint merge replaced
+    // an unbounded event buffer (r12 streaming review), so cross-batch
+    // accumulation is the path to pin
+    import StreamOps._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(s: Int) = new java.sql.Timestamp(t0.getTime + s * 1000L)
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[SessionEvent]
+    val out = sessionize(input.toDS(), gapSeconds = 1)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("sessions_acc")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("200 milliseconds"))
+      .start()
+    // batch 1: the MIDDLE of the session; batch 2: both endpoints — the
+    // merged summary must use event-time endpoints, not arrival order
+    input.addData(SessionEvent(7L, ts(50), "mid"))
+    Thread.sleep(300)
+    input.addData(SessionEvent(7L, ts(90), "last"), SessionEvent(7L, ts(10), "first"))
+    val deadline = System.currentTimeMillis() + 60000
+    while (spark.table("sessions_acc").count() < 1 && System.currentTimeMillis() < deadline)
+      Thread.sleep(250)
+    q.stop()
+    val s = spark.table("sessions_acc").as[SessionSummary].collect().head
+    assert(s.user_id == 7L && s.n_events == 3, s.toString)
+    assert(s.first_type == "first" && s.last_type == "last", s.toString)
+    assert(s.duration_seconds == 80, s.toString)
+  }
+
   test("online record linkage: fold == one-shot, through a real foreachBatch drive") {
     import org.apache.spark.sql.{DataFrame, Row}
     import graft.ops.{ExactField, FuzzyStringField, NumericField, RecordLinkage}
