@@ -106,6 +106,34 @@ private[graft] object EntryDedup {
         isNew = col("rec_id") >= 1000000L,
         Seq(col("c_nationkey"), col("c_mktsegment")), erRules, threshold = 45L)
     }),
+    "er_ab_pairs" -> ((s, dir) => {
+      // cross-TABLE linkage: the base customers as source A, the dirty
+      // copies as source B with their ORIGINAL ids — the colliding-id-space
+      // setting the self-join form can only dodge with the +1e6 offset
+      // hack. The matched class releases the pair (k, k) across sources
+      // (legal here: id_a is A's namespace, id_b is B's); A-A and B-B
+      // pairs are structurally impossible. Same rules/threshold as
+      // er_link_pairs, so the released classes replay identically.
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey").cast("long").as("rec_id"), col("c_name"),
+          col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
+      val m = col("rec_id") % 28
+      val dirty = cust.filter(m.isin(3L, 10L, 17L, 24L))
+        .select(
+          col("rec_id"),
+          when(m === 10L, concat(
+            expr("substring(c_name, 1, length(c_name) - 2)"), lit("XY")))
+            .otherwise(concat(
+              expr("substring(c_name, 1, length(c_name) - 1)"), lit("X")))
+            .as("c_name"),
+          col("c_nationkey"),
+          when(m === 17L, col("c_acctbal") + 5.0)
+            .otherwise(col("c_acctbal") + 0.005).as("c_acctbal"),
+          when(m === 24L, lit("ALTERED")).otherwise(col("c_mktsegment"))
+            .as("c_mktsegment"))
+      RecordLinkage.linkPairsAB(cust, dirty, "rec_id",
+        Seq(col("c_nationkey"), col("c_mktsegment")), erRules, threshold = 45L)
+    }),
     "er_lsh_pairs" -> ((s, dir) => {
       // banded-LSH blocking over a NOISY STRING key — the scale-safe arm
       // for string keys with no exact block value and no orderable proxy
@@ -711,6 +739,44 @@ private[graft] object EntryDedup {
             SELECT id_a, id_b, name_w, segment_w, balance_w, score
             FROM scored
             WHERE id_a >= 1000000 OR id_b >= 1000000""",
+      // the A x B blocked scoring replayed: base as A, UNOFFSET dirty
+      // copies as B, same weight arms, no id canonicalization
+      "er_ab_pairs" ->
+        """WITH base AS (
+              SELECT CAST(c_custkey AS BIGINT) AS rec_id, c_name, c_nationkey,
+                     c_acctbal, c_mktsegment
+              FROM customer),
+            dirty AS (
+              SELECT b.rec_id,
+                     CASE WHEN b.rec_id % 28 = 10
+                          THEN substring(b.c_name, 1, length(b.c_name) - 2) || 'XY'
+                          ELSE substring(b.c_name, 1, length(b.c_name) - 1) || 'X'
+                     END AS c_name,
+                     b.c_nationkey,
+                     CASE WHEN b.rec_id % 28 = 17 THEN b.c_acctbal + 5.0
+                          ELSE b.c_acctbal + 0.005 END AS c_acctbal,
+                     CASE WHEN b.rec_id % 28 = 24 THEN 'ALTERED'
+                          ELSE b.c_mktsegment END AS c_mktsegment
+              FROM base b WHERE b.rec_id % 28 IN (3, 10, 17, 24)),
+            mw AS (
+              SELECT a.rec_id AS id_a, b.rec_id AS id_b,
+                     CASE WHEN a.c_name IS NULL OR b.c_name IS NULL THEN 0
+                          WHEN levenshtein(a.c_name, b.c_name) <= 1 THEN 30
+                          ELSE -20 END AS name_w,
+                     CASE WHEN a.c_mktsegment IS NULL OR b.c_mktsegment IS NULL THEN 0
+                          WHEN a.c_mktsegment = b.c_mktsegment THEN 10
+                          ELSE -15 END AS segment_w,
+                     CASE WHEN a.c_acctbal IS NULL OR b.c_acctbal IS NULL THEN 0
+                          WHEN abs(a.c_acctbal - b.c_acctbal) <= 0.01 THEN 20
+                          ELSE -10 END AS balance_w
+              FROM base a JOIN dirty b
+                ON a.c_nationkey = b.c_nationkey
+               AND a.c_mktsegment = b.c_mktsegment)
+            SELECT id_a, id_b, CAST(name_w AS BIGINT) AS name_w,
+                   CAST(segment_w AS BIGINT) AS segment_w,
+                   CAST(balance_w AS BIGINT) AS balance_w,
+                   CAST(name_w + segment_w + balance_w AS BIGINT) AS score
+            FROM mw WHERE name_w + segment_w + balance_w >= 45""",
       // the whole LSH blocking pipeline replayed: the fixture's md5-hex
       // key + 1-char dirty edit, char trigrams, md5 shingle hashes,
       // linear-congruential permutation minima (the same fixed literals),

@@ -105,6 +105,64 @@ object RecordLinkage {
       rules, threshold)
   }
 
+  /** Cross-TABLE record linkage: scored A x B pairs under the same
+    * equi-blocking + Fellegi-Sunter tail as [[linkPairs]], for the
+    * two-source setting (a customer file vs a vendor feed) where the
+    * self-join form is wrong twice over — A-A and B-B pairs must never
+    * score, and the two id spaces may collide, which the union-then-self-
+    * link workaround can only dodge with an offset hack. Ids stay in their
+    * own namespaces (`id_a` always from A, `id_b` always from B, no
+    * canonicalization, no `id_a < id_b` filter — it would silently drop
+    * cross-source pairs on colliding ids). The volume guard is the exact
+    * cross count `sum over blocks of nA*nB` against
+    * `maxPairsPerRecord * (|A| + |B|)`, NULL block keys excluded on both
+    * sides (they never equi-join). `blockKeys`/`rules` are column
+    * expressions resolved against EACH input, so both frames must carry
+    * the referenced columns. */
+  def linkPairsAB(dfA: DataFrame, dfB: DataFrame, idCol: String,
+      blockKeys: Seq[Column], rules: Seq[FieldRule], threshold: Long,
+      maxPairsPerRecord: Double = 1000.0): DataFrame = {
+    require(blockKeys.nonEmpty, "at least one block key is required " +
+      "(an unblocked A x B join is the full cartesian product)")
+    validateRules(rules, checkWeights = true)
+    val blkNames = blockKeys.indices.map(i => s"__er_blk_$i")
+    val fldNames = rules.map(r => s"__er_f_${r.name}")
+    def proj(df: DataFrame) = df.select(
+      col(idCol).as("__er_id") +:
+        (blockKeys.zip(blkNames).map { case (c, n) => c.as(n) } ++
+          rules.zip(fldNames).map { case (r, n) => r.column.as(n) }): _*)
+      .localCheckpoint(false) // guard histogram + join side share one scan
+    val pa = proj(dfA)
+    val pb = proj(dfB)
+    if (maxPairsPerRecord.isFinite) {
+      val notNull = blkNames.map(col(_).isNotNull).reduce(_ && _)
+      def hist(p: DataFrame, n: String) = p.filter(notNull)
+        .groupBy(blkNames.map(col): _*).agg(count(lit(1)).as(n))
+      val row = hist(pa, "na").join(hist(pb, "nb"), blkNames.toSeq, "full_outer")
+        .agg(
+          coalesce(sum((coalesce(col("na"), lit(0L)) *
+            coalesce(col("nb"), lit(0L))).cast("double")), lit(0.0)).as("pairs"),
+          coalesce(sum(col("na")), lit(0L)).as("ra"),
+          coalesce(sum(col("nb")), lit(0L)).as("rb")).head()
+      val pairs: Double = row.getDouble(0)
+      val n: Long = row.getLong(1) + row.getLong(2)
+      if (n > 0 && pairs > maxPairsPerRecord * n) throw new IllegalStateException(
+        f"linkPairsAB: $pairs%.3g cross candidate pairs over $n records " +
+          f"(${pairs / n}%.0f/record) exceeds maxPairsPerRecord=" +
+          f"$maxPairsPerRecord%.0f — the hottest blocks are too coarse. Use " +
+          "finer (or composite) block keys, or raise the cap deliberately")
+    }
+    val l = pa.select(pa.columns.map(c => col(c).as(s"${c}_a")): _*)
+    val r = pb.select(pb.columns.map(c => col(c).as(s"${c}_b")): _*)
+    val joinCond = blkNames.map(n => col(s"${n}_a") === col(s"${n}_b"))
+      .reduce(_ && _)
+    scorePairs(
+      l.join(r, joinCond)
+        .withColumnRenamed("__er_id_a", "id_a")
+        .withColumnRenamed("__er_id_b", "id_b"),
+      rules, threshold)
+  }
+
   /** Multi-pass blocking — the standard answer to single-key blocking's
     * coverage holes (a NULL or typo'd block key hides a record from every
     * pair of that pass): each pass contributes the same-block id pairs of

@@ -67,6 +67,46 @@ class RecordLinkageSpec extends AnyFunSuite {
     assert(n == 40L * 39 / 2)
   }
 
+  test("cross-table linkage: A x B only, colliding id spaces, guard, null keys") {
+    // id 1 exists in BOTH sources (colliding namespaces) — the AB form
+    // must pair A's 1 with B's 1 without any offset hack, and must NEVER
+    // emit the A-A pair (1, 2) even though both sit in block b1
+    val a = Seq(
+      (1L, "b1", "alice smith", "A", 10.0),
+      (2L, "b1", "alice smitt", "A", 10.002),
+      (9L, null.asInstanceOf[String], "alice smith", "A", 10.0)
+    ).toDF("id", "blk", "nm", "seg", "bal")
+    val b = Seq(
+      (1L, "b1", "alice smyth", "A", 10.005), // B's id 1: true match of A's 1
+      (7L, "b1", "zzz totally", "B", 99.0),
+      (8L, null.asInstanceOf[String], "alice smith", "A", 10.0)
+    ).toDF("id", "blk", "nm", "seg", "bal")
+    val all = RecordLinkage.linkPairsAB(a, b, "id", Seq(col("blk")), rules,
+      threshold = Long.MinValue)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(5))).toMap
+    // every pair is (A id, B id): exactly {1,2} x {1,7}; null keys never join
+    assert(all.keySet == Set((1L, 1L), (1L, 7L), (2L, 1L), (2L, 7L)),
+      all.keySet.toString)
+    assert(all((1L, 1L)) == 60L) // cross-source full agreement
+    // threshold release: only the true cross-source match survives
+    // (levenshtein(smitt, smyth) = 2, so (2, 1) scores 10 and drops)
+    assert(RecordLinkage.linkPairsAB(a, b, "id", Seq(col("blk")), rules, 45L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 1L)))
+    // cross-volume guard: a hot block of 40 x 40 trips a 10/record cap
+    val pileA = (1L to 40L).map(i => (i, "hot", s"a$i", "A", 1.0))
+      .toDF("id", "blk", "nm", "seg", "bal")
+    val pileB = (1L to 40L).map(i => (i, "hot", s"b$i", "A", 1.0))
+      .toDF("id", "blk", "nm", "seg", "bal")
+    val e = intercept[IllegalStateException] {
+      RecordLinkage.linkPairsAB(pileA, pileB, "id", Seq(col("blk")), rules,
+        threshold = 0L, maxPairsPerRecord = 10.0)
+    }
+    assert(e.getMessage.contains("finer"), e.getMessage)
+    // 40*40 = 1600 pairs over 80 records = 20/record: passes at cap 20
+    assert(RecordLinkage.linkPairsAB(pileA, pileB, "id", Seq(col("blk")),
+      rules, threshold = Long.MinValue, maxPairsPerRecord = 20.0).count() == 1600L)
+  }
+
   test("volume guard ignores NULL block keys (they never join)") {
     // 40 null-block rows would contribute 780 phantom pairs to a naive
     // guard; the join generates exactly ONE candidate pair (ids 100/101)
