@@ -472,6 +472,15 @@ private[graft] object EntryDP {
         InRange("chars_100_600", col("n_chars"), 100.0, 600.0),
         ContainedIn("lang_domain", col("lang"), Seq("en", "de", "fr", "es"))))
     }),
+    "dq_profile" -> ((s, dir) => {
+      // column profiling (the Deequ ColumnProfiler shape): exact
+      // row/null/distinct counts per column plus floor-integerized
+      // numeric extremes and lexicographic string extremes — the
+      // "what should I even check" report. One melt + two-phase
+      // aggregation; every output exact.
+      DataQuality.profileColumns(s.read.parquet(s"$dir/customer.parquet"),
+        Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"))
+    }),
     "stats_k_anonymity" -> ((s, dir) => {
       // pre-release anonymity audit: per threshold k, equivalence classes
       // (event_type, day) with < k members / < k distinct users — the
@@ -1263,6 +1272,34 @@ private[graft] object EntryDP {
            UNION ALL SELECT source, 1, 'doc_id_unique', 'unique', n_rows, v1, v1 <= 0 FROM m
            UNION ALL SELECT source, 2, 'chars_100_600', 'in_range', n_rows, v2, v2 <= 0 FROM m
            UNION ALL SELECT source, 3, 'lang_domain', 'contained_in', n_rows, v3, v3 <= 0 FROM m""",
+      // the melt + two-phase profile replayed: one UNION ALL arm per
+      // profiled column, value histogram, then the same final aggregates
+      "dq_profile" ->
+        """WITH m AS (
+             SELECT 'c_custkey' AS column_name, 'bigint' AS dtype,
+                    CAST(NULL AS VARCHAR) AS sval,
+                    CAST(floor(CAST(c_custkey AS DOUBLE)) AS BIGINT) AS nval
+             FROM customer
+             UNION ALL SELECT 'c_name', 'string', c_name, NULL FROM customer
+             UNION ALL SELECT 'c_nationkey', 'int', NULL,
+                    CAST(floor(CAST(c_nationkey AS DOUBLE)) AS BIGINT) FROM customer
+             UNION ALL SELECT 'c_acctbal', 'double', NULL,
+                    CAST(floor(c_acctbal) AS BIGINT) FROM customer
+             UNION ALL SELECT 'c_mktsegment', 'string', c_mktsegment, NULL FROM customer),
+           g AS (SELECT column_name, dtype, sval, nval, count(*) AS c
+                 FROM m GROUP BY 1, 2, 3, 4)
+           SELECT column_name, dtype,
+                  CAST(sum(c) AS BIGINT) AS n_rows,
+                  CAST(coalesce(sum(CASE WHEN sval IS NULL AND nval IS NULL
+                        THEN c END), 0) AS BIGINT) AS n_null,
+                  CAST(count(CASE WHEN sval IS NOT NULL OR nval IS NOT NULL
+                        THEN 1 END) AS BIGINT) AS n_distinct,
+                  CAST(coalesce(min(nval), 0) AS BIGINT) AS min_long,
+                  CAST(coalesce(max(nval), 0) AS BIGINT) AS max_long,
+                  CAST(coalesce(sum(nval * c), 0) AS BIGINT) AS sum_long,
+                  coalesce(min(sval), '') AS min_str,
+                  coalesce(max(sval), '') AS max_str
+           FROM g GROUP BY 1, 2""",
       "stats_k_anonymity" ->
         """WITH c AS (
              SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,

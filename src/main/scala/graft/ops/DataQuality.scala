@@ -150,4 +150,65 @@ object DataQuality {
         col("r.kind"), col("n_rows"), col("r.n_violations"),
         (col("r.n_violations") <= maxViolations).as("passed")): _*)
   }
+
+  /** Column profiling — the Deequ-ColumnProfiler analog that tells a user
+    * what to even CHECK: one report row per profiled column with exact
+    * counts (rows, nulls, distinct non-null PROFILED values — for
+    * numerics that is distinct after the floor() integerization, the
+    * representation the exact report is built on) plus type-appropriate
+    * extremes — floor()-integerized min/max/sum for numeric columns
+    * (exact BIGINTs: order-free, engine-replayable — float mean/stddev
+    * deliberately stay OUT of the exact report), lexicographic min/max
+    * for string columns. Mixed engines format floats differently, so
+    * numerics never surface through the string fields and vice versa.
+    *
+    * Plan shape: the profiled columns are MELTED to (column, sval, nval)
+    * rows — k rows per input row — then ONE two-phase aggregation:
+    * groupBy (column, value) for exact distincts with map-side combine,
+    * then groupBy column for the report. Linear in k·rows with thin
+    * shuffle rows; the alternative (one multi-distinct aggregate over k
+    * columns) plans a k-way EXPAND — the same row multiplication —
+    * without the reusable value histogram. Profiling cost is k scans'
+    * worth of shuffle on a table you are about to audit anyway. */
+  def profileColumns(df: DataFrame, columns: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types._
+    require(columns.nonEmpty, "at least one column to profile")
+    require(columns.distinct.size == columns.size, "duplicate profile columns")
+    val fields = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    columns.foreach(c => require(fields.contains(c),
+      s"profileColumns: no column '$c' in ${df.columns.mkString(", ")}"))
+    val melted = df.select(explode(array(columns.map { c =>
+      val (sv, nv) = fields(c) match {
+        case _: NumericType =>
+          (lit(null).cast("string"),
+            floor(col(c).cast("double")).cast("long"))
+        case StringType => (col(c), lit(null).cast("long"))
+        case dt => throw new IllegalArgumentException(
+          s"profileColumns: unsupported type $dt for '$c' — profile " +
+            "numeric and string columns (cast or extract upstream)")
+      }
+      struct(lit(c).as("column_name"), sv.as("sval"), nv.as("nval"),
+        lit(fields(c).simpleString).as("dtype"))
+    }: _*)).as("m")).select(col("m.*"))
+    melted
+      .groupBy(col("column_name"), col("dtype"), col("sval"), col("nval"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col("column_name"), col("dtype"))
+      .agg(
+        sum(col("__c")).cast("long").as("n_rows"),
+        coalesce(sum(when(col("sval").isNull && col("nval").isNull,
+          col("__c"))), lit(0L)).cast("long").as("n_null"),
+        count(when(col("sval").isNotNull || col("nval").isNotNull, lit(1)))
+          .cast("long").as("n_distinct"),
+        // sentinels instead of NULLs for the other type's fields (an
+        // all-NULL column breaks exact hash comparison downstream and a
+        // profiler consumer reads fields per dtype anyway): numeric
+        // fields are 0 for string columns, string fields '' for numeric
+        coalesce(min(col("nval")), lit(0L)).as("min_long"),
+        coalesce(max(col("nval")), lit(0L)).as("max_long"),
+        coalesce(sum(col("nval") * col("__c")), lit(0L)).cast("long")
+          .as("sum_long"),
+        coalesce(min(col("sval")), lit("")).as("min_str"),
+        coalesce(max(col("sval")), lit("")).as("max_str"))
+  }
 }

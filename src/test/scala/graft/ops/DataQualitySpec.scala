@@ -74,4 +74,43 @@ class DataQualitySpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       DataQuality.verify(df, checks, maxViolations = -1L))
   }
+
+  test("profileColumns: exact counts, typed extremes, sentinels, validation") {
+    val pdf = Seq(
+      (Some(3L), Some(2.7), Some("beta")),
+      (Some(1L), Some(-1.2), Some("alpha")),
+      (Some(3L), None, None),
+      (None, Some(9.9), Some("alpha"))
+    ).toDF("num", "dbl", "str")
+    val prof = DataQuality.profileColumns(pdf, Seq("num", "dbl", "str"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val num = prof("num")
+    assert(num.getString(1) == "bigint")
+    assert(num.getLong(2) == 4 && num.getLong(3) == 1) // n_rows, n_null
+    assert(num.getLong(4) == 2)                        // distinct {1, 3}
+    assert(num.getLong(5) == 1 && num.getLong(6) == 3) // min, max
+    assert(num.getLong(7) == 7)                        // sum 3+1+3
+    assert(num.getString(8) == "" && num.getString(9) == "") // sentinels
+    val dbl = prof("dbl")
+    // floor integerization: {2, -2, 9}; distinct 3; sum 9
+    assert(dbl.getString(1) == "double")
+    assert(dbl.getLong(3) == 1 && dbl.getLong(4) == 3)
+    assert(dbl.getLong(5) == -2 && dbl.getLong(6) == 9 && dbl.getLong(7) == 9)
+    val str = prof("str")
+    assert(str.getString(1) == "string")
+    assert(str.getLong(3) == 1 && str.getLong(4) == 2) // null; {alpha, beta}
+    assert(str.getString(8) == "alpha" && str.getString(9) == "beta")
+    assert(str.getLong(5) == 0 && str.getLong(6) == 0 && str.getLong(7) == 0)
+    intercept[IllegalArgumentException](
+      DataQuality.profileColumns(pdf, Seq.empty))
+    intercept[IllegalArgumentException](
+      DataQuality.profileColumns(pdf, Seq("num", "num")))
+    intercept[IllegalArgumentException](
+      DataQuality.profileColumns(pdf, Seq("nope")))
+    // unsupported type fails loud, naming the column
+    val arr = Seq((1L, Seq(1.0))).toDF("id", "vec")
+    val e = intercept[IllegalArgumentException](
+      DataQuality.profileColumns(arr, Seq("vec")))
+    assert(e.getMessage.contains("vec"), e.getMessage)
+  }
 }
