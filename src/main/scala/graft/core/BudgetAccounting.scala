@@ -175,13 +175,16 @@ final class NaiveBudgetAccountant(
   * by O(h) after long compositions (h = `pldDiscretization`), unlike a
   * ceil-binned PLD whose estimate is a strict upper bound. This matches the
   * accuracy class of Google's dp_accounting default; callers needing a
-  * certified upper bound should subtract a safety margin of ~h from
-  * totalEpsilon. */
+  * CERTIFIED upper bound pass `pessimistic = true`, which rounds every
+  * loss UP to the grid (the dp_accounting `pessimistic_estimate`
+  * direction) so the resolved noise stds are guaranteed sufficient —
+  * at O(h) bias per mechanism instead of O(h^2). */
 final class PLDBudgetAccountant(
     totalEpsilon: Double,
     totalDelta: Double,
     val pldDiscretization: Double = 1e-4,
-    numAggregations: Option[Int] = None
+    numAggregations: Option[Int] = None,
+    val pessimistic: Boolean = false
 ) extends BudgetAccountant(totalEpsilon, totalDelta, numAggregations) {
   import MechanismType._
 
@@ -247,9 +250,9 @@ final class PLDBudgetAccountant(
     val mechStd = h.sensitivity * base / h.weight
     h.mechanismType match {
       case Laplace | LaplaceThresholding =>
-        PLD.fromLaplace(mechStd / sqrt2, pldDiscretization)
+        PLD.fromLaplace(mechStd / sqrt2, pldDiscretization, pessimistic)
       case Gaussian | GaussianThresholding =>
-        PLD.fromGaussian(mechStd, pldDiscretization)
+        PLD.fromGaussian(mechStd, pldDiscretization, pessimistic)
       case PartitionSelection =>
         val eps0 = sqrt2 / mechStd
         val delta0 = eps0 / totalEpsilon * totalDelta
@@ -258,7 +261,7 @@ final class PLDBudgetAccountant(
           // tiny noise candidate: that candidate is infeasible, not a
           // constructor-contract violation
           PLD.alwaysInfeasible(pldDiscretization)
-        else PLD.fromPrivacyParameters(eps0, delta0, pldDiscretization)
+        else PLD.fromPrivacyParameters(eps0, delta0, pldDiscretization, pessimistic)
     }
   }
 

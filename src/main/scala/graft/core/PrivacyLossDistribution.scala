@@ -179,11 +179,34 @@ object PLD {
     pmf
   }
 
+  /** PESSIMISTIC binning: each inter-grid interval's mass moves whole to
+    * its UPPER endpoint (losses rounded UP), so every computed delta(eps) —
+    * and therefore epsilonForDelta and any noise std calibrated from it —
+    * is a certified UPPER bound of the true value (the direction Google's
+    * dp_accounting uses by default, `pessimistic_estimate=True`). Costs
+    * O(h) bias per mechanism where mean-preserving costs O(h^2); use it
+    * when a certified guarantee matters more than tightness. */
+  private def binPessimistic(
+      h: Double, iLo: Int, iHi: Int,
+      massFn: (Double, Double) => Double): Array[Double] = {
+    val pmf = new Array[Double](iHi - iLo + 1)
+    var i = iLo
+    while (i < iHi) {
+      val m = massFn(i * h, (i + 1) * h)
+      if (m > 0) pmf(i + 1 - iLo) += m
+      i += 1
+    }
+    // mass at or below the lowest grid point rounds UP onto it (safe:
+    // moving loss up only overestimates)
+    pmf(0) += massFn(Double.NegativeInfinity, iLo * h)
+    pmf
+  }
+
   /** PLD of the Laplace mechanism with parameter b at unit sensitivity.
     * Loss support is [-1/b, 1/b]; continuous density c e^(l/2) with
     * c = e^(-1/(2b))/4 inside, atoms at the endpoints (mass 1/2 at +1/b,
     * e^(-1/b)/2 at -1/b). */
-  def fromLaplace(b: Double, h: Double): PLD = {
+  def fromLaplace(b: Double, h: Double, pessimistic: Boolean = false): PLD = {
     require(b > 0 && h > 0)
     val maxLoss = 1.0 / b
     val c = math.exp(-1.0 / (2 * b)) / 4
@@ -207,7 +230,9 @@ object PLD {
     val cap = defaultCap(h)
     val iLo = math.max(math.floor(-maxLoss / h), math.floor(-cap / h)).toInt
     val iHi = math.min(math.ceil(maxLoss / h), math.ceil(cap / h)).toInt
-    val pmf = binMeanPreserving(h, iLo, iHi, massFn, meanFn)
+    val pmf =
+      if (pessimistic) binPessimistic(h, iLo, iHi, massFn)
+      else binMeanPreserving(h, iLo, iHi, massFn, meanFn)
     val inf = infinityMassOf(pmf) // mass above the cap (1/b > cap)
     new PLD(h, iLo, pmf, inf, cap)
   }
@@ -215,7 +240,7 @@ object PLD {
   /** PLD of the Gaussian mechanism with stddev sigma at unit sensitivity:
     * L ~ N(mu, 2 mu) with mu = 1/(2 sigma^2). Tails beyond 7.8 stddevs
     * (< 4e-15 mass) collapse onto the extreme grid points. */
-  def fromGaussian(sigma: Double, h: Double): PLD = {
+  def fromGaussian(sigma: Double, h: Double, pessimistic: Boolean = false): PLD = {
     require(sigma > 0 && h > 0)
     val mu = 1.0 / (2 * sigma * sigma)
     val std = math.sqrt(2 * mu)
@@ -239,7 +264,9 @@ object PLD {
       // bracketing; they are infeasible, not an error (a negative-size
       // pmf allocation crashed here before)
       return alwaysInfeasible(h)
-    val pmf = binMeanPreserving(h, iLo, iHi, massFn, meanFn)
+    val pmf =
+      if (pessimistic) binPessimistic(h, iLo, iHi, massFn)
+      else binMeanPreserving(h, iLo, iHi, massFn, meanFn)
     val inf = infinityMassOf(pmf)
     new PLD(h, iLo, pmf, inf, cap)
   }
@@ -248,7 +275,8 @@ object PLD {
     * response-shaped distribution — with prob delta0 the loss is infinite,
     * else +eps0 with prob e^eps0/(1+e^eps0) and -eps0 with prob 1/(1+e^eps0)
     * (reference: budget_accounting.py:733-747 from_privacy_parameters). */
-  def fromPrivacyParameters(eps0: Double, delta0: Double, h: Double): PLD = {
+  def fromPrivacyParameters(eps0: Double, delta0: Double, h: Double,
+      pessimistic: Boolean = false): PLD = {
     require(eps0 > 0 && delta0 >= 0 && delta0 < 1 && h > 0)
     val cap = defaultCap(h)
     // clamp the support BEFORE allocating: a huge eps0 (tiny noise candidate
@@ -257,13 +285,17 @@ object PLD {
     val iHi = math.ceil(bounded / h).toInt
     val iLo = math.floor(-bounded / h).toInt
     val pmf = new Array[Double](iHi - iLo + 1)
-    def atomSplit(l: Double, m: Double): Unit = {
-      // mean-preserving split of an off-grid atom onto its two neighbors
-      val iF = math.floor(l / h).toInt
-      val w = l / h - iF
-      pmf(iF - iLo) += m * (1 - w)
-      if (w > 0) pmf(iF + 1 - iLo) += m * w
-    }
+    def atomSplit(l: Double, m: Double): Unit =
+      if (pessimistic) {
+        // round the atom's loss UP to the grid (certified direction)
+        pmf(math.min(iHi, math.ceil(l / h).toInt) - iLo) += m
+      } else {
+        // mean-preserving split of an off-grid atom onto its two neighbors
+        val iF = math.floor(l / h).toInt
+        val w = l / h - iF
+        pmf(iF - iLo) += m * (1 - w)
+        if (w > 0) pmf(iF + 1 - iLo) += m * w
+      }
     val p = 1.0 / (1 + math.exp(eps0))
     var inf = delta0
     atomSplit(-bounded, (1 - delta0) * p)

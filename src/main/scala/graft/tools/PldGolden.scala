@@ -10,7 +10,9 @@ object PldGolden {
   def main(args: Array[String]): Unit = {
     def run(name: String, eps: Double, delta: Double, expected: Double,
         ms: Seq[(Int, MechanismType, Double, Double)]): Unit = {
-      val acc = new PLDBudgetAccountant(eps, delta, pldDiscretization = 1e-2)
+      val pess = sys.env.get("PLD_PESSIMISTIC").contains("1")
+      val acc = new PLDBudgetAccountant(eps, delta, pldDiscretization = 1e-2,
+        pessimistic = pess)
       val hs = ms.map { case (c, t, w, s) =>
         acc.requestBudget(t, weight = w, count = c, sensitivity = s)
       }

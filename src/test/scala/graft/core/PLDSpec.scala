@@ -242,6 +242,57 @@ class PLDBudgetAccountantSpec extends AnyFunSuite {
     assert(math.abs(2 * epsPerUse - 3.0) < 1e-9, s"spent=${2 * epsPerUse}")
   }
 
+  test("pessimistic mode: certified direction, reference-exact generic values") {
+    // pessimistic binning rounds every loss UP: epsilon estimates (and the
+    // resolved noise) must DOMINATE both the analytic value and the
+    // mean-preserving estimate — the certified direction
+    for ((sigma, delta) <- Seq((3.0, 1e-6), (1.5, 1e-4))) {
+      val eps = PLD.fromGaussian(sigma, 1e-3, pessimistic = true)
+        .epsilonForDelta(delta)
+      assert(eps >= DpNoise.gaussianEpsilon(sigma, delta) - 1e-12,
+        s"sigma=$sigma eps=$eps")
+    }
+    assert(PLD.fromLaplace(1.0, 1e-3, pessimistic = true).epsilonForDelta(0)
+      >= 1.0 - 1e-12)
+    // the GENERIC construction has atom support, so pessimistic rounding
+    // reproduces the reference's pldlib values essentially exactly
+    // (budget_accounting_test.py "generic": 6.41455078125,
+    // "generic_multiple": 6.71649169921875; measured diffs < 4e-4)
+    def accP(eps: Double, delta: Double, count: Int): Double = {
+      val a = new PLDBudgetAccountant(eps, delta, pldDiscretization = 1e-2,
+        pessimistic = true)
+      a.requestBudget(MechanismType.PartitionSelection, count = count)
+      a.computeBudgets()
+      a.baseNoiseStd.get
+    }
+    assert(math.abs(accP(0.22999925338484556, 1e-5, 1) - 6.41455078125) < 1e-3)
+    assert(math.abs(accP(0.6599974547358093, 1e-5, 3) - 6.71649169921875) < 1e-3)
+    // continuous mechanisms: plain ceil-binning is certified but LOOSE at
+    // coarse h (O(h) bias inflates a 10-fold composition's epsilon when
+    // per-mechanism losses are only a few grid cells wide); at the default
+    // fine discretization the certified base lands within 1% of the
+    // reference value while still dominating the mean-preserving base
+    def accLap(pess: Boolean, h: Double): Double = {
+      val a = new PLDBudgetAccountant(0.168, 1e-3, pldDiscretization = h,
+        pessimistic = pess)
+      a.requestBudget(Laplace, count = 10)
+      a.computeBudgets()
+      a.baseNoiseStd.get
+    }
+    val certified = accLap(pess = true, 1e-4)
+    val tight = accLap(pess = false, 1e-4)
+    assert(certified >= tight - 1e-12, s"$certified vs $tight")
+    // at fine h the certified base converges to the tight one (O(h) bias)
+    assert(certified <= tight * 1.02, s"certified=$certified tight=$tight")
+    // at the REFERENCE's h (1e-2), plain-ceil certified must dominate the
+    // reference's own (connect-the-dots pessimistic) 49.872 — same h, same
+    // direction, looser construction. NOTE the reference value carries its
+    // h=1e-2 pessimism: the true minimum is the fine-h `tight` (~49.3),
+    // which is why the golden test above compares mean-preserving@1e-2 to
+    // 49.872 and THIS test never compares across discretizations.
+    assert(accLap(pess = true, 1e-2) >= 49.872 - 1e-9)
+  }
+
   test("resolved base satisfies the reduced-delta budget when thresholding reserves delta") {
     // regression for the doubling-loop fix: the bracketing must verify the
     // upper candidate against totalDelta MINUS the 25% thresholding
