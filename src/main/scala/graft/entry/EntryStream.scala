@@ -134,6 +134,21 @@ private[graft] object EntryStream {
           countDistinct(when(col("conv_id").isNull, col("click_id")))
             .as("n_abandoned"))
     }),
+    "ss_dp_continual" -> ((s, dir) => {
+      // continual-observation DP counter (binary-tree mechanism): the
+      // running per-type count released at EVERY day tick of the 32-day
+      // horizon, one Laplace draw per dyadic node. Zero-noise + a
+      // non-binding per-tick cap => the released prefix equals the exact
+      // running count, which the oracle replays as a window sum over the
+      // full generated tick grid (empty ticks release too — that is the
+      // mechanism's contract). Day tick = days since 2024-01-01 (the
+      // generator's epoch); 19723 = that date's epoch day.
+      graft.streaming.StreamOps.dpContinualCount(
+        events(s, dir), pidCol = "user_id",
+        tickCol = expr("(ts div 86400000000000) - 19723"),
+        keyCols = Seq("event_type"), horizon = 32, epsilon = 1.0,
+        maxPerTick = 1000000L, noise = graft.core.NoiseSource.Zero)
+    }),
     "ss_dp_count" -> ((s, dir) => {
       // streaming DP windowed count (per-release budget): per-unit
       // contribution cap -> cell sum -> Laplace noise, the SAME chained-
@@ -226,6 +241,23 @@ private[graft] object EntryStream {
         """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
               event_type, CAST(count(*) AS DOUBLE) AS dp_count
            FROM events GROUP BY 1, 2""",
+      // the continual release replayed: per-(type, day) exact counts,
+      // then the running sum at EVERY tick of the generated 0..31 grid
+      "ss_dp_continual" ->
+        """WITH pt AS (
+             SELECT event_type,
+                    date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS t,
+                    CAST(count(*) AS BIGINT) AS nt
+             FROM events GROUP BY 1, 2),
+           grid AS (
+             SELECT k.event_type, g.t
+             FROM (SELECT DISTINCT event_type FROM events) k
+             CROSS JOIN (SELECT unnest(range(0, 32)) AS t) g)
+           SELECT grid.t, grid.event_type,
+                  CAST(coalesce(sum(pt.nt), 0) AS DOUBLE) AS dp_prefix_count
+           FROM grid LEFT JOIN pt
+             ON pt.event_type = grid.event_type AND pt.t <= grid.t
+           GROUP BY 1, 2""",
       "ss_dp_mean" ->
         """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
               event_type,

@@ -485,6 +485,99 @@ object StreamOps {
         (col("dp_sum") / greatest(col("dp_count"), lit(1.0))).as("dp_mean"): _*)
   }
 
+  /** Continual-observation DP counter — the binary-tree mechanism (Chan,
+    * Shi & Song TISSEC'11; Dwork, Naor, Pitassi & Rothblum STOC'10):
+    * releases the RUNNING count `n([0, t])` for EVERY tick t in
+    * [0, horizon) with additive error O(log^1.5 T / eps), where composing
+    * a fresh count per tick would cost O(T) error (or O(T) budget). ONE
+    * Laplace draw per dyadic node, shared by every prefix that includes
+    * the node; prefix t reads its <= log2(T)+1 binary-decomposition nodes.
+    * This is the research-grade alternative to [[dpWindowedCount]]'s
+    * per-release model that SURVEY §2.E flags the reference cannot express
+    * at all (batch-only, no release-sequence concept).
+    *
+    * Budget semantics: a unit contributes at most `maxPerTick` rows to one
+    * tick's count (the Linf bound); one tick's data sits in exactly
+    * levels+1 nodes, so the WHOLE T-release sequence is epsilon-DP w.r.t.
+    * one unit's data within one tick (per-node Laplace scale =
+    * maxPerTick * (levels+1) / epsilon). Cross-tick composition is the
+    * caller's accounting — the same contract as every per-release
+    * operator here. Empty nodes carry noise too (the mechanism's
+    * requirement — a missing draw would disclose emptiness), which is why
+    * the node universe is generated, not observed. Ticks outside
+    * [0, horizon) fail loud in-plan. Zero noise => exact prefix counts,
+    * the SQL window-sum oracle; keys (if any) must be low-cardinality
+    * (the universe crosses keys x 2*horizon nodes).
+    *
+    * Plan shape: one bounded-contribution aggregation, one node-sum
+    * aggregation (each tick explodes to its levels+1 covering nodes), a
+    * generated node/tick universe, and one decomposition join — every
+    * stage declarative, no driver loops. */
+  def dpContinualCount(
+      events: DataFrame,
+      pidCol: String,
+      tickCol: org.apache.spark.sql.Column,
+      keyCols: Seq[String],
+      horizon: Int,
+      epsilon: Double,
+      maxPerTick: Long,
+      noise: graft.core.NoiseSource
+  ): DataFrame = {
+    require(horizon >= 2 && (horizon & (horizon - 1)) == 0,
+      s"horizon must be a power of two >= 2, got $horizon (the dyadic tree)")
+    require(epsilon > 0, s"epsilon must be positive, got $epsilon")
+    require(maxPerTick > 0, s"maxPerTick must be positive, got $maxPerTick")
+    val levels = 31 - Integer.numberOfLeadingZeros(horizon) // log2(horizon)
+    val keyCs = keyCols.map(col)
+    val u0 = tickCol.cast("long")
+    val u = when(u0.isNull || u0 < 0 || u0 >= horizon, raise_error(lit(
+        s"dpContinualCount: tick outside [0, $horizon) — widen the horizon " +
+          "(power of two) or filter the input")).cast("long"))
+      .otherwise(u0)
+    val perTick = events
+      .groupBy(col(pidCol).as("__pid") +: u.as("__t") +: keyCs: _*)
+      .agg(least(count(lit(1)), lit(maxPerTick)).as("__n"))
+      .groupBy(col("__t") +: keyCs: _*)
+      .agg(sum(col("__n")).as("__nt"))
+      .localCheckpoint(false) // node sums + key universe share one result
+    // true node sums: tick t contributes to node (l, t >> l) per level
+    val contrib = perTick
+      .withColumn("__lvl", explode(sequence(lit(0), lit(levels))))
+      .withColumn("__idx", expr("shiftright(__t, __lvl)"))
+      .groupBy(col("__lvl") +: col("__idx") +: keyCs: _*)
+      .agg(sum(col("__nt")).as("__s"))
+    // generated node universe (2*horizon-1 nodes) x observed keys: empty
+    // nodes must draw noise too
+    val spark0 = events.sparkSession
+    val nodes0 = spark0.range(0, (levels + 1).toLong).toDF("__lvl")
+      .select(col("__lvl").cast("int").as("__lvl"))
+      .withColumn("__idx", explode(expr(
+        s"sequence(0L, (CAST($horizon AS BIGINT) div shiftleft(1L, __lvl)) - 1)")))
+    val nodes =
+      if (keyCols.isEmpty) nodes0
+      else nodes0.crossJoin(broadcast(perTick.select(keyCs: _*).distinct()))
+    val b = maxPerTick.toDouble * (levels + 1) / epsilon
+    val src = noise
+    val noiseUdf = udf(() => src.laplace(b)).asNondeterministic()
+    val noisyNodes = nodes
+      .join(contrib, Seq("__lvl", "__idx") ++ keyCols, "left")
+      .select(col("__lvl") +: col("__idx") +:
+        (keyCs :+ (coalesce(col("__s"), lit(0L)) + noiseUdf()).as("__ns")): _*)
+    // every tick's prefix decomposition: level l is in the decomposition of
+    // [0, t] iff bit l of (t+1) is set; its node index is (t+1 >> l+1) * 2
+    val ticks0 = spark0.range(0, horizon.toLong).toDF("t")
+    val ticks =
+      if (keyCols.isEmpty) ticks0
+      else ticks0.crossJoin(broadcast(perTick.select(keyCs: _*).distinct()))
+    val rel = ticks
+      .withColumn("__lvl", explode(sequence(lit(0), lit(levels))))
+      .filter(expr("(shiftright(t + 1, __lvl) & 1) = 1"))
+      .withColumn("__idx", expr("shiftleft(shiftright(t + 1, __lvl + 1), 1)"))
+    rel.join(noisyNodes, Seq("__lvl", "__idx") ++ keyCols)
+      .groupBy(col("t") +: keyCs: _*)
+      .agg(sum(col("__ns")).cast("double").as("dp_prefix_count"))
+  }
+
   /** DP windowed QUANTILES — the quantile-tree combiner on a stream, under
     * the same per-release budget model as [[dpWindowedCount]]. Contribution
     * bounding must be ORDER-FREE on a stream (the batch engine's random

@@ -805,4 +805,58 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(sessions(1L).first_type == "view" && sessions(1L).last_type == "click")
     assert(sessions(2L).n_events == 1)
   }
+
+  test("continual DP counter: prefix exactness, node reuse, bounding, guards") {
+    import org.apache.spark.sql.functions._
+    // ticks 0..7 (horizon 8): per-tick counts 2, 0, 1, 3, 0, 0, 1, 0
+    val rows = Seq((1L, 0L), (2L, 0L), (1L, 2L), (1L, 3L), (2L, 3L), (3L, 3L),
+      (4L, 6L)).map { case (u, t) => (u, t, "k") }
+    val df = rows.toDF("user_id", "tick", "key")
+    val zero = StreamOps.dpContinualCount(df, "user_id", col("tick"),
+      Seq("key"), horizon = 8, epsilon = 1.0, maxPerTick = 100L,
+      noise = graft.core.NoiseSource.Zero)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // zero noise: released value at EVERY tick equals the exact prefix,
+    // including empty ticks (8 releases for 7 events)
+    val prefix = Map(0L -> 2.0, 1L -> 2.0, 2L -> 3.0, 3L -> 6.0, 4L -> 6.0,
+      5L -> 6.0, 6L -> 7.0, 7L -> 7.0)
+    assert(zero == prefix, zero.toString)
+    // node REUSE structure: with a noise source that returns a constant 1
+    // per draw, release(t) - prefix(t) = popcount(t+1) — the number of
+    // decomposition nodes — proving one draw per node shared across
+    // prefixes (a draw-per-release mechanism would add t+1 instead)
+    object ConstOne extends graft.core.NoiseSource {
+      def laplace(b: Double): Double = 1.0
+      def gaussian(sigma: Double): Double = 1.0
+      def uniform(): Double = 0.5
+    }
+    val one = StreamOps.dpContinualCount(df, "user_id", col("tick"),
+      Seq("key"), horizon = 8, epsilon = 1.0, maxPerTick = 100L,
+      noise = ConstOne)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    (0L to 7L).foreach { t =>
+      val want = prefix(t) + java.lang.Long.bitCount(t + 1)
+      assert(one(t) == want, s"t=$t got ${one(t)} want $want")
+    }
+    // contribution bounding: a unit flooding one tick contributes maxPerTick
+    val flood = (rows ++ (1 to 50).map(_ => (9L, 1L, "k"))).toDF("user_id", "tick", "key")
+    val bounded = StreamOps.dpContinualCount(flood, "user_id", col("tick"),
+      Seq("key"), horizon = 8, epsilon = 1.0, maxPerTick = 5L,
+      noise = graft.core.NoiseSource.Zero)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(bounded(1L) == prefix(1L) + 5.0, bounded.toString)
+    // guards: non-power-of-two horizon; tick outside the horizon
+    intercept[IllegalArgumentException](
+      StreamOps.dpContinualCount(df, "user_id", col("tick"), Seq("key"),
+        horizon = 12, epsilon = 1.0, maxPerTick = 5L,
+        noise = graft.core.NoiseSource.Zero))
+    val bad = Seq((1L, 9L, "k")).toDF("user_id", "tick", "key")
+    val e = intercept[Exception] {
+      StreamOps.dpContinualCount(bad, "user_id", col("tick"), Seq("key"),
+        horizon = 8, epsilon = 1.0, maxPerTick = 5L,
+        noise = graft.core.NoiseSource.Zero).collect()
+    }
+    assert(graft.spark.SparkTestSession.chainMsg(e).contains("tick outside"),
+      graft.spark.SparkTestSession.chainMsg(e).take(300))
+  }
 }
