@@ -850,10 +850,6 @@ private[graft] object EntryDP {
     import OracleFragments._
     Map(
       // the tuner's candidate grid, replayed: per histogram the 3-point
-      // constant-relative-step ladder is [1, max(2, ceilsqrt(m)), m]
-      // (dedup'd upward, last pinned to m — findCandidatesConstantRelativeStep
-      // with n = min(3, m)), ceilsqrt in exact integer arithmetic; grid is
-      // l0-major cross product, config_index = row order
       // the fixed-candidate tuning run replayed end-to-end: per-(user,
       // partition) counts, per-config dyadic keep-prob, the COUNT error
       // moments (clip, expected-drop, drop-variance), per-partition
@@ -899,6 +895,11 @@ private[graft] object EntryDP {
                    CAST(l0 AS INTEGER) AS l0, CAST(linf AS INTEGER) AS linf,
                    rmse, rk = 1 AS is_best
             FROM sel""",
+      // tune_candidates' constant-relative-step ladder is
+      // [1, max(2, ceilsqrt(m)), m] (dedup'd upward, last pinned to m —
+      // findCandidatesConstantRelativeStep with n = min(3, m)), ceilsqrt
+      // in exact integer arithmetic; grid is l0-major cross product,
+      // config_index = row order
       "tune_candidates" ->
         """WITH l0m AS (
              SELECT CAST(max(c) AS BIGINT) AS m FROM (

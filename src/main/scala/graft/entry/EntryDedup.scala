@@ -108,30 +108,15 @@ private[graft] object EntryDedup {
     }),
     "er_ab_pairs" -> ((s, dir) => {
       // cross-TABLE linkage: the base customers as source A, the dirty
-      // copies as source B with their ORIGINAL ids — the colliding-id-space
-      // setting the self-join form can only dodge with the +1e6 offset
-      // hack. The matched class releases the pair (k, k) across sources
-      // (legal here: id_a is A's namespace, id_b is B's); A-A and B-B
-      // pairs are structurally impossible. Same rules/threshold as
-      // er_link_pairs, so the released classes replay identically.
-      val cust = s.read.parquet(s"$dir/customer.parquet")
-        .select(col("c_custkey").cast("long").as("rec_id"), col("c_name"),
-          col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
-      val m = col("rec_id") % 28
-      val dirty = cust.filter(m.isin(3L, 10L, 17L, 24L))
-        .select(
-          col("rec_id"),
-          when(m === 10L, concat(
-            expr("substring(c_name, 1, length(c_name) - 2)"), lit("XY")))
-            .otherwise(concat(
-              expr("substring(c_name, 1, length(c_name) - 1)"), lit("X")))
-            .as("c_name"),
-          col("c_nationkey"),
-          when(m === 17L, col("c_acctbal") + 5.0)
-            .otherwise(col("c_acctbal") + 0.005).as("c_acctbal"),
-          when(m === 24L, lit("ALTERED")).otherwise(col("c_mktsegment"))
-            .as("c_mktsegment"))
-      RecordLinkage.linkPairsAB(cust, dirty, "rec_id",
+      // copies as source B with their ORIGINAL ids (idOffset = 0) — the
+      // colliding-id-space setting the self-join form can only dodge with
+      // the +1e6 offset hack. The matched class releases the pair (k, k)
+      // across sources (legal here: id_a is A's namespace, id_b is B's);
+      // A-A and B-B pairs are structurally impossible. Same mutation arms
+      // and rules as er_link_pairs, so the released classes replay
+      // identically.
+      val base = erBase(s, dir)
+      RecordLinkage.linkPairsAB(base, erDirtyCopies(base, 0L), "rec_id",
         Seq(col("c_nationkey"), col("c_mktsegment")), erRules, threshold = 45L)
     }),
     "er_lsh_pairs" -> ((s, dir) => {
@@ -564,66 +549,71 @@ private[graft] object EntryDedup {
     * class: 3 = all fields agree (1-char name edit, +0.005 balance, same
     * segment); 10 = 2-char name edit; 17 = +5.0 balance; 24 = segment
     * replaced. Replayed verbatim by [[erFixtureSql]]. */
-  private def erFixture(s: SparkSession, dir: String): DataFrame = {
-    // the dirty-copy id space starts at 1000000 and er_multipass (%1000000
-    // un-mask), er_incremental/ss_er (rec_id >= 1000000 == "new") all rely
-    // on base ids staying BELOW it — a scale-ladder replica set large
-    // enough to cross 1e6 (>~66 replicas at sf0.01) would silently collide,
-    // so fail loud in-plan instead (no extra action; the filter arm only
-    // evaluates on rows that would actually collide)
-    val cust = s.read.parquet(s"$dir/customer.parquet")
+  /** The guarded base customer projection shared by every ER fixture:
+    * the dirty-copy id space starts at 1000000 and er_multipass (%1000000
+    * un-mask), er_incremental/ss_er (rec_id >= 1000000 == "new") all rely
+    * on base ids staying BELOW it — a scale-ladder replica set large
+    * enough to cross 1e6 (>~66 replicas at sf0.01) would silently collide,
+    * so fail loud in-plan instead (no extra action; the filter arm only
+    * evaluates on rows that would actually collide). `withAddr` adds the
+    * LSH fixture's high-entropy address-shaped key (md5 hex of the name). */
+  private def erBase(s: SparkSession, dir: String,
+      withAddr: Boolean = false): DataFrame = {
+    val base = s.read.parquet(s"$dir/customer.parquet")
       .select(
         when(col("c_custkey").cast("long") >= 1000000L,
-          raise_error(lit("erFixture: base rec_id >= 1000000 collides with " +
+          raise_error(lit("erBase: base rec_id >= 1000000 collides with " +
             "the dirty-copy id space — shrink the input or rebase the " +
             "offset")).cast("long"))
           .otherwise(col("c_custkey").cast("long")).as("rec_id"),
         col("c_name"), col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
-    val m = col("rec_id") % 28
-    val dirty = cust.filter(m.isin(3L, 10L, 17L, 24L))
-      .select(
-        (col("rec_id") + 1000000L).as("rec_id"),
-        when(m === 10L,
-          concat(expr("substring(c_name, 1, length(c_name) - 2)"), lit("XY")))
-          .otherwise(
-            concat(expr("substring(c_name, 1, length(c_name) - 1)"), lit("X")))
-          .as("c_name"),
-        col("c_nationkey"),
-        when(m === 17L, col("c_acctbal") + 5.0)
-          .otherwise(col("c_acctbal") + 0.005).as("c_acctbal"),
-        when(m === 24L, lit("ALTERED")).otherwise(col("c_mktsegment"))
-          .as("c_mktsegment"))
-    cust.unionByName(dirty)
+    if (withAddr) base.withColumn("c_addr", md5(col("c_name"))) else base
   }
 
-  /** [[erFixture]] plus a synthesized noisy STRING key for the LSH
+  /** THE dirty-copy mutation arms — one definition for all three ER
+    * fixtures (self-join, LSH, cross-table), so the arms the oracles
+    * replay verbatim cannot drift between fixtures. One perturbed copy per
+    * rec_id%28 ∈ {3,10,17,24}: 3 = all fields agree (1-char name edit,
+    * +0.005 balance, same segment); 10 = 2-char name edit; 17 = +5.0
+    * balance; 24 = segment replaced. `idOffset` = 1000000 for the
+    * self-join fixtures (disjoint id space), 0 for the cross-table one
+    * (colliding id spaces are the POINT there). A base carrying `c_addr`
+    * gets the 1-char key edit (the LSH typo'd-key shape). */
+  private def erDirtyCopies(base: DataFrame, idOffset: Long): DataFrame = {
+    val m = col("rec_id") % 28
+    val cols = Seq(
+      (col("rec_id") + idOffset).as("rec_id"),
+      when(m === 10L,
+        concat(expr("substring(c_name, 1, length(c_name) - 2)"), lit("XY")))
+        .otherwise(
+          concat(expr("substring(c_name, 1, length(c_name) - 1)"), lit("X")))
+        .as("c_name"),
+      col("c_nationkey"),
+      when(m === 17L, col("c_acctbal") + 5.0)
+        .otherwise(col("c_acctbal") + 0.005).as("c_acctbal"),
+      when(m === 24L, lit("ALTERED")).otherwise(col("c_mktsegment"))
+        .as("c_mktsegment")) ++
+      (if (base.columns.contains("c_addr"))
+        Seq(concat(expr("substring(c_addr, 1, 31)"), lit("X")).as("c_addr"))
+      else Nil)
+    base.filter(m.isin(3L, 10L, 17L, 24L)).select(cols: _*)
+  }
+
+  private def erFixture(s: SparkSession, dir: String): DataFrame = {
+    val base = erBase(s, dir)
+    base.unionByName(erDirtyCopies(base, 1000000L))
+  }
+
+  /** [[erFixture]] plus the synthesized noisy STRING key for the LSH
     * blocking arm: base records carry `c_addr` = md5 hex of their name (32
     * high-entropy chars — the address-shaped key the base tables lack);
     * each dirty copy carries its BASE's key with the last char replaced by
-    * 'X' (a 1-char edit — the realistic typo'd-key shape). Derived from
-    * the BASE name on both sides so the edit relationship is exact;
-    * replayed verbatim by the er_lsh_pairs oracle. */
+    * 'X' (a 1-char edit — the realistic typo'd-key shape). Same guarded
+    * base + shared mutation arms as every ER fixture; replayed verbatim by
+    * the er_lsh_pairs oracle. */
   private def erLshFixture(s: SparkSession, dir: String): DataFrame = {
-    val cust = s.read.parquet(s"$dir/customer.parquet")
-      .select(col("c_custkey").cast("long").as("rec_id"), col("c_name"),
-        col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"),
-        md5(col("c_name")).as("c_addr"))
-    val m = col("rec_id") % 28
-    val dirty = cust.filter(m.isin(3L, 10L, 17L, 24L))
-      .select(
-        (col("rec_id") + 1000000L).as("rec_id"),
-        when(m === 10L,
-          concat(expr("substring(c_name, 1, length(c_name) - 2)"), lit("XY")))
-          .otherwise(
-            concat(expr("substring(c_name, 1, length(c_name) - 1)"), lit("X")))
-          .as("c_name"),
-        col("c_nationkey"),
-        when(m === 17L, col("c_acctbal") + 5.0)
-          .otherwise(col("c_acctbal") + 0.005).as("c_acctbal"),
-        when(m === 24L, lit("ALTERED")).otherwise(col("c_mktsegment"))
-          .as("c_mktsegment"),
-        concat(expr("substring(c_addr, 1, 31)"), lit("X")).as("c_addr"))
-    cust.unionByName(dirty)
+    val base = erBase(s, dir, withAddr = true)
+    base.unionByName(erDirtyCopies(base, 1000000L))
   }
 
   /** The gate's field rules: agree/disagree weights chosen so the maximum

@@ -498,9 +498,10 @@ private[graft] object EntrySim {
       val e = s.read.parquet(s"$dir/embeddings.parquet")
         .withColumn("emb", expr(
           "transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1024) / 1024)"))
-      // key the scratch by the sf dir's hash so two dirs never collide
+      // key the scratch by the full SANITIZED dir (not a hash, which could
+      // collide and silently cross-wire two dirs' indexes via the cache)
       val idx = scratchDir(
-        s"sim_ivf_prebuilt_${Integer.toHexString(dir.hashCode)}")
+        "sim_ivf_prebuilt_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
       Similarity.buildIvfIndex(e, "vec_id", "emb", idx, nlist = 16)
       idx
     })

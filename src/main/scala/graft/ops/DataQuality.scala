@@ -179,7 +179,15 @@ object DataQuality {
       s"profileColumns: no column '$c' in ${df.columns.mkString(", ")}"))
     val melted = df.select(explode(array(columns.map { c =>
       val (sv, nv) = fields(c) match {
-        case _: NumericType =>
+        // integral types cast directly — routing them through a double
+        // would silently round values past 2^53 (snowflake-style ids) and
+        // collapse adjacent ids in n_distinct
+        case ByteType | ShortType | IntegerType | LongType =>
+          (lit(null).cast("string"), col(c).cast("long"))
+        // decimals floor in exact decimal arithmetic, then narrow
+        case _: DecimalType =>
+          (lit(null).cast("string"), floor(col(c)).cast("long"))
+        case FloatType | DoubleType =>
           (lit(null).cast("string"),
             floor(col(c).cast("double")).cast("long"))
         case StringType => (col(c), lit(null).cast("long"))
@@ -206,8 +214,11 @@ object DataQuality {
         // fields are 0 for string columns, string fields '' for numeric
         coalesce(min(col("nval")), lit(0L)).as("min_long"),
         coalesce(max(col("nval")), lit(0L)).as("max_long"),
-        coalesce(sum(col("nval") * col("__c")), lit(0L)).cast("long")
-          .as("sum_long"),
+        // the sum accumulates in DECIMAL so the value*count products of
+        // huge integral ids cannot wrap; the final BIGINT cast fails loud
+        // (ANSI) only if the TRUE sum exceeds long range
+        coalesce(sum(col("nval").cast("decimal(38,0)") * col("__c")),
+          lit(0L)).cast("long").as("sum_long"),
         coalesce(min(col("sval")), lit("")).as("min_str"),
         coalesce(max(col("sval")), lit("")).as("max_str"))
   }

@@ -358,11 +358,12 @@ object Dedup {
       .localCheckpoint(false)
   }
 
-  /** Portable band keys: each band's slice of the signature as a string. */
+  /** Portable band keys: each band's slice of the signature as a string —
+    * ONE definition (delegates to [[portableBandKeysFor]]) so the encoding
+    * the SQL oracles replay cannot drift between the dedup and linkage
+    * callers. */
   private def portableBandKeys(numBands: Int, rowsPerBand: Int): Seq[Column] =
-    (0 until numBands).map { b =>
-      concat_ws("_", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))
-    }
+    portableBandKeysFor(col("sig"), numBands, rowsPerBand)
 
   /** Incremental (ingest-time) near-dup: flags each NEW document whose best
     * match in the EXISTING corpus clears `threshold`, via banded-minhash

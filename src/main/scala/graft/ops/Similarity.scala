@@ -509,10 +509,15 @@ object Similarity {
   ): DataFrame = {
     val q0 = queries.select(col(queryId).as("query_id"), col(queryVec).as("__qv"))
     if (maxQueries < Long.MaxValue) {
-      val nq = q0.count()
+      // limit(cap+1) bounds the guard's job at cap+1 rows instead of a
+      // full count of the query frame — same pass/fail behavior
+      val nq = q0.limit(
+        (math.min(maxQueries, Long.MaxValue - 1) + 1).min(Int.MaxValue).toInt)
+        .count()
       require(nq <= maxQueries,
-        s"bruteForceTopK: $nq query rows exceed maxQueries=$maxQueries — " +
-          "the query side is broadcast to every executor and scored " +
+        s"bruteForceTopK: over $maxQueries query rows (the guard stops " +
+          "counting there) — the query side is broadcast to every executor " +
+          "and scored " +
           "against every corpus row. Use an ANN path (ivfTopK/lshTopK/" +
           "pqTopK) for large query sets, or raise the cap deliberately")
     }

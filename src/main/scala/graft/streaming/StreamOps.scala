@@ -534,8 +534,18 @@ object StreamOps {
         s"dpContinualCount: tick outside [0, $horizon) — widen the horizon " +
           "(power of two) or filter the input")).cast("long"))
       .otherwise(u0)
+    // NULL keys fail loud: they would survive the grouping but silently
+    // vanish at the equality joins below (null != null), counting those
+    // events NOWHERE — the r11 NULL-join-conjunct lesson
+    val keyChecked = keyCs.zip(keyCols).map { case (c, n) =>
+      when(c.isNull, raise_error(lit(
+        s"dpContinualCount: NULL key '$n' — it would silently drop from " +
+          "the release joins; coalesce or filter upstream"))
+        .cast(events.schema(n).dataType))
+        .otherwise(c).as(n)
+    }
     val perTick = events
-      .groupBy(col(pidCol).as("__pid") +: u.as("__t") +: keyCs: _*)
+      .groupBy(col(pidCol).as("__pid") +: u.as("__t") +: keyChecked: _*)
       .agg(least(count(lit(1)), lit(maxPerTick)).as("__n"))
       .groupBy(col("__t") +: keyCs: _*)
       .agg(sum(col("__n")).as("__nt"))
@@ -547,15 +557,17 @@ object StreamOps {
       .groupBy(col("__lvl") +: col("__idx") +: keyCs: _*)
       .agg(sum(col("__nt")).as("__s"))
     // generated node universe (2*horizon-1 nodes) x observed keys: empty
-    // nodes must draw noise too
+    // nodes must draw noise too. The tiny key universe is computed ONCE
+    // (checkpointed) — both crossJoins below reuse it
     val spark0 = events.sparkSession
+    val keyUniverse =
+      if (keyCols.isEmpty) None
+      else Some(perTick.select(keyCs: _*).distinct().localCheckpoint(false))
     val nodes0 = spark0.range(0, (levels + 1).toLong).toDF("__lvl")
       .select(col("__lvl").cast("int").as("__lvl"))
       .withColumn("__idx", explode(expr(
         s"sequence(0L, (CAST($horizon AS BIGINT) div shiftleft(1L, __lvl)) - 1)")))
-    val nodes =
-      if (keyCols.isEmpty) nodes0
-      else nodes0.crossJoin(broadcast(perTick.select(keyCs: _*).distinct()))
+    val nodes = keyUniverse.fold(nodes0)(k => nodes0.crossJoin(broadcast(k)))
     val b = maxPerTick.toDouble * (levels + 1) / epsilon
     val src = noise
     val noiseUdf = udf(() => src.laplace(b)).asNondeterministic()
@@ -566,9 +578,7 @@ object StreamOps {
     // every tick's prefix decomposition: level l is in the decomposition of
     // [0, t] iff bit l of (t+1) is set; its node index is (t+1 >> l+1) * 2
     val ticks0 = spark0.range(0, horizon.toLong).toDF("t")
-    val ticks =
-      if (keyCols.isEmpty) ticks0
-      else ticks0.crossJoin(broadcast(perTick.select(keyCs: _*).distinct()))
+    val ticks = keyUniverse.fold(ticks0)(k => ticks0.crossJoin(broadcast(k)))
     val rel = ticks
       .withColumn("__lvl", explode(sequence(lit(0), lit(levels))))
       .filter(expr("(shiftright(t + 1, __lvl) & 1) = 1"))

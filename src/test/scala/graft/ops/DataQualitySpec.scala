@@ -101,6 +101,15 @@ class DataQualitySpec extends AnyFunSuite {
     assert(str.getLong(3) == 1 && str.getLong(4) == 2) // null; {alpha, beta}
     assert(str.getString(8) == "alpha" && str.getString(9) == "beta")
     assert(str.getLong(5) == 0 && str.getLong(6) == 0 && str.getLong(7) == 0)
+    // integral exactness past 2^53: snowflake-style ids must not round
+    // through a double (adjacent ids would collapse in n_distinct)
+    val big = Seq(9007199254740992L, 9007199254740993L, 9007199254740993L)
+      .toDF("id") // 2^53 and 2^53+1: indistinguishable as doubles
+    val bigProf = DataQuality.profileColumns(big, Seq("id")).collect().head
+    assert(bigProf.getLong(4) == 2, bigProf.toString) // distinct EXACT
+    assert(bigProf.getLong(5) == 9007199254740992L &&
+      bigProf.getLong(6) == 9007199254740993L)
+    assert(bigProf.getLong(7) == 9007199254740992L + 2 * 9007199254740993L)
     intercept[IllegalArgumentException](
       DataQuality.profileColumns(pdf, Seq.empty))
     intercept[IllegalArgumentException](
