@@ -149,6 +149,20 @@ private[graft] object EntryStream {
         keyCols = Seq("event_type"), horizon = 32, epsilon = 1.0,
         maxPerTick = 1000000L, noise = graft.core.NoiseSource.Zero)
     }),
+    "ss_dp_continual_window" -> ((s, dir) => {
+      // sliding 7-day counts as pure POST-PROCESSING of the continual
+      // release (prefix(t) - prefix(t-7)): zero extra budget, zero new
+      // noise — the continual-observation dashboard pattern. Zero-noise
+      // release => exact rolling window at every tick (partial leading
+      // windows difference against 0), replayed as a ranged join.
+      val released = graft.streaming.StreamOps.dpContinualCount(
+        events(s, dir), pidCol = "user_id",
+        tickCol = expr("(ts div 86400000000000) - 19723"),
+        keyCols = Seq("event_type"), horizon = 32, epsilon = 1.0,
+        maxPerTick = 1000000L, noise = graft.core.NoiseSource.Zero)
+      graft.streaming.StreamOps.continualWindowCounts(
+        released, Seq("event_type"), windowTicks = 7)
+    }),
     "ss_dp_count" -> ((s, dir) => {
       // streaming DP windowed count (per-release budget): per-unit
       // contribution cap -> cell sum -> Laplace noise, the SAME chained-
@@ -241,6 +255,23 @@ private[graft] object EntryStream {
         """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
               event_type, CAST(count(*) AS DOUBLE) AS dp_count
            FROM events GROUP BY 1, 2""",
+      // prefix(t) - prefix(t-7) replayed as a ranged join over the grid
+      "ss_dp_continual_window" ->
+        """WITH pt AS (
+             SELECT event_type,
+                    date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS t,
+                    CAST(count(*) AS BIGINT) AS nt
+             FROM events GROUP BY 1, 2),
+           grid AS (
+             SELECT k.event_type, g.t
+             FROM (SELECT DISTINCT event_type FROM events) k
+             CROSS JOIN (SELECT unnest(range(0, 32)) AS t) g)
+           SELECT grid.t, grid.event_type,
+                  CAST(coalesce(sum(pt.nt), 0) AS DOUBLE) AS dp_window_count
+           FROM grid LEFT JOIN pt
+             ON pt.event_type = grid.event_type
+            AND pt.t <= grid.t AND pt.t > grid.t - 7
+           GROUP BY 1, 2""",
       // the continual release replayed: per-(type, day) exact counts,
       // then the running sum at EVERY tick of the generated 0..31 grid
       "ss_dp_continual" ->

@@ -588,6 +588,30 @@ object StreamOps {
       .agg(sum(col("__ns")).cast("double").as("dp_prefix_count"))
   }
 
+  /** Sliding-window counts derived from a [[dpContinualCount]] release —
+    * window(t, w] = prefix(t) - prefix(t - w) — as PURE POST-PROCESSING of
+    * the already-released prefixes: no additional privacy budget, no new
+    * noise draws (DP is closed under post-processing). This is the
+    * standard way continual-observation counters serve "last 7 days"
+    * dashboards: releasing fresh windowed counts per tick would pay
+    * budget per release; differencing the prefix sequence is free. The
+    * window error is the two prefixes' noise (still O(log^1.5 T / eps)),
+    * independent of the window length. Ticks with t < windowTicks
+    * difference against prefix(-1) = 0 (the partial leading window).
+    * Expects the [[dpContinualCount]] output schema; `keyCols` must match
+    * the columns it was released with. */
+  def continualWindowCounts(released: DataFrame, keyCols: Seq[String],
+      windowTicks: Int): DataFrame = {
+    require(windowTicks >= 1, s"windowTicks must be >= 1, got $windowTicks")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*).orderBy(col("t"))
+    released
+      .withColumn("__lagged",
+        coalesce(lag(col("dp_prefix_count"), windowTicks).over(w), lit(0.0)))
+      .select(col("t") +: keyCols.map(col) :+
+        (col("dp_prefix_count") - col("__lagged")).as("dp_window_count"): _*)
+  }
+
   /** DP windowed QUANTILES — the quantile-tree combiner on a stream, under
     * the same per-release budget model as [[dpWindowedCount]]. Contribution
     * bounding must be ORDER-FREE on a stream (the batch engine's random

@@ -845,6 +845,27 @@ class StreamOpsSpec extends AnyFunSuite {
       noise = graft.core.NoiseSource.Zero)
       .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
     assert(bounded(1L) == prefix(1L) + 5.0, bounded.toString)
+    // sliding windows are pure post-processing of the released prefixes:
+    // window(t, 3] = prefix(t) - prefix(t-3), partial leads against 0
+    val win = StreamOps.continualWindowCounts(
+      StreamOps.dpContinualCount(df, "user_id", col("tick"), Seq("key"),
+        horizon = 8, epsilon = 1.0, maxPerTick = 100L,
+        noise = graft.core.NoiseSource.Zero),
+      Seq("key"), windowTicks = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    (0L to 7L).foreach { t =>
+      val want = prefix(t) - (if (t >= 3) prefix(t - 3) else 0.0)
+      assert(win(t) == want, s"t=$t got ${win(t)} want $want")
+    }
+    // NULL key fails loud instead of silently dropping from the joins
+    val nullKey = Seq((1L, 0L, null.asInstanceOf[String])).toDF("user_id", "tick", "key")
+    val eNull = intercept[Exception] {
+      StreamOps.dpContinualCount(nullKey, "user_id", col("tick"), Seq("key"),
+        horizon = 8, epsilon = 1.0, maxPerTick = 5L,
+        noise = graft.core.NoiseSource.Zero).collect()
+    }
+    assert(graft.spark.SparkTestSession.chainMsg(eNull).contains("NULL key"),
+      graft.spark.SparkTestSession.chainMsg(eNull).take(300))
     // guards: non-power-of-two horizon; tick outside the horizon
     intercept[IllegalArgumentException](
       StreamOps.dpContinualCount(df, "user_id", col("tick"), Seq("key"),
