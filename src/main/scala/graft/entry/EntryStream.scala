@@ -149,6 +149,36 @@ private[graft] object EntryStream {
         keyCols = Seq("event_type"), horizon = 32, epsilon = 1.0,
         maxPerTick = 1000000L, noise = graft.core.NoiseSource.Zero)
     }),
+    "ss_dp_continual_fold" -> ((s, dir) => {
+      // the STREAMING face of the continual counter: three tick-range
+      // micro-batches folded through onlineContinualStep (node sums
+      // accumulated in the store, per-node noise drawn once and persisted,
+      // releases at each step's watermark) must hash-equal the one-shot
+      // batch release — the ss_er convention; the oracle IS
+      // ss_dp_continual's SQL. Draw-once and the ascending-tick/finality
+      // contracts are pinned in StreamOpsSpec. (A step releases only keys
+      // seen SO FAR — the fixture's five types all appear in batch 1, so
+      // the fold's key universe equals the one-shot's from step 1 on.)
+      val ev = events(s, dir)
+        .withColumn("__tick", expr("(ts div 86400000000000) - 19723"))
+      val plan = Seq(
+        (ev.filter(col("__tick") <= 9), -1L, 9L),
+        (ev.filter(col("__tick") > 9 && col("__tick") <= 19), 9L, 19L),
+        (ev.filter(col("__tick") > 19), 19L, 31L))
+      var store: Option[graft.streaming.StreamOps.ContinualStore] = None
+      val parts = plan.map { case (b, from, to) =>
+        val (rel, grown) = graft.streaming.StreamOps.onlineContinualStep(
+          b, store, pidCol = "user_id", tickCol = col("__tick"),
+          keyCols = Seq("event_type"), horizon = 32, epsilon = 1.0,
+          maxPerTick = 1000000L, noise = graft.core.NoiseSource.Zero,
+          releasedThrough = from, releaseThrough = to)
+        store = Some(grown.copy(
+          nodeSums = grown.nodeSums.localCheckpoint(false),
+          nodeNoise = grown.nodeNoise.localCheckpoint(false)))
+        rel
+      }
+      parts.reduce(_.unionByName(_))
+    }),
     "ss_dp_continual_window" -> ((s, dir) => {
       // sliding 7-day counts as pure POST-PROCESSING of the continual
       // release (prefix(t) - prefix(t-7)): zero extra budget, zero new
@@ -274,6 +304,22 @@ private[graft] object EntryStream {
            GROUP BY 1, 2""",
       // the continual release replayed: per-(type, day) exact counts,
       // then the running sum at EVERY tick of the generated 0..31 grid
+      // the fold must equal the one-shot release — same oracle
+      "ss_dp_continual_fold" ->
+        """WITH pt AS (
+             SELECT event_type,
+                    date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS t,
+                    CAST(count(*) AS BIGINT) AS nt
+             FROM events GROUP BY 1, 2),
+           grid AS (
+             SELECT k.event_type, g.t
+             FROM (SELECT DISTINCT event_type FROM events) k
+             CROSS JOIN (SELECT unnest(range(0, 32)) AS t) g)
+           SELECT grid.t, grid.event_type,
+                  CAST(coalesce(sum(pt.nt), 0) AS DOUBLE) AS dp_prefix_count
+           FROM grid LEFT JOIN pt
+             ON pt.event_type = grid.event_type AND pt.t <= grid.t
+           GROUP BY 1, 2""",
       "ss_dp_continual" ->
         """WITH pt AS (
              SELECT event_type,

@@ -588,6 +588,134 @@ object StreamOps {
       .agg(sum(col("__ns")).cast("double").as("dp_prefix_count"))
   }
 
+  /** One foreachBatch step of the CONTINUAL counter — the streaming face
+    * of [[dpContinualCount]] (the [[onlineLinkStep]] store shape): node
+    * sums accumulate across micro-batches, per-node noise is drawn ONCE
+    * when a node is first needed by a release and persisted in the store
+    * (re-drawing per step would break the mechanism: releases would stop
+    * sharing draws and the error would grow linearly). The step folds the
+    * batch's bounded per-tick counts into the node-sum store, then emits
+    * releases for the newly COMPLETED ticks `(releasedThrough,
+    * releaseThrough]` (the caller's watermark decides completion — a
+    * release must only read final sums).
+    *
+    * CONTRACT (enforced): each batch's ticks lie strictly ABOVE every
+    * previously ingested tick (`store.maxTick`) — contribution bounding is
+    * per (unit, tick) WITHIN a step, so a tick split across steps would
+    * double-apply the cap and break the sensitivity argument. The
+    * ascending-range ingest contract of [[onlineNearDupStep]], for the
+    * same reason: the semantics silently break otherwise, so it fails
+    * loud. Replays/backfills use the batch face.
+    *
+    * Store: (nodeSums(lvl, idx, keys, sum), nodeNoise(lvl, idx, keys,
+    * draw), maxTick). Zero-noise fold == the batch face on the
+    * concatenated input (spec-pinned, incl. the cross-batch draw-once
+    * property via a counting noise source). */
+  final case class ContinualStore(
+      nodeSums: DataFrame, nodeNoise: DataFrame, maxTick: Long)
+
+  def onlineContinualStep(
+      batch: DataFrame,
+      store: Option[ContinualStore],
+      pidCol: String,
+      tickCol: org.apache.spark.sql.Column,
+      keyCols: Seq[String],
+      horizon: Int,
+      epsilon: Double,
+      maxPerTick: Long,
+      noise: graft.core.NoiseSource,
+      releasedThrough: Long, // last tick already released (-1 = none)
+      releaseThrough: Long   // release ticks in (releasedThrough, releaseThrough]
+  ): (DataFrame, ContinualStore) = {
+    require(horizon >= 2 && (horizon & (horizon - 1)) == 0,
+      s"horizon must be a power of two >= 2, got $horizon")
+    require(epsilon > 0 && maxPerTick > 0, "epsilon/maxPerTick must be positive")
+    require(releaseThrough < horizon && releasedThrough <= releaseThrough,
+      s"release range ($releasedThrough, $releaseThrough] invalid for horizon $horizon")
+    val levels = 31 - Integer.numberOfLeadingZeros(horizon)
+    val keyCs = keyCols.map(col)
+    val prevMax = store.map(_.maxTick).getOrElse(-1L)
+    // ticks must ascend past BOTH frontiers: the last ingested tick
+    // (per-tick bounding is per step) and the last RELEASED tick (a
+    // release reads final sums — late data for a released tick would
+    // retroactively falsify it)
+    val frontier = math.max(prevMax, releasedThrough)
+    val u0 = tickCol.cast("long")
+    val u = when(u0.isNull || u0 < 0 || u0 >= horizon || u0 <= frontier,
+        raise_error(lit(
+          s"onlineContinualStep: tick outside ($frontier, $horizon) — ticks " +
+            "must ascend across batches (per-tick bounding is per step; " +
+            "released prefixes are final) and fit the horizon; " +
+            "replays/backfills use the batch face"))
+          .cast("long"))
+      .otherwise(u0)
+    val keyChecked = keyCs.zip(keyCols).map { case (c, n) =>
+      when(c.isNull, raise_error(lit(
+        s"onlineContinualStep: NULL key '$n' — it would silently drop " +
+          "from the release joins; coalesce or filter upstream"))
+        .cast(batch.schema(n).dataType)).otherwise(c).as(n)
+    }
+    val perTick = batch
+      .groupBy(col(pidCol).as("__pid") +: u.as("__t") +: keyChecked: _*)
+      .agg(least(count(lit(1)), lit(maxPerTick)).as("__n"))
+      .groupBy(col("__t") +: keyCs: _*)
+      .agg(sum(col("__n")).as("__nt"))
+      .localCheckpoint(false) // node contribs + max-tick agg share one result
+    val batchMax = perTick.agg(coalesce(max(col("__t")), lit(prevMax))).head().getLong(0)
+    val contrib = perTick
+      .withColumn("__lvl", explode(sequence(lit(0), lit(levels))))
+      .withColumn("__idx", expr("shiftright(__t, __lvl)"))
+      .groupBy(col("__lvl") +: col("__idx") +: keyCs: _*)
+      .agg(sum(col("__nt")).as("__s"))
+    val sums = (store.map(_.nodeSums) match {
+      case None => contrib
+      case Some(st) => st.unionByName(contrib)
+          .groupBy(col("__lvl") +: col("__idx") +: keyCs: _*)
+          .agg(sum(col("__s")).as("__s"))
+    }).localCheckpoint(false) // store outlives the batch; releases + next step
+    // releases for the newly completed ticks: decomposition nodes, noise
+    // drawn once per node (new draws persisted into the noise store)
+    val spark0 = batch.sparkSession
+    val relTicks = spark0.range(releasedThrough + 1, releaseThrough + 1).toDF("t")
+    if (releaseThrough <= releasedThrough) {
+      val emptyRel = relTicks
+        .crossJoin(sums.select(keyCs: _*).limit(0))
+        .withColumn("dp_prefix_count", lit(0.0))
+      return (emptyRel, ContinualStore(sums,
+        store.map(_.nodeNoise).getOrElse(emptyNoiseFrame(spark0, sums, keyCols)),
+        batchMax))
+    }
+    val keys = sums.select(keyCs: _*).distinct().localCheckpoint(false)
+    val rel0 = (if (keyCols.isEmpty) relTicks else relTicks.crossJoin(broadcast(keys)))
+      .withColumn("__lvl", explode(sequence(lit(0), lit(levels))))
+      .filter(expr("(shiftright(t + 1, __lvl) & 1) = 1"))
+      .withColumn("__idx", expr("shiftleft(shiftright(t + 1, __lvl + 1), 1)"))
+    // nodes needed by this release wave that have no stored draw yet
+    val prevNoise = store.map(_.nodeNoise)
+      .getOrElse(emptyNoiseFrame(spark0, sums, keyCols))
+    val b = maxPerTick.toDouble * (levels + 1) / epsilon
+    val src = noise
+    val drawUdf = udf(() => src.laplace(b)).asNondeterministic()
+    val newDraws = rel0.select(col("__lvl") +: col("__idx") +: keyCs: _*).distinct()
+      .join(prevNoise.select(col("__lvl") +: col("__idx") +: keyCs: _*),
+        Seq("__lvl", "__idx") ++ keyCols, "left_anti")
+      .withColumn("__noise", drawUdf())
+    val allNoise = prevNoise.unionByName(newDraws)
+      .localCheckpoint(false) // draw-once: pin the draws before reuse
+    val released = rel0
+      .join(sums, Seq("__lvl", "__idx") ++ keyCols, "left")
+      .join(allNoise, Seq("__lvl", "__idx") ++ keyCols)
+      .groupBy(col("t") +: keyCs: _*)
+      .agg(sum(coalesce(col("__s"), lit(0L)) + col("__noise"))
+        .cast("double").as("dp_prefix_count"))
+    (released, ContinualStore(sums, allNoise, batchMax))
+  }
+
+  private def emptyNoiseFrame(spark: SparkSession, sums: DataFrame,
+      keyCols: Seq[String]): DataFrame =
+    sums.select(col("__lvl") +: col("__idx") +: keyCols.map(col): _*)
+      .limit(0).withColumn("__noise", lit(0.0))
+
   /** Sliding-window counts derived from a [[dpContinualCount]] release —
     * window(t, w] = prefix(t) - prefix(t - w) — as PURE POST-PROCESSING of
     * the already-released prefixes: no additional privacy budget, no new

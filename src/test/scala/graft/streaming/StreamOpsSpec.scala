@@ -776,6 +776,65 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(streamed.contains((1L, 2L, 60L)))
   }
 
+  test("continual counter fold: == batch face, draw-once across batches, contracts") {
+    import org.apache.spark.sql.functions._
+    val rows = Seq((1L, 0L), (2L, 0L), (1L, 2L), (1L, 3L), (2L, 3L), (3L, 3L),
+      (4L, 6L)).map { case (u, t) => (u, t, "k") }
+    val df = rows.toDF("user_id", "tick", "key")
+    object ConstOne extends graft.core.NoiseSource {
+      def laplace(b: Double): Double = 1.0
+      def gaussian(sigma: Double): Double = 1.0
+      def uniform(): Double = 0.5
+    }
+    def fold(src: graft.core.NoiseSource): Map[Long, Double] = {
+      // three steps: ticks {0..2} released through 2, {3..5} through 5,
+      // {6..7} through 7 — batch 2 has no tick-4/5 data (empty ticks
+      // still release), batch 3 covers the tail
+      val plan = Seq((df.filter(col("tick") <= 2), -1L, 2L),
+        (df.filter(col("tick") === 3), 2L, 5L),
+        (df.filter(col("tick") === 6), 5L, 7L))
+      var store: Option[StreamOps.ContinualStore] = None
+      val out = scala.collection.mutable.Map.empty[Long, Double]
+      plan.foreach { case (b, relFrom, relTo) =>
+        val (rel, grown) = StreamOps.onlineContinualStep(b, store, "user_id",
+          col("tick"), Seq("key"), horizon = 8, epsilon = 1.0,
+          maxPerTick = 100L, noise = src,
+          releasedThrough = relFrom, releaseThrough = relTo)
+        rel.collect().foreach(r => out(r.getLong(0)) = r.getDouble(2))
+        store = Some(grown.copy(
+          nodeSums = grown.nodeSums.localCheckpoint(true),
+          nodeNoise = grown.nodeNoise.localCheckpoint(true)))
+      }
+      out.toMap
+    }
+    val prefix = Map(0L -> 2.0, 1L -> 2.0, 2L -> 3.0, 3L -> 6.0, 4L -> 6.0,
+      5L -> 6.0, 6L -> 7.0, 7L -> 7.0)
+    // zero noise: the fold's releases equal the batch face / exact prefix
+    assert(fold(graft.core.NoiseSource.Zero) == prefix)
+    // draw-once ACROSS batches: with a constant-1 source, release(t) =
+    // prefix(t) + popcount(t+1) exactly as in the one-shot mechanism —
+    // node (2,0) (covering ticks 0-3) is drawn when tick 3 releases in
+    // step 2 and REUSED by later prefixes, never redrawn
+    val one = fold(ConstOne)
+    (0L to 7L).foreach { t =>
+      val want = prefix(t) + java.lang.Long.bitCount(t + 1)
+      assert(one(t) == want, s"t=$t got ${one(t)} want $want")
+    }
+    // contract: a tick at or below the released frontier fails loud
+    val (rel1, st1) = StreamOps.onlineContinualStep(df.filter(col("tick") <= 2),
+      None, "user_id", col("tick"), Seq("key"), 8, 1.0, 100L,
+      graft.core.NoiseSource.Zero, -1L, 4L)
+    rel1.collect()
+    val late = Seq((9L, 4L, "k")).toDF("user_id", "tick", "key")
+    val e = intercept[Exception] {
+      StreamOps.onlineContinualStep(late, Some(st1), "user_id", col("tick"),
+        Seq("key"), 8, 1.0, 100L, graft.core.NoiseSource.Zero, 4L, 6L)
+        ._1.collect()
+    }
+    assert(graft.spark.SparkTestSession.chainMsg(e).contains("ascend"),
+      graft.spark.SparkTestSession.chainMsg(e).take(300))
+  }
+
   test("sessionization closes sessions after the inactivity gap") {
     import StreamOps._
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
