@@ -224,6 +224,19 @@ private[graft] object EntrySim {
             (x, q) => abs(x - q.cast("double") * col("qz.scale"))),
           lit(0.0), (a, x) => greatest(a, x)).as("max_abs_err"))
     }),
+    "decon_semantic" -> ((s, dir) => {
+      // EMBEDDING decontamination: every corpus vector's max cosine to the
+      // 20-vector eval set + the drop flag — the paraphrase-leak check the
+      // string-overlap arms miss. 1024x-floor quantization keeps every
+      // dot/norm replayable; max over a fixed set is order-free.
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+        .withColumn("emb", expr(
+          "transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1024) / 1024)"))
+      Similarity.semanticDecontaminate(
+        e, "vec_id", "emb",
+        e.filter(col("vec_id") < 20), "vec_id", "emb",
+        threshold = 0.9)
+    }),
     "sim_ivf_exact" -> ((s, dir) => {
       // IVF with nprobe == nlist probes EVERY cell, so candidates = the full
       // corpus per query and the result is provably identical to brute
@@ -690,6 +703,24 @@ private[graft] object EntrySim {
                   CAST(count(*) AS BIGINT) AS n
            FROM x GROUP BY label, i""",
       "sim_ivf_exact" -> bruteTopKSql,
+      // per-corpus-vector max cosine over the eval subset + the flag
+      "decon_semantic" ->
+        """WITH e AS (
+             SELECT vec_id,
+                    list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1024) / 1024) AS emb
+             FROM embeddings),
+           scored AS (
+             SELECT c.vec_id AS doc_id,
+                    CASE WHEN sqrt(list_sum(list_transform(q.emb, x -> x * x))) = 0
+                           OR sqrt(list_sum(list_transform(c.emb, x -> x * x))) = 0 THEN 0.0
+                         ELSE list_sum(list_transform(range(1, 65), i -> q.emb[i] * c.emb[i]))
+                              / (sqrt(list_sum(list_transform(q.emb, x -> x * x)))
+                                 * sqrt(list_sum(list_transform(c.emb, x -> x * x))))
+                    END AS cosine
+             FROM e c CROSS JOIN e q WHERE q.vec_id < 20)
+           SELECT doc_id, max(cosine) AS max_eval_cosine,
+                  max(cosine) >= 0.9 AS contaminated
+           FROM scored GROUP BY doc_id""",
       // all-cells probe over the persisted index == brute force
       "sim_ivf_index" -> bruteTopKSql,
       // same pipeline over the PREBUILT index (read path only) == brute force

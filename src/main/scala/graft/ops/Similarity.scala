@@ -528,6 +528,46 @@ object Similarity {
     finalizeTopK(scored, k)
   }
 
+  /** SEMANTIC decontamination — the EMBEDDING arm of the CorpusOps
+    * decontamination family (exact / near-dup / containment / bloom are
+    * string-overlap arms): for every corpus vector, its MAX cosine to any
+    * benchmark/eval vector plus the drop flag at `threshold`. Catches
+    * paraphrased or re-worded eval leakage whose token overlap is nil —
+    * the failure mode every string arm structurally misses.
+    *
+    * Scale shape: the eval side is broadcast-small by ENFORCED contract
+    * (the [[bruteForceTopK]] guard, limit-bounded count); the corpus
+    * streams through ONE scan and the per-doc max combines map-side, so
+    * nothing |corpus| x |eval|-sized ever shuffles. NULL corpus vectors
+    * fail loud — a silent null cosine would report the doc uncontaminated. */
+  def semanticDecontaminate(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      evalSet: DataFrame, evalId: String, evalVec: String,
+      threshold: Double, maxEvalRows: Long = 100000L): DataFrame = {
+    require(threshold >= -1.0 && threshold <= 1.0 && !threshold.isNaN,
+      s"threshold must be in [-1, 1], got $threshold")
+    val e0 = evalSet.select(col(evalVec).cast("array<double>").as("__ev"))
+    if (maxEvalRows < Long.MaxValue) {
+      val n = e0.limit(
+        (math.min(maxEvalRows, Long.MaxValue - 1) + 1).min(Int.MaxValue).toInt)
+        .count()
+      require(n <= maxEvalRows,
+        s"semanticDecontaminate: over $maxEvalRows eval rows (the guard " +
+          "stops counting there) — the eval side is broadcast to every " +
+          "executor; raise the cap deliberately or pre-reduce the set")
+    }
+    val checked = when(col(corpusVec).isNull, raise_error(lit(
+        "semanticDecontaminate: NULL corpus vector — it would silently " +
+          "score uncontaminated; filter or impute upstream"))
+      .cast("array<double>"))
+      .otherwise(col(corpusVec).cast("array<double>"))
+    corpus.select(col(corpusId).as("doc_id"), checked.as("__cv"))
+      .crossJoin(broadcast(e0))
+      .groupBy(col("doc_id"))
+      .agg(max(cosine(col("__cv"), col("__ev"))).as("max_eval_cosine"))
+      .withColumn("contaminated", col("max_eval_cosine") >= threshold)
+  }
+
   /** Random-hyperplane signature: bit i = sign(v . h_i) where hyperplane
     * h_i's coordinates are deterministic pseudo-random +-1 derived from
     * xxhash64(i, coordinate). Returns a `planes`-bit Long bucket key. */

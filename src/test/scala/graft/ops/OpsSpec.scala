@@ -1371,6 +1371,34 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.8, s"recall $recall too low")
   }
 
+  test("semanticDecontaminate: flags by max eval cosine, guards eval size and nulls") {
+    val ev = Seq((100L, Array(1.0, 0.0, 0.0)), (101L, Array(0.0, 1.0, 0.0)))
+      .toDF("qid", "qvec")
+    val corpus = Seq(
+      (1L, Array(2.0, 0.0, 0.0)),    // colinear with eval 100: cosine 1
+      (2L, Array(0.0, 0.0, 5.0)),    // orthogonal to both: max 0
+      (3L, Array(1.0, 1.0, 0.0))     // cos 1/sqrt(2) to both
+    ).toDF("id", "vec")
+    val out = Similarity.semanticDecontaminate(corpus, "id", "vec",
+        ev, "qid", "qvec", threshold = 0.9)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getBoolean(2)))).toMap
+    assert(out(1L) == ((1.0, true)))
+    assert(out(2L) == ((0.0, false)))
+    assert(math.abs(out(3L)._1 - 1.0 / math.sqrt(2.0)) < 1e-12 && !out(3L)._2)
+    // eval-size guard (limit-bounded count)
+    val e = intercept[IllegalArgumentException](
+      Similarity.semanticDecontaminate(corpus, "id", "vec", ev, "qid", "qvec",
+        threshold = 0.9, maxEvalRows = 1L))
+    assert(e.getMessage.contains("broadcast"), e.getMessage)
+    // a NULL corpus vector fails loud (it would score uncontaminated)
+    val withNull = Seq((9L, null.asInstanceOf[Array[Double]])).toDF("id", "vec")
+    val eNull = intercept[Exception](
+      Similarity.semanticDecontaminate(withNull, "id", "vec", ev, "qid", "qvec",
+        threshold = 0.9).collect())
+    assert(graft.spark.SparkTestSession.chainMsg(eNull).contains("NULL corpus"),
+      graft.spark.SparkTestSession.chainMsg(eNull).take(300))
+  }
+
   test("bruteForceTopK enforces the queries-small broadcast contract") {
     val rnd = new scala.util.Random(11)
     val corpus = (0 until 30).map(i =>
