@@ -224,6 +224,27 @@ private[graft] object EntrySim {
             (x, q) => abs(x - q.cast("double") * col("qz.scale"))),
           lit(0.0), (a, x) => greatest(a, x)).as("max_abs_err"))
     }),
+    "retrieval_metrics" -> ((s, dir) => {
+      // ranking-quality evaluation (recall@k counts, MRR, nDCG) of the
+      // brute-force cosine retriever against LABEL relevance (same-label
+      // vectors, self excluded) — the IR-metrics layer over the retrieval
+      // stack. Exact integers end-to-end: counts, 1e6 div rank, and nDCG
+      // from the LITERAL discount table both engines share (no log() in
+      // either plan).
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+        .withColumn("emb", expr(
+          "transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1024) / 1024)"))
+      val queries = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("emb"), col("label").as("qlabel"))
+      val results = Similarity.bruteForceTopK(e, "vec_id", "emb",
+        queries, "qid", "emb", k = 10)
+      val relevant = queries.select(col("qid"), col("qlabel"))
+        .join(e.select(col("vec_id"), col("label")), col("qlabel") === col("label"))
+        .filter(col("qid") =!= col("vec_id"))
+        .select(col("qid").as("query_id"), col("vec_id").as("neighbor_id"))
+      Retrieval.rankingMetrics(results, relevant,
+        "query_id", "neighbor_id", "rank", k = 10)
+    }),
     "decon_semantic" -> ((s, dir) => {
       // EMBEDDING decontamination: every corpus vector's max cosine to the
       // 20-vector eval set + the drop flag — the paraphrase-leak check the
@@ -703,6 +724,35 @@ private[graft] object EntrySim {
                   CAST(count(*) AS BIGINT) AS n
            FROM x GROUP BY label, i""",
       "sim_ivf_exact" -> bruteTopKSql,
+      // the metric layer replayed: brute top-10 (the shared fragment),
+      // label relevance, the SAME literal discount/idcg tables (generated
+      // from Retrieval.ndcgDiscounts — the shared-constants convention)
+      "retrieval_metrics" -> {
+        val disc = graft.ops.Retrieval.ndcgDiscounts(10)
+        val idcg = disc.scanLeft(0L)(_ + _).tail
+        s"""WITH res AS (${bruteTopKSqlFor(maxQid = 20, k = 10)}),
+            rel AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS item_id
+              FROM embeddings q JOIN embeddings c ON q.label = c.label
+              WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id),
+            rc AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_relevant
+                   FROM rel GROUP BY 1),
+            hits AS (
+              SELECT res.query_id,
+                     CAST(count(*) AS BIGINT) AS n_found_at_k,
+                     min(res.rank) AS first_rk,
+                     CAST(sum(([${disc.mkString(",")}])[res.rank]) AS BIGINT) AS dcg
+              FROM res JOIN rel
+                ON rel.query_id = res.query_id AND rel.item_id = res.neighbor_id
+              GROUP BY 1)
+            SELECT rc.query_id, rc.n_relevant,
+                   CAST(coalesce(hits.n_found_at_k, 0) AS BIGINT) AS n_found_at_k,
+                   CAST(coalesce(1000000 // hits.first_rk, 0) AS BIGINT) AS mrr_ppm,
+                   CAST(coalesce(1000000 * hits.dcg //
+                     ([${idcg.mkString(",")}])[least(rc.n_relevant, 10)], 0)
+                     AS BIGINT) AS ndcg_ppm
+            FROM rc LEFT JOIN hits ON hits.query_id = rc.query_id"""
+      },
       // per-corpus-vector max cosine over the eval subset + the flag
       "decon_semantic" ->
         """WITH e AS (

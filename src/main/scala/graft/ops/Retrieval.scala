@@ -199,4 +199,68 @@ object Retrieval {
       .select("query_id", "item_id", "rrf_score", "n_lists", "best_rank",
         "rk")
   }
+
+  /** The 1e6-scaled nDCG discount table `floor(1e6 / log2(i + 1))` for
+    * ranks 1..k — computed ONCE driver-side and baked into the plan (and,
+    * by the shared-constants convention, into the SQL oracle) as LITERALS:
+    * every engine's log() differs in the last ulps, and a flipped floor
+    * would silently diverge the metric. Public so the oracle fragment is
+    * GENERATED from the same values. */
+  def ndcgDiscounts(k: Int): Seq[Long] =
+    (1 to k).map(i => math.floor(1e6 / (math.log(i + 1.0) / math.log(2.0))).toLong)
+
+  /** Ranking-quality metrics — the evaluation half every retrieval stack
+    * needs next to its retrievers (BM25 / dense / fused): per query with
+    * at least one relevant item,
+    *   `n_found_at_k`  exact count of relevant items in the top k,
+    *   `n_relevant`    exact relevant-set size,
+    *   `mrr_ppm`       floor(1e6 / rank of the first relevant item) (0 if
+    *                   none retrieved) — exact integer division,
+    *   `ndcg_ppm`      floor(1e6 * DCG@k / IDCG@k) with binary gains and
+    *                   the [[ndcgDiscounts]] LITERAL table, so DCG/IDCG
+    *                   are exact integer sums and the ratio is one
+    *                   integer division — engine-replayable bit-for-bit.
+    * `results` carries (queryCol, itemCol, rankCol 1-based); rows past
+    * rank k are ignored. `relevant` carries (queryCol, itemCol) binary
+    * relevance; duplicates are deduplicated. Queries with NO relevant
+    * item have no defined metrics and are omitted (the standard IR
+    * convention); retrieved-but-irrelevant-only queries emit zeros.
+    *
+    * Scale layout: the relevance set deduplicates once (checkpointed,
+    * consumed twice), hits come from one left-semi join of top-k-bounded
+    * results, and both aggregations are map-side-combined — nothing
+    * corpus-sized anywhere. */
+  def rankingMetrics(results: DataFrame, relevant: DataFrame,
+      queryCol: String, itemCol: String, rankCol: String, k: Int): DataFrame = {
+    require(k >= 1 && k <= 10000, s"k must be in [1, 10000], got $k")
+    val disc = ndcgDiscounts(k)
+    val idcgPrefix = disc.scanLeft(0L)(_ + _).tail // idcg at n_relevant = i
+    val res = results.select(col(queryCol).as("query_id"),
+        col(itemCol).as("item_id"),
+        when(col(rankCol).isNull || col(rankCol) < 1, raise_error(lit(
+          "rankingMetrics: rank must be a positive integer — a NULL/" +
+            "non-positive rank has no discount")).cast("long"))
+          .otherwise(col(rankCol).cast("long")).as("__rk"))
+      .filter(col("__rk") <= k)
+    val rel = relevant.select(col(queryCol).as("query_id"),
+        col(itemCol).as("item_id")).distinct()
+      .localCheckpoint(false) // hit join + per-query relevant counts
+    val relCounts = rel.groupBy("query_id")
+      .agg(count(lit(1)).as("n_relevant"))
+    val hits = res.join(rel, Seq("query_id", "item_id"), "left_semi")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_found_at_k"),
+        min(col("__rk")).as("__first"),
+        sum(element_at(array(disc.map(lit): _*), col("__rk").cast("int")))
+          .as("__dcg"))
+    relCounts.join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_relevant"),
+        coalesce(col("n_found_at_k"), lit(0L)).as("n_found_at_k"),
+        coalesce(expr("CAST(1000000 div __first AS BIGINT)"), lit(0L))
+          .as("mrr_ppm"),
+        coalesce(expr(s"CAST(1000000 * __dcg div element_at(" +
+          s"array(${idcgPrefix.mkString(",")}), " +
+          s"CAST(least(n_relevant, $k) AS INT)) AS BIGINT)"), lit(0L))
+          .as("ndcg_ppm"))
+  }
 }

@@ -146,4 +146,38 @@ class RetrievalSpec extends AnyFunSuite {
     }
     assert(e2.getMessage.contains("rrfFuse"))
   }
+
+  test("rankingMetrics matches hand-computed recall/MRR/nDCG") {
+    // query 1: relevant {10, 11, 12}; retrieved top-4 = 10(rk1), 20(rk2),
+    // 11(rk3), 21(rk4) -> found 2/3, first relevant at 1, DCG = d1 + d3
+    // query 2: relevant {30}; retrieved 40, 41 (none relevant) -> zeros
+    // query 3: relevant {50} but NOT retrieved at all -> zeros row
+    val results = Seq(
+      (1L, 10L, 1L), (1L, 20L, 2L), (1L, 11L, 3L), (1L, 21L, 4L),
+      (2L, 40L, 1L), (2L, 41L, 2L),
+      (9L, 50L, 5L) // rank past k: ignored entirely
+    ).toDF("q", "item", "rk")
+    val relevant = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 30L), (3L, 50L),
+      (1L, 10L) // duplicate relevance row: deduplicated
+    ).toDF("q", "item")
+    val out = Retrieval.rankingMetrics(results, relevant, "q", "item", "rk", k = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val d = Retrieval.ndcgDiscounts(4)
+    // query 1: n_rel 3, found 2, mrr 1e6/1, ndcg = 1e6*(d1+d3)/(d1+d2+d3)
+    assert(out(1L) == ((3L, 2L, 1000000L,
+      1000000L * (d(0) + d(2)) / (d(0) + d(1) + d(2)))), out(1L).toString)
+    assert(out(2L) == ((1L, 0L, 0L, 0L)))
+    assert(out(3L) == ((1L, 0L, 0L, 0L)))
+    // discount table sanity: d1 = 1e6 (log2 2 = 1), strictly decreasing
+    assert(d.head == 1000000L && d == d.sorted.reverse && d.distinct == d)
+    // NULL/non-positive rank fails loud
+    val bad = Seq((1L, 10L, 0L)).toDF("q", "item", "rk")
+    val e = intercept[Exception](
+      Retrieval.rankingMetrics(bad, relevant, "q", "item", "rk", 4).collect())
+    assert(graft.spark.SparkTestSession.chainMsg(e).contains("positive"),
+      graft.spark.SparkTestSession.chainMsg(e).take(200))
+    intercept[IllegalArgumentException](
+      Retrieval.rankingMetrics(results, relevant, "q", "item", "rk", 0))
+  }
 }
