@@ -367,6 +367,16 @@ object StreamOps {
     * production shape for continually-observed DP counters (Chan-Shi-Song /
     * Dwork et al. continual observation being the research alternative).
     *
+    * CELL-EXISTENCE DISCLOSURE (read this): the released cells are the
+    * OBSERVED (window, key) cells, and both coordinates derive from the
+    * data — emitting a cell at all reveals that SOMEONE contributed to it,
+    * which noise on the count cannot hide. This is the fixed-dashboard
+    * assumption production streaming counters run under (the window grid
+    * and key set are treated as public context); for a genuinely private
+    * key domain use the batch engine's partition selection, or
+    * [[dpContinualCount]] with `publicKeys` (its tick grid is GENERATED,
+    * so with public keys nothing data-derived shapes the release set).
+    *
     * The SAME plan runs batch or streaming: two chained event-time window
     * aggregations (per-unit cap, then cell sum) plus a noise projection —
     * in streaming mode pass `watermark` so both stateful stages evict
@@ -509,6 +519,16 @@ object StreamOps {
     * the SQL window-sum oracle; keys (if any) must be low-cardinality
     * (the universe crosses keys x 2*horizon nodes).
     *
+    * KEY-EXISTENCE: the tick grid is GENERATED (every tick releases, so
+    * time-existence discloses nothing), but with `publicKeys = None` the
+    * key universe is the OBSERVED key set — releasing a key at all
+    * reveals someone contributed to it, which noise cannot hide (the
+    * partition-selection problem). Pass `publicKeys` (a one-column frame
+    * matching `keyCols`, by position) to make the release set fully
+    * data-independent: non-public rows DROP before bounding (the batch
+    * engine's public-partitions convention) and every public key releases
+    * at every tick, empty or not.
+    *
     * Plan shape: one bounded-contribution aggregation, one node-sum
     * aggregation (each tick explodes to its levels+1 covering nodes), a
     * generated node/tick universe, and one decomposition join — every
@@ -521,8 +541,11 @@ object StreamOps {
       horizon: Int,
       epsilon: Double,
       maxPerTick: Long,
-      noise: graft.core.NoiseSource
+      noise: graft.core.NoiseSource,
+      publicKeys: Option[DataFrame] = None
   ): DataFrame = {
+    require(publicKeys.isEmpty || keyCols.nonEmpty,
+      "publicKeys given but keyCols is empty — nothing to make public")
     require(horizon >= 2 && (horizon & (horizon - 1)) == 0,
       s"horizon must be a power of two >= 2, got $horizon (the dyadic tree)")
     require(epsilon > 0, s"epsilon must be positive, got $epsilon")
@@ -544,7 +567,15 @@ object StreamOps {
         .cast(events.schema(n).dataType))
         .otherwise(c).as(n)
     }
-    val perTick = events
+    // with public keys, non-public rows DROP before bounding (the batch
+    // engine's public-partitions convention) so nothing they carry can
+    // shape the release
+    val pub = publicKeys.map(p => broadcast(
+      p.toDF(keyCols: _*).distinct().localCheckpoint(false)))
+    val inScope = pub.fold(events)(p =>
+      events.join(p, keyCols.map(n => events(n) === p(n)).reduce(_ && _),
+        "left_semi"))
+    val perTick = inScope
       .groupBy(col(pidCol).as("__pid") +: u.as("__t") +: keyChecked: _*)
       .agg(least(count(lit(1)), lit(maxPerTick)).as("__n"))
       .groupBy(col("__t") +: keyCs: _*)
@@ -556,13 +587,15 @@ object StreamOps {
       .withColumn("__idx", expr("shiftright(__t, __lvl)"))
       .groupBy(col("__lvl") +: col("__idx") +: keyCs: _*)
       .agg(sum(col("__nt")).as("__s"))
-    // generated node universe (2*horizon-1 nodes) x observed keys: empty
-    // nodes must draw noise too. The tiny key universe is computed ONCE
+    // generated node universe (2*horizon-1 nodes) x (public keys, else the
+    // observed key set — see the KEY-EXISTENCE caveat): empty nodes must
+    // draw noise too. The tiny key universe is computed ONCE
     // (checkpointed) — both crossJoins below reuse it
     val spark0 = events.sparkSession
     val keyUniverse =
       if (keyCols.isEmpty) None
-      else Some(perTick.select(keyCs: _*).distinct().localCheckpoint(false))
+      else pub.orElse(
+        Some(perTick.select(keyCs: _*).distinct().localCheckpoint(false)))
     val nodes0 = spark0.range(0, (levels + 1).toLong).toDF("__lvl")
       .select(col("__lvl").cast("int").as("__lvl"))
       .withColumn("__idx", explode(expr(

@@ -916,6 +916,19 @@ class StreamOpsSpec extends AnyFunSuite {
       val want = prefix(t) - (if (t >= 3) prefix(t - 3) else 0.0)
       assert(win(t) == want, s"t=$t got ${win(t)} want $want")
     }
+    // publicKeys makes the release set data-INDEPENDENT: non-public keys
+    // drop before bounding, and a public key with no data still releases
+    // (noise-only; zero under Zero) at every tick — key existence
+    // discloses nothing
+    val mixed = (rows ++ Seq((9L, 1L, "secret"))).toDF("user_id", "tick", "key")
+    val pubOut = StreamOps.dpContinualCount(mixed, "user_id", col("tick"),
+      Seq("key"), horizon = 8, epsilon = 1.0, maxPerTick = 100L,
+      noise = graft.core.NoiseSource.Zero,
+      publicKeys = Some(Seq("k", "ghost").toDF("key")))
+      .collect().map(r => (r.getString(1), r.getLong(0)) -> r.getDouble(2)).toMap
+    assert(!pubOut.keySet.exists(_._1 == "secret")) // dropped, not released
+    assert((0L to 7L).forall(t => pubOut(("ghost", t)) == 0.0)) // empty public key
+    assert((0L to 7L).forall(t => pubOut(("k", t)) == prefix(t))) // unchanged
     // NULL key fails loud instead of silently dropping from the joins
     val nullKey = Seq((1L, 0L, null.asInstanceOf[String])).toDF("user_id", "tick", "key")
     val eNull = intercept[Exception] {
