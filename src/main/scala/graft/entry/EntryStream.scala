@@ -149,6 +149,20 @@ private[graft] object EntryStream {
         keyCols = Seq("event_type"), horizon = 32, epsilon = 1.0,
         maxPerTick = 1000000L, noise = graft.core.NoiseSource.Zero)
     }),
+    "ss_dp_continual_sum" -> ((s, dir) => {
+      // the SUM release of the binary-tree mechanism: running per-type sum
+      // of floor(value) at every day tick. Zero-noise + non-binding clamps
+      // => the exact running sum (integer-valued doubles, order-free),
+      // replayed as the ranged window sum.
+      graft.streaming.StreamOps.dpContinualSum(
+        events(s, dir).withColumn("v", floor(col("value"))),
+        pidCol = "user_id",
+        tickCol = expr("(ts div 86400000000000) - 19723"),
+        valueCol = "v", keyCols = Seq("event_type"), horizon = 32,
+        epsilon = 1.0, maxPerTick = 1000000L,
+        minValue = 0.0, maxValue = 1000.0,
+        noise = graft.core.NoiseSource.Zero)
+    }),
     "ss_dp_continual_fold" -> ((s, dir) => {
       // the STREAMING face of the continual counter: three tick-range
       // micro-batches folded through onlineContinualStep (node sums
@@ -304,6 +318,24 @@ private[graft] object EntryStream {
            GROUP BY 1, 2""",
       // the continual release replayed: per-(type, day) exact counts,
       // then the running sum at EVERY tick of the generated 0..31 grid
+      // the running clamped sum replayed over the full tick grid (values
+      // in [0, 1000] at sf scales, so clamps never bind — the dp_sum
+      // convention)
+      "ss_dp_continual_sum" ->
+        """WITH pt AS (
+             SELECT event_type,
+                    date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS t,
+                    sum(least(greatest(floor(value), 0.0), 1000.0)) AS nt
+             FROM events GROUP BY 1, 2),
+           grid AS (
+             SELECT k.event_type, g.t
+             FROM (SELECT DISTINCT event_type FROM events) k
+             CROSS JOIN (SELECT unnest(range(0, 32)) AS t) g)
+           SELECT grid.t, grid.event_type,
+                  CAST(coalesce(sum(pt.nt), 0) AS DOUBLE) AS dp_prefix_sum
+           FROM grid LEFT JOIN pt
+             ON pt.event_type = grid.event_type AND pt.t <= grid.t
+           GROUP BY 1, 2""",
       // the fold must equal the one-shot release — same oracle
       "ss_dp_continual_fold" ->
         """WITH pt AS (

@@ -577,10 +577,24 @@ object StreamOps {
         "left_semi"))
     val perTick = inScope
       .groupBy(col(pidCol).as("__pid") +: u.as("__t") +: keyChecked: _*)
-      .agg(least(count(lit(1)), lit(maxPerTick)).as("__n"))
+      .agg(least(count(lit(1)), lit(maxPerTick)).cast("double").as("__n"))
       .groupBy(col("__t") +: keyCs: _*)
       .agg(sum(col("__n")).as("__nt"))
       .localCheckpoint(false) // node sums + key universe share one result
+    val b = maxPerTick.toDouble * (levels + 1) / epsilon
+    continualTreeRelease(perTick, keyCols, pub, horizon, levels, b, noise,
+      "dp_prefix_count")
+  }
+
+  /** The shared dyadic-tree release of the continual family: per-tick true
+    * values -> node sums (each tick explodes to its levels+1 covering
+    * nodes) -> generated node/tick universes (empty nodes draw noise too)
+    * -> one decomposition join. One definition so [[dpContinualCount]] and
+    * [[dpContinualSum]] cannot drift. */
+  private def continualTreeRelease(perTick: DataFrame, keyCols: Seq[String],
+      pub: Option[DataFrame], horizon: Int, levels: Int, b: Double,
+      noise: graft.core.NoiseSource, outCol: String): DataFrame = {
+    val keyCs = keyCols.map(col)
     // true node sums: tick t contributes to node (l, t >> l) per level
     val contrib = perTick
       .withColumn("__lvl", explode(sequence(lit(0), lit(levels))))
@@ -591,7 +605,7 @@ object StreamOps {
     // observed key set — see the KEY-EXISTENCE caveat): empty nodes must
     // draw noise too. The tiny key universe is computed ONCE
     // (checkpointed) — both crossJoins below reuse it
-    val spark0 = events.sparkSession
+    val spark0 = perTick.sparkSession
     val keyUniverse =
       if (keyCols.isEmpty) None
       else pub.orElse(
@@ -601,13 +615,12 @@ object StreamOps {
       .withColumn("__idx", explode(expr(
         s"sequence(0L, (CAST($horizon AS BIGINT) div shiftleft(1L, __lvl)) - 1)")))
     val nodes = keyUniverse.fold(nodes0)(k => nodes0.crossJoin(broadcast(k)))
-    val b = maxPerTick.toDouble * (levels + 1) / epsilon
     val src = noise
     val noiseUdf = udf(() => src.laplace(b)).asNondeterministic()
     val noisyNodes = nodes
       .join(contrib, Seq("__lvl", "__idx") ++ keyCols, "left")
       .select(col("__lvl") +: col("__idx") +:
-        (keyCs :+ (coalesce(col("__s"), lit(0L)) + noiseUdf()).as("__ns")): _*)
+        (keyCs :+ (coalesce(col("__s"), lit(0.0)) + noiseUdf()).as("__ns")): _*)
     // every tick's prefix decomposition: level l is in the decomposition of
     // [0, t] iff bit l of (t+1) is set; its node index is (t+1 >> l+1) * 2
     val ticks0 = spark0.range(0, horizon.toLong).toDF("t")
@@ -618,7 +631,78 @@ object StreamOps {
       .withColumn("__idx", expr("shiftleft(shiftright(t + 1, __lvl + 1), 1)"))
     rel.join(noisyNodes, Seq("__lvl", "__idx") ++ keyCols)
       .groupBy(col("t") +: keyCs: _*)
-      .agg(sum(col("__ns")).cast("double").as("dp_prefix_count"))
+      .agg(sum(col("__ns")).cast("double").as(outCol))
+  }
+
+  /** The SUM analogue of [[dpContinualCount]] — running clamped-value sums
+    * under the same binary-tree mechanism, mirroring [[dpWindowedSum]]'s
+    * order-free bounding: each value clamps to [minValue, maxValue], each
+    * unit's per-tick sum of clamped values clamps to
+    * [maxPerTick*minValue, maxPerTick*maxValue], so one unit's data within
+    * one tick moves a node sum by at most maxPerTick * max(|minValue|,
+    * |maxValue|) and the whole release sequence is epsilon-DP at per-node
+    * Laplace scale maxPerTick * max|bound| * (levels+1) / epsilon. All
+    * other contracts ([[dpContinualCount]]: generated universes,
+    * key-existence caveat + publicKeys, fail-loud ticks/keys/values)
+    * apply verbatim. */
+  def dpContinualSum(
+      events: DataFrame,
+      pidCol: String,
+      tickCol: org.apache.spark.sql.Column,
+      valueCol: String,
+      keyCols: Seq[String],
+      horizon: Int,
+      epsilon: Double,
+      maxPerTick: Long,
+      minValue: Double,
+      maxValue: Double,
+      noise: graft.core.NoiseSource,
+      publicKeys: Option[DataFrame] = None
+  ): DataFrame = {
+    require(publicKeys.isEmpty || keyCols.nonEmpty,
+      "publicKeys given but keyCols is empty — nothing to make public")
+    require(horizon >= 2 && (horizon & (horizon - 1)) == 0,
+      s"horizon must be a power of two >= 2, got $horizon (the dyadic tree)")
+    require(epsilon > 0, s"epsilon must be positive, got $epsilon")
+    require(maxPerTick > 0, s"maxPerTick must be positive, got $maxPerTick")
+    require(minValue <= maxValue, s"minValue $minValue > maxValue $maxValue")
+    val levels = 31 - Integer.numberOfLeadingZeros(horizon)
+    val keyCs = keyCols.map(col)
+    val u0 = tickCol.cast("long")
+    val u = when(u0.isNull || u0 < 0 || u0 >= horizon, raise_error(lit(
+        s"dpContinualSum: tick outside [0, $horizon) — widen the horizon " +
+          "(power of two) or filter the input")).cast("long"))
+      .otherwise(u0)
+    val keyChecked = keyCs.zip(keyCols).map { case (c, n) =>
+      when(c.isNull, raise_error(lit(
+        s"dpContinualSum: NULL key '$n' — it would silently drop from " +
+          "the release joins; coalesce or filter upstream"))
+        .cast(events.schema(n).dataType))
+        .otherwise(c).as(n)
+    }
+    // NULL values fail loud (the perUnitCells convention): least/greatest
+    // skip nulls, so an unguarded clamp would inject minValue silently
+    val checked = when(col(valueCol).isNull, raise_error(lit(
+        "dpContinualSum: NULL value for a privacy unit — nulls have no " +
+          "clipping semantics; filter or impute upstream")).cast("double"))
+      .otherwise(col(valueCol).cast("double"))
+    val clamped = least(greatest(checked, lit(minValue)), lit(maxValue))
+    val pub = publicKeys.map(p => broadcast(
+      p.toDF(keyCols: _*).distinct().localCheckpoint(false)))
+    val inScope = pub.fold(events)(p =>
+      events.join(p, keyCols.map(n => events(n) === p(n)).reduce(_ && _),
+        "left_semi"))
+    val perTick = inScope
+      .groupBy(col(pidCol).as("__pid") +: u.as("__t") +: keyChecked: _*)
+      .agg(least(greatest(sum(clamped), lit(maxPerTick * minValue)),
+        lit(maxPerTick * maxValue)).as("__n"))
+      .groupBy(col("__t") +: keyCs: _*)
+      .agg(sum(col("__n")).as("__nt"))
+      .localCheckpoint(false)
+    val b = maxPerTick * math.max(math.abs(minValue), math.abs(maxValue)) *
+      (levels + 1) / epsilon
+    continualTreeRelease(perTick, keyCols, pub, horizon, levels, b, noise,
+      "dp_prefix_sum")
   }
 
   /** One foreachBatch step of the CONTINUAL counter — the streaming face

@@ -929,6 +929,16 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(!pubOut.keySet.exists(_._1 == "secret")) // dropped, not released
     assert((0L to 7L).forall(t => pubOut(("ghost", t)) == 0.0)) // empty public key
     assert((0L to 7L).forall(t => pubOut(("k", t)) == prefix(t))) // unchanged
+    // the SUM variant: zero-noise running clamped sums; the per-value and
+    // per-tick clamps both bind deterministically
+    val vrows = Seq((1L, 0L, "k", 5.0), (2L, 0L, "k", 50.0), (1L, 2L, "k", -3.0))
+      .toDF("user_id", "tick", "key", "v")
+    val sums = StreamOps.dpContinualSum(vrows, "user_id", col("tick"), "v",
+      Seq("key"), horizon = 4, epsilon = 1.0, maxPerTick = 100L,
+      minValue = 0.0, maxValue = 10.0, noise = graft.core.NoiseSource.Zero)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // tick 0: 5 + clamp(50 -> 10) = 15; tick 2 adds clamp(-3 -> 0)
+    assert(sums == Map(0L -> 15.0, 1L -> 15.0, 2L -> 15.0, 3L -> 15.0), sums.toString)
     // NULL key fails loud instead of silently dropping from the joins
     val nullKey = Seq((1L, 0L, null.asInstanceOf[String])).toDF("user_id", "tick", "key")
     val eNull = intercept[Exception] {
