@@ -481,6 +481,15 @@ private[graft] object EntryDP {
       DataQuality.profileColumns(s.read.parquet(s"$dir/customer.parquet"),
         Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"))
     }),
+    "dq_top_values" -> ((s, dir) => {
+      // the histogram half of the profiler: top-5 values per column by
+      // exact count, ties by value ascending. Numerics surface through the
+      // floor-integerized longs as strings (identical formatting in any
+      // engine); c_mktsegment exercises real frequency ordering,
+      // c_nationkey real ties.
+      DataQuality.profileTopValues(s.read.parquet(s"$dir/customer.parquet"),
+        Seq("c_nationkey", "c_mktsegment"), k = 5)
+    }),
     "stats_k_anonymity" -> ((s, dir) => {
       // pre-release anonymity audit: per threshold k, equivalence classes
       // (event_type, day) with < k members / < k distinct users — the
@@ -1301,6 +1310,20 @@ private[graft] object EntryDP {
                   coalesce(min(sval), '') AS min_str,
                   coalesce(max(sval), '') AS max_str
            FROM g GROUP BY 1, 2""",
+      // top-k per column over the same melted value histogram
+      "dq_top_values" ->
+        """WITH m AS (
+             SELECT 'c_nationkey' AS column_name,
+                    CAST(CAST(c_nationkey AS BIGINT) AS VARCHAR) AS value
+             FROM customer WHERE c_nationkey IS NOT NULL
+             UNION ALL
+             SELECT 'c_mktsegment', c_mktsegment
+             FROM customer WHERE c_mktsegment IS NOT NULL),
+           g AS (SELECT column_name, value, CAST(count(*) AS BIGINT) AS n
+                 FROM m GROUP BY 1, 2),
+           r AS (SELECT *, CAST(row_number() OVER (PARTITION BY column_name
+                   ORDER BY n DESC, value ASC) AS BIGINT) AS rank FROM g)
+           SELECT column_name, value, n, rank FROM r WHERE rank <= 5""",
       "stats_k_anonymity" ->
         """WITH c AS (
              SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,

@@ -170,14 +170,17 @@ object DataQuality {
     * columns) plans a k-way EXPAND — the same row multiplication —
     * without the reusable value histogram. Profiling cost is k scans'
     * worth of shuffle on a table you are about to audit anyway. */
-  def profileColumns(df: DataFrame, columns: Seq[String]): DataFrame = {
+  /** The shared melt of the profiling family: (column_name, sval, nval,
+    * dtype) rows, k per input row — one definition so the stats report and
+    * the top-values histogram type-handle identically. */
+  private def profileMelt(df: DataFrame, columns: Seq[String]): DataFrame = {
     import org.apache.spark.sql.types._
     require(columns.nonEmpty, "at least one column to profile")
     require(columns.distinct.size == columns.size, "duplicate profile columns")
     val fields = df.schema.fields.map(f => f.name -> f.dataType).toMap
     columns.foreach(c => require(fields.contains(c),
       s"profileColumns: no column '$c' in ${df.columns.mkString(", ")}"))
-    val melted = df.select(explode(array(columns.map { c =>
+    df.select(explode(array(columns.map { c =>
       val (sv, nv) = fields(c) match {
         // integral types cast directly — routing them through a double
         // would silently round values past 2^53 (snowflake-style ids) and
@@ -198,7 +201,10 @@ object DataQuality {
       struct(lit(c).as("column_name"), sv.as("sval"), nv.as("nval"),
         lit(fields(c).simpleString).as("dtype"))
     }: _*)).as("m")).select(col("m.*"))
-    melted
+  }
+
+  def profileColumns(df: DataFrame, columns: Seq[String]): DataFrame = {
+    profileMelt(df, columns)
       .groupBy(col("column_name"), col("dtype"), col("sval"), col("nval"))
       .agg(count(lit(1)).as("__c"))
       .groupBy(col("column_name"), col("dtype"))
@@ -221,5 +227,29 @@ object DataQuality {
           lit(0L)).cast("long").as("sum_long"),
         coalesce(min(col("sval")), lit("")).as("min_str"),
         coalesce(max(col("sval")), lit("")).as("max_str"))
+  }
+
+  /** Top-k most frequent values per profiled column — the histogram half
+    * of the Deequ profiler ("what does this column actually contain"):
+    * one row per (column, value) in the top k by exact count, ties by
+    * value ascending (deterministic). Values surface as STRINGS — the
+    * numeric side through the same floor-integerized longs as
+    * [[profileColumns]] (integers format identically in any engine;
+    * raw floats would not) — NULLs excluded (they are [[profileColumns]]'
+    * n_null, not a value). Same melt + one aggregation + one bounded
+    * window per column. */
+  def profileTopValues(df: DataFrame, columns: Seq[String],
+      k: Int = 5): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("column_name")).orderBy(col("n").desc, col("value").asc)
+    profileMelt(df, columns)
+      .filter(col("sval").isNotNull || col("nval").isNotNull)
+      .select(col("column_name"),
+        coalesce(col("sval"), col("nval").cast("string")).as("value"))
+      .groupBy(col("column_name"), col("value"))
+      .agg(count(lit(1)).cast("long").as("n"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
   }
 }

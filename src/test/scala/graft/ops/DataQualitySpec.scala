@@ -122,4 +122,24 @@ class DataQualitySpec extends AnyFunSuite {
       DataQuality.profileColumns(arr, Seq("vec")))
     assert(e.getMessage.contains("vec"), e.getMessage)
   }
+
+  test("profileTopValues: exact counts, tie order, null exclusion, numeric formatting") {
+    val pdf = Seq(
+      Some("b"), Some("a"), Some("a"), Some("c"), Some("b"), None
+    ).toDF("s").withColumn("n", when(col("s") === "a", 10L).otherwise(7L))
+    val top = DataQuality.profileTopValues(pdf, Seq("s", "n"), k = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val byCol = top.groupBy(_._1)
+    // s: a(2) and b(2) tie at count 2 -> value-ascending order
+    assert(byCol("s").sortBy(_._4).map(t => (t._2, t._3)).toSeq ==
+      Seq(("a", 2L), ("b", 2L)))
+    // n: 7 occurs 4x (incl. the null-s row), 10 occurs 2x; longs format
+    // without decimal points
+    assert(byCol("n").sortBy(_._4).map(t => (t._2, t._3)).toSeq ==
+      Seq(("7", 4L), ("10", 2L)))
+    // NULL values are excluded, never a "null" bucket
+    assert(!top.exists(_._2 == null) && !top.exists(_._2 == "null"))
+    intercept[IllegalArgumentException](
+      DataQuality.profileTopValues(pdf, Seq("s"), k = 0))
+  }
 }
