@@ -156,14 +156,17 @@ object VectorFunctions {
     * for notebook / spark.sql use. */
   def registerSql(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_cosine",
-      (children: Seq[Expression]) => {
-        require(children.length == 2, "graft_cosine takes exactly 2 arguments")
-        CosineSim(castToDoubleArray(children.head), castToDoubleArray(children(1)))
-      },
-      "built-in")
+      "graft_cosine", cosineBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_hilbert", hilbertBuilder, "built-in")
+  }
+
+  /** SQL-surface builder for [[CosineSim]] — ONE definition shared by
+    * [[registerSql]] and [[GraftSqlExtensions]] (the hilbertBuilder
+    * pattern), so the two injection paths cannot drift. */
+  private[functions] def cosineBuilder(children: Seq[Expression]): Expression = {
+    require(children.length == 2, "graft_cosine takes exactly 2 arguments")
+    CosineSim(castToDoubleArray(children.head), castToDoubleArray(children(1)))
   }
 
   /** SQL-surface builder for [[graft.functions.HilbertIndex]]: `bits` must
@@ -176,10 +179,16 @@ object VectorFunctions {
     require(bitsExpr.foldable,
       "graft_hilbert: bits must be a literal (it is a plan-time constant)")
     val bits = bitsExpr.eval() match {
-      case i: Int  => i
-      case l: Long => l.toInt
+      case i: Int   => i
+      case l: Long  => l.toInt
+      case s: Short => s.toInt
+      case b: Byte  => b.toInt
+      case null => throw new IllegalArgumentException(
+        "graft_hilbert: bits must not be NULL — it is the plan-time loop " +
+          "bound of the generated code")
       case other => throw new IllegalArgumentException(
-        s"graft_hilbert: bits must be an integer literal, got $other")
+        s"graft_hilbert: bits must be an integer literal, got $other " +
+          s"(${other.getClass.getSimpleName})")
     }
     graft.functions.HilbertIndex(
       org.apache.spark.sql.catalyst.expressions.Cast(children(0),
@@ -209,11 +218,7 @@ class GraftSqlExtensions
     ext.injectFunction((
       new FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSim].getName, "graft_cosine"),
-      (children: Seq[Expression]) => {
-        require(children.length == 2, "graft_cosine takes exactly 2 arguments")
-        CosineSim(VectorFunctions.castToDoubleArray(children.head),
-          VectorFunctions.castToDoubleArray(children(1)))
-      }))
+      VectorFunctions.cosineBuilder))
     ext.injectFunction((
       new FunctionIdentifier("graft_hilbert"),
       new ExpressionInfo(classOf[HilbertIndex].getName, "graft_hilbert"),

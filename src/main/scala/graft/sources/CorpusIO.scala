@@ -36,9 +36,18 @@ object CorpusIO {
       s"$format requires an explicit schema: inference costs a full extra pass over the corpus")
     val base = spark.read
     val withSchema = schema.map(base.schema).getOrElse(base)
+    // malformed-line policy: FAILFAST by default — Spark's PERMISSIVE
+    // default turns every unparseable csv/jsonl line into an all-null row
+    // SILENTLY, and at corpus scale that is wrong counts, not a warning.
+    // Callers that genuinely want best-effort ingest override with
+    // options("mode" -> "PERMISSIVE") deliberately (the SaveMode.
+    // ErrorIfExists philosophy of write(), applied to reads).
+    val parseDefaults =
+      if (needsSchema) Map("mode" -> "FAILFAST") else Map.empty[String, String]
     val reader =
-      if (format == "csv") withSchema.options(Map("header" -> "true") ++ options)
-      else withSchema.options(options)
+      if (format == "csv")
+        withSchema.options(parseDefaults ++ Map("header" -> "true") ++ options)
+      else withSchema.options(parseDefaults ++ options)
     format match {
       case "parquet" => reader.parquet(path)
       case "orc"     => reader.orc(path)

@@ -48,9 +48,15 @@ final case class Histogram(name: String, bins: Seq[FrequencyBin]) {
     * (reference: histograms.py:169-208). */
   def ratioDropped: Seq[(Double, Double)] = {
     if (bins.isEmpty) return Nil
+    val total = totalSum
+    // a zero or negative total (an all-zero or sign-cancelling SUM value
+    // column) has no well-defined "fraction dropped": dividing would put
+    // NaN (0/0) or inverted ratios into every downstream RMSE estimate —
+    // report "nothing dropped at any bound" instead, which is exactly
+    // right for the zero-mass case the estimator can hit in practice
+    if (total <= 0.0) return bins.map(b => (b.lower, 0.0)) :+ ((0.0, 0.0))
     var dropped = 0.0
     var elementsLarger = 0L
-    val total = totalSum
     val out = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
     var previous = bins.last.lower
     if (maxValue != previous) out += ((maxValue, 0.0))
@@ -83,10 +89,25 @@ object Histograms {
     * sync with [[generatePossibleContributionBounds]]
     * (reference: count_histogram_computation.py:35-54). */
   def toBinLower(value: Long): Long = {
-    var bound = 1000L
-    while (value > bound) bound *= 10
-    val roundBase = bound / 1000
+    val roundBase = ladderBase(value)
     value / roundBase * roundBase
+  }
+
+  /** The 3-significant-digit decade ladder shared by [[toBinLower]] and
+    * [[frequencyHistogram]]'s bin-upper arithmetic (one definition — they
+    * must agree bin-for-bin). Overflow-safe: the ladder stops at 10^18
+    * (the largest power of ten a Long holds), so values past it land in
+    * the top decade instead of wrapping the multiplier negative and
+    * spinning the old `bound *= 10` loop forever. */
+  private[stats] def ladderBase(value: Long): Long = {
+    // 19-digit values (> 10^18): the next decade bound would overflow a
+    // Long (the old `bound *= 10` loop wrapped negative and spun forever),
+    // and keep-3-of-19-digits means base 10^16 — which also matches the
+    // string-length arithmetic of binLowerCol at this magnitude
+    if (value > 1000000000000000000L) return 10000000000000000L
+    var bound = 1000L
+    while (value > bound) bound *= 10 // value <= 10^18 bounds the ladder
+    bound / 1000
   }
 
   /** All candidate bounds with at most 3 significant decimal digits up to
@@ -127,10 +148,12 @@ object Histograms {
     val bins = binned.map { r =>
       val lower = r.getLong(0)
       val upper = {
-        // bin width matches toBinLower's 3-significant-digit geometry
-        var bound = 1000L
-        while (lower >= bound) bound *= 10
-        lower + math.max(1L, bound / 1000)
+        // bin width = the shared ladder's step at this magnitude; lower is
+        // already ladder-aligned, so the >=-vs-> boundary difference only
+        // matters exactly AT a decade edge, where stepping from the NEXT
+        // decade is the historical geometry — keep it by asking the ladder
+        // about lower + 1
+        lower + math.max(1L, ladderBase(lower + 1))
       }
       FrequencyBin(lower.toDouble, upper.toDouble, r.getLong(1),
         r.getAs[Number](2).doubleValue(), r.getAs[Number](3).doubleValue(),
@@ -173,7 +196,8 @@ object Histograms {
     Some(Histogram(name, bins.toSeq))
   }
 
-  /** Computes the full histogram bundle in four passes over a cached
+  /** Computes the full histogram bundle in a bounded number of driver
+    * actions (7-9 small jobs, one per histogram + the min/max probes) over a cached
     * (pid, pk, count, sum) frame (reference: computing_histograms.py:89-138).
     */
   def computeDatasetHistograms(
@@ -233,6 +257,13 @@ final class L0ScoringFunction(
   /** score(k) = -0.5 * impact_noise(k) - 0.5 * impact_dropped(k). */
   def score(k: Int): Double = -(0.5 * impactNoise(k) + 0.5 * impactDropped(k))
 
+  /** PARITY NOTE: the score's true sensitivity is 0.5 * bestUpperBound
+    * (the 0.5 weight multiplies the only data-dependent term), but the
+    * reference deliberately uses the FULL bound
+    * (private_contribution_bounds.py:136-142 "= global_sensitivity") —
+    * we match it: conservative is privacy-safe (2x the noise the math
+    * strictly requires), and diverging would change every selected bound
+    * vs the reference. */
   def globalSensitivity: Double = bestUpperBound.toDouble
   def isMonotonic: Boolean = true
 
@@ -267,6 +298,9 @@ final class L0ScoringFunction(
 object AnonymityAudit {
   def audit(df: DataFrame, quasiIdCols: Seq[String], sensitiveCol: String,
       ks: Seq[Int] = Seq(2, 5, 10, 25)): DataFrame = {
+    require(quasiIdCols.nonEmpty,
+      "audit needs at least one quasi-identifier column — an empty list " +
+        "audits ONE global class and passes every threshold vacuously")
     require(ks.nonEmpty && ks.forall(_ >= 1), s"thresholds must be >= 1: $ks")
     require(ks.distinct.length == ks.length,
       s"duplicate thresholds would double-count every class: $ks")

@@ -128,4 +128,28 @@ class HistogramsSpec extends AnyFunSuite {
     val concentrated = mech.probabilities(1000.0, Seq(1, 2, 3))
     assert(concentrated(2) > 0.999)
   }
+
+  test("r12 review pins: ladder overflow, zero-total ratios, empty quasi-ids") {
+    import graft.stats.Histograms
+    // 19-digit values terminate and agree with the string-length column
+    // arithmetic (the old ladder wrapped negative and spun forever)
+    assert(Histograms.toBinLower(Long.MaxValue) ==
+      Long.MaxValue / 10000000000000000L * 10000000000000000L)
+    assert(Histograms.toBinLower(1000000000000000000L) == 1000000000000000000L)
+    val big = Seq(Long.MaxValue, 1234567890123456789L).toDF("v")
+    val viaCol = big.select(
+        graft.stats.Histograms.binLowerCol(col("v")).as("b"))
+      .collect().map(_.getLong(0)).toSet
+    assert(viaCol == Set(Histograms.toBinLower(Long.MaxValue),
+      Histograms.toBinLower(1234567890123456789L)), viaCol.toString)
+    // zero-total sum histogram: ratios are 0.0 everywhere, never NaN
+    val zero = Histogram("sum", Seq(FrequencyBin(1.0, 2.0, 3L, 0.0, 0.0, 0.0)))
+    assert(zero.ratioDropped.forall(!_._2.isNaN))
+    assert(zero.ratioDropped.forall(_._2 == 0.0))
+    // empty quasi-identifier list fails loud (one global class passes
+    // every threshold vacuously)
+    val e = intercept[IllegalArgumentException](
+      AnonymityAudit.audit(Seq((1L, "a")).toDF("u", "x"), Seq.empty, "u"))
+    assert(e.getMessage.contains("quasi-identifier"), e.getMessage)
+  }
 }
