@@ -1288,11 +1288,11 @@ private[graft] object EntryDP {
         """WITH m AS (
              SELECT 'c_custkey' AS column_name, 'bigint' AS dtype,
                     CAST(NULL AS VARCHAR) AS sval,
-                    CAST(floor(CAST(c_custkey AS DOUBLE)) AS BIGINT) AS nval
+                    CAST(c_custkey AS BIGINT) AS nval
              FROM customer
              UNION ALL SELECT 'c_name', 'string', c_name, NULL FROM customer
              UNION ALL SELECT 'c_nationkey', 'int', NULL,
-                    CAST(floor(CAST(c_nationkey AS DOUBLE)) AS BIGINT) FROM customer
+                    CAST(c_nationkey AS BIGINT) FROM customer
              UNION ALL SELECT 'c_acctbal', 'double', NULL,
                     CAST(floor(c_acctbal) AS BIGINT) FROM customer
              UNION ALL SELECT 'c_mktsegment', 'string', c_mktsegment, NULL FROM customer),

@@ -546,7 +546,16 @@ object Similarity {
       threshold: Double, maxEvalRows: Long = 100000L): DataFrame = {
     require(threshold >= -1.0 && threshold <= 1.0 && !threshold.isNaN,
       s"threshold must be in [-1, 1], got $threshold")
-    val e0 = evalSet.select(col(evalVec).cast("array<double>").as("__ev"))
+    // NULL eval vectors fail loud too: max() ignores null cosines, so a
+    // null eval row would quietly WEAKEN the contamination check — the
+    // same "reports uncontaminated" failure mode the corpus-side guard
+    // exists for, on the side that defines what leakage even looks like
+    val e0 = evalSet.select(
+      when(col(evalVec).isNull, raise_error(lit(
+        "semanticDecontaminate: NULL eval vector — it would silently " +
+          "weaken the contamination check (null cosines are ignored by " +
+          "max); filter or impute upstream")).cast("array<double>"))
+        .otherwise(col(evalVec).cast("array<double>")).as("__ev"))
     if (maxEvalRows < Long.MaxValue) {
       val n = e0.limit(
         (math.min(maxEvalRows, Long.MaxValue - 1) + 1).min(Int.MaxValue).toInt)

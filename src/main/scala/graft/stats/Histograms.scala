@@ -53,8 +53,18 @@ final case class Histogram(name: String, bins: Seq[FrequencyBin]) {
     // column) has no well-defined "fraction dropped": dividing would put
     // NaN (0/0) or inverted ratios into every downstream RMSE estimate —
     // report "nothing dropped at any bound" instead, which is exactly
-    // right for the zero-mass case the estimator can hit in practice
-    if (total <= 0.0) return bins.map(b => (b.lower, 0.0)) :+ ((0.0, 0.0))
+    // right for the zero-mass case the estimator can hit in practice.
+    // Same ASCENDING shape as the normal path ((0.0,_), bins, (maxValue,_))
+    // — interpolate() reads ratios.last._1 as the max bound and walks the
+    // list with indexWhere, so an unsorted or 0-terminated list malformed
+    if (total <= 0.0) {
+      // maxValue can sit BELOW the last lower here (zero-mass bins may
+      // carry max = 0.0) — append it only when it genuinely extends the
+      // ladder, keeping the list strictly ascending
+      val body = ((0.0, 0.0)) +: bins.map(b => (b.lower, 0.0))
+      return if (maxValue > bins.last.lower) body :+ ((maxValue, 0.0))
+             else body
+    }
     var dropped = 0.0
     var elementsLarger = 0L
     val out = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]

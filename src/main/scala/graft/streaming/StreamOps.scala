@@ -5,6 +5,8 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
 
+import scala.jdk.CollectionConverters._
+
 /** Structured Streaming support — a capability the reference lacks entirely
   * (it is batch-only; SURVEY §2.E). Streams get the same operator surface:
   * windowed aggregation with watermarks, sessionization via
@@ -507,12 +509,16 @@ object StreamOps {
     * at all (batch-only, no release-sequence concept).
     *
     * Budget semantics: a unit contributes at most `maxPerTick` rows to one
-    * tick's count (the Linf bound); one tick's data sits in exactly
-    * levels+1 nodes, so the WHOLE T-release sequence is epsilon-DP w.r.t.
-    * one unit's data within one tick (per-node Laplace scale =
-    * maxPerTick * (levels+1) / epsilon). Cross-tick composition is the
-    * caller's accounting — the same contract as every per-release
-    * operator here. Empty nodes carry noise too (the mechanism's
+    * (tick, key) cell's count (the Linf bound); one cell's data sits in
+    * exactly levels+1 nodes OF THAT KEY'S TREE, so the WHOLE T-release
+    * sequence is epsilon-DP w.r.t. one unit's data within one (tick, key)
+    * cell (per-node Laplace scale = maxPerTick * (levels+1) / epsilon).
+    * Cross-key and cross-tick composition are the caller's accounting —
+    * each key gets its own dyadic tree, so a unit touching k distinct
+    * keys at one tick spends k*epsilon; nothing here bounds keys-per-unit
+    * (no stream analogue of maxPartitionsContributed — the same
+    * [[dpWindowedCount]] cell contract). Empty nodes carry noise too (the
+    * mechanism's
     * requirement — a missing draw would disclose emptiness), which is why
     * the node universe is generated, not observed. Ticks outside
     * [0, horizon) fail loud in-plan. Zero noise => exact prefix counts,
@@ -637,11 +643,14 @@ object StreamOps {
   /** The SUM analogue of [[dpContinualCount]] — running clamped-value sums
     * under the same binary-tree mechanism, mirroring [[dpWindowedSum]]'s
     * order-free bounding: each value clamps to [minValue, maxValue], each
-    * unit's per-tick sum of clamped values clamps to
+    * unit's per-(tick, key)-cell sum of clamped values clamps to
     * [maxPerTick*minValue, maxPerTick*maxValue], so one unit's data within
-    * one tick moves a node sum by at most maxPerTick * max(|minValue|,
-    * |maxValue|) and the whole release sequence is epsilon-DP at per-node
-    * Laplace scale maxPerTick * max|bound| * (levels+1) / epsilon. All
+    * one (tick, key) cell moves a node sum by at most maxPerTick *
+    * max(|minValue|, |maxValue|) and the whole release sequence is
+    * epsilon-DP w.r.t. that cell at per-node Laplace scale maxPerTick *
+    * max|bound| * (levels+1) / epsilon; cross-key and cross-tick
+    * composition are the caller's accounting (each key is its own tree —
+    * the [[dpContinualCount]] cell contract). All
     * other contracts ([[dpContinualCount]]: generated universes,
     * key-existence caveat + publicKeys, fail-loud ticks/keys/values)
     * apply verbatim. */
@@ -802,23 +811,53 @@ object StreamOps {
         store.map(_.nodeNoise).getOrElse(emptyNoiseFrame(spark0, sums, keyCols)),
         batchMax))
     }
-    val keys = sums.select(keyCs: _*).distinct().localCheckpoint(false)
-    val rel0 = (if (keyCols.isEmpty) relTicks else relTicks.crossJoin(broadcast(keys)))
+    // DRIVER-SIDE draws (r13): the r12 version drew node noise in a
+    // nondeterministic UDF pinned by a lazy checkpoint — a task retry
+    // before (or during) the first materialization re-ran the UDF and
+    // handed DIFFERENT noise to the releases and the store, silently
+    // breaking draw-once; an eager checkpoint closed the hole but cost an
+    // extra traversal per step (+60% on the 3-batch fold). The node
+    // universe is GENERATED and horizon-shaped, never data-shaped, so the
+    // draws happen here in driver code — exactly once, unconditionally —
+    // and enter the plan as a local literal frame: the whole noise store
+    // is a deterministic union of literals, retry-proof with no
+    // checkpoint and no extra jobs. Driver cost is O(keys x wave nodes)
+    // plus one bounded collect of the store's coordinate set
+    // (O(keys x 2*horizon) rows) — the keys are low-cardinality and the
+    // horizon dashboard-scale by the family's documented contract.
+    val keyRows: Seq[org.apache.spark.sql.Row] =
+      if (keyCols.isEmpty) Seq(org.apache.spark.sql.Row.fromSeq(Seq.empty))
+      else sums.select(keyCs: _*).distinct().collect().toSeq
+    val keysDf =
+      if (keyCols.isEmpty) null
+      else spark0.createDataFrame(
+        new java.util.ArrayList(keyRows.asJava),
+        StructType(keyCols.map(n => sums.schema(n))))
+    val rel0 = (if (keyCols.isEmpty) relTicks else relTicks.crossJoin(broadcast(keysDf)))
       .withColumn("__lvl", explode(sequence(lit(0), lit(levels))))
       .filter(expr("(shiftright(t + 1, __lvl) & 1) = 1"))
       .withColumn("__idx", expr("shiftleft(shiftright(t + 1, __lvl + 1), 1)"))
-    // nodes needed by this release wave that have no stored draw yet
     val prevNoise = store.map(_.nodeNoise)
       .getOrElse(emptyNoiseFrame(spark0, sums, keyCols))
     val b = maxPerTick.toDouble * (levels + 1) / epsilon
-    val src = noise
-    val drawUdf = udf(() => src.laplace(b)).asNondeterministic()
-    val newDraws = rel0.select(col("__lvl") +: col("__idx") +: keyCs: _*).distinct()
-      .join(prevNoise.select(col("__lvl") +: col("__idx") +: keyCs: _*),
-        Seq("__lvl", "__idx") ++ keyCols, "left_anti")
-      .withColumn("__noise", drawUdf())
+    // decomposition nodes of this wave's ticks — pure arithmetic
+    val waveNodes: Seq[(Int, Long)] =
+      (releasedThrough + 1 to releaseThrough).flatMap { t =>
+        (0 to levels).collect {
+          case l if (((t + 1) >> l) & 1L) == 1L => (l, ((t + 1) >> (l + 1)) << 1)
+        }
+      }.distinct
+    val drawnCoords: Set[(Int, Long, Seq[Any])] = prevNoise
+      .select(col("__lvl") +: col("__idx") +: keyCs: _*).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.toSeq.drop(2))).toSet
+    val newRows: Seq[org.apache.spark.sql.Row] = for {
+      kr <- keyRows
+      (l, i) <- waveNodes
+      if !drawnCoords((l, i, kr.toSeq))
+    } yield org.apache.spark.sql.Row.fromSeq(l +: i +: kr.toSeq :+ noise.laplace(b))
+    val newDraws = spark0.createDataFrame(
+      new java.util.ArrayList(newRows.asJava), prevNoise.schema)
     val allNoise = prevNoise.unionByName(newDraws)
-      .localCheckpoint(false) // draw-once: pin the draws before reuse
     val released = rel0
       .join(sums, Seq("__lvl", "__idx") ++ keyCols, "left")
       .join(allNoise, Seq("__lvl", "__idx") ++ keyCols)
@@ -1084,17 +1123,18 @@ object StreamOps {
     // ride the incremental join as both an old and a new row, so its pairs
     // with other new records generate TWICE (once per orientation arm) and
     // the fold's union no longer equals linkPairs on the concatenated
-    // corpus. Enforced with one bounded semi-join count per step (r12
-    // streaming review) — fail loud, never silently double-score.
-    store.foreach { st =>
-      val replayed = batch.select(col(idCol))
-        .join(st.select(col(idCol)), Seq(idCol), "left_semi").head(1)
-      if (replayed.nonEmpty)
-        throw new IllegalStateException(
-          s"onlineLinkStep: batch id ${replayed.head.get(0)} already exists " +
-            "in the store — batches must carry NEW ids only (a replay would " +
-            "double-generate its pairs). Deduplicate the ingest upstream")
-    }
+    // corpus. Enforced IN-PLAN (r13 attribution pass: the r12 driver-side
+    // left-semi probe launched one extra job per fold step and carried
+    // ~0.4 s of the ss_er regression): a guard ARM unioned into the pairs
+    // output — store ids semi-joined against the BROADCAST batch ids
+    // (map-side, no shuffle), every replayed id raising from a FILTER
+    // predicate. A filter predicate survives column pruning (a projection
+    // guard dies under count(*)-style pruning) and the arm is not
+    // statically empty, so AQE's empty-relation propagation cannot
+    // eliminate it (a 1-row crossJoin guard was — zero-pair steps skipped
+    // the check). No replays => the arm contributes zero rows and one
+    // cheap map-side scan of the checkpointed store, whenever the step's
+    // pairs are evaluated. Fail loud, never silently double-score.
     val pairs = store match {
       case None =>
         graft.ops.RecordLinkage.linkPairs(batch, idCol, blockKeys, rules,
@@ -1102,8 +1142,26 @@ object StreamOps {
       case Some(st) =>
         val all = st.withColumn("__er_isnew", lit(false))
           .unionByName(batch.withColumn("__er_isnew", lit(true)))
-        graft.ops.RecordLinkage.linkPairsIncremental(all, idCol,
+        val p0 = graft.ops.RecordLinkage.linkPairsIncremental(all, idCol,
           col("__er_isnew"), blockKeys, rules, threshold, maxPairsPerRecord)
+        // the raising filter sits ABOVE a global aggregate: an unguarded
+        // raise_error filter on the semi-join output gets predicate-pushed
+        // BELOW the join (it references only left-side columns) and fires
+        // on every store row; pushdown cannot cross the aggregate, and a
+        // global agg emits its one row even on empty input, so neither
+        // pruning nor AQE empty-relation propagation can skip the check
+        val guardRows = st.select(col(idCol))
+          .join(broadcast(batch.select(col(idCol))), Seq(idCol), "left_semi")
+          .agg(count(lit(1)).as("__n"), first(col(idCol)).as("__sample"))
+          .filter(when(col("__n") > 0, raise_error(concat(
+              lit("onlineLinkStep: batch id "), col("__sample").cast("string"),
+              lit(" already exists in the store — batches must carry NEW " +
+                "ids only (a replay would double-generate its pairs). " +
+                "Deduplicate the ingest upstream"))).cast("boolean"))
+            .otherwise(lit(false)))
+          .select(p0.schema.fields.map(f =>
+            lit(null).cast(f.dataType).as(f.name)): _*)
+        p0.unionByName(guardRows)
     }
     val grown = store match {
       case None => batch

@@ -1397,6 +1397,15 @@ class SimilaritySpec extends AnyFunSuite {
         threshold = 0.9).collect())
     assert(graft.spark.SparkTestSession.chainMsg(eNull).contains("NULL corpus"),
       graft.spark.SparkTestSession.chainMsg(eNull).take(300))
+    // a NULL EVAL vector fails loud too (max skips null cosines, so it
+    // would silently WEAKEN the check — r12 advice)
+    val evNull = Seq((100L, Array(1.0, 0.0, 0.0)),
+      (101L, null.asInstanceOf[Array[Double]])).toDF("qid", "qvec")
+    val eEvalNull = intercept[Exception](
+      Similarity.semanticDecontaminate(corpus, "id", "vec", evNull, "qid",
+        "qvec", threshold = 0.9).collect())
+    assert(graft.spark.SparkTestSession.chainMsg(eEvalNull).contains("NULL eval"),
+      graft.spark.SparkTestSession.chainMsg(eEvalNull).take(300))
   }
 
   test("bruteForceTopK enforces the queries-small broadcast contract") {

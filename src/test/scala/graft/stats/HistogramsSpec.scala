@@ -146,6 +146,24 @@ class HistogramsSpec extends AnyFunSuite {
     val zero = Histogram("sum", Seq(FrequencyBin(1.0, 2.0, 3L, 0.0, 0.0, 0.0)))
     assert(zero.ratioDropped.forall(!_._2.isNaN))
     assert(zero.ratioDropped.forall(_._2 == 0.0))
+    // the zero-total branch keeps the NORMAL path's ascending shape —
+    // interpolate() reads ratios.last._1 as the max bound and walks the
+    // list with indexWhere (r12 advice: an appended (0.0, 0.0) tail made
+    // the sequence unsorted with last bound 0.0)
+    val zb = zero.ratioDropped.map(_._1)
+    assert(zb == zb.sorted && zb.distinct == zb, zb.toString)
+    assert(zb.head == 0.0, zb.toString)
+    // a zero-mass histogram whose bin max EXCEEDS its lower gets the same
+    // (maxValue, 0.0) tail entry as the normal path
+    val zeroTail = Histogram("sum",
+      Seq(FrequencyBin(1.0, 2.0, 3L, 0.0, 2.0, 0.0)))
+    val zt = zeroTail.ratioDropped.map(_._1)
+    assert(zt == Seq(0.0, 1.0, 2.0), zt.toString)
+    // maxValue at/below the last lower: no duplicate or unsorted tail
+    val zeroFlat = Histogram("sum",
+      Seq(FrequencyBin(1.0, 2.0, 3L, 0.0, 1.0, 1.0)))
+    val zf = zeroFlat.ratioDropped.map(_._1)
+    assert(zf == Seq(0.0, 1.0), zf.toString)
     // empty quasi-identifier list fails loud (one global class passes
     // every threshold vacuously)
     val e = intercept[IllegalArgumentException](

@@ -683,9 +683,22 @@ class StreamOpsSpec extends AnyFunSuite {
     val b2 = Seq((1L, "b1", "alice smith", "A", 10.0),
       (2L, "b1", "alice smyth", "A", 10.005))
       .toDF("id", "blk", "nm", "seg", "bal")
-    val e2 = intercept[IllegalStateException](
-      StreamOps.onlineLinkStep(b2, Some(lstore), "id", Seq(col("blk")), rules, 45L))
-    assert(e2.getMessage.contains("NEW ids"), e2.getMessage)
+    // the guard is IN-PLAN (r13): it rides the step's pairs output as a
+    // 1-row broadcast cross, so it fires on evaluation — no extra job
+    val (badPairs, _) =
+      StreamOps.onlineLinkStep(b2, Some(lstore), "id", Seq(col("blk")), rules, 45L)
+    val e2 = intercept[Exception](badPairs.collect())
+    assert(graft.spark.SparkTestSession.chainMsg(e2).contains("NEW ids"),
+      graft.spark.SparkTestSession.chainMsg(e2).take(300))
+    // and it fires even when the batch generates ZERO pairs (the guard is
+    // the broadcast side of the cross — materialized regardless)
+    val b2b = Seq((1L, "zz", "nobody here", "Z", 99.0))
+      .toDF("id", "blk", "nm", "seg", "bal")
+    val (badEmpty, _) =
+      StreamOps.onlineLinkStep(b2b, Some(lstore), "id", Seq(col("blk")), rules, 45L)
+    val e2b = intercept[Exception](badEmpty.collect())
+    assert(graft.spark.SparkTestSession.chainMsg(e2b).contains("NEW ids"),
+      graft.spark.SparkTestSession.chainMsg(e2b).take(300))
   }
 
   test("sessionize state is O(1) and merges endpoints across micro-batches") {
