@@ -163,6 +163,21 @@ private[graft] object EntryStream {
         minValue = 0.0, maxValue = 1000.0,
         noise = graft.core.NoiseSource.Zero)
     }),
+    "ss_dp_continual_mean" -> ((s, dir) => {
+      // the MEAN derivation of the continual family: count tree + clamped
+      // sum tree on split budget from ONE scan, running mean as pure
+      // post-processing (ratio of the two prefix releases). Zero-noise +
+      // non-binding caps => exact running mean of floor(value) at every
+      // tick, replayed as two ranged window sums and a division.
+      graft.streaming.StreamOps.dpContinualMean(
+        events(s, dir).withColumn("v", floor(col("value"))),
+        pidCol = "user_id",
+        tickCol = expr("(ts div 86400000000000) - 19723"),
+        valueCol = "v", keyCols = Seq("event_type"), horizon = 32,
+        epsilon = 1.0, maxPerTick = 1000000L,
+        minValue = 0.0, maxValue = 1000.0,
+        noise = graft.core.NoiseSource.Zero)
+    }),
     "ss_dp_continual_fold" -> ((s, dir) => {
       // the STREAMING face of the continual counter: three tick-range
       // micro-batches folded through onlineContinualStep (node sums
@@ -336,6 +351,29 @@ private[graft] object EntryStream {
            FROM grid LEFT JOIN pt
              ON pt.event_type = grid.event_type AND pt.t <= grid.t
            GROUP BY 1, 2""",
+      // count + clamped-sum prefixes over the grid, mean = ratio with the
+      // max(count, 1) convention
+      "ss_dp_continual_mean" ->
+        """WITH pt AS (
+             SELECT event_type,
+                    date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS t,
+                    CAST(count(*) AS BIGINT) AS nc,
+                    sum(least(greatest(floor(value), 0.0), 1000.0)) AS ns
+             FROM events GROUP BY 1, 2),
+           grid AS (
+             SELECT k.event_type, g.t
+             FROM (SELECT DISTINCT event_type FROM events) k
+             CROSS JOIN (SELECT unnest(range(0, 32)) AS t) g),
+           pfx AS (
+             SELECT grid.t, grid.event_type,
+                    CAST(coalesce(sum(pt.nc), 0) AS DOUBLE) AS dp_prefix_count,
+                    CAST(coalesce(sum(pt.ns), 0) AS DOUBLE) AS dp_prefix_sum
+             FROM grid LEFT JOIN pt
+               ON pt.event_type = grid.event_type AND pt.t <= grid.t
+             GROUP BY 1, 2)
+           SELECT t, event_type, dp_prefix_count, dp_prefix_sum,
+                  dp_prefix_sum / greatest(dp_prefix_count, 1.0) AS dp_prefix_mean
+           FROM pfx""",
       // the fold must equal the one-shot release — same oracle
       "ss_dp_continual_fold" ->
         """WITH pt AS (

@@ -714,6 +714,98 @@ object StreamOps {
       "dp_prefix_sum")
   }
 
+  /** Continual-observation DP MEAN — the [[dpWindowedMean]] recipe over
+    * the shared dyadic-tree core: a COUNT tree and a clamped-SUM tree,
+    * each on half the budget, released at every tick; the running mean is
+    * their ratio — pure post-processing of the two prefix releases (DP is
+    * closed under post-processing, so the division costs nothing). Both
+    * trees fold the SAME bounded per-(unit, tick, key) aggregation from
+    * ONE scan of the input — the count and sum caps are applied together,
+    * map-side combined, and the checkpointed per-tick frame feeds both
+    * releases, so adding the mean costs one extra tree release, not a
+    * second pass over the data.
+    *
+    * Budget semantics: epsilon/2 to each tree, so the whole T-release
+    * sequence is epsilon-DP w.r.t. one unit's data within one (tick, key)
+    * cell by basic composition (count sensitivity maxPerTick; sum
+    * sensitivity maxPerTick * max(|minValue|, |maxValue|) — the
+    * order-free [[dpContinualSum]] clamping). Cross-key and cross-tick
+    * composition are the caller's accounting — the family's cell
+    * contract. All other contracts ([[dpContinualCount]]: generated
+    * universes, empty nodes draw noise, key-existence caveat +
+    * publicKeys, fail-loud ticks/keys/values) apply verbatim.
+    * dp_prefix_mean divides by max(dp_prefix_count, 1) — the
+    * [[dpWindowedMean]] convention, defined even when count noise dips
+    * near zero. Zero noise => exact running mean at every tick. */
+  def dpContinualMean(
+      events: DataFrame,
+      pidCol: String,
+      tickCol: org.apache.spark.sql.Column,
+      valueCol: String,
+      keyCols: Seq[String],
+      horizon: Int,
+      epsilon: Double,
+      maxPerTick: Long,
+      minValue: Double,
+      maxValue: Double,
+      noise: graft.core.NoiseSource,
+      publicKeys: Option[DataFrame] = None
+  ): DataFrame = {
+    require(publicKeys.isEmpty || keyCols.nonEmpty,
+      "publicKeys given but keyCols is empty — nothing to make public")
+    require(horizon >= 2 && (horizon & (horizon - 1)) == 0,
+      s"horizon must be a power of two >= 2, got $horizon (the dyadic tree)")
+    require(epsilon > 0, s"epsilon must be positive, got $epsilon")
+    require(maxPerTick > 0, s"maxPerTick must be positive, got $maxPerTick")
+    require(minValue <= maxValue, s"minValue $minValue > maxValue $maxValue")
+    val levels = 31 - Integer.numberOfLeadingZeros(horizon)
+    val keyCs = keyCols.map(col)
+    val u0 = tickCol.cast("long")
+    val u = when(u0.isNull || u0 < 0 || u0 >= horizon, raise_error(lit(
+        s"dpContinualMean: tick outside [0, $horizon) — widen the horizon " +
+          "(power of two) or filter the input")).cast("long"))
+      .otherwise(u0)
+    val keyChecked = keyCs.zip(keyCols).map { case (c, n) =>
+      when(c.isNull, raise_error(lit(
+        s"dpContinualMean: NULL key '$n' — it would silently drop from " +
+          "the release joins; coalesce or filter upstream"))
+        .cast(events.schema(n).dataType))
+        .otherwise(c).as(n)
+    }
+    val checked = when(col(valueCol).isNull, raise_error(lit(
+        "dpContinualMean: NULL value for a privacy unit — nulls have no " +
+          "clipping semantics; filter or impute upstream")).cast("double"))
+      .otherwise(col(valueCol).cast("double"))
+    val clamped = least(greatest(checked, lit(minValue)), lit(maxValue))
+    val pub = publicKeys.map(p => broadcast(
+      p.toDF(keyCols: _*).distinct().localCheckpoint(false)))
+    val inScope = pub.fold(events)(p =>
+      events.join(p, keyCols.map(n => events(n) === p(n)).reduce(_ && _),
+        "left_semi"))
+    // ONE bounded-contribution pass feeds both trees
+    val perTick = inScope
+      .groupBy(col(pidCol).as("__pid") +: u.as("__t") +: keyChecked: _*)
+      .agg(least(count(lit(1)), lit(maxPerTick)).cast("double").as("__nc0"),
+        least(greatest(sum(clamped), lit(maxPerTick * minValue)),
+          lit(maxPerTick * maxValue)).as("__ns0"))
+      .groupBy(col("__t") +: keyCs: _*)
+      .agg(sum(col("__nc0")).as("__nc"), sum(col("__ns0")).as("__ns"))
+      .localCheckpoint(false) // both tree releases fold the same result
+    val epsHalf = epsilon / 2.0
+    val bCount = maxPerTick.toDouble * (levels + 1) / epsHalf
+    val bSum = maxPerTick * math.max(math.abs(minValue), math.abs(maxValue)) *
+      (levels + 1) / epsHalf
+    val cnt = continualTreeRelease(
+      perTick.select(col("__t") +: keyCs :+ col("__nc").as("__nt"): _*),
+      keyCols, pub, horizon, levels, bCount, noise, "dp_prefix_count")
+    val sm = continualTreeRelease(
+      perTick.select(col("__t") +: keyCs :+ col("__ns").as("__nt"): _*),
+      keyCols, pub, horizon, levels, bSum, noise, "dp_prefix_sum")
+    cnt.join(sm, Seq("t") ++ keyCols)
+      .withColumn("dp_prefix_mean",
+        col("dp_prefix_sum") / greatest(col("dp_prefix_count"), lit(1.0)))
+  }
+
   /** One foreachBatch step of the CONTINUAL counter — the streaming face
     * of [[dpContinualCount]] (the [[onlineLinkStep]] store shape): node
     * sums accumulate across micro-batches, per-node noise is drawn ONCE

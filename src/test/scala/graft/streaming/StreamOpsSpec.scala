@@ -848,6 +848,72 @@ class StreamOpsSpec extends AnyFunSuite {
       graft.spark.SparkTestSession.chainMsg(e).take(300))
   }
 
+  test("continual mean: split-budget trees from one pass, ratio post-processing") {
+    import org.apache.spark.sql.functions._
+    // (user, tick, value) — t1/t4/t5/t7 empty (they still release)
+    val df = Seq((1L, 0L, 10.0), (2L, 0L, 4.0), (1L, 2L, 6.0),
+      (1L, 3L, 2.0), (2L, 3L, 8.0), (3L, 3L, 100.0), (4L, 6L, 5.0))
+      .map { case (u, t, v) => (u, t, v, "k") }
+      .toDF("user_id", "tick", "v", "key")
+    def mean(src: graft.core.NoiseSource, maxPerTick: Long = 100L,
+        maxValue: Double = 1000.0) =
+      StreamOps.dpContinualMean(df, "user_id", col("tick"), "v", Seq("key"),
+          horizon = 8, epsilon = 1.0, maxPerTick = maxPerTick,
+          minValue = 0.0, maxValue = maxValue, noise = src)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    // zero noise, non-binding caps: exact running count/sum/mean per tick
+    val cPfx = Map(0L -> 2.0, 1L -> 2.0, 2L -> 3.0, 3L -> 6.0, 4L -> 6.0,
+      5L -> 6.0, 6L -> 7.0, 7L -> 7.0)
+    val sPfx = Map(0L -> 14.0, 1L -> 14.0, 2L -> 20.0, 3L -> 130.0,
+      4L -> 130.0, 5L -> 130.0, 6L -> 135.0, 7L -> 135.0)
+    val got = mean(graft.core.NoiseSource.Zero)
+    assert(got.keySet == (0L to 7L).toSet, got.keySet.toString)
+    (0L to 7L).foreach { t =>
+      assert(got(t) == ((cPfx(t), sPfx(t), sPfx(t) / math.max(cPfx(t), 1.0))),
+        s"t=$t got ${got(t)}")
+    }
+    // split-budget structure: a source echoing its scale b as the draw
+    // pins BOTH trees' per-node Laplace scales (count: maxPerTick *
+    // (levels+1) / (eps/2) = 100*4/0.5 = 800; sum: *maxValue = 800000)
+    // AND draw-once per node via the popcount identity — release(t) reads
+    // exactly popcount(t+1) nodes of each tree
+    object EchoB extends graft.core.NoiseSource {
+      def laplace(b: Double): Double = b
+      def gaussian(sigma: Double): Double = sigma
+      def uniform(): Double = 0.5
+    }
+    val echoed = mean(EchoB)
+    (0L to 7L).foreach { t =>
+      val pc = java.lang.Long.bitCount(t + 1)
+      val wantC = cPfx(t) + pc * 800.0
+      val wantS = sPfx(t) + pc * 800000.0
+      assert(echoed(t)._1 == wantC && echoed(t)._2 == wantS,
+        s"t=$t got ${echoed(t)} want ($wantC, $wantS)")
+      assert(echoed(t)._3 == wantS / math.max(wantC, 1.0))
+    }
+    // binding caps, zero noise: value clamp to [0, 10], per-unit-tick
+    // count capped at 2 — u3's 100.0 clamps to 10, and a unit with 3 rows
+    // in one tick would cap (none here, the caps bind on value only)
+    val clamped = mean(graft.core.NoiseSource.Zero, maxPerTick = 2L,
+      maxValue = 10.0)
+    val sClamp = Map(0L -> 14.0, 1L -> 14.0, 2L -> 20.0, 3L -> 40.0,
+      4L -> 40.0, 5L -> 40.0, 6L -> 45.0, 7L -> 45.0)
+    (0L to 7L).foreach { t =>
+      assert(clamped(t) == ((cPfx(t), sClamp(t),
+        sClamp(t) / math.max(cPfx(t), 1.0))), s"t=$t got ${clamped(t)}")
+    }
+    // NULL value fails loud (the family's clipping contract)
+    val withNull = Seq((1L, 0L, null.asInstanceOf[java.lang.Double], "k"))
+      .toDF("user_id", "tick", "v", "key")
+    val e = intercept[Exception](
+      StreamOps.dpContinualMean(withNull, "user_id", col("tick"), "v",
+        Seq("key"), 8, 1.0, 100L, 0.0, 1000.0,
+        graft.core.NoiseSource.Zero).collect())
+    assert(graft.spark.SparkTestSession.chainMsg(e).contains("NULL value"),
+      graft.spark.SparkTestSession.chainMsg(e).take(300))
+  }
+
   test("sessionization closes sessions after the inactivity gap") {
     import StreamOps._
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
