@@ -160,6 +160,79 @@ class PLDBudgetAccountantSpec extends AnyFunSuite {
     assert(math.abs(a3.baseNoiseStd.get - 40.02) < 0.8, s"base=${a3.baseNoiseStd.get}")
   }
 
+  test("per-mechanism stds of the mixed-weight golden cases match the reference") {
+    // The reference pins not just each pipeline base but every
+    // mechanism's resolved noise std (tests/budget_accounting_test.py:
+    // 430-500 expected_noise_std per entry). CONVENTION: the reference's
+    // value is FINAL (includes sensitivity); ours is normalized per unit
+    // sensitivity, so reference = ours * sensitivity — the executed
+    // mechanisms coincide (the executor scales by actual L1/L2).
+    def run(eps: Double, delta: Double,
+        ms: Seq[(Int, MechanismType, Double, Double)]) = {
+      val acc = new PLDBudgetAccountant(eps, delta, pldDiscretization = 1e-2)
+      val hs = ms.map { case (count, t, w, s) =>
+        (acc.requestBudget(t, weight = w, count = count, sensitivity = s), s)
+      }
+      acc.computeBudgets()
+      hs.map { case (h, s) => h.spec.noiseStdDev.get * s }
+    }
+    // "mix_of_mechanisms" (base 20.024): Laplace w=1 s=2 -> 40.048,
+    // Gaussian w=1 s=4 -> 80.096
+    val m1 = run(0.246, 1e-5, Seq((6, Laplace, 1, 2), (2, Gaussian, 1, 4)))
+    assert(math.abs(m1.head - 40.048) < 0.8, m1.toString)
+    assert(math.abs(m1.last - 80.096) < 1.6, m1.toString)
+    // "multiple_weights_and_sensitivities" (base 20): Laplace w=4 s=2 ->
+    // 10, Gaussian w=2 s=4 -> 40
+    val m2 = run(0.719, 1e-5, Seq((4, Laplace, 4, 2), (6, Gaussian, 2, 4)))
+    assert(math.abs(m2.head - 10.0) < 0.2, m2.toString)
+    assert(math.abs(m2.last - 40.0) < 0.8, m2.toString)
+    // "multiple_weights_and_sensitivities_variants" (base 40.02):
+    // 20.01 / 80.04 / 80.04 / 15
+    val m3 = run(0.822, 1e-6, Seq((4, Laplace, 4, 2), (6, Gaussian, 2, 4),
+      (1, Gaussian, 3, 6), (5, Laplace, 8, 3)))
+    val want3 = Seq(20.01, 80.04, 80.04, 15.0)
+    m3.zip(want3).foreach { case (got, want) =>
+      assert(math.abs(got - want) < want * 0.02, s"got=$m3 want=$want3")
+    }
+    // the weight/sensitivity algebra ties every mechanism to the base:
+    // final std = base / weight * sensitivity exactly
+    val accA = new PLDBudgetAccountant(0.822, 1e-6, pldDiscretization = 1e-2)
+    val handles = Seq((4, Laplace, 4.0, 2.0), (6, Gaussian, 2.0, 4.0),
+      (1, Gaussian, 3.0, 6.0), (5, Laplace, 8.0, 3.0)).map {
+      case (c, t, w, s) =>
+        (accA.requestBudget(t, weight = w, count = c, sensitivity = s), w, s)
+    }
+    accA.computeBudgets()
+    val baseA = accA.baseNoiseStd.get
+    handles.foreach { case (h, w, s) =>
+      assert(math.abs(h.spec.noiseStdDev.get * s - baseA / w * s) < 1e-9)
+    }
+  }
+
+  test("generic_multiple optimistic: one-sided vs reference, feasibility round-trip") {
+    // "generic_multiple" (tests/budget_accounting_test.py:301-316):
+    // eps=0.6599974547358093, delta=1e-5, THREE generic mechanisms ->
+    // reference base 6.71649169921875 under pldlib's pessimistic
+    // rounding. Same contract as the single-generic golden: our
+    // mean-preserving split needs no MORE noise, lands within 5%, and
+    // the reference's base remains feasible under our composition.
+    val eps = 0.6599974547358093
+    val acc = new PLDBudgetAccountant(eps, 1e-5, pldDiscretization = 1e-2)
+    val hs = (1 to 3).map(_ =>
+      acc.requestBudget(MechanismType.PartitionSelection))
+    acc.computeBudgets()
+    val base = acc.baseNoiseStd.get
+    assert(base <= 6.71649169921875 + 1e-9 && base > 6.71649169921875 * 0.95,
+      s"base=$base")
+    assert(acc.composeDistributions(6.71649169921875).epsilonForDelta(1e-5)
+      <= eps + 1e-6)
+    // proportional-delta resolution (budget_accounting.py:616-622) on
+    // every one of the three handles
+    hs.foreach { h =>
+      assert(math.abs(h.spec.delta - h.spec.epsilon / eps * 1e-5) < 1e-12)
+    }
+  }
+
   test("PLD accountant reproduces the reference's golden base noise stds") {
     // Ported from the reference's own golden values
     // (tests/budget_accounting_test.py:266-500, PLDBudgetAccountant with
@@ -258,15 +331,28 @@ class PLDBudgetAccountantSpec extends AnyFunSuite {
     // reproduces the reference's pldlib values essentially exactly
     // (budget_accounting_test.py "generic": 6.41455078125,
     // "generic_multiple": 6.71649169921875; measured diffs < 4e-4)
-    def accP(eps: Double, delta: Double, count: Int): Double = {
+    def accP(eps: Double, delta: Double, count: Int): (Double, MechanismSpec) = {
       val a = new PLDBudgetAccountant(eps, delta, pldDiscretization = 1e-2,
         pessimistic = true)
-      a.requestBudget(MechanismType.PartitionSelection, count = count)
+      val h = a.requestBudget(MechanismType.PartitionSelection, count = count)
       a.computeBudgets()
-      a.baseNoiseStd.get
+      (a.baseNoiseStd.get, h.spec)
     }
-    assert(math.abs(accP(0.22999925338484556, 1e-5, 1) - 6.41455078125) < 1e-3)
-    assert(math.abs(accP(0.6599974547358093, 1e-5, 3) - 6.71649169921875) < 1e-3)
+    val (gBase, gSpec) = accP(0.22999925338484556, 1e-5, 1)
+    assert(math.abs(gBase - 6.41455078125) < 1e-3)
+    // ... and the resolved per-mechanism (eps, delta) reproduce the
+    // reference's own expectations at its own 1e-3 tolerance
+    // (budget_accounting_test.py:298-299, 313-314)
+    assert(math.abs(gSpec.epsilon - 0.2204717161227536) < 1e-3,
+      s"eps=${gSpec.epsilon}")
+    assert(math.abs(gSpec.delta - 9.585757904781109e-06) < 1e-3,
+      s"delta=${gSpec.delta}")
+    val (gmBase, gmSpec) = accP(0.6599974547358093, 1e-5, 3)
+    assert(math.abs(gmBase - 6.71649169921875) < 1e-3)
+    assert(math.abs(gmSpec.epsilon - 0.21055837268995567) < 1e-3,
+      s"eps=${gmSpec.epsilon}")
+    assert(math.abs(gmSpec.delta - 3.190290677321479e-06) < 1e-3,
+      s"delta=${gmSpec.delta}")
     // continuous mechanisms: plain ceil-binning is certified but LOOSE at
     // coarse h (O(h) bias inflates a 10-fold composition's epsilon when
     // per-mechanism losses are only a few grid cells wide); at the default
