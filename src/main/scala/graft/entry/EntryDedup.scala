@@ -134,6 +134,22 @@ private[graft] object EntryDedup {
       RecordLinkage.lshLinkPairs(erLshFixture(s, dir), "rec_id",
         blockString = col("c_addr"), erRules, threshold = 45L)
     }),
+    "er_lsh_capped" -> ((s, dir) => {
+      // the mass-duplicate escape: the fixture plants one shared literal
+      // key on the rec_id%28==5 class (~3.5% of the base — placeholder
+      // addresses, bulk registrations), whose band buckets go quadratic
+      // uncapped; maxBucket=8 routes them through the star collapse
+      // (n-1 rep-member pairs per hot bucket), the guard accounts the
+      // POST-collapse volume, and every stage — bucket histogram, min-id
+      // representative, star + small-bucket pair union, FS scoring — is
+      // deterministic integer arithmetic the oracle replays end-to-end.
+      // (Hot-class star pairs score name disagree -20 + balance disagree
+      // -10 and drop below threshold; the typo'd true pairs ride their
+      // other, small buckets exactly as in er_lsh_pairs.)
+      RecordLinkage.lshLinkPairs(erLshHotFixture(s, dir), "rec_id",
+        blockString = col("c_addr"), erRules, threshold = 45L,
+        maxBucket = 8)
+    }),
     "er_snm_pairs" -> ((s, dir) => {
       // sorted-neighborhood blocking: global rank by (balance, id) —
       // distributed via floor(balance/100) buckets + one driver prefix
@@ -616,6 +632,21 @@ private[graft] object EntryDedup {
     base.unionByName(erDirtyCopies(base, 1000000L))
   }
 
+  /** [[erLshFixture]] with a planted MASS-DUPLICATE key: every base record
+    * with rec_id%28 == 5 (a class disjoint from the dirty-copy classes)
+    * gets the same 32-char placeholder address — the "N/A" / bulk-
+    * registration shape that puts ~1/28 of the corpus into ONE set of band
+    * buckets and goes quadratic without a cap. Deterministic, so the
+    * er_lsh_capped oracle replays the star collapse bit-for-bit. */
+  private def erLshHotFixture(s: SparkSession, dir: String): DataFrame = {
+    val base = erBase(s, dir, withAddr = true)
+      .withColumn("c_addr",
+        when(col("rec_id") % 28 === 5L,
+          lit("00000000000000000000000000000000"))
+          .otherwise(col("c_addr")))
+    base.unionByName(erDirtyCopies(base, 1000000L))
+  }
+
   /** The gate's field rules: agree/disagree weights chosen so the maximum
     * score is 60 and ANY single disagreement drops below threshold 45. */
   private def erRules = Seq(
@@ -663,6 +694,103 @@ private[graft] object EntryDedup {
                 CAST(balance_w AS BIGINT) AS balance_w,
                 CAST(name_w + segment_w + balance_w AS BIGINT) AS score
          FROM weighted WHERE name_w + segment_w + balance_w >= 45)"""
+
+  /** The LSH-linkage oracle, parameterized by the two er_lsh variation
+    * points — the planted shared-literal key (er_lsh_capped's fixture) and
+    * the bucket cap (0 = plain full bucket join) — so both gate rows
+    * replay ONE pipeline definition and cannot drift. The capped arm
+    * replays the star collapse exactly: per-(band, bucket) histogram,
+    * min-id representative, full join for small buckets UNION star pairs
+    * for over-cap ones, then the same distinct + FS scoring. */
+  private def erLshOracleSql(hotKey: Boolean, maxBucket: Int): String = {
+    import OracleFragments._
+    val addrExpr =
+      if (hotKey)
+        """CASE WHEN CAST(c_custkey AS BIGINT) % 28 = 5
+                THEN '00000000000000000000000000000000'
+                ELSE md5(c_name) END"""
+      else "md5(c_name)"
+    val candSql =
+      if (maxBucket <= 0)
+        """cand AS (
+              SELECT DISTINCT a.rec_id AS id_a, b.rec_id AS id_b
+              FROM sig a JOIN sig b
+                ON a.band = b.band AND a.bucket = b.bucket
+               AND a.rec_id < b.rec_id)"""
+      else
+        s"""stats AS (
+              SELECT band, bucket, count(*) AS bn, min(rec_id) AS rep
+              FROM sig GROUP BY band, bucket),
+            cand AS (
+              SELECT DISTINCT id_a, id_b FROM (
+                SELECT a.rec_id AS id_a, b.rec_id AS id_b
+                FROM sig a JOIN sig b
+                  ON a.band = b.band AND a.bucket = b.bucket
+                 AND a.rec_id < b.rec_id
+                JOIN stats s
+                  ON s.band = a.band AND s.bucket = a.bucket
+                WHERE s.bn <= $maxBucket
+                UNION ALL
+                SELECT s.rep AS id_a, g.rec_id AS id_b
+                FROM sig g JOIN stats s
+                  ON s.band = g.band AND s.bucket = g.bucket
+                WHERE s.bn > $maxBucket AND g.rec_id <> s.rep))"""
+    s"""WITH base AS (
+          SELECT CAST(c_custkey AS BIGINT) AS rec_id, c_name, c_nationkey,
+                 c_acctbal, c_mktsegment, $addrExpr AS c_addr
+          FROM customer),
+        dirty AS (
+          SELECT b.rec_id + 1000000 AS rec_id,
+                 CASE WHEN b.rec_id % 28 = 10
+                      THEN substring(b.c_name, 1, length(b.c_name) - 2) || 'XY'
+                      ELSE substring(b.c_name, 1, length(b.c_name) - 1) || 'X'
+                 END AS c_name,
+                 b.c_nationkey,
+                 CASE WHEN b.rec_id % 28 = 17 THEN b.c_acctbal + 5.0
+                      ELSE b.c_acctbal + 0.005 END AS c_acctbal,
+                 CASE WHEN b.rec_id % 28 = 24 THEN 'ALTERED'
+                      ELSE b.c_mktsegment END AS c_mktsegment,
+                 substring(b.c_addr, 1, 31) || 'X' AS c_addr
+          FROM base b WHERE b.rec_id % 28 IN (3, 10, 17, 24)),
+        recs AS (SELECT * FROM base UNION ALL SELECT * FROM dirty),
+        sh AS (
+          SELECT rec_id, list_distinct(list_transform(
+                   range(1, greatest(length(c_addr) - 2, 1) + 1),
+                   i -> substr(c_addr, CAST(i AS INTEGER), 3))) AS grams
+          FROM recs WHERE c_addr IS NOT NULL AND length(c_addr) > 0),
+        h AS (
+          SELECT rec_id,
+                 CAST(CONCAT('0x', substr(md5(g), 1, 15)) AS BIGINT) % 2147483647 AS h
+          FROM (SELECT rec_id, unnest(grams) AS g FROM sh)),
+        mh AS (
+          SELECT rec_id, p,
+                 min((($permAList)[p + 1] * h + ($permBList)[p + 1]) % 2147483647) AS mv
+          FROM h CROSS JOIN (SELECT unnest(range(0, 64)) AS p)
+          GROUP BY rec_id, p),
+        sig AS (
+          SELECT rec_id, p // 4 AS band,
+                 string_agg(CAST(mv AS VARCHAR), '_' ORDER BY p) AS bucket
+          FROM mh GROUP BY rec_id, p // 4),
+        $candSql,
+        mw AS (
+          SELECT id_a, id_b,
+                 CASE WHEN a.c_name IS NULL OR b.c_name IS NULL THEN 0
+                      WHEN levenshtein(a.c_name, b.c_name) <= 1 THEN 30
+                      ELSE -20 END AS name_w,
+                 CASE WHEN a.c_mktsegment IS NULL OR b.c_mktsegment IS NULL THEN 0
+                      WHEN a.c_mktsegment = b.c_mktsegment THEN 10
+                      ELSE -15 END AS segment_w,
+                 CASE WHEN a.c_acctbal IS NULL OR b.c_acctbal IS NULL THEN 0
+                      WHEN abs(a.c_acctbal - b.c_acctbal) <= 0.01 THEN 20
+                      ELSE -10 END AS balance_w
+          FROM cand JOIN recs a ON a.rec_id = id_a
+                    JOIN recs b ON b.rec_id = id_b)
+        SELECT id_a, id_b, CAST(name_w AS BIGINT) AS name_w,
+               CAST(segment_w AS BIGINT) AS segment_w,
+               CAST(balance_w AS BIGINT) AS balance_w,
+               CAST(name_w + segment_w + balance_w AS BIGINT) AS score
+        FROM mw WHERE name_w + segment_w + balance_w >= 45"""
+  }
 
   def oracleSql: Map[String, String] = {
     import OracleFragments._
@@ -771,66 +899,8 @@ private[graft] object EntryDedup {
       // key + 1-char dirty edit, char trigrams, md5 shingle hashes,
       // linear-congruential permutation minima (the same fixed literals),
       // 16x4 band buckets, distinct candidates, then the scoring arms
-      "er_lsh_pairs" ->
-        s"""WITH base AS (
-              SELECT CAST(c_custkey AS BIGINT) AS rec_id, c_name, c_nationkey,
-                     c_acctbal, c_mktsegment, md5(c_name) AS c_addr
-              FROM customer),
-            dirty AS (
-              SELECT b.rec_id + 1000000 AS rec_id,
-                     CASE WHEN b.rec_id % 28 = 10
-                          THEN substring(b.c_name, 1, length(b.c_name) - 2) || 'XY'
-                          ELSE substring(b.c_name, 1, length(b.c_name) - 1) || 'X'
-                     END AS c_name,
-                     b.c_nationkey,
-                     CASE WHEN b.rec_id % 28 = 17 THEN b.c_acctbal + 5.0
-                          ELSE b.c_acctbal + 0.005 END AS c_acctbal,
-                     CASE WHEN b.rec_id % 28 = 24 THEN 'ALTERED'
-                          ELSE b.c_mktsegment END AS c_mktsegment,
-                     substring(b.c_addr, 1, 31) || 'X' AS c_addr
-              FROM base b WHERE b.rec_id % 28 IN (3, 10, 17, 24)),
-            recs AS (SELECT * FROM base UNION ALL SELECT * FROM dirty),
-            sh AS (
-              SELECT rec_id, list_distinct(list_transform(
-                       range(1, greatest(length(c_addr) - 2, 1) + 1),
-                       i -> substr(c_addr, CAST(i AS INTEGER), 3))) AS grams
-              FROM recs WHERE c_addr IS NOT NULL AND length(c_addr) > 0),
-            h AS (
-              SELECT rec_id,
-                     CAST(CONCAT('0x', substr(md5(g), 1, 15)) AS BIGINT) % 2147483647 AS h
-              FROM (SELECT rec_id, unnest(grams) AS g FROM sh)),
-            mh AS (
-              SELECT rec_id, p,
-                     min((($permAList)[p + 1] * h + ($permBList)[p + 1]) % 2147483647) AS mv
-              FROM h CROSS JOIN (SELECT unnest(range(0, 64)) AS p)
-              GROUP BY rec_id, p),
-            sig AS (
-              SELECT rec_id, p // 4 AS band,
-                     string_agg(CAST(mv AS VARCHAR), '_' ORDER BY p) AS bucket
-              FROM mh GROUP BY rec_id, p // 4),
-            cand AS (
-              SELECT DISTINCT a.rec_id AS id_a, b.rec_id AS id_b
-              FROM sig a JOIN sig b
-                ON a.band = b.band AND a.bucket = b.bucket
-               AND a.rec_id < b.rec_id),
-            mw AS (
-              SELECT id_a, id_b,
-                     CASE WHEN a.c_name IS NULL OR b.c_name IS NULL THEN 0
-                          WHEN levenshtein(a.c_name, b.c_name) <= 1 THEN 30
-                          ELSE -20 END AS name_w,
-                     CASE WHEN a.c_mktsegment IS NULL OR b.c_mktsegment IS NULL THEN 0
-                          WHEN a.c_mktsegment = b.c_mktsegment THEN 10
-                          ELSE -15 END AS segment_w,
-                     CASE WHEN a.c_acctbal IS NULL OR b.c_acctbal IS NULL THEN 0
-                          WHEN abs(a.c_acctbal - b.c_acctbal) <= 0.01 THEN 20
-                          ELSE -10 END AS balance_w
-              FROM cand JOIN recs a ON a.rec_id = id_a
-                        JOIN recs b ON b.rec_id = id_b)
-            SELECT id_a, id_b, CAST(name_w AS BIGINT) AS name_w,
-                   CAST(segment_w AS BIGINT) AS segment_w,
-                   CAST(balance_w AS BIGINT) AS balance_w,
-                   CAST(name_w + segment_w + balance_w AS BIGINT) AS score
-            FROM mw WHERE name_w + segment_w + balance_w >= 45""",
+      "er_lsh_pairs" -> erLshOracleSql(hotKey = false, maxBucket = 0),
+      "er_lsh_capped" -> erLshOracleSql(hotKey = true, maxBucket = 8),
       // the distributed rank replayed as ONE row_number over
       // (balance, id), the 10-rank window as a rank-range join, then the
       // same scoring

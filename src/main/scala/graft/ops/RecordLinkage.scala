@@ -324,11 +324,27 @@ object RecordLinkage {
     * `1-(1-J^r)^b` — defaults (16x4) pair J>=0.8 keys with probability
     * ~1 and J<=0.1 keys with probability ~2e-3. Rows with a NULL or
     * empty block string never pair (the null-block-key convention).
-    * Returns the [[linkPairs]] scored-pair schema, `id_a < id_b`. */
+    * Returns the [[linkPairs]] scored-pair schema, `id_a < id_b`.
+    *
+    * `maxBucket` (0 = off) is the MASS-DUPLICATE escape: a corpus where
+    * thousands of records share one literal key (placeholder addresses,
+    * "N/A", bulk-registered accounts) puts them all in the SAME band
+    * buckets, and the quadratic pair mass inside those buckets is exactly
+    * what the volume guard (correctly) rejects. With a cap, a bucket of
+    * size > maxBucket releases only its star to the min-id representative
+    * (n-1 pairs instead of n(n-1)/2) via [[Dedup.bandedCandidates]]'s
+    * collapse, the guard accounts the POST-collapse volume, and the
+    * output is linear in the hot-key mass. Semantics: member-member pairs
+    * of an over-cap bucket score only if some other band catches them in
+    * a small bucket — for a shared-literal key they won't, which is the
+    * point (those pairs carry no linkage evidence beyond the shared
+    * placeholder); true typo'd pairs keep their ~1 collision probability
+    * through the other bands. Capped == uncapped whenever no bucket
+    * exceeds the cap (spec-pinned). */
   def lshLinkPairs(df: DataFrame, idCol: String, blockString: Column,
       rules: Seq[FieldRule], threshold: Long,
       shingleSize: Int = 3, numBands: Int = 16, rowsPerBand: Int = 4,
-      maxPairsPerRecord: Double = 1000.0): DataFrame = {
+      maxPairsPerRecord: Double = 1000.0, maxBucket: Int = 0): DataFrame = {
     require(shingleSize >= 1, s"shingleSize must be >= 1, got $shingleSize")
     require(numBands >= 1, s"numBands must be >= 1, got $numBands")
     require(rowsPerBand >= 1, s"rowsPerBand must be >= 1, got $rowsPerBand")
@@ -349,9 +365,16 @@ object RecordLinkage {
         .as(Seq("band", "bucket")))
       .localCheckpoint(false) // guard agg + both candidate join sides
     if (maxPairsPerRecord.isFinite) {
+      // with a bucket cap the guard accounts the POST-collapse volume:
+      // an over-cap bucket generates n-1 star pairs, not n(n-1)/2
+      val perBucket =
+        if (maxBucket > 0)
+          when(col("n") <= maxBucket, col("n") * (col("n") - 1) / 2)
+            .otherwise(col("n") - 1)
+        else col("n") * (col("n") - 1) / 2
       val row = banded.groupBy(col("band"), col("bucket"))
         .agg(count(lit(1)).as("n"))
-        .agg(coalesce(sum(col("n") * (col("n") - 1) / 2), lit(0.0)).as("pairs"),
+        .agg(coalesce(sum(perBucket), lit(0.0)).as("pairs"),
           coalesce(sum(col("n")), lit(0L)).as("rows")).head()
       val pairs: Double = row.getDouble(0)
       val nRec: Long = row.getLong(1) / numBands // each record lands in every band
@@ -361,9 +384,10 @@ object RecordLinkage {
             f"records (${pairs / nRec}%.0f/record) exceeds maxPairsPerRecord=" +
             f"$maxPairsPerRecord%.0f — the band buckets are too coarse " +
             "(mass-duplicate strings?). Raise rowsPerBand, lengthen " +
-            "shingles, or raise the cap deliberately")
+            "shingles, set maxBucket (the star-collapse escape for " +
+            "shared-literal keys), or raise the cap deliberately")
     }
-    val cand = Dedup.bandedCandidates(banded, maxBucket = 0)
+    val cand = Dedup.bandedCandidates(banded, maxBucket)
     val fa = proj.select(col("__er_id").as("id_a") +:
       fldNames.map(n => col(n).as(s"${n}_a")): _*)
     val fb = proj.select(col("__er_id").as("id_b") +:

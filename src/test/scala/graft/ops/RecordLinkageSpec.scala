@@ -161,6 +161,43 @@ class RecordLinkageSpec extends AnyFunSuite {
     assert(e.getMessage.contains("rowsPerBand"), e.getMessage)
   }
 
+  test("LSH maxBucket star collapse: linear hot-bucket volume, capped == uncapped when no cap binds") {
+    // the SAME mass-duplicate pile the guard rejects above: with a cap,
+    // each hot bucket releases only its star to the min-id rep — the
+    // distinct pair set is the 39 pairs (1, i), and the guard's
+    // POST-collapse (pre-distinct) volume is numBands*(n-1) = 624, i.e.
+    // ~numBands per record REGARDLESS of n (linear escape: the uncapped
+    // volume at the same n is 16*780 = 312/record and grows with n)
+    val pile = (1L to 40L).map(i =>
+      (i, "k7f2q9xm4plw8zr3vn6bty0cehj5gsda", s"n$i", "A", 1.0))
+      .toDF("id", "key", "nm", "seg", "bal")
+    val star = RecordLinkage.lshLinkPairs(pile, "id", col("key"), rules,
+      threshold = Long.MinValue, maxPairsPerRecord = 17.0, maxBucket = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(star == (2L to 40L).map(i => (1L, i)).toSet, star.toString)
+    // and the SAME 17/record cap still trips UNCAPPED on this pile —
+    // the cap is what turned the volume linear, not a looser guard
+    val e2 = intercept[IllegalStateException] {
+      RecordLinkage.lshLinkPairs(pile, "id", col("key"), rules,
+        threshold = 0L, maxPairsPerRecord = 17.0)
+    }
+    assert(e2.getMessage.contains("maxBucket"), e2.getMessage)
+    // output identity: on a corpus where NO bucket exceeds the cap, the
+    // capped run returns exactly the uncapped pair set
+    val mixed = Seq(
+      (1L, "k7f2q9xm4plw8zr3vn6bty0cehj5gsda", "alice smith", "A", 10.0),
+      (2L, "k7f2q9xm4plw8zr3vn6bty0cehj5gsdX", "alice smyth", "A", 10.005),
+      (3L, "0q8mw3jz7xr2pv9lk4cn1fy6hb5tg2es", "bob jones", "B", 50.0),
+      (4L, "0q8mw3jz7xr2pv9lk4cn1fy6hb5tg2eZ", "bob jonez", "B", 50.005)
+    ).toDF("id", "key", "nm", "seg", "bal")
+    def pairs(cap: Int) = RecordLinkage.lshLinkPairs(mixed, "id", col("key"),
+      rules, threshold = Long.MinValue, maxBucket = cap)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(5))).toSet
+    val uncapped = pairs(0)
+    assert(pairs(8) == uncapped, s"capped=${pairs(8)} uncapped=$uncapped")
+    assert(uncapped.map(_._1).intersect(Set((1L, 2L), (3L, 4L))).size == 2)
+  }
+
   test("multi-pass blocking: null-block recovery, cross-pass dedup") {
     // ids 1/2 match but id 2 has a NULL blk — invisible to pass 1;
     // pass 2 blocks on seg and recovers them. ids 1/8 sit in the same
