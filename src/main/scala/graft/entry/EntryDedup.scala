@@ -51,7 +51,7 @@ private[graft] object EntryDedup {
       // dedupe to ONE scored row; the oracle replays both passes,
       // the union-distinct, and the scoring.
       val fx = erFixture(s, dir).withColumn("c_nationkey",
-        when(pmod(col("rec_id") % 1000000L, lit(56L)) === 3L,
+        when(pmod(col("rec_id") % 1000000000L, lit(56L)) === 3L,
           lit(null).cast("int")).otherwise(col("c_nationkey")))
       RecordLinkage.linkPairsMultiPass(fx, "rec_id",
         Seq(Seq(col("c_nationkey"), col("c_mktsegment")),
@@ -82,8 +82,8 @@ private[graft] object EntryDedup {
       val fx = erFixture(s, dir)
       graft.streaming.StreamOps.onlineLinkIngest(
         Seq(fx.filter(col("rec_id") < 750),
-          fx.filter(col("rec_id") >= 750 && col("rec_id") < 1000000L),
-          fx.filter(col("rec_id") >= 1000000L)),
+          fx.filter(col("rec_id") >= 750 && col("rec_id") < 1000000000L),
+          fx.filter(col("rec_id") >= 1000000000L)),
         "rec_id", Seq(col("c_nationkey"), col("c_mktsegment")),
         erRules, threshold = 45L)
     }),
@@ -103,7 +103,7 @@ private[graft] object EntryDedup {
       // restricted to pairs touching a new id — the same set by the
       // spec-pinned incremental identity.
       RecordLinkage.linkPairsIncremental(erFixture(s, dir), "rec_id",
-        isNew = col("rec_id") >= 1000000L,
+        isNew = col("rec_id") >= 1000000000L,
         Seq(col("c_nationkey"), col("c_mktsegment")), erRules, threshold = 45L)
     }),
     "er_ab_pairs" -> ((s, dir) => {
@@ -561,13 +561,13 @@ private[graft] object EntryDedup {
   }
 
   /** Dirty-copy ER fixture over customer: one perturbed copy per
-    * c_custkey%28 ∈ {3,10,17,24} at rec_id + 1000000. Perturbations per
+    * c_custkey%28 ∈ {3,10,17,24} at rec_id + 1000000000. Perturbations per
     * class: 3 = all fields agree (1-char name edit, +0.005 balance, same
     * segment); 10 = 2-char name edit; 17 = +5.0 balance; 24 = segment
     * replaced. Replayed verbatim by [[erFixtureSql]]. */
   /** The guarded base customer projection shared by every ER fixture:
-    * the dirty-copy id space starts at 1000000 and er_multipass (%1000000
-    * un-mask), er_incremental/ss_er (rec_id >= 1000000 == "new") all rely
+    * the dirty-copy id space starts at 1000000000 and er_multipass (%1000000000
+    * un-mask), er_incremental/ss_er (rec_id >= 1000000000 == "new") all rely
     * on base ids staying BELOW it — a scale-ladder replica set large
     * enough to cross 1e6 (>~66 replicas at sf0.01) would silently collide,
     * so fail loud in-plan instead (no extra action; the filter arm only
@@ -577,8 +577,8 @@ private[graft] object EntryDedup {
       withAddr: Boolean = false): DataFrame = {
     val base = s.read.parquet(s"$dir/customer.parquet")
       .select(
-        when(col("c_custkey").cast("long") >= 1000000L,
-          raise_error(lit("erBase: base rec_id >= 1000000 collides with " +
+        when(col("c_custkey").cast("long") >= 1000000000L,
+          raise_error(lit("erBase: base rec_id >= 1000000000 collides with " +
             "the dirty-copy id space — shrink the input or rebase the " +
             "offset")).cast("long"))
           .otherwise(col("c_custkey").cast("long")).as("rec_id"),
@@ -591,7 +591,7 @@ private[graft] object EntryDedup {
     * replay verbatim cannot drift between fixtures. One perturbed copy per
     * rec_id%28 ∈ {3,10,17,24}: 3 = all fields agree (1-char name edit,
     * +0.005 balance, same segment); 10 = 2-char name edit; 17 = +5.0
-    * balance; 24 = segment replaced. `idOffset` = 1000000 for the
+    * balance; 24 = segment replaced. `idOffset` = 1000000000 for the
     * self-join fixtures (disjoint id space), 0 for the cross-table one
     * (colliding id spaces are the POINT there). A base carrying `c_addr`
     * gets the 1-char key edit (the LSH typo'd-key shape). */
@@ -617,7 +617,7 @@ private[graft] object EntryDedup {
 
   private def erFixture(s: SparkSession, dir: String): DataFrame = {
     val base = erBase(s, dir)
-    base.unionByName(erDirtyCopies(base, 1000000L))
+    base.unionByName(erDirtyCopies(base, 1000000000L))
   }
 
   /** [[erFixture]] plus the synthesized noisy STRING key for the LSH
@@ -629,7 +629,7 @@ private[graft] object EntryDedup {
     * the er_lsh_pairs oracle. */
   private def erLshFixture(s: SparkSession, dir: String): DataFrame = {
     val base = erBase(s, dir, withAddr = true)
-    base.unionByName(erDirtyCopies(base, 1000000L))
+    base.unionByName(erDirtyCopies(base, 1000000000L))
   }
 
   /** [[erLshFixture]] with a planted MASS-DUPLICATE key: every base record
@@ -644,7 +644,7 @@ private[graft] object EntryDedup {
         when(col("rec_id") % 28 === 5L,
           lit("00000000000000000000000000000000"))
           .otherwise(col("c_addr")))
-    base.unionByName(erDirtyCopies(base, 1000000L))
+    base.unionByName(erDirtyCopies(base, 1000000000L))
   }
 
   /** The gate's field rules: agree/disagree weights chosen so the maximum
@@ -662,7 +662,7 @@ private[graft] object EntryDedup {
                 c_acctbal, c_mktsegment
          FROM customer),
        dirty AS (
-         SELECT b.rec_id + 1000000 AS rec_id,
+         SELECT b.rec_id + 1000000000 AS rec_id,
                 CASE WHEN b.rec_id % 28 = 10
                      THEN substring(b.c_name, 1, length(b.c_name) - 2) || 'XY'
                      ELSE substring(b.c_name, 1, length(b.c_name) - 1) || 'X'
@@ -740,7 +740,7 @@ private[graft] object EntryDedup {
                  c_acctbal, c_mktsegment, $addrExpr AS c_addr
           FROM customer),
         dirty AS (
-          SELECT b.rec_id + 1000000 AS rec_id,
+          SELECT b.rec_id + 1000000000 AS rec_id,
                  CASE WHEN b.rec_id % 28 = 10
                       THEN substring(b.c_name, 1, length(b.c_name) - 2) || 'XY'
                       ELSE substring(b.c_name, 1, length(b.c_name) - 1) || 'X'
@@ -856,7 +856,7 @@ private[graft] object EntryDedup {
         s"""WITH $erScoredSql
             SELECT id_a, id_b, name_w, segment_w, balance_w, score
             FROM scored
-            WHERE id_a >= 1000000 OR id_b >= 1000000""",
+            WHERE id_a >= 1000000000 OR id_b >= 1000000000""",
       // the A x B blocked scoring replayed: base as A, UNOFFSET dirty
       // copies as B, same weight arms, no id canonicalization
       "er_ab_pairs" ->
@@ -941,7 +941,7 @@ private[graft] object EntryDedup {
         s"""WITH $erScoredSql,
             recsm AS (
               SELECT rec_id, c_name,
-                     CASE WHEN (rec_id % 1000000) % 56 = 3 THEN NULL
+                     CASE WHEN (rec_id % 1000000000) % 56 = 3 THEN NULL
                           ELSE c_nationkey END AS c_nationkey,
                      c_acctbal, c_mktsegment
               FROM recs),

@@ -233,6 +233,12 @@ object Dedup {
         .filter(col("id_a") < col("id_b"))
         .select("id_a", "id_b").distinct()
     } else {
+      // The bucket histogram is SCALE-SHAPED (one row per non-empty
+      // (band, bucket) — grows with the corpus), so it must never ride a
+      // broadcast: every join against it is pinned shuffle_hash. Without
+      // the hint AQE's runtime size estimate can elect to broadcast the
+      // filtered stats side, and at the 100x rung that build OOMs the
+      // driver (measured: LadderEr capped run, 24M banded rows).
       val stats = banded.groupBy("band", "bucket")
         .agg(count(lit(1)).as("__bn"), min("id").as("__rep"))
       val small = stats.filter(col("__bn") <= maxBucket)
@@ -243,7 +249,8 @@ object Dedup {
         .filter(col("id_a") < col("id_b"))
         .select("id_a", "id_b")
       val starPairs = banded
-        .join(stats.filter(col("__bn") > maxBucket), Seq("band", "bucket"))
+        .join(stats.filter(col("__bn") > maxBucket).hint("shuffle_hash"),
+          Seq("band", "bucket"))
         .filter(col("id") =!= col("__rep")) // __rep = min(id), so rep < id
         .select(col("__rep").as("id_a"), col("id").as("id_b"))
       smallPairs.unionByName(starPairs).distinct()

@@ -388,11 +388,16 @@ object RecordLinkage {
             "shared-literal keys), or raise the cap deliberately")
     }
     val cand = Dedup.bandedCandidates(banded, maxBucket)
+    // the fields frames are CORPUS-SIZED — pin their joins shuffle_hash
+    // (the lshTopK convention): without the hint AQE can elect to
+    // broadcast one at the threshold boundary, and at the 100x rung that
+    // build OOMs the driver (measured, LadderEr)
     val fa = proj.select(col("__er_id").as("id_a") +:
       fldNames.map(n => col(n).as(s"${n}_a")): _*)
     val fb = proj.select(col("__er_id").as("id_b") +:
       fldNames.map(n => col(n).as(s"${n}_b")): _*)
-    scorePairs(cand.join(fa, "id_a").join(fb, "id_b"), rules, threshold)
+    scorePairs(cand.join(fa.hint("shuffle_hash"), "id_a")
+      .join(fb.hint("shuffle_hash"), "id_b"), rules, threshold)
   }
 
   /** Sorted-neighborhood pair generation (Hernández & Stolfo SIGMOD'95) —

@@ -21,7 +21,19 @@ import org.apache.spark.sql.functions._
   *    positions (norm- and spread-preserving) and offsets vec_id/label
   *    ids, so IVF/PQ training sees a 10x corpus with the same geometry.
   *
-  * Usage: runMain graft.tools.ScaleLadderGen <srcDir> <outDir> [replicas]
+  * SKEW mode (4th arg "skew"): ~30% of clone replicas (k%10 ∈ {1,4,7},
+  * k > 0) route their mass into ONE hot key per guard-protected family —
+  * un-salted text (their docs are byte-identical to replica 0's, so one
+  * set of minhash band buckets absorbs the mass), un-rotated vectors (one
+  * hot IVF cell / hyperplane bucket), one event_type (one hot DP /
+  * continual partition key), and one (nation, segment) composite (one hot
+  * equi-block; balances still differ by >= 0.07 so no cross-replica pair
+  * RELEASES — the skew stresses candidate volume, not output size). This
+  * is the worst case the uniform replicas never test: every 100 TB claim
+  * in this repo rests on "bucketed + guarded", and the guards' job is
+  * precisely this shape.
+  *
+  * Usage: runMain graft.tools.ScaleLadderGen <srcDir> <outDir> [replicas] [mode]
   * Evidence tooling only — never a gate input (TESTDATA.md stays the gate
   * source of truth).
   */
@@ -30,6 +42,10 @@ object ScaleLadderGen {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val out = if (args.length > 1) args(1) else "/tmp/scale_sf1"
     val replicas = if (args.length > 2) args(2).toInt else 10
+    val skew = args.length > 3 && args(3) == "skew"
+    // the hot 30%: replicas 1, 4, 7, 11, 14, ... (k = 0 keeps the base)
+    def hot(k: org.apache.spark.sql.Column) =
+      lit(skew) && k > 0 && (k % 10).isin(1, 4, 7)
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", 32)
@@ -65,7 +81,8 @@ object ScaleLadderGen {
     val docsN = docs
       .crossJoin(spark.range(replicas).select(col("id").cast("int").as("k")))
       .select((col("doc_id") + col("k").cast("long") * nDocs).as("doc_id"),
-        salt(col("text"), col("k")).as("text"),
+        salt(col("text"),
+          when(hot(col("k")), lit(0)).otherwise(col("k"))).as("text"),
         col("lang"), col("source"))
       .withColumn("n_chars", length(col("text")).cast("long"))
     docsN.repartition(32).write.mode("overwrite")
@@ -86,7 +103,8 @@ object ScaleLadderGen {
     })
     emb.crossJoin(spark.range(replicas).select(col("id").cast("int").as("k")))
       .select((col("vec_id") + col("k").cast("long") * nVec).as("vec_id"),
-        rot(col("embedding"), col("k")).as("embedding"),
+        rot(col("embedding"),
+          when(hot(col("k")), lit(0)).otherwise(col("k"))).as("embedding"),
         (col("label") + col("k") * nLabel).cast("int").as("label"))
       .repartition(32).write.mode("overwrite")
       .parquet(s"$out/embeddings.parquet")
@@ -102,7 +120,9 @@ object ScaleLadderGen {
     ev.crossJoin(spark.range(replicas).select(col("id").as("k")))
       .select((col("event_id") + col("k") * nEvents).as("event_id"),
         col("ts"), (col("user_id") + col("k") * nUsers).as("user_id"),
-        col("event_type"), col("value"), col("props"))
+        when(hot(col("k")), lit("click")).otherwise(col("event_type"))
+          .as("event_type"),
+        col("value"), col("props"))
       .repartition(32).write.mode("overwrite")
       .parquet(s"$out/events.parquet")
 
@@ -132,9 +152,12 @@ object ScaleLadderGen {
     val nCustK = cust.agg(max("c_custkey")).collect()(0).getLong(0) + 1
     cust.crossJoin(spark.range(replicas).select(col("id").as("k")))
       .select((col("c_custkey") + col("k") * nCustK).as("c_custkey"),
-        col("c_name"), col("c_nationkey"),
+        col("c_name"),
+        when(hot(col("k")), lit(0)).otherwise(col("c_nationkey"))
+          .cast("int").as("c_nationkey"),
         (col("c_acctbal") + col("k").cast("double") * 0.07).as("c_acctbal"),
-        col("c_mktsegment"))
+        when(hot(col("k")), lit("BUILDING")).otherwise(col("c_mktsegment"))
+          .as("c_mktsegment"))
       .repartition(32).write.mode("overwrite")
       .parquet(s"$out/customer.parquet")
 

@@ -163,18 +163,18 @@ class PLDBudgetAccountantSpec extends AnyFunSuite {
   test("per-mechanism stds of the mixed-weight golden cases match the reference") {
     // The reference pins not just each pipeline base but every
     // mechanism's resolved noise std (tests/budget_accounting_test.py:
-    // 430-500 expected_noise_std per entry). CONVENTION: the reference's
-    // value is FINAL (includes sensitivity); ours is normalized per unit
-    // sensitivity, so reference = ours * sensitivity — the executed
-    // mechanisms coincide (the executor scales by actual L1/L2).
+    // 430-500 expected_noise_std per entry). In the delta>0 PLD path the
+    // resolved spec.noiseStdDev is sensitivity * base / weight — the
+    // reference's FINAL value directly (the NORMALIZED convention note
+    // further down concerns the delta=0 naive-split path only).
     def run(eps: Double, delta: Double,
         ms: Seq[(Int, MechanismType, Double, Double)]) = {
       val acc = new PLDBudgetAccountant(eps, delta, pldDiscretization = 1e-2)
       val hs = ms.map { case (count, t, w, s) =>
-        (acc.requestBudget(t, weight = w, count = count, sensitivity = s), s)
+        acc.requestBudget(t, weight = w, count = count, sensitivity = s)
       }
       acc.computeBudgets()
-      hs.map { case (h, s) => h.spec.noiseStdDev.get * s }
+      hs.map(_.spec.noiseStdDev.get)
     }
     // "mix_of_mechanisms" (base 20.024): Laplace w=1 s=2 -> 40.048,
     // Gaussian w=1 s=4 -> 80.096
@@ -195,7 +195,7 @@ class PLDBudgetAccountantSpec extends AnyFunSuite {
       assert(math.abs(got - want) < want * 0.02, s"got=$m3 want=$want3")
     }
     // the weight/sensitivity algebra ties every mechanism to the base:
-    // final std = base / weight * sensitivity exactly
+    // resolved std = sensitivity * base / weight exactly
     val accA = new PLDBudgetAccountant(0.822, 1e-6, pldDiscretization = 1e-2)
     val handles = Seq((4, Laplace, 4.0, 2.0), (6, Gaussian, 2.0, 4.0),
       (1, Gaussian, 3.0, 6.0), (5, Laplace, 8.0, 3.0)).map {
@@ -205,7 +205,7 @@ class PLDBudgetAccountantSpec extends AnyFunSuite {
     accA.computeBudgets()
     val baseA = accA.baseNoiseStd.get
     handles.foreach { case (h, w, s) =>
-      assert(math.abs(h.spec.noiseStdDev.get * s - baseA / w * s) < 1e-9)
+      assert(math.abs(h.spec.noiseStdDev.get - s * baseA / w) < 1e-9)
     }
   }
 

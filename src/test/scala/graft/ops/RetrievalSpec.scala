@@ -171,6 +171,15 @@ class RetrievalSpec extends AnyFunSuite {
     assert(out(3L) == ((1L, 0L, 0L, 0L)))
     // discount table sanity: d1 = 1e6 (log2 2 = 1), strictly decreasing
     assert(d.head == 1000000L && d == d.sorted.reverse && d.distinct == d)
+    // INDEPENDENT value anchor (r13 entry-tier review): the discount
+    // literals are the one shared-constants table where the oracle is
+    // GENERATED from the implementation (retrieval_metrics embeds
+    // ndcgDiscounts verbatim), so a wrong formula would be invisible to
+    // the gate — these ten values are floor(1e6/log2(i+1)) computed
+    // independently, not via the implementation
+    assert(graft.ops.Retrieval.ndcgDiscounts(10) == Seq(1000000L, 630929L,
+      500000L, 430676L, 386852L, 356207L, 333333L, 315464L, 301029L,
+      289064L))
     // NULL/non-positive rank fails loud
     val bad = Seq((1L, 10L, 0L)).toDF("q", "item", "rk")
     val e = intercept[Exception](
