@@ -48,13 +48,29 @@ object ProfileNgram {
       .filter(col("sz_a") < col("sz_b") ||
         (col("sz_a") === col("sz_b") && col("id_a") < col("id_b"))).count()
     val cand = Dedup.ngramCandidatesStage(ordered, threshold).count()
+    // the SAME asymmetric join minus the POSITIONAL conjunct: isolates the
+    // PPJoin positional filter's own cut of the post-distinct candidate
+    // set (the size-ratio and direction filters still apply)
+    val paC = ordered.select(col("block"), col("id").as("id_a"),
+      col("sz").as("sz_a"),
+      posexplode(slice(col("grams"), lit(1), shortPrefix)).as(Seq("pos_a", "gram")))
+    val pbC = ordered.select(col("block"), col("id").as("id_b"),
+      col("sz").as("sz_b"),
+      posexplode(slice(col("grams"), lit(1), longPrefix)).as(Seq("pos_b", "gram")))
+    val candNoPos = paC.hint("shuffle_hash").join(pbC,
+        paC("block") === pbC("block") && paC("gram") === pbC("gram") &&
+          (col("sz_a") < col("sz_b") ||
+            (col("sz_a") === col("sz_b") && col("id_a") < col("id_b"))) &&
+          col("sz_b") * threshold <= col("sz_a"))
+      .select(least(col("id_a"), col("id_b")).as("ida"),
+        greatest(col("id_a"), col("id_b")).as("idb")).distinct().count()
     // top prefix-gram groups: the quadratic drivers
     val hot = prefixes.groupBy("block", "gram").agg(count(lit(1)).as("n"))
       .orderBy(desc("n")).limit(5).collect()
       .map(r => s"${r.getLong(2)}").mkString(",")
     println(s"[profile-ngram] dir=$dir docs=$nDocs prefixRows=$nPrefix " +
       s"rawJoinPairs=$rawPairs rawAsymPairs=$rawAsym candidates=$cand " +
-      s"topPrefixGroupSizes=$hot")
+      s"candidatesNoPositional=$candNoPos topPrefixGroupSizes=$hot")
     spark.stop()
   }
 }
