@@ -431,6 +431,57 @@ private[graft] object EntryDP {
       pct.dataframe.join(
         sums.dataframe.withColumnRenamed("sum", "part_sum"), "event_type")
     }),
+    "dp_range_tree" -> ((s, dir) => {
+      // DP hierarchical range-count tree over the VALUE DOMAIN (the
+      // dyadic mechanism over bins instead of time — Hay et al. VLDB'10):
+      // 64 bins over [0, 1000), one draw per node, empty nodes release
+      // too (generated universe). Zero noise + a non-binding per-unit cap
+      // => exact node counts, replayed as a binned rollup over the
+      // generated (lvl, idx, key) grid.
+      graft.spark.RangeTree.dpRangeCountTree(events(s, dir), "user_id",
+          col("value"), Seq("event_type"), lo = 0.0, hi = 1000.0,
+          bins = 64, epsilon = 1.0, maxPerUnit = 1000000L,
+          noise = NoiseSource.Zero)
+        .select(col("__lvl").cast("long").as("lvl"), col("__idx").as("idx"),
+          col("event_type"), col("dp_count"))
+    }),
+    "dp_range_consistent" -> ((s, dir) => {
+      // Hay's two-sweep OLS consistency over the released tree — pure
+      // post-processing (bounded driver math: 2*bins-1 rows per key). On
+      // an EXACT (zero-noise) tree the projection is the identity
+      // (spec-proven), so the oracle IS dp_range_tree's — the sweep runs
+      // for real and must change nothing.
+      val tree = graft.spark.RangeTree.dpRangeCountTree(events(s, dir),
+        "user_id", col("value"), Seq("event_type"), lo = 0.0, hi = 1000.0,
+        bins = 64, epsilon = 1.0, maxPerUnit = 1000000L,
+        noise = NoiseSource.Zero)
+      graft.spark.RangeTree.enforceConsistency(tree, Seq("event_type"), 64)
+        .select(col("__lvl").cast("long").as("lvl"), col("__idx").as("idx"),
+          col("event_type"), col("dp_count"))
+    }),
+    "dp_range_query" -> ((s, dir) => {
+      // range queries answered from the released tree (pure
+      // post-processing, zero extra budget): each range reads its minimal
+      // dyadic cover — <= 2 log2(64) nodes — never the leaves. Zero noise
+      // => exact range counts, replayed as BETWEEN rollups.
+      val tree = graft.spark.RangeTree.dpRangeCountTree(events(s, dir),
+        "user_id", col("value"), Seq("event_type"), lo = 0.0, hi = 1000.0,
+        bins = 64, epsilon = 1.0, maxPerUnit = 1000000L,
+        noise = NoiseSource.Zero)
+      graft.spark.RangeTree.rangeQueries(tree, Seq("event_type"),
+        Seq((0L, 15L), (8L, 40L), (32L, 63L), (10L, 10L)))
+    }),
+    "dp_range_quantiles" -> ((s, dir) => {
+      // quantiles by CDF inversion over the released prefix counts (pure
+      // post-processing): first bin whose prefix reaches q * total. Zero
+      // noise => the exact empirical quantile bin per event type.
+      val tree = graft.spark.RangeTree.dpRangeCountTree(events(s, dir),
+        "user_id", col("value"), Seq("event_type"), lo = 0.0, hi = 1000.0,
+        bins = 64, epsilon = 1.0, maxPerUnit = 1000000L,
+        noise = NoiseSource.Zero)
+      graft.spark.RangeTree.quantilesFromTree(tree, Seq("event_type"),
+        0.0, 1000.0, 64, Seq(0.25, 0.5, 0.9, 0.99))
+    }),
     "dp_add_noise" -> ((s, dir) => {
       // noise-only path on pre-aggregated data; zero noise => identity
       val pre = events(s, dir).groupBy("event_type")
@@ -855,9 +906,75 @@ private[graft] object EntryDP {
     })
   )
 
+  /** The shared value-binning CTE of the four dp_range_* oracles — one
+    * definition so the bin arithmetic (floor / clamp to [0, 63] at width
+    * 15.625 over [0, 1000)) cannot drift between them. */
+  private val rangeBinSql =
+    """b AS (
+         SELECT event_type,
+                CAST(least(greatest(floor(value / 15.625), 0), 63) AS BIGINT) AS bin
+         FROM events)"""
+
+  /** The generated (lvl, idx, key) node universe + exact node counts —
+    * shared by dp_range_tree and dp_range_consistent (the zero-noise OLS
+    * projection is the identity, spec-proven, so both replay the same
+    * exact tree). */
+  private val rangeTreeSql =
+    s"""WITH $rangeBinSql,
+        lv AS (SELECT unnest(range(0, 7)) AS lvl),
+        nodes AS (
+          SELECT l.lvl, g.idx, k.event_type
+          FROM lv l, (SELECT unnest(range(0, 64)) AS idx) g,
+               (SELECT DISTINCT event_type FROM events) k
+          WHERE g.idx < 64 // (1 << l.lvl)),
+        c AS (SELECT l.lvl, b.bin >> l.lvl AS idx, b.event_type,
+                     count(*) AS n
+              FROM b CROSS JOIN lv l GROUP BY 1, 2, 3)
+        SELECT CAST(n.lvl AS BIGINT) AS lvl, CAST(n.idx AS BIGINT) AS idx,
+               n.event_type, CAST(coalesce(c.n, 0) AS DOUBLE) AS dp_count
+        FROM nodes n LEFT JOIN c ON c.lvl = n.lvl AND c.idx = n.idx
+          AND c.event_type = n.event_type"""
+
   def oracleSql: Map[String, String] = {
     import OracleFragments._
     Map(
+      "dp_range_tree" -> rangeTreeSql,
+      "dp_range_consistent" -> rangeTreeSql,
+      "dp_range_query" ->
+        s"""WITH $rangeBinSql,
+            r(query_id, lo_bin, hi_bin) AS (
+              VALUES (0, 0, 15), (1, 8, 40), (2, 32, 63), (3, 10, 10)),
+            grid AS (SELECT r.query_id, r.lo_bin, r.hi_bin, k.event_type
+                     FROM r, (SELECT DISTINCT event_type FROM events) k)
+            SELECT CAST(g.query_id AS BIGINT) AS query_id,
+                   CAST(g.lo_bin AS BIGINT) AS lo_bin,
+                   CAST(g.hi_bin AS BIGINT) AS hi_bin,
+                   g.event_type,
+                   CAST(coalesce(count(b.bin), 0) AS DOUBLE) AS dp_range_count
+            FROM grid g LEFT JOIN b ON b.event_type = g.event_type
+              AND b.bin BETWEEN g.lo_bin AND g.hi_bin
+            GROUP BY 1, 2, 3, 4""",
+      "dp_range_quantiles" ->
+        s"""WITH $rangeBinSql,
+            tot AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS total
+                    FROM b GROUP BY 1),
+            grid AS (SELECT k.event_type, g.t
+                     FROM (SELECT DISTINCT event_type FROM events) k,
+                          (SELECT unnest(range(0, 64)) AS t) g),
+            pc AS (SELECT event_type, bin, count(*) AS n FROM b GROUP BY 1, 2),
+            cum AS (SELECT grid.event_type, grid.t,
+                           CAST(coalesce(sum(pc.n), 0) AS DOUBLE) AS pfx
+                    FROM grid LEFT JOIN pc
+                      ON pc.event_type = grid.event_type AND pc.bin <= grid.t
+                    GROUP BY 1, 2),
+            qs AS (SELECT CAST(unnest([0.25, 0.5, 0.9, 0.99]) AS DOUBLE) AS q)
+            SELECT c.event_type, qs.q,
+                   CAST(coalesce(min(CASE WHEN c.pfx >= qs.q * t.total
+                     THEN c.t END), 63) AS BIGINT) AS bin,
+                   CAST(coalesce(min(CASE WHEN c.pfx >= qs.q * t.total
+                     THEN c.t END), 63) AS BIGINT) * 15.625 AS value_lo
+            FROM cum c JOIN tot t USING (event_type) CROSS JOIN qs
+            GROUP BY 1, 2""",
       // the tuner's candidate grid, replayed: per histogram the 3-point
       // the fixed-candidate tuning run replayed end-to-end: per-(user,
       // partition) counts, per-config dyadic keep-prob, the COUNT error

@@ -1,0 +1,277 @@
+package graft.spark
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import scala.jdk.CollectionConverters._
+
+/** DP hierarchical range counting over a NUMERIC DOMAIN — the dyadic-tree
+  * mechanism applied to value bins instead of time (Dwork-Naor-Pitassi-
+  * Rothblum STOC'10 tree; Hay-Rastogi-Miklau-Suciu VLDB'10 "Boosting the
+  * accuracy of differentially private histograms through consistency"):
+  * the domain [lo, hi) splits into `bins` (a power of two) leaves, every
+  * dyadic node gets ONE Laplace draw on its count, and any range query
+  * answers from its <= 2*log2(bins) covering nodes — O(log^1.5 B / eps)
+  * error per range where a flat histogram pays O(sqrt(B)) for wide
+  * ranges. Quantiles read off the released prefix counts (CDF inversion)
+  * as pure post-processing, and Hay's two-sweep OLS makes the tree
+  * internally consistent (children sum to parents) while provably never
+  * increasing variance — also post-processing, so DP is free.
+  *
+  * The reference has no range-query mechanism at all (its quantile tree —
+  * [[graft.core.QuantileTree]] here — is the adaptive-split ESTIMATOR for
+  * per-key quantiles, not a releasable range-count structure); this is
+  * the beyond-reference shape a metrics / training-data engine reaches
+  * for when it must publish label/score/length DISTRIBUTIONS under DP.
+  *
+  * Budget semantics: each unit keeps at most `maxPerUnit` rows (the
+  * DETERMINISTIC per-unit cap below); one row lands in exactly levels+1
+  * nodes, so the WHOLE tree release is epsilon-DP per key cell at
+  * per-node Laplace scale maxPerUnit * (levels+1) / epsilon. Values
+  * CLAMP into [lo, hi) (the dpWindowedSum order-free convention: the
+  * clamp is part of the released statistic, not a data filter — dropping
+  * out-of-range rows would make presence-in-range data-dependent). NULL
+  * values fail loud. Cross-key composition is the caller's accounting —
+  * with `keyCols` every key gets its own tree (the continual family's
+  * cell contract).
+  *
+  * Plan shape (the [[graft.streaming.StreamOps.dpContinualCount]]
+  * machinery over bins): deterministic per-unit cap (one window rank per
+  * unit), leaf binning, one map-side-combined node aggregation, a
+  * GENERATED node universe (empty nodes draw noise too — a missing draw
+  * would disclose emptiness), noise as one draw per node. No driver
+  * loops; the only driver math is the optional consistency sweep over
+  * the BOUNDED released tree (2*bins-1 rows per key, bins <= 4096
+  * enforced), the same bounded-collect class as the PLD math. */
+object RangeTree {
+
+  /** Released noisy dyadic tree: (keyCols..., __lvl, __idx, dp_count)
+    * where level 0 = leaves (bin width (hi-lo)/bins) and level
+    * log2(bins) = the root; node (l, i) covers leaf bins
+    * [i*2^l, (i+1)*2^l). Zero noise => exact node counts. */
+  def dpRangeCountTree(
+      df: DataFrame,
+      pidCol: String,
+      valueCol: Column,
+      keyCols: Seq[String],
+      lo: Double,
+      hi: Double,
+      bins: Int,
+      epsilon: Double,
+      maxPerUnit: Long,
+      noise: graft.core.NoiseSource
+  ): DataFrame = {
+    require(bins >= 2 && (bins & (bins - 1)) == 0 && bins <= 4096,
+      s"bins must be a power of two in [2, 4096], got $bins (the released " +
+        "tree is 2*bins-1 rows per key — the consistency sweep and every " +
+        "query decomposition are bounded by it)")
+    require(lo < hi, s"empty domain [$lo, $hi)")
+    require(epsilon > 0, s"epsilon must be positive, got $epsilon")
+    require(maxPerUnit > 0, s"maxPerUnit must be positive, got $maxPerUnit")
+    val levels = 31 - Integer.numberOfLeadingZeros(bins) // log2(bins)
+    val keyCs = keyCols.map(col)
+    val checked = when(valueCol.isNull, raise_error(lit(
+        "dpRangeCountTree: NULL value for a privacy unit — nulls have no " +
+          "bin; filter or impute upstream")).cast("double"))
+      .otherwise(valueCol.cast("double"))
+    // clamp into [lo, hi): the top edge maps to the last bin
+    val binIdx = least(
+      greatest(floor((checked - lit(lo)) / lit((hi - lo) / bins)), lit(0.0)),
+      lit((bins - 1).toDouble)).cast("long")
+    val keyChecked = keyCs.zip(keyCols).map { case (c, n) =>
+      when(c.isNull, raise_error(lit(
+        s"dpRangeCountTree: NULL key '$n' — it would silently drop from " +
+          "the release joins; coalesce or filter upstream"))
+        .cast(df.schema(n).dataType))
+        .otherwise(c).as(n)
+    }
+    // DETERMINISTIC per-unit cap: rank each unit's rows by (bin, then the
+    // value itself) and keep the first maxPerUnit — a stable order, so
+    // re-execution keeps the SAME rows (a nondeterministic limit would
+    // break the sensitivity argument under task retries)
+    val capped = df
+      .withColumn("__bin", binIdx)
+      .withColumn("__rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy((col(pidCol) +: keyCs): _*)
+          .orderBy(col("__bin").asc, checked.asc)))
+      .filter(col("__rk") <= maxPerUnit)
+    // node sums: leaf bin b contributes to node (l, b >> l) per level
+    val contrib = capped
+      .select(col("__bin") +: keyChecked: _*)
+      .withColumn("__lvl", explode(sequence(lit(0), lit(levels))))
+      .withColumn("__idx", expr("shiftright(__bin, __lvl)"))
+      .groupBy(col("__lvl") +: col("__idx") +: keyCs: _*)
+      .agg(count(lit(1)).cast("double").as("__s"))
+    // generated node universe x observed keys (empty nodes draw too)
+    val spark0 = df.sparkSession
+    val keyUniverse =
+      if (keyCols.isEmpty) None
+      else Some(capped.select(keyChecked: _*).distinct().localCheckpoint(false))
+    val nodes0 = spark0.range(0, (levels + 1).toLong).toDF("__lvl")
+      .select(col("__lvl").cast("int").as("__lvl"))
+      .withColumn("__idx", explode(expr(
+        s"sequence(0L, (CAST($bins AS BIGINT) div shiftleft(1L, __lvl)) - 1)")))
+    val nodes = keyUniverse.fold(nodes0)(k => nodes0.crossJoin(broadcast(k)))
+    val b = maxPerUnit.toDouble * (levels + 1) / epsilon
+    val src = noise
+    val noiseUdf = udf(() => src.laplace(b)).asNondeterministic()
+    nodes
+      .join(contrib, Seq("__lvl", "__idx") ++ keyCols, "left")
+      .select(col("__lvl") +: col("__idx") +:
+        (keyCs :+ (coalesce(col("__s"), lit(0.0)) + noiseUdf())
+          .as("dp_count")): _*)
+  }
+
+  /** Range queries answered from a released tree — PURE POST-PROCESSING
+    * (no new budget, no new draws): each query range [loBin, hiBin]
+    * (inclusive leaf-bin indices) decomposes into its minimal dyadic
+    * cover, computed on the driver (pure arithmetic over the QUERY set,
+    * never the data) and joined against the tree. Returns
+    * (query_id, lo_bin, hi_bin, keyCols..., dp_range_count). */
+  def rangeQueries(
+      tree: DataFrame,
+      keyCols: Seq[String],
+      ranges: Seq[(Long, Long)]
+  ): DataFrame = {
+    require(ranges.nonEmpty, "no ranges")
+    val spark0 = tree.sparkSession
+    val cover: Seq[(Long, Long, Long, Int, Long)] = // (qid, lo, hi, lvl, idx)
+      ranges.zipWithIndex.flatMap { case ((qlo, qhi), qid) =>
+        require(qlo >= 0 && qhi >= qlo, s"bad range [$qlo, $qhi]")
+        decompose(qlo, qhi).map { case (l, i) =>
+          (qid.toLong, qlo, qhi, l, i)
+        }
+      }
+    import spark0.implicits._
+    val coverDf = cover.toDF("query_id", "lo_bin", "hi_bin", "__lvl", "__idx")
+    coverDf.join(tree, Seq("__lvl", "__idx"))
+      .groupBy(col("query_id") +: col("lo_bin") +: col("hi_bin") +:
+        keyCols.map(col): _*)
+      .agg(sum(col("dp_count")).as("dp_range_count"))
+  }
+
+  /** Minimal dyadic cover of the inclusive bin range [lo, hi] — the
+    * greedy largest-aligned-block walk; <= 2*log2(span) nodes. */
+  private[spark] def decompose(lo: Long, hi: Long): Seq[(Int, Long)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+    var cur = lo
+    while (cur <= hi) {
+      // largest level where cur is aligned and the block fits
+      var l = if (cur == 0) 62 else java.lang.Long.numberOfTrailingZeros(cur)
+      while (l > 0 && (cur + (1L << l) - 1) > hi) l -= 1
+      out += ((l, cur >> l))
+      cur += (1L << l)
+    }
+    out.toSeq
+  }
+
+  /** DP quantiles from a released tree — PURE POST-PROCESSING: prefix
+    * count at every leaf boundary via the dyadic decomposition, then for
+    * each q the first bin whose prefix reaches q * total (total = the
+    * root's released count). Returns (keyCols..., q, bin, value_lo) where
+    * value_lo is the bin's lower edge in domain units. Zero noise =>
+    * the exact empirical quantile bin. */
+  def quantilesFromTree(
+      tree: DataFrame,
+      keyCols: Seq[String],
+      lo: Double,
+      hi: Double,
+      bins: Int,
+      qs: Seq[Double]
+  ): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1), s"bad qs $qs")
+    val levels = 31 - Integer.numberOfLeadingZeros(bins)
+    val keyCs = keyCols.map(col)
+    val spark0 = tree.sparkSession
+    // prefix decomposition of [0, t] for every leaf t — the continual
+    // release shape over bins
+    val ticks0 = spark0.range(0, bins.toLong).toDF("__t")
+    val keyUniverse =
+      if (keyCols.isEmpty) None
+      else Some(tree.select(keyCs: _*).distinct().localCheckpoint(false))
+    val ticks = keyUniverse.fold(ticks0)(k => ticks0.crossJoin(broadcast(k)))
+    val rel = ticks
+      .withColumn("__lvl", explode(sequence(lit(0), lit(levels))))
+      .filter(expr("(shiftright(__t + 1, __lvl) & 1) = 1"))
+      .withColumn("__idx", expr("shiftleft(shiftright(__t + 1, __lvl + 1), 1)"))
+    val prefix = rel.join(tree, Seq("__lvl", "__idx") ++ keyCols)
+      .groupBy(col("__t") +: keyCs: _*)
+      .agg(sum(col("dp_count")).as("__pfx"))
+    val root = tree.filter(col("__lvl") === levels)
+      .select((keyCs :+ col("dp_count").as("__total")): _*)
+    val rootJ =
+      if (keyCols.isEmpty) prefix.crossJoin(broadcast(root))
+      else prefix.join(broadcast(root), keyCols)
+    val qDf = {
+      import spark0.implicits._
+      qs.toDF("q")
+    }
+    // first bin whose prefix reaches q*total; an all-noise-negative tree
+    // degenerates to the last bin (min over an empty qualifying set)
+    rootJ.crossJoin(broadcast(qDf))
+      .groupBy(keyCs :+ col("q"): _*)
+      .agg(coalesce(
+        min(when(col("__pfx") >= col("q") * col("__total"), col("__t"))),
+        lit((bins - 1).toLong)).as("bin"))
+      .withColumn("value_lo", lit(lo) + col("bin") * lit((hi - lo) / bins))
+  }
+
+  /** Hay et al. consistency (VLDB'10 §4): ordinary-least-squares
+    * projection of the noisy tree onto the consistent subspace (children
+    * sum to parents), via the closed-form two-sweep algorithm — an
+    * UP-sweep replacing each node with the precision-weighted average of
+    * its own draw and its children's sum, then a DOWN-sweep distributing
+    * each parent's residual equally. Post-processing (no budget); never
+    * increases any node's variance, and typically cuts range-query error
+    * ~2x at the leaves. Driver math over the BOUNDED released tree
+    * (2*bins-1 rows per key — the bins <= 4096 contract), the PLD-math
+    * bounded-collect class; returns the same schema with consistent
+    * dp_count (exact tree => identity, spec-pinned). */
+  def enforceConsistency(
+      tree: DataFrame,
+      keyCols: Seq[String],
+      bins: Int
+  ): DataFrame = {
+    val levels = 31 - Integer.numberOfLeadingZeros(bins)
+    val rows = tree
+      .select(col("__lvl") +: col("__idx") +:
+        keyCols.map(col) :+ col("dp_count"): _*)
+      .collect()
+    val byKey = rows.groupBy(r => r.toSeq.slice(2, 2 + keyCols.length))
+    val out = byKey.iterator.flatMap { case (key, krows) =>
+      val z = scala.collection.mutable.Map.empty[(Int, Long), Double]
+      krows.foreach(r => z((r.getInt(0), r.getLong(1))) = r.getDouble(2 + keyCols.length))
+      // up-sweep: zbar(l, i) for a node at height l (leaves l = 0) is the
+      // precision-weighted blend of its draw and its children's zbar sum;
+      // weights alpha_l = (2^l - 2^(l-1)) / (2^(l+1) - 1)-style factors
+      // reduce to the standard closed form with equal per-node variance:
+      // zbar = (2^l * z + (2^l - 1) * childSum) / (2^(l+1) - 1)
+      val zbar = scala.collection.mutable.Map.empty[(Int, Long), Double]
+      for (i <- 0L until bins.toLong) zbar((0, i)) = z((0, i))
+      for (l <- 1 to levels; i <- 0L until (bins.toLong >> l)) {
+        val cs = zbar((l - 1, 2 * i)) + zbar((l - 1, 2 * i + 1))
+        val p2l = math.pow(2.0, l)
+        zbar((l, i)) = (p2l * z((l, i)) + (p2l - 1.0) * cs) / (2.0 * p2l - 1.0)
+      }
+      // down-sweep: hbar(root) = zbar(root); child = zbar(child) +
+      // (hbar(parent) - zbar(left) - zbar(right)) / 2
+      val hbar = scala.collection.mutable.Map.empty[(Int, Long), Double]
+      hbar((levels, 0L)) = zbar((levels, 0L))
+      for (l <- levels to 1 by -1; i <- 0L until (bins.toLong >> l)) {
+        val resid =
+          (hbar((l, i)) - zbar((l - 1, 2 * i)) - zbar((l - 1, 2 * i + 1))) / 2.0
+        hbar((l - 1, 2 * i)) = zbar((l - 1, 2 * i)) + resid
+        hbar((l - 1, 2 * i + 1)) = zbar((l - 1, 2 * i + 1)) + resid
+      }
+      hbar.iterator.map { case ((l, i), v) =>
+        // Seq[Any], NOT Seq(l, i): Scala numeric widening would unify the
+        // mixed Int/Long elements to Seq[Long], silently boxing the level
+        // as a Long and breaking the IntegerType slot at conversion
+        org.apache.spark.sql.Row.fromSeq(Seq[Any](l, i) ++ key :+ v)
+      }
+    }.toSeq
+    tree.sparkSession.createDataFrame(
+      new java.util.ArrayList(out.asJava), tree.schema)
+  }
+}

@@ -1,0 +1,147 @@
+package graft.spark
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class RangeTreeSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def treeMap(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getDouble(2)).toMap
+
+  test("zero-noise tree releases exact node counts over the generated universe") {
+    // units 1..4, values in [0, 8) with bins = 8 (width 1): bins
+    // {0: 2 rows, 3: 1, 7: 2}; bin 5 empty but its nodes still release
+    val df = Seq((1L, 0.2), (2L, 0.9), (1L, 3.5), (3L, 7.1), (4L, 7.9))
+      .toDF("uid", "v")
+    val tree = RangeTree.dpRangeCountTree(df, "uid", col("v"), Nil,
+      lo = 0.0, hi = 8.0, bins = 8, epsilon = 1.0, maxPerUnit = 10L,
+      noise = graft.core.NoiseSource.Zero)
+    val m = treeMap(tree)
+    assert(m.size == 15) // 2*8 - 1 nodes, ALL released
+    assert(m((0, 0L)) == 2.0 && m((0, 3L)) == 1.0 && m((0, 7L)) == 2.0)
+    assert(m((0, 5L)) == 0.0)
+    assert(m((1, 0L)) == 2.0 && m((1, 1L)) == 1.0 && m((1, 3L)) == 2.0)
+    assert(m((2, 0L)) == 3.0 && m((2, 1L)) == 2.0)
+    assert(m((3, 0L)) == 5.0) // root = n
+    // out-of-range values CLAMP to the edge bins (not dropped)
+    val clamped = RangeTree.dpRangeCountTree(
+      Seq((1L, -5.0), (2L, 99.0)).toDF("uid", "v"), "uid", col("v"), Nil,
+      0.0, 8.0, 8, 1.0, 10L, graft.core.NoiseSource.Zero)
+    val cm = treeMap(clamped)
+    assert(cm((0, 0L)) == 1.0 && cm((0, 7L)) == 1.0)
+    // NULL value fails loud
+    val e = intercept[Exception](RangeTree.dpRangeCountTree(
+      Seq((1L, null.asInstanceOf[java.lang.Double])).toDF("uid", "v"),
+      "uid", col("v"), Nil, 0.0, 8.0, 8, 1.0, 10L,
+      graft.core.NoiseSource.Zero).collect())
+    assert(SparkTestSession.chainMsg(e).contains("NULL value"))
+  }
+
+  test("per-unit cap keeps the deterministic lowest-(bin, value) rows") {
+    // unit 1 has 4 rows; cap 2 keeps bins {0, 1} (lowest bin, then value)
+    val df = Seq((1L, 7.5), (1L, 0.5), (1L, 1.5), (1L, 6.5), (2L, 2.5))
+      .toDF("uid", "v")
+    val m = treeMap(RangeTree.dpRangeCountTree(df, "uid", col("v"), Nil,
+      0.0, 8.0, 8, 1.0, maxPerUnit = 2L, graft.core.NoiseSource.Zero))
+    assert(m((3, 0L)) == 3.0) // 2 kept for unit 1 + 1 for unit 2
+    assert(m((0, 0L)) == 1.0 && m((0, 1L)) == 1.0 && m((0, 2L)) == 1.0)
+    assert(m((0, 6L)) == 0.0 && m((0, 7L)) == 0.0) // unit 1's high rows dropped
+  }
+
+  test("draw-once structure: constant-1 source adds exactly 1 per node") {
+    object ConstOne extends graft.core.NoiseSource {
+      def laplace(b: Double): Double = 1.0
+      def gaussian(sigma: Double): Double = 1.0
+      def uniform(): Double = 0.5
+    }
+    val df = Seq((1L, 0.5), (2L, 3.5)).toDF("uid", "v")
+    def tree(src: graft.core.NoiseSource) =
+      RangeTree.dpRangeCountTree(df, "uid", col("v"), Nil,
+        0.0, 8.0, 8, 1.0, 10L, src)
+    val exact = treeMap(tree(graft.core.NoiseSource.Zero))
+    val one = treeMap(tree(ConstOne))
+    assert(one.keySet == exact.keySet)
+    one.foreach { case (k, v) => assert(v == exact(k) + 1.0, s"node $k") }
+    // and a range query then reads exact + |cover| (one draw per node)
+    val q = RangeTree.rangeQueries(tree(ConstOne), Nil, Seq((1L, 6L)))
+      .collect().head.getDouble(3)
+    val cover = RangeTree.decompose(1L, 6L)
+    val exactQ = RangeTree.rangeQueries(tree(graft.core.NoiseSource.Zero),
+      Nil, Seq((1L, 6L))).collect().head.getDouble(3)
+    assert(q == exactQ + cover.size)
+  }
+
+  test("dyadic decomposition tiles ranges exactly (property)") {
+    val rnd = new scala.util.Random(17)
+    for (_ <- 1 to 200) {
+      val lo = rnd.nextInt(64).toLong
+      val hi = lo + rnd.nextInt(64 - lo.toInt).toLong
+      val cover = RangeTree.decompose(lo, hi)
+      val tiles = cover.flatMap { case (l, i) =>
+        (i << l) until ((i + 1L) << l)
+      }
+      assert(tiles.sorted == (lo to hi).toSeq, s"[$lo,$hi] -> $cover")
+      assert(cover.size <= 2 * 7, s"[$lo,$hi] cover too large: $cover")
+    }
+  }
+
+  test("quantiles from the tree: zero noise gives the exact empirical bins") {
+    // 10 rows: bins 0 x4, 2 x3, 5 x2, 7 x1 => cdf 0.4 / 0.7 / 0.9 / 1.0
+    val rows = Seq.fill(4)(0.5) ++ Seq.fill(3)(2.5) ++ Seq.fill(2)(5.5) ++ Seq(7.5)
+    val df = rows.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("uid", "v")
+    val tree = RangeTree.dpRangeCountTree(df, "uid", col("v"), Nil,
+      0.0, 8.0, 8, 1.0, 10L, graft.core.NoiseSource.Zero)
+    val qs = RangeTree.quantilesFromTree(tree, Nil, 0.0, 8.0, 8,
+      Seq(0.25, 0.4, 0.5, 0.9, 1.0))
+      .collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    assert(qs(0.25) == 0L && qs(0.4) == 0L) // prefix(0) = 4 >= 0.4*10
+    assert(qs(0.5) == 2L && qs(0.9) == 5L && qs(1.0) == 7L)
+  }
+
+  test("Hay consistency: identity on exact trees, children sum to parents, error never worse") {
+    val df = (0 until 40).map(i => (i.toLong, (i % 8) + 0.5)).toDF("uid", "v")
+    val exact = RangeTree.dpRangeCountTree(df, "uid", col("v"), Nil,
+      0.0, 8.0, 8, 1.0, 10L, graft.core.NoiseSource.Zero)
+    val exactM = treeMap(exact)
+    // identity on an already-consistent tree
+    val idM = treeMap(RangeTree.enforceConsistency(exact, Nil, 8))
+    exactM.foreach { case (k, v) => assert(math.abs(idM(k) - v) < 1e-9, k) }
+    // seeded random noise: after the sweep the tree is internally
+    // consistent and total squared error does not increase
+    val rnd = new scala.util.Random(5)
+    object Seeded extends graft.core.NoiseSource {
+      def laplace(b: Double): Double = rnd.nextGaussian() * 2.0
+      def gaussian(sigma: Double): Double = rnd.nextGaussian() * 2.0
+      def uniform(): Double = rnd.nextDouble()
+    }
+    val noisy = RangeTree.dpRangeCountTree(df, "uid", col("v"), Nil,
+      0.0, 8.0, 8, 1.0, 10L, Seeded).localCheckpoint(true)
+    val noisyM = treeMap(noisy)
+    val consM = treeMap(RangeTree.enforceConsistency(noisy, Nil, 8))
+    for (l <- 1 to 3; i <- 0L until (8L >> l)) {
+      assert(math.abs(consM((l, i)) -
+        consM((l - 1, 2 * i)) - consM((l - 1, 2 * i + 1))) < 1e-9,
+        s"inconsistent at ($l, $i)")
+    }
+    def sqErr(m: Map[(Int, Long), Double]) =
+      m.map { case (k, v) => math.pow(v - exactM(k), 2) }.sum
+    assert(sqErr(consM) <= sqErr(noisyM) + 1e-9,
+      s"consistency worsened error: ${sqErr(consM)} > ${sqErr(noisyM)}")
+  }
+
+  test("keyed trees: one tree per key, key universe from the data") {
+    val df = Seq((1L, 0.5, "a"), (2L, 7.5, "a"), (3L, 3.5, "b"))
+      .toDF("uid", "v", "k")
+    val tree = RangeTree.dpRangeCountTree(df, "uid", col("v"), Seq("k"),
+      0.0, 8.0, 8, 1.0, 10L, graft.core.NoiseSource.Zero)
+    assert(tree.count() == 30) // 15 nodes x 2 keys
+    val roots = tree.filter(col("__lvl") === 3)
+      .collect().map(r => r.getString(2) -> r.getDouble(3)).toMap
+    assert(roots == Map("a" -> 2.0, "b" -> 1.0))
+    val q = RangeTree.rangeQueries(tree, Seq("k"), Seq((0L, 3L)))
+      .collect().map(r => r.getString(3) -> r.getDouble(4)).toMap
+    assert(q == Map("a" -> 1.0, "b" -> 1.0))
+  }
+}
