@@ -482,6 +482,20 @@ private[graft] object EntryDP {
       graft.spark.RangeTree.quantilesFromTree(tree, Seq("event_type"),
         0.0, 1000.0, 64, Seq(0.25, 0.5, 0.9, 0.99))
     }),
+    "dp_range_sum_query" -> ((s, dir) => {
+      // the SUM tree: mass-in-range queries (revenue-by-price-band shape)
+      // from dyadic nodes holding clamped-weight sums. Weight =
+      // floor(value) clamped to [0, 500] — the clamp BINDS for half the
+      // domain, and integer-valued doubles keep every sum exact, so zero
+      // noise replays as clamped-sum BETWEEN rollups.
+      val tree = graft.spark.RangeTree.dpRangeSumTree(events(s, dir),
+        "user_id", col("value"), floor(col("value")), Seq("event_type"),
+        lo = 0.0, hi = 1000.0, bins = 64, epsilon = 1.0,
+        maxPerUnit = 1000000L, minW = 0.0, maxW = 500.0,
+        noise = NoiseSource.Zero)
+      graft.spark.RangeTree.rangeQueries(tree, Seq("event_type"),
+        Seq((0L, 15L), (8L, 40L), (32L, 63L), (10L, 10L)))
+    }),
     "dp_add_noise" -> ((s, dir) => {
       // noise-only path on pre-aggregated data; zero noise => identity
       val pre = events(s, dir).groupBy("event_type")
@@ -953,6 +967,26 @@ private[graft] object EntryDP {
                    CAST(coalesce(count(b.bin), 0) AS DOUBLE) AS dp_range_count
             FROM grid g LEFT JOIN b ON b.event_type = g.event_type
               AND b.bin BETWEEN g.lo_bin AND g.hi_bin
+            GROUP BY 1, 2, 3, 4""",
+      "dp_range_sum_query" ->
+        s"""WITH $rangeBinSql,
+            w AS (SELECT event_type, bin,
+                         least(greatest(floor(value), 0.0), 500.0) AS wt
+                  FROM (SELECT event_type, value,
+                               CAST(least(greatest(floor(value / 15.625), 0), 63)
+                                 AS BIGINT) AS bin
+                        FROM events)),
+            r(query_id, lo_bin, hi_bin) AS (
+              VALUES (0, 0, 15), (1, 8, 40), (2, 32, 63), (3, 10, 10)),
+            grid AS (SELECT r.query_id, r.lo_bin, r.hi_bin, k.event_type
+                     FROM r, (SELECT DISTINCT event_type FROM events) k)
+            SELECT CAST(g.query_id AS BIGINT) AS query_id,
+                   CAST(g.lo_bin AS BIGINT) AS lo_bin,
+                   CAST(g.hi_bin AS BIGINT) AS hi_bin,
+                   g.event_type,
+                   CAST(coalesce(sum(w.wt), 0) AS DOUBLE) AS dp_range_count
+            FROM grid g LEFT JOIN w ON w.event_type = g.event_type
+              AND w.bin BETWEEN g.lo_bin AND g.hi_bin
             GROUP BY 1, 2, 3, 4""",
       "dp_range_quantiles" ->
         s"""WITH $rangeBinSql,

@@ -123,6 +123,94 @@ object RangeTree {
           .as("dp_count")): _*)
   }
 
+  /** The SUM analogue of [[dpRangeCountTree]]: each row carries a
+    * CLAMPED weight (weightCol into [minW, maxW] — the dpWindowedSum
+    * order-free convention) and every dyadic node releases the noisy sum
+    * of its bins' weights, so any range query answers "how much MASS sits
+    * in this value range" (revenue by price band, tokens by length band)
+    * with O(log^1.5 B / eps) error. Same deterministic per-unit row cap,
+    * clamped binning, generated universe, fail-loud NULLs, and per-key
+    * trees as the count tree; per-node Laplace scale is
+    * maxPerUnit * max(|minW|, |maxW|) * (levels+1) / epsilon. Range
+    * queries reuse [[rangeQueries]] verbatim (the released schema is
+    * identical). Zero noise => exact clamped range sums. */
+  def dpRangeSumTree(
+      df: DataFrame,
+      pidCol: String,
+      valueCol: Column,
+      weightCol: Column,
+      keyCols: Seq[String],
+      lo: Double,
+      hi: Double,
+      bins: Int,
+      epsilon: Double,
+      maxPerUnit: Long,
+      minW: Double,
+      maxW: Double,
+      noise: graft.core.NoiseSource
+  ): DataFrame = {
+    require(bins >= 2 && (bins & (bins - 1)) == 0 && bins <= 4096,
+      s"bins must be a power of two in [2, 4096], got $bins")
+    require(lo < hi, s"empty domain [$lo, $hi)")
+    require(epsilon > 0, s"epsilon must be positive, got $epsilon")
+    require(maxPerUnit > 0, s"maxPerUnit must be positive, got $maxPerUnit")
+    require(minW <= maxW, s"minW $minW > maxW $maxW")
+    val levels = 31 - Integer.numberOfLeadingZeros(bins)
+    val keyCs = keyCols.map(col)
+    val checked = when(valueCol.isNull, raise_error(lit(
+        "dpRangeSumTree: NULL value for a privacy unit — nulls have no " +
+          "bin; filter or impute upstream")).cast("double"))
+      .otherwise(valueCol.cast("double"))
+    val wChecked = when(weightCol.isNull, raise_error(lit(
+        "dpRangeSumTree: NULL weight for a privacy unit — nulls have no " +
+          "clipping semantics; filter or impute upstream")).cast("double"))
+      .otherwise(weightCol.cast("double"))
+    val wClamped = least(greatest(wChecked, lit(minW)), lit(maxW))
+    val binIdx = least(
+      greatest(floor((checked - lit(lo)) / lit((hi - lo) / bins)), lit(0.0)),
+      lit((bins - 1).toDouble)).cast("long")
+    val keyChecked = keyCs.zip(keyCols).map { case (c, n) =>
+      when(c.isNull, raise_error(lit(
+        s"dpRangeSumTree: NULL key '$n' — it would silently drop from " +
+          "the release joins; coalesce or filter upstream"))
+        .cast(df.schema(n).dataType))
+        .otherwise(c).as(n)
+    }
+    // deterministic cap: rank by (bin, weight, value) — stable under retry
+    val capped = df
+      .withColumn("__bin", binIdx)
+      .withColumn("__w", wClamped)
+      .withColumn("__rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy((col(pidCol) +: keyCs): _*)
+          .orderBy(col("__bin").asc, col("__w").asc, checked.asc)))
+      .filter(col("__rk") <= maxPerUnit)
+    val contrib = capped
+      .select(col("__bin") +: col("__w") +: keyChecked: _*)
+      .withColumn("__lvl", explode(sequence(lit(0), lit(levels))))
+      .withColumn("__idx", expr("shiftright(__bin, __lvl)"))
+      .groupBy(col("__lvl") +: col("__idx") +: keyCs: _*)
+      .agg(sum(col("__w")).as("__s"))
+    val spark0 = df.sparkSession
+    val keyUniverse =
+      if (keyCols.isEmpty) None
+      else Some(capped.select(keyChecked: _*).distinct().localCheckpoint(false))
+    val nodes0 = spark0.range(0, (levels + 1).toLong).toDF("__lvl")
+      .select(col("__lvl").cast("int").as("__lvl"))
+      .withColumn("__idx", explode(expr(
+        s"sequence(0L, (CAST($bins AS BIGINT) div shiftleft(1L, __lvl)) - 1)")))
+    val nodes = keyUniverse.fold(nodes0)(k => nodes0.crossJoin(broadcast(k)))
+    val b = maxPerUnit.toDouble * math.max(math.abs(minW), math.abs(maxW)) *
+      (levels + 1) / epsilon
+    val src = noise
+    val noiseUdf = udf(() => src.laplace(b)).asNondeterministic()
+    nodes
+      .join(contrib, Seq("__lvl", "__idx") ++ keyCols, "left")
+      .select(col("__lvl") +: col("__idx") +:
+        (keyCs :+ (coalesce(col("__s"), lit(0.0)) + noiseUdf())
+          .as("dp_count")): _*)
+  }
+
   /** Range queries answered from a released tree — PURE POST-PROCESSING
     * (no new budget, no new draws): each query range [loBin, hiBin]
     * (inclusive leaf-bin indices) decomposes into its minimal dyadic

@@ -131,6 +131,36 @@ class RangeTreeSpec extends AnyFunSuite {
       s"consistency worsened error: ${sqErr(consM)} > ${sqErr(noisyM)}")
   }
 
+  test("sum tree: exact clamped node sums, shared range-query path, cap order") {
+    // weights clamp to [0, 10]: unit 3's 50.0 enters as 10.0
+    val df = Seq((1L, 0.5, 4.0), (2L, 0.7, 3.0), (2L, 3.5, 2.0),
+      (3L, 7.5, 50.0)).toDF("uid", "v", "w")
+    val tree = RangeTree.dpRangeSumTree(df, "uid", col("v"), col("w"), Nil,
+      0.0, 8.0, 8, 1.0, maxPerUnit = 10L, minW = 0.0, maxW = 10.0,
+      graft.core.NoiseSource.Zero)
+    val m = treeMap(tree)
+    assert(m((0, 0L)) == 7.0 && m((0, 3L)) == 2.0 && m((0, 7L)) == 10.0)
+    assert(m((0, 5L)) == 0.0 && m.size == 15)
+    assert(m((3, 0L)) == 19.0)
+    // rangeQueries reuses the same released schema
+    val q = RangeTree.rangeQueries(tree, Nil, Seq((0L, 3L), (4L, 7L)))
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(q == Map(0L -> 9.0, 1L -> 10.0))
+    // the deterministic cap keeps the lowest-(bin, weight) rows
+    val many = Seq((1L, 0.5, 9.0), (1L, 0.5, 1.0), (1L, 7.5, 5.0))
+      .toDF("uid", "v", "w")
+    val capped = treeMap(RangeTree.dpRangeSumTree(many, "uid", col("v"),
+      col("w"), Nil, 0.0, 8.0, 8, 1.0, maxPerUnit = 2L, 0.0, 10.0,
+      graft.core.NoiseSource.Zero))
+    assert(capped((0, 0L)) == 10.0 && capped((0, 7L)) == 0.0)
+    // NULL weight fails loud
+    val e = intercept[Exception](RangeTree.dpRangeSumTree(
+      Seq((1L, 0.5, null.asInstanceOf[java.lang.Double])).toDF("uid", "v", "w"),
+      "uid", col("v"), col("w"), Nil, 0.0, 8.0, 8, 1.0, 10L, 0.0, 10.0,
+      graft.core.NoiseSource.Zero).collect())
+    assert(SparkTestSession.chainMsg(e).contains("NULL weight"))
+  }
+
   test("keyed trees: one tree per key, key universe from the data") {
     val df = Seq((1L, 0.5, "a"), (2L, 7.5, "a"), (3L, 3.5, "b"))
       .toDF("uid", "v", "k")
