@@ -933,7 +933,7 @@ private[graft] object EntryDP {
     * shared by dp_range_tree and dp_range_consistent (the zero-noise OLS
     * projection is the identity, spec-proven, so both replay the same
     * exact tree). */
-  private val rangeTreeSql =
+  private[graft] val rangeTreeSql =
     s"""WITH $rangeBinSql,
         lv AS (SELECT unnest(range(0, 7)) AS lvl),
         nodes AS (

@@ -163,6 +163,29 @@ private[graft] object EntryStream {
         minValue = 0.0, maxValue = 1000.0,
         noise = graft.core.NoiseSource.Zero)
     }),
+    "ss_range_tree_fold" -> ((s, dir) => {
+      // the range tree's STREAMING face (nightly-release pattern): three
+      // micro-batches fold their bounded node contributions into the
+      // tree-shaped store, then ONE release draws the noise — and must
+      // hash-equal the one-shot dp_range_tree SQL (zero noise,
+      // non-binding cap, order-free count sums under any batch split).
+      val ev = events(s, dir)
+      val batches = Seq(ev.filter(col("event_id") % 3 === 0),
+        ev.filter(col("event_id") % 3 === 1),
+        ev.filter(col("event_id") % 3 === 2))
+      var store: Option[DataFrame] = None
+      batches.foreach { b =>
+        store = Some(graft.spark.RangeTree.rangeTreeIngestStep(b, store,
+          "user_id", col("value"), Seq("event_type"), lo = 0.0,
+          hi = 1000.0, bins = 64, maxPerUnit = 1000000L)
+          .localCheckpoint(false))
+      }
+      graft.spark.RangeTree.rangeTreeRelease(store.get, Seq("event_type"),
+          bins = 64, epsilon = 1.0, maxPerUnit = 1000000L,
+          noise = graft.core.NoiseSource.Zero)
+        .select(col("__lvl").cast("long").as("lvl"), col("__idx").as("idx"),
+          col("event_type"), col("dp_count"))
+    }),
     "ss_dp_continual_mean" -> ((s, dir) => {
       // the MEAN derivation of the continual family: count tree + clamped
       // sum tree on split budget from ONE scan, running mean as pure
@@ -351,6 +374,8 @@ private[graft] object EntryStream {
            FROM grid LEFT JOIN pt
              ON pt.event_type = grid.event_type AND pt.t <= grid.t
            GROUP BY 1, 2""",
+      // the fold must release the one-shot tree — same oracle
+      "ss_range_tree_fold" -> EntryDP.rangeTreeSql,
       // count + clamped-sum prefixes over the grid, mean = ratio with the
       // max(count, 1) convention
       "ss_dp_continual_mean" ->

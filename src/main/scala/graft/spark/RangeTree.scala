@@ -61,66 +61,16 @@ object RangeTree {
       maxPerUnit: Long,
       noise: graft.core.NoiseSource
   ): DataFrame = {
-    require(bins >= 2 && (bins & (bins - 1)) == 0 && bins <= 4096,
-      s"bins must be a power of two in [2, 4096], got $bins (the released " +
-        "tree is 2*bins-1 rows per key — the consistency sweep and every " +
-        "query decomposition are bounded by it)")
-    require(lo < hi, s"empty domain [$lo, $hi)")
-    require(epsilon > 0, s"epsilon must be positive, got $epsilon")
-    require(maxPerUnit > 0, s"maxPerUnit must be positive, got $maxPerUnit")
-    val levels = 31 - Integer.numberOfLeadingZeros(bins) // log2(bins)
-    val keyCs = keyCols.map(col)
-    val checked = when(valueCol.isNull, raise_error(lit(
-        "dpRangeCountTree: NULL value for a privacy unit — nulls have no " +
-          "bin; filter or impute upstream")).cast("double"))
-      .otherwise(valueCol.cast("double"))
-    // clamp into [lo, hi): the top edge maps to the last bin
-    val binIdx = least(
-      greatest(floor((checked - lit(lo)) / lit((hi - lo) / bins)), lit(0.0)),
-      lit((bins - 1).toDouble)).cast("long")
-    val keyChecked = keyCs.zip(keyCols).map { case (c, n) =>
-      when(c.isNull, raise_error(lit(
-        s"dpRangeCountTree: NULL key '$n' — it would silently drop from " +
-          "the release joins; coalesce or filter upstream"))
-        .cast(df.schema(n).dataType))
-        .otherwise(c).as(n)
-    }
-    // DETERMINISTIC per-unit cap: rank each unit's rows by (bin, then the
-    // value itself) and keep the first maxPerUnit — a stable order, so
-    // re-execution keeps the SAME rows (a nondeterministic limit would
-    // break the sensitivity argument under task retries)
-    val capped = df
-      .withColumn("__bin", binIdx)
-      .withColumn("__rk", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy((col(pidCol) +: keyCs): _*)
-          .orderBy(col("__bin").asc, checked.asc)))
-      .filter(col("__rk") <= maxPerUnit)
-    // node sums: leaf bin b contributes to node (l, b >> l) per level
-    val contrib = capped
-      .select(col("__bin") +: keyChecked: _*)
-      .withColumn("__lvl", explode(sequence(lit(0), lit(levels))))
-      .withColumn("__idx", expr("shiftright(__bin, __lvl)"))
-      .groupBy(col("__lvl") +: col("__idx") +: keyCs: _*)
-      .agg(count(lit(1)).cast("double").as("__s"))
-    // generated node universe x observed keys (empty nodes draw too)
-    val spark0 = df.sparkSession
-    val keyUniverse =
-      if (keyCols.isEmpty) None
-      else Some(capped.select(keyChecked: _*).distinct().localCheckpoint(false))
-    val nodes0 = spark0.range(0, (levels + 1).toLong).toDF("__lvl")
-      .select(col("__lvl").cast("int").as("__lvl"))
-      .withColumn("__idx", explode(expr(
-        s"sequence(0L, (CAST($bins AS BIGINT) div shiftleft(1L, __lvl)) - 1)")))
-    val nodes = keyUniverse.fold(nodes0)(k => nodes0.crossJoin(broadcast(k)))
-    val b = maxPerUnit.toDouble * (levels + 1) / epsilon
-    val src = noise
-    val noiseUdf = udf(() => src.laplace(b)).asNondeterministic()
-    nodes
-      .join(contrib, Seq("__lvl", "__idx") ++ keyCols, "left")
-      .select(col("__lvl") +: col("__idx") +:
-        (keyCs :+ (coalesce(col("__s"), lit(0.0)) + noiseUdf())
-          .as("dp_count")): _*)
+    // one-shot = one ingest step + one release: ONE definition of the
+    // bounded binning (DETERMINISTIC per-unit cap: rank each unit's rows
+    // by (bin, value) and keep the first maxPerUnit — a stable order, so
+    // re-execution keeps the SAME rows under task retries) and of the
+    // noisy release, shared with the streaming fold so they cannot drift
+    rangeTreeRelease(
+      rangeTreeIngestStep(df, None, pidCol, valueCol, keyCols, lo, hi,
+        bins, maxPerUnit)
+        .localCheckpoint(false), // key universe + release join share it
+      keyCols, bins, epsilon, maxPerUnit, noise)
   }
 
   /** The SUM analogue of [[dpRangeCountTree]]: each row carries a
@@ -303,6 +253,109 @@ object RangeTree {
         min(when(col("__pfx") >= col("q") * col("__total"), col("__t"))),
         lit((bins - 1).toLong)).as("bin"))
       .withColumn("value_lo", lit(lo) + col("bin") * lit((hi - lo) / bins))
+  }
+
+  /** One ingest step of the range tree's STREAMING face — the
+    * nightly-release pattern: micro-batches fold their bounded, binned
+    * node contributions into an (un-noised) node-sum store as they
+    * arrive; [[rangeTreeRelease]] draws noise ONCE when the tree is
+    * published. The store is tree-shaped (at most (2*bins-1) x keys rows
+    * after each step's re-aggregation), never data-shaped. Returns the
+    * grown store; callers checkpoint it between steps (the
+    * [[graft.streaming.StreamOps.onlineContinualStep]] convention).
+    *
+    * BOUNDING CONTRACT: the deterministic per-unit cap applies WITHIN
+    * each batch — a unit whose rows straddle m batches can move the tree
+    * by m * maxPerUnit rows, so the release is epsilon-DP w.r.t. one
+    * unit's data within ONE batch (cell contract); route each unit's
+    * rows through one batch (partition the ingest by unit) or account
+    * the composition. Zero noise + non-binding caps => the fold over ANY
+    * batch split releases exactly the one-shot tree (spec-pinned). */
+  def rangeTreeIngestStep(
+      batch: DataFrame,
+      store: Option[DataFrame],
+      pidCol: String,
+      valueCol: Column,
+      keyCols: Seq[String],
+      lo: Double,
+      hi: Double,
+      bins: Int,
+      maxPerUnit: Long
+  ): DataFrame = {
+    require(bins >= 2 && (bins & (bins - 1)) == 0 && bins <= 4096,
+      s"bins must be a power of two in [2, 4096], got $bins")
+    require(lo < hi, s"empty domain [$lo, $hi)")
+    require(maxPerUnit > 0, s"maxPerUnit must be positive, got $maxPerUnit")
+    val levels = 31 - Integer.numberOfLeadingZeros(bins)
+    val keyCs = keyCols.map(col)
+    val checked = when(valueCol.isNull, raise_error(lit(
+        "rangeTreeIngestStep: NULL value for a privacy unit — nulls have " +
+          "no bin; filter or impute upstream")).cast("double"))
+      .otherwise(valueCol.cast("double"))
+    val binIdx = least(
+      greatest(floor((checked - lit(lo)) / lit((hi - lo) / bins)), lit(0.0)),
+      lit((bins - 1).toDouble)).cast("long")
+    val keyChecked = keyCs.zip(keyCols).map { case (c, n) =>
+      when(c.isNull, raise_error(lit(
+        s"rangeTreeIngestStep: NULL key '$n' — it would silently drop " +
+          "from the release joins; coalesce or filter upstream"))
+        .cast(batch.schema(n).dataType))
+        .otherwise(c).as(n)
+    }
+    val contrib = batch
+      .withColumn("__bin", binIdx)
+      .withColumn("__rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy((col(pidCol) +: keyCs): _*)
+          .orderBy(col("__bin").asc, checked.asc)))
+      .filter(col("__rk") <= maxPerUnit)
+      .select(col("__bin") +: keyChecked: _*)
+      .withColumn("__lvl", explode(sequence(lit(0), lit(levels))))
+      .withColumn("__idx", expr("shiftright(__bin, __lvl)"))
+      .groupBy(col("__lvl") +: col("__idx") +: keyCs: _*)
+      .agg(count(lit(1)).cast("double").as("__s"))
+    store match {
+      case None => contrib
+      case Some(st) => st.unionByName(contrib)
+        .groupBy(col("__lvl") +: col("__idx") +: keyCs: _*)
+        .agg(sum(col("__s")).as("__s"))
+    }
+  }
+
+  /** Publish a folded node-sum store as a noisy tree: the generated node
+    * universe x the store's observed keys, one Laplace draw per node
+    * (empty nodes too), per-node scale maxPerUnit * (levels+1) / epsilon
+    * — the [[dpRangeCountTree]] release stage over an accumulated store.
+    * Same released schema, so [[rangeQueries]], [[quantilesFromTree]]
+    * and [[enforceConsistency]] consume it unchanged. */
+  def rangeTreeRelease(
+      store: DataFrame,
+      keyCols: Seq[String],
+      bins: Int,
+      epsilon: Double,
+      maxPerUnit: Long,
+      noise: graft.core.NoiseSource
+  ): DataFrame = {
+    require(epsilon > 0, s"epsilon must be positive, got $epsilon")
+    val levels = 31 - Integer.numberOfLeadingZeros(bins)
+    val keyCs = keyCols.map(col)
+    val spark0 = store.sparkSession
+    val keyUniverse =
+      if (keyCols.isEmpty) None
+      else Some(store.select(keyCs: _*).distinct().localCheckpoint(false))
+    val nodes0 = spark0.range(0, (levels + 1).toLong).toDF("__lvl")
+      .select(col("__lvl").cast("int").as("__lvl"))
+      .withColumn("__idx", explode(expr(
+        s"sequence(0L, (CAST($bins AS BIGINT) div shiftleft(1L, __lvl)) - 1)")))
+    val nodes = keyUniverse.fold(nodes0)(k => nodes0.crossJoin(broadcast(k)))
+    val b = maxPerUnit.toDouble * (levels + 1) / epsilon
+    val src = noise
+    val noiseUdf = udf(() => src.laplace(b)).asNondeterministic()
+    nodes
+      .join(store, Seq("__lvl", "__idx") ++ keyCols, "left")
+      .select(col("__lvl") +: col("__idx") +:
+        (keyCs :+ (coalesce(col("__s"), lit(0.0)) + noiseUdf())
+          .as("dp_count")): _*)
   }
 
   /** Hay et al. consistency (VLDB'10 §4): ordinary-least-squares

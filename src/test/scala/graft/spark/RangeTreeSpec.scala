@@ -161,6 +161,32 @@ class RangeTreeSpec extends AnyFunSuite {
     assert(SparkTestSession.chainMsg(e).contains("NULL weight"))
   }
 
+  test("ingest fold: any batch split releases the one-shot tree; store stays tree-shaped") {
+    val df = (0 until 30).map(i => (i.toLong, (i % 8) + 0.5, if (i % 2 == 0) "a" else "b"))
+      .toDF("uid", "v", "k")
+    val oneShot = treeMap2(RangeTree.dpRangeCountTree(df, "uid", col("v"),
+      Seq("k"), 0.0, 8.0, 8, 1.0, 100L, graft.core.NoiseSource.Zero))
+    for (splits <- Seq(Seq(10, 20), Seq(1, 29), Seq(15, 15))) {
+      val bs = Seq(df.filter(col("uid") < splits.head),
+        df.filter(col("uid") >= splits.head && col("uid") < splits.head + splits(1)),
+        df.filter(col("uid") >= splits.head + splits(1)))
+      var store: Option[org.apache.spark.sql.DataFrame] = None
+      bs.foreach { b =>
+        store = Some(RangeTree.rangeTreeIngestStep(b, store, "uid", col("v"),
+          Seq("k"), 0.0, 8.0, 8, 100L).localCheckpoint(true))
+        // the store never exceeds the tree shape: (2*bins - 1) x keys
+        assert(store.get.count() <= 15 * 2)
+      }
+      val folded = treeMap2(RangeTree.rangeTreeRelease(store.get, Seq("k"),
+        8, 1.0, 100L, graft.core.NoiseSource.Zero))
+      assert(folded == oneShot, s"split $splits diverged")
+    }
+  }
+
+  private def treeMap2(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r =>
+      (r.getInt(0), r.getLong(1), r.getString(2)) -> r.getDouble(3)).toMap
+
   test("keyed trees: one tree per key, key universe from the data") {
     val df = Seq((1L, 0.5, "a"), (2L, 7.5, "a"), (3L, 3.5, "b"))
       .toDF("uid", "v", "k")
