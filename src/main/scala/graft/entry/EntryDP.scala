@@ -469,7 +469,7 @@ private[graft] object EntryDP {
         bins = 64, epsilon = 1.0, maxPerUnit = 1000000L,
         noise = NoiseSource.Zero)
       graft.spark.RangeTree.rangeQueries(tree, Seq("event_type"),
-        Seq((0L, 15L), (8L, 40L), (32L, 63L), (10L, 10L)))
+        Seq((0L, 15L), (8L, 40L), (32L, 63L), (10L, 10L)), bins = 64)
     }),
     "dp_range_quantiles" -> ((s, dir) => {
       // quantiles by CDF inversion over the released prefix counts (pure
@@ -494,7 +494,7 @@ private[graft] object EntryDP {
         maxPerUnit = 1000000L, minW = 0.0, maxW = 500.0,
         noise = NoiseSource.Zero)
       graft.spark.RangeTree.rangeQueries(tree, Seq("event_type"),
-        Seq((0L, 15L), (8L, 40L), (32L, 63L), (10L, 10L)))
+        Seq((0L, 15L), (8L, 40L), (32L, 63L), (10L, 10L)), bins = 64)
     }),
     "dp_add_noise" -> ((s, dir) => {
       // noise-only path on pre-aggregated data; zero noise => identity

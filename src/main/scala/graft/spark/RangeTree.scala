@@ -141,24 +141,10 @@ object RangeTree {
       .withColumn("__idx", expr("shiftright(__bin, __lvl)"))
       .groupBy(col("__lvl") +: col("__idx") +: keyCs: _*)
       .agg(sum(col("__w")).as("__s"))
-    val spark0 = df.sparkSession
-    val keyUniverse =
-      if (keyCols.isEmpty) None
-      else Some(capped.select(keyChecked: _*).distinct().localCheckpoint(false))
-    val nodes0 = spark0.range(0, (levels + 1).toLong).toDF("__lvl")
-      .select(col("__lvl").cast("int").as("__lvl"))
-      .withColumn("__idx", explode(expr(
-        s"sequence(0L, (CAST($bins AS BIGINT) div shiftleft(1L, __lvl)) - 1)")))
-    val nodes = keyUniverse.fold(nodes0)(k => nodes0.crossJoin(broadcast(k)))
+      .localCheckpoint(false) // key universe + release join share it
     val b = maxPerUnit.toDouble * math.max(math.abs(minW), math.abs(maxW)) *
       (levels + 1) / epsilon
-    val src = noise
-    val noiseUdf = udf(() => src.laplace(b)).asNondeterministic()
-    nodes
-      .join(contrib, Seq("__lvl", "__idx") ++ keyCols, "left")
-      .select(col("__lvl") +: col("__idx") +:
-        (keyCs :+ (coalesce(col("__s"), lit(0.0)) + noiseUdf())
-          .as("dp_count")): _*)
+    releaseWithScale(contrib, keyCols, bins, levels, b, noise)
   }
 
   /** Range queries answered from a released tree — PURE POST-PROCESSING
@@ -170,13 +156,20 @@ object RangeTree {
   def rangeQueries(
       tree: DataFrame,
       keyCols: Seq[String],
-      ranges: Seq[(Long, Long)]
+      ranges: Seq[(Long, Long)],
+      bins: Int
   ): DataFrame = {
     require(ranges.nonEmpty, "no ranges")
     val spark0 = tree.sparkSession
     val cover: Seq[(Long, Long, Long, Int, Long)] = // (qid, lo, hi, lvl, idx)
       ranges.zipWithIndex.flatMap { case ((qlo, qhi), qid) =>
-        require(qlo >= 0 && qhi >= qlo, s"bad range [$qlo, $qhi]")
+        // hi must sit INSIDE the domain: the decomposition of an
+        // out-of-range query names nodes the tree does not have, and the
+        // inner join would silently drop them — a partial count released
+        // as if complete (r13 self-review)
+        require(qlo >= 0 && qhi >= qlo && qhi < bins,
+          s"range [$qlo, $qhi] outside the bin domain [0, $bins) — an " +
+            "out-of-domain cover would silently drop its missing nodes")
         decompose(qlo, qhi).map { case (l, i) =>
           (qid.toLong, qlo, qhi, l, i)
         }
@@ -245,8 +238,11 @@ object RangeTree {
       import spark0.implicits._
       qs.toDF("q")
     }
-    // first bin whose prefix reaches q*total; an all-noise-negative tree
-    // degenerates to the last bin (min over an empty qualifying set)
+    // first bin whose prefix reaches q*total; if NO prefix qualifies
+    // (heavy negative noise on the early decomposition nodes) the
+    // readout degenerates to the last bin rather than dropping the row
+    // (a negative TOTAL instead makes every bin qualify => bin 0 — both
+    // post-processing artifacts of extreme noise, not errors)
     rootJ.crossJoin(broadcast(qDf))
       .groupBy(keyCs :+ col("q"): _*)
       .agg(coalesce(
@@ -337,7 +333,25 @@ object RangeTree {
       noise: graft.core.NoiseSource
   ): DataFrame = {
     require(epsilon > 0, s"epsilon must be positive, got $epsilon")
+    require(maxPerUnit > 0, s"maxPerUnit must be positive, got $maxPerUnit")
     val levels = 31 - Integer.numberOfLeadingZeros(bins)
+    releaseWithScale(store, keyCols, bins, levels,
+      maxPerUnit.toDouble * (levels + 1) / epsilon, noise)
+  }
+
+  /** THE noisy release stage — one definition shared by the count tree,
+    * the sum tree, and the ingest fold (r13 self-review: the sum tree
+    * initially duplicated it), parameterized by the per-node Laplace
+    * scale `b`: generated node universe x the store's observed keys,
+    * one draw per node, empty nodes included. */
+  private def releaseWithScale(
+      store: DataFrame,
+      keyCols: Seq[String],
+      bins: Int,
+      levels: Int,
+      b: Double,
+      noise: graft.core.NoiseSource
+  ): DataFrame = {
     val keyCs = keyCols.map(col)
     val spark0 = store.sparkSession
     val keyUniverse =
@@ -348,7 +362,6 @@ object RangeTree {
       .withColumn("__idx", explode(expr(
         s"sequence(0L, (CAST($bins AS BIGINT) div shiftleft(1L, __lvl)) - 1)")))
     val nodes = keyUniverse.fold(nodes0)(k => nodes0.crossJoin(broadcast(k)))
-    val b = maxPerUnit.toDouble * (levels + 1) / epsilon
     val src = noise
     val noiseUdf = udf(() => src.laplace(b)).asNondeterministic()
     nodes
@@ -383,6 +396,13 @@ object RangeTree {
     val out = byKey.iterator.flatMap { case (key, krows) =>
       val z = scala.collection.mutable.Map.empty[(Int, Long), Double]
       krows.foreach(r => z((r.getInt(0), r.getLong(1))) = r.getDouble(2 + keyCols.length))
+      // the sweep indexes every node of the full universe — a partial
+      // tree (wrong bins, filtered rows) would otherwise surface as a
+      // bare NoSuchElementException deep in the recursion
+      require(z.size == 2 * bins - 1,
+        s"enforceConsistency: key $key has ${z.size} nodes, want " +
+          s"${2 * bins - 1} — pass the tree's own bins and the FULL " +
+          "released universe")
       // up-sweep: zbar(l, i) for a node at height l (leaves l = 0) is the
       // precision-weighted blend of its draw and its children's zbar sum;
       // weights alpha_l = (2^l - 2^(l-1)) / (2^(l+1) - 1)-style factors

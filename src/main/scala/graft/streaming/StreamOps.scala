@@ -919,7 +919,22 @@ object StreamOps {
     // horizon dashboard-scale by the family's documented contract.
     val keyRows: Seq[org.apache.spark.sql.Row] =
       if (keyCols.isEmpty) Seq(org.apache.spark.sql.Row.fromSeq(Seq.empty))
-      else sums.select(keyCs: _*).distinct().collect().toSeq
+      else {
+        // ENFORCE the documented low-cardinality contract before the
+        // collect (r13 self-review): the limit-bounded count stops
+        // scanning at the cap+1-th key, so a high-cardinality key stream
+        // fails loud instead of OOMing the driver
+        val maxKeys = 100000
+        val kd = sums.select(keyCs: _*).distinct().localCheckpoint(false)
+        val n = kd.limit(maxKeys + 1).count()
+        require(n <= maxKeys,
+          s"onlineContinualStep: over $maxKeys distinct keys (the guard " +
+            "stops counting there) — the continual family's universe " +
+            "crosses keys x 2*horizon nodes and its per-step draw " +
+            "bookkeeping is driver-side; reduce the key cardinality or " +
+            "shard the release by key range")
+        kd.collect().toSeq
+      }
     val keysDf =
       if (keyCols.isEmpty) null
       else spark0.createDataFrame(

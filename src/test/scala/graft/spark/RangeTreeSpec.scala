@@ -65,12 +65,21 @@ class RangeTreeSpec extends AnyFunSuite {
     assert(one.keySet == exact.keySet)
     one.foreach { case (k, v) => assert(v == exact(k) + 1.0, s"node $k") }
     // and a range query then reads exact + |cover| (one draw per node)
-    val q = RangeTree.rangeQueries(tree(ConstOne), Nil, Seq((1L, 6L)))
+    val q = RangeTree.rangeQueries(tree(ConstOne), Nil, Seq((1L, 6L)), 8)
       .collect().head.getDouble(3)
     val cover = RangeTree.decompose(1L, 6L)
     val exactQ = RangeTree.rangeQueries(tree(graft.core.NoiseSource.Zero),
-      Nil, Seq((1L, 6L))).collect().head.getDouble(3)
+      Nil, Seq((1L, 6L)), 8).collect().head.getDouble(3)
     assert(q == exactQ + cover.size)
+  }
+
+  test("out-of-domain ranges fail loud (a silent partial count otherwise)") {
+    val df = Seq((1L, 0.5)).toDF("uid", "v")
+    val tree = RangeTree.dpRangeCountTree(df, "uid", col("v"), Nil,
+      0.0, 8.0, 8, 1.0, 10L, graft.core.NoiseSource.Zero)
+    val e = intercept[IllegalArgumentException](
+      RangeTree.rangeQueries(tree, Nil, Seq((0L, 8L)), 8))
+    assert(e.getMessage.contains("outside the bin domain"), e.getMessage)
   }
 
   test("dyadic decomposition tiles ranges exactly (property)") {
@@ -143,7 +152,7 @@ class RangeTreeSpec extends AnyFunSuite {
     assert(m((0, 5L)) == 0.0 && m.size == 15)
     assert(m((3, 0L)) == 19.0)
     // rangeQueries reuses the same released schema
-    val q = RangeTree.rangeQueries(tree, Nil, Seq((0L, 3L), (4L, 7L)))
+    val q = RangeTree.rangeQueries(tree, Nil, Seq((0L, 3L), (4L, 7L)), 8)
       .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
     assert(q == Map(0L -> 9.0, 1L -> 10.0))
     // the deterministic cap keeps the lowest-(bin, weight) rows
@@ -196,7 +205,7 @@ class RangeTreeSpec extends AnyFunSuite {
     val roots = tree.filter(col("__lvl") === 3)
       .collect().map(r => r.getString(2) -> r.getDouble(3)).toMap
     assert(roots == Map("a" -> 2.0, "b" -> 1.0))
-    val q = RangeTree.rangeQueries(tree, Seq("k"), Seq((0L, 3L)))
+    val q = RangeTree.rangeQueries(tree, Seq("k"), Seq((0L, 3L)), 8)
       .collect().map(r => r.getString(3) -> r.getDouble(4)).toMap
     assert(q == Map("a" -> 1.0, "b" -> 1.0))
   }
