@@ -482,6 +482,20 @@ private[graft] object EntryDP {
       graft.spark.RangeTree.quantilesFromTree(tree, Seq("event_type"),
         0.0, 1000.0, 64, Seq(0.25, 0.5, 0.9, 0.99))
     }),
+    "dp_range_public" -> ((s, dir) => {
+      // public-keys release: the tree set is DATA-INDEPENDENT — three of
+      // the five observed event types plus a phantom type that releases
+      // a full all-zeros tree; the two non-public observed types drop
+      // before bounding. Replayed over the literal key list.
+      import s.implicits._
+      val pub = Seq("click", "view", "purchase", "phantom_type").toDF("k")
+      graft.spark.RangeTree.dpRangeCountTree(events(s, dir), "user_id",
+          col("value"), Seq("event_type"), lo = 0.0, hi = 1000.0,
+          bins = 64, epsilon = 1.0, maxPerUnit = 1000000L,
+          noise = NoiseSource.Zero, publicKeys = Some(pub))
+        .select(col("__lvl").cast("long").as("lvl"), col("__idx").as("idx"),
+          col("event_type"), col("dp_count"))
+    }),
     "dp_range_sum_query" -> ((s, dir) => {
       // the SUM tree: mass-in-range queries (revenue-by-price-band shape)
       // from dyadic nodes holding clamped-weight sums. Weight =
@@ -968,6 +982,23 @@ private[graft] object EntryDP {
             FROM grid g LEFT JOIN b ON b.event_type = g.event_type
               AND b.bin BETWEEN g.lo_bin AND g.hi_bin
             GROUP BY 1, 2, 3, 4""",
+      "dp_range_public" ->
+        s"""WITH $rangeBinSql,
+            pub(event_type) AS (
+              VALUES ('click'), ('view'), ('purchase'), ('phantom_type')),
+            lv AS (SELECT unnest(range(0, 7)) AS lvl),
+            nodes AS (
+              SELECT l.lvl, g.idx, p.event_type
+              FROM lv l, (SELECT unnest(range(0, 64)) AS idx) g, pub p
+              WHERE g.idx < 64 // (1 << l.lvl)),
+            c AS (SELECT l.lvl, b.bin >> l.lvl AS idx, b.event_type,
+                         count(*) AS n
+                  FROM b JOIN pub USING (event_type) CROSS JOIN lv l
+                  GROUP BY 1, 2, 3)
+            SELECT CAST(n.lvl AS BIGINT) AS lvl, CAST(n.idx AS BIGINT) AS idx,
+                   n.event_type, CAST(coalesce(c.n, 0) AS DOUBLE) AS dp_count
+            FROM nodes n LEFT JOIN c ON c.lvl = n.lvl AND c.idx = n.idx
+              AND c.event_type = n.event_type""",
       "dp_range_sum_query" ->
         s"""WITH $rangeBinSql,
             w AS (SELECT event_type, bin,

@@ -48,7 +48,15 @@ object RangeTree {
   /** Released noisy dyadic tree: (keyCols..., __lvl, __idx, dp_count)
     * where level 0 = leaves (bin width (hi-lo)/bins) and level
     * log2(bins) = the root; node (l, i) covers leaf bins
-    * [i*2^l, (i+1)*2^l). Zero noise => exact node counts. */
+    * [i*2^l, (i+1)*2^l). Zero noise => exact node counts.
+    *
+    * KEY-EXISTENCE (the continual family's caveat, verbatim): with
+    * `publicKeys = None` the key universe is the OBSERVED key set —
+    * releasing a key's tree at all reveals that someone contributed to
+    * it, which node noise cannot hide. Pass `publicKeys` (a one-column
+    * frame matching `keyCols`, by position) to make the release set
+    * fully data-independent: non-public rows DROP before bounding and
+    * every public key releases its full tree, empty or not. */
   def dpRangeCountTree(
       df: DataFrame,
       pidCol: String,
@@ -59,7 +67,8 @@ object RangeTree {
       bins: Int,
       epsilon: Double,
       maxPerUnit: Long,
-      noise: graft.core.NoiseSource
+      noise: graft.core.NoiseSource,
+      publicKeys: Option[DataFrame] = None
   ): DataFrame = {
     // one-shot = one ingest step + one release: ONE definition of the
     // bounded binning (DETERMINISTIC per-unit cap: rank each unit's rows
@@ -68,9 +77,9 @@ object RangeTree {
     // noisy release, shared with the streaming fold so they cannot drift
     rangeTreeRelease(
       rangeTreeIngestStep(df, None, pidCol, valueCol, keyCols, lo, hi,
-        bins, maxPerUnit)
+        bins, maxPerUnit, publicKeys)
         .localCheckpoint(false), // key universe + release join share it
-      keyCols, bins, epsilon, maxPerUnit, noise)
+      keyCols, bins, epsilon, maxPerUnit, noise, publicKeys)
   }
 
   /** The SUM analogue of [[dpRangeCountTree]]: each row carries a
@@ -97,10 +106,13 @@ object RangeTree {
       maxPerUnit: Long,
       minW: Double,
       maxW: Double,
-      noise: graft.core.NoiseSource
+      noise: graft.core.NoiseSource,
+      publicKeys: Option[DataFrame] = None
   ): DataFrame = {
     require(bins >= 2 && (bins & (bins - 1)) == 0 && bins <= 4096,
       s"bins must be a power of two in [2, 4096], got $bins")
+    require(publicKeys.isEmpty || keyCols.nonEmpty,
+      "publicKeys given but keyCols is empty — nothing to make public")
     require(lo < hi, s"empty domain [$lo, $hi)")
     require(epsilon > 0, s"epsilon must be positive, got $epsilon")
     require(maxPerUnit > 0, s"maxPerUnit must be positive, got $maxPerUnit")
@@ -126,8 +138,13 @@ object RangeTree {
         .cast(df.schema(n).dataType))
         .otherwise(c).as(n)
     }
+    val pub = publicKeys.map(p => broadcast(
+      p.toDF(keyCols: _*).distinct().localCheckpoint(false)))
+    val inScope = pub.fold(df)(p =>
+      df.join(p, keyCols.map(n => df(n) === p(n)).reduce(_ && _),
+        "left_semi"))
     // deterministic cap: rank by (bin, weight, value) — stable under retry
-    val capped = df
+    val capped = inScope
       .withColumn("__bin", binIdx)
       .withColumn("__w", wClamped)
       .withColumn("__rk", row_number().over(
@@ -144,7 +161,7 @@ object RangeTree {
       .localCheckpoint(false) // key universe + release join share it
     val b = maxPerUnit.toDouble * math.max(math.abs(minW), math.abs(maxW)) *
       (levels + 1) / epsilon
-    releaseWithScale(contrib, keyCols, bins, levels, b, noise)
+    releaseWithScale(contrib, keyCols, bins, levels, b, noise, publicKeys)
   }
 
   /** Range queries answered from a released tree — PURE POST-PROCESSING
@@ -276,12 +293,15 @@ object RangeTree {
       lo: Double,
       hi: Double,
       bins: Int,
-      maxPerUnit: Long
+      maxPerUnit: Long,
+      publicKeys: Option[DataFrame] = None
   ): DataFrame = {
     require(bins >= 2 && (bins & (bins - 1)) == 0 && bins <= 4096,
       s"bins must be a power of two in [2, 4096], got $bins")
     require(lo < hi, s"empty domain [$lo, $hi)")
     require(maxPerUnit > 0, s"maxPerUnit must be positive, got $maxPerUnit")
+    require(publicKeys.isEmpty || keyCols.nonEmpty,
+      "publicKeys given but keyCols is empty — nothing to make public")
     val levels = 31 - Integer.numberOfLeadingZeros(bins)
     val keyCs = keyCols.map(col)
     val checked = when(valueCol.isNull, raise_error(lit(
@@ -298,7 +318,15 @@ object RangeTree {
         .cast(batch.schema(n).dataType))
         .otherwise(c).as(n)
     }
-    val contrib = batch
+    // with public keys, non-public rows DROP before bounding (the batch
+    // engine's public-partitions convention) so nothing they carry can
+    // shape the release
+    val pub = publicKeys.map(p => broadcast(
+      p.toDF(keyCols: _*).distinct().localCheckpoint(false)))
+    val inScope = pub.fold(batch)(p =>
+      batch.join(p, keyCols.map(n => batch(n) === p(n)).reduce(_ && _),
+        "left_semi"))
+    val contrib = inScope
       .withColumn("__bin", binIdx)
       .withColumn("__rk", row_number().over(
         org.apache.spark.sql.expressions.Window
@@ -330,13 +358,14 @@ object RangeTree {
       bins: Int,
       epsilon: Double,
       maxPerUnit: Long,
-      noise: graft.core.NoiseSource
+      noise: graft.core.NoiseSource,
+      publicKeys: Option[DataFrame] = None
   ): DataFrame = {
     require(epsilon > 0, s"epsilon must be positive, got $epsilon")
     require(maxPerUnit > 0, s"maxPerUnit must be positive, got $maxPerUnit")
     val levels = 31 - Integer.numberOfLeadingZeros(bins)
     releaseWithScale(store, keyCols, bins, levels,
-      maxPerUnit.toDouble * (levels + 1) / epsilon, noise)
+      maxPerUnit.toDouble * (levels + 1) / epsilon, noise, publicKeys)
   }
 
   /** THE noisy release stage — one definition shared by the count tree,
@@ -350,13 +379,16 @@ object RangeTree {
       bins: Int,
       levels: Int,
       b: Double,
-      noise: graft.core.NoiseSource
+      noise: graft.core.NoiseSource,
+      publicKeys: Option[DataFrame] = None
   ): DataFrame = {
     val keyCs = keyCols.map(col)
     val spark0 = store.sparkSession
     val keyUniverse =
       if (keyCols.isEmpty) None
-      else Some(store.select(keyCs: _*).distinct().localCheckpoint(false))
+      else publicKeys
+        .map(p => broadcast(p.toDF(keyCols: _*).distinct().localCheckpoint(false)))
+        .orElse(Some(store.select(keyCs: _*).distinct().localCheckpoint(false)))
     val nodes0 = spark0.range(0, (levels + 1).toLong).toDF("__lvl")
       .select(col("__lvl").cast("int").as("__lvl"))
       .withColumn("__idx", explode(expr(

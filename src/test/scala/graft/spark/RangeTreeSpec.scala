@@ -196,6 +196,30 @@ class RangeTreeSpec extends AnyFunSuite {
     df.collect().map(r =>
       (r.getInt(0), r.getLong(1), r.getString(2)) -> r.getDouble(3)).toMap
 
+  test("publicKeys: data-independent release set, drop-before-bounding") {
+    val df = Seq((1L, 0.5, "a"), (2L, 7.5, "a"), (3L, 3.5, "b"), (4L, 1.5, "c"))
+      .toDF("uid", "v", "k")
+    val pub = Seq("a", "phantom").toDF("k")
+    val tree = RangeTree.dpRangeCountTree(df, "uid", col("v"), Seq("k"),
+      0.0, 8.0, 8, 1.0, 10L, graft.core.NoiseSource.Zero, Some(pub))
+    val rows = tree.collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getString(2)) -> r.getDouble(3))
+      .toMap
+    // exactly the public keys release — "b"/"c" (observed, non-public)
+    // do NOT; "phantom" (public, empty) releases a full tree of zeros
+    assert(rows.keySet.map(_._3) == Set("a", "phantom"))
+    assert(rows((3, 0L, "a")) == 2.0)
+    assert(rows((3, 0L, "phantom")) == 0.0)
+    assert(rows.count(_._1._3 == "phantom") == 15)
+    // the sum tree honors the same contract
+    val sTree = RangeTree.dpRangeSumTree(df, "uid", col("v"), lit(2.0),
+      Seq("k"), 0.0, 8.0, 8, 1.0, 10L, 0.0, 10.0,
+      graft.core.NoiseSource.Zero, Some(pub))
+    val sRoots = sTree.filter(col("__lvl") === 3)
+      .collect().map(r => r.getString(2) -> r.getDouble(3)).toMap
+    assert(sRoots == Map("a" -> 4.0, "phantom" -> 0.0))
+  }
+
   test("keyed trees: one tree per key, key universe from the data") {
     val df = Seq((1L, 0.5, "a"), (2L, 7.5, "a"), (3L, 3.5, "b"))
       .toDF("uid", "v", "k")
