@@ -482,6 +482,21 @@ private[graft] object EntryDP {
       graft.spark.RangeTree.quantilesFromTree(tree, Seq("event_type"),
         0.0, 1000.0, 64, Seq(0.25, 0.5, 0.9, 0.99))
     }),
+    "dp_range_cdf" -> ((s, dir) => {
+      // the publishable CDF: noisy prefix count at EVERY bin with the
+      // PAVA monotone projection (the exact L2 projection onto the
+      // nondecreasing cone — valid CDF out, never-worse error). Zero
+      // noise => exact cumulative counts, already monotone, so the
+      // projection is the identity (spec-proven) and the oracle replays
+      // plain cumulative rollups — the dp_range_consistent convention:
+      // the sweep runs for real and must change nothing.
+      val tree = graft.spark.RangeTree.dpRangeCountTree(events(s, dir),
+        "user_id", col("value"), Seq("event_type"), lo = 0.0, hi = 1000.0,
+        bins = 64, epsilon = 1.0, maxPerUnit = 1000000L,
+        noise = NoiseSource.Zero)
+      graft.spark.RangeTree.cdfFromTree(tree, Seq("event_type"),
+        0.0, 1000.0, 64, monotone = true)
+    }),
     "dp_range_public" -> ((s, dir) => {
       // public-keys release: the tree set is DATA-INDEPENDENT — three of
       // the five observed event types plus a phantom type that releases
@@ -982,6 +997,18 @@ private[graft] object EntryDP {
             FROM grid g LEFT JOIN b ON b.event_type = g.event_type
               AND b.bin BETWEEN g.lo_bin AND g.hi_bin
             GROUP BY 1, 2, 3, 4""",
+      "dp_range_cdf" ->
+        s"""WITH $rangeBinSql,
+            grid AS (SELECT k.event_type, g.t
+                     FROM (SELECT DISTINCT event_type FROM events) k,
+                          (SELECT unnest(range(0, 64)) AS t) g),
+            pc AS (SELECT event_type, bin, count(*) AS n FROM b GROUP BY 1, 2)
+            SELECT grid.event_type, CAST(grid.t AS BIGINT) AS bin,
+                   (grid.t + 1) * 15.625 AS value_hi,
+                   CAST(coalesce(sum(pc.n), 0) AS DOUBLE) AS dp_cdf_count
+            FROM grid LEFT JOIN pc
+              ON pc.event_type = grid.event_type AND pc.bin <= grid.t
+            GROUP BY 1, 2, 3""",
       "dp_range_public" ->
         s"""WITH $rangeBinSql,
             pub(event_type) AS (

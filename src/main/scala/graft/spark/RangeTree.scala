@@ -232,20 +232,7 @@ object RangeTree {
     val levels = 31 - Integer.numberOfLeadingZeros(bins)
     val keyCs = keyCols.map(col)
     val spark0 = tree.sparkSession
-    // prefix decomposition of [0, t] for every leaf t — the continual
-    // release shape over bins
-    val ticks0 = spark0.range(0, bins.toLong).toDF("__t")
-    val keyUniverse =
-      if (keyCols.isEmpty) None
-      else Some(tree.select(keyCs: _*).distinct().localCheckpoint(false))
-    val ticks = keyUniverse.fold(ticks0)(k => ticks0.crossJoin(broadcast(k)))
-    val rel = ticks
-      .withColumn("__lvl", explode(sequence(lit(0), lit(levels))))
-      .filter(expr("(shiftright(__t + 1, __lvl) & 1) = 1"))
-      .withColumn("__idx", expr("shiftleft(shiftright(__t + 1, __lvl + 1), 1)"))
-    val prefix = rel.join(tree, Seq("__lvl", "__idx") ++ keyCols)
-      .groupBy(col("__t") +: keyCs: _*)
-      .agg(sum(col("dp_count")).as("__pfx"))
+    val prefix = prefixCounts(tree, keyCols, bins)
     val root = tree.filter(col("__lvl") === levels)
       .select((keyCs :+ col("dp_count").as("__total")): _*)
     val rootJ =
@@ -266,6 +253,84 @@ object RangeTree {
         min(when(col("__pfx") >= col("q") * col("__total"), col("__t"))),
         lit((bins - 1).toLong)).as("bin"))
       .withColumn("value_lo", lit(lo) + col("bin") * lit((hi - lo) / bins))
+  }
+
+  /** Prefix counts [0, t] for EVERY leaf t via each prefix's dyadic
+    * decomposition (the continual release shape over bins) — the shared
+    * core of [[quantilesFromTree]] and [[cdfFromTree]]. */
+  private def prefixCounts(tree: DataFrame, keyCols: Seq[String],
+      bins: Int): DataFrame = {
+    val levels = 31 - Integer.numberOfLeadingZeros(bins)
+    val keyCs = keyCols.map(col)
+    val spark0 = tree.sparkSession
+    val ticks0 = spark0.range(0, bins.toLong).toDF("__t")
+    val keyUniverse =
+      if (keyCols.isEmpty) None
+      else Some(tree.select(keyCs: _*).distinct().localCheckpoint(false))
+    val ticks = keyUniverse.fold(ticks0)(k => ticks0.crossJoin(broadcast(k)))
+    val rel = ticks
+      .withColumn("__lvl", explode(sequence(lit(0), lit(levels))))
+      .filter(expr("(shiftright(__t + 1, __lvl) & 1) = 1"))
+      .withColumn("__idx", expr("shiftleft(shiftright(__t + 1, __lvl + 1), 1)"))
+    rel.join(tree, Seq("__lvl", "__idx") ++ keyCols)
+      .groupBy(col("__t") +: keyCs: _*)
+      .agg(sum(col("dp_count")).as("__pfx"))
+  }
+
+  /** The released CDF: the noisy prefix count at every leaf bin —
+    * (keyCols..., bin, value_hi, dp_cdf_count) where value_hi is the
+    * bin's UPPER edge (prefix [0, bin] covers values < value_hi). Pure
+    * post-processing of the tree.
+    *
+    * `monotone = true` additionally projects each key's prefix sequence
+    * onto the nondecreasing cone by PAVA (pool-adjacent-violators) — the
+    * exact L2 projection, so the result is a valid (unnormalized) CDF
+    * and is never farther from the true prefixes in L2 than the raw
+    * release; on a zero-noise tree the projection is the identity
+    * (exact prefixes are already monotone). Bounded driver math (bins
+    * values per key — the enforceConsistency collect class). */
+  def cdfFromTree(
+      tree: DataFrame,
+      keyCols: Seq[String],
+      lo: Double,
+      hi: Double,
+      bins: Int,
+      monotone: Boolean = true
+  ): DataFrame = {
+    val keyCs = keyCols.map(col)
+    val width = (hi - lo) / bins
+    val raw = prefixCounts(tree, keyCols, bins)
+      .select(keyCs :+ col("__t").as("bin") :+
+        (lit(lo) + (col("__t") + 1) * lit(width)).as("value_hi") :+
+        col("__pfx").as("dp_cdf_count"): _*)
+    if (!monotone) return raw
+    val rows = raw.collect()
+    val byKey = rows.groupBy(r => r.toSeq.take(keyCols.length))
+    val out = byKey.iterator.flatMap { case (key, krows) =>
+      val sorted = krows.sortBy(_.getLong(keyCols.length))
+      val v = sorted.map(_.getDouble(keyCols.length + 2))
+      // PAVA: pool adjacent violators left-to-right; each block carries
+      // (sum, count) and merges while its mean undercuts its predecessor
+      val blocks = scala.collection.mutable.ArrayBuffer.empty[(Double, Int)]
+      v.foreach { x =>
+        var (s, n) = (x, 1)
+        while (blocks.nonEmpty && blocks.last._1 / blocks.last._2 > s / n) {
+          val (ps, pn) = blocks.remove(blocks.length - 1)
+          s += ps; n += pn
+        }
+        blocks += ((s, n))
+      }
+      val fitted = blocks.iterator.flatMap { case (s, n) =>
+        Iterator.fill(n)(s / n)
+      }.toArray
+      sorted.iterator.zip(fitted.iterator).map { case (r, f) =>
+        org.apache.spark.sql.Row.fromSeq(
+          key ++ Seq[Any](r.getLong(keyCols.length),
+            r.getDouble(keyCols.length + 1), f))
+      }
+    }.toSeq
+    tree.sparkSession.createDataFrame(
+      new java.util.ArrayList(out.asJava), raw.schema)
   }
 
   /** One ingest step of the range tree's STREAMING face — the

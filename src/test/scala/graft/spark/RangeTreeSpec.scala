@@ -196,6 +196,37 @@ class RangeTreeSpec extends AnyFunSuite {
     df.collect().map(r =>
       (r.getInt(0), r.getLong(1), r.getString(2)) -> r.getDouble(3)).toMap
 
+  test("CDF release: exact prefixes, PAVA monotone projection, identity when clean") {
+    val rows = Seq.fill(4)(0.5) ++ Seq.fill(3)(2.5) ++ Seq(7.5)
+    val df = rows.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("uid", "v")
+    val tree = RangeTree.dpRangeCountTree(df, "uid", col("v"), Nil,
+      0.0, 8.0, 8, 1.0, 10L, graft.core.NoiseSource.Zero)
+    def cdfMap(mono: Boolean) =
+      RangeTree.cdfFromTree(tree, Nil, 0.0, 8.0, 8, monotone = mono)
+        .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    val raw = cdfMap(false)
+    assert(raw(0L) == ((1.0, 4.0)) && raw(2L) == ((3.0, 7.0)) &&
+      raw(7L) == ((8.0, 8.0)))
+    // zero noise: the projection is the identity
+    assert(cdfMap(true) == raw)
+    // PAVA itself, through a hand-built 4-bin tree whose prefixes
+    // violate monotonicity (noise-source draws reach nodes in an
+    // unpredictable order, so the violating tree is constructed):
+    // leaves [1, 2, -3, 4] => prefixes [1, 3, 0, 4]; internal nodes set
+    // consistent so the decomposition reads exactly those prefixes
+    val handTree = Seq(
+      (0, 0L, 1.0), (0, 1L, 2.0), (0, 2L, -3.0), (0, 3L, 4.0),
+      (1, 0L, 3.0), (1, 1L, 1.0), (2, 0L, 4.0)
+    ).toDF("__lvl", "__idx", "dp_count")
+    val mono = RangeTree.cdfFromTree(handTree, Nil, 0.0, 4.0, 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // PAVA of [1, 3, 0, 4]: blocks {1}, {3,0}->1.5 each, {4}
+    assert(mono == Map(0L -> 1.0, 1L -> 1.5, 2L -> 1.5, 3L -> 4.0), mono.toString)
+    // monotone by construction
+    val seq = (0L to 3L).map(mono)
+    assert(seq == seq.sorted)
+  }
+
   test("publicKeys: data-independent release set, drop-before-bounding") {
     val df = Seq((1L, 0.5, "a"), (2L, 7.5, "a"), (3L, 3.5, "b"), (4L, 1.5, "c"))
       .toDF("uid", "v", "k")
