@@ -196,6 +196,34 @@ class RangeTreeSpec extends AnyFunSuite {
     df.collect().map(r =>
       (r.getInt(0), r.getLong(1), r.getString(2)) -> r.getDouble(3)).toMap
 
+  test("ingest fold == one-shot through a REAL foreachBatch drive") {
+    val rows = (0 until 24).map(i =>
+      (i.toLong, (i % 8) + 0.5, if (i % 2 == 0) "a" else "b"))
+    val df = rows.toDF("uid", "v", "k")
+    val oneShot = treeMap2(RangeTree.dpRangeCountTree(df, "uid", col("v"),
+      Seq("k"), 0.0, 8.0, 8, 1.0, 100L, graft.core.NoiseSource.Zero))
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Double, String)]
+    var store: Option[org.apache.spark.sql.DataFrame] = None
+    val q = input.toDF().toDF("uid", "v", "k").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val stable = b.localCheckpoint(true)
+        store = Some(RangeTree.rangeTreeIngestStep(stable, store, "uid",
+          col("v"), Seq("k"), 0.0, 8.0, 8, 100L).localCheckpoint(true))
+        ()
+      }
+      .start()
+    rows.grouped(8).foreach { g =>
+      input.addData(g)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val released = treeMap2(RangeTree.rangeTreeRelease(store.get, Seq("k"),
+      8, 1.0, 100L, graft.core.NoiseSource.Zero))
+    assert(released == oneShot)
+  }
+
   test("CDF release: exact prefixes, PAVA monotone projection, identity when clean") {
     val rows = Seq.fill(4)(0.5) ++ Seq.fill(3)(2.5) ++ Seq(7.5)
     val df = rows.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("uid", "v")
