@@ -199,6 +199,33 @@ object RangeTree {
       .agg(sum(col("dp_count")).as("dp_range_count"))
   }
 
+  /** [[rangeQueries]] in DOMAIN units: each (vLo, vHi) half-open value
+    * range maps to the inclusive bin range [bin(vLo), bin(vHi - width/2)]
+    * — exact when the bounds sit on bin edges (the released statistic is
+    * bin-granular; off-edge bounds round OUT to the covering bins, so the
+    * answered range always CONTAINS the asked one; fails loud on bounds
+    * outside [lo, hi]). Output carries lo_bin/hi_bin so the caller sees
+    * exactly which bin range was answered. */
+  def rangeQueriesByValue(
+      tree: DataFrame,
+      keyCols: Seq[String],
+      valueRanges: Seq[(Double, Double)],
+      lo: Double,
+      hi: Double,
+      bins: Int
+  ): DataFrame = {
+    val width = (hi - lo) / bins
+    val binRanges = valueRanges.map { case (vLo, vHi) =>
+      require(vLo >= lo && vHi > vLo && vHi <= hi,
+        s"value range [$vLo, $vHi) outside the domain [$lo, $hi)")
+      val b0 = math.floor((vLo - lo) / width).toLong.min(bins - 1L)
+      // the last covered bin: any bin whose interval intersects [vLo, vHi)
+      val b1 = (math.ceil((vHi - lo) / width).toLong - 1L).max(b0).min(bins - 1L)
+      (b0, b1)
+    }
+    rangeQueries(tree, keyCols, binRanges, bins)
+  }
+
   /** Minimal dyadic cover of the inclusive bin range [lo, hi] — the
     * greedy largest-aligned-block walk; <= 2*log2(span) nodes. */
   private[spark] def decompose(lo: Long, hi: Long): Seq[(Int, Long)] = {

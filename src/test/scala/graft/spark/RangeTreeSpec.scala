@@ -73,6 +73,27 @@ class RangeTreeSpec extends AnyFunSuite {
     assert(q == exactQ + cover.size)
   }
 
+  test("value-domain range queries map to covering bins, round OUT off-edge") {
+    val df = Seq((1L, 0.5), (2L, 1.5), (3L, 2.5), (4L, 7.5)).toDF("uid", "v")
+    val tree = RangeTree.dpRangeCountTree(df, "uid", col("v"), Nil,
+      0.0, 8.0, 8, 1.0, 10L, graft.core.NoiseSource.Zero)
+    def q(vLo: Double, vHi: Double) = {
+      val r = RangeTree.rangeQueriesByValue(tree, Nil, Seq((vLo, vHi)),
+        0.0, 8.0, 8).collect().head
+      ((r.getLong(1), r.getLong(2)), r.getDouble(3))
+    }
+    // edge-aligned: exact
+    assert(q(0.0, 2.0) == (((0L, 1L), 2.0)))
+    assert(q(2.0, 8.0) == (((2L, 7L), 2.0)))
+    // off-edge bounds round OUT to the covering bins
+    assert(q(0.5, 1.5) == (((0L, 1L), 2.0))) // covers bins 0-1 entirely
+    assert(q(2.5, 2.6) == (((2L, 2L), 1.0)))
+    // outside the domain fails loud
+    val e = intercept[IllegalArgumentException](
+      RangeTree.rangeQueriesByValue(tree, Nil, Seq((0.0, 9.0)), 0.0, 8.0, 8))
+    assert(e.getMessage.contains("outside the domain"), e.getMessage)
+  }
+
   test("out-of-domain ranges fail loud (a silent partial count otherwise)") {
     val df = Seq((1L, 0.5)).toDF("uid", "v")
     val tree = RangeTree.dpRangeCountTree(df, "uid", col("v"), Nil,
