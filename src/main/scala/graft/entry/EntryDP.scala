@@ -445,6 +445,21 @@ private[graft] object EntryDP {
         .select(col("__lvl").cast("long").as("lvl"), col("__idx").as("idx"),
           col("event_type"), col("dp_count"))
     }),
+    "dp_range_gaussian" -> ((s, dir) => {
+      // the GAUSSIAN release of the same tree — (epsilon, delta)-DP with
+      // per-node sigma Balle-Wang-calibrated at L2 = maxPerUnit *
+      // sqrt(levels+1) (the tree is where Gaussian's sqrt beats Laplace's
+      // levels+1 factor; RangeTreeSpec pins the sigma via an echo-scale
+      // source). Zero noise => the same exact tree, so the oracle IS
+      // dp_range_tree's — the Gaussian path runs for real end-to-end.
+      graft.spark.RangeTree.dpRangeCountTree(events(s, dir), "user_id",
+          col("value"), Seq("event_type"), lo = 0.0, hi = 1000.0,
+          bins = 64, epsilon = 1.0, maxPerUnit = 1000000L,
+          noise = NoiseSource.Zero, publicKeys = None,
+          noiseKind = NoiseKind.Gaussian, delta = 1e-6)
+        .select(col("__lvl").cast("long").as("lvl"), col("__idx").as("idx"),
+          col("event_type"), col("dp_count"))
+    }),
     "dp_range_consistent" -> ((s, dir) => {
       // Hay's two-sweep OLS consistency over the released tree — pure
       // post-processing (bounded driver math: 2*bins-1 rows per key). On
@@ -982,6 +997,9 @@ private[graft] object EntryDP {
     import OracleFragments._
     Map(
       "dp_range_tree" -> rangeTreeSql,
+      // zero-noise Gaussian releases the same exact tree (echo-scale
+      // sigma calibration is spec-pinned; here the path runs end-to-end)
+      "dp_range_gaussian" -> rangeTreeSql,
       "dp_range_consistent" -> rangeTreeSql,
       "dp_range_query" ->
         s"""WITH $rangeBinSql,

@@ -149,6 +149,20 @@ private[graft] object EntryStream {
         keyCols = Seq("event_type"), horizon = 32, epsilon = 1.0,
         maxPerTick = 1000000L, noise = graft.core.NoiseSource.Zero)
     }),
+    "ss_dp_continual_gauss" -> ((s, dir) => {
+      // the GAUSSIAN continual counter: same dyadic release, per-node
+      // sigma Balle-Wang-calibrated at L2 = maxPerTick * sqrt(levels+1)
+      // ((epsilon, delta)-DP; the echo-scale calibration and draw-once
+      // are spec-pinned in StreamOpsSpec). Zero noise => the same exact
+      // running prefix, so the oracle IS ss_dp_continual's.
+      graft.streaming.StreamOps.dpContinualCount(
+        events(s, dir), pidCol = "user_id",
+        tickCol = expr("(ts div 86400000000000) - 19723"),
+        keyCols = Seq("event_type"), horizon = 32, epsilon = 1.0,
+        maxPerTick = 1000000L, noise = graft.core.NoiseSource.Zero,
+        publicKeys = None, noiseKind = graft.core.NoiseKind.Gaussian,
+        delta = 1e-6)
+    }),
     "ss_dp_continual_sum" -> ((s, dir) => {
       // the SUM release of the binary-tree mechanism: running per-type sum
       // of floor(value) at every day tick. Zero-noise + non-binding clamps
@@ -401,6 +415,23 @@ private[graft] object EntryStream {
            FROM pfx""",
       // the fold must equal the one-shot release — same oracle
       "ss_dp_continual_fold" ->
+        """WITH pt AS (
+             SELECT event_type,
+                    date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS t,
+                    CAST(count(*) AS BIGINT) AS nt
+             FROM events GROUP BY 1, 2),
+           grid AS (
+             SELECT k.event_type, g.t
+             FROM (SELECT DISTINCT event_type FROM events) k
+             CROSS JOIN (SELECT unnest(range(0, 32)) AS t) g)
+           SELECT grid.t, grid.event_type,
+                  CAST(coalesce(sum(pt.nt), 0) AS DOUBLE) AS dp_prefix_count
+           FROM grid LEFT JOIN pt
+             ON pt.event_type = grid.event_type AND pt.t <= grid.t
+           GROUP BY 1, 2""",
+      // the zero-noise Gaussian release equals the exact prefix — the
+      // same replay as ss_dp_continual (sigma calibration spec-pinned)
+      "ss_dp_continual_gauss" ->
         """WITH pt AS (
              SELECT event_type,
                     date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS t,

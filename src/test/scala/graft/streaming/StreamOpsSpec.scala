@@ -944,6 +944,77 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(sessions(2L).n_events == 1)
   }
 
+  test("continual release: driver draws once per node across actions; Gaussian calibrated") {
+    import org.apache.spark.sql.functions._
+    val rows = Seq((1L, 0L), (2L, 0L), (1L, 2L), (1L, 3L))
+      .map { case (u, t) => (u, t, "k") }
+    val df = rows.toDF("user_id", "tick", "key")
+    val prefix = Map(0L -> 2.0, 1L -> 2.0, 2L -> 3.0, 3L -> 4.0, 4L -> 4.0,
+      5L -> 4.0, 6L -> 4.0, 7L -> 4.0)
+    // counting source: distinct draws expose any re-draw (the r13 hole:
+    // every ACTION on a returned release re-sampled all node noise)
+    val counter = new java.util.concurrent.atomic.AtomicLong(0)
+    object Counting extends graft.core.NoiseSource {
+      def laplace(b: Double): Double = counter.incrementAndGet() * 1000.0
+      def gaussian(sigma: Double): Double = counter.incrementAndGet() * 1000.0
+      def uniform(): Double = 0.5
+    }
+    val rel = StreamOps.dpContinualCount(df, "user_id", col("tick"),
+      Seq("key"), horizon = 8, epsilon = 1.0, maxPerTick = 100L,
+      noise = Counting)
+    // draws at release construction, driver-side: (2*8-1) nodes x 1 key
+    assert(counter.get == 15, s"draws=${counter.get}")
+    def read(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val a1 = read(rel)
+    val a2 = read(rel) // second action: the SAME draw set
+    assert(a1 == a2)
+    assert(counter.get == 15, "a second action re-drew node noise")
+    // windowed differencing post-processes those same draws — zero new
+    StreamOps.continualWindowCounts(rel, Seq("key"), 3).collect()
+    assert(counter.get == 15, "continualWindowCounts drew new noise")
+    // Gaussian releases: echo-sigma source pins the per-node calibration
+    // (Balle-Wang at L2 = maxPerTick * sqrt(levels+1)) through the
+    // popcount identity; zero noise stays exact (the oracle anchor)
+    object EchoScale extends graft.core.NoiseSource {
+      def laplace(b: Double): Double = -b // wrong-kind dispatch shows up
+      def gaussian(sigma: Double): Double = sigma
+      def uniform(): Double = 0.5
+    }
+    val sigma = graft.core.DpNoise.gaussianSigma(1.0, 1e-6,
+      100.0 * math.sqrt(4.0))
+    val g = read(StreamOps.dpContinualCount(df, "user_id", col("tick"),
+      Seq("key"), 8, 1.0, 100L, EchoScale, None,
+      graft.core.NoiseKind.Gaussian, 1e-6))
+    (0L to 7L).foreach { t =>
+      val want = prefix(t) + java.lang.Long.bitCount(t + 1) * sigma
+      assert(math.abs(g(t) - want) < 1e-9, s"t=$t got ${g(t)} want $want")
+    }
+    val gz = read(StreamOps.dpContinualCount(df, "user_id", col("tick"),
+      Seq("key"), 8, 1.0, 100L, graft.core.NoiseSource.Zero, None,
+      graft.core.NoiseKind.Gaussian, 1e-6))
+    assert(gz == prefix)
+    // the mean splits BOTH eps and delta across its two trees
+    val mdf = rows.map { case (u, t, k) => (u, t, 2.0, k) }
+      .toDF("user_id", "tick", "v", "key")
+    val sigmaC = graft.core.DpNoise.gaussianSigma(0.5, 1e-6,
+      100.0 * math.sqrt(4.0))
+    val sigmaS = graft.core.DpNoise.gaussianSigma(0.5, 1e-6,
+      100.0 * 10.0 * math.sqrt(4.0))
+    val gm = StreamOps.dpContinualMean(mdf, "user_id", col("tick"), "v",
+      Seq("key"), 8, 1.0, 100L, 0.0, 10.0, EchoScale, None,
+      graft.core.NoiseKind.Gaussian, 2e-6)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(2), r.getDouble(3))))
+      .toMap
+    (0L to 7L).foreach { t =>
+      val pc = java.lang.Long.bitCount(t + 1)
+      assert(math.abs(gm(t)._1 - (prefix(t) + pc * sigmaC)) < 1e-9,
+        s"t=$t count ${gm(t)._1}")
+      assert(math.abs(gm(t)._2 - (2.0 * prefix(t) + pc * sigmaS)) < 1e-9,
+        s"t=$t sum ${gm(t)._2}")
+    }
+  }
+
   test("continual DP counter: prefix exactness, node reuse, bounding, guards") {
     import org.apache.spark.sql.functions._
     // ticks 0..7 (horizon 8): per-tick counts 2, 0, 1, 3, 0, 0, 1, 0
