@@ -540,6 +540,36 @@ private[graft] object EntryDP {
       graft.spark.RangeTree.rangeQueries(tree, Seq("event_type"),
         Seq((0L, 15L), (8L, 40L), (32L, 63L), (10L, 10L)), bins = 64)
     }),
+    "dp_range_auto" -> ((s, dir) => {
+      // the PUBLIC-BOUNDS helper (the adopter's first question): a
+      // schema-contract domain [0, 1000) at 48-bin resolution pads UP to
+      // 64 power-of-two bins of the SAME width (1000/48) — the 16
+      // padding bins sit above the contract, provably empty, and still
+      // release (zero + noise) like any empty node. Zero noise => exact
+      // counts on the padded grid, zeros above bin 47.
+      val dom = graft.spark.RangeTree.paddedDomain(0.0, 1000.0, minBins = 48)
+      graft.spark.RangeTree.dpRangeCountTree(events(s, dir), "user_id",
+          col("value"), Seq("event_type"), lo = dom.lo, hi = dom.hi,
+          bins = dom.bins, epsilon = 1.0, maxPerUnit = 1000000L,
+          noise = NoiseSource.Zero)
+        .select(col("__lvl").cast("long").as("lvl"), col("__idx").as("idx"),
+          col("event_type"), col("dp_count"))
+    }),
+    "dp_range_mass_quantiles" -> ((s, dir) => {
+      // WEIGHTED quantiles from the SUM tree (mass-CDF inversion): the
+      // value band below which q of the total clamped floor(value) mass
+      // sits, per event type — one prefixCounts reuse over the sum tree's
+      // released nodes. The clamp to [0, 500] BINDS for half the domain
+      // (same fixture as dp_range_sum_query, binding-clamp spec-pinned),
+      // and zero noise => the exact empirical mass-quantile bin.
+      val tree = graft.spark.RangeTree.dpRangeSumTree(events(s, dir),
+        "user_id", col("value"), floor(col("value")), Seq("event_type"),
+        lo = 0.0, hi = 1000.0, bins = 64, epsilon = 1.0,
+        maxPerUnit = 1000000L, minW = 0.0, maxW = 500.0,
+        noise = NoiseSource.Zero)
+      graft.spark.RangeTree.quantilesFromTree(tree, Seq("event_type"),
+        0.0, 1000.0, 64, Seq(0.5, 0.9, 0.99))
+    }),
     "dp_add_noise" -> ((s, dir) => {
       // noise-only path on pre-aggregated data; zero noise => identity
       val pre = events(s, dir).groupBy("event_type")
@@ -1064,6 +1094,57 @@ private[graft] object EntryDP {
             FROM grid g LEFT JOIN w ON w.event_type = g.event_type
               AND w.bin BETWEEN g.lo_bin AND g.hi_bin
             GROUP BY 1, 2, 3, 4""",
+      // the padded-domain tree: SAME width as a 48-bin [0, 1000)
+      // contract (1000/48), 64 power-of-two bins — the replay bins at
+      // that width over the full padded node universe (bins 48+ empty)
+      "dp_range_auto" ->
+        """WITH b AS (
+             SELECT event_type,
+                    CAST(least(greatest(floor(value / (1000.0 / 48)), 0), 63)
+                      AS BIGINT) AS bin
+             FROM events),
+           lv AS (SELECT unnest(range(0, 7)) AS lvl),
+           nodes AS (
+             SELECT l.lvl, g.idx, k.event_type
+             FROM lv l, (SELECT unnest(range(0, 64)) AS idx) g,
+                  (SELECT DISTINCT event_type FROM events) k
+             WHERE g.idx < 64 // (1 << l.lvl)),
+           c AS (SELECT l.lvl, b.bin >> l.lvl AS idx, b.event_type,
+                        count(*) AS n
+                 FROM b CROSS JOIN lv l GROUP BY 1, 2, 3)
+           SELECT CAST(n.lvl AS BIGINT) AS lvl, CAST(n.idx AS BIGINT) AS idx,
+                  n.event_type, CAST(coalesce(c.n, 0) AS DOUBLE) AS dp_count
+           FROM nodes n LEFT JOIN c ON c.lvl = n.lvl AND c.idx = n.idx
+             AND c.event_type = n.event_type""",
+      // mass-CDF inversion over clamped weights: cumulative clamped
+      // floor(value) sums per bin, first bin reaching q * total mass
+      "dp_range_mass_quantiles" ->
+        s"""WITH $rangeBinSql,
+            w AS (SELECT event_type, bin,
+                         least(greatest(floor(value), 0.0), 500.0) AS wt
+                  FROM (SELECT event_type, value,
+                               CAST(least(greatest(floor(value / 15.625), 0), 63)
+                                 AS BIGINT) AS bin
+                        FROM events)),
+            tot AS (SELECT event_type, CAST(sum(wt) AS DOUBLE) AS total
+                    FROM w GROUP BY 1),
+            grid AS (SELECT k.event_type, g.t
+                     FROM (SELECT DISTINCT event_type FROM events) k,
+                          (SELECT unnest(range(0, 64)) AS t) g),
+            pc AS (SELECT event_type, bin, sum(wt) AS n FROM w GROUP BY 1, 2),
+            cum AS (SELECT grid.event_type, grid.t,
+                           CAST(coalesce(sum(pc.n), 0) AS DOUBLE) AS pfx
+                    FROM grid LEFT JOIN pc
+                      ON pc.event_type = grid.event_type AND pc.bin <= grid.t
+                    GROUP BY 1, 2),
+            qs AS (SELECT CAST(unnest([0.5, 0.9, 0.99]) AS DOUBLE) AS q)
+            SELECT c.event_type, qs.q,
+                   CAST(coalesce(min(CASE WHEN c.pfx >= qs.q * t.total
+                     THEN c.t END), 63) AS BIGINT) AS bin,
+                   CAST(coalesce(min(CASE WHEN c.pfx >= qs.q * t.total
+                     THEN c.t END), 63) AS BIGINT) * 15.625 AS value_lo
+            FROM cum c JOIN tot t USING (event_type) CROSS JOIN qs
+            GROUP BY 1, 2""",
       "dp_range_quantiles" ->
         s"""WITH $rangeBinSql,
             tot AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS total

@@ -47,7 +47,84 @@ import scala.jdk.CollectionConverters._
   * loops; the only driver math is the optional consistency sweep over
   * the BOUNDED released tree (2*bins-1 rows per key, bins <= 4096
   * enforced), the same bounded-collect class as the PLD math. */
+/** A tree-ready domain: `[lo, hi)` split into a power-of-two `bins` of
+  * exactly `width` each — what [[RangeTree.paddedDomain]] and
+  * [[RangeTree.dpEstimatedDomain]] return and every tree entry point
+  * accepts piecewise. */
+final case class RangeTreeDomain(lo: Double, hi: Double, bins: Int) {
+  def width: Double = (hi - lo) / bins
+}
+
 object RangeTree {
+
+  /** Tree domain from a PUBLIC schema contract — the adopter's first
+    * question ("my bounds aren't a power of two"). The caller supplies
+    * the PUBLIC `[lo, hi)` (a schema or business contract: scores in
+    * [0, 1), prices in [0, 500) — NEVER derived from the data; a
+    * data-derived min/max is itself a privacy leak, see
+    * [[dpEstimatedDomain]] for the no-contract case) and the bin
+    * RESOLUTION they want. The helper keeps the requested bin width
+    * EXACTLY — (hi - lo) / minBins — and pads the domain upward to the
+    * next power-of-two bin count: the padding bins sit above `hi`,
+    * provably empty of in-contract data, and still draw noise like any
+    * empty node (releasing them leaks nothing — their exact count is a
+    * data-independent zero). Padding up beats stretching the width: a
+    * stretched width silently changes the resolution the caller asked
+    * for, while empty top bins cost one extra tree level at worst. */
+  def paddedDomain(lo: Double, hi: Double, minBins: Int): RangeTreeDomain = {
+    require(lo < hi, s"empty domain [$lo, $hi)")
+    require(minBins >= 2 && minBins <= 4096,
+      s"minBins must be in [2, 4096], got $minBins")
+    val bins =
+      if ((minBins & (minBins - 1)) == 0) minBins
+      else Integer.highestOneBit(minBins) * 2
+    val width = (hi - lo) / minBins
+    RangeTreeDomain(lo, lo + bins * width, bins)
+  }
+
+  /** DP-ESTIMATED tree domain for the no-contract case: spends `epsilon`
+    * on a coarse probe tree over a caller-supplied PUBLIC ENVELOPE and
+    * reads the (qLo, qHi) quantile bins off it, expands by `expand` of
+    * the estimated span on each side, and snaps to [[paddedDomain]] at
+    * the requested resolution. Honest shape of the problem: SOME public
+    * domain is always required (the envelope may be generous — a wide
+    * envelope costs only probe-resolution accuracy, (envHi - envLo) /
+    * 4096 per side), and the returned bounds are themselves a DP release
+    * — composing eps_bounds + eps_tree is the caller's accounting (basic
+    * composition; the reference's histogram tier documents the same
+    * caveat, reference: analysis/pre_aggregation.py and
+    * pipeline_dp/dataset_histograms/computing_histograms.py:89-138).
+    * NEVER pass a raw min/max instead: data-derived bounds silently
+    * leak presence at the extremes. Zero noise => the exact empirical
+    * quantile bins of the envelope grid (deterministic, spec-pinned). */
+  def dpEstimatedDomain(
+      df: DataFrame,
+      pidCol: String,
+      valueCol: Column,
+      envLo: Double,
+      envHi: Double,
+      minBins: Int,
+      epsilon: Double,
+      maxPerUnit: Long,
+      noise: graft.core.NoiseSource,
+      qLo: Double = 0.01,
+      qHi: Double = 0.99,
+      expand: Double = 0.1
+  ): RangeTreeDomain = {
+    require(qLo > 0 && qLo < qHi && qHi <= 1, s"bad quantiles ($qLo, $qHi)")
+    require(expand >= 0, s"expand must be >= 0, got $expand")
+    val probeBins = 4096
+    val probe = dpRangeCountTree(df, pidCol, valueCol, Nil, envLo, envHi,
+      probeBins, epsilon, maxPerUnit, noise)
+    val qs = quantilesFromTree(probe, Nil, envLo, envHi, probeBins,
+      Seq(qLo, qHi))
+      .collect().map(r => r.getDouble(0) -> r.getDouble(2)).toMap
+    val w = (envHi - envLo) / probeBins
+    val lo0 = qs(qLo)
+    val hi0 = qs(qHi) + w // the qHi bin's UPPER edge
+    val span = hi0 - lo0
+    paddedDomain(lo0 - expand * span, hi0 + expand * span, minBins)
+  }
 
   /** Released noisy dyadic tree: (keyCols..., __lvl, __idx, dp_count)
     * where level 0 = leaves (bin width (hi-lo)/bins) and level
@@ -257,7 +334,12 @@ object RangeTree {
     * each q the first bin whose prefix reaches q * total (total = the
     * root's released count). Returns (keyCols..., q, bin, value_lo) where
     * value_lo is the bin's lower edge in domain units. Zero noise =>
-    * the exact empirical quantile bin. */
+    * the exact empirical quantile bin.
+    *
+    * On a [[dpRangeSumTree]] release the same inversion reads WEIGHTED
+    * (mass) quantiles — "the price band below which 90% of clamped
+    * revenue sits" — meaningful when `minW >= 0` (a signed-mass CDF is
+    * not monotone, so its inversion is not a quantile). */
   def quantilesFromTree(
       tree: DataFrame,
       keyCols: Seq[String],

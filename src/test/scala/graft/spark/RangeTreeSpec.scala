@@ -437,6 +437,73 @@ class RangeTreeSpec extends AnyFunSuite {
       SparkTestSession.chainMsg(e2).take(300))
   }
 
+  test("paddedDomain keeps the requested width and pads to a power of two") {
+    val d = RangeTree.paddedDomain(0.0, 1000.0, minBins = 48)
+    assert(d.bins == 64)
+    assert(d.width == 1000.0 / 48) // EXACT: *64/64 is lossless in IEEE
+    assert(d.lo == 0.0 && d.hi == 64 * (1000.0 / 48))
+    // already a power of two: identity
+    assert(RangeTree.paddedDomain(2.0, 10.0, 32) ==
+      RangeTreeDomain(2.0, 10.0, 32))
+    // over-cap resolution / empty domain fail loud
+    intercept[IllegalArgumentException](RangeTree.paddedDomain(0.0, 1.0, 4097))
+    intercept[IllegalArgumentException](RangeTree.paddedDomain(1.0, 1.0, 8))
+    // nonzero lo: padding bins append ABOVE hi and release as zeros
+    val d2 = RangeTree.paddedDomain(10.0, 16.0, 3) // width 2 -> 4 bins, hi 18
+    assert(d2.bins == 4 && d2.hi == 18.0 && d2.width == 2.0)
+    val df = Seq((1L, 10.5), (2L, 15.5)).toDF("uid", "v")
+    val m = treeMap(RangeTree.dpRangeCountTree(df, "uid", col("v"), Nil,
+      d2.lo, d2.hi, d2.bins, 1.0, 10L, graft.core.NoiseSource.Zero))
+    assert(m((0, 0L)) == 1.0 && m((0, 2L)) == 1.0)
+    assert(m((0, 3L)) == 0.0) // the padding bin: released, empty
+  }
+
+  test("dpEstimatedDomain: zero noise reads the exact envelope quantile bins") {
+    // 100 values at 100.0..199.0 inside a generous [0, 4096) envelope —
+    // probe width exactly 1.0, so the quantile bin edges are exact:
+    // qLo = 0.01 -> first prefix >= 1 -> bin 100; qHi = 0.99 -> first
+    // prefix >= 99 -> bin 198, upper edge 199
+    val df = (0 until 100).map(i => (i.toLong, 100.0 + i)).toDF("uid", "v")
+    val dom = RangeTree.dpEstimatedDomain(df, "uid", col("v"),
+      envLo = 0.0, envHi = 4096.0, minBins = 64, epsilon = 1.0,
+      maxPerUnit = 10L, noise = graft.core.NoiseSource.Zero,
+      qLo = 0.01, qHi = 0.99, expand = 0.0)
+    assert(dom.lo == 100.0 && dom.hi == 199.0 && dom.bins == 64, dom.toString)
+    // the estimate SPENDS budget (it is a DP release, not free metadata):
+    // the probe tree draws its full node universe
+    val counter = new java.util.concurrent.atomic.AtomicLong(0)
+    object Counting extends graft.core.NoiseSource {
+      def laplace(b: Double): Double = { counter.incrementAndGet(); 0.0 }
+      def gaussian(sigma: Double): Double = { counter.incrementAndGet(); 0.0 }
+      def uniform(): Double = 0.5
+    }
+    RangeTree.dpEstimatedDomain(df, "uid", col("v"), 0.0, 4096.0, 64,
+      1.0, 10L, Counting)
+    assert(counter.get == 2L * 4096 - 1, s"draws=${counter.get}")
+    // expansion pads the span symmetrically before snapping
+    val wide = RangeTree.dpEstimatedDomain(df, "uid", col("v"),
+      0.0, 4096.0, 64, 1.0, 10L, graft.core.NoiseSource.Zero,
+      qLo = 0.01, qHi = 0.99, expand = 0.5)
+    assert(wide.lo == 100.0 - 49.5 && wide.bins == 64, wide.toString)
+  }
+
+  test("mass quantiles from the SUM tree: binding clamp, zero noise exact") {
+    // clamped masses per bin: bin0 = 10 (CLAMPED from 50 — the clamp is
+    // part of the released statistic), bin6 = 5, bin7 = 5; total 20
+    val df = Seq((1L, 0.5, 50.0), (2L, 6.5, 5.0), (3L, 7.5, 5.0))
+      .toDF("uid", "v", "w")
+    val tree = RangeTree.dpRangeSumTree(df, "uid", col("v"), col("w"), Nil,
+      0.0, 8.0, 8, 1.0, 10L, minW = 0.0, maxW = 10.0,
+      graft.core.NoiseSource.Zero)
+    val qs = RangeTree.quantilesFromTree(tree, Nil, 0.0, 8.0, 8,
+      Seq(0.5, 0.75, 1.0))
+      .collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    // q=0.5: prefix(0)=10 >= 10 -> bin 0; q=0.75: first prefix >= 15 ->
+    // bin 6; q=1.0 -> bin 7. UNclamped, the 50-mass would put q=0.75 at
+    // bin 0 (50 >= 45) — the binding clamp moved the quantile
+    assert(qs == Map(0.5 -> 0L, 0.75 -> 6L, 1.0 -> 7L), qs.toString)
+  }
+
   test("keyed trees: one tree per key, key universe from the data") {
     val df = Seq((1L, 0.5, "a"), (2L, 7.5, "a"), (3L, 3.5, "b"))
       .toDF("uid", "v", "k")
