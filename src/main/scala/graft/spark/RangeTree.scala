@@ -5,6 +5,14 @@ import org.apache.spark.sql.functions._
 
 import scala.jdk.CollectionConverters._
 
+/** A tree-ready domain: `[lo, hi)` split into a power-of-two `bins` of
+  * exactly `width` each — what [[RangeTree.paddedDomain]] and
+  * [[RangeTree.dpEstimatedDomain]] return and every tree entry point
+  * accepts piecewise. */
+final case class RangeTreeDomain(lo: Double, hi: Double, bins: Int) {
+  def width: Double = (hi - lo) / bins
+}
+
 /** DP hierarchical range counting over a NUMERIC DOMAIN — the dyadic-tree
   * mechanism applied to value bins instead of time (Dwork-Naor-Pitassi-
   * Rothblum STOC'10 tree; Hay-Rastogi-Miklau-Suciu VLDB'10 "Boosting the
@@ -47,14 +55,6 @@ import scala.jdk.CollectionConverters._
   * loops; the only driver math is the optional consistency sweep over
   * the BOUNDED released tree (2*bins-1 rows per key, bins <= 4096
   * enforced), the same bounded-collect class as the PLD math. */
-/** A tree-ready domain: `[lo, hi)` split into a power-of-two `bins` of
-  * exactly `width` each — what [[RangeTree.paddedDomain]] and
-  * [[RangeTree.dpEstimatedDomain]] return and every tree entry point
-  * accepts piecewise. */
-final case class RangeTreeDomain(lo: Double, hi: Double, bins: Int) {
-  def width: Double = (hi - lo) / bins
-}
-
 object RangeTree {
 
   /** Tree domain from a PUBLIC schema contract — the adopter's first
@@ -543,8 +543,8 @@ object RangeTree {
   }
 
   /** Publish a folded node-sum store as a noisy tree: the generated node
-    * universe x the store's observed keys, one Laplace draw per node
-    * (empty nodes too), per-node scale maxPerUnit * (levels+1) / epsilon
+    * universe x the store's observed keys, one draw per node (empty
+    * nodes too; Laplace or Gaussian per `noiseKind`, [[treeScale]])
     * — the [[dpRangeCountTree]] release stage over an accumulated store.
     * Same released schema, so [[rangeQueries]], [[quantilesFromTree]]
     * and [[enforceConsistency]] consume it unchanged. */
@@ -561,6 +561,8 @@ object RangeTree {
   ): DataFrame = {
     require(epsilon > 0, s"epsilon must be positive, got $epsilon")
     require(maxPerUnit > 0, s"maxPerUnit must be positive, got $maxPerUnit")
+    require(publicKeys.isEmpty || keyCols.nonEmpty,
+      "publicKeys given but keyCols is empty — nothing to make public")
     val levels = 31 - Integer.numberOfLeadingZeros(bins)
     releaseWithScale(store, keyCols, bins, levels,
       treeScale(noiseKind, epsilon, delta, maxPerUnit.toDouble, levels),
@@ -605,8 +607,15 @@ object RangeTree {
     val keyRows: Seq[org.apache.spark.sql.Row] =
       if (keyCols.isEmpty) Seq(org.apache.spark.sql.Row.fromSeq(Seq.empty))
       else {
+        // public keys CAST to the store's key types before collecting:
+        // the literal noise frame claims the store's schema, and a
+        // mismatched user frame (Int keys vs Long store) must coerce or
+        // fail loud here, not corrupt rows at execution (r14 review)
         val kd = publicKeys
-          .map(p => p.toDF(keyCols: _*).distinct())
+          .map(p => p.toDF(keyCols: _*)
+            .select(keyCols.map(n =>
+              col(n).cast(store.schema(n).dataType).as(n)): _*)
+            .distinct())
           .getOrElse(store.select(keyCs: _*).distinct())
           .localCheckpoint(false) // guard count + collect read one result
         val maxKeys = math.max(1L, MaxDriverRows / nNodes)

@@ -631,10 +631,14 @@ object StreamOps {
     val keyRows: Seq[org.apache.spark.sql.Row] =
       if (keyCols.isEmpty) Seq(org.apache.spark.sql.Row.fromSeq(Seq.empty))
       else {
-        // public keys are already distinct + checkpointed by the callers;
-        // the observed key set is computed once here
-        val kd = pub.getOrElse(
-          perTick.select(keyCs: _*).distinct().localCheckpoint(false))
+        // public keys (already distinct + checkpointed by the callers)
+        // CAST to perTick's key types before collecting: the literal
+        // noise frame claims perTick's schema, and a mismatched user
+        // frame must coerce or fail loud here, not corrupt rows (r14)
+        val kd = pub.map(_.select(keyCols.map(n =>
+            col(n).cast(perTick.schema(n).dataType).as(n)): _*))
+          .getOrElse(
+            perTick.select(keyCs: _*).distinct().localCheckpoint(false))
         val maxKeys = math.max(1L, graft.spark.RangeTree.MaxDriverRows / nNodes)
         val n = kd.limit((maxKeys + 1).toInt).count()
         require(n <= maxKeys,
@@ -977,16 +981,21 @@ object StreamOps {
         // ENFORCE the documented low-cardinality contract before the
         // collect (r13 self-review): the limit-bounded count stops
         // scanning at the cap+1-th key, so a high-cardinality key stream
-        // fails loud instead of OOMing the driver
-        val maxKeys = 100000
+        // fails loud instead of OOMing the driver. The cap scales with
+        // the horizon (r14 review: a flat 100k under-protected the
+        // noise-store collect below — keys x (2*horizon-1) persisted
+        // draws must fit the same driver budget as every other
+        // tree-shaped collect)
+        val maxKeys = math.max(1L,
+          graft.spark.RangeTree.MaxDriverRows / (2L * horizon - 1))
         val kd = sums.select(keyCs: _*).distinct().localCheckpoint(false)
-        val n = kd.limit(maxKeys + 1).count()
+        val n = kd.limit((maxKeys + 1).toInt).count()
         require(n <= maxKeys,
-          s"onlineContinualStep: over $maxKeys distinct keys (the guard " +
-            "stops counting there) — the continual family's universe " +
-            "crosses keys x 2*horizon nodes and its per-step draw " +
-            "bookkeeping is driver-side; reduce the key cardinality or " +
-            "shard the release by key range")
+          s"onlineContinualStep: over $maxKeys distinct keys for " +
+            s"horizon=$horizon (the guard stops counting there) — the " +
+            "continual family's universe crosses keys x 2*horizon nodes " +
+            "and its per-step draw bookkeeping is driver-side; reduce " +
+            "the key cardinality or shard the release by key range")
         kd.collect().toSeq
       }
     val keysDf =
