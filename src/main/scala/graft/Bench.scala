@@ -3,7 +3,19 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs every SparkEntry query `reps` times (default 3) and
   * emits ONE JSON line with per-query MEDIANS (plus mins), so round-over-round
-  * comparisons are not single-sample noise. */
+  * comparisons are not single-sample noise.
+  *
+  * SELF-ATTRIBUTION (r14): a full back-to-back run can hand a single query
+  * an 8x phantom that survives all reps (JVM/GC/page-cache position effects
+  * — r13's official artifact read er_patterns at [18.4, 18.1] where five
+  * isolated reps read [2.25, 2.21]), which defeats the min-vs-median noise
+  * heuristic. So after the full pass, any query whose median exceeds 3x its
+  * checked-in PRIOR (bench_priors.txt, regenerated from a full run each
+  * round; +1s absolute excess so sub-second jitter never triggers) is
+  * re-measured in fresh-ish state (caches dropped, GC'd) and BOTH numbers
+  * ship in the artifact as "reruns": a rerun near the prior attributes the
+  * outlier as environmental; a rerun near the full-run median marks a real
+  * regression — readable from the JSON alone, no manual isolation needed. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -28,7 +40,9 @@ object Bench {
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.exists(n.startsWith)))
-    val results = names.map { name =>
+
+    // one measurement = `reps` timed executions of the COMPILED plan
+    def measure(name: String): (IndexedSeq[Double], Option[Throwable]) = {
       val fn = SparkEntry.queries(name)
       var failure: Option[Throwable] = None
       // stop after the first failing rep: the query is already marked
@@ -56,6 +70,11 @@ object Bench {
           .foreach(_.unpersist(blocking = true))
         dt
       }.toIndexedSeq.sorted
+      (times, failure)
+    }
+
+    val results = names.map { name =>
+      val (times, failure) = measure(name)
       // A failing rep MUST NOT bench as a fast success: report the median as
       // the sentinel -1.0 and carry the name in the top-level "errors" list.
       val median = if (failure.isDefined) -1.0 else times(times.length / 2)
@@ -67,13 +86,63 @@ object Bench {
       }
       (name, median, times.head)
     }
+
+    // ---- self-attributing rerun pass ------------------------------------
+    // priors: "name median" lines, checked in from a full run (regenerate
+    // with SPARK_GRAFT_BENCH_PRIORS_OUT=<path> and commit as the resource)
+    val priors: Map[String, Double] = {
+      val in = getClass.getResourceAsStream("/bench_priors.txt")
+      if (in == null) Map.empty
+      else try scala.io.Source.fromInputStream(in).getLines()
+        .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
+        .flatMap { l =>
+          l.split("\\s+") match {
+            case Array(n, v) => scala.util.Try(n -> v.toDouble).toOption
+            case _ => None
+          }
+        }.toMap
+      finally in.close()
+    }
+    // reruns only make sense on FULL runs at the priors' scale: targeted
+    // SPARK_GRAFT_BENCH_ONLY runs (dev loops, ladder rungs at other SF
+    // dirs) would compare apples to the sf0.1 priors
+    val outliers = (if (only.isDefined) Nil else results)
+      .filter { case (n, m, _) =>
+        m >= 0 && priors.get(n).exists(p => m > 3 * p && m - p > 1.0) }
+      .sortBy { case (n, m, _) => -(m / priors(n)) }
+      .take(8) // bound the rerun budget; worst ratios first
+    val reruns: Seq[(String, Double, Double)] = outliers.map { case (name, m, _) =>
+      // fresh-ish state: drop every cached block and hint a GC so the rerun
+      // measures the plan, not the full run's accumulated heap state
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      spark.catalog.clearCache()
+      System.gc()
+      val (times, failure) = measure(name)
+      val rm = if (failure.isDefined) -1.0 else times(times.length / 2)
+      System.err.println(f"[bench] RERUN $name: full-run $m%.2fs -> isolated " +
+        f"$rm%.2fs (prior ${priors(name)}%.2fs)")
+      (name, m, rm)
+    }
+    // optional priors regeneration for the next round's resource
+    sys.env.get("SPARK_GRAFT_BENCH_PRIORS_OUT").foreach { path =>
+      val pw = new java.io.PrintWriter(path)
+      try {
+        pw.println("# per-query full-run 3-rep medians (sf0.1, local[32]) — " +
+          "the rerun-trigger priors; regenerate per round")
+        results.filter(_._2 >= 0).foreach { case (n, m, _) =>
+          pw.println(f"$n $m%.3f") }
+      } finally pw.close()
+    }
+
     // The harness captures only the LAST ~2000 bytes of output, and sbt's
     // trailing "[success] Total time" line eats ~80 of them, so the JSON line
     // must stay under ~1850 bytes. Each kept query is "name":[median,min] —
     // the min separates warm-up/position noise (median >> min) from real
-    // plan cost (median ≈ min) without needing an isolated rerun. If the
-    // inventory grows past what fits, fold the FASTEST queries into one
-    // "_other" bucket — the slow ones are the ones comparisons need.
+    // plan cost (median ≈ min); "reruns" entries attribute the outliers
+    // (see the header comment). If the inventory grows past what fits, fold
+    // the FASTEST queries into one "_other" bucket — the slow ones are the
+    // ones comparisons need.
     def r3(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     def r2(v: Double) = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
     val errored = results.filter(_._2 < 0).map(_._1).sorted
@@ -81,6 +150,11 @@ object Bench {
     val total = ok.map(_._2).sum
     val errJson = if (errored.isEmpty) ""
       else s""","errors":${errored.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
+    // reruns as "name":[full-run median, isolated-rerun median]
+    val rerunJson = if (reruns.isEmpty) ""
+      else s""","reruns":${reruns.map(r =>
+        "\"" + r._1 + "\":[" + r2(r._2) + "," + r2(r._3) + "]")
+        .mkString("{", ",", "}")}"""
     // the folded bucket carries [sum of medians, sum of mins]: a literal 0
     // min would read as pure position noise under the median >> min
     // heuristic instead of "min unavailable"
@@ -90,7 +164,7 @@ object Bench {
         (if (folded > 0)
           Seq("\"_other_" + folded + "q\":[" + r3(foldedSec) + "," + r2(foldedMin) + "]")
         else Nil)
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$reps,"fmt":"[median,min]"$errJson,"queries":${entries.mkString("{", ",", "}")},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$reps,"fmt":"[median,min]"$errJson$rerunJson,"queries":${entries.mkString("{", ",", "}")},"sf":"$sfDir"}"""
     }
     val bySlowest = ok.sortBy(-_._2)
     var keep = bySlowest.length
