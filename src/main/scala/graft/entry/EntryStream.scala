@@ -259,6 +259,23 @@ private[graft] object EntryStream {
       graft.streaming.StreamOps.continualWindowCounts(
         released, Seq("event_type"), windowTicks = 7)
     }),
+    "ss_dp_continual_window_sum" -> ((s, dir) => {
+      // the SUM analogue: sliding 7-day clamped-mass windows
+      // (prefix_sum(t) - prefix_sum(t-7)) as pure post-processing of the
+      // continual sum release — "revenue in the last 7 days" at every
+      // tick for zero extra budget. Zero noise => the exact rolling sum
+      // of floor(value), replayed as a ranged join.
+      val released = graft.streaming.StreamOps.dpContinualSum(
+        events(s, dir).withColumn("v", floor(col("value"))),
+        pidCol = "user_id",
+        tickCol = expr("(ts div 86400000000000) - 19723"),
+        valueCol = "v", keyCols = Seq("event_type"), horizon = 32,
+        epsilon = 1.0, maxPerTick = 1000000L,
+        minValue = 0.0, maxValue = 1000.0,
+        noise = graft.core.NoiseSource.Zero)
+      graft.streaming.StreamOps.continualWindowSums(
+        released, Seq("event_type"), windowTicks = 7)
+    }),
     "ss_dp_count" -> ((s, dir) => {
       // streaming DP windowed count (per-release budget): per-unit
       // contribution cap -> cell sum -> Laplace noise, the SAME chained-
@@ -364,6 +381,24 @@ private[graft] object EntryStream {
              CROSS JOIN (SELECT unnest(range(0, 32)) AS t) g)
            SELECT grid.t, grid.event_type,
                   CAST(coalesce(sum(pt.nt), 0) AS DOUBLE) AS dp_window_count
+           FROM grid LEFT JOIN pt
+             ON pt.event_type = grid.event_type
+            AND pt.t <= grid.t AND pt.t > grid.t - 7
+           GROUP BY 1, 2""",
+      // the sliding clamped-mass window replayed as a ranged join over
+      // the generated tick grid (prefix_sum(t) - prefix_sum(t-7))
+      "ss_dp_continual_window_sum" ->
+        """WITH pt AS (
+             SELECT event_type,
+                    date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS t,
+                    sum(least(greatest(floor(value), 0.0), 1000.0)) AS nt
+             FROM events GROUP BY 1, 2),
+           grid AS (
+             SELECT k.event_type, g.t
+             FROM (SELECT DISTINCT event_type FROM events) k
+             CROSS JOIN (SELECT unnest(range(0, 32)) AS t) g)
+           SELECT grid.t, grid.event_type,
+                  CAST(coalesce(sum(pt.nt), 0) AS DOUBLE) AS dp_window_sum
            FROM grid LEFT JOIN pt
              ON pt.event_type = grid.event_type
             AND pt.t <= grid.t AND pt.t > grid.t - 7

@@ -701,6 +701,55 @@ object RangeTree {
         epsilon, delta, unitLinf * math.sqrt(levels + 1.0))
   }
 
+  /** Total epsilon for releasing `nReleases` INDEPENDENT trees of the
+    * same calibration (one per day, per country, per model-version — the
+    * reason the Gaussian option exists) at a caller-chosen `totalDelta`,
+    * via tight PLD (Fourier) self-composition — the same machinery the
+    * budget accountant pins against the reference's golden values
+    * ([[graft.core.PLD]]).
+    *
+    * One tree release is accounted as ONE mechanism at unit sensitivity:
+    * a Laplace tree built with `epsilon` has whole-release L1 scale
+    * b/Delta1 = 1/epsilon (exact for the dominating adjacent pair that
+    * concentrates its change in one node — pessimistic-safe for splits,
+    * which only compose better); a Gaussian tree's whole-release loss is
+    * EXACTLY the scalar Gaussian at sigma/Delta2 (rotation invariance),
+    * i.e. gaussianSigma(epsilon, delta, 1). Neither depends on bins —
+    * the tree shape is already inside the calibration.
+    *
+    * This is where Gaussian wins at fleet scale: n Laplace trees compose
+    * to ~sqrt(2 n ln(1/delta)) * epsilon (advanced composition is what
+    * PLD tightens), while n Gaussian trees compose as ONE Gaussian with
+    * sigma/sqrt(n) — spec-pinned: at n = 64 the Gaussian total is well
+    * under the Laplace total for the same per-release epsilon. */
+  def treeCompositionEpsilon(
+      nReleases: Int,
+      epsilon: Double,
+      delta: Double,
+      noiseKind: graft.core.NoiseKind,
+      totalDelta: Double,
+      h: Double = 1e-3
+  ): Double = {
+    require(nReleases >= 1, s"nReleases must be >= 1, got $nReleases")
+    require(epsilon > 0, s"epsilon must be positive, got $epsilon")
+    require(totalDelta > 0 && totalDelta < 1,
+      s"totalDelta must be in (0, 1), got $totalDelta")
+    val one = noiseKind match {
+      case graft.core.NoiseKind.Laplace =>
+        require(delta == 0.0,
+          "delta is a Gaussian parameter — Laplace tree releases are " +
+            "pure epsilon-DP; pass NoiseKind.Gaussian to spend delta")
+        graft.core.PLD.fromLaplace(1.0 / epsilon, h, pessimistic = true)
+      case graft.core.NoiseKind.Gaussian =>
+        require(delta > 0 && delta < 1,
+          s"Gaussian tree release needs delta in (0, 1), got $delta")
+        graft.core.PLD.fromGaussian(
+          graft.core.DpNoise.gaussianSigma(epsilon, delta, 1.0), h,
+          pessimistic = true)
+    }
+    one.selfCompose(nReleases).epsilonForDelta(totalDelta)
+  }
+
   /** Hay et al. consistency (VLDB'10 §4): ordinary-least-squares
     * projection of the noisy tree onto the consistent subspace (children
     * sum to parents), via the closed-form two-sweep algorithm — an

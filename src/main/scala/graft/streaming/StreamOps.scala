@@ -1055,15 +1055,32 @@ object StreamOps {
     * Expects the [[dpContinualCount]] output schema; `keyCols` must match
     * the columns it was released with. */
   def continualWindowCounts(released: DataFrame, keyCols: Seq[String],
-      windowTicks: Int): DataFrame = {
+      windowTicks: Int): DataFrame =
+    continualWindowDiff(released, keyCols, windowTicks,
+      "dp_prefix_count", "dp_window_count")
+
+  /** [[continualWindowCounts]] for a [[dpContinualSum]] release — sliding
+    * clamped-mass windows ("revenue in the last 7 days" at every tick)
+    * from the prefix-sum sequence, the same zero-budget differencing. */
+  def continualWindowSums(released: DataFrame, keyCols: Seq[String],
+      windowTicks: Int): DataFrame =
+    continualWindowDiff(released, keyCols, windowTicks,
+      "dp_prefix_sum", "dp_window_sum")
+
+  private def continualWindowDiff(released: DataFrame, keyCols: Seq[String],
+      windowTicks: Int, inCol: String, outCol: String): DataFrame = {
     require(windowTicks >= 1, s"windowTicks must be >= 1, got $windowTicks")
+    require(released.columns.contains(inCol),
+      s"continualWindowDiff: no '$inCol' column — pass the matching " +
+        "continual release (count releases difference dp_prefix_count, " +
+        "sum releases dp_prefix_sum)")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keyCols.map(col): _*).orderBy(col("t"))
     released
       .withColumn("__lagged",
-        coalesce(lag(col("dp_prefix_count"), windowTicks).over(w), lit(0.0)))
+        coalesce(lag(col(inCol), windowTicks).over(w), lit(0.0)))
       .select(col("t") +: keyCols.map(col) :+
-        (col("dp_prefix_count") - col("__lagged")).as("dp_window_count"): _*)
+        (col(inCol) - col("__lagged")).as(outCol): _*)
   }
 
   /** DP windowed QUANTILES — the quantile-tree combiner on a stream, under

@@ -504,6 +504,40 @@ class RangeTreeSpec extends AnyFunSuite {
     assert(qs == Map(0.5 -> 0L, 0.75 -> 6L, 1.0 -> 7L), qs.toString)
   }
 
+  test("treeCompositionEpsilon: tight many-release accounting, Gaussian wins at fleet scale") {
+    import graft.core.NoiseKind
+    // one Laplace release accounts as (about) its own epsilon at tiny delta
+    val one = RangeTree.treeCompositionEpsilon(1, 0.5, 0.0,
+      NoiseKind.Laplace, totalDelta = 1e-12, h = 1e-4)
+    assert(math.abs(one - 0.5) < 0.01, s"one=$one")
+    // n releases: strictly under the naive n * eps (the PLD win), above
+    // a single release, monotone in n
+    val n16 = RangeTree.treeCompositionEpsilon(16, 0.5, 0.0,
+      NoiseKind.Laplace, 1e-6, h = 1e-4)
+    val n64 = RangeTree.treeCompositionEpsilon(64, 0.5, 0.0,
+      NoiseKind.Laplace, 1e-6, h = 1e-4)
+    assert(n16 > 0.5 && n16 < 16 * 0.5, s"n16=$n16")
+    assert(n64 > n16 && n64 < 64 * 0.5, s"n64=$n64")
+    // Gaussian fleet: n trees compose as ONE Gaussian at sigma/sqrt(n) —
+    // at 64 releases the total is well under the Laplace total for the
+    // same per-release epsilon (the documented reason the option exists)
+    val g64 = RangeTree.treeCompositionEpsilon(64, 0.5, 1e-8,
+      NoiseKind.Gaussian, 1e-6, h = 1e-4)
+    assert(g64 < n64, s"gaussian $g64 !< laplace $n64")
+    // cross-check the Gaussian self-composition against the closed form:
+    // composing n identical Gaussians IS one Gaussian at sigma/sqrt(n)
+    val sigma = graft.core.DpNoise.gaussianSigma(0.5, 1e-8, 1.0)
+    val direct = graft.core.DpNoise.gaussianEpsilon(
+      sigma / math.sqrt(64.0), 1e-6)
+    assert(math.abs(g64 - direct) / direct < 0.02,
+      s"pld=$g64 closed-form=$direct")
+    // parameter validation mirrors treeScale's
+    intercept[IllegalArgumentException](RangeTree.treeCompositionEpsilon(
+      4, 0.5, 0.5, NoiseKind.Laplace, 1e-6))
+    intercept[IllegalArgumentException](RangeTree.treeCompositionEpsilon(
+      4, 0.5, 0.0, NoiseKind.Gaussian, 1e-6))
+  }
+
   test("keyed trees: one tree per key, key universe from the data") {
     val df = Seq((1L, 0.5, "a"), (2L, 7.5, "a"), (3L, 3.5, "b"))
       .toDF("uid", "v", "k")
