@@ -352,8 +352,12 @@ object RangeTree {
     val levels = 31 - Integer.numberOfLeadingZeros(bins)
     val keyCs = keyCols.map(col)
     val spark0 = tree.sparkSession
-    val prefix = prefixCounts(tree, keyCols, bins)
-    val root = tree.filter(col("__lvl") === levels)
+    // pin the (deterministic) release once: the readout references it
+    // three times (prefix join, root side, key universe) and re-running
+    // the release plan per reference is pure waste at large trees
+    val pinned = tree.localCheckpoint(false)
+    val prefix = prefixCounts(pinned, keyCols, bins)
+    val root = pinned.filter(col("__lvl") === levels)
       .select((keyCs :+ col("dp_count").as("__total")): _*)
     // LEFT join + fail loud on a missing root (r14 advice): an inner join
     // would silently DROP any key whose root row is absent (filtered or
@@ -428,7 +432,9 @@ object RangeTree {
   ): DataFrame = {
     val keyCs = keyCols.map(col)
     val width = (hi - lo) / bins
-    val raw = prefixCounts(tree, keyCols, bins)
+    // pin the release once: prefixCounts references it twice (key
+    // universe + decomposition join)
+    val raw = prefixCounts(tree.localCheckpoint(false), keyCols, bins)
       .select(keyCs :+ col("__t").as("bin") :+
         (lit(lo) + (col("__t") + 1) * lit(width)).as("value_hi") :+
         col("__pfx").as("dp_cdf_count"): _*)
