@@ -555,6 +555,26 @@ private[graft] object EntryDP {
         .select(col("__lvl").cast("long").as("lvl"), col("__idx").as("idx"),
           col("event_type"), col("dp_count"))
     }),
+    "dp_range_estimated" -> ((s, dir) => {
+      // the DP-estimated-bounds path END TO END: a keyless probe tree
+      // over a generous PUBLIC envelope [0, 1024) (4096 bins, width
+      // 0.25 — dyadic, so every derived bound is an exact double) reads
+      // the 1%/99% quantile bins, the domain snaps to 64 bins at the
+      // derived width, and the keyed tree releases over it. Zero noise
+      // => the probe quantiles are exact, the derived domain is
+      // deterministic, and the oracle replays the WHOLE derivation in
+      // SQL (envelope binning -> cumulative threshold -> width -> tree).
+      val dom = graft.spark.RangeTree.dpEstimatedDomain(events(s, dir),
+        "user_id", col("value"), envLo = 0.0, envHi = 1024.0,
+        minBins = 64, epsilon = 1.0, maxPerUnit = 1000000L,
+        noise = NoiseSource.Zero, qLo = 0.01, qHi = 0.99, expand = 0.0)
+      graft.spark.RangeTree.dpRangeCountTree(events(s, dir), "user_id",
+          col("value"), Seq("event_type"), lo = dom.lo, hi = dom.hi,
+          bins = dom.bins, epsilon = 1.0, maxPerUnit = 1000000L,
+          noise = NoiseSource.Zero)
+        .select(col("__lvl").cast("long").as("lvl"), col("__idx").as("idx"),
+          col("event_type"), col("dp_count"))
+    }),
     "dp_range_mass_quantiles" -> ((s, dir) => {
       // WEIGHTED quantiles from the SUM tree (mass-CDF inversion): the
       // value band below which q of the total clamped floor(value) mass
@@ -1103,6 +1123,42 @@ private[graft] object EntryDP {
                     CAST(least(greatest(floor(value / (1000.0 / 48)), 0), 63)
                       AS BIGINT) AS bin
              FROM events),
+           lv AS (SELECT unnest(range(0, 7)) AS lvl),
+           nodes AS (
+             SELECT l.lvl, g.idx, k.event_type
+             FROM lv l, (SELECT unnest(range(0, 64)) AS idx) g,
+                  (SELECT DISTINCT event_type FROM events) k
+             WHERE g.idx < 64 // (1 << l.lvl)),
+           c AS (SELECT l.lvl, b.bin >> l.lvl AS idx, b.event_type,
+                        count(*) AS n
+                 FROM b CROSS JOIN lv l GROUP BY 1, 2, 3)
+           SELECT CAST(n.lvl AS BIGINT) AS lvl, CAST(n.idx AS BIGINT) AS idx,
+                  n.event_type, CAST(coalesce(c.n, 0) AS DOUBLE) AS dp_count
+           FROM nodes n LEFT JOIN c ON c.lvl = n.lvl AND c.idx = n.idx
+             AND c.event_type = n.event_type""",
+      // the full bounds derivation replayed: envelope bins at width 0.25
+      // -> cumulative threshold quantile bins (the probe is keyless) ->
+      // derived lo / width (all dyadic, so exact doubles) -> the keyed
+      // 64-bin tree over the derived domain
+      "dp_range_estimated" ->
+        """WITH eb AS (
+             SELECT CAST(least(greatest(floor(value / 0.25), 0), 4095)
+               AS BIGINT) AS ebin
+             FROM events),
+           tot AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM eb),
+           egrid AS (SELECT unnest(range(0, 4096)) AS t),
+           pc AS (SELECT ebin, count(*) AS n FROM eb GROUP BY 1),
+           cum AS (SELECT g.t, CAST(coalesce(sum(pc.n), 0) AS DOUBLE) AS pfx
+                   FROM egrid g LEFT JOIN pc ON pc.ebin <= g.t GROUP BY 1),
+           qb AS (SELECT
+                    (SELECT min(t) FROM cum, tot WHERE pfx >= 0.01 * total) AS qlo,
+                    (SELECT min(t) FROM cum, tot WHERE pfx >= 0.99 * total) AS qhi),
+           dom AS (SELECT qlo * 0.25 AS lo,
+                          (qhi + 1 - qlo) * 0.25 / 64 AS w FROM qb),
+           b AS (SELECT e.event_type,
+                        CAST(least(greatest(floor((e.value - d.lo) / d.w), 0), 63)
+                          AS BIGINT) AS bin
+                 FROM events e, dom d),
            lv AS (SELECT unnest(range(0, 7)) AS lvl),
            nodes AS (
              SELECT l.lvl, g.idx, k.event_type
