@@ -901,7 +901,11 @@ object StreamOps {
       maxPerTick: Long,
       noise: graft.core.NoiseSource,
       releasedThrough: Long, // last tick already released (-1 = none)
-      releaseThrough: Long   // release ticks in (releasedThrough, releaseThrough]
+      releaseThrough: Long,  // release ticks in (releasedThrough, releaseThrough]
+      // per-node noise kind — MUST be the same every step: the store's
+      // persisted draws are calibration-specific ([[RangeTree.treeScale]])
+      noiseKind: graft.core.NoiseKind = graft.core.NoiseKind.Laplace,
+      delta: Double = 0.0
   ): (DataFrame, ContinualStore) = {
     require(horizon >= 2 && (horizon & (horizon - 1)) == 0,
       s"horizon must be a power of two >= 2, got $horizon")
@@ -1009,7 +1013,12 @@ object StreamOps {
       .withColumn("__idx", expr("shiftleft(shiftright(t + 1, __lvl + 1), 1)"))
     val prevNoise = store.map(_.nodeNoise)
       .getOrElse(emptyNoiseFrame(spark0, sums, keyCols))
-    val b = maxPerTick.toDouble * (levels + 1) / epsilon
+    val scale = graft.spark.RangeTree.treeScale(noiseKind, epsilon, delta,
+      maxPerTick.toDouble, levels)
+    val draw: () => Double = noiseKind match {
+      case graft.core.NoiseKind.Laplace  => () => noise.laplace(scale)
+      case graft.core.NoiseKind.Gaussian => () => noise.gaussian(scale)
+    }
     // decomposition nodes of this wave's ticks — pure arithmetic
     val waveNodes: Seq[(Int, Long)] =
       (releasedThrough + 1 to releaseThrough).flatMap { t =>
@@ -1024,7 +1033,7 @@ object StreamOps {
       kr <- keyRows
       (l, i) <- waveNodes
       if !drawnCoords((l, i, kr.toSeq))
-    } yield org.apache.spark.sql.Row.fromSeq(l +: i +: kr.toSeq :+ noise.laplace(b))
+    } yield org.apache.spark.sql.Row.fromSeq(l +: i +: kr.toSeq :+ draw())
     val newDraws = spark0.createDataFrame(
       new java.util.ArrayList(newRows.asJava), prevNoise.schema)
     val allNoise = prevNoise.unionByName(newDraws)

@@ -1013,6 +1013,25 @@ class StreamOpsSpec extends AnyFunSuite {
       assert(math.abs(gm(t)._2 - (2.0 * prefix(t) + pc * sigmaS)) < 1e-9,
         s"t=$t sum ${gm(t)._2}")
     }
+    // the STREAMING fold takes the same noiseKind: a two-step Gaussian
+    // fold obeys the popcount identity with the persisted-draw store
+    // (same calibration as the batch face, draws shared across steps)
+    var st: Option[StreamOps.ContinualStore] = None
+    val foldOut = scala.collection.mutable.Map.empty[Long, Double]
+    Seq((df.filter(col("tick") <= 2), -1L, 2L),
+      (df.filter(col("tick") > 2), 2L, 7L)).foreach { case (b, from, to) =>
+      val (rel, grown) = StreamOps.onlineContinualStep(b, st, "user_id",
+        col("tick"), Seq("key"), 8, 1.0, 100L, EchoScale, from, to,
+        noiseKind = graft.core.NoiseKind.Gaussian, delta = 1e-6)
+      rel.collect().foreach(r => foldOut(r.getLong(0)) = r.getDouble(2))
+      st = Some(grown.copy(nodeSums = grown.nodeSums.localCheckpoint(true),
+        nodeNoise = grown.nodeNoise.localCheckpoint(true)))
+    }
+    (0L to 7L).foreach { t =>
+      val want = prefix(t) + java.lang.Long.bitCount(t + 1) * sigma
+      assert(math.abs(foldOut(t) - want) < 1e-9,
+        s"fold t=$t got ${foldOut(t)} want $want")
+    }
   }
 
   test("continual DP counter: prefix exactness, node reuse, bounding, guards") {
