@@ -590,6 +590,21 @@ private[graft] object EntryDP {
       graft.spark.RangeTree.quantilesFromTree(tree, Seq("event_type"),
         0.0, 1000.0, 64, Seq(0.5, 0.9, 0.99))
     }),
+    "dp_range_mass_cdf" -> ((s, dir) => {
+      // the mass-CDF release from the SUM tree: cumulative clamped
+      // floor(value) mass below every bin edge, with the PAVA monotone
+      // projection (masses are nonnegative, so the exact prefix sequence
+      // is monotone and zero noise makes the projection the identity —
+      // the dp_range_cdf convention on weighted mass). Replayed as
+      // cumulative clamped-sum rollups.
+      val tree = graft.spark.RangeTree.dpRangeSumTree(events(s, dir),
+        "user_id", col("value"), floor(col("value")), Seq("event_type"),
+        lo = 0.0, hi = 1000.0, bins = 64, epsilon = 1.0,
+        maxPerUnit = 1000000L, minW = 0.0, maxW = 500.0,
+        noise = NoiseSource.Zero)
+      graft.spark.RangeTree.cdfFromTree(tree, Seq("event_type"),
+        0.0, 1000.0, 64, monotone = true)
+    }),
     "dp_add_noise" -> ((s, dir) => {
       // noise-only path on pre-aggregated data; zero noise => identity
       val pre = events(s, dir).groupBy("event_type")
@@ -1201,6 +1216,25 @@ private[graft] object EntryDP {
                      THEN c.t END), 63) AS BIGINT) * 15.625 AS value_lo
             FROM cum c JOIN tot t USING (event_type) CROSS JOIN qs
             GROUP BY 1, 2""",
+      // cumulative clamped mass below every bin edge (the sum tree's CDF)
+      "dp_range_mass_cdf" ->
+        s"""WITH $rangeBinSql,
+            w AS (SELECT event_type, bin,
+                         least(greatest(floor(value), 0.0), 500.0) AS wt
+                  FROM (SELECT event_type, value,
+                               CAST(least(greatest(floor(value / 15.625), 0), 63)
+                                 AS BIGINT) AS bin
+                        FROM events)),
+            grid AS (SELECT k.event_type, g.t
+                     FROM (SELECT DISTINCT event_type FROM events) k,
+                          (SELECT unnest(range(0, 64)) AS t) g),
+            pc AS (SELECT event_type, bin, sum(wt) AS n FROM w GROUP BY 1, 2)
+            SELECT grid.event_type, CAST(grid.t AS BIGINT) AS bin,
+                   (grid.t + 1) * 15.625 AS value_hi,
+                   CAST(coalesce(sum(pc.n), 0) AS DOUBLE) AS dp_cdf_count
+            FROM grid LEFT JOIN pc
+              ON pc.event_type = grid.event_type AND pc.bin <= grid.t
+            GROUP BY 1, 2, 3""",
       "dp_range_quantiles" ->
         s"""WITH $rangeBinSql,
             tot AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS total
