@@ -596,7 +596,16 @@ object RangeTree {
     * number of consumers and actions read the same single draw set
     * (spec-pinned with a counting source). The key universe collect is
     * guarded so keys x nodes literal rows fit the driver — fail loud,
-    * not OOM. */
+    * not OOM.
+    *
+    * SHARDING PATTERN past the guard (the 100 TB key-cardinality story):
+    * keyed trees are PER-KEY releases, so a key universe beyond the
+    * driver budget splits into disjoint key-range shards released
+    * independently — `publicKeys = Some(keysInShard)` per call, each
+    * within the cap, written to storage per shard. Privacy composes in
+    * PARALLEL over disjoint keys (cross-key composition was always the
+    * caller's accounting — the family's cell contract), so sharding
+    * costs zero extra budget; it is purely an orchestration loop. */
   private def releaseWithScale(
       store: DataFrame,
       keyCols: Seq[String],
