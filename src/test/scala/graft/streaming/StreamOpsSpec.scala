@@ -789,6 +789,51 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(streamed.contains((1L, 2L, 60L)))
   }
 
+  test("continual counter fold == batch face through a REAL foreachBatch drive") {
+    import org.apache.spark.sql.functions._
+    // ticks 0..7 over three ascending micro-batches; release watermark
+    // follows each batch's max tick (the nightly-release pattern)
+    val rows = Seq((1L, 0L), (2L, 0L), (1L, 2L), (1L, 3L), (2L, 3L),
+      (3L, 5L), (4L, 6L), (5L, 7L)).map { case (u, t) => (u, t, "k") }
+    val df = rows.toDF("user_id", "tick", "key")
+    val oneShot = StreamOps.dpContinualCount(df, "user_id", col("tick"),
+      Seq("key"), horizon = 8, epsilon = 1.0, maxPerTick = 100L,
+      noise = graft.core.NoiseSource.Zero)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, String)]
+    var store: Option[StreamOps.ContinualStore] = None
+    var releasedThrough = -1L
+    val out = scala.collection.mutable.Map.empty[Long, Double]
+    val q = input.toDF().toDF("user_id", "tick", "key").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val stable = b.localCheckpoint(true)
+        if (stable.count() > 0) {
+          val hi = stable.agg(max(col("tick"))).head().getLong(0)
+          val (rel, grown) = StreamOps.onlineContinualStep(stable, store,
+            "user_id", col("tick"), Seq("key"), horizon = 8, epsilon = 1.0,
+            maxPerTick = 100L, noise = graft.core.NoiseSource.Zero,
+            releasedThrough = releasedThrough, releaseThrough = hi)
+          rel.collect().foreach(r => out(r.getLong(0)) = r.getDouble(2))
+          store = Some(grown.copy(
+            nodeSums = grown.nodeSums.localCheckpoint(true),
+            nodeNoise = grown.nodeNoise.localCheckpoint(true)))
+          releasedThrough = hi
+        }
+        ()
+      }
+      .start()
+    Seq(rows.take(3), rows.slice(3, 5), rows.drop(5)).foreach { g =>
+      input.addData(g)
+      q.processAllAvailable()
+    }
+    q.stop()
+    // the final watermark released through tick 7 = the full horizon:
+    // the drive's releases must equal the one-shot batch release
+    assert(out.toMap == oneShot, s"streamed=$out one-shot=$oneShot")
+  }
+
   test("continual counter fold: == batch face, draw-once across batches, contracts") {
     import org.apache.spark.sql.functions._
     val rows = Seq((1L, 0L), (2L, 0L), (1L, 2L), (1L, 3L), (2L, 3L), (3L, 3L),
