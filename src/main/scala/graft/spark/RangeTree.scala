@@ -765,6 +765,46 @@ object RangeTree {
     one.selfCompose(nReleases).epsilonForDelta(totalDelta)
   }
 
+  /** Human-readable release report — the DP engine's explain-report
+    * convention ([[DPEngine]]) for the tree family: states the mechanism,
+    * calibration, per-node scale, the worst-case range-query error shape,
+    * and the composition contract, so a reviewer can audit a release
+    * without reading the plan. Pure string math — no data access. */
+  def explainRelease(
+      bins: Int,
+      epsilon: Double,
+      maxPerUnit: Long,
+      noiseKind: graft.core.NoiseKind = graft.core.NoiseKind.Laplace,
+      delta: Double = 0.0,
+      unitLinf: Double = 1.0,
+      keyed: Boolean = false
+  ): String = {
+    require(bins >= 2 && (bins & (bins - 1)) == 0 && bins <= 4096,
+      s"bins must be a power of two in [2, 4096], got $bins")
+    val levels = 31 - Integer.numberOfLeadingZeros(bins)
+    val scale = treeScale(noiseKind, epsilon, delta,
+      maxPerUnit * unitLinf, levels)
+    val cover = 2 * levels // max dyadic-cover size of any range
+    val (mech, privacy, perNode, rangeStd) = noiseKind match {
+      case graft.core.NoiseKind.Laplace =>
+        ("Laplace", f"$epsilon%g-DP (pure)",
+          f"b = maxPerUnit * unitLinf * (levels+1) / eps = $scale%g",
+          math.sqrt(2.0 * cover) * scale)
+      case graft.core.NoiseKind.Gaussian =>
+        ("Gaussian", f"($epsilon%g, $delta%g)-DP",
+          f"sigma = BalleWang(eps, delta, maxPerUnit * unitLinf * " +
+            f"sqrt(levels+1)) = $scale%g",
+          math.sqrt(cover.toDouble) * scale)
+    }
+    s"""RangeTree release
+       |  domain    : $bins power-of-two bins, ${levels + 1} levels (${2 * bins - 1} nodes${if (keyed) " per key" else ""})
+       |  mechanism : $mech, one draw per node (empty nodes included), drawn driver-side as a literal frame (draw-once across consumers and actions)
+       |  privacy   : $privacy per ${if (keyed) "(unit, key) cell — cross-key composition is the caller's accounting (disjoint keys compose in parallel)" else "unit"}, contributions capped at maxPerUnit = $maxPerUnit rows (deterministic rank cap), per-row node touch = levels+1
+       |  per-node  : $perNode
+       |  range err : any range reads <= $cover cover nodes; worst-case stddev ~ ${f"$rangeStd%g"} (consistency sweep typically ~halves leaf error; quantiles/CDF/windows are free post-processing)
+       |""".stripMargin
+  }
+
   /** Hay et al. consistency (VLDB'10 §4): ordinary-least-squares
     * projection of the noisy tree onto the consistent subspace (children
     * sum to parents), via the closed-form two-sweep algorithm — an

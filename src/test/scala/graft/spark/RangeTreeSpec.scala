@@ -538,6 +538,23 @@ class RangeTreeSpec extends AnyFunSuite {
       4, 0.5, 0.0, NoiseKind.Gaussian, 1e-6))
   }
 
+  test("explainRelease states calibration, privacy and error shape") {
+    val lap = RangeTree.explainRelease(64, 1.0, 10L)
+    assert(lap.contains("64 power-of-two bins, 7 levels (127 nodes)"))
+    assert(lap.contains("Laplace") && lap.contains("1-DP (pure)") ||
+      lap.contains("1.00000-DP (pure)"))
+    // b = 10 * 1 * 7 / 1 = 70
+    assert(lap.contains("70"), lap)
+    assert(lap.contains("draw-once"))
+    assert(lap.contains("<= 12 cover nodes"), lap)
+    val gau = RangeTree.explainRelease(64, 1.0, 10L,
+      graft.core.NoiseKind.Gaussian, 1e-6, unitLinf = 5.0, keyed = true)
+    val sigma = graft.core.DpNoise.gaussianSigma(1.0, 1e-6, 50.0 * math.sqrt(7.0))
+    assert(gau.contains("Gaussian") && gau.contains("per key"))
+    assert(gau.contains(f"$sigma%g"), gau)
+    assert(gau.contains("compose in parallel"))
+  }
+
   test("keyed trees: one tree per key, key universe from the data") {
     val df = Seq((1L, 0.5, "a"), (2L, 7.5, "a"), (3L, 3.5, "b"))
       .toDF("uid", "v", "k")
