@@ -590,6 +590,29 @@ private[graft] object EntryDP {
       graft.spark.RangeTree.quantilesFromTree(tree, Seq("event_type"),
         0.0, 1000.0, 64, Seq(0.5, 0.9, 0.99))
     }),
+    "dp_range_selected" -> ((s, dir) => {
+      // PRIVATE key discovery -> tree release, end to end: the key
+      // universe comes from DP partition selection (its own budget) and
+      // feeds publicKeys, making the tree set a function of a DP release
+      // rather than of raw key presence — the composition that closes
+      // the family's key-existence caveat without a public contract.
+      // Zero noise keeps every 150-user type (the dp_select_partitions
+      // convention) and the trees replay as the full keyed rollup; the
+      // selection BITING (a rare key dropping via preThreshold) is
+      // spec-pinned where the fixture can be shaped.
+      val engine = zeroEngine()
+      val selected = engine.selectPartitions(events(s, dir),
+        SelectPartitionsParams(maxPartitionsContributed = 5),
+        DPColumns(col("user_id"), Seq("event_type" -> col("event_type"))))
+      engine.accountant.computeBudgets()
+      graft.spark.RangeTree.dpRangeCountTree(events(s, dir), "user_id",
+          col("value"), Seq("event_type"), lo = 0.0, hi = 1000.0,
+          bins = 64, epsilon = 1.0, maxPerUnit = 1000000L,
+          noise = NoiseSource.Zero,
+          publicKeys = Some(selected.dataframe))
+        .select(col("__lvl").cast("long").as("lvl"), col("__idx").as("idx"),
+          col("event_type"), col("dp_count"))
+    }),
     "dp_range_mass_cdf" -> ((s, dir) => {
       // the mass-CDF release from the SUM tree: cumulative clamped
       // floor(value) mass below every bin edge, with the PAVA monotone
@@ -1065,6 +1088,9 @@ private[graft] object EntryDP {
       // zero-noise Gaussian releases the same exact tree (echo-scale
       // sigma calibration is spec-pinned; here the path runs end-to-end)
       "dp_range_gaussian" -> rangeTreeSql,
+      // zero-noise selection keeps every (150-user) type, so the
+      // selected-keys release replays as the full keyed tree
+      "dp_range_selected" -> rangeTreeSql,
       "dp_range_consistent" -> rangeTreeSql,
       "dp_range_query" ->
         s"""WITH $rangeBinSql,

@@ -137,7 +137,13 @@ object RangeTree {
     * it, which node noise cannot hide. Pass `publicKeys` (a one-column
     * frame matching `keyCols`, by position) to make the release set
     * fully data-independent: non-public rows DROP before bounding and
-    * every public key releases its full tree, empty or not. */
+    * every public key releases its full tree, empty or not. With no
+    * public contract, discover the key set PRIVATELY first —
+    * [[DPEngine.selectPartitions]] — and pass the selected frame here:
+    * the selection is itself a DP release, so conditioning the trees on
+    * it is safe post-processing (account eps_select + eps_tree; the
+    * `dp_range_selected` row and the preThreshold spec pin the
+    * composition). */
   def dpRangeCountTree(
       df: DataFrame,
       pidCol: String,

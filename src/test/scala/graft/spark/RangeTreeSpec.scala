@@ -555,6 +555,35 @@ class RangeTreeSpec extends AnyFunSuite {
     assert(gau.contains("compose in parallel"))
   }
 
+  test("private key discovery -> tree release: selection bites via preThreshold") {
+    import graft.core._
+    // key "rare" has ONE contributing unit; preThreshold = 2 drops it
+    // deterministically BEFORE the DP selection (no noise dependence),
+    // so the composed release — selectPartitions feeding publicKeys —
+    // publishes trees ONLY for the surviving keys. This is the pattern
+    // the key-existence caveat points to when no public contract exists.
+    val df = Seq((1L, 0.5, "a"), (2L, 3.5, "a"), (3L, 7.5, "b"),
+      (4L, 1.5, "b"), (9L, 2.5, "rare")).toDF("uid", "v", "k")
+    val engine = new DPEngine(
+      new NaiveBudgetAccountant(1e5, 0.99), NoiseSource.Zero)
+    val selected = engine.selectPartitions(df,
+      SelectPartitionsParams(maxPartitionsContributed = 1,
+        preThreshold = Some(2)),
+      DPColumns(col("uid"), Seq("k" -> col("k"))))
+    engine.accountant.computeBudgets()
+    val tree = RangeTree.dpRangeCountTree(df, "uid", col("v"), Seq("k"),
+      0.0, 8.0, 8, 1.0, 10L, NoiseSource.Zero,
+      publicKeys = Some(selected.dataframe))
+    val keys = tree.select("k").distinct().collect().map(_.getString(0)).toSet
+    assert(keys == Set("a", "b"), s"released keys: $keys")
+    // the survivors' trees are complete and exact; "rare"'s data shaped
+    // NOTHING (it dropped before bounding — the publicKeys contract)
+    val m = treeMap2(tree.select(col("__lvl"), col("__idx"), col("k"),
+      col("dp_count")))
+    assert(m((3, 0L, "a")) == 2.0 && m((3, 0L, "b")) == 2.0)
+    assert(m.size == 30) // 15 nodes x 2 surviving keys
+  }
+
   test("keyed trees: one tree per key, key universe from the data") {
     val df = Seq((1L, 0.5, "a"), (2L, 7.5, "a"), (3L, 3.5, "b"))
       .toDF("uid", "v", "k")
