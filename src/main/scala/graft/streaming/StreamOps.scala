@@ -533,7 +533,10 @@ object StreamOps {
     * matching `keyCols`, by position) to make the release set fully
     * data-independent: non-public rows DROP before bounding (the batch
     * engine's public-partitions convention) and every public key releases
-    * at every tick, empty or not.
+    * at every tick, empty or not. With no public contract, discover the
+    * key set privately first and pass the selected frame — the
+    * [[graft.spark.RangeTree.dpRangeCountTree]] KEY-EXISTENCE note and
+    * the `dp_range_selected` composition apply verbatim here.
     *
     * Plan shape: one bounded-contribution aggregation, one node-sum
     * aggregation (each tick explodes to its levels+1 covering nodes), a
