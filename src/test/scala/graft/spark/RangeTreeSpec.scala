@@ -541,8 +541,8 @@ class RangeTreeSpec extends AnyFunSuite {
   test("explainRelease states calibration, privacy and error shape") {
     val lap = RangeTree.explainRelease(64, 1.0, 10L)
     assert(lap.contains("64 power-of-two bins, 7 levels (127 nodes)"))
-    assert(lap.contains("Laplace") && lap.contains("1-DP (pure)") ||
-      lap.contains("1.00000-DP (pure)"))
+    assert(lap.contains("Laplace"), lap)
+    assert(lap.contains("-DP (pure)"), lap)
     // b = 10 * 1 * 7 / 1 = 70
     assert(lap.contains("70"), lap)
     assert(lap.contains("draw-once"))
