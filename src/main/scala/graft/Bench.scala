@@ -150,9 +150,13 @@ object Bench {
     val total = ok.map(_._2).sum
     val errJson = if (errored.isEmpty) ""
       else s""","errors":${errored.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
-    // reruns as "name":[full-run median, isolated-rerun median]
-    val rerunJson = if (reruns.isEmpty) ""
-      else s""","reruns":${reruns.map(r =>
+    // reruns as "name":[full-run median, isolated-rerun median]; a rerun
+    // that itself FAILED carries no timing — keep it out of the map (its
+    // -1.0 sentinel would read as a sub-zero time) and let the stderr line
+    // plus the full-run median stand as the record
+    val rerunsOk = reruns.filter(_._3 >= 0)
+    val rerunJson = if (rerunsOk.isEmpty) ""
+      else s""","reruns":${rerunsOk.map(r =>
         "\"" + r._1 + "\":[" + r2(r._2) + "," + r2(r._3) + "]")
         .mkString("{", ",", "}")}"""
     // the folded bucket carries [sum of medians, sum of mins]: a literal 0

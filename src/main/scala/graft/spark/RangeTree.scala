@@ -122,6 +122,16 @@ object RangeTree {
     val w = (envHi - envLo) / probeBins
     val lo0 = qs(qLo)
     val hi0 = qs(qHi) + w // the qHi bin's UPPER edge
+    // under real noise the qHi readout can land BELOW the qLo readout
+    // (heavy draws on the early decomposition nodes); name that failure
+    // here instead of letting it surface as paddedDomain's generic
+    // "empty domain" require (r14 advice)
+    require(lo0 < hi0,
+      f"dpEstimatedDomain: noisy quantile inversion — the q=$qHi%g probe " +
+        f"read bin edge $hi0%g at or below the q=$qLo%g edge $lo0%g; the " +
+        "probe's noise overwhelmed the data's spread. Spend a larger " +
+        "epsilon on the probe, widen (qLo, qHi), or pass a PUBLIC domain " +
+        "via paddedDomain instead")
     val span = hi0 - lo0
     paddedDomain(lo0 - expand * span, hi0 + expand * span, minBins)
   }

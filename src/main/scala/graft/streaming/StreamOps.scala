@@ -634,12 +634,16 @@ object StreamOps {
     val keyRows: Seq[org.apache.spark.sql.Row] =
       if (keyCols.isEmpty) Seq(org.apache.spark.sql.Row.fromSeq(Seq.empty))
       else {
-        // public keys (already distinct + checkpointed by the callers)
-        // CAST to perTick's key types before collecting: the literal
-        // noise frame claims perTick's schema, and a mismatched user
-        // frame must coerce or fail loud here, not corrupt rows (r14)
+        // public keys CAST to perTick's key types before collecting: the
+        // literal noise frame claims perTick's schema, and a mismatched
+        // user frame must coerce or fail loud here, not corrupt rows
+        // (r14). distinct AFTER the cast — the callers' pre-cast distinct
+        // is not enough: a wider-typed frame whose values collide post-
+        // cast would otherwise yield duplicate (lvl, idx, key) noise rows
+        // with independent draws (r14 advice; releaseWithScale's order)
         val kd = pub.map(_.select(keyCols.map(n =>
-            col(n).cast(perTick.schema(n).dataType).as(n)): _*))
+            col(n).cast(perTick.schema(n).dataType).as(n)): _*)
+            .distinct())
           .getOrElse(
             perTick.select(keyCs: _*).distinct().localCheckpoint(false))
         val maxKeys = math.max(1L, graft.spark.RangeTree.MaxDriverRows / nNodes)
@@ -890,8 +894,15 @@ object StreamOps {
     * draw), maxTick). Zero-noise fold == the batch face on the
     * concatenated input (spec-pinned, incl. the cross-batch draw-once
     * property via a counting noise source). */
+  /** The persisted draws are CALIBRATION-SPECIFIC, so the store records
+    * the noise kind and per-node scale they were drawn at and every
+    * subsequent step requires equality (r14 advice) — a mid-stream kind
+    * or budget switch would silently mix draws at wrong scales and void
+    * the advertised guarantee; "MUST be the same every step" is now
+    * enforced, not a comment. */
   final case class ContinualStore(
-      nodeSums: DataFrame, nodeNoise: DataFrame, maxTick: Long)
+      nodeSums: DataFrame, nodeNoise: DataFrame, maxTick: Long,
+      noiseKind: graft.core.NoiseKind, scale: Double)
 
   def onlineContinualStep(
       batch: DataFrame,
@@ -916,6 +927,19 @@ object StreamOps {
     require(releaseThrough < horizon && releasedThrough <= releaseThrough,
       s"release range ($releasedThrough, $releaseThrough] invalid for horizon $horizon")
     val levels = 31 - Integer.numberOfLeadingZeros(horizon)
+    // the calibration the store's persisted draws live at — computed up
+    // front so BOTH the mismatch check and every draw below read one value
+    val scale = graft.spark.RangeTree.treeScale(noiseKind, epsilon, delta,
+      maxPerTick.toDouble, levels)
+    store.foreach { st =>
+      require(st.noiseKind == noiseKind && st.scale == scale,
+        s"onlineContinualStep: the store's persisted draws were made at " +
+          s"(${st.noiseKind}, per-node scale ${st.scale}) but this step " +
+          s"asks ($noiseKind, $scale) — noise kind, epsilon, delta and " +
+          "maxPerTick MUST stay fixed across a continual stream (the " +
+          "draws are calibration-specific); start a new stream to " +
+          "rebudget")
+    }
     val keyCs = keyCols.map(col)
     val prevMax = store.map(_.maxTick).getOrElse(-1L)
     // ticks must ascend past BOTH frontiers: the last ingested tick
@@ -966,7 +990,7 @@ object StreamOps {
         .withColumn("dp_prefix_count", lit(0.0))
       return (emptyRel, ContinualStore(sums,
         store.map(_.nodeNoise).getOrElse(emptyNoiseFrame(spark0, sums, keyCols)),
-        batchMax))
+        batchMax, noiseKind, scale))
     }
     // DRIVER-SIDE draws (r13): the r12 version drew node noise in a
     // nondeterministic UDF pinned by a lazy checkpoint — a task retry
@@ -1016,8 +1040,6 @@ object StreamOps {
       .withColumn("__idx", expr("shiftleft(shiftright(t + 1, __lvl + 1), 1)"))
     val prevNoise = store.map(_.nodeNoise)
       .getOrElse(emptyNoiseFrame(spark0, sums, keyCols))
-    val scale = graft.spark.RangeTree.treeScale(noiseKind, epsilon, delta,
-      maxPerTick.toDouble, levels)
     val draw: () => Double = noiseKind match {
       case graft.core.NoiseKind.Laplace  => () => noise.laplace(scale)
       case graft.core.NoiseKind.Gaussian => () => noise.gaussian(scale)
@@ -1046,7 +1068,7 @@ object StreamOps {
       .groupBy(col("t") +: keyCs: _*)
       .agg(sum(coalesce(col("__s"), lit(0L)) + col("__noise"))
         .cast("double").as("dp_prefix_count"))
-    (released, ContinualStore(sums, allNoise, batchMax))
+    (released, ContinualStore(sums, allNoise, batchMax, noiseKind, scale))
   }
 
   private def emptyNoiseFrame(spark: SparkSession, sums: DataFrame,

@@ -487,6 +487,35 @@ class RangeTreeSpec extends AnyFunSuite {
     assert(wide.lo == 100.0 - 49.5 && wide.bins == 64, wide.toString)
   }
 
+  test("dpEstimatedDomain: noisy quantile inversion fails with a shaped error") {
+    // craft draws so the qHi readout lands BELOW the qLo readout: the
+    // release draws leaves 0..4095 then level 1.. then the root, so
+    // draw #1 = leaf 0, draw #4097 = node (1,0), last draw = root.
+    // leaf0 = node(1,0) = -0.5 and root noise = -(true total + 1) give
+    // total = -1: the qHi threshold (-0.99) admits prefix(0) = -0.5
+    // (bin 0) while the qLo threshold (-0.01) first passes at prefix(3)
+    // = 0 (bin 3) — an inverted pair that must surface as a NAMED error,
+    // not paddedDomain's generic "empty domain" (r14 advice)
+    val df = (0 until 100).map(i => (i.toLong, 100.0 + i)).toDF("uid", "v")
+    val counter = new java.util.concurrent.atomic.AtomicLong(0)
+    object Inverting extends graft.core.NoiseSource {
+      private def next(): Double = counter.incrementAndGet() match {
+        case 1L    => -0.5   // leaf 0
+        case 4097L => -0.5   // node (1, 0)
+        case 8191L => -101.0 // root: 100 true rows -> total -1
+        case _     => 0.0
+      }
+      def laplace(b: Double): Double = next()
+      def gaussian(sigma: Double): Double = next()
+      def uniform(): Double = 0.5
+    }
+    val e = intercept[IllegalArgumentException] {
+      RangeTree.dpEstimatedDomain(df, "uid", col("v"), 0.0, 4096.0, 64,
+        1.0, 10L, Inverting, qLo = 0.01, qHi = 0.99, expand = 0.0)
+    }
+    assert(e.getMessage.contains("noisy quantile inversion"), e.getMessage)
+  }
+
   test("mass quantiles from the SUM tree: binding clamp, zero noise exact") {
     // clamped masses per bin: bin0 = 10 (CLAMPED from 50 — the clamp is
     // part of the released statistic), bin6 = 5, bin7 = 5; total 20

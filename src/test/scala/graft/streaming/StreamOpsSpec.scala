@@ -893,6 +893,35 @@ class StreamOpsSpec extends AnyFunSuite {
       graft.spark.SparkTestSession.chainMsg(e).take(300))
   }
 
+  test("continual fold: mid-stream calibration change fails loud") {
+    import org.apache.spark.sql.functions._
+    // the store's persisted draws are calibration-specific — a step that
+    // changes epsilon (or the noise kind) must be rejected, not silently
+    // mixed at wrong scales (r14 advice)
+    val df = Seq((1L, 0L, "k"), (2L, 1L, "k")).toDF("user_id", "tick", "key")
+    val (rel0, st0) = StreamOps.onlineContinualStep(df, None, "user_id",
+      col("tick"), Seq("key"), 8, 1.0, 100L, graft.core.NoiseSource.Zero,
+      -1L, 1L)
+    rel0.collect()
+    val next = Seq((3L, 2L, "k")).toDF("user_id", "tick", "key")
+    val eEps = intercept[IllegalArgumentException] {
+      StreamOps.onlineContinualStep(next, Some(st0), "user_id", col("tick"),
+        Seq("key"), 8, 0.5, 100L, graft.core.NoiseSource.Zero, 1L, 2L)
+    }
+    assert(eEps.getMessage.contains("calibration-specific"), eEps.getMessage)
+    val eKind = intercept[IllegalArgumentException] {
+      StreamOps.onlineContinualStep(next, Some(st0), "user_id", col("tick"),
+        Seq("key"), 8, 1.0, 100L, graft.core.NoiseSource.Zero, 1L, 2L,
+        noiseKind = graft.core.NoiseKind.Gaussian, delta = 1e-6)
+    }
+    assert(eKind.getMessage.contains("calibration-specific"), eKind.getMessage)
+    // the SAME calibration continues fine
+    val (rel2, _) = StreamOps.onlineContinualStep(next, Some(st0), "user_id",
+      col("tick"), Seq("key"), 8, 1.0, 100L, graft.core.NoiseSource.Zero,
+      1L, 2L)
+    assert(rel2.collect().nonEmpty)
+  }
+
   test("continual mean: split-budget trees from one pass, ratio post-processing") {
     import org.apache.spark.sql.functions._
     // (user, tick, value) — t1/t4/t5/t7 empty (they still release)
