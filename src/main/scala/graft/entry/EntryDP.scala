@@ -445,6 +445,23 @@ private[graft] object EntryDP {
         .select(col("__lvl").cast("long").as("lvl"), col("__idx").as("idx"),
           col("event_type"), col("dp_count"))
     }),
+    "dp_range_sharded" -> ((s, dir) => {
+      // the KEY-RANGE SHARDED release (the 100 TB key-cardinality path,
+      // r15): the key universe splits into deterministic key-range
+      // shards — here 2 keys per shard over the 5 event types, so 3
+      // shards — each released with its own bounded literal noise frame
+      // and written to storage before the next draws; exactly one draw
+      // per (key, node) in total (spec-pinned). Zero noise => the same
+      // exact keyed tree as dp_range_tree, so the oracle IS its SQL.
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_q_shard_").toString
+      graft.spark.RangeTree.dpRangeCountTreeSharded(events(s, dir),
+          "user_id", col("value"), Seq("event_type"), lo = 0.0,
+          hi = 1000.0, bins = 64, epsilon = 1.0, maxPerUnit = 1000000L,
+          noise = NoiseSource.Zero, outDir = out, maxKeysPerShard = 2L)
+        .select(col("__lvl").cast("long").as("lvl"), col("__idx").as("idx"),
+          col("event_type"), col("dp_count"))
+    }),
     "dp_range_gaussian" -> ((s, dir) => {
       // the GAUSSIAN release of the same tree — (epsilon, delta)-DP with
       // per-node sigma Balle-Wang-calibrated at L2 = maxPerUnit *
@@ -1085,6 +1102,9 @@ private[graft] object EntryDP {
     import OracleFragments._
     Map(
       "dp_range_tree" -> rangeTreeSql,
+      // the sharded release is the same mechanism shard by shard: zero
+      // noise replays the identical exact keyed tree
+      "dp_range_sharded" -> rangeTreeSql,
       // zero-noise Gaussian releases the same exact tree (echo-scale
       // sigma calibration is spec-pinned; here the path runs end-to-end)
       "dp_range_gaussian" -> rangeTreeSql,

@@ -149,6 +149,22 @@ private[graft] object EntryStream {
         keyCols = Seq("event_type"), horizon = 32, epsilon = 1.0,
         maxPerTick = 1000000L, noise = graft.core.NoiseSource.Zero)
     }),
+    "ss_dp_continual_sharded" -> ((s, dir) => {
+      // the KEY-RANGE SHARDED continual counter (the 100 TB
+      // key-cardinality path, r15): the 5 event types split into 3
+      // deterministic key-range shards, each tree released and written
+      // to storage before the next draws — one draw per (key, node) in
+      // total (spec-pinned). Zero noise => the same exact running
+      // prefixes, so the oracle IS ss_dp_continual's replay.
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_q_cshard_").toString
+      graft.streaming.StreamOps.dpContinualCountSharded(
+        events(s, dir), pidCol = "user_id",
+        tickCol = expr("(ts div 86400000000000) - 19723"),
+        keyCols = Seq("event_type"), horizon = 32, epsilon = 1.0,
+        maxPerTick = 1000000L, noise = graft.core.NoiseSource.Zero,
+        outDir = out, maxKeysPerShard = 2L)
+    }),
     "ss_dp_continual_gauss" -> ((s, dir) => {
       // the GAUSSIAN continual counter: same dyadic release, per-node
       // sigma Balle-Wang-calibrated at L2 = maxPerTick * sqrt(levels+1)
@@ -450,6 +466,23 @@ private[graft] object EntryStream {
            FROM pfx""",
       // the fold must equal the one-shot release — same oracle
       "ss_dp_continual_fold" ->
+        """WITH pt AS (
+             SELECT event_type,
+                    date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS t,
+                    CAST(count(*) AS BIGINT) AS nt
+             FROM events GROUP BY 1, 2),
+           grid AS (
+             SELECT k.event_type, g.t
+             FROM (SELECT DISTINCT event_type FROM events) k
+             CROSS JOIN (SELECT unnest(range(0, 32)) AS t) g)
+           SELECT grid.t, grid.event_type,
+                  CAST(coalesce(sum(pt.nt), 0) AS DOUBLE) AS dp_prefix_count
+           FROM grid LEFT JOIN pt
+             ON pt.event_type = grid.event_type AND pt.t <= grid.t
+           GROUP BY 1, 2""",
+      // the sharded release is the same mechanism shard by shard: zero
+      // noise replays the identical exact prefixes
+      "ss_dp_continual_sharded" ->
         """WITH pt AS (
              SELECT event_type,
                     date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS t,

@@ -436,8 +436,10 @@ object RangeTree {
     * exact L2 projection, so the result is a valid (unnormalized) CDF
     * and is never farther from the true prefixes in L2 than the raw
     * release; on a zero-noise tree the projection is the identity
-    * (exact prefixes are already monotone). Bounded driver math (bins
-    * values per key — the enforceConsistency collect class). */
+    * (exact prefixes are already monotone). DISTRIBUTED (r15): the
+    * projection is per-key independent over a BOUNDED sequence (bins
+    * <= 4096 values), so it runs inside a task per key group — no driver
+    * collect, no key-cardinality cap. */
   def cdfFromTree(
       tree: DataFrame,
       keyCols: Seq[String],
@@ -455,35 +457,37 @@ object RangeTree {
         (lit(lo) + (col("__t") + 1) * lit(width)).as("value_hi") :+
         col("__pfx").as("dp_cdf_count"): _*)
     if (!monotone) return raw
-    // the PAVA projection is bounded driver math (bins x keys rows) —
-    // guarded like every tree-shaped collect (fail loud, not OOM)
-    val rows = boundedCollect(raw, "cdfFromTree")
-    val byKey = rows.groupBy(r => r.toSeq.take(keyCols.length))
-    val out = byKey.iterator.flatMap { case (key, krows) =>
-      val sorted = krows.sortBy(_.getLong(keyCols.length))
-      val v = sorted.map(_.getDouble(keyCols.length + 2))
-      // PAVA: pool adjacent violators left-to-right; each block carries
-      // (sum, count) and merges while its mean undercuts its predecessor
-      val blocks = scala.collection.mutable.ArrayBuffer.empty[(Double, Int)]
-      v.foreach { x =>
-        var (s, n) = (x, 1)
-        while (blocks.nonEmpty && blocks.last._1 / blocks.last._2 > s / n) {
-          val (ps, pn) = blocks.remove(blocks.length - 1)
-          s += ps; n += pn
-        }
-        blocks += ((s, n))
+    val fit = udf((binIdx: Seq[Long], pfx: Seq[Double]) => {
+      val order = binIdx.indices.sortBy(binIdx(_)).toArray
+      val fitted = pavaFit(order.map(pfx(_)))
+      order.indices.map(j => (binIdx(order(j)), fitted(j)))
+    })
+    raw
+      .groupBy(keyCs: _*)
+      .agg(collect_list(struct(col("bin").as("b"),
+        col("dp_cdf_count").as("c"))).as("__p"))
+      .select(keyCs :+ explode(fit(
+        expr("transform(__p, x -> x.b)"),
+        expr("transform(__p, x -> x.c)"))).as("__f"): _*)
+      .select(keyCs :+ col("__f._1").as("bin") :+
+        (lit(lo) + (col("__f._1") + 1) * lit(width)).as("value_hi") :+
+        col("__f._2").as("dp_cdf_count"): _*)
+  }
+
+  /** PAVA (pool adjacent violators), pure: the exact L2 projection of
+    * `v` onto the nondecreasing cone — each block carries (sum, count)
+    * and merges while its mean undercuts its predecessor's. */
+  private[graft] def pavaFit(v: Array[Double]): Array[Double] = {
+    val blocks = scala.collection.mutable.ArrayBuffer.empty[(Double, Int)]
+    v.foreach { x =>
+      var (s, n) = (x, 1)
+      while (blocks.nonEmpty && blocks.last._1 / blocks.last._2 > s / n) {
+        val (ps, pn) = blocks.remove(blocks.length - 1)
+        s += ps; n += pn
       }
-      val fitted = blocks.iterator.flatMap { case (s, n) =>
-        Iterator.fill(n)(s / n)
-      }.toArray
-      sorted.iterator.zip(fitted.iterator).map { case (r, f) =>
-        org.apache.spark.sql.Row.fromSeq(
-          key ++ Seq[Any](r.getLong(keyCols.length),
-            r.getDouble(keyCols.length + 1), f))
-      }
-    }.toSeq
-    tree.sparkSession.createDataFrame(
-      new java.util.ArrayList(out.asJava), raw.schema)
+      blocks += ((s, n))
+    }
+    blocks.iterator.flatMap { case (s, n) => Iterator.fill(n)(s / n) }.toArray
   }
 
   /** One ingest step of the range tree's STREAMING face — the
@@ -614,14 +618,15 @@ object RangeTree {
     * guarded so keys x nodes literal rows fit the driver — fail loud,
     * not OOM.
     *
-    * SHARDING PATTERN past the guard (the 100 TB key-cardinality story):
-    * keyed trees are PER-KEY releases, so a key universe beyond the
-    * driver budget splits into disjoint key-range shards released
-    * independently — `publicKeys = Some(keysInShard)` per call, each
-    * within the cap, written to storage per shard. Privacy composes in
-    * PARALLEL over disjoint keys (cross-key composition was always the
-    * caller's accounting — the family's cell contract), so sharding
-    * costs zero extra budget; it is purely an orchestration loop. */
+    * SHARDING past the guard (the 100 TB key-cardinality story): keyed
+    * trees are PER-KEY releases, so a key universe beyond the driver
+    * budget splits into disjoint key-range shards released independently
+    * — AUTOMATED since r15 by [[shardedRangeTreeRelease]] /
+    * [[dpRangeCountTreeSharded]] (one shard's literal frame on the
+    * driver at a time, written to storage before the next draws).
+    * Privacy composes in PARALLEL over disjoint keys (cross-key
+    * composition was always the caller's accounting — the family's cell
+    * contract), so sharding costs zero extra budget. */
   private def releaseWithScale(
       store: DataFrame,
       keyCols: Seq[String],
@@ -657,7 +662,9 @@ object RangeTree {
           s"releaseWithScale: over $maxKeys distinct keys for bins=$bins " +
             "(the guard stops counting there) — the release draws keys x " +
             s"$nNodes node noises driver-side; reduce the key cardinality " +
-            "or shard the release by key range")
+            "or shard the release by key range " +
+            "(shardedRangeTreeRelease / dpRangeCountTreeSharded do this " +
+            "automatically)")
         kd.collect().toSeq
       }
     val draw: () => Double = kind match {
@@ -706,6 +713,168 @@ object RangeTree {
         "there) — this consumer's math is driver-side over the bounded " +
         "tree; reduce the key cardinality or shard by key range")
     pinned.collect()
+  }
+
+  /** KEY-RANGE SHARDED release — the automatic form of the manual
+    * sharding pattern documented on [[releaseWithScale]] (r15, breaking
+    * the keyed driver cap): a key universe beyond the driver budget
+    * (keys x (2*bins-1) literal noise rows must fit the driver — ~244
+    * keys at 4096 bins) splits into deterministic key-range shards, each
+    * released independently with `publicKeys = <the shard's keys>` and
+    * WRITTEN TO STORAGE before the next shard draws — so the union never
+    * holds more than one shard's literal noise frame in driver memory,
+    * and the materialized parquet makes every shard's draws final
+    * (draw-once across consumers, actions, AND shards: exactly one draw
+    * per (key, node) in total, spec-pinned with a counting source).
+    *
+    * Privacy composes in PARALLEL over disjoint keys (cross-key
+    * composition was always the caller's accounting — the family's cell
+    * contract), so sharding costs zero extra budget. The read-back union
+    * is a plain released tree: [[rangeQueries]], [[quantilesFromTree]],
+    * [[cdfFromTree]] and [[enforceConsistency]] (both distributed since
+    * r15) consume it unchanged at ANY key cardinality.
+    *
+    * `store` is a folded node-sum store ([[rangeTreeIngestStep]] output —
+    * what [[dpRangeCountTreeSharded]] builds for the one-shot case).
+    * With `publicKeys` the shard universe is the PUBLIC set (keys absent
+    * from the store still release full zero trees; store rows outside it
+    * drop); otherwise the observed key set, with the usual key-existence
+    * caveat. `maxKeysPerShard = 0` uses the release guard's own cap. */
+  def shardedRangeTreeRelease(
+      store: DataFrame,
+      keyCols: Seq[String],
+      bins: Int,
+      epsilon: Double,
+      maxPerUnit: Long,
+      noise: graft.core.NoiseSource,
+      outDir: String,
+      publicKeys: Option[DataFrame] = None,
+      noiseKind: graft.core.NoiseKind = graft.core.NoiseKind.Laplace,
+      delta: Double = 0.0,
+      maxKeysPerShard: Long = 0L
+  ): DataFrame = {
+    require(bins >= 2 && (bins & (bins - 1)) == 0 && bins <= 4096,
+      s"bins must be a power of two in [2, 4096], got $bins")
+    require(epsilon > 0, s"epsilon must be positive, got $epsilon")
+    require(maxPerUnit > 0, s"maxPerUnit must be positive, got $maxPerUnit")
+    val levels = 31 - Integer.numberOfLeadingZeros(bins)
+    val scale = treeScale(noiseKind, epsilon, delta, maxPerUnit.toDouble,
+      levels)
+    shardedByKeyRange(store, keyCols, publicKeys, 2L * bins - 1,
+      maxKeysPerShard, outDir) { (slice, shardKeys) =>
+      releaseWithScale(slice, keyCols, bins, levels, scale, noise,
+        noiseKind, publicKeys = Some(shardKeys))
+    }
+  }
+
+  /** One-shot sharded keyed tree: [[rangeTreeIngestStep]] (distributed,
+    * no key cap) + [[shardedRangeTreeRelease]] — the
+    * [[dpRangeCountTree]] semantics at ANY key cardinality. */
+  def dpRangeCountTreeSharded(
+      df: DataFrame,
+      pidCol: String,
+      valueCol: Column,
+      keyCols: Seq[String],
+      lo: Double,
+      hi: Double,
+      bins: Int,
+      epsilon: Double,
+      maxPerUnit: Long,
+      noise: graft.core.NoiseSource,
+      outDir: String,
+      publicKeys: Option[DataFrame] = None,
+      noiseKind: graft.core.NoiseKind = graft.core.NoiseKind.Laplace,
+      delta: Double = 0.0,
+      maxKeysPerShard: Long = 0L
+  ): DataFrame = {
+    val store = rangeTreeIngestStep(df, None, pidCol, valueCol, keyCols,
+      lo, hi, bins, maxPerUnit, publicKeys)
+    shardedRangeTreeRelease(store, keyCols, bins, epsilon, maxPerUnit,
+      noise, outDir, publicKeys, noiseKind, delta, maxKeysPerShard)
+  }
+
+  /** The sharding orchestrator shared by the range-tree and continual
+    * families: splits the key universe into deterministic key-RANGE
+    * shards of at most min(`maxKeysPerShard`, MaxDriverRows / `nNodes`)
+    * keys, partitions `store` by shard in ONE distributed pass (written
+    * under `outDir/_store` — "_"-prefixed, so the read-back never sees
+    * it), then releases shard by shard via `releaseShard(slice,
+    * shardKeysLiteral)` into `outDir/shard=N`. Returns the read-back
+    * union. Nothing data-shaped ever collects: the universe is ranked
+    * DISTRIBUTED (sort + zipWithIndex — indices follow the sort's range
+    * partitioning), and only one shard's keys (<= the cap) sit on the
+    * driver at a time. */
+  private[graft] def shardedByKeyRange(
+      store: DataFrame,
+      keyCols: Seq[String],
+      publicKeys: Option[DataFrame],
+      nNodes: Long,
+      maxKeysPerShard: Long,
+      outDir: String
+  )(releaseShard: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+    require(keyCols.nonEmpty,
+      "sharded release needs keyCols — an unkeyed tree is one bounded " +
+        "release; use the unsharded entry point")
+    val spark0 = store.sparkSession
+    val keyCs = keyCols.map(col)
+    val cap0 = math.max(1L, MaxDriverRows / nNodes)
+    val cap = if (maxKeysPerShard > 0) math.min(maxKeysPerShard, cap0) else cap0
+    // the shard universe: the PUBLIC key set (cast to the store's key
+    // types — the releaseWithScale coercion contract) or the observed one
+    val universe = publicKeys
+      .map(p => p.toDF(keyCols: _*)
+        .select(keyCols.map(n =>
+          col(n).cast(store.schema(n).dataType).as(n)): _*)
+        .distinct())
+      .getOrElse(store.select(keyCs: _*).distinct())
+      .sort(keyCs: _*)
+    val kSchema = org.apache.spark.sql.types.StructType(
+      keyCols.map(n => store.schema(n)) :+
+        org.apache.spark.sql.types.StructField("__shard",
+          org.apache.spark.sql.types.IntegerType, nullable = false))
+    // .rdd justified: zipWithIndex is the deterministic distributed
+    // ranking primitive — indices follow the sorted frame's range
+    // partitioning, so shards are exact key ranges of <= cap keys each
+    // (a hash-based assignment could overload a shard past the guard)
+    val shardMap = spark0.createDataFrame(
+      universe.rdd.zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i / cap).toInt)
+      }, kSchema).localCheckpoint(false) // ranked once; every shard reads it
+    val shardIds = shardMap.select(col("__shard")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    require(shardIds.nonEmpty,
+      "shardedByKeyRange: the key universe is empty — nothing to " +
+        "release (no observed keys and no publicKeys)")
+    // ONE distributed pass slices the store: each shard's release then
+    // scans only its own partition instead of the whole store (store rows
+    // outside the universe drop here — the publicKeys convention)
+    val storePath = s"$outDir/_store"
+    store.join(shardMap, keyCols).write.mode("overwrite")
+      .partitionBy("__shard").parquet(storePath)
+    val stored = try spark0.read.parquet(storePath) catch {
+      case _: org.apache.spark.sql.AnalysisException =>
+        // an all-phantom universe joins to an EMPTY store — no parquet
+        // files to infer a schema from; every slice is empty, which the
+        // release's left join handles (full zero trees + noise)
+        store.join(shardMap, keyCols)
+    }
+    for (sh <- shardIds) {
+      // this shard's keys: <= cap rows by construction — the one bounded
+      // collect per shard; they enter releaseShard as a literal frame
+      val shardKeyRows = shardMap.filter(col("__shard") === sh)
+        .select(keyCs: _*).collect()
+      val shardKeys = spark0.createDataFrame(
+        new java.util.ArrayList(shardKeyRows.toSeq.asJava),
+        org.apache.spark.sql.types.StructType(
+          keyCols.map(n => store.schema(n))))
+      val slice = stored.filter(col("__shard") === sh).drop("__shard")
+      // WRITE materializes this shard's draws before the next shard runs:
+      // the literal noise frame leaves the driver, and the parquet row set
+      // is the final released tree for these keys
+      releaseShard(slice, shardKeys).write.mode("overwrite")
+        .parquet(s"$outDir/shard=$sh")
+    }
+    spark0.read.parquet(outDir).drop("shard")
   }
 
   /** Per-node noise scale of a whole-tree release where one unit touches
@@ -821,6 +990,49 @@ object RangeTree {
        |""".stripMargin
   }
 
+  /** The per-key two-sweep OLS (the math of [[enforceConsistency]],
+    * factored pure so the distributed and any driver-side caller share
+    * one definition): `lvls/idxs/cnts` are ONE key's released nodes in
+    * any order; returns every node's consistent count. */
+  private[graft] def consistencySweepOneKey(
+      lvls: Seq[Int], idxs: Seq[Long], cnts: Seq[Double],
+      bins: Int): Seq[(Int, Long, Double)] = {
+    val levels = 31 - Integer.numberOfLeadingZeros(bins)
+    val z = scala.collection.mutable.Map.empty[(Int, Long), Double]
+    var j = 0
+    while (j < lvls.length) { z((lvls(j), idxs(j))) = cnts(j); j += 1 }
+    // the sweep indexes every node of the full universe — a partial
+    // tree (wrong bins, filtered rows) would otherwise surface as a
+    // bare NoSuchElementException deep in the recursion
+    require(z.size == 2 * bins - 1,
+      s"enforceConsistency: a key has ${z.size} nodes, want " +
+        s"${2 * bins - 1} — pass the tree's own bins and the FULL " +
+        "released universe")
+    // up-sweep: zbar(l, i) for a node at height l (leaves l = 0) is the
+    // precision-weighted blend of its draw and its children's zbar sum;
+    // weights alpha_l = (2^l - 2^(l-1)) / (2^(l+1) - 1)-style factors
+    // reduce to the standard closed form with equal per-node variance:
+    // zbar = (2^l * z + (2^l - 1) * childSum) / (2^(l+1) - 1)
+    val zbar = scala.collection.mutable.Map.empty[(Int, Long), Double]
+    for (i <- 0L until bins.toLong) zbar((0, i)) = z((0, i))
+    for (l <- 1 to levels; i <- 0L until (bins.toLong >> l)) {
+      val cs = zbar((l - 1, 2 * i)) + zbar((l - 1, 2 * i + 1))
+      val p2l = math.pow(2.0, l)
+      zbar((l, i)) = (p2l * z((l, i)) + (p2l - 1.0) * cs) / (2.0 * p2l - 1.0)
+    }
+    // down-sweep: hbar(root) = zbar(root); child = zbar(child) +
+    // (hbar(parent) - zbar(left) - zbar(right)) / 2
+    val hbar = scala.collection.mutable.Map.empty[(Int, Long), Double]
+    hbar((levels, 0L)) = zbar((levels, 0L))
+    for (l <- levels to 1 by -1; i <- 0L until (bins.toLong >> l)) {
+      val resid =
+        (hbar((l, i)) - zbar((l - 1, 2 * i)) - zbar((l - 1, 2 * i + 1))) / 2.0
+      hbar((l - 1, 2 * i)) = zbar((l - 1, 2 * i)) + resid
+      hbar((l - 1, 2 * i + 1)) = zbar((l - 1, 2 * i + 1)) + resid
+    }
+    hbar.iterator.map { case ((l, i), v) => (l, i, v) }.toSeq
+  }
+
   /** Hay et al. consistency (VLDB'10 §4): ordinary-least-squares
     * projection of the noisy tree onto the consistent subspace (children
     * sum to parents), via the closed-form two-sweep algorithm — an
@@ -828,62 +1040,35 @@ object RangeTree {
     * its own draw and its children's sum, then a DOWN-sweep distributing
     * each parent's residual equally. Post-processing (no budget); never
     * increases any node's variance, and typically cuts range-query error
-    * ~2x at the leaves. Driver math over the BOUNDED released tree
-    * (2*bins-1 rows per key — the bins <= 4096 contract), the PLD-math
-    * bounded-collect class; returns the same schema with consistent
-    * dp_count (exact tree => identity, spec-pinned). */
+    * ~2x at the leaves.
+    *
+    * DISTRIBUTED (r15, breaking the keyed driver cap): the sweep is
+    * per-key independent, so each key's BOUNDED node universe (2*bins-1
+    * rows, bins <= 4096 — one small array per group) gathers map-side
+    * into a collect_list and sweeps inside a task — no driver collect,
+    * no key-cardinality cap, one shuffle on the key. Returns the same
+    * schema with consistent dp_count (exact tree => identity,
+    * spec-pinned; the values are bit-identical to the driver sweep —
+    * same [[consistencySweepOneKey]] arithmetic). */
   def enforceConsistency(
       tree: DataFrame,
       keyCols: Seq[String],
       bins: Int
   ): DataFrame = {
-    val levels = 31 - Integer.numberOfLeadingZeros(bins)
-    // bounded driver math ((2*bins-1) x keys rows) — guarded like every
-    // tree-shaped collect (fail loud, not OOM)
-    val rows = boundedCollect(tree
-      .select(col("__lvl") +: col("__idx") +:
-        keyCols.map(col) :+ col("dp_count"): _*), "enforceConsistency")
-    val byKey = rows.groupBy(r => r.toSeq.slice(2, 2 + keyCols.length))
-    val out = byKey.iterator.flatMap { case (key, krows) =>
-      val z = scala.collection.mutable.Map.empty[(Int, Long), Double]
-      krows.foreach(r => z((r.getInt(0), r.getLong(1))) = r.getDouble(2 + keyCols.length))
-      // the sweep indexes every node of the full universe — a partial
-      // tree (wrong bins, filtered rows) would otherwise surface as a
-      // bare NoSuchElementException deep in the recursion
-      require(z.size == 2 * bins - 1,
-        s"enforceConsistency: key $key has ${z.size} nodes, want " +
-          s"${2 * bins - 1} — pass the tree's own bins and the FULL " +
-          "released universe")
-      // up-sweep: zbar(l, i) for a node at height l (leaves l = 0) is the
-      // precision-weighted blend of its draw and its children's zbar sum;
-      // weights alpha_l = (2^l - 2^(l-1)) / (2^(l+1) - 1)-style factors
-      // reduce to the standard closed form with equal per-node variance:
-      // zbar = (2^l * z + (2^l - 1) * childSum) / (2^(l+1) - 1)
-      val zbar = scala.collection.mutable.Map.empty[(Int, Long), Double]
-      for (i <- 0L until bins.toLong) zbar((0, i)) = z((0, i))
-      for (l <- 1 to levels; i <- 0L until (bins.toLong >> l)) {
-        val cs = zbar((l - 1, 2 * i)) + zbar((l - 1, 2 * i + 1))
-        val p2l = math.pow(2.0, l)
-        zbar((l, i)) = (p2l * z((l, i)) + (p2l - 1.0) * cs) / (2.0 * p2l - 1.0)
-      }
-      // down-sweep: hbar(root) = zbar(root); child = zbar(child) +
-      // (hbar(parent) - zbar(left) - zbar(right)) / 2
-      val hbar = scala.collection.mutable.Map.empty[(Int, Long), Double]
-      hbar((levels, 0L)) = zbar((levels, 0L))
-      for (l <- levels to 1 by -1; i <- 0L until (bins.toLong >> l)) {
-        val resid =
-          (hbar((l, i)) - zbar((l - 1, 2 * i)) - zbar((l - 1, 2 * i + 1))) / 2.0
-        hbar((l - 1, 2 * i)) = zbar((l - 1, 2 * i)) + resid
-        hbar((l - 1, 2 * i + 1)) = zbar((l - 1, 2 * i + 1)) + resid
-      }
-      hbar.iterator.map { case ((l, i), v) =>
-        // Seq[Any], NOT Seq(l, i): Scala numeric widening would unify the
-        // mixed Int/Long elements to Seq[Long], silently boxing the level
-        // as a Long and breaking the IntegerType slot at conversion
-        org.apache.spark.sql.Row.fromSeq(Seq[Any](l, i) ++ key :+ v)
-      }
-    }.toSeq
-    tree.sparkSession.createDataFrame(
-      new java.util.ArrayList(out.asJava), tree.schema)
+    require(bins >= 2 && (bins & (bins - 1)) == 0 && bins <= 4096,
+      s"bins must be a power of two in [2, 4096], got $bins")
+    val keyCs = keyCols.map(col)
+    val sweep = udf((lvls: Seq[Int], idxs: Seq[Long], cnts: Seq[Double]) =>
+      consistencySweepOneKey(lvls, idxs, cnts, bins))
+    tree
+      .groupBy(keyCs: _*)
+      .agg(collect_list(struct(col("__lvl").as("l"), col("__idx").as("i"),
+        col("dp_count").as("c"))).as("__nodes"))
+      .select(keyCs :+ explode(sweep(
+        expr("transform(__nodes, n -> n.l)"),
+        expr("transform(__nodes, n -> n.i)"),
+        expr("transform(__nodes, n -> n.c)"))).as("__n"): _*)
+      .select(col("__n._1").as("__lvl") +: col("__n._2").as("__idx") +:
+        keyCs :+ col("__n._3").as("dp_count"): _*)
   }
 }

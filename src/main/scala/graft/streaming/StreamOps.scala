@@ -562,10 +562,32 @@ object StreamOps {
     require(epsilon > 0, s"epsilon must be positive, got $epsilon")
     require(maxPerTick > 0, s"maxPerTick must be positive, got $maxPerTick")
     val levels = 31 - Integer.numberOfLeadingZeros(horizon) // log2(horizon)
+    // with public keys, non-public rows DROP before bounding (the batch
+    // engine's public-partitions convention) so nothing they carry can
+    // shape the release
+    val pub = publicKeys.map(p => broadcast(
+      p.toDF(keyCols: _*).distinct().localCheckpoint(false)))
+    val perTick = continualPerTickCount(events, pidCol, tickCol, keyCols,
+      horizon, maxPerTick, pub, "dpContinualCount")
+      .localCheckpoint(false) // node sums + key universe share one result
+    val scale = graft.spark.RangeTree.treeScale(noiseKind, epsilon, delta,
+      maxPerTick.toDouble, levels)
+    continualTreeRelease(perTick, keyCols, pub, horizon, levels, scale,
+      noise, noiseKind, "dp_prefix_count")
+  }
+
+  /** The bounded per-(tick, key) count cells of the continual counter —
+    * ONE definition shared by [[dpContinualCount]] and its sharded form
+    * so the bounding cannot drift: fail-loud ticks/keys, per-unit cap
+    * `least(count, maxPerTick)` within each cell. */
+  private def continualPerTickCount(events: DataFrame, pidCol: String,
+      tickCol: org.apache.spark.sql.Column, keyCols: Seq[String],
+      horizon: Int, maxPerTick: Long, pub: Option[DataFrame],
+      what: String): DataFrame = {
     val keyCs = keyCols.map(col)
     val u0 = tickCol.cast("long")
     val u = when(u0.isNull || u0 < 0 || u0 >= horizon, raise_error(lit(
-        s"dpContinualCount: tick outside [0, $horizon) — widen the horizon " +
+        s"$what: tick outside [0, $horizon) — widen the horizon " +
           "(power of two) or filter the input")).cast("long"))
       .otherwise(u0)
     // NULL keys fail loud: they would survive the grouping but silently
@@ -573,29 +595,68 @@ object StreamOps {
     // events NOWHERE — the r11 NULL-join-conjunct lesson
     val keyChecked = keyCs.zip(keyCols).map { case (c, n) =>
       when(c.isNull, raise_error(lit(
-        s"dpContinualCount: NULL key '$n' — it would silently drop from " +
+        s"$what: NULL key '$n' — it would silently drop from " +
           "the release joins; coalesce or filter upstream"))
         .cast(events.schema(n).dataType))
         .otherwise(c).as(n)
     }
-    // with public keys, non-public rows DROP before bounding (the batch
-    // engine's public-partitions convention) so nothing they carry can
-    // shape the release
-    val pub = publicKeys.map(p => broadcast(
-      p.toDF(keyCols: _*).distinct().localCheckpoint(false)))
     val inScope = pub.fold(events)(p =>
       events.join(p, keyCols.map(n => events(n) === p(n)).reduce(_ && _),
         "left_semi"))
-    val perTick = inScope
+    inScope
       .groupBy(col(pidCol).as("__pid") +: u.as("__t") +: keyChecked: _*)
       .agg(least(count(lit(1)), lit(maxPerTick)).cast("double").as("__n"))
       .groupBy(col("__t") +: keyCs: _*)
       .agg(sum(col("__n")).as("__nt"))
-      .localCheckpoint(false) // node sums + key universe share one result
+  }
+
+  /** KEY-RANGE SHARDED continual counter — [[dpContinualCount]] at ANY
+    * key cardinality (r15, breaking the keyed driver cap): the bounded
+    * per-tick cells build in ONE distributed pass, then the key universe
+    * splits into deterministic key-range shards
+    * ([[graft.spark.RangeTree.shardedByKeyRange]]), each released
+    * independently and WRITTEN to `outDir` before the next shard draws —
+    * exactly one draw per (key, node) in total, and never more than one
+    * shard's literal noise frame on the driver. Privacy composes in
+    * PARALLEL over disjoint keys (the family's cell contract), so
+    * sharding costs zero extra budget. The read-back union carries the
+    * released schema, so [[continualWindowCounts]] consumes it
+    * unchanged. `maxKeysPerShard = 0` uses the release guard's own cap
+    * (MaxDriverRows / (2*horizon - 1)). */
+  def dpContinualCountSharded(
+      events: DataFrame,
+      pidCol: String,
+      tickCol: org.apache.spark.sql.Column,
+      keyCols: Seq[String],
+      horizon: Int,
+      epsilon: Double,
+      maxPerTick: Long,
+      noise: graft.core.NoiseSource,
+      outDir: String,
+      publicKeys: Option[DataFrame] = None,
+      noiseKind: graft.core.NoiseKind = graft.core.NoiseKind.Laplace,
+      delta: Double = 0.0,
+      maxKeysPerShard: Long = 0L
+  ): DataFrame = {
+    require(keyCols.nonEmpty,
+      "dpContinualCountSharded needs keyCols — an unkeyed release is one " +
+        "bounded tree; use dpContinualCount")
+    require(horizon >= 2 && (horizon & (horizon - 1)) == 0,
+      s"horizon must be a power of two >= 2, got $horizon (the dyadic tree)")
+    require(epsilon > 0, s"epsilon must be positive, got $epsilon")
+    require(maxPerTick > 0, s"maxPerTick must be positive, got $maxPerTick")
+    val levels = 31 - Integer.numberOfLeadingZeros(horizon)
+    val pub = publicKeys.map(p => broadcast(
+      p.toDF(keyCols: _*).distinct().localCheckpoint(false)))
+    val perTick = continualPerTickCount(events, pidCol, tickCol, keyCols,
+      horizon, maxPerTick, pub, "dpContinualCountSharded")
     val scale = graft.spark.RangeTree.treeScale(noiseKind, epsilon, delta,
       maxPerTick.toDouble, levels)
-    continualTreeRelease(perTick, keyCols, pub, horizon, levels, scale,
-      noise, noiseKind, "dp_prefix_count")
+    graft.spark.RangeTree.shardedByKeyRange(perTick, keyCols, publicKeys,
+      2L * horizon - 1, maxKeysPerShard, outDir) { (slice, shardKeys) =>
+      continualTreeRelease(slice, keyCols, Some(shardKeys), horizon,
+        levels, scale, noise, noiseKind, "dp_prefix_count")
+    }
   }
 
   /** The shared dyadic-tree release of the continual family: per-tick true
@@ -652,7 +713,8 @@ object StreamOps {
           s"continualTreeRelease: over $maxKeys distinct keys for " +
             s"horizon=$horizon (the guard stops counting there) — the " +
             s"release draws keys x $nNodes node noises driver-side; " +
-            "reduce the key cardinality or shard the release by key range")
+            "reduce the key cardinality or shard the release by key " +
+            "range (dpContinualCountSharded does this automatically)")
         kd.collect().toSeq
       }
     val draw: () => Double = kind match {

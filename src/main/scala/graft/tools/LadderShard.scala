@@ -1,0 +1,62 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Key-cardinality ladder for the SHARDED keyed tree release (r15): the
+  * same 100k-event input keyed at 1x / 10x / 100x key cardinalities
+  * (500 / 5,000 / 50,000 distinct keys at bins = 64 — the 10x and 100x
+  * rungs sit far past the one-shot release guard of ~15.7k keys), timed
+  * through release + quantile readout + consistency. What the rung must
+  * show: wall grows with the RELEASED tree size (keys x nodes — the
+  * output), not super-linearly, and the per-key cost stays flat-to-
+  * falling; the sharding loop adds only per-shard job overhead.
+  * Evidence tooling only — never a gate input.
+  *
+  * Usage: runMain graft.tools.LadderShard [sfDir] */
+object LadderShard {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", false)
+      .appName("ladder-shard").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // no shared checkpoint: the between-rep unpersist (the bench
+    // convention) would evict it and fail later reps
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+
+    for (keys <- Seq(500, 5000, 50000)) {
+      val keyed = events.withColumn("k",
+        format_string("c%06d", pmod(col("user_id") * 7919 + col("event_id"),
+          lit(keys.toLong))))
+      val reps = (1 to 3).map { _ =>
+        val out = java.nio.file.Files
+          .createTempDirectory("graft_ladder_shard_").toString
+        val t0 = System.nanoTime()
+        val rel = graft.spark.RangeTree.dpRangeCountTreeSharded(keyed,
+          "user_id", col("value"), Seq("k"), lo = 0.0, hi = 1000.0,
+          bins = 64, epsilon = 1.0, maxPerUnit = 100L,
+          noise = graft.core.NoiseSource.Secure, outDir = out)
+        val nRel = rel.count()
+        val nQ = graft.spark.RangeTree.quantilesFromTree(rel, Seq("k"),
+          0.0, 1000.0, 64, Seq(0.5, 0.99)).count()
+        val nC = graft.spark.RangeTree.enforceConsistency(rel, Seq("k"), 64)
+          .count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
+        (dt, nRel, nQ, nC)
+      }
+      val best = reps.map(_._1).min
+      val (_, nRel, nQ, nC) = reps.head
+      println(f"[ladder-shard] keys=$keys%6d released=$nRel%9d " +
+        f"quantiles=$nQ%6d consistent=$nC%9d best=$best%7.2fs " +
+        f"perKeyMs=${best * 1000 / keys}%7.3f")
+    }
+    spark.stop()
+  }
+}

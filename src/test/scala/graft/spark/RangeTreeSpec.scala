@@ -626,4 +626,100 @@ class RangeTreeSpec extends AnyFunSuite {
       .collect().map(r => r.getString(3) -> r.getDouble(4)).toMap
     assert(q == Map("a" -> 1.0, "b" -> 1.0))
   }
+
+  test("sharded release == one-shot; draws once per (key, node) across shards") {
+    // 10 keys, 4-key shards -> 3 shards; zero noise must reproduce the
+    // one-shot keyed release exactly, and a counting source must show
+    // exactly keys x nodes draws IN TOTAL across all shards
+    val df = (0 until 10).flatMap(k =>
+      Seq((k.toLong * 2 + 1, 0.5, f"k$k%02d"), (k.toLong * 2 + 2, 5.5, f"k$k%02d")))
+      .toDF("uid", "v", "k")
+    def rows(t: org.apache.spark.sql.DataFrame) = t.collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getString(2)) -> r.getDouble(3))
+      .toMap
+    val oneShot = rows(RangeTree.dpRangeCountTree(df, "uid", col("v"),
+      Seq("k"), 0.0, 8.0, 8, 1.0, 10L, graft.core.NoiseSource.Zero))
+    val dir = java.nio.file.Files.createTempDirectory("graft_shard_").toString
+    val sharded = RangeTree.dpRangeCountTreeSharded(df, "uid", col("v"),
+      Seq("k"), 0.0, 8.0, 8, 1.0, 10L, graft.core.NoiseSource.Zero, dir,
+      maxKeysPerShard = 4L)
+    assert(rows(sharded.select(col("__lvl"), col("__idx"), col("k"),
+      col("dp_count"))) == oneShot)
+    assert(oneShot.size == 10 * 15)
+    // draw-once across shards AND actions: the parquet materialization is
+    // the single draw point — exactly keys x (2*bins-1) draws total, and
+    // re-reading the result triggers zero more
+    val counter = new java.util.concurrent.atomic.AtomicLong(0)
+    object Counting extends graft.core.NoiseSource {
+      def laplace(b: Double): Double = { counter.incrementAndGet(); 0.0 }
+      def gaussian(sigma: Double): Double = { counter.incrementAndGet(); 0.0 }
+      def uniform(): Double = 0.5
+    }
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_shard_").toString
+    val rel = RangeTree.dpRangeCountTreeSharded(df, "uid", col("v"),
+      Seq("k"), 0.0, 8.0, 8, 1.0, 10L, Counting, dir2,
+      maxKeysPerShard = 4L)
+    assert(counter.get == 10L * 15L, s"draws=${counter.get}")
+    rel.collect(); rel.collect()
+    assert(counter.get == 10L * 15L, "post-release actions must not redraw")
+    // phantom PUBLIC keys release full zero trees; non-public keys drop
+    val pub = Seq("k00", "k03", "zz_phantom").toDF("k")
+    val dir3 = java.nio.file.Files.createTempDirectory("graft_shard_").toString
+    val pubRel = rows(RangeTree.dpRangeCountTreeSharded(df, "uid", col("v"),
+      Seq("k"), 0.0, 8.0, 8, 1.0, 10L, graft.core.NoiseSource.Zero, dir3,
+      publicKeys = Some(pub), maxKeysPerShard = 2L)
+      .select(col("__lvl"), col("__idx"), col("k"), col("dp_count")))
+    assert(pubRel.size == 3 * 15)
+    assert(pubRel((3, 0L, "zz_phantom")) == 0.0)
+    assert(pubRel((3, 0L, "k00")) == 2.0)
+    assert(!pubRel.contains((3, 0L, "k01")))
+    // the read-back union feeds the (distributed) post-processing
+    // unchanged: consistency and quantiles match the one-shot tree's
+    val oneTree = RangeTree.dpRangeCountTree(df, "uid", col("v"), Seq("k"),
+      0.0, 8.0, 8, 1.0, 10L, graft.core.NoiseSource.Zero)
+    val cOne = rows(RangeTree.enforceConsistency(oneTree, Seq("k"), 8)
+      .select(col("__lvl"), col("__idx"), col("k"), col("dp_count")))
+    val cSharded = rows(RangeTree.enforceConsistency(sharded, Seq("k"), 8)
+      .select(col("__lvl"), col("__idx"), col("k"), col("dp_count")))
+    assert(cSharded == cOne)
+    def qmap(t: org.apache.spark.sql.DataFrame) =
+      RangeTree.quantilesFromTree(t, Seq("k"), 0.0, 8.0, 8, Seq(0.5, 0.9))
+        .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getLong(2))
+        .toMap
+    assert(qmap(sharded) == qmap(oneTree))
+  }
+
+  test("beyond-guard key cardinality: unsharded fails loud, sharded releases") {
+    // bins = 4096 puts the release guard at MaxDriverRows / 8191 = 244
+    // keys; 250 keys must be REJECTED by the one-shot release and handled
+    // automatically by the sharded one (2 shards), end-to-end through the
+    // quantile readout
+    val n = 250
+    val df = spark.range(0, n.toLong)
+      .select(col("id").as("uid"),
+        (col("id") % 100 * 10.0).as("v"),
+        format_string("c%03d", col("id")).as("k"))
+    val e = intercept[IllegalArgumentException] {
+      RangeTree.dpRangeCountTree(df, "uid", col("v"), Seq("k"),
+        0.0, 1000.0, 4096, 1.0, 10L, graft.core.NoiseSource.Zero).collect()
+    }
+    assert(e.getMessage.contains("shard the release"), e.getMessage)
+    val dir = java.nio.file.Files.createTempDirectory("graft_shard_").toString
+    val rel = RangeTree.dpRangeCountTreeSharded(df, "uid", col("v"),
+      Seq("k"), 0.0, 1000.0, 4096, 1.0, 10L, graft.core.NoiseSource.Zero,
+      dir)
+    assert(rel.count() == n.toLong * (2 * 4096 - 1))
+    // each key holds exactly one row; its root count is 1
+    val roots = rel.filter(col("__lvl") === 12)
+    assert(roots.count() == n.toLong)
+    assert(roots.agg(sum(col("dp_count"))).head().getDouble(0) == n.toDouble)
+    // quantile readout over the full 250-key release (distributed
+    // post-processing — no driver cap anywhere on this path)
+    val q = RangeTree.quantilesFromTree(rel, Seq("k"), 0.0, 1000.0, 4096,
+      Seq(1.0)).collect()
+    assert(q.length == n)
+    // key c007 has its single row at v = 70 -> leaf bin 286 (width 1000/4096)
+    val c7 = q.find(_.getString(0) == "c007").get
+    assert(c7.getLong(2) == math.floor(70.0 / (1000.0 / 4096)).toLong)
+  }
 }

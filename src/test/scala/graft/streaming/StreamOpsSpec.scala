@@ -1108,6 +1108,47 @@ class StreamOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("sharded continual counter == one-shot; draws once per (key, node) across shards") {
+    import org.apache.spark.sql.functions._
+    // 5 keys at 2 keys per shard -> 3 shards; zero noise must reproduce
+    // the one-shot keyed release exactly
+    val df = (0 until 5).flatMap(k =>
+      Seq((1L, 0L, s"k$k"), (2L, 3L, s"k$k"), (3L, 6L, s"k$k")))
+      .toDF("user_id", "tick", "key")
+    def m(t: org.apache.spark.sql.DataFrame) = t.collect()
+      .map(r => (r.getAs[String]("key"), r.getAs[Long]("t")) ->
+        r.getAs[Double]("dp_prefix_count")).toMap
+    val oneShot = m(StreamOps.dpContinualCount(df, "user_id", col("tick"),
+      Seq("key"), horizon = 8, epsilon = 1.0, maxPerTick = 100L,
+      noise = graft.core.NoiseSource.Zero))
+    val dir = java.nio.file.Files.createTempDirectory("graft_cshard_").toString
+    val sharded = StreamOps.dpContinualCountSharded(df, "user_id",
+      col("tick"), Seq("key"), horizon = 8, epsilon = 1.0,
+      maxPerTick = 100L, noise = graft.core.NoiseSource.Zero, outDir = dir,
+      maxKeysPerShard = 2L)
+    assert(m(sharded) == oneShot)
+    assert(oneShot.size == 5 * 8)
+    // exactly keys x (2*horizon - 1) draws in total, materialized once:
+    // further actions on the read-back trigger zero more
+    val counter = new java.util.concurrent.atomic.AtomicLong(0)
+    object Counting extends graft.core.NoiseSource {
+      def laplace(b: Double): Double = { counter.incrementAndGet(); 0.0 }
+      def gaussian(sigma: Double): Double = { counter.incrementAndGet(); 0.0 }
+      def uniform(): Double = 0.5
+    }
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_cshard_").toString
+    val rel = StreamOps.dpContinualCountSharded(df, "user_id", col("tick"),
+      Seq("key"), 8, 1.0, 100L, Counting, dir2, maxKeysPerShard = 2L)
+    assert(counter.get == 5L * 15L, s"draws=${counter.get}")
+    rel.collect(); rel.collect()
+    assert(counter.get == 5L * 15L, "post-release actions must not redraw")
+    // the read-back feeds window post-processing unchanged
+    val win = StreamOps.continualWindowCounts(sharded, Seq("key"), 2)
+      .collect().map(r => (r.getAs[String]("key"), r.getAs[Long]("t")) ->
+        r.getAs[Double]("dp_window_count")).toMap
+    assert(win(("k0", 3L)) == oneShot(("k0", 3L)) - oneShot(("k0", 1L)))
+  }
+
   test("continual DP counter: prefix exactness, node reuse, bounding, guards") {
     import org.apache.spark.sql.functions._
     // ticks 0..7 (horizon 8): per-tick counts 2, 0, 1, 3, 0, 0, 1, 0
