@@ -52,6 +52,57 @@ final class BudgetHandle private[core] (
   private[core] def deltaWeight: Double = if (useDelta) weight * count else 0.0
 }
 
+/** A pending WHOLE-TREE-RELEASE budget request (r15, promoting the
+  * [[graft.spark.RangeTree.treeCompositionEpsilon]] fleet math into the
+  * accountant): one dyadic tree release — a range tree over `bins` bins
+  * or a continual release over a `bins`-tick horizon — accounts as ONE
+  * mechanism at unit sensitivity (a Laplace tree's whole-release loss is
+  * exactly scalar Laplace at ratio b/Delta1; a Gaussian tree's is exactly
+  * scalar Gaussian at sigma/Delta2 by rotation invariance — the tree
+  * shape is already inside the calibration), so it composes with every
+  * other engine mechanism under the same accountant and the SAME scope /
+  * weight semantics. After `computeBudgets()`, [[perNodeScale]] is the
+  * calibration the release must use (feed it to
+  * `RangeTree.rangeTreeReleaseWithScale`). */
+final class TreeReleaseHandle private[core] (
+    val handle: BudgetHandle,
+    val levels: Int,
+    val unitLinf: Double,
+    val treeNoiseKind: NoiseKind
+) {
+  /** The per-node noise scale (Laplace b or Gaussian sigma) the resolved
+    * budget buys: the accountant resolves the WHOLE-RELEASE normalized
+    * loss (PLD: normalized noise std; naive: per-use (eps, delta)), and
+    * the tree's sensitivity structure converts it to per-node units —
+    * L1 = unitLinf * (levels+1) for Laplace, L2 = unitLinf *
+    * sqrt(levels+1) for Gaussian (the [[graft.spark.RangeTree.treeScale]]
+    * derivation). */
+  def perNodeScale: Double = {
+    val spec = handle.spec
+    spec.noiseStdDev match {
+      case Some(nstd) => treeNoiseKind match {
+        // PLD path: nstd is the whole-release normalized noise std.
+        // Laplace: scalar scale beta = nstd / sqrt(2); per-node
+        // b = beta * Delta1. Gaussian: scalar sigma = nstd; per-node
+        // sigma = nstd * Delta2.
+        case NoiseKind.Laplace =>
+          nstd / math.sqrt(2.0) * unitLinf * (levels + 1)
+        case NoiseKind.Gaussian =>
+          nstd * unitLinf * math.sqrt(levels + 1.0)
+      }
+      case None => treeNoiseKind match {
+        // naive path: exact per-use (eps, delta) calibration — the
+        // one-shot treeScale formulas
+        case NoiseKind.Laplace =>
+          unitLinf * (levels + 1) / spec.epsilon
+        case NoiseKind.Gaussian =>
+          DpNoise.gaussianSigma(spec.epsilon, spec.delta,
+            unitLinf * math.sqrt(levels + 1.0))
+      }
+    }
+  }
+}
+
 /** Common surface of the budget accountants (reference:
   * budget_accounting.py:129-360 BudgetAccountant base). */
 sealed abstract class BudgetAccountant(
@@ -88,6 +139,40 @@ sealed abstract class BudgetAccountant(
     val h = new BudgetHandle(mechanismType, weight, count, name, sensitivity)
     requests += h
     h
+  }
+
+  /** Register `count` whole-tree releases (range trees over `bins` bins
+    * or continual releases over a `bins`-tick horizon, all at the same
+    * shape) as mechanisms under THIS accountant, so one budget covers
+    * engine queries AND tree fleets — the reference's scope surface
+    * (budget_accounting.py:138-359) extended to the tree families.
+    * Composes under [[scope]]/weights like any request; under PLD the
+    * composition is tight (n Gaussian releases compose as ONE Gaussian
+    * at sigma/sqrt(n) — where the Gaussian tree option wins at fleet
+    * scale, spec-pinned at n = 64 against the closed form). Read the
+    * calibration off [[TreeReleaseHandle.perNodeScale]] after
+    * `computeBudgets()`. */
+  def requestTreeRelease(
+      bins: Int,
+      noiseKind: NoiseKind,
+      weight: Double = 1.0,
+      count: Int = 1,
+      name: String = "",
+      unitLinf: Double = 1.0
+  ): TreeReleaseHandle = {
+    require(bins >= 2 && (bins & (bins - 1)) == 0,
+      s"bins must be a power of two >= 2, got $bins (the dyadic tree)")
+    require(unitLinf > 0, s"unitLinf must be positive, got $unitLinf")
+    val levels = 31 - Integer.numberOfLeadingZeros(bins)
+    val mt = noiseKind match {
+      case NoiseKind.Laplace  => MechanismType.Laplace
+      case NoiseKind.Gaussian => MechanismType.Gaussian
+    }
+    // unit sensitivity: the whole-release loss is the scalar mechanism's
+    // (see TreeReleaseHandle) — levels/unitLinf re-enter only in the
+    // perNodeScale conversion
+    val h = requestBudget(mt, weight, count, name, sensitivity = 1.0)
+    new TreeReleaseHandle(h, levels, unitLinf, noiseKind)
   }
 
   private[graft] def registerAggregation(): Unit = { aggregationCount += 1 }

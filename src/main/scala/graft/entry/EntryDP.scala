@@ -445,6 +445,27 @@ private[graft] object EntryDP {
         .select(col("__lvl").cast("long").as("lvl"), col("__idx").as("idx"),
           col("event_type"), col("dp_count"))
     }),
+    "dp_range_accountant" -> ((s, dir) => {
+      // ONE budget covering engine queries AND tree releases (r15): the
+      // accountant registers the whole-tree release as a mechanism
+      // (requestTreeRelease — unit-sensitivity scalar equivalence, the
+      // treeCompositionEpsilon identity), resolves the per-node scale,
+      // and rangeTreeReleaseWithScale applies it. Zero noise => the same
+      // exact keyed tree, so the oracle IS dp_range_tree's SQL; the
+      // calibration math itself is pinned in PLDSpec (n=64 closed form)
+      // and RangeTreeSpec (echo-scale wiring).
+      val acc = new graft.core.NaiveBudgetAccountant(1.0, 0.0)
+      val t = acc.requestTreeRelease(bins = 64,
+        graft.core.NoiseKind.Laplace, count = 1)
+      acc.computeBudgets()
+      val store = graft.spark.RangeTree.rangeTreeIngestStep(events(s, dir),
+        None, "user_id", col("value"), Seq("event_type"), lo = 0.0,
+        hi = 1000.0, bins = 64, maxPerUnit = 1000000L)
+      graft.spark.RangeTree.rangeTreeReleaseWithScale(store,
+          Seq("event_type"), 64, t.perNodeScale, NoiseSource.Zero)
+        .select(col("__lvl").cast("long").as("lvl"), col("__idx").as("idx"),
+          col("event_type"), col("dp_count"))
+    }),
     "dp_range_sharded" -> ((s, dir) => {
       // the KEY-RANGE SHARDED release (the 100 TB key-cardinality path,
       // r15): the key universe splits into deterministic key-range
@@ -1105,6 +1126,8 @@ private[graft] object EntryDP {
       // the sharded release is the same mechanism shard by shard: zero
       // noise replays the identical exact keyed tree
       "dp_range_sharded" -> rangeTreeSql,
+      // accountant-resolved calibration, zero noise: same exact tree
+      "dp_range_accountant" -> rangeTreeSql,
       // zero-noise Gaussian releases the same exact tree (echo-scale
       // sigma calibration is spec-pinned; here the path runs end-to-end)
       "dp_range_gaussian" -> rangeTreeSql,

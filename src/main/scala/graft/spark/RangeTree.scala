@@ -595,6 +595,32 @@ object RangeTree {
       noise, noiseKind, publicKeys)
   }
 
+  /** Publish a folded node-sum store at an EXPLICIT per-node noise scale
+    * — the accountant-driven face of [[rangeTreeRelease]] (r15): when a
+    * [[graft.core.BudgetAccountant]] resolves a tree release via
+    * `requestTreeRelease`, its `TreeReleaseHandle.perNodeScale` plugs in
+    * here directly (the epsilon-parameterized entry points compute the
+    * same scale via [[treeScale]] — one release stage either way). */
+  def rangeTreeReleaseWithScale(
+      store: DataFrame,
+      keyCols: Seq[String],
+      bins: Int,
+      perNodeScale: Double,
+      noise: graft.core.NoiseSource,
+      publicKeys: Option[DataFrame] = None,
+      noiseKind: graft.core.NoiseKind = graft.core.NoiseKind.Laplace
+  ): DataFrame = {
+    require(bins >= 2 && (bins & (bins - 1)) == 0 && bins <= 4096,
+      s"bins must be a power of two in [2, 4096], got $bins")
+    require(perNodeScale >= 0,
+      s"perNodeScale must be >= 0, got $perNodeScale")
+    require(publicKeys.isEmpty || keyCols.nonEmpty,
+      "publicKeys given but keyCols is empty — nothing to make public")
+    val levels = 31 - Integer.numberOfLeadingZeros(bins)
+    releaseWithScale(store, keyCols, bins, levels, perNodeScale, noise,
+      noiseKind, publicKeys)
+  }
+
   /** THE noisy release stage — one definition shared by the count tree,
     * the sum tree, and the ingest fold (r13 self-review: the sum tree
     * initially duplicated it), parameterized by the per-node noise scale

@@ -441,6 +441,48 @@ class PLDBudgetAccountantSpec extends AnyFunSuite {
     assert(lap.spec.noiseStdDev.isDefined)
   }
 
+  test("tree-release fleet under the accountant: n=64 Gaussian closed-form cross-check") {
+    // 64 Gaussian tree releases (bins = 64 -> levels = 6) under ONE PLD
+    // budget: the accountant must resolve a whole-release sigma whose
+    // 64-fold self-composition exhausts (eps, delta) — and n identical
+    // Gaussians compose as ONE Gaussian at sigma / sqrt(n), so the
+    // resolved calibration has a closed form to pin against
+    val (e, d) = (2.0, 1e-6)
+    val acc = new PLDBudgetAccountant(e, d)
+    val t = acc.requestTreeRelease(bins = 64, NoiseKind.Gaussian, count = 64)
+    acc.computeBudgets()
+    val sigmaNode = t.perNodeScale
+    // per-node sigma = whole-release sigma * sqrt(levels+1)
+    val sigmaRel = sigmaNode / math.sqrt(7.0)
+    val composedEps = DpNoise.gaussianEpsilon(sigmaRel / 8.0, d)
+    assert(composedEps <= e * 1.001 && composedEps > 0.93 * e,
+      s"sigmaNode=$sigmaNode composed eps=$composedEps want ~$e")
+    // the Gaussian fleet option beats Laplace at n = 64 for the same
+    // budget: per-node noise STD (Laplace std = b * sqrt(2)) is smaller
+    val accL = new PLDBudgetAccountant(e, d)
+    val tL = accL.requestTreeRelease(bins = 64, NoiseKind.Laplace, count = 64)
+    accL.computeBudgets()
+    assert(sigmaNode < tL.perNodeScale * math.sqrt(2.0),
+      s"gaussian $sigmaNode !< laplace std ${tL.perNodeScale * math.sqrt(2.0)}")
+    // ONE budget covers engine queries AND the fleet: adding a plain
+    // Gaussian engine mechanism beside the fleet costs both sides noise
+    val accM = new PLDBudgetAccountant(e, d)
+    val tM = accM.requestTreeRelease(bins = 64, NoiseKind.Gaussian, count = 64)
+    val gM = accM.requestBudget(MechanismType.Gaussian)
+    accM.computeBudgets()
+    assert(tM.perNodeScale > sigmaNode, "fleet must pay for the engine query")
+    assert(gM.spec.noiseStdDev.exists(_ > 0))
+    // the naive accountant resolves the same surface to exact per-use
+    // (eps, delta) -> the one-shot treeScale calibration
+    val accN = new NaiveBudgetAccountant(1.0, 0.0)
+    val tN = accN.requestTreeRelease(bins = 64, NoiseKind.Laplace,
+      weight = 1.0, count = 1, unitLinf = 10.0)
+    accN.computeBudgets()
+    // full epsilon to the single release: b = unitLinf * (levels+1) / eps
+    assert(math.abs(tN.perNodeScale - 10.0 * 7 / 1.0) < 1e-9,
+      s"b=${tN.perNodeScale}")
+  }
+
   test("request after compute and double compute throw") {
     val acc = new PLDBudgetAccountant(1.0, 1e-6)
     acc.requestBudget(Laplace)
@@ -573,4 +615,5 @@ class SymmetricBinomialGaussianSpec extends AnyFunSuite {
     assert(math.abs(graft.core.PartitionSelection.laplaceThreshold(1.0, 0.25, 1)
       - (1.0 - math.log(0.5))) < 1e-12)
   }
+
 }

@@ -689,6 +689,32 @@ class RangeTreeSpec extends AnyFunSuite {
     assert(qmap(sharded) == qmap(oneTree))
   }
 
+  test("accountant-resolved calibration drives the release end-to-end") {
+    // one budget covering a 2-release Gaussian fleet: the accountant
+    // resolves the per-node sigma, and rangeTreeReleaseWithScale applies
+    // it verbatim (echo source: every node reads exact + sigma)
+    val acc = new graft.core.PLDBudgetAccountant(1.0, 1e-6)
+    val t = acc.requestTreeRelease(bins = 8,
+      graft.core.NoiseKind.Gaussian, count = 2)
+    acc.computeBudgets()
+    val sigma = t.perNodeScale
+    assert(sigma > 0)
+    object Echo extends graft.core.NoiseSource {
+      def laplace(b: Double): Double = b
+      def gaussian(s: Double): Double = s
+      def uniform(): Double = 0.5
+    }
+    val df = Seq((1L, 0.5), (2L, 5.5)).toDF("uid", "v")
+    val store = RangeTree.rangeTreeIngestStep(df, None, "uid", col("v"),
+      Nil, 0.0, 8.0, 8, 10L)
+    val m = treeMap(RangeTree.rangeTreeReleaseWithScale(store, Nil, 8,
+      sigma, Echo, noiseKind = graft.core.NoiseKind.Gaussian))
+    assert(m.size == 15)
+    assert(m((0, 0L)) == 1.0 + sigma) // occupied leaf
+    assert(m((0, 3L)) == sigma)       // empty leaf: noise only
+    assert(m((3, 0L)) == 2.0 + sigma) // root
+  }
+
   test("beyond-guard key cardinality: unsharded fails loud, sharded releases") {
     // bins = 4096 puts the release guard at MaxDriverRows / 8191 = 244
     // keys; 250 keys must be REJECTED by the one-shot release and handled
