@@ -613,6 +613,26 @@ private[graft] object EntryDP {
         .select(col("__lvl").cast("long").as("lvl"), col("__idx").as("idx"),
           col("event_type"), col("dp_count"))
     }),
+    "dp_range_keyed_domains" -> ((s, dir) => {
+      // PER-KEY estimated domains -> per-key-domain tree (r15, the
+      // heterogeneous-scales path): each event type's own 1%/99%
+      // quantile bins read off a keyed probe over the shared PUBLIC
+      // [0, 1024) envelope (width 0.25 — dyadic, exact doubles), each
+      // key then binning against ITS OWN derived [lo, hi) at 64 bins.
+      // Zero noise => deterministic per-key derivation, replayed
+      // end-to-end in SQL (keyed envelope cumulative -> per-key domain
+      // -> per-key binning -> tree).
+      val dom = graft.spark.RangeTree.dpEstimatedDomains(events(s, dir),
+        "user_id", col("value"), Seq("event_type"), envLo = 0.0,
+        envHi = 1024.0, minBins = 64, epsilon = 1.0,
+        maxPerUnit = 1000000L, noise = NoiseSource.Zero, qLo = 0.01,
+        qHi = 0.99, expand = 0.0)
+      graft.spark.RangeTree.dpRangeCountTreePerKeyDomains(events(s, dir),
+          "user_id", col("value"), Seq("event_type"), dom, bins = 64,
+          epsilon = 1.0, maxPerUnit = 1000000L, noise = NoiseSource.Zero)
+        .select(col("__lvl").cast("long").as("lvl"), col("__idx").as("idx"),
+          col("event_type"), col("dp_count"))
+    }),
     "dp_range_mass_quantiles" -> ((s, dir) => {
       // WEIGHTED quantiles from the SUM tree (mass-CDF inversion): the
       // value band below which q of the total clamped floor(value) mass
@@ -1243,6 +1263,49 @@ private[graft] object EntryDP {
                         CAST(least(greatest(floor((e.value - d.lo) / d.w), 0), 63)
                           AS BIGINT) AS bin
                  FROM events e, dom d),
+           lv AS (SELECT unnest(range(0, 7)) AS lvl),
+           nodes AS (
+             SELECT l.lvl, g.idx, k.event_type
+             FROM lv l, (SELECT unnest(range(0, 64)) AS idx) g,
+                  (SELECT DISTINCT event_type FROM events) k
+             WHERE g.idx < 64 // (1 << l.lvl)),
+           c AS (SELECT l.lvl, b.bin >> l.lvl AS idx, b.event_type,
+                        count(*) AS n
+                 FROM b CROSS JOIN lv l GROUP BY 1, 2, 3)
+           SELECT CAST(n.lvl AS BIGINT) AS lvl, CAST(n.idx AS BIGINT) AS idx,
+                  n.event_type, CAST(coalesce(c.n, 0) AS DOUBLE) AS dp_count
+           FROM nodes n LEFT JOIN c ON c.lvl = n.lvl AND c.idx = n.idx
+             AND c.event_type = n.event_type""",
+      // the keyed derivation replayed end-to-end: per-key envelope
+      // cumulative -> per-key quantile bins -> per-key domain -> per-key
+      // binning -> generated node grid
+      "dp_range_keyed_domains" ->
+        """WITH eb AS (
+             SELECT event_type,
+                    CAST(least(greatest(floor(value / 0.25), 0), 4095)
+                      AS BIGINT) AS ebin
+             FROM events),
+           tot AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS total
+                   FROM eb GROUP BY 1),
+           grid AS (SELECT k.event_type, g.t
+                    FROM (SELECT DISTINCT event_type FROM events) k,
+                         (SELECT unnest(range(0, 4096)) AS t) g),
+           pc AS (SELECT event_type, ebin, count(*) AS n FROM eb GROUP BY 1, 2),
+           cum AS (SELECT grid.event_type, grid.t,
+                          CAST(coalesce(sum(pc.n), 0) AS DOUBLE) AS pfx
+                   FROM grid LEFT JOIN pc
+                     ON pc.event_type = grid.event_type AND pc.ebin <= grid.t
+                   GROUP BY 1, 2),
+           qb AS (SELECT c.event_type,
+                         min(CASE WHEN c.pfx >= 0.01 * t.total THEN c.t END) AS qlo,
+                         min(CASE WHEN c.pfx >= 0.99 * t.total THEN c.t END) AS qhi
+                  FROM cum c JOIN tot t USING (event_type) GROUP BY 1),
+           dom AS (SELECT event_type, qlo * 0.25 AS lo,
+                          (qhi + 1 - qlo) * 0.25 / 64 AS w FROM qb),
+           b AS (SELECT e.event_type,
+                        CAST(least(greatest(floor((e.value - d.lo) / d.w), 0), 63)
+                          AS BIGINT) AS bin
+                 FROM events e JOIN dom d USING (event_type)),
            lv AS (SELECT unnest(range(0, 7)) AS lvl),
            nodes AS (
              SELECT l.lvl, g.idx, k.event_type

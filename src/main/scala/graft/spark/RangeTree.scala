@@ -73,13 +73,20 @@ object RangeTree {
     * for, while empty top bins cost one extra tree level at worst. */
   def paddedDomain(lo: Double, hi: Double, minBins: Int): RangeTreeDomain = {
     require(lo < hi, s"empty domain [$lo, $hi)")
-    require(minBins >= 2 && minBins <= 4096,
-      s"minBins must be in [2, 4096], got $minBins")
-    val bins =
-      if ((minBins & (minBins - 1)) == 0) minBins
-      else Integer.highestOneBit(minBins) * 2
+    val bins = paddedBins(minBins)
     val width = (hi - lo) / minBins
     RangeTreeDomain(lo, lo + bins * width, bins)
+  }
+
+  /** The power-of-two bin count [[paddedDomain]] pads `minBins` up to —
+    * a pure function of the requested resolution, so keyed domains
+    * ([[dpEstimatedDomains]]) share ONE bin count across keys (the tree
+    * SHAPE is uniform; only [lo, hi) varies per key). */
+  def paddedBins(minBins: Int): Int = {
+    require(minBins >= 2 && minBins <= 4096,
+      s"minBins must be in [2, 4096], got $minBins")
+    if ((minBins & (minBins - 1)) == 0) minBins
+    else Integer.highestOneBit(minBins) * 2
   }
 
   /** DP-ESTIMATED tree domain for the no-contract case: spends `epsilon`
@@ -134,6 +141,159 @@ object RangeTree {
         "via paddedDomain instead")
     val span = hi0 - lo0
     paddedDomain(lo0 - expand * span, hi0 + expand * span, minBins)
+  }
+
+  /** PER-KEY DP-estimated domains (r15, the heterogeneous-scales case —
+    * prices per country): the SAME budgeted probe as
+    * [[dpEstimatedDomain]] but KEYED — one probe tree per key over the
+    * shared PUBLIC envelope, per-key quantile readout, per-key
+    * expand-and-pad — returning a domains frame (keyCols..., lo, hi)
+    * with ONE shared bin count ([[paddedBins]]; the tree shape stays
+    * uniform, only the value range varies). Feed it to
+    * [[dpRangeCountTreePerKeyDomains]].
+    *
+    * PRIVACY: the per-key domain VALUES are post-processing of the keyed
+    * probe release (eps_bounds once — the probe's trees are per-key, so
+    * disjoint keys compose in parallel exactly as the main release's
+    * do); account eps_bounds + eps_tree as with the global helper. Key
+    * EXISTENCE follows the probe's universe rules verbatim: with
+    * `publicKeys = None` the domains frame's key set is the OBSERVED
+    * set (releasing a key's domain at all reveals contribution); pass
+    * `publicKeys` or a DP-selected key frame for a data-independent
+    * set. A key whose noisy quantiles invert fails loud with the
+    * [[dpEstimatedDomain]] inversion message. Everything is
+    * distributed — the domains frame never collects. */
+  def dpEstimatedDomains(
+      df: DataFrame,
+      pidCol: String,
+      valueCol: Column,
+      keyCols: Seq[String],
+      envLo: Double,
+      envHi: Double,
+      minBins: Int,
+      epsilon: Double,
+      maxPerUnit: Long,
+      noise: graft.core.NoiseSource,
+      qLo: Double = 0.01,
+      qHi: Double = 0.99,
+      expand: Double = 0.1,
+      publicKeys: Option[DataFrame] = None
+  ): DataFrame = {
+    require(keyCols.nonEmpty,
+      "dpEstimatedDomains needs keyCols — dpEstimatedDomain is the " +
+        "global (keyless) helper")
+    require(qLo > 0 && qLo < qHi && qHi <= 1, s"bad quantiles ($qLo, $qHi)")
+    require(expand >= 0, s"expand must be >= 0, got $expand")
+    val probeBins = 4096
+    val bins = paddedBins(minBins)
+    val keyCs = keyCols.map(col)
+    val probe = dpRangeCountTree(df, pidCol, valueCol, keyCols, envLo,
+      envHi, probeBins, epsilon, maxPerUnit, noise, publicKeys)
+    val w = (envHi - envLo) / probeBins
+    val piv = quantilesFromTree(probe, keyCols, envLo, envHi, probeBins,
+        Seq(qLo, qHi))
+      .groupBy(keyCs: _*)
+      .agg(min(when(col("q") === qLo, col("value_lo"))).as("__lo0"),
+        (min(when(col("q") === qHi, col("value_lo"))) + lit(w)).as("__hi0"))
+    val span = col("__hi0") - col("__lo0")
+    val loE = col("__lo0") - lit(expand) * span
+    val hiE = col("__hi0") + lit(expand) * span
+    val width = (hiE - loE) / lit(minBins.toDouble)
+    // the paddedDomain math per key; inversion (noisy qHi at or below
+    // qLo) fails loud with the named cause, not a downstream NaN domain
+    piv.select(keyCs :+
+      when(col("__lo0") >= col("__hi0"), raise_error(lit(
+        "dpEstimatedDomains: noisy quantile inversion for a key — the " +
+          "probe's noise overwhelmed that key's spread. Spend a larger " +
+          "epsilon on the probe, widen (qLo, qHi), or pass a PUBLIC " +
+          "domain instead")).cast("double"))
+        .otherwise(loE).as("lo") :+
+      (loE + lit(bins.toDouble) * width).as("hi"): _*)
+  }
+
+  /** The keyed tree release over PER-KEY domains (r15): each key's
+    * values bin against ITS OWN [lo, hi) from the `domains` frame
+    * (keyCols..., lo, hi — one row per key, e.g. [[dpEstimatedDomains]]
+    * output or a per-key schema contract), all trees sharing one `bins`
+    * shape, released as one keyed tree frame. Rows whose key has no
+    * domain DROP before bounding and every domain key releases a full
+    * tree, empty or not — the domains frame IS the public key set (it
+    * is itself a DP release or a contract, so conditioning on it is
+    * post-processing). Node indices are key-LOCAL bins: bin-unit
+    * readouts ([[rangeQueries]] by bin, [[quantilesFromTree]]'s `bin`
+    * column, [[enforceConsistency]]) consume the release unchanged;
+    * VALUE-unit mapping (value_lo, rangeQueriesByValue) needs the key's
+    * own (lo, hi) — join the domains frame. Zero noise => exact per-key
+    * counts at per-key resolution. */
+  def dpRangeCountTreePerKeyDomains(
+      df: DataFrame,
+      pidCol: String,
+      valueCol: Column,
+      keyCols: Seq[String],
+      domains: DataFrame,
+      bins: Int,
+      epsilon: Double,
+      maxPerUnit: Long,
+      noise: graft.core.NoiseSource,
+      noiseKind: graft.core.NoiseKind = graft.core.NoiseKind.Laplace,
+      delta: Double = 0.0
+  ): DataFrame = {
+    require(keyCols.nonEmpty,
+      "dpRangeCountTreePerKeyDomains needs keyCols — use dpRangeCountTree " +
+        "with a global domain otherwise")
+    require(bins >= 2 && (bins & (bins - 1)) == 0 && bins <= 4096,
+      s"bins must be a power of two in [2, 4096], got $bins")
+    require(epsilon > 0, s"epsilon must be positive, got $epsilon")
+    require(maxPerUnit > 0, s"maxPerUnit must be positive, got $maxPerUnit")
+    val levels = 31 - Integer.numberOfLeadingZeros(bins)
+    val keyCs = keyCols.map(col)
+    val dom = domains.select(keyCs :+ col("lo").cast("double") :+
+      col("hi").cast("double"): _*).localCheckpoint(false)
+    // one row per key — a conflicting duplicate would silently double
+    // rows through the join (one distributed agg, nothing collects)
+    val chk = dom.agg(count(lit(1)).as("n"),
+      count_distinct(keyCs.head, keyCs.tail: _*).as("k")).head()
+    require(chk.getLong(0) == chk.getLong(1),
+      s"dpRangeCountTreePerKeyDomains: ${chk.getLong(0)} domain rows for " +
+        s"${chk.getLong(1)} distinct keys — the domains frame must have " +
+        "exactly one row per key")
+    // NULL keys fail loud BEFORE the domains join would silently drop
+    // them (null never equi-joins) — the family's convention
+    val dfChecked = keyCols.foldLeft(df) { (d, n) =>
+      d.withColumn(n, when(col(n).isNull, raise_error(lit(
+        s"dpRangeCountTreePerKeyDomains: NULL key '$n' — it would " +
+          "silently drop from the domains join; coalesce or filter " +
+          "upstream")).cast(df.schema(n).dataType)).otherwise(col(n)))
+    }
+    val joined = dfChecked.join(dom, keyCols) // rows without a domain DROP
+    val checked = when(valueCol.isNull, raise_error(lit(
+        "dpRangeCountTreePerKeyDomains: NULL value for a privacy unit — " +
+          "nulls have no bin; filter or impute upstream")).cast("double"))
+      .otherwise(valueCol.cast("double"))
+    val loC = when(col("lo") >= col("hi"), raise_error(lit(
+        "dpRangeCountTreePerKeyDomains: empty domain [lo, hi) for a key"))
+        .cast("double"))
+      .otherwise(col("lo"))
+    val widthC = (col("hi") - loC) / lit(bins.toDouble)
+    val binIdx = least(
+      greatest(floor((checked - loC) / widthC), lit(0.0)),
+      lit((bins - 1).toDouble)).cast("long")
+    val store = joined
+      .withColumn("__bin", binIdx)
+      .withColumn("__rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy((col(pidCol) +: keyCs): _*)
+          .orderBy(col("__bin").asc, checked.asc)))
+      .filter(col("__rk") <= maxPerUnit)
+      .select(col("__bin") +: keyCs: _*)
+      .withColumn("__lvl", explode(sequence(lit(0), lit(levels))))
+      .withColumn("__idx", expr("shiftright(__bin, __lvl)"))
+      .groupBy(col("__lvl") +: col("__idx") +: keyCs: _*)
+      .agg(count(lit(1)).cast("double").as("__s"))
+      .localCheckpoint(false) // key universe + release join share it
+    releaseWithScale(store, keyCols, bins, levels,
+      treeScale(noiseKind, epsilon, delta, maxPerUnit.toDouble, levels),
+      noise, noiseKind, publicKeys = Some(dom.select(keyCs: _*)))
   }
 
   /** Released noisy dyadic tree: (keyCols..., __lvl, __idx, dp_count)

@@ -689,6 +689,90 @@ class RangeTreeSpec extends AnyFunSuite {
     assert(qmap(sharded) == qmap(oneTree))
   }
 
+  test("per-key estimated domains: heterogeneous scales, exact when clean") {
+    // key "small" lives in [0, 1), key "big" in [0, 1000) — one global
+    // domain would waste small's resolution 1000-fold; the keyed probe
+    // reads each key's own quantile bins off the shared [0, 1024)
+    // envelope (width 0.25, dyadic => exact doubles)
+    val df = ((0 until 100).map(i => (i.toLong, i / 100.0, "small")) ++
+      (0 until 100).map(i => (100L + i, i * 10.0, "big")))
+      .toDF("uid", "v", "k")
+    val dom = RangeTree.dpEstimatedDomains(df, "uid", col("v"), Seq("k"),
+      envLo = 0.0, envHi = 1024.0, minBins = 64, epsilon = 1.0,
+      maxPerUnit = 10L, noise = graft.core.NoiseSource.Zero,
+      qLo = 0.01, qHi = 0.99, expand = 0.0)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    // small: values 0.00..0.99 all in envelope bin 0..3; qLo bin = 0
+    // (edge 0.0), qHi -> the bin of v=0.98 (floor(.98/.25) = 3, edge
+    // .75) + w = 1.0; width = 1/64
+    assert(dom("small") == ((0.0, 1.0)), dom("small").toString)
+    // big: values 0, 10, .., 990 -> qLo bin 0 (edge 0), qHi bin of 980
+    // = 3920 (edge 980) + .25 = 980.25; 64 bins at width 980.25/64
+    assert(dom("big")._1 == 0.0 && math.abs(dom("big")._2 - 980.25) < 1e-12,
+      dom("big").toString)
+    // the per-key-domain release: exact per-key counts at per-key
+    // resolution — "small" occupies the full bin range of ITS domain
+    val domDf = Seq(("small", 0.0, 1.0), ("big", 0.0, 1000.0))
+      .toDF("k", "lo", "hi")
+    val tree = RangeTree.dpRangeCountTreePerKeyDomains(df, "uid", col("v"),
+      Seq("k"), domDf, bins = 64, epsilon = 1.0, maxPerUnit = 10L,
+      noise = graft.core.NoiseSource.Zero)
+    val m = tree.collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getString(2)) -> r.getDouble(3))
+      .toMap
+    assert(m.size == 2 * 127)
+    assert(m((6, 0L, "small")) == 100.0 && m((6, 0L, "big")) == 100.0)
+    // small: width 1/64 -> values i/100 spread over bins 0..63; bin 0
+    // holds v = 0.00 and 0.01 (floor(.01*64) = 0) => 2 rows
+    assert(m((0, 0L, "small")) == 2.0)
+    // big: width 1000/64 = 15.625 -> bin 0 holds 0 and 10 => 2 rows;
+    // bin 63 holds 990 => 1 row
+    assert(m((0, 0L, "big")) == 2.0 && m((0, 63L, "big")) == 1.0)
+    // a key with a domain but no data releases a full zero tree; rows
+    // whose key has no domain drop
+    val domPlus = Seq(("small", 0.0, 1.0), ("ghost", 0.0, 8.0))
+      .toDF("k", "lo", "hi")
+    val m2 = RangeTree.dpRangeCountTreePerKeyDomains(df, "uid", col("v"),
+      Seq("k"), domPlus, 8, 1.0, 10L, graft.core.NoiseSource.Zero)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getString(2)) -> r.getDouble(3))
+      .toMap
+    assert(m2.size == 2 * 15)
+    assert(m2((3, 0L, "ghost")) == 0.0 && m2((3, 0L, "small")) == 100.0)
+    assert(!m2.keySet.exists(_._3 == "big"))
+    // conflicting duplicate domain rows fail loud
+    val e = intercept[IllegalArgumentException] {
+      RangeTree.dpRangeCountTreePerKeyDomains(df, "uid", col("v"), Seq("k"),
+        Seq(("small", 0.0, 1.0), ("small", 0.0, 2.0)).toDF("k", "lo", "hi"),
+        8, 1.0, 10L, graft.core.NoiseSource.Zero)
+    }
+    assert(e.getMessage.contains("one row per key"), e.getMessage)
+    // a keyed noisy-quantile inversion names itself (single key => the
+    // probe's driver draw order is deterministic: leaves, levels, root)
+    val one = (0 until 100).map(i => (i.toLong, 100.0 + i, "k"))
+      .toDF("uid", "v", "k")
+    val counter = new java.util.concurrent.atomic.AtomicLong(0)
+    object Inverting extends graft.core.NoiseSource {
+      private def next(): Double = counter.incrementAndGet() match {
+        case 1L    => -0.5
+        case 4097L => -0.5
+        case 8191L => -101.0
+        case _     => 0.0
+      }
+      def laplace(b: Double): Double = next()
+      def gaussian(sigma: Double): Double = next()
+      def uniform(): Double = 0.5
+    }
+    val e2 = intercept[Exception] {
+      RangeTree.dpEstimatedDomains(one, "uid", col("v"), Seq("k"),
+        0.0, 4096.0, 64, 1.0, 10L, Inverting, qLo = 0.01, qHi = 0.99,
+        expand = 0.0).collect()
+    }
+    assert(SparkTestSession.chainMsg(e2).contains("noisy quantile inversion"),
+      SparkTestSession.chainMsg(e2).take(300))
+  }
+
   test("accountant-resolved calibration drives the release end-to-end") {
     // one budget covering a 2-release Gaussian fleet: the accountant
     // resolves the per-node sigma, and rangeTreeReleaseWithScale applies
