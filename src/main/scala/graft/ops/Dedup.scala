@@ -23,7 +23,10 @@ object Dedup {
   // ---------------- exact ----------------
 
   /** Exact dedup on `keyCols`: keeps the row with the smallest `tiebreaker`
-    * per duplicate group. One shuffle on the group key hash. */
+    * per duplicate group. One shuffle on the group key hash. The
+    * tiebreaker should be UNIQUE within a group (an id, a fetch
+    * timestamp): on a tie exactly one row survives, but WHICH one is
+    * task-order-dependent — deterministic output needs a unique key. */
   def dedupExact(df: DataFrame, keyCols: Seq[String], tiebreaker: String): DataFrame = {
     val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(tiebreaker))
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
@@ -610,9 +613,17 @@ object Dedup {
     val members = comp.join(
         df.select(col(idCol).as("id"), col(scoreCol).as("__sc")), "id")
       .localCheckpoint(false) // consumed by champions + the flag join
-    val champions = members.groupBy(col("comp"))
-      .agg(max(struct(col("__sc"), (-col("id")).as("nid"))).as("m"))
-      .select(col("comp"), (-col("m.nid")).as("__champ"))
+    // row_number over (score desc, id asc), NOT max(struct(score, -id)):
+    // the negation trick only works for numeric ids — on string ids the
+    // unary minus casts to double and throws under ANSI (the
+    // bestMatchPerId lesson, r15 review). The window shuffles only the
+    // cluster MEMBERS — the tiny side.
+    val champW = org.apache.spark.sql.expressions.Window
+      .partitionBy("comp").orderBy(col("__sc").desc, col("id").asc)
+    val champions = members
+      .withColumn("__rk", row_number().over(champW))
+      .filter(col("__rk") === 1)
+      .select(col("comp"), col("id").as("__champ"))
     val flagged = members.join(champions, "comp")
       .select(col("id"), col("comp").as("cluster_rep"),
         when(col("id") === col("__champ"), 1L).otherwise(0L).as("keep"))
@@ -1173,16 +1184,29 @@ object Dedup {
     var labels = sym.groupBy("src").agg(min("dst").as("mn"))
       .select(col("src").as("id"), least(col("src"), col("mn")).as("comp"))
       .localCheckpoint(false)
-    // labels are min-monotone per node, so the exact decimal sum is a
-    // fixpoint signature: unchanged sum <=> no label changed. One agg job
-    // per round instead of a join + count against the previous frame.
+    // INTEGRAL ids: labels are min-monotone per node, so the exact decimal
+    // sum is a fixpoint signature (unchanged sum <=> no label changed) —
+    // one agg job per round. NON-integral ids (string doc keys, the common
+    // ER case — r15 review: the unconditional decimal cast threw ANSI
+    // CAST_INVALID_INPUT deep inside a job): exact change detection via a
+    // left-anti probe of the round's (id, comp) pairs against the previous
+    // round's — isEmpty stops at the first changed row, and both frames
+    // are checkpointed, so the probe is one cheap scan.
+    val integralIds = {
+      import org.apache.spark.sql.types._
+      labels.schema("comp").dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _: DecimalType => true
+        case _ => false
+      }
+    }
     def sig(df: DataFrame): java.math.BigDecimal = {
       // empty frame sums to SQL NULL — normalize so a zero-edge input
       // (e.g. an increment that adds nothing) converges instead of NPEing
       val s = df.agg(sum(col("comp").cast("decimal(38,0)"))).collect().head.getDecimal(0)
       if (s == null) java.math.BigDecimal.ZERO else s
     }
-    var prevSig = sig(labels)
+    var prevSig = if (integralIds) sig(labels) else null
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -1194,10 +1218,14 @@ object Dedup {
       val updated = labels.unionByName(viaEdges).unionByName(viaShortcut)
         .groupBy("id").agg(min("comp").as("comp"))
         .localCheckpoint(false)
-      val curSig = sig(updated)
+      if (integralIds) {
+        val curSig = sig(updated)
+        converged = curSig.compareTo(prevSig) == 0
+        prevSig = curSig
+      } else {
+        converged = updated.join(labels, Seq("id", "comp"), "left_anti").isEmpty
+      }
       labels = updated
-      converged = curSig.compareTo(prevSig) == 0
-      prevSig = curSig
       iter += 1
     }
     labels

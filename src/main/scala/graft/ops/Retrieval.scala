@@ -249,10 +249,22 @@ object Retrieval {
       .agg(count(lit(1)).as("n_relevant"))
     val hits = res.join(rel, Seq("query_id", "item_id"), "left_semi")
       .groupBy("query_id")
-      .agg(count(lit(1)).as("n_found_at_k"),
+      .agg(count(lit(1)).as("__n_hit_rows"),
+        countDistinct(col("item_id")).as("__n_hit_items"),
         min(col("__rk")).as("__first"),
         sum(element_at(array(disc.map(lit): _*), col("__rk").cast("int")))
           .as("__dcg"))
+      // a duplicate (query, item) row in `results` silently inflates
+      // n_found_at_k and DCG — fail loud like rrfFuse's duplicate guard
+      // (r15 review); fused into the released count so it provably
+      // evaluates for every query
+      .withColumn("n_found_at_k",
+        when(col("__n_hit_rows") =!= col("__n_hit_items"),
+          raise_error(concat(lit("rankingMetrics: duplicate (query, item) " +
+            "rows in results for query_id="), col("query_id").cast("string"),
+            lit(" — duplicates silently inflate n_found_at_k and DCG; " +
+              "deduplicate the ranking upstream"))).cast("long"))
+          .otherwise(col("__n_hit_rows")))
     relCounts.join(hits, Seq("query_id"), "left")
       .select(col("query_id"), col("n_relevant"),
         coalesce(col("n_found_at_k"), lit(0L)).as("n_found_at_k"),

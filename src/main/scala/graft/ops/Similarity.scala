@@ -643,8 +643,21 @@ object Similarity {
   def lshTopK(
       corpus: DataFrame, corpusId: String, corpusVec: String,
       queries: DataFrame, queryId: String, queryVec: String,
-      k: Int, planes: Int = 8, bands: Int = 4
+      k: Int, planes: Int = 8, bands: Int = 4,
+      maxQueries: Long = 100000L
   ): DataFrame = {
+    // the query side is broadcast TWICE below (banded ids + vectors), so
+    // the queries-small contract is enforced like bruteForceTopK's, not
+    // left as a docstring (r15 review); pass Long.MaxValue to skip
+    if (maxQueries < Long.MaxValue) {
+      val nq = queries.limit(
+        (math.min(maxQueries, Long.MaxValue - 1) + 1).min(Int.MaxValue).toInt)
+        .count()
+      require(nq <= maxQueries,
+        s"lshTopK: over $maxQueries query rows (the guard stops counting " +
+          "there) — the query side is broadcast to every executor; " +
+          "reduce the query set or raise the cap deliberately")
+    }
     def banded(df: DataFrame, id: String, vec: String, idAs: String) = {
       df.select(col(id).as(idAs),
         posexplode(bandBuckets(col(vec), planes, bands)).as(Seq("band", "bucket")))
@@ -969,9 +982,10 @@ object Similarity {
     val encode = udf((a: Array[Double]) => {
       if (a == null) throw new IllegalArgumentException(
         "null vector — PQ encoding would silently drop the row; filter upstream")
-      else if (a.length < dim) throw new IllegalArgumentException(
-        s"PQ: vector of length ${a.length} shorter than training dim $dim — " +
-          "a ragged corpus has no right silent answer; filter upstream")
+      else if (a.length != dim) throw new IllegalArgumentException(
+        s"PQ: vector of length ${a.length} != training dim $dim — a ragged " +
+          "corpus has no right silent answer (a LONGER vector would " +
+          s"silently encode only its first $dim coords); filter upstream")
       else {
         val codes = new Array[Byte](m)
         var j = 0
@@ -1105,9 +1119,10 @@ object Similarity {
     val encode = udf((a: Array[Double]) => {
       if (a == null) throw new IllegalArgumentException(
         "null vector — IVF-PQ encoding would silently drop the row; filter upstream")
-      else if (a.length < dim) throw new IllegalArgumentException(
-        s"IVF-PQ: vector of length ${a.length} shorter than training dim $dim — " +
-          "a ragged corpus has no right silent answer; filter upstream")
+      else if (a.length != dim) throw new IllegalArgumentException(
+        s"IVF-PQ: vector of length ${a.length} != training dim $dim — a " +
+          "ragged corpus has no right silent answer (a LONGER vector would " +
+          s"silently encode only its first $dim coords); filter upstream")
       else {
         val cell = nearestCoarse(a)
         val ct = coarse(cell)

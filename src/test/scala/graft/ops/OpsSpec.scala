@@ -849,6 +849,27 @@ class DedupSpec extends AnyFunSuite {
       4L -> (4L, 1L), 7L -> (7L, 1L)))
   }
 
+  test("connectedComponents and bestOfCluster work on STRING ids") {
+    // the common ER/doc case — string keys. The r15 review found the
+    // decimal-sum convergence signature and the -id champion trick both
+    // threw ANSI CAST_INVALID_INPUT on strings; CC now uses exact
+    // anti-join change detection for non-integral ids and bestOfCluster
+    // a rank window. The 6-node chain needs >1 propagation round, so a
+    // falsely-early convergence would mislabel the tail.
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"),
+      ("e", "f")).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(edges).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(cc.size == 6 && cc.values.forall(_ == "a"), cc.toString)
+    val docs = Seq(("a", 1.0), ("b", 9.0), ("c", 5.0), ("z", 2.0))
+      .toDF("id", "score")
+    val pairs = Seq(("a", "b"), ("b", "c")).toDF("id_a", "id_b")
+    val out = Dedup.bestOfCluster(docs, "id", "score", pairs).collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out == Map("a" -> ("a", 0L), "b" -> ("a", 1L),
+      "c" -> ("a", 0L), "z" -> ("z", 1L)), out.toString)
+  }
+
   test("incrementalComponents: edge increment folds to exactly the full recompute") {
     // existing store: {5,9} comp 5, {10,11} comp 10
     val oldEdges = Seq((5L, 9L), (10L, 11L)).toDF("id_a", "id_b")
