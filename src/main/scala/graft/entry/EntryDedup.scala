@@ -540,6 +540,19 @@ private[graft] object EntryDedup {
       // hash-verified (kept_md5), not just its statistics
       Dedup.removeDuplicatedSpans(
         s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", n = 5)
+    }),
+    "dedup_exact_substr" -> ((s, dir) => {
+      // CHARACTER-granular ExactSubstr (the full Lee et al. mechanism at
+      // arbitrary boundaries, r15): every char covered by a non-first
+      // occurrence of a duplicated 30-char window scrubs, the globally
+      // first occurrence survives — the suffix-array removal set via
+      // portable 60-bit window fingerprints (one per char position).
+      // The oracle replays the WHOLE derivation: per-position window
+      // md5s, first-occurrence keying, coverage union, per-char
+      // reassembly, kept-text md5.
+      Dedup.exactSubstrDedup(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+        minLen = 30)
     })
   )
 
@@ -1383,6 +1396,46 @@ private[graft] object EntryDedup {
            SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
                   CAST(len(kept) AS BIGINT) AS n_tokens_kept,
                   md5(coalesce(array_to_string(kept, ' '), '')) AS kept_md5
+           FROM r""",
+      // the character-granular ExactSubstr derivation end-to-end:
+      // per-position 30-char window fingerprints (the engine-wide
+      // conv(substr(md5,1,15)) 60-bit convention), first occurrence =
+      // lexicographic min (doc_id, pos) — encoded as doc_id*2^20+pos,
+      // order-identical while positions stay under 2^20 — coverage union
+      // of non-first duplicated windows, per-character reassembly
+      "dedup_exact_substr" ->
+        """WITH elig AS (
+             SELECT doc_id, text, len(text) AS n FROM documents
+             WHERE text IS NOT NULL AND len(text) >= 30),
+           w AS (
+             SELECT doc_id, i AS pos,
+                    CAST(CONCAT('0x',
+                      substr(md5(substr(text, CAST(i AS INT) + 1, 30)), 1, 15))
+                      AS BIGINT) AS h
+             FROM elig, unnest(range(0, n - 29)) u(i)),
+           f AS (SELECT h, count(*) AS nh,
+                        min(doc_id * 1048576 + pos) AS fkey
+                 FROM w GROUP BY 1),
+           cov AS (
+             SELECT doc_id, list(DISTINCT p) AS cov
+             FROM (SELECT w.doc_id, w.pos + o AS p
+                   FROM w JOIN f USING (h), unnest(range(0, 30)) v(o)
+                   WHERE f.nh >= 2 AND w.doc_id * 1048576 + w.pos <> f.fkey)
+             GROUP BY 1),
+           k AS (
+             SELECT d.doc_id, coalesce(d.text, '') AS text, len(d.text) AS n,
+                    coalesce(cov.cov, []) AS cov
+             FROM documents d LEFT JOIN cov USING (doc_id)),
+           r AS (
+             SELECT doc_id, n,
+                    list_transform(
+                      list_filter(range(0, len(text)),
+                                  p -> NOT list_contains(cov, p)),
+                      p -> substr(text, CAST(p AS INT) + 1, 1)) AS kept
+             FROM k)
+           SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
+                  CAST(len(kept) AS BIGINT) AS n_chars_kept,
+                  md5(coalesce(array_to_string(kept, ''), '')) AS kept_md5
            FROM r"""
     )
   }

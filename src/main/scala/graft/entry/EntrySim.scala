@@ -463,6 +463,33 @@ private[graft] object EntrySim {
           col("decoded_audio.n_frames").as("n_frames"),
           round(col("decoded_audio.duration_seconds"), 9).as("duration_seconds"))
     }),
+    "emb_fd_exact" -> ((s, dir) => {
+      // FREQUENT DIRECTIONS, the oracle-exact NO-SHRINK anchor (r15):
+      // with at most ell input vectors the buffer never shrinks and the
+      // sketch IS the input set (lexicographically sorted rows) — the
+      // whole aggregate path (insert, merge across partitions, canonical
+      // finish) runs for real and must reproduce the quantized inputs
+      // bit-for-bit. 100 vectors, ell = 128.
+      graft.ops.Sketches.frequentDirections(
+        s.read.parquet(s"$dir/embeddings.parquet")
+          .filter(col("vec_id") < 100)
+          .withColumn("emb",
+            expr("transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1024) / 1024)")),
+        "emb", ell = 128)
+    }),
+    "emb_fd_sketch" -> ((s, dir) => {
+      // the SHRINK regime (rows-only by design: sketch values depend on
+      // the partition/merge order) with the FD theorem checked IN-QUERY:
+      // bound_ok = (delta_sum <= frob_in / ell) rides every row, and the
+      // oracle-exact anchor twin is emb_fd_exact + the exact-moment
+      // relative emb_covariance. ell = 8 over the full embeddings table
+      // => many shrinks, mergeable partials across all tasks.
+      graft.ops.Sketches.frequentDirections(
+        s.read.parquet(s"$dir/embeddings.parquet")
+          .withColumn("emb",
+            expr("transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1024) / 1024)")),
+        "emb", ell = 8)
+    }),
     "emb_covariance" -> ((s, dir) => {
       // whitening/PCA prep: the exact upper-triangle covariance moments of
       // the int8-quantized embedding coordinates — one pass, one mergeable
@@ -861,6 +888,30 @@ private[graft] object EntrySim {
                   CAST(sum(e.x * w.w) AS BIGINT) AS feature
            FROM e JOIN w ON e.i = w.i
            GROUP BY 1, 2""",
+      // the no-shrink FD anchor: sketch rows == the quantized input
+      // vectors, sorted lexicographically (DuckDB list comparison IS
+      // lexicographic); the Frobenius mass is a sum of dyadic k^2/2^20
+      // terms — exact in double under ANY accumulation order, so the
+      // e6-floored scalar replays despite the float type
+      "emb_fd_exact" ->
+        """WITH q AS (
+             SELECT list_transform(embedding,
+                      x -> floor(CAST(x AS DOUBLE) * 1024) / 1024) AS emb
+             FROM embeddings WHERE vec_id < 100),
+           ranked AS (
+             SELECT emb, row_number() OVER (ORDER BY emb) - 1 AS r FROM q),
+           tot AS (
+             SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+                    CAST(floor(sum(list_sum(list_transform(emb, x -> x * x)))
+                      * 1000000) AS BIGINT) AS frob_e6
+             FROM q)
+           SELECT e.r, CAST(e.gs - 1 AS BIGINT) AS idx, e.c AS coord,
+                  t.n_vectors, t.frob_e6 AS frob_in_e6,
+                  t.frob_e6 AS frob_sketch_e6, TRUE AS bound_ok
+           FROM (SELECT r, unnest(emb) AS c,
+                        generate_subscripts(emb, 1) AS gs
+                 FROM ranked) e
+           CROSS JOIN tot t""",
       "emb_covariance" ->
         """WITH q AS (
              SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

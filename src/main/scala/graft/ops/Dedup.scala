@@ -1546,6 +1546,104 @@ object Dedup {
           (col("n_grams") + lit(n - 1))).as("covered_token_frac"))
   }
 
+  /** CHARACTER-granular ExactSubstr dedup — the full Lee et al. ACL'22
+    * mechanism at arbitrary boundaries (r15, closing the one well-known
+    * dedup arm without a row): every character covered by a length-
+    * `minLen` window whose content occurs MORE THAN ONCE corpus-wide
+    * (within or across documents) is removed, except the globally FIRST
+    * occurrence (min (doc_id, pos)) of each window, which survives — so
+    * a repeated substring of ANY length >= minLen is kept once and
+    * scrubbed everywhere else, regardless of word/segment boundaries
+    * (the case [[dedupSegments]]' fixed segmentation and
+    * [[duplicatedSpanStats]]' word grams cannot express).
+    *
+    * EQUIVALENCE to the suffix-array formulation: a repeated substring of
+    * length >= minLen occurs duplicated iff each of its length-minLen
+    * windows occurs duplicated, so the union of non-first duplicated
+    * window spans IS the suffix-array method's removal set. The suffix
+    * array is the single-NODE data structure for finding those windows
+    * without hashing; the distributed equivalent here fingerprints every
+    * window with the engine-wide portable 60-bit md5 (one hash per
+    * character position — the same linear work, as 8-byte shuffle keys).
+    * A 60-bit collision can only OVER-remove (it marks a unique window
+    * duplicated); at w windows the expected extra-removal mass is
+    * ~w^2/2^61 spans — negligible below ~10^8 windows, and the gate runs
+    * the oracle-exact regime. Positions are CODEPOINTS (Spark substring
+    * semantics == DuckDB substr), so the whole derivation replays in SQL.
+    *
+    * Returns one row per input doc: (doc_id, n_chars, n_chars_kept,
+    * kept_md5) — the [[removeDuplicatedSpans]] shape at character
+    * granularity. Docs shorter than minLen have no window and keep
+    * everything; null text keeps as the empty string with n_chars null.
+    *
+    * Scale layout: one explode to (doc, pos, windowHash) rows — |chars|
+    * rows of 8-byte keys, LINEAR (the shuffle is ~9x corpus bytes; the
+    * price of arbitrary-boundary exactness — word grams divide it by the
+    * mean token length, which is why both arms exist); one hash-aggregate
+    * for first-occurrence + multiplicity; one hash-partitioned join back;
+    * a bounded per-doc coverage list (<= the doc's char count) and one
+    * merge-walk scrub per doc. No suffix array, no driver state. */
+  def exactSubstrDedup(df: DataFrame, idCol: String, textCol: String,
+      minLen: Int = 30): DataFrame = {
+    require(minLen >= 2, s"minLen must be >= 2, got $minLen")
+    val winHash = udf((s: String) => {
+      if (s == null) Array.empty[Long]
+      else {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        TextAnalysis.gramHashes(s, minLen, { b =>
+          md.reset()
+          val d = md.digest(b)
+          var v = 0L
+          var j = 0
+          while (j < 7) { v = (v << 8) | (d(j) & 0xffL); j += 1 }
+          (v << 4) | ((d(7) & 0xf0L) >> 4) // == conv(substr(md5,1,15),16,10)
+        })
+      }
+    })
+    val base = df.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
+      .localCheckpoint(false) // window pass + reassembly join share one scan
+    // docs shorter than one window emit no fingerprints (gramHashes'
+    // short-text fallback would hash the WHOLE short doc — exact-dup
+    // semantics that belong to dedupExact, not the >= minLen contract)
+    val wins = base
+      .filter(col("__text").isNotNull && length(col("__text")) >= minLen)
+      .select(col("doc_id"),
+        posexplode(winHash(col("__text"))).as(Seq("pos", "h")))
+      .localCheckpoint(false) // first-occurrence agg + the join-back
+    val firsts = wins.groupBy("h")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("__f"),
+        count(lit(1)).as("__n"))
+    val covered = wins.join(firsts.hint("shuffle_hash"), "h")
+      .filter(col("__n") >= 2 &&
+        !(col("doc_id") === col("__f.doc_id") && col("pos") === col("__f.pos")))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(minLen - 1))).as("p"))
+      .distinct()
+      .groupBy("doc_id").agg(sort_array(collect_list(col("p"))).as("__cov"))
+    // codepoint-aware scrub: drop covered positions, keep the rest in order
+    val scrub = udf((s: String, cov: Array[Int]) => {
+      if (s == null) SpanScrubbed(0, "")
+      else {
+        val sb = new java.lang.StringBuilder
+        var kept = 0; var ci = 0; var cp = 0; var i = 0
+        while (i < s.length) {
+          val code = s.codePointAt(i)
+          if (cov != null && ci < cov.length && cov(ci) == cp) ci += 1
+          else { sb.appendCodePoint(code); kept += 1 }
+          i += Character.charCount(code)
+          cp += 1
+        }
+        SpanScrubbed(kept, sb.toString)
+      }
+    })
+    base.join(covered, Seq("doc_id"), "left")
+      .withColumn("__s", scrub(col("__text"), col("__cov")))
+      .select(col("doc_id"),
+        length(col("__text")).cast("long").as("n_chars"),
+        col("__s.n_kept").cast("long").as("n_chars_kept"),
+        md5(col("__s.kept_text")).as("kept_md5"))
+  }
+
   /** MATERIALIZE the exact-substring dedup decision (the removal step of
     * Lee et al. ACL'22, over [[duplicatedSpanStats]]'s signal): drop every
     * token covered by a word n-gram that occurs in >= `minDocs` distinct

@@ -144,7 +144,260 @@ final class BottomKDistinctAggregator(k: Int)
   def outputEncoder: Encoder[KMVBuf] = Encoders.product[KMVBuf]
 }
 
+/** Frequent-Directions state: up to 2*ell vector rows (row-major flat
+  * buffer), the input Frobenius mass, the accumulated shrink total
+  * (sum of the per-shrink delta — THE quantity the FD theorem bounds),
+  * and the consumed-vector count. Product type: Tungsten ser/de. */
+final case class FDState(d: Int, used: Int, buf: Array[Double],
+    frobSq: Double, deltaSum: Double, n: Long)
+
+/** Finished FD sketch: <= ell rows of d coords (flat, row-major, rows
+  * sorted lexicographically for a canonical order), plus the probe
+  * scalars. */
+final case class FDResult(d: Int, rows: Int, buf: Array[Double],
+    frob_in: Double, frob_sketch: Double, delta_sum: Double, n: Long)
+
+/** FREQUENT DIRECTIONS (Liberty, KDD'13; mergeability Ghashami et al.,
+  * SIAM J. Comput. 2016) — the mergeable low-rank embedding summary: a
+  * sketch B of at most `ell` rows with the deterministic guarantee
+  * 0 <= x^T (A^T A - B^T B) x <= deltaSum <= ||A||_F^2 / ell for every
+  * unit x — the streaming counterpart of a truncated SVD, feeding PCA /
+  * subspace drift without a second pass. The buffer holds 2*ell rows;
+  * on overflow the spectrum shifts down by delta = lambda_ell (the
+  * (ell+1)-th largest eigenvalue of B B^T) and rows below it vanish.
+  * Merge = insert the other partial's rows through the same shrink —
+  * the mergeable-summaries property, so the exchange carries at most
+  * 2*ell*d doubles per (group, task) no matter the corpus size.
+  *
+  * DETERMINISM: the sketch VALUES depend on the shrink history (=
+  * partition/merge order), so the general row is rows-only with
+  * in-query probes (delta_sum <= frob_in/ell, the theorem); the
+  * NO-SHRINK regime (inputs <= 2*ell... and a final shrink only when
+  * over ell) — with at most ell inputs the sketch IS the input set,
+  * sorted canonically — is the oracle-exact anchor twin. The exact
+  * integer-moment relative is [[Similarity.covarianceMoments]]. */
+final class FrequentDirectionsAggregator(ell: Int)
+    extends Aggregator[VecIn, FDState, FDResult] {
+  require(ell >= 2 && ell <= 128, s"ell must be in [2, 128], got $ell")
+  private val cap = 2 * ell
+
+  def zero: FDState = FDState(0, 0, Array.emptyDoubleArray, 0.0, 0.0, 0L)
+
+  private def insert(b: FDState, v: Array[Double]): FDState = {
+    if (v == null) throw new IllegalArgumentException(
+      "frequentDirections: null vector — filter or impute upstream")
+    val d = if (b.d == 0) v.length else b.d
+    if (v.length != d) throw new IllegalArgumentException(
+      s"frequentDirections: ragged input — vector of length ${v.length} " +
+        s"after dimension $d")
+    val buf = if (b.buf.length >= cap * d) b.buf else {
+      val nb = new Array[Double](cap * d)
+      System.arraycopy(b.buf, 0, nb, 0, b.used * d)
+      nb
+    }
+    var fs = b.frobSq
+    var i = 0
+    while (i < d) {
+      val x = v(i)
+      if (!java.lang.Double.isFinite(x)) throw new IllegalArgumentException(
+        s"frequentDirections: non-finite coordinate $x — it would poison " +
+          "the sketch spectrum; filter or impute upstream")
+      buf(b.used * d + i) = x
+      fs += x * x
+      i += 1
+    }
+    val st = FDState(d, b.used + 1, buf, fs, b.deltaSum, b.n + 1)
+    if (st.used == cap) shrink(st, ell) else st
+  }
+
+  /** Shift the spectrum down by lambda_(keep) and drop the tail: the FD
+    * shrink step, via a cyclic-Jacobi eigensolve of the small (used x
+    * used) Gram matrix B B^T. */
+  private def shrink(b: FDState, keep: Int): FDState = {
+    val m = b.used
+    if (m <= keep) return b
+    val d = b.d
+    // G = B B^T (m x m, m <= 2*ell — bounded driver-free task math)
+    val g = Array.ofDim[Double](m, m)
+    var i = 0
+    while (i < m) {
+      var j = i
+      while (j < m) {
+        var s = 0.0; var k = 0
+        while (k < d) { s += b.buf(i * d + k) * b.buf(j * d + k); k += 1 }
+        g(i)(j) = s; g(j)(i) = s
+        j += 1
+      }
+      i += 1
+    }
+    val (lam, u) = Sketches.jacobiEigenSym(g)
+    // eigenvalues descending; delta = the (keep+1)-th largest (index keep)
+    val order = (0 until m).sortBy(i => (-lam(i), i))
+    val delta = math.max(lam(order(keep)), 0.0)
+    val out = new Array[Double](cap * d)
+    var r = 0
+    var fs = 0.0
+    var oi = 0
+    while (oi < keep) {
+      val src = order(oi)
+      val l = lam(src)
+      if (l > delta) {
+        // new row r = sqrt(l - delta) * v_src^T, v^T = u^T B / sigma
+        val scale = math.sqrt((l - delta) / l)
+        var k = 0
+        while (k < d) {
+          var s = 0.0; var q = 0
+          while (q < m) { s += u(q)(src) * b.buf(q * d + k); q += 1 }
+          val x = s * scale
+          out(r * d + k) = x
+          fs += x * x
+          k += 1
+        }
+        r += 1
+      }
+      oi += 1
+    }
+    FDState(d, r, out, b.frobSq, b.deltaSum + delta, b.n)
+  }
+
+  def reduce(b: FDState, a: VecIn): FDState = insert(b, a.v)
+
+  def merge(b1: FDState, b2: FDState): FDState = {
+    if (b2.n == 0L) return b1
+    if (b1.n == 0L) return b2
+    if (b1.d != b2.d) throw new IllegalArgumentException(
+      s"frequentDirections: ragged partials ${b1.d} vs ${b2.d}")
+    // insert b2's sketch rows through the same buffer+shrink (the
+    // mergeable-FD construction); insert() also bumps frobSq/n with the
+    // SKETCH rows' mass, which is not input mass — both are rebuilt from
+    // the parts below (shrink never reads them, so the drift is inert)
+    var acc = FDState(b1.d, b1.used, b1.buf, b1.frobSq,
+      b1.deltaSum + b2.deltaSum, b1.n)
+    var r = 0
+    while (r < b2.used) {
+      acc = insert(acc,
+        java.util.Arrays.copyOfRange(b2.buf, r * b2.d, (r + 1) * b2.d))
+      r += 1
+    }
+    FDState(acc.d, acc.used, acc.buf, b1.frobSq + b2.frobSq, acc.deltaSum,
+      b1.n + b2.n)
+  }
+
+  def finish(b0: FDState): FDResult = {
+    val b = shrink(b0, ell)
+    val d = math.max(b.d, 0)
+    // canonical row order: lexicographic over coordinates
+    val rows = (0 until b.used).map(r =>
+      java.util.Arrays.copyOfRange(b.buf, r * d, (r + 1) * d)).sortWith {
+      (x, y) =>
+        var i = 0
+        while (i < d && x(i) == y(i)) i += 1
+        i < d && x(i) < y(i)
+    }
+    val flat = new Array[Double](rows.length * d)
+    var fs = 0.0
+    var r = 0
+    while (r < rows.length) {
+      var k = 0
+      while (k < d) {
+        val x = rows(r)(k)
+        flat(r * d + k) = x; fs += x * x; k += 1
+      }
+      r += 1
+    }
+    FDResult(d, rows.length, flat, b.frobSq, fs, b.deltaSum, b.n)
+  }
+
+  def bufferEncoder: Encoder[FDState] = Encoders.product[FDState]
+  def outputEncoder: Encoder[FDResult] = Encoders.product[FDResult]
+}
+
 object Sketches {
+
+  /** Cyclic Jacobi eigendecomposition of a small symmetric matrix —
+    * (eigenvalues, eigenvector columns). Deterministic sweep order; used
+    * by the FD shrink (m <= 2*ell, task-local math). */
+  private[ops] def jacobiEigenSym(
+      a: Array[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
+    val n = a.length
+    val v = Array.tabulate(n, n)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = Double.MaxValue
+    while (off > 1e-12 && sweep < 60) {
+      off = 0.0
+      var p = 0
+      while (p < n - 1) {
+        var q = p + 1
+        while (q < n) {
+          val apq = a(p)(q)
+          if (math.abs(apq) > 1e-18) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+            val t = math.signum(theta) match {
+              case 0.0 => 1.0 / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+              case sgn => sgn / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+            }
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val s = t * c
+            var i = 0
+            while (i < n) {
+              val aip = a(i)(p); val aiq = a(i)(q)
+              a(i)(p) = c * aip - s * aiq
+              a(i)(q) = s * aip + c * aiq
+              i += 1
+            }
+            i = 0
+            while (i < n) {
+              val api = a(p)(i); val aqi = a(q)(i)
+              a(p)(i) = c * api - s * aqi
+              a(q)(i) = s * api + c * aqi
+              val vip = v(i)(p); val viq = v(i)(q)
+              v(i)(p) = c * vip - s * viq
+              v(i)(q) = s * vip + c * viq
+              i += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      var i = 0
+      while (i < n - 1) {
+        var j = i + 1
+        while (j < n) { off = math.max(off, math.abs(a(i)(j))); j += 1 }
+        i += 1
+      }
+      sweep += 1
+    }
+    ((0 until n).map(i => a(i)(i)).toArray, v)
+  }
+
+  /** The FD sketch as a frame: one row per (sketch row r, coordinate
+    * idx) — (r, idx, coord) — plus the probe scalars on every row:
+    * n_vectors, frob_in / frob_sketch (1e6-scaled longs) and bound_ok =
+    * delta_sum <= frob_in / ell + tolerance (THE Frequent-Directions
+    * guarantee, checked in-query — the rows-only probe convention).
+    * One aggregation; the exchange carries <= 2*ell*d doubles per task. */
+  def frequentDirections(df: DataFrame, vecCol: String, ell: Int): DataFrame = {
+    val fd = udaf(new FrequentDirectionsAggregator(ell),
+      Encoders.product[VecIn])
+    df.select(col(vecCol).cast("array<double>").as("v"))
+      .agg(fd(col("v")).as("s"))
+      .select(col("s.d").as("d"), col("s.rows").as("n_rows"),
+        col("s.buf").as("buf"), col("s.n").as("n_vectors"),
+        floor(col("s.frob_in") * 1e6).cast("long").as("frob_in_e6"),
+        floor(col("s.frob_sketch") * 1e6).cast("long").as("frob_sketch_e6"),
+        (col("s.delta_sum") <=
+          col("s.frob_in") / lit(ell.toDouble) + lit(1e-6)).as("bound_ok"))
+      .select(col("n_vectors"), col("frob_in_e6"), col("frob_sketch_e6"),
+        col("bound_ok"),
+        explode(expr("transform(sequence(0, n_rows * d - 1), " +
+          "i -> struct(CAST(i div d AS BIGINT) AS r, CAST(i % d AS BIGINT) AS idx, " +
+          "buf[CAST(i AS INT)] AS coord))"))
+          .as("e"))
+      .select(col("e.r").as("r"), col("e.idx").as("idx"),
+        col("e.coord").as("coord"), col("n_vectors"), col("frob_in_e6"),
+        col("frob_sketch_e6"), col("bound_ok"))
+  }
 
   /** Portable HyperLogLog distinct count (Flajolet et al., AofA 2007) over
     * the engine-wide md5 60-bit hash convention: p = 6 (m = 64 buckets),

@@ -600,7 +600,7 @@ object TextAnalysis {
     * the same gram boundaries Spark's `substring(text, i, gram)` yields
     * (code points, not UTF-16 units; trailing short gram only when the
     * whole text is shorter than one gram). */
-  private def gramHashes(s: String, gram: Int, h: Array[Byte] => Long): Array[Long] = {
+  private[ops] def gramHashes(s: String, gram: Int, h: Array[Byte] => Long): Array[Long] = {
     val nChars = s.length
     // code-point start offsets (ascii fast path: identity)
     var cp = 0

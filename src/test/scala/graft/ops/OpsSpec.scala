@@ -849,6 +849,52 @@ class DedupSpec extends AnyFunSuite {
       4L -> (4L, 1L), 7L -> (7L, 1L)))
   }
 
+  test("exactSubstrDedup: arbitrary-boundary repeats scrub, first occurrence survives") {
+    // a 40-char substring planted into three docs at DIFFERENT character
+    // offsets, crossing word boundaries, with unrelated surroundings —
+    // the case word-gram and fixed-segment arms cannot express exactly
+    val planted = "the quick brown fox jumps over the lazyx" // 40 chars
+    assert(planted.length == 40)
+    // every occurrence is bounded by DIFFERENT characters on both sides,
+    // so the maximal repeated substring is exactly `planted`
+    val d1 = s"alpha $planted omega one"         // first occurrence (doc 1)
+    val d2 = s"completely different lead-in xx$planted-trailing bits"
+    val d3 = s"${planted}_starts this one"
+    val d4 = "no repeated content whatsoever in here at all"
+    val df = Seq((1L, d1), (2L, d2), (3L, d3), (4L, d4), (5L, "tiny"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exactSubstrDedup(df, "doc_id", "text", minLen = 30)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+      .toMap
+    def md5Of(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      d.map(b => f"${b & 0xff}%02x").mkString
+    }
+    // doc 1 (globally first by (doc_id, pos) for every planted window):
+    // fully intact
+    assert(out(1L) == ((d1.length.toLong, d1.length.toLong, md5Of(d1))),
+      out(1L).toString)
+    // docs 2 and 3: exactly the planted 40 chars scrubbed, surroundings
+    // intact (coverage is the union of the duplicated 30-char windows,
+    // which tile the full planted span)
+    assert(out(2L) == ((d2.length.toLong, (d2.length - 40).toLong,
+      md5Of("completely different lead-in xx-trailing bits"))), out(2L).toString)
+    assert(out(3L) == ((d3.length.toLong, (d3.length - 40).toLong,
+      md5Of("_starts this one"))), out(3L).toString)
+    // unique doc: untouched; short doc: no window, kept verbatim
+    assert(out(4L) == ((d4.length.toLong, d4.length.toLong, md5Of(d4))))
+    assert(out(5L) == ((4L, 4L, md5Of("tiny"))))
+    // WITHIN-doc repetition: the second copy scrubs, the first stays
+    val rep = "x" * 0 + "abcdefghijklmnopqrstuvwxyz012345" // 32 chars
+    val one = Seq((9L, s"$rep--and then--$rep")).toDF("doc_id", "text")
+    val r9 = Dedup.exactSubstrDedup(one, "doc_id", "text", minLen = 32)
+      .collect().head
+    assert(r9.getLong(2) == r9.getLong(1) - 32, r9.toString)
+    assert(r9.getString(3) == md5Of(s"$rep--and then--"), r9.toString)
+  }
+
   test("connectedComponents and bestOfCluster work on STRING ids") {
     // the common ER/doc case — string keys. The r15 review found the
     // decimal-sum convergence signature and the -id champion trick both

@@ -210,4 +210,66 @@ class SketchesSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
     assert(unioned == direct)
   }
+
+  test("frequent directions: exact in the no-shrink regime, theorem bound under shrinks, mergeable") {
+    // deterministic synthetic vectors: v_i[k] = ((i * 31 + k * 7) % 13 - 6) / 4.0
+    def vec(i: Int, d: Int): Array[Double] =
+      Array.tabulate(d)(k => ((i * 31 + k * 7) % 13 - 6) / 4.0)
+    val d = 6
+    // NO-SHRINK anchor: n <= ell -> the sketch IS the input set (sorted)
+    val small = (0 until 8).map(i => Tuple1(vec(i, d))).toDF("v")
+    val anchor = Sketches.frequentDirections(small, "v", ell = 16).collect()
+    val rowsOut = anchor.groupBy(_.getLong(0)).toSeq.sortBy(_._1).map {
+      case (_, rs) => rs.sortBy(_.getLong(1)).map(_.getDouble(2)).toSeq
+    }
+    val expect = (0 until 8).map(i => vec(i, d).toSeq)
+      .sortWith { (a, b) =>
+        val i = a.zip(b).indexWhere { case (x, y) => x != y }
+        i >= 0 && a(i) < b(i)
+      }
+    assert(rowsOut == expect, s"anchor rows ${rowsOut.take(2)}")
+    assert(anchor.head.getBoolean(6)) // bound trivially holds
+    // SHRINK regime: 200 vectors, ell = 4 -> the FD guarantee
+    //   0 <= x^T (A^T A - B^T B) x <= delta_sum <= frob_in / ell
+    // checked against the exact A^T A, driver-side
+    val n = 200
+    val vs = (0 until n).map(i => vec(i, d))
+    def run(parts: Int): (Array[Array[Double]], Double, Double, Boolean) = {
+      val df = vs.map(Tuple1(_)).toDF("v").repartition(parts)
+      val out = Sketches.frequentDirections(df, "v", ell = 4).collect()
+      val nr = if (out.isEmpty) 0 else out.map(_.getLong(0)).max.toInt + 1
+      val b = Array.ofDim[Double](nr, d)
+      out.foreach(r => b(r.getLong(0).toInt)(r.getLong(1).toInt) = r.getDouble(2))
+      val frobIn = out.head.getLong(4).toDouble / 1e6
+      (b, frobIn, out.head.getLong(5).toDouble / 1e6, out.head.getBoolean(6))
+    }
+    for (parts <- Seq(1, 7)) {
+      val (b, frobIn, _, boundOk) = run(parts)
+      assert(boundOk, s"parts=$parts in-query bound failed")
+      // exact A^T A and B^T B
+      val ata = Array.ofDim[Double](d, d)
+      vs.foreach(v => for (i <- 0 until d; j <- 0 until d) ata(i)(j) += v(i) * v(j))
+      val btb = Array.ofDim[Double](d, d)
+      b.foreach(r => for (i <- 0 until d; j <- 0 until d) btb(i)(j) += r(i) * r(j))
+      val diff = Array.tabulate(d, d)((i, j) => ata(i)(j) - btb(i)(j))
+      // spectral norm of the (symmetric PSD) difference via power iteration
+      var x = Array.fill(d)(1.0 / math.sqrt(d))
+      var lam = 0.0
+      for (_ <- 0 until 200) {
+        val y = Array.tabulate(d)(i => (0 until d).map(j => diff(i)(j) * x(j)).sum)
+        val norm = math.sqrt(y.map(t => t * t).sum)
+        if (norm > 0) { x = y.map(_ / norm); lam = norm }
+      }
+      val frobTrue = vs.map(_.map(t => t * t).sum).sum
+      assert(lam <= frobTrue / 4 + 1e-6,
+        s"parts=$parts spectral err $lam > ${frobTrue / 4}")
+      // PSD: x^T diff x >= -tol for probe directions
+      for (seed <- 0 until 5) {
+        val z = Array.tabulate(d)(k => ((seed * 17 + k * 5) % 9 - 4).toDouble)
+        val q = (0 until d).map(i => (0 until d).map(j => z(i) * diff(i)(j) * z(j)).sum).sum
+        assert(q >= -1e-6, s"parts=$parts not PSD: $q")
+      }
+      assert(math.abs(frobIn - frobTrue) < 1e-3)
+    }
+  }
 }
