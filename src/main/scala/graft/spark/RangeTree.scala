@@ -991,7 +991,7 @@ object RangeTree {
     * partitioning), and only one shard's keys (<= the cap) sit on the
     * driver at a time. */
   private[graft] def shardedByKeyRange(
-      store: DataFrame,
+      store0: DataFrame,
       keyCols: Seq[String],
       publicKeys: Option[DataFrame],
       nNodes: Long,
@@ -1001,6 +1001,11 @@ object RangeTree {
     require(keyCols.nonEmpty,
       "sharded release needs keyCols — an unkeyed tree is one bounded " +
         "release; use the unsharded entry point")
+    // pin the store: the universe derivation and the partitioned write
+    // both consume it, and the callers hand in the RAW ingest plan — an
+    // unpinned store would run the bounded-cap window twice (r15
+    // self-review)
+    val store = store0.localCheckpoint(false)
     val spark0 = store.sparkSession
     val keyCs = keyCols.map(col)
     val cap0 = math.max(1L, MaxDriverRows / nNodes)

@@ -35,6 +35,9 @@ class EntryContractSpec extends AnyFunSuite {
     * driver cannot hash-compare: losing a probe column (or renaming the
     * twin away) silently weakens the gate, so it fails HERE instead. */
   private val rowsOnlyContract: Map[String, (Seq[String], Option[String])] = Map(
+    // FD shrink history is partition/merge-order dependent; the theorem
+    // bound rides every row (bound_ok) and the no-shrink anchor is exact
+    "emb_fd_sketch" -> (Seq("bound_ok", "frob_in_e6") -> Some("emb_fd_exact")),
     "dedup_minhash" -> (Seq("jaccard") -> Some("dedup_minhash_md5")),
     "dedup_simhash" -> (Seq("hamming") -> Some("dedup_simhash_md5")),
     "dedup_embedding_lsh" ->
