@@ -388,6 +388,10 @@ object Sketches {
         floor(col("s.frob_sketch") * 1e6).cast("long").as("frob_sketch_e6"),
         (col("s.delta_sum") <=
           col("s.frob_in") / lit(ell.toDouble) + lit(1e-6)).as("bound_ok"))
+      // empty input => n_rows * d - 1 = -1, and Spark's sequence(0, -1)
+      // is the DESCENDING [0, -1] (not empty) — the explode would index
+      // an empty buffer; filter to zero rows instead
+      .filter(col("n_rows") * col("d") > 0)
       .select(col("n_vectors"), col("frob_in_e6"), col("frob_sketch_e6"),
         col("bound_ok"),
         explode(expr("transform(sequence(0, n_rows * d - 1), " +

@@ -247,8 +247,16 @@ object RangeTree {
     require(maxPerUnit > 0, s"maxPerUnit must be positive, got $maxPerUnit")
     val levels = 31 - Integer.numberOfLeadingZeros(bins)
     val keyCs = keyCols.map(col)
-    val dom = domains.select(keyCs :+ col("lo").cast("double") :+
-      col("hi").cast("double"): _*).localCheckpoint(false)
+    // NULL domain bounds fail loud: a null lo/hi would null every bin of
+    // that key and the release join would silently drop its rows
+    def checkedBound(n: String) =
+      when(col(n).isNull, raise_error(lit(
+        s"dpRangeCountTreePerKeyDomains: NULL $n in the domains frame — " +
+          "every key needs a concrete [lo, hi); fix the domains upstream"))
+        .cast("double"))
+        .otherwise(col(n).cast("double")).as(n)
+    val dom = domains.select(keyCs :+ checkedBound("lo") :+
+      checkedBound("hi"): _*).localCheckpoint(false)
     // one row per key — a conflicting duplicate would silently double
     // rows through the join (one distributed agg, nothing collects)
     val chk = dom.agg(count(lit(1)).as("n"),

@@ -271,5 +271,9 @@ class SketchesSpec extends AnyFunSuite {
       }
       assert(math.abs(frobIn - frobTrue) < 1e-3)
     }
+    // EMPTY input yields zero rows, not a descending-sequence crash
+    // (Spark's sequence(0, -1) is [0, -1], not empty — the r15 footgun)
+    val empty = Seq.empty[Tuple1[Array[Double]]].toDF("v")
+    assert(Sketches.frequentDirections(empty, "v", ell = 4).collect().isEmpty)
   }
 }

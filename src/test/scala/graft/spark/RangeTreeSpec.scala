@@ -771,6 +771,16 @@ class RangeTreeSpec extends AnyFunSuite {
     }
     assert(SparkTestSession.chainMsg(e2).contains("noisy quantile inversion"),
       SparkTestSession.chainMsg(e2).take(300))
+    // a NULL domain bound fails loud instead of silently nulling every
+    // bin of that key out of the release join
+    val badDom = Seq(("small", Some(0.0), Option.empty[Double]))
+      .toDF("k", "lo", "hi")
+    val e3 = intercept[Exception] {
+      RangeTree.dpRangeCountTreePerKeyDomains(df, "uid", col("v"), Seq("k"),
+        badDom, 8, 1.0, 10L, graft.core.NoiseSource.Zero).collect()
+    }
+    assert(SparkTestSession.chainMsg(e3).contains("NULL hi"),
+      SparkTestSession.chainMsg(e3).take(300))
   }
 
   test("accountant-resolved calibration drives the release end-to-end") {
