@@ -29,10 +29,20 @@ object LadderShard {
     // convention) would evict it and fail later reps
     val events = spark.read.parquet(s"$sfDir/events.parquet")
 
+    // --skew: zipf-ish key mass (cube of a uniform — the hottest key
+    // holds ~5% of all rows, the top 1% of keys ~60%) over the same key
+    // cardinality, probing whether a hot key's node mass distorts the
+    // shard loop (it cannot: shards split by key COUNT, and the hot
+    // key's store rows are tree-shaped — at most 2*bins-1 per key)
+    val skew = args.contains("--skew")
     for (keys <- Seq(500, 5000, 50000)) {
+      val uniformKey = pmod(col("user_id") * 7919 + col("event_id"),
+        lit(keys.toLong))
+      val skewKey = floor(pow(
+        pmod(col("event_id") * 2654435761L, lit(1000000L)).cast("double")
+          / lit(1000000.0), lit(3.0)) * keys).cast("long")
       val keyed = events.withColumn("k",
-        format_string("c%06d", pmod(col("user_id") * 7919 + col("event_id"),
-          lit(keys.toLong))))
+        format_string("c%06d", if (skew) skewKey else uniformKey))
       val reps = (1 to 3).map { _ =>
         val out = java.nio.file.Files
           .createTempDirectory("graft_ladder_shard_").toString
