@@ -633,6 +633,39 @@ private[graft] object EntryDP {
         .select(col("__lvl").cast("long").as("lvl"), col("__idx").as("idx"),
           col("event_type"), col("dp_count"))
     }),
+    "dp_range_sum_sharded" -> ((s, dir) => {
+      // the key-range SHARDED sum tree (r15): clamped floor(value)
+      // weights, 2-key shards over the 5 event types. Zero noise => the
+      // exact clamped node sums, replayed as a keyed binned rollup over
+      // the generated grid.
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_q_sshard_").toString
+      graft.spark.RangeTree.dpRangeSumTreeSharded(events(s, dir),
+          "user_id", col("value"), floor(col("value")), Seq("event_type"),
+          lo = 0.0, hi = 1000.0, bins = 64, epsilon = 1.0,
+          maxPerUnit = 1000000L, minW = 0.0, maxW = 500.0,
+          noise = NoiseSource.Zero, outDir = out, maxKeysPerShard = 2L)
+        .select(col("__lvl").cast("long").as("lvl"), col("__idx").as("idx"),
+          col("event_type"), col("dp_count"))
+    }),
+    "dp_range_keyed_quantiles" -> ((s, dir) => {
+      // quantiles in VALUE units over the per-key-domain release: each
+      // event type's bins map through ITS OWN estimated [lo, hi). Zero
+      // noise => exact per-key quantile bins and values, the whole chain
+      // (derivation -> tree -> readout -> per-key value mapping)
+      // replayed in SQL.
+      val dom = graft.spark.RangeTree.dpEstimatedDomains(events(s, dir),
+        "user_id", col("value"), Seq("event_type"), envLo = 0.0,
+        envHi = 1024.0, minBins = 64, epsilon = 1.0,
+        maxPerUnit = 1000000L, noise = NoiseSource.Zero, qLo = 0.01,
+        qHi = 0.99, expand = 0.0).localCheckpoint(false)
+      val tree = graft.spark.RangeTree.dpRangeCountTreePerKeyDomains(
+        events(s, dir), "user_id", col("value"), Seq("event_type"), dom,
+        bins = 64, epsilon = 1.0, maxPerUnit = 1000000L,
+        noise = NoiseSource.Zero)
+      graft.spark.RangeTree.quantilesFromTreePerKeyDomains(tree, dom,
+        Seq("event_type"), bins = 64, qs = Seq(0.25, 0.5, 0.9))
+    }),
     "dp_range_mass_quantiles" -> ((s, dir) => {
       // WEIGHTED quantiles from the SUM tree (mass-CDF inversion): the
       // value band below which q of the total clamped floor(value) mass
@@ -1276,6 +1309,77 @@ private[graft] object EntryDP {
                   n.event_type, CAST(coalesce(c.n, 0) AS DOUBLE) AS dp_count
            FROM nodes n LEFT JOIN c ON c.lvl = n.lvl AND c.idx = n.idx
              AND c.event_type = n.event_type""",
+      // the sharded sum tree is the same mechanism shard by shard: zero
+      // noise replays the exact clamped node sums over the generated grid
+      "dp_range_sum_sharded" ->
+        """WITH wv AS (
+              SELECT event_type,
+                     CAST(least(greatest(floor(value / 15.625), 0), 63)
+                       AS BIGINT) AS bin,
+                     least(greatest(floor(value), 0.0), 500.0) AS w
+              FROM events),
+            lv AS (SELECT unnest(range(0, 7)) AS lvl),
+            nodes AS (
+              SELECT l.lvl, g.idx, k.event_type
+              FROM lv l, (SELECT unnest(range(0, 64)) AS idx) g,
+                   (SELECT DISTINCT event_type FROM events) k
+              WHERE g.idx < 64 // (1 << l.lvl)),
+            c AS (SELECT l.lvl, w.bin >> l.lvl AS idx, w.event_type,
+                         sum(w.w) AS s
+                  FROM wv w CROSS JOIN lv l GROUP BY 1, 2, 3)
+            SELECT CAST(n.lvl AS BIGINT) AS lvl, CAST(n.idx AS BIGINT) AS idx,
+                   n.event_type, CAST(coalesce(c.s, 0) AS DOUBLE) AS dp_count
+            FROM nodes n LEFT JOIN c ON c.lvl = n.lvl AND c.idx = n.idx
+              AND c.event_type = n.event_type""",
+      // the per-key-domain derivation + quantile readout + per-key value
+      // mapping, end-to-end
+      "dp_range_keyed_quantiles" ->
+        """WITH eb AS (
+             SELECT event_type,
+                    CAST(least(greatest(floor(value / 0.25), 0), 4095)
+                      AS BIGINT) AS ebin
+             FROM events),
+           tot0 AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS total
+                    FROM eb GROUP BY 1),
+           grid0 AS (SELECT k.event_type, g.t
+                     FROM (SELECT DISTINCT event_type FROM events) k,
+                          (SELECT unnest(range(0, 4096)) AS t) g),
+           pc0 AS (SELECT event_type, ebin, count(*) AS n FROM eb GROUP BY 1, 2),
+           cum0 AS (SELECT grid0.event_type, grid0.t,
+                           CAST(coalesce(sum(pc0.n), 0) AS DOUBLE) AS pfx
+                    FROM grid0 LEFT JOIN pc0
+                      ON pc0.event_type = grid0.event_type AND pc0.ebin <= grid0.t
+                    GROUP BY 1, 2),
+           qb AS (SELECT c.event_type,
+                         min(CASE WHEN c.pfx >= 0.01 * t.total THEN c.t END) AS qlo,
+                         min(CASE WHEN c.pfx >= 0.99 * t.total THEN c.t END) AS qhi
+                  FROM cum0 c JOIN tot0 t USING (event_type) GROUP BY 1),
+           dom AS (SELECT event_type, qlo * 0.25 AS lo,
+                          (qhi + 1 - qlo) * 0.25 / 64 AS w FROM qb),
+           b AS (SELECT e.event_type,
+                        CAST(least(greatest(floor((e.value - d.lo) / d.w), 0), 63)
+                          AS BIGINT) AS bin
+                 FROM events e JOIN dom d USING (event_type)),
+           tot AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS total
+                   FROM b GROUP BY 1),
+           grid AS (SELECT k.event_type, g.t
+                    FROM (SELECT DISTINCT event_type FROM events) k,
+                         (SELECT unnest(range(0, 64)) AS t) g),
+           pc AS (SELECT event_type, bin, count(*) AS n FROM b GROUP BY 1, 2),
+           cum AS (SELECT grid.event_type, grid.t,
+                          CAST(coalesce(sum(pc.n), 0) AS DOUBLE) AS pfx
+                   FROM grid LEFT JOIN pc
+                     ON pc.event_type = grid.event_type AND pc.bin <= grid.t
+                   GROUP BY 1, 2),
+           qs AS (SELECT CAST(unnest([0.25, 0.5, 0.9]) AS DOUBLE) AS q)
+           SELECT c.event_type, qs.q,
+                  CAST(coalesce(min(CASE WHEN c.pfx >= qs.q * t.total
+                    THEN c.t END), 63) AS BIGINT) AS bin,
+                  any_value(d.lo) + CAST(coalesce(min(CASE WHEN c.pfx >= qs.q * t.total
+                    THEN c.t END), 63) AS BIGINT) * any_value(d.w) AS value_lo
+           FROM cum c JOIN tot t USING (event_type)
+             JOIN dom d USING (event_type) CROSS JOIN qs
+           GROUP BY c.event_type, qs.q""",
       // the keyed derivation replayed end-to-end: per-key envelope
       // cumulative -> per-key quantile bins -> per-key domain -> per-key
       // binning -> generated node grid

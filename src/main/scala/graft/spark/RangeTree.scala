@@ -389,6 +389,25 @@ object RangeTree {
     require(maxPerUnit > 0, s"maxPerUnit must be positive, got $maxPerUnit")
     require(minW <= maxW, s"minW $minW > maxW $maxW")
     val levels = 31 - Integer.numberOfLeadingZeros(bins)
+    val contrib = sumTreeStore(df, pidCol, valueCol, weightCol, keyCols,
+      lo, hi, bins, maxPerUnit, minW, maxW, publicKeys)
+      .localCheckpoint(false) // key universe + release join share it
+    val scale = treeScale(noiseKind, epsilon, delta,
+      maxPerUnit.toDouble * math.max(math.abs(minW), math.abs(maxW)), levels)
+    releaseWithScale(contrib, keyCols, bins, levels, scale, noise,
+      noiseKind, publicKeys)
+  }
+
+  /** The SUM tree's bounded node-sum store (the [[rangeTreeIngestStep]]
+    * analogue with clamped weights) — ONE definition shared by
+    * [[dpRangeSumTree]] and [[dpRangeSumTreeSharded]] so the bounding
+    * cannot drift. */
+  private def sumTreeStore(
+      df: DataFrame, pidCol: String, valueCol: Column, weightCol: Column,
+      keyCols: Seq[String], lo: Double, hi: Double, bins: Int,
+      maxPerUnit: Long, minW: Double, maxW: Double,
+      publicKeys: Option[DataFrame]): DataFrame = {
+    val levels = 31 - Integer.numberOfLeadingZeros(bins)
     val keyCs = keyCols.map(col)
     val checked = when(valueCol.isNull, raise_error(lit(
         "dpRangeSumTree: NULL value for a privacy unit — nulls have no " +
@@ -415,7 +434,7 @@ object RangeTree {
       df.join(p, keyCols.map(n => df(n) === p(n)).reduce(_ && _),
         "left_semi"))
     // deterministic cap: rank by (bin, weight, value) — stable under retry
-    val capped = inScope
+    inScope
       .withColumn("__bin", binIdx)
       .withColumn("__w", wClamped)
       .withColumn("__rk", row_number().over(
@@ -423,17 +442,52 @@ object RangeTree {
           .partitionBy((col(pidCol) +: keyCs): _*)
           .orderBy(col("__bin").asc, col("__w").asc, checked.asc)))
       .filter(col("__rk") <= maxPerUnit)
-    val contrib = capped
       .select(col("__bin") +: col("__w") +: keyChecked: _*)
       .withColumn("__lvl", explode(sequence(lit(0), lit(levels))))
       .withColumn("__idx", expr("shiftright(__bin, __lvl)"))
       .groupBy(col("__lvl") +: col("__idx") +: keyCs: _*)
       .agg(sum(col("__w")).as("__s"))
-      .localCheckpoint(false) // key universe + release join share it
+  }
+
+  /** KEY-RANGE SHARDED sum tree — [[dpRangeSumTree]] at ANY key
+    * cardinality (the [[dpRangeCountTreeSharded]] loop over the clamped-
+    * weight store; same draw-once / zero-extra-budget contract). */
+  def dpRangeSumTreeSharded(
+      df: DataFrame,
+      pidCol: String,
+      valueCol: Column,
+      weightCol: Column,
+      keyCols: Seq[String],
+      lo: Double,
+      hi: Double,
+      bins: Int,
+      epsilon: Double,
+      maxPerUnit: Long,
+      minW: Double,
+      maxW: Double,
+      noise: graft.core.NoiseSource,
+      outDir: String,
+      publicKeys: Option[DataFrame] = None,
+      noiseKind: graft.core.NoiseKind = graft.core.NoiseKind.Laplace,
+      delta: Double = 0.0,
+      maxKeysPerShard: Long = 0L
+  ): DataFrame = {
+    require(bins >= 2 && (bins & (bins - 1)) == 0 && bins <= 4096,
+      s"bins must be a power of two in [2, 4096], got $bins")
+    require(lo < hi, s"empty domain [$lo, $hi)")
+    require(epsilon > 0, s"epsilon must be positive, got $epsilon")
+    require(maxPerUnit > 0, s"maxPerUnit must be positive, got $maxPerUnit")
+    require(minW <= maxW, s"minW $minW > maxW $maxW")
+    val levels = 31 - Integer.numberOfLeadingZeros(bins)
     val scale = treeScale(noiseKind, epsilon, delta,
       maxPerUnit.toDouble * math.max(math.abs(minW), math.abs(maxW)), levels)
-    releaseWithScale(contrib, keyCols, bins, levels, scale, noise,
-      noiseKind, publicKeys)
+    val store = sumTreeStore(df, pidCol, valueCol, weightCol, keyCols,
+      lo, hi, bins, maxPerUnit, minW, maxW, publicKeys)
+    shardedByKeyRange(store, keyCols, publicKeys, 2L * bins - 1,
+      maxKeysPerShard, outDir) { (slice, shardKeys) =>
+      releaseWithScale(slice, keyCols, bins, levels, scale, noise,
+        noiseKind, publicKeys = Some(shardKeys))
+    }
   }
 
   /** Range queries answered from a released tree — PURE POST-PROCESSING
@@ -570,6 +624,40 @@ object RangeTree {
         min(when(col("__pfx") >= col("q") * col("__total"), col("__t"))),
         lit((bins - 1).toLong)).as("bin"))
       .withColumn("value_lo", lit(lo) + col("bin") * lit((hi - lo) / bins))
+  }
+
+  /** [[quantilesFromTree]] over a PER-KEY-DOMAIN tree
+    * ([[dpRangeCountTreePerKeyDomains]]): bins are key-LOCAL, so the
+    * value mapping needs each key's own [lo, hi) — the bin readout runs
+    * once (pure post-processing, distributed) and the domains frame
+    * joins back for `value_lo` = lo_k + bin * (hi_k - lo_k)/bins. A key
+    * in the tree with no domain row fails loud (it cannot have come from
+    * the per-key-domain release). Returns (keyCols..., q, bin,
+    * value_lo). */
+  def quantilesFromTreePerKeyDomains(
+      tree: DataFrame,
+      domains: DataFrame,
+      keyCols: Seq[String],
+      bins: Int,
+      qs: Seq[Double]
+  ): DataFrame = {
+    require(keyCols.nonEmpty,
+      "per-key-domain quantiles need keyCols — use quantilesFromTree " +
+        "with the global domain otherwise")
+    val keyCs = keyCols.map(col)
+    // bin readout in bin units (lo = 0, width 1 — value_lo == bin, dropped)
+    val binsOut = quantilesFromTree(tree, keyCols, 0.0, bins.toDouble,
+      bins, qs).drop("value_lo")
+    val dom = domains.select(keyCs :+ col("lo").cast("double") :+
+      col("hi").cast("double"): _*)
+    binsOut.join(dom, keyCols, "left")
+      .withColumn("value_lo",
+        when(col("lo").isNull, raise_error(lit(
+          "quantilesFromTreePerKeyDomains: a tree key has no domain row — " +
+            "pass the SAME domains frame the release used")).cast("double"))
+          .otherwise(col("lo") +
+            col("bin") * ((col("hi") - col("lo")) / lit(bins.toDouble))))
+      .select(keyCs :+ col("q") :+ col("bin") :+ col("value_lo"): _*)
   }
 
   /** Prefix counts [0, t] for EVERY leaf t via each prefix's dyadic

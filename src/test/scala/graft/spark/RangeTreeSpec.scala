@@ -781,6 +781,56 @@ class RangeTreeSpec extends AnyFunSuite {
     }
     assert(SparkTestSession.chainMsg(e3).contains("NULL hi"),
       SparkTestSession.chainMsg(e3).take(300))
+    // quantiles in VALUE units per key: each key's bins map through ITS
+    // OWN domain — the median of "small" reads ~0.5, of "big" ~500
+    val qv = RangeTree.quantilesFromTreePerKeyDomains(tree, domDf, Seq("k"),
+      bins = 64, qs = Seq(0.5))
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    // small: 100 values 0.00..0.99, width 1/64; median bin = first with
+    // prefix >= 50 -> values 0..0.49 fill bins 0..31 (floor(v*64)), bin
+    // of v=0.49 is 31; prefix(31) = 50 -> bin 31, value_lo = 31/64
+    assert(qv("small") == ((31L, 31.0 / 64)), qv("small").toString)
+    // big: width 1000/64 = 15.625; median = v=490 -> bin 31, value 484.375
+    assert(qv("big") == ((31L, 31 * 15.625)), qv("big").toString)
+    // a tree key missing from the domains frame fails loud
+    val e4 = intercept[Exception] {
+      RangeTree.quantilesFromTreePerKeyDomains(tree,
+        domDf.filter(col("k") === "small"), Seq("k"), 64, Seq(0.5)).collect()
+    }
+    assert(SparkTestSession.chainMsg(e4).contains("no domain row"),
+      SparkTestSession.chainMsg(e4).take(300))
+  }
+
+  test("sharded SUM tree == one-shot; clamped mass, draw-once across shards") {
+    val df = (0 until 6).flatMap(k => Seq(
+      (k.toLong * 2 + 1, 0.5, 50.0, s"k$k"),   // weight clamps to 10
+      (k.toLong * 2 + 2, 5.5, 3.0, s"k$k")))
+      .toDF("uid", "v", "w", "k")
+    def rows(t: org.apache.spark.sql.DataFrame) = t.collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getString(2)) -> r.getDouble(3))
+      .toMap
+    val oneShot = rows(RangeTree.dpRangeSumTree(df, "uid", col("v"),
+      col("w"), Seq("k"), 0.0, 8.0, 8, 1.0, 10L, 0.0, 10.0,
+      graft.core.NoiseSource.Zero))
+    val dir = java.nio.file.Files.createTempDirectory("graft_sshard_").toString
+    val sharded = rows(RangeTree.dpRangeSumTreeSharded(df, "uid", col("v"),
+      col("w"), Seq("k"), 0.0, 8.0, 8, 1.0, 10L, 0.0, 10.0,
+      graft.core.NoiseSource.Zero, dir, maxKeysPerShard = 2L)
+      .select(col("__lvl"), col("__idx"), col("k"), col("dp_count")))
+    assert(sharded == oneShot)
+    assert(oneShot((3, 0L, "k0")) == 13.0) // clamped 10 + 3
+    val counter = new java.util.concurrent.atomic.AtomicLong(0)
+    object Counting extends graft.core.NoiseSource {
+      def laplace(b: Double): Double = { counter.incrementAndGet(); 0.0 }
+      def gaussian(sigma: Double): Double = { counter.incrementAndGet(); 0.0 }
+      def uniform(): Double = 0.5
+    }
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_sshard_").toString
+    RangeTree.dpRangeSumTreeSharded(df, "uid", col("v"), col("w"), Seq("k"),
+      0.0, 8.0, 8, 1.0, 10L, 0.0, 10.0, Counting, dir2,
+      maxKeysPerShard = 2L).collect()
+    assert(counter.get == 6L * 15L, s"draws=${counter.get}")
   }
 
   test("accountant-resolved calibration drives the release end-to-end") {
