@@ -193,6 +193,24 @@ private[graft] object EntryStream {
         minValue = 0.0, maxValue = 1000.0,
         noise = graft.core.NoiseSource.Zero)
     }),
+    "ss_dp_continual_sum_sharded" -> ((s, dir) => {
+      // the key-range SHARDED continual sum (r15): same clamped-cell
+      // bounding, 2-key shards over the 5 event types. Zero noise => the
+      // same exact running sums, so the oracle IS ss_dp_continual_sum's
+      // replay. Sharded continual MEAN is composition of this and the
+      // sharded count (documented on dpContinualSumSharded).
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_q_csshard_").toString
+      graft.streaming.StreamOps.dpContinualSumSharded(
+        events(s, dir).withColumn("v", floor(col("value"))),
+        pidCol = "user_id",
+        tickCol = expr("(ts div 86400000000000) - 19723"),
+        valueCol = "v", keyCols = Seq("event_type"), horizon = 32,
+        epsilon = 1.0, maxPerTick = 1000000L,
+        minValue = 0.0, maxValue = 1000.0,
+        noise = graft.core.NoiseSource.Zero, outDir = out,
+        maxKeysPerShard = 2L)
+    }),
     "ss_range_tree_fold" -> ((s, dir) => {
       // the range tree's STREAMING face (nightly-release pattern): three
       // micro-batches fold their bounded node contributions into the
@@ -424,6 +442,22 @@ private[graft] object EntryStream {
       // the running clamped sum replayed over the full tick grid (values
       // in [0, 1000] at sf scales, so clamps never bind — the dp_sum
       // convention)
+      // the sharded sum is the same mechanism shard by shard
+      "ss_dp_continual_sum_sharded" ->
+        """WITH pt AS (
+             SELECT event_type,
+                    date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS t,
+                    sum(least(greatest(floor(value), 0.0), 1000.0)) AS nt
+             FROM events GROUP BY 1, 2),
+           grid AS (
+             SELECT k.event_type, g.t
+             FROM (SELECT DISTINCT event_type FROM events) k
+             CROSS JOIN (SELECT unnest(range(0, 32)) AS t) g)
+           SELECT grid.t, grid.event_type,
+                  CAST(coalesce(sum(pt.nt), 0) AS DOUBLE) AS dp_prefix_sum
+           FROM grid LEFT JOIN pt
+             ON pt.event_type = grid.event_type AND pt.t <= grid.t
+           GROUP BY 1, 2""",
       "ss_dp_continual_sum" ->
         """WITH pt AS (
              SELECT event_type,

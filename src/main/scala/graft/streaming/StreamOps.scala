@@ -795,15 +795,34 @@ object StreamOps {
     require(maxPerTick > 0, s"maxPerTick must be positive, got $maxPerTick")
     require(minValue <= maxValue, s"minValue $minValue > maxValue $maxValue")
     val levels = 31 - Integer.numberOfLeadingZeros(horizon)
+    val pub = publicKeys.map(p => broadcast(
+      p.toDF(keyCols: _*).distinct().localCheckpoint(false)))
+    val perTick = continualPerTickSum(events, pidCol, tickCol, valueCol,
+      keyCols, horizon, maxPerTick, minValue, maxValue, pub,
+      "dpContinualSum").localCheckpoint(false)
+    val scale = graft.spark.RangeTree.treeScale(noiseKind, epsilon, delta,
+      maxPerTick * math.max(math.abs(minValue), math.abs(maxValue)), levels)
+    continualTreeRelease(perTick, keyCols, pub, horizon, levels, scale,
+      noise, noiseKind, "dp_prefix_sum")
+  }
+
+  /** The bounded per-(tick, key) clamped-sum cells of the continual sum —
+    * ONE definition shared by [[dpContinualSum]] and its sharded form
+    * (the [[continualPerTickCount]] convention). */
+  private def continualPerTickSum(events: DataFrame, pidCol: String,
+      tickCol: org.apache.spark.sql.Column, valueCol: String,
+      keyCols: Seq[String], horizon: Int, maxPerTick: Long,
+      minValue: Double, maxValue: Double, pub: Option[DataFrame],
+      what: String): DataFrame = {
     val keyCs = keyCols.map(col)
     val u0 = tickCol.cast("long")
     val u = when(u0.isNull || u0 < 0 || u0 >= horizon, raise_error(lit(
-        s"dpContinualSum: tick outside [0, $horizon) — widen the horizon " +
+        s"$what: tick outside [0, $horizon) — widen the horizon " +
           "(power of two) or filter the input")).cast("long"))
       .otherwise(u0)
     val keyChecked = keyCs.zip(keyCols).map { case (c, n) =>
       when(c.isNull, raise_error(lit(
-        s"dpContinualSum: NULL key '$n' — it would silently drop from " +
+        s"$what: NULL key '$n' — it would silently drop from " +
           "the release joins; coalesce or filter upstream"))
         .cast(events.schema(n).dataType))
         .otherwise(c).as(n)
@@ -811,26 +830,67 @@ object StreamOps {
     // NULL values fail loud (the perUnitCells convention): least/greatest
     // skip nulls, so an unguarded clamp would inject minValue silently
     val checked = when(col(valueCol).isNull, raise_error(lit(
-        "dpContinualSum: NULL value for a privacy unit — nulls have no " +
+        s"$what: NULL value for a privacy unit — nulls have no " +
           "clipping semantics; filter or impute upstream")).cast("double"))
       .otherwise(col(valueCol).cast("double"))
     val clamped = least(greatest(checked, lit(minValue)), lit(maxValue))
-    val pub = publicKeys.map(p => broadcast(
-      p.toDF(keyCols: _*).distinct().localCheckpoint(false)))
     val inScope = pub.fold(events)(p =>
       events.join(p, keyCols.map(n => events(n) === p(n)).reduce(_ && _),
         "left_semi"))
-    val perTick = inScope
+    inScope
       .groupBy(col(pidCol).as("__pid") +: u.as("__t") +: keyChecked: _*)
       .agg(least(greatest(sum(clamped), lit(maxPerTick * minValue)),
         lit(maxPerTick * maxValue)).as("__n"))
       .groupBy(col("__t") +: keyCs: _*)
       .agg(sum(col("__n")).as("__nt"))
-      .localCheckpoint(false)
+  }
+
+  /** KEY-RANGE SHARDED continual SUM — [[dpContinualSum]] at ANY key
+    * cardinality (the [[dpContinualCountSharded]] loop over the clamped
+    * per-tick cells; same draw-once / zero-extra-budget contract). The
+    * continual MEAN at shard scale is composition: one sharded count +
+    * one sharded sum (each on half the budget, distinct outDirs), joined
+    * on (t, keys) — the ratio is post-processing, exactly as the unsharded
+    * [[dpContinualMean]] builds it. */
+  def dpContinualSumSharded(
+      events: DataFrame,
+      pidCol: String,
+      tickCol: org.apache.spark.sql.Column,
+      valueCol: String,
+      keyCols: Seq[String],
+      horizon: Int,
+      epsilon: Double,
+      maxPerTick: Long,
+      minValue: Double,
+      maxValue: Double,
+      noise: graft.core.NoiseSource,
+      outDir: String,
+      publicKeys: Option[DataFrame] = None,
+      noiseKind: graft.core.NoiseKind = graft.core.NoiseKind.Laplace,
+      delta: Double = 0.0,
+      maxKeysPerShard: Long = 0L
+  ): DataFrame = {
+    require(keyCols.nonEmpty,
+      "dpContinualSumSharded needs keyCols — an unkeyed release is one " +
+        "bounded tree; use dpContinualSum")
+    require(horizon >= 2 && (horizon & (horizon - 1)) == 0,
+      s"horizon must be a power of two >= 2, got $horizon (the dyadic tree)")
+    require(epsilon > 0, s"epsilon must be positive, got $epsilon")
+    require(maxPerTick > 0, s"maxPerTick must be positive, got $maxPerTick")
+    require(minValue <= maxValue, s"minValue $minValue > maxValue $maxValue")
+    val levels = 31 - Integer.numberOfLeadingZeros(horizon)
+    val pub = publicKeys.map(p => broadcast(
+      p.toDF(keyCols: _*).distinct().localCheckpoint(false)))
+    val perTick = continualPerTickSum(events, pidCol, tickCol, valueCol,
+      keyCols, horizon, maxPerTick, minValue, maxValue, pub,
+      "dpContinualSumSharded")
     val scale = graft.spark.RangeTree.treeScale(noiseKind, epsilon, delta,
       maxPerTick * math.max(math.abs(minValue), math.abs(maxValue)), levels)
-    continualTreeRelease(perTick, keyCols, pub, horizon, levels, scale,
-      noise, noiseKind, "dp_prefix_sum")
+    graft.spark.RangeTree.shardedByKeyRange(perTick, keyCols, publicKeys,
+      2L * horizon - 1, maxKeysPerShard, outDir) { (slice, shardKeys) =>
+      continualTreeRelease(slice, keyCols, Some(shardKeys), horizon,
+        levels, scale, noise, noiseKind, "dp_prefix_sum")
+    }
   }
 
   /** Continual-observation DP MEAN — the [[dpWindowedMean]] recipe over

@@ -1149,6 +1149,37 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(win(("k0", 3L)) == oneShot(("k0", 3L)) - oneShot(("k0", 1L)))
   }
 
+  test("sharded continual SUM == one-shot; clamped cells, draws once per (key, node)") {
+    import org.apache.spark.sql.functions._
+    val df = (0 until 5).flatMap(k => Seq(
+      (1L, 0L, s"k$k", 5.0), (2L, 3L, s"k$k", 50.0), (3L, 6L, s"k$k", -3.0)))
+      .toDF("user_id", "tick", "key", "v")
+    def m(t: org.apache.spark.sql.DataFrame) = t.collect()
+      .map(r => (r.getAs[String]("key"), r.getAs[Long]("t")) ->
+        r.getAs[Double]("dp_prefix_sum")).toMap
+    val oneShot = m(StreamOps.dpContinualSum(df, "user_id", col("tick"),
+      "v", Seq("key"), horizon = 8, epsilon = 1.0, maxPerTick = 100L,
+      minValue = 0.0, maxValue = 10.0, noise = graft.core.NoiseSource.Zero))
+    val dir = java.nio.file.Files.createTempDirectory("graft_csshard_").toString
+    val sharded = m(StreamOps.dpContinualSumSharded(df, "user_id",
+      col("tick"), "v", Seq("key"), 8, 1.0, 100L, 0.0, 10.0,
+      graft.core.NoiseSource.Zero, dir, maxKeysPerShard = 2L))
+    assert(sharded == oneShot)
+    // per-value clamps bind: 50 -> 10, -3 -> 0; prefix at t=7 = 5+10+0
+    assert(oneShot(("k0", 7L)) == 15.0, oneShot(("k0", 7L)).toString)
+    val counter = new java.util.concurrent.atomic.AtomicLong(0)
+    object Counting extends graft.core.NoiseSource {
+      def laplace(b: Double): Double = { counter.incrementAndGet(); 0.0 }
+      def gaussian(sigma: Double): Double = { counter.incrementAndGet(); 0.0 }
+      def uniform(): Double = 0.5
+    }
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_csshard_").toString
+    StreamOps.dpContinualSumSharded(df, "user_id", col("tick"), "v",
+      Seq("key"), 8, 1.0, 100L, 0.0, 10.0, Counting, dir2,
+      maxKeysPerShard = 2L).collect()
+    assert(counter.get == 5L * 15L, s"draws=${counter.get}")
+  }
+
   test("continual DP counter: prefix exactness, node reuse, bounding, guards") {
     import org.apache.spark.sql.functions._
     // ticks 0..7 (horizon 8): per-tick counts 2, 0, 1, 3, 0, 0, 1, 0
