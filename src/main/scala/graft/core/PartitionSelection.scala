@@ -123,7 +123,11 @@ final case class WeightedGaussianSelection(
   require(epsilon > 0 && delta > 0 && maxPartitionsContributed >= 1)
   val sigma: Double = DpNoise.gaussianSigma(epsilon, delta / 2, 1.0)
   private val thrDeltaAdj = PartitionSelection.adjustedDelta(delta / 2, maxPartitionsContributed)
-  val threshold: Double = 1.0 + sigma * DpNoise.phiInverse(1.0 - thrDeltaAdj)
+  // PhiInverse(1 - d) = -PhiInverse(d) exactly (normal symmetry) — the
+  // lower-tail form keeps full precision at tiny adjusted deltas, where
+  // forming 1 - d first rounds to 1.0 and phiInverse(1.0) fails (the
+  // gaussianThreshold convention; r15 core review)
+  val threshold: Double = 1.0 - sigma * DpNoise.phiInverse(thrDeltaAdj)
   def shouldKeep(weightSum: Double, noise: NoiseSource): Boolean =
     weightSum + noise.gaussian(sigma) >= threshold
   def describe: String =

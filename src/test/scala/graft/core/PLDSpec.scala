@@ -614,6 +614,18 @@ class SymmetricBinomialGaussianSpec extends AnyFunSuite {
     // and the mid-range values agree with the textbook closed forms
     assert(math.abs(graft.core.PartitionSelection.laplaceThreshold(1.0, 0.25, 1)
       - (1.0 - math.log(0.5))) < 1e-12)
+    // WeightedGaussianSelection shares the stable lower-tail form (r15
+    // core review: it still formed 1 - deltaAdj, which rounds to 1.0 at
+    // tiny deltas and crashed phiInverse)
+    val wTiny = graft.core.WeightedGaussianSelection(2.0, 1e-18, 4)
+    assert(java.lang.Double.isFinite(wTiny.threshold) && wTiny.threshold > 1.0,
+      s"weighted ${wTiny.threshold}")
+    // moderate deltas: identical to the 1 + sigma * PhiInverse(1 - d) form
+    val wMid = graft.core.WeightedGaussianSelection(2.0, 1e-6, 4)
+    val dAdj = -math.expm1(math.log1p(-5e-7) / 4)
+    val legacy = 1.0 + wMid.sigma * graft.core.DpNoise.phiInverse(1.0 - dAdj)
+    assert(math.abs(wMid.threshold - legacy) < 1e-9 * math.abs(legacy),
+      s"${wMid.threshold} vs $legacy")
   }
 
 }
