@@ -719,6 +719,39 @@ private[graft] object EntryDP {
       graft.spark.RangeTree.cdfFromTree(tree, Seq("event_type"),
         0.0, 1000.0, 64, monotone = true)
     }),
+    "dp_range_2d" -> ((s, dir) => {
+      // 2-D DP range-count tree (r15: the dyadic PRODUCT mechanism —
+      // spatial/bivariate box queries under DP): x = value over [0, 1000)
+      // in 16 bins, y = hour-of-day over [0, 32) in 32 bins (UTC hour is
+      // the bin index; bins 24-31 provably empty but still drawing
+      // noise), keyed per event_type. One draw per product node, empty
+      // nodes included. Zero noise + non-binding cap => exact node
+      // counts, replayed as a binned rollup over the generated 4-D grid.
+      graft.spark.RangeTree.dpRange2DTree(events(s, dir), "user_id",
+          col("value"), expr("hour(timestamp_micros(ts div 1000))"),
+          Seq("event_type"),
+          loX = 0.0, hiX = 1000.0, binsX = 16,
+          loY = 0.0, hiY = 32.0, binsY = 32,
+          epsilon = 1.0, maxPerUnit = 1000000L, noise = NoiseSource.Zero)
+        .select(col("__lvx").cast("long").as("lvx"),
+          col("__idxx").as("idxx"), col("__lvy").cast("long").as("lvy"),
+          col("__idxy").as("idxy"), col("event_type"), col("dp_count"))
+    }),
+    "dp_range_2d_query" -> ((s, dir) => {
+      // axis-aligned box queries from the released 2-D tree — pure
+      // post-processing: each box reads the CROSS PRODUCT of its per-axis
+      // minimal dyadic covers, never the leaf grid. Zero noise => exact
+      // box counts, replayed as two-BETWEEN rollups.
+      val tree = graft.spark.RangeTree.dpRange2DTree(events(s, dir),
+        "user_id", col("value"), expr("hour(timestamp_micros(ts div 1000))"),
+          Seq("event_type"),
+        loX = 0.0, hiX = 1000.0, binsX = 16,
+        loY = 0.0, hiY = 32.0, binsY = 32,
+        epsilon = 1.0, maxPerUnit = 1000000L, noise = NoiseSource.Zero)
+      graft.spark.RangeTree.range2DQueries(tree, Seq("event_type"),
+        Seq((0L, 7L, 0L, 11L), (4L, 11L, 6L, 21L), (15L, 15L, 0L, 31L),
+          (2L, 2L, 5L, 5L), (0L, 15L, 0L, 23L)), binsX = 16, binsY = 32)
+    }),
     "dp_add_noise" -> ((s, dir) => {
       // noise-only path on pre-aggregated data; zero noise => identity
       val pre = events(s, dir).groupBy("event_type")
@@ -1172,6 +1205,18 @@ private[graft] object EntryDP {
         FROM nodes n LEFT JOIN c ON c.lvl = n.lvl AND c.idx = n.idx
           AND c.event_type = n.event_type"""
 
+  /** The shared 2-D binning CTE of the dp_range_2d* oracles: x = value
+    * clamped into 16 bins of width 62.5 over [0, 1000); y = the UTC hour
+    * of ts, which IS its bin index over [0, 32) at width 1 (hours 0-23;
+    * bins 24-31 provably empty, still released). One definition so the
+    * bin arithmetic cannot drift between the tree and the box replay. */
+  private val range2DBinSql =
+    """b AS (
+         SELECT event_type,
+                CAST(least(greatest(floor(value / 62.5), 0), 15) AS BIGINT) AS bx,
+                CAST(least(greatest(floor(CAST(extract(hour FROM ts) AS DOUBLE) / 1.0), 0), 31) AS BIGINT) AS by
+         FROM events)"""
+
   def oracleSql: Map[String, String] = {
     import OracleFragments._
     Map(
@@ -1202,6 +1247,53 @@ private[graft] object EntryDP {
             FROM grid g LEFT JOIN b ON b.event_type = g.event_type
               AND b.bin BETWEEN g.lo_bin AND g.hi_bin
             GROUP BY 1, 2, 3, 4""",
+      // the 2-D product tree: x bins value/62.5 in [0,16), y bins the UTC
+      // hour as its own index in [0,32); node grid = every (lvx, idxx,
+      // lvy, idxy) with idx < bins >> lvl per axis, exact counts rolled
+      // up by the double shift
+      "dp_range_2d" ->
+        s"""WITH $range2DBinSql,
+            lx AS (SELECT unnest(range(0, 5)) AS lvx),
+            ly AS (SELECT unnest(range(0, 6)) AS lvy),
+            nodes AS (
+              SELECT lx.lvx, gx.idxx, ly.lvy, gy.idxy, k.event_type
+              FROM lx, (SELECT unnest(range(0, 16)) AS idxx) gx,
+                   ly, (SELECT unnest(range(0, 32)) AS idxy) gy,
+                   (SELECT DISTINCT event_type FROM events) k
+              WHERE gx.idxx < 16 // (1 << lx.lvx)
+                AND gy.idxy < 32 // (1 << ly.lvy)),
+            c AS (SELECT lx.lvx, b.bx >> lx.lvx AS idxx,
+                         ly.lvy, b.by >> ly.lvy AS idxy,
+                         b.event_type, count(*) AS n
+                  FROM b CROSS JOIN lx CROSS JOIN ly
+                  GROUP BY 1, 2, 3, 4, 5)
+            SELECT CAST(n.lvx AS BIGINT) AS lvx,
+                   CAST(n.idxx AS BIGINT) AS idxx,
+                   CAST(n.lvy AS BIGINT) AS lvy,
+                   CAST(n.idxy AS BIGINT) AS idxy,
+                   n.event_type, CAST(coalesce(c.n, 0) AS DOUBLE) AS dp_count
+            FROM nodes n LEFT JOIN c ON c.lvx = n.lvx AND c.idxx = n.idxx
+              AND c.lvy = n.lvy AND c.idxy = n.idxy
+              AND c.event_type = n.event_type""",
+      "dp_range_2d_query" ->
+        s"""WITH $range2DBinSql,
+            r(query_id, x_lo, x_hi, y_lo, y_hi) AS (
+              VALUES (0, 0, 7, 0, 11), (1, 4, 11, 6, 21),
+                     (2, 15, 15, 0, 31), (3, 2, 2, 5, 5),
+                     (4, 0, 15, 0, 23)),
+            grid AS (SELECT r.*, k.event_type
+                     FROM r, (SELECT DISTINCT event_type FROM events) k)
+            SELECT CAST(g.query_id AS BIGINT) AS query_id,
+                   CAST(g.x_lo AS BIGINT) AS x_lo,
+                   CAST(g.x_hi AS BIGINT) AS x_hi,
+                   CAST(g.y_lo AS BIGINT) AS y_lo,
+                   CAST(g.y_hi AS BIGINT) AS y_hi,
+                   g.event_type,
+                   CAST(coalesce(count(b.bx), 0) AS DOUBLE) AS dp_box_count
+            FROM grid g LEFT JOIN b ON b.event_type = g.event_type
+              AND b.bx BETWEEN g.x_lo AND g.x_hi
+              AND b.by BETWEEN g.y_lo AND g.y_hi
+            GROUP BY 1, 2, 3, 4, 5, 6""",
       "dp_range_cdf" ->
         s"""WITH $rangeBinSql,
             grid AS (SELECT k.event_type, g.t

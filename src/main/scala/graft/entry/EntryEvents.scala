@@ -87,6 +87,23 @@ private[graft] object EntryEvents {
           col("mean"), round(col("z"), 9).as("z9"),
           (abs(col("z")) > 2.0).as("is_anomaly"))
     }),
+    "a_cuped" -> ((s, dir) => {
+      // CUPED variance-reduced A/B readout (Deng et al. WSDM'13): units =
+      // users, arm = user_id parity (a deterministic stand-in for an
+      // assignment table), covariate x = each user's view/click value
+      // mass, experiment metric y = their purchase/other value mass —
+      // correlated through per-user activity level, so the adjustment
+      // does real work. All moments are exact integer-valued doubles; the
+      // derived doubles replay bit-exactly (the ts_anomaly convention).
+      val ev = events(s, dir)
+      val units = ev.groupBy(col("user_id")).agg(
+        coalesce(sum(when(col("event_type").isin("view", "click"),
+          floor(col("value")))), lit(0.0)).as("x"),
+        coalesce(sum(when(!col("event_type").isin("view", "click"),
+          floor(col("value")))), lit(0.0)).as("y"))
+        .withColumn("arm", pmod(col("user_id"), lit(2L)))
+      graft.ops.EventAnalytics.cuped(units, "arm", "y", "x")
+    }),
     "ts_moving_avg" -> ((s, dir) => {
       // 7-day moving window over the daily per-type rollup: rolling sum +
       // average of integer-valued daily totals (ROWS BETWEEN 6 PRECEDING
@@ -188,6 +205,46 @@ private[graft] object EntryEvents {
            SELECT event_type, day, x, mean, round(z, 9) AS z9,
                   abs(z) > 2.0 AS is_anomaly
            FROM c""",
+      "a_cuped" ->
+        """WITH u AS (
+              SELECT user_id, user_id % 2 AS arm,
+                     CAST(coalesce(sum(floor(value))
+                       FILTER (event_type IN ('view', 'click')), 0) AS DOUBLE) AS x,
+                     CAST(coalesce(sum(floor(value))
+                       FILTER (event_type NOT IN ('view', 'click')), 0) AS DOUBLE) AS y
+              FROM events GROUP BY 1, 2),
+            g AS (
+              SELECT CAST(count(*) AS DOUBLE) AS n,
+                     sum(x) AS sx, sum(y) AS sy,
+                     sum(x * x) AS sxx, sum(x * y) AS sxy
+              FROM u),
+            t AS (
+              SELECT CASE WHEN n * sxx - sx * sx <= 0 THEN 0.0
+                          ELSE (n * sxy - sx * sy) / (n * sxx - sx * sx)
+                     END AS theta,
+                     sx / n AS mxg
+              FROM g),
+            a AS (
+              SELECT arm, count(*) AS n_units,
+                     sum(x) AS sxa, sum(y) AS sya,
+                     sum(x * x) AS sxxa, sum(y * y) AS syya,
+                     sum(x * y) AS sxya
+              FROM u GROUP BY 1)
+           SELECT a.arm, a.n_units,
+                  round(a.sya / a.n_units, 9) AS mean_y,
+                  round(a.sya / a.n_units
+                    - t.theta * (a.sxa / a.n_units - t.mxg), 9) AS mean_y_cuped,
+                  round(a.syya / a.n_units
+                    - (a.sya / a.n_units) * (a.sya / a.n_units), 9) AS var_y,
+                  round((a.syya / a.n_units
+                      - (a.sya / a.n_units) * (a.sya / a.n_units))
+                    - 2.0 * t.theta * (a.sxya / a.n_units
+                      - (a.sxa / a.n_units) * (a.sya / a.n_units))
+                    + t.theta * t.theta * (a.sxxa / a.n_units
+                      - (a.sxa / a.n_units) * (a.sxa / a.n_units)), 9)
+                    AS var_y_cuped,
+                  round(t.theta, 9) AS theta
+           FROM a, t""",
       "ts_moving_avg" ->
         """WITH daily AS (
               SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,

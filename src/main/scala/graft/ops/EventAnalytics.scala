@@ -302,4 +302,84 @@ object EventAnalytics {
         sum(when(col("kind") === "new", 1L).otherwise(0L)).as("n_new"),
         sum(when(col("kind") === "returning", 1L).otherwise(0L)).as("n_returning"),
         sum(when(col("kind") === "resurrected", 1L).otherwise(0L)).as("n_resurrected"))
+
+  /** CUPED variance-reduced experiment readout (Deng, Xu, Kohavi, Walker,
+    * WSDM'13 "Improving the sensitivity of online controlled experiments
+    * by utilizing pre-experiment data") — the standard A/B-testing
+    * adjustment at experimentation-platform scale: each unit's experiment
+    * metric Y is shifted by its pre-experiment covariate X,
+    * Y' = Y - theta * (X - mean(X)), with theta = cov(X, Y) / var(X)
+    * estimated POOLED over all units (the paper's recommendation — a
+    * per-arm theta biases the delta under treatment-covariate imbalance).
+    * The adjustment leaves every arm's expected mean unchanged (X
+    * predates assignment, so E[X | arm] is constant) and cuts the
+    * variance of the mean by the factor (1 - rho^2).
+    *
+    * `units` carries ONE ROW PER EXPERIMENTAL UNIT with an arm label and
+    * INTEGER-VALUED doubles `y` / `x` (the engine-wide float-parity
+    * convention: integer-valued sums are exact and order-free, so every
+    * derived double below is a fixed expression over exact integers —
+    * bit-reproducible in any engine). NULL y/x/arm fail loud — a silently
+    * skipped unit would bias the readout.
+    *
+    * Output: one row per arm — (arm, n_units, mean_y, mean_y_cuped,
+    * var_y, var_y_cuped, theta), variances population-style; derived
+    * doubles rounded to 9 places (the ts_anomaly parity convention).
+    * var_y_cuped applies var(Y - theta X) = var(Y) - 2 theta cov(X, Y)
+    * + theta^2 var(X) per arm — never above var_y when theta is the
+    * pooled OLS slope and arms mirror the pooled covariance (exactly the
+    * regime CUPED assumes). Degenerate var(X) = 0 yields theta = 0 (the
+    * adjustment is a no-op, not a NaN).
+    *
+    * Plan shape: two map-side-combined aggregations over the units frame
+    * (per-arm moments + a ONE-ROW pooled-moment frame broadcast back) —
+    * no window, no per-unit shuffle beyond the aggregations; |arms| rows
+    * out. */
+  def cuped(units: DataFrame, armCol: String, yCol: String,
+      xCol: String): DataFrame = {
+    def checked(n: String, what: String) =
+      when(col(n).isNull, raise_error(lit(
+        s"cuped: NULL $what — every unit needs a concrete value; " +
+          "coalesce or filter upstream")).cast("double"))
+        .otherwise(col(n).cast("double"))
+    val armChecked = when(col(armCol).isNull, raise_error(lit(
+        "cuped: NULL arm label — an unlabeled unit belongs to no arm; " +
+          "coalesce or filter upstream")).cast(units.schema(armCol).dataType))
+      .otherwise(col(armCol)).as("arm")
+    val u = units.select(armChecked, checked(yCol, s"y ($yCol)").as("__y"),
+      checked(xCol, s"x ($xCol)").as("__x"))
+      .localCheckpoint(false) // pooled + per-arm moments share one pass
+    val pooled = u.agg(
+      count(lit(1)).cast("double").as("__n"),
+      sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+      sum(col("__x") * col("__x")).as("__sxx"),
+      sum(col("__x") * col("__y")).as("__sxy"))
+    val byArm = u.groupBy(col("arm")).agg(
+      count(lit(1)).as("n_units"),
+      sum(col("__x")).as("__sxa"), sum(col("__y")).as("__sya"),
+      sum(col("__x") * col("__x")).as("__sxxa"),
+      sum(col("__y") * col("__y")).as("__syya"),
+      sum(col("__x") * col("__y")).as("__sxya"))
+    val varXn = col("__n") * col("__sxx") - col("__sx") * col("__sx")
+    val theta = when(varXn <= 0.0, lit(0.0))
+      .otherwise((col("__n") * col("__sxy") - col("__sx") * col("__sy")) /
+        varXn)
+    val na = col("n_units").cast("double")
+    val meanY = col("__sya") / na
+    val meanXa = col("__sxa") / na
+    val meanXg = col("__sx") / col("__n")
+    val varY = col("__syya") / na - meanY * meanY
+    val covA = col("__sxya") / na - meanXa * meanY
+    val varXa = col("__sxxa") / na - meanXa * meanXa
+    byArm.crossJoin(broadcast(pooled))
+      .withColumn("__theta", theta)
+      .select(col("arm"), col("n_units"),
+        round(meanY, 9).as("mean_y"),
+        round(meanY - col("__theta") * (meanXa - meanXg), 9)
+          .as("mean_y_cuped"),
+        round(varY, 9).as("var_y"),
+        round(varY - lit(2.0) * col("__theta") * covA +
+          col("__theta") * col("__theta") * varXa, 9).as("var_y_cuped"),
+        round(col("__theta"), 9).as("theta"))
+  }
 }

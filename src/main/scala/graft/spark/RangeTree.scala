@@ -248,13 +248,15 @@ object RangeTree {
     val levels = 31 - Integer.numberOfLeadingZeros(bins)
     val keyCs = keyCols.map(col)
     // NULL domain bounds fail loud: a null lo/hi would null every bin of
-    // that key and the release join would silently drop its rows
+    // that key and the release join would silently drop its rows. The
+    // bounds join back under internal names so a data frame that already
+    // carries a 'lo'/'hi' column cannot collide (ninth review pass)
     def checkedBound(n: String) =
       when(col(n).isNull, raise_error(lit(
         s"dpRangeCountTreePerKeyDomains: NULL $n in the domains frame — " +
           "every key needs a concrete [lo, hi); fix the domains upstream"))
         .cast("double"))
-        .otherwise(col(n).cast("double")).as(n)
+        .otherwise(col(n).cast("double")).as(s"__dom_$n")
     val dom = domains.select(keyCs :+ checkedBound("lo") :+
       checkedBound("hi"): _*).localCheckpoint(false)
     // one row per key — a conflicting duplicate would silently double
@@ -278,11 +280,11 @@ object RangeTree {
         "dpRangeCountTreePerKeyDomains: NULL value for a privacy unit — " +
           "nulls have no bin; filter or impute upstream")).cast("double"))
       .otherwise(valueCol.cast("double"))
-    val loC = when(col("lo") >= col("hi"), raise_error(lit(
+    val loC = when(col("__dom_lo") >= col("__dom_hi"), raise_error(lit(
         "dpRangeCountTreePerKeyDomains: empty domain [lo, hi) for a key"))
         .cast("double"))
-      .otherwise(col("lo"))
-    val widthC = (col("hi") - loC) / lit(bins.toDouble)
+      .otherwise(col("__dom_lo"))
+    val widthC = (col("__dom_hi") - loC) / lit(bins.toDouble)
     val binIdx = least(
       greatest(floor((checked - loC) / widthC), lit(0.0)),
       lit((bins - 1).toDouble)).cast("long")
@@ -1175,17 +1177,258 @@ object RangeTree {
     * (reference: pipeline_dp/aggregate_params.py:75-107). */
   private[graft] def treeScale(
       kind: graft.core.NoiseKind, epsilon: Double, delta: Double,
-      unitLinf: Double, levels: Int): Double = kind match {
+      unitLinf: Double, levels: Int): Double =
+    scaleForTouches(kind, epsilon, delta, unitLinf, levels + 1)
+
+  /** The general per-node scale behind [[treeScale]]: one bounded row
+    * lands in `touches` released nodes (1-D dyadic tree: levels+1; 2-D
+    * product tree: (levelsX+1)*(levelsY+1)), each moved by at most
+    * `unitLinf` — Laplace composes in L1 (touches * unitLinf), Gaussian
+    * in L2 (unitLinf * sqrt(touches), Balle-Wang). */
+  private[graft] def scaleForTouches(
+      kind: graft.core.NoiseKind, epsilon: Double, delta: Double,
+      unitLinf: Double, touches: Int): Double = kind match {
     case graft.core.NoiseKind.Laplace =>
       require(delta == 0.0,
         s"delta ($delta) is a Gaussian parameter — Laplace tree releases " +
           "are pure epsilon-DP; pass NoiseKind.Gaussian to spend delta")
-      unitLinf * (levels + 1) / epsilon
+      unitLinf * touches / epsilon
     case graft.core.NoiseKind.Gaussian =>
       require(delta > 0 && delta < 1,
         s"Gaussian tree release needs delta in (0, 1), got $delta")
       graft.core.DpNoise.gaussianSigma(
-        epsilon, delta, unitLinf * math.sqrt(levels + 1.0))
+        epsilon, delta, unitLinf * math.sqrt(touches.toDouble))
+  }
+
+  /** 2-D DP range-count tree — the dyadic PRODUCT mechanism over two
+    * numeric domains (the quadtree-family answer for SPATIAL / bivariate
+    * box queries under DP: geo heatmaps, (price x hour) grids, (length x
+    * score) audits). Both axes split into power-of-two bins; every
+    * product node (lx, ix) x (ly, iy) — a dyadic x-interval times a
+    * dyadic y-interval — gets ONE draw on its count, empty nodes
+    * included (the generated-universe rule: a missing draw would
+    * disclose emptiness). Any axis-aligned box answers from the CROSS
+    * PRODUCT of its two 1-D minimal covers — <= 4 * log2(binsX) *
+    * log2(binsY) nodes, O((log B)^3 / eps) error where a flat 2-D
+    * histogram pays O(sqrt(area)) — the Hay et al. VLDB'10 argument run
+    * per axis (product trees over hierarchical intervals: Cormode et al.
+    * ICDE'12 "Differentially private spatial decompositions").
+    *
+    * Budget semantics mirror [[dpRangeCountTree]]: each unit keeps at
+    * most `maxPerUnit` rows (deterministic (binX, binY, x, y) rank cap);
+    * one row lands in exactly (levelsX+1)*(levelsY+1) nodes, so the
+    * whole release is epsilon-DP per key cell at per-node Laplace scale
+    * maxPerUnit * (levelsX+1)*(levelsY+1) / epsilon — or Gaussian sigma
+    * Balle-Wang at L2 = maxPerUnit * sqrt((levelsX+1)*(levelsY+1)) (the
+    * sqrt win doubles up in 2-D). Values CLAMP into their domains (the
+    * family's order-free convention); NULL x/y/keys fail loud; with
+    * `keyCols` every key gets its own product tree and `publicKeys`
+    * makes the release set data-independent (non-public rows drop before
+    * bounding, public keys release full — possibly all-zero — trees).
+    * Cross-key composition is the caller's accounting.
+    *
+    * Released schema: (__lvx, __idxx, __lvy, __idxy, keyCols...,
+    * dp_count); node (lx, ix, ly, iy) covers x-bins [ix*2^lx,
+    * (ix+1)*2^lx) x y-bins [iy*2^ly, (iy+1)*2^ly). [[range2DQueries]]
+    * answers boxes from it; 1-D marginals are the (lx = levelsX) /
+    * (ly = levelsY) slices — free post-processing. Draw-once: node noise
+    * is drawn on the driver as a literal frame over the generated
+    * universe (the [[releaseWithScale]] design) — deterministic plans,
+    * any number of consumers/actions read one draw set. The universe is
+    * (2*binsX-1)*(2*binsY-1) nodes per key, so the driver guard admits
+    * ~MaxDriverRows / that many keys; binsX*binsY <= 65536 keeps one
+    * tree's frame bounded. Zero noise => exact node counts. */
+  def dpRange2DTree(
+      df: DataFrame,
+      pidCol: String,
+      xCol: Column,
+      yCol: Column,
+      keyCols: Seq[String],
+      loX: Double, hiX: Double, binsX: Int,
+      loY: Double, hiY: Double, binsY: Int,
+      epsilon: Double,
+      maxPerUnit: Long,
+      noise: graft.core.NoiseSource,
+      publicKeys: Option[DataFrame] = None,
+      noiseKind: graft.core.NoiseKind = graft.core.NoiseKind.Laplace,
+      delta: Double = 0.0
+  ): DataFrame = {
+    require(binsX >= 2 && (binsX & (binsX - 1)) == 0 && binsX <= 4096,
+      s"binsX must be a power of two in [2, 4096], got $binsX")
+    require(binsY >= 2 && (binsY & (binsY - 1)) == 0 && binsY <= 4096,
+      s"binsY must be a power of two in [2, 4096], got $binsY")
+    require(binsX.toLong * binsY <= 65536L,
+      s"binsX * binsY must be <= 65536 (got ${binsX.toLong * binsY}) — " +
+        "one product tree's literal noise frame is (2*binsX-1)*(2*binsY-1) " +
+        "driver rows; coarsen one axis or release two 1-D trees")
+    require(loX < hiX, s"empty x domain [$loX, $hiX)")
+    require(loY < hiY, s"empty y domain [$loY, $hiY)")
+    require(epsilon > 0, s"epsilon must be positive, got $epsilon")
+    require(maxPerUnit > 0, s"maxPerUnit must be positive, got $maxPerUnit")
+    require(publicKeys.isEmpty || keyCols.nonEmpty,
+      "publicKeys given but keyCols is empty — nothing to make public")
+    val levelsX = 31 - Integer.numberOfLeadingZeros(binsX)
+    val levelsY = 31 - Integer.numberOfLeadingZeros(binsY)
+    val keyCs = keyCols.map(col)
+    val xChecked = when(xCol.isNull, raise_error(lit(
+        "dpRange2DTree: NULL x value for a privacy unit — nulls have no " +
+          "bin; filter or impute upstream")).cast("double"))
+      .otherwise(xCol.cast("double"))
+    val yChecked = when(yCol.isNull, raise_error(lit(
+        "dpRange2DTree: NULL y value for a privacy unit — nulls have no " +
+          "bin; filter or impute upstream")).cast("double"))
+      .otherwise(yCol.cast("double"))
+    val bx = least(
+      greatest(floor((xChecked - lit(loX)) / lit((hiX - loX) / binsX)),
+        lit(0.0)), lit((binsX - 1).toDouble)).cast("long")
+    val by = least(
+      greatest(floor((yChecked - lit(loY)) / lit((hiY - loY) / binsY)),
+        lit(0.0)), lit((binsY - 1).toDouble)).cast("long")
+    val keyChecked = keyCs.zip(keyCols).map { case (c, n) =>
+      when(c.isNull, raise_error(lit(
+        s"dpRange2DTree: NULL key '$n' — it would silently drop from the " +
+          "release joins; coalesce or filter upstream"))
+        .cast(df.schema(n).dataType))
+        .otherwise(c).as(n)
+    }
+    val pub = publicKeys.map(p => broadcast(
+      p.toDF(keyCols: _*).distinct().localCheckpoint(false)))
+    val inScope = pub.fold(df)(p =>
+      df.join(p, keyCols.map(n => df(n) === p(n)).reduce(_ && _),
+        "left_semi"))
+    // deterministic cap: rank by (binX, binY, x, y) — stable under retry
+    val store = inScope
+      .withColumn("__bx", bx)
+      .withColumn("__by", by)
+      .withColumn("__rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy((col(pidCol) +: keyCs): _*)
+          .orderBy(col("__bx").asc, col("__by").asc, xChecked.asc,
+            yChecked.asc)))
+      .filter(col("__rk") <= maxPerUnit)
+      .select(col("__bx") +: col("__by") +: keyChecked: _*)
+      .withColumn("__lvx", explode(sequence(lit(0), lit(levelsX))))
+      .withColumn("__idxx", expr("shiftright(__bx, __lvx)"))
+      .withColumn("__lvy", explode(sequence(lit(0), lit(levelsY))))
+      .withColumn("__idxy", expr("shiftright(__by, __lvy)"))
+      .groupBy(col("__lvx") +: col("__idxx") +: col("__lvy") +:
+        col("__idxy") +: keyCs: _*)
+      .agg(count(lit(1)).cast("double").as("__s"))
+      .localCheckpoint(false) // key universe + release join share it
+    val scale = scaleForTouches(noiseKind, epsilon, delta,
+      maxPerUnit.toDouble, (levelsX + 1) * (levelsY + 1))
+    release2DWithScale(store, keyCols, binsX, binsY, levelsX, levelsY,
+      scale, noise, noiseKind, pub)
+  }
+
+  /** The 2-D release stage — [[releaseWithScale]] over the product node
+    * universe: one driver-drawn literal frame of (2*binsX-1)*(2*binsY-1)
+    * nodes x keys, one draw per node (empty nodes included), guarded so
+    * keys x nodes fits the driver. */
+  private def release2DWithScale(
+      store: DataFrame,
+      keyCols: Seq[String],
+      binsX: Int, binsY: Int,
+      levelsX: Int, levelsY: Int,
+      scale: Double,
+      noise: graft.core.NoiseSource,
+      kind: graft.core.NoiseKind,
+      publicKeys: Option[DataFrame]
+  ): DataFrame = {
+    val keyCs = keyCols.map(col)
+    val spark0 = store.sparkSession
+    val nNodes = (2L * binsX - 1) * (2L * binsY - 1)
+    val keyRows: Seq[org.apache.spark.sql.Row] =
+      if (keyCols.isEmpty) Seq(org.apache.spark.sql.Row.fromSeq(Seq.empty))
+      else {
+        val kd = publicKeys
+          .map(p => p.toDF(keyCols: _*)
+            .select(keyCols.map(n =>
+              col(n).cast(store.schema(n).dataType).as(n)): _*)
+            .distinct())
+          .getOrElse(store.select(keyCs: _*).distinct())
+          .localCheckpoint(false) // guard count + collect read one result
+        val maxKeys = math.max(1L, MaxDriverRows / nNodes)
+        val n = kd.limit((maxKeys + 1).toInt).count()
+        require(n <= maxKeys,
+          s"dpRange2DTree: over $maxKeys distinct keys for binsX=$binsX x " +
+            s"binsY=$binsY (the guard stops counting there) — the release " +
+            s"draws keys x $nNodes node noises driver-side; reduce the key " +
+            "cardinality, coarsen the grid, or shard by key range (the " +
+            "shardedByKeyRange loop applies verbatim)")
+        kd.collect().toSeq
+      }
+    val draw: () => Double = kind match {
+      case graft.core.NoiseKind.Laplace  => () => noise.laplace(scale)
+      case graft.core.NoiseKind.Gaussian => () => noise.gaussian(scale)
+    }
+    val rows: Seq[org.apache.spark.sql.Row] = for {
+      kr <- keyRows
+      lx <- 0 to levelsX
+      ix <- 0L until (binsX.toLong >> lx)
+      ly <- 0 to levelsY
+      iy <- 0L until (binsY.toLong >> ly)
+    } yield org.apache.spark.sql.Row.fromSeq(
+      lx +: ix +: ly +: iy +: kr.toSeq :+ draw())
+    val it = org.apache.spark.sql.types.IntegerType
+    val lt = org.apache.spark.sql.types.LongType
+    val schema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("__lvx", it, nullable = false) +:
+      org.apache.spark.sql.types.StructField("__idxx", lt, nullable = false) +:
+      org.apache.spark.sql.types.StructField("__lvy", it, nullable = false) +:
+      org.apache.spark.sql.types.StructField("__idxy", lt, nullable = false) +:
+      keyCols.map(n => store.schema(n)) :+
+      org.apache.spark.sql.types.StructField("__noise",
+        org.apache.spark.sql.types.DoubleType, nullable = false))
+    val nodes = spark0.createDataFrame(
+      new java.util.ArrayList(rows.asJava), schema)
+    nodes
+      .join(store, Seq("__lvx", "__idxx", "__lvy", "__idxy") ++ keyCols,
+        "left")
+      .select(col("__lvx") +: col("__idxx") +: col("__lvy") +:
+        col("__idxy") +:
+        (keyCs :+ (coalesce(col("__s"), lit(0.0)) + col("__noise"))
+          .as("dp_count")): _*)
+  }
+
+  /** Axis-aligned BOX queries from a released 2-D tree — pure
+    * post-processing (no new budget, no new draws): each box [xLo, xHi]
+    * x [yLo, yHi] (inclusive leaf-bin indices) decomposes into the CROSS
+    * PRODUCT of its per-axis minimal dyadic covers — <= (2 log2 binsX) *
+    * (2 log2 binsY) nodes — computed on the driver (pure arithmetic over
+    * the QUERY set, never the data) and joined against the tree. Out-of-
+    * domain boxes fail loud (the [[rangeQueries]] partial-cover rule).
+    * Returns (query_id, x_lo, x_hi, y_lo, y_hi, keyCols...,
+    * dp_box_count). */
+  def range2DQueries(
+      tree: DataFrame,
+      keyCols: Seq[String],
+      boxes: Seq[(Long, Long, Long, Long)],
+      binsX: Int,
+      binsY: Int
+  ): DataFrame = {
+    require(boxes.nonEmpty, "no boxes")
+    val spark0 = tree.sparkSession
+    val cover: Seq[(Long, Long, Long, Long, Long, Int, Long, Int, Long)] =
+      boxes.zipWithIndex.flatMap { case ((xlo, xhi, ylo, yhi), qid) =>
+        require(xlo >= 0 && xhi >= xlo && xhi < binsX,
+          s"x range [$xlo, $xhi] outside the bin domain [0, $binsX) — an " +
+            "out-of-domain cover would silently drop its missing nodes")
+        require(ylo >= 0 && yhi >= ylo && yhi < binsY,
+          s"y range [$ylo, $yhi] outside the bin domain [0, $binsY) — an " +
+            "out-of-domain cover would silently drop its missing nodes")
+        for {
+          (lx, ix) <- decompose(xlo, xhi)
+          (ly, iy) <- decompose(ylo, yhi)
+        } yield (qid.toLong, xlo, xhi, ylo, yhi, lx, ix, ly, iy)
+      }
+    import spark0.implicits._
+    val coverDf = cover.toDF("query_id", "x_lo", "x_hi", "y_lo", "y_hi",
+      "__lvx", "__idxx", "__lvy", "__idxy")
+    coverDf.join(tree, Seq("__lvx", "__idxx", "__lvy", "__idxy"))
+      .groupBy(col("query_id") +: col("x_lo") +: col("x_hi") +:
+        col("y_lo") +: col("y_hi") +: keyCols.map(col): _*)
+      .agg(sum(col("dp_count")).as("dp_box_count"))
   }
 
   /** Total epsilon for releasing `nReleases` INDEPENDENT trees of the

@@ -149,4 +149,44 @@ class EventAnalyticsSpec extends AnyFunSuite {
     // clamped: 3,3,3,4,5,6,7,8,8,8 = 55
     assert(r.getAs[Double]("clamped_sum") == 55.0)
   }
+
+  test("cuped: hand-computed pooled theta, adjusted means, variance reduction") {
+    // units (arm, y, x): perfectly correlated y = 2x + arm-shift, so the
+    // adjustment should remove ALL within-arm variance (var_y_cuped = 0)
+    // and shift each arm's mean by -theta * (meanXa - meanXglobal).
+    // arm 0: (y, x) = (2, 1), (6, 3); arm 1: (y, x) = (5, 2), (9, 4)
+    val units = Seq((0L, 2.0, 1.0), (0L, 6.0, 3.0), (1L, 5.0, 2.0),
+      (1L, 9.0, 4.0)).toDF("arm", "y", "x")
+    // pooled: n=4, sx=10, sy=22, sxx=30, sxy=66
+    // theta = (4*66 - 10*22) / (4*30 - 100) = 44/20 = 2.2
+    // (NOT 2.0: the arm shift correlates with x across arms, and the
+    // pooled slope absorbs some of it — the known CUPED property)
+    val r = graft.ops.EventAnalytics.cuped(units, "arm", "y", "x")
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r(0L).getAs[Long]("n_units") == 2L)
+    assert(r(0L).getAs[Double]("theta") == 2.2)
+    assert(r(1L).getAs[Double]("theta") == 2.2)
+    // arm 0: mean_y = 4, meanXa = 2, meanXg = 2.5 -> 4 - 2.2*(-0.5) = 5.1
+    assert(r(0L).getAs[Double]("mean_y") == 4.0)
+    assert(r(0L).getAs[Double]("mean_y_cuped") == 5.1)
+    // arm 1: mean_y = 7, meanXa = 3 -> 7 - 2.2*0.5 = 5.9
+    assert(r(1L).getAs[Double]("mean_y_cuped") == 5.9)
+    // the CUPED delta (0.8) undoes most of the covariate imbalance the
+    // raw delta (3.0) carries; within-arm: y = 2x + c exactly, so the
+    // residual var((2 - 2.2) x) = 0.04 * var(x) = 0.04 (from 4.0)
+    assert(r(0L).getAs[Double]("var_y") == 4.0)
+    assert(math.abs(r(0L).getAs[Double]("var_y_cuped") - 0.04) < 1e-9)
+    assert(math.abs(r(1L).getAs[Double]("var_y_cuped") - 0.04) < 1e-9)
+    // degenerate var(X) = 0: theta = 0, adjustment is a no-op (not NaN)
+    val flat = Seq((0L, 2.0, 5.0), (1L, 4.0, 5.0)).toDF("arm", "y", "x")
+    val fr = graft.ops.EventAnalytics.cuped(flat, "arm", "y", "x")
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(fr(0L).getAs[Double]("theta") == 0.0)
+    assert(fr(0L).getAs[Double]("mean_y_cuped") == 2.0)
+    // NULL y fails loud — a silently skipped unit would bias the readout
+    val bad = Seq((0L, Some(2.0), 1.0), (1L, None, 2.0)).toDF("arm", "y", "x")
+    val e = intercept[Exception](
+      graft.ops.EventAnalytics.cuped(bad, "arm", "y", "x").collect())
+    assert(graft.spark.SparkTestSession.chainMsg(e).contains("NULL y"))
+  }
 }

@@ -892,4 +892,169 @@ class RangeTreeSpec extends AnyFunSuite {
     val c7 = q.find(_.getString(0) == "c007").get
     assert(c7.getLong(2) == math.floor(70.0 / (1000.0 / 4096)).toLong)
   }
+
+  private def tree2DMap(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r =>
+      (r.getInt(0), r.getLong(1), r.getInt(2), r.getLong(3)) ->
+        r.getDouble(4)).toMap
+
+  test("2-D tree: zero noise releases exact product-node counts; clamp and NULLs") {
+    // 4x4 grid (width 1 each): cells (0,0):2 rows, (1,2):1, (3,3):1
+    val df = Seq((1L, 0.5, 0.5), (2L, 0.9, 0.1), (1L, 1.5, 2.5),
+      (3L, 3.5, 3.5)).toDF("uid", "x", "y")
+    val t = RangeTree.dpRange2DTree(df, "uid", col("x"), col("y"), Nil,
+      0.0, 4.0, 4, 0.0, 4.0, 4, 1.0, 10L, graft.core.NoiseSource.Zero)
+    val m = tree2DMap(t)
+    assert(m.size == 7 * 7) // (2*4-1)^2 product nodes, ALL released
+    // leaves
+    assert(m((0, 0L, 0, 0L)) == 2.0)
+    assert(m((0, 1L, 0, 2L)) == 1.0)
+    assert(m((0, 3L, 0, 3L)) == 1.0)
+    assert(m((0, 2L, 0, 2L)) == 0.0) // empty cell still released
+    // mixed levels: x-node [0,2) x y-leaf 0 = 2 rows; root = n
+    assert(m((1, 0L, 0, 0L)) == 2.0)
+    assert(m((2, 0L, 1, 1L)) == 2.0) // all x, y in [2,4): rows (1.5,2.5),(3.5,3.5)
+    assert(m((2, 0L, 2, 0L)) == 4.0) // root
+    // out-of-range values CLAMP to edge cells on BOTH axes
+    val cm = tree2DMap(RangeTree.dpRange2DTree(
+      Seq((1L, -9.0, 99.0)).toDF("uid", "x", "y"), "uid", col("x"),
+      col("y"), Nil, 0.0, 4.0, 4, 0.0, 4.0, 4, 1.0, 10L,
+      graft.core.NoiseSource.Zero))
+    assert(cm((0, 0L, 0, 3L)) == 1.0)
+    // NULL x fails loud
+    val e = intercept[Exception](RangeTree.dpRange2DTree(
+      Seq((1L, null.asInstanceOf[java.lang.Double], java.lang.Double.valueOf(1.0)))
+        .toDF("uid", "x", "y"),
+      "uid", col("x"), col("y"), Nil, 0.0, 4.0, 4, 0.0, 4.0, 4, 1.0, 10L,
+      graft.core.NoiseSource.Zero).collect())
+    assert(SparkTestSession.chainMsg(e).contains("NULL x value"))
+  }
+
+  test("2-D tree: draw-once — exactly nodes x keys draws at construction, none from box queries") {
+    val counter = new java.util.concurrent.atomic.AtomicLong(0)
+    object Counting extends graft.core.NoiseSource {
+      def laplace(b: Double): Double = counter.incrementAndGet() * 1000.0
+      def gaussian(sigma: Double): Double = counter.incrementAndGet() * 1000.0
+      def uniform(): Double = 0.5
+    }
+    val df = Seq((1L, 0.5, 0.5, "a"), (2L, 3.5, 2.5, "b"))
+      .toDF("uid", "x", "y", "k")
+    val t = RangeTree.dpRange2DTree(df, "uid", col("x"), col("y"),
+      Seq("k"), 0.0, 4.0, 4, 0.0, 8.0, 8, 1.0, 10L, Counting)
+    // (2*4-1) * (2*8-1) = 105 product nodes x 2 keys
+    assert(counter.get == 105L * 2, s"draws=${counter.get}")
+    def snap() = t.collect().map(r =>
+      (r.getInt(0), r.getLong(1), r.getInt(2), r.getLong(3),
+        r.getString(4)) -> r.getDouble(5)).toMap
+    val first = snap()
+    assert(snap() == first) // second action: same draws
+    assert(counter.get == 105L * 2, "a second action re-drew node noise")
+    RangeTree.range2DQueries(t, Seq("k"), Seq((0L, 3L, 0L, 7L)), 4, 8)
+      .collect()
+    assert(counter.get == 105L * 2, "box queries drew new noise")
+  }
+
+  test("2-D box queries: cover = per-axis cover product; zero noise exact (property)") {
+    // const-1 source: a box reads exact + |coverX| * |coverY|
+    object ConstOne extends graft.core.NoiseSource {
+      def laplace(b: Double): Double = 1.0
+      def gaussian(sigma: Double): Double = 1.0
+      def uniform(): Double = 0.5
+    }
+    val rnd = new scala.util.Random(23)
+    val pts = (1 to 40).map(i =>
+      (i.toLong, rnd.nextInt(16).toDouble + 0.5, rnd.nextInt(8).toDouble + 0.5))
+    val df = pts.toDF("uid", "x", "y")
+    val exactT = RangeTree.dpRange2DTree(df, "uid", col("x"), col("y"),
+      Nil, 0.0, 16.0, 16, 0.0, 8.0, 8, 1.0, 10L,
+      graft.core.NoiseSource.Zero)
+    val oneT = RangeTree.dpRange2DTree(df, "uid", col("x"), col("y"),
+      Nil, 0.0, 16.0, 16, 0.0, 8.0, 8, 1.0, 10L, ConstOne)
+    val boxes = (1 to 12).map { _ =>
+      val xlo = rnd.nextInt(16).toLong
+      val xhi = xlo + rnd.nextInt(16 - xlo.toInt).toLong
+      val ylo = rnd.nextInt(8).toLong
+      val yhi = ylo + rnd.nextInt(8 - ylo.toInt).toLong
+      (xlo, xhi, ylo, yhi)
+    }
+    val got = RangeTree.range2DQueries(exactT, Nil, boxes, 16, 8)
+      .collect().map(r => r.getLong(0) -> r.getDouble(5)).toMap
+    val one = RangeTree.range2DQueries(oneT, Nil, boxes, 16, 8)
+      .collect().map(r => r.getLong(0) -> r.getDouble(5)).toMap
+    boxes.zipWithIndex.foreach { case ((xlo, xhi, ylo, yhi), qid) =>
+      val brute = pts.count(p => p._2.toLong >= xlo && p._2.toLong <= xhi &&
+        p._3.toLong >= ylo && p._3.toLong <= yhi)
+      assert(got(qid.toLong) == brute.toDouble,
+        s"box ($xlo,$xhi,$ylo,$yhi): ${got(qid.toLong)} != $brute")
+      val coverN = RangeTree.decompose(xlo, xhi).size *
+        RangeTree.decompose(ylo, yhi).size
+      assert(one(qid.toLong) == brute.toDouble + coverN,
+        s"box $qid read ${one(qid.toLong)} — cover size drifted from $coverN")
+    }
+    // out-of-domain boxes fail loud on either axis
+    val e = intercept[IllegalArgumentException](
+      RangeTree.range2DQueries(exactT, Nil, Seq((0L, 16L, 0L, 7L)), 16, 8))
+    assert(e.getMessage.contains("x range"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException](
+      RangeTree.range2DQueries(exactT, Nil, Seq((0L, 15L, 3L, 8L)), 16, 8))
+    assert(e2.getMessage.contains("y range"), e2.getMessage)
+  }
+
+  test("2-D tree: Gaussian sigma at L2 = maxPerUnit * sqrt((lx+1)(ly+1)); publicKeys phantom") {
+    object EchoScale extends graft.core.NoiseSource {
+      def laplace(b: Double): Double = -b
+      def gaussian(sigma: Double): Double = sigma
+      def uniform(): Double = 0.5
+    }
+    val df = Seq((1L, 0.5, 0.5), (2L, 3.5, 2.5)).toDF("uid", "x", "y")
+    val eps = 1.0; val dlt = 1e-6; val cap = 3L
+    val exact = tree2DMap(RangeTree.dpRange2DTree(df, "uid", col("x"),
+      col("y"), Nil, 0.0, 4.0, 4, 0.0, 8.0, 8, eps, cap,
+      graft.core.NoiseSource.Zero))
+    val gauss = tree2DMap(RangeTree.dpRange2DTree(df, "uid", col("x"),
+      col("y"), Nil, 0.0, 4.0, 4, 0.0, 8.0, 8, eps, cap, EchoScale, None,
+      graft.core.NoiseKind.Gaussian, dlt))
+    // touches = (levelsX+1)(levelsY+1) = 3 * 4 = 12
+    val sigma = graft.core.DpNoise.gaussianSigma(eps, dlt,
+      cap * math.sqrt(12.0))
+    gauss.foreach { case (k, v) =>
+      assert(math.abs(v - (exact(k) + sigma)) < 1e-12, s"node $k") }
+    // Laplace scale = cap * touches / eps (echoed as -b)
+    val lap = tree2DMap(RangeTree.dpRange2DTree(df, "uid", col("x"),
+      col("y"), Nil, 0.0, 4.0, 4, 0.0, 8.0, 8, eps, cap, EchoScale))
+    lap.foreach { case (k, v) =>
+      assert(math.abs(v - (exact(k) - cap * 12.0 / eps)) < 1e-12, s"node $k") }
+    // delta under Laplace / missing delta under Gaussian fail loud
+    intercept[IllegalArgumentException](RangeTree.dpRange2DTree(df, "uid",
+      col("x"), col("y"), Nil, 0.0, 4.0, 4, 0.0, 8.0, 8, eps, cap,
+      EchoScale, None, graft.core.NoiseKind.Laplace, 0.5))
+    intercept[IllegalArgumentException](RangeTree.dpRange2DTree(df, "uid",
+      col("x"), col("y"), Nil, 0.0, 4.0, 4, 0.0, 8.0, 8, eps, cap,
+      EchoScale, None, graft.core.NoiseKind.Gaussian, 0.0))
+    // publicKeys: phantom key releases a FULL zero tree; non-public drops
+    val keyed = Seq((1L, 0.5, 0.5, "a"), (2L, 1.5, 1.5, "drop"))
+      .toDF("uid", "x", "y", "k")
+    val pub = Seq("a", "phantom").toDF("k")
+    val rel = RangeTree.dpRange2DTree(keyed, "uid", col("x"), col("y"),
+      Seq("k"), 0.0, 4.0, 4, 0.0, 4.0, 4, 1.0, 10L,
+      graft.core.NoiseSource.Zero, Some(pub))
+    val byKey = rel.collect().groupBy(_.getString(4))
+    assert(byKey.keySet == Set("a", "phantom"))
+    assert(byKey("phantom").length == 49 &&
+      byKey("phantom").forall(_.getDouble(5) == 0.0))
+    val rootA = byKey("a").find(r =>
+      r.getInt(0) == 2 && r.getInt(2) == 2).get
+    assert(rootA.getDouble(5) == 1.0) // the "drop" row is gone
+  }
+
+  test("2-D tree: per-unit cap keeps the deterministic lowest-(bx, by, x, y) rows") {
+    val df = Seq((1L, 3.5, 3.5), (1L, 0.5, 2.5), (1L, 0.5, 0.5),
+      (2L, 1.5, 1.5)).toDF("uid", "x", "y")
+    val m = tree2DMap(RangeTree.dpRange2DTree(df, "uid", col("x"),
+      col("y"), Nil, 0.0, 4.0, 4, 0.0, 4.0, 4, 1.0, maxPerUnit = 2L,
+      graft.core.NoiseSource.Zero))
+    assert(m((2, 0L, 2, 0L)) == 3.0) // 2 kept for unit 1 + 1 for unit 2
+    assert(m((0, 0L, 0, 0L)) == 1.0 && m((0, 0L, 0, 2L)) == 1.0)
+    assert(m((0, 3L, 0, 3L)) == 0.0) // unit 1's highest cell dropped
+  }
 }
