@@ -66,7 +66,7 @@ final class BudgetHandle private[core] (
   * `RangeTree.rangeTreeReleaseWithScale`). */
 final class TreeReleaseHandle private[core] (
     val handle: BudgetHandle,
-    val levels: Int,
+    val touches: Int, // released nodes one bounded row lands in
     val unitLinf: Double,
     val treeNoiseKind: NoiseKind
 ) {
@@ -74,9 +74,10 @@ final class TreeReleaseHandle private[core] (
     * budget buys: the accountant resolves the WHOLE-RELEASE normalized
     * loss (PLD: normalized noise std; naive: per-use (eps, delta)), and
     * the tree's sensitivity structure converts it to per-node units —
-    * L1 = unitLinf * (levels+1) for Laplace, L2 = unitLinf *
-    * sqrt(levels+1) for Gaussian (the [[graft.spark.RangeTree.treeScale]]
-    * derivation). */
+    * L1 = unitLinf * touches for Laplace, L2 = unitLinf * sqrt(touches)
+    * for Gaussian, where touches = levels+1 for the 1-D dyadic tree and
+    * (levelsX+1)*(levelsY+1) for the 2-D product tree (the
+    * [[graft.spark.RangeTree.treeScale]] derivation). */
   def perNodeScale: Double = {
     val spec = handle.spec
     spec.noiseStdDev match {
@@ -86,18 +87,18 @@ final class TreeReleaseHandle private[core] (
         // b = beta * Delta1. Gaussian: scalar sigma = nstd; per-node
         // sigma = nstd * Delta2.
         case NoiseKind.Laplace =>
-          nstd / math.sqrt(2.0) * unitLinf * (levels + 1)
+          nstd / math.sqrt(2.0) * unitLinf * touches
         case NoiseKind.Gaussian =>
-          nstd * unitLinf * math.sqrt(levels + 1.0)
+          nstd * unitLinf * math.sqrt(touches.toDouble)
       }
       case None => treeNoiseKind match {
         // naive path: exact per-use (eps, delta) calibration — the
         // one-shot treeScale formulas
         case NoiseKind.Laplace =>
-          unitLinf * (levels + 1) / spec.epsilon
+          unitLinf * touches / spec.epsilon
         case NoiseKind.Gaussian =>
           DpNoise.gaussianSigma(spec.epsilon, spec.delta,
-            unitLinf * math.sqrt(levels + 1.0))
+            unitLinf * math.sqrt(touches.toDouble))
       }
     }
   }
@@ -172,7 +173,39 @@ sealed abstract class BudgetAccountant(
     // (see TreeReleaseHandle) — levels/unitLinf re-enter only in the
     // perNodeScale conversion
     val h = requestBudget(mt, weight, count, name, sensitivity = 1.0)
-    new TreeReleaseHandle(h, levels, unitLinf, noiseKind)
+    new TreeReleaseHandle(h, levels + 1, unitLinf, noiseKind)
+  }
+
+  /** [[requestTreeRelease]] for the 2-D PRODUCT tree
+    * ([[graft.spark.RangeTree.dpRange2DTree]]): one bounded row lands in
+    * (levelsX+1)*(levelsY+1) nodes, and the same scalar-mechanism
+    * equivalence holds (the whole-release L1/L2 is already inside the
+    * calibration), so a 2-D release is ONE mechanism at unit sensitivity
+    * under any accountant. Feed [[TreeReleaseHandle.perNodeScale]] to a
+    * scale-parameterized 2-D release. */
+  def requestTreeRelease2D(
+      binsX: Int,
+      binsY: Int,
+      noiseKind: NoiseKind,
+      weight: Double = 1.0,
+      count: Int = 1,
+      name: String = "",
+      unitLinf: Double = 1.0
+  ): TreeReleaseHandle = {
+    require(binsX >= 2 && (binsX & (binsX - 1)) == 0,
+      s"binsX must be a power of two >= 2, got $binsX (the dyadic tree)")
+    require(binsY >= 2 && (binsY & (binsY - 1)) == 0,
+      s"binsY must be a power of two >= 2, got $binsY (the dyadic tree)")
+    require(unitLinf > 0, s"unitLinf must be positive, got $unitLinf")
+    val levelsX = 31 - Integer.numberOfLeadingZeros(binsX)
+    val levelsY = 31 - Integer.numberOfLeadingZeros(binsY)
+    val mt = noiseKind match {
+      case NoiseKind.Laplace  => MechanismType.Laplace
+      case NoiseKind.Gaussian => MechanismType.Gaussian
+    }
+    val h = requestBudget(mt, weight, count, name, sensitivity = 1.0)
+    new TreeReleaseHandle(h, (levelsX + 1) * (levelsY + 1), unitLinf,
+      noiseKind)
   }
 
   private[graft] def registerAggregation(): Unit = { aggregationCount += 1 }

@@ -344,6 +344,33 @@ private[graft] object EntryText {
         .select(col("doc_id"), col("q.n_features").as("n_features"),
           col("q.score").as("score"), col("q.keep").as("keep"))
     }),
+    "ml_pr_curve" -> ((s, dir) => {
+      // threshold-sweep PR points for a corpus filter model: the hashed-
+      // n-gram quality score (milli-units, the text_quality_model
+      // scorer) swept at 9 thresholds against an is-English label —
+      // exact confusion counts + floor-scaled integer ratios, all
+      // thresholds in ONE aggregation pass.
+      val scored = s.read.parquet(s"$dir/documents.parquet")
+        .select(ops.LinearTextModel.score(col("text")).as("q"),
+          (col("lang") === "en").as("label"))
+        .select(floor(col("q.score") * lit(1000.0)).cast("long")
+          .as("score_milli"), col("label"))
+      ops.ModelEval.prCurve(scored, col("score_milli"), col("label"),
+        Seq(-300L, -200L, -100L, -50L, 0L, 50L, 100L, 200L, 300L))
+    }),
+    "ml_calibration" -> ((s, dir) => {
+      // score-calibration bins (the reliability diagram's table): 8
+      // equal-width integer bins over the public milli-score range
+      // [-1000, 1000), exact counts + floor-scaled positive rate + mean
+      // score per bin. Same scorer and label as ml_pr_curve.
+      val scored = s.read.parquet(s"$dir/documents.parquet")
+        .select(ops.LinearTextModel.score(col("text")).as("q"),
+          (col("lang") === "en").as("label"))
+        .select(floor(col("q.score") * lit(1000.0)).cast("long")
+          .as("score_milli"), col("label"))
+      ops.ModelEval.calibrationBins(scored, col("score_milli"),
+        col("label"), lo = -1000L, hi = 1000L, nBins = 8)
+    }),
     "text_length_quantiles" -> ((s, dir) => {
       // per-source corpus length profile: EXACT interpolated percentiles
       // (the numbers a quality-filter pipeline thresholds against). Exact
@@ -388,6 +415,32 @@ private[graft] object EntryText {
         s.read.parquet(s"$dir/documents.parquet").select("text"), "text", 50)
     })
   )
+
+  /** The hashed-n-gram linear-model scorer as shared CTEs producing
+    * `s(doc_id, n_features, millis)` — one definition so the
+    * text_quality_model / ml_pr_curve / ml_calibration oracles replay
+    * the identical feature hashing and weight table (drift here would
+    * silently decouple the evaluation rows from the scorer row). */
+  private val ltmScoreSql =
+    """t AS (
+         SELECT doc_id,
+                coalesce(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                         CAST([] AS VARCHAR[])) AS toks
+         FROM documents),
+       f AS (
+         SELECT doc_id,
+                list_concat(toks,
+                  CASE WHEN len(toks) >= 2
+                       THEN list_transform(range(1, len(toks)),
+                              i -> toks[i] || ' ' || toks[i + 1])
+                       ELSE CAST([] AS VARCHAR[]) END) AS feats
+         FROM t),
+       s AS (
+         SELECT doc_id, CAST(len(feats) AS BIGINT) AS n_features,
+                list_sum(list_transform(feats,
+                  g -> (CAST(CONCAT('0x', substr(md5(g), 1, 15)) AS BIGINT)
+                        % 1024 * 2654435761) % 2001 - 1000)) AS millis
+         FROM f)"""
 
   def oracleSql: Map[String, String] = {
     import OracleFragments._
@@ -536,25 +589,7 @@ private[graft] object EntryText {
                    md5($htmlStripSql) AS clean_md5
             FROM h""",
       "text_quality_model" ->
-        """WITH t AS (
-             SELECT doc_id,
-                    coalesce(regexp_extract_all(lower(text), '[a-z0-9]+'),
-                             CAST([] AS VARCHAR[])) AS toks
-             FROM documents),
-           f AS (
-             SELECT doc_id,
-                    list_concat(toks,
-                      CASE WHEN len(toks) >= 2
-                           THEN list_transform(range(1, len(toks)),
-                                  i -> toks[i] || ' ' || toks[i + 1])
-                           ELSE CAST([] AS VARCHAR[]) END) AS feats
-             FROM t),
-           s AS (
-             SELECT doc_id, CAST(len(feats) AS BIGINT) AS n_features,
-                    list_sum(list_transform(feats,
-                      g -> (CAST(CONCAT('0x', substr(md5(g), 1, 15)) AS BIGINT)
-                            % 1024 * 2654435761) % 2001 - 1000)) AS millis
-             FROM f)
+        s"""WITH $ltmScoreSql
            SELECT doc_id, n_features,
                   CASE WHEN n_features > 0
                        THEN CAST(millis AS DOUBLE) / (n_features * 1000)
@@ -563,6 +598,47 @@ private[graft] object EntryText {
                         THEN CAST(millis AS DOUBLE) / (n_features * 1000)
                         ELSE 0.0 END) > 0.0 AS keep
            FROM s""",
+      "ml_pr_curve" ->
+        s"""WITH $ltmScoreSql,
+            m AS (
+              SELECT CAST(floor((CASE WHEN n_features > 0
+                       THEN CAST(millis AS DOUBLE) / (n_features * 1000)
+                       ELSE 0.0 END) * 1000.0) AS BIGINT) AS sc,
+                     d.lang = 'en' AS l
+              FROM s JOIN documents d USING (doc_id)),
+            r(threshold) AS (
+              VALUES (-300), (-200), (-100), (-50), (0), (50), (100),
+                     (200), (300)),
+            c AS (
+              SELECT r.threshold,
+                     count(*) FILTER (m.sc >= r.threshold AND m.l) AS tp,
+                     count(*) FILTER (m.sc >= r.threshold AND NOT m.l) AS fp,
+                     count(*) FILTER (m.sc < r.threshold AND m.l) AS fn,
+                     count(*) FILTER (m.sc < r.threshold AND NOT m.l) AS tn
+              FROM m CROSS JOIN r GROUP BY 1)
+           SELECT CAST(threshold AS BIGINT) AS threshold, tp, fp, fn, tn,
+                  CASE WHEN tp + fp > 0 THEN tp * 1000000 // (tp + fp)
+                       ELSE -1 END AS precision_e6,
+                  CASE WHEN tp + fn > 0 THEN tp * 1000000 // (tp + fn)
+                       ELSE -1 END AS recall_e6,
+                  CASE WHEN 2 * tp + fp + fn > 0
+                       THEN 2 * tp * 1000000 // (2 * tp + fp + fn)
+                       ELSE -1 END AS f1_e6
+           FROM c""",
+      "ml_calibration" ->
+        s"""WITH $ltmScoreSql,
+            m AS (
+              SELECT CAST(floor((CASE WHEN n_features > 0
+                       THEN CAST(millis AS DOUBLE) / (n_features * 1000)
+                       ELSE 0.0 END) * 1000.0) AS BIGINT) AS sc,
+                     d.lang = 'en' AS l
+              FROM s JOIN documents d USING (doc_id))
+           SELECT least(greatest((sc - (-1000)) * 8 // 2000, 0), 7) AS bin,
+                  count(*) AS n,
+                  count(*) FILTER (l) AS n_pos,
+                  count(*) FILTER (l) * 1000000 // count(*) AS pos_rate_e6,
+                  CAST(sum(sc) AS BIGINT) // count(*) AS mean_score
+           FROM m GROUP BY 1""",
       "text_pii_scrub" ->
         s"""WITH d AS (
              SELECT doc_id,

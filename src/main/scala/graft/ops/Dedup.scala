@@ -1613,22 +1613,31 @@ object Dedup {
     val firsts = wins.groupBy("h")
       .agg(min(struct(col("doc_id"), col("pos"))).as("__f"),
         count(lit(1)).as("__n"))
+    // one row per duplicated non-first WINDOW START — the scrub expands
+    // each start to its [start, start + minLen) interval itself, so the
+    // per-position explode (a minLen-x row blow-up on the duplicated
+    // mass) and its distinct never materialize; (doc_id, pos) rows are
+    // already unique (one window per position, firsts is unique per h)
     val covered = wins.join(firsts.hint("shuffle_hash"), "h")
       .filter(col("__n") >= 2 &&
         !(col("doc_id") === col("__f.doc_id") && col("pos") === col("__f.pos")))
-      .select(col("doc_id"),
-        explode(sequence(col("pos"), col("pos") + lit(minLen - 1))).as("p"))
-      .distinct()
-      .groupBy("doc_id").agg(sort_array(collect_list(col("p"))).as("__cov"))
-    // codepoint-aware scrub: drop covered positions, keep the rest in order
+      .groupBy("doc_id").agg(sort_array(collect_list(col("pos"))).as("__cov"))
+    // codepoint-aware scrub: a position cp is covered iff some duplicated
+    // window start s has s <= cp < s + minLen — a merge-walk over the
+    // sorted starts carrying the current coverage end
     val scrub = udf((s: String, cov: Array[Int]) => {
       if (s == null) SpanScrubbed(0, "")
       else {
         val sb = new java.lang.StringBuilder
-        var kept = 0; var ci = 0; var cp = 0; var i = 0
+        var kept = 0; var ci = 0; var covEnd = -1; var cp = 0; var i = 0
         while (i < s.length) {
           val code = s.codePointAt(i)
-          if (cov != null && ci < cov.length && cov(ci) == cp) ci += 1
+          while (cov != null && ci < cov.length && cov(ci) <= cp) {
+            val e = cov(ci) + minLen
+            if (e > covEnd) covEnd = e
+            ci += 1
+          }
+          if (cp < covEnd) () // covered by some window
           else { sb.appendCodePoint(code); kept += 1 }
           i += Character.charCount(code)
           cp += 1

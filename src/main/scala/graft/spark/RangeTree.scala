@@ -1269,6 +1269,74 @@ object RangeTree {
       "publicKeys given but keyCols is empty — nothing to make public")
     val levelsX = 31 - Integer.numberOfLeadingZeros(binsX)
     val levelsY = 31 - Integer.numberOfLeadingZeros(binsY)
+    val pub = publicKeys.map(p => broadcast(
+      p.toDF(keyCols: _*).distinct().localCheckpoint(false)))
+    val store = tree2DStore(df, pidCol, xCol, yCol, keyCols, loX, hiX,
+      binsX, loY, hiY, binsY, maxPerUnit, pub)
+      .localCheckpoint(false) // key universe + release join share it
+    val scale = scaleForTouches(noiseKind, epsilon, delta,
+      maxPerUnit.toDouble, (levelsX + 1) * (levelsY + 1))
+    release2DWithScale(store, keyCols, binsX, binsY, levelsX, levelsY,
+      scale, noise, noiseKind, pub)
+  }
+
+  /** [[dpRange2DTree]] at an EXPLICIT per-node noise scale — the
+    * accountant-driven face (feed
+    * [[graft.core.BudgetAccountant.requestTreeRelease2D]]'s resolved
+    * `TreeReleaseHandle.perNodeScale` here after `computeBudgets()`);
+    * the epsilon-parameterized entry point computes the same scale via
+    * [[scaleForTouches]] — one release stage either way. */
+  def dpRange2DTreeWithScale(
+      df: DataFrame,
+      pidCol: String,
+      xCol: Column,
+      yCol: Column,
+      keyCols: Seq[String],
+      loX: Double, hiX: Double, binsX: Int,
+      loY: Double, hiY: Double, binsY: Int,
+      perNodeScale: Double,
+      maxPerUnit: Long,
+      noise: graft.core.NoiseSource,
+      publicKeys: Option[DataFrame] = None,
+      noiseKind: graft.core.NoiseKind = graft.core.NoiseKind.Laplace
+  ): DataFrame = {
+    require(binsX >= 2 && (binsX & (binsX - 1)) == 0 && binsX <= 4096,
+      s"binsX must be a power of two in [2, 4096], got $binsX")
+    require(binsY >= 2 && (binsY & (binsY - 1)) == 0 && binsY <= 4096,
+      s"binsY must be a power of two in [2, 4096], got $binsY")
+    require(binsX.toLong * binsY <= 65536L,
+      s"binsX * binsY must be <= 65536 (got ${binsX.toLong * binsY}) — " +
+        "one product tree's literal noise frame is (2*binsX-1)*(2*binsY-1) " +
+        "driver rows; coarsen one axis or release two 1-D trees")
+    require(loX < hiX, s"empty x domain [$loX, $hiX)")
+    require(loY < hiY, s"empty y domain [$loY, $hiY)")
+    require(perNodeScale >= 0,
+      s"perNodeScale must be >= 0, got $perNodeScale")
+    require(maxPerUnit > 0, s"maxPerUnit must be positive, got $maxPerUnit")
+    require(publicKeys.isEmpty || keyCols.nonEmpty,
+      "publicKeys given but keyCols is empty — nothing to make public")
+    val levelsX = 31 - Integer.numberOfLeadingZeros(binsX)
+    val levelsY = 31 - Integer.numberOfLeadingZeros(binsY)
+    val pub = publicKeys.map(p => broadcast(
+      p.toDF(keyCols: _*).distinct().localCheckpoint(false)))
+    val store = tree2DStore(df, pidCol, xCol, yCol, keyCols, loX, hiX,
+      binsX, loY, hiY, binsY, maxPerUnit, pub)
+      .localCheckpoint(false) // key universe + release join share it
+    release2DWithScale(store, keyCols, binsX, binsY, levelsX, levelsY,
+      perNodeScale, noise, noiseKind, pub)
+  }
+
+  /** The 2-D tree's bounded node-sum store — ONE definition shared by
+    * [[dpRange2DTree]] and [[dpRange2DTreeSharded]] so the bounding
+    * cannot drift (the sumTreeStore convention). */
+  private def tree2DStore(
+      df: DataFrame, pidCol: String, xCol: Column, yCol: Column,
+      keyCols: Seq[String],
+      loX: Double, hiX: Double, binsX: Int,
+      loY: Double, hiY: Double, binsY: Int,
+      maxPerUnit: Long, pub: Option[DataFrame]): DataFrame = {
+    val levelsX = 31 - Integer.numberOfLeadingZeros(binsX)
+    val levelsY = 31 - Integer.numberOfLeadingZeros(binsY)
     val keyCs = keyCols.map(col)
     val xChecked = when(xCol.isNull, raise_error(lit(
         "dpRange2DTree: NULL x value for a privacy unit — nulls have no " +
@@ -1291,13 +1359,11 @@ object RangeTree {
         .cast(df.schema(n).dataType))
         .otherwise(c).as(n)
     }
-    val pub = publicKeys.map(p => broadcast(
-      p.toDF(keyCols: _*).distinct().localCheckpoint(false)))
     val inScope = pub.fold(df)(p =>
       df.join(p, keyCols.map(n => df(n) === p(n)).reduce(_ && _),
         "left_semi"))
     // deterministic cap: rank by (binX, binY, x, y) — stable under retry
-    val store = inScope
+    inScope
       .withColumn("__bx", bx)
       .withColumn("__by", by)
       .withColumn("__rk", row_number().over(
@@ -1314,11 +1380,61 @@ object RangeTree {
       .groupBy(col("__lvx") +: col("__idxx") +: col("__lvy") +:
         col("__idxy") +: keyCs: _*)
       .agg(count(lit(1)).cast("double").as("__s"))
-      .localCheckpoint(false) // key universe + release join share it
+  }
+
+  /** KEY-RANGE SHARDED 2-D tree — [[dpRange2DTree]] at ANY key
+    * cardinality (the [[dpRangeCountTreeSharded]] loop over the product
+    * store; same draw-once / zero-extra-budget contract: one shard's
+    * literal noise frame on the driver at a time, written to `outDir`
+    * before the next shard draws, exactly one draw per (key, node) in
+    * total). The read-back union carries the released schema, so
+    * [[range2DQueries]] consumes it unchanged. */
+  def dpRange2DTreeSharded(
+      df: DataFrame,
+      pidCol: String,
+      xCol: Column,
+      yCol: Column,
+      keyCols: Seq[String],
+      loX: Double, hiX: Double, binsX: Int,
+      loY: Double, hiY: Double, binsY: Int,
+      epsilon: Double,
+      maxPerUnit: Long,
+      noise: graft.core.NoiseSource,
+      outDir: String,
+      publicKeys: Option[DataFrame] = None,
+      noiseKind: graft.core.NoiseKind = graft.core.NoiseKind.Laplace,
+      delta: Double = 0.0,
+      maxKeysPerShard: Long = 0L
+  ): DataFrame = {
+    require(keyCols.nonEmpty,
+      "dpRange2DTreeSharded needs keyCols — an unkeyed tree is one " +
+        "bounded release; use dpRange2DTree")
+    require(binsX >= 2 && (binsX & (binsX - 1)) == 0 && binsX <= 4096,
+      s"binsX must be a power of two in [2, 4096], got $binsX")
+    require(binsY >= 2 && (binsY & (binsY - 1)) == 0 && binsY <= 4096,
+      s"binsY must be a power of two in [2, 4096], got $binsY")
+    require(binsX.toLong * binsY <= 65536L,
+      s"binsX * binsY must be <= 65536 (got ${binsX.toLong * binsY}) — " +
+        "one product tree's literal noise frame is (2*binsX-1)*(2*binsY-1) " +
+        "driver rows; coarsen one axis or release two 1-D trees")
+    require(loX < hiX, s"empty x domain [$loX, $hiX)")
+    require(loY < hiY, s"empty y domain [$loY, $hiY)")
+    require(epsilon > 0, s"epsilon must be positive, got $epsilon")
+    require(maxPerUnit > 0, s"maxPerUnit must be positive, got $maxPerUnit")
+    val levelsX = 31 - Integer.numberOfLeadingZeros(binsX)
+    val levelsY = 31 - Integer.numberOfLeadingZeros(binsY)
+    val pub = publicKeys.map(p => broadcast(
+      p.toDF(keyCols: _*).distinct().localCheckpoint(false)))
+    val store = tree2DStore(df, pidCol, xCol, yCol, keyCols, loX, hiX,
+      binsX, loY, hiY, binsY, maxPerUnit, pub)
     val scale = scaleForTouches(noiseKind, epsilon, delta,
       maxPerUnit.toDouble, (levelsX + 1) * (levelsY + 1))
-    release2DWithScale(store, keyCols, binsX, binsY, levelsX, levelsY,
-      scale, noise, noiseKind, pub)
+    shardedByKeyRange(store, keyCols, publicKeys,
+      (2L * binsX - 1) * (2L * binsY - 1), maxKeysPerShard, outDir) {
+      (slice, shardKeys) =>
+        release2DWithScale(slice, keyCols, binsX, binsY, levelsX, levelsY,
+          scale, noise, noiseKind, Some(shardKeys))
+    }
   }
 
   /** The 2-D release stage — [[releaseWithScale]] over the product node

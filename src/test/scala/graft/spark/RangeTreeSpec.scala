@@ -1047,6 +1047,82 @@ class RangeTreeSpec extends AnyFunSuite {
     assert(rootA.getDouble(5) == 1.0) // the "drop" row is gone
   }
 
+  test("2-D sharded release == one-shot; exactly one draw per (key, node) across shards") {
+    val rnd = new scala.util.Random(31)
+    val df = (1 to 60).map(i => (i.toLong, rnd.nextInt(4).toDouble + 0.5,
+      rnd.nextInt(4).toDouble + 0.5, s"k${i % 5}")).toDF("uid", "x", "y", "k")
+    def key2D(r: org.apache.spark.sql.Row) =
+      (r.getInt(0), r.getLong(1), r.getInt(2), r.getLong(3), r.getString(4))
+    val oneShot = RangeTree.dpRange2DTree(df, "uid", col("x"), col("y"),
+      Seq("k"), 0.0, 4.0, 4, 0.0, 4.0, 4, 1.0, 10L,
+      graft.core.NoiseSource.Zero)
+      .collect().map(r => key2D(r) -> r.getDouble(5)).toMap
+    val dir = java.nio.file.Files.createTempDirectory("graft_2d_sh_").toString
+    val sharded = RangeTree.dpRange2DTreeSharded(df, "uid", col("x"),
+      col("y"), Seq("k"), 0.0, 4.0, 4, 0.0, 4.0, 4, 1.0, 10L,
+      graft.core.NoiseSource.Zero, dir, maxKeysPerShard = 2L)
+      .collect().map(r => key2D(r) -> r.getDouble(5)).toMap
+    assert(sharded == oneShot) // 3 shards (5 keys at 2/shard), same tree
+    assert(new java.io.File(dir).listFiles().count(_.getName.startsWith(
+      "shard=")) == 3)
+    // counting source: exactly keys x (2*4-1)^2 draws in TOTAL across
+    // shards, and the read-back (parquet) never re-draws
+    val counter = new java.util.concurrent.atomic.AtomicLong(0)
+    object Counting extends graft.core.NoiseSource {
+      def laplace(b: Double): Double = counter.incrementAndGet() * 1000.0
+      def gaussian(sigma: Double): Double = counter.incrementAndGet() * 1000.0
+      def uniform(): Double = 0.5
+    }
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_2d_sh_").toString
+    val rel = RangeTree.dpRange2DTreeSharded(df, "uid", col("x"), col("y"),
+      Seq("k"), 0.0, 4.0, 4, 0.0, 4.0, 4, 1.0, 10L, Counting, dir2,
+      maxKeysPerShard = 2L)
+    assert(counter.get == 5L * 49, s"draws=${counter.get}")
+    rel.collect(); rel.collect()
+    RangeTree.range2DQueries(rel, Seq("k"), Seq((0L, 3L, 0L, 3L)), 4, 4)
+      .collect()
+    assert(counter.get == 5L * 49,
+      "read-back actions or box queries re-drew shard noise")
+  }
+
+  test("2-D accountant wiring: requestTreeRelease2D resolves the product-tree scale") {
+    object EchoScale extends graft.core.NoiseSource {
+      def laplace(b: Double): Double = -b
+      def gaussian(sigma: Double): Double = sigma
+      def uniform(): Double = 0.5
+    }
+    val df = Seq((1L, 0.5, 0.5), (2L, 3.5, 5.5)).toDF("uid", "x", "y")
+    // naive accountant, whole budget on one 2-D release: the resolved
+    // per-node scale must equal the one-shot formula — touches =
+    // (levelsX+1)(levelsY+1) = 3 * 4 = 12 at binsX=4, binsY=8
+    val acc = new graft.core.NaiveBudgetAccountant(2.0, 0.0)
+    val t = acc.requestTreeRelease2D(binsX = 4, binsY = 8,
+      graft.core.NoiseKind.Laplace)
+    acc.computeBudgets()
+    assert(t.touches == 12)
+    assert(math.abs(t.perNodeScale - 12.0 / 2.0) < 1e-12)
+    // the accountant-driven release == the epsilon-parameterized release
+    // (same echo-scale offsets on every node)
+    def m(d: org.apache.spark.sql.DataFrame) = d.collect().map(r =>
+      (r.getInt(0), r.getLong(1), r.getInt(2), r.getLong(3)) ->
+        r.getDouble(4)).toMap
+    val viaAcc = m(RangeTree.dpRange2DTreeWithScale(df, "uid", col("x"),
+      col("y"), Nil, 0.0, 4.0, 4, 0.0, 8.0, 8, t.perNodeScale, 1L,
+      EchoScale))
+    val direct = m(RangeTree.dpRange2DTree(df, "uid", col("x"), col("y"),
+      Nil, 0.0, 4.0, 4, 0.0, 8.0, 8, 2.0, 1L, EchoScale))
+    assert(viaAcc == direct)
+    // Gaussian: the handle's L2 = unitLinf * sqrt(touches) under the
+    // naive path matches the one-shot Balle-Wang calibration
+    val accG = new graft.core.NaiveBudgetAccountant(1.0, 1e-6)
+    val tg = accG.requestTreeRelease2D(binsX = 4, binsY = 8,
+      graft.core.NoiseKind.Gaussian, unitLinf = 3.0)
+    accG.computeBudgets()
+    val sigma = graft.core.DpNoise.gaussianSigma(
+      tg.handle.spec.epsilon, tg.handle.spec.delta, 3.0 * math.sqrt(12.0))
+    assert(math.abs(tg.perNodeScale - sigma) < 1e-12)
+  }
+
   test("2-D tree: per-unit cap keeps the deterministic lowest-(bx, by, x, y) rows") {
     val df = Seq((1L, 3.5, 3.5), (1L, 0.5, 2.5), (1L, 0.5, 0.5),
       (2L, 1.5, 1.5)).toDF("uid", "x", "y")
