@@ -1217,6 +1217,35 @@ private[graft] object EntryDP {
                 CAST(least(greatest(floor(CAST(extract(hour FROM ts) AS DOUBLE) / 1.0), 0), 31) AS BIGINT) AS by
          FROM events)"""
 
+  /** The generated 4-D product-node universe + exact node counts —
+    * shared by dp_range_2d and the streaming fold ss_range_2d_fold (zero
+    * noise + non-binding caps: the fold over any batch split releases
+    * the identical one-shot tree). */
+  private[graft] val range2DTreeSql =
+    s"""WITH $range2DBinSql,
+        lx AS (SELECT unnest(range(0, 5)) AS lvx),
+        ly AS (SELECT unnest(range(0, 6)) AS lvy),
+        nodes AS (
+          SELECT lx.lvx, gx.idxx, ly.lvy, gy.idxy, k.event_type
+          FROM lx, (SELECT unnest(range(0, 16)) AS idxx) gx,
+               ly, (SELECT unnest(range(0, 32)) AS idxy) gy,
+               (SELECT DISTINCT event_type FROM events) k
+          WHERE gx.idxx < 16 // (1 << lx.lvx)
+            AND gy.idxy < 32 // (1 << ly.lvy)),
+        c AS (SELECT lx.lvx, b.bx >> lx.lvx AS idxx,
+                     ly.lvy, b.by >> ly.lvy AS idxy,
+                     b.event_type, count(*) AS n
+              FROM b CROSS JOIN lx CROSS JOIN ly
+              GROUP BY 1, 2, 3, 4, 5)
+        SELECT CAST(n.lvx AS BIGINT) AS lvx,
+               CAST(n.idxx AS BIGINT) AS idxx,
+               CAST(n.lvy AS BIGINT) AS lvy,
+               CAST(n.idxy AS BIGINT) AS idxy,
+               n.event_type, CAST(coalesce(c.n, 0) AS DOUBLE) AS dp_count
+        FROM nodes n LEFT JOIN c ON c.lvx = n.lvx AND c.idxx = n.idxx
+          AND c.lvy = n.lvy AND c.idxy = n.idxy
+          AND c.event_type = n.event_type"""
+
   def oracleSql: Map[String, String] = {
     import OracleFragments._
     Map(
@@ -1251,30 +1280,7 @@ private[graft] object EntryDP {
       // hour as its own index in [0,32); node grid = every (lvx, idxx,
       // lvy, idxy) with idx < bins >> lvl per axis, exact counts rolled
       // up by the double shift
-      "dp_range_2d" ->
-        s"""WITH $range2DBinSql,
-            lx AS (SELECT unnest(range(0, 5)) AS lvx),
-            ly AS (SELECT unnest(range(0, 6)) AS lvy),
-            nodes AS (
-              SELECT lx.lvx, gx.idxx, ly.lvy, gy.idxy, k.event_type
-              FROM lx, (SELECT unnest(range(0, 16)) AS idxx) gx,
-                   ly, (SELECT unnest(range(0, 32)) AS idxy) gy,
-                   (SELECT DISTINCT event_type FROM events) k
-              WHERE gx.idxx < 16 // (1 << lx.lvx)
-                AND gy.idxy < 32 // (1 << ly.lvy)),
-            c AS (SELECT lx.lvx, b.bx >> lx.lvx AS idxx,
-                         ly.lvy, b.by >> ly.lvy AS idxy,
-                         b.event_type, count(*) AS n
-                  FROM b CROSS JOIN lx CROSS JOIN ly
-                  GROUP BY 1, 2, 3, 4, 5)
-            SELECT CAST(n.lvx AS BIGINT) AS lvx,
-                   CAST(n.idxx AS BIGINT) AS idxx,
-                   CAST(n.lvy AS BIGINT) AS lvy,
-                   CAST(n.idxy AS BIGINT) AS idxy,
-                   n.event_type, CAST(coalesce(c.n, 0) AS DOUBLE) AS dp_count
-            FROM nodes n LEFT JOIN c ON c.lvx = n.lvx AND c.idxx = n.idxx
-              AND c.lvy = n.lvy AND c.idxy = n.idxy
-              AND c.event_type = n.event_type""",
+      "dp_range_2d" -> range2DTreeSql,
       "dp_range_2d_query" ->
         s"""WITH $range2DBinSql,
             r(query_id, x_lo, x_hi, y_lo, y_hi) AS (

@@ -234,6 +234,32 @@ private[graft] object EntryStream {
         .select(col("__lvl").cast("long").as("lvl"), col("__idx").as("idx"),
           col("event_type"), col("dp_count"))
     }),
+    "ss_range_2d_fold" -> ((s, dir) => {
+      // the 2-D product tree's streaming face: three micro-batches fold
+      // bounded node contributions into the product-shaped store, ONE
+      // release draws noise — and must hash-equal the one-shot
+      // dp_range_2d SQL (zero noise, non-binding cap, order-free sums
+      // under any batch split).
+      val ev = events(s, dir)
+      val batches = Seq(ev.filter(col("event_id") % 3 === 0),
+        ev.filter(col("event_id") % 3 === 1),
+        ev.filter(col("event_id") % 3 === 2))
+      var store: Option[DataFrame] = None
+      batches.foreach { b =>
+        store = Some(graft.spark.RangeTree.range2DIngestStep(b, store,
+          "user_id", col("value"),
+          expr("hour(timestamp_micros(ts div 1000))"), Seq("event_type"),
+          loX = 0.0, hiX = 1000.0, binsX = 16,
+          loY = 0.0, hiY = 32.0, binsY = 32, maxPerUnit = 1000000L)
+          .localCheckpoint(false))
+      }
+      graft.spark.RangeTree.range2DTreeRelease(store.get,
+          Seq("event_type"), binsX = 16, binsY = 32, epsilon = 1.0,
+          maxPerUnit = 1000000L, noise = graft.core.NoiseSource.Zero)
+        .select(col("__lvx").cast("long").as("lvx"),
+          col("__idxx").as("idxx"), col("__lvy").cast("long").as("lvy"),
+          col("__idxy").as("idxy"), col("event_type"), col("dp_count"))
+    }),
     "ss_dp_continual_mean" -> ((s, dir) => {
       // the MEAN derivation of the continual family: count tree + clamped
       // sum tree on split budget from ONE scan, running mean as pure
@@ -475,6 +501,9 @@ private[graft] object EntryStream {
            GROUP BY 1, 2""",
       // the fold must release the one-shot tree — same oracle
       "ss_range_tree_fold" -> EntryDP.rangeTreeSql,
+      // the 2-D fold over any batch split releases the identical
+      // one-shot product tree (zero noise, non-binding cap)
+      "ss_range_2d_fold" -> EntryDP.range2DTreeSql,
       // count + clamped-sum prefixes over the grid, mean = ratio with the
       // max(count, 1) convention
       "ss_dp_continual_mean" ->

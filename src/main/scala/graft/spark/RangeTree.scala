@@ -1382,6 +1382,88 @@ object RangeTree {
       .agg(count(lit(1)).cast("double").as("__s"))
   }
 
+  /** One ingest step of the 2-D tree's STREAMING face — the
+    * [[rangeTreeIngestStep]] pattern over the product store: micro-
+    * batches fold their bounded, binned node contributions into an
+    * (un-noised) node-sum store; [[range2DTreeRelease]] draws noise ONCE
+    * at publish. The store is tree-shaped ((2*binsX-1)*(2*binsY-1) x
+    * keys rows after each step's re-aggregation), never data-shaped.
+    * BOUNDING CONTRACT verbatim from the 1-D fold: the deterministic
+    * per-unit cap applies WITHIN each batch — route each unit's rows
+    * through one batch or account the composition. Zero noise +
+    * non-binding caps => the fold over ANY batch split releases exactly
+    * the one-shot [[dpRange2DTree]] (spec-pinned). */
+  def range2DIngestStep(
+      batch: DataFrame,
+      store: Option[DataFrame],
+      pidCol: String,
+      xCol: Column,
+      yCol: Column,
+      keyCols: Seq[String],
+      loX: Double, hiX: Double, binsX: Int,
+      loY: Double, hiY: Double, binsY: Int,
+      maxPerUnit: Long,
+      publicKeys: Option[DataFrame] = None
+  ): DataFrame = {
+    require(binsX >= 2 && (binsX & (binsX - 1)) == 0 && binsX <= 4096,
+      s"binsX must be a power of two in [2, 4096], got $binsX")
+    require(binsY >= 2 && (binsY & (binsY - 1)) == 0 && binsY <= 4096,
+      s"binsY must be a power of two in [2, 4096], got $binsY")
+    require(binsX.toLong * binsY <= 65536L,
+      s"binsX * binsY must be <= 65536 (got ${binsX.toLong * binsY})")
+    require(loX < hiX, s"empty x domain [$loX, $hiX)")
+    require(loY < hiY, s"empty y domain [$loY, $hiY)")
+    require(maxPerUnit > 0, s"maxPerUnit must be positive, got $maxPerUnit")
+    require(publicKeys.isEmpty || keyCols.nonEmpty,
+      "publicKeys given but keyCols is empty — nothing to make public")
+    val keyCs = keyCols.map(col)
+    val pub = publicKeys.map(p => broadcast(
+      p.toDF(keyCols: _*).distinct().localCheckpoint(false)))
+    val contrib = tree2DStore(batch, pidCol, xCol, yCol, keyCols, loX,
+      hiX, binsX, loY, hiY, binsY, maxPerUnit, pub)
+    store match {
+      case None => contrib
+      case Some(st) => st.unionByName(contrib)
+        .groupBy(col("__lvx") +: col("__idxx") +: col("__lvy") +:
+          col("__idxy") +: keyCs: _*)
+        .agg(sum(col("__s")).as("__s"))
+    }
+  }
+
+  /** Publish a folded 2-D node-sum store as a noisy product tree — the
+    * [[rangeTreeRelease]] analogue (one draw per node, empty nodes
+    * included, driver-drawn literal frame; same released schema as
+    * [[dpRange2DTree]], so [[range2DQueries]] consumes it unchanged). */
+  def range2DTreeRelease(
+      store: DataFrame,
+      keyCols: Seq[String],
+      binsX: Int,
+      binsY: Int,
+      epsilon: Double,
+      maxPerUnit: Long,
+      noise: graft.core.NoiseSource,
+      publicKeys: Option[DataFrame] = None,
+      noiseKind: graft.core.NoiseKind = graft.core.NoiseKind.Laplace,
+      delta: Double = 0.0
+  ): DataFrame = {
+    require(binsX >= 2 && (binsX & (binsX - 1)) == 0 && binsX <= 4096,
+      s"binsX must be a power of two in [2, 4096], got $binsX")
+    require(binsY >= 2 && (binsY & (binsY - 1)) == 0 && binsY <= 4096,
+      s"binsY must be a power of two in [2, 4096], got $binsY")
+    require(epsilon > 0, s"epsilon must be positive, got $epsilon")
+    require(maxPerUnit > 0, s"maxPerUnit must be positive, got $maxPerUnit")
+    require(publicKeys.isEmpty || keyCols.nonEmpty,
+      "publicKeys given but keyCols is empty — nothing to make public")
+    val levelsX = 31 - Integer.numberOfLeadingZeros(binsX)
+    val levelsY = 31 - Integer.numberOfLeadingZeros(binsY)
+    val pub = publicKeys.map(p => broadcast(
+      p.toDF(keyCols: _*).distinct().localCheckpoint(false)))
+    val scale = scaleForTouches(noiseKind, epsilon, delta,
+      maxPerUnit.toDouble, (levelsX + 1) * (levelsY + 1))
+    release2DWithScale(store.localCheckpoint(false), keyCols, binsX,
+      binsY, levelsX, levelsY, scale, noise, noiseKind, pub)
+  }
+
   /** KEY-RANGE SHARDED 2-D tree — [[dpRange2DTree]] at ANY key
     * cardinality (the [[dpRangeCountTreeSharded]] loop over the product
     * store; same draw-once / zero-extra-budget contract: one shard's

@@ -1085,6 +1085,34 @@ class RangeTreeSpec extends AnyFunSuite {
       "read-back actions or box queries re-drew shard noise")
   }
 
+  test("2-D ingest fold: any batch split releases exactly the one-shot product tree") {
+    val rnd = new scala.util.Random(41)
+    val rows = (1 to 50).map(i => (i.toLong, rnd.nextInt(8).toDouble + 0.5,
+      rnd.nextInt(4).toDouble + 0.5, s"k${i % 3}"))
+    val df = rows.toDF("uid", "x", "y", "k")
+    def m(d: org.apache.spark.sql.DataFrame) = d.collect().map(r =>
+      (r.getInt(0), r.getLong(1), r.getInt(2), r.getLong(3),
+        r.getString(4)) -> r.getDouble(5)).toMap
+    val oneShot = m(RangeTree.dpRange2DTree(df, "uid", col("x"), col("y"),
+      Seq("k"), 0.0, 8.0, 8, 0.0, 4.0, 4, 1.0, 100L,
+      graft.core.NoiseSource.Zero))
+    // fold over a 3-way split (by uid, so the per-batch cap contract is
+    // exactly the one-shot cap — non-binding here anyway)
+    val batches = Seq(df.filter(col("uid") % 3 === 0),
+      df.filter(col("uid") % 3 === 1), df.filter(col("uid") % 3 === 2))
+    var store: Option[org.apache.spark.sql.DataFrame] = None
+    batches.foreach { b =>
+      store = Some(RangeTree.range2DIngestStep(b, store, "uid", col("x"),
+        col("y"), Seq("k"), 0.0, 8.0, 8, 0.0, 4.0, 4, 100L)
+        .localCheckpoint(false))
+    }
+    val folded = m(RangeTree.range2DTreeRelease(store.get, Seq("k"), 8, 4,
+      1.0, 100L, graft.core.NoiseSource.Zero))
+    assert(folded == oneShot)
+    // the store stays tree-shaped after every step: <= (2*8-1)(2*4-1) x 3
+    assert(store.get.count() <= 15L * 7 * 3)
+  }
+
   test("2-D accountant wiring: requestTreeRelease2D resolves the product-tree scale") {
     object EchoScale extends graft.core.NoiseSource {
       def laplace(b: Double): Double = -b
