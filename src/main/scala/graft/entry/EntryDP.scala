@@ -752,6 +752,28 @@ private[graft] object EntryDP {
         Seq((0L, 7L, 0L, 11L), (4L, 11L, 6L, 21L), (15L, 15L, 0L, 31L),
           (2L, 2L, 5L, 5L), (0L, 15L, 0L, 23L)), binsX = 16, binsY = 32)
     }),
+    "dp_join_revenue" -> ((s, dir) => {
+      // DP over a JOIN: the privacy unit (o_custkey) flows through
+      // orders -> lineitem before the engine sees it, so user-level DP
+      // applies to revenue grouped by order priority — the warehouse
+      // shape (the engine is row-shape-agnostic: bounding and selection
+      // key on whatever the roles name, joins are ordinary Spark
+      // upstream). Caps non-binding + zero noise => exact clipped
+      // revenue sums and row counts per priority.
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      val ord = s.read.parquet(s"$dir/orders.parquet")
+      val joined = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .select(col("o_custkey"), col("o_orderpriority"),
+          floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("rev"))
+      runZero(joined, AggregateParams(
+        metrics = Seq(Metric.Sum, Metric.Count),
+        noiseKind = NoiseKind.Laplace,
+        maxPartitionsContributed = 5,
+        maxContributionsPerPartition = Some(1000),
+        minValue = Some(0.0), maxValue = Some(200000.0)),
+        DPColumns("o_custkey", "o_orderpriority", "rev"))
+    }),
     "dp_add_noise" -> ((s, dir) => {
       // noise-only path on pre-aggregated data; zero noise => identity
       val pre = events(s, dir).groupBy("event_type")
@@ -1281,6 +1303,14 @@ private[graft] object EntryDP {
       // lvy, idxy) with idx < bins >> lvl per axis, exact counts rolled
       // up by the double shift
       "dp_range_2d" -> range2DTreeSql,
+      "dp_join_revenue" ->
+        """SELECT o_orderpriority,
+                  sum(least(greatest(
+                    floor(l_extendedprice * (1.0 - l_discount)), 0.0),
+                    200000.0)) AS sum,
+                  CAST(count(*) AS DOUBLE) AS count
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           GROUP BY 1""",
       "dp_range_2d_query" ->
         s"""WITH $range2DBinSql,
             r(query_id, x_lo, x_hi, y_lo, y_hi) AS (

@@ -1718,6 +1718,51 @@ object RangeTree {
        |""".stripMargin
   }
 
+  /** [[explainRelease]] for the 2-D product tree: states the product
+    * mechanism, calibration at touches = (levelsX+1)(levelsY+1), the
+    * worst-case box-cover size and error shape, and the composition
+    * contract. Pure string math — no data access. */
+  def explainRelease2D(
+      binsX: Int,
+      binsY: Int,
+      epsilon: Double,
+      maxPerUnit: Long,
+      noiseKind: graft.core.NoiseKind = graft.core.NoiseKind.Laplace,
+      delta: Double = 0.0,
+      unitLinf: Double = 1.0,
+      keyed: Boolean = false
+  ): String = {
+    require(binsX >= 2 && (binsX & (binsX - 1)) == 0 && binsX <= 4096,
+      s"binsX must be a power of two in [2, 4096], got $binsX")
+    require(binsY >= 2 && (binsY & (binsY - 1)) == 0 && binsY <= 4096,
+      s"binsY must be a power of two in [2, 4096], got $binsY")
+    val levelsX = 31 - Integer.numberOfLeadingZeros(binsX)
+    val levelsY = 31 - Integer.numberOfLeadingZeros(binsY)
+    val touches = (levelsX + 1) * (levelsY + 1)
+    val scale = scaleForTouches(noiseKind, epsilon, delta,
+      maxPerUnit * unitLinf, touches)
+    val nNodes = (2L * binsX - 1) * (2L * binsY - 1)
+    val cover = (2 * levelsX).max(1) * (2 * levelsY).max(1) // worst box
+    val (mech, privacy, perNode, boxStd) = noiseKind match {
+      case graft.core.NoiseKind.Laplace =>
+        ("Laplace", f"$epsilon%g-DP (pure)",
+          f"b = maxPerUnit * unitLinf * (levelsX+1)(levelsY+1) / eps = $scale%g",
+          math.sqrt(2.0 * cover) * scale)
+      case graft.core.NoiseKind.Gaussian =>
+        ("Gaussian", f"($epsilon%g, $delta%g)-DP",
+          f"sigma = BalleWang(eps, delta, maxPerUnit * unitLinf * " +
+            f"sqrt((levelsX+1)(levelsY+1))) = $scale%g",
+          math.sqrt(cover.toDouble) * scale)
+    }
+    s"""RangeTree 2-D release
+       |  domain    : $binsX x $binsY power-of-two bins, ${levelsX + 1} x ${levelsY + 1} levels ($nNodes product nodes${if (keyed) " per key" else ""})
+       |  mechanism : $mech, one draw per product node (empty nodes included), drawn driver-side as a literal frame (draw-once across consumers, actions, and shards)
+       |  privacy   : $privacy per ${if (keyed) "(unit, key) cell — cross-key composition is the caller's accounting (disjoint keys compose in parallel)" else "unit"}, contributions capped at maxPerUnit = $maxPerUnit rows (deterministic rank cap), per-row node touch = (levelsX+1)(levelsY+1) = $touches
+       |  per-node  : $perNode
+       |  box err   : any axis-aligned box reads <= $cover cover nodes (per-axis covers crossed); worst-case stddev ~ ${f"$boxStd%g"} (1-D marginals are the top-level slices — free post-processing)
+       |""".stripMargin
+  }
+
   /** The per-key two-sweep OLS (the math of [[enforceConsistency]],
     * factored pure so the distributed and any driver-side caller share
     * one definition): `lvls/idxs/cnts` are ONE key's released nodes in

@@ -1151,6 +1151,26 @@ class RangeTreeSpec extends AnyFunSuite {
     assert(math.abs(tg.perNodeScale - sigma) < 1e-12)
   }
 
+  test("explainRelease2D: calibration, node count, and box-error shape are stated") {
+    val lap = RangeTree.explainRelease2D(binsX = 16, binsY = 32,
+      epsilon = 2.0, maxPerUnit = 3L, keyed = true)
+    // touches = 5 * 6 = 30; b = 3 * 1 * 30 / 2 = 45
+    assert(lap.contains("16 x 32 power-of-two bins"))
+    assert(lap.contains("1953 product nodes per key"))
+    assert(lap.contains("= 30"))
+    assert(lap.contains("45.0000"))
+    assert(lap.contains("Laplace"))
+    val g = RangeTree.explainRelease2D(binsX = 16, binsY = 32,
+      epsilon = 1.0, maxPerUnit = 3L,
+      noiseKind = graft.core.NoiseKind.Gaussian, delta = 1e-6)
+    val sigma = graft.core.DpNoise.gaussianSigma(1.0, 1e-6,
+      3.0 * math.sqrt(30.0))
+    assert(g.contains("Gaussian") && g.contains(f"$sigma%g"))
+    // Laplace + delta fails loud (the treeScale contract)
+    intercept[IllegalArgumentException](RangeTree.explainRelease2D(16, 32,
+      1.0, 3L, graft.core.NoiseKind.Laplace, delta = 0.5))
+  }
+
   test("2-D tree: per-unit cap keeps the deterministic lowest-(bx, by, x, y) rows") {
     val df = Seq((1L, 3.5, 3.5), (1L, 0.5, 2.5), (1L, 0.5, 0.5),
       (2L, 1.5, 1.5)).toDF("uid", "x", "y")
