@@ -433,6 +433,36 @@ private[graft] object EntrySim {
           when(col("decoded").isNull, 1L).otherwise(0L).as("probe_decode_failed"))
         .crossJoin(broadcast(lost))
     }),
+    "mm_phash_neardup" -> ((s, dir) => {
+      // IMAGE near-dup via perceptual hash (the multimodal dedup arm):
+      // ASCII-projected text renders to a REAL PNG, ImageIO decodes it,
+      // the 8x8 nearest-pixel average-hash fingerprints it, and an
+      // 8-band Hamming bucket join releases pairs at distance <= 7
+      // (pigeonhole-exact recall at that radius). The whole derivation —
+      // projection, dims, grid pixels, integer luminances, bits, bands,
+      // Hamming — replays in SQL because the grid sample is nearest-
+      // pixel integer arithmetic over the deterministic payload (the
+      // mm_decode_resize construction convention); the DECODE itself
+      // runs for real through ImageIO. The rendered payload is the
+      // 64-char CANONICAL PREFIX of the ASCII projection (the thumbnail
+      // stand-in: near-dup docs share their opening, so their rendered
+      // covers match — byte-tiling the WHOLE text would amplify any
+      // token edit into Hamming >> radius); projections shorter than 16
+      // chars are excluded (an effectively-empty image has no
+      // perceptual content — every one would alias to the same uniform
+      // fingerprint).
+      val toPng = udf((t: String) => Multimodal.syntheticPng(t))
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          substring(regexp_replace(col("text"), "[^ -~]", ""), 1, 64)
+            .as("c"))
+        .filter(length(col("c")) >= 16)
+        .withColumn("media", toPng(col("c")))
+      val hashed = Multimodal.imageAHash(docs, "media")
+        .filter(col("phash").isNotNull)
+      Multimodal.phashNearDupPairs(hashed, "doc_id", "phash",
+        maxHamming = 7, bands = 8)
+    }),
     "mm_decode_resize" -> ((s, dir) => {
       // REAL image pipeline: synthesize a PNG per document (dims derived
       // from the text length), decode it with ImageIO, plan the resize.
@@ -842,6 +872,58 @@ private[graft] object EntrySim {
                   list_max(list_transform(range(1, len(v) + 1),
                     i -> abs(v[i] - qd[i] * scale))) AS max_abs_err
            FROM z""",
+      // the aHash derivation replayed end-to-end: ASCII projection, the
+      // syntheticPng dims/pixel formula, nearest-pixel 8x8 grid, integer
+      // luminance, above-average bits, 8-bit band buckets, exact Hamming
+      "mm_phash_neardup" ->
+        """WITH d AS (
+             SELECT doc_id,
+                    substr(regexp_replace(text, '[^ -~]', '', 'g'), 1, 64) AS c
+             FROM documents),
+           e AS (
+             SELECT doc_id, c, CAST(length(c) AS BIGINT) AS len
+             FROM d WHERE length(c) >= 16),
+           dims AS (
+             SELECT doc_id, c, len, 4 + len % 13 AS w, 4 + (len // 13) % 11 AS h
+             FROM e),
+           cells AS (
+             SELECT doc_id, g.k,
+                    ascii(substr(c,
+                      CAST((((g.k // 8) * h // 8) * w
+                            + ((g.k % 8) * w // 8)) % len AS INT) + 1,
+                      1)) AS v
+             FROM dims, (SELECT unnest(range(0, 64)) AS k) g),
+           lums AS (
+             SELECT doc_id, k,
+                    299 * v + 587 * (255 - v) + 114 * ((v * 7) % 256) AS lum
+             FROM cells),
+           bits AS (
+             SELECT doc_id, k,
+                    CASE WHEN lum * 64 > sum(lum) OVER (PARTITION BY doc_id)
+                         THEN '1' ELSE '0' END AS b
+             FROM lums),
+           ph AS (
+             SELECT doc_id, string_agg(b, '' ORDER BY k) AS phash
+             FROM bits GROUP BY 1),
+           banded AS (
+             SELECT doc_id, bd.b AS band,
+                    substr(phash, CAST(bd.b * 8 + 1 AS INT), 8) AS bucket
+             FROM ph, (SELECT unnest(range(0, 8)) AS b) bd),
+           cand AS (
+             SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM banded a JOIN banded b
+               ON a.band = b.band AND a.bucket = b.bucket
+               AND a.doc_id < b.doc_id),
+           pairs AS (
+             SELECT c.id_a, c.id_b,
+                    CAST(list_sum(list_transform(range(1, 65),
+                      i -> CASE WHEN substr(pa.phash, CAST(i AS INT), 1)
+                                  != substr(pb.phash, CAST(i AS INT), 1)
+                                THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
+             FROM cand c
+             JOIN ph pa ON pa.doc_id = c.id_a
+             JOIN ph pb ON pb.doc_id = c.id_b)
+           SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 7""",
       "mm_decode_resize" ->
         """WITH d AS (
              SELECT doc_id,

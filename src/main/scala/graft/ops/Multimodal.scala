@@ -137,6 +137,95 @@ object Multimodal {
     } catch { case _: Exception => None }
   }
 
+  /** Average-hash (aHash) perceptual fingerprint over a REAL ImageIO
+    * decode — the image NEAR-DUP signal (the text tier's MinHash
+    * analogue): sample an 8x8 deterministic grid (nearest pixel at
+    * (i*w div 8, j*h div 8) — integer arithmetic, no resampling filter,
+    * so the fingerprint is engine-replayable), compute integer luminance
+    * lum = 299 R + 587 G + 114 B per cell, and set bit k = j*8+i iff
+    * lum_k * 64 > sum(lums) (strictly above the average). Returns a
+    * 64-char '0'/'1' string (bit 0 first) — portable, bandable, and
+    * Hamming distance IS the perceptual distance. Undecodable/null
+    * payloads yield null (the [[decodeImage]] contract). Constant work
+    * per image regardless of size. */
+  def imageAHash(df: DataFrame, mediaCol: String): DataFrame = {
+    val f = udf((bytes: Array[Byte]) => aHashBytes(bytes))
+    df.withColumn("phash", f(col(mediaCol)))
+  }
+
+  private[ops] def aHashBytes(bytes: Array[Byte]): Option[String] = {
+    if (bytes == null) return None
+    try {
+      val img = readImage(bytes)
+      if (img == null) return None
+      val w = img.getWidth; val h = img.getHeight
+      val lums = new Array[Long](64)
+      var total = 0L
+      var k = 0
+      var j = 0
+      while (j < 8) {
+        var i = 0
+        while (i < 8) {
+          val rgb = img.getRGB(i * w / 8, j * h / 8)
+          val lum = 299L * ((rgb >> 16) & 0xFF) +
+            587L * ((rgb >> 8) & 0xFF) + 114L * (rgb & 0xFF)
+          lums(k) = lum; total += lum
+          i += 1; k += 1
+        }
+        j += 1
+      }
+      val sb = new java.lang.StringBuilder(64)
+      k = 0
+      while (k < 64) { sb.append(if (lums(k) * 64 > total) '1' else '0'); k += 1 }
+      Some(sb.toString)
+    } catch { case _: Exception => None }
+  }
+
+  /** Banded Hamming near-dup over [[imageAHash]] fingerprints — the LSH
+    * family's bucket join on bit slices: the 64-bit fingerprint splits
+    * into `bands` equal slices, pairs sharing any slice become
+    * candidates (via the shared [[Dedup.bandedCandidates]] core, so the
+    * `maxBucket` hot-bucket star collapse applies verbatim), and the
+    * exact Hamming distance verifies. PIGEONHOLE EXACTNESS: a pair at
+    * Hamming <= bands-1 cannot differ in every slice, so for
+    * `maxHamming <= bands - 1` recall is exact (the SimHash-chunk rule);
+    * the op REQUIRES that inequality rather than silently under-
+    * recalling. NULL fingerprints fail loud — filter undecoded rows
+    * explicitly. Returns (id_a, id_b, hamming), id_a < id_b. */
+  def phashNearDupPairs(df: DataFrame, idCol: String, phashCol: String,
+      maxHamming: Int, bands: Int = 8, maxBucket: Int = 0): DataFrame = {
+    require(bands >= 2 && 64 % bands == 0,
+      s"bands must divide 64, got $bands")
+    require(maxHamming >= 0 && maxHamming <= bands - 1,
+      s"maxHamming ($maxHamming) must be <= bands - 1 (${bands - 1}) — " +
+        "the pigeonhole guarantee breaks past it; raise bands for a " +
+        "larger radius")
+    val sliceLen = 64 / bands
+    val checked = when(col(phashCol).isNull, raise_error(lit(
+        "phashNearDupPairs: NULL fingerprint — undecodable payloads " +
+          "yield null from imageAHash; filter them explicitly upstream"))
+        .cast("string"))
+      .otherwise(col(phashCol))
+    val withHash = df.select(col(idCol).as("id"), checked.as("__ph"))
+      .localCheckpoint(false) // banding + both verify joins share it
+    val banded = withHash.select(col("id"),
+      posexplode(array((0 until bands).map(b =>
+        col("__ph").substr(b * sliceLen + 1, sliceLen)): _*))
+        .as(Seq("band", "bucket")))
+    val candidates = Dedup.bandedCandidates(banded, maxBucket)
+    val hamming = udf((a: String, b: String) => {
+      var d = 0; var i = 0
+      while (i < a.length) { if (a.charAt(i) != b.charAt(i)) d += 1; i += 1 }
+      d
+    })
+    candidates
+      .join(withHash.select(col("id").as("id_a"), col("__ph").as("__pa")), "id_a")
+      .join(withHash.select(col("id").as("id_b"), col("__ph").as("__pb")), "id_b")
+      .withColumn("hamming", hamming(col("__pa"), col("__pb")).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
   /** REAL resize: decodes, scales the longest side to `maxSide` (keeping
     * aspect, never upscaling — same rule as [[resizePlan]]) and re-encodes.
     * Returns null for undecodable payloads. */

@@ -1838,4 +1838,48 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out(0).getSeq[Long](0) == Seq(0L, 30L, 60L, 90L))
     assert(out(1).getSeq[Long](0).isEmpty)
   }
+
+  test("aHash: identical images hash equal; banded Hamming pairs are exact") {
+    // identical payloads => Hamming 0; a one-char edit in the rendered
+    // text perturbs few grid cells; an unrelated text lands far away
+    val base = "the quick brown fox jumps over the lazy dog 0123456789"
+    val near = "the quick brown fox jumps over the lazy dog 0123456788"
+    val far = "ZZZZ!!!!    @@@@####    aaaa;;;;    ....||||    ~~~~&&&&"
+    val df = Seq(
+      (1L, Multimodal.syntheticPng(base)),
+      (2L, Multimodal.syntheticPng(base)), // exact image dup of 1
+      (3L, Multimodal.syntheticPng(near)),
+      (4L, Multimodal.syntheticPng(far))).toDF("id", "media")
+    val hashed = Multimodal.imageAHash(df, "media")
+    val ph = hashed.collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(ph.values.forall(p => p != null && p.length == 64 &&
+      p.forall(c => c == '0' || c == '1')))
+    assert(ph(1L) == ph(2L)) // identical payload => identical fingerprint
+    val ham = (a: String, b: String) => a.zip(b).count(x => x._1 != x._2)
+    val pairs = Multimodal.phashNearDupPairs(hashed, "id", "phash",
+      maxHamming = 7, bands = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs.contains((1L, 2L)) && pairs((1L, 2L)) == 0L)
+    // the released pair set is EXACTLY the <=7-Hamming pairs (pigeonhole
+    // recall + exact verify): check every pair against the raw distance
+    val ids = Seq(1L, 2L, 3L, 4L)
+    for (a <- ids; b <- ids if a < b) {
+      val d = ham(ph(a), ph(b))
+      assert(pairs.contains((a, b)) == (d <= 7),
+        s"pair ($a, $b) at Hamming $d: released=${pairs.contains((a, b))}")
+      if (d <= 7) assert(pairs((a, b)) == d.toLong)
+    }
+    // pigeonhole contract enforced: a radius past bands-1 fails loud
+    val e = intercept[IllegalArgumentException](
+      Multimodal.phashNearDupPairs(hashed, "id", "phash",
+        maxHamming = 8, bands = 8))
+    assert(e.getMessage.contains("pigeonhole"), e.getMessage)
+    // NULL fingerprints (undecodable payloads) fail loud
+    val withNull = hashed.unionByName(
+      Seq((9L, Array[Byte](1, 2, 3))).toDF("id", "media")
+        .withColumn("phash", lit(null).cast("string")))
+    val e2 = intercept[Exception](Multimodal.phashNearDupPairs(withNull,
+      "id", "phash", 7, 8).collect())
+    assert(SparkTestSession.chainMsg(e2).contains("NULL fingerprint"))
+  }
 }
