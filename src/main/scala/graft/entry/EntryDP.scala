@@ -752,6 +752,23 @@ private[graft] object EntryDP {
         Seq((0L, 7L, 0L, 11L), (4L, 11L, 6L, 21L), (15L, 15L, 0L, 31L),
           (2L, 2L, 5L, 5L), (0L, 15L, 0L, 23L)), binsX = 16, binsY = 32)
     }),
+    "dp_range_2d_sum" -> ((s, dir) => {
+      // the 2-D SUM tree queried by boxes: clamped floor(value) mass per
+      // (value-band x hour) region — "how much spend sits in this price
+      // band at these hours". Zero noise + non-binding caps => exact
+      // clamped box masses, replayed as two-BETWEEN weighted rollups.
+      val tree = graft.spark.RangeTree.dpRange2DSumTree(events(s, dir),
+        "user_id", col("value"), expr("hour(timestamp_micros(ts div 1000))"),
+        floor(col("value")), Seq("event_type"),
+        loX = 0.0, hiX = 1000.0, binsX = 16,
+        loY = 0.0, hiY = 32.0, binsY = 32,
+        epsilon = 1.0, maxPerUnit = 1000000L, minW = 0.0, maxW = 500.0,
+        noise = NoiseSource.Zero)
+      graft.spark.RangeTree.range2DQueries(tree, Seq("event_type"),
+        Seq((0L, 7L, 0L, 11L), (4L, 11L, 6L, 21L), (15L, 15L, 0L, 31L),
+          (2L, 2L, 5L, 5L), (0L, 15L, 0L, 23L)), binsX = 16, binsY = 32)
+        .withColumnRenamed("dp_box_count", "dp_box_mass")
+    }),
     "dp_join_revenue" -> ((s, dir) => {
       // DP over a JOIN: the privacy unit (o_custkey) flows through
       // orders -> lineitem before the engine sees it, so user-level DP
@@ -1303,6 +1320,30 @@ private[graft] object EntryDP {
       // lvy, idxy) with idx < bins >> lvl per axis, exact counts rolled
       // up by the double shift
       "dp_range_2d" -> range2DTreeSql,
+      "dp_range_2d_sum" ->
+        s"""WITH w AS (
+              SELECT event_type,
+                     CAST(least(greatest(floor(value / 62.5), 0), 15) AS BIGINT) AS bx,
+                     CAST(least(greatest(floor(CAST(extract(hour FROM ts) AS DOUBLE) / 1.0), 0), 31) AS BIGINT) AS by,
+                     least(greatest(floor(value), 0.0), 500.0) AS wt
+              FROM events),
+            r(query_id, x_lo, x_hi, y_lo, y_hi) AS (
+              VALUES (0, 0, 7, 0, 11), (1, 4, 11, 6, 21),
+                     (2, 15, 15, 0, 31), (3, 2, 2, 5, 5),
+                     (4, 0, 15, 0, 23)),
+            grid AS (SELECT r.*, k.event_type
+                     FROM r, (SELECT DISTINCT event_type FROM events) k)
+            SELECT CAST(g.query_id AS BIGINT) AS query_id,
+                   CAST(g.x_lo AS BIGINT) AS x_lo,
+                   CAST(g.x_hi AS BIGINT) AS x_hi,
+                   CAST(g.y_lo AS BIGINT) AS y_lo,
+                   CAST(g.y_hi AS BIGINT) AS y_hi,
+                   g.event_type,
+                   CAST(coalesce(sum(w.wt), 0) AS DOUBLE) AS dp_box_mass
+            FROM grid g LEFT JOIN w ON w.event_type = g.event_type
+              AND w.bx BETWEEN g.x_lo AND g.x_hi
+              AND w.by BETWEEN g.y_lo AND g.y_hi
+            GROUP BY 1, 2, 3, 4, 5, 6""",
       "dp_join_revenue" ->
         """SELECT o_orderpriority,
                   sum(least(greatest(

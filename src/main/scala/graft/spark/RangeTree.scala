@@ -1382,6 +1382,108 @@ object RangeTree {
       .agg(count(lit(1)).cast("double").as("__s"))
   }
 
+  /** The SUM analogue of [[dpRange2DTree]] — clamped per-row weights on
+    * the product nodes, so any axis-aligned box answers "how much MASS
+    * sits in this (x, y) region" (revenue by (price, hour) cell, tokens
+    * by (length, score) band). The [[dpRangeSumTree]] conventions
+    * verbatim: weights clamp into [minW, maxW] (the order-free bounding
+    * — part of the released statistic, not a filter), deterministic
+    * (bx, by, w, x, y) rank cap, per-node Laplace scale = maxPerUnit *
+    * max(|minW|, |maxW|) * touches / epsilon (Gaussian at L2 with
+    * sqrt(touches)), fail-loud NULLs, keyed trees + publicKeys.
+    * [[range2DQueries]] reuses the released schema unchanged. Zero noise
+    * => exact clamped box masses. */
+  def dpRange2DSumTree(
+      df: DataFrame,
+      pidCol: String,
+      xCol: Column,
+      yCol: Column,
+      weightCol: Column,
+      keyCols: Seq[String],
+      loX: Double, hiX: Double, binsX: Int,
+      loY: Double, hiY: Double, binsY: Int,
+      epsilon: Double,
+      maxPerUnit: Long,
+      minW: Double,
+      maxW: Double,
+      noise: graft.core.NoiseSource,
+      publicKeys: Option[DataFrame] = None,
+      noiseKind: graft.core.NoiseKind = graft.core.NoiseKind.Laplace,
+      delta: Double = 0.0
+  ): DataFrame = {
+    require(binsX >= 2 && (binsX & (binsX - 1)) == 0 && binsX <= 4096,
+      s"binsX must be a power of two in [2, 4096], got $binsX")
+    require(binsY >= 2 && (binsY & (binsY - 1)) == 0 && binsY <= 4096,
+      s"binsY must be a power of two in [2, 4096], got $binsY")
+    require(binsX.toLong * binsY <= 65536L,
+      s"binsX * binsY must be <= 65536 (got ${binsX.toLong * binsY})")
+    require(loX < hiX, s"empty x domain [$loX, $hiX)")
+    require(loY < hiY, s"empty y domain [$loY, $hiY)")
+    require(epsilon > 0, s"epsilon must be positive, got $epsilon")
+    require(maxPerUnit > 0, s"maxPerUnit must be positive, got $maxPerUnit")
+    require(minW <= maxW, s"minW $minW > maxW $maxW")
+    require(publicKeys.isEmpty || keyCols.nonEmpty,
+      "publicKeys given but keyCols is empty — nothing to make public")
+    val levelsX = 31 - Integer.numberOfLeadingZeros(binsX)
+    val levelsY = 31 - Integer.numberOfLeadingZeros(binsY)
+    val keyCs = keyCols.map(col)
+    val xChecked = when(xCol.isNull, raise_error(lit(
+        "dpRange2DSumTree: NULL x value for a privacy unit — nulls have " +
+          "no bin; filter or impute upstream")).cast("double"))
+      .otherwise(xCol.cast("double"))
+    val yChecked = when(yCol.isNull, raise_error(lit(
+        "dpRange2DSumTree: NULL y value for a privacy unit — nulls have " +
+          "no bin; filter or impute upstream")).cast("double"))
+      .otherwise(yCol.cast("double"))
+    val wChecked = when(weightCol.isNull, raise_error(lit(
+        "dpRange2DSumTree: NULL weight for a privacy unit — nulls have " +
+          "no clipping semantics; filter or impute upstream")).cast("double"))
+      .otherwise(weightCol.cast("double"))
+    val wClamped = least(greatest(wChecked, lit(minW)), lit(maxW))
+    val bx = least(
+      greatest(floor((xChecked - lit(loX)) / lit((hiX - loX) / binsX)),
+        lit(0.0)), lit((binsX - 1).toDouble)).cast("long")
+    val by = least(
+      greatest(floor((yChecked - lit(loY)) / lit((hiY - loY) / binsY)),
+        lit(0.0)), lit((binsY - 1).toDouble)).cast("long")
+    val keyChecked = keyCs.zip(keyCols).map { case (c, n) =>
+      when(c.isNull, raise_error(lit(
+        s"dpRange2DSumTree: NULL key '$n' — it would silently drop from " +
+          "the release joins; coalesce or filter upstream"))
+        .cast(df.schema(n).dataType))
+        .otherwise(c).as(n)
+    }
+    val pub = publicKeys.map(p => broadcast(
+      p.toDF(keyCols: _*).distinct().localCheckpoint(false)))
+    val inScope = pub.fold(df)(p =>
+      df.join(p, keyCols.map(n => df(n) === p(n)).reduce(_ && _),
+        "left_semi"))
+    val store = inScope
+      .withColumn("__bx", bx)
+      .withColumn("__by", by)
+      .withColumn("__w", wClamped)
+      .withColumn("__rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy((col(pidCol) +: keyCs): _*)
+          .orderBy(col("__bx").asc, col("__by").asc, col("__w").asc,
+            xChecked.asc, yChecked.asc)))
+      .filter(col("__rk") <= maxPerUnit)
+      .select(col("__bx") +: col("__by") +: col("__w") +: keyChecked: _*)
+      .withColumn("__lvx", explode(sequence(lit(0), lit(levelsX))))
+      .withColumn("__idxx", expr("shiftright(__bx, __lvx)"))
+      .withColumn("__lvy", explode(sequence(lit(0), lit(levelsY))))
+      .withColumn("__idxy", expr("shiftright(__by, __lvy)"))
+      .groupBy(col("__lvx") +: col("__idxx") +: col("__lvy") +:
+        col("__idxy") +: keyCs: _*)
+      .agg(sum(col("__w")).as("__s"))
+      .localCheckpoint(false) // key universe + release join share it
+    val scale = scaleForTouches(noiseKind, epsilon, delta,
+      maxPerUnit.toDouble * math.max(math.abs(minW), math.abs(maxW)),
+      (levelsX + 1) * (levelsY + 1))
+    release2DWithScale(store, keyCols, binsX, binsY, levelsX, levelsY,
+      scale, noise, noiseKind, pub)
+  }
+
   /** One ingest step of the 2-D tree's STREAMING face — the
     * [[rangeTreeIngestStep]] pattern over the product store: micro-
     * batches fold their bounded, binned node contributions into an

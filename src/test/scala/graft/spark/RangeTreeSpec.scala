@@ -1171,6 +1171,45 @@ class RangeTreeSpec extends AnyFunSuite {
       1.0, 3L, graft.core.NoiseKind.Laplace, delta = 0.5))
   }
 
+  test("2-D sum tree: clamped box masses; the clamp binds and is part of the release") {
+    // weights 10 and -3 clamp into [0, 5] -> 5 and 0; cell (0,0) mass 5
+    val df = Seq((1L, 0.5, 0.5, 10.0), (2L, 0.5, 0.5, -3.0),
+      (3L, 3.5, 3.5, 2.0)).toDF("uid", "x", "y", "w")
+    val t = RangeTree.dpRange2DSumTree(df, "uid", col("x"), col("y"),
+      col("w"), Nil, 0.0, 4.0, 4, 0.0, 4.0, 4, 1.0, 10L, minW = 0.0,
+      maxW = 5.0, graft.core.NoiseSource.Zero)
+    val m = tree2DMap(t)
+    assert(m((0, 0L, 0, 0L)) == 5.0) // 5 + 0: both clamps bound
+    assert(m((0, 3L, 0, 3L)) == 2.0)
+    assert(m((2, 0L, 2, 0L)) == 7.0) // root = total clamped mass
+    // box queries read the clamped mass (schema shared with the count tree)
+    val q = RangeTree.range2DQueries(t, Nil, Seq((0L, 1L, 0L, 1L)), 4, 4)
+      .collect().head.getDouble(5)
+    assert(q == 5.0)
+    // Laplace scale picks up max|W|: echo source offsets by cap*|W|*touches/eps
+    object EchoScale extends graft.core.NoiseSource {
+      def laplace(b: Double): Double = -b
+      def gaussian(sigma: Double): Double = sigma
+      def uniform(): Double = 0.5
+    }
+    val lap = tree2DMap(RangeTree.dpRange2DSumTree(df, "uid", col("x"),
+      col("y"), col("w"), Nil, 0.0, 4.0, 4, 0.0, 4.0, 4, 2.0, 3L,
+      minW = -5.0, maxW = 4.0, EchoScale))
+    // touches = 3*3 = 9; b = 3 * max(5, 4) * 9 / 2 = 67.5
+    val exact = tree2DMap(RangeTree.dpRange2DSumTree(df, "uid", col("x"),
+      col("y"), col("w"), Nil, 0.0, 4.0, 4, 0.0, 4.0, 4, 2.0, 3L,
+      minW = -5.0, maxW = 4.0, graft.core.NoiseSource.Zero))
+    lap.foreach { case (k, v) =>
+      assert(math.abs(v - (exact(k) - 67.5)) < 1e-12, s"node $k") }
+    // NULL weight fails loud
+    val e = intercept[Exception](RangeTree.dpRange2DSumTree(
+      Seq((1L, 0.5, 0.5, null.asInstanceOf[java.lang.Double]))
+        .toDF("uid", "x", "y", "w"),
+      "uid", col("x"), col("y"), col("w"), Nil, 0.0, 4.0, 4, 0.0, 4.0, 4,
+      1.0, 10L, 0.0, 5.0, graft.core.NoiseSource.Zero).collect())
+    assert(SparkTestSession.chainMsg(e).contains("NULL weight"))
+  }
+
   test("2-D tree: per-unit cap keeps the deterministic lowest-(bx, by, x, y) rows") {
     val df = Seq((1L, 3.5, 3.5), (1L, 0.5, 2.5), (1L, 0.5, 0.5),
       (2L, 1.5, 1.5)).toDF("uid", "x", "y")
