@@ -336,7 +336,7 @@ object EventAnalytics {
     * no window, no per-unit shuffle beyond the aggregations; |arms| rows
     * out. */
   def cuped(units: DataFrame, armCol: String, yCol: String,
-      xCol: String): DataFrame = {
+      xCol: String, experimentCols: Seq[String] = Nil): DataFrame = {
     def checked(n: String, what: String) =
       when(col(n).isNull, raise_error(lit(
         s"cuped: NULL $what — every unit needs a concrete value; " +
@@ -346,15 +346,32 @@ object EventAnalytics {
         "cuped: NULL arm label — an unlabeled unit belongs to no arm; " +
           "coalesce or filter upstream")).cast(units.schema(armCol).dataType))
       .otherwise(col(armCol)).as("arm")
-    val u = units.select(armChecked, checked(yCol, s"y ($yCol)").as("__y"),
-      checked(xCol, s"x ($xCol)").as("__x"))
+    // FLEET shape: with `experimentCols` the whole readout runs per
+    // experiment in the same two aggregations — theta pools WITHIN each
+    // experiment (a cross-experiment theta would blend unrelated metric
+    // scales), arms join their own experiment's pooled moments. NULL
+    // experiment keys fail loud like arms.
+    val expChecked = experimentCols.map { n =>
+      when(col(n).isNull, raise_error(lit(
+        s"cuped: NULL experiment key '$n' — an unlabeled unit belongs " +
+          "to no experiment; coalesce or filter upstream"))
+        .cast(units.schema(n).dataType))
+        .otherwise(col(n)).as(n)
+    }
+    val expCs = experimentCols.map(col)
+    val u = units.select(expChecked ++ Seq(armChecked,
+      checked(yCol, s"y ($yCol)").as("__y"),
+      checked(xCol, s"x ($xCol)").as("__x")): _*)
       .localCheckpoint(false) // pooled + per-arm moments share one pass
-    val pooled = u.agg(
+    val pooledAggs = Seq(
       count(lit(1)).cast("double").as("__n"),
       sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
       sum(col("__x") * col("__x")).as("__sxx"),
       sum(col("__x") * col("__y")).as("__sxy"))
-    val byArm = u.groupBy(col("arm")).agg(
+    val pooled =
+      if (experimentCols.isEmpty) u.agg(pooledAggs.head, pooledAggs.tail: _*)
+      else u.groupBy(expCs: _*).agg(pooledAggs.head, pooledAggs.tail: _*)
+    val byArm = u.groupBy(expCs :+ col("arm"): _*).agg(
       count(lit(1)).as("n_units"),
       sum(col("__x")).as("__sxa"), sum(col("__y")).as("__sya"),
       sum(col("__x") * col("__x")).as("__sxxa"),
@@ -371,15 +388,18 @@ object EventAnalytics {
     val varY = col("__syya") / na - meanY * meanY
     val covA = col("__sxya") / na - meanXa * meanY
     val varXa = col("__sxxa") / na - meanXa * meanXa
-    byArm.crossJoin(broadcast(pooled))
+    val joined =
+      if (experimentCols.isEmpty) byArm.crossJoin(broadcast(pooled))
+      else byArm.join(broadcast(pooled), experimentCols)
+    joined
       .withColumn("__theta", theta)
-      .select(col("arm"), col("n_units"),
+      .select(expCs ++ Seq(col("arm"), col("n_units"),
         round(meanY, 9).as("mean_y"),
         round(meanY - col("__theta") * (meanXa - meanXg), 9)
           .as("mean_y_cuped"),
         round(varY, 9).as("var_y"),
         round(varY - lit(2.0) * col("__theta") * covA +
           col("__theta") * col("__theta") * varXa, 9).as("var_y_cuped"),
-        round(col("__theta"), 9).as("theta"))
+        round(col("__theta"), 9).as("theta")): _*)
   }
 }

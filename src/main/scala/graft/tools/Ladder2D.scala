@@ -17,7 +17,13 @@ import org.apache.spark.sql.functions._
   */
 object Ladder2D {
   def main(args: Array[String]): Unit = {
-    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val sfDir = if (args.headOption.exists(!_.startsWith("--"))) args(0)
+      else "/root/testdata/sf0.1"
+    // --skew: the worst 2-D shapes — ~60% of rows route to ONE key (one
+    // hot product tree) and ~5% of rows to ONE privacy unit (the cap
+    // window's per-(pid, key) partition becomes a single large sort
+    // group — the skew risk specific to the deterministic rank cap)
+    val skew = args.contains("--skew")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", 32)
@@ -29,11 +35,18 @@ object Ladder2D {
     val events = graft.streaming.StreamOps.tsToNanos(
       spark.read.parquet(s"$sfDir/events.parquet"))
     for (mult <- Seq(1, 10, 100)) {
-      val scaled = events
+      val scaled0 = events
         .withColumn("__rep", explode(sequence(lit(0), lit(mult - 1))))
         .withColumn("user_id",
           col("user_id") + col("__rep").cast("long") * 1000000000L)
         .drop("__rep")
+      val scaled = if (!skew) scaled0 else scaled0
+        .withColumn("event_type",
+          when(pmod(col("event_id"), lit(10L)) < 6, lit("hot_type"))
+            .otherwise(col("event_type")))
+        .withColumn("user_id",
+          when(pmod(col("event_id") * 2654435761L, lit(20L)) === 0, lit(-1L))
+            .otherwise(col("user_id")))
       val reps = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         val tree = graft.spark.RangeTree.dpRange2DTree(scaled, "user_id",

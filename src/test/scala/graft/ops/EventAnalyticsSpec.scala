@@ -189,4 +189,36 @@ class EventAnalyticsSpec extends AnyFunSuite {
       graft.ops.EventAnalytics.cuped(bad, "arm", "y", "x").collect())
     assert(graft.spark.SparkTestSession.chainMsg(e).contains("NULL y"))
   }
+
+  test("cuped fleet shape: per-experiment pooled theta, one pass for many experiments") {
+    // experiment A = the hand-computed case (theta 2.2); experiment B has
+    // x on a 10x scale with slope 0.5 — a cross-experiment pooled theta
+    // would blend the two scales; the keyed readout must NOT
+    val a = Seq(("A", 0L, 2.0, 1.0), ("A", 0L, 6.0, 3.0),
+      ("A", 1L, 5.0, 2.0), ("A", 1L, 9.0, 4.0))
+    val b = Seq(("B", 0L, 5.0, 10.0), ("B", 0L, 15.0, 30.0),
+      ("B", 1L, 11.0, 20.0), ("B", 1L, 21.0, 40.0))
+    val units = (a ++ b).toDF("exp", "arm", "y", "x")
+    val r = graft.ops.EventAnalytics.cuped(units, "arm", "y", "x",
+      experimentCols = Seq("exp"))
+      .collect().map(x => (x.getString(0), x.getLong(1)) -> x).toMap
+    assert(r.size == 4)
+    assert(r(("A", 0L)).getAs[Double]("theta") == 2.2)
+    // B pooled: n=4, sx=100, sy=52, sxx=3000, sxy=1560
+    // theta = (4*1560 - 100*52)/(4*3000 - 10000) = 1040/2000 = 0.52
+    assert(r(("B", 0L)).getAs[Double]("theta") == 0.52)
+    // each experiment's rows equal its OWN single-experiment readout
+    val soloA = graft.ops.EventAnalytics.cuped(
+      a.toDF("exp", "arm", "y", "x"), "arm", "y", "x")
+      .collect().map(x => x.getLong(0) -> x.getDouble(3)).toMap
+    assert(r(("A", 0L)).getAs[Double]("mean_y_cuped") == soloA(0L))
+    assert(r(("A", 1L)).getAs[Double]("mean_y_cuped") == soloA(1L))
+    // NULL experiment key fails loud
+    val bad = Seq((Some("A"), 0L, 1.0, 1.0), (None, 1L, 2.0, 2.0))
+      .toDF("exp", "arm", "y", "x")
+    val e = intercept[Exception](graft.ops.EventAnalytics.cuped(bad,
+      "arm", "y", "x", Seq("exp")).collect())
+    assert(graft.spark.SparkTestSession.chainMsg(e)
+      .contains("NULL experiment key"))
+  }
 }
