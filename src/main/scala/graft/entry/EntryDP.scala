@@ -820,6 +820,26 @@ private[graft] object EntryDP {
         Satisfies("purchase_value_cap",
           col("event_type") =!= "purchase" || col("value") <= 350.0)))
     }),
+    "dq_quarantine" -> ((s, dir) => {
+      // row-level quarantine routing (the enforcement half of dq_report):
+      // every event carries its declaration-ordered violation reasons +
+      // validity; released as the (reasons, valid) -> count rollup so the
+      // FULL routing decision for every row is hash-pinned. The rule mix
+      // produces real violations (values over 400, the signup type, the
+      // purchase cap) and exercises the Unique window (event_id is
+      // genuinely unique, so it must flag nothing).
+      val ev = events(s, dir)
+      DataQuality.quarantine(ev, Seq(
+        InRange("value_0_400", col("value"), 0.0, 400.0),
+        ContainedIn("known_types", col("event_type"),
+          Seq("click", "error", "purchase", "view")),
+        Satisfies("purchase_value_cap",
+          col("event_type") =!= "purchase" || col("value") <= 350.0),
+        Unique("event_id_unique", Seq(col("event_id")))))
+        .groupBy(concat_ws(";", col("dq_violations")).as("reasons"),
+          col("dq_valid"))
+        .agg(count(lit(1)).as("n_rows"))
+    }),
     "dq_by_source" -> ((s, dir) => {
       // the per-group face: one quality report row per (source, check) —
       // "which source went bad" monitoring. Checks produce real per-group
@@ -1320,6 +1340,28 @@ private[graft] object EntryDP {
       // lvy, idxy) with idx < bins >> lvl per axis, exact counts rolled
       // up by the double shift
       "dp_range_2d" -> range2DTreeSql,
+      "dq_quarantine" ->
+        """WITH f AS (
+              SELECT list_filter([
+                       CASE WHEN value IS NOT NULL
+                                  AND (value < 0.0 OR value > 400.0)
+                            THEN 'value_0_400' END,
+                       CASE WHEN event_type IS NOT NULL AND event_type
+                                  NOT IN ('click', 'error', 'purchase', 'view')
+                            THEN 'known_types' END,
+                       CASE WHEN NOT coalesce(
+                                  event_type != 'purchase' OR value <= 350.0,
+                                  false)
+                            THEN 'purchase_value_cap' END,
+                       CASE WHEN event_id IS NULL
+                                  OR count(*) OVER (PARTITION BY event_id) > 1
+                            THEN 'event_id_unique' END],
+                     x -> x IS NOT NULL) AS v
+              FROM events)
+           SELECT CASE WHEN len(v) = 0 THEN '' ELSE array_to_string(v, ';') END AS reasons,
+                  len(v) = 0 AS dq_valid,
+                  count(*) AS n_rows
+           FROM f GROUP BY 1, 2""",
       "dp_range_2d_sum" ->
         s"""WITH w AS (
               SELECT event_type,

@@ -151,6 +151,50 @@ object DataQuality {
         (col("r.n_violations") <= maxViolations).as("passed")): _*)
   }
 
+  /** Row-level quarantine routing — the ENFORCEMENT half of [[verify]]:
+    * the same checks evaluated PER ROW, every input row released with
+    * `dq_violations` (the declaration-ordered names of the rules it
+    * fails) and `dq_valid`; the pipeline then splits
+    * `filter(col("dq_valid"))` / `filter(!col("dq_valid"))` and the
+    * quarantined side carries its reasons (the dead-letter shape —
+    * [[verify]] only REPORTS, routing is what a pipeline does next).
+    *
+    * Semantics per check mirror [[verify]]'s conditions row-wise; the
+    * one deliberate difference is [[Unique]]: verify counts SURPLUS rows
+    * (n - n_distinct), but routing cannot know which duplicate is
+    * canonical, so EVERY member of a >1 key group quarantines, as does
+    * every row with a NULL key component (it cannot attest uniqueness —
+    * the same formulation note as verify). Row-local checks are pure
+    * projections (map-only); each Unique adds one window count (a
+    * shuffle on its key). */
+  def quarantine(df: DataFrame, checks: Seq[DQCheck]): DataFrame = {
+    require(checks.nonEmpty, "at least one check is required")
+    require(checks.map(_.name).distinct.size == checks.size,
+      "check names must be unique")
+    val bad = df.columns.filter(n =>
+      n == "dq_valid" || n == "dq_violations" || n.startsWith("__dq_"))
+    require(bad.isEmpty,
+      s"input column(s) ${bad.mkString(", ")} collide with the quarantine " +
+        "output columns (dq_valid, dq_violations) or the __dq_ namespace")
+    val flags: Seq[(String, Column)] = checks.map {
+      case NotNull(n, c) => n -> c.isNull
+      case Unique(n, cs) =>
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(cs: _*)
+        n -> (cs.map(_.isNull).reduce(_ || _) || count(lit(1)).over(w) > 1)
+      case InRange(n, c, lo, hi) =>
+        n -> (c.isNotNull && (c < lo || c > hi))
+      case MatchesPattern(n, c, re) =>
+        n -> (c.isNotNull && !regexp_like(c.cast("string"), lit(re)))
+      case ContainedIn(n, c, allowed) =>
+        n -> (c.isNotNull &&
+          !c.cast("string").isin(allowed.map(lit(_)): _*))
+      case Satisfies(n, p) => n -> !coalesce(p, lit(false))
+    }
+    df.withColumn("dq_violations", array_compact(array(
+        flags.map { case (n, f) => when(f, lit(n)) }: _*)))
+      .withColumn("dq_valid", size(col("dq_violations")) === 0)
+  }
+
   /** Column profiling — the Deequ-ColumnProfiler analog that tells a user
     * what to even CHECK: one report row per profiled column with exact
     * counts (rows, nulls, distinct non-null PROFILED values — for

@@ -142,4 +142,42 @@ class DataQualitySpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       DataQuality.profileTopValues(pdf, Seq("s"), k = 0))
   }
+
+  test("quarantine: per-row reasons in declaration order; Unique flags every dup") {
+    // rows: (id, v, typ) — id 5 duplicated; id NULL once; v out of range;
+    // typ outside the domain; one fully clean row
+    val df = Seq(
+      (Option(1L), Option(10.0), "ok"),      // clean
+      (Option(2L), Option(999.0), "ok"),     // range
+      (Option(3L), Option(10.0), "weird"),   // domain
+      (Option(5L), Option(10.0), "ok"),      // dup (both copies flag)
+      (Option(5L), Option(999.0), "weird"),  // dup + range + domain
+      (Option.empty[Long], Option(10.0), "ok"), // NULL key cannot attest
+      (Option(6L), Option.empty[Double], "ok")  // NULL v: NOT a range violation
+    ).toDF("id", "v", "typ")
+    val q = DataQuality.quarantine(df, Seq(
+      InRange("v_range", col("v"), 0.0, 100.0),
+      ContainedIn("typ_dom", col("typ"), Seq("ok")),
+      Unique("id_uniq", Seq(col("id")))))
+    val got = q.collect().map(r => (Option(r.get(0)), Option(r.get(1)),
+      r.getString(2)) -> (r.getSeq[String](3), r.getBoolean(4))).toMap
+    assert(got((Some(1L), Some(10.0), "ok")) == (Seq(), true))
+    assert(got((Some(2L), Some(999.0), "ok")) == (Seq("v_range"), false))
+    assert(got((Some(3L), Some(10.0), "weird")) == (Seq("typ_dom"), false))
+    // both dup copies flag; reasons in DECLARATION order
+    assert(got((Some(5L), Some(10.0), "ok")) == (Seq("id_uniq"), false))
+    assert(got((Some(5L), Some(999.0), "weird")) ==
+      (Seq("v_range", "typ_dom", "id_uniq"), false))
+    assert(got((None, Some(10.0), "ok")) == (Seq("id_uniq"), false))
+    // a NULL value is a completeness problem, not a range violation
+    assert(got((Some(6L), None, "ok")) == (Seq(), true))
+    // the split covers the frame exactly
+    assert(q.filter(col("dq_valid")).count() +
+      q.filter(!col("dq_valid")).count() == 7)
+    // output-column collision fails loud
+    val e = intercept[IllegalArgumentException](DataQuality.quarantine(
+      df.withColumn("dq_valid", lit(true)),
+      Seq(NotNull("x", col("id")))))
+    assert(e.getMessage.contains("collide"), e.getMessage)
+  }
 }
