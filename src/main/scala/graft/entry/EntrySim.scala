@@ -109,6 +109,21 @@ private[graft] object EntrySim {
       Similarity.bruteForceTopK(e, "vec_id", "dq", queries, "qid", "dq", k = 5)
         .withColumn("rank", col("rank").cast("long"))
     }),
+    "sim_hard_negatives" -> ((s, dir) => {
+      // hard-negative mining (contrastive-training prep): per anchor
+      // (first 20 vectors), the highest-cosine DIFFERENT-label corpus
+      // vector (the hard negative) and the highest-cosine same-label
+      // non-self vector (the positive). Quantized inputs => the codegen
+      // cosine replays bit-exactly; ties to the highest neighbor id (the
+      // single-pass max(struct) rule, mirrored in the oracle's ORDER BY).
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+        .withColumn("emb", expr(
+          "transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1024) / 1024)"))
+      val anchors = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("emb"), col("label"))
+      Similarity.hardNegatives(e, "vec_id", "emb", "label",
+        anchors, "qid", "emb", "label")
+    }),
     "sim_lsh_topk" -> ((s, dir) => {
       // LSH-bucketed approximate top-k with IN-QUERY recall probes (the
       // dedup_embedding_lsh pattern): one row per query carrying
@@ -686,6 +701,31 @@ private[graft] object EntrySim {
            FROM r
            QUALIFY rank <= 5""",
       "sim_topk" -> bruteTopKSql,
+      // hard-negative triplets: the brute scored frame restricted per
+      // side (different-label / same-label-non-self), best per
+      // (anchor, side) with ties to the HIGHEST neighbor id
+      "sim_hard_negatives" ->
+        """WITH e AS (
+             SELECT vec_id, label,
+                    list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1024) / 1024) AS emb
+             FROM embeddings),
+           scored AS (
+             SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                    CASE WHEN c.label = q.label AND c.vec_id != q.vec_id
+                         THEN 'positive'
+                         WHEN c.label != q.label THEN 'negative' END AS side,
+                    CASE WHEN sqrt(list_sum(list_transform(q.emb, x -> x * x))) = 0
+                           OR sqrt(list_sum(list_transform(c.emb, x -> x * x))) = 0 THEN 0.0
+                         ELSE list_sum(list_transform(range(1, 65), i -> q.emb[i] * c.emb[i]))
+                              / (sqrt(list_sum(list_transform(q.emb, x -> x * x)))
+                                 * sqrt(list_sum(list_transform(c.emb, x -> x * x))))
+                    END AS cosine
+             FROM e q CROSS JOIN e c WHERE q.vec_id < 20)
+           SELECT query_id, side, neighbor_id, cosine
+           FROM scored
+           WHERE side IS NOT NULL
+           QUALIFY row_number() OVER (PARTITION BY query_id, side
+                     ORDER BY cosine DESC, neighbor_id DESC) = 1""",
       "sim_bm25_topk" -> bm25SqlFor(5),
       // both arms generated from the same fragment builders their anchor
       // queries use (bm25SqlFor, bruteTopKSqlFor) — the arms cannot drift

@@ -528,6 +528,68 @@ object Similarity {
     finalizeTopK(scored, k)
   }
 
+  /** HARD-NEGATIVE MINING — the contrastive-training prep op: for each
+    * query (anchor), the highest-cosine corpus vector with a DIFFERENT
+    * label (the hard negative — the confusable example a trainer wants
+    * in the batch) and the highest-cosine SAME-label vector other than
+    * the anchor itself (the positive), i.e. the (anchor, positive,
+    * negative) triplet feed. Returns (query_id, side, neighbor_id,
+    * cosine) with side in {positive, negative}; an anchor with no
+    * same-label neighbor emits no positive row. Ties break to the
+    * HIGHEST neighbor id (the single-pass max(struct(cosine, id))
+    * formulation — one map-side-combined aggregation, no window over
+    * the cross product). NULL labels fail loud on both sides — a null
+    * never equals anything, so its rows would silently land on the
+    * negative side of every anchor.
+    *
+    * Scale shape: the query side is broadcast-small by ENFORCED contract
+    * (the [[bruteForceTopK]] guard); the corpus streams through ONE scan
+    * and the per-(anchor, side) max combines map-side, so nothing
+    * |corpus| x |queries|-sized ever shuffles. */
+  def hardNegatives(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      corpusLabel: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      queryLabel: String,
+      maxQueries: Long = 100000L
+  ): DataFrame = {
+    def checkedLabel(df: DataFrame, n: String, what: String) =
+      when(col(n).isNull, raise_error(lit(
+        s"hardNegatives: NULL $what label — it would silently land on " +
+          "the negative side of every anchor; filter or impute upstream"))
+        .cast(df.schema(n).dataType))
+        .otherwise(col(n))
+    val q0 = queries.select(col(queryId).as("query_id"),
+      col(queryVec).as("__qv"),
+      checkedLabel(queries, queryLabel, "query").as("__ql"))
+    if (maxQueries < Long.MaxValue) {
+      val nq = q0.limit(
+        (math.min(maxQueries, Long.MaxValue - 1) + 1).min(Int.MaxValue).toInt)
+        .count()
+      require(nq <= maxQueries,
+        s"hardNegatives: over $maxQueries query rows (the guard stops " +
+          "counting there) — the query side is broadcast to every " +
+          "executor and scored against every corpus row; mine in query " +
+          "batches or raise the cap deliberately")
+    }
+    val q = broadcast(q0)
+    val c = corpus.select(col(corpusId).as("neighbor_id"),
+      col(corpusVec).as("__cv"),
+      checkedLabel(corpus, corpusLabel, "corpus").as("__cl"))
+    c.crossJoin(q)
+      .withColumn("side",
+        when(col("__cl") === col("__ql") &&
+          col("neighbor_id") =!= col("query_id"), "positive")
+          .when(col("__cl") =!= col("__ql"), "negative"))
+      .filter(col("side").isNotNull) // drops only the anchor's own row
+      .withColumn("cosine", cosine(col("__qv"), col("__cv")))
+      .groupBy("query_id", "side")
+      .agg(max(struct(col("cosine"), col("neighbor_id"))).as("__best"))
+      .select(col("query_id"), col("side"),
+        col("__best.neighbor_id").as("neighbor_id"),
+        col("__best.cosine").as("cosine"))
+  }
+
   /** SEMANTIC decontamination — the EMBEDDING arm of the CorpusOps
     * decontamination family (exact / near-dup / containment / bloom are
     * string-overlap arms): for every corpus vector, its MAX cosine to any

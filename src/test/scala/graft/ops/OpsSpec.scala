@@ -1733,6 +1733,53 @@ class SimilaritySpec extends AnyFunSuite {
     val recall = brute.intersect(lsh).size.toDouble / brute.size
     assert(recall >= 0.8, s"recall=$recall")
   }
+
+  test("hardNegatives: per-anchor positive and hardest negative, tie and guard rules") {
+    // anchor 1 (label a) at (1, 0); same-label 2 at (0.9, 0.1) (positive),
+    // different-label 3 at (0.99, 0.01) is the CONFUSABLE hard negative,
+    // different-label 4 at (-1, 0) is easy (far)
+    val corpus = Seq(
+      (1L, "a", Array(1.0, 0.0)), (2L, "a", Array(0.9, 0.1)),
+      (3L, "b", Array(0.99, 0.01)), (4L, "b", Array(-1.0, 0.0))
+    ).toDF("id", "label", "vec")
+    val anchors = corpus.filter(col("id") === 1L)
+      .select(col("id").as("qid"), col("vec"), col("label"))
+    val r = graft.ops.Similarity.hardNegatives(corpus, "id", "vec", "label",
+      anchors, "qid", "vec", "label")
+      .collect().map(x => x.getString(1) -> x.getLong(2)).toMap
+    assert(r("positive") == 2L) // the only same-label non-self vector
+    assert(r("negative") == 3L) // the confusable one, not the far one
+    // an anchor whose label is unique emits no positive row
+    val lonely = Seq((9L, "z", Array(0.0, 1.0))).toDF("qid", "label", "vec")
+    val r2 = graft.ops.Similarity.hardNegatives(corpus, "id", "vec", "label",
+      lonely, "qid", "vec", "label")
+      .collect().map(x => x.getString(1) -> x.getLong(2)).toMap
+    assert(!r2.contains("positive") && r2.contains("negative"))
+    // ties break to the HIGHEST neighbor id (the max(struct) rule)
+    val tied = Seq(
+      (1L, "a", Array(1.0, 0.0)), (5L, "b", Array(2.0, 0.0)),
+      (6L, "b", Array(3.0, 0.0)) // same cosine (1.0) as id 5
+    ).toDF("id", "label", "vec")
+    val rt = graft.ops.Similarity.hardNegatives(tied, "id", "vec", "label",
+      tied.filter(col("id") === 1L).select(col("id").as("qid"), col("vec"),
+        col("label")), "qid", "vec", "label")
+      .collect().map(x => x.getString(1) -> x.getLong(2)).toMap
+    assert(rt("negative") == 6L)
+    // NULL corpus label fails loud
+    val badCorpus = Seq((1L, Some("a"), Array(1.0, 0.0)),
+      (2L, Option.empty[String], Array(0.5, 0.5))).toDF("id", "label", "vec")
+    val e = intercept[Exception](graft.ops.Similarity.hardNegatives(
+      badCorpus, "id", "vec", "label",
+      anchors, "qid", "vec", "label").collect())
+    assert(SparkTestSession.chainMsg(e).contains("NULL corpus label"))
+    // the broadcast guard fires on an oversized anchor set
+    val e2 = intercept[IllegalArgumentException](
+      graft.ops.Similarity.hardNegatives(corpus, "id", "vec", "label",
+        corpus.select(col("id").as("qid"), col("vec"), col("label")),
+        "qid", "vec", "label", maxQueries = 2L))
+    assert(e2.getMessage.contains("query batches"), e2.getMessage)
+  }
+
 }
 
 class MultimodalSpec extends AnyFunSuite {
