@@ -791,6 +791,20 @@ private[graft] object EntryDP {
         minValue = Some(0.0), maxValue = Some(200000.0)),
         DPColumns("o_custkey", "o_orderpriority", "rev"))
     }),
+    "dp_ldp_frequency" -> ((s, dir) => {
+      // LOCAL DP frequency estimation (the randomized-response /
+      // one-hot-RAPPOR trust model — the collector never holds true
+      // values): each user's lowest event_type one-hot encodes over the
+      // public 5-value domain, every bit flips with the eps-LDP
+      // probabilities, and the release debiases the ones-counts. Zero
+      // noise => exact one-hot bits, so the WHOLE estimator (n, c_j,
+      // (c_j - n q)/(p - q)) replays deterministically — the p/q
+      // constants enter both sides as the identical round-trip double
+      // literals.
+      graft.spark.LocalDP.ldpFrequency(events(s, dir), "user_id",
+        col("event_type"), ldpDomain, epsilon = 1.0,
+        noise = NoiseSource.Zero)
+    }),
     "dp_add_noise" -> ((s, dir) => {
       // noise-only path on pre-aggregated data; zero noise => identity
       val pre = events(s, dir).groupBy("event_type")
@@ -1305,6 +1319,10 @@ private[graft] object EntryDP {
           AND c.lvy = n.lvy AND c.idxy = n.idxy
           AND c.event_type = n.event_type"""
 
+  /** The LDP row's public domain — one definition for the query and the
+    * oracle (the closed-domain contract makes drift fail loud). */
+  private val ldpDomain = Seq("click", "error", "purchase", "signup", "view")
+
   def oracleSql: Map[String, String] = {
     import OracleFragments._
     Map(
@@ -1340,6 +1358,26 @@ private[graft] object EntryDP {
       // lvy, idxy) with idx < bins >> lvl per axis, exact counts rolled
       // up by the double shift
       "dp_range_2d" -> range2DTreeSql,
+      "dp_ldp_frequency" -> {
+        // the p/q constants interpolate as Scala Double.toString — the
+        // shortest round-trip decimal, which DuckDB parses back to the
+        // bit-identical double, so the debiasing arithmetic matches
+        val expHalf = math.exp(0.5)
+        val q = 1.0 / (expHalf + 1.0)
+        val pMinusQ = expHalf / (expHalf + 1.0) - q
+        val domainValues = ldpDomain.map(v => s"('$v')").mkString(", ")
+        s"""WITH r AS (
+              SELECT user_id, min(event_type) AS v FROM events GROUP BY 1),
+            d(value) AS (VALUES $domainValues),
+            n AS (SELECT CAST(count(*) AS BIGINT) AS n_reports FROM r),
+            c AS (SELECT d.value,
+                         CAST(coalesce(count(r.v), 0) AS BIGINT) AS reported_ones
+                  FROM d LEFT JOIN r ON r.v = d.value GROUP BY 1)
+            SELECT c.value, n.n_reports, c.reported_ones,
+                   round((c.reported_ones - n.n_reports * $q) / $pMinusQ, 9)
+                     AS est_count
+            FROM c, n"""
+      },
       "dq_quarantine" ->
         """WITH f AS (
               SELECT list_filter([

@@ -1,0 +1,101 @@
+package graft.spark
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** LOCAL differential privacy — the trust model the central engine
+  * ([[DPEngine]]) cannot express: each privacy unit RANDOMIZES ITS OWN
+  * report before anything aggregates, so the collector never holds true
+  * values at all (the telemetry/federated shape; Warner's randomized
+  * response lineage, deployed as RAPPOR / Apple's CMS / Chrome's
+  * telemetry). The engine-side job is exact bit aggregation + the
+  * unbiased debiasing estimate — both pure post-processing of the
+  * already-private reports.
+  *
+  * [[ldpFrequency]] implements symmetric UNARY ENCODING (basic one-hot
+  * RAPPOR): a PUBLIC domain of k values, each unit's value one-hot
+  * encodes to k bits, and every bit independently reports truthfully
+  * with probability p = e^(eps/2) / (e^(eps/2) + 1) and flips otherwise
+  * (equivalently: a false bit reports 1 with q = 1 - p). Two one-hot
+  * vectors differ in exactly 2 bits, each bit's report is
+  * (eps/2)-LDP, so the whole report is eps-LDP by composition. The
+  * frequency estimate debiases the observed ones-count:
+  * est_j = (c_j - n q) / (p - q) — unbiased for the true count.
+  *
+  * Contracts (the engine's conventions): the domain is PUBLIC and
+  * closed — a value outside it fails loud (silently dropping or
+  * bucketing it would misstate n in the debiasing); NULL values fail
+  * loud; each unit contributes exactly ONE report (the L0 = 1 bound —
+  * the deterministic lowest-value row per unit; route multi-report
+  * designs through explicit budget splits). Zero noise
+  * ([[graft.core.NoiseSource.Zero]]: uniform() = 0.5 never clears a
+  * sub-0.5 flip probability, and p > 0.5 > q for every eps > 0) reports
+  * exact one-hot bits, so the released frame is a deterministic
+  * function of exact counts — the oracle replays the whole estimator.
+  *
+  * Scale shape: one window rank per unit (the cap), one map-only
+  * flip-and-explode (k small, the report is the unit's k-bit row), one
+  * map-side-combined aggregation to (k) rows. Nothing data-shaped
+  * collects or broadcasts. */
+object LocalDP {
+
+  def ldpFrequency(
+      df: DataFrame,
+      pidCol: String,
+      valueCol: Column,
+      domain: Seq[String],
+      epsilon: Double,
+      noise: graft.core.NoiseSource
+  ): DataFrame = {
+    require(domain.nonEmpty, "ldpFrequency: empty domain")
+    require(domain.distinct.size == domain.size,
+      s"ldpFrequency: duplicate domain values in $domain")
+    require(epsilon > 0, s"epsilon must be positive, got $epsilon")
+    val k = domain.size
+    val expHalf = math.exp(epsilon / 2.0)
+    val p = expHalf / (expHalf + 1.0)
+    val q = 1.0 / (expHalf + 1.0)
+    val domainArr = domain.toArray
+    val checked = when(valueCol.isNull, raise_error(lit(
+        "ldpFrequency: NULL value for a privacy unit — nulls have no " +
+          "one-hot encoding; filter or impute upstream")).cast("string"))
+      .otherwise(valueCol.cast("string"))
+    // one report per unit: the deterministic lowest value (L0 = 1)
+    val perUnit = df
+      .select(col(pidCol).as("__pid"), checked.as("__v"))
+      .withColumn("__rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__pid")).orderBy(col("__v").asc)))
+      .filter(col("__rk") === 1)
+    // the LOCAL randomizer: one-hot encode + per-bit flip. Marked
+    // nondeterministic so Catalyst never collapses or re-orders draws;
+    // task retries re-randomize a unit's report (same attack model as
+    // the central engine's noise, documented there).
+    val flip = udf((v: String) => {
+      val idx = domainArr.indexOf(v)
+      if (idx < 0) throw new IllegalArgumentException(
+        s"ldpFrequency: value '$v' outside the public domain — the " +
+          "domain is closed (an unlisted value would silently misstate " +
+          "n in the debiasing); extend the domain or filter upstream")
+      val bits = new Array[Int](domainArr.length)
+      var j = 0
+      while (j < domainArr.length) {
+        val b = if (j == idx) 1 else 0
+        val flipProb = if (b == 1) 1.0 - p else q
+        bits(j) = if (noise.uniform() < flipProb) 1 - b else b
+        j += 1
+      }
+      bits
+    }).asNondeterministic()
+    perUnit
+      .select(posexplode(flip(col("__v"))).as(Seq("__j", "__bit")))
+      .groupBy(col("__j"))
+      .agg(count(lit(1)).as("n_reports"),
+        sum(col("__bit")).as("reported_ones"))
+      .select(
+        element_at(typedLit(domain), col("__j").cast("int") + 1).as("value"),
+        col("n_reports"), col("reported_ones"),
+        round((col("reported_ones") - col("n_reports") * lit(q)) /
+          lit(p - q), 9).as("est_count"))
+  }
+}

@@ -1,0 +1,72 @@
+package graft.spark
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class LocalDPSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val dom = Seq("a", "b", "c")
+
+  test("zero noise: exact one-hot counts; one report per unit (lowest value)") {
+    // unit 1 has three rows -> ONE report, the lowest value ('a')
+    val df = Seq((1L, "c"), (1L, "a"), (1L, "b"), (2L, "b"), (3L, "a"))
+      .toDF("uid", "v")
+    val r = LocalDP.ldpFrequency(df, "uid", col("v"), dom, 1.0,
+      graft.core.NoiseSource.Zero)
+      .collect().map(x => x.getString(0) ->
+        (x.getLong(1), x.getLong(2), x.getDouble(3))).toMap
+    assert(r.keySet == dom.toSet) // the public domain, zero counts included
+    assert(r.values.forall(_._1 == 3L)) // n = 3 units, not 5 rows
+    assert(r("a")._2 == 2L && r("b")._2 == 1L && r("c")._2 == 0L)
+    // the estimator is the debias formula applied to the exact counts
+    val expHalf = math.exp(0.5)
+    val p = expHalf / (expHalf + 1.0); val q = 1.0 / (expHalf + 1.0)
+    def est(c: Long) =
+      BigDecimal((c - 3L * q) / (p - q)).setScale(9,
+        BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r("a")._3 == est(2L) && r("c")._3 == est(0L))
+    // out-of-domain and NULL values fail loud (closed public domain)
+    val e = intercept[Exception](LocalDP.ldpFrequency(
+      Seq((1L, "zz")).toDF("uid", "v"), "uid", col("v"), dom, 1.0,
+      graft.core.NoiseSource.Zero).collect())
+    assert(SparkTestSession.chainMsg(e).contains("outside the public domain"))
+    val e2 = intercept[Exception](LocalDP.ldpFrequency(
+      Seq((1L, null.asInstanceOf[String])).toDF("uid", "v"), "uid",
+      col("v"), dom, 1.0, graft.core.NoiseSource.Zero).collect())
+    assert(SparkTestSession.chainMsg(e2).contains("NULL value"))
+    intercept[IllegalArgumentException](LocalDP.ldpFrequency(df, "uid",
+      col("v"), Seq("a", "a"), 1.0, graft.core.NoiseSource.Zero))
+  }
+
+  test("always-flip source: every report carries k-1 ones (the flip formula's direction)") {
+    // uniform() = 0 clears EVERY flip probability: the true bit reports 0,
+    // both false bits report 1 — a wrong-direction flip rule would show
+    // k or k-2 ones instead
+    object AlwaysFlip extends graft.core.NoiseSource {
+      def laplace(b: Double): Double = 0.0
+      def gaussian(sigma: Double): Double = 0.0
+      def uniform(): Double = 0.0
+    }
+    val df = Seq((1L, "a"), (2L, "b")).toDF("uid", "v")
+    val r = LocalDP.ldpFrequency(df, "uid", col("v"), dom, 1.0, AlwaysFlip)
+      .collect().map(x => x.getString(0) -> x.getLong(2)).toMap
+    // per report: true bit -> 0, false bits -> 1. 'a': 0+1=1; 'b': 1+0=1;
+    // 'c': 1+1=2 (false in both reports)
+    assert(r("a") == 1L && r("b") == 1L && r("c") == 2L)
+  }
+
+  test("real randomizer: the debiased estimate is unbiased within 5 sigma") {
+    val n = 20000
+    val df = (1 to n).map(i => (i.toLong, "a")).toDF("uid", "v")
+    val r = LocalDP.ldpFrequency(df, "uid", col("v"), dom, 1.0,
+      graft.core.NoiseSource.Seeded(7L))
+      .collect().map(x => x.getString(0) -> x.getDouble(3)).toMap
+    // per-bit report variance <= p(1-p) at eps=1; sigma of est ~
+    // sqrt(n p (1-p)) / (p - q) ~ 280 — assert within 5 sigma
+    assert(math.abs(r("a") - n) < 1500.0, s"est_a = ${r("a")}")
+    assert(math.abs(r("b")) < 1500.0 && math.abs(r("c")) < 1500.0,
+      s"b=${r("b")} c=${r("c")}")
+  }
+}
