@@ -805,6 +805,17 @@ private[graft] object EntryDP {
         col("event_type"), ldpDomain, epsilon = 1.0,
         noise = NoiseSource.Zero)
     }),
+    "dp_ldp_mean" -> ((s, dir) => {
+      // LOCAL DP mean (the 1-bit Duchi mechanism): each user's lowest
+      // clamped value normalizes to [-1, 1] and reports ONE bit; the
+      // release debiases mean(b)/t back to value units. Zero noise =>
+      // b = sign(x), so the whole release replays deterministically
+      // (plumbing pinned here; unbiasedness is spec-pinned under the
+      // real randomizer).
+      graft.spark.LocalDP.ldpMean(events(s, dir), "user_id",
+        col("value"), lo = 0.0, hi = 1000.0, epsilon = 1.0,
+        noise = NoiseSource.Zero)
+    }),
     "dp_add_noise" -> ((s, dir) => {
       // noise-only path on pre-aggregated data; zero noise => identity
       val pre = events(s, dir).groupBy("event_type")
@@ -1377,6 +1388,23 @@ private[graft] object EntryDP {
                    round((c.reported_ones - n.n_reports * $q) / $pMinusQ, 9)
                      AS est_count
             FROM c, n"""
+      },
+      "dp_ldp_mean" -> {
+        val t = (math.exp(1.0) - 1.0) / (math.exp(1.0) + 1.0)
+        // zero-noise report = sign((v - 500)/500); ties (v == 500) -> -1
+        s"""WITH r AS (
+              SELECT user_id, min(least(greatest(value, 0.0), 1000.0)) AS v
+              FROM events GROUP BY 1),
+            b AS (SELECT CASE WHEN (v - 500.0) / 500.0 > 0 THEN 1
+                              ELSE -1 END AS b FROM r)
+            SELECT CAST(count(*) AS BIGINT) AS n_reports,
+                   CAST(count(*) FILTER (b = 1) AS BIGINT)
+                     AS reported_plus_ones,
+                   round(least(greatest(
+                     500.0 + (CAST(sum(b) AS DOUBLE)
+                              / CAST(count(*) AS DOUBLE)) / $t * 500.0,
+                     0.0), 1000.0), 9) AS est_mean
+            FROM b"""
       },
       "dq_quarantine" ->
         """WITH f AS (

@@ -98,4 +98,65 @@ object LocalDP {
         round((col("reported_ones") - col("n_reports") * lit(q)) /
           lit(p - q), 9).as("est_count"))
   }
+
+  /** LOCAL-DP mean estimation — the 1-BIT mechanism (Duchi-Jordan-
+    * Wainwright's minimax-rate randomizer, the LDP analogue of the
+    * central engine's clamped mean): each unit's value clamps into the
+    * PUBLIC [lo, hi], normalizes to x in [-1, 1], and the unit reports
+    * ONE BIT b in {-1, +1} with P(b = +1) = 1/2 + x t / 2 where
+    * t = (e^eps - 1)/(e^eps + 1) — eps-LDP by direct likelihood-ratio
+    * check, and E[b] = x t, so mean(b)/t unbiasedly estimates mean(x)
+    * and maps back to value units. Per-unit bound: ONE report (the
+    * deterministic lowest clamped value); NULL values fail loud.
+    *
+    * Zero noise (uniform() = 0.5) reports b = sign(x): deterministic —
+    * the released frame replays exactly (the gate convention; the
+    * estimator's statistical behavior is spec-pinned under the real
+    * randomizer). Output: one row — (n_reports, reported_plus_ones,
+    * est_mean) with est_mean in value units, CLAMPED into [lo, hi]
+    * (the raw debiased estimate can fall outside the domain under
+    * noise; the domain is public, so clamping is free post-processing). */
+  def ldpMean(
+      df: DataFrame,
+      pidCol: String,
+      valueCol: Column,
+      lo: Double,
+      hi: Double,
+      epsilon: Double,
+      noise: graft.core.NoiseSource
+  ): DataFrame = {
+    require(lo < hi, s"empty domain [$lo, $hi]")
+    require(epsilon > 0, s"epsilon must be positive, got $epsilon")
+    val t = (math.exp(epsilon) - 1.0) / (math.exp(epsilon) + 1.0)
+    val mid = (lo + hi) / 2.0
+    val half = (hi - lo) / 2.0
+    val checked = when(valueCol.isNull, raise_error(lit(
+        "ldpMean: NULL value for a privacy unit — nulls have no " +
+          "normalization; filter or impute upstream")).cast("double"))
+      .otherwise(valueCol.cast("double"))
+    val clamped = least(greatest(checked, lit(lo)), lit(hi))
+    val perUnit = df
+      .select(col(pidCol).as("__pid"), clamped.as("__v"))
+      .withColumn("__rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__pid")).orderBy(col("__v").asc)))
+      .filter(col("__rk") === 1)
+    // the local randomizer: x normalized, one {-1, +1} report. Marked
+    // nondeterministic (the ldpFrequency rationale).
+    val report = udf((v: Double) => {
+      val x = (v - mid) / half
+      val pPlus = 0.5 + x * t / 2.0
+      if (noise.uniform() < pPlus) 1 else -1
+    }).asNondeterministic()
+    perUnit
+      .select(report(col("__v")).as("__b"))
+      .agg(count(lit(1)).as("n_reports"),
+        sum(when(col("__b") === 1, 1L).otherwise(0L))
+          .as("reported_plus_ones"),
+        sum(col("__b")).cast("double").as("__sb"))
+      .select(col("n_reports"), col("reported_plus_ones"),
+        round(least(greatest(
+          lit(mid) + (col("__sb") / col("n_reports").cast("double")) /
+            lit(t) * lit(half), lit(lo)), lit(hi)), 9).as("est_mean"))
+  }
 }

@@ -57,6 +57,37 @@ class LocalDPSpec extends AnyFunSuite {
     assert(r("a") == 1L && r("b") == 1L && r("c") == 2L)
   }
 
+  test("ldpMean: zero-noise sign reports replay; real randomizer unbiased within 5 sigma") {
+    // zero noise: b = sign((v - mid)/half); values 900, 900, 100 in
+    // [0, 1000] -> +1, +1, -1; sum_b = 1; est = clamp(500 + (1/3)/t*500)
+    val df = Seq((1L, 900.0), (1L, 950.0), (2L, 900.0), (3L, 100.0))
+      .toDF("uid", "v") // unit 1 reports once (lowest clamped = 900)
+    val r = LocalDP.ldpMean(df, "uid", col("v"), 0.0, 1000.0, 1.0,
+      graft.core.NoiseSource.Zero).collect().head
+    assert(r.getLong(0) == 3L && r.getLong(1) == 2L)
+    val t = (math.exp(1.0) - 1.0) / (math.exp(1.0) + 1.0)
+    val expect = BigDecimal(500.0 + (1.0 / 3.0) / t * 500.0)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(2) == math.min(expect, 1000.0))
+    // out-of-range clamps INTO the domain before normalizing
+    val c = LocalDP.ldpMean(Seq((1L, -999.0)).toDF("uid", "v"), "uid",
+      col("v"), 0.0, 1000.0, 1.0, graft.core.NoiseSource.Zero)
+      .collect().head
+    assert(c.getLong(1) == 0L) // clamped 0 -> x = -1 -> report -1
+    // real randomizer: n=20000 at true mean 750 (x = 0.5), eps = 1 —
+    // sigma of est ~ (500/t) / sqrt(n) * sqrt(1 - (xt)^2) ~ 7.6; 5 sigma
+    val big = (1 to 20000).map(i => (i.toLong, 750.0)).toDF("uid", "v")
+    val est = LocalDP.ldpMean(big, "uid", col("v"), 0.0, 1000.0, 1.0,
+      graft.core.NoiseSource.Seeded(11L)).collect().head.getDouble(2)
+    assert(math.abs(est - 750.0) < 40.0, s"est_mean = $est")
+    // NULL value fails loud
+    val e = intercept[Exception](LocalDP.ldpMean(
+      Seq((1L, null.asInstanceOf[java.lang.Double])).toDF("uid", "v"),
+      "uid", col("v"), 0.0, 1000.0, 1.0,
+      graft.core.NoiseSource.Zero).collect())
+    assert(SparkTestSession.chainMsg(e).contains("NULL value"))
+  }
+
   test("real randomizer: the debiased estimate is unbiased within 5 sigma") {
     val n = 20000
     val df = (1 to n).map(i => (i.toLong, "a")).toDF("uid", "v")
