@@ -335,6 +335,30 @@ object EventAnalytics {
     * (per-arm moments + a ONE-ROW pooled-moment frame broadcast back) —
     * no window, no per-unit shuffle beyond the aggregations; |arms| rows
     * out. */
+  /** Experiment POWER ANALYSIS — the planning half of the A/B tier
+    * ([[cuped]] is the readout half): units per arm for a two-sample
+    * z-test to detect an absolute effect `mde` on a metric with
+    * per-unit stddev `sigma`, at two-sided significance `alpha` and
+    * `power`:  n = 2 (z_{1-alpha/2} + z_{power})^2 sigma^2 / mde^2,
+    * with CUPED's variance reduction applied as sigma^2 (1 - rho^2)
+    * when the pre-experiment covariate correlation `cupedRho` is known
+    * — exactly the factor the [[cuped]] adjustment realizes. Pure
+    * driver math (normal quantiles via the engine's Phi inverse);
+    * returns the exact real-valued requirement — callers ceil. */
+  def sampleSizePerArm(mde: Double, sigma: Double, alpha: Double = 0.05,
+      power: Double = 0.8, cupedRho: Double = 0.0): Double = {
+    require(mde > 0, s"mde must be positive, got $mde")
+    require(sigma > 0, s"sigma must be positive, got $sigma")
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0, 1), got $alpha")
+    require(power > 0 && power < 1, s"power must be in (0, 1), got $power")
+    require(cupedRho >= -1 && cupedRho <= 1,
+      s"cupedRho must be in [-1, 1], got $cupedRho")
+    val za = graft.core.DpNoise.phiInverse(1.0 - alpha / 2.0)
+    val zb = graft.core.DpNoise.phiInverse(power)
+    val varFactor = 1.0 - cupedRho * cupedRho
+    2.0 * (za + zb) * (za + zb) * sigma * sigma * varFactor / (mde * mde)
+  }
+
   def cuped(units: DataFrame, armCol: String, yCol: String,
       xCol: String, experimentCols: Seq[String] = Nil): DataFrame = {
     def checked(n: String, what: String) =

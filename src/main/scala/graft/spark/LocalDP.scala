@@ -99,6 +99,29 @@ object LocalDP {
           lit(p - q), 9).as("est_count"))
   }
 
+  /** Human-readable release report for [[ldpFrequency]] — the engine's
+    * explain convention for the LOCAL trust model: states the encoding,
+    * the per-bit flip probabilities the randomizer uses, the debias
+    * formula, and the estimator stddev at a given report count
+    * (sqrt(n p (1 - p)) / (p - q) per value — the planning number: LDP
+    * error grows with sqrt(n), so small cohorts cannot read small
+    * frequencies). Pure string math — no data access. */
+  def explainFrequency(k: Int, epsilon: Double, nReports: Long): String = {
+    require(k >= 2, s"domain size must be >= 2, got $k")
+    require(epsilon > 0, s"epsilon must be positive, got $epsilon")
+    require(nReports >= 1, s"nReports must be >= 1, got $nReports")
+    val expHalf = math.exp(epsilon / 2.0)
+    val p = expHalf / (expHalf + 1.0)
+    val q = 1.0 / (expHalf + 1.0)
+    val std = math.sqrt(nReports * p * (1.0 - p)) / (p - q)
+    s"""LocalDP frequency release (one-hot unary encoding)
+       |  domain    : $k public values, one k-bit report per unit (L0 = 1: the deterministic lowest value)
+       |  randomizer: per-bit truthful w.p. p = e^(eps/2)/(e^(eps/2)+1) = ${f"$p%g"}, flipped w.p. q = ${f"$q%g"} — two one-hot vectors differ in 2 bits, so the report is ${f"$epsilon%g"}-LDP (the collector never holds true values)
+       |  estimator : est_j = (c_j - n q) / (p - q), unbiased; n = $nReports reports
+       |  error     : per-value stddev ~ ${f"$std%g"} (grows with sqrt(n) — the LDP cost; central DP's noise is O(1) in n)
+       |""".stripMargin
+  }
+
   /** LOCAL-DP mean estimation — the 1-BIT mechanism (Duchi-Jordan-
     * Wainwright's minimax-rate randomizer, the LDP analogue of the
     * central engine's clamped mean): each unit's value clamps into the

@@ -88,6 +88,32 @@ class LocalDPSpec extends AnyFunSuite {
     assert(SparkTestSession.chainMsg(e).contains("NULL value"))
   }
 
+  test("explainFrequency states the calibration; sampleSizePerArm matches the closed form") {
+    val expHalf = math.exp(0.5)
+    val p = expHalf / (expHalf + 1.0); val q = 1.0 / (expHalf + 1.0)
+    val rep = LocalDP.explainFrequency(k = 5, epsilon = 1.0,
+      nReports = 10000L)
+    assert(rep.contains(f"$p%g") && rep.contains(f"$q%g"))
+    assert(rep.contains("5 public values") && rep.contains("10000 reports"))
+    val std = math.sqrt(10000.0 * p * (1 - p)) / (p - q)
+    assert(rep.contains(f"$std%g"))
+    intercept[IllegalArgumentException](LocalDP.explainFrequency(1, 1.0, 10L))
+    // power analysis: alpha=0.05, power=0.8 gives the textbook
+    // ~15.7 sigma^2/mde^2 per arm; CUPED rho=0.6 cuts it by 1-0.36
+    val n0 = graft.ops.EventAnalytics.sampleSizePerArm(
+      mde = 1.0, sigma = 1.0)
+    assert(math.abs(n0 - 15.698) < 0.01, s"n0 = $n0")
+    val nC = graft.ops.EventAnalytics.sampleSizePerArm(
+      mde = 1.0, sigma = 1.0, cupedRho = 0.6)
+    assert(math.abs(nC - n0 * 0.64) < 1e-9)
+    // scale invariances: n ~ sigma^2 / mde^2
+    val n2 = graft.ops.EventAnalytics.sampleSizePerArm(
+      mde = 0.5, sigma = 2.0)
+    assert(math.abs(n2 - n0 * 16.0) < 1e-6)
+    intercept[IllegalArgumentException](
+      graft.ops.EventAnalytics.sampleSizePerArm(0.0, 1.0))
+  }
+
   test("real randomizer: the debiased estimate is unbiased within 5 sigma") {
     val n = 20000
     val df = (1 to n).map(i => (i.toLong, "a")).toDF("uid", "v")
