@@ -124,6 +124,25 @@ object Bench {
         f"$rm%.2fs (prior ${priors(name)}%.2fs)")
       (name, m, rm)
     }
+    // ---- whole-run contamination guard (r16) ---------------------------
+    // Per-query reruns only catch >3x outliers; a loaded machine can also
+    // inflate EVERY query ~1.2-1.4x (r15's official run: 246s where three
+    // same-code runs read 187-200s), which reads as regression downstream.
+    // Compare the run's prior-covered medians against the priors in
+    // aggregate: past 1.2x the artifact self-describes as contaminated —
+    // readers compare per-query MINS and the reruns, not the headline.
+    val priorCovered = results.filter { case (n, m, _) =>
+      m >= 0 && priors.contains(n) }
+    val priorSum = priorCovered.map(r => priors(r._1)).sum
+    val coveredSum = priorCovered.map(_._2).sum
+    val inflation = if (priorSum > 0) coveredSum / priorSum else 1.0
+    val contaminated = only.isEmpty && priorSum > 0 && inflation > 1.2
+    if (contaminated) System.err.println(
+      f"[bench] WHOLE-RUN CONTAMINATION: prior-covered queries total " +
+        f"$coveredSum%.1fs vs priors $priorSum%.1fs (${inflation}%.2fx > " +
+        "1.2x) — the environment is loaded; read mins + reruns, not the " +
+        "headline")
+
     // optional priors regeneration for the next round's resource
     sys.env.get("SPARK_GRAFT_BENCH_PRIORS_OUT").foreach { path =>
       val pw = new java.io.PrintWriter(path)
@@ -150,6 +169,11 @@ object Bench {
     val total = ok.map(_._2).sum
     val errJson = if (errored.isEmpty) ""
       else s""","errors":${errored.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
+    // the contamination flag ships IN the artifact (the stderr line dies
+    // with the log): inflation = this run's prior-covered total over the
+    // checked-in priors' total — >1.2 marks the whole run load-inflated
+    val contamJson = if (priorSum <= 0) ""
+      else f""","inflation":${r2(inflation)}%s,"run_contaminated":$contaminated%b"""
     // reruns as "name":[full-run median, isolated-rerun median]; a rerun
     // that itself FAILED carries no timing — keep it out of the map (its
     // -1.0 sentinel would read as a sub-zero time) and let the stderr line
@@ -168,7 +192,7 @@ object Bench {
         (if (folded > 0)
           Seq("\"_other_" + folded + "q\":[" + r3(foldedSec) + "," + r2(foldedMin) + "]")
         else Nil)
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$reps,"fmt":"[median,min]"$errJson$rerunJson,"queries":${entries.mkString("{", ",", "}")},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$reps,"fmt":"[median,min]"$errJson$rerunJson$contamJson,"queries":${entries.mkString("{", ",", "}")},"sf":"$sfDir"}"""
     }
     val bySlowest = ok.sortBy(-_._2)
     var keep = bySlowest.length

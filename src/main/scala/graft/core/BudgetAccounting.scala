@@ -192,10 +192,18 @@ sealed abstract class BudgetAccountant(
       name: String = "",
       unitLinf: Double = 1.0
   ): TreeReleaseHandle = {
-    require(binsX >= 2 && (binsX & (binsX - 1)) == 0,
-      s"binsX must be a power of two >= 2, got $binsX (the dyadic tree)")
-    require(binsY >= 2 && (binsY & (binsY - 1)) == 0,
-      s"binsY must be a power of two >= 2, got $binsY (the dyadic tree)")
+    // mirror the release path's feasibility caps
+    // (graft.spark.RangeTree.dpRange2DTreeWithScale): an accountant that
+    // resolved a budget the release would later reject strands the spent
+    // registration — infeasible releases must fail BEFORE registration
+    require(binsX >= 2 && (binsX & (binsX - 1)) == 0 && binsX <= 4096,
+      s"binsX must be a power of two in [2, 4096], got $binsX (the dyadic tree)")
+    require(binsY >= 2 && (binsY & (binsY - 1)) == 0 && binsY <= 4096,
+      s"binsY must be a power of two in [2, 4096], got $binsY (the dyadic tree)")
+    require(binsX.toLong * binsY <= 65536L,
+      s"binsX * binsY must be <= 65536 (got ${binsX.toLong * binsY}) — " +
+        "the release path caps one product tree's literal noise frame at " +
+        "(2*binsX-1)*(2*binsY-1) driver rows; coarsen one axis")
     require(unitLinf > 0, s"unitLinf must be positive, got $unitLinf")
     val levelsX = 31 - Integer.numberOfLeadingZeros(binsX)
     val levelsY = 31 - Integer.numberOfLeadingZeros(binsY)

@@ -805,6 +805,20 @@ private[graft] object EntryDP {
         col("event_type"), ldpDomain, epsilon = 1.0,
         noise = NoiseSource.Zero)
     }),
+    "dp_ldp_olh" -> ((s, dir) => {
+      // LOCAL DP frequency via OPTIMAL LOCAL HASHING (the large-domain
+      // mechanism: ONE bucket in [0, g) per unit instead of k bits; g =
+      // floor(e) + 1 = 3 at eps = 1): each user's lowest event_type
+      // hashes under its public seed (user_id mod 1024) and the bucket
+      // randomizes with p = e/(e+2) = 0.576 > 0.5, so zero noise keeps
+      // every report truthful and the WHOLE derivation — hash, (seed,
+      // bucket) cells, support grid (true hits + deterministic hash
+      // collisions), debias — replays in SQL with the identical integer
+      // mixer and round-trip double constants.
+      graft.spark.LocalDP.ldpFrequencyOLH(events(s, dir), "user_id",
+        col("event_type"), ldpDomain, epsilon = 1.0,
+        noise = NoiseSource.Zero)
+    }),
     "dp_ldp_mean" -> ((s, dir) => {
       // LOCAL DP mean (the 1-bit Duchi mechanism): each user's lowest
       // clamped value normalizes to [-1, 1] and reports ONE bit; the
@@ -1388,6 +1402,53 @@ private[graft] object EntryDP {
                    round((c.reported_ones - n.n_reports * $q) / $pMinusQ, 9)
                      AS est_count
             FROM c, n"""
+      },
+      "dp_ldp_olh" -> {
+        // eps = 1: g = floor(e) + 1 = 3, p = e/(e+2); the debias
+        // constants interpolate as round-trip doubles (the
+        // dp_ldp_frequency convention). The public hash family enters
+        // as its LITERAL per-seed parameter table — the engine's own
+        // olhParams regenerates it here, so the SQL replays the exact
+        // Carter-Wegman hash (non-negative operands, every intermediate
+        // < 2^63: Spark % == DuckDB % == Scala %).
+        val expEps = math.exp(1.0)
+        val g = math.floor(expEps).toLong + 1L
+        val invG = 1.0 / g
+        val pMinusInv = expEps / (expEps + g - 1) - invG
+        val prime = graft.spark.LocalDP.OlhPrime
+        val domainValues = ldpDomain.zipWithIndex
+          .map { case (v, i) => s"($i, '$v')" }.mkString(", ")
+        val paramValues = graft.spark.LocalDP.olhParams(1024).zipWithIndex
+          .map { case ((a, b), s) => s"($s, $a, $b)" }.mkString(", ")
+        s"""WITH u AS (
+              SELECT CAST(user_id AS BIGINT) AS pid, min(event_type) AS v
+              FROM events GROUP BY 1),
+            d(i, value) AS (VALUES $domainValues),
+            hp(seed, a, b) AS (VALUES $paramValues),
+            rep AS (
+              SELECT pid % 1024 AS seed,
+                     ((hp.a * d.i + hp.b) % $prime) % $g AS y
+              FROM u JOIN d ON u.v = d.value
+                     JOIN hp ON hp.seed = pid % 1024),
+            cells AS (
+              SELECT seed, y, CAST(count(*) AS BIGINT) AS c
+              FROM rep GROUP BY 1, 2),
+            n AS (SELECT CAST(sum(c) AS BIGINT) AS n_reports FROM cells),
+            grid AS (
+              SELECT d.value, s.seed,
+                     ((hp.a * d.i + hp.b) % $prime) % $g AS h
+              FROM d CROSS JOIN (SELECT DISTINCT seed FROM cells) s
+                     JOIN hp ON hp.seed = s.seed),
+            sup AS (
+              SELECT grid.value,
+                     CAST(coalesce(sum(cells.c), 0) AS BIGINT) AS support
+              FROM grid LEFT JOIN cells
+                ON cells.seed = grid.seed AND cells.y = grid.h
+              GROUP BY 1)
+            SELECT sup.value, n.n_reports, sup.support,
+                   round((sup.support - n.n_reports * $invG) / $pMinusInv, 9)
+                     AS est_count
+            FROM sup, n"""
       },
       "dp_ldp_mean" -> {
         val t = (math.exp(1.0) - 1.0) / (math.exp(1.0) + 1.0)

@@ -85,8 +85,11 @@ object ModelEval {
     * range scores CLAMP rather than drop, so every row is accounted),
     * each releasing its exact count, positive count, floor-scaled
     * positive rate (pos_rate_e6 = n_pos * 1e6 div n) and mean score in
-    * the score's own integer units (mean_score = sum div n — floor
-    * division). Reading pos_rate against mean_score per bin IS the
+    * the score's own integer units (mean_score = sum div n — integer
+    * division TRUNCATING TOWARD ZERO, Spark's `div` == DuckDB's `//`;
+    * note this differs from floor for bins whose score sum is negative:
+    * sum=-7, n=2 releases -3, not -4). Reading pos_rate against
+    * mean_score per bin IS the
     * reliability diagram; its deviations are what ECE summarizes. Empty
     * bins do not appear (calibration is a per-observed-bin statement —
     * nothing hides, the bin grid is public). */

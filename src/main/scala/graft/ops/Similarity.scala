@@ -580,8 +580,12 @@ object Similarity {
       .withColumn("side",
         when(col("__cl") === col("__ql") &&
           col("neighbor_id") =!= col("query_id"), "positive")
-          .when(col("__cl") =!= col("__ql"), "negative"))
-      .filter(col("side").isNotNull) // drops only the anchor's own row
+          .when(col("__cl") =!= col("__ql") &&
+            col("neighbor_id") =!= col("query_id"), "negative"))
+      // drops the anchor's own id on BOTH sides: a corpus row sharing the
+      // anchor's id but carrying a DIFFERENT label (overlapping id spaces
+      // with inconsistent labels) must not mine as its own "hard negative"
+      .filter(col("side").isNotNull)
       .withColumn("cosine", cosine(col("__qv"), col("__cv")))
       .groupBy("query_id", "side")
       .agg(max(struct(col("cosine"), col("neighbor_id"))).as("__best"))

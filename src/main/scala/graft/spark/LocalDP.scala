@@ -68,9 +68,16 @@ object LocalDP {
           .partitionBy(col("__pid")).orderBy(col("__v").asc)))
       .filter(col("__rk") === 1)
     // the LOCAL randomizer: one-hot encode + per-bit flip. Marked
-    // nondeterministic so Catalyst never collapses or re-orders draws;
-    // task retries re-randomize a unit's report (same attack model as
-    // the central engine's noise, documented there).
+    // nondeterministic so Catalyst never collapses or re-orders draws.
+    // RETRY COMPOSITION (differs from the central engine): the draw runs
+    // in an executor task, so a Spark task retry or speculative duplicate
+    // RE-RANDOMIZES that unit's report — under the LOCAL trust model each
+    // execution is a separate eps-LDP release of the same unit, composing
+    // to m*eps for a unit whose task ran m times. (Centrally, noise is
+    // drawn once driver-side, so retries cost nothing there.) Secure
+    // deployments should disable speculative execution
+    // (spark.speculation=false, the default) and account retries, or
+    // randomize client-side before ingest so the engine only aggregates.
     val flip = udf((v: String) => {
       val idx = domainArr.indexOf(v)
       if (idx < 0) throw new IllegalArgumentException(
@@ -99,6 +106,218 @@ object LocalDP {
           lit(p - q), 9).as("est_count"))
   }
 
+  /** LOCAL-DP frequency over LARGE domains — OPTIMAL LOCAL HASHING
+    * (Wang-Blocki-Li-Jha, USENIX Security 2017): where [[ldpFrequency]]'s
+    * unary encoding sends k bits per unit (unusable at token/URL-scale
+    * domains), OLH sends ONE bucket in [0, g) with g = floor(e^eps) + 1
+    * — the report size is O(1) in the domain size. Each unit hashes its
+    * value with a PUBLIC per-unit hash (seed = pid mod `seedSpace` — the
+    * hash choice is public randomness, independent of the value, so it
+    * carries no privacy budget and may be deterministic) and randomizes
+    * the bucket: truthful with p = e^eps / (e^eps + g - 1), else uniform
+    * over the other g - 1 buckets — eps-LDP by direct likelihood ratio
+    * (worst-case output probability ratio p / ((1-p)/(g-1)) = e^eps).
+    *
+    * Estimation is support counting, debiased: C(v) = #reports whose
+    * bucket equals H(seed, v); under a pairwise-uniform hash a non-true
+    * value is supported with probability exactly 1/g, so
+    * est(v) = (C(v) - n/g) / (p - 1/g) is unbiased. SCALE SHAPE (the
+    * reason this exists): reports aggregate FIRST to <= seedSpace * g
+    * (seed, bucket) count cells; the candidate grid is domain x
+    * OBSERVED seeds (k x <= seedSpace rows, data-size-independent) with
+    * the hash computed as a codegen'd integer expression; the cells
+    * broadcast-join onto the grid and one aggregation lands k rows.
+    * Nothing is ever n x k, nothing data-shaped collects.
+    *
+    * The hash family is Carter-Wegman universal: per seed s the pair
+    * (A_s, B_s) from [[olhParams]] (a FIXED pseudorandom parameter
+    * table — public randomness, data-independent, regenerated
+    * identically everywhere) gives H(s, i) = ((A_s * i + B_s) mod P)
+    * mod g — cross-value collision probability 1/g + O(1/P) per seed
+    * pair, which is exactly what the 1/g debias term assumes. (A
+    * seed-to-params map built from modular-affine mixing is NOT enough:
+    * affine maps keep the collision indicator near-constant across
+    * seeds for structured value pairs — measured 0.21 worst-pair
+    * deviation vs the 0.05 sampling-noise bound this table achieves.)
+    *
+    * Contracts (the [[ldpFrequency]] conventions): closed PUBLIC domain,
+    * out-of-domain and NULL values fail loud, one report per unit (the
+    * deterministic lowest value), pid must cast to BIGINT (the seed is
+    * replayed in SQL). Zero noise: uniform() = 0.5 < p whenever
+    * p > 1/2 (any eps with fractional e^eps, e.g. eps = 1 => p =
+    * e/(e+2) = 0.576), so every unit reports its TRUE bucket and the
+    * whole release — hash, supports (true hits PLUS deterministic
+    * cross-value hash collisions), debiasing — replays as a
+    * deterministic SQL derivation over the literal parameter table. The
+    * estimator's statistical behavior is spec-pinned under the real
+    * randomizer. Retry composition caveat: same as [[ldpFrequency]].
+    *
+    * Output: (value, n_reports, support, est_count) — one row per
+    * domain value. */
+  def ldpFrequencyOLH(
+      df: DataFrame,
+      pidCol: String,
+      valueCol: Column,
+      domain: Seq[String],
+      epsilon: Double,
+      noise: graft.core.NoiseSource,
+      seedSpace: Int = 1024
+  ): DataFrame = {
+    require(domain.nonEmpty, "ldpFrequencyOLH: empty domain")
+    require(domain.distinct.size == domain.size,
+      s"ldpFrequencyOLH: duplicate domain values")
+    require(epsilon > 0, s"epsilon must be positive, got $epsilon")
+    require(seedSpace >= 2 && seedSpace <= 65536,
+      s"seedSpace must be in [2, 65536], got $seedSpace")
+    val expEps = math.exp(epsilon)
+    val g = math.floor(expEps).toLong + 1L
+    val p = expEps / (expEps + g - 1)
+    val invG = 1.0 / g
+    val domainArr = domain.toArray
+    val spark0 = df.sparkSession
+    val params = olhParams(seedSpace)
+    val checked = when(valueCol.isNull, raise_error(lit(
+        "ldpFrequencyOLH: NULL value for a privacy unit — nulls have no " +
+          "bucket; filter or impute upstream")).cast("string"))
+      .otherwise(valueCol.cast("string"))
+    // try_cast: a non-numeric pid flows to the shaped error instead of
+    // ANSI's CAST_INVALID_INPUT mid-task
+    val seedCol = when(col("__pidn").isNull, raise_error(lit(
+        "ldpFrequencyOLH: pid does not cast to BIGINT — the public hash " +
+          "seed derives from it; map units to numeric ids upstream"))
+        .cast("long"))
+      .otherwise(pmod(col("__pidn"), lit(seedSpace.toLong)))
+    // one report per unit: the deterministic lowest value (L0 = 1)
+    val perUnit = df
+      .select(col(pidCol).try_cast("bigint").as("__pidn"), checked.as("__v"))
+      .withColumn("__rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__pidn")).orderBy(col("__v").asc)))
+      .filter(col("__rk") === 1)
+      .select(seedCol.as("__seed"), col("__v"))
+    // the LOCAL randomizer (nondeterministic — the ldpFrequency
+    // conventions incl. the retry-composition caveat): true bucket via
+    // the public hash, kept w.p. p, else uniform over the OTHER g - 1
+    val gi = g.toInt
+    // O(1) lookup — indexOf's linear scan is an O(n*k) hot path at
+    // token-scale domains, the very regime this mechanism exists for
+    val domainIdx: Map[String, Int] = domainArr.zipWithIndex.toMap
+    val report = udf((seed: Long, v: String) => {
+      val idx = domainIdx.getOrElse(v, -1)
+      if (idx < 0) throw new IllegalArgumentException(
+        s"ldpFrequencyOLH: value '$v' outside the public domain — the " +
+          "domain is closed (an unlisted value would misstate n in the " +
+          "debiasing); extend the domain or filter upstream")
+      val (a, b) = params(seed.toInt)
+      val h = olhHash(a, b, idx.toLong, g)
+      if (noise.uniform() < p) h
+      else {
+        val j = math.min((noise.uniform() * (gi - 1)).toInt, gi - 2)
+        (h + 1 + j) % g
+      }
+    }).asNondeterministic()
+    // reports collapse FIRST: <= seedSpace * g cells — everything
+    // downstream is data-size-independent
+    val cells = perUnit
+      .select(col("__seed"), report(col("__seed"), col("__v")).as("__y"))
+      .groupBy(col("__seed"), col("__y"))
+      .agg(count(lit(1)).as("__c"))
+    val pinned = cells.localCheckpoint(false) // draws final; read 3x below
+    val nDf = pinned.agg(sum(col("__c")).as("__n"))
+    val seeds = pinned.select(col("__seed")).distinct()
+    val domDf = spark0.createDataFrame(
+      spark0.sparkContext.parallelize(
+        domainArr.toIndexedSeq.zipWithIndex.map { case (v, i) =>
+          org.apache.spark.sql.Row(i.toLong, v) }, 8),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__i",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.StringType, nullable = false))))
+    val paramsDf = spark0.createDataFrame(
+      spark0.sparkContext.parallelize(
+        params.indices.map(s => org.apache.spark.sql.Row(
+          s.toLong, params(s)._1, params(s)._2)), 4),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__seed",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("__a",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("__b",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    // candidate grid: domain x observed seeds (with their literal hash
+    // params), hash as a codegen'd integer EXPRESSION — mirrors olhHash
+    // exactly (same constants P and g, non-negative operands, every
+    // intermediate < 2^63, so Spark % == SQL % == Scala %)
+    val grid = domDf
+      .crossJoin(broadcast(seeds.join(paramsDf, "__seed")))
+      .withColumn("__h",
+        ((col("__a") * col("__i") + col("__b")) % lit(OlhPrime)) % lit(g))
+    grid.join(broadcast(pinned),
+        grid("__seed") === pinned("__seed") && col("__h") === col("__y"),
+        "left")
+      .groupBy(col("value"))
+      .agg(coalesce(sum(col("__c")), lit(0L)).as("support"))
+      .crossJoin(broadcast(nDf))
+      .select(col("value"), col("__n").as("n_reports"), col("support"),
+        round((col("support") - col("__n") * lit(invG)) / lit(p - invG), 9)
+          .as("est_count"))
+  }
+
+  /** The Carter-Wegman modulus: a prime far above any domain index the
+    * engine meets, small enough that A * idx never nears 2^63 (idx up to
+    * ~9e12 is safe), so the hash replays with plain `%` anywhere. */
+  private[graft] val OlhPrime = 999983L
+
+  /** The PUBLIC per-seed hash parameters: (A_s in [1, P), B_s in [0, P))
+    * for every seed, drawn from a FIXED seeded generator — public
+    * randomness, data-independent, the same table everywhere
+    * (java.util.Random's algorithm is specified exactly, so the engine
+    * UDF, the candidate grid, the specs, and the oracle-SQL literal
+    * VALUES all regenerate it identically). Uniform params are what
+    * makes the family universal: collision probability 1/g + O(1/P) for
+    * EVERY value pair — a derived/mixed seed map provably is not (see
+    * [[ldpFrequencyOLH]]). */
+  private[graft] def olhParams(seedSpace: Int): IndexedSeq[(Long, Long)] = {
+    val r = new java.util.Random(986543L)
+    (0 until seedSpace).map { _ =>
+      val a = 1L + (r.nextDouble() * (OlhPrime - 1)).toLong
+      val b = (r.nextDouble() * OlhPrime).toLong
+      (a, b)
+    }
+  }
+
+  /** The PUBLIC OLH hash: H(s, i) = ((A_s * i + B_s) mod P) mod g with
+    * (A_s, B_s) from [[olhParams]] — non-negative operands, every
+    * intermediate far under 2^63, so the Scala, Column-expression and
+    * oracle-SQL forms are the same integer function. */
+  private[graft] def olhHash(a: Long, b: Long, idx: Long, g: Long): Long =
+    ((a * idx + b) % OlhPrime) % g
+
+  /** Human-readable release report for [[ldpFrequencyOLH]] — the explain
+    * convention: encoding, g, the report probabilities, the debias
+    * formula, and the per-value estimator stddev at n reports
+    * (sqrt(n * (1/g) * (1 - 1/g)) / (p - 1/g) — Wang et al.'s
+    * approximate variance 4 e^eps / (e^eps - 1)^2 per report at the
+    * optimal g). Pure string math — no data access. */
+  def explainFrequencyOLH(k: Long, epsilon: Double, nReports: Long,
+      seedSpace: Int = 1024): String = {
+    require(k >= 2, s"domain size must be >= 2, got $k")
+    require(epsilon > 0, s"epsilon must be positive, got $epsilon")
+    require(nReports >= 1, s"nReports must be >= 1, got $nReports")
+    val expEps = math.exp(epsilon)
+    val g = math.floor(expEps).toLong + 1L
+    val p = expEps / (expEps + g - 1)
+    val invG = 1.0 / g
+    val std = math.sqrt(nReports * invG * (1.0 - invG)) / (p - invG)
+    s"""LocalDP frequency release (optimal local hashing)
+       |  domain    : $k public values; ONE bucket in [0, $g) per unit (vs $k bits under unary encoding — the large-domain mechanism), public hash seed = pid mod $seedSpace
+       |  randomizer: truthful bucket w.p. p = e^eps/(e^eps + g - 1) = ${f"$p%g"}, else uniform over the other ${g - 1} — likelihood ratio e^${f"$epsilon%g"}, so the report is ${f"$epsilon%g"}-LDP
+       |  estimator : est(v) = (C(v) - n/g) / (p - 1/g), unbiased; n = $nReports reports, support q* = 1/g = ${f"$invG%g"}
+       |  error     : per-value stddev ~ ${f"$std%g"} (O(1) in the domain size — the OLH trade: constant report size, hash-collision variance)
+       |""".stripMargin
+  }
+
   /** Human-readable release report for [[ldpFrequency]] — the engine's
     * explain convention for the LOCAL trust model: states the encoding,
     * the per-bit flip probabilities the randomizer uses, the debias
@@ -119,6 +338,56 @@ object LocalDP {
        |  randomizer: per-bit truthful w.p. p = e^(eps/2)/(e^(eps/2)+1) = ${f"$p%g"}, flipped w.p. q = ${f"$q%g"} — two one-hot vectors differ in 2 bits, so the report is ${f"$epsilon%g"}-LDP (the collector never holds true values)
        |  estimator : est_j = (c_j - n q) / (p - q), unbiased; n = $nReports reports
        |  error     : per-value stddev ~ ${f"$std%g"} (grows with sqrt(n) — the LDP cost; central DP's noise is O(1) in n)
+       |""".stripMargin
+  }
+
+  /** AMPLIFICATION BY SHUFFLING — the accounting bridge from this file's
+    * LOCAL trust model to the central accountant: when n users each run
+    * an eps0-LDP randomizer and an intermediary SHUFFLES the reports
+    * before the analyst sees them (discarding which report came from
+    * whom), the shuffled collection is (eps, delta)-DP centrally with
+    * eps FAR below eps0 — each report hides among the n-1 others. The
+    * closed form is Feldman-McMillan-Talwar's clone-reduction bound
+    * ("Hiding Among the Clones", FOCS 2021, arXiv:2012.12803 Thm 3.1):
+    *
+    *   eps = ln(1 + (e^eps0 - 1) * (4 * sqrt(2 ln(4/delta) /
+    *           ((e^eps0 + 1) n)) + 4 / n))
+    *
+    * valid when eps0 <= ln(n / (16 ln(2/delta))) (fail-loud otherwise —
+    * outside it the bound simply does not apply; run more users or
+    * lower eps0). Pure math, no data access: feed the result to a
+    * central accountant (the [[graft.core.BudgetAccountant]] family)
+    * exactly like [[graft.spark.RangeTree.treeCompositionEpsilon]]
+    * bridges tree releases. The bound is monotone: DECREASING in n
+    * (more to hide among), INCREASING in eps0, DECREASING as delta
+    * grows — all spec-pinned, plus the amplification guarantee itself
+    * (eps < eps0 in the valid regime at realistic n). */
+  def shuffleAmplifiedEpsilon(epsilon0: Double, n: Long,
+      delta: Double): Double = {
+    require(epsilon0 > 0, s"epsilon0 must be positive, got $epsilon0")
+    require(n >= 2, s"shuffling needs n >= 2 reports, got $n")
+    require(delta > 0 && delta < 1, s"delta must be in (0, 1), got $delta")
+    val cap = math.log(n / (16.0 * math.log(2.0 / delta)))
+    require(epsilon0 <= cap,
+      f"shuffleAmplifiedEpsilon: eps0 = $epsilon0%g exceeds the bound's " +
+        f"validity cap ln(n / (16 ln(2/delta))) = $cap%g at n = $n — " +
+        "the FMT'21 clone reduction does not apply; lower eps0 or " +
+        "collect more reports")
+    val e0 = math.exp(epsilon0)
+    math.log1p((e0 - 1.0) *
+      (4.0 * math.sqrt(2.0 * math.log(4.0 / delta) / ((e0 + 1.0) * n)) +
+        4.0 / n))
+  }
+
+  /** Human-readable shuffle-amplification report — the explain
+    * convention: states the trust model, the local and central
+    * guarantees, and the amplification factor. Pure string math. */
+  def explainShuffle(epsilon0: Double, n: Long, delta: Double): String = {
+    val eps = shuffleAmplifiedEpsilon(epsilon0, n, delta)
+    s"""Shuffle-model amplification (FMT'21 clone reduction)
+       |  trust     : each of $n units randomizes LOCALLY at eps0 = ${f"$epsilon0%g"}-LDP; a shuffler discards report-to-unit linkage before the analyst
+       |  central   : the shuffled collection is (${f"$eps%g"}, ${f"$delta%g"})-DP — feed THIS to the central accountant
+       |  amplifies : ${f"${epsilon0 / eps}%.1f"}x (grows ~sqrt(n); the shuffler is the trust being spent)
        |""".stripMargin
   }
 
@@ -165,7 +434,8 @@ object LocalDP {
           .partitionBy(col("__pid")).orderBy(col("__v").asc)))
       .filter(col("__rk") === 1)
     // the local randomizer: x normalized, one {-1, +1} report. Marked
-    // nondeterministic (the ldpFrequency rationale).
+    // nondeterministic (the ldpFrequency rationale, incl. the retry
+    // composition caveat documented there).
     val report = udf((v: Double) => {
       val x = (v - mid) / half
       val pPlus = 0.5 + x * t / 2.0
@@ -178,8 +448,14 @@ object LocalDP {
           .as("reported_plus_ones"),
         sum(col("__b")).cast("double").as("__sb"))
       .select(col("n_reports"), col("reported_plus_ones"),
-        round(least(greatest(
-          lit(mid) + (col("__sb") / col("n_reports").cast("double")) /
-            lit(t) * lit(half), lit(lo)), lit(hi)), 9).as("est_mean"))
+        // fail-loud on an empty cohort (the engine convention): without
+        // the guard the 0/0 division would silently release one row with
+        // est_mean = NULL
+        when(col("n_reports") === 0, raise_error(lit(
+            "ldpMean: zero privacy units — an empty cohort has no mean " +
+              "to release; check the input frame")).cast("double"))
+          .otherwise(round(least(greatest(
+            lit(mid) + (col("__sb") / col("n_reports").cast("double")) /
+              lit(t) * lit(half), lit(lo)), lit(hi)), 9)).as("est_mean"))
   }
 }

@@ -591,41 +591,100 @@ object RangeTree {
     require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1), s"bad qs $qs")
     val levels = 31 - Integer.numberOfLeadingZeros(bins)
     val keyCs = keyCols.map(col)
-    val spark0 = tree.sparkSession
-    // pin the (deterministic) release once: the readout references it
-    // three times (prefix join, root side, key universe) and re-running
-    // the release plan per reference is pure waste at large trees
-    val pinned = tree.localCheckpoint(false)
-    val prefix = prefixCounts(pinned, keyCols, bins)
-    val root = pinned.filter(col("__lvl") === levels)
-      .select((keyCs :+ col("dp_count").as("__total")): _*)
-    // LEFT join + fail loud on a missing root (r14 advice): an inner join
-    // would silently DROP any key whose root row is absent (filtered or
-    // partial tree) — the enforceConsistency node-count convention
-    val rootJ0 =
-      if (keyCols.isEmpty) prefix.join(broadcast(root), lit(true), "left")
-      else prefix.join(broadcast(root), keyCols, "left")
-    val rootJ = rootJ0.withColumn("__total",
-      when(col("__total").isNull, raise_error(lit(
-        "quantilesFromTree: key with no root node (lvl == levels) — pass " +
-          "the tree's own bins and the FULL released universe"))
-        .cast("double"))
-        .otherwise(col("__total")))
-    val qDf = {
-      import spark0.implicits._
-      qs.toDF("q")
-    }
-    // first bin whose prefix reaches q*total; if NO prefix qualifies
-    // (heavy negative noise on the early decomposition nodes) the
-    // readout degenerates to the last bin rather than dropping the row
-    // (a negative TOTAL instead makes every bin qualify => bin 0 — both
-    // post-processing artifacts of extreme noise, not errors)
-    rootJ.crossJoin(broadcast(qDf))
-      .groupBy(keyCs :+ col("q"): _*)
-      .agg(coalesce(
-        min(when(col("__pfx") >= col("q") * col("__total"), col("__t"))),
-        lit((bins - 1).toLong)).as("bin"))
+    val qsArr = qs.toArray
+    // FUSED READOUT (r16): one groupBy(key) collects the BOUNDED released
+    // node set (2*bins-1 rows per key) and the whole inversion — every
+    // prefix via its dyadic decomposition, then for each q the first bin
+    // whose prefix reaches q * total (total = the root's released count,
+    // already IN the node set at (levels, 0)) — runs task-side. The r15
+    // shape shuffled three times (ticks crossJoin + decomposition join
+    // groupBy(__t, key), root join, readout groupBy(key, q)) and pinned
+    // the tree with a localCheckpoint; this consumes the tree ONCE with
+    // one shuffle and no pin. Fail-loud contract kept: a key with no
+    // root row throws (a silent drop would misread a partial tree).
+    // Degenerate-noise conventions kept: no qualifying prefix => last
+    // bin; negative total => bin 0 (every prefix qualifies).
+    val read = udf((lvls: Seq[Int], idxs: Seq[Long], counts: Seq[Double]) => {
+      val nodes = nodeMap(lvls, idxs, counts)
+      val total = nodes.getOrElse(nodeKey(levels, 0L),
+        throw new IllegalStateException(
+          "quantilesFromTree: key with no root node (lvl == levels) — " +
+            "pass the tree's own bins and the FULL released universe"))
+      val pfx = prefixesFromNodes(nodes, bins, levels)
+      qsArr.toSeq.map { q =>
+        var bin = -1
+        var t = 0
+        while (bin < 0 && t < bins) {
+          if (pfx(t) >= q * total) bin = t
+          t += 1
+        }
+        (q, (if (bin < 0) bins - 1 else bin).toLong)
+      }
+    })
+    collectNodes(tree, keyCols)
+      .select(keyCs :+ explode(read(col("__nl"), col("__ni"), col("__nc")))
+        .as("__qb"): _*)
+      .select(keyCs :+ col("__qb._1").as("q") :+ col("__qb._2").as("bin"): _*)
       .withColumn("value_lo", lit(lo) + col("bin") * lit((hi - lo) / bins))
+  }
+
+  /** One groupBy(key) collecting the tree's bounded node universe
+    * (<= 2*bins-1 rows per key) as three parallel arrays — the shared
+    * scan of the fused readouts. Keyless trees aggregate globally. */
+  private def collectNodes(tree: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val keyCs = keyCols.map(col)
+    tree.groupBy(keyCs: _*)
+      .agg(collect_list(struct(col("__lvl").cast("int").as("l"),
+        col("__idx").cast("long").as("i"),
+        col("dp_count").cast("double").as("c"))).as("__n"))
+      .select(keyCs :+ expr("transform(__n, x -> x.l)").as("__nl") :+
+        expr("transform(__n, x -> x.i)").as("__ni") :+
+        expr("transform(__n, x -> x.c)").as("__nc"): _*)
+  }
+
+  private def nodeKey(lvl: Int, idx: Long): Long = (lvl.toLong << 48) | idx
+
+  /** The collected node arrays as a (lvl, idx) -> count map; duplicate
+    * node rows sum (defensive — a released tree carries each node once). */
+  private def nodeMap(lvls: Seq[Int], idxs: Seq[Long],
+      counts: Seq[Double]): scala.collection.mutable.LongMap[Double] = {
+    val m = new scala.collection.mutable.LongMap[Double](lvls.length * 2)
+    var i = 0
+    while (i < lvls.length) {
+      val k = nodeKey(lvls(i), idxs(i))
+      m.update(k, m.getOrElse(k, 0.0) + counts(i))
+      i += 1
+    }
+    m
+  }
+
+  /** Every prefix [0, t] from the node map via its dyadic decomposition
+    * (the [[prefixCounts]] arithmetic, task-side): prefix t sums nodes
+    * (lvl, ((t+1) >> (lvl+1)) << 1) over the set bits of t+1, ascending
+    * lvl — a FIXED order (the r15 shuffle-sum order was partition-
+    * dependent; any fixed order is bit-stable and integer-exact on
+    * zero-noise trees). A node absent from a released tree contributes 0
+    * (complete releases carry every node; root-missing fails loud in the
+    * callers that need the total). */
+  private def prefixesFromNodes(
+      nodes: scala.collection.mutable.LongMap[Double],
+      bins: Int, levels: Int): Array[Double] = {
+    val pfx = new Array[Double](bins)
+    var t = 0
+    while (t < bins) {
+      var s = 0.0
+      var lvl = 0
+      while (lvl <= levels) {
+        if ((((t + 1) >> lvl) & 1) == 1) {
+          val idx = (((t + 1).toLong >> (lvl + 1)) << 1)
+          s += nodes.getOrElse(nodeKey(lvl, idx), 0.0)
+        }
+        lvl += 1
+      }
+      pfx(t) = s
+      t += 1
+    }
+    pfx
   }
 
   /** [[quantilesFromTree]] over a PER-KEY-DOMAIN tree
@@ -662,28 +721,6 @@ object RangeTree {
       .select(keyCs :+ col("q") :+ col("bin") :+ col("value_lo"): _*)
   }
 
-  /** Prefix counts [0, t] for EVERY leaf t via each prefix's dyadic
-    * decomposition (the continual release shape over bins) — the shared
-    * core of [[quantilesFromTree]] and [[cdfFromTree]]. */
-  private def prefixCounts(tree: DataFrame, keyCols: Seq[String],
-      bins: Int): DataFrame = {
-    val levels = 31 - Integer.numberOfLeadingZeros(bins)
-    val keyCs = keyCols.map(col)
-    val spark0 = tree.sparkSession
-    val ticks0 = spark0.range(0, bins.toLong).toDF("__t")
-    val keyUniverse =
-      if (keyCols.isEmpty) None
-      else Some(tree.select(keyCs: _*).distinct().localCheckpoint(false))
-    val ticks = keyUniverse.fold(ticks0)(k => ticks0.crossJoin(broadcast(k)))
-    val rel = ticks
-      .withColumn("__lvl", explode(sequence(lit(0), lit(levels))))
-      .filter(expr("(shiftright(__t + 1, __lvl) & 1) = 1"))
-      .withColumn("__idx", expr("shiftleft(shiftright(__t + 1, __lvl + 1), 1)"))
-    rel.join(tree, Seq("__lvl", "__idx") ++ keyCols)
-      .groupBy(col("__t") +: keyCs: _*)
-      .agg(sum(col("dp_count")).as("__pfx"))
-  }
-
   /** The released CDF: the noisy prefix count at every leaf bin —
     * (keyCols..., bin, value_hi, dp_cdf_count) where value_hi is the
     * bin's UPPER edge (prefix [0, bin] covers values < value_hi). Pure
@@ -694,9 +731,12 @@ object RangeTree {
     * exact L2 projection, so the result is a valid (unnormalized) CDF
     * and is never farther from the true prefixes in L2 than the raw
     * release; on a zero-noise tree the projection is the identity
-    * (exact prefixes are already monotone). DISTRIBUTED (r15): the
-    * projection is per-key independent over a BOUNDED sequence (bins
-    * <= 4096 values), so it runs inside a task per key group — no driver
+    * (exact prefixes are already monotone). DISTRIBUTED and FUSED (r16):
+    * one groupBy(key) collects the BOUNDED node set (2*bins-1 rows, bins
+    * <= 4096), and prefixes-by-decomposition plus the projection both
+    * run inside the task — the r15 shape shuffled twice (decomposition
+    * join groupBy(__t, key), then a PAVA regroup by key) behind a
+    * localCheckpoint pin; this is one shuffle, no pin, no driver
     * collect, no key-cardinality cap. */
   def cdfFromTree(
       tree: DataFrame,
@@ -707,26 +747,16 @@ object RangeTree {
       monotone: Boolean = true
   ): DataFrame = {
     val keyCs = keyCols.map(col)
+    val levels = 31 - Integer.numberOfLeadingZeros(bins)
     val width = (hi - lo) / bins
-    // pin the release once: prefixCounts references it twice (key
-    // universe + decomposition join)
-    val raw = prefixCounts(tree.localCheckpoint(false), keyCols, bins)
-      .select(keyCs :+ col("__t").as("bin") :+
-        (lit(lo) + (col("__t") + 1) * lit(width)).as("value_hi") :+
-        col("__pfx").as("dp_cdf_count"): _*)
-    if (!monotone) return raw
-    val fit = udf((binIdx: Seq[Long], pfx: Seq[Double]) => {
-      val order = binIdx.indices.sortBy(binIdx(_)).toArray
-      val fitted = pavaFit(order.map(pfx(_)))
-      order.indices.map(j => (binIdx(order(j)), fitted(j)))
+    val read = udf((lvls: Seq[Int], idxs: Seq[Long], counts: Seq[Double]) => {
+      val pfx = prefixesFromNodes(nodeMap(lvls, idxs, counts), bins, levels)
+      val out = if (monotone) pavaFit(pfx) else pfx
+      out.indices.map(t => (t.toLong, out(t)))
     })
-    raw
-      .groupBy(keyCs: _*)
-      .agg(collect_list(struct(col("bin").as("b"),
-        col("dp_cdf_count").as("c"))).as("__p"))
-      .select(keyCs :+ explode(fit(
-        expr("transform(__p, x -> x.b)"),
-        expr("transform(__p, x -> x.c)"))).as("__f"): _*)
+    collectNodes(tree, keyCols)
+      .select(keyCs :+ explode(read(col("__nl"), col("__ni"), col("__nc")))
+        .as("__f"): _*)
       .select(keyCs :+ col("__f._1").as("bin") :+
         (lit(lo) + (col("__f._1") + 1) * lit(width)).as("value_hi") :+
         col("__f._2").as("dp_cdf_count"): _*)
@@ -982,6 +1012,14 @@ object RangeTree {
     * must fit comfortably on the driver, fail-loud enforced. */
   private[graft] val MaxDriverRows = 2000000L
 
+  /** Default shard-release concurrency for [[shardedByKeyRange]]: enough
+    * threads to hide per-shard job-scheduling + parquet-commit latency
+    * (the serial loop's fleet-scale bottleneck), small enough that the
+    * combined in-flight literal frames stay a driver footnote (the
+    * per-shard key cap divides by this, keeping the TOTAL at
+    * [[MaxDriverRows]]). */
+  private[graft] val ShardConcurrency = 4
+
   /** Guarded collect for the BOUNDED driver-math consumers: a
     * limit-bounded count (stops scanning at the cap+1-th row) rejects an
     * over-budget frame with a shaped message instead of OOMing the
@@ -1035,7 +1073,8 @@ object RangeTree {
       publicKeys: Option[DataFrame] = None,
       noiseKind: graft.core.NoiseKind = graft.core.NoiseKind.Laplace,
       delta: Double = 0.0,
-      maxKeysPerShard: Long = 0L
+      maxKeysPerShard: Long = 0L,
+      concurrency: Int = ShardConcurrency
   ): DataFrame = {
     require(bins >= 2 && (bins & (bins - 1)) == 0 && bins <= 4096,
       s"bins must be a power of two in [2, 4096], got $bins")
@@ -1045,7 +1084,7 @@ object RangeTree {
     val scale = treeScale(noiseKind, epsilon, delta, maxPerUnit.toDouble,
       levels)
     shardedByKeyRange(store, keyCols, publicKeys, 2L * bins - 1,
-      maxKeysPerShard, outDir) { (slice, shardKeys) =>
+      maxKeysPerShard, outDir, concurrency) { (slice, shardKeys) =>
       releaseWithScale(slice, keyCols, bins, levels, scale, noise,
         noiseKind, publicKeys = Some(shardKeys))
     }
@@ -1079,22 +1118,33 @@ object RangeTree {
 
   /** The sharding orchestrator shared by the range-tree and continual
     * families: splits the key universe into deterministic key-RANGE
-    * shards of at most min(`maxKeysPerShard`, MaxDriverRows / `nNodes`)
-    * keys, partitions `store` by shard in ONE distributed pass (written
-    * under `outDir/_store` — "_"-prefixed, so the read-back never sees
-    * it), then releases shard by shard via `releaseShard(slice,
+    * shards of at most min(`maxKeysPerShard`, MaxDriverRows / `nNodes`
+    * / `concurrency`) keys, partitions `store` by shard in ONE
+    * distributed pass (written under `outDir/_store` — "_"-prefixed, so
+    * the read-back never sees it), then releases shards CONCURRENTLY
+    * (`concurrency` bounded driver threads, r16 — shards are independent
+    * by construction: disjoint key ranges, each its own literal noise
+    * frame; at true fleet cardinality the serial loop's per-shard Spark
+    * job-scheduling latency dominated) via `releaseShard(slice,
     * shardKeysLiteral)` into `outDir/shard=N`. Returns the read-back
     * union. Nothing data-shaped ever collects: the universe is ranked
     * DISTRIBUTED (sort + zipWithIndex — indices follow the sort's range
-    * partitioning), and only one shard's keys (<= the cap) sit on the
-    * driver at a time. */
+    * partitioning), and at most `concurrency` shards' keys + literal
+    * frames (<= MaxDriverRows rows TOTAL — the per-shard cap divides by
+    * the thread count, so concurrency never widens the driver footprint)
+    * sit on the driver at a time. Draw-once survives concurrency: draws
+    * are per-(key, node) inside per-shard frames over DISJOINT keys, and
+    * each shard's write materializes its own draws exactly once —
+    * ordering between shards was never part of the contract. A failing
+    * shard fails the whole release loud (Await rethrows). */
   private[graft] def shardedByKeyRange(
       store0: DataFrame,
       keyCols: Seq[String],
       publicKeys: Option[DataFrame],
       nNodes: Long,
       maxKeysPerShard: Long,
-      outDir: String
+      outDir: String,
+      concurrency: Int = ShardConcurrency
   )(releaseShard: (DataFrame, DataFrame) => DataFrame): DataFrame = {
     require(keyCols.nonEmpty,
       "sharded release needs keyCols — an unkeyed tree is one bounded " +
@@ -1103,10 +1153,14 @@ object RangeTree {
     // both consume it, and the callers hand in the RAW ingest plan — an
     // unpinned store would run the bounded-cap window twice (r15
     // self-review)
+    require(concurrency >= 1, s"concurrency must be >= 1, got $concurrency")
     val store = store0.localCheckpoint(false)
     val spark0 = store.sparkSession
     val keyCs = keyCols.map(col)
-    val cap0 = math.max(1L, MaxDriverRows / nNodes)
+    // the driver-footprint invariant: concurrency shards in flight x cap
+    // keys x nNodes rows each <= MaxDriverRows TOTAL, same bound as the
+    // serial loop — concurrency narrows shards, it never widens the heap
+    val cap0 = math.max(1L, MaxDriverRows / nNodes / concurrency)
     val cap = if (maxKeysPerShard > 0) math.min(maxKeysPerShard, cap0) else cap0
     // the shard universe: the PUBLIC key set (cast to the store's key
     // types — the releaseWithScale coercion contract) or the observed one
@@ -1147,7 +1201,7 @@ object RangeTree {
         // release's left join handles (full zero trees + noise)
         store.join(shardMap, keyCols)
     }
-    for (sh <- shardIds) {
+    def releaseOne(sh: Int): Unit = {
       // this shard's keys: <= cap rows by construction — the one bounded
       // collect per shard; they enter releaseShard as a literal frame
       val shardKeyRows = shardMap.filter(col("__shard") === sh)
@@ -1157,11 +1211,39 @@ object RangeTree {
         org.apache.spark.sql.types.StructType(
           keyCols.map(n => store.schema(n))))
       val slice = stored.filter(col("__shard") === sh).drop("__shard")
-      // WRITE materializes this shard's draws before the next shard runs:
-      // the literal noise frame leaves the driver, and the parquet row set
-      // is the final released tree for these keys
+      // WRITE materializes this shard's draws inside this slot: the
+      // literal noise frame leaves the driver before the thread takes the
+      // next shard, and the parquet row set is the final released tree
+      // for these keys
       releaseShard(slice, shardKeys).write.mode("overwrite")
         .parquet(s"$outDir/shard=$sh")
+    }
+    val conc = math.min(concurrency, shardIds.length)
+    if (conc <= 1) shardIds.foreach(releaseOne)
+    else {
+      // bounded concurrent submission: shards are independent Spark jobs
+      // (disjoint keys, own draws, own output path) — overlapping them
+      // hides job-scheduling + write latency, the fleet-scale bottleneck.
+      // A dedicated pool (not the global EC) so Await can't starve, and
+      // a FAIR-pool hint so concurrent shard jobs share executor slots
+      // when the session runs a FAIR scheduler (ignored under FIFO).
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(conc)
+      implicit val ec: ExecutionContext =
+        ExecutionContext.fromExecutorService(pool)
+      try {
+        val futs = shardIds.toSeq.map { sh =>
+          Future {
+            spark0.sparkContext.setLocalProperty(
+              "spark.scheduler.pool", s"graft_shard_${sh % conc}")
+            try releaseOne(sh)
+            finally spark0.sparkContext
+              .setLocalProperty("spark.scheduler.pool", null)
+          }
+        }
+        Await.result(Future.sequence(futs),
+          scala.concurrent.duration.Duration.Inf)
+      } finally pool.shutdown()
     }
     spark0.read.parquet(outDir).drop("shard")
   }

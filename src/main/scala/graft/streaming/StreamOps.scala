@@ -1198,6 +1198,58 @@ object StreamOps {
     sums.select(col("__lvl") +: col("__idx") +: keyCols.map(col): _*)
       .limit(0).withColumn("__noise", lit(0.0))
 
+  /** Persist a [[ContinualStore]] for a RESTART: node sums, the
+    * persisted noise draws (parquet round-trips doubles bit-exact, so a
+    * resumed fold reuses the SAME draws — no node ever re-draws across
+    * a JVM or checkpoint restart), and the calibration metadata
+    * (maxTick, noiseKind, per-node scale) the resume-time equality
+    * check reads. The layout is three parquet dirs under `dir`;
+    * overwrite semantics — the store after step N replaces the store
+    * after step N-1 (the [[onlineContinualStep]] fold owns exactly one
+    * live store per stream). */
+  def saveContinualStore(store: ContinualStore, dir: String): Unit = {
+    store.nodeSums.write.mode("overwrite").parquet(s"$dir/node_sums")
+    store.nodeNoise.write.mode("overwrite").parquet(s"$dir/node_noise")
+    val spark0 = store.nodeSums.sparkSession
+    import spark0.implicits._
+    Seq((store.maxTick, store.noiseKind.toString, store.scale))
+      .toDF("max_tick", "noise_kind", "scale")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Re-read a persisted [[ContinualStore]] COLD (a fresh plan rooted at
+    * the parquet files — no in-memory lineage), the restart face of
+    * [[saveContinualStore]]. Fails loud on missing or ambiguous
+    * calibration metadata: resuming a fold without the exact (noiseKind,
+    * scale) the draws were made at would silently mix calibrations —
+    * the same hazard the in-memory equality check guards. */
+  def loadContinualStore(spark: SparkSession, dir: String): ContinualStore = {
+    val meta =
+      try spark.read.parquet(s"$dir/meta").collect()
+      catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          throw new IllegalStateException(
+            s"loadContinualStore: no calibration metadata under $dir/meta " +
+              "— the store cannot resume without the exact (noiseKind, " +
+              "scale) its draws were made at; was it written by " +
+              s"saveContinualStore? (${e.getMessage})")
+      }
+    require(meta.length == 1,
+      s"loadContinualStore: expected exactly one metadata row under " +
+        s"$dir/meta, found ${meta.length} — the store is corrupt")
+    val r = meta.head
+    val kind = r.getAs[String]("noise_kind") match {
+      case "Laplace"  => graft.core.NoiseKind.Laplace
+      case "Gaussian" => graft.core.NoiseKind.Gaussian
+      case other => throw new IllegalStateException(
+        s"loadContinualStore: unknown noise kind '$other' in $dir/meta")
+    }
+    ContinualStore(
+      spark.read.parquet(s"$dir/node_sums"),
+      spark.read.parquet(s"$dir/node_noise"),
+      r.getAs[Long]("max_tick"), kind, r.getAs[Double]("scale"))
+  }
+
   /** Sliding-window counts derived from a [[dpContinualCount]] release —
     * window(t, w] = prefix(t) - prefix(t - w) — as PURE POST-PROCESSING of
     * the already-released prefixes: no additional privacy budget, no new

@@ -35,6 +35,45 @@ object LadderShard {
     // shard loop (it cannot: shards split by key COUNT, and the hot
     // key's store rows are tree-shaped — at most 2*bins-1 per key)
     val skew = args.contains("--skew")
+
+    // --conc: the SHARD-CONCURRENCY rung (r16) — 10k keys x 4096 bins
+    // (~8.2M released nodes, cap 61 keys/shard at the default pool of 4
+    // => ~164 shards), same shard layout at concurrency 1 vs the pool:
+    // what the rung must show is wall ~flat in shard count up to the
+    // pool size (the r15 serial loop paid one Spark job-scheduling +
+    // parquet-commit latency PER SHARD, end to end)
+    if (args.contains("--conc")) {
+      val keys = 10000
+      val bins = 4096
+      val keyed = events.withColumn("k", format_string("c%06d",
+        pmod(col("user_id") * 7919 + col("event_id"), lit(keys.toLong))))
+      val store = graft.spark.RangeTree.rangeTreeIngestStep(keyed, None,
+        "user_id", col("value"), Seq("k"), lo = 0.0, hi = 1000.0,
+        bins = bins, maxPerUnit = 100L).localCheckpoint()
+      // hold the shard LAYOUT fixed across arms (the default cap divides
+      // by concurrency; passing it explicitly isolates the loop's shape)
+      val cap = math.max(1L, graft.spark.RangeTree.MaxDriverRows /
+        (2L * bins - 1) / graft.spark.RangeTree.ShardConcurrency)
+      for (conc <- Seq(1, graft.spark.RangeTree.ShardConcurrency)) {
+        val reps = (1 to 2).map { _ =>
+          val out = java.nio.file.Files
+            .createTempDirectory("graft_ladder_conc_").toString
+          val t0 = System.nanoTime()
+          val rel = graft.spark.RangeTree.shardedRangeTreeRelease(store,
+            Seq("k"), bins = bins, epsilon = 1.0, maxPerUnit = 100L,
+            noise = graft.core.NoiseSource.Secure, outDir = out,
+            maxKeysPerShard = cap, concurrency = conc)
+          val nRel = rel.count()
+          ((System.nanoTime() - t0) / 1e9, nRel)
+        }
+        val best = reps.map(_._1).min
+        println(f"[ladder-conc] keys=$keys bins=$bins shards=${
+          (keys + cap - 1) / cap} conc=$conc released=${reps.head._2}%9d " +
+          f"best=$best%7.2fs")
+      }
+      spark.stop()
+      return
+    }
     for (keys <- Seq(500, 5000, 50000)) {
       val uniformKey = pmod(col("user_id") * 7919 + col("event_id"),
         lit(keys.toLong))

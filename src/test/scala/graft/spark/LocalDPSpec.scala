@@ -114,6 +114,106 @@ class LocalDPSpec extends AnyFunSuite {
       graft.ops.EventAnalytics.sampleSizePerArm(0.0, 1.0))
   }
 
+  test("OLH zero noise: truthful buckets, supports = true hits + hash collisions, debias exact") {
+    // eps = 1: g = 3, p = e/(e+2) = 0.576 > 0.5 so uniform() = 0.5 keeps
+    // every report truthful; seeds are pid mod 1024 — fully deterministic
+    val df = Seq((1L, "c"), (1L, "a"), (2L, "b"), (3L, "a"), (1030L, "b"))
+      .toDF("uid", "v") // unit 1: ONE report, lowest value 'a'; 1030 -> seed 6
+    val r = LocalDP.ldpFrequencyOLH(df, "uid", col("v"), dom, 1.0,
+      graft.core.NoiseSource.Zero)
+      .collect().map(x => x.getString(0) ->
+        (x.getLong(1), x.getLong(2), x.getDouble(3))).toMap
+    assert(r.keySet == dom.toSet)
+    assert(r.values.forall(_._1 == 4L)) // 4 units
+    // expected supports from the same public hash: unit u with value v_u
+    // reports y_u = H(seed_u, idx(v_u)); candidate j supported where
+    // H(seed_u, j) == y_u — the true value always, others on collision
+    val units = Seq((1L, 0), (2L, 1), (3L, 0), (1030L, 1)) // (pid, trueIdx)
+    val hp = LocalDP.olhParams(1024)
+    val expect = dom.indices.map { j =>
+      units.count { case (pid, ti) =>
+        val (a, b) = hp((pid % 1024).toInt)
+        LocalDP.olhHash(a, b, j.toLong, 3L) ==
+          LocalDP.olhHash(a, b, ti.toLong, 3L)
+      }.toLong
+    }
+    assert(dom.indices.forall(j => r(dom(j))._2 == expect(j)),
+      s"supports = ${dom.map(v => r(v)._2)} vs expected $expect")
+    // debias replays on those exact supports
+    val expEps = math.exp(1.0)
+    val p = expEps / (expEps + 2.0); val invG = 1.0 / 3.0
+    def est(c: Long) = BigDecimal((c - 4L * invG) / (p - invG))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(dom.forall(v => r(v)._3 == est(r(v)._2)))
+    // closed-domain and NULL contracts (the unary conventions)
+    val e = intercept[Exception](LocalDP.ldpFrequencyOLH(
+      Seq((1L, "zz")).toDF("uid", "v"), "uid", col("v"), dom, 1.0,
+      graft.core.NoiseSource.Zero).collect())
+    assert(SparkTestSession.chainMsg(e).contains("outside the public domain"))
+    val e2 = intercept[Exception](LocalDP.ldpFrequencyOLH(
+      Seq((1L, null.asInstanceOf[String])).toDF("uid", "v"), "uid",
+      col("v"), dom, 1.0, graft.core.NoiseSource.Zero).collect())
+    assert(SparkTestSession.chainMsg(e2).contains("NULL value"))
+    // non-numeric pid fails loud (the seed is pid-derived public randomness)
+    val e3 = intercept[Exception](LocalDP.ldpFrequencyOLH(
+      Seq(("not-a-number", "a")).toDF("uid", "v"), "uid", col("v"), dom,
+      1.0, graft.core.NoiseSource.Zero).collect())
+    assert(SparkTestSession.chainMsg(e3).contains("cast to BIGINT"))
+    intercept[IllegalArgumentException](LocalDP.ldpFrequencyOLH(df, "uid",
+      col("v"), Seq("a", "a"), 1.0, graft.core.NoiseSource.Zero))
+  }
+
+  test("OLH real randomizer: debiased estimates unbiased within 5 sigma; explain states g") {
+    // n = 20000 units all holding 'a', eps = 1 (g = 3): per-value stddev
+    // ~ sqrt(n (1/g)(1 - 1/g)) / (p - 1/g) ~ 274; assert within 5 sigma
+    val n = 20000
+    val df = (1 to n).map(i => (i.toLong, "a")).toDF("uid", "v")
+    val r = LocalDP.ldpFrequencyOLH(df, "uid", col("v"), dom, 1.0,
+      graft.core.NoiseSource.Seeded(13L))
+      .collect().map(x => x.getString(0) -> x.getDouble(3)).toMap
+    assert(math.abs(r("a") - n) < 1400.0, s"est_a = ${r("a")}")
+    assert(math.abs(r("b")) < 1400.0 && math.abs(r("c")) < 1400.0,
+      s"b=${r("b")} c=${r("c")}")
+    val rep = LocalDP.explainFrequencyOLH(k = 100000L, epsilon = 1.0,
+      nReports = 20000L)
+    assert(rep.contains("[0, 3)") && rep.contains("100000 public values"))
+    assert(rep.contains("O(1) in the domain size"))
+    intercept[IllegalArgumentException](
+      LocalDP.explainFrequencyOLH(1L, 1.0, 10L))
+    intercept[IllegalArgumentException](LocalDP.ldpFrequencyOLH(df, "uid",
+      col("v"), dom, 1.0, graft.core.NoiseSource.Zero, seedSpace = 1))
+  }
+
+  test("shuffle amplification: monotonicity, the amplification guarantee, validity cap") {
+    val eps = LocalDP.shuffleAmplifiedEpsilon(1.0, 100000L, 1e-8)
+    // the amplification guarantee: central eps far below the local eps0
+    assert(eps < 0.2 && eps > 0, s"eps = $eps")
+    // regression pin of the exact closed form (FMT'21 Thm 3.1 at these
+    // parameters, computed from the same expression — guards arithmetic
+    // drift, not the citation)
+    val e0 = math.exp(1.0)
+    val want = math.log1p((e0 - 1) *
+      (4 * math.sqrt(2 * math.log(4.0 / 1e-8) / ((e0 + 1) * 100000L)) +
+        4.0 / 100000L))
+    assert(eps == want)
+    // monotone: decreasing in n, increasing in eps0, decreasing as delta grows
+    assert(LocalDP.shuffleAmplifiedEpsilon(1.0, 1000000L, 1e-8) < eps)
+    assert(LocalDP.shuffleAmplifiedEpsilon(2.0, 100000L, 1e-8) > eps)
+    assert(LocalDP.shuffleAmplifiedEpsilon(1.0, 100000L, 1e-6) < eps)
+    // n -> infinity drives eps -> 0
+    assert(LocalDP.shuffleAmplifiedEpsilon(1.0, 100000000L, 1e-8) < 0.01)
+    // validity cap fails loud: eps0 too large for this n/delta
+    val e = intercept[IllegalArgumentException](
+      LocalDP.shuffleAmplifiedEpsilon(8.0, 1000L, 1e-8))
+    assert(e.getMessage.contains("validity cap"))
+    intercept[IllegalArgumentException](
+      LocalDP.shuffleAmplifiedEpsilon(1.0, 1L, 1e-8))
+    // the explain report states both guarantees
+    val rep = LocalDP.explainShuffle(1.0, 100000L, 1e-8)
+    assert(rep.contains("eps0 = 1.00000") || rep.contains("eps0 = 1"))
+    assert(rep.contains("central accountant"))
+  }
+
   test("real randomizer: the debiased estimate is unbiased within 5 sigma") {
     val n = 20000
     val df = (1 to n).map(i => (i.toLong, "a")).toDF("uid", "v")

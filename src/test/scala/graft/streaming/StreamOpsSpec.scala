@@ -893,6 +893,68 @@ class StreamOpsSpec extends AnyFunSuite {
       graft.spark.SparkTestSession.chainMsg(e).take(300))
   }
 
+  test("continual fold survives a RESTART: draws persist bit-exact through the parquet store") {
+    import org.apache.spark.sql.functions._
+    // the 3-batch fold plan of the draw-once spec, but the store is
+    // WRITTEN to parquet and re-read COLD between every step (fresh
+    // plans rooted at the files, no in-memory lineage) — the restart a
+    // real deployment does across JVMs/checkpoints
+    val rows = Seq((1L, 0L), (2L, 0L), (1L, 2L), (1L, 3L), (2L, 3L), (3L, 3L),
+      (4L, 6L)).map { case (u, t) => (u, t, "k") }
+    val df = rows.toDF("user_id", "tick", "key")
+    val counter = new java.util.concurrent.atomic.AtomicLong(0)
+    object CountingOne extends graft.core.NoiseSource {
+      def laplace(b: Double): Double = { counter.incrementAndGet(); 1.0 }
+      def gaussian(sigma: Double): Double = { counter.incrementAndGet(); 1.0 }
+      def uniform(): Double = 0.5
+    }
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_continual_restart_").toString
+    val plan = Seq((df.filter(col("tick") <= 2), -1L, 2L),
+      (df.filter(col("tick") === 3), 2L, 5L),
+      (df.filter(col("tick") === 6), 5L, 7L))
+    val out = scala.collection.mutable.Map.empty[Long, Double]
+    plan.zipWithIndex.foreach { case ((b, relFrom, relTo), i) =>
+      // every step resumes from the COLD store (none for the first)
+      val store = if (i == 0) None
+        else Some(StreamOps.loadContinualStore(spark, s"$dir/step$i"))
+      val (rel, grown) = StreamOps.onlineContinualStep(b, store, "user_id",
+        col("tick"), Seq("key"), horizon = 8, epsilon = 1.0,
+        maxPerTick = 100L, noise = CountingOne,
+        releasedThrough = relFrom, releaseThrough = relTo)
+      rel.collect().foreach(r => out(r.getLong(0)) = r.getDouble(2))
+      StreamOps.saveContinualStore(grown, s"$dir/step${i + 1}")
+    }
+    // the ConstOne popcount identity holds THROUGH the restarts: node
+    // (lvl, idx) draws in the step that first releases it and is
+    // re-read, never re-drawn, by every later prefix
+    val prefix = Map(0L -> 2.0, 1L -> 2.0, 2L -> 3.0, 3L -> 6.0, 4L -> 6.0,
+      5L -> 6.0, 6L -> 7.0, 7L -> 7.0)
+    (0L to 7L).foreach { t =>
+      val want = prefix(t) + java.lang.Long.bitCount(t + 1)
+      assert(out(t) == want, s"t=$t got ${out(t)} want $want")
+    }
+    // draw-once ACROSS RESTARTS, counted: the 8 prefixes of horizon 8
+    // decompose over exactly 8 distinct nodes x 1 key — a resume that
+    // re-drew stored nodes would count extras
+    assert(counter.get == 8L, s"draws across restarted fold = ${counter.get}")
+    // the calibration metadata survives the round-trip and still
+    // enforces equality: resuming at a different epsilon fails loud
+    val reloaded = StreamOps.loadContinualStore(spark, s"$dir/step3")
+    assert(reloaded.maxTick == 6L && reloaded.scale > 0)
+    val next = Seq((5L, 7L, "k")).toDF("user_id", "tick", "key")
+    val e = intercept[Exception] {
+      StreamOps.onlineContinualStep(next, Some(reloaded), "user_id",
+        col("tick"), Seq("key"), 8, 2.0, 100L, CountingOne, 7L, 7L)
+    }
+    assert(graft.spark.SparkTestSession.chainMsg(e)
+      .contains("calibration-specific"))
+    // a dir with no metadata cannot resume (fail loud, shaped)
+    val e2 = intercept[IllegalStateException](
+      StreamOps.loadContinualStore(spark, s"$dir/nowhere"))
+    assert(e2.getMessage.contains("no calibration metadata"))
+  }
+
   test("continual fold: mid-stream calibration change fails loud") {
     import org.apache.spark.sql.functions._
     // the store's persisted draws are calibration-specific — a step that
