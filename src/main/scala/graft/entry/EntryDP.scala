@@ -737,6 +737,26 @@ private[graft] object EntryDP {
           col("__idxx").as("idxx"), col("__lvy").cast("long").as("lvy"),
           col("__idxy").as("idxy"), col("event_type"), col("dp_count"))
     }),
+    "dp_range_2d_consistent" -> ((s, dir) => {
+      // 2-D consistency (r16 — the alternating per-axis Hay projection;
+      // von Neumann convergence to the product-consistent OLS): on an
+      // EXACT zero-noise tree every sweep is the identity (the tree is
+      // already in both consistency subspaces), so the oracle IS
+      // dp_range_2d's — the 8 double-sweeps run for real and must
+      // change nothing. Never-worse + geometric residual decay under
+      // real noise are spec-pinned in RangeTreeSpec.
+      val tree = graft.spark.RangeTree.dpRange2DTree(events(s, dir),
+        "user_id", col("value"), expr("hour(timestamp_micros(ts div 1000))"),
+        Seq("event_type"),
+        loX = 0.0, hiX = 1000.0, binsX = 16,
+        loY = 0.0, hiY = 32.0, binsY = 32,
+        epsilon = 1.0, maxPerUnit = 1000000L, noise = NoiseSource.Zero)
+      graft.spark.RangeTree.enforce2DConsistency(tree, Seq("event_type"),
+          binsX = 16, binsY = 32)
+        .select(col("__lvx").cast("long").as("lvx"),
+          col("__idxx").as("idxx"), col("__lvy").cast("long").as("lvy"),
+          col("__idxy").as("idxy"), col("event_type"), col("dp_count"))
+    }),
     "dp_range_2d_query" -> ((s, dir) => {
       // axis-aligned box queries from the released 2-D tree — pure
       // post-processing: each box reads the CROSS PRODUCT of its per-axis
@@ -1352,6 +1372,9 @@ private[graft] object EntryDP {
     import OracleFragments._
     Map(
       "dp_range_tree" -> rangeTreeSql,
+      // zero-noise 2-D consistency is the identity (both sweeps project
+      // onto subspaces the exact tree already inhabits)
+      "dp_range_2d_consistent" -> range2DTreeSql,
       // the sharded release is the same mechanism shard by shard: zero
       // noise replays the identical exact keyed tree
       "dp_range_sharded" -> rangeTreeSql,

@@ -2028,4 +2028,135 @@ object RangeTree {
       .select(col("__n._1").as("__lvl") +: col("__n._2").as("__idx") +:
         keyCs :+ col("__n._3").as("dp_count"): _*)
   }
+
+  /** Dense x-node enumeration of the 1-D dyadic universe: nodes ordered
+    * (level 0 leaves first, then level 1, ...) — offset(l) = number of
+    * nodes below level l. */
+  private def nodeOffset(bins: Int, lvl: Int): Int = {
+    var off = 0
+    var l = 0
+    while (l < lvl) { off += bins >> l; l += 1 }
+    off
+  }
+
+  /** The per-key 2-D alternating-sweep consistency (pure — the
+    * [[consistencySweepOneKey]] factoring convention): one key's full
+    * product-node universe in any order; returns every node's projected
+    * count after `sweeps` alternating x/y passes. */
+  private[graft] def consistency2DSweepOneKey(
+      lvxs: Seq[Int], idxxs: Seq[Long], lvys: Seq[Int], idxys: Seq[Long],
+      cnts: Seq[Double], binsX: Int, binsY: Int,
+      sweeps: Int): Seq[(Int, Long, Int, Long, Double)] = {
+    val levelsX = 31 - Integer.numberOfLeadingZeros(binsX)
+    val levelsY = 31 - Integer.numberOfLeadingZeros(binsY)
+    val nx = 2 * binsX - 1
+    val ny = 2 * binsY - 1
+    // dense (xNode, yNode) grid; enumeration tables for both axes
+    val xl = new Array[Int](nx); val xi = new Array[Long](nx)
+    for (l <- 0 to levelsX; i <- 0 until (binsX >> l)) {
+      val p = nodeOffset(binsX, l) + i; xl(p) = l; xi(p) = i.toLong
+    }
+    val yl = new Array[Int](ny); val yi = new Array[Long](ny)
+    for (l <- 0 to levelsY; i <- 0 until (binsY >> l)) {
+      val p = nodeOffset(binsY, l) + i; yl(p) = l; yi(p) = i.toLong
+    }
+    val grid = Array.ofDim[Double](nx, ny)
+    val seen = Array.ofDim[Boolean](nx, ny)
+    var j = 0
+    while (j < cnts.length) {
+      val xp = nodeOffset(binsX, lvxs(j)) + idxxs(j).toInt
+      val yp = nodeOffset(binsY, lvys(j)) + idxys(j).toInt
+      grid(xp)(yp) = cnts(j); seen(xp)(yp) = true
+      j += 1
+    }
+    require(cnts.length == nx * ny && seen.forall(_.forall(identity)),
+      s"enforce2DConsistency: a key has ${cnts.length} nodes, want " +
+        s"${nx * ny} — pass the tree's own bins and the FULL released " +
+        "product universe")
+    val xlvls = xl.toSeq; val xidxs = xi.toSeq
+    val ylvls = yl.toSeq; val yidxs = yi.toSeq
+    var it = 0
+    while (it < sweeps) {
+      // x-sweep: project each y-node COLUMN onto its 1-D consistent
+      // subspace (the truth is x-consistent at EVERY y-node level, not
+      // just y-leaves — a product node aggregates a leaf rectangle)
+      var yp = 0
+      while (yp < ny) {
+        val slice = Array.tabulate(nx)(grid(_)(yp))
+        consistencySweepOneKey(xlvls, xidxs, slice.toSeq, binsX).foreach {
+          case (l, i, v) => grid(nodeOffset(binsX, l) + i.toInt)(yp) = v
+        }
+        yp += 1
+      }
+      // y-sweep: same per x-node ROW
+      var xp = 0
+      while (xp < nx) {
+        val row = grid(xp)
+        consistencySweepOneKey(ylvls, yidxs, row.toSeq, binsY).foreach {
+          case (l, i, v) => row(nodeOffset(binsY, l) + i.toInt) = v
+        }
+        xp += 1
+      }
+      it += 1
+    }
+    for (xp <- 0 until nx; yp <- 0 until ny)
+      yield (xl(xp), xi(xp), yl(yp), yi(yp), grid(xp)(yp))
+  }
+
+  /** 2-D consistency for the PRODUCT tree ([[dpRange2DTree]]) — closing
+    * the family's last 1-D/2-D asymmetry: alternating per-axis Hay
+    * sweeps. Each x-sweep is the exact OLS projection of every y-node's
+    * x-slice onto the x-consistent subspace Sx (and symmetrically Sy);
+    * both are ORTHOGONAL projections onto linear subspaces, so by von
+    * Neumann's alternating-projection theorem the iteration converges
+    * (linearly) to the orthogonal projection onto Sx ∩ Sy — the fully
+    * product-consistent trees, exactly the 2-D analogue of
+    * [[enforceConsistency]]'s closed form. Two properties hold at ANY
+    * finite sweep count (both spec-pinned): (a) NEVER-WORSE — the true
+    * tree lies in Sx and in Sy, and an orthogonal projection cannot
+    * increase distance to a point of its target subspace, so every
+    * single sweep weakly improves L2 error vs the raw release; (b) a
+    * zero-noise tree is already in Sx ∩ Sy, so every sweep is the
+    * IDENTITY (the oracle-exact gate anchor). Default 8 double-sweeps:
+    * residual inconsistency decays geometrically (spec-measured to
+    * ~1e-9 of the initial residual on noisy 16x32 trees).
+    *
+    * DISTRIBUTED like the 1-D sweep: per-key independent over the
+    * BOUNDED product universe ((2*binsX-1)(2*binsY-1) <= ~253k rows at
+    * the release path's caps — one array per task), one shuffle on the
+    * key, no driver collect, no key-cardinality cap. Post-processing:
+    * no budget. */
+  def enforce2DConsistency(
+      tree: DataFrame,
+      keyCols: Seq[String],
+      binsX: Int,
+      binsY: Int,
+      sweeps: Int = 8
+  ): DataFrame = {
+    require(binsX >= 2 && (binsX & (binsX - 1)) == 0 && binsX <= 4096,
+      s"binsX must be a power of two in [2, 4096], got $binsX")
+    require(binsY >= 2 && (binsY & (binsY - 1)) == 0 && binsY <= 4096,
+      s"binsY must be a power of two in [2, 4096], got $binsY")
+    require(sweeps >= 1, s"sweeps must be >= 1, got $sweeps")
+    val keyCs = keyCols.map(col)
+    val sweep = udf((lvxs: Seq[Int], idxxs: Seq[Long], lvys: Seq[Int],
+        idxys: Seq[Long], cnts: Seq[Double]) =>
+      consistency2DSweepOneKey(lvxs, idxxs, lvys, idxys, cnts,
+        binsX, binsY, sweeps))
+    tree
+      .groupBy(keyCs: _*)
+      .agg(collect_list(struct(
+        col("__lvx").as("lx"), col("__idxx").as("ix"),
+        col("__lvy").as("ly"), col("__idxy").as("iy"),
+        col("dp_count").as("c"))).as("__nodes"))
+      .select(keyCs :+ explode(sweep(
+        expr("transform(__nodes, n -> n.lx)"),
+        expr("transform(__nodes, n -> n.ix)"),
+        expr("transform(__nodes, n -> n.ly)"),
+        expr("transform(__nodes, n -> n.iy)"),
+        expr("transform(__nodes, n -> n.c)"))).as("__n"): _*)
+      .select(col("__n._1").as("__lvx") +: col("__n._2").as("__idxx") +:
+        col("__n._3").as("__lvy") +: col("__n._4").as("__idxy") +:
+        keyCs :+ col("__n._5").as("dp_count"): _*)
+  }
 }

@@ -1220,4 +1220,102 @@ class RangeTreeSpec extends AnyFunSuite {
     assert(m((0, 0L, 0, 0L)) == 1.0 && m((0, 0L, 0, 2L)) == 1.0)
     assert(m((0, 3L, 0, 3L)) == 0.0) // unit 1's highest cell dropped
   }
+
+  test("2-D consistency: zero-noise identity, never-worse per sweep, geometric residual decay") {
+    // -- pure-math core over a synthetic 8x4 product tree ---------------
+    val (binsX, binsY) = (8, 4)
+    val (nx, ny) = (2 * binsX - 1, 2 * binsY - 1)
+    // exact leaf grid -> exact product tree (truth: node = rect sum)
+    val rnd = new scala.util.Random(99)
+    val leaves = Array.fill(binsX, binsY)(rnd.nextInt(20).toDouble)
+    def xOff(l: Int) = (0 until l).map(binsX >> _).sum
+    def yOff(l: Int) = (0 until l).map(binsY >> _).sum
+    val truth = Array.ofDim[Double](nx, ny)
+    for (lx <- 0 to 3; ix <- 0 until (binsX >> lx);
+         ly <- 0 to 2; iy <- 0 until (binsY >> ly)) {
+      var s = 0.0
+      for (a <- (ix << lx) until ((ix + 1) << lx);
+           b <- (iy << ly) until ((iy + 1) << ly)) s += leaves(a)(b)
+      truth(xOff(lx) + ix)(yOff(ly) + iy) = s
+    }
+    // flatten helpers in the sweep's input shape
+    def flat(g: Array[Array[Double]]) = {
+      val lvx = collection.mutable.ArrayBuffer.empty[Int]
+      val idx = collection.mutable.ArrayBuffer.empty[Long]
+      val lvy = collection.mutable.ArrayBuffer.empty[Int]
+      val idy = collection.mutable.ArrayBuffer.empty[Long]
+      val c = collection.mutable.ArrayBuffer.empty[Double]
+      for (lx <- 0 to 3; ix <- 0 until (binsX >> lx);
+           ly <- 0 to 2; iy <- 0 until (binsY >> ly)) {
+        lvx += lx; idx += ix.toLong; lvy += ly; idy += iy.toLong
+        c += g(xOff(lx) + ix)(yOff(ly) + iy)
+      }
+      (lvx.toSeq, idx.toSeq, lvy.toSeq, idy.toSeq, c.toSeq)
+    }
+    def run(g: Array[Array[Double]], sweeps: Int) = {
+      val (a, b, cc, d, e) = flat(g)
+      RangeTree.consistency2DSweepOneKey(a, b, cc, d, e, binsX, binsY,
+        sweeps).map { case (lx, ix, ly, iy, v) =>
+        ((lx, ix, ly, iy), v) }.toMap
+    }
+    def l2ToTruth(m: Map[(Int, Long, Int, Long), Double]) = math.sqrt(
+      m.iterator.map { case ((lx, ix, ly, iy), v) =>
+        val d = v - truth(xOff(lx) + ix.toInt)(yOff(ly) + iy.toInt); d * d
+      }.sum)
+    // residual inconsistency: max |parent - child sum| over BOTH axes
+    def residual(m: Map[(Int, Long, Int, Long), Double]) = {
+      var r = 0.0
+      for (lx <- 1 to 3; ix <- 0L until (binsX >> lx).toLong;
+           ly <- 0 to 2; iy <- 0L until (binsY >> ly).toLong)
+        r = math.max(r, math.abs(m((lx, ix, ly, iy)) -
+          m((lx - 1, 2 * ix, ly, iy)) - m((lx - 1, 2 * ix + 1, ly, iy))))
+      for (lx <- 0 to 3; ix <- 0L until (binsX >> lx).toLong;
+           ly <- 1 to 2; iy <- 0L until (binsY >> ly).toLong)
+        r = math.max(r, math.abs(m((lx, ix, ly, iy)) -
+          m((lx, ix, ly - 1, 2 * iy)) - m((lx, ix, ly - 1, 2 * iy + 1))))
+      r
+    }
+    // (a) zero noise: every sweep is the IDENTITY (already consistent)
+    val id = run(truth, 8)
+    id.foreach { case ((lx, ix, ly, iy), v) =>
+      assert(v == truth(xOff(lx) + ix.toInt)(yOff(ly) + iy.toInt),
+        s"identity broke at ($lx,$ix,$ly,$iy)") }
+    // (b) noisy release: deterministic pseudo-noise per node
+    val noisy = Array.tabulate(nx, ny)((i, j) =>
+      truth(i)(j) + ((i * 31 + j * 17) % 13 - 6).toDouble)
+    val raw = run(noisy, 0 + 1) // 1 double-sweep
+    val more = run(noisy, 8)
+    val errRaw = math.sqrt((for (i <- 0 until nx; j <- 0 until ny) yield {
+      val d = noisy(i)(j) - truth(i)(j); d * d }).sum)
+    val err1 = l2ToTruth(raw)
+    val err8 = l2ToTruth(more)
+    // never-worse at every prefix: raw >= 1 sweep >= 8 sweeps (weakly)
+    assert(err1 <= errRaw + 1e-9, s"1 sweep worsened: $err1 vs $errRaw")
+    assert(err8 <= err1 + 1e-9, s"8 sweeps worsened: $err8 vs $err1")
+    assert(err8 < 0.9 * errRaw, s"no real improvement: $err8 vs $errRaw")
+    // geometric residual decay to ~consistency
+    val res1 = residual(run(noisy, 1))
+    val res8 = residual(more)
+    assert(res8 < 1e-6 * math.max(res1, 1.0),
+      s"residual did not converge: $res8 vs $res1")
+    // (c) the distributed face: zero-noise identity through Spark,
+    // schema preserved, keyed
+    val df = Seq((1L, 0.5, 0.5, "k"), (2L, 1.5, 2.5, "k"),
+      (3L, 3.5, 1.5, "k2"), (1L, 2.5, 3.5, "k2")).toDF("uid", "x", "y", "key")
+    val t = RangeTree.dpRange2DTree(df, "uid", col("x"), col("y"),
+      Seq("key"), 0.0, 4.0, 4, 0.0, 4.0, 4, 1.0, 10L,
+      graft.core.NoiseSource.Zero)
+    val out = RangeTree.enforce2DConsistency(t, Seq("key"), 4, 4)
+      .select("__lvx", "__idxx", "__lvy", "__idxy", "key", "dp_count")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(2),
+        r.getLong(3), r.getString(4)) -> r.getDouble(5)).toMap
+    val in = t.select("__lvx", "__idxx", "__lvy", "__idxy", "key", "dp_count")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(2),
+        r.getLong(3), r.getString(4)) -> r.getDouble(5)).toMap
+    assert(out == in, "zero-noise 2-D consistency must be the identity")
+    // partial universe fails loud
+    val e = intercept[Exception](RangeTree.enforce2DConsistency(
+      t.filter(col("__lvx") === 0), Seq("key"), 4, 4).collect())
+    assert(SparkTestSession.chainMsg(e).contains("FULL released"))
+  }
 }
