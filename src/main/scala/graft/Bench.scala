@@ -171,8 +171,10 @@ object Bench {
       else s""","errors":${errored.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
     // the contamination flag ships IN the artifact (the stderr line dies
     // with the log): inflation = this run's prior-covered total over the
-    // checked-in priors' total — >1.2 marks the whole run load-inflated
-    val contamJson = if (priorSum <= 0) ""
+    // checked-in priors' total — >1.2 marks the whole run load-inflated.
+    // FULL runs only: a targeted/other-SF run compared against the sf0.1
+    // priors would ship a meaningless ratio
+    val contamJson = if (priorSum <= 0 || only.isDefined) ""
       else f""","inflation":${r2(inflation)}%s,"run_contaminated":$contaminated%b"""
     // reruns as "name":[full-run median, isolated-rerun median]; a rerun
     // that itself FAILED carries no timing — keep it out of the map (its

