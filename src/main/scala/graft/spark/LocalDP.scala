@@ -253,8 +253,9 @@ object LocalDP {
       .crossJoin(broadcast(seeds.join(paramsDf, "__seed")))
       .withColumn("__h",
         ((col("__a") * col("__i") + col("__b")) % lit(OlhPrime)) % lit(g))
-    grid.join(broadcast(pinned),
-        grid("__seed") === pinned("__seed") && col("__h") === col("__y"),
+    val cellsR = pinned.withColumnRenamed("__seed", "__cseed")
+    grid.join(broadcast(cellsR),
+        col("__seed") === col("__cseed") && col("__h") === col("__y"),
         "left")
       .groupBy(col("value"))
       .agg(coalesce(sum(col("__c")), lit(0L)).as("support"))
