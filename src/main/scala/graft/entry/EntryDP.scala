@@ -879,6 +879,30 @@ private[graft] object EntryDP {
         Satisfies("purchase_value_cap",
           col("event_type") =!= "purchase" || col("value") <= 350.0)))
     }),
+    "dp_sparse_vector" -> ((s, dir) => {
+      // SPARSE VECTOR (AboveThreshold, c = 7): scan the ordered
+      // (event_type, user-bucket) cell-count candidates and release
+      // WHICH exceed the "5% over the uniform share" threshold
+      // T = 1.05 * total / 100 — paying budget only for the (at most 7)
+      // above-answers; the mechanism HALTS at the 7th hit and later
+      // queries release nothing (the threshold is scale-free, so the
+      // halt BINDS at every sf; in production T is a public contract or
+      // a DP-released total — here the deterministic derivation replays
+      // in SQL). Zero noise => above iff count >= T, releases = the
+      // first 7 in-order hits, the rest 'unanswered' — a window cumsum
+      // the oracle replays (min(raw hits before, c) is exactly
+      // n_released_before; answered iff raw hits before < c).
+      val ev = events(s, dir)
+      val thr = 1.05 * ev.count().toDouble / 100.0
+      val cells = ev
+        .groupBy(concat(col("event_type"), lit("|"),
+          lpad(pmod(col("user_id"), lit(20L)).cast("string"), 2, "0"))
+          .as("qid"))
+        .agg(count(lit(1)).cast("double").as("v"))
+      graft.spark.SparseVector.aboveThreshold(cells, "qid", col("v"),
+        threshold = thr, epsilon = 1.0, sensitivity = 100.0, c = 7,
+        noise = NoiseSource.Zero)
+    }),
     "dq_quarantine" -> ((s, dir) => {
       // row-level quarantine routing (the enforcement half of dq_report):
       // every event carries its declaration-ordered violation reasons +
@@ -1426,6 +1450,33 @@ private[graft] object EntryDP {
                      AS est_count
             FROM c, n"""
       },
+      "dp_sparse_vector" ->
+        // zero-noise SVT replay: raw above-hits in query order via a
+        // window cumsum; a query is answered iff hits strictly BEFORE it
+        // number < c (releases are exactly the first c in-order hits),
+        // and n_released_before = min(raw hits before, c)
+        """WITH t AS (
+              SELECT 1.05 * count(*) / 100.0 AS thr FROM events),
+            cells AS (
+              SELECT event_type || '|' ||
+                     lpad(CAST(CAST(user_id AS BIGINT) % 20 AS VARCHAR),
+                          2, '0') AS query_id,
+                     CAST(count(*) AS DOUBLE) AS v
+              FROM events GROUP BY 1),
+            o AS (
+              SELECT query_id, v,
+                     CAST(coalesce(sum(CASE WHEN v >= (SELECT thr FROM t)
+                                            THEN 1 ELSE 0 END)
+                       OVER (ORDER BY query_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0) AS BIGINT) AS hits_before
+              FROM cells)
+            SELECT query_id,
+                   CASE WHEN hits_before >= 7 THEN 'unanswered'
+                        WHEN v >= (SELECT thr FROM t) THEN 'above'
+                        ELSE 'below' END AS answer,
+                   least(hits_before, 7) AS n_released_before
+            FROM o""",
       "dp_ldp_olh" -> {
         // eps = 1: g = floor(e) + 1 = 3, p = e/(e+2); the debias
         // constants interpolate as round-trip doubles (the
