@@ -839,6 +839,26 @@ private[graft] object EntryDP {
         col("event_type"), ldpDomain, epsilon = 1.0,
         noise = NoiseSource.Zero)
     }),
+    "dp_ldp_heavy_hitters" -> ((s, dir) => {
+      // LOCAL-DP HEAVY HITTERS (prefix-extension over OLH rounds — the
+      // open-domain discovery a frequency oracle cannot do): each user's
+      // value is a 4-hex-char string (60% of users planted on 4 heavy
+      // values with distinct prefixes, the rest pseudo-uniform); round 1
+      // estimates all 256 2-char prefixes from the even-pid group's
+      // reports and keeps the top 8, round 2 estimates their 2048
+      // 4-char extensions from the odd-pid group and releases the final
+      // top 8. Zero noise => both rounds' estimates (true hits + hash
+      // collisions, debiased) and both prunings are deterministic — the
+      // WHOLE walk replays in SQL over the literal hash-parameter table.
+      val hh = events(s, dir).select(col("user_id"),
+        lower(lpad(expr(
+          """hex(CASE WHEN user_id % 10 < 6 THEN (user_id % 4) * 4369
+                      ELSE pmod(user_id * 48271 + 7, 65536) END)"""),
+          4, "0")).as("hv"))
+      graft.spark.LocalDP.ldpHeavyHitters(hh, "user_id", col("hv"),
+        hexLen = 4, epsilon = 4.0, noise = NoiseSource.Zero,
+        k = 8, rounds = 2)
+    }),
     "dp_ldp_mean" -> ((s, dir) => {
       // LOCAL DP mean (the 1-bit Duchi mechanism): each user's lowest
       // clamped value normalizes to [-1, 1] and reports ONE bit; the
@@ -1523,6 +1543,106 @@ private[graft] object EntryDP {
                    round((sup.support - n.n_reports * $invG) / $pMinusInv, 9)
                      AS est_count
             FROM sup, n"""
+      },
+      "dp_ldp_heavy_hitters" -> {
+        // both OLH rounds replayed over the shared literal parameter
+        // table: group/seed from the md5 of the pid (h64 % 2 and
+        // (h64 // 2) % 1024 — the decorrelated public randomness), prefix index
+        // = the hex prefix's numeric value (CONCAT('0x', ...) parses the
+        // same 60-bit longs conv() produces engine-side). eps = 4 (the
+        // deployed-telemetry scale): at eps = 1 the g = 3 collision
+        // variance (sd ~ 35 counts at this n) swamps any real signal —
+        // discovery NEEDS the larger g = 55 bucket space (collision sd
+        // ~ 5), measured, not assumed
+        val expEps = math.exp(4.0)
+        val g = math.floor(expEps).toLong + 1L
+        val invG = 1.0 / g
+        val pMinusInv = expEps / (expEps + g - 1) - invG
+        val prime = graft.spark.LocalDP.OlhPrime
+        val paramValues = graft.spark.LocalDP.olhParams(1024).zipWithIndex
+          .map { case ((a, b), s) => s"($s, $a, $b)" }.mkString(", ")
+        s"""WITH hp(seed, a, b) AS (VALUES $paramValues),
+            src AS (
+              SELECT CAST(user_id AS BIGINT) AS pid,
+                     lpad(lower(hex(CASE WHEN user_id % 10 < 6
+                            THEN (user_id % 4) * 4369
+                            ELSE (user_id * 48271 + 7) % 65536 END)),
+                          4, '0') AS v
+              FROM events),
+            u AS (SELECT pid, min(v) AS v FROM src GROUP BY 1),
+            uh AS (SELECT pid, v,
+                          CAST(CONCAT('0x', substr(md5(CAST(pid AS VARCHAR)),
+                               1, 15)) AS BIGINT) AS h64
+                   FROM u),
+            r0 AS (SELECT (h64 // 2) % 1024 AS seed, substr(v, 1, 2) AS pfx
+                   FROM uh WHERE h64 % 2 = 0),
+            rep0 AS (
+              SELECT r0.seed,
+                     ((hp.a * CAST(CONCAT('0x', pfx) AS BIGINT) + hp.b)
+                       % $prime) % $g AS y
+              FROM r0 JOIN hp ON hp.seed = r0.seed),
+            cells0 AS (SELECT seed, y, CAST(count(*) AS BIGINT) AS c
+                       FROM rep0 GROUP BY 1, 2),
+            n0 AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n FROM cells0),
+            cand0 AS (SELECT lpad(lower(hex(i)), 2, '0') AS value
+                      FROM range(0, 256) t(i)),
+            grid0 AS (
+              SELECT c0.value, s.seed,
+                     ((hp.a * CAST(CONCAT('0x', c0.value) AS BIGINT) + hp.b)
+                       % $prime) % $g AS h
+              FROM cand0 c0
+              CROSS JOIN (SELECT DISTINCT seed FROM cells0) s
+              JOIN hp ON hp.seed = s.seed),
+            sup0 AS (
+              SELECT grid0.value,
+                     CAST(coalesce(sum(cells0.c), 0) AS BIGINT) AS support
+              FROM grid0 LEFT JOIN cells0
+                ON cells0.seed = grid0.seed AND cells0.y = grid0.h
+              GROUP BY 1),
+            top0 AS (
+              SELECT value FROM (
+                SELECT value,
+                       row_number() OVER (ORDER BY
+                         round((support - (SELECT n FROM n0) * $invG)
+                               / $pMinusInv, 9) DESC, value ASC) AS rk
+                FROM sup0) WHERE rk <= 8),
+            cand1 AS (
+              SELECT t0.value || lpad(lower(hex(i)), 2, '0') AS value
+              FROM top0 t0 CROSS JOIN range(0, 256) t(i)),
+            r1 AS (SELECT (h64 // 2) % 1024 AS seed, v AS pfx
+                   FROM uh WHERE h64 % 2 = 1),
+            rep1 AS (
+              SELECT r1.seed,
+                     ((hp.a * CAST(CONCAT('0x', pfx) AS BIGINT) + hp.b)
+                       % $prime) % $g AS y
+              FROM r1 JOIN hp ON hp.seed = r1.seed),
+            cells1 AS (SELECT seed, y, CAST(count(*) AS BIGINT) AS c
+                       FROM rep1 GROUP BY 1, 2),
+            n1 AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n FROM cells1),
+            grid1 AS (
+              SELECT c1.value, s.seed,
+                     ((hp.a * CAST(CONCAT('0x', c1.value) AS BIGINT) + hp.b)
+                       % $prime) % $g AS h
+              FROM cand1 c1
+              CROSS JOIN (SELECT DISTINCT seed FROM cells1) s
+              JOIN hp ON hp.seed = s.seed),
+            sup1 AS (
+              SELECT grid1.value,
+                     CAST(coalesce(sum(cells1.c), 0) AS BIGINT) AS support
+              FROM grid1 LEFT JOIN cells1
+                ON cells1.seed = grid1.seed AND cells1.y = grid1.h
+              GROUP BY 1),
+            est1 AS (
+              SELECT value, (SELECT n FROM n1) AS n_reports, support,
+                     round((support - (SELECT n FROM n1) * $invG)
+                           / $pMinusInv, 9) AS est_count
+              FROM sup1)
+            SELECT value, est_count, support, n_reports,
+                   CAST(rk AS BIGINT) AS rk
+            FROM (SELECT *, row_number() OVER (
+                    ORDER BY est_count DESC, value ASC) AS rk
+                  FROM est1)
+            WHERE rk <= 8"""
       },
       "dp_ldp_mean" -> {
         val t = (math.exp(1.0) - 1.0) / (math.exp(1.0) + 1.0)

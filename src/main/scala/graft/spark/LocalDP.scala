@@ -265,6 +265,175 @@ object LocalDP {
           .as("est_count"))
   }
 
+  /** LOCAL-DP HEAVY HITTERS — prefix-extension discovery (the PEM shape,
+    * Wang-Li-Jha "Locally Differentially Private Heavy Hitter
+    * Identification", and the deployed Apple/Google telemetry pattern):
+    * the question a frequency oracle cannot answer — WHAT are the
+    * frequent values of an OPEN domain (URLs, tokens, error strings) —
+    * answered by walking a prefix tree: users split into `rounds`
+    * disjoint groups; group r's units report the OLH bucket of their
+    * value's PREFIX of length L*(r+1)/rounds, and the aggregator
+    * estimates only the candidates formed by extending the previous
+    * round's top-k survivors one step — so each level's candidate set
+    * stays k * |alphabet|^step instead of |alphabet|^L. Each unit
+    * reports ONCE (its own group's round), so the whole discovery is
+    * eps-LDP; group sizes shrink 1/rounds, the estimator-variance price
+    * of the tree walk.
+    *
+    * Values are fixed-length lowercase-hex strings (`hexLen` chars,
+    * fail-loud otherwise); the OLH index of a prefix is its numeric
+    * value, so reporting needs NO closed candidate list (hash the
+    * prefix, not an index into a domain) — the open-domain property.
+    * Same public randomness as [[ldpFrequencyOLH]]: group = pid mod
+    * rounds, seed = (pid / rounds) mod seedSpace, per-seed (A, B) from
+    * [[olhParams]].
+    *
+    * Zero noise: every report is the true bucket, every per-round
+    * estimate (true hits + deterministic hash collisions, debiased) is
+    * a deterministic function of exact counts, and the top-k pruning
+    * breaks ties (est desc, candidate asc) — the WHOLE multi-round
+    * derivation replays in SQL (the gate anchor). Retry-composition
+    * caveat as [[ldpFrequency]].
+    *
+    * Output: the final round's top-k — (value, est_count, support,
+    * n_reports, rk). Scale shape per round: reports collapse to
+    * <= seedSpace * g cells; candidates (<= k * 16^step rows) cross the
+    * observed seeds with the hash as a codegen'd expression; cells
+    * broadcast onto the grid — nothing data-shaped collects, and the
+    * only driver loop is the `rounds`-step walk (each step one bounded
+    * Spark job chain, the IVF-training convention). */
+  def ldpHeavyHitters(
+      df: DataFrame,
+      pidCol: String,
+      valueCol: Column,
+      hexLen: Int,
+      epsilon: Double,
+      noise: graft.core.NoiseSource,
+      k: Int = 8,
+      rounds: Int = 2,
+      seedSpace: Int = 1024
+  ): DataFrame = {
+    require(hexLen >= 1 && hexLen <= 15,
+      s"hexLen must be in [1, 15] (prefixes parse as 60-bit longs), got $hexLen")
+    require(rounds >= 1 && hexLen % rounds == 0,
+      s"rounds ($rounds) must divide hexLen ($hexLen) — equal prefix steps")
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(epsilon > 0, s"epsilon must be positive, got $epsilon")
+    require(seedSpace >= 2 && seedSpace <= 65536,
+      s"seedSpace must be in [2, 65536], got $seedSpace")
+    val step = hexLen / rounds
+    val expEps = math.exp(epsilon)
+    val g = math.floor(expEps).toLong + 1L
+    val p = expEps / (expEps + g - 1)
+    val invG = 1.0 / g
+    val gi = g.toInt
+    val params = olhParams(seedSpace)
+    val spark0 = df.sparkSession
+    val checked = when(valueCol.isNull, raise_error(lit(
+        "ldpHeavyHitters: NULL value for a privacy unit — filter or " +
+          "impute upstream")).cast("string"))
+      .otherwise(when(valueCol.cast("string").rlike(s"^[0-9a-f]{$hexLen}$$"),
+        valueCol.cast("string"))
+        .otherwise(raise_error(lit(
+          s"ldpHeavyHitters: value is not a $hexLen-char lowercase-hex " +
+            "string — encode the open domain to fixed-length hex " +
+            "upstream (hash or pad)")).cast("string")))
+    val pidN = when(col("__pidn").isNull, raise_error(lit(
+        "ldpHeavyHitters: pid does not cast to BIGINT — group and seed " +
+          "derive from it")).cast("long"))
+      .otherwise(col("__pidn"))
+    // one report per unit: the deterministic lowest value
+    val perUnit = df
+      .select(col(pidCol).try_cast("bigint").as("__pidn"), checked.as("__v"))
+      .withColumn("__rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__pidn")).orderBy(col("__v").asc)))
+      .filter(col("__rk") === 1)
+      .select(pidN.as("__pid"), col("__v"))
+      // group and seed from the MD5 of the pid (the engine's portable
+      // public-randomness convention), NOT pid arithmetic: pid % rounds
+      // correlates with any pid-linear value structure — measured: a
+      // fixture deriving values from user_id % 4 put each heavy value in
+      // ONLY ONE parity group, so the round estimating its prefix never
+      // saw its holders and discovery collapsed. The hash decorrelates
+      // group membership from every value pattern.
+      .withColumn("__h64", expr(
+        "CAST(conv(substr(md5(CAST(__pid AS STRING)), 1, 15), 16, 10) " +
+          "AS BIGINT)"))
+      .withColumn("__grp", pmod(col("__h64"), lit(rounds.toLong)))
+      .withColumn("__seed",
+        pmod(expr(s"__h64 div $rounds"), lit(seedSpace.toLong)))
+      .localCheckpoint(false) // every round reads its group slice
+    val report = udf((seed: Long, prefix: String) => {
+      val (a, b) = params(seed.toInt)
+      val h = olhHash(a, b, java.lang.Long.parseLong(prefix, 16), g)
+      if (noise.uniform() < p) h
+      else {
+        val j = math.min((noise.uniform() * (gi - 1)).toInt, gi - 2)
+        (h + 1 + j) % g
+      }
+    }).asNondeterministic()
+    val paramsDf = spark0.createDataFrame(
+      spark0.sparkContext.parallelize(
+        params.indices.map(s => org.apache.spark.sql.Row(
+          s.toLong, params(s)._1, params(s)._2)), 4),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__seed",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("__a",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("__b",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    val hexDigits = spark0.range(0, 16).select(
+      lower(lpad(expr("hex(id)"), 1, "0")).as("__d"))
+    // level-1 candidates: ALL step-length prefixes (16^step rows, public)
+    var cands = (1 until step).foldLeft(
+      hexDigits.select(col("__d").as("value"))) { (acc, _) =>
+      acc.crossJoin(hexDigits).select(concat(col("value"), col("__d"))
+        .as("value"))
+    }
+    var out: DataFrame = null
+    for (r <- 0 until rounds) {
+      val pfxLen = step * (r + 1)
+      val grpReports = perUnit.filter(col("__grp") === r.toLong)
+        .select(col("__seed"),
+          report(col("__seed"), substring(col("__v"), 1, pfxLen)).as("__y"))
+      val cells = grpReports.groupBy(col("__seed"), col("__y"))
+        .agg(count(lit(1)).as("__c"))
+        .localCheckpoint(false) // draws final; n + seeds + grid read it
+      val nDf = cells.agg(coalesce(sum(col("__c")), lit(0L)).as("__n"))
+      val seeds = cells.select(col("__seed")).distinct()
+      val grid = cands
+        .crossJoin(broadcast(seeds.join(paramsDf, "__seed")))
+        .withColumn("__h",
+          ((col("__a") * expr("CAST(conv(value, 16, 10) AS BIGINT)") +
+            col("__b")) % lit(OlhPrime)) % lit(g))
+      val cellsR = cells.withColumnRenamed("__seed", "__cseed")
+      val est = grid.join(broadcast(cellsR),
+          col("__seed") === col("__cseed") && col("__h") === col("__y"),
+          "left")
+        .groupBy(col("value"))
+        .agg(coalesce(sum(col("__c")), lit(0L)).as("support"))
+        .crossJoin(broadcast(nDf))
+        .select(col("value"), col("__n").as("n_reports"), col("support"),
+          round((col("support") - col("__n") * lit(invG)) / lit(p - invG),
+            9).as("est_count"))
+      val top = est
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("est_count").desc, col("value").asc)).cast("long"))
+        .filter(col("rk") <= k)
+        .localCheckpoint(false) // next round extends it; final round returns
+      if (r < rounds - 1)
+        cands = (0 until step).foldLeft(top.select(col("value"))) {
+          (acc, _) => acc.crossJoin(hexDigits)
+            .select(concat(col("value"), col("__d")).as("value"))
+        }.localCheckpoint(false)
+      else out = top
+    }
+    out.select("value", "est_count", "support", "n_reports", "rk")
+  }
+
   /** The Carter-Wegman modulus: a prime far above any domain index the
     * engine meets, small enough that A * idx never nears 2^63 (idx up to
     * ~9e12 is safe), so the hash replays with plain `%` anywhere. */

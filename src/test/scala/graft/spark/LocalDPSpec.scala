@@ -214,6 +214,48 @@ class LocalDPSpec extends AnyFunSuite {
     assert(rep.contains("central accountant"))
   }
 
+  test("heavy hitters: planted values discovered through the 2-round walk; contracts") {
+    // 2000 units: 60% planted on three heavies with DISTINCT prefixes
+    // (and ids chosen so the md5 group split sees all three in both
+    // groups — the decorrelation the engine guarantees), rest spread
+    val heavies = Seq("00aa", "3c11", "e7f2")
+    val df = (1 to 2000).map { i =>
+      val v = if (i % 10 < 6) heavies(i % 3)
+        else f"${(i * 48271 + 7) % 65536}%04x"
+      (i.toLong, v)
+    }.toDF("uid", "v")
+    val out = LocalDP.ldpHeavyHitters(df, "uid", col("v"), hexLen = 4,
+        epsilon = 4.0, noise = graft.core.NoiseSource.Zero, k = 6,
+        rounds = 2)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(heavies.forall(out.contains),
+      s"planted not all discovered: ${out.keySet} vs $heavies")
+    // the planted separate cleanly from whatever noise-floor values fill
+    // the remaining slots
+    val floor = (out.keySet -- heavies).map(out).maxOption.getOrElse(0.0)
+    heavies.foreach { h =>
+      assert(out(h) > floor, s"$h est ${out(h)} <= noise floor $floor") }
+    // REAL randomizer at the same eps: statistical discovery still works
+    // at this n (collision sd ~ sqrt(n/2/55)/0.485 ~ 9 vs signal ~ 400)
+    val real = LocalDP.ldpHeavyHitters(df, "uid", col("v"), hexLen = 4,
+        epsilon = 4.0, noise = graft.core.NoiseSource.Seeded(17L), k = 6,
+        rounds = 2)
+      .collect().map(_.getString(0)).toSet
+    assert(heavies.count(real.contains) >= 2,
+      s"real-noise discovery lost the heavies: $real")
+    // contracts
+    val e = intercept[Exception](LocalDP.ldpHeavyHitters(
+      Seq((1L, "XYZ!")).toDF("uid", "v"), "uid", col("v"), 4, 4.0,
+      graft.core.NoiseSource.Zero).collect())
+    assert(SparkTestSession.chainMsg(e).contains("lowercase-hex"))
+    intercept[IllegalArgumentException](LocalDP.ldpHeavyHitters(df, "uid",
+      col("v"), hexLen = 4, epsilon = 4.0,
+      noise = graft.core.NoiseSource.Zero, rounds = 3)) // 3 !| 4
+    intercept[IllegalArgumentException](LocalDP.ldpHeavyHitters(df, "uid",
+      col("v"), hexLen = 16, epsilon = 4.0,
+      noise = graft.core.NoiseSource.Zero))
+  }
+
   test("real randomizer: the debiased estimate is unbiased within 5 sigma") {
     val n = 20000
     val df = (1 to n).map(i => (i.toLong, "a")).toDF("uid", "v")

@@ -953,6 +953,26 @@ class StreamOpsSpec extends AnyFunSuite {
     val e2 = intercept[IllegalStateException](
       StreamOps.loadContinualStore(spark, s"$dir/nowhere"))
     assert(e2.getMessage.contains("no calibration metadata"))
+    // EMPTY-NOISE edge: a store saved BEFORE any release (ingest-only
+    // step — releaseThrough <= releasedThrough draws nothing) must
+    // round-trip too: the empty noise frame's parquet must read back
+    // with its schema, and the resumed fold from the cold store must
+    // still equal the one-shot releases
+    val (rel0, st0) = StreamOps.onlineContinualStep(
+      df.filter(col("tick") <= 2), None, "user_id", col("tick"),
+      Seq("key"), 8, 1.0, 100L, graft.core.NoiseSource.Zero,
+      releasedThrough = -1L, releaseThrough = -1L)
+    assert(rel0.count() == 0L && st0.nodeNoise.count() == 0L)
+    StreamOps.saveContinualStore(st0, s"$dir/empty_noise")
+    val cold = StreamOps.loadContinualStore(spark, s"$dir/empty_noise")
+    assert(cold.nodeNoise.count() == 0L && cold.maxTick == 2L)
+    val (rel1b, _) = StreamOps.onlineContinualStep(
+      df.filter(col("tick") === 3), Some(cold), "user_id", col("tick"),
+      Seq("key"), 8, 1.0, 100L, graft.core.NoiseSource.Zero,
+      releasedThrough = -1L, releaseThrough = 3L)
+    val got = rel1b.collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got == Map(0L -> 2.0, 1L -> 2.0, 2L -> 3.0, 3L -> 6.0),
+      s"resumed-from-empty-noise release: $got")
   }
 
   test("continual fold: mid-stream calibration change fails loud") {
