@@ -434,6 +434,32 @@ object LocalDP {
     out.select("value", "est_count", "support", "n_reports", "rk")
   }
 
+  /** Human-readable release report for [[ldpHeavyHitters]] — the explain
+    * convention: the walk shape, per-round group sizes, the per-level
+    * candidate cost, and the discovery floor (the OLH estimator stddev a
+    * heavy value must clear in EVERY round it is alive). Pure string
+    * math — no data access. */
+  def explainHeavyHitters(hexLen: Int, epsilon: Double, nUnits: Long,
+      k: Int = 8, rounds: Int = 2, seedSpace: Int = 1024): String = {
+    require(hexLen >= 1 && rounds >= 1 && hexLen % rounds == 0,
+      "rounds must divide hexLen")
+    require(nUnits >= rounds, s"need >= $rounds units, got $nUnits")
+    require(epsilon > 0, "epsilon must be positive")
+    val step = hexLen / rounds
+    val expEps = math.exp(epsilon)
+    val g = math.floor(expEps).toLong + 1L
+    val p = expEps / (expEps + g - 1)
+    val invG = 1.0 / g
+    val nGrp = nUnits / rounds
+    val std = math.sqrt(nGrp * invG * (1.0 - invG)) / (p - invG)
+    val candPerLevel = k.toLong * (1L << (4 * step))
+    s"""LocalDP heavy-hitter discovery (prefix extension over OLH)
+       |  walk      : $rounds rounds x $step hex chars; md5-split groups of ~$nGrp units report ONE bucket each (eps = ${f"$epsilon%g"}-LDP total, open domain)
+       |  candidates: level 1 = ${1L << (4 * step)} public prefixes, later levels = top-$k x 16^$step = $candPerLevel — never 16^$hexLen
+       |  floor     : per-candidate estimator stddev ~ ${f"$std%g"} at g = $g buckets; a heavy value must clear it EVERY round it is alive (small g — low eps — swamps discovery: at eps = 1, g = 3, the floor is ~7x worse)
+       |""".stripMargin
+  }
+
   /** The Carter-Wegman modulus: a prime far above any domain index the
     * engine meets, small enough that A * idx never nears 2^63 (idx up to
     * ~9e12 is safe), so the hash replays with plain `%` anywhere. */
