@@ -57,6 +57,26 @@ private[graft] object EntryStream {
         s.read.parquet(s"$dir/customer.parquet"),
         "c_custkey", "c_mktsegment")
     }),
+    "ss_reservoir" -> ((s, dir) => {
+      // streaming bounded sample (r16): a <= 5-row uniform per-lang
+      // sample of the document stream maintained across 3 micro-batches
+      // by the portable bottom-k-hash reservoir — min-k is associative,
+      // so the fold equals the one-shot bottom-k of the whole corpus,
+      // and the hash rule makes the SAMPLE ITSELF deterministic: the
+      // oracle verifies the selected rows (ids + payload), not just
+      // counts. Batch 3 REPLAYS part of batch 2 (doc_id % 3 == 1 rows
+      // appear in both) — the idempotence contract runs for real.
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "lang", "n_chars")
+      val batches = Seq(
+        docs.filter(col("doc_id") % 3 === 0),
+        docs.filter(col("doc_id") % 3 === 1),
+        docs.filter(col("doc_id") % 3 =!= 0)) // replays the %3==1 rows
+      graft.streaming.StreamOps.onlineReservoirIngest(batches,
+          Seq("lang"), "doc_id", k = 5)
+        .select(col("lang"), col("doc_id"), col("n_chars"), col("__prio")
+          .as("prio"))
+    }),
     "ss_dedup" -> ((s, dir) => {
       // streaming dedup rollup: distinct users per hour via the chained
       // dropDuplicates + windowed-count rewrite (count DISTINCT is
@@ -603,6 +623,18 @@ private[graft] object EntryStream {
         """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
               event_type, CAST(sum(floor(value)) AS DOUBLE) AS dp_sum
            FROM events GROUP BY 1, 2""",
+      // the one-shot bottom-k replay: priority = md5('reservoir#id'),
+      // k smallest (priority, id) per lang — fold == one-shot by min-k
+      // associativity
+      "ss_reservoir" ->
+        """SELECT lang, doc_id, n_chars, prio FROM (
+             SELECT lang, doc_id, n_chars,
+                    md5('reservoir#' || CAST(doc_id AS VARCHAR)) AS prio,
+                    row_number() OVER (PARTITION BY lang
+                      ORDER BY md5('reservoir#' || CAST(doc_id AS VARCHAR)),
+                               doc_id) AS rk
+             FROM documents)
+           WHERE rk <= 5""",
       "ss_dedup" ->
         """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
               event_type, count(DISTINCT user_id) AS distinct_users

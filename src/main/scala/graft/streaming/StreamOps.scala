@@ -1493,6 +1493,88 @@ object StreamOps {
     logs.reverse.reduce(_.unionByName(_))
   }
 
+  /** One micro-batch step of the STREAMING BOUNDED SAMPLE — a <= k-row
+    * uniform per-key sample maintained over an unbounded stream (the
+    * held-out-set / eval-slice builder: "keep a fair sample of
+    * everything that ever flowed through", at O(k x keys) state). The
+    * rule is the engine's portable BOTTOM-K-BY-HASH reservoir (the
+    * [[graft.ops.CorpusOps]] weightedSample/stratifiedSample/shuffle
+    * convention): a row's priority is md5("salt#id"), and the store
+    * keeps each key's k smallest (priority, id) rows. min-k is
+    * ASSOCIATIVE and IDEMPOTENT, so the fold over ANY batch split —
+    * including replays of identical rows — equals the one-shot bottom-k
+    * of the union (spec-pinned), there is no ascending-ingest contract
+    * to enforce, and unlike classical reservoir sampling the sample is
+    * DETERMINISTIC: the gate verifies payloads, not just counts.
+    * Uniformity is the hash-order argument: md5 orders ids
+    * pseudo-randomly and data-independently, so the bottom-k is a
+    * simple random sample of the ids seen so far under any fixed salt
+    * (vary the salt to draw a fresh sample; statistical spec pins the
+    * inclusion rate).
+    *
+    * CONTRACT: (keyCols, idCol) identifies ONE payload — a replayed id
+    * must carry the identical payload row (the store dedupes on the
+    * key+id pair and would otherwise keep an arbitrary copy).
+    *
+    * Store: (keyCols..., idCol, payload..., __prio), <= k rows per key.
+    * Callers checkpoint it between steps (the [[onlineContinualStep]]
+    * convention). */
+  def onlineReservoirStep(
+      batch: DataFrame,
+      store: Option[DataFrame],
+      keyCols: Seq[String],
+      idCol: String,
+      k: Int,
+      salt: String = "reservoir"
+  ): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(!batch.columns.contains("__prio"),
+      "onlineReservoirStep: the batch already carries __prio — pass raw " +
+        "rows, not a store")
+    val keyCs = keyCols.map(col)
+    val checkedId = when(col(idCol).isNull, raise_error(lit(
+        s"onlineReservoirStep: NULL id '$idCol' — the sample dedupes " +
+          "and orders on it; assign ids upstream")).cast(
+        batch.schema(idCol).dataType))
+      .otherwise(col(idCol)).as(idCol)
+    val prioritized = batch
+      .withColumn(idCol, checkedId)
+      .withColumn("__prio",
+        md5(concat(lit(salt), lit("#"), col(idCol).cast("string"))))
+    val unioned = store match {
+      case None => prioritized
+      case Some(st) => st.unionByName(prioritized)
+    }
+    unioned
+      // replayed ids collapse to one slot (content-deterministic under
+      // the identical-payload contract)
+      .dropDuplicates(keyCols :+ idCol)
+      .withColumn("__rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(keyCs: _*)
+          .orderBy(col("__prio").asc, col(idCol).asc)))
+      .filter(col("__rk") <= k)
+      .drop("__rk")
+  }
+
+  /** Driver-side fold of [[onlineReservoirStep]] over ordered
+    * micro-batches, returning the final store — the
+    * [[onlineNearDupIngest]] convention (each step's store checkpointed
+    * so the fold's lineage stays flat). */
+  def onlineReservoirIngest(
+      batches: Seq[DataFrame],
+      keyCols: Seq[String],
+      idCol: String,
+      k: Int,
+      salt: String = "reservoir"
+  ): DataFrame = {
+    require(batches.nonEmpty, "onlineReservoirIngest: no batches")
+    batches.foldLeft(Option.empty[DataFrame]) { (store, b) =>
+      Some(onlineReservoirStep(b, store, keyCols, idCol, k, salt)
+        .localCheckpoint(false))
+    }.get
+  }
+
   /** One micro-batch of ingest-time record linkage (the
     * [[onlineNearDupStep]] shape for the structured-record ER family):
     * the batch's pairs are the union of within-batch pairs and

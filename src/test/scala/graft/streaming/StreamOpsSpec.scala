@@ -975,6 +975,49 @@ class StreamOpsSpec extends AnyFunSuite {
       s"resumed-from-empty-noise release: $got")
   }
 
+  test("streaming reservoir: fold == one-shot under any split, replay-idempotent, uniform") {
+    import org.apache.spark.sql.functions._
+    val rows = (1 to 300).map(i => (i.toLong, s"k${i % 3}", i * 10))
+    val df = rows.toDF("id", "key", "payload")
+    def sample(batches: Seq[org.apache.spark.sql.DataFrame]) =
+      StreamOps.onlineReservoirIngest(batches, Seq("key"), "id", k = 4)
+        .select("key", "id", "payload").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    val oneShot = sample(Seq(df))
+    // any batch split folds to the one-shot bottom-k (min-k associativity)
+    val split3 = sample(Seq(df.filter(col("id") <= 100),
+      df.filter(col("id") > 100 && col("id") <= 200),
+      df.filter(col("id") > 200)))
+    assert(split3 == oneShot)
+    // REPLAYED rows collapse to one slot (idempotence)
+    val replayed = sample(Seq(df.filter(col("id") <= 150), df))
+    assert(replayed == oneShot)
+    // cap holds: 4 per key, 3 keys
+    assert(oneShot.size == 12 &&
+      oneShot.groupBy(_._1).forall(_._2.size == 4))
+    // payloads ride: every sampled row carries its original payload
+    assert(oneShot.forall { case (_, id, p) => p == id * 10 })
+    // UNIFORMITY across salts: element 1's inclusion rate over 60 salts
+    // ~ k/n_key = 4/100; binomial sd = sqrt(.04*.96/60) ~ 0.025 — allow 5 sd
+    val hits = (1 to 60).count { s =>
+      StreamOps.onlineReservoirStep(df.filter(col("key") === "k1"), None,
+          Seq("key"), "id", k = 4, salt = s"s$s")
+        .filter(col("id") === 1L).count() > 0
+    }
+    val rate = hits / 60.0
+    assert(rate < 0.04 + 5 * 0.025, s"inclusion rate $rate — not uniform")
+    // NULL id fails loud
+    val e = intercept[Exception](StreamOps.onlineReservoirStep(
+      Seq((null.asInstanceOf[java.lang.Long], "k", 1)).toDF("id", "key", "p"),
+      None, Seq("key"), "id", 4).collect())
+    assert(graft.spark.SparkTestSession.chainMsg(e).contains("NULL id"))
+    // a store accidentally passed as a batch fails loud
+    val st = StreamOps.onlineReservoirStep(df, None, Seq("key"), "id", 4)
+    val e2 = intercept[IllegalArgumentException](
+      StreamOps.onlineReservoirStep(st, None, Seq("key"), "id", 4))
+    assert(e2.getMessage.contains("__prio"))
+  }
+
   test("continual fold: mid-stream calibration change fails loud") {
     import org.apache.spark.sql.functions._
     // the store's persisted draws are calibration-specific — a step that
