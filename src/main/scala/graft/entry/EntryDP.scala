@@ -839,6 +839,25 @@ private[graft] object EntryDP {
         col("event_type"), ldpDomain, epsilon = 1.0,
         noise = NoiseSource.Zero)
     }),
+    "ss_dp_olh_fold" -> ((s, dir) => {
+      // STREAMING OLH (r16): three unit-partitioned micro-batches
+      // (user_id % 3 routes every unit's rows through ONE batch — the
+      // ingest bounding contract) fold their (seed, bucket) cells into
+      // the additive store; the estimate over the folded store must
+      // hash-equal the one-shot dp_ldp_olh release — the oracle IS its
+      // SQL (zero noise: identical truthful cells under any
+      // unit-partitioned split).
+      val ev = events(s, dir)
+      val batches = Seq(0L, 1L, 2L).map(r =>
+        ev.filter(pmod(col("user_id"), lit(3L)) === r))
+      var store: Option[DataFrame] = None
+      batches.foreach { b =>
+        store = Some(graft.spark.LocalDP.olhIngestStep(b, store,
+          "user_id", col("event_type"), ldpDomain, epsilon = 1.0,
+          noise = NoiseSource.Zero).localCheckpoint(false))
+      }
+      graft.spark.LocalDP.olhEstimate(store.get, ldpDomain, epsilon = 1.0)
+    }),
     "dp_ldp_heavy_hitters" -> ((s, dir) => {
       // LOCAL-DP HEAVY HITTERS (prefix-extension over OLH rounds — the
       // open-domain discovery a frequency oracle cannot do): each user's
@@ -1497,6 +1516,48 @@ private[graft] object EntryDP {
                         ELSE 'below' END AS answer,
                    least(hits_before, 7) AS n_released_before
             FROM o""",
+      // the fold over unit-partitioned batches releases the one-shot
+      // OLH cells exactly — same oracle
+      "ss_dp_olh_fold" -> {
+        val expEps = math.exp(1.0)
+        val g = math.floor(expEps).toLong + 1L
+        val invG = 1.0 / g
+        val pMinusInv = expEps / (expEps + g - 1) - invG
+        val prime = graft.spark.LocalDP.OlhPrime
+        val domainValues = ldpDomain.zipWithIndex
+          .map { case (v, i) => s"($i, '$v')" }.mkString(", ")
+        val paramValues = graft.spark.LocalDP.olhParams(1024).zipWithIndex
+          .map { case ((a, b), s) => s"($s, $a, $b)" }.mkString(", ")
+        s"""WITH u AS (
+              SELECT CAST(user_id AS BIGINT) AS pid, min(event_type) AS v
+              FROM events GROUP BY 1),
+            d(i, value) AS (VALUES $domainValues),
+            hp(seed, a, b) AS (VALUES $paramValues),
+            rep AS (
+              SELECT pid % 1024 AS seed,
+                     ((hp.a * d.i + hp.b) % $prime) % $g AS y
+              FROM u JOIN d ON u.v = d.value
+                     JOIN hp ON hp.seed = pid % 1024),
+            cells AS (
+              SELECT seed, y, CAST(count(*) AS BIGINT) AS c
+              FROM rep GROUP BY 1, 2),
+            n AS (SELECT CAST(sum(c) AS BIGINT) AS n_reports FROM cells),
+            grid AS (
+              SELECT d.value, s.seed,
+                     ((hp.a * d.i + hp.b) % $prime) % $g AS h
+              FROM d CROSS JOIN (SELECT DISTINCT seed FROM cells) s
+                     JOIN hp ON hp.seed = s.seed),
+            sup AS (
+              SELECT grid.value,
+                     CAST(coalesce(sum(cells.c), 0) AS BIGINT) AS support
+              FROM grid LEFT JOIN cells
+                ON cells.seed = grid.seed AND cells.y = grid.h
+              GROUP BY 1)
+            SELECT sup.value, n.n_reports, sup.support,
+                   round((sup.support - n.n_reports * $invG) / $pMinusInv, 9)
+                     AS est_count
+            FROM sup, n"""
+      },
       "dp_ldp_olh" -> {
         // eps = 1: g = floor(e) + 1 = 3, p = e/(e+2); the debias
         // constants interpolate as round-trip doubles (the

@@ -162,6 +162,59 @@ object LocalDP {
       epsilon: Double,
       noise: graft.core.NoiseSource,
       seedSpace: Int = 1024
+  ): DataFrame =
+    olhEstimate(
+      olhReportCells(df, pidCol, valueCol, domain, epsilon, noise,
+        seedSpace).localCheckpoint(false), // draws final; read 3x below
+      domain, epsilon, seedSpace)
+
+  /** One micro-batch step of STREAMING OLH frequency — the LDP family's
+    * ingest fold: the (seed, bucket) -> count CELLS are plain additive
+    * state (<= seedSpace * g rows — never data-shaped), so a stream
+    * folds by summing each batch's cells into the store, and
+    * [[olhEstimate]] reads the running estimate at ANY point for free.
+    * Zero noise + the one-batch-per-unit contract => the fold over any
+    * unit-partitioned batch split equals the one-shot
+    * [[ldpFrequencyOLH]] cells exactly (spec-pinned).
+    *
+    * BOUNDING CONTRACT (the [[graft.spark.RangeTree.rangeTreeIngestStep]]
+    * convention): the one-report-per-unit rule dedupes WITHIN a batch —
+    * a unit whose rows straddle m batches reports m times and its
+    * epsilon composes to m*eps; route each unit's rows through one
+    * batch (partition the ingest by unit). Callers checkpoint the
+    * returned store between steps. */
+  def olhIngestStep(
+      batch: DataFrame,
+      store: Option[DataFrame],
+      pidCol: String,
+      valueCol: Column,
+      domain: Seq[String],
+      epsilon: Double,
+      noise: graft.core.NoiseSource,
+      seedSpace: Int = 1024
+  ): DataFrame = {
+    val cells = olhReportCells(batch, pidCol, valueCol, domain, epsilon,
+      noise, seedSpace)
+    store match {
+      case None => cells
+      case Some(st) => st.unionByName(cells)
+        .groupBy(col("__seed"), col("__y"))
+        .agg(sum(col("__c")).as("__c"))
+    }
+  }
+
+  /** The report-randomize-collapse stage shared by [[ldpFrequencyOLH]]
+    * and [[olhIngestStep]]: one report per unit, the eps-LDP bucket
+    * randomizer, collapsed to (seed, bucket) count cells. The caller
+    * pins the result (draws are final once materialized). */
+  private def olhReportCells(
+      df: DataFrame,
+      pidCol: String,
+      valueCol: Column,
+      domain: Seq[String],
+      epsilon: Double,
+      noise: graft.core.NoiseSource,
+      seedSpace: Int
   ): DataFrame = {
     require(domain.nonEmpty, "ldpFrequencyOLH: empty domain")
     require(domain.distinct.size == domain.size,
@@ -172,9 +225,7 @@ object LocalDP {
     val expEps = math.exp(epsilon)
     val g = math.floor(expEps).toLong + 1L
     val p = expEps / (expEps + g - 1)
-    val invG = 1.0 / g
     val domainArr = domain.toArray
-    val spark0 = df.sparkSession
     val params = olhParams(seedSpace)
     val checked = when(valueCol.isNull, raise_error(lit(
         "ldpFrequencyOLH: NULL value for a privacy unit — nulls have no " +
@@ -218,11 +269,34 @@ object LocalDP {
     }).asNondeterministic()
     // reports collapse FIRST: <= seedSpace * g cells — everything
     // downstream is data-size-independent
-    val cells = perUnit
+    perUnit
       .select(col("__seed"), report(col("__seed"), col("__v")).as("__y"))
       .groupBy(col("__seed"), col("__y"))
       .agg(count(lit(1)).as("__c"))
-    val pinned = cells.localCheckpoint(false) // draws final; read 3x below
+  }
+
+  /** The debiased frequency readout over an OLH cells frame (a pinned
+    * [[olhReportCells]] result or an [[olhIngestStep]] store): support
+    * counting against the candidate grid, (C - n/g)/(p - 1/g) debias.
+    * Pure post-processing — reads the cells three times, so pass a
+    * checkpointed/stored frame. Output: (value, n_reports, support,
+    * est_count). */
+  def olhEstimate(
+      pinned: DataFrame,
+      domain: Seq[String],
+      epsilon: Double,
+      seedSpace: Int = 1024
+  ): DataFrame = {
+    require(domain.nonEmpty && domain.distinct.size == domain.size,
+      "olhEstimate: domain must be non-empty and duplicate-free")
+    require(epsilon > 0, s"epsilon must be positive, got $epsilon")
+    val expEps = math.exp(epsilon)
+    val g = math.floor(expEps).toLong + 1L
+    val p = expEps / (expEps + g - 1)
+    val invG = 1.0 / g
+    val domainArr = domain.toArray
+    val params = olhParams(seedSpace)
+    val spark0 = pinned.sparkSession
     val nDf = pinned.agg(sum(col("__c")).as("__n"))
     val seeds = pinned.select(col("__seed")).distinct()
     val domDf = spark0.createDataFrame(

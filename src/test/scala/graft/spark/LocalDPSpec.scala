@@ -214,6 +214,26 @@ class LocalDPSpec extends AnyFunSuite {
     assert(rep.contains("central accountant"))
   }
 
+  test("OLH ingest fold: unit-partitioned batches == one-shot; cells stay bounded") {
+    val df = (1 to 90).map(i => (i.toLong, dom(i % 3))).toDF("uid", "v")
+    val oneShot = LocalDP.ldpFrequencyOLH(df, "uid", col("v"), dom, 1.0,
+        graft.core.NoiseSource.Zero)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    // fold over 3 unit-partitioned batches (each unit entirely in one)
+    var store: Option[org.apache.spark.sql.DataFrame] = None
+    (0 to 2).foreach { r =>
+      store = Some(LocalDP.olhIngestStep(
+        df.filter(pmod(col("uid"), lit(3L)) === r.toLong), store,
+        "uid", col("v"), dom, 1.0, graft.core.NoiseSource.Zero)
+        .localCheckpoint(false))
+    }
+    // the additive cells store is bounded by seedSpace * g, never by n
+    assert(store.get.count() <= 1024L * 3)
+    val folded = LocalDP.olhEstimate(store.get, dom, 1.0)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(folded == oneShot, s"fold $folded != one-shot $oneShot")
+  }
+
   test("heavy hitters: planted values discovered through the 2-round walk; contracts") {
     // 2000 units: 60% planted on three heavies with DISTINCT prefixes
     // (and ids chosen so the md5 group split sees all three in both
