@@ -344,6 +344,31 @@ private[graft] object EntryText {
         .select(col("doc_id"), col("q.n_features").as("n_features"),
           col("q.score").as("score"), col("q.keep").as("keep"))
     }),
+    "ml_train_logreg" -> ((s, dir) => {
+      // TRAIN the quality-filter model in-engine (closing the loop the
+      // fixed-weight scorer stubs): full-batch logistic regression with
+      // momentum over the hashed n-gram features — one tokenize pass,
+      // then 15 map-side-combined dense-gradient aggregations over the
+      // checkpointed feature frame. The fixture plants a LEARNABLE
+      // signal (the synthesized-payload convention — the corpus's lang
+      // column is provably independent of its text, so no model can
+      // learn it; measured: accuracy == majority exactly): every
+      // doc_id % 3 == 0 doc carries quality-marker tokens, the rest
+      // spam markers, and the trainer must find those buckets. Float
+      // sums are partition-order dependent => rows-only, with the probe
+      // columns carrying the contract (Adagrad steps): final loss < initial and trained
+      // accuracy > the 2/3 majority baseline (a diverging lr or a
+      // broken gradient sign flips them false and fails the row check);
+      // ml_pr_curve / ml_calibration are the oracle-exact anchor twins
+      // (the same feature hashing, fixed weights).
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .withColumn("body", concat(coalesce(col("text"), lit("")),
+          when(col("doc_id") % 3 === 0,
+            lit(" careful review polished thorough"))
+            .otherwise(lit(" clickbait spammy freebie winner"))))
+      graft.ops.ModelTraining.trainTextLogReg(docs, col("body"),
+        col("doc_id") % 3 === 0, iters = 15)._1
+    }),
     "ml_pr_curve" -> ((s, dir) => {
       // threshold-sweep PR points for a corpus filter model: the hashed-
       // n-gram quality score (milli-units, the text_quality_model

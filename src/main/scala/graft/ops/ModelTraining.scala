@@ -1,0 +1,208 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Feature row of the text-classifier trainer: hashed feature buckets
+  * (with repetition), the feature count, and the {0, 1} label. Top-level
+  * case class so the encoder stays codegen-compiled (the Janino rule). */
+final case class LtmFeatures(buckets: Seq[Int], n: Long, y: Double)
+
+/** One training iteration's aggregate: dense gradient (dim + 1 slots,
+  * bias last), summed log-loss, and the row count. */
+final case class GradBuf(g: Array[Double], loss: Double, n: Long)
+
+/** TRAINING the model-based quality filter inside the engine — the half
+  * [[LinearTextModel]] deliberately stubs (its scorer is the production
+  * shape with synthetic weights; this produces REAL weights for it):
+  * distributed FULL-BATCH logistic regression over the same hashed
+  * unigram+bigram features (portable md5-prefix buckets, mean-pooled),
+  * so the trained weight vector drops straight into the scoring loop.
+  *
+  * Execution shape (the 100 TB contract): features extract ONCE (one
+  * tokenize+hash pass, checkpointed); each of the `iters` gradient
+  * steps is ONE map-side-combined typed aggregation with a dense
+  * (dim + 2)-slot buffer per task — the [[graft.spark.Similarity]]
+  * covariance-moments pattern; no explode, no per-feature shuffle, and
+  * the only driver state is the weight vector itself (dim + 1 doubles,
+  * broadcast into the next step's closure). Wall cost = iters scans of
+  * the BOUNDED feature frame, not of the raw text.
+  *
+  * Determinism: float gradient sums are partition-order dependent, so
+  * the released numbers are rows-only at the gate, carried by probes
+  * (the emb_kmeans convention): the final loss must IMPROVE on the
+  * initial loss, and the trained model's training-set accuracy must
+  * beat the majority-class baseline — both computed in-query, so a
+  * silently diverging trainer (bad lr, broken gradient sign) breaks the
+  * row contract, not just a spec. */
+object ModelTraining {
+
+  /** The feature extraction shared with scoring: hashed unigram+bigram
+    * buckets (md5 leading-60-bit convention, mod `dim`), kept WITH
+    * repetition — mean pooling divides by the count, exactly
+    * [[LinearTextModel.score]]'s arithmetic. */
+  private def featurize(textCol: Column, labelCol: Column, dim: Int): Column = {
+    val f = udf((t: String, y: Boolean) => {
+      val toks = scala.collection.mutable.ArrayBuffer.empty[String]
+      if (t != null) {
+        val m = TextAnalysis.tokenPattern.matcher(
+          t.toLowerCase(java.util.Locale.ROOT))
+        while (m.find()) toks += m.group()
+      }
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val buckets = scala.collection.mutable.ArrayBuffer.empty[Int]
+      def add(feature: String): Unit = {
+        val d = md.digest(feature.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        var v = 0L; var k = 0
+        while (k < 8) { v = (v << 8) | (d(k) & 0xffL); k += 1 }
+        buckets += ((v >>> 4) % dim).toInt
+      }
+      var i = 0
+      while (i < toks.length) { add(toks(i)); i += 1 }
+      i = 0
+      while (i < toks.length - 1) { add(toks(i) + " " + toks(i + 1)); i += 1 }
+      LtmFeatures(buckets.toSeq, buckets.length.toLong, if (y) 1.0 else 0.0)
+    })
+    f(textCol, labelCol)
+  }
+
+  /** One full-batch gradient + loss pass at fixed weights `w` (length
+    * dim + 1, bias last): buffer slot j accumulates
+    * sum_rows (sigmoid(w.x + b) - y) * x_j with x = bucket counts / n. */
+  private final class GradAggregator(w: Array[Double], dim: Int)
+      extends Aggregator[LtmFeatures, GradBuf, GradBuf] {
+    def zero: GradBuf = GradBuf(new Array[Double](dim + 1), 0.0, 0L)
+
+    private def margin(r: LtmFeatures): Double = {
+      var z = w(dim) // bias
+      if (r.n > 0) {
+        val inv = 1.0 / r.n
+        val it = r.buckets.iterator
+        while (it.hasNext) z += w(it.next()) * inv
+      }
+      z
+    }
+
+    def reduce(b: GradBuf, r: LtmFeatures): GradBuf = {
+      val z = margin(r)
+      val p = 1.0 / (1.0 + math.exp(-z))
+      val err = p - r.y
+      if (r.n > 0) {
+        val inv = 1.0 / r.n
+        val it = r.buckets.iterator
+        while (it.hasNext) { val j = it.next(); b.g(j) += err * inv }
+      }
+      b.g(dim) += err
+      // numerically stable log-loss: log(1 + e^-|z|) + max(0, -yz') form
+      val loss =
+        if (r.y > 0.5) math.log1p(math.exp(-math.abs(z))) + math.max(0.0, -z)
+        else math.log1p(math.exp(-math.abs(z))) + math.max(0.0, z)
+      GradBuf(b.g, b.loss + loss, b.n + 1)
+    }
+
+    def merge(a: GradBuf, b: GradBuf): GradBuf = {
+      var j = 0
+      while (j <= dim) { a.g(j) += b.g(j); j += 1 }
+      GradBuf(a.g, a.loss + b.loss, a.n + b.n)
+    }
+
+    def finish(b: GradBuf): GradBuf = b
+    def bufferEncoder: Encoder[GradBuf] = Encoders.product[GradBuf]
+    def outputEncoder: Encoder[GradBuf] = Encoders.product[GradBuf]
+  }
+
+  /** Train and release diagnostics: one row per iteration
+    * (iter, mean_loss) plus the final row (iter = iters) carrying the
+    * trained model's training-set accuracy, the majority-class baseline,
+    * and the two probe flags — `probe_loss_improved` (final mean loss <
+    * initial) and `probe_beats_majority` (accuracy > baseline), both of
+    * which must read true. Returns (diagnostics, weights). */
+  def trainTextLogReg(
+      df: DataFrame,
+      textCol: Column,
+      labelCol: Column,
+      dim: Int = 1024,
+      iters: Int = 10,
+      lr: Double = 1.0
+  ): (DataFrame, Array[Double]) = {
+    require(dim >= 2 && dim <= 65536, s"dim must be in [2, 65536], got $dim")
+    require(iters >= 1 && iters <= 1000, s"iters must be in [1, 1000], got $iters")
+    require(lr > 0, s"lr must be positive, got $lr")
+    val spark0 = df.sparkSession
+    import spark0.implicits._
+    // ONE tokenize+hash pass; every gradient step scans this bounded
+    // frame (buckets + label), never the raw text again
+    val feats = df.select(featurize(textCol, labelCol.cast("boolean"), dim)
+        .as("f"))
+      .select(col("f.buckets").as("buckets"), col("f.n").as("n"),
+        col("f.y").as("y"))
+      .as[LtmFeatures]
+      .localCheckpoint(false)
+    val w = new Array[Double](dim + 1)
+    // ADAGRAD per-coordinate scaling (Duchi et al. — the standard
+    // optimizer for sparse bag-of-words logreg, and measurably the right
+    // one here): mean pooling makes rare-but-perfectly-predictive
+    // feature buckets carry tiny gradients, so a global step either
+    // crawls (lr = 2: loss moved 0.01 in 15 full-batch iters) or
+    // diverges on the dense bias coordinate (lr = 25: oscillation —
+    // both measured); dividing each coordinate's step by the root of
+    // its OWN accumulated squared gradient gives the rare coordinates
+    // near-sign-sized steps while the bias self-damps.
+    val gsq = new Array[Double](dim + 1)
+    val losses = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var it = 0
+    while (it < iters) {
+      val agg = feats.select(
+        udaf(new GradAggregator(w.clone(), dim), Encoders.product[LtmFeatures])
+          .apply(col("buckets"), col("n"), col("y"))).head().getStruct(0)
+      val g = agg.getSeq[Double](0)
+      val n = agg.getLong(2)
+      require(n > 0, "trainTextLogReg: empty training frame")
+      losses += agg.getDouble(1) / n
+      var j = 0
+      while (j <= dim) {
+        val gj = g(j) / n
+        gsq(j) += gj * gj
+        if (gsq(j) > 0) w(j) -= lr * gj / math.sqrt(gsq(j) + 1e-12)
+        j += 1
+      }
+      it += 1
+    }
+    // final accuracy at the trained weights + the majority baseline
+    val evalAgg = feats.select(
+      udaf(new GradAggregator(w.clone(), dim), Encoders.product[LtmFeatures])
+        .apply(col("buckets"), col("n"), col("y"))).head().getStruct(0)
+    val finalLoss = evalAgg.getDouble(1) / evalAgg.getLong(2)
+    val accRow = feats.select(
+      count(lit(1)).as("n"),
+      sum(col("y")).as("npos")).head()
+    val n = accRow.getLong(0)
+    val nPos = accRow.getDouble(1)
+    val majority = math.max(nPos, n - nPos) / n
+    // accuracy via one more pass: prediction = margin > 0
+    val scoreU = {
+      val wl = w.clone()
+      udf((buckets: Seq[Int], fn: Long) => {
+        var z = wl(dim)
+        if (fn > 0) {
+          val inv = 1.0 / fn
+          val it2 = buckets.iterator
+          while (it2.hasNext) z += wl(it2.next()) * inv
+        }
+        z
+      })
+    }
+    val acc = feats
+      .select((when(scoreU(col("buckets"), col("n")) > 0, 1.0).otherwise(0.0)
+        === col("y")).cast("long").as("ok"))
+      .agg(avg(col("ok"))).head().getDouble(0)
+    val diag = losses.zipWithIndex.map { case (l, i) =>
+      (i.toLong, math.rint(l * 1e6) / 1e6, -1.0, -1.0, true, true)
+    } :+ ((iters.toLong, math.rint(finalLoss * 1e6) / 1e6,
+      math.rint(acc * 1e6) / 1e6, math.rint(majority * 1e6) / 1e6,
+      finalLoss < losses.head, acc > majority))
+    (diag.toSeq.toDF("iter", "mean_loss", "accuracy", "majority_baseline",
+      "probe_loss_improved", "probe_beats_majority"), w)
+  }
+}

@@ -73,7 +73,15 @@ class EntryContractSpec extends AnyFunSuite {
       (Seq("sum_day_exact") -> Some("approx_sketch_union_md5")),
     "approx_heavy_hitters" -> (Seq("exact_count", "abs_err") -> Some("approx_heavy_hitters_exact")),
     "mm_frame_sample" -> (Seq("probe_idx_unexpected", "probe_missing_frames",
-      "probe_decode_failed", "probe_docs_lost") -> Some("mm_decode_resize")))
+      "probe_decode_failed", "probe_docs_lost") -> Some("mm_decode_resize")),
+    // r16: distributed Adagrad logreg training — float gradient sums are
+    // partition-order dependent; the probes pin that training actually
+    // LEARNS (loss improves AND accuracy beats the majority class on the
+    // planted-marker fixture), and the fixed-weight scorer evaluation
+    // rows are the oracle-exact anchor for the shared feature hashing
+    "ml_train_logreg" ->
+      (Seq("probe_loss_improved", "probe_beats_majority")
+        -> Some("ml_pr_curve")))
 
   test("rows-only queries are the documented closed set") {
     // adding a query without an oracle is a DELIBERATE choice (inherently

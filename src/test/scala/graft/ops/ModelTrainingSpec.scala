@@ -1,0 +1,43 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ModelTrainingSpec extends AnyFunSuite {
+  lazy val spark = graft.spark.SparkTestSession.spark
+  import spark.implicits._
+
+  test("logreg trainer: separable signal learned, loss monotone-ish, weights drive the scorer") {
+    // perfectly separable: positives carry 'goodword', negatives 'badword'
+    val df = (1 to 300).map { i =>
+      val pos = i % 2 == 0
+      val filler = s"alpha beta gamma delta epsilon t$i"
+      (i.toLong, if (pos) s"$filler goodword" else s"$filler badword", pos)
+    }.toDF("id", "text", "label")
+    val (diag, w) = ModelTraining.trainTextLogReg(df, col("text"),
+      col("label"), iters = 12)
+    val rows = diag.collect().sortBy(_.getLong(0))
+    val losses = rows.init.map(_.getDouble(1))
+    // the loss sequence improves substantially end-to-end
+    assert(losses.last < 0.6 * losses.head,
+      s"no real loss improvement: ${losses.head} -> ${losses.last}")
+    val fin = rows.last
+    assert(fin.getBoolean(4), "probe_loss_improved false")
+    assert(fin.getBoolean(5), "probe_beats_majority false")
+    assert(fin.getDouble(2) > 0.9,
+      s"separable fixture should train past 0.9, got ${fin.getDouble(2)}")
+    // the weight vector is the scorer's shape: dim + 1 with a live bias
+    assert(w.length == 1025)
+    assert(w.exists(_ != 0.0))
+    // validation
+    intercept[IllegalArgumentException](ModelTraining.trainTextLogReg(
+      df, col("text"), col("label"), iters = 0))
+    intercept[IllegalArgumentException](ModelTraining.trainTextLogReg(
+      df, col("text"), col("label"), lr = 0.0))
+    // empty frame fails loud
+    val e = intercept[Exception](ModelTraining.trainTextLogReg(
+      df.filter(lit(false)), col("text"), col("label"), iters = 1))
+    assert(graft.spark.SparkTestSession.chainMsg(e)
+      .contains("empty training frame"))
+  }
+}
