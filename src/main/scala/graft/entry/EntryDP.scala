@@ -939,8 +939,12 @@ private[graft] object EntryDP {
           .as("qid"))
         .agg(count(lit(1)).cast("double").as("v"))
       graft.spark.SparseVector.aboveThreshold(cells, "qid", col("v"),
-        threshold = thr, epsilon = 1.0, sensitivity = 100.0, c = 7,
-        noise = NoiseSource.Zero)
+          threshold = thr, epsilon = 1.0, sensitivity = 100.0, c = 7,
+          noise = NoiseSource.Zero, valueEpsilon = 1.0)
+        // the gate's null-sentinel convention (a_asof_join's -1): the
+        // driver hashes stringified cells, so nullable release columns
+        // coalesce to a sentinel in the PROJECTION (the API keeps NULL)
+        .withColumn("noisy_value", coalesce(col("noisy_value"), lit(-1.0)))
     }),
     "dq_quarantine" -> ((s, dir) => {
       // row-level quarantine routing (the enforcement half of dq_report):
@@ -1514,7 +1518,9 @@ private[graft] object EntryDP {
                    CASE WHEN hits_before >= 7 THEN 'unanswered'
                         WHEN v >= (SELECT thr FROM t) THEN 'above'
                         ELSE 'below' END AS answer,
-                   least(hits_before, 7) AS n_released_before
+                   least(hits_before, 7) AS n_released_before,
+                   CASE WHEN hits_before < 7 AND v >= (SELECT thr FROM t)
+                        THEN v ELSE -1.0 END AS noisy_value
             FROM o""",
       // the fold over unit-partitioned batches releases the one-shot
       // OLH cells exactly — same oracle

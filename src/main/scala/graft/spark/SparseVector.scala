@@ -48,6 +48,13 @@ object SparseVector {
   /** Output: one row per query — (query id, value released as NOTHING
     * (the point of SVT: only the bit escapes), answer in
     * {'above', 'below', 'unanswered'}, n_released_before). */
+  /** `valueEpsilon > 0` adds the NUMERIC arm (Dwork-Roth's NumericSparse
+    * shape by basic composition): each of the <= c released above-answers
+    * additionally carries its value + Lap(c * sensitivity / valueEpsilon)
+    * (c releases compose in L1), spending `valueEpsilon` ON TOP of
+    * `epsilon`; below/unanswered queries release NULL. With
+    * valueEpsilon = 0 (default) the noisy_value column is NULL
+    * everywhere — only the bit escapes. */
   def aboveThreshold(
       queries: DataFrame,
       idCol: String,
@@ -56,11 +63,13 @@ object SparseVector {
       epsilon: Double,
       sensitivity: Double,
       c: Int,
-      noise: graft.core.NoiseSource
+      noise: graft.core.NoiseSource,
+      valueEpsilon: Double = 0.0
   ): DataFrame = {
     require(epsilon > 0, s"epsilon must be positive, got $epsilon")
     require(sensitivity > 0, s"sensitivity must be positive, got $sensitivity")
     require(c >= 1, s"c (max above-answers) must be >= 1, got $c")
+    require(valueEpsilon >= 0, s"valueEpsilon must be >= 0, got $valueEpsilon")
     val spark0 = queries.sparkSession
     val checkedV = when(valueCol.isNull, raise_error(lit(
         "aboveThreshold: NULL query value — a null cannot compare " +
@@ -84,24 +93,27 @@ object SparseVector {
     val eps2 = epsilon - eps1
     val bRho = c * sensitivity / eps1
     val bNu = 2.0 * c * sensitivity / eps2
+    val bVal = if (valueEpsilon > 0) c * sensitivity / valueEpsilon else 0.0
     var rho = noise.laplace(bRho)
     var released = 0
     val out = new Array[org.apache.spark.sql.Row](rows.length)
     var i = 0
     while (i < rows.length) {
       val r = rows(i)
-      val (answer, before) =
-        if (released >= c) ("unanswered", released)
+      val (answer, before, value) =
+        if (released >= c) ("unanswered", released, null)
         else {
           val nu = noise.laplace(bNu)
           if (r.getDouble(1) + nu >= threshold + rho) {
             val b = released
             released += 1
             if (released < c) rho = noise.laplace(bRho) // redraw after a hit
-            ("above", b)
-          } else ("below", released)
+            val v = if (valueEpsilon > 0)
+              Double.box(r.getDouble(1) + noise.laplace(bVal)) else null
+            ("above", b, v)
+          } else ("below", released, null)
         }
-      out(i) = org.apache.spark.sql.Row(r.get(0), answer, before.toLong)
+      out(i) = org.apache.spark.sql.Row(r.get(0), answer, before.toLong, value)
       i += 1
     }
     import scala.jdk.CollectionConverters._
@@ -113,7 +125,9 @@ object SparseVector {
         org.apache.spark.sql.types.StructField("answer",
           org.apache.spark.sql.types.StringType, nullable = false),
         org.apache.spark.sql.types.StructField("n_released_before",
-          org.apache.spark.sql.types.LongType, nullable = false))))
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("noisy_value",
+          org.apache.spark.sql.types.DoubleType, nullable = true))))
   }
 
   /** Human-readable SVT report — the explain convention: the split, both

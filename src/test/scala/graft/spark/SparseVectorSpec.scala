@@ -37,6 +37,18 @@ class SparseVectorSpec extends AnyFunSuite {
       "qid", col("v"), 4.0, 1.0, 1.0, 1, graft.core.NoiseSource.Zero)
       .collect().head
     assert(eq.getString(1) == "above")
+    // default: only the bit escapes — noisy_value NULL everywhere
+    assert(eq.isNullAt(3))
+    // NUMERIC arm: released values carry Lap(c*sens/valueEpsilon) noise
+    // (zero noise => the exact value, above rows only)
+    val num = SparseVector.aboveThreshold(df, "qid", col("v"), 4.0,
+        1.0, 1.0, 2, graft.core.NoiseSource.Zero, valueEpsilon = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+      .toMap
+    assert(num(1L) == ("above", Some(5.0)))
+    assert(num(3L) == ("above", Some(6.0)))
+    assert(num(2L)._2.isEmpty && num(4L)._2.isEmpty)
   }
 
   test("contracts fail loud: duplicate ids, NULL value, NULL id, bad params") {
