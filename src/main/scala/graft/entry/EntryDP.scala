@@ -829,7 +829,8 @@ private[graft] object EntryDP {
       // LOCAL DP frequency via OPTIMAL LOCAL HASHING (the large-domain
       // mechanism: ONE bucket in [0, g) per unit instead of k bits; g =
       // floor(e) + 1 = 3 at eps = 1): each user's lowest event_type
-      // hashes under its public seed (user_id mod 1024) and the bucket
+      // hashes under its public seed (md5(user_id) mod 1024 — the
+      // engine's portable public-randomness convention) and the bucket
       // randomizes with p = e/(e+2) = 0.576 > 0.5, so zero noise keeps
       // every report truthful and the WHOLE derivation — hash, (seed,
       // bucket) cells, support grid (true hits + deterministic hash
@@ -1537,13 +1538,17 @@ private[graft] object EntryDP {
         s"""WITH u AS (
               SELECT CAST(user_id AS BIGINT) AS pid, min(event_type) AS v
               FROM events GROUP BY 1),
+            uh AS (
+              SELECT v, CAST(CONCAT('0x', substr(md5(CAST(pid AS VARCHAR)),
+                       1, 15)) AS BIGINT) % 1024 AS seed
+              FROM u),
             d(i, value) AS (VALUES $domainValues),
             hp(seed, a, b) AS (VALUES $paramValues),
             rep AS (
-              SELECT pid % 1024 AS seed,
+              SELECT uh.seed,
                      ((hp.a * d.i + hp.b) % $prime) % $g AS y
-              FROM u JOIN d ON u.v = d.value
-                     JOIN hp ON hp.seed = pid % 1024),
+              FROM uh JOIN d ON uh.v = d.value
+                      JOIN hp ON hp.seed = uh.seed),
             cells AS (
               SELECT seed, y, CAST(count(*) AS BIGINT) AS c
               FROM rep GROUP BY 1, 2),
@@ -1584,13 +1589,17 @@ private[graft] object EntryDP {
         s"""WITH u AS (
               SELECT CAST(user_id AS BIGINT) AS pid, min(event_type) AS v
               FROM events GROUP BY 1),
+            uh AS (
+              SELECT v, CAST(CONCAT('0x', substr(md5(CAST(pid AS VARCHAR)),
+                       1, 15)) AS BIGINT) % 1024 AS seed
+              FROM u),
             d(i, value) AS (VALUES $domainValues),
             hp(seed, a, b) AS (VALUES $paramValues),
             rep AS (
-              SELECT pid % 1024 AS seed,
+              SELECT uh.seed,
                      ((hp.a * d.i + hp.b) % $prime) % $g AS y
-              FROM u JOIN d ON u.v = d.value
-                     JOIN hp ON hp.seed = pid % 1024),
+              FROM uh JOIN d ON uh.v = d.value
+                      JOIN hp ON hp.seed = uh.seed),
             cells AS (
               SELECT seed, y, CAST(count(*) AS BIGINT) AS c
               FROM rep GROUP BY 1, 2),

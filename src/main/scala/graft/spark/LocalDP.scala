@@ -111,9 +111,16 @@ object LocalDP {
     * unary encoding sends k bits per unit (unusable at token/URL-scale
     * domains), OLH sends ONE bucket in [0, g) with g = floor(e^eps) + 1
     * — the report size is O(1) in the domain size. Each unit hashes its
-    * value with a PUBLIC per-unit hash (seed = pid mod `seedSpace` — the
-    * hash choice is public randomness, independent of the value, so it
-    * carries no privacy budget and may be deterministic) and randomizes
+    * value with a PUBLIC per-unit hash (seed = md5(pid) mod `seedSpace`
+    * — the hash choice is public randomness, independent of the value,
+    * so it carries no privacy budget and may be deterministic; the md5
+    * derivation, NOT pid arithmetic, is the engine's portable
+    * public-randomness convention shared with [[ldpHeavyHitters]]:
+    * pid % seedSpace correlates with any pid-derived value structure,
+    * concentrating a value's holders on correlated seeds so the fixed
+    * parameter table's deterministic collisions bias cross-value
+    * estimates — exactly the hazard the heavy-hitter walk measured) and
+    * randomizes
     * the bucket: truthful with p = e^eps / (e^eps + g - 1), else uniform
     * over the other g - 1 buckets — eps-LDP by direct likelihood ratio
     * (worst-case output probability ratio p / ((1-p)/(g-1)) = e^eps).
@@ -233,11 +240,15 @@ object LocalDP {
       .otherwise(valueCol.cast("string"))
     // try_cast: a non-numeric pid flows to the shaped error instead of
     // ANSI's CAST_INVALID_INPUT mid-task
+    // seed from the MD5 of the pid (the ldpHeavyHitters convention) —
+    // pid % seedSpace would correlate with pid-derived value structure
     val seedCol = when(col("__pidn").isNull, raise_error(lit(
         "ldpFrequencyOLH: pid does not cast to BIGINT — the public hash " +
           "seed derives from it; map units to numeric ids upstream"))
         .cast("long"))
-      .otherwise(pmod(col("__pidn"), lit(seedSpace.toLong)))
+      .otherwise(pmod(expr(
+        "CAST(conv(substr(md5(CAST(__pidn AS STRING)), 1, 15), 16, 10) " +
+          "AS BIGINT)"), lit(seedSpace.toLong)))
     // one report per unit: the deterministic lowest value (L0 = 1)
     val perUnit = df
       .select(col(pidCol).try_cast("bigint").as("__pidn"), checked.as("__v"))
@@ -358,9 +369,9 @@ object LocalDP {
     * fail-loud otherwise); the OLH index of a prefix is its numeric
     * value, so reporting needs NO closed candidate list (hash the
     * prefix, not an index into a domain) — the open-domain property.
-    * Same public randomness as [[ldpFrequencyOLH]]: group = pid mod
-    * rounds, seed = (pid / rounds) mod seedSpace, per-seed (A, B) from
-    * [[olhParams]].
+    * Same public randomness as [[ldpFrequencyOLH]]: with h64 = md5(pid)'s
+    * leading 60 bits, group = h64 mod rounds, seed = (h64 / rounds) mod
+    * seedSpace, per-seed (A, B) from [[olhParams]].
     *
     * Zero noise: every report is the true bucket, every per-round
     * estimate (true hits + deterministic hash collisions, debiased) is
@@ -387,8 +398,16 @@ object LocalDP {
       rounds: Int = 2,
       seedSpace: Int = 1024
   ): DataFrame = {
-    require(hexLen >= 1 && hexLen <= 15,
-      s"hexLen must be in [1, 15] (prefixes parse as 60-bit longs), got $hexLen")
+    // 10, not 15: olhHash multiplies A (< P ~ 1e6) by the prefix's
+    // numeric value, so the product stays under 2^63 only while the
+    // prefix is <= 16^10 - 1 ~ 1.1e12 (1e6 * 1.1e12 ~ 1.1e18 < 9.2e18);
+    // at 11+ hex chars the grid expression overflows (ANSI
+    // ARITHMETIC_OVERFLOW) and the UDF silently wraps to out-of-range
+    // buckets — which would break both the estimator and the eps-LDP
+    // likelihood-ratio argument
+    require(hexLen >= 1 && hexLen <= 10,
+      s"hexLen must be in [1, 10] (A * prefix must stay under 2^63 in " +
+        s"the public hash — hash longer values to <= 10 hex chars), got $hexLen")
     require(rounds >= 1 && hexLen % rounds == 0,
       s"rounds ($rounds) must divide hexLen ($hexLen) — equal prefix steps")
     require(k >= 1, s"k must be >= 1, got $k")
@@ -557,6 +576,24 @@ object LocalDP {
     }
   }
 
+  /** The md5-derived 60-bit public-randomness word for a pid — the
+    * portable convention every LDP mechanism derives its seed/group
+    * from: the first 15 hex chars of md5(pid-as-decimal-string), parsed
+    * base 16. Matches the engine's SQL form
+    * `conv(substr(md5(CAST(pid AS STRING)), 1, 15), 16, 10)` and
+    * DuckDB's `CONCAT('0x', substr(md5(...), 1, 15))` bit-exactly. */
+  private[graft] def md5Word(pid: Long): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(pid.toString.getBytes("UTF-8"))
+    val hex = d.map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
+  /** [[ldpFrequencyOLH]]'s public per-unit seed: md5Word(pid) mod
+    * seedSpace. */
+  private[graft] def olhSeedOf(pid: Long, seedSpace: Int): Long =
+    java.lang.Math.floorMod(md5Word(pid), seedSpace.toLong)
+
   /** The PUBLIC OLH hash: H(s, i) = ((A_s * i + B_s) mod P) mod g with
     * (A_s, B_s) from [[olhParams]] — non-negative operands, every
     * intermediate far under 2^63, so the Scala, Column-expression and
@@ -581,7 +618,7 @@ object LocalDP {
     val invG = 1.0 / g
     val std = math.sqrt(nReports * invG * (1.0 - invG)) / (p - invG)
     s"""LocalDP frequency release (optimal local hashing)
-       |  domain    : $k public values; ONE bucket in [0, $g) per unit (vs $k bits under unary encoding — the large-domain mechanism), public hash seed = pid mod $seedSpace
+       |  domain    : $k public values; ONE bucket in [0, $g) per unit (vs $k bits under unary encoding — the large-domain mechanism), public hash seed = md5(pid) mod $seedSpace
        |  randomizer: truthful bucket w.p. p = e^eps/(e^eps + g - 1) = ${f"$p%g"}, else uniform over the other ${g - 1} — likelihood ratio e^${f"$epsilon%g"}, so the report is ${f"$epsilon%g"}-LDP
        |  estimator : est(v) = (C(v) - n/g) / (p - 1/g), unbiased; n = $nReports reports, support q* = 1/g = ${f"$invG%g"}
        |  error     : per-value stddev ~ ${f"$std%g"} (O(1) in the domain size — the OLH trade: constant report size, hash-collision variance)

@@ -750,7 +750,18 @@ object RangeTree {
     val levels = 31 - Integer.numberOfLeadingZeros(bins)
     val width = (hi - lo) / bins
     val read = udf((lvls: Seq[Int], idxs: Seq[Long], counts: Seq[Double]) => {
-      val pfx = prefixesFromNodes(nodeMap(lvls, idxs, counts), bins, levels)
+      val nodes = nodeMap(lvls, idxs, counts)
+      // fail-loud root check (the quantilesFromTree contract): a keyless
+      // tree's global groupBy always emits one row even on an EMPTY
+      // input, and an empty/partial node list would otherwise read every
+      // node as 0.0 — fabricating a full all-zero CDF where no release
+      // happened
+      if (!nodes.contains(nodeKey(levels, 0L)))
+        throw new IllegalStateException(
+          "cdfFromTree: key with no root node (lvl == levels) — pass the " +
+            "tree's own bins and the FULL released universe (an empty or " +
+            "partial tree has no CDF to read)")
+      val pfx = prefixesFromNodes(nodes, bins, levels)
       val out = if (monotone) pavaFit(pfx) else pfx
       out.indices.map(t => (t.toLong, out(t)))
     })
@@ -2062,16 +2073,32 @@ object RangeTree {
     }
     val grid = Array.ofDim[Double](nx, ny)
     val seen = Array.ofDim[Boolean](nx, ny)
+    // validate BEFORE indexing: wrong bins / a foreign node must surface
+    // as this shaped contract error, not a raw
+    // ArrayIndexOutOfBoundsException from the grid write below
+    require(cnts.length == nx * ny,
+      s"enforce2DConsistency: a key has ${cnts.length} nodes, want " +
+        s"${nx * ny} — pass the tree's own bins and the FULL released " +
+        "product universe")
     var j = 0
     while (j < cnts.length) {
+      require(lvxs(j) >= 0 && lvxs(j) <= levelsX &&
+          idxxs(j) >= 0 && idxxs(j) < (binsX >> lvxs(j)).toLong &&
+          lvys(j) >= 0 && lvys(j) <= levelsY &&
+          idxys(j) >= 0 && idxys(j) < (binsY >> lvys(j)).toLong,
+        s"enforce2DConsistency: node (x lvl ${lvxs(j)} idx ${idxxs(j)}, " +
+          s"y lvl ${lvys(j)} idx ${idxys(j)}) is outside the " +
+          s"($binsX x $binsY)-bin dyadic universe — pass the tree's own " +
+          "bins and the FULL released product universe")
       val xp = nodeOffset(binsX, lvxs(j)) + idxxs(j).toInt
       val yp = nodeOffset(binsY, lvys(j)) + idxys(j).toInt
       grid(xp)(yp) = cnts(j); seen(xp)(yp) = true
       j += 1
     }
-    require(cnts.length == nx * ny && seen.forall(_.forall(identity)),
-      s"enforce2DConsistency: a key has ${cnts.length} nodes, want " +
-        s"${nx * ny} — pass the tree's own bins and the FULL released " +
+    require(seen.forall(_.forall(identity)),
+      s"enforce2DConsistency: a key repeats nodes and misses others " +
+        s"(${cnts.length} rows but not the full ${nx * ny}-node " +
+        "universe) — pass the tree's own bins and the FULL released " +
         "product universe")
     val xlvls = xl.toSeq; val xidxs = xi.toSeq
     val ylvls = yl.toSeq; val yidxs = yi.toSeq

@@ -116,9 +116,10 @@ class LocalDPSpec extends AnyFunSuite {
 
   test("OLH zero noise: truthful buckets, supports = true hits + hash collisions, debias exact") {
     // eps = 1: g = 3, p = e/(e+2) = 0.576 > 0.5 so uniform() = 0.5 keeps
-    // every report truthful; seeds are pid mod 1024 — fully deterministic
+    // every report truthful; seeds are md5(pid) mod 1024 (the engine's
+    // portable public-randomness convention) — fully deterministic
     val df = Seq((1L, "c"), (1L, "a"), (2L, "b"), (3L, "a"), (1030L, "b"))
-      .toDF("uid", "v") // unit 1: ONE report, lowest value 'a'; 1030 -> seed 6
+      .toDF("uid", "v") // unit 1: ONE report, lowest value 'a'
     val r = LocalDP.ldpFrequencyOLH(df, "uid", col("v"), dom, 1.0,
       graft.core.NoiseSource.Zero)
       .collect().map(x => x.getString(0) ->
@@ -132,7 +133,7 @@ class LocalDPSpec extends AnyFunSuite {
     val hp = LocalDP.olhParams(1024)
     val expect = dom.indices.map { j =>
       units.count { case (pid, ti) =>
-        val (a, b) = hp((pid % 1024).toInt)
+        val (a, b) = hp(LocalDP.olhSeedOf(pid, 1024).toInt)
         LocalDP.olhHash(a, b, j.toLong, 3L) ==
           LocalDP.olhHash(a, b, ti.toLong, 3L)
       }.toLong
