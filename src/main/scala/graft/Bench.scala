@@ -38,8 +38,22 @@ object Bench {
     // e.g. SPARK_GRAFT_BENCH_ONLY=sim_,dedup_minhash
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
-    val names = SparkEntry.queries.keys.toSeq.sorted
-      .filter(n => only.forall(_.exists(n.startsWith)))
+    // SEEDED-SHUFFLED measurement order (r17): the r16 artifact carried
+    // four min-backed "regressions" whose source was unchanged — a SORTED
+    // run order pins every query to the same neighbors every round, so a
+    // position/adjacency effect (page-cache shape, heap state left by the
+    // previous query) reproduces across reps AND across rounds,
+    // masquerading as code drift. The r17 paired protocol confirmed all
+    // four were exactly that (HEAD == r15-code interleaved). Shuffling
+    // with a per-run seed decorrelates neighbors round-over-round; the
+    // seed ships in the artifact so any run replays. Priors, reruns and
+    // the JSON stay keyed by name — only the execution order moves.
+    val orderSeed = sys.env.get("SPARK_GRAFT_BENCH_SEED").map(_.toLong)
+      .getOrElse(System.currentTimeMillis())
+    System.err.println(s"[bench] order seed: $orderSeed")
+    val names = new scala.util.Random(orderSeed).shuffle(
+      SparkEntry.queries.keys.toSeq.sorted
+        .filter(n => only.forall(_.exists(n.startsWith))))
 
     // one measurement = `reps` timed executions of the COMPILED plan
     def measure(name: String): (IndexedSeq[Double], Option[Throwable]) = {
@@ -194,7 +208,7 @@ object Bench {
         (if (folded > 0)
           Seq("\"_other_" + folded + "q\":[" + r3(foldedSec) + "," + r2(foldedMin) + "]")
         else Nil)
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$reps,"fmt":"[median,min]"$errJson$rerunJson$contamJson,"queries":${entries.mkString("{", ",", "}")},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$reps,"order_seed":$orderSeed,"fmt":"[median,min]"$errJson$rerunJson$contamJson,"queries":${entries.mkString("{", ",", "}")},"sf":"$sfDir"}"""
     }
     val bySlowest = ok.sortBy(-_._2)
     var keep = bySlowest.length
