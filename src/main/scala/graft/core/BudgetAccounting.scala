@@ -104,6 +104,107 @@ final class TreeReleaseHandle private[core] (
   }
 }
 
+/** AMPLIFICATION BY SHUFFLING — the closed-form bridge from the LOCAL
+  * trust model to central accounting (Feldman-McMillan-Talwar, "Hiding
+  * Among the Clones", FOCS 2021, arXiv:2012.12803 Thm 3.1): when n
+  * units each run an eps0-LDP randomizer and a shuffler discards
+  * report-to-unit linkage before the analyst sees the reports, the
+  * shuffled collection is (eps, delta)-DP centrally with
+  *
+  *   eps = ln(1 + (e^eps0 - 1) * (4 sqrt(2 ln(4/delta) /
+  *           ((e^eps0 + 1) n)) + 4 / n))
+  *
+  * valid while eps0 <= ln(n / (16 ln(2/delta))). Lives in core (pure
+  * math, zero Spark dependency) so [[BudgetAccountant]] can resolve
+  * shuffled releases; [[graft.spark.LocalDP.shuffleAmplifiedEpsilon]]
+  * is the public face and delegates here. */
+object ShuffleAmplification {
+  /** The bound's validity cap on eps0 at (n, delta). */
+  def validityCap(n: Long, delta: Double): Double = {
+    require(n >= 2, s"shuffling needs n >= 2 reports, got $n")
+    require(delta > 0 && delta < 1, s"delta must be in (0, 1), got $delta")
+    math.log(n / (16.0 * math.log(2.0 / delta)))
+  }
+
+  /** Central epsilon of n shuffled eps0-LDP reports at delta —
+    * fail-loud outside the bound's validity regime. */
+  def amplifiedEpsilon(epsilon0: Double, n: Long, delta: Double): Double = {
+    require(epsilon0 > 0, s"epsilon0 must be positive, got $epsilon0")
+    val cap = validityCap(n, delta)
+    require(epsilon0 <= cap,
+      f"shuffleAmplifiedEpsilon: eps0 = $epsilon0%g exceeds the bound's " +
+        f"validity cap ln(n / (16 ln(2/delta))) = $cap%g at n = $n — " +
+        "the FMT'21 clone reduction does not apply; lower eps0 or " +
+        "collect more reports")
+    val e0 = math.exp(epsilon0)
+    math.log1p((e0 - 1.0) *
+      (4.0 * math.sqrt(2.0 * math.log(4.0 / delta) / ((e0 + 1.0) * n)) +
+        4.0 / n))
+  }
+
+  /** The INVERSE the accountant needs: the largest local eps0 whose
+    * amplified central loss at (n, delta) fits inside epsCentral —
+    * "budget in, randomizer calibration out", the
+    * [[TreeReleaseHandle.perNodeScale]] shape. The amplified epsilon is
+    * strictly increasing in eps0 (spec-pinned), so bisection converges;
+    * when even the validity cap's amplified loss fits, the cap itself
+    * is returned (the bound cannot certify anything larger — spending
+    * the leftover budget would need more reports). */
+  def maxLocalEpsilon(epsCentral: Double, n: Long, delta: Double): Double = {
+    require(epsCentral > 0,
+      s"central epsilon must be positive, got $epsCentral")
+    val cap = validityCap(n, delta)
+    require(cap > 0,
+      f"shuffle amplification needs n > 16 ln(2/delta) reports " +
+        f"(validity cap $cap%g <= 0 at n = $n, delta = $delta%g) — " +
+        "collect more reports or raise delta")
+    if (amplifiedEpsilon(cap, n, delta) <= epsCentral) cap
+    else {
+      var lo = 0.0
+      var hi = cap
+      var it = 0
+      while (it < 200 && hi - lo > 1e-12 * math.max(1.0, hi)) {
+        val mid = lo + (hi - lo) / 2
+        if (amplifiedEpsilon(mid, n, delta) <= epsCentral) lo = mid
+        else hi = mid
+        it += 1
+      }
+      lo
+    }
+  }
+}
+
+/** A pending SHUFFLED-LDP-RELEASE budget request (r17, promoting
+  * [[ShuffleAmplification]] into the accountant the way
+  * [[TreeReleaseHandle]] promoted the tree fleets): one shuffled
+  * collection of `nReports` local reports accounts as ONE generic
+  * (eps, delta) mechanism — it composes with every central mechanism
+  * under the same ledger, scopes, and weights. After `computeBudgets()`,
+  * [[localEpsilon]] is the calibration the fleet's LOCAL randomizer must
+  * use (feed it to `LocalDP.ldpFrequencyOLH` / `ldpFrequency` /
+  * `ldpMean` as their `epsilon`): the largest eps0 whose FMT'21
+  * amplified central loss fits the resolved (eps, delta) share. */
+final class ShuffledLdpReleaseHandle private[core] (
+    val handle: BudgetHandle,
+    val nReports: Long
+) {
+  /** The resolved central (epsilon, delta) this release consumes. */
+  def centralEpsilon: Double = handle.spec.epsilon
+  def centralDelta: Double = handle.spec.delta
+
+  /** The local randomizer's eps0 the resolved budget buys (see class
+    * doc). Fail-loud when the accountant resolved a zero delta share —
+    * the shuffle bound is inherently approximate-DP. */
+  def localEpsilon: Double = {
+    val spec = handle.spec
+    require(spec.delta > 0,
+      s"shuffled LDP release '${spec.name}' resolved delta = 0 — the " +
+        "FMT'21 bound is (eps, delta)-DP; give the accountant a " +
+        "positive total delta")
+    ShuffleAmplification.maxLocalEpsilon(spec.epsilon, nReports, spec.delta)
+  }
+}
+
 /** Common surface of the budget accountants (reference:
   * budget_accounting.py:129-360 BudgetAccountant base). */
 sealed abstract class BudgetAccountant(
@@ -214,6 +315,34 @@ sealed abstract class BudgetAccountant(
     val h = requestBudget(mt, weight, count, name, sensitivity = 1.0)
     new TreeReleaseHandle(h, (levelsX + 1) * (levelsY + 1), unitLinf,
       noiseKind)
+  }
+
+  /** Register `count` SHUFFLED-LDP releases (n local eps0-LDP reports
+    * each, shuffled before the analyst — the telemetry trust model) as
+    * mechanisms under THIS accountant, so one ledger covers central
+    * engine queries, tree fleets, AND shuffled local telemetry. The
+    * release registers on the accountant's generic-(eps, delta)
+    * resolution path (the partition-selection mechanism class:
+    * authoritative (eps, delta) under naive splitting, a
+    * privacy-parameters PLD under tight composition) — the shuffled
+    * collection IS a generic (eps, delta) mechanism centrally; its
+    * internal structure is entirely inside the FMT'21 conversion. Read
+    * the local randomizer's calibration off
+    * [[ShuffledLdpReleaseHandle.localEpsilon]] after `computeBudgets()`. */
+  def requestShuffledLdpRelease(
+      nReports: Long,
+      weight: Double = 1.0,
+      count: Int = 1,
+      name: String = ""
+  ): ShuffledLdpReleaseHandle = {
+    require(nReports >= 2,
+      s"shuffling needs n >= 2 reports, got $nReports")
+    require(totalDelta > 0,
+      "a shuffled LDP release is (eps, delta)-DP (the FMT'21 bound) — " +
+        "the accountant's total delta must be positive")
+    val h = requestBudget(MechanismType.PartitionSelection, weight, count,
+      name, sensitivity = 1.0)
+    new ShuffledLdpReleaseHandle(h, nReports)
   }
 
   private[graft] def registerAggregation(): Unit = { aggregationCount += 1 }

@@ -859,6 +859,45 @@ private[graft] object EntryDP {
       }
       graft.spark.LocalDP.olhEstimate(store.get, ldpDomain, epsilon = 1.0)
     }),
+    "dp_ldp_shuffle_accountant" -> ((s, dir) => {
+      // ONE LEDGER ACROSS TRUST MODELS (r17): a NaiveBudgetAccountant
+      // covers a CENTRAL tree release and a SHUFFLED LOCAL telemetry
+      // release together. The shuffled handle registers as a generic
+      // (eps, delta) mechanism, resolves (0.5, 1e-8) under the naive
+      // split, and INVERTS the FMT'21 bound to the largest local eps0
+      // that share buys at the PUBLIC planning cohort n = 100000 (the
+      // tree-fleet convention: budget in, calibration out; production
+      // must collect >= n reports — amplified eps is decreasing in n,
+      // so more reports only tightens the guarantee). OLH then runs AT
+      // the resolved eps0 (g = floor(e^eps0) + 1 buckets). Zero noise
+      // => the whole composed release is deterministic: the OLH
+      // derivation replays in SQL at the same g/p constants the oracle
+      // builder derives from the SAME accountant math, the resolved
+      // ledger numbers ride as literal columns (hash-pinning the
+      // resolution), and the central tree's zero-noise root total rides
+      // as the other mechanism's release evidence.
+      val acc = new graft.core.NaiveBudgetAccountant(1.0, 1e-8)
+      val sh = acc.requestShuffledLdpRelease(nReports = 100000L,
+        name = "olh_telemetry")
+      val t = acc.requestTreeRelease(bins = 64,
+        graft.core.NoiseKind.Laplace, name = "central_tree")
+      acc.computeBudgets()
+      val eps0 = sh.localEpsilon
+      val store = graft.spark.RangeTree.rangeTreeIngestStep(events(s, dir),
+        None, "user_id", col("value"), Seq("event_type"), lo = 0.0,
+        hi = 1000.0, bins = 64, maxPerUnit = 1000000L)
+      val rootTotal = graft.spark.RangeTree.rangeTreeReleaseWithScale(
+          store, Seq("event_type"), 64, t.perNodeScale, NoiseSource.Zero)
+        .filter(col("__lvl") === 6) // log2(64): the per-key root row
+        .agg(sum(col("dp_count")).as("tree_root_total"))
+      graft.spark.LocalDP.ldpFrequencyOLH(events(s, dir), "user_id",
+          col("event_type"), ldpDomain, epsilon = eps0,
+          noise = NoiseSource.Zero)
+        .withColumn("central_eps", lit(sh.centralEpsilon))
+        .withColumn("central_delta", lit(sh.centralDelta))
+        .withColumn("local_eps0", lit(eps0))
+        .crossJoin(broadcast(rootTotal))
+    }),
     "dp_ldp_heavy_hitters" -> ((s, dir) => {
       // LOCAL-DP HEAVY HITTERS (prefix-extension over OLH rounds — the
       // open-domain discovery a frequency oracle cannot do): each user's
@@ -1618,6 +1657,68 @@ private[graft] object EntryDP {
             SELECT sup.value, n.n_reports, sup.support,
                    round((sup.support - n.n_reports * $invG) / $pMinusInv, 9)
                      AS est_count
+            FROM sup, n"""
+      },
+      "dp_ldp_shuffle_accountant" -> {
+        // the SAME ledger resolution the query ran (the real accountant
+        // classes — driver-side pure math) fixes the local eps0; the OLH
+        // derivation then replays at its g/p constants, the resolved
+        // ledger numbers enter as round-trip double literals, and the
+        // central tree's zero-noise root total is count(*) (every event
+        // row clamps into [0, 1000] and the cap is non-binding)
+        val acc = new graft.core.NaiveBudgetAccountant(1.0, 1e-8)
+        val sh = acc.requestShuffledLdpRelease(nReports = 100000L,
+          name = "olh_telemetry")
+        acc.requestTreeRelease(bins = 64, graft.core.NoiseKind.Laplace,
+          name = "central_tree")
+        acc.computeBudgets()
+        val eps0 = sh.localEpsilon
+        val expEps = math.exp(eps0)
+        val g = math.floor(expEps).toLong + 1L
+        val invG = 1.0 / g
+        val pMinusInv = expEps / (expEps + g - 1) - invG
+        val prime = graft.spark.LocalDP.OlhPrime
+        val domainValues = ldpDomain.zipWithIndex
+          .map { case (v, i) => s"($i, '$v')" }.mkString(", ")
+        val paramValues = graft.spark.LocalDP.olhParams(1024).zipWithIndex
+          .map { case ((a, b), s) => s"($s, $a, $b)" }.mkString(", ")
+        s"""WITH u AS (
+              SELECT CAST(user_id AS BIGINT) AS pid, min(event_type) AS v
+              FROM events GROUP BY 1),
+            uh AS (
+              SELECT v, CAST(CONCAT('0x', substr(md5(CAST(pid AS VARCHAR)),
+                       1, 15)) AS BIGINT) % 1024 AS seed
+              FROM u),
+            d(i, value) AS (VALUES $domainValues),
+            hp(seed, a, b) AS (VALUES $paramValues),
+            rep AS (
+              SELECT uh.seed,
+                     ((hp.a * d.i + hp.b) % $prime) % $g AS y
+              FROM uh JOIN d ON uh.v = d.value
+                      JOIN hp ON hp.seed = uh.seed),
+            cells AS (
+              SELECT seed, y, CAST(count(*) AS BIGINT) AS c
+              FROM rep GROUP BY 1, 2),
+            n AS (SELECT CAST(sum(c) AS BIGINT) AS n_reports FROM cells),
+            grid AS (
+              SELECT d.value, s.seed,
+                     ((hp.a * d.i + hp.b) % $prime) % $g AS h
+              FROM d CROSS JOIN (SELECT DISTINCT seed FROM cells) s
+                     JOIN hp ON hp.seed = s.seed),
+            sup AS (
+              SELECT grid.value,
+                     CAST(coalesce(sum(cells.c), 0) AS BIGINT) AS support
+              FROM grid LEFT JOIN cells
+                ON cells.seed = grid.seed AND cells.y = grid.h
+              GROUP BY 1)
+            SELECT sup.value, n.n_reports, sup.support,
+                   round((sup.support - n.n_reports * $invG) / $pMinusInv, 9)
+                     AS est_count,
+                   ${sh.centralEpsilon} AS central_eps,
+                   ${sh.centralDelta} AS central_delta,
+                   $eps0 AS local_eps0,
+                   (SELECT CAST(count(*) AS DOUBLE) FROM events)
+                     AS tree_root_total
             FROM sup, n"""
       },
       "dp_ldp_heavy_hitters" -> {

@@ -670,21 +670,11 @@ object LocalDP {
     * grows — all spec-pinned, plus the amplification guarantee itself
     * (eps < eps0 in the valid regime at realistic n). */
   def shuffleAmplifiedEpsilon(epsilon0: Double, n: Long,
-      delta: Double): Double = {
-    require(epsilon0 > 0, s"epsilon0 must be positive, got $epsilon0")
-    require(n >= 2, s"shuffling needs n >= 2 reports, got $n")
-    require(delta > 0 && delta < 1, s"delta must be in (0, 1), got $delta")
-    val cap = math.log(n / (16.0 * math.log(2.0 / delta)))
-    require(epsilon0 <= cap,
-      f"shuffleAmplifiedEpsilon: eps0 = $epsilon0%g exceeds the bound's " +
-        f"validity cap ln(n / (16 ln(2/delta))) = $cap%g at n = $n — " +
-        "the FMT'21 clone reduction does not apply; lower eps0 or " +
-        "collect more reports")
-    val e0 = math.exp(epsilon0)
-    math.log1p((e0 - 1.0) *
-      (4.0 * math.sqrt(2.0 * math.log(4.0 / delta) / ((e0 + 1.0) * n)) +
-        4.0 / n))
-  }
+      delta: Double): Double =
+    // the closed form lives in core (r17): the BudgetAccountant resolves
+    // shuffled releases through graft.core.ShuffleAmplification, and
+    // core cannot depend on the spark tier — this is the public face
+    graft.core.ShuffleAmplification.amplifiedEpsilon(epsilon0, n, delta)
 
   /** Human-readable shuffle-amplification report — the explain
     * convention: states the trust model, the local and central

@@ -215,6 +215,52 @@ class LocalDPSpec extends AnyFunSuite {
     assert(rep.contains("central accountant"))
   }
 
+  test("shuffled-LDP accountant: mixed ledger resolves a local eps0; round-trip; fail-loud") {
+    import graft.core._
+    // one ledger: a shuffled telemetry release + a central tree release
+    val acc = new NaiveBudgetAccountant(1.0, 1e-8)
+    val sh = acc.requestShuffledLdpRelease(nReports = 100000L, name = "olh")
+    val t = acc.requestTreeRelease(bins = 64, NoiseKind.Laplace)
+    // calibration before resolution fails loud (the two-phase contract)
+    intercept[IllegalStateException](sh.localEpsilon)
+    acc.computeBudgets()
+    // naive split: eps halves across the two unit-weight mechanisms; the
+    // shuffled release is the only delta consumer
+    assert(sh.centralEpsilon == 0.5 && sh.centralDelta == 1e-8)
+    assert(t.perNodeScale == 7.0 / 0.5) // (levels+1)/eps at unitLinf = 1
+    val eps0 = sh.localEpsilon
+    // the amplification guarantee: the local randomizer runs FAR above
+    // the central share it costs
+    assert(eps0 > sh.centralEpsilon, s"eps0 = $eps0")
+    // round-trip: the resolved eps0's amplified central loss consumes
+    // exactly the allocated share (bisection converged, not cap-clamped
+    // at these parameters)
+    val back = ShuffleAmplification.amplifiedEpsilon(eps0, 100000L, 1e-8)
+    assert(math.abs(back - 0.5) < 1e-9, s"round-trip $back != 0.5")
+    // monotone: a bigger central share buys a bigger local eps0
+    assert(ShuffleAmplification.maxLocalEpsilon(0.8, 100000L, 1e-8) > eps0)
+    // cap-clamp: a huge central share cannot certify past the validity
+    // cap — the inverse returns the cap itself
+    val cap = ShuffleAmplification.validityCap(100000L, 1e-8)
+    assert(ShuffleAmplification.maxLocalEpsilon(100.0, 100000L, 1e-8) == cap)
+    // PLD path: the shuffled release registers as a generic (eps, delta)
+    // mechanism and composes tightly with additive mechanisms
+    val accP = new PLDBudgetAccountant(1.0, 1e-8)
+    val shP = accP.requestShuffledLdpRelease(nReports = 100000L)
+    accP.requestBudget(MechanismType.Gaussian)
+    accP.computeBudgets()
+    assert(shP.centralEpsilon > 0 && shP.centralDelta > 0 &&
+      shP.localEpsilon > shP.centralEpsilon)
+    // contracts: pure-Laplace ledgers (delta = 0) cannot account a
+    // shuffled release; tiny cohorts fail loud
+    intercept[IllegalArgumentException](
+      new NaiveBudgetAccountant(1.0, 0.0).requestShuffledLdpRelease(1000L))
+    intercept[IllegalArgumentException](
+      acc.requestShuffledLdpRelease(1L))
+    intercept[IllegalArgumentException](
+      ShuffleAmplification.maxLocalEpsilon(0.5, 10L, 1e-8)) // cap <= 0
+  }
+
   test("OLH ingest fold: unit-partitioned batches == one-shot; cells stay bounded") {
     val df = (1 to 90).map(i => (i.toLong, dom(i % 3))).toDF("uid", "v")
     val oneShot = LocalDP.ldpFrequencyOLH(df, "uid", col("v"), dom, 1.0,
