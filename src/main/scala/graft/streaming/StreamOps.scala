@@ -1250,6 +1250,108 @@ object StreamOps {
       r.getAs[Long]("max_tick"), kind, r.getAs[Double]("scale"))
   }
 
+  /** The REAL-CHECKPOINT face of [[onlineContinualStep]] (r17): a
+    * `foreachBatch` body that ties the continual fold to a Structured
+    * Streaming `checkpointLocation`, so a stop/restart — a NEW
+    * StreamingQuery object over the same checkpoint — resumes the fold
+    * without reprocessing, re-drawing, or double-counting. Everything
+    * lives under `stateDir`:
+    *
+    *   releases/batch_<id>/   this batch's released prefix rows
+    *   store_b<id>/           the store AFTER folding batch id (versioned)
+    *   stream_meta/           (last_batch_id, released_through) — the
+    *                          COMMIT POINT, written last
+    *
+    * `foreachBatch` is AT-LEAST-ONCE: a crash between this body and the
+    * checkpoint commit replays the batch with the SAME batchId. The
+    * meta-last write order makes the replay safe: a batch whose meta
+    * committed is SKIPPED outright (its fold and releases are already
+    * durable — idempotent replay); a batch that died before its meta
+    * write re-folds from the previous committed store version and
+    * OVERWRITES its own release/store dirs (the aborted attempt's draws
+    * were never committed — readers must only read releases up to
+    * `stream_meta.last_batch_id`). Any OTHER id relationship means the
+    * checkpoint and the store disagree — a stale/lost store snapshot, a
+    * foreign checkpoint — and the step fails loud instead of silently
+    * dropping or double-applying batches. Old store versions
+    * (store_b<k> for k < last_batch_id - 1) are dead and may be
+    * janitored; each is tree-shaped (<= (2*horizon-1) x keys rows),
+    * never data-shaped.
+    *
+    * Release policy: each batch releases the newly completed ticks
+    * through its own max tick (the nightly-release pattern of the
+    * foreachBatch drive specs); `releasedThrough` PERSISTS in the meta —
+    * tracking it in driver memory is exactly what a restart loses.
+    * Watermark-delayed completion wires the low-level
+    * [[onlineContinualStep]] directly. */
+  def continualCheckpointStep(
+      batch: DataFrame,
+      batchId: Long,
+      stateDir: String,
+      pidCol: String,
+      tickCol: org.apache.spark.sql.Column,
+      keyCols: Seq[String],
+      horizon: Int,
+      epsilon: Double,
+      maxPerTick: Long,
+      noise: graft.core.NoiseSource,
+      noiseKind: graft.core.NoiseKind = graft.core.NoiseKind.Laplace,
+      delta: Double = 0.0
+  ): Unit = {
+    require(batchId >= 0, s"batchId must be >= 0, got $batchId")
+    val spark0 = batch.sparkSession
+    import spark0.implicits._
+    val progress: Option[(Long, Long)] =
+      try {
+        val rows = spark0.read.parquet(s"$stateDir/stream_meta").collect()
+        require(rows.length == 1,
+          s"continualCheckpointStep: expected one stream_meta row under " +
+            s"$stateDir, found ${rows.length} — the state is corrupt")
+        Some((rows.head.getAs[Long]("last_batch_id"),
+          rows.head.getAs[Long]("released_through")))
+      } catch {
+        case _: org.apache.spark.sql.AnalysisException => None
+      }
+    progress match {
+      case Some((lastId, _)) if batchId == lastId =>
+        // committed replay (crash between body completion and the
+        // checkpoint commit): fold + releases already durable — skip
+        return
+      case Some((lastId, _)) if batchId != lastId + 1 =>
+        throw new IllegalStateException(
+          s"continualCheckpointStep: the checkpoint delivered batch " +
+            s"$batchId but the store last committed batch $lastId — the " +
+            "checkpoint and the state dir DISAGREE (stale/lost store " +
+            "snapshot, or a foreign checkpointLocation); restore the " +
+            "matching store or start a fresh stream (new " +
+            "checkpointLocation AND stateDir together)")
+      case None if batchId != 0 =>
+        throw new IllegalStateException(
+          s"continualCheckpointStep: the checkpoint delivered batch " +
+            s"$batchId but $stateDir has no committed state — the " +
+            "checkpoint has progressed past an empty/lost store; " +
+            "restore the store or start a fresh stream (new " +
+            "checkpointLocation AND stateDir together)")
+      case _ => ()
+    }
+    val store = progress.map { case (lastId, _) =>
+      loadContinualStore(spark0, s"$stateDir/store_b$lastId") }
+    val releasedThrough = progress.map(_._2).getOrElse(-1L)
+    val batchMax = batch
+      .agg(coalesce(max(tickCol.cast("long")), lit(releasedThrough)))
+      .head().getLong(0)
+    val releaseThrough = math.max(releasedThrough, batchMax)
+    val (rel, grown) = onlineContinualStep(batch, store, pidCol, tickCol,
+      keyCols, horizon, epsilon, maxPerTick, noise, releasedThrough,
+      releaseThrough, noiseKind, delta)
+    // write order IS the crash contract: releases, then the versioned
+    // store, then the meta COMMIT — see the class doc
+    rel.write.mode("overwrite").parquet(s"$stateDir/releases/batch_$batchId")
+    saveContinualStore(grown, s"$stateDir/store_b$batchId")
+    Seq((batchId, releaseThrough)).toDF("last_batch_id", "released_through")
+      .coalesce(1).write.mode("overwrite").parquet(s"$stateDir/stream_meta")
+  }
+
   /** Sliding-window counts derived from a [[dpContinualCount]] release —
     * window(t, w] = prefix(t) - prefix(t - w) — as PURE POST-PROCESSING of
     * the already-released prefixes: no additional privacy budget, no new

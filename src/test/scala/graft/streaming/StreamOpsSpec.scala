@@ -975,6 +975,120 @@ class StreamOpsSpec extends AnyFunSuite {
       s"resumed-from-empty-noise release: $got")
   }
 
+  test("continual fold through a REAL checkpointed StreamingQuery: restart resumes, draw-once holds, replays are idempotent, disagreement fails loud") {
+    import org.apache.spark.sql.DataFrame
+    // THE full restart surface (r17): a file-source stream driven by
+    // three SEPARATE StreamingQuery objects over ONE checkpointLocation —
+    // each run drains the new file with Trigger.AvailableNow and stops,
+    // the next run is a genuine restart (new query, cold state) that must
+    // resume from the checkpoint + persisted store without reprocessing,
+    // re-drawing, or double-counting. Extends the cold-reload spec
+    // (which drove the folds inside one session) to real checkpoints.
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_ckpt_restart_").toString
+    val inDir = s"$root/in"; val ckpt = s"$root/ckpt"
+    val state = s"$root/state"
+    new java.io.File(inDir).mkdirs()
+    val counter = new java.util.concurrent.atomic.AtomicLong(0)
+    object CountingOne extends graft.core.NoiseSource {
+      def laplace(b: Double): Double = { counter.incrementAndGet(); 1.0 }
+      def gaussian(s: Double): Double = { counter.incrementAndGet(); 1.0 }
+      def uniform(): Double = 0.5
+    }
+    def writeFile(name: String, rows: Seq[(Long, Long, String)]): Unit =
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$inDir/$name"),
+        rows.map { case (u, t, k) =>
+          s"""{"user_id":$u,"tick":$t,"key":"$k"}""" }.mkString("\n"))
+    def runDrive(): Unit = {
+      val q = spark.readStream
+        .schema("user_id LONG, tick LONG, key STRING")
+        .option("maxFilesPerTrigger", 1)
+        .json(inDir)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          StreamOps.continualCheckpointStep(b, id, state, "user_id",
+            col("tick"), Seq("key"), horizon = 8, epsilon = 1.0,
+            maxPerTick = 100L, noise = CountingOne)
+        }
+        .start()
+      q.awaitTermination()
+    }
+    // session 1: ticks 0..2 arrive -> batch 0 releases (-1, 2]
+    writeFile("b0.json", Seq((1L, 0L, "k"), (2L, 0L, "k"), (1L, 2L, "k")))
+    runDrive()
+    // RESTART 1 (new query object, same checkpoint + state): tick 3
+    writeFile("b1.json", Seq((1L, 3L, "k"), (2L, 3L, "k"), (3L, 3L, "k")))
+    runDrive()
+    // RESTART 2: tick 6 -> releases (3, 6]
+    writeFile("b2.json", Seq((4L, 6L, "k")))
+    runDrive()
+    // exactly three batches committed; the restarts did NOT reprocess b0
+    val meta = spark.read.parquet(s"$state/stream_meta").head()
+    assert(meta.getAs[Long]("last_batch_id") == 2L &&
+      meta.getAs[Long]("released_through") == 6L, meta.toString)
+    val streamed = spark.read.parquet(s"$state/releases/batch_0",
+        s"$state/releases/batch_1", s"$state/releases/batch_2")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // one-shot equivalence ACROSS the restarts: the same 3-step fold run
+    // directly (its own draw counter) must release the identical values
+    // with the identical number of draws
+    val rows = Seq((1L, 0L), (2L, 0L), (1L, 2L), (1L, 3L), (2L, 3L),
+      (3L, 3L), (4L, 6L)).map { case (u, t) => (u, t, "k") }
+    val df = rows.toDF("user_id", "tick", "key")
+    val counter2 = new java.util.concurrent.atomic.AtomicLong(0)
+    object CountingOne2 extends graft.core.NoiseSource {
+      def laplace(b: Double): Double = { counter2.incrementAndGet(); 1.0 }
+      def gaussian(s: Double): Double = { counter2.incrementAndGet(); 1.0 }
+      def uniform(): Double = 0.5
+    }
+    val plan = Seq((df.filter(col("tick") <= 2), -1L, 2L),
+      (df.filter(col("tick") === 3), 2L, 3L),
+      (df.filter(col("tick") === 6), 3L, 6L))
+    var store: Option[StreamOps.ContinualStore] = None
+    val direct = scala.collection.mutable.Map.empty[Long, Double]
+    plan.foreach { case (b, relFrom, relTo) =>
+      val (rel, grown) = StreamOps.onlineContinualStep(b, store, "user_id",
+        col("tick"), Seq("key"), 8, 1.0, 100L, CountingOne2, relFrom, relTo)
+      rel.collect().foreach(r => direct(r.getLong(0)) = r.getDouble(2))
+      store = Some(grown.copy(
+        nodeSums = grown.nodeSums.localCheckpoint(true),
+        nodeNoise = grown.nodeNoise.localCheckpoint(true)))
+    }
+    assert(streamed == direct.toMap,
+      s"restarted-stream releases $streamed != one-shot fold $direct")
+    assert(counter.get == counter2.get,
+      s"draws across restarts ${counter.get} != one-shot draws " +
+        s"${counter2.get} — a restart re-drew persisted nodes")
+    // at-least-once REPLAY of the last committed batch is idempotent:
+    // the fold is skipped outright — no draws, no meta movement
+    val drawsBefore = counter.get
+    StreamOps.continualCheckpointStep(
+      Seq((4L, 6L, "k")).toDF("user_id", "tick", "key"), 2L, state,
+      "user_id", col("tick"), Seq("key"), 8, 1.0, 100L, CountingOne)
+    assert(counter.get == drawsBefore, "a committed replay re-folded")
+    assert(spark.read.parquet(s"$state/stream_meta").head()
+      .getAs[Long]("last_batch_id") == 2L)
+    // checkpoint/store DISAGREEMENT fails loud: a batch id with a gap
+    // (stale/lost store snapshot) and a progressed checkpoint over an
+    // empty state dir both surface shaped errors, never silent skips
+    val e1 = intercept[IllegalStateException] {
+      StreamOps.continualCheckpointStep(
+        Seq((5L, 7L, "k")).toDF("user_id", "tick", "key"), 4L, state,
+        "user_id", col("tick"), Seq("key"), 8, 1.0, 100L, CountingOne)
+    }
+    assert(e1.getMessage.contains("DISAGREE"), e1.getMessage)
+    val e2 = intercept[IllegalStateException] {
+      StreamOps.continualCheckpointStep(
+        Seq((5L, 7L, "k")).toDF("user_id", "tick", "key"), 3L,
+        s"$root/empty_state", "user_id", col("tick"), Seq("key"),
+        8, 1.0, 100L, CountingOne)
+    }
+    assert(e2.getMessage.contains("no committed state"), e2.getMessage)
+  }
+
   test("streaming reservoir: fold == one-shot under any split, replay-idempotent, uniform") {
     import org.apache.spark.sql.functions._
     val rows = (1 to 300).map(i => (i.toLong, s"k${i % 3}", i * 10))
