@@ -644,15 +644,23 @@ object RangeTree {
 
   private def nodeKey(lvl: Int, idx: Long): Long = (lvl.toLong << 48) | idx
 
-  /** The collected node arrays as a (lvl, idx) -> count map; duplicate
-    * node rows sum (defensive — a released tree carries each node once). */
+  /** The collected node arrays as a (lvl, idx) -> count map. Duplicate
+    * node rows FAIL LOUD (14th pass, r17): a released tree carries each
+    * node exactly once, so a duplicate means corrupt input — overlapping
+    * shards, a double-written union — and the r16 defensive SUM would
+    * have silently double-counted it into every prefix readout. */
   private def nodeMap(lvls: Seq[Int], idxs: Seq[Long],
       counts: Seq[Double]): scala.collection.mutable.LongMap[Double] = {
     val m = new scala.collection.mutable.LongMap[Double](lvls.length * 2)
     var i = 0
     while (i < lvls.length) {
       val k = nodeKey(lvls(i), idxs(i))
-      m.update(k, m.getOrElse(k, 0.0) + counts(i))
+      if (m.contains(k)) throw new IllegalStateException(
+        s"tree readout: duplicate node (lvl ${lvls(i)}, idx ${idxs(i)}) " +
+          "in a key's released universe — a released tree carries each " +
+          "node once; the union is corrupt (overlapping shards or a " +
+          "double-written release)")
+      m.update(k, counts(i))
       i += 1
     }
     m
@@ -1138,7 +1146,18 @@ object RangeTree {
     * frame; at true fleet cardinality the serial loop's per-shard Spark
     * job-scheduling latency dominated) via `releaseShard(slice,
     * shardKeysLiteral)` into `outDir/shard=N`. Returns the read-back
-    * union. Nothing data-shaped ever collects: the universe is ranked
+    * union.
+    *
+    * PARTIAL-FAILURE CONTRACT (14th pass, r17): a failing shard fails
+    * the whole release, but shards that already completed have drawn
+    * AND durably written real noise — `outDir` is UNCOMMITTED until
+    * this method returns, and a rerun overwrites those shards with
+    * FRESH draws, i.e. a rerun is a NEW release of the same cells and
+    * must be accounted as such if the partial output was ever readable.
+    * The method writes an empty `_graft_release_committed` marker under
+    * `outDir` after the last shard lands (before the read-back);
+    * external consumers reading `outDir` from storage MUST check the
+    * marker — its absence means a partial, unaccounted release. Nothing data-shaped ever collects: the universe is ranked
     * DISTRIBUTED (sort + zipWithIndex — indices follow the sort's range
     * partitioning), and at most `concurrency` shards' keys + literal
     * frames (<= MaxDriverRows rows TOTAL — the per-shard cap divides by
@@ -1256,6 +1275,13 @@ object RangeTree {
           scala.concurrent.duration.Duration.Inf)
       } finally pool.shutdown()
     }
+    // the commit point for EXTERNAL readers of outDir (the class-doc
+    // partial-failure contract): "_"-prefixed, so parquet discovery
+    // never sees it
+    val marker = new org.apache.hadoop.fs.Path(outDir,
+      "_graft_release_committed")
+    marker.getFileSystem(spark0.sparkContext.hadoopConfiguration)
+      .create(marker, true).close()
     spark0.read.parquet(outDir).drop("shard")
   }
 
@@ -1969,6 +1995,13 @@ object RangeTree {
     val z = scala.collection.mutable.Map.empty[(Int, Long), Double]
     var j = 0
     while (j < lvls.length) { z((lvls(j), idxs(j))) = cnts(j); j += 1 }
+    // duplicates fail loud (14th pass, r17): last-write-wins would let a
+    // corrupt union (duplicate + missing node canceling in the size
+    // check is impossible, but a clean duplicate silently dropped) pass
+    require(lvls.length == z.size,
+      s"enforceConsistency: a key carries ${lvls.length} node rows over " +
+        s"${z.size} distinct nodes — duplicate nodes mean a corrupt " +
+        "union (overlapping shards or a double-written release)")
     // the sweep indexes every node of the full universe — a partial
     // tree (wrong bins, filtered rows) would otherwise surface as a
     // bare NoSuchElementException deep in the recursion

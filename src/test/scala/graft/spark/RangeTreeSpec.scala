@@ -437,6 +437,37 @@ class RangeTreeSpec extends AnyFunSuite {
       SparkTestSession.chainMsg(e2).take(300))
   }
 
+  test("duplicate node rows fail loud in every readout (corrupt-union guard, r17)") {
+    // a released tree carries each node exactly once: a duplicate means
+    // overlapping shards or a double-written union, and the readouts
+    // must refuse rather than double-count (nodeMap's old defensive sum)
+    // or silently drop (the sweep's old last-write-wins)
+    val dup = Seq(
+      (0, 0L, "a", 1.0), (0, 1L, "a", 2.0), (1, 0L, "a", 3.0),
+      (0, 0L, "a", 1.0) // the duplicate
+    ).toDF("__lvl", "__idx", "k", "dp_count")
+    val e1 = intercept[Exception](
+      RangeTree.quantilesFromTree(dup, Seq("k"), 0.0, 2.0, 2, Seq(0.5))
+        .collect())
+    assert(SparkTestSession.chainMsg(e1).contains("duplicate node"),
+      SparkTestSession.chainMsg(e1).take(300))
+    val e2 = intercept[Exception](
+      RangeTree.cdfFromTree(dup, Seq("k"), 0.0, 2.0, 2).collect())
+    assert(SparkTestSession.chainMsg(e2).contains("duplicate node"),
+      SparkTestSession.chainMsg(e2).take(300))
+    val e3 = intercept[Exception](
+      RangeTree.enforceConsistency(dup, Seq("k"), 2).collect())
+    assert(SparkTestSession.chainMsg(e3).contains("duplicate"),
+      SparkTestSession.chainMsg(e3).take(300))
+    // an EMPTY keyless tree reads as no release, not an all-zero CDF
+    val empty = Seq.empty[(Int, Long, Double)]
+      .toDF("__lvl", "__idx", "dp_count")
+    val e4 = intercept[Exception](
+      RangeTree.cdfFromTree(empty, Nil, 0.0, 2.0, 2).collect())
+    assert(SparkTestSession.chainMsg(e4).contains("no root node"),
+      SparkTestSession.chainMsg(e4).take(300))
+  }
+
   test("paddedDomain keeps the requested width and pads to a power of two") {
     val d = RangeTree.paddedDomain(0.0, 1000.0, minBins = 48)
     assert(d.bins == 64)
@@ -646,6 +677,9 @@ class RangeTreeSpec extends AnyFunSuite {
     assert(rows(sharded.select(col("__lvl"), col("__idx"), col("k"),
       col("dp_count"))) == oneShot)
     assert(oneShot.size == 10 * 15)
+    // the external-reader commit point exists (the partial-failure
+    // contract, r17): absence marks a partial, unaccounted release
+    assert(new java.io.File(s"$dir/_graft_release_committed").exists())
     // draw-once across shards AND actions: the parquet materialization is
     // the single draw point — exactly keys x (2*bins-1) draws total, and
     // re-reading the result triggers zero more
