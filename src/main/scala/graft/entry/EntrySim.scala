@@ -303,6 +303,29 @@ private[graft] object EntrySim {
         k = 5, nprobe = 16)
         .withColumn("rank", col("rank").cast("long"))
     }),
+    "sim_ivf_index_append" -> ((s, dir) => {
+      // INCREMENTAL index maintenance (r17): build the index on the
+      // even-id HALF of the corpus, APPEND the odd-id half (assignment
+      // under the FROZEN centroids, new parquet files only — cost
+      // proportional to the increment), then probe ALL cells — the
+      // all-cells probe over the appended index is provably brute force
+      // over the UNION, so the oracle is the same brute-force SQL as
+      // sim_ivf_index. The append ∪ build ≡ same-centroid-rebuild
+      // identity and the drift report are spec-pinned.
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+        .withColumn("emb", expr(
+          "transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1024) / 1024)"))
+      val idx = scratchDir("sim_ivf_index_append")
+      Similarity.buildIvfIndex(e.filter(col("vec_id") % 2 === 0),
+        "vec_id", "emb", idx, nlist = 16)
+      Similarity.appendIvfIndex(e.filter(col("vec_id") % 2 === 1),
+        "vec_id", "emb", idx).collect() // the report drives the write
+      val queries = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("emb"))
+      Similarity.ivfTopKFromIndex(s, idx, queries, "qid", "emb",
+        k = 5, nprobe = 16)
+        .withColumn("rank", col("rank").cast("long"))
+    }),
     "sim_ivf_index_query" -> ((s, dir) => {
       // the AMORTIZED read path of the persisted index: the build (train +
       // assign + write) runs ONCE per (process, sf dir) via the memoized
@@ -870,6 +893,9 @@ private[graft] object EntrySim {
            FROM scored GROUP BY doc_id""",
       // all-cells probe over the persisted index == brute force
       "sim_ivf_index" -> bruteTopKSql,
+      // all-cells probe over the appended (build-half + append-half)
+      // index == brute force over the union == the full corpus
+      "sim_ivf_index_append" -> bruteTopKSql,
       // same pipeline over the PREBUILT index (read path only) == brute force
       "sim_ivf_index_query" -> bruteTopKSql,
       // fixed-centroid nearest-center assignment: dyadic-exact d2, argmin

@@ -873,6 +873,69 @@ object Similarity {
     centers.length
   }
 
+  /** APPEND to a persisted IVF index ([[buildIvfIndex]]'s layout) — the
+    * incremental-maintenance arm (r17): new vectors assign to the
+    * EXISTING, frozen centroids and land as NEW files in the same
+    * cell-partitioned postings layout (parquet append — existing files
+    * untouched), so ingesting an increment costs work proportional to
+    * the INCREMENT, never the indexed corpus (the incremental-dedup
+    * stored-signatures convention). No retrain: the quantizer is frozen,
+    * [[ivfTopKFromIndex]] reads the union seamlessly, and the all-cells
+    * probe stays provably brute force over the UNION (append(B) onto
+    * index(A) assigns B exactly as one build over A ∪ B would under the
+    * same centroids — spec-pinned identity).
+    *
+    * Returns the per-cell DRIFT REPORT over the appended rows —
+    * (cell, n_appended, mean_cos_to_centroid) — the rebuild signal: the
+    * centroids are frozen while the data distribution moves, so a
+    * sagging mean cosine on successive appends means recall at fixed
+    * nprobe is decaying and the index wants a rebuild.
+    *
+    * CONTRACTS: appended ids must be NEW — id uniqueness is the
+    * caller's (the streaming-store convention); verifying it would scan
+    * the whole postings table and defeat increment-proportionality.
+    * Appended vectors must match the index dim exactly (fail-loud here:
+    * the L2 loop would otherwise silently assign by a PARTIAL
+    * distance). */
+  def appendIvfIndex(newRows: DataFrame, idCol: String, vecCol: String,
+      dir: String): DataFrame = {
+    val spark = newRows.sparkSession
+    val centerRows =
+      (try spark.read.parquet(s"$dir/centroids").collect()
+       catch {
+         case e: org.apache.spark.sql.AnalysisException =>
+           throw new IllegalArgumentException(
+             s"appendIvfIndex: no centroids under $dir/centroids — build " +
+               s"the index first (buildIvfIndex); (${e.getMessage})")
+       })
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    require(centerRows.nonEmpty,
+      s"appendIvfIndex: no centroids under $dir/centroids — build the " +
+        "index first (buildIvfIndex)")
+    val centers = centerRows.map(_._2)
+    val dim = centers(0).length
+    val checkedVec = when(size(col(vecCol).cast("array<double>")) =!= dim,
+        raise_error(concat(lit(
+          s"appendIvfIndex: vector length "), size(col(vecCol)),
+          lit(s" != index dim $dim — a short vector would silently " +
+            "assign by a partial distance; fix the embedding upstream")))
+          .cast("array<double>"))
+      .otherwise(col(vecCol).cast("array<double>"))
+    val assigned = newRows
+      .select(col(idCol).as("neighbor_id"), checkedVec.as("vec"))
+      .withColumn("cell", nearestCellsUdf(centers, 1)(col("vec")).getItem(0))
+      .localCheckpoint(false) // postings write + drift report share it
+    assigned.write.mode("append").partitionBy("cell")
+      .parquet(s"$dir/postings")
+    import spark.implicits._
+    val centersDf = centerRows.toSeq.toDF("cell", "centroid")
+    assigned.join(broadcast(centersDf), "cell")
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_appended"),
+        avg(cosine(col("vec"), col("centroid"))).as("mean_cos_to_centroid"))
+  }
+
   /** Probed top-k over a PERSISTED index ([[buildIvfIndex]]): reload the
     * (nlist-row) centroid table driver-side, probe `nprobe` cells per
     * query, score only the probed cells' postings. With nprobe = the cell

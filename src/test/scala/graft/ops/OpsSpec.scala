@@ -1534,6 +1534,58 @@ class SimilaritySpec extends AnyFunSuite {
       queries, "qid", "qvec", 4))) // 2-cell default probes all cells
   }
 
+  test("IVF append: increment assigns under frozen centroids == same-centroid rebuild; drift report; contracts") {
+    val rnd = new scala.util.Random(47)
+    val a = (0 until 80).map(i =>
+      (i.toLong, Array.fill(8)(rnd.nextGaussian()))).toDF("id", "vec")
+    val b = (80 until 130).map(i =>
+      (i.toLong, Array.fill(8)(rnd.nextGaussian()))).toDF("id", "vec")
+    val union = a.unionByName(b)
+    val queries = (0 until 5).map(i =>
+      (1000L + i, Array.fill(8)(rnd.nextGaussian()))).toDF("qid", "qvec")
+    val dir = java.nio.file.Files.createTempDirectory("ivf_app").toString
+    val cells = Similarity.buildIvfIndex(a, "id", "vec", dir,
+      nlist = 8, seed = 9)
+    val report = Similarity.appendIvfIndex(b, "id", "vec", dir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    // drift report: counts sum to the increment, cosines are cosines
+    assert(report.map(_._2).sum == 50L)
+    assert(report.forall(r => r._3 >= -1.0 - 1e-9 && r._3 <= 1.0 + 1e-9))
+    // append ∪ build ≡ same-centroid rebuild: every appended row's cell
+    // equals assignment of the UNION under the frozen centroids (the
+    // quantizer never moved, files only accumulated)
+    val centers = spark.read.parquet(s"$dir/centroids").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1).map(_._2)
+    val postings = spark.read.parquet(s"$dir/postings").collect()
+      .map(r => r.getAs[Long]("neighbor_id") -> r.getAs[Int]("cell")).toMap
+    val want = Similarity.assignToCenters(union, "id", "vec", centers)
+      .collect().map(r => r.getLong(0) -> r.getLong(1).toInt).toMap
+    assert(postings == want,
+      s"appended postings != same-centroid assignment of the union")
+    // all-cells probe over the appended index == brute force over the
+    // union (the sim_ivf_exact identity survives the append)
+    def asSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Double]("cosine"))).toSet
+    assert(asSet(Similarity.ivfTopKFromIndex(spark, dir, queries,
+        "qid", "qvec", k = 4, nprobe = cells)) ==
+      asSet(Similarity.bruteForceTopK(union, "id", "vec", queries,
+        "qid", "qvec", 4)))
+    // contracts: appending to a missing index fails loud; a
+    // wrong-dimension increment fails loud (a short vector would
+    // silently assign by a partial distance)
+    val e1 = intercept[IllegalArgumentException](
+      Similarity.appendIvfIndex(b, "id", "vec", s"$dir/nope"))
+    assert(e1.getMessage.contains("build the index first") ||
+      e1.getMessage.contains("no centroids"), e1.getMessage)
+    val short = Seq((999L, Array(1.0, 2.0))).toDF("id", "vec")
+    val e2 = intercept[Exception](
+      Similarity.appendIvfIndex(short, "id", "vec", dir))
+    assert(graft.spark.SparkTestSession.chainMsg(e2).contains("index dim"),
+      graft.spark.SparkTestSession.chainMsg(e2).take(300))
+  }
+
   test("kmeans: trained clustering recovers planted blobs and beats fixed init") {
     val rnd = new scala.util.Random(7)
     val blobCenters = (0 until 4).map(_ => Array.fill(8)(rnd.nextGaussian() * 10))
