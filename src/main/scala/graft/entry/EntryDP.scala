@@ -918,6 +918,25 @@ private[graft] object EntryDP {
         hexLen = 4, epsilon = 4.0, noise = NoiseSource.Zero,
         k = 8, rounds = 2)
     }),
+    "dp_ldp_heavy_hitters_e2e" -> ((s, dir) => {
+      // the END-TO-END open-domain loop (r17): string values (4 planted
+      // heavy words on 80% of users, a rare_<id> singleton tail on the
+      // rest — the open-domain telemetry shape) md5-prefix-encode to 4
+      // hex chars, the 2-round walk discovers the hot HASHES, and the
+      // reverse lookup joins them against the PUBLIC candidate catalog
+      // (the distinct corpus values — the aggregator's side knowledge)
+      // to release VALUES, not hashes. Pure post-processing of the DP
+      // release against public data. Zero noise => encoding + walk +
+      // pruning + lookup all replay in SQL; noise-floor hashes with no
+      // catalog match drop (the documented inner-join convention).
+      val v = when(pmod(col("user_id"), lit(10L)) < 8,
+          concat(lit("heavy_"), pmod(col("user_id"), lit(4L)).cast("string")))
+        .otherwise(concat(lit("rare_"), col("user_id").cast("string")))
+      val src = events(s, dir).select(col("user_id"), v.as("w"))
+      graft.spark.LocalDP.ldpHeavyHittersE2e(src, "user_id", col("w"),
+        src.select(col("w")).distinct(), "w", hexLen = 4, epsilon = 4.0,
+        noise = NoiseSource.Zero, k = 8, rounds = 2)
+    }),
     "dp_ldp_mean" -> ((s, dir) => {
       // LOCAL DP mean (the 1-bit Duchi mechanism): each user's lowest
       // clamped value normalizes to [-1, 1] and reports ONE bit; the
@@ -1475,6 +1494,106 @@ private[graft] object EntryDP {
     * oracle (the closed-domain contract makes drift fail loud). */
   private val ldpDomain = Seq("click", "error", "purchase", "signup", "view")
 
+  /** The 2-round heavy-hitter walk's CTE chain (hexLen 4, eps 4, k 8),
+    * parameterized by the `src(pid, v)` definition — ONE definition for
+    * the raw-hash row and the e2e row, so the walk replay cannot drift
+    * between them. Both OLH rounds over the shared literal parameter
+    * table: group/seed from the md5 of the pid (h64 % 2 and
+    * (h64 // 2) % 1024 — the decorrelated public randomness), prefix
+    * index = the hex prefix's numeric value (CONCAT('0x', ...) parses
+    * the same longs conv() produces engine-side). eps = 4 (the
+    * deployed-telemetry scale): at eps = 1 the g = 3 collision variance
+    * swamps any real signal — discovery NEEDS the larger g = 55 bucket
+    * space (measured, r16). Ends at `topk` (the ranked final-round
+    * top-8); callers append their final SELECT (and any extra CTEs
+    * AFTER a comma). */
+  private def hhWalkCtes(srcSql: String): String = {
+    val expEps = math.exp(4.0)
+    val g = math.floor(expEps).toLong + 1L
+    val invG = 1.0 / g
+    val pMinusInv = expEps / (expEps + g - 1) - invG
+    val prime = graft.spark.LocalDP.OlhPrime
+    val paramValues = graft.spark.LocalDP.olhParams(1024).zipWithIndex
+      .map { case ((a, b), s) => s"($s, $a, $b)" }.mkString(", ")
+    s"""WITH hp(seed, a, b) AS (VALUES $paramValues),
+        src AS ($srcSql),
+        u AS (SELECT pid, min(v) AS v FROM src GROUP BY 1),
+        uh AS (SELECT pid, v,
+                      CAST(CONCAT('0x', substr(md5(CAST(pid AS VARCHAR)),
+                           1, 15)) AS BIGINT) AS h64
+               FROM u),
+        r0 AS (SELECT (h64 // 2) % 1024 AS seed, substr(v, 1, 2) AS pfx
+               FROM uh WHERE h64 % 2 = 0),
+        rep0 AS (
+          SELECT r0.seed,
+                 ((hp.a * CAST(CONCAT('0x', pfx) AS BIGINT) + hp.b)
+                   % $prime) % $g AS y
+          FROM r0 JOIN hp ON hp.seed = r0.seed),
+        cells0 AS (SELECT seed, y, CAST(count(*) AS BIGINT) AS c
+                   FROM rep0 GROUP BY 1, 2),
+        n0 AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n FROM cells0),
+        cand0 AS (SELECT lpad(lower(hex(i)), 2, '0') AS value
+                  FROM range(0, 256) t(i)),
+        grid0 AS (
+          SELECT c0.value, s.seed,
+                 ((hp.a * CAST(CONCAT('0x', c0.value) AS BIGINT) + hp.b)
+                   % $prime) % $g AS h
+          FROM cand0 c0
+          CROSS JOIN (SELECT DISTINCT seed FROM cells0) s
+          JOIN hp ON hp.seed = s.seed),
+        sup0 AS (
+          SELECT grid0.value,
+                 CAST(coalesce(sum(cells0.c), 0) AS BIGINT) AS support
+          FROM grid0 LEFT JOIN cells0
+            ON cells0.seed = grid0.seed AND cells0.y = grid0.h
+          GROUP BY 1),
+        top0 AS (
+          SELECT value FROM (
+            SELECT value,
+                   row_number() OVER (ORDER BY
+                     round((support - (SELECT n FROM n0) * $invG)
+                           / $pMinusInv, 9) DESC, value ASC) AS rk
+            FROM sup0) WHERE rk <= 8),
+        cand1 AS (
+          SELECT t0.value || lpad(lower(hex(i)), 2, '0') AS value
+          FROM top0 t0 CROSS JOIN range(0, 256) t(i)),
+        r1 AS (SELECT (h64 // 2) % 1024 AS seed, v AS pfx
+               FROM uh WHERE h64 % 2 = 1),
+        rep1 AS (
+          SELECT r1.seed,
+                 ((hp.a * CAST(CONCAT('0x', pfx) AS BIGINT) + hp.b)
+                   % $prime) % $g AS y
+          FROM r1 JOIN hp ON hp.seed = r1.seed),
+        cells1 AS (SELECT seed, y, CAST(count(*) AS BIGINT) AS c
+                   FROM rep1 GROUP BY 1, 2),
+        n1 AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n FROM cells1),
+        grid1 AS (
+          SELECT c1.value, s.seed,
+                 ((hp.a * CAST(CONCAT('0x', c1.value) AS BIGINT) + hp.b)
+                   % $prime) % $g AS h
+          FROM cand1 c1
+          CROSS JOIN (SELECT DISTINCT seed FROM cells1) s
+          JOIN hp ON hp.seed = s.seed),
+        sup1 AS (
+          SELECT grid1.value,
+                 CAST(coalesce(sum(cells1.c), 0) AS BIGINT) AS support
+          FROM grid1 LEFT JOIN cells1
+            ON cells1.seed = grid1.seed AND cells1.y = grid1.h
+          GROUP BY 1),
+        est1 AS (
+          SELECT value, (SELECT n FROM n1) AS n_reports, support,
+                 round((support - (SELECT n FROM n1) * $invG)
+                       / $pMinusInv, 9) AS est_count
+          FROM sup1),
+        topk AS (
+          SELECT value, est_count, support, n_reports,
+                 CAST(rk AS BIGINT) AS rk
+          FROM (SELECT *, row_number() OVER (
+                  ORDER BY est_count DESC, value ASC) AS rk
+                FROM est1)
+          WHERE rk <= 8)"""
+  }
+
   def oracleSql: Map[String, String] = {
     import OracleFragments._
     Map(
@@ -1722,104 +1841,39 @@ private[graft] object EntryDP {
             FROM sup, n"""
       },
       "dp_ldp_heavy_hitters" -> {
-        // both OLH rounds replayed over the shared literal parameter
-        // table: group/seed from the md5 of the pid (h64 % 2 and
-        // (h64 // 2) % 1024 — the decorrelated public randomness), prefix index
-        // = the hex prefix's numeric value (CONCAT('0x', ...) parses the
-        // same 60-bit longs conv() produces engine-side). eps = 4 (the
-        // deployed-telemetry scale): at eps = 1 the g = 3 collision
-        // variance (sd ~ 35 counts at this n) swamps any real signal —
-        // discovery NEEDS the larger g = 55 bucket space (collision sd
-        // ~ 5), measured, not assumed
-        val expEps = math.exp(4.0)
-        val g = math.floor(expEps).toLong + 1L
-        val invG = 1.0 / g
-        val pMinusInv = expEps / (expEps + g - 1) - invG
-        val prime = graft.spark.LocalDP.OlhPrime
-        val paramValues = graft.spark.LocalDP.olhParams(1024).zipWithIndex
-          .map { case ((a, b), s) => s"($s, $a, $b)" }.mkString(", ")
-        s"""WITH hp(seed, a, b) AS (VALUES $paramValues),
-            src AS (
+        // the shared walk chain (hhWalkCtes) over the planted-hex
+        // fixture; the raw row releases the hot HASHES themselves
+        hhWalkCtes("""
               SELECT CAST(user_id AS BIGINT) AS pid,
                      lpad(lower(hex(CASE WHEN user_id % 10 < 6
                             THEN (user_id % 4) * 4369
                             ELSE (user_id * 48271 + 7) % 65536 END)),
                           4, '0') AS v
-              FROM events),
-            u AS (SELECT pid, min(v) AS v FROM src GROUP BY 1),
-            uh AS (SELECT pid, v,
-                          CAST(CONCAT('0x', substr(md5(CAST(pid AS VARCHAR)),
-                               1, 15)) AS BIGINT) AS h64
-                   FROM u),
-            r0 AS (SELECT (h64 // 2) % 1024 AS seed, substr(v, 1, 2) AS pfx
-                   FROM uh WHERE h64 % 2 = 0),
-            rep0 AS (
-              SELECT r0.seed,
-                     ((hp.a * CAST(CONCAT('0x', pfx) AS BIGINT) + hp.b)
-                       % $prime) % $g AS y
-              FROM r0 JOIN hp ON hp.seed = r0.seed),
-            cells0 AS (SELECT seed, y, CAST(count(*) AS BIGINT) AS c
-                       FROM rep0 GROUP BY 1, 2),
-            n0 AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n FROM cells0),
-            cand0 AS (SELECT lpad(lower(hex(i)), 2, '0') AS value
-                      FROM range(0, 256) t(i)),
-            grid0 AS (
-              SELECT c0.value, s.seed,
-                     ((hp.a * CAST(CONCAT('0x', c0.value) AS BIGINT) + hp.b)
-                       % $prime) % $g AS h
-              FROM cand0 c0
-              CROSS JOIN (SELECT DISTINCT seed FROM cells0) s
-              JOIN hp ON hp.seed = s.seed),
-            sup0 AS (
-              SELECT grid0.value,
-                     CAST(coalesce(sum(cells0.c), 0) AS BIGINT) AS support
-              FROM grid0 LEFT JOIN cells0
-                ON cells0.seed = grid0.seed AND cells0.y = grid0.h
-              GROUP BY 1),
-            top0 AS (
-              SELECT value FROM (
-                SELECT value,
-                       row_number() OVER (ORDER BY
-                         round((support - (SELECT n FROM n0) * $invG)
-                               / $pMinusInv, 9) DESC, value ASC) AS rk
-                FROM sup0) WHERE rk <= 8),
-            cand1 AS (
-              SELECT t0.value || lpad(lower(hex(i)), 2, '0') AS value
-              FROM top0 t0 CROSS JOIN range(0, 256) t(i)),
-            r1 AS (SELECT (h64 // 2) % 1024 AS seed, v AS pfx
-                   FROM uh WHERE h64 % 2 = 1),
-            rep1 AS (
-              SELECT r1.seed,
-                     ((hp.a * CAST(CONCAT('0x', pfx) AS BIGINT) + hp.b)
-                       % $prime) % $g AS y
-              FROM r1 JOIN hp ON hp.seed = r1.seed),
-            cells1 AS (SELECT seed, y, CAST(count(*) AS BIGINT) AS c
-                       FROM rep1 GROUP BY 1, 2),
-            n1 AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n FROM cells1),
-            grid1 AS (
-              SELECT c1.value, s.seed,
-                     ((hp.a * CAST(CONCAT('0x', c1.value) AS BIGINT) + hp.b)
-                       % $prime) % $g AS h
-              FROM cand1 c1
-              CROSS JOIN (SELECT DISTINCT seed FROM cells1) s
-              JOIN hp ON hp.seed = s.seed),
-            sup1 AS (
-              SELECT grid1.value,
-                     CAST(coalesce(sum(cells1.c), 0) AS BIGINT) AS support
-              FROM grid1 LEFT JOIN cells1
-                ON cells1.seed = grid1.seed AND cells1.y = grid1.h
-              GROUP BY 1),
-            est1 AS (
-              SELECT value, (SELECT n FROM n1) AS n_reports, support,
-                     round((support - (SELECT n FROM n1) * $invG)
-                           / $pMinusInv, 9) AS est_count
-              FROM sup1)
-            SELECT value, est_count, support, n_reports,
-                   CAST(rk AS BIGINT) AS rk
-            FROM (SELECT *, row_number() OVER (
-                    ORDER BY est_count DESC, value ASC) AS rk
-                  FROM est1)
-            WHERE rk <= 8"""
+              FROM events""") +
+          " SELECT value, est_count, support, n_reports, rk FROM topk"
+      },
+      "dp_ldp_heavy_hitters_e2e" -> {
+        // the same walk chain over md5-prefix-ENCODED open-domain words
+        // (4 planted heavies + a rare_<id> tail), then the reverse
+        // lookup against the public candidate catalog (the distinct
+        // corpus values) releases VALUES; noise-floor hashes with no
+        // catalog match drop (the operator's inner-join convention)
+        hhWalkCtes("""
+              SELECT CAST(user_id AS BIGINT) AS pid,
+                     substr(md5(CASE WHEN user_id % 10 < 8
+                       THEN 'heavy_' || CAST(user_id % 4 AS VARCHAR)
+                       ELSE 'rare_' || CAST(user_id AS VARCHAR) END),
+                       1, 4) AS v
+              FROM events""") +
+          """, cand AS (
+               SELECT DISTINCT w AS value, substr(md5(w), 1, 4) AS hash
+               FROM (SELECT CASE WHEN user_id % 10 < 8
+                       THEN 'heavy_' || CAST(user_id % 4 AS VARCHAR)
+                       ELSE 'rare_' || CAST(user_id AS VARCHAR) END AS w
+                     FROM events))
+             SELECT cand.value, topk.value AS hash, est_count, support,
+                    n_reports, rk
+             FROM cand JOIN topk ON cand.hash = topk.value"""
       },
       "dp_ldp_mean" -> {
         val t = (math.exp(1.0) - 1.0) / (math.exp(1.0) + 1.0)

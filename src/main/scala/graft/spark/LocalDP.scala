@@ -527,6 +527,69 @@ object LocalDP {
     out.select("value", "est_count", "support", "n_reports", "rk")
   }
 
+  /** The fixed-length hex encoding [[ldpHeavyHitters]]' domain contract
+    * asks for: the first `hexLen` chars of md5(value-as-string) —
+    * lowercase hex by construction, length-uniform, and identical in
+    * Spark SQL and DuckDB (`substr(md5(v), 1, hexLen)`), so the whole
+    * e2e walk replays in the oracle. hexLen <= 10 keeps the OLH hash
+    * overflow-safe (the [[ldpHeavyHitters]] require). Collision rate:
+    * two distinct values share an encoding w.p. 16^-hexLen per pair —
+    * at hexLen 8, ~2.3e-10; the reverse lookup surfaces ALL candidates
+    * of a hot hash, so collisions widen a row set, never lose one. */
+  def hexEncodeValue(value: Column, hexLen: Int): Column = {
+    require(hexLen >= 1 && hexLen <= 10,
+      s"hexLen must be in [1, 10] (the ldpHeavyHitters hash-overflow " +
+        s"contract), got $hexLen")
+    substring(md5(value.cast("string")), 1, hexLen)
+  }
+
+  /** END-TO-END open-domain heavy hitters (r17, closing the usability
+    * loop): [[ldpHeavyHitters]] discovers frequent md5-prefix HASHES —
+    * real deployments then need the VALUES. This operator runs the full
+    * pipeline: encode each unit's value with [[hexEncodeValue]], walk
+    * the prefix tree over the hashes, then REVERSE-LOOK-UP the
+    * discovered hot hashes against a PUBLIC candidate table (known
+    * URLs, a vocabulary, a product catalog — the aggregator's side
+    * knowledge; joining against the private reports themselves would
+    * leave the LDP trust model). The lookup is pure post-processing of
+    * the DP release against public data — no extra budget. The <= k hot
+    * hashes BROADCAST onto the candidates (one scan of the candidate
+    * table, nothing data-shaped collects).
+    *
+    * Output: (value, hash, est_count, support, n_reports, rk) — one row
+    * per (hot hash, matching candidate); an encoding collision widens a
+    * hash's row set (both candidates surface — est_count is the HASH's
+    * total), and a hot hash with NO candidate drops here (a noise-floor
+    * artifact or an out-of-catalog value — read the raw
+    * [[ldpHeavyHitters]] release to see them). Zero noise: the whole
+    * derivation — encoding, both rounds, pruning, lookup — is
+    * deterministic and replays in SQL (the gate anchor). */
+  def ldpHeavyHittersE2e(
+      df: DataFrame,
+      pidCol: String,
+      valueCol: Column,
+      candidates: DataFrame,
+      candidateCol: String,
+      hexLen: Int,
+      epsilon: Double,
+      noise: graft.core.NoiseSource,
+      k: Int = 8,
+      rounds: Int = 2,
+      seedSpace: Int = 1024
+  ): DataFrame = {
+    val encoded = df.select(col(pidCol).as(pidCol),
+      hexEncodeValue(valueCol, hexLen).as("__hv"))
+    val hot = ldpHeavyHitters(encoded, pidCol, col("__hv"), hexLen,
+        epsilon, noise, k, rounds, seedSpace)
+      .withColumnRenamed("value", "hash")
+    val cand = candidates
+      .select(col(candidateCol).cast("string").as("value")).distinct()
+      .withColumn("hash", hexEncodeValue(col("value"), hexLen))
+    cand.join(broadcast(hot), "hash")
+      .select(col("value"), col("hash"), col("est_count"), col("support"),
+        col("n_reports"), col("rk"))
+  }
+
   /** Human-readable release report for [[ldpHeavyHitters]] — the explain
     * convention: the walk shape, per-round group sizes, the per-level
     * candidate cost, and the discovery floor (the OLH estimator stddev a

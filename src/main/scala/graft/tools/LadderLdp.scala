@@ -55,6 +55,39 @@ object LadderLdp {
           f"best=$best%7.2fs perCandidateUs=${best * 1e6 / k}%9.2f")
       }
     }
+
+    // heavy-hitter depth rung (r17): hexLen 8 / rounds 4 — the
+    // GROUP-SPLIT VARIANCE story: each round sees only n/rounds units,
+    // so deeper walks trade per-level candidate cost (k * 16^2 per
+    // level, 4 levels) against a 1/4-size estimating group per level.
+    // 3 planted heavies on 60% of units, singleton tail; report wall
+    // time, discovery recall, and the per-round floor from the explain.
+    {
+      val planted = Seq("alpha", "beta", "gamma")
+        .map(w => graft.spark.LocalDP.md5Word(w.hashCode.toLong))
+        .map(h => f"${h & 0xffffffffL}%08x")
+      val hv = expr(
+        s"""CASE WHEN user_id % 10 < 6 THEN
+              element_at(array(${planted.map(p => s"'$p'").mkString(",")}),
+                CAST(user_id % 3 + 1 AS INT))
+            ELSE substr(md5(CAST(user_id AS STRING)), 1, 8) END""")
+      val nUnits = events.select(countDistinct(col("user_id"))).head().getLong(0)
+      val reps = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        val out = graft.spark.LocalDP.ldpHeavyHitters(
+          events.select(col("user_id"), hv.as("hv")), "user_id", col("hv"),
+          hexLen = 8, epsilon = 4.0,
+          noise = graft.core.NoiseSource.Secure, k = 8, rounds = 4)
+          .collect().map(_.getString(0)).toSet
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
+        ((System.nanoTime() - t0) / 1e9, planted.count(out.contains))
+      }
+      println(f"[ladder-ldp] hh hexLen=8 rounds=4 n=$nUnits best=" +
+        f"${reps.map(_._1).min}%7.2fs recall=${reps.map(_._2).max}/3")
+      println(graft.spark.LocalDP.explainHeavyHitters(hexLen = 8,
+        epsilon = 4.0, nUnits = nUnits, k = 8, rounds = 4))
+    }
     spark.stop()
   }
 }

@@ -323,6 +323,41 @@ class LocalDPSpec extends AnyFunSuite {
       noise = graft.core.NoiseSource.Zero))
   }
 
+  test("heavy hitters E2E: encode -> walk -> reverse lookup releases VALUES; collisions widen; contracts") {
+    // open-domain words: 60% of 2000 units planted on 3 heavies, the
+    // rest singletons — the telemetry shape the raw walk can only
+    // answer in hashes
+    val words = Seq("alpha", "beta", "gamma")
+    val df = (1 to 2000).map { i =>
+      (i.toLong, if (i % 10 < 6) words(i % 3) else s"rare_$i")
+    }.toDF("uid", "w")
+    // a catalog value engineered to COLLIDE with alpha's 4-char md5
+    // prefix: the reverse lookup must surface BOTH candidates on the
+    // shared hot hash (widen, never lose)
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    val target = md5hex("alpha").substring(0, 4)
+    val collider = Iterator.from(0).map(i => s"collide_$i")
+      .find(c => md5hex(c).substring(0, 4) == target).get
+    val catalog = df.select(col("w"))
+      .unionByName(Seq(collider).toDF("w")).distinct()
+    val out = LocalDP.ldpHeavyHittersE2e(df, "uid", col("w"), catalog,
+        "w", hexLen = 4, epsilon = 4.0,
+        noise = graft.core.NoiseSource.Zero, k = 6, rounds = 2)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val values = out.map(_._1)
+    assert(words.forall(values.contains),
+      s"planted values not all released: $values")
+    // the collision widened alpha's hash into two candidate rows
+    assert(values.contains(collider),
+      s"collider $collider (hash $target) missing from $values")
+    assert(out.filter(_._2 == target).map(_._1) == Set("alpha", collider))
+    // contracts: the encode helper enforces the overflow-safe cap
+    intercept[IllegalArgumentException](LocalDP.hexEncodeValue(col("w"), 11))
+    intercept[IllegalArgumentException](LocalDP.hexEncodeValue(col("w"), 0))
+  }
+
   test("real randomizer: the debiased estimate is unbiased within 5 sigma") {
     val n = 20000
     val df = (1 to n).map(i => (i.toLong, "a")).toDF("uid", "v")
