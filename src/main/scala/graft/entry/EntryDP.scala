@@ -859,6 +859,27 @@ private[graft] object EntryDP {
       }
       graft.spark.LocalDP.olhEstimate(store.get, ldpDomain, epsilon = 1.0)
     }),
+    "dp_ldp_longitudinal" -> ((s, dir) => {
+      // LONGITUDINAL LDP (RAPPOR's permanent-response memoization):
+      // three repeated collections of the same unchanged values — each
+      // (unit, value) report draws ONCE and later collections REUSE it,
+      // so repeated telemetry costs one eps, not three. Zero noise: the
+      // memoized reports are the truthful buckets, so the third
+      // collection's estimate equals the one-shot dp_ldp_olh release
+      // exactly (the oracle IS its SQL). Report reuse itself is
+      // spec-pinned with a draw-counting source.
+      val ev = events(s, dir)
+      var store: Option[DataFrame] = None
+      var est: DataFrame = null
+      (1 to 3).foreach { _ =>
+        val (e, grown) = graft.spark.LocalDP.ldpLongitudinalStep(ev,
+          store, "user_id", col("event_type"), ldpDomain, epsilon = 1.0,
+          noise = NoiseSource.Zero)
+        est = e
+        store = Some(grown)
+      }
+      est
+    }),
     "dp_ldp_shuffle_accountant" -> ((s, dir) => {
       // ONE LEDGER ACROSS TRUST MODELS (r17): a NaiveBudgetAccountant
       // covers a CENTRAL tree release and a SHUFFLED LOCAL telemetry
@@ -1594,6 +1615,57 @@ private[graft] object EntryDP {
           WHERE rk <= 8)"""
   }
 
+
+  /** The zero-noise OLH frequency replay (md5-derived seeds, literal
+    * hash-parameter table, debias at eps = 1) — ONE definition for the
+    * one-shot row, the streaming fold (identical cells under any
+    * unit-partitioned split), and the longitudinal memo (reused reports
+    * equal the truthful buckets for unchanged values). */
+  private lazy val olhFrequencySql: String = {
+    val expEps = math.exp(1.0)
+    val g = math.floor(expEps).toLong + 1L
+    val invG = 1.0 / g
+    val pMinusInv = expEps / (expEps + g - 1) - invG
+    val prime = graft.spark.LocalDP.OlhPrime
+    val domainValues = ldpDomain.zipWithIndex
+      .map { case (v, i) => s"($i, '$v')" }.mkString(", ")
+    val paramValues = graft.spark.LocalDP.olhParams(1024).zipWithIndex
+      .map { case ((a, b), s) => s"($s, $a, $b)" }.mkString(", ")
+    s"""WITH u AS (
+          SELECT CAST(user_id AS BIGINT) AS pid, min(event_type) AS v
+          FROM events GROUP BY 1),
+        uh AS (
+          SELECT v, CAST(CONCAT('0x', substr(md5(CAST(pid AS VARCHAR)),
+                   1, 15)) AS BIGINT) % 1024 AS seed
+          FROM u),
+        d(i, value) AS (VALUES $domainValues),
+        hp(seed, a, b) AS (VALUES $paramValues),
+        rep AS (
+          SELECT uh.seed,
+                 ((hp.a * d.i + hp.b) % $prime) % $g AS y
+          FROM uh JOIN d ON uh.v = d.value
+                  JOIN hp ON hp.seed = uh.seed),
+        cells AS (
+          SELECT seed, y, CAST(count(*) AS BIGINT) AS c
+          FROM rep GROUP BY 1, 2),
+        n AS (SELECT CAST(sum(c) AS BIGINT) AS n_reports FROM cells),
+        grid AS (
+          SELECT d.value, s.seed,
+                 ((hp.a * d.i + hp.b) % $prime) % $g AS h
+          FROM d CROSS JOIN (SELECT DISTINCT seed FROM cells) s
+                 JOIN hp ON hp.seed = s.seed),
+        sup AS (
+          SELECT grid.value,
+                 CAST(coalesce(sum(cells.c), 0) AS BIGINT) AS support
+          FROM grid LEFT JOIN cells
+            ON cells.seed = grid.seed AND cells.y = grid.h
+          GROUP BY 1)
+        SELECT sup.value, n.n_reports, sup.support,
+               round((sup.support - n.n_reports * $invG) / $pMinusInv, 9)
+                 AS est_count
+        FROM sup, n"""
+  }
+
   def oracleSql: Map[String, String] = {
     import OracleFragments._
     Map(
@@ -1683,101 +1755,14 @@ private[graft] object EntryDP {
             FROM o""",
       // the fold over unit-partitioned batches releases the one-shot
       // OLH cells exactly — same oracle
-      "ss_dp_olh_fold" -> {
-        val expEps = math.exp(1.0)
-        val g = math.floor(expEps).toLong + 1L
-        val invG = 1.0 / g
-        val pMinusInv = expEps / (expEps + g - 1) - invG
-        val prime = graft.spark.LocalDP.OlhPrime
-        val domainValues = ldpDomain.zipWithIndex
-          .map { case (v, i) => s"($i, '$v')" }.mkString(", ")
-        val paramValues = graft.spark.LocalDP.olhParams(1024).zipWithIndex
-          .map { case ((a, b), s) => s"($s, $a, $b)" }.mkString(", ")
-        s"""WITH u AS (
-              SELECT CAST(user_id AS BIGINT) AS pid, min(event_type) AS v
-              FROM events GROUP BY 1),
-            uh AS (
-              SELECT v, CAST(CONCAT('0x', substr(md5(CAST(pid AS VARCHAR)),
-                       1, 15)) AS BIGINT) % 1024 AS seed
-              FROM u),
-            d(i, value) AS (VALUES $domainValues),
-            hp(seed, a, b) AS (VALUES $paramValues),
-            rep AS (
-              SELECT uh.seed,
-                     ((hp.a * d.i + hp.b) % $prime) % $g AS y
-              FROM uh JOIN d ON uh.v = d.value
-                      JOIN hp ON hp.seed = uh.seed),
-            cells AS (
-              SELECT seed, y, CAST(count(*) AS BIGINT) AS c
-              FROM rep GROUP BY 1, 2),
-            n AS (SELECT CAST(sum(c) AS BIGINT) AS n_reports FROM cells),
-            grid AS (
-              SELECT d.value, s.seed,
-                     ((hp.a * d.i + hp.b) % $prime) % $g AS h
-              FROM d CROSS JOIN (SELECT DISTINCT seed FROM cells) s
-                     JOIN hp ON hp.seed = s.seed),
-            sup AS (
-              SELECT grid.value,
-                     CAST(coalesce(sum(cells.c), 0) AS BIGINT) AS support
-              FROM grid LEFT JOIN cells
-                ON cells.seed = grid.seed AND cells.y = grid.h
-              GROUP BY 1)
-            SELECT sup.value, n.n_reports, sup.support,
-                   round((sup.support - n.n_reports * $invG) / $pMinusInv, 9)
-                     AS est_count
-            FROM sup, n"""
-      },
-      "dp_ldp_olh" -> {
-        // eps = 1: g = floor(e) + 1 = 3, p = e/(e+2); the debias
-        // constants interpolate as round-trip doubles (the
-        // dp_ldp_frequency convention). The public hash family enters
-        // as its LITERAL per-seed parameter table — the engine's own
-        // olhParams regenerates it here, so the SQL replays the exact
-        // Carter-Wegman hash (non-negative operands, every intermediate
-        // < 2^63: Spark % == DuckDB % == Scala %).
-        val expEps = math.exp(1.0)
-        val g = math.floor(expEps).toLong + 1L
-        val invG = 1.0 / g
-        val pMinusInv = expEps / (expEps + g - 1) - invG
-        val prime = graft.spark.LocalDP.OlhPrime
-        val domainValues = ldpDomain.zipWithIndex
-          .map { case (v, i) => s"($i, '$v')" }.mkString(", ")
-        val paramValues = graft.spark.LocalDP.olhParams(1024).zipWithIndex
-          .map { case ((a, b), s) => s"($s, $a, $b)" }.mkString(", ")
-        s"""WITH u AS (
-              SELECT CAST(user_id AS BIGINT) AS pid, min(event_type) AS v
-              FROM events GROUP BY 1),
-            uh AS (
-              SELECT v, CAST(CONCAT('0x', substr(md5(CAST(pid AS VARCHAR)),
-                       1, 15)) AS BIGINT) % 1024 AS seed
-              FROM u),
-            d(i, value) AS (VALUES $domainValues),
-            hp(seed, a, b) AS (VALUES $paramValues),
-            rep AS (
-              SELECT uh.seed,
-                     ((hp.a * d.i + hp.b) % $prime) % $g AS y
-              FROM uh JOIN d ON uh.v = d.value
-                      JOIN hp ON hp.seed = uh.seed),
-            cells AS (
-              SELECT seed, y, CAST(count(*) AS BIGINT) AS c
-              FROM rep GROUP BY 1, 2),
-            n AS (SELECT CAST(sum(c) AS BIGINT) AS n_reports FROM cells),
-            grid AS (
-              SELECT d.value, s.seed,
-                     ((hp.a * d.i + hp.b) % $prime) % $g AS h
-              FROM d CROSS JOIN (SELECT DISTINCT seed FROM cells) s
-                     JOIN hp ON hp.seed = s.seed),
-            sup AS (
-              SELECT grid.value,
-                     CAST(coalesce(sum(cells.c), 0) AS BIGINT) AS support
-              FROM grid LEFT JOIN cells
-                ON cells.seed = grid.seed AND cells.y = grid.h
-              GROUP BY 1)
-            SELECT sup.value, n.n_reports, sup.support,
-                   round((sup.support - n.n_reports * $invG) / $pMinusInv, 9)
-                     AS est_count
-            FROM sup, n"""
-      },
+      "ss_dp_olh_fold" -> olhFrequencySql,
+      // eps = 1: g = floor(e) + 1 = 3, p = e/(e+2); the debias constants
+      // interpolate as round-trip doubles and the hash family enters as
+      // its LITERAL parameter table (Spark % == DuckDB % == Scala %)
+      "dp_ldp_olh" -> olhFrequencySql,
+      // the longitudinal memo's third collection of unchanged values ==
+      // the one-shot release (reused reports are the truthful buckets)
+      "dp_ldp_longitudinal" -> olhFrequencySql,
       "dp_ldp_shuffle_accountant" -> {
         // the SAME ledger resolution the query ran (the real accountant
         // classes — driver-side pure math) fixes the local eps0; the OLH

@@ -527,6 +527,115 @@ object LocalDP {
     out.select("value", "est_count", "support", "n_reports", "rk")
   }
 
+  /** LONGITUDINAL LDP frequency — PERMANENT randomized response (the
+    * RAPPOR memoization, closing every LDP doc's retry-composition
+    * caveat for REPEATED collections): a unit's noisy OLH report for a
+    * value is drawn ONCE and MEMOIZED; every later collection where the
+    * unit still holds that value REUSES the stored report verbatim.
+    * Privacy: the adversary sees an identical output every time, so m
+    * collections of an unchanged value cost ONE eps — not m*eps (the
+    * naive fold); a unit that CHANGES value draws a fresh report and
+    * spends a fresh eps (the longitudinal ledger is per (unit, value)).
+    * In a real deployment the memo lives CLIENT-side (RAPPOR's design);
+    * in this engine — which holds the raw data and plays the trusted
+    * randomizer for the release boundary, like every [[LocalDP]]
+    * operator — the memo is the persisted store frame.
+    *
+    * Store: (__pid, __v, __y) — one row per (unit, value) ever reported;
+    * the per-unit seed re-derives from md5(pid), so it is not stored.
+    * The step pins the grown store internally (the release and the
+    * returned store MUST read the same draws); callers checkpoint it
+    * between steps (the [[olhIngestStep]] convention — parquet
+    * round-trips make draws final across restarts, the
+    * [[graft.streaming.StreamOps.saveContinualStore]] pattern).
+    *
+    * Returns (estimate, grownStore): the estimate is this collection's
+    * [[olhEstimate]] over the units' memoized reports. Zero noise:
+    * memoized reports equal truthful buckets, so EVERY collection's
+    * estimate over unchanged values equals the one-shot
+    * [[ldpFrequencyOLH]] release (the gate anchor); report REUSE is
+    * spec-pinned with a draw-counting source (m collections, distinct
+    * (unit, value) draws only). */
+  def ldpLongitudinalStep(
+      batch: DataFrame,
+      store: Option[DataFrame],
+      pidCol: String,
+      valueCol: Column,
+      domain: Seq[String],
+      epsilon: Double,
+      noise: graft.core.NoiseSource,
+      seedSpace: Int = 1024
+  ): (DataFrame, DataFrame) = {
+    require(domain.nonEmpty && domain.distinct.size == domain.size,
+      "ldpLongitudinalStep: domain must be non-empty and duplicate-free")
+    require(epsilon > 0, s"epsilon must be positive, got $epsilon")
+    require(seedSpace >= 2 && seedSpace <= 65536,
+      s"seedSpace must be in [2, 65536], got $seedSpace")
+    val expEps = math.exp(epsilon)
+    val g = math.floor(expEps).toLong + 1L
+    val p = expEps / (expEps + g - 1)
+    val gi = g.toInt
+    val domainIdx: Map[String, Int] =
+      domain.toArray.zipWithIndex.toMap
+    val params = olhParams(seedSpace)
+    val checked = when(valueCol.isNull, raise_error(lit(
+        "ldpLongitudinalStep: NULL value for a privacy unit — filter or " +
+          "impute upstream")).cast("string"))
+      .otherwise(valueCol.cast("string"))
+    val seedCol = when(col("__pid").isNull, raise_error(lit(
+        "ldpLongitudinalStep: pid does not cast to BIGINT — the public " +
+          "hash seed derives from it")).cast("long"))
+      .otherwise(pmod(expr(
+        "CAST(conv(substr(md5(CAST(__pid AS STRING)), 1, 15), 16, 10) " +
+          "AS BIGINT)"), lit(seedSpace.toLong)))
+    // one value per unit per collection: the deterministic lowest
+    val perUnit = batch
+      .select(col(pidCol).try_cast("bigint").as("__pid"), checked.as("__v"))
+      .withColumn("__rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__pid")).orderBy(col("__v").asc)))
+      .filter(col("__rk") === 1)
+      .select(col("__pid"), col("__v"), seedCol.as("__seed"))
+    val spark0 = batch.sparkSession
+    val st = store.getOrElse(spark0.createDataFrame(
+      spark0.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__pid",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("__v",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("__y",
+          org.apache.spark.sql.types.LongType, nullable = false)))))
+    val report = udf((seed: Long, v: String) => {
+      val idx = domainIdx.getOrElse(v, -1)
+      if (idx < 0) throw new IllegalArgumentException(
+        s"ldpLongitudinalStep: value '$v' outside the public domain — " +
+          "the domain is closed; extend it or filter upstream")
+      val (a, b) = params(seed.toInt)
+      val h = olhHash(a, b, idx.toLong, g)
+      if (noise.uniform() < p) h
+      else {
+        val j = math.min((noise.uniform() * (gi - 1)).toInt, gi - 2)
+        (h + 1 + j) % g
+      }
+    }).asNondeterministic()
+    // memo lookup: units whose (pid, value) already reported REUSE the
+    // stored report; only genuinely new pairs draw
+    val joined = perUnit.join(st, Seq("__pid", "__v"), "left")
+    val fresh = joined.filter(col("__y").isNull)
+      .select(col("__pid"), col("__v"),
+        report(col("__seed"), col("__v")).as("__y"))
+    // pin the GROWN store before anything reads it: the estimate below
+    // and the returned store must see the same draws (fresh's UDF is
+    // nondeterministic — an unpinned union would re-draw per consumer)
+    val grown = st.unionByName(fresh).localCheckpoint(false)
+    val current = perUnit.join(grown, Seq("__pid", "__v"))
+    val cells = current.groupBy(col("__seed"), col("__y"))
+      .agg(count(lit(1)).as("__c"))
+      .localCheckpoint(false) // olhEstimate reads the cells three times
+    (olhEstimate(cells, domain, epsilon, seedSpace), grown)
+  }
+
   /** The fixed-length hex encoding [[ldpHeavyHitters]]' domain contract
     * asks for: the first `hexLen` chars of md5(value-as-string) —
     * lowercase hex by construction, length-uniform, and identical in
@@ -738,6 +847,36 @@ object LocalDP {
     // shuffled releases through graft.core.ShuffleAmplification, and
     // core cannot depend on the spark tier — this is the public face
     graft.core.ShuffleAmplification.amplifiedEpsilon(epsilon0, n, delta)
+
+  /** TIGHT fleet-of-telemetry accounting (r17, the
+    * [[graft.spark.RangeTree.treeCompositionEpsilon]] golden pattern for
+    * the LDP bridge): `nReleases` repeated shuffled collections — a
+    * DAILY OLH telemetry release, say — are each (epsAmp, deltaEach)-DP
+    * centrally with epsAmp = [[shuffleAmplifiedEpsilon]](eps0, n,
+    * deltaEach); composing them naively costs nReleases * epsAmp, while
+    * registering the point as a privacy-loss distribution
+    * ([[graft.core.PLD.fromPrivacyParameters]], PESSIMISTIC grid — a
+    * certified upper bound) and self-composing gives the advanced-
+    * composition-tight total the fleet actually spends. Returns the
+    * composed epsilon at `totalDelta` (which must also absorb the
+    * nReleases * deltaEach infinity mass — infinite if it cannot). */
+  def shuffledFleetEpsilon(
+      epsilon0: Double,
+      nReports: Long,
+      deltaEach: Double,
+      nReleases: Int,
+      totalDelta: Double,
+      h: Double = 1e-3
+  ): Double = {
+    require(nReleases >= 1, s"nReleases must be >= 1, got $nReleases")
+    require(totalDelta > 0 && totalDelta < 1,
+      s"totalDelta must be in (0, 1), got $totalDelta")
+    val epsAmp = shuffleAmplifiedEpsilon(epsilon0, nReports, deltaEach)
+    graft.core.PLD.fromPrivacyParameters(epsAmp, deltaEach, h,
+        pessimistic = true)
+      .selfCompose(nReleases)
+      .epsilonForDelta(totalDelta)
+  }
 
   /** Human-readable shuffle-amplification report — the explain
     * convention: states the trust model, the local and central

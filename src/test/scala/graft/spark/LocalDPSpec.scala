@@ -323,6 +323,96 @@ class LocalDPSpec extends AnyFunSuite {
       noise = graft.core.NoiseSource.Zero))
   }
 
+  test("shuffled fleet accounting: PLD composition beats naive, recovers the single point, monotone") {
+    // a daily OLH telemetry release: eps0 = 1 locally, 100k reports,
+    // deltaEach = 1e-9 -> one release's amplified central point
+    val epsAmp = LocalDP.shuffleAmplifiedEpsilon(1.0, 100000L, 1e-9)
+    // n = 1 recovers the point (within the pessimistic grid's O(h) slack,
+    // never BELOW it — the certified-upper-bound direction)
+    val one = LocalDP.shuffledFleetEpsilon(1.0, 100000L, 1e-9, 1, 1e-6)
+    assert(one >= epsAmp - 1e-12 && one <= epsAmp + 0.01,
+      s"single-release fleet $one vs point $epsAmp")
+    // 64 daily releases: the PLD total is FAR under naive 64x (advanced-
+    // composition tightness — the treeCompositionEpsilon golden pattern)
+    // and at least the single release
+    // measured: 2.62 vs naive 4.63 (0.57x) at these parameters — also
+    // beats the advanced-composition closed form (~3.4); the 0.65 bound
+    // guards the tightness class without pinning the grid
+    val fleet = LocalDP.shuffledFleetEpsilon(1.0, 100000L, 1e-9, 64, 1e-6)
+    assert(fleet < 64 * epsAmp * 0.65,
+      s"fleet 64x total $fleet not tight vs naive ${64 * epsAmp}")
+    assert(fleet > epsAmp, s"fleet $fleet <= single $epsAmp")
+    // monotone in the release count
+    val fleet16 = LocalDP.shuffledFleetEpsilon(1.0, 100000L, 1e-9, 16, 1e-6)
+    assert(fleet16 < fleet && fleet16 > epsAmp)
+    // a totalDelta that cannot absorb the accumulated per-release delta
+    // mass composes to infinity, never a silent finite number
+    assert(LocalDP.shuffledFleetEpsilon(1.0, 100000L, 1e-3, 64, 1e-6)
+      .isInfinity)
+    intercept[IllegalArgumentException](
+      LocalDP.shuffledFleetEpsilon(1.0, 100000L, 1e-9, 0, 1e-6))
+  }
+
+  test("longitudinal LDP: memoized reports reuse across collections; changed values redraw; fold == one-shot") {
+    import org.apache.spark.sql.DataFrame
+    val df = (1 to 90).map(i => (i.toLong, dom(i % 3))).toDF("uid", "v")
+    // draw-counting source: the OLH randomizer calls uniform() at least
+    // once per DRAW; a reused memo calls it zero times. The draw runs in
+    // an EXECUTOR task (unlike the tree family's driver-side draws), so
+    // the count must cross the closure-serialization boundary — a plain
+    // AtomicLong would increment a per-task copy; an accumulator folds
+    // back to the driver
+    val acc = spark.sparkContext.longAccumulator("ldp_longitudinal_draws")
+    class AccCountingUniform extends graft.core.NoiseSource with Serializable {
+      def laplace(b: Double): Double = 0.0
+      def gaussian(sigma: Double): Double = 0.0
+      def uniform(): Double = { acc.add(1L); 0.5 }
+    }
+    val CountingUniform = new AccCountingUniform
+    def counterGet: Long = acc.value
+    var store: Option[DataFrame] = None
+    var est: Map[String, Double] = Map.empty
+    (1 to 3).foreach { _ =>
+      val (e, grown) = LocalDP.ldpLongitudinalStep(df, store, "uid",
+        col("v"), dom, 1.0, CountingUniform)
+      est = e.collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+      grown.count() // materialize the pinned store (draws final)
+      store = Some(grown)
+    }
+    // REPORT REUSE: three collections of unchanged values drew exactly
+    // once per (unit, value) — 90 draws (1 uniform call each at zero
+    // noise: 0.5 < p takes the truthful branch), not 270
+    assert(counterGet == 90L,
+      s"draws across 3 collections = $counterGet, want 90 (memo reuse)")
+    assert(store.get.count() == 90L)
+    // fold == one-shot: the memoized (truthful) reports estimate exactly
+    // the one-shot OLH release
+    val oneShot = LocalDP.ldpFrequencyOLH(df, "uid", col("v"), dom, 1.0,
+        graft.core.NoiseSource.Zero)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(est == oneShot, s"longitudinal $est != one-shot $oneShot")
+    // a unit that CHANGES value draws a fresh report (a new ledger row);
+    // unchanged units stay memoized
+    val changed = (1 to 90).map(i =>
+      (i.toLong, if (i == 7) dom((7 % 3 + 1) % 3) else dom(i % 3)))
+      .toDF("uid", "v")
+    val before = counterGet
+    val (_, grown2) = LocalDP.ldpLongitudinalStep(changed, store, "uid",
+      col("v"), dom, 1.0, CountingUniform)
+    grown2.count()
+    assert(counterGet == before + 1,
+      s"changed-value collection drew ${counterGet - before}, want 1")
+    assert(grown2.count() == 91L) // the ledger grew by the new pair
+    // closed-domain contract
+    val e2 = intercept[Exception] {
+      val (e, _) = LocalDP.ldpLongitudinalStep(
+        Seq((1L, "zz")).toDF("uid", "v"), None, "uid", col("v"), dom,
+        1.0, graft.core.NoiseSource.Zero)
+      e.collect()
+    }
+    assert(SparkTestSession.chainMsg(e2).contains("outside the public domain"))
+  }
+
   test("heavy hitters E2E: encode -> walk -> reverse lookup releases VALUES; collisions widen; contracts") {
     // open-domain words: 60% of 2000 units planted on 3 heavies, the
     // rest singletons — the telemetry shape the raw walk can only
