@@ -527,6 +527,162 @@ object LocalDP {
     out.select("value", "est_count", "support", "n_reports", "rk")
   }
 
+  /** LOCAL-DP RANGE TREE — the hierarchical frequency oracle (the
+    * Cormode-Kulkarni-Srivastava "Answering Range Queries Under Local
+    * Differential Privacy" shape, VLDB 2019): range/CDF queries under
+    * the LOCAL trust model, where the central
+    * [[graft.spark.RangeTree.dpRangeCountTree]] cannot operate (the
+    * collector never holds true values). Units md5-split into levels+1
+    * groups, one per dyadic level; group l's units OLH-report their
+    * value's NODE INDEX at level l (bin >> l — a domain of bins >> l
+    * nodes, one bucket per unit, eps-LDP total since each unit reports
+    * once). The aggregator estimates every node of the full dyadic
+    * universe from its level's group (debiased support counting, scaled
+    * by nTotal / n_level — the deterministic-slice population scaling)
+    * and the released frame IS a tree ((__lvl, __idx, dp_count),
+    * 2*bins-1 rows), so the CENTRAL readout machinery consumes it
+    * unchanged as pure post-processing:
+    * [[graft.spark.RangeTree.cdfFromTree]] for the CDF,
+    * [[graft.spark.RangeTree.rangeQueries]] for ranges — the bridge
+    * that closes the tree family's central/local asymmetry.
+    *
+    * Error shape (the CKS trade): each level's estimator carries OLH
+    * variance over n/(levels+1) units, and a range reads <= 2*levels
+    * cover nodes — O(log^1.5 bins / eps * sqrt(n)) per range vs central
+    * DP's O(log^1.5 bins / eps); LDP error grows with sqrt(n), the
+    * model's price. Values CLAMP into [lo, hi) (the tree-family
+    * convention); NULL and non-numeric-pid fail loud. Zero noise:
+    * truthful node reports, so every estimate (true hits + hash
+    * collisions, debiased, scaled) is a deterministic function of exact
+    * counts and the whole tree + CDF replays in SQL (the gate anchor).
+    * A level with NO reporting units fails loud (n too small to field
+    * levels+1 groups — collect more reports or coarsen bins).
+    *
+    * Scale shape: reports collapse FIRST to <= (levels+1) * seedSpace *
+    * g cells (broadcast-sized); the node grid is GENERATED
+    * ((2*bins-1) x observed per-level seeds, data-size-independent);
+    * one aggregation lands the 2*bins-1 released rows. Nothing
+    * data-shaped collects. */
+  def ldpRangeTree(
+      df: DataFrame,
+      pidCol: String,
+      valueCol: Column,
+      lo: Double,
+      hi: Double,
+      bins: Int,
+      epsilon: Double,
+      noise: graft.core.NoiseSource,
+      seedSpace: Int = 1024
+  ): DataFrame = {
+    require(bins >= 2 && (bins & (bins - 1)) == 0 && bins <= 4096,
+      s"bins must be a power of two in [2, 4096], got $bins")
+    require(lo < hi, s"empty domain [$lo, $hi)")
+    require(epsilon > 0, s"epsilon must be positive, got $epsilon")
+    require(seedSpace >= 2 && seedSpace <= 65536,
+      s"seedSpace must be in [2, 65536], got $seedSpace")
+    val levels = 31 - Integer.numberOfLeadingZeros(bins)
+    val nLevels = levels + 1
+    val expEps = math.exp(epsilon)
+    val g = math.floor(expEps).toLong + 1L
+    val p = expEps / (expEps + g - 1)
+    val invG = 1.0 / g
+    val gi = g.toInt
+    val width = (hi - lo) / bins
+    val params = olhParams(seedSpace)
+    val spark0 = df.sparkSession
+    val checked = when(valueCol.isNull, raise_error(lit(
+        "ldpRangeTree: NULL value for a privacy unit — filter or impute " +
+          "upstream")).cast("double"))
+      .otherwise(valueCol.cast("double"))
+    val clamped = least(greatest(checked, lit(lo)),
+      lit(hi - width / 2)) // clamp INTO the top bin (the tree convention)
+    val pidN = when(col("__pidn").isNull, raise_error(lit(
+        "ldpRangeTree: pid does not cast to BIGINT — group and seed " +
+          "derive from it")).cast("long"))
+      .otherwise(col("__pidn"))
+    // one report per unit: the deterministic lowest clamped value
+    val perUnit = df
+      .select(col(pidCol).try_cast("bigint").as("__pidn"),
+        clamped.as("__val"))
+      .withColumn("__rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__pidn")).orderBy(col("__val").asc)))
+      .filter(col("__rk") === 1)
+      .select(pidN.as("__pid"),
+        floor((col("__val") - lit(lo)) / lit(width)).cast("long")
+          .as("__bin"))
+      .withColumn("__h64", expr(
+        "CAST(conv(substr(md5(CAST(__pid AS STRING)), 1, 15), 16, 10) " +
+          "AS BIGINT)"))
+      .withColumn("__lvl", pmod(col("__h64"), lit(nLevels.toLong))
+        .cast("int"))
+      .withColumn("__seed",
+        pmod(expr(s"__h64 div $nLevels"), lit(seedSpace.toLong)))
+      .withColumn("__idx", expr("shiftright(__bin, __lvl)"))
+    val report = udf((seed: Long, idx: Long) => {
+      val (a, b) = params(seed.toInt)
+      val h = olhHash(a, b, idx, g)
+      if (noise.uniform() < p) h
+      else {
+        val j = math.min((noise.uniform() * (gi - 1)).toInt, gi - 2)
+        (h + 1 + j) % g
+      }
+    }).asNondeterministic()
+    // reports collapse FIRST: <= nLevels * seedSpace * g cells
+    val cells = perUnit
+      .select(col("__lvl"), col("__seed"),
+        report(col("__seed"), col("__idx")).as("__y"))
+      .groupBy(col("__lvl"), col("__seed"), col("__y"))
+      .agg(count(lit(1)).as("__c"))
+      .localCheckpoint(false) // draws final; n, seeds and grid read it
+    val nTotalRow = cells.agg(coalesce(sum(col("__c")), lit(0L))).head()
+    val nTotal = nTotalRow.getLong(0)
+    require(nTotal > 0, "ldpRangeTree: no reporting units")
+    val nPerLvl = cells.groupBy(col("__lvl"))
+      .agg(sum(col("__c")).as("__nl"))
+    // every level must have reporters — a zero-group level has no
+    // estimator and a silent zero would fabricate empty subtrees
+    val lvlCount = nPerLvl.count()
+    require(lvlCount == nLevels.toLong,
+      s"ldpRangeTree: only $lvlCount of $nLevels dyadic levels have " +
+        "reporting units — n too small to field levels+1 groups; " +
+        "collect more reports or coarsen bins")
+    val paramsDf = spark0.createDataFrame(
+      spark0.sparkContext.parallelize(
+        params.indices.map(s => org.apache.spark.sql.Row(
+          s.toLong, params(s)._1, params(s)._2)), 4),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__seed",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("__a",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("__b",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    // the GENERATED node universe x each level's observed seeds
+    val nodes = spark0.range(0, nLevels.toLong).toDF("__lvl")
+      .withColumn("__lvl", col("__lvl").cast("int"))
+      .join(spark0.range(0, bins.toLong).toDF("__idx"),
+        col("__idx") < expr(s"shiftright(${bins.toLong}, __lvl)"))
+    val seeds = cells.select(col("__lvl").as("__slvl"), col("__seed"))
+      .distinct()
+    val grid = nodes
+      .join(broadcast(seeds.join(paramsDf, "__seed")),
+        col("__lvl") === col("__slvl"))
+      .withColumn("__h",
+        ((col("__a") * col("__idx") + col("__b")) % lit(OlhPrime)) % lit(g))
+    val cellsR = cells.select(col("__lvl").as("__clvl"),
+      col("__seed").as("__cseed"), col("__y"), col("__c"))
+    grid.join(broadcast(cellsR),
+        col("__lvl") === col("__clvl") && col("__seed") === col("__cseed")
+          && col("__h") === col("__y"), "left")
+      .groupBy(col("__lvl"), col("__idx"))
+      .agg(coalesce(sum(col("__c")), lit(0L)).as("__sup"))
+      .join(broadcast(nPerLvl), "__lvl")
+      .select(col("__lvl"), col("__idx"),
+        round((col("__sup") - col("__nl") * lit(invG)) / lit(p - invG) *
+          (lit(nTotal.toDouble) / col("__nl")), 9).as("dp_count"))
+  }
+
   /** LONGITUDINAL LDP frequency — PERMANENT randomized response (the
     * RAPPOR memoization, closing every LDP doc's retry-composition
     * caveat for REPEATED collections): a unit's noisy OLH report for a

@@ -323,6 +323,65 @@ class LocalDPSpec extends AnyFunSuite {
       noise = graft.core.NoiseSource.Zero))
   }
 
+  test("LDP range tree: central readouts consume it; real noise tracks the true CDF; contracts") {
+    // 21000 units, values uniform-ish over [0, 1000): the released tree
+    // must feed cdfFromTree/rangeQueries UNCHANGED (the central/local
+    // bridge), and under the REAL randomizer the CDF must track the
+    // truth within the CKS error envelope
+    val n = 21000
+    val df = (1 to n).map(i => (i.toLong, (i * 48271 % 1000).toDouble))
+      .toDF("uid", "v")
+    val tree = LocalDP.ldpRangeTree(df, "uid", col("v"), 0.0, 1000.0,
+      bins = 64, epsilon = 4.0,
+      noise = graft.core.NoiseSource.Seeded(23L)).localCheckpoint(true)
+    assert(tree.count() == 127L) // the full dyadic universe
+    // the CENTRAL CDF readout consumes the LOCAL release as-is
+    val cdf = graft.spark.RangeTree.cdfFromTree(tree, Nil, 0.0, 1000.0,
+        64, monotone = true)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(cdf.size == 64)
+    // per-level groups are ~n/7 = 3000 units; per-node estimator sd
+    // after population scaling ~ 7 * sqrt(3000/55)/0.48 ~ 110; a prefix
+    // reads <= 6 nodes -> sd ~ 270. assert within 5 sigma at three
+    // probe points (true prefix = (bin+1)/64 * n, uniform values)
+    Seq(15L, 31L, 47L).foreach { b =>
+      val truth = (b + 1).toDouble / 64.0 * n
+      assert(math.abs(cdf(b) - truth) < 1350.0,
+        s"bin $b: cdf ${cdf(b)} vs truth $truth")
+    }
+    // monotone: the PAVA projection held
+    (1L until 64L).foreach(b => assert(cdf(b) >= cdf(b - 1) - 1e-9))
+    // the range readout consumes it too (bins 16..31 = the second
+    // quarter, true count n/4)
+    val rq = graft.spark.RangeTree.rangeQueries(tree, Nil,
+      Seq((16L, 31L)), 64).collect().head.getDouble(3)
+    assert(math.abs(rq - n / 4.0) < 1350.0, s"range count $rq")
+    // clamp convention: out-of-domain values land in the edge bins
+    val clampTree = LocalDP.ldpRangeTree(
+      (1 to 700).map(i => (i.toLong, if (i % 2 == 0) -50.0 else 2000.0))
+        .toDF("uid", "v"),
+      "uid", col("v"), 0.0, 1000.0, bins = 2, epsilon = 4.0,
+      noise = graft.core.NoiseSource.Zero)
+    val leaves = clampTree.filter(col("__lvl") === 0)
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    // both leaves see ~350 clamped units (estimates carry collision
+    // noise; they must be far from 0 and 700)
+    assert(leaves(0L) > 150 && leaves(1L) > 150,
+      s"clamped edges missing mass: $leaves")
+    // a level with no reporting units fails loud (3 units, 7 groups)
+    val e = intercept[IllegalArgumentException](LocalDP.ldpRangeTree(
+      Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)).toDF("uid", "v"), "uid",
+      col("v"), 0.0, 1000.0, bins = 64, epsilon = 4.0,
+      noise = graft.core.NoiseSource.Zero))
+    assert(e.getMessage.contains("dyadic levels have"), e.getMessage)
+    // NULL value fails loud
+    val e2 = intercept[Exception](LocalDP.ldpRangeTree(
+      Seq((1L, null.asInstanceOf[java.lang.Double])).toDF("uid", "v"),
+      "uid", col("v"), 0.0, 1000.0, 64, 4.0,
+      graft.core.NoiseSource.Zero))
+    assert(SparkTestSession.chainMsg(e2).contains("NULL value"))
+  }
+
   test("shuffled fleet accounting: PLD composition beats naive, recovers the single point, monotone") {
     // a daily OLH telemetry release: eps0 = 1 locally, 100k reports,
     // deltaEach = 1e-9 -> one release's amplified central point
