@@ -697,13 +697,20 @@ object LocalDP {
     * randomizer for the release boundary, like every [[LocalDP]]
     * operator — the memo is the persisted store frame.
     *
-    * Store: (__pid, __v, __y) — one row per (unit, value) ever reported;
-    * the per-unit seed re-derives from md5(pid), so it is not stored.
-    * The step pins the grown store internally (the release and the
-    * returned store MUST read the same draws); callers checkpoint it
-    * between steps (the [[olhIngestStep]] convention — parquet
-    * round-trips make draws final across restarts, the
-    * [[graft.streaming.StreamOps.saveContinualStore]] pattern).
+    * Store: (__pid, __v, __y, __g) — one row per (unit, value) ever
+    * reported; the per-unit seed re-derives from md5(pid), so it is not
+    * stored, but the BUCKET COUNT g IS (15th pass, r17): memoized
+    * reports are calibration-specific exactly like the continual
+    * store's persisted draws, and a mid-stream epsilon change would
+    * silently reuse wrong-g buckets — the step requires the store's g
+    * to equal this step's (fail-loud; start a new memo to rebudget).
+    * The closed-domain contract is enforced for EVERY per-unit value,
+    * memoized ones included (a reused report skips the drawing UDF, so
+    * the check cannot live only there). The step pins the grown store
+    * internally (the release and the returned store MUST read the same
+    * draws); callers checkpoint it between steps (the [[olhIngestStep]]
+    * convention — parquet round-trips make draws final across restarts,
+    * the [[graft.streaming.StreamOps.saveContinualStore]] pattern).
     *
     * Returns (estimate, grownStore): the estimate is this collection's
     * [[olhEstimate]] over the units' memoized reports. Zero noise:
@@ -734,10 +741,20 @@ object LocalDP {
     val domainIdx: Map[String, Int] =
       domain.toArray.zipWithIndex.toMap
     val params = olhParams(seedSpace)
+    // closed-domain check HERE, not only in the drawing UDF: a memoized
+    // (unit, value) reuses its report without ever reaching the UDF, so
+    // a value that left the domain would otherwise silently distort n
     val checked = when(valueCol.isNull, raise_error(lit(
         "ldpLongitudinalStep: NULL value for a privacy unit — filter or " +
           "impute upstream")).cast("string"))
-      .otherwise(valueCol.cast("string"))
+      .otherwise(when(!valueCol.cast("string").isin(domain: _*),
+        raise_error(concat(lit(
+          "ldpLongitudinalStep: value '"), valueCol.cast("string"), lit(
+          "' outside the public domain — the domain is closed AND must " +
+            "stay fixed across collections (memoized reports are " +
+            "domain-specific); extend it or filter upstream")))
+          .cast("string"))
+        .otherwise(valueCol.cast("string")))
     val seedCol = when(col("__pid").isNull, raise_error(lit(
         "ldpLongitudinalStep: pid does not cast to BIGINT — the public " +
           "hash seed derives from it")).cast("long"))
@@ -761,7 +778,23 @@ object LocalDP {
         org.apache.spark.sql.types.StructField("__v",
           org.apache.spark.sql.types.StringType, nullable = false),
         org.apache.spark.sql.types.StructField("__y",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("__g",
           org.apache.spark.sql.types.LongType, nullable = false)))))
+    // memoized reports are CALIBRATION-specific (the continual-store
+    // lesson, enforced not commented): a store drawn at another epsilon's
+    // g must not be silently reused — its buckets live in [0, g') and
+    // the debias would be meaningless
+    store.foreach { s0 =>
+      val gs = s0.agg(min(col("__g")), max(col("__g"))).head()
+      if (!gs.isNullAt(0))
+        require(gs.getLong(0) == g && gs.getLong(1) == g,
+          s"ldpLongitudinalStep: the memo store's reports were drawn at " +
+            s"g in [${gs.getLong(0)}, ${gs.getLong(1)}] but this step's " +
+            s"epsilon gives g = $g — epsilon must stay fixed across a " +
+            "longitudinal stream (memoized reports are " +
+            "calibration-specific); start a new memo to rebudget")
+    }
     val report = udf((seed: Long, v: String) => {
       val idx = domainIdx.getOrElse(v, -1)
       if (idx < 0) throw new IllegalArgumentException(
@@ -777,10 +810,10 @@ object LocalDP {
     }).asNondeterministic()
     // memo lookup: units whose (pid, value) already reported REUSE the
     // stored report; only genuinely new pairs draw
-    val joined = perUnit.join(st, Seq("__pid", "__v"), "left")
+    val joined = perUnit.join(st.drop("__g"), Seq("__pid", "__v"), "left")
     val fresh = joined.filter(col("__y").isNull)
       .select(col("__pid"), col("__v"),
-        report(col("__seed"), col("__v")).as("__y"))
+        report(col("__seed"), col("__v")).as("__y"), lit(g).as("__g"))
     // pin the GROWN store before anything reads it: the estimate below
     // and the returned store must see the same draws (fresh's UDF is
     // nondeterministic — an unpinned union would re-draw per consumer)

@@ -462,6 +462,13 @@ class LocalDPSpec extends AnyFunSuite {
     assert(counterGet == before + 1,
       s"changed-value collection drew ${counterGet - before}, want 1")
     assert(grown2.count() == 91L) // the ledger grew by the new pair
+    // memoized reports are CALIBRATION-specific: resuming at another
+    // epsilon (g = 8 vs the store's g = 3) fails loud, never silently
+    // reuses wrong-bucket-space reports
+    val e3 = intercept[IllegalArgumentException](
+      LocalDP.ldpLongitudinalStep(df, Some(grown2), "uid", col("v"),
+        dom, 2.0, CountingUniform))
+    assert(e3.getMessage.contains("calibration-specific"), e3.getMessage)
     // closed-domain contract
     val e2 = intercept[Exception] {
       val (e, _) = LocalDP.ldpLongitudinalStep(
