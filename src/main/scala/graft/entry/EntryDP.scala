@@ -840,6 +840,21 @@ private[graft] object EntryDP {
         col("event_type"), ldpDomain, epsilon = 1.0,
         noise = NoiseSource.Zero)
     }),
+    "dp_ldp_olh_keyed" -> ((s, dir) => {
+      // GROUPED LDP frequency (r17): value frequencies per PUBLIC
+      // collector-metadata key (a pid-derived platform label here — the
+      // key rides OUTSIDE the randomizer by contract; a private
+      // grouping attribute must fold into the value instead). One
+      // report per unit (the lowest (key, value) pair), per-key OLH
+      // estimation. Zero noise => the whole per-key derivation replays
+      // in SQL over the shared literal parameter table.
+      val platform = element_at(
+        typedLit(Seq("android", "ios", "web")),
+        (pmod(col("user_id"), lit(3L)) + 1).cast("int"))
+      graft.spark.LocalDP.ldpFrequencyOLHByKey(events(s, dir), "user_id",
+        platform, col("event_type"), ldpDomain, epsilon = 1.0,
+        noise = NoiseSource.Zero)
+    }),
     "ss_dp_olh_fold" -> ((s, dir) => {
       // STREAMING OLH (r16): three unit-partitioned micro-batches
       // (user_id % 3 routes every unit's rows through ONE batch — the
@@ -1782,6 +1797,58 @@ private[graft] object EntryDP {
       // the longitudinal memo's third collection of unchanged values ==
       // the one-shot release (reused reports are the truthful buckets)
       "dp_ldp_longitudinal" -> olhFrequencySql,
+      "dp_ldp_olh_keyed" -> {
+        // the per-key OLH replay: the public platform key rides outside
+        // the randomizer, cells/supports/debias group by it
+        val expEps = math.exp(1.0)
+        val g = math.floor(expEps).toLong + 1L
+        val invG = 1.0 / g
+        val pMinusInv = expEps / (expEps + g - 1) - invG
+        val prime = graft.spark.LocalDP.OlhPrime
+        val domainValues = ldpDomain.zipWithIndex
+          .map { case (v, i) => s"($i, '$v')" }.mkString(", ")
+        val paramValues = graft.spark.LocalDP.olhParams(1024).zipWithIndex
+          .map { case ((a, b), s) => s"($s, $a, $b)" }.mkString(", ")
+        s"""WITH u AS (
+              SELECT CAST(user_id AS BIGINT) AS pid,
+                     CASE user_id % 3 WHEN 0 THEN 'android'
+                          WHEN 1 THEN 'ios' ELSE 'web' END AS k,
+                     min(event_type) AS v
+              FROM events GROUP BY 1, 2),
+            uh AS (
+              SELECT k, v,
+                     CAST(CONCAT('0x', substr(md5(CAST(pid AS VARCHAR)),
+                          1, 15)) AS BIGINT) % 1024 AS seed
+              FROM u),
+            d(i, value) AS (VALUES $domainValues),
+            hp(seed, a, b) AS (VALUES $paramValues),
+            rep AS (
+              SELECT uh.k, uh.seed,
+                     ((hp.a * d.i + hp.b) % $prime) % $g AS y
+              FROM uh JOIN d ON uh.v = d.value
+                      JOIN hp ON hp.seed = uh.seed),
+            cells AS (
+              SELECT k, seed, y, CAST(count(*) AS BIGINT) AS c
+              FROM rep GROUP BY 1, 2, 3),
+            n AS (SELECT k, CAST(sum(c) AS BIGINT) AS n_reports
+                  FROM cells GROUP BY 1),
+            ks AS (SELECT DISTINCT k, seed FROM cells),
+            grid AS (
+              SELECT ks.k, d.value, ks.seed,
+                     ((hp.a * d.i + hp.b) % $prime) % $g AS h
+              FROM d CROSS JOIN ks JOIN hp ON hp.seed = ks.seed),
+            sup AS (
+              SELECT grid.k, grid.value,
+                     CAST(coalesce(sum(cells.c), 0) AS BIGINT) AS support
+              FROM grid LEFT JOIN cells
+                ON cells.k = grid.k AND cells.seed = grid.seed
+                   AND cells.y = grid.h
+              GROUP BY 1, 2)
+            SELECT sup.k AS key, sup.value, n.n_reports, sup.support,
+                   round((sup.support - n.n_reports * $invG) / $pMinusInv,
+                         9) AS est_count
+            FROM sup JOIN n ON n.k = sup.k"""
+      },
       "dp_ldp_range_tree" -> {
         // the hierarchical-oracle replay: md5 group/seed split, per-level
         // OLH over node indices, debias + population scaling — every

@@ -175,6 +175,134 @@ object LocalDP {
         seedSpace).localCheckpoint(false), // draws final; read 3x below
       domain, epsilon, seedSpace)
 
+  /** GROUPED LDP frequency — [[ldpFrequencyOLH]] per PUBLIC metadata key
+    * (r17): the deployed-telemetry slice question ("value frequencies
+    * per platform / per country") where the grouping key is COLLECTOR-
+    * VISIBLE METADATA (platform, app version, geo of the connection) —
+    * NOT a private attribute: the report is (key, bucket), so the key
+    * rides outside the randomizer and carries no DP protection; a
+    * private grouping attribute must instead be folded INTO the value
+    * (product domain) or released via [[ldpHeavyHitters]]. Fail-loud on
+    * NULL keys. Each unit reports ONCE — its deterministic lowest
+    * (key, value) pair (the L0 = 1 bound), so the whole release is
+    * eps-LDP regardless of how many keys a unit's rows span.
+    *
+    * Estimation is per-key OLH: cells collapse to (key, seed, bucket)
+    * counts (<= keys * seedSpace * g — keys are LOW-CARDINALITY public
+    * groups by contract); the grid is keys x domain x observed seeds
+    * (data-size-independent); per-key n debiases each key's supports
+    * independently. Zero noise: deterministic, the whole derivation
+    * replays in SQL (the gate anchor). Output: (key, value, n_reports,
+    * support, est_count) — one row per (observed key, domain value). */
+  def ldpFrequencyOLHByKey(
+      df: DataFrame,
+      pidCol: String,
+      keyCol: Column,
+      valueCol: Column,
+      domain: Seq[String],
+      epsilon: Double,
+      noise: graft.core.NoiseSource,
+      seedSpace: Int = 1024
+  ): DataFrame = {
+    require(domain.nonEmpty && domain.distinct.size == domain.size,
+      "ldpFrequencyOLHByKey: domain must be non-empty and duplicate-free")
+    require(epsilon > 0, s"epsilon must be positive, got $epsilon")
+    require(seedSpace >= 2 && seedSpace <= 65536,
+      s"seedSpace must be in [2, 65536], got $seedSpace")
+    val expEps = math.exp(epsilon)
+    val g = math.floor(expEps).toLong + 1L
+    val p = expEps / (expEps + g - 1)
+    val invG = 1.0 / g
+    val gi = g.toInt
+    val domainArr = domain.toArray
+    val domainIdx: Map[String, Int] = domainArr.zipWithIndex.toMap
+    val params = olhParams(seedSpace)
+    val spark0 = df.sparkSession
+    val checkedV = when(valueCol.isNull, raise_error(lit(
+        "ldpFrequencyOLHByKey: NULL value for a privacy unit — filter " +
+          "or impute upstream")).cast("string"))
+      .otherwise(valueCol.cast("string"))
+    val checkedK = when(keyCol.isNull, raise_error(lit(
+        "ldpFrequencyOLHByKey: NULL group key — the key is public " +
+          "collector metadata and every report must carry one; filter " +
+          "or impute upstream")).cast("string"))
+      .otherwise(keyCol.cast("string"))
+    val seedCol = when(col("__pidn").isNull, raise_error(lit(
+        "ldpFrequencyOLHByKey: pid does not cast to BIGINT — the public " +
+          "hash seed derives from it")).cast("long"))
+      .otherwise(pmod(expr(
+        "CAST(conv(substr(md5(CAST(__pidn AS STRING)), 1, 15), 16, 10) " +
+          "AS BIGINT)"), lit(seedSpace.toLong)))
+    // ONE report per unit: the deterministic lowest (key, value) pair
+    val perUnit = df
+      .select(col(pidCol).try_cast("bigint").as("__pidn"),
+        checkedK.as("__k"), checkedV.as("__v"))
+      .withColumn("__rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__pidn"))
+          .orderBy(col("__k").asc, col("__v").asc)))
+      .filter(col("__rk") === 1)
+      .select(col("__k"), seedCol.as("__seed"), col("__v"))
+    val report = udf((seed: Long, v: String) => {
+      val idx = domainIdx.getOrElse(v, -1)
+      if (idx < 0) throw new IllegalArgumentException(
+        s"ldpFrequencyOLHByKey: value '$v' outside the public domain — " +
+          "the domain is closed; extend it or filter upstream")
+      val (a, b) = params(seed.toInt)
+      val h = olhHash(a, b, idx.toLong, g)
+      if (noise.uniform() < p) h
+      else {
+        val j = math.min((noise.uniform() * (gi - 1)).toInt, gi - 2)
+        (h + 1 + j) % g
+      }
+    }).asNondeterministic()
+    val cells = perUnit
+      .select(col("__k"), col("__seed"),
+        report(col("__seed"), col("__v")).as("__y"))
+      .groupBy(col("__k"), col("__seed"), col("__y"))
+      .agg(count(lit(1)).as("__c"))
+      .localCheckpoint(false) // draws final; n, seeds, grid read it
+    val nPerKey = cells.groupBy(col("__k")).agg(sum(col("__c")).as("__n"))
+    val domDf = spark0.createDataFrame(
+      spark0.sparkContext.parallelize(
+        domainArr.toIndexedSeq.zipWithIndex.map { case (v, i) =>
+          org.apache.spark.sql.Row(i.toLong, v) }, 8),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__i",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.StringType, nullable = false))))
+    val paramsDf = spark0.createDataFrame(
+      spark0.sparkContext.parallelize(
+        params.indices.map(s => org.apache.spark.sql.Row(
+          s.toLong, params(s)._1, params(s)._2)), 4),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__seed",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("__a",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("__b",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    // grid: observed (key, seed) pairs x the domain, hash codegen'd
+    val keySeeds = cells.select(col("__k"), col("__seed")).distinct()
+    val grid = domDf
+      .crossJoin(broadcast(keySeeds.join(paramsDf, "__seed")))
+      .withColumn("__h",
+        ((col("__a") * col("__i") + col("__b")) % lit(OlhPrime)) % lit(g))
+    val cellsR = cells.select(col("__k").as("__ck"),
+      col("__seed").as("__cseed"), col("__y"), col("__c"))
+    grid.join(broadcast(cellsR),
+        col("__k") === col("__ck") && col("__seed") === col("__cseed")
+          && col("__h") === col("__y"), "left")
+      .groupBy(col("__k"), col("value"))
+      .agg(coalesce(sum(col("__c")), lit(0L)).as("support"))
+      .join(broadcast(nPerKey), "__k")
+      .select(col("__k").as("key"), col("value"),
+        col("__n").as("n_reports"), col("support"),
+        round((col("support") - col("__n") * lit(invG)) / lit(p - invG), 9)
+          .as("est_count"))
+  }
+
   /** One micro-batch step of STREAMING OLH frequency — the LDP family's
     * ingest fold: the (seed, bucket) -> count CELLS are plain additive
     * state (<= seedSpace * g rows — never data-shaped), so a stream

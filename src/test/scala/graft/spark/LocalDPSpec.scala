@@ -323,6 +323,50 @@ class LocalDPSpec extends AnyFunSuite {
       noise = graft.core.NoiseSource.Zero))
   }
 
+  test("keyed OLH: per-key unbiased estimates, one report per unit across keys, NULL-key contract") {
+    // public metadata key k0/k1/k2 (pid-derived), 3000 units each:
+    // k0 all hold 'a', k1 all 'b', k2 an even mix — per-key estimates
+    // must separate (eps = 1: per-key sd ~ 106, assert 5 sigma)
+    val df = (1 to 9000).map { i =>
+      val k = s"k${i % 3}"
+      val v = i % 3 match {
+        case 0 => "a"
+        case 1 => "b"
+        case _ => dom((i / 3) % 3)
+      }
+      (i.toLong, k, v)
+    }.toDF("uid", "k", "v")
+    val r = LocalDP.ldpFrequencyOLHByKey(df, "uid", col("k"), col("v"),
+        dom, 1.0, graft.core.NoiseSource.Seeded(31L))
+      .collect()
+      .map(x => (x.getString(0), x.getString(1)) ->
+        (x.getLong(2), x.getDouble(4))).toMap
+    assert(r.keySet.map(_._1) == Set("k0", "k1", "k2"))
+    assert(r.values.forall(_._1 == 3000L)) // per-key n, not rows
+    assert(math.abs(r(("k0", "a"))._2 - 3000.0) < 530.0, r(("k0", "a")))
+    assert(math.abs(r(("k0", "b"))._2) < 530.0)
+    assert(math.abs(r(("k1", "b"))._2 - 3000.0) < 530.0)
+    assert(math.abs(r(("k2", "a"))._2 - 1000.0) < 530.0)
+    // one report per unit ACROSS keys: a unit with rows under two keys
+    // still reports once (the lowest (key, value) pair)
+    val multi = df.unionByName(Seq((1L, "zz_later_key", "a"))
+      .toDF("uid", "k", "v"))
+    val n2 = LocalDP.ldpFrequencyOLHByKey(multi, "uid", col("k"),
+        col("v"), dom, 1.0, graft.core.NoiseSource.Zero)
+      .agg(sum(col("support"))).head() // supports bounded by n = 9000
+    assert(LocalDP.ldpFrequencyOLHByKey(multi, "uid", col("k"), col("v"),
+        dom, 1.0, graft.core.NoiseSource.Zero)
+      .select(col("key")).distinct().count() == 3L,
+      "the extra higher-sorting key must not receive unit 1's report")
+    assert(n2 != null)
+    // NULL key fails loud (public metadata contract)
+    val e = intercept[Exception](LocalDP.ldpFrequencyOLHByKey(
+      Seq((1L, null.asInstanceOf[String], "a")).toDF("uid", "k", "v"),
+      "uid", col("k"), col("v"), dom, 1.0,
+      graft.core.NoiseSource.Zero).collect())
+    assert(SparkTestSession.chainMsg(e).contains("NULL group key"))
+  }
+
   test("LDP range tree: central readouts consume it; real noise tracks the true CDF; contracts") {
     // 21000 units, values uniform-ish over [0, 1000): the released tree
     // must feed cdfFromTree/rangeQueries UNCHANGED (the central/local
