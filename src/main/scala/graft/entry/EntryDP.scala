@@ -1003,6 +1003,15 @@ private[graft] object EntryDP {
         col("value"), lo = 0.0, hi = 1000.0, epsilon = 1.0,
         noise = NoiseSource.Zero)
     }),
+    "dp_ldp_variance" -> ((s, dir) => {
+      // LOCAL-DP variance (plug-in over two eps/2 Duchi bits per unit:
+      // one for v, one for v^2). Zero noise => both bits are signs and
+      // the whole release — clamp, normalize, debias, plug-in combine,
+      // variance cap — replays deterministically in SQL.
+      graft.spark.LocalDP.ldpVariance(events(s, dir), "user_id",
+        col("value"), lo = 0.0, hi = 1000.0, epsilon = 1.0,
+        noise = NoiseSource.Zero)
+    }),
     "dp_add_noise" -> ((s, dir) => {
       // noise-only path on pre-aggregated data; zero noise => identity
       val pre = events(s, dir).groupBy("event_type")
@@ -2008,6 +2017,42 @@ private[graft] object EntryDP {
              SELECT cand.value, topk.value AS hash, est_count, support,
                     n_reports, rk
              FROM cand JOIN topk ON cand.hash = topk.value"""
+      },
+      "dp_ldp_variance" -> {
+        // zero-noise bits are signs: b1 = sign(v - 500) (ties -> -1),
+        // b2 = sign(v^2 - 500000); t at eps/2 enters as the round-trip
+        // double; est_variance combines the ROUNDED released moments
+        // exactly as the engine's withColumn does
+        val t = (math.exp(0.5) - 1.0) / (math.exp(0.5) + 1.0)
+        s"""WITH r AS (
+              SELECT user_id,
+                     min(least(greatest(CAST(value AS DOUBLE), 0.0),
+                         1000.0)) AS v
+              FROM events GROUP BY 1),
+            b AS (
+              SELECT CASE WHEN (v - 500.0) / 500.0 > 0 THEN 1
+                          ELSE -1 END AS b1,
+                     CASE WHEN (v * v - 500000.0) / 500000.0 > 0 THEN 1
+                          ELSE -1 END AS b2
+              FROM r),
+            a AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_reports,
+                     CAST(sum(b1) AS DOUBLE) AS s1,
+                     CAST(sum(b2) AS DOUBLE) AS s2
+              FROM b),
+            sel AS (
+              SELECT n_reports,
+                     round(least(greatest(
+                       500.0 + (s1 / n_reports) / $t * 500.0, 0.0),
+                       1000.0), 9) AS est_mean,
+                     round(least(greatest(
+                       500000.0 + (s2 / n_reports) / $t * 500000.0, 0.0),
+                       1000000.0), 9) AS est_m2
+              FROM a)
+            SELECT n_reports, est_mean, est_m2,
+                   round(least(greatest(est_m2 - est_mean * est_mean,
+                         0.0), 250000.0), 9) AS est_variance
+            FROM sel"""
       },
       "dp_ldp_mean" -> {
         val t = (math.exp(1.0) - 1.0) / (math.exp(1.0) + 1.0)

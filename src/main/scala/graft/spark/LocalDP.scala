@@ -1137,6 +1137,80 @@ object LocalDP {
        |""".stripMargin
   }
 
+  /** LOCAL-DP variance — the plug-in moment estimator over TWO 1-bit
+    * Duchi mechanisms (r17, completing the LDP moment family next to
+    * [[ldpMean]]): each unit's clamped value reports one bit for v
+    * (normalized over [lo, hi]) and one INDEPENDENT bit for v^2
+    * (normalized over [lo^2, hi^2] — monotone since lo >= 0 is
+    * required), each at eps/2, composing to eps-LDP per unit.
+    * var = E[v^2] - E[v]^2 as the plug-in combination, clamped into
+    * [0, (hi-lo)^2/4] (the population-variance range); the plug-in is
+    * biased by the estimators' own variance (O(1/(n eps^2)) — the
+    * standard trade, documented not hidden; the spec pins consistency
+    * at large n). Zero noise: both bits are signs — deterministic, the
+    * whole release replays in SQL (the gate anchor). One unit = one
+    * (deterministic lowest clamped) value = two bits. Output: one row
+    * (n_reports, est_mean, est_m2, est_variance). */
+  def ldpVariance(
+      df: DataFrame,
+      pidCol: String,
+      valueCol: Column,
+      lo: Double,
+      hi: Double,
+      epsilon: Double,
+      noise: graft.core.NoiseSource
+  ): DataFrame = {
+    require(lo >= 0 && lo < hi,
+      s"ldpVariance needs 0 <= lo < hi (v^2 normalization is monotone " +
+        s"only for non-negative domains), got [$lo, $hi]")
+    require(epsilon > 0, s"epsilon must be positive, got $epsilon")
+    val t = (math.exp(epsilon / 2) - 1.0) / (math.exp(epsilon / 2) + 1.0)
+    val mid = (lo + hi) / 2.0
+    val half = (hi - lo) / 2.0
+    val lo2 = lo * lo; val hi2 = hi * hi
+    val mid2 = (lo2 + hi2) / 2.0
+    val half2 = (hi2 - lo2) / 2.0
+    val varCap = (hi - lo) * (hi - lo) / 4.0
+    val checked = when(valueCol.isNull, raise_error(lit(
+        "ldpVariance: NULL value for a privacy unit — filter or impute " +
+          "upstream")).cast("double"))
+      .otherwise(valueCol.cast("double"))
+    val clamped = least(greatest(checked, lit(lo)), lit(hi))
+    val perUnit = df
+      .select(col(pidCol).as("__pid"), clamped.as("__v"))
+      .withColumn("__rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__pid")).orderBy(col("__v").asc)))
+      .filter(col("__rk") === 1)
+    // two INDEPENDENT eps/2 bits per unit (L1 composition — the
+    // ldpFrequency retry caveat applies to each)
+    val report = udf((v: Double) => {
+      val x1 = (v - mid) / half
+      val b1 = if (noise.uniform() < 0.5 + x1 * t / 2.0) 1 else -1
+      val x2 = (v * v - mid2) / half2
+      val b2 = if (noise.uniform() < 0.5 + x2 * t / 2.0) 1 else -1
+      Array(b1, b2)
+    }).asNondeterministic()
+    perUnit
+      .select(report(col("__v")).as("__b"))
+      .agg(count(lit(1)).as("n_reports"),
+        sum(element_at(col("__b"), 1)).cast("double").as("__s1"),
+        sum(element_at(col("__b"), 2)).cast("double").as("__s2"))
+      .select(col("n_reports"),
+        when(col("n_reports") === 0, raise_error(lit(
+            "ldpVariance: zero privacy units — an empty cohort has no " +
+              "variance to release")).cast("double"))
+          .otherwise(round(least(greatest(
+            lit(mid) + (col("__s1") / col("n_reports").cast("double")) /
+              lit(t) * lit(half), lit(lo)), lit(hi)), 9)).as("est_mean"),
+        round(least(greatest(
+          lit(mid2) + (col("__s2") / col("n_reports").cast("double")) /
+            lit(t) * lit(half2), lit(lo2)), lit(hi2)), 9).as("est_m2"))
+      .withColumn("est_variance", round(least(greatest(
+        col("est_m2") - col("est_mean") * col("est_mean"), lit(0.0)),
+        lit(varCap)), 9))
+  }
+
   /** AMPLIFICATION BY SHUFFLING — the accounting bridge from this file's
     * LOCAL trust model to the central accountant: when n users each run
     * an eps0-LDP randomizer and an intermediary SHUFFLES the reports

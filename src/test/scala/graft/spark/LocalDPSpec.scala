@@ -323,6 +323,28 @@ class LocalDPSpec extends AnyFunSuite {
       noise = graft.core.NoiseSource.Zero))
   }
 
+  test("ldpVariance: consistent at large n under the real randomizer; domain contract") {
+    // 40000 units split 200/800 in [0, 1000]: true mean 500, true
+    // m2 = 340000, true var = 90000. eps = 2 -> per-bit t at eps/2 =
+    // (e - 1)/(e + 1) ~ 0.462; est_mean sd ~ (500/t)/sqrt(n) ~ 5.4,
+    // m2 sd ~ 5400, plug-in var sd ~ 7700 — assert 5 sigma
+    val n = 40000
+    val df = (1 to n).map(i =>
+      (i.toLong, if (i % 2 == 0) 200.0 else 800.0)).toDF("uid", "v")
+    val r = LocalDP.ldpVariance(df, "uid", col("v"), 0.0, 1000.0, 2.0,
+      graft.core.NoiseSource.Seeded(41L)).collect().head
+    assert(r.getLong(0) == n.toLong)
+    assert(math.abs(r.getDouble(1) - 500.0) < 30.0, s"mean ${r.getDouble(1)}")
+    assert(math.abs(r.getDouble(2) - 340000.0) < 28000.0,
+      s"m2 ${r.getDouble(2)}")
+    assert(math.abs(r.getDouble(3) - 90000.0) < 40000.0,
+      s"var ${r.getDouble(3)}")
+    // negative-lo domains are rejected (v^2 normalization would not be
+    // monotone); empty cohorts fail loud downstream as ldpMean does
+    intercept[IllegalArgumentException](LocalDP.ldpVariance(df, "uid",
+      col("v"), -1.0, 1000.0, 1.0, graft.core.NoiseSource.Zero))
+  }
+
   test("keyed OLH: per-key unbiased estimates, one report per unit across keys, NULL-key contract") {
     // public metadata key k0/k1/k2 (pid-derived), 3000 units each:
     // k0 all hold 'a', k1 all 'b', k2 an even mix — per-key estimates
