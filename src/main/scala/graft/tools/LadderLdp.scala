@@ -88,6 +88,24 @@ object LadderLdp {
       println(graft.spark.LocalDP.explainHeavyHitters(hexLen = 8,
         epsilon = 4.0, nUnits = nUnits, k = 8, rounds = 4))
     }
+
+    // LDP range-tree bins ladder (r17): wall must track the GENERATED
+    // grid ((2*bins-1) x per-level seeds), never n x bins — the same
+    // estimation-side-bound story as the OLH domain ladder above
+    for (bins <- Seq(64, 1024, 4096)) {
+      val reps = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        val n = graft.spark.LocalDP.ldpRangeTree(events, "user_id",
+          col("value"), lo = 0.0, hi = 1000.0, bins = bins,
+          epsilon = 4.0, noise = graft.core.NoiseSource.Secure).count()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      val best = reps.map(_._1).min
+      println(f"[ladder-ldp] rangeTree bins=$bins%5d nodes=${reps.head._2}%6d " +
+        f"best=$best%7.2fs perNodeUs=${best * 1e6 / (2 * bins - 1)}%9.2f")
+    }
     spark.stop()
   }
 }

@@ -422,6 +422,11 @@ class LocalDPSpec extends AnyFunSuite {
     val rq = graft.spark.RangeTree.rangeQueries(tree, Nil,
       Seq((16L, 31L)), 64).collect().head.getDouble(3)
     assert(math.abs(rq - n / 4.0) < 1350.0, s"range count $rq")
+    // and the QUANTILE readout: the LDP tree's median bin must sit near
+    // bin 31/32 (uniform values) — every central consumer works
+    val med = graft.spark.RangeTree.quantilesFromTree(tree, Nil, 0.0,
+        1000.0, 64, Seq(0.5)).collect().head.getLong(1)
+    assert(med >= 28L && med <= 35L, s"LDP median bin $med")
     // clamp convention: out-of-domain values land in the edge bins
     val clampTree = LocalDP.ldpRangeTree(
       (1 to 700).map(i => (i.toLong, if (i % 2 == 0) -50.0 else 2000.0))
