@@ -50,6 +50,10 @@ case class HilbertIndex(left: Expression, right: Expression, bits: Int)
       s"""
          |long $cx = $xv;
          |long $cy = $yv;
+         |if ($cx < 0L || $cx >= ${1L << bits}L ||
+         |    $cy < 0L || $cy >= ${1L << bits}L) {
+         |  throw graft.functions.HilbertIndex.outOfRange($cx, $cy, $bits);
+         |}
          |long $d = 0L;
          |for (long $s = ${1L << (bits - 1)}L; $s > 0L; $s >>= 1) {
          |  long $rx = (($cx & $s) > 0L) ? 1L : 0L;
@@ -70,4 +74,15 @@ case class HilbertIndex(left: Expression, right: Expression, bits: Int)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+object HilbertIndex {
+  /** Shared by the interpreted path ([[graft.ops.Layout.hilbertXY2D]])
+    * and the generated Java (public: codegen must reach it) — the
+    * out-of-grid fail-loud both paths throw identically. */
+  def outOfRange(x: Long, y: Long, bits: Int): IllegalArgumentException =
+    new IllegalArgumentException(
+      s"graft_hilbert: ($x, $y) outside the [0, 2^$bits) grid — the " +
+        "recurrence would silently return a wrong index; quantize " +
+        "coordinates into the grid first")
 }

@@ -157,6 +157,12 @@ object Layout {
     * cuts of the Hilbert line give shards with tighter bounding boxes and
     * better file-skipping. */
   def hilbertXY2D(x: Long, y: Long, bits: Int): Long = {
+    // fail loud outside the grid (16th pass, r17): the classic recurrence
+    // silently returns a WRONG index for coordinates past 2^bits — the
+    // engine's own export paths quantize into range, but the public SQL
+    // surface (graft_hilbert) reaches here with arbitrary user input
+    if (x < 0L || x >= (1L << bits) || y < 0L || y >= (1L << bits))
+      throw graft.functions.HilbertIndex.outOfRange(x, y, bits)
     var cx = x; var cy = y; var d = 0L
     var s = 1L << (bits - 1)
     while (s > 0L) {

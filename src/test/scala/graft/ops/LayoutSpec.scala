@@ -155,6 +155,20 @@ class LayoutSpec extends AnyFunSuite {
       .select(Layout.hilbertValue(col("x"), col("y"), 8).as("h"))
       .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
     assert(withNull(0).contains(Layout.hilbertXY2D(3, 5, 8)) && withNull(1).isEmpty)
+    // out-of-grid coordinates fail LOUD in both paths (r17, 16th pass):
+    // the classic recurrence would otherwise return a silently wrong
+    // index — the engine's exports quantize into range, but the public
+    // SQL surface reaches the expression with arbitrary input
+    val eInterp = intercept[IllegalArgumentException](
+      Layout.hilbertXY2D(1L << 8, 0L, 8))
+    assert(eInterp.getMessage.contains("outside the [0, 2^8) grid"))
+    val eGen = intercept[Exception](
+      spark.range(1).select((col("id") + 256L).as("x"), col("id").as("y"))
+        .select(Layout.hilbertValue(col("x"), col("y"), 8))
+        .collect())
+    assert(graft.spark.SparkTestSession.chainMsg(eGen)
+      .contains("outside the [0, 2^8) grid"))
+    intercept[IllegalArgumentException](Layout.hilbertXY2D(0L, -1L, 8))
   }
 
   test("hilbert export: sound pruning, and tighter boxes than zorder on a grid") {
