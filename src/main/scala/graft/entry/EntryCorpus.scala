@@ -333,6 +333,40 @@ private[graft] object EntryCorpus {
         .groupBy("format", "lang")
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars"))
     }),
+    "io_warc_roundtrip" -> ((s, dir) => {
+      // WARC ingestion (r17): the CommonCrawl source format. 50 docs
+      // (doc_id < 50 — deterministic, a BOUNDED driver collect, the
+      // io_export_shards accepted cost) serialize into a plain .warc
+      // AND a per-record-gzip-member .warc.gz (the crawl convention),
+      // both read back DISTRIBUTED through readWarc; the release pins
+      // every parsed field + the payload md5 per (source file, record).
+      // The oracle replays from documents directly — a parse/format/
+      // gzip defect anywhere breaks the hash.
+      import graft.sources.WarcIO
+      val tmp = scratchDir("warc_roundtrip")
+      val rows = s.read.parquet(s"$dir/documents.parquet")
+        .filter(col("doc_id") < 50)
+        .select(col("doc_id"), col("text")).collect()
+        .sortBy(_.getLong(0))
+      val recs = rows.map { r =>
+        WarcIO.WarcRecord("", "resource", s"doc://${r.getLong(0)}",
+          "2026-01-01T00:00:00Z", s"urn:graft:${r.getLong(0)}",
+          "text/plain", -1L, r.getString(1).getBytes("UTF-8"))
+      }.toSeq
+      new java.io.File(tmp).mkdirs()
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$tmp/part0.warc"), WarcIO.warcBytes(recs))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$tmp/part0.warc.gz"),
+        WarcIO.gzipPerRecord(recs))
+      WarcIO.readWarc(s, s"$tmp/*.warc*")
+        .select(
+          when(col("file").endsWith(".gz"), "gz").otherwise("plain")
+            .as("archive"),
+          col("warc_type"), col("target_uri"), col("warc_date"),
+          col("record_id"), col("content_type"), col("content_length"),
+          md5(col("payload")).as("payload_md5"))
+    }),
     "sample_weighted" -> ((s, dir) => {
       // weighted sample without replacement: 100 docs, inclusion odds
       // proportional to length (priority sampling — w/u with a portable
@@ -760,6 +794,21 @@ private[graft] object EntryCorpus {
                   CAST(sum(n_chars) AS BIGINT) AS n_chars
            FROM documents d, unnest(['parquet', 'jsonl']) AS f(format)
            GROUP BY 1, 2""",
+      // every WARC field the reader parses, replayed from the source
+      // rows: both archives carry identical records, payload md5 over
+      // the same UTF-8 bytes on both sides
+      "io_warc_roundtrip" ->
+        """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 50),
+                a(archive) AS (VALUES ('plain'), ('gz'))
+           SELECT a.archive, 'resource' AS warc_type,
+                  'doc://' || CAST(doc_id AS VARCHAR) AS target_uri,
+                  '2026-01-01T00:00:00Z' AS warc_date,
+                  'urn:graft:' || CAST(doc_id AS VARCHAR) AS record_id,
+                  'text/plain' AS content_type,
+                  CAST(octet_length(encode(text)) AS BIGINT)
+                    AS content_length,
+                  md5(text) AS payload_md5
+           FROM d CROSS JOIN a""",
       // the written-shard manifest replayed from the source table: same
       // portable hash, same mod-16 assignment, same order-free xor
       "sample_weighted" ->

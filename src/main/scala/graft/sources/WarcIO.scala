@@ -1,0 +1,181 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** WARC (ISO 28500 — the Web ARChive format) reading and writing: the
+  * CommonCrawl ingestion format, i.e. THE source format of web-scale
+  * pretraining corpora. Public spec; record layout:
+  *
+  *   WARC/1.0\r\n
+  *   <Name>: <value>\r\n ...           (header block)
+  *   \r\n                              (blank line ends headers)
+  *   <Content-Length bytes of payload>
+  *   \r\n\r\n                          (record terminator)
+  *
+  * SCALE SHAPE: crawl dumps are fleets of ~1 GB `.warc.gz` files, so the
+  * natural Spark parallelism is PER FILE — `binaryFile` hands each task
+  * one file's bytes and [[parseWarc]] iterates its records in place (the
+  * standard distributed-WARC approach; a byte-offset splitter cannot
+  * split gzip members anyway). The per-task memory bound is therefore
+  * ONE FILE (decompressed) — crawl-standard ~1 GB files fit executor
+  * tasks comfortably; re-shard oversized archives upstream. `.gz`
+  * archives are MULTI-MEMBER (one gzip member per record is the crawl
+  * convention) and the stream reader consumes all members.
+  *
+  * FAIL-LOUD contract (the engine convention): a malformed version
+  * line, a missing/unparseable Content-Length, or a truncated payload
+  * throws with the file and byte offset — silently skipping records
+  * would misstate corpus counts at ingestion, the worst place to be
+  * silently wrong. Header names are case-insensitive per the spec;
+  * header folding (continuation lines) is not supported — crawl
+  * writers do not emit it.
+  */
+object WarcIO {
+
+  /** One parsed record: mandatory-header fields surfaced as columns,
+    * payload as raw bytes (decode downstream — charset is per-record
+    * business logic, not the reader's). */
+  final case class WarcRecord(
+      file: String,
+      warc_type: String,
+      target_uri: String,
+      warc_date: String,
+      record_id: String,
+      content_type: String,
+      content_length: Long,
+      payload: Array[Byte])
+
+  /** Distributed WARC read: one task per archive file (see the scale
+    * note above), records exploded via [[parseWarc]]. Accepts plain
+    * `.warc` and multi-member `.warc.gz`. */
+  def readWarc(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(path)
+      .select("path", "content").as[(String, Array[Byte])]
+      .flatMap { case (p, bytes) =>
+        parseWarc(p, if (p.endsWith(".gz")) gunzipAll(p, bytes) else bytes)
+      }
+      .toDF()
+  }
+
+  /** Decompress ALL gzip members of a concatenated-member archive (the
+    * per-record-member crawl convention). */
+  private[sources] def gunzipAll(file: String, bytes: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(bytes.length * 4)
+    val buf = new Array[Byte](65536)
+    // construction INSIDE the try: the gzip magic/header check throws
+    // from the constructor itself
+    var in: java.util.zip.GZIPInputStream = null
+    try {
+      in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      var n = in.read(buf)
+      while (n >= 0) {
+        if (n > 0) out.write(buf, 0, n)
+        n = in.read(buf)
+      }
+    } catch {
+      case e: java.io.IOException => throw new IllegalArgumentException(
+        s"readWarc: $file is not a valid gzip stream (${e.getMessage})")
+    } finally if (in != null) in.close()
+    out.toByteArray
+  }
+
+  private def crlfAt(b: Array[Byte], i: Int): Boolean =
+    i + 1 < b.length && b(i) == '\r' && b(i + 1) == '\n'
+
+  /** Iterate one archive's records (uncompressed bytes). Pure; shared by
+    * the distributed read and the specs. */
+  private[graft] def parseWarc(file: String,
+      bytes: Array[Byte]): Iterator[WarcRecord] = new Iterator[WarcRecord] {
+    private var pos = 0
+    private def skipTerminators(): Unit =
+      while (crlfAt(bytes, pos)) pos += 2
+    skipTerminators()
+    def hasNext: Boolean = pos < bytes.length
+    def next(): WarcRecord = {
+      val start = pos
+      // header block: lines to the blank line
+      var headerEnd = pos
+      while (headerEnd < bytes.length &&
+        !(crlfAt(bytes, headerEnd) && crlfAt(bytes, headerEnd + 2)))
+        headerEnd += 1
+      if (headerEnd >= bytes.length) throw new IllegalArgumentException(
+        s"readWarc: $file: record at offset $start has no header-ending " +
+          "blank line — truncated or not WARC")
+      val header = new String(bytes, start, headerEnd + 2 - start, "UTF-8")
+      val lines = header.split("\r\n")
+      if (!lines.head.startsWith("WARC/")) throw new IllegalArgumentException(
+        s"readWarc: $file: record at offset $start does not start with a " +
+          s"WARC/x.y version line (got '${lines.head.take(40)}')")
+      val hs: Map[String, String] = lines.tail.iterator.map { l =>
+        val c = l.indexOf(':')
+        if (c < 0) throw new IllegalArgumentException(
+          s"readWarc: $file: malformed header line '${l.take(60)}' at " +
+            s"offset $start (no colon; header folding is not supported)")
+        l.substring(0, c).trim.toLowerCase -> l.substring(c + 1).trim
+      }.toMap
+      val len = hs.get("content-length") match {
+        case Some(v) => try java.lang.Long.parseLong(v) catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"readWarc: $file: unparseable Content-Length '$v' at offset $start")
+        }
+        case None => throw new IllegalArgumentException(
+          s"readWarc: $file: record at offset $start has no Content-Length " +
+            "header (mandatory per ISO 28500)")
+      }
+      val payloadStart = headerEnd + 4
+      if (payloadStart + len > bytes.length) throw new IllegalArgumentException(
+        s"readWarc: $file: record at offset $start declares " +
+          s"Content-Length $len but only ${bytes.length - payloadStart} " +
+          "bytes remain — truncated archive")
+      val payload = java.util.Arrays.copyOfRange(
+        bytes, payloadStart, payloadStart + len.toInt)
+      pos = payloadStart + len.toInt
+      skipTerminators()
+      WarcRecord(file,
+        hs.getOrElse("warc-type", ""),
+        hs.getOrElse("warc-target-uri", ""),
+        hs.getOrElse("warc-date", ""),
+        hs.getOrElse("warc-record-id", ""),
+        hs.getOrElse("content-type", ""),
+        len, payload)
+    }
+  }
+
+  /** Serialize records into spec-compliant WARC bytes (the writer half of
+    * the round-trip; mandatory headers always emitted). Pure — callers
+    * write the bytes (optionally per-record-gzipped via
+    * [[gzipPerRecord]]) with whatever IO suits the destination. */
+  def warcBytes(records: Seq[WarcRecord]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    records.foreach { r =>
+      val header = new StringBuilder()
+        .append("WARC/1.0\r\n")
+        .append(s"WARC-Type: ${r.warc_type}\r\n")
+        .append(s"WARC-Record-ID: ${r.record_id}\r\n")
+        .append(s"WARC-Date: ${r.warc_date}\r\n")
+        .append(s"WARC-Target-URI: ${r.target_uri}\r\n")
+        .append(s"Content-Type: ${r.content_type}\r\n")
+        .append(s"Content-Length: ${r.payload.length}\r\n")
+        .append("\r\n")
+      out.write(header.toString.getBytes("UTF-8"))
+      out.write(r.payload)
+      out.write("\r\n\r\n".getBytes("UTF-8"))
+    }
+    out.toByteArray
+  }
+
+  /** Gzip each record as its OWN member (the crawl convention — members
+    * concatenate into one `.warc.gz` whose records remain independently
+    * seekable). */
+  def gzipPerRecord(records: Seq[WarcRecord]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    records.foreach { r =>
+      val gz = new java.util.zip.GZIPOutputStream(out)
+      gz.write(warcBytes(Seq(r)))
+      gz.finish()
+    }
+    out.toByteArray
+  }
+}

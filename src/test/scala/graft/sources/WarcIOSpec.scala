@@ -1,0 +1,86 @@
+package graft.sources
+
+import graft.spark.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class WarcIOSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def rec(id: Long, text: String) = WarcIO.WarcRecord(
+    "", "resource", s"doc://$id", "2026-01-01T00:00:00Z",
+    s"urn:graft:$id", "text/plain", -1L, text.getBytes("UTF-8"))
+
+  test("write -> parse roundtrip: every field and byte; empty payload; UTF-8") {
+    val recs = Seq(rec(1, "hello warc"), rec(2, ""),
+      rec(3, "café über 世界")) // multi-byte UTF-8
+    val parsed = WarcIO.parseWarc("t.warc", WarcIO.warcBytes(recs)).toSeq
+    assert(parsed.length == 3)
+    parsed.zip(recs).foreach { case (p, w) =>
+      assert(p.warc_type == w.warc_type && p.target_uri == w.target_uri &&
+        p.warc_date == w.warc_date && p.record_id == w.record_id &&
+        p.content_type == w.content_type)
+      assert(p.content_length == w.payload.length.toLong)
+      assert(java.util.Arrays.equals(p.payload, w.payload))
+    }
+    // payload bytes, not chars: the café record's length counts UTF-8
+    assert(parsed(2).content_length >
+      "café über 世界".length)
+  }
+
+  test("multi-member gzip: per-record members concatenate and all parse") {
+    val recs = (1L to 5L).map(i => rec(i, s"payload $i" * i.toInt))
+    val gz = WarcIO.gzipPerRecord(recs)
+    val parsed = WarcIO.parseWarc("t.warc.gz",
+      WarcIO.gunzipAll("t.warc.gz", gz)).toSeq
+    assert(parsed.map(_.record_id) == recs.map(_.record_id))
+    assert(parsed.zip(recs).forall { case (p, w) =>
+      java.util.Arrays.equals(p.payload, w.payload) })
+    // a corrupt gzip stream fails loud with the file name
+    val e = intercept[IllegalArgumentException](
+      WarcIO.gunzipAll("bad.gz", Array[Byte](1, 2, 3)))
+    assert(e.getMessage.contains("bad.gz"))
+  }
+
+  test("distributed read: one row per record across BOTH archives; payload intact") {
+    import org.apache.spark.sql.functions._
+    val recs = (0L until 20L).map(i => rec(i, s"document body $i"))
+    val dir = java.nio.file.Files.createTempDirectory("warcio_").toString
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/a.warc"), WarcIO.warcBytes(recs))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/b.warc.gz"), WarcIO.gzipPerRecord(recs))
+    val df = WarcIO.readWarc(spark, s"$dir/*.warc*")
+    assert(df.count() == 40L)
+    val texts = df.select(col("record_id"),
+        col("payload").cast("string").as("t"))
+      .collect().map(r => r.getString(0) -> r.getString(1))
+    assert(texts.length == 40 &&
+      texts.forall { case (id, t) =>
+        t == s"document body ${id.stripPrefix("urn:graft:")}" })
+  }
+
+  test("malformed archives fail loud: bad version line, missing length, truncation, folding") {
+    def bytes(s: String) = s.getBytes("UTF-8")
+    val e1 = intercept[IllegalArgumentException](WarcIO.parseWarc("x",
+      bytes("HTTP/1.1 200 OK\r\nContent-Length: 0\r\n\r\n\r\n\r\n")).toSeq)
+    assert(e1.getMessage.contains("version line"))
+    val e2 = intercept[IllegalArgumentException](WarcIO.parseWarc("x",
+      bytes("WARC/1.0\r\nWARC-Type: resource\r\n\r\npayload\r\n\r\n")).toSeq)
+    assert(e2.getMessage.contains("no Content-Length"))
+    val e3 = intercept[IllegalArgumentException](WarcIO.parseWarc("x",
+      bytes("WARC/1.0\r\nContent-Length: 999\r\n\r\nshort")).toSeq)
+    assert(e3.getMessage.contains("truncated"))
+    val e4 = intercept[IllegalArgumentException](WarcIO.parseWarc("x",
+      bytes("WARC/1.0\r\nContent-Length: abc\r\n\r\n\r\n\r\n")).toSeq)
+    assert(e4.getMessage.contains("unparseable Content-Length"))
+    val e5 = intercept[IllegalArgumentException](WarcIO.parseWarc("x",
+      bytes("WARC/1.0\r\nbroken header no colon\r\n" +
+        "Content-Length: 0\r\n\r\n\r\n\r\n")).toSeq)
+    assert(e5.getMessage.contains("no colon"))
+    // headers are case-insensitive per the spec
+    val ok = WarcIO.parseWarc("x",
+      bytes("WARC/1.0\r\nCONTENT-LENGTH: 2\r\nwarc-type: resource\r\n" +
+        "\r\nhi\r\n\r\n")).toSeq
+    assert(ok.head.content_length == 2L && ok.head.warc_type == "resource")
+  }
+}
