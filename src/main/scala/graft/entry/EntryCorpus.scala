@@ -367,6 +367,46 @@ private[graft] object EntryCorpus {
           col("record_id"), col("content_type"), col("content_length"),
           md5(col("payload")).as("payload_md5"))
     }),
+    "io_warc_http_extract" -> ((s, dir) => {
+      // the crawl text chain's NEXT step (r17): WARC `response` records
+      // carry raw HTTP responses; httpParts splits status/content-type/
+      // body with pure column expressions. 50 docs wrap as HTTP
+      // (doc_id % 7 == 0 -> 404 text/plain, else 200 text/html with a
+      // minimal html body), round-trip through a per-member .warc.gz,
+      // and the release pins (record_id, status, content_type, body
+      // md5) — the oracle rebuilds the identical payloads from source.
+      import graft.sources.WarcIO
+      val tmp = scratchDir("warc_http")
+      val rows = s.read.parquet(s"$dir/documents.parquet")
+        .filter(col("doc_id") < 50)
+        .select(col("doc_id"), col("text")).collect()
+        .sortBy(_.getLong(0))
+      val recs = rows.map { r =>
+        val id = r.getLong(0)
+        val payload =
+          if (id % 7 == 0)
+            "HTTP/1.1 404 Not Found\r\nContent-Type: text/plain\r\n\r\n" +
+              r.getString(1)
+          else
+            "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8" +
+              "\r\nServer: graft\r\n\r\n" +
+              s"<html><body>${r.getString(1)}</body></html>"
+        WarcIO.WarcRecord("", "response", s"doc://$id",
+          "2026-01-01T00:00:00Z", s"urn:graft:$id",
+          "application/http;msgtype=response", -1L,
+          payload.getBytes("UTF-8"))
+      }.toSeq
+      new java.io.File(tmp).mkdirs()
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$tmp/p.warc.gz"),
+        WarcIO.gzipPerRecord(recs))
+      WarcIO.readWarc(s, s"$tmp/*.warc.gz")
+        .select(col("record_id"),
+          WarcIO.httpParts(col("payload")).as("h"))
+        .select(col("record_id"), col("h.status").as("status"),
+          col("h.content_type").as("content_type"),
+          md5(col("h.body").cast("binary")).as("body_md5"))
+    }),
     "sample_weighted" -> ((s, dir) => {
       // weighted sample without replacement: 100 docs, inclusion odds
       // proportional to length (priority sampling — w/u with a portable
@@ -809,6 +849,17 @@ private[graft] object EntryCorpus {
                     AS content_length,
                   md5(text) AS payload_md5
            FROM d CROSS JOIN a""",
+      // the HTTP split replayed: the oracle rebuilds the exact payload
+      // arms and hashes the same body bytes
+      "io_warc_http_extract" ->
+        """SELECT 'urn:graft:' || CAST(doc_id AS VARCHAR) AS record_id,
+                  CASE WHEN doc_id % 7 = 0 THEN 404 ELSE 200 END AS status,
+                  CASE WHEN doc_id % 7 = 0 THEN 'text/plain'
+                       ELSE 'text/html; charset=utf-8' END AS content_type,
+                  md5(CASE WHEN doc_id % 7 = 0 THEN text
+                      ELSE '<html><body>' || text || '</body></html>' END)
+                    AS body_md5
+           FROM documents WHERE doc_id < 50""",
       // the written-shard manifest replayed from the source table: same
       // portable hash, same mod-16 assignment, same order-free xor
       "sample_weighted" ->

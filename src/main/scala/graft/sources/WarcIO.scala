@@ -143,6 +143,45 @@ object WarcIO {
     }
   }
 
+  /** Split an HTTP/1.x RESPONSE payload (what a crawl's WARC `response`
+    * records carry) into (status, content_type, body) — the step between
+    * [[readWarc]] and the text pipeline (htmlStrip -> quality -> dedup).
+    * PURE COLUMN EXPRESSIONS (codegen-friendly, no UDF): the payload is
+    * treated as TEXT, which is exact for the html/text bodies the text
+    * pipeline consumes; binary bodies (images) need a byte-level split
+    * and should be routed by content type BEFORE decoding. Fail-loud
+    * contract: a payload with no header/body separator or no HTTP
+    * status line throws (a silent null would drop documents from the
+    * corpus uncounted); NULL payloads fail loud for the same reason.
+    * Returns a struct column: (status int, content_type string —
+    * header absent => empty string, body string). */
+  def httpParts(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val s = when(payload.isNull, raise_error(lit(
+        "httpParts: NULL payload — a response record always carries " +
+          "bytes; filter non-response records upstream")).cast("string"))
+      .otherwise(payload.cast("string"))
+    val sep = locate("\r\n\r\n", s) // 1-based; 0 = absent
+    val statusStr =
+      regexp_extract(substring_index(s, "\r\n", 1), "^HTTP/[0-9.]+ ([0-9]{3})", 1)
+    val checkedStatus = when(statusStr === "", raise_error(lit(
+        "httpParts: payload does not start with an HTTP/x.y status " +
+          "line — not an HTTP response record; route by WARC-Type " +
+          "upstream")).cast("int"))
+      .otherwise(statusStr.cast("int"))
+    // the header block is everything before the separator (substr with
+    // COLUMN bounds — sep is data-dependent)
+    val headerBlock = s.substr(lit(1), sep - 1)
+    val contentType = trim(regexp_extract(headerBlock,
+      "(?i)\r\n[Cc]ontent-[Tt]ype:([^\r\n]*)", 1))
+    val bodyCol = when(sep === 0, raise_error(lit(
+        "httpParts: no header/body separator (CRLFCRLF) in the payload " +
+          "— truncated or non-HTTP record")).cast("string"))
+      .otherwise(s.substr(sep + 4, length(s)))
+    struct(checkedStatus.as("status"), contentType.as("content_type"),
+      bodyCol.as("body"))
+  }
+
   /** Serialize records into spec-compliant WARC bytes (the writer half of
     * the round-trip; mandatory headers always emitted). Pure — callers
     * write the bytes (optionally per-record-gzipped via

@@ -59,6 +59,36 @@ class WarcIOSpec extends AnyFunSuite {
         t == s"document body ${id.stripPrefix("urn:graft:")}" })
   }
 
+  test("httpParts: status/content-type/body split; contracts fail loud") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val ok = Seq(
+      "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\nX: y\r\n\r\n<p>b</p>",
+      "HTTP/1.0 404 Not Found\r\nSERVER: z\r\n\r\nmissing" // no content-type
+    ).toDF("p")
+      .select(WarcIO.httpParts(col("p").cast("binary")).as("h"))
+      .select(col("h.status"), col("h.content_type"), col("h.body"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+    assert(ok(0) == ((200, "text/html", "<p>b</p>")))
+    assert(ok(1) == ((404, "", "missing"))) // absent header -> empty
+    // a body containing CRLFCRLF splits at the FIRST separator only
+    val multi = Seq("HTTP/1.1 200 OK\r\nA: b\r\n\r\nline1\r\n\r\nline2")
+      .toDF("p").select(WarcIO.httpParts(col("p")).as("h"))
+      .select(col("h.body")).head().getString(0)
+    assert(multi == "line1\r\n\r\nline2")
+    // contracts: no separator, no status line, NULL payload
+    val e1 = intercept[Exception](Seq("HTTP/1.1 200 OK\r\nA: b\r\nbody")
+      .toDF("p").select(WarcIO.httpParts(col("p"))).collect())
+    assert(SparkTestSession.chainMsg(e1).contains("separator"))
+    val e2 = intercept[Exception](Seq("WARC/1.0\r\n\r\nnot http")
+      .toDF("p").select(WarcIO.httpParts(col("p"))).collect())
+    assert(SparkTestSession.chainMsg(e2).contains("status"))
+    val e3 = intercept[Exception](
+      Seq(null.asInstanceOf[String]).toDF("p")
+        .select(WarcIO.httpParts(col("p"))).collect())
+    assert(SparkTestSession.chainMsg(e3).contains("NULL payload"))
+  }
+
   test("malformed archives fail loud: bad version line, missing length, truncation, folding") {
     def bytes(s: String) = s.getBytes("UTF-8")
     val e1 = intercept[IllegalArgumentException](WarcIO.parseWarc("x",
