@@ -351,6 +351,22 @@ object StreamOps {
     }
   }
 
+  /** DRAW-ONCE for batch consumers of the WINDOWED DP releases (17th
+    * pass, r17 — the r13/r14 continual-family lesson applied here): the
+    * per-cell noise UDFs re-draw on EVERY action, so a batch caller
+    * collecting a release twice would silently receive two independent
+    * releases (2x the advertised epsilon spend). The released cell set
+    * is data-shaped, so the continual family's driver-side literal
+    * draws cannot apply; instead a LAZY localCheckpoint pins the first
+    * materialization for every later consumer. Streaming frames cannot
+    * checkpoint — and need no pin: a streaming sink consumes each
+    * micro-batch exactly once. Residual caveat (the documented r13
+    * hole, narrow): a task retry DURING the first batch materialization
+    * re-draws that partition; batch callers needing retry-proof draws
+    * should write the release to storage and read it back. */
+  private def pinBatchDraws(out: DataFrame): DataFrame =
+    if (out.isStreaming) out else out.localCheckpoint(false)
+
   private def boundedN(maxPerCell: Long) = least(col("__n"), lit(maxPerCell))
   private def boundedS(maxPerCell: Long, minValue: Double, maxValue: Double) =
     least(greatest(col("__s"), lit(maxPerCell * minValue)), lit(maxPerCell * maxValue))
@@ -405,11 +421,12 @@ object StreamOps {
     val b = maxPerCell.toDouble / epsilon
     val src = noise
     val noiseUdf = udf(() => src.laplace(b)).asNondeterministic()
-    perUnit
+    val out = perUnit
       .groupBy(col("window") +: keyCs: _*)
       .agg(sum(boundedN(maxPerCell)).as("__raw"))
       .select(col("window.start").as("window_start") +: keyCs :+
         (col("__raw") + noiseUdf()).cast("double").as("dp_count"): _*)
+    pinBatchDraws(out)
   }
 
   /** The sum analogue of [[dpWindowedCount]], mirroring the batch
@@ -444,11 +461,12 @@ object StreamOps {
     val b = maxPerCell * math.max(math.abs(minValue), math.abs(maxValue)) / epsilon
     val src = noise
     val noiseUdf = udf(() => src.laplace(b)).asNondeterministic()
-    perUnit
+    val out = perUnit
       .groupBy(col("window") +: keyCs: _*)
       .agg(sum(boundedS(maxPerCell, minValue, maxValue)).as("__raw"))
       .select(col("window.start").as("window_start") +: keyCs :+
         (col("__raw") + noiseUdf()).cast("double").as("dp_sum"): _*)
+    pinBatchDraws(out)
   }
 
   /** DP windowed MEAN — the count and sum releases of [[dpWindowedCount]]
@@ -486,7 +504,7 @@ object StreamOps {
     val src = noise
     val countNoise = udf(() => src.laplace(bCount)).asNondeterministic()
     val sumNoise = udf(() => src.laplace(bSum)).asNondeterministic()
-    perUnit
+    val out = perUnit
       .groupBy(col("window") +: keyCs: _*)
       .agg(sum(boundedN(maxPerCell)).as("__rawN"),
         sum(boundedS(maxPerCell, minValue, maxValue)).as("__rawS"))
@@ -495,6 +513,7 @@ object StreamOps {
       .select(col("window.start").as("window_start") +: keyCs :+
         col("dp_count") :+ col("dp_sum") :+
         (col("dp_sum") / greatest(col("dp_count"), lit(1.0))).as("dp_mean"): _*)
+    pinBatchDraws(out)
   }
 
   /** Continual-observation DP counter — the binary-tree mechanism (Chan,
@@ -1457,7 +1476,7 @@ object StreamOps {
       val t = graft.core.QuantileTree.deserialize(bytes)
       t.computeQuantiles(qs, eps, del, 1, cap, kind, src).toArray
     }).asNondeterministic() // real noise draws; Zero is still deterministic
-    perUnit
+    val out = perUnit
       .filter(col("__n") <= maxPerCell) // drop-not-sample Linf bound
       .groupBy(col("window") +: keyCs: _*)
       .agg(graft.spark.QuantileAgg.mergeTrees(lower, upper)(col("__t")).as("__m"))
@@ -1467,6 +1486,7 @@ object StreamOps {
         percentiles.zipWithIndex.map { case (p, i) =>
           element_at(col("__p"), i + 1).as(s"percentile_$p")
         }): _*)
+    pinBatchDraws(out)
   }
 
   /** LIVE-session tracking via typed state: a user's session closes after

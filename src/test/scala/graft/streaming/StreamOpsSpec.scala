@@ -975,6 +975,50 @@ class StreamOpsSpec extends AnyFunSuite {
       s"resumed-from-empty-noise release: $got")
   }
 
+  test("windowed DP releases pin their draws for batch consumers (no multi-action redraw)") {
+    import org.apache.spark.sql.functions._
+    // the r13/r14 continual-family defect class, checked on the WINDOWED
+    // family: collecting a batch release twice must NOT draw twice.
+    // Draws run in executor tasks, so the count crosses the
+    // closure-serialization boundary via an accumulator (the
+    // longitudinal-spec lesson — an AtomicLong counts a per-task copy)
+    val acc = spark.sparkContext.longAccumulator("dpw_draws")
+    class AccLap extends graft.core.NoiseSource with Serializable {
+      def laplace(b: Double): Double = { acc.add(1L); 0.0 }
+      def gaussian(sigma: Double): Double = { acc.add(1L); 0.0 }
+      def uniform(): Double = 0.5
+    }
+    val rows = (1 to 200).map { i =>
+      (i.toLong, new java.sql.Timestamp(3600000L * (i % 3)),
+        s"t${i % 2}", i.toDouble)
+    }
+    val df = rows.toDF("user_id", "ts", "event_type", "value")
+    val rel = StreamOps.dpWindowedCount(df, "user_id", "ts",
+      Seq("event_type"), "1 hour", epsilon = 1.0, maxPerCell = 100L,
+      noise = new AccLap)
+    val first = rel.collect()
+    val drawsAfterFirst = acc.value
+    assert(drawsAfterFirst == first.length.toLong,
+      s"draws $drawsAfterFirst != cells ${first.length}")
+    // second action: the pinned release re-reads, never re-draws
+    val second = rel.collect()
+    assert(acc.value == drawsAfterFirst,
+      s"second collect re-drew: ${acc.value} vs $drawsAfterFirst — a " +
+        "batch consumer would silently spend epsilon twice")
+    assert(second.map(_.toString).sorted.sameElements(
+      first.map(_.toString).sorted))
+    // the mean release pins BOTH its draw sets
+    val relM = StreamOps.dpWindowedMean(df, "user_id", "ts", "value",
+      Seq("event_type"), "1 hour", epsilon = 1.0, maxPerCell = 100L,
+      minValue = 0.0, maxValue = 1000.0, noise = new AccLap)
+    val before = acc.value
+    val m1 = relM.collect()
+    val afterM = acc.value
+    assert(afterM - before == 2L * m1.length)
+    relM.collect()
+    assert(acc.value == afterM, "mean release re-drew on second action")
+  }
+
   test("continual fold through a REAL checkpointed StreamingQuery: restart resumes, draw-once holds, replays are idempotent, disagreement fails loud") {
     import org.apache.spark.sql.DataFrame
     // THE full restart surface (r17): a file-source stream driven by
