@@ -1371,6 +1371,82 @@ object StreamOps {
       .coalesce(1).write.mode("overwrite").parquet(s"$stateDir/stream_meta")
   }
 
+  /** Generic REAL-CHECKPOINT adapter for the STORE-FOLD streaming ops
+    * (r17): any `(batch, Option[store]) => grownStore` fold —
+    * [[graft.spark.LocalDP.olhIngestStep]]'s additive cells,
+    * [[onlineReservoirStep]]'s bottom-k store — tied to a Structured
+    * Streaming `checkpointLocation` under the
+    * [[continualCheckpointStep]] crash contract: versioned store
+    * snapshots (`store_b<id>`), a meta-LAST commit (`stream_meta` with
+    * last_batch_id), committed replays SKIPPED idempotently,
+    * uncommitted batches re-folded from the previous committed version,
+    * and any other checkpoint/store id relationship failing loud.
+    * Old versions (k < last_batch_id - 1) are dead and may be
+    * janitored; store frames are state-shaped by each fold's own
+    * contract, never data-shaped. Read the live store with
+    * [[loadCheckpointedStore]]. */
+  def checkpointedStoreFold(
+      batch: DataFrame,
+      batchId: Long,
+      stateDir: String
+  )(fold: (DataFrame, Option[DataFrame]) => DataFrame): Unit = {
+    require(batchId >= 0, s"batchId must be >= 0, got $batchId")
+    val spark0 = batch.sparkSession
+    import spark0.implicits._
+    val lastId: Option[Long] =
+      try {
+        val rows = spark0.read.parquet(s"$stateDir/stream_meta").collect()
+        require(rows.length == 1,
+          s"checkpointedStoreFold: expected one stream_meta row under " +
+            s"$stateDir, found ${rows.length} — the state is corrupt")
+        Some(rows.head.getAs[Long]("last_batch_id"))
+      } catch {
+        case _: org.apache.spark.sql.AnalysisException => None
+      }
+    lastId match {
+      case Some(last) if batchId == last => return // committed replay
+      case Some(last) if batchId != last + 1 =>
+        throw new IllegalStateException(
+          s"checkpointedStoreFold: the checkpoint delivered batch " +
+            s"$batchId but the store last committed batch $last — the " +
+            "checkpoint and the state dir DISAGREE; restore the matching " +
+            "store or start a fresh stream (new checkpointLocation AND " +
+            "stateDir together)")
+      case None if batchId != 0 =>
+        throw new IllegalStateException(
+          s"checkpointedStoreFold: the checkpoint delivered batch " +
+            s"$batchId but $stateDir has no committed state — restore " +
+            "the store or start a fresh stream (new checkpointLocation " +
+            "AND stateDir together)")
+      case _ => ()
+    }
+    val store = lastId.map(l => spark0.read.parquet(s"$stateDir/store_b$l"))
+    fold(batch, store).write.mode("overwrite")
+      .parquet(s"$stateDir/store_b$batchId")
+    Seq(batchId).toDF("last_batch_id")
+      .coalesce(1).write.mode("overwrite").parquet(s"$stateDir/stream_meta")
+  }
+
+  /** The COMMITTED store of a [[checkpointedStoreFold]] stream — reads
+    * stream_meta for the last committed batch id and returns that
+    * version (never a newer uncommitted snapshot). Fail-loud when
+    * nothing has committed. */
+  def loadCheckpointedStore(spark: SparkSession, stateDir: String): DataFrame = {
+    val rows =
+      try spark.read.parquet(s"$stateDir/stream_meta").collect()
+      catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          throw new IllegalStateException(
+            s"loadCheckpointedStore: no committed state under $stateDir " +
+              s"(${e.getMessage})")
+      }
+    require(rows.length == 1,
+      s"loadCheckpointedStore: expected one stream_meta row, found " +
+        s"${rows.length} — the state is corrupt")
+    spark.read.parquet(
+      s"$stateDir/store_b${rows.head.getAs[Long]("last_batch_id")}")
+  }
+
   /** Sliding-window counts derived from a [[dpContinualCount]] release —
     * window(t, w] = prefix(t) - prefix(t - w) — as PURE POST-PROCESSING of
     * the already-released prefixes: no additional privacy budget, no new

@@ -1133,6 +1133,77 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("no committed state"), e2.getMessage)
   }
 
+  test("OLH fold through REAL checkpointed restarts via the generic store-fold adapter") {
+    import org.apache.spark.sql.DataFrame
+    // the generic adapter extends the continual family's restart story
+    // to every store-fold op: here the OLH additive-cells fold, driven
+    // by three SEPARATE StreamingQuery objects over one checkpoint
+    val dom = Seq("a", "b", "c")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_sfold_restart_").toString
+    val inDir = s"$root/in"; val ckpt = s"$root/ckpt"
+    val state = s"$root/state"
+    new java.io.File(inDir).mkdirs()
+    def writeFile(name: String, ids: Range): Unit =
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$inDir/$name"),
+        ids.map(i => s"""{"uid":$i,"v":"${dom(i % 3)}"}""").mkString("\n"))
+    def runDrive(): Unit = {
+      val q = spark.readStream.schema("uid LONG, v STRING")
+        .option("maxFilesPerTrigger", 1).json(inDir)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          StreamOps.checkpointedStoreFold(b, id, state) { (batch, store) =>
+            graft.spark.LocalDP.olhIngestStep(batch, store, "uid",
+              col("v"), dom, 1.0, graft.core.NoiseSource.Zero)
+          }
+        }
+        .start()
+      q.awaitTermination()
+    }
+    // unit-partitioned batches (the fold's bounding contract), one per run
+    writeFile("b0.json", 1 to 30)
+    runDrive()
+    writeFile("b1.json", 31 to 60)
+    runDrive() // RESTART 1
+    writeFile("b2.json", 61 to 90)
+    runDrive() // RESTART 2
+    // the committed store estimates exactly the one-shot release
+    val est = graft.spark.LocalDP.olhEstimate(
+        StreamOps.loadCheckpointedStore(spark, state)
+          .localCheckpoint(false), dom, 1.0)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    val oneShot = graft.spark.LocalDP.ldpFrequencyOLH(
+        (1 to 90).map(i => (i.toLong, dom(i % 3))).toDF("uid", "v"),
+        "uid", col("v"), dom, 1.0, graft.core.NoiseSource.Zero)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(est == oneShot, s"restarted fold $est != one-shot $oneShot")
+    // committed replay is idempotent; a gap fails loud
+    val cellsBefore = StreamOps.loadCheckpointedStore(spark, state)
+      .collect().map(_.toString).sorted.toSeq
+    StreamOps.checkpointedStoreFold(
+      (61 to 90).map(i => (i.toLong, dom(i % 3))).toDF("uid", "v"),
+      2L, state) { (b, st) =>
+      graft.spark.LocalDP.olhIngestStep(b, st, "uid", col("v"), dom,
+        1.0, graft.core.NoiseSource.Zero)
+    }
+    assert(StreamOps.loadCheckpointedStore(spark, state)
+      .collect().map(_.toString).sorted.toSeq == cellsBefore,
+      "a committed replay re-folded the store")
+    val e = intercept[IllegalStateException] {
+      StreamOps.checkpointedStoreFold(
+        Seq((91L, "a")).toDF("uid", "v"), 7L, state) { (b, st) =>
+        graft.spark.LocalDP.olhIngestStep(b, st, "uid", col("v"), dom,
+          1.0, graft.core.NoiseSource.Zero)
+      }
+    }
+    assert(e.getMessage.contains("DISAGREE"), e.getMessage)
+    intercept[IllegalStateException](
+      StreamOps.loadCheckpointedStore(spark, s"$root/nowhere"))
+  }
+
   test("streaming reservoir: fold == one-shot under any split, replay-idempotent, uniform") {
     import org.apache.spark.sql.functions._
     val rows = (1 to 300).map(i => (i.toLong, s"k${i % 3}", i * 10))
