@@ -104,19 +104,30 @@ object Bench {
     // ---- self-attributing rerun pass ------------------------------------
     // priors: "name median" lines, checked in from a full run (regenerate
     // with SPARK_GRAFT_BENCH_PRIORS_OUT=<path> and commit as the resource)
-    val priors: Map[String, Double] = {
+    // Codec-explicit and Try-isolated: the r17 driver bench died on a U+2014
+    // in this file's header under an ASCII-locale JVM (file.encoding =
+    // ANSI_X3.4-1968), losing the whole run's numbers AFTER measurement. A
+    // broken priors file must degrade to "no rerun pass", never "no bench".
+    val priors: Map[String, Double] = scala.util.Try {
       val in = getClass.getResourceAsStream("/bench_priors.txt")
-      if (in == null) Map.empty
-      else try scala.io.Source.fromInputStream(in).getLines()
-        .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
-        .flatMap { l =>
-          l.split("\\s+") match {
-            case Array(n, v) => scala.util.Try(n -> v.toDouble).toOption
-            case _ => None
-          }
-        }.toMap
-      finally in.close()
-    }
+      if (in == null) Map.empty[String, Double]
+      else try {
+        implicit val codec: scala.io.Codec = scala.io.Codec.UTF8
+          .onMalformedInput(java.nio.charset.CodingErrorAction.REPLACE)
+          .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPLACE)
+        scala.io.Source.fromInputStream(in).getLines()
+          .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
+          .flatMap { l =>
+            l.split("\\s+") match {
+              case Array(n, v) => scala.util.Try(n -> v.toDouble).toOption
+              case _ => None
+            }
+          }.toMap
+      } finally in.close()
+    }.recover { case t =>
+      System.err.println(s"[bench] priors unreadable (${t.getClass.getSimpleName}); skipping rerun pass")
+      Map.empty[String, Double]
+    }.get
     // reruns only make sense on FULL runs at the priors' scale: targeted
     // SPARK_GRAFT_BENCH_ONLY runs (dev loops, ladder rungs at other SF
     // dirs) would compare apples to the sf0.1 priors

@@ -915,7 +915,14 @@ object Similarity {
         "index first (buildIvfIndex)")
     val centers = centerRows.map(_._2)
     val dim = centers(0).length
-    val checkedVec = when(size(col(vecCol).cast("array<double>")) =!= dim,
+    // NULL vectors first: size(NULL) is NULL, so the dim-mismatch predicate
+    // is NULL (not true) and a NULL would slip through to nearestCellsUdf as
+    // a raw executor NPE instead of this operator family's shaped error.
+    val checkedVec = when(col(vecCol).isNull,
+        raise_error(lit(s"appendIvfIndex: NULL $vecCol — every appended row " +
+          "must carry an embedding; filter or impute upstream"))
+          .cast("array<double>"))
+      .when(size(col(vecCol).cast("array<double>")) =!= dim,
         raise_error(concat(lit(
           s"appendIvfIndex: vector length "), size(col(vecCol)),
           lit(s" != index dim $dim — a short vector would silently " +
@@ -934,6 +941,73 @@ object Similarity {
       .groupBy(col("cell"))
       .agg(count(lit(1)).as("n_appended"),
         avg(cosine(col("vec"), col("centroid"))).as("mean_cos_to_centroid"))
+  }
+
+  /** DRIFT-TRIGGERED IVF REBUILD (r18) — the maintenance loop that
+    * CONSUMES [[appendIvfIndex]]'s per-cell drift report: the index's
+    * centroids are frozen while appends move the data distribution, so
+    * recall at fixed nprobe decays; this op decides — from the report,
+    * never a full-corpus scan — whether the sag warrants retraining,
+    * and if so rebuilds via [[buildIvfIndex]] over the UNION already
+    * sitting in the postings (base + every append).
+    *
+    * Decision rule (both thresholds are the caller's policy knobs):
+    * rebuild when the appended rows' pooled mean cosine to their
+    * assigned centroids falls below `meanCosFloor` (the appends don't
+    * fit the frozen cells), OR when appended rows exceed
+    * `appendShareCeil` of all postings (even well-fitting mass shifts
+    * cell balance and probe budgets). `driftReport` is one or a UNION
+    * of several [[appendIvfIndex]] returns (successive appends
+    * accumulate by summing — the report is mergeable by construction).
+    *
+    * The rebuild reads the postings, pins them eagerly (localCheckpoint
+    * — the build OVERWRITES the same dir it read from), retrains, and
+    * rewrites centroids + postings in place. Returns a ONE-ROW decision
+    * report: (rebuilt, n_postings, n_appended, append_share,
+    * mean_cos_appended, n_cells_before, n_cells_after) — rows-only by
+    * nature (Lloyd's is seeded but sample-dependent), with the
+    * recall-recovery property spec-pinned instead (planted drift:
+    * rebuilt index beats the stale one on a fixed-nprobe recall
+    * probe). */
+  def rebuildIvfIndexIfDrifted(spark: org.apache.spark.sql.SparkSession,
+      dir: String, driftReport: DataFrame,
+      meanCosFloor: Double = 0.75, appendShareCeil: Double = 0.25,
+      nlist: Int = -1, trainRowsTarget: Long = 100000,
+      seed: Long = 42): DataFrame = {
+    require(meanCosFloor >= -1.0 && meanCosFloor <= 1.0,
+      s"meanCosFloor must be a cosine in [-1, 1], got $meanCosFloor")
+    require(appendShareCeil >= 0.0 && appendShareCeil <= 1.0,
+      s"appendShareCeil must be a share in [0, 1], got $appendShareCeil")
+    val postings = spark.read.parquet(s"$dir/postings")
+    val nPostings = postings.count()
+    require(nPostings > 0, s"rebuildIvfIndexIfDrifted: empty postings " +
+      s"under $dir — build the index first (buildIvfIndex)")
+    val cellsBefore = spark.read.parquet(s"$dir/centroids").count()
+    val agg = driftReport.agg(
+      coalesce(sum(col("n_appended")), lit(0L)).as("na"),
+      sum(col("mean_cos_to_centroid") * col("n_appended")).as("wc")).head()
+    val nAppended = agg.getLong(0)
+    val meanCosAppended =
+      if (nAppended == 0L) Double.NaN else agg.getDouble(1) / nAppended
+    val appendShare = nAppended.toDouble / nPostings
+    val drifted = (nAppended > 0L && meanCosAppended < meanCosFloor) ||
+      appendShare > appendShareCeil
+    val cellsAfter =
+      if (!drifted) cellsBefore
+      else {
+        // pin BEFORE overwriting: the build writes the dir being read
+        val union = postings.select(col("neighbor_id"), col("vec"))
+          .localCheckpoint(true)
+        buildIvfIndex(union, "neighbor_id", "vec", dir, nlist,
+          trainRowsTarget, seed).toLong
+      }
+    import spark.implicits._
+    Seq((drifted, nPostings, nAppended,
+        BigDecimal(appendShare).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble,
+        meanCosAppended, cellsBefore, cellsAfter))
+      .toDF("rebuilt", "n_postings", "n_appended", "append_share",
+        "mean_cos_appended", "n_cells_before", "n_cells_after")
   }
 
   /** Probed top-k over a PERSISTED index ([[buildIvfIndex]]): reload the

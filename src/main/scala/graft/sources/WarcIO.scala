@@ -61,7 +61,11 @@ object WarcIO {
   /** Decompress ALL gzip members of a concatenated-member archive (the
     * per-record-member crawl convention). */
   private[sources] def gunzipAll(file: String, bytes: Array[Byte]): Array[Byte] = {
-    val out = new java.io.ByteArrayOutputStream(bytes.length * 4)
+    // Long-domain size hint: Int `bytes.length * 4` overflows negative for
+    // archives >= 512 MB compressed, crashing the constructor on exactly the
+    // crawl-standard ~1 GB .warc.gz this reader documents.
+    val out = new java.io.ByteArrayOutputStream(
+      math.min(bytes.length.toLong * 4, Int.MaxValue.toLong - 8).toInt)
     val buf = new Array[Byte](65536)
     // construction INSIDE the try: the gzip magic/header check throws
     // from the constructor itself
@@ -71,7 +75,13 @@ object WarcIO {
         new java.io.ByteArrayInputStream(bytes))
       var n = in.read(buf)
       while (n >= 0) {
-        if (n > 0) out.write(buf, 0, n)
+        if (n > 0) {
+          if (out.size().toLong + n > Int.MaxValue.toLong - 8)
+            throw new IllegalArgumentException(
+              s"readWarc: $file decompresses past the 2 GB single-array bound; " +
+                "split the archive into smaller .warc.gz members")
+          out.write(buf, 0, n)
+        }
         n = in.read(buf)
       }
     } catch {
@@ -205,6 +215,123 @@ object WarcIO {
     out.toByteArray
   }
 
+  /** DISTRIBUTED WARC export (r18) — the re-crawl/re-export last mile
+    * the driver-side [[warcBytes]]/[[gzipPerRecord]] pair (fine for the
+    * 50-doc gate fixtures) cannot do at corpus scale: every record of a
+    * DataFrame serializes into size-bounded, per-record-gzip-member
+    * `.warc.gz` archives written task-side through the Hadoop
+    * FileSystem — no driver collect anywhere, work and memory
+    * per task bounded by ONE archive's records.
+    *
+    * Layout & determinism (the `exportShards` convention): records
+    * md5-shard on `record_id` (portable, engine-replayable), order
+    * within a shard is (md5-hash, record_id), and a shard rolls to a
+    * new archive whenever the accumulated PAYLOAD bytes cross
+    * `maxPayloadBytesPerArchive` — `seq = floor(preceding-payload-sum /
+    * bound)`, a pure prefix-sum rule, so the (shard, seq) file
+    * assignment of every record is a deterministic SQL-replayable
+    * function of the data (a greedy packer would not be). The bound is
+    * on UNCOMPRESSED payload (header overhead is bounded and payload
+    * dominates at crawl scale), so one archive holds at most
+    * bound + one record of payload. Files are `shard=<s>/
+    * part-<seq>.warc.gz` under `outDir`, created with overwrite — task
+    * retries are idempotent (same rows → same bytes → same file).
+    *
+    * Returns the per-archive MANIFEST computed by the writing tasks
+    * themselves — (shard, seq, file, n_records, payload_bytes) — the
+    * written-file evidence a re-export needs. The manifest is LAZY
+    * (the write happens when it materializes; re-materializing
+    * rewrites the same bytes) — `.localCheckpoint()` it to pin one
+    * execution. NULL record_id/payload fail loud (a silent drop would
+    * misstate the export). Read back with [[readWarc]] on the glob
+    * "outDir/shard=STAR/STAR.warc.gz" (STAR = the shell wildcard). */
+  def writeWarcShards(df: DataFrame, outDir: String, nShards: Int,
+      maxPayloadBytesPerArchive: Long = 1L << 30): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(nShards > 0 && nShards <= 65536,
+      s"nShards must be in [1, 65536], got $nShards")
+    require(maxPayloadBytesPerArchive >= 1024,
+      s"maxPayloadBytesPerArchive must be >= 1024 (archives below 1 KiB " +
+        s"are file-count abuse), got $maxPayloadBytesPerArchive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val need = Seq("warc_type", "target_uri", "warc_date", "record_id",
+      "content_type", "payload")
+    val have = df.columns.map(_.toLowerCase).toSet
+    val missing = need.filterNot(have.contains)
+    require(missing.isEmpty,
+      s"writeWarcShards: input is missing column(s) " +
+        s"${missing.mkString(", ")} — the WARC record schema is fixed")
+    val checkedId = when(col("record_id").isNull, raise_error(lit(
+        "writeWarcShards: NULL record_id — every record needs an id " +
+          "(sharding and ordering key); fix upstream")).cast("string"))
+      .otherwise(col("record_id").cast("string"))
+    val checkedPayload = when(col("payload").isNull, raise_error(lit(
+        "writeWarcShards: NULL payload — a record with no body has no " +
+          "Content-Length; fix upstream")).cast("binary"))
+      .otherwise(col("payload").cast("binary"))
+    val hash = conv(substring(md5(col("record_id")), 1, 15), 16, 10)
+      .cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("__h"), col("record_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, -1)
+    val staged = df
+      .select(col("warc_type").cast("string").as("warc_type"),
+        col("target_uri").cast("string").as("target_uri"),
+        col("warc_date").cast("string").as("warc_date"),
+        checkedId.as("record_id"),
+        col("content_type").cast("string").as("content_type"),
+        checkedPayload.as("payload"))
+      .withColumn("__h", hash)
+      .withColumn("shard", pmod(col("__h"), lit(nShards.toLong)).cast("int"))
+      .withColumn("__pb", length(col("payload")).cast("long"))
+      // integer `div`, not double floor: per-shard payload prefix sums
+      // stay exact at any scale (a double quotient degrades past 2^53)
+      .withColumn("__pre", coalesce(sum(col("__pb")).over(w), lit(0L)))
+      .withColumn("seq", expr(s"__pre div ${maxPayloadBytesPerArchive}L"))
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("seq"), col("__h"),
+        col("record_id"))
+    val out = outDir // avoid closing over `this`
+    staged.rdd.mapPartitions { it =>
+      // default Configuration resolves file:// and cluster-default HDFS;
+      // archive rolling is decided by the PLAN (shard, seq), the task
+      // just streams consecutive groups into files
+      val conf = new org.apache.hadoop.conf.Configuration()
+      val results =
+        scala.collection.mutable.ArrayBuffer.empty[(Int, Long, String, Long, Long)]
+      var curShard = -1; var curSeq = -1L
+      var os: java.io.OutputStream = null
+      var file: String = null; var n = 0L; var pb = 0L
+      def closeArchive(): Unit = if (os != null) {
+        os.close()
+        results += ((curShard, curSeq, file, n, pb))
+        os = null
+      }
+      it.foreach { row =>
+        val s = row.getAs[Int]("shard"); val q = row.getAs[Long]("seq")
+        if (os == null || s != curShard || q != curSeq) {
+          closeArchive()
+          curShard = s; curSeq = q
+          file = f"$out/shard=$s/part-$q%05d.warc.gz"
+          val p = new org.apache.hadoop.fs.Path(file)
+          os = p.getFileSystem(conf).create(p, true)
+          n = 0L; pb = 0L
+        }
+        val payload = row.getAs[Array[Byte]]("payload")
+        val rec = WarcRecord("", row.getAs[String]("warc_type"),
+          row.getAs[String]("target_uri"), row.getAs[String]("warc_date"),
+          row.getAs[String]("record_id"), row.getAs[String]("content_type"),
+          -1L, payload)
+        os.write(gzipPerRecord(Seq(rec))) // one gzip member per record
+        n += 1L; pb += payload.length.toLong
+      }
+      closeArchive()
+      results.iterator
+    }.toDF("shard", "seq", "file", "n_records", "payload_bytes")
+  }
+
   /** Gzip each record as its OWN member (the crawl convention — members
     * concatenate into one `.warc.gz` whose records remain independently
     * seekable). */
@@ -212,8 +339,13 @@ object WarcIO {
     val out = new java.io.ByteArrayOutputStream()
     records.foreach { r =>
       val gz = new java.util.zip.GZIPOutputStream(out)
-      gz.write(warcBytes(Seq(r)))
-      gz.finish()
+      try { gz.write(warcBytes(Seq(r))); gz.finish() }
+      // close() ends the Deflater's native memory NOW instead of at GC
+      // finalization — tens of thousands of members would otherwise pool
+      // off-heap. Closing the GZIPOutputStream also closes `out`, but
+      // ByteArrayOutputStream.close() is a documented no-op, so the next
+      // member keeps appending.
+      finally gz.close()
     }
     out.toByteArray
   }

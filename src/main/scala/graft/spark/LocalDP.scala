@@ -811,6 +811,186 @@ object LocalDP {
           (lit(nTotal.toDouble) / col("__nl")), 9).as("dp_count"))
   }
 
+  /** LOCAL-DP 2-D RANGE TREE — the dyadic PRODUCT mechanism under the
+    * LOCAL trust model (r18, closing the tree family's last
+    * central/local asymmetry: the central tier has
+    * [[graft.spark.RangeTree.dpRange2DTree]], the LDP tier stopped at
+    * 1-D [[ldpRangeTree]]). The CKS group-split generalizes to LEVEL
+    * PAIRS: units md5-split into (levelsX+1)*(levelsY+1) groups, one
+    * per product level (lx, ly); group (lx, ly)'s units OLH-report
+    * their value pair's PRODUCT-NODE index — the combined
+    * (binX >> lx) * nodesY(ly) + (binY >> ly), a domain of
+    * nodesX(lx)*nodesY(ly) values, one report per unit so eps-LDP
+    * total. The aggregator estimates every product node from its
+    * group (debiased support counting, scaled nTotal / n_group) and
+    * the released frame IS the product tree
+    * ((__lvx, __idxx, __lvy, __idxy, dp_count),
+    * (2*binsX-1)*(2*binsY-1) rows) — so the CENTRAL 2-D readout
+    * [[graft.spark.RangeTree.range2DQueries]] consumes it unchanged:
+    * any axis-aligned box reads <= 2*levelsX * 2*levelsY cover nodes
+    * as pure post-processing.
+    *
+    * Error shape: each group fields n/((levelsX+1)(levelsY+1)) units,
+    * so per-node stddev ~ sqrt(n) * (log B)^1 / eps and a box reads
+    * O(log^2 B) nodes — the LDP sqrt(n) price doubled up in 2-D,
+    * exactly the CKS trade. Values CLAMP into their domains (the
+    * tree-family convention); NULL values / non-castable pids fail
+    * loud; a level-pair group with NO reporting units fails loud (n
+    * too small to field the groups — coarsen bins or collect more).
+    * Zero noise: truthful node reports, so every estimate is a
+    * deterministic function of exact group counts + hash collisions
+    * and the whole product tree replays in SQL (the gate anchor).
+    *
+    * Scale shape (the [[ldpRangeTree]] discipline): reports collapse
+    * FIRST to <= nGroups * seedSpace * g cells; the product-node grid
+    * is GENERATED ((2*binsX-1)*(2*binsY-1) x observed per-group seeds,
+    * data-size-independent); one aggregation lands the released rows.
+    * Nothing data-shaped collects. */
+  def ldpRange2DTree(
+      df: DataFrame,
+      pidCol: String,
+      xCol: Column,
+      yCol: Column,
+      loX: Double, hiX: Double, binsX: Int,
+      loY: Double, hiY: Double, binsY: Int,
+      epsilon: Double,
+      noise: graft.core.NoiseSource,
+      seedSpace: Int = 1024
+  ): DataFrame = {
+    def ckBins(b: Int, n: String): Unit = require(
+      b >= 2 && (b & (b - 1)) == 0 && b <= 256,
+      s"$n must be a power of two in [2, 256] (the group count is " +
+        s"(log2 binsX + 1)*(log2 binsY + 1) and every group needs " +
+        s"reporting units), got $b")
+    ckBins(binsX, "binsX"); ckBins(binsY, "binsY")
+    require(loX < hiX, s"empty x domain [$loX, $hiX)")
+    require(loY < hiY, s"empty y domain [$loY, $hiY)")
+    require(epsilon > 0, s"epsilon must be positive, got $epsilon")
+    require(seedSpace >= 2 && seedSpace <= 65536,
+      s"seedSpace must be in [2, 65536], got $seedSpace")
+    val levelsX = 31 - Integer.numberOfLeadingZeros(binsX)
+    val levelsY = 31 - Integer.numberOfLeadingZeros(binsY)
+    val nLvlX = levelsX + 1; val nLvlY = levelsY + 1
+    val nGroups = nLvlX * nLvlY
+    val expEps = math.exp(epsilon)
+    val g = math.floor(expEps).toLong + 1L
+    val p = expEps / (expEps + g - 1)
+    val invG = 1.0 / g
+    val gi = g.toInt
+    val widthX = (hiX - loX) / binsX
+    val widthY = (hiY - loY) / binsY
+    val params = olhParams(seedSpace)
+    val spark0 = df.sparkSession
+    def checked(c: Column, n: String) = when(c.isNull, raise_error(lit(
+        s"ldpRange2DTree: NULL $n value for a privacy unit — filter or " +
+          "impute upstream")).cast("double"))
+      .otherwise(c.cast("double"))
+    val clampedX = least(greatest(checked(xCol, "x"), lit(loX)),
+      lit(hiX - widthX / 2))
+    val clampedY = least(greatest(checked(yCol, "y"), lit(loY)),
+      lit(hiY - widthY / 2))
+    val pidN = when(col("__pidn").isNull, raise_error(lit(
+        "ldpRange2DTree: pid does not cast to BIGINT — group and seed " +
+          "derive from it")).cast("long"))
+      .otherwise(col("__pidn"))
+    // one report per unit: the deterministic lowest (x, y) pair
+    val perUnit = df
+      .select(col(pidCol).try_cast("bigint").as("__pidn"),
+        clampedX.as("__x"), clampedY.as("__y0"))
+      .withColumn("__rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__pidn"))
+          .orderBy(col("__x").asc, col("__y0").asc)))
+      .filter(col("__rk") === 1)
+      .select(pidN.as("__pid"),
+        floor((col("__x") - lit(loX)) / lit(widthX)).cast("long")
+          .as("__bx"),
+        floor((col("__y0") - lit(loY)) / lit(widthY)).cast("long")
+          .as("__by"))
+      .withColumn("__h64", expr(
+        "CAST(conv(substr(md5(CAST(__pid AS STRING)), 1, 15), 16, 10) " +
+          "AS BIGINT)"))
+      .withColumn("__grp", pmod(col("__h64"), lit(nGroups.toLong))
+        .cast("int"))
+      .withColumn("__lvx", (col("__grp") % nLvlX).cast("int"))
+      .withColumn("__lvy", (col("__grp") / nLvlX).cast("int"))
+      .withColumn("__seed",
+        pmod(expr(s"__h64 div $nGroups"), lit(seedSpace.toLong)))
+      // the product-node index inside group (lvx, lvy): row-major over
+      // (ix, iy) with iy's stride = this group's y-node count
+      .withColumn("__idx",
+        expr(s"shiftright(__bx, __lvx) * shiftright($binsY, __lvy) " +
+          "+ shiftright(__by, __lvy)"))
+    val report = udf((seed: Long, idx: Long) => {
+      val (a, b) = params(seed.toInt)
+      val h = olhHash(a, b, idx, g)
+      if (noise.uniform() < p) h
+      else {
+        val j = math.min((noise.uniform() * (gi - 1)).toInt, gi - 2)
+        (h + 1 + j) % g
+      }
+    }).asNondeterministic()
+    // reports collapse FIRST: <= nGroups * seedSpace * g cells
+    val cells = perUnit
+      .select(col("__lvx"), col("__lvy"), col("__seed"),
+        report(col("__seed"), col("__idx")).as("__y"))
+      .groupBy(col("__lvx"), col("__lvy"), col("__seed"), col("__y"))
+      .agg(count(lit(1)).as("__c"))
+      .localCheckpoint(false) // draws final; n, seeds and grid read it
+    val nTotal = cells.agg(coalesce(sum(col("__c")), lit(0L)))
+      .head().getLong(0)
+    require(nTotal > 0, "ldpRange2DTree: no reporting units")
+    val nPerGrp = cells.groupBy(col("__lvx"), col("__lvy"))
+      .agg(sum(col("__c")).as("__ng"))
+    val grpCount = nPerGrp.count()
+    require(grpCount == nGroups.toLong,
+      s"ldpRange2DTree: only $grpCount of $nGroups level-pair groups " +
+        "have reporting units — n too small to field the product " +
+        "split; collect more reports or coarsen bins")
+    val paramsDf = spark0.createDataFrame(
+      spark0.sparkContext.parallelize(
+        params.indices.map(s => org.apache.spark.sql.Row(
+          s.toLong, params(s)._1, params(s)._2)), 4),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__seed",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("__a",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("__b",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    // the GENERATED product-node universe x each group's observed seeds
+    val nodes = spark0.range(0, nLvlX.toLong).toDF("__lvx")
+      .withColumn("__lvx", col("__lvx").cast("int"))
+      .crossJoin(spark0.range(0, nLvlY.toLong).toDF("__lvy")
+        .withColumn("__lvy", col("__lvy").cast("int")))
+      .join(spark0.range(0, binsX.toLong).toDF("__idxx"),
+        col("__idxx") < expr(s"shiftright(${binsX.toLong}, __lvx)"))
+      .join(spark0.range(0, binsY.toLong).toDF("__idxy"),
+        col("__idxy") < expr(s"shiftright(${binsY.toLong}, __lvy)"))
+      .withColumn("__idx",
+        expr(s"__idxx * shiftright($binsY, __lvy) + __idxy"))
+    val seeds = cells.select(col("__lvx").as("__slx"),
+      col("__lvy").as("__sly"), col("__seed")).distinct()
+    val grid = nodes
+      .join(broadcast(seeds.join(paramsDf, "__seed")),
+        col("__lvx") === col("__slx") && col("__lvy") === col("__sly"))
+      .withColumn("__h",
+        ((col("__a") * col("__idx") + col("__b")) % lit(OlhPrime)) % lit(g))
+    val cellsR = cells.select(col("__lvx").as("__clx"),
+      col("__lvy").as("__cly"), col("__seed").as("__cseed"),
+      col("__y"), col("__c"))
+    grid.join(broadcast(cellsR),
+        col("__lvx") === col("__clx") && col("__lvy") === col("__cly")
+          && col("__seed") === col("__cseed") && col("__h") === col("__y"),
+        "left")
+      .groupBy(col("__lvx"), col("__idxx"), col("__lvy"), col("__idxy"))
+      .agg(coalesce(sum(col("__c")), lit(0L)).as("__sup"))
+      .join(broadcast(nPerGrp), Seq("__lvx", "__lvy"))
+      .select(col("__lvx"), col("__idxx"), col("__lvy"), col("__idxy"),
+        round((col("__sup") - col("__ng") * lit(invG)) / lit(p - invG) *
+          (lit(nTotal.toDouble) / col("__ng")), 9).as("dp_count"))
+  }
+
   /** LONGITUDINAL LDP frequency — PERMANENT randomized response (the
     * RAPPOR memoization, closing every LDP doc's retry-composition
     * caveat for REPEATED collections): a unit's noisy OLH report for a
@@ -1176,8 +1356,15 @@ object LocalDP {
           "upstream")).cast("double"))
       .otherwise(valueCol.cast("double"))
     val clamped = least(greatest(checked, lit(lo)), lit(hi))
+    // NULL pids would all land in ONE window partition and silently merge
+    // distinct units into a single report (under-counting n, skewing both
+    // moments) — fail loud like the OLH family instead.
+    val checkedPid = when(col(pidCol).isNull, raise_error(lit(
+        "ldpVariance: NULL privacy-unit id — distinct units would merge " +
+          "into one report; filter or key upstream")).cast("string"))
+      .otherwise(col(pidCol).cast("string"))
     val perUnit = df
-      .select(col(pidCol).as("__pid"), clamped.as("__v"))
+      .select(checkedPid.as("__pid"), clamped.as("__v"))
       .withColumn("__rk", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy(col("__pid")).orderBy(col("__v").asc)))
@@ -1317,8 +1504,14 @@ object LocalDP {
           "normalization; filter or impute upstream")).cast("double"))
       .otherwise(valueCol.cast("double"))
     val clamped = least(greatest(checked, lit(lo)), lit(hi))
+    // NULL pids collapse into one window partition → distinct units merge
+    // into one report; fail loud (the OLH-family convention).
+    val checkedPid = when(col(pidCol).isNull, raise_error(lit(
+        "ldpMean: NULL privacy-unit id — distinct units would merge " +
+          "into one report; filter or key upstream")).cast("string"))
+      .otherwise(col(pidCol).cast("string"))
     val perUnit = df
-      .select(col(pidCol).as("__pid"), clamped.as("__v"))
+      .select(checkedPid.as("__pid"), clamped.as("__v"))
       .withColumn("__rk", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy(col("__pid")).orderBy(col("__v").asc)))
@@ -1347,5 +1540,225 @@ object LocalDP {
           .otherwise(round(least(greatest(
             lit(mid) + (col("__sb") / col("n_reports").cast("double")) /
               lit(t) * lit(half), lit(lo)), lit(hi)), 9)).as("est_mean"))
+  }
+
+  /** LONGITUDINAL LDP NUMERIC collection — the [[ldpLongitudinalStep]]
+    * permanent-response ledger applied to the Duchi 1-bit mean
+    * randomizer (r18, closing the longitudinal tier's
+    * frequency-only asymmetry): a unit's noisy sign bit for a (clamped)
+    * value is drawn ONCE and MEMOIZED per (unit, value); every later
+    * collection where the unit still holds that value REUSES the stored
+    * bit verbatim, so m repeated telemetry collections of an unchanged
+    * metric cost ONE eps — not m*eps. A unit that changes value draws a
+    * fresh bit and spends a fresh eps (the ledger is per (unit, value),
+    * RAPPOR's model). The memo lives client-side in a real deployment;
+    * here it is the persisted store frame (the [[LocalDP]] trusted-
+    * randomizer convention).
+    *
+    * Store: (__pid, __v, __b, __eps) — one row per (unit, clamped
+    * value) ever reported. Memoized bits are CALIBRATION-specific (the
+    * [[ldpLongitudinalStep]] g-check convention): the store's eps must
+    * equal this step's, and the DOMAIN [lo, hi) must stay fixed across
+    * collections (the clamped value is part of the ledger key — a
+    * domain change would silently re-key the memo), both fail-loud.
+    * The step pins the grown store internally; callers checkpoint it
+    * between steps (parquet round-trips make draws final).
+    *
+    * Returns (estimate, grownStore): the estimate is this collection's
+    * [[ldpMean]] release (same schema: n_reports, reported_plus_ones,
+    * est_mean) over the units' memoized bits. Zero noise: memoized
+    * bits equal deterministic sign bits, so EVERY collection's
+    * estimate over unchanged values equals the one-shot [[ldpMean]]
+    * release (the gate anchor); bit REUSE is spec-pinned with a
+    * draw-counting source. */
+  def ldpLongitudinalMeanStep(
+      batch: DataFrame,
+      store: Option[DataFrame],
+      pidCol: String,
+      valueCol: Column,
+      lo: Double,
+      hi: Double,
+      epsilon: Double,
+      noise: graft.core.NoiseSource
+  ): (DataFrame, DataFrame) = {
+    require(lo < hi, s"empty domain [$lo, $hi)")
+    require(epsilon > 0, s"epsilon must be positive, got $epsilon")
+    val t = (math.exp(epsilon) - 1.0) / (math.exp(epsilon) + 1.0)
+    val mid = (lo + hi) / 2.0
+    val half = (hi - lo) / 2.0
+    val spark0 = batch.sparkSession
+    val checked = when(valueCol.isNull, raise_error(lit(
+        "ldpLongitudinalMeanStep: NULL value for a privacy unit — " +
+          "filter or impute upstream")).cast("double"))
+      .otherwise(valueCol.cast("double"))
+    val clamped = least(greatest(checked, lit(lo)), lit(hi))
+    val checkedPid = when(col("__pidn").isNull, raise_error(lit(
+        "ldpLongitudinalMeanStep: pid does not cast to BIGINT — the " +
+          "ledger keys on it")).cast("long"))
+      .otherwise(col("__pidn"))
+    // one value per unit per collection: the deterministic lowest
+    val perUnit = batch
+      .select(col(pidCol).try_cast("bigint").as("__pidn"),
+        clamped.as("__v"))
+      .withColumn("__rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__pidn")).orderBy(col("__v").asc)))
+      .filter(col("__rk") === 1)
+      .select(checkedPid.as("__pid"), col("__v"))
+    val st = store.getOrElse(spark0.createDataFrame(
+      spark0.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__pid",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("__v",
+          org.apache.spark.sql.types.DoubleType, nullable = false),
+        org.apache.spark.sql.types.StructField("__b",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("__eps",
+          org.apache.spark.sql.types.DoubleType, nullable = false)))))
+    // memoized bits are calibration-specific: a store drawn at another
+    // epsilon has a different flip probability and the debias would be
+    // meaningless — fail loud (the ldpLongitudinalStep g-check)
+    store.foreach { s0 =>
+      val es = s0.agg(min(col("__eps")), max(col("__eps"))).head()
+      if (!es.isNullAt(0))
+        require(es.getDouble(0) == epsilon && es.getDouble(1) == epsilon,
+          s"ldpLongitudinalMeanStep: the memo store's bits were drawn " +
+            s"at eps in [${es.getDouble(0)}, ${es.getDouble(1)}] but " +
+            s"this step's epsilon is $epsilon — epsilon must stay fixed " +
+            "across a longitudinal stream; start a new memo to rebudget")
+    }
+    val draw = udf((v: Double) => {
+      val x = (v - mid) / half
+      if (noise.uniform() < 0.5 + x * t / 2.0) 1 else -1
+    }).asNondeterministic()
+    // ledger lookup: (pid, value) pairs already reported REUSE the
+    // stored bit; only genuinely new pairs draw
+    val joined = perUnit.join(st.drop("__eps"), Seq("__pid", "__v"), "left")
+    val fresh = joined.filter(col("__b").isNull)
+      .select(col("__pid"), col("__v"), draw(col("__v")).as("__b"),
+        lit(epsilon).as("__eps"))
+    // pin the GROWN store before anything reads it (nondeterministic
+    // draws: an unpinned union would re-draw per consumer)
+    val grown = st.unionByName(fresh).localCheckpoint(false)
+    val est = perUnit.join(grown, Seq("__pid", "__v"))
+      .agg(count(lit(1)).as("n_reports"),
+        sum(when(col("__b") === 1, 1L).otherwise(0L))
+          .as("reported_plus_ones"),
+        sum(col("__b")).cast("double").as("__sb"))
+      .select(col("n_reports"), col("reported_plus_ones"),
+        when(col("n_reports") === 0, raise_error(lit(
+            "ldpLongitudinalMeanStep: zero privacy units — an empty " +
+              "cohort has no mean to release")).cast("double"))
+          .otherwise(round(least(greatest(
+            lit(mid) + (col("__sb") / col("n_reports").cast("double")) /
+              lit(t) * lit(half), lit(lo)), lit(hi)), 9)).as("est_mean"))
+    (est, grown)
+  }
+
+  /** The VARIANCE arm of the longitudinal numeric ledger — the
+    * [[ldpLongitudinalMeanStep]] permanent-response memoization over
+    * [[ldpVariance]]'s TWO eps/2 sign bits (first and second moment,
+    * L1 composition): both bits for a (unit, value) draw once and are
+    * reused while the value is unchanged. Same store conventions
+    * (per-(unit, value) ledger, eps + domain fixed across collections,
+    * fail-loud), same release schema as [[ldpVariance]]
+    * (n_reports, est_mean, est_m2, est_variance); zero noise makes
+    * every collection over unchanged values equal the one-shot
+    * [[ldpVariance]] release. */
+  def ldpLongitudinalVarianceStep(
+      batch: DataFrame,
+      store: Option[DataFrame],
+      pidCol: String,
+      valueCol: Column,
+      lo: Double,
+      hi: Double,
+      epsilon: Double,
+      noise: graft.core.NoiseSource
+  ): (DataFrame, DataFrame) = {
+    require(lo >= 0 && lo < hi,
+      s"ldpLongitudinalVarianceStep needs 0 <= lo < hi (v^2 " +
+        s"normalization is monotone only for non-negative domains), " +
+        s"got [$lo, $hi]")
+    require(epsilon > 0, s"epsilon must be positive, got $epsilon")
+    val t = (math.exp(epsilon / 2) - 1.0) / (math.exp(epsilon / 2) + 1.0)
+    val mid = (lo + hi) / 2.0
+    val half = (hi - lo) / 2.0
+    val lo2 = lo * lo; val hi2 = hi * hi
+    val mid2 = (lo2 + hi2) / 2.0
+    val half2 = (hi2 - lo2) / 2.0
+    val varCap = (hi - lo) * (hi - lo) / 4.0
+    val spark0 = batch.sparkSession
+    val checked = when(valueCol.isNull, raise_error(lit(
+        "ldpLongitudinalVarianceStep: NULL value for a privacy unit — " +
+          "filter or impute upstream")).cast("double"))
+      .otherwise(valueCol.cast("double"))
+    val clamped = least(greatest(checked, lit(lo)), lit(hi))
+    val checkedPid = when(col("__pidn").isNull, raise_error(lit(
+        "ldpLongitudinalVarianceStep: pid does not cast to BIGINT — " +
+          "the ledger keys on it")).cast("long"))
+      .otherwise(col("__pidn"))
+    val perUnit = batch
+      .select(col(pidCol).try_cast("bigint").as("__pidn"),
+        clamped.as("__v"))
+      .withColumn("__rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__pidn")).orderBy(col("__v").asc)))
+      .filter(col("__rk") === 1)
+      .select(checkedPid.as("__pid"), col("__v"))
+    val st = store.getOrElse(spark0.createDataFrame(
+      spark0.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__pid",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("__v",
+          org.apache.spark.sql.types.DoubleType, nullable = false),
+        org.apache.spark.sql.types.StructField("__b1",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("__b2",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("__eps",
+          org.apache.spark.sql.types.DoubleType, nullable = false)))))
+    store.foreach { s0 =>
+      val es = s0.agg(min(col("__eps")), max(col("__eps"))).head()
+      if (!es.isNullAt(0))
+        require(es.getDouble(0) == epsilon && es.getDouble(1) == epsilon,
+          s"ldpLongitudinalVarianceStep: the memo store's bits were " +
+            s"drawn at eps in [${es.getDouble(0)}, ${es.getDouble(1)}] " +
+            s"but this step's epsilon is $epsilon — epsilon must stay " +
+            "fixed across a longitudinal stream; start a new memo")
+    }
+    val draw = udf((v: Double) => {
+      val x1 = (v - mid) / half
+      val b1 = if (noise.uniform() < 0.5 + x1 * t / 2.0) 1 else -1
+      val x2 = (v * v - mid2) / half2
+      val b2 = if (noise.uniform() < 0.5 + x2 * t / 2.0) 1 else -1
+      Array(b1, b2)
+    }).asNondeterministic()
+    val joined = perUnit.join(st.drop("__eps"), Seq("__pid", "__v"), "left")
+    val fresh = joined.filter(col("__b1").isNull)
+      .withColumn("__bb", draw(col("__v")))
+      .select(col("__pid"), col("__v"),
+        element_at(col("__bb"), 1).as("__b1"),
+        element_at(col("__bb"), 2).as("__b2"), lit(epsilon).as("__eps"))
+    val grown = st.unionByName(fresh).localCheckpoint(false)
+    val est = perUnit.join(grown, Seq("__pid", "__v"))
+      .agg(count(lit(1)).as("n_reports"),
+        sum(col("__b1")).cast("double").as("__s1"),
+        sum(col("__b2")).cast("double").as("__s2"))
+      .select(col("n_reports"),
+        when(col("n_reports") === 0, raise_error(lit(
+            "ldpLongitudinalVarianceStep: zero privacy units — an " +
+              "empty cohort has no variance to release")).cast("double"))
+          .otherwise(round(least(greatest(
+            lit(mid) + (col("__s1") / col("n_reports").cast("double")) /
+              lit(t) * lit(half), lit(lo)), lit(hi)), 9)).as("est_mean"),
+        round(least(greatest(
+          lit(mid2) + (col("__s2") / col("n_reports").cast("double")) /
+            lit(t) * lit(half2), lit(lo2)), lit(hi2)), 9).as("est_m2"))
+      .withColumn("est_variance", round(least(greatest(
+        col("est_m2") - col("est_mean") * col("est_mean"), lit(0.0)),
+        lit(varCap)), 9))
+    (est, grown)
   }
 }

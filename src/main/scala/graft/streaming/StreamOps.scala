@@ -1278,8 +1278,12 @@ object StreamOps {
     *
     *   releases/batch_<id>/   this batch's released prefix rows
     *   store_b<id>/           the store AFTER folding batch id (versioned)
-    *   stream_meta/           (last_batch_id, released_through) — the
-    *                          COMMIT POINT, written last
+    *   stream_meta_b<id>/     (last_batch_id, released_through) — the
+    *                          COMMIT POINT, written last; VERSIONED so the
+    *                          flip is atomic (readers take the highest
+    *                          _SUCCESS-marked version — a crash mid-write
+    *                          leaves an ignored partial, never a deleted
+    *                          pointer)
     *
     * `foreachBatch` is AT-LEAST-ONCE: a crash between this body and the
     * checkpoint commit replays the batch with the SAME batchId. The
@@ -1321,16 +1325,9 @@ object StreamOps {
     val spark0 = batch.sparkSession
     import spark0.implicits._
     val progress: Option[(Long, Long)] =
-      try {
-        val rows = spark0.read.parquet(s"$stateDir/stream_meta").collect()
-        require(rows.length == 1,
-          s"continualCheckpointStep: expected one stream_meta row under " +
-            s"$stateDir, found ${rows.length} — the state is corrupt")
-        Some((rows.head.getAs[Long]("last_batch_id"),
-          rows.head.getAs[Long]("released_through")))
-      } catch {
-        case _: org.apache.spark.sql.AnalysisException => None
-      }
+      resolveStreamMeta(spark0, stateDir, "continualCheckpointStep")
+        .map(r => (r.getAs[Long]("last_batch_id"),
+          r.getAs[Long]("released_through")))
     progress match {
       case Some((lastId, _)) if batchId == lastId =>
         // committed replay (crash between body completion and the
@@ -1367,8 +1364,72 @@ object StreamOps {
     // store, then the meta COMMIT — see the class doc
     rel.write.mode("overwrite").parquet(s"$stateDir/releases/batch_$batchId")
     saveContinualStore(grown, s"$stateDir/store_b$batchId")
-    Seq((batchId, releaseThrough)).toDF("last_batch_id", "released_through")
-      .coalesce(1).write.mode("overwrite").parquet(s"$stateDir/stream_meta")
+    commitStreamMeta(
+      Seq((batchId, releaseThrough)).toDF("last_batch_id", "released_through"),
+      stateDir, batchId)
+  }
+
+  /** Atomic commit-pointer flip for the checkpointed streaming ops. The old
+    * protocol overwrote ONE `stream_meta` dir — which deletes the previous
+    * pointer before the new one is durable, so a crash inside that window
+    * left NO meta at all and restart hit the "no committed state" arm,
+    * requiring manual recovery. Here each commit writes a NEW
+    * `stream_meta_b<id>` dir (nothing pre-existing is touched); readers
+    * resolve the highest `_SUCCESS`-marked version, so a crash mid-write
+    * leaves an unmarked partial that is simply ignored and the previous
+    * pointer stays live. Metas older than the previous version are
+    * janitored after the commit (their failure to delete is non-fatal). */
+  private def commitStreamMeta(meta: DataFrame, stateDir: String,
+      batchId: Long): Unit = {
+    val spark = meta.sparkSession
+    meta.coalesce(1).write.mode("overwrite")
+      .parquet(s"$stateDir/stream_meta_b$batchId")
+    try {
+      val base = new org.apache.hadoop.fs.Path(stateDir)
+      val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(base).foreach { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("stream_meta_b"))
+          scala.util.Try(n.stripPrefix("stream_meta_b").toLong).toOption
+            .filter(_ < batchId - 1)
+            .foreach(_ => fs.delete(st.getPath, true))
+        // the legacy single-dir pointer is superseded by any versioned one
+        if (n == "stream_meta") fs.delete(st.getPath, true)
+      }
+    } catch { case scala.util.control.NonFatal(_) => () } // janitor only
+  }
+
+  /** Resolve the committed stream_meta row: highest `_SUCCESS`-marked
+    * `stream_meta_b<id>` version, falling back to the legacy single
+    * `stream_meta` dir (pre-r18 state dirs). None = nothing committed. */
+  private[graft] def resolveStreamMeta(spark: SparkSession, stateDir: String,
+      opName: String): Option[org.apache.spark.sql.Row] = {
+    val base = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val versioned: Seq[(Long, org.apache.hadoop.fs.Path)] =
+      if (!fs.exists(base)) Nil
+      else fs.listStatus(base).toSeq.flatMap { st =>
+        val n = st.getPath.getName
+        if (!n.startsWith("stream_meta_b")) None
+        else scala.util.Try(n.stripPrefix("stream_meta_b").toLong).toOption
+          // only _SUCCESS-marked versions are commits; a partial dir from a
+          // crash mid-write is invisible here by design
+          .filter(_ => fs.exists(
+            new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
+          .map(id => (id, st.getPath))
+      }
+    val metaPath: Option[String] =
+      if (versioned.nonEmpty) Some(versioned.maxBy(_._1)._2.toString)
+      else if (fs.exists(new org.apache.hadoop.fs.Path(base, "stream_meta")))
+        Some(s"$stateDir/stream_meta")
+      else None
+    metaPath.map { p =>
+      val rows = spark.read.parquet(p).collect()
+      require(rows.length == 1,
+        s"$opName: expected one stream_meta row under $stateDir, found " +
+          s"${rows.length} — the state is corrupt")
+      rows.head
+    }
   }
 
   /** Generic REAL-CHECKPOINT adapter for the STORE-FOLD streaming ops
@@ -1394,15 +1455,8 @@ object StreamOps {
     val spark0 = batch.sparkSession
     import spark0.implicits._
     val lastId: Option[Long] =
-      try {
-        val rows = spark0.read.parquet(s"$stateDir/stream_meta").collect()
-        require(rows.length == 1,
-          s"checkpointedStoreFold: expected one stream_meta row under " +
-            s"$stateDir, found ${rows.length} — the state is corrupt")
-        Some(rows.head.getAs[Long]("last_batch_id"))
-      } catch {
-        case _: org.apache.spark.sql.AnalysisException => None
-      }
+      resolveStreamMeta(spark0, stateDir, "checkpointedStoreFold")
+        .map(_.getAs[Long]("last_batch_id"))
     lastId match {
       case Some(last) if batchId == last => return // committed replay
       case Some(last) if batchId != last + 1 =>
@@ -1423,8 +1477,7 @@ object StreamOps {
     val store = lastId.map(l => spark0.read.parquet(s"$stateDir/store_b$l"))
     fold(batch, store).write.mode("overwrite")
       .parquet(s"$stateDir/store_b$batchId")
-    Seq(batchId).toDF("last_batch_id")
-      .coalesce(1).write.mode("overwrite").parquet(s"$stateDir/stream_meta")
+    commitStreamMeta(Seq(batchId).toDF("last_batch_id"), stateDir, batchId)
   }
 
   /** The COMMITTED store of a [[checkpointedStoreFold]] stream — reads
@@ -1432,19 +1485,10 @@ object StreamOps {
     * version (never a newer uncommitted snapshot). Fail-loud when
     * nothing has committed. */
   def loadCheckpointedStore(spark: SparkSession, stateDir: String): DataFrame = {
-    val rows =
-      try spark.read.parquet(s"$stateDir/stream_meta").collect()
-      catch {
-        case e: org.apache.spark.sql.AnalysisException =>
-          throw new IllegalStateException(
-            s"loadCheckpointedStore: no committed state under $stateDir " +
-              s"(${e.getMessage})")
-      }
-    require(rows.length == 1,
-      s"loadCheckpointedStore: expected one stream_meta row, found " +
-        s"${rows.length} — the state is corrupt")
-    spark.read.parquet(
-      s"$stateDir/store_b${rows.head.getAs[Long]("last_batch_id")}")
+    val row = resolveStreamMeta(spark, stateDir, "loadCheckpointedStore")
+      .getOrElse(throw new IllegalStateException(
+        s"loadCheckpointedStore: no committed state under $stateDir"))
+    spark.read.parquet(s"$stateDir/store_b${row.getAs[Long]("last_batch_id")}")
   }
 
   /** Sliding-window counts derived from a [[dpContinualCount]] release —

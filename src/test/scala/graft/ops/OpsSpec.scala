@@ -1584,6 +1584,14 @@ class SimilaritySpec extends AnyFunSuite {
       Similarity.appendIvfIndex(short, "id", "vec", dir))
     assert(graft.spark.SparkTestSession.chainMsg(e2).contains("index dim"),
       graft.spark.SparkTestSession.chainMsg(e2).take(300))
+    // a NULL vector gets the shaped error, not a raw executor NPE
+    // (size(NULL) is NULL, so the dim predicate alone would let it through)
+    val nullVec = Seq((998L, null.asInstanceOf[Array[Double]]))
+      .toDF("id", "vec")
+    val e3 = intercept[Exception](
+      Similarity.appendIvfIndex(nullVec, "id", "vec", dir))
+    assert(graft.spark.SparkTestSession.chainMsg(e3).contains("NULL vec"),
+      graft.spark.SparkTestSession.chainMsg(e3).take(300))
   }
 
   test("kmeans: trained clustering recovers planted blobs and beats fixed init") {

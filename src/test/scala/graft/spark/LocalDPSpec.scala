@@ -86,6 +86,14 @@ class LocalDPSpec extends AnyFunSuite {
       "uid", col("v"), 0.0, 1000.0, 1.0,
       graft.core.NoiseSource.Zero).collect())
     assert(SparkTestSession.chainMsg(e).contains("NULL value"))
+    // NULL pid fails loud too: null pids would collapse into ONE window
+    // partition and silently merge distinct units into a single report
+    val ePid = intercept[Exception](LocalDP.ldpMean(
+      Seq((null.asInstanceOf[java.lang.Long], 5.0)).toDF("uid", "v"),
+      "uid", col("v"), 0.0, 1000.0, 1.0,
+      graft.core.NoiseSource.Zero).collect())
+    assert(SparkTestSession.chainMsg(ePid).contains("NULL privacy-unit"),
+      SparkTestSession.chainMsg(ePid).take(300))
   }
 
   test("explainFrequency states the calibration; sampleSizePerArm matches the closed form") {
@@ -343,6 +351,14 @@ class LocalDPSpec extends AnyFunSuite {
     // monotone); empty cohorts fail loud downstream as ldpMean does
     intercept[IllegalArgumentException](LocalDP.ldpVariance(df, "uid",
       col("v"), -1.0, 1000.0, 1.0, graft.core.NoiseSource.Zero))
+    // NULL pid fails loud (the OLH convention): null pids collapse into
+    // one window partition, merging distinct units into a single report
+    val ePid = intercept[Exception](LocalDP.ldpVariance(
+      Seq((null.asInstanceOf[java.lang.Long], 5.0)).toDF("uid", "v"),
+      "uid", col("v"), 0.0, 1000.0, 1.0,
+      graft.core.NoiseSource.Zero).collect())
+    assert(SparkTestSession.chainMsg(ePid).contains("NULL privacy-unit"),
+      SparkTestSession.chainMsg(ePid).take(300))
   }
 
   test("keyed OLH: per-key unbiased estimates, one report per unit across keys, NULL-key contract") {

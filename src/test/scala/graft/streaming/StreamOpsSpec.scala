@@ -1070,7 +1070,8 @@ class StreamOpsSpec extends AnyFunSuite {
     writeFile("b2.json", Seq((4L, 6L, "k")))
     runDrive()
     // exactly three batches committed; the restarts did NOT reprocess b0
-    val meta = spark.read.parquet(s"$state/stream_meta").head()
+    val meta = StreamOps.resolveStreamMeta(spark, state,
+      "StreamOpsSpec").get
     assert(meta.getAs[Long]("last_batch_id") == 2L &&
       meta.getAs[Long]("released_through") == 6L, meta.toString)
     val streamed = spark.read.parquet(s"$state/releases/batch_0",
@@ -1113,7 +1114,7 @@ class StreamOpsSpec extends AnyFunSuite {
       Seq((4L, 6L, "k")).toDF("user_id", "tick", "key"), 2L, state,
       "user_id", col("tick"), Seq("key"), 8, 1.0, 100L, CountingOne)
     assert(counter.get == drawsBefore, "a committed replay re-folded")
-    assert(spark.read.parquet(s"$state/stream_meta").head()
+    assert(StreamOps.resolveStreamMeta(spark, state, "StreamOpsSpec").get
       .getAs[Long]("last_batch_id") == 2L)
     // checkpoint/store DISAGREEMENT fails loud: a batch id with a gap
     // (stale/lost store snapshot) and a progressed checkpoint over an
@@ -1630,5 +1631,54 @@ class StreamOpsSpec extends AnyFunSuite {
     }
     assert(graft.spark.SparkTestSession.chainMsg(e).contains("tick outside"),
       graft.spark.SparkTestSession.chainMsg(e).take(300))
+  }
+
+  test("stream_meta commit is atomic: a crash mid-flip never loses the pointer") {
+    // r18 fix: the old protocol mode("overwrite")-wrote ONE stream_meta dir,
+    // deleting the previous pointer before the new one was durable. Now each
+    // commit writes a NEW versioned dir; readers take the highest
+    // _SUCCESS-marked version, so a partial dir from a crash is ignored.
+    val state = java.nio.file.Files
+      .createTempDirectory("graft_meta_atomic_").toString
+    def foldBatch(id: Long, ids: Range): Unit =
+      StreamOps.checkpointedStoreFold(
+        ids.map(i => (i.toLong, "a")).toDF("uid", "v"), id, state) {
+        (b, st) => graft.spark.LocalDP.olhIngestStep(b, st, "uid",
+          col("v"), Seq("a", "b"), 1.0, graft.core.NoiseSource.Zero)
+      }
+    foldBatch(0L, 1 to 10)
+    foldBatch(1L, 11 to 20)
+    assert(StreamOps.resolveStreamMeta(spark, state, "spec").get
+      .getAs[Long]("last_batch_id") == 1L)
+    // simulate the crash window: a partial stream_meta_b2 exists (no
+    // _SUCCESS) — the pointer must still be batch 1, and the store readable
+    val partial = new java.io.File(s"$state/stream_meta_b2")
+    partial.mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$state/stream_meta_b2/part-00000.parquet"),
+      "garbage-not-parquet")
+    assert(StreamOps.resolveStreamMeta(spark, state, "spec").get
+      .getAs[Long]("last_batch_id") == 1L,
+      "a _SUCCESS-less partial meta dir was treated as a commit")
+    assert(StreamOps.loadCheckpointedStore(spark, state).count() > 0)
+    // the replayed batch 2 commits OVER its own partial dir and wins
+    foldBatch(2L, 21 to 30)
+    assert(StreamOps.resolveStreamMeta(spark, state, "spec").get
+      .getAs[Long]("last_batch_id") == 2L)
+    // legacy single-dir state (pre-r18) still resolves: demote the current
+    // commit to the old layout (one stream_meta dir, no versioned metas)
+    val meta2 = spark.read.parquet(s"$state/stream_meta_b2")
+    meta2.coalesce(1).write.parquet(s"$state/stream_meta")
+    new java.io.File(state).listFiles()
+      .filter(_.getName.startsWith("stream_meta_b"))
+      .foreach(d => org.apache.commons.io.FileUtils.deleteDirectory(d))
+    assert(StreamOps.resolveStreamMeta(spark, state, "spec").get
+      .getAs[Long]("last_batch_id") == 2L, "legacy fallback broken")
+    // ...and the next commit supersedes + janitors the legacy pointer
+    foldBatch(3L, 31 to 40)
+    assert(StreamOps.resolveStreamMeta(spark, state, "spec").get
+      .getAs[Long]("last_batch_id") == 3L)
+    assert(!new java.io.File(s"$state/stream_meta").exists(),
+      "the superseded legacy pointer was not janitored")
   }
 }
