@@ -464,6 +464,40 @@ private[graft] object EntryCorpus {
           .select("doc_id", "text", "n_chars"),
         "doc_id", "n_chars", tmp, nShards = 16)
     }),
+    "io_warc_export" -> ((s, dir) => {
+      // DISTRIBUTED WARC export (r18 — the re-crawl last mile; the
+      // roundtrip row's driver-side writer stops at gate fixtures):
+      // every documents row serializes TASK-side into size-bounded
+      // per-record-gzip-member .warc.gz shards — md5 shard split on
+      // record_id, archives rolling at 8 KiB of payload via the
+      // prefix-sum rule, so every record's (shard, seq) assignment is
+      // a deterministic SQL-replayable function of the data. The
+      // archives then read BACK distributed and every record releases
+      // its fields + payload md5 + the (shard, seq) parsed from the
+      // file it actually landed in; the oracle replays all of it from
+      // documents alone — a defect anywhere in the write/roll/read
+      // chain breaks the hash.
+      import graft.sources.WarcIO
+      val tmp = scratchDir("warc_export")
+      val recs = s.read.parquet(s"$dir/documents.parquet")
+        .select(
+          lit("resource").as("warc_type"),
+          concat(lit("doc://"), col("doc_id")).as("target_uri"),
+          lit("2026-01-01T00:00:00Z").as("warc_date"),
+          concat(lit("urn:graft:"), col("doc_id")).as("record_id"),
+          lit("text/plain").as("content_type"),
+          encode(coalesce(col("text"), lit("")), "UTF-8").as("payload"))
+      val manifest = WarcIO.writeWarcShards(recs, tmp, nShards = 4,
+        maxPayloadBytesPerArchive = 8192)
+      manifest.count() // materialize = write the archives once
+      WarcIO.readWarc(s, s"$tmp/shard=*/*.warc.gz")
+        .select(col("record_id"), col("target_uri"), col("content_length"),
+          md5(col("payload")).as("payload_md5"),
+          regexp_extract(col("file"), "shard=(\\d+)", 1).cast("int")
+            .as("shard"),
+          regexp_extract(col("file"), "part-(\\d+)", 1).cast("long")
+            .as("seq"))
+    }),
     "corpus_prep" -> ((s, dir) => {
       // the fused end-to-end prep filter: every quality signal (token stats,
       // Gopher repetition, stopword ratio, language id) in ONE scan
@@ -904,6 +938,30 @@ private[graft] object EntryCorpus {
            SELECT doc_id, CAST(version AS BIGINT) AS version,
                   CAST(n_chars AS BIGINT) AS n_chars
            FROM winners WHERE rn = 1 AND NOT deleted""",
+      // the distributed WARC export replayed end to end: shard = md5 of
+      // the record id, seq = preceding-payload prefix sum div 8 KiB in
+      // (hash, id) order — the exact write-plan rule — and fields +
+      // payload hash straight from documents
+      "io_warc_export" ->
+        """WITH r AS (
+             SELECT 'urn:graft:' || CAST(doc_id AS VARCHAR) AS record_id,
+                    'doc://' || CAST(doc_id AS VARCHAR) AS target_uri,
+                    coalesce(text, '') AS text
+             FROM documents),
+           h AS (
+             SELECT record_id, target_uri, text,
+                    CAST(octet_length(encode(text)) AS BIGINT) AS pb,
+                    CAST(CONCAT('0x', substr(md5(record_id), 1, 15))
+                      AS BIGINT) AS hv
+             FROM r)
+           SELECT record_id, target_uri, pb AS content_length,
+                  md5(text) AS payload_md5,
+                  CAST(hv % 4 AS INT) AS shard,
+                  CAST(coalesce(sum(pb) OVER (PARTITION BY hv % 4
+                      ORDER BY hv, record_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) // 8192 AS BIGINT) AS seq
+           FROM h""",
       "io_export_shards" ->
         """WITH h AS (
              SELECT doc_id, n_chars,

@@ -1012,6 +1012,67 @@ private[graft] object EntryDP {
         col("value"), lo = 0.0, hi = 1000.0, epsilon = 1.0,
         noise = NoiseSource.Zero)
     }),
+    "dp_ldp_longitudinal_mean" -> ((s, dir) => {
+      // LONGITUDINAL NUMERIC LDP (r18 — the RAPPOR permanent-response
+      // ledger over the Duchi 1-bit mean): three repeated collections
+      // of the same unchanged values; each (unit, value) sign bit
+      // draws ONCE and later collections REUSE it, so repeated
+      // telemetry costs one eps, not three. Zero noise: memoized bits
+      // are the deterministic signs, so the third collection's
+      // estimate equals the one-shot dp_ldp_mean release exactly (the
+      // oracle IS its SQL). Bit reuse is spec-pinned draw-counting.
+      val ev = events(s, dir)
+      var store: Option[DataFrame] = None
+      var est: DataFrame = null
+      (1 to 3).foreach { _ =>
+        val (e, grown) = graft.spark.LocalDP.ldpLongitudinalMeanStep(ev,
+          store, "user_id", col("value"), lo = 0.0, hi = 1000.0,
+          epsilon = 1.0, noise = NoiseSource.Zero)
+        est = e
+        store = Some(grown)
+      }
+      est
+    }),
+    "dp_ldp_longitudinal_variance" -> ((s, dir) => {
+      // the VARIANCE arm of the longitudinal numeric ledger: both
+      // eps/2 moment bits memoize per (unit, value); third collection
+      // == one-shot dp_ldp_variance (zero noise; the oracle IS its SQL)
+      val ev = events(s, dir)
+      var store: Option[DataFrame] = None
+      var est: DataFrame = null
+      (1 to 3).foreach { _ =>
+        val (e, grown) = graft.spark.LocalDP.ldpLongitudinalVarianceStep(
+          ev, store, "user_id", col("value"), lo = 0.0, hi = 1000.0,
+          epsilon = 1.0, noise = NoiseSource.Zero)
+        est = e
+        store = Some(grown)
+      }
+      est
+    }),
+    "dp_ldp_range_2d" -> ((s, dir) => {
+      // LOCAL-DP 2-D RANGE TREE (r18 — the dyadic PRODUCT mechanism
+      // under the local trust model, closing the tree family's last
+      // central/local asymmetry): units md5-split into 16 level-PAIR
+      // groups, each OLH-reporting its (value-bin, hour-bin) pair's
+      // product-node index at ITS (lvx, lvy); the aggregator estimates
+      // every product node (debiased, population-scaled) — a released
+      // PRODUCT TREE the central range2DQueries consumes as pure
+      // post-processing (box readout spec-pinned). eps = 4 (g = 55,
+      // the heavy-hitter rationale); binsX = binsY = 8. The privacy
+      // unit is the EVENT (per-event telemetry — the shuffle-model
+      // report shape): 16 level-pair groups need units >> groups, and
+      // sf0.001's 15-user cohort cannot field them while its 1000
+      // events can. Zero noise => every dp_count is one round(expr, 9)
+      // of exact group counts + hash collisions — the tree hash-replays.
+      graft.spark.LocalDP.ldpRange2DTree(events(s, dir), "event_id",
+          col("value"), expr("hour(timestamp_micros(ts div 1000))"),
+          loX = 0.0, hiX = 1000.0, binsX = 8,
+          loY = 0.0, hiY = 32.0, binsY = 8,
+          epsilon = 4.0, noise = NoiseSource.Zero)
+        .select(col("__lvx").cast("long").as("lvx"),
+          col("__idxx").as("idxx"), col("__lvy").cast("long").as("lvy"),
+          col("__idxy").as("idxy"), col("dp_count"))
+    }),
     "dp_add_noise" -> ((s, dir) => {
       // noise-only path on pre-aggregated data; zero noise => identity
       val pre = events(s, dir).groupBy("event_type")
@@ -1659,6 +1720,152 @@ private[graft] object EntryDP {
   }
 
 
+  /** The zero-noise 1-bit Duchi mean replay — ONE definition for the
+    * one-shot dp_ldp_mean row and the longitudinal memo twin (r18:
+    * memoized bits equal the deterministic sign bits for unchanged
+    * values, so every collection equals the one-shot release). */
+  private lazy val ldpMeanSql: String = {
+    val t = (math.exp(1.0) - 1.0) / (math.exp(1.0) + 1.0)
+    // zero-noise report = sign((v - 500)/500); ties (v == 500) -> -1
+    s"""WITH r AS (
+          SELECT user_id, min(least(greatest(value, 0.0), 1000.0)) AS v
+          FROM events GROUP BY 1),
+        b AS (SELECT CASE WHEN (v - 500.0) / 500.0 > 0 THEN 1
+                          ELSE -1 END AS b FROM r)
+        SELECT CAST(count(*) AS BIGINT) AS n_reports,
+               CAST(count(*) FILTER (b = 1) AS BIGINT)
+                 AS reported_plus_ones,
+               round(least(greatest(
+                 500.0 + (CAST(sum(b) AS DOUBLE)
+                          / CAST(count(*) AS DOUBLE)) / $t * 500.0,
+                 0.0), 1000.0), 9) AS est_mean
+        FROM b"""
+  }
+
+  /** The zero-noise two-bit Duchi variance replay — ONE definition for
+    * the one-shot dp_ldp_variance row and its longitudinal memo twin. */
+  private lazy val ldpVarianceSql: String = {
+    // zero-noise bits are signs: b1 = sign(v - 500) (ties -> -1),
+    // b2 = sign(v^2 - 500000); t at eps/2 enters as the round-trip
+    // double; est_variance combines the ROUNDED released moments
+    // exactly as the engine's withColumn does
+    val t = (math.exp(0.5) - 1.0) / (math.exp(0.5) + 1.0)
+    s"""WITH r AS (
+          SELECT user_id,
+                 min(least(greatest(CAST(value AS DOUBLE), 0.0),
+                     1000.0)) AS v
+          FROM events GROUP BY 1),
+        b AS (
+          SELECT CASE WHEN (v - 500.0) / 500.0 > 0 THEN 1
+                      ELSE -1 END AS b1,
+                 CASE WHEN (v * v - 500000.0) / 500000.0 > 0 THEN 1
+                      ELSE -1 END AS b2
+          FROM r),
+        a AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_reports,
+                 CAST(sum(b1) AS DOUBLE) AS s1,
+                 CAST(sum(b2) AS DOUBLE) AS s2
+          FROM b),
+        sel AS (
+          SELECT n_reports,
+                 round(least(greatest(
+                   500.0 + (s1 / n_reports) / $t * 500.0, 0.0),
+                   1000.0), 9) AS est_mean,
+                 round(least(greatest(
+                   500000.0 + (s2 / n_reports) / $t * 500000.0, 0.0),
+                   1000000.0), 9) AS est_m2
+          FROM a)
+        SELECT n_reports, est_mean, est_m2,
+               round(least(greatest(est_m2 - est_mean * est_mean,
+                     0.0), 250000.0), 9) AS est_variance
+        FROM sel"""
+  }
+
+  /** The LDP 2-D product-tree replay (r18): md5 level-PAIR group split,
+    * per-group OLH over product-node indices, debias + population
+    * scaling — the [[ldpRangeTree]] oracle generalized to the dyadic
+    * product. eps = 4 (g = 55); binsX = 8 over [0, 1000) (width 125,
+    * clamp edge 937.5) x binsY = 8 over [0, 32) (width 4, clamp edge
+    * 30) — all exact binary doubles, so the bin arithmetic replays
+    * bit-exactly. */
+  private lazy val ldpRange2DSql: String = {
+    val expEps = math.exp(4.0)
+    val g = math.floor(expEps).toLong + 1L
+    val invG = 1.0 / g
+    val pMinusInv = expEps / (expEps + g - 1) - invG
+    val prime = graft.spark.LocalDP.OlhPrime
+    val paramValues = graft.spark.LocalDP.olhParams(1024).zipWithIndex
+      .map { case ((a, b), s) => s"($s, $a, $b)" }.mkString(", ")
+    s"""WITH hp(seed, a, b) AS (VALUES $paramValues),
+        u AS (
+          SELECT pid, x, y FROM (
+            SELECT CAST(event_id AS BIGINT) AS pid,
+                   least(greatest(CAST(value AS DOUBLE), 0.0), 937.5)
+                     AS x,
+                   least(greatest(CAST(extract(hour FROM ts) AS DOUBLE),
+                     0.0), 30.0) AS y,
+                   row_number() OVER (PARTITION BY event_id
+                     ORDER BY least(greatest(CAST(value AS DOUBLE), 0.0),
+                       937.5) ASC,
+                       least(greatest(CAST(extract(hour FROM ts)
+                         AS DOUBLE), 0.0), 30.0) ASC) AS rk
+            FROM events) WHERE rk = 1),
+        uh AS (
+          SELECT CAST(floor(x / 125.0) AS BIGINT) AS bx,
+                 CAST(floor(y / 4.0) AS BIGINT) AS by,
+                 CAST(CONCAT('0x', substr(md5(CAST(pid AS VARCHAR)),
+                      1, 15)) AS BIGINT) AS h64
+          FROM u),
+        r AS (
+          SELECT CAST((h64 % 16) % 4 AS INT) AS lvx,
+                 CAST((h64 % 16) // 4 AS INT) AS lvy,
+                 (h64 // 16) % 1024 AS seed,
+                 (bx >> CAST((h64 % 16) % 4 AS INT))
+                   * (8 >> CAST((h64 % 16) // 4 AS INT))
+                   + (by >> CAST((h64 % 16) // 4 AS INT)) AS idx
+          FROM uh),
+        rep AS (
+          SELECT r.lvx, r.lvy, r.seed,
+                 ((hp.a * r.idx + hp.b) % $prime) % $g AS yy
+          FROM r JOIN hp ON hp.seed = r.seed),
+        cells AS (
+          SELECT lvx, lvy, seed, yy, CAST(count(*) AS BIGINT) AS c
+          FROM rep GROUP BY 1, 2, 3, 4),
+        ntot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cells),
+        ng AS (SELECT lvx, lvy, CAST(sum(c) AS BIGINT) AS ng
+               FROM cells GROUP BY 1, 2),
+        nodes AS (
+          SELECT CAST(lx.lvx AS INT) AS lvx, gx.idxx,
+                 CAST(ly.lvy AS INT) AS lvy, gy.idxy,
+                 gx.idxx * (8 >> CAST(ly.lvy AS INT)) + gy.idxy AS idx
+          FROM (SELECT unnest(range(0, 4)) AS lvx) lx,
+               (SELECT unnest(range(0, 8)) AS idxx) gx,
+               (SELECT unnest(range(0, 4)) AS lvy) ly,
+               (SELECT unnest(range(0, 8)) AS idxy) gy
+          WHERE gx.idxx < (8 >> lx.lvx) AND gy.idxy < (8 >> ly.lvy)),
+        seeds AS (SELECT DISTINCT lvx, lvy, seed FROM cells),
+        grid AS (
+          SELECT nodes.lvx, nodes.idxx, nodes.lvy, nodes.idxy,
+                 seeds.seed,
+                 ((hp.a * nodes.idx + hp.b) % $prime) % $g AS h
+          FROM nodes JOIN seeds ON seeds.lvx = nodes.lvx
+                                AND seeds.lvy = nodes.lvy
+                     JOIN hp ON hp.seed = seeds.seed),
+        sup AS (
+          SELECT grid.lvx, grid.idxx, grid.lvy, grid.idxy,
+                 CAST(coalesce(sum(cells.c), 0) AS BIGINT) AS sup
+          FROM grid LEFT JOIN cells
+            ON cells.lvx = grid.lvx AND cells.lvy = grid.lvy
+               AND cells.seed = grid.seed AND cells.yy = grid.h
+          GROUP BY 1, 2, 3, 4)
+        SELECT CAST(sup.lvx AS BIGINT) AS lvx, sup.idxx AS idxx,
+               CAST(sup.lvy AS BIGINT) AS lvy, sup.idxy AS idxy,
+               round((sup.sup - ng.ng * $invG) / $pMinusInv *
+                     (CAST((SELECT n FROM ntot) AS DOUBLE) / ng.ng), 9)
+                 AS dp_count
+        FROM sup JOIN ng ON ng.lvx = sup.lvx AND ng.lvy = sup.lvy"""
+  }
+
   /** The zero-noise OLH frequency replay (md5-derived seeds, literal
     * hash-parameter table, debias at eps = 1) — ONE definition for the
     * one-shot row, the streaming fold (identical cells under any
@@ -2018,59 +2225,15 @@ private[graft] object EntryDP {
                     n_reports, rk
              FROM cand JOIN topk ON cand.hash = topk.value"""
       },
-      "dp_ldp_variance" -> {
-        // zero-noise bits are signs: b1 = sign(v - 500) (ties -> -1),
-        // b2 = sign(v^2 - 500000); t at eps/2 enters as the round-trip
-        // double; est_variance combines the ROUNDED released moments
-        // exactly as the engine's withColumn does
-        val t = (math.exp(0.5) - 1.0) / (math.exp(0.5) + 1.0)
-        s"""WITH r AS (
-              SELECT user_id,
-                     min(least(greatest(CAST(value AS DOUBLE), 0.0),
-                         1000.0)) AS v
-              FROM events GROUP BY 1),
-            b AS (
-              SELECT CASE WHEN (v - 500.0) / 500.0 > 0 THEN 1
-                          ELSE -1 END AS b1,
-                     CASE WHEN (v * v - 500000.0) / 500000.0 > 0 THEN 1
-                          ELSE -1 END AS b2
-              FROM r),
-            a AS (
-              SELECT CAST(count(*) AS BIGINT) AS n_reports,
-                     CAST(sum(b1) AS DOUBLE) AS s1,
-                     CAST(sum(b2) AS DOUBLE) AS s2
-              FROM b),
-            sel AS (
-              SELECT n_reports,
-                     round(least(greatest(
-                       500.0 + (s1 / n_reports) / $t * 500.0, 0.0),
-                       1000.0), 9) AS est_mean,
-                     round(least(greatest(
-                       500000.0 + (s2 / n_reports) / $t * 500000.0, 0.0),
-                       1000000.0), 9) AS est_m2
-              FROM a)
-            SELECT n_reports, est_mean, est_m2,
-                   round(least(greatest(est_m2 - est_mean * est_mean,
-                         0.0), 250000.0), 9) AS est_variance
-            FROM sel"""
-      },
-      "dp_ldp_mean" -> {
-        val t = (math.exp(1.0) - 1.0) / (math.exp(1.0) + 1.0)
-        // zero-noise report = sign((v - 500)/500); ties (v == 500) -> -1
-        s"""WITH r AS (
-              SELECT user_id, min(least(greatest(value, 0.0), 1000.0)) AS v
-              FROM events GROUP BY 1),
-            b AS (SELECT CASE WHEN (v - 500.0) / 500.0 > 0 THEN 1
-                              ELSE -1 END AS b FROM r)
-            SELECT CAST(count(*) AS BIGINT) AS n_reports,
-                   CAST(count(*) FILTER (b = 1) AS BIGINT)
-                     AS reported_plus_ones,
-                   round(least(greatest(
-                     500.0 + (CAST(sum(b) AS DOUBLE)
-                              / CAST(count(*) AS DOUBLE)) / $t * 500.0,
-                     0.0), 1000.0), 9) AS est_mean
-            FROM b"""
-      },
+      // one-shot Duchi replays, shared with their longitudinal memo
+      // twins (r18: memoized bits == deterministic sign bits for
+      // unchanged values, so every collection equals the one-shot)
+      "dp_ldp_variance" -> ldpVarianceSql,
+      "dp_ldp_longitudinal_variance" -> ldpVarianceSql,
+      "dp_ldp_mean" -> ldpMeanSql,
+      "dp_ldp_longitudinal_mean" -> ldpMeanSql,
+      // the LDP product tree's zero-noise derivation replay (r18)
+      "dp_ldp_range_2d" -> ldpRange2DSql,
       "dq_quarantine" ->
         """WITH f AS (
               SELECT list_filter([

@@ -326,6 +326,30 @@ private[graft] object EntrySim {
         k = 5, nprobe = 16)
         .withColumn("rank", col("rank").cast("long"))
     }),
+    "sim_ivf_rebuild" -> ((s, dir) => {
+      // DRIFT-TRIGGERED REBUILD (r18 — the maintenance loop that
+      // CONSUMES the append drift report): index built on the even-id
+      // half, then the odd half appends SHIFTED +0.5 per dim — planted
+      // distribution drift, so the appended rows' pooled cosine to the
+      // frozen centroids sags AND the append share (~0.5) crosses the
+      // 0.25 ceiling; the decision must come back rebuilt = true and
+      // the index retrains over the union in place. Lloyd's retrain is
+      // sample-dependent => rows-only; the probe columns pin the
+      // decision inputs (rebuilt, append_share, n_appended) and recall
+      // recovery on planted drift is spec-pinned in SimilaritySpec.
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+        .withColumn("emb", expr(
+          "transform(embedding, x -> CAST(x AS DOUBLE))"))
+      val idx = scratchDir("sim_ivf_rebuild")
+      Similarity.buildIvfIndex(e.filter(col("vec_id") % 2 === 0),
+        "vec_id", "emb", idx, nlist = 16)
+      val report = Similarity.appendIvfIndex(
+        e.filter(col("vec_id") % 2 === 1)
+          .withColumn("emb", expr("transform(emb, x -> x + 0.5)")),
+        "vec_id", "emb", idx).localCheckpoint(false)
+      Similarity.rebuildIvfIndexIfDrifted(s, idx, report,
+        meanCosFloor = 0.75, appendShareCeil = 0.25, nlist = 16)
+    }),
     "sim_ivf_index_query" -> ((s, dir) => {
       // the AMORTIZED read path of the persisted index: the build (train +
       // assign + write) runs ONCE per (process, sf dir) via the memoized

@@ -81,7 +81,14 @@ class EntryContractSpec extends AnyFunSuite {
     // rows are the oracle-exact anchor for the shared feature hashing
     "ml_train_logreg" ->
       (Seq("probe_loss_improved", "probe_beats_majority")
-        -> Some("ml_pr_curve")))
+        -> Some("ml_pr_curve")),
+    // r18: the rebuild decision's inputs (share, counts) are exact and
+    // ride as probes; the retrain itself is Lloyd's (sample-dependent).
+    // NOTE: constructing this frame performs the real build + drifted
+    // append + rebuild at sf0.001 (the io_range_export accepted cost)
+    "sim_ivf_rebuild" ->
+      (Seq("rebuilt", "append_share", "n_appended")
+        -> Some("sim_ivf_index_append")))
 
   test("rows-only queries are the documented closed set") {
     // adding a query without an oracle is a DELIBERATE choice (inherently

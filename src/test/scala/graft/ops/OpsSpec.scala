@@ -1594,6 +1594,103 @@ class SimilaritySpec extends AnyFunSuite {
       graft.spark.SparkTestSession.chainMsg(e3).take(300))
   }
 
+  test("IVF rebuild-on-drift: planted drift triggers retrain; fresh index beats stale on recall; no-drift is a no-op") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(53)
+    // base: 4 tight blobs near the origin region
+    def blob(c: Array[Double], n: Int, from: Int) =
+      (from until from + n).map(i =>
+        (i.toLong, c.zipWithIndex.map { case (v, d) =>
+          v + 0.1 * rnd.nextGaussian() }))
+    val baseCenters = Seq(Array(1.0, 0, 0, 0, 0, 0, 0, 0),
+      Array(0, 1.0, 0, 0, 0, 0, 0, 0), Array(0, 0, 1.0, 0, 0, 0, 0, 0),
+      Array(0, 0, 0, 1.0, 0, 0, 0, 0))
+    val base = baseCenters.zipWithIndex
+      .flatMap { case (c, j) => blob(c, 40, j * 40) }.toDF("id", "vec")
+    // drifted appends: 15 pairs along the (2.4, 2.4, e) diagonal — far
+    // off every base direction (the pooled cosine to the frozen
+    // centroids sags to ~0.71), and all swallowed by whichever e0-ish
+    // frozen cell leans closest to the diagonal.
+    val pairs = (0 until 15).flatMap { j =>
+      val e = 0.15 * j
+      Seq((1000L + 2 * j, Array(2.45, 2.35, e, 0.0, 0, 0, 0, 0)),
+        (1001L + 2 * j, Array(2.35, 2.45, e, 0.0, 0, 0, 0, 0)))
+    }
+    val drifted = pairs.toDF("id", "vec")
+    val dir = java.nio.file.Files
+      .createTempDirectory("ivf_rebuild").toString
+    Similarity.buildIvfIndex(base, "id", "vec", dir, nlist = 6, seed = 9)
+    val report = Similarity.appendIvfIndex(drifted, "id", "vec", dir)
+      .localCheckpoint(true)
+    // recall probe at nprobe = 1: the queries sit at (1.8, 2.9, e) —
+    // their COSINE-nearest neighbors are the drifted pairs (cos ~ 0.97
+    // vs ~ 0.85 for the nearest base blob), but their L2-nearest FROZEN
+    // centroid is the e1 cell (d^2 ~ 7.1 vs ~ 8.7 to the cell holding
+    // the drift), so the single probed cell contains NONE of the true
+    // top-2 — recall collapses structurally until the rebuild gives the
+    // drifted mass its own centroid. Truth = brute force over the union.
+    val union = base.unionByName(drifted)
+    val queries = (0 until 10).map(j =>
+        (5000L + j, Array(1.8, 2.9, 0.15 * j, 0.0, 0, 0, 0, 0)))
+      .toDF("qid", "qvec")
+    def recall(): Double = {
+      val got = Similarity.ivfTopKFromIndex(spark, dir, queries,
+          "qid", "qvec", k = 2, nprobe = 1).collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+        .toSet
+      val want = Similarity.bruteForceTopK(union, "id", "vec", queries,
+          "qid", "qvec", 2).collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+        .toSet
+      (got intersect want).size.toDouble / want.size
+    }
+    val staleRecall = recall()
+    assert(staleRecall < 0.8,
+      s"fixture defect: the frozen quantizer shows no recall decay " +
+        s"($staleRecall) — the drift plant missed the cell boundary")
+    // the decision: share 30/190 stays under the ceiling, but the
+    // pooled cosine to the frozen centroids sags (the pairs are far off
+    // every base direction) — rebuilt must be true via the cosine floor
+    val dec = Similarity.rebuildIvfIndexIfDrifted(spark, dir, report,
+      meanCosFloor = 0.75, appendShareCeil = 0.25, nlist = 6, seed = 9)
+      .collect().head
+    assert(dec.getAs[Boolean]("rebuilt"), s"drift not detected: $dec")
+    assert(dec.getAs[Long]("n_appended") == 30L &&
+      dec.getAs[Long]("n_postings") == 190L)
+    assert(math.abs(dec.getAs[Double]("append_share") - 30.0 / 190) < 1e-6)
+    // the rebuilt index gives the drifted mass its own cell(s) that
+    // hold both members of a pair: recall at the SAME nprobe = 1 must
+    // improve
+    val freshRecall = recall()
+    assert(freshRecall > staleRecall,
+      s"rebuild did not recover recall: stale $staleRecall, " +
+        s"fresh $freshRecall")
+    assert(freshRecall >= 0.5, s"fresh recall $freshRecall < 0.5")
+    // postings survived the in-place rebuild intact (same id set)
+    assert(spark.read.parquet(s"$dir/postings").count() == 190L)
+    // no-drift arm: a small, in-distribution append under loose
+    // thresholds must NOT rebuild (decision false, postings untouched)
+    val dir2 = java.nio.file.Files
+      .createTempDirectory("ivf_norebuild").toString
+    Similarity.buildIvfIndex(base, "id", "vec", dir2, nlist = 6, seed = 9)
+    val tiny = blob(baseCenters.head, 5, 7000).toDF("id", "vec")
+    val rep2 = Similarity.appendIvfIndex(tiny, "id", "vec", dir2)
+      .localCheckpoint(true)
+    val files = new java.io.File(s"$dir2/centroids").list().sorted.toSeq
+    val dec2 = Similarity.rebuildIvfIndexIfDrifted(spark, dir2, rep2,
+      meanCosFloor = 0.5, appendShareCeil = 0.25, nlist = 6, seed = 9)
+      .collect().head
+    assert(!dec2.getAs[Boolean]("rebuilt"), s"no-drift rebuilt: $dec2")
+    assert(new java.io.File(s"$dir2/centroids").list().sorted.toSeq
+      == files, "a no-op decision rewrote the centroids")
+    // empty-index contract
+    val eE = intercept[Exception](Similarity.rebuildIvfIndexIfDrifted(
+      spark, s"$dir2/nowhere", rep2))
+    assert(graft.spark.SparkTestSession.chainMsg(eE).toLowerCase
+      .contains("path does not exist") ||
+      graft.spark.SparkTestSession.chainMsg(eE).contains("empty postings"))
+  }
+
   test("kmeans: trained clustering recovers planted blobs and beats fixed init") {
     val rnd = new scala.util.Random(7)
     val blobCenters = (0 until 4).map(_ => Array.fill(8)(rnd.nextGaussian() * 10))

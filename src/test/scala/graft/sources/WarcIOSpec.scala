@@ -113,4 +113,84 @@ class WarcIOSpec extends AnyFunSuite {
         "\r\nhi\r\n\r\n")).toSeq
     assert(ok.head.content_length == 2L && ok.head.warc_type == "resource")
   }
+
+  test("writeWarcShards: distributed export round-trips, archives are size-bounded, contracts") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_warc_shards_").toString
+    // 200 records, payloads 100..1096 bytes — with a 4 KiB bound each
+    // shard MUST roll across several archives
+    val recs = (1 to 200).map { i =>
+      (i.toLong, "resource", s"doc://$i", "2026-01-01T00:00:00Z",
+        s"urn:graft:$i", "text/plain",
+        ("x" * (100 + (i * 37) % 997)).getBytes("UTF-8"))
+    }.toDF("id", "warc_type", "target_uri", "warc_date", "record_id",
+      "content_type", "payload")
+    val bound = 4096L
+    val manifest = WarcIO.writeWarcShards(recs, out, nShards = 3,
+      maxPayloadBytesPerArchive = bound).localCheckpoint(true)
+    val m = manifest.collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4)))
+    assert(m.map(_._4).sum == 200L, s"manifest records ${m.map(_._4).sum}")
+    assert(m.groupBy(_._1).keySet == Set(0, 1, 2))
+    assert(m.length > 3, s"only ${m.length} archives — rolling never fired")
+    // size bound: every archive holds < bound + one max record of payload
+    m.foreach { case (s, q, f, n, pb) =>
+      assert(pb < bound + 1097,
+        s"shard $s seq $q: payload $pb exceeds bound+record")
+      assert(new java.io.File(new java.net.URI(
+        if (f.startsWith("file:")) f else s"file:$f").getPath).exists ||
+        new java.io.File(f).exists, s"manifest names a missing file $f")
+    }
+    // seq values are contiguous from 0 per shard (the prefix-sum rule)
+    m.groupBy(_._1).foreach { case (s, rows) =>
+      val seqs = rows.map(_._2).sorted.toSeq
+      assert(seqs == (0L until seqs.length).toSeq,
+        s"shard $s seqs $seqs not contiguous")
+    }
+    // read-back identity: every field and every payload byte
+    val back = WarcIO.readWarc(spark, s"$out/shard=*/*.warc.gz")
+      .select(col("record_id"), col("target_uri"), col("warc_type"),
+        col("content_type"), col("content_length"),
+        md5(col("payload")).as("pm"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4), r.getString(5))).toSet
+    val want = (1 to 200).map { i =>
+      val p = "x" * (100 + (i * 37) % 997)
+      (s"urn:graft:$i", s"doc://$i", "resource", "text/plain",
+        p.length.toLong,
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(p.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString)
+    }.toSet
+    assert(back == want, "read-back records differ from the written set")
+    // determinism: a second materialization rewrites the same manifest
+    val m2 = WarcIO.writeWarcShards(recs, out, 3, bound).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4))).sortBy(x => (x._1, x._2)).toSeq
+    assert(m2 == m.sortBy(x => (x._1, x._2)).toSeq,
+      "re-export produced a different manifest")
+    // contracts: NULL record_id / NULL payload / missing column fail loud
+    val eId = intercept[Exception](WarcIO.writeWarcShards(
+      Seq((null.asInstanceOf[String], "r", "u", "d", "c",
+        "p".getBytes("UTF-8")))
+        .toDF("record_id", "warc_type", "target_uri", "warc_date",
+          "content_type", "payload"),
+      out + "_x", 2, 4096L).collect())
+    assert(graft.spark.SparkTestSession.chainMsg(eId)
+      .contains("NULL record_id"))
+    val ePay = intercept[Exception](WarcIO.writeWarcShards(
+      Seq(("id1", "r", "u", "d", "c", null.asInstanceOf[Array[Byte]]))
+        .toDF("record_id", "warc_type", "target_uri", "warc_date",
+          "content_type", "payload"),
+      out + "_y", 2, 4096L).collect())
+    assert(graft.spark.SparkTestSession.chainMsg(ePay)
+      .contains("NULL payload"))
+    val eCol = intercept[IllegalArgumentException](WarcIO.writeWarcShards(
+      Seq(("id1", "r")).toDF("record_id", "warc_type"), out + "_z", 2))
+    assert(eCol.getMessage.contains("missing column"), eCol.getMessage)
+  }
 }

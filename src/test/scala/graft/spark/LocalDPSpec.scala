@@ -613,4 +613,174 @@ class LocalDPSpec extends AnyFunSuite {
     assert(math.abs(r("b")) < 1500.0 && math.abs(r("c")) < 1500.0,
       s"b=${r("b")} c=${r("c")}")
   }
+
+  test("LDP 2-D product tree: central box readout consumes it; real noise tracks truth; contracts") {
+    // 32000 units, x uniform over [0, 1000), y uniform over [0, 32):
+    // the released frame must BE a product tree the central
+    // range2DQueries consumes unchanged, and under the REAL randomizer
+    // box counts must track the truth within the CKS envelope
+    val n = 32000
+    val df = (1 to n).map { i =>
+      (i.toLong, (i * 48271 % 1000).toDouble, (i * 69621 % 32).toDouble)
+    }.toDF("uid", "x", "y")
+    val tree = LocalDP.ldpRange2DTree(df, "uid", col("x"), col("y"),
+        0.0, 1000.0, 8, 0.0, 32.0, 8, epsilon = 4.0,
+        noise = graft.core.NoiseSource.Seeded(29L))
+      .localCheckpoint(true)
+    assert(tree.count() == 225L) // (2*8-1)^2: the full product universe
+    // the CENTRAL 2-D box readout consumes the LOCAL release as-is.
+    // Per-group units ~ n/16 = 2000; per-node estimate sd ~
+    // 16 * sqrt(2000 * p(1-p)) / (p - 1/g) ~ 740; the quarter box
+    // (x bins 0-3, y bins 0-3) decomposes to ONE cover node — 5 sigma
+    val boxes = Seq((0L, 3L, 0L, 3L), (0L, 7L, 0L, 7L), (2L, 5L, 1L, 6L))
+    val reads = graft.spark.RangeTree.range2DQueries(tree, Nil, boxes,
+        8, 8).collect()
+      .map(r => (r.getLong(0), r.getDouble(5))).toMap
+    // truths under the uniform-ish fixture (computed from the data)
+    def truth(xlo: Long, xhi: Long, ylo: Long, yhi: Long): Double =
+      (1 to n).count { i =>
+        val bx = (i * 48271 % 1000) / 125; val by = (i * 69621 % 32) / 4
+        bx >= xlo && bx <= xhi && by >= ylo && by <= yhi
+      }.toDouble
+    boxes.zipWithIndex.foreach { case ((xl, xh, yl, yh), qid) =>
+      val tr = truth(xl, xh, yl, yh)
+      val cover = 4 // worst cover size among the probe boxes
+      assert(math.abs(reads(qid.toLong) - tr) < 3700.0 * math.sqrt(cover),
+        s"box $qid: read ${reads(qid.toLong)} vs truth $tr")
+    }
+    // zero noise: the release is deterministic (two runs hash-equal)
+    val z1 = LocalDP.ldpRange2DTree(df, "uid", col("x"), col("y"),
+        0.0, 1000.0, 8, 0.0, 32.0, 8, 4.0, graft.core.NoiseSource.Zero)
+      .collect().map(_.toString).sorted.toSeq
+    val z2 = LocalDP.ldpRange2DTree(df, "uid", col("x"), col("y"),
+        0.0, 1000.0, 8, 0.0, 32.0, 8, 4.0, graft.core.NoiseSource.Zero)
+      .collect().map(_.toString).sorted.toSeq
+    assert(z1 == z2, "zero-noise 2-D release is not deterministic")
+    // a level-pair group with no reporting units fails loud
+    // (3 units cannot field 16 groups)
+    val e = intercept[IllegalArgumentException](LocalDP.ldpRange2DTree(
+      Seq((1L, 1.0, 1.0), (2L, 2.0, 2.0), (3L, 3.0, 3.0))
+        .toDF("uid", "x", "y"),
+      "uid", col("x"), col("y"), 0.0, 1000.0, 8, 0.0, 32.0, 8, 4.0,
+      graft.core.NoiseSource.Zero))
+    assert(e.getMessage.contains("level-pair groups"), e.getMessage)
+    // NULL y fails loud; non-power-of-two bins rejected
+    val e2 = intercept[Exception](LocalDP.ldpRange2DTree(
+      Seq((1L, 1.0, null.asInstanceOf[java.lang.Double]))
+        .toDF("uid", "x", "y"),
+      "uid", col("x"), col("y"), 0.0, 1000.0, 8, 0.0, 32.0, 8, 4.0,
+      graft.core.NoiseSource.Zero))
+    assert(SparkTestSession.chainMsg(e2).contains("NULL y value"))
+    intercept[IllegalArgumentException](LocalDP.ldpRange2DTree(df, "uid",
+      col("x"), col("y"), 0.0, 1000.0, 12, 0.0, 32.0, 8, 4.0,
+      graft.core.NoiseSource.Zero))
+  }
+
+  test("LDP tree + Hay consistency: the central sweep never worsens leaf error on the LDP release") {
+    // the r18 bridge closure: ldpRangeTree's per-level estimates come
+    // from DISJOINT unit groups, so the released tree is inconsistent
+    // even at zero noise — the central enforceConsistency is pure
+    // post-processing that pools the levels. Seeded real-noise run:
+    // total squared leaf error must not increase (Hay OLS; empirical,
+    // deterministic under the fixed seed).
+    val n = 21000
+    val df = (1 to n).map(i => (i.toLong, (i * 48271 % 1000).toDouble))
+      .toDF("uid", "v")
+    val tree = LocalDP.ldpRangeTree(df, "uid", col("v"), 0.0, 1000.0,
+        bins = 64, epsilon = 4.0,
+        noise = graft.core.NoiseSource.Seeded(31L))
+      .localCheckpoint(true)
+    val truth = Array.fill(64)(0.0)
+    (1 to n).foreach(i => truth((i * 48271 % 1000) / 16) += 1.0)
+    def leafSqErr(t: org.apache.spark.sql.DataFrame): Double =
+      t.filter(col("__lvl") === 0).collect()
+        .map(r => math.pow(r.getDouble(2) - truth(r.getLong(1).toInt), 2))
+        .sum
+    val before = leafSqErr(tree)
+    val after = leafSqErr(
+      graft.spark.RangeTree.enforceConsistency(tree, Nil, 64))
+    assert(after <= before * (1.0 + 1e-9),
+      s"consistency worsened LDP leaf error: $before -> $after")
+    // and it genuinely pools information (strict improvement here)
+    assert(after < before,
+      s"consistency was a no-op on the LDP tree: $before -> $after")
+  }
+
+  test("longitudinal numeric LDP: bits memoize across collections; fold == one-shot; contracts") {
+    import org.apache.spark.sql.DataFrame
+    val df = (1 to 90).map(i => (i.toLong, (i * 11 % 1000).toDouble))
+      .toDF("uid", "v")
+    val acc = spark.sparkContext.longAccumulator("ldp_long_mean_draws")
+    class AccCountingUniform extends graft.core.NoiseSource with Serializable {
+      def laplace(b: Double): Double = 0.0
+      def gaussian(sigma: Double): Double = 0.0
+      def uniform(): Double = { acc.add(1L); 0.5 }
+    }
+    val CountingUniform = new AccCountingUniform
+    var store: Option[DataFrame] = None
+    var est: org.apache.spark.sql.Row = null
+    (1 to 3).foreach { _ =>
+      val (e, grown) = LocalDP.ldpLongitudinalMeanStep(df, store, "uid",
+        col("v"), 0.0, 1000.0, 1.0, CountingUniform)
+      est = e.collect().head
+      grown.count() // materialize the pinned store (draws final)
+      store = Some(grown)
+    }
+    // BIT REUSE: three collections drew one uniform per (unit, value) —
+    // 90, not 270
+    assert(acc.value == 90L,
+      s"draws across 3 collections = ${acc.value}, want 90 (memo reuse)")
+    assert(store.get.count() == 90L)
+    // fold == one-shot at the same (deterministic sign) bits
+    val oneShot = LocalDP.ldpMean(df, "uid", col("v"), 0.0, 1000.0, 1.0,
+      graft.core.NoiseSource.Zero).collect().head
+    assert(est == oneShot, s"longitudinal $est != one-shot $oneShot")
+    // a CHANGED value draws a fresh bit; the ledger grows by one pair
+    val changed = (1 to 90).map(i =>
+      (i.toLong, if (i == 7) 999.0 else (i * 11 % 1000).toDouble))
+      .toDF("uid", "v")
+    val before = acc.value
+    val (_, grown2) = LocalDP.ldpLongitudinalMeanStep(changed, store,
+      "uid", col("v"), 0.0, 1000.0, 1.0, CountingUniform)
+    grown2.count()
+    assert(acc.value == before + 1,
+      s"changed-value collection drew ${acc.value - before}, want 1")
+    assert(grown2.count() == 91L)
+    // calibration lock: resuming at another epsilon fails loud
+    val e3 = intercept[IllegalArgumentException](
+      LocalDP.ldpLongitudinalMeanStep(df, Some(grown2), "uid", col("v"),
+        0.0, 1000.0, 2.0, CountingUniform))
+    assert(e3.getMessage.contains("epsilon must stay fixed"), e3.getMessage)
+    // the VARIANCE arm: same ledger, TWO bits per (unit, value)
+    val acc2 = spark.sparkContext.longAccumulator("ldp_long_var_draws")
+    class AccCountingUniform2 extends graft.core.NoiseSource with Serializable {
+      def laplace(b: Double): Double = 0.0
+      def gaussian(sigma: Double): Double = 0.0
+      def uniform(): Double = { acc2.add(1L); 0.5 }
+    }
+    val Counting2 = new AccCountingUniform2
+    var storeV: Option[DataFrame] = None
+    var estV: org.apache.spark.sql.Row = null
+    (1 to 3).foreach { _ =>
+      val (e, grown) = LocalDP.ldpLongitudinalVarianceStep(df, storeV,
+        "uid", col("v"), 0.0, 1000.0, 1.0, Counting2)
+      estV = e.collect().head
+      grown.count()
+      storeV = Some(grown)
+    }
+    assert(acc2.value == 180L,
+      s"variance draws = ${acc2.value}, want 180 (two bits x 90 pairs)")
+    val oneShotV = LocalDP.ldpVariance(df, "uid", col("v"), 0.0, 1000.0,
+      1.0, graft.core.NoiseSource.Zero).collect().head
+    assert(estV == oneShotV, s"longitudinal $estV != one-shot $oneShotV")
+    // NULL value fails loud
+    val eN = intercept[Exception] {
+      val (e, _) = LocalDP.ldpLongitudinalMeanStep(
+        Seq((1L, null.asInstanceOf[java.lang.Double])).toDF("uid", "v"),
+        None, "uid", col("v"), 0.0, 1000.0, 1.0,
+        graft.core.NoiseSource.Zero)
+      e.collect()
+    }
+    assert(SparkTestSession.chainMsg(eN).contains("NULL value"))
+  }
 }
