@@ -170,9 +170,11 @@ object Bench {
 
     // optional priors regeneration for the next round's resource
     sys.env.get("SPARK_GRAFT_BENCH_PRIORS_OUT").foreach { path =>
-      val pw = new java.io.PrintWriter(path)
+      val pw = new java.io.PrintWriter(path, "UTF-8")
       try {
-        pw.println("# per-query full-run 3-rep medians (sf0.1, local[32]) — " +
+        // ASCII ONLY in this header: the r17 bench crash was THIS line's
+        // em-dash read back under the driver's ASCII default charset
+        pw.println("# per-query full-run 3-rep medians (sf0.1, local[32]) -- " +
           "the rerun-trigger priors; regenerate per round")
         results.filter(_._2 >= 0).foreach { case (n, m, _) =>
           pw.println(f"$n $m%.3f") }

@@ -203,4 +203,58 @@ class ParameterTuningSpec extends AnyFunSuite {
       s"best was $best with rmse ${result.rmsePerCandidate}")
     assert(per.count() == 10L * result.candidates.size)
   }
+
+  test("tune with partition sampling: the speed knob keeps the argmin, samples deterministically, fails loud when everything drops") {
+    // the reference's partitions_sampling_prob (parameter_tuning.py:74-77):
+    // tuning over a SAMPLE of partitions for speed. 40 partitions so a 0.5
+    // sample leaves plenty of signal; the clear-cut fixture (generous
+    // bounds dominate) must pick the same argmin sampled or not.
+    val rows = (1 to 200).flatMap(i =>
+      Seq((s"u$i", s"p${i % 40}", 1.0), (s"u$i", s"p${(i + 7) % 40}", 1.0)))
+    val df = rows.toDF("uid", "pk", "v")
+    val roles = DPColumns(col("uid"), Seq("pk" -> col("pk")), Some(col("v")))
+    val cands = Seq(UtilityAnalysisConfig(1, 1), UtilityAnalysisConfig(2, 1),
+      UtilityAnalysisConfig(4, 4))
+    def opts(prob: Double) = TuneOptions(2.0, 1e-5, Metric.Count,
+      UtilityAnalysisConfig(1, 1), ParametersToTune(
+        maxPartitionsContributed = true, maxContributionsPerPartition = true),
+      partitionsSamplingProb = prob)
+    val (full, _, perFull) = ParameterTuning.tuneFixed(df, roles, cands,
+      opts(1.0))
+    val (sampled, _, perSampled) = ParameterTuning.tuneFixed(df, roles,
+      cands, opts(0.5))
+    // the sample genuinely shrinks the analyzed work...
+    val nFull = perFull.count(); val nSampled = perSampled.count()
+    assert(nSampled < nFull,
+      s"sampling analyzed as many partitions as the full run ($nSampled)")
+    assert(nSampled > 0)
+    // ...is value-keyed DETERMINISTIC (same partitions kept on re-run)...
+    val (sampled2, _, perSampled2) = ParameterTuning.tuneFixed(df, roles,
+      cands, opts(0.5))
+    assert(perSampled2.count() == nSampled &&
+      sampled2.rmsePerCandidate == sampled.rmsePerCandidate,
+      "value-keyed sampling was not deterministic across runs")
+    // ...and preserves the clear-cut argmin
+    assert(sampled.indexBest == full.indexBest,
+      s"sampled argmin ${sampled.indexBest} != full ${full.indexBest} " +
+        s"(sampled rmse ${sampled.rmsePerCandidate}, " +
+        s"full ${full.rmsePerCandidate})")
+    // contract edges: probability domain, and the everything-sampled-away
+    // shaped failure (one partition at a prob its hash rejects)
+    intercept[IllegalArgumentException](ParameterTuning.tuneFixed(df, roles,
+      cands, opts(0.0)))
+    intercept[IllegalArgumentException](ParameterTuning.tuneFixed(df, roles,
+      cands, opts(1.5)))
+    val one = Seq(("u1", "pOnly", 1.0)).toDF("uid", "pk", "v")
+    val probes = (1 to 60).map(k => math.pow(0.9, k))
+    val rejecting = probes.find { p =>
+      scala.util.Try(ParameterTuning.tuneFixed(one, roles, cands,
+        opts(p))).isFailure
+    }
+    assert(rejecting.isDefined,
+      "no probe probability sampled the single partition away")
+    val e = intercept[IllegalArgumentException](ParameterTuning.tuneFixed(
+      one, roles, cands, opts(rejecting.get)))
+    assert(e.getMessage.contains("no partitions survived"), e.getMessage)
+  }
 }

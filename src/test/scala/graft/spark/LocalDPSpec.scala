@@ -621,7 +621,7 @@ class LocalDPSpec extends AnyFunSuite {
     // box counts must track the truth within the CKS envelope
     val n = 32000
     val df = (1 to n).map { i =>
-      (i.toLong, (i * 48271 % 1000).toDouble, (i * 69621 % 32).toDouble)
+      (i.toLong, (i.toLong * 48271 % 1000).toDouble, (i.toLong * 69621 % 32).toDouble)
     }.toDF("uid", "x", "y")
     val tree = LocalDP.ldpRange2DTree(df, "uid", col("x"), col("y"),
         0.0, 1000.0, 8, 0.0, 32.0, 8, epsilon = 4.0,
@@ -639,7 +639,8 @@ class LocalDPSpec extends AnyFunSuite {
     // truths under the uniform-ish fixture (computed from the data)
     def truth(xlo: Long, xhi: Long, ylo: Long, yhi: Long): Double =
       (1 to n).count { i =>
-        val bx = (i * 48271 % 1000) / 125; val by = (i * 69621 % 32) / 4
+        val bx = (i.toLong * 48271 % 1000) / 125
+        val by = (i.toLong * 69621 % 32) / 4
         bx >= xlo && bx <= xhi && by >= ylo && by <= yhi
       }.toDouble
     boxes.zipWithIndex.foreach { case ((xl, xh, yl, yh), qid) =>
@@ -704,6 +705,28 @@ class LocalDPSpec extends AnyFunSuite {
     // and it genuinely pools information (strict improvement here)
     assert(after < before,
       s"consistency was a no-op on the LDP tree: $before -> $after")
+    // the 2-D bridge too: the alternating product sweep over the LDP
+    // product tree (same schema as dpRange2DTree by construction)
+    val n2 = 32000
+    val df2 = (1 to n2).map { i =>
+      (i.toLong, (i.toLong * 48271 % 1000).toDouble, (i.toLong * 69621 % 32).toDouble)
+    }.toDF("uid", "x", "y")
+    val tree2 = LocalDP.ldpRange2DTree(df2, "uid", col("x"), col("y"),
+        0.0, 1000.0, 8, 0.0, 32.0, 8, epsilon = 4.0,
+        noise = graft.core.NoiseSource.Seeded(37L))
+      .localCheckpoint(true)
+    val truth2 = Array.fill(8, 8)(0.0)
+    (1 to n2).foreach(i =>
+      truth2(((i.toLong * 48271 % 1000) / 125).toInt)(((i.toLong * 69621 % 32) / 4).toInt) += 1.0)
+    def cellSqErr(t: org.apache.spark.sql.DataFrame): Double =
+      t.filter(col("__lvx") === 0 && col("__lvy") === 0).collect()
+        .map(r => math.pow(r.getDouble(4) -
+          truth2(r.getLong(1).toInt)(r.getLong(3).toInt), 2)).sum
+    val before2 = cellSqErr(tree2)
+    val after2 = cellSqErr(graft.spark.RangeTree.enforce2DConsistency(
+      tree2, Nil, 8, 8))
+    assert(after2 <= before2 * (1.0 + 1e-9) && after2 < before2,
+      s"2-D consistency on the LDP product tree: $before2 -> $after2")
   }
 
   test("longitudinal numeric LDP: bits memoize across collections; fold == one-shot; contracts") {
