@@ -478,18 +478,7 @@ private[graft] object EntryCorpus {
       // documents alone — a defect anywhere in the write/roll/read
       // chain breaks the hash.
       import graft.sources.WarcIO
-      val tmp = scratchDir("warc_export")
-      val recs = s.read.parquet(s"$dir/documents.parquet")
-        .select(
-          lit("resource").as("warc_type"),
-          concat(lit("doc://"), col("doc_id")).as("target_uri"),
-          lit("2026-01-01T00:00:00Z").as("warc_date"),
-          concat(lit("urn:graft:"), col("doc_id")).as("record_id"),
-          lit("text/plain").as("content_type"),
-          encode(coalesce(col("text"), lit("")), "UTF-8").as("payload"))
-      val manifest = WarcIO.writeWarcShards(recs, tmp, nShards = 4,
-        maxPayloadBytesPerArchive = 8192)
-      manifest.count() // materialize = write the archives once
+      val tmp = exportedWarcShards(s, dir, "warc_export")
       WarcIO.readWarc(s, s"$tmp/shard=*/*.warc.gz")
         .select(col("record_id"), col("target_uri"), col("content_length"),
           md5(col("payload")).as("payload_md5"),
@@ -767,6 +756,31 @@ private[graft] object EntryCorpus {
             .cast("long")).as("n_moved_elsewhere"))
     })
   )
+
+  /** documents -> WARC records -> size-bounded .warc.gz shards on disk;
+    * returns the export dir. ONE definition for the export gate row and
+    * the streaming-ingestion gate row (EntryStream), so their oracles
+    * share the same shard/seq window math. The manifest materialization
+    * performs the write (idempotent overwrite names — a re-run rewrites
+    * the same bytes); the write cost deliberately stays IN each caller's
+    * bench reps: the export is the row's workload. */
+  private[graft] def exportedWarcShards(s: SparkSession, dir: String,
+      scratch: String): String = {
+    import graft.sources.WarcIO
+    val tmp = scratchDir(scratch)
+    val recs = s.read.parquet(s"$dir/documents.parquet")
+      .select(
+        lit("resource").as("warc_type"),
+        concat(lit("doc://"), col("doc_id")).as("target_uri"),
+        lit("2026-01-01T00:00:00Z").as("warc_date"),
+        concat(lit("urn:graft:"), col("doc_id")).as("record_id"),
+        lit("text/plain").as("content_type"),
+        encode(coalesce(col("text"), lit("")), "UTF-8").as("payload"))
+    WarcIO.writeWarcShards(recs, tmp, nShards = 4,
+      maxPayloadBytesPerArchive = 8192)
+      .count() // materialize = write the archives once
+    tmp
+  }
 
   def oracleSql: Map[String, String] = {
     import OracleFragments._

@@ -38,6 +38,26 @@ private[graft] object EntryStream {
       graft.streaming.StreamOps.windowedMixDrift(
         ev, graft.streaming.StreamOps.mixReference(ev, "event_type"))
     }),
+    "ss_warc_ingest" -> ((s, dir) => {
+      // STREAMING crawl ingestion (r18 — the ss_ gate convention: the
+      // batch execution of the SAME per-archive rollup whose
+      // stream==batch parity StreamOpsSpec proves over a real
+      // binaryFile readStream with incremental file pickup): archives
+      // exported from documents land in a directory; the ingestion
+      // ledger releases per-archive (shard, seq, n_records,
+      // payload_bytes, ids_xor) — replayed from documents via the
+      // exact shard/seq window math of io_warc_export plus the
+      // order-free md5-prefix xor checksum.
+      import graft.sources.WarcIO
+      val tmp = EntryCorpus.exportedWarcShards(s, dir, "ss_warc_ingest")
+      WarcIO.warcIngestStats(WarcIO.readWarc(s, s"$tmp/shard=*/*.warc.gz"))
+        .select(
+          regexp_extract(col("file"), "shard=(\\d+)", 1).cast("int")
+            .as("shard"),
+          regexp_extract(col("file"), "part-(\\d+)", 1).cast("long")
+            .as("seq"),
+          col("n_records"), col("payload_bytes"), col("ids_xor"))
+    }),
     "ss_window_agg" -> ((s, dir) => {
       // the streaming rollup's batch equivalent (streaming parity itself is
       // proven in StreamOpsSpec against this exact shape)
@@ -643,6 +663,32 @@ private[graft] object EntryStream {
         """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
               count(*) AS n_events, CAST(sum(floor(value)) AS DOUBLE) AS value_floor_sum
            FROM events GROUP BY 1, 2""",
+      // the streaming ingestion ledger replayed from documents: the
+      // io_warc_export shard/seq window math grouped per archive, plus
+      // the order-free md5-prefix xor of record ids
+      "ss_warc_ingest" ->
+        """WITH r AS (
+             SELECT 'urn:graft:' || CAST(doc_id AS VARCHAR) AS record_id,
+                    coalesce(text, '') AS text
+             FROM documents),
+           h AS (
+             SELECT record_id,
+                    CAST(octet_length(encode(text)) AS BIGINT) AS pb,
+                    CAST(CONCAT('0x', substr(md5(record_id), 1, 15))
+                      AS BIGINT) AS hv
+             FROM r),
+           q AS (
+             SELECT record_id, pb, hv,
+                    CAST(hv % 4 AS INT) AS shard,
+                    CAST(coalesce(sum(pb) OVER (PARTITION BY hv % 4
+                        ORDER BY hv, record_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING), 0) // 8192 AS BIGINT) AS seq
+             FROM h)
+           SELECT shard, seq, CAST(count(*) AS BIGINT) AS n_records,
+                  CAST(sum(pb) AS BIGINT) AS payload_bytes,
+                  bit_xor(hv) AS ids_xor
+           FROM q GROUP BY 1, 2""",
       "ss_enrich" ->
         """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
               c_mktsegment AS segment,

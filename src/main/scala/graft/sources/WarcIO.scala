@@ -52,10 +52,54 @@ object WarcIO {
     import spark.implicits._
     spark.read.format("binaryFile").load(path)
       .select("path", "content").as[(String, Array[Byte])]
-      .flatMap { case (p, bytes) =>
-        parseWarc(p, if (p.endsWith(".gz")) gunzipAll(p, bytes) else bytes)
-      }
+      .flatMap((recordsOf _).tupled)
       .toDF()
+  }
+
+  /** One archive's records — THE parse entry both the batch and the
+    * streaming reader call, so the two cannot drift. */
+  private def recordsOf(p: String, bytes: Array[Byte]): Iterator[WarcRecord] =
+    parseWarc(p, if (p.endsWith(".gz")) gunzipAll(p, bytes) else bytes)
+
+  /** STREAMING WARC ingestion (r18) — archives LANDING in a directory
+    * become a Structured Streaming file source: each micro-batch picks
+    * up only the new files (the file source's exactly-once file
+    * tracking), hands each archive to one task, and explodes its
+    * records through the SAME [[parseWarc]] the batch reader uses.
+    * This is the continuous-crawl shape: a fetcher drops `.warc.gz`
+    * archives as it crawls and the ingestion DAG (parse -> extract ->
+    * filter -> fold) runs incrementally with checkpointed progress.
+    * Same per-task memory bound as [[readWarc]] (one decompressed
+    * archive); stream==batch parity is spec-pinned. */
+  def readWarcStream(spark: SparkSession, globPath: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    // the binaryFile format's fixed schema (streaming sources require it
+    // explicitly — there is no file to infer from before the first batch)
+    val schema = StructType(Seq(
+      StructField("path", StringType),
+      StructField("modificationTime", TimestampType),
+      StructField("length", LongType),
+      StructField("content", BinaryType)))
+    spark.readStream.format("binaryFile").schema(schema).load(globPath)
+      .select("path", "content").as[(String, Array[Byte])]
+      .flatMap((recordsOf _).tupled)
+      .toDF()
+  }
+
+  /** Per-archive ingestion rollup — (file, n_records, payload_bytes,
+    * ids_xor), the written-file evidence an ingestion ledger keeps. ONE
+    * definition run by the batch gate row and the streaming parity spec
+    * (the ss_ convention); ids_xor is the order-free md5-prefix xor of
+    * record ids (the exportShards manifest checksum), so any dropped or
+    * duplicated record flips it. */
+  def warcIngestStats(records: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    records.groupBy(col("file"))
+      .agg(count(lit(1)).as("n_records"),
+        sum(col("content_length")).cast("long").as("payload_bytes"),
+        expr("bit_xor(CAST(conv(substr(md5(record_id), 1, 15), 16, 10) " +
+          "AS BIGINT))").as("ids_xor"))
   }
 
   /** Decompress ALL gzip members of a concatenated-member archive (the
@@ -309,25 +353,30 @@ object WarcIO {
         results += ((curShard, curSeq, file, n, pb))
         os = null
       }
-      it.foreach { row =>
-        val s = row.getAs[Int]("shard"); val q = row.getAs[Long]("seq")
-        if (os == null || s != curShard || q != curSeq) {
-          closeArchive()
-          curShard = s; curSeq = q
-          file = f"$out/shard=$s/part-$q%05d.warc.gz"
-          val p = new org.apache.hadoop.fs.Path(file)
-          os = p.getFileSystem(conf).create(p, true)
-          n = 0L; pb = 0L
+      // try/finally: a mid-iteration failure (upstream raise_error, FS
+      // error) must not leak the open stream — the task fails anyway and
+      // a retry overwrites the partial file, but the handle closes NOW
+      try {
+        it.foreach { row =>
+          val s = row.getAs[Int]("shard"); val q = row.getAs[Long]("seq")
+          if (os == null || s != curShard || q != curSeq) {
+            closeArchive()
+            curShard = s; curSeq = q
+            file = f"$out/shard=$s/part-$q%05d.warc.gz"
+            val p = new org.apache.hadoop.fs.Path(file)
+            os = p.getFileSystem(conf).create(p, true)
+            n = 0L; pb = 0L
+          }
+          val payload = row.getAs[Array[Byte]]("payload")
+          val rec = WarcRecord("", row.getAs[String]("warc_type"),
+            row.getAs[String]("target_uri"), row.getAs[String]("warc_date"),
+            row.getAs[String]("record_id"), row.getAs[String]("content_type"),
+            -1L, payload)
+          os.write(gzipPerRecord(Seq(rec))) // one gzip member per record
+          n += 1L; pb += payload.length.toLong
         }
-        val payload = row.getAs[Array[Byte]]("payload")
-        val rec = WarcRecord("", row.getAs[String]("warc_type"),
-          row.getAs[String]("target_uri"), row.getAs[String]("warc_date"),
-          row.getAs[String]("record_id"), row.getAs[String]("content_type"),
-          -1L, payload)
-        os.write(gzipPerRecord(Seq(rec))) // one gzip member per record
-        n += 1L; pb += payload.length.toLong
-      }
-      closeArchive()
+        closeArchive()
+      } finally if (os != null) os.close()
       results.iterator
     }.toDF("shard", "seq", "file", "n_records", "payload_bytes")
   }

@@ -1633,6 +1633,56 @@ class StreamOpsSpec extends AnyFunSuite {
       graft.spark.SparkTestSession.chainMsg(e).take(300))
   }
 
+  test("streaming WARC ingestion: binaryFile readStream == batch; new archives picked up incrementally") {
+    import graft.sources.WarcIO
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_warc_stream_").toString
+    val landing = s"$root/landing"; val ckpt = s"$root/ckpt"
+    new java.io.File(landing).mkdirs()
+    def writeArchive(name: String, ids: Range): Unit = {
+      val recs = ids.map(i => WarcIO.WarcRecord("", "resource",
+        s"doc://$i", "2026-01-01T00:00:00Z", s"urn:graft:$i",
+        "text/plain", -1L, ("payload " * 4 + i).getBytes("UTF-8")))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$landing/$name"),
+        WarcIO.gzipPerRecord(recs))
+    }
+    writeArchive("a0.warc.gz", 1 to 30)
+    writeArchive("a1.warc.gz", 31 to 50)
+    def drive(): Unit = {
+      val q = WarcIO.warcIngestStats(
+          WarcIO.readWarcStream(spark, s"$landing/*.warc.gz"))
+        .writeStream
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete)
+        .format("memory").queryName("warc_ingest")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drive()
+    def table() = spark.table("warc_ingest").collect()
+      .map(r => (new java.io.File(r.getString(0)).getName,
+        r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    def batch() = WarcIO.warcIngestStats(
+        WarcIO.readWarc(spark, s"$landing/*.warc.gz")).collect()
+      .map(r => (new java.io.File(r.getString(0)).getName,
+        r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // stream == batch over the same archives (the shared-parse contract)
+    val first = table()
+    assert(first == batch(), s"stream $first != batch ${batch()}")
+    assert(first.map(_._2).sum == 50L)
+    // a NEW archive lands; a RESTARTED query (same checkpoint) picks up
+    // ONLY the new file (exactly-once file tracking) and the complete-
+    // mode ledger now covers all three
+    writeArchive("a2.warc.gz", 51 to 90)
+    drive()
+    val second = table()
+    assert(second == batch(), "incremental pickup diverged from batch")
+    assert(second.map(_._1) == Set("a0.warc.gz", "a1.warc.gz", "a2.warc.gz"))
+    assert(second.map(_._2).sum == 90L)
+  }
+
   test("stream_meta commit is atomic: a crash mid-flip never loses the pointer") {
     // r18 fix: the old protocol mode("overwrite")-wrote ONE stream_meta dir,
     // deleting the previous pointer before the new one was durable. Now each
