@@ -495,6 +495,48 @@ private[graft] object EntryCorpus {
         s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text"),
         "doc_id", "text")
     }),
+    "corpus_crawl_prep" -> ((s, dir) => {
+      // the FUSED CommonCrawl chain (r18), every stage the REAL
+      // operator: documents wrap as HTTP responses (404 plain for
+      // doc_id % 7 == 0, else 200 html), export DISTRIBUTED via
+      // writeWarcShards, read back via readWarc, split via httpParts,
+      // strip via htmlStrip, and score/filter via the SAME prepPipeline
+      // rules as corpus_prep. The fixture corpus is tag-, entity- and
+      // multi-space-free, so the strip of <html><body>text</body></html>
+      // must return text BYTE-EXACTLY — the oracle feeds documents.text
+      // straight into the shared prep replay over the 200 arm, and any
+      // defect in serialize/gzip/parse/split/strip/score breaks the hash.
+      import graft.sources.WarcIO
+      val tmp = scratchDir("crawl_prep")
+      val body = when(col("doc_id") % 7 === 0,
+          concat(lit("HTTP/1.1 404 Not Found\r\nContent-Type: " +
+            "text/plain\r\n\r\n"), coalesce(col("text"), lit(""))))
+        .otherwise(concat(
+          lit("HTTP/1.1 200 OK\r\nContent-Type: text/html; " +
+            "charset=utf-8\r\nServer: graft\r\n\r\n<html><body>"),
+          coalesce(col("text"), lit("")), lit("</body></html>")))
+      val recs = s.read.parquet(s"$dir/documents.parquet")
+        .select(
+          lit("response").as("warc_type"),
+          concat(lit("doc://"), col("doc_id")).as("target_uri"),
+          lit("2026-01-01T00:00:00Z").as("warc_date"),
+          concat(lit("urn:graft:"), col("doc_id")).as("record_id"),
+          lit("application/http;msgtype=response").as("content_type"),
+          encode(body, "UTF-8").as("payload"))
+      WarcIO.writeWarcShards(recs, tmp, nShards = 4,
+        maxPayloadBytesPerArchive = 65536).count()
+      val stripped = WarcIO.readWarc(s, s"$tmp/shard=*/*.warc.gz")
+        .select(col("record_id"),
+          WarcIO.httpParts(col("payload")).as("h"))
+        .filter(col("h.status") === 200 &&
+          col("h.content_type").startsWith("text/html"))
+        .select(
+          regexp_extract(col("record_id"), "urn:graft:(\\d+)", 1)
+            .cast("long").as("doc_id"),
+          graft.ops.TextAnalysis.htmlStrip(col("h.body").cast("string"))
+            .as("text"))
+      CorpusOps.prepPipeline(stripped, "doc_id", "text")
+    }),
     "corpus_c4_filter" -> ((s, dir) => {
       // C4 line+page cleaning (Raffel et al.) over a deterministic planted
       // multi-line body (the fixture corpus is single-line and
@@ -782,6 +824,64 @@ private[graft] object EntryCorpus {
     tmp
   }
 
+  /** The corpus-prep replay parameterized on its document source --
+    * ONE definition for corpus_prep (straight documents) and
+    * corpus_crawl_prep (the WARC->HTTP->strip chain), so the
+    * quality-rule replay cannot drift between them. */
+  private def prepSqlOver(src: String): String = {
+    import OracleFragments._
+    s"""WITH d0 AS ($src),
+            t AS (
+              SELECT doc_id, text,
+                     regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+              FROM d0),
+            g AS (
+              SELECT doc_id, text, toks,
+                     list_transform(range(1, len(toks)),
+                       i -> array_to_string(toks[i:i+1], ' ')) AS g2
+              FROM t),
+            f AS (
+              SELECT doc_id, text, toks,
+                     CAST(len(toks) AS BIGINT) AS n_tokens,
+                     CASE WHEN len(g2) > 0 THEN
+                         CAST(list_max(list_transform(list_distinct(g2),
+                           d -> len(list_filter(g2, x -> x = d)))) AS DOUBLE)
+                           / CAST(len(g2) AS DOUBLE)
+                       ELSE 0.0 END AS top_2gram_frac,
+                     CASE WHEN len(g2) > 0 THEN
+                         CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE)
+                           / CAST(len(g2) AS DOUBLE)
+                       ELSE 0.0 END AS dup_2gram_frac,
+                     CASE WHEN len(toks) > 0 THEN
+                         CAST(len(list_distinct(list_intersect(toks, $enStopList))) AS DOUBLE)
+                           / CAST(len(toks) AS DOUBLE)
+                       ELSE 0.0 END AS stopword_ratio
+              FROM g),
+            s AS (SELECT *,
+                    ${langScores.map { case (l, e) => s"$e AS s_$l" }.mkString(",\n                    ")}
+                  FROM f),
+            x AS (SELECT *, $langMax AS m,
+                         len(text) - len(regexp_replace(text, '[\\x{4e00}-\\x{9fff}]', '', 'g')) AS cjk
+                  FROM s),
+            y AS (SELECT *,
+                    CASE WHEN cjk * 2 > len(text) THEN 'zh'
+                         WHEN m <= 0 THEN 'und' $langArms ELSE 'und' END AS lang
+                  FROM x),
+            z AS (SELECT *,
+                    CASE WHEN n_tokens IS NULL THEN 'too_short'
+                         WHEN n_tokens < 20 THEN 'too_short'
+                         WHEN top_2gram_frac > 0.09 THEN 'repetitive_2gram'
+                         WHEN dup_2gram_frac > 0.08 THEN 'dup_2gram'
+                         WHEN lang <> 'en' THEN 'non_english'
+                         WHEN stopword_ratio < 0.005 THEN 'low_stopword'
+                         ELSE NULL END AS drop_reason
+                  FROM y)
+            SELECT doc_id, n_tokens, top_2gram_frac, dup_2gram_frac,
+                   stopword_ratio, lang,
+                   (drop_reason IS NULL) AS keep, drop_reason
+            FROM z"""
+  }
+
   def oracleSql: Map[String, String] = {
     import OracleFragments._
     Map(
@@ -1015,56 +1115,16 @@ private[graft] object EntryCorpus {
            GROUP BY c_mktsegment""",
       // the fused prep filter: every signal recomputed independently, then
       // the same first-failing-rule CASE chain (rule order defines reason)
-      "corpus_prep" ->
-        s"""WITH t AS (
-              SELECT doc_id, text,
-                     regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
-              FROM documents),
-            g AS (
-              SELECT doc_id, text, toks,
-                     list_transform(range(1, len(toks)),
-                       i -> array_to_string(toks[i:i+1], ' ')) AS g2
-              FROM t),
-            f AS (
-              SELECT doc_id, text, toks,
-                     CAST(len(toks) AS BIGINT) AS n_tokens,
-                     CASE WHEN len(g2) > 0 THEN
-                         CAST(list_max(list_transform(list_distinct(g2),
-                           d -> len(list_filter(g2, x -> x = d)))) AS DOUBLE)
-                           / CAST(len(g2) AS DOUBLE)
-                       ELSE 0.0 END AS top_2gram_frac,
-                     CASE WHEN len(g2) > 0 THEN
-                         CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE)
-                           / CAST(len(g2) AS DOUBLE)
-                       ELSE 0.0 END AS dup_2gram_frac,
-                     CASE WHEN len(toks) > 0 THEN
-                         CAST(len(list_distinct(list_intersect(toks, $enStopList))) AS DOUBLE)
-                           / CAST(len(toks) AS DOUBLE)
-                       ELSE 0.0 END AS stopword_ratio
-              FROM g),
-            s AS (SELECT *,
-                    ${langScores.map { case (l, e) => s"$e AS s_$l" }.mkString(",\n                    ")}
-                  FROM f),
-            x AS (SELECT *, $langMax AS m,
-                         len(text) - len(regexp_replace(text, '[\\x{4e00}-\\x{9fff}]', '', 'g')) AS cjk
-                  FROM s),
-            y AS (SELECT *,
-                    CASE WHEN cjk * 2 > len(text) THEN 'zh'
-                         WHEN m <= 0 THEN 'und' $langArms ELSE 'und' END AS lang
-                  FROM x),
-            z AS (SELECT *,
-                    CASE WHEN n_tokens IS NULL THEN 'too_short'
-                         WHEN n_tokens < 20 THEN 'too_short'
-                         WHEN top_2gram_frac > 0.09 THEN 'repetitive_2gram'
-                         WHEN dup_2gram_frac > 0.08 THEN 'dup_2gram'
-                         WHEN lang <> 'en' THEN 'non_english'
-                         WHEN stopword_ratio < 0.005 THEN 'low_stopword'
-                         ELSE NULL END AS drop_reason
-                  FROM y)
-            SELECT doc_id, n_tokens, top_2gram_frac, dup_2gram_frac,
-                   stopword_ratio, lang,
-                   (drop_reason IS NULL) AS keep, drop_reason
-            FROM z""",
+      "corpus_prep" -> prepSqlOver("SELECT doc_id, text FROM documents"),
+      // the fused CRAWL chain (r18): WARC responses -> HTTP split ->
+      // html strip -> the SAME prep rules; the fixture body wraps text
+      // as <html><body>text</body></html> and the corpus text is tag-,
+      // entity- and multi-space-free, so the REAL strip must return the
+      // source text byte-exactly -- the oracle feeds text straight into
+      // the shared prep replay over the 200-html arm
+      "corpus_crawl_prep" -> prepSqlOver(
+        "SELECT doc_id, coalesce(text, '') AS text FROM documents " +
+          "WHERE doc_id % 7 <> 0"),
       // C4 replay: identical planted body construction, then the line
       // rules (terminal punct, >=5 words, no 'javascript') as a
       // list_filter lambda and the page rules on the original body;
