@@ -178,6 +178,11 @@ object WarcIO {
           s"readWarc: $file: record at offset $start has no Content-Length " +
             "header (mandatory per ISO 28500)")
       }
+      // parseLong accepts "-5"; without this the negative length reaches
+      // copyOfRange as a RAW fromIndex>toIndex error instead of the
+      // shaped fail-loud every other malformation gets
+      if (len < 0) throw new IllegalArgumentException(
+        s"readWarc: $file: negative Content-Length $len at offset $start")
       val payloadStart = headerEnd + 4
       if (payloadStart + len > bytes.length) throw new IllegalArgumentException(
         s"readWarc: $file: record at offset $start declares " +

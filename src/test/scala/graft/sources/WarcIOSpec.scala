@@ -103,6 +103,11 @@ class WarcIOSpec extends AnyFunSuite {
     val e4 = intercept[IllegalArgumentException](WarcIO.parseWarc("x",
       bytes("WARC/1.0\r\nContent-Length: abc\r\n\r\n\r\n\r\n")).toSeq)
     assert(e4.getMessage.contains("unparseable Content-Length"))
+    // negative lengths parse as longs; they must get the SHAPED error,
+    // not copyOfRange's raw fromIndex > toIndex (18th adversarial pass)
+    val eNeg = intercept[IllegalArgumentException](WarcIO.parseWarc("x",
+      bytes("WARC/1.0\r\nContent-Length: -5\r\n\r\n\r\n\r\n")).toSeq)
+    assert(eNeg.getMessage.contains("negative Content-Length"))
     val e5 = intercept[IllegalArgumentException](WarcIO.parseWarc("x",
       bytes("WARC/1.0\r\nbroken header no colon\r\n" +
         "Content-Length: 0\r\n\r\n\r\n\r\n")).toSeq)

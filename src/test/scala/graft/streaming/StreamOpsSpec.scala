@@ -1683,6 +1683,77 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(second.map(_._2).sum == 90L)
   }
 
+  test("streaming crawl prep: the WARC -> HTTP -> strip -> quality chain runs incrementally == batch") {
+    // the corpus_crawl_prep chain as a STREAM: archives land, each
+    // micro-batch parses only the new ones, and the whole map-only
+    // chain (httpParts split, htmlStrip, prepPipeline scoring) runs
+    // per batch in append mode — the incremental crawl-prep DAG.
+    import graft.sources.WarcIO
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_crawl_stream_").toString
+    val landing = s"$root/landing"; val ckpt = s"$root/ckpt"
+    new java.io.File(landing).mkdirs()
+    val txt = (1 to 60).map(i =>
+      s"the quick brown fox $i jumps over the lazy dog and runs far " +
+        ("word " * (i % 7)).trim)
+    def writeArchive(name: String, ids: Range): Unit = {
+      val recs = ids.map { i =>
+        val payload =
+          if (i % 5 == 0)
+            s"HTTP/1.1 404 Not Found\r\nContent-Type: text/plain\r\n\r\nnope"
+          else
+            "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8" +
+              s"\r\n\r\n<html><body>${txt(i - 1)}</body></html>"
+        WarcIO.WarcRecord("", "response", s"doc://$i",
+          "2026-01-01T00:00:00Z", s"urn:graft:$i",
+          "application/http;msgtype=response", -1L,
+          payload.getBytes("UTF-8"))
+      }
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$landing/$name"),
+        WarcIO.gzipPerRecord(recs))
+    }
+    def chain(records: org.apache.spark.sql.DataFrame) =
+      graft.ops.CorpusOps.prepPipeline(
+        records
+          .select(col("record_id"), WarcIO.httpParts(col("payload")).as("h"))
+          .filter(col("h.status") === 200 &&
+            col("h.content_type").startsWith("text/html"))
+          .select(regexp_extract(col("record_id"), "urn:graft:(\\d+)", 1)
+            .cast("long").as("doc_id"),
+            graft.ops.TextAnalysis.htmlStrip(col("h.body").cast("string"))
+              .as("text")),
+        "doc_id", "text")
+    writeArchive("w0.warc.gz", 1 to 25)
+    val outDir = s"$root/out"
+    def drive(): Unit = {
+      // parquet sink, not memory: the memory sink cannot RECOVER from a
+      // checkpoint, and the restart-across-waves behavior is the point
+      val q = chain(WarcIO.readWarcStream(spark, s"$landing/*.warc.gz"))
+        .writeStream
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+        .format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drive()
+    def streamed() = spark.read.parquet(outDir).collect()
+      .map(_.toString).sorted.toSeq
+    def batch() = chain(WarcIO.readWarc(spark, s"$landing/*.warc.gz"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed() == batch(), "streamed chain != batch chain (wave 1)")
+    assert(streamed().length == 20) // 25 minus the 404 arm
+    // wave 2 lands; the restarted stream processes ONLY the new archive
+    // and the appended table equals the batch over everything
+    writeArchive("w1.warc.gz", 26 to 60)
+    drive()
+    assert(streamed() == batch(), "streamed chain != batch chain (wave 2)")
+    assert(streamed().length == 48) // 60 minus the 12 404s
+  }
+
   test("stream_meta commit is atomic: a crash mid-flip never loses the pointer") {
     // r18 fix: the old protocol mode("overwrite")-wrote ONE stream_meta dir,
     // deleting the previous pointer before the new one was durable. Now each
