@@ -1049,6 +1049,26 @@ private[graft] object EntryDP {
       }
       est
     }),
+    "dp_ldp_range_tree_keyed" -> ((s, dir) => {
+      // GROUPED LDP RANGE TREE (r18): per-platform value CDF telemetry
+      // under the local trust model — the ldpFrequencyOLHByKey public-
+      // key contract applied to the CKS hierarchical oracle. Event
+      // units (the dp_ldp_range_2d rationale: every (key, level) group
+      // must field reporters at all SFs), platform = pid-derived
+      // public metadata, one report per unit across keys. Zero noise
+      // => every dp_count is one round(expr, 9) over exact per-key
+      // group counts + hash collisions — the whole keyed forest
+      // hash-replays; the central keyed readouts consume the release
+      // unchanged (spec-pinned).
+      val platform = element_at(
+        typedLit(Seq("android", "ios", "web")),
+        (pmod(col("event_id"), lit(3L)) + 1).cast("int"))
+      graft.spark.LocalDP.ldpRangeTreeByKey(events(s, dir), "event_id",
+          platform, col("value"), lo = 0.0, hi = 1000.0, bins = 16,
+          epsilon = 4.0, noise = NoiseSource.Zero)
+        .select(col("key"), col("__lvl").cast("long").as("lvl"),
+          col("__idx").as("idx"), col("dp_count"))
+    }),
     "dp_ldp_range_2d" -> ((s, dir) => {
       // LOCAL-DP 2-D RANGE TREE (r18 — the dyadic PRODUCT mechanism
       // under the local trust model, closing the tree family's last
@@ -1781,6 +1801,72 @@ private[graft] object EntryDP {
         FROM sel"""
   }
 
+  /** The keyed LDP range-tree replay (r18): the 1-D hierarchical-oracle
+    * derivation with a public platform-key dimension — per-(key, level)
+    * group counts, per-key population scaling. Event units; bins = 16
+    * over [0, 1000) (width 62.5, clamp edge 968.75 — exact binary). */
+  private lazy val ldpRangeTreeKeyedSql: String = {
+    val expEps = math.exp(4.0)
+    val g = math.floor(expEps).toLong + 1L
+    val invG = 1.0 / g
+    val pMinusInv = expEps / (expEps + g - 1) - invG
+    val prime = graft.spark.LocalDP.OlhPrime
+    val paramValues = graft.spark.LocalDP.olhParams(1024).zipWithIndex
+      .map { case ((a, b), s) => s"($s, $a, $b)" }.mkString(", ")
+    s"""WITH hp(seed, a, b) AS (VALUES $paramValues),
+        u AS (
+          SELECT CAST(event_id AS BIGINT) AS pid,
+                 CASE CAST(event_id AS BIGINT) % 3
+                   WHEN 0 THEN 'android' WHEN 1 THEN 'ios'
+                   ELSE 'web' END AS k,
+                 least(greatest(CAST(value AS DOUBLE), 0.0), 968.75) AS val
+          FROM events),
+        uh AS (
+          SELECT k, CAST(floor(val / 62.5) AS BIGINT) AS bin,
+                 CAST(CONCAT('0x', substr(md5(CAST(pid AS VARCHAR)),
+                      1, 15)) AS BIGINT) AS h64
+          FROM u),
+        r AS (
+          SELECT k, CAST(h64 % 5 AS INT) AS lvl,
+                 (h64 // 5) % 1024 AS seed,
+                 bin >> CAST(h64 % 5 AS INT) AS idx
+          FROM uh),
+        rep AS (
+          SELECT r.k, r.lvl, r.seed,
+                 ((hp.a * r.idx + hp.b) % $prime) % $g AS y
+          FROM r JOIN hp ON hp.seed = r.seed),
+        cells AS (
+          SELECT k, lvl, seed, y, CAST(count(*) AS BIGINT) AS c
+          FROM rep GROUP BY 1, 2, 3, 4),
+        nk AS (SELECT k, CAST(sum(c) AS BIGINT) AS nk
+               FROM cells GROUP BY 1),
+        nkl AS (SELECT k, lvl, CAST(sum(c) AS BIGINT) AS nkl
+                FROM cells GROUP BY 1, 2),
+        nodes AS (
+          SELECT CAST(l.lvl AS INT) AS lvl, i.idx
+          FROM range(0, 5) l(lvl) CROSS JOIN range(0, 16) i(idx)
+          WHERE i.idx < (16 >> l.lvl)),
+        seeds AS (SELECT DISTINCT k, lvl, seed FROM cells),
+        grid AS (
+          SELECT seeds.k, nodes.lvl, nodes.idx, seeds.seed,
+                 ((hp.a * nodes.idx + hp.b) % $prime) % $g AS h
+          FROM nodes JOIN seeds ON seeds.lvl = nodes.lvl
+                     JOIN hp ON hp.seed = seeds.seed),
+        sup AS (
+          SELECT grid.k, grid.lvl, grid.idx,
+                 CAST(coalesce(sum(cells.c), 0) AS BIGINT) AS sup
+          FROM grid LEFT JOIN cells
+            ON cells.k = grid.k AND cells.lvl = grid.lvl
+               AND cells.seed = grid.seed AND cells.y = grid.h
+          GROUP BY 1, 2, 3)
+        SELECT sup.k AS key, CAST(sup.lvl AS BIGINT) AS lvl,
+               sup.idx AS idx,
+               round((sup.sup - nkl.nkl * $invG) / $pMinusInv *
+                     (CAST(nk.nk AS DOUBLE) / nkl.nkl), 9) AS dp_count
+        FROM sup JOIN nkl ON nkl.k = sup.k AND nkl.lvl = sup.lvl
+                 JOIN nk ON nk.k = sup.k"""
+  }
+
   /** The LDP 2-D product-tree replay (r18): md5 level-PAIR group split,
     * per-group OLH over product-node indices, debias + population
     * scaling — the [[ldpRangeTree]] oracle generalized to the dyadic
@@ -2234,6 +2320,8 @@ private[graft] object EntryDP {
       "dp_ldp_longitudinal_mean" -> ldpMeanSql,
       // the LDP product tree's zero-noise derivation replay (r18)
       "dp_ldp_range_2d" -> ldpRange2DSql,
+      // the keyed LDP forest's zero-noise derivation replay (r18)
+      "dp_ldp_range_tree_keyed" -> ldpRangeTreeKeyedSql,
       "dq_quarantine" ->
         """WITH f AS (
               SELECT list_filter([

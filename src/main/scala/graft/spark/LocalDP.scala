@@ -811,6 +811,163 @@ object LocalDP {
           (lit(nTotal.toDouble) / col("__nl")), 9).as("dp_count"))
   }
 
+  /** GROUPED LOCAL-DP RANGE TREE (r18) — [[ldpRangeTree]] per PUBLIC
+    * collector-metadata key (the [[ldpFrequencyOLHByKey]] contract: the
+    * key rides OUTSIDE the randomizer; a private grouping attribute
+    * must fold into the value instead): per-key range/CDF/quantile
+    * telemetry under the local trust model, e.g. a latency CDF per
+    * platform. One report per unit — the deterministic lowest
+    * (key, value) pair — so eps-LDP total across keys; each unit's
+    * dyadic level and OLH seed derive from md5(pid) exactly as the
+    * global tree's. The aggregator estimates every key's full node
+    * universe from that key's level groups (debiased, scaled by
+    * nKey / n(key, level) — each key's tree estimates its OWN cohort)
+    * and the release is (key, __lvl, __idx, dp_count) — keys x
+    * (2*bins-1) rows, which the central keyed readouts
+    * ([[graft.spark.RangeTree.cdfFromTree]],
+    * [[graft.spark.RangeTree.rangeQueries]] with keyCols = Seq(key))
+    * consume unchanged.
+    *
+    * An OBSERVED key missing reporters at some level fails loud naming
+    * the key (its tree would fabricate empty subtrees); NULL keys,
+    * NULL values and non-castable pids fail loud. Zero noise: the
+    * whole per-key derivation is deterministic and replays in SQL
+    * (the gate anchor). Scale shape: cells <= keys * (levels+1) *
+    * seedSpace * g, the grid is GENERATED per observed (key, level,
+    * seed) — nothing data-shaped collects. */
+  def ldpRangeTreeByKey(
+      df: DataFrame,
+      pidCol: String,
+      keyCol: Column,
+      valueCol: Column,
+      lo: Double,
+      hi: Double,
+      bins: Int,
+      epsilon: Double,
+      noise: graft.core.NoiseSource,
+      seedSpace: Int = 1024
+  ): DataFrame = {
+    require(bins >= 2 && (bins & (bins - 1)) == 0 && bins <= 4096,
+      s"bins must be a power of two in [2, 4096], got $bins")
+    require(lo < hi, s"empty domain [$lo, $hi)")
+    require(epsilon > 0, s"epsilon must be positive, got $epsilon")
+    require(seedSpace >= 2 && seedSpace <= 65536,
+      s"seedSpace must be in [2, 65536], got $seedSpace")
+    val levels = 31 - Integer.numberOfLeadingZeros(bins)
+    val nLevels = levels + 1
+    val expEps = math.exp(epsilon)
+    val g = math.floor(expEps).toLong + 1L
+    val p = expEps / (expEps + g - 1)
+    val invG = 1.0 / g
+    val gi = g.toInt
+    val width = (hi - lo) / bins
+    val params = olhParams(seedSpace)
+    val spark0 = df.sparkSession
+    val checked = when(valueCol.isNull, raise_error(lit(
+        "ldpRangeTreeByKey: NULL value for a privacy unit — filter or " +
+          "impute upstream")).cast("double"))
+      .otherwise(valueCol.cast("double"))
+    val checkedK = when(keyCol.isNull, raise_error(lit(
+        "ldpRangeTreeByKey: NULL group key — the key is public " +
+          "collector metadata and every report must carry one")).cast("string"))
+      .otherwise(keyCol.cast("string"))
+    val clamped = least(greatest(checked, lit(lo)), lit(hi - width / 2))
+    val pidN = when(col("__pidn").isNull, raise_error(lit(
+        "ldpRangeTreeByKey: pid does not cast to BIGINT — group and " +
+          "seed derive from it")).cast("long"))
+      .otherwise(col("__pidn"))
+    // one report per unit across keys: the lowest (key, value) pair
+    val perUnit = df
+      .select(col(pidCol).try_cast("bigint").as("__pidn"),
+        checkedK.as("__k"), clamped.as("__val"))
+      .withColumn("__rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__pidn"))
+          .orderBy(col("__k").asc, col("__val").asc)))
+      .filter(col("__rk") === 1)
+      .select(pidN.as("__pid"), col("__k"),
+        floor((col("__val") - lit(lo)) / lit(width)).cast("long")
+          .as("__bin"))
+      .withColumn("__h64", expr(
+        "CAST(conv(substr(md5(CAST(__pid AS STRING)), 1, 15), 16, 10) " +
+          "AS BIGINT)"))
+      .withColumn("__lvl", pmod(col("__h64"), lit(nLevels.toLong))
+        .cast("int"))
+      .withColumn("__seed",
+        pmod(expr(s"__h64 div $nLevels"), lit(seedSpace.toLong)))
+      .withColumn("__idx", expr("shiftright(__bin, __lvl)"))
+    val report = udf((seed: Long, idx: Long) => {
+      val (a, b) = params(seed.toInt)
+      val h = olhHash(a, b, idx, g)
+      if (noise.uniform() < p) h
+      else {
+        val j = math.min((noise.uniform() * (gi - 1)).toInt, gi - 2)
+        (h + 1 + j) % g
+      }
+    }).asNondeterministic()
+    val cells = perUnit
+      .select(col("__k"), col("__lvl"), col("__seed"),
+        report(col("__seed"), col("__idx")).as("__y"))
+      .groupBy(col("__k"), col("__lvl"), col("__seed"), col("__y"))
+      .agg(count(lit(1)).as("__c"))
+      .localCheckpoint(false)
+    val nPerKey = cells.groupBy(col("__k"))
+      .agg(sum(col("__c")).as("__nk"))
+    val nKeys = nPerKey.count()
+    require(nKeys > 0, "ldpRangeTreeByKey: no reporting units")
+    val nPerKeyLvl = cells.groupBy(col("__k"), col("__lvl"))
+      .agg(sum(col("__c")).as("__nkl"))
+    // every OBSERVED key must field all levels (a zero-group level
+    // would fabricate an empty subtree for that key); name the keys
+    val short = nPerKeyLvl.groupBy(col("__k"))
+      .agg(count(lit(1)).as("__nl"))
+      .filter(col("__nl") < nLevels.toLong)
+      .select(col("__k")).limit(20).collect().map(_.getString(0))
+    require(short.isEmpty,
+      s"ldpRangeTreeByKey: key(s) ${short.mkString(", ")} have " +
+        s"reporting units at fewer than $nLevels dyadic levels — their " +
+        "cohorts are too small to field the level split; collect more " +
+        "reports, coarsen bins, or merge keys")
+    val paramsDf = spark0.createDataFrame(
+      spark0.sparkContext.parallelize(
+        params.indices.map(s => org.apache.spark.sql.Row(
+          s.toLong, params(s)._1, params(s)._2)), 4),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__seed",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("__a",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("__b",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    // the GENERATED node universe x each key-level's observed seeds
+    val nodes = spark0.range(0, nLevels.toLong).toDF("__lvl")
+      .withColumn("__lvl", col("__lvl").cast("int"))
+      .join(spark0.range(0, bins.toLong).toDF("__idx"),
+        col("__idx") < expr(s"shiftright(${bins.toLong}, __lvl)"))
+    val seeds = cells.select(col("__k").as("__sk"),
+      col("__lvl").as("__slvl"), col("__seed")).distinct()
+    val grid = nodes
+      .join(broadcast(seeds.join(paramsDf, "__seed")),
+        col("__lvl") === col("__slvl"))
+      .withColumn("__h",
+        ((col("__a") * col("__idx") + col("__b")) % lit(OlhPrime)) % lit(g))
+    val cellsR = cells.select(col("__k").as("__ck"),
+      col("__lvl").as("__clvl"), col("__seed").as("__cseed"),
+      col("__y"), col("__c"))
+    grid.join(broadcast(cellsR),
+        col("__sk") === col("__ck") && col("__lvl") === col("__clvl")
+          && col("__seed") === col("__cseed") && col("__h") === col("__y"),
+        "left")
+      .groupBy(col("__sk").as("key"), col("__lvl"), col("__idx"))
+      .agg(coalesce(sum(col("__c")), lit(0L)).as("__sup"))
+      .join(broadcast(nPerKeyLvl.withColumnRenamed("__k", "key")),
+        Seq("key", "__lvl"))
+      .join(broadcast(nPerKey.withColumnRenamed("__k", "key")), Seq("key"))
+      .select(col("key"), col("__lvl"), col("__idx"),
+        round((col("__sup") - col("__nkl") * lit(invG)) / lit(p - invG) *
+          (col("__nk").cast("double") / col("__nkl")), 9).as("dp_count"))
+  }
+
   /** LOCAL-DP 2-D RANGE TREE — the dyadic PRODUCT mechanism under the
     * LOCAL trust model (r18, closing the tree family's last
     * central/local asymmetry: the central tier has

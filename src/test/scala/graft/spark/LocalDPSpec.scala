@@ -614,6 +614,61 @@ class LocalDPSpec extends AnyFunSuite {
       s"b=${r("b")} c=${r("c")}")
   }
 
+  test("keyed LDP range tree: per-key CDFs through the central keyed readout; contracts") {
+    // 30000 units split across two public keys with DIFFERENT value
+    // distributions: key A uniform over [0, 1000), key B concentrated
+    // in [0, 250). The central keyed CDF readout must consume the
+    // release unchanged and separate the two distributions.
+    val n = 30000
+    val df = (1 to n).map { i =>
+      val k = if (i % 2 == 0) "A" else "B"
+      val v = if (k == "A") (i.toLong * 48271 % 1000).toDouble
+              else (i.toLong * 48271 % 250).toDouble
+      (i.toLong, k, v)
+    }.toDF("uid", "k", "v")
+    val tree = LocalDP.ldpRangeTreeByKey(df, "uid", col("k"), col("v"),
+        0.0, 1000.0, bins = 16, epsilon = 4.0,
+        noise = graft.core.NoiseSource.Seeded(43L))
+      .localCheckpoint(true)
+    assert(tree.count() == 62L) // 2 keys x (2*16 - 1)
+    val cdf = graft.spark.RangeTree.cdfFromTree(tree, Seq("key"), 0.0,
+        1000.0, 16, monotone = true)
+      .collect().map(r => (r.getAs[String]("key"), r.getAs[Long]("bin")) ->
+        r.getAs[Double]("dp_cdf_count")).toMap
+    assert(cdf.size == 32)
+    // per-key groups ~ 15000/5 = 3000; node sd after scaling ~ 900;
+    // a prefix reads <= 4 cover nodes — assert 5 sigma ~ 9000 at the
+    // quarter point: A has ~25% of 15000 below 250, B has ~100%
+    val aQuarter = cdf(("A", 3L)); val bQuarter = cdf(("B", 3L))
+    assert(math.abs(aQuarter - 3750.0) < 9000.0, s"A cdf@4 = $aQuarter")
+    assert(math.abs(bQuarter - 15000.0) < 9000.0, s"B cdf@4 = $bQuarter")
+    // the distributions SEPARATE (the whole point of keying)
+    assert(bQuarter > aQuarter + 5000.0,
+      s"keys failed to separate: A $aQuarter vs B $bQuarter")
+    // zero noise: deterministic release
+    val z1 = LocalDP.ldpRangeTreeByKey(df, "uid", col("k"), col("v"),
+        0.0, 1000.0, 16, 4.0, graft.core.NoiseSource.Zero)
+      .collect().map(_.toString).sorted.toSeq
+    val z2 = LocalDP.ldpRangeTreeByKey(df, "uid", col("k"), col("v"),
+        0.0, 1000.0, 16, 4.0, graft.core.NoiseSource.Zero)
+      .collect().map(_.toString).sorted.toSeq
+    assert(z1 == z2)
+    // a key whose cohort cannot field all levels fails loud NAMING it
+    val skew = ((1 to 500).map(i => (i.toLong, "big", 10.0)) ++
+      Seq((9001L, "tiny", 10.0))).toDF("uid", "k", "v")
+    val e = intercept[IllegalArgumentException](LocalDP.ldpRangeTreeByKey(
+      skew, "uid", col("k"), col("v"), 0.0, 1000.0, 16, 4.0,
+      graft.core.NoiseSource.Zero))
+    assert(e.getMessage.contains("tiny") &&
+      e.getMessage.contains("fewer than"), e.getMessage)
+    // NULL key fails loud (public-metadata contract)
+    val eK = intercept[Exception](LocalDP.ldpRangeTreeByKey(
+      Seq((1L, null.asInstanceOf[String], 10.0)).toDF("uid", "k", "v"),
+      "uid", col("k"), col("v"), 0.0, 1000.0, 16, 4.0,
+      graft.core.NoiseSource.Zero))
+    assert(SparkTestSession.chainMsg(eK).contains("NULL group key"))
+  }
+
   test("LDP 2-D product tree: central box readout consumes it; real noise tracks truth; contracts") {
     // 32000 units, x uniform over [0, 1000), y uniform over [0, 32):
     // the released frame must BE a product tree the central
