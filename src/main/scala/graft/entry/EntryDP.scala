@@ -1801,6 +1801,74 @@ private[graft] object EntryDP {
         FROM sel"""
   }
 
+  /** The 1-D LDP hierarchical-oracle replay -- shared by the one-shot
+    * dp_ldp_range_tree row and the streaming fold ss_dp_ldp_tree_fold
+    * (zero noise: identical truthful cells under any unit-partitioned
+    * split, the ss_dp_olh_fold convention). */
+  private lazy val ldpRangeTreeSql: String = {
+        // the hierarchical-oracle replay: md5 group/seed split, per-level
+        // OLH over node indices, debias + population scaling — every
+        // dp_count one round(expr, 9) with the identical expression tree
+        // (eps = 4: g = 55; bins = 64: width 15.625 and the clamp edge
+        // 992.1875 are exact binary doubles, so the bin arithmetic
+        // replays bit-exactly)
+        val expEps = math.exp(4.0)
+        val g = math.floor(expEps).toLong + 1L
+        val invG = 1.0 / g
+        val pMinusInv = expEps / (expEps + g - 1) - invG
+        val prime = graft.spark.LocalDP.OlhPrime
+        val paramValues = graft.spark.LocalDP.olhParams(1024).zipWithIndex
+          .map { case ((a, b), s) => s"($s, $a, $b)" }.mkString(", ")
+        s"""WITH hp(seed, a, b) AS (VALUES $paramValues),
+            u AS (
+              SELECT CAST(user_id AS BIGINT) AS pid,
+                     min(least(greatest(CAST(value AS DOUBLE), 0.0),
+                               992.1875)) AS val
+              FROM events GROUP BY 1),
+            uh AS (
+              SELECT CAST(floor(val / 15.625) AS BIGINT) AS bin,
+                     CAST(CONCAT('0x', substr(md5(CAST(pid AS VARCHAR)),
+                          1, 15)) AS BIGINT) AS h64
+              FROM u),
+            r AS (
+              SELECT CAST(h64 % 7 AS INT) AS lvl,
+                     (h64 // 7) % 1024 AS seed,
+                     bin >> CAST(h64 % 7 AS INT) AS idx
+              FROM uh),
+            rep AS (
+              SELECT r.lvl, r.seed,
+                     ((hp.a * r.idx + hp.b) % $prime) % $g AS y
+              FROM r JOIN hp ON hp.seed = r.seed),
+            cells AS (
+              SELECT lvl, seed, y, CAST(count(*) AS BIGINT) AS c
+              FROM rep GROUP BY 1, 2, 3),
+            ntot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cells),
+            nl AS (SELECT lvl, CAST(sum(c) AS BIGINT) AS nl
+                   FROM cells GROUP BY 1),
+            nodes AS (
+              SELECT CAST(l.lvl AS INT) AS lvl, i.idx
+              FROM range(0, 7) l(lvl) CROSS JOIN range(0, 64) i(idx)
+              WHERE i.idx < (64 >> l.lvl)),
+            seeds AS (SELECT DISTINCT lvl, seed FROM cells),
+            grid AS (
+              SELECT nodes.lvl, nodes.idx, seeds.seed,
+                     ((hp.a * nodes.idx + hp.b) % $prime) % $g AS h
+              FROM nodes JOIN seeds ON seeds.lvl = nodes.lvl
+                         JOIN hp ON hp.seed = seeds.seed),
+            sup AS (
+              SELECT grid.lvl, grid.idx,
+                     CAST(coalesce(sum(cells.c), 0) AS BIGINT) AS sup
+              FROM grid LEFT JOIN cells
+                ON cells.lvl = grid.lvl AND cells.seed = grid.seed
+                   AND cells.y = grid.h
+              GROUP BY 1, 2)
+            SELECT CAST(sup.lvl AS BIGINT) AS lvl, sup.idx AS idx,
+                   round((sup.sup - nl.nl * $invG) / $pMinusInv *
+                         (CAST((SELECT n FROM ntot) AS DOUBLE) / nl.nl), 9)
+                     AS dp_count
+            FROM sup JOIN nl ON nl.lvl = sup.lvl"""
+  }
+
   /** The keyed LDP range-tree replay (r18): the 1-D hierarchical-oracle
     * derivation with a public platform-key dimension — per-(key, level)
     * group counts, per-key population scaling. Event units; bins = 16
@@ -2151,69 +2219,10 @@ private[graft] object EntryDP {
                          9) AS est_count
             FROM sup JOIN n ON n.k = sup.k"""
       },
-      "dp_ldp_range_tree" -> {
-        // the hierarchical-oracle replay: md5 group/seed split, per-level
-        // OLH over node indices, debias + population scaling — every
-        // dp_count one round(expr, 9) with the identical expression tree
-        // (eps = 4: g = 55; bins = 64: width 15.625 and the clamp edge
-        // 992.1875 are exact binary doubles, so the bin arithmetic
-        // replays bit-exactly)
-        val expEps = math.exp(4.0)
-        val g = math.floor(expEps).toLong + 1L
-        val invG = 1.0 / g
-        val pMinusInv = expEps / (expEps + g - 1) - invG
-        val prime = graft.spark.LocalDP.OlhPrime
-        val paramValues = graft.spark.LocalDP.olhParams(1024).zipWithIndex
-          .map { case ((a, b), s) => s"($s, $a, $b)" }.mkString(", ")
-        s"""WITH hp(seed, a, b) AS (VALUES $paramValues),
-            u AS (
-              SELECT CAST(user_id AS BIGINT) AS pid,
-                     min(least(greatest(CAST(value AS DOUBLE), 0.0),
-                               992.1875)) AS val
-              FROM events GROUP BY 1),
-            uh AS (
-              SELECT CAST(floor(val / 15.625) AS BIGINT) AS bin,
-                     CAST(CONCAT('0x', substr(md5(CAST(pid AS VARCHAR)),
-                          1, 15)) AS BIGINT) AS h64
-              FROM u),
-            r AS (
-              SELECT CAST(h64 % 7 AS INT) AS lvl,
-                     (h64 // 7) % 1024 AS seed,
-                     bin >> CAST(h64 % 7 AS INT) AS idx
-              FROM uh),
-            rep AS (
-              SELECT r.lvl, r.seed,
-                     ((hp.a * r.idx + hp.b) % $prime) % $g AS y
-              FROM r JOIN hp ON hp.seed = r.seed),
-            cells AS (
-              SELECT lvl, seed, y, CAST(count(*) AS BIGINT) AS c
-              FROM rep GROUP BY 1, 2, 3),
-            ntot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cells),
-            nl AS (SELECT lvl, CAST(sum(c) AS BIGINT) AS nl
-                   FROM cells GROUP BY 1),
-            nodes AS (
-              SELECT CAST(l.lvl AS INT) AS lvl, i.idx
-              FROM range(0, 7) l(lvl) CROSS JOIN range(0, 64) i(idx)
-              WHERE i.idx < (64 >> l.lvl)),
-            seeds AS (SELECT DISTINCT lvl, seed FROM cells),
-            grid AS (
-              SELECT nodes.lvl, nodes.idx, seeds.seed,
-                     ((hp.a * nodes.idx + hp.b) % $prime) % $g AS h
-              FROM nodes JOIN seeds ON seeds.lvl = nodes.lvl
-                         JOIN hp ON hp.seed = seeds.seed),
-            sup AS (
-              SELECT grid.lvl, grid.idx,
-                     CAST(coalesce(sum(cells.c), 0) AS BIGINT) AS sup
-              FROM grid LEFT JOIN cells
-                ON cells.lvl = grid.lvl AND cells.seed = grid.seed
-                   AND cells.y = grid.h
-              GROUP BY 1, 2)
-            SELECT CAST(sup.lvl AS BIGINT) AS lvl, sup.idx AS idx,
-                   round((sup.sup - nl.nl * $invG) / $pMinusInv *
-                         (CAST((SELECT n FROM ntot) AS DOUBLE) / nl.nl), 9)
-                     AS dp_count
-            FROM sup JOIN nl ON nl.lvl = sup.lvl"""
-      },
+      "dp_ldp_range_tree" -> ldpRangeTreeSql,
+      // the fold over unit-partitioned batches releases the one-shot
+      // LDP tree exactly -- same oracle (r18)
+      "ss_dp_ldp_tree_fold" -> ldpRangeTreeSql,
       "dp_ldp_shuffle_accountant" -> {
         // the SAME ledger resolution the query ran (the real accountant
         // classes — driver-side pure math) fixes the local eps0; the OLH

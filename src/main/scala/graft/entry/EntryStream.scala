@@ -38,6 +38,27 @@ private[graft] object EntryStream {
       graft.streaming.StreamOps.windowedMixDrift(
         ev, graft.streaming.StreamOps.mixReference(ev, "event_type"))
     }),
+    "ss_dp_ldp_tree_fold" -> ((s, dir) => {
+      // STREAMING LDP RANGE TREE (r18 — the olhIngestStep shape for the
+      // hierarchical oracle): three unit-partitioned micro-batches fold
+      // their additive tree cells into the store; the estimate over the
+      // folded store must hash-equal the one-shot dp_ldp_range_tree
+      // release — zero noise gives identical truthful cells under any
+      // unit-partitioned split, so the oracle IS that row's SQL.
+      val ev = events(s, dir)
+      val batches = Seq(0L, 1L, 2L).map(r =>
+        ev.filter(pmod(col("user_id"), lit(3L)) === r))
+      var store: Option[DataFrame] = None
+      batches.foreach { b =>
+        store = Some(graft.spark.LocalDP.ldpTreeIngestStep(b, store,
+          "user_id", col("value"), lo = 0.0, hi = 1000.0, bins = 64,
+          epsilon = 4.0, noise = NoiseSource.Zero).localCheckpoint(false))
+      }
+      graft.spark.LocalDP.ldpTreeEstimate(store.get, bins = 64,
+          epsilon = 4.0)
+        .select(col("__lvl").cast("long").as("lvl"),
+          col("__idx").as("idx"), col("dp_count"))
+    }),
     "ss_warc_ingest" -> ((s, dir) => {
       // STREAMING crawl ingestion (r18 — the ss_ gate convention: the
       // batch execution of the SAME per-archive rollup whose

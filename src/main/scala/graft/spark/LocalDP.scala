@@ -701,6 +701,27 @@ object LocalDP {
       epsilon: Double,
       noise: graft.core.NoiseSource,
       seedSpace: Int = 1024
+  ): DataFrame =
+    ldpTreeEstimate(
+      ldpTreeReportCells(df, pidCol, valueCol, lo, hi, bins, epsilon,
+        noise, seedSpace)
+        .localCheckpoint(false), // draws final; n, seeds and grid read it
+      bins, epsilon, seedSpace)
+
+  /** The report-randomize-collapse stage of [[ldpRangeTree]] — one
+    * (__lvl, __seed, __y) -> count cells frame, <= (levels+1) *
+    * seedSpace * g rows of plain ADDITIVE state. Shared by the one-shot
+    * tree and the streaming fold so the randomizer cannot drift. */
+  private def ldpTreeReportCells(
+      df: DataFrame,
+      pidCol: String,
+      valueCol: Column,
+      lo: Double,
+      hi: Double,
+      bins: Int,
+      epsilon: Double,
+      noise: graft.core.NoiseSource,
+      seedSpace: Int
   ): DataFrame = {
     require(bins >= 2 && (bins & (bins - 1)) == 0 && bins <= 4096,
       s"bins must be a power of two in [2, 4096], got $bins")
@@ -763,6 +784,67 @@ object LocalDP {
       .groupBy(col("__lvl"), col("__seed"), col("__y"))
       .agg(count(lit(1)).as("__c"))
       .localCheckpoint(false) // draws final; n, seeds and grid read it
+    cells
+  }
+
+  /** One micro-batch step of the STREAMING LDP range tree (r18 — the
+    * [[olhIngestStep]] shape for the hierarchical oracle): the tree's
+    * report cells are plain additive state, so a stream folds by
+    * summing each batch's cells into the store and [[ldpTreeEstimate]]
+    * releases the running tree at ANY point as free post-processing
+    * (which the central readouts then consume — continuous per-fleet
+    * CDF telemetry). Same BOUNDING CONTRACT as [[olhIngestStep]]: the
+    * one-report-per-unit rule dedupes WITHIN a batch — route each
+    * unit's rows through ONE batch or epsilon composes per batch.
+    * Callers checkpoint the returned store between steps; epsilon and
+    * bins must stay fixed across a stream (cells are
+    * calibration-shaped: g buckets, levels+1 groups). */
+  def ldpTreeIngestStep(
+      batch: DataFrame,
+      store: Option[DataFrame],
+      pidCol: String,
+      valueCol: Column,
+      lo: Double,
+      hi: Double,
+      bins: Int,
+      epsilon: Double,
+      noise: graft.core.NoiseSource,
+      seedSpace: Int = 1024
+  ): DataFrame = {
+    val cells = ldpTreeReportCells(batch, pidCol, valueCol, lo, hi, bins,
+      epsilon, noise, seedSpace)
+    store match {
+      case None => cells
+      case Some(st) => st.unionByName(cells)
+        .groupBy(col("__lvl"), col("__seed"), col("__y"))
+        .agg(sum(col("__c")).as("__c"))
+    }
+  }
+
+  /** The debiased whole-tree readout over an LDP tree cells frame (a
+    * pinned [[ldpTreeReportCells]] result or a [[ldpTreeIngestStep]]
+    * store): estimates every node of the dyadic universe and releases
+    * the (__lvl, __idx, dp_count) tree the central readouts consume.
+    * Pure post-processing — calling it never spends budget. */
+  def ldpTreeEstimate(
+      cells: DataFrame,
+      bins: Int,
+      epsilon: Double,
+      seedSpace: Int = 1024
+  ): DataFrame = {
+    require(bins >= 2 && (bins & (bins - 1)) == 0 && bins <= 4096,
+      s"bins must be a power of two in [2, 4096], got $bins")
+    require(epsilon > 0, s"epsilon must be positive, got $epsilon")
+    require(seedSpace >= 2 && seedSpace <= 65536,
+      s"seedSpace must be in [2, 65536], got $seedSpace")
+    val levels = 31 - Integer.numberOfLeadingZeros(bins)
+    val nLevels = levels + 1
+    val expEps = math.exp(epsilon)
+    val g = math.floor(expEps).toLong + 1L
+    val p = expEps / (expEps + g - 1)
+    val invG = 1.0 / g
+    val params = olhParams(seedSpace)
+    val spark0 = cells.sparkSession
     val nTotalRow = cells.agg(coalesce(sum(col("__c")), lit(0L))).head()
     val nTotal = nTotalRow.getLong(0)
     require(nTotal > 0, "ldpRangeTree: no reporting units")

@@ -614,6 +614,35 @@ class LocalDPSpec extends AnyFunSuite {
       s"b=${r("b")} c=${r("c")}")
   }
 
+  test("streaming LDP tree fold: cells are additive; fold == one-shot; state stays calibration-shaped") {
+    val n = 2100
+    val df = (1 to n).map(i => (i.toLong, (i.toLong * 48271 % 1000).toDouble))
+      .toDF("uid", "v")
+    // three unit-partitioned batches (the bounding contract)
+    val batches = Seq(0L, 1L, 2L).map(r =>
+      df.filter(pmod(col("uid"), lit(3L)) === r))
+    var store: Option[org.apache.spark.sql.DataFrame] = None
+    batches.foreach { b =>
+      store = Some(LocalDP.ldpTreeIngestStep(b, store, "uid", col("v"),
+        0.0, 1000.0, bins = 16, epsilon = 1.0,
+        noise = graft.core.NoiseSource.Zero).localCheckpoint(false))
+    }
+    val folded = LocalDP.ldpTreeEstimate(store.get, 16, 1.0)
+      .collect().map(_.toString).sorted.toSeq
+    val oneShot = LocalDP.ldpRangeTree(df, "uid", col("v"), 0.0, 1000.0,
+        16, 1.0, graft.core.NoiseSource.Zero)
+      .collect().map(_.toString).sorted.toSeq
+    assert(folded == oneShot, "3-batch fold != one-shot LDP tree")
+    // the store is calibration-shaped, never data-shaped:
+    // <= nLevels * seedSpace * g = 5 * 1024 * 3 rows
+    assert(store.get.count() <= 5L * 1024 * 3)
+    // the central readout consumes the folded release too
+    val cdf = graft.spark.RangeTree.cdfFromTree(
+      LocalDP.ldpTreeEstimate(store.get, 16, 1.0), Nil, 0.0, 1000.0, 16,
+      monotone = true)
+    assert(cdf.count() == 16L)
+  }
+
   test("keyed LDP range tree: per-key CDFs through the central keyed readout; contracts") {
     // 30000 units split across two public keys with DIFFERENT value
     // distributions: key A uniform over [0, 1000), key B concentrated
