@@ -149,6 +149,40 @@ object LadderIo {
         } finally spark.conf.set("spark.sql.files.maxPartitionBytes",
           defaultMpb)
       }
+
+      // WARC EXPORT rung (r18): the distributed writer at the same ~60 MB
+      // — nShards 1 (one writing task, the floor) vs 8 vs 32 (task-side
+      // gzip in parallel). Wall must drop with shards; the MB/s row is
+      // the re-export throughput anchor (payload MB through serialize +
+      // per-record gzip + FS write per task). Read-back count pins
+      // integrity on every rung.
+      {
+        import spark.implicits._
+        val recsDf = recs.toSeq
+          .map(r => (r.warc_type, r.target_uri, r.warc_date, r.record_id,
+            r.content_type, r.payload))
+          .toDF("warc_type", "target_uri", "warc_date", "record_id",
+            "content_type", "payload")
+          .localCheckpoint(true)
+        for (nShards <- Seq(1, 8, 32)) {
+          val dir = java.nio.file.Files
+            .createTempDirectory(s"warc_export_ladder_$nShards").toString
+          val secs = (1 to 3).map { _ =>
+            val t0 = System.nanoTime()
+            val written = graft.sources.WarcIO.writeWarcShards(recsDf,
+                dir, nShards, maxPayloadBytesPerArchive = 8L * 1024 * 1024)
+              .agg(coalesce(sum(col("n_records")), lit(0L)))
+              .collect()(0).getLong(0)
+            require(written == recs.size.toLong,
+              s"export lost records: $written of ${recs.size}")
+            (System.nanoTime() - t0) / 1e9
+          }
+          val best = secs.min
+          println(f"[ladder] warc_write shards=$nShards%2d: " +
+            f"${recs.size}%8d recs ${totalMb}%7.1f MB  $best%6.2f s  " +
+            f"${totalMb / best}%7.1f MB/s")
+        }
+      }
     }
     spark.stop()
   }
