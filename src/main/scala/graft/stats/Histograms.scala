@@ -185,6 +185,12 @@ object Histograms {
     val mm = nonNull.agg(min(col(valueCol)), max(col(valueCol))).collect().head
     if (mm.isNullAt(0)) return None
     val lo = mm.getAs[Number](0).doubleValue(); val hi = mm.getAs[Number](1).doubleValue()
+    // NaN/Infinity have no finite bin geometry: width goes NaN/Inf, every
+    // bin expression nulls, and the driver reads NPE far from the cause —
+    // fail loud AT the cause instead (19th adversarial pass)
+    require(!lo.isNaN && !hi.isNaN && !lo.isInfinity && !hi.isInfinity,
+      s"$name: $valueCol contains NaN or Infinite values (range [$lo, $hi])" +
+        " — histogram binning has no finite geometry; clean upstream")
     if (lo == hi) {
       val c = nonNull.count()
       return Some(Histogram(name, Seq(FrequencyBin(lo, hi, c, lo * c, lo, lo))))

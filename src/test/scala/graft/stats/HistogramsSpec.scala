@@ -170,4 +170,18 @@ class HistogramsSpec extends AnyFunSuite {
       AnonymityAudit.audit(Seq((1L, "a")).toDF("u", "x"), Seq.empty, "u"))
     assert(e.getMessage.contains("quasi-identifier"), e.getMessage)
   }
+
+  test("NaN/Infinity in the value column fails loud, not a far-away NPE (19th pass)") {
+    // NaN width nulls every bin expression; the driver-side Number reads
+    // would NPE far from the cause — the histogram must name it instead
+    def hist(v: Double) = Histograms.computeDatasetHistograms(
+      Seq((1L, "p", 1.0), (2L, "p", v)).toDF("uid", "pk", "v"),
+      col("uid"), col("pk"), Some(col("v")))
+    val eN = intercept[IllegalArgumentException](hist(Double.NaN))
+    assert(eN.getMessage.contains("NaN or Infinite"), eN.getMessage)
+    val eI = intercept[IllegalArgumentException](hist(Double.PositiveInfinity))
+    assert(eI.getMessage.contains("NaN or Infinite"), eI.getMessage)
+    // finite data still builds (the guard is not over-broad)
+    assert(hist(2.0).linfSumContributions.isDefined)
+  }
 }
