@@ -452,6 +452,29 @@ private[graft] object EntryCorpus {
           Seq("doc_id"), "version", deleteCol = Some("deleted"))
         .select("doc_id", "version", "n_chars")
     }),
+    "io_snapshot_diff" -> ((s, dir) => {
+      // DATASET-VERSIONING diff (r18): two snapshot views of documents —
+      // the refresh modifies every 5th doc's n_chars, drops every 7th,
+      // and adds a shifted-id copy of every 11th — and snapshotDiff
+      // releases one row per id with its status plus the old/new
+      // compared value (the audit between ingest versions; added ∪
+      // changed is the incremental-reprocess input). Replayed as a full
+      // outer join with the same null-safe comparison.
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("n_chars"))
+      val old = docs
+      val neu = docs.filter(col("doc_id") % 7 =!= 0)
+        .withColumn("n_chars", when(col("doc_id") % 5 === 0,
+          col("n_chars") + 1000L).otherwise(col("n_chars")))
+        .unionByName(docs.filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("n_chars")))
+      // -1 sentinels, not NULLs: the gate's exact row compare treats
+      // NULL as never-equal (the engine keeps real NULL structs)
+      CorpusOps.snapshotDiff(old, neu, "doc_id", Seq("n_chars"))
+        .select(col("doc_id"), col("diff_status"),
+          coalesce(col("__old.n_chars"), lit(-1L)).as("old_n_chars"),
+          coalesce(col("__new.n_chars"), lit(-1L)).as("new_n_chars"))
+    }),
     "io_export_shards" -> ((s, dir) => {
       // the pipeline's last mile: deterministic 16-shard export (portable
       // md5 shard assignment, (hash, id)-ordered shard contents) with a
@@ -1076,6 +1099,27 @@ private[graft] object EntryCorpus {
                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
                     0) // 8192 AS BIGINT) AS seq
            FROM h""",
+      // the snapshot diff replayed: the same refresh construction, a
+      // full outer join, and the same null-safe status logic
+      "io_snapshot_diff" ->
+        """WITH old AS (SELECT doc_id, n_chars FROM documents),
+           neu AS (
+             SELECT doc_id,
+                    CASE WHEN doc_id % 5 = 0 THEN n_chars + 1000
+                         ELSE n_chars END AS n_chars
+             FROM documents WHERE doc_id % 7 <> 0
+             UNION ALL
+             SELECT doc_id + 1000000 AS doc_id, n_chars
+             FROM documents WHERE doc_id % 11 = 0)
+           SELECT coalesce(old.doc_id, neu.doc_id) AS doc_id,
+                  CASE WHEN old.doc_id IS NULL THEN 'added'
+                       WHEN neu.doc_id IS NULL THEN 'removed'
+                       WHEN old.n_chars IS DISTINCT FROM neu.n_chars
+                         THEN 'changed'
+                       ELSE 'unchanged' END AS diff_status,
+                  coalesce(old.n_chars, -1) AS old_n_chars,
+                  coalesce(neu.n_chars, -1) AS new_n_chars
+           FROM old FULL OUTER JOIN neu ON old.doc_id = neu.doc_id""",
       "io_export_shards" ->
         """WITH h AS (
              SELECT doc_id, n_chars,

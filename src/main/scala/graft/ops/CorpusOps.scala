@@ -757,6 +757,52 @@ object CorpusOps {
     * Contract: both frames share one schema; `versionCol` must be non-null
     * (a versionless row has no place in last-writer-wins order — fails loud
     * per the repo convention). */
+  /** SNAPSHOT DIFF (r18) — the dataset-versioning complement of
+    * [[mergeUpsert]]: given two snapshots of a corpus, one row per id
+    * with its `diff_status` — `added` (new only), `removed` (old only),
+    * `changed` (any compared column differs, NULL-safe), `unchanged` —
+    * the audit a pipeline runs between ingest versions ("what did this
+    * refresh actually do") and the input to incremental reprocessing
+    * (recompute only added ∪ changed). ONE full-outer join on the id —
+    * both sides shuffle once on the same key; the per-side duplicate
+    * guard is a window over that same partitioning (no extra shuffle),
+    * because duplicate ids would silently MULTIPLY join rows and
+    * misstate every count. NULL ids fail loud (they would collapse
+    * into one join group). Compared columns are the caller's choice —
+    * compare a content hash, not the payload, when bytes are large. */
+  def snapshotDiff(old: DataFrame, neu: DataFrame, idCol: String,
+      compareCols: Seq[String]): DataFrame = {
+    require(compareCols.nonEmpty, "snapshotDiff: at least one compare column")
+    (compareCols :+ idCol).foreach { c =>
+      require(old.columns.contains(c) && neu.columns.contains(c),
+        s"snapshotDiff: column '$c' missing from a snapshot " +
+          s"(old: ${old.columns.toSeq}, new: ${neu.columns.toSeq})")
+    }
+    def side(df: DataFrame, name: String) = df
+      .select(
+        when(col(idCol).isNull, raise_error(lit(
+            s"snapshotDiff: NULL $idCol in the $name snapshot — ids " +
+              "key the diff; fix upstream")).cast(df.schema(idCol).dataType))
+          .otherwise(col(idCol)).as("__id"),
+        struct(compareCols.map(col): _*).as(s"__$name"))
+      .withColumn("__c", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("__id"))))
+      .select(when(col("__c") > 1, raise_error(concat(lit(
+          s"snapshotDiff: duplicate $idCol '"), col("__id").cast("string"),
+          lit(s"' in the $name snapshot — duplicates would multiply " +
+            "join rows and misstate every count; dedupe upstream")))
+          .cast(df.schema(idCol).dataType))
+        .otherwise(col("__id")).as("__id"),
+        col(s"__$name"))
+    side(old, "old").join(side(neu, "new"), Seq("__id"), "full_outer")
+      .select(col("__id").as(idCol),
+        when(col("__old").isNull, "added")
+          .when(col("__new").isNull, "removed")
+          .when(!(col("__old") <=> col("__new")), "changed")
+          .otherwise("unchanged").as("diff_status"),
+        col("__old"), col("__new"))
+  }
+
   def mergeUpsert(base: DataFrame, updates: DataFrame, keyCols: Seq[String],
       versionCol: String, deleteCol: Option[String] = None): DataFrame = {
     require(keyCols.nonEmpty, "mergeUpsert: at least one key column")

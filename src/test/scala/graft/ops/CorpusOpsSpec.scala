@@ -311,6 +311,39 @@ class CorpusOpsSpec extends AnyFunSuite {
     (4L, 5L, false, "old-but-high-version")
   ).toDF("id", "version", "deleted", "payload")
 
+  test("snapshotDiff: statuses on a planted refresh; NULL-safe compare; contracts") {
+    import org.apache.spark.sql.functions._
+    val old = Seq((1L, "a"), (2L, "b"), (3L, "c"),
+        (4L, null.asInstanceOf[String]))
+      .toDF("id", "v")
+    val neu = Seq((1L, "a"), (2L, "B"), (5L, "e"),
+        (4L, "now-set"))
+      .toDF("id", "v")
+    val got = CorpusOps.snapshotDiff(old, neu, "id", Seq("v"))
+      .select("id", "diff_status").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // 1 unchanged, 2 changed, 3 removed, 5 added; 4: NULL -> value is a
+    // CHANGE (the null-safe <=> — a naive equality would call it
+    // unchanged because NULL = 'now-set' is NULL, not false)
+    assert(got == Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed",
+      5L -> "added", 4L -> "changed"), got.toString)
+    // duplicate ids fail loud NAMING the id and the side (they would
+    // silently multiply join rows)
+    val dup = Seq((1L, "a"), (1L, "b")).toDF("id", "v")
+    val eD = intercept[Exception](
+      CorpusOps.snapshotDiff(dup, neu, "id", Seq("v")).collect())
+    assert(graft.spark.SparkTestSession.chainMsg(eD)
+      .contains("duplicate id '1' in the old snapshot"),
+      graft.spark.SparkTestSession.chainMsg(eD).take(300))
+    // NULL ids fail loud; missing compare column rejected
+    val eN = intercept[Exception](CorpusOps.snapshotDiff(
+      Seq((null.asInstanceOf[java.lang.Long], "a")).toDF("id", "v"),
+      neu, "id", Seq("v")).collect())
+    assert(graft.spark.SparkTestSession.chainMsg(eN).contains("NULL id"))
+    intercept[IllegalArgumentException](
+      CorpusOps.snapshotDiff(old, neu, "id", Seq("nope")))
+  }
+
   test("mergeUpsert: higher version wins, tombstone winners are dropped") {
     val updates = Seq(
       (1L, 2L, false, "a2"),       // upsert over id 1
