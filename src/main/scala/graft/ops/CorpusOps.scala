@@ -787,13 +787,18 @@ object CorpusOps {
         struct(compareCols.map(col): _*).as(s"__$name"))
       .withColumn("__c", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("__id"))))
-      .select(when(col("__c") > 1, raise_error(concat(lit(
+      // the guard is a FILTER, not an id-rewriting projection: wrapping
+      // __id in a when() makes it a fresh expression Catalyst cannot
+      // prove co-partitioned, forcing a SECOND per-side exchange before
+      // the join (plan-audited); the filter keeps the window's
+      // hashpartitioning(__id) alive so the join reuses it
+      .filter(when(col("__c") > 1, raise_error(concat(lit(
           s"snapshotDiff: duplicate $idCol '"), col("__id").cast("string"),
           lit(s"' in the $name snapshot — duplicates would multiply " +
             "join rows and misstate every count; dedupe upstream")))
-          .cast(df.schema(idCol).dataType))
-        .otherwise(col("__id")).as("__id"),
-        col(s"__$name"))
+          .cast("boolean"))
+        .otherwise(lit(true)))
+      .select(col("__id"), col(s"__$name"))
     side(old, "old").join(side(neu, "new"), Seq("__id"), "full_outer")
       .select(col("__id").as(idCol),
         when(col("__old").isNull, "added")
