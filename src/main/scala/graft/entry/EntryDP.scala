@@ -696,11 +696,19 @@ private[graft] object EntryDP {
         SelectPartitionsParams(maxPartitionsContributed = 5),
         DPColumns(col("user_id"), Seq("event_type" -> col("event_type"))))
       engine.accountant.computeBudgets()
+      // Materialize the (tiny, budget-released) selected-key set ONCE:
+      // the tree pass consumes it as publicKeys in a join AND in the
+      // empty-node scaffold, and without truncation each consumer would
+      // replay the whole selectPartitions engine pass over events
+      // (r18 drift: 1.71 s -> 2.81 s). Eager localCheckpoint cuts the
+      // lineage at the release boundary — also the right privacy shape:
+      // downstream sees only the released keys, not their derivation.
+      val selectedKeys = selected.dataframe.localCheckpoint(true)
       graft.spark.RangeTree.dpRangeCountTree(events(s, dir), "user_id",
           col("value"), Seq("event_type"), lo = 0.0, hi = 1000.0,
           bins = 64, epsilon = 1.0, maxPerUnit = 1000000L,
           noise = NoiseSource.Zero,
-          publicKeys = Some(selected.dataframe))
+          publicKeys = Some(selectedKeys))
         .select(col("__lvl").cast("long").as("lvl"), col("__idx").as("idx"),
           col("event_type"), col("dp_count"))
     }),
