@@ -307,6 +307,20 @@ private[graft] object EntryCorpus {
           .select("o_orderkey", "o_totalprice"),
         "o_totalprice", tmp, nParts = 16)
     }),
+    "io_range_export_bounds" -> ((s, dir) => {
+      // the EXPLICIT-boundary twin (r19): equal-width buckets over
+      // o_totalprice replace RangePartitioner's sampled boundaries, so
+      // the per-file manifest — (part, n_rows, key min/max) plus the
+      // overlap/coverage probes — is a pure function of orders and the
+      // whole write/roll/read-back chain replays in SQL. Anchors the
+      // machinery io_range_export shares (route -> per-partition sort ->
+      // dynamic-partition write -> manifest from the files just written).
+      val tmp = scratchDir("range_export_bounds")
+      CorpusOps.exportRangeBounded(
+        s.read.parquet(s"$dir/orders.parquet")
+          .select("o_orderkey", "o_totalprice"),
+        "o_totalprice", tmp, lo = 0.0, width = 37500.0, nParts = 16)
+    }),
     "io_roundtrip" -> ((s, dir) => {
       // the IO layer inside the gate: CorpusIO write -> read roundtrips in
       // two formats (hive-partitioned parquet with bounded files; jsonl
@@ -1150,6 +1164,26 @@ private[graft] object EntryCorpus {
                        ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey) AS BIGINT) AS rk
            FROM orders
            QUALIFY rk <= 40""",
+      // explicit equal-width boundaries make the per-file manifest a pure
+      // function of orders: same bucket expression, min/max/count per
+      // bucket; overlap/missing are structurally 0 (disjoint buckets,
+      // lossless write — a write bug breaks n_total/rows_missing)
+      "io_range_export_bounds" ->
+        """WITH b AS (
+             SELECT least(greatest(CAST(floor(o_totalprice / 37500) AS BIGINT), 0), 15) AS part,
+                    o_totalprice
+             FROM orders),
+           m AS (
+             SELECT CAST(part AS INT) AS part,
+                    CAST(count(*) AS BIGINT) AS n_rows,
+                    min(o_totalprice) AS key_min,
+                    max(o_totalprice) AS key_max
+             FROM b GROUP BY 1),
+           t AS (SELECT CAST(sum(n_rows) AS BIGINT) AS n_total FROM m)
+           SELECT m.part, m.n_rows, m.key_min, m.key_max,
+                  CAST(0 AS BIGINT) AS overlap_violations,
+                  t.n_total, CAST(0 AS BIGINT) AS rows_missing
+           FROM m, t""",
       // the bucketed tables hold the same rows, so the co-located join's
       // rollup is the plain join's
       "io_bucketed_join" ->

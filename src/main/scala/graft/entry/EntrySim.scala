@@ -445,36 +445,40 @@ private[graft] object EntrySim {
     }),
     "mm_frame_sample" -> ((s, dir) => {
       // video-shaped frame sampling: each doc becomes a 4-frame GFTV
-      // container of real PNGs, 2 evenly-spaced frames are sampled (only
-      // those bytes materialize) and REAL-decoded. Synthetic payloads and
-      // JDK-only codecs => rows-only; the PNG decode itself is
-      // oracle-verified by mm_decode_resize, and MultimodalSpec pins the
-      // sampled indices + roundtrip luminance.
+      // container of real PNGs (frame i = PNG of the i-th codepoint
+      // quarter of the text), 2 evenly-spaced frames are sampled (only
+      // those bytes materialize) and REAL-decoded with ImageIO. ORACLE-
+      // EXACT (r19): quartering by CODEPOINTS matches DuckDB substr
+      // semantics, so the sampled index set ({0, 2} of 4), each frame's
+      // text length, and hence the decoded PNG dimensions (the
+      // mm_decode_resize construction formula) all replay from
+      // documents.text alone — the decoded dims coming back from the
+      // real container-parse + PNG decode must equal the construction
+      // arithmetic. Luminance roundtrip stays pinned in MultimodalSpec
+      // (pixel bytes are not economically SQL-replayable).
       val mkVideo = udf((text: String) => {
         val t = if (text == null) "" else text
-        val q = math.max(t.length / 4, 1)
+        val cps = t.codePointCount(0, t.length)
+        val q = math.max(cps / 4, 1)
         val frames = (0 until 4).map { i =>
+          val a = math.min(i * q, cps)
+          val b = math.min((i + 1) * q, cps)
           Multimodal.syntheticPng(t.substring(
-            math.min(i * q, t.length), math.min((i + 1) * q, t.length)))
+            t.offsetByCodePoints(0, a), t.offsetByCodePoints(0, b)))
         }
         Multimodal.syntheticVideo(frames)
       })
-      // IN-QUERY PROBES (the rows-only convention): every row carries
+      // The probe columns (all must be 0, oracle constants):
       //   probe_idx_unexpected — 1 if this frame_idx is NOT in the sampled-
       //     index set computed INDEPENDENTLY by the Column-expression
       //     formula sampleFrameIndices (two implementations of the
       //     evenly-spaced rule cross-check each other);
       //   probe_missing_frames — per-doc gap between expected sampled-index
-      //     count and rows that actually materialized (a dropped/undecoded
-      //     frame shows up as a positive gap);
+      //     count and rows that actually materialized;
       //   probe_decode_failed — 1 if the PNG decode returned null;
       //   probe_docs_lost — count of corpus docs with ZERO surviving
-      //     sampled rows (a per-row gap probe rides the rows that vanish,
-      //     so TOTAL per-doc loss — malformed payload, corrupted magic —
-      //     would otherwise be invisible; this global counter rides every
-      //     row via a broadcast one-row crossJoin).
-      // All four must be 0 on every row; MultimodalSpec pins the exact
-      // indices + luminance roundtrip.
+      //     sampled rows (total per-doc loss would otherwise be invisible;
+      //     rides every row via a broadcast one-row crossJoin).
       val docs = s.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), mkVideo(col("text")).as("media"))
       val sampled = Multimodal.sampleFrames(docs, "media", n = 2)
@@ -487,7 +491,6 @@ private[graft] object EntrySim {
         .withColumn("__want", Multimodal.sampleFrameIndices(col("n_frames"), 2))
         .select(col("doc_id"), col("frame_idx"), col("n_frames").cast("long").as("n_frames"),
           col("decoded.width").as("width"), col("decoded.height").as("height"),
-          col("decoded.mean_luminance").as("mean_luminance"),
           when(!array_contains(col("__want"), col("frame_idx")), 1L).otherwise(0L)
             .as("probe_idx_unexpected"),
           (size(col("__want")).cast("long") - count(lit(1)).over(perDoc))
@@ -1024,6 +1027,25 @@ private[graft] object EntrySim {
              CAST(round(width * least(1.0, 8.0 / greatest(width, height))) AS INT) AS target_width,
              CAST(round(height * least(1.0, 8.0 / greatest(width, height))) AS INT) AS target_height
            FROM d""",
+      "mm_frame_sample" ->
+        """WITH d AS (
+             SELECT doc_id, coalesce(text, '') AS t,
+                    greatest(len(coalesce(text, '')) // 4, 1) AS q,
+                    len(coalesce(text, '')) AS n
+             FROM documents),
+           f AS (
+             SELECT doc_id,
+                    CAST(i AS BIGINT) AS frame_idx,
+                    least((i + 1) * q, n) - least(i * q, n) AS flen
+             FROM d, (SELECT unnest([0, 2]) AS i))
+           SELECT doc_id, frame_idx, CAST(4 AS BIGINT) AS n_frames,
+                  CAST(4 + flen % 13 AS INT) AS width,
+                  CAST(4 + (flen // 13) % 11 AS INT) AS height,
+                  CAST(0 AS BIGINT) AS probe_idx_unexpected,
+                  CAST(0 AS BIGINT) AS probe_missing_frames,
+                  CAST(0 AS BIGINT) AS probe_decode_failed,
+                  CAST(0 AS BIGINT) AS probe_docs_lost
+           FROM f""",
       "mm_audio_decode" ->
         """SELECT doc_id, 16000.0 AS sample_rate, 1 AS channels,
               CAST(octet_length(encode(text)) AS BIGINT) AS n_frames,

@@ -369,6 +369,24 @@ private[graft] object EntryText {
       graft.ops.ModelTraining.trainTextLogReg(docs, col("body"),
         col("doc_id") % 3 === 0, iters = 15)._1
     }),
+    "ml_train_logreg_exact" -> ((s, dir) => {
+      // the ORACLE-EXACT twin of ml_train_logreg (r19): fixed-point
+      // class-balanced full-batch GD with a hard sigmoid over the same
+      // planted fixture — all-long arithmetic with truncated division,
+      // so the per-iteration losses, the final weights and the final
+      // accuracy replay iteration by iteration in the generated SQL
+      // (the oracle unrolls the same 3 updates). Anchors the trainer
+      // MACHINERY — featurize -> per-iteration dense-gradient aggregate
+      // -> weight update -> final eval — while the Adagrad float row
+      // keeps the production optimizer under its probe contract.
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .withColumn("body", concat(coalesce(col("text"), lit("")),
+          when(col("doc_id") % 3 === 0,
+            lit(" careful review polished thorough"))
+            .otherwise(lit(" clickbait spammy freebie winner"))))
+      graft.ops.ModelTraining.trainTextLogRegExact(docs, col("body"),
+        col("doc_id") % 3 === 0, iters = 3, lrNum = 50L)
+    }),
     "ml_pr_curve" -> ((s, dir) => {
       // threshold-sweep PR points for a corpus filter model: the hashed-
       // n-gram quality score (milli-units, the text_quality_model
@@ -466,6 +484,92 @@ private[graft] object EntryText {
                   g -> (CAST(CONCAT('0x', substr(md5(g), 1, 15)) AS BIGINT)
                         % 1024 * 2654435761) % 2001 - 1000)) AS millis
          FROM f)"""
+
+  /** Generated oracle for ml_train_logreg_exact: the SAME fixed-point
+    * class-balanced hard-sigmoid GD unrolled `iters` times in SQL —
+    * built by a Scala loop from one iteration template (the bpeChain
+    * convention) so the replay and the trainer cannot drift on iteration
+    * count or constants. All arithmetic is BIGINT with `//` (truncates
+    * toward zero, same as Scala Long division — verified) and the md5
+    * 60-bit bucket convention shared with ltmScoreSql. */
+  private def logregExactSql(iters: Int, lrNum: Long): String = {
+    val fixture =
+      """t AS (
+           SELECT doc_id,
+                  coalesce(regexp_extract_all(lower(coalesce(text, '') ||
+                    CASE WHEN doc_id % 3 = 0
+                         THEN ' careful review polished thorough'
+                         ELSE ' clickbait spammy freebie winner' END),
+                    '[a-z0-9]+'), CAST([] AS VARCHAR[])) AS toks
+           FROM documents),
+         f AS (
+           SELECT doc_id,
+                  list_concat(toks,
+                    CASE WHEN len(toks) >= 2
+                         THEN list_transform(range(1, len(toks)),
+                                i -> toks[i] || ' ' || toks[i + 1])
+                         ELSE CAST([] AS VARCHAR[]) END) AS feats
+           FROM t),
+         docs AS (
+           SELECT doc_id,
+                  CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS y
+           FROM f),
+         o AS (
+           SELECT doc_id,
+                  CAST(CONCAT('0x', substr(md5(g), 1, 15)) AS BIGINT) % 1024 AS b
+           FROM (SELECT doc_id, unnest(feats) AS g FROM f)),
+         fm AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS c
+                FROM o GROUP BY 1, 2),
+         nd AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(y) AS BIGINT) AS npos FROM docs),
+         w0 AS (SELECT CAST(j AS BIGINT) AS j, CAST(0 AS BIGINT) AS w
+                FROM range(0, 1025) r(j))"""
+    val steps = (0 to iters).map { k =>
+      val pass =
+        s"""z$k AS (
+             SELECT d.doc_id, d.y, coalesce(s.zn, 0) + b.bw AS z
+             FROM docs d
+             LEFT JOIN (SELECT fm.doc_id, CAST(sum(fm.c * w.w) AS BIGINT) AS zn
+                        FROM fm JOIN w$k w ON fm.b = w.j GROUP BY 1) s
+               ON s.doc_id = d.doc_id
+             CROSS JOIN (SELECT w AS bw FROM w$k WHERE j = 1024) b),
+           e$k AS (
+             SELECT doc_id, y, z,
+                    least(greatest(500 + z // 4000, 0), 1000) - y * 1000 AS err,
+                    (least(greatest(500 + z // 4000, 0), 1000) - y * 1000)
+                      * nd.n * 1000
+                      // (2 * CASE WHEN y = 1 THEN nd.npos
+                                   ELSE nd.n - nd.npos END) AS werr
+             FROM z$k, nd)"""
+      val update = if (k < iters)
+        s""",
+           g$k AS (
+             SELECT wj.j,
+                    CAST(coalesce(sum(fm.c * e.werr), 0) AS BIGINT)
+                      + CASE WHEN wj.j = 1024
+                             THEN (SELECT CAST(sum(werr) AS BIGINT) FROM e$k)
+                             ELSE 0 END AS g
+             FROM w$k wj
+             LEFT JOIN fm ON fm.b = wj.j
+             LEFT JOIN e$k e ON e.doc_id = fm.doc_id
+             GROUP BY wj.j),
+           w${k + 1} AS (
+             SELECT wj.j, wj.w - $lrNum * gk.g // (nd.n * 1000) AS w
+             FROM w$k wj JOIN g$k gk ON wj.j = gk.j, nd)"""
+      else ""
+      pass + update
+    }.mkString(",\n")
+    val lossSelects = (0 to iters).map(k =>
+      s"SELECT 'loss' AS kind, CAST($k AS BIGINT) AS k, " +
+        s"CAST(sum(err * err) AS BIGINT) AS v FROM e$k")
+    val finals = Seq(
+      s"SELECT 'acc', 0, CAST(count(*) FILTER ((z > 0) = (y = 1)) AS BIGINT) " +
+        s"FROM e$iters",
+      "SELECT 'acc', 1, n FROM nd",
+      "SELECT 'acc', 2, npos FROM nd",
+      s"SELECT 'w', j, w FROM w$iters WHERE w != 0")
+    s"WITH $fixture,\n$steps\n" + (lossSelects ++ finals).mkString("\nUNION ALL\n")
+  }
 
   def oracleSql: Map[String, String] = {
     import OracleFragments._
@@ -623,6 +727,7 @@ private[graft] object EntryText {
                         THEN CAST(millis AS DOUBLE) / (n_features * 1000)
                         ELSE 0.0 END) > 0.0 AS keep
            FROM s""",
+      "ml_train_logreg_exact" -> logregExactSql(iters = 3, lrNum = 50L),
       "ml_pr_curve" ->
         s"""WITH $ltmScoreSql,
             m AS (

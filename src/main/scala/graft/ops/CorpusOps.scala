@@ -497,8 +497,42 @@ object CorpusOps {
     // REQUIRES child ordering on "part" and would otherwise inject its
     // own part-only sort, which under spill-merge does not preserve the
     // key order this export exists to provide (the exportShards pattern)
-    df.repartitionByRange(nParts, col(keyCol))
+    val routed = df.repartitionByRange(nParts, col(keyCol))
       .withColumn("part", spark_partition_id())
+    writeRangeManifest(df, routed, keyCol, outDir)
+  }
+
+  /** [[exportRangeSorted]] with EXPLICIT equal-width boundaries instead of
+    * RangePartitioner sampling: part = clamp(floor((key - lo) / width)).
+    * Trades balanced file sizes (sampling adapts to the distribution;
+    * fixed boundaries do not) for full engine-replayability — the per-file
+    * manifest (part, n_rows, key min/max) is a pure function of the input,
+    * so an independent engine verifies the whole write/roll/read-back
+    * chain from the source table alone. The scalable sampled variant stays
+    * the production path; this is its oracle-exact anchor twin AND the
+    * right tool when boundary STABILITY across runs matters more than
+    * balance (e.g. re-exports that must produce identical file splits). */
+  def exportRangeBounded(df: DataFrame, keyCol: String, outDir: String,
+      lo: Double, width: Double, nParts: Int): DataFrame = {
+    require(nParts > 0, s"nParts must be positive, got $nParts")
+    require(width > 0, s"width must be positive, got $width")
+    val part = least(greatest(
+      floor((col(keyCol).cast("double") - lit(lo)) / lit(width)), lit(0.0)),
+      lit((nParts - 1).toDouble)).cast("int")
+    // hash-repartition on the bucket id: co-locates each bucket in one
+    // task (the dynamic writer then emits one file per bucket dir), and
+    // unlike repartitionByRange needs no sampling pass over the input
+    val routed = df.withColumn("part", part).repartition(nParts, col("part"))
+    writeRangeManifest(df, routed, keyCol, outDir)
+  }
+
+  /** Shared write + manifest-read-back + probe machinery of the range
+    * exports: writes `routed` (must carry an int `part` column) sorted
+    * within partitions, reads the files BACK, and returns the per-part
+    * manifest with the overlap/coverage probes. */
+  private def writeRangeManifest(df: DataFrame, routed: DataFrame,
+      keyCol: String, outDir: String): DataFrame = {
+    routed
       .sortWithinPartitions(col("part"), col(keyCol))
       .write.mode("overwrite").partitionBy("part").parquet(outDir)
     val back = df.sparkSession.read.parquet(outDir)

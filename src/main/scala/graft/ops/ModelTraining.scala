@@ -13,6 +13,11 @@ final case class LtmFeatures(buckets: Seq[Int], n: Long, y: Double)
   * bias last), summed log-loss, and the row count. */
 final case class GradBuf(g: Array[Double], loss: Double, n: Long)
 
+/** Integer sibling of [[GradBuf]] for the exact trainer: dense long
+  * gradient, squared-error loss sum, row count, rows predicted correctly
+  * at the pass's weights. */
+final case class IGradBuf(g: Array[Long], loss: Long, n: Long, nCorrect: Long)
+
 /** TRAINING the model-based quality filter inside the engine — the half
   * [[LinearTextModel]] deliberately stubs (its scorer is the production
   * shape with synthetic weights; this produces REAL weights for it):
@@ -110,6 +115,142 @@ object ModelTraining {
     def finish(b: GradBuf): GradBuf = b
     def bufferEncoder: Encoder[GradBuf] = Encoders.product[GradBuf]
     def outputEncoder: Encoder[GradBuf] = Encoders.product[GradBuf]
+  }
+
+  /** One integer gradient/loss/accuracy pass at fixed micro-unit weights
+    * `w` (length dim + 1, bias last). ALL arithmetic is long with
+    * truncated division (Scala `/` == DuckDB `//`), so the pass replays
+    * bit-exactly in SQL:
+    *   z      = sum over bucket OCCURRENCES of w(b), + bias   [micro]
+    *   p      = clamp(500 + z / 4000, 0, 1000)                [milli]
+    *   err    = p - y * 1000                                  [milli]
+    *   werr   = err * nDocs * 1000 / (2 * classCount(y))      [~micro]
+    *   g(b)  += werr per occurrence; g(bias) += werr
+    *   loss  += err * err;  correct = (z > 0) == (y == 1)
+    * The CLASS-BALANCED error (werr) is what makes fixed-point full-batch
+    * GD learn here: features common to both classes receive opposing
+    * balanced pulls that cancel, while class-consistent features
+    * accumulate monotonically — without it the 2:1 label imbalance turns
+    * every shared feature into a phantom bias coordinate. */
+  private final class IntGradAggregator(w: Array[Long], dim: Int,
+      nDocs: Long, nPos: Long)
+      extends Aggregator[LtmFeatures, IGradBuf, IGradBuf] {
+    def zero: IGradBuf = IGradBuf(new Array[Long](dim + 1), 0L, 0L, 0L)
+
+    def reduce(b: IGradBuf, r: LtmFeatures): IGradBuf = {
+      if (r.n <= 0) throw new IllegalArgumentException(
+        "trainTextLogRegExact: a row with zero features reached the " +
+          "trainer — its error has no feature to flow into and the " +
+          "class-balance denominators assume labeled rows carry signal; " +
+          "filter n == 0 rows upstream")
+      var z = w(dim)
+      val it = r.buckets.iterator
+      while (it.hasNext) z += w(it.next())
+      var p = 500L + z / 4000L
+      if (p < 0L) p = 0L
+      if (p > 1000L) p = 1000L
+      val y = if (r.y > 0.5) 1000L else 0L
+      val err = p - y
+      val nc = if (y == 1000L) nPos else nDocs - nPos
+      val werr = err * nDocs * 1000L / (2L * nc)
+      val it2 = r.buckets.iterator
+      while (it2.hasNext) b.g(it2.next()) += werr
+      b.g(dim) += werr
+      val correct = (z > 0L) == (y == 1000L)
+      IGradBuf(b.g, b.loss + err * err, b.n + 1L,
+        b.nCorrect + (if (correct) 1L else 0L))
+    }
+
+    def merge(a: IGradBuf, b: IGradBuf): IGradBuf = {
+      var j = 0
+      while (j <= dim) { a.g(j) += b.g(j); j += 1 }
+      IGradBuf(a.g, a.loss + b.loss, a.n + b.n, a.nCorrect + b.nCorrect)
+    }
+
+    def finish(b: IGradBuf): IGradBuf = b
+    def bufferEncoder: Encoder[IGradBuf] = Encoders.product[IGradBuf]
+    def outputEncoder: Encoder[IGradBuf] = Encoders.product[IGradBuf]
+  }
+
+  /** EXACT fixed-point trainer — the oracle-anchored twin of
+    * [[trainTextLogReg]] (whose float Adagrad sums are partition-order
+    * dependent and therefore rows-only at the gate). Full-batch gradient
+    * descent with a HARD sigmoid (piecewise-linear, saturating at
+    * |z| = 2): every quantity is a long in micro/milli units with
+    * truncated division, so weights, per-iteration losses and the final
+    * accuracy are pure integer functions of the corpus — partition-order
+    * independent on the Spark side and replayable iteration by iteration
+    * in SQL (the generated oracle unrolls the same update `iters` times).
+    *
+    * Same execution shape as the float trainer: one tokenize+hash pass,
+    * then iters + 1 map-side-combined dense-long aggregations over the
+    * checkpointed feature frame (the last pass only evaluates).
+    *
+    * Update: w(j) -= lrNum * g(j) / (nDocs * 1000)   [micro units]
+    *
+    * Returns one row per released value, schema (kind, k, v):
+    *   ('loss', t, sum err^2 at the start-of-iteration-t weights),
+    *   t = 0..iters (t = iters is the final model's loss);
+    *   ('acc', 0, rows predicted correctly at the final weights);
+    *   ('acc', 1, nDocs); ('acc', 2, nPos);
+    *   ('w', j, final w(j)) for every nonzero coordinate (bias j = dim). */
+  def trainTextLogRegExact(
+      df: DataFrame,
+      textCol: Column,
+      labelCol: Column,
+      dim: Int = 1024,
+      iters: Int = 3,
+      lrNum: Long = 400L
+  ): DataFrame = {
+    require(dim >= 2 && dim <= 65536, s"dim must be in [2, 65536], got $dim")
+    require(iters >= 1 && iters <= 50, s"iters must be in [1, 50], got $iters")
+    require(lrNum > 0, s"lrNum must be positive, got $lrNum")
+    val spark0 = df.sparkSession
+    import spark0.implicits._
+    val feats = df.select(featurize(textCol, labelCol.cast("boolean"), dim)
+        .as("f"))
+      .select(col("f.buckets").as("buckets"), col("f.n").as("n"),
+        col("f.y").as("y"))
+      .as[LtmFeatures]
+      .localCheckpoint(false)
+    val counts = feats.select(count(lit(1)), sum(col("y"))).head()
+    val nDocs = counts.getLong(0)
+    val nPos = math.rint(counts.getDouble(1)).toLong
+    require(nDocs > 0, "trainTextLogRegExact: empty training frame")
+    require(nPos > 0 && nPos < nDocs,
+      s"trainTextLogRegExact: single-class frame (nPos = $nPos of $nDocs) " +
+        "— the class-balanced error divides by both class counts")
+    val w = new Array[Long](dim + 1)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+    var it = 0
+    var lastPass: IGradBuf = null
+    while (it <= iters) {
+      val agg = feats.select(
+        udaf(new IntGradAggregator(w.clone(), dim, nDocs, nPos),
+          Encoders.product[LtmFeatures])
+          .apply(col("buckets"), col("n"), col("y"))).head().getStruct(0)
+      val g = agg.getSeq[Long](0)
+      out += (("loss", it.toLong, agg.getLong(1)))
+      lastPass = IGradBuf(g.toArray, agg.getLong(1), agg.getLong(2),
+        agg.getLong(3))
+      if (it < iters) {
+        var j = 0
+        while (j <= dim) {
+          w(j) -= lrNum * g(j) / (nDocs * 1000L)
+          j += 1
+        }
+      }
+      it += 1
+    }
+    out += (("acc", 0L, lastPass.nCorrect))
+    out += (("acc", 1L, nDocs))
+    out += (("acc", 2L, nPos))
+    var j = 0
+    while (j <= dim) {
+      if (w(j) != 0L) out += (("w", j.toLong, w(j)))
+      j += 1
+    }
+    out.toSeq.toDF("kind", "k", "v")
   }
 
   /** Train and release diagnostics: one row per iteration

@@ -58,9 +58,12 @@ class EntryContractSpec extends AnyFunSuite {
     // (the exportShards write-then-read-manifest shape), so the probe-schema
     // test below pays a small sf0.001 export — same accepted cost as
     // tune_params / text_bpe construction
+    // r19: the explicit-boundary twin replays the whole write/roll/
+    // read-back chain from orders alone; only boundary PLACEMENT
+    // (RangePartitioner sampling) stays engine-internal here
     "io_range_export" ->
       (Seq("overlap_violations", "n_total", "rows_missing")
-        -> Some("io_export_shards")),
+        -> Some("io_range_export_bounds")),
     "text_fingerprint" ->
       (Seq("probe_fp_collisions", "probe_text_splits")
         -> Some("text_fingerprint_md5")),
@@ -72,16 +75,17 @@ class EntryContractSpec extends AnyFunSuite {
     "approx_sketch_union" ->
       (Seq("sum_day_exact") -> Some("approx_sketch_union_md5")),
     "approx_heavy_hitters" -> (Seq("exact_count", "abs_err") -> Some("approx_heavy_hitters_exact")),
-    "mm_frame_sample" -> (Seq("probe_idx_unexpected", "probe_missing_frames",
-      "probe_decode_failed", "probe_docs_lost") -> Some("mm_decode_resize")),
+    // (mm_frame_sample left this set in r19: codepoint quartering made
+    // the sampled indices + decoded dims replay from documents.text)
     // r16: distributed Adagrad logreg training — float gradient sums are
     // partition-order dependent; the probes pin that training actually
     // LEARNS (loss improves AND accuracy beats the majority class on the
-    // planted-marker fixture), and the fixed-weight scorer evaluation
-    // rows are the oracle-exact anchor for the shared feature hashing
+    // planted-marker fixture). r19: the anchor twin is the fixed-point
+    // trainer, which replays the full featurize -> gradient -> update ->
+    // eval machinery iteration-by-iteration in SQL
     "ml_train_logreg" ->
       (Seq("probe_loss_improved", "probe_beats_majority")
-        -> Some("ml_pr_curve")),
+        -> Some("ml_train_logreg_exact")),
     // r18: the rebuild decision's inputs (share, counts) are exact and
     // ride as probes; the retrain itself is Lloyd's (sample-dependent).
     // NOTE: constructing this frame performs the real build + drifted

@@ -244,6 +244,42 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(f.nonEmpty && (f sameElements f.sorted))
   }
 
+  test("exportRangeBounded: explicit boundaries route deterministically, clamp out-of-range keys") {
+    // keys in [0, 211) + two out-of-range outliers that must CLAMP into
+    // the edge buckets instead of growing extra files
+    val rows = ((1L to 500L).map(i => (i, (i * 37 % 211).toDouble))
+      ++ Seq((501L, -40.0), (502L, 9999.0)))
+      .toDF("id", "key").repartition(7)
+    val dir = java.nio.file.Files.createTempDirectory("graft-rangeb").toString
+    val m = CorpusOps.exportRangeBounded(rows, "key", dir,
+        lo = 0.0, width = 30.0, nParts = 8)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+      .sortBy(_._1)
+    assert(m.forall(_._5 == 0L), s"overlap violations: $m")
+    assert(m.forall(_._6 == 502L))
+    assert(m.forall(_._7 == 0L), s"rows_missing nonzero: $m")
+    // bucket membership is the EXPLICIT formula, not sampling: every key
+    // in part p sits in [p*30, (p+1)*30) except clamped edges
+    m.foreach { case (p, _, kmin, kmax, _, _, _) =>
+      if (p > 0) assert(kmin >= p * 30.0, s"part $p min $kmin below range")
+      if (p < 7) assert(kmax < (p + 1) * 30.0, s"part $p max $kmax above range")
+    }
+    // the outliers landed in the edge buckets
+    assert(m.head._3 == -40.0, "low outlier not clamped into part 0")
+    assert(m.last._4 == 9999.0, "high outlier not clamped into part 7")
+    // deterministic re-export: same input -> identical manifest
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-rangeb2").toString
+    val m2 = CorpusOps.exportRangeBounded(rows, "key", dir2,
+        lo = 0.0, width = 30.0, nParts = 8)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+      .sortBy(_._1)
+    assert(m sameElements m2, "bounded export not deterministic across runs")
+  }
+
   test("exportShards: deterministic manifest, full coverage, ordered files") {
     val docs = (1L to 400L).map(i => (i, s"text-$i", 10L + i % 7))
       .toDF("doc_id", "text", "n_chars").repartition(8)

@@ -40,4 +40,38 @@ class ModelTrainingSpec extends AnyFunSuite {
     assert(graft.spark.SparkTestSession.chainMsg(e)
       .contains("empty training frame"))
   }
+
+  test("exact trainer: learns the separable signal, all-integer, partition-order independent") {
+    val mk = (parts: Int) => (1 to 300).map { i =>
+      val pos = i % 2 == 0
+      val filler = s"alpha beta gamma delta epsilon t$i"
+      (i.toLong, if (pos) s"$filler goodword" else s"$filler badword", pos)
+    }.toDF("id", "text", "label").repartition(parts)
+    val out = ModelTraining.trainTextLogRegExact(mk(4), col("text"),
+      col("label"), iters = 3, lrNum = 50L)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // losses monotone on the separable fixture, final accuracy near-perfect
+    val losses = (0 to 3).map(k => out(("loss", k.toLong)))
+    assert(losses.sliding(2).forall { case Seq(a, b) => b < a },
+      s"loss not monotone: $losses")
+    val acc = out(("acc", 0L)).toDouble / out(("acc", 1L))
+    assert(acc > 0.95, s"separable fixture should train past 0.95, got $acc")
+    // the integer release is EXACTLY reproducible under a different
+    // partitioning (the determinism the float trainer cannot offer —
+    // this is the property that makes the oracle row possible)
+    val out2 = ModelTraining.trainTextLogRegExact(mk(13), col("text"),
+      col("label"), iters = 3, lrNum = 50L)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out == out2, "exact trainer diverged across partitionings")
+    // single-class frame fails loud (the class-balance denominators)
+    val e1 = intercept[Exception](ModelTraining.trainTextLogRegExact(
+      mk(2).filter(col("label")), col("text"), col("label")))
+    assert(graft.spark.SparkTestSession.chainMsg(e1).contains("single-class"))
+    // a zero-feature row fails loud rather than silently carrying no signal
+    val blank = Seq((1L, "...", true), (2L, "a b c", false),
+      (3L, "d e f", true)).toDF("id", "text", "label")
+    val e2 = intercept[Exception](ModelTraining.trainTextLogRegExact(
+      blank, col("text"), col("label"), iters = 1).collect())
+    assert(graft.spark.SparkTestSession.chainMsg(e2).contains("zero features"))
+  }
 }
