@@ -67,7 +67,21 @@ object StreamOps {
 
   /** Tumbling-window aggregation with a watermark for late data: the
     * canonical streaming rollup (count + sum + users per event_type per
-    * window). */
+    * window).
+    *
+    * LATE-DATA CONTRACT (append mode — spec-pinned in StreamOpsSpec
+    * "append-mode watermark"): the watermark after micro-batch N is
+    * max(event time seen through batch N) - `watermark`; a window emits
+    * exactly once, in the first batch whose watermark passes the window
+    * END, and its state is then evicted. A late row arriving while its
+    * window is still open (row ts >= current watermark) FOLDS into the
+    * window and ships in the single emission; a late row arriving after
+    * the watermark passed its window (row ts < watermark) is DROPPED —
+    * silently, per engine semantics, which is why the ingest paths that
+    * need loss accounting route through foreachBatch counters (the
+    * [[onlineNearDupIngest]]-family pattern) instead. In complete/batch
+    * mode the watermark
+    * is a no-op and nothing drops (the batch==stream parity specs). */
   def windowedEventStats(
       events: DataFrame,
       windowLength: String = "1 hour",

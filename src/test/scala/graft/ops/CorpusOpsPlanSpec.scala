@@ -59,6 +59,31 @@ class CorpusOpsPlanSpec extends AnyFunSuite {
     assert(exchanges(CorpusOps.prepPipeline(docs, "doc_id", "text")) == 0)
   }
 
+  test("snapshotDiff/tableDiff: one exchange per side, join reuses it (r19 audit pin)") {
+    // The full-outer reconciliation ops' scale contract: each side
+    // shuffles ONCE on the id/key (the dup-guard window / aggregate
+    // partitioning), and the join reuses that partitioning instead of
+    // injecting a second per-side exchange. r18 fixed exactly this in
+    // snapshotDiff (an id-rewriting guard projection broke the
+    // co-partitioning proof); this spec pins the shape for BOTH ops so a
+    // future edit cannot silently reintroduce the double shuffle. Hot-key
+    // skew cannot occur by contract (duplicate ids/keys raise), so two
+    // id-partitioned exchanges IS the whole data movement.
+    val old = Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("id", "v", "h")
+    val neu = Seq((2L, "b2", 21L), (3L, "c", 30L)).toDF("id", "v", "h")
+    val sd = CorpusOps.snapshotDiff(old, neu, "id", Seq("v", "h"))
+    assert(exchanges(sd) == 2,
+      s"snapshotDiff must shuffle each side exactly once:\n${sd.queryExecution.executedPlan}")
+    val td = CorpusOps.tableDiff(old, neu, Seq("id"))
+    assert(exchanges(td) == 2,
+      s"tableDiff must shuffle each side exactly once:\n${td.queryExecution.executedPlan}")
+    // and neither degenerates into a broadcast-then-recompute or cartesian
+    Seq(sd, td).foreach { df =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"))
+    }
+  }
+
   test("vocabTopK: one shuffle with partial counts, top-k never a global sort") {
     val plan = CorpusOps.vocabTopK(docs, "text", 10)
       .queryExecution.executedPlan.toString

@@ -51,6 +51,52 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("append-mode watermark: late-within-window folds in, late-past-watermark drops") {
+    // Pins windowedEventStats's late-data contract (the scaladoc): with a
+    // 1-hour tumbling window and a 10-minute watermark,
+    //   batch 1: 10:05 (window W10) and 12:30 (advances event time)
+    //   batch 2: 10:30 — LATE, W10 is past the 12:20 watermark -> DROPPED
+    //            12:25 — late vs max event time but its window W12 is
+    //                    still open -> FOLDS IN
+    //            14:00 — advances the watermark to 13:50, closing W12
+    //   batch 3: 16:00 — flushes the final emissions
+    // Append mode: each window emits exactly once; W10 must count only
+    // the batch-1 row, W12 must count both of its rows.
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, Long, String, Double)]
+    val events = input.toDF().toDF("tss", "user_id", "event_type", "value")
+      .withColumn("ts", to_timestamp(col("tss"), "yyyy-MM-dd HH:mm"))
+    val agg = StreamOps.windowedEventStats(events, "1 hour", "10 minutes")
+    val q = agg.writeStream.format("memory")
+      .queryName("late_agg").outputMode(OutputMode.Append).start()
+    def feed(rows: (String, Long, String, Double)*): Unit = {
+      input.addData(rows)
+      q.processAllAvailable()
+    }
+    feed(("2024-03-01 10:05", 1L, "click", 1.0),
+      ("2024-03-01 12:30", 2L, "click", 1.0))
+    feed(("2024-03-01 10:30", 3L, "click", 1.0), // late past watermark
+      ("2024-03-01 12:25", 4L, "click", 1.0), // late but window open
+      ("2024-03-01 14:00", 5L, "click", 1.0))
+    feed(("2024-03-01 16:00", 6L, "click", 1.0))
+    q.stop()
+    val out = spark.table("late_agg")
+      .select(date_format(col("window_start"), "HH:mm").as("w"), col("n_events"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the 10:00 window shipped WITHOUT the dropped 10:30 row
+    assert(out.get("10:00").contains(1L),
+      s"W10 should emit exactly the on-time row: $out")
+    // the 12:00 window shipped WITH the late-but-open 12:25 row folded in
+    assert(out.get("12:00").contains(2L),
+      s"W12 should fold the within-watermark late row: $out")
+    // and nothing emitted twice (append = exactly-once per window)
+    val n = spark.table("late_agg")
+      .groupBy("window_start", "event_type").count()
+      .filter(col("count") > 1).count()
+    assert(n == 0, "a window emitted more than once in append mode")
+  }
+
   test("stream-static enrichment rollup matches the batch join") {
     val dim = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
     val agg = StreamOps.enrichedWindowStats(eventStream(), dim,
