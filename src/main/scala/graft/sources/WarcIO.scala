@@ -335,6 +335,25 @@ object WarcIO {
       .withColumn("__h", hash)
       .withColumn("shard", pmod(col("__h"), lit(nShards.toLong)).cast("int"))
       .withColumn("__pb", length(col("payload")).cast("long"))
+      // duplicate-record_id guard (r19 advice): duplicates tie on BOTH
+      // prefix-sum order keys (__h, record_id), so their seq assignment —
+      // and hence bytes-per-archive and the manifest — would be
+      // nondeterministic across retries/re-materializations, silently
+      // undercutting the documented retry-idempotence. Duplicates share a
+      // hash, hence a shard, hence are ADJACENT in this window's order, so
+      // lag over the SAME window spec detects them with zero extra
+      // exchange or sort; the guard is a FILTER (the snapshotDiff
+      // exchange-reuse convention), never an id-rewriting projection.
+      .withColumn("__prev_id", lag(col("record_id"), 1).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("shard")).orderBy(col("__h"), col("record_id"))))
+      .filter(when(col("__prev_id") === col("record_id"), raise_error(concat(
+          lit("writeWarcShards: duplicate record_id '"), col("record_id"),
+          lit("' — duplicates tie on the (hash, id) ordering, making the " +
+            "archive roll nondeterministic across retries; dedupe upstream")))
+          .cast("boolean"))
+        .otherwise(lit(true)))
+      .drop("__prev_id")
       // integer `div`, not double floor: per-shard payload prefix sums
       // stay exact at any scale (a double quotient degrades past 2^53)
       .withColumn("__pre", coalesce(sum(col("__pb")).over(w), lit(0L)))

@@ -777,14 +777,53 @@ object LocalDP {
         (h + 1 + j) % g
       }
     }).asNondeterministic()
-    // reports collapse FIRST: <= nLevels * seedSpace * g cells
+    // reports collapse FIRST: <= nLevels * seedSpace * g cells.
+    // The cells carry their CALIBRATION (__eps, __bins, __sspace — r19
+    // advice): a cells frame is only additive with, and only estimable
+    // under, the exact calibration it was drawn at (g buckets, levels+1
+    // groups, flip probability), so the fold and the readout
+    // require-match these tags instead of trusting a doc-only contract.
     val cells = perUnit
       .select(col("__lvl"), col("__seed"),
         report(col("__seed"), col("__idx")).as("__y"))
       .groupBy(col("__lvl"), col("__seed"), col("__y"))
       .agg(count(lit(1)).as("__c"))
+      .withColumn("__eps", lit(epsilon))
+      .withColumn("__bins", lit(bins.toLong))
+      .withColumn("__sspace", lit(seedSpace.toLong))
       .localCheckpoint(false) // draws final; n, seeds and grid read it
     cells
+  }
+
+  /** Require a cells frame's calibration tags to match the caller's
+    * (epsilon, bins, seedSpace) — the [[ldpLongitudinalMeanStep]] ledger
+    * convention for the tree family. Fails loud on an untagged (pre-r19)
+    * store: folding or estimating at a silently different calibration
+    * yields meaningless numbers, which is strictly worse than asking the
+    * operator to restart the stream. */
+  private def requireTreeCalibration(cells: DataFrame, opName: String,
+      epsilon: Double, bins: Int, seedSpace: Int): Unit = {
+    val cols = cells.columns.toSet
+    require(Seq("__eps", "__bins", "__sspace").forall(cols.contains),
+      s"$opName: the cells store carries no calibration tags — it was " +
+        "built by a pre-tagging version; rebuild the store (the tags are " +
+        "what prevent folding across incompatible calibrations)")
+    val r = cells.agg(
+      min(col("__eps")), max(col("__eps")),
+      min(col("__bins")), max(col("__bins")),
+      min(col("__sspace")), max(col("__sspace"))).head()
+    if (!r.isNullAt(0)) { // empty store: nothing to contradict
+      require(r.getDouble(0) == epsilon && r.getDouble(1) == epsilon &&
+        r.getLong(2) == bins.toLong && r.getLong(3) == bins.toLong &&
+        r.getLong(4) == seedSpace.toLong && r.getLong(5) == seedSpace.toLong,
+        s"$opName: the cells store was drawn at eps in " +
+          s"[${r.getDouble(0)}, ${r.getDouble(1)}], bins in " +
+          s"[${r.getLong(2)}, ${r.getLong(3)}], seedSpace in " +
+          s"[${r.getLong(4)}, ${r.getLong(5)}] but this call passes " +
+          s"(eps = $epsilon, bins = $bins, seedSpace = $seedSpace) — " +
+          "calibration must stay fixed across a stream; start a new " +
+          "store to recalibrate")
+    }
   }
 
   /** One micro-batch step of the STREAMING LDP range tree (r18 — the
@@ -796,9 +835,11 @@ object LocalDP {
     * CDF telemetry). Same BOUNDING CONTRACT as [[olhIngestStep]]: the
     * one-report-per-unit rule dedupes WITHIN a batch — route each
     * unit's rows through ONE batch or epsilon composes per batch.
-    * Callers checkpoint the returned store between steps; epsilon and
-    * bins must stay fixed across a stream (cells are
-    * calibration-shaped: g buckets, levels+1 groups). */
+    * Callers checkpoint the returned store between steps. Epsilon,
+    * bins and seedSpace must stay fixed across a stream (cells are
+    * calibration-shaped: g buckets, levels+1 groups) — ENFORCED (r19):
+    * the store carries __eps/__bins/__sspace tags and both the fold and
+    * [[ldpTreeEstimate]] fail loud on a mismatch. */
   def ldpTreeIngestStep(
       batch: DataFrame,
       store: Option[DataFrame],
@@ -815,9 +856,17 @@ object LocalDP {
       epsilon, noise, seedSpace)
     store match {
       case None => cells
-      case Some(st) => st.unionByName(cells)
-        .groupBy(col("__lvl"), col("__seed"), col("__y"))
-        .agg(sum(col("__c")).as("__c"))
+      case Some(st) =>
+        // calibration tags must match before the stores become additive
+        // (r19): a store drawn at another epsilon/bins/seedSpace has a
+        // different cell grid and flip probability — summing would yield
+        // meaningless estimates with no error anywhere downstream
+        requireTreeCalibration(st, "ldpTreeIngestStep", epsilon, bins,
+          seedSpace)
+        st.unionByName(cells)
+          .groupBy(col("__lvl"), col("__seed"), col("__y"),
+            col("__eps"), col("__bins"), col("__sspace"))
+          .agg(sum(col("__c")).as("__c"))
     }
   }
 
@@ -837,6 +886,9 @@ object LocalDP {
     require(epsilon > 0, s"epsilon must be positive, got $epsilon")
     require(seedSpace >= 2 && seedSpace <= 65536,
       s"seedSpace must be in [2, 65536], got $seedSpace")
+    // the debias constants below (g, p) must be the constants the reports
+    // were DRAWN with — the tags make a mismatch fail loud (r19)
+    requireTreeCalibration(cells, "ldpTreeEstimate", epsilon, bins, seedSpace)
     val levels = 31 - Integer.numberOfLeadingZeros(bins)
     val nLevels = levels + 1
     val expEps = math.exp(epsilon)

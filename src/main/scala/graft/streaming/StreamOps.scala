@@ -1398,6 +1398,17 @@ object StreamOps {
     val spark = meta.sparkSession
     meta.coalesce(1).write.mode("overwrite")
       .parquet(s"$stateDir/stream_meta_b$batchId")
+    // OWN commit marker, written here rather than trusting Spark's
+    // _SUCCESS (r19 advice): deployments commonly disable
+    // mapreduce.fileoutputcommitter.marksuccessfuljobs with object-store
+    // committers, which would make every commit invisible to
+    // resolveStreamMeta. This create() is the commit point; _SUCCESS is
+    // accepted on read purely for r18-written state dirs.
+    locally {
+      val dir = new org.apache.hadoop.fs.Path(s"$stateDir/stream_meta_b$batchId")
+      val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.create(new org.apache.hadoop.fs.Path(dir, commitMarker), true).close()
+    }
     try {
       val base = new org.apache.hadoop.fs.Path(stateDir)
       val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1413,29 +1424,54 @@ object StreamOps {
     } catch { case scala.util.control.NonFatal(_) => () } // janitor only
   }
 
-  /** Resolve the committed stream_meta row: highest `_SUCCESS`-marked
-    * `stream_meta_b<id>` version, falling back to the legacy single
-    * `stream_meta` dir (pre-r18 state dirs). None = nothing committed. */
+  /** Name of the engine-owned commit marker inside a
+    * `stream_meta_b<id>` dir — written by [[commitStreamMeta]] itself so
+    * commits stay visible even where Spark's `_SUCCESS` is disabled. */
+  private[graft] val commitMarker = "_GRAFT_COMMIT"
+
+  /** Resolve the committed stream_meta row: highest marker-carrying
+    * `stream_meta_b<id>` version ([[commitMarker]], or `_SUCCESS` for
+    * r18-written state), falling back to the legacy single `stream_meta`
+    * dir (pre-r18 state dirs). None = nothing committed — with one
+    * fail-loud exception: MULTIPLE unmarked versioned dirs mean a real
+    * commit history this reader cannot see (e.g. markers stripped by a
+    * copy tool), and silently restarting from scratch on top of it would
+    * double-spend budgets downstream; a SINGLE unmarked dir is the
+    * documented crash-mid-first-commit window and stays invisible by
+    * design. */
   private[graft] def resolveStreamMeta(spark: SparkSession, stateDir: String,
       opName: String): Option[org.apache.spark.sql.Row] = {
     val base = new org.apache.hadoop.fs.Path(stateDir)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val versioned: Seq[(Long, org.apache.hadoop.fs.Path)] =
+    val all: Seq[(Long, org.apache.hadoop.fs.Path, Boolean)] =
       if (!fs.exists(base)) Nil
       else fs.listStatus(base).toSeq.flatMap { st =>
         val n = st.getPath.getName
         if (!n.startsWith("stream_meta_b")) None
         else scala.util.Try(n.stripPrefix("stream_meta_b").toLong).toOption
-          // only _SUCCESS-marked versions are commits; a partial dir from a
-          // crash mid-write is invisible here by design
-          .filter(_ => fs.exists(
-            new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
-          .map(id => (id, st.getPath))
+          .map { id =>
+            // a version is a commit iff it carries the engine-owned
+            // marker (or Spark's _SUCCESS, for r18-written state); a
+            // partial dir from a crash mid-write carries neither and is
+            // invisible by design
+            val committed = fs.exists(
+              new org.apache.hadoop.fs.Path(st.getPath, commitMarker)) ||
+              fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS"))
+            (id, st.getPath, committed)
+          }
       }
+    val versioned = all.filter(_._3)
+    val legacyExists = fs.exists(new org.apache.hadoop.fs.Path(base, "stream_meta"))
+    if (versioned.isEmpty && !legacyExists && all.length > 1)
+      throw new IllegalStateException(
+        s"$opName: $stateDir holds ${all.length} stream_meta_b versions " +
+          "but NONE carries a commit marker — that is a commit history " +
+          "this reader cannot see (markers stripped in transit?), not a " +
+          "fresh stream; restore the markers or start a genuinely fresh " +
+          "stateDir")
     val metaPath: Option[String] =
       if (versioned.nonEmpty) Some(versioned.maxBy(_._1)._2.toString)
-      else if (fs.exists(new org.apache.hadoop.fs.Path(base, "stream_meta")))
-        Some(s"$stateDir/stream_meta")
+      else if (legacyExists) Some(s"$stateDir/stream_meta")
       else None
     metaPath.map { p =>
       val rows = spark.read.parquet(p).collect()

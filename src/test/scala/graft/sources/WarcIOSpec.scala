@@ -197,5 +197,17 @@ class WarcIOSpec extends AnyFunSuite {
     val eCol = intercept[IllegalArgumentException](WarcIO.writeWarcShards(
       Seq(("id1", "r")).toDF("record_id", "warc_type"), out + "_z", 2))
     assert(eCol.getMessage.contains("missing column"), eCol.getMessage)
+    // duplicate record_id fails loud (r19): duplicates tie on both
+    // prefix-sum order keys, which would make the archive roll — and the
+    // manifest — nondeterministic across retries
+    val eDup = intercept[Exception](WarcIO.writeWarcShards(
+      Seq(("urn:dup", "r", "u", "d", "c", "p".getBytes("UTF-8")),
+        ("urn:dup", "r", "u2", "d", "c", "q".getBytes("UTF-8")),
+        ("urn:ok", "r", "u3", "d", "c", "r".getBytes("UTF-8")))
+        .toDF("record_id", "warc_type", "target_uri", "warc_date",
+          "content_type", "payload"),
+      out + "_w", 2, 4096L).collect())
+    assert(graft.spark.SparkTestSession.chainMsg(eDup)
+      .contains("duplicate record_id"))
   }
 }

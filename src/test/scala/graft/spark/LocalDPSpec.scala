@@ -641,6 +641,22 @@ class LocalDPSpec extends AnyFunSuite {
       LocalDP.ldpTreeEstimate(store.get, 16, 1.0), Nil, 0.0, 1000.0, 16,
       monotone = true)
     assert(cdf.count() == 16L)
+    // r19: the calibration contract is ENFORCED, not doc-only — folding
+    // or estimating a store at a different epsilon/bins/seedSpace fails
+    // loud via the __eps/__bins/__sspace tags
+    val eFold = intercept[IllegalArgumentException](
+      LocalDP.ldpTreeIngestStep(batches.head, store, "uid", col("v"),
+        0.0, 1000.0, bins = 16, epsilon = 2.0,
+        noise = graft.core.NoiseSource.Zero))
+    assert(eFold.getMessage.contains("calibration must stay fixed"))
+    val eBins = intercept[IllegalArgumentException](
+      LocalDP.ldpTreeEstimate(store.get, 32, 1.0))
+    assert(eBins.getMessage.contains("calibration must stay fixed"))
+    // an untagged (pre-r19) store is rejected with a rebuild message
+    val eTag = intercept[IllegalArgumentException](
+      LocalDP.ldpTreeEstimate(
+        store.get.drop("__eps", "__bins", "__sspace"), 16, 1.0))
+    assert(eTag.getMessage.contains("no calibration tags"))
   }
 
   test("keyed LDP range tree: per-key CDFs through the central keyed readout; contracts") {

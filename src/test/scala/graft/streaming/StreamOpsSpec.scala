@@ -1848,4 +1848,43 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(!new java.io.File(s"$state/stream_meta").exists(),
       "the superseded legacy pointer was not janitored")
   }
+
+  test("stream_meta commits survive disabled _SUCCESS markers; invisible histories fail loud") {
+    // r19: commitStreamMeta writes its OWN _GRAFT_COMMIT marker, so a
+    // deployment that disables mapreduce.fileoutputcommitter
+    // .marksuccessfuljobs (common with object-store committers) cannot
+    // make every commit invisible to restart.
+    val state = java.nio.file.Files
+      .createTempDirectory("graft_meta_marker_").toString
+    def foldBatch(id: Long, ids: Range): Unit =
+      StreamOps.checkpointedStoreFold(
+        ids.map(i => (i.toLong, "a")).toDF("uid", "v"), id, state) {
+        (b, st) => graft.spark.LocalDP.olhIngestStep(b, st, "uid",
+          col("v"), Seq("a", "b"), 1.0, graft.core.NoiseSource.Zero)
+      }
+    foldBatch(0L, 1 to 10)
+    foldBatch(1L, 11 to 20)
+    // the engine-owned marker exists in the committed dir...
+    assert(new java.io.File(s"$state/stream_meta_b1/_GRAFT_COMMIT").exists(),
+      "commitStreamMeta did not write its own marker")
+    // ...and resolution works with every Spark _SUCCESS stripped
+    new java.io.File(state).listFiles()
+      .filter(_.getName.startsWith("stream_meta_b"))
+      .flatMap(d => Option(d.listFiles()).getOrElse(Array.empty))
+      .filter(_.getName == "_SUCCESS").foreach(_.delete())
+    assert(StreamOps.resolveStreamMeta(spark, state, "spec").get
+      .getAs[Long]("last_batch_id") == 1L,
+      "resolution must not depend on Spark's _SUCCESS")
+    // a SINGLE unmarked dir (crash mid-first-commit) resolves to None...
+    val fresh = java.nio.file.Files
+      .createTempDirectory("graft_meta_fresh_").toString
+    new java.io.File(s"$fresh/stream_meta_b0").mkdirs()
+    assert(StreamOps.resolveStreamMeta(spark, fresh, "spec").isEmpty)
+    // ...but MULTIPLE unmarked dirs are an invisible commit history and
+    // must fail loud instead of silently restarting from scratch
+    new java.io.File(s"$fresh/stream_meta_b1").mkdirs()
+    val e = intercept[IllegalStateException](
+      StreamOps.resolveStreamMeta(spark, fresh, "spec"))
+    assert(e.getMessage.contains("NONE carries a commit marker"))
+  }
 }
