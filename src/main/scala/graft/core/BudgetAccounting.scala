@@ -379,6 +379,46 @@ sealed abstract class BudgetAccountant(
   def computeBudgets(): Unit
 
   def isFinalized: Boolean = finalized
+
+  /** The end-to-end BUDGET STORY (r19): the composition half of an
+    * explain — accountant kind, total budget, and one line per
+    * registered mechanism (engine aggregations, partition selections,
+    * tree releases, custom combiners — everything routes through
+    * [[requestBudget]]) with its weight/count/sensitivity and, after
+    * `computeBudgets()`, its resolved epsilon/delta/noise scale.
+    * [[graft.spark.Explain]] composes this with the per-release
+    * mechanism-level explain sections. */
+  def budgetStory: String = {
+    val kind = this match {
+      case _: NaiveBudgetAccountant =>
+        "NaiveBudgetAccountant (basic composition: proportional epsilon/delta split)"
+      case _: PLDBudgetAccountant =>
+        "PLDBudgetAccountant (tight numerical PLD composition)"
+    }
+    val sb = new StringBuilder
+    sb ++= s"Budget story: $kind\n"
+    sb ++= f"  total budget: epsilon = $totalEpsilon%.6g, delta = $totalDelta%.4g\n"
+    if (requests.isEmpty) sb ++= "  no mechanisms registered"
+    else if (!finalized) {
+      sb ++= s"  ${requests.length} mechanism(s) registered, budgets NOT " +
+        "yet resolved (call computeBudgets()):\n"
+      requests.zipWithIndex.foreach { case (h, i) =>
+        val nm = if (h.name.isEmpty) "(unnamed)" else s"'${h.name}'"
+        sb ++= f"  ${i + 1}. $nm%s ${h.mechanismType}%s: weight = ${h.weight}%.4g x count = ${h.count}%d, sensitivity = ${h.sensitivity}%.4g\n"
+      }
+    } else {
+      requests.zipWithIndex.foreach { case (h, i) =>
+        val nm = if (h.name.isEmpty) "(unnamed)" else s"'${h.name}'"
+        val s = h.spec
+        val noiseTxt = s.noiseStdDev
+          .map(v => f", noise stddev = $v%.6g").getOrElse("")
+        val thrTxt = s.thresholdingDelta
+          .map(v => f", thresholding delta = $v%.4g").getOrElse("")
+        sb ++= f"  ${i + 1}. $nm%s ${h.mechanismType}%s: weight = ${h.weight}%.4g x count = ${h.count}%d, sensitivity = ${h.sensitivity}%.4g -> epsilon = ${s.epsilon}%.6g, delta = ${s.delta}%.4g$noiseTxt%s$thrTxt%s\n"
+      }
+    }
+    sb.result().stripTrailing()
+  }
 }
 
 /** Naive (basic-composition) budget accountant: total epsilon is split across
