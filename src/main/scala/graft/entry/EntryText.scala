@@ -387,6 +387,22 @@ private[graft] object EntryText {
       graft.ops.ModelTraining.trainTextLogRegExact(docs, col("body"),
         col("doc_id") % 3 === 0, iters = 3, lrNum = 50L)
     }),
+    "ml_cv_exact" -> ((s, dir) => {
+      // K-FOLD cross-validation over the exact trainer (r19): fold
+      // membership by portable md5 hash of doc_id (the hashSplit
+      // convention), each fold trained on the other two with the shared
+      // fixed-point loop and evaluated held-out — the model-selection
+      // machinery of a corpus filter, every number an integer function
+      // of the corpus, replayed fold-by-fold in the generated SQL.
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .withColumn("body", concat(coalesce(col("text"), lit("")),
+          when(col("doc_id") % 3 === 0,
+            lit(" careful review polished thorough"))
+            .otherwise(lit(" clickbait spammy freebie winner"))))
+      graft.ops.ModelTraining.crossValidateExact(docs, col("body"),
+        col("doc_id") % 3 === 0, col("doc_id"), folds = 3, iters = 2,
+        lrNum = 50L)
+    }),
     "ml_pr_curve" -> ((s, dir) => {
       // threshold-sweep PR points for a corpus filter model: the hashed-
       // n-gram quality score (milli-units, the text_quality_model
@@ -571,6 +587,108 @@ private[graft] object EntryText {
     s"WITH $fixture,\n$steps\n" + (lossSelects ++ finals).mkString("\nUNION ALL\n")
   }
 
+  /** Generated oracle for ml_cv_exact: [[logregExactSql]]'s unrolled
+    * fixed-point GD, repeated per fold over the fold's TRAIN side (fold
+    * membership = the portable md5-60-bit doc_id hash mod `folds`, the
+    * hashSplit convention) with a held-out evaluation CTE per fold. */
+  private def logregCvSql(folds: Int, iters: Int, lrNum: Long): String = {
+    val fixture =
+      s"""t AS (
+           SELECT doc_id,
+                  coalesce(regexp_extract_all(lower(coalesce(text, '') ||
+                    CASE WHEN doc_id % 3 = 0
+                         THEN ' careful review polished thorough'
+                         ELSE ' clickbait spammy freebie winner' END),
+                    '[a-z0-9]+'), CAST([] AS VARCHAR[])) AS toks
+           FROM documents),
+         f AS (
+           SELECT doc_id,
+                  list_concat(toks,
+                    CASE WHEN len(toks) >= 2
+                         THEN list_transform(range(1, len(toks)),
+                                i -> toks[i] || ' ' || toks[i + 1])
+                         ELSE CAST([] AS VARCHAR[]) END) AS feats
+           FROM t),
+         docs AS (
+           SELECT doc_id,
+                  CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS y,
+                  CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)),
+                    1, 15)) AS BIGINT) % $folds AS fold
+           FROM f),
+         o AS (
+           SELECT doc_id,
+                  CAST(CONCAT('0x', substr(md5(g), 1, 15)) AS BIGINT) % 1024 AS b
+           FROM (SELECT doc_id, unnest(feats) AS g FROM f)),
+         fm AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS c
+                FROM o GROUP BY 1, 2),
+         wz AS (SELECT CAST(j AS BIGINT) AS j, CAST(0 AS BIGINT) AS w
+                FROM range(0, 1025) r(j))"""
+    val perFold = (0 until folds).map { fd =>
+      val nd = s"nd$fd"
+      def wName(k: Int) = if (k == 0) "wz" else s"w${fd}_$k"
+      val ndCte =
+        s"""$nd AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(y) AS BIGINT) AS npos
+                FROM docs WHERE fold <> $fd)"""
+      val passes = (0 to iters).map { k =>
+        val pass =
+          s"""z${fd}_$k AS (
+               SELECT d.doc_id, d.y, coalesce(s.zn, 0) + b.bw AS z
+               FROM docs d
+               LEFT JOIN (SELECT fm.doc_id, CAST(sum(fm.c * w.w) AS BIGINT) AS zn
+                          FROM fm JOIN ${wName(k)} w ON fm.b = w.j GROUP BY 1) s
+                 ON s.doc_id = d.doc_id
+               CROSS JOIN (SELECT w AS bw FROM ${wName(k)} WHERE j = 1024) b
+               WHERE d.fold <> $fd),
+             e${fd}_$k AS (
+               SELECT doc_id, y, z,
+                      least(greatest(500 + z // 4000, 0), 1000) - y * 1000 AS err,
+                      (least(greatest(500 + z // 4000, 0), 1000) - y * 1000)
+                        * $nd.n * 1000
+                        // (2 * CASE WHEN y = 1 THEN $nd.npos
+                                     ELSE $nd.n - $nd.npos END) AS werr
+               FROM z${fd}_$k, $nd)"""
+        val update = if (k < iters)
+          s""",
+             g${fd}_$k AS (
+               SELECT wj.j,
+                      CAST(coalesce(sum(fm.c * e.werr), 0) AS BIGINT)
+                        + CASE WHEN wj.j = 1024
+                               THEN (SELECT CAST(sum(werr) AS BIGINT) FROM e${fd}_$k)
+                               ELSE 0 END AS g
+               FROM ${wName(k)} wj
+               LEFT JOIN fm ON fm.b = wj.j
+               LEFT JOIN e${fd}_$k e ON e.doc_id = fm.doc_id
+               GROUP BY wj.j),
+             ${wName(k + 1)} AS (
+               SELECT wj.j, wj.w - $lrNum * gk.g // ($nd.n * 1000) AS w
+               FROM ${wName(k)} wj JOIN g${fd}_$k gk ON wj.j = gk.j, $nd)"""
+        else ""
+        pass + update
+      }.mkString(",\n")
+      val evalCte =
+        s"""ev$fd AS (
+             SELECT d.doc_id, d.y, coalesce(s.zn, 0) + b.bw AS z
+             FROM docs d
+             LEFT JOIN (SELECT fm.doc_id, CAST(sum(fm.c * w.w) AS BIGINT) AS zn
+                        FROM fm JOIN ${wName(iters)} w ON fm.b = w.j GROUP BY 1) s
+               ON s.doc_id = d.doc_id
+             CROSS JOIN (SELECT w AS bw FROM ${wName(iters)} WHERE j = 1024) b
+             WHERE d.fold = $fd)"""
+      (Seq(ndCte, passes, evalCte).mkString(",\n"),
+        s"""SELECT CAST($fd AS BIGINT) AS fold, $nd.n AS n_train,
+               $nd.npos AS n_train_pos,
+               (SELECT CAST(count(*) AS BIGINT) FROM ev$fd) AS n_test,
+               (SELECT CAST(count(*) FILTER ((z > 0) = (y = 1)) AS BIGINT)
+                FROM ev$fd) AS n_test_correct,
+               (SELECT CAST(sum(err * err) AS BIGINT) FROM e${fd}_$iters)
+                 AS train_loss_final
+            FROM $nd""")
+    }
+    s"WITH $fixture,\n${perFold.map(_._1).mkString(",\n")}\n" +
+      perFold.map(_._2).mkString("\nUNION ALL\n")
+  }
+
   def oracleSql: Map[String, String] = {
     import OracleFragments._
     // the text_bpe_apply replace chain, generated from the SAME merge
@@ -728,6 +846,7 @@ private[graft] object EntryText {
                         ELSE 0.0 END) > 0.0 AS keep
            FROM s""",
       "ml_train_logreg_exact" -> logregExactSql(iters = 3, lrNum = 50L),
+      "ml_cv_exact" -> logregCvSql(folds = 3, iters = 2, lrNum = 50L),
       "ml_pr_curve" ->
         s"""WITH $ltmScoreSql,
             m AS (

@@ -172,6 +172,38 @@ object ModelTraining {
     def outputEncoder: Encoder[IGradBuf] = Encoders.product[IGradBuf]
   }
 
+  /** The `iters + 1` integer gradient passes of the exact trainer (the
+    * last pass only evaluates), shared by [[trainTextLogRegExact]] and
+    * [[crossValidateExact]] so the update rule cannot drift between the
+    * single-frame and per-fold paths. Returns (final weights, one
+    * [[IGradBuf]] per pass). */
+  private def exactTrainLoop(
+      feats: org.apache.spark.sql.Dataset[LtmFeatures],
+      dim: Int, iters: Int, lrNum: Long, nDocs: Long, nPos: Long
+  ): (Array[Long], Seq[IGradBuf]) = {
+    val w = new Array[Long](dim + 1)
+    val passes = Seq.newBuilder[IGradBuf]
+    var it = 0
+    while (it <= iters) {
+      val agg = feats.select(
+        udaf(new IntGradAggregator(w.clone(), dim, nDocs, nPos),
+          Encoders.product[LtmFeatures])
+          .apply(col("buckets"), col("n"), col("y"))).head().getStruct(0)
+      val g = agg.getSeq[Long](0)
+      passes += IGradBuf(g.toArray, agg.getLong(1), agg.getLong(2),
+        agg.getLong(3))
+      if (it < iters) {
+        var j = 0
+        while (j <= dim) {
+          w(j) -= lrNum * g(j) / (nDocs * 1000L)
+          j += 1
+        }
+      }
+      it += 1
+    }
+    (w, passes.result())
+  }
+
   /** EXACT fixed-point trainer — the oracle-anchored twin of
     * [[trainTextLogReg]] (whose float Adagrad sums are partition-order
     * dependent and therefore rows-only at the gate). Full-batch gradient
@@ -220,29 +252,12 @@ object ModelTraining {
     require(nPos > 0 && nPos < nDocs,
       s"trainTextLogRegExact: single-class frame (nPos = $nPos of $nDocs) " +
         "— the class-balanced error divides by both class counts")
-    val w = new Array[Long](dim + 1)
+    val (w, passes) = exactTrainLoop(feats, dim, iters, lrNum, nDocs, nPos)
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
-    var it = 0
-    var lastPass: IGradBuf = null
-    while (it <= iters) {
-      val agg = feats.select(
-        udaf(new IntGradAggregator(w.clone(), dim, nDocs, nPos),
-          Encoders.product[LtmFeatures])
-          .apply(col("buckets"), col("n"), col("y"))).head().getStruct(0)
-      val g = agg.getSeq[Long](0)
-      out += (("loss", it.toLong, agg.getLong(1)))
-      lastPass = IGradBuf(g.toArray, agg.getLong(1), agg.getLong(2),
-        agg.getLong(3))
-      if (it < iters) {
-        var j = 0
-        while (j <= dim) {
-          w(j) -= lrNum * g(j) / (nDocs * 1000L)
-          j += 1
-        }
-      }
-      it += 1
+    passes.zipWithIndex.foreach { case (p, it) =>
+      out += (("loss", it.toLong, p.loss))
     }
-    out += (("acc", 0L, lastPass.nCorrect))
+    out += (("acc", 0L, passes.last.nCorrect))
     out += (("acc", 1L, nDocs))
     out += (("acc", 2L, nPos))
     var j = 0
@@ -251,6 +266,71 @@ object ModelTraining {
       j += 1
     }
     out.toSeq.toDF("kind", "k", "v")
+  }
+
+  /** K-FOLD CROSS-VALIDATION over the exact fixed-point trainer — the
+    * model-selection half of a corpus-filter pipeline (does the quality
+    * classifier generalize, or did it memorize its markers?), with every
+    * number an integer function of the corpus: fold membership is the
+    * portable md5-60-bit hash of the id mod `folds` (the
+    * [[graft.ops.CorpusOps.hashSplit]] convention — stable under corpus
+    * growth, reproducible in any engine), each fold trains on the other
+    * folds through the SAME [[exactTrainLoop]] as the single-frame
+    * trainer, and held-out accuracy is evaluated at the trained weights.
+    * Wall cost: folds * (iters + 2) scans of the bounded feature frame.
+    *
+    * Returns one row per fold: (fold, n_train, n_train_pos, n_test,
+    * n_test_correct, train_loss_final) — all longs, partition-order
+    * independent, replayable fold-by-fold in SQL. */
+  def crossValidateExact(
+      df: DataFrame,
+      textCol: Column,
+      labelCol: Column,
+      idCol: Column,
+      folds: Int = 3,
+      dim: Int = 1024,
+      iters: Int = 3,
+      lrNum: Long = 50L
+  ): DataFrame = {
+    require(folds >= 2 && folds <= 10, s"folds must be in [2, 10], got $folds")
+    require(dim >= 2 && dim <= 65536, s"dim must be in [2, 65536], got $dim")
+    require(iters >= 1 && iters <= 50, s"iters must be in [1, 50], got $iters")
+    require(lrNum > 0, s"lrNum must be positive, got $lrNum")
+    val spark0 = df.sparkSession
+    import spark0.implicits._
+    val feats = df.select(
+        featurize(textCol, labelCol.cast("boolean"), dim).as("f"),
+        pmod(conv(substring(md5(idCol.cast("string")), 1, 15), 16, 10)
+          .cast("long"), lit(folds.toLong)).as("__fold"))
+      .select(col("f.buckets").as("buckets"), col("f.n").as("n"),
+        col("f.y").as("y"), col("__fold"))
+      .localCheckpoint(false)
+    val rows = (0 until folds).map { fold =>
+      val train = feats.filter(col("__fold") =!= fold.toLong)
+        .drop("__fold").as[LtmFeatures]
+      val test = feats.filter(col("__fold") === fold.toLong)
+        .drop("__fold").as[LtmFeatures]
+      val c = train.select(count(lit(1)), sum(col("y"))).head()
+      val nTrain = c.getLong(0)
+      val nPos = if (c.isNullAt(1)) 0L else math.rint(c.getDouble(1)).toLong
+      require(nTrain > 0, s"crossValidateExact: fold $fold has an empty " +
+        "training side — fewer rows than folds?")
+      require(nPos > 0 && nPos < nTrain,
+        s"crossValidateExact: fold $fold trains single-class " +
+          s"(nPos = $nPos of $nTrain) — the class-balanced error divides " +
+          "by both class counts; use fewer folds or more data")
+      val (w, passes) = exactTrainLoop(train, dim, iters, lrNum, nTrain, nPos)
+      // held-out pass: gradient/werr are computed but unused — only the
+      // (n, nCorrect) counters at the trained weights matter here
+      val ev = test.select(
+        udaf(new IntGradAggregator(w, dim, nTrain, nPos),
+          Encoders.product[LtmFeatures])
+          .apply(col("buckets"), col("n"), col("y"))).head().getStruct(0)
+      (fold.toLong, nTrain, nPos, ev.getLong(2), ev.getLong(3),
+        passes.last.loss)
+    }
+    rows.toDF("fold", "n_train", "n_train_pos", "n_test",
+      "n_test_correct", "train_loss_final")
   }
 
   /** Train and release diagnostics: one row per iteration

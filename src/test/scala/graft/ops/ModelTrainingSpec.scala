@@ -74,4 +74,39 @@ class ModelTrainingSpec extends AnyFunSuite {
       blank, col("text"), col("label"), iters = 1).collect())
     assert(graft.spark.SparkTestSession.chainMsg(e2).contains("zero features"))
   }
+
+  test("exact k-fold CV: held-out accuracy on the separable signal, deterministic, fail-loud") {
+    val mk = (parts: Int) => (1 to 300).map { i =>
+      val pos = i % 2 == 0
+      val filler = s"alpha beta gamma delta epsilon t$i"
+      (i.toLong, if (pos) s"$filler goodword" else s"$filler badword", pos)
+    }.toDF("id", "text", "label").repartition(parts)
+    def run(parts: Int) = ModelTraining.crossValidateExact(mk(parts),
+        col("text"), col("label"), col("id"), folds = 3, iters = 3,
+        lrNum = 50L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).sortBy(_._1).toSeq
+    val cv = run(4)
+    assert(cv.map(_._1) == Seq(0L, 1L, 2L))
+    // folds partition the corpus: per-fold train+test = 300, tests disjoint
+    assert(cv.map(_._4).sum == 300L, s"test sides must cover the corpus: $cv")
+    cv.foreach { case (f, nTrain, _, nTest, _, _) =>
+      assert(nTrain + nTest == 300L, s"fold $f: $nTrain + $nTest != 300") }
+    // the separable signal GENERALIZES: every fold's held-out accuracy
+    // is near-perfect (goodword/badword appear in train and test alike)
+    cv.foreach { case (f, _, _, nTest, nCorrect, _) =>
+      assert(nCorrect.toDouble / nTest > 0.9,
+        s"fold $f held-out accuracy ${nCorrect.toDouble / nTest}") }
+    // integer release: exact across partitionings
+    assert(cv == run(13), "CV diverged across partitionings")
+    // a fold with a single-class train side fails loud
+    val oneClass = (1 to 30).map(i => (i.toLong, s"w$i common", true))
+      .toDF("id", "text", "label")
+    val e = intercept[Exception](ModelTraining.crossValidateExact(
+      oneClass, col("text"), col("label"), col("id")))
+    assert(graft.spark.SparkTestSession.chainMsg(e).contains("single-class"))
+    intercept[IllegalArgumentException](ModelTraining.crossValidateExact(
+      mk(2), col("text"), col("label"), col("id"), folds = 1))
+  }
 }
