@@ -163,6 +163,9 @@ object Bench {
         f"$rm%.2fs (prior ${priors(name)}%.2fs)")
       (name, m, rm)
     }
+    // isolated rerun medians by name — the correction source for both the
+    // artifact's primary numbers and the regenerated priors
+    val isolatedOf = reruns.filter(_._3 >= 0).map(r => r._1 -> r._3).toMap
     // ---- whole-run contamination guard (r16) ---------------------------
     // Per-query reruns only catch >3x outliers; a loaded machine can also
     // inflate EVERY query ~1.2-1.4x (r15's official run: 246s where three
@@ -182,17 +185,29 @@ object Bench {
         "1.2x) — the environment is loaded; read mins + reruns, not the " +
         "headline")
 
-    // optional priors regeneration for the next round's resource
+    // optional priors regeneration for the next round's resource. A
+    // CONTAMINATED run refuses to write (r19 review finding): inflated
+    // priors would raise every next-round trigger threshold ~in lockstep
+    // with the load, silently defeating both the 2x rerun trigger and the
+    // inflation guard — keeping the old priors is strictly better. The
+    // written medians are the CORRECTED ones (isolated rerun where one
+    // succeeded), same as the artifact's primary numbers.
     sys.env.get("SPARK_GRAFT_BENCH_PRIORS_OUT").foreach { path =>
-      val pw = new java.io.PrintWriter(path, "UTF-8")
-      try {
-        // ASCII ONLY in this header: the r17 bench crash was THIS line's
-        // em-dash read back under the driver's ASCII default charset
-        pw.println("# per-query full-run 3-rep medians (sf0.1, local[32]) -- " +
-          "the rerun-trigger priors; regenerate per round")
-        results.filter(_._2 >= 0).foreach { case (n, m, _) =>
-          pw.println(f"$n $m%.3f") }
-      } finally pw.close()
+      if (contaminated)
+        System.err.println("[bench] REFUSING to write priors: this run is " +
+          f"contamination-flagged (inflation ${inflation}%.2fx > 1.2x); " +
+          "rerun on a quiet machine")
+      else {
+        val pw = new java.io.PrintWriter(path, "UTF-8")
+        try {
+          // ASCII ONLY in this header: the r17 bench crash was THIS line's
+          // em-dash read back under the driver's ASCII default charset
+          pw.println("# per-query full-run 3-rep medians (sf0.1, local[32]) -- " +
+            "the rerun-trigger priors; regenerate per round")
+          results.filter(_._2 >= 0).foreach { case (n, m, _) =>
+            pw.println(f"$n ${corrected(m, isolatedOf.get(n))}%.3f") }
+        } finally pw.close()
+      }
     }
 
     // The harness captures only the LAST ~2000 bytes of output, and sbt's
@@ -214,7 +229,6 @@ object Bench {
     // "value" is the corrected total; "raw_total" keeps the uncorrected
     // sum and the "reruns" map keeps full-run -> isolated attribution, so
     // both stories stay readable from the JSON alone.
-    val isolatedOf = reruns.filter(_._3 >= 0).map(r => r._1 -> r._3).toMap
     val ok = results.filter(_._2 >= 0).map { case (n, m, mn) =>
       (n, corrected(m, isolatedOf.get(n)),
         math.min(mn, isolatedOf.getOrElse(n, mn)))

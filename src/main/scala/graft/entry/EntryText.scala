@@ -508,9 +508,16 @@ private[graft] object EntryText {
     * count or constants. All arithmetic is BIGINT with `//` (truncates
     * toward zero, same as Scala Long division — verified) and the md5
     * 60-bit bucket convention shared with ltmScoreSql. */
-  private def logregExactSql(iters: Int, lrNum: Long): String = {
-    val fixture =
-      """t AS (
+  /** The shared tokenize/bigram/hash/label fixture CTEs of BOTH exact-
+    * trainer oracles (`t`/`f`/`docs`/`o`/`fm`) — ONE definition so the
+    * single-frame and CV replays cannot drift on the tokenization or
+    * the md5-60-bit bucket convention (the ltmScoreSql rationale). The
+    * CV variant adds the portable fold column to `docs`. */
+  private def logregFixtureSql(foldsOpt: Option[Int]): String = {
+    val foldCol = foldsOpt.map(fo =>
+      ",\n                  CAST(CONCAT('0x', substr(md5(CAST(doc_id AS " +
+        s"VARCHAR)), 1, 15)) AS BIGINT) % $fo AS fold").getOrElse("")
+    s"""t AS (
            SELECT doc_id,
                   coalesce(regexp_extract_all(lower(coalesce(text, '') ||
                     CASE WHEN doc_id % 3 = 0
@@ -528,14 +535,19 @@ private[graft] object EntryText {
            FROM t),
          docs AS (
            SELECT doc_id,
-                  CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS y
+                  CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS y$foldCol
            FROM f),
          o AS (
            SELECT doc_id,
                   CAST(CONCAT('0x', substr(md5(g), 1, 15)) AS BIGINT) % 1024 AS b
            FROM (SELECT doc_id, unnest(feats) AS g FROM f)),
          fm AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS c
-                FROM o GROUP BY 1, 2),
+                FROM o GROUP BY 1, 2)"""
+  }
+
+  private def logregExactSql(iters: Int, lrNum: Long): String = {
+    val fixture =
+      s"""${logregFixtureSql(None)},
          nd AS (SELECT CAST(count(*) AS BIGINT) AS n,
                        CAST(sum(y) AS BIGINT) AS npos FROM docs),
          w0 AS (SELECT CAST(j AS BIGINT) AS j, CAST(0 AS BIGINT) AS w
@@ -593,34 +605,7 @@ private[graft] object EntryText {
     * hashSplit convention) with a held-out evaluation CTE per fold. */
   private def logregCvSql(folds: Int, iters: Int, lrNum: Long): String = {
     val fixture =
-      s"""t AS (
-           SELECT doc_id,
-                  coalesce(regexp_extract_all(lower(coalesce(text, '') ||
-                    CASE WHEN doc_id % 3 = 0
-                         THEN ' careful review polished thorough'
-                         ELSE ' clickbait spammy freebie winner' END),
-                    '[a-z0-9]+'), CAST([] AS VARCHAR[])) AS toks
-           FROM documents),
-         f AS (
-           SELECT doc_id,
-                  list_concat(toks,
-                    CASE WHEN len(toks) >= 2
-                         THEN list_transform(range(1, len(toks)),
-                                i -> toks[i] || ' ' || toks[i + 1])
-                         ELSE CAST([] AS VARCHAR[]) END) AS feats
-           FROM t),
-         docs AS (
-           SELECT doc_id,
-                  CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS y,
-                  CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)),
-                    1, 15)) AS BIGINT) % $folds AS fold
-           FROM f),
-         o AS (
-           SELECT doc_id,
-                  CAST(CONCAT('0x', substr(md5(g), 1, 15)) AS BIGINT) % 1024 AS b
-           FROM (SELECT doc_id, unnest(feats) AS g FROM f)),
-         fm AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS c
-                FROM o GROUP BY 1, 2),
+      s"""${logregFixtureSql(Some(folds))},
          wz AS (SELECT CAST(j AS BIGINT) AS j, CAST(0 AS BIGINT) AS w
                 FROM range(0, 1025) r(j))"""
     val perFold = (0 until folds).map { fd =>

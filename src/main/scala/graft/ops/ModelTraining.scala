@@ -139,10 +139,11 @@ object ModelTraining {
 
     def reduce(b: IGradBuf, r: LtmFeatures): IGradBuf = {
       if (r.n <= 0) throw new IllegalArgumentException(
-        "trainTextLogRegExact: a row with zero features reached the " +
-          "trainer — its error has no feature to flow into and the " +
-          "class-balance denominators assume labeled rows carry signal; " +
-          "filter n == 0 rows upstream")
+        "exact trainer (trainTextLogRegExact/crossValidateExact): a row " +
+          "with zero features reached a gradient/eval pass — its error " +
+          "has no feature to flow into and the class-balance " +
+          "denominators assume labeled rows carry signal; filter n == 0 " +
+          "rows upstream")
       var z = w(dim)
       val it = r.buckets.iterator
       while (it.hasNext) z += w(it.next())
@@ -247,7 +248,10 @@ object ModelTraining {
       .localCheckpoint(false)
     val counts = feats.select(count(lit(1)), sum(col("y"))).head()
     val nDocs = counts.getLong(0)
-    val nPos = math.rint(counts.getDouble(1)).toLong
+    // sum(y) is NULL on an empty frame — read it null-safely so the
+    // designed empty-frame message fires instead of an NPE
+    val nPos = if (counts.isNullAt(1)) 0L
+      else math.rint(counts.getDouble(1)).toLong
     require(nDocs > 0, "trainTextLogRegExact: empty training frame")
     require(nPos > 0 && nPos < nDocs,
       s"trainTextLogRegExact: single-class frame (nPos = $nPos of $nDocs) " +

@@ -801,29 +801,53 @@ object LocalDP {
     * store: folding or estimating at a silently different calibration
     * yields meaningless numbers, which is strictly worse than asking the
     * operator to restart the stream. */
-  private def requireTreeCalibration(cells: DataFrame, opName: String,
-      epsilon: Double, bins: Int, seedSpace: Int): Unit = {
+  /** Schema half of the calibration check — free, no Spark job. */
+  private def requireTreeTagColumns(cells: DataFrame, opName: String): Unit = {
     val cols = cells.columns.toSet
     require(Seq("__eps", "__bins", "__sspace").forall(cols.contains),
       s"$opName: the cells store carries no calibration tags — it was " +
         "built by a pre-tagging version; rebuild the store (the tags are " +
         "what prevent folding across incompatible calibrations)")
-    val r = cells.agg(
-      min(col("__eps")), max(col("__eps")),
-      min(col("__bins")), max(col("__bins")),
-      min(col("__sspace")), max(col("__sspace"))).head()
-    if (!r.isNullAt(0)) { // empty store: nothing to contradict
-      require(r.getDouble(0) == epsilon && r.getDouble(1) == epsilon &&
-        r.getLong(2) == bins.toLong && r.getLong(3) == bins.toLong &&
-        r.getLong(4) == seedSpace.toLong && r.getLong(5) == seedSpace.toLong,
+  }
+
+  /** Value half against the 6-slot min/max row produced by
+    * [[calibrationAggs]] at `offset` — shared by the fold's eager check
+    * and the readout's piggybacked check so the message cannot drift. */
+  private def requireTagRow(r: org.apache.spark.sql.Row, offset: Int,
+      opName: String, epsilon: Double, bins: Int, seedSpace: Int): Unit =
+    if (!r.isNullAt(offset)) { // empty store: nothing to contradict
+      require(
+        r.getDouble(offset) == epsilon && r.getDouble(offset + 1) == epsilon &&
+        r.getLong(offset + 2) == bins.toLong &&
+        r.getLong(offset + 3) == bins.toLong &&
+        r.getLong(offset + 4) == seedSpace.toLong &&
+        r.getLong(offset + 5) == seedSpace.toLong,
         s"$opName: the cells store was drawn at eps in " +
-          s"[${r.getDouble(0)}, ${r.getDouble(1)}], bins in " +
-          s"[${r.getLong(2)}, ${r.getLong(3)}], seedSpace in " +
-          s"[${r.getLong(4)}, ${r.getLong(5)}] but this call passes " +
-          s"(eps = $epsilon, bins = $bins, seedSpace = $seedSpace) — " +
-          "calibration must stay fixed across a stream; start a new " +
-          "store to recalibrate")
+          s"[${r.getDouble(offset)}, ${r.getDouble(offset + 1)}], bins in " +
+          s"[${r.getLong(offset + 2)}, ${r.getLong(offset + 3)}], " +
+          s"seedSpace in [${r.getLong(offset + 4)}, ${r.getLong(offset + 5)}] " +
+          s"but this call passes (eps = $epsilon, bins = $bins, " +
+          s"seedSpace = $seedSpace) — calibration must stay fixed across " +
+          "a stream; start a new store to recalibrate")
     }
+
+  private def calibrationAggs: Seq[Column] = Seq(
+    min(col("__eps")), max(col("__eps")),
+    min(col("__bins")), max(col("__bins")),
+    min(col("__sspace")), max(col("__sspace")))
+
+  /** Eager full calibration check, used by the FOLD (fail-fast at fold
+    * time, before incompatible counts could union; the store is
+    * calibration-bounded — <= nLevels * seedSpace * g rows, checkpointed
+    * per the step contract — so this one small aggregation per
+    * micro-batch is the cost of failing loud BEFORE state is written).
+    * The readout piggybacks the same check on its existing nTotal
+    * aggregation instead — zero extra scans there. */
+  private def requireTreeCalibration(cells: DataFrame, opName: String,
+      epsilon: Double, bins: Int, seedSpace: Int): Unit = {
+    requireTreeTagColumns(cells, opName)
+    val r = cells.agg(calibrationAggs.head, calibrationAggs.tail: _*).head()
+    requireTagRow(r, 0, opName, epsilon, bins, seedSpace)
   }
 
   /** One micro-batch step of the STREAMING LDP range tree (r18 — the
@@ -887,8 +911,9 @@ object LocalDP {
     require(seedSpace >= 2 && seedSpace <= 65536,
       s"seedSpace must be in [2, 65536], got $seedSpace")
     // the debias constants below (g, p) must be the constants the reports
-    // were DRAWN with — the tags make a mismatch fail loud (r19)
-    requireTreeCalibration(cells, "ldpTreeEstimate", epsilon, bins, seedSpace)
+    // were DRAWN with — the tags make a mismatch fail loud (r19). The
+    // value check rides the existing nTotal aggregation: zero extra scans
+    requireTreeTagColumns(cells, "ldpTreeEstimate")
     val levels = 31 - Integer.numberOfLeadingZeros(bins)
     val nLevels = levels + 1
     val expEps = math.exp(epsilon)
@@ -897,7 +922,9 @@ object LocalDP {
     val invG = 1.0 / g
     val params = olhParams(seedSpace)
     val spark0 = cells.sparkSession
-    val nTotalRow = cells.agg(coalesce(sum(col("__c")), lit(0L))).head()
+    val nTotalRow = cells.agg(coalesce(sum(col("__c")), lit(0L)),
+      calibrationAggs: _*).head()
+    requireTagRow(nTotalRow, 1, "ldpTreeEstimate", epsilon, bins, seedSpace)
     val nTotal = nTotalRow.getLong(0)
     require(nTotal > 0, "ldpRangeTree: no reporting units")
     val nPerLvl = cells.groupBy(col("__lvl"))

@@ -1462,13 +1462,24 @@ object StreamOps {
       }
     val versioned = all.filter(_._3)
     val legacyExists = fs.exists(new org.apache.hadoop.fs.Path(base, "stream_meta"))
-    if (versioned.isEmpty && !legacyExists && all.length > 1)
+    // r19 review fix: the guard must fire even when a stale LEGACY
+    // pointer survives (janitor deletions are best-effort) — versioned
+    // dirs supersede it, so resolving the legacy pointer under 2+
+    // unmarked versions would silently resume from stale state, a budget
+    // double-spend in a worse form than the fresh-restart this guard
+    // already prevents
+    if (versioned.isEmpty && all.length > 1)
       throw new IllegalStateException(
         s"$opName: $stateDir holds ${all.length} stream_meta_b versions " +
           "but NONE carries a commit marker — that is a commit history " +
           "this reader cannot see (markers stripped in transit?), not a " +
-          "fresh stream; restore the markers or start a genuinely fresh " +
-          "stateDir")
+          (if (legacyExists)
+            "fresh stream, and the surviving legacy stream_meta pointer " +
+              "is STALE relative to them; restore the markers or start a " +
+              "genuinely fresh stateDir"
+          else
+            "fresh stream; restore the markers or start a genuinely " +
+              "fresh stateDir"))
     val metaPath: Option[String] =
       if (versioned.nonEmpty) Some(versioned.maxBy(_._1)._2.toString)
       else if (legacyExists) Some(s"$stateDir/stream_meta")

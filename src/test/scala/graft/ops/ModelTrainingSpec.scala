@@ -67,6 +67,12 @@ class ModelTrainingSpec extends AnyFunSuite {
     val e1 = intercept[Exception](ModelTraining.trainTextLogRegExact(
       mk(2).filter(col("label")), col("text"), col("label")))
     assert(graft.spark.SparkTestSession.chainMsg(e1).contains("single-class"))
+    // an EMPTY frame reaches the designed message, not an NPE on the
+    // NULL sum(y) (r19 review fix)
+    val e0 = intercept[Exception](ModelTraining.trainTextLogRegExact(
+      mk(2).filter(lit(false)), col("text"), col("label")))
+    assert(graft.spark.SparkTestSession.chainMsg(e0)
+      .contains("empty training frame"))
     // a zero-feature row fails loud rather than silently carrying no signal
     val blank = Seq((1L, "...", true), (2L, "a b c", false),
       (3L, "d e f", true)).toDF("id", "text", "label")
