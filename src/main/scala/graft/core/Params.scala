@@ -200,6 +200,37 @@ final case class SelectPartitionsParams(
   require(maxPartitionsContributed >= 1, "maxPartitionsContributed must be >= 1")
 }
 
+/** Per-item weight policy of DP set union ([[SetUnionParams]]). */
+sealed trait SetUnionWeighting
+object SetUnionWeighting {
+  /** weight = 1/maxItemsPerUnit for every kept item: slightly wasteful
+    * when a unit carries fewer items, but the per-item weight sum is
+    * count/maxItemsPerUnit — an integer-valued grid, so the zero-noise
+    * release replays exactly in any engine (the oracle convention). */
+  case object Constant extends SetUnionWeighting
+  /** weight = 1/k over the unit's k kept items (the paper's uniform
+    * policy): tighter — a unit with few items pushes them harder. */
+  case object Uniform extends SetUnionWeighting
+}
+
+/** Parameters of `DPEngine.setUnion` — DP SET UNION (Gopi et al. ICML
+  * 2020): release the union of items (vocabulary words, n-grams, URLs)
+  * contributed by privacy units. Each unit is bounded to
+  * `maxItemsPerUnit` items (deterministically: the first by item sort
+  * order — a valid item-selection policy per the paper, and the choice
+  * that makes releases stable under retries), weights are spread per
+  * `weighting`, and per-item weight sums are noise-thresholded
+  * (Laplace L1 or Gaussian L2 policy). */
+final case class SetUnionParams(
+    maxItemsPerUnit: Int,
+    noiseKind: NoiseKind = NoiseKind.Laplace,
+    weighting: SetUnionWeighting = SetUnionWeighting.Constant,
+    budgetWeight: Double = 1.0
+) {
+  require(maxItemsPerUnit >= 1, "maxItemsPerUnit must be >= 1")
+  require(budgetWeight > 0, "budgetWeight must be > 0")
+}
+
 /** Parameters of `noisyTopK` — release the k partition keys with the
   * largest noisy privacy-unit counts (the report-noisy-max family).
   * With a public candidate domain this is pure-eps peeling

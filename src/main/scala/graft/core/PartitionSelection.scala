@@ -134,6 +134,30 @@ final case class WeightedGaussianSelection(
     f"Weighted Gaussian partition selection (eps=$epsilon%.4g delta=$delta%.4g sigma=$sigma%.3f threshold=$threshold%.2f)"
 }
 
+/** Weighted Laplace selection — the Laplace-policy half of DP SET UNION
+  * (Gopi, Gulhane, Kulkarni, Shen, Shokouhi, Yekhanin, ICML 2020,
+  * "Differentially Private Set Union"; re-implemented from the published
+  * algorithm, not translated). Each privacy unit spreads total weight at
+  * most 1 over its (bounded) items, so its weight vector has L1 norm
+  * <= 1; Laplace(1/eps) noise thresholds the per-item weight sums at
+  * rho = 1 + (1/eps) * LapQuantile(1 - delta): a unit introducing a
+  * fresh item pushes that item's sum by at most 1, which crosses the
+  * threshold with probability at most delta. The Gaussian policy is
+  * [[WeightedGaussianSelection]] (L2-normalized weights). */
+final case class WeightedLaplaceSelection(
+    epsilon: Double,
+    delta: Double
+) extends Serializable {
+  require(epsilon > 0 && delta > 0,
+    s"epsilon and delta must be positive, got ($epsilon, $delta)")
+  val b: Double = 1.0 / epsilon
+  val threshold: Double = PartitionSelection.laplaceThreshold(b, delta, 1)
+  def shouldKeep(weightSum: Double, noise: NoiseSource): Boolean =
+    weightSum + noise.laplace(b) >= threshold
+  def describe: String =
+    f"Weighted Laplace set-union selection (eps=$epsilon%.4g delta=$delta%.4g b=$b%.3f threshold=$threshold%.2f)"
+}
+
 final case class TruncatedGeometricSelection(
     epsilon: Double,
     delta: Double,

@@ -243,6 +243,27 @@ private[graft] object EntryDP {
       engine.accountant.computeBudgets()
       res.dataframe
     }),
+    "dp_set_union" -> ((s, dir) => {
+      // DP SET UNION (r19, beyond-reference; Gopi et al. ICML 2020): the
+      // DP VOCABULARY release — tokens of user documents published only
+      // when enough units back them. eps = 2, delta = 1e-6, Laplace +
+      // constant 1/32 weighting: threshold = 1 + (1/2)ln(1/(2e-6)) =
+      // 7.5612, so with zero noise a token releases iff its retaining-doc
+      // count/32 >= 7.5612 <=> count >= 242 (the count grid is exact in
+      // any engine; 241/32 = 7.531 sits 0.030 below, 242/32 = 7.5625
+      // sits 0.0013 above — no float-boundary row can exist). Bounding
+      // (first 32 items per unit by sort order) is deterministic by
+      // policy, so the whole release replays.
+      val engine = new DPEngine(
+        new graft.core.NaiveBudgetAccountant(2.0, 1e-6), NoiseSource.Zero)
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          explode(graft.ops.TextAnalysis.tokens(col("text"))).as("tok"))
+      val res = engine.setUnion(docs,
+        SetUnionParams(maxItemsPerUnit = 32), col("doc_id"), col("tok"))
+      engine.accountant.computeBudgets()
+      res.dataframe
+    }),
     "dp_noisy_topk" -> ((s, dir) => {
       // report-noisy-max top-k (one-shot Laplace top-k): the 7 largest
       // of up to 100 (event_type, user-bucket) partitions by distinct-
@@ -2993,6 +3014,20 @@ private[graft] object EntryDP {
         "SELECT DISTINCT event_type FROM events",
       "dp_select_weighted_gaussian" ->
         "SELECT DISTINCT event_type FROM events",
+      // threshold derivation in the query comment: count >= 242 is the
+      // integer-exact decision at (eps = 2, delta = 1e-6, 1/32 weights)
+      "dp_set_union" ->
+        """WITH t AS (
+             SELECT doc_id,
+                    unnest(list_distinct(regexp_extract_all(lower(text),
+                      '[a-z0-9]+'))) AS item
+             FROM documents),
+           r AS (
+             SELECT doc_id, item,
+                    row_number() OVER (PARTITION BY doc_id ORDER BY item) AS rn
+             FROM t),
+           c AS (SELECT item, count(*) AS n FROM r WHERE rn <= 32 GROUP BY 1)
+           SELECT item FROM c WHERE n >= 242""",
       "dp_noisy_topk" ->
         """WITH c AS (
              SELECT event_type, user_id % 20 AS ubucket,

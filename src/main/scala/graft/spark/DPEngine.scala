@@ -368,6 +368,90 @@ final class DPEngine(
     })
   }
 
+  /** DP SET UNION (beyond-reference; Gopi et al. ICML 2020,
+    * "Differentially Private Set Union") — release the union of ITEMS
+    * contributed by privacy units: the vocabulary/n-gram/URL release a
+    * training-corpus pipeline needs before it may publish token
+    * statistics derived from user data. Differs from
+    * [[selectPartitions]] in what is protected: there a unit's presence
+    * in a partition is the signal; here a unit carries a SET of items
+    * and the release must bound its total influence across all of them.
+    *
+    * Policy (the paper's weighted-histogram family): bound each unit to
+    * `maxItemsPerUnit` items — deterministically, the first by item sort
+    * order (a valid item-selection policy per the paper, and stable
+    * under retries); spread the unit's weight per
+    * [[graft.core.SetUnionWeighting]] (L1-normalized for Laplace,
+    * L2-normalized for Gaussian); threshold the per-item noisy weight
+    * sums ([[WeightedLaplaceSelection]] / [[WeightedGaussianSelection]]).
+    *
+    * Plan shape: distinct -> one bounding window on the unit -> one
+    * map-side-combined sum per item -> per-item threshold UDF. Two
+    * shuffles, both on low-skew keys; no driver state. NULL items fail
+    * loud (they would silently vanish from the union). */
+  def setUnion(
+      df: DataFrame,
+      params: SetUnionParams,
+      pid: Column,
+      item: Column
+  ): DPResult = {
+    accountant.registerAggregation()
+    val handle = accountant.requestBudget(MechanismType.PartitionSelection,
+      weight = params.budgetWeight, name = "SetUnion")
+    lazy val described: String = {
+      val spec = handle.spec
+      params.noiseKind match {
+        case NoiseKind.Laplace =>
+          WeightedLaplaceSelection(spec.epsilon, spec.delta).describe
+        case NoiseKind.Gaussian =>
+          WeightedGaussianSelection(spec.epsilon, spec.delta,
+            params.maxItemsPerUnit).describe
+      }
+    }
+    new DPResult(() => {
+      val spec = handle.spec
+      val checkedItem = when(item.isNull, raise_error(lit(
+          "setUnion: NULL item — a null cannot join the released union; " +
+            "filter or impute upstream")).cast("string"))
+        .otherwise(item.cast("string"))
+      val projected = df.select(pid.as(PidCol), checkedItem.as("item"))
+      val distinctPairs = projected.distinct()
+      // deterministic per-unit bounding: the first maxItemsPerUnit items
+      // by sort order (the SetUnionParams policy note)
+      val w = Window.partitionBy(col(PidCol)).orderBy(col("item"))
+      val bounded = distinctPairs
+        .withColumn("__graft_rn", row_number().over(w))
+        .filter(col("__graft_rn") <= params.maxItemsPerUnit)
+      val kw = Window.partitionBy(col(PidCol))
+      val noiseSrc = noise
+      val weight = (params.noiseKind, params.weighting) match {
+        case (NoiseKind.Laplace, SetUnionWeighting.Uniform) =>
+          lit(1.0) / count(lit(1)).over(kw)
+        case (NoiseKind.Laplace, SetUnionWeighting.Constant) =>
+          lit(1.0 / params.maxItemsPerUnit)
+        case (NoiseKind.Gaussian, SetUnionWeighting.Uniform) =>
+          lit(1.0) / sqrt(count(lit(1)).over(kw))
+        case (NoiseKind.Gaussian, SetUnionWeighting.Constant) =>
+          lit(1.0 / math.sqrt(params.maxItemsPerUnit.toDouble))
+      }
+      val weighted = bounded
+        .withColumn("__graft_w", weight)
+        .groupBy(col("item"))
+        .agg(sum(col("__graft_w")).as("__graft_wsum"))
+      val keepUdf = params.noiseKind match {
+        case NoiseKind.Laplace =>
+          val sel = WeightedLaplaceSelection(spec.epsilon, spec.delta)
+          udf((ws: Double) => sel.shouldKeep(ws, noiseSrc)).asNondeterministic()
+        case NoiseKind.Gaussian =>
+          val sel = WeightedGaussianSelection(spec.epsilon, spec.delta,
+            params.maxItemsPerUnit)
+          udf((ws: Double) => sel.shouldKeep(ws, noiseSrc)).asNondeterministic()
+      }
+      weighted.filter(keepUdf(col("__graft_wsum"))).select(col("item"))
+    }, () => s"DPEngine.setUnion: maxItemsPerUnit=${params.maxItemsPerUnit} " +
+      s"weighting=${params.weighting} — $described")
+  }
+
   /** Top-k partition release by noisy privacy-unit count — the
     * report-noisy-max family (Dwork & Roth §3.3; one-shot Laplace top-k,
     * Durfee & Rogers NeurIPS'19). Beyond-reference DP extension: the
