@@ -75,6 +75,16 @@ final case class PrivateDataFrame(
       SelectPartitionsParams(maxPartitionsContributed),
       DPColumns(privacyUnit, partitionKeys, None))
 
+  /** DP SET UNION over an item column (r19; Gopi et al. ICML 2020) —
+    * release the union of items this frame's privacy units contribute
+    * (vocabulary words, n-grams, URLs). See [[DPEngine.setUnion]]. */
+  def setUnion(item: Column, maxItemsPerUnit: Int,
+      noiseKind: NoiseKind = NoiseKind.Laplace,
+      weighting: SetUnionWeighting = SetUnionWeighting.Constant): DPResult =
+    engine.setUnion(df,
+      SetUnionParams(maxItemsPerUnit, noiseKind, weighting),
+      privacyUnit, item)
+
   private def run(params: PrivateAggParams, metric: Metric, value: Option[Column]): DPResult =
     engine.aggregate(df, toAggregateParams(params, Seq(metric)),
       DPColumns(privacyUnit, params.partitionKeys, value), params.publicPartitions)

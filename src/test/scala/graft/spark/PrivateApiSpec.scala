@@ -99,4 +99,17 @@ class PrivateApiSpec extends AnyFunSuite {
     assert(kept.contains("dense"))
     assert(!kept.contains("sparse"))
   }
+
+  test("setUnion on the public API releases the common vocabulary (r19)") {
+    val rows = (1 to 400).map(i => (s"u$i", "common")) ++
+      Seq(("u1", "secret"))
+    val acc = new NaiveBudgetAccountant(2.0, 1e-6)
+    val pdf = PrivateDataFrame(rows.toDF("pid", "item"), col("pid"), acc,
+      NoiseSource.Zero)
+    val res = pdf.setUnion(col("item"), maxItemsPerUnit = 4)
+    acc.computeBudgets()
+    val out = res.dataframe.collect().map(_.getString(0)).toSet
+    assert(out == Set("common"), s"got $out")
+    assert(res.explainReport.contains("setUnion"))
+  }
 }
