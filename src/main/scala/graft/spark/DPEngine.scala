@@ -385,9 +385,13 @@ final class DPEngine(
     * L2-normalized for Gaussian); threshold the per-item noisy weight
     * sums ([[WeightedLaplaceSelection]] / [[WeightedGaussianSelection]]).
     *
-    * Plan shape: distinct -> one bounding window on the unit -> one
-    * map-side-combined sum per item -> per-item threshold UDF. Two
-    * shuffles, both on low-skew keys; no driver state. NULL items fail
+    * Plan shape (audited): distinct -> bounding window on the unit ->
+    * map-side-combined sum per item -> per-item threshold UDF. Three
+    * exchanges, EACH pre-pruned map-side before it ships (partial
+    * hash-agg dedupe before the (pid, item) exchange; Spark's partial
+    * WindowGroupLimit caps every map task at maxItemsPerUnit rows per
+    * unit before the pid exchange; partial sums before the item
+    * exchange), all on low-skew keys; no driver state. NULL items fail
     * loud (they would silently vanish from the union). */
   def setUnion(
       df: DataFrame,
