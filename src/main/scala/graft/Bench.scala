@@ -123,8 +123,16 @@ object Bench {
     // in this file's header under an ASCII-locale JVM (file.encoding =
     // ANSI_X3.4-1968), losing the whole run's numbers AFTER measurement. A
     // broken priors file must degrade to "no rerun pass", never "no bench".
+    // SPARK_GRAFT_BENCH_PRIORS_IN overrides the classpath resource with a
+    // file path — the hook that lets the rerun/correction machinery be
+    // driven end-to-end against synthetic priors (and lets a driver pin
+    // priors without a rebuild)
     val priors: Map[String, Double] = scala.util.Try {
-      val in = getClass.getResourceAsStream("/bench_priors.txt")
+      val in: java.io.InputStream =
+        sys.env.get("SPARK_GRAFT_BENCH_PRIORS_IN") match {
+          case Some(p) => new java.io.FileInputStream(p)
+          case None => getClass.getResourceAsStream("/bench_priors.txt")
+        }
       if (in == null) Map.empty[String, Double]
       else try {
         implicit val codec: scala.io.Codec = scala.io.Codec.UTF8
@@ -145,8 +153,13 @@ object Bench {
     }.get
     // reruns only make sense on FULL runs at the priors' scale: targeted
     // SPARK_GRAFT_BENCH_ONLY runs (dev loops, ladder rungs at other SF
-    // dirs) would compare apples to the sf0.1 priors
-    val outliers = (if (only.isDefined) Nil else results)
+    // dirs) would compare apples to the sf0.1 priors. EXCEPTION: an
+    // explicit SPARK_GRAFT_BENCH_PRIORS_IN override means the caller
+    // chose priors for exactly this run — reruns fire even targeted,
+    // which is also how the correction machinery is driven end-to-end
+    // against synthetic priors without a full-inventory pass.
+    val explicitPriors = sys.env.contains("SPARK_GRAFT_BENCH_PRIORS_IN")
+    val outliers = (if (only.isDefined && !explicitPriors) Nil else results)
       .filter { case (n, m, _) =>
         m >= 0 && priors.get(n).exists(p => isOutlier(m, p)) }
       .sortBy { case (n, m, _) => -(m / priors(n)) } // worst ratios first
