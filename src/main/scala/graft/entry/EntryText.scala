@@ -134,7 +134,7 @@ private[graft] object EntryText {
       val docs = s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
       val bench = docs.filter(col("doc_id") % 20 === 0)
       val corpus = docs.filter(col("doc_id") % 20 =!= 0)
-      CorpusOps.ngramContamination(corpus, "doc_id", "text", bench, "text", n = 3)
+      CorpusOps.ngramContamination(corpus, "text", bench, "text", n = 3)
         .drop("text")
     }),
     "text_neardup_decontaminate" -> ((s, dir) => {

@@ -221,9 +221,11 @@ object CorpusOps {
     * no aggregation. This is the plan you want at 100 TB — the alternative
     * (explode corpus grams + join) shuffles the whole corpus's gram stream. */
   def ngramContamination(
-      corpus: DataFrame, idCol: String, textCol: String,
+      corpus: DataFrame, textCol: String,
       benchmark: DataFrame, benchTextCol: String, n: Int
   ): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n (n-grams of order 0 have no " +
+      "tokens to hash; the stats loop would read past the token array)")
     val spark = corpus.sparkSession
     val benchGrams: Set[String] = benchmark
       .select(explode(array_distinct(wordNgrams(col(benchTextCol), n))).as("g"))
@@ -381,8 +383,10 @@ object CorpusOps {
       .withColumn("id", when(col("id").isNull, raise_error(
           lit(s"packSequences: null $idCol — every row needs an id position")))
         .otherwise(col("id")))
-      .withColumn("len", when(col("len").isNull, raise_error(
-          lit(s"packSequences: null $lenCol — every row needs a token length")))
+      .withColumn("len", when(col("len").isNull || col("len") < 0, raise_error(
+          lit(s"packSequences: null/negative $lenCol — every row needs a " +
+            "non-negative token length (a negative one would overlap pack " +
+            "assignments and desync div/pmod on a negative start)")))
         .otherwise(col("len")))
       .withColumn("bucket", expr(s"id div $bucketWidth"))
     val (offCol, _) = prefixOffsetsByBucket(base, "bucket", sum("len"), ascending = true)
@@ -433,19 +437,6 @@ object CorpusOps {
         expr("bit_xor(__h)").as("ids_xor"))
   }
 
-  /** NEAR-DUPLICATE benchmark decontamination — the fuzzy complement of
-    * the exact-hash and n-gram paths (the GPT-3 appendix-C / Llama rule:
-    * drop training docs that are near-copies of eval data, not just exact
-    * ones): each corpus doc's best MinHash-LSH match against the
-    * benchmark set decides, and docs at/above `threshold` exact Jaccard
-    * drop. Matching is [[Dedup.incrementalNearDupsFromSigs]] with the
-    * benchmark as the persisted signature store — the benchmark is signed
-    * once and reused across corpus batches, the corpus is signed
-    * per-call (it rides the scan anyway), and candidates carry ids only.
-    * Returns the per-source rollup (n_kept, n_dropped, chars_kept); the
-    * drop list broadcasts (ids only, bounded by corpus-benchmark overlap
-    * — a pipeline whose corpus mostly overlaps its benchmarks has bigger
-    * problems than a broadcast). */
   /** Shared kept/dropped per-source rollup of a decontamination pass: one
     * corpus scan, drop list broadcast. One copy so the Jaccard and
     * containment reports cannot drift. */
@@ -461,6 +452,19 @@ object CorpusOps {
         sum(when(col("__drop_id").isNull, col(sizeCol)).otherwise(lit(0L)))
           .cast("long").as("chars_kept"))
 
+  /** NEAR-DUPLICATE benchmark decontamination — the fuzzy complement of
+    * the exact-hash and n-gram paths (the GPT-3 appendix-C / Llama rule:
+    * drop training docs that are near-copies of eval data, not just exact
+    * ones): each corpus doc's best MinHash-LSH match against the
+    * benchmark set decides, and docs at/above `threshold` exact Jaccard
+    * drop. Matching is [[Dedup.incrementalNearDupsFromSigs]] with the
+    * benchmark as the persisted signature store — the benchmark is signed
+    * once and reused across corpus batches, the corpus is signed
+    * per-call (it rides the scan anyway), and candidates carry ids only.
+    * Returns the per-source rollup (n_kept, n_dropped, chars_kept); the
+    * drop list broadcasts (ids only, bounded by corpus-benchmark overlap
+    * — a pipeline whose corpus mostly overlaps its benchmarks has bigger
+    * problems than a broadcast). */
   def nearDupDecontaminate(corpus: DataFrame, benchmarkSigs: DataFrame,
       idCol: String, sourceCol: String, sizeCol: String, textCol: String,
       shingleSize: Int = 3, numBands: Int = 16, rowsPerBand: Int = 8,
@@ -516,8 +520,18 @@ object CorpusOps {
       lo: Double, width: Double, nParts: Int): DataFrame = {
     require(nParts > 0, s"nParts must be positive, got $nParts")
     require(width > 0, s"width must be positive, got $width")
+    // NULL floors to NULL, which greatest() SKIPS -> part 0; NaN rides
+    // greatest to the LAST part (the distributionDrift NaN trap) — either
+    // way a broken key hides as edge-bin mass while the null-skipping
+    // min/max manifest reads clean. Fail loud instead.
+    val keyChecked = when(col(keyCol).isNull ||
+        isnan(col(keyCol).cast("double")), raise_error(lit(
+        s"exportRangeBounded: NULL/NaN $keyCol — it has no bucket and " +
+          "would silently masquerade as edge-bin mass; filter upstream"))
+        .cast("double"))
+      .otherwise(col(keyCol).cast("double"))
     val part = least(greatest(
-      floor((col(keyCol).cast("double") - lit(lo)) / lit(width)), lit(0.0)),
+      floor((keyChecked - lit(lo)) / lit(width)), lit(0.0)),
       lit((nParts - 1).toDouble)).cast("int")
     // hash-repartition on the bucket id: co-locates each bucket in one
     // task (the dynamic writer then emits one file per bucket dir), and
@@ -717,9 +731,13 @@ object CorpusOps {
   def weightedSample(df: DataFrame, idCol: String, weightCol: String,
       k: Int): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
-    val w = when(col(weightCol).isNull || col(weightCol) <= 0, raise_error(
-        lit(s"weightedSample: $weightCol must be positive — a non-positive " +
-          "weight has no inclusion probability")))
+    // isnan too (the distributionDrift convention): NaN passes every
+    // comparison guard AND sorts above every real priority, so one
+    // 0.0/0.0 weight upstream would otherwise fill the sample
+    val w = when(col(weightCol).isNull || isnan(col(weightCol)) ||
+        col(weightCol) <= 0, raise_error(
+        lit(s"weightedSample: $weightCol must be positive — a " +
+          "non-positive/NaN weight has no inclusion probability")))
       .otherwise(col(weightCol))
     val hv = conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
       .cast("long")
@@ -755,9 +773,9 @@ object CorpusOps {
     val len = when(col(lenCol).isNull || col(lenCol) < 0, raise_error(
         lit(s"budgetSelect: $lenCol must be a non-negative token count")))
       .otherwise(col(lenCol)).cast("long")
-    val score = when(col(scoreCol).isNull ||
+    val score = when(col(scoreCol).isNull || isnan(col(scoreCol)) ||
         col(scoreCol) < 0 || col(scoreCol) > 1, raise_error(
-        lit(s"budgetSelect: $scoreCol must be in [0,1]")))
+        lit(s"budgetSelect: $scoreCol must be in [0,1] and not NaN")))
       .otherwise(col(scoreCol)).cast("double")
     val base = df.select(col(idCol).as("id"), len.as("len"),
         score.as("score"))
@@ -791,6 +809,42 @@ object CorpusOps {
     * Contract: both frames share one schema; `versionCol` must be non-null
     * (a versionless row has no place in last-writer-wins order — fails loud
     * per the repo convention). */
+  def mergeUpsert(base: DataFrame, updates: DataFrame, keyCols: Seq[String],
+      versionCol: String, deleteCol: Option[String] = None): DataFrame = {
+    require(keyCols.nonEmpty, "mergeUpsert: at least one key column")
+    require(base.columns.sorted.sameElements(updates.columns.sorted),
+      s"mergeUpsert: schemas differ: ${base.columns.toSeq} vs ${updates.columns.toSeq}")
+    require(!base.columns.contains("__src"), "mergeUpsert: __src is reserved")
+    val guarded = (df: DataFrame, src: Int) => df
+      .withColumn(versionCol, when(col(versionCol).isNull, raise_error(
+          lit(s"mergeUpsert: null $versionCol — last-writer-wins needs a version")))
+        .otherwise(col(versionCol)))
+      .withColumn("__src", lit(src))
+    val all = guarded(base, 0).unionByName(guarded(updates, 1))
+    val payload = all.columns.filterNot(c => keyCols.contains(c) || c == "__src")
+    val ordered = struct(
+      col(versionCol) +: col("__src") +:
+        payload.filterNot(_ == versionCol).map(col): _*)
+    val merged = all.groupBy(keyCols.map(col): _*)
+      .agg(max(ordered).as("__w"))
+      .select(keyCols.map(col) ++ payload.map(c => col(s"__w.$c").as(c)): _*)
+    // a NULL delete flag is a plain upsert, not a tombstone: !NULL = NULL
+    // and filter would silently DROP the winning row — coalesce to false
+    // (CDC sources commonly set the flag only on delete ops)
+    deleteCol.fold(merged)(d => merged.filter(!coalesce(col(d), lit(false))))
+  }
+
+  /** The added/removed/changed/unchanged classification shared by
+    * [[snapshotDiff]] and [[tableDiff]] — ONE definition so the two
+    * full-outer diff operators cannot drift on NULL-safety semantics
+    * (r19 review). A side is "added" when absent from the OLD/base
+    * snapshot, "changed" on any non-NULL-safe-equal payload. */
+  private def diffClass(oldSide: Column, newSide: Column): Column =
+    when(oldSide.isNull, "added")
+      .when(newSide.isNull, "removed")
+      .when(!(oldSide <=> newSide), "changed")
+      .otherwise("unchanged")
+
   /** SNAPSHOT DIFF (r18) — the dataset-versioning complement of
     * [[mergeUpsert]]: given two snapshots of a corpus, one row per id
     * with its `diff_status` — `added` (new only), `removed` (old only),
@@ -835,36 +889,8 @@ object CorpusOps {
       .select(col("__id"), col(s"__$name"))
     side(old, "old").join(side(neu, "new"), Seq("__id"), "full_outer")
       .select(col("__id").as(idCol),
-        when(col("__old").isNull, "added")
-          .when(col("__new").isNull, "removed")
-          .when(!(col("__old") <=> col("__new")), "changed")
-          .otherwise("unchanged").as("diff_status"),
+        diffClass(col("__old"), col("__new")).as("diff_status"),
         col("__old"), col("__new"))
-  }
-
-  def mergeUpsert(base: DataFrame, updates: DataFrame, keyCols: Seq[String],
-      versionCol: String, deleteCol: Option[String] = None): DataFrame = {
-    require(keyCols.nonEmpty, "mergeUpsert: at least one key column")
-    require(base.columns.sorted.sameElements(updates.columns.sorted),
-      s"mergeUpsert: schemas differ: ${base.columns.toSeq} vs ${updates.columns.toSeq}")
-    require(!base.columns.contains("__src"), "mergeUpsert: __src is reserved")
-    val guarded = (df: DataFrame, src: Int) => df
-      .withColumn(versionCol, when(col(versionCol).isNull, raise_error(
-          lit(s"mergeUpsert: null $versionCol — last-writer-wins needs a version")))
-        .otherwise(col(versionCol)))
-      .withColumn("__src", lit(src))
-    val all = guarded(base, 0).unionByName(guarded(updates, 1))
-    val payload = all.columns.filterNot(c => keyCols.contains(c) || c == "__src")
-    val ordered = struct(
-      col(versionCol) +: col("__src") +:
-        payload.filterNot(_ == versionCol).map(col): _*)
-    val merged = all.groupBy(keyCols.map(col): _*)
-      .agg(max(ordered).as("__w"))
-      .select(keyCols.map(col) ++ payload.map(c => col(s"__w.$c").as(c)): _*)
-    // a NULL delete flag is a plain upsert, not a tombstone: !NULL = NULL
-    // and filter would silently DROP the winning row — coalesce to false
-    // (CDC sources commonly set the flag only on delete ops)
-    deleteCol.fold(merged)(d => merged.filter(!coalesce(col(d), lit(false))))
   }
 
   /** TEMPERATURE-scaled mixture thresholds (the alpha=0.5 pretraining
@@ -888,6 +914,10 @@ object CorpusOps {
     * capped at its own mass (thr caps at grid = keep everything). */
   def temperatureThresholds(df: DataFrame, groupCol: String,
       budgetPpm: Long, scale: Long = 100L): DataFrame = {
+    // scale = 0 would zero every sqrt weight -> z_tot = 0 -> the threshold
+    // division yields NULL, least() skips it, and every group silently
+    // keeps 100% regardless of budgetPpm
+    require(scale >= 1, s"scale must be >= 1, got $scale")
     require(budgetPpm >= 0 && budgetPpm <= 1000000L,
       s"budgetPpm must be in [0, 1e6], got $budgetPpm")
     val grid = 1000000L
@@ -956,8 +986,19 @@ object CorpusOps {
     require(targetTokens > 0, s"targetTokens must be positive, got $targetTokens")
     require(maxEpochs >= 1, s"maxEpochs must be >= 1, got $maxEpochs")
     val grid = 1000000L
+    // token counts must be non-negative non-null: a zero/NULL group mass
+    // makes `targetTokens div __T` NULL, which least() SKIPS — the group
+    // would silently replay maxEpochs times; a negative mass would make
+    // the group vanish. Fail loud at the mass level (covers both).
     val masses = df.groupBy(col(groupCol).as("__eg"))
-      .agg(sum(col(tokenCol)).as("__T"))
+      .agg(sum(when(col(tokenCol).isNull || col(tokenCol) < 0, raise_error(
+          lit(s"epochRepeat: null/negative $tokenCol — every doc needs a " +
+            "non-negative token count")))
+        .otherwise(col(tokenCol))).as("__T"))
+      .withColumn("__T", when(col("__T") <= 0, raise_error(lit(
+          s"epochRepeat: a group's total $tokenCol mass is zero — its " +
+            "epoch count is undefined; filter empty groups upstream")))
+        .otherwise(col("__T")))
       .withColumn("__full",
         least(lit(maxEpochs.toLong), expr(s"$targetTokens div __T")))
       .withColumn("__frac_ppm",
@@ -1040,11 +1081,7 @@ object CorpusOps {
           .otherwise(col(as)))
         .drop("__c")
     packed(base, "__bv").join(packed(revised, "__rv"), keyCols, "full_outer")
-      .withColumn("diff_class",
-        when(col("__bv").isNull, "added")
-          .when(col("__rv").isNull, "removed")
-          .when(!(col("__bv") <=> col("__rv")), "changed")
-          .otherwise("unchanged"))
+      .withColumn("diff_class", diffClass(col("__bv"), col("__rv")))
       .select(keyCols.map(col) :+ col("diff_class"): _*)
   }
 

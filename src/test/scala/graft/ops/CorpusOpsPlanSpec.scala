@@ -24,7 +24,7 @@ class CorpusOpsPlanSpec extends AnyFunSuite {
 
   test("ngramContamination keeps the corpus side map-only (zero shuffles)") {
     val bench = Seq((9L, "alpha beta gamma")).toDF("doc_id", "text")
-    val out = CorpusOps.ngramContamination(docs, "doc_id", "text", bench, "text", 3)
+    val out = CorpusOps.ngramContamination(docs, "text", bench, "text", 3)
     assert(exchanges(out) == 0,
       s"corpus side must not shuffle:\n${out.queryExecution.executedPlan}")
   }

@@ -58,7 +58,7 @@ class CorpusOpsSpec extends AnyFunSuite {
       (1L, "alpha beta gamma something else entirely"), // shares "alpha beta gamma"
       (2L, "totally unrelated words in here now")
     ).toDF("doc_id", "text")
-    val out = CorpusOps.ngramContamination(corpus, "doc_id", "text", bench, "text", n = 3)
+    val out = CorpusOps.ngramContamination(corpus, "text", bench, "text", n = 3)
       .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
     assert(out(1L).getAs[Long]("n_contaminated") == 1)
     assert(out(1L).getAs[Long]("n_grams") == 4)
@@ -158,7 +158,13 @@ class CorpusOpsSpec extends AnyFunSuite {
     val ex2 = intercept[Exception] {
       CorpusOps.packSequences(nullLen, "doc_id", "n_toks", 8L, 4L).collect()
     }
-    assert(chainMsg(ex2).contains("null n_toks"), chainMsg(ex2))
+    assert(chainMsg(ex2).contains("null/negative n_toks"), chainMsg(ex2))
+    // a NEGATIVE length would overlap pack assignments (r19 review fix)
+    val negLen = Seq((0L, 5L), (1L, -3L), (2L, 4L)).toDF("doc_id", "n_toks")
+    val ex3 = intercept[Exception] {
+      CorpusOps.packSequences(negLen, "doc_id", "n_toks", 8L, 4L).collect()
+    }
+    assert(chainMsg(ex3).contains("null/negative n_toks"), chainMsg(ex3))
   }
 
   test("vocabTopK: exact counts, count-desc token-asc order") {
