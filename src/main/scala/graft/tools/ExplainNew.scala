@@ -13,10 +13,22 @@ object ExplainNew {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // FormattedMode (r19): the optimization rounds' plan-audit artifact is
+    // `.explain("formatted")` (operator list + per-operator details:
+    // PushedFilters, ReadSchema, join strategy + build side, exchange
+    // partitioning). SPARK_GRAFT_EXPLAIN_OUT=<dir> additionally writes one
+    // <name>.txt per query — the plans/r<N>/ deliverable.
+    val outDir = sys.env.get("SPARK_GRAFT_EXPLAIN_OUT")
+    outDir.foreach(d => new java.io.File(d).mkdirs())
     args.foreach { name =>
+      val plan = graft.SparkEntry.queries(name)(spark, dir).queryExecution
+        .explainString(org.apache.spark.sql.execution.FormattedMode)
       println(s"========== $name ==========")
-      println(graft.SparkEntry.queries(name)(spark, dir).queryExecution.explainString(
-        org.apache.spark.sql.execution.SimpleMode))
+      println(plan)
+      outDir.foreach { d =>
+        val pw = new java.io.PrintWriter(s"$d/$name.txt", "UTF-8")
+        try pw.println(plan) finally pw.close()
+      }
     }
     spark.stop()
   }
