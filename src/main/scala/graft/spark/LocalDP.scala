@@ -60,13 +60,12 @@ object LocalDP {
         "ldpFrequency: NULL value for a privacy unit — nulls have no " +
           "one-hot encoding; filter or impute upstream")).cast("string"))
       .otherwise(valueCol.cast("string"))
-    // one report per unit: the deterministic lowest value (L0 = 1)
+    // one report per unit: the deterministic lowest value (L0 = 1) — a
+    // per-unit MIN, so it aggregates map-side (r19 optimization: the
+    // row_number window shape sorted every row for the same result)
     val perUnit = df
       .select(col(pidCol).as("__pid"), checked.as("__v"))
-      .withColumn("__rk", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col("__pid")).orderBy(col("__v").asc)))
-      .filter(col("__rk") === 1)
+      .groupBy(col("__pid")).agg(min(col("__v")).as("__v"))
     // the LOCAL randomizer: one-hot encode + per-bit flip. Marked
     // nondeterministic so Catalyst never collapses or re-orders draws.
     // RETRY COMPOSITION (differs from the central engine): the draw runs
@@ -233,16 +232,16 @@ object LocalDP {
       .otherwise(pmod(expr(
         "CAST(conv(substr(md5(CAST(__pidn AS STRING)), 1, 15), 16, 10) " +
           "AS BIGINT)"), lit(seedSpace.toLong)))
-    // ONE report per unit: the deterministic lowest (key, value) pair
+    // ONE report per unit: the deterministic lowest (key, value) pair —
+    // a per-unit MIN over the lexicographic struct, so it aggregates
+    // map-side (r19: the row_number window sorted every row)
     val perUnit = df
       .select(col(pidCol).try_cast("bigint").as("__pidn"),
         checkedK.as("__k"), checkedV.as("__v"))
-      .withColumn("__rk", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col("__pidn"))
-          .orderBy(col("__k").asc, col("__v").asc)))
-      .filter(col("__rk") === 1)
-      .select(col("__k"), seedCol.as("__seed"), col("__v"))
+      .groupBy(col("__pidn"))
+      .agg(min(struct(col("__k"), col("__v"))).as("__kv"))
+      .select(col("__kv.__k").as("__k"), seedCol.as("__seed"),
+        col("__kv.__v").as("__v"))
     val report = udf((seed: Long, v: String) => {
       val idx = domainIdx.getOrElse(v, -1)
       if (idx < 0) throw new IllegalArgumentException(
@@ -377,13 +376,11 @@ object LocalDP {
       .otherwise(pmod(expr(
         "CAST(conv(substr(md5(CAST(__pidn AS STRING)), 1, 15), 16, 10) " +
           "AS BIGINT)"), lit(seedSpace.toLong)))
-    // one report per unit: the deterministic lowest value (L0 = 1)
+    // one report per unit: the deterministic lowest value (L0 = 1) — a
+    // per-unit MIN, aggregated map-side (r19: was a row_number window)
     val perUnit = df
       .select(col(pidCol).try_cast("bigint").as("__pidn"), checked.as("__v"))
-      .withColumn("__rk", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col("__pidn")).orderBy(col("__v").asc)))
-      .filter(col("__rk") === 1)
+      .groupBy(col("__pidn")).agg(min(col("__v")).as("__v"))
       .select(seedCol.as("__seed"), col("__v"))
     // the LOCAL randomizer (nondeterministic — the ldpFrequency
     // conventions incl. the retry-composition caveat): true bucket via
@@ -563,13 +560,11 @@ object LocalDP {
         "ldpHeavyHitters: pid does not cast to BIGINT — group and seed " +
           "derive from it")).cast("long"))
       .otherwise(col("__pidn"))
-    // one report per unit: the deterministic lowest value
+    // one report per unit: the deterministic lowest value — a per-unit
+    // MIN, aggregated map-side (r19: was a row_number window)
     val perUnit = df
       .select(col(pidCol).try_cast("bigint").as("__pidn"), checked.as("__v"))
-      .withColumn("__rk", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col("__pidn")).orderBy(col("__v").asc)))
-      .filter(col("__rk") === 1)
+      .groupBy(col("__pidn")).agg(min(col("__v")).as("__v"))
       .select(pidN.as("__pid"), col("__v"))
       // group and seed from the MD5 of the pid (the engine's portable
       // public-randomness convention), NOT pid arithmetic: pid % rounds
@@ -749,14 +744,12 @@ object LocalDP {
         "ldpRangeTree: pid does not cast to BIGINT — group and seed " +
           "derive from it")).cast("long"))
       .otherwise(col("__pidn"))
-    // one report per unit: the deterministic lowest clamped value
+    // one report per unit: the deterministic lowest clamped value — a
+    // per-unit MIN, aggregated map-side (r19: was a row_number window)
     val perUnit = df
       .select(col(pidCol).try_cast("bigint").as("__pidn"),
         clamped.as("__val"))
-      .withColumn("__rk", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col("__pidn")).orderBy(col("__val").asc)))
-      .filter(col("__rk") === 1)
+      .groupBy(col("__pidn")).agg(min(col("__val")).as("__val"))
       .select(pidN.as("__pid"),
         floor((col("__val") - lit(lo)) / lit(width)).cast("long")
           .as("__bin"))
@@ -1037,15 +1030,16 @@ object LocalDP {
         "ldpRangeTreeByKey: pid does not cast to BIGINT — group and " +
           "seed derive from it")).cast("long"))
       .otherwise(col("__pidn"))
-    // one report per unit across keys: the lowest (key, value) pair
+    // one report per unit across keys: the lowest (key, value) pair — a
+    // per-unit MIN over the lexicographic struct, aggregated map-side
+    // (r19: was a row_number window)
     val perUnit = df
       .select(col(pidCol).try_cast("bigint").as("__pidn"),
         checkedK.as("__k"), clamped.as("__val"))
-      .withColumn("__rk", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col("__pidn"))
-          .orderBy(col("__k").asc, col("__val").asc)))
-      .filter(col("__rk") === 1)
+      .groupBy(col("__pidn"))
+      .agg(min(struct(col("__k"), col("__val"))).as("__kv"))
+      .select(col("__pidn"), col("__kv.__k").as("__k"),
+        col("__kv.__val").as("__val"))
       .select(pidN.as("__pid"), col("__k"),
         floor((col("__val") - lit(lo)) / lit(width)).cast("long")
           .as("__bin"))
@@ -1211,15 +1205,16 @@ object LocalDP {
         "ldpRange2DTree: pid does not cast to BIGINT — group and seed " +
           "derive from it")).cast("long"))
       .otherwise(col("__pidn"))
-    // one report per unit: the deterministic lowest (x, y) pair
+    // one report per unit: the deterministic lowest (x, y) pair — a
+    // per-unit MIN over the lexicographic struct, aggregated map-side
+    // (r19: was a row_number window)
     val perUnit = df
       .select(col(pidCol).try_cast("bigint").as("__pidn"),
         clampedX.as("__x"), clampedY.as("__y0"))
-      .withColumn("__rk", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col("__pidn"))
-          .orderBy(col("__x").asc, col("__y0").asc)))
-      .filter(col("__rk") === 1)
+      .groupBy(col("__pidn"))
+      .agg(min(struct(col("__x"), col("__y0"))).as("__xy"))
+      .select(col("__pidn"), col("__xy.__x").as("__x"),
+        col("__xy.__y0").as("__y0"))
       .select(pidN.as("__pid"),
         floor((col("__x") - lit(loX)) / lit(widthX)).cast("long")
           .as("__bx"),
@@ -1387,13 +1382,11 @@ object LocalDP {
       .otherwise(pmod(expr(
         "CAST(conv(substr(md5(CAST(__pid AS STRING)), 1, 15), 16, 10) " +
           "AS BIGINT)"), lit(seedSpace.toLong)))
-    // one value per unit per collection: the deterministic lowest
+    // one value per unit per collection: the deterministic lowest — a
+    // per-unit MIN, aggregated map-side (r19: was a row_number window)
     val perUnit = batch
       .select(col(pidCol).try_cast("bigint").as("__pid"), checked.as("__v"))
-      .withColumn("__rk", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col("__pid")).orderBy(col("__v").asc)))
-      .filter(col("__rk") === 1)
+      .groupBy(col("__pid")).agg(min(col("__v")).as("__v"))
       .select(col("__pid"), col("__v"), seedCol.as("__seed"))
     val spark0 = batch.sparkSession
     val st = store.getOrElse(spark0.createDataFrame(
@@ -1681,12 +1674,10 @@ object LocalDP {
         "ldpVariance: NULL privacy-unit id — distinct units would merge " +
           "into one report; filter or key upstream")).cast("string"))
       .otherwise(col(pidCol).cast("string"))
+    // per-unit MIN, aggregated map-side (r19: was a row_number window)
     val perUnit = df
       .select(checkedPid.as("__pid"), clamped.as("__v"))
-      .withColumn("__rk", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col("__pid")).orderBy(col("__v").asc)))
-      .filter(col("__rk") === 1)
+      .groupBy(col("__pid")).agg(min(col("__v")).as("__v"))
     // two INDEPENDENT eps/2 bits per unit (L1 composition — the
     // ldpFrequency retry caveat applies to each)
     val report = udf((v: Double) => {
@@ -1828,12 +1819,10 @@ object LocalDP {
         "ldpMean: NULL privacy-unit id — distinct units would merge " +
           "into one report; filter or key upstream")).cast("string"))
       .otherwise(col(pidCol).cast("string"))
+    // per-unit MIN, aggregated map-side (r19: was a row_number window)
     val perUnit = df
       .select(checkedPid.as("__pid"), clamped.as("__v"))
-      .withColumn("__rk", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col("__pid")).orderBy(col("__v").asc)))
-      .filter(col("__rk") === 1)
+      .groupBy(col("__pid")).agg(min(col("__v")).as("__v"))
     // the local randomizer: x normalized, one {-1, +1} report. Marked
     // nondeterministic (the ldpFrequency rationale, incl. the retry
     // composition caveat documented there).
@@ -1914,14 +1903,12 @@ object LocalDP {
         "ldpLongitudinalMeanStep: pid does not cast to BIGINT — the " +
           "ledger keys on it")).cast("long"))
       .otherwise(col("__pidn"))
-    // one value per unit per collection: the deterministic lowest
+    // one value per unit per collection: the deterministic lowest — a
+    // per-unit MIN, aggregated map-side (r19: was a row_number window)
     val perUnit = batch
       .select(col(pidCol).try_cast("bigint").as("__pidn"),
         clamped.as("__v"))
-      .withColumn("__rk", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col("__pidn")).orderBy(col("__v").asc)))
-      .filter(col("__rk") === 1)
+      .groupBy(col("__pidn")).agg(min(col("__v")).as("__v"))
       .select(checkedPid.as("__pid"), col("__v"))
     val st = store.getOrElse(spark0.createDataFrame(
       spark0.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -2016,13 +2003,11 @@ object LocalDP {
         "ldpLongitudinalVarianceStep: pid does not cast to BIGINT — " +
           "the ledger keys on it")).cast("long"))
       .otherwise(col("__pidn"))
+    // per-unit MIN, aggregated map-side (r19: was a row_number window)
     val perUnit = batch
       .select(col(pidCol).try_cast("bigint").as("__pidn"),
         clamped.as("__v"))
-      .withColumn("__rk", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col("__pidn")).orderBy(col("__v").asc)))
-      .filter(col("__rk") === 1)
+      .groupBy(col("__pidn")).agg(min(col("__v")).as("__v"))
       .select(checkedPid.as("__pid"), col("__v"))
     val st = store.getOrElse(spark0.createDataFrame(
       spark0.sparkContext.emptyRDD[org.apache.spark.sql.Row],

@@ -48,14 +48,60 @@ final case class RangeTreeDomain(lo: Double, hi: Double, bins: Int) {
   * cell contract).
   *
   * Plan shape (the [[graft.streaming.StreamOps.dpContinualCount]]
-  * machinery over bins): deterministic per-unit cap (one window rank per
-  * unit), leaf binning, one map-side-combined node aggregation, a
+  * machinery over bins): leaf binning with a map-side-combined per-unit
+  * leaf aggregation, deterministic per-unit cap (a bin-ascending prefix
+  * window over the bounded leaf rows — count trees never sort raw rows;
+  * sum trees rank rows because a binding cap selects by weight), a
   * GENERATED node universe (empty nodes draw noise too — a missing draw
   * would disclose emptiness), noise as one draw per node. No driver
   * loops; the only driver math is the optional consistency sweep over
   * the BOUNDED released tree (2*bins-1 rows per key, bins <= 4096
   * enforced), the same bounded-collect class as the PLD math. */
 object RangeTree {
+
+  /** Bounded leaf counts per (unit, key, leaf cell) — the COUNT-tree
+    * family's ingest core, shared by [[rangeTreeIngestStep]],
+    * [[dpRangeCountTreePerKeyDomains]] and the 2-D store (r19
+    * optimization round, guide §2.3/§2.4).
+    *
+    * The r18 shape ranked EVERY ROW with one `row_number` window over
+    * (unit, keys) ordered by (cell, value) and then exploded every
+    * surviving row x (levels+1) before the node aggregation — a full
+    * shuffle+sort of the raw rows plus a (levels+1)x row multiplier
+    * through the aggregate (13x at the 4096-bin probe). This shape
+    * aggregates FIRST: per-(unit, key, cell) counts (map-side partial
+    * aggregation collapses the shuffle to the distinct-cell frame), then
+    * applies the SAME deterministic cap via the cell-ascending prefix —
+    * cell c of a unit contributes min(count_c, max(0, maxPerUnit -
+    * sum of counts before c)) — which keeps, cell by cell, EXACTLY the
+    * rows `row_number <= maxPerUnit` kept (within-cell order only breaks
+    * ties among interchangeable rows of one cell, and a count tree never
+    * reads which ones). The cap window now sorts bounded per-unit leaf
+    * rows, not the data, and the level explode runs over per-cell
+    * counts downstream. Returns (binCols..., keyCols..., __cb) with
+    * __cb = the capped leaf count, already summed across units. */
+  private def cappedLeafCounts(
+      projected: DataFrame, pidCol: String, keyCols: Seq[String],
+      binCols: Seq[String], maxPerUnit: Long): DataFrame = {
+    val keyCs = keyCols.map(col)
+    val binCs = binCols.map(col)
+    val perCell = projected
+      .groupBy((col(pidCol) +: keyCs) ++ binCs: _*)
+      .agg(count(lit(1)).as("__c"))
+    val capped =
+      if (maxPerUnit == Long.MaxValue) perCell.withColumn("__cb", col("__c"))
+      else perCell
+        .withColumn("__cum", sum(col("__c")).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy((col(pidCol) +: keyCs): _*)
+            .orderBy(binCs.map(_.asc): _*)) - col("__c"))
+        .withColumn("__cb", least(col("__c"),
+          greatest(lit(maxPerUnit) - col("__cum"), lit(0L))))
+        .filter(col("__cb") > 0)
+    capped
+      .groupBy(binCs ++ keyCs: _*)
+      .agg(sum(col("__cb")).as("__cb"))
+  }
 
   /** Tree domain from a PUBLIC schema contract — the adopter's first
     * question ("my bounds aren't a power of two"). The caller supplies
@@ -288,18 +334,17 @@ object RangeTree {
     val binIdx = least(
       greatest(floor((checked - loC) / widthC), lit(0.0)),
       lit((bins - 1).toDouble)).cast("long")
-    val store = joined
-      .withColumn("__bin", binIdx)
-      .withColumn("__rk", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy((col(pidCol) +: keyCs): _*)
-          .orderBy(col("__bin").asc, checked.asc)))
-      .filter(col("__rk") <= maxPerUnit)
-      .select(col("__bin") +: keyCs: _*)
+    // deterministic cap via the bin-ascending prefix over per-unit LEAF
+    // counts ([[cappedLeafCounts]] — identical kept counts to the r18
+    // row_number formulation; the cap window sorts bounded leaf rows, not
+    // the data, and the level explode runs over per-bin counts)
+    val store = cappedLeafCounts(
+        joined.select((col(pidCol) +: keyCs) :+ binIdx.as("__bin"): _*),
+        pidCol, keyCols, Seq("__bin"), maxPerUnit)
       .withColumn("__lvl", explode(sequence(lit(0), lit(levels))))
       .withColumn("__idx", expr("shiftright(__bin, __lvl)"))
       .groupBy(col("__lvl") +: col("__idx") +: keyCs: _*)
-      .agg(count(lit(1)).cast("double").as("__s"))
+      .agg(sum(col("__cb")).cast("double").as("__s"))
       .localCheckpoint(false) // key universe + release join share it
     releaseWithScale(store, keyCols, bins, levels,
       treeScale(noiseKind, epsilon, delta, maxPerUnit.toDouble, levels),
@@ -340,10 +385,11 @@ object RangeTree {
       delta: Double = 0.0
   ): DataFrame = {
     // one-shot = one ingest step + one release: ONE definition of the
-    // bounded binning (DETERMINISTIC per-unit cap: rank each unit's rows
-    // by (bin, value) and keep the first maxPerUnit — a stable order, so
-    // re-execution keeps the SAME rows under task retries) and of the
-    // noisy release, shared with the streaming fold so they cannot drift
+    // bounded binning (DETERMINISTIC per-unit cap: each unit's bins
+    // contribute, bin-ascending, until maxPerUnit rows are spent — the
+    // same kept counts as ranking rows by (bin, value), fully
+    // deterministic under task retries) and of the noisy release, shared
+    // with the streaming fold so they cannot drift
     rangeTreeRelease(
       rangeTreeIngestStep(df, None, pidCol, valueCol, keyCols, lo, hi,
         bins, maxPerUnit, publicKeys)
@@ -445,10 +491,14 @@ object RangeTree {
           .orderBy(col("__bin").asc, col("__w").asc, checked.asc)))
       .filter(col("__rk") <= maxPerUnit)
       .select(col("__bin") +: col("__w") +: keyChecked: _*)
+      // leaf sums BEFORE the level explode (r19 optimization): the explode
+      // then multiplies <= bins x keys leaf rows, not every surviving row
+      .groupBy(col("__bin") +: keyCs: _*)
+      .agg(sum(col("__w")).as("__wb"))
       .withColumn("__lvl", explode(sequence(lit(0), lit(levels))))
       .withColumn("__idx", expr("shiftright(__bin, __lvl)"))
       .groupBy(col("__lvl") +: col("__idx") +: keyCs: _*)
-      .agg(sum(col("__w")).as("__s"))
+      .agg(sum(col("__wb")).as("__s"))
   }
 
   /** KEY-RANGE SHARDED sum tree — [[dpRangeSumTree]] at ANY key
@@ -855,18 +905,17 @@ object RangeTree {
     val inScope = pub.fold(batch)(p =>
       batch.join(p, keyCols.map(n => batch(n) === p(n)).reduce(_ && _),
         "left_semi"))
-    val contrib = inScope
-      .withColumn("__bin", binIdx)
-      .withColumn("__rk", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy((col(pidCol) +: keyCs): _*)
-          .orderBy(col("__bin").asc, checked.asc)))
-      .filter(col("__rk") <= maxPerUnit)
-      .select(col("__bin") +: keyChecked: _*)
+    // deterministic cap via the bin-ascending prefix over per-unit LEAF
+    // counts (see [[cappedLeafCounts]] — identical kept counts to the r18
+    // row_number formulation, without the all-rows sort or the raw-row
+    // level explode); the level rollup then runs over per-bin counts
+    val contrib = cappedLeafCounts(
+        inScope.select((col(pidCol) +: keyChecked) :+ binIdx.as("__bin"): _*),
+        pidCol, keyCols, Seq("__bin"), maxPerUnit)
       .withColumn("__lvl", explode(sequence(lit(0), lit(levels))))
       .withColumn("__idx", expr("shiftright(__bin, __lvl)"))
       .groupBy(col("__lvl") +: col("__idx") +: keyCs: _*)
-      .agg(count(lit(1)).cast("double").as("__s"))
+      .agg(sum(col("__cb")).cast("double").as("__s"))
     store match {
       case None => contrib
       case Some(st) => st.unionByName(contrib)
@@ -986,19 +1035,20 @@ object RangeTree {
               col(n).cast(store.schema(n).dataType).as(n)): _*)
             .distinct())
           .getOrElse(store.select(keyCs: _*).distinct())
-          .localCheckpoint(false) // guard count + collect read one result
         val maxKeys = math.max(1L, MaxDriverRows / nNodes)
-        // limit-bounded count: stops scanning at the cap+1-th key, so a
-        // high-cardinality keyed store fails loud instead of OOMing
-        val n = kd.limit((maxKeys + 1).toInt).count()
-        require(n <= maxKeys,
+        // ONE bounded collect (r19): at most maxKeys+1 rows ever reach
+        // the driver — the maxKeys+1-th row IS the over-budget signal,
+        // so a high-cardinality keyed store fails loud instead of OOMing
+        // (the old limit-count + collect pair paid two jobs for this)
+        val rows = kd.limit((maxKeys + 1).toInt).collect()
+        require(rows.length <= maxKeys,
           s"releaseWithScale: over $maxKeys distinct keys for bins=$bins " +
-            "(the guard stops counting there) — the release draws keys x " +
+            "(the guard stops collecting there) — the release draws keys x " +
             s"$nNodes node noises driver-side; reduce the key cardinality " +
             "or shard the release by key range " +
             "(shardedRangeTreeRelease / dpRangeCountTreeSharded do this " +
             "automatically)")
-        kd.collect().toSeq
+        rows.toSeq
       }
     val draw: () => Double = kind match {
       case graft.core.NoiseKind.Laplace  => () => noise.laplace(scale)
@@ -1047,13 +1097,16 @@ object RangeTree {
   private[graft] def boundedCollect(
       df: DataFrame, what: String,
       cap: Long = MaxDriverRows): Array[org.apache.spark.sql.Row] = {
-    val pinned = df.localCheckpoint(false) // guard count + collect share it
-    val n = pinned.limit((cap + 1).toInt).count()
-    require(n <= cap,
-      s"$what: over $cap released-tree rows (the guard stops counting " +
+    // ONE action (r19 optimization): collect at most cap+1 rows — the
+    // cap+1-th row's presence IS the over-budget signal, and the guard
+    // then fails loud having held only cap+1 rows (the same driver
+    // budget the old limit-count + collect pair enforced in two jobs)
+    val rows = df.limit((cap + 1).toInt).collect()
+    require(rows.length <= cap,
+      s"$what: over $cap released-tree rows (the guard stops collecting " +
         "there) — this consumer's math is driver-side over the bounded " +
         "tree; reduce the key cardinality or shard by key range")
-    pinned.collect()
+    rows
   }
 
   /** KEY-RANGE SHARDED release — the automatic form of the manual
@@ -1481,24 +1534,22 @@ object RangeTree {
     val inScope = pub.fold(df)(p =>
       df.join(p, keyCols.map(n => df(n) === p(n)).reduce(_ && _),
         "left_semi"))
-    // deterministic cap: rank by (binX, binY, x, y) — stable under retry
-    inScope
-      .withColumn("__bx", bx)
-      .withColumn("__by", by)
-      .withColumn("__rk", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy((col(pidCol) +: keyCs): _*)
-          .orderBy(col("__bx").asc, col("__by").asc, xChecked.asc,
-            yChecked.asc)))
-      .filter(col("__rk") <= maxPerUnit)
-      .select(col("__bx") +: col("__by") +: keyChecked: _*)
+    // deterministic cap via the (binX, binY)-ascending prefix over
+    // per-unit LEAF-CELL counts ([[cappedLeafCounts]] — identical kept
+    // counts to the r18 row_number formulation; the cap window sorts
+    // bounded leaf cells, not the data, and the (levelsX+1)*(levelsY+1)
+    // product explode runs over per-cell counts)
+    cappedLeafCounts(
+        inScope.select((col(pidCol) +: keyChecked) :+ bx.as("__bx") :+
+          by.as("__by"): _*),
+        pidCol, keyCols, Seq("__bx", "__by"), maxPerUnit)
       .withColumn("__lvx", explode(sequence(lit(0), lit(levelsX))))
       .withColumn("__idxx", expr("shiftright(__bx, __lvx)"))
       .withColumn("__lvy", explode(sequence(lit(0), lit(levelsY))))
       .withColumn("__idxy", expr("shiftright(__by, __lvy)"))
       .groupBy(col("__lvx") +: col("__idxx") +: col("__lvy") +:
         col("__idxy") +: keyCs: _*)
-      .agg(count(lit(1)).cast("double").as("__s"))
+      .agg(sum(col("__cb")).cast("double").as("__s"))
   }
 
   /** The SUM analogue of [[dpRange2DTree]] — clamped per-row weights on
@@ -1588,13 +1639,18 @@ object RangeTree {
             xChecked.asc, yChecked.asc)))
       .filter(col("__rk") <= maxPerUnit)
       .select(col("__bx") +: col("__by") +: col("__w") +: keyChecked: _*)
+      // leaf-cell sums BEFORE the product explode (r19 optimization): the
+      // (levelsX+1)*(levelsY+1) multiplier then applies to <= binsX*binsY*
+      // keys leaf cells, not every surviving row
+      .groupBy(col("__bx") +: col("__by") +: keyCs: _*)
+      .agg(sum(col("__w")).as("__wb"))
       .withColumn("__lvx", explode(sequence(lit(0), lit(levelsX))))
       .withColumn("__idxx", expr("shiftright(__bx, __lvx)"))
       .withColumn("__lvy", explode(sequence(lit(0), lit(levelsY))))
       .withColumn("__idxy", expr("shiftright(__by, __lvy)"))
       .groupBy(col("__lvx") +: col("__idxx") +: col("__lvy") +:
         col("__idxy") +: keyCs: _*)
-      .agg(sum(col("__w")).as("__s"))
+      .agg(sum(col("__wb")).as("__s"))
       .localCheckpoint(false) // key universe + release join share it
     val scale = scaleForTouches(noiseKind, epsilon, delta,
       maxPerUnit.toDouble * math.max(math.abs(minW), math.abs(maxW)),
@@ -1766,16 +1822,17 @@ object RangeTree {
               col(n).cast(store.schema(n).dataType).as(n)): _*)
             .distinct())
           .getOrElse(store.select(keyCs: _*).distinct())
-          .localCheckpoint(false) // guard count + collect read one result
         val maxKeys = math.max(1L, MaxDriverRows / nNodes)
-        val n = kd.limit((maxKeys + 1).toInt).count()
-        require(n <= maxKeys,
+        // ONE bounded collect (r19): the maxKeys+1-th row IS the
+        // over-budget signal — same driver budget, one job not two
+        val rows0 = kd.limit((maxKeys + 1).toInt).collect()
+        require(rows0.length <= maxKeys,
           s"dpRange2DTree: over $maxKeys distinct keys for binsX=$binsX x " +
-            s"binsY=$binsY (the guard stops counting there) — the release " +
+            s"binsY=$binsY (the guard stops collecting there) — the release " +
             s"draws keys x $nNodes node noises driver-side; reduce the key " +
             "cardinality, coarsen the grid, or shard by key range (the " +
             "shardedByKeyRange loop applies verbatim)")
-        kd.collect().toSeq
+        rows0.toSeq
       }
     val draw: () => Double = kind match {
       case graft.core.NoiseKind.Laplace  => () => noise.laplace(scale)

@@ -738,17 +738,18 @@ object StreamOps {
         val kd = pub.map(_.select(keyCols.map(n =>
             col(n).cast(perTick.schema(n).dataType).as(n)): _*)
             .distinct())
-          .getOrElse(
-            perTick.select(keyCs: _*).distinct().localCheckpoint(false))
+          .getOrElse(perTick.select(keyCs: _*).distinct())
         val maxKeys = math.max(1L, graft.spark.RangeTree.MaxDriverRows / nNodes)
-        val n = kd.limit((maxKeys + 1).toInt).count()
-        require(n <= maxKeys,
+        // ONE bounded collect (r19): the maxKeys+1-th row IS the
+        // over-budget signal — same driver budget, one job not two
+        val rows = kd.limit((maxKeys + 1).toInt).collect()
+        require(rows.length <= maxKeys,
           s"continualTreeRelease: over $maxKeys distinct keys for " +
-            s"horizon=$horizon (the guard stops counting there) — the " +
+            s"horizon=$horizon (the guard stops collecting there) — the " +
             s"release draws keys x $nNodes node noises driver-side; " +
             "reduce the key cardinality or shard the release by key " +
             "range (dpContinualCountSharded does this automatically)")
-        kd.collect().toSeq
+        rows.toSeq
       }
     val draw: () => Double = kind match {
       case graft.core.NoiseKind.Laplace  => () => noise.laplace(scale)
@@ -1174,15 +1175,17 @@ object StreamOps {
         // tree-shaped collect)
         val maxKeys = math.max(1L,
           graft.spark.RangeTree.MaxDriverRows / (2L * horizon - 1))
-        val kd = sums.select(keyCs: _*).distinct().localCheckpoint(false)
-        val n = kd.limit((maxKeys + 1).toInt).count()
-        require(n <= maxKeys,
+        // ONE bounded collect (r19): the maxKeys+1-th row IS the
+        // over-budget signal — same driver budget, one job not two
+        val rows = sums.select(keyCs: _*).distinct()
+          .limit((maxKeys + 1).toInt).collect()
+        require(rows.length <= maxKeys,
           s"onlineContinualStep: over $maxKeys distinct keys for " +
-            s"horizon=$horizon (the guard stops counting there) — the " +
+            s"horizon=$horizon (the guard stops collecting there) — the " +
             "continual family's universe crosses keys x 2*horizon nodes " +
             "and its per-step draw bookkeeping is driver-side; reduce " +
             "the key cardinality or shard the release by key range")
-        kd.collect().toSeq
+        rows.toSeq
       }
     val keysDf =
       if (keyCols.isEmpty) null

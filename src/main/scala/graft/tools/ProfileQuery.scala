@@ -33,6 +33,13 @@ object ProfileQuery {
     final case class JobRec(id: Int, start: Long, var end: Long = -1L,
       var stages: Int = 0, var tasks: Int = 0, desc: String)
     val jobs = new scala.collection.mutable.ArrayBuffer[JobRec]
+    // load-robust per-rep totals: shuffle RECORD counts are deterministic
+    // for a deterministic plan (the A/B metric wall-clock can't be on a
+    // shared machine), executor CPU time is load-robust-ish
+    final case class Totals(var cpuNs: Long = 0L, var runMs: Long = 0L,
+      var shufR: Long = 0L, var shufW: Long = 0L, var inRec: Long = 0L,
+      var sortSpill: Long = 0L)
+    val tot = Totals()
     val listener = new SparkListener {
       override def onJobStart(e: SparkListenerJobStart): Unit =
         jobs.synchronized {
@@ -51,6 +58,15 @@ object ProfileQuery {
             j.stages += 1
             j.tasks += e.stageInfo.numTasks
           }
+          val m = e.stageInfo.taskMetrics
+          if (m != null) {
+            tot.cpuNs += m.executorCpuTime
+            tot.runMs += m.executorRunTime
+            tot.shufR += m.shuffleReadMetrics.recordsRead
+            tot.shufW += m.shuffleWriteMetrics.recordsWritten
+            tot.inRec += m.inputMetrics.recordsRead
+            tot.sortSpill += m.memoryBytesSpilled
+          }
         }
     }
     spark.sparkContext.addSparkListener(listener)
@@ -60,6 +76,8 @@ object ProfileQuery {
       // rep 0 warms, reps 1-2 measure (the bench's median-of-3 shape)
       (0 to 2).foreach { rep =>
         jobs.synchronized(jobs.clear())
+        jobs.synchronized { tot.cpuNs = 0; tot.runMs = 0; tot.shufR = 0
+          tot.shufW = 0; tot.inRec = 0; tot.sortSpill = 0 }
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = true))
         val t0 = System.nanoTime()
@@ -71,6 +89,9 @@ object ProfileQuery {
         println(f"===== $name rep$rep wall $wall%.2fs, ${js.size} jobs " +
           f"summing $jobSum%.2fs (gap = driver/planning " +
           f"${wall - jobSum}%.2fs) =====")
+        println(f"      cpu ${tot.cpuNs / 1e9}%.2fs run ${tot.runMs / 1e3}%.2fs " +
+          f"shufR ${tot.shufR} shufW ${tot.shufW} input ${tot.inRec} " +
+          f"spill ${tot.sortSpill}")
         if (rep == 2) js.foreach { j =>
           val dt = if (j.end > 0) (j.end - j.start) / 1e3 else -1.0
           println(f"  job ${j.id}%3d ${dt}%6.2fs stages=${j.stages}%2d " +
