@@ -281,7 +281,14 @@ object ModelTraining {
     * growth, reproducible in any engine), each fold trains on the other
     * folds through the SAME [[exactTrainLoop]] as the single-frame
     * trainer, and held-out accuracy is evaluated at the trained weights.
-    * Wall cost: folds * (iters + 2) scans of the bounded feature frame.
+    * Wall cost: folds * (iters + 2) scans of the bounded feature frame —
+    * the folds are independent, so their scans run CONCURRENTLY (r19,
+    * guide-style job overlap: one driver thread per fold submits that
+    * fold's iteration jobs; Spark schedules them FIFO and the tail of one
+    * fold's job back-fills the others' idle slots), and the per-fold
+    * class counts come from ONE grouped pass instead of a count job per
+    * fold (train-side counts = totals minus the fold's own — exact, the
+    * y column is 0/1).
     *
     * Returns one row per fold: (fold, n_train, n_train_pos, n_test,
     * n_test_correct, train_loss_final) — all longs, partition-order
@@ -308,31 +315,49 @@ object ModelTraining {
           .cast("long"), lit(folds.toLong)).as("__fold"))
       .select(col("f.buckets").as("buckets"), col("f.n").as("n"),
         col("f.y").as("y"), col("__fold"))
-      .localCheckpoint(false)
-    val rows = (0 until folds).map { fold =>
-      val train = feats.filter(col("__fold") =!= fold.toLong)
-        .drop("__fold").as[LtmFeatures]
-      val test = feats.filter(col("__fold") === fold.toLong)
-        .drop("__fold").as[LtmFeatures]
-      val c = train.select(count(lit(1)), sum(col("y"))).head()
-      val nTrain = c.getLong(0)
-      val nPos = if (c.isNullAt(1)) 0L else math.rint(c.getDouble(1)).toLong
-      require(nTrain > 0, s"crossValidateExact: fold $fold has an empty " +
-        "training side — fewer rows than folds?")
-      require(nPos > 0 && nPos < nTrain,
-        s"crossValidateExact: fold $fold trains single-class " +
-          s"(nPos = $nPos of $nTrain) — the class-balanced error divides " +
-          "by both class counts; use fewer folds or more data")
-      val (w, passes) = exactTrainLoop(train, dim, iters, lrNum, nTrain, nPos)
-      // held-out pass: gradient/werr are computed but unused — only the
-      // (n, nCorrect) counters at the trained weights matter here
-      val ev = test.select(
-        udaf(new IntGradAggregator(w, dim, nTrain, nPos),
-          Encoders.product[LtmFeatures])
-          .apply(col("buckets"), col("n"), col("y"))).head().getStruct(0)
-      (fold.toLong, nTrain, nPos, ev.getLong(2), ev.getLong(3),
-        passes.last.loss)
-    }
+      // EAGER: every fold's concurrent actions read one materialization
+      .localCheckpoint(true)
+    // per-fold class counts in ONE grouped pass (was a count job per
+    // fold); train-side = totals minus the fold's own — y is 0/1 so the
+    // double sums are integer-exact under any association
+    val byFold = feats.groupBy(col("__fold"))
+      .agg(count(lit(1)).as("__n"), sum(col("y")).as("__p")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1),
+        if (r.isNullAt(2)) 0L else math.rint(r.getDouble(2)).toLong)).toMap
+    val totN = byFold.values.map(_._1).sum
+    val totP = byFold.values.map(_._2).sum
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(folds)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    val rows = try scala.concurrent.Await.result(
+      scala.concurrent.Future.sequence((0 until folds).map { fold =>
+        scala.concurrent.Future {
+          val train = feats.filter(col("__fold") =!= fold.toLong)
+            .drop("__fold").as[LtmFeatures]
+          val test = feats.filter(col("__fold") === fold.toLong)
+            .drop("__fold").as[LtmFeatures]
+          val (foldN, foldP) = byFold.getOrElse(fold.toLong, (0L, 0L))
+          val nTrain = totN - foldN
+          val nPos = totP - foldP
+          require(nTrain > 0, s"crossValidateExact: fold $fold has an " +
+            "empty training side — fewer rows than folds?")
+          require(nPos > 0 && nPos < nTrain,
+            s"crossValidateExact: fold $fold trains single-class " +
+              s"(nPos = $nPos of $nTrain) — the class-balanced error " +
+              "divides by both class counts; use fewer folds or more data")
+          val (w, passes) =
+            exactTrainLoop(train, dim, iters, lrNum, nTrain, nPos)
+          // held-out pass: gradient/werr are computed but unused — only
+          // the (n, nCorrect) counters at the trained weights matter here
+          val ev = test.select(
+            udaf(new IntGradAggregator(w, dim, nTrain, nPos),
+              Encoders.product[LtmFeatures])
+              .apply(col("buckets"), col("n"), col("y"))).head().getStruct(0)
+          (fold.toLong, nTrain, nPos, ev.getLong(2), ev.getLong(3),
+            passes.last.loss)
+        }
+      }), scala.concurrent.duration.Duration.Inf)
+    finally pool.shutdown()
     rows.toDF("fold", "n_train", "n_train_pos", "n_test",
       "n_test_correct", "train_loss_final")
   }

@@ -321,7 +321,11 @@ object RangeTree {
           "silently drop from the domains join; coalesce or filter " +
           "upstream")).cast(df.schema(n).dataType)).otherwise(col(n)))
     }
-    val joined = dfChecked.join(dom, keyCols) // rows without a domain DROP
+    // rows without a domain DROP. BROADCAST the domains side (r19): it is
+    // driver-bounded by the release guard (<= MaxDriverRows/nNodes keys),
+    // while its checkpointed plan carries no size stats — without the hint
+    // the planner sort-merge-joins, shuffling the whole data frame by key
+    val joined = dfChecked.join(broadcast(dom), keyCols)
     val checked = when(valueCol.isNull, raise_error(lit(
         "dpRangeCountTreePerKeyDomains: NULL value for a privacy unit — " +
           "nulls have no bin; filter or impute upstream")).cast("double"))
@@ -769,7 +773,7 @@ object RangeTree {
       bins, qs).drop("value_lo")
     val dom = domains.select(keyCs :+ col("lo").cast("double") :+
       col("hi").cast("double"): _*)
-    binsOut.join(dom, keyCols, "left")
+    binsOut.join(broadcast(dom), keyCols, "left") // dom driver-bounded (r19)
       .withColumn("value_lo",
         when(col("lo").isNull, raise_error(lit(
           "quantilesFromTreePerKeyDomains: a tree key has no domain row — " +
@@ -1069,8 +1073,12 @@ object RangeTree {
         org.apache.spark.sql.types.DoubleType, nullable = false))
     val nodes = spark0.createDataFrame(
       new java.util.ArrayList(rows.asJava), schema)
+    // BROADCAST the store side (r19): the aggregated node-sum store is
+    // bounded by keys x (2*bins-1) <= the same driver budget as the nodes
+    // literal, but its checkpointed plan has no size stats — the planner
+    // otherwise falls back to a sort-merge join of two bounded frames
     nodes
-      .join(store, Seq("__lvl", "__idx") ++ keyCols, "left")
+      .join(broadcast(store), Seq("__lvl", "__idx") ++ keyCols, "left")
       .select(col("__lvl") +: col("__idx") +:
         (keyCs :+ (coalesce(col("__s"), lit(0.0)) + col("__noise"))
           .as("dp_count")): _*)
@@ -1858,8 +1866,8 @@ object RangeTree {
         org.apache.spark.sql.types.DoubleType, nullable = false))
     val nodes = spark0.createDataFrame(
       new java.util.ArrayList(rows.asJava), schema)
-    nodes
-      .join(store, Seq("__lvx", "__idxx", "__lvy", "__idxy") ++ keyCols,
+    nodes // broadcast: store bounded by keys x nNodes, no stats (r19)
+      .join(broadcast(store), Seq("__lvx", "__idxx", "__lvy", "__idxy") ++ keyCols,
         "left")
       .select(col("__lvx") +: col("__idxx") +: col("__lvy") +:
         col("__idxy") +:

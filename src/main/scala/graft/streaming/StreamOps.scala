@@ -770,8 +770,9 @@ object StreamOps {
         nullable = false))
     val nodes = spark0.createDataFrame(
       new java.util.ArrayList(noiseRows.asJava), noiseSchema)
+    // broadcast: contrib bounded by keys x (2*horizon-1), no stats (r19)
     val noisyNodes = nodes
-      .join(contrib, Seq("__lvl", "__idx") ++ keyCols, "left")
+      .join(broadcast(contrib), Seq("__lvl", "__idx") ++ keyCols, "left")
       .select(col("__lvl") +: col("__idx") +:
         (keyCs :+ (coalesce(col("__s"), lit(0.0)) + col("__noise"))
           .as("__ns")): _*)
@@ -786,7 +787,8 @@ object StreamOps {
       .withColumn("__lvl", explode(sequence(lit(0), lit(levels))))
       .filter(expr("(shiftright(t + 1, __lvl) & 1) = 1"))
       .withColumn("__idx", expr("shiftleft(shiftright(t + 1, __lvl + 1), 1)"))
-    rel.join(noisyNodes, Seq("__lvl", "__idx") ++ keyCols)
+    // broadcast: noisyNodes bounded by the same keys x nodes budget (r19)
+    rel.join(broadcast(noisyNodes), Seq("__lvl", "__idx") ++ keyCols)
       .groupBy(col("t") +: keyCs: _*)
       .agg(sum(col("__ns")).cast("double").as(outCol))
   }
@@ -1022,7 +1024,8 @@ object StreamOps {
       perTick.select(col("__t") +: keyCs :+ col("__ns").as("__nt"): _*),
       keyCols, pub, horizon, levels, bSum, noise, noiseKind,
       "dp_prefix_sum")
-    cnt.join(sm, Seq("t") ++ keyCols)
+    // broadcast: both releases are horizon x keys bounded, no stats (r19)
+    cnt.join(broadcast(sm), Seq("t") ++ keyCols)
       .withColumn("dp_prefix_mean",
         col("dp_prefix_sum") / greatest(col("dp_prefix_count"), lit(1.0)))
   }
