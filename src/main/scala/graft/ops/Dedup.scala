@@ -1590,9 +1590,10 @@ object Dedup {
       if (s == null) Array.empty[Long]
       else {
         val md = java.security.MessageDigest.getInstance("MD5")
-        TextAnalysis.gramHashes(s, minLen, { b =>
+        TextAnalysis.gramHashesRange(s, minLen, { (b, off, len) =>
           md.reset()
-          val d = md.digest(b)
+          md.update(b, off, len)
+          val d = md.digest()
           var v = 0L
           var j = 0
           while (j < 7) { v = (v << 8) | (d(j) & 0xffL); j += 1 }

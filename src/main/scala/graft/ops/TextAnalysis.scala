@@ -559,10 +559,11 @@ object TextAnalysis {
     val f = udf((s: String) => {
       if (s == null) null.asInstanceOf[java.lang.Long]
       else {
-        val hs = gramHashes(s, gram,
-          b => org.apache.spark.sql.catalyst.expressions.XXH64
-            .hashUnsafeBytes(b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
-              b.length, 42L))
+        val hs = gramHashesRange(s, gram,
+          (b, off, len) => org.apache.spark.sql.catalyst.expressions.XXH64
+            .hashUnsafeBytes(b,
+              org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + off,
+              len, 42L))
         java.util.Arrays.sort(hs)
         val sb = new java.lang.StringBuilder
         var i = 0
@@ -600,30 +601,52 @@ object TextAnalysis {
     * the same gram boundaries Spark's `substring(text, i, gram)` yields
     * (code points, not UTF-16 units; trailing short gram only when the
     * whole text is shorter than one gram). */
-  private[ops] def gramHashes(s: String, gram: Int, h: Array[Byte] => Long): Array[Long] = {
+  private[ops] def gramHashes(s: String, gram: Int, h: Array[Byte] => Long): Array[Long] =
+    gramHashesRange(s, gram, (b, off, len) => h(java.util.Arrays.copyOfRange(b, off, off + len)))
+
+  /** [[gramHashes]] with a RANGE callback (r19 optimization): the string
+    * encodes to UTF-8 ONCE and each window hashes a (bytes, off, len)
+    * slice of that one buffer — the per-position substring + re-encode of
+    * the old shape allocated two objects per character of every document,
+    * the dominant cost of the character-granular dedup family. The hashed
+    * byte sequences are identical, so every fingerprint (and the oracle
+    * replay) is unchanged. */
+  private[ops] def gramHashesRange(s: String, gram: Int,
+      h: (Array[Byte], Int, Int) => Long): Array[Long] = {
+    val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val nChars = s.length
-    // code-point start offsets (ascii fast path: identity)
+    // code-point start BYTE offsets (ascii fast path: identity)
     var cp = 0
     val offs = new Array[Int](nChars + 1)
     var i = 0
+    var bo = 0
     while (i < nChars) {
-      offs(cp) = i
-      i += Character.charCount(s.codePointAt(i))
+      offs(cp) = bo
+      val code = s.codePointAt(i)
+      i += Character.charCount(code)
+      bo += utf8Len(code)
       cp += 1
     }
-    offs(cp) = nChars
+    offs(cp) = bytes.length
     val total = math.max(cp - (gram - 1), 1)
     val out = new Array[Long](total)
     var p = 0
     while (p < total) {
       val end = offs(math.min(p + gram, cp))
-      val bytes = s.substring(offs(p), end)
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      out(p) = h(bytes)
+      out(p) = h(bytes, offs(p), end - offs(p))
       p += 1
     }
     out
   }
+
+  /** UTF-8 encoded length of one code point (the offsets walk above). An
+    * UNPAIRED surrogate (codePointAt returns the bare unit) encodes as the
+    * one-byte replacement '?' under String.getBytes — the offsets must
+    * match that, or malformed input silently shifts every window. */
+  @inline private def utf8Len(code: Int): Int =
+    if (code < 0x80) 1 else if (code < 0x800) 2
+    else if (code >= 0xD800 && code <= 0xDFFF) 1 // unpaired surrogate -> '?'
+    else if (code < 0x10000) 3 else 4
 
   /** [[fingerprint]] with PORTABLE hashing: gram hashes are the leading 15
     * hex digits of md5 (60-bit values reproducible in any engine) and the
@@ -638,9 +661,10 @@ object TextAnalysis {
       if (s == null) null.asInstanceOf[String]
       else {
         val md = java.security.MessageDigest.getInstance("MD5")
-        val hs = gramHashes(s, gram, { b =>
+        val hs = gramHashesRange(s, gram, { (b, off, len) =>
           md.reset()
-          val d = md.digest(b)
+          md.update(b, off, len)
+          val d = md.digest()
           // leading 15 hex digits = high 60 bits: 7.5 bytes
           var v = 0L
           var j = 0
