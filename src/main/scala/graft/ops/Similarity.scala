@@ -869,6 +869,11 @@ object Similarity {
     corpus.select(col(corpusId).as("neighbor_id"),
         col(corpusVec).cast("array<double>").as("vec"))
       .withColumn("cell", nearestCellsUdf(centers, 1)(col("vec")).getItem(0))
+      // cluster by cell before the partitioned write (r19, guide-§6 file
+      // sizing): without it every scan task writes one file per cell it
+      // touches — tasks x nlist files at scale; with it each cell lands in
+      // exactly one task, one file per cell (parquet stays splittable)
+      .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/postings")
     centers.length
   }
@@ -933,7 +938,10 @@ object Similarity {
       .select(col(idCol).as("neighbor_id"), checkedVec.as("vec"))
       .withColumn("cell", nearestCellsUdf(centers, 1)(col("vec")).getItem(0))
       .localCheckpoint(false) // postings write + drift report share it
-    assigned.write.mode("append").partitionBy("cell")
+    // cluster by cell before the partitioned append (r19, the build's
+    // one-file-per-cell convention — an increment otherwise adds
+    // tasks x touched-cells files per append)
+    assigned.repartition(col("cell")).write.mode("append").partitionBy("cell")
       .parquet(s"$dir/postings")
     import spark.implicits._
     val centersDf = centerRows.toSeq.toDF("cell", "centroid")
