@@ -91,8 +91,9 @@ object Dedup {
 
   /** Distinct character n-grams as one primitive loop — same output set as
     * [[charShingles]] (first-occurrence order), immune to the per-element
-    * re-evaluation of interpreted higher-order lambdas. */
-  private def charShinglesUdf(n: Int) = udf((s: String) => {
+    * re-evaluation of interpreted higher-order lambdas. private[ops] (r19):
+    * the record-linkage LSH shingling is the same hot path. */
+  private[ops] def charShinglesUdf(n: Int) = udf((s: String) => {
     if (s == null) Array.empty[String]
     else {
       val m = math.max(s.length - (n - 1), 1)

@@ -355,8 +355,12 @@ object RecordLinkage {
         blockString.as("__er_bs") +:
         rules.zip(fldNames).map { case (r, n) => r.column.as(n) }: _*)
       .filter(col("__er_bs").isNotNull && length(col("__er_bs")) > 0)
+      // charShinglesUdf, not the transform() Column (r19): the higher-order
+      // lambda is interpreted per element and re-evaluates the key
+      // expression — same distinct shingle set, and minhash is
+      // order-insensitive, so the signature is identical
       .withColumn("__er_sig", Dedup.portableSigFromShingles(
-        Dedup.charShingles(col("__er_bs"), shingleSize),
+        Dedup.charShinglesUdf(shingleSize)(col("__er_bs")),
         numBands * rowsPerBand))
       .localCheckpoint(false) // banding + guard + field join share one scan
     val banded = proj.select(col("__er_id").as("id"),
