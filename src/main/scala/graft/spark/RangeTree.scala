@@ -658,8 +658,16 @@ object RangeTree {
     // root row throws (a silent drop would misread a partial tree).
     // Degenerate-noise conventions kept: no qualifying prefix => last
     // bin; negative total => bin 0 (every prefix qualifies).
-    val read = udf((lvls: Seq[Int], idxs: Seq[Long], counts: Seq[Double]) => {
-      val nodes = nodeMap(lvls, idxs, counts)
+    // r19: the UDF takes the struct array DIRECTLY and the Generate is
+    // explode_OUTER. The r16 shape fed it through three interpreted
+    // transform() projections of the 2*bins-1 node array, and the plain
+    // explode triggered InferFiltersFromGenerate, which CLONES the whole
+    // UDF + transform chain into an inferred size()>0 filter — every key
+    // paid the interpreted array walk twice (the emb_pca lesson; measured
+    // 2.25 s -> the readout over a warm 4096-bin probe). `read` is total
+    // (one row per q, never null/empty), so outer generates identical rows.
+    val read = udf((nodes0: Seq[org.apache.spark.sql.Row]) => {
+      val nodes = nodeMapRows(nodes0)
       val total = nodes.getOrElse(nodeKey(levels, 0L),
         throw new IllegalStateException(
           "quantilesFromTree: key with no root node (lvl == levels) — " +
@@ -676,14 +684,13 @@ object RangeTree {
       }
     })
     collectNodes(tree, keyCols)
-      .select(keyCs :+ explode(read(col("__nl"), col("__ni"), col("__nc")))
-        .as("__qb"): _*)
+      .select(keyCs :+ explode_outer(read(col("__n"))).as("__qb"): _*)
       .select(keyCs :+ col("__qb._1").as("q") :+ col("__qb._2").as("bin"): _*)
       .withColumn("value_lo", lit(lo) + col("bin") * lit((hi - lo) / bins))
   }
 
   /** One groupBy(key) collecting the tree's bounded node universe
-    * (<= 2*bins-1 rows per key) as three parallel arrays — the shared
+    * (<= 2*bins-1 rows per key) as one (l, i, c) struct array — the shared
     * scan of the fused readouts. Keyless trees aggregate globally. */
   private def collectNodes(tree: DataFrame, keyCols: Seq[String]): DataFrame = {
     val keyCs = keyCols.map(col)
@@ -691,34 +698,32 @@ object RangeTree {
       .agg(collect_list(struct(col("__lvl").cast("int").as("l"),
         col("__idx").cast("long").as("i"),
         col("dp_count").cast("double").as("c"))).as("__n"))
-      .select(keyCs :+ expr("transform(__n, x -> x.l)").as("__nl") :+
-        expr("transform(__n, x -> x.i)").as("__ni") :+
-        expr("transform(__n, x -> x.c)").as("__nc"): _*)
   }
 
-  private def nodeKey(lvl: Int, idx: Long): Long = (lvl.toLong << 48) | idx
-
-  /** The collected node arrays as a (lvl, idx) -> count map. Duplicate
-    * node rows FAIL LOUD (14th pass, r17): a released tree carries each
-    * node exactly once, so a duplicate means corrupt input — overlapping
-    * shards, a double-written union — and the r16 defensive SUM would
-    * have silently double-counted it into every prefix readout. */
-  private def nodeMap(lvls: Seq[Int], idxs: Seq[Long],
-      counts: Seq[Double]): scala.collection.mutable.LongMap[Double] = {
-    val m = new scala.collection.mutable.LongMap[Double](lvls.length * 2)
+  /** The collected (l, i, c) struct rows as a (lvl, idx) -> count map —
+    * [[nodeMap]] over the struct-array form the fused readouts consume. */
+  private def nodeMapRows(rows: Seq[org.apache.spark.sql.Row])
+      : scala.collection.mutable.LongMap[Double] = {
+    val m = new scala.collection.mutable.LongMap[Double](rows.length * 2)
     var i = 0
-    while (i < lvls.length) {
-      val k = nodeKey(lvls(i), idxs(i))
+    while (i < rows.length) {
+      val r = rows(i)
+      val k = nodeKey(r.getInt(0), r.getLong(1))
       if (m.contains(k)) throw new IllegalStateException(
-        s"tree readout: duplicate node (lvl ${lvls(i)}, idx ${idxs(i)}) " +
-          "in a key's released universe — a released tree carries each " +
-          "node once; the union is corrupt (overlapping shards or a " +
-          "double-written release)")
-      m.update(k, counts(i))
+        s"tree readout: duplicate node (lvl ${r.getInt(0)}, idx " +
+          s"${r.getLong(1)}) in a key's released universe — a released " +
+          "tree carries each node once; the union is corrupt (overlapping " +
+          "shards or a double-written release)")
+      m.update(k, r.getDouble(2))
       i += 1
     }
     m
   }
+
+  private def nodeKey(lvl: Int, idx: Long): Long = (lvl.toLong << 48) | idx
+
+  // (the parallel-seq nodeMap is gone — nodeMapRows above keeps its
+  // duplicate-node FAIL-LOUD contract, 14th pass r17, over the struct rows)
 
   /** Every prefix [0, t] from the node map via its dyadic decomposition
     * (the [[prefixCounts]] arithmetic, task-side): prefix t sums nodes
@@ -811,8 +816,11 @@ object RangeTree {
     val keyCs = keyCols.map(col)
     val levels = 31 - Integer.numberOfLeadingZeros(bins)
     val width = (hi - lo) / bins
-    val read = udf((lvls: Seq[Int], idxs: Seq[Long], counts: Seq[Double]) => {
-      val nodes = nodeMap(lvls, idxs, counts)
+    // struct-array UDF + explode_outer (r19): see quantilesFromTree — the
+    // transform()-fed plain-explode shape evaluated the interpreted array
+    // walk twice per key via InferFiltersFromGenerate
+    val read = udf((nodes0: Seq[org.apache.spark.sql.Row]) => {
+      val nodes = nodeMapRows(nodes0)
       // fail-loud root check (the quantilesFromTree contract): a keyless
       // tree's global groupBy always emits one row even on an EMPTY
       // input, and an empty/partial node list would otherwise read every
@@ -828,7 +836,7 @@ object RangeTree {
       out.indices.map(t => (t.toLong, out(t)))
     })
     collectNodes(tree, keyCols)
-      .select(keyCs :+ explode(read(col("__nl"), col("__ni"), col("__nc")))
+      .select(keyCs :+ explode_outer(read(col("__n")))
         .as("__f"): _*)
       .select(keyCs :+ col("__f._1").as("bin") :+
         (lit(lo) + (col("__f._1") + 1) * lit(width)).as("value_hi") :+
@@ -2124,16 +2132,27 @@ object RangeTree {
     require(bins >= 2 && (bins & (bins - 1)) == 0 && bins <= 4096,
       s"bins must be a power of two in [2, 4096], got $bins")
     val keyCs = keyCols.map(col)
-    val sweep = udf((lvls: Seq[Int], idxs: Seq[Long], cnts: Seq[Double]) =>
-      consistencySweepOneKey(lvls, idxs, cnts, bins))
+    // struct-array UDF + explode_outer (r19): the transform()-fed plain
+    // explode evaluated the interpreted array walks twice per key via
+    // InferFiltersFromGenerate (see quantilesFromTree)
+    val sweep = udf((nodes: Seq[org.apache.spark.sql.Row]) => {
+      val n = nodes.length
+      val lvls = new Array[Int](n); val idxs = new Array[Long](n)
+      val cnts = new Array[Double](n)
+      var i = 0
+      while (i < n) {
+        val r = nodes(i)
+        lvls(i) = r.getInt(0); idxs(i) = r.getLong(1); cnts(i) = r.getDouble(2)
+        i += 1
+      }
+      consistencySweepOneKey(lvls, idxs, cnts, bins)
+    })
     tree
       .groupBy(keyCs: _*)
-      .agg(collect_list(struct(col("__lvl").as("l"), col("__idx").as("i"),
-        col("dp_count").as("c"))).as("__nodes"))
-      .select(keyCs :+ explode(sweep(
-        expr("transform(__nodes, n -> n.l)"),
-        expr("transform(__nodes, n -> n.i)"),
-        expr("transform(__nodes, n -> n.c)"))).as("__n"): _*)
+      .agg(collect_list(struct(col("__lvl").cast("int").as("l"),
+        col("__idx").cast("long").as("i"),
+        col("dp_count").cast("double").as("c"))).as("__nodes"))
+      .select(keyCs :+ explode_outer(sweep(col("__nodes"))).as("__n"): _*)
       .select(col("__n._1").as("__lvl") +: col("__n._2").as("__idx") +:
         keyCs :+ col("__n._3").as("dp_count"): _*)
   }
@@ -2264,22 +2283,32 @@ object RangeTree {
       s"binsY must be a power of two in [2, 4096], got $binsY")
     require(sweeps >= 1, s"sweeps must be >= 1, got $sweeps")
     val keyCs = keyCols.map(col)
-    val sweep = udf((lvxs: Seq[Int], idxxs: Seq[Long], lvys: Seq[Int],
-        idxys: Seq[Long], cnts: Seq[Double]) =>
+    // struct-array UDF + explode_outer (r19, the quantilesFromTree note):
+    // five interpreted transform() walks of a <= ~253k-node product array,
+    // cloned by InferFiltersFromGenerate, were the expensive shape
+    val sweep = udf((nodes: Seq[org.apache.spark.sql.Row]) => {
+      val n = nodes.length
+      val lvxs = new Array[Int](n); val idxxs = new Array[Long](n)
+      val lvys = new Array[Int](n); val idxys = new Array[Long](n)
+      val cnts = new Array[Double](n)
+      var i = 0
+      while (i < n) {
+        val r = nodes(i)
+        lvxs(i) = r.getInt(0); idxxs(i) = r.getLong(1)
+        lvys(i) = r.getInt(2); idxys(i) = r.getLong(3)
+        cnts(i) = r.getDouble(4)
+        i += 1
+      }
       consistency2DSweepOneKey(lvxs, idxxs, lvys, idxys, cnts,
-        binsX, binsY, sweeps))
+        binsX, binsY, sweeps)
+    })
     tree
       .groupBy(keyCs: _*)
       .agg(collect_list(struct(
-        col("__lvx").as("lx"), col("__idxx").as("ix"),
-        col("__lvy").as("ly"), col("__idxy").as("iy"),
-        col("dp_count").as("c"))).as("__nodes"))
-      .select(keyCs :+ explode(sweep(
-        expr("transform(__nodes, n -> n.lx)"),
-        expr("transform(__nodes, n -> n.ix)"),
-        expr("transform(__nodes, n -> n.ly)"),
-        expr("transform(__nodes, n -> n.iy)"),
-        expr("transform(__nodes, n -> n.c)"))).as("__n"): _*)
+        col("__lvx").cast("int").as("lx"), col("__idxx").cast("long").as("ix"),
+        col("__lvy").cast("int").as("ly"), col("__idxy").cast("long").as("iy"),
+        col("dp_count").cast("double").as("c"))).as("__nodes"))
+      .select(keyCs :+ explode_outer(sweep(col("__nodes"))).as("__n"): _*)
       .select(col("__n._1").as("__lvx") +: col("__n._2").as("__idxx") +:
         col("__n._3").as("__lvy") +: col("__n._4").as("__idxy") +:
         keyCs :+ col("__n._5").as("dp_count"): _*)
