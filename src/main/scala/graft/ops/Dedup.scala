@@ -1528,7 +1528,9 @@ object Dedup {
     val grams = df
       .select(col(idCol).as("doc_id"), TextAnalysis.tokens(col(textCol)).as("__toks"))
       .filter(size(col("__toks")) >= n)
-      .select(col("doc_id"), posexplode(gramHashUdf(n)(col("__toks"))).as(Seq("pos", "h")))
+      // outer: >= n tokens guarantee >= 1 gram; dodges the generate-filter
+      // UDF clone (r19)
+      .select(col("doc_id"), posexplode_outer(gramHashUdf(n)(col("__toks"))).as(Seq("pos", "h")))
       .localCheckpoint(false) // consumed by the frequency agg AND the join-back
     val freq = grams.groupBy("h").agg(countDistinct(col("doc_id")).as("nd"))
     val j = grams.join(freq.hint("shuffle_hash"), "h")
@@ -1610,7 +1612,11 @@ object Dedup {
     val wins = base
       .filter(col("__text").isNotNull && length(col("__text")) >= minLen)
       .select(col("doc_id"),
-        posexplode(winHash(col("__text"))).as(Seq("pos", "h")))
+        // posexplode_OUTER (r19, the emb_pca lesson): a plain generate lets
+        // InferFiltersFromGenerate clone the per-character md5 UDF into an
+        // inferred size()>0 filter — every document hashed twice. The
+        // filter above guarantees >= 1 window, so outer rows are identical.
+        posexplode_outer(winHash(col("__text"))).as(Seq("pos", "h")))
       .localCheckpoint(false) // first-occurrence agg + the join-back
     val firsts = wins.groupBy("h")
       .agg(min(struct(col("doc_id"), col("pos"))).as("__f"),
@@ -1678,7 +1684,9 @@ object Dedup {
       .select(col(idCol).as("doc_id"), TextAnalysis.tokens(col(textCol)).as("__toks"))
       .localCheckpoint(false) // reused by the gram pass AND the reassembly join
     val grams = toks.filter(size(col("__toks")) >= n)
-      .select(col("doc_id"), posexplode(gramHashUdf(n)(col("__toks"))).as(Seq("pos", "h")))
+      // outer: >= n tokens guarantee >= 1 gram; dodges the generate-filter
+      // UDF clone (r19)
+      .select(col("doc_id"), posexplode_outer(gramHashUdf(n)(col("__toks"))).as(Seq("pos", "h")))
     val freq = grams.groupBy("h").agg(countDistinct(col("doc_id")).as("nd"))
     val covered = grams.join(freq.hint("shuffle_hash"), "h")
       .filter(col("nd") >= minDocs)
