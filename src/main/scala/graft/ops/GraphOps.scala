@@ -86,10 +86,15 @@ object GraphOps {
     var ranks = nodes.withColumn("rank_scaled", lit(scale / n))
       .localCheckpoint(false)
     for (_ <- 1 to iters) {
-      // one scalar per round — bounded driver state, the CC-signature
-      // pattern (Dedup.scala:660)
+      // the round's dangling mass rides as a broadcast ONE-ROW aggregate
+      // instead of a driver collect (r19): the loop builds one lazy DAG —
+      // no per-iteration action, no per-iteration job — and the lazy
+      // checkpoints still truncate lineage as they materialize inside the
+      // single final job. Same integer value: sums of scaled longs stay
+      // far under 2^53, where ldiv's floor(double) equals Scala's
+      // nonnegative Long division exactly (the file's exactness contract).
       val dangling = ranks.join(outdeg, Seq("node"), "left_anti")
-        .agg(coalesce(sum("rank_scaled"), lit(0L))).collect()(0).getLong(0)
+        .agg(coalesce(sum("rank_scaled"), lit(0L)).as("__dang"))
       val incoming = e
         .join(ranks.join(outdeg, "node")
             .select(col("node").as("src"),
@@ -98,8 +103,10 @@ object GraphOps {
         .groupBy(col("dst").as("node"))
         .agg(sum("c").as("inc"))
       ranks = nodes.join(incoming, Seq("node"), "left")
+        .crossJoin(broadcast(dangling))
         .select(col("node"),
-          (lit(base) + ldiv((coalesce(col("inc"), lit(0L)) + lit(dangling / n))
+          (lit(base) + ldiv((coalesce(col("inc"), lit(0L)) +
+            ldiv(col("__dang"), lit(n)))
             * lit(17L), lit(20L))).as("rank_scaled"))
         .localCheckpoint(false)
     }
