@@ -102,6 +102,7 @@ object Bench {
       (times, failure)
     }
 
+    val mainPassT0 = System.nanoTime()
     val results = names.map { name =>
       val (times, failure) = measure(name)
       // A failing rep MUST NOT bench as a fast success: report the median as
@@ -115,6 +116,7 @@ object Bench {
       }
       (name, median, times.head)
     }
+    val mainPassWall = (System.nanoTime() - mainPassT0) / 1e9
 
     // ---- self-attributing rerun pass ------------------------------------
     // priors: "name median" lines, checked in from a full run (regenerate
@@ -163,22 +165,6 @@ object Bench {
       .filter { case (n, m, _) =>
         m >= 0 && priors.get(n).exists(p => isOutlier(m, p)) }
       .sortBy { case (n, m, _) => -(m / priors(n)) } // worst ratios first
-    val reruns: Seq[(String, Double, Double)] = outliers.map { case (name, m, _) =>
-      // fresh-ish state: drop every cached block and hint a GC so the rerun
-      // measures the plan, not the full run's accumulated heap state
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = true))
-      spark.catalog.clearCache()
-      System.gc()
-      val (times, failure) = measure(name)
-      val rm = if (failure.isDefined) -1.0 else times(times.length / 2)
-      System.err.println(f"[bench] RERUN $name: full-run $m%.2fs -> isolated " +
-        f"$rm%.2fs (prior ${priors(name)}%.2fs)")
-      (name, m, rm)
-    }
-    // isolated rerun medians by name — the correction source for both the
-    // artifact's primary numbers and the regenerated priors
-    val isolatedOf = reruns.filter(_._3 >= 0).map(r => r._1 -> r._3).toMap
     // ---- whole-run contamination guard (r16) ---------------------------
     // Per-query reruns only catch >3x outliers; a loaded machine can also
     // inflate EVERY query ~1.2-1.4x (r15's official run: 246s where three
@@ -186,6 +172,8 @@ object Bench {
     // Compare the run's prior-covered medians against the priors in
     // aggregate: past 1.2x the artifact self-describes as contaminated —
     // readers compare per-query MINS and the reruns, not the headline.
+    // (Depends only on the main pass, so it is computed BEFORE the rerun
+    // pass and ships on both artifact lines.)
     val priorCovered = results.filter { case (n, m, _) =>
       m >= 0 && priors.contains(n) }
     val priorSum = priorCovered.map(r => priors(r._1)).sum
@@ -197,6 +185,101 @@ object Bench {
         f"$coveredSum%.1fs vs priors $priorSum%.1fs (${inflation}%.2fx > " +
         "1.2x) — the environment is loaded; read mins + reruns, not the " +
         "headline")
+
+    // ---- artifact emission ----------------------------------------------
+    // The harness captures only the LAST ~2000 bytes of output, and sbt's
+    // trailing "[success] Total time" line eats ~80 of them, so the JSON line
+    // must stay under ~1850 bytes. Each kept query is "name":[median,min] —
+    // the min separates warm-up/position noise (median >> min) from real
+    // plan cost (median ≈ min); "reruns" entries attribute the outliers
+    // (see the header comment). If the inventory grows past what fits, fold
+    // the FASTEST queries into one "_other" bucket — the slow ones are the
+    // ones comparisons need.
+    def r3(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    def r2(v: Double) = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
+    val errored = results.filter(_._2 < 0).map(_._1).sorted
+    val rawTotal = results.filter(_._2 >= 0).map(_._2).sum
+    val errJson = if (errored.isEmpty) ""
+      else s""","errors":${errored.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
+    // the contamination flag ships IN the artifact (the stderr line dies
+    // with the log): inflation = this run's prior-covered total over the
+    // checked-in priors' total — >1.2 marks the whole run load-inflated.
+    // FULL runs only: a targeted/other-SF run compared against the sf0.1
+    // priors would ship a meaningless ratio
+    val contamJson = if (priorSum <= 0 || only.isDefined) ""
+      else f""","inflation":${r2(inflation)}%s,"run_contaminated":$contaminated%b"""
+    // Build + print one artifact line from per-query (name, median, min)
+    // rows, folding the FASTEST queries into "_other" until it fits. The
+    // folded bucket carries [sum of medians, sum of mins]: a literal 0 min
+    // would read as pure position noise under the median >> min heuristic
+    // instead of "min unavailable".
+    def emitLine(ok: Seq[(String, Double, Double)], total: Double,
+        extraJson: String): Unit = {
+      def line(rs: Seq[(String, Double, Double)], folded: Int, foldedSec: Double,
+          foldedMin: Double) = {
+        val entries = rs.map(r => "\"" + r._1 + "\":[" + r3(r._2) + "," + r2(r._3) + "]") ++
+          (if (folded > 0)
+            Seq("\"_other_" + folded + "q\":[" + r3(foldedSec) + "," + r2(foldedMin) + "]")
+          else Nil)
+        s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$reps,"order_seed":$orderSeed,"fmt":"[median,min]"$errJson$extraJson$contamJson,"queries":${entries.mkString("{", ",", "}")},"sf":"$sfDir"}"""
+      }
+      val bySlowest = ok.sortBy(-_._2)
+      var keep = bySlowest.length
+      while (keep > 0 && {
+        val kept = bySlowest.take(keep).sortBy(_._1)
+        val dropped = bySlowest.drop(keep)
+        line(kept, dropped.length, dropped.map(_._2).sum,
+          dropped.map(_._3).sum).length > 1850
+      }) keep -= 1
+      val kept = bySlowest.take(keep).sortBy(_._1)
+      val dropped = bySlowest.drop(keep)
+      println(line(kept, dropped.length, dropped.map(_._2).sum, dropped.map(_._3).sum))
+    }
+
+    // ---- timeout-proof emission order (r20, judge-directed) --------------
+    // BENCH_r19.json died rc=124 (harness timeout) DURING the rerun pass and
+    // the round lost its entire official perf record, because the one JSON
+    // line printed only at the very end — the second round running that the
+    // judge had no 32-core numbers. Two changes, emission-order only (the
+    // measured numbers and their methodology are untouched):
+    //   1. the MAIN-PASS artifact line prints immediately after measurement
+    //      (uncorrected full-run medians — a complete, valid record);
+    //   2. the rerun pass (uncapped since r19) gets a wall-clock budget of
+    //      max(60s, 25% of the main pass); unprocessed outliers are counted
+    //      in "reruns_skipped" on the final line.
+    // When the run completes, the FINAL corrected line prints last (the
+    // harness reads the tail, so it supersedes the main-pass line); if the
+    // harness kills a loaded run mid-rerun, the main-pass line already
+    // carries the full measurement instead of losing the round's record.
+    emitLine(results.filter(_._2 >= 0), rawTotal, "")
+
+    val rerunBudget = math.max(60.0, 0.25 * mainPassWall)
+    val rerunT0 = System.nanoTime()
+    var rerunsSkipped = 0
+    val reruns: Seq[(String, Double, Double)] = outliers.flatMap { case (name, m, _) =>
+      if ((System.nanoTime() - rerunT0) / 1e9 > rerunBudget) {
+        rerunsSkipped += 1
+        None
+      } else {
+        // fresh-ish state: drop every cached block and hint a GC so the rerun
+        // measures the plan, not the full run's accumulated heap state
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
+        spark.catalog.clearCache()
+        System.gc()
+        val (times, failure) = measure(name)
+        val rm = if (failure.isDefined) -1.0 else times(times.length / 2)
+        System.err.println(f"[bench] RERUN $name: full-run $m%.2fs -> isolated " +
+          f"$rm%.2fs (prior ${priors(name)}%.2fs)")
+        Some((name, m, rm))
+      }
+    }
+    if (rerunsSkipped > 0) System.err.println(
+      f"[bench] rerun budget exhausted ($rerunBudget%.0fs): $rerunsSkipped " +
+        "outlier(s) not rerun; their full-run medians stand")
+    // isolated rerun medians by name — the correction source for both the
+    // artifact's primary numbers and the regenerated priors
+    val isolatedOf = reruns.filter(_._3 >= 0).map(r => r._1 -> r._3).toMap
 
     // optional priors regeneration for the next round's resource. A
     // CONTAMINATED run refuses to write (r19 review finding): inflated
@@ -223,17 +306,6 @@ object Bench {
       }
     }
 
-    // The harness captures only the LAST ~2000 bytes of output, and sbt's
-    // trailing "[success] Total time" line eats ~80 of them, so the JSON line
-    // must stay under ~1850 bytes. Each kept query is "name":[median,min] —
-    // the min separates warm-up/position noise (median >> min) from real
-    // plan cost (median ≈ min); "reruns" entries attribute the outliers
-    // (see the header comment). If the inventory grows past what fits, fold
-    // the FASTEST queries into one "_other" bucket — the slow ones are the
-    // ones comparisons need.
-    def r3(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    def r2(v: Double) = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
-    val errored = results.filter(_._2 < 0).map(_._1).sorted
     // ---- promote reruns to the PRIMARY numbers (r19) --------------------
     // r18's official artifact was whole-run contaminated (inflation 1.59)
     // with the clean isolated reruns demoted to a side map — the round's
@@ -247,47 +319,18 @@ object Bench {
         math.min(mn, isolatedOf.getOrElse(n, mn)))
     }
     val total = ok.map(_._2).sum
-    val rawTotal = results.filter(_._2 >= 0).map(_._2).sum
-    val errJson = if (errored.isEmpty) ""
-      else s""","errors":${errored.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
-    // the contamination flag ships IN the artifact (the stderr line dies
-    // with the log): inflation = this run's prior-covered total over the
-    // checked-in priors' total — >1.2 marks the whole run load-inflated.
-    // FULL runs only: a targeted/other-SF run compared against the sf0.1
-    // priors would ship a meaningless ratio
-    val contamJson = if (priorSum <= 0 || only.isDefined) ""
-      else f""","inflation":${r2(inflation)}%s,"run_contaminated":$contaminated%b"""
     // reruns as "name":[full-run median, isolated-rerun median]; a rerun
     // that itself FAILED carries no timing — keep it out of the map (its
     // -1.0 sentinel would read as a sub-zero time) and let the stderr line
     // plus the full-run median stand as the record
     val rerunsOk = reruns.filter(_._3 >= 0)
-    val rerunJson = if (rerunsOk.isEmpty) ""
+    val skippedJson = if (rerunsSkipped == 0) ""
+      else s""","reruns_skipped":$rerunsSkipped"""
+    val rerunJson = (if (rerunsOk.isEmpty) ""
       else s""","reruns":${rerunsOk.map(r =>
         "\"" + r._1 + "\":[" + r2(r._2) + "," + r2(r._3) + "]")
-        .mkString("{", ",", "}")},"raw_total":${r3(rawTotal)}"""
-    // the folded bucket carries [sum of medians, sum of mins]: a literal 0
-    // min would read as pure position noise under the median >> min
-    // heuristic instead of "min unavailable"
-    def line(rs: Seq[(String, Double, Double)], folded: Int, foldedSec: Double,
-        foldedMin: Double) = {
-      val entries = rs.map(r => "\"" + r._1 + "\":[" + r3(r._2) + "," + r2(r._3) + "]") ++
-        (if (folded > 0)
-          Seq("\"_other_" + folded + "q\":[" + r3(foldedSec) + "," + r2(foldedMin) + "]")
-        else Nil)
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$reps,"order_seed":$orderSeed,"fmt":"[median,min]"$errJson$rerunJson$contamJson,"queries":${entries.mkString("{", ",", "}")},"sf":"$sfDir"}"""
-    }
-    val bySlowest = ok.sortBy(-_._2)
-    var keep = bySlowest.length
-    while (keep > 0 && {
-      val kept = bySlowest.take(keep).sortBy(_._1)
-      val dropped = bySlowest.drop(keep)
-      line(kept, dropped.length, dropped.map(_._2).sum,
-        dropped.map(_._3).sum).length > 1850
-    }) keep -= 1
-    val kept = bySlowest.take(keep).sortBy(_._1)
-    val dropped = bySlowest.drop(keep)
-    println(line(kept, dropped.length, dropped.map(_._2).sum, dropped.map(_._3).sum))
+        .mkString("{", ",", "}")},"raw_total":${r3(rawTotal)}""") + skippedJson
+    emitLine(ok, total, rerunJson)
     spark.stop()
   }
 }
