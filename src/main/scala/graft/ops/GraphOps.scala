@@ -85,7 +85,7 @@ object GraphOps {
     val base = (scale * 3L / 20L) / n
     var ranks = nodes.withColumn("rank_scaled", lit(scale / n))
       .localCheckpoint(false)
-    for (_ <- 1 to iters) {
+    for (it <- 1 to iters) {
       // the round's dangling mass rides as a broadcast ONE-ROW aggregate
       // instead of a driver collect (r19): the loop builds one lazy DAG —
       // no per-iteration action, no per-iteration job — and the lazy
@@ -108,7 +108,15 @@ object GraphOps {
           (lit(base) + ldiv((coalesce(col("inc"), lit(0L)) +
             ldiv(col("__dang"), lit(n)))
             * lit(17L), lit(20L))).as("rank_scaled"))
-        .localCheckpoint(false)
+        // EAGER every 5th round (never the last — the caller's action
+        // materializes that one): the all-lazy chain stacks one pending
+        // BroadcastExchange per round, and the final action must resolve
+        // every one of them inside a single spark.sql.broadcastTimeout
+        // window (default 300s) — at high `iters` that is a timeout
+        // regression waiting to happen and the pending plan grows
+        // linearly. A bounded cadence caps both (at most 5 pending
+        // rounds) at zero extra jobs for the common iters <= 5 call.
+        .localCheckpoint(it % 5 == 0 && it < iters)
     }
     ranks.withColumn("rank",
       col("rank_scaled").cast("double") / lit(scale.toDouble))

@@ -329,9 +329,16 @@ object ModelTraining {
     val pool = java.util.concurrent.Executors.newFixedThreadPool(folds)
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    // each fold's jobs run under its own job group so a failed fold can
+    // CANCEL its siblings' in-flight jobs (plain shutdown() would let
+    // them run to completion in the background after the caller already
+    // received the failure — wasted cluster work)
+    val jobGroup = s"graft-cv-${System.identityHashCode(feats)}"
     val rows = try scala.concurrent.Await.result(
       scala.concurrent.Future.sequence((0 until folds).map { fold =>
         scala.concurrent.Future {
+          spark0.sparkContext.setJobGroup(jobGroup,
+            s"crossValidateExact fold $fold", interruptOnCancel = true)
           val train = feats.filter(col("__fold") =!= fold.toLong)
             .drop("__fold").as[LtmFeatures]
           val test = feats.filter(col("__fold") === fold.toLong)
@@ -357,7 +364,14 @@ object ModelTraining {
             passes.last.loss)
         }
       }), scala.concurrent.duration.Duration.Inf)
-    finally pool.shutdown()
+    catch { case t: Throwable =>
+      spark0.sparkContext.cancelJobGroup(jobGroup)
+      throw t
+    }
+    finally {
+      pool.shutdownNow()
+      ()
+    }
     rows.toDF("fold", "n_train", "n_train_pos", "n_test",
       "n_test_correct", "train_loss_final")
   }

@@ -734,7 +734,27 @@ object DPEngine {
     // sum), but skipping the L1 sample would leave contributions fully
     // unbounded while noise is calibrated to mc.
     val doSampling = !params.contributionBoundsAlreadyEnforced
-    if (doSampling) {
+    // COUNT-STYLE Linf fast path (r20): when every requested metric reads
+    // only the bounded row count (Count) or the distinct-unit count
+    // (PrivacyIdCount) — never a row's value — the Linf sample's one
+    // observable is the kept-row count min(n, c): a group's rows are
+    // interchangeable, so which c rows survive cannot reach the release.
+    // least(count, c) over the stage-5b aggregate is therefore EXACTLY the
+    // sampled result (bit-identical for every rand draw, not merely equal
+    // in distribution) with no rand, no sort and no raw-row exchange: the
+    // aggregate partial-combines map-side where the row_number window had
+    // to sort the whole fact table per release (guide §2.3/§2.4). The L1
+    // (maxContributions) sample is NOT reducible this way — it splits one
+    // unit's budget ACROSS partitions, so which rows survive decides the
+    // per-partition counts — and keeps the window.
+    val countOnlyLinfCap: Option[Long] =
+      if (doSampling && params.maxContributions.isEmpty &&
+          needsLinfSampling(params) && quantile.isEmpty && vector.isEmpty &&
+          params.metrics.nonEmpty && params.metrics.forall(m =>
+            m == Metric.Count || m == Metric.PrivacyIdCount))
+        params.maxContributionsPerPartition.map(_.toLong)
+      else None
+    if (doSampling && countOnlyLinfCap.isEmpty) {
       params.maxContributions match {
         case Some(mc) => // L1 bounding: <= mc rows per pid across all partitions
           cur = sampleRowsPerKey(cur, Seq(PidCol), mc, shards)
@@ -766,8 +786,16 @@ object DPEngine {
         // lit(0.0) trick, applied per metric set)
         val needsMoments = params.metrics.exists(m =>
           m == Metric.Mean || m == Metric.Variance)
+        // SumPart is the ONLY consumer of the sum accumulator — and it is
+        // only BUILT when Sum is requested without Mean/Variance (those
+        // subsume it from the centered moments) — so any other metric set
+        // pays the lit(0.0) trick here too (r20). The count-only fast path
+        // above RELIES on this: with sampling folded into least(count, c),
+        // a live sum would aggregate unsampled rows.
+        val needsSum = params.metrics.contains(Metric.Sum) && !needsMoments
         Seq(
-          (if (params.boundsPerPartitionAreSet)
+          (if (!needsSum) lit(0.0)
+           else if (params.boundsPerPartitionAreSet)
              least(greatest(sum(col(ValCol)), lit(params.minSumPerPartition.get)),
                lit(params.maxSumPerPartition.get))
            else sum(clipped)).as(SumCol),
@@ -784,9 +812,14 @@ object DPEngine {
       // aggregate ran the vector-sum Aggregator TWICE per group (two
       // vectorsumaggregator calls visible in the plan)
       vector.map(_ => VectorOps.vecSum(col(ValCol)).as(VecCol)).toSeq
+    // the count-only fast path folds the Linf bound into the aggregate:
+    // least(count, c) == the sampled row count for EVERY rand draw
+    val cntAcc = countOnlyLinfCap
+      .map(c => least(count(lit(1)), lit(c)))
+      .getOrElse(count(lit(1)))
     val perPidPk0 = cur
       .groupBy((col(PidCol) +: pkCols): _*)
-      .agg(count(lit(1)).as(CntCol), scalarAccs ++ extraAccs: _*)
+      .agg(cntAcc.as(CntCol), scalarAccs ++ extraAccs: _*)
     val perPidPk = vector.map(v => perPidPk0.withColumn(VecCol,
       VectorOps.clipVector(col(VecCol), v.normKind, v.maxNorm)))
       .getOrElse(perPidPk0)

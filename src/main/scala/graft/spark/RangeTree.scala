@@ -313,6 +313,17 @@ object RangeTree {
       s"dpRangeCountTreePerKeyDomains: ${chk.getLong(0)} domain rows for " +
         s"${chk.getLong(1)} distinct keys — the domains frame must have " +
         "exactly one row per key")
+    // the release guard's key budget, enforced HERE as well (r20): the
+    // domains frame is broadcast below, so an over-budget key set must
+    // fail with this shaped message at ingest, not as an opaque broadcast
+    // build OOM — and the release-time guard would only fire after the
+    // whole ingest ran
+    val maxDomKeys = math.max(1L, MaxDriverRows / (2L * bins - 1))
+    require(chk.getLong(0) <= maxDomKeys,
+      s"dpRangeCountTreePerKeyDomains: ${chk.getLong(0)} domain keys — over " +
+        s"the $maxDomKeys-key budget for bins=$bins (the domains frame is " +
+        "broadcast and the release draws keys x nodes noises driver-side); " +
+        "shard the release by key range")
     // NULL keys fail loud BEFORE the domains join would silently drop
     // them (null never equi-joins) — the family's convention
     val dfChecked = keyCols.foldLeft(df) { (d, n) =>
@@ -778,7 +789,11 @@ object RangeTree {
       bins, qs).drop("value_lo")
     val dom = domains.select(keyCs :+ col("lo").cast("double") :+
       col("hi").cast("double"): _*)
-    binsOut.join(broadcast(dom), keyCols, "left") // dom driver-bounded (r19)
+    // dom is the SAME frame the release ingested (the contract below), so
+    // it already passed the ingest-time key-budget guard
+    // (dpRangeCountTreePerKeyDomains) — the broadcast is driver-bounded;
+    // a foreign oversized frame fails in the broadcast build instead
+    binsOut.join(broadcast(dom), keyCols, "left")
       .withColumn("value_lo",
         when(col("lo").isNull, raise_error(lit(
           "quantilesFromTreePerKeyDomains: a tree key has no domain row — " +

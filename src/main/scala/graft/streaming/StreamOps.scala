@@ -770,7 +770,13 @@ object StreamOps {
         nullable = false))
     val nodes = spark0.createDataFrame(
       new java.util.ArrayList(noiseRows.asJava), noiseSchema)
-    // broadcast: contrib bounded by keys x (2*horizon-1), no stats (r19)
+    // broadcast: contrib bounded by keys x (2*horizon-1), no stats (r19).
+    // Worst-case size note (r20, advice): the guard admits up to
+    // MaxDriverRows (2M) rows; at ~50 B/row ((lvl, idx, key, sum) + hash
+    // relation overhead) that is a ~100 MB broadcast at the limit —
+    // within a sane driver budget but deliberately past
+    // autoBroadcastJoinThreshold, which the explicit hint bypasses. Size
+    // the driver for MaxDriverRows-scale releases or shard by key range.
     val noisyNodes = nodes
       .join(broadcast(contrib), Seq("__lvl", "__idx") ++ keyCols, "left")
       .select(col("__lvl") +: col("__idx") +:

@@ -876,6 +876,42 @@ class DPEngineSpec extends AnyFunSuite {
     }
     assert(e4.getMessage.contains("collide"), e4.getMessage)
   }
+
+  test("count-only Linf cap folds into the aggregate: exact least(n, c), no raw-row window") {
+    // Count/PrivacyIdCount never read a row's value, so a BINDING Linf cap
+    // must release exactly least(n, c) per (pid, pk) — deterministically,
+    // independent of the sampling draw — and the plan must bound it with
+    // the map-side aggregate, not the row_number-over-rand window (r20).
+    def windows(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }.size
+    val pub = Seq("pk1", "pk2").toDF("pk")
+    val engine = zeroEngine()
+    val params = AggregateParams(
+      metrics = Seq(Metric.Count, Metric.PrivacyIdCount),
+      maxPartitionsContributed = 5, maxContributionsPerPartition = Some(2))
+    val res = engine.aggregate(fixture, params, roles,
+      publicPartitions = Some(pub))
+    engine.accountant.computeBudgets()
+    val got = res.dataframe.collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    // binding c = 2: pk1 = min(3,2) + min(2,2) = 4 rows over 2 units;
+    //                pk2 = 1 + 2 = 3 rows over 2 units
+    assert(got == Map("pk1" -> ((4.0, 2.0)), "pk2" -> ((3.0, 2.0))), s"got $got")
+    assert(windows(res.dataframe) == 1,
+      s"count-only metrics must plan ONE window (the L0 sample), " +
+        s"got ${windows(res.dataframe)}")
+    // a value-reading metric set must KEEP the Linf row sampler
+    val e2 = zeroEngine()
+    val res2 = e2.aggregate(fixture,
+      params.copy(metrics = Seq(Metric.Count, Metric.Sum),
+        minValue = Some(0.0), maxValue = Some(100.0)),
+      roles, publicPartitions = Some(pub))
+    e2.accountant.computeBudgets()
+    assert(windows(res2.dataframe) == 2,
+      "a Sum metric reads sampled values and must keep the Linf row sampler")
+  }
 }
 
 /** JVM-static landing spot for noise-scale assertions: task-closure
@@ -963,4 +999,5 @@ class QueryBuilderSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("duplicate output column"), e.getMessage)
   }
+
 }
