@@ -358,7 +358,19 @@ object WarcIO {
       // stay exact at any scale (a double quotient degrades past 2^53)
       .withColumn("__pre", coalesce(sum(col("__pb")).over(w), lit(0L)))
       .withColumn("seq", expr(s"__pre div ${maxPayloadBytesPerArchive}L"))
-      .repartition(nShards, col("shard"))
+      // cluster by (shard, seq) — the ARCHIVE key — not by shard (r20):
+      // archives are independent files, so hashing on the full key lets
+      // archives spread over the cluster's cores instead of serializing a
+      // whole shard's archives through one task (gzip + file-create per
+      // 8 KiB-bound archive is CPU/IO the shuffle-byte heuristics cannot
+      // see, so an N-less repartition gets AQE-coalesced to ~one task —
+      // measured 2.4s -> 18s at sf0.1). Explicit N = max(nShards, total
+      // cores) keeps the old floor and is cluster-adaptive. A (shard,
+      // seq) group still lands entirely in one task and the within-
+      // partition sort is unchanged, so each archive's bytes — and the
+      // manifest — are identical.
+      .repartition(math.max(nShards, spark.sparkContext.defaultParallelism),
+        col("shard"), col("seq"))
       .sortWithinPartitions(col("shard"), col("seq"), col("__h"),
         col("record_id"))
     val out = outDir // avoid closing over `this`
