@@ -855,6 +855,13 @@ object Similarity {
     * reads only its cells' files (hive partition pruning; the probe list
     * is a literal IN after the broadcast join, which Spark's dynamic
     * partition pruning also covers). Returns the effective cell count. */
+  /** File-size bound for the cell-clustered postings writes (r20): one
+    * task writes a whole cell, so without a bound a hot cell becomes one
+    * giant parquet file. ~2M rows x (id + a ~512 B embedding) ≈ 1 GB —
+    * the guide-§6 upper comfort bound; parquet stays splittable either
+    * way, this caps the single-file extreme. */
+  private[ops] val MaxPostingsRecordsPerFile = 2000000L
+
   def buildIvfIndex(corpus: DataFrame, corpusId: String, corpusVec: String,
       dir: String, nlist: Int = -1, trainRowsTarget: Long = 100000,
       seed: Long = 42): Int = {
@@ -872,9 +879,15 @@ object Similarity {
       // cluster by cell before the partitioned write (r19, guide-§6 file
       // sizing): without it every scan task writes one file per cell it
       // touches — tasks x nlist files at scale; with it each cell lands in
-      // exactly one task, one file per cell (parquet stays splittable)
+      // exactly one task, one file per cell (parquet stays splittable).
+      // maxRecordsPerFile (r20, §2.5 skew): a HOT cell's whole postings
+      // land in that one task — the write serializes regardless, but the
+      // file-size bound keeps any single output file (and the read-side
+      // row-group memory) capped; salt the repartition key if a hot cell's
+      // write itself ever becomes the wall
       .repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/postings")
+      .write.mode("overwrite").option("maxRecordsPerFile", MaxPostingsRecordsPerFile)
+      .partitionBy("cell").parquet(s"$dir/postings")
     centers.length
   }
 
@@ -940,9 +953,11 @@ object Similarity {
       .localCheckpoint(false) // postings write + drift report share it
     // cluster by cell before the partitioned append (r19, the build's
     // one-file-per-cell convention — an increment otherwise adds
-    // tasks x touched-cells files per append)
-    assigned.repartition(col("cell")).write.mode("append").partitionBy("cell")
-      .parquet(s"$dir/postings")
+    // tasks x touched-cells files per append); same hot-cell file-size
+    // bound as the build (r20)
+    assigned.repartition(col("cell")).write.mode("append")
+      .option("maxRecordsPerFile", MaxPostingsRecordsPerFile)
+      .partitionBy("cell").parquet(s"$dir/postings")
     import spark.implicits._
     val centersDf = centerRows.toSeq.toDF("cell", "centroid")
     assigned.join(broadcast(centersDf), "cell")
