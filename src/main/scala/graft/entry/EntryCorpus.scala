@@ -25,7 +25,7 @@ private[graft] object EntryCorpus {
       // fixed-point integer PageRank (5 rounds, damping 17/20, dangling
       // mass redistributed) replays BIT-FOR-BIT in the unrolled oracle,
       // dangling branch exercised live.
-      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val docs = readParquet(s, s"$dir/documents.parquet")
         .withColumn("body", concat(
           lit("https://site-"), (col("doc_id") % 37).cast("string"),
           lit(".example.com/p/"), col("doc_id").cast("string"),
@@ -46,7 +46,7 @@ private[graft] object EntryCorpus {
       // deterministic train/val/test split by portable md5 bucket — stable
       // membership, engine-independent, zero shuffle; profiled per source
       CorpusOps.hashSplit(
-        s.read.parquet(s"$dir/documents.parquet"), "doc_id")
+        readParquet(s, s"$dir/documents.parquet"), "doc_id")
         .groupBy("source", "split")
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars"))
     }),
@@ -57,7 +57,7 @@ private[graft] object EntryCorpus {
       // the oracle reproduces the exact kept set. Rolled up per source.
       val rates = (0 until 20).map(i => s"src$i" -> ((i % 4) + 1) * 0.25).toMap
       CorpusOps.applyMixture(
-          s.read.parquet(s"$dir/documents.parquet"), "source", "doc_id",
+          readParquet(s, s"$dir/documents.parquet"), "source", "doc_id",
           rates, defaultRate = 0.5)
         .groupBy("source")
         .agg(count(lit(1)).as("n_kept"), sum("n_chars").as("chars_kept"))
@@ -68,7 +68,7 @@ private[graft] object EntryCorpus {
       // order, bounded bottom-k partial aggregate (never a per-stratum
       // window sort).
       CorpusOps.stratifiedSample(
-        s.read.parquet(s"$dir/orders.parquet"), "o_orderpriority", "o_orderkey", k = 40)
+        readParquet(s, s"$dir/orders.parquet"), "o_orderpriority", "o_orderkey", k = 40)
     }),
     "approx_percentiles" -> ((s, dir) => {
       // mergeable quantile sketch (percentile_approx = Greenwald-Khanna
@@ -263,7 +263,7 @@ private[graft] object EntryCorpus {
       // deterministic footer URL (the text_url_domains construction) —
       // otherwise the URL column would be vacuously 0 == 0 in both engines
       // and its extraction logic never actually gate-checked.
-      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val docs = readParquet(s, s"$dir/documents.parquet")
         .withColumn("body", when(col("doc_id") % 10 === 0,
             concat(coalesce(col("text"), lit("")), lit(" https://card-"),
               (col("doc_id") % 7).cast("string"), lit(".example.com/d")))
@@ -285,9 +285,9 @@ private[graft] object EntryCorpus {
       // layout for repeatedly-joined fact tables at corpus scale. The
       // rollup result is the plain join's, oracle-exact.
       val tmp = scratchDir("bucketed_join")
-      val ords = s.read.parquet(s"$dir/orders.parquet")
+      val ords = readParquet(s, s"$dir/orders.parquet")
         .select("o_custkey", "o_totalprice")
-      val cust = s.read.parquet(s"$dir/customer.parquet")
+      val cust = readParquet(s, s"$dir/customer.parquet")
         .select("c_custkey", "c_mktsegment")
       Dataflow.bucketedJoin(ords, cust, "o_custkey", "c_custkey",
           nBuckets = 8, tmp, "g_bucketed")
@@ -303,7 +303,7 @@ private[graft] object EntryCorpus {
       // corpus — both contract-pinned).
       val tmp = scratchDir("range_export")
       CorpusOps.exportRangeSorted(
-        s.read.parquet(s"$dir/orders.parquet")
+        readParquet(s, s"$dir/orders.parquet")
           .select("o_orderkey", "o_totalprice"),
         "o_totalprice", tmp, nParts = 16)
     }),
@@ -317,7 +317,7 @@ private[graft] object EntryCorpus {
       // dynamic-partition write -> manifest from the files just written).
       val tmp = scratchDir("range_export_bounds")
       CorpusOps.exportRangeBounded(
-        s.read.parquet(s"$dir/orders.parquet")
+        readParquet(s, s"$dir/orders.parquet")
           .select("o_orderkey", "o_totalprice"),
         "o_totalprice", tmp, lo = 0.0, width = 37500.0, nParts = 16)
     }),
@@ -331,7 +331,7 @@ private[graft] object EntryCorpus {
       // it LAZILY, so deletion after return would break the consumer —
       // instead reps/gate runs overwrite one bounded copy
       val tmp = scratchDir("io_roundtrip")
-      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val docs = readParquet(s, s"$dir/documents.parquet")
         .select("doc_id", "lang", "source", "n_chars")
       CorpusIO.write(docs, s"$tmp/p", format = "parquet",
         mode = org.apache.spark.sql.SaveMode.Overwrite,
@@ -358,7 +358,7 @@ private[graft] object EntryCorpus {
       // gzip defect anywhere breaks the hash.
       import graft.sources.WarcIO
       val tmp = scratchDir("warc_roundtrip")
-      val rows = s.read.parquet(s"$dir/documents.parquet")
+      val rows = readParquet(s, s"$dir/documents.parquet")
         .filter(col("doc_id") < 50)
         .select(col("doc_id"), col("text")).collect()
         .sortBy(_.getLong(0))
@@ -391,7 +391,7 @@ private[graft] object EntryCorpus {
       // md5) — the oracle rebuilds the identical payloads from source.
       import graft.sources.WarcIO
       val tmp = scratchDir("warc_http")
-      val rows = s.read.parquet(s"$dir/documents.parquet")
+      val rows = readParquet(s, s"$dir/documents.parquet")
         .filter(col("doc_id") < 50)
         .select(col("doc_id"), col("text")).collect()
         .sortBy(_.getLong(0))
@@ -427,7 +427,7 @@ private[graft] object EntryCorpus {
       // md5 uniform; division-only math, so the priorities themselves are
       // bit-reproducible in the oracle).
       CorpusOps.weightedSample(
-        s.read.parquet(s"$dir/documents.parquet")
+        readParquet(s, s"$dir/documents.parquet")
           .select("doc_id", "n_chars"),
         "doc_id", "n_chars", k = 100)
     }),
@@ -437,7 +437,7 @@ private[graft] object EntryCorpus {
       // replays the same planting) and keep the best-first prefix within
       // 40% of the corpus' total chars. Budget comes from a one-row
       // pre-aggregate, so the query is scale-proportional at any sf.
-      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val docs = readParquet(s, s"$dir/documents.parquet")
         .select(col("doc_id"), col("n_chars"),
           ((col("doc_id") * 2654435761L) % 1000).cast("double")./(1000.0)
             .as("score"))
@@ -453,7 +453,7 @@ private[graft] object EntryCorpus {
       // the argmax aggregate (one map-side-combined shuffle, no window
       // sort), tombstone winners dropped. The oracle replays the same
       // union with a row_number window — same rows, independent plan.
-      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val docs = readParquet(s, s"$dir/documents.parquet")
         .select("doc_id", "n_chars")
       val base = docs
         .withColumn("version", lit(1L)).withColumn("deleted", lit(false))
@@ -474,7 +474,7 @@ private[graft] object EntryCorpus {
       // compared value (the audit between ingest versions; added ∪
       // changed is the incremental-reprocess input). Replayed as a full
       // outer join with the same null-safe comparison.
-      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val docs = readParquet(s, s"$dir/documents.parquet")
         .select(col("doc_id"), col("n_chars"))
       val old = docs
       val neu = docs.filter(col("doc_id") % 7 =!= 0)
@@ -497,7 +497,7 @@ private[graft] object EntryCorpus {
       // Same per-process scratch discipline as io_roundtrip (lazy readers).
       val tmp = scratchDir("export_shards")
       CorpusOps.exportShards(
-        s.read.parquet(s"$dir/documents.parquet")
+        readParquet(s, s"$dir/documents.parquet")
           .select("doc_id", "text", "n_chars"),
         "doc_id", "n_chars", tmp, nShards = 16)
     }),
@@ -529,7 +529,7 @@ private[graft] object EntryCorpus {
       // Gopher repetition, stopword ratio, language id) in ONE scan
       // projection + a deterministic keep/drop rule with drop_reason.
       CorpusOps.prepPipeline(
-        s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text"),
+        readParquet(s, s"$dir/documents.parquet").select("doc_id", "text"),
         "doc_id", "text")
     }),
     "corpus_crawl_prep" -> ((s, dir) => {
@@ -552,7 +552,7 @@ private[graft] object EntryCorpus {
           lit("HTTP/1.1 200 OK\r\nContent-Type: text/html; " +
             "charset=utf-8\r\nServer: graft\r\n\r\n<html><body>"),
           coalesce(col("text"), lit("")), lit("</body></html>")))
-      val recs = s.read.parquet(s"$dir/documents.parquet")
+      val recs = readParquet(s, s"$dir/documents.parquet")
         .select(
           lit("response").as("warc_type"),
           concat(lit("doc://"), col("doc_id")).as("target_uri"),
@@ -592,7 +592,7 @@ private[graft] object EntryCorpus {
         when(col("doc_id") % 13 === 0, lit("function f() { return 1; }")),
         when(col("doc_id") % 17 === 0, lit("Lorem ipsum dolor sit amet.")))
       CorpusOps.c4Filter(
-        s.read.parquet(s"$dir/documents.parquet")
+        readParquet(s, s"$dir/documents.parquet")
           .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
           .withColumn("body", body),
         "body")
@@ -608,7 +608,7 @@ private[graft] object EntryCorpus {
       // selection is the salted-hash rule — both replayed by the oracle
       // in HUGEINT, so weights, thresholds, and the kept set all
       // hash-match.
-      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val docs = readParquet(s, s"$dir/documents.parquet")
         .withColumn("grp", concat(lit("g"),
           when(pmod(col("doc_id"), lit(10)) < 7, lit(0))
             .when(pmod(col("doc_id"), lit(10)) < 9, lit(1))
@@ -631,7 +631,7 @@ private[graft] object EntryCorpus {
       // epoch; rolled up per source. The explode is a generated sequence
       // — no driver loop, instance count proportional to output tokens.
       CorpusOps.epochRepeat(
-          s.read.parquet(s"$dir/documents.parquet")
+          readParquet(s, s"$dir/documents.parquet")
             .select("doc_id", "source", "n_chars"),
           "doc_id", "n_chars", "source", targetTokens = 20000L, maxEpochs = 4)
         .groupBy("source")
@@ -645,7 +645,7 @@ private[graft] object EntryCorpus {
       // redistributed to the big ones) — in-plan window arithmetic over
       // counts, integer end-to-end => the quotas AND the membership are
       // oracle-exact.
-      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val docs = readParquet(s, s"$dir/documents.parquet")
         .withColumn("strat", coalesce(col("lang"), lit("??")))
       CorpusOps.quotaSample(docs, "strat", "doc_id", totalK = 400L)
     }),
@@ -667,7 +667,7 @@ private[graft] object EntryCorpus {
       // (deterministic even/odd doc_id halves stand in for version A/B) —
       // a category appearing or vanishing surfaces as a one-zero-side
       // row via the full-outer key grid, never a silent drop.
-      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val docs = readParquet(s, s"$dir/documents.parquet")
         .withColumn("lng", coalesce(col("lang"), lit("??")))
       CorpusOps.categoricalDrift(
         docs.filter(pmod(col("doc_id"), lit(2)) === 0),
@@ -679,7 +679,7 @@ private[graft] object EntryCorpus {
       // any rerun reproduces the identical permutation; one shuffle +
       // per-shard sort at any scale.
       CorpusOps.deterministicShuffle(
-        s.read.parquet(s"$dir/documents.parquet").select("doc_id"),
+        readParquet(s, s"$dir/documents.parquet").select("doc_id"),
         "doc_id", seed = "epoch0", nShards = 8)
     }),
     "io_zorder_export" -> ((s, dir) => {
@@ -691,7 +691,7 @@ private[graft] object EntryCorpus {
       // file-skipping statistics are oracle-exact; prune_violations
       // recomputes the skipping soundness from data (must read 0).
       val tmp = scratchDir("zorder_export")
-      val src = s.read.parquet(s"$dir/orders.parquet")
+      val src = readParquet(s, s"$dir/orders.parquet")
         .select(col("o_orderkey"), col("o_custkey").as("ck"),
           datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
             .cast("long").as("day"))
@@ -712,7 +712,7 @@ private[graft] object EntryCorpus {
       // per-level CTE chain, so manifest, shards and pruning stats are
       // hash-exact end-to-end.
       val tmp = scratchDir("hilbert_export")
-      val src = s.read.parquet(s"$dir/orders.parquet")
+      val src = readParquet(s, s"$dir/orders.parquet")
         .select(col("o_orderkey"), col("o_custkey").as("ck"),
           datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
             .cast("long").as("day"))
@@ -731,7 +731,7 @@ private[graft] object EntryCorpus {
       // before trusting near-dup clusters (high clustering = duplicate
       // sets behave like cliques; low = chained false positives).
       val pairs = Dedup.minHashLSHPortable(
-        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+        readParquet(s, s"$dir/documents.parquet"), "doc_id", "text",
         threshold = 0.6)
       graft.ops.GraphOps.triangleStats(pairs, "id_a", "id_b")
     }),
@@ -741,7 +741,7 @@ private[graft] object EntryCorpus {
       // every 11th re-added under a shifted key), rolled up per diff
       // class. One full-outer shuffle join; null-safe struct comparison
       // so a one-sided-null column counts as changed.
-      val base = s.read.parquet(s"$dir/documents.parquet")
+      val base = readParquet(s, s"$dir/documents.parquet")
         .select("doc_id", "n_chars", "source")
       val revised = base.filter(col("doc_id") % 7 =!= 0)
         .withColumn("n_chars",
@@ -762,7 +762,7 @@ private[graft] object EntryCorpus {
       // unlike coalesce()-based compaction). Manifest carries
       // before/after file counts + rows_missing (must be 0).
       val tmp = scratchDir("compaction")
-      s.read.parquet(s"$dir/documents.parquet")
+      readParquet(s, s"$dir/documents.parquet")
         .select(col("doc_id"), col("n_chars"))
         .repartition(1).sortWithinPartitions("doc_id")
         .write.mode("overwrite").option("maxRecordsPerFile", 50)
@@ -779,7 +779,7 @@ private[graft] object EntryCorpus {
       // source's weight and total.
       val weights = (0 until 20).map(i => s"src$i" -> ((i % 3) + 1).toLong).toMap
       val inter = CorpusOps.weightedInterleave(
-          s.read.parquet(s"$dir/documents.parquet"), "doc_id", "source", weights)
+          readParquet(s, s"$dir/documents.parquet"), "doc_id", "source", weights)
         .localCheckpoint(false) // consumed by prefix AND totals
       val prefix = inter.orderBy(col("vt"), col("source"), col("doc_id"))
         .limit(200)
@@ -824,7 +824,7 @@ private[graft] object EntryCorpus {
       // shard (n_moved_elsewhere is the invariant, provably 0, recomputed
       // in-query AND by the oracle), at an expected 1/9 move rate —
       // mod-hash resharding would move 8/9 of the corpus instead.
-      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val docs = readParquet(s, s"$dir/documents.parquet")
       docs.select(col("doc_id"),
           CorpusOps.rendezvousShard(col("doc_id"), 8).as("shard8"),
           CorpusOps.rendezvousShard(col("doc_id"), 9).as("shard9"))
@@ -847,7 +847,7 @@ private[graft] object EntryCorpus {
       scratch: String): String = {
     import graft.sources.WarcIO
     val tmp = scratchDir(scratch)
-    val recs = s.read.parquet(s"$dir/documents.parquet")
+    val recs = readParquet(s, s"$dir/documents.parquet")
       .select(
         lit("resource").as("warc_type"),
         concat(lit("doc://"), col("doc_id")).as("target_uri"),

@@ -256,7 +256,7 @@ private[graft] object EntryDP {
       // policy, so the whole release replays.
       val engine = new DPEngine(
         new graft.core.NaiveBudgetAccountant(2.0, 1e-6), NoiseSource.Zero)
-      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val docs = readParquet(s, s"$dir/documents.parquet")
         .select(col("doc_id"),
           explode(graft.ops.TextAnalysis.tokens(col("text"))).as("tok"))
       val res = engine.setUnion(docs,
@@ -351,7 +351,7 @@ private[graft] object EntryDP {
       // elementwise sum of embeddings per label, privacy unit = vec_id.
       // embeddings quantized to multiples of 1/1024 so double sums are exact
       // in any addition order (oracle parity).
-      val df = s.read.parquet(s"$dir/embeddings.parquet")
+      val df = readParquet(s, s"$dir/embeddings.parquet")
         .withColumn("emb", expr("transform(embedding, e -> floor(CAST(e AS DOUBLE) * 1024) / 1024)"))
       val out = runZero(df,
         AggregateParams(metrics = Seq(Metric.VectorSum),
@@ -369,7 +369,7 @@ private[graft] object EntryDP {
       // federated-analytics "private centroid" shape. Zero noise + the
       // 1/1024 quantization => sums exact; the single double division is
       // the same IEEE op in both engines.
-      val df = s.read.parquet(s"$dir/embeddings.parquet")
+      val df = readParquet(s, s"$dir/embeddings.parquet")
         .withColumn("emb", expr(
           "transform(embedding, e -> floor(CAST(e AS DOUBLE) * 1024) / 1024)"))
       val out = runZero(df,
@@ -826,8 +826,8 @@ private[graft] object EntryDP {
       // key on whatever the roles name, joins are ordinary Spark
       // upstream). Caps non-binding + zero noise => exact clipped
       // revenue sums and row counts per priority.
-      val li = s.read.parquet(s"$dir/lineitem.parquet")
-      val ord = s.read.parquet(s"$dir/orders.parquet")
+      val li = readParquet(s, s"$dir/lineitem.parquet")
+      val ord = readParquet(s, s"$dir/orders.parquet")
       val joined = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
         .select(col("o_custkey"), col("o_orderpriority"),
           floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
@@ -1204,7 +1204,7 @@ private[graft] object EntryDP {
       // "which source went bad" monitoring. Checks produce real per-group
       // variation (short docs violate the length floor per source; the
       // domain omits zh so every source carrying zh docs fails it).
-      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val docs = readParquet(s, s"$dir/documents.parquet")
       DataQuality.verifyByGroup(docs, Seq("source" -> col("source")), Seq(
         NotNull("text_complete", col("text")),
         Unique("doc_id_unique", Seq(col("doc_id"))),
@@ -1217,7 +1217,7 @@ private[graft] object EntryDP {
       // numeric extremes and lexicographic string extremes — the
       // "what should I even check" report. One melt + two-phase
       // aggregation; every output exact.
-      DataQuality.profileColumns(s.read.parquet(s"$dir/customer.parquet"),
+      DataQuality.profileColumns(readParquet(s, s"$dir/customer.parquet"),
         Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"))
     }),
     "dq_top_values" -> ((s, dir) => {
@@ -1226,7 +1226,7 @@ private[graft] object EntryDP {
       // floor-integerized longs as strings (identical formatting in any
       // engine); c_mktsegment exercises real frequency ordering,
       // c_nationkey real ties.
-      DataQuality.profileTopValues(s.read.parquet(s"$dir/customer.parquet"),
+      DataQuality.profileTopValues(readParquet(s, s"$dir/customer.parquet"),
         Seq("c_nationkey", "c_mktsegment"), k = 5)
     }),
     "stats_k_anonymity" -> ((s, dir) => {
@@ -1513,9 +1513,9 @@ private[graft] object EntryDP {
       // THE number a 100 TB pipeline checks before choosing salting /
       // AQE skew handling; two map-side-combined aggregates and a
       // key-count join that never touches fact rows.
-      val a = s.read.parquet(s"$dir/lineitem.parquet")
+      val a = readParquet(s, s"$dir/lineitem.parquet")
         .groupBy(col("l_orderkey").as("k")).agg(count(lit(1)).as("ca"))
-      val b = s.read.parquet(s"$dir/orders.parquet")
+      val b = readParquet(s, s"$dir/orders.parquet")
         .groupBy(col("o_orderkey").as("k")).agg(count(lit(1)).as("cb"))
       a.join(b, Seq("k"), "full_outer")
         .agg(
@@ -1535,7 +1535,7 @@ private[graft] object EntryDP {
       // type-appropriate min/max/avg-length facts over documents, in ONE
       // pass (a single aggregate row, posexploded to per-column rows) —
       // the first query a pipeline runs against an unknown 100 TB table.
-      val d = s.read.parquet(s"$dir/documents.parquet")
+      val d = readParquet(s, s"$dir/documents.parquet")
       d.agg(
           count(lit(1)).as("n_rows"),
           sum(col("text").isNull.cast("long")).as("text_nulls"),

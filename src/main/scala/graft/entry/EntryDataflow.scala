@@ -20,42 +20,42 @@ private[graft] object EntryDataflow {
     // ---- §2.A dataflow primitives over the TPC-H-ish tables ----
     "a_map" -> ((s, dir) => {
       // map / select(expr): per-row revenue (deterministic per-row arithmetic)
-      s.read.parquet(s"$dir/lineitem.parquet")
+      readParquet(s, s"$dir/lineitem.parquet")
         .select(col("l_orderkey"), col("l_linenumber"),
           (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
     }),
     "a_flat_map" -> ((s, dir) => {
       // flat_map / explode: document tokens
-      s.read.parquet(s"$dir/documents.parquet")
+      readParquet(s, s"$dir/documents.parquet")
         .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("token"))
     }),
     "a_filter" -> ((s, dir) => {
-      s.read.parquet(s"$dir/lineitem.parquet")
+      readParquet(s, s"$dir/lineitem.parquet")
         .filter(col("l_quantity") > 25 && col("l_returnflag") === "R")
         .select("l_orderkey", "l_linenumber", "l_quantity")
     }),
     "a_group_by_key" -> ((s, dir) => {
       // group_by_key: values gathered per key (sorted for determinism)
       // (string-joined so the parquet/oracle comparison avoids nested arrays)
-      s.read.parquet(s"$dir/orders.parquet")
+      readParquet(s, s"$dir/orders.parquet")
         .groupBy(col("o_custkey"))
         .agg(concat_ws(",", sort_array(collect_list(col("o_orderkey")))).as("orderkeys"))
     }),
     "a_filter_by_key" -> ((s, dir) => {
       // filter_by_key / semi-join: lineitems of urgent orders
-      val urgent = s.read.parquet(s"$dir/orders.parquet")
+      val urgent = readParquet(s, s"$dir/orders.parquet")
         .filter(col("o_orderpriority") === "1-URGENT").select("o_orderkey")
-      s.read.parquet(s"$dir/lineitem.parquet")
+      readParquet(s, s"$dir/lineitem.parquet")
         .join(urgent, col("l_orderkey") === col("o_orderkey"), "left_semi")
         .select("l_orderkey", "l_linenumber")
     }),
     "a_filter_by_key_sharded" -> ((s, dir) => {
       // skew-resilient filter_by_key: salted semi-join; output identical to
       // the plain semi-join (the salt only changes physical distribution)
-      val urgent = s.read.parquet(s"$dir/orders.parquet")
+      val urgent = readParquet(s, s"$dir/orders.parquet")
         .filter(col("o_orderpriority") === "1-URGENT").select("o_orderkey")
       Dataflow.filterByKeySharded(
-        s.read.parquet(s"$dir/lineitem.parquet").withColumnRenamed("l_orderkey", "o_orderkey"),
+        readParquet(s, s"$dir/lineitem.parquet").withColumnRenamed("l_orderkey", "o_orderkey"),
         urgent, Seq("o_orderkey"), shards = 8)
         .select(col("o_orderkey").as("l_orderkey"), col("l_linenumber"))
     }),
@@ -64,10 +64,10 @@ private[graft] object EntryDataflow {
       // portable bitmap over the BUILDING customers' keys before its rows
       // reach the shuffle; the join removes false positives, so the result
       // is exactly the plain join. Cents-integer sum => order-free.
-      val cust = s.read.parquet(s"$dir/customer.parquet")
+      val cust = readParquet(s, s"$dir/customer.parquet")
         .filter(col("c_mktsegment") === "BUILDING")
         .select("c_custkey")
-      val ords = s.read.parquet(s"$dir/orders.parquet")
+      val ords = readParquet(s, s"$dir/orders.parquet")
         .select("o_custkey", "o_totalprice")
       Dataflow.bloomFilteredJoin(ords, cust, "o_custkey", "c_custkey")
         .groupBy(col("c_custkey"))
@@ -75,17 +75,17 @@ private[graft] object EntryDataflow {
           sum(round(col("o_totalprice") * 100).cast("long")).as("total_cents"))
     }),
     "a_count_per_element" -> ((s, dir) => {
-      s.read.parquet(s"$dir/lineitem.parquet")
+      readParquet(s, s"$dir/lineitem.parquet")
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("n"))
     }),
     "a_sum_per_key" -> ((s, dir) => {
       // sum_per_key with map-side combine (l_quantity is integer-valued)
-      s.read.parquet(s"$dir/lineitem.parquet")
+      readParquet(s, s"$dir/lineitem.parquet")
         .groupBy(col("l_partkey")).agg(sum(col("l_quantity")).as("sum_qty"))
     }),
     "a_min_max_per_key" -> ((s, dir) => {
-      s.read.parquet(s"$dir/orders.parquet")
+      readParquet(s, s"$dir/orders.parquet")
         .groupBy(col("o_custkey"))
         .agg(min(col("o_totalprice")).as("min_price"), max(col("o_totalprice")).as("max_price"))
     }),
@@ -96,21 +96,21 @@ private[graft] object EntryDataflow {
         .unionByName(e.filter(col("event_type") === "purchase").select("event_id"))
     }),
     "a_distinct" -> ((s, dir) => {
-      s.read.parquet(s"$dir/lineitem.parquet").select("l_returnflag", "l_linestatus").distinct()
+      readParquet(s, s"$dir/lineitem.parquet").select("l_returnflag", "l_linestatus").distinct()
     }),
     "a_sample_per_key" -> ((s, dir) => {
       // sample_fixed_per_key: uniform <=3 rows per key; the sampled rows are
       // random, the per-key counts are deterministic = least(n, 3)
       DPEngine.sampleRowsPerKey(
-        s.read.parquet(s"$dir/orders.parquet").select("o_custkey", "o_orderkey"),
+        readParquet(s, s"$dir/orders.parquet").select("o_custkey", "o_orderkey"),
         Seq("o_custkey"), 3)
         .groupBy("o_custkey").agg(count(lit(1)).as("n_sampled"))
     }),
     "a_join_agg" -> ((s, dir) => {
       // broadcast-joined aggregation: revenue per market segment per priority
       // (floor per-row so the double sum is order-independent for the oracle)
-      val cust = s.read.parquet(s"$dir/customer.parquet").select("c_custkey", "c_mktsegment")
-      val orders = s.read.parquet(s"$dir/orders.parquet")
+      val cust = readParquet(s, s"$dir/customer.parquet").select("c_custkey", "c_mktsegment")
+      val orders = readParquet(s, s"$dir/orders.parquet")
       orders.join(broadcast(cust), orders("o_custkey") === cust("c_custkey"))
         .groupBy(col("c_mktsegment"), col("o_orderpriority"))
         .agg(count(lit(1)).as("n_orders"),
@@ -121,7 +121,7 @@ private[graft] object EntryDataflow {
       // low-cardinality key, every metric map-side combined. Money terms
       // floor()ed per row after their one/two IEEE multiplies so all sums
       // are order-independent; averages divide two exact aggregates.
-      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      val li = readParquet(s, s"$dir/lineitem.parquet")
         .filter(col("l_shipdate") <= "2001-06-01")
       li.groupBy("l_returnflag", "l_linestatus")
         .agg(
@@ -143,12 +143,12 @@ private[graft] object EntryDataflow {
       // broadcast, fact-fact equi-join on the order key, group + top-10 via
       // TakeOrderedAndProject (no global sort). Revenue floor()ed per row
       // after ONE IEEE multiply, so the sum is order-independent.
-      val cust = s.read.parquet(s"$dir/customer.parquet")
+      val cust = readParquet(s, s"$dir/customer.parquet")
         .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
-      val orders = s.read.parquet(s"$dir/orders.parquet")
+      val orders = readParquet(s, s"$dir/orders.parquet")
         .filter(col("o_orderdate") < "1998-06-01")
         .select("o_orderkey", "o_custkey", "o_orderdate")
-      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      val li = readParquet(s, s"$dir/lineitem.parquet")
         .filter(col("l_shipdate") > "1998-06-01")
         .select("l_orderkey", "l_extendedprice", "l_discount")
       li.join(orders, li("l_orderkey") === orders("o_orderkey"))
@@ -166,20 +166,20 @@ private[graft] object EntryDataflow {
       // scale), orders⋈customer and the lineitem join shuffle on their keys
       // and AQE picks the fact-side order. Revenue floor()ed per row after
       // one IEEE multiply => order-free sums.
-      val asiaNations = s.read.parquet(s"$dir/nation.parquet")
-        .join(broadcast(s.read.parquet(s"$dir/region.parquet")
+      val asiaNations = readParquet(s, s"$dir/nation.parquet")
+        .join(broadcast(readParquet(s, s"$dir/region.parquet")
             .filter(col("r_name") === "ASIA").select("r_regionkey")),
           col("n_regionkey") === col("r_regionkey"))
         .select("n_nationkey", "n_name")
-      val supp = s.read.parquet(s"$dir/supplier.parquet")
+      val supp = readParquet(s, s"$dir/supplier.parquet")
         .select("s_suppkey", "s_nationkey")
-      val cust = s.read.parquet(s"$dir/customer.parquet")
+      val cust = readParquet(s, s"$dir/customer.parquet")
         .select("c_custkey", "c_nationkey")
-      val orders = s.read.parquet(s"$dir/orders.parquet")
+      val orders = readParquet(s, s"$dir/orders.parquet")
         .filter(col("o_orderdate") >= "1996-01-01" &&
           col("o_orderdate") < "1997-01-01")
         .select("o_orderkey", "o_custkey")
-      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      val li = readParquet(s, s"$dir/lineitem.parquet")
         .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
       li.join(orders, li("l_orderkey") === orders("o_orderkey"))
         .join(cust, orders("o_custkey") === cust("c_custkey"))
@@ -198,13 +198,13 @@ private[graft] object EntryDataflow {
       // lineitem FIRST, and only that tail joins back to orders/customer, so
       // the fact-fact join input shrinks from all orders to the heavy tail.
       // Quantities are integer-valued doubles => order-free sums.
-      val big = s.read.parquet(s"$dir/lineitem.parquet")
+      val big = readParquet(s, s"$dir/lineitem.parquet")
         .groupBy(col("l_orderkey"))
         .agg(sum(floor(col("l_quantity"))).cast("long").as("total_qty"))
         .filter(col("total_qty") > 150)
-      val orders = s.read.parquet(s"$dir/orders.parquet")
+      val orders = readParquet(s, s"$dir/orders.parquet")
         .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
-      val cust = s.read.parquet(s"$dir/customer.parquet")
+      val cust = readParquet(s, s"$dir/customer.parquet")
         .select("c_custkey", "c_name")
       orders.join(big, orders("o_orderkey") === big("l_orderkey"))
         .join(cust, orders("o_custkey") === cust("c_custkey"))
@@ -252,7 +252,7 @@ private[graft] object EntryDataflow {
       // ties broken by orderkey)
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("o_custkey")).orderBy(col("o_totalprice").desc, col("o_orderkey"))
-      s.read.parquet(s"$dir/orders.parquet")
+      readParquet(s, s"$dir/orders.parquet")
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 2)
         .select(col("o_custkey"), col("o_orderkey"), col("rk").cast("long").as("rk"))
@@ -270,7 +270,7 @@ private[graft] object EntryDataflow {
       // per-flag subtotals, grand total, disambiguated by grouping_id.
       // Spark expands rollup into a single Expand + one hash aggregate
       // (map-side combined): one shuffle for all three levels.
-      s.read.parquet(s"$dir/lineitem.parquet")
+      readParquet(s, s"$dir/lineitem.parquet")
         .rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("n_rows"),
           sum(col("l_quantity")).cast("double").as("sum_qty"),
@@ -280,7 +280,7 @@ private[graft] object EntryDataflow {
       // full CUBE over (status, priority): all four grouping sets in one
       // Expand + one shuffle; price floor()ed so the double sum is
       // integer-exact.
-      s.read.parquet(s"$dir/orders.parquet")
+      readParquet(s, s"$dir/orders.parquet")
         .cube(col("o_orderstatus"), col("o_orderpriority"))
         .agg(count(lit(1)).as("n_orders"),
           sum(floor(col("o_totalprice"))).cast("double").as("price_floor_sum"),
@@ -320,9 +320,9 @@ private[graft] object EntryDataflow {
       // customers who never ordered AND (defensively) orders with no
       // customer row — the reconciliation shape. Null-safe rollup per
       // nation over the joined frame.
-      val cust = s.read.parquet(s"$dir/customer.parquet")
+      val cust = readParquet(s, s"$dir/customer.parquet")
         .select(col("c_custkey"), col("c_nationkey"))
-      val ords = s.read.parquet(s"$dir/orders.parquet")
+      val ords = readParquet(s, s"$dir/orders.parquet")
         .groupBy(col("o_custkey"))
         .agg(count(lit(1)).as("n_orders"),
           sum(floor(col("o_totalprice"))).cast("double").as("spend_floor"))
@@ -338,7 +338,7 @@ private[graft] object EntryDataflow {
       // TPC-H Q6 forecast-revenue: pure filter + scalar aggregate — the
       // pushdown showcase (every predicate reaches the parquet scan,
       // revenue in exact cents so the one-row double is order-free).
-      s.read.parquet(s"$dir/lineitem.parquet")
+      readParquet(s, s"$dir/lineitem.parquet")
         .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
           col("l_shipdate") < lit("1996-01-01").cast("timestamp") &&
           col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
@@ -350,11 +350,11 @@ private[graft] object EntryDataflow {
     "a_tpch_q12" -> ((s, dir) => {
       // TPC-H Q12 shipmode/priority: broadcast-joined fact scan with
       // conditional aggregation per group (the CASE-inside-SUM shape).
-      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      val li = readParquet(s, s"$dir/lineitem.parquet")
         .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
           col("l_shipdate") < lit("1996-01-01").cast("timestamp"))
         .select(col("l_orderkey"), col("l_linestatus"))
-      val ords = s.read.parquet(s"$dir/orders.parquet")
+      val ords = readParquet(s, s"$dir/orders.parquet")
         .select(col("o_orderkey"), col("o_orderpriority"))
       li.join(ords, col("l_orderkey") === col("o_orderkey"))
         .groupBy("l_linestatus")
@@ -404,7 +404,7 @@ private[graft] object EntryDataflow {
       // grouping-set shape rollup/cube can't express: two disjoint
       // single-column sets, no detail level). Same Expand + single
       // hash-aggregate plan as a_rollup.
-      s.read.parquet(s"$dir/orders.parquet")
+      readParquet(s, s"$dir/orders.parquet")
         .createOrReplaceTempView("g_orders")
       s.sql("""
         SELECT o_orderstatus, o_orderpriority, count(1) AS n_orders,

@@ -18,7 +18,7 @@ private[graft] object EntryDedup {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> ((s, dir) => {
-      Dedup.duplicateGroups(s.read.parquet(s"$dir/documents.parquet"), "text", "doc_id")
+      Dedup.duplicateGroups(readParquet(s, s"$dir/documents.parquet"), "text", "doc_id")
     }),
     "er_link_pairs" -> ((s, dir) => {
       // blocked record linkage (Fellegi-Sunter, integer weights): the
@@ -175,7 +175,7 @@ private[graft] object EntryDedup {
     "dedup_minhash" -> ((s, dir) => {
       // LSH candidate generation is hash-dependent => rows-only; DedupSpec
       // verifies planted near-dups are found. The corpus has real near-dups.
-      Dedup.minHashLSH(s.read.parquet(s"$dir/documents.parquet"),
+      Dedup.minHashLSH(readParquet(s, s"$dir/documents.parquet"),
         "doc_id", "text", threshold = 0.6)
     }),
     "dedup_minhash_md5" -> ((s, dir) => {
@@ -184,7 +184,7 @@ private[graft] object EntryDedup {
       // the hash-independent twin of dedup_minhash, verified END-TO-END
       // against the DuckDB oracle: shingling, one-hash signatures, band
       // blocking, and the exact-Jaccard verify are all recomputed in SQL.
-      Dedup.minHashLSHPortable(s.read.parquet(s"$dir/documents.parquet"),
+      Dedup.minHashLSHPortable(readParquet(s, s"$dir/documents.parquet"),
         "doc_id", "text", threshold = 0.6)
     }),
     "dedup_leakage_split" -> ((s, dir) => {
@@ -193,7 +193,7 @@ private[graft] object EntryDedup {
       // by the salted hash of the cluster representative — near-copies
       // can never straddle the train/test boundary. Fully deterministic
       // => oracle-exact end-to-end (pairs, components, hash, thresholds).
-      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val docs = readParquet(s, s"$dir/documents.parquet")
       val pairs = Dedup.minHashLSHPortable(docs, "doc_id", "text", threshold = 0.6)
       CorpusOps.leakageSafeSplit(docs, "doc_id", pairs,
         Seq("train" -> 800000L, "val" -> 100000L, "test" -> 100000L))
@@ -208,7 +208,7 @@ private[graft] object EntryDedup {
       // operator, so the funnel is the composition, oracle-replayed
       // end-to-end over the SAME survivor subset.
       import s.implicits._
-      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val docs = readParquet(s, s"$dir/documents.parquet")
       val n0 = docs.count()
       val surv = Dedup.dedupExact(docs, Seq("text"), "doc_id")
         .localCheckpoint(false) // consumed by count + the near stage
@@ -230,7 +230,7 @@ private[graft] object EntryDedup {
       // the increment. The result must be indistinguishable from the
       // from-scratch labeling, so the oracle is the full-CC replay.
       val pairs = Dedup.minHashLSHPortable(
-          s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+          readParquet(s, s"$dir/documents.parquet"), "doc_id", "text",
           threshold = 0.6)
         .localCheckpoint(false) // consumed by both the store and increment branches
       val labels = Dedup.connectedComponents(
@@ -244,7 +244,7 @@ private[graft] object EntryDedup {
       // over the oracle-verified portable-minhash pair set — the step that
       // turns near-dup pairs into per-cluster keep decisions
       val pairs = Dedup.minHashLSHPortable(
-        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", threshold = 0.6)
+        readParquet(s, s"$dir/documents.parquet"), "doc_id", "text", threshold = 0.6)
       Dedup.connectedComponents(pairs.select("id_a", "id_b"))
         .select(col("id"), col("comp").as("component"))
     }),
@@ -271,7 +271,7 @@ private[graft] object EntryDedup {
       val u3 = concat(lit("http://other-"), (d % 11).cast("string"),
         lit(".example.org:80/a/"), (d % 100).cast("string"))
       TextAnalysis.urlDedup(
-        s.read.parquet(s"$dir/documents.parquet").select("doc_id")
+        readParquet(s, s"$dir/documents.parquet").select("doc_id")
           .select(d, explode(array(u1, u2, u3)).as("url")),
         "doc_id", "url")
     }),
@@ -283,7 +283,7 @@ private[graft] object EntryDedup {
       // candidate and SQL-replayed end-to-end (recall caveat for
       // extreme-size-ratio pairs documented on the operator).
       Dedup.containmentPortable(
-        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+        readParquet(s, s"$dir/documents.parquet"), "doc_id", "text",
         threshold = 0.8)
     }),
     "dedup_cluster_sizes" -> ((s, dir) => {
@@ -293,7 +293,7 @@ private[graft] object EntryDedup {
       // clusters per size, docs tied up per size. Same oracle-verified
       // portable pair set + components as dedup_components.
       val pairs = Dedup.minHashLSHPortable(
-        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", threshold = 0.6)
+        readParquet(s, s"$dir/documents.parquet"), "doc_id", "text", threshold = 0.6)
       Dedup.connectedComponents(pairs.select("id_a", "id_b"))
         .groupBy("comp").agg(count(lit(1)).as("sz"))
         .groupBy(col("sz").as("cluster_size"))
@@ -306,7 +306,7 @@ private[graft] object EntryDedup {
       // tie -> min id) — what a production dedup materializes. One row
       // per doc with (cluster_rep, keep); fully deterministic =>
       // oracle-exact end-to-end.
-      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val docs = readParquet(s, s"$dir/documents.parquet")
       val pairs = Dedup.minHashLSHPortable(docs, "doc_id", "text", threshold = 0.6)
       Dedup.bestOfCluster(docs, "doc_id", "n_chars", pairs)
     }),
@@ -316,7 +316,7 @@ private[graft] object EntryDedup {
       // surviving corpus is profiled per source. The drop list is tiny
       // relative to the corpus, so at scale the anti-join broadcasts —
       // the whole materialization costs one corpus scan.
-      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val docs = readParquet(s, s"$dir/documents.parquet")
       val pairs = Dedup.minHashLSHPortable(docs, "doc_id", "text", threshold = 0.6)
       val comp = Dedup.connectedComponents(pairs.select("id_a", "id_b"))
       val drops = comp.filter(col("id") =!= col("comp"))
@@ -326,7 +326,7 @@ private[graft] object EntryDedup {
           sum(col("n_chars")).as("chars_kept"))
     }),
     "dedup_simhash" -> ((s, dir) => {
-      Dedup.simHashPairs(s.read.parquet(s"$dir/documents.parquet"),
+      Dedup.simHashPairs(readParquet(s, s"$dir/documents.parquet"),
         "doc_id", "text", maxHamming = 3)
     }),
     "dedup_simhash_md5" -> ((s, dir) => {
@@ -334,7 +334,7 @@ private[graft] object EntryDedup {
       // hash-independent twin of dedup_simhash, verified END-TO-END against
       // the DuckDB oracle (bit-majority signature, pigeonhole chunk
       // blocking, exact Hamming verify).
-      Dedup.simHashPairsPortable(s.read.parquet(s"$dir/documents.parquet"),
+      Dedup.simHashPairsPortable(readParquet(s, s"$dir/documents.parquet"),
         "doc_id", "text", maxHamming = 3)
         .withColumn("hamming", col("hamming").cast("long"))
     }),
@@ -345,7 +345,7 @@ private[graft] object EntryDedup {
       // increment-proportional work at any corpus size. Portable md5
       // hashing end-to-end => oracle replicates the full pair set and the
       // best-match argmax.
-      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val docs = readParquet(s, s"$dir/documents.parquet")
       Dedup.incrementalNearDupsPortable(
         docs.filter(col("doc_id") % 10 === 0),
         docs.filter(col("doc_id") % 10 =!= 0),
@@ -360,7 +360,7 @@ private[graft] object EntryDedup {
       // and pays O(corpus) md5 per call). Same batch split, same output,
       // same oracle as dedup_incremental; the bench delta between the two
       // queries IS the stored-signature saving.
-      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val docs = readParquet(s, s"$dir/documents.parquet")
       // store key = dir + source-data fingerprint + PID: a fixture refresh
       // changes the fingerprint (no stale signatures), and two concurrent
       // graft JVMs never race on one store path
@@ -386,7 +386,7 @@ private[graft] object EntryDedup {
     }),
     "dedup_ngram_jaccard" -> ((s, dir) => {
       // exact char-3-gram jaccard on the first 100 chars, blocked by lang
-      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val docs = readParquet(s, s"$dir/documents.parquet")
         .withColumn("head", lower(substring(col("text"), 1, 100)))
       Dedup.ngramJaccardPairs(docs, "doc_id", "head", "lang", n = 3, threshold = 0.8)
     }),
@@ -397,7 +397,7 @@ private[graft] object EntryDedup {
       // path is dedup_embedding_lsh, which asserts recall against this
       // exact pair set in-query. Embeddings quantized to 1/1024 so all
       // arithmetic is order-independent (oracle parity).
-      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val e = readParquet(s, s"$dir/embeddings.parquet")
         .filter(col("vec_id") < 500)
         .withColumn("emb", expr("transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1024) / 1024)"))
       val l = e.select(col("label"), col("vec_id").as("id_a"), col("emb").as("v_a"))
@@ -417,7 +417,7 @@ private[graft] object EntryDedup {
       // (b) recall against the EXACT all-pairs result on the bounded anchor
       // subset (id < 500 + its planted copies — the dedup_embedding set).
       // Hash-dependent => rows-only; DedupSpec asserts recall >= 0.95.
-      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val e = readParquet(s, s"$dir/embeddings.parquet")
         .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("vec"))
       val planted = e.filter(col("id") < 200)
         .select((-(col("id") + lit(1L))).as("id"),
@@ -458,7 +458,7 @@ private[graft] object EntryDedup {
       // segments in position order. No hashing in the dedup key =>
       // deterministic end-to-end; the reassembled text is compared as md5
       // to keep the gate compact.
-      Dedup.dedupSegments(s.read.parquet(s"$dir/documents.parquet"),
+      Dedup.dedupSegments(readParquet(s, s"$dir/documents.parquet"),
           "doc_id", "text", segmentWords = 10)
         .select(col("doc_id"), col("n_segs"), col("n_kept"),
           md5(col("text_kept")).as("kept_md5"))
@@ -469,7 +469,7 @@ private[graft] object EntryDedup {
       // first copies included — because cross-doc repetition at that rate
       // is template boilerplate, not content. Deterministic end-to-end
       // (no hashing in the decision), md5 of reassembled text for the gate.
-      Dedup.removeFrequentSegments(s.read.parquet(s"$dir/documents.parquet"),
+      Dedup.removeFrequentSegments(readParquet(s, s"$dir/documents.parquet"),
           "doc_id", "text", segmentWords = 10, maxFreq = 2)
         .select(col("doc_id"), col("n_segs"), col("n_kept"),
           md5(col("text_kept")).as("kept_md5"))
@@ -484,7 +484,7 @@ private[graft] object EntryDedup {
       // compute identical vectors (a cos(i)-style perturbation would risk
       // 1-ulp libm-vs-Java drift); planted cosine ~0.9998, max natural
       // pairwise cosine in the subset is 0.513 -> clean separation at 0.98.
-      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val e = readParquet(s, s"$dir/embeddings.parquet")
         .filter(col("vec_id") < 400)
         .withColumn("emb", expr("transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1024) / 1024)"))
         .select("vec_id", "emb")
@@ -503,7 +503,7 @@ private[graft] object EntryDedup {
       // silent recall collapse (e.g. a quantizer regression splitting
       // near-identical vectors across cells) is visible to the row check;
       // DedupSpec pins the bound.
-      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val e = readParquet(s, s"$dir/embeddings.parquet")
         .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("vec"))
       val planted = e.filter(col("id") < 200)
         .select((-(col("id") + lit(1L))).as("id"),
@@ -518,7 +518,7 @@ private[graft] object EntryDedup {
       // neighbors — |corpus|*window cosine evals, immune to hot-cell
       // quadratic blowup (THE 100 TB mode; the exact-within-cell pass is
       // the quality anchor). Same probe row as dedup_semantic.
-      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val e = readParquet(s, s"$dir/embeddings.parquet")
         .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("vec"))
       val planted = e.filter(col("id") < 200)
         .select((-(col("id") + lit(1L))).as("id"),
@@ -531,7 +531,7 @@ private[graft] object EntryDedup {
       // cross-doc duplicated 5-gram span stats (exact-substring dedup
       // signal); portable md5 gram hashes => END-TO-END oracle-verifiable
       Dedup.duplicatedSpanStats(
-        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", n = 5)
+        readParquet(s, s"$dir/documents.parquet"), "doc_id", "text", n = 5)
     }),
     "dedup_remove_spans" -> ((s, dir) => {
       // the REMOVAL step over the same signal (Lee et al.): drop every
@@ -539,7 +539,7 @@ private[graft] object EntryDedup {
       // fingerprint the surviving token stream — the rewrite itself is
       // hash-verified (kept_md5), not just its statistics
       Dedup.removeDuplicatedSpans(
-        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", n = 5)
+        readParquet(s, s"$dir/documents.parquet"), "doc_id", "text", n = 5)
     }),
     "dedup_exact_substr" -> ((s, dir) => {
       // CHARACTER-granular ExactSubstr (the full Lee et al. mechanism at
@@ -551,7 +551,7 @@ private[graft] object EntryDedup {
       // md5s, first-occurrence keying, coverage union, per-char
       // reassembly, kept-text md5.
       Dedup.exactSubstrDedup(
-        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+        readParquet(s, s"$dir/documents.parquet"), "doc_id", "text",
         minLen = 30)
     })
   )
@@ -588,7 +588,7 @@ private[graft] object EntryDedup {
     * LSH fixture's high-entropy address-shaped key (md5 hex of the name). */
   private def erBase(s: SparkSession, dir: String,
       withAddr: Boolean = false): DataFrame = {
-    val base = s.read.parquet(s"$dir/customer.parquet")
+    val base = readParquet(s, s"$dir/customer.parquet")
       .select(
         when(col("c_custkey").cast("long") >= 1000000000L,
           raise_error(lit("erBase: base rec_id >= 1000000000 collides with " +

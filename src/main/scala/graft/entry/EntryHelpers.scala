@@ -24,7 +24,24 @@ private[graft] object EntryHelpers {
     // enforce it here so the normalization is self-contained rather than
     // relying on every caller's session config
     s.conf.set("spark.sql.session.timeZone", "UTC")
-    graft.streaming.StreamOps.tsToNanos(s.read.parquet(s"$dir/events.parquet"))
+    graft.streaming.StreamOps.tsToNanos(readParquet(s, s"$dir/events.parquet"))
+  }
+
+  /** Dataset-table reader with a per-JVM SCHEMA cache (r20): every query
+    * construction re-ran parquet schema inference (a footer-reading job +
+    * ~0.1s of driver setup) on the same immutable dataset files — ~45% of
+    * a tail query's bench time was this fixed cost, paid 3 reps x 300+
+    * queries. Caching the inferred StructType is catalog METADATA reuse
+    * (the histogramCache precedent above), not result caching: the DATA
+    * is listed and read from parquet on every execution, only the
+    * one-time schema job is skipped. Keyed by path; dataset files never
+    * change schema within a process (scratch dirs do — they keep plain
+    * s.read.parquet). */
+  val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+  def readParquet(s: SparkSession, path: String): DataFrame = {
+    val sch = schemaCache.computeIfAbsent(path, p => s.read.parquet(p).schema)
+    s.read.schema(sch).parquet(path)
   }
 
   /** ts (nanos since epoch) -> 'yyyy-MM-dd' in UTC. */

@@ -23,7 +23,7 @@ private[graft] object EntrySim {
       // square/partial sum is exact, so d2 and the argmin (ties to lowest
       // cluster) replay bit-exactly in SQL — the oracle-exact anchor for
       // emb_kmeans' trained path. Bounded collect: 8 centroid rows.
-      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val e = readParquet(s, s"$dir/embeddings.parquet")
         .withColumn("emb", expr(
           "transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1024) / 1024)"))
       val cRows = e.filter(col("vec_id") < 8).sort("vec_id")
@@ -49,7 +49,7 @@ private[graft] object EntrySim {
       // the trained clustering must beat the fixed-first-8 assignment
       // that emb_kmeans_assign verifies oracle-exactly (10 Lloyd's
       // iterations vs 0 — deterministic for fixed data+seed).
-      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val e = readParquet(s, s"$dir/embeddings.parquet")
         .withColumn("emb", expr(
           "transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1024) / 1024)"))
         .localCheckpoint(false) // trained path + fixed-anchor path
@@ -72,7 +72,7 @@ private[graft] object EntrySim {
       // (order-independent => independently verifiable), one shuffle
       // carrying a long[64] per (label, task)
       Similarity.centroidByKey(
-        s.read.parquet(s"$dir/embeddings.parquet"), "label", "embedding")
+        readParquet(s, s"$dir/embeddings.parquet"), "label", "embedding")
         .select(col("key").as("label"), posexplode(col("centroid")), col("n"))
         .select(col("label"), (col("pos") + 1).cast("long").as("dim"),
           col("col").as("c"), col("n"))
@@ -82,14 +82,14 @@ private[graft] object EntrySim {
       // centroid (broadcast join + map-only codegen cosine); per-row dot is
       // a sequential index-order sum => independently verifiable
       Similarity.centroidOutliers(
-        s.read.parquet(s"$dir/embeddings.parquet"), "label", "embedding",
+        readParquet(s, s"$dir/embeddings.parquet"), "label", "embedding",
         threshold = 0.1)
         .select(col("vec_id"), col("label"),
           col("cos_to_centroid"), col("is_outlier"))
     }),
     "sim_topk" -> ((s, dir) => {
       // brute-force cosine top-5 for the first 20 vectors against the corpus
-      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val e = readParquet(s, s"$dir/embeddings.parquet")
         .withColumn("emb", expr("transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1024) / 1024)"))
       val queries = e.filter(col("vec_id") < 20).select(col("vec_id").as("qid"), col("emb"))
       Similarity.bruteForceTopK(e, "vec_id", "emb", queries, "qid", "emb", k = 5)
@@ -101,7 +101,7 @@ private[graft] object EntrySim {
       // dequantizes on the fly. Quantize + score are deterministic
       // arithmetic end-to-end => oracle-exact, same ranking tiebreak as
       // sim_topk (which doubles as its float-exact anchor).
-      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val e = readParquet(s, s"$dir/embeddings.parquet")
         .withColumn("emb", expr("transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1024) / 1024)"))
         .withColumn("qz", Similarity.quantizeInt8(col("emb")))
         .withColumn("dq", expr("transform(qz.q, q -> CAST(q AS DOUBLE) * qz.scale)"))
@@ -116,7 +116,7 @@ private[graft] object EntrySim {
       // non-self vector (the positive). Quantized inputs => the codegen
       // cosine replays bit-exactly; ties to the highest neighbor id (the
       // single-pass max(struct) rule, mirrored in the oracle's ORDER BY).
-      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val e = readParquet(s, s"$dir/embeddings.parquet")
         .withColumn("emb", expr(
           "transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1024) / 1024)"))
       val anchors = e.filter(col("vec_id") < 20)
@@ -136,7 +136,7 @@ private[graft] object EntrySim {
       // Hash-dependent => rows-only, but the driver's row check now sees a
       // fixed 20 rows whose counters make silent recall collapse visible;
       // SimilaritySpec keeps the aggregate >= 0.8 bound.
-      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val e = readParquet(s, s"$dir/embeddings.parquet")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
       val queries = e.filter(col("vec_id") < 20)
         .select(col("vec_id").as("qid"), col("embedding"))
@@ -159,7 +159,7 @@ private[graft] object EntrySim {
       // data-dependent: ~0.65 vs brute force on THIS weakly-clustered
       // synthetic corpus (measured; shortlist is the knob), >= 0.8 on
       // clustered data (SimilaritySpec).
-      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val e = readParquet(s, s"$dir/embeddings.parquet")
         .withColumn("emb", expr("transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1024) / 1024)"))
       val queries = e.filter(col("vec_id") < 20).select(col("vec_id").as("qid"), col("emb"))
       Similarity.projectedTopK(e, "vec_id", "emb", queries, "qid", "emb",
@@ -172,7 +172,7 @@ private[graft] object EntrySim {
       // corpus-scale ANN capstone. Clustering+quantization-dependent =>
       // rows-only with the standard probe row per query: planted-copy
       // recovery + overlap with exact brute force.
-      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val e = readParquet(s, s"$dir/embeddings.parquet")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
       val queries = e.filter(col("vec_id") < 20)
         .select(col("vec_id").as("qid"), col("embedding"))
@@ -194,7 +194,7 @@ private[graft] object EntrySim {
       // pattern: per query one row counting (a) recovery of a planted
       // near-copy (dyadic perturbation, negative id) and (b) overlap with
       // the exact brute-force top-k; SimilaritySpec pins the recall bound.
-      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val e = readParquet(s, s"$dir/embeddings.parquet")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
       val queries = e.filter(col("vec_id") < 20)
         .select(col("vec_id").as("qid"), col("embedding"))
@@ -216,7 +216,7 @@ private[graft] object EntrySim {
       // preservation is pinned in SimilaritySpec. Output flattened to one
       // (vec_id, idx, coord) row per coordinate — scalar columns only, the
       // dp_vector_sum convention the gate's column sort requires.
-      s.read.parquet(s"$dir/embeddings.parquet")
+      readParquet(s, s"$dir/embeddings.parquet")
         .withColumn("emb", expr("transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1024) / 1024)"))
         .select(col("vec_id"),
           posexplode(Similarity.randomProject(col("emb"), inDim = 64, outDim = 16))
@@ -228,7 +228,7 @@ private[graft] object EntrySim {
       // verified via per-vector roundtrip stats: the quantized L1 mass and
       // the max dequantization error (bounded by scale/2 by construction).
       // All-native deterministic arithmetic => oracle-exact.
-      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val e = readParquet(s, s"$dir/embeddings.parquet")
         .withColumn("v", col("embedding").cast("array<double>"))
         .withColumn("qz", Similarity.quantizeInt8(col("v")))
       e.select(col("vec_id"),
@@ -246,7 +246,7 @@ private[graft] object EntrySim {
       // stack. Exact integers end-to-end: counts, 1e6 div rank, and nDCG
       // from the LITERAL discount table both engines share (no log() in
       // either plan).
-      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val e = readParquet(s, s"$dir/embeddings.parquet")
         .withColumn("emb", expr(
           "transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1024) / 1024)"))
       val queries = e.filter(col("vec_id") < 20)
@@ -265,7 +265,7 @@ private[graft] object EntrySim {
       // 20-vector eval set + the drop flag — the paraphrase-leak check the
       // string-overlap arms miss. 1024x-floor quantization keeps every
       // dot/norm replayable; max over a fixed set is order-free.
-      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val e = readParquet(s, s"$dir/embeddings.parquet")
         .withColumn("emb", expr(
           "transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1024) / 1024)"))
       Similarity.semanticDecontaminate(
@@ -280,7 +280,7 @@ private[graft] object EntrySim {
       // training, Lloyd's quantizer, cell assignment, probed cell join,
       // bounded-heap top-k). The oracle-verified anchor for sim_ivf_topk;
       // same SQL oracle as sim_topk.
-      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val e = readParquet(s, s"$dir/embeddings.parquet")
         .withColumn("emb", expr("transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1024) / 1024)"))
       val queries = e.filter(col("vec_id") < 20).select(col("vec_id").as("qid"), col("emb"))
       Similarity.ivfTopK(e, "vec_id", "emb", queries, "qid", "emb",
@@ -294,7 +294,7 @@ private[graft] object EntrySim {
       // sim_ivf_exact, but the scores now round-trip through parquet and
       // the probed scan reads partition-pruned files. The build-once /
       // query-many production layout inside the gate.
-      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val e = readParquet(s, s"$dir/embeddings.parquet")
         .withColumn("emb", expr("transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1024) / 1024)"))
       val idx = scratchDir("sim_ivf_index")
       Similarity.buildIvfIndex(e, "vec_id", "emb", idx, nlist = 16)
@@ -312,7 +312,7 @@ private[graft] object EntrySim {
       // over the UNION, so the oracle is the same brute-force SQL as
       // sim_ivf_index. The append ∪ build ≡ same-centroid-rebuild
       // identity and the drift report are spec-pinned.
-      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val e = readParquet(s, s"$dir/embeddings.parquet")
         .withColumn("emb", expr(
           "transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1024) / 1024)"))
       val idx = scratchDir("sim_ivf_index_append")
@@ -337,7 +337,7 @@ private[graft] object EntrySim {
       // sample-dependent => rows-only; the probe columns pin the
       // decision inputs (rebuilt, append_share, n_appended) and recall
       // recovery on planted drift is spec-pinned in SimilaritySpec.
-      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val e = readParquet(s, s"$dir/embeddings.parquet")
         .withColumn("emb", expr(
           "transform(embedding, x -> CAST(x AS DOUBLE))"))
       val idx = scratchDir("sim_ivf_rebuild")
@@ -358,7 +358,7 @@ private[graft] object EntrySim {
       // re-rank. All-cells probe keeps it provably brute force (same
       // oracle); sim_ivf_index remains the build-cost row.
       val idx = prebuiltIvfIndex(s, dir)
-      val queries = s.read.parquet(s"$dir/embeddings.parquet")
+      val queries = readParquet(s, s"$dir/embeddings.parquet")
         .withColumn("emb", expr(
           "transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1024) / 1024)"))
         .filter(col("vec_id") < 20).select(col("vec_id").as("qid"), col("emb"))
@@ -376,7 +376,7 @@ private[graft] object EntrySim {
       // carries its query's recall counters vs the exact brute-force
       // top-k over the same corpus — n_both (overlap) and n_exact — so
       // the driver's row check sees silent recall collapse.
-      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val e = readParquet(s, s"$dir/embeddings.parquet")
       val queries = e.filter(col("vec_id") < 20)
         .select(col("vec_id").as("qid"), col("embedding"))
       val ivf = Similarity.ivfTopK(e, "vec_id", "embedding",
@@ -411,7 +411,7 @@ private[graft] object EntrySim {
       // cost (measured 1.7 -> 2.9 s isolated). pc is total (fixed k, no
       // nulls), so outer generates identical rows without the filter.
       Similarity.pcaProject(
-          s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding", k = 8)
+          readParquet(s, s"$dir/embeddings.parquet"), "vec_id", "embedding", k = 8)
         .select(col("id"), posexplode_outer(col("pc")).as(Seq("j", "pc_j")),
           col("probe_ortho_e9"), col("probe_resid_e9"))
         .select(col("id"), col("j").cast("int").as("j"), col("pc_j"),
@@ -419,7 +419,7 @@ private[graft] object EntrySim {
     }),
     "mm_features" -> ((s, dir) => {
       // multimodal payload plumbing: text bytes as the opaque binary payload
-      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val docs = readParquet(s, s"$dir/documents.parquet")
         .withColumn("media", col("text").cast("binary"))
       docs.select(col("doc_id"), Multimodal.payloadFeatures(col("media")).as("f"))
         .select(col("doc_id"), col("f.n_bytes").as("n_bytes"), col("f.sha256").as("sha256"))
@@ -434,7 +434,7 @@ private[graft] object EntrySim {
       // forward pass => every feature coordinate hashes exactly against
       // the oracle's replay of the same linear algebra.
       val toBytes = udf((q: Seq[Byte]) => q.toArray)
-      val payload = s.read.parquet(s"$dir/embeddings.parquet")
+      val payload = readParquet(s, s"$dir/embeddings.parquet")
         .select(col("vec_id"),
           toBytes(Similarity.quantizeInt8(col("embedding")).getField("q"))
             .as("media"))
@@ -479,7 +479,7 @@ private[graft] object EntrySim {
       //   probe_docs_lost — count of corpus docs with ZERO surviving
       //     sampled rows (total per-doc loss would otherwise be invisible;
       //     rides every row via a broadcast one-row crossJoin).
-      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val docs = readParquet(s, s"$dir/documents.parquet")
         .select(col("doc_id"), mkVideo(col("text")).as("media"))
       val sampled = Multimodal.sampleFrames(docs, "media", n = 2)
         .localCheckpoint(false) // consumed by the rows + the lost-docs probe
@@ -517,7 +517,7 @@ private[graft] object EntrySim {
       // perceptual content — every one would alias to the same uniform
       // fingerprint).
       val toPng = udf((t: String) => Multimodal.syntheticPng(t))
-      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val docs = readParquet(s, s"$dir/documents.parquet")
         .select(col("doc_id"),
           substring(regexp_replace(col("text"), "[^ -~]", ""), 1, 64)
             .as("c"))
@@ -534,7 +534,7 @@ private[graft] object EntrySim {
       // The decoded dimensions equal the construction formula, so the whole
       // encode->decode->plan roundtrip is oracle-exact.
       val toPng = udf((text: String) => Multimodal.syntheticPng(text))
-      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val docs = readParquet(s, s"$dir/documents.parquet")
         .select(col("doc_id"), col("text")).withColumn("media", toPng(col("text")))
       val decoded = Multimodal.decodeImage(docs, "media")
       decoded.select(col("doc_id"),
@@ -549,7 +549,7 @@ private[graft] object EntrySim {
       // frame per UTF-8 byte), parse it back via javax.sound. Frame count
       // equals the byte length => oracle-exact.
       val toWav = udf((text: String) => Multimodal.syntheticWav(text))
-      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val docs = readParquet(s, s"$dir/documents.parquet")
         .select(col("doc_id"), col("text")).withColumn("media", toWav(col("text")))
       Multimodal.decodeAudio(docs, "media")
         .select(col("doc_id"),
@@ -566,7 +566,7 @@ private[graft] object EntrySim {
       // finish) runs for real and must reproduce the quantized inputs
       // bit-for-bit. 100 vectors, ell = 128.
       graft.ops.Sketches.frequentDirections(
-        s.read.parquet(s"$dir/embeddings.parquet")
+        readParquet(s, s"$dir/embeddings.parquet")
           .filter(col("vec_id") < 100)
           .withColumn("emb",
             expr("transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1024) / 1024)")),
@@ -580,7 +580,7 @@ private[graft] object EntrySim {
       // relative emb_covariance. ell = 8 over the full embeddings table
       // => many shrinks, mergeable partials across all tasks.
       graft.ops.Sketches.frequentDirections(
-        s.read.parquet(s"$dir/embeddings.parquet")
+        readParquet(s, s"$dir/embeddings.parquet")
           .withColumn("emb",
             expr("transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1024) / 1024)")),
         "emb", ell = 8)
@@ -592,7 +592,7 @@ private[graft] object EntrySim {
       // from the single result row. Integer moments over the deterministic
       // quantization are what make a covariance matrix hash-verifiable.
       Similarity.covarianceMoments(
-        s.read.parquet(s"$dir/embeddings.parquet"), "embedding")
+        readParquet(s, s"$dir/embeddings.parquet"), "embedding")
     }),
     "sim_bm25_topk" -> ((s, dir) => {
       // Okapi BM25 lexical top-5 (exact integer arithmetic: log2-floor
@@ -602,7 +602,7 @@ private[graft] object EntrySim {
       // every query matches many docs and the dl normalization and the
       // idf=0 saturation arm (terms in more than half the corpus) both
       // run for real.
-      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val docs = readParquet(s, s"$dir/documents.parquet")
         .select("doc_id", "text")
       Retrieval.bm25TopK(docs, "doc_id", "text",
         bm25QueryFixture(docs), "query_id", "term", k = 5)
@@ -616,11 +616,11 @@ private[graft] object EntrySim {
       // single-list rows, score-tie item-id tiebreak — are what is under
       // test, and both arms are independently oracle-anchored
       // (sim_bm25_topk, sim_topk).
-      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val docs = readParquet(s, s"$dir/documents.parquet")
         .select("doc_id", "text")
       val lex = Retrieval.bm25TopK(docs, "doc_id", "text",
         bm25QueryFixture(docs), "query_id", "term", k = 20)
-      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val e = readParquet(s, s"$dir/embeddings.parquet")
         .withColumn("emb", expr(
           "transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1024) / 1024)"))
       val qv = e.filter(col("vec_id") < 5)
@@ -651,7 +651,7 @@ private[graft] object EntrySim {
 
   private def prebuiltIvfIndex(s: SparkSession, dir: String): String =
     ivfIndexCache.computeIfAbsent(dir, _ => {
-      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val e = readParquet(s, s"$dir/embeddings.parquet")
         .withColumn("emb", expr(
           "transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1024) / 1024)"))
       // key the scratch by the full SANITIZED dir (not a hash, which could

@@ -26,7 +26,7 @@ private[graft] object EntryStream {
       // — is pinned equal in StreamOpsSpec, including through a REAL
       // foreachBatch drive. Portable md5 minhash => oracle-exact.
       graft.ops.Dedup.onlineNearDupLog(
-        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+        readParquet(s, s"$dir/documents.parquet"), "doc_id", "text",
         threshold = 0.6)
     }),
     "ss_drift" -> ((s, dir) => {
@@ -95,7 +95,7 @@ private[graft] object EntryStream {
       // StreamOps function whose stream==batch parity StreamOpsSpec proves
       graft.streaming.StreamOps.enrichedWindowStats(
         events(s, dir).withColumn("ts", expr("timestamp_micros(ts div 1000)")),
-        s.read.parquet(s"$dir/customer.parquet"),
+        readParquet(s, s"$dir/customer.parquet"),
         "c_custkey", "c_mktsegment")
     }),
     "ss_reservoir" -> ((s, dir) => {
@@ -107,7 +107,7 @@ private[graft] object EntryStream {
       // oracle verifies the selected rows (ids + payload), not just
       // counts. Batch 3 REPLAYS part of batch 2 (doc_id % 3 == 1 rows
       // appear in both) — the idempotence contract runs for real.
-      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val docs = readParquet(s, s"$dir/documents.parquet")
         .select("doc_id", "lang", "n_chars")
       val batches = Seq(
         docs.filter(col("doc_id") % 3 === 0),

@@ -37,7 +37,7 @@ private[graft] object EntryText {
       // packing. The pattern is restricted to java.regex ∩ RE2 syntax so
       // the oracle runs it verbatim.
       TextAnalysis.withTokenStats(
-        s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text"), "text")
+        readParquet(s, s"$dir/documents.parquet").select("doc_id", "text"), "text")
         .drop("text")
     }),
     "text_url_domains" -> ((s, dir) => {
@@ -49,7 +49,7 @@ private[graft] object EntryText {
       // synthesized-payload mm_ queries).
       // coalesce: Spark's concat null-propagates while DuckDB's skips null
       // arguments — pin both to empty-string semantics
-      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val docs = readParquet(s, s"$dir/documents.parquet")
         .withColumn("body", concat(coalesce(col("text"), lit("")),
           lit(" see https://site-"), (col("doc_id") % 37).cast("string"),
           lit(".example.com/p/"), col("doc_id").cast("string"),
@@ -59,7 +59,7 @@ private[graft] object EntryText {
     }),
     "text_quality" -> ((s, dir) => {
       TextAnalysis.withQualityFeatures(
-        s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text"), "text")
+        readParquet(s, s"$dir/documents.parquet").select("doc_id", "text"), "text")
         .drop("text")
     }),
     "text_langid" -> ((s, dir) => {
@@ -67,7 +67,7 @@ private[graft] object EntryText {
       // intersections, earliest-language argmax, CJK override) is recomputed
       // independently by the DuckDB oracle; accuracy on genuine multilingual
       // sentences is covered by TextAnalysisSpec.
-      s.read.parquet(s"$dir/documents.parquet")
+      readParquet(s, s"$dir/documents.parquet")
         .withColumn("__toks", TextAnalysis.tokens(col("text")))
         .select(col("doc_id"),
           TextAnalysis.langIdFromTokens(col("text"), col("__toks"))
@@ -83,7 +83,7 @@ private[graft] object EntryText {
       //     equal, the property dedup relies on).
       // Texts ride the two windows as md5 keys, not full strings.
       import org.apache.spark.sql.expressions.Window
-      s.read.parquet(s"$dir/documents.parquet")
+      readParquet(s, s"$dir/documents.parquet")
         .select(col("doc_id"), md5(col("text")).as("__t"),
           TextAnalysis.fingerprint(col("text")).as("fingerprint"))
         .withColumn("probe_fp_collisions",
@@ -99,7 +99,7 @@ private[graft] object EntryText {
       // 60-bit gram hashes, fingerprint = md5 of the sorted sketch — the
       // hash-independent twin of text_fingerprint, oracle-verified
       // end-to-end (sketch construction recomputed in SQL).
-      s.read.parquet(s"$dir/documents.parquet")
+      readParquet(s, s"$dir/documents.parquet")
         .select(col("doc_id"),
           TextAnalysis.fingerprintPortable(col("text")).as("fingerprint"))
     }),
@@ -108,7 +108,7 @@ private[graft] object EntryText {
       // query appends DETERMINISTIC synthetic PII derived from doc_id (one
       // email, IP, SSN, phone each) and the oracle replays the same
       // construction — regexes restricted to Java/RE2-identical syntax.
-      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val docs = readParquet(s, s"$dir/documents.parquet")
         .select(col("doc_id"), concat(
           col("text"),
           lit(" contact user"), col("doc_id").cast("string"), lit("@example.com"),
@@ -123,7 +123,7 @@ private[graft] object EntryText {
       // fractions, duplicate 2-/3-gram fractions. Pure per-row projections;
       // every count is recomputed by the DuckDB oracle with list lambdas.
       CorpusOps.repetitionFeatures(
-        s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text"), "text")
+        readParquet(s, s"$dir/documents.parquet").select("doc_id", "text"), "text")
         .drop("text")
     }),
     "text_contamination" -> ((s, dir) => {
@@ -131,7 +131,7 @@ private[graft] object EntryText {
       // "eval set"; every other doc reports how many of its distinct word
       // 3-grams appear in it. Corpus side is a zero-shuffle map-only scan
       // against the broadcast benchmark gram set.
-      val docs = s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+      val docs = readParquet(s, s"$dir/documents.parquet").select("doc_id", "text")
       val bench = docs.filter(col("doc_id") % 20 === 0)
       val corpus = docs.filter(col("doc_id") % 20 =!= 0)
       CorpusOps.ngramContamination(corpus, "text", bench, "text", n = 3)
@@ -144,7 +144,7 @@ private[graft] object EntryText {
       // dropped; per-source kept/dropped rollup. Whole pipeline replays
       // in the oracle via the shared portable pair SQL's cross-set
       // restriction (the dedup_incremental construction).
-      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val docs = readParquet(s, s"$dir/documents.parquet")
       val bench = docs.filter(col("doc_id") % 10 === 0)
       val corpus = docs.filter(col("doc_id") % 10 =!= 0)
       val sigs = Dedup.minHashWithSigPortable(bench, "doc_id", "text",
@@ -158,7 +158,7 @@ private[graft] object EntryText {
       // >= 0.8) — the quoted-benchmark case Jaccard structurally misses.
       // Same benchmark split and signature store as the Jaccard variant
       // (one store serves both banding grids).
-      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val docs = readParquet(s, s"$dir/documents.parquet")
       val bench = docs.filter(col("doc_id") % 10 === 0)
       val corpus = docs.filter(col("doc_id") % 10 =!= 0)
       val sigs = Dedup.minHashWithSigPortable(bench, "doc_id", "text",
@@ -173,7 +173,7 @@ private[graft] object EntryText {
       // tiny => broadcast anti-join on md5 of the normalized text; one
       // corpus scan total.
       val docs = TextAnalysis.normalizeText(
-        s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text", "source"),
+        readParquet(s, s"$dir/documents.parquet").select("doc_id", "text", "source"),
         "text")
         .withColumn("h", md5(col("norm_text")))
       val evalSet = docs.filter(col("doc_id") % 20 === 0).select(col("h").as("eh"))
@@ -193,7 +193,7 @@ private[graft] object EntryText {
       // so the oracle replays the whole filter bit-for-bit and the
       // false_positive column itself is hash-verified.
       val docs = TextAnalysis.normalizeText(
-        s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text", "source"),
+        readParquet(s, s"$dir/documents.parquet").select("doc_id", "text", "source"),
         "text")
         .withColumn("h", md5(col("norm_text")))
       val evalSet = docs.filter(col("doc_id") % 20 === 0).select("h").distinct()
@@ -212,20 +212,20 @@ private[graft] object EntryText {
       // fast path fully codegen; oracle recomputes with DuckDB's
       // nfc_normalize — both implement the same Unicode normal form
       TextAnalysis.normalizeText(
-        s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text"), "text")
+        readParquet(s, s"$dir/documents.parquet").select("doc_id", "text"), "text")
         .select(col("doc_id"), col("norm_text"), col("changed"))
     }),
     "text_chunks" -> ((s, dir) => {
       // overlapping token-window chunking (RAG/embedding prep): 32-token
       // windows every 24 tokens, last window clipped; map-only explode
       TextAnalysis.chunkDocuments(
-        s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text"),
+        readParquet(s, s"$dir/documents.parquet").select("doc_id", "text"),
         "doc_id", "text", window = 32, stride = 24)
     }),
     "text_tfidf" -> ((s, dir) => {
       // top-3 TF-IDF keywords per doc with integer log2-floor IDF
       // (transcendental-free => cross-engine exact); broadcast df table
-      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val docs = readParquet(s, s"$dir/documents.parquet")
         .select("doc_id", "text")
       TextAnalysis.tfIdfTopTerms(docs, "doc_id", "text", k = 3)
         .select(col("id").as("doc_id"), col("term"), col("tf"),
@@ -239,7 +239,7 @@ private[graft] object EntryText {
       // minCount=5 floors hapax pairs (part of the operator: raw PMI
       // ranks a once-seen typo pair above every real collocation).
       TextAnalysis.collocations(
-        s.read.parquet(s"$dir/documents.parquet").select("text"),
+        readParquet(s, s"$dir/documents.parquet").select("text"),
         "text", k = 25, minCount = 5)
     }),
     "text_cooccurrence" -> ((s, dir) => {
@@ -248,7 +248,7 @@ private[graft] object EntryText {
       // BIGINT sums), pairs canonicalized by binary string order,
       // corpus top-25 by weighted mass.
       TextAnalysis.cooccurrence(
-        s.read.parquet(s"$dir/documents.parquet").select("text"),
+        readParquet(s, s"$dir/documents.parquet").select("text"),
         "text", window = 4, k = 25, minCount = 5)
     }),
     "text_lm_surprisal" -> ((s, dir) => {
@@ -258,14 +258,14 @@ private[graft] object EntryText {
       // head/middle/tail terciles by distributed rank. minCount=2 prunes
       // singleton bigrams so the unseen-bigram scoring path runs for real.
       LmScore.surprisalScores(
-        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+        readParquet(s, s"$dir/documents.parquet"), "doc_id", "text",
         minCount = 2)
     }),
     "text_pack_sequences" -> ((s, dir) => {
       // sequence packing for training rows: distributed prefix sum of token
       // counts in doc order (bucketed local cumsums + broadcast offsets),
       // then 512-token pack boundaries
-      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val docs = readParquet(s, s"$dir/documents.parquet")
         .withColumn("n_toks", TextAnalysis.tokenCount(col("text")))
       CorpusOps.packSequences(docs, "doc_id", "n_toks",
         seqLen = 512L, bucketWidth = 64L)
@@ -280,7 +280,7 @@ private[graft] object EntryText {
       // its subwords (violations column must read 0), and the subword/word
       // ratio makes merge quality visible. BpeSpec pins the reference
       // algorithm on the classic fixture.
-      val docs = s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+      val docs = readParquet(s, s"$dir/documents.parquet").select("doc_id", "text")
       val merges = ops.Bpe.train(docs, "text", nMerges = 50, vocabCap = 10000)
       docs.select(col("doc_id"),
           explode(ops.Bpe.applyMerges(col("text"), merges)).as("bw"))
@@ -303,7 +303,7 @@ private[graft] object EntryText {
       // chain: each symbol rides as {sym}, so a pair merge is one
       // disjoint-match string replace, and training-consistency makes
       // sequential-exhaustive == rank-greedy (see fixedBpeMerges doc).
-      val words = s.read.parquet(s"$dir/documents.parquet")
+      val words = readParquet(s, s"$dir/documents.parquet")
         .select(explode(expr(
           "regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("word"))
         .groupBy("word").agg(count(lit(1)).as("n_occurrences"))
@@ -320,7 +320,7 @@ private[graft] object EntryText {
       // roundtrip): nav/footer/script/style content must vanish, body text
       // must survive verbatim. Java∩RE2 regexes so the oracle runs the
       // same patterns; clean text compared as md5.
-      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val docs = readParquet(s, s"$dir/documents.parquet")
         .withColumn("html", concat(
           lit("<html><head><title>doc-"), col("doc_id"),
           lit("</title><style>body{margin:0}</style></head><body><nav>home | about | login</nav><h1>doc-"),
@@ -339,7 +339,7 @@ private[graft] object EntryText {
       // deterministic integer-thousandth weights, threshold at 0. Exact
       // integer sum + one division => oracle-exact; swap weightMillis for
       // a broadcast trained-weight array to run a real model.
-      s.read.parquet(s"$dir/documents.parquet")
+      readParquet(s, s"$dir/documents.parquet")
         .select(col("doc_id"), ops.LinearTextModel.score(col("text")).as("q"))
         .select(col("doc_id"), col("q.n_features").as("n_features"),
           col("q.score").as("score"), col("q.keep").as("keep"))
@@ -361,7 +361,7 @@ private[graft] object EntryText {
       // broken gradient sign flips them false and fails the row check);
       // ml_pr_curve / ml_calibration are the oracle-exact anchor twins
       // (the same feature hashing, fixed weights).
-      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val docs = readParquet(s, s"$dir/documents.parquet")
         .withColumn("body", concat(coalesce(col("text"), lit("")),
           when(col("doc_id") % 3 === 0,
             lit(" careful review polished thorough"))
@@ -379,7 +379,7 @@ private[graft] object EntryText {
       // MACHINERY — featurize -> per-iteration dense-gradient aggregate
       // -> weight update -> final eval — while the Adagrad float row
       // keeps the production optimizer under its probe contract.
-      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val docs = readParquet(s, s"$dir/documents.parquet")
         .withColumn("body", concat(coalesce(col("text"), lit("")),
           when(col("doc_id") % 3 === 0,
             lit(" careful review polished thorough"))
@@ -394,7 +394,7 @@ private[graft] object EntryText {
       // fixed-point loop and evaluated held-out — the model-selection
       // machinery of a corpus filter, every number an integer function
       // of the corpus, replayed fold-by-fold in the generated SQL.
-      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val docs = readParquet(s, s"$dir/documents.parquet")
         .withColumn("body", concat(coalesce(col("text"), lit("")),
           when(col("doc_id") % 3 === 0,
             lit(" careful review polished thorough"))
@@ -409,7 +409,7 @@ private[graft] object EntryText {
       // scorer) swept at 9 thresholds against an is-English label —
       // exact confusion counts + floor-scaled integer ratios, all
       // thresholds in ONE aggregation pass.
-      val scored = s.read.parquet(s"$dir/documents.parquet")
+      val scored = readParquet(s, s"$dir/documents.parquet")
         .select(ops.LinearTextModel.score(col("text")).as("q"),
           (col("lang") === "en").as("label"))
         .select(floor(col("q.score") * lit(1000.0)).cast("long")
@@ -422,7 +422,7 @@ private[graft] object EntryText {
       // equal-width integer bins over the public milli-score range
       // [-1000, 1000), exact counts + floor-scaled positive rate + mean
       // score per bin. Same scorer and label as ml_pr_curve.
-      val scored = s.read.parquet(s"$dir/documents.parquet")
+      val scored = readParquet(s, s"$dir/documents.parquet")
         .select(ops.LinearTextModel.score(col("text")).as("q"),
           (col("lang") === "en").as("label"))
         .select(floor(col("q.score") * lit(1000.0)).cast("long")
@@ -436,7 +436,7 @@ private[graft] object EntryText {
       // percentile is a sort-based agg per group; at 100 TB swap in
       // percentile_approx (same query shape) — the oracle anchors exactness
       // here.
-      s.read.parquet(s"$dir/documents.parquet")
+      readParquet(s, s"$dir/documents.parquet")
         .groupBy("source")
         .agg(expr("percentile(CAST(n_chars AS DOUBLE), array(0.5D, 0.9D, 0.99D))").as("q"),
           count(lit(1)).as("n_docs"))
@@ -453,7 +453,7 @@ private[graft] object EntryText {
       // IS the verification — a dropped, duplicated, or overlapping chunk
       // breaks the hash.
       val ch = TextAnalysis.cdcChunks(
-        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+        readParquet(s, s"$dir/documents.parquet"), "doc_id", "text",
         minSize = 32, avgSize = 128, maxSize = 512)
       ch.groupBy("doc_id")
         .agg(
@@ -471,7 +471,7 @@ private[graft] object EntryText {
       // Explode feeds a map-side-combined hash aggregate; final top-k is
       // TakeOrderedAndProject (bounded per-partition heaps), never a sort.
       CorpusOps.vocabTopK(
-        s.read.parquet(s"$dir/documents.parquet").select("text"), "text", 50)
+        readParquet(s, s"$dir/documents.parquet").select("text"), "text", 50)
     })
   )
 
